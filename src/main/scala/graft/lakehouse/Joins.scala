@@ -1,0 +1,102 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's one real join operator: a null-safe broadcast
+  * dimension-key substitution join ("simpleMap") plus its select-list
+  * helpers. Reference: ecu/sbl/aace/datalake/common.py:918-991.
+  */
+object Joins {
+
+  /** common.py:593-607 — replace-then-append select-list surgery, as a pure
+    * function (the reference mutates its input list):
+    *  - oldVal absent        → list :+ newVal
+    *  - newVal already there → list unchanged
+    *  - else                 → oldVal's slot ← newVal, oldVal appended last
+    */
+  def insertValueIntoList(theList: Seq[String], oldVal: String, newVal: String): Seq[String] =
+    if (!theList.contains(oldVal)) theList :+ newVal
+    else if (theList.contains(newVal)) theList
+    else theList.map(v => if (v == oldVal) newVal else v) :+ oldVal
+
+  /** common.py:615-616 */
+  def replaceValueInList(theList: Seq[String], oldVal: String, newVal: String): Seq[String] =
+    theList.map(v => if (v == oldVal) newVal else v)
+
+  /** common.py:918-924 — null-safe equi-join predicate between aliased
+    * sides. `<=>` (EqualNullSafe) is exactly `a = b OR (a IS NULL AND b IS
+    * NULL)` and, unlike the OR form, stays a hash-joinable key. */
+  def getJoinCondition(factCol: String, mapCol: String = null): Column = {
+    val mc = if (mapCol == null) factCol else mapCol
+    col(s"fact.$factCol") <=> col(s"map.$mc")
+  }
+
+  /** common.py:981-991 — build the post-join select list: substitute
+    * `indexColumn` at `valColumn`'s position (appending `valColumn` last),
+    * qualify `valColumn` with `fact.` and `indexColumn` with `map.`, and
+    * fact-qualify any bare name that also exists on the map side. */
+  def insertColumnAndAlias(columns: Seq[String], valColumn: String,
+      indexColumn: String, mapColumns: Seq[String] = Seq.empty): Seq[String] = {
+    val cols = insertValueIntoList(columns, valColumn, indexColumn)
+    val aliased = cols.map {
+      case c if c == valColumn => s"fact.$c"
+      case c if c == indexColumn => s"map.$c"
+      case c => c
+    }
+    if (mapColumns.nonEmpty)
+      aliased.map(c => if (!c.contains('.') && mapColumns.contains(c)) s"fact.$c" else c)
+    else aliased
+  }
+
+  /** common.py:972-973 */
+  def aliasColumns(selectCols: Seq[String], indexCol: String): Seq[String] =
+    selectCols.map(c => if (c == indexCol) s"map.$c" else s"fact.$c")
+
+  /** common.py:932-964 — dimension-key substitution join. The map's FIRST
+    * column is the surrogate index; joins fact.joinCol <=> map.joinCol with
+    * the map side broadcast (dimension tables are small — at 100 TB fact
+    * scale this is the difference between a map-side hash join and a full
+    * shuffle), then selects the fact columns with `joinCol` replaced by the
+    * index (original joinCol kept at the end — reference behavior).
+    *
+    * Row preservation (map key unique) is asserted via before/after counts.
+    * The joined frame is persisted between the assertion count and the
+    * returned handle so lineage is not recomputed (the reference re-scans
+    * three times); pass checkCounts=false to skip both actions at scale. */
+  def simpleMap(factDF: DataFrame, metadataDF: DataFrame, joinCol: String,
+      joinType: String = "inner", checkCounts: Boolean = true): DataFrame = {
+    val indexCol = metadataDF.columns.head
+    val factCols = factDF.columns.toSeq
+    if (!factCols.contains(joinCol)) {
+      if (factCols.contains(indexCol)) {
+        System.err.println(s"$joinCol not in factDF - already replaced by $indexCol")
+        return factDF
+      } else throw new IllegalArgumentException(s"$joinCol not in factDF")
+    }
+    if (factCols.contains(indexCol))
+      throw new IllegalArgumentException(s"$indexCol already in factDF. This shouldn't happen")
+
+    val aliasedFact = factDF.alias("fact")
+    val theMap = metadataDF.select(indexCol, joinCol).alias("map")
+    val before = if (checkCounts) factDF.count() else -1L
+
+    val joined = aliasedFact
+      .join(broadcast(theMap), getJoinCondition(joinCol), joinType)
+      .select(insertColumnAndAlias(factCols, joinCol, indexCol,
+        theMap.columns.toSeq).map(col): _*)
+
+    if (checkCounts) {
+      joined.persist(StorageLevel.MEMORY_AND_DISK)
+      val after = joined.count()
+      if (before != after) {
+        joined.unpersist()
+        throw new IllegalStateException(
+          s"simpleMap($joinCol): row count changed $before -> $after " +
+            "(map key not unique, or inner join dropped unmatched rows)")
+      }
+    }
+    joined
+  }
+}

@@ -1,0 +1,127 @@
+package graft.lakehouse
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+
+/** Table read/write surface over the local lakehouse: the reference's Delta
+  * scans/sinks re-expressed over Parquet (no Delta jars in /opt/spark/jars;
+  * Delta `mode("overwrite").option("overwriteSchema","true")` ≈ Parquet
+  * `SaveMode.Overwrite` — ACID/compaction out of scope, see SURVEY §7).
+  *
+  * Reference: ecu/sbl/aace/datalake/common.py:359-538.
+  */
+object TableIO {
+
+  /** common.py:359-367 — SQL text generator; `distinct` emits GROUP BY over
+    * the full select list (distinct-via-group-by — Catalyst canonicalizes
+    * both to the same Aggregate). */
+  def getSQL(tableName: String, cols: Seq[String], distinct: Boolean = false): String = {
+    val colList = cols.map(Catalog.escapeName).mkString(", ")
+    val base = s"SELECT $colList FROM ${Catalog.escapeName(tableName)}"
+    if (distinct && cols != Seq("*")) s"$base GROUP BY $colList" else base
+  }
+
+  /** common.py:440-459 (__selectTable) — the primary scan: read parquet at
+    * the table/view path, register a uuid-named temp view, run `query`
+    * (default `SELECT t.* FROM <view> AS t`). AnalysisExceptions are
+    * re-thrown with the root cause extracted (common.py:398-410). */
+  private def selectTableOrView(
+      spark: SparkSession,
+      lh: LakehouseProps,
+      tableName: String,
+      query: Option[String],
+      tableOrView: String): DataFrame = {
+    val path =
+      if (tableOrView == "view") Catalog.viewPath(lh, tableName)
+      else Catalog.tablePath(lh, tableName)
+    try {
+      val df = spark.read.parquet(path)
+      val tempName = Catalog.getTempTableName(tableName)
+      df.createOrReplaceTempView(tempName)
+      val sql = query
+        .map(_.replace(s"{table}", tempName)) // allow callers to target the view
+        .getOrElse(s"SELECT t.* FROM $tempName AS t")
+      spark.sql(sql)
+    } catch {
+      case e: AnalysisException => throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"selectTable($tableName) failed: ${rootCause(e).getMessage}"),
+        cause = Some(e))
+    }
+  }
+
+  /** Walk the cause chain to the innermost throwable — the analogue of the
+    * reference's `extract_actual_error` "Caused by:" scrape (common.py:398-410). */
+  def rootCause(t: Throwable): Throwable = {
+    var cur = t
+    while (cur.getCause != null && (cur.getCause ne cur)) cur = cur.getCause
+    cur
+  }
+
+  /** common.py:461-463 */
+  def selectTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      query: Option[String] = None): DataFrame =
+    selectTableOrView(spark, lh, tableName, query, "table")
+
+  /** common.py:465-467 */
+  def selectView(spark: SparkSession, lh: LakehouseProps, viewName: String,
+      query: Option[String] = None): DataFrame =
+    selectTableOrView(spark, lh, viewName, query, "view")
+
+  /** common.py:475-489 — the reference builds `SELECT <cols> FROM t WHERE
+    * <cond>` but (a) drops the space before WHERE and (b) never passes the
+    * built query to selectTable, so it always returns the whole table. We
+    * implement the INTENDED semantics (projection + condition pushed into
+    * the scan); divergence documented in SURVEY §7. */
+  def readTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      columns: Seq[String] = Seq("*"), condition: String = ""): DataFrame = {
+    val base = selectTable(spark, lh, tableName)
+    val projected =
+      if (columns == Seq("*")) base
+      else base.select(columns.map(org.apache.spark.sql.functions.col): _*)
+    if (condition.trim.isEmpty) projected
+    else projected.where(condition)
+  }
+
+  /** common.py:377-378 — projection (+optional distinct) scan. */
+  def getColsFromTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      cols: Seq[String], distinct: Boolean = false): DataFrame = {
+    val projected = readTable(spark, lh, tableName, cols)
+    if (distinct) projected.distinct() else projected
+  }
+
+  /** common.py:525-538 — overwrite-write (optionally Hive-style partitioned),
+    * then record `{lakehouse, shape, columns, path}` into the registry.
+    * The reference's post-write `dfShape` re-counts the un-cached lineage;
+    * we count the written files instead (same number, one scan of the
+    * just-written parquet — cheaper at scale). */
+  def writeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      df: DataFrame, partitionBy: Seq[String] = Seq.empty): TableInfo = {
+    val path = Catalog.tablePath(lh, tableName)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
+    val written = spark.read.parquet(path)
+    val info = TableInfo(lh.lakehouseName, written.count(), df.columns.length,
+      df.columns.toSeq, path)
+    Catalog.recordTable(tableName, written, info)
+    info
+  }
+
+  /** common.py:512-517 — the reference's dropTable is doubly bugged (spark
+    * self-assignment; Delta row-delete instead of drop). Implement the
+    * intent: remove the table directory + forget it. */
+  def dropTable(spark: SparkSession, lh: LakehouseProps, tableName: String): Unit = {
+    val dir = Paths.get(Catalog.tablePath(lh, tableName))
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    Catalog.forgetTable(tableName)
+  }
+
+  /** common.py:905-908 — (rowCount, colCount) + column list. One count()
+    * action; caller should persist first when reusing the DataFrame. */
+  def dfShape(df: DataFrame): (Long, Int, Seq[String]) =
+    (df.count(), df.columns.length, df.columns.toSeq)
+}

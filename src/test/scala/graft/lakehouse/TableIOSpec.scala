@@ -1,0 +1,69 @@
+package graft.lakehouse
+
+import java.nio.file.Files
+
+class TableIOSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("tio_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_tio", "lh_tio").lakehouses.head
+  }
+
+  test("getSQL: projection, escaping, distinct-as-group-by") {
+    assert(TableIO.getSQL("t", Seq("a", "b c")) == "SELECT a, `b c` FROM t")
+    assert(TableIO.getSQL("t", Seq("a"), distinct = true)
+      == "SELECT a FROM t GROUP BY a")
+    assert(TableIO.getSQL("t", Seq("*")) == "SELECT * FROM t")
+  }
+
+  test("write/select/read/drop round-trip + registry") {
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)).toDF("k", "g", "v")
+    val info = TableIO.writeTable(spark, lh, "t1", df)
+    assert(info.rowCount == 3 && info.colCount == 3)
+    assert(Catalog.getTables(lh).contains("t1"))
+    assert(Catalog.allTables.contains("t1"))
+
+    val full = TableIO.selectTable(spark, lh, "t1")
+    assert(full.count() == 3)
+
+    val filtered = TableIO.readTable(spark, lh, "t1", Seq("k", "v"), "v > 2.0")
+    assert(filtered.columns.toSeq == Seq("k", "v"))
+    assert(filtered.count() == 2)
+
+    val distinct = TableIO.getColsFromTable(spark, lh, "t1", Seq("g"), distinct = true)
+    assert(distinct.count() == 2)
+
+    TableIO.dropTable(spark, lh, "t1")
+    assert(!Catalog.getTables(lh).contains("t1"))
+    assert(!Catalog.allTables.contains("t1"))
+  }
+
+  test("writeTable partitionBy produces hive-style layout") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "g")
+    TableIO.writeTable(spark, lh, "t2", df, partitionBy = Seq("g"))
+    val sub = Catalog.getTables(lh)
+    assert(sub.contains("t2"))
+    val dir = new java.io.File(Catalog.tablePath(lh, "t2"))
+    assert(dir.listFiles().exists(_.getName.startsWith("g=")))
+    val back = TableIO.selectTable(spark, lh, "t2")
+    assert(back.count() == 2)
+    TableIO.dropTable(spark, lh, "t2")
+  }
+
+  test("selectTable on a missing table surfaces the root cause") {
+    val e = intercept[Exception](TableIO.selectTable(spark, lh, "nope").collect())
+    assert(e.getMessage.toLowerCase.contains("nope")
+      || TableIO.rootCause(e).getMessage.toLowerCase.contains("path"))
+  }
+
+  test("sqlQueryDataFrame: multi-view join") {
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val b = Seq((1, 10.0)).toDF("id", "w")
+    val out = QueryApi.sqlQueryDataFrame(spark, Seq(a, b), Seq("qa_t", "qb_t"),
+      "SELECT qa_t.id, v, w FROM qa_t JOIN qb_t ON qa_t.id = qb_t.id")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+    intercept[IllegalArgumentException](
+      QueryApi.sqlQueryDataFrame(spark, Seq(a), Seq("x", "y"), "SELECT 1"))
+  }
+}
