@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.lakehouse._
+import graft.lakehouse.ext._
 
 /** One registered query: the Spark-side implementation + (when
   * SQL-expressible) the equivalent DuckDB oracle SQL over the same parquet
@@ -19,6 +20,10 @@ object QFixtures {
   /** Load a driver-generated fixture table (TESTDATA.md layout). */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) — needs the nano-safe reader. */
+  def ev(spark: SparkSession, sfDir: String): DataFrame =
+    TableIO.readParquetNanoTs(spark, s"$sfDir/events.parquet")
 
   private val lakehouses = scala.collection.mutable.HashMap.empty[String, LakehouseProps]
 
@@ -291,6 +296,29 @@ object Queries {
         .orderBy("o_orderkey"),
       None),
 
+    // ---- §2.10 relationship discovery -------------------------------------
+    // m:1 edges over the star schema == the known FK graph (FIXTURES.md).
+    // Oracle is the a-priori-known edge list; coverage/threshold semantics
+    // exercised further in RelationshipsSpec.
+    Q("q24_find_relationships",
+      (s, dir) => {
+        val tables = Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem").map(n => n -> t(s, dir, n))
+        Relationships.findRelationshipsDF(s, tables, includeManyToMany = false)
+          .drop("coverage")
+          .orderBy("from_table", "from_column")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('customer','c_nationkey','nation','n_nationkey','m:1'),
+        |  ('lineitem','l_orderkey','orders','o_orderkey','m:1'),
+        |  ('lineitem','l_partkey','part','p_partkey','m:1'),
+        |  ('lineitem','l_suppkey','supplier','s_suppkey','m:1'),
+        |  ('nation','n_regionkey','region','r_regionkey','m:1'),
+        |  ('orders','o_custkey','customer','c_custkey','m:1'),
+        |  ('supplier','s_nationkey','nation','n_nationkey','m:1'))
+        |AS t(from_table, from_column, to_table, to_column, multiplicity)
+        |ORDER BY from_table, from_column""".stripMargin)),
+
     Q("q23_df_shape",
       (s, dir) => {
         val (rows, cols, _) = TableIO.dfShape(t(s, dir, "lineitem"))
@@ -298,5 +326,284 @@ object Queries {
         Seq((rows, cols)).toDF("row_count", "col_count")
       },
       Some("SELECT count(*) AS row_count, CAST(11 AS INT) AS col_count FROM lineitem")),
+
+    // ==== extension tier: training-data pipeline operators ==================
+
+    // ---- text analysis -----------------------------------------------------
+    Q("q25_text_quality",
+      (s, dir) => TextStats.withQualityMetrics(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text").orderBy("doc_id"),
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct_count,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_count,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |        'that','for','on','with','as','at','by','be','this','are'], w)))
+        |      AS DOUBLE) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, n_tokens,
+        |    CAST(n_chars AS DOUBLE) /
+        |      (CASE WHEN n_tokens = 0 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) END) AS avg_token_len,
+        |    CAST(punct_count AS DOUBLE) /
+        |      (CASE WHEN n_chars = 0 THEN 1.0 ELSE CAST(n_chars AS DOUBLE) END) AS punct_ratio,
+        |    CAST(digit_count AS DOUBLE) /
+        |      (CASE WHEN n_chars = 0 THEN 1.0 ELSE CAST(n_chars AS DOUBLE) END) AS digit_ratio,
+        |    stop_hits /
+        |      (CASE WHEN n_tokens = 0 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) END) AS stopword_ratio
+        |  FROM m)
+        |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+        |  stopword_ratio,
+        |  (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.25 ELSE 0.0 END)
+        |  + least(stopword_ratio * 2.5, 0.25)
+        |  + greatest(0.25 - punct_ratio * 2.5, 0.0)
+        |  + (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+        |    AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    Q("q26_token_counts",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '${TextStats.BpeishPattern}')) AS BIGINT)
+        |    AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Scala-UDF language ID — not oracle-expressible; semantics golden-tested
+    // in TextStatsSpec.
+    Q("q27_lang_id",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextStats.langIdUdf(col("text")).as("lang_pred")).orderBy("doc_id"),
+      None),
+
+    Q("q28_fingerprints",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextStats.contentFingerprint(col("text")).as("content_fp"),
+        TextStats.winnowingUdf(col("text")).as("winnow_fp")).orderBy("doc_id"),
+      None),
+
+    // ---- deduplication -----------------------------------------------------
+    // Injected exact copies (doc_id+100000 for doc_id%10==0) exercise the
+    // keep-min-id semantics end-to-end; output == original table.
+    Q("q29_dedup_exact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val copies = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        Dedup.exactDedup(docs.unionByName(copies), Seq("text"), "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM aug) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // MinHash-LSH near-dup pairs over the raw table (the fixture plants
+    // genuine near-duplicates); xxhash64 signatures are not DuckDB-
+    // expressible -> rows-only; exactness covered by DedupSpec.
+    Q("q30_dedup_minhash_lsh",
+      (s, dir) => Dedup.minHashNearDupPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleK = 5, numHashes = 64, bands = 16,
+        threshold = 0.8).orderBy("a", "b"),
+      None),
+
+    Q("q31_dedup_simhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val copies = docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        Dedup.simHashNearDupPairs(docs.unionByName(copies), "doc_id", "text",
+          maxDist = 3).orderBy("a", "b")
+      },
+      None),
+
+    // Exact word-trigram Jaccard: fully oracle-expressible (no hashing).
+    Q("q32_dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 20)
+        .orderBy("a", "b"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(words) - 2, 1))]) AS gram
+        |    FROM w)),
+        |pruned AS (
+        |  SELECT g.doc_id, g.gram FROM g
+        |  JOIN (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20) ok
+        |  USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+        |  FROM pruned l JOIN pruned r USING (gram)
+        |  WHERE l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin)),
+
+    Q("q33_dedup_embedding_cosine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val copies = emb.filter(col("vec_id") % 100 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000)
+        Dedup.embeddingNearDupPairs(emb.unionByName(copies), "vec_id",
+          "embedding", threshold = 0.999999)
+          .withColumn("cosine", round(col("cosine"), 6)).orderBy("a", "b")
+      },
+      None),
+
+    // ---- similarity search -------------------------------------------------
+    // Exact brute-force cosine top-k; oracle mirrors the double arithmetic
+    // op-for-op (cast->multiply->sequential sum->sqrt->divide), cosine
+    // rounded to 6dp on both sides.
+    Q("q34_ann_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 4),
+        |s AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    list_sum(list_transform(list_zip(v.ve, q.qv), p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(v.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+        |  FROM v, q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q35_ann_lsh_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- event windows -----------------------------------------------------
+    Q("q36_events_tumbling",
+      (s, dir) => EventWindows.tumbling(ev(s, dir), "ts", "1 hour")
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin)),
+
+    Q("q37_events_sliding",
+      (s, dir) => EventWindows.sliding(ev(s, dir), "ts", "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type"),
+      Some("""WITH g AS (
+        |  SELECT *, make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000
+        |    AS BIGINT)) AS grid
+        |  FROM events),
+        |u AS (
+        |  SELECT event_type, value,
+        |    unnest([grid, grid - INTERVAL 30 MINUTE]) AS window_start
+        |  FROM g)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin)),
+
+    Q("q38_events_sessions",
+      (s, dir) => EventWindows.sessionizeBatch(ev(s, dir), "user_id", "ts",
+        gapSeconds = 1800).orderBy("user_id", "session_id"),
+      Some("""WITH o AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR CAST(floor(epoch(ts)) AS BIGINT) -
+        |       CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q39_events_distinct_users",
+      (s, dir) => ev(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HLL sketch values are engine-specific -> rows-only; exact twin above.
+    Q("q40_events_approx_distinct",
+      (s, dir) => ev(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
+    // ---- multimodal plumbing ----------------------------------------------
+    Q("q41_blob_metadata",
+      (s, dir) => Multimodal.withBlobMetadata(
+        Multimodal.asBlob(t(s, dir, "documents"), "text", "payload"), "payload")
+        .select("doc_id", "byte_size", "content_sha256", "magic_hex")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_size,
+        |  sha256(text) AS content_sha256,
+        |  lower(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q42_multimodal_decode",
+      (s, dir) => {
+        val blobs = Multimodal.asBlob(t(s, dir, "documents"), "text", "payload")
+        val decoded = Multimodal.decodeImages(blobs, "payload")
+        Multimodal.resizeImages(decoded, "decoded", maxSide = 256)
+          .select(col("doc_id"), col("decoded.width").as("width"),
+            col("decoded.height").as("height"),
+            col("resized.width").as("r_width"), col("resized.height").as("r_height"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    Q("q43_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.asBlob(t(s, dir, "documents"), "text", "payload"),
+        "doc_id", "payload", frames = 4).orderBy("doc_id", "frame_no"),
+      None),
   )
 }

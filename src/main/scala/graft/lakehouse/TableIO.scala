@@ -124,4 +124,18 @@ object TableIO {
     * action; caller should persist first when reusing the DataFrame. */
   def dfShape(df: DataFrame): (Long, Int, Seq[String]) =
     (df.count(), df.columns.length, df.columns.toSeq)
+
+  /** Read a parquet file whose `tsCols` are TIMESTAMP(NANOS) — which Spark 4
+    * rejects outright — by reading nanos as long and truncating to
+    * microsecond TimestampType. Integer `div` (not `/`): ns-since-epoch
+    * exceeds 2^53, double division would corrupt low bits. */
+  def readParquetNanoTs(spark: SparkSession, path: String,
+      tsCols: Seq[String] = Seq("ts")): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    tsCols.filter(raw.columns.contains).foldLeft(raw) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr(s"$c div 1000")))
+    }
+  }
 }

@@ -1,0 +1,323 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB training-data pipelines.
+  *
+  * Design for scale:
+  *  - exact dedup = one shuffle on the dedup key (window rank), no collect;
+  *  - MinHash signatures/bands are per-row higher-order-function expressions
+  *    (whole-stage codegen, no UDF, no explode of shingles across rows);
+  *    only the *band* table (docs × bands rows) shuffles, and candidate
+  *    verification touches candidate pairs only — the classic
+  *    LSH-then-verify shape that avoids the O(n²) cross join;
+  *  - SimHash reduces each doc to one 64-bit value; banding on 16-bit
+  *    chunks (pigeonhole: hamming<=3 ⇒ one of 4 chunks equal) again keeps
+  *    the join linear in candidates;
+  *  - embedding near-dup uses random-hyperplane LSH buckets, exact cosine
+  *    only within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep, per distinct key combination, the row with the
+    * smallest `idCol`. One hash-partitioned shuffle; deterministic. */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  private val MersennePrime = 2147483647L // 2^31 - 1; keeps a*h+b < 2^62 (no ANSI overflow)
+
+  /** Deterministic (a,b) hash params, i-th universal hash = (a*h + b) mod p. */
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42L)
+    Seq.fill(numHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  // A note on implementation strategy: Spark higher-order-function lambdas
+  // (transform/aggregate) are evaluated INTERPRETED, one expression tree per
+  // element — a 64-hash x ~400-shingle signature means ~26k interpreted
+  // evals per row, which measured ~200s for 50k docs. A tight JIT'd Scala
+  // loop with an O(1) rolling shingle hash does the same work in seconds,
+  // so the per-row kernels below are Scala UDFs; everything that SHUFFLES
+  // (bands, joins, grouping) stays in the DataFrame API where Catalyst
+  // plans it.
+
+  private val RollBase = 1000003L
+
+  /** MinHash signature as a compiled kernel: rolling polynomial k-gram hash
+    * mod p (O(1) per shingle), then sig_i = min(a_i*h+b_i mod p). Duplicate
+    * shingles can't change a min, so no dedup pass is needed. */
+  private[ext] def minHashSigKernel(text: String, shingleK: Int,
+      as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val p = MersennePrime
+    val m = as.length
+    val sig = Array.fill(m)(p - 1)
+    if (text == null) return sig
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val n = s.length
+    def applyHash(h: Long): Unit = {
+      var i = 0
+      while (i < m) {
+        val v = (as(i) * h + bs(i)) % p
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    if (n == 0) return sig
+    if (n < shingleK) { applyHash(javaStringHash(s) % p); return sig }
+    // rolling hash of s[i, i+k)
+    var pow = 1L
+    var j = 1
+    while (j < shingleK) { pow = (pow * RollBase) % p; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < shingleK) { h = (h * RollBase + s.charAt(i)) % p; i += 1 }
+    applyHash(h)
+    i = 1
+    val last = n - shingleK
+    while (i <= last) {
+      h = ((h + p - (s.charAt(i - 1) * pow) % p) % p * RollBase +
+        s.charAt(i + shingleK - 1)) % p
+      applyHash(h)
+      i += 1
+    }
+    sig
+  }
+
+  private def javaStringHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    h & 0x7fffffffL
+  }
+
+  def withMinHashSignature(df: DataFrame, textCol: String, sigCol: String,
+      shingleK: Int = 5, numHashes: Int = 64): DataFrame = {
+    val params = hashParams(numHashes)
+    val as = params.map(_._1).toArray
+    val bs = params.map(_._2).toArray
+    val sigUdf = udf[Array[Long], String](
+      (t: String) => minHashSigKernel(t, shingleK, as, bs))
+    df.withColumn(sigCol, sigUdf(col(textCol)))
+  }
+
+  /** LSH banding: (id, band_no, band_hash) — numHashes must divide into
+    * bands of equal width rowsPerBand = numHashes/bands. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    df.select(col(idCol), posexplode(
+      expr(s"transform(sequence(0, $bands - 1), b -> " +
+        s"hash(slice($sigCol, b * (size($sigCol) div $bands) + 1, size($sigCol) div $bands)))"))
+      .as(Seq("band_no", "band_hash")))
+  }
+
+  /** Candidate pairs from shared LSH buckets (a < b), deduplicated. */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val l = bandsDf.select(col(idCol).as("a"), col("band_no"), col("band_hash"))
+    val r = bandsDf.select(col(idCol).as("b"), col("band_no"), col("band_hash"))
+    l.join(r, Seq("band_no", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact distinct-shingle Jaccard kernel (hashes shingles to longs; the
+    * collision probability over ~1e3-element sets is negligible). */
+  private[ext] def shingleJaccardKernel(a: String, b: String, k: Int): Double = {
+    def sets(t: String): java.util.HashSet[Long] = {
+      val out = new java.util.HashSet[Long]()
+      if (t == null) return out
+      val s = t.toLowerCase.replaceAll("\\s+", " ").trim
+      if (s.isEmpty) return out
+      if (s.length < k) { out.add(javaStringHash(s)); return out }
+      var i = 0
+      while (i <= s.length - k) {
+        var h = 0L
+        var j = i
+        while (j < i + k) { h = h * RollBase + s.charAt(j); j += 1 }
+        out.add(h)
+        i += 1
+      }
+      out
+    }
+    val sa = sets(a); val sb = sets(b)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var common = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) common += 1
+    common.toDouble / (sa.size + sb.size - common).toDouble
+  }
+
+  /** Exact Jaccard over distinct shingle sets for given candidate pairs:
+    * join the pair list back to the texts (candidates are few), compute the
+    * set overlap in a compiled kernel. */
+  def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleK: Int): DataFrame = {
+    val jacUdf = udf[Double, String, String](
+      (a: String, b: String) => shingleJaccardKernel(a, b, shingleK))
+    val texts = df.select(col(idCol), col(textCol))
+    pairs
+      .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
+      .join(texts.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      .withColumn("jaccard", jacUdf(col("__ta"), col("__tb")))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pair pipeline: signature → bands → candidate
+    * pairs → exact-Jaccard verify at `threshold`. */
+  def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val sig = withMinHashSignature(df, textCol, "__sig", shingleK, numHashes)
+      .select(col(idCol), col("__sig"))
+    val bandTable = lshBands(sig, idCol, "__sig", bands)
+    val candidates = lshCandidatePairs(bandTable, idCol)
+    verifyJaccard(df, idCol, textCol, candidates, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Drop every row that near-duplicates a lower-id row (one LSH pass;
+    * keeps cluster canonicals = rows never appearing as the higher id). */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens (Charikar'02): per token hash,
+    * each bit votes ±1; sign of the vote sum sets the output bit. */
+  def simHash64(text: String): Long = {
+    if (text == null) return 0L
+    val tokens = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    if (tokens.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
+      // widen to 64 bits deterministically
+      h = h * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simHashUdf = udf[Long, String](simHash64 _)
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, banding the
+    * 64-bit hash into 4 16-bit chunks (pigeonhole guarantees recall for
+    * maxDist <= 3). */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole only guarantees hamming <= 3")
+    val hashed = df.select(col(idCol), simHashUdf(col(textCol)).as("sh"))
+    val banded = hashed.select(col(idCol), col("sh"), posexplode(
+      expr("transform(sequence(0, 3), b -> (sh >> (b * 16)) & 65535)"))
+      .as(Seq("band_no", "chunk")))
+    val l = banded.select(col(idCol).as("a"), col("sh").as("sha"),
+      col("band_no"), col("chunk"))
+    val r = banded.select(col(idCol).as("b"), col("sh").as("shb"),
+      col("band_no"), col("chunk"))
+    l.join(r, Seq("band_no", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(sha ^ shb)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- word n-gram Jaccard -------------------------------------------------
+
+  /** Distinct word n-grams of the named text column (HOF, codegen'd). */
+  def wordNgrams(textCol: String, n: Int): Column = {
+    val toksSql = s"split(regexp_replace(lower(trim($textCol)), '\\\\s+', ' '), ' ')"
+    if (n == 1) array_distinct(expr(toksSql))
+    else array_distinct(expr(
+      s"""transform(
+         |  sequence(0, greatest(size($toksSql) - $n, 0)),
+         |  i -> concat_ws(' ', slice($toksSql, i + 1, $n)))""".stripMargin))
+  }
+
+  /** Exact word-n-gram Jaccard pairs via inverted index: explode grams,
+    * drop grams appearing in more than `maxDocFreq` docs (stop-gram pruning
+    * — bounds the quadratic blowup on 100 TB; logged assumption), self-join
+    * per gram, count overlap, compute |∩|/|∪|. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.8, maxDocFreq: Long = 1000): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(wordNgrams(textCol, n)).as("gram"))
+    // pruned feeds three consumers (both self-join legs + sizes): persist it
+    // or the explode+prune pipeline runs three times
+    val pruned = grams.join(
+      grams.groupBy("gram").agg(count("*").as("df_count"))
+        .filter(col("df_count") <= maxDocFreq)
+        .select("gram"),
+      "gram").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = pruned.groupBy(idCol).agg(count("*").as("sz"))
+    val l = pruned.select(col(idCol).as("a"), col("gram"))
+    val r = pruned.select(col(idCol).as("b"), col("gram"))
+    l.join(r, "gram").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count("*").as("common"))
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---- embedding cosine near-dup ------------------------------------------
+
+  /** Deterministic random hyperplanes (H x dim), seed fixed. */
+  private[ext] def hyperplanes(h: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(h, dim)(rnd.nextGaussian())
+  }
+
+  /** Exact cosine similarity between two array<double> columns (HOF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Random-hyperplane signature bucket (int) for an array<double> column. */
+  def rhpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, planeArr, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding near-dup pairs: LSH-bucket on `numPlanes` random hyperplanes,
+    * exact cosine within buckets only (near-identical vectors land in the
+    * same bucket with high probability; multi-probe = rerun with another
+    * seed and union). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val vecd = df.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("bucket", rhpBucket(col("v"), planes))
+    val l = vecd.select(col(idCol).as("a"), col("v").as("va"), col("bucket"))
+    val r = vecd.select(col(idCol).as("b"), col("v").as("vb"), col("bucket"))
+    l.join(r, "bucket").filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Time-windowed event aggregation: tumbling/sliding/session windows, in
+  * both batch form (oracle-comparable) and Structured Streaming form
+  * (watermarked; exercised in tests with file/memory sources).
+  *
+  * The batch and streaming variants share the same aggregation expressions,
+  * so a pipeline validated in batch against the DuckDB oracle carries the
+  * same semantics into the stream.
+  */
+object EventWindows {
+
+  /** Tumbling window aggregation: (window_start, window_end, event_type,
+    * n_events, total_value). Aggregation is a single hash-partitioned
+    * shuffle on (window, event_type); value summed exactly in DECIMAL then
+    * surfaced as DOUBLE (engine-portable, see Queries). */
+  def tumbling(events: DataFrame, tsCol: String, width: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count("*").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding window aggregation (width, slide). Each event lands in
+    * width/slide windows. */
+  def sliding(events: DataFrame, tsCol: String, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count("*").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Batch sessionization: a session breaks after `gapSeconds` of user
+    * inactivity. Classic lag + running-sum session ids — two window passes
+    * over the same (user_id, ts) partitioning, so Spark plans ONE shuffle
+    * and reuses the sort. Output one row per session. */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col("event_id").asc)
+    events
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev_ts")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new_session")).over(byUser))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count("*").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  /** Streaming tumbling-window aggregation with a watermark; append mode.
+    * Same agg expressions as [[tumbling]]. */
+  def streamingTumbling(events: DataFrame, tsCol: String, width: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count("*").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming sessionization via the built-in session_window (gap-based,
+    * watermarked state cleanup — Spark manages per-user session state). */
+  def streamingSessions(events: DataFrame, userCol: String, tsCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count("*").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+}

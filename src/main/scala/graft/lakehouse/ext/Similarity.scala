@@ -1,0 +1,77 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: exact brute force. The query side is broadcast (it is
+  *    small by construction), the corpus is scanned once, and top-k is
+  *    taken in two phases — partition-local pre-top-k, then a final merge —
+  *    so no single reducer ever sees the whole corpus: the shuffle input is
+  *    (#partitions × k × #queries) rows, not (corpus × #queries).
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing; only corpus vectors in
+  *    the query's bucket (multi-probe: hamming-1 neighborhood) get an exact
+  *    cosine — the 100 TB path where even one full scan per query batch is
+  *    too much.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector.
+    * corpus: (idCol, vecCol array<float|double>), queries likewise.
+    * Output: (query_id, vec_id, cosine), k rows per query, ties broken by
+    * ascending corpus id (deterministic). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
+      .select("query_id", "vec_id", "cosine")
+
+    // phase 1: top-k within each scan partition (no shuffle yet)
+    val wLocal = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val local = scored.withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k).drop("__lr")
+    // phase 2: merge the (numPartitions * k) survivors per query
+    val wGlobal = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    local.withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
+  /** LSH-bucketed ANN top-k: exact cosine only against corpus vectors whose
+    * random-hyperplane signature is within hamming distance 1 of the
+    * query's (the query explodes into its probe buckets — numPlanes+1 rows
+    * per query — and joins the bucketed corpus on the bucket key). May
+    * return fewer than k when a bucket neighborhood is sparse (ANN recall
+    * trade-off). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = Dedup.hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("bucket", Dedup.rhpBucket(col("cv"), planes))
+    val probes = (0 until numPlanes).map(i => lit(1 << i)) :+ lit(0)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qbucket", Dedup.rhpBucket(col("qv"), planes))
+      .withColumn("flip", explode(array(probes: _*)))
+      .withColumn("bucket", expr("int(qbucket) ^ int(flip)"))
+      .select("query_id", "qv", "bucket")
+    val scored = c.join(broadcast(q), "bucket")
+      .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
+      .select("query_id", "vec_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * Everything except the langId/winnowing UDFs is built from codegen'd
+  * built-in functions, so the hot path stays inside whole-stage codegen
+  * and scales linearly with input (no shuffle — all per-row).
+  */
+object TextStats {
+
+  /** Whitespace token count (0 for empty/blank). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — the pre-tokenization grid a byte-pair
+    * encoder would refine. Regex kept RE2-compatible so oracle engines
+    * agree. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  /** Per-document quality metrics + a combined score in [0,1].
+    * All-double arithmetic in a fixed operation order (deterministic and
+    * engine-portable). Columns: n_chars, n_tokens, avg_token_len,
+    * punct_ratio, digit_ratio, stopword_ratio, quality_score. */
+  def qualityMetrics(c: Column): Seq[(String, Column)] = {
+    val nChars = length(c).cast("double")
+    val nTokens = tokenCount(c).cast("double")
+    // chars that are neither alphanumeric nor whitespace
+    val punctCount = length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    val digitCount = length(c) - length(regexp_replace(c, "[0-9]", ""))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val stopHits = size(filter(split(lower(c), "\\s+"),
+      w => array_contains(stopArr, w))).cast("double")
+    val safeChars = when(nChars === 0, lit(1.0)).otherwise(nChars)
+    val safeTokens = when(nTokens === 0, lit(1.0)).otherwise(nTokens)
+    val punctRatio = punctCount.cast("double") / safeChars
+    val digitRatio = (length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("double") / safeChars
+    val stopRatio = stopHits / safeTokens
+    val avgTokLen = nChars / safeTokens
+    // score: reward stopword presence + mid-length tokens, punish symbol soup
+    val lenTerm = when(nChars >= 100 && nChars <= 10000, lit(0.25)).otherwise(lit(0.0))
+    val stopTerm = least(stopRatio * 2.5, lit(0.25))
+    val punctTerm = greatest(lit(0.25) - punctRatio * 2.5, lit(0.0))
+    val tokTerm = when(avgTokLen >= 3.0 && avgTokLen <= 12.0, lit(0.25)).otherwise(lit(0.0))
+    val score = lenTerm + stopTerm + punctTerm + tokTerm
+    Seq(
+      "n_chars" -> length(c).cast("long"),
+      "n_tokens" -> tokenCount(c).cast("long"),
+      "avg_token_len" -> avgTokLen,
+      "punct_ratio" -> punctRatio,
+      "digit_ratio" -> digitRatio,
+      "stopword_ratio" -> stopRatio,
+      "quality_score" -> score)
+  }
+
+  /** Attach all quality metric columns to df. */
+  def withQualityMetrics(df: DataFrame, textCol: String): DataFrame =
+    qualityMetrics(col(textCol)).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
+  // ---- language ID: tiny stopword-profile classifier ----------------------
+
+  private val LangProfiles: Seq[(String, Set[String])] = Seq(
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "mit", "von", "auf", "für", "den", "im", "sich"),
+    "en" -> Set("the", "and", "of", "to", "in", "is", "it", "that", "for",
+      "on", "with", "as", "at", "by", "this", "are"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del", "las",
+      "un", "una", "por", "con", "para", "es", "no"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "en", "un", "une",
+      "du", "que", "est", "pour", "dans", "qui", "pas"))
+
+  /** n-gram/stopword-heuristic language ID. CJK scripts are detected by
+    * codepoint range (they don't tokenize on whitespace); otherwise the
+    * language with the most stopword hits wins, alphabetical tie-break,
+    * "und" (undetermined) when nothing scores. */
+  def langIdOf(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val cjk = text.codePoints().toArray.count(cp =>
+      (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF))
+    if (cjk * 50 >= text.length) return "zh"
+    val words = text.toLowerCase.split("\\s+")
+    val scored = LangProfiles.map { case (lang, stops) =>
+      lang -> words.count(stops.contains)
+    }
+    val top = scored.map(_._2).max
+    if (top == 0) "und"
+    else scored.filter(_._2 == top).map(_._1).min // alphabetical tie-break
+  }
+
+  val langIdUdf = udf[String, String](langIdOf _)
+
+  // ---- fingerprinting ------------------------------------------------------
+
+  /** Exact content fingerprint: xxhash64 of the whitespace-normalized,
+    * lowercased text — codegen'd built-ins only. */
+  def contentFingerprint(c: Column): Column =
+    xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
+    * Rabin–Karp hashes of k-grams, minimum per window of w, rightmost-min
+    * tie-break; returns the distinct selected hashes sorted. Robust to
+    * local edits — near-dup docs share most fingerprint values. */
+  def winnowingFingerprint(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    if (text == null) return Array.empty
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.length < k) return if (s.isEmpty) Array.empty else Array(s.hashCode.toLong)
+    val B = 1000003L
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var pow = 1L
+    for (_ <- 1 until k) pow *= B
+    for (i <- 0 until k) h = h * B + s.charAt(i)
+    hashes(0) = h
+    for (i <- 1 until n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = h
+    }
+    val selected = scala.collection.mutable.LinkedHashSet.empty[Long]
+    for (start <- 0 to n - w) {
+      var minIdx = start
+      for (j <- start until start + w)
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost minimum
+      selected += hashes(minIdx)
+    }
+    selected.toArray.sorted
+  }
+
+  val winnowingUdf = udf[Array[Long], String]((t: String) => winnowingFingerprint(t))
+}

@@ -1,0 +1,95 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("exactDedup keeps the min-id row per key") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, Seq("text"), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash signature is deterministic and length numHashes") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val sig1 = Dedup.withMinHashSignature(df, "text", "sig", 5, 16)
+      .select("sig").head().getSeq[Long](0)
+    val sig2 = Dedup.withMinHashSignature(df, "text", "sig", 5, 16)
+      .select("sig").head().getSeq[Long](0)
+    assert(sig1.length == 16)
+    assert(sig1 == sig2)
+  }
+
+  test("minhash LSH finds injected near-dups, not unrelated docs") {
+    val base = docs.limit(20)
+    val nearDup = base.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+      .withColumn("text", concat($"text", lit(" tail")))
+    val aug = base.unionByName(nearDup)
+    val pairs = Dedup.minHashNearDupPairs(aug, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.8)
+      .collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(found.contains((i, i + 100000)), s"missing pair $i")
+    }
+    // the fixture plants genuine near-dups: docs 8 and 12 share 98.5% of
+    // 5-gram shingles (independently confirmed with python). LSH must
+    // surface that pair too.
+    assert(found.contains((8L, 12L)), s"missed planted near-dup: $found")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+    // dedupByPairs drops the 5 injected copies + planted dup doc 12
+    val deduped = Dedup.dedupByPairs(aug, "doc_id",
+      Dedup.minHashNearDupPairs(aug, "doc_id", "text", threshold = 0.8))
+    assert(deduped.count() == 19)
+    assert(deduped.filter($"doc_id" === 12).isEmpty)
+  }
+
+  test("simhash near-dup pairs: hamming banding") {
+    // exact copies have hamming 0 and MUST be recalled by the 4-band join;
+    // (token-level perturbations can flip >3 bits on short docs, so recall
+    // is only guaranteed for genuinely close hashes — that's the contract)
+    val base = docs.limit(20)
+    val copies = base.filter($"doc_id" < 3)
+      .withColumn("doc_id", $"doc_id" + 100000)
+    val aug = base.unionByName(copies)
+    val pairs = Dedup.simHashNearDupPairs(aug, "doc_id", "text", maxDist = 3)
+      .collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    (0L until 3L).foreach(i => assert(found.contains((i, i + 100000, 0)), s"missing $i"))
+  }
+
+  test("simHash64 pure function: deterministic, distance small for near text") {
+    val a = Dedup.simHash64("spark makes big data simple and fast for everyone today")
+    val b = Dedup.simHash64("spark makes big data simple and fast for everyone now")
+    val c = Dedup.simHash64("completely unrelated words about gardening and cooking recipes")
+    assert(a == Dedup.simHash64("spark makes big data simple and fast for everyone today"))
+    assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
+  }
+
+  test("ngram jaccard pairs: exact overlap values") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 1,
+      threshold = 0.5, maxDocFreq = 100).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(math.abs(r.getDouble(2) - 0.6) < 1e-12) // |{a,b,c}| / |{a,b,c,d,e}|
+  }
+
+  test("embedding near-dup: identical vectors pair up, distinct ones don't") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val copies = emb.filter($"vec_id" < 3).withColumn("vec_id", $"vec_id" + 100000)
+    val aug = emb.unionByName(copies)
+    val pairs = Dedup.embeddingNearDupPairs(aug, "vec_id", "embedding",
+      threshold = 0.999999).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 3L).foreach(i => assert(found.contains((i, i + 100000)), s"missing $i"))
+  }
+}

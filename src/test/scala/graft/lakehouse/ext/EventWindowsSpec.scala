@@ -1,0 +1,86 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventWindowsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val events = graft.lakehouse.TableIO.readParquetNanoTs(
+    spark, s"$sf0001/events.parquet")
+
+  test("tumbling: windows align to the hour grid, counts add up") {
+    val out = EventWindows.tumbling(events, "ts", "1 hour")
+    assert(out.agg(sum("n_events")).head().getLong(0) == events.count())
+    val starts = out.select(minute(col("window_start")), second(col("window_start")))
+      .distinct().collect()
+    assert(starts.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
+  }
+
+  test("sliding: each event lands in width/slide windows") {
+    val out = EventWindows.sliding(events, "ts", "1 hour", "30 minutes")
+    assert(out.agg(sum("n_events")).head().getLong(0) == 2 * events.count())
+  }
+
+  test("sessionizeBatch: known tiny timeline") {
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "c", 1.0, ""),
+      (2L, Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "c", 2.0, ""),
+      (3L, Timestamp.valueOf("2024-01-01 02:00:00"), 7L, "c", 3.0, ""),
+      (4L, Timestamp.valueOf("2024-01-01 00:05:00"), 8L, "c", 4.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventWindows.sessionizeBatch(rows, "user_id", "ts", gapSeconds = 1800)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    val u7s1 = out(0)
+    assert(u7s1.getAs[Long]("n_events") == 2 && u7s1.getAs[Double]("total_value") == 3.0)
+    val u7s2 = out(1)
+    assert(u7s2.getAs[Long]("n_events") == 1 && u7s2.getAs[Double]("total_value") == 3.0)
+    assert(out(2).getAs[Long]("user_id") == 8L)
+  }
+
+  test("streaming tumbling over MemoryStream matches batch on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventWindows.streamingTumbling(streamDf, "ts", "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_tumbling_test").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "a", 1.5),
+        (Timestamp.valueOf("2024-01-01 00:20:00"), "a", 2.5),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), "b", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_tumbling_test")
+        .orderBy("window_start", "event_type").collect()
+      assert(got.length == 2)
+      assert(got(0).getAs[Long]("n_events") == 2)
+      assert(got(0).getAs[Double]("total_value") == 4.0)
+      assert(got(1).getAs[String]("event_type") == "b")
+    } finally q.stop()
+  }
+
+  test("streaming session_window groups by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "value")
+    val agg = EventWindows.streamingSessions(streamDf, "user_id", "ts",
+      gap = "30 minutes", watermark = "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_session_test").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 7L, 1.0),
+        (Timestamp.valueOf("2024-01-01 00:10:00"), 7L, 2.0),
+        (Timestamp.valueOf("2024-01-01 03:00:00"), 7L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_session_test").orderBy("session_start").collect()
+      assert(got.length == 2)
+      assert(got(0).getAs[Long]("n_events") == 2)
+      assert(got(1).getAs[Double]("total_value") == 5.0)
+    } finally q.stop()
+  }
+}

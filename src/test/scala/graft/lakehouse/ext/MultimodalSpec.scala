@@ -1,0 +1,54 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val blobs = Multimodal.asBlob(
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(50), "text", "payload")
+
+  test("blob metadata: size matches text length, sha is 64 hex chars") {
+    val out = Multimodal.withBlobMetadata(blobs, "payload")
+      .select("n_chars", "byte_size", "content_sha256", "magic_hex").collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0)) // ascii fixture text: 1 byte/char
+      assert(r.getString(2).matches("[0-9a-f]{64}"))
+      assert(r.getString(3).matches("[0-9a-f]{8}"))
+    }
+  }
+
+  test("decodeImages: deterministic stub dims via mapPartitions, schema appended") {
+    val out = Multimodal.decodeImages(blobs, "payload")
+    assert(out.schema.fieldNames.contains("decoded"))
+    val twice = Multimodal.decodeImages(blobs, "payload")
+    val a = out.select("doc_id", "decoded.width", "decoded.height").orderBy("doc_id").collect()
+    val b = twice.select("doc_id", "decoded.width", "decoded.height").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    a.foreach { r => assert(r.getInt(1) >= 16 && r.getInt(2) >= 16) }
+  }
+
+  test("resizeImages: aspect cap at maxSide") {
+    val decoded = Multimodal.decodeImages(blobs, "payload")
+    val out = Multimodal.resizeImages(decoded, "decoded", maxSide = 64)
+      .select("resized.width", "resized.height").collect()
+    out.foreach(r => assert(r.getInt(0) <= 64 && r.getInt(1) <= 64))
+  }
+
+  test("extractFeatures: fixed dim, normalized-ish, deterministic") {
+    val out = Multimodal.extractFeatures(blobs, "payload", dim = 8)
+      .select("features").collect()
+    out.foreach { r =>
+      val f = r.getSeq[Double](0)
+      assert(f.length == 8)
+      assert(f.forall(v => v >= 0.0 && v <= 8.0))
+    }
+  }
+
+  test("sampleFrames: frames per doc, deterministic hashes") {
+    val out = Multimodal.sampleFrames(blobs, "doc_id", "payload", frames = 4)
+    assert(out.count() == 50 * 4)
+    assert(out.groupBy("doc_id").count().select("count").distinct().head().getLong(0) == 4)
+  }
+}

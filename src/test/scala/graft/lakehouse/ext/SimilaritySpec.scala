@@ -1,0 +1,56 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  /** Reference top-k computed driver-side with plain Scala math. */
+  def bruteForce(k: Int, queryIds: Seq[Long]): Map[Long, Seq[(Long, Double)]] = {
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    queryIds.map { q =>
+      q -> all.toSeq.map { case (id, v) => (id, cos(all(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+    }.toMap
+  }
+
+  test("cosineTopK matches driver-side brute force exactly") {
+    val queries = emb.filter($"vec_id" < 3)
+    val got = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getDouble(3))).toSeq)
+      .toMap
+    val want = bruteForce(5, Seq(0L, 1L, 2L))
+    Seq(0L, 1L, 2L).foreach { q =>
+      assert(got(q).map(_._1) == want(q).map(_._1), s"ids for query $q")
+      got(q).zip(want(q)).foreach { case ((_, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-12)
+      }
+    }
+    // self is always rank 1 with cosine ~1
+    Seq(0L, 1L, 2L).foreach(q => assert(got(q).head._1 == q))
+  }
+
+  test("lshTopK: rank-1 self-hit and subset-of-bruteforce sanity") {
+    val queries = emb.filter($"vec_id" < 3)
+    val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().groupBy(_.getLong(0))
+    // every query finds at least itself (identical vector = same bucket)
+    Seq(0L, 1L, 2L).foreach { q =>
+      val rows = got(q).sortBy(_.getInt(2))
+      assert(rows.head.getLong(1) == q, s"query $q should self-match first")
+      assert(rows.length <= 5)
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokenCount: whitespace + blank handling") {
+    val df = Seq("a b  c", "", "   ", "one").toDF("t")
+    val out = df.select(TextStats.tokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("bpeishTokenCount: letters/digits/punct split") {
+    val df = Seq("hello world42!", "a-b").toDF("t")
+    val out = df.select(TextStats.bpeishTokenCount(col("t"))).collect().map(_.getInt(0))
+    // hello|world|42|!  and  a|-|b
+    assert(out.toSeq == Seq(4, 3))
+  }
+
+  test("quality metrics: hand-computed example") {
+    val text = "the cat sat on a mat with 1 hat!"
+    val df = Seq(text).toDF("t")
+    val m = TextStats.withQualityMetrics(df, "t").head()
+    assert(m.getAs[Long]("n_chars") == text.length)
+    assert(m.getAs[Long]("n_tokens") == 9)
+    assert(math.abs(m.getAs[Double]("punct_ratio") - 1.0 / text.length) < 1e-12)
+    // stopwords: the, on, a, with = 4 of 9
+    assert(math.abs(m.getAs[Double]("stopword_ratio") - 4.0 / 9.0) < 1e-12)
+    val score = m.getAs[Double]("quality_score")
+    assert(score >= 0.0 && score <= 1.0)
+  }
+
+  test("langId: stopword profiles + CJK + und") {
+    assert(TextStats.langIdOf("the cat and the hat are on this mat") == "en")
+    assert(TextStats.langIdOf("el perro y la casa en los campos") == "es")
+    assert(TextStats.langIdOf("le chat et les maisons dans la rue qui est") == "fr")
+    assert(TextStats.langIdOf("der hund und die katze ist nicht im haus") == "de")
+    assert(TextStats.langIdOf("你好世界你好") == "zh")
+    assert(TextStats.langIdOf("zzz qqq xxx") == "und")
+    assert(TextStats.langIdOf("") == "und")
+    assert(TextStats.langIdOf(null) == "und")
+  }
+
+  test("winnowing fingerprint: deterministic, edit-robust, order-insensitive") {
+    val a = TextStats.winnowingFingerprint("the quick brown fox jumps over the lazy dog")
+    val a2 = TextStats.winnowingFingerprint("the quick brown fox jumps over the lazy dog")
+    val b = TextStats.winnowingFingerprint("the quick brown fox jumps over the lazy cat")
+    val c = TextStats.winnowingFingerprint("entirely different content here folks")
+    assert(a.toSeq == a2.toSeq)
+    val overlapB = a.intersect(b).length.toDouble / a.length
+    val overlapC = a.intersect(c).length.toDouble / math.max(a.length, 1)
+    assert(overlapB > 0.5, s"near-dup overlap $overlapB")
+    assert(overlapC < 0.2, s"unrelated overlap $overlapC")
+    assert(TextStats.winnowingFingerprint(null).isEmpty)
+    assert(TextStats.winnowingFingerprint("").isEmpty)
+  }
+
+  test("contentFingerprint: whitespace/case-insensitive equality") {
+    val df = Seq(("A  b\tC", "a b c"), ("x", "y")).toDF("p", "q")
+    val out = df.select(
+      (TextStats.contentFingerprint(col("p")) ===
+        TextStats.contentFingerprint(col("q"))).as("eq")).collect().map(_.getBoolean(0))
+    assert(out.toSeq == Seq(true, false))
+  }
+}
