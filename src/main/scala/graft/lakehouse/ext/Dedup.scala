@@ -284,20 +284,17 @@ object Dedup {
     Array.fill(h, dim)(rnd.nextGaussian())
   }
 
-  /** Exact cosine similarity between two array<double> columns (HOF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Exact cosine similarity between two array<double> columns — native
+    * codegen'd Expression (a fused dot+norms loop; the HOF formulation
+    * `aggregate(zip_with(...))` is interpreted per element). */
+  def cosine(a: Column, b: Column): Column =
+    graft.lakehouse.functions.VectorFunctions.graft_cosine(a, b)
 
   /** Random-hyperplane signature bucket (int) for an array<double> column. */
   def rhpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeArr = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeArr, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.lakehouse.functions.VectorFunctions.graft_dot(vec, planeArr)
       when(dot >= 0, lit(1 << i)).otherwise(lit(0))
     }
     bits.reduce(_ + _)

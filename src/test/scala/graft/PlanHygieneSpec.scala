@@ -1,0 +1,54 @@
+package graft
+
+import graft.lakehouse.SparkSuite
+
+/** Plan-shape assertions: the optimizations we rely on at 100 TB must be
+  * visible in the physical plan, not assumed. Guards against regressions
+  * that silently turn a broadcast join into a shuffle or lose parquet
+  * pushdown. */
+class PlanHygieneSpec extends SparkSuite {
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q4_read_table pushes filter and projection into the parquet scan") {
+    val p = plan("q4_read_table")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)]")
+      || p.contains("GreaterThan(o_totalprice"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("q1 scans only the five lineitem columns it needs") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("l_quantity") && !p.contains("l_partkey"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q17_simple_map broadcasts the dimension side") {
+    val p = plan("q17_simple_map")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q2 multi-view join keeps aggregates partial (no extra shuffle)") {
+    val p = plan("q2_sql_multi_view_join")
+    // partial + final hash aggregate around a single shuffle for the group-by
+    assert(p.contains("HashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q36 tumbling window is a single-shuffle hash aggregate") {
+    val p = plan("q36_events_tumbling")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("whole-stage codegen covers the q1 hot path") {
+    // AQE only shows the final (codegen-annotated) plan after execution
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators render with the "*(stageId)" prefix
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Filter"), p)
+  }
+}
