@@ -503,6 +503,16 @@ object Queries {
         |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("q44_ann_ivf_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10, nLists = 8, nProbe = 3)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     Q("q35_ann_lsh_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -99,4 +99,22 @@ object Joins {
     }
     joined
   }
+
+  /** Skew-safe equi-join for when the "dimension" is too big to broadcast
+    * AND the fact's key distribution is skewed (a handful of hot keys melt
+    * one reducer in a plain sort-merge join). Classic salting: fact rows
+    * get a uniform salt in [0, salts); the right side is exploded `salts`
+    * times; the join key becomes (key, salt), spreading each hot key over
+    * `salts` reducers. AQE's skew-join handles moderate skew on its own —
+    * reach for this when a single key exceeds what one executor can hold.
+    * Result equals the plain inner join (spec-verified). */
+  def saltedSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    require(salts > 0)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(explodedDim, Seq(key, "__salt"), "inner").drop("__salt")
+  }
 }

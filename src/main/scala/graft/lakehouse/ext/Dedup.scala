@@ -8,10 +8,9 @@ import org.apache.spark.sql.functions._
   *
   * Design for scale:
   *  - exact dedup = one shuffle on the dedup key (window rank), no collect;
-  *  - MinHash signatures/bands are per-row higher-order-function expressions
-  *    (whole-stage codegen, no UDF, no explode of shingles across rows);
-  *    only the *band* table (docs × bands rows) shuffles, and candidate
-  *    verification touches candidate pairs only — the classic
+  *  - MinHash signatures are per-row compiled kernels (no shingle explode
+  *    across rows); only the *band* table (docs × bands rows) shuffles, and
+  *    candidate verification touches candidate pairs only — the classic
   *    LSH-then-verify shape that avoids the O(n²) cross join;
   *  - SimHash reduces each doc to one 64-bit value; banding on 16-bit
   *    chunks (pigeonhole: hamming<=3 ⇒ one of 4 chunks equal) again keeps
@@ -238,14 +237,26 @@ object Dedup {
 
   // ---- word n-gram Jaccard -------------------------------------------------
 
-  /** Distinct word n-grams of the named text column (HOF, codegen'd). */
+  /** Distinct word n-grams as a compiled kernel (the HOF slice/concat
+    * formulation is interpreted per gram). Semantics mirror the SQL
+    * construction exactly: normalize whitespace, split, clip the last
+    * window, so the DuckDB oracle stays value-identical. */
+  private[ext] def wordNgramKernel(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+    val last = math.max(toks.length - n, 0)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i <= last) {
+      out += toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+      i += 1
+    }
+    out.toArray
+  }
+
   def wordNgrams(textCol: String, n: Int): Column = {
-    val toksSql = s"split(regexp_replace(lower(trim($textCol)), '\\\\s+', ' '), ' ')"
-    if (n == 1) array_distinct(expr(toksSql))
-    else array_distinct(expr(
-      s"""transform(
-         |  sequence(0, greatest(size($toksSql) - $n, 0)),
-         |  i -> concat_ws(' ', slice($toksSql, i + 1, $n)))""".stripMargin))
+    val u = udf((t: String) => wordNgramKernel(t, n))
+    u(col(textCol))
   }
 
   /** Exact word-n-gram Jaccard pairs via inverted index: explode grams,

@@ -46,6 +46,49 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) ANN top-k: k-means partitions the corpus into
+    * nLists cells (seeded — deterministic); each query probes its nProbe
+    * nearest centroids and exact-scores only those cells. The classic
+    * recall/cost dial: nProbe = nLists degenerates to exact search.
+    * Centroids are tiny and ride to the executors inside a broadcast UDF;
+    * the cell join is a broadcast of (query x probe) rows against the
+    * cell-partitioned corpus — corpus shuffles once, on cell id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("features", toVec(col("cv")))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(c)
+    val cells = model.transform(c)
+      .select(col("vec_id"), col("cv"), col("prediction").as("cell"))
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val probeUdf = udf((q: Seq[Double]) => {
+      centroids.zipWithIndex.map { case (ctr, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < math.min(ctr.length, q.length)) {
+          val diff = ctr(j) - q(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    val scored = cells.join(broadcast(q), "cell")
+      .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
+      .select("query_id", "vec_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed ANN top-k: exact cosine only against corpus vectors whose
     * random-hyperplane signature is within hamming distance 1 of the
     * query's (the query explodes into its probe buckets — numPlanes+1 rows

@@ -62,6 +62,19 @@ class JoinsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("saltedSkewJoin equals the plain inner join on skewed data") {
+    // 1000 rows of one hot key + a tail
+    val fact = spark.range(0, 1000).toDF("n")
+      .withColumn("k", when(col("n") < 900, lit(1)).otherwise(col("n").cast("int")))
+    val dim = Seq((1, "hot"), (950, "cold")).toDF("k", "v")
+    val plain = fact.join(dim, Seq("k"), "inner")
+    val salted = Joins.saltedSkewJoin(fact, dim, "k", salts = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.agg(sum("n")).head().getLong(0)
+      == plain.agg(sum("n")).head().getLong(0))
+  }
+
   test("getJoinCondition is null-safe equality") {
     val fact = Seq(Option("a"), None).toDF("k").alias("fact")
     val map = Seq(Option("a"), None).toDF("k").alias("map")

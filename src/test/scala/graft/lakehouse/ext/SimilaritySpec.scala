@@ -42,6 +42,22 @@ class SimilaritySpec extends SparkSuite {
     Seq(0L, 1L, 2L).foreach(q => assert(got(q).head._1 == q))
   }
 
+  test("ivfTopK: deterministic, self-hit first, high recall vs exact") {
+    val queries = emb.filter($"vec_id" < 3)
+    val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 3)
+      .collect().groupBy(_.getLong(0))
+    val exact = bruteForce(5, Seq(0L, 1L, 2L))
+    Seq(0L, 1L, 2L).foreach { q =>
+      val rows = got(q).sortBy(_.getInt(2))
+      assert(rows.head.getLong(1) == q, s"query $q self-hit")
+      // probing 3/8 cells should recover most of the exact top-5
+      val recall = rows.map(_.getLong(1)).toSet
+        .intersect(exact(q).map(_._1).toSet).size
+      assert(recall >= 3, s"query $q recall $recall/5")
+    }
+  }
+
   test("lshTopK: rank-1 self-hit and subset-of-bruteforce sanity") {
     val queries = emb.filter($"vec_id" < 3)
     val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
