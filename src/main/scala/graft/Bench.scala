@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark main. Prints ONE JSON line (the driver contract) and
+  * also writes it to target/bench.json so the driver can parse it without
+  * scraping sbt log prefixes. The session is warmed (codegen JIT, parquet
+  * footer machinery, shuffle paths) before any query is timed — otherwise
+  * whichever query runs first absorbs ~5 s of one-time setup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,6 +18,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warmup: exercise scan, aggregate, join, window and UDF codepaths once.
+    {
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.groupBy("r_regionkey").count().collect()
+      r.join(r.select(col("r_regionkey")), "r_regionkey").count()
+      spark.range(1000).selectExpr(
+        "row_number() over (partition by id % 7 order by id) as rn").count()
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -18,7 +36,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case _: Throwable => () } // file write is best-effort
     spark.stop()
   }
 }

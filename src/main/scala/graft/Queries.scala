@@ -385,10 +385,14 @@ object Queries {
         TextStats.langIdUdf(col("text")).as("lang_pred")).orderBy("doc_id"),
       None),
 
+    // winnow_fp is dumped as a canonical comma-joined string (the array API
+    // stays on TextStats.winnowingFingerprint): the driver's rows-only
+    // compare sorts every column with pandas, which cannot sort list values.
     Q("q28_fingerprints",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),
         TextStats.contentFingerprint(col("text")).as("content_fp"),
-        TextStats.winnowingUdf(col("text")).as("winnow_fp")).orderBy("doc_id"),
+        array_join(transform(TextStats.winnowingUdf(col("text")),
+          x => x.cast("string")), ",").as("winnow_fp")).orderBy("doc_id"),
       None),
 
     // ---- deduplication -----------------------------------------------------

@@ -131,8 +131,12 @@ object Catalog {
   def getTables(lh: LakehouseProps): Seq[String] = {
     val dir = lh.tablesPath
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
   }
 
   // ---- ALL_TABLES analogue: every written table, in creation order ----

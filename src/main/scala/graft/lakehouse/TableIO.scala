@@ -131,11 +131,21 @@ object TableIO {
     * exceeds 2^53, double division would corrupt low bits. */
   def readParquetNanoTs(spark: SparkSession, path: String,
       tsCols: Seq[String] = Seq("ts")): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path)
-    tsCols.filter(raw.columns.contains).foldLeft(raw) { (d, c) =>
-      d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr(s"$c div 1000")))
+    // nanosAsLong is session-wide; save/restore around the eager schema
+    // resolution so other parquet reads keep loud nano-timestamp failures
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val raw = spark.read.parquet(path)
+      raw.schema // force analysis while the conf is set
+      tsCols.filter(raw.columns.contains).foldLeft(raw) { (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$c div 1000")))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 }
