@@ -135,6 +135,24 @@ object Queries {
       },
       Some("SELECT * FROM part ORDER BY p_partkey")),
 
+    // Views write/read roundtrip: materialize a denormalized view under
+    // Views/, read it back through selectView with a query — the
+    // previously-read-only half of the catalog surface (common.py:392,465).
+    Q("q46_view_roundtrip",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val denorm = t(s, dir, "nation")
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        TableIO.writeView(s, lh, "nation_region_v", denorm)
+        TableIO.selectView(s, lh, "nation_region_v",
+          Some("""SELECT t.n_nationkey, t.n_name, t.r_name FROM {table} t
+            |ORDER BY t.n_nationkey""".stripMargin))
+      },
+      Some("""SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)),
+
     Q("q7_get_tables",
       (s, dir) => {
         val lh = mainLakehouse(s, dir)
@@ -272,21 +290,43 @@ object Queries {
         |       ELSE c_mktsegment END AS v FROM customer)
         |ORDER BY c_custkey""".stripMargin)),
 
-    // Scala-UDF surface: not DuckDB-expressible → rows-only driver check;
-    // exact semantics covered by golden unit tests (StringsSpec).
+    // Scala-UDF surface, oracle-checked via the finite input domain each
+    // query constructs: the oracle encodes the function's expected output
+    // for exactly that domain (general semantics golden-tested in
+    // StringsSpec). The input exercises every delimiter class: apostrophe,
+    // hyphen, space, the de/of particle, an ALL-CAPS word, and a
+    // lowercase word with an embedded non-delimiter ('#').
     Q("q20_custom_initcap",
-      (s, dir) => t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
-        Strings.customInitcapUdf(col("c_name")).as("c_name_initcap"))
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey"),
+        concat(lit("o'neil-"), lower(col("c_name")), lit(" de "),
+          col("c_mktsegment")).as("raw_name"))
+        .withColumn("c_name_initcap", Strings.customInitcapUdf(col("raw_name")))
         .orderBy("c_custkey"),
-      None),
+      Some("""SELECT c_custkey,
+        |  concat('o''neil-', lower(c_name), ' de ', c_mktsegment) AS raw_name,
+        |  concat('O''Neil-', upper(substring(c_name, 1, 1)),
+        |         substring(lower(c_name), 2), ' de ',
+        |         upper(substring(c_mktsegment, 1, 1)),
+        |         lower(substring(c_mktsegment, 2))) AS c_name_initcap
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // fixUpName("CUSTOMER#…42, building") = initcap → "Last, First" flip =
+    // "Building Customer#…42"; the oracle computes the same flip directly.
     Q("q21_fix_up_name",
       (s, dir) => t(s, dir, "customer").select(col("c_custkey"),
         Strings.fixUpNameUdf(
           concat(upper(col("c_name")), lit(", "), lower(col("c_mktsegment"))))
           .as("fixed_name")).orderBy("c_custkey"),
-      None),
+      Some("""SELECT c_custkey,
+        |  concat(upper(substring(c_mktsegment, 1, 1)),
+        |         lower(substring(c_mktsegment, 2)), ' ',
+        |         upper(substring(c_name, 1, 1)),
+        |         substring(lower(c_name), 2)) AS fixed_name
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // Domain {complted, DISCONTD, enrolled} → {Completed, Discontinued,
+    // Enrolled}: Ratcliff–Obershelp snap verified by StringsSpec goldens;
+    // the oracle encodes the expected mapping per input.
     Q("q22_fix_dodgy_statuses",
       (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
         when(col("o_orderkey") % 3 === 0, lit("complted"))
@@ -294,7 +334,33 @@ object Queries {
           .otherwise(lit("enrolled")).as("raw_status"))
         .withColumn("fixed_status", Strings.fixDodgyStatusesUdf(col("raw_status")))
         .orderBy("o_orderkey"),
-      None),
+      Some("""SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'complted'
+        |       WHEN o_orderkey % 3 = 1 THEN 'DISCONTD'
+        |       ELSE 'enrolled' END AS raw_status,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'Completed'
+        |       WHEN o_orderkey % 3 = 1 THEN 'Discontinued'
+        |       ELSE 'Enrolled' END AS fixed_status
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // common.py:720-724 — the assess-level twin of q22 (the last __all__
+    // member without a registered query). 'none' stays unsnapped (similarity
+    // to both legit values < 0.6) — exercises the no-match path.
+    Q("q45_fix_dodgy_assess_level",
+      (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lit("consolidatd"))
+          .when(col("o_orderkey") % 3 === 1, lit("DEMONSTRTD"))
+          .otherwise(lit("none")).as("raw_level"))
+        .withColumn("fixed_level", Strings.fixDodgyAssessLevelUdf(col("raw_level")))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'consolidatd'
+        |       WHEN o_orderkey % 3 = 1 THEN 'DEMONSTRTD'
+        |       ELSE 'none' END AS raw_level,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'Consolidated'
+        |       WHEN o_orderkey % 3 = 1 THEN 'Demonstrated'
+        |       ELSE 'None' END AS fixed_level
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // ---- §2.10 relationship discovery -------------------------------------
     // m:1 edges over the star schema == the known FK graph (FIXTURES.md).
@@ -378,12 +444,42 @@ object Queries {
         |    AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Scala-UDF language ID — not oracle-expressible; semantics golden-tested
-    // in TextStatsSpec.
+    // Language-ID heuristic replicated in DuckDB list ops (stopword-profile
+    // scores + CJK codepoint check + alphabetical tie-break) — a genuine
+    // independent oracle of the same published heuristic.
     Q("q27_lang_id",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextStats.langIdUdf(col("text")).as("lang_pred")).orderBy("doc_id"),
-      None),
+      Some("""WITH s AS (
+        |  SELECT doc_id, lang, text,
+        |    len(regexp_extract_all(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
+        |    regexp_split_to_array(lower(text), '\s+') AS words
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang, text, cjk,
+        |    len(list_filter(words, w -> list_contains(['der','die','das','und',
+        |      'ist','nicht','ein','eine','zu','mit','von','auf','für','den',
+        |      'im','sich'], w))) AS s_de,
+        |    len(list_filter(words, w -> list_contains(['the','and','of','to',
+        |      'in','is','it','that','for','on','with','as','at','by','this',
+        |      'are'], w))) AS s_en,
+        |    len(list_filter(words, w -> list_contains(['el','la','de','que',
+        |      'y','en','los','del','las','un','una','por','con','para','es',
+        |      'no'], w))) AS s_es,
+        |    len(list_filter(words, w -> list_contains(['le','la','les','de',
+        |      'des','et','en','un','une','du','que','est','pour','dans',
+        |      'qui','pas'], w))) AS s_fr
+        |  FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN text IS NULL OR length(text) = 0 THEN 'und'
+        |       WHEN cjk * 50 >= length(text) THEN 'zh'
+        |       WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // winnow_fp is dumped as a canonical comma-joined string (the array API
     // stays on TextStats.winnowingFingerprint): the driver's rows-only
@@ -466,6 +562,9 @@ object Queries {
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin)),
 
+    // LSH-bucketed near-dup pairs vs a brute-force all-pairs oracle: at
+    // threshold 0.999999 only the planted exact copies qualify, and exact
+    // copies share every LSH bucket, so bucketed == brute-force.
     Q("q33_dedup_embedding_cosine",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -475,7 +574,21 @@ object Queries {
           "embedding", threshold = 0.999999)
           .withColumn("cosine", round(col("cosine"), 6)).orderBy("a", "b")
       },
-      None),
+      Some("""WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM base),
+        |p AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    list_sum(list_transform(list_zip(l.ve, r.ve), z -> z[1] * z[2])) /
+        |    (sqrt(list_sum(list_transform(l.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(r.ve, x -> x * x)))) AS cosine
+        |  FROM v l JOIN v r ON l.vec_id < r.vec_id)
+        |SELECT a, b, round(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.999999 ORDER BY a, b""".stripMargin)),
 
     // ---- similarity search -------------------------------------------------
     // Exact brute-force cosine top-k; oracle mirrors the double arithmetic

@@ -109,6 +109,15 @@ object TableIO {
     info
   }
 
+  /** Views write path — the reference defines `viewPath` (common.py:392) and
+    * reads views via selectView, but nothing in the library ever writes one;
+    * we provide the missing producer so the Views/ directory is a real
+    * round-trippable surface (materialized-view semantics: a parquet
+    * snapshot of the DataFrame, overwritten atomically like writeTable). */
+  def writeView(spark: SparkSession, lh: LakehouseProps, viewName: String,
+      df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(Catalog.viewPath(lh, viewName))
+
   /** common.py:512-517 — the reference's dropTable is doubly bugged (spark
     * self-assignment; Delta row-delete instead of drop). Implement the
     * intent: remove the table directory + forget it. */
