@@ -1,6 +1,6 @@
 package graft.lakehouse
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,12 +18,32 @@ import org.apache.spark.sql.types._
   *  - multiplicity "m:1" when the to-column is unique, else "m:m"
   *    (emitted only when includeManyToMany).
   *
-  * Scale notes: the name filter runs driver-side on schemas only, so the
-  * cluster work is one distinct() per *candidate* column (cached and reused
-  * across pairs) plus one left_semi count per surviving pair — each a
-  * key-partitioned aggregation that parallelizes; nothing is collected
-  * beyond counts. Distinct key sets of a 100 TB fact table are |keys|-sized,
-  * not |rows|-sized, after partial aggregation.
+  * Scale notes: the name filter runs driver-side on schemas only, and ALL
+  * cluster work is batched into exactly TWO Spark actions regardless of how
+  * many candidate pairs there are:
+  *
+  *  1. one stats job — every table's candidate columns are exploded into
+  *     `(col_name, canonical_value)` rows in a single pass and aggregated to
+  *     `(count, countDistinct, min, max)` per column; the per-table frames
+  *     are unioned so the whole schema's statistics come back in one collect;
+  *  2. one coverage job — pairs that survive a driver-side min/max
+  *     range-overlap prefilter (free, from the stats) are evaluated together:
+  *     each table's distinct `(col_name, value)` key set joins the candidate
+  *     pair list (broadcast) and then the to-side key set, and a single
+  *     `groupBy(pair_id).count` yields every pair's coverage at once.
+  *
+  * Nothing is collected beyond one row per column (stats) and one row per
+  * pair (coverage). Distinct key sets of a 100 TB fact table are
+  * |keys|-sized, not |rows|-sized, after partial aggregation, and the
+  * pair-list join is a broadcast — the big sides shuffle once on
+  * (column, value), not once per pair.
+  *
+  * Values are canonicalized per type class so heterogeneous columns can
+  * share one exploded frame: numerics/booleans → double, timestamps →
+  * micros, everything else → an injective string form. Equality on the
+  * canonical form matches Spark's implicit-cast join semantics for the
+  * type-compatible pairs the name filter admits (doubles are exact through
+  * 2^53 — beyond any TPC-H-shaped key domain).
   */
 object Relationships {
 
@@ -38,6 +58,55 @@ object Relationships {
     case (StringType, StringType) => true
     case (_: TimestampType, _: TimestampType) => true
     case _ => false
+  }
+
+  /** Canonical per-type-class projection of `f` into the shared exploded
+    * frame: exactly one of (v_num, v_str, v_ts) is populated, and
+    * type-compatible pairs always populate the same slot, so null-safe
+    * equality over all three is equality on the pair's common type. */
+  private def canonical(f: StructField): (Column, Column, Column) = {
+    val c = col(f.name)
+    val nNum = lit(null).cast(DoubleType)
+    val nStr = lit(null).cast(StringType)
+    val nTs = lit(null).cast(LongType)
+    f.dataType match {
+      case _: NumericType | BooleanType => (c.cast(DoubleType), nStr, nTs)
+      case _: TimestampType => (nNum, nStr, unix_micros(c))
+      case BinaryType => (nNum, hex(c), nTs)
+      case _ => (nNum, c.cast(StringType), nTs) // string, date, … (injective)
+    }
+  }
+
+  /** `(col_name, v_num, v_str, v_ts)` rows for every candidate column of
+    * `df`, one scan, nulls dropped — the shared shape both the stats and the
+    * coverage jobs aggregate over. */
+  private def explodedKeys(df: DataFrame, fields: Seq[StructField]): DataFrame = {
+    val entries = fields.map { f =>
+      val (vn, vs, vt) = canonical(f)
+      struct(lit(f.name).as("cn"), vn.as("vn"), vs.as("vs"), vt.as("vt"),
+        col(f.name).isNotNull.as("nn"))
+    }
+    df.select(explode(array(entries: _*)).as("e"))
+      .where(col("e.nn"))
+      .select(col("e.cn").as("cn"), col("e.vn").as("vn"),
+        col("e.vs").as("vs"), col("e.vt").as("vt"))
+  }
+
+  private final case class ColStats(cnt: Long, dist: Long,
+      minN: Option[Double], maxN: Option[Double],
+      minS: Option[String], maxS: Option[String],
+      minT: Option[Long], maxT: Option[Long]) {
+    def overlaps(o: ColStats): Boolean = {
+      def ov[T](aMin: Option[T], aMax: Option[T], bMin: Option[T],
+          bMax: Option[T])(implicit ord: Ordering[T]): Boolean =
+        (aMin, aMax, bMin, bMax) match {
+          case (Some(lo), Some(hi), Some(olo), Some(ohi)) =>
+            !(ord.lt(hi, olo) || ord.gt(lo, ohi))
+          case _ => false // slots of different classes never both populate
+        }
+      ov(minN, maxN, o.minN, o.maxN) || ov(minS, maxS, o.minS, o.maxS) ||
+        ov(minT, maxT, o.minT, o.maxT)
+    }
   }
 
   def findRelationships(
@@ -59,51 +128,100 @@ object Relationships {
       if typeCompatible(ff.dataType, tf.dataType)
       if Strings.sequenceRatio(ff.name, tf.name) >= nameSimilarityThreshold
     } yield (ft, fdf, ff.name, tt, tdf, tf.name)
+    if (candidates.isEmpty) return Nil
 
-    // per-column stats, computed once and reused across candidate pairs;
-    // candidates are evaluated CONCURRENTLY (Spark actions are thread-safe,
-    // and these are many small jobs — serial execution leaves the cluster
-    // idle between driver round-trips)
-    val distinctCache =
-      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
-    val statsCache =
-      new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]
-    def distinctOf(t: String, df: DataFrame, c: String): DataFrame =
-      distinctCache.computeIfAbsent((t, c), _ =>
-        df.select(col(c).as("k")).where(col(c).isNotNull).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // (nonNullCount, distinctCount) — uniqueness check for multiplicity
-    def statsOf(t: String, df: DataFrame, c: String): (Long, Long) =
-      statsCache.computeIfAbsent((t, c), _ => {
-        val r = df.agg(count(col(c)), countDistinct(col(c))).head()
-        (r.getLong(0), r.getLong(1))
-      })
-
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val futures = candidates.map { case (ft, fdf, fc, tt, tdf, tc) => Future {
-      val (toCount, toDistinct) = statsOf(tt, tdf, tc)
-      val toUnique = toCount == toDistinct && toCount > 0
-      if (!toUnique && !includeManyToMany) None
-      else {
-        val fromD = distinctOf(ft, fdf, fc)
-        val toD = distinctOf(tt, tdf, tc)
-        val fromCount = fromD.count()
-        if (fromCount == 0) None
-        else {
-          val covered = fromD.join(toD, fromD("k") === toD("k"), "left_semi").count()
-          val coverage = covered.toDouble / fromCount
-          if (coverage >= coverageThreshold)
-            Some(Relationship(ft, fc, tt, tc, if (toUnique) "m:1" else "m:m", coverage))
-          else None
-        }
+    val spark = tables.head._2.sparkSession
+    val byName = tables.toMap
+    // only columns that participate in some candidate pair get scanned
+    val neededCols: Map[String, Seq[StructField]] = {
+      val names = candidates.flatMap { case (ft, _, fc, tt, _, tc) =>
+        Seq(ft -> fc, tt -> tc) }.toSet
+      names.groupBy(_._1).map { case (tn, cs) =>
+        val want = cs.map(_._2)
+        tn -> byName(tn).schema.fields.toSeq.filter(f => want(f.name))
       }
-    }}
-    val out = futures.flatMap(f => Await.result(f, Duration.Inf))
-    pool.shutdown()
-    distinctCache.values().forEach(_.unpersist())
+    }
+
+    // ---- action 1: all column statistics in one job ------------------------
+    // Every table's candidate columns are exploded, unioned, and
+    // pre-aggregated to (table, column, value) -> multiplicity in ONE
+    // shuffle; that frame IS the distinct key set the coverage join needs,
+    // so it is persisted and each table is scanned exactly once. A single
+    // flat plan (not one agg pipeline per table) keeps the stage/task count
+    // constant in the number of tables — scheduling overhead, not data
+    // volume, dominates small inputs, and at scale one wide shuffle beats
+    // many narrow ones.
+    val keyCounts: DataFrame = neededCols.map { case (tn, fields) =>
+      explodedKeys(byName(tn), fields).withColumn("tbl", lit(tn))
+    }.reduce(_.unionByName(_))
+      .groupBy("tbl", "cn", "vn", "vs", "vt").agg(count(lit(1)).as("mult"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statsDF = keyCounts.groupBy("tbl", "cn").agg(
+      sum("mult").as("cnt"),
+      count(lit(1)).as("dist"),
+      min("vn").as("min_n"), max("vn").as("max_n"),
+      min("vs").as("min_s"), max("vs").as("max_s"),
+      min("vt").as("min_t"), max("vt").as("max_t"))
+    val stats: Map[(String, String), ColStats] = statsDF.collect().map { r =>
+      def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getString(0), r.getString(1)) -> ColStats(r.getLong(2), r.getLong(3),
+        optD(4), optD(5), optS(6), optS(7), optL(8), optL(9))
+    }.toMap
+
+    // driver-side pruning from the stats alone: multiplicity, empty from
+    // side, and (when a positive coverage is required) min/max range overlap
+    // — disjoint ranges prove coverage 0 without touching the cluster again.
+    final case class Cand(pid: Long, ft: String, fc: String, tt: String,
+        tc: String, fromDist: Long, toUnique: Boolean)
+    val empty = ColStats(0L, 0L, None, None, None, None, None, None)
+    val survivors = candidates.zipWithIndex.flatMap {
+      case ((ft, _, fc, tt, _, tc), i) =>
+        val fs = stats.getOrElse((ft, fc), empty)
+        val ts = stats.getOrElse((tt, tc), empty)
+        val toUnique = ts.cnt == ts.dist && ts.cnt > 0
+        if (fs.dist == 0L) None
+        else if (!toUnique && !includeManyToMany) None
+        else if (coverageThreshold > 0 && !fs.overlaps(ts)) None
+        else Some(Cand(i.toLong, ft, fc, tt, tc, fs.dist, toUnique))
+    }
+
+    // ---- action 2: every surviving pair's coverage in one unioned job -----
+    val coveredByPid: Map[Long, Long] =
+      if (survivors.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        // One flat plan for every pair at once: the cached key set joins the
+        // broadcast pair list (tagging each from-key row with its pair), then
+        // joins itself on the to-side (table, column, value). Each from-key
+        // matches at most one to-key row, so no blowup; the big sides shuffle
+        // once on (table, column, value) regardless of how many pairs there
+        // are.
+        val pairDf = broadcast(survivors.map(p => (p.pid, p.ft, p.fc, p.tt, p.tc))
+          .toDF("pid", "ftbl", "fc", "ttbl", "tc"))
+        val fk = keyCounts.join(pairDf,
+            col("tbl") === col("ftbl") && col("cn") === col("fc"))
+          .select(col("pid"), col("ttbl"), col("tc"),
+            col("vn"), col("vs"), col("vt"))
+        val tk = keyCounts.select(col("tbl").as("ktbl"), col("cn").as("kcn"),
+          col("vn").as("tvn"), col("vs").as("tvs"), col("vt").as("tvt"))
+        val covDF = fk.join(tk, col("ktbl") === col("ttbl") &&
+            col("kcn") === col("tc") &&
+            (col("vn") <=> col("tvn")) && (col("vs") <=> col("tvs")) &&
+            (col("vt") <=> col("tvt")))
+          .groupBy("pid").agg(count(lit(1)).as("covered"))
+        covDF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    keyCounts.unpersist()
+
+    val out = survivors.flatMap { c =>
+      val coverage = coveredByPid.getOrElse(c.pid, 0L).toDouble / c.fromDist
+      if (coverage >= coverageThreshold)
+        Some(Relationship(c.ft, c.fc, c.tt, c.tc,
+          if (c.toUnique) "m:1" else "m:m", coverage))
+      else None
+    }
     out.sortBy(r => (r.fromTable, r.fromColumn, r.toTable, r.toColumn))
   }
 
