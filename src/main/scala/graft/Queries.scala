@@ -516,7 +516,7 @@ object Queries {
     // expressible -> rows-only; exactness covered by DedupSpec.
     Q("q30_dedup_minhash_lsh",
       (s, dir) => Dedup.minHashNearDupPairs(t(s, dir, "documents"),
-        "doc_id", "text", shingleK = 5, numHashes = 64, bands = 16,
+        "doc_id", "text", shingleK = 5, numHashes = 64, bands = 8,
         threshold = 0.8).orderBy("a", "b"),
       None),
 

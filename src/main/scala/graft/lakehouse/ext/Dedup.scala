@@ -168,17 +168,40 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Materialize `result` (eager local checkpoint — it is a near-dup pair
+    * list, tiny relative to the corpus) so the persisted intermediates it
+    * was built from can be released immediately instead of leaking cached
+    * blocks for the session lifetime. */
+  private def materializeAndRelease(result: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    out
+  }
+
   /** Full MinHash-LSH near-dup pair pipeline: signature → bands → candidate
-    * pairs → exact-Jaccard verify at `threshold`. */
+    * pairs → exact-Jaccard verify at `threshold`. Eager: the (small) pair
+    * list is materialized before returning so the cached signature table can
+    * be released.
+    *
+    * Band tuning: with r = numHashes/bands rows per band, LSH's collision
+    * threshold is ≈ (1/bands)^(1/r); the 8×8 default puts it at ~0.77,
+    * matched to the 0.8 verify threshold. Wider bands (e.g. 16×4 → ~0.5)
+    * flood the verifier with moderately-similar false candidates — measured
+    * 130k candidates for 256 true pairs on the sf0.1 documents fixture. */
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
+    // the signature UDF is the dominant per-row cost and feeds both legs of
+    // the band self-join — persist it so it runs once
     val sig = withMinHashSignature(df, textCol, "__sig", shingleK, numHashes)
       .select(col(idCol), col("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandTable = lshBands(sig, idCol, "__sig", bands)
     val candidates = lshCandidatePairs(bandTable, idCol)
-    verifyJaccard(df, idCol, textCol, candidates, shingleK)
+    val verified = verifyJaccard(df, idCol, textCol, candidates, shingleK)
       .filter(col("jaccard") >= threshold)
+    materializeAndRelease(verified, sig)
   }
 
   /** Drop every row that near-duplicates a lower-id row (one LSH pass;
@@ -262,22 +285,32 @@ object Dedup {
   /** Exact word-n-gram Jaccard pairs via inverted index: explode grams,
     * drop grams appearing in more than `maxDocFreq` docs (stop-gram pruning
     * — bounds the quadratic blowup on 100 TB; logged assumption), self-join
-    * per gram, count overlap, compute |∩|/|∪|. */
+    * per gram, count overlap, compute |∩|/|∪|. Eager: the (small) pair list
+    * is materialized before returning so the cached gram index can be
+    * released.
+    *
+    * Grams are hashed to 64-bit longs (xxhash64) in the scan stage, before
+    * anything shuffles — every downstream exchange and join moves 8-byte
+    * keys instead of gram strings. Collisions would need ~2^32 distinct
+    * grams to appear at even odds; per-partition gram counts are far below
+    * that (and the DuckDB oracle, which joins on the raw strings, verifies
+    * value-equality of the output at test scale). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 1, threshold: Double = 0.8, maxDocFreq: Long = 1000): DataFrame = {
     val grams = df.select(col(idCol),
       explode(wordNgrams(textCol, n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gh"))
     // pruned feeds three consumers (both self-join legs + sizes): persist it
     // or the explode+prune pipeline runs three times
     val pruned = grams.join(
-      grams.groupBy("gram").agg(count("*").as("df_count"))
+      grams.groupBy("gh").agg(count("*").as("df_count"))
         .filter(col("df_count") <= maxDocFreq)
-        .select("gram"),
-      "gram").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select("gh"),
+      "gh").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pruned.groupBy(idCol).agg(count("*").as("sz"))
-    val l = pruned.select(col(idCol).as("a"), col("gram"))
-    val r = pruned.select(col(idCol).as("b"), col("gram"))
-    l.join(r, "gram").filter(col("a") < col("b"))
+    val l = pruned.select(col(idCol).as("a"), col("gh"))
+    val r = pruned.select(col(idCol).as("b"), col("gh"))
+    val result = l.join(r, "gh").filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count("*").as("common"))
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
@@ -285,6 +318,7 @@ object Dedup {
         (col("sza") + col("szb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+    materializeAndRelease(result, pruned)
   }
 
   // ---- embedding cosine near-dup ------------------------------------------
