@@ -1,6 +1,6 @@
 package graft.lakehouse.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,11 +33,33 @@ object Similarity {
       .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
       .select("query_id", "vec_id", "cosine")
 
-    // phase 1: top-k within each scan partition (no shuffle yet)
-    val wLocal = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    val local = scored.withColumn("__lr", row_number().over(wLocal))
-      .filter(col("__lr") <= k).drop("__lr")
+    // phase 1: top-k within each scan partition, genuinely map-side — a
+    // bounded heap per (query, partition) inside mapPartitions, so the only
+    // Exchange in the plan is the phase-2 merge over (#partitions × k ×
+    // #queries) survivor rows. (A window over spark_partition_id() would
+    // shuffle every scored row first.) Ordering matches the final ranking
+    // (cosine desc, vec_id asc) so boundary ties resolve identically in
+    // both phases.
+    val rowOrd: Ordering[Row] = new Ordering[Row] {
+      private def cmpId(x: Any, y: Any): Int =
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+      override def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Double.compare(b.getDouble(2), a.getDouble(2))
+        if (c != 0) c else cmpId(a.get(1), b.get(1))
+      }
+    }
+    val local = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        // max-heap on the *reversed* order keeps the worst survivor on top
+        val h = heaps.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.PriorityQueue.empty[Row](rowOrd))
+        if (h.size < k) h.enqueue(r)
+        else if (rowOrd.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(scored.schema))
     // phase 2: merge the (numPartitions * k) survivors per query
     val wGlobal = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -52,17 +74,30 @@ object Similarity {
     * recall/cost dial: nProbe = nLists degenerates to exact search.
     * Centroids are tiny and ride to the executors inside a broadcast UDF;
     * the cell join is a broadcast of (query x probe) rows against the
-    * cell-partitioned corpus — corpus shuffles once, on cell id. */
+    * cell-partitioned corpus — corpus shuffles once, on cell id.
+    *
+    * The k-means fit reads at most `maxFitRows` corpus vectors: centroid
+    * quality converges with a bounded sample, so the iterative fit must not
+    * rescan a 100 TB corpus per iteration. Corpora at or under the cap fit
+    * on every row (sampling changes nothing at test scale); larger corpora
+    * fit on a seeded uniform sample and only the single assignment pass
+    * touches every row. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2,
+      maxFitRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector, Vectors}
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val c = corpus.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
       .withColumn("features", toVec(col("cv")))
+    val corpusRows = c.count()
+    val fitInput =
+      if (corpusRows <= maxFitRows) c
+      else c.sample(withReplacement = false,
+        maxFitRows.toDouble / corpusRows, seed = 42L)
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(c)
+      .setFeaturesCol("features").fit(fitInput)
     val cells = model.transform(c)
       .select(col("vec_id"), col("cv"), col("prediction").as("cell"))
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
