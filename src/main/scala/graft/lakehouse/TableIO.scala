@@ -5,9 +5,11 @@ import java.util.Comparator
 import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 
 /** Table read/write surface over the local lakehouse: the reference's Delta
-  * scans/sinks re-expressed over Parquet (no Delta jars in /opt/spark/jars;
-  * Delta `mode("overwrite").option("overwriteSchema","true")` ≈ Parquet
-  * `SaveMode.Overwrite` — ACID/compaction out of scope, see SURVEY §7).
+  * scans/sinks re-expressed over Parquet. Overwrites go through the
+  * [[Versioned]] commit protocol (immutable `_vN` snapshots + atomic
+  * `_LATEST` pointer swap), approximating Delta's atomic
+  * `mode("overwrite").option("overwriteSchema","true")` (common.py:531):
+  * concurrent readers keep a consistent snapshot across an overwrite.
   *
   * Reference: ecu/sbl/aace/datalake/common.py:359-538.
   */
@@ -32,9 +34,9 @@ object TableIO {
       tableName: String,
       query: Option[String],
       tableOrView: String): DataFrame = {
-    val path =
+    val path = Versioned.readPath(
       if (tableOrView == "view") Catalog.viewPath(lh, tableName)
-      else Catalog.tablePath(lh, tableName)
+      else Catalog.tablePath(lh, tableName))
     try {
       val df = spark.read.parquet(path)
       val tempName = Catalog.getTempTableName(tableName)
@@ -99,15 +101,25 @@ object TableIO {
     * just-written parquet — cheaper at scale). */
   def writeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       df: DataFrame, partitionBy: Seq[String] = Seq.empty): TableInfo = {
-    val path = Catalog.tablePath(lh, tableName)
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
-    val written = spark.read.parquet(path)
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val dataPath = Versioned.commit(tableDir) { target =>
+      // ErrorIfExists: a racing writer of the same version fails loudly
+      // instead of interleaving files into the snapshot
+      val writer = df.write.mode(SaveMode.ErrorIfExists)
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(target)
+    }
+    val written = spark.read.parquet(dataPath)
     val info = TableInfo(lh.lakehouseName, written.count(), df.columns.length,
-      df.columns.toSeq, path)
+      df.columns.toSeq, tableDir)
     Catalog.recordTable(tableName, written, info)
     info
   }
+
+  /** The parquet directory a reader of `tableName` scans right now (the
+    * latest committed snapshot). */
+  def currentDataPath(lh: LakehouseProps, tableName: String): String =
+    Versioned.readPath(Catalog.tablePath(lh, tableName))
 
   /** Views write path — the reference defines `viewPath` (common.py:392) and
     * reads views via selectView, but nothing in the library ever writes one;
@@ -116,7 +128,9 @@ object TableIO {
     * snapshot of the DataFrame, overwritten atomically like writeTable). */
   def writeView(spark: SparkSession, lh: LakehouseProps, viewName: String,
       df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(Catalog.viewPath(lh, viewName))
+    Versioned.commit(Catalog.viewPath(lh, viewName)) { target =>
+      df.write.mode(SaveMode.ErrorIfExists).parquet(target)
+    }
 
   /** common.py:512-517 — the reference's dropTable is doubly bugged (spark
     * self-assignment; Delta row-delete instead of drop). Implement the

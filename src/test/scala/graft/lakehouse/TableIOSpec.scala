@@ -44,11 +44,44 @@ class TableIOSpec extends SparkSuite {
     TableIO.writeTable(spark, lh, "t2", df, partitionBy = Seq("g"))
     val sub = Catalog.getTables(lh)
     assert(sub.contains("t2"))
-    val dir = new java.io.File(Catalog.tablePath(lh, "t2"))
+    val dir = new java.io.File(TableIO.currentDataPath(lh, "t2"))
     assert(dir.listFiles().exists(_.getName.startsWith("g=")))
     val back = TableIO.selectTable(spark, lh, "t2")
     assert(back.count() == 2)
     TableIO.dropTable(spark, lh, "t2")
+  }
+
+  test("versioned overwrite: readers keep a consistent snapshot") {
+    val v1 = Seq((1, "one"), (2, "two")).toDF("k", "s")
+    TableIO.writeTable(spark, lh, "tv", v1)
+    val readerOnV1 = TableIO.selectTable(spark, lh, "tv")
+    assert(readerOnV1.count() == 2)
+
+    // overwrite while the v1 reader is still alive
+    val v2 = Seq((10, "ten"), (20, "twenty"), (30, "thirty")).toDF("k", "s")
+    TableIO.writeTable(spark, lh, "tv", v2)
+
+    // the old reader still scans the immutable v1 snapshot...
+    assert(readerOnV1.count() == 2)
+    assert(readerOnV1.select("k").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // ...and a fresh read resolves to v2
+    val readerOnV2 = TableIO.selectTable(spark, lh, "tv")
+    assert(readerOnV2.count() == 3)
+    assert(Versioned.latestVersion(Catalog.tablePath(lh, "tv")).contains(2L))
+
+    // a third commit sweeps v1 (retention = 2) but keeps v2
+    TableIO.writeTable(spark, lh, "tv", v1)
+    val tdir = new java.io.File(Catalog.tablePath(lh, "tv"))
+    val versions = tdir.listFiles().map(_.getName).filter(_.startsWith("_v")).toSet
+    assert(versions == Set("_v2", "_v3"), s"got $versions")
+    TableIO.dropTable(spark, lh, "tv")
+  }
+
+  test("pre-protocol directories stay readable") {
+    val legacyDir = Catalog.tablePath(lh, "tlegacy")
+    Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
+    assert(TableIO.selectTable(spark, lh, "tlegacy").count() == 1)
+    TableIO.dropTable(spark, lh, "tlegacy")
   }
 
   test("selectTable on a missing table surfaces the root cause") {
