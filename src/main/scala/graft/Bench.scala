@@ -15,17 +15,30 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: exercise scan, aggregate, join, window and UDF codepaths once.
+    // Warmup: exercise scan, aggregate, join, window and UDF codepaths once,
+    // and touch every fixture table's footer/file-index so no measured query
+    // absorbs another table's one-time open cost.
     {
       val r = spark.read.parquet(s"$sfDir/region.parquet")
       r.groupBy("r_regionkey").count().collect()
       r.join(r.select(col("r_regionkey")), "r_regionkey").count()
       spark.range(1000).selectExpr(
         "row_number() over (partition by id % 7 order by id) as rn").count()
+      val dir = java.nio.file.Paths.get(sfDir)
+      val files = java.nio.file.Files.list(dir)
+      try files.iterator().forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet"))
+          try spark.read.parquet(p.toString).count()
+          catch { case _: Throwable => () } // nano-ts tables need readParquetNanoTs
+      } finally files.close()
+      // seed the memoized lakehouse: catalog queries measure reads, not the
+      // one-time fixture load (the oracle reads the raw parquet directly)
+      QFixtures.mainLakehouse(spark, sfDir)
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -26,6 +26,10 @@ object Session {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce post-shuffle partitions even when the plan is
+      // persisted — cached frames otherwise keep the static partition count
+      // and small cached aggregates schedule hundreds of near-empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

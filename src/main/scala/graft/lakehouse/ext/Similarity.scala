@@ -96,7 +96,12 @@ object Similarity {
       if (corpusRows <= maxFitRows) c
       else c.sample(withReplacement = false,
         maxFitRows.toDouble / corpusRows, seed = 42L)
+    // seeded random init: kmeans|| spends ~5 extra distributed rounds
+    // picking starting points; with 10 refinement iterations over a bounded
+    // sample, random init converges to comparable cells at a fraction of
+    // the job count
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(fitInput)
     val cells = model.transform(c)
       .select(col("vec_id"), col("cv"), col("prediction").as("cell"))
