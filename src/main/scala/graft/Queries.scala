@@ -732,5 +732,62 @@ object Queries {
         Multimodal.asBlob(t(s, dir, "documents"), "text", "payload"),
         "doc_id", "payload", frames = 4).orderBy("doc_id", "frame_no"),
       None),
+
+    // ---- embedding preparation --------------------------------------------
+    // Output exploded to scalar rows (vec_id, pos, val): the driver compare
+    // cannot sort array columns (the q28 lesson), and DuckDB's zipped
+    // parallel UNNEST expresses the same shape exactly.
+    Q("q47_l2_normalize",
+      (s, dir) => Embeddings.withL2Normalized(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          posexplode(col("embedding_norm")).as(Seq("pos", "val")))
+        .withColumn("val", round(col("val"), 6))
+        .orderBy("vec_id", "pos"),
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, ve,
+        |    sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+        |  FROM v),
+        |e AS (
+        |  SELECT vec_id,
+        |    UNNEST(range(len(ve))) AS pos,
+        |    UNNEST(list_transform(ve,
+        |      x -> CASE WHEN nrm = 0 THEN x ELSE x / nrm END)) AS val
+        |  FROM n)
+        |SELECT vec_id, CAST(pos AS INT) AS pos, round(val, 6) AS val
+        |FROM e ORDER BY vec_id, pos""".stripMargin)),
+
+    Q("q48_quantize_int8",
+      (s, dir) => Embeddings.withInt8Quantized(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), round(col("q8_scale"), 9).as("scale"),
+          posexplode(col("embedding_q8")).as(Seq("pos", "qval")))
+        .orderBy("vec_id", "pos"),
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS mx
+        |  FROM v),
+        |e AS (
+        |  SELECT vec_id, CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127 END AS scale,
+        |    UNNEST(range(len(ve))) AS pos,
+        |    UNNEST(list_transform(ve, x -> CASE WHEN mx = 0 THEN 0
+        |      ELSE CAST(round(x * 127 / mx) AS INT) END)) AS qval
+        |  FROM m)
+        |SELECT vec_id, round(scale, 9) AS scale, CAST(pos AS INT) AS pos, qval
+        |FROM e ORDER BY vec_id, pos""".stripMargin)),
+
+    // ---- sequence packing --------------------------------------------------
+    // Greedy first-fit is stateful per partition — not SQL-expressible, so
+    // rows-only; PackingSpec asserts the budget invariant and determinism.
+    Q("q49_pack_sequences",
+      (s, dir) => Packing.packSummary(
+        Packing.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", budget = 8192L), "n_chars")
+        .orderBy("pack_id"),
+      None),
   )
 }

@@ -75,6 +75,17 @@ object EventWindows {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact deduplication: drop rows whose `keyCols` were already
+    * seen within the watermark horizon (state is evicted past it, so the
+    * dedup state stays bounded on an unbounded stream — the streaming twin
+    * of Dedup.exactDedup for ingest pipelines that must not re-emit
+    * re-delivered events/documents). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming sessionization via the built-in session_window (gap-based,
     * watermarked state cleanup — Spark manages per-user session state). */
   def streamingSessions(events: DataFrame, userCol: String, tsCol: String,

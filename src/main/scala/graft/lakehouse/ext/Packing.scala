@@ -1,0 +1,72 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Sequence packing for LLM pretraining: assign documents to fixed
+  * token-budget bins ("packs") so downstream batch assembly wastes minimal
+  * padding. Greedy first-fit per partition:
+  *
+  *  - each input partition packs independently — NO shuffle; a 100 TB corpus
+  *    packs in a single narrow pass, and the per-partition approximation
+  *    costs only O(#partitions) part-filled bins versus a (non-distributable)
+  *    global optimum;
+  *  - within a partition, each doc goes to the first open bin with room
+  *    (first-fit, bounded open-bin list); docs longer than the budget get a
+  *    singleton bin (callers chunk oversize docs upstream if needed);
+  *  - pack ids are (partitionId << 32 | localBin) — globally unique without
+  *    any coordination, deterministic for a fixed input layout.
+  */
+object Packing {
+
+  val PartitionShift = 32
+
+  /** Adds `packCol` (long). `tokenCol` must be an integral column (token
+    * count per document); `maxOpenBins` bounds the first-fit scan so a
+    * pathological partition stays O(n · maxOpenBins). */
+  def packSequences(df: DataFrame, tokenCol: String, budget: Long,
+      packCol: String = "pack_id", maxOpenBins: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val tokIdx = df.schema.fieldIndex(tokenCol)
+    val outSchema = StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(packCol, LongType, nullable = false))
+    val packed = df.toDF().mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var nextBin = 0L
+      // open bins: (binId, remaining); first-fit over a bounded window
+      val open = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+      it.map { r =>
+        val tok = r.get(tokIdx) match {
+          case null => 0L
+          case n: Number => n.longValue()
+        }
+        val slot = open.indexWhere(_._2 >= tok)
+        val bin =
+          if (tok >= budget) { // oversize (or exactly full): singleton bin
+            val b = nextBin; nextBin += 1; b
+          } else if (slot >= 0) {
+            val (b, rem) = open(slot)
+            if (rem - tok <= 0) open.remove(slot)
+            else open(slot) = (b, rem - tok)
+            b
+          } else {
+            val b = nextBin; nextBin += 1
+            open.append((b, budget - tok))
+            if (open.size > maxOpenBins) open.removeHead()
+            b
+          }
+        Row.fromSeq(r.toSeq :+ ((pid << PartitionShift) | bin))
+      }
+    }(Encoders.row(outSchema))
+    packed
+  }
+
+  /** Per-pack rollup: document count and token total (the QA view: every
+    * non-singleton pack must respect the budget). */
+  def packSummary(packed: DataFrame, tokenCol: String,
+      packCol: String = "pack_id"): DataFrame =
+    packed.groupBy(packCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(tokenCol).cast("long")).as("sum_tokens"))
+}

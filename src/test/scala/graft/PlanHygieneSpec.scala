@@ -43,6 +43,32 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  /** Executed plan text, truncated to AQE's final plan (the full string
+    * repeats every operator again under "== Initial Plan =="). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  test("q34 cosineTopK shuffles only the phase-2 survivor merge") {
+    val df = SparkEntry.queries("q34_ann_cosine_topk")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // the query side rides a broadcast; the corpus-side scoring and the
+    // map-side top-k heap must not introduce a data shuffle — the only
+    // hash exchange is the per-query merge of partition-local survivors
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q29 exact dedup is one shuffle on the dedup key") {
+    val df = SparkEntry.queries("q29_dedup_exact")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE only shows the final (codegen-annotated) plan after execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)

@@ -63,6 +63,30 @@ class EventWindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_id", "value")
+    val deduped = EventWindows.streamingDedup(streamDf, Seq("event_id"),
+      "ts", watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup_test").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "e1", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:05:00"), "e1", 1.0), // re-delivery
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "e2", 2.0))
+      q.processAllAvailable()
+      mem.addData( // next micro-batch re-delivers e1 again, adds e3
+        (Timestamp.valueOf("2024-01-01 00:20:00"), "e1", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:30:00"), "e3", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_dedup_test").orderBy("ts").collect()
+      assert(got.map(_.getAs[String]("event_id")).toSeq == Seq("e1", "e2", "e3"),
+        got.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming session_window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]

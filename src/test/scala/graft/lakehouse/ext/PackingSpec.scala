@@ -1,0 +1,41 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("every pack respects the budget; oversize docs get singleton packs") {
+    val docs = Seq(
+      (1L, 400L), (2L, 500L), (3L, 300L), (4L, 900L), (5L, 1200L), // 1200 > budget
+      (6L, 100L), (7L, 100L), (8L, 50L)
+    ).toDF("doc_id", "n_tokens").repartition(2)
+    val packed = Packing.packSequences(docs, "n_tokens", budget = 1000L)
+    val rows = packed.collect()
+    assert(rows.length == 8) // row-preserving
+    val byPack = rows.groupBy(_.getAs[Long]("pack_id"))
+    byPack.foreach { case (_, rs) =>
+      val tot = rs.map(_.getAs[Long]("n_tokens")).sum
+      assert(tot <= 1000L || rs.length == 1, s"pack overflow: $tot")
+    }
+    // the oversize doc is alone in its pack
+    val p5 = rows.find(_.getAs[Long]("doc_id") == 5L).get.getAs[Long]("pack_id")
+    assert(byPack(p5).length == 1)
+  }
+
+  test("packing is deterministic and pack ids are partition-scoped") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", length($"text").cast("long").as("n_tokens"))
+    val a = Packing.packSequences(docs, "n_tokens", budget = 4096L)
+      .select("doc_id", "pack_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Packing.packSequences(docs, "n_tokens", budget = 4096L)
+      .select("doc_id", "pack_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    // summary: no pack over budget (fixture docs are all under it)
+    val bad = Packing.packSummary(
+      Packing.packSequences(docs, "n_tokens", budget = 4096L), "n_tokens")
+      .filter($"sum_tokens" > 4096L && $"n_docs" > 1).count()
+    assert(bad == 0)
+  }
+}
