@@ -779,6 +779,35 @@ object Queries {
         |SELECT vec_id, round(scale, 9) AS scale, CAST(pos AS INT) AS pos, qval
         |FROM e ORDER BY vec_id, pos""".stripMargin)),
 
+    // ---- chunking & corpus composition ------------------------------------
+    Q("q50_chunk_documents",
+      (s, dir) => TextStats.chunkDocuments(t(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 200, overlap = 40)
+        .orderBy("doc_id", "chunk_no"),
+      Some("""WITH n AS (
+        |  SELECT doc_id, text,
+        |    greatest(CAST(ceil((length(text) - 40) / 160.0) AS BIGINT), 1) AS nc
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (
+        |  SELECT doc_id, text, UNNEST(range(nc)) AS chunk_no FROM n)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        |  substring(text, CAST(chunk_no * 160 AS INT) + 1, 200) AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    Q("q51_mixture_stats",
+      (s, dir) => TextStats.mixtureStats(t(s, dir, "documents"),
+        "source", "n_chars")
+        .withColumn("token_share", round(col("token_share"), 9))
+        .orderBy("source"),
+      Some("""WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) /
+        |    CAST((SELECT sum(tokens) FROM per) AS DOUBLE), 9) AS token_share
+        |FROM per ORDER BY source""".stripMargin)),
+
     // ---- sequence packing --------------------------------------------------
     // Greedy first-fit is stateful per partition — not SQL-expressible, so
     // rows-only; PackingSpec asserts the budget invariant and determinism.

@@ -137,4 +137,45 @@ object TextStats {
   }
 
   val winnowingUdf = udf[Array[Long], String]((t: String) => winnowingFingerprint(t))
+
+  // ---- chunking & corpus composition --------------------------------------
+
+  /** Split documents into fixed-size character windows with `overlap`
+    * characters of context between consecutive chunks (the standard
+    * pretraining/RAG chunker). Pure codegen'd built-ins: the chunk starts
+    * are a `sequence`, the slices are `substring` — a narrow explode, no
+    * UDF, no shuffle; a 100 TB corpus chunks in one pass.
+    * Output: (…idCol, chunk_no int, chunk_text). Null text yields no rows;
+    * text shorter than one stride yields a single chunk. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val nChunks = // at least 1; last window may be short
+      greatest(ceil((length(col(textCol)) - lit(overlap)) /
+        lit(stride.toDouble)).cast("long"), lit(1L))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), nChunks - lit(1L))).as("chunk_no"))
+      .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
+        expr(s"substring(`$textCol`, CAST(chunk_no * $stride AS INT) + 1, " +
+          s"$chunkSize)").as("chunk_text"))
+  }
+
+  /** Corpus mixture accounting for dataset-mixing decisions: per stratum
+    * (source, language, …) document count, token total, and share of the
+    * whole corpus' tokens. One partial+final aggregation plus a broadcast
+    * of the single-row total. */
+  def mixtureStats(df: DataFrame, stratumCol: String,
+      tokenCol: String): DataFrame = {
+    val per = df.groupBy(stratumCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(tokenCol).cast("long")).as("tokens"))
+    val total = per.agg(sum("tokens").as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("tokens").cast("double") / col("total_tokens").cast("double"))
+      .drop("total_tokens")
+  }
 }

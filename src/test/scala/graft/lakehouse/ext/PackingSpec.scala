@@ -24,6 +24,35 @@ class PackingSpec extends SparkSuite {
     assert(byPack(p5).length == 1)
   }
 
+  test("chunkDocuments: overlap, short docs, null docs") {
+    val docs = Seq(
+      (1L, "a" * 500),      // 500 chars, chunk 200 / overlap 40 -> 3 chunks
+      (2L, "short"),        // single chunk
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val chunks = TextStats.chunkDocuments(docs, "doc_id", "text", 200, 40)
+      .orderBy("doc_id", "chunk_no").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    assert(d1.length == 3)
+    assert(d1.map(_.getAs[String]("chunk_text").length).toSeq == Seq(200, 200, 180))
+    // consecutive chunks share `overlap` characters of context
+    assert(d1(0).getAs[String]("chunk_text").takeRight(40)
+      == d1(1).getAs[String]("chunk_text").take(40))
+    assert(chunks.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text")).toSeq
+      == Seq("short"))
+    assert(!chunks.exists(_.getLong(0) == 3L)) // null text -> no rows
+  }
+
+  test("mixtureStats: shares sum to 1 over strata") {
+    val docs = Seq(("web", 100L), ("web", 300L), ("book", 600L))
+      .toDF("source", "n_tokens")
+    val m = TextStats.mixtureStats(docs, "source", "n_tokens")
+      .orderBy("source").collect()
+    assert(m.map(_.getAs[String]("source")).toSeq == Seq("book", "web"))
+    assert(m.map(_.getAs[Long]("tokens")).toSeq == Seq(600L, 400L))
+    assert(math.abs(m.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-12)
+  }
+
   test("packing is deterministic and pack ids are partition-scoped") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", length($"text").cast("long").as("n_tokens"))
