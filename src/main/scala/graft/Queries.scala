@@ -808,6 +808,55 @@ object Queries {
         |    CAST((SELECT sum(tokens) FROM per) AS DOUBLE), 9) AS token_share
         |FROM per ORDER BY source""".stripMargin)),
 
+    // ---- repetition & decontamination -------------------------------------
+    Q("q52_repetition_metrics",
+      (s, dir) => TextStats.repetitionMetrics(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH l AS (
+        |  SELECT doc_id, trim(UNNEST(string_split(text, chr(10)))) AS line
+        |  FROM documents),
+        |nl AS (SELECT doc_id, line FROM l WHERE length(line) > 0),
+        |g AS (
+        |  SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+        |  FROM nl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |  CAST(count(*) AS BIGINT) AS distinct_lines,
+        |  1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup_line_frac,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE) /
+        |    sum(cnt * len) AS dup_char_frac
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Eval set = every 97th doc; self-pairs guarantee hits, planted near-dups
+    // exercise the partial-containment path.
+    Q("q53_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.ngramContamination(docs,
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          n = 5, threshold = 0.5)
+          .orderBy("train_id", "eval_id")
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest([array_to_string(words[i:i+4], ' ')
+        |      for i in generate_series(1, greatest(len(words) - 4, 1))]) AS gram
+        |    FROM w)),
+        |e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0),
+        |esz AS (SELECT eval_id, count(*) AS eval_grams FROM e GROUP BY 1),
+        |o AS (
+        |  SELECT g.doc_id AS train_id, e.eval_id, count(*) AS overlap
+        |  FROM g JOIN e USING (gram) GROUP BY 1, 2)
+        |SELECT train_id, eval_id, CAST(overlap AS BIGINT) AS overlap,
+        |  CAST(overlap AS DOUBLE) / eval_grams AS containment
+        |FROM o JOIN esz USING (eval_id)
+        |WHERE CAST(overlap AS DOUBLE) / eval_grams >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin)),
+
     // ---- sequence packing --------------------------------------------------
     // Greedy first-fit is stateful per partition — not SQL-expressible, so
     // rows-only; PackingSpec asserts the budget invariant and determinism.

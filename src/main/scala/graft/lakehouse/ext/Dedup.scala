@@ -321,6 +321,33 @@ object Dedup {
     materializeAndRelease(result, pruned)
   }
 
+  /** Benchmark decontamination: for each training document, the containment
+    * of each eval document's distinct word n-grams (|train ∩ eval| /
+    * |eval|). Pairs at/above `threshold` are contamination hits the
+    * pipeline must drop before pretraining.
+    *
+    * Scale shape: the eval side (benchmarks) is tiny by construction, so
+    * its hashed gram index and per-doc sizes ride a BROADCAST — the 100 TB
+    * train side explodes and joins map-side with no shuffle; the only
+    * exchange is the groupBy on surviving (train, eval) candidate pairs. */
+  def ngramContamination(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, threshold: Double = 0.1): DataFrame = {
+    def hashedGrams(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+          explode(wordNgrams(textCol, n)).as("gram"))
+        .select(col(outId), xxhash64(col("gram")).as("gh"))
+    val tg = hashedGrams(train, "train_id")
+    val eg = hashedGrams(evalSet, "eval_id")
+    val esz = eg.groupBy("eval_id").agg(count(lit(1)).as("eval_grams"))
+    tg.join(broadcast(eg), "gh")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("overlap"))
+      .join(broadcast(esz), "eval_id")
+      .withColumn("containment",
+        col("overlap").cast("double") / col("eval_grams").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("train_id", "eval_id", "overlap", "containment")
+  }
+
   // ---- embedding cosine near-dup ------------------------------------------
 
   /** Deterministic random hyperplanes (H x dim), seed fixed. */

@@ -163,6 +163,30 @@ object TextStats {
           s"$chunkSize)").as("chunk_text"))
   }
 
+  /** Repetition metrics (the Gopher-rules family): per document, the
+    * fraction of repeated non-empty lines and the fraction of characters
+    * living in repeated lines — the cheap structural signals that catch
+    * boilerplate/templated pages. Implemented as explode + one aggregation
+    * keyed on (id, line): per-row array gymnastics would bound memory by the
+    * longest document, the exploded form shuffles (id, line) pairs and
+    * scales with the corpus, not the worst row. */
+  def repetitionMetrics(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .select(col(idCol), trim(col("raw")).as("line"))
+      .where(length(col("line")) > 0)
+    lines.groupBy(idCol, "line")
+      .agg(count(lit(1)).as("cnt"), length(col("line")).as("len"))
+      .groupBy(idCol).agg(
+        sum("cnt").cast("long").as("n_lines"),
+        count(lit(1)).cast("long").as("distinct_lines"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum("cnt"))
+          .as("dup_line_frac"),
+        (sum(when(col("cnt") > 1, col("cnt") * col("len")).otherwise(0L))
+          .cast("double") / sum(col("cnt") * col("len"))).as("dup_char_frac"))
+  }
+
   /** Corpus mixture accounting for dataset-mixing decisions: per stratum
     * (source, language, …) document count, token total, and share of the
     * whole corpus' tokens. One partial+final aggregation plus a broadcast

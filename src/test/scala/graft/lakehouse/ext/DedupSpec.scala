@@ -83,6 +83,23 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 0.6) < 1e-12) // |{a,b,c}| / |{a,b,c,d,e}|
   }
 
+  test("ngram contamination: containment of eval grams in train docs") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark aggregation plans")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog") // 9 words, 5 grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(train, eval_, "doc_id", "text",
+      n = 5, threshold = 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 100L))
+    // train doc 1 contains all 5 of the eval doc's 5-grams
+    assert(r.getLong(2) == 5L && r.getDouble(3) == 1.0)
+  }
+
   test("embedding near-dup: identical vectors pair up, distinct ones don't") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val copies = emb.filter($"vec_id" < 3).withColumn("vec_id", $"vec_id" + 100000)

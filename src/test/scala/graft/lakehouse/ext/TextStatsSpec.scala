@@ -64,4 +64,23 @@ class TextStatsSpec extends SparkSuite {
         TextStats.contentFingerprint(col("q"))).as("eq")).collect().map(_.getBoolean(0))
     assert(out.toSeq == Seq(true, false))
   }
+
+  test("repetitionMetrics: duplicate-line and duplicate-char fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 non-empty lines, "dup" twice: dup_line_frac = 1 - 3/4;
+      // chars in repeated lines = 2*3 of total 3+3+5+4 = 15
+      (1L, "dup\ndup\nhello\n\nmore"),
+      (2L, "a\nb\nc") // no repetition
+    ).toDF("doc_id", "text")
+    val m = TextStats.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = m(0)
+    assert(d1.getAs[Long]("n_lines") == 4L)
+    assert(d1.getAs[Long]("distinct_lines") == 3L)
+    assert(math.abs(d1.getAs[Double]("dup_line_frac") - 0.25) < 1e-12)
+    assert(math.abs(d1.getAs[Double]("dup_char_frac") - 6.0 / 15.0) < 1e-12)
+    assert(m(1).getAs[Double]("dup_line_frac") == 0.0)
+    assert(m(1).getAs[Double]("dup_char_frac") == 0.0)
+  }
 }
