@@ -857,6 +857,45 @@ object Queries {
         |WHERE CAST(overlap AS DOUBLE) / eval_grams >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin)),
 
+    // ---- PII scrubbing -----------------------------------------------------
+    // The fixture corpus has no PII, so both sides plant the same
+    // deterministic contact block per doc, then the Spark side scrubs with
+    // the library operator and the oracle applies the equivalent RE2 chain.
+    Q("q54_scrub_pii",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.scrubPII(concat(col("text"),
+          lit(" Contact: user"), col("doc_id"), lit("@example.com or "),
+          lit("https://example.com/u/"), col("doc_id"),
+          lit(" or +1 555-000-"), format_string("%04d", col("doc_id"))))
+          .as("clean_text"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' Contact: user' || doc_id || '@example.com or ' ||
+        |          'https://example.com/u/' || doc_id || ' or +1 555-000-' ||
+        |          format('{:04d}', doc_id),
+        |        'https?://[^\s]+', '[URL]', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9][0-9\- ]{7,}[0-9]', '[PHONE]', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Seeded stratified sampling is engine-specific randomness -> rows-only;
+    // PackingSpec asserts fraction accuracy and determinism.
+    Q("q55_sample_mixture",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val strata = docs.select("source").distinct().collect()
+          .map(_.getString(0)).sorted
+        val fractions = strata.zipWithIndex
+          .map { case (src, i) => src -> (0.2 + 0.15 * (i % 4)) }.toMap
+        Packing.sampleMixture(docs, "source", fractions, seed = 7L)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      None),
+
     // ---- sequence packing --------------------------------------------------
     // Greedy first-fit is stateful per partition — not SQL-expressible, so
     // rows-only; PackingSpec asserts the budget invariant and determinism.

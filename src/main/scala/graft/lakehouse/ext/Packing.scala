@@ -69,4 +69,13 @@ object Packing {
     packed.groupBy(packCol).agg(
       count(lit(1)).as("n_docs"),
       sum(col(tokenCol).cast("long")).as("sum_tokens"))
+
+  /** Weighted mixture sampling: keep each stratum at its configured
+    * fraction (dataset-mixing / temperature reweighting). Seeded Bernoulli
+    * sampling per stratum — a narrow map-side filter, no shuffle, exactly
+    * Spark's stratified `sampleBy`; strata absent from `fractions` are
+    * dropped (explicit is better than silently kept at 1.0). */
+  def sampleMixture(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
 }

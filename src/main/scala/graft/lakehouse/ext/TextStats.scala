@@ -187,6 +187,26 @@ object TextStats {
           .cast("double") / sum(col("cnt") * col("len"))).as("dup_char_frac"))
   }
 
+  // ---- PII scrubbing -------------------------------------------------------
+
+  // Deliberately conservative patterns that mean the same thing in Java
+  // regex (Spark) and RE2 (most SQL engines): no lookarounds, no
+  // backreferences, character classes + bounded repetition only.
+  private val UrlRe = "https?://[^\\s]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9\\- ]{7,}[0-9]"
+
+  /** Mask URLs, email addresses, and phone-shaped digit runs (in that
+    * order — URLs may embed '@', emails embed digits). Pure codegen'd
+    * regexp_replace chain: per-row, no UDF, no shuffle. Masking, not
+    * deletion, preserves token positions for downstream chunkers. */
+  def scrubPII(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "[URL]"),
+        EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   /** Corpus mixture accounting for dataset-mixing decisions: per stratum
     * (source, language, …) document count, token total, and share of the
     * whole corpus' tokens. One partial+final aggregation plus a broadcast

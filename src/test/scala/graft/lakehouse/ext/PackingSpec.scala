@@ -53,6 +53,30 @@ class PackingSpec extends SparkSuite {
     assert(math.abs(m.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-12)
   }
 
+  test("sampleMixture: seeded, deterministic, tracks target fractions") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fractions = Map("src0" -> 0.5, "src1" -> 1.0)
+    val present = docs.select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    val wanted = fractions.filter { case (k, _) => present(k) }
+    if (wanted.nonEmpty) {
+      val a = Packing.sampleMixture(docs, "source", wanted, seed = 7L)
+      val b = Packing.sampleMixture(docs, "source", wanted, seed = 7L)
+      assert(a.collect().toSeq == b.collect().toSeq) // deterministic
+      val counts = a.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val base = docs.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      wanted.foreach { case (src, f) =>
+        val got = counts.getOrElse(src, 0L).toDouble / base(src)
+        assert(math.abs(got - f) < 0.25, s"$src: $got vs $f")
+      }
+      // strata not in the fraction map are dropped
+      assert(!a.select("source").distinct().collect()
+        .map(_.getString(0)).exists(s => !wanted.contains(s)))
+    } else cancel("fixture lacks expected strata")
+  }
+
   test("packing is deterministic and pack ids are partition-scoped") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", length($"text").cast("long").as("n_tokens"))

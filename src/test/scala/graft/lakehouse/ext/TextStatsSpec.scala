@@ -65,6 +65,21 @@ class TextStatsSpec extends SparkSuite {
     assert(out.toSeq == Seq(true, false))
   }
 
+  test("scrubPII masks urls, emails, phone runs; leaves prose alone") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at jo.doe+spam@sub.example.org thanks",
+      "see https://a.example.com/path?q=1 for details",
+      "call +1 555-123-4567 now",
+      "just ordinary text with number 42").toDF("t")
+    val out = df.select(TextStats.scrubPII(col("t")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at [EMAIL] thanks", out(0))
+    assert(out(1) == "see [URL] for details", out(1))
+    assert(out(2) == "call [PHONE] now", out(2))
+    assert(out(3) == "just ordinary text with number 42")
+  }
+
   test("repetitionMetrics: duplicate-line and duplicate-char fractions") {
     import spark.implicits._
     val docs = Seq(
