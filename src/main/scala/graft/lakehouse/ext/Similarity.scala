@@ -82,30 +82,114 @@ object Similarity {
     * on every row (sampling changes nothing at test scale); larger corpora
     * fit on a seeded uniform sample and only the single assignment pass
     * touches every row. */
+  /** Seeded Lloyd's k-means over an in-memory sample — the IVF training
+    * step. Runs on the driver: the input is already capped at `maxFitRows`
+    * (the faiss-style train-on-sample pattern), so this is a bounded
+    * ~O(rows × k × dim × iters) flop loop; doing it in MLlib instead costs
+    * a distributed job per iteration for the same arithmetic. */
+  private[ext] def lloydKMeans(points: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty sample")
+    val dim = points(0).length
+    val rnd = new java.util.Random(seed)
+    // k-means++ init (Arthur/Vassilvitskii '07): D²-weighted seeding gives
+    // well-spread starting cells — plain random init measurably hurts IVF
+    // recall on clustered data
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = points(rnd.nextInt(points.length)).clone()
+    val minD2 = Array.fill(points.length)(Double.MaxValue)
+    var seeded = 1
+    while (seeded < k) {
+      val last = centroids(seeded - 1)
+      var p = 0
+      var total = 0.0
+      while (p < points.length) {
+        var d = 0.0; var j = 0
+        val pt = points(p)
+        while (j < dim) { val diff = last(j) - pt(j); d += diff * diff; j += 1 }
+        if (d < minD2(p)) minD2(p) = d
+        total += minD2(p)
+        p += 1
+      }
+      var pick = rnd.nextDouble() * total
+      var idx = 0
+      while (idx < points.length - 1 && pick > minD2(idx)) {
+        pick -= minD2(idx); idx += 1
+      }
+      centroids(seeded) = points(idx).clone()
+      seeded += 1
+    }
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) { // assignment
+        var best = 0; var bestD = Double.MaxValue
+        var cIdx = 0
+        while (cIdx < k) {
+          var d = 0.0; var j = 0
+          val ctr = centroids(cIdx); val pt = points(p)
+          while (j < dim) { val diff = ctr(j) - pt(j); d += diff * diff; j += 1 }
+          if (d < bestD) { bestD = d; best = cIdx }
+          cIdx += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      p = 0
+      while (p < points.length) { // update
+        val a = assign(p); counts(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += points(p)(j); j += 1 }
+        p += 1
+      }
+      var cIdx = 0
+      while (cIdx < k) {
+        if (counts(cIdx) > 0) {
+          var j = 0
+          while (j < dim) { centroids(cIdx)(j) = sums(cIdx)(j) / counts(cIdx); j += 1 }
+        } // empty cell keeps its old centroid (deterministic)
+        cIdx += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2,
       maxFitRows: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val c = corpus.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
-      .withColumn("features", toVec(col("cv")))
     val corpusRows = c.count()
     val fitInput =
       if (corpusRows <= maxFitRows) c
       else c.sample(withReplacement = false,
         maxFitRows.toDouble / corpusRows, seed = 42L)
-    // seeded random init: kmeans|| spends ~5 extra distributed rounds
-    // picking starting points; with 10 refinement iterations over a bounded
-    // sample, random init converges to comparable cells at a fraction of
-    // the job count
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
-      .setInitMode("random")
-      .setFeaturesCol("features").fit(fitInput)
-    val cells = model.transform(c)
-      .select(col("vec_id"), col("cv"), col("prediction").as("cell"))
-    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // train on the bounded sample driver-side (≤ maxFitRows × dim doubles);
+    // only the single assignment pass below touches every corpus row
+    val sample: Array[Array[Double]] = fitInput.select("cv").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = lloydKMeans(sample, nLists, iters = 10, seed = 42L)
+    val bcCentroids = c.sparkSession.sparkContext.broadcast(centroids)
+    val cellUdf = udf((v: Seq[Double]) => {
+      val ctrs = bcCentroids.value
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < ctrs.length) {
+        var d = 0.0; var j = 0
+        val ctr = ctrs(i)
+        while (j < math.min(ctr.length, v.length)) {
+          val diff = ctr(j) - v(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    })
+    val cells = c.withColumn("cell", cellUdf(col("cv")))
     val probeUdf = udf((q: Seq[Double]) => {
       centroids.zipWithIndex.map { case (ctr, i) =>
         var d = 0.0
