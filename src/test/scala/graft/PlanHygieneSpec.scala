@@ -69,6 +69,16 @@ class PlanHygieneSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q53 contamination broadcasts the eval side") {
+    val df = SparkEntry.queries("q53_contamination")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // the eval gram index and its sizes must ride broadcasts; the train
+    // corpus joins map-side (no SortMergeJoin anywhere in the plan)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE only shows the final (codegen-annotated) plan after execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)

@@ -77,6 +77,22 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "tv")
   }
 
+  test("racing writer of the same version fails loudly, commit unaffected") {
+    val v1 = Seq((1, "a")).toDF("k", "s")
+    TableIO.writeTable(spark, lh, "trace", v1)
+    // simulate a second writer that already produced the next version dir
+    val dir = java.nio.file.Paths.get(Catalog.tablePath(lh, "trace"), "_v2")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    intercept[Exception] {
+      TableIO.writeTable(spark, lh, "trace", Seq((2, "b")).toDF("k", "s"))
+    }
+    // the committed pointer still resolves v1 — no torn state
+    assert(Versioned.latestVersion(Catalog.tablePath(lh, "trace")).contains(1L))
+    assert(TableIO.selectTable(spark, lh, "trace").count() == 1)
+    TableIO.dropTable(spark, lh, "trace")
+  }
+
   test("pre-protocol directories stay readable") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
