@@ -75,6 +75,39 @@ object EventWindows {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-ingest into a versioned lakehouse table: each micro-batch
+    * snapshots the full accumulated state (or just the batch, when
+    * `accumulate = false`) through [[graft.lakehouse.TableIO.writeTable]]'s
+    * atomic commit protocol — readers of the table always see a complete,
+    * consistent snapshot, never a partially-written micro-batch. Returns
+    * the started query; callers own its lifecycle.
+    *
+    * This is the "bronze table" ingest shape: Structured Streaming handles
+    * watermarks/exactly-once source offsets, the Versioned pointer swap
+    * makes each batch's publish atomic. */
+  def streamIngest(events: DataFrame, spark: SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      accumulate: Boolean = false,
+      checkpoint: Option[String] = None) = {
+    var acc: Option[DataFrame] = None
+    val w = events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val df = batch.toDF()
+        val snapshot =
+          if (!accumulate) df
+          else {
+            val merged = acc.map(_.unionByName(df)).getOrElse(df)
+              .localCheckpoint(true) // cut lineage growth across batches
+            acc = Some(merged)
+            merged
+          }
+        graft.lakehouse.TableIO.writeTable(spark, lh, tableName, snapshot)
+        ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming exact deduplication: drop rows whose `keyCols` were already
     * seen within the watermark horizon (state is evicted past it, so the
     * dedup state stays bounded on an unbounded stream — the streaming twin

@@ -63,6 +63,29 @@ class EventWindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamIngest publishes each micro-batch as an atomic table version") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("ingest_test").toString
+    val lh = Catalog.registerLocalWorkspace(dir, "ws_ing", "lh_ing").lakehouses.head
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventWindows.streamIngest(
+      mem.toDF().toDF("ts", "event_type", "value"), spark, lh, "bronze",
+      accumulate = true)
+    try {
+      mem.addData((Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      assert(TableIO.selectTable(spark, lh, "bronze").count() == 1)
+      val v1 = Versioned.latestVersion(Catalog.tablePath(lh, "bronze"))
+      mem.addData((Timestamp.valueOf("2024-01-01 00:01:00"), "b", 2.0))
+      q.processAllAvailable()
+      // accumulated snapshot, advanced version
+      assert(TableIO.selectTable(spark, lh, "bronze").count() == 2)
+      assert(Versioned.latestVersion(Catalog.tablePath(lh, "bronze"))
+        .exists(v => v1.exists(_ < v)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
