@@ -30,6 +30,9 @@ object Session {
       // persisted — cached frames otherwise keep the static partition count
       // and small cached aggregates schedule hundreds of near-empty tasks
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // the 100-entry default evicts constantly on many-query sessions,
+      // re-paying Janino compilation per fragment
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
