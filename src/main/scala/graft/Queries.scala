@@ -135,6 +135,19 @@ object Queries {
       },
       Some("SELECT * FROM part ORDER BY p_partkey")),
 
+    // Fragmented write -> compaction -> read-back: the maintenance half of
+    // the versioned commit protocol; contents must be byte-identical to the
+    // source table after the rewrite.
+    Q("q56_compact_roundtrip",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "supplier_frag",
+          t(s, dir, "supplier").repartition(16))
+        TableIO.compactTable(s, lh, "supplier_frag")
+        TableIO.selectTable(s, lh, "supplier_frag").orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
     // Views write/read roundtrip: materialize a denormalized view under
     // Views/, read it back through selectView with a query — the
     // previously-read-only half of the catalog surface (common.py:392,465).

@@ -121,6 +121,28 @@ object TableIO {
   def currentDataPath(lh: LakehouseProps, tableName: String): String =
     Versioned.readPath(Catalog.tablePath(lh, tableName))
 
+  /** Small-files compaction (the OPTIMIZE half of the Delta story the
+    * north-star names): rewrite the current snapshot into
+    * ceil(bytes / targetFileBytes) files and commit it as a new version
+    * through the same atomic protocol — readers of the old snapshot are
+    * untouched, and a crash mid-compaction leaves the table on the old
+    * version. `coalesce` (not `repartition`): reducing file count needs no
+    * shuffle. Returns the new TableInfo. */
+  def compactTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): TableInfo = {
+    val dataDir = Paths.get(currentDataPath(lh, tableName))
+    val bytes = {
+      val s = Files.walk(dataDir)
+      try s.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .mapToLong(p => Files.size(p)).sum()
+      finally s.close()
+    }
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = selectTable(spark, lh, tableName)
+    writeTable(spark, lh, tableName, df.coalesce(nFiles))
+  }
+
   /** Views write path — the reference defines `viewPath` (common.py:392) and
     * reads views via selectView, but nothing in the library ever writes one;
     * we provide the missing producer so the Views/ directory is a real

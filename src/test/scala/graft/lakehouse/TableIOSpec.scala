@@ -93,6 +93,28 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "trace")
   }
 
+  test("compactTable merges small files into a new atomic version") {
+    val df = spark.range(0, 10000).selectExpr("id AS k", "id % 7 AS g")
+      .repartition(16) // 16 small files
+    TableIO.writeTable(spark, lh, "tcomp", df)
+    def parquetFiles(): Int = {
+      val d = new java.io.File(TableIO.currentDataPath(lh, "tcomp"))
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles() == 16)
+    val v1 = Versioned.latestVersion(Catalog.tablePath(lh, "tcomp"))
+    val info = TableIO.compactTable(spark, lh, "tcomp") // tiny -> 1 file
+    assert(parquetFiles() == 1)
+    assert(info.rowCount == 10000)
+    assert(Versioned.latestVersion(Catalog.tablePath(lh, "tcomp"))
+      .exists(v => v1.exists(_ < v)))
+    // contents identical after compaction
+    assert(TableIO.selectTable(spark, lh, "tcomp")
+      .agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0)
+      == (9999L * 10000L) / 2)
+    TableIO.dropTable(spark, lh, "tcomp")
+  }
+
   test("pre-protocol directories stay readable") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
