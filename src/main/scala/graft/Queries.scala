@@ -746,6 +746,37 @@ object Queries {
         "doc_id", "payload", frames = 4).orderBy("doc_id", "frame_no"),
       None),
 
+    // As-of join — the classic missing-Spark temporal operator, verified
+    // against DuckDB's NATIVE ASOF LEFT JOIN (an independent
+    // implementation, not a SQL re-spelling of ours). Purchases are
+    // pre-aggregated per (user, ts) so the match is unique-keyed and both
+    // engines are deterministic.
+    Q("q57_asof_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("purchase_value"))
+        TemporalJoins.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  p.purchase_value AS purchase_value_asof
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin)),
+
     // ---- embedding preparation --------------------------------------------
     // Output exploded to scalar rows (vec_id, pos, val): the driver compare
     // cannot sort array columns (the q28 lesson), and DuckDB's zipped

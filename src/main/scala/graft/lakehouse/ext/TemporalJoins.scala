@@ -1,0 +1,60 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks natively. The as-of join (each left row
+  * matched to the most recent right row at or before its timestamp, per
+  * key) is composed from existing operators — union-tag + one ordered
+  * window with a carried last-known value — rather than a custom
+  * SparkStrategy: a single hash-partitioned shuffle on the key columns and
+  * a per-key sort, the same cost profile a dedicated physical operator
+  * would have, with Catalyst/AQE still free to plan around it.
+  *
+  * Scale notes: state per key is one carried value (the window frame is
+  * running, never buffered), so a 100 TB fact side streams through
+  * sort-merge machinery without blowup. Right rows should be unique per
+  * (key, ts) — pre-aggregate otherwise — because the carry among equal
+  * timestamps is order-dependent; with unique (key, ts) the result is
+  * deterministic and matches DuckDB's native ASOF LEFT JOIN row for row.
+  */
+object TemporalJoins {
+
+  /** Left as-of join: every left row, plus `valueCols` from the latest
+    * right row with `right.tsCol <= left.tsCol` for the same `keyCols`
+    * (null when no prior right row exists). Right value columns are
+    * suffixed with `suffix`. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCols: Seq[String],
+      suffix: String = "_asof"): DataFrame = {
+    val common = keyCols :+ tsCol
+    val leftOnly = left.columns.toSeq.filterNot(common.contains)
+    val rightTypes = valueCols.map(c => c -> right.schema(c).dataType).toMap
+    val leftTypes = leftOnly.map(c => c -> left.schema(c).dataType).toMap
+
+    // right rows sort BEFORE left rows at the same timestamp (`<=` match);
+    // all value columns ride ONE struct so they come atomically from the
+    // same right row even when individual values are null
+    val packed = struct(valueCols.map(col): _*)
+    val nullPacked = lit(null).cast(
+      org.apache.spark.sql.types.StructType(valueCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, rightTypes(c)))))
+    val lTagged = left.select(
+      common.map(col) ++ Seq(lit(1).as("__isl")) ++
+        leftOnly.map(col) ++ Seq(nullPacked.as("__rv")): _*)
+    val rTagged = right.select(
+      common.map(col) ++ Seq(lit(0).as("__isl")) ++
+        leftOnly.map(c => lit(null).cast(leftTypes(c)).as(c)) ++
+        Seq(packed.as("__rv")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__isl").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried.filter(col("__isl") === 1)) { (df, c) =>
+      df.withColumn(s"$c$suffix", col(s"__rv.$c"))
+    }.drop("__isl", "__rv")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import java.sql.Timestamp
+
+class TemporalJoinsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: latest right row at or before each left timestamp, per key") {
+    val quotes = Seq( // (sym, ts, price)
+      ("A", ts("2024-01-01 09:00:00"), 10.0),
+      ("A", ts("2024-01-01 09:05:00"), 11.0),
+      ("A", ts("2024-01-01 09:10:00"), 12.0),
+      ("B", ts("2024-01-01 09:02:00"), 100.0)
+    ).toDF("sym", "t", "price")
+    val trades = Seq( // (sym, ts, qty)
+      ("A", ts("2024-01-01 09:04:00"), 5L),  // -> 10.0
+      ("A", ts("2024-01-01 09:05:00"), 6L),  // ties match (<=) -> 11.0
+      ("A", ts("2024-01-01 09:30:00"), 7L),  // -> 12.0
+      ("B", ts("2024-01-01 09:00:00"), 8L),  // before any quote -> null
+      ("C", ts("2024-01-01 09:00:00"), 9L)   // key with no quotes -> null
+    ).toDF("sym", "t", "qty")
+
+    val out = TemporalJoins.asofJoin(trades, quotes, Seq("sym"), "t",
+      Seq("price")).orderBy("sym", "t").collect()
+    assert(out.length == 5) // left join: every trade survives
+    val got = out.map(r => (r.getAs[String]("sym"), r.getAs[Long]("qty"),
+      Option(r.getAs[java.lang.Double]("price_asof")).map(_.toDouble)))
+    assert(got.toSeq == Seq(
+      ("A", 5L, Some(10.0)), ("A", 6L, Some(11.0)), ("A", 7L, Some(12.0)),
+      ("B", 8L, None), ("C", 9L, None)))
+  }
+
+  test("asofJoin carries all value columns from the same right row") {
+    val right = Seq(
+      ("k", ts("2024-01-01 00:00:00"), null.asInstanceOf[java.lang.Double], "first"),
+      ("k", ts("2024-01-01 01:00:00"), java.lang.Double.valueOf(2.0), null.asInstanceOf[String])
+    ).toDF("k", "t", "v1", "v2")
+    val left = Seq(("k", ts("2024-01-01 02:00:00"), 1L)).toDF("k", "t", "id")
+    val r = TemporalJoins.asofJoin(left, right, Seq("k"), "t",
+      Seq("v1", "v2")).collect().head
+    // latest right row is (2.0, null): v2 must be null, NOT "first"
+    assert(r.getAs[java.lang.Double]("v1_asof") == 2.0)
+    assert(r.getAs[String]("v2_asof") == null)
+  }
+}
