@@ -777,6 +777,29 @@ object Queries {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin)),
 
+    // Range join over overlapping price bands — bin-bucketed equi-join vs
+    // DuckDB's IEJoin of the same BETWEEN predicate.
+    Q("q58_range_join_bands",
+      (s, dir) => {
+        val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val bands = s.range(0, 13).select(col("id").as("band_id"),
+          (col("id") * 40000.0).as("lo"), (col("id") * 40000.0 + 60000.0).as("hi"))
+        TemporalJoins.rangeJoin(orders, "o_totalprice", bands, "lo", "hi",
+          binWidth = 20000.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"))
+          .orderBy("band_id")
+      },
+      Some("""WITH bands AS (
+        |  SELECT i AS band_id, i * 40000.0 AS lo, i * 40000.0 + 60000.0 AS hi
+        |  FROM range(0, 13) t(i))
+        |SELECT band_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin)),
+
     // ---- embedding preparation --------------------------------------------
     // Output exploded to scalar rows (vec_id, pos, val): the driver compare
     // cannot sort array columns (the q28 lesson), and DuckDB's zipped

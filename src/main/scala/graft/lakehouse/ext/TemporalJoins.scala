@@ -57,4 +57,31 @@ object TemporalJoins {
       df.withColumn(s"$c$suffix", col(s"__rv.$c"))
     }.drop("__isl", "__rv")
   }
+
+  /** Range (interval) join: left rows matched to every right row whose
+    * `[loCol, hiCol]` interval contains `valueCol` (inclusive ends, inner
+    * join). Spark plans a raw BETWEEN join as a broadcast-nested-loop or
+    * cartesian product — quadratic at scale — so this bucketizes instead:
+    * each interval explodes into the fixed-width bins it spans, each left
+    * value lands in exactly one bin, the join becomes an equi-join on the
+    * bin id, and an exact filter trims bin-edge false positives. Each
+    * (value, containing-interval) pair meets in exactly one bin, so no
+    * dedup is needed.
+    *
+    * `binWidth` trades interval-side blowup (span/binWidth rows per
+    * interval) against bin selectivity; pick it near the typical interval
+    * span. Column names must not collide across the two inputs (alias
+    * first — same contract as a plain join). */
+  def rangeJoin(left: DataFrame, valueCol: String, right: DataFrame,
+      loCol: String, hiCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val lb = left.withColumn("__bin",
+      floor(col(valueCol) / binWidth).cast("long"))
+    val rb = right.withColumn("__bin", explode(sequence(
+      floor(col(loCol) / binWidth).cast("long"),
+      floor(col(hiCol) / binWidth).cast("long"))))
+    lb.join(rb, "__bin")
+      .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -33,6 +33,34 @@ class TemporalJoinsSpec extends SparkSuite {
       ("B", 8L, None), ("C", 9L, None)))
   }
 
+  test("rangeJoin: inclusive bounds, overlapping intervals, bin edges") {
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 25.0), (4L, 99.0))
+      .toDF("pid", "v")
+    val ranges = Seq((10L, 0.0, 10.0), (20L, 10.0, 30.0), (30L, 50.0, 60.0))
+      .toDF("rid", "lo", "hi")
+    // binWidth deliberately misaligned with the interval ends
+    val out = TemporalJoins.rangeJoin(points, "v", ranges, "lo", "hi", 7.0)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(
+      (1L, 10L),            // 5 in [0,10]
+      (2L, 10L), (2L, 20L), // 10 on both inclusive boundaries
+      (3L, 20L)             // 25 in [10,30]; 99 matches nothing
+    ), out.toString)
+  }
+
+  test("rangeJoin matches a brute-force BETWEEN join on fixture data") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice")
+    val bands = spark.range(0, 13).select($"id".as("band_id"),
+      ($"id" * 40000.0).as("lo"), ($"id" * 40000.0 + 60000.0).as("hi"))
+    val fast = TemporalJoins.rangeJoin(orders, "o_totalprice", bands,
+      "lo", "hi", 20000.0).select("o_orderkey", "band_id")
+    val brute = orders.join(bands,
+      $"o_totalprice" >= $"lo" && $"o_totalprice" <= $"hi")
+      .select("o_orderkey", "band_id")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
   test("asofJoin carries all value columns from the same right row") {
     val right = Seq(
       ("k", ts("2024-01-01 00:00:00"), null.asInstanceOf[java.lang.Double], "first"),
