@@ -875,6 +875,32 @@ object Queries {
         |    CAST((SELECT sum(tokens) FROM per) AS DOUBLE), 9) AS token_share
         |FROM per ORDER BY source""".stripMargin)),
 
+    Q("q59_tfidf_top_terms",
+      (s, dir) => TextStats.tfidfTopTerms(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", k = 3)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("doc_id", "rank"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM w
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df_t FROM tf),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |s AS (
+        |  SELECT doc_id, term,
+        |    tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0) AS score
+        |  FROM d, n),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, CAST(rank AS INT) AS rank, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- repetition & decontamination -------------------------------------
     Q("q52_repetition_metrics",
       (s, dir) => TextStats.repetitionMetrics(t(s, dir, "documents"),

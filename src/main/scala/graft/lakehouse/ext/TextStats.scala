@@ -187,6 +187,32 @@ object TextStats {
           .cast("double") / sum(col("cnt") * col("len"))).as("dup_char_frac"))
   }
 
+  /** Per-document top-k TF-IDF terms (smooth idf: ln((N+1)/(df+1)) + 1).
+    * Keyword extraction over a corpus: one shuffle to (doc, word) term
+    * frequencies, one window over words for document frequency, one window
+    * over docs for the top-k cut — nothing driver-side, N rides a broadcast
+    * single-row aggregate. Ties rank alphabetically (deterministic). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol),
+        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+          " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = words.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val nDocs = broadcast(tf.agg(countDistinct(col(idCol)).as("n_docs")))
+    val scored = tf
+      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(nDocs)
+      .withColumn("score", col("tf") *
+        (log((col("n_docs") + 1.0) / (col("df_t") + 1.0)) + 1.0))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"), col("score"))
+  }
+
   // ---- PII scrubbing -------------------------------------------------------
 
   // Deliberately conservative patterns that mean the same thing in Java

