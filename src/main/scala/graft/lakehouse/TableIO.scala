@@ -100,12 +100,21 @@ object TableIO {
     * we count the written files instead (same number, one scan of the
     * just-written parquet — cheaper at scale). */
   def writeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
-      df: DataFrame, partitionBy: Seq[String] = Seq.empty): TableInfo = {
+      df: DataFrame, partitionBy: Seq[String] = Seq.empty,
+      sortBy: Seq[String] = Seq.empty): TableInfo = {
     val tableDir = Catalog.tablePath(lh, tableName)
+    // sortBy = data clustering: range-partition then sort within partitions
+    // so each parquet file covers a narrow key range — file- and
+    // row-group-level min/max statistics then let later scans with
+    // predicates on those columns skip most of a 100 TB table
+    val clustered =
+      if (sortBy.isEmpty) df
+      else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val dataPath = Versioned.commit(tableDir) { target =>
       // ErrorIfExists: a racing writer of the same version fails loudly
       // instead of interleaving files into the snapshot
-      val writer = df.write.mode(SaveMode.ErrorIfExists)
+      val writer = clustered.write.mode(SaveMode.ErrorIfExists)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(target)
     }

@@ -93,6 +93,36 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "trace")
   }
 
+  test("writeTable sortBy clusters files into near-disjoint key ranges") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val df = spark.range(0, 20000).selectExpr(
+      "cast(rand(7) * 1000000 as long) AS k", "id AS payload").repartition(8)
+    // AQE coalesces this tiny fixture to one range partition (sub-MB
+    // shuffle); disable coalescing so the clustering property is observable
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try TableIO.writeTable(spark, lh, "tsorted", df, sortBy = Seq("k"))
+    finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    val ranges = spark.read.parquet(TableIO.currentDataPath(lh, "tsorted"))
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    // consecutive files must not overlap (range partitioning boundary rows
+    // aside, lo of file i+1 >= hi of file i)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(lo2 >= hi1, ranges.mkString(","))
+      case _ =>
+    }
+    // row count preserved through the clustering rewrite
+    assert(TableIO.selectTable(spark, lh, "tsorted").count() == 20000)
+    TableIO.dropTable(spark, lh, "tsorted")
+  }
+
   test("compactTable merges small files into a new atomic version") {
     val df = spark.range(0, 10000).selectExpr("id AS k", "id % 7 AS g")
       .repartition(16) // 16 small files
