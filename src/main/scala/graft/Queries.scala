@@ -875,6 +875,22 @@ object Queries {
         |    CAST((SELECT sum(tokens) FROM per) AS DOUBLE), 9) AS token_share
         |FROM per ORDER BY source""".stripMargin)),
 
+    // Entropy rounded to 6 dp on both sides: the formula-vs-DuckDB-native
+    // entropy() sums differ only in last-ulp float accumulation order.
+    Q("q60_char_entropy",
+      (s, dir) => TextStats.charEntropy(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .withColumn("entropy", round(col("entropy"), 6))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chars,
+        |  round(entropy(ch), 6) AS entropy
+        |FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        |  FROM documents)
+        |WHERE length(ch) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("q59_tfidf_top_terms",
       (s, dir) => TextStats.tfidfTopTerms(
         t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", k = 3)

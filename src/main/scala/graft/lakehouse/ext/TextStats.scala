@@ -187,6 +187,20 @@ object TextStats {
           .cast("double") / sum(col("cnt") * col("len"))).as("dup_char_frac"))
   }
 
+  /** Per-document character-level Shannon entropy (bits/char): the cheap
+    * information-density signal that flags gibberish (near-max entropy) and
+    * degenerate repetition (near-zero) — computed as
+    * H = log2(n) − (Σ c·log2 c)/n over per-character counts, one explode +
+    * two aggregations, all codegen'd built-ins. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+      .groupBy(idCol, "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol).agg(
+        sum("cnt").cast("long").as("n_chars"),
+        (log2(sum("cnt")) -
+          sum(col("cnt") * log2(col("cnt"))) / sum("cnt")).as("entropy"))
+
   /** Per-document top-k TF-IDF terms (smooth idf: ln((N+1)/(df+1)) + 1).
     * Keyword extraction over a corpus: one shuffle to (doc, word) term
     * frequencies, one window over words for document frequency, one window
