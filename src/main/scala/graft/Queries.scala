@@ -875,6 +875,38 @@ object Queries {
         |    CAST((SELECT sum(tokens) FROM per) AS DOUBLE), 9) AS token_share
         |FROM per ORDER BY source""".stripMargin)),
 
+    // BM25 ranking of the fixture corpus against a fixed query; scores
+    // rounded to 6 dp (float accumulation order is the only divergence).
+    Q("q61_bm25_topk",
+      (s, dir) => TextStats.bm25TopK(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+        query = "spark shuffle join window", k = 20)
+        .withColumn("bm25", round(col("bm25"), 6))
+        .orderBy("rank"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |nz AS (SELECT doc_id, term FROM w WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM nz
+        |  WHERE term IN ('spark', 'shuffle', 'join', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), corpus),
+        |sc AS (SELECT doc_id, sum(s) AS bm25 FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank, bm25
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, round(bm25, 6) AS bm25
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     // Entropy rounded to 6 dp on both sides: the formula-vs-DuckDB-native
     // entropy() sums differ only in last-ulp float accumulation order.
     Q("q60_char_entropy",

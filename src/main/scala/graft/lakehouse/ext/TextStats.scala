@@ -227,6 +227,47 @@ object TextStats {
       .select(col(idCol), col("term"), col("rank"), col("score"))
   }
 
+  /** BM25 retrieval scoring (Robertson/Spärck Jones, k1/b standard form):
+    * rank documents against a bag-of-words query. Query terms are a tiny
+    * driver-side set (an `isin` filter pushed into the term scan); corpus
+    * statistics (N, avgdl, per-term document frequency) are single-row /
+    * per-term aggregates that ride broadcasts, so the corpus shuffles once
+    * to (doc, term) frequencies and once for the final per-doc sum.
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); returns top-k docs. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "empty query")
+    val words = df.select(col(idCol),
+        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+          " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val docLen = words.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = broadcast(docLen.agg(count(lit(1)).as("n_docs"),
+      avg("dl").as("avgdl")))
+    val tf = words.where(col("term").isin(qTerms.toSeq: _*))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dft = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df_t")))
+    val scored = tf
+      .join(dft, "term")
+      .join(docLen, idCol)
+      .crossJoin(corpus)
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
+      .withColumn("s", col("idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(idCol).agg(sum("s").as("bm25"))
+    // orderBy+limit plans as TakeOrderedAndProject (partition-local top-k,
+    // driver merge of k·partitions rows); the rank window then runs over at
+    // most k rows — never a global single-partition sort of all matches
+    val topk = scored.orderBy(col("bm25").desc, col(idCol).asc).limit(k)
+    topk.withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col(idCol).asc)))
+      .select(col(idCol), col("rank"), col("bm25"))
+  }
+
   // ---- PII scrubbing -------------------------------------------------------
 
   // Deliberately conservative patterns that mean the same thing in Java

@@ -80,6 +80,30 @@ class TextStatsSpec extends SparkSuite {
     assert(out(3) == "just ordinary text with number 42")
   }
 
+  test("bm25TopK: term-matching docs rank by the standard formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark"),          // high tf for 'spark'
+      (2L, "spark flink beam"),           // one hit, short doc
+      (3L, "completely unrelated words"), // no hits -> absent
+      (4L, "spark " + ("filler " * 50).trim)) // one hit, long doc
+      .toDF("doc_id", "text")
+    val out = TextStats.bm25TopK(docs, "doc_id", "text", "spark", k = 10)
+      .collect()
+    val ids = out.sortBy(_.getInt(1)).map(_.getLong(0)).toSeq
+    assert(!ids.contains(3L))
+    assert(ids.head == 1L, s"tf-heavy doc must rank first: $ids")
+    // short doc with one hit beats long doc with one hit (length norm)
+    assert(ids.indexOf(2L) < ids.indexOf(4L))
+    // manual check of doc 2's score: tf=1, df=3, N=4, dl=3
+    val dls = Seq(3.0, 3.0, 3.0, 51.0)
+    val avgdl = dls.sum / 4
+    val idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    val expected = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3.0 / avgdl))
+    val got = out.find(_.getLong(0) == 2L).get.getDouble(2)
+    assert(math.abs(got - expected) < 1e-9, s"$got vs $expected")
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones, k rows per doc") {
     import spark.implicits._
     val docs = Seq(
