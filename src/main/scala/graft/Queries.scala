@@ -875,6 +875,27 @@ object Queries {
         |    CAST((SELECT sum(tokens) FROM per) AS DOUBLE), 9) AS token_share
         |FROM per ORDER BY source""".stripMargin)),
 
+    // One-pass table profile (int/string columns only in the oracle —
+    // double-to-string canonical forms differ across engines).
+    Q("q62_profile_table",
+      (s, dir) => Profile.profileTable(t(s, dir, "nation"))
+        .orderBy("column_name"),
+      Some("""SELECT 'n_name' AS column_name, count(*) AS n_rows,
+        |  count(n_name) AS n_nonnull, count(DISTINCT n_name) AS n_distinct,
+        |  min(CAST(n_name AS VARCHAR)) AS min_str,
+        |  max(CAST(n_name AS VARCHAR)) AS max_str FROM nation
+        |UNION ALL
+        |SELECT 'n_nationkey', count(*), count(n_nationkey),
+        |  count(DISTINCT n_nationkey),
+        |  min(CAST(n_nationkey AS VARCHAR)), max(CAST(n_nationkey AS VARCHAR))
+        |FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey', count(*), count(n_regionkey),
+        |  count(DISTINCT n_regionkey),
+        |  min(CAST(n_regionkey AS VARCHAR)), max(CAST(n_regionkey AS VARCHAR))
+        |FROM nation
+        |ORDER BY column_name""".stripMargin)),
+
     // BM25 ranking of the fixture corpus against a fixed query; scores
     // rounded to 6 dp (float accumulation order is the only divergence).
     Q("q61_bm25_topk",
