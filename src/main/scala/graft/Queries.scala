@@ -135,6 +135,23 @@ object Queries {
       },
       Some("SELECT * FROM part ORDER BY p_partkey")),
 
+    // MERGE (upsert) roundtrip: every 10th part gets a price bump via
+    // mergeTable; the oracle computes the same end state declaratively.
+    Q("q63_merge_roundtrip",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val part = t(s, dir, "part")
+        TableIO.writeTable(s, lh, "part_merge", part)
+        val updates = part.filter(col("p_partkey") % 10 === 0)
+          .withColumn("p_retailprice", col("p_retailprice") + 1000.0)
+        TableIO.mergeTable(s, lh, "part_merge", updates, Seq("p_partkey"))
+        TableIO.selectTable(s, lh, "part_merge").orderBy("p_partkey")
+      },
+      Some("""SELECT * REPLACE (
+        |  CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 1000.0
+        |       ELSE p_retailprice END AS p_retailprice)
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Fragmented write -> compaction -> read-back: the maintenance half of
     // the versioned commit protocol; contents must be byte-identical to the
     // source table after the rewrite.

@@ -130,6 +130,35 @@ object TableIO {
   def currentDataPath(lh: LakehouseProps, tableName: String): String =
     Versioned.readPath(Catalog.tablePath(lh, tableName))
 
+  /** Upsert (Delta MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT,
+    * whole-row form): rows in `updates` replace current rows with the same
+    * `keyCols`; unmatched update rows append. Implemented as a left-anti
+    * join (current minus updated keys) unioned with the updates, committed
+    * as a new atomic version — readers never observe a half-merged table.
+    * One shuffle on the key columns; the schemas must match (by name). */
+  def mergeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      updates: DataFrame, keyCols: Seq[String]): TableInfo = {
+    require(keyCols.nonEmpty, "mergeTable needs at least one key column")
+    val current = selectTable(spark, lh, tableName)
+    val kept = current.join(
+      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct(),
+      keyCols, "left_anti")
+    writeTable(spark, lh, tableName, kept.unionByName(updates))
+  }
+
+  /** Time-travel read: scan a specific committed version's immutable
+    * snapshot (within the retention window — older versions are swept by
+    * [[Versioned.commit]]). */
+  def selectTableVersion(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, version: Long): DataFrame = {
+    val dir = java.nio.file.Paths.get(Catalog.tablePath(lh, tableName), s"_v$version")
+    require(Files.isDirectory(dir),
+      s"version $version of $tableName is not available (retention window is " +
+        s"${Versioned.Retain} versions)")
+    spark.read.parquet(dir.toString)
+  }
+
   /** Small-files compaction (the OPTIMIZE half of the Delta story the
     * north-star names): rewrite the current snapshot into
     * ceil(bytes / targetFileBytes) files and commit it as a new version

@@ -123,6 +123,26 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "tsorted")
   }
 
+  test("mergeTable upserts by key; time travel reads prior versions") {
+    val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "s", "v")
+    TableIO.writeTable(spark, lh, "tmerge", base)
+    val updates = Seq((2, "b2", 99), (4, "d", 40)).toDF("k", "s", "v")
+    val info = TableIO.mergeTable(spark, lh, "tmerge", updates, Seq("k"))
+    assert(info.rowCount == 4) // 1,3 kept; 2 updated; 4 inserted
+    val rows = TableIO.selectTable(spark, lh, "tmerge")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows == Map(1 -> ("a", 10), 2 -> ("b2", 99), 3 -> ("c", 30),
+      4 -> ("d", 40)))
+    // version 1 (pre-merge) is still readable within the retention window
+    val v1 = TableIO.selectTableVersion(spark, lh, "tmerge", 1L)
+    assert(v1.count() == 3)
+    assert(v1.filter($"k" === 2).head().getString(1) == "b")
+    intercept[IllegalArgumentException] {
+      TableIO.selectTableVersion(spark, lh, "tmerge", 99L)
+    }
+    TableIO.dropTable(spark, lh, "tmerge")
+  }
+
   test("compactTable merges small files into a new atomic version") {
     val df = spark.range(0, 10000).selectExpr("id AS k", "id % 7 AS g")
       .repartition(16) // 16 small files
