@@ -32,7 +32,8 @@ final case class TableInfo(
     rowCount: Long,
     colCount: Int,
     columns: Seq[String],
-    path: String)
+    path: String,
+    partitionBy: Seq[String] = Seq.empty)
 
 final case class Workspace(id: String, name: String, lakehouses: Seq[LakehouseProps])
 

@@ -63,39 +63,68 @@ object Relationships {
   /** Canonical per-type-class projection of `f` into the shared exploded
     * frame: exactly one of (v_num, v_str, v_ts) is populated, and
     * type-compatible pairs always populate the same slot, so null-safe
-    * equality over all three is equality on the pair's common type. */
-  private def canonical(f: StructField): (Column, Column, Column) = {
+    * equality over all three is equality on the pair's common type.
+    * Integral columns ADDITIONALLY populate v_int (exact long): the double
+    * slot keeps cross-type numeric pairs joinable (Spark's implicit-cast
+    * semantics), while v_int restores exactness for integral⇄integral
+    * pairs whose values exceed 2^53 — distinct bigint ids must never
+    * collapse into one double. */
+  private def canonical(f: StructField): (Column, Column, Column, Column) = {
     val c = col(f.name)
     val nNum = lit(null).cast(DoubleType)
     val nStr = lit(null).cast(StringType)
-    val nTs = lit(null).cast(LongType)
+    val nLong = lit(null).cast(LongType)
     f.dataType match {
-      case _: NumericType | BooleanType => (c.cast(DoubleType), nStr, nTs)
-      case _: TimestampType => (nNum, nStr, unix_micros(c))
-      case BinaryType => (nNum, hex(c), nTs)
-      case _ => (nNum, c.cast(StringType), nTs) // string, date, … (injective)
+      case ByteType | ShortType | IntegerType | LongType =>
+        (c.cast(DoubleType), nStr, nLong, c.cast(LongType))
+      case _: NumericType | BooleanType =>
+        (c.cast(DoubleType), nStr, nLong, nLong)
+      case _: TimestampType => (nNum, nStr, unix_micros(c), nLong)
+      case BinaryType => (nNum, hex(c), nLong, nLong)
+      case _ => (nNum, c.cast(StringType), nLong, nLong) // string, date, …
     }
   }
 
-  /** `(col_name, v_num, v_str, v_ts)` rows for every candidate column of
-    * `df`, one scan, nulls dropped — the shared shape both the stats and the
-    * coverage jobs aggregate over. */
+  /** `(col_name, v_num, v_str, v_ts, v_int)` rows for every candidate
+    * column of `df`, one scan, nulls dropped — the shared shape both the
+    * stats and the coverage jobs aggregate over. */
   private def explodedKeys(df: DataFrame, fields: Seq[StructField]): DataFrame = {
     val entries = fields.map { f =>
-      val (vn, vs, vt) = canonical(f)
+      val (vn, vs, vt, vi) = canonical(f)
       struct(lit(f.name).as("cn"), vn.as("vn"), vs.as("vs"), vt.as("vt"),
-        col(f.name).isNotNull.as("nn"))
+        vi.as("vi"), col(f.name).isNotNull.as("nn"))
     }
     df.select(explode(array(entries: _*)).as("e"))
       .where(col("e.nn"))
       .select(col("e.cn").as("cn"), col("e.vn").as("vn"),
-        col("e.vs").as("vs"), col("e.vt").as("vt"))
+        col("e.vs").as("vs"), col("e.vt").as("vt"), col("e.vi").as("vi"))
+  }
+
+  /** Spark's string min/max order by UTF-8 bytes (unsigned); Java's default
+    * String ordering compares UTF-16 code units, which disagrees for
+    * supplementary characters — the prefilter must use Spark's order or an
+    * overlapping range could be judged disjoint and a real relationship
+    * silently pruned. */
+  private val utf8Ord: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
   }
 
   private final case class ColStats(cnt: Long, dist: Long,
       minN: Option[Double], maxN: Option[Double],
       minS: Option[String], maxS: Option[String],
-      minT: Option[Long], maxT: Option[Long]) {
+      minT: Option[Long], maxT: Option[Long],
+      minI: Option[Long], maxI: Option[Long]) {
     def overlaps(o: ColStats): Boolean = {
       def ov[T](aMin: Option[T], aMax: Option[T], bMin: Option[T],
           bMax: Option[T])(implicit ord: Ordering[T]): Boolean =
@@ -104,8 +133,8 @@ object Relationships {
             !(ord.lt(hi, olo) || ord.gt(lo, ohi))
           case _ => false // slots of different classes never both populate
         }
-      ov(minN, maxN, o.minN, o.maxN) || ov(minS, maxS, o.minS, o.maxS) ||
-        ov(minT, maxT, o.minT, o.maxT)
+      ov(minN, maxN, o.minN, o.maxN) || ov(minS, maxS, o.minS, o.maxS)(utf8Ord) ||
+        ov(minT, maxT, o.minT, o.maxT) || ov(minI, maxI, o.minI, o.maxI)
     }
   }
 
@@ -154,20 +183,22 @@ object Relationships {
     val keyCounts: DataFrame = neededCols.map { case (tn, fields) =>
       explodedKeys(byName(tn), fields).withColumn("tbl", lit(tn))
     }.reduce(_.unionByName(_))
-      .groupBy("tbl", "cn", "vn", "vs", "vt").agg(count(lit(1)).as("mult"))
+      .groupBy("tbl", "cn", "vn", "vs", "vt", "vi").agg(count(lit(1)).as("mult"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statsDF = keyCounts.groupBy("tbl", "cn").agg(
       sum("mult").as("cnt"),
       count(lit(1)).as("dist"),
       min("vn").as("min_n"), max("vn").as("max_n"),
       min("vs").as("min_s"), max("vs").as("max_s"),
-      min("vt").as("min_t"), max("vt").as("max_t"))
+      min("vt").as("min_t"), max("vt").as("max_t"),
+      min("vi").as("min_i"), max("vi").as("max_i"))
     val stats: Map[(String, String), ColStats] = statsDF.collect().map { r =>
       def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
       (r.getString(0), r.getString(1)) -> ColStats(r.getLong(2), r.getLong(3),
-        optD(4), optD(5), optS(6), optS(7), optL(8), optL(9))
+        optD(4), optD(5), optS(6), optS(7), optL(8), optL(9),
+        optL(10), optL(11))
     }.toMap
 
     // driver-side pruning from the stats alone: multiplicity, empty from
@@ -175,7 +206,7 @@ object Relationships {
     // — disjoint ranges prove coverage 0 without touching the cluster again.
     final case class Cand(pid: Long, ft: String, fc: String, tt: String,
         tc: String, fromDist: Long, toUnique: Boolean)
-    val empty = ColStats(0L, 0L, None, None, None, None, None, None)
+    val empty = ColStats(0L, 0L, None, None, None, None, None, None, None, None)
     val survivors = candidates.zipWithIndex.flatMap {
       case ((ft, _, fc, tt, _, tc), i) =>
         val fs = stats.getOrElse((ft, fc), empty)
@@ -203,13 +234,20 @@ object Relationships {
         val fk = keyCounts.join(pairDf,
             col("tbl") === col("ftbl") && col("cn") === col("fc"))
           .select(col("pid"), col("ttbl"), col("tc"),
-            col("vn"), col("vs"), col("vt"))
+            col("vn"), col("vs"), col("vt"), col("vi"))
         val tk = keyCounts.select(col("tbl").as("ktbl"), col("cn").as("kcn"),
-          col("vn").as("tvn"), col("vs").as("tvs"), col("vt").as("tvt"))
+          col("vn").as("tvn"), col("vs").as("tvs"), col("vt").as("tvt"),
+          col("vi").as("tvi"))
+        // equi-keys stay (table, column, vn, vs, vt); the exact-integral
+        // check is a residual predicate — when BOTH sides carry v_int it
+        // must match exactly (distinct >2^53 longs that collide as doubles
+        // stay distinct), while integral⇄fractional pairs (one side null)
+        // keep Spark's implicit-cast double semantics
         val covDF = fk.join(tk, col("ktbl") === col("ttbl") &&
             col("kcn") === col("tc") &&
             (col("vn") <=> col("tvn")) && (col("vs") <=> col("tvs")) &&
-            (col("vt") <=> col("tvt")))
+            (col("vt") <=> col("tvt")) &&
+            (col("vi").isNull || col("tvi").isNull || col("vi") === col("tvi")))
           .groupBy("pid").agg(count(lit(1)).as("covered"))
         covDF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       }

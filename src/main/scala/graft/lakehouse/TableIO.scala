@@ -112,18 +112,23 @@ object TableIO {
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val dataPath = Versioned.commit(tableDir) { target =>
-      // ErrorIfExists: a racing writer of the same version fails loudly
-      // instead of interleaving files into the snapshot
-      val writer = clustered.write.mode(SaveMode.ErrorIfExists)
+      // the commit protocol already claimed `target` atomically (racing
+      // writers failed loudly there); Append fills the empty claimed dir
+      val writer = clustered.write.mode(SaveMode.Append)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(target)
     }
     val written = spark.read.parquet(dataPath)
     val info = TableInfo(lh.lakehouseName, written.count(), df.columns.length,
-      df.columns.toSeq, tableDir)
+      df.columns.toSeq, tableDir, partitionBy)
     Catalog.recordTable(tableName, written, info)
     info
   }
+
+  /** The Hive partitioning recorded for `tableName` at its last write in
+    * this session (maintenance rewrites must preserve it). */
+  private def recordedPartitioning(tableName: String): Seq[String] =
+    Catalog.allTables.get(tableName).map(_._2.partitionBy).getOrElse(Seq.empty)
 
   /** The parquet directory a reader of `tableName` scans right now (the
     * latest committed snapshot). */
@@ -137,14 +142,25 @@ object TableIO {
     * as a new atomic version — readers never observe a half-merged table.
     * One shuffle on the key columns; the schemas must match (by name). */
   def mergeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
-      updates: DataFrame, keyCols: Seq[String]): TableInfo = {
+      updates: DataFrame, keyCols: Seq[String],
+      checkDuplicateKeys: Boolean = true): TableInfo = {
     require(keyCols.nonEmpty, "mergeTable needs at least one key column")
+    val keyColumns = keyCols.map(org.apache.spark.sql.functions.col)
+    if (checkDuplicateKeys) {
+      // Delta MERGE errors on multiple source rows per key; silently
+      // unioning both would corrupt key uniqueness. One small agg on the
+      // (typically tiny) update set; skippable for pre-deduped pipelines.
+      val dups = updates.groupBy(keyColumns: _*).count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1).limit(1)
+        .collect()
+      require(dups.isEmpty,
+        s"mergeTable: updates contain multiple rows for key ${dups.head}")
+    }
     val current = selectTable(spark, lh, tableName)
-    val kept = current.join(
-      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-        .distinct(),
+    val kept = current.join(updates.select(keyColumns: _*).distinct(),
       keyCols, "left_anti")
-    writeTable(spark, lh, tableName, kept.unionByName(updates))
+    writeTable(spark, lh, tableName, kept.unionByName(updates),
+      partitionBy = recordedPartitioning(tableName))
   }
 
   /** Time-travel read: scan a specific committed version's immutable
@@ -178,7 +194,10 @@ object TableIO {
     }
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = selectTable(spark, lh, tableName)
-    writeTable(spark, lh, tableName, df.coalesce(nFiles))
+    // preserve the table's Hive partitioning through the rewrite — Delta
+    // OPTIMIZE, which this models, never flattens a partitioned table
+    writeTable(spark, lh, tableName, df.coalesce(nFiles),
+      partitionBy = recordedPartitioning(tableName))
   }
 
   /** Views write path — the reference defines `viewPath` (common.py:392) and
@@ -189,7 +208,7 @@ object TableIO {
   def writeView(spark: SparkSession, lh: LakehouseProps, viewName: String,
       df: DataFrame): Unit =
     Versioned.commit(Catalog.viewPath(lh, viewName)) { target =>
-      df.write.mode(SaveMode.ErrorIfExists).parquet(target)
+      df.write.mode(SaveMode.Append).parquet(target)
     }
 
   /** common.py:512-517 — the reference's dropTable is doubly bugged (spark

@@ -21,12 +21,16 @@ import java.util.Comparator
   *    half-written table (the failure mode of naive `SaveMode.Overwrite`);
   *  - the commit point is a single atomic rename of the pointer file
   *    (write-temp + ATOMIC_MOVE), so a crashed writer leaves at worst an
-  *    orphaned `_vN` directory that the next commit's retention sweep
-  *    removes — never a corrupt table;
-  *  - two writers racing the same version fail loudly (the second data
-  *    write hits an existing `_vN` directory) instead of interleaving
-  *    output — single-writer-per-table is the contract, violation is an
-  *    error, not corruption.
+  *    orphaned `_vN` directory — never a corrupt table. Version numbers
+  *    are allocated PAST any existing directory (committed or orphaned),
+  *    so a crash never wedges the table: the orphan is skipped and later
+  *    swept by retention;
+  *  - a writer claims its version by atomically creating the `_vN`
+  *    directory (`Files.createDirectory` — an atomic filesystem primitive,
+  *    unlike check-then-write) before any data is written; two racing
+  *    writers can never interleave files into one snapshot — the loser
+  *    fails loudly on the claim. Single-writer-per-table remains the
+  *    contract; violation is an error, not corruption.
   *
   * Retention keeps the last [[Retain]] versions so in-flight readers of the
   * previous snapshot finish before their files disappear. On a real object
@@ -61,14 +65,42 @@ object Versioned {
     case None => tableDir
   }
 
+  private def existingVersions(dir: Path): Seq[Long] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScalaSeq.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("_v") && n.length > 2 && n.drop(2).forall(_.isDigit))
+        Some(n.drop(2).toLong)
+      else None
+    } finally s.close()
+  }
+
+  // tiny shim: java stream iterator -> strict Seq (avoids a scala-collection
+  // converters import for one call site)
+  private implicit class It[A](it: java.util.Iterator[A]) {
+    def asScalaSeq: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+
   /** Run `write` against the next version directory, then atomically commit
     * it as latest and sweep versions older than the retention window.
     * Returns the committed data path. */
   def commit(tableDir: String)(write: String => Unit): String = {
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
-    val next = latestVersion(tableDir).getOrElse(0L) + 1L
+    // allocate past EVERY existing _vN — committed or orphaned from a
+    // crashed writer — so an orphan never blocks the table...
+    val next = (latestVersion(tableDir).getOrElse(0L) +:
+      existingVersions(dir)).max + 1L
     val target = versionDir(dir, next)
+    // ...and claim it atomically: createDirectory either makes the claim or
+    // throws FileAlreadyExistsException for the racing loser — two writers
+    // can never interleave files into one snapshot
+    Files.createDirectory(target)
     write(target.toString)
 
     // commit point: temp file + atomic rename
@@ -77,14 +109,20 @@ object Versioned {
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
 
-    // retention sweep (best effort — a failure here never affects the commit)
+    // retention sweep (best effort — a failure here never affects the
+    // commit). Also sweeps pre-protocol loose data files once the table has
+    // been on the protocol for a full version cycle (readers of the legacy
+    // layout get the same one-version grace as snapshot readers) — without
+    // this, the legacy copy of the table would sit on disk forever.
     try {
       val s = Files.list(dir)
       try s.iterator().forEachRemaining { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("_v") && n.drop(2).forall(_.isDigit) &&
-            n.drop(2).nonEmpty && n.drop(2).toLong <= next - Retain)
-          deleteRecursively(p)
+        val isOldVersion = n.startsWith("_v") && n.length > 2 &&
+          n.drop(2).forall(_.isDigit) && n.drop(2).toLong <= next - Retain
+        val isLegacyData = next >= 2 && Files.isRegularFile(p) &&
+          (n.endsWith(".parquet") || n.endsWith(".crc") || n == "_SUCCESS")
+        if (isOldVersion || isLegacyData) deleteRecursively(p)
       } finally s.close()
     } catch { case _: Exception => () }
     target.toString

@@ -32,6 +32,9 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
       .select("query_id", "vec_id", "cosine")
+      // null embeddings score null — drop them before the heap (the typed
+      // comparator requires a real double; null vectors can never rank)
+      .where(col("cosine").isNotNull)
 
     // phase 1: top-k within each scan partition, genuinely map-side — a
     // bounded heap per (query, partition) inside mapPartitions, so the only
@@ -160,14 +163,16 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2,
-      maxFitRows: Long = 100000L): DataFrame = {
+      maxFitRows: Long = 100000L, corpusRows: Option[Long] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
-    val corpusRows = c.count()
+    // callers that know the corpus size pass it and skip this count() pass;
+    // otherwise one metadata-cheap count sizes the fit sample
+    val nRows = corpusRows.getOrElse(c.count())
     val fitInput =
-      if (corpusRows <= maxFitRows) c
+      if (nRows <= maxFitRows) c
       else c.sample(withReplacement = false,
-        maxFitRows.toDouble / corpusRows, seed = 42L)
+        maxFitRows.toDouble / nRows, seed = 42L)
     // train on the bounded sample driver-side (≤ maxFitRows × dim doubles);
     // only the single assignment pass below touches every corpus row
     val sample: Array[Array[Double]] = fitInput.select("cv").collect()

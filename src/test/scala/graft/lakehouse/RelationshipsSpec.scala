@@ -37,6 +37,25 @@ class RelationshipsSpec extends SparkSuite {
     assert(full.exists(r => r.fromTable == "b" && r.toTable == "a"))
   }
 
+  test("bigint keys above 2^53 stay exact (no double collapse)") {
+    val big = 9007199254740992L // 2^53; big and big+1 collide as doubles
+    val from = Seq(big, big + 1).toDF("key_id")
+    val to = Seq(big).toDF("key_id")
+    // only 1 of from's 2 distinct keys is covered: full-coverage discovery
+    // must NOT propose a->b (a lossy double canonicalization would see one
+    // collapsed key and report coverage 1.0)
+    val full = Relationships.findRelationships(
+      Seq("a" -> from, "b" -> to), coverageThreshold = 1.0)
+    assert(!full.exists(r => r.fromTable == "a" && r.toTable == "b"), full)
+    val half = Relationships.findRelationships(
+      Seq("a" -> from, "b" -> to), coverageThreshold = 0.5)
+    assert(half.exists(r => r.fromTable == "a" && r.toTable == "b" &&
+      r.coverage == 0.5), half)
+    // and 'a' is genuinely unique -> m:1 (lossy distinct would say m:m)
+    assert(half.exists(r => r.fromTable == "b" && r.toTable == "a" &&
+      r.multiplicity == "m:1" && r.coverage == 1.0), half)
+  }
+
   test("name similarity threshold gates candidates") {
     val a = Seq(1).toDF("completely_different")
     val b = Seq(1).toDF("nothing_alike")

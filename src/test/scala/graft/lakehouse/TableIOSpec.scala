@@ -77,20 +77,35 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "tv")
   }
 
-  test("racing writer of the same version fails loudly, commit unaffected") {
+  test("a crashed writer's orphaned version dir never wedges the table") {
     val v1 = Seq((1, "a")).toDF("k", "s")
     TableIO.writeTable(spark, lh, "trace", v1)
-    // simulate a second writer that already produced the next version dir
-    val dir = java.nio.file.Paths.get(Catalog.tablePath(lh, "trace"), "_v2")
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
-    intercept[Exception] {
-      TableIO.writeTable(spark, lh, "trace", Seq((2, "b")).toDF("k", "s"))
-    }
-    // the committed pointer still resolves v1 — no torn state
-    assert(Versioned.latestVersion(Catalog.tablePath(lh, "trace")).contains(1L))
+    // simulate a writer that died mid-write, leaving a partial _v2
+    val orphan = java.nio.file.Paths.get(Catalog.tablePath(lh, "trace"), "_v2")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // the next commit skips past the orphan instead of colliding with it
+    TableIO.writeTable(spark, lh, "trace", Seq((2, "b"), (3, "c")).toDF("k", "s"))
+    assert(Versioned.latestVersion(Catalog.tablePath(lh, "trace")).contains(3L))
+    assert(TableIO.selectTable(spark, lh, "trace").count() == 2)
+    // and the orphan is swept once it falls out of the retention window
+    TableIO.writeTable(spark, lh, "trace", v1) // -> _v4; sweeps <= 2
+    assert(!java.nio.file.Files.exists(orphan))
     assert(TableIO.selectTable(spark, lh, "trace").count() == 1)
     TableIO.dropTable(spark, lh, "trace")
+  }
+
+  test("racing writers cannot claim the same version (atomic claim)") {
+    TableIO.writeTable(spark, lh, "trace2", Seq((1, "a")).toDF("k", "s"))
+    // a live competitor has claimed _v2 via the atomic createDirectory...
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(
+        Catalog.tablePath(lh, "trace2"), "_v2"))
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(
+        Catalog.tablePath(lh, "trace2"), "_v2")) // second claim: loud failure
+    }
+    TableIO.dropTable(spark, lh, "trace2")
   }
 
   test("writeTable sortBy clusters files into near-disjoint key ranges") {
@@ -143,6 +158,27 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "tmerge")
   }
 
+  test("mergeTable rejects duplicate update keys; maintenance keeps partitioning") {
+    val base = Seq((1, "x", "a"), (2, "y", "b")).toDF("k", "s", "g")
+    TableIO.writeTable(spark, lh, "tpart", base, partitionBy = Seq("g"))
+    intercept[IllegalArgumentException] {
+      TableIO.mergeTable(spark, lh, "tpart",
+        Seq((2, "y2", "b"), (2, "y3", "b")).toDF("k", "s", "g"), Seq("k"))
+    }
+    // a clean merge preserves the hive layout through the rewrite
+    TableIO.mergeTable(spark, lh, "tpart",
+      Seq((3, "z", "a")).toDF("k", "s", "g"), Seq("k"))
+    val dir = new java.io.File(TableIO.currentDataPath(lh, "tpart"))
+    assert(dir.listFiles().exists(_.getName.startsWith("g=")),
+      dir.listFiles().map(_.getName).mkString(","))
+    assert(TableIO.selectTable(spark, lh, "tpart").count() == 3)
+    // compaction preserves it too
+    TableIO.compactTable(spark, lh, "tpart")
+    val dir2 = new java.io.File(TableIO.currentDataPath(lh, "tpart"))
+    assert(dir2.listFiles().exists(_.getName.startsWith("g=")))
+    TableIO.dropTable(spark, lh, "tpart")
+  }
+
   test("compactTable merges small files into a new atomic version") {
     val df = spark.range(0, 10000).selectExpr("id AS k", "id % 7 AS g")
       .repartition(16) // 16 small files
@@ -165,9 +201,19 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "tcomp")
   }
 
-  test("pre-protocol directories stay readable") {
+  test("pre-protocol directories stay readable; legacy files swept later") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
+    assert(TableIO.selectTable(spark, lh, "tlegacy").count() == 1)
+    def legacyFiles(): Int = new java.io.File(legacyDir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(legacyFiles() > 0)
+    // first versioned commit leaves the legacy copy (grace for readers)...
+    TableIO.writeTable(spark, lh, "tlegacy", Seq((8, "y")).toDF("k", "s"))
+    assert(legacyFiles() > 0)
+    // ...the second sweeps it
+    TableIO.writeTable(spark, lh, "tlegacy", Seq((9, "z")).toDF("k", "s"))
+    assert(legacyFiles() == 0)
     assert(TableIO.selectTable(spark, lh, "tlegacy").count() == 1)
     TableIO.dropTable(spark, lh, "tlegacy")
   }

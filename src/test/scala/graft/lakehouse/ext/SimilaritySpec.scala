@@ -42,6 +42,16 @@ class SimilaritySpec extends SparkSuite {
     Seq(0L, 1L, 2L).foreach(q => assert(got(q).head._1 == q))
   }
 
+  test("cosineTopK tolerates null embeddings in the corpus") {
+    val emb3 = emb.limit(10).unionByName(
+      spark.sql("SELECT CAST(99999 AS BIGINT) AS vec_id, " +
+        "CAST(NULL AS ARRAY<FLOAT>) AS embedding, CAST(0 AS INT) AS label"))
+    val out = Similarity.cosineTopK(emb3, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.length == 5)
+    assert(!out.exists(_.getLong(1) == 99999L)) // null vector never ranks
+  }
+
   test("ivfTopK: deterministic, self-hit first, high recall vs exact") {
     val queries = emb.filter($"vec_id" < 3)
     val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
