@@ -550,6 +550,22 @@ object Queries {
         threshold = 0.8).orderBy("a", "b"),
       None),
 
+    // Incremental ingest dedup: a batch of lightly-edited copies checked
+    // against the corpus' persisted band index — the historical corpus is
+    // never re-hashed. Rows-only (LSH recall, like q30); DedupSpec covers
+    // planted copies.
+    Q("q64_dedup_incremental",
+      (s, dir) => {
+        val corpus = t(s, dir, "documents").select("doc_id", "text")
+        val index = Dedup.minHashBandIndex(corpus, "doc_id", "text")
+        val batch = corpus.filter(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000)
+          .withColumn("text", concat(col("text"), lit(" ingest edit")))
+        Dedup.nearDupsAgainstIndex(batch, corpus, index, "doc_id", "text",
+          threshold = 0.8).orderBy("a", "b")
+      },
+      None),
+
     Q("q31_dedup_simhash",
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -209,6 +209,58 @@ object Dedup {
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  // ---- incremental dedup against a persisted index -------------------------
+
+  /** The MinHash band table of a corpus — `(idCol, band_no, band_hash)` —
+    * as a standalone, persistable artifact. Build it once when the corpus
+    * is written, store it as a table, and every future ingest batch dedups
+    * against it WITHOUT re-reading or re-hashing the historical corpus
+    * (at 100 TB, re-LSHing history per batch is the difference between an
+    * incremental pipeline and a nightly full rebuild). */
+  def minHashBandIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8): DataFrame =
+    lshBands(
+      withMinHashSignature(df, textCol, "__sig", shingleK, numHashes)
+        .select(col(idCol), col("__sig")),
+      idCol, "__sig", bands)
+
+  /** Exact Jaccard for (a, b) pairs whose texts live in two different
+    * frames (new batch vs historical corpus). */
+  private def verifyJaccardAcross(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, pairs: DataFrame,
+      shingleK: Int): DataFrame = {
+    val jacUdf = udf[Double, String, String](
+      (a: String, b: String) => shingleJaccardKernel(a, b, shingleK))
+    pairs
+      .join(newDocs.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
+      .join(corpus.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      .withColumn("jaccard", jacUdf(col("__ta"), col("__tb")))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Incremental near-dup detection: signature+band ONLY the new batch,
+    * join its bands against the persisted corpus index, verify candidates
+    * with exact Jaccard against the corpus texts. Returns
+    * (a = new id, b = corpus id, jaccard) at/above `threshold`. The
+    * historical corpus is touched only for the candidate rows' texts (a
+    * key-join, prunable scan) — never re-hashed. Parameters must match the
+    * ones the index was built with. */
+  def nearDupsAgainstIndex(newDocs: DataFrame, corpus: DataFrame,
+      index: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val newBands = minHashBandIndex(newDocs, idCol, textCol, shingleK,
+      numHashes, bands).select(col(idCol).as("a"), col("band_no"),
+      col("band_hash"))
+    val candidates = newBands
+      .join(index.select(col(idCol).as("b"), col("band_no"), col("band_hash")),
+        Seq("band_no", "band_hash"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    verifyJaccardAcross(newDocs, corpus, idCol, textCol, candidates, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens (Charikar'02): per token hash,

@@ -83,6 +83,28 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 0.6) < 1e-12) // |{a,b,c}| / |{a,b,c,d,e}|
   }
 
+  test("incremental dedup: new batch against a persisted band index") {
+    val corpus = docs.limit(30)
+    val index = Dedup.minHashBandIndex(corpus, "doc_id", "text")
+    // new batch: 3 lightly-edited copies of corpus docs + 2 genuinely new
+    val copies = corpus.filter($"doc_id" < 3)
+      .withColumn("doc_id", $"doc_id" + 500000)
+      .withColumn("text", concat($"text", lit(" minor tail edit")))
+    val fresh = Seq(
+      (600001L, "entirely novel content about walrus migration patterns"),
+      (600002L, "unrelated text describing submarine cable maintenance"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsAgainstIndex(
+      copies.select("doc_id", "text").unionByName(fresh),
+      corpus.select("doc_id", "text"), index, "doc_id", "text",
+      threshold = 0.8).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 3L).foreach { i =>
+      assert(found.contains((i + 500000, i)), s"missed edited copy $i: $found")
+    }
+    assert(!found.exists(_._1 >= 600000L), s"fresh docs must not match: $found")
+  }
+
   test("ngram contamination: containment of eval grams in train docs") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
