@@ -108,6 +108,51 @@ object EventWindows {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming NEAR-DUP-deduplicated ingest — the bronze→silver pipeline in
+    * one operator: each micro-batch is (1) near-dup-deduped against the
+    * accumulated corpus via its persisted MinHash band index (the history
+    * is never re-hashed — [[Dedup.nearDupsAgainstIndex]]), (2) deduped
+    * within itself ([[Dedup.minHashNearDupPairs]]), and (3) the surviving
+    * rows join the corpus, which is published atomically through the
+    * versioned table protocol. The band index grows incrementally with
+    * each batch's bands. Returns the started query; schema must be
+    * (idCol, textCol, …). */
+  def streamIngestDeduped(docs: DataFrame, spark: SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      checkpoint: Option[String] = None) = {
+    var corpus: Option[DataFrame] = None
+    var index: Option[DataFrame] = None
+    val w = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val df = batch.toDF()
+        val vsCorpus = (corpus, index) match {
+          case (Some(c), Some(ix)) =>
+            val dups = Dedup.nearDupsAgainstIndex(df, c, ix, idCol, textCol,
+              threshold = threshold)
+            df.join(dups.select(col("a").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+          case _ => df
+        }
+        val withinPairs = Dedup.minHashNearDupPairs(vsCorpus, idCol, textCol,
+          threshold = threshold)
+        val survivors = Dedup.dedupByPairs(vsCorpus, idCol, withinPairs)
+          .localCheckpoint(true)
+        if (survivors.count() > 0) {
+          val newCorpus = corpus.map(_.unionByName(survivors))
+            .getOrElse(survivors).localCheckpoint(true)
+          val newBands = Dedup.minHashBandIndex(survivors, idCol, textCol)
+          index = Some(index.map(_.unionByName(newBands)).getOrElse(newBands)
+            .localCheckpoint(true))
+          corpus = Some(newCorpus)
+          graft.lakehouse.TableIO.writeTable(spark, lh, tableName, newCorpus)
+        }
+        ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming exact deduplication: drop rows whose `keyCols` were already
     * seen within the watermark horizon (state is evicted past it, so the
     * dedup state stays bounded on an unbounded stream — the streaming twin

@@ -86,6 +86,34 @@ class EventWindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamIngestDeduped drops near-dups across and within batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.lakehouse.{Catalog, TableIO}
+    val dir = java.nio.file.Files.createTempDirectory("ingest_dedup").toString
+    val lh = Catalog.registerLocalWorkspace(dir, "ws_idd", "lh_idd").lakehouses.head
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the wide open field until sunset arrives quietly"
+    val other = "completely different prose describing shuffle exchanges " +
+      "and broadcast joins inside a distributed query engine at scale"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventWindows.streamIngestDeduped(
+      mem.toDF().toDF("doc_id", "text"), spark, lh, "silver",
+      "doc_id", "text")
+    try {
+      // batch 1: two distinct docs + an in-batch near-dup of the first
+      mem.addData((1L, base), (2L, other), (3L, base + " tail"))
+      q.processAllAvailable()
+      assert(TableIO.selectTable(spark, lh, "silver").count() == 2)
+      // batch 2: a near-dup of doc 1 (drop) + one genuinely new doc (keep)
+      mem.addData((4L, base + " edited"), (5L, "novel walrus migration notes " +
+        "covering arctic routes and seasonal haul-out site selection"))
+      q.processAllAvailable()
+      val ids = TableIO.selectTable(spark, lh, "silver")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L), ids.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
