@@ -1022,6 +1022,45 @@ object Queries {
         |    sum(cnt * len) AS dup_char_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Transitive near-dup clustering: connected components over the (oracle-
+    // proven) trigram-Jaccard pair list, checked against a DuckDB RECURSIVE
+    // CTE computing min-reachable-id — an independent implementation of the
+    // same closure.
+    Q("q65_dedup_components",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDocFreq = 20))
+        .orderBy("id"),
+      Some("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(words) - 2, 1))]) AS gram
+        |    FROM w)),
+        |pruned AS (
+        |  SELECT g.doc_id, g.gram FROM g
+        |  JOIN (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20) ok
+        |  USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+        |prs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+        |  FROM pruned l JOIN pruned r USING (gram)
+        |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT a, b FROM prs
+        |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+        |    >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id, min(r) AS cc FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     // Eval set = every 97th doc; self-pairs guarantee hits, planted near-dups
     // exercise the partial-containment path.
     Q("q53_contamination",

@@ -209,6 +209,51 @@ object Dedup {
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Connected components over an undirected near-dup pair list (a, b):
+    * each vertex gets `cc` = the minimum id reachable from it, so one
+    * canonical per TRANSITIVE cluster (A~B, B~C groups all three even when
+    * A~C was never emitted — the case pairwise dedup mishandles).
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * symmetric edge list and takes the elementwise min with the best
+    * neighbor label — O(diameter) rounds, and near-dup clusters are
+    * shallow (diameter ≤ a handful), so this converges in 2–4 rounds.
+    * Every round is one key-partitioned join+agg; lineage is cut per round
+    * with an eager localCheckpoint so the plan stays flat at any scale.
+    * A convergence count() per round is the only driver round-trip. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cc", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels.select(col("id").as("src"), col("cc")), "src")
+        .groupBy(col("dst").as("id")).agg(min("cc").as("nbr_cc"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"),
+          col("cc").as("prev_cc"))
+        .localCheckpoint(true)
+      converged = next.filter(col("cc") < col("prev_cc")).isEmpty
+      labels = next.select("id", "cc").localCheckpoint(true)
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep one canonical row (the minimum id) per transitive near-dup
+    * cluster; rows in no pair pass through untouched. */
+  def dedupByComponents(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    df.join(cc.filter(col("id") =!= col("cc")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   // ---- incremental dedup against a persisted index -------------------------
 
   /** The MinHash band table of a corpus — `(idCol, band_no, band_hash)` —

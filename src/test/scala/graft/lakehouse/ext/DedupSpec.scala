@@ -83,6 +83,21 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 0.6) < 1e-12) // |{a,b,c}| / |{a,b,c,d,e}|
   }
 
+  test("connectedComponents: transitive clusters get one canonical") {
+    // chain 1-2-3 (1~3 never emitted), pair 10-11, singleton edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L), cc.toString)
+    // dedupByComponents keeps exactly the canonicals + untouched rows
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupByComponents(df, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L, 99L), kept.toString)
+  }
+
   test("incremental dedup: new batch against a persisted band index") {
     val corpus = docs.limit(30)
     val index = Dedup.minHashBandIndex(corpus, "doc_id", "text")
