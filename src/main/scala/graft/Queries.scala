@@ -415,6 +415,28 @@ object Queries {
         |AS t(from_table, from_column, to_table, to_column, multiplicity)
         |ORDER BY from_table, from_column""".stripMargin)),
 
+    // Exact interpolated quantiles (both engines: linear interpolation on
+    // the sorted set) — the distribution-stats view of a numeric column.
+    Q("q66_quantiles",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .withColumn("p25", round(col("p25"), 6))
+        .withColumn("p50", round(col("p50"), 6))
+        .withColumn("p75", round(col("p75"), 6))
+        .withColumn("p99", round(col("p99"), 6))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("q23_df_shape",
       (s, dir) => {
         val (rows, cols, _) = TableIO.dfShape(t(s, dir, "lineitem"))
