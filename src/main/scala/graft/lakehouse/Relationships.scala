@@ -235,6 +235,7 @@ object Relationships {
             col("tbl") === col("ftbl") && col("cn") === col("fc"))
           .select(col("pid"), col("ttbl"), col("tc"),
             col("vn"), col("vs"), col("vt"), col("vi"))
+        val fromKey = struct(col("vn"), col("vs"), col("vt"), col("vi"))
         val tk = keyCounts.select(col("tbl").as("ktbl"), col("cn").as("kcn"),
           col("vn").as("tvn"), col("vs").as("tvs"), col("vt").as("tvt"),
           col("vi").as("tvi"))
@@ -248,7 +249,11 @@ object Relationships {
             (col("vn") <=> col("tvn")) && (col("vs") <=> col("tvs")) &&
             (col("vt") <=> col("tvt")) &&
             (col("vi").isNull || col("tvi").isNull || col("vi") === col("tvi")))
-          .groupBy("pid").agg(count(lit(1)).as("covered"))
+          // count DISTINCT from-keys that found a match, not join matches:
+          // a fractional from-key (vi null) can legitimately match several
+          // integral to-keys that collide in double space — that is one
+          // covered key, not several
+          .groupBy("pid").agg(countDistinct(fromKey).as("covered"))
         covDF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
     keyCounts.unpersist()

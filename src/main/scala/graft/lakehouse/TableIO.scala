@@ -1,6 +1,7 @@
 package graft.lakehouse
 
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 import java.util.Comparator
 import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 
@@ -125,10 +126,31 @@ object TableIO {
     info
   }
 
-  /** The Hive partitioning recorded for `tableName` at its last write in
-    * this session (maintenance rewrites must preserve it). */
-  private def recordedPartitioning(tableName: String): Seq[String] =
-    Catalog.allTables.get(tableName).map(_._2.partitionBy).getOrElse(Seq.empty)
+  /** The Hive partitioning of `tableName`, detected from the CURRENT
+    * snapshot's directory layout (nested `col=value` levels). The on-disk
+    * layout is the source of truth — a session registry keyed by bare table
+    * name would be blind in a fresh JVM and collide across lakehouses.
+    * Maintenance rewrites (compact, merge) must preserve this. */
+  private def currentPartitioning(lh: LakehouseProps, tableName: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var dir = Paths.get(currentDataPath(lh, tableName))
+    var descend = true
+    while (descend && Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      val level =
+        try s.iterator().asScala.toSeq
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.matches("[^=]+=.*"))
+        finally s.close()
+      level.headOption match {
+        case Some(d) =>
+          out += d.getFileName.toString.split("=", 2)(0)
+          dir = d
+        case None => descend = false
+      }
+    }
+    out.result()
+  }
 
   /** The parquet directory a reader of `tableName` scans right now (the
     * latest committed snapshot). */
@@ -160,7 +182,7 @@ object TableIO {
     val kept = current.join(updates.select(keyColumns: _*).distinct(),
       keyCols, "left_anti")
     writeTable(spark, lh, tableName, kept.unionByName(updates),
-      partitionBy = recordedPartitioning(tableName))
+      partitionBy = currentPartitioning(lh, tableName))
   }
 
   /** Time-travel read: scan a specific committed version's immutable
@@ -168,10 +190,13 @@ object TableIO {
     * [[Versioned.commit]]). */
   def selectTableVersion(spark: SparkSession, lh: LakehouseProps,
       tableName: String, version: Long): DataFrame = {
-    val dir = java.nio.file.Paths.get(Catalog.tablePath(lh, tableName), s"_v$version")
-    require(Files.isDirectory(dir),
-      s"version $version of $tableName is not available (retention window is " +
-        s"${Versioned.Retain} versions)")
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val dir = java.nio.file.Paths.get(tableDir, s"_v$version")
+    // the marker check rejects orphaned/in-flight _vN directories (a crashed
+    // writer's partial files are NOT a committed snapshot)
+    require(Versioned.isCommitted(tableDir, version) && Files.isDirectory(dir),
+      s"version $version of $tableName was never committed or has been " +
+        s"swept (retention window is ${Versioned.Retain} versions)")
     spark.read.parquet(dir.toString)
   }
 
@@ -197,7 +222,7 @@ object TableIO {
     // preserve the table's Hive partitioning through the rewrite — Delta
     // OPTIMIZE, which this models, never flattens a partitioned table
     writeTable(spark, lh, tableName, df.coalesce(nFiles),
-      partitionBy = recordedPartitioning(tableName))
+      partitionBy = currentPartitioning(lh, tableName))
   }
 
   /** Views write path — the reference defines `viewPath` (common.py:392) and

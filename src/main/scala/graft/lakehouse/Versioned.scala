@@ -3,6 +3,7 @@ package graft.lakehouse
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
 /** Minimal versioned-directory commit protocol — the transactional core of
   * the reference's Delta overwrite (ecu/sbl/aace/datalake/common.py:531
@@ -11,51 +12,86 @@ import java.util.Comparator
   *
   * Layout under a table directory `T/`:
   * {{{
-  *   T/_v1/  T/_v2/  ...   immutable parquet snapshots, one per commit
-  *   T/_LATEST              pointer file holding the current version number
+  *   T/_v1/  T/_v2/  ...        immutable parquet snapshots, one per commit
+  *   T/_commit_1  T/_commit_2    commit markers — a version exists iff its
+  *                               marker does; latest = max marker
+  *   T/_LATEST                   legacy/debug pointer cache (markers win)
   * }}}
   *
   * Guarantees:
-  *  - readers resolve `_LATEST` once and then scan an immutable `_vN`
-  *    directory — a concurrent overwrite never shows them a half-deleted or
-  *    half-written table (the failure mode of naive `SaveMode.Overwrite`);
-  *  - the commit point is a single atomic rename of the pointer file
-  *    (write-temp + ATOMIC_MOVE), so a crashed writer leaves at worst an
-  *    orphaned `_vN` directory — never a corrupt table. Version numbers
-  *    are allocated PAST any existing directory (committed or orphaned),
-  *    so a crash never wedges the table: the orphan is skipped and later
-  *    swept by retention;
+  *  - readers resolve the latest committed version once and then scan an
+  *    immutable `_vN` directory — a concurrent overwrite never shows them a
+  *    half-deleted or half-written table (the failure mode of naive
+  *    `SaveMode.Overwrite`);
   *  - a writer claims its version by atomically creating the `_vN`
-  *    directory (`Files.createDirectory` — an atomic filesystem primitive,
-  *    unlike check-then-write) before any data is written; two racing
-  *    writers can never interleave files into one snapshot — the loser
-  *    fails loudly on the claim. Single-writer-per-table remains the
-  *    contract; violation is an error, not corruption.
+  *    directory (`Files.createDirectory`) before any data is written, so
+  *    two writers can never interleave files into one snapshot;
+  *  - the commit point is an atomic `Files.createFile` of the version's
+  *    marker. Commits are monotonic by construction — latest is the MAX
+  *    committed marker, so a slow writer finishing after a faster one
+  *    simply lands as an earlier (already superseded) version; it can
+  *    never move the table backwards. Version numbers allocate past every
+  *    existing directory (committed or orphaned), so a crashed writer's
+  *    partial `_vN` never wedges the table — it is skipped, never
+  *    committed (no marker), and retention sweeps it later.
   *
   * Retention keeps the last [[Retain]] versions so in-flight readers of the
   * previous snapshot finish before their files disappear. On a real object
-  * store the same protocol holds as long as the pointer swap is atomic
-  * (e.g. conditional PUT); directory listing is only used for cleanup.
+  * store the same protocol holds as long as marker creation is atomic
+  * (e.g. conditional PUT); directory listing is only used for resolution
+  * and cleanup.
   *
-  * Pre-protocol directories (parquet files directly under `T/`, no
-  * `_LATEST`) stay readable: resolution falls back to `T/` itself.
+  * Pre-protocol directories (parquet files directly under `T/`, no markers
+  * or pointer) stay readable: resolution falls back to `T/` itself.
   */
 object Versioned {
 
   val PointerName = "_LATEST"
+  val MarkerPrefix = "_commit_"
   val Retain = 2
 
   private def pointer(tableDir: Path): Path = tableDir.resolve(PointerName)
   private def versionDir(tableDir: Path, v: Long): Path =
     tableDir.resolve(s"_v$v")
+  private def marker(tableDir: Path, v: Long): Path =
+    tableDir.resolve(s"$MarkerPrefix$v")
 
-  /** Current committed version, if the directory uses the protocol. */
+  private def listNames(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  private def numericSuffix(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix) && name.length > prefix.length &&
+        name.drop(prefix.length).forall(_.isDigit))
+      Some(name.drop(prefix.length).toLong)
+    else None
+
+  /** Current committed version: the max commit marker; legacy pointer-file
+    * tables (pre-marker layout) fall back to the pointer value. */
   def latestVersion(tableDir: String): Option[Long] = {
-    val p = pointer(Paths.get(tableDir))
-    if (!Files.isRegularFile(p)) None
-    else scala.util.Try(
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    ).toOption
+    val dir = Paths.get(tableDir)
+    val markers = listNames(dir).flatMap(numericSuffix(_, MarkerPrefix))
+    if (markers.nonEmpty) Some(markers.max)
+    else {
+      val p = pointer(dir)
+      if (!Files.isRegularFile(p)) None
+      else scala.util.Try(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+      ).toOption
+    }
+  }
+
+  /** True iff `version` was actually committed (its marker exists, or a
+    * legacy pointer names it) — an orphaned/in-flight `_vN` directory is
+    * NOT a committed snapshot. */
+  def isCommitted(tableDir: String, version: Long): Boolean = {
+    val dir = Paths.get(tableDir)
+    Files.exists(marker(dir, version)) ||
+      (listNames(dir).forall(!_.startsWith(MarkerPrefix)) &&
+        latestVersion(tableDir).contains(version))
   }
 
   /** The path a reader should scan: the latest committed snapshot, or the
@@ -65,49 +101,33 @@ object Versioned {
     case None => tableDir
   }
 
-  private def existingVersions(dir: Path): Seq[Long] = {
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try s.iterator().asScalaSeq.flatMap { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("_v") && n.length > 2 && n.drop(2).forall(_.isDigit))
-        Some(n.drop(2).toLong)
-      else None
-    } finally s.close()
-  }
-
-  // tiny shim: java stream iterator -> strict Seq (avoids a scala-collection
-  // converters import for one call site)
-  private implicit class It[A](it: java.util.Iterator[A]) {
-    def asScalaSeq: Seq[A] = {
-      val b = Seq.newBuilder[A]
-      while (it.hasNext) b += it.next()
-      b.result()
-    }
-  }
-
   /** Run `write` against the next version directory, then atomically commit
-    * it as latest and sweep versions older than the retention window.
-    * Returns the committed data path. */
+    * it and sweep versions older than the retention window. Returns the
+    * committed data path. */
   def commit(tableDir: String)(write: String => Unit): String = {
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
     // allocate past EVERY existing _vN — committed or orphaned from a
     // crashed writer — so an orphan never blocks the table...
     val next = (latestVersion(tableDir).getOrElse(0L) +:
-      existingVersions(dir)).max + 1L
+      listNames(dir).flatMap(numericSuffix(_, "_v"))).max + 1L
     val target = versionDir(dir, next)
     // ...and claim it atomically: createDirectory either makes the claim or
-    // throws FileAlreadyExistsException for the racing loser — two writers
-    // can never interleave files into one snapshot
+    // throws FileAlreadyExistsException — two writers can never interleave
+    // files into one snapshot
     Files.createDirectory(target)
     write(target.toString)
 
-    // commit point: temp file + atomic rename
-    val tmp = dir.resolve(s".${PointerName}.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // commit point: atomic marker creation; monotonic by construction
+    Files.createFile(marker(dir, next))
+    // legacy/debug pointer cache — markers are authoritative, so a racing
+    // stale value here is harmless
+    try {
+      val tmp = dir.resolve(s".${PointerName}.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () }
 
     // retention sweep (best effort — a failure here never affects the
     // commit). Also sweeps pre-protocol loose data files once the table has
@@ -115,15 +135,15 @@ object Versioned {
     // layout get the same one-version grace as snapshot readers) — without
     // this, the legacy copy of the table would sit on disk forever.
     try {
-      val s = Files.list(dir)
-      try s.iterator().forEachRemaining { p =>
-        val n = p.getFileName.toString
-        val isOldVersion = n.startsWith("_v") && n.length > 2 &&
-          n.drop(2).forall(_.isDigit) && n.drop(2).toLong <= next - Retain
-        val isLegacyData = next >= 2 && Files.isRegularFile(p) &&
+      listNames(dir).foreach { n =>
+        val oldVersion = numericSuffix(n, "_v").exists(_ <= next - Retain)
+        val oldMarker = numericSuffix(n, MarkerPrefix).exists(_ <= next - Retain)
+        val legacyData = next >= 2 &&
           (n.endsWith(".parquet") || n.endsWith(".crc") || n == "_SUCCESS")
-        if (isOldVersion || isLegacyData) deleteRecursively(p)
-      } finally s.close()
+        if (oldVersion || oldMarker ||
+            (legacyData && Files.isRegularFile(dir.resolve(n))))
+          deleteRecursively(dir.resolve(n))
+      }
     } catch { case _: Exception => () }
     target.toString
   }

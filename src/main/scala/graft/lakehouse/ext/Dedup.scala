@@ -242,6 +242,11 @@ object Dedup {
       labels = next.select("id", "cc").localCheckpoint(true)
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a " +
+          s"cluster's diameter exceeds maxIter; raise maxIter (labels " +
+          s"would silently split one true cluster into several)")
     labels
   }
 
@@ -297,10 +302,13 @@ object Dedup {
     val newBands = minHashBandIndex(newDocs, idCol, textCol, shingleK,
       numHashes, bands).select(col(idCol).as("a"), col("band_no"),
       col("band_hash"))
+    // no a != b filter: batch and corpus are DIFFERENT frames, so a batch
+    // row re-ingested with its existing corpus id is exactly the duplicate
+    // this operator must report (the self-join variant excludes a == b
+    // because there it really is the same row)
     val candidates = newBands
       .join(index.select(col(idCol).as("b"), col("band_no"), col("band_hash")),
         Seq("band_no", "band_hash"))
-      .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
     verifyJaccardAcross(newDocs, corpus, idCol, textCol, candidates, shingleK)
       .filter(col("jaccard") >= threshold)

@@ -110,23 +110,43 @@ object EventWindows {
 
   /** Streaming NEAR-DUP-deduplicated ingest — the bronze→silver pipeline in
     * one operator: each micro-batch is (1) near-dup-deduped against the
-    * accumulated corpus via its persisted MinHash band index (the history
-    * is never re-hashed — [[Dedup.nearDupsAgainstIndex]]), (2) deduped
-    * within itself ([[Dedup.minHashNearDupPairs]]), and (3) the surviving
-    * rows join the corpus, which is published atomically through the
-    * versioned table protocol. The band index grows incrementally with
-    * each batch's bands. Returns the started query; schema must be
+    * published corpus via its MinHash band index (the history's TEXT is
+    * never re-hashed mid-stream — [[Dedup.nearDupsAgainstIndex]]), (2)
+    * deduped within itself ([[Dedup.minHashNearDupPairs]]), and (3) the
+    * surviving rows join the corpus, which is published atomically through
+    * the versioned table protocol.
+    *
+    * Durability: the corpus is always re-read from the PUBLISHED table (the
+    * durable parquet snapshot), never held as an in-memory lineage chain —
+    * an executor loss cannot destroy it, and on restart the first batch
+    * bootstraps the band index by re-hashing the published table once
+    * (bounded, one-time) instead of silently starting empty and
+    * overwriting history. Each batch publishes a full snapshot (the
+    * protocol is snapshot-based); for very high-rate streams, batch
+    * publication cost grows with the corpus — compact retention handles
+    * the version churn. Returns the started query; schema must be
     * (idCol, textCol, …). */
   def streamIngestDeduped(docs: DataFrame, spark: SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
       idCol: String, textCol: String, threshold: Double = 0.8,
       checkpoint: Option[String] = None) = {
-    var corpus: Option[DataFrame] = None
+    import graft.lakehouse.TableIO
     var index: Option[DataFrame] = None
+    var bootstrapped = false
+    def publishedCorpus(): Option[DataFrame] =
+      scala.util.Try(TableIO.selectTable(spark, lh, tableName)).toOption
+        .filter(_ => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+          graft.lakehouse.Catalog.tablePath(lh, tableName))))
     val w = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val df = batch.toDF()
+        if (!bootstrapped) { // restart path: rebuild the index from disk once
+          index = publishedCorpus().map(c =>
+            Dedup.minHashBandIndex(c, idCol, textCol).localCheckpoint(true))
+          bootstrapped = true
+        }
+        val corpus = publishedCorpus()
         val vsCorpus = (corpus, index) match {
           case (Some(c), Some(ix)) =>
             val dups = Dedup.nearDupsAgainstIndex(df, c, ix, idCol, textCol,
@@ -141,12 +161,11 @@ object EventWindows {
           .localCheckpoint(true)
         if (survivors.count() > 0) {
           val newCorpus = corpus.map(_.unionByName(survivors))
-            .getOrElse(survivors).localCheckpoint(true)
+            .getOrElse(survivors)
+          TableIO.writeTable(spark, lh, tableName, newCorpus)
           val newBands = Dedup.minHashBandIndex(survivors, idCol, textCol)
           index = Some(index.map(_.unionByName(newBands)).getOrElse(newBands)
             .localCheckpoint(true))
-          corpus = Some(newCorpus)
-          graft.lakehouse.TableIO.writeTable(spark, lh, tableName, newCorpus)
         }
         ()
       }

@@ -96,15 +96,25 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "trace")
   }
 
-  test("racing writers cannot claim the same version (atomic claim)") {
-    TableIO.writeTable(spark, lh, "trace2", Seq((1, "a")).toDF("k", "s"))
-    // a live competitor has claimed _v2 via the atomic createDirectory...
-    intercept[java.nio.file.FileAlreadyExistsException] {
-      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(
-        Catalog.tablePath(lh, "trace2"), "_v2"))
-      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(
-        Catalog.tablePath(lh, "trace2"), "_v2")) // second claim: loud failure
+  test("interleaved commits stay monotonic; slow writer cannot move table back") {
+    val tdir = Catalog.tablePath(lh, "trace2")
+    TableIO.writeTable(spark, lh, "trace2", Seq((1, "a")).toDF("k", "s")) // v1
+    // writer A claims its version and, mid-write, writer B runs a complete
+    // allocate+write+commit cycle (simulated by nesting B inside A's write)
+    var innerPath = ""
+    val outerPath = Versioned.commit(tdir) { target =>
+      innerPath = Versioned.commit(tdir) { t2 =>
+        Seq((3, "c")).toDF("k", "s").write.mode("append").parquet(t2)
+      }
+      Seq((2, "b")).toDF("k", "s").write.mode("append").parquet(target)
     }
+    // B allocated PAST A's claimed dir and committed first; A's later commit
+    // lands as an earlier version — latest stays the max committed marker
+    assert(outerPath.endsWith("_v2") && innerPath.endsWith("_v3"),
+      s"$outerPath / $innerPath")
+    assert(Versioned.latestVersion(tdir).contains(3L))
+    assert(Versioned.isCommitted(tdir, 2L)) // superseded but committed
+    assert(TableIO.selectTable(spark, lh, "trace2").head().getInt(0) == 3)
     TableIO.dropTable(spark, lh, "trace2")
   }
 

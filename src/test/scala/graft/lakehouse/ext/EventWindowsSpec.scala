@@ -114,6 +114,35 @@ class EventWindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamIngestDeduped restart keeps history and still dedups against it") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.lakehouse.{Catalog, TableIO}
+    val dir = java.nio.file.Files.createTempDirectory("ingest_restart").toString
+    val lh = Catalog.registerLocalWorkspace(dir, "ws_irr", "lh_irr").lakehouses.head
+    val base = "a long stable reference document about columnar storage " +
+      "formats and predicate pushdown behavior in modern query engines"
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = EventWindows.streamIngestDeduped(
+      mem1.toDF().toDF("doc_id", "text"), spark, lh, "silver_r", "doc_id", "text")
+    try {
+      mem1.addData((1L, base))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // "restart": a brand-new query with fresh in-memory state
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventWindows.streamIngestDeduped(
+      mem2.toDF().toDF("doc_id", "text"), spark, lh, "silver_r", "doc_id", "text")
+    try {
+      mem2.addData((2L, base + " tiny edit"), // near-dup of published doc 1
+        (3L, "genuinely novel notes about watermark state eviction timing"))
+      q2.processAllAvailable()
+      val ids = TableIO.selectTable(spark, lh, "silver_r")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // history retained, near-dup of history dropped, new doc admitted
+      assert(ids == Set(1L, 3L), ids.toString)
+    } finally q2.stop()
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
