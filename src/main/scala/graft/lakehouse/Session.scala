@@ -37,6 +37,7 @@ object Session {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Strings.registerUdfs(s)
+    graft.lakehouse.ext.TextStats.registerUdfs(s)
     graft.lakehouse.functions.VectorFunctions.register(s)
     s
   }

@@ -138,6 +138,15 @@ object TextStats {
 
   val winnowingUdf = udf[Array[Long], String]((t: String) => winnowingFingerprint(t))
 
+  /** Register the extension-tier scalar kernels for SQL use, mirroring the
+    * core UDF surface (Strings.registerUdfs): SQL users get the same
+    * text-pipeline primitives DataFrame users compose. */
+  def registerUdfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("graft_lang_id", langIdUdf)
+    spark.udf.register("graft_simhash64", Dedup.simHashUdf)
+    spark.udf.register("graft_winnow_fp", winnowingUdf)
+  }
+
   // ---- chunking & corpus composition --------------------------------------
 
   /** Split documents into fixed-size character windows with `overlap`
