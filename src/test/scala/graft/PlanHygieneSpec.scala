@@ -79,6 +79,18 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q57 as-of join shuffles once on the key (plus the output sort)") {
+    val df = SparkEntry.queries("q57_asof_join")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // exactly two hash exchanges: the query's own purchases
+    // groupBy(user_id, ts) pre-aggregation, and the as-of window's single
+    // shuffle on user_id — the join itself adds NO sort-merge or
+    // nested-loop machinery
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE only shows the final (codegen-annotated) plan after execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
