@@ -698,6 +698,37 @@ object Queries {
       },
       None),
 
+    // IVF with nProbe = nLists probes every cell, so it degenerates to exact
+    // search: the result must HASH-MATCH the brute-force oracle (q34's SQL
+    // verbatim), verifying the IVF machinery — k-means fit, cell assignment,
+    // probing, ranking — end to end. The recall-spec'd probing variant (q44)
+    // stays rows-only.
+    Q("q67_ann_ivf_exact",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10, nLists = 8, nProbe = 8)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 4),
+        |s AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    list_sum(list_transform(list_zip(v.ve, q.qv), p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(v.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+        |  FROM v, q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     Q("q35_ann_lsh_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -783,17 +814,39 @@ object Queries {
         |  lower(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL image decode: deterministic PNGs (dims a pure function of doc_id)
+    // are encoded distributed-side, decoded back through javax.imageio, and
+    // aspect-capped — the oracle recomputes the expected dims arithmetically,
+    // so the whole decode+resize path is hash-verified. Some dims exceed the
+    // 256 cap so both resize branches execute. Integer truncation (Spark
+    // double->int cast) == floor here: all values are positive.
     Q("q42_multimodal_decode",
       (s, dir) => {
-        val blobs = Multimodal.asBlob(t(s, dir, "documents"), "text", "payload")
-        val decoded = Multimodal.decodeImages(blobs, "payload")
+        val imgs = t(s, dir, "documents").select("doc_id")
+          .withColumn("w", (col("doc_id") % 300 + 8).cast("int"))
+          .withColumn("h", ((col("doc_id") * 7) % 300 + 8).cast("int"))
+          .withColumn("payload", Multimodal.syntheticPngUdf(col("w"), col("h")))
+        val decoded = Multimodal.decodeImages(imgs, "payload")
         Multimodal.resizeImages(decoded, "decoded", maxSide = 256)
           .select(col("doc_id"), col("decoded.width").as("width"),
             col("decoded.height").as("height"),
+            col("decoded.channels").as("channels"),
             col("resized.width").as("r_width"), col("resized.height").as("r_height"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 300 + 8 AS INT) AS width,
+        |    CAST((doc_id * 7) % 300 + 8 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+        |  CASE WHEN greatest(width, height) <= 256 THEN width
+        |    ELSE CAST(floor(width * 256.0 / greatest(width, height)) AS INT)
+        |  END AS r_width,
+        |  CASE WHEN greatest(width, height) <= 256 THEN height
+        |    ELSE CAST(floor(height * 256.0 / greatest(width, height)) AS INT)
+        |  END AS r_height
+        |FROM d ORDER BY doc_id""".stripMargin)),
 
     Q("q43_frame_sample",
       (s, dir) => Multimodal.sampleFrames(

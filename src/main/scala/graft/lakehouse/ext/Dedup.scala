@@ -355,11 +355,17 @@ object Dedup {
       col("band_no"), col("chunk"))
     val r = banded.select(col(idCol).as("b"), col("sh").as("shb"),
       col("band_no"), col("chunk"))
+    // Dedup candidate pairs BEFORE computing hamming: a pair colliding in
+    // multiple bands (near-identical hashes collide in all 4) would
+    // otherwise pay bit_count per band occurrence and carry the wider row
+    // through the exchange. sha/shb are functionally dependent on a/b, so
+    // distinct on all four == distinct pairs with their hashes carried.
     l.join(r, Seq("band_no", "chunk"))
       .filter(col("a") < col("b"))
+      .select("a", "b", "sha", "shb")
+      .distinct()
       .select(col("a"), col("b"),
         expr("bit_count(sha ^ shb)").cast("int").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 

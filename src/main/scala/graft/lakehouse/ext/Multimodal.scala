@@ -19,11 +19,35 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** STUB SEAM — deterministic fake decode.
+  /** Codec seam: anything that can turn a payload into (width, height,
+    * channels). [[ImageIoCodec]] is a REAL decoder (JDK javax.imageio —
+    * PNG/JPEG/GIF/BMP, no external jars); [[FakeCodec]] remains for payloads
+    * that are not actual media (fixture text blobs) and for the
+    * feature/audio paths where no decoder ships in this environment. */
+  trait MediaCodec extends Serializable {
+    def dims(bytes: Array[Byte]): (Int, Int, Int)
+  }
+
+  /** Real image decode via the JDK's ImageIO. Returns (0, 0, 0) for null /
+    * undecodable payloads (the pipeline treats those as corrupt-media rows
+    * to be filtered, not hard failures — at 100 TB some payloads WILL be
+    * truncated). Channels = raster band count (3 RGB, 4 RGBA, 1 gray). */
+  object ImageIoCodec extends MediaCodec {
+    def dims(bytes: Array[Byte]): (Int, Int, Int) = {
+      if (bytes == null || bytes.length == 0) return (0, 0, 0)
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) (0, 0, 0)
+        else (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+      } catch { case _: Exception => (0, 0, 0) }
+    }
+  }
+
+  /** STUB SEAM — deterministic fake decode (for non-media fixture payloads).
     * A real implementation parses actual media headers/frames; this derives
     * plausible, deterministic values from the first bytes so the pipeline
     * shape (schema, null handling, batching) is fully exercised. */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     def dims(bytes: Array[Byte]): (Int, Int, Int) = {
       if (bytes == null || bytes.length < 4) return (0, 0, 0)
       val w = 16 + (((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) % 4080)
@@ -62,12 +86,13 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false)))
 
-  /** "Decode" each payload into (width, height, channels) metadata via the
-    * stub codec, executed partition-batched with mapPartitions (one codec
-    * context per partition — the shape a real decoder needs; batch size =
-    * Spark partition, controlled upstream via repartition). Appends a
-    * `decoded` struct column. */
-  def decodeImages(df: DataFrame, blobCol: String): DataFrame = {
+  /** Decode each payload into (width, height, channels) metadata via the
+    * given codec (default: REAL ImageIO decode), executed partition-batched
+    * with mapPartitions (one codec context per partition — the shape a real
+    * decoder needs; batch size = Spark partition, controlled upstream via
+    * repartition). Appends a `decoded` struct column. */
+  def decodeImages(df: DataFrame, blobCol: String,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("decoded", decodedSchema))
     val blobIdx = df.schema.fieldIndex(blobCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
@@ -75,11 +100,35 @@ object Multimodal {
       // per-partition codec init would go here (the expensive native setup)
       rows.map { r =>
         val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
-        val (w, h, c) = FakeCodec.dims(bytes)
+        val (w, h, c) = codec.dims(bytes)
         Row.fromSeq(r.toSeq :+ Row(w, h, c))
       }
     }(enc)
   }
+
+  /** Deterministic tiny-PNG generator (test/fixture payloads): a real
+    * encoded PNG of the given dims whose pixels are a fixed function of
+    * position, so decode tests exercise the REAL codec on real bytes. */
+  def syntheticPng(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      math.max(width, 1), math.max(height, 1),
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        img.setRGB(x, y, ((x * 31 + y * 17) & 0xffffff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** `syntheticPng` as a column function for distributed fixture generation. */
+  val syntheticPngUdf = udf((w: Int, h: Int) => syntheticPng(w, h))
 
   /** Resize stub: recompute dims capped at maxSide (aspect-preserving
     * integer math — deterministic), emitting a `resized` struct. */

@@ -19,18 +19,36 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("decodeImages: deterministic stub dims via mapPartitions, schema appended") {
-    val out = Multimodal.decodeImages(blobs, "payload")
+  // real PNG payloads of known dims: decode must return EXACT pixel sizes
+  lazy val pngs = spark.range(0, 50).toDF("img_id")
+    .withColumn("w", (col("img_id") % 90 + 10).cast("int"))
+    .withColumn("h", ((col("img_id") * 7) % 90 + 10).cast("int"))
+    .withColumn("payload", Multimodal.syntheticPngUdf(col("w"), col("h")))
+
+  test("decodeImages: REAL ImageIO decode recovers exact PNG dims + channels") {
+    val out = Multimodal.decodeImages(pngs, "payload")
     assert(out.schema.fieldNames.contains("decoded"))
-    val twice = Multimodal.decodeImages(blobs, "payload")
+    out.select("w", "h", "decoded.width", "decoded.height", "decoded.channels")
+      .collect().foreach { r =>
+        assert(r.getInt(2) == r.getInt(0) && r.getInt(3) == r.getInt(1))
+        assert(r.getInt(4) == 3) // TYPE_INT_RGB
+      }
+  }
+
+  test("decodeImages: undecodable payloads yield (0,0,0), not a crash") {
+    val out = Multimodal.decodeImages(blobs, "payload") // utf-8 text, not media
+      .select("decoded.width", "decoded.height", "decoded.channels").collect()
+    out.foreach(r => assert(r.getInt(0) == 0 && r.getInt(1) == 0 && r.getInt(2) == 0))
+  }
+
+  test("decodeImages: stub codec stays available behind the seam") {
+    val out = Multimodal.decodeImages(blobs, "payload", Multimodal.FakeCodec)
     val a = out.select("doc_id", "decoded.width", "decoded.height").orderBy("doc_id").collect()
-    val b = twice.select("doc_id", "decoded.width", "decoded.height").orderBy("doc_id").collect()
-    assert(a.sameElements(b))
     a.foreach { r => assert(r.getInt(1) >= 16 && r.getInt(2) >= 16) }
   }
 
   test("resizeImages: aspect cap at maxSide") {
-    val decoded = Multimodal.decodeImages(blobs, "payload")
+    val decoded = Multimodal.decodeImages(pngs, "payload")
     val out = Multimodal.resizeImages(decoded, "decoded", maxSide = 64)
       .select("resized.width", "resized.height").collect()
     out.foreach(r => assert(r.getInt(0) <= 64 && r.getInt(1) <= 64))
