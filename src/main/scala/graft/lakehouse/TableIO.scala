@@ -3,14 +3,16 @@ package graft.lakehouse
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import java.util.Comparator
-import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Table read/write surface over the local lakehouse: the reference's Delta
-  * scans/sinks re-expressed over Parquet. Overwrites go through the
-  * [[Versioned]] commit protocol (immutable `_vN` snapshots + atomic
-  * `_LATEST` pointer swap), approximating Delta's atomic
-  * `mode("overwrite").option("overwriteSchema","true")` (common.py:531):
-  * concurrent readers keep a consistent snapshot across an overwrite.
+  * scans/sinks re-expressed over Parquet. All writes go through the
+  * [[Versioned]] FILE-LEVEL commit protocol (immutable data-file pools +
+  * per-version manifests + atomic markers), approximating Delta's
+  * transaction log (common.py:531): concurrent readers keep a consistent
+  * snapshot across any commit, and MERGE / append / compaction rewrite only
+  * the files they touch.
   *
   * Reference: ecu/sbl/aace/datalake/common.py:359-538.
   */
@@ -25,9 +27,33 @@ object TableIO {
     if (distinct && cols != Seq("*")) s"$base GROUP BY $colList" else base
   }
 
-  /** common.py:440-459 (__selectTable) — the primary scan: read parquet at
-    * the table/view path, register a uuid-named temp view, run `query`
-    * (default `SELECT t.* FROM <view> AS t`). AnalysisExceptions are
+  /** Materialize a [[Versioned.ReadSpec]] as a DataFrame. Manifest versions
+    * scan their explicit file list with the COMMITTED schema (so files
+    * written before a schema evolution read their missing columns as null,
+    * with zero parquet-footer merging — Delta reads from its log schema the
+    * same way); `basePath` keeps hive `col=value` partition parsing intact
+    * across multi-pool file lists. */
+  private[lakehouse] def scanSpec(spark: SparkSession,
+      spec: Versioned.ReadSpec): DataFrame = spec match {
+    case Versioned.ScanDir(p) => spark.read.parquet(p)
+    case Versioned.ScanFiles(base, schemaJson, rel) =>
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      if (rel.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else {
+        val baseP = Paths.get(base)
+        spark.read.schema(schema).option("basePath", base)
+          .parquet(rel.map(r => baseP.resolve(r).toString): _*)
+      }
+  }
+
+  /** Scan the latest committed version of a table/view directory. */
+  private[lakehouse] def scanTableDir(spark: SparkSession, tableDir: String): DataFrame =
+    scanSpec(spark, Versioned.readSpec(tableDir))
+
+  /** common.py:440-459 (__selectTable) — the primary scan: read the
+    * table/view's current version, register a uuid-named temp view, run
+    * `query` (default `SELECT t.* FROM <view> AS t`). AnalysisExceptions are
     * re-thrown with the root cause extracted (common.py:398-410). */
   private def selectTableOrView(
       spark: SparkSession,
@@ -35,11 +61,11 @@ object TableIO {
       tableName: String,
       query: Option[String],
       tableOrView: String): DataFrame = {
-    val path = Versioned.readPath(
+    val dirPath =
       if (tableOrView == "view") Catalog.viewPath(lh, tableName)
-      else Catalog.tablePath(lh, tableName))
+      else Catalog.tablePath(lh, tableName)
     try {
-      val df = spark.read.parquet(path)
+      val df = scanTableDir(spark, dirPath)
       val tempName = Catalog.getTempTableName(tableName)
       df.createOrReplaceTempView(tempName)
       val sql = query
@@ -97,9 +123,11 @@ object TableIO {
 
   /** common.py:525-538 — overwrite-write (optionally Hive-style partitioned),
     * then record `{lakehouse, shape, columns, path}` into the registry.
-    * The reference's post-write `dfShape` re-counts the un-cached lineage;
-    * we count the written files instead (same number, one scan of the
-    * just-written parquet — cheaper at scale). */
+    * Schema changes are first-class: the new version's manifest stores the
+    * new schema and references only the new files (the reference always
+    * writes `overwriteSchema=true`, common.py:531). The post-write count
+    * scans the just-written files (same number as the reference's re-count,
+    * one cheap scan). */
   def writeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       df: DataFrame, partitionBy: Seq[String] = Seq.empty,
       sortBy: Seq[String] = Seq.empty): TableInfo = {
@@ -112,57 +140,151 @@ object TableIO {
       if (sortBy.isEmpty) df
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
-    val dataPath = Versioned.commit(tableDir) { target =>
-      // the commit protocol already claimed `target` atomically (racing
-      // writers failed loudly there); Append fills the empty claimed dir
+    val commit = Versioned.commitFiles(tableDir, df.schema.json) { target =>
       val writer = clustered.write.mode(SaveMode.Append)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(target)
     }
-    val written = spark.read.parquet(dataPath)
-    val info = TableInfo(lh.lakehouseName, written.count(), df.columns.length,
-      df.columns.toSeq, tableDir, partitionBy)
+    finishCommit(spark, lh, tableName, tableDir, commit, df.columns.toSeq, partitionBy)
+  }
+
+  /** APPEND-ONLY commit (Delta blind append): new rows land as new files;
+    * every existing data file is inherited by reference — bytes written per
+    * call is O(batch), never O(table). A new nullable column in `df` is a
+    * schema evolution: the committed schema is the unionByName of old and
+    * new, and pre-evolution files read the new column as null. Concurrent
+    * commits are detected and the append retried against the new base
+    * (appends never semantically conflict). */
+  def appendTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      df: DataFrame, maxRetries: Int = 5): TableInfo = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    var attempt = 0
+    while (true) {
+      Versioned.latestVersion(tableDir) match {
+        case None => return writeTable(spark, lh, tableName, df)
+        case Some(base) =>
+          Versioned.specFor(tableDir, base) match {
+            case Versioned.ScanFiles(_, schemaJson, files) =>
+              val oldSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+              val oldEmpty = spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row], oldSchema)
+              // evolved schema = old ∪ new (by name); old columns keep
+              // their positions, brand-new ones append as nullable
+              val evolved = oldEmpty
+                .unionByName(df.limit(0), allowMissingColumns = true).schema
+              val aligned = oldEmpty.unionByName(df, allowMissingColumns = true)
+              val parts = currentPartitioning(lh, tableName)
+              try {
+                val commit = Versioned.commitFiles(tableDir, evolved.json,
+                  inherit = files, expectedBase = Some(base)) { target =>
+                  val writer = aligned.write.mode(SaveMode.Append)
+                  (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+                   else writer).parquet(target)
+                }
+                return finishCommit(spark, lh, tableName, tableDir, commit,
+                  evolved.fieldNames.toSeq, parts)
+              } catch {
+                case e: Versioned.ConcurrentWriteException =>
+                  attempt += 1
+                  if (attempt > maxRetries) throw e
+              }
+            case _ =>
+              // legacy snapshot version: append = full rewrite once; the
+              // table is manifest-based from then on
+              val current = selectTable(spark, lh, tableName)
+              return writeTable(spark, lh, tableName,
+                current.unionByName(df, allowMissingColumns = true),
+                partitionBy = currentPartitioning(lh, tableName))
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def finishCommit(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, tableDir: String, commit: Versioned.Commit,
+      columns: Seq[String], partitionBy: Seq[String]): TableInfo = {
+    val written = scanSpec(spark, Versioned.specFor(tableDir, commit.version))
+    val info = TableInfo(lh.lakehouseName, written.count(), columns.length,
+      columns, tableDir, partitionBy)
     Catalog.recordTable(tableName, written, info)
     info
   }
 
-  /** The Hive partitioning of `tableName`, detected from the CURRENT
-    * snapshot's directory layout (nested `col=value` levels). The on-disk
+  /** The Hive partitioning of `tableName`'s current version. Manifest
+    * versions derive it from their file paths (`col=value` segments);
+    * legacy/pre-protocol layouts fall back to a directory walk. The on-disk
     * layout is the source of truth — a session registry keyed by bare table
     * name would be blind in a fresh JVM and collide across lakehouses.
-    * Maintenance rewrites (compact, merge) must preserve this. */
+    * Maintenance rewrites (compact, merge, append) must preserve this. */
   private def currentPartitioning(lh: LakehouseProps, tableName: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var dir = Paths.get(currentDataPath(lh, tableName))
-    var descend = true
-    while (descend && Files.isDirectory(dir)) {
-      val s = Files.list(dir)
-      val level =
-        try s.iterator().asScala.toSeq
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.matches("[^=]+=.*"))
-        finally s.close()
-      level.headOption match {
-        case Some(d) =>
-          out += d.getFileName.toString.split("=", 2)(0)
-          dir = d
-        case None => descend = false
-      }
+    Versioned.readSpec(Catalog.tablePath(lh, tableName)) match {
+      case Versioned.ScanFiles(_, _, files) =>
+        files.headOption.toSeq.flatMap { rel =>
+          // col1=v/col2=v/part-*.parquet -> Seq(col1, col2)
+          rel.split('/').dropRight(1).toSeq
+            .takeWhile(_.matches("[^=]+=.*")).map(_.split("=", 2)(0))
+        }
+      case Versioned.ScanDir(dataDir) =>
+        val out = Seq.newBuilder[String]
+        var dir = Paths.get(dataDir)
+        var descend = true
+        while (descend && Files.isDirectory(dir)) {
+          val s = Files.list(dir)
+          val level =
+            try s.iterator().asScala.toSeq
+              .filter(p => Files.isDirectory(p) &&
+                p.getFileName.toString.matches("[^=]+=.*"))
+            finally s.close()
+          level.headOption match {
+            case Some(d) =>
+              out += d.getFileName.toString.split("=", 2)(0)
+              dir = d
+            case None => descend = false
+          }
+        }
+        out.result()
     }
-    out.result()
   }
 
-  /** The parquet directory a reader of `tableName` scans right now (the
-    * latest committed snapshot). */
-  def currentDataPath(lh: LakehouseProps, tableName: String): String =
-    Versioned.readPath(Catalog.tablePath(lh, tableName))
+  /** Absolute paths of the data files backing `tableName`'s current
+    * version (manifest file list, or a recursive walk for legacy layouts). */
+  def currentFiles(lh: LakehouseProps, tableName: String): Seq[Path] =
+    Versioned.readSpec(Catalog.tablePath(lh, tableName)) match {
+      case Versioned.ScanFiles(base, _, files) =>
+        val baseP = Paths.get(base)
+        files.map(baseP.resolve)
+      case Versioned.ScanDir(dataDir) =>
+        val root = Paths.get(dataDir)
+        if (!Files.isDirectory(root)) Seq.empty
+        else {
+          val s = Files.walk(root)
+          try s.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.toString)
+          finally s.close()
+        }
+    }
 
   /** Upsert (Delta MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT,
     * whole-row form): rows in `updates` replace current rows with the same
-    * `keyCols`; unmatched update rows append. Implemented as a left-anti
-    * join (current minus updated keys) unioned with the updates, committed
-    * as a new atomic version — readers never observe a half-merged table.
-    * One shuffle on the key columns; the schemas must match (by name). */
+    * `keyCols`; unmatched update rows append.
+    *
+    * FILE-LEVEL: a cheap key-columns-only scan (with `_metadata.file_path`)
+    * finds which data files actually contain matched keys; only those files
+    * are rewritten (minus updated keys, plus all updates) — every untouched
+    * file is inherited by reference, byte-identical at the same path. A
+    * merge touching 0.1% of keys writes ~0.1% of the table (Delta MERGE's
+    * add/remove-file granularity). Updates with all-new keys degenerate to
+    * a pure append. Concurrent writers are detected via the commit
+    * protocol's optimistic base check and fail loudly
+    * ([[Versioned.ConcurrentWriteException]]) instead of silently dropping
+    * the other writer's commit.
+    *
+    * Schema evolution: an update set carrying a NEW nullable column widens
+    * the table schema (unionByName); untouched files read it as null.
+    * One shuffle on the key columns for the rewrite itself. */
   def mergeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       updates: DataFrame, keyCols: Seq[String],
       checkDuplicateKeys: Boolean = true): TableInfo = {
@@ -178,51 +300,104 @@ object TableIO {
       require(dups.isEmpty,
         s"mergeTable: updates contain multiple rows for key ${dups.head}")
     }
-    val current = selectTable(spark, lh, tableName)
-    val kept = current.join(updates.select(keyColumns: _*).distinct(),
-      keyCols, "left_anti")
-    writeTable(spark, lh, tableName, kept.unionByName(updates),
-      partitionBy = currentPartitioning(lh, tableName))
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    (base, base.map(Versioned.specFor(tableDir, _))) match {
+      case (Some(b), Some(spec @ Versioned.ScanFiles(_, schemaJson, files))) =>
+        val oldSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val updKeys = updates.select(keyColumns: _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // 1. affected files: key-columns-only columnar scan + semi join —
+          // reads keyCols bytes of the table, not the table
+          import org.apache.spark.sql.functions.col
+          val affectedPaths = scanSpec(spark, spec)
+            .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
+            .join(updKeys, keyCols, "left_semi")
+            .select("__fp").distinct()
+            .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+          val baseP = Paths.get(tableDir)
+          val (affected, untouched) = files.partition(rel =>
+            affectedPaths.contains(baseP.resolve(rel).toString))
+          // 2. rewrite ONLY the affected files; inherit the rest
+          val affectedDf =
+            if (affected.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], oldSchema)
+            else scanSpec(spark,
+              Versioned.ScanFiles(tableDir, schemaJson, affected))
+          val kept = affectedDf.join(updKeys, keyCols, "left_anti")
+          val rewritten = kept.unionByName(updates, allowMissingColumns = true)
+          val parts = currentPartitioning(lh, tableName)
+          val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
+            inherit = untouched, expectedBase = Some(b)) { target =>
+            val writer = rewritten.write.mode(SaveMode.Append)
+            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+             else writer).parquet(target)
+          }
+          finishCommit(spark, lh, tableName, tableDir, commit,
+            rewritten.columns.toSeq, parts)
+        } finally updKeys.unpersist()
+      case _ =>
+        // legacy snapshot version: one full rewrite converts the table to
+        // manifest-based commits
+        val current = selectTable(spark, lh, tableName)
+        val kept = current.join(updates.select(keyColumns: _*).distinct(),
+          keyCols, "left_anti")
+        writeTable(spark, lh, tableName,
+          kept.unionByName(updates, allowMissingColumns = true),
+          partitionBy = currentPartitioning(lh, tableName))
+    }
   }
 
-  /** Time-travel read: scan a specific committed version's immutable
-    * snapshot (within the retention window — older versions are swept by
-    * [[Versioned.commit]]). */
+  /** Time-travel read: scan a specific committed version (within the
+    * retention window — older versions are swept by [[Versioned.vacuum]]). */
   def selectTableVersion(spark: SparkSession, lh: LakehouseProps,
       tableName: String, version: Long): DataFrame = {
     val tableDir = Catalog.tablePath(lh, tableName)
-    val dir = java.nio.file.Paths.get(tableDir, s"_v$version")
-    // the marker check rejects orphaned/in-flight _vN directories (a crashed
+    val spec = Versioned.specFor(tableDir, version)
+    val present = spec match {
+      case Versioned.ScanFiles(_, _, _) => true
+      case Versioned.ScanDir(p) => Files.isDirectory(Paths.get(p))
+    }
+    // the marker check rejects orphaned/in-flight claims (a crashed
     // writer's partial files are NOT a committed snapshot)
-    require(Versioned.isCommitted(tableDir, version) && Files.isDirectory(dir),
+    require(Versioned.isCommitted(tableDir, version) && present,
       s"version $version of $tableName was never committed or has been " +
-        s"swept (retention window is ${Versioned.Retain} versions)")
-    spark.read.parquet(dir.toString)
+        s"swept (retention: newest ${Versioned.Retain} versions + " +
+        s"${Versioned.RetainAgeMs} ms age window)")
+    scanSpec(spark, spec)
   }
 
   /** Small-files compaction (the OPTIMIZE half of the Delta story the
-    * north-star names): rewrite the current snapshot into
-    * ceil(bytes / targetFileBytes) files and commit it as a new version
-    * through the same atomic protocol — readers of the old snapshot are
-    * untouched, and a crash mid-compaction leaves the table on the old
-    * version. `coalesce` (not `repartition`): reducing file count needs no
-    * shuffle. Returns the new TableInfo. */
+    * north-star names): rewrite the current version into
+    * ceil(bytes / targetFileBytes) files and commit it atomically —
+    * readers of the old version are untouched, and a crash mid-compaction
+    * leaves the table on the old version. Unpartitioned tables `coalesce`
+    * (no shuffle); hive-partitioned tables repartition BY THE PARTITION
+    * COLUMNS so each partition value collapses to one file — a global
+    * coalesce would emit up to nFiles × nPartitionValues files and can
+    * INCREASE the small-file count it is meant to fix. Runs under the
+    * optimistic base check: racing a concurrent writer fails loudly rather
+    * than resurrecting pre-commit data. */
   def compactTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       targetFileBytes: Long = 128L * 1024 * 1024): TableInfo = {
-    val dataDir = Paths.get(currentDataPath(lh, tableName))
-    val bytes = {
-      val s = Files.walk(dataDir)
-      try s.filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .mapToLong(p => Files.size(p)).sum()
-      finally s.close()
-    }
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val bytes = currentFiles(lh, tableName)
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = selectTable(spark, lh, tableName)
-    // preserve the table's Hive partitioning through the rewrite — Delta
-    // OPTIMIZE, which this models, never flattens a partitioned table
-    writeTable(spark, lh, tableName, df.coalesce(nFiles),
-      partitionBy = currentPartitioning(lh, tableName))
+    val parts = currentPartitioning(lh, tableName)
+    val arranged =
+      if (parts.isEmpty) df.coalesce(nFiles)
+      else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+    val commit = Versioned.commitFiles(tableDir, df.schema.json,
+      expectedBase = base) { target =>
+      val writer = arranged.write.mode(SaveMode.Append)
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+       else writer).parquet(target)
+    }
+    finishCommit(spark, lh, tableName, tableDir, commit, df.columns.toSeq, parts)
   }
 
   /** Views write path — the reference defines `viewPath` (common.py:392) and
@@ -231,10 +406,12 @@ object TableIO {
     * round-trippable surface (materialized-view semantics: a parquet
     * snapshot of the DataFrame, overwritten atomically like writeTable). */
   def writeView(spark: SparkSession, lh: LakehouseProps, viewName: String,
-      df: DataFrame): Unit =
-    Versioned.commit(Catalog.viewPath(lh, viewName)) { target =>
-      df.write.mode(SaveMode.Append).parquet(target)
+      df: DataFrame): Unit = {
+    Versioned.commitFiles(Catalog.viewPath(lh, viewName), df.schema.json) {
+      target => df.write.mode(SaveMode.Append).parquet(target)
     }
+    ()
+  }
 
   /** common.py:512-517 — the reference's dropTable is doubly bugged (spark
     * self-assignment; Delta row-delete instead of drop). Implement the

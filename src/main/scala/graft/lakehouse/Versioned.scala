@@ -1,60 +1,115 @@
 package graft.lakehouse
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
-/** Minimal versioned-directory commit protocol — the transactional core of
-  * the reference's Delta overwrite (ecu/sbl/aace/datalake/common.py:531
-  * `mode("overwrite").option("overwriteSchema","true")`) rebuilt on plain
-  * Parquet, since no Delta/Iceberg jars ship in this environment.
+/** Versioned commit protocol with FILE-LEVEL (manifest-based) commits — the
+  * transactional core of the reference's Delta storage layer
+  * (ecu/sbl/aace/datalake/common.py:71,448,531) rebuilt on plain Parquet,
+  * since no Delta/Iceberg jars ship in this environment. Like Delta's log,
+  * a version is a MANIFEST (schema + list of data files), not a directory
+  * copy: a commit that changes 0.1% of a table writes 0.1% of the files and
+  * inherits the rest from its parent by reference — MERGE / append /
+  * compaction cost O(touched data), never O(table).
   *
-  * Layout under a table directory `T/`:
+  * Layout under a table directory `T/` (Delta's actual shape: data files —
+  * with globally unique names — and hive `col=value` partition dirs live at
+  * the TABLE ROOT; the log, not the directory tree, defines the table):
   * {{{
-  *   T/_v1/  T/_v2/  ...        immutable parquet snapshots, one per commit
-  *   T/_commit_1  T/_commit_2    commit markers — a version exists iff its
+  *   T/part-<uuid>.parquet       data files (unpartitioned tables)
+  *   T/col=value/part-*.parquet  data files (hive-partitioned tables)
+  *   T/_manifest_N               version N's manifest: line 1 = schema JSON,
+  *                               then one data-file path per line (relative
+  *                               to T/)
+  *   T/_commit_N                 commit marker — version N exists iff its
   *                               marker does; latest = max marker
+  *   T/.staging-<uuid>/          in-flight writers' scratch (hidden from
+  *                               readers); files move to the root pre-commit
+  *   T/_v1/ ...                  legacy whole-snapshot versions (round-2
+  *                               layout) — still readable, never written
   *   T/_LATEST                   legacy/debug pointer cache (markers win)
   * }}}
   *
   * Guarantees:
-  *  - readers resolve the latest committed version once and then scan an
-  *    immutable `_vN` directory — a concurrent overwrite never shows them a
-  *    half-deleted or half-written table (the failure mode of naive
-  *    `SaveMode.Overwrite`);
-  *  - a writer claims its version by atomically creating the `_vN`
-  *    directory (`Files.createDirectory`) before any data is written, so
-  *    two writers can never interleave files into one snapshot;
-  *  - the commit point is an atomic `Files.createFile` of the version's
-  *    marker. Commits are monotonic by construction — latest is the MAX
-  *    committed marker, so a slow writer finishing after a faster one
-  *    simply lands as an earlier (already superseded) version; it can
-  *    never move the table backwards. Version numbers allocate past every
-  *    existing directory (committed or orphaned), so a crashed writer's
-  *    partial `_vN` never wedges the table — it is skipped, never
-  *    committed (no marker), and retention sweeps it later.
+  *  - readers resolve the latest committed version once, then scan an
+  *    immutable file list — a concurrent commit never shows them a
+  *    half-written or half-deleted table;
+  *  - a writer stages new files into its own `data-<uuid>/` pool, so two
+  *    writers can never interleave files;
+  *  - version claim = atomic hard-link of the manifest into `_manifest_N`
+  *    (`Files.createLink` fails with EEXIST if N is taken — the same
+  *    atomic-claim primitive as Delta's conditional log-entry PUT); the
+  *    commit point is the atomic creation of `_commit_N`. Latest is the MAX
+  *    committed marker, so commits are monotonic by construction.
+  *  - OPTIMISTIC CONCURRENCY for read-modify-write commits: a caller that
+  *    derived its manifest from version B passes `expectedBase = Some(B)`
+  *    and must win the claim for exactly B+1 — if any other writer committed
+  *    first, the claim fails and [[ConcurrentWriteException]] is thrown
+  *    instead of silently superseding the other writer's data (lost
+  *    update). Delta MERGE fails the same way. Plain overwrites (no base
+  *    dependency) retry at the next number instead.
   *
-  * Retention keeps the last [[Retain]] versions so in-flight readers of the
-  * previous snapshot finish before their files disappear. On a real object
-  * store the same protocol holds as long as marker creation is atomic
-  * (e.g. conditional PUT); directory listing is only used for resolution
-  * and cleanup.
+  * Retention is age-based with a count floor: a version is swept only when
+  * it is BOTH older than [[RetainAgeMs]] AND not among the newest
+  * [[Retain]] — two fast overwrites can no longer sweep the snapshot a slow
+  * concurrent reader is still scanning (Delta retains by age the same way;
+  * default 7 days there, shorter here for test turnaround). Data files are
+  * deleted only when no retained manifest references them AND they are old
+  * enough that no in-flight writer could still be staging them. `vacuum`
+  * runs the same sweep on demand with a caller-chosen age.
   *
-  * Pre-protocol directories (parquet files directly under `T/`, no markers
-  * or pointer) stay readable: resolution falls back to `T/` itself.
+  * On a real object store the protocol holds as long as the claim primitive
+  * is atomic (conditional PUT); listing is only used for resolution and
+  * cleanup. A 100 TB table at 128 MB files has a ~1M-line manifest (tens of
+  * MB) — same order as a Delta checkpoint file.
+  *
+  * Pre-protocol directories (parquet files directly under `T/`) stay
+  * readable: resolution falls back to `T/` itself.
   */
 object Versioned {
 
   val PointerName = "_LATEST"
   val MarkerPrefix = "_commit_"
+  val ManifestPrefix = "_manifest_"
+  val StagingPrefix = ".staging-"
+
+  /** Count floor: the newest N committed versions are never swept. */
   val Retain = 2
+
+  /** Age floor: versions (and unreferenced staged files) younger than this
+    * are never swept — protects slow readers and in-flight writers.
+    * Overridable for tests; `vacuum` takes an explicit age. */
+  @volatile var RetainAgeMs: Long = 10 * 60 * 1000L
+
+  /** A committed version's content: the table schema (Spark JSON form) and
+    * the data files composing it, relative to the table directory. */
+  final case class Manifest(schemaJson: String, files: Seq[String])
+
+  /** What a reader should scan. */
+  sealed trait ReadSpec
+  /** Legacy whole-snapshot version dir, or a pre-protocol table dir. */
+  final case class ScanDir(path: String) extends ReadSpec
+  /** Manifest-based version: explicit file list under `base`. */
+  final case class ScanFiles(base: String, schemaJson: String,
+      relFiles: Seq[String]) extends ReadSpec
+
+  /** Result of a commit: the version number, the files this commit ADDED,
+    * and the full file list of the new version. */
+  final case class Commit(version: Long, added: Seq[String], files: Seq[String])
+
+  /** A read-modify-write commit lost the race for base+1: the caller's view
+    * of the table is stale. Re-read and retry (Delta MERGE semantics). */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
   private def pointer(tableDir: Path): Path = tableDir.resolve(PointerName)
   private def versionDir(tableDir: Path, v: Long): Path =
     tableDir.resolve(s"_v$v")
   private def marker(tableDir: Path, v: Long): Path =
     tableDir.resolve(s"$MarkerPrefix$v")
+  private def manifestPath(tableDir: Path, v: Long): Path =
+    tableDir.resolve(s"$ManifestPrefix$v")
 
   private def listNames(dir: Path): Seq[String] = {
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -85,8 +140,8 @@ object Versioned {
   }
 
   /** True iff `version` was actually committed (its marker exists, or a
-    * legacy pointer names it) — an orphaned/in-flight `_vN` directory is
-    * NOT a committed snapshot. */
+    * legacy pointer names it) — an orphaned/in-flight manifest or `_vN`
+    * directory is NOT a committed snapshot. */
   def isCommitted(tableDir: String, version: Long): Boolean = {
     val dir = Paths.get(tableDir)
     Files.exists(marker(dir, version)) ||
@@ -94,58 +149,221 @@ object Versioned {
         latestVersion(tableDir).contains(version))
   }
 
-  /** The path a reader should scan: the latest committed snapshot, or the
-    * directory itself for pre-protocol/legacy layouts. */
-  def readPath(tableDir: String): String = latestVersion(tableDir) match {
-    case Some(v) => versionDir(Paths.get(tableDir), v).toString
-    case None => tableDir
+  /** Parse version `v`'s manifest, if it is a manifest-based version. */
+  def readManifest(tableDir: String, v: Long): Option[Manifest] = {
+    val p = manifestPath(Paths.get(tableDir), v)
+    if (!Files.isRegularFile(p)) None
+    else {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      if (lines.isEmpty) None
+      else Some(Manifest(lines.head, lines.tail.filter(_.nonEmpty).toSeq))
+    }
   }
 
-  /** Run `write` against the next version directory, then atomically commit
-    * it and sweep versions older than the retention window. Returns the
-    * committed data path. */
-  def commit(tableDir: String)(write: String => Unit): String = {
+  /** The scan spec for a SPECIFIC committed version. */
+  def specFor(tableDir: String, v: Long): ReadSpec =
+    readManifest(tableDir, v) match {
+      case Some(m) => ScanFiles(tableDir, m.schemaJson, m.files)
+      case None => ScanDir(versionDir(Paths.get(tableDir), v).toString)
+    }
+
+  /** The scan spec for the latest committed version (or the directory
+    * itself for pre-protocol layouts). */
+  def readSpec(tableDir: String): ReadSpec = latestVersion(tableDir) match {
+    case Some(v) => specFor(tableDir, v)
+    case None => ScanDir(tableDir)
+  }
+
+  private def listParquet(root: Path): Seq[Path] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    finally s.close()
+  }
+
+  /** Stage new files via `write` (handed a fresh hidden `.staging-<uuid>`
+    * scratch dir inside the table dir), then atomically commit a manifest
+    * of `inherit ++ staged` and move the staged files to their final root
+    * locations. Inheriting callers MUST pin `expectedBase` — the version
+    * their `inherit` list was read from — and get
+    * [[ConcurrentWriteException]] if another writer committed in between
+    * (their inherit list would silently drop that writer's changes
+    * otherwise). Plain overwrites (inherit = Nil) never conflict; they
+    * retry at the next free number.
+    *
+    * Ordering: claim manifest → move files → marker. A conflict aborts
+    * before any file reaches its final location; a crash after the claim
+    * leaves an uncommitted orphan (no marker) that age-based sweep clears.
+    */
+  def commitFiles(tableDir: String, schemaJson: String,
+      inherit: Seq[String] = Seq.empty,
+      expectedBase: Option[Long] = None)(write: String => Unit): Commit = {
+    require(inherit.isEmpty || expectedBase.isDefined,
+      "a commit inheriting files must pin the base version they came from")
+    require(!schemaJson.contains("\n"), "schema JSON must be single-line")
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
-    // allocate past EVERY existing _vN — committed or orphaned from a
-    // crashed writer — so an orphan never blocks the table...
-    val next = (latestVersion(tableDir).getOrElse(0L) +:
-      listNames(dir).flatMap(numericSuffix(_, "_v"))).max + 1L
-    val target = versionDir(dir, next)
-    // ...and claim it atomically: createDirectory either makes the claim or
-    // throws FileAlreadyExistsException — two writers can never interleave
-    // files into one snapshot
-    Files.createDirectory(target)
-    write(target.toString)
-
-    // commit point: atomic marker creation; monotonic by construction
-    Files.createFile(marker(dir, next))
-    // legacy/debug pointer cache — markers are authoritative, so a racing
-    // stale value here is harmless
+    // fail fast before paying for the write; the authoritative check is the
+    // atomic claim below (this one only narrows the window)
+    expectedBase.foreach { base =>
+      val latest = latestVersion(tableDir).getOrElse(0L)
+      if (latest != base) throw conflict(tableDir, base, latest)
+    }
+    val staging = dir.resolve(StagingPrefix + java.util.UUID.randomUUID().toString)
+    Files.createDirectory(staging)
     try {
-      val tmp = dir.resolve(s".${PointerName}.tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    } catch { case _: Exception => () }
+      write(staging.toString)
+      // relative destinations: a staged `col=value/part-x.parquet` lands at
+      // the same relative path under the table root (Spark's part-file
+      // names carry the write-job uuid, so cross-commit names never clash)
+      val stagedSrc = listParquet(staging)
+      val staged = stagedSrc.map(p => staging.relativize(p).toString)
+      val files = inherit ++ staged
+      val tmp = dir.resolve(s".manifest.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, (schemaJson +: files).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      try {
+        // allocate past every existing version number — committed, legacy,
+        // or orphaned from a crashed writer — so an orphan never wedges us
+        def allocated: Long = (0L +: listNames(dir).flatMap(n =>
+          numericSuffix(n, MarkerPrefix) orElse numericSuffix(n, ManifestPrefix)
+            orElse numericSuffix(n, "_v"))).max
+        var v = expectedBase match {
+          case Some(base) =>
+            val latest = latestVersion(tableDir).getOrElse(0L)
+            if (latest != base) throw conflict(tableDir, base, latest)
+            base + 1
+          case None => math.max(latestVersion(tableDir).getOrElse(0L), allocated) + 1
+        }
+        var claimed = false
+        while (!claimed) {
+          try {
+            // atomic claim-with-content: link either installs the manifest
+            // at v or fails because v is taken (Delta's conditional PUT)
+            Files.createLink(manifestPath(dir, v), tmp)
+            claimed = true
+          } catch {
+            case _: FileAlreadyExistsException =>
+              expectedBase match {
+                case Some(base) => throw conflict(tableDir, base, v)
+                case None => v += 1
+              }
+          }
+        }
+        // move staged files into place — readers still resolve the old
+        // version until the marker lands, and never list the root (they
+        // scan manifest file lists), so a half-moved state is invisible
+        try {
+          stagedSrc.foreach { p =>
+            val dest = dir.resolve(staging.relativize(p).toString)
+            if (dest.getParent != dir) Files.createDirectories(dest.getParent)
+            Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          }
+        } catch {
+          case e: Exception =>
+            // abort cleanly: un-claim (no marker yet -> never committed)
+            Files.deleteIfExists(manifestPath(dir, v))
+            throw e
+        }
+        // commit point: atomic marker creation; monotonic by construction
+        Files.createFile(marker(dir, v))
+        // legacy/debug pointer cache — markers are authoritative
+        try {
+          val ptmp = dir.resolve(s".${PointerName}.tmp-${java.util.UUID.randomUUID()}")
+          Files.write(ptmp, v.toString.getBytes(StandardCharsets.UTF_8))
+          Files.move(ptmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        } catch { case _: Exception => () }
+        try deleteRecursively(staging) catch { case _: Exception => () }
+        try sweep(dir, RetainAgeMs) catch { case _: Exception => () }
+        Commit(v, staged, files)
+      } finally Files.deleteIfExists(tmp)
+    } catch {
+      case e: Throwable =>
+        // failed commits leave no litter; crashed ones are swept by age
+        try if (e.isInstanceOf[ConcurrentWriteException]) deleteRecursively(staging)
+        catch { case _: Exception => () }
+        throw e
+    }
+  }
 
-    // retention sweep (best effort — a failure here never affects the
-    // commit). Also sweeps pre-protocol loose data files once the table has
-    // been on the protocol for a full version cycle (readers of the legacy
-    // layout get the same one-version grace as snapshot readers) — without
-    // this, the legacy copy of the table would sit on disk forever.
-    try {
-      listNames(dir).foreach { n =>
-        val oldVersion = numericSuffix(n, "_v").exists(_ <= next - Retain)
-        val oldMarker = numericSuffix(n, MarkerPrefix).exists(_ <= next - Retain)
-        val legacyData = next >= 2 &&
-          (n.endsWith(".parquet") || n.endsWith(".crc") || n == "_SUCCESS")
-        if (oldVersion || oldMarker ||
-            (legacyData && Files.isRegularFile(dir.resolve(n))))
-          deleteRecursively(dir.resolve(n))
+  private def conflict(tableDir: String, base: Long, seen: Long) =
+    new ConcurrentWriteException(
+      s"$tableDir: commit based on version $base lost the race (version " +
+        s"$seen exists) — re-read the table and retry the operation")
+
+  /** Sweep versions outside the retention window and data files no retained
+    * manifest references. Safe to run any time; `commitFiles` runs it
+    * best-effort after every commit with [[RetainAgeMs]]. */
+  def vacuum(tableDir: String, retainAgeMs: Long = RetainAgeMs): Unit =
+    sweep(Paths.get(tableDir), retainAgeMs)
+
+  private def sweep(dir: Path, retainAgeMs: Long): Unit = {
+    val names = listNames(dir)
+    val markers = names.flatMap(numericSuffix(_, MarkerPrefix)).sorted
+    if (markers.isEmpty) return
+    val now = System.currentTimeMillis()
+    def young(p: Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis < retainAgeMs
+      catch { case _: Exception => true } // can't stat -> keep (safe side)
+    // a version survives on EITHER floor: young enough, or newest-Retain
+    val byCount = markers.takeRight(Retain).toSet
+    val kept = markers.filter(v => byCount(v) || young(marker(dir, v)))
+    val dropped = markers.filterNot(kept.contains)
+    dropped.foreach { v =>
+      Files.deleteIfExists(marker(dir, v))
+      Files.deleteIfExists(manifestPath(dir, v))
+      deleteRecursively(versionDir(dir, v)) // legacy snapshot dir
+    }
+    // orphaned claims from crashed writers: manifest with no marker, or a
+    // legacy _vN dir with no marker — sweep once they cannot be in-flight
+    names.flatMap(numericSuffix(_, ManifestPrefix))
+      .filter(v => !Files.exists(marker(dir, v)))
+      .foreach { v =>
+        val p = manifestPath(dir, v)
+        if (!young(p)) Files.deleteIfExists(p)
       }
-    } catch { case _: Exception => () }
-    target.toString
+    names.flatMap(numericSuffix(_, "_v"))
+      .filter(v => !Files.exists(marker(dir, v)))
+      .foreach { v =>
+        val p = versionDir(dir, v)
+        if (Files.isDirectory(p) && !young(p)) deleteRecursively(p)
+      }
+    // data files — ONE rule for everything that is not protocol metadata:
+    // a file referenced by a retained manifest stays; anything else (files
+    // removed by later versions, pre-protocol loose files, legacy hive
+    // col=value dirs from before the protocol, round-2 `data-*` pools,
+    // crashed writers' leftovers) is deleted once old enough that no
+    // in-flight writer or slow reader can still be using it
+    val referenced: Set[String] = kept
+      .flatMap(v => readManifest(dir.toString, v).map(_.files).getOrElse(Seq.empty))
+      .toSet
+    names.foreach { n =>
+      val p = dir.resolve(n)
+      if (n.startsWith(StagingPrefix) || n.startsWith(".manifest.tmp")) {
+        // crashed writers' scratch — never referenced once orphaned
+        if (!young(p)) deleteRecursively(p)
+      } else if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (Files.isRegularFile(p)) {
+          if (!referenced.contains(n) && !young(p)) Files.deleteIfExists(p)
+        } else if (Files.isDirectory(p)) {
+          val s = Files.walk(p)
+          val all = try s.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          finally s.close()
+          all.foreach { q =>
+            if (Files.isRegularFile(q) &&
+                !referenced.contains(dir.relativize(q).toString) && !young(q))
+              Files.deleteIfExists(q)
+            else if (Files.isDirectory(q) && listNames(q).isEmpty && !young(q))
+              Files.deleteIfExists(q) // deepest-first: emptied dirs collapse
+          }
+          if (listNames(p).isEmpty && !young(p)) Files.deleteIfExists(p)
+        }
+      }
+    }
   }
 
   private[lakehouse] def deleteRecursively(p: Path): Unit =

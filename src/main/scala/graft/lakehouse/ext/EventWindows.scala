@@ -75,34 +75,33 @@ object EventWindows {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
-  /** Stream-ingest into a versioned lakehouse table: each micro-batch
-    * snapshots the full accumulated state (or just the batch, when
-    * `accumulate = false`) through [[graft.lakehouse.TableIO.writeTable]]'s
-    * atomic commit protocol — readers of the table always see a complete,
-    * consistent snapshot, never a partially-written micro-batch. Returns
-    * the started query; callers own its lifecycle.
+  /** Stream-ingest into a versioned lakehouse table. With `accumulate =
+    * true`, each micro-batch APPENDS atomically via
+    * [[graft.lakehouse.TableIO.appendTable]] — the published table IS the
+    * accumulator (no in-memory state), so bytes written per batch is
+    * O(batch), restarts resume from the durable table instead of silently
+    * starting empty, and readers always see a complete consistent version.
+    * With `accumulate = false` each batch atomically replaces the table
+    * (latest-batch snapshot semantics). Returns the started query; callers
+    * own its lifecycle.
     *
     * This is the "bronze table" ingest shape: Structured Streaming handles
-    * watermarks/exactly-once source offsets, the Versioned pointer swap
-    * makes each batch's publish atomic. */
+    * watermarks/source offsets, the Versioned manifest commit makes each
+    * batch's publish atomic. Note: foreachBatch can re-run a batch after a
+    * crash between sink commit and checkpoint advance — exactly-once
+    * appends would additionally record (queryId, batchId) in the table's
+    * commit metadata and skip replayed batches (Delta's txnAppId/txnVersion
+    * idempotent-write pattern); documented as out of scope. */
   def streamIngest(events: DataFrame, spark: SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
       accumulate: Boolean = false,
       checkpoint: Option[String] = None) = {
-    var acc: Option[DataFrame] = None
     val w = events.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val df = batch.toDF()
-        val snapshot =
-          if (!accumulate) df
-          else {
-            val merged = acc.map(_.unionByName(df)).getOrElse(df)
-              .localCheckpoint(true) // cut lineage growth across batches
-            acc = Some(merged)
-            merged
-          }
-        graft.lakehouse.TableIO.writeTable(spark, lh, tableName, snapshot)
+        if (accumulate) graft.lakehouse.TableIO.appendTable(spark, lh, tableName, df)
+        else graft.lakehouse.TableIO.writeTable(spark, lh, tableName, df)
         ()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
@@ -117,15 +116,15 @@ object EventWindows {
     * the versioned table protocol.
     *
     * Durability: the corpus is always re-read from the PUBLISHED table (the
-    * durable parquet snapshot), never held as an in-memory lineage chain —
+    * durable parquet version), never held as an in-memory lineage chain —
     * an executor loss cannot destroy it, and on restart the first batch
     * bootstraps the band index by re-hashing the published table once
     * (bounded, one-time) instead of silently starting empty and
-    * overwriting history. Each batch publishes a full snapshot (the
-    * protocol is snapshot-based); for very high-rate streams, batch
-    * publication cost grows with the corpus — compact retention handles
-    * the version churn. Returns the started query; schema must be
-    * (idCol, textCol, …). */
+    * overwriting history. Survivors are published as an APPENDED version
+    * (file-level commit): per-batch publish cost is O(batch) — the corpus'
+    * existing files are inherited by reference, never rewritten, so a
+    * long-lived stream writes O(total ingested) bytes, not O(n²). Returns
+    * the started query; schema must be (idCol, textCol, …). */
   def streamIngestDeduped(docs: DataFrame, spark: SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
       idCol: String, textCol: String, threshold: Double = 0.8,
@@ -160,9 +159,9 @@ object EventWindows {
         val survivors = Dedup.dedupByPairs(vsCorpus, idCol, withinPairs)
           .localCheckpoint(true)
         if (survivors.count() > 0) {
-          val newCorpus = corpus.map(_.unionByName(survivors))
-            .getOrElse(survivors)
-          TableIO.writeTable(spark, lh, tableName, newCorpus)
+          // O(batch) publish: survivors append as new files, the corpus'
+          // files are inherited by reference in the new version's manifest
+          TableIO.appendTable(spark, lh, tableName, survivors)
           val newBands = Dedup.minHashBandIndex(survivors, idCol, textCol)
           index = Some(index.map(_.unionByName(newBands)).getOrElse(newBands)
             .localCheckpoint(true))

@@ -1,0 +1,166 @@
+package graft.lakehouse
+
+import java.nio.file.{Files, Paths}
+
+/** The file-level commit protocol's scale contracts (Delta-style log
+  * semantics): merge/append touch only the files they change, inherited
+  * files are byte-identical at the same paths, concurrent read-modify-write
+  * commits fail loudly, retention is age-based, and schema evolution is a
+  * first-class commit. */
+class FileLevelCommitSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("flc_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_flc", "lh_flc").lakehouses.head
+  }
+
+  private def fileState(name: String): Map[String, (Long, Long)] =
+    TableIO.currentFiles(lh, name).map { p =>
+      p.toString -> (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+
+  test("merge touching one partition leaves other partitions' files " +
+      "byte-identical at the same paths (inherited, not rewritten)") {
+    val base = (1 to 100).map(i => (i, s"s$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "s", "g")
+    TableIO.writeTable(spark, lh, "m1", base, partitionBy = Seq("g"))
+    val before = fileState("m1")
+    val beforeB = before.filter(_._1.contains("/g=b/"))
+    assert(beforeB.nonEmpty && before.exists(_._1.contains("/g=a/")))
+
+    // update two even keys — they live only in partition g=a
+    val info = TableIO.mergeTable(spark, lh, "m1",
+      Seq((2, "S2", "a"), (4, "S4", "a")).toDF("k", "s", "g"), Seq("k"))
+    assert(info.rowCount == 100)
+
+    val after = fileState("m1")
+    val afterB = after.filter(_._1.contains("/g=b/"))
+    // every g=b file: same path, same bytes, same mtime — inherited
+    assert(afterB == beforeB, "g=b files were rewritten by a g=a merge")
+    // and the merge actually took
+    val rows = TableIO.selectTable(spark, lh, "m1")
+      .filter($"k" isin (2, 4)).collect().map(_.getString(1)).toSet
+    assert(rows == Set("S2", "S4"))
+    TableIO.dropTable(spark, lh, "m1")
+  }
+
+  test("merge with all-new keys degenerates to a pure append (zero rewrites)") {
+    val base = (1 to 50).map(i => (i, s"v$i")).toDF("k", "s")
+    TableIO.writeTable(spark, lh, "m2", base)
+    val before = fileState("m2")
+    TableIO.mergeTable(spark, lh, "m2",
+      Seq((1001, "new1"), (1002, "new2")).toDF("k", "s"), Seq("k"))
+    val after = fileState("m2")
+    assert(before.toSet.subsetOf(after.toSet), "existing files were rewritten")
+    assert(TableIO.selectTable(spark, lh, "m2").count() == 52)
+    TableIO.dropTable(spark, lh, "m2")
+  }
+
+  test("appendTable writes O(batch): all prior files inherited untouched") {
+    TableIO.writeTable(spark, lh, "a1", (1 to 1000).map(i => (i, s"x$i")).toDF("k", "s"))
+    val before = fileState("a1")
+    val commit2 = TableIO.appendTable(spark, lh, "a1",
+      Seq((2001, "y1"), (2002, "y2")).toDF("k", "s"))
+    assert(commit2.rowCount == 1002)
+    val after = fileState("a1")
+    assert(before.toSet.subsetOf(after.toSet))
+    // bytes written this commit = only the new files, and they are tiny
+    // relative to the base (O(batch), not O(table))
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty)
+    val newBytes = newFiles.map(after(_)._1).sum
+    val baseBytes = before.values.map(_._1).sum
+    assert(newBytes < baseBytes / 2,
+      s"append of 2 rows wrote $newBytes bytes vs base $baseBytes")
+    TableIO.dropTable(spark, lh, "a1")
+  }
+
+  test("a merge racing a concurrent commit fails loudly (no lost update)") {
+    TableIO.writeTable(spark, lh, "c1", Seq((1, "a"), (2, "b")).toDF("k", "s"))
+    val tdir = Catalog.tablePath(lh, "c1")
+    val base = Versioned.latestVersion(tdir).get
+    // another writer commits AFTER the merge's base was read: simulate by
+    // committing, then merging with a stale pinned base via commitFiles
+    TableIO.writeTable(spark, lh, "c1", Seq((9, "z")).toDF("k", "s"))
+    intercept[Versioned.ConcurrentWriteException] {
+      Versioned.commitFiles(tdir, Seq((0, "")).toDF("k", "s").schema.json,
+        inherit = Seq.empty, expectedBase = Some(base)) { target =>
+        Seq((1, "A")).toDF("k", "s").write.mode("append").parquet(target)
+      }
+    }
+    // the interleaved writer's data is intact
+    assert(TableIO.selectTable(spark, lh, "c1").collect()
+      .map(_.getInt(0)).toSet == Set(9))
+    TableIO.dropTable(spark, lh, "c1")
+  }
+
+  test("age-based retention: two fast overwrites cannot sweep a version a " +
+      "slow reader still holds") {
+    TableIO.writeTable(spark, lh, "r1", Seq((1, "v1")).toDF("k", "s")) // v1
+    val readerOnV1 = TableIO.selectTable(spark, lh, "r1")
+    TableIO.writeTable(spark, lh, "r1", Seq((2, "v2")).toDF("k", "s")) // v2
+    TableIO.writeTable(spark, lh, "r1", Seq((3, "v3")).toDF("k", "s")) // v3
+    // v1 is outside the count floor (newest 2) but inside the age window:
+    // both the version AND its data files survive
+    assert(TableIO.selectTableVersion(spark, lh, "r1", 1L).head().getString(1) == "v1")
+    assert(readerOnV1.head().getString(1) == "v1")
+    // explicit aged vacuum applies the count floor
+    Versioned.vacuum(Catalog.tablePath(lh, "r1"), retainAgeMs = 0L)
+    intercept[IllegalArgumentException] {
+      TableIO.selectTableVersion(spark, lh, "r1", 1L)
+    }
+    assert(TableIO.selectTable(spark, lh, "r1").head().getString(1) == "v3")
+    TableIO.dropTable(spark, lh, "r1")
+  }
+
+  test("schema evolution: overwrite with a changed schema is a first-class commit") {
+    TableIO.writeTable(spark, lh, "e1", Seq((1, "a")).toDF("k", "s"))
+    // reference semantics: overwriteSchema=true always (common.py:531)
+    TableIO.writeTable(spark, lh, "e1",
+      Seq((1, "a", 3.5), (2, "b", 4.5)).toDF("k", "s", "score"))
+    val back = TableIO.selectTable(spark, lh, "e1")
+    assert(back.columns.toSeq == Seq("k", "s", "score"))
+    assert(back.count() == 2)
+    // time travel still reads the OLD schema for the old version
+    assert(TableIO.selectTableVersion(spark, lh, "e1", 1L).columns.toSeq
+      == Seq("k", "s"))
+    TableIO.dropTable(spark, lh, "e1")
+  }
+
+  test("schema evolution: merge carrying a new nullable column widens the " +
+      "table; inherited files read it as null") {
+    TableIO.writeTable(spark, lh, "e2",
+      (1 to 40).map(i => (i, s"v$i")).toDF("k", "s"))
+    val before = fileState("e2")
+    TableIO.mergeTable(spark, lh, "e2",
+      Seq((1, "V1", "en"), (100, "V100", "fr")).toDF("k", "s", "lang"), Seq("k"))
+    val back = TableIO.selectTable(spark, lh, "e2")
+    assert(back.columns.toSeq == Seq("k", "s", "lang"))
+    assert(back.count() == 41)
+    val byKey = back.collect().map(r => r.getInt(0) ->
+      Option(r.getString(2))).toMap
+    assert(byKey(1).contains("en") && byKey(100).contains("fr"))
+    // untouched rows from inherited (pre-evolution) files: lang is null
+    assert(byKey(2).isEmpty && byKey(40).isEmpty)
+    // and those inherited files were not rewritten for the evolution
+    val after = fileState("e2")
+    val inherited = before.keySet.intersect(after.keySet)
+    assert(inherited.exists(p => before(p) == after(p)))
+    TableIO.dropTable(spark, lh, "e2")
+  }
+
+  test("schema evolution: append with a new column evolves without touching " +
+      "existing files") {
+    TableIO.writeTable(spark, lh, "e3", Seq((1, "a")).toDF("k", "s"))
+    val before = fileState("e3")
+    TableIO.appendTable(spark, lh, "e3",
+      Seq((2, "b", 9L)).toDF("k", "s", "extra"))
+    val after = fileState("e3")
+    assert(before.toSet.subsetOf(after.toSet))
+    val back = TableIO.selectTable(spark, lh, "e3").orderBy("k").collect()
+    assert(back.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(back(0).isNullAt(2) && back(1).getLong(2) == 9L)
+    TableIO.dropTable(spark, lh, "e3")
+  }
+}

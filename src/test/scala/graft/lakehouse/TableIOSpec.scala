@@ -44,10 +44,15 @@ class TableIOSpec extends SparkSuite {
     TableIO.writeTable(spark, lh, "t2", df, partitionBy = Seq("g"))
     val sub = Catalog.getTables(lh)
     assert(sub.contains("t2"))
-    val dir = new java.io.File(TableIO.currentDataPath(lh, "t2"))
-    assert(dir.listFiles().exists(_.getName.startsWith("g=")))
+    val files = TableIO.currentFiles(lh, "t2").map(_.toString)
+    assert(files.nonEmpty && files.forall(_.contains("/g=")), files.mkString(","))
     val back = TableIO.selectTable(spark, lh, "t2")
     assert(back.count() == 2)
+    // partition column round-trips through the manifest read: same columns,
+    // g recovered from the path with its committed type
+    assert(back.columns.toSet == Set("k", "g"))
+    assert(back.select("k", "g").collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSet == Set((1, "a"), (2, "b")))
     TableIO.dropTable(spark, lh, "t2")
   }
 
@@ -69,52 +74,77 @@ class TableIOSpec extends SparkSuite {
     assert(readerOnV2.count() == 3)
     assert(Versioned.latestVersion(Catalog.tablePath(lh, "tv")).contains(2L))
 
-    // a third commit sweeps v1 (retention = 2) but keeps v2
+    // a third commit does NOT sweep v1 yet — it is within the age window
+    // (two fast overwrites cannot sweep a snapshot a slow reader still
+    // scans); an explicit zero-age vacuum prunes to the count floor
     TableIO.writeTable(spark, lh, "tv", v1)
-    val tdir = new java.io.File(Catalog.tablePath(lh, "tv"))
-    val versions = tdir.listFiles().map(_.getName).filter(_.startsWith("_v")).toSet
-    assert(versions == Set("_v2", "_v3"), s"got $versions")
+    val tdir = Catalog.tablePath(lh, "tv")
+    assert(TableIO.selectTableVersion(spark, lh, "tv", 1L).count() == 2)
+    Versioned.vacuum(tdir, retainAgeMs = 0L)
+    val names = new java.io.File(tdir).listFiles().map(_.getName).toSet
+    assert(names.contains("_manifest_2") && names.contains("_manifest_3"))
+    assert(!names.contains("_manifest_1") && !names.contains("_commit_1"), names)
+    intercept[IllegalArgumentException] {
+      TableIO.selectTableVersion(spark, lh, "tv", 1L)
+    }
     TableIO.dropTable(spark, lh, "tv")
   }
 
-  test("a crashed writer's orphaned version dir never wedges the table") {
+  test("a crashed writer's orphaned claims never wedge the table") {
     val v1 = Seq((1, "a")).toDF("k", "s")
     TableIO.writeTable(spark, lh, "trace", v1)
-    // simulate a writer that died mid-write, leaving a partial _v2
-    val orphan = java.nio.file.Paths.get(Catalog.tablePath(lh, "trace"), "_v2")
+    val tdir = Catalog.tablePath(lh, "trace")
+    // simulate writers that died mid-commit: a legacy partial _v2 AND an
+    // orphaned manifest claim at 3 with no marker
+    val orphan = java.nio.file.Paths.get(tdir, "_v2")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("part-junk.parquet"),
       Array[Byte](1, 2, 3))
-    // the next commit skips past the orphan instead of colliding with it
+    java.nio.file.Files.write(java.nio.file.Paths.get(tdir, "_manifest_3"),
+      "{}\n".getBytes)
+    // the next commit allocates PAST both orphans instead of colliding
     TableIO.writeTable(spark, lh, "trace", Seq((2, "b"), (3, "c")).toDF("k", "s"))
-    assert(Versioned.latestVersion(Catalog.tablePath(lh, "trace")).contains(3L))
+    assert(Versioned.latestVersion(tdir).contains(4L))
     assert(TableIO.selectTable(spark, lh, "trace").count() == 2)
-    // and the orphan is swept once it falls out of the retention window
-    TableIO.writeTable(spark, lh, "trace", v1) // -> _v4; sweeps <= 2
+    // neither orphan is a committed version
+    assert(!Versioned.isCommitted(tdir, 2L) && !Versioned.isCommitted(tdir, 3L))
+    // and both are swept once they cannot be in-flight any more
+    Versioned.vacuum(tdir, retainAgeMs = 0L)
     assert(!java.nio.file.Files.exists(orphan))
-    assert(TableIO.selectTable(spark, lh, "trace").count() == 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tdir, "_manifest_3")))
+    assert(TableIO.selectTable(spark, lh, "trace").count() == 2)
     TableIO.dropTable(spark, lh, "trace")
   }
 
-  test("interleaved commits stay monotonic; slow writer cannot move table back") {
+  test("interleaved commits stay monotonic; conflict-checked commits fail loudly") {
     val tdir = Catalog.tablePath(lh, "trace2")
     TableIO.writeTable(spark, lh, "trace2", Seq((1, "a")).toDF("k", "s")) // v1
-    // writer A claims its version and, mid-write, writer B runs a complete
-    // allocate+write+commit cycle (simulated by nesting B inside A's write)
-    var innerPath = ""
-    val outerPath = Versioned.commit(tdir) { target =>
-      innerPath = Versioned.commit(tdir) { t2 =>
+    // writer A stages and, mid-write, writer B runs a complete commit cycle
+    // (simulated by nesting B inside A's write). Plain overwrites carry no
+    // base dependency: both land, serialized by COMPLETION order (Delta
+    // blind-overwrite semantics) — B takes v2, A retries onto v3.
+    val schema = Seq((0, "")).toDF("k", "s").schema.json
+    var inner: Long = -1
+    val outer = Versioned.commitFiles(tdir, schema) { target =>
+      inner = Versioned.commitFiles(tdir, schema) { t2 =>
         Seq((3, "c")).toDF("k", "s").write.mode("append").parquet(t2)
-      }
+      }.version
       Seq((2, "b")).toDF("k", "s").write.mode("append").parquet(target)
     }
-    // B allocated PAST A's claimed dir and committed first; A's later commit
-    // lands as an earlier version — latest stays the max committed marker
-    assert(outerPath.endsWith("_v2") && innerPath.endsWith("_v3"),
-      s"$outerPath / $innerPath")
+    assert(inner == 2L && outer.version == 3L, s"$inner / ${outer.version}")
     assert(Versioned.latestVersion(tdir).contains(3L))
     assert(Versioned.isCommitted(tdir, 2L)) // superseded but committed
-    assert(TableIO.selectTable(spark, lh, "trace2").head().getInt(0) == 3)
+    assert(TableIO.selectTable(spark, lh, "trace2").head().getInt(0) == 2)
+    // a conflict-CHECKED commit (read-modify-write) in the same race must
+    // throw instead of silently superseding the interleaved writer
+    intercept[Versioned.ConcurrentWriteException] {
+      Versioned.commitFiles(tdir, schema, expectedBase = Some(3L)) { target =>
+        Versioned.commitFiles(tdir, schema) { t2 =>
+          Seq((9, "z")).toDF("k", "s").write.mode("append").parquet(t2)
+        }
+        Seq((8, "y")).toDF("k", "s").write.mode("append").parquet(target)
+      }
+    }
     TableIO.dropTable(spark, lh, "trace2")
   }
 
@@ -132,7 +162,7 @@ class TableIOSpec extends SparkSuite {
       case Some(v) => spark.conf.set(coalesceKey, v)
       case None => spark.conf.unset(coalesceKey)
     }
-    val ranges = spark.read.parquet(TableIO.currentDataPath(lh, "tsorted"))
+    val ranges = TableIO.selectTable(spark, lh, "tsorted")
       .groupBy(input_file_name().as("f"))
       .agg(min("k").as("lo"), max("k").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
@@ -178,14 +208,13 @@ class TableIOSpec extends SparkSuite {
     // a clean merge preserves the hive layout through the rewrite
     TableIO.mergeTable(spark, lh, "tpart",
       Seq((3, "z", "a")).toDF("k", "s", "g"), Seq("k"))
-    val dir = new java.io.File(TableIO.currentDataPath(lh, "tpart"))
-    assert(dir.listFiles().exists(_.getName.startsWith("g=")),
-      dir.listFiles().map(_.getName).mkString(","))
+    val files = TableIO.currentFiles(lh, "tpart").map(_.toString)
+    assert(files.forall(_.contains("/g=")), files.mkString(","))
     assert(TableIO.selectTable(spark, lh, "tpart").count() == 3)
     // compaction preserves it too
     TableIO.compactTable(spark, lh, "tpart")
-    val dir2 = new java.io.File(TableIO.currentDataPath(lh, "tpart"))
-    assert(dir2.listFiles().exists(_.getName.startsWith("g=")))
+    val files2 = TableIO.currentFiles(lh, "tpart").map(_.toString)
+    assert(files2.nonEmpty && files2.forall(_.contains("/g=")), files2.mkString(","))
     TableIO.dropTable(spark, lh, "tpart")
   }
 
@@ -193,10 +222,7 @@ class TableIOSpec extends SparkSuite {
     val df = spark.range(0, 10000).selectExpr("id AS k", "id % 7 AS g")
       .repartition(16) // 16 small files
     TableIO.writeTable(spark, lh, "tcomp", df)
-    def parquetFiles(): Int = {
-      val d = new java.io.File(TableIO.currentDataPath(lh, "tcomp"))
-      d.listFiles().count(_.getName.endsWith(".parquet"))
-    }
+    def parquetFiles(): Int = TableIO.currentFiles(lh, "tcomp").size
     assert(parquetFiles() == 16)
     val v1 = Versioned.latestVersion(Catalog.tablePath(lh, "tcomp"))
     val info = TableIO.compactTable(spark, lh, "tcomp") // tiny -> 1 file
@@ -215,17 +241,51 @@ class TableIOSpec extends SparkSuite {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
     assert(TableIO.selectTable(spark, lh, "tlegacy").count() == 1)
-    def legacyFiles(): Int = new java.io.File(legacyDir).listFiles()
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    assert(legacyFiles() > 0)
-    // first versioned commit leaves the legacy copy (grace for readers)...
+    def rootParquet(): Set[String] = new java.io.File(legacyDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val legacy = rootParquet()
+    assert(legacy.nonEmpty)
+    // versioned commits leave the legacy copy within the age window
+    // (grace for slow readers of the pre-protocol layout)...
     TableIO.writeTable(spark, lh, "tlegacy", Seq((8, "y")).toDF("k", "s"))
-    assert(legacyFiles() > 0)
-    // ...the second sweeps it
-    TableIO.writeTable(spark, lh, "tlegacy", Seq((9, "z")).toDF("k", "s"))
-    assert(legacyFiles() == 0)
+    assert(legacy.subsetOf(rootParquet()))
+    assert(TableIO.selectTable(spark, lh, "tlegacy").count() == 1)
+    // ...an aged vacuum sweeps exactly the unreferenced legacy files (the
+    // new version's root files are manifest-referenced and survive)
+    Versioned.vacuum(Catalog.tablePath(lh, "tlegacy"), retainAgeMs = 0L)
+    assert(rootParquet().intersect(legacy).isEmpty)
     assert(TableIO.selectTable(spark, lh, "tlegacy").count() == 1)
     TableIO.dropTable(spark, lh, "tlegacy")
+  }
+
+  test("pre-protocol HIVE-PARTITIONED layout stays readable and is swept by vacuum") {
+    val legacyDir = Catalog.tablePath(lh, "tlegacyp")
+    Seq((1, "a"), (2, "b")).toDF("k", "g").write.partitionBy("g").parquet(legacyDir)
+    assert(TableIO.selectTable(spark, lh, "tlegacyp").count() == 2)
+    def legacyPartDirs(): Int = new java.io.File(legacyDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("g="))
+    assert(legacyPartDirs() == 2)
+    // adopt the protocol (partitioned overwrite), then age-vacuum: the
+    // legacy col=value dirs' files are unreferenced -> swept; the NEW
+    // manifest's files (also under g=... at the root) survive
+    TableIO.writeTable(spark, lh, "tlegacyp",
+      Seq((3, "c"), (4, "d")).toDF("k", "g"), partitionBy = Seq("g"))
+    Versioned.vacuum(legacyDir, retainAgeMs = 0L)
+    val back = TableIO.selectTable(spark, lh, "tlegacyp")
+    assert(back.collect().map(_.getInt(0)).toSet == Set(3, 4))
+    // every remaining parquet under the root is manifest-referenced
+    val remaining = TableIO.currentFiles(lh, "tlegacyp").map(_.toString).toSet
+    val onDisk = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(legacyDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet")).map(_.toString).toSet
+      } finally s.close()
+    }
+    assert(onDisk == remaining, s"unswept: ${onDisk -- remaining}")
+    TableIO.dropTable(spark, lh, "tlegacyp")
   }
 
   test("selectTable on a missing table surfaces the root cause") {
