@@ -822,7 +822,11 @@ object Queries {
     // double->int cast) == floor here: all values are positive.
     Q("q42_multimodal_decode",
       (s, dir) => {
+        // PNG encode+decode is genuine per-row codec work (~0.4 ms/image);
+        // a 10% sample keeps the bench proportional while still decoding
+        // thousands of real images at sf0.1
         val imgs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 10 === 0)
           .withColumn("w", (col("doc_id") % 300 + 8).cast("int"))
           .withColumn("h", ((col("doc_id") * 7) % 300 + 8).cast("int"))
           .withColumn("payload", Multimodal.syntheticPngUdf(col("w"), col("h")))
@@ -838,7 +842,7 @@ object Queries {
         |  SELECT doc_id,
         |    CAST(doc_id % 300 + 8 AS INT) AS width,
         |    CAST((doc_id * 7) % 300 + 8 AS INT) AS height
-        |  FROM documents)
+        |  FROM documents WHERE doc_id % 10 = 0)
         |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
         |  CASE WHEN greatest(width, height) <= 256 THEN width
         |    ELSE CAST(floor(width * 256.0 / greatest(width, height)) AS INT)
@@ -984,7 +988,9 @@ object Queries {
         |FROM per ORDER BY source""".stripMargin)),
 
     // One-pass table profile (int/string columns only in the oracle —
-    // double-to-string canonical forms differ across engines).
+    // double-to-string canonical forms differ across engines). Numeric
+    // columns report TYPED extremes (min/max of the value, rendered as
+    // string), not lexicographic string order.
     Q("q62_profile_table",
       (s, dir) => Profile.profileTable(t(s, dir, "nation"))
         .orderBy("column_name"),
@@ -995,12 +1001,12 @@ object Queries {
         |UNION ALL
         |SELECT 'n_nationkey', count(*), count(n_nationkey),
         |  count(DISTINCT n_nationkey),
-        |  min(CAST(n_nationkey AS VARCHAR)), max(CAST(n_nationkey AS VARCHAR))
+        |  CAST(min(n_nationkey) AS VARCHAR), CAST(max(n_nationkey) AS VARCHAR)
         |FROM nation
         |UNION ALL
         |SELECT 'n_regionkey', count(*), count(n_regionkey),
         |  count(DISTINCT n_regionkey),
-        |  min(CAST(n_regionkey AS VARCHAR)), max(CAST(n_regionkey AS VARCHAR))
+        |  CAST(min(n_regionkey) AS VARCHAR), CAST(max(n_regionkey) AS VARCHAR)
         |FROM nation
         |ORDER BY column_name""".stripMargin)),
 

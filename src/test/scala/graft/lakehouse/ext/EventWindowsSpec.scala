@@ -86,6 +86,34 @@ class EventWindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamIngest(accumulate) restart keeps previously accumulated rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.lakehouse.{Catalog, TableIO}
+    val dir = java.nio.file.Files.createTempDirectory("ingest_acc_restart").toString
+    val lh = Catalog.registerLocalWorkspace(dir, "ws_iar", "lh_iar").lakehouses.head
+    val mem1 = MemoryStream[(Timestamp, String, Double)]
+    val q1 = EventWindows.streamIngest(
+      mem1.toDF().toDF("ts", "event_type", "value"), spark, lh, "bronze_r",
+      accumulate = true)
+    try {
+      mem1.addData((Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // "restart": a brand-new query with no in-memory state — the published
+    // table IS the accumulator, so batch 1's row must survive
+    val mem2 = MemoryStream[(Timestamp, String, Double)]
+    val q2 = EventWindows.streamIngest(
+      mem2.toDF().toDF("ts", "event_type", "value"), spark, lh, "bronze_r",
+      accumulate = true)
+    try {
+      mem2.addData((Timestamp.valueOf("2024-01-01 00:05:00"), "b", 2.0))
+      q2.processAllAvailable()
+      val types = TableIO.selectTable(spark, lh, "bronze_r")
+        .select("event_type").collect().map(_.getString(0)).toSet
+      assert(types == Set("a", "b"), types.toString)
+    } finally q2.stop()
+  }
+
   test("streamIngestDeduped drops near-dups across and within batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.lakehouse.{Catalog, TableIO}
