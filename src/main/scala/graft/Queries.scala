@@ -152,6 +152,40 @@ object Queries {
         |       ELSE p_retailprice END AS p_retailprice)
         |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // DELETE WHERE roundtrip: file-level row delete (only files containing
+    // matches are rewritten), read back and compared to the SQL complement.
+    Q("q68_delete_roundtrip",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "orders_del",
+          t(s, dir, "orders").select("o_orderkey", "o_custkey",
+            "o_orderstatus", "o_totalprice"))
+        TableIO.deleteFromTable(s, lh, "orders_del",
+          "o_orderstatus = 'F' AND o_totalprice < 100000.0")
+        TableIO.selectTable(s, lh, "orders_del").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Stat-pruned range scan over a sortBy-clustered table: per-file
+    // min/max in the manifest skip non-overlapping files; the residual
+    // filter makes the result exactly the full-scan answer (hash-verified).
+    Q("q69_pruned_scan",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "orders_clustered",
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          sortBy = Seq("o_totalprice"))
+        TableIO.prunedScan(s, lh, "orders_clustered", "o_totalprice",
+          Some(100000.0), Some(150000.0))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Fragmented write -> compaction -> read-back: the maintenance half of
     // the versioned commit protocol; contents must be byte-identical to the
     // source table after the rewrite.

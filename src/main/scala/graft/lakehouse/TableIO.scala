@@ -4,7 +4,8 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import java.util.Comparator
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType,
+  StringType, StructField, StructType, TimestampType}
 
 /** Table read/write surface over the local lakehouse: the reference's Delta
   * scans/sinks re-expressed over Parquet. All writes go through the
@@ -121,6 +122,145 @@ object TableIO {
     if (distinct) projected.distinct() else projected
   }
 
+  // ---- per-file column statistics (data skipping) -------------------------
+
+  /** How many leading eligible columns get per-file min/max stats recorded
+    * in the manifest (Delta defaults to 32; 8 keeps manifests compact). */
+  val MaxStatsCols = 8
+
+  /** Columns eligible for per-file stats: orderable atomic types whose
+    * canonical string rendering also ORDERS correctly lexicographically
+    * within the type (numerics are compared numerically at prune time;
+    * ISO-rendered dates/timestamps and booleans compare as strings). */
+  private def statsColumns(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter { f =>
+      f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType
+            | BooleanType => true
+        case _ => false
+      }
+    }.take(MaxStatsCols)
+
+  /** Collect per-file min/max stats over a staged write (one aggregation
+    * over the NEW files only — O(batch); Delta computes the same stats
+    * inline during its write). Returns staging-relative path → single-line
+    * JSON `{"col":[min,max],...}` (json4s-rendered: control characters are
+    * escaped, so the manifest's line/tab format is safe). */
+  private def collectFileStats(spark: SparkSession)(stagingDir: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.json4s.JsonDSL._
+    import org.json4s.{JArray, JNull, JString, JValue}
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val df = spark.read.parquet(stagingDir)
+    val cols = statsColumns(df.schema)
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(f => Seq(
+      min(col(f.name)).cast("string"), max(col(f.name)).cast("string")))
+    val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val stagingP = Paths.get(stagingDir)
+    rows.map { r =>
+      val rel = stagingP.relativize(
+        Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
+      def j(i: Int): JValue =
+        if (r.isNullAt(i)) JNull else JString(r.getString(i))
+      val obj: JValue = cols.zipWithIndex.map { case (f, i) =>
+        f.name -> (JArray(List(j(1 + 2 * i), j(2 + 2 * i))): JValue)
+      }.foldLeft(org.json4s.JObject()) { case (acc, (k, v)) =>
+        org.json4s.JObject(acc.obj :+ (k -> v))
+      }
+      rel -> compact(render(obj))
+    }.toMap
+  }
+
+  /** Parse a file entry's stats for one column: Some((min, max)) where None
+    * inside means the column is all-null in that file; outer None = no
+    * stats recorded (always scan). */
+  private def statsRange(entry: Versioned.FileEntry,
+      colName: String): Option[(Option[String], Option[String])] =
+    entry.stats.flatMap { s =>
+      import org.json4s.jackson.JsonMethods.parse
+      import org.json4s.{JArray, JNull, JString}
+      scala.util.Try(parse(s)).toOption.flatMap { j =>
+        (j \ colName) match {
+          case JArray(List(mn, mx)) =>
+            def v(x: org.json4s.JValue): Option[String] = x match {
+              case JString(str) => Some(str)
+              case JNull => None
+              case other => Some(other.values.toString)
+            }
+            Some((v(mn), v(mx)))
+          case _ => None
+        }
+      }
+    }
+
+  /** Conservative file-overlap test for `[lo, hi]` against a file's
+    * recorded `[min, max]` on `dt`-typed `statCol`. Returns true (scan the
+    * file) whenever pruning cannot be PROVEN safe. An all-null column can
+    * never satisfy a range predicate, so those files prune. */
+  private def mayMatch(dt: DataType, range: (Option[String], Option[String]),
+      lo: Option[Any], hi: Option[Any]): Boolean = {
+    val (mnO, mxO) = range
+    (mnO, mxO) match {
+      case (None, None) => false // all-null file: no row satisfies a range
+      case (Some(mn), Some(mx)) =>
+        def cmp(a: String, b: String): Int = dt match {
+          case _: NumericType =>
+            new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+          case _ => a.compareTo(b) // ISO dates/timestamps, strings, booleans
+        }
+        def str(v: Any): String = v.toString
+        val aboveLo = lo.forall(l => scala.util.Try(cmp(mx, str(l)) >= 0).getOrElse(true))
+        val belowHi = hi.forall(h => scala.util.Try(cmp(mn, str(h)) <= 0).getOrElse(true))
+        aboveLo && belowHi
+      case _ => true // half-recorded stats: be safe
+    }
+  }
+
+  /** The data-skipping file prune for a range predicate `lo <= statCol <=
+    * hi` on the current version: (surviving entries, total file count).
+    * Files without recorded stats always survive. Returns None for
+    * legacy/pre-protocol layouts (no per-file stats exist). */
+  def pruneFiles(lh: LakehouseProps, tableName: String, statCol: String,
+      lo: Option[Any], hi: Option[Any]): Option[(Versioned.ScanFiles, Int)] = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    Versioned.latestVersion(tableDir).flatMap(v =>
+      Versioned.readManifest(tableDir, v)).map { m =>
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val dt = schema.fields.find(_.name == statCol).map(_.dataType)
+        .getOrElse(StringType)
+      val kept = m.entries.filter { e =>
+        statsRange(e, statCol) match {
+          case Some(range) => mayMatch(dt, range, lo, hi)
+          case None => true // no stats for this file/column: must scan
+        }
+      }
+      (Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path)),
+        m.entries.size)
+    }
+  }
+
+  /** Stat-pruned range scan: `SELECT * WHERE lo <= statCol AND statCol <=
+    * hi`, skipping every data file whose recorded [min,max] cannot overlap
+    * the range — with [[writeTable]]'s `sortBy` clustering, a narrow range
+    * over a 100 TB table touches a handful of files. The residual predicate
+    * is always applied, so the result equals the unpruned scan regardless
+    * of stats quality (pruning is a pure I/O optimization, exactly Delta's
+    * data-skipping contract). Falls back to a full filtered scan for
+    * legacy layouts. */
+  def prunedScan(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      statCol: String, lo: Option[Any] = None, hi: Option[Any] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = pruneFiles(lh, tableName, statCol, lo, hi) match {
+      case Some((spec, _)) => scanSpec(spark, spec)
+      case None => selectTable(spark, lh, tableName)
+    }
+    val filters = lo.map(l => col(statCol) >= lit(l)).toSeq ++
+      hi.map(h => col(statCol) <= lit(h))
+    filters.foldLeft(base)(_ filter _)
+  }
+
   /** common.py:525-538 — overwrite-write (optionally Hive-style partitioned),
     * then record `{lakehouse, shape, columns, path}` into the registry.
     * Schema changes are first-class: the new version's manifest stores the
@@ -140,7 +280,8 @@ object TableIO {
       if (sortBy.isEmpty) df
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
-    val commit = Versioned.commitFiles(tableDir, df.schema.json) { target =>
+    val commit = Versioned.commitFiles(tableDir, df.schema.json,
+      collectStats = collectFileStats(spark)) { target =>
       val writer = clustered.write.mode(SaveMode.Append)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(target)
@@ -163,9 +304,9 @@ object TableIO {
       Versioned.latestVersion(tableDir) match {
         case None => return writeTable(spark, lh, tableName, df)
         case Some(base) =>
-          Versioned.specFor(tableDir, base) match {
-            case Versioned.ScanFiles(_, schemaJson, files) =>
-              val oldSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          Versioned.readManifest(tableDir, base) match {
+            case Some(m) =>
+              val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
               val oldEmpty = spark.createDataFrame(
                 spark.sparkContext.emptyRDD[Row], oldSchema)
               // evolved schema = old ∪ new (by name); old columns keep
@@ -176,7 +317,8 @@ object TableIO {
               val parts = currentPartitioning(lh, tableName)
               try {
                 val commit = Versioned.commitFiles(tableDir, evolved.json,
-                  inherit = files, expectedBase = Some(base)) { target =>
+                  inherit = m.entries, expectedBase = Some(base),
+                  collectStats = collectFileStats(spark)) { target =>
                   val writer = aligned.write.mode(SaveMode.Append)
                   (if (parts.nonEmpty) writer.partitionBy(parts: _*)
                    else writer).parquet(target)
@@ -188,7 +330,7 @@ object TableIO {
                   attempt += 1
                   if (attempt > maxRetries) throw e
               }
-            case _ =>
+            case None =>
               // legacy snapshot version: append = full rewrite once; the
               // table is manifest-based from then on
               val current = selectTable(spark, lh, tableName)
@@ -302,34 +444,36 @@ object TableIO {
     }
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
-    (base, base.map(Versioned.specFor(tableDir, _))) match {
-      case (Some(b), Some(spec @ Versioned.ScanFiles(_, schemaJson, files))) =>
-        val oldSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
+      case (Some(b), Some(m)) =>
+        val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
         val updKeys = updates.select(keyColumns: _*).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // 1. affected files: key-columns-only columnar scan + semi join —
           // reads keyCols bytes of the table, not the table
           import org.apache.spark.sql.functions.col
-          val affectedPaths = scanSpec(spark, spec)
+          val affectedPaths = scanSpec(spark,
+            Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
             .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
             .join(updKeys, keyCols, "left_semi")
             .select("__fp").distinct()
             .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
           val baseP = Paths.get(tableDir)
-          val (affected, untouched) = files.partition(rel =>
-            affectedPaths.contains(baseP.resolve(rel).toString))
+          val (affected, untouched) = m.entries.partition(e =>
+            affectedPaths.contains(baseP.resolve(e.path).toString))
           // 2. rewrite ONLY the affected files; inherit the rest
           val affectedDf =
             if (affected.isEmpty)
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row], oldSchema)
             else scanSpec(spark,
-              Versioned.ScanFiles(tableDir, schemaJson, affected))
+              Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
           val kept = affectedDf.join(updKeys, keyCols, "left_anti")
           val rewritten = kept.unionByName(updates, allowMissingColumns = true)
           val parts = currentPartitioning(lh, tableName)
           val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
-            inherit = untouched, expectedBase = Some(b)) { target =>
+            inherit = untouched, expectedBase = Some(b),
+            collectStats = collectFileStats(spark)) { target =>
             val writer = rewritten.write.mode(SaveMode.Append)
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
              else writer).parquet(target)
@@ -392,12 +536,58 @@ object TableIO {
       if (parts.isEmpty) df.coalesce(nFiles)
       else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
-      expectedBase = base) { target =>
+      expectedBase = base, collectStats = collectFileStats(spark)) { target =>
       val writer = arranged.write.mode(SaveMode.Append)
       (if (parts.nonEmpty) writer.partitionBy(parts: _*)
        else writer).parquet(target)
     }
     finishCommit(spark, lh, tableName, tableDir, commit, df.columns.toSeq, parts)
+  }
+
+  /** DELETE WHERE (Delta row-delete, file-level): a pushed-down scan finds
+    * which files contain rows matching `condition`; only those files are
+    * rewritten WITHOUT the matching rows — untouched files are inherited by
+    * reference. Rows where the condition is NULL are KEPT (SQL DELETE
+    * three-valued semantics). Concurrent writers fail loudly via the
+    * optimistic base check. */
+  def deleteFromTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      condition: String): TableInfo = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val cond = coalesce(expr(condition), lit(false))
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
+      case (Some(b), Some(m)) =>
+        val affectedPaths = scanSpec(spark,
+          Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
+          .filter(cond)
+          .select(col("_metadata.file_path").as("__fp")).distinct()
+          .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+        val baseP = Paths.get(tableDir)
+        val (affected, untouched) = m.entries.partition(e =>
+          affectedPaths.contains(baseP.resolve(e.path).toString))
+        val parts = currentPartitioning(lh, tableName)
+        val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+          inherit = untouched, expectedBase = Some(b),
+          collectStats = collectFileStats(spark)) { target =>
+          if (affected.nonEmpty) {
+            val survivors = scanSpec(spark,
+              Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+              .filter(not(cond))
+            val writer = survivors.write.mode(SaveMode.Append)
+            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+             else writer).parquet(target)
+          }
+        }
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        finishCommit(spark, lh, tableName, tableDir, commit,
+          schema.fieldNames.toSeq, parts)
+      case _ =>
+        // legacy layout: one full filtered rewrite adopts the protocol
+        val current = selectTable(spark, lh, tableName)
+        writeTable(spark, lh, tableName, current.filter(not(cond)),
+          partitionBy = currentPartitioning(lh, tableName))
+    }
   }
 
   /** Views write path — the reference defines `viewPath` (common.py:392) and

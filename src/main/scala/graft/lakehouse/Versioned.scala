@@ -83,9 +83,27 @@ object Versioned {
     * Overridable for tests; `vacuum` takes an explicit age. */
   @volatile var RetainAgeMs: Long = 10 * 60 * 1000L
 
+  /** One data file in a manifest: its path (relative to the table dir) and
+    * optional per-file column statistics (single-line JSON:
+    * `{"col":[minStr, maxStr], ...}`, nulls for all-null columns) — the
+    * data-skipping metadata Delta keeps per add-file. Serialized as
+    * `path` or `path<TAB>statsJson` (stats JSON escapes control chars, so
+    * neither raw tabs nor newlines can corrupt the line format). */
+  final case class FileEntry(path: String, stats: Option[String]) {
+    def serialized: String = stats.fold(path)(s => s"$path\t$s")
+  }
+  object FileEntry {
+    def parse(line: String): FileEntry = line.split("\t", 2) match {
+      case Array(p, s) => FileEntry(p, Some(s))
+      case _ => FileEntry(line, None)
+    }
+  }
+
   /** A committed version's content: the table schema (Spark JSON form) and
     * the data files composing it, relative to the table directory. */
-  final case class Manifest(schemaJson: String, files: Seq[String])
+  final case class Manifest(schemaJson: String, entries: Seq[FileEntry]) {
+    def files: Seq[String] = entries.map(_.path)
+  }
 
   /** What a reader should scan. */
   sealed trait ReadSpec
@@ -97,7 +115,10 @@ object Versioned {
 
   /** Result of a commit: the version number, the files this commit ADDED,
     * and the full file list of the new version. */
-  final case class Commit(version: Long, added: Seq[String], files: Seq[String])
+  final case class Commit(version: Long, added: Seq[FileEntry],
+      entries: Seq[FileEntry]) {
+    def files: Seq[String] = entries.map(_.path)
+  }
 
   /** A read-modify-write commit lost the race for base+1: the caller's view
     * of the table is stale. Re-read and retry (Delta MERGE semantics). */
@@ -156,7 +177,8 @@ object Versioned {
     else {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       if (lines.isEmpty) None
-      else Some(Manifest(lines.head, lines.tail.filter(_.nonEmpty).toSeq))
+      else Some(Manifest(lines.head,
+        lines.tail.filter(_.nonEmpty).map(FileEntry.parse).toSeq))
     }
   }
 
@@ -199,8 +221,10 @@ object Versioned {
     * leaves an uncommitted orphan (no marker) that age-based sweep clears.
     */
   def commitFiles(tableDir: String, schemaJson: String,
-      inherit: Seq[String] = Seq.empty,
-      expectedBase: Option[Long] = None)(write: String => Unit): Commit = {
+      inherit: Seq[FileEntry] = Seq.empty,
+      expectedBase: Option[Long] = None,
+      collectStats: String => Map[String, String] = _ => Map.empty)
+      (write: String => Unit): Commit = {
     require(inherit.isEmpty || expectedBase.isDefined,
       "a commit inheriting files must pin the base version they came from")
     require(!schemaJson.contains("\n"), "schema JSON must be single-line")
@@ -216,14 +240,21 @@ object Versioned {
     Files.createDirectory(staging)
     try {
       write(staging.toString)
+      // per-file stats over the STAGED files only (O(batch)): the caller's
+      // collector maps staging-relative paths to single-line stats JSON
+      val stats = try collectStats(staging.toString)
+      catch { case _: Exception => Map.empty[String, String] }
       // relative destinations: a staged `col=value/part-x.parquet` lands at
       // the same relative path under the table root (Spark's part-file
       // names carry the write-job uuid, so cross-commit names never clash)
       val stagedSrc = listParquet(staging)
-      val staged = stagedSrc.map(p => staging.relativize(p).toString)
+      val staged = stagedSrc.map { p =>
+        val rel = staging.relativize(p).toString
+        FileEntry(rel, stats.get(rel).filter(s => !s.contains("\n")))
+      }
       val files = inherit ++ staged
       val tmp = dir.resolve(s".manifest.tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, (schemaJson +: files).mkString("\n")
+      Files.write(tmp, (schemaJson +: files.map(_.serialized)).mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
       try {
         // allocate past every existing version number — committed, legacy,

@@ -1,0 +1,117 @@
+package graft.lakehouse
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Per-file column stats (manifest data skipping), stat-pruned scans, and
+  * file-level DELETE. */
+class DataSkippingSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("skip_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_skip", "lh_skip").lakehouses.head
+  }
+
+  private def withFixedPartitions[A](f: => A): A = {
+    // AQE coalesces tiny fixtures into one file; pin partitions so the
+    // multi-file clustering property is observable at test scale
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("manifests record per-file min/max; clustered range scans prune most files") {
+    val df = spark.range(0, 40000).selectExpr("id AS k", "id % 97 AS payload")
+      .repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "clustered", df, sortBy = Seq("k"))
+    }
+    val tdir = Catalog.tablePath(lh, "clustered")
+    val m = Versioned.readManifest(tdir, Versioned.latestVersion(tdir).get).get
+    assert(m.entries.size > 1, "fixture should span multiple files")
+    assert(m.entries.forall(_.stats.nonEmpty), "every file needs stats")
+
+    // narrow range over the k-clustered table: most files must prune away
+    val Some((spec, total)) =
+      TableIO.pruneFiles(lh, "clustered", "k", Some(100L), Some(200L))
+    assert(total == m.entries.size)
+    assert(spec.relFiles.size < total,
+      s"pruned ${spec.relFiles.size} of $total — clustering should skip files")
+
+    // and the pruned result is EXACTLY the unpruned filtered result
+    val pruned = TableIO.prunedScan(spark, lh, "clustered", "k",
+      Some(100L), Some(200L)).orderBy("k").collect()
+    val full = TableIO.selectTable(spark, lh, "clustered")
+      .filter($"k" >= 100L && $"k" <= 200L).orderBy("k").collect()
+    assert(pruned.sameElements(full) && pruned.length == 101)
+    TableIO.dropTable(spark, lh, "clustered")
+  }
+
+  test("pruning is conservative on unclustered data and string columns") {
+    val df = Seq((5L, "banana"), (1L, "apple"), (9L, "cherry"), (3L, "apricot"))
+      .toDF("k", "s").repartition(2)
+    withFixedPartitions { TableIO.writeTable(spark, lh, "uncl", df) }
+    val got = TableIO.prunedScan(spark, lh, "uncl", "s",
+      Some("apple"), Some("apricot")).select("s").collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set("apple", "apricot"))
+    // open-ended ranges work too
+    assert(TableIO.prunedScan(spark, lh, "uncl", "k", lo = Some(5L), hi = None)
+      .count() == 2)
+    TableIO.dropTable(spark, lh, "uncl")
+  }
+
+  test("inherited files keep their stats through merge commits") {
+    val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+      .repartition(4)
+    withFixedPartitions { TableIO.writeTable(spark, lh, "keep", df, sortBy = Seq("k")) }
+    TableIO.mergeTable(spark, lh, "keep",
+      Seq((1L, 999L)).toDF("k", "v"), Seq("k"))
+    val tdir = Catalog.tablePath(lh, "keep")
+    val m = Versioned.readManifest(tdir, Versioned.latestVersion(tdir).get).get
+    assert(m.entries.forall(_.stats.nonEmpty),
+      "inherited entries must carry their original stats")
+    TableIO.dropTable(spark, lh, "keep")
+  }
+
+  test("deleteFromTable rewrites only files containing matches; NULL " +
+      "condition rows are kept") {
+    val base = (1 to 100).map(i =>
+      (i, if (i % 10 == 0) None else Some(i * 1.0),
+        if (i % 2 == 0) "a" else "b")).toDF("k", "score", "g")
+    TableIO.writeTable(spark, lh, "del1", base, partitionBy = Seq("g"))
+    val before = TableIO.currentFiles(lh, "del1").map(p =>
+      p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+
+    // delete even keys with score < 30 — only partition g=a holds matches
+    val info = TableIO.deleteFromTable(spark, lh, "del1", "g = 'a' AND score < 30")
+    val after = TableIO.currentFiles(lh, "del1").map(p =>
+      p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val beforeB = before.filter(_._1.contains("/g=b/"))
+    assert(beforeB.toSet.subsetOf(after.toSet), "g=b files were rewritten")
+
+    val remaining = TableIO.selectTable(spark, lh, "del1")
+    // deleted: even k in [2,28] with non-null score -> 2..28 even minus k=10,20
+    assert(info.rowCount == 100 - 12)
+    // NULL-scoring rows (k=10, 20) survive: condition evaluates NULL, not true
+    val keys = remaining.select("k").collect().map(_.getInt(0)).toSet
+    assert(keys.contains(10) && keys.contains(20) && !keys.contains(2))
+    TableIO.dropTable(spark, lh, "del1")
+  }
+
+  test("delete with no matches inherits everything (zero-write commit)") {
+    TableIO.writeTable(spark, lh, "del2", Seq((1, "x"), (2, "y")).toDF("k", "s"))
+    val before = TableIO.currentFiles(lh, "del2").map(_.toString).toSet
+    val v0 = Versioned.latestVersion(Catalog.tablePath(lh, "del2")).get
+    TableIO.deleteFromTable(spark, lh, "del2", "k > 100")
+    assert(TableIO.currentFiles(lh, "del2").map(_.toString).toSet == before)
+    assert(Versioned.latestVersion(Catalog.tablePath(lh, "del2")).get == v0 + 1)
+    assert(TableIO.selectTable(spark, lh, "del2").count() == 2)
+    TableIO.dropTable(spark, lh, "del2")
+  }
+}
