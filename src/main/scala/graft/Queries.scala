@@ -186,6 +186,42 @@ object Queries {
         |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Incremental consumption: base write -> version pin -> append -> read
+    // exactly the appended increment by file-manifest diff (O(new data)).
+    Q("q71_changes_since",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        TableIO.writeTable(s, lh, "orders_inc",
+          orders.filter(col("o_orderkey") % 4 === 0))
+        val v = Versioned.latestVersion(Catalog.tablePath(lh, "orders_inc")).get
+        TableIO.appendTable(s, lh, "orders_inc",
+          orders.filter(col("o_orderkey") % 4 =!= 0))
+        TableIO.readChangesSince(s, lh, "orders_inc", v).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 4 <> 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // Z-order clustered write -> two-dimension stat-pruned scan: both range
+    // predicates contribute file skips (1-D sort could only serve one); the
+    // residual filters make the result exactly the full-scan answer.
+    Q("q70_zorder_scan",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "orders_zorder",
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          zorderBy = Seq("o_custkey", "o_totalprice"))
+        TableIO.prunedScanRanges(s, lh, "orders_zorder", Seq(
+          ("o_custkey", Some(100L), Some(700L)),
+          ("o_totalprice", Some(50000.0), Some(200000.0))))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 700
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Fragmented write -> compaction -> read-back: the maintenance half of
     // the versioned commit protocol; contents must be byte-identical to the
     // source table after the rewrite.
@@ -886,11 +922,22 @@ object Queries {
         |  END AS r_height
         |FROM d ORDER BY doc_id""".stripMargin)),
 
+    // Frame fingerprints are sha-256 over byte-substring chunks — DuckDB
+    // recomputes the identical chunking arithmetic and hashes, so the whole
+    // explode+slice path is hash-verified cross-engine. (DuckDB has no BLOB
+    // substring, so its side slices VARCHAR — byte-identical because the
+    // fixture documents are pure ASCII, asserted at all SFs.)
     Q("q43_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.asBlob(t(s, dir, "documents"), "text", "payload"),
         "doc_id", "payload", frames = 4).orderBy("doc_id", "frame_no"),
-      None),
+      Some("""WITH b AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents)
+        |SELECT doc_id, f.f AS frame_no,
+        |  sha256(substring(text, CAST(1 + f.f * (len // 4) AS INT),
+        |    CAST(greatest(len // 4, 1) AS INT))) AS frame_hash
+        |FROM b, (SELECT unnest(range(4)) AS f) f
+        |ORDER BY doc_id, frame_no""".stripMargin)),
 
     // As-of join — the classic missing-Spark temporal operator, verified
     // against DuckDB's NATIVE ASOF LEFT JOIN (an independent

@@ -218,28 +218,38 @@ object TableIO {
     }
   }
 
-  /** The data-skipping file prune for a range predicate `lo <= statCol <=
-    * hi` on the current version: (surviving entries, total file count).
+  /** The data-skipping file prune for a conjunction of range predicates
+    * `lo_i <= col_i <= hi_i` on the current version: a file survives only
+    * if EVERY predicate may match it (ranges intersect per-file — with
+    * z-ordered data each extra dimension multiplies the skip rate).
     * Files without recorded stats always survive. Returns None for
     * legacy/pre-protocol layouts (no per-file stats exist). */
-  def pruneFiles(lh: LakehouseProps, tableName: String, statCol: String,
-      lo: Option[Any], hi: Option[Any]): Option[(Versioned.ScanFiles, Int)] = {
+  def pruneFilesRanges(lh: LakehouseProps, tableName: String,
+      ranges: Seq[(String, Option[Any], Option[Any])]
+      ): Option[(Versioned.ScanFiles, Int)] = {
     val tableDir = Catalog.tablePath(lh, tableName)
     Versioned.latestVersion(tableDir).flatMap(v =>
       Versioned.readManifest(tableDir, v)).map { m =>
       val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-      val dt = schema.fields.find(_.name == statCol).map(_.dataType)
-        .getOrElse(StringType)
       val kept = m.entries.filter { e =>
-        statsRange(e, statCol) match {
-          case Some(range) => mayMatch(dt, range, lo, hi)
-          case None => true // no stats for this file/column: must scan
+        ranges.forall { case (statCol, lo, hi) =>
+          val dt = schema.fields.find(_.name == statCol).map(_.dataType)
+            .getOrElse(StringType)
+          statsRange(e, statCol) match {
+            case Some(range) => mayMatch(dt, range, lo, hi)
+            case None => true // no stats for this file/column: must scan
+          }
         }
       }
       (Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path)),
         m.entries.size)
     }
   }
+
+  /** Single-column convenience form of [[pruneFilesRanges]]. */
+  def pruneFiles(lh: LakehouseProps, tableName: String, statCol: String,
+      lo: Option[Any], hi: Option[Any]): Option[(Versioned.ScanFiles, Int)] =
+    pruneFilesRanges(lh, tableName, Seq((statCol, lo, hi)))
 
   /** Stat-pruned range scan: `SELECT * WHERE lo <= statCol AND statCol <=
     * hi`, skipping every data file whose recorded [min,max] cannot overlap
@@ -250,14 +260,24 @@ object TableIO {
     * data-skipping contract). Falls back to a full filtered scan for
     * legacy layouts. */
   def prunedScan(spark: SparkSession, lh: LakehouseProps, tableName: String,
-      statCol: String, lo: Option[Any] = None, hi: Option[Any] = None): DataFrame = {
+      statCol: String, lo: Option[Any] = None, hi: Option[Any] = None): DataFrame =
+    prunedScanRanges(spark, lh, tableName, Seq((statCol, lo, hi)))
+
+  /** Multi-column form of [[prunedScan]]: all range predicates applied, all
+    * used for file skipping. Over a z-ordered table every listed dimension
+    * contributes skips. */
+  def prunedScanRanges(spark: SparkSession, lh: LakehouseProps,
+      tableName: String,
+      ranges: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val base = pruneFiles(lh, tableName, statCol, lo, hi) match {
+    val base = pruneFilesRanges(lh, tableName, ranges) match {
       case Some((spec, _)) => scanSpec(spark, spec)
       case None => selectTable(spark, lh, tableName)
     }
-    val filters = lo.map(l => col(statCol) >= lit(l)).toSeq ++
-      hi.map(h => col(statCol) <= lit(h))
+    val filters = ranges.flatMap { case (statCol, lo, hi) =>
+      lo.map(l => col(statCol) >= lit(l)).toSeq ++
+        hi.map(h => col(statCol) <= lit(h))
+    }
     filters.foldLeft(base)(_ filter _)
   }
 
@@ -270,14 +290,20 @@ object TableIO {
     * one cheap scan). */
   def writeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       df: DataFrame, partitionBy: Seq[String] = Seq.empty,
-      sortBy: Seq[String] = Seq.empty): TableInfo = {
+      sortBy: Seq[String] = Seq.empty,
+      zorderBy: Seq[String] = Seq.empty): TableInfo = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy (1-D clustering) and zorderBy (Z-curve) are exclusive")
     val tableDir = Catalog.tablePath(lh, tableName)
-    // sortBy = data clustering: range-partition then sort within partitions
-    // so each parquet file covers a narrow key range — file- and
+    // sortBy = 1-D data clustering: range-partition then sort within
+    // partitions so each parquet file covers a narrow key range — file- and
     // row-group-level min/max statistics then let later scans with
-    // predicates on those columns skip most of a 100 TB table
+    // predicates on those columns skip most of a 100 TB table.
+    // zorderBy = multi-D clustering on the Z-curve: every listed dimension
+    // gets locality, so stats prune on any of them (see [[Zorder]]).
     val clustered =
-      if (sortBy.isEmpty) df
+      if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy)
+      else if (sortBy.isEmpty) df
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
@@ -512,6 +538,51 @@ object TableIO {
     scanSpec(spark, spec)
   }
 
+  /** Incremental consumption (the batch form of a Delta streaming source):
+    * the rows ADDED to `tableName` since `sinceVersion`, read as a scan of
+    * exactly the data files present in the current manifest but not in
+    * `sinceVersion`'s — cost is O(new data), never O(table), so a
+    * downstream job can follow a 100 TB table by paying only for each
+    * increment. Appends (and merge/delete commits that only add files)
+    * stream through cleanly.
+    *
+    * If an intermediate commit REMOVED files (merge/delete/compaction
+    * rewrote them), added files also contain re-written OLD rows and
+    * "changes" is no longer well-defined from file arithmetic alone; by
+    * default that throws (Delta's streaming source fails the same way on a
+    * non-append change), and `ignoreRewrites = true` opts into reading all
+    * added files anyway (Delta's `ignoreChanges`, which documents the same
+    * re-delivery caveat). */
+  def readChangesSince(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, sinceVersion: Long,
+      ignoreRewrites: Boolean = false): DataFrame = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val cur = Versioned.latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"$tableName has no committed version"))
+    require(Versioned.isCommitted(tableDir, sinceVersion),
+      s"version $sinceVersion of $tableName was never committed or has been swept")
+    val curM = Versioned.readManifest(tableDir, cur)
+    val sinceM = Versioned.readManifest(tableDir, sinceVersion)
+    (curM, sinceM) match {
+      case (Some(c), Some(s)) =>
+        val sincePaths = s.files.toSet
+        val removed = sincePaths -- c.files.toSet
+        if (removed.nonEmpty && !ignoreRewrites)
+          throw new IllegalStateException(
+            s"$tableName: ${removed.size} file(s) were rewritten/removed " +
+              s"between versions $sinceVersion and $cur (merge/delete/" +
+              "compaction) — changes-by-file is not purely additive; pass " +
+              "ignoreRewrites = true to read added files (re-delivers " +
+              "surviving rows of rewritten files)")
+        val added = c.entries.filterNot(e => sincePaths.contains(e.path))
+        scanSpec(spark,
+          Versioned.ScanFiles(tableDir, c.schemaJson, added.map(_.path)))
+      case _ => throw new IllegalStateException(
+        s"$tableName: file-level change reads need manifest-based versions " +
+          "on both ends (legacy snapshot layouts have no file history)")
+    }
+  }
+
   /** Small-files compaction (the OPTIMIZE half of the Delta story the
     * north-star names): rewrite the current version into
     * ceil(bytes / targetFileBytes) files and commit it atomically —
@@ -524,7 +595,8 @@ object TableIO {
     * optimistic base check: racing a concurrent writer fails loudly rather
     * than resurrecting pre-commit data. */
   def compactTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): TableInfo = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): TableInfo = {
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
     val bytes = currentFiles(lh, tableName)
@@ -532,8 +604,11 @@ object TableIO {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = selectTable(spark, lh, tableName)
     val parts = currentPartitioning(lh, tableName)
+    // zorderBy = OPTIMIZE ZORDER BY: the full rewrite this compaction
+    // already pays doubles as the re-clustering pass
     val arranged =
-      if (parts.isEmpty) df.coalesce(nFiles)
+      if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
+      else if (parts.isEmpty) df.coalesce(nFiles)
       else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
       expectedBase = base, collectStats = collectFileStats(spark)) { target =>

@@ -162,13 +162,15 @@ object Multimodal {
 
   /** Frame sampling for "video" payloads: split the byte stream into
     * `frames` equal chunks, one output row per sampled frame with a
-    * deterministic frame fingerprint. Explode stays lazy/distributed —
-    * no driver involvement. */
+    * deterministic frame fingerprint (sha-256 of the frame bytes — a
+    * content hash both this engine and any other can recompute, so frame
+    * dedup sets are portable). Explode stays lazy/distributed — no driver
+    * involvement. */
   def sampleFrames(df: DataFrame, idCol: String, blobCol: String, frames: Int): DataFrame =
     df.select(col(idCol), posexplode(expr(
       s"""transform(sequence(0, $frames - 1), f ->
-         |  xxhash64(substring($blobCol,
+         |  sha2(substring($blobCol,
          |    1 + f * (octet_length($blobCol) div $frames),
-         |    greatest(octet_length($blobCol) div $frames, 1))))""".stripMargin))
+         |    greatest(octet_length($blobCol) div $frames, 1)), 256))""".stripMargin))
       .as(Seq("frame_no", "frame_hash")))
 }

@@ -76,6 +76,38 @@ class FileLevelCommitSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "a1")
   }
 
+  test("readChangesSince: incremental consumption pays O(new data) and " +
+      "fails loudly on non-append history") {
+    TableIO.writeTable(spark, lh, "inc", (1 to 100).map(i => (i, s"v$i")).toDF("k", "s"))
+    val tdir = Catalog.tablePath(lh, "inc")
+    val v1 = Versioned.latestVersion(tdir).get
+    TableIO.appendTable(spark, lh, "inc", Seq((201, "a1")).toDF("k", "s"))
+    val v2 = Versioned.latestVersion(tdir).get
+    TableIO.appendTable(spark, lh, "inc", Seq((202, "a2"), (203, "a3")).toDF("k", "s"))
+
+    // changes since v1 = both appended batches, nothing from the base
+    val since1 = TableIO.readChangesSince(spark, lh, "inc", v1)
+      .select("k").collect().map(_.getInt(0)).toSet
+    assert(since1 == Set(201, 202, 203))
+    val since2 = TableIO.readChangesSince(spark, lh, "inc", v2)
+      .select("k").collect().map(_.getInt(0)).toSet
+    assert(since2 == Set(202, 203))
+    // current-vs-current: empty, not an error
+    val cur = Versioned.latestVersion(tdir).get
+    assert(TableIO.readChangesSince(spark, lh, "inc", cur).count() == 0)
+
+    // a merge rewrites a base file -> file arithmetic is no longer purely
+    // additive: default throws, opt-in re-delivers the rewritten file
+    TableIO.mergeTable(spark, lh, "inc", Seq((1, "V1")).toDF("k", "s"), Seq("k"))
+    intercept[IllegalStateException] {
+      TableIO.readChangesSince(spark, lh, "inc", v2)
+    }
+    val redelivered = TableIO.readChangesSince(spark, lh, "inc", v2,
+      ignoreRewrites = true).select("k").collect().map(_.getInt(0)).toSet
+    assert(redelivered.contains(1) && redelivered.contains(202))
+    TableIO.dropTable(spark, lh, "inc")
+  }
+
   test("a merge racing a concurrent commit fails loudly (no lost update)") {
     TableIO.writeTable(spark, lh, "c1", Seq((1, "a"), (2, "b")).toDF("k", "s"))
     val tdir = Catalog.tablePath(lh, "c1")

@@ -1,0 +1,127 @@
+package graft.lakehouse
+
+import java.nio.file.Files
+
+/** Z-order clustering: interleave math, skew-proof quantile bucketing, and
+  * the property that motivates it — file pruning on EVERY clustered
+  * dimension, where 1-D sortBy prunes on only one. */
+class ZorderSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("zorder_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_z", "lh_z").lakehouses.head
+  }
+
+  private def withFixedPartitions[A](f: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("interleave: Morton-curve bit layout, msb first, round-robin") {
+    // 2 cols, 8 bits each, a's msb first: (10101010, 01010101) zips to
+    // 0b1001100110011001... = 0x9999
+    assert(Zorder.interleave(Array(0xAA, 0x55)) == 0x9999L)
+    assert(Zorder.interleave(Array(0, 0)) == 0L)
+    assert(Zorder.interleave(Array(0xFF, 0xFF)) == 0xFFFFL)
+    // one col degenerates to the identity (sortBy equivalence)
+    assert(Zorder.interleave(Array(0xC3)) == 0xC3L)
+    // adjacent buckets stay adjacent on the curve within a dyadic block:
+    // monotone in each arg with the other fixed
+    val fixed = 0x80
+    val zs = (0 until 256).map(b => Zorder.interleave(Array(fixed, b)))
+    assert(zs == zs.sorted, "curve must be monotone in the minor dimension")
+  }
+
+  test("withZValue: nulls land in bucket 0; types line up") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, 20.0), (null, 30.0), (4L, null))
+      .toDF("a", "b")
+    val z = Zorder.withZValue(df, Seq("a", "b"))
+    assert(z.columns.contains("__z") && !z.columns.exists(_.startsWith("__zl")))
+    val rows = z.collect().map(r => (Option(r.get(0)), r.getLong(2))).toMap
+    // the all-null dimension contributes 0 bits -> null-a row sorts before
+    // every non-null-a row within the same b bucket region
+    assert(rows(None) < rows(Some(4L)),
+      "null must bucket lowest (NULLS FIRST clustering)")
+    intercept[IllegalArgumentException] {
+      Zorder.withZValue(Seq(("x", 1)).toDF("s", "i"), Seq("s"))
+    }
+  }
+
+  test("quantile bucketing is skew-proof: a range outlier cannot compress the bulk") {
+    // uniform-bucketing over [1, 1e12] would put 9999 of 10000 rows in
+    // bucket 0; data-quantile cuts ignore the outlier's magnitude
+    val df = ((1 to 9999).map(_.toDouble) :+ 1e12).toDF("v")
+    val z = Zorder.withZValue(df, Seq("v")).select("__z").distinct().count()
+    assert(z > 200, s"outlier compressed the curve to $z buckets")
+  }
+
+  test("z-ordered write prunes files on BOTH dimensions; 1-D sort only on one") {
+    // two independent uniform dims — the adversarial case for 1-D sort
+    val df = spark.range(0, 40000)
+      .selectExpr("(id * 48271) % 40000 AS x", "(id * 16807) % 40000 AS y")
+      .repartition(16)
+    withFixedPartitions {
+      // the suite session pins 4 shuffle partitions; the clustering
+      // parallelism (== output file count) follows it, so raise it to make
+      // per-dimension pruning observable at fixture scale
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      try {
+        TableIO.writeTable(spark, lh, "zboth", df, zorderBy = Seq("x", "y"))
+        TableIO.writeTable(spark, lh, "xonly", df, sortBy = Seq("x"))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    def prunedCount(table: String, c: String): (Int, Int) = {
+      val Some((spec, total)) =
+        TableIO.pruneFiles(lh, table, c, Some(1000L), Some(3000L))
+      (spec.relFiles.size, total)
+    }
+    val (zx, ztot) = prunedCount("zboth", "x")
+    val (zy, _) = prunedCount("zboth", "y")
+    val (sx, stot) = prunedCount("xonly", "x")
+    val (sy, _) = prunedCount("xonly", "y")
+    assert(ztot > 4, "fixture must span enough files to show pruning")
+    assert(zx < ztot && zy < ztot,
+      s"zorder must prune both dims (x: $zx/$ztot, y: $zy/$ztot)")
+    assert(sx < stot, "1-D sort must prune its own dim")
+    assert(sy == stot, "1-D sort cannot prune the other dim")
+    // and correctness: pruned scan == full filtered scan on both dims
+    for (c <- Seq("x", "y")) {
+      val pruned = TableIO.prunedScan(spark, lh, "zboth", c,
+        Some(1000L), Some(3000L)).orderBy("x", "y").collect()
+      val full = TableIO.selectTable(spark, lh, "zboth")
+        .filter(s"$c >= 1000 AND $c <= 3000").orderBy("x", "y").collect()
+      assert(pruned.sameElements(full))
+    }
+    TableIO.dropTable(spark, lh, "zboth")
+    TableIO.dropTable(spark, lh, "xonly")
+  }
+
+  test("compactTable(zorderBy) re-clusters an unsorted table in place") {
+    val df = spark.range(0, 20000)
+      .selectExpr("(id * 48271) % 20000 AS x", "(id * 16807) % 20000 AS y")
+      .repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "reclust", df) // unclustered
+      val before = TableIO.pruneFiles(lh, "reclust", "y",
+        Some(100L), Some(600L)).get
+      assert(before._1.relFiles.size == before._2,
+        "unclustered table should not prune")
+      TableIO.compactTable(spark, lh, "reclust", targetFileBytes = 16 * 1024,
+        zorderBy = Seq("x", "y"))
+    }
+    val (spec, total) = TableIO.pruneFiles(lh, "reclust", "y",
+      Some(100L), Some(600L)).get
+    assert(total > 2 && spec.relFiles.size < total,
+      s"optimize-zorder should enable pruning (${spec.relFiles.size}/$total)")
+    assert(TableIO.selectTable(spark, lh, "reclust").count() == 20000)
+    TableIO.dropTable(spark, lh, "reclust")
+  }
+}
