@@ -186,6 +186,27 @@ object Queries {
         |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Bloom-indexed point lookup: high-cardinality key, unclustered table —
+    // the bloom (not min/max) is what skips files; the probe key is derived
+    // identically on both engines, and the residual filter keeps the result
+    // exact under bloom false positives.
+    Q("q72_bloom_point_lookup",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        TableIO.writeTable(s, lh, "orders_bloom", orders,
+          bloomFilterFor = Seq("o_orderkey"))
+        val probe = orders.filter(col("o_totalprice") > 100000.0)
+          .agg(min("o_orderkey")).head.getLong(0)
+        TableIO.prunedScanEq(s, lh, "orders_bloom", "o_orderkey", probe)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders
+        |                    WHERE o_totalprice > 100000.0)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Incremental consumption: base write -> version pin -> append -> read
     // exactly the appended increment by file-manifest diff (O(new data)).
     Q("q71_changes_since",

@@ -3,7 +3,7 @@ package graft.lakehouse
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import java.util.Comparator
-import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, Encoders, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType,
   StringType, StructField, StructType, TimestampType}
 
@@ -141,36 +141,62 @@ object TableIO {
       }
     }.take(MaxStatsCols)
 
-  /** Collect per-file min/max stats over a staged write (one aggregation
-    * over the NEW files only — O(batch); Delta computes the same stats
-    * inline during its write). Returns staging-relative path → single-line
-    * JSON `{"col":[min,max],...}` (json4s-rendered: control characters are
-    * escaped, so the manifest's line/tab format is safe). */
-  private def collectFileStats(spark: SparkSession)(stagingDir: String): Map[String, String] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    import org.json4s.JsonDSL._
+  /** Collect per-file min/max stats (and, for `bloomCols`, per-file Bloom
+    * bitsets) over a staged write — ONE aggregation over the NEW files only,
+    * O(batch); Delta computes the same stats inline during its write.
+    * Returns staging-relative path → single-line JSON
+    * `{"col":[min,max],...,"__bloom_col":"<base64>"}` (json4s-rendered:
+    * control characters are escaped, so the manifest's line/tab format is
+    * safe). */
+  private def collectFileStats(spark: SparkSession, bloomCols: Seq[String] = Seq.empty)
+      (stagingDir: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, max, min, udaf, xxhash64}
     import org.json4s.{JArray, JNull, JString, JValue}
     import org.json4s.jackson.JsonMethods.{compact, render}
     val df = spark.read.parquet(stagingDir)
     val cols = statsColumns(df.schema)
-    if (cols.isEmpty) return Map.empty
+    val blooms = bloomCols.filter(df.columns.contains)
+    if (cols.isEmpty && blooms.isEmpty) return Map.empty
+    val bloomAgg = udaf(new Bloom.Agg(Bloom.DefaultBits), Encoders.scalaLong)
     val aggs = cols.flatMap(f => Seq(
-      min(col(f.name)).cast("string"), max(col(f.name)).cast("string")))
+      min(col(f.name)).cast("string"), max(col(f.name)).cast("string"))) ++
+      blooms.map(c => bloomAgg(xxhash64(col(c))))
     val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val stagingP = Paths.get(stagingDir)
+    val bloomBase = 1 + 2 * cols.length
     rows.map { r =>
       val rel = stagingP.relativize(
         Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
       def j(i: Int): JValue =
         if (r.isNullAt(i)) JNull else JString(r.getString(i))
-      val obj: JValue = cols.zipWithIndex.map { case (f, i) =>
-        f.name -> (JArray(List(j(1 + 2 * i), j(2 + 2 * i))): JValue)
-      }.foldLeft(org.json4s.JObject()) { case (acc, (k, v)) =>
-        org.json4s.JObject(acc.obj :+ (k -> v))
-      }
-      rel -> compact(render(obj))
+      val fields: Seq[(String, JValue)] =
+        cols.zipWithIndex.map { case (f, i) =>
+          f.name -> (JArray(List(j(1 + 2 * i), j(2 + 2 * i))): JValue)
+        } ++ blooms.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(bloomBase + i)).map { bytes =>
+            (Bloom.StatsPrefix + c) -> (JString(java.util.Base64.getEncoder
+              .encodeToString(bytes.asInstanceOf[Array[Byte]])): JValue)
+          }
+        }
+      rel -> compact(render(org.json4s.JObject(fields.toList)))
     }.toMap
+  }
+
+  /** The bloom-indexed columns of an existing version (union of
+    * `__bloom_*` stats keys) — maintenance commits keep collecting blooms
+    * for the same columns the table was created with. */
+  private def bloomColsOf(m: Versioned.Manifest): Seq[String] = {
+    import org.json4s.jackson.JsonMethods.parse
+    m.entries.flatMap(_.stats.toSeq.flatMap { s =>
+      scala.util.Try(parse(s)).toOption.toSeq.flatMap {
+        case org.json4s.JObject(fields) => fields.collect {
+          case (k, _) if k.startsWith(Bloom.StatsPrefix) =>
+            k.drop(Bloom.StatsPrefix.length)
+        }
+        case _ => Seq.empty
+      }
+    }).distinct
   }
 
   /** Parse a file entry's stats for one column: Some((min, max)) where None
@@ -281,6 +307,61 @@ object TableIO {
     filters.foldLeft(base)(_ filter _)
   }
 
+  /** Equality-predicate file prune: a file survives only if (a) its min/max
+    * range may contain `value` AND (b) its Bloom bitset (when the column is
+    * bloom-indexed — [[writeTable]]'s `bloomFilterFor`) says maybe-present.
+    * The probe hash is computed BY THE ENGINE (`xxhash64` over the value
+    * cast to the column's type), so build and probe hashing can never
+    * disagree. Point lookups on high-cardinality unclustered columns go
+    * from open-every-file to open-a-handful. */
+  def pruneFilesEq(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      statCol: String, value: Any): Option[(Versioned.ScanFiles, Int)] = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    import org.json4s.jackson.JsonMethods.parse
+    import org.json4s.JString
+    val tableDir = Catalog.tablePath(lh, tableName)
+    Versioned.latestVersion(tableDir).flatMap(v =>
+      Versioned.readManifest(tableDir, v)).map { m =>
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val dt = schema.fields.find(_.name == statCol).map(_.dataType)
+        .getOrElse(StringType)
+      lazy val probeHash: Long = spark.range(1)
+        .select(xxhash64(lit(value).cast(dt))).head.getLong(0)
+      val kept = m.entries.filter { e =>
+        val rangeOk = statsRange(e, statCol) match {
+          case Some(range) => mayMatch(dt, range, Some(value), Some(value))
+          case None => true
+        }
+        rangeOk && {
+          val bloomOk = for {
+            s <- e.stats
+            j <- scala.util.Try(parse(s)).toOption
+            b <- (j \ (Bloom.StatsPrefix + statCol)) match {
+              case JString(b64) => Some(b64)
+              case _ => None
+            }
+          } yield Bloom.mayContain(Bloom.decode(b), probeHash)
+          bloomOk.getOrElse(true) // not bloom-indexed: must scan
+        }
+      }
+      (Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path)),
+        m.entries.size)
+    }
+  }
+
+  /** Point-lookup scan: `SELECT * WHERE statCol = value` with bloom+range
+    * file skipping; the residual equality filter keeps the result exact
+    * (false positives only cost I/O, never correctness). */
+  def prunedScanEq(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      statCol: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = pruneFilesEq(spark, lh, tableName, statCol, value) match {
+      case Some((spec, _)) => scanSpec(spark, spec)
+      case None => selectTable(spark, lh, tableName)
+    }
+    base.filter(col(statCol) === lit(value))
+  }
+
   /** common.py:525-538 — overwrite-write (optionally Hive-style partitioned),
     * then record `{lakehouse, shape, columns, path}` into the registry.
     * Schema changes are first-class: the new version's manifest stores the
@@ -291,7 +372,8 @@ object TableIO {
   def writeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       df: DataFrame, partitionBy: Seq[String] = Seq.empty,
       sortBy: Seq[String] = Seq.empty,
-      zorderBy: Seq[String] = Seq.empty): TableInfo = {
+      zorderBy: Seq[String] = Seq.empty,
+      bloomFilterFor: Seq[String] = Seq.empty): TableInfo = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy (1-D clustering) and zorderBy (Z-curve) are exclusive")
     val tableDir = Catalog.tablePath(lh, tableName)
@@ -307,8 +389,12 @@ object TableIO {
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
-      collectStats = collectFileStats(spark)) { target =>
-      val writer = clustered.write.mode(SaveMode.Append)
+      collectStats = collectFileStats(spark, bloomFilterFor)) { target =>
+      // manifest blooms skip whole FILES; parquet-native blooms on the same
+      // columns skip row groups WITHIN the files that survive
+      val writer = bloomFilterFor.foldLeft(clustered.write.mode(SaveMode.Append)) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(target)
     }
@@ -344,7 +430,7 @@ object TableIO {
               try {
                 val commit = Versioned.commitFiles(tableDir, evolved.json,
                   inherit = m.entries, expectedBase = Some(base),
-                  collectStats = collectFileStats(spark)) { target =>
+                  collectStats = collectFileStats(spark, bloomColsOf(m))) { target =>
                   val writer = aligned.write.mode(SaveMode.Append)
                   (if (parts.nonEmpty) writer.partitionBy(parts: _*)
                    else writer).parquet(target)
@@ -499,7 +585,7 @@ object TableIO {
           val parts = currentPartitioning(lh, tableName)
           val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
             inherit = untouched, expectedBase = Some(b),
-            collectStats = collectFileStats(spark)) { target =>
+            collectStats = collectFileStats(spark, bloomColsOf(m))) { target =>
             val writer = rewritten.write.mode(SaveMode.Append)
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
              else writer).parquet(target)
@@ -610,9 +696,13 @@ object TableIO {
       if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
       else if (parts.isEmpty) df.coalesce(nFiles)
       else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+    val blooms = base.flatMap(Versioned.readManifest(tableDir, _))
+      .map(bloomColsOf).getOrElse(Seq.empty)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
-      expectedBase = base, collectStats = collectFileStats(spark)) { target =>
-      val writer = arranged.write.mode(SaveMode.Append)
+      expectedBase = base, collectStats = collectFileStats(spark, blooms)) { target =>
+      val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
       (if (parts.nonEmpty) writer.partitionBy(parts: _*)
        else writer).parquet(target)
     }
@@ -644,7 +734,7 @@ object TableIO {
         val parts = currentPartitioning(lh, tableName)
         val commit = Versioned.commitFiles(tableDir, m.schemaJson,
           inherit = untouched, expectedBase = Some(b),
-          collectStats = collectFileStats(spark)) { target =>
+          collectStats = collectFileStats(spark, bloomColsOf(m))) { target =>
           if (affected.nonEmpty) {
             val survivors = scanSpec(spark,
               Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
