@@ -186,6 +186,35 @@ object Queries {
         |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Reproducible corpus ordering: the permutation is a pure function of
+    // (id, seed) — DuckDB recomputes the identical keyed hash and order.
+    Q("q73_deterministic_shuffle",
+      (s, dir) => Packing.deterministicShuffle(
+          t(s, dir, "documents").select("doc_id"), "doc_id", seed = 42L)
+        .withColumn("shuffle_key", sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit("42")), 256)),
+      Some("""SELECT doc_id,
+        |  sha256(CAST(doc_id AS VARCHAR) || '#' || '42') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin)),
+
+    // Deterministic weighted split assignment: membership is a pure
+    // function of (id, seed) — stable as the corpus grows, identical across
+    // engines (cross-checked bucket arithmetic, not engine randomness).
+    Q("q74_hash_split",
+      (s, dir) => Packing.hashSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id", seed = 7L,
+          weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id"),
+      Some("""WITH u AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || '#' || '7'),
+        |       1, 8))::UBIGINT / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin)),
+
     // Bloom-indexed point lookup: high-cardinality key, unclustered table —
     // the bloom (not min/max) is what skips files; the probe key is derived
     // identically on both engines, and the residual filter keeps the result

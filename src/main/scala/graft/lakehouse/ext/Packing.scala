@@ -1,6 +1,6 @@
 package graft.lakehouse.ext
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 
@@ -78,4 +78,41 @@ object Packing {
   def sampleMixture(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic corpus shuffle: global order by the sha-256 of
+    * (id, seed). Training-data ordering must be REPRODUCIBLE — a re-run of
+    * the pipeline (or any other engine following the same contract) must
+    * emit the identical permutation, which engine-seeded `rand()` cannot
+    * promise across versions/parallelism. A content-independent keyed hash
+    * gives exactly that, and changing the seed is a fresh independent
+    * permutation (new training epoch orders without rewriting data).
+    * Cost shape: one range shuffle on the hash — the same price as any
+    * global sort; at 100 TB the range exchange is the unavoidable floor
+    * for a total order, and writers that only need per-file shuffling can
+    * instead sort-within-partitions on the same key. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.orderBy(sha2(concat_ws("#", col(idCol).cast("string"),
+      lit(seed.toString)), 256))
+
+  /** Deterministic train/val/test (or any weighted) split assignment:
+    * bucket = first 8 hex digits of sha-256(id, seed) scaled into [0, 1),
+    * mapped through the cumulative weights. Per-row, zero-shuffle, stable
+    * across engines and re-runs — membership is a pure function of
+    * (id, seed), so a doc can never silently migrate between splits when
+    * the corpus grows (the property modulo-on-row-number splits lack). */
+  def hashSplit(df: DataFrame, idCol: String, seed: Long,
+      weights: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "hashSplit needs positive split weights")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    // u in [0,1): 8 hex chars = 32 bits of the keyed hash
+    val u = conv(substring(sha2(concat_ws("#", col(idCol).cast("string"),
+      lit(seed.toString)), 256), 1, 8), 16, 10).cast("double") / 4294967296.0
+    val expr0 = weights.zip(cuts).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, ((name, _), cut)) =>
+        when(u < cut, name).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr0)
+  }
 }

@@ -91,6 +91,25 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q69 pruned scan pushes the residual range filter into parquet") {
+    val df = SparkEntry.queries("q69_pruned_scan")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // manifest-level pruning picks the files; the residual predicate must
+    // STILL reach the scan so parquet row-group stats skip within files
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_totalprice,100000.0)"), p)
+  }
+
+  test("q72 bloom point lookup pushes the equality probe into parquet") {
+    val df = SparkEntry.queries("q72_bloom_point_lookup")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // file skipping happened before the plan; the equality residual rides
+    // the scan, where the parquet-native bloom prunes row groups
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey"), p)
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE only shows the final (codegen-annotated) plan after execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)

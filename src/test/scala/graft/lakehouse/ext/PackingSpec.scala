@@ -91,4 +91,39 @@ class PackingSpec extends SparkSuite {
       .filter($"sum_tokens" > 4096L && $"n_docs" > 1).count()
     assert(bad == 0)
   }
+
+  test("deterministicShuffle: stable permutation, seed changes it") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val p1 = Packing.deterministicShuffle(ids, "id", 1L)
+      .collect().map(_.getLong(0)).toSeq
+    val p2 = Packing.deterministicShuffle(ids, "id", 1L)
+      .collect().map(_.getLong(0)).toSeq
+    val p3 = Packing.deterministicShuffle(ids, "id", 2L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(p1 == p2, "same seed must reproduce the permutation exactly")
+    assert(p1 != p3, "a new seed must be a fresh permutation")
+    assert(p1.sorted == (0L until 2000L), "it is a permutation, not a sample")
+    assert(p1 != (0L until 2000L).toSeq, "and it actually shuffles")
+  }
+
+  test("hashSplit: weights tracked, assignment stable under corpus growth") {
+    val small = spark.range(0, 5000).toDF("id")
+    val big = spark.range(0, 10000).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Packing.hashSplit(small, "id", 7L, w)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 4000.0) < 200, counts.toString)
+    assert(math.abs(counts("val") - 500.0) < 100, counts.toString)
+    // growing the corpus never reassigns an existing id (pure function of
+    // (id, seed) — the property row-number modulo splits lack)
+    val a1 = s1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = Packing.hashSplit(big, "id", 7L, w).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1.forall { case (k, v) => a2(k) == v })
+    // weights validated
+    intercept[IllegalArgumentException] {
+      Packing.hashSplit(small, "id", 7L, Seq("a" -> 0.0))
+    }
+  }
 }
