@@ -669,6 +669,20 @@ object TableIO {
     }
   }
 
+  /** Structured Streaming source over a versioned table: `readStream` that
+    * follows the commit log — each micro-batch is exactly the files added
+    * between two committed versions (the streaming twin of
+    * [[readChangesSince]]; see
+    * [[graft.lakehouse.streaming.VersionedTableProvider]] for offset,
+    * rewrite, schema-pinning, and retention semantics). */
+  def streamTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      ignoreRewrites: Boolean = false): DataFrame =
+    spark.readStream
+      .format(classOf[graft.lakehouse.streaming.VersionedTableProvider].getName)
+      .option("path", Catalog.tablePath(lh, tableName))
+      .option("ignoreRewrites", ignoreRewrites.toString)
+      .load()
+
   /** Small-files compaction (the OPTIMIZE half of the Delta story the
     * north-star names): rewrite the current version into
     * ceil(bytes / targetFileBytes) files and commit it atomically —

@@ -1,0 +1,107 @@
+package graft.lakehouse.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftbridge.StreamBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.lakehouse.{TableIO, Versioned}
+
+/** Structured Streaming SOURCE over a [[Versioned]] table — `readStream`
+  * follows the table's commit log the way Delta's streaming source follows
+  * its transaction log. Offsets ARE version numbers: each micro-batch scans
+  * exactly the data files added between two committed versions (the
+  * streaming twin of `TableIO.readChangesSince`), so following a 100 TB
+  * table costs O(increment) per trigger, and the offset checkpoint makes
+  * restarts exactly-once without any source-side state.
+  *
+  * Non-append commits (merge/delete/compaction rewrote files) fail the
+  * stream by default — file arithmetic can no longer express "the changes"
+  * — matching Delta's source; `ignoreRewrites` opts into re-delivering
+  * rewritten files (Delta's `ignoreChanges`, same re-delivery caveat).
+  *
+  * The schema is pinned at stream start (streaming contract): files written
+  * after an upstream schema evolution read through the pinned schema
+  * (extra columns dropped, missing ones null).
+  *
+  * Retention interaction: `getBatch` needs the manifest of the batch's
+  * START version; a stream paused longer than `Versioned.RetainAgeMs`
+  * (with > `Versioned.Retain` commits meanwhile) fails loudly on resume —
+  * raise the retention window for slow consumers (Delta streams age out of
+  * `delta.logRetentionDuration` the same way).
+  *
+  * Registered as `graft-table` (META-INF service); `TableIO.streamTable`
+  * is the typed entry point.
+  */
+class VersionedTableProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def tableSchema(dir: String): Option[StructType] =
+    Versioned.latestVersion(dir)
+      .flatMap(v => Versioned.readManifest(dir, v))
+      .map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table source needs a 'path' option (the table directory)"))
+    val s = schema.orElse(tableSchema(dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no committed version yet — create the table first or " +
+          "pass an explicit schema"))
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val dir = parameters("path")
+    new VersionedTableSource(sqlContext.sparkSession, dir,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("ignoreRewrites").exists(_.toBoolean))
+  }
+}
+
+class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,
+    tableDir: String, override val schema: StructType,
+    ignoreRewrites: Boolean) extends Source {
+
+  /** Offsets may arrive re-serialized after a checkpoint restart. */
+  private def ver(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  private def manifestOf(v: Long): Versioned.Manifest =
+    Versioned.readManifest(tableDir, v).getOrElse(
+      throw new IllegalStateException(
+        s"$tableDir: manifest for version $v is unavailable (legacy " +
+          "snapshot layout, or swept by retention — raise " +
+          "Versioned.RetainAgeMs for slow/paused streams)"))
+
+  override def getOffset: Option[OffsetV1] =
+    Versioned.latestVersion(tableDir).map(LongOffset.apply)
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endM = manifestOf(ver(end))
+    val startFiles: Set[String] =
+      start.map(o => manifestOf(ver(o)).files.toSet).getOrElse(Set.empty)
+    val removed = startFiles -- endM.files.toSet
+    if (removed.nonEmpty && !ignoreRewrites)
+      throw new IllegalStateException(
+        s"$tableDir: ${removed.size} file(s) rewritten/removed between " +
+          s"versions ${start.map(ver).getOrElse(0L)} and ${ver(end)} " +
+          "(merge/delete/compaction) — the stream cannot express this as " +
+          "appends; set ignoreRewrites=true to re-deliver rewritten files")
+    val added = endM.files.filterNot(startFiles.contains)
+    // pinned STREAM schema, not the end version's (post-evolution files
+    // project through it)
+    val batch = TableIO.scanSpec(spark,
+      Versioned.ScanFiles(tableDir, schema.json, added))
+    StreamBridge.asStreaming(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+}
