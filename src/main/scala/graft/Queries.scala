@@ -186,6 +186,52 @@ object Queries {
         |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // SimHash with a portable (sha-256-derived) token hash: DuckDB re-runs
+    // Charikar's sign aggregation independently, hash-verifying the
+    // signature computation (q31 keeps the fast murmur kernel).
+    Q("q76_simhash_portable",
+      (s, dir) => Dedup.portableSimHash(
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(sha256(t.tok), 1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM documents,
+        |       unnest(string_split_regex(text, '\s+')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |    sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok, (SELECT unnest(range(60)) AS j) j
+        |  GROUP BY doc_id, j.j)
+        |SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing with a portable (sha-256) gram hash: DuckDB re-runs the
+    // same k-gram -> window-min -> distinct selection independently, so the
+    // fingerprint ALGORITHM is hash-verified (q28 keeps the fast rolling-
+    // hash kernel; its selection logic is what this cross-checks).
+    Q("q75_fingerprints_portable",
+      (s, dir) => TextStats.portableFingerprints(
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id", "fp"),
+      Some("""WITH g AS (
+        |  SELECT doc_id, p,
+        |    CAST(('0x' || substring(sha256(substring(text, CAST(p AS INT), 8)),
+        |      1, 8))::UBIGINT AS BIGINT) AS h,
+        |    length(text) AS len
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text) - 7)) AS t(p)
+        |  WHERE length(text) >= 11),
+        |w AS (
+        |  SELECT doc_id, p, len,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE p <= len - 10
+        |ORDER BY doc_id, fp""".stripMargin)),
+
     // Reproducible corpus ordering: the permutation is a pure function of
     // (id, seed) — DuckDB recomputes the identical keyed hash and order.
     Q("q73_deterministic_shuffle",

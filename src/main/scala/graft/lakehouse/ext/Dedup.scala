@@ -369,6 +369,35 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** SimHash with a PORTABLE token hash — 60 bits from sha-256, so any
+    * engine can recompute the identical signature and Charikar's
+    * sign-aggregation algorithm is verifiable end-to-end cross-engine
+    * ([[simHash64]]'s compiled murmur kernel stays the production path).
+    *
+    * Plan shape: tokens explode map-side, then ONE groupBy(doc) whose
+    * `bits` sum expressions all fold in the same partial aggregate — no
+    * per-bit row inflation, no second shuffle, everything codegen'd.
+    * Tokens = whitespace split, empties dropped; repeated tokens vote
+    * repeatedly; a zero vote sum is a 0 bit. */
+  def portableSimHash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60): DataFrame = {
+    require(bits > 0 && bits < 64, "bits must fit a signed 64-bit value")
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      // first 15 hex chars = 60 bits: unsigned-safe in a BIGINT everywhere
+      .withColumn("h", conv(substring(sha2(col("tok"), 256), 1, 15), 16, 10)
+        .cast("long"))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$j"))
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"__b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
   // ---- word n-gram Jaccard -------------------------------------------------
 
   /** Distinct word n-grams as a compiled kernel (the HOF slice/concat

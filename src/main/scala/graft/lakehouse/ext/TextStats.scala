@@ -138,6 +138,38 @@ object TextStats {
 
   val winnowingUdf = udf[Array[Long], String]((t: String) => winnowingFingerprint(t))
 
+  /** Winnowing fingerprints with a PORTABLE gram hash — first 8 hex chars
+    * of sha-256, recomputable by any engine — so the selection algorithm
+    * (k-gram → window-of-w minimum → distinct) is verifiable end-to-end
+    * against an independent implementation. [[winnowingFingerprint]]'s
+    * compiled rolling-hash kernel stays the production path (one hash
+    * update per char vs one sha-256 per gram, ~10× cheaper); semantics
+    * differ only in hash function and its text normalization.
+    *
+    * Built entirely from codegen'd built-ins: positions explode first and
+    * the gram hash is a plain column expression over (text, p) — NOT a
+    * higher-order-function lambda, which Spark interprets per element.
+    * One shuffle (the per-doc window); the hash is computed map-side
+    * before it. */
+  def portableFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .filter(length(col(textCol)) >= k + w - 1) // need >= 1 full window
+      .select(col(idCol), col(textCol), length(col(textCol)).as("__len"),
+        explode(expr(s"sequence(1, length($textCol) - ${k - 1})")).as("p"))
+      .withColumn("h", conv(substring(
+        sha2(expr(s"substring($textCol, p, $k)"), 256), 1, 8), 16, 10)
+        .cast("long"))
+      .drop(textCol)
+    val win = Window.partitionBy(idCol).orderBy("p").rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      // valid window starts only: p in [1, L-k+1-(w-1)]
+      .filter(col("p") <= col("__len") - (k - 1) - (w - 1))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** Register the extension-tier scalar kernels for SQL use, mirroring the
     * core UDF surface (Strings.registerUdfs): SQL users get the same
     * text-pipeline primitives DataFrame users compose. */

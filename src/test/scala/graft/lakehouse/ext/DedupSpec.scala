@@ -72,6 +72,22 @@ class DedupSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
   }
 
+  test("portableSimHash: near texts land near, far texts far, in hamming") {
+    val df = Seq(
+      (1L, "spark makes big data simple and fast for everyone today"),
+      (2L, "spark makes big data simple and fast for everyone now"),
+      (3L, "completely unrelated words about gardening and cooking recipes"),
+      (1001L, "spark makes big data simple and fast for everyone today"))
+      .toDF("doc_id", "text")
+    val hs = Dedup.portableSimHash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(1001L), "identical text must hash identically")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <
+      java.lang.Long.bitCount(hs(1L) ^ hs(3L)))
+    // 60-bit contract: the sign bit can never be set
+    assert(hs.values.forall(_ >= 0L))
+  }
+
   test("ngram jaccard pairs: exact overlap values") {
     val df = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")

@@ -142,4 +142,19 @@ class TextStatsSpec extends SparkSuite {
     assert(m(1).getAs[Double]("dup_line_frac") == 0.0)
     assert(m(1).getAs[Double]("dup_char_frac") == 0.0)
   }
+
+  test("portableFingerprints: near-dup docs share fingerprints, unrelated don't") {
+    // fixture plants doc 8 ~= doc 12 (98.5% shingle overlap)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id").isin(0L, 8L, 12L))
+    val fps = TextStats.portableFingerprints(docs, "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    def jac(a: Set[Long], b: Set[Long]): Double =
+      (a & b).size.toDouble / (a | b).size
+    assert(jac(fps(8L), fps(12L)) > 0.8,
+      s"planted near-dups diverge: ${jac(fps(8L), fps(12L))}")
+    assert(jac(fps(8L), fps(0L)) < 0.2,
+      s"unrelated docs collide: ${jac(fps(8L), fps(0L))}")
+  }
 }
