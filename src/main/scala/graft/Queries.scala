@@ -186,6 +186,26 @@ object Queries {
         |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // MinHash signatures with a portable shingle hash + literal universal-
+    // hash params: DuckDB recomputes the identical signatures, verifying
+    // the min-over-hash-family algorithm (q30 keeps the rolling kernel).
+    Q("q77_minhash_portable",
+      (s, dir) => Dedup.portableMinHash(
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id", "sig_no"),
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(sha256(substring(text, CAST(p AS INT), 5)),
+        |      1, 15))::UBIGINT AS BIGINT) % 2147483647 AS h
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text) - 4)) AS t(p)
+        |  WHERE length(text) >= 5)
+        |SELECT doc_id, i.i AS sig_no,
+        |  min(((2 * i.i + 1) * h + 1000003 * i.i) % 2147483647) AS sig
+        |FROM g, (SELECT unnest(range(16)) AS i) i
+        |GROUP BY doc_id, i.i
+        |ORDER BY doc_id, sig_no""".stripMargin)),
+
     // SimHash with a portable (sha-256-derived) token hash: DuckDB re-runs
     // Charikar's sign aggregation independently, hash-verifying the
     // signature computation (q31 keeps the fast murmur kernel).

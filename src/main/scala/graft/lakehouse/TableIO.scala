@@ -669,6 +669,34 @@ object TableIO {
     }
   }
 
+  /** DESCRIBE HISTORY: one row per retained committed version — commit
+    * time, file/row-level shape, and the add/remove deltas vs the previous
+    * retained version (how Delta's DESCRIBE HISTORY reads its log). Driver-
+    * built rows, bounded by the retention window — never scans data. */
+  def describeHistory(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): DataFrame = {
+    import spark.implicits._
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val dirP = Paths.get(tableDir)
+    val versions = Versioned.committedVersions(tableDir)
+    val manifests = versions.map(v =>
+      v -> Versioned.readManifest(tableDir, v).map(_.files).getOrElse(Seq.empty))
+    val rows = manifests.zip(None +: manifests.map(m => Some(m._2))).map {
+      case ((v, files), prev) =>
+        val prevSet = prev.getOrElse(Seq.empty).toSet
+        val bytes = files.map(f =>
+          scala.util.Try(Files.size(dirP.resolve(f))).getOrElse(0L)).sum
+        (v,
+          new java.sql.Timestamp(
+            Versioned.commitTimeMs(tableDir, v).getOrElse(0L)),
+          files.size, bytes,
+          files.count(!prevSet.contains(_)),
+          prevSet.count(p => !files.contains(p)))
+    }
+    rows.toDF("version", "commit_time", "n_files", "bytes",
+      "n_added", "n_removed").orderBy("version")
+  }
+
   /** Structured Streaming source over a versioned table: `readStream` that
     * follows the commit log — each micro-batch is exactly the files added
     * between two committed versions (the streaming twin of

@@ -160,6 +160,17 @@ object Versioned {
     }
   }
 
+  /** All committed (retained) versions, ascending. */
+  def committedVersions(tableDir: String): Seq[Long] =
+    listNames(Paths.get(tableDir)).flatMap(numericSuffix(_, MarkerPrefix)).sorted
+
+  /** Commit wall-clock of a version: its marker's mtime (the marker is
+    * created exactly once, at the commit point). */
+  def commitTimeMs(tableDir: String, v: Long): Option[Long] =
+    scala.util.Try(
+      Files.getLastModifiedTime(marker(Paths.get(tableDir), v)).toMillis
+    ).toOption
+
   /** True iff `version` was actually committed (its marker exists, or a
     * legacy pointer names it) — an orphaned/in-flight manifest or `_vN`
     * directory is NOT a committed snapshot. */

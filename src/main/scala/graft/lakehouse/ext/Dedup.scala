@@ -369,6 +369,33 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** MinHash signatures with a PORTABLE shingle hash (sha-256-derived,
+    * reduced mod the Mersenne prime) and literal universal-hash params
+    * `a_i = 2i+1, b_i = 1000003·i` — any engine can recompute the identical
+    * signature, making the min-over-universal-hash ALGORITHM verifiable
+    * cross-engine ([[withMinHashSignature]]'s rolling-hash kernel stays the
+    * production path). Same single-aggregate shape as [[portableSimHash]]:
+    * shingle positions explode map-side, all `numHashes` mins fold into one
+    * partial aggregate, and the signature unstacks to (id, sig_no, sig)
+    * rows (arrays don't survive value comparison). */
+  def portableMinHash(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 16): DataFrame = {
+    val p = MersennePrime
+    val grams = df.filter(length(col(textCol)) >= shingleK)
+      .select(col(idCol), col(textCol),
+        explode(expr(s"sequence(1, length($textCol) - ${shingleK - 1})")).as("p"))
+      .withColumn("h", conv(substring(
+        sha2(expr(s"substring($textCol, p, $shingleK)"), 256), 1, 15), 16, 10)
+        .cast("long") % p)
+      .drop(textCol)
+    val mins = (0 until numHashes).map(i =>
+      min((col("h") * (2 * i + 1) + lit(1000003L * i)) % p).as(s"__s$i"))
+    grams.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), posexplode(
+        array((0 until numHashes).map(i => col(s"__s$i")): _*))
+        .as(Seq("sig_no", "sig")))
+  }
+
   /** SimHash with a PORTABLE token hash — 60 bits from sha-256, so any
     * engine can recompute the identical signature and Charikar's
     * sign-aggregation algorithm is verifiable end-to-end cross-engine

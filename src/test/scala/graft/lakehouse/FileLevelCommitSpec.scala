@@ -76,6 +76,24 @@ class FileLevelCommitSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "a1")
   }
 
+  test("describeHistory: one row per retained version with add/remove deltas") {
+    TableIO.writeTable(spark, lh, "hist", (1 to 50).map(i => (i, s"v$i")).toDF("k", "s"))
+    TableIO.appendTable(spark, lh, "hist", Seq((101, "a")).toDF("k", "s"))
+    TableIO.mergeTable(spark, lh, "hist", Seq((1, "V1")).toDF("k", "s"), Seq("k"))
+    val h = TableIO.describeHistory(spark, lh, "hist").collect()
+    assert(h.length == 3 && h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).toSeq.sorted)
+    val byV = h.map(r => r.getLong(0) -> r).toMap
+    val vs = h.map(_.getLong(0)).sorted
+    // append added exactly its new files, removed none
+    assert(byV(vs(1)).getInt(4) >= 1 && byV(vs(1)).getInt(5) == 0)
+    // merge rewrote >= 1 file: added and removed both positive
+    assert(byV(vs(2)).getInt(4) >= 1 && byV(vs(2)).getInt(5) >= 1)
+    // commit times non-decreasing, bytes positive
+    assert(h.map(_.getTimestamp(1).getTime).toSeq == h.map(_.getTimestamp(1).getTime).toSeq.sorted)
+    assert(h.forall(_.getLong(3) > 0))
+    TableIO.dropTable(spark, lh, "hist")
+  }
+
   test("readChangesSince: incremental consumption pays O(new data) and " +
       "fails loudly on non-append history") {
     TableIO.writeTable(spark, lh, "inc", (1 to 100).map(i => (i, s"v$i")).toDF("k", "s"))
