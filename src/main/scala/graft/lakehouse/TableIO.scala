@@ -148,7 +148,8 @@ object TableIO {
     * `{"col":[min,max],...,"__bloom_col":"<base64>"}` (json4s-rendered:
     * control characters are escaped, so the manifest's line/tab format is
     * safe). */
-  private def collectFileStats(spark: SparkSession, bloomCols: Seq[String] = Seq.empty)
+  private[lakehouse] def collectFileStats(spark: SparkSession,
+      bloomCols: Seq[String] = Seq.empty)
       (stagingDir: String): Map[String, String] = {
     import org.apache.spark.sql.functions.{col, max, min, udaf, xxhash64}
     import org.json4s.{JArray, JNull, JString, JValue}
@@ -186,7 +187,7 @@ object TableIO {
   /** The bloom-indexed columns of an existing version (union of
     * `__bloom_*` stats keys) — maintenance commits keep collecting blooms
     * for the same columns the table was created with. */
-  private def bloomColsOf(m: Versioned.Manifest): Seq[String] = {
+  private[lakehouse] def bloomColsOf(m: Versioned.Manifest): Seq[String] = {
     import org.json4s.jackson.JsonMethods.parse
     m.entries.flatMap(_.stats.toSeq.flatMap { s =>
       scala.util.Try(parse(s)).toOption.toSeq.flatMap {
@@ -373,7 +374,8 @@ object TableIO {
       df: DataFrame, partitionBy: Seq[String] = Seq.empty,
       sortBy: Seq[String] = Seq.empty,
       zorderBy: Seq[String] = Seq.empty,
-      bloomFilterFor: Seq[String] = Seq.empty): TableInfo = {
+      bloomFilterFor: Seq[String] = Seq.empty,
+      extraMeta: Map[String, String] = Map.empty): TableInfo = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy (1-D clustering) and zorderBy (Z-curve) are exclusive")
     val tableDir = Catalog.tablePath(lh, tableName)
@@ -389,7 +391,8 @@ object TableIO {
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
-      collectStats = collectFileStats(spark, bloomFilterFor)) { target =>
+      collectStats = collectFileStats(spark, bloomFilterFor),
+      meta = extraMeta) { target =>
       // manifest blooms skip whole FILES; parquet-native blooms on the same
       // columns skip row groups WITHIN the files that survive
       val writer = bloomFilterFor.foldLeft(clustered.write.mode(SaveMode.Append)) {
@@ -409,12 +412,14 @@ object TableIO {
     * commits are detected and the append retried against the new base
     * (appends never semantically conflict). */
   def appendTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
-      df: DataFrame, maxRetries: Int = 5): TableInfo = {
+      df: DataFrame, maxRetries: Int = 5,
+      extraMeta: Map[String, String] = Map.empty): TableInfo = {
     val tableDir = Catalog.tablePath(lh, tableName)
     var attempt = 0
     while (true) {
       Versioned.latestVersion(tableDir) match {
-        case None => return writeTable(spark, lh, tableName, df)
+        case None =>
+          return writeTable(spark, lh, tableName, df, extraMeta = extraMeta)
         case Some(base) =>
           Versioned.readManifest(tableDir, base) match {
             case Some(m) =>
@@ -430,7 +435,8 @@ object TableIO {
               try {
                 val commit = Versioned.commitFiles(tableDir, evolved.json,
                   inherit = m.entries, expectedBase = Some(base),
-                  collectStats = collectFileStats(spark, bloomColsOf(m))) { target =>
+                  collectStats = collectFileStats(spark, bloomColsOf(m)),
+                  meta = m.meta ++ extraMeta) { target =>
                   val writer = aligned.write.mode(SaveMode.Append)
                   (if (parts.nonEmpty) writer.partitionBy(parts: _*)
                    else writer).parquet(target)
@@ -585,7 +591,8 @@ object TableIO {
           val parts = currentPartitioning(lh, tableName)
           val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
             inherit = untouched, expectedBase = Some(b),
-            collectStats = collectFileStats(spark, bloomColsOf(m))) { target =>
+            collectStats = collectFileStats(spark, bloomColsOf(m)),
+            meta = m.meta) { target =>
             val writer = rewritten.write.mode(SaveMode.Append)
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
              else writer).parquet(target)
@@ -738,10 +745,11 @@ object TableIO {
       if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
       else if (parts.isEmpty) df.coalesce(nFiles)
       else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
-    val blooms = base.flatMap(Versioned.readManifest(tableDir, _))
-      .map(bloomColsOf).getOrElse(Seq.empty)
+    val baseM = base.flatMap(Versioned.readManifest(tableDir, _))
+    val blooms = baseM.map(bloomColsOf).getOrElse(Seq.empty)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
-      expectedBase = base, collectStats = collectFileStats(spark, blooms)) { target =>
+      expectedBase = base, collectStats = collectFileStats(spark, blooms),
+      meta = baseM.map(_.meta).getOrElse(Map.empty)) { target =>
       val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
@@ -776,7 +784,8 @@ object TableIO {
         val parts = currentPartitioning(lh, tableName)
         val commit = Versioned.commitFiles(tableDir, m.schemaJson,
           inherit = untouched, expectedBase = Some(b),
-          collectStats = collectFileStats(spark, bloomColsOf(m))) { target =>
+          collectStats = collectFileStats(spark, bloomColsOf(m)),
+          meta = m.meta) { target =>
           if (affected.nonEmpty) {
             val survivors = scanSpec(spark,
               Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))

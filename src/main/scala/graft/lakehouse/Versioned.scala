@@ -99,9 +99,16 @@ object Versioned {
     }
   }
 
-  /** A committed version's content: the table schema (Spark JSON form) and
-    * the data files composing it, relative to the table directory. */
-  final case class Manifest(schemaJson: String, entries: Seq[FileEntry]) {
+  /** A committed version's content: the table schema (Spark JSON form), the
+    * data files composing it (relative to the table directory), and
+    * free-form commit metadata — `#key=value` lines between the schema and
+    * the file list (absent in older manifests; unknown keys ride along).
+    * Streaming sinks store their per-query txn watermark here
+    * (`txn:<appId> -> lastBatchId`), the same mechanism as Delta's txn
+    * actions — metadata commits ATOMICALLY with the file list, which is
+    * what makes sink idempotence exactly-once rather than best-effort. */
+  final case class Manifest(schemaJson: String, entries: Seq[FileEntry],
+      meta: Map[String, String] = Map.empty) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -188,8 +195,14 @@ object Versioned {
     else {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       if (lines.isEmpty) None
-      else Some(Manifest(lines.head,
-        lines.tail.filter(_.nonEmpty).map(FileEntry.parse).toSeq))
+      else {
+        val (metaLines, entryLines) = lines.tail.filter(_.nonEmpty)
+          .partition(_.startsWith("#"))
+        val meta = metaLines.map(_.drop(1).split("=", 2)).collect {
+          case Array(k, v2) => k -> v2
+        }.toMap
+        Some(Manifest(lines.head, entryLines.map(FileEntry.parse).toSeq, meta))
+      }
     }
   }
 
@@ -234,11 +247,15 @@ object Versioned {
   def commitFiles(tableDir: String, schemaJson: String,
       inherit: Seq[FileEntry] = Seq.empty,
       expectedBase: Option[Long] = None,
-      collectStats: String => Map[String, String] = _ => Map.empty)
+      collectStats: String => Map[String, String] = _ => Map.empty,
+      meta: Map[String, String] = Map.empty)
       (write: String => Unit): Commit = {
     require(inherit.isEmpty || expectedBase.isDefined,
       "a commit inheriting files must pin the base version they came from")
     require(!schemaJson.contains("\n"), "schema JSON must be single-line")
+    require(meta.forall { case (k, v) =>
+      !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
+      "meta keys must not contain '='; keys and values must be single-line")
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
     // fail fast before paying for the write; the authoritative check is the
@@ -265,8 +282,10 @@ object Versioned {
       }
       val files = inherit ++ staged
       val tmp = dir.resolve(s".manifest.tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, (schemaJson +: files.map(_.serialized)).mkString("\n")
-        .getBytes(StandardCharsets.UTF_8))
+      val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+      Files.write(tmp,
+        ((schemaJson +: metaLines) ++ files.map(_.serialized)).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
       try {
         // allocate past every existing version number — committed, legacy,
         // or orphaned from a crashed writer — so an orphan never wedges us

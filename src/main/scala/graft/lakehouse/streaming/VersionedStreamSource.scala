@@ -1,10 +1,11 @@
 package graft.lakehouse.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.StreamBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.lakehouse.{TableIO, Versioned}
 
@@ -34,9 +35,24 @@ import graft.lakehouse.{TableIO, Versioned}
   * Registered as `graft-table` (META-INF service); `TableIO.streamTable`
   * is the typed entry point.
   */
-class VersionedTableProvider extends StreamSourceProvider with DataSourceRegister {
+class VersionedTableProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** Streaming SINK side (see [[VersionedTableSink]]): append-only,
+    * exactly-once via the txn watermark committed atomically in the
+    * manifest. `appId` distinguishes multiple writers into one table. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink is append-only (versioned blind appends); got $outputMode")
+    new VersionedTableSink(sqlContext.sparkSession,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft-table sink needs a 'path' option (the table directory)")),
+      partitionColumns, parameters.getOrElse("appId", "default"))
+  }
 
   private def tableSchema(dir: String): Option[StructType] =
     Versioned.latestVersion(dir)
@@ -62,6 +78,85 @@ class VersionedTableProvider extends StreamSourceProvider with DataSourceRegiste
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("ignoreRewrites").exists(_.toBoolean))
   }
+}
+
+/** Exactly-once streaming SINK into a versioned table: each micro-batch is
+  * a blind append (O(batch) — new files + inherited manifest), and the
+  * batch watermark `txn:<appId> = batchId` commits ATOMICALLY in the same
+  * manifest, so a replayed batch after a crash is detected and skipped —
+  * Delta's txn-action idempotence, not best-effort dedup. Maintenance
+  * commits (merge/compact/delete) carry manifest meta forward, so the
+  * watermark survives them; a plain overwrite resets it (full-replace
+  * semantics). Concurrent batch writers retry through the optimistic
+  * protocol like any other append. */
+class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
+    tableDir: String, partitionColumns: Seq[String], appId: String)
+    extends Sink {
+
+  private val txnKey = s"txn:$appId"
+  private val maxRetries = 5
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = StreamBridge.asBatch(spark, data)
+    var attempt = 0
+    while (true) {
+      val base = Versioned.latestVersion(tableDir)
+      val m = base.flatMap(Versioned.readManifest(tableDir, _))
+      if (base.nonEmpty && m.isEmpty)
+        throw new IllegalStateException(
+          s"$tableDir: the streaming sink needs a manifest-based table " +
+            "(legacy snapshot layouts carry no txn metadata)")
+      // exactly-once: a replayed (crash-recovered) batch is already in the
+      // committed watermark — skip it
+      if (m.exists(_.meta.get(txnKey).exists(_.toLong >= batchId))) return
+      try {
+        m match {
+          case None =>
+            Versioned.commitFiles(tableDir, batch.schema.json,
+              collectStats = TableIO.collectFileStats(spark),
+              meta = Map(txnKey -> batchId.toString)) { target =>
+              writeBatch(batch, Seq.empty, target)
+            }
+          case Some(man) =>
+            // align to the table schema by name (same evolution rule as
+            // TableIO.appendTable): old columns keep positions, new ones
+            // append nullable, pre-evolution files read them as null
+            val oldSchema =
+              DataType.fromJson(man.schemaJson).asInstanceOf[StructType]
+            val oldEmpty = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], oldSchema)
+            val evolved = oldEmpty
+              .unionByName(batch.limit(0), allowMissingColumns = true).schema
+            val aligned =
+              oldEmpty.unionByName(batch, allowMissingColumns = true)
+            val parts =
+              if (partitionColumns.nonEmpty) partitionColumns
+              else man.files.headOption.toSeq.flatMap(_.split('/').dropRight(1)
+                .toSeq.takeWhile(_.matches("[^=]+=.*")).map(_.split("=", 2)(0)))
+            Versioned.commitFiles(tableDir, evolved.json,
+              inherit = man.entries, expectedBase = base,
+              collectStats = TableIO.collectFileStats(spark,
+                TableIO.bloomColsOf(man)),
+              meta = man.meta + (txnKey -> batchId.toString)) { target =>
+              writeBatch(aligned, parts, target)
+            }
+        }
+        return
+      } catch {
+        case e: Versioned.ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  private def writeBatch(df: DataFrame, parts: Seq[String], target: String): Unit = {
+    val writer = df.write.mode(SaveMode.Append)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(target)
+  }
+
+  override def toString: String = s"VersionedTableSink[$tableDir, app=$appId]"
 }
 
 class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,

@@ -14,4 +14,13 @@ object StreamBridge {
     classic.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 `Sink.addBatch`: re-wrap the micro-batch's
+    * incremental plan as a BATCH DataFrame so it can go through a normal
+    * `.write` (the micro-batch DataFrame itself refuses batch actions). */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

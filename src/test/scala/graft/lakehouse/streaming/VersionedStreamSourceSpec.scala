@@ -1,7 +1,7 @@
 package graft.lakehouse.streaming
 
 import java.nio.file.Files
-import graft.lakehouse.{Catalog, LakehouseProps, SparkSuite, TableIO}
+import graft.lakehouse.{Catalog, LakehouseProps, SparkSuite, TableIO, Versioned}
 import org.apache.spark.sql.streaming.StreamingQueryException
 
 /** The versioned-table streaming source: offsets are commit versions, each
@@ -89,6 +89,78 @@ class VersionedStreamSourceSpec extends SparkSuite {
     val got = spark.table("vss_sink3b").as[(Int, String)].collect().toMap
     assert(got(1) == "V1" && got.size == 10)
     TableIO.dropTable(spark, lh, "feed3")
+  }
+
+  test("sink: streaming appends land as versions with txn watermarks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val tdir = Catalog.tablePath(lh, "sunk")
+    val ckpt = Files.createTempDirectory("vts_ckpt").toString
+    val q = mem.toDF().toDF("k", "s").writeStream
+      .format("graft-table").option("path", tdir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      assert(TableIO.selectTable(spark, lh, "sunk").count() == 2)
+      mem.addData((3, "c"))
+      q.processAllAvailable()
+      val rows = TableIO.selectTable(spark, lh, "sunk")
+        .select("k").collect().map(_.getInt(0)).toSeq.sorted
+      assert(rows == Seq(1, 2, 3))
+      // the committed watermark rides the manifest
+      val m = Versioned.readManifest(tdir, Versioned.latestVersion(tdir).get).get
+      assert(m.meta.get("txn:default").exists(_.toLong >= 1))
+    } finally q.stop()
+    TableIO.dropTable(spark, lh, "sunk")
+  }
+
+  test("sink: a replayed batch is skipped exactly-once, not re-appended") {
+    val provider = new VersionedTableProvider
+    val tdir = Catalog.tablePath(lh, "replay")
+    val sink = provider.createSink(spark.sqlContext,
+      Map("path" -> tdir), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0, Seq((1, "a")).toDF("k", "s"))
+    sink.addBatch(0, Seq((1, "a")).toDF("k", "s")) // crash-recovery replay
+    sink.addBatch(1, Seq((2, "b")).toDF("k", "s"))
+    sink.addBatch(0, Seq((1, "a")).toDF("k", "s")) // stale replay after later batch
+    val rows = TableIO.selectTable(spark, lh, "replay")
+      .select("k").collect().map(_.getInt(0)).toSeq.sorted
+    assert(rows == Seq(1, 2), s"replays must be idempotent, got $rows")
+    // two writers (appIds) keep independent watermarks
+    val sink2 = provider.createSink(spark.sqlContext,
+      Map("path" -> tdir, "appId" -> "other"), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink2.addBatch(0, Seq((3, "c")).toDF("k", "s"))
+    assert(TableIO.selectTable(spark, lh, "replay").count() == 3)
+    val m = Versioned.readManifest(tdir, Versioned.latestVersion(tdir).get).get
+    assert(m.meta.contains("txn:default") && m.meta.contains("txn:other"))
+    TableIO.dropTable(spark, lh, "replay")
+  }
+
+  test("round trip: versioned source -> transform -> versioned sink (bronze->silver)") {
+    TableIO.writeTable(spark, lh, "bronze",
+      Seq((1, 10.0), (2, -5.0)).toDF("k", "v"))
+    val silverDir = Catalog.tablePath(lh, "silver")
+    val ckpt = Files.createTempDirectory("vts_rt_ckpt").toString
+    val q = TableIO.streamTable(spark, lh, "bronze")
+      .filter($"v" > 0).withColumn("v2", $"v" * 2)
+      .writeStream.format("graft-table").option("path", silverDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(TableIO.selectTable(spark, lh, "silver").count() == 1)
+      TableIO.appendTable(spark, lh, "bronze",
+        Seq((3, 7.0), (4, -1.0)).toDF("k", "v"))
+      q.processAllAvailable()
+      val silver = TableIO.selectTable(spark, lh, "silver")
+        .orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(2)))
+      assert(silver.toSeq == Seq((1, 20.0), (3, 14.0)))
+    } finally q.stop()
+    TableIO.dropTable(spark, lh, "bronze")
+    TableIO.dropTable(spark, lh, "silver")
   }
 
   test("the short name registers via META-INF services") {
