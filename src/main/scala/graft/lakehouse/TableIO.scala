@@ -676,6 +676,48 @@ object TableIO {
     }
   }
 
+  /** TIMESTAMP AS OF time travel: scan the newest version committed at or
+    * before `tsMillis` (Delta's timestamp time travel over commit times;
+    * bounded by the retention window like [[selectTableVersion]]). */
+  def selectTableAsOf(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, tsMillis: Long): DataFrame = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val at = Versioned.committedVersions(tableDir)
+      .filter(v => Versioned.commitTimeMs(tableDir, v).exists(_ <= tsMillis))
+    require(at.nonEmpty,
+      s"$tableName has no version committed at or before $tsMillis " +
+        "within the retention window")
+    selectTableVersion(spark, lh, tableName, at.max)
+  }
+
+  /** RESTORE TABLE ... TO VERSION: make `version`'s content the NEW latest
+    * version — a metadata-only commit re-inheriting the old manifest's
+    * files (no data is copied or rewritten; Delta RESTORE is the same
+    * add/remove-file arithmetic). History is preserved: the bad versions
+    * remain readable until retention sweeps them. Fails loudly if a
+    * concurrent writer commits meanwhile, or if the target's files have
+    * already been swept. */
+  def restoreTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      version: Long): TableInfo = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val target = Versioned.readManifest(tableDir, version)
+    require(Versioned.isCommitted(tableDir, version) && target.nonEmpty,
+      s"version $version of $tableName was never committed, has been " +
+        "swept, or is a legacy snapshot (not restorable by reference)")
+    val m = target.get
+    val missing = m.files.filterNot(f =>
+      Files.isRegularFile(Paths.get(tableDir).resolve(f)))
+    require(missing.isEmpty,
+      s"cannot restore $tableName to $version: ${missing.size} of its data " +
+        "files were already vacuumed")
+    val base = Versioned.latestVersion(tableDir)
+    val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+      inherit = m.entries, expectedBase = base, meta = m.meta) { _ => () }
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    finishCommit(spark, lh, tableName, tableDir, commit,
+      schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
+  }
+
   /** DESCRIBE HISTORY: one row per retained committed version — commit
     * time, file/row-level shape, and the add/remove deltas vs the previous
     * retained version (how Delta's DESCRIBE HISTORY reads its log). Driver-

@@ -76,6 +76,35 @@ class FileLevelCommitSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "a1")
   }
 
+  test("restoreTable is a metadata-only rollback; selectTableAsOf travels " +
+      "by timestamp") {
+    TableIO.writeTable(spark, lh, "rst", (1 to 50).map(i => (i, s"v$i")).toDF("k", "s"))
+    val tdir = Catalog.tablePath(lh, "rst")
+    val v1 = Versioned.latestVersion(tdir).get
+    val t1 = Versioned.commitTimeMs(tdir, v1).get
+    val v1Files = TableIO.currentFiles(lh, "rst").map(_.toString).toSet
+    Thread.sleep(20) // commit times must be distinguishable
+    TableIO.writeTable(spark, lh, "rst", Seq((999, "bad")).toDF("k", "s"))
+    assert(TableIO.selectTable(spark, lh, "rst").count() == 1)
+
+    // timestamp travel hits the pre-overwrite version
+    assert(TableIO.selectTableAsOf(spark, lh, "rst", t1).count() == 50)
+
+    // restore: back to 50 rows, SAME data files (no rewrite), new version
+    val info = TableIO.restoreTable(spark, lh, "rst", v1)
+    assert(info.rowCount == 50)
+    assert(TableIO.currentFiles(lh, "rst").map(_.toString).toSet == v1Files,
+      "restore must re-reference, not rewrite")
+    assert(Versioned.latestVersion(tdir).get > v1 + 1)
+    // the bad version is still readable until retention sweeps it
+    assert(TableIO.selectTableVersion(spark, lh, "rst", v1 + 1).count() == 1)
+    // restoring a never-committed version fails loudly
+    intercept[IllegalArgumentException] {
+      TableIO.restoreTable(spark, lh, "rst", 9999L)
+    }
+    TableIO.dropTable(spark, lh, "rst")
+  }
+
   test("describeHistory: one row per retained version with add/remove deltas") {
     TableIO.writeTable(spark, lh, "hist", (1 to 50).map(i => (i, s"v$i")).toDF("k", "s"))
     TableIO.appendTable(spark, lh, "hist", Seq((101, "a")).toDF("k", "s"))
