@@ -157,31 +157,55 @@ object TableIO {
     val df = spark.read.parquet(stagingDir)
     val cols = statsColumns(df.schema)
     val blooms = bloomCols.filter(df.columns.contains)
-    if (cols.isEmpty && blooms.isEmpty) return Map.empty
     val bloomAgg = udaf(new Bloom.Agg(Bloom.DefaultBits), Encoders.scalaLong)
-    val aggs = cols.flatMap(f => Seq(
-      min(col(f.name)).cast("string"), max(col(f.name)).cast("string"))) ++
-      blooms.map(c => bloomAgg(xxhash64(col(c))))
+    // count(*) always rides along: per-file row counts (Delta's numRecords)
+    // let later commits derive the table's total WITHOUT re-reading it
+    val aggs = org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)) +:
+      (cols.flatMap(f => Seq(
+        min(col(f.name)).cast("string"), max(col(f.name)).cast("string"))) ++
+        blooms.map(c => bloomAgg(xxhash64(col(c)))))
     val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val stagingP = Paths.get(stagingDir)
-    val bloomBase = 1 + 2 * cols.length
+    val minMaxBase = 2 // 0 = __fp, 1 = count
+    val bloomBase = minMaxBase + 2 * cols.length
     rows.map { r =>
       val rel = stagingP.relativize(
         Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
       def j(i: Int): JValue =
         if (r.isNullAt(i)) JNull else JString(r.getString(i))
       val fields: Seq[(String, JValue)] =
-        cols.zipWithIndex.map { case (f, i) =>
-          f.name -> (JArray(List(j(1 + 2 * i), j(2 + 2 * i))): JValue)
+        (RowsKey -> (JString(r.getLong(1).toString): JValue)) +:
+        (cols.zipWithIndex.map { case (f, i) =>
+          f.name -> (JArray(List(j(minMaxBase + 2 * i),
+            j(minMaxBase + 1 + 2 * i))): JValue)
         } ++ blooms.zipWithIndex.flatMap { case (c, i) =>
           Option(r.get(bloomBase + i)).map { bytes =>
             (Bloom.StatsPrefix + c) -> (JString(java.util.Base64.getEncoder
               .encodeToString(bytes.asInstanceOf[Array[Byte]])): JValue)
           }
-        }
+        })
       rel -> compact(render(org.json4s.JObject(fields.toList)))
     }.toMap
+  }
+
+  /** Stats-JSON key for a file's row count. */
+  private val RowsKey = "__rows"
+
+  /** Total rows of a version from its per-file row counts — Some only when
+    * EVERY entry carries one (files from pre-rows manifests force a real
+    * count once; their rewrites regain the fast path). */
+  private def rowsFromManifest(m: Versioned.Manifest): Option[Long] = {
+    import org.json4s.jackson.JsonMethods.parse
+    import org.json4s.JString
+    val counts = m.entries.map(_.stats.flatMap { s =>
+      scala.util.Try(parse(s)).toOption.flatMap(j => (j \ RowsKey) match {
+        case JString(n) => scala.util.Try(n.toLong).toOption
+        case _ => None
+      })
+    })
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
   /** The bloom-indexed columns of an existing version (union of
@@ -222,6 +246,54 @@ object TableIO {
       }
     }
 
+  /** Typed comparison of a recorded stat string (Spark's cast-to-string
+    * rendering) against a probe value. Every branch PARSES both sides into
+    * the column's domain before comparing — raw string compares would
+    * silently mis-prune: `java.sql.Timestamp.toString` carries a trailing
+    * ".0" Spark's rendering omits, and `String.compareTo` (UTF-16 code
+    * units) disagrees with Spark's min/max ordering (UTF-8 binary) for
+    * supplementary-plane characters. Returns None when a side does not
+    * parse — callers treat that as "cannot prove, must scan". */
+  private def cmpStat(dt: DataType, stat: String, probe: Any): Option[Int] =
+    scala.util.Try {
+      dt match {
+        case _: NumericType =>
+          new java.math.BigDecimal(stat)
+            .compareTo(new java.math.BigDecimal(probe.toString))
+        case TimestampType =>
+          val p = probe match {
+            case t: java.sql.Timestamp => t
+            case other => java.sql.Timestamp.valueOf(other.toString)
+          }
+          java.sql.Timestamp.valueOf(stat).compareTo(p)
+        case DateType =>
+          val p = probe match {
+            case d: java.sql.Date => d
+            case other => java.sql.Date.valueOf(other.toString)
+          }
+          java.sql.Date.valueOf(stat).compareTo(p)
+        case BooleanType =>
+          stat.toBoolean.compareTo(probe.toString.toBoolean)
+        case StringType => compareUtf8(stat, probe.toString)
+        case _ => return None // unknown domain: cannot prove
+      }
+    }.toOption
+
+  /** Unsigned lexicographic UTF-8 byte order — Spark's UTF8String
+    * (and parquet BINARY stats) ordering. */
+  private def compareUtf8(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
   /** Conservative file-overlap test for `[lo, hi]` against a file's
     * recorded `[min, max]` on `dt`-typed `statCol`. Returns true (scan the
     * file) whenever pruning cannot be PROVEN safe. An all-null column can
@@ -232,14 +304,8 @@ object TableIO {
     (mnO, mxO) match {
       case (None, None) => false // all-null file: no row satisfies a range
       case (Some(mn), Some(mx)) =>
-        def cmp(a: String, b: String): Int = dt match {
-          case _: NumericType =>
-            new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-          case _ => a.compareTo(b) // ISO dates/timestamps, strings, booleans
-        }
-        def str(v: Any): String = v.toString
-        val aboveLo = lo.forall(l => scala.util.Try(cmp(mx, str(l)) >= 0).getOrElse(true))
-        val belowHi = hi.forall(h => scala.util.Try(cmp(mn, str(h)) <= 0).getOrElse(true))
+        val aboveLo = lo.forall(l => cmpStat(dt, mx, l).forall(_ >= 0))
+        val belowHi = hi.forall(h => cmpStat(dt, mn, h).forall(_ <= 0))
         aboveLo && belowHi
       case _ => true // half-recorded stats: be safe
     }
@@ -378,6 +444,10 @@ object TableIO {
       extraMeta: Map[String, String] = Map.empty): TableInfo = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy (1-D clustering) and zorderBy (Z-curve) are exclusive")
+    require(bloomFilterFor.intersect(partitionBy).isEmpty,
+      "bloom filters on partition columns are pointless (hive directory " +
+        "pruning is already exact there) and unreliable (the staged " +
+        "read-back infers partition types, which can change the hash)")
     val tableDir = Catalog.tablePath(lh, tableName)
     // sortBy = 1-D data clustering: range-partition then sort within
     // partitions so each parquet file covers a narrow key range — file- and
@@ -419,7 +489,25 @@ object TableIO {
     while (true) {
       Versioned.latestVersion(tableDir) match {
         case None =>
-          return writeTable(spark, lh, tableName, df, extraMeta = extraMeta)
+          // table creation pinned to base 0: two concurrent first appends
+          // race the claim of v1 — the loser gets ConcurrentWriteException
+          // and retries as a NORMAL append against the winner's version
+          // (an unpinned overwrite here would silently drop the winner's
+          // rows instead)
+          try {
+            val commit = Versioned.commitFiles(tableDir, df.schema.json,
+              expectedBase = Some(0L),
+              collectStats = collectFileStats(spark),
+              meta = extraMeta) { target =>
+              df.write.mode(SaveMode.Append).parquet(target)
+            }
+            return finishCommit(spark, lh, tableName, tableDir, commit,
+              df.columns.toSeq, Seq.empty)
+          } catch {
+            case e: Versioned.ConcurrentWriteException =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+          }
         case Some(base) =>
           Versioned.readManifest(tableDir, base) match {
             case Some(m) =>
@@ -454,7 +542,8 @@ object TableIO {
               val current = selectTable(spark, lh, tableName)
               return writeTable(spark, lh, tableName,
                 current.unionByName(df, allowMissingColumns = true),
-                partitionBy = currentPartitioning(lh, tableName))
+                partitionBy = currentPartitioning(lh, tableName),
+                extraMeta = extraMeta)
           }
       }
     }
@@ -465,7 +554,13 @@ object TableIO {
       tableName: String, tableDir: String, commit: Versioned.Commit,
       columns: Seq[String], partitionBy: Seq[String]): TableInfo = {
     val written = scanSpec(spark, Versioned.specFor(tableDir, commit.version))
-    val info = TableInfo(lh.lakehouseName, written.count(), columns.length,
+    // O(0) in the steady state: the manifest's per-file row counts sum to
+    // the total — an O(files-in-table) count() per commit would make every
+    // tiny append pay for the whole table's footers
+    val rowCount = Versioned.readManifest(tableDir, commit.version)
+      .flatMap(rowsFromManifest)
+      .getOrElse(written.count())
+    val info = TableInfo(lh.lakehouseName, rowCount, columns.length,
       columns, tableDir, partitionBy)
     Catalog.recordTable(tableName, written, info)
     info
@@ -477,14 +572,14 @@ object TableIO {
     * layout is the source of truth — a session registry keyed by bare table
     * name would be blind in a fresh JVM and collide across lakehouses.
     * Maintenance rewrites (compact, merge, append) must preserve this. */
+  /** col1=v/col2=v/part-*.parquet -> Seq(col1, col2) */
+  private[lakehouse] def partitioningOfFiles(files: Seq[String]): Seq[String] =
+    files.headOption.toSeq.flatMap(_.split('/').dropRight(1).toSeq
+      .takeWhile(_.matches("[^=]+=.*")).map(_.split("=", 2)(0)))
+
   private def currentPartitioning(lh: LakehouseProps, tableName: String): Seq[String] = {
     Versioned.readSpec(Catalog.tablePath(lh, tableName)) match {
-      case Versioned.ScanFiles(_, _, files) =>
-        files.headOption.toSeq.flatMap { rel =>
-          // col1=v/col2=v/part-*.parquet -> Seq(col1, col2)
-          rel.split('/').dropRight(1).toSeq
-            .takeWhile(_.matches("[^=]+=.*")).map(_.split("=", 2)(0))
-        }
+      case Versioned.ScanFiles(_, _, files) => partitioningOfFiles(files)
       case Versioned.ScanDir(dataDir) =>
         val out = Seq.newBuilder[String]
         var dir = Paths.get(dataDir)
@@ -569,14 +664,17 @@ object TableIO {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // 1. affected files: key-columns-only columnar scan + semi join —
-          // reads keyCols bytes of the table, not the table
+          // reads keyCols bytes of the table, not the table. (The empty-
+          // manifest scan has no _metadata column — and no files to match.)
           import org.apache.spark.sql.functions.col
-          val affectedPaths = scanSpec(spark,
-            Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
-            .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
-            .join(updKeys, keyCols, "left_semi")
-            .select("__fp").distinct()
-            .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+          val affectedPaths =
+            if (m.entries.isEmpty) Set.empty[String]
+            else scanSpec(spark,
+              Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
+              .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
+              .join(updKeys, keyCols, "left_semi")
+              .select("__fp").distinct()
+              .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
           val baseP = Paths.get(tableDir)
           val (affected, untouched) = m.entries.partition(e =>
             affectedPaths.contains(baseP.resolve(e.path).toString))
@@ -815,11 +913,13 @@ object TableIO {
     val base = Versioned.latestVersion(tableDir)
     (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
       case (Some(b), Some(m)) =>
-        val affectedPaths = scanSpec(spark,
-          Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
-          .filter(cond)
-          .select(col("_metadata.file_path").as("__fp")).distinct()
-          .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+        val affectedPaths =
+          if (m.entries.isEmpty) Set.empty[String]
+          else scanSpec(spark,
+            Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
+            .filter(cond)
+            .select(col("_metadata.file_path").as("__fp")).distinct()
+            .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
         val baseP = Paths.get(tableDir)
         val (affected, untouched) = m.entries.partition(e =>
           affectedPaths.contains(baseP.resolve(e.path).toString))

@@ -83,6 +83,13 @@ object Versioned {
     * Overridable for tests; `vacuum` takes an explicit age. */
   @volatile var RetainAgeMs: Long = 10 * 60 * 1000L
 
+  /** How long an unmarked manifest claim may block the version number it
+    * sits on. The claim→marker window is only a few file renames, so a
+    * claim this old with no marker is a crashed writer — conflicting
+    * claimers may clear it and retry instead of staying write-wedged
+    * until the (much longer) retention sweep. */
+  @volatile var OrphanGraceMs: Long = 60 * 1000L
+
   /** One data file in a manifest: its path (relative to the table dir) and
     * optional per-file column statistics (single-line JSON:
     * `{"col":[minStr, maxStr], ...}`, nulls for all-null columns) — the
@@ -308,7 +315,17 @@ object Versioned {
             claimed = true
           } catch {
             case _: FileAlreadyExistsException =>
-              expectedBase match {
+              // a marker-less claim past the grace window is a crashed
+              // writer's orphan — clear it and retry the same number so
+              // one crash can't wedge every base-pinned writer until the
+              // retention sweep
+              val existing = manifestPath(dir, v)
+              val stale = !Files.exists(marker(dir, v)) &&
+                scala.util.Try(System.currentTimeMillis() -
+                  Files.getLastModifiedTime(existing).toMillis >
+                    OrphanGraceMs).getOrElse(false)
+              if (stale) Files.deleteIfExists(existing)
+              else expectedBase match {
                 case Some(base) => throw conflict(tableDir, base, v)
                 case None => v += 1
               }
@@ -405,8 +422,18 @@ object Versioned {
     names.foreach { n =>
       val p = dir.resolve(n)
       if (n.startsWith(StagingPrefix) || n.startsWith(".manifest.tmp")) {
-        // crashed writers' scratch — never referenced once orphaned
-        if (!young(p)) deleteRecursively(p)
+        // crashed writers' scratch — never referenced once orphaned. Age
+        // by the NEWEST mtime in the subtree: a long-running write keeps
+        // touching deep task files while the staging ROOT's mtime stays at
+        // job start, and sweeping a live writer's scratch kills its job.
+        val newest = scala.util.Try {
+          val s = Files.walk(p)
+          try s.iterator().asScala
+            .map(q => Files.getLastModifiedTime(q).toMillis)
+            .foldLeft(0L)(math.max)
+          finally s.close()
+        }.getOrElse(Long.MaxValue) // can't stat -> keep (safe side)
+        if (now - newest >= retainAgeMs) deleteRecursively(p)
       } else if (!n.startsWith("_") && !n.startsWith(".")) {
         if (Files.isRegularFile(p)) {
           if (!referenced.contains(n) && !young(p)) Files.deleteIfExists(p)

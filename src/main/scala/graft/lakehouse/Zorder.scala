@@ -92,8 +92,11 @@ object Zorder {
   /** Append a z-value column over `cols`. One distributed quantile pass to
     * learn the per-dimension cut points, then a per-row compiled kernel. */
   def withZValue(df: DataFrame, cols: Seq[String], zCol: String = "__z"): DataFrame = {
-    require(cols.nonEmpty && cols.size <= 64 / BitsPerCol,
-      s"zorder needs 1..${64 / BitsPerCol} columns")
+    // 63, not 64: an 8th column would put a bucket bit into the sign bit,
+    // making half the curve negative and sort-before-everything — which
+    // silently destroys the clustering (results stay right, skipping dies)
+    require(cols.nonEmpty && cols.size <= 63 / BitsPerCol,
+      s"zorder needs 1..${63 / BitsPerCol} columns")
     val lined = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       d.withColumn(s"__zl_$i", asLine(df, c))
     }

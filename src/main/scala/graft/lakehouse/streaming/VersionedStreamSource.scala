@@ -112,7 +112,10 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
       try {
         m match {
           case None =>
+            // pinned to base 0: a concurrent creator forces a retry as a
+            // normal append instead of silently superseding its commit
             Versioned.commitFiles(tableDir, batch.schema.json,
+              expectedBase = Some(0L),
               collectStats = TableIO.collectFileStats(spark),
               meta = Map(txnKey -> batchId.toString)) { target =>
               writeBatch(batch, Seq.empty, target)
@@ -131,8 +134,7 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
               oldEmpty.unionByName(batch, allowMissingColumns = true)
             val parts =
               if (partitionColumns.nonEmpty) partitionColumns
-              else man.files.headOption.toSeq.flatMap(_.split('/').dropRight(1)
-                .toSeq.takeWhile(_.matches("[^=]+=.*")).map(_.split("=", 2)(0)))
+              else TableIO.partitioningOfFiles(man.files)
             Versioned.commitFiles(tableDir, evolved.json,
               inherit = man.entries, expectedBase = base,
               collectStats = TableIO.collectFileStats(spark,

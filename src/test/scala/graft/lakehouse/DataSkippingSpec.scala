@@ -66,6 +66,28 @@ class DataSkippingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "uncl")
   }
 
+  test("timestamp stats prune by PARSED value, not string rendering") {
+    // java.sql.Timestamp.toString renders '...56.0' where Spark's stat
+    // string is '...56' — a raw string compare would prune the boundary row
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 12:34:56")
+    val rows = (0 until 1000).map(i =>
+      (i.toLong, new java.sql.Timestamp(ts.getTime + i * 60000L)))
+      .toDF("k", "t")
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "tsed", rows.repartition(4), sortBy = Seq("t"))
+    }
+    // range pinned exactly at a recorded max: the boundary row must survive
+    val got = TableIO.prunedScan(spark, lh, "tsed", "t", Some(ts), Some(ts))
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 0L,
+      s"boundary timestamp row lost to string-compare pruning: ${got.length}")
+    // and equality probing by the boxed timestamp type works end to end
+    val mid = new java.sql.Timestamp(ts.getTime + 500 * 60000L)
+    assert(TableIO.prunedScan(spark, lh, "tsed", "t", Some(mid), Some(mid))
+      .count() == 1)
+    TableIO.dropTable(spark, lh, "tsed")
+  }
+
   test("inherited files keep their stats through merge commits") {
     val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
       .repartition(4)
