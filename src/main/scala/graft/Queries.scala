@@ -281,6 +281,22 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM u ORDER BY doc_id""".stripMargin)),
 
+    // Stat-pruned top-k: ORDER BY + LIMIT over a clustered table reads only
+    // the files whose range can reach the k-th value (per-file row counts
+    // bound it); the final sort makes the result exactly the full answer.
+    Q("q78_topk_pruned",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "orders_topk",
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          sortBy = Seq("o_totalprice"))
+        TableIO.prunedTopK(s, lh, "orders_topk", "o_totalprice", 100,
+          ascending = true, tieBreak = Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice IS NOT NULL
+        |ORDER BY o_totalprice, o_orderkey LIMIT 100""".stripMargin)),
+
     // Bloom-indexed point lookup: high-cardinality key, unclustered table —
     // the bloom (not min/max) is what skips files; the probe key is derived
     // identically on both engines, and the residual filter keeps the result

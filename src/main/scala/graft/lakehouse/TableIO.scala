@@ -374,6 +374,84 @@ object TableIO {
     filters.foldLeft(base)(_ filter _)
   }
 
+  /** Per-file row count from an entry's stats JSON. */
+  private def entryRows(e: Versioned.FileEntry): Option[Long] = {
+    import org.json4s.jackson.JsonMethods.parse
+    import org.json4s.JString
+    e.stats.flatMap(s => scala.util.Try(parse(s)).toOption).flatMap(j =>
+      (j \ RowsKey) match {
+        case JString(n) => scala.util.Try(n.toLong).toOption
+        case _ => None
+      })
+  }
+
+  /** Stat-pruned `ORDER BY statCol [DESC] LIMIT k` (nulls excluded): using
+    * per-file [min,max] + row counts, pick the shortest prefix of files (in
+    * stat order) that provably holds ≥ k non-excludable rows, bound the
+    * k-th value by that prefix's worst case, and scan ONLY files whose
+    * range crosses the bound — over a `sortBy`-clustered 100 TB table a
+    * top-k reads a handful of files instead of all of them. Falls back to
+    * a full sort whenever any file lacks stats or row counts (pruning must
+    * be provable, never guessed). `tieBreak` columns pin a total order so
+    * the result is deterministic under boundary ties. */
+  def prunedTopK(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      statCol: String, k: Int, ascending: Boolean = true,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(k > 0, "k must be positive")
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val sortCols = (col(statCol) +: tieBreak.map(col)).map(c =>
+      if (ascending) c.asc else c.desc)
+    def fullSort(df: DataFrame): DataFrame =
+      df.filter(col(statCol).isNotNull).orderBy(sortCols: _*).limit(k)
+    val mOpt = Versioned.latestVersion(tableDir)
+      .flatMap(v => Versioned.readManifest(tableDir, v))
+    mOpt match {
+      case None => fullSort(selectTable(spark, lh, tableName))
+      case Some(m) =>
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val dt = schema.fields.find(_.name == statCol).map(_.dataType)
+          .getOrElse(StringType)
+        val parsed = m.entries.map(e => (e, statsRange(e, statCol), entryRows(e)))
+        // all-null files can never contribute (nulls are excluded); every
+        // OTHER file must have a provable range and row count or we bail
+        val candidates = parsed.filter { case (_, r, _) =>
+          !r.contains((None, None))
+        }
+        val provable = candidates.forall { case (_, r, n) =>
+          n.isDefined && r.exists(p => p._1.isDefined && p._2.isDefined)
+        }
+        if (!provable || candidates.isEmpty)
+          return fullSort(scanSpec(spark,
+            Versioned.ScanFiles(tableDir, m.schemaJson, m.files)))
+        def lo(t: (Versioned.FileEntry, Option[(Option[String], Option[String])], Option[Long])) =
+          t._2.get._1.get
+        def hi(t: (Versioned.FileEntry, Option[(Option[String], Option[String])], Option[Long])) =
+          t._2.get._2.get
+        def less(a: String, b: String): Boolean =
+          cmpStat(dt, a, b).exists(_ < 0)
+        // ascending: order files by min; the prefix holding >= k rows has
+        // all its rows <= B := max of its maxes, so the k-th value <= B and
+        // only files with min <= B can contribute. Descending is symmetric.
+        val ordered =
+          if (ascending) candidates.sortWith((a, b) => less(lo(a), lo(b)))
+          else candidates.sortWith((a, b) => less(hi(b), hi(a)))
+        var acc = 0L
+        val prefix = ordered.takeWhile { t =>
+          val need = acc < k
+          acc += t._3.get
+          need
+        }
+        val bound =
+          if (ascending) prefix.map(hi).reduce((a, b) => if (less(a, b)) b else a)
+          else prefix.map(lo).reduce((a, b) => if (less(a, b)) a else b)
+        val keep = ordered.filter(t =>
+          if (ascending) !less(bound, lo(t)) else !less(hi(t), bound))
+        fullSort(scanSpec(spark, Versioned.ScanFiles(tableDir, m.schemaJson,
+          keep.map(_._1.path))))
+    }
+  }
+
   /** Equality-predicate file prune: a file survives only if (a) its min/max
     * range may contain `value` AND (b) its Bloom bitset (when the column is
     * bloom-indexed — [[writeTable]]'s `bloomFilterFor`) says maybe-present.

@@ -88,6 +88,31 @@ class DataSkippingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "tsed")
   }
 
+  test("prunedTopK reads only the files that can hold the k extremes") {
+    val df = spark.range(0, 40000).selectExpr("id AS k", "id % 97 AS payload")
+      .repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "topk", df, sortBy = Seq("k"))
+    }
+    val total = TableIO.currentFiles(lh, "topk").size
+    assert(total > 2)
+    val top = TableIO.prunedTopK(spark, lh, "topk", "k", 50,
+      ascending = true, tieBreak = Seq("payload"))
+    assert(top.inputFiles.length < total,
+      s"top-k over a clustered table must prune (${top.inputFiles.length}/$total)")
+    val want = TableIO.selectTable(spark, lh, "topk")
+      .orderBy("k", "payload").limit(50).collect()
+    assert(top.collect().sameElements(want))
+    // descending twin
+    val bot = TableIO.prunedTopK(spark, lh, "topk", "k", 50,
+      ascending = false, tieBreak = Seq("payload"))
+    val wantD = TableIO.selectTable(spark, lh, "topk")
+      .orderBy($"k".desc, $"payload".desc).limit(50).collect()
+    assert(bot.inputFiles.length < total)
+    assert(bot.collect().sameElements(wantD))
+    TableIO.dropTable(spark, lh, "topk")
+  }
+
   test("inherited files keep their stats through merge commits") {
     val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
       .repartition(4)
