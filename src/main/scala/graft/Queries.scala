@@ -281,6 +281,36 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM u ORDER BY doc_id""".stripMargin)),
 
+    // Change data feed roundtrip: base write -> merge with updates+inserts
+    // -> row-level feed; the oracle reconstructs the same events from the
+    // source table arithmetically.
+    Q("q79_change_feed",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        TableIO.writeTable(s, lh, "orders_cdf",
+          orders.filter(col("o_orderkey") % 2 === 0))
+        TableIO.enableChangeFeed(s, lh, "orders_cdf")
+        val v0 = Versioned.latestVersion(
+          Catalog.tablePath(lh, "orders_cdf")).get
+        TableIO.mergeTable(s, lh, "orders_cdf",
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          Seq("o_orderkey"))
+        TableIO.readChangeFeed(s, lh, "orders_cdf", v0)
+          .select("o_orderkey", "o_totalprice", "_change_type")
+          .orderBy("o_orderkey", "_change_type")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, 'update_preimage' AS _change_type
+        |FROM orders WHERE o_orderkey % 6 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice * 2, 'update_postimage'
+        |FROM orders WHERE o_orderkey % 6 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice * 2, 'insert'
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+        |ORDER BY o_orderkey, _change_type""".stripMargin)),
+
     // Stat-pruned top-k: ORDER BY + LIMIT over a clustered table reads only
     // the files whose range can reach the k-th value (per-file row counts
     // bound it); the final sort makes the result exactly the full answer.

@@ -507,6 +507,67 @@ object TableIO {
     base.filter(col(statCol) === lit(value))
   }
 
+  // ---- CHECK constraints --------------------------------------------------
+
+  private val CheckPrefix = "check:"
+
+  /** The CHECK constraints recorded in a version's metadata. */
+  def checkConstraintsOf(meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith(CheckPrefix) =>
+      k.drop(CheckPrefix.length) -> v
+    }
+
+  /** Enforce CHECK constraints on incoming rows (SQL semantics: a row
+    * passes when the expression is TRUE or NULL, fails only on FALSE —
+    * Delta CHECK constraints behave identically). One bounded action per
+    * constraint over the BATCH being written, never the table; callers
+    * writing expensive pipelines should persist upstream. */
+  private[lakehouse] def enforceChecks(df: DataFrame, checks: Map[String, String],
+      ctx: String): Unit =
+    checks.foreach { case (name, sql) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val bad = df.filter(coalesce(expr(sql), lit(true)) === false)
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$ctx violates CHECK constraint '$name' ($sql); e.g. ${bad.head}")
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT ... CHECK: validates all EXISTING rows
+    * satisfy `sqlExpr` (one scan, once), then records the constraint in a
+    * metadata-only commit — every subsequent write path (overwrite, append,
+    * merge, streaming sink) enforces it on incoming rows. */
+  def addCheckConstraint(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, name: String, sqlExpr: String): Unit = {
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\n"),
+      "constraint names must be single-line and '='-free")
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry constraints"))
+    enforceChecks(scanSpec(spark,
+      Versioned.ScanFiles(tableDir, m.schemaJson, m.files)),
+      Map(name -> sqlExpr), s"$tableName: existing data")
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base, meta = m.meta + (CheckPrefix + name -> sqlExpr)) {
+      _ => ()
+    }
+    ()
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT (metadata-only commit; missing names are
+    * a no-op commit). */
+  def dropCheckConstraint(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, name: String): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(s"$tableName has no versions"))
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base, meta = m.meta - (CheckPrefix + name)) { _ => () }
+    ()
+  }
+
   /** common.py:525-538 — overwrite-write (optionally Hive-style partitioned),
     * then record `{lakehouse, shape, columns, path}` into the registry.
     * Schema changes are first-class: the new version's manifest stores the
@@ -527,6 +588,12 @@ object TableIO {
         "pruning is already exact there) and unreliable (the staged " +
         "read-back infers partition types, which can change the hash)")
     val tableDir = Catalog.tablePath(lh, tableName)
+    // CHECK constraints are table properties: they survive overwrites
+    // (Delta semantics) and the replacement data must satisfy them
+    val checks = checkConstraintsOf(Versioned.latestVersion(tableDir)
+      .flatMap(Versioned.readManifest(tableDir, _))
+      .map(_.meta).getOrElse(Map.empty))
+    enforceChecks(df, checks, s"$tableName: overwrite")
     // sortBy = 1-D data clustering: range-partition then sort within
     // partitions so each parquet file covers a narrow key range — file- and
     // row-group-level min/max statistics then let later scans with
@@ -540,7 +607,7 @@ object TableIO {
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
       collectStats = collectFileStats(spark, bloomFilterFor),
-      meta = extraMeta) { target =>
+      meta = checks.map { case (k, v) => (CheckPrefix + k) -> v } ++ extraMeta) { target =>
       // manifest blooms skip whole FILES; parquet-native blooms on the same
       // columns skip row groups WITHIN the files that survive
       val writer = bloomFilterFor.foldLeft(clustered.write.mode(SaveMode.Append)) {
@@ -589,6 +656,7 @@ object TableIO {
         case Some(base) =>
           Versioned.readManifest(tableDir, base) match {
             case Some(m) =>
+              enforceChecks(df, checkConstraintsOf(m.meta), s"$tableName: append")
               val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
               val oldEmpty = spark.createDataFrame(
                 spark.sparkContext.emptyRDD[Row], oldSchema)
@@ -737,6 +805,7 @@ object TableIO {
     val base = Versioned.latestVersion(tableDir)
     (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
       case (Some(b), Some(m)) =>
+        enforceChecks(updates, checkConstraintsOf(m.meta), s"$tableName: merge")
         val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
         val updKeys = updates.select(keyColumns: _*).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -765,10 +834,28 @@ object TableIO {
           val kept = affectedDf.join(updKeys, keyCols, "left_anti")
           val rewritten = kept.unionByName(updates, allowMissingColumns = true)
           val parts = currentPartitioning(lh, tableName)
+          // change data feed: matched rows emit pre+post images, new keys
+          // emit inserts; staged atomically with the commit (beforeMarker)
+          val changes: Option[DataFrame] =
+            if (!cdfEnabled(m.meta)) None
+            else {
+              import org.apache.spark.sql.functions.lit
+              val oldKeys = affectedDf.select(keyColumns: _*).distinct()
+              val pre = affectedDf.join(updKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+              val post = updates.join(oldKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage"))
+              val ins = updates.join(oldKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert"))
+              Some(pre.unionByName(post, allowMissingColumns = true)
+                .unionByName(ins, allowMissingColumns = true))
+            }
           val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
             inherit = untouched, expectedBase = Some(b),
             collectStats = collectFileStats(spark, bloomColsOf(m)),
-            meta = m.meta) { target =>
+            meta = m.meta,
+            beforeMarker = v => changes.foreach(
+              _.write.parquet(cdfDir(tableDir, v).toString))) { target =>
             val writer = rewritten.write.mode(SaveMode.Append)
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
              else writer).parquet(target)
@@ -936,6 +1023,95 @@ object TableIO {
       .option("ignoreRewrites", ignoreRewrites.toString)
       .load()
 
+  // ---- row-level change data feed ----------------------------------------
+
+  private val CdfKey = "cdf"
+
+  /** Enable the change data feed (Delta `enableChangeDataFeed`): from this
+    * version on, merge and delete commits record their row-level changes
+    * in a `_cdf_<version>` sidecar staged atomically with the commit, and
+    * [[readChangeFeed]] can reconstruct every row-level event. */
+  def enableChangeFeed(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): Unit = setTableFlag(lh, tableName, CdfKey, Some("true"))
+
+  def disableChangeFeed(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): Unit = setTableFlag(lh, tableName, CdfKey, None)
+
+  private def setTableFlag(lh: LakehouseProps, tableName: String,
+      key: String, value: Option[String]): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry properties"))
+    val newMeta = value.fold(m.meta - key)(v => m.meta + (key -> v))
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base, meta = newMeta) { _ => () }
+    ()
+  }
+
+  private def cdfEnabled(meta: Map[String, String]): Boolean =
+    meta.get(CdfKey).contains("true")
+
+  private def cdfDir(tableDir: String, v: Long): Path =
+    Paths.get(tableDir).resolve(s"_cdf_$v")
+
+  /** Row-level changes since `sinceVersion` (Delta `table_changes`): for
+    * each later commit — appends yield their added files' rows as
+    * `insert` (derived from the manifest diff, no sidecar needed);
+    * merge/delete commits yield their recorded `update_preimage` /
+    * `update_postimage` / `insert` / `delete` rows from the `_cdf_` sidecar
+    * (which exists for commits made while the feed was enabled).
+    * Cost is O(changed rows), never O(table). */
+  def readChangeFeed(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, sinceVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val tableDir = Catalog.tablePath(lh, tableName)
+    require(Versioned.isCommitted(tableDir, sinceVersion),
+      s"version $sinceVersion of $tableName was never committed or has been swept")
+    val versions = Versioned.committedVersions(tableDir)
+      .filter(_ >= sinceVersion)
+    val frames = versions.sliding(2).collect {
+      case Seq(prev, v) =>
+        val pm = Versioned.readManifest(tableDir, prev).getOrElse(
+          throw new IllegalStateException(
+            s"$tableName: manifest for version $prev is unavailable"))
+        val m = Versioned.readManifest(tableDir, v).getOrElse(
+          throw new IllegalStateException(
+            s"$tableName: manifest for version $v is unavailable"))
+        val prevFiles = pm.files.toSet
+        val added = m.files.filterNot(prevFiles.contains)
+        val removed = prevFiles -- m.files.toSet
+        if (removed.isEmpty && added.isEmpty) None // metadata-only commit
+        else if (removed.isEmpty)
+          Some(scanSpec(spark,
+            Versioned.ScanFiles(tableDir, m.schemaJson, added))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        else {
+          val d = cdfDir(tableDir, v)
+          if (!Files.isDirectory(d)) throw new IllegalStateException(
+            s"$tableName: version $v rewrote files but has no change-data " +
+              "sidecar — the commit predates enableChangeFeed (or was a " +
+              "compaction/overwrite, which the feed does not model); " +
+              "re-baseline the consumer from a full snapshot")
+          Some(spark.read.parquet(d.toString)
+            .withColumn("_commit_version", lit(v)))
+        }
+    }.flatten.toSeq
+    frames match {
+      case Seq() =>
+        val schema = Versioned.latestVersion(tableDir)
+          .flatMap(v => Versioned.readManifest(tableDir, v))
+          .map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+          .getOrElse(new StructType())
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          schema.add("_change_type", StringType).add("_commit_version",
+            org.apache.spark.sql.types.LongType))
+      case fs => fs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** Small-files compaction (the OPTIMIZE half of the Delta story the
     * north-star names): rewrite the current version into
     * ceil(bytes / targetFileBytes) files and commit it atomically —
@@ -965,9 +1141,17 @@ object TableIO {
       else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
     val baseM = base.flatMap(Versioned.readManifest(tableDir, _))
     val blooms = baseM.map(bloomColsOf).getOrElse(Seq.empty)
+    // compaction is invisible to the change feed: same rows, new files —
+    // an EMPTY sidecar tells readChangeFeed "rewrite, zero logical changes"
+    val emptyCdf: Option[DataFrame] =
+      if (!baseM.exists(m => cdfEnabled(m.meta))) None
+      else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        df.schema.add("_change_type", StringType)))
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
       expectedBase = base, collectStats = collectFileStats(spark, blooms),
-      meta = baseM.map(_.meta).getOrElse(Map.empty)) { target =>
+      meta = baseM.map(_.meta).getOrElse(Map.empty),
+      beforeMarker = v => emptyCdf.foreach(
+        _.write.parquet(cdfDir(tableDir, v).toString))) { target =>
       val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
@@ -1002,10 +1186,19 @@ object TableIO {
         val (affected, untouched) = m.entries.partition(e =>
           affectedPaths.contains(baseP.resolve(e.path).toString))
         val parts = currentPartitioning(lh, tableName)
+        val changes: Option[DataFrame] =
+          if (!cdfEnabled(m.meta) || affected.isEmpty) None
+          else Some(scanSpec(spark,
+            Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+            .filter(cond)
+            .withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("delete")))
         val commit = Versioned.commitFiles(tableDir, m.schemaJson,
           inherit = untouched, expectedBase = Some(b),
           collectStats = collectFileStats(spark, bloomColsOf(m)),
-          meta = m.meta) { target =>
+          meta = m.meta,
+          beforeMarker = v => changes.foreach(
+            _.write.parquet(cdfDir(tableDir, v).toString))) { target =>
           if (affected.nonEmpty) {
             val survivors = scanSpec(spark,
               Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))

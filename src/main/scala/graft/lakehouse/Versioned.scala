@@ -255,7 +255,8 @@ object Versioned {
       inherit: Seq[FileEntry] = Seq.empty,
       expectedBase: Option[Long] = None,
       collectStats: String => Map[String, String] = _ => Map.empty,
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      beforeMarker: Long => Unit = _ => ())
       (write: String => Unit): Commit = {
     require(inherit.isEmpty || expectedBase.isDefined,
       "a commit inheriting files must pin the base version they came from")
@@ -333,13 +334,17 @@ object Versioned {
         }
         // move staged files into place — readers still resolve the old
         // version until the marker lands, and never list the root (they
-        // scan manifest file lists), so a half-moved state is invisible
+        // scan manifest file lists), so a half-moved state is invisible.
+        // beforeMarker runs with the claimed version number but BEFORE the
+        // commit point (callers stage version-keyed sidecars, e.g. change-
+        // data files, atomically with the commit); its failure aborts.
         try {
           stagedSrc.foreach { p =>
             val dest = dir.resolve(staging.relativize(p).toString)
             if (dest.getParent != dir) Files.createDirectories(dest.getParent)
             Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
           }
+          beforeMarker(v)
         } catch {
           case e: Exception =>
             // abort cleanly: un-claim (no marker yet -> never committed)
@@ -395,7 +400,17 @@ object Versioned {
       Files.deleteIfExists(marker(dir, v))
       Files.deleteIfExists(manifestPath(dir, v))
       deleteRecursively(versionDir(dir, v)) // legacy snapshot dir
+      deleteRecursively(dir.resolve(s"_cdf_$v")) // change-data sidecar
     }
+    // change-data sidecars of versions that never committed (crash between
+    // sidecar write and marker) age out like any orphan
+    names.filter(_.startsWith("_cdf_"))
+      .flatMap(n => numericSuffix(n, "_cdf_"))
+      .filter(v => !Files.exists(marker(dir, v)))
+      .foreach { v =>
+        val p = dir.resolve(s"_cdf_$v")
+        if (!young(p)) deleteRecursively(p)
+      }
     // orphaned claims from crashed writers: manifest with no marker, or a
     // legacy _vN dir with no marker — sweep once they cannot be in-flight
     names.flatMap(numericSuffix(_, ManifestPrefix))

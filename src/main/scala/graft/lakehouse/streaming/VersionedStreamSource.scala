@@ -121,6 +121,8 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
               writeBatch(batch, Seq.empty, target)
             }
           case Some(man) =>
+            TableIO.enforceChecks(batch,
+              TableIO.checkConstraintsOf(man.meta), s"$tableDir: sink batch")
             // align to the table schema by name (same evolution rule as
             // TableIO.appendTable): old columns keep positions, new ones
             // append nullable, pre-evolution files read them as null

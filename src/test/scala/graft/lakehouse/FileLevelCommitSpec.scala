@@ -76,6 +76,45 @@ class FileLevelCommitSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "a1")
   }
 
+  test("CHECK constraints: enforced on every write path, SQL null " +
+      "semantics, survive overwrites") {
+    TableIO.writeTable(spark, lh, "chk",
+      Seq((1, Some(10.0)), (2, None)).toDF("k", "score"))
+    // creation validates existing rows: k=2's NULL score PASSES (SQL CHECK
+    // fails only on FALSE), so this succeeds
+    TableIO.addCheckConstraint(spark, lh, "chk", "score_pos", "score > 0")
+    // a violating constraint on existing data is rejected at creation
+    intercept[IllegalArgumentException] {
+      TableIO.addCheckConstraint(spark, lh, "chk", "k_big", "k > 100")
+    }
+    // append enforcement: bad batch rejected atomically, nothing committed
+    val vBefore = Versioned.latestVersion(Catalog.tablePath(lh, "chk")).get
+    intercept[IllegalArgumentException] {
+      TableIO.appendTable(spark, lh, "chk", Seq((3, Some(-1.0))).toDF("k", "score"))
+    }
+    assert(Versioned.latestVersion(Catalog.tablePath(lh, "chk")).get == vBefore)
+    TableIO.appendTable(spark, lh, "chk", Seq((3, Some(1.0))).toDF("k", "score"))
+    // merge enforcement
+    intercept[IllegalArgumentException] {
+      TableIO.mergeTable(spark, lh, "chk",
+        Seq((1, Some(-5.0))).toDF("k", "score"), Seq("k"))
+    }
+    // constraints survive a full overwrite (table property, Delta parity) —
+    // and the overwrite itself is validated
+    intercept[IllegalArgumentException] {
+      TableIO.writeTable(spark, lh, "chk", Seq((9, Some(-2.0))).toDF("k", "score"))
+    }
+    TableIO.writeTable(spark, lh, "chk", Seq((9, Some(2.0))).toDF("k", "score"))
+    intercept[IllegalArgumentException] {
+      TableIO.appendTable(spark, lh, "chk", Seq((10, Some(-3.0))).toDF("k", "score"))
+    }
+    // drop: violations flow again
+    TableIO.dropCheckConstraint(spark, lh, "chk", "score_pos")
+    TableIO.appendTable(spark, lh, "chk", Seq((10, Some(-3.0))).toDF("k", "score"))
+    assert(TableIO.selectTable(spark, lh, "chk").count() == 2)
+    TableIO.dropTable(spark, lh, "chk")
+  }
+
   test("restoreTable is a metadata-only rollback; selectTableAsOf travels " +
       "by timestamp") {
     TableIO.writeTable(spark, lh, "rst", (1 to 50).map(i => (i, s"v$i")).toDF("k", "s"))
@@ -153,6 +192,35 @@ class FileLevelCommitSpec extends SparkSuite {
       ignoreRewrites = true).select("k").collect().map(_.getInt(0)).toSet
     assert(redelivered.contains(1) && redelivered.contains(202))
     TableIO.dropTable(spark, lh, "inc")
+  }
+
+  test("8 threads appending concurrently: every row survives, versions " +
+      "monotonic (optimistic protocol under real contention)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // no pre-created table: the creation race itself is part of the test
+      val fs = (0 until 8).map { w =>
+        Future {
+          TableIO.appendTable(spark, lh, "conc",
+            Seq((w * 100 + 1, s"w$w-1"), (w * 100 + 2, s"w$w-2")).toDF("k", "s"),
+            maxRetries = 20)
+        }
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+      val rows = TableIO.selectTable(spark, lh, "conc")
+        .select("k").collect().map(_.getInt(0)).toSet
+      val expected = (0 until 8).flatMap(w => Seq(w * 100 + 1, w * 100 + 2)).toSet
+      assert(rows == expected,
+        s"lost updates under contention: missing ${expected -- rows}")
+      val tdir = Catalog.tablePath(lh, "conc")
+      val vs = Versioned.committedVersions(tdir)
+      assert(vs == vs.sorted && vs.toSet.size == vs.size)
+    } finally pool.shutdown()
+    TableIO.dropTable(spark, lh, "conc")
   }
 
   test("a merge racing a concurrent commit fails loudly (no lost update)") {
