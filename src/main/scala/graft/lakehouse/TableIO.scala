@@ -1016,12 +1016,13 @@ object TableIO {
     * [[graft.lakehouse.streaming.VersionedTableProvider]] for offset,
     * rewrite, schema-pinning, and retention semantics). */
   def streamTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
-      ignoreRewrites: Boolean = false): DataFrame =
-    spark.readStream
+      ignoreRewrites: Boolean = false, changeFeed: Boolean = false): DataFrame = {
+    val reader = spark.readStream
       .format(classOf[graft.lakehouse.streaming.VersionedTableProvider].getName)
       .option("path", Catalog.tablePath(lh, tableName))
       .option("ignoreRewrites", ignoreRewrites.toString)
-      .load()
+    (if (changeFeed) reader.option("mode", "cdf") else reader).load()
+  }
 
   // ---- row-level change data feed ----------------------------------------
 
@@ -1065,20 +1066,29 @@ object TableIO {
     * Cost is O(changed rows), never O(table). */
   def readChangeFeed(spark: SparkSession, lh: LakehouseProps,
       tableName: String, sinceVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val tableDir = Catalog.tablePath(lh, tableName)
     require(Versioned.isCommitted(tableDir, sinceVersion),
       s"version $sinceVersion of $tableName was never committed or has been swept")
+    changeFeedAtPath(spark, tableDir, sinceVersion, None)
+  }
+
+  /** Path-level change-feed core shared with the streaming source's CDF
+    * mode: row-level events for committed versions in
+    * `(sinceVersion, untilVersion ?? latest]`. */
+  private[lakehouse] def changeFeedAtPath(spark: SparkSession,
+      tableDir: String, sinceVersion: Long,
+      untilVersion: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val versions = Versioned.committedVersions(tableDir)
-      .filter(_ >= sinceVersion)
+      .filter(v => v >= sinceVersion && untilVersion.forall(v <= _))
     val frames = versions.sliding(2).collect {
       case Seq(prev, v) =>
         val pm = Versioned.readManifest(tableDir, prev).getOrElse(
           throw new IllegalStateException(
-            s"$tableName: manifest for version $prev is unavailable"))
+            s"$tableDir: manifest for version $prev is unavailable"))
         val m = Versioned.readManifest(tableDir, v).getOrElse(
           throw new IllegalStateException(
-            s"$tableName: manifest for version $v is unavailable"))
+            s"$tableDir: manifest for version $v is unavailable"))
         val prevFiles = pm.files.toSet
         val added = m.files.filterNot(prevFiles.contains)
         val removed = prevFiles -- m.files.toSet
@@ -1091,7 +1101,7 @@ object TableIO {
         else {
           val d = cdfDir(tableDir, v)
           if (!Files.isDirectory(d)) throw new IllegalStateException(
-            s"$tableName: version $v rewrote files but has no change-data " +
+            s"$tableDir: version $v rewrote files but has no change-data " +
               "sidecar — the commit predates enableChangeFeed (or was a " +
               "compaction/overwrite, which the feed does not model); " +
               "re-baseline the consumer from a full snapshot")

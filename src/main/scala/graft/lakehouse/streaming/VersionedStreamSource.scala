@@ -59,6 +59,9 @@ class VersionedTableProvider extends StreamSourceProvider
       .flatMap(v => Versioned.readManifest(dir, v))
       .map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
 
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("mode").contains("cdf")
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -67,7 +70,11 @@ class VersionedTableProvider extends StreamSourceProvider
       throw new IllegalArgumentException(
         s"$dir has no committed version yet — create the table first or " +
           "pass an explicit schema"))
-    (shortName(), s)
+    val out =
+      if (!cdfMode(parameters)) s
+      else s.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -76,7 +83,8 @@ class VersionedTableProvider extends StreamSourceProvider
     val dir = parameters("path")
     new VersionedTableSource(sqlContext.sparkSession, dir,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("ignoreRewrites").exists(_.toBoolean))
+      parameters.get("ignoreRewrites").exists(_.toBoolean),
+      cdfMode(parameters))
   }
 }
 
@@ -165,7 +173,7 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
 
 class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,
     tableDir: String, override val schema: StructType,
-    ignoreRewrites: Boolean) extends Source {
+    ignoreRewrites: Boolean, cdf: Boolean = false) extends Source {
 
   /** Offsets may arrive re-serialized after a checkpoint restart. */
   private def ver(o: OffsetV1): Long = o match {
@@ -184,6 +192,7 @@ class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,
     Versioned.latestVersion(tableDir).map(LongOffset.apply)
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    if (cdf) return getCdfBatch(start, end)
     val endM = manifestOf(ver(end))
     val startFiles: Set[String] =
       start.map(o => manifestOf(ver(o)).files.toSet).getOrElse(Set.empty)
@@ -200,6 +209,28 @@ class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,
     val batch = TableIO.scanSpec(spark,
       Versioned.ScanFiles(tableDir, schema.json, added))
     StreamBridge.asStreaming(spark, batch)
+  }
+
+  /** CDF mode: the first batch is the end-version snapshot as `insert`
+    * rows; every later batch is the ROW-LEVEL feed between the two offsets
+    * — merges and deletes stream as pre/post images and deletions instead
+    * of failing the query (Delta's readChangeFeed streaming mode). */
+  private def getCdfBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val endV = ver(end)
+    val batch = start match {
+      case None =>
+        val m = manifestOf(endV)
+        TableIO.scanSpec(spark, Versioned.ScanFiles(tableDir,
+          m.schemaJson, m.files))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV))
+      case Some(s) =>
+        TableIO.changeFeedAtPath(spark, tableDir, ver(s), Some(endV))
+    }
+    // align to the pinned stream schema (unionByName output can reorder)
+    val aligned = batch.select(schema.fieldNames.map(col).toSeq: _*)
+    StreamBridge.asStreaming(spark, aligned)
   }
 
   override def stop(): Unit = ()

@@ -163,6 +163,36 @@ class VersionedStreamSourceSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "silver")
   }
 
+  test("CDF mode streams row-level changes: a merge delivers pre/post " +
+      "images instead of failing the query") {
+    TableIO.writeTable(spark, lh, "cdfs", Seq((1, 10.0), (2, 20.0)).toDF("k", "v"))
+    TableIO.enableChangeFeed(spark, lh, "cdfs")
+    val q = TableIO.streamTable(spark, lh, "cdfs", changeFeed = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdfs_sink").start()
+    try {
+      q.processAllAvailable()
+      def events(): Seq[(Int, Double, String)] = spark.table("cdfs_sink")
+        .select("k", "v", "_change_type").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+      assert(events() == Seq((1, 10.0, "insert"), (2, 20.0, "insert")),
+        "initial batch = snapshot as inserts")
+
+      TableIO.mergeTable(spark, lh, "cdfs",
+        Seq((1, 11.0), (3, 30.0)).toDF("k", "v"), Seq("k"))
+      q.processAllAvailable() // does NOT fail — rewrites stream as changes
+      assert(events() == Seq(
+        (1, 10.0, "insert"), (1, 10.0, "update_preimage"),
+        (1, 11.0, "update_postimage"),
+        (2, 20.0, "insert"), (3, 30.0, "insert")), events().toString)
+
+      TableIO.deleteFromTable(spark, lh, "cdfs", "k = 2")
+      q.processAllAvailable()
+      assert(events().contains((2, 20.0, "delete")))
+    } finally q.stop()
+    TableIO.dropTable(spark, lh, "cdfs")
+  }
+
   test("the short name registers via META-INF services") {
     TableIO.writeTable(spark, lh, "feed4", Seq((1, "a")).toDF("k", "s"))
     val df = spark.readStream.format("graft-table")
