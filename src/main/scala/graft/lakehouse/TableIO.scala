@@ -981,6 +981,17 @@ object TableIO {
       schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
   }
 
+  /** Metadata-only row count of the current version (sum of the
+    * manifest's per-file counts) — free at any scale. None when the table
+    * predates per-file counts or is a legacy layout (callers fall back to
+    * a real count() once; the next rewrite regains the fast path). */
+  def tableRowCount(lh: LakehouseProps, tableName: String): Option[Long] = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    Versioned.latestVersion(tableDir)
+      .flatMap(v => Versioned.readManifest(tableDir, v))
+      .flatMap(rowsFromManifest)
+  }
+
   /** DESCRIBE HISTORY: one row per retained committed version — commit
     * time, file/row-level shape, and the add/remove deltas vs the previous
     * retained version (how Delta's DESCRIBE HISTORY reads its log). Driver-

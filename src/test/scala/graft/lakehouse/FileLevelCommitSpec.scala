@@ -144,6 +144,20 @@ class FileLevelCommitSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "rst")
   }
 
+  test("tableRowCount answers from the manifest, tracks every write path") {
+    TableIO.writeTable(spark, lh, "cnt", (1 to 100).map(i => (i, s"v$i")).toDF("k", "s"))
+    assert(TableIO.tableRowCount(lh, "cnt").contains(100L))
+    TableIO.appendTable(spark, lh, "cnt", Seq((101, "x")).toDF("k", "s"))
+    assert(TableIO.tableRowCount(lh, "cnt").contains(101L))
+    TableIO.deleteFromTable(spark, lh, "cnt", "k <= 10")
+    assert(TableIO.tableRowCount(lh, "cnt").contains(91L))
+    TableIO.mergeTable(spark, lh, "cnt", Seq((11, "Y"), (200, "new")).toDF("k", "s"), Seq("k"))
+    assert(TableIO.tableRowCount(lh, "cnt").contains(92L))
+    // and it agrees with the real count
+    assert(TableIO.selectTable(spark, lh, "cnt").count() == 92L)
+    TableIO.dropTable(spark, lh, "cnt")
+  }
+
   test("describeHistory: one row per retained version with add/remove deltas") {
     TableIO.writeTable(spark, lh, "hist", (1 to 50).map(i => (i, s"v$i")).toDF("k", "s"))
     TableIO.appendTable(spark, lh, "hist", Seq((101, "a")).toDF("k", "s"))
