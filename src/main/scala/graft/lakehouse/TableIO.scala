@@ -159,17 +159,21 @@ object TableIO {
     val blooms = bloomCols.filter(df.columns.contains)
     val bloomAgg = udaf(new Bloom.Agg(Bloom.DefaultBits), Encoders.scalaLong)
     // count(*) always rides along: per-file row counts (Delta's numRecords)
-    // let later commits derive the table's total WITHOUT re-reading it
-    val aggs = org.apache.spark.sql.functions.count(
-      org.apache.spark.sql.functions.lit(1)) +:
+    // let later commits derive the table's total WITHOUT re-reading it;
+    // per-column null counts (3rd stats element) make "k non-null rows"
+    // arguments provable (prunedTopK) and enable IS NULL pruning
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    val aggs = count(lit(1)) +:
       (cols.flatMap(f => Seq(
-        min(col(f.name)).cast("string"), max(col(f.name)).cast("string"))) ++
+        min(col(f.name)).cast("string"), max(col(f.name)).cast("string"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)))) ++
         blooms.map(c => bloomAgg(xxhash64(col(c)))))
     val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val stagingP = Paths.get(stagingDir)
     val minMaxBase = 2 // 0 = __fp, 1 = count
-    val bloomBase = minMaxBase + 2 * cols.length
+    val perCol = 3 // min, max, nullCount
+    val bloomBase = minMaxBase + perCol * cols.length
     rows.map { r =>
       val rel = stagingP.relativize(
         Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
@@ -178,8 +182,9 @@ object TableIO {
       val fields: Seq[(String, JValue)] =
         (RowsKey -> (JString(r.getLong(1).toString): JValue)) +:
         (cols.zipWithIndex.map { case (f, i) =>
-          f.name -> (JArray(List(j(minMaxBase + 2 * i),
-            j(minMaxBase + 1 + 2 * i))): JValue)
+          val base = minMaxBase + perCol * i
+          f.name -> (JArray(List(j(base), j(base + 1),
+            JString(r.getLong(base + 2).toString))): JValue)
         } ++ blooms.zipWithIndex.flatMap { case (c, i) =>
           Option(r.get(bloomBase + i)).map { bytes =>
             (Bloom.StatsPrefix + c) -> (JString(java.util.Base64.getEncoder
@@ -197,14 +202,7 @@ object TableIO {
     * EVERY entry carries one (files from pre-rows manifests force a real
     * count once; their rewrites regain the fast path). */
   private def rowsFromManifest(m: Versioned.Manifest): Option[Long] = {
-    import org.json4s.jackson.JsonMethods.parse
-    import org.json4s.JString
-    val counts = m.entries.map(_.stats.flatMap { s =>
-      scala.util.Try(parse(s)).toOption.flatMap(j => (j \ RowsKey) match {
-        case JString(n) => scala.util.Try(n.toLong).toOption
-        case _ => None
-      })
-    })
+    val counts = m.entries.map(entryRows)
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
@@ -234,13 +232,29 @@ object TableIO {
       import org.json4s.{JArray, JNull, JString}
       scala.util.Try(parse(s)).toOption.flatMap { j =>
         (j \ colName) match {
-          case JArray(List(mn, mx)) =>
+          // [min, max] (older manifests) or [min, max, nullCount]
+          case JArray(mn :: mx :: _) =>
             def v(x: org.json4s.JValue): Option[String] = x match {
               case JString(str) => Some(str)
               case JNull => None
               case other => Some(other.values.toString)
             }
             Some((v(mn), v(mx)))
+          case _ => None
+        }
+      }
+    }
+
+  /** A file's recorded null count for one column (3rd stats element;
+    * absent in older manifests). */
+  private def entryNullCount(entry: Versioned.FileEntry,
+      colName: String): Option[Long] =
+    entry.stats.flatMap { s =>
+      import org.json4s.jackson.JsonMethods.parse
+      import org.json4s.{JArray, JString}
+      scala.util.Try(parse(s)).toOption.flatMap { j =>
+        (j \ colName) match {
+          case JArray(List(_, _, JString(n))) => scala.util.Try(n.toLong).toOption
           case _ => None
         }
       }
@@ -412,9 +426,14 @@ object TableIO {
         val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
         val dt = schema.fields.find(_.name == statCol).map(_.dataType)
           .getOrElse(StringType)
-        val parsed = m.entries.map(e => (e, statsRange(e, statCol), entryRows(e)))
+        // a file's contribution to the k-row prefix is its NON-NULL count
+        // (rows - nullCount): counting total rows would let a null-heavy
+        // file satisfy the prefix and wrongly tighten the k-th-value bound
+        val parsed = m.entries.map(e => (e, statsRange(e, statCol),
+          for (rows <- entryRows(e); nulls <- entryNullCount(e, statCol))
+            yield rows - nulls))
         // all-null files can never contribute (nulls are excluded); every
-        // OTHER file must have a provable range and row count or we bail
+        // OTHER file must have a provable range and non-null count or we bail
         val candidates = parsed.filter { case (_, r, _) =>
           !r.contains((None, None))
         }
@@ -545,6 +564,9 @@ object TableIO {
     val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
       throw new IllegalArgumentException(
         s"$tableName needs a manifest-based version to carry constraints"))
+    require(!m.meta.contains(CheckPrefix + name),
+      s"$tableName already has a CHECK constraint named '$name' — drop it " +
+        "first (silent replacement would change enforcement unnoticed)")
     enforceChecks(scanSpec(spark,
       Versioned.ScanFiles(tableDir, m.schemaJson, m.files)),
       Map(name -> sqlExpr), s"$tableName: existing data")
@@ -588,12 +610,28 @@ object TableIO {
         "pruning is already exact there) and unreliable (the staged " +
         "read-back infers partition types, which can change the hash)")
     val tableDir = Catalog.tablePath(lh, tableName)
-    // CHECK constraints are table properties: they survive overwrites
-    // (Delta semantics) and the replacement data must satisfy them
-    val checks = checkConstraintsOf(Versioned.latestVersion(tableDir)
+    // table PROPERTIES (CHECK constraints, the change-feed flag) survive
+    // overwrites — Delta semantics; txn watermarks intentionally reset
+    // (full-replace). The replacement data must satisfy the constraints.
+    val prevMeta = Versioned.latestVersion(tableDir)
       .flatMap(Versioned.readManifest(tableDir, _))
-      .map(_.meta).getOrElse(Map.empty))
+      .map(_.meta).getOrElse(Map.empty[String, String])
+    val carried = prevMeta.filter { case (k, _) =>
+      k.startsWith(CheckPrefix) || k == CdfKey }
+    val checks = checkConstraintsOf(prevMeta)
     enforceChecks(df, checks, s"$tableName: overwrite")
+    // with the feed enabled, an overwrite is a modeled event: every current
+    // row streams as a delete, every replacement row as an insert (Delta
+    // CDF for INSERT OVERWRITE) — O(table), like the overwrite itself
+    val overwriteChanges: Option[DataFrame] =
+      if (!cdfEnabled(prevMeta)) None
+      else {
+        import org.apache.spark.sql.functions.lit
+        Some(scanTableDir(spark, tableDir)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(df.withColumn("_change_type", lit("insert")),
+            allowMissingColumns = true))
+      }
     // sortBy = 1-D data clustering: range-partition then sort within
     // partitions so each parquet file covers a narrow key range — file- and
     // row-group-level min/max statistics then let later scans with
@@ -607,7 +645,10 @@ object TableIO {
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
       collectStats = collectFileStats(spark, bloomFilterFor),
-      meta = checks.map { case (k, v) => (CheckPrefix + k) -> v } ++ extraMeta) { target =>
+      meta = carried ++ extraMeta,
+      beforeMarker = v => overwriteChanges.foreach(
+        _.write.mode(SaveMode.Overwrite)
+          .parquet(cdfDir(tableDir, v).toString))) { target =>
       // manifest blooms skip whole FILES; parquet-native blooms on the same
       // columns skip row groups WITHIN the files that survive
       val writer = bloomFilterFor.foldLeft(clustered.write.mode(SaveMode.Append)) {
@@ -826,11 +867,18 @@ object TableIO {
           val (affected, untouched) = m.entries.partition(e =>
             affectedPaths.contains(baseP.resolve(e.path).toString))
           // 2. rewrite ONLY the affected files; inherit the rest
-          val affectedDf =
+          val affectedRaw =
             if (affected.isEmpty)
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row], oldSchema)
             else scanSpec(spark,
               Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+          // with CDF the affected files feed THREE plans (rewrite, preimage,
+          // key set) — persist for the commit instead of re-scanning
+          val affectedDf =
+            if (cdfEnabled(m.meta) && affected.nonEmpty)
+              affectedRaw.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else affectedRaw
           val kept = affectedDf.join(updKeys, keyCols, "left_anti")
           val rewritten = kept.unionByName(updates, allowMissingColumns = true)
           val parts = currentPartitioning(lh, tableName)
@@ -855,13 +903,15 @@ object TableIO {
             collectStats = collectFileStats(spark, bloomColsOf(m)),
             meta = m.meta,
             beforeMarker = v => changes.foreach(
-              _.write.parquet(cdfDir(tableDir, v).toString))) { target =>
+              _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString))) { target =>
             val writer = rewritten.write.mode(SaveMode.Append)
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
              else writer).parquet(target)
           }
-          finishCommit(spark, lh, tableName, tableDir, commit,
+          val info = finishCommit(spark, lh, tableName, tableDir, commit,
             rewritten.columns.toSeq, parts)
+          affectedDf.unpersist()
+          info
         } finally updKeys.unpersist()
       case _ =>
         // legacy snapshot version: one full rewrite converts the table to
@@ -1090,6 +1140,15 @@ object TableIO {
       tableDir: String, sinceVersion: Long,
       untilVersion: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    // the baseline version anchors every diff: silently substituting the
+    // oldest retained version (e.g. after a paused stream's offset was
+    // swept) would OMIT the changes in between — fail loudly instead
+    if (!Versioned.isCommitted(tableDir, sinceVersion))
+      throw new IllegalStateException(
+        s"$tableDir: change-feed baseline version $sinceVersion was never " +
+          "committed or has been swept by retention — the feed between it " +
+          "and now is no longer reconstructible; re-baseline the consumer " +
+          "from a snapshot (raise Versioned.RetainAgeMs for slow streams)")
     val versions = Versioned.committedVersions(tableDir)
       .filter(v => v >= sinceVersion && untilVersion.forall(v <= _))
     val frames = versions.sliding(2).collect {
@@ -1172,7 +1231,7 @@ object TableIO {
       expectedBase = base, collectStats = collectFileStats(spark, blooms),
       meta = baseM.map(_.meta).getOrElse(Map.empty),
       beforeMarker = v => emptyCdf.foreach(
-        _.write.parquet(cdfDir(tableDir, v).toString))) { target =>
+        _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString))) { target =>
       val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
@@ -1219,7 +1278,7 @@ object TableIO {
           collectStats = collectFileStats(spark, bloomColsOf(m)),
           meta = m.meta,
           beforeMarker = v => changes.foreach(
-            _.write.parquet(cdfDir(tableDir, v).toString))) { target =>
+            _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString))) { target =>
           if (affected.nonEmpty) {
             val survivors = scanSpec(spark,
               Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))

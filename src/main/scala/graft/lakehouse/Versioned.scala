@@ -325,8 +325,13 @@ object Versioned {
                 scala.util.Try(System.currentTimeMillis() -
                   Files.getLastModifiedTime(existing).toMillis >
                     OrphanGraceMs).getOrElse(false)
-              if (stale) Files.deleteIfExists(existing)
-              else expectedBase match {
+              if (stale) {
+                Files.deleteIfExists(existing)
+                // the crashed writer's sidecar would block the reclaimed
+                // number's beforeMarker write
+                try deleteRecursively(dir.resolve(s"_cdf_$v"))
+                catch { case _: Exception => () }
+              } else expectedBase match {
                 case Some(base) => throw conflict(tableDir, base, v)
                 case None => v += 1
               }
@@ -348,7 +353,11 @@ object Versioned {
         } catch {
           case e: Exception =>
             // abort cleanly: un-claim (no marker yet -> never committed)
+            // and clear any partially-written version sidecar, or the
+            // reclaimed number would wedge the next writer's sidecar write
             Files.deleteIfExists(manifestPath(dir, v))
+            try deleteRecursively(dir.resolve(s"_cdf_$v"))
+            catch { case _: Exception => () }
             throw e
         }
         // commit point: atomic marker creation; monotonic by construction

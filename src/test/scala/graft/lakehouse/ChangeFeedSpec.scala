@@ -50,6 +50,34 @@ class ChangeFeedSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "cdft")
   }
 
+  test("the feed flag survives an overwrite, and the overwrite itself " +
+      "streams as delete+insert events") {
+    TableIO.writeTable(spark, lh, "cdfo", Seq((1, 10.0)).toDF("k", "v"))
+    TableIO.enableChangeFeed(spark, lh, "cdfo")
+    val tdir = Catalog.tablePath(lh, "cdfo")
+    val v0 = Versioned.latestVersion(tdir).get
+    TableIO.writeTable(spark, lh, "cdfo", Seq((2, 20.0)).toDF("k", "v"))
+    // flag carried: a later merge still records its sidecar
+    TableIO.mergeTable(spark, lh, "cdfo", Seq((2, 21.0)).toDF("k", "v"), Seq("k"))
+    val events = feed("cdfo", v0)
+    assert(events == Seq(
+      (1, 10.0, "delete"), // overwrite removed the old row
+      (2, 20.0, "insert"), // ...and inserted the new one
+      (2, 20.0, "update_preimage"), (2, 21.0, "update_postimage")),
+      s"got $events")
+    TableIO.dropTable(spark, lh, "cdfo")
+  }
+
+  test("a swept feed baseline fails loudly instead of silently skipping") {
+    TableIO.writeTable(spark, lh, "swept", Seq((1, "a")).toDF("k", "s"))
+    val e = intercept[IllegalStateException] {
+      TableIO.changeFeedAtPath(spark, Catalog.tablePath(lh, "swept"),
+        sinceVersion = 9999L, untilVersion = None)
+    }
+    assert(e.getMessage.contains("re-baseline"))
+    TableIO.dropTable(spark, lh, "swept")
+  }
+
   test("rewrites WITHOUT the feed enabled fail the reader loudly") {
     TableIO.writeTable(spark, lh, "nofeed", Seq((1, "a")).toDF("k", "s"))
     val v0 = Versioned.latestVersion(Catalog.tablePath(lh, "nofeed")).get

@@ -113,6 +113,25 @@ class DataSkippingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "topk")
   }
 
+  test("prunedTopK counts only NON-NULL rows toward the k-row prefix") {
+    // file A: few non-null values but many nulls; file B holds the real
+    // answers — counting total rows would bound on A and wrongly prune B
+    val a = (1 to 2).map(i => (Some(i.toLong), "a")) ++
+      (1 to 98).map(_ => (None: Option[Long], "a"))
+    val b = (3 to 102).map(i => (Some(i.toLong), "b"))
+    val df = (a ++ b).toDF("k", "src")
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "nulltopk",
+        df.repartition(2, $"src")) // co-locate by src: A all-nullish, B dense
+    }
+    val top = TableIO.prunedTopK(spark, lh, "nulltopk", "k", 10,
+      ascending = true, tieBreak = Seq("src"))
+    val got = top.collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 10L).toSeq,
+      s"null-heavy file must not satisfy the prefix: got $got")
+    TableIO.dropTable(spark, lh, "nulltopk")
+  }
+
   test("inherited files keep their stats through merge commits") {
     val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
       .repartition(4)

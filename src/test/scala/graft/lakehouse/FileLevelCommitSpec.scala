@@ -87,6 +87,10 @@ class FileLevelCommitSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       TableIO.addCheckConstraint(spark, lh, "chk", "k_big", "k > 100")
     }
+    // duplicate names are rejected, not silently replaced
+    intercept[IllegalArgumentException] {
+      TableIO.addCheckConstraint(spark, lh, "chk", "score_pos", "score > 99")
+    }
     // append enforcement: bad batch rejected atomically, nothing committed
     val vBefore = Versioned.latestVersion(Catalog.tablePath(lh, "chk")).get
     intercept[IllegalArgumentException] {
