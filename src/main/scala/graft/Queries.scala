@@ -1101,6 +1101,31 @@ object Queries {
         |FROM b, (SELECT unnest(range(4)) AS f) f
         |ORDER BY doc_id, frame_no""".stripMargin)),
 
+    // REAL audio decode: deterministic RIFF/WAVE payloads (params a pure
+    // function of doc_id) are encoded distributed-side and parsed back
+    // through javax.sound — the oracle recomputes the expected metadata
+    // arithmetically, hash-verifying the whole encode+decode path.
+    Q("q80_audio_decode",
+      (s, dir) => {
+        val auds = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 10 === 0)
+          .withColumn("rate", (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"))
+          .withColumn("n_frames", (col("doc_id") % 800 + 400).cast("int"))
+          .withColumn("payload", Multimodal.syntheticWavUdf(
+            col("rate"), col("n_frames"), (col("doc_id") % 7).cast("int")))
+        Multimodal.decodeAudio(auds, "payload")
+          .select(col("doc_id"), col("audio.frames").as("frames"),
+            col("audio.sample_rate").as("sample_rate"),
+            col("audio.channels").as("channels"),
+            col("audio.bits").as("bits"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(doc_id % 800 + 400 AS BIGINT) AS frames,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
+
     // As-of join — the classic missing-Spark temporal operator, verified
     // against DuckDB's NATIVE ASOF LEFT JOIN (an independent
     // implementation, not a SQL re-spelling of ours). Purchases are

@@ -130,6 +130,110 @@ object Multimodal {
   /** `syntheticPng` as a column function for distributed fixture generation. */
   val syntheticPngUdf = udf((w: Int, h: Int) => syntheticPng(w, h))
 
+  /** REAL pixel resize (JDK Graphics2D): decode, aspect-cap the long side
+    * at `maxSide` with the same integer math as [[resizeImages]], repaint,
+    * re-encode PNG. Payloads already within bounds pass through untouched
+    * (byte-identical); undecodable payloads yield null (corrupt-media rows
+    * to filter downstream). */
+  def resizePixelsKernel(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val (w, h) = (img.getWidth, img.getHeight)
+      val long = math.max(w, h)
+      if (long <= maxSide) return bytes
+      val (nw, nh) = (math.max(w * maxSide / long, 1),
+        math.max(h * maxSide / long, 1))
+      val out = new java.awt.image.BufferedImage(nw, nh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    } catch { case _: Exception => null }
+  }
+
+  /** Partition-batched real resize: appends `resized_payload` (binary). */
+  def resizeImagePixels(df: DataFrame, blobCol: String, maxSide: Int): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("resized_payload", BinaryType))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(r.toSeq :+ resizePixelsKernel(bytes, maxSide))
+      }
+    }(enc)
+  }
+
+  // ---- audio ---------------------------------------------------------------
+
+  /** Real audio metadata decode via the JDK's javax.sound (WAV/AIFF/AU
+    * parse without external jars — the audio analogue of [[ImageIoCodec]]).
+    * Returns (frames, sampleRate, channels, bitsPerSample); zeros for
+    * null/undecodable payloads. */
+  def audioMeta(bytes: Array[Byte]): (Long, Int, Int, Int) = {
+    if (bytes == null || bytes.length == 0) return (0L, 0, 0, 0)
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      (aff.getFrameLength.toLong, aff.getFormat.getSampleRate.toInt,
+        aff.getFormat.getChannels, aff.getFormat.getSampleSizeInBits)
+    } catch { case _: Exception => (0L, 0, 0, 0) }
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("frames", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false)))
+
+  /** Partition-batched audio decode, appending an `audio` metadata struct
+    * (same shape as [[decodeImages]]). */
+  def decodeAudio(df: DataFrame, blobCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("audio", audioSchema))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        val (f, sr, ch, b) = audioMeta(bytes)
+        Row.fromSeq(r.toSeq :+ Row(f, sr, ch, b))
+      }
+    }(enc)
+  }
+
+  /** Deterministic mono 16-bit WAV generator (test/fixture payloads): a
+    * REAL RIFF/WAVE file whose PCM samples are a fixed function of
+    * (position, seed), so decode tests exercise the real javax.sound
+    * parser on real bytes. */
+  def syntheticWav(sampleRate: Int, frames: Int, seed: Int): Array[Byte] = {
+    val n = math.max(frames, 1)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(i * 0.05 + seed) * 3000).toShort
+      pcm(2 * i) = v.toByte
+      pcm(2 * i + 1) = (v >> 8).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      math.max(sampleRate, 1).toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** `syntheticWav` as a column function for distributed fixture generation. */
+  val syntheticWavUdf = udf((rate: Int, frames: Int, seed: Int) =>
+    syntheticWav(rate, frames, seed))
+
   /** Resize stub: recompute dims capped at maxSide (aspect-preserving
     * integer math — deterministic), emitting a `resized` struct. */
   def resizeImages(df: DataFrame, decodedCol: String, maxSide: Int): DataFrame =

@@ -64,6 +64,35 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("real audio decode: synthetic WAVs roundtrip their parameters") {
+    val rows = Seq((1L, 8000, 400, 0), (2L, 16000, 999, 3), (3L, 44100, 1, 6))
+      .toDF("id", "rate", "n", "seed")
+      .withColumn("payload", Multimodal.syntheticWavUdf($"rate", $"n", $"seed"))
+    val got = Multimodal.decodeAudio(rows, "payload")
+      .select("id", "audio.frames", "audio.sample_rate", "audio.channels",
+        "audio.bits")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(got == Set((1L, 400L, 8000, 1, 16), (2L, 999L, 16000, 1, 16),
+      (3L, 1L, 44100, 1, 16)))
+    // corrupt payloads zero out, never throw
+    assert(Multimodal.audioMeta("not a wav".getBytes) == ((0L, 0, 0, 0)))
+    assert(Multimodal.audioMeta(null) == ((0L, 0, 0, 0)))
+  }
+
+  test("real pixel resize: re-decoded thumbs have the capped dims; " +
+      "in-bounds payloads pass through byte-identical") {
+    val big = Multimodal.syntheticPng(640, 200)
+    val small = Multimodal.syntheticPng(100, 50)
+    val out = Multimodal.resizeImagePixels(
+      Seq((1, big), (2, small)).toDF("id", "payload"), "payload", maxSide = 256)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](2)).toMap
+    val (w, h, _) = Multimodal.ImageIoCodec.dims(out(1))
+    assert((w, h) == (256, 80), s"got ${(w, h)}") // 640x200 capped at 256
+    assert(out(2).sameElements(small), "in-bounds image must pass through")
+    assert(Multimodal.resizePixelsKernel("junk".getBytes, 256) == null)
+  }
+
   test("sampleFrames: frames per doc, deterministic hashes") {
     val out = Multimodal.sampleFrames(blobs, "doc_id", "payload", frames = 4)
     assert(out.count() == 50 * 4)
