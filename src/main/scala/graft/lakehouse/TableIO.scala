@@ -295,7 +295,7 @@ object TableIO {
 
   /** Unsigned lexicographic UTF-8 byte order — Spark's UTF8String
     * (and parquet BINARY stats) ordering. */
-  private def compareUtf8(a: String, b: String): Int = {
+  private[lakehouse] def compareUtf8(a: String, b: String): Int = {
     val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

@@ -1,9 +1,8 @@
 package graft.lakehouse
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.{array, col, udf}
-import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
 
 /** Multi-dimensional (Z-order) clustering for data-skipping writes — the
   * OPTIMIZE ZORDER BY half of the Delta story (the reference's storage layer
@@ -33,17 +32,56 @@ object Zorder {
 
   private val Buckets = 1 << BitsPerCol
 
-  /** Columns must be bucketable on a numeric line: numerics directly,
-    * dates/timestamps via their epoch value. (Strings would need
-    * sample-sorted boundaries; unsupported until needed.) */
+  /** Numeric-line projection: numerics directly, dates/timestamps via
+    * their epoch value; strings take the sampled-boundary path instead. */
   private[lakehouse] def asLine(df: DataFrame, c: String): Column = {
     df.schema(c).dataType match {
       case _: NumericType => col(c).cast("double")
       case TimestampType => col(c).cast("long").cast("double")
       case DateType => col(c).cast("int").cast("double")
+      case StringType => col(c) // handled by string cuts, not the GK sketch
       case other => throw new IllegalArgumentException(
-        s"zorderBy($c): unsupported type $other (numeric/date/timestamp only)")
+        s"zorderBy($c): unsupported type $other " +
+          "(numeric/date/timestamp/string only)")
     }
+  }
+
+  /** Max sampled values collected per STRING column to learn its cut
+    * points (hash-sampled server-side, bounded driver result). */
+  val MaxStringSample = 100 * 1000
+
+  /** Data-derived cut points for a string column: a deterministic
+    * xxhash-thinned sample, sorted in UTF-8 byte order (Spark's string
+    * min/max ordering — cuts must agree with the stats they later prune
+    * against), thinned to Buckets-1 boundaries. */
+  private def stringCuts(df: DataFrame, c: String): Array[String] = {
+    import org.apache.spark.sql.functions.xxhash64
+    val nonNull = df.select(col(c)).filter(col(c).isNotNull)
+    // deterministic ~1/64 thinning only when the column is large; tiny
+    // fixtures keep every value so cuts stay meaningful
+    val sampled = nonNull
+      .filter(xxhash64(col(c)) % 64 === 0)
+      .limit(MaxStringSample).collect().map(_.getString(0))
+    val values =
+      if (sampled.length >= Buckets)
+        sampled
+      else nonNull.limit(MaxStringSample).collect().map(_.getString(0))
+    val sorted = values.sortWith(TableIO.compareUtf8(_, _) < 0)
+    if (sorted.isEmpty) Array.empty
+    else (1 until Buckets).map(i =>
+      sorted(((i.toLong * sorted.length) / Buckets).toInt
+        .min(sorted.length - 1))).toArray.distinct
+  }
+
+  private def bucketOfString(cuts: Array[String], v: String): Int = {
+    if (v == null) return 0
+    var lo = 0
+    var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (TableIO.compareUtf8(cuts(mid), v) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** Bucket id of `v` given sorted quantile cut points: the count of cuts
@@ -77,38 +115,41 @@ object Zorder {
     z
   }
 
-  private def zUdf(cuts: Seq[Array[Double]]): UserDefinedFunction =
-    udf { vals: Seq[java.lang.Double] =>
-      val buckets = new Array[Int](cuts.length)
-      var i = 0
-      while (i < cuts.length) {
-        buckets(i) = bucketOf(cuts(i),
-          if (vals(i) == null) null else vals(i).doubleValue())
-        i += 1
-      }
-      interleave(buckets)
-    }
-
-  /** Append a z-value column over `cols`. One distributed quantile pass to
-    * learn the per-dimension cut points, then a per-row compiled kernel. */
+  /** Append a z-value column over `cols` (numeric/date/timestamp columns
+    * bucket on data quantiles from ONE distributed GK-sketch pass; string
+    * columns on a sorted bounded sample in UTF-8 order), then a per-row
+    * compiled kernel interleaves the bucket ids. */
   def withZValue(df: DataFrame, cols: Seq[String], zCol: String = "__z"): DataFrame = {
     // 63, not 64: an 8th column would put a bucket bit into the sign bit,
     // making half the curve negative and sort-before-everything — which
     // silently destroys the clustering (results stay right, skipping dies)
     require(cols.nonEmpty && cols.size <= 63 / BitsPerCol,
       s"zorder needs 1..${63 / BitsPerCol} columns")
-    val lined = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      d.withColumn(s"__zl_$i", asLine(df, c))
-    }
-    val lineCols = cols.indices.map(i => s"__zl_$i")
+    val isStr = cols.map(c => df.schema(c).dataType == StringType)
+    val numIdx = cols.indices.filterNot(isStr(_))
+    val lined = numIdx.foldLeft(df)((d, i) =>
+      d.withColumn(s"__zl_$i", asLine(df, cols(i))))
     val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
     // distributed GK sketch; empty/all-null columns yield no cuts -> bucket 0
-    val cuts = lined.stat
-      .approxQuantile(lineCols.toArray, probs, 0.001)
-      .map(_.sorted)
-    lined
-      .withColumn(zCol, zUdf(cuts.toSeq)(array(lineCols.map(col): _*)))
-      .drop(lineCols: _*)
+    val numCuts: Map[Int, Array[Double]] =
+      if (numIdx.isEmpty) Map.empty
+      else numIdx.zip(lined.stat.approxQuantile(
+        numIdx.map(i => s"__zl_$i").toArray, probs, 0.001).map(_.sorted)).toMap
+    val strCuts: Map[Int, Array[String]] =
+      cols.indices.filter(isStr(_)).map(i => i -> stringCuts(df, cols(i))).toMap
+    val bucketCols = cols.indices.map { i =>
+      if (isStr(i)) {
+        val cuts = strCuts(i)
+        udf((s: String) => bucketOfString(cuts, s)).apply(col(cols(i)))
+      } else {
+        val cuts = numCuts(i)
+        udf((d: java.lang.Double) => bucketOf(cuts,
+          if (d == null) null else d.doubleValue())).apply(col(s"__zl_$i"))
+      }
+    }
+    val inter = udf((bs: Seq[Int]) => interleave(bs.toArray))
+    lined.withColumn(zCol, inter(array(bucketCols: _*)))
+      .drop(numIdx.map(i => s"__zl_$i"): _*)
   }
 
   /** Cluster `df` for writing: z-value, range-partition on it (one shuffle,

@@ -50,7 +50,8 @@ class ZorderSpec extends SparkSuite {
     assert(rows(None) < rows(Some(4L)),
       "null must bucket lowest (NULLS FIRST clustering)")
     intercept[IllegalArgumentException] {
-      Zorder.withZValue(Seq(("x", 1)).toDF("s", "i"), Seq("s"))
+      // arrays have no linear order to bucket on
+      Zorder.withZValue(Seq((Seq(1, 2), 1)).toDF("a", "i"), Seq("a"))
     }
   }
 
@@ -102,6 +103,39 @@ class ZorderSpec extends SparkSuite {
     }
     TableIO.dropTable(spark, lh, "zboth")
     TableIO.dropTable(spark, lh, "xonly")
+  }
+
+  test("string dimensions z-cluster too: both a string and a numeric " +
+      "range prune after a mixed zorder write") {
+    val df = spark.range(0, 40000)
+      .selectExpr(
+        "concat('user_', lpad(CAST((id * 48271) % 40000 AS STRING), 6, '0')) AS name",
+        "(id * 16807) % 40000 AS score")
+      .repartition(16)
+    withFixedPartitions {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      try TableIO.writeTable(spark, lh, "zmixed", df,
+        zorderBy = Seq("name", "score"))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val Some((sSpec, total)) = TableIO.pruneFiles(lh, "zmixed", "name",
+      Some("user_010000"), Some("user_012000"))
+    val Some((nSpec, _)) = TableIO.pruneFiles(lh, "zmixed", "score",
+      Some(1000L), Some(3000L))
+    assert(total > 4)
+    assert(sSpec.relFiles.size < total,
+      s"string dim must prune (${sSpec.relFiles.size}/$total)")
+    assert(nSpec.relFiles.size < total,
+      s"numeric dim must prune (${nSpec.relFiles.size}/$total)")
+    // correctness on the string dimension
+    val pruned = TableIO.prunedScan(spark, lh, "zmixed", "name",
+      Some("user_010000"), Some("user_012000")).orderBy("name", "score").collect()
+    val full = TableIO.selectTable(spark, lh, "zmixed")
+      .filter($"name" >= "user_010000" && $"name" <= "user_012000")
+      .orderBy("name", "score").collect()
+    assert(pruned.sameElements(full) && pruned.nonEmpty)
+    TableIO.dropTable(spark, lh, "zmixed")
   }
 
   test("compactTable(zorderBy) re-clusters an unsorted table in place") {
