@@ -471,6 +471,38 @@ object TableIO {
     }
   }
 
+  /** Null-predicate file prune: `IS NULL` skips files whose recorded null
+    * count is 0; `IS NOT NULL` skips files that are entirely null. Files
+    * without null-count stats (older manifests) survive conservatively. */
+  def pruneFilesNull(lh: LakehouseProps, tableName: String, statCol: String,
+      isNull: Boolean): Option[(Versioned.ScanFiles, Int)] = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    Versioned.latestVersion(tableDir).flatMap(v =>
+      Versioned.readManifest(tableDir, v)).map { m =>
+      val kept = m.entries.filter { e =>
+        (entryNullCount(e, statCol), entryRows(e)) match {
+          case (Some(nulls), _) if isNull => nulls > 0
+          case (Some(nulls), Some(rows)) if !isNull => nulls < rows
+          case _ => true // not provable: must scan
+        }
+      }
+      (Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path)),
+        m.entries.size)
+    }
+  }
+
+  /** `SELECT * WHERE statCol IS [NOT] NULL` with null-count file skipping;
+    * the residual predicate keeps the result exact. */
+  def prunedScanNull(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, statCol: String, isNull: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = pruneFilesNull(lh, tableName, statCol, isNull) match {
+      case Some((spec, _)) => scanSpec(spark, spec)
+      case None => selectTable(spark, lh, tableName)
+    }
+    base.filter(if (isNull) col(statCol).isNull else col(statCol).isNotNull)
+  }
+
   /** Equality-predicate file prune: a file survives only if (a) its min/max
     * range may contain `value` AND (b) its Bloom bitset (when the column is
     * bloom-indexed — [[writeTable]]'s `bloomFilterFor`) says maybe-present.

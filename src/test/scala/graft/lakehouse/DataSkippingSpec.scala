@@ -132,6 +132,26 @@ class DataSkippingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "nulltopk")
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL scans") {
+    // file A dense, file B all-null, file C mixed
+    val df = ((1 to 100).map(i => (Some(i.toLong), "a")) ++
+      (1 to 100).map(_ => (None: Option[Long], "b")) ++
+      (1 to 50).map(i => (if (i % 2 == 0) Some(i.toLong) else None, "c")))
+      .toDF("v", "src")
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "nulls",
+        df.repartitionByRange(3, $"src"))
+    }
+    val Some((isNullSpec, total)) = TableIO.pruneFilesNull(lh, "nulls", "v", isNull = true)
+    val Some((notNullSpec, _)) = TableIO.pruneFilesNull(lh, "nulls", "v", isNull = false)
+    assert(total >= 3)
+    assert(isNullSpec.relFiles.size < total, "dense file should prune for IS NULL")
+    assert(notNullSpec.relFiles.size < total, "all-null file should prune for IS NOT NULL")
+    assert(TableIO.prunedScanNull(spark, lh, "nulls", "v", isNull = true).count() == 125)
+    assert(TableIO.prunedScanNull(spark, lh, "nulls", "v", isNull = false).count() == 125)
+    TableIO.dropTable(spark, lh, "nulls")
+  }
+
   test("inherited files keep their stats through merge commits") {
     val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
       .repartition(4)
