@@ -654,16 +654,14 @@ object TableIO {
     enforceChecks(df, checks, s"$tableName: overwrite")
     // with the feed enabled, an overwrite is a modeled event: every current
     // row streams as a delete, every replacement row as an insert (Delta
-    // CDF for INSERT OVERWRITE) — O(table), like the overwrite itself
-    val overwriteChanges: Option[DataFrame] =
+    // CDF for INSERT OVERWRITE) — O(table), like the overwrite itself.
+    // The old side pins the pre-commit committed files NOW; the insert
+    // side reads the STAGED files at sidecar time — never a re-evaluation
+    // of the caller's plan, which could be nondeterministic and record
+    // rows that were never committed
+    val prevScanForCdf: Option[DataFrame] =
       if (!cdfEnabled(prevMeta)) None
-      else {
-        import org.apache.spark.sql.functions.lit
-        Some(scanTableDir(spark, tableDir)
-          .withColumn("_change_type", lit("delete"))
-          .unionByName(df.withColumn("_change_type", lit("insert")),
-            allowMissingColumns = true))
-      }
+      else Some(scanTableDir(spark, tableDir))
     // sortBy = 1-D data clustering: range-partition then sort within
     // partitions so each parquet file covers a narrow key range — file- and
     // row-group-level min/max statistics then let later scans with
@@ -678,9 +676,16 @@ object TableIO {
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
       collectStats = collectFileStats(spark, bloomFilterFor),
       meta = carried ++ extraMeta,
-      beforeMarker = v => overwriteChanges.foreach(
-        _.write.mode(SaveMode.Overwrite)
-          .parquet(cdfDir(tableDir, v).toString))) { target =>
+      beforeMarker = (v, staged) => prevScanForCdf.foreach { old =>
+        import org.apache.spark.sql.functions.lit
+        val inserts = scanSpec(spark, Versioned.ScanFiles(tableDir,
+          df.schema.json, staged.map(_.path)))
+          .withColumn("_change_type", lit("insert"))
+        old.withColumn("_change_type", lit("delete"))
+          .unionByName(inserts, allowMissingColumns = true)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(cdfDir(tableDir, v).toString)
+      }) { target =>
       // manifest blooms skip whole FILES; parquet-native blooms on the same
       // columns skip row groups WITHIN the files that survive
       val writer = bloomFilterFor.foldLeft(clustered.write.mode(SaveMode.Append)) {
@@ -915,35 +920,43 @@ object TableIO {
           val rewritten = kept.unionByName(updates, allowMissingColumns = true)
           val parts = currentPartitioning(lh, tableName)
           // change data feed: matched rows emit pre+post images, new keys
-          // emit inserts; staged atomically with the commit (beforeMarker)
-          val changes: Option[DataFrame] =
-            if (!cdfEnabled(m.meta)) None
-            else {
+          // emit inserts; staged atomically with the commit (beforeMarker).
+          // Post/insert rows come from the STAGED (committed) files, never
+          // a re-evaluation of the caller's `updates` plan — staged rows
+          // whose key is in updKeys are exactly the update rows as written
+          // (kept rows were anti-joined out)
+          val writeCdf: (Long, Seq[Versioned.FileEntry]) => Unit =
+            if (!cdfEnabled(m.meta)) (_, _) => ()
+            else (v, staged) => {
               import org.apache.spark.sql.functions.lit
               val oldKeys = affectedDf.select(keyColumns: _*).distinct()
+              val newRows = scanSpec(spark, Versioned.ScanFiles(tableDir,
+                rewritten.schema.json, staged.map(_.path)))
+                .join(updKeys, keyCols, "left_semi")
               val pre = affectedDf.join(updKeys, keyCols, "left_semi")
                 .withColumn("_change_type", lit("update_preimage"))
-              val post = updates.join(oldKeys, keyCols, "left_semi")
+              val post = newRows.join(oldKeys, keyCols, "left_semi")
                 .withColumn("_change_type", lit("update_postimage"))
-              val ins = updates.join(oldKeys, keyCols, "left_anti")
+              val ins = newRows.join(oldKeys, keyCols, "left_anti")
                 .withColumn("_change_type", lit("insert"))
-              Some(pre.unionByName(post, allowMissingColumns = true)
-                .unionByName(ins, allowMissingColumns = true))
+              pre.unionByName(post, allowMissingColumns = true)
+                .unionByName(ins, allowMissingColumns = true)
+                .write.mode(SaveMode.Overwrite)
+                .parquet(cdfDir(tableDir, v).toString)
             }
-          val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
-            inherit = untouched, expectedBase = Some(b),
-            collectStats = collectFileStats(spark, bloomColsOf(m)),
-            meta = m.meta,
-            beforeMarker = v => changes.foreach(
-              _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString))) { target =>
-            val writer = rewritten.write.mode(SaveMode.Append)
-            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-             else writer).parquet(target)
-          }
-          val info = finishCommit(spark, lh, tableName, tableDir, commit,
-            rewritten.columns.toSeq, parts)
-          affectedDf.unpersist()
-          info
+          try {
+            val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
+              inherit = untouched, expectedBase = Some(b),
+              collectStats = collectFileStats(spark, bloomColsOf(m)),
+              meta = m.meta,
+              beforeMarker = writeCdf) { target =>
+              val writer = rewritten.write.mode(SaveMode.Append)
+              (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+               else writer).parquet(target)
+            }
+            finishCommit(spark, lh, tableName, tableDir, commit,
+              rewritten.columns.toSeq, parts)
+          } finally affectedDf.unpersist()
         } finally updKeys.unpersist()
       case _ =>
         // legacy snapshot version: one full rewrite converts the table to
@@ -1158,12 +1171,10 @@ object TableIO {
     * (which exists for commits made while the feed was enabled).
     * Cost is O(changed rows), never O(table). */
   def readChangeFeed(spark: SparkSession, lh: LakehouseProps,
-      tableName: String, sinceVersion: Long): DataFrame = {
-    val tableDir = Catalog.tablePath(lh, tableName)
-    require(Versioned.isCommitted(tableDir, sinceVersion),
-      s"version $sinceVersion of $tableName was never committed or has been swept")
-    changeFeedAtPath(spark, tableDir, sinceVersion, None)
-  }
+      tableName: String, sinceVersion: Long): DataFrame =
+    // baseline validity (and its loud error) lives in changeFeedAtPath —
+    // one check, one exception type for batch and streaming callers alike
+    changeFeedAtPath(spark, Catalog.tablePath(lh, tableName), sinceVersion, None)
 
   /** Path-level change-feed core shared with the streaming source's CDF
     * mode: row-level events for committed versions in
@@ -1205,7 +1216,7 @@ object TableIO {
           if (!Files.isDirectory(d)) throw new IllegalStateException(
             s"$tableDir: version $v rewrote files but has no change-data " +
               "sidecar — the commit predates enableChangeFeed (or was a " +
-              "compaction/overwrite, which the feed does not model); " +
+              "RESTORE, the one write path the feed does not model); " +
               "re-baseline the consumer from a full snapshot")
           Some(spark.read.parquet(d.toString)
             .withColumn("_commit_version", lit(v)))
@@ -1262,7 +1273,7 @@ object TableIO {
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
       expectedBase = base, collectStats = collectFileStats(spark, blooms),
       meta = baseM.map(_.meta).getOrElse(Map.empty),
-      beforeMarker = v => emptyCdf.foreach(
+      beforeMarker = (v, _) => emptyCdf.foreach(
         _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString))) { target =>
       val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
@@ -1309,7 +1320,7 @@ object TableIO {
           inherit = untouched, expectedBase = Some(b),
           collectStats = collectFileStats(spark, bloomColsOf(m)),
           meta = m.meta,
-          beforeMarker = v => changes.foreach(
+          beforeMarker = (v, _) => changes.foreach(
             _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString))) { target =>
           if (affected.nonEmpty) {
             val survivors = scanSpec(spark,

@@ -84,15 +84,20 @@ object Versioned {
   @volatile var RetainAgeMs: Long = 10 * 60 * 1000L
 
   /** How long an unmarked manifest claim may block the version number it
-    * sits on. The claim→marker window is only a few file renames, so a
-    * claim this old with no marker is a crashed writer — conflicting
-    * claimers may clear it and retry instead of staying write-wedged
-    * until the (much longer) retention sweep. */
+    * sits on with NO signs of life. The claim→marker window is normally a
+    * few file renames, but a change-feed sidecar write inside it is a real
+    * Spark job — so "alive" is judged by the newest mtime across the claim
+    * AND its `_cdf_` sidecar (which an in-flight sidecar write keeps
+    * fresh), and the claim owner re-verifies ownership before its marker
+    * (see the isSameFile check) so even a mistaken reclaim can never
+    * silently commit the wrong manifest. */
   @volatile var OrphanGraceMs: Long = 60 * 1000L
 
   /** One data file in a manifest: its path (relative to the table dir) and
     * optional per-file column statistics (single-line JSON:
-    * `{"col":[minStr, maxStr], ...}`, nulls for all-null columns) — the
+    * `{"__rows":"n", "col":[minStr, maxStr, nullCountStr], ...,
+    * "__bloom_col":"<base64>"}`; min/max are null for all-null columns;
+    * 2-element arrays from older manifests still parse) — the
     * data-skipping metadata Delta keeps per add-file. Serialized as
     * `path` or `path<TAB>statsJson` (stats JSON escapes control chars, so
     * neither raw tabs nor newlines can corrupt the line format). */
@@ -256,7 +261,7 @@ object Versioned {
       expectedBase: Option[Long] = None,
       collectStats: String => Map[String, String] = _ => Map.empty,
       meta: Map[String, String] = Map.empty,
-      beforeMarker: Long => Unit = _ => ())
+      beforeMarker: (Long, Seq[FileEntry]) => Unit = (_, _) => ())
       (write: String => Unit): Commit = {
     require(inherit.isEmpty || expectedBase.isDefined,
       "a commit inheriting files must pin the base version they came from")
@@ -316,15 +321,30 @@ object Versioned {
             claimed = true
           } catch {
             case _: FileAlreadyExistsException =>
-              // a marker-less claim past the grace window is a crashed
-              // writer's orphan — clear it and retry the same number so
-              // one crash can't wedge every base-pinned writer until the
-              // retention sweep
+              // a marker-less claim past the grace window WITH no signs of
+              // life is a crashed writer's orphan — clear it and retry the
+              // same number so one crash can't wedge every base-pinned
+              // writer until the retention sweep. A live writer's sidecar
+              // job keeps its _cdf_ mtimes fresh, and its pre-marker
+              // ownership re-check makes a mistaken reclaim loud, not a
+              // lost update.
               val existing = manifestPath(dir, v)
+              val newestTouch: Long = {
+                def mt(p: Path): Long =
+                  scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+                    .getOrElse(Long.MaxValue)
+                val cdf = dir.resolve(s"_cdf_$v")
+                val cdfNewest =
+                  if (!Files.exists(cdf)) 0L
+                  else scala.util.Try {
+                    val s = Files.walk(cdf)
+                    try s.iterator().asScala.map(mt).foldLeft(0L)(math.max)
+                    finally s.close()
+                  }.getOrElse(Long.MaxValue)
+                math.max(mt(existing), cdfNewest)
+              }
               val stale = !Files.exists(marker(dir, v)) &&
-                scala.util.Try(System.currentTimeMillis() -
-                  Files.getLastModifiedTime(existing).toMillis >
-                    OrphanGraceMs).getOrElse(false)
+                System.currentTimeMillis() - newestTouch > OrphanGraceMs
               if (stale) {
                 Files.deleteIfExists(existing)
                 // the crashed writer's sidecar would block the reclaimed
@@ -349,15 +369,28 @@ object Versioned {
             if (dest.getParent != dir) Files.createDirectories(dest.getParent)
             Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
           }
-          beforeMarker(v)
+          beforeMarker(v, staged)
+          // ownership re-check: if a conflicting claimer mistook this
+          // (slow) commit for a crashed orphan and reclaimed v, the
+          // manifest at v is no longer OUR tmp hard-link — creating the
+          // marker would commit THEIR manifest under our name (and report
+          // success for rows that never committed). Fail loudly instead.
+          if (!Files.isSameFile(manifestPath(dir, v), tmp))
+            throw conflict(tableDir, expectedBase.getOrElse(0L), v)
         } catch {
           case e: Exception =>
             // abort cleanly: un-claim (no marker yet -> never committed)
             // and clear any partially-written version sidecar, or the
-            // reclaimed number would wedge the next writer's sidecar write
-            Files.deleteIfExists(manifestPath(dir, v))
-            try deleteRecursively(dir.resolve(s"_cdf_$v"))
-            catch { case _: Exception => () }
+            // reclaimed number would wedge the next writer's sidecar write.
+            // Only if the claim is still OURS — deleting a reclaimer's
+            // fresh manifest would repeat the very race being aborted.
+            val stillOurs = scala.util.Try(
+              Files.isSameFile(manifestPath(dir, v), tmp)).getOrElse(false)
+            if (stillOurs) {
+              Files.deleteIfExists(manifestPath(dir, v))
+              try deleteRecursively(dir.resolve(s"_cdf_$v"))
+              catch { case _: Exception => () }
+            }
             throw e
         }
         // commit point: atomic marker creation; monotonic by construction

@@ -53,19 +53,24 @@ object Zorder {
   /** Data-derived cut points for a string column: a deterministic
     * xxhash-thinned sample, sorted in UTF-8 byte order (Spark's string
     * min/max ordering — cuts must agree with the stats they later prune
-    * against), thinned to Buckets-1 boundaries. */
+    * against), thinned to Buckets-1 boundaries. The usefulness guard is
+    * on DISTINCT values, not sampled rows: hash-thinning admits whole
+    * value classes, so a low-cardinality column (statuses, country codes)
+    * can flood the sample with duplicates of 1-2 values — cuts from that
+    * would silently collapse the dimension's clustering. Low-cardinality
+    * columns instead cut on their full (bounded) distinct set, which
+    * spreads every value class across the curve. */
   private def stringCuts(df: DataFrame, c: String): Array[String] = {
     import org.apache.spark.sql.functions.xxhash64
     val nonNull = df.select(col(c)).filter(col(c).isNotNull)
-    // deterministic ~1/64 thinning only when the column is large; tiny
-    // fixtures keep every value so cuts stay meaningful
     val sampled = nonNull
       .filter(xxhash64(col(c)) % 64 === 0)
       .limit(MaxStringSample).collect().map(_.getString(0))
     val values =
-      if (sampled.length >= Buckets)
+      if (sampled.distinct.length >= Buckets)
         sampled
-      else nonNull.limit(MaxStringSample).collect().map(_.getString(0))
+      else nonNull.distinct().limit(MaxStringSample)
+        .collect().map(_.getString(0))
     val sorted = values.sortWith(TableIO.compareUtf8(_, _) < 0)
     if (sorted.isEmpty) Array.empty
     else (1 until Buckets).map(i =>

@@ -86,25 +86,34 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false)))
 
-  /** Decode each payload into (width, height, channels) metadata via the
-    * given codec (default: REAL ImageIO decode), executed partition-batched
-    * with mapPartitions (one codec context per partition — the shape a real
-    * decoder needs; batch size = Spark partition, controlled upstream via
-    * repartition). Appends a `decoded` struct column. */
-  def decodeImages(df: DataFrame, blobCol: String,
-      codec: MediaCodec = ImageIoCodec): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("decoded", decodedSchema))
+  /** The partition-batched append-a-column scaffold every codec transform
+    * shares: one kernel invocation per row over the blob column, executed
+    * with mapPartitions (one codec context per partition — the shape a
+    * real decoder needs; batch size = Spark partition, controlled upstream
+    * via repartition). */
+  private def appendMapped(df: DataFrame, blobCol: String,
+      outField: StructField)(kernel: Array[Byte] => Any): DataFrame = {
+    val schema = StructType(df.schema.fields :+ outField)
     val blobIdx = df.schema.fieldIndex(blobCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       // per-partition codec init would go here (the expensive native setup)
       rows.map { r =>
         val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
-        val (w, h, c) = codec.dims(bytes)
-        Row.fromSeq(r.toSeq :+ Row(w, h, c))
+        Row.fromSeq(r.toSeq :+ kernel(bytes))
       }
     }(enc)
   }
+
+  /** Decode each payload into (width, height, channels) metadata via the
+    * given codec (default: REAL ImageIO decode), partition-batched.
+    * Appends a `decoded` struct column. */
+  def decodeImages(df: DataFrame, blobCol: String,
+      codec: MediaCodec = ImageIoCodec): DataFrame =
+    appendMapped(df, blobCol, StructField("decoded", decodedSchema)) { bytes =>
+      val (w, h, c) = codec.dims(bytes)
+      Row(w, h, c)
+    }
 
   /** Deterministic tiny-PNG generator (test/fixture payloads): a real
     * encoded PNG of the given dims whose pixels are a fixed function of
@@ -145,8 +154,11 @@ object Multimodal {
       if (long <= maxSide) return bytes
       val (nw, nh) = (math.max(w * maxSide / long, 1),
         math.max(h * maxSide / long, 1))
-      val out = new java.awt.image.BufferedImage(nw, nh,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // preserve alpha: an RGBA input must not silently come back 3-channel
+      val outType =
+        if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val out = new java.awt.image.BufferedImage(nw, nh, outType)
       val g = out.createGraphics()
       try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
@@ -156,18 +168,9 @@ object Multimodal {
   }
 
   /** Partition-batched real resize: appends `resized_payload` (binary). */
-  def resizeImagePixels(df: DataFrame, blobCol: String, maxSide: Int): DataFrame = {
-    val schema = StructType(df.schema.fields :+
-      StructField("resized_payload", BinaryType))
-    val blobIdx = df.schema.fieldIndex(blobCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ resizePixelsKernel(bytes, maxSide))
-      }
-    }(enc)
-  }
+  def resizeImagePixels(df: DataFrame, blobCol: String, maxSide: Int): DataFrame =
+    appendMapped(df, blobCol, StructField("resized_payload", BinaryType))(
+      resizePixelsKernel(_, maxSide))
 
   // ---- audio ---------------------------------------------------------------
 
@@ -193,18 +196,11 @@ object Multimodal {
 
   /** Partition-batched audio decode, appending an `audio` metadata struct
     * (same shape as [[decodeImages]]). */
-  def decodeAudio(df: DataFrame, blobCol: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("audio", audioSchema))
-    val blobIdx = df.schema.fieldIndex(blobCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
-        val (f, sr, ch, b) = audioMeta(bytes)
-        Row.fromSeq(r.toSeq :+ Row(f, sr, ch, b))
-      }
-    }(enc)
-  }
+  def decodeAudio(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol, StructField("audio", audioSchema)) { bytes =>
+      val (f, sr, ch, b) = audioMeta(bytes)
+      Row(f, sr, ch, b)
+    }
 
   /** Deterministic mono 16-bit WAV generator (test/fixture payloads): a
     * REAL RIFF/WAVE file whose PCM samples are a fixed function of
@@ -251,18 +247,10 @@ object Multimodal {
 
   /** Feature-extraction stub: fixed-dim embedding per payload, partition-
     * batched like decodeImages. Appends `features` array<double>. */
-  def extractFeatures(df: DataFrame, blobCol: String, dim: Int = 8): DataFrame = {
-    val schema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(DoubleType, containsNull = false)))
-    val blobIdx = df.schema.fieldIndex(blobCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ FakeCodec.features(bytes, dim).toSeq)
-      }
-    }(enc)
-  }
+  def extractFeatures(df: DataFrame, blobCol: String, dim: Int = 8): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("features", ArrayType(DoubleType, containsNull = false)))(
+      FakeCodec.features(_, dim).toSeq)
 
   /** Frame sampling for "video" payloads: split the byte stream into
     * `frames` equal chunks, one output row per sampled frame with a

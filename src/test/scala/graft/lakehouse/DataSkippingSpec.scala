@@ -122,8 +122,12 @@ class DataSkippingSpec extends SparkSuite {
     val df = (a ++ b).toDF("k", "src")
     withFixedPartitions {
       TableIO.writeTable(spark, lh, "nulltopk",
-        df.repartition(2, $"src")) // co-locate by src: A all-nullish, B dense
+        df.repartitionByRange(2, $"src")) // co-locate: A null-heavy, B dense
     }
+    // the premise must hold or the regression cover is vacuous
+    val tdir = Catalog.tablePath(lh, "nulltopk")
+    assert(Versioned.readManifest(tdir,
+      Versioned.latestVersion(tdir).get).get.entries.size == 2)
     val top = TableIO.prunedTopK(spark, lh, "nulltopk", "k", 10,
       ascending = true, tieBreak = Seq("src"))
     val got = top.collect().map(_.getLong(0)).toSeq
