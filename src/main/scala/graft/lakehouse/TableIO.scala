@@ -104,15 +104,105 @@ object TableIO {
     * <cond>` but (a) drops the space before WHERE and (b) never passes the
     * built query to selectTable, so it always returns the whole table. We
     * implement the INTENDED semantics (projection + condition pushed into
-    * the scan); divergence documented in SURVEY §7. */
+    * the scan); divergence documented in SURVEY §7.
+    *
+    * The condition is additionally mined for manifest-level DATA SKIPPING:
+    * recognizable top-level conjuncts (range/equality comparisons and null
+    * checks against literals) prune whole files via their min/max, null-
+    * count, and bloom stats before Spark ever lists them — automatically,
+    * the way Delta's scan taps its log stats. Unrecognized conjuncts
+    * simply don't prune; the FULL condition is always applied residually,
+    * so results are identical to an unpruned scan by construction. */
   def readTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       columns: Seq[String] = Seq("*"), condition: String = ""): DataFrame = {
-    val base = selectTable(spark, lh, tableName)
+    val base =
+      if (condition.trim.isEmpty) selectTable(spark, lh, tableName)
+      else prunedByCondition(spark, lh, tableName, condition)
+        .getOrElse(selectTable(spark, lh, tableName))
     val projected =
       if (columns == Seq("*")) base
       else base.select(columns.map(org.apache.spark.sql.functions.col): _*)
     if (condition.trim.isEmpty) projected
     else projected.where(condition)
+  }
+
+  /** File-level prune for a SQL condition: intersect the survivors of
+    * every recognizable conjunct. None = nothing recognizable or a
+    * legacy/pre-stats layout (caller scans everything, same results). */
+  private def prunedByCondition(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, condition: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val parsed = scala.util.Try(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(condition)).toOption
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def name(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // each hint: survivors as (colName, lo, hi) range / equality / null
+    sealed trait Hint
+    case class Range(c: String, lo: Option[Any], hi: Option[Any]) extends Hint
+    case class Eq(c: String, v: Any) extends Hint
+    case class NullIs(c: String, isNull: Boolean) extends Hint
+    val hints = parsed.toSeq.flatMap(conjuncts).flatMap {
+      // strict comparisons prune with their inclusive superset — safe
+      case GreaterThanOrEqual(a, Literal(v, _)) if name(a).isDefined =>
+        Seq(Range(name(a).get, Some(v), None))
+      case GreaterThan(a, Literal(v, _)) if name(a).isDefined =>
+        Seq(Range(name(a).get, Some(v), None))
+      case LessThanOrEqual(a, Literal(v, _)) if name(a).isDefined =>
+        Seq(Range(name(a).get, None, Some(v)))
+      case LessThan(a, Literal(v, _)) if name(a).isDefined =>
+        Seq(Range(name(a).get, None, Some(v)))
+      case EqualTo(a, Literal(v, _)) if name(a).isDefined =>
+        Seq(Eq(name(a).get, v))
+      case EqualTo(Literal(v, _), a) if name(a).isDefined =>
+        Seq(Eq(name(a).get, v))
+      case IsNull(a) if name(a).isDefined =>
+        Seq(NullIs(name(a).get, isNull = true))
+      case IsNotNull(a) if name(a).isDefined =>
+        Seq(NullIs(name(a).get, isNull = false))
+      case _ => Seq.empty // unrecognized conjunct: residual-only
+    }
+    if (hints.isEmpty) return None
+    // literal renderings: catalyst literals carry internal forms
+    // (UTF8String, epoch micros/days) — normalize to the probe forms the
+    // stat comparators parse
+    def probe(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    val tableDir = Catalog.tablePath(lh, tableName)
+    Versioned.latestVersion(tableDir)
+      .flatMap(v => Versioned.readManifest(tableDir, v)).flatMap { m =>
+        var survivors: Set[String] = m.files.toSet
+        hints.foreach {
+          case Range(c, lo, hi) =>
+            pruneFilesRanges(lh, tableName,
+              Seq((c, lo.map(probe), hi.map(probe))))
+              .foreach(p => survivors &= p._1.relFiles.toSet)
+          case Eq(c, v) =>
+            // equality = range [v, v] on stats; bloom probing needs the
+            // ENGINE literal type to hash, which catalyst internal forms
+            // complicate — the range check alone is already exact for
+            // clustered columns and conservative otherwise
+            pruneFilesRanges(lh, tableName,
+              Seq((c, Some(probe(v)), Some(probe(v)))))
+              .foreach(p => survivors &= p._1.relFiles.toSet)
+          case NullIs(c, isNull) =>
+            pruneFilesNull(lh, tableName, c, isNull)
+              .foreach(p => survivors &= p._1.relFiles.toSet)
+        }
+        if (survivors.size == m.files.size) None // pruned nothing: no gain
+        else Some(scanSpec(spark, Versioned.ScanFiles(tableDir, m.schemaJson,
+          m.files.filter(survivors.contains))))
+      }
   }
 
   /** common.py:377-378 — projection (+optional distinct) scan. */

@@ -156,6 +156,30 @@ class DataSkippingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "nulls")
   }
 
+  test("readTable mines its condition for automatic file skipping") {
+    val df = spark.range(0, 40000).selectExpr("id AS k", "id % 97 AS payload")
+      .repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "autoskip", df, sortBy = Seq("k"))
+    }
+    val total = TableIO.currentFiles(lh, "autoskip").size
+    assert(total > 2)
+    // mixed condition: two recognizable range conjuncts + one opaque one
+    val got = TableIO.readTable(spark, lh, "autoskip",
+      condition = "k >= 100 AND k <= 200 AND payload % 2 = 0")
+    assert(got.inputFiles.length < total,
+      s"condition should prune files (${got.inputFiles.length}/$total)")
+    val want = TableIO.selectTable(spark, lh, "autoskip")
+      .filter("k >= 100 AND k <= 200 AND payload % 2 = 0")
+    assert(got.orderBy("k").collect().sameElements(want.orderBy("k").collect()))
+    // fully opaque conditions stay conservative and correct
+    val opaque = TableIO.readTable(spark, lh, "autoskip",
+      condition = "payload % 97 = 3")
+    assert(opaque.count() ==
+      TableIO.selectTable(spark, lh, "autoskip").filter("payload % 97 = 3").count())
+    TableIO.dropTable(spark, lh, "autoskip")
+  }
+
   test("inherited files keep their stats through merge commits") {
     val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
       .repartition(4)
