@@ -252,6 +252,26 @@ object Queries {
         |SELECT DISTINCT doc_id, fp FROM w WHERE p <= len - 10
         |ORDER BY doc_id, fp""".stripMargin)),
 
+    // GPT-style concat-and-chunk packing plan (documents may span packs):
+    // the DuckDB oracle recomputes the identical global prefix sum with a
+    // window, cross-verifying the distributed two-phase implementation.
+    Q("q81_concat_chunk",
+      (s, dir) => Packing.concatChunkPlan(
+          t(s, dir, "documents").select(col("doc_id"),
+            length(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 4096L)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    sum(CAST(length(text) AS BIGINT)) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n AS n_tokens,
+        |  (cum - n) // 4096 AS start_pack,
+        |  (cum - n + greatest(n, 1) - 1) // 4096 AS end_pack,
+        |  (cum - n) % 4096 AS offset_in_start
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
     // Reproducible corpus ordering: the permutation is a pure function of
     // (id, seed) — DuckDB recomputes the identical keyed hash and order.
     Q("q73_deterministic_shuffle",

@@ -2,7 +2,7 @@ package graft.lakehouse.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sequence packing for LLM pretraining: assign documents to fixed
   * token-budget bins ("packs") so downstream batch assembly wastes minimal
@@ -78,6 +78,58 @@ object Packing {
   def sampleMixture(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** GPT-style concat-and-chunk packing plan: documents are (logically)
+    * concatenated in `idCol` order and sliced into fixed `budget`-token
+    * packs — a document MAY span packs (the standard pretraining packing;
+    * [[packSequences]] is the no-split bin-packing alternative). Emits the
+    * placement plan per document: `(id, n_tokens, start_pack, end_pack,
+    * offset_in_start)`.
+    *
+    * Scale shape: ONE range shuffle for the global order, then a two-phase
+    * distributed prefix sum — per-partition token totals (one tiny row per
+    * partition collected to the driver) broadcast back as partition
+    * offsets — never a global single-partition window. The plan is
+    * eagerly localCheckpointed so both phases are guaranteed to have seen
+    * the same partitioning. */
+  def concatChunkPlan(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(idCol), col(tokenCol).cast("long").as("__n"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rdd = sorted.rdd
+      // phase 1: per-partition totals — bounded driver collect
+      val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(1))
+        Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+      // phase 2: running sum within each partition, shifted by its offset
+      val outSchema = StructType(Seq(sorted.schema.head,
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("start_pack", LongType, nullable = false),
+        StructField("end_pack", LongType, nullable = false),
+        StructField("offset_in_start", LongType, nullable = false)))
+      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cum = offsets.value(pid)
+        it.map { r =>
+          val n = r.getLong(1)
+          val before = cum
+          cum += n
+          // zero-token docs occupy no space but still get a position
+          val lastTok = before + math.max(n, 1L) - 1L
+          Row(r.get(0), n, before / budget, lastTok / budget, before % budget)
+        }
+      }
+      spark.createDataFrame(out, outSchema).localCheckpoint(true)
+    } finally sorted.unpersist()
+  }
 
   /** Deterministic corpus shuffle: global order by the sha-256 of
     * (id, seed). Training-data ordering must be REPRODUCIBLE — a re-run of

@@ -92,6 +92,26 @@ class PackingSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("concatChunkPlan: distributed prefix sum matches the sequential plan") {
+    val docs = spark.range(0, 5000)
+      .selectExpr("id", "(id * 37) % 900 AS n").repartition(8)
+    val plan = Packing.concatChunkPlan(docs, "id", "n", budget = 1024L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // sequential reference
+    var cum = 0L
+    val want = (0L until 5000L).map { id =>
+      val n = (id * 37) % 900
+      val before = cum
+      cum += n
+      (id, n, before / 1024, (before + math.max(n, 1) - 1) / 1024, before % 1024)
+    }
+    assert(plan.toSeq == want)
+    // invariants: offsets within budget, pack ids monotone in doc order
+    assert(plan.forall(p => p._5 >= 0 && p._5 < 1024 && p._3 <= p._4))
+    assert(plan.map(_._3).toSeq == plan.map(_._3).toSeq.sorted)
+  }
+
   test("deterministicShuffle: stable permutation, seed changes it") {
     val ids = spark.range(0, 2000).toDF("id")
     val p1 = Packing.deterministicShuffle(ids, "id", 1L)
