@@ -262,9 +262,9 @@ object Queries {
           "doc_id", "n_tokens", budget = 4096L)
         .orderBy("doc_id"),
       Some("""WITH d AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-        |    sum(CAST(length(text) AS BIGINT)) OVER (ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n,
+        |    sum(CAST(coalesce(length(text), 0) AS BIGINT)) OVER (
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM documents)
         |SELECT doc_id, n AS n_tokens,
         |  (cum - n) // 4096 AS start_pack,

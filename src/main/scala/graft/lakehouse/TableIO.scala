@@ -150,8 +150,9 @@ object TableIO {
     case class Range(c: String, lo: Option[Any], hi: Option[Any]) extends Hint
     case class Eq(c: String, v: Any) extends Hint
     case class NullIs(c: String, isNull: Boolean) extends Hint
-    val hints = parsed.toSeq.flatMap(conjuncts).flatMap {
-      // strict comparisons prune with their inclusive superset — safe
+    val rawHints = parsed.toSeq.flatMap(conjuncts).flatMap {
+      // strict comparisons prune with their inclusive superset — safe;
+      // literal-on-left spellings mirror
       case GreaterThanOrEqual(a, Literal(v, _)) if name(a).isDefined =>
         Seq(Range(name(a).get, Some(v), None))
       case GreaterThan(a, Literal(v, _)) if name(a).isDefined =>
@@ -160,6 +161,14 @@ object TableIO {
         Seq(Range(name(a).get, None, Some(v)))
       case LessThan(a, Literal(v, _)) if name(a).isDefined =>
         Seq(Range(name(a).get, None, Some(v)))
+      case GreaterThanOrEqual(Literal(v, _), a) if name(a).isDefined =>
+        Seq(Range(name(a).get, None, Some(v))) // lit >= col  ==  col <= lit
+      case GreaterThan(Literal(v, _), a) if name(a).isDefined =>
+        Seq(Range(name(a).get, None, Some(v)))
+      case LessThanOrEqual(Literal(v, _), a) if name(a).isDefined =>
+        Seq(Range(name(a).get, Some(v), None))
+      case LessThan(Literal(v, _), a) if name(a).isDefined =>
+        Seq(Range(name(a).get, Some(v), None))
       case EqualTo(a, Literal(v, _)) if name(a).isDefined =>
         Seq(Eq(name(a).get, v))
       case EqualTo(Literal(v, _), a) if name(a).isDefined =>
@@ -170,7 +179,7 @@ object TableIO {
         Seq(NullIs(name(a).get, isNull = false))
       case _ => Seq.empty // unrecognized conjunct: residual-only
     }
-    if (hints.isEmpty) return None
+    if (rawHints.isEmpty) return None
     // literal renderings: catalyst literals carry internal forms
     // (UTF8String, epoch micros/days) — normalize to the probe forms the
     // stat comparators parse
@@ -179,29 +188,52 @@ object TableIO {
       case other => other
     }
     val tableDir = Catalog.tablePath(lh, tableName)
+    // ONE manifest read anchors every hint: per-hint re-reads could span a
+    // concurrent commit and intersect survivor sets from two different
+    // versions (dropping files live in the snapshot being scanned)
     Versioned.latestVersion(tableDir)
       .flatMap(v => Versioned.readManifest(tableDir, v)).flatMap { m =>
-        var survivors: Set[String] = m.files.toSet
-        hints.foreach {
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        // a hint may prune ONLY when the literal's type class matches the
+        // column's: Spark coerces mismatches (e.g. string col = numeric
+        // literal compares NUMERICALLY) while the stat comparator would
+        // compare in the column's own domain — pruning on that disagreement
+        // silently drops matching files
+        def compatible(c: String, v: Any): Boolean =
+          schema.fields.find(_.name == c).map(_.dataType).exists {
+            case _: NumericType => v.isInstanceOf[Number]
+            case StringType => v.isInstanceOf[String]
+            case BooleanType => v.isInstanceOf[Boolean]
+            case _ => false // ts/date literals arrive in internal forms
+          }
+        def survives(e: Versioned.FileEntry): Boolean = rawHints.forall {
           case Range(c, lo, hi) =>
-            pruneFilesRanges(lh, tableName,
-              Seq((c, lo.map(probe), hi.map(probe))))
-              .foreach(p => survivors &= p._1.relFiles.toSet)
+            val (pl, ph) = (lo.map(probe), hi.map(probe))
+            if (!(pl ++ ph).forall(compatible(c, _))) true
+            else {
+              val dt = schema.fields.find(_.name == c).map(_.dataType)
+                .getOrElse(StringType)
+              statsRange(e, c).forall(mayMatch(dt, _, pl, ph))
+            }
           case Eq(c, v) =>
-            // equality = range [v, v] on stats; bloom probing needs the
-            // ENGINE literal type to hash, which catalyst internal forms
-            // complicate — the range check alone is already exact for
-            // clustered columns and conservative otherwise
-            pruneFilesRanges(lh, tableName,
-              Seq((c, Some(probe(v)), Some(probe(v)))))
-              .foreach(p => survivors &= p._1.relFiles.toSet)
+            val pv = probe(v)
+            if (!compatible(c, pv)) true
+            else {
+              val dt = schema.fields.find(_.name == c).map(_.dataType)
+                .getOrElse(StringType)
+              statsRange(e, c).forall(mayMatch(dt, _, Some(pv), Some(pv)))
+            }
           case NullIs(c, isNull) =>
-            pruneFilesNull(lh, tableName, c, isNull)
-              .foreach(p => survivors &= p._1.relFiles.toSet)
+            (entryNullCount(e, c), entryRows(e)) match {
+              case (Some(nulls), _) if isNull => nulls > 0
+              case (Some(nulls), Some(rows)) if !isNull => nulls < rows
+              case _ => true
+            }
         }
-        if (survivors.size == m.files.size) None // pruned nothing: no gain
-        else Some(scanSpec(spark, Versioned.ScanFiles(tableDir, m.schemaJson,
-          m.files.filter(survivors.contains))))
+        val kept = m.entries.filter(survives)
+        if (kept.size == m.entries.size) None // pruned nothing: no gain
+        else Some(scanSpec(spark,
+          Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path))))
       }
   }
 
@@ -969,6 +1001,13 @@ object TableIO {
       require(dups.isEmpty,
         s"mergeTable: updates contain multiple rows for key ${dups.head}")
     }
+    // null keys are unjoinable (null = null is never true): they could
+    // neither match existing rows nor be separated from kept rows for the
+    // change feed — reject loudly rather than half-apply
+    val nullKeyed = updates.filter(keyColumns.map(_.isNull).reduce(_ || _))
+      .limit(1).collect()
+    require(nullKeyed.isEmpty,
+      s"mergeTable: updates contain a NULL merge key: ${nullKeyed.headOption.getOrElse("")}")
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
     (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {

@@ -88,9 +88,13 @@ object Versioned {
     * few file renames, but a change-feed sidecar write inside it is a real
     * Spark job — so "alive" is judged by the newest mtime across the claim
     * AND its `_cdf_` sidecar (which an in-flight sidecar write keeps
-    * fresh), and the claim owner re-verifies ownership before its marker
-    * (see the isSameFile check) so even a mistaken reclaim can never
-    * silently commit the wrong manifest. */
+    * fresh), and the claim owner re-verifies ownership before AND right
+    * after its marker (isSameFile checks), retracting a marker that would
+    * have committed a reclaimer's manifest. A healthy commit idle longer
+    * than this window (e.g. a long pure-shuffle stage emitting no sidecar
+    * files) can still be spuriously reclaimed — it then ABORTS loudly
+    * with a conflict, never silently loses data; raise the grace for
+    * workloads with very long commit-critical sections. */
   @volatile var OrphanGraceMs: Long = 60 * 1000L
 
   /** One data file in a manifest: its path (relative to the table dir) and
@@ -395,6 +399,20 @@ object Versioned {
         }
         // commit point: atomic marker creation; monotonic by construction
         Files.createFile(marker(dir, v))
+        // post-marker ownership validation: a reclaim racing between the
+        // pre-marker isSameFile check and the marker would have had OUR
+        // marker commit THEIR manifest — detect it, retract the marker
+        // (restoring the pre-commit state; the reclaimer commits its own
+        // marker when ready), and fail loudly. The residual window is the
+        // few instructions between createFile and this re-check — not
+        // zero, but a filesystem without compare-and-swap cannot do
+        // better, and the reclaim itself only triggers after
+        // OrphanGraceMs of NO observable commit activity.
+        if (!scala.util.Try(
+            Files.isSameFile(manifestPath(dir, v), tmp)).getOrElse(false)) {
+          Files.deleteIfExists(marker(dir, v))
+          throw conflict(tableDir, expectedBase.getOrElse(0L), v)
+        }
         // legacy/debug pointer cache — markers are authoritative
         try {
           val ptmp = dir.resolve(s".${PointerName}.tmp-${java.util.UUID.randomUUID()}")

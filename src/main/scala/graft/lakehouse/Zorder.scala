@@ -69,7 +69,10 @@ object Zorder {
     val values =
       if (sampled.distinct.length >= Buckets)
         sampled
-      else nonNull.distinct().limit(MaxStringSample)
+      // deterministic: TakeOrdered of the SMALLEST distinct values — a
+      // bare limit() would pick an arbitrary run-dependent subset and make
+      // "reproducible clustering" false
+      else nonNull.distinct().orderBy(col(c)).limit(MaxStringSample)
         .collect().map(_.getString(0))
     val sorted = values.sortWith(TableIO.compareUtf8(_, _) < 0)
     if (sorted.isEmpty) Array.empty

@@ -97,7 +97,10 @@ object Packing {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     val sorted = df
-      .select(col(idCol), col(tokenCol).cast("long").as("__n"))
+      // null token counts pack as 0 (Row.getLong on a null would throw
+      // from executor tasks otherwise); the q81 oracle coalesces the same
+      .select(col(idCol),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("__n"))
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
