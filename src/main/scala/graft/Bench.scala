@@ -62,16 +62,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (warm.nonEmpty) warm.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    // Short totals-only line FIRST: the driver captures a bounded tail of
-    // stdout, and the per-query map (~2 KB) can push "value" out of that
-    // window. The short line always fits, so the round total is recoverable
-    // even when the full line is truncated.
+    // Short totals-only line LAST: the driver captures a bounded TAIL of
+    // stdout, so whatever prints last survives truncation. The ~2 KB
+    // per-query line goes first (informative when the tail is large
+    // enough); the short line goes last so the round total always parses.
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"sf":"$sfDir","queries":$qs}"""
-    println(shortLine)
     println(line)
+    println(shortLine)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -225,7 +225,8 @@ object Queries {
         |  FROM tok, (SELECT unnest(range(60)) AS j) j
         |  GROUP BY doc_id, j.j)
         |SELECT doc_id,
-        |  sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+        |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)
+        |       AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Winnowing with a portable (sha-256) gram hash: DuckDB re-runs the
@@ -263,8 +264,8 @@ object Queries {
         .orderBy("doc_id"),
       Some("""WITH d AS (
         |  SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n,
-        |    sum(CAST(coalesce(length(text), 0) AS BIGINT)) OVER (
-        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |    CAST(sum(CAST(coalesce(length(text), 0) AS BIGINT)) OVER (
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM documents)
         |SELECT doc_id, n AS n_tokens,
         |  (cum - n) // 4096 AS start_pack,

@@ -131,6 +131,28 @@ object TableIO {
     * legacy/pre-stats layout (caller scans everything, same results). */
   private def prunedByCondition(spark: SparkSession, lh: LakehouseProps,
       tableName: String, condition: String): Option[DataFrame] = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    // ONE manifest read anchors every hint: per-hint re-reads could span a
+    // concurrent commit and intersect survivor sets from two different
+    // versions (dropping files live in the snapshot being scanned)
+    Versioned.latestVersion(tableDir)
+      .flatMap(v => Versioned.readManifest(tableDir, v)).flatMap { m =>
+        minedSurvivors(spark, m, condition).flatMap { kept =>
+          if (kept.size == m.entries.size) None // pruned nothing: no gain
+          else Some(scanSpec(spark,
+            Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path))))
+        }
+      }
+  }
+
+  /** The may-match file set mined from `condition` against one manifest
+    * snapshot: Some(files that may hold matching rows) when at least one
+    * top-level conjunct is recognizable, None when nothing is (caller
+    * treats every file as matching). Shared by [[readTable]]'s automatic
+    * skipping and [[compactTable]]'s predicate scoping. */
+  private[lakehouse] def minedSurvivors(spark: SparkSession,
+      m: Versioned.Manifest,
+      condition: String): Option[Seq[Versioned.FileEntry]] = {
     import org.apache.spark.sql.catalyst.expressions._
     val parsed = scala.util.Try(
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser
@@ -145,97 +167,199 @@ object TableIO {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
-    // each hint: survivors as (colName, lo, hi) range / equality / null
+    // each hint: survivors as (colName, lo, hi) range / equality / IN-list /
+    // null check. Literals keep their Catalyst DataType so internal forms
+    // (UTF8String, epoch micros/days) can later be normalized into the
+    // column's stat domain.
     sealed trait Hint
-    case class Range(c: String, lo: Option[Any], hi: Option[Any]) extends Hint
-    case class Eq(c: String, v: Any) extends Hint
+    case class PLit(v: Any, dt: DataType)
+    case class Range(c: String, lo: Option[PLit], hi: Option[PLit]) extends Hint
+    case class Eq(c: String, v: PLit) extends Hint
+    case class InList(c: String, vs: Seq[PLit]) extends Hint
     case class NullIs(c: String, isNull: Boolean) extends Hint
+    def plit(l: Literal): PLit = PLit(l.value, l.dataType)
+    def disjuncts(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other => Seq(other)
+    }
+    // an OR-only subtree whose every disjunct is an equality / IN over ONE
+    // shared column is a point-lookup list: k IN (...) spelled with ORs
+    def orAsInList(o: Or): Seq[Hint] = {
+      val parts = disjuncts(o).map {
+        case EqualTo(a, l: Literal) if name(a).isDefined =>
+          Some(Seq(name(a).get -> plit(l)))
+        case EqualTo(l: Literal, a) if name(a).isDefined =>
+          Some(Seq(name(a).get -> plit(l)))
+        case In(a, ls) if name(a).isDefined && ls.nonEmpty &&
+            ls.forall(_.isInstanceOf[Literal]) =>
+          Some(ls.map(x => name(a).get -> plit(x.asInstanceOf[Literal])))
+        case _ => None
+      }
+      if (parts.exists(_.isEmpty)) Seq.empty
+      else {
+        val flat = parts.flatten.flatten
+        if (flat.map(_._1).distinct.size == 1)
+          Seq(InList(flat.head._1, flat.map(_._2)))
+        else Seq.empty
+      }
+    }
     val rawHints = parsed.toSeq.flatMap(conjuncts).flatMap {
       // strict comparisons prune with their inclusive superset — safe;
       // literal-on-left spellings mirror
-      case GreaterThanOrEqual(a, Literal(v, _)) if name(a).isDefined =>
-        Seq(Range(name(a).get, Some(v), None))
-      case GreaterThan(a, Literal(v, _)) if name(a).isDefined =>
-        Seq(Range(name(a).get, Some(v), None))
-      case LessThanOrEqual(a, Literal(v, _)) if name(a).isDefined =>
-        Seq(Range(name(a).get, None, Some(v)))
-      case LessThan(a, Literal(v, _)) if name(a).isDefined =>
-        Seq(Range(name(a).get, None, Some(v)))
-      case GreaterThanOrEqual(Literal(v, _), a) if name(a).isDefined =>
-        Seq(Range(name(a).get, None, Some(v))) // lit >= col  ==  col <= lit
-      case GreaterThan(Literal(v, _), a) if name(a).isDefined =>
-        Seq(Range(name(a).get, None, Some(v)))
-      case LessThanOrEqual(Literal(v, _), a) if name(a).isDefined =>
-        Seq(Range(name(a).get, Some(v), None))
-      case LessThan(Literal(v, _), a) if name(a).isDefined =>
-        Seq(Range(name(a).get, Some(v), None))
-      case EqualTo(a, Literal(v, _)) if name(a).isDefined =>
-        Seq(Eq(name(a).get, v))
-      case EqualTo(Literal(v, _), a) if name(a).isDefined =>
-        Seq(Eq(name(a).get, v))
+      case GreaterThanOrEqual(a, l: Literal) if name(a).isDefined =>
+        Seq(Range(name(a).get, Some(plit(l)), None))
+      case GreaterThan(a, l: Literal) if name(a).isDefined =>
+        Seq(Range(name(a).get, Some(plit(l)), None))
+      case LessThanOrEqual(a, l: Literal) if name(a).isDefined =>
+        Seq(Range(name(a).get, None, Some(plit(l))))
+      case LessThan(a, l: Literal) if name(a).isDefined =>
+        Seq(Range(name(a).get, None, Some(plit(l))))
+      case GreaterThanOrEqual(l: Literal, a) if name(a).isDefined =>
+        Seq(Range(name(a).get, None, Some(plit(l)))) // lit >= col == col <= lit
+      case GreaterThan(l: Literal, a) if name(a).isDefined =>
+        Seq(Range(name(a).get, None, Some(plit(l))))
+      case LessThanOrEqual(l: Literal, a) if name(a).isDefined =>
+        Seq(Range(name(a).get, Some(plit(l)), None))
+      case LessThan(l: Literal, a) if name(a).isDefined =>
+        Seq(Range(name(a).get, Some(plit(l)), None))
+      case EqualTo(a, l: Literal) if name(a).isDefined =>
+        Seq(Eq(name(a).get, plit(l)))
+      case EqualTo(l: Literal, a) if name(a).isDefined =>
+        Seq(Eq(name(a).get, plit(l)))
+      case In(a, ls) if name(a).isDefined && ls.nonEmpty &&
+          ls.forall(_.isInstanceOf[Literal]) =>
+        Seq(InList(name(a).get, ls.map(x => plit(x.asInstanceOf[Literal]))))
       case IsNull(a) if name(a).isDefined =>
         Seq(NullIs(name(a).get, isNull = true))
       case IsNotNull(a) if name(a).isDefined =>
         Seq(NullIs(name(a).get, isNull = false))
+      case o: Or => orAsInList(o)
       case _ => Seq.empty // unrecognized conjunct: residual-only
     }
     if (rawHints.isEmpty) return None
-    // literal renderings: catalyst literals carry internal forms
-    // (UTF8String, epoch micros/days) — normalize to the probe forms the
-    // stat comparators parse
-    def probe(v: Any): Any = v match {
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case other => other
-    }
-    val tableDir = Catalog.tablePath(lh, tableName)
-    // ONE manifest read anchors every hint: per-hint re-reads could span a
-    // concurrent commit and intersect survivor sets from two different
-    // versions (dropping files live in the snapshot being scanned)
-    Versioned.latestVersion(tableDir)
-      .flatMap(v => Versioned.readManifest(tableDir, v)).flatMap { m =>
-        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-        // a hint may prune ONLY when the literal's type class matches the
-        // column's: Spark coerces mismatches (e.g. string col = numeric
-        // literal compares NUMERICALLY) while the stat comparator would
-        // compare in the column's own domain — pruning on that disagreement
-        // silently drops matching files
-        def compatible(c: String, v: Any): Boolean =
-          schema.fields.find(_.name == c).map(_.dataType).exists {
-            case _: NumericType => v.isInstanceOf[Number]
-            case StringType => v.isInstanceOf[String]
-            case BooleanType => v.isInstanceOf[Boolean]
-            case _ => false // ts/date literals arrive in internal forms
-          }
-        def survives(e: Versioned.FileEntry): Boolean = rawHints.forall {
-          case Range(c, lo, hi) =>
-            val (pl, ph) = (lo.map(probe), hi.map(probe))
-            if (!(pl ++ ph).forall(compatible(c, _))) true
-            else {
-              val dt = schema.fields.find(_.name == c).map(_.dataType)
-                .getOrElse(StringType)
-              statsRange(e, c).forall(mayMatch(dt, _, pl, ph))
-            }
-          case Eq(c, v) =>
-            val pv = probe(v)
-            if (!compatible(c, pv)) true
-            else {
-              val dt = schema.fields.find(_.name == c).map(_.dataType)
-                .getOrElse(StringType)
-              statsRange(e, c).forall(mayMatch(dt, _, Some(pv), Some(pv)))
-            }
-          case NullIs(c, isNull) =>
-            (entryNullCount(e, c), entryRows(e)) match {
-              case (Some(nulls), _) if isNull => nulls > 0
-              case (Some(nulls), Some(rows)) if !isNull => nulls < rows
-              case _ => true
-            }
-        }
-        val kept = m.entries.filter(survives)
-        if (kept.size == m.entries.size) None // pruned nothing: no gain
-        else Some(scanSpec(spark,
-          Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path))))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    def dtOf(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    // Normalize a literal into the column's stat domain, or None when
+    // the pairing can't prune: Spark coerces type mismatches (e.g.
+    // string col = numeric literal compares NUMERICALLY) while the stat
+    // comparator compares in the column's own domain — pruning on that
+    // disagreement would silently drop matching files. Timestamp/date
+    // literals arrive as epoch micros/days (or as strings, which Spark
+    // casts INTO the ts/date domain for the residual compare — mirrored
+    // here with Spark's own parser so the domains can never diverge).
+    def toProbe(c: String, l: PLit): Option[Any] = dtOf(c).flatMap { cdt =>
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      import org.apache.spark.unsafe.types.UTF8String
+      (cdt, l.dt) match {
+        case (_: NumericType, _) if l.v.isInstanceOf[Number] => Some(l.v)
+        case (StringType, StringType) => Some(l.v.toString)
+        case (BooleanType, _) if l.v.isInstanceOf[Boolean] => Some(l.v)
+        case (TimestampType, TimestampType) =>
+          Some(tsProbe(l.v.asInstanceOf[Long]))
+        case (TimestampType, StringType) =>
+          DateTimeUtils.stringToTimestamp(
+            UTF8String.fromString(l.v.toString),
+            java.time.ZoneOffset.UTC).map(tsProbe)
+        case (DateType, DateType) =>
+          Some(dateProbe(l.v.asInstanceOf[Int]))
+        case (DateType, StringType) =>
+          DateTimeUtils.stringToDate(
+            UTF8String.fromString(l.v.toString)).map(dateProbe)
+        case _ => None
       }
+    }
+    // normalized hints, computed ONCE (not per file); a hint any of
+    // whose literals can't normalize is dropped — it just doesn't prune
+    sealed trait NHint
+    case class NRange(c: String, lo: Option[Any], hi: Option[Any]) extends NHint
+    case class NIn(c: String, vs: Seq[Any]) extends NHint
+    case class NNull(c: String, isNull: Boolean) extends NHint
+    val nhints: Seq[NHint] = rawHints.flatMap {
+      case Range(c, lo, hi) =>
+        val (pl, ph) = (lo.map(toProbe(c, _)), hi.map(toProbe(c, _)))
+        if (pl.exists(_.isEmpty) || ph.exists(_.isEmpty)) Seq.empty
+        else Seq(NRange(c, pl.flatten, ph.flatten))
+      case Eq(c, l) => toProbe(c, l).map(v => NIn(c, Seq(v))).toSeq
+      case InList(c, vs) =>
+        val ps = vs.map(toProbe(c, _))
+        if (ps.exists(_.isEmpty)) Seq.empty else Seq(NIn(c, ps.flatten))
+      case NullIs(c, isNull) => Seq(NNull(c, isNull))
+    }
+    // engine-computed bloom probe hashes for every Eq/IN literal over a
+    // bloom-indexed column — ONE job for all probes, so build and probe
+    // hashing can never disagree (same xxhash64-over-cast the writer
+    // used). Ts/date probes are excluded (blooms target high-cardinality
+    // point-lookup keys; ranges handle time).
+    val bloomIndexed = bloomColsOf(m).toSet
+    val bloomProbes: Seq[(String, Any)] = nhints.flatMap {
+      case NIn(c, vs) if bloomIndexed(c) => vs.collect {
+        case v @ (_: Number | _: String | _: Boolean) => c -> v
+      }
+      case _ => Seq.empty
+    }.distinct
+    val probeHashes: Map[(String, Any), Long] =
+      if (bloomProbes.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{lit, xxhash64}
+        val exprs = bloomProbes.map { case (c, v) =>
+          xxhash64(lit(v).cast(dtOf(c).getOrElse(StringType))) }
+        val row = spark.range(1).select(exprs: _*).head()
+        bloomProbes.zipWithIndex.map { case (p, i) =>
+          p -> row.getLong(i) }.toMap
+      }
+    // decoded blooms memoized per (file, col): IN-lists probe the same
+    // bitset k times and base64-decoding per probe is pure waste
+    val bloomCache =
+      scala.collection.mutable.HashMap.empty[(String, String), Option[Array[Long]]]
+    def entryBits(e: Versioned.FileEntry, c: String): Option[Array[Long]] =
+      bloomCache.getOrElseUpdate((e.path, c),
+        entryBloomB64(e, c).map(Bloom.decode))
+    def rangeOk(e: Versioned.FileEntry, c: String,
+        lo: Option[Any], hi: Option[Any]): Boolean = {
+      val dt = dtOf(c).getOrElse(StringType)
+      statsRange(e, c).forall(mayMatch(dt, _, lo, hi))
+    }
+    def bloomOk(e: Versioned.FileEntry, c: String, v: Any): Boolean =
+      probeHashes.get((c, v)).forall(h =>
+        entryBits(e, c).forall(b => Bloom.mayContain(b, h)))
+    def survives(e: Versioned.FileEntry): Boolean = nhints.forall {
+      case NRange(c, lo, hi) => rangeOk(e, c, lo, hi)
+      case NIn(c, vs) => // union of per-literal Eq survivor sets
+        vs.exists(v => rangeOk(e, c, Some(v), Some(v)) && bloomOk(e, c, v))
+      case NNull(c, isNull) =>
+        (entryNullCount(e, c), entryRows(e)) match {
+          case (Some(nulls), _) if isNull => nulls > 0
+          case (Some(nulls), Some(rows)) if !isNull => nulls < rows
+          case _ => true
+        }
+    }
+    Some(m.entries.filter(survives))
   }
+
+  /** Catalyst TimestampType literals carry epoch MICROS; rebuild the UTC
+    * wall-clock form so the probe parses in the same domain as the recorded
+    * stat strings (cast-to-string under the pinned-UTC session). */
+  private def tsProbe(micros: Long): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+
+  /** DateType literals carry epoch DAYS. */
+  private def dateProbe(days: Int): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+
+  /** A file entry's recorded Bloom bitset (base64) for one column. */
+  private def entryBloomB64(e: Versioned.FileEntry, c: String): Option[String] =
+    for {
+      s <- e.stats
+      j <- scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption
+      b64 <- (j \ (Bloom.StatsPrefix + c)) match {
+        case org.json4s.JString(x) => Some(x)
+        case _ => None
+      }
+    } yield b64
 
   /** common.py:377-378 — projection (+optional distinct) scan. */
   def getColsFromTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
@@ -277,7 +401,25 @@ object TableIO {
     import org.json4s.{JArray, JNull, JString, JValue}
     import org.json4s.jackson.JsonMethods.{compact, render}
     val df = spark.read.parquet(stagingDir)
-    val cols = statsColumns(df.schema)
+    // Hive-style partition columns are excluded from the aggregated min/max:
+    // spark.read re-INFERS their type from the path values, so a string
+    // partition value like '01' would be recorded in the inferred domain
+    // ('1') while the prune comparators compare in the declared manifest
+    // schema's domain (StringType, UTF-8) — provably-wrong pruning. Their
+    // stats are instead taken from the path segment itself (the writer's own
+    // cast-to-string rendering, exactly the domain stats are compared in).
+    val pathPartCols: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(Paths.get(stagingDir))
+      try walk.iterator.asScala.collect {
+        case p if java.nio.file.Files.isDirectory(p) &&
+            p.getFileName != null && p.getFileName.toString.contains('=') =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(p.getFileName.toString.split("=", 2)(0))
+      }.toSet
+      finally walk.close()
+    }
+    val cols = statsColumns(df.schema).filterNot(f => pathPartCols(f.name))
     val blooms = bloomCols.filter(df.columns.contains)
     val bloomAgg = udaf(new Bloom.Agg(Bloom.DefaultBits), Encoders.scalaLong)
     // count(*) always rides along: per-file row counts (Delta's numRecords)
@@ -301,13 +443,29 @@ object TableIO {
         Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
       def j(i: Int): JValue =
         if (r.isNullAt(i)) JNull else JString(r.getString(i))
+      // partition-column stats come from the file's OWN path segments:
+      // min = max = the segment value (one value per file by construction),
+      // __HIVE_DEFAULT_PARTITION__ = the all-null file shape
+      val partStats: Seq[(String, JValue)] = rel.split('/').toSeq.dropRight(1)
+        .filter(_.contains('=')).map { seg =>
+          val Array(rawK, rawV) = seg.split("=", 2)
+          val u = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          val k = u.unescapePathName(rawK)
+          if (rawV == u.DEFAULT_PARTITION_NAME)
+            k -> (JArray(List(JNull, JNull,
+              JString(r.getLong(1).toString))): JValue)
+          else {
+            val v = JString(u.unescapePathName(rawV))
+            k -> (JArray(List(v, v, JString("0"))): JValue)
+          }
+        }
       val fields: Seq[(String, JValue)] =
         (RowsKey -> (JString(r.getLong(1).toString): JValue)) +:
         (cols.zipWithIndex.map { case (f, i) =>
           val base = minMaxBase + perCol * i
           f.name -> (JArray(List(j(base), j(base + 1),
             JString(r.getLong(base + 2).toString))): JValue)
-        } ++ blooms.zipWithIndex.flatMap { case (c, i) =>
+        } ++ partStats ++ blooms.zipWithIndex.flatMap { case (c, i) =>
           Option(r.get(bloomBase + i)).map { bytes =>
             (Bloom.StatsPrefix + c) -> (JString(java.util.Base64.getEncoder
               .encodeToString(bytes.asInstanceOf[Array[Byte]])): JValue)
@@ -559,8 +717,14 @@ object TableIO {
         val candidates = parsed.filter { case (_, r, _) =>
           !r.contains((None, None))
         }
+        // "provable" includes PARSEABLE: NaN/Infinity render as stat strings
+        // BigDecimal can't parse, making cmpStat return None — which less()
+        // below would silently read as "not less", corrupting the file
+        // ordering and the k-th-value bound. Self-compare try-parses each
+        // endpoint; any failure falls back to the full sort.
         val provable = candidates.forall { case (_, r, n) =>
-          n.isDefined && r.exists(p => p._1.isDefined && p._2.isDefined)
+          n.isDefined && r.exists(p => p._1.isDefined && p._2.isDefined &&
+            Seq(p._1.get, p._2.get).forall(s => cmpStat(dt, s, s).contains(0)))
         }
         if (!provable || candidates.isEmpty)
           return fullSort(scanSpec(spark,
@@ -767,9 +931,10 @@ object TableIO {
     // table PROPERTIES (CHECK constraints, the change-feed flag) survive
     // overwrites — Delta semantics; txn watermarks intentionally reset
     // (full-replace). The replacement data must satisfy the constraints.
-    val prevMeta = Versioned.latestVersion(tableDir)
-      .flatMap(Versioned.readManifest(tableDir, _))
-      .map(_.meta).getOrElse(Map.empty[String, String])
+    val prevVersion = Versioned.latestVersion(tableDir)
+    val prevManifest = prevVersion.flatMap(Versioned.readManifest(tableDir, _))
+    val prevMeta = prevManifest.map(_.meta)
+      .getOrElse(Map.empty[String, String])
     val carried = prevMeta.filter { case (k, _) =>
       k.startsWith(CheckPrefix) || k == CdfKey }
     val checks = checkConstraintsOf(prevMeta)
@@ -783,7 +948,8 @@ object TableIO {
     // rows that were never committed
     val prevScanForCdf: Option[DataFrame] =
       if (!cdfEnabled(prevMeta)) None
-      else Some(scanTableDir(spark, tableDir))
+      else prevManifest.map(m => scanSpec(spark,
+        Versioned.ScanFiles(tableDir, m.schemaJson, m.files)))
     // sortBy = 1-D data clustering: range-partition then sort within
     // partitions so each parquet file covers a narrow key range — file- and
     // row-group-level min/max statistics then let later scans with
@@ -796,6 +962,12 @@ object TableIO {
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
+      // the CDF preimage is pinned to prevVersion; committing without
+      // pinning that base would let a concurrent commit slip between the
+      // pin and the claim, making the recorded feed diverge from the
+      // version this overwrite actually replaced — rows committed in the
+      // window would get neither a delete event nor survive
+      expectedBase = if (prevScanForCdf.isDefined) prevVersion else None,
       collectStats = collectFileStats(spark, bloomFilterFor),
       meta = carried ++ extraMeta,
       beforeMarker = (v, staged) => prevScanForCdf.foreach { old =>
@@ -1377,40 +1549,93 @@ object TableIO {
     * than resurrecting pre-commit data. */
   def compactTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Seq.empty): TableInfo = {
+      zorderBy: Seq[String] = Seq.empty,
+      predicate: Option[String] = None): TableInfo = {
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
-    val bytes = currentFiles(lh, tableName)
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = selectTable(spark, lh, tableName)
-    val parts = currentPartitioning(lh, tableName)
-    // zorderBy = OPTIMIZE ZORDER BY: the full rewrite this compaction
-    // already pays doubles as the re-clustering pass
-    val arranged =
-      if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
-      else if (parts.isEmpty) df.coalesce(nFiles)
-      else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
     val baseM = base.flatMap(Versioned.readManifest(tableDir, _))
-    val blooms = baseM.map(bloomColsOf).getOrElse(Seq.empty)
-    // compaction is invisible to the change feed: same rows, new files —
-    // an EMPTY sidecar tells readChangeFeed "rewrite, zero logical changes"
-    val emptyCdf: Option[DataFrame] =
-      if (!baseM.exists(m => cdfEnabled(m.meta))) None
-      else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        df.schema.add("_change_type", StringType)))
-    val commit = Versioned.commitFiles(tableDir, df.schema.json,
-      expectedBase = base, collectStats = collectFileStats(spark, blooms),
-      meta = baseM.map(_.meta).getOrElse(Map.empty),
-      beforeMarker = (v, _) => emptyCdf.foreach(
-        _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString))) { target =>
-      val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
-        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-      }
-      (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-       else writer).parquet(target)
+    // predicate = Delta's `OPTIMIZE ... WHERE`: only files that MAY hold
+    // matching rows (partition values / stat ranges, same mining as
+    // readTable's skipping) are rewritten; the rest inherit BY REFERENCE —
+    // at 100 TB a small-file problem usually lives in the partitions still
+    // being written, and a whole-table rewrite per OPTIMIZE is not operable
+    val scoped = for {
+      p <- predicate; b <- base; m <- baseM
+      aff <- minedSurvivors(spark, m, p) if aff.size < m.entries.size
+    } yield (b, m, aff)
+    scoped match {
+      case Some((b, m, affected)) =>
+        val affectedSet = affected.map(_.path).toSet
+        val untouched = m.entries.filterNot(e => affectedSet(e.path))
+        val parts = currentPartitioning(lh, tableName)
+        val baseP = Paths.get(tableDir)
+        val bytes = affected.map(e => baseP.resolve(e.path))
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        val nFiles =
+          math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val df = scanSpec(spark,
+          Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+        val arranged =
+          if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
+          else if (parts.isEmpty) df.coalesce(nFiles)
+          else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+        val blooms = bloomColsOf(m)
+        val emptyCdf: Option[DataFrame] =
+          if (!cdfEnabled(m.meta)) None
+          else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            df.schema.add("_change_type", StringType)))
+        val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+          inherit = untouched, expectedBase = Some(b),
+          collectStats = collectFileStats(spark, blooms), meta = m.meta,
+          beforeMarker = (v, _) => emptyCdf.foreach(
+            _.write.mode(SaveMode.Overwrite)
+              .parquet(cdfDir(tableDir, v).toString))) { target =>
+          if (affected.nonEmpty) {
+            val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
+              (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+            }
+            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+             else writer).parquet(target)
+          }
+        }
+        finishCommit(spark, lh, tableName, tableDir, commit,
+          df.columns.toSeq, parts)
+      case _ => // no predicate, nothing mined, or it matches every file
+        val bytes = currentFiles(lh, tableName)
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        val nFiles =
+          math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val df = selectTable(spark, lh, tableName)
+        val parts = currentPartitioning(lh, tableName)
+        // zorderBy = OPTIMIZE ZORDER BY: the full rewrite this compaction
+        // already pays doubles as the re-clustering pass
+        val arranged =
+          if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
+          else if (parts.isEmpty) df.coalesce(nFiles)
+          else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+        val blooms = baseM.map(bloomColsOf).getOrElse(Seq.empty)
+        // compaction is invisible to the change feed: same rows, new files —
+        // an EMPTY sidecar tells readChangeFeed "rewrite, zero logical
+        // changes"
+        val emptyCdf: Option[DataFrame] =
+          if (!baseM.exists(m => cdfEnabled(m.meta))) None
+          else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            df.schema.add("_change_type", StringType)))
+        val commit = Versioned.commitFiles(tableDir, df.schema.json,
+          expectedBase = base, collectStats = collectFileStats(spark, blooms),
+          meta = baseM.map(_.meta).getOrElse(Map.empty),
+          beforeMarker = (v, _) => emptyCdf.foreach(
+            _.write.mode(SaveMode.Overwrite)
+              .parquet(cdfDir(tableDir, v).toString))) { target =>
+          val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
+            (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          }
+          (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+           else writer).parquet(target)
+        }
+        finishCommit(spark, lh, tableName, tableDir, commit,
+          df.columns.toSeq, parts)
     }
-    finishCommit(spark, lh, tableName, tableDir, commit, df.columns.toSeq, parts)
   }
 
   /** DELETE WHERE (Delta row-delete, file-level): a pushed-down scan finds

@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** First `4*nHex` bits of sha-256(UTF-8 bytes) as an unsigned-safe long —
+    * value-identical to `conv(substring(sha2(s, 256), 1, nHex), 16, 10)
+    * .cast("long")` (the first nHex lowercase hex chars ARE the leading
+    * 4*nHex digest bits) but with zero string work: no 64-char hex
+    * rendering, no substring, no base-conversion parse. The portable twins
+    * call this once per shingle/token, where the four-allocation hex chain
+    * was the dominant cost (digest() resets the thread-local instance, so
+    * reuse across rows is safe). */
+  private[ext] def shaPrefixLongUdf(
+      nHex: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(nHex >= 1 && nHex <= 15,
+      "nHex must keep the value non-negative in a signed long")
+    val shift = 64 - 4 * nHex
+    udf((s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val d = sha256Local.get().digest(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+        java.lang.Long.valueOf(v >>> shift)
+      })
+  }
+
   /** Exact dedup: keep, per distinct key combination, the row with the
     * smallest `idCol`. One hash-partitioned shuffle; deterministic. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
@@ -384,9 +414,8 @@ object Dedup {
     val grams = df.filter(length(col(textCol)) >= shingleK)
       .select(col(idCol), col(textCol),
         explode(expr(s"sequence(1, length($textCol) - ${shingleK - 1})")).as("p"))
-      .withColumn("h", conv(substring(
-        sha2(expr(s"substring($textCol, p, $shingleK)"), 256), 1, 15), 16, 10)
-        .cast("long") % p)
+      .withColumn("h",
+        shaPrefixLongUdf(15)(expr(s"substring($textCol, p, $shingleK)")) % p)
       .drop(textCol)
     val mins = (0 until numHashes).map(i =>
       min((col("h") * (2 * i + 1) + lit(1000003L * i)) % p).as(s"__s$i"))
@@ -413,8 +442,7 @@ object Dedup {
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       // first 15 hex chars = 60 bits: unsigned-safe in a BIGINT everywhere
-      .withColumn("h", conv(substring(sha2(col("tok"), 256), 1, 15), 16, 10)
-        .cast("long"))
+      .withColumn("h", shaPrefixLongUdf(15)(col("tok")))
     val votes = (0 until bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__b$j"))

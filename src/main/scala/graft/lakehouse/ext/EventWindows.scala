@@ -87,21 +87,42 @@ object EventWindows {
     *
     * This is the "bronze table" ingest shape: Structured Streaming handles
     * watermarks/source offsets, the Versioned manifest commit makes each
-    * batch's publish atomic. Note: foreachBatch can re-run a batch after a
-    * crash between sink commit and checkpoint advance — exactly-once
-    * appends would additionally record (queryId, batchId) in the table's
-    * commit metadata and skip replayed batches (Delta's txnAppId/txnVersion
-    * idempotent-write pattern); documented as out of scope. */
+    * batch's publish atomic. Accumulate-mode appends are EXACTLY-once:
+    * the batch watermark `txn:<appId> = batchId` commits atomically with
+    * the data (Delta's txnAppId/txnVersion idempotent-write pattern, same
+    * key convention as [[graft.lakehouse.streaming.VersionedTableSink]]),
+    * so a batch replayed after a crash between append commit and
+    * checkpoint advance is recognized and skipped. Overwrite mode is
+    * naturally idempotent (replay rewrites the same snapshot). `appId`
+    * defaults to the checkpoint path (the stream's durable identity);
+    * with NEITHER set the watermark is off — a checkpoint-less query can
+    * never replay (there is nothing to recover from), and a fresh query's
+    * batch numbering restarts at 0, which a per-table default would
+    * wrongly read as a replay of the previous query's batches. */
   def streamIngest(events: DataFrame, spark: SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
       accumulate: Boolean = false,
-      checkpoint: Option[String] = None) = {
+      checkpoint: Option[String] = None,
+      appId: Option[String] = None) = {
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    val txnKey = appId.orElse(checkpoint).map("txn:" + _)
+    val tableDir = Catalog.tablePath(lh, tableName)
+    def committedWatermark(): Option[Long] =
+      txnKey.flatMap(k => Versioned.latestVersion(tableDir)
+        .flatMap(Versioned.readManifest(tableDir, _))
+        .flatMap(_.meta.get(k))
+        .flatMap(s => scala.util.Try(s.toLong).toOption))
     val w = events.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val df = batch.toDF()
-        if (accumulate) graft.lakehouse.TableIO.appendTable(spark, lh, tableName, df)
-        else graft.lakehouse.TableIO.writeTable(spark, lh, tableName, df)
+        if (accumulate) {
+          // replayed batch (crash between append and checkpoint advance):
+          // the watermark committed with the data already covers it
+          if (!committedWatermark().exists(_ >= batchId))
+            TableIO.appendTable(spark, lh, tableName, df,
+              extraMeta = txnKey.map(_ -> batchId.toString).toMap)
+        } else TableIO.writeTable(spark, lh, tableName, df)
         ()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
@@ -128,8 +149,22 @@ object EventWindows {
   def streamIngestDeduped(docs: DataFrame, spark: SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
       idCol: String, textCol: String, threshold: Double = 0.8,
-      checkpoint: Option[String] = None) = {
-    import graft.lakehouse.TableIO
+      checkpoint: Option[String] = None,
+      appId: Option[String] = None) = {
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    // exactly-once publish: same txn-watermark pattern as [[streamIngest]]
+    // (the near-dup anti-join would organically drop a replayed batch as a
+    // self-match against the published corpus, but only AFTER re-hashing
+    // it — the watermark skip is both cheaper and exact). Off without a
+    // durable identity: a checkpoint-less query cannot replay, and its
+    // restart renumbers batches from 0.
+    val txnKey = appId.orElse(checkpoint).map("txn:" + _)
+    val tableDir = Catalog.tablePath(lh, tableName)
+    def committedWatermark(): Option[Long] =
+      txnKey.flatMap(k => Versioned.latestVersion(tableDir)
+        .flatMap(Versioned.readManifest(tableDir, _))
+        .flatMap(_.meta.get(k))
+        .flatMap(s => scala.util.Try(s.toLong).toOption))
     var index: Option[DataFrame] = None
     var bootstrapped = false
     def publishedCorpus(): Option[DataFrame] =
@@ -138,33 +173,36 @@ object EventWindows {
           graft.lakehouse.Catalog.tablePath(lh, tableName))))
     val w = docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val df = batch.toDF()
         if (!bootstrapped) { // restart path: rebuild the index from disk once
           index = publishedCorpus().map(c =>
             Dedup.minHashBandIndex(c, idCol, textCol).localCheckpoint(true))
           bootstrapped = true
         }
-        val corpus = publishedCorpus()
-        val vsCorpus = (corpus, index) match {
-          case (Some(c), Some(ix)) =>
-            val dups = Dedup.nearDupsAgainstIndex(df, c, ix, idCol, textCol,
-              threshold = threshold)
-            df.join(dups.select(col("a").as(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-          case _ => df
-        }
-        val withinPairs = Dedup.minHashNearDupPairs(vsCorpus, idCol, textCol,
-          threshold = threshold)
-        val survivors = Dedup.dedupByPairs(vsCorpus, idCol, withinPairs)
-          .localCheckpoint(true)
-        if (survivors.count() > 0) {
-          // O(batch) publish: survivors append as new files, the corpus'
-          // files are inherited by reference in the new version's manifest
-          TableIO.appendTable(spark, lh, tableName, survivors)
-          val newBands = Dedup.minHashBandIndex(survivors, idCol, textCol)
-          index = Some(index.map(_.unionByName(newBands)).getOrElse(newBands)
-            .localCheckpoint(true))
+        if (!committedWatermark().exists(_ >= batchId)) {
+          val corpus = publishedCorpus()
+          val vsCorpus = (corpus, index) match {
+            case (Some(c), Some(ix)) =>
+              val dups = Dedup.nearDupsAgainstIndex(df, c, ix, idCol, textCol,
+                threshold = threshold)
+              df.join(dups.select(col("a").as(idCol)).distinct(),
+                Seq(idCol), "left_anti")
+            case _ => df
+          }
+          val withinPairs = Dedup.minHashNearDupPairs(vsCorpus, idCol, textCol,
+            threshold = threshold)
+          val survivors = Dedup.dedupByPairs(vsCorpus, idCol, withinPairs)
+            .localCheckpoint(true)
+          if (survivors.count() > 0) {
+            // O(batch) publish: survivors append as new files, the corpus'
+            // files are inherited by reference in the new version's manifest
+            TableIO.appendTable(spark, lh, tableName, survivors,
+              extraMeta = txnKey.map(_ -> batchId.toString).toMap)
+            val newBands = Dedup.minHashBandIndex(survivors, idCol, textCol)
+            index = Some(index.map(_.unionByName(newBands)).getOrElse(newBands)
+              .localCheckpoint(true))
+          }
         }
         ()
       }

@@ -158,9 +158,8 @@ object TextStats {
       .filter(length(col(textCol)) >= k + w - 1) // need >= 1 full window
       .select(col(idCol), col(textCol), length(col(textCol)).as("__len"),
         explode(expr(s"sequence(1, length($textCol) - ${k - 1})")).as("p"))
-      .withColumn("h", conv(substring(
-        sha2(expr(s"substring($textCol, p, $k)"), 256), 1, 8), 16, 10)
-        .cast("long"))
+      .withColumn("h",
+        Dedup.shaPrefixLongUdf(8)(expr(s"substring($textCol, p, $k)")))
       .drop(textCol)
     val win = Window.partitionBy(idCol).orderBy("p").rowsBetween(0, w - 1)
     grams
