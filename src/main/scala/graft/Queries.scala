@@ -1510,5 +1510,139 @@ object Queries {
           "n_chars", budget = 8192L), "n_chars")
         .orderBy("pack_id"),
       None),
+
+    // ---- round 4: skipping on time, IN-lists, scoped OPTIMIZE, history ----
+    // Automatic data skipping mined from a TIMESTAMP range condition: the
+    // epoch-micros literals normalize into the stat domain, and over a
+    // date-clustered table the one-year window provably skips most files
+    // (DataSkippingSpec asserts the file count); the residual predicate
+    // keeps the result hash-identical to the full scan.
+    Q("q82_ts_skipping_readtable",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "orders_bydate",
+          t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice"),
+          sortBy = Seq("o_orderdate"))
+        TableIO.readTable(s, lh, "orders_bydate", condition =
+          "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND " +
+            "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // IN-list / OR-of-equalities mining: the disjunction flattens to one
+    // point-lookup list over a bloom-indexed column — survivors are the
+    // UNION of per-literal Eq survivor sets (min/max AND bloom bitsets
+    // both consulted); the residual keeps the result exact.
+    Q("q83_inlist_skipping",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "orders_inlist",
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          sortBy = Seq("o_orderkey"), bloomFilterFor = Seq("o_custkey"))
+        TableIO.readTable(s, lh, "orders_inlist",
+          condition = "o_custkey IN (1, 5, 10) OR o_custkey = 19")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (1, 5, 10) OR o_custkey = 19
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Partition-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): only the
+    // predicate's may-match files rewrite; everything else is inherited by
+    // reference (FileLevelCommitSpec asserts untouched partitions keep
+    // byte-identical paths). The read-back must equal the pre-compaction
+    // table exactly.
+    Q("q84_compact_where",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "orders_cw",
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionBy = Seq("o_orderstatus"))
+        TableIO.compactTable(s, lh, "orders_cw",
+          predicate = Some("o_orderstatus = 'F'"))
+        TableIO.selectTable(s, lh, "orders_cw")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // DESCRIBE HISTORY over a scripted commit sequence (write 1 file,
+    // append 1 file, compact to 1 file): the version ledger's shape —
+    // file counts and add/remove deltas — is deterministic once the file
+    // counts are forced, so it hash-checks against a VALUES oracle
+    // (timestamps and byte sizes are projected out).
+    Q("q85_describe_history",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val part = t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        TableIO.dropTable(s, lh, "part_hist") // version numbering restarts
+        TableIO.writeTable(s, lh, "part_hist", part.coalesce(1))
+        TableIO.appendTable(s, lh, "part_hist",
+          part.filter(col("p_partkey") <= 5).coalesce(1))
+        TableIO.compactTable(s, lh, "part_hist")
+        TableIO.describeHistory(s, lh, "part_hist")
+          .select(col("version").cast("int").as("version"), col("n_files"),
+            col("n_added"), col("n_removed"))
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (1, 1, 1, 0),
+        |  (2, 2, 1, 0),
+        |  (3, 1, 1, 2)) AS t(version, n_files, n_added, n_removed)
+        |ORDER BY version""".stripMargin)),
+
+    // RESTORE TO VERSION round trip: v1 = the part table, v2 = a mutated
+    // overwrite, RESTORE 1 re-inherits v1's files metadata-only — the
+    // read-back must hash-match the ORIGINAL table (proves the restored
+    // manifest points at v1's untouched data files).
+    Q("q86_restore_roundtrip",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val part = t(s, dir, "part")
+        TableIO.dropTable(s, lh, "part_restore") // deterministic v1
+        TableIO.writeTable(s, lh, "part_restore", part)
+        TableIO.writeTable(s, lh, "part_restore",
+          part.filter(col("p_partkey") % 2 === 0)
+            .withColumn("p_retailprice", col("p_retailprice") * 2))
+        TableIO.restoreTable(s, lh, "part_restore", 1L)
+        TableIO.selectTable(s, lh, "part_restore").orderBy("p_partkey")
+      },
+      Some("SELECT * FROM part ORDER BY p_partkey")),
+
+    // LSH ANN with exhaustive probing (every bucket visited ⇒ exact):
+    // hash-matches the brute-force oracle (q34's SQL verbatim), verifying
+    // the hyperplane bucketing, probe join, and ranking end-to-end — the
+    // q67 pattern applied to LSH; the recall-spec'd multi-probe variant
+    // (q35) stays rows-only.
+    Q("q87_ann_lsh_exact",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10, numPlanes = 4, probeAll = true)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 4),
+        |s AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    list_sum(list_transform(list_zip(v.ve, q.qv), p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(v.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+        |  FROM v, q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
   )
 }

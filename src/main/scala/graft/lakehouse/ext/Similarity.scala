@@ -1,6 +1,6 @@
 package graft.lakehouse.ext
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -225,12 +225,19 @@ object Similarity {
     * return fewer than k when a bucket neighborhood is sparse (ANN recall
     * trade-off). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+      vecCol: String, k: Int, numPlanes: Int = 12, dim: Int = 64,
+      probeAll: Boolean = false): DataFrame = {
     val planes = Dedup.hyperplanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
       .withColumn("bucket", Dedup.rhpBucket(col("cv"), planes))
-    val probes = (0 until numPlanes).map(i => lit(1 << i)) :+ lit(0)
+    // probeAll = exhaustive probing (every flip ⇒ every bucket): recall
+    // becomes 1.0 and the result must equal brute force — the verification
+    // mode that lets the bucket/join/rank machinery hash-check against the
+    // exact-top-k oracle. Use a small numPlanes with it (2^numPlanes probes).
+    val probes: Seq[Column] =
+      if (probeAll) (0 until (1 << numPlanes)).map(i => lit(i))
+      else (0 until numPlanes).map(i => lit(1 << i)) :+ lit(0)
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
       .withColumn("qbucket", Dedup.rhpBucket(col("qv"), planes))

@@ -218,6 +218,136 @@ class DataSkippingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "del1")
   }
 
+  test("timestamp and date literals are mined for automatic file skipping") {
+    val df = spark.range(0, 40000).selectExpr(
+      "id AS k",
+      "timestampadd(HOUR, CAST(id % 2000 AS INT), " +
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+      "date_add(DATE '2024-01-01', CAST(id / 40 AS INT)) AS d")
+      .repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "tsskip", df, sortBy = Seq("k"))
+    }
+    val total = TableIO.currentFiles(lh, "tsskip").size
+    assert(total > 2)
+    // d is k-correlated, so the date range is provably absent from most
+    // files; native DATE literals arrive as epoch days and must normalize
+    val gotD = TableIO.readTable(spark, lh, "tsskip", condition =
+      "d >= DATE '2024-02-01' AND d < DATE '2024-02-08'")
+    assert(gotD.inputFiles.length < total,
+      s"date range should prune files (${gotD.inputFiles.length}/$total)")
+    val wantD = TableIO.selectTable(spark, lh, "tsskip")
+      .filter("d >= DATE '2024-02-01' AND d < DATE '2024-02-08'")
+    assert(gotD.count() == wantD.count() && gotD.count() > 0)
+    // STRING literal against a DATE column goes through Spark's own cast
+    // parser, so prune and residual can never disagree
+    val gotS = TableIO.readTable(spark, lh, "tsskip",
+      condition = "d < '2024-01-10'")
+    assert(gotS.inputFiles.length < total)
+    assert(gotS.count() ==
+      TableIO.selectTable(spark, lh, "tsskip").filter("d < '2024-01-10'").count())
+    // TIMESTAMP literals (epoch micros) — ts wraps every 2000 ids so the
+    // narrow window exists in every file; correctness only
+    val gotT = TableIO.readTable(spark, lh, "tsskip", condition =
+      "ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'")
+    val wantT = TableIO.selectTable(spark, lh, "tsskip")
+      .filter("ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'")
+    assert(gotT.count() == wantT.count() && gotT.count() > 0)
+    TableIO.dropTable(spark, lh, "tsskip")
+  }
+
+  test("IN-lists and OR-of-equalities mine to unions of Eq survivor sets") {
+    val df = spark.range(0, 40000).selectExpr("id AS k", "id % 97 AS payload")
+      .repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "inskip", df, sortBy = Seq("k"),
+        bloomFilterFor = Seq("k"))
+    }
+    val total = TableIO.currentFiles(lh, "inskip").size
+    assert(total > 2)
+    // two point lookups at opposite ends of the clustering: the survivor
+    // union is (first file) ∪ (last file), everything between prunes
+    val got = TableIO.readTable(spark, lh, "inskip",
+      condition = "k IN (5, 39999)")
+    assert(got.inputFiles.length < total,
+      s"IN-list should prune files (${got.inputFiles.length}/$total)")
+    assert(got.select("k").collect().map(_.getLong(0)).toSet == Set(5L, 39999L))
+    // the OR spelling (including a nested IN) flattens to the same list
+    val orq = TableIO.readTable(spark, lh, "inskip",
+      condition = "k = 5 OR k = 39999 OR k IN (17)")
+    assert(orq.inputFiles.length < total)
+    assert(orq.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(5L, 17L, 39999L))
+    // an OR spanning DIFFERENT columns is not a point-lookup list: it must
+    // stay conservative (no pruning hint) and exactly correct
+    val mixed = TableIO.readTable(spark, lh, "inskip",
+      condition = "k = 5 OR payload = 96")
+    assert(mixed.count() == TableIO.selectTable(spark, lh, "inskip")
+      .filter("k = 5 OR payload = 96").count())
+    TableIO.dropTable(spark, lh, "inskip")
+  }
+
+  test("string partition values keep their own rendering in stats " +
+      "(path-derived, not re-inferred)") {
+    // every value is numeric-looking, so spark.read's partition type
+    // inference would read them as INTs ('01' -> 1) — stats recorded in
+    // that domain would make the StringType comparator wrongly prune the
+    // matching file; path-derived stats keep the writer's rendering
+    val df = Seq(("01", 1L), ("01", 2L), ("02", 3L), ("0010", 4L))
+      .toDF("p", "v")
+    TableIO.writeTable(spark, lh, "partstat", df, partitionBy = Seq("p"))
+    val got = TableIO.readTable(spark, lh, "partstat", condition = "p = '01'")
+    assert(got.select("v").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(got.inputFiles.nonEmpty && got.inputFiles.forall(_.contains("p=01")),
+      s"only the matching partition should be scanned: ${got.inputFiles.toSeq}")
+    TableIO.dropTable(spark, lh, "partstat")
+  }
+
+  test("prunedTopK falls back to the full sort when stats don't parse " +
+      "(NaN/Infinity)") {
+    val df = Seq((0L, 1.0), (1L, Double.NaN), (2L, 2.0), (3L, 0.5),
+      (4L, Double.PositiveInfinity), (5L, 3.0)).toDF("id", "score")
+      .repartition(3)
+    withFixedPartitions { TableIO.writeTable(spark, lh, "nanstat", df) }
+    // Spark sorts NaN greater than any double: desc top-2 = [NaN, Inf];
+    // an unparseable-stat prune could drop their file entirely
+    val got = TableIO.prunedTopK(spark, lh, "nanstat", "score", 2,
+      ascending = false, tieBreak = Seq("id"))
+      .collect().map(_.getDouble(1))
+    assert(got.length == 2 && got(0).isNaN && got(1).isPosInfinity, got.toSeq)
+    TableIO.dropTable(spark, lh, "nanstat")
+  }
+
+  test("compactTable(predicate) rewrites only may-match files; other " +
+      "partitions inherit by reference") {
+    val df = (1 to 100).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "g")
+    TableIO.writeTable(spark, lh, "cw", df, partitionBy = Seq("g"))
+    // fragment partition a only
+    TableIO.appendTable(spark, lh, "cw", Seq((101, "a")).toDF("k", "g"))
+    TableIO.appendTable(spark, lh, "cw", Seq((103, "a")).toDF("k", "g"))
+    val before = TableIO.currentFiles(lh, "cw").map(p =>
+      p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val beforeA = before.keys.count(_.contains("/g=a/"))
+    assert(beforeA >= 3)
+    TableIO.compactTable(spark, lh, "cw", predicate = Some("g = 'a'"))
+    val after = TableIO.currentFiles(lh, "cw").map(p =>
+      p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    // untouched partition: identical paths AND mtimes (inherited, not
+    // rewritten)
+    assert(before.filter(_._1.contains("/g=b/")).toSet ==
+      after.filter(_._1.contains("/g=b/")).toSet)
+    // targeted partition: compacted down
+    assert(after.keys.count(_.contains("/g=a/")) < beforeA)
+    // content identical
+    val ks = TableIO.selectTable(spark, lh, "cw")
+      .select("k").collect().map(_.getInt(0)).toSet
+    assert(ks == ((1 to 100).toSet + 101 + 103))
+    TableIO.dropTable(spark, lh, "cw")
+  }
+
   test("delete with no matches inherits everything (zero-write commit)") {
     TableIO.writeTable(spark, lh, "del2", Seq((1, "x"), (2, "y")).toDF("k", "s"))
     val before = TableIO.currentFiles(lh, "del2").map(_.toString).toSet
