@@ -253,6 +253,14 @@ object TableIO {
       import org.apache.spark.unsafe.types.UTF8String
       (cdt, l.dt) match {
         case (_: NumericType, _) if l.v.isInstanceOf[Number] => Some(l.v)
+        // plain fractional literals (`x > 150000.0`) parse as Catalyst
+        // Decimal, which is NOT a java.lang.Number — unwrap so the most
+        // common numeric spelling prunes too (cmpStat's BigDecimal
+        // comparison is exact in both domains)
+        case (_: NumericType, _)
+            if l.v.isInstanceOf[org.apache.spark.sql.types.Decimal] =>
+          Some(l.v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toJavaBigDecimal)
         case (StringType, StringType) => Some(l.v.toString)
         case (BooleanType, _) if l.v.isInstanceOf[Boolean] => Some(l.v)
         case (TimestampType, TimestampType) =>

@@ -289,6 +289,24 @@ class DataSkippingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "inskip")
   }
 
+  test("fractional (decimal) literals prune numeric columns") {
+    // 150000.0-style literals parse as Catalyst Decimal, not a JVM Number —
+    // the probe normalizer must unwrap them or the most common numeric
+    // spelling silently never prunes
+    val df = spark.range(0, 40000)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS x").repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "decskip", df, sortBy = Seq("k"))
+    }
+    val total = TableIO.currentFiles(lh, "decskip").size
+    val got = TableIO.readTable(spark, lh, "decskip",
+      condition = "x >= 100.5 AND x <= 200.0")
+    assert(got.inputFiles.length < total,
+      s"decimal range should prune (${got.inputFiles.length}/$total)")
+    assert(got.count() == 100) // ids 101..200
+    TableIO.dropTable(spark, lh, "decskip")
+  }
+
   test("string partition values keep their own rendering in stats " +
       "(path-derived, not re-inferred)") {
     // every value is numeric-looking, so spark.read's partition type
