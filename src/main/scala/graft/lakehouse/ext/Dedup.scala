@@ -50,6 +50,78 @@ object Dedup {
       })
   }
 
+  /** Leading `64 - shift` bits of sha-256(UTF-8 bytes of `s[from, from+len)`)
+    * as a non-negative long — the per-gram primitive behind the portable
+    * twins' document kernels. Same value as [[shaPrefixLongUdf]] applied to
+    * the substring (fixtures are ASCII, so char slicing == Spark's
+    * code-point `substring`). */
+  @inline private def shaPrefixAt(
+      md: java.security.MessageDigest, s: String,
+      from: Int, len: Int, shift: Int): Long = {
+    val d = md.digest(s.substring(from, from + len)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> shift
+  }
+
+  /** Whole-document winnowing over portable sha-prefix gram hashes: all
+    * k-gram hashes, sliding min of width `w`, per-doc distinct — in ONE
+    * compiled pass. Exists because the explode-then-window formulation
+    * pushed ~L rows per document through a UDF boundary and a window
+    * exchange; this computes the identical distinct fingerprint set with
+    * zero shuffle before the caller's explode. */
+  private[ext] def portableWinnowKernel(
+      text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null || text.length < k + w - 1) return Array.empty
+    val md = sha256Local.get()
+    val nGrams = text.length - k + 1
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hs(i) = shaPrefixAt(md, text, i, k, 64 - 4 * 8) // 8 hex chars = 32 bits
+      i += 1
+    }
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    var p = 0
+    val lastStart = nGrams - w
+    while (p <= lastStart) {
+      var m = hs(p)
+      var j = 1
+      while (j < w) { val h = hs(p + j); if (h < m) m = h; j += 1 }
+      out += m
+      p += 1
+    }
+    out.toArray
+  }
+
+  /** Whole-document portable MinHash: all shingle hashes (sha-prefix mod
+    * the Mersenne prime) folded into the `numHashes` universal-hash minima
+    * in ONE compiled pass — the signature the explode + groupBy
+    * formulation produced, without the per-gram UDF boundary or the
+    * aggregate exchange. */
+  private[ext] def portableMinHashKernel(
+      text: String, k: Int, numHashes: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val md = sha256Local.get()
+    val p = MersennePrime
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nGrams = text.length - k + 1
+    var g = 0
+    while (g < nGrams) {
+      val h = shaPrefixAt(md, text, g, k, 4) % p // 15 hex chars = 60 bits
+      var i = 0
+      while (i < numHashes) {
+        val v = ((2L * i + 1) * h + 1000003L * i) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      g += 1
+    }
+    mins
+  }
+
   /** Exact dedup: keep, per distinct key combination, the row with the
     * smallest `idCol`. One hash-partitioned shuffle; deterministic. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
@@ -404,25 +476,14 @@ object Dedup {
     * `a_i = 2i+1, b_i = 1000003·i` — any engine can recompute the identical
     * signature, making the min-over-universal-hash ALGORITHM verifiable
     * cross-engine ([[withMinHashSignature]]'s rolling-hash kernel stays the
-    * production path). Same single-aggregate shape as [[portableSimHash]]:
-    * shingle positions explode map-side, all `numHashes` mins fold into one
-    * partial aggregate, and the signature unstacks to (id, sig_no, sig)
-    * rows (arrays don't survive value comparison). */
+    * production path). The whole signature is one compiled pass per
+    * document ([[portableMinHashKernel]]) — no per-gram row inflation, no
+    * aggregate exchange — unstacked to (id, sig_no, sig) rows (arrays
+    * don't survive value comparison). */
   def portableMinHash(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 16): DataFrame = {
-    val p = MersennePrime
-    val grams = df.filter(length(col(textCol)) >= shingleK)
-      .select(col(idCol), col(textCol),
-        explode(expr(s"sequence(1, length($textCol) - ${shingleK - 1})")).as("p"))
-      .withColumn("h",
-        shaPrefixLongUdf(15)(expr(s"substring($textCol, p, $shingleK)")) % p)
-      .drop(textCol)
-    val mins = (0 until numHashes).map(i =>
-      min((col("h") * (2 * i + 1) + lit(1000003L * i)) % p).as(s"__s$i"))
-    grams.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), posexplode(
-        array((0 until numHashes).map(i => col(s"__s$i")): _*))
-        .as(Seq("sig_no", "sig")))
+    val kern = udf((s: String) => portableMinHashKernel(s, shingleK, numHashes))
+    df.select(col(idCol), posexplode(kern(col(textCol))).as(Seq("sig_no", "sig")))
   }
 
   /** SimHash with a PORTABLE token hash — 60 bits from sha-256, so any

@@ -146,27 +146,17 @@ object TextStats {
     * update per char vs one sha-256 per gram, ~10× cheaper); semantics
     * differ only in hash function and its text normalization.
     *
-    * Built entirely from codegen'd built-ins: positions explode first and
-    * the gram hash is a plain column expression over (text, p) — NOT a
-    * higher-order-function lambda, which Spark interprets per element.
-    * One shuffle (the per-doc window); the hash is computed map-side
-    * before it. */
+    * The k-gram hashes, the window-of-`w` minima, and the per-doc distinct
+    * all happen in ONE compiled pass per document
+    * ([[Dedup.portableWinnowKernel]]): the earlier explode-then-window
+    * formulation pushed ~length(text) rows per document through a UDF
+    * boundary and a window exchange; this produces the identical set with
+    * zero shuffle (a doc's fingerprints are independent of every other
+    * doc's, so nothing ever needs co-location). */
   def portableFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = df
-      .filter(length(col(textCol)) >= k + w - 1) // need >= 1 full window
-      .select(col(idCol), col(textCol), length(col(textCol)).as("__len"),
-        explode(expr(s"sequence(1, length($textCol) - ${k - 1})")).as("p"))
-      .withColumn("h",
-        Dedup.shaPrefixLongUdf(8)(expr(s"substring($textCol, p, $k)")))
-      .drop(textCol)
-    val win = Window.partitionBy(idCol).orderBy("p").rowsBetween(0, w - 1)
-    grams
-      .withColumn("fp", min(col("h")).over(win))
-      // valid window starts only: p in [1, L-k+1-(w-1)]
-      .filter(col("p") <= col("__len") - (k - 1) - (w - 1))
-      .select(col(idCol), col("fp")).distinct()
+    val kern = udf((s: String) => Dedup.portableWinnowKernel(s, k, w))
+    df.select(col(idCol), explode(kern(col(textCol))).as("fp"))
   }
 
   /** Register the extension-tier scalar kernels for SQL use, mirroring the
