@@ -1644,5 +1644,49 @@ object Queries {
         |  FROM s)
         |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Incremental materialized-view maintenance: snapshot a grouped
+    // count+sum view, change the source (merge = updates + inserts, then
+    // a delete), refresh by folding ONLY the change feed, and read the
+    // view. The oracle recomputes the aggregate from the source's FINAL
+    // state — hash-matching proves the O(changes) delta path lands exactly
+    // where a full recompute would. DECIMAL keeps both sums exact.
+    Q("q88_matview_refresh",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val orders = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        TableIO.dropTable(s, lh, "orders_mv_src") // deterministic history
+        TableIO.dropTable(s, lh, "orders_mv")
+        TableIO.writeTable(s, lh, "orders_mv_src",
+          orders.filter(col("o_orderkey") % 2 === 0))
+        TableIO.enableChangeFeed(s, lh, "orders_mv_src")
+        MatView.createAggView(s, lh, "orders_mv", "orders_mv_src",
+          Seq("o_custkey"), Seq("price"))
+        TableIO.mergeTable(s, lh, "orders_mv_src",
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("price",
+              (col("price") * 2).cast("decimal(18,2)")),
+          Seq("o_orderkey"))
+        TableIO.deleteFromTable(s, lh, "orders_mv_src", "o_orderkey % 5 = 0")
+        MatView.refreshAggView(s, lh, "orders_mv")
+        TableIO.selectTable(s, lh, "orders_mv")
+          .select(col("o_custkey"), col("mv_count"),
+            col("sum_price").cast("double").as("sum_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH src AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_custkey, count(*) AS mv_count,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM src WHERE o_orderkey % 5 <> 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
   )
 }

@@ -1,0 +1,129 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate materialized views over versioned
+  * tables: a grouped count+sum snapshot whose refresh cost is
+  * O(rows changed since the last refresh), never O(table).
+  *
+  * The view is itself a versioned table. Its commit metadata records which
+  * source table (and which source VERSION) it reflects; `refreshAggView`
+  * reads the source's row-level change feed strictly between that version
+  * and the refresh's pinned target version, folds the changes into signed
+  * per-group deltas (insert/update_postimage = +1, delete/update_preimage
+  * = -1 — the standard delta-propagation rule for distributive
+  * aggregates), and applies them through the file-level
+  * [[TableIO.replaceKeyedRows]] primitive: only view files containing
+  * changed groups rewrite, new groups append, and groups whose row count
+  * reaches zero are deleted.
+  *
+  * Count and sum are self-maintainable under inserts AND deletes; min/max
+  * are not (a deleted row holding the current minimum forces a rescan of
+  * its group), which is why this view type is count+sum only — the classic
+  * restriction from the view-maintenance literature.
+  *
+  * At 100 TB: a daily refresh over a fact table touching 0.1% of rows
+  * reads 0.1% of the data (the change feed), shuffles only the delta
+  * groups, and rewrites only the view files containing them. Exact
+  * sums want DECIMAL source columns (decimal addition is associative;
+  * float addition order would drift between snapshot and incremental
+  * paths).
+  */
+object MatView {
+
+  private val SourceKey = "mv.source"
+  private val VersionKey = "mv.sourceVersion"
+  private val GroupKey = "mv.groupCols"
+  private val SumKey = "mv.sumCols"
+  val CountCol = "mv_count"
+  def sumColName(c: String): String = s"sum_$c"
+
+  /** Materialize `SELECT groupCols, count(*), sum(sumCols...) FROM source
+    * GROUP BY groupCols` as the versioned table `viewName`, recording the
+    * source version the snapshot reflects. The source must already have
+    * its change feed enabled — a view created before CDF exists could
+    * never be incrementally refreshed past a rewrite commit. */
+  def createAggView(spark: SparkSession, lh: LakehouseProps,
+      viewName: String, sourceTable: String, groupCols: Seq[String],
+      sumCols: Seq[String]): TableInfo = {
+    require(groupCols.nonEmpty, "createAggView needs at least one group column")
+    val srcDir = Catalog.tablePath(lh, sourceTable)
+    val v = Versioned.latestVersion(srcDir).getOrElse(throw
+      new IllegalStateException(s"$sourceTable: no committed version to snapshot"))
+    val src = TableIO.selectTable(spark, lh, sourceTable)
+    val aggs = count(lit(1)).as(CountCol) +:
+      sumCols.map(c => sum(col(c)).as(sumColName(c)))
+    val mv = src.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    TableIO.writeTable(spark, lh, viewName, mv, extraMeta = Map(
+      SourceKey -> sourceTable, VersionKey -> v.toString,
+      GroupKey -> groupCols.mkString(","), SumKey -> sumCols.mkString(",")))
+  }
+
+  /** Fold the source's changes since the view's recorded version into the
+    * view. Reads ONLY the change feed (bounded to the target version
+    * pinned up front, so a concurrent source commit mid-refresh is neither
+    * half-applied nor double-counted on the next refresh) and rewrites
+    * ONLY the view files containing changed groups. A refresh with no
+    * data changes still advances the recorded source version
+    * (metadata-only commit). Returns the view's new TableInfo. */
+  def refreshAggView(spark: SparkSession, lh: LakehouseProps,
+      viewName: String): TableInfo = {
+    val mvDir = Catalog.tablePath(lh, viewName)
+    val mver = Versioned.latestVersion(mvDir).getOrElse(throw
+      new IllegalStateException(s"$viewName: not a materialized view (no version)"))
+    val m = Versioned.readManifest(mvDir, mver).getOrElse(throw
+      new IllegalStateException(s"$viewName: manifest for $mver unavailable"))
+    val source = m.meta.getOrElse(SourceKey, throw new IllegalStateException(
+      s"$viewName: not a materialized view (no $SourceKey metadata)"))
+    val lastV = m.meta(VersionKey).toLong
+    val groupCols = m.meta(GroupKey).split(",").toSeq
+    val sumCols =
+      m.meta.getOrElse(SumKey, "").split(",").filter(_.nonEmpty).toSeq
+    val srcDir = Catalog.tablePath(lh, source)
+    val targetV = Versioned.latestVersion(srcDir).getOrElse(throw
+      new IllegalStateException(s"$source: source table has no versions"))
+    val mvDf = TableIO.selectTable(spark, lh, viewName)
+    if (targetV == lastV) // already current: no commit, metadata answer
+      return TableInfo(lh.lakehouseName,
+        TableIO.tableRowCount(lh, viewName).getOrElse(-1L),
+        mvDf.columns.length, mvDf.columns.toSeq, mvDir)
+    val feed = TableIO.changeFeedAtPath(spark, srcDir, lastV, Some(targetV))
+    // signed delta propagation: post-images and inserts add, pre-images
+    // and deletes subtract; null measure values contribute nothing to the
+    // sum (matching sum's null-skipping) but still count
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltaAggs = sum(sign).as("__d_count") +:
+      sumCols.map(c => sum(col(c) * sign).as(s"__d_$c"))
+    val deltas = feed.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // current view rows for changed groups only — O(changed groups),
+      // fetched with the same semi-join shape replaceKeyedRows prunes by
+      val affectedOld = mvDf.join(
+        deltas.select(groupCols.map(col): _*), groupCols, "left_semi")
+      // (old, delta) → new: both present = old+delta; group new to the
+      // view = delta alone; delta sum null (all-null measures) = old alone
+      val replaced = deltas.join(affectedOld, groupCols, "left_outer")
+        .select(groupCols.map(col) ++
+          Seq(coalesce(col(CountCol) + col("__d_count"), col("__d_count"))
+            .as(CountCol)) ++
+          sumCols.map { c =>
+            val s = sumColName(c)
+            coalesce(col(s) + col(s"__d_$c"), col(s), col(s"__d_$c")).as(s)
+          }: _*)
+        .filter(col(CountCol) > 0)
+      // pin replacement columns to the view's existing types: delta
+      // arithmetic widens decimals, and letting the union widen the view
+      // schema on every refresh would drift it without bound
+      val aligned = replaced.select(mvDf.schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      TableIO.replaceKeyedRows(spark, lh, viewName,
+        deltas.select(groupCols.map(col): _*), aligned, groupCols,
+        extraMeta = Map(VersionKey -> targetV.toString))
+    } finally deltas.unpersist()
+  }
+}

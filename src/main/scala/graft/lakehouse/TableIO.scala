@@ -1191,6 +1191,10 @@ object TableIO {
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
     (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
+      case (Some(_), Some(m)) if !cdfEnabled(m.meta) =>
+        // without a change feed to stage, MERGE is exactly the generalized
+        // replace primitive with removal keys = update keys
+        replaceKeyedRows(spark, lh, tableName, updates, updates, keyCols)
       case (Some(b), Some(m)) =>
         enforceChecks(updates, checkConstraintsOf(m.meta), s"$tableName: merge")
         val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -1276,6 +1280,76 @@ object TableIO {
         writeTable(spark, lh, tableName,
           kept.unionByName(updates, allowMissingColumns = true),
           partitionBy = currentPartitioning(lh, tableName))
+    }
+  }
+
+  /** Generalized keyed replace: remove every current row whose key
+    * combination appears in `removalKeys`, insert `newRows`, atomically.
+    * The primitive under MERGE (removal keys = update keys) and under
+    * incremental view maintenance ([[MatView.refreshAggView]]), which
+    * additionally needs the DELETE half merge can't express: a refreshed
+    * group whose row count reached zero must vanish, i.e. its key is in
+    * `removalKeys` with no replacement in `newRows`.
+    *
+    * Same file-level cost model as MERGE: a key-columns-only scan finds
+    * the files containing removal keys; only those rewrite (minus removed
+    * keys, plus all `newRows`), everything else is inherited by
+    * reference. Schema evolves by name (new nullable columns widen).
+    * NOT modeled in the change feed — a CDF-enabled target fails loudly
+    * rather than silently producing an incomplete feed (its delete events
+    * have no staging path here). */
+  private[lakehouse] def replaceKeyedRows(spark: SparkSession,
+      lh: LakehouseProps, tableName: String, removalKeys: DataFrame,
+      newRows: DataFrame, keyCols: Seq[String],
+      extraMeta: Map[String, String] = Map.empty): TableInfo = {
+    require(keyCols.nonEmpty, "replaceKeyedRows needs at least one key column")
+    val keyColumns = keyCols.map(org.apache.spark.sql.functions.col)
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
+      case (Some(b), Some(m)) =>
+        require(!cdfEnabled(m.meta),
+          s"$tableName: replaceKeyedRows does not stage change-data files; " +
+            "disable the change feed or route through mergeTable/deleteFromTable")
+        enforceChecks(newRows, checkConstraintsOf(m.meta), s"$tableName: replace")
+        val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val remKeys = removalKeys.select(keyColumns: _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          import org.apache.spark.sql.functions.col
+          val affectedPaths =
+            if (m.entries.isEmpty) Set.empty[String]
+            else scanSpec(spark,
+              Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
+              .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
+              .join(remKeys, keyCols, "left_semi")
+              .select("__fp").distinct()
+              .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+          val baseP = Paths.get(tableDir)
+          val (affected, untouched) = m.entries.partition(e =>
+            affectedPaths.contains(baseP.resolve(e.path).toString))
+          val affectedDf =
+            if (affected.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], oldSchema)
+            else scanSpec(spark,
+              Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+          val kept = affectedDf.join(remKeys, keyCols, "left_anti")
+          val rewritten = kept.unionByName(newRows, allowMissingColumns = true)
+          val parts = currentPartitioning(lh, tableName)
+          val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
+            inherit = untouched, expectedBase = Some(b),
+            collectStats = collectFileStats(spark, bloomColsOf(m)),
+            meta = m.meta ++ extraMeta) { target =>
+            val writer = rewritten.write.mode(SaveMode.Append)
+            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+             else writer).parquet(target)
+          }
+          finishCommit(spark, lh, tableName, tableDir, commit,
+            rewritten.columns.toSeq, parts)
+        } finally remKeys.unpersist()
+      case _ => throw new IllegalStateException(
+        s"$tableName: replaceKeyedRows requires a manifest-based table " +
+          "(write it with writeTable first)")
     }
   }
 

@@ -1,0 +1,126 @@
+package graft.lakehouse
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance contracts: a refresh folds
+  * the change feed into the snapshot and lands exactly where a full
+  * recompute would; groups reaching zero rows vanish; new groups appear;
+  * an up-to-date view refreshes as a no-op; unaffected view files are
+  * inherited byte-identical (the O(changes) cost model). */
+class MatViewSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("mv_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_mv", "lh_mv").lakehouses.head
+  }
+
+  private def fullRecompute(name: String): Set[(String, Long, Long)] =
+    TableIO.selectTable(spark, lh, name)
+      .groupBy("g").agg(count(lit(1)).as("mv_count"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def viewRows(view: String): Set[(String, Long, Long)] =
+    TableIO.selectTable(spark, lh, view)
+      .select("g", "mv_count", "sum_v") // partitioned reads reorder columns
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("refresh after merge+delete matches a full recompute, including " +
+      "updated, inserted, and fully-deleted groups") {
+    val base = (1 to 100).map(i =>
+      (i.toLong, if (i <= 90) s"g${i % 9}" else "doomed", i.toLong))
+      .toDF("k", "g", "v")
+    TableIO.writeTable(spark, lh, "mv_src", base)
+    TableIO.enableChangeFeed(spark, lh, "mv_src")
+    MatView.createAggView(spark, lh, "mv_agg", "mv_src", Seq("g"), Seq("v"))
+    assert(viewRows("mv_agg") == fullRecompute("mv_src"))
+
+    // update some rows (doubles their v), insert a brand-new group, and
+    // wipe out the 'doomed' group entirely
+    TableIO.mergeTable(spark, lh, "mv_src",
+      ((1 to 20).map(i => (i.toLong, s"g${i % 9}", 2L * i)) :+
+        (200L, "brandnew", 7L)).toDF("k", "g", "v"), Seq("k"))
+    TableIO.deleteFromTable(spark, lh, "mv_src", "g = 'doomed'")
+
+    MatView.refreshAggView(spark, lh, "mv_agg")
+    val got = viewRows("mv_agg")
+    assert(got == fullRecompute("mv_src"))
+    assert(got.exists(_._1 == "brandnew"), "new group must appear")
+    assert(!got.exists(_._1 == "doomed"), "zero-count group must vanish")
+    TableIO.dropTable(spark, lh, "mv_src")
+    TableIO.dropTable(spark, lh, "mv_agg")
+  }
+
+  test("no-op refresh (source unchanged) commits nothing; a second " +
+      "refresh after changes is idempotent") {
+    val base = (1 to 50).map(i => (i.toLong, s"g${i % 5}", i.toLong))
+      .toDF("k", "g", "v")
+    TableIO.writeTable(spark, lh, "mv_src2", base)
+    TableIO.enableChangeFeed(spark, lh, "mv_src2")
+    MatView.createAggView(spark, lh, "mv_agg2", "mv_src2", Seq("g"), Seq("v"))
+    val dir = Catalog.tablePath(lh, "mv_agg2")
+    val vBefore = Versioned.latestVersion(dir).get
+    MatView.refreshAggView(spark, lh, "mv_agg2") // nothing to fold
+    assert(Versioned.latestVersion(dir).get == vBefore,
+      "an up-to-date view must not commit a new version")
+
+    TableIO.mergeTable(spark, lh, "mv_src2",
+      Seq((1L, "g1", 100L)).toDF("k", "g", "v"), Seq("k"))
+    MatView.refreshAggView(spark, lh, "mv_agg2")
+    val after1 = viewRows("mv_agg2")
+    MatView.refreshAggView(spark, lh, "mv_agg2") // nothing new to fold
+    assert(viewRows("mv_agg2") == after1, "refresh must be idempotent")
+    assert(after1 == fullRecompute("mv_src2"))
+    TableIO.dropTable(spark, lh, "mv_src2")
+    TableIO.dropTable(spark, lh, "mv_agg2")
+  }
+
+  test("refresh rewrites only view files containing changed groups; the " +
+      "rest are inherited byte-identical") {
+    // partition the VIEW by group so group→file mapping is deterministic
+    val base = (1 to 100).map(i => (i.toLong, s"g${i % 4}", i.toLong))
+      .toDF("k", "g", "v")
+    TableIO.writeTable(spark, lh, "mv_src3", base)
+    TableIO.enableChangeFeed(spark, lh, "mv_src3")
+    MatView.createAggView(spark, lh, "mv_agg3", "mv_src3", Seq("g"), Seq("v"))
+    // re-write the view partitioned by g, preserving the mv metadata
+    val mvDir = Catalog.tablePath(lh, "mv_agg3")
+    val meta = Versioned.readManifest(mvDir,
+      Versioned.latestVersion(mvDir).get).get.meta
+    TableIO.writeTable(spark, lh, "mv_agg3",
+      TableIO.selectTable(spark, lh, "mv_agg3"), partitionBy = Seq("g"),
+      extraMeta = meta)
+    val before = TableIO.currentFiles(lh, "mv_agg3").map { p =>
+      p.toString -> (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+    assert(before.keys.exists(_.contains("/g=g3/")))
+
+    // change only group g1
+    TableIO.mergeTable(spark, lh, "mv_src3",
+      Seq((1L, "g1", 999L)).toDF("k", "g", "v"), Seq("k"))
+    MatView.refreshAggView(spark, lh, "mv_agg3")
+    val after = TableIO.currentFiles(lh, "mv_agg3").map { p =>
+      p.toString -> (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+    assert(after.filter(_._1.contains("/g=g3/")) ==
+      before.filter(_._1.contains("/g=g3/")),
+      "untouched group's file was rewritten by the refresh")
+    assert(viewRows("mv_agg3") == fullRecompute("mv_src3"))
+    TableIO.dropTable(spark, lh, "mv_src3")
+    TableIO.dropTable(spark, lh, "mv_agg3")
+  }
+
+  test("replaceKeyedRows refuses a CDF-enabled target (its deletes are " +
+      "not modeled in the feed)") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    TableIO.writeTable(spark, lh, "rkr_cdf", base)
+    TableIO.enableChangeFeed(spark, lh, "rkr_cdf")
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.replaceKeyedRows(spark, lh, "rkr_cdf",
+        Seq(1L).toDF("k"), Seq((1L, "A")).toDF("k", "s"), Seq("k"))
+    }
+    assert(ex.getMessage.contains("change feed"))
+    TableIO.dropTable(spark, lh, "rkr_cdf")
+  }
+}
