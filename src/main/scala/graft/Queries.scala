@@ -1688,5 +1688,62 @@ object Queries {
         |  CAST(sum(price) AS DOUBLE) AS sum_price
         |FROM src WHERE o_orderkey % 5 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // SemDeDup semantic dedup, exact mode (nClusters=1 ⇒ the drop rule is
+    // exhaustive: a vector dies iff ANY smaller-id vector is within the
+    // cosine threshold) — the oracle replays that rule all-pairs. Planted
+    // exact copies (id+100000) must all die; the clustered production
+    // mode is spec-asserted (superset + copies-die invariants).
+    Q("q89_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val copies = emb.filter(col("vec_id") % 100 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000)
+        Dedup.semanticDedup(emb.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.95, nClusters = 1)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM base)
+        |SELECT l.vec_id FROM v l WHERE NOT EXISTS (
+        |  SELECT 1 FROM v r WHERE r.vec_id < l.vec_id AND
+        |    list_sum(list_transform(list_zip(l.ve, r.ve), z -> z[1] * z[2])) /
+        |    (sqrt(list_sum(list_transform(l.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(r.ve, x -> x * x)))) >= 0.95)
+        |ORDER BY vec_id""".stripMargin)),
+
+    // Portable deterministic stratified sampling — the hash-verifiable
+    // twin of q55 (whose engine-RNG membership is rows-only): membership
+    // is sha-256(doc_id#seed) < fraction·2^60, recomputed identically by
+    // the oracle. Fractions are multiples of 1/16 so both engines'
+    // thresholds are bit-exact ((4+3·(rank%4))·2^56).
+    Q("q90_portable_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val strata = docs.select("source").distinct().collect()
+          .map(_.getString(0)).sorted
+        val fractions = strata.zipWithIndex
+          .map { case (src, i) => src -> (4 + 3 * (i % 4)) / 16.0 }.toMap
+        Packing.portableSampleMixture(docs.select("doc_id", "source"),
+          "doc_id", "source", fractions, seed = 7L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ranked AS (
+        |  SELECT source,
+        |    (4 + 3 * ((row_number() OVER (ORDER BY source) - 1) % 4))
+        |      * 72057594037927936 AS thr
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |h AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR)
+        |      || '#' || '7'), 1, 15))::UBIGINT AS BIGINT) AS hv
+        |  FROM documents d)
+        |SELECT h.doc_id, h.source FROM h JOIN ranked USING (source)
+        |WHERE h.hv < ranked.thr ORDER BY doc_id""".stripMargin)),
   )
 }

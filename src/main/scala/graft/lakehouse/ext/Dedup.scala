@@ -645,4 +645,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space (bounded fit
+    * sample driver-side, one broadcast assignment pass over the corpus),
+    * then within each cluster drop every vector that has a smaller-id
+    * neighbor with cosine ≥ `threshold`. Returns the SURVIVING input rows
+    * unchanged.
+    *
+    * The pairwise work is cluster-bounded — O(Σ n_c²) instead of corpus-
+    * quadratic, tuned by `nClusters` (the paper uses ~√n clusters at
+    * web scale) — and the only shuffle is the cluster-keyed self-join.
+    * Clustering only ever SPLITS the comparison set, so the clustered
+    * survivors are a superset of the exhaustive rule's survivors, and an
+    * exact duplicate always shares its original's cluster (tie-broken
+    * identically in [[Similarity.nearestCellUdf]]) — exact copies are
+    * removed at any `nClusters`. With `nClusters = 1` the rule is
+    * exhaustive: drop iff ANY smaller-id vector in the corpus is within
+    * the threshold — directly SQL-checkable (the q89 oracle). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nClusters: Int = 16,
+      maxFitRows: Long = 100000L, corpusRows: Option[Long] = None): DataFrame = {
+    val c = df.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val assigned =
+      if (nClusters <= 1) c.withColumn("__cell", lit(0))
+      else {
+        val nRows = corpusRows.getOrElse(c.count())
+        val fit =
+          if (nRows <= maxFitRows) c
+          else c.sample(withReplacement = false,
+            maxFitRows.toDouble / nRows, seed = 42L)
+        val sample = fit.select("__v").collect()
+          .map(_.getSeq[Double](0).toArray)
+        val centroids =
+          Similarity.lloydKMeans(sample, nClusters, iters = 10, seed = 42L)
+        val bc = df.sparkSession.sparkContext.broadcast(centroids)
+        c.withColumn("__cell", Similarity.nearestCellUdf(bc)(col("__v")))
+      }
+    val l = assigned.select(col("__cell"),
+      col("__id").as("__a"), col("__v").as("__va"))
+    val r = assigned.select(col("__cell"),
+      col("__id").as("__b"), col("__v").as("__vb"))
+    val dropped = l.join(r, "__cell").filter(col("__a") < col("__b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -79,6 +79,32 @@ object Packing {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Deterministic, engine-PORTABLE stratified sampling: keep a row iff
+    * the leading 60 bits of sha-256(id || '#' || seed) fall below
+    * fraction(stratum)·2^60. Unlike [[sampleMixture]] (engine RNG streams,
+    * reproducible only within one Spark version), membership is a pure
+    * function of (id, seed): identical across engines (the q90 DuckDB
+    * oracle recomputes it), stable under corpus growth and repartitioning
+    * (a row's fate never depends on other rows), and rerunnable — the
+    * properties a training pipeline needs for frozen eval membership.
+    * Strata absent from `fractions` are dropped (sampleBy semantics).
+    * Per-row work only — no shuffle, no state. Fractions that are
+    * multiples of 1/16 make the threshold arithmetic bit-exact across
+    * engines (small-integer × 2^56 is exactly representable). */
+  def portableSampleMixture(df: DataFrame, idCol: String,
+      stratumCol: String, fractions: Map[String, Double],
+      seed: Long): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (s, f)) => when(col(stratumCol) === s,
+        lit(math.round(f * (1L << 60)))).otherwise(acc)
+    }
+    val h = Dedup.shaPrefixLongUdf(15)(
+      concat_ws("#", col(idCol).cast("string"), lit(seed.toString)))
+    df.filter(h < thr)
+  }
+
   /** GPT-style concat-and-chunk packing plan: documents are (logically)
     * concatenated in `idCol` order and sliced into fixed `budget`-token
     * packs — a document MAY span packs (the standard pretraining packing;

@@ -161,6 +161,29 @@ object Similarity {
     centroids
   }
 
+  /** Nearest-centroid assignment against a broadcast codebook — the
+    * executor-side half of every k-means-derived operator (IVF cells,
+    * [[Dedup.semanticDedup]]'s clusters). Ties break to the lowest index,
+    * so identical vectors always land in identical cells. */
+  private[ext] def nearestCellUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) => {
+      val ctrs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < ctrs.length) {
+        var d = 0.0; var j = 0
+        val ctr = ctrs(i)
+        while (j < math.min(ctr.length, v.length)) {
+          val diff = ctr(j) - v(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    })
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2,
       maxFitRows: Long = 100000L, corpusRows: Option[Long] = None): DataFrame = {
@@ -179,22 +202,7 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     val centroids = lloydKMeans(sample, nLists, iters = 10, seed = 42L)
     val bcCentroids = c.sparkSession.sparkContext.broadcast(centroids)
-    val cellUdf = udf((v: Seq[Double]) => {
-      val ctrs = bcCentroids.value
-      var best = 0; var bestD = Double.MaxValue
-      var i = 0
-      while (i < ctrs.length) {
-        var d = 0.0; var j = 0
-        val ctr = ctrs(i)
-        while (j < math.min(ctr.length, v.length)) {
-          val diff = ctr(j) - v(j); d += diff * diff; j += 1
-        }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    })
-    val cells = c.withColumn("cell", cellUdf(col("cv")))
+    val cells = c.withColumn("cell", nearestCellUdf(bcCentroids)(col("cv")))
     val probeUdf = udf((q: Seq[Double]) => {
       centroids.zipWithIndex.map { case (ctr, i) =>
         var d = 0.0

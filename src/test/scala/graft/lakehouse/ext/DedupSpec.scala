@@ -162,4 +162,25 @@ class DedupSpec extends SparkSuite {
     val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     (0L until 3L).foreach(i => assert(found.contains((i, i + 100000)), s"missing $i"))
   }
+
+  test("semanticDedup: exact copies die at any nClusters; clustered " +
+      "survivors are a superset of the exhaustive rule's") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val copies = emb.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 100000)
+    val aug = emb.unionByName(copies)
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.semanticDedup(aug, "vec_id", "embedding",
+      threshold = 0.95, nClusters = 1))
+    val clustered = ids(Dedup.semanticDedup(aug, "vec_id", "embedding",
+      threshold = 0.95, nClusters = 8))
+    // an exact copy shares its original's cluster (deterministic
+    // tie-break), so it dies in BOTH modes
+    (100000L until 100005L).foreach { i =>
+      assert(!exact.contains(i) && !clustered.contains(i), s"copy $i survived")
+    }
+    // clustering only splits the comparison set — it can never drop MORE
+    assert(exact.subsetOf(clustered),
+      s"clustered mode dropped ids the exhaustive rule kept: ${exact -- clustered}")
+  }
 }
