@@ -1,6 +1,6 @@
 package graft.lakehouse
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate materialized views over versioned
@@ -38,12 +38,23 @@ object MatView {
   private val SumKey = "mv.sumCols"
   val CountCol = "mv_count"
   def sumColName(c: String): String = s"sum_$c"
+  /** Non-null count maintenance column for a summed source column. */
+  def nnColName(c: String): String = s"__nn_$c"
 
   /** Materialize `SELECT groupCols, count(*), sum(sumCols...) FROM source
     * GROUP BY groupCols` as the versioned table `viewName`, recording the
     * source version the snapshot reflects. The source must already have
-    * its change feed enabled — a view created before CDF exists could
-    * never be incrementally refreshed past a rewrite commit. */
+    * its change feed enabled (checked — a view created before CDF exists
+    * could never be incrementally refreshed past a rewrite commit).
+    *
+    * Alongside each sum the view carries a `__nn_<col>` non-null count:
+    * SQL `sum` is NULL over an all-null group, and without the non-null
+    * count an incremental path could not tell "sums to zero" from "no
+    * non-null values remain" after deletes.
+    *
+    * The snapshot scans the PINNED version `v` (not "latest"), so a
+    * commit racing view creation is neither half-included nor replayed
+    * twice by the first refresh. */
   def createAggView(spark: SparkSession, lh: LakehouseProps,
       viewName: String, sourceTable: String, groupCols: Seq[String],
       sumCols: Seq[String]): TableInfo = {
@@ -51,9 +62,14 @@ object MatView {
     val srcDir = Catalog.tablePath(lh, sourceTable)
     val v = Versioned.latestVersion(srcDir).getOrElse(throw
       new IllegalStateException(s"$sourceTable: no committed version to snapshot"))
-    val src = TableIO.selectTable(spark, lh, sourceTable)
+    val meta = Versioned.readManifest(srcDir, v).map(_.meta).getOrElse(Map.empty)
+    require(TableIO.cdfEnabled(meta),
+      s"$sourceTable: enable the change feed before creating a " +
+        "materialized view over it (refresh folds the row-level feed)")
+    val src = TableIO.selectTableVersion(spark, lh, sourceTable, v)
     val aggs = count(lit(1)).as(CountCol) +:
-      sumCols.map(c => sum(col(c)).as(sumColName(c)))
+      sumCols.flatMap(c => Seq(sum(col(c)).as(sumColName(c)),
+        count(col(c)).as(nnColName(c))))
     val mv = src.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     TableIO.writeTable(spark, lh, viewName, mv, extraMeta = Map(
       SourceKey -> sourceTable, VersionKey -> v.toString,
@@ -91,29 +107,44 @@ object MatView {
     val feed = TableIO.changeFeedAtPath(spark, srcDir, lastV, Some(targetV))
     // signed delta propagation: post-images and inserts add, pre-images
     // and deletes subtract; null measure values contribute nothing to the
-    // sum (matching sum's null-skipping) but still count
+    // sum (matching sum's null-skipping) but still count rows — and the
+    // per-column non-null delta is what distinguishes "sums to zero"
+    // from "no non-null values left" below
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val deltaAggs = sum(sign).as("__d_count") +:
-      sumCols.map(c => sum(col(c) * sign).as(s"__d_$c"))
+      sumCols.flatMap(c => Seq(sum(col(c) * sign).as(s"__d_$c"),
+        coalesce(sum(when(col(c).isNotNull, sign)), lit(0L)).as(s"__dnn_$c")))
     val deltas = feed.groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // current view rows for changed groups only — O(changed groups),
-      // fetched with the same semi-join shape replaceKeyedRows prunes by
-      val affectedOld = mvDf.join(
-        deltas.select(groupCols.map(col): _*), groupCols, "left_semi")
+      // fetched with the same NULL-SAFE semi-join shape replaceKeyedRows
+      // prunes by (a NULL group key is a real group; `=` would strand it)
+      val deltaKeys = deltas.select(groupCols.map(col): _*).alias("__dk")
+      def onGroups(left: DataFrame, rightAlias: String): Column =
+        groupCols.map(c => left(c) <=> col(s"$rightAlias.$c")).reduce(_ && _)
+      val affectedOld = mvDf.join(deltaKeys, onGroups(mvDf, "__dk"),
+        "left_semi").alias("__old")
       // (old, delta) → new: both present = old+delta; group new to the
-      // view = delta alone; delta sum null (all-null measures) = old alone
-      val replaced = deltas.join(affectedOld, groupCols, "left_outer")
-        .select(groupCols.map(col) ++
+      // view = delta alone; delta sum null (all-null measures) = old
+      // alone. Group columns come from the DELTA side (always present).
+      val dA = deltas.alias("__d")
+      val replaced = dA.join(affectedOld, onGroups(dA, "__old"), "left_outer")
+        .select(groupCols.map(c => col(s"__d.$c")) ++
           Seq(coalesce(col(CountCol) + col("__d_count"), col("__d_count"))
             .as(CountCol)) ++
-          sumCols.map { c =>
-            val s = sumColName(c)
-            coalesce(col(s) + col(s"__d_$c"), col(s), col(s"__d_$c")).as(s)
+          sumCols.flatMap { c =>
+            val s = sumColName(c); val nn = nnColName(c)
+            val newNn = coalesce(col(nn) + col(s"__dnn_$c"), col(s"__dnn_$c"))
+            // a group with zero non-null values sums to NULL (SQL sum),
+            // not 0 — exactly what a full recompute would produce
+            Seq(when(newNn === 0L, lit(null))
+              .otherwise(coalesce(col(s) + col(s"__d_$c"), col(s),
+                col(s"__d_$c"))).as(s),
+              newNn.as(nn))
           }: _*)
         .filter(col(CountCol) > 0)
       // pin replacement columns to the view's existing types: delta

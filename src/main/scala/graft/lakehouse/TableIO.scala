@@ -3,9 +3,9 @@ package graft.lakehouse
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import java.util.Comparator
-import org.apache.spark.sql.{AnalysisException, DataFrame, Encoders, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType,
-  StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Encoders, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, FloatType,
+  NumericType, StringType, StructField, StructType, TimestampType}
 
 /** Table read/write surface over the local lakehouse: the reference's Delta
   * scans/sinks re-expressed over Parquet. All writes go through the
@@ -252,11 +252,31 @@ object TableIO {
       import org.apache.spark.sql.catalyst.util.DateTimeUtils
       import org.apache.spark.unsafe.types.UTF8String
       (cdt, l.dt) match {
+        // FloatType first: its stats are FLOAT-precision decimal strings,
+        // but Spark widens float-vs-fractional-literal residuals to
+        // DOUBLE — widen(0.3f)=0.30000001192… can exceed a literal the
+        // stat string "0.3" sits below, so a fractional probe would
+        // provably-wrongly prune. Integral probes are safe only when the
+        // value is exactly a float (|n| ≤ 2^24): then the stat string,
+        // the literal, and the residual all agree in the float domain
+        // (shortest-repr round-trip + monotone rounding).
+        case (FloatType, _) => l.v match {
+          case n: java.lang.Byte => Some(n)
+          case n: java.lang.Short => Some(n)
+          case n: java.lang.Integer
+              if math.abs(n.longValue) <= (1L << 24) => Some(n)
+          case n: java.lang.Long
+              if math.abs(n.longValue) <= (1L << 24) => Some(n)
+          case _ => None
+        }
         case (_: NumericType, _) if l.v.isInstanceOf[Number] => Some(l.v)
         // plain fractional literals (`x > 150000.0`) parse as Catalyst
         // Decimal, which is NOT a java.lang.Number — unwrap so the most
-        // common numeric spelling prunes too (cmpStat's BigDecimal
-        // comparison is exact in both domains)
+        // common numeric spelling prunes too. Sound for every non-float
+        // numeric column: integral/decimal columns compare the residual
+        // in an exact domain, and double stats are shortest-repr strings
+        // that round-trip exactly, so stat ≤ literal implies no stored
+        // value exceeds the literal's double rounding (monotonicity).
         case (_: NumericType, _)
             if l.v.isInstanceOf[org.apache.spark.sql.types.Decimal] =>
           Some(l.v.asInstanceOf[org.apache.spark.sql.types.Decimal]
@@ -316,17 +336,24 @@ object TableIO {
         bloomProbes.zipWithIndex.map { case (p, i) =>
           p -> row.getLong(i) }.toMap
       }
-    // decoded blooms memoized per (file, col): IN-lists probe the same
-    // bitset k times and base64-decoding per probe is pure waste
+    // parsed stats JSON memoized per file, decoded blooms per (file, col):
+    // IN-lists probe the same stats k times and multi-column conditions
+    // once per column — re-parsing the JSON per probe is pure driver waste
+    // (an IN(20) over 10k files would re-parse ~200k times)
+    val statsJsonCache =
+      scala.collection.mutable.HashMap.empty[String, Option[org.json4s.JValue]]
+    def entryJson(e: Versioned.FileEntry): Option[org.json4s.JValue] =
+      statsJsonCache.getOrElseUpdate(e.path, e.stats.flatMap(s =>
+        scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption))
     val bloomCache =
       scala.collection.mutable.HashMap.empty[(String, String), Option[Array[Long]]]
     def entryBits(e: Versioned.FileEntry, c: String): Option[Array[Long]] =
       bloomCache.getOrElseUpdate((e.path, c),
-        entryBloomB64(e, c).map(Bloom.decode))
+        entryJson(e).flatMap(statsBloomB64J(_, c)).map(Bloom.decode))
     def rangeOk(e: Versioned.FileEntry, c: String,
         lo: Option[Any], hi: Option[Any]): Boolean = {
       val dt = dtOf(c).getOrElse(StringType)
-      statsRange(e, c).forall(mayMatch(dt, _, lo, hi))
+      entryJson(e).flatMap(statsRangeJ(_, c)).forall(mayMatch(dt, _, lo, hi))
     }
     def bloomOk(e: Versioned.FileEntry, c: String, v: Any): Boolean =
       probeHashes.get((c, v)).forall(h =>
@@ -336,7 +363,8 @@ object TableIO {
       case NIn(c, vs) => // union of per-literal Eq survivor sets
         vs.exists(v => rangeOk(e, c, Some(v), Some(v)) && bloomOk(e, c, v))
       case NNull(c, isNull) =>
-        (entryNullCount(e, c), entryRows(e)) match {
+        val j = entryJson(e)
+        (j.flatMap(statsNullCountJ(_, c)), j.flatMap(statsRowsJ)) match {
           case (Some(nulls), _) if isNull => nulls > 0
           case (Some(nulls), Some(rows)) if !isNull => nulls < rows
           case _ => true
@@ -363,11 +391,15 @@ object TableIO {
     for {
       s <- e.stats
       j <- scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption
-      b64 <- (j \ (Bloom.StatsPrefix + c)) match {
-        case org.json4s.JString(x) => Some(x)
-        case _ => None
-      }
+      b64 <- statsBloomB64J(j, c)
     } yield b64
+
+  /** [[entryBloomB64]] over an already-parsed stats document. */
+  private def statsBloomB64J(j: org.json4s.JValue, c: String): Option[String] =
+    (j \ (Bloom.StatsPrefix + c)) match {
+      case org.json4s.JString(x) => Some(x)
+      case _ => None
+    }
 
   /** common.py:377-378 — projection (+optional distinct) scan. */
   def getColsFromTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
@@ -386,13 +418,17 @@ object TableIO {
     * canonical string rendering also ORDERS correctly lexicographically
     * within the type (numerics are compared numerically at prune time;
     * ISO-rendered dates/timestamps and booleans compare as strings). */
-  private def statsColumns(schema: StructType): Seq[StructField] =
+  private def statsColumns(schema: StructType,
+      exclude: Set[String] = Set.empty): Seq[StructField] =
     schema.fields.toSeq.filter { f =>
-      f.dataType match {
+      // excluded (partition) columns must not occupy one of the
+      // MaxStatsCols slots — their stats are discarded downstream, which
+      // would silently cost a data column its pruning
+      !exclude(f.name) && (f.dataType match {
         case _: NumericType | StringType | DateType | TimestampType
             | BooleanType => true
         case _ => false
-      }
+      })
     }.take(MaxStatsCols)
 
   /** Collect per-file min/max stats (and, for `bloomCols`, per-file Bloom
@@ -427,7 +463,7 @@ object TableIO {
       }.toSet
       finally walk.close()
     }
-    val cols = statsColumns(df.schema).filterNot(f => pathPartCols(f.name))
+    val cols = statsColumns(df.schema, exclude = pathPartCols)
     val blooms = bloomCols.filter(df.columns.contains)
     val bloomAgg = udaf(new Bloom.Agg(Bloom.DefaultBits), Encoders.scalaLong)
     // count(*) always rides along: per-file row counts (Delta's numRecords)
@@ -517,21 +553,26 @@ object TableIO {
       colName: String): Option[(Option[String], Option[String])] =
     entry.stats.flatMap { s =>
       import org.json4s.jackson.JsonMethods.parse
-      import org.json4s.{JArray, JNull, JString}
-      scala.util.Try(parse(s)).toOption.flatMap { j =>
-        (j \ colName) match {
-          // [min, max] (older manifests) or [min, max, nullCount]
-          case JArray(mn :: mx :: _) =>
-            def v(x: org.json4s.JValue): Option[String] = x match {
-              case JString(str) => Some(str)
-              case JNull => None
-              case other => Some(other.values.toString)
-            }
-            Some((v(mn), v(mx)))
-          case _ => None
-        }
-      }
+      scala.util.Try(parse(s)).toOption.flatMap(statsRangeJ(_, colName))
     }
+
+  /** [[statsRange]] over an already-parsed stats document (callers that
+    * probe one file many times parse once and reuse). */
+  private def statsRangeJ(j: org.json4s.JValue,
+      colName: String): Option[(Option[String], Option[String])] = {
+    import org.json4s.{JArray, JNull, JString}
+    (j \ colName) match {
+      // [min, max] (older manifests) or [min, max, nullCount]
+      case JArray(mn :: mx :: _) =>
+        def v(x: org.json4s.JValue): Option[String] = x match {
+          case JString(str) => Some(str)
+          case JNull => None
+          case other => Some(other.values.toString)
+        }
+        Some((v(mn), v(mx)))
+      case _ => None
+    }
+  }
 
   /** A file's recorded null count for one column (3rd stats element;
     * absent in older manifests). */
@@ -539,14 +580,18 @@ object TableIO {
       colName: String): Option[Long] =
     entry.stats.flatMap { s =>
       import org.json4s.jackson.JsonMethods.parse
-      import org.json4s.{JArray, JString}
-      scala.util.Try(parse(s)).toOption.flatMap { j =>
-        (j \ colName) match {
-          case JArray(List(_, _, JString(n))) => scala.util.Try(n.toLong).toOption
-          case _ => None
-        }
-      }
+      scala.util.Try(parse(s)).toOption.flatMap(statsNullCountJ(_, colName))
     }
+
+  /** [[entryNullCount]] over an already-parsed stats document. */
+  private def statsNullCountJ(j: org.json4s.JValue,
+      colName: String): Option[Long] = {
+    import org.json4s.{JArray, JString}
+    (j \ colName) match {
+      case JArray(List(_, _, JString(n))) => scala.util.Try(n.toLong).toOption
+      case _ => None
+    }
+  }
 
   /** Typed comparison of a recorded stat string (Spark's cast-to-string
     * rendering) against a probe value. Every branch PARSES both sides into
@@ -679,12 +724,16 @@ object TableIO {
   /** Per-file row count from an entry's stats JSON. */
   private def entryRows(e: Versioned.FileEntry): Option[Long] = {
     import org.json4s.jackson.JsonMethods.parse
+    e.stats.flatMap(s => scala.util.Try(parse(s)).toOption).flatMap(statsRowsJ)
+  }
+
+  /** [[entryRows]] over an already-parsed stats document. */
+  private def statsRowsJ(j: org.json4s.JValue): Option[Long] = {
     import org.json4s.JString
-    e.stats.flatMap(s => scala.util.Try(parse(s)).toOption).flatMap(j =>
-      (j \ RowsKey) match {
-        case JString(n) => scala.util.Try(n.toLong).toOption
-        case _ => None
-      })
+    (j \ RowsKey) match {
+      case JString(n) => scala.util.Try(n.toLong).toOption
+      case _ => None
+    }
   }
 
   /** Stat-pruned `ORDER BY statCol [DESC] LIMIT k` (nulls excluded): using
@@ -1295,6 +1344,10 @@ object TableIO {
     * the files containing removal keys; only those rewrite (minus removed
     * keys, plus all `newRows`), everything else is inherited by
     * reference. Schema evolves by name (new nullable columns widen).
+    * Key matching is NULL-SAFE (`<=>`): a NULL group key is a legitimate
+    * removable key here (unlike MERGE, which rejects null keys up front),
+    * so null-unsafe equality would strand stale rows while their
+    * replacement appends — a silent duplicate.
     * NOT modeled in the change feed — a CDF-enabled target fails loudly
     * rather than silently producing an incomplete feed (its delete events
     * have no staging path here). */
@@ -1317,14 +1370,19 @@ object TableIO {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           import org.apache.spark.sql.functions.col
+          val remA = remKeys.alias("__rk")
+          def nullSafeOnRemoval(left: DataFrame): Column =
+            keyCols.map(c => left(c) <=> col(s"__rk.$c")).reduce(_ && _)
           val affectedPaths =
             if (m.entries.isEmpty) Set.empty[String]
-            else scanSpec(spark,
-              Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
-              .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
-              .join(remKeys, keyCols, "left_semi")
-              .select("__fp").distinct()
-              .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+            else {
+              val keyScan = scanSpec(spark,
+                Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
+                .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
+              keyScan.join(remA, nullSafeOnRemoval(keyScan), "left_semi")
+                .select("__fp").distinct()
+                .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+            }
           val baseP = Paths.get(tableDir)
           val (affected, untouched) = m.entries.partition(e =>
             affectedPaths.contains(baseP.resolve(e.path).toString))
@@ -1333,7 +1391,8 @@ object TableIO {
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row], oldSchema)
             else scanSpec(spark,
               Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
-          val kept = affectedDf.join(remKeys, keyCols, "left_anti")
+          val kept = affectedDf.join(remA,
+            nullSafeOnRemoval(affectedDf), "left_anti")
           val rewritten = kept.unionByName(newRows, allowMissingColumns = true)
           val parts = currentPartitioning(lh, tableName)
           val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
@@ -1540,7 +1599,7 @@ object TableIO {
     ()
   }
 
-  private def cdfEnabled(meta: Map[String, String]): Boolean =
+  private[lakehouse] def cdfEnabled(meta: Map[String, String]): Boolean =
     meta.get(CdfKey).contains("true")
 
   private def cdfDir(tableDir: String, v: Long): Path =
@@ -1640,13 +1699,15 @@ object TableIO {
     // matching rows (partition values / stat ranges, same mining as
     // readTable's skipping) are rewritten; the rest inherit BY REFERENCE —
     // at 100 TB a small-file problem usually lives in the partitions still
-    // being written, and a whole-table rewrite per OPTIMIZE is not operable
-    val scoped = for {
-      p <- predicate; b <- base; m <- baseM
-      aff <- minedSurvivors(spark, m, p) if aff.size < m.entries.size
-    } yield (b, m, aff)
-    scoped match {
-      case Some((b, m, affected)) =>
+    // being written, and a whole-table rewrite per OPTIMIZE is not operable.
+    // An unscoped (or unminable, or matches-every-file) compaction is the
+    // SAME flow with affected = every current file.
+    (base, baseM) match {
+      case (Some(b), Some(m)) =>
+        val affected = (for {
+          p <- predicate
+          aff <- minedSurvivors(spark, m, p) if aff.size < m.entries.size
+        } yield aff).getOrElse(m.entries)
         val affectedSet = affected.map(_.path).toSet
         val untouched = m.entries.filterNot(e => affectedSet(e.path))
         val parts = currentPartitioning(lh, tableName)
@@ -1657,11 +1718,16 @@ object TableIO {
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
         val df = scanSpec(spark,
           Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+        // zorderBy = OPTIMIZE ZORDER BY: the rewrite this compaction
+        // already pays doubles as the re-clustering pass
         val arranged =
           if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
           else if (parts.isEmpty) df.coalesce(nFiles)
           else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
         val blooms = bloomColsOf(m)
+        // compaction is invisible to the change feed: same rows, new files —
+        // an EMPTY sidecar tells readChangeFeed "rewrite, zero logical
+        // changes"
         val emptyCdf: Option[DataFrame] =
           if (!cdfEnabled(m.meta)) None
           else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -1682,36 +1748,22 @@ object TableIO {
         }
         finishCommit(spark, lh, tableName, tableDir, commit,
           df.columns.toSeq, parts)
-      case _ => // no predicate, nothing mined, or it matches every file
+      case _ => // legacy snapshot table: one full rewrite converts it to
+        // manifest-based commits (no manifest, so no stats/blooms/CDF yet)
         val bytes = currentFiles(lh, tableName)
           .filter(Files.isRegularFile(_)).map(Files.size).sum
         val nFiles =
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
         val df = selectTable(spark, lh, tableName)
         val parts = currentPartitioning(lh, tableName)
-        // zorderBy = OPTIMIZE ZORDER BY: the full rewrite this compaction
-        // already pays doubles as the re-clustering pass
         val arranged =
           if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
           else if (parts.isEmpty) df.coalesce(nFiles)
           else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
-        val blooms = baseM.map(bloomColsOf).getOrElse(Seq.empty)
-        // compaction is invisible to the change feed: same rows, new files —
-        // an EMPTY sidecar tells readChangeFeed "rewrite, zero logical
-        // changes"
-        val emptyCdf: Option[DataFrame] =
-          if (!baseM.exists(m => cdfEnabled(m.meta))) None
-          else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            df.schema.add("_change_type", StringType)))
         val commit = Versioned.commitFiles(tableDir, df.schema.json,
-          expectedBase = base, collectStats = collectFileStats(spark, blooms),
-          meta = baseM.map(_.meta).getOrElse(Map.empty),
-          beforeMarker = (v, _) => emptyCdf.foreach(
-            _.write.mode(SaveMode.Overwrite)
-              .parquet(cdfDir(tableDir, v).toString))) { target =>
-          val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
-            (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-          }
+          expectedBase = base,
+          collectStats = collectFileStats(spark, Seq.empty)) { target =>
+          val writer = arranged.write.mode(SaveMode.Append)
           (if (parts.nonEmpty) writer.partitionBy(parts: _*)
            else writer).parquet(target)
         }

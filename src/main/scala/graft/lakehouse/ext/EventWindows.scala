@@ -99,19 +99,32 @@ object EventWindows {
     * never replay (there is nothing to recover from), and a fresh query's
     * batch numbering restarts at 0, which a per-table default would
     * wrongly read as a replay of the previous query's batches. */
+  /** The exactly-once txn-watermark pair shared by the ingest operators:
+    * the manifest-meta key `txn:<appId|checkpoint>` and a reader of the
+    * last batch id committed under it (the same convention
+    * VersionedTableSink stamps). One definition — the key format and the
+    * lookup must never diverge between writers or replay detection
+    * silently breaks. */
+  private def txnWatermark(tableDir: String, checkpoint: Option[String],
+      appId: Option[String]): (Option[String], () => Option[Long]) = {
+    import graft.lakehouse.Versioned
+    val txnKey = appId.orElse(checkpoint).map("txn:" + _)
+    val committed = () =>
+      txnKey.flatMap(k => Versioned.latestVersion(tableDir)
+        .flatMap(Versioned.readManifest(tableDir, _))
+        .flatMap(_.meta.get(k))
+        .flatMap(s => scala.util.Try(s.toLong).toOption))
+    (txnKey, committed)
+  }
+
   def streamIngest(events: DataFrame, spark: SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
       accumulate: Boolean = false,
       checkpoint: Option[String] = None,
       appId: Option[String] = None) = {
-    import graft.lakehouse.{Catalog, TableIO, Versioned}
-    val txnKey = appId.orElse(checkpoint).map("txn:" + _)
-    val tableDir = Catalog.tablePath(lh, tableName)
-    def committedWatermark(): Option[Long] =
-      txnKey.flatMap(k => Versioned.latestVersion(tableDir)
-        .flatMap(Versioned.readManifest(tableDir, _))
-        .flatMap(_.meta.get(k))
-        .flatMap(s => scala.util.Try(s.toLong).toOption))
+    import graft.lakehouse.{Catalog, TableIO}
+    val (txnKey, committedWatermark) =
+      txnWatermark(Catalog.tablePath(lh, tableName), checkpoint, appId)
     val w = events.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -151,20 +164,15 @@ object EventWindows {
       idCol: String, textCol: String, threshold: Double = 0.8,
       checkpoint: Option[String] = None,
       appId: Option[String] = None) = {
-    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    import graft.lakehouse.{Catalog, TableIO}
     // exactly-once publish: same txn-watermark pattern as [[streamIngest]]
     // (the near-dup anti-join would organically drop a replayed batch as a
     // self-match against the published corpus, but only AFTER re-hashing
     // it — the watermark skip is both cheaper and exact). Off without a
     // durable identity: a checkpoint-less query cannot replay, and its
     // restart renumbers batches from 0.
-    val txnKey = appId.orElse(checkpoint).map("txn:" + _)
-    val tableDir = Catalog.tablePath(lh, tableName)
-    def committedWatermark(): Option[Long] =
-      txnKey.flatMap(k => Versioned.latestVersion(tableDir)
-        .flatMap(Versioned.readManifest(tableDir, _))
-        .flatMap(_.meta.get(k))
-        .flatMap(s => scala.util.Try(s.toLong).toOption))
+    val (txnKey, committedWatermark) =
+      txnWatermark(Catalog.tablePath(lh, tableName), checkpoint, appId)
     var index: Option[DataFrame] = None
     var bootstrapped = false
     def publishedCorpus(): Option[DataFrame] =

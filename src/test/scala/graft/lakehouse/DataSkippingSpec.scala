@@ -307,6 +307,33 @@ class DataSkippingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "decskip")
   }
 
+  test("FLOAT columns: fractional literals never prune (double-widened " +
+      "residual vs float-precision stats), integral literals still do") {
+    // widen(0.3f)=0.30000001192… can exceed a literal the stat string
+    // "0.3" sits below — a fractional probe on FLOAT would provably-
+    // wrongly prune, so it must not prune at all
+    val df = spark.range(0, 40000)
+      .selectExpr("id AS k", "CAST(CAST(id AS FLOAT) / 3.0f AS FLOAT) AS f")
+      .repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "floatskip", df, sortBy = Seq("k"))
+    }
+    val total = TableIO.currentFiles(lh, "floatskip").size
+    val frac = TableIO.readTable(spark, lh, "floatskip",
+      condition = "f >= 100.1 AND f <= 200.0")
+    assert(frac.inputFiles.length == total,
+      "fractional probes on FLOAT must decline to prune")
+    assert(frac.count() ==
+      df.filter("f >= 100.1 AND f <= 200.0").count())
+    val integral = TableIO.readTable(spark, lh, "floatskip",
+      condition = "f <= 50")
+    assert(integral.inputFiles.length < total,
+      s"small-integral probe on FLOAT should prune " +
+        s"(${integral.inputFiles.length}/$total)")
+    assert(integral.count() == df.filter("f <= 50").count())
+    TableIO.dropTable(spark, lh, "floatskip")
+  }
+
   test("string partition values keep their own rendering in stats " +
       "(path-derived, not re-inferred)") {
     // every value is numeric-looking, so spark.read's partition type

@@ -111,6 +111,54 @@ class MatViewSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "mv_agg3")
   }
 
+  test("NULL group keys refresh correctly (null-safe matching): no " +
+      "stranded stale row, no duplicate") {
+    val base = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, null, 10L), (2L, null, 20L), (3L, "g1", 5L), (4L, "g1", 6L))
+      .toDF("k", "g", "v")
+    TableIO.writeTable(spark, lh, "mv_srcn", base)
+    TableIO.enableChangeFeed(spark, lh, "mv_srcn")
+    MatView.createAggView(spark, lh, "mv_aggn", "mv_srcn", Seq("g"), Seq("v"))
+    // change the NULL group from both sides: add a row, delete a row
+    TableIO.appendTable(spark, lh, "mv_srcn",
+      Seq[(java.lang.Long, String, java.lang.Long)]((5L, null, 30L))
+        .toDF("k", "g", "v"))
+    TableIO.deleteFromTable(spark, lh, "mv_srcn", "k = 1")
+    MatView.refreshAggView(spark, lh, "mv_aggn")
+    val rows = TableIO.selectTable(spark, lh, "mv_aggn")
+      .select("g", "mv_count", "sum_v").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val nullRows = rows.filter(_._1.isEmpty)
+    assert(nullRows.length == 1,
+      s"expected exactly ONE null-group view row, got ${nullRows.toSeq}")
+    assert(nullRows.head == ((None, 2L, 50L)), // rows k=2 (20) + k=5 (30)
+      s"null group must fold deltas into the old row, got ${nullRows.head}")
+    assert(rows.filter(_._1.contains("g1")).head == ((Some("g1"), 2L, 11L)))
+    TableIO.dropTable(spark, lh, "mv_srcn")
+    TableIO.dropTable(spark, lh, "mv_aggn")
+  }
+
+  test("all-null measure group: sum goes back to NULL (not 0) when the " +
+      "last non-null value is deleted") {
+    val base = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "g", 10L), (2L, "g", null), (3L, "h", 7L))
+      .toDF("k", "g", "v")
+    TableIO.writeTable(spark, lh, "mv_srca", base)
+    TableIO.enableChangeFeed(spark, lh, "mv_srca")
+    MatView.createAggView(spark, lh, "mv_agga", "mv_srca", Seq("g"), Seq("v"))
+    TableIO.deleteFromTable(spark, lh, "mv_srca", "k = 1")
+    MatView.refreshAggView(spark, lh, "mv_agga")
+    val rows = TableIO.selectTable(spark, lh, "mv_agga")
+      .select("g", "mv_count", "sum_v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows("g") == (1L, None),
+      s"all-null group must sum to NULL, got ${rows("g")}")
+    assert(rows("h") == (1L, Some(7L)))
+    TableIO.dropTable(spark, lh, "mv_srca")
+    TableIO.dropTable(spark, lh, "mv_agga")
+  }
+
   test("replaceKeyedRows refuses a CDF-enabled target (its deletes are " +
       "not modeled in the feed)") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
