@@ -1745,5 +1745,48 @@ object Queries {
         |  FROM documents d)
         |SELECT h.doc_id, h.source FROM h JOIN ranked USING (source)
         |WHERE h.hv < ranked.thr ORDER BY doc_id""".stripMargin)),
+
+    // Incremental near-dup detection, portable twin of the q64 persisted-
+    // index path: even docs are the published corpus, odds + planted
+    // copies the incoming batch; a batch doc is a dup iff it shares any
+    // minhash LSH band with the corpus. The oracle recomputes signatures,
+    // banding, and the band join from scratch — hash-matching verifies
+    // the whole incremental pipeline (copies MUST flag; identical sigs ⇒
+    // identical bands).
+    Q("q91_incremental_dedup_portable",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(docs.filter(col("doc_id") % 100 === 0)
+            .withColumn("doc_id", col("doc_id") + 200000))
+        Dedup.portableIncrementalDups(corpus, batch, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH scope AS (
+        |  SELECT doc_id, text, (doc_id % 2 = 0) AS in_corpus FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text, false FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |g AS (
+        |  SELECT doc_id, in_corpus,
+        |    CAST(('0x' || substring(sha256(substring(text, CAST(p AS INT), 5)),
+        |      1, 15))::UBIGINT AS BIGINT) % 2147483647 AS h
+        |  FROM scope,
+        |       unnest(generate_series(1, length(text) - 4)) AS t(p)
+        |  WHERE length(text) >= 5),
+        |sigs AS (
+        |  SELECT doc_id, in_corpus, i.i AS sig_no,
+        |    min(((2 * i.i + 1) * h + 1000003 * i.i) % 2147483647) AS sig
+        |  FROM g, (SELECT unnest(range(16)) AS i) i
+        |  GROUP BY doc_id, in_corpus, i.i),
+        |bands AS (
+        |  SELECT doc_id, in_corpus, sig_no // 4 AS band_no,
+        |    string_agg(CAST(sig AS VARCHAR), '#' ORDER BY sig_no) AS bkey
+        |  FROM sigs GROUP BY doc_id, in_corpus, sig_no // 4)
+        |SELECT DISTINCT b.doc_id AS doc_id FROM bands b
+        |JOIN bands c ON c.in_corpus AND NOT b.in_corpus
+        |  AND b.band_no = c.band_no AND b.bkey = c.bkey
+        |ORDER BY b.doc_id""".stripMargin)),
   )
 }

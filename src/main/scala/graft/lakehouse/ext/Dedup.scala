@@ -486,6 +486,41 @@ object Dedup {
     df.select(col(idCol), posexplode(kern(col(textCol))).as(Seq("sig_no", "sig")))
   }
 
+  /** LSH band keys over the PORTABLE minhash signature: the 16 sigs fold
+    * into `numHashes / bandSize` bands whose key is the '#'-joined sig
+    * run — exactly the banding [[minHashBandIndex]] uses in production,
+    * but over engine-portable hashes, so an independent engine can
+    * recompute every key (DuckDB: `string_agg(sig, '#' ORDER BY
+    * sig_no)`). One row per (id, band_no). */
+  def portableBandKeys(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val kern = udf((s: String) => {
+      val sigs = portableMinHashKernel(s, shingleK, numHashes)
+      if (sigs.isEmpty) Array.empty[String]
+      else sigs.grouped(bandSize).map(_.mkString("#")).toArray
+    })
+    df.select(col(idCol),
+      posexplode(kern(col(textCol))).as(Seq("band_no", "band_key")))
+  }
+
+  /** Incremental near-dup detection, PORTABLE twin of the persisted-index
+    * path ([[nearDupsAgainstIndex]], q64): batch ids sharing ≥ 1 LSH band
+    * with the corpus. The corpus side is exactly what a persisted band
+    * index stores — the batch never re-hashes the corpus in production;
+    * here both sides recompute so a SQL oracle can verify the banding,
+    * the signature algebra, and the join end-to-end (q91). Broadcast-
+    * friendly: only (band_no, band_key) pairs cross the wire. */
+  def portableIncrementalDups(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 5,
+      numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    val idx = portableBandKeys(corpus, idCol, textCol, shingleK, numHashes,
+      bandSize).select("band_no", "band_key").distinct()
+    portableBandKeys(batch, idCol, textCol, shingleK, numHashes, bandSize)
+      .join(idx, Seq("band_no", "band_key"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** SimHash with a PORTABLE token hash — 60 bits from sha-256, so any
     * engine can recompute the identical signature and Charikar's
     * sign-aggregation algorithm is verifiable end-to-end cross-engine

@@ -159,6 +159,36 @@ class MatViewSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "mv_agga")
   }
 
+  test("streaming ingest + incremental refresh: the view tracks a live " +
+      "stream batch by batch (bronze table -> maintained aggregate)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("k", "g", "v")
+    // seed the versioned table + CDF + view BEFORE the stream starts
+    TableIO.writeTable(spark, lh, "mv_stream_src",
+      Seq((0L, "g0", 1L)).toDF("k", "g", "v"))
+    TableIO.enableChangeFeed(spark, lh, "mv_stream_src")
+    MatView.createAggView(spark, lh, "mv_stream_agg", "mv_stream_src",
+      Seq("g"), Seq("v"))
+    val q = graft.lakehouse.ext.EventWindows.streamIngest(src, spark, lh,
+      "mv_stream_src", accumulate = true)
+    try {
+      mem.addData((1L, "g0", 10L), (2L, "g1", 5L))
+      q.processAllAvailable()
+      MatView.refreshAggView(spark, lh, "mv_stream_agg")
+      assert(viewRows("mv_stream_agg") == fullRecompute("mv_stream_src"))
+      mem.addData((3L, "g1", 7L), (4L, "g2", 2L))
+      q.processAllAvailable()
+      MatView.refreshAggView(spark, lh, "mv_stream_agg")
+      val got = viewRows("mv_stream_agg")
+      assert(got == fullRecompute("mv_stream_src"))
+      assert(got == Set(("g0", 2L, 11L), ("g1", 2L, 12L), ("g2", 1L, 2L)))
+    } finally q.stop()
+    TableIO.dropTable(spark, lh, "mv_stream_src")
+    TableIO.dropTable(spark, lh, "mv_stream_agg")
+  }
+
   test("replaceKeyedRows refuses a CDF-enabled target (its deletes are " +
       "not modeled in the feed)") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
