@@ -1788,5 +1788,25 @@ object Queries {
         |JOIN bands c ON c.in_corpus AND NOT b.in_corpus
         |  AND b.band_no = c.band_no AND b.bkey = c.bkey
         |ORDER BY b.doc_id""".stripMargin)),
+
+    // Real BPE (learned merges + rank-ordered encode): train 200 merges
+    // on the corpus word-frequency dictionary, encode every document,
+    // and hash-check the roundtrip invariant corpus-wide — concatenated
+    // tokens must equal the normalized text for EVERY doc, which any
+    // drop/duplicate/reorder bug in the merge loop or encoder breaks.
+    // (BPE itself is not SQL-expressible; golden-vector merges and
+    // encodings live in TokenizerSpec.)
+    Q("q92_bpe_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val merges = Tokenizer.learnBpeMerges(docs, "text", numMerges = 200)
+        Tokenizer.withBpeTokens(docs, "text", merges)
+          .select(col("doc_id"),
+            Tokenizer.roundtripOk(col("bpe_tokens"), col("text"))
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, true AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -1,0 +1,133 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding (Sennrich, Haddow & Birch 2016, arXiv:1508.07909) —
+  * the real merges-table tokenizer behind modern LM vocabularies, as a
+  * corpus-scale operator pair: LEARN merges from a distributed
+  * word-frequency dictionary, then ENCODE per row with the learned ranks.
+  *
+  * Scale shape: learning makes ONE distributed pass (word count — a
+  * single shuffle on the word), caps the dictionary at `maxVocabWords` by
+  * frequency (bounded driver collect, the same pattern as IVF's fit
+  * sample), and runs the merge loop on the dictionary driver-side —
+  * O(numMerges × dictSize), independent of corpus size, exactly how the
+  * reference BPE implementations train. Encoding is a per-row compiled
+  * kernel over broadcast ranks: no shuffle, no state.
+  *
+  * Normalization contract: lowercase + whitespace-split; tokens never
+  * cross word boundaries (word-internal BPE, no end-of-word marker).
+  * Concatenating a document's tokens restores its normalized text — the
+  * roundtrip invariant q92 verifies corpus-wide.
+  */
+object Tokenizer {
+
+  /** One learned merge: the adjacent symbol pair to be joined. Earlier
+    * position in the sequence = higher priority at encode time. */
+  type Merge = (String, String)
+
+  /** Learn `numMerges` BPE merges from the corpus. Deterministic: pair
+    * counts tie-break lexicographically, the dictionary cap tie-breaks
+    * by word. */
+  def learnBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 50000): Seq[Merge] = {
+    val dict = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    learnFromDict(dict, numMerges)
+  }
+
+  /** The driver-side merge loop over a (word, frequency) dictionary. */
+  private[ext] def learnFromDict(dict: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    var vocab: Array[(Array[String], Long)] =
+      dict.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[Merge, Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // most frequent pair; ties go to the lexicographically smallest —
+        // any deterministic rule works, it just has to BE a rule
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) => (applyMerge(syms, best), c) }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def applyMerge(syms: Array[String], p: Merge): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += (p._1 + p._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode one word: repeatedly merge the present pair with the LOWEST
+    * learned rank (standard BPE inference; rank order, not left-to-right
+    * scan order, decides among competing pairs). */
+  private[ext] def encodeWord(word: String,
+      ranks: Map[Merge, Int]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestPair: Merge = null
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestPair = (syms(i), syms(i + 1)) }
+        }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else syms = applyMerge(syms, bestPair)
+    }
+    syms
+  }
+
+  /** Attach the BPE token array (`outCol`) for each row: lowercase,
+    * whitespace-split, each word encoded with the learned ranks. Null
+    * text encodes to an empty array. */
+  def withBpeTokens(df: DataFrame, textCol: String, merges: Seq[Merge],
+      outCol: String = "bpe_tokens"): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(ranks)
+    val enc = udf((s: String) =>
+      if (s == null) Array.empty[String]
+      else s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => encodeWord(w, bc.value)))
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
+  /** The roundtrip invariant as a column: concatenated tokens equal the
+    * document's normalized (lowercased, whitespace-stripped) text. True
+    * for every document by construction — q92 hash-checks it corpus-wide,
+    * which catches any encode-path bug that drops, duplicates, or
+    * reorders symbols. */
+  def roundtripOk(tokensCol: Column, textCol: Column): Column =
+    concat_ws("", tokensCol) ===
+      regexp_replace(lower(coalesce(textCol, lit(""))), "\\s+", "")
+}
