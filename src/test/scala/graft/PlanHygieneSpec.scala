@@ -110,6 +110,68 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey"), p)
   }
 
+  test("q90 portable sampling is a pure per-row filter: zero exchanges") {
+    val df = graft.lakehouse.ext.Packing.portableSampleMixture(
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "source"),
+      "doc_id", "source", Map("web" -> 0.5, "books" -> 0.25), seed = 7L)
+    df.collect()
+    val p = finalPlan(df)
+    // membership is a pure function of (id, seed): any shuffle here would
+    // mean the operator stopped being embarrassingly parallel
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q75 portable fingerprints never shuffle before the explode " +
+      "(per-document kernel; fingerprints are doc-local)") {
+    val df = graft.lakehouse.ext.TextStats.portableFingerprints(
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "text"), "doc_id", "text")
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), // the old formulation's exchange source
+      p)
+  }
+
+  test("q89 semantic dedup (exact mode) plans one join pair and the " +
+      "anti-join survivor filter — no window, no extra aggregation") {
+    val df = SparkEntry.queries("q89_semantic_dedup")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // nClusters = 1: the cluster-keyed self-join plus the left_anti
+    // survivor join; a Window or SortAggregate here would signal a
+    // regressed formulation
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q88 materialized-view refresh reads the feed, not the source " +
+      "table (plan contains no source-table parquet scan)") {
+    // the refresh plan's inputs are the _cdf_ sidecars + the view's own
+    // files; a scan of the source table's data files would mean the
+    // O(changes) contract silently regressed to O(table)
+    val lhDir = java.nio.file.Files.createTempDirectory("ph_mv").toString
+    val lh = graft.lakehouse.Catalog
+      .registerLocalWorkspace(lhDir, "ws_ph", "lh_ph").lakehouses.head
+    import spark.implicits._
+    val base = (1 to 100).map(i => (i.toLong, s"g${i % 5}", i.toLong))
+      .toDF("k", "g", "v")
+    graft.lakehouse.TableIO.writeTable(spark, lh, "ph_src", base)
+    graft.lakehouse.TableIO.enableChangeFeed(spark, lh, "ph_src")
+    graft.lakehouse.MatView.createAggView(spark, lh, "ph_mv", "ph_src",
+      Seq("g"), Seq("v"))
+    graft.lakehouse.TableIO.mergeTable(spark, lh, "ph_src",
+      Seq((1L, "g1", 100L)).toDF("k", "g", "v"), Seq("k"))
+    val feed = graft.lakehouse.TableIO.readChangeFeed(spark, lh, "ph_src", 2L)
+    val p = finalPlan(feed)
+    assert(p.contains("_cdf_") || p.contains("parquet"), p)
+    assert(!p.contains("/Tables/ph_src/v"), // source data files live under v<N>/
+      s"refresh feed must not scan source data files: $p")
+    graft.lakehouse.TableIO.dropTable(spark, lh, "ph_src")
+    graft.lakehouse.TableIO.dropTable(spark, lh, "ph_mv")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE only shows the final (codegen-annotated) plan after execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
