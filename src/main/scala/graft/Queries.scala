@@ -1808,5 +1808,50 @@ object Queries {
       },
       Some("""SELECT doc_id, true AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Min/max materialized view: inserts fold via least/greatest, and the
+    // delete wave (every %5 orderkey) is guaranteed to remove some
+    // groups' stored extrema — forcing the per-group rescan path — so a
+    // hash-match against the full recompute verifies BOTH maintenance
+    // strategies and the rescan trigger in one query.
+    Q("q93_matview_minmax",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val orders = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        TableIO.dropTable(s, lh, "orders_mvx_src")
+        TableIO.dropTable(s, lh, "orders_mvx")
+        TableIO.writeTable(s, lh, "orders_mvx_src",
+          orders.filter(col("o_orderkey") % 2 === 0))
+        TableIO.enableChangeFeed(s, lh, "orders_mvx_src")
+        MatView.createAggView(s, lh, "orders_mvx", "orders_mvx_src",
+          Seq("o_custkey"), sumCols = Seq.empty,
+          minCols = Seq("price"), maxCols = Seq("price"))
+        TableIO.mergeTable(s, lh, "orders_mvx_src",
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)")),
+          Seq("o_orderkey"))
+        TableIO.deleteFromTable(s, lh, "orders_mvx_src", "o_orderkey % 5 = 0")
+        MatView.refreshAggView(s, lh, "orders_mvx")
+        TableIO.selectTable(s, lh, "orders_mvx")
+          .select(col("o_custkey"), col("mv_count"),
+            col("min_price").cast("double").as("min_price"),
+            col("max_price").cast("double").as("max_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH src AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_custkey, count(*) AS mv_count,
+        |  CAST(min(price) AS DOUBLE) AS min_price,
+        |  CAST(max(price) AS DOUBLE) AS max_price
+        |FROM src WHERE o_orderkey % 5 <> 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
   )
 }

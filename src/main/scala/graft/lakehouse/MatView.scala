@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * changed groups rewrite, new groups append, and groups whose row count
   * reaches zero are deleted.
   *
-  * Count and sum are self-maintainable under inserts AND deletes; min/max
-  * are not (a deleted row holding the current minimum forces a rescan of
-  * its group), which is why this view type is count+sum only — the classic
-  * restriction from the view-maintenance literature.
+  * Count and sum are self-maintainable under inserts AND deletes. Min/max
+  * are not (the classic restriction from the view-maintenance
+  * literature): inserts fold in cheaply (least/greatest), but a delete
+  * that removes a stored extremum invalidates it — those groups, and ONLY
+  * those groups, are recomputed from the pinned source version during the
+  * refresh (the standard rescan fallback; everything else stays
+  * O(changes)).
   *
   * At 100 TB: a daily refresh over a fact table touching 0.1% of rows
   * reads 0.1% of the data (the change feed), shuffles only the delta
@@ -36,8 +39,12 @@ object MatView {
   private val VersionKey = "mv.sourceVersion"
   private val GroupKey = "mv.groupCols"
   private val SumKey = "mv.sumCols"
+  private val MinKey = "mv.minCols"
+  private val MaxKey = "mv.maxCols"
   val CountCol = "mv_count"
   def sumColName(c: String): String = s"sum_$c"
+  def minColName(c: String): String = s"min_$c"
+  def maxColName(c: String): String = s"max_$c"
   /** Non-null count maintenance column for a summed source column. */
   def nnColName(c: String): String = s"__nn_$c"
 
@@ -57,7 +64,8 @@ object MatView {
     * twice by the first refresh. */
   def createAggView(spark: SparkSession, lh: LakehouseProps,
       viewName: String, sourceTable: String, groupCols: Seq[String],
-      sumCols: Seq[String]): TableInfo = {
+      sumCols: Seq[String], minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty): TableInfo = {
     require(groupCols.nonEmpty, "createAggView needs at least one group column")
     val srcDir = Catalog.tablePath(lh, sourceTable)
     val v = Versioned.latestVersion(srcDir).getOrElse(throw
@@ -67,14 +75,24 @@ object MatView {
       s"$sourceTable: enable the change feed before creating a " +
         "materialized view over it (refresh folds the row-level feed)")
     val src = TableIO.selectTableVersion(spark, lh, sourceTable, v)
-    val aggs = count(lit(1)).as(CountCol) +:
-      sumCols.flatMap(c => Seq(sum(col(c)).as(sumColName(c)),
-        count(col(c)).as(nnColName(c))))
-    val mv = src.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val mv = src.groupBy(groupCols.map(col): _*)
+      .agg(snapshotAggs(sumCols, minCols, maxCols).head,
+        snapshotAggs(sumCols, minCols, maxCols).tail: _*)
     TableIO.writeTable(spark, lh, viewName, mv, extraMeta = Map(
       SourceKey -> sourceTable, VersionKey -> v.toString,
-      GroupKey -> groupCols.mkString(","), SumKey -> sumCols.mkString(",")))
+      GroupKey -> groupCols.mkString(","), SumKey -> sumCols.mkString(","),
+      MinKey -> minCols.mkString(","), MaxKey -> maxCols.mkString(",")))
   }
+
+  /** The full per-group aggregate row — shared by the creation snapshot
+    * and the refresh's rescan path so the two can never drift. */
+  private def snapshotAggs(sumCols: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String]): Seq[Column] =
+    count(lit(1)).as(CountCol) +:
+      (sumCols.flatMap(c => Seq(sum(col(c)).as(sumColName(c)),
+        count(col(c)).as(nnColName(c)))) ++
+        minCols.map(c => min(col(c)).as(minColName(c))) ++
+        maxCols.map(c => max(col(c)).as(maxColName(c))))
 
   /** Fold the source's changes since the view's recorded version into the
     * view. Reads ONLY the change feed (bounded to the target version
@@ -96,6 +114,10 @@ object MatView {
     val groupCols = m.meta(GroupKey).split(",").toSeq
     val sumCols =
       m.meta.getOrElse(SumKey, "").split(",").filter(_.nonEmpty).toSeq
+    val minCols =
+      m.meta.getOrElse(MinKey, "").split(",").filter(_.nonEmpty).toSeq
+    val maxCols =
+      m.meta.getOrElse(MaxKey, "").split(",").filter(_.nonEmpty).toSeq
     val srcDir = Catalog.tablePath(lh, source)
     val targetV = Versioned.latestVersion(srcDir).getOrElse(throw
       new IllegalStateException(s"$source: source table has no versions"))
@@ -114,8 +136,19 @@ object MatView {
       col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val deltaAggs = sum(sign).as("__d_count") +:
-      sumCols.flatMap(c => Seq(sum(col(c) * sign).as(s"__d_$c"),
-        coalesce(sum(when(col(c).isNotNull, sign)), lit(0L)).as(s"__dnn_$c")))
+      (sumCols.flatMap(c => Seq(sum(col(c) * sign).as(s"__d_$c"),
+        coalesce(sum(when(col(c).isNotNull, sign)), lit(0L)).as(s"__dnn_$c"))) ++
+        // min/max deltas: the inserted-side extremum folds in cheaply
+        // (least/greatest); the removed-side extremum only matters as the
+        // RESCAN trigger below (a removed row that held the group's
+        // stored extremum invalidates it — min/max are not
+        // self-maintainable under deletes)
+        minCols.flatMap(c => Seq(
+          min(when(sign > 0, col(c))).as(s"__imin_$c"),
+          min(when(sign < 0, col(c))).as(s"__rmin_$c"))) ++
+        maxCols.flatMap(c => Seq(
+          max(when(sign > 0, col(c))).as(s"__imax_$c"),
+          max(when(sign < 0, col(c))).as(s"__rmax_$c"))))
     val deltas = feed.groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -132,7 +165,32 @@ object MatView {
       // view = delta alone; delta sum null (all-null measures) = old
       // alone. Group columns come from the DELTA side (always present).
       val dA = deltas.alias("__d")
-      val replaced = dA.join(affectedOld, onGroups(dA, "__old"), "left_outer")
+      val joined = dA.join(affectedOld, onGroups(dA, "__old"), "left_outer")
+      // a removed row that (possibly) held the group's extremum
+      // invalidates the incremental min/max — those groups RESCAN from
+      // the pinned source version (O(affected groups' data), the
+      // standard fallback for non-self-maintainable aggregates). The
+      // removed extremum must be compared against the CANDIDATE extremum
+      // (stored ∪ inserted), not the stored one alone: a single window
+      // can insert a new extremum at v+1 and delete that same row at
+      // v+2, and every removed value is ≤ the candidate by construction
+      // (it existed either in the snapshot or among the window's
+      // inserts), so `removed == candidate` is exactly "the extremum may
+      // be gone". Every conjunct is null-guarded so the condition is a
+      // concrete boolean: a three-valued NULL here would silently drop
+      // the group from BOTH branches.
+      def candMin(c: String): Column =
+        least(col(minColName(c)), col(s"__imin_$c"))
+      def candMax(c: String): Column =
+        greatest(col(maxColName(c)), col(s"__imax_$c"))
+      val rescanCond = (minCols.map(c =>
+        col(s"__rmin_$c").isNotNull && candMin(c).isNotNull &&
+          col(s"__rmin_$c") === candMin(c)) ++
+        maxCols.map(c =>
+          col(s"__rmax_$c").isNotNull && candMax(c).isNotNull &&
+            col(s"__rmax_$c") === candMax(c)))
+        .foldLeft(lit(false))(_ || _)
+      val replaced = joined.filter(!rescanCond)
         .select(groupCols.map(c => col(s"__d.$c")) ++
           Seq(coalesce(col(CountCol) + col("__d_count"), col("__d_count"))
             .as(CountCol)) ++
@@ -145,12 +203,30 @@ object MatView {
               .otherwise(coalesce(col(s) + col(s"__d_$c"), col(s),
                 col(s"__d_$c"))).as(s),
               newNn.as(nn))
-          }: _*)
+          } ++
+          // least/greatest skip nulls: a new group takes the inserted
+          // extremum, an unchanged one keeps the stored value
+          minCols.map(c => candMin(c).as(minColName(c))) ++
+          maxCols.map(c => candMax(c).as(maxColName(c))): _*)
         .filter(col(CountCol) > 0)
+      val withRescans =
+        if (minCols.isEmpty && maxCols.isEmpty) replaced
+        else {
+          val keys = joined.filter(rescanCond)
+            .select(groupCols.map(c => col(s"__d.$c").as(c)): _*)
+          val srcNow = TableIO.selectTableVersion(spark, lh, source, targetV)
+          val kA = keys.alias("__rs")
+          val hit = srcNow.join(kA, groupCols.map(c =>
+            srcNow(c) <=> col(s"__rs.$c")).reduce(_ && _), "left_semi")
+          val recomputed = hit.groupBy(groupCols.map(col): _*)
+            .agg(snapshotAggs(sumCols, minCols, maxCols).head,
+              snapshotAggs(sumCols, minCols, maxCols).tail: _*)
+          replaced.unionByName(recomputed)
+        }
       // pin replacement columns to the view's existing types: delta
       // arithmetic widens decimals, and letting the union widen the view
       // schema on every refresh would drift it without bound
-      val aligned = replaced.select(mvDf.schema.fields.toSeq.map(f =>
+      val aligned = withRescans.select(mvDf.schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
       TableIO.replaceKeyedRows(spark, lh, viewName,
         deltas.select(groupCols.map(col): _*), aligned, groupCols,
