@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate materialized views over versioned
-  * tables: a grouped count+sum snapshot whose refresh cost is
-  * O(rows changed since the last refresh), never O(table).
+  * tables: a grouped count/sum/min/max snapshot whose refresh cost is
+  * O(rows changed since the last refresh) — except the min/max rescan
+  * fallback below, which is the one case that legitimately rereads
+  * source data.
   *
   * The view is itself a versioned table. Its commit metadata records which
   * source table (and which source VERSION) it reflects; `refreshAggView`
@@ -28,7 +30,10 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: a daily refresh over a fact table touching 0.1% of rows
   * reads 0.1% of the data (the change feed), shuffles only the delta
-  * groups, and rewrites only the view files containing them. Exact
+  * groups, and rewrites only the view files containing them — unless a
+  * delete removed a stored min/max, in which case the affected groups'
+  * recompute semi-joins the source (worst case a full-table read; prune
+  * it by partitioning the source on a group column). Exact
   * sums want DECIMAL source columns (decimal addition is associative;
   * float addition order would drift between snapshot and incremental
   * paths).
@@ -75,9 +80,8 @@ object MatView {
       s"$sourceTable: enable the change feed before creating a " +
         "materialized view over it (refresh folds the row-level feed)")
     val src = TableIO.selectTableVersion(spark, lh, sourceTable, v)
-    val mv = src.groupBy(groupCols.map(col): _*)
-      .agg(snapshotAggs(sumCols, minCols, maxCols).head,
-        snapshotAggs(sumCols, minCols, maxCols).tail: _*)
+    val aggs = snapshotAggs(sumCols, minCols, maxCols)
+    val mv = src.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     TableIO.writeTable(spark, lh, viewName, mv, extraMeta = Map(
       SourceKey -> sourceTable, VersionKey -> v.toString,
       GroupKey -> groupCols.mkString(","), SumKey -> sumCols.mkString(","),
@@ -209,20 +213,29 @@ object MatView {
           minCols.map(c => candMin(c).as(minColName(c))) ++
           maxCols.map(c => candMax(c).as(maxColName(c))): _*)
         .filter(col(CountCol) > 0)
-      val withRescans =
-        if (minCols.isEmpty && maxCols.isEmpty) replaced
+      // the rescan branch only materializes when some group actually
+      // needs it (one cheap limit-1 action against the small persisted
+      // delta join): a refresh with intact extrema — every insert-only
+      // refresh, and every sum-only view — never builds the source scan
+      // at all. When it DOES fire, the semi-join reads the source at the
+      // pinned version: O(table) I/O in the worst case, the honest price
+      // of recomputing a non-self-maintainable aggregate (partition-
+      // pruned when the source is partitioned by a group column).
+      val withRescans = {
+        lazy val keys = joined.filter(rescanCond)
+          .select(groupCols.map(c => col(s"__d.$c").as(c)): _*)
+        if ((minCols.isEmpty && maxCols.isEmpty) || keys.isEmpty) replaced
         else {
-          val keys = joined.filter(rescanCond)
-            .select(groupCols.map(c => col(s"__d.$c").as(c)): _*)
           val srcNow = TableIO.selectTableVersion(spark, lh, source, targetV)
           val kA = keys.alias("__rs")
           val hit = srcNow.join(kA, groupCols.map(c =>
             srcNow(c) <=> col(s"__rs.$c")).reduce(_ && _), "left_semi")
+          val rescanAggs = snapshotAggs(sumCols, minCols, maxCols)
           val recomputed = hit.groupBy(groupCols.map(col): _*)
-            .agg(snapshotAggs(sumCols, minCols, maxCols).head,
-              snapshotAggs(sumCols, minCols, maxCols).tail: _*)
+            .agg(rescanAggs.head, rescanAggs.tail: _*)
           replaced.unionByName(recomputed)
         }
+      }
       // pin replacement columns to the view's existing types: delta
       // arithmetic widens decimals, and letting the union widen the view
       // schema on every refresh would drift it without bound

@@ -42,11 +42,19 @@ object Tokenizer {
     learnFromDict(dict, numMerges)
   }
 
+  /** A word as base symbols: one per CODE POINT, not per UTF-16 unit —
+    * splitting chars would strand surrogate halves as lone tokens, which
+    * Spark's String→UTF8String boundary mangles to '?', silently breaking
+    * the roundtrip invariant for any non-BMP text (emoji, CJK
+    * extensions). */
+  private def baseSymbols(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** The driver-side merge loop over a (word, frequency) dictionary. */
   private[ext] def learnFromDict(dict: Array[(String, Long)],
       numMerges: Int): Seq[Merge] = {
     var vocab: Array[(Array[String], Long)] =
-      dict.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      dict.map { case (w, c) => (baseSymbols(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
     var exhausted = false
@@ -90,7 +98,7 @@ object Tokenizer {
   private[ext] def encodeWord(word: String,
       ranks: Map[Merge, Int]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = baseSymbols(word)
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

@@ -47,13 +47,25 @@ class TokenizerSpec extends SparkSuite {
     assert(Tokenizer.encodeWord("", ranks).isEmpty)
   }
 
-  test("withBpeTokens: corpus-wide roundtrip over nulls, empties, and " +
-      "messy whitespace") {
+  test("symbols are code points, not UTF-16 units: non-BMP text " +
+      "roundtrips (lone surrogate tokens would be mangled to '?')") {
+    val emoji = new String(Character.toChars(0x1F642)) // outside the BMP
+    val merges = Tokenizer.learnFromDict(
+      Array((s"a${emoji}b", 2L)), numMerges = 0)
+    assert(merges.isEmpty)
+    val toks = Tokenizer.encodeWord(s"a${emoji}b", Map.empty)
+    assert(toks.toSeq == Seq("a", emoji, "b"),
+      s"surrogate pair must stay one symbol, got ${toks.toSeq}")
+  }
+
+  test("withBpeTokens: corpus-wide roundtrip over nulls, empties, " +
+      "messy whitespace, and non-BMP text") {
     val df = Seq(
       (1L, "the lowest newest widest"),
       (2L, "  Tabs\tand   runs \n of space  "),
       (3L, ""),
-      (4L, null.asInstanceOf[String]))
+      (4L, null.asInstanceOf[String]),
+      (5L, "emoji " + new String(Character.toChars(0x1F642)) + " inline"))
       .toDF("doc_id", "text")
     val merges = Tokenizer.learnBpeMerges(df, "text", numMerges = 50)
     val out = Tokenizer.withBpeTokens(df, "text", merges)
