@@ -1853,5 +1853,23 @@ object Queries {
         |  CAST(max(price) AS DOUBLE) AS max_price
         |FROM src WHERE o_orderkey % 5 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // JSONL interchange: export a table snapshot as line-delimited JSON
+    // (distributed, schema pinned separately) and read it back — the
+    // hash-match against the original parquet proves bigint/double/
+    // timestamp/varchar values survive the JSON round trip bit-exactly.
+    Q("q94_jsonl_roundtrip",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val orders = t(s, dir, "orders")
+        TableIO.dropTable(s, lh, "orders_export")
+        TableIO.writeTable(s, lh, "orders_export",
+          orders.filter(col("o_orderkey") % 4 === 0))
+        val schema = TableIO.selectTable(s, lh, "orders_export").schema
+        val out = TableIO.exportTableJsonl(s, lh, "orders_export")
+        TableIO.importJsonl(s, out, schema).orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM orders WHERE o_orderkey % 4 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -1412,6 +1412,29 @@ object TableIO {
     }
   }
 
+  /** Export the table's current snapshot as line-delimited JSON under the
+    * lakehouse Files area (`Files/exports/<name>/part-*.json`) — the
+    * interchange format tokenizer/training pipelines consume. Fully
+    * distributed (one part per partition, codegen'd JSON serialization,
+    * no driver funnel); returns the export directory. The schema travels
+    * separately: [[importJsonl]] reads with an EXPLICIT schema because
+    * JSON inference at 100 TB costs a full extra scan and silently widens
+    * types (int→bigint, timestamp→string). */
+  def exportTableJsonl(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, exportName: Option[String] = None): String = {
+    val out = lh.filesPath.resolve("exports")
+      .resolve(exportName.getOrElse(tableName)).toString
+    selectTable(spark, lh, tableName)
+      .write.mode(SaveMode.Overwrite).json(out)
+    out
+  }
+
+  /** Read a line-delimited JSON export with a pinned schema (see
+    * [[exportTableJsonl]] for why inference is banned on the read path). */
+  def importJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Time-travel read: scan a specific committed version (within the
     * retention window — older versions are swept by [[Versioned.vacuum]]). */
   def selectTableVersion(spark: SparkSession, lh: LakehouseProps,

@@ -303,4 +303,21 @@ class TableIOSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       QueryApi.sqlQueryDataFrame(spark, Seq(a), Seq("x", "y"), "SELECT 1"))
   }
+
+  test("JSONL export/import roundtrips nulls (JSON omits null fields; " +
+      "the pinned-schema read must restore them)") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.5), (2L, null, null), (3L, "", 0.0))
+      .toDF("k", "s", "x")
+    TableIO.writeTable(spark, lh, "jsonl_rt", df)
+    val out = TableIO.exportTableJsonl(spark, lh, "jsonl_rt")
+    val back = TableIO.importJsonl(spark, out,
+      TableIO.selectTable(spark, lh, "jsonl_rt").schema)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(back == Set((1L, Some("a"), Some(1.5)),
+      (2L, None, None), (3L, Some(""), Some(0.0))), back)
+    TableIO.dropTable(spark, lh, "jsonl_rt")
+  }
 }
