@@ -1871,5 +1871,92 @@ object Queries {
       },
       Some("""SELECT * FROM orders WHERE o_orderkey % 4 = 0
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // The training-data pipeline END TO END in one verified query:
+    // quality gate (q25's scoring) → language gate (q27's classifier) →
+    // exact dedup on whitespace-normalized text (min-id survivor) →
+    // deterministic 50% portable sample (q90's membership). Every stage
+    // is individually hash-verified elsewhere; this chains them so stage
+    // INTERACTIONS (filter order, null flow, survivor selection feeding
+    // the sampler) are verified too. The oracle replays the whole
+    // pipeline in SQL.
+    Q("q95_pipeline_end_to_end",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+        val quality = TextStats.withQualityMetrics(docs, "text")
+          .filter(col("quality_score") >= 0.5)
+          .select("doc_id", "source", "text")
+        val en = quality.filter(TextStats.langIdUdf(col("text")) === "en")
+        val deduped = Dedup.exactDedup(
+          en.withColumn("__norm",
+            regexp_replace(lower(col("text")), "\\s+", " ")),
+          Seq("__norm"), "doc_id")
+        val sources = deduped.select("source").distinct().collect()
+          .map(_.getString(0))
+        Packing.portableSampleMixture(deduped.select("doc_id", "source"),
+          "doc_id", "source", sources.map(_ -> 0.5).toMap, seed = 11L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct_count,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |        'that','for','on','with','as','at','by','be','this','are'], w)))
+        |      AS DOUBLE) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, text, n_chars,
+        |    CAST(n_chars AS DOUBLE) /
+        |      (CASE WHEN n_tokens = 0 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) END) AS avg_token_len,
+        |    CAST(punct_count AS DOUBLE) /
+        |      (CASE WHEN n_chars = 0 THEN 1.0 ELSE CAST(n_chars AS DOUBLE) END) AS punct_ratio,
+        |    stop_hits /
+        |      (CASE WHEN n_tokens = 0 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) END) AS stopword_ratio
+        |  FROM m),
+        |quality AS (
+        |  SELECT doc_id, source, text FROM r
+        |  WHERE (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.25 ELSE 0.0 END)
+        |      + least(stopword_ratio * 2.5, 0.25)
+        |      + greatest(0.25 - punct_ratio * 2.5, 0.0)
+        |      + (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+        |      >= 0.5),
+        |sc AS (
+        |  SELECT doc_id, source, text,
+        |    len(regexp_extract_all(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> list_contains(['der','die','das','und','ist','nicht','ein','eine',
+        |        'zu','mit','von','auf','für','den','im','sich'], w))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> list_contains(['the','and','of','to','in','is','it','that','for',
+        |        'on','with','as','at','by','this','are'], w))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> list_contains(['el','la','de','que','y','en','los','del','las',
+        |        'un','una','por','con','para','es','no'], w))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> list_contains(['le','la','les','de','des','et','en','un','une',
+        |        'du','que','est','pour','dans','qui','pas'], w))) AS s_fr
+        |  FROM quality),
+        |lang AS (
+        |  SELECT doc_id, source, text FROM sc
+        |  WHERE NOT (text IS NULL OR length(text) = 0)
+        |    AND cjk * 50 < length(text)
+        |    AND greatest(s_de, s_en, s_es, s_fr) > 0
+        |    AND s_en = greatest(s_de, s_en, s_es, s_fr)
+        |    AND s_de < greatest(s_de, s_en, s_es, s_fr)),
+        |dedup AS (
+        |  SELECT doc_id, source FROM (
+        |    SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(text), '\s+', ' ', 'g')
+        |      ORDER BY doc_id) AS rn
+        |    FROM lang) t WHERE rn = 1)
+        |SELECT doc_id, source FROM dedup
+        |WHERE CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
+        |    || '#' || '11'), 1, 15))::UBIGINT AS BIGINT) < 576460752303423488
+        |ORDER BY doc_id""".stripMargin)),
   )
 }
