@@ -1958,5 +1958,33 @@ object Queries {
         |WHERE CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
         |    || '#' || '11'), 1, 15))::UBIGINT AS BIGINT) < 576460752303423488
         |ORDER BY doc_id""".stripMargin)),
+
+    // Ordered funnel (view → click → purchase): step k counts only
+    // strictly after the user's earliest step-k-1 completion. One row
+    // per user with the furthest step reached; the oracle replays the
+    // chained min-after-previous-step logic.
+    Q("q96_funnel",
+      (s, dir) => EventWindows.funnel(ev(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some("""WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2
+        |       ELSE 1 END AS furthest_step
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin)),
   )
 }

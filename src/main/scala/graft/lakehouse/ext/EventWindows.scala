@@ -99,6 +99,46 @@ object EventWindows {
     * never replay (there is nothing to recover from), and a fresh query's
     * batch numbering restarts at 0, which a per-table default would
     * wrongly read as a replay of the previous query's batches. */
+  /** Ordered funnel analysis: for each user, the furthest step of `steps`
+    * completed IN ORDER — step k counts only if an event of its type
+    * occurs STRICTLY after the user's earliest completion of step k-1
+    * (the standard product-analytics funnel; re-orderings don't count).
+    * Returns one row per user who completed at least step 1:
+    * (userCol, furthest_step 1-based int).
+    *
+    * Plan shape: one filtered partial aggregation per step — each scans
+    * only that step's events (the type filter pushes into the scan) and
+    * shuffles one row per qualifying user — then K-1 left joins of tiny
+    * per-user frames. No window over raw events, no per-user event-list
+    * materialization; at 100 TB each step's agg is a single map-side-
+    * combined exchange over that step's slice. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepFrames = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (st, i)) =>
+        val k = i + 1
+        val filtered = events.filter(col(typeCol) === st)
+        val f = acc match {
+          case Nil =>
+            filtered.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t1"))
+          case prev :: _ =>
+            filtered
+              .join(prev.select(col(userCol), col(s"__t${k - 1}")),
+                Seq(userCol))
+              .filter(col(tsCol) > col(s"__t${k - 1}"))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"__t$k"))
+        }
+        f :: acc
+    }.reverse
+    val joined = stepFrames.tail.foldLeft(stepFrames.head)(
+      (a, b) => a.join(b, Seq(userCol), "left_outer"))
+    val furthest = (2 to steps.size).foldLeft(lit(1)) {
+      (rest, k) => when(col(s"__t$k").isNotNull, lit(k)).otherwise(rest)
+    }
+    joined.select(col(userCol), furthest.as("furthest_step"))
+  }
+
   /** The exactly-once txn-watermark pair shared by the ingest operators:
     * the manifest-meta key `txn:<appId|checkpoint>` and a reader of the
     * last batch id committed under it (the same convention

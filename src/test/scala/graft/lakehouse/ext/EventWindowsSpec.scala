@@ -41,6 +41,23 @@ class EventWindowsSpec extends SparkSuite {
     assert(out(2).getAs[Long]("user_id") == 8L)
   }
 
+  test("funnel: strict in-order matching — re-orderings and missing " +
+      "steps cap the furthest step; users without step 1 are excluded") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)), // full
+      (2L, "click", t(1)), (2L, "view", t(2)),                // click first
+      (3L, "view", t(1)), (3L, "purchase", t(2)),             // skipped click
+      (4L, "click", t(1)), (4L, "purchase", t(2)),            // no view at all
+      (5L, "view", t(1)), (5L, "purchase", t(2)), (5L, "click", t(3)) // p<c
+    ).toDF("user_id", "event_type", "ts")
+      .select($"user_id", $"ts", $"event_type")
+    val got = EventWindows.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2), got.toString)
+  }
+
   test("streaming tumbling over MemoryStream matches batch on same data") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
