@@ -43,6 +43,25 @@ object QFixtures {
     })
   }
 
+  private val bucketedDbs = scala.collection.mutable.HashSet.empty[String]
+
+  /** Memoized bucketed-fixture database (session catalog): orders and
+    * customer both hash-bucketed on custkey into the same bucket count, so
+    * the q104 join plans with zero exchange. One write per JVM per sfDir. */
+  def bucketedDb(spark: SparkSession, sfDir: String): String = synchronized {
+    val sfName = new java.io.File(sfDir).getName.replace('.', '_')
+    val db = s"graft_bkt_$sfName"
+    if (!bucketedDbs.contains(db)) {
+      Bucketing.ensureDatabase(spark, db, s"/root/repo/target/graft_bkt/$sfName")
+      Bucketing.writeBucketed(spark, db, "orders_b",
+        t(spark, sfDir, "orders"), nBuckets = 8, Seq("o_custkey"))
+      Bucketing.writeBucketed(spark, db, "customer_b",
+        t(spark, sfDir, "customer"), nBuckets = 8, Seq("c_custkey"))
+      bucketedDbs += db
+    }
+    db
+  }
+
   /** Separate lakehouse for the write-roundtrip query (keeps getTables on
     * the main lakehouse deterministic). */
   def rtLakehouse(spark: SparkSession, sfDir: String): LakehouseProps = synchronized {
@@ -1986,5 +2005,149 @@ object Queries {
         |       ELSE 1 END AS furthest_step
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin)),
+
+    // ---- classic OLAP analytics (ext/Analytics) ----------------------------
+    // ROLLUP subtotals in one pass; grouping_id disambiguates subtotal rows
+    // from genuine NULL group values (same bit convention both engines).
+    Q("q97_rollup_orders",
+      (s, dir) => Analytics.rollupAgg(t(s, dir, "orders"),
+          Seq("o_orderpriority", "o_orderstatus"), "o_totalprice")
+        .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus")),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS INT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // Pivoted per-user event-type counts; the value list is explicit (an
+    // implicit pivot would cost a distinct-scan and make the schema
+    // data-dependent).
+    Q("q98_pivot_events",
+      (s, dir) => Analytics.pivotCounts(ev(s, dir), "user_id", "event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Weekly cohort retention (cohort = ISO week of first event; both
+    // engines truncate weeks to Monday; DuckDB's date_trunc returns DATE so
+    // the oracle casts back to TIMESTAMP to match Spark's schema).
+    Q("q99_cohort_retention",
+      (s, dir) => Analytics.cohortRetention(ev(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH fs AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+        |  CAST(date_diff('day', cw, date_trunc('week', e.ts)) // 7 AS INT)
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-user sliding 1-hour mean of `value`: RANGE frame over epoch
+    // micros (tie-safe, gap-safe). Exact decimal frame sum, then ONE
+    // double/double division — bit-identical across engines.
+    Q("q100_moving_average",
+      (s, dir) => Analytics.movingAverage(ev(s, dir), "user_id", "ts",
+          "value", windowMicros = 3600000000L)
+        .select("event_id", "user_id", "avg_val")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE) AS avg_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
+    // Exact heavy hitters (top-20 part keys by line count, deterministic
+    // tie-break). The Misra-Gries candidate-pruned variant is spec-verified
+    // equal to this on the same fixture (AnalyticsSpec).
+    Q("q101_heavy_hitters",
+      (s, dir) => Analytics.heavyHitters(t(s, dir, "lineitem"), "l_partkey", 20),
+      Some("""SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt DESC, l_partkey LIMIT 20""".stripMargin)),
+
+    // ---- n-gram language model (ext/LangModel) -----------------------------
+    // Bigram-LM junk scoring, integer-exact form: train the bigram set on
+    // 80% of docs (doc_id % 5 != 0), score the held-out 20% by unseen-bigram
+    // rate. The floating cross-entropy variant is spec-verified (log sums
+    // aren't bit-portable across engines; counts are).
+    Q("q102_bigram_surprise",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        LangModel.bigramSurprise(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM tok0 WHERE w <> ''),
+        |bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |model AS (SELECT DISTINCT w1, w2 FROM bg WHERE doc_id % 5 <> 0),
+        |sc AS (
+        |  SELECT bg.doc_id, m.w1 IS NOT NULL AS seen
+        |  FROM bg LEFT JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |  WHERE bg.doc_id % 5 = 0)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_unseen,
+        |  CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS unseen_rate
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- shuffle-reduction joins -------------------------------------------
+    // Bloom semi-join: the build side's key set rides a broadcast Bloom
+    // filter that drops ~80% of fact rows BEFORE the shuffle; the real join
+    // then removes false positives, so the result equals the plain join.
+    Q("q103_bloom_semi_join",
+      (s, dir) => Joins.bloomSemiJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+          "l_orderkey", expectedKeys = 200000L)
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000.0
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Bucketed co-located join: both tables pre-hash-clustered on custkey
+    // into the same bucket count, so join AND the keyed aggregation after
+    // it plan with zero exchange (asserted in AnalyticsSpec with broadcast
+    // disabled).
+    Q("q104_bucketed_join",
+      (s, dir) => {
+        val db = bucketedDb(s, dir)
+        Bucketing.table(s, db, "orders_b")
+          .join(Bucketing.table(s, db, "customer_b"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

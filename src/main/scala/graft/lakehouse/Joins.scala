@@ -117,4 +117,31 @@ object Joins {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** Bloom-filter semi-join reduction: when the build side is small but
+    * past the broadcast-HASH-TABLE budget, a Bloom filter over its keys IS
+    * broadcastable — probe it on the fact side BEFORE the shuffle, so only
+    * may-match rows (selectivity + false-positive rate) pay exchange and
+    * sort cost. The subsequent real join removes Bloom false positives, so
+    * the result is exactly the plain join (what Spark's own
+    * InjectRuntimeFilter does for suitable shapes; this is the explicit
+    * operator form with a chosen fpp). `expectedKeys` sizes the filter —
+    * pass the build side's approximate distinct count. */
+  def bloomSemiJoin(fact: DataFrame, build: DataFrame, key: String,
+      expectedKeys: Long, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    // pre-filtering the fact side is only sound when unmatched fact rows
+    // are dropped anyway — an outer join here would lose rows
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloomSemiJoin only supports inner/left_semi, got $joinType")
+    // one bounded action on the BUILD side only (it is small by contract);
+    // the fact side stays untouched until the filtered join executes.
+    // Both sides probe the STRING rendering: sketch.BloomFilter hashes
+    // longs and strings differently, so build and probe must agree on one.
+    val bf = build.select(col(key).cast("string").as(key))
+      .stat.bloomFilter(key, math.max(expectedKeys, 1L), fpp)
+    val mightContain = udf((k: String) => k != null && bf.mightContainString(k))
+    fact.filter(mightContain(col(key).cast("string")))
+      .join(build, Seq(key), joinType)
+  }
 }

@@ -1,0 +1,132 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic OLAP analytics operators over the fixture star schema — the
+  * query shapes an analytics engine serves daily (rollup reports, pivoted
+  * dashboards, cohort retention, sliding time-window metrics, heavy
+  * hitters). All are single-shuffle plans built from Catalyst built-ins;
+  * the distributed parts (partial aggregation, range-frame windows,
+  * per-partition candidate pruning) are what make them hold at 100 TB.
+  */
+object Analytics {
+
+  /** ROLLUP aggregation: per-(dims prefix) subtotals + grand total, with
+    * `grouping_id` distinguishing subtotal levels (NULL group values are
+    * ambiguous on nullable dims; gid is not). Catalyst expands the rollup
+    * into grouping sets evaluated in ONE pass over the data — partial
+    * aggregation still applies, so at 100 TB this costs one shuffle of
+    * (|dims|+1) × |groups| partial rows, not |dims|+1 scans. */
+  def rollupAgg(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
+    df.rollup(dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        // exact DECIMAL sum then one cast back: order-independent across
+        // engines (a raw double sum is not associative)
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_val"),
+        grouping_id().cast("int").as("gid"))
+
+  /** Pivot: one row per `keyCol` group, one count column per pivot value.
+    * `values` must be explicit — at 100 TB a distinct-scan just to learn
+    * the column list is a full extra pass, and implicit pivots make the
+    * output schema data-dependent (a pipeline hazard). Single shuffle on
+    * keyCol; the per-value counts are map-side partial like any agg. */
+  def pivotCounts(df: DataFrame, keyCol: String, pivotCol: String,
+      values: Seq[String]): DataFrame =
+    df.groupBy(col(keyCol)).pivot(pivotCol, values).count()
+      .na.fill(0L, values)
+
+  /** Weekly cohort retention: users are assigned to the ISO week of their
+    * first event (their cohort); the output counts distinct users active
+    * per (cohort_week, weeks-since-cohort offset). Two shuffles total —
+    * one for the per-user first-event agg, one for the final (cohort,
+    * offset) distinct-count — both on compact keys; the raw event table is
+    * scanned exactly once. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("activity_week"))
+      .join(firstSeen, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("activity_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Per-key sliding time-window average of `valueCol`: for each row, the
+    * mean over that key's rows in [ts - windowMicros, ts]. RANGE frame on
+    * epoch MICROS (not a row frame — ties and irregular event spacing make
+    * row frames wrong; not seconds — sub-second events would alias). One
+    * shuffle on keyCol; within a partition the frame is a two-pointer pass,
+    * O(n) amortized. Sum in exact DECIMAL so the result doesn't depend on
+    * intra-frame order. */
+  def movingAverage(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__micros"))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    events
+      .withColumn("__micros", unix_micros(col(tsCol)))
+      // exact decimal frame-sum cast to double, THEN one double/double
+      // division: decimal-by-long division rounds by engine-specific
+      // precision rules, but IEEE double division is correctly rounded
+      // everywhere, so this form is bit-identical cross-engine
+      .withColumn("avg_val",
+        sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .drop("__micros")
+  }
+
+  /** Exact heavy hitters: the k most frequent values of `keyCol`, ties
+    * broken by value asc (deterministic). groupBy-count is map-side
+    * partial, so the shuffle carries one row per DISTINCT key per task —
+    * then TakeOrdered(k) merges on the driver without a global sort. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+
+  /** Approximate-then-exact heavy hitters for when the distinct-key count
+    * itself is too large to shuffle (URLs, n-grams at 100 TB): a
+    * per-partition Misra–Gries pass keeps `capacity` counters and emits
+    * surviving candidate keys; only candidates are then counted exactly
+    * and top-k'd. Misra–Gries guarantees every key with global frequency
+    * > N/capacity survives SOME partition's summary, so with capacity ≥
+    * the inverse frequency of the true k-th hitter the result equals
+    * [[heavyHitters]] exactly — verified in AnalyticsSpec. The shuffle
+    * carries at most numPartitions × capacity candidate keys plus the
+    * (pre-filtered) exact recount. */
+  def heavyHittersMG(df: DataFrame, keyCol: String, k: Int, capacity: Int): DataFrame = {
+    val keys = df.select(col(keyCol).cast("string"))
+    val candidates = keys
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { row =>
+          val key = if (row.isNullAt(0)) null else row.getString(0)
+          if (counters.contains(key)) counters(key) += 1L
+          else if (counters.size < capacity) counters(key) = 1L
+          else {
+            // decrement-all step; drop zeroed counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.keysIterator.foreach { c =>
+              val n = counters(c) - 1L
+              if (n == 0L) dead += c else counters(c) = n
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator.map(org.apache.spark.sql.Row(_))
+      }(org.apache.spark.sql.Encoders.row(
+        new org.apache.spark.sql.types.StructType()
+          .add("cand", org.apache.spark.sql.types.StringType)))
+      .distinct()
+    df.join(broadcast(candidates),
+        col(keyCol).cast("string") <=> col("cand"), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+  }
+}

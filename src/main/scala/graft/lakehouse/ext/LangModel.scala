@@ -1,0 +1,90 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language-model training and scoring — the classic
+  * corpus-quality signal in training-data pipelines (score held-out text
+  * against a model of the reference corpus; low likelihood = junk or
+  * off-domain). Counts are exact and distributed; only the model HEAD (the
+  * smoothing constants) touches the driver.
+  */
+object LangModel {
+
+  /** (doc_id, position, token) over lowercased whitespace tokenization.
+    * Positions are CONSECUTIVE over the surviving (non-empty) tokens —
+    * bigram adjacency must be over the filtered sequence, so positions are
+    * re-ranked after the empty-token filter, one shuffle on doc. */
+  private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("rawPos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("rawPos"))))
+      .drop("rawPos")
+
+  /** (doc_id, w1, w2) — one row per adjacent token pair per document.
+    * Built from the token stream with `lead` inside the same per-doc
+    * window that ranked it: no self-join, one shuffle total. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    tokens(docs, idCol, textCol)
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w").as("w1"), col("w2"))
+  }
+
+  /** Exact global bigram counts (the trained model): (w1, w2, c12) plus
+    * per-predecessor totals joinable on w1. Map-side partial aggregation
+    * means the shuffle carries one row per distinct bigram per task — the
+    * standard count-based LM training plan (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007 builds exactly this with
+    * MapReduce). */
+  def trainBigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+
+  /** Score `scoreDocs` against a trained bigram set: per document, the
+    * total bigram count, how many are UNSEEN in training, and the unseen
+    * rate. Integer counts (exactly verifiable cross-engine); the rate is a
+    * single IEEE division of the two counts. The model side joins as a
+    * distinct (w1,w2) key set — at 100 TB both sides shuffle on the bigram
+    * key (AQE broadcasts it when the model is small). */
+  def bigramSurprise(trainDocs: DataFrame, scoreDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val model = trainBigramCounts(trainDocs, idCol, textCol)
+      .select(col("w1"), col("w2"), lit(1).as("__seen"))
+    bigrams(scoreDocs, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("unseen_rate",
+        col("n_unseen").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** Per-document cross-entropy (bits per bigram) under an add-one-smoothed
+    * bigram model: H(d) = -(1/n) Σ log2 (c12+1)/(c1+V). Spec-verified
+    * against a hand-computed reference (floating log sums are not
+    * bit-portable across engines, so this op is deliberately NOT in the
+    * DuckDB oracle set — [[bigramSurprise]] is its integer-exact twin).
+    * Plan: bigram join against (w1,w2,c12) and (w1,c1) count frames, V
+    * broadcast as a literal via one driver count. */
+  def crossEntropy(trainDocs: DataFrame, scoreDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val big = trainBigramCounts(trainDocs, idCol, textCol)
+    val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = tokens(trainDocs, idCol, textCol)
+      .select(col("w")).distinct().count()
+    bigrams(scoreDocs, idCol, textCol)
+      .join(big, Seq("w1", "w2"), "left_outer")
+      .join(uni, Seq("w1"), "left_outer")
+      .select(col(idCol),
+        (-log(2.0, (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocab).cast("double"))).as("bits"))
+      .groupBy(col(idCol))
+      .agg(avg(col("bits")).as("bits_per_bigram"), count(lit(1)).as("n_bigrams"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.lakehouse.ext
+
+import java.sql.Timestamp
+import graft.lakehouse.{Bucketing, Joins, SparkSuite}
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("rollupAgg: leaf rows + subtotals + grand total, gid disambiguates") {
+    val df = Seq(("a", "x", 10.0), ("a", "y", 20.0), ("b", "x", 5.0))
+      .toDF("d1", "d2", "v")
+    val out = Analytics.rollupAgg(df, Seq("d1", "d2"), "v")
+      .collect().map(r => (r.getAs[String]("d1"), r.getAs[String]("d2"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("sum_val"), r.getAs[Int]("gid")))
+      .toSet
+    assert(out == Set(
+      ("a", "x", 1L, 10.0, 0), ("a", "y", 1L, 20.0, 0), ("b", "x", 1L, 5.0, 0),
+      ("a", null, 2L, 30.0, 1), ("b", null, 1L, 5.0, 1),
+      (null, null, 3L, 35.0, 3)), out.toString)
+  }
+
+  test("pivotCounts: explicit values, absent combos fill 0") {
+    val df = Seq((1L, "click"), (1L, "click"), (2L, "view")).toDF("u", "t")
+    val out = Analytics.pivotCounts(df, "u", "t", Seq("click", "view", "error"))
+      .collect().map(r => r.getAs[Long]("u") ->
+        (r.getAs[Long]("click"), r.getAs[Long]("view"), r.getAs[Long]("error")))
+      .toMap
+    assert(out == Map(1L -> ((2L, 0L, 0L)), 2L -> ((0L, 1L, 0L))), out.toString)
+  }
+
+  test("cohortRetention: users counted in their first-event week's cohort " +
+      "at each week offset") {
+    def w(d: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-$d%02d 03:$m%02d:00")
+    // u1 first event week of Jan 1, active weeks 0 and 2; u2 week of Jan 8
+    val ev = Seq((1L, w(2)), (1L, w(16)), (2L, w(9)), (2L, w(10)))
+      .toDF("user_id", "ts")
+    val out = Analytics.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("cohort_week").toString.take(10),
+        r.getAs[Int]("week_offset"), r.getAs[Long]("n_users"))).toSet
+    assert(out == Set(("2024-01-01", 0, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L)), out.toString)
+  }
+
+  test("movingAverage: RANGE frame includes exactly the trailing window, " +
+      "ties are peers") {
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(30), 3.0), (1L, ts(59), 5.0),
+      // 61min after the first event: frame drops the 1.0
+      (2L, ts(0), 10.0), (2L, ts(0), 20.0) // tie: both frames see both rows
+    ).toDF("user_id", "ts", "value")
+    val got = Analytics.movingAverage(ev, "user_id", "ts", "value",
+        windowMicros = 3600000000L)
+      .select("user_id", "ts", "avg_val")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    assert(got.contains((1L, ts(59), 3.0)), got.toString) // (1+3+5)/3
+    assert(got.contains((2L, ts(0), 15.0)), got.toString) // tie peers
+  }
+
+  test("heavyHittersMG equals exact heavyHitters when capacity exceeds " +
+      "the distinct-key count") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val exact = Analytics.heavyHitters(li, "l_partkey", 20).collect().toSeq
+    val mg = Analytics.heavyHittersMG(li, "l_partkey", 20, capacity = 256)
+      .collect().toSeq
+    assert(mg == exact)
+  }
+
+  test("heavyHittersMG: skewed keys above the N/capacity threshold are " +
+      "exactly recovered with a small capacity") {
+    val rows = Seq.fill(1000)("hot") ++ Seq.fill(500)("warm") ++
+      Seq.fill(250)("mild") ++ (1 to 2000).map(i => s"u$i")
+    val df = rows.toDF("k").repartition(8)
+    val got = Analytics.heavyHittersMG(df, "k", 3, capacity = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hot", 1000L), ("warm", 500L), ("mild", 250L)), got.toString)
+  }
+
+  test("bloomSemiJoin equals the plain inner join (false positives removed, " +
+      "null keys dropped like any inner join)") {
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+      .union(Seq((Option.empty[Long], "n")).toDF("k", "v"))
+    val build = Seq((1L, 10.0), (3L, 30.0)).toDF("k", "w")
+    val got = Joins.bloomSemiJoin(fact, build, "k", expectedKeys = 10)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val plain = fact.join(build, Seq("k"), "inner")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.sameElements(plain), got.mkString(","))
+    intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(fact, build, "k", 10, joinType = "left_outer")
+    }
+  }
+
+  test("bucketed join + keyed aggregation plans with zero hash exchange " +
+      "(broadcast disabled)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val db = graft.QFixtures.bucketedDb(spark, sf0001)
+      val joined = Bucketing.table(spark, db, "orders_b")
+        .join(Bucketing.table(spark, db, "customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      val finalP = { val c = p.indexOf("== Initial Plan =="); if (c >= 0) p.take(c) else p }
+      assert(!finalP.contains("Exchange hashpartitioning"), finalP)
+      assert(finalP.contains("SortMergeJoin"), finalP)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+
+class LangModelSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("trainBigramCounts: exact adjacent-pair counts over lowercased, " +
+      "whitespace-normalized tokens") {
+    val docs = Seq((1L, "A b  a b"), (2L, " b a ")).toDF("doc_id", "text")
+    val got = LangModel.trainBigramCounts(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // doc1: (a,b),(b,a),(a,b); doc2: (b,a) — leading/extra spaces drop out
+    assert(got == Set(("a", "b", 2L), ("b", "a", 2L)), got.toString)
+  }
+
+  test("bigramSurprise: unseen count over the held-out side only") {
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b x c"), (11L, "z")).toDF("doc_id", "text")
+    val got = LangModel.bigramSurprise(train, score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList.sortBy(_._1)
+    // doc10 bigrams: (a,b) seen, (b,x) unseen, (x,c) unseen; doc11: none (1 token)
+    assert(got == List((10L, 3L, 2L, 2.0 / 3.0)), got.toString)
+  }
+
+  test("crossEntropy matches the hand-computed add-one-smoothed model") {
+    // train "a b a b": bigrams (a,b)x2, (b,a)x1; c1: a->2, b->1; V=2
+    // score "a b c": P(b|a)=(2+1)/(2+2)=3/4, P(c|b)=(0+1)/(1+2)=1/3
+    // bits = (-log2(3/4) - log2(1/3)) / 2 = -log2(1/4)/2 = 1.0
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val r = LangModel.crossEntropy(train, score, "doc_id", "text").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_bigrams") == 2L)
+    assert(math.abs(r(0).getAs[Double]("bits_per_bigram") - 1.0) < 1e-9, r(0).toString)
+  }
+
+  test("crossEntropy: fully-unseen predecessors fall back to the uniform " +
+      "1/V floor (no division by zero, no NaN)") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "x y")).toDF("doc_id", "text")
+    val r = LangModel.crossEntropy(train, score, "doc_id", "text").collect()
+    // V=2: P(y|x) = (0+1)/(0+2) = 1/2 -> 1 bit
+    assert(math.abs(r(0).getAs[Double]("bits_per_bigram") - 1.0) < 1e-9, r(0).toString)
+  }
+}
