@@ -2149,5 +2149,77 @@ object Queries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Top-3 orders per priority by price; tie-break on orderkey makes the
+    // top-N a total order (nondeterministic top-N is a silent-flake factory).
+    Q("q105_topn_per_group",
+      (s, dir) => Analytics.topNPerGroup(
+          t(s, dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+        .orderBy("o_orderpriority", "rn"),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders QUALIFY rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // Fixed-width price histogram: integer bin ids from floor division,
+    // no float bin-edge comparisons to disagree on.
+    Q("q106_histogram",
+      (s, dir) => Analytics.histogram(t(s, dir, "orders"), "o_totalprice", 25000.0)
+        .orderBy("bin"),
+      Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        |  count(*) AS cnt,
+        |  CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Hourly forward-filled resampling per user, verified against DuckDB's
+    // native ASOF LEFT JOIN (same-instant events pre-reduced with max so
+    // both engines pick the same row).
+    Q("q107_resample_ffill",
+      (s, dir) => Analytics.resampleFFill(ev(s, dir), "user_id", "ts",
+          "value", "1 HOUR")
+        .orderBy("user_id", "ts"),
+      Some("""WITH dedup AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(date_trunc('hour', min(ts)),
+        |    max(ts), INTERVAL 1 HOUR)) AS ts
+        |  FROM events GROUP BY user_id)
+        |SELECT g.user_id, g.ts, e.value AS value_asof
+        |FROM grid g ASOF LEFT JOIN dedup e
+        |  ON g.user_id = e.user_id AND e.ts <= g.ts
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Daily revenue with period-over-period change; the lag window runs
+    // over one row per day (post-aggregation), not over raw orders.
+    Q("q108_period_over_period",
+      (s, dir) => Analytics.periodOverPeriod(t(s, dir, "orders"),
+          "o_orderdate", "o_totalprice", "day")
+        .orderBy("period"),
+      Some("""WITH agg AS (
+        |  SELECT date_trunc('day', o_orderdate) AS p,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(p AS TIMESTAMP) AS period, total,
+        |  lag(total) OVER (ORDER BY p) AS prev_total,
+        |  (total - lag(total) OVER (ORDER BY p))
+        |    / lag(total) OVER (ORDER BY p) AS pct_change
+        |FROM agg ORDER BY period""".stripMargin)),
+
+    // Decile stats over order price (ntile is SQL-standard: equal-count
+    // buckets, remainder to the earlier buckets — identical both engines).
+    Q("q109_ntile_deciles",
+      (s, dir) => Analytics.ntileStats(t(s, dir, "orders"),
+          "o_totalprice", "o_orderkey", 10)
+        .orderBy("bucket"),
+      Some("""WITH t AS (
+        |  SELECT o_totalprice, CAST(ntile(10) OVER (
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS cnt, min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -89,6 +89,74 @@ object Analytics {
       .orderBy(col("cnt").desc, col(keyCol).asc)
       .limit(k)
 
+  /** Top-N rows per group by `orderCol` descending, ties broken by
+    * `tieCol` ascending (a total order — nondeterministic top-N is a
+    * silent-flake factory). One shuffle on the group key; row_number is
+    * rank-limited inside each partition, never a global sort. */
+  def topNPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).asc)
+    df.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= n)
+  }
+
+  /** Fixed-width histogram of `valueCol`: bin i covers
+    * [i*binWidth, (i+1)*binWidth). Integer bin ids from floor division —
+    * exact cross-engine (no float bin-edge comparisons). One partial-agg
+    * shuffle of (bins) rows. */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", col("bin") * binWidth)
+
+  /** Time-series resampling with forward fill: per key, an hourly (or any
+    * `step`) grid from the key's first to last observation, each grid point
+    * carrying the latest `valueCol` at or before it. Events at the same
+    * (key, ts) are pre-reduced with max() so the as-of pick is
+    * deterministic. Grid generation is per-key `sequence` (no cross join
+    * against a global calendar); the fill itself is [[TemporalJoins
+    * .asofJoin]] — one union + one windowed carry, one shuffle. */
+  def resampleFFill(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, step: String): DataFrame = {
+    val dedup = events.groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valueCol)).as(valueCol))
+    val grid = events.groupBy(col(keyCol))
+      .agg(date_trunc("hour", min(col(tsCol))).as("__lo"), max(col(tsCol)).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), expr(s"INTERVAL $step")))
+          .as(tsCol))
+    TemporalJoins.asofJoin(grid, dedup, Seq(keyCol), tsCol, Seq(valueCol))
+  }
+
+  /** Period-over-period change: bucket `tsCol` by `period` (date_trunc
+    * unit), sum `valueCol` exactly per bucket, and attach the previous
+    * bucket's total and the relative change. The lag window is over ONE
+    * row per period — after the aggregation, so the window input is tiny
+    * regardless of raw data size. */
+  def periodOverPeriod(df: DataFrame, tsCol: String, valueCol: String,
+      period: String): DataFrame = {
+    val agg = df.groupBy(date_trunc(period, col(tsCol)).as("period"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total"))
+    val w = Window.orderBy(col("period"))
+    agg.withColumn("prev_total", lag(col("total"), 1).over(w))
+      .withColumn("pct_change",
+        (col("total") - col("prev_total")) / col("prev_total"))
+  }
+
+  /** Quantile-bucket stats: ntile(`n`) over (`valueCol`, `tieCol`) total
+    * order, then per-bucket count/min/max. The global sort for ntile is the
+    * honest cost (equal-COUNT buckets need a total order); for rank-free
+    * quantiles at 100 TB use approx_percentile instead. */
+  def ntileStats(df: DataFrame, valueCol: String, tieCol: String, n: Int): DataFrame = {
+    val w = Window.orderBy(col(valueCol).asc, col(tieCol).asc)
+    df.withColumn("bucket", ntile(n).over(w).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
   /** Approximate-then-exact heavy hitters for when the distinct-key count
     * itself is too large to shuffle (URLs, n-grams at 100 TB): a
     * per-partition Misra–Gries pass keeps `capacity` counters and emits

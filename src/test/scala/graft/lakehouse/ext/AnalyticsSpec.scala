@@ -61,6 +61,58 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.contains((2L, ts(0), 15.0)), got.toString) // tie peers
   }
 
+  test("topNPerGroup: n per group, desc order, tie goes to smaller tieCol") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 9.0), ("g", 3L, 9.0), ("g", 4L, 1.0))
+      .toDF("grp", "id", "v")
+    val got = Analytics.topNPerGroup(df, Seq("grp"), "v", "id", 2)
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((2L, 1), (3L, 2)), got.toString) // 9.0 tie: id 2 wins
+  }
+
+  test("histogram: floor-division bins, nulls dropped, bin_lo exact") {
+    val df = Seq(Some(0.0), Some(24999.99), Some(25000.0), Some(99.0), None)
+      .toDF("v")
+    val got = Analytics.histogram(df, "v", 25000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((0L, 3L, 0.0), (1L, 1L, 25000.0)), got.toString)
+  }
+
+  test("resampleFFill: hourly grid per key, latest value at-or-before " +
+      "each grid point, null before first observation") {
+    def h(hh: Int, mm: Int = 0) = Timestamp.valueOf(f"2024-01-01 $hh%02d:$mm%02d:00")
+    val ev = Seq((1L, h(10, 30), 5.0), (1L, h(12, 0), 7.0)).toDF("user_id", "ts", "value")
+    val got = Analytics.resampleFFill(ev, "user_id", "ts", "value", "1 HOUR")
+      .collect().map(r => (r.getTimestamp(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // grid from trunc(10:30)=10:00 to 12:00
+    assert(got == Map(h(10) -> None, h(11) -> Some(5.0), h(12) -> Some(7.0)),
+      got.toString)
+  }
+
+  test("periodOverPeriod: exact per-period totals, change vs previous, " +
+      "first period null") {
+    val base = Seq(
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 10.0),
+      (Timestamp.valueOf("2024-01-01 02:00:00"), 30.0),
+      (Timestamp.valueOf("2024-01-02 09:00:00"), 20.0)).toDF("t", "v")
+    val got = Analytics.periodOverPeriod(base, "t", "v", "day")
+      .orderBy("period").collect()
+      .map(r => (r.getAs[Double]("total"), Option(r.getAs[Any]("prev_total")),
+        Option(r.getAs[Any]("pct_change"))))
+    assert(got(0) == ((40.0, None, None)), got.mkString(","))
+    assert(got(1)._1 == 20.0 && got(1)._2 == Some(40.0), got.mkString(","))
+    assert(got(1)._3 == Some(-0.5), got.mkString(","))
+  }
+
+  test("ntileStats: equal-count buckets with remainder to earlier buckets") {
+    val df = (1L to 11L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val got = Analytics.ntileStats(df, "v", "id", 3)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, 4L, 1.0, 4.0), (2, 4L, 5.0, 8.0),
+      (3, 3L, 9.0, 11.0)), got.mkString(","))
+  }
+
   test("heavyHittersMG equals exact heavyHitters when capacity exceeds " +
       "the distinct-key count") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
