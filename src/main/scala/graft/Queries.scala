@@ -1910,7 +1910,13 @@ object Queries {
           en.withColumn("__norm",
             regexp_replace(lower(col("text")), "\\s+", " ")),
           Seq("__norm"), "doc_id")
-        val sources = deduped.select("source").distinct().collect()
+        // strata from the RAW table (cheap column-distinct), not from
+        // `deduped` — collecting at the end of the pipeline would execute
+        // the whole UDF+shuffle chain twice (once for the driver collect,
+        // again for the returned frame). Extra strata that end up empty
+        // after filtering are harmless: their membership threshold simply
+        // never matches. Same convention as q55/q90.
+        val sources = docs.select("source").distinct().collect()
           .map(_.getString(0))
         Packing.portableSampleMixture(deduped.select("doc_id", "source"),
           "doc_id", "source", sources.map(_ -> 0.5).toMap, seed = 11L)
@@ -2204,8 +2210,9 @@ object Queries {
         |  FROM orders GROUP BY 1)
         |SELECT CAST(p AS TIMESTAMP) AS period, total,
         |  lag(total) OVER (ORDER BY p) AS prev_total,
-        |  (total - lag(total) OVER (ORDER BY p))
-        |    / lag(total) OVER (ORDER BY p) AS pct_change
+        |  CASE WHEN lag(total) OVER (ORDER BY p) <> 0 THEN
+        |    (total - lag(total) OVER (ORDER BY p))
+        |      / lag(total) OVER (ORDER BY p) END AS pct_change
         |FROM agg ORDER BY period""".stripMargin)),
 
     // Decile stats over order price (ntile is SQL-standard: equal-count

@@ -49,7 +49,4 @@ object Bucketing {
 
   def table(spark: SparkSession, db: String, name: String): DataFrame =
     spark.table(s"`$db`.`$name`")
-
-  def tableExists(spark: SparkSession, db: String, name: String): Boolean =
-    spark.catalog.databaseExists(db) && spark.catalog.tableExists(s"`$db`.`$name`")
 }

@@ -1430,10 +1430,14 @@ object TableIO {
   }
 
   /** Read a line-delimited JSON export with a pinned schema (see
-    * [[exportTableJsonl]] for why inference is banned on the read path). */
+    * [[exportTableJsonl]] for why inference is banned on the read path).
+    * FAILFAST: a corrupt/truncated line (killed writer, disk-full) must be
+    * an error, not a silent all-null phantom row — this is an exact
+    * interchange path, and PERMISSIVE's null-row fallback would let a
+    * damaged export ingest cleanly with no signal. */
   def importJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
   /** Time-travel read: scan a specific committed version (within the
     * retention window — older versions are swept by [[Versioned.vacuum]]). */

@@ -111,19 +111,22 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("bin_lo", col("bin") * binWidth)
 
-  /** Time-series resampling with forward fill: per key, an hourly (or any
-    * `step`) grid from the key's first to last observation, each grid point
-    * carrying the latest `valueCol` at or before it. Events at the same
+  /** Time-series resampling with forward fill: per key, a `step`-spaced
+    * grid from the key's first to last observation, each grid point
+    * carrying the latest `valueCol` at or before it. `originTrunc` aligns
+    * the grid origin (date_trunc unit) and must match the step granularity
+    * — e.g. step "1 DAY" with originTrunc "day" — or grid points land
+    * mid-period and the final period can be skipped. Events at the same
     * (key, ts) are pre-reduced with max() so the as-of pick is
     * deterministic. Grid generation is per-key `sequence` (no cross join
     * against a global calendar); the fill itself is [[TemporalJoins
     * .asofJoin]] — one union + one windowed carry, one shuffle. */
   def resampleFFill(events: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, step: String): DataFrame = {
+      valueCol: String, step: String, originTrunc: String = "hour"): DataFrame = {
     val dedup = events.groupBy(col(keyCol), col(tsCol))
       .agg(max(col(valueCol)).as(valueCol))
     val grid = events.groupBy(col(keyCol))
-      .agg(date_trunc("hour", min(col(tsCol))).as("__lo"), max(col(tsCol)).as("__hi"))
+      .agg(date_trunc(originTrunc, min(col(tsCol))).as("__lo"), max(col(tsCol)).as("__hi"))
       .select(col(keyCol),
         explode(sequence(col("__lo"), col("__hi"), expr(s"INTERVAL $step")))
           .as(tsCol))
@@ -141,8 +144,11 @@ object Analytics {
       .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total"))
     val w = Window.orderBy(col("period"))
     agg.withColumn("prev_total", lag(col("total"), 1).over(w))
+      // NULL (not Infinity/NaN) when the previous period netted to zero —
+      // Infinity poisons downstream aggregates and isn't valid JSON
       .withColumn("pct_change",
-        (col("total") - col("prev_total")) / col("prev_total"))
+        when(col("prev_total") =!= 0.0,
+          (col("total") - col("prev_total")) / col("prev_total")))
   }
 
   /** Quantile-bucket stats: ntile(`n`) over (`valueCol`, `tieCol`) total

@@ -62,43 +62,6 @@ object EventWindows {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 
-  /** Streaming tumbling-window aggregation with a watermark; append mode.
-    * Same agg expressions as [[tumbling]]. */
-  def streamingTumbling(events: DataFrame, tsCol: String, width: String,
-      watermark: String): DataFrame =
-    events
-      .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), width), col("event_type"))
-      .agg(count("*").as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
-        col("event_type"), col("n_events"), col("total_value"))
-
-  /** Stream-ingest into a versioned lakehouse table. With `accumulate =
-    * true`, each micro-batch APPENDS atomically via
-    * [[graft.lakehouse.TableIO.appendTable]] — the published table IS the
-    * accumulator (no in-memory state), so bytes written per batch is
-    * O(batch), restarts resume from the durable table instead of silently
-    * starting empty, and readers always see a complete consistent version.
-    * With `accumulate = false` each batch atomically replaces the table
-    * (latest-batch snapshot semantics). Returns the started query; callers
-    * own its lifecycle.
-    *
-    * This is the "bronze table" ingest shape: Structured Streaming handles
-    * watermarks/source offsets, the Versioned manifest commit makes each
-    * batch's publish atomic. Accumulate-mode appends are EXACTLY-once:
-    * the batch watermark `txn:<appId> = batchId` commits atomically with
-    * the data (Delta's txnAppId/txnVersion idempotent-write pattern, same
-    * key convention as [[graft.lakehouse.streaming.VersionedTableSink]]),
-    * so a batch replayed after a crash between append commit and
-    * checkpoint advance is recognized and skipped. Overwrite mode is
-    * naturally idempotent (replay rewrites the same snapshot). `appId`
-    * defaults to the checkpoint path (the stream's durable identity);
-    * with NEITHER set the watermark is off — a checkpoint-less query can
-    * never replay (there is nothing to recover from), and a fresh query's
-    * batch numbering restarts at 0, which a per-table default would
-    * wrongly read as a replay of the previous query's batches. */
   /** Ordered funnel analysis: for each user, the furthest step of `steps`
     * completed IN ORDER — step k counts only if an event of its type
     * occurs STRICTLY after the user's earliest completion of step k-1
@@ -139,6 +102,43 @@ object EventWindows {
     joined.select(col(userCol), furthest.as("furthest_step"))
   }
 
+  /** Streaming tumbling-window aggregation with a watermark; append mode.
+    * Same agg expressions as [[tumbling]]. */
+  def streamingTumbling(events: DataFrame, tsCol: String, width: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count("*").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Stream-ingest into a versioned lakehouse table. With `accumulate =
+    * true`, each micro-batch APPENDS atomically via
+    * [[graft.lakehouse.TableIO.appendTable]] — the published table IS the
+    * accumulator (no in-memory state), so bytes written per batch is
+    * O(batch), restarts resume from the durable table instead of silently
+    * starting empty, and readers always see a complete consistent version.
+    * With `accumulate = false` each batch atomically replaces the table
+    * (latest-batch snapshot semantics). Returns the started query; callers
+    * own its lifecycle.
+    *
+    * This is the "bronze table" ingest shape: Structured Streaming handles
+    * watermarks/source offsets, the Versioned manifest commit makes each
+    * batch's publish atomic. Accumulate-mode appends are EXACTLY-once:
+    * the batch watermark `txn:<appId> = batchId` commits atomically with
+    * the data (Delta's txnAppId/txnVersion idempotent-write pattern, same
+    * key convention as [[graft.lakehouse.streaming.VersionedTableSink]]),
+    * so a batch replayed after a crash between append commit and
+    * checkpoint advance is recognized and skipped. Overwrite mode is
+    * naturally idempotent (replay rewrites the same snapshot). `appId`
+    * defaults to the checkpoint path (the stream's durable identity);
+    * with NEITHER set the watermark is off — a checkpoint-less query can
+    * never replay (there is nothing to recover from), and a fresh query's
+    * batch numbering restarts at 0, which a per-table default would
+    * wrongly read as a replay of the previous query's batches. */
   /** The exactly-once txn-watermark pair shared by the ingest operators:
     * the manifest-meta key `txn:<appId|checkpoint>` and a reader of the
     * last batch id committed under it (the same convention

@@ -320,4 +320,20 @@ class TableIOSpec extends SparkSuite {
       (2L, None, None), (3L, Some(""), Some(0.0))), back)
     TableIO.dropTable(spark, lh, "jsonl_rt")
   }
+
+  test("importJsonl FAILFASTs on a corrupt line instead of yielding a " +
+      "phantom all-null row") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_corrupt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-00000.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "trunca""".stripMargin)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType)
+    val e = intercept[org.apache.spark.SparkException] {
+      TableIO.importJsonl(spark, dir, schema).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -89,6 +89,32 @@ class AnalyticsSpec extends SparkSuite {
       got.toString)
   }
 
+  test("resampleFFill: a day step with matching originTrunc aligns the " +
+      "grid to midnight and reaches the last day") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 5.0),
+      (1L, Timestamp.valueOf("2024-01-03 05:00:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.resampleFFill(ev, "user_id", "ts", "value",
+        "1 DAY", originTrunc = "day")
+      .collect().map(r => (r.getTimestamp(1).toString.take(10),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got == Map("2024-01-01" -> None, "2024-01-02" -> Some(5.0),
+      "2024-01-03" -> Some(5.0)), got.toString)
+  }
+
+  test("periodOverPeriod: zero previous total yields NULL pct_change, " +
+      "not Infinity") {
+    val base = Seq(
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 5.0),
+      (Timestamp.valueOf("2024-01-01 02:00:00"), -5.0),
+      (Timestamp.valueOf("2024-01-02 09:00:00"), 20.0)).toDF("t", "v")
+    val got = Analytics.periodOverPeriod(base, "t", "v", "day")
+      .orderBy("period").collect()
+    assert(got(0).getAs[Double]("total") == 0.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("pct_change")), got.mkString(","))
+  }
+
   test("periodOverPeriod: exact per-period totals, change vs previous, " +
       "first period null") {
     val base = Seq(
