@@ -2228,5 +2228,89 @@ object Queries {
         |SELECT bucket, count(*) AS cnt, min(o_totalprice) AS lo,
         |  max(o_totalprice) AS hi
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cumulative distinct users as a prefix sum of per-period first-seen
+    // counts — running-distinct semantics with NO running-distinct state.
+    Q("q110_running_distinct",
+      (s, dir) => Analytics.runningDistinct(ev(s, dir), "user_id", "ts", "day")
+        .orderBy("period"),
+      Some("""WITH f AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS p
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT p, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT CAST(p AS TIMESTAMP) AS period, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM g ORDER BY period""".stripMargin)),
+
+    // Hash-verifiable z-scores: exact decimal moments (Σx, Σx² as
+    // decimal×decimal — never a double product cast to decimal), then
+    // identical IEEE op order both engines.
+    Q("q111_anomaly_zscore",
+      (s, dir) => Analytics.anomalyZScore(ev(s, dir), "user_id", "ts",
+          "value", windowMicros = 3600000000L, minN = 5)
+        .select("event_id", "user_id", "z")
+        .orderBy("event_id"),
+      Some("""WITH t AS (
+        |  SELECT event_id, user_id, value,
+        |    count(value) OVER w AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))
+        |      * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / n > 0
+        |    THEN (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / n) END AS z
+        |FROM t ORDER BY event_id""".stripMargin)),
+
+    // Keyed snapshot reconciliation: the after-image drops every 7th order
+    // and bumps every remaining 5th order's price; the diff must classify
+    // exactly those as removed/changed and nothing else.
+    Q("q112_table_diff",
+      (s, dir) => {
+        val before = t(s, dir, "orders")
+        val after = before.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 100.0)
+              .otherwise(col("o_totalprice")))
+        Quality.diffSnapshots(before, after, Seq("o_orderkey"))
+          .filter(col("change_type") =!= "unchanged")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'removed'
+        |       ELSE 'changed' END AS change_type
+        |FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // dbt-style expectation report: all row-local checks share one
+    // scan-and-aggregate; unique adds a groupBy, the FK an anti-join.
+    Q("q113_expectations",
+      (s, dir) => Quality.expectations(t(s, dir, "orders"), Seq(
+          Quality.NotNull("o_custkey"),
+          Quality.InRange("o_totalprice", 0.0, 1000000.0),
+          Quality.AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+          Quality.Unique(Seq("o_orderkey")),
+          Quality.ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+        .orderBy("check"),
+      Some("""SELECT 'not_null:o_custkey' AS "check",
+        |  count(*) FILTER (o_custkey IS NULL) AS violations FROM orders
+        |UNION ALL SELECT 'in_range:o_totalprice',
+        |  count(*) FILTER (o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0 OR o_totalprice > 1000000)) FROM orders
+        |UNION ALL SELECT 'accepted_values:o_orderstatus',
+        |  count(*) FILTER (o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+        |UNION ALL SELECT 'unique:o_orderkey',
+        |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
+        |    SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+        |    HAVING count(*) > 1)
+        |UNION ALL SELECT 'foreign_key:o_custkey',
+        |  count(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY "check"""".stripMargin)),
   )
 }

@@ -151,6 +151,53 @@ object Analytics {
           (col("total") - col("prev_total")) / col("prev_total")))
   }
 
+  /** Running distinct-user counts without running-distinct state: a user
+    * contributes to the cumulative count from their FIRST-seen period
+    * onward, so cumulative-distinct = prefix sum of per-period first-seen
+    * counts. Two compact-key shuffles (per-user min, per-period count);
+    * the prefix-sum window runs over one row per period. Output rows are
+    * the periods in which at least one user first appeared. */
+  def runningDistinct(events: DataFrame, userCol: String, tsCol: String,
+      period: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(date_trunc(period, min(col(tsCol))).as("period"))
+      .groupBy(col("period")).agg(count(lit(1)).as("new_users"))
+    firstSeen.withColumn("cum_users",
+      sum(col("new_users")).over(
+        Window.orderBy(col("period"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Trailing-window z-score anomaly detection: for each row, z = (x − μ)
+    * / σ over that key's values in [ts − windowMicros, ts]. The moments
+    * are EXACT decimal sums (Σx as DECIMAL(18,6), Σx² as the exact
+    * decimal×decimal product — never a double product cast to decimal),
+    * converted to double once; every remaining step is a correctly-rounded
+    * IEEE op, so the scores are bit-identical cross-engine — a z-score you
+    * can hash-verify. z is null when the frame has fewer than `minN`
+    * values or zero variance. One shuffle on the key; the RANGE frame is
+    * a two-pointer pass per partition. */
+  def anomalyZScore(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowMicros: Long, minN: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__micros"))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    val dec = col(valueCol).cast("decimal(18,6)")
+    events
+      .withColumn("__micros", unix_micros(col(tsCol)))
+      .withColumn("__n", count(col(valueCol)).over(w))
+      .withColumn("__s1", sum(dec).over(w).cast("double"))
+      .withColumn("__s2", sum(dec * dec).over(w).cast("double"))
+      .withColumn("z", {
+        val n = col("__n").cast("double")
+        val mu = col("__s1") / n
+        val varPop = (col("__s2") - col("__s1") * col("__s1") / n) / n
+        when(col("__n") >= minN && varPop > 0.0,
+          (col(valueCol) - mu) / sqrt(varPop))
+      })
+      .drop("__micros", "__n", "__s1", "__s2")
+  }
+
   /** Quantile-bucket stats: ntile(`n`) over (`valueCol`, `tieCol`) total
     * order, then per-bucket count/min/max. The global sort for ntile is the
     * honest cost (equal-COUNT buckets need a total order); for rank-free

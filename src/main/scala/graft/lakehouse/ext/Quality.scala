@@ -1,0 +1,116 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation checks and snapshot reconciliation — the
+  * dbt-test / Great-Expectations surface of a pipeline: declare invariants,
+  * get one violations row per check. Row-level checks fold into a SINGLE
+  * aggregation pass over the table; only uniqueness (a groupBy) and
+  * referential integrity (an anti-join) genuinely need their own shuffle.
+  */
+object Quality {
+
+  sealed trait Expectation { def name: String }
+  /** Violation when `colName` is null. */
+  final case class NotNull(colName: String) extends Expectation {
+    def name = s"not_null:$colName"
+  }
+  /** Violation when non-null `colName` falls outside [lo, hi]. */
+  final case class InRange(colName: String, lo: Double, hi: Double) extends Expectation {
+    def name = s"in_range:$colName"
+  }
+  /** Violation when non-null `colName` is not one of `values`. */
+  final case class AcceptedValues(colName: String, values: Seq[String]) extends Expectation {
+    def name = s"accepted_values:$colName"
+  }
+  /** Violation count = rows beyond the first per duplicated key tuple. */
+  final case class Unique(colNames: Seq[String]) extends Expectation {
+    def name = s"unique:${colNames.mkString(",")}"
+  }
+  /** Violation when non-null `colName` has no match in `parent.parentCol`
+    * (SQL FK semantics: null children are not violations). */
+  final case class ForeignKey(colName: String, parent: DataFrame,
+      parentCol: String) extends Expectation {
+    def name = s"foreign_key:$colName"
+  }
+
+  /** Evaluate all expectations against `df`: one output row per check,
+    * `(check, violations)`. All row-local checks (NotNull / InRange /
+    * AcceptedValues) share ONE scan-and-aggregate; each Unique adds one
+    * groupBy, each ForeignKey one left-anti join against its parent —
+    * nothing here is per-row driver work, so the report costs O(checks)
+    * Spark jobs of bounded output, not O(rows) anything. */
+  def expectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    val spark = df.sparkSession
+    val rowLocal = checks.collect {
+      case e @ NotNull(c) =>
+        e.name -> sum(when(col(c).isNull, 1L).otherwise(0L))
+      case e @ InRange(c, lo, hi) =>
+        e.name -> sum(when(col(c).isNotNull &&
+          (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
+      case e @ AcceptedValues(c, vs) =>
+        e.name -> sum(when(col(c).isNotNull &&
+          !col(c).isin(vs: _*), 1L).otherwise(0L))
+    }
+    val rowLocalDf =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = rowLocal.map { case (n, a) => a.as(n) }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        // one row in, |checks| rows out: unpivot via stack
+        Some(row.selectExpr(
+          s"stack(${rowLocal.size}, " +
+            rowLocal.map { case (n, _) => s"'$n', coalesce(`$n`, 0L)" }
+              .mkString(", ") +
+            ") as (check, violations)"))
+      }
+    val others = checks.flatMap {
+      case Unique(cols) =>
+        val dups = df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"))
+          .withColumn("check", lit(s"unique:${cols.mkString(",")}"))
+          .select("check", "violations")
+        Some(dups)
+      case fk @ ForeignKey(c, parent, pc) =>
+        val orphans = df.filter(col(c).isNotNull)
+          .join(parent.select(col(pc).as(c)).distinct(), Seq(c), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .withColumn("check", lit(fk.name))
+          .select("check", "violations")
+        Some(orphans)
+      case _ => None
+    }
+    (rowLocalDf.toSeq ++ others)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame
+        .withColumn("check", lit("")).withColumn("violations", lit(0L))
+        .limit(0))
+  }
+
+  /** Keyed snapshot diff: classify every key present in `before` or
+    * `after` as added / removed / changed / unchanged (changed = any
+    * non-key column differs, null-safe struct compare). ONE full outer
+    * join on the key — the generic form of what the lakehouse change feed
+    * answers incrementally; use this to reconcile snapshots that don't
+    * share commit history. */
+  def diffSnapshots(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val nonKey = before.columns.filterNot(keyCols.contains).toSeq
+    require(nonKey == after.columns.filterNot(keyCols.contains).toSeq,
+      "diffSnapshots: before/after non-key columns differ")
+    def packed(df: DataFrame, tag: String) = df.select(
+      keyCols.map(col) :+
+        struct(nonKey.map(col): _*).as(s"__v_$tag") :+
+        lit(1).as(s"__in_$tag"): _*)
+    packed(before, "b")
+      .join(packed(after, "a"), keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_b").isNull, lit("added"))
+          .when(col("__in_a").isNull, lit("removed"))
+          .when(col("__v_b") <=> col("__v_a"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
+}

@@ -130,6 +130,39 @@ class AnalyticsSpec extends SparkSuite {
     assert(got(1)._3 == Some(-0.5), got.mkString(","))
   }
 
+  test("runningDistinct: cumulative count equals count of users first " +
+      "seen at or before each period") {
+    def d(dd: Int) = Timestamp.valueOf(f"2024-01-$dd%02d 12:00:00")
+    val ev = Seq((1L, d(1)), (2L, d(1)), (1L, d(2)), (3L, d(3)), (1L, d(3)))
+      .toDF("user_id", "ts")
+    val got = Analytics.runningDistinct(ev, "user_id", "ts", "day")
+      .orderBy("period").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10),
+        r.getAs[Long]("new_users"), r.getAs[Long]("cum_users")))
+    // day 2 has events but no NEW users -> not an output row
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 3L)),
+      got.mkString(","))
+  }
+
+  test("anomalyZScore: z matches a hand-computed frame; null under minN " +
+      "or zero variance") {
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(1), 1.0), (1L, ts(2), 1.0),
+      (1L, ts(3), 1.0), (1L, ts(4), 6.0),
+      (2L, ts(0), 2.0), (2L, ts(1), 2.0), (2L, ts(2), 2.0),
+      (2L, ts(3), 2.0), (2L, ts(4), 2.0) // zero variance
+    ).toDF("user_id", "ts", "value")
+    val got = Analytics.anomalyZScore(ev, "user_id", "ts", "value",
+        windowMicros = 3600000000L, minN = 5)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (if (r.isNullAt(r.fieldIndex("z"))) None else Some(r.getAs[Double]("z"))))
+      .toMap
+    // user 1 at ts(4): frame [1,1,1,1,6]; mu=2, varPop=(40-100/5)/5=4, sd=2
+    assert(got((1L, ts(4))) == Some(2.0), got.toString)
+    assert(got((1L, ts(3))) == None) // minN=5 not reached (4 rows)
+    assert(got((2L, ts(4))) == None) // zero variance
+  }
+
   test("ntileStats: equal-count buckets with remainder to earlier buckets") {
     val df = (1L to 11L).map(i => (i, i.toDouble)).toDF("id", "v")
     val got = Analytics.ntileStats(df, "v", "id", 3)
