@@ -2312,5 +2312,57 @@ object Queries {
         |    AND NOT EXISTS (SELECT 1 FROM customer c
         |      WHERE c.c_custkey = o.o_custkey)
         |ORDER BY "check"""".stripMargin)),
+
+    // Next-event transition matrix; the event_id tie-break makes lead()
+    // deterministic under same-instant events, and p is one division of
+    // exact counts.
+    Q("q114_markov_transitions",
+      (s, dir) => Analytics.markovTransitions(ev(s, dir), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("from_type", "to_type"),
+      Some("""WITH nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS cnt FROM nx
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(cnt AS DOUBLE)
+        |    / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // Welch's t-test between even/odd user arms per event type — the
+    // z-score portability pattern (exact decimal moments, fixed IEEE op
+    // order) applied to experiment readouts.
+    Q("q115_ab_welch",
+      (s, dir) => Analytics.welchTTest(
+          ev(s, dir).withColumn("arm", (col("user_id") % 2).cast("int")),
+          Seq("event_type"), "arm", "value")
+        .orderBy("event_type"),
+      Some("""WITH t AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+        |    value FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN arm = 0 AND value IS NOT NULL THEN 1 END) AS n_a,
+        |    count(CASE WHEN arm = 1 AND value IS NOT NULL THEN 1 END) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS s1a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(18,6))
+        |      * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s2a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) AS s1b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(18,6))
+        |      * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s2b
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  s1a / n_a AS mean_a, s1b / n_b AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |    ((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
+        |      + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b > 0
+        |  THEN (s1a / n_a - s1b / n_b)
+        |    / sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
+        |      + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b) END AS t_stat
+        |FROM a ORDER BY event_type""".stripMargin)),
   )
 }

@@ -198,6 +198,56 @@ object Analytics {
       .drop("__micros", "__n", "__s1", "__s2")
   }
 
+  /** Next-event Markov transition matrix: per key, order events by
+    * (tsCol, tieCol) — the tie column makes `lead` deterministic under
+    * same-instant events — and count (from, to) adjacent pairs, with the
+    * row-conditional probability as ONE division of exact counts. One
+    * shuffle for the per-key ordering, one for the pair counts; the
+    * per-from normalization window runs over |types|² rows. */
+  def markovTransitions(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs.withColumn("p",
+      col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("from_type"))).cast("double"))
+  }
+
+  /** Welch's t-test per group between two arms: per (group, arm) exact
+    * decimal moments (n, Σx, Σx² — the [[anomalyZScore]] portability
+    * pattern), folded into ONE conditional aggregation pass, then the t
+    * statistic in a fixed IEEE op order — cross-engine hash-verifiable
+    * experiment readouts. t is null when either arm has < 2 values or
+    * both variances are zero. `armCol` must be 0/1. */
+  def welchTTest(df: DataFrame, groupCols: Seq[String], armCol: String,
+      valueCol: String): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,6)")
+    def m(arm: Int, e: Column) = sum(when(col(armCol) === arm, e))
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(when(col(armCol) === 0 && col(valueCol).isNotNull, lit(1))).as("n_a"),
+      count(when(col(armCol) === 1 && col(valueCol).isNotNull, lit(1))).as("n_b"),
+      m(0, dec).cast("double").as("__s1a"), m(0, dec * dec).cast("double").as("__s2a"),
+      m(1, dec).cast("double").as("__s1b"), m(1, dec * dec).cast("double").as("__s2b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val meanA = col("__s1a") / na
+    val meanB = col("__s1b") / nb
+    val varA = (col("__s2a") - col("__s1a") * col("__s1a") / na) / (na - 1.0)
+    val varB = (col("__s2b") - col("__s1b") * col("__s1b") / nb) / (nb - 1.0)
+    val se2 = varA / na + varB / nb
+    agg
+      .withColumn("mean_a", meanA)
+      .withColumn("mean_b", meanB)
+      .withColumn("t_stat",
+        when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0,
+          (meanA - meanB) / sqrt(se2)))
+      .drop("__s1a", "__s2a", "__s1b", "__s2b")
+  }
+
   /** Quantile-bucket stats: ntile(`n`) over (`valueCol`, `tieCol`) total
     * order, then per-bucket count/min/max. The global sort for ntile is the
     * honest cost (equal-COUNT buckets need a total order); for rank-free

@@ -163,6 +163,38 @@ class AnalyticsSpec extends SparkSuite {
     assert(got((2L, ts(4))) == None) // zero variance
   }
 
+  test("markovTransitions: deterministic lead under ties, row-conditional " +
+      "probabilities sum to 1 per from state") {
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(1), 2L, "b"), (1L, ts(1), 3L, "a"),
+      (2L, ts(0), 4L, "a"), (2L, ts(1), 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.markovTransitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // u1: a->b (tie at ts(1) broken by event_id: b before a), b->a
+    // u2: a->b. So a->b:2 (p=1.0), b->a:1 (p=1.0)
+    assert(got == Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)), got.toString)
+  }
+
+  test("welchTTest: hand-computed two-arm t; null when an arm is thin") {
+    val df = Seq(
+      ("m", 0, 1.0), ("m", 0, 2.0), ("m", 0, 3.0),
+      ("m", 1, 5.0), ("m", 1, 7.0),
+      ("x", 0, 1.0), ("x", 1, 9.0)) // 1 row per arm -> null t
+      .toDF("g", "arm", "value")
+    val rows = Analytics.welchTTest(df, Seq("g"), "arm", "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = rows("m")
+    assert(m.getAs[Long]("n_a") == 3L && m.getAs[Long]("n_b") == 2L)
+    assert(m.getAs[Double]("mean_a") == 2.0 && m.getAs[Double]("mean_b") == 6.0)
+    // varA = 1, varB = 2; t = (2-6)/sqrt(1/3 + 2/2) = -4/sqrt(4/3)
+    val expected = -4.0 / math.sqrt(1.0 / 3.0 + 1.0)
+    assert(math.abs(m.getAs[Double]("t_stat") - expected) < 1e-12, m.toString)
+    assert(rows("x").isNullAt(rows("x").fieldIndex("t_stat")))
+  }
+
   test("ntileStats: equal-count buckets with remainder to earlier buckets") {
     val df = (1L to 11L).map(i => (i, i.toDouble)).toDF("id", "v")
     val got = Analytics.ntileStats(df, "v", "id", 3)
