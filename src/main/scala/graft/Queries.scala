@@ -2364,5 +2364,36 @@ object Queries {
         |    / sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
         |      + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b) END AS t_stat
         |FROM a ORDER BY event_type""".stripMargin)),
+
+    // Interval overlap join via bin replication + canonical-bin dedup — a
+    // hash-joinable plan for the "overlapping processing windows" shape
+    // (DuckDB's oracle plans the same predicate as an IEJoin).
+    Q("q116_interval_overlap",
+      (s, dir) => {
+        def iv(filterMod: Int) = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 100 === filterMod)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_orderdate").as("start_ts"),
+            expr("timestampadd(DAY, CAST((o_orderkey % 5 + 1) * 7 AS INT), o_orderdate)")
+              .as("end_ts"))
+        TemporalJoins.intervalOverlapJoin(iv(0), iv(1),
+            Seq("o_orderpriority"), "start_ts", "end_ts",
+            binMicros = 14L * 24 * 3600 * 1000000)
+          .orderBy("o_orderkey", "o_orderkey_r")
+      },
+      Some("""WITH l AS (
+        |  SELECT o_orderpriority, o_orderkey, o_orderdate AS start_ts,
+        |    o_orderdate + (o_orderkey % 5 + 1) * 7 * INTERVAL 1 DAY AS end_ts
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_orderdate AS start_ts,
+        |    o_orderdate + (o_orderkey % 5 + 1) * 7 * INTERVAL 1 DAY AS end_ts
+        |  FROM orders WHERE o_orderkey % 100 = 1)
+        |SELECT l.o_orderpriority, l.o_orderkey, l.start_ts, l.end_ts,
+        |  r.o_orderkey AS o_orderkey_r, r.start_ts AS start_ts_r,
+        |  r.end_ts AS end_ts_r
+        |FROM l JOIN r ON l.o_orderpriority = r.o_orderpriority
+        |  AND l.start_ts <= r.end_ts AND r.start_ts <= l.end_ts
+        |ORDER BY l.o_orderkey, r.o_orderkey""".stripMargin)),
   )
 }

@@ -102,6 +102,67 @@ object EventWindows {
     joined.select(col(userCol), furthest.as("furthest_step"))
   }
 
+  /** Streaming funnel: the incremental twin of [[funnel]], keeping per-user
+    * state across micro-batches with `flatMapGroupsWithState`. State per
+    * user = the earliest `maxPerStep` event times per funnel step (sorted);
+    * the chained earliest-completion recursion (t_k = min step-k time
+    * STRICTLY after t_{k-1}) is re-derived from those times on every
+    * update, so late and out-of-order events — including an earlier
+    * step-1 event arriving AFTER a step-2 event — are handled exactly as
+    * the batch operator would, as long as no more than `maxPerStep`
+    * step-k events precede the final t_{k-1} (a documented state bound:
+    * per user the state is O(steps × maxPerStep) longs, never O(events)).
+    * Emits (user, furthest_step) in Update mode; furthest_step is monotone
+    * non-decreasing per user, so readers may max-merge emissions.
+    * `userCol` must be long-typed (the fixture convention). */
+  def streamingFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxPerStep: Int = 64): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+    val typed = events
+      .select(col(userCol).cast("long"), unix_micros(col(tsCol)), col(typeCol))
+      .as[(Long, Long, String)]
+      .filter(r => stepIdx.contains(r._3))
+
+    def furthest(times: Seq[Seq[Long]]): Int = {
+      var prev = Long.MinValue
+      var reached = 0
+      var k = 0
+      var continue = true
+      while (continue && k < nSteps) {
+        val hit =
+          if (k == 0) times(0).headOption
+          else times(k).find(_ > prev)
+        hit match {
+          case Some(t) => prev = t; reached = k + 1; k += 1
+          case None => continue = false
+        }
+      }
+      reached
+    }
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Seq[Long]], (Long, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, String)],
+            state: GroupState[Seq[Seq[Long]]]) =>
+          val cur = state.getOption.getOrElse(Seq.fill(nSteps)(Seq.empty[Long]))
+          val buf = cur.map(s => scala.collection.mutable.TreeSet.from(s))
+          it.foreach { case (_, micros, tpe) => buf(stepIdx(tpe)) += micros }
+          val next = buf.map(_.take(maxPerStep).toSeq)
+          state.update(next)
+          val f = furthest(next)
+          if (f >= 1) Iterator(user -> f) else Iterator.empty
+      }
+      .toDF(userCol, "furthest_step")
+  }
+
   /** Streaming tumbling-window aggregation with a watermark; append mode.
     * Same agg expressions as [[tumbling]]. */
   def streamingTumbling(events: DataFrame, tsCol: String, width: String,

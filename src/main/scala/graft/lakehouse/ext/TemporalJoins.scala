@@ -84,4 +84,42 @@ object TemporalJoins {
       .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval overlap join: all (left, right) pairs whose [start, end]
+    * timestamp intervals intersect, plus an equi-key — the "concurrent
+    * sessions / overlapping reservations" shape. Both sides are
+    * replicated to the `binMicros`-wide time bins they span and equi-
+    * joined on (key, bin) — a hash join Catalyst can shuffle-plan —
+    * NEVER a nested-loop inequality join. A pair sharing several bins
+    * would match once per shared bin, so each pair is counted only in its
+    * canonical bin (the later of the two start bins); the exact overlap
+    * predicate then discards same-bin non-overlaps. Right columns get
+    * `suffix`. Pick binMicros near the typical interval length: the
+    * replication factor is len/bin + 1 per row, the per-bin bucket is the
+    * skew bound. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], startCol: String, endCol: String,
+      binMicros: Long, suffix: String = "_r"): DataFrame = {
+    require(binMicros > 0, "binMicros must be positive")
+    // cast covers TIMESTAMP_NTZ inputs (unix_micros only takes TIMESTAMP;
+    // the session is pinned UTC so the cast is deterministic)
+    def binned(df: DataFrame) = df
+      .withColumn("__s", unix_micros(col(startCol).cast("timestamp")))
+      .withColumn("__e", unix_micros(col(endCol).cast("timestamp")))
+      .withColumn("__sbin", floor(col("__s") / binMicros.toDouble).cast("long"))
+      .withColumn("__bin", explode(sequence(col("__sbin"),
+        floor(col("__e") / binMicros.toDouble).cast("long"))))
+    val l = binned(left)
+    val nonJoin = right.columns.filterNot(keyCols.contains).toSeq
+    val r = binned(right).select(
+      (keyCols.map(col) :+ col("__bin") :+ col("__sbin").as("__sbin_r") :+
+        col("__s").as("__s_r") :+ col("__e").as("__e_r")) ++
+        nonJoin.map(c => col(c).as(s"$c$suffix")): _*)
+    l.join(r, keyCols :+ "__bin")
+      // canonical bin: the later interval start's bin — counts each
+      // overlapping pair exactly once
+      .where(col("__bin") === greatest(col("__sbin"), col("__sbin_r")) &&
+        col("__s") <= col("__e_r") && col("__s_r") <= col("__e"))
+      .drop("__s", "__e", "__sbin", "__bin", "__sbin_r", "__s_r", "__e_r")
+  }
 }

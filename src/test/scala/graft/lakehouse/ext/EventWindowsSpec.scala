@@ -58,6 +58,39 @@ class EventWindowsSpec extends SparkSuite {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2), got.toString)
   }
 
+  test("streamingFunnel matches batch funnel across out-of-order " +
+      "micro-batches (earlier step-1 event arrives after a step-2 event)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val batch1 = Seq(
+      (1L, t(5), "click"), (1L, t(6), "purchase"), // out of order: view later
+      (2L, t(1), "view"), (2L, t(2), "click"))
+    val batch2 = Seq(
+      (1L, t(1), "view"), // arrives late: unlocks click@5 then purchase@6
+      (2L, t(3), "purchase"),
+      (3L, t(1), "click")) // never does step 1 -> no output
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = EventWindows.streamingFunnel(
+      mem.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("stream_funnel_test").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // furthest_step is monotone per user -> max-merge the update stream
+      val got = spark.table("stream_funnel_test")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("furthest_step").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = EventWindows.funnel(
+        (batch1 ++ batch2).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(batch == Map(1L -> 3, 2L -> 3), batch.toString)
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming tumbling over MemoryStream matches batch on same data") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

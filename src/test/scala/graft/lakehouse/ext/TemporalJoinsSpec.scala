@@ -73,4 +73,30 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(r.getAs[java.lang.Double]("v1_asof") == 2.0)
     assert(r.getAs[String]("v2_asof") == null)
   }
+
+  test("intervalOverlapJoin: overlap pairs exactly once even when a pair " +
+      "shares several bins; non-overlaps and key mismatches excluded") {
+    import spark.implicits._
+    def t(d: String) = java.sql.Timestamp.valueOf(d)
+    val left = Seq(
+      ("k1", 1L, t("2024-01-01 00:00:00"), t("2024-01-10 00:00:00")),
+      ("k1", 2L, t("2024-02-01 00:00:00"), t("2024-02-02 00:00:00")),
+      ("k2", 3L, t("2024-01-01 00:00:00"), t("2024-01-10 00:00:00")))
+      .toDF("k", "id", "s", "e")
+    val right = Seq(
+      // overlaps id=1 and shares many 1-day bins with it
+      ("k1", 10L, t("2024-01-05 00:00:00"), t("2024-01-20 00:00:00")),
+      // touches id=1 exactly at its end instant (inclusive bounds)
+      ("k1", 11L, t("2024-01-10 00:00:00"), t("2024-01-12 00:00:00")),
+      // no overlap with anything on k1
+      ("k1", 12L, t("2024-03-01 00:00:00"), t("2024-03-02 00:00:00")),
+      // would overlap id=1 but key differs
+      ("k3", 13L, t("2024-01-02 00:00:00"), t("2024-01-03 00:00:00")))
+      .toDF("k", "id", "s", "e")
+    val got = TemporalJoins.intervalOverlapJoin(left, right, Seq("k"),
+        "s", "e", binMicros = 24L * 3600 * 1000000)
+      .select("id", "id_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == Seq((1L, 10L), (1L, 11L)), got.mkString(","))
+  }
 }
