@@ -2395,5 +2395,37 @@ object Queries {
         |FROM l JOIN r ON l.o_orderpriority = r.o_orderpriority
         |  AND l.start_ts <= r.end_ts AND r.start_ts <= l.end_ts
         |ORDER BY l.o_orderkey, r.o_orderkey""".stripMargin)),
+
+    // Pearson r + OLS fit of extendedprice on quantity per return flag —
+    // exact decimal cross-moments and fixed IEEE op order make corr/regr
+    // hash-verifiable (the native float forms are partition-order-
+    // dependent and would flake).
+    Q("q117_corr_regression",
+      (s, dir) => Analytics.corrRegression(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"),
+      Some("""WITH a AS (
+        |  SELECT l_returnflag,
+        |    count(CASE WHEN l_quantity IS NOT NULL
+        |      AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+        |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+        |      * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+        |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n >= 2 AND sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+        |    THEN (sxy - sx * sy / n)
+        |      / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) END AS r,
+        |  CASE WHEN n >= 2 AND sxx - sx * sx / n > 0
+        |    THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS slope,
+        |  CASE WHEN n >= 2 AND sxx - sx * sx / n > 0
+        |    THEN sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        |      * (sx / n) END AS intercept
+        |FROM a ORDER BY l_returnflag""".stripMargin)),
   )
 }

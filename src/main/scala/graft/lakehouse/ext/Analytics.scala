@@ -248,6 +248,40 @@ object Analytics {
       .drop("__s1a", "__s2a", "__s1b", "__s2b")
   }
 
+  /** Pearson correlation and OLS slope/intercept of y on x, per group,
+    * from EXACT decimal cross-moments (Σx, Σy, Σxy, Σx², Σy² — decimal×
+    * decimal products, one conditional-agg pass) and a fixed IEEE op
+    * order — the hash-verifiable form of corr()/regr_slope(), whose
+    * native float implementations are partition-order-dependent. Null
+    * when n < 2 or a variance is zero. Rows where either value is null
+    * are excluded pairwise (SQL corr semantics). */
+  def corrRegression(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val bothPresent = col(xCol).isNotNull && col(yCol).isNotNull
+    val x = when(bothPresent, col(xCol).cast("decimal(18,6)"))
+    val y = when(bothPresent, col(yCol).cast("decimal(18,6)"))
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(when(bothPresent, lit(1))).as("n"),
+      sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
+      sum(x * y).cast("double").as("__sxy"),
+      sum(x * x).cast("double").as("__sxx"),
+      sum(y * y).cast("double").as("__syy"))
+    val n = col("n").cast("double")
+    val covN = col("__sxy") - col("__sx") * col("__sy") / n
+    val varX = col("__sxx") - col("__sx") * col("__sx") / n
+    val varY = col("__syy") - col("__sy") * col("__sy") / n
+    val slope = covN / varX
+    agg
+      .withColumn("r",
+        when(col("n") >= 2 && varX > 0.0 && varY > 0.0,
+          covN / sqrt(varX * varY)))
+      .withColumn("slope", when(col("n") >= 2 && varX > 0.0, slope))
+      .withColumn("intercept",
+        when(col("n") >= 2 && varX > 0.0,
+          col("__sy") / n - slope * (col("__sx") / n)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
   /** Quantile-bucket stats: ntile(`n`) over (`valueCol`, `tieCol`) total
     * order, then per-bucket count/min/max. The global sort for ntile is the
     * honest cost (equal-COUNT buckets need a total order); for rank-free

@@ -195,6 +195,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows("x").isNullAt(rows("x").fieldIndex("t_stat")))
   }
 
+  test("corrRegression: hand-computed r/slope/intercept; null-pair rows " +
+      "excluded; zero-variance group null") {
+    val df = Seq(
+      ("g", Some(1.0), Some(2.0)), ("g", Some(2.0), Some(4.0)),
+      ("g", Some(3.0), Some(6.0)), ("g", None, Some(9.9)), // excluded pair
+      ("z", Some(1.0), Some(5.0)), ("z", Some(1.0), Some(7.0))) // varX=0
+      .toDF("grp", "x", "y")
+    val rows = Analytics.corrRegression(df, Seq("grp"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = rows("g")
+    assert(g.getAs[Long]("n") == 3L)
+    assert(math.abs(g.getAs[Double]("r") - 1.0) < 1e-12) // y = 2x exactly
+    assert(math.abs(g.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(g.getAs[Double]("intercept")) < 1e-12)
+    assert(rows("z").isNullAt(rows("z").fieldIndex("r")))
+    assert(rows("z").isNullAt(rows("z").fieldIndex("slope")))
+  }
+
   test("ntileStats: equal-count buckets with remainder to earlier buckets") {
     val df = (1L to 11L).map(i => (i, i.toDouble)).toDF("id", "v")
     val got = Analytics.ntileStats(df, "v", "id", 3)
