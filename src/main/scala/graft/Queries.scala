@@ -2427,5 +2427,150 @@ object Queries {
         |    THEN sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
         |      * (sx / n) END AS intercept
         |FROM a ORDER BY l_returnflag""".stripMargin)),
+
+    // Shallow CLONE end-to-end: zero-copy clone (the commit references the
+    // source's files by absolute path — O(metadata) at any scale), then a
+    // file-level DELETE diverges the clone while untouched files stay
+    // foreign references. The oracle replays the visible semantics; the
+    // zero-copy/no-rewrite mechanics are asserted in CloneSpec.
+    Q("q118_shallow_clone",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val part = t(s, dir, "part")
+        TableIO.dropTable(s, lh, "clone_src")
+        TableIO.dropTable(s, lh, "clone_dst")
+        TableIO.writeTable(s, lh, "clone_src", part)
+        TableIO.cloneTable(s, lh, "clone_src", "clone_dst")
+        TableIO.deleteFromTable(s, lh, "clone_dst", "p_size > 40")
+        TableIO.selectTable(s, lh, "clone_dst").orderBy("p_partkey")
+      },
+      Some("SELECT * FROM part WHERE p_size <= 40 ORDER BY p_partkey")),
+
+    // CUBE: all four grouping sets of (priority, status) in one pass.
+    Q("q119_cube_orders",
+      (s, dir) => Analytics.cubeAgg(t(s, dir, "orders"),
+          Seq("o_orderpriority", "o_orderstatus"), "o_totalprice")
+        .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus")),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS INT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent prior non-purchase event (carried by one ignore-nulls window,
+    // no self-join). First purchases attribute to null on both engines.
+    Q("q120_attribution",
+      (s, dir) => EventWindows.lastTouchAttribution(ev(s, dir),
+          "user_id", "ts", "event_id", "event_type", "purchase")
+        .orderBy("event_id"),
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_id,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_type
+        |  FROM events)
+        |SELECT user_id, event_id, ts, touch_id, touch_type, value
+        |FROM e WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // Per-document OOV rate vs the corpus top-16 vocabulary (count desc,
+    // token asc tie-break): frequency table via partial agg, top-k of the
+    // tiny distinct-token frame, broadcast membership join — the token
+    // stream itself is never shuffled.
+    Q("q121_oov_rate",
+      (s, dir) => TextStats.oovRate(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", vocabSize = 16)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, t.tok AS w
+        |  FROM documents, unnest(string_split_regex(text, '\s+')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |vocab AS (
+        |  SELECT w, true AS in_vocab FROM tok GROUP BY w
+        |  ORDER BY count(*) DESC, w LIMIT 16)
+        |SELECT doc_id, count(*) AS total_tokens,
+        |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS oov_rate
+        |FROM tok LEFT JOIN vocab USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Perceptual image dedup over REAL decoded pixels: every class of
+    // identical-pixel images is split across PNG and BMP containers, so
+    // byte-level (sha-256) dedup finds nothing — the dHash pairs are
+    // exactly the same-class pairs, which the oracle can enumerate from
+    // the fixture construction. Exercises decode → integer luminance →
+    // 9×8 area-average → gradient hash → hash-bucket self-join.
+    Q("q122_image_dup_pairs",
+      (s, dir) => {
+        val imgs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 5 === 0)
+          .withColumn("cls", expr("(doc_id div 5) % 25"))
+          .withColumn("w", expr("CAST((cls % 5) * 13 + 8 AS INT)"))
+          .withColumn("h", expr("CAST((cls div 5) * 11 + 8 AS INT)"))
+          .withColumn("fmt",
+            when(expr("(doc_id div 5) % 2 = 0"), "png").otherwise("bmp"))
+          .withColumn("payload",
+            Multimodal.syntheticImageUdf(col("w"), col("h"), col("fmt")))
+        Multimodal.imageDupPairs(imgs, "doc_id", "payload")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, (doc_id // 5) % 25 AS cls
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM d a JOIN d b ON a.cls = b.cls AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Type-2 slowly-changing dimension from the change feed: a scripted
+    // history (empty shell v1, CDF on v2, initial load v3, merge-update
+    // v4, delete v5) becomes validity intervals in O(changes). The oracle
+    // reconstructs the exact interval set from the same script — open
+    // intervals (null valid_to) for current rows, the update closing the
+    // old row at v4, the delete closing at v5.
+    Q("q123_scd2_dimension",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        TableIO.dropTable(s, lh, "cust_scd") // deterministic versions
+        TableIO.writeTable(s, lh, "cust_scd", cust.limit(0)) // v1
+        TableIO.enableChangeFeed(s, lh, "cust_scd")          // v2
+        TableIO.appendTable(s, lh, "cust_scd", cust)         // v3
+        TableIO.mergeTable(s, lh, "cust_scd",                // v4
+          cust.filter(col("c_custkey") % 4 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 100),
+          Seq("c_custkey"))
+        TableIO.deleteFromTable(s, lh, "cust_scd", "c_custkey % 10 = 0") // v5
+        Scd2.fromChangeFeed(
+          TableIO.readChangeFeed(s, lh, "cust_scd", 2L), Seq("c_custkey"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH c AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |r AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, 3 AS valid_from,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 4
+        |         WHEN c_custkey % 10 = 0 THEN 5 END AS valid_to
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal + 100, 4,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 5 END
+        |  FROM c WHERE c_custkey % 4 = 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM r ORDER BY c_custkey, valid_from""".stripMargin)),
   )
 }

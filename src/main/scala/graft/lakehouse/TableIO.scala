@@ -43,9 +43,35 @@ object TableIO {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else {
         val baseP = Paths.get(base)
-        spark.read.schema(schema).option("basePath", base)
-          .parquet(rel.map(r => baseP.resolve(r).toString): _*)
+        val (external, local) = rel.partition(r => Paths.get(r).isAbsolute)
+        def scanGroup(groupBase: String, paths: Seq[String]): DataFrame =
+          spark.read.schema(schema).option("basePath", groupBase)
+            .parquet(paths: _*)
+        val localScan =
+          if (local.isEmpty) Seq.empty
+          else Seq(scanGroup(base, local.map(r => baseP.resolve(r).toString)))
+        // absolute entries are a shallow clone's zero-copy references into
+        // another table's pool (Delta CLONE stores absolute add-file paths
+        // the same way). Each foreign pool is scanned under ITS OWN
+        // basePath — the path prefix above the first `col=value` segment —
+        // so hive partition-column parsing stays intact; one basePath
+        // spanning both pools would be rejected by the parquet source.
+        val externalScans = external
+          .groupBy(p => partitionBaseOf(Paths.get(p)))
+          .toSeq.sortBy(_._1)
+          .map { case (groupBase, paths) => scanGroup(groupBase, paths.sorted) }
+        (localScan ++ externalScans).reduce(_ unionByName _)
       }
+  }
+
+  /** The basePath under which hive `col=value` parsing of `file` should
+    * run: the prefix above the first partition-style segment, or the file's
+    * parent when the path carries no partition segments. */
+  private def partitionBaseOf(file: Path): String = {
+    val segs = (0 until file.getNameCount).map(file.getName(_).toString)
+    val firstPart = segs.indexWhere(_.matches("[^=]+=.*"))
+    val cut = if (firstPart >= 0) firstPart else segs.length - 1
+    (0 until cut).foldLeft(file.getRoot)((p, i) => p.resolve(segs(i))).toString
   }
 
   /** Scan the latest committed version of a table/view directory. */
@@ -1147,9 +1173,12 @@ object TableIO {
     * layout is the source of truth — a session registry keyed by bare table
     * name would be blind in a fresh JVM and collide across lakehouses.
     * Maintenance rewrites (compact, merge, append) must preserve this. */
-  /** col1=v/col2=v/part-*.parquet -> Seq(col1, col2) */
+  /** col1=v/col2=v/part-*.parquet -> Seq(col1, col2). A shallow clone's
+    * absolute entries carry a foreign pool prefix before the partition
+    * segments — skipped, not matched. */
   private[lakehouse] def partitioningOfFiles(files: Seq[String]): Seq[String] =
     files.headOption.toSeq.flatMap(_.split('/').dropRight(1).toSeq
+      .dropWhile(seg => !seg.matches("[^=]+=.*"))
       .takeWhile(_.matches("[^=]+=.*")).map(_.split("=", 2)(0)))
 
   private def currentPartitioning(lh: LakehouseProps, tableName: String): Seq[String] = {
@@ -1543,6 +1572,47 @@ object TableIO {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     finishCommit(spark, lh, tableName, tableDir, commit,
       schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
+  }
+
+  /** Shallow (zero-copy) CLONE — Delta `CREATE TABLE ... SHALLOW CLONE`
+    * semantics: commit a manifest on `cloneName` whose entries REFERENCE
+    * `sourceName`'s current data files by absolute path. O(metadata) at any
+    * scale — no data is read, copied, or moved; per-file stats/blooms ride
+    * along, so data skipping on the clone is as effective as on the source.
+    * The clone owns its version history from here: appends/MERGE/DELETE
+    * rewrite only the files they touch (foreign references stay by
+    * reference), and a full `compactTable` materializes it into an
+    * independent table. CHECK constraints and the CDF flag carry over
+    * (Delta clones table properties); txn watermarks reset.
+    *
+    * Caveat (exactly Delta's): `vacuum`/`dropTable` on the SOURCE removes
+    * data files a shallow clone still references — materialize clones
+    * before retiring their source. */
+  def cloneTable(spark: SparkSession, lh: LakehouseProps, sourceName: String,
+      cloneName: String): TableInfo = {
+    require(sourceName != cloneName, "cannot clone a table onto itself")
+    val srcDir = Catalog.tablePath(lh, sourceName)
+    val srcVersion = Versioned.latestVersion(srcDir).getOrElse(
+      throw new IllegalArgumentException(s"$sourceName has no versions"))
+    val m = Versioned.readManifest(srcDir, srcVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"$sourceName@v$srcVersion is a legacy snapshot layout — shallow " +
+          "clone references manifest entries"))
+    val srcBase = Paths.get(srcDir)
+    // already-absolute source entries (a clone of a clone) pass through
+    // unchanged — the reference chain stays one hop deep per file
+    val refs = m.entries.map(e =>
+      e.copy(path = srcBase.resolve(e.path).toString))
+    val dstDir = Catalog.tablePath(lh, cloneName)
+    val commit = Versioned.commitFiles(dstDir, m.schemaJson,
+      inherit = refs,
+      expectedBase = Some(Versioned.latestVersion(dstDir).getOrElse(0L)),
+      meta = m.meta.filter { case (k, _) =>
+        k.startsWith(CheckPrefix) || k == CdfKey } +
+        ("cloneOf" -> s"$sourceName@v$srcVersion")) { _ => () }
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    finishCommit(spark, lh, cloneName, dstDir, commit,
+      schema.fieldNames.toSeq, partitioningOfFiles(m.files))
   }
 
   /** Metadata-only row count of the current version (sum of the

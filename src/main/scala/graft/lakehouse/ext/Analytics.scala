@@ -28,6 +28,18 @@ object Analytics {
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_val"),
         grouping_id().cast("int").as("gid"))
 
+  /** CUBE aggregation: subtotals for EVERY dims subset (2^|dims| grouping
+    * sets) plus the grand total, in one pass. Same single-shuffle grouping-
+    * sets expansion as [[rollupAgg]] — the alternative (a union of 2^d
+    * groupBys) scans the table 2^d times. Keep |dims| small: the partial-
+    * row multiplier is 2^d by construction. */
+  def cubeAgg(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
+    df.cube(dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_val"),
+        grouping_id().cast("int").as("gid"))
+
   /** Pivot: one row per `keyCol` group, one count column per pivot value.
     * `values` must be explicit — at 100 TB a distinct-scan just to learn
     * the column list is a full extra pass, and implicit pivots make the

@@ -1,6 +1,6 @@
 package graft.lakehouse.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
@@ -115,6 +115,57 @@ object EventWindows {
     * Emits (user, furthest_step) in Update mode; furthest_step is monotone
     * non-decreasing per user, so readers may max-merge emissions.
     * `userCol` must be long-typed (the fixture convention). */
+  /** Last-touch attribution: each conversion event is credited to the
+    * user's most recent NON-conversion event strictly earlier in the
+    * (ts, id) order — first conversions with no prior touch attribute to
+    * null. One window over one shuffle on the user key: the "last touch so
+    * far" is carried by `last(..., ignoreNulls)` over ROWS UNBOUNDED
+    * PRECEDING .. 1 PRECEDING, so there is no conversions×touches self-join
+    * and no per-conversion rescan — at 100 TB this is a single exchange of
+    * the event table, nothing more. `idCol` breaks timestamp ties
+    * deterministically. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def carried(c: Column): Column =
+      last(when(col(typeCol) =!= conversionType, c), ignoreNulls = true).over(w)
+    events
+      .withColumn("touch_id", carried(col(idCol)))
+      .withColumn("touch_type", carried(col(typeCol)))
+      .where(col(typeCol) === conversionType)
+      .select(col(userCol), col(idCol), col(tsCol),
+        col("touch_id"), col("touch_type"), col("value"))
+  }
+
+  /** Watermarked stream-stream interval join: each left event joins right
+    * events with the same key whose timestamp falls in
+    * `[leftTs - lookback, leftTs]` — the streaming twin of the batch
+    * [[TemporalJoins.intervalOverlapJoin]] / as-of shapes (enrich
+    * purchases with the clicks that preceded them, as both arrive).
+    *
+    * Both sides carry the same watermark and the join condition bounds
+    * event time in BOTH directions, so Spark provably evicts join state:
+    * each side retains only `watermark + lookback` of history per key —
+    * the state store stays O(window), never O(stream), which is the only
+    * shape that survives an unbounded stream. Output columns: key, left
+    * columns, right columns (right ts renamed to avoid collision). */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lookback: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    val rightCols = right.columns.filterNot(_ == keyCol)
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+      .select(col(s"l.$keyCol").as(keyCol) +:
+        left.columns.filterNot(_ == keyCol).map(c => col(s"l.$c")) ++:
+        rightCols.map(c => col(s"r.$c")): _*)
+  }
+
   def streamingFunnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], maxPerStep: Int = 64): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -118,23 +118,8 @@ object Multimodal {
   /** Deterministic tiny-PNG generator (test/fixture payloads): a real
     * encoded PNG of the given dims whose pixels are a fixed function of
     * position, so decode tests exercise the REAL codec on real bytes. */
-  def syntheticPng(width: Int, height: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      math.max(width, 1), math.max(height, 1),
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        img.setRGB(x, y, ((x * 31 + y * 17) & 0xffffff))
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  def syntheticPng(width: Int, height: Int): Array[Byte] =
+    syntheticImage(width, height, "png")
 
   /** `syntheticPng` as a column function for distributed fixture generation. */
   val syntheticPngUdf = udf((w: Int, h: Int) => syntheticPng(w, h))
@@ -251,6 +236,105 @@ object Multimodal {
     appendMapped(df, blobCol,
       StructField("features", ArrayType(DoubleType, containsNull = false)))(
       FakeCodec.features(_, dim).toSeq)
+
+  // ---- perceptual hashing ----------------------------------------------
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: decode,
+    * integer luminance (ITU-R 601: 299r+587g+114b), area-average onto a
+    * 9×8 grid, one bit per horizontal gradient sign. Content-addressed,
+    * not byte-addressed: the same pixels encoded as PNG and BMP collide
+    * here while their sha-256 differ — which is the whole point of image
+    * dedup at corpus scale. All math is exact integer (block sums compared
+    * by cross-multiplication, never a float mean), so the hash is
+    * bit-reproducible across JVMs and platforms. Null for undecodable
+    * payloads (corrupt-media rows to filter, not failures). */
+  def dHash64Kernel(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) return null
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gw = 9; val gh = 8
+      // block luminance sums + pixel counts on the gw×gh grid
+      val sums = Array.ofDim[Long](gh, gw)
+      val counts = Array.ofDim[Long](gh, gw)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * gw / w, gw - 1)
+          val rgb = img.getRGB(x, y)
+          val lum = 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          sums(gy)(gx) += lum
+          counts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < 8) {
+          // meanRight > meanLeft  ⇔  sumR·nL > sumL·nR (integer-exact)
+          if (sums(gy)(gx + 1) * counts(gy)(gx) >
+              sums(gy)(gx) * counts(gy)(gx + 1))
+            hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      java.lang.Long.valueOf(hash)
+    } catch { case _: Exception => null }
+  }
+
+  /** Partition-batched dHash: appends a nullable `dhash` long column. */
+  def withDHash(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol, StructField("dhash", LongType))(dHash64Kernel)
+
+  /** Perceptually-duplicate image pairs: identical dHash (distance 0 —
+    * catches re-encoded / format-shifted copies of the same pixels).
+    * Bucket-then-verify shape: one shuffle on the 64-bit hash, pairs
+    * expand only inside buckets — never an all-pairs comparison. For a
+    * hamming-tolerant variant, band the hash 4×16 and reuse the SimHash
+    * pigeonhole machinery ([[Dedup.simHashNearDupPairs]]). */
+  def imageDupPairs(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val hashed = withDHash(df, blobCol)
+      .where(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash"))
+    val a = hashed.select(col(idCol).as("id_a"), col("dhash"))
+    val b = hashed.select(col(idCol).as("id_b"), col("dhash"))
+    a.join(b, Seq("dhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Deterministic synthetic image in an explicit container format
+    * ("png" / "bmp"): same dims ⇒ same pixels, whatever the container —
+    * the fixture for content-vs-bytes dedup tests. */
+  def syntheticImage(width: Int, height: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      math.max(width, 1), math.max(height, 1),
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        img.setRGB(x, y, ((x * 31 + y * 17) & 0xffffff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** [[syntheticImage]] as a column function. */
+  val syntheticImageUdf = udf((w: Int, h: Int, fmt: String) =>
+    syntheticImage(w, h, fmt))
 
   /** Frame sampling for "video" payloads: split the byte stream into
     * `frames` equal chunks, one output row per sampled frame with a

@@ -318,6 +318,35 @@ object TextStats {
         EmailRe, "[EMAIL]"),
       PhoneRe, "[PHONE]")
 
+  /** Per-document vocabulary coverage against a corpus-derived vocab: the
+    * vocabulary is the `vocabSize` most frequent whitespace tokens
+    * (deterministic tie-break: count desc, token asc), and each document
+    * reports how many of its tokens fall outside it. High OOV rate flags
+    * documents a fixed-vocabulary model tokenizes badly — a standard
+    * pre-training corpus-quality signal.
+    *
+    * Scale shape: one explode + partial-agg pass builds the frequency
+    * table (shuffles |vocab| partial rows per partition, not tokens), the
+    * top-k is a TakeOrdered of the tiny distinct-token frame, and the
+    * membership test is a BROADCAST left join — the token stream itself
+    * is never shuffled. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(true).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("total_tokens").cast("double"))
+  }
+
   /** Corpus mixture accounting for dataset-mixing decisions: per stratum
     * (source, language, …) document count, token total, and share of the
     * whole corpus' tokens. One partial+final aggregation plus a broadcast

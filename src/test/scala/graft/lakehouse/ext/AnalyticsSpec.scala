@@ -9,6 +9,21 @@ class AnalyticsSpec extends SparkSuite {
 
   private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
 
+  test("cubeAgg: all four grouping sets of two dims, gid disambiguates") {
+    val df = Seq(("a", "x", 10.0), ("a", "y", 20.0), ("b", "x", 5.0))
+      .toDF("d1", "d2", "v")
+    val out = Analytics.cubeAgg(df, Seq("d1", "d2"), "v")
+      .collect().map(r => (r.getAs[String]("d1"), r.getAs[String]("d2"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("sum_val"), r.getAs[Int]("gid")))
+      .toSet
+    assert(out == Set(
+      ("a", "x", 1L, 10.0, 0), ("a", "y", 1L, 20.0, 0), ("b", "x", 1L, 5.0, 0),
+      ("a", null, 2L, 30.0, 1), ("b", null, 1L, 5.0, 1),
+      // the dims-suffix sets ROLLUP lacks: per-d2 subtotals
+      (null, "x", 2L, 15.0, 2), (null, "y", 1L, 20.0, 2),
+      (null, null, 3L, 35.0, 3)))
+  }
+
   test("rollupAgg: leaf rows + subtotals + grand total, gid disambiguates") {
     val df = Seq(("a", "x", 10.0), ("a", "y", 20.0), ("b", "x", 5.0))
       .toDF("d1", "d2", "v")

@@ -19,6 +19,30 @@ class EventWindowsSpec extends SparkSuite {
     assert(starts.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
   }
 
+  test("lastTouchAttribution: conversions credit the nearest prior touch, " +
+      "ties broken by id; first conversions attribute to null") {
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, 10L, t(1), "view", 0.0),
+      (1L, 11L, t(2), "click", 0.0),
+      (1L, 12L, t(3), "purchase", 9.99),   // -> click 11
+      (1L, 13L, t(4), "purchase", 1.00),   // -> still click 11 (12 is a conversion)
+      (2L, 20L, t(5), "purchase", 5.00),   // -> null (no prior touch)
+      (2L, 21L, t(5), "view", 0.0),        // same ts as 20, larger id: after
+      (2L, 22L, t(6), "purchase", 2.00))   // -> view 21
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = EventWindows.lastTouchAttribution(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("touch_id")).map(_.toLong),
+          r.getAs[String]("touch_type"))).toMap
+    assert(out == Map(
+      12L -> (Some(11L), "click"),
+      13L -> (Some(11L), "click"),
+      20L -> (None, null),
+      22L -> (Some(21L), "view")))
+  }
+
   test("sliding: each event lands in width/slide windows") {
     val out = EventWindows.sliding(events, "ts", "1 hour", "30 minutes")
     assert(out.agg(sum("n_events")).head().getLong(0) == 2 * events.count())
@@ -242,6 +266,49 @@ class EventWindowsSpec extends SparkSuite {
       val got = spark.table("stream_dedup_test").orderBy("ts").collect()
       assert(got.map(_.getAs[String]("event_id")).toSeq == Seq("e1", "e2", "e3"),
         got.mkString(","))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: purchases pick up clicks in the " +
+      "lookback window across micro-batches, and match batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "cts", "page")
+    val pdf = purchases.toDF().toDF("user_id", "pts", "value")
+    val joined = EventWindows.streamIntervalJoin(
+      pdf, cdf, "user_id", "pts", "cts",
+      lookback = "10 minutes", watermark = "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    try {
+      // click arrives FIRST micro-batch, matching purchase in the SECOND:
+      // the join state must carry it across batches
+      clicks.addData((1L, t("2024-01-01 00:00:00"), "home"),
+        (1L, t("2024-01-01 00:20:00"), "pricing"),
+        (2L, t("2024-01-01 00:00:00"), "other"))
+      q.processAllAvailable()
+      purchases.addData((1L, t("2024-01-01 00:25:00"), 9.99))
+      q.processAllAvailable()
+      val got = spark.table("ssj_test")
+        .select("user_id", "page", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      // only user 1's click within [00:15, 00:25] joins; 00:00 is outside
+      // the lookback and user 2 never purchases
+      assert(got == Set((1L, "pricing", 9.99)), got.mkString(","))
+      // batch twin over the same rows agrees
+      import spark.implicits._
+      val bc = Seq((1L, t("2024-01-01 00:00:00"), "home"),
+        (1L, t("2024-01-01 00:20:00"), "pricing"),
+        (2L, t("2024-01-01 00:00:00"), "other")).toDF("user_id", "cts", "page")
+      val bp = Seq((1L, t("2024-01-01 00:25:00"), 9.99))
+        .toDF("user_id", "pts", "value")
+      val batch = EventWindows.streamIntervalJoin(bp, bc, "user_id",
+        "pts", "cts", lookback = "10 minutes", watermark = "1 hour")
+        .select("user_id", "page", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(batch == got)
     } finally q.stop()
   }
 

@@ -98,4 +98,37 @@ class MultimodalSpec extends SparkSuite {
     assert(out.count() == 50 * 4)
     assert(out.groupBy("doc_id").count().select("count").distinct().head().getLong(0) == 4)
   }
+
+  test("dHash: content-addressed — same pixels collide across PNG/BMP " +
+      "containers while their bytes (and sha-256) differ") {
+    val png = Multimodal.syntheticImage(64, 48, "png")
+    val bmp = Multimodal.syntheticImage(64, 48, "bmp")
+    assert(!png.sameElements(bmp), "containers should differ at byte level")
+    val hp = Multimodal.dHash64Kernel(png)
+    val hb = Multimodal.dHash64Kernel(bmp)
+    assert(hp != null && hp == hb, s"dHash must see pixels, not bytes ($hp vs $hb)")
+  }
+
+  test("dHash: different images get different hashes; undecodable is null") {
+    val hashes = for (w <- Seq(16, 32, 48); h <- Seq(16, 24))
+      yield Multimodal.dHash64Kernel(Multimodal.syntheticImage(w, h, "png"))
+    assert(hashes.forall(_ != null))
+    assert(hashes.distinct.size == hashes.size,
+      s"synthetic classes collided: $hashes")
+    assert(Multimodal.dHash64Kernel("not an image".getBytes) == null)
+    assert(Multimodal.dHash64Kernel(null) == null)
+    assert(Multimodal.dHash64Kernel(Array.emptyByteArray) == null)
+  }
+
+  test("imageDupPairs: exactly the same-pixel pairs, no byte-format help") {
+    // 3 classes × (png + bmp): each class yields exactly its 1 cross-format pair
+    val rows = for {
+      (dims, cls) <- Seq((20, 16), (28, 16), (20, 24)).zipWithIndex
+      (fmt, i) <- Seq("png", "bmp").zipWithIndex
+    } yield (cls * 10 + i, Multimodal.syntheticImage(dims._1, dims._2, fmt))
+    val df = rows.toDF("id", "payload")
+    val pairs = Multimodal.imageDupPairs(df, "id", "payload")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((0, 1), (10, 11), (20, 21)))
+  }
 }

@@ -143,6 +143,19 @@ class TextStatsSpec extends SparkSuite {
     assert(m(1).getAs[Double]("dup_char_frac") == 0.0)
   }
 
+  test("oovRate: tokens outside the top-k vocab are counted, ties broken by token") {
+    val df = Seq(
+      (1L, "a a a b b zz"),   // vocab(2) = {a, b}: 1 OOV of 6
+      (2L, "a b b qq qq"),    // qq freq 2 ties b; 'b' < 'qq' keeps b
+      (3L, "a a a a"))        // all in-vocab
+      .toDF("doc_id", "text")
+    // corpus freqs: a=8, b=4, qq=2, zz=1 -> top-2 vocab {a, b}
+    val out = TextStats.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("oov_tokens"))).toMap
+    assert(out == Map(1L -> (6L, 1L), 2L -> (5L, 2L), 3L -> (4L, 0L)))
+  }
+
   test("portableFingerprints: near-dup docs share fingerprints, unrelated don't") {
     // fixture plants doc 8 ~= doc 12 (98.5% shingle overlap)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
