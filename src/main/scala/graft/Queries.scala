@@ -2572,5 +2572,26 @@ object Queries {
         |  CAST(valid_to AS BIGINT) AS valid_to,
         |  valid_to IS NULL AS is_current
         |FROM r ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // Column mapping end-to-end: rename + drop are metadata-only commits
+    // (CloneSpec-style zero-rewrite asserted in ColumnMappingSpec); a
+    // post-rename append writes the physical name so one read spans old
+    // and new files. The oracle replays the visible schema surgery.
+    Q("q124_rename_drop_columns",
+      (s, dir) => {
+        import s.implicits._
+        val lh = rtLakehouse(s, dir)
+        val sup = t(s, dir, "supplier")
+        TableIO.dropTable(s, lh, "supp_cm")
+        TableIO.writeTable(s, lh, "supp_cm", sup)
+        TableIO.renameColumn(s, lh, "supp_cm", "s_acctbal", "balance")
+        TableIO.dropColumn(s, lh, "supp_cm", "s_nationkey")
+        TableIO.appendTable(s, lh, "supp_cm",
+          Seq((-1L, "zzz", 0.0)).toDF("s_suppkey", "s_name", "balance"))
+        TableIO.selectTable(s, lh, "supp_cm").orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal AS balance FROM supplier
+        |UNION ALL SELECT -1, 'zzz', 0.0
+        |ORDER BY s_suppkey""".stripMargin)),
   )
 }

@@ -42,10 +42,18 @@ object TableIO {
       if (rel.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else {
+        // column mapping: files store PHYSICAL names; read those and alias
+        // back to the committed logical names at the end (metadata kept so
+        // downstream schema.json round trips preserve the mapping)
+        val mapping = physicalMapping(schema)
+        val readSchema =
+          if (mapping.isEmpty) schema
+          else StructType(schema.fields.map(f =>
+            f.copy(name = mapping.getOrElse(f.name, f.name))))
         val baseP = Paths.get(base)
         val (external, local) = rel.partition(r => Paths.get(r).isAbsolute)
         def scanGroup(groupBase: String, paths: Seq[String]): DataFrame =
-          spark.read.schema(schema).option("basePath", groupBase)
+          spark.read.schema(readSchema).option("basePath", groupBase)
             .parquet(paths: _*)
         val localScan =
           if (local.isEmpty) Seq.empty
@@ -60,8 +68,88 @@ object TableIO {
           .groupBy(p => partitionBaseOf(Paths.get(p)))
           .toSeq.sortBy(_._1)
           .map { case (groupBase, paths) => scanGroup(groupBase, paths.sorted) }
-        (localScan ++ externalScans).reduce(_ unionByName _)
+        val scanned = (localScan ++ externalScans).reduce(_ unionByName _)
+        if (mapping.isEmpty) scanned
+        else scanned.select(schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(mapping.getOrElse(f.name, f.name))
+            .as(f.name, f.metadata)): _*)
       }
+  }
+
+  // ---- column mapping (rename / drop without rewrite) ---------------------
+
+  /** Field-metadata key recording a logical column's PHYSICAL name — the
+    * name actually stored in the parquet files (Delta column mapping's
+    * physicalName). Set by [[renameColumn]]; it rides INSIDE the manifest's
+    * schema JSON, so every scan and commit path that passes schemaJson
+    * around carries the mapping automatically. */
+  private[lakehouse] val PhysicalKey = "graft.physical"
+
+  /** logical→physical names for fields renamed via [[renameColumn]];
+    * empty for never-renamed tables (the zero-cost common case). */
+  private[lakehouse] def physicalMapping(schema: StructType): Map[String, String] =
+    schema.fields.iterator.flatMap { f =>
+      if (f.metadata.contains(PhysicalKey)) {
+        val p = f.metadata.getString(PhysicalKey)
+        if (p != f.name) Some(f.name -> p) else None
+      } else None
+    }.toMap
+
+  /** Rename staged columns logical→physical before writing data files:
+    * post-rename appends/merges/deletes must keep writing the PHYSICAL
+    * name so one read schema spans the whole file pool. */
+  private def toPhysical(df: DataFrame, committed: StructType): DataFrame = {
+    val mapping = physicalMapping(committed)
+    if (mapping.isEmpty) df
+    else df.select(df.columns.map(c =>
+      org.apache.spark.sql.functions.col(c).as(mapping.getOrElse(c, c))): _*)
+  }
+
+  /** Copy [[PhysicalKey]] metadata from `prior` onto same-named fields of
+    * an evolved schema — schema set-ops (unionByName et al.) are not
+    * guaranteed to preserve field metadata, and silently dropping the
+    * mapping would make the physical-named files unreadable. */
+  private def withMapping(schema: StructType, prior: StructType): StructType = {
+    val pm = prior.fields.map(f => f.name -> f).toMap
+    StructType(schema.fields.map { f =>
+      pm.get(f.name).filter(_.metadata.contains(PhysicalKey)).fold(f) { old =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(PhysicalKey, old.metadata.getString(PhysicalKey))
+          .build())
+      }
+    })
+  }
+
+  /** Manifest-meta prefix marking a PHYSICAL column name as retired by
+    * [[dropColumn]] — old files still carry its bytes. */
+  private val TombstonePrefix = "graft.tombstone."
+
+  private def tombstonesOf(meta: Map[String, String]): Set[String] =
+    meta.keysIterator.filter(_.startsWith(TombstonePrefix))
+      .map(_.drop(TombstonePrefix.length)).toSet
+
+  /** Mapping alignment for schema-evolving commits: carry `prior`'s
+    * logical→physical entries forward, and give a BRAND-NEW field a fresh
+    * physical name when its default one is still in use on disk — a
+    * column re-added after [[dropColumn]] (or shadowing a renamed field's
+    * physical slot) must read null from pre-evolution files, not
+    * resurrect their stale bytes (Delta prevents this with immutable
+    * column ids; the fresh name is the same guarantee). */
+  private def alignMapping(schema: StructType, prior: StructType,
+      meta: Map[String, String], baseVersion: Long): StructType = {
+    val carried = withMapping(schema, prior)
+    val priorNames = prior.fieldNames.toSet
+    val inUsePhysical = prior.fields.map(f =>
+      if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+      else f.name).toSet ++ tombstonesOf(meta)
+    StructType(carried.fields.map { f =>
+      if (priorNames(f.name) || !inUsePhysical(f.name)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(PhysicalKey, s"${f.name}__v${baseVersion + 1}")
+        .build())
+    })
   }
 
   /** The basePath under which hive `col=value` parsing of `file` should
@@ -266,6 +354,10 @@ object TableIO {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     def dtOf(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType)
+    // column mapping: conditions name LOGICAL columns; stats and blooms in
+    // the manifest are keyed by the PHYSICAL (on-file) name
+    val statKeyOf = physicalMapping(schema)
+    def sk(c: String): String = statKeyOf.getOrElse(c, c)
     // Normalize a literal into the column's stat domain, or None when
     // the pairing can't prune: Spark coerces type mismatches (e.g.
     // string col = numeric literal compares NUMERICALLY) while the stat
@@ -347,7 +439,7 @@ object TableIO {
     // point-lookup keys; ranges handle time).
     val bloomIndexed = bloomColsOf(m).toSet
     val bloomProbes: Seq[(String, Any)] = nhints.flatMap {
-      case NIn(c, vs) if bloomIndexed(c) => vs.collect {
+      case NIn(c, vs) if bloomIndexed(sk(c)) => vs.collect {
         case v @ (_: Number | _: String | _: Boolean) => c -> v
       }
       case _ => Seq.empty
@@ -379,18 +471,18 @@ object TableIO {
     def rangeOk(e: Versioned.FileEntry, c: String,
         lo: Option[Any], hi: Option[Any]): Boolean = {
       val dt = dtOf(c).getOrElse(StringType)
-      entryJson(e).flatMap(statsRangeJ(_, c)).forall(mayMatch(dt, _, lo, hi))
+      entryJson(e).flatMap(statsRangeJ(_, sk(c))).forall(mayMatch(dt, _, lo, hi))
     }
     def bloomOk(e: Versioned.FileEntry, c: String, v: Any): Boolean =
       probeHashes.get((c, v)).forall(h =>
-        entryBits(e, c).forall(b => Bloom.mayContain(b, h)))
+        entryBits(e, sk(c)).forall(b => Bloom.mayContain(b, h)))
     def survives(e: Versioned.FileEntry): Boolean = nhints.forall {
       case NRange(c, lo, hi) => rangeOk(e, c, lo, hi)
       case NIn(c, vs) => // union of per-literal Eq survivor sets
         vs.exists(v => rangeOk(e, c, Some(v), Some(v)) && bloomOk(e, c, v))
       case NNull(c, isNull) =>
         val j = entryJson(e)
-        (j.flatMap(statsNullCountJ(_, c)), j.flatMap(statsRowsJ)) match {
+        (j.flatMap(statsNullCountJ(_, sk(c))), j.flatMap(statsRowsJ)) match {
           case (Some(nulls), _) if isNull => nulls > 0
           case (Some(nulls), Some(rows)) if !isNull => nulls < rows
           case _ => true
@@ -1122,16 +1214,18 @@ object TableIO {
               val aligned = oldEmpty.unionByName(df, allowMissingColumns = true)
               val parts = currentPartitioning(lh, tableName)
               try {
-                val commit = Versioned.commitFiles(tableDir, evolved.json,
+                val evolvedM = alignMapping(evolved, oldSchema, m.meta, base)
+                val commit = Versioned.commitFiles(tableDir, evolvedM.json,
                   inherit = m.entries, expectedBase = Some(base),
                   collectStats = collectFileStats(spark, bloomColsOf(m)),
                   meta = m.meta ++ extraMeta) { target =>
-                  val writer = aligned.write.mode(SaveMode.Append)
+                  val writer = toPhysical(aligned, evolvedM)
+                    .write.mode(SaveMode.Append)
                   (if (parts.nonEmpty) writer.partitionBy(parts: _*)
                    else writer).parquet(target)
                 }
                 return finishCommit(spark, lh, tableName, tableDir, commit,
-                  evolved.fieldNames.toSeq, parts)
+                  evolvedM.fieldNames.toSeq, parts)
               } catch {
                 case e: Versioned.ConcurrentWriteException =>
                   attempt += 1
@@ -1322,7 +1416,8 @@ object TableIO {
               import org.apache.spark.sql.functions.lit
               val oldKeys = affectedDf.select(keyColumns: _*).distinct()
               val newRows = scanSpec(spark, Versioned.ScanFiles(tableDir,
-                rewritten.schema.json, staged.map(_.path)))
+                alignMapping(rewritten.schema, oldSchema, m.meta, b).json,
+                staged.map(_.path)))
                 .join(updKeys, keyCols, "left_semi")
               val pre = affectedDf.join(updKeys, keyCols, "left_semi")
                 .withColumn("_change_type", lit("update_preimage"))
@@ -1336,12 +1431,14 @@ object TableIO {
                 .parquet(cdfDir(tableDir, v).toString)
             }
           try {
-            val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
+            val rewrittenM = alignMapping(rewritten.schema, oldSchema, m.meta, b)
+            val commit = Versioned.commitFiles(tableDir, rewrittenM.json,
               inherit = untouched, expectedBase = Some(b),
               collectStats = collectFileStats(spark, bloomColsOf(m)),
               meta = m.meta,
               beforeMarker = writeCdf) { target =>
-              val writer = rewritten.write.mode(SaveMode.Append)
+              val writer = toPhysical(rewritten, rewrittenM)
+                .write.mode(SaveMode.Append)
               (if (parts.nonEmpty) writer.partitionBy(parts: _*)
                else writer).parquet(target)
             }
@@ -1424,11 +1521,13 @@ object TableIO {
             nullSafeOnRemoval(affectedDf), "left_anti")
           val rewritten = kept.unionByName(newRows, allowMissingColumns = true)
           val parts = currentPartitioning(lh, tableName)
-          val commit = Versioned.commitFiles(tableDir, rewritten.schema.json,
+          val rewrittenM = alignMapping(rewritten.schema, oldSchema, m.meta, b)
+          val commit = Versioned.commitFiles(tableDir, rewrittenM.json,
             inherit = untouched, expectedBase = Some(b),
             collectStats = collectFileStats(spark, bloomColsOf(m)),
             meta = m.meta ++ extraMeta) { target =>
-            val writer = rewritten.write.mode(SaveMode.Append)
+            val writer = toPhysical(rewritten, rewrittenM)
+              .write.mode(SaveMode.Append)
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
              else writer).parquet(target)
           }
@@ -1613,6 +1712,95 @@ object TableIO {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     finishCommit(spark, lh, cloneName, dstDir, commit,
       schema.fieldNames.toSeq, partitioningOfFiles(m.files))
+  }
+
+  /** One check constraint's SQL mentioning `colName` as an identifier —
+    * renames/drops would silently invalidate it. */
+  private def constraintMentions(meta: Map[String, String],
+      colName: String): Option[String] = {
+    val word = ("(?i)(^|[^A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(colName) + "($|[^A-Za-z0-9_])").r
+    checkConstraintsOf(meta).collectFirst {
+      case (n, sql) if word.findFirstIn(sql).isDefined => n }
+  }
+
+  /** Rename a column WITHOUT rewriting data — Delta column mapping: a
+    * metadata-only commit stores the new logical name with its PHYSICAL
+    * (on-file) name in field metadata, O(metadata) at 100 TB where a
+    * rewrite is O(table). Scans read the physical name and alias back;
+    * subsequent appends/merges/deletes write the physical name so one
+    * read schema spans the whole file pool; data skipping keys stats by
+    * the physical name transparently. Partition columns (path-encoded)
+    * and columns referenced by CHECK constraints are rejected — those
+    * genuinely need a rewrite / constraint re-add. */
+  def renameColumn(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      oldName: String, newName: String): TableInfo = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName has no manifest versions (legacy layouts need a rewrite)"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"$tableName has no column $oldName")
+    require(!schema.fieldNames.contains(newName),
+      s"$tableName already has a column $newName")
+    require(!partitioningOfFiles(m.files).contains(oldName),
+      s"$oldName is a partition column (path-encoded) — renaming it " +
+        "requires a rewrite")
+    constraintMentions(m.meta, oldName).foreach(n =>
+      throw new IllegalArgumentException(
+        s"CHECK constraint '$n' references $oldName — drop it first"))
+    val renamed = StructType(schema.fields.map { f =>
+      if (f.name != oldName) f
+      else {
+        val phys = if (f.metadata.contains(PhysicalKey))
+          f.metadata.getString(PhysicalKey) else f.name
+        f.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
+      }
+    })
+    val commit = Versioned.commitFiles(tableDir, renamed.json,
+      inherit = m.entries, expectedBase = base, meta = m.meta) { _ => () }
+    finishCommit(spark, lh, tableName, tableDir, commit,
+      renamed.fieldNames.toSeq, partitioningOfFiles(m.files))
+  }
+
+  /** Drop a column WITHOUT rewriting data (Delta DROP COLUMN semantics):
+    * a metadata-only commit removes the field from the committed schema —
+    * scans simply never read it (the bytes stay until files are next
+    * rewritten, exactly Delta's behavior). Partition / constraint-
+    * referenced columns are rejected. */
+  def dropColumn(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      colName: String): TableInfo = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName has no manifest versions (legacy layouts need a rewrite)"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(colName),
+      s"$tableName has no column $colName")
+    require(schema.fields.length > 1,
+      s"cannot drop $tableName's only column")
+    require(!partitioningOfFiles(m.files).contains(colName),
+      s"$colName is a partition column (path-encoded) — dropping it " +
+        "requires a rewrite")
+    constraintMentions(m.meta, colName).foreach(n =>
+      throw new IllegalArgumentException(
+        s"CHECK constraint '$n' references $colName — drop it first"))
+    val narrowed = StructType(schema.fields.filterNot(_.name == colName))
+    // tombstone the PHYSICAL name: a later column re-added under this name
+    // must get a fresh physical slot, not resurrect the retired bytes
+    val dropped = schema.fields.find(_.name == colName).map(f =>
+      if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+      else f.name).get
+    val commit = Versioned.commitFiles(tableDir, narrowed.json,
+      inherit = m.entries, expectedBase = base,
+      meta = m.meta + (TombstonePrefix + dropped -> "1")) { _ => () }
+    finishCommit(spark, lh, tableName, tableDir, commit,
+      narrowed.fieldNames.toSeq, partitioningOfFiles(m.files))
   }
 
   /** Metadata-only row count of the current version (sum of the
@@ -1836,7 +2024,9 @@ object TableIO {
             _.write.mode(SaveMode.Overwrite)
               .parquet(cdfDir(tableDir, v).toString))) { target =>
           if (affected.nonEmpty) {
-            val writer = blooms.foldLeft(arranged.write.mode(SaveMode.Append)) {
+            val physical = toPhysical(arranged,
+              DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+            val writer = blooms.foldLeft(physical.write.mode(SaveMode.Append)) {
               (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
             }
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
@@ -1911,7 +2101,9 @@ object TableIO {
             val survivors = scanSpec(spark,
               Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
               .filter(not(cond))
-            val writer = survivors.write.mode(SaveMode.Append)
+            val writer = toPhysical(survivors,
+                DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+              .write.mode(SaveMode.Append)
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
              else writer).parquet(target)
           }

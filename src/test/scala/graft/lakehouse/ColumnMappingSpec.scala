@@ -1,0 +1,127 @@
+package graft.lakehouse
+
+import java.nio.file.{Files, Paths}
+
+/** Column mapping (rename / drop WITHOUT rewriting data): the commit is
+  * metadata-only, reads alias physical→logical, later writes stay
+  * physical-consistent, data skipping keeps pruning on the renamed name,
+  * and a column re-added after a drop reads null from pre-drop files
+  * instead of resurrecting their retired bytes. */
+class ColumnMappingSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("colmap_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_cm", "lh_cm").lakehouses.head
+  }
+
+  private def fileState(name: String): Set[(String, Long)] =
+    TableIO.currentFiles(lh, name).map(p =>
+      p.toString -> Files.getLastModifiedTime(p).toMillis).toSet
+
+  test("rename is metadata-only: same files, same bytes, new name on read") {
+    val base = (1 to 100).map(i => (i.toLong, s"v$i", i * 2.0)).toDF("k", "s", "x")
+    TableIO.writeTable(spark, lh, "r1", base)
+    val before = fileState("r1")
+    TableIO.renameColumn(spark, lh, "r1", "x", "score")
+    assert(fileState("r1") == before, "rename rewrote data files")
+    val got = TableIO.selectTable(spark, lh, "r1")
+    assert(got.columns.toSeq == Seq("k", "s", "score"))
+    assert(got.filter($"k" === 7L).head().getAs[Double]("score") == 14.0)
+  }
+
+  test("readTable keeps pruning on the renamed column (stats keyed physical)") {
+    val df = spark.range(0, 20000).selectExpr("id AS k", "id * 3 AS v")
+      .repartitionByRange(8, $"k").sortWithinPartitions("k")
+    TableIO.writeTable(spark, lh, "r2", df)
+    TableIO.renameColumn(spark, lh, "r2", "k", "key_id")
+    val total = TableIO.currentFiles(lh, "r2").size
+    val got = TableIO.readTable(spark, lh, "r2",
+      condition = "key_id >= 100 AND key_id <= 200")
+    assert(got.count() == 101)
+    assert(got.inputFiles.length < total,
+      s"renamed column stopped pruning (${got.inputFiles.length}/$total)")
+  }
+
+  test("append after rename: new files write the physical name, one read " +
+      "schema spans old and new files") {
+    val base = (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+    TableIO.writeTable(spark, lh, "r3", base)
+    TableIO.renameColumn(spark, lh, "r3", "x", "score")
+    TableIO.appendTable(spark, lh, "r3",
+      Seq((1000L, 999.0)).toDF("k", "score"))
+    val got = TableIO.selectTable(spark, lh, "r3")
+    assert(got.count() == 51)
+    assert(got.filter($"k" === 1000L).head().getAs[Double]("score") == 999.0)
+    assert(got.filter($"k" === 5L).head().getAs[Double]("score") == 5.0)
+    // merge keeps working post-rename too (file-level rewrite, mapped write)
+    TableIO.mergeTable(spark, lh, "r3",
+      Seq((5L, 50.0)).toDF("k", "score"), Seq("k"))
+    val merged = TableIO.selectTable(spark, lh, "r3")
+    assert(merged.filter($"k" === 5L).head().getAs[Double]("score") == 50.0)
+    assert(merged.count() == 51)
+  }
+
+  test("rename chains and rename-back resolve to the original physical name") {
+    val base = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    TableIO.writeTable(spark, lh, "r4", base)
+    TableIO.renameColumn(spark, lh, "r4", "s", "t")
+    TableIO.renameColumn(spark, lh, "r4", "t", "u")
+    assert(TableIO.selectTable(spark, lh, "r4").columns.toSeq == Seq("k", "u"))
+    assert(TableIO.selectTable(spark, lh, "r4")
+      .filter($"k" === 3L).head().getString(1) == "v3")
+    TableIO.renameColumn(spark, lh, "r4", "u", "s") // back to the original
+    val back = TableIO.selectTable(spark, lh, "r4")
+    assert(back.columns.toSeq == Seq("k", "s"))
+    assert(back.filter($"k" === 3L).head().getString(1) == "v3")
+  }
+
+  test("dropColumn is metadata-only and a re-added column reads null from " +
+      "pre-drop files (no resurrection)") {
+    val base = (1 to 40).map(i => (i.toLong, s"secret$i", i * 1.0))
+      .toDF("k", "c", "x")
+    TableIO.writeTable(spark, lh, "d1", base)
+    val before = fileState("d1")
+    TableIO.dropColumn(spark, lh, "d1", "c")
+    assert(fileState("d1") == before, "drop rewrote data files")
+    assert(TableIO.selectTable(spark, lh, "d1").columns.toSeq == Seq("k", "x"))
+    // re-add a column named c: pre-drop rows must read NULL, not secretN
+    TableIO.appendTable(spark, lh, "d1",
+      Seq((1000L, 5.0, "fresh")).toDF("k", "x", "c"))
+    val got = TableIO.selectTable(spark, lh, "d1")
+    assert(got.filter($"k" === 3L).head().getAs[String]("c") == null,
+      "dropped bytes resurrected")
+    assert(got.filter($"k" === 1000L).head().getAs[String]("c") == "fresh")
+  }
+
+  test("rename rejects partition and constraint-referenced columns") {
+    val base = (1 to 30).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i))
+      .toDF("k", "g", "v")
+    TableIO.writeTable(spark, lh, "r5", base, partitionBy = Seq("g"))
+    intercept[IllegalArgumentException] {
+      TableIO.renameColumn(spark, lh, "r5", "g", "grp")
+    }
+    TableIO.writeTable(spark, lh, "r6", base)
+    TableIO.addCheckConstraint(spark, lh, "r6", "v_pos", "v >= 0")
+    intercept[IllegalArgumentException] {
+      TableIO.renameColumn(spark, lh, "r6", "v", "val")
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.dropColumn(spark, lh, "r6", "v")
+    }
+    // unrelated columns still rename fine under a constraint
+    TableIO.renameColumn(spark, lh, "r6", "k", "key_id")
+    assert(TableIO.selectTable(spark, lh, "r6").columns.contains("key_id"))
+  }
+
+  test("time travel reads pre-rename versions with their own schema") {
+    val base = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+    TableIO.writeTable(spark, lh, "r7", base)
+    val v1 = Versioned.latestVersion(Catalog.tablePath(lh, "r7")).get
+    TableIO.renameColumn(spark, lh, "r7", "x", "score")
+    assert(TableIO.selectTableVersion(spark, lh, "r7", v1)
+      .columns.toSeq == Seq("k", "x"))
+    assert(TableIO.selectTable(spark, lh, "r7")
+      .columns.toSeq == Seq("k", "score"))
+  }
+}
