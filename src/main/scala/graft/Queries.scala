@@ -2593,5 +2593,67 @@ object Queries {
       Some("""SELECT s_suppkey, s_name, s_acctbal AS balance FROM supplier
         |UNION ALL SELECT -1, 'zzz', 0.0
         |ORDER BY s_suppkey""".stripMargin)),
+
+    // Row-level sessionization: explicit per-user session sequence numbers
+    // (30-minute gap), every event kept — the label downstream per-session
+    // feature pipelines join on.
+    Q("q125_sessionize",
+      (s, dir) => Analytics.sessionize(ev(s, dir)
+            .select("event_id", "user_id", "ts"),
+          "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .orderBy("event_id"),
+      Some("""WITH s AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM s ORDER BY event_id""".stripMargin)),
+
+    // Fixed-point PageRank (integer 1e-12 rank units, floor divisions)
+    // over the undirected part–supplier co-occurrence graph: bit-identical
+    // across engines where float PageRank is partition-order-dependent.
+    // Vertex ids namespace the bipartite sides as 2·part / 2·supp+1.
+    Q("q126_pagerank",
+      (s, dir) => Graph.pageRankFixedPoint(
+          t(s, dir, "lineitem").selectExpr(
+            "l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst").distinct(),
+          "src", "dst", iterations = 3)
+        .orderBy("v"),
+      Some("""WITH e0 AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS c FROM deg),
+        |r0 AS (SELECT v, 1000000000000 // (SELECT c FROM n) AS r FROM deg),
+        |r1 AS (
+        |  SELECT d.v, (15 * 1000000000000) // (100 * (SELECT c FROM n))
+        |    + (85 * coalesce(i.in_u, 0)) // 100 AS r
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst AS v, CAST(sum(r0.r // deg.deg) AS BIGINT) AS in_u
+        |    FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.v
+        |    GROUP BY e.dst) i ON d.v = i.v),
+        |r2 AS (
+        |  SELECT d.v, (15 * 1000000000000) // (100 * (SELECT c FROM n))
+        |    + (85 * coalesce(i.in_u, 0)) // 100 AS r
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst AS v, CAST(sum(r1.r // deg.deg) AS BIGINT) AS in_u
+        |    FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.v
+        |    GROUP BY e.dst) i ON d.v = i.v),
+        |r3 AS (
+        |  SELECT d.v, (15 * 1000000000000) // (100 * (SELECT c FROM n))
+        |    + (85 * coalesce(i.in_u, 0)) // 100 AS r
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst AS v, CAST(sum(r2.r // deg.deg) AS BIGINT) AS in_u
+        |    FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.v
+        |    GROUP BY e.dst) i ON d.v = i.v)
+        |SELECT v, CAST(r AS BIGINT) AS rank_units,
+        |  CAST(r AS DOUBLE) / 1000000000000 AS rank
+        |FROM r3 ORDER BY v""".stripMargin)),
   )
 }

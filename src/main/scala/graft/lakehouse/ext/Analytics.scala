@@ -50,6 +50,28 @@ object Analytics {
     df.groupBy(col(keyCol)).pivot(pivotCol, values).count()
       .na.fill(0L, values)
 
+  /** Row-level sessionization: assign each event an explicit per-user
+    * session sequence number — a new session starts when the gap from the
+    * user's previous event exceeds `gapSeconds`. One shuffle on the user
+    * key; the label is a running sum of break flags over (ts, id) order
+    * (id breaks timestamp ties deterministically). Unlike session-WINDOW
+    * aggregation ([[EventWindows]]), this keeps every row, which is what
+    * downstream per-session feature pipelines join against. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(order)
+    val brk = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    events
+      .withColumn("__brk", brk)
+      .withColumn("session_seq",
+        sum(col("__brk")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+  }
+
   /** Weekly cohort retention: users are assigned to the ISO week of their
     * first event (their cohort); the output counts distinct users active
     * per (cohort_week, weeks-since-cohort offset). Two shuffles total —

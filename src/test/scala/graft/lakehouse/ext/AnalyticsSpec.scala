@@ -9,6 +9,19 @@ class AnalyticsSpec extends SparkSuite {
 
   private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
 
+  test("sessionize: gap starts a new session, ids break ts ties, rows kept") {
+    val ev = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(5)),   // session 1
+      (1L, 12L, ts(40)),                     // 35 min gap -> session 2
+      (2L, 20L, ts(0)), (2L, 21L, ts(0)))    // same ts: one session, id order
+      .toDF("user_id", "event_id", "ts")
+    val out = Analytics.sessionize(ev, "user_id", "ts", "event_id",
+        gapSeconds = 1800L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("session_seq")).toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 20L -> 1L, 21L -> 1L))
+  }
+
   test("cubeAgg: all four grouping sets of two dims, gid disambiguates") {
     val df = Seq(("a", "x", 10.0), ("a", "y", 20.0), ("b", "x", 5.0))
       .toDF("d1", "d2", "v")
