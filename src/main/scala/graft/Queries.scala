@@ -2655,5 +2655,67 @@ object Queries {
         |SELECT v, CAST(r AS BIGINT) AS rank_units,
         |  CAST(r AS DOUBLE) / 1000000000000 AS rank
         |FROM r3 ORDER BY v""".stripMargin)),
+
+    // Fuzzy decontamination: train docs MinHash-band-colliding with any
+    // eval doc are dropped (catches near-verbatim contamination q53's
+    // exact containment misses). Eval band index broadcast; train side
+    // scanned once. The oracle recomputes signatures, banding, and the
+    // anti-join from scratch.
+    Q("q127_fuzzy_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        Dedup.fuzzyDecontaminate(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text")
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(sha256(substring(text, CAST(p AS INT), 5)),
+        |      1, 15))::UBIGINT AS BIGINT) % 2147483647 AS h
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text) - 4)) AS t(p)
+        |  WHERE length(text) >= 5),
+        |sigs AS (
+        |  SELECT doc_id, i.i AS sig_no,
+        |    min(((2 * i.i + 1) * h + 1000003 * i.i) % 2147483647) AS sig
+        |  FROM g, (SELECT unnest(range(16)) AS i) i
+        |  GROUP BY doc_id, i.i),
+        |bands AS (
+        |  SELECT doc_id, sig_no // 4 AS band_no,
+        |    string_agg(CAST(sig AS VARCHAR), '#' ORDER BY sig_no) AS bkey
+        |  FROM sigs GROUP BY doc_id, sig_no // 4),
+        |flagged AS (
+        |  SELECT DISTINCT t.doc_id FROM bands t
+        |  JOIN bands e ON e.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
+        |    AND t.band_no = e.band_no AND t.bkey = e.bkey)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 50 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Native mergeable top-k aggregate (TypedImperativeAggregate carrying
+    // a bounded min-heap through partial aggregation): k values per
+    // partition per group cross the exchange instead of every row — the
+    // window-rank oracle ranks all rows and must agree value-for-value.
+    Q("q128_native_topk_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(graft.lakehouse.functions.VectorFunctions
+          .graft_topk(col("o_totalprice"), 5).as("top"))
+        .select(col("o_orderstatus"),
+          posexplode(col("top")).as(Seq("rank0", "price")))
+        .selectExpr("o_orderstatus", "CAST(rank0 + 1 AS INT) AS rank", "price")
+        .orderBy("o_orderstatus", "rank"),
+      Some("""SELECT o_orderstatus, CAST(rn AS INT) AS rank,
+        |  o_totalprice AS price
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderstatus, rank""".stripMargin)),
   )
 }

@@ -504,6 +504,27 @@ object Dedup {
       posexplode(kern(col(textCol))).as(Seq("band_no", "band_key")))
   }
 
+  /** FUZZY benchmark decontamination: drop training documents that
+    * MinHash-band-collide with ANY eval/benchmark document — catches the
+    * paraphrased/truncated contamination exact n-gram containment
+    * ([[ngramContamination]], q53) misses, at LSH cost instead of
+    * all-pairs. The eval side reduces to a distinct (band_no, band_key)
+    * index that is BROADCAST (benchmarks are tiny next to a 100 TB
+    * corpus), so the training side is scanned once, never shuffled, and
+    * drops flagged docs with one anti-join. Returns the surviving train
+    * rows. */
+  def fuzzyDecontaminate(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 5,
+      numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    val tb = portableBandKeys(train, idCol, textCol, shingleK, numHashes,
+      bandSize)
+    val eb = portableBandKeys(evalDocs, idCol, textCol, shingleK, numHashes,
+      bandSize).select(col("band_no"), col("band_key")).distinct()
+    val hit = tb.join(broadcast(eb), Seq("band_no", "band_key"))
+      .select(col(idCol)).distinct()
+    train.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Incremental near-dup detection, PORTABLE twin of the persisted-index
     * path ([[nearDupsAgainstIndex]], q64): batch ids sharing ≥ 1 LSH band
     * with the corpus. The corpus side is exactly what a persisted band

@@ -118,6 +118,8 @@ object VectorFunctions {
     column(DotProduct(expression(a), expression(b)))
   def graft_cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def graft_topk(c: Column, k: Int): Column =
+    column(DoubleTopK(expression(c), k).toAggregateExpression())
 
   /** Register for SQL use: SELECT graft_cosine(a, b). */
   def register(spark: SparkSession): Unit = {
@@ -125,6 +127,8 @@ object VectorFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", DoubleTopK.fromExprs, "built-in")
   }
 }
 
@@ -143,5 +147,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, "graft_cosine"),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DoubleTopK].getName, "graft_topk"),
+        DoubleTopK.fromExprs))
   }
 }

@@ -184,4 +184,39 @@ class PlanHygieneSpec extends SparkSuite {
     // codegen'd operators render with the "*(stageId)" prefix
     assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Filter"), p)
   }
+
+  test("q120 attribution is one window over one user-key shuffle — no " +
+      "conversions×touches self-join") {
+    val df = SparkEntry.queries("q120_attribution")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.contains("Join"), p)
+    val body = { val c = p.indexOf("== Initial Plan ==")
+      if (c >= 0) p.take(c) else p }
+    assert("Exchange hashpartitioning".r.findAllIn(body).size <= 1, p)
+  }
+
+  test("q121 OOV rate broadcasts the vocab — the token stream is never " +
+      "hash-shuffled on the token") {
+    val df = SparkEntry.queries("q121_oov_rate")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q127 fuzzy decontamination broadcasts the eval band index and " +
+      "anti-joins without a sort-merge") {
+    val df = SparkEntry.queries("q127_fuzzy_decontaminate")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q125 sessionize is one window over one user-key shuffle") {
+    val df = SparkEntry.queries("q125_sessionize")(spark, sf0001)
+    val p = finalPlan(df)
+    val body = { val c = p.indexOf("== Initial Plan ==")
+      if (c >= 0) p.take(c) else p }
+    assert(body.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(body).size <= 1, p)
+  }
 }

@@ -183,4 +183,19 @@ class DedupSpec extends SparkSuite {
     assert(exact.subsetOf(clustered),
       s"clustered mode dropped ids the exhaustive rule kept: ${exact -- clustered}")
   }
+
+  test("fuzzyDecontaminate: verbatim and near-verbatim eval copies are " +
+      "dropped from train, unrelated and short docs survive") {
+    val bench = "the quick brown fox jumps over the lazy dog again and again"
+    val train = Seq(
+      (1L, bench),                                  // verbatim leak -> drop
+      (2L, bench + " trailing tokens appended"),    // near-verbatim -> drop
+      (3L, "completely unrelated text about spark partitions and shuffles"),
+      (4L, "tiny"))                                 // too short to band -> keep
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((100L, bench)).toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDecontaminate(train, evalDocs, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(3L, 4L), s"got $kept")
+  }
 }
