@@ -1921,6 +1921,23 @@ object TableIO {
           "from a snapshot (raise Versioned.RetainAgeMs for slow streams)")
     val versions = Versioned.committedVersions(tableDir)
       .filter(v => v >= sinceVersion && untilVersion.forall(v <= _))
+    // a RENAME inside the range would union frames under two different
+    // logical names for the same physical column — a silently-wrong feed.
+    // Delta's CDF has the same restriction; fail loudly instead.
+    val logicalNames = versions.flatMap(v =>
+      Versioned.readManifest(tableDir, v).map(m =>
+        DataType.fromJson(m.schemaJson).asInstanceOf[StructType].fields
+          .map(f => (if (f.metadata.contains(PhysicalKey))
+            f.metadata.getString(PhysicalKey) else f.name) -> f.name).toMap))
+    val renamed = logicalNames.sliding(2).collectFirst {
+      case Seq(a, b) if a.keySet.intersect(b.keySet).exists(p => a(p) != b(p)) =>
+        a.keySet.intersect(b.keySet).find(p => a(p) != b(p)).get
+    }
+    renamed.foreach(p => throw new IllegalStateException(
+      s"$tableDir: a column rename (physical '$p') lies inside the " +
+        "requested change-feed range — the feed cannot express one column " +
+        "under two names; re-baseline the consumer from a snapshot taken " +
+        "at or after the rename"))
     val frames = versions.sliding(2).collect {
       case Seq(prev, v) =>
         val pm = Versioned.readManifest(tableDir, prev).getOrElse(

@@ -114,6 +114,25 @@ class ColumnMappingSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "r6").columns.contains("key_id"))
   }
 
+  test("a change feed spanning a rename fails loudly (one column, two names)") {
+    val base = (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+    TableIO.writeTable(spark, lh, "cf1", base)
+    TableIO.enableChangeFeed(spark, lh, "cf1")
+    val v0 = Versioned.latestVersion(Catalog.tablePath(lh, "cf1")).get
+    TableIO.appendTable(spark, lh, "cf1", Seq((100L, 1.0)).toDF("k", "x"))
+    TableIO.renameColumn(spark, lh, "cf1", "x", "score")
+    TableIO.appendTable(spark, lh, "cf1", Seq((101L, 2.0)).toDF("k", "score"))
+    val e = intercept[IllegalStateException] {
+      TableIO.readChangeFeed(spark, lh, "cf1", v0).collect()
+    }
+    assert(e.getMessage.contains("rename"))
+    // a range entirely AFTER the rename works
+    val vAfter = Versioned.latestVersion(Catalog.tablePath(lh, "cf1")).get - 1
+    val feed = TableIO.readChangeFeed(spark, lh, "cf1", vAfter)
+    assert(feed.columns.contains("score"))
+    assert(feed.count() == 1)
+  }
+
   test("time travel reads pre-rename versions with their own schema") {
     val base = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
     TableIO.writeTable(spark, lh, "r7", base)
