@@ -2717,5 +2717,29 @@ object Queries {
         |      ORDER BY o_totalprice DESC) AS rn
         |  FROM orders)
         |WHERE rn <= 5 ORDER BY o_orderstatus, rank""".stripMargin)),
+
+    // Partition evolution end-to-end: unpartitioned history + evolved
+    // layout appends coexist in one table; the scan unions the layout
+    // generations and the filter answer is exact. The metadata-only /
+    // old-files-untouched mechanics are asserted in PartitionEvolutionSpec.
+    Q("q129_partition_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val lh = rtLakehouse(s, dir)
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        TableIO.dropTable(s, lh, "orders_pevo")
+        TableIO.writeTable(s, lh, "orders_pevo", orders)
+        TableIO.evolvePartitioning(s, lh, "orders_pevo", Seq("o_orderstatus"))
+        TableIO.appendTable(s, lh, "orders_pevo",
+          Seq((-1L, "F", 1.0), (-2L, "O", 2.0)).toDF(
+            "o_orderkey", "o_orderstatus", "o_totalprice"))
+        TableIO.readTable(s, lh, "orders_pevo",
+          condition = "o_orderstatus = 'F'").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT -1, 'F', 1.0
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

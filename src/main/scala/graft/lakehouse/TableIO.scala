@@ -55,9 +55,18 @@ object TableIO {
         def scanGroup(groupBase: String, paths: Seq[String]): DataFrame =
           spark.read.schema(readSchema).option("basePath", groupBase)
             .parquet(paths: _*)
-        val localScan =
-          if (local.isEmpty) Seq.empty
-          else Seq(scanGroup(base, local.map(r => baseP.resolve(r).toString)))
+        // partition EVOLUTION leaves files from different layout
+        // generations in one pool; Spark's partition discovery rejects
+        // mixed directory structures under one basePath, so each layout
+        // generation scans separately (absent partition columns read as
+        // null via the explicit schema) and the generations union.
+        // Single-layout tables — the overwhelmingly common case — stay a
+        // single scan.
+        val localScan = local
+          .groupBy(r => partitioningOfFiles(Seq(r)))
+          .toSeq.sortBy(_._1.mkString(","))
+          .map { case (_, paths) =>
+            scanGroup(base, paths.sorted.map(r => baseP.resolve(r).toString)) }
         // absolute entries are a shallow clone's zero-copy references into
         // another table's pool (Delta CLONE stores absolute add-file paths
         // the same way). Each foreign pool is scanned under ITS OWN
@@ -1144,7 +1153,8 @@ object TableIO {
       // window would get neither a delete event nor survive
       expectedBase = if (prevScanForCdf.isDefined) prevVersion else None,
       collectStats = collectFileStats(spark, bloomFilterFor),
-      meta = carried ++ extraMeta,
+      meta = carried ++ extraMeta +
+        (PartitionByKey -> partitionBy.mkString(",")),
       beforeMarker = (v, staged) => prevScanForCdf.foreach { old =>
         import org.apache.spark.sql.functions.lit
         val inserts = scanSpec(spark, Versioned.ScanFiles(tableDir,
@@ -1275,8 +1285,25 @@ object TableIO {
       .dropWhile(seg => !seg.matches("[^=]+=.*"))
       .takeWhile(_.matches("[^=]+=.*")).map(_.split("=", 2)(0)))
 
+  /** Manifest-meta key recording the table's CURRENT partition spec —
+    * the layout future writes use. Absent on pre-evolution manifests
+    * (layout then derives from the files, as before). */
+  private val PartitionByKey = "graft.partitionBy"
+
+  private[lakehouse] def partitionSpecOf(meta: Map[String, String],
+      files: Seq[String]): Seq[String] =
+    meta.get(PartitionByKey) match {
+      case Some("") => Seq.empty
+      case Some(s) => s.split(',').toSeq
+      case None => partitioningOfFiles(files)
+    }
+
   private def currentPartitioning(lh: LakehouseProps, tableName: String): Seq[String] = {
-    Versioned.readSpec(Catalog.tablePath(lh, tableName)) match {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    Versioned.latestVersion(tableDir)
+      .flatMap(v => Versioned.readManifest(tableDir, v))
+      .foreach(m => return partitionSpecOf(m.meta, m.files))
+    Versioned.readSpec(tableDir) match {
       case Versioned.ScanFiles(_, _, files) => partitioningOfFiles(files)
       case Versioned.ScanDir(dataDir) =>
         val out = Seq.newBuilder[String]
@@ -1714,6 +1741,38 @@ object TableIO {
       schema.fieldNames.toSeq, partitioningOfFiles(m.files))
   }
 
+  /** Partition EVOLUTION without rewrite — Iceberg-style spec change,
+    * which Delta itself cannot do: a metadata-only commit records the new
+    * partition spec; FUTURE writes (append/merge/delete rewrites) land in
+    * the new `col=value` layout while existing files stay byte-identical
+    * in theirs. Scans union the layout generations transparently
+    * (per-generation basePath groups in [[scanSpec]]); file-level
+    * data skipping is unaffected because pruning reads per-file stats,
+    * not directory structure. `compactTable` rewrites everything into the
+    * current spec — the explicit "materialize the evolution" op.
+    * Renamed (column-mapped) columns can't become partition keys without
+    * a rewrite — partition values live in physical path segments. */
+  def evolvePartitioning(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, partitionBy: Seq[String]): TableInfo = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName has no manifest versions (legacy layouts need a rewrite)"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(partitionBy.forall(schema.fieldNames.contains),
+      s"partition columns must exist: ${partitionBy.mkString(", ")}")
+    require(partitionBy.forall(c => !physicalMapping(schema).contains(c)),
+      "renamed columns cannot become partition keys without a rewrite")
+    require(partitionBy.forall(c => !c.contains(",") && !c.contains("\n")),
+      "partition column names must not contain ',' or newlines")
+    val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+      inherit = m.entries, expectedBase = base,
+      meta = m.meta + (PartitionByKey -> partitionBy.mkString(","))) { _ => () }
+    finishCommit(spark, lh, tableName, tableDir, commit,
+      schema.fieldNames.toSeq, partitionBy)
+  }
+
   /** One check constraint's SQL mentioning `colName` as an identifier —
     * renames/drops would silently invalidate it. */
   private def constraintMentions(meta: Map[String, String],
@@ -1745,7 +1804,8 @@ object TableIO {
       s"$tableName has no column $oldName")
     require(!schema.fieldNames.contains(newName),
       s"$tableName already has a column $newName")
-    require(!partitioningOfFiles(m.files).contains(oldName),
+    require(!partitioningOfFiles(m.files).contains(oldName) &&
+      !partitionSpecOf(m.meta, m.files).contains(oldName),
       s"$oldName is a partition column (path-encoded) — renaming it " +
         "requires a rewrite")
     constraintMentions(m.meta, oldName).foreach(n =>
@@ -1784,7 +1844,8 @@ object TableIO {
       s"$tableName has no column $colName")
     require(schema.fields.length > 1,
       s"cannot drop $tableName's only column")
-    require(!partitioningOfFiles(m.files).contains(colName),
+    require(!partitioningOfFiles(m.files).contains(colName) &&
+      !partitionSpecOf(m.meta, m.files).contains(colName),
       s"$colName is a partition column (path-encoded) — dropping it " +
         "requires a rewrite")
     constraintMentions(m.meta, colName).foreach(n =>
