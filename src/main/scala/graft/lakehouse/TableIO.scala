@@ -1733,8 +1733,14 @@ object TableIO {
     val commit = Versioned.commitFiles(dstDir, m.schemaJson,
       inherit = refs,
       expectedBase = Some(Versioned.latestVersion(dstDir).getOrElse(0L)),
+      // constraints, CDF flag, the declared partition spec, and drop
+      // tombstones all describe the DATA and must survive the clone —
+      // without the tombstones a column re-added on the clone would
+      // resurrect dropped bytes; without the spec, appends would revert
+      // to the file-derived layout. txn watermarks stay behind.
       meta = m.meta.filter { case (k, _) =>
-        k.startsWith(CheckPrefix) || k == CdfKey } +
+        k.startsWith(CheckPrefix) || k == CdfKey ||
+          k == PartitionByKey || k.startsWith(TombstonePrefix) } +
         ("cloneOf" -> s"$sourceName@v$srcVersion")) { _ => () }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     finishCommit(spark, lh, cloneName, dstDir, commit,

@@ -135,6 +135,31 @@ class CloneSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "cc_dst")
   }
 
+  test("clone carries the evolved partition spec and drop tombstones") {
+    val base = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", s"secret$i")).toDF("k", "g", "c")
+    TableIO.writeTable(spark, lh, "cm2_src", base)
+    TableIO.evolvePartitioning(spark, lh, "cm2_src", Seq("g"))
+    TableIO.dropColumn(spark, lh, "cm2_src", "c")
+    TableIO.cloneTable(spark, lh, "cm2_src", "cm2_dst")
+    // appends on the clone follow the source's declared (evolved) layout
+    TableIO.appendTable(spark, lh, "cm2_dst",
+      Seq((100L, "a")).toDF("k", "g"))
+    val newFiles = TableIO.currentFiles(lh, "cm2_dst").map(_.toString)
+      .filterNot(_.contains("/cm2_src/"))
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("/g=")),
+      s"clone ignored the evolved spec: $newFiles")
+    // re-adding the dropped column on the clone must NOT resurrect bytes
+    TableIO.appendTable(spark, lh, "cm2_dst",
+      Seq((101L, "b", "fresh")).toDF("k", "g", "c"))
+    val got = TableIO.selectTable(spark, lh, "cm2_dst")
+    assert(got.filter($"k" === 3L).head().getAs[String]("c") == null,
+      "dropped bytes resurrected through the clone")
+    assert(got.filter($"k" === 101L).head().getAs[String]("c") == "fresh")
+    TableIO.dropTable(spark, lh, "cm2_dst")
+    TableIO.dropTable(spark, lh, "cm2_src")
+  }
+
   test("clone of a clone flattens: references point at the original pool, one hop deep") {
     val base = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")
     TableIO.writeTable(spark, lh, "c3_src", base)
