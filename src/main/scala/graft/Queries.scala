@@ -1605,14 +1605,15 @@ object Queries {
           part.filter(col("p_partkey") <= 5).coalesce(1))
         TableIO.compactTable(s, lh, "part_hist")
         TableIO.describeHistory(s, lh, "part_hist")
-          .select(col("version").cast("int").as("version"), col("n_files"),
-            col("n_added"), col("n_removed"))
+          .select(col("version").cast("int").as("version"), col("operation"),
+            col("n_files"), col("n_added"), col("n_removed"))
           .orderBy("version")
       },
       Some("""SELECT * FROM (VALUES
-        |  (1, 1, 1, 0),
-        |  (2, 2, 1, 0),
-        |  (3, 1, 1, 2)) AS t(version, n_files, n_added, n_removed)
+        |  (1, 'WRITE', 1, 1, 0),
+        |  (2, 'APPEND', 2, 1, 0),
+        |  (3, 'OPTIMIZE', 1, 1, 2))
+        |  AS t(version, operation, n_files, n_added, n_removed)
         |ORDER BY version""".stripMargin)),
 
     // RESTORE TO VERSION round trip: v1 = the part table, v2 = a mutated

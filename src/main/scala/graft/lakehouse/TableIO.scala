@@ -107,7 +107,7 @@ object TableIO {
   /** Rename staged columns logical→physical before writing data files:
     * post-rename appends/merges/deletes must keep writing the PHYSICAL
     * name so one read schema spans the whole file pool. */
-  private def toPhysical(df: DataFrame, committed: StructType): DataFrame = {
+  private[lakehouse] def toPhysical(df: DataFrame, committed: StructType): DataFrame = {
     val mapping = physicalMapping(committed)
     if (mapping.isEmpty) df
     else df.select(df.columns.map(c =>
@@ -145,7 +145,7 @@ object TableIO {
     * physical slot) must read null from pre-evolution files, not
     * resurrect their stale bytes (Delta prevents this with immutable
     * column ids; the fresh name is the same guarantee). */
-  private def alignMapping(schema: StructType, prior: StructType,
+  private[lakehouse] def alignMapping(schema: StructType, prior: StructType,
       meta: Map[String, String], baseVersion: Long): StructType = {
     val carried = withMapping(schema, prior)
     val priorNames = prior.fieldNames.toSet
@@ -1073,7 +1073,8 @@ object TableIO {
       Versioned.ScanFiles(tableDir, m.schemaJson, m.files)),
       Map(name -> sqlExpr), s"$tableName: existing data")
     Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
-      expectedBase = base, meta = m.meta + (CheckPrefix + name -> sqlExpr)) {
+      expectedBase = base, meta = m.meta + (CheckPrefix + name -> sqlExpr),
+      op = "ADD CONSTRAINT") {
       _ => ()
     }
     ()
@@ -1088,7 +1089,8 @@ object TableIO {
     val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
       throw new IllegalArgumentException(s"$tableName has no versions"))
     Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
-      expectedBase = base, meta = m.meta - (CheckPrefix + name)) { _ => () }
+      expectedBase = base, meta = m.meta - (CheckPrefix + name),
+      op = "DROP CONSTRAINT") { _ => () }
     ()
   }
 
@@ -1155,6 +1157,7 @@ object TableIO {
       collectStats = collectFileStats(spark, bloomFilterFor),
       meta = carried ++ extraMeta +
         (PartitionByKey -> partitionBy.mkString(",")),
+      op = "WRITE",
       beforeMarker = (v, staged) => prevScanForCdf.foreach { old =>
         import org.apache.spark.sql.functions.lit
         val inserts = scanSpec(spark, Versioned.ScanFiles(tableDir,
@@ -1200,7 +1203,7 @@ object TableIO {
             val commit = Versioned.commitFiles(tableDir, df.schema.json,
               expectedBase = Some(0L),
               collectStats = collectFileStats(spark),
-              meta = extraMeta) { target =>
+              meta = extraMeta, op = "APPEND") { target =>
               df.write.mode(SaveMode.Append).parquet(target)
             }
             return finishCommit(spark, lh, tableName, tableDir, commit,
@@ -1228,7 +1231,7 @@ object TableIO {
                 val commit = Versioned.commitFiles(tableDir, evolvedM.json,
                   inherit = m.entries, expectedBase = Some(base),
                   collectStats = collectFileStats(spark, bloomColsOf(m)),
-                  meta = m.meta ++ extraMeta) { target =>
+                  meta = m.meta ++ extraMeta, op = "APPEND") { target =>
                   val writer = toPhysical(aligned, evolvedM)
                     .write.mode(SaveMode.Append)
                   (if (parts.nonEmpty) writer.partitionBy(parts: _*)
@@ -1393,7 +1396,8 @@ object TableIO {
       case (Some(_), Some(m)) if !cdfEnabled(m.meta) =>
         // without a change feed to stage, MERGE is exactly the generalized
         // replace primitive with removal keys = update keys
-        replaceKeyedRows(spark, lh, tableName, updates, updates, keyCols)
+        replaceKeyedRows(spark, lh, tableName, updates, updates, keyCols,
+          op = "MERGE")
       case (Some(b), Some(m)) =>
         enforceChecks(updates, checkConstraintsOf(m.meta), s"$tableName: merge")
         val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -1463,7 +1467,7 @@ object TableIO {
               inherit = untouched, expectedBase = Some(b),
               collectStats = collectFileStats(spark, bloomColsOf(m)),
               meta = m.meta,
-              beforeMarker = writeCdf) { target =>
+              beforeMarker = writeCdf, op = "MERGE") { target =>
               val writer = toPhysical(rewritten, rewrittenM)
                 .write.mode(SaveMode.Append)
               (if (parts.nonEmpty) writer.partitionBy(parts: _*)
@@ -1507,7 +1511,8 @@ object TableIO {
   private[lakehouse] def replaceKeyedRows(spark: SparkSession,
       lh: LakehouseProps, tableName: String, removalKeys: DataFrame,
       newRows: DataFrame, keyCols: Seq[String],
-      extraMeta: Map[String, String] = Map.empty): TableInfo = {
+      extraMeta: Map[String, String] = Map.empty,
+      op: String = "REPLACE"): TableInfo = {
     require(keyCols.nonEmpty, "replaceKeyedRows needs at least one key column")
     val keyColumns = keyCols.map(org.apache.spark.sql.functions.col)
     val tableDir = Catalog.tablePath(lh, tableName)
@@ -1552,7 +1557,7 @@ object TableIO {
           val commit = Versioned.commitFiles(tableDir, rewrittenM.json,
             inherit = untouched, expectedBase = Some(b),
             collectStats = collectFileStats(spark, bloomColsOf(m)),
-            meta = m.meta ++ extraMeta) { target =>
+            meta = m.meta ++ extraMeta, op = op) { target =>
             val writer = toPhysical(rewritten, rewrittenM)
               .write.mode(SaveMode.Append)
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
@@ -1694,7 +1699,8 @@ object TableIO {
         "files were already vacuumed")
     val base = Versioned.latestVersion(tableDir)
     val commit = Versioned.commitFiles(tableDir, m.schemaJson,
-      inherit = m.entries, expectedBase = base, meta = m.meta) { _ => () }
+      inherit = m.entries, expectedBase = base, meta = m.meta,
+      op = "RESTORE") { _ => () }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     finishCommit(spark, lh, tableName, tableDir, commit,
       schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
@@ -1741,7 +1747,8 @@ object TableIO {
       meta = m.meta.filter { case (k, _) =>
         k.startsWith(CheckPrefix) || k == CdfKey ||
           k == PartitionByKey || k.startsWith(TombstonePrefix) } +
-        ("cloneOf" -> s"$sourceName@v$srcVersion")) { _ => () }
+        ("cloneOf" -> s"$sourceName@v$srcVersion"),
+      op = "CLONE") { _ => () }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     finishCommit(spark, lh, cloneName, dstDir, commit,
       schema.fieldNames.toSeq, partitioningOfFiles(m.files))
@@ -1774,7 +1781,8 @@ object TableIO {
       "partition column names must not contain ',' or newlines")
     val commit = Versioned.commitFiles(tableDir, m.schemaJson,
       inherit = m.entries, expectedBase = base,
-      meta = m.meta + (PartitionByKey -> partitionBy.mkString(","))) { _ => () }
+      meta = m.meta + (PartitionByKey -> partitionBy.mkString(",")),
+      op = "SET PARTITIONING") { _ => () }
     finishCommit(spark, lh, tableName, tableDir, commit,
       schema.fieldNames.toSeq, partitionBy)
   }
@@ -1828,7 +1836,8 @@ object TableIO {
       }
     })
     val commit = Versioned.commitFiles(tableDir, renamed.json,
-      inherit = m.entries, expectedBase = base, meta = m.meta) { _ => () }
+      inherit = m.entries, expectedBase = base, meta = m.meta,
+      op = "RENAME COLUMN") { _ => () }
     finishCommit(spark, lh, tableName, tableDir, commit,
       renamed.fieldNames.toSeq, partitioningOfFiles(m.files))
   }
@@ -1865,7 +1874,8 @@ object TableIO {
       else f.name).get
     val commit = Versioned.commitFiles(tableDir, narrowed.json,
       inherit = m.entries, expectedBase = base,
-      meta = m.meta + (TombstonePrefix + dropped -> "1")) { _ => () }
+      meta = m.meta + (TombstonePrefix + dropped -> "1"),
+      op = "DROP COLUMN") { _ => () }
     finishCommit(spark, lh, tableName, tableDir, commit,
       narrowed.fieldNames.toSeq, partitioningOfFiles(m.files))
   }
@@ -1892,20 +1902,22 @@ object TableIO {
     val dirP = Paths.get(tableDir)
     val versions = Versioned.committedVersions(tableDir)
     val manifests = versions.map(v =>
-      v -> Versioned.readManifest(tableDir, v).map(_.files).getOrElse(Seq.empty))
-    val rows = manifests.zip(None +: manifests.map(m => Some(m._2))).map {
-      case ((v, files), prev) =>
+      v -> Versioned.readManifest(tableDir, v))
+    val rows = manifests.zip(None +: manifests.map(_._2.map(_.files))).map {
+      case ((v, m), prev) =>
+        val files = m.map(_.files).getOrElse(Seq.empty)
         val prevSet = prev.getOrElse(Seq.empty).toSet
         val bytes = files.map(f =>
           scala.util.Try(Files.size(dirP.resolve(f))).getOrElse(0L)).sum
         (v,
           new java.sql.Timestamp(
             Versioned.commitTimeMs(tableDir, v).getOrElse(0L)),
+          m.flatMap(_.meta.get(Versioned.OpKey)).getOrElse("UNKNOWN"),
           files.size, bytes,
           files.count(!prevSet.contains(_)),
           prevSet.count(p => !files.contains(p)))
     }
-    rows.toDF("version", "commit_time", "n_files", "bytes",
+    rows.toDF("version", "commit_time", "operation", "n_files", "bytes",
       "n_added", "n_removed").orderBy("version")
   }
 
@@ -1947,7 +1959,7 @@ object TableIO {
         s"$tableName needs a manifest-based version to carry properties"))
     val newMeta = value.fold(m.meta - key)(v => m.meta + (key -> v))
     Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
-      expectedBase = base, meta = newMeta) { _ => () }
+      expectedBase = base, meta = newMeta, op = "SET PROPERTY") { _ => () }
     ()
   }
 
@@ -2106,7 +2118,8 @@ object TableIO {
           collectStats = collectFileStats(spark, blooms), meta = m.meta,
           beforeMarker = (v, _) => emptyCdf.foreach(
             _.write.mode(SaveMode.Overwrite)
-              .parquet(cdfDir(tableDir, v).toString))) { target =>
+              .parquet(cdfDir(tableDir, v).toString)),
+          op = "OPTIMIZE") { target =>
           if (affected.nonEmpty) {
             val physical = toPhysical(arranged,
               DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -2133,7 +2146,8 @@ object TableIO {
           else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
         val commit = Versioned.commitFiles(tableDir, df.schema.json,
           expectedBase = base,
-          collectStats = collectFileStats(spark, Seq.empty)) { target =>
+          collectStats = collectFileStats(spark, Seq.empty),
+          op = "OPTIMIZE") { target =>
           val writer = arranged.write.mode(SaveMode.Append)
           (if (parts.nonEmpty) writer.partitionBy(parts: _*)
            else writer).parquet(target)
@@ -2180,7 +2194,8 @@ object TableIO {
           collectStats = collectFileStats(spark, bloomColsOf(m)),
           meta = m.meta,
           beforeMarker = (v, _) => changes.foreach(
-            _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString))) { target =>
+            _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString)),
+          op = "DELETE") { target =>
           if (affected.nonEmpty) {
             val survivors = scanSpec(spark,
               Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
@@ -2210,7 +2225,8 @@ object TableIO {
     * snapshot of the DataFrame, overwritten atomically like writeTable). */
   def writeView(spark: SparkSession, lh: LakehouseProps, viewName: String,
       df: DataFrame): Unit = {
-    Versioned.commitFiles(Catalog.viewPath(lh, viewName), df.schema.json) {
+    Versioned.commitFiles(Catalog.viewPath(lh, viewName), df.schema.json,
+      op = "WRITE") {
       target => df.write.mode(SaveMode.Append).parquet(target)
     }
     ()

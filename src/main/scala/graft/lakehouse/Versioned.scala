@@ -260,12 +260,20 @@ object Versioned {
     * before any file reaches its final location; a crash after the claim
     * leaves an uncommitted orphan (no marker) that age-based sweep clears.
     */
+  /** Manifest-meta key recording what operation produced a version —
+    * surfaced by DESCRIBE HISTORY (Delta's operation column). Set via
+    * [[commitFiles]]'s `op`; a carried-forward stale value is always
+    * stripped so a maintenance commit can never masquerade as the data
+    * operation before it. */
+  val OpKey = "graft.op"
+
   def commitFiles(tableDir: String, schemaJson: String,
       inherit: Seq[FileEntry] = Seq.empty,
       expectedBase: Option[Long] = None,
       collectStats: String => Map[String, String] = _ => Map.empty,
       meta: Map[String, String] = Map.empty,
-      beforeMarker: (Long, Seq[FileEntry]) => Unit = (_, _) => ())
+      beforeMarker: (Long, Seq[FileEntry]) => Unit = (_, _) => (),
+      op: String = "")
       (write: String => Unit): Commit = {
     require(inherit.isEmpty || expectedBase.isDefined,
       "a commit inheriting files must pin the base version they came from")
@@ -273,6 +281,10 @@ object Versioned {
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
       "meta keys must not contain '='; keys and values must be single-line")
+    // operation provenance: always drop a carried-forward op; record this
+    // commit's own (when the caller names one)
+    val metaWithOp =
+      if (op.isEmpty) meta - OpKey else (meta - OpKey) + (OpKey -> op)
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
     // fail fast before paying for the write; the authoritative check is the
@@ -299,7 +311,7 @@ object Versioned {
       }
       val files = inherit ++ staged
       val tmp = dir.resolve(s".manifest.tmp-${java.util.UUID.randomUUID()}")
-      val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+      val metaLines = metaWithOp.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
       Files.write(tmp,
         ((schemaJson +: metaLines) ++ files.map(_.serialized)).mkString("\n")
           .getBytes(StandardCharsets.UTF_8))

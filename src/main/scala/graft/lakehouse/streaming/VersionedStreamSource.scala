@@ -125,7 +125,8 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
             Versioned.commitFiles(tableDir, batch.schema.json,
               expectedBase = Some(0L),
               collectStats = TableIO.collectFileStats(spark),
-              meta = Map(txnKey -> batchId.toString)) { target =>
+              meta = Map(txnKey -> batchId.toString),
+              op = "STREAM APPEND") { target =>
               writeBatch(batch, Seq.empty, target)
             }
           case Some(man) =>
@@ -140,17 +141,23 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
               spark.sparkContext.emptyRDD[Row], oldSchema)
             val evolved = oldEmpty
               .unionByName(batch.limit(0), allowMissingColumns = true).schema
+            // carry column-mapping metadata and tombstone remaps exactly
+            // like the batch append path — a renamed table's stream must
+            // keep writing the PHYSICAL names
+            val evolvedM = TableIO.alignMapping(evolved, oldSchema,
+              man.meta, base.getOrElse(0L))
             val aligned =
               oldEmpty.unionByName(batch, allowMissingColumns = true)
             val parts =
               if (partitionColumns.nonEmpty) partitionColumns
-              else TableIO.partitioningOfFiles(man.files)
-            Versioned.commitFiles(tableDir, evolved.json,
+              else TableIO.partitionSpecOf(man.meta, man.files)
+            Versioned.commitFiles(tableDir, evolvedM.json,
               inherit = man.entries, expectedBase = base,
               collectStats = TableIO.collectFileStats(spark,
                 TableIO.bloomColsOf(man)),
-              meta = man.meta + (txnKey -> batchId.toString)) { target =>
-              writeBatch(aligned, parts, target)
+              meta = man.meta + (txnKey -> batchId.toString),
+              op = "STREAM APPEND") { target =>
+              writeBatch(TableIO.toPhysical(aligned, evolvedM), parts, target)
             }
         }
         return

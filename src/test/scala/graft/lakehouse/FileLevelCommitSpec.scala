@@ -171,12 +171,18 @@ class FileLevelCommitSpec extends SparkSuite {
     val byV = h.map(r => r.getLong(0) -> r).toMap
     val vs = h.map(_.getLong(0)).sorted
     // append added exactly its new files, removed none
-    assert(byV(vs(1)).getInt(4) >= 1 && byV(vs(1)).getInt(5) == 0)
+    assert(byV(vs(1)).getAs[Int]("n_added") >= 1 &&
+      byV(vs(1)).getAs[Int]("n_removed") == 0)
     // merge rewrote >= 1 file: added and removed both positive
-    assert(byV(vs(2)).getInt(4) >= 1 && byV(vs(2)).getInt(5) >= 1)
+    assert(byV(vs(2)).getAs[Int]("n_added") >= 1 &&
+      byV(vs(2)).getAs[Int]("n_removed") >= 1)
+    // operation provenance rides the manifest meta
+    assert(byV(vs(0)).getAs[String]("operation") == "WRITE")
+    assert(byV(vs(1)).getAs[String]("operation") == "APPEND")
+    assert(byV(vs(2)).getAs[String]("operation") == "MERGE")
     // commit times non-decreasing, bytes positive
     assert(h.map(_.getTimestamp(1).getTime).toSeq == h.map(_.getTimestamp(1).getTime).toSeq.sorted)
-    assert(h.forall(_.getLong(3) > 0))
+    assert(h.forall(_.getAs[Long]("bytes") > 0))
     TableIO.dropTable(spark, lh, "hist")
   }
 
