@@ -33,10 +33,14 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val sym = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
+    // both directions emitted in ONE pass over the input (a union of two
+    // projections would evaluate the upstream edge plan twice)
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     val deg = sym.groupBy(col("src").as("v"))
@@ -47,19 +51,32 @@ object Graph {
       val base = ((100L - dampingPct) * Unit) / (100L * n)
       var ranks = deg.select(col("v"), lit(Unit / n).as("rank_units"))
         .localCheckpoint()
-      for (_ <- 1 to iterations) {
-        val contrib = ranks.join(deg, "v")
+      // the rank/degree frames are O(V); when V is broadcastable each
+      // round becomes ONE map-side join over the O(E) edge list + ONE
+      // partial-agg shuffle of per-vertex contributions — the edge list
+      // itself is never shuffled. Past the vertex cap (billions of
+      // vertices at 100 TB) the hint drops out and Spark shuffle-joins
+      // on the edge partitioning instead — the textbook fallback.
+      val hint: DataFrame => DataFrame =
+        if (n <= 10000000L) broadcast(_) else identity
+      for (i <- 1 to iterations) {
+        val contrib = ranks.join(hint(deg), "v")
           .select(col("v").as("u"), expr("rank_units div deg").as("c"))
-        val incoming = sym.join(contrib, sym("src") === col("u"))
+        val incoming = sym.join(hint(contrib), sym("src") === col("u"))
           .groupBy(col("dst").as("v"))
           .agg(sum("c").as("in_units"))
-        ranks = deg.select(col("v"))
-          .join(incoming, Seq("v"), "left")
+        val next = deg.select(col("v"))
+          .join(hint(incoming), Seq("v"), "left")
           .select(col("v"),
             (lit(base) +
               expr(s"($dampingPct * coalesce(in_units, 0L)) div 100"))
               .as("rank_units"))
-          .localCheckpoint() // eager: plans stay flat across iterations
+        // flat-lineage trick only when the chain could actually grow deep:
+        // every eager checkpoint is a full job, and for a handful of
+        // rounds one pipelined plan (persisted edges + reused broadcast
+        // exchanges) beats 3-4 materialization barriers
+        ranks = if (iterations > 4 && i < iterations) next.localCheckpoint()
+          else next
       }
       ranks.withColumn("rank", col("rank_units").cast("double") / Unit)
     } finally { sym.unpersist(); deg.unpersist() }
