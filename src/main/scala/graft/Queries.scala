@@ -2742,5 +2742,82 @@ object Queries {
         |WHERE o_orderstatus = 'F'
         |UNION ALL SELECT -1, 'F', 1.0
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // Deletion vectors: two row-level DELETEs that rewrite ZERO data files
+    // (deleted positions live in sidecars; scans subtract them), then a
+    // compaction that materializes the vectors — the read must equal plain
+    // SQL deletes at every step. NULL conditions keep their rows.
+    Q("q130_deletion_vectors",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_dv")
+        TableIO.writeTable(s, lh, "orders_dv",
+          t(s, dir, "orders").select("o_orderkey", "o_custkey",
+            "o_orderstatus", "o_totalprice"))
+        TableIO.deleteFromTable(s, lh, "orders_dv",
+          "o_orderstatus = 'F' AND o_totalprice < 100000.0",
+          deletionVectors = true)
+        TableIO.deleteFromTable(s, lh, "orders_dv",
+          "o_totalprice > 400000.0", deletionVectors = true)
+        TableIO.compactTable(s, lh, "orders_dv")
+        TableIO.selectTable(s, lh, "orders_dv").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+        |  AND NOT (o_totalprice > 400000.0)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Full conditional MERGE INTO (every Delta clause family in one
+    // statement, first-match clause order): the oracle replays the exact
+    // cascade arithmetically — matched+cheap updates, matched+expensive
+    // deletes, unmatched sources insert, 'P'-status rows unmatched by
+    // source are purged.
+    Q("q131_merge_into",
+      (s, dir) => {
+        import s.implicits._
+        import TableIO.MergeClause._
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_cm")
+        TableIO.writeTable(s, lh, "orders_cm",
+          t(s, dir, "orders").select("o_orderkey", "o_custkey",
+            "o_orderstatus", "o_totalprice"))
+        val src = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 1.1).as("new_price"))
+          .unionByName(Seq((-5L, 123.45)).toDF("o_orderkey", "new_price"))
+        TableIO.mergeInto(s, lh, "orders_cm", src, Seq("o_orderkey"), Seq(
+          MatchedUpdate(Map("o_totalprice" -> "s.new_price"),
+            condition = Some("t.o_totalprice < 100000")),
+          MatchedDelete(condition = Some("t.o_totalprice > 400000")),
+          NotMatchedInsert(values = Some(Map(
+            "o_orderkey" -> "s.o_orderkey", "o_custkey" -> "-1",
+            "o_orderstatus" -> "'N'", "o_totalprice" -> "s.new_price"))),
+          NotMatchedBySourceDelete(
+            condition = Some("t.o_orderstatus = 'P'"))))
+        TableIO.selectTable(s, lh, "orders_cm").orderBy("o_orderkey")
+      },
+      Some("""WITH src AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS new_price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT -5, 123.45),
+        |t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |      FROM orders),
+        |j AS (
+        |  SELECT t.*, s.new_price, s.o_orderkey IS NOT NULL AS m
+        |  FROM t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN m AND o_totalprice < 100000 THEN new_price
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM j
+        |WHERE NOT (m AND NOT (o_totalprice < 100000)
+        |           AND o_totalprice > 400000)
+        |  AND NOT (NOT m AND o_orderstatus = 'P')
+        |UNION ALL
+        |SELECT s.o_orderkey, -1, 'N', s.new_price
+        |FROM src s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

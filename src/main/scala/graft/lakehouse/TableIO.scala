@@ -37,10 +37,50 @@ object TableIO {
   private[lakehouse] def scanSpec(spark: SparkSession,
       spec: Versioned.ReadSpec): DataFrame = spec match {
     case Versioned.ScanDir(p) => spark.read.parquet(p)
-    case Versioned.ScanFiles(base, schemaJson, rel) =>
+    case sf: Versioned.ScanFiles => scanFiles(spark, sf, keepMeta = false)
+  }
+
+  /** Names of the per-row provenance columns [[scanFiles]] appends when
+    * `keepMeta` is set: the raw `_metadata.file_path` URI and the row's
+    * position within its parquet file. The DV delete path keys its
+    * vectors on these. */
+  private[lakehouse] val FpCol = "__graft_fp"
+  private[lakehouse] val RiCol = "__graft_ri"
+
+  /** Row-filter behind deletion-vectored scans: keep a row iff its file has
+    * no vector or the vector doesn't contain its row index. Binary search
+    * over the broadcast sorted index arrays; the per-instance memo avoids
+    * re-decoding the file-path URI for every row (a task sees a handful of
+    * distinct paths). */
+  private final class DvKeep(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
+      extends ((String, Long) => Boolean) with Serializable {
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    def apply(fp: String, ri: Long): Boolean = {
+      var v = memo.get(fp)
+      if (v == null) {
+        v = bc.value.getOrElse(new java.net.URI(fp).getPath,
+          Array.empty[Long])
+        memo.put(fp, v)
+      }
+      v.length == 0 || java.util.Arrays.binarySearch(v, ri) < 0
+    }
+  }
+
+  private[lakehouse] def scanFiles(spark: SparkSession,
+      sf: Versioned.ScanFiles, keepMeta: Boolean): DataFrame = {
+    val Versioned.ScanFiles(base, schemaJson, rel, dv) = sf
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      if (rel.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      if (rel.isEmpty) {
+        val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        if (!keepMeta) empty
+        else {
+          import org.apache.spark.sql.functions.lit
+          empty.withColumn(FpCol, lit(null).cast("string"))
+            .withColumn(RiCol, lit(null).cast("long"))
+        }
+      }
       else {
         // column mapping: files store PHYSICAL names; read those and alias
         // back to the committed logical names at the end (metadata kept so
@@ -52,9 +92,22 @@ object TableIO {
             f.copy(name = mapping.getOrElse(f.name, f.name))))
         val baseP = Paths.get(base)
         val (external, local) = rel.partition(r => Paths.get(r).isAbsolute)
-        def scanGroup(groupBase: String, paths: Seq[String]): DataFrame =
-          spark.read.schema(readSchema).option("basePath", groupBase)
+        // deletion vectors (and the delete path itself) need per-row file
+        // provenance; `_metadata` only resolves on the scan relation, so it
+        // is projected out BEFORE the union. DV-free reads keep the exact
+        // plan they always had — zero overhead on the common path.
+        val needMeta = keepMeta || dv.nonEmpty
+        def scanGroup(groupBase: String, paths: Seq[String]): DataFrame = {
+          val raw = spark.read.schema(readSchema).option("basePath", groupBase)
             .parquet(paths: _*)
+          if (!needMeta) raw
+          else {
+            import org.apache.spark.sql.functions.col
+            raw.select(col("*"),
+              col("_metadata.file_path").as(FpCol),
+              col("_metadata.row_index").as(RiCol))
+          }
+        }
         // partition EVOLUTION leaves files from different layout
         // generations in one pool; Spark's partition discovery rejects
         // mixed directory structures under one basePath, so each layout
@@ -78,10 +131,25 @@ object TableIO {
           .toSeq.sortBy(_._1)
           .map { case (groupBase, paths) => scanGroup(groupBase, paths.sorted) }
         val scanned = (localScan ++ externalScans).reduce(_ unionByName _)
-        if (mapping.isEmpty) scanned
-        else scanned.select(schema.fields.map(f =>
+        // subtract deletion-vectored rows (broadcast bitsets, binary-search
+        // probe per row) — only scans of DV-carrying files pay this
+        val live =
+          if (dv.isEmpty) scanned
+          else {
+            import org.apache.spark.sql.functions.{col, udf}
+            val bc = spark.sparkContext.broadcast(
+              DeletionVectors.load(base, dv))
+            val keep = udf(new DvKeep(bc): (String, Long) => Boolean)
+            scanned.filter(keep(col(FpCol), col(RiCol)))
+          }
+        val metaCols =
+          if (keepMeta) Seq(FpCol, RiCol).map(
+            org.apache.spark.sql.functions.col)
+          else Seq.empty
+        if (mapping.isEmpty && !needMeta) live
+        else live.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(mapping.getOrElse(f.name, f.name))
-            .as(f.name, f.metadata)): _*)
+            .as(f.name, f.metadata)) ++ metaCols: _*)
       }
   }
 
@@ -262,8 +330,7 @@ object TableIO {
       .flatMap(v => Versioned.readManifest(tableDir, v)).flatMap { m =>
         minedSurvivors(spark, m, condition).flatMap { kept =>
           if (kept.size == m.entries.size) None // pruned nothing: no gain
-          else Some(scanSpec(spark,
-            Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path))))
+          else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, kept)))
         }
       }
   }
@@ -653,7 +720,9 @@ object TableIO {
     * EVERY entry carries one (files from pre-rows manifests force a real
     * count once; their rewrites regain the fast path). */
   private def rowsFromManifest(m: Versioned.Manifest): Option[Long] = {
-    val counts = m.entries.map(entryRows)
+    // LOGICAL rows: physical per-file counts minus deletion-vectored rows
+    val counts = m.entries.map(e =>
+      entryRows(e).map(_ - Versioned.dvRefOf(e).fold(0L)(_._2)))
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
@@ -808,7 +877,7 @@ object TableIO {
           }
         }
       }
-      (Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path)),
+      (Versioned.scanOf(tableDir, m, kept),
         m.entries.size)
     }
   }
@@ -846,6 +915,22 @@ object TableIO {
         hi.map(h => col(statCol) <= lit(h))
     }
     filters.foldLeft(base)(_ filter _)
+  }
+
+  /** An entry's stats JSON with its deletion-vector reference set/replaced
+    * (other stats — min/max/nulls/blooms — stay as written: they are
+    * PHYSICAL file properties and remain conservatively valid for pruning
+    * after rows are vectored out). */
+  private def withDvStat(stats: Option[String], sidecar: String,
+      deleted: Long): String = {
+    import org.json4s.{JArray, JObject, JString}
+    import org.json4s.jackson.JsonMethods.{compact, parse, render}
+    val existing = stats.flatMap(s => scala.util.Try(parse(s)).toOption) match {
+      case Some(JObject(fields)) => fields.filterNot(_._1 == Versioned.DvKey)
+      case _ => Nil
+    }
+    compact(render(JObject(existing :+ (Versioned.DvKey ->
+      (JArray(List(JString(sidecar), JString(deleted.toString))): org.json4s.JValue)))))
   }
 
   /** Per-file row count from an entry's stats JSON. */
@@ -906,13 +991,18 @@ object TableIO {
         // below would silently read as "not less", corrupting the file
         // ordering and the k-th-value bound. Self-compare try-parses each
         // endpoint; any failure falls back to the full sort.
-        val provable = candidates.forall { case (_, r, n) =>
+        // a deletion-vectored file's stats are PHYSICAL (its non-null count
+        // includes deleted rows, and we can't know how many deleted rows
+        // were null), so the k-prefix arithmetic is no longer provable —
+        // fall back to the (DV-filtered) full sort
+        val provable = candidates.forall { case (e, r, n) =>
+          Versioned.dvRefOf(e).isEmpty &&
           n.isDefined && r.exists(p => p._1.isDefined && p._2.isDefined &&
             Seq(p._1.get, p._2.get).forall(s => cmpStat(dt, s, s).contains(0)))
         }
         if (!provable || candidates.isEmpty)
           return fullSort(scanSpec(spark,
-            Versioned.ScanFiles(tableDir, m.schemaJson, m.files)))
+            Versioned.scanOf(tableDir, m, m.entries)))
         def lo(t: (Versioned.FileEntry, Option[(Option[String], Option[String])], Option[Long])) =
           t._2.get._1.get
         def hi(t: (Versioned.FileEntry, Option[(Option[String], Option[String])], Option[Long])) =
@@ -936,8 +1026,8 @@ object TableIO {
           else prefix.map(lo).reduce((a, b) => if (less(a, b)) a else b)
         val keep = ordered.filter(t =>
           if (ascending) !less(bound, lo(t)) else !less(hi(t), bound))
-        fullSort(scanSpec(spark, Versioned.ScanFiles(tableDir, m.schemaJson,
-          keep.map(_._1.path))))
+        fullSort(scanSpec(spark,
+          Versioned.scanOf(tableDir, m, keep.map(_._1))))
     }
   }
 
@@ -956,7 +1046,7 @@ object TableIO {
           case _ => true // not provable: must scan
         }
       }
-      (Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path)),
+      (Versioned.scanOf(tableDir, m, kept),
         m.entries.size)
     }
   }
@@ -1010,7 +1100,7 @@ object TableIO {
           bloomOk.getOrElse(true) // not bloom-indexed: must scan
         }
       }
-      (Versioned.ScanFiles(tableDir, m.schemaJson, kept.map(_.path)),
+      (Versioned.scanOf(tableDir, m, kept),
         m.entries.size)
     }
   }
@@ -1069,8 +1159,7 @@ object TableIO {
     require(!m.meta.contains(CheckPrefix + name),
       s"$tableName already has a CHECK constraint named '$name' — drop it " +
         "first (silent replacement would change enforcement unnoticed)")
-    enforceChecks(scanSpec(spark,
-      Versioned.ScanFiles(tableDir, m.schemaJson, m.files)),
+    enforceChecks(scanSpec(spark, Versioned.scanOf(tableDir, m, m.entries)),
       Map(name -> sqlExpr), s"$tableName: existing data")
     Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
       expectedBase = base, meta = m.meta + (CheckPrefix + name -> sqlExpr),
@@ -1135,7 +1224,7 @@ object TableIO {
     val prevScanForCdf: Option[DataFrame] =
       if (!cdfEnabled(prevMeta)) None
       else prevManifest.map(m => scanSpec(spark,
-        Versioned.ScanFiles(tableDir, m.schemaJson, m.files)))
+        Versioned.scanOf(tableDir, m, m.entries)))
     // sortBy = 1-D data clustering: range-partition then sort within
     // partitions so each parquet file covers a narrow key range — file- and
     // row-group-level min/max statistics then let later scans with
@@ -1307,7 +1396,7 @@ object TableIO {
       .flatMap(v => Versioned.readManifest(tableDir, v))
       .foreach(m => return partitionSpecOf(m.meta, m.files))
     Versioned.readSpec(tableDir) match {
-      case Versioned.ScanFiles(_, _, files) => partitioningOfFiles(files)
+      case Versioned.ScanFiles(_, _, files, _) => partitioningOfFiles(files)
       case Versioned.ScanDir(dataDir) =>
         val out = Seq.newBuilder[String]
         var dir = Paths.get(dataDir)
@@ -1334,7 +1423,7 @@ object TableIO {
     * version (manifest file list, or a recursive walk for legacy layouts). */
   def currentFiles(lh: LakehouseProps, tableName: String): Seq[Path] =
     Versioned.readSpec(Catalog.tablePath(lh, tableName)) match {
-      case Versioned.ScanFiles(base, _, files) =>
+      case Versioned.ScanFiles(base, _, files, _) =>
         val baseP = Paths.get(base)
         files.map(baseP.resolve)
       case Versioned.ScanDir(dataDir) =>
@@ -1410,9 +1499,9 @@ object TableIO {
           import org.apache.spark.sql.functions.col
           val affectedPaths =
             if (m.entries.isEmpty) Set.empty[String]
-            else scanSpec(spark,
-              Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
-              .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
+            else scanFiles(spark, Versioned.scanOf(tableDir, m, m.entries),
+              keepMeta = true)
+              .select(keyColumns :+ col(FpCol).as("__fp"): _*)
               .join(updKeys, keyCols, "left_semi")
               .select("__fp").distinct()
               .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
@@ -1423,8 +1512,7 @@ object TableIO {
           val affectedRaw =
             if (affected.isEmpty)
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row], oldSchema)
-            else scanSpec(spark,
-              Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+            else scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
           // with CDF the affected files feed THREE plans (rewrite, preimage,
           // key set) — persist for the commit instead of re-scanning
           val affectedDf =
@@ -1489,6 +1577,261 @@ object TableIO {
     }
   }
 
+  // ---- conditional MERGE (full Delta MERGE INTO semantics) ----------------
+
+  /** One WHEN clause of [[mergeInto]]. Conditions and SET / VALUES
+    * expressions are SQL strings over aliases `t` (the target row) and `s`
+    * (the source row) — `"t.qty + s.delta"`. Clause order is significant:
+    * for each row, the FIRST clause of its family (matched / not-matched /
+    * not-matched-by-source) whose condition holds fires; rows where no
+    * clause fires pass through unchanged (SQL/Delta MERGE semantics). */
+  sealed trait MergeClause
+  object MergeClause {
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET targetCol -> expr. */
+    final case class MatchedUpdate(set: Map[String, String],
+        condition: Option[String] = None) extends MergeClause
+    /** WHEN MATCHED [AND cond] THEN DELETE. */
+    final case class MatchedDelete(condition: Option[String] = None)
+        extends MergeClause
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT. `values` maps target
+      * columns to expressions over `s.*`; unnamed columns insert NULL.
+      * None = insert the source's same-named columns (INSERT *). */
+    final case class NotMatchedInsert(
+        values: Option[Map[String, String]] = None,
+        condition: Option[String] = None) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+    final case class NotMatchedBySourceDelete(
+        condition: Option[String] = None) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET (over t.*). */
+    final case class NotMatchedBySourceUpdate(set: Map[String, String],
+        condition: Option[String] = None) extends MergeClause
+  }
+
+  /** Full conditional MERGE INTO — the complete Delta clause surface
+    * ([[mergeTable]] is the unconditional upsert special case). File-level
+    * cost model at any scale:
+    *
+    *  - affected files are found by a KEY-COLUMNS-ONLY columnar scan
+    *    (reads keyCols bytes of the table, not the table): files holding a
+    *    source-key match, plus — only when a not-matched-by-source clause
+    *    exists — files holding an unmatched row satisfying such a clause's
+    *    condition;
+    *  - only affected files rewrite (their rows run the clause cascade);
+    *    every other file is inherited by reference;
+    *  - insert clauses append new files (an insert-only merge rewrites
+    *    NOTHING — Delta's insert-only-merge optimization falls out of the
+    *    structure);
+    *  - concurrent writers fail loudly via the optimistic base check.
+    *
+    * The clause cascade compiles to ONE whole-stage-codegen'd projection
+    * (a first-match action index + per-column CASE chains) — no per-clause
+    * joins or multiple passes over the data. SET/VALUES expressions cast
+    * to the target column's type (Delta's implicit cast). Merge keys are
+    * not updatable. With CDF enabled, the commit stages row-level
+    * update_preimage/update_postimage/delete/insert events atomically. */
+  def mergeInto(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      source: DataFrame, keyCols: Seq[String], clauses: Seq[MergeClause],
+      checkDuplicateKeys: Boolean = true): TableInfo = {
+    import MergeClause._
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
+    val keyColumns = keyCols.map(col)
+    val matchedCs = clauses.filter(c =>
+      c.isInstanceOf[MatchedUpdate] || c.isInstanceOf[MatchedDelete])
+    val insertCs = clauses.collect { case c: NotMatchedInsert => c }
+    val nmbsCs = clauses.filter(c => c.isInstanceOf[NotMatchedBySourceDelete]
+      || c.isInstanceOf[NotMatchedBySourceUpdate])
+    val allSets = clauses.collect {
+      case MatchedUpdate(s, _) => s
+      case NotMatchedBySourceUpdate(s, _) => s
+    }
+    require(allSets.forall(s => keyCols.forall(!s.contains(_))),
+      "merge keys are not updatable (rewrite the row via DELETE + INSERT)")
+    if (checkDuplicateKeys && matchedCs.nonEmpty) {
+      // >1 source row per key would fire a matched clause twice for one
+      // target row — nondeterministic under SQL MERGE; Delta errors too
+      val dups = source.groupBy(keyColumns: _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"mergeInto: source has multiple rows for key ${dups.headOption.getOrElse("")}")
+    }
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs manifest-based versions for conditional merge " +
+          "(legacy snapshot layouts: writeTable once to convert)"))
+    val b = base.get
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(allSets.forall(_.keySet.subsetOf(schema.fieldNames.toSet)),
+      "UPDATE SET names a column the target does not have")
+    val withCdf = cdfEnabled(m.meta)
+    val MCol = "__graft_m"
+    val ACol = "__graft_act"
+    def condOf(c: Option[String]) =
+      c.map(expr).getOrElse(lit(true))
+    def firstMatch(conds: Seq[Column]): Column =
+      conds.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), acc) =>
+        when(c, lit(i)).otherwise(acc)
+      }
+    val srcKeys = source.select(keyColumns: _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val metaScan = scanFiles(spark,
+        Versioned.scanOf(tableDir, m, m.entries), keepMeta = true)
+      // ---- affected-file discovery (key/condition columns only) ----
+      val matchFp: Seq[String] =
+        if (matchedCs.isEmpty || m.entries.isEmpty) Seq.empty
+        else metaScan.select(keyColumns :+ col(FpCol).as("__fp"): _*)
+          .join(srcKeys, keyCols, "left_semi")
+          .select("__fp").distinct().collect().map(_.getString(0)).toSeq
+      val nmbsFp: Seq[String] =
+        if (nmbsCs.isEmpty || m.entries.isEmpty) Seq.empty
+        else {
+          val anyNmbs = nmbsCs.map {
+            case NotMatchedBySourceDelete(c) => condOf(c)
+            case NotMatchedBySourceUpdate(_, c) => condOf(c)
+            case _ => lit(false)
+          }.reduce(_ || _)
+          metaScan.alias("t").join(srcKeys, keyCols, "left_anti")
+            .filter(anyNmbs)
+            .select(col(FpCol).as("__fp")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        }
+      val affectedPaths = (matchFp ++ nmbsFp)
+        .map(fp => new java.net.URI(fp).getPath).toSet
+      val baseP = Paths.get(tableDir)
+      val (affected, untouched) = m.entries.partition(e =>
+        affectedPaths.contains(baseP.resolve(e.path).toString))
+      // ---- the clause cascade over affected rows (one projection) ----
+      val tgt = scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
+        .alias("t")
+      val SPresent = "__graft_s_present"
+      val src = source.withColumn(SPresent, lit(true)).alias("s")
+      val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
+        .reduce(_ && _)
+      val mAct = firstMatch(matchedCs.map {
+        case MatchedUpdate(_, c) => condOf(c)
+        case MatchedDelete(c) => condOf(c)
+        case _ => lit(false)
+      })
+      val nAct = firstMatch(nmbsCs.map {
+        case NotMatchedBySourceDelete(c) => condOf(c)
+        case NotMatchedBySourceUpdate(_, c) => condOf(c)
+        case _ => lit(false)
+      })
+      val withAct = tgt.join(src, joinCond, "left_outer")
+        .withColumn(MCol, col(s"s.$SPresent").isNotNull)
+        .withColumn(ACol, when(col(MCol), mAct).otherwise(nAct))
+      if (withCdf) withAct.persist()
+      val mDel = matchedCs.zipWithIndex.collect {
+        case (_: MatchedDelete, i) => i }
+      val nDel = nmbsCs.zipWithIndex.collect {
+        case (_: NotMatchedBySourceDelete, i) => i }
+      def deleted: Column =
+        (col(MCol) && mDel.foldLeft(lit(false): Column)(
+          (acc, i) => acc || col(ACol) === i)) ||
+        (!col(MCol) && nDel.foldLeft(lit(false): Column)(
+          (acc, i) => acc || col(ACol) === i))
+      def projected(rows: DataFrame): DataFrame =
+        rows.select(schema.fields.map { f =>
+          val base0 = col(s"t.${f.name}")
+          val cases =
+            matchedCs.zipWithIndex.collect {
+              case (MatchedUpdate(set, _), i) if set.contains(f.name) =>
+                (col(MCol) && col(ACol) === i) ->
+                  expr(set(f.name)).cast(f.dataType)
+            } ++ nmbsCs.zipWithIndex.collect {
+              case (NotMatchedBySourceUpdate(set, _), i)
+                  if set.contains(f.name) =>
+                (!col(MCol) && col(ACol) === i) ->
+                  expr(set(f.name)).cast(f.dataType)
+            }
+          cases.headOption.fold(base0) { head =>
+            cases.tail.foldLeft(when(head._1, head._2)) {
+              (acc, cv) => acc.when(cv._1, cv._2)
+            }.otherwise(base0)
+          }.as(f.name)
+        }.toSeq: _*)
+      val rewritten = projected(withAct.filter(!deleted))
+      // ---- inserts: source rows matching NO target key ----
+      val inserts: Option[DataFrame] =
+        if (insertCs.isEmpty) None
+        else {
+          val tgtKeys =
+            if (m.entries.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                StructType(schema.fields.filter(f =>
+                  keyCols.contains(f.name))))
+            else metaScan.select(keyColumns: _*)
+          val unmatched = source.alias("s")
+            .join(tgtKeys.distinct(), keyCols, "left_anti")
+            .withColumn(ACol, firstMatch(insertCs.map(c =>
+              condOf(c.condition))))
+            .filter(col(ACol) >= 0)
+          Some(unmatched.select(schema.fields.map { f =>
+            val cases = insertCs.zipWithIndex.map { case (c, i) =>
+              val e = c.values match {
+                case Some(vs) => vs.get(f.name)
+                  .map(expr(_).cast(f.dataType))
+                  .getOrElse(lit(null).cast(f.dataType))
+                case None => col(s"s.${f.name}").cast(f.dataType)
+              }
+              (col(ACol) === i) -> e
+            }
+            cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+              (acc, cv) => acc.when(cv._1, cv._2)
+            }.otherwise(lit(null).cast(f.dataType)).as(f.name)
+          }.toSeq: _*))
+        }
+      val payload = inserts.fold(rewritten)(ins =>
+        rewritten.unionByName(ins))
+      enforceChecks(payload, checkConstraintsOf(m.meta), s"$tableName: merge")
+      // ---- row-level change events, staged atomically with the commit ----
+      val changes: Option[DataFrame] =
+        if (!withCdf) None
+        else {
+          import org.apache.spark.sql.functions.lit
+          val updRows = withAct.filter(!deleted && col(ACol) >= 0)
+          val pre = updRows.select(schema.fields.map(f =>
+              col(s"t.${f.name}").as(f.name)).toSeq: _*)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = projected(updRows)
+            .withColumn("_change_type", lit("update_postimage"))
+          val del = withAct.filter(deleted)
+            .select(schema.fields.map(f =>
+              col(s"t.${f.name}").as(f.name)).toSeq: _*)
+            .withColumn("_change_type", lit("delete"))
+          val ins = inserts.map(_.withColumn("_change_type", lit("insert")))
+          Some(ins.foldLeft(pre.unionByName(post).unionByName(del))(
+            _ unionByName _))
+        }
+      val parts = currentPartitioning(lh, tableName)
+      try {
+        val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+          inherit = untouched, expectedBase = Some(b),
+          collectStats = collectFileStats(spark, bloomColsOf(m)),
+          meta = m.meta,
+          beforeMarker = (v, _) => changes.foreach(
+            _.write.mode(SaveMode.Overwrite)
+              .parquet(cdfDir(tableDir, v).toString)),
+          op = "MERGE") { target =>
+          val physical = toPhysical(payload, schema)
+          // empty payloads still commit (a version whose only effect is
+          // inherited entries) — but Spark won't write an empty dir plan
+          if (affected.nonEmpty || inserts.isDefined) {
+            val writer = physical.write.mode(SaveMode.Append)
+            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+             else writer).parquet(target)
+          }
+        }
+        finishCommit(spark, lh, tableName, tableDir, commit,
+          schema.fieldNames.toSeq, parts)
+      } finally if (withCdf) withAct.unpersist()
+    } finally srcKeys.unpersist()
+  }
+
   /** Generalized keyed replace: remove every current row whose key
     * combination appears in `removalKeys`, insert `newRows`, atomically.
     * The primitive under MERGE (removal keys = update keys) and under
@@ -1534,9 +1877,9 @@ object TableIO {
           val affectedPaths =
             if (m.entries.isEmpty) Set.empty[String]
             else {
-              val keyScan = scanSpec(spark,
-                Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
-                .select(keyColumns :+ col("_metadata.file_path").as("__fp"): _*)
+              val keyScan = scanFiles(spark,
+                Versioned.scanOf(tableDir, m, m.entries), keepMeta = true)
+                .select(keyColumns :+ col(FpCol).as("__fp"): _*)
               keyScan.join(remA, nullSafeOnRemoval(keyScan), "left_semi")
                 .select("__fp").distinct()
                 .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
@@ -1547,8 +1890,7 @@ object TableIO {
           val affectedDf =
             if (affected.isEmpty)
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row], oldSchema)
-            else scanSpec(spark,
-              Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+            else scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
           val kept = affectedDf.join(remA,
             nullSafeOnRemoval(affectedDf), "left_anti")
           val rewritten = kept.unionByName(newRows, allowMissingColumns = true)
@@ -1606,7 +1948,7 @@ object TableIO {
     val tableDir = Catalog.tablePath(lh, tableName)
     val spec = Versioned.specFor(tableDir, version)
     val present = spec match {
-      case Versioned.ScanFiles(_, _, _) => true
+      case _: Versioned.ScanFiles => true
       case Versioned.ScanDir(p) => Files.isDirectory(Paths.get(p))
     }
     // the marker check rejects orphaned/in-flight claims (a crashed
@@ -1647,16 +1989,27 @@ object TableIO {
       case (Some(c), Some(s)) =>
         val sincePaths = s.files.toSet
         val removed = sincePaths -- c.files.toSet
-        if (removed.nonEmpty && !ignoreRewrites)
+        // a deletion-vector delete removes NO files — detect it by a
+        // changed DV ref on a carried-over file, or additivity silently
+        // misses the deleted rows
+        val dvChanged = {
+          val sinceDv = s.entries.map(e =>
+            e.path -> Versioned.dvRefOf(e)).toMap
+          c.entries.exists(e => sincePaths.contains(e.path) &&
+            sinceDv.get(e.path).exists(_ != Versioned.dvRefOf(e)))
+        }
+        if ((removed.nonEmpty || dvChanged) && !ignoreRewrites)
           throw new IllegalStateException(
-            s"$tableName: ${removed.size} file(s) were rewritten/removed " +
-              s"between versions $sinceVersion and $cur (merge/delete/" +
-              "compaction) — changes-by-file is not purely additive; pass " +
-              "ignoreRewrites = true to read added files (re-delivers " +
-              "surviving rows of rewritten files)")
+            s"$tableName: files were rewritten/removed or gained deletion " +
+              s"vectors between versions $sinceVersion and $cur (merge/" +
+              "delete/compaction) — changes-by-file is not purely " +
+              "additive; pass ignoreRewrites = true to read added files " +
+              "(re-delivers surviving rows of rewritten files)")
         val added = c.entries.filterNot(e => sincePaths.contains(e.path))
-        scanSpec(spark,
-          Versioned.ScanFiles(tableDir, c.schemaJson, added.map(_.path)))
+        // added files were created by the commits in (since, cur] and can
+        // still have gained a vector from a LATER DV delete in the range —
+        // scanOf keeps their read honest
+        scanSpec(spark, Versioned.scanOf(tableDir, c, added))
       case _ => throw new IllegalStateException(
         s"$tableName: file-level change reads need manifest-based versions " +
           "on both ends (legacy snapshot layouts have no file history)")
@@ -1732,9 +2085,18 @@ object TableIO {
           "clone references manifest entries"))
     val srcBase = Paths.get(srcDir)
     // already-absolute source entries (a clone of a clone) pass through
-    // unchanged — the reference chain stays one hop deep per file
-    val refs = m.entries.map(e =>
-      e.copy(path = srcBase.resolve(e.path).toString))
+    // unchanged — the reference chain stays one hop deep per file.
+    // Deletion-vector refs absolutize the same way: the clone must keep
+    // subtracting the source's vectored rows, and its sidecar lives in the
+    // SOURCE's directory.
+    val refs = m.entries.map { e =>
+      val dvAbs = Versioned.dvRefOf(e) match {
+        case Some((p, n)) if !Paths.get(p).isAbsolute =>
+          Some(withDvStat(e.stats, srcBase.resolve(p).toString, n))
+        case _ => e.stats
+      }
+      e.copy(path = srcBase.resolve(e.path).toString, stats = dvAbs)
+    }
     val dstDir = Catalog.tablePath(lh, cloneName)
     val commit = Versioned.commitFiles(dstDir, m.schemaJson,
       inherit = refs,
@@ -2028,8 +2390,18 @@ object TableIO {
         val prevFiles = pm.files.toSet
         val added = m.files.filterNot(prevFiles.contains)
         val removed = prevFiles -- m.files.toSet
-        if (removed.isEmpty && added.isEmpty) None // metadata-only commit
-        else if (removed.isEmpty)
+        // a deletion-vector delete adds/removes NO files — its row-level
+        // deletes live in the sidecar its commit wrote, keyed off the
+        // changed DV refs on carried-over entries
+        val dvChanged = {
+          val prevDv = pm.entries.map(e =>
+            e.path -> Versioned.dvRefOf(e)).toMap
+          m.entries.exists(e => prevFiles.contains(e.path) &&
+            prevDv.get(e.path).exists(_ != Versioned.dvRefOf(e)))
+        }
+        if (removed.isEmpty && added.isEmpty && !dvChanged)
+          None // metadata-only commit
+        else if (removed.isEmpty && !dvChanged)
           Some(scanSpec(spark,
             Versioned.ScanFiles(tableDir, m.schemaJson, added))
             .withColumn("_change_type", lit("insert"))
@@ -2097,8 +2469,7 @@ object TableIO {
           .filter(Files.isRegularFile(_)).map(Files.size).sum
         val nFiles =
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        val df = scanSpec(spark,
-          Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+        val df = scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
         // zorderBy = OPTIMIZE ZORDER BY: the rewrite this compaction
         // already pays doubles as the re-clustering pass
         val arranged =
@@ -2162,21 +2533,83 @@ object TableIO {
     * rewritten WITHOUT the matching rows — untouched files are inherited by
     * reference. Rows where the condition is NULL are KEPT (SQL DELETE
     * three-valued semantics). Concurrent writers fail loudly via the
-    * optimistic base check. */
+    * optimistic base check.
+    *
+    * `deletionVectors = true` switches to Delta's DV mode: NO data file is
+    * rewritten at all — each touched file's deleted row positions are
+    * recorded in a sidecar ([[DeletionVectors]]) referenced from its
+    * manifest stats, and scans subtract them at read time. The commit is
+    * O(deleted rows), not O(touched files): the sparse-delete shape (GDPR
+    * erasure, late-arriving corrections) on a 100 TB table writes KBs
+    * instead of rewriting every file that holds one matching row. Rewrite
+    * mode stays the right call for dense deletes; `compactTable`
+    * materializes accumulated vectors back into clean files. */
   def deleteFromTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
-      condition: String): TableInfo = {
+      condition: String, deletionVectors: Boolean = false): TableInfo = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val cond = coalesce(expr(condition), lit(false))
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
     (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
+      case (Some(b), Some(m)) if deletionVectors =>
+        import org.apache.spark.sql.functions.{collect_list, sort_array}
+        // matched LOGICAL rows (already-vectored rows can't re-match, so
+        // CDF preimages and counts stay exact on repeated DV deletes)
+        val matched = scanFiles(spark,
+          Versioned.scanOf(tableDir, m, m.entries), keepMeta = true)
+          .filter(cond)
+        val withCdf = cdfEnabled(m.meta)
+        if (withCdf) matched.persist()
+        // per-file sorted new-deletion positions; driver memory is
+        // O(matched rows) longs — the shape DV mode exists for is sparse,
+        // and a dense delete should use rewrite mode anyway
+        val perFile = matched
+          .groupBy(col(FpCol).as("__fp"))
+          .agg(sort_array(collect_list(col(RiCol))).as("__ris"))
+          .collect()
+        val baseP = Paths.get(tableDir)
+        val newDeletes: Map[String, Array[Long]] = perFile.map { r =>
+          new java.net.URI(r.getString(0)).getPath ->
+            r.getSeq[Long](1).toArray
+        }.toMap
+        val entries2 = m.entries.map { e =>
+          newDeletes.get(baseP.resolve(e.path).toString) match {
+            case None => e
+            case Some(add) =>
+              val existing = Versioned.dvRefOf(e) match {
+                case Some((p, _)) => DeletionVectors.read(
+                  if (Paths.get(p).isAbsolute) Paths.get(p)
+                  else baseP.resolve(p))
+                case None => Array.empty[Long]
+              }
+              val all = DeletionVectors.merged(existing, add)
+              val sidecar = DeletionVectors.write(tableDir, all)
+              e.copy(stats = Some(
+                withDvStat(e.stats, sidecar, all.length.toLong)))
+          }
+        }
+        val changes: Option[DataFrame] =
+          if (!withCdf || perFile.isEmpty) None
+          else Some(matched.drop(FpCol, RiCol)
+            .withColumn("_change_type", lit("delete")))
+        try {
+          val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+            inherit = entries2, expectedBase = Some(b), meta = m.meta,
+            beforeMarker = (v, _) => changes.foreach(
+              _.write.mode(SaveMode.Overwrite)
+                .parquet(cdfDir(tableDir, v).toString)),
+            op = "DELETE") { _ => () }
+          val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+          finishCommit(spark, lh, tableName, tableDir, commit,
+            schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
+        } finally if (withCdf) matched.unpersist()
       case (Some(b), Some(m)) =>
         val affectedPaths =
           if (m.entries.isEmpty) Set.empty[String]
-          else scanSpec(spark,
-            Versioned.ScanFiles(tableDir, m.schemaJson, m.files))
+          else scanFiles(spark, Versioned.scanOf(tableDir, m, m.entries),
+            keepMeta = true)
             .filter(cond)
-            .select(col("_metadata.file_path").as("__fp")).distinct()
+            .select(col(FpCol).as("__fp")).distinct()
             .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
         val baseP = Paths.get(tableDir)
         val (affected, untouched) = m.entries.partition(e =>

@@ -132,9 +132,47 @@ object Versioned {
   sealed trait ReadSpec
   /** Legacy whole-snapshot version dir, or a pre-protocol table dir. */
   final case class ScanDir(path: String) extends ReadSpec
-  /** Manifest-based version: explicit file list under `base`. */
+  /** Manifest-based version: explicit file list under `base`. `dv` maps a
+    * data-file path to its deletion-vector sidecar (same path convention as
+    * `relFiles`) — the scan must drop those files' vectored row positions
+    * (Delta deletion vectors: row-level deletes without rewriting the
+    * file). Empty for tables that never took a DV delete. */
   final case class ScanFiles(base: String, schemaJson: String,
-      relFiles: Seq[String]) extends ReadSpec
+      relFiles: Seq[String], dv: Map[String, String] = Map.empty)
+      extends ReadSpec
+
+  /** Stats-JSON key holding a file's deletion-vector reference:
+    * `"__dv": [sidecarPath, deletedRowCount]` (strings, like every other
+    * stat). Living INSIDE the per-file stats means inheritance, RESTORE,
+    * clone-by-reference and maintenance commits all carry the vector with
+    * zero protocol changes — exactly how Delta rides its DV descriptor on
+    * the add-file action. */
+  val DvKey = "__dv"
+
+  /** A file entry's deletion-vector reference: (sidecar path, deleted-row
+    * count), None for files with no deleted rows. */
+  def dvRefOf(e: FileEntry): Option[(String, Long)] = {
+    import org.json4s.{JArray, JString}
+    import org.json4s.jackson.JsonMethods.parse
+    e.stats.flatMap(s => scala.util.Try(parse(s)).toOption).flatMap { j =>
+      (j \ DvKey) match {
+        case JArray(List(JString(p), JString(n))) =>
+          scala.util.Try(n.toLong).toOption.map(p -> _)
+        case _ => None
+      }
+    }
+  }
+
+  /** data-file path → DV sidecar path for the entries that carry one. */
+  def dvOf(entries: Seq[FileEntry]): Map[String, String] =
+    entries.flatMap(e => dvRefOf(e).map { case (p, _) => e.path -> p }).toMap
+
+  /** The scan spec for a subset of a manifest's entries, deletion vectors
+    * attached — every logical read of manifest data MUST come through here
+    * (or [[specFor]]) or DV-deleted rows would resurrect. */
+  def scanOf(tableDir: String, m: Manifest,
+      entries: Seq[FileEntry]): ScanFiles =
+    ScanFiles(tableDir, m.schemaJson, entries.map(_.path), dvOf(entries))
 
   /** Result of a commit: the version number, the files this commit ADDED,
     * and the full file list of the new version. */
@@ -225,7 +263,7 @@ object Versioned {
   /** The scan spec for a SPECIFIC committed version. */
   def specFor(tableDir: String, v: Long): ReadSpec =
     readManifest(tableDir, v) match {
-      case Some(m) => ScanFiles(tableDir, m.schemaJson, m.files)
+      case Some(m) => scanOf(tableDir, m, m.entries)
       case None => ScanDir(versionDir(Paths.get(tableDir), v).toString)
     }
 
@@ -503,8 +541,13 @@ object Versioned {
     // col=value dirs from before the protocol, round-2 `data-*` pools,
     // crashed writers' leftovers) is deleted once old enough that no
     // in-flight writer or slow reader can still be using it
+    // deletion-vector sidecars are referenced THROUGH entry stats, not the
+    // file list — they must survive exactly as long as an entry points at
+    // them (a swept sidecar would silently resurrect its deleted rows)
     val referenced: Set[String] = kept
-      .flatMap(v => readManifest(dir.toString, v).map(_.files).getOrElse(Seq.empty))
+      .flatMap(v => readManifest(dir.toString, v).map(m =>
+        m.files ++ m.entries.flatMap(e => dvRefOf(e).map(_._1)))
+        .getOrElse(Seq.empty))
       .toSet
     names.foreach { n =>
       val p = dir.resolve(n)

@@ -201,20 +201,32 @@ class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     if (cdf) return getCdfBatch(start, end)
     val endM = manifestOf(ver(end))
+    val startM = start.map(o => manifestOf(ver(o)))
     val startFiles: Set[String] =
-      start.map(o => manifestOf(ver(o)).files.toSet).getOrElse(Set.empty)
+      startM.map(_.files.toSet).getOrElse(Set.empty)
     val removed = startFiles -- endM.files.toSet
-    if (removed.nonEmpty && !ignoreRewrites)
+    // a deletion-vector delete removes no files but is just as much a
+    // non-append change — compare carried-over entries' DV refs too
+    val dvChanged = startM.exists { sm =>
+      val sinceDv = sm.entries.map(e =>
+        e.path -> Versioned.dvRefOf(e)).toMap
+      endM.entries.exists(e => startFiles.contains(e.path) &&
+        sinceDv.get(e.path).exists(_ != Versioned.dvRefOf(e)))
+    }
+    if ((removed.nonEmpty || dvChanged) && !ignoreRewrites)
       throw new IllegalStateException(
-        s"$tableDir: ${removed.size} file(s) rewritten/removed between " +
-          s"versions ${start.map(ver).getOrElse(0L)} and ${ver(end)} " +
-          "(merge/delete/compaction) — the stream cannot express this as " +
-          "appends; set ignoreRewrites=true to re-deliver rewritten files")
-    val added = endM.files.filterNot(startFiles.contains)
+        s"$tableDir: file(s) rewritten/removed or deletion-vectored " +
+          s"between versions ${start.map(ver).getOrElse(0L)} and " +
+          s"${ver(end)} (merge/delete/compaction) — the stream cannot " +
+          "express this as appends; set ignoreRewrites=true to " +
+          "re-deliver rewritten files")
+    val addedE = endM.entries.filterNot(e => startFiles.contains(e.path))
     // pinned STREAM schema, not the end version's (post-evolution files
-    // project through it)
+    // project through it); scanOf-style DV attachment keeps rows a later
+    // in-range DV delete removed out of the batch
     val batch = TableIO.scanSpec(spark,
-      Versioned.ScanFiles(tableDir, schema.json, added))
+      Versioned.ScanFiles(tableDir, schema.json, addedE.map(_.path),
+        Versioned.dvOf(addedE)))
     StreamBridge.asStreaming(spark, batch)
   }
 
@@ -228,8 +240,7 @@ class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,
     val batch = start match {
       case None =>
         val m = manifestOf(endV)
-        TableIO.scanSpec(spark, Versioned.ScanFiles(tableDir,
-          m.schemaJson, m.files))
+        TableIO.scanSpec(spark, Versioned.scanOf(tableDir, m, m.entries))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV))
       case Some(s) =>
