@@ -2819,5 +2819,46 @@ object Queries {
         |FROM src s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
         |WHERE t.o_orderkey IS NULL
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // Exact Jaccard similarity join via prefix filtering (AllPairs/PPJoin):
+    // the DuckDB oracle brute-forces ALL token-sharing pairs — so it
+    // verifies both the exact Jaccard arithmetic AND that the rarest-first
+    // prefix candidate generation missed no qualifying pair. Injected
+    // copies guarantee jaccard-1.0 pairs exist.
+    Q("q132_prefix_jaccard_join",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val copies = docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        Dedup.prefixFilterJaccardPairs(docs.unionByName(copies),
+          "doc_id", "text", threshold = 0.8).orderBy("a", "b")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM d),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(words) AS w FROM w)
+        |  WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+        |  FROM tok l JOIN tok r USING (w)
+        |  WHERE l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+        |      >= 0.8
+        |ORDER BY a, b""".stripMargin)),
   )
 }

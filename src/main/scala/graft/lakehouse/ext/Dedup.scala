@@ -633,6 +633,66 @@ object Dedup {
     materializeAndRelease(result, pruned)
   }
 
+  /** Exact Jaccard-threshold similarity join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW'07): under ANY shared total token order, two
+    * sets with J(a,b) >= t must share at least one token within each set's
+    * first `|s| - ceil(t*|s|) + 1` tokens. Ordering tokens RAREST-FIRST
+    * puts the least common tokens in those prefixes, so the candidate join
+    * touches near-nothing on natural corpora while remaining provably
+    * complete. Unlike [[ngramJaccardPairs]]'s stop-gram cap (which DROPS
+    * frequent grams from the similarity space — a documented
+    * approximation), the answer here is the complete exact one: frequent
+    * tokens still count in verification, they just rarely generate
+    * candidates.
+    *
+    * 100 TB shape: the canonical order is one token-frequency aggregation;
+    * candidate generation shuffles only (docId, prefixToken) pairs — the
+    * prefix is O((1-t)·|tokens|) per doc; verification carries each doc's
+    * token array once into candidate rows and computes an exact
+    * array-intersect Jaccard (false positives die there; the prefix
+    * theorem rules out false negatives). No driver-side state anywhere.
+    * Tokens travel as xxhash64 longs after the scan stage, like every
+    * other dedup pipeline here. */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val toks = df.select(col(idCol),
+      explode(wordNgrams(textCol, 1)).as("w"))
+      .filter(col("w") =!= "")
+      .select(col(idCol), xxhash64(col("w")).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("tf"))
+    // rarest-first canonical order = ascending (docFreq, tokenHash); the
+    // struct sort gives every document the same total order for free
+    val docs = toks.join(freq, "t")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("tf"), col("t")))).as("ts"))
+      .select(col(idCol),
+        expr("transform(ts, x -> x.t)").as("toks"),
+        size(col("ts")).as("sz"))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pref = docs.select(col(idCol),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("t"))
+    val cand = pref.select(col(idCol).as("a"), col("t"))
+      .join(pref.select(col(idCol).as("b"), col("t")), "t")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val result = cand
+      .join(docs.select(col(idCol).as("a"), col("toks").as("ta"),
+        col("sz").as("sza")), "a")
+      .join(docs.select(col(idCol).as("b"), col("toks").as("tb"),
+        col("sz").as("szb")), "b")
+      .withColumn("common", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+    materializeAndRelease(result, docs)
+  }
+
   /** Benchmark decontamination: for each training document, the containment
     * of each eval document's distinct word n-grams (|train ∩ eval| /
     * |eval|). Pairs at/above `threshold` are contamination hits the

@@ -99,6 +99,29 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 0.6) < 1e-12) // |{a,b,c}| / |{a,b,c,d,e}|
   }
 
+  test("prefixFilterJaccardPairs: exact values, equals the no-prune " +
+      "inverted-index answer on every threshold") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"),
+      (4L, "a b c d"), (5L, "the the the a b"), (6L, "c d e f g"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.6, 0.99)) {
+      val got = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      // oracle: the inverted-index path with pruning disabled is exact
+      val exp = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 1,
+        threshold = t, maxDocFreq = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      assert(got == exp, s"threshold $t")
+    }
+    // the exact-dup pair survives the tightest threshold
+    val tight = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.toSeq == Seq((1L, 4L)))
+  }
+
   test("connectedComponents: transitive clusters get one canonical") {
     // chain 1-2-3 (1~3 never emitted), pair 10-11, singleton edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
