@@ -2860,5 +2860,45 @@ object Queries {
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
         |      >= 0.8
         |ORDER BY a, b""".stripMargin)),
+
+    // File-level UPDATE WHERE (Delta UPDATE): only files holding matching
+    // rows rewrite, SET expressions reference the row's own columns, NULL
+    // conditions leave their rows alone.
+    Q("q133_update_where",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_upd")
+        TableIO.writeTable(s, lh, "orders_upd",
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus",
+            "o_totalprice"))
+        TableIO.updateTable(s, lh, "orders_upd",
+          "o_orderstatus = 'F' AND o_totalprice < 50000.0",
+          Map("o_totalprice" -> "o_totalprice * 2",
+            "o_orderstatus" -> "'U'"))
+        TableIO.selectTable(s, lh, "orders_upd").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' AND o_totalprice < 50000.0
+        |       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' AND o_totalprice < 50000.0
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Deterministic per-group bottom-k sampling: membership = the k
+    // smallest sha-256(id#seed) per group — a pure function of (id, seed),
+    // so DuckDB recomputes the identical sample (reservoir sampling could
+    // never be cross-checked like this).
+    Q("q134_sample_per_group",
+      (s, dir) => Packing.samplePerGroup(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", k = 25, seed = 11L)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || '11'),
+        |               doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -2290,12 +2290,15 @@ object TableIO {
     * [[graft.lakehouse.streaming.VersionedTableProvider]] for offset,
     * rewrite, schema-pinning, and retention semantics). */
   def streamTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
-      ignoreRewrites: Boolean = false, changeFeed: Boolean = false): DataFrame = {
+      ignoreRewrites: Boolean = false, changeFeed: Boolean = false,
+      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
     val reader = spark.readStream
       .format(classOf[graft.lakehouse.streaming.VersionedTableProvider].getName)
       .option("path", Catalog.tablePath(lh, tableName))
       .option("ignoreRewrites", ignoreRewrites.toString)
-    (if (changeFeed) reader.option("mode", "cdf") else reader).load()
+    val rated = maxVersionsPerTrigger.fold(reader)(n =>
+      reader.option("maxVersionsPerTrigger", n.toString))
+    (if (changeFeed) rated.option("mode", "cdf") else rated).load()
   }
 
   // ---- row-level change data feed ----------------------------------------
@@ -2647,6 +2650,93 @@ object TableIO {
         // legacy layout: one full filtered rewrite adopts the protocol
         val current = selectTable(spark, lh, tableName)
         writeTable(spark, lh, tableName, current.filter(not(cond)),
+          partitionBy = currentPartitioning(lh, tableName))
+    }
+  }
+
+  /** UPDATE WHERE (Delta row-update, file-level): rewrite ONLY the files
+    * containing rows matching `condition`, applying `set` (targetCol →
+    * SQL expression over the row's columns, cast to the column's type) to
+    * the matching rows and carrying every other row through unchanged;
+    * untouched files are inherited by reference. Rows where the condition
+    * is NULL are NOT updated (SQL three-valued semantics). Update keys:
+    * a no-match update commits a no-op version. With CDF enabled the
+    * commit stages update_preimage/update_postimage rows atomically.
+    * Concurrent writers fail loudly via the optimistic base check. */
+  def updateTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      condition: String, set: Map[String, String]): TableInfo = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    require(set.nonEmpty, "updateTable needs at least one SET column")
+    val cond = coalesce(expr(condition), lit(false))
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
+      case (Some(b), Some(m)) =>
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        require(set.keySet.subsetOf(schema.fieldNames.toSet),
+          s"UPDATE SET names missing columns: " +
+            s"${set.keySet -- schema.fieldNames}")
+        val affectedPaths =
+          if (m.entries.isEmpty) Set.empty[String]
+          else scanFiles(spark, Versioned.scanOf(tableDir, m, m.entries),
+            keepMeta = true)
+            .filter(cond)
+            .select(col(FpCol).as("__fp")).distinct()
+            .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+        val baseP = Paths.get(tableDir)
+        val (affected, untouched) = m.entries.partition(e =>
+          affectedPaths.contains(baseP.resolve(e.path).toString))
+        val parts = currentPartitioning(lh, tableName)
+        def applied(df: DataFrame): DataFrame =
+          df.select(schema.fields.map { f =>
+            set.get(f.name) match {
+              case Some(e) =>
+                when(cond, expr(e).cast(f.dataType))
+                  .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }.toSeq: _*)
+        val affectedScan: Option[DataFrame] =
+          if (affected.isEmpty) None
+          else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, affected)))
+        val rewritten = affectedScan.map(applied)
+        rewritten.foreach(r =>
+          enforceChecks(r, checkConstraintsOf(m.meta), s"$tableName: update"))
+        val changes: Option[DataFrame] =
+          if (!cdfEnabled(m.meta) || affected.isEmpty) None
+          else affectedScan.map { sc =>
+            val matched = sc.filter(cond)
+            matched.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(applied(matched)
+                .withColumn("_change_type", lit("update_postimage")))
+          }
+        val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+          inherit = untouched, expectedBase = Some(b),
+          collectStats = collectFileStats(spark, bloomColsOf(m)),
+          meta = m.meta,
+          beforeMarker = (v, _) => changes.foreach(
+            _.write.mode(SaveMode.Overwrite)
+              .parquet(cdfDir(tableDir, v).toString)),
+          op = "UPDATE") { target =>
+          rewritten.foreach { r =>
+            val writer = toPhysical(r, schema).write.mode(SaveMode.Append)
+            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+             else writer).parquet(target)
+          }
+        }
+        finishCommit(spark, lh, tableName, tableDir, commit,
+          schema.fieldNames.toSeq, parts)
+      case _ =>
+        // legacy layout: one full rewritten snapshot adopts the protocol
+        val current = selectTable(spark, lh, tableName)
+        val out = current.select(current.schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => when(cond, expr(e).cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+        writeTable(spark, lh, tableName, out,
           partitionBy = currentPartitioning(lh, tableName))
     }
   }

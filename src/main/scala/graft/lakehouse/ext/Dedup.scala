@@ -734,10 +734,13 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.lakehouse.functions.VectorFunctions.graft_cosine(a, b)
 
-  /** Random-hyperplane signature bucket (int) for an array<double> column. */
+  /** Random-hyperplane signature bucket (int) for an array<double> column.
+    * Each plane is ONE array literal (`typedlit`), not a CreateArray of
+    * dim scalar literals — 12×64 literal nodes made Janino's first
+    * compilation of this plan the dominant cost of the whole query. */
   def rhpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
+      val planeArr = typedlit(p.toSeq)
       val dot = graft.lakehouse.functions.VectorFunctions.graft_dot(vec, planeArr)
       when(dot >= 0, lit(1 << i)).otherwise(lit(0))
     }

@@ -105,6 +105,29 @@ object Packing {
     df.filter(h < thr)
   }
 
+  /** Deterministic per-group bottom-k sample: keep each group's k rows
+    * whose `sha-256(id '#' seed)` ranks smallest. Membership is a pure
+    * function of (id, seed) — identical across engines and epochs, stable
+    * under corpus growth (one new row displaces at most one sampled row),
+    * and oracle-verifiable, none of which holds for reservoir sampling's
+    * engine-order dependence. Since the ranking key is uniform over ids,
+    * the result is a uniform random k-subset of each group for any fixed
+    * seed — the balanced-per-source subset a mixture rebalance wants.
+    * One shuffle (the group window); for pathologically hot groups the
+    * graft_topk bounded-heap aggregate is the map-side-combining
+    * alternative when only the ids are needed. */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    val key = sha2(concat_ws("#", col(idCol).cast("string"),
+      lit(seed.toString)), 256)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
   /** GPT-style concat-and-chunk packing plan: documents are (logically)
     * concatenated in `idCol` order and sliced into fixed `budget`-token
     * packs — a document MAY span packs (the standard pretraining packing;

@@ -38,7 +38,9 @@ object TextStats {
     // chars that are neither alphanumeric nor whitespace
     val punctCount = length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))
     val digitCount = length(c) - length(regexp_replace(c, "[0-9]", ""))
-    val stopArr = array(Stopwords.map(lit): _*)
+    // one array literal, not CreateArray(|stopwords| scalar literals) —
+    // keeps the codegen'd expression tree (and Janino compile time) small
+    val stopArr = typedlit(Stopwords.toSeq)
     val stopHits = size(filter(split(lower(c), "\\s+"),
       w => array_contains(stopArr, w))).cast("double")
     val safeChars = when(nChars === 0, lit(1.0)).otherwise(nChars)

@@ -81,10 +81,28 @@ class VersionedTableProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = parameters("path")
+    // fresh start vs checkpoint restart: the trigger cap may bound the
+    // FIRST batch only on a fresh start — on restart the first getOffset
+    // must not fall below the checkpointed offset (the engine would log a
+    // lower end and re-deliver, breaking exactly-once), so it reads
+    // uncapped until the recovery batch seeds the base. A marker in the
+    // source's own metadata dir (FileStreamSource's pattern) tells the two
+    // apart across process restarts.
+    val freshStart = {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(metadataPath.stripPrefix("file:"))
+      try {
+        Files.createDirectories(p)
+        Files.createFile(p.resolve("graft-source-init"))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
     new VersionedTableSource(sqlContext.sparkSession, dir,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("ignoreRewrites").exists(_.toBoolean),
-      cdfMode(parameters))
+      cdfMode(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      freshStart)
   }
 }
 
@@ -180,7 +198,9 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
 
 class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,
     tableDir: String, override val schema: StructType,
-    ignoreRewrites: Boolean, cdf: Boolean = false) extends Source {
+    ignoreRewrites: Boolean, cdf: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None,
+    freshStart: Boolean = true) extends Source {
 
   /** Offsets may arrive re-serialized after a checkpoint restart. */
   private def ver(o: OffsetV1): Long = o match {
@@ -195,10 +215,42 @@ class VersionedTableSource(spark: org.apache.spark.sql.SparkSession,
           "snapshot layout, or swept by retention — raise " +
           "Versioned.RetainAgeMs for slow/paused streams)"))
 
-  override def getOffset: Option[OffsetV1] =
-    Versioned.latestVersion(tableDir).map(LongOffset.apply)
+  /** The newest version this source has handed the engine (offered via
+    * [[getOffset]] or processed via [[getBatch]]) — the base the trigger
+    * cap advances from. A fresh start caps from version 0 (bounding even
+    * the initial snapshot); a restart reads uncapped until the recovery
+    * batch seeds the base from the checkpoint. Engine calls are
+    * serialized per source, but the two entry points interleave; volatile
+    * keeps the reads honest. */
+  @volatile private var lastSeen: Option[Long] =
+    if (freshStart) Some(0L) else None
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = Versioned.latestVersion(tableDir)
+    // maxVersionsPerTrigger (Delta's maxFilesPerTrigger shape): cap each
+    // micro-batch at N commits past the last offset handed out, so a
+    // stream catching up over a long history processes bounded triggers
+    // instead of one giant batch. The cap lands on a COMMITTED version
+    // (numbers can have gaps from orphaned claims); if none lies inside
+    // the cap window the smallest committed one past the base keeps the
+    // stream progressing.
+    val capped = (latest, lastSeen, maxVersionsPerTrigger) match {
+      case (Some(l), Some(s), Some(cap)) if s + cap < l =>
+        val committed = Versioned.committedVersions(tableDir)
+          .filter(_ > s)
+        committed.filter(_ <= s + cap).lastOption
+          .orElse(committed.headOption).orElse(Some(l))
+      case (l, _, _) => l
+    }
+    capped.foreach(v =>
+      lastSeen = Some(math.max(v, lastSeen.getOrElse(Long.MinValue))))
+    capped.map(LongOffset.apply)
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val seen = math.max(ver(end),
+      start.map(ver).getOrElse(Long.MinValue))
+    lastSeen = Some(math.max(seen, lastSeen.getOrElse(Long.MinValue)))
     if (cdf) return getCdfBatch(start, end)
     val endM = manifestOf(ver(end))
     val startM = start.map(o => manifestOf(ver(o)))

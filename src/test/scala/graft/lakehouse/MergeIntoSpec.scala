@@ -135,6 +135,42 @@ class MergeIntoSpec extends SparkSuite {
     }
   }
 
+  test("updateTable: file-level UPDATE WHERE with SET expressions, " +
+      "untouched files inherited, CDF pre/post images") {
+    val tgt = (1 to 100).map(i => (i, if (i <= 50) "lo" else "hi", i * 1.0))
+      .toDF("k", "g", "v")
+    TableIO.writeTable(spark, lh, "up1", tgt, partitionBy = Seq("g"))
+    TableIO.enableChangeFeed(spark, lh, "up1")
+    val dir = Catalog.tablePath(lh, "up1")
+    val v0 = Versioned.latestVersion(dir).get
+    val before = TableIO.currentFiles(lh, "up1").map(p =>
+      p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val info = TableIO.updateTable(spark, lh, "up1",
+      "g = 'lo' AND k <= 10", Map("v" -> "v * 10"))
+    assert(info.rowCount == 100)
+    // hi partition untouched byte-for-byte
+    val after = TableIO.currentFiles(lh, "up1").map(p =>
+      p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val hiBefore = before.filter(_._1.contains("/g=hi/"))
+    assert(hiBefore.nonEmpty &&
+      hiBefore.forall { case (p, t) => after.get(p).contains(t) })
+    val got = TableIO.selectTable(spark, lh, "up1")
+      .select("k", "v").as[(Int, Double)].collect().toMap
+    (1 to 100).foreach(i => assert(got(i) ==
+      (if (i <= 10) i * 10.0 else i * 1.0), s"k=$i"))
+    val feed = TableIO.readChangeFeed(spark, lh, "up1", v0)
+    assert(feed.filter($"_change_type" === "update_preimage").count() == 10)
+    assert(feed.filter($"_change_type" === "update_postimage")
+      .select("v").as[Double].collect().sorted.toSeq ==
+      (1 to 10).map(_ * 10.0))
+    // NULL-condition rows stay un-updated (three-valued semantics)
+    TableIO.writeTable(spark, lh, "up2",
+      Seq((1, Some(5)), (2, None)).toDF("k", "x"))
+    TableIO.updateTable(spark, lh, "up2", "x < 10", Map("k" -> "k + 100"))
+    assert(TableIO.selectTable(spark, lh, "up2")
+      .select("k").as[Int].collect().sorted.toSeq == Seq(2, 101))
+  }
+
   test("concurrent commit between read and merge fails loudly") {
     val tgt = (1 to 10).map(i => (i, "x", i * 1.0)).toDF("k", "s", "v")
     TableIO.writeTable(spark, lh, "mi8", tgt)

@@ -146,4 +146,31 @@ class PackingSpec extends SparkSuite {
       Packing.hashSplit(small, "id", 7L, Seq("a" -> 0.0))
     }
   }
+
+  test("samplePerGroup: exact k per group, deterministic, growth-stable") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val s1 = Packing.samplePerGroup(df, "id", "g", k = 10, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+    // same seed = same sample; different seed = (almost surely) different
+    val s2 = Packing.samplePerGroup(df, "id", "g", k = 10, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.sorted.toSeq == s2.sorted.toSeq)
+    val s3 = Packing.samplePerGroup(df, "id", "g", k = 10, seed = 43L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.sorted.toSeq != s3.sorted.toSeq)
+    // groups smaller than k keep every row
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Packing.samplePerGroup(tiny, "id", "g", 10, 1L).count() == 3)
+    // growth stability: a member stays sampled unless displaced by a
+    // smaller-ranked newcomer — adding rows to OTHER groups changes nothing
+    val grown = df.unionByName(
+      (301 to 400).map(i => (i.toLong, "g9")).toDF("id", "g"))
+    val s4 = Packing.samplePerGroup(grown, "id", "g", 10, 42L)
+      .filter($"g" =!= "g9")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s4.sorted.toSeq == s1.sorted.toSeq)
+  }
 }

@@ -40,6 +40,32 @@ class VersionedStreamSourceSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "feed")
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch's commit range") {
+    TableIO.writeTable(spark, lh, "rated",
+      Seq((1, "a")).toDF("k", "s"))
+    (2 to 7).foreach(i => TableIO.appendTable(spark, lh, "rated",
+      Seq((i, "x")).toDF("k", "s")))
+    // 7 commits behind; cap 2 versions per trigger → catch-up takes >= 4
+    // bounded micro-batches (snapshot-to-v2, then pairs), every row
+    // delivered exactly once
+    var batches = 0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = TableIO.streamTable(spark, lh, "rated",
+        maxVersionsPerTrigger = Some(2L))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val ks = b.collect().map(_.getInt(0))
+        seen.synchronized { seen ++= ks }
+        if (ks.nonEmpty) batches += 1
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 3, s"cap ignored: caught up in $batches batch(es)")
+    assert(seen.sorted.toSeq == (1 to 7), s"delivery broke: $seen")
+    TableIO.dropTable(spark, lh, "rated")
+  }
+
   test("restart resumes from the checkpointed version (no re-delivery)") {
     TableIO.writeTable(spark, lh, "feed2", Seq((1, "a")).toDF("k", "s"))
     val ckpt = Files.createTempDirectory("vss_ckpt").toString
