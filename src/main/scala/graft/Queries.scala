@@ -2900,5 +2900,58 @@ object Queries {
         |               doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 25 ORDER BY doc_id""".stripMargin)),
+
+    // CONVERT in place: a raw parquet directory (written OUTSIDE the
+    // protocol) is adopted without rewriting a byte, gains per-file stats,
+    // and the follow-up append is a file-level commit — the read equals
+    // the original data plus the appended row.
+    Q("q135_convert_in_place",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        import s.implicits._
+        TableIO.dropTable(s, lh, "orders_conv")
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+          .repartition(4)
+          .write.parquet(Catalog.tablePath(lh, "orders_conv"))
+        TableIO.convertToVersioned(s, lh, "orders_conv")
+        TableIO.appendTable(s, lh, "orders_conv",
+          Seq((-1L, 42.0)).toDF("o_orderkey", "o_totalprice"))
+        TableIO.selectTable(s, lh, "orders_conv").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |UNION ALL SELECT -1, 42.0
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // CDC apply: a replica pinned at the snapshot version catches up to
+    // the source by replaying its row-level change feed (net effect per
+    // key, one atomic commit) — the replica must equal the source's final
+    // state, which the oracle recomputes arithmetically.
+    Q("q136_cdc_apply",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        import s.implicits._
+        val base = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        TableIO.dropTable(s, lh, "orders_cdcs")
+        TableIO.dropTable(s, lh, "orders_cdcr")
+        TableIO.writeTable(s, lh, "orders_cdcs", base)
+        TableIO.enableChangeFeed(s, lh, "orders_cdcs")
+        val v0 = Versioned.latestVersion(
+          Catalog.tablePath(lh, "orders_cdcs")).get
+        TableIO.writeTable(s, lh, "orders_cdcr", base)
+        TableIO.mergeTable(s, lh, "orders_cdcs",
+          base.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+          Seq("o_orderkey"))
+        TableIO.deleteFromTable(s, lh, "orders_cdcs", "o_orderkey % 11 = 0")
+        TableIO.applyChanges(s, lh, "orders_cdcr",
+          TableIO.readChangeFeed(s, lh, "orders_cdcs", v0),
+          Seq("o_orderkey"))
+        TableIO.selectTable(s, lh, "orders_cdcr").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

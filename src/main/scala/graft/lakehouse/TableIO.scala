@@ -2654,6 +2654,88 @@ object TableIO {
     }
   }
 
+  /** Adopt a pre-protocol parquet directory into the versioned commit
+    * protocol WITHOUT rewriting a byte (Delta's CONVERT TO DELTA): list
+    * the existing data files (hive `col=value` layouts included), collect
+    * per-file stats in one aggregation pass — a read, not a rewrite — and
+    * commit a manifest referencing the files in place. Onboarding a
+    * 100 TB directory costs one stats scan instead of a 100 TB rewrite
+    * (the previous conversion path was a full `writeTable`/compaction).
+    * From the commit on, appends/merges/deletes are file-level and the
+    * files gain data-skipping stats. Already-versioned tables are
+    * rejected loudly. */
+  def convertToVersioned(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): TableInfo = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    require(Versioned.latestVersion(tableDir).isEmpty,
+      s"$tableName already has committed versions — nothing to convert")
+    val dirP = Paths.get(tableDir)
+    require(Files.isDirectory(dirP), s"$tableName: no such directory")
+    val files: Seq[String] = {
+      val s = Files.walk(dirP)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          // protocol/scratch names can't be adopted as data
+          !dirP.relativize(p).toString.split('/').exists(seg =>
+            seg.startsWith("_") || seg.startsWith(".")))
+        .map(p => dirP.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    }
+    require(files.nonEmpty, s"$tableName: no parquet files to convert")
+    val df = spark.read.parquet(tableDir)
+    // one stats pass over the directory in place — collectFileStats keys
+    // by path relative to the dir it reads, which IS the manifest domain
+    // here (partition-column stats come from the path segments, exactly
+    // like a staged write)
+    val stats = collectFileStats(spark)(tableDir)
+    val entries = files.map(f => Versioned.FileEntry(f, stats.get(f)))
+    val commit = Versioned.commitFiles(tableDir, df.schema.json,
+      inherit = entries, expectedBase = Some(0L),
+      op = "CONVERT") { _ => () }
+    finishCommit(spark, lh, tableName, tableDir, commit,
+      df.columns.toSeq, partitioningOfFiles(files))
+  }
+
+  /** Apply another table's change feed to a replica (CDC apply — the
+    * consumer side of [[readChangeFeed]]): per key, the LATEST event wins
+    * (`_commit_version` order; a same-version delete+reinsert resolves to
+    * the reinsert), update_preimages are informational and skipped, and
+    * the net upserts + deletes land in ONE atomic file-level commit via
+    * the keyed-replace primitive — only replica files holding touched
+    * keys rewrite. Feeding the feed incrementally (from the replica's
+    * last-applied version) makes replication O(changes), never
+    * O(replica); the version high-water mark is the caller's cursor.
+    * CDF-enabled replicas are rejected (the replace primitive documents
+    * why: its delete half has no feed-staging path). */
+  def applyChanges(spark: SparkSession, lh: LakehouseProps,
+      replicaName: String, feed: DataFrame, keyCols: Seq[String]): TableInfo = {
+    import org.apache.spark.sql.functions.{col, row_number, when}
+    require(keyCols.nonEmpty, "applyChanges needs key columns")
+    require(feed.columns.contains("_change_type") &&
+      feed.columns.contains("_commit_version"),
+      "not a change feed: _change_type/_commit_version missing")
+    val events = feed.filter(col("_change_type") =!= "update_preimage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 1).otherwise(0).asc)
+    val latest = events
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") === 1)
+      .drop("__graft_rk")
+    latest.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dataCols = feed.columns
+        .filterNot(c => c == "_change_type" || c == "_commit_version")
+      val removalKeys = latest.select(keyCols.map(col): _*).distinct()
+      val upserts = latest.filter(col("_change_type") =!= "delete")
+        .select(dataCols.map(col).toSeq: _*)
+      replaceKeyedRows(spark, lh, replicaName, removalKeys, upserts,
+        keyCols, op = "CDC APPLY")
+    } finally latest.unpersist()
+  }
+
   /** UPDATE WHERE (Delta row-update, file-level): rewrite ONLY the files
     * containing rows matching `condition`, applying `set` (targetCol →
     * SQL expression over the row's columns, cast to the column's type) to

@@ -1,0 +1,106 @@
+package graft.lakehouse
+
+import java.nio.file.{Files, Paths}
+
+/** CONVERT-in-place adoption of raw parquet directories, and CDC apply
+  * (replica maintenance from another table's change feed). */
+class ConvertCdcSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("cc_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_cc", "lh_cc").lakehouses.head
+  }
+
+  test("convertToVersioned adopts a raw dir in place: same bytes, " +
+      "stats collected, appends become file-level") {
+    val dir = Catalog.tablePath(lh, "conv1")
+    (1 to 100).map(i => (i, i * 2.0)).toDF("k", "v")
+      .repartition(3).write.parquet(dir)
+    val before = Files.walk(Paths.get(dir)).iterator()
+    val bytes = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    before.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet"))
+        bytes(p.toString) = (Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)
+    }
+    val info = TableIO.convertToVersioned(spark, lh, "conv1")
+    assert(info.rowCount == 100)
+    // adoption rewrote nothing
+    bytes.foreach { case (p, (sz, mt)) =>
+      val q = Paths.get(p)
+      assert(Files.size(q) == sz &&
+        Files.getLastModifiedTime(q).toMillis == mt, s"$p changed")
+    }
+    // stats landed: a pruned range scan is available and exact
+    val pruned = TableIO.prunedScan(spark, lh, "conv1", "k",
+      Some(10), Some(20)).select("k").as[Int].collect().sorted
+    assert(pruned.toSeq == (10 to 20))
+    // post-conversion append inherits the adopted files untouched
+    TableIO.appendTable(spark, lh, "conv1", Seq((101, 5.0)).toDF("k", "v"))
+    bytes.foreach { case (p, (sz, mt)) =>
+      val q = Paths.get(p)
+      assert(Files.size(q) == sz &&
+        Files.getLastModifiedTime(q).toMillis == mt, s"$p rewritten")
+    }
+    assert(TableIO.selectTable(spark, lh, "conv1").count() == 101)
+  }
+
+  test("convertToVersioned adopts hive-partitioned layouts") {
+    val dir = Catalog.tablePath(lh, "conv2")
+    (1 to 60).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("k", "g")
+      .write.partitionBy("g").parquet(dir)
+    TableIO.convertToVersioned(spark, lh, "conv2")
+    val got = TableIO.selectTable(spark, lh, "conv2")
+      .select("k", "g").as[(Int, String)].collect().sortBy(_._1)
+    assert(got.length == 60 && got.forall { case (k, g) =>
+      g == (if (k % 2 == 0) "a" else "b") })
+    // partition-scoped delete after conversion stays file-level
+    TableIO.deleteFromTable(spark, lh, "conv2", "g = 'a'")
+    assert(TableIO.selectTable(spark, lh, "conv2").count() == 30)
+  }
+
+  test("convertToVersioned rejects already-versioned tables") {
+    TableIO.writeTable(spark, lh, "conv3", Seq((1, "x")).toDF("k", "s"))
+    intercept[IllegalArgumentException] {
+      TableIO.convertToVersioned(spark, lh, "conv3")
+    }
+  }
+
+  test("applyChanges replays a feed into a replica: net-effect per key, " +
+      "one atomic commit, equals the source") {
+    val base = (1 to 50).map(i => (i, s"v$i", i * 1.0)).toDF("k", "s", "v")
+    TableIO.writeTable(spark, lh, "cdc_src", base)
+    TableIO.enableChangeFeed(spark, lh, "cdc_src")
+    val srcDir = Catalog.tablePath(lh, "cdc_src")
+    val v0 = Versioned.latestVersion(srcDir).get
+    // replica = snapshot at v0
+    TableIO.writeTable(spark, lh, "cdc_rep", base)
+    // history: update some, delete some, update-again one, reinsert one
+    TableIO.mergeTable(spark, lh, "cdc_src",
+      Seq((1, "u1", 10.0), (2, "u2", 20.0)).toDF("k", "s", "v"), Seq("k"))
+    TableIO.deleteFromTable(spark, lh, "cdc_src", "k = 2 OR k = 3")
+    TableIO.mergeTable(spark, lh, "cdc_src",
+      Seq((1, "u1b", 11.0), (3, "back", 3.0)).toDF("k", "s", "v"), Seq("k"))
+    val feed = TableIO.readChangeFeed(spark, lh, "cdc_src", v0)
+    TableIO.applyChanges(spark, lh, "cdc_rep", feed, Seq("k"))
+    val src = TableIO.selectTable(spark, lh, "cdc_src")
+      .select("k", "s", "v").as[(Int, String, Double)].collect().sorted
+    val rep = TableIO.selectTable(spark, lh, "cdc_rep")
+      .select("k", "s", "v").as[(Int, String, Double)].collect().sorted
+    assert(rep.toSeq == src.toSeq)
+    // spot-check the interesting keys
+    val m = rep.map(r => r._1 -> r).toMap
+    assert(m(1) == ((1, "u1b", 11.0)), "double update: latest wins")
+    assert(!m.contains(2), "update-then-delete: deleted")
+    assert(m(3) == ((3, "back", 3.0)), "delete-then-reinsert: present")
+  }
+
+  test("applyChanges validates the feed shape") {
+    TableIO.writeTable(spark, lh, "cdc_bad", Seq((1, "x")).toDF("k", "s"))
+    intercept[IllegalArgumentException] {
+      TableIO.applyChanges(spark, lh, "cdc_bad",
+        Seq((1, "x")).toDF("k", "s"), Seq("k"))
+    }
+  }
+}
