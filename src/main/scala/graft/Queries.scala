@@ -2953,5 +2953,35 @@ object Queries {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey % 11 <> 0
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // Boilerplate line removal (RefinedWeb/C4): lines whose trimmed form
+    // appears in more than K distinct docs are dropped corpus-wide and
+    // every document is rebuilt from its surviving lines in order — the
+    // oracle replays the identical frequency table and reconstruction.
+    Q("q137_drop_boilerplate",
+      (s, dir) => TextStats.dropBoilerplateLines(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", maxDocFreq = 5)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i AS pos, lines[CAST(i AS INT)] AS ln
+        |  FROM d, unnest(generate_series(1, len(lines))) AS t(i)),
+        |ok AS (
+        |  SELECT key FROM (
+        |    SELECT DISTINCT doc_id, trim(ln) AS key FROM l)
+        |  GROUP BY key HAVING count(*) <= 5),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.ln FROM l
+        |  JOIN ok ON trim(l.ln) = ok.key),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(ln ORDER BY pos), chr(10)) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -179,6 +179,37 @@ object TextStats {
     * UDF, no shuffle; a 100 TB corpus chunks in one pass.
     * Output: (…idCol, chunk_no int, chunk_text). Null text yields no rows;
     * text shorter than one stride yields a single chunk. */
+  /** Boilerplate line removal (RefinedWeb / C4-style): drop every line
+    * whose TRIMMED form appears in more than `maxDocFreq` distinct
+    * documents — navigation chrome, cookie banners, license headers — and
+    * rebuild each document from its surviving lines in original order
+    * (docs reduced to nothing keep an empty-string row: dropping them is a
+    * separate quality-gate decision). Line-level dedup is orthogonal to
+    * document-level dedup: two unique documents can still share a
+    * boilerplate footer that should train zero times.
+    *
+    * Scale shape: one distinct + count aggregation over (trimmedLine)
+    * builds the frequency table; a semi-join keeps surviving lines; one
+    * per-document aggregation rebuilds the text. Lines shuffle once;
+    * nothing collects to the driver. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "ln")))
+    val ok = lines.select(col(idCol), trim(col("ln")).as("key"))
+      .distinct()
+      .groupBy("key").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") <= maxDocFreq)
+    val kept = lines.join(ok, trim(col("ln")) === col("key"), "left_semi")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(pos, ln))), x -> x.ln)"),
+        "\n").as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int = 0): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,

@@ -170,4 +170,27 @@ class TextStatsSpec extends SparkSuite {
     assert(jac(fps(8L), fps(0L)) < 0.2,
       s"unrelated docs collide: ${jac(fps(8L), fps(0L))}")
   }
+
+  test("dropBoilerplateLines: corpus-wide frequent lines vanish, order " +
+      "and unique lines survive, emptied docs keep an empty row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nunique two"),
+      (2L, "COOKIE BANNER\nother text"),
+      (3L, "  COOKIE BANNER  \nthird body"), // trim-matches the banner
+      (4L, "COOKIE BANNER")) // reduced to nothing
+      .toDF("doc_id", "text")
+    val out = TextStats.dropBoilerplateLines(df, "doc_id", "text",
+        maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\nunique two", out(1L))
+    assert(out(2L) == "other text")
+    assert(out(3L) == "third body")
+    assert(out(4L) == "", "emptied doc must keep an empty-string row")
+    // below the threshold nothing is dropped
+    val loose = TextStats.dropBoilerplateLines(df, "doc_id", "text",
+        maxDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == "unique one\nCOOKIE BANNER\nunique two")
+  }
 }
