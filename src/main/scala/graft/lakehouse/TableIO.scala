@@ -1462,23 +1462,29 @@ object TableIO {
       checkDuplicateKeys: Boolean = true): TableInfo = {
     require(keyCols.nonEmpty, "mergeTable needs at least one key column")
     val keyColumns = keyCols.map(org.apache.spark.sql.functions.col)
-    if (checkDuplicateKeys) {
-      // Delta MERGE errors on multiple source rows per key; silently
-      // unioning both would corrupt key uniqueness. One small agg on the
-      // (typically tiny) update set; skippable for pre-deduped pipelines.
-      val dups = updates.groupBy(keyColumns: _*).count()
-        .filter(org.apache.spark.sql.functions.col("count") > 1).limit(1)
-        .collect()
-      require(dups.isEmpty,
-        s"mergeTable: updates contain multiple rows for key ${dups.head}")
+    locally {
+      import org.apache.spark.sql.functions.{col, lit}
+      // ONE aggregation answers both preconditions (every merge used to
+      // pay two jobs over the update set): groups with count > 1 are
+      // duplicate keys (Delta MERGE errors on those — silently unioning
+      // both rows would corrupt key uniqueness; skippable for pre-deduped
+      // pipelines), and a group with a NULL key component is an
+      // unjoinable update (null = null is never true: it could neither
+      // match existing rows nor be separated from kept rows for the
+      // change feed) — reject loudly rather than half-apply.
+      val nullKey = keyColumns.map(_.isNull).reduce(_ || _)
+      val bad = updates.groupBy(keyColumns: _*).count()
+        .filter(nullKey ||
+          (if (checkDuplicateKeys) col("count") > 1 else lit(false)))
+        .limit(1).collect()
+      bad.headOption.foreach { r =>
+        val isNull = keyCols.indices.exists(r.isNullAt)
+        require(!isNull,
+          s"mergeTable: updates contain a NULL merge key: $r")
+        require(false,
+          s"mergeTable: updates contain multiple rows for key $r")
+      }
     }
-    // null keys are unjoinable (null = null is never true): they could
-    // neither match existing rows nor be separated from kept rows for the
-    // change feed — reject loudly rather than half-apply
-    val nullKeyed = updates.filter(keyColumns.map(_.isNull).reduce(_ || _))
-      .limit(1).collect()
-    require(nullKeyed.isEmpty,
-      s"mergeTable: updates contain a NULL merge key: ${nullKeyed.headOption.getOrElse("")}")
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
     (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
