@@ -2983,5 +2983,56 @@ object Queries {
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Keep-best dedup: near-dup clusters keep their LONGEST member
+    // (argmax n_chars, ties to smallest id) instead of the arbitrary
+    // min-id survivor — the oracle replays clustering (recursive CTE) and
+    // the argmax.
+    Q("q138_dedup_keep_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.dedupKeepBest(docs.select("doc_id", "n_chars"),
+          "doc_id", "n_chars",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.5, maxDocFreq = 20))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(words) - 2, 1))]) AS gram
+        |    FROM w)),
+        |pruned AS (
+        |  SELECT g.doc_id, g.gram FROM g
+        |  JOIN (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20) ok
+        |  USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+        |prs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+        |  FROM pruned l JOIN pruned r USING (gram)
+        |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT a, b FROM prs
+        |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+        |    >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |cl AS (SELECT id, min(r) AS cc FROM reach GROUP BY id),
+        |tagged AS (
+        |  SELECT d.doc_id, d.n_chars, coalesce(cl.cc, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM tagged)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -361,6 +361,30 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST row per transitive near-dup cluster — argmax of
+    * `scoreCol`, ties to the smallest id — instead of
+    * [[dedupByComponents]]'s arbitrary smallest-id survivor. This is the
+    * production dedup: when a scrape holds five near-copies, the pipeline
+    * should train on the longest / highest-quality one, not whichever got
+    * the low id. Rows in no pair are their own (singleton) cluster and
+    * always survive.
+    *
+    * One broadcast-size join of the cluster labels (O(clustered ids),
+    * tiny vs the corpus) and one window over cluster keys — the corpus
+    * shuffles once. */
+  def dedupKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("cc").as("__cc"))
+    val tagged = df.join(cc, df(idCol) === col("__cc_id"), "left")
+      .withColumn("__cluster", coalesce(col("__cc"), df(idCol)))
+    val w = Window.partitionBy(col("__cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    tagged.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__cluster", "__cc_id", "__cc")
+  }
+
   // ---- incremental dedup against a persisted index -------------------------
 
   /** The MinHash band table of a corpus — `(idCol, band_no, band_hash)` —

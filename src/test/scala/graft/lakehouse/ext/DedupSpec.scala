@@ -135,6 +135,13 @@ class DedupSpec extends SparkSuite {
     val kept = Dedup.dedupByComponents(df, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 10L, 20L, 99L), kept.toString)
+    // dedupKeepBest keeps the argmax-score member per cluster instead
+    // (ties to smallest id), singletons always survive
+    val scored = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 1.0),
+      (11L, 1.0), (20L, 3.0), (21L, 8.0), (99L, 0.0)).toDF("doc_id", "q")
+    val best = Dedup.dedupKeepBest(scored, "doc_id", "q", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 10L, 21L, 99L), best.toString)
   }
 
   test("incremental dedup: new batch against a persisted band index") {
