@@ -1463,26 +1463,35 @@ object TableIO {
     require(keyCols.nonEmpty, "mergeTable needs at least one key column")
     val keyColumns = keyCols.map(org.apache.spark.sql.functions.col)
     locally {
-      import org.apache.spark.sql.functions.{col, lit}
-      // ONE aggregation answers both preconditions (every merge used to
-      // pay two jobs over the update set): groups with count > 1 are
-      // duplicate keys (Delta MERGE errors on those — silently unioning
-      // both rows would corrupt key uniqueness; skippable for pre-deduped
-      // pipelines), and a group with a NULL key component is an
-      // unjoinable update (null = null is never true: it could neither
-      // match existing rows nor be separated from kept rows for the
-      // change feed) — reject loudly rather than half-apply.
+      import org.apache.spark.sql.functions.col
       val nullKey = keyColumns.map(_.isNull).reduce(_ || _)
-      val bad = updates.groupBy(keyColumns: _*).count()
-        .filter(nullKey ||
-          (if (checkDuplicateKeys) col("count") > 1 else lit(false)))
-        .limit(1).collect()
-      bad.headOption.foreach { r =>
-        val isNull = keyCols.indices.exists(r.isNullAt)
-        require(!isNull,
-          s"mergeTable: updates contain a NULL merge key: $r")
-        require(false,
-          s"mergeTable: updates contain multiple rows for key $r")
+      if (checkDuplicateKeys) {
+        // ONE aggregation answers both preconditions (this used to be two
+        // jobs over the update set): groups with count > 1 are duplicate
+        // keys (Delta MERGE errors on those — silently unioning both rows
+        // would corrupt key uniqueness), and a group with a NULL key
+        // component is an unjoinable update (null = null is never true:
+        // it could neither match existing rows nor be separated from kept
+        // rows for the change feed) — reject loudly rather than
+        // half-apply.
+        val bad = updates.groupBy(keyColumns: _*).count()
+          .filter(nullKey || col("count") > 1)
+          .limit(1).collect()
+        bad.headOption.foreach { r =>
+          val isNull = keyCols.indices.exists(r.isNullAt)
+          require(!isNull,
+            s"mergeTable: updates contain a NULL merge key: $r")
+          require(false,
+            s"mergeTable: updates contain multiple rows for key $r")
+        }
+      } else {
+        // checkDuplicateKeys=false is the pre-deduped pipelines' escape
+        // hatch from the aggregation job — the null-key check stays a
+        // cheap early-terminating filter scan
+        val nullKeyed = updates.filter(nullKey).limit(1).collect()
+        require(nullKeyed.isEmpty,
+          s"mergeTable: updates contain a NULL merge key: " +
+            s"${nullKeyed.headOption.getOrElse("")}")
       }
     }
     val tableDir = Catalog.tablePath(lh, tableName)
@@ -1672,6 +1681,12 @@ object TableIO {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     require(allSets.forall(_.keySet.subsetOf(schema.fieldNames.toSet)),
       "UPDATE SET names a column the target does not have")
+    // a typo'd INSERT values key would silently land NULL in the intended
+    // column (Delta errors on unknown insert columns; so do we)
+    insertCs.flatMap(_.values).foreach(vs =>
+      require(vs.keySet.subsetOf(schema.fieldNames.toSet),
+        s"INSERT values name columns the target does not have: " +
+          s"${vs.keySet -- schema.fieldNames}"))
     val withCdf = cdfEnabled(m.meta)
     val MCol = "__graft_m"
     val ACol = "__graft_act"
@@ -2411,8 +2426,11 @@ object TableIO {
         if (removed.isEmpty && added.isEmpty && !dvChanged)
           None // metadata-only commit
         else if (removed.isEmpty && !dvChanged)
-          Some(scanSpec(spark,
-            Versioned.ScanFiles(tableDir, m.schemaJson, added))
+          // added-at-v entries never carry a DV at v (no commit path both
+          // adds a file and vectors it), but scanOf keeps that invariant
+          // out of the correctness argument
+          Some(scanSpec(spark, Versioned.scanOf(tableDir, m,
+            m.entries.filterNot(e => prevFiles.contains(e.path))))
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         else {
@@ -2624,10 +2642,13 @@ object TableIO {
         val (affected, untouched) = m.entries.partition(e =>
           affectedPaths.contains(baseP.resolve(e.path).toString))
         val parts = currentPartitioning(lh, tableName)
+        // scanOf, NOT a raw file list: an affected file may carry a
+        // deletion vector from an earlier DV delete, and scanning it raw
+        // would re-emit delete events for (and below, RESURRECT) rows that
+        // are already logically gone
         val changes: Option[DataFrame] =
           if (!cdfEnabled(m.meta) || affected.isEmpty) None
-          else Some(scanSpec(spark,
-            Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+          else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
             .filter(cond)
             .withColumn("_change_type",
               org.apache.spark.sql.functions.lit("delete")))
@@ -2640,7 +2661,7 @@ object TableIO {
           op = "DELETE") { target =>
           if (affected.nonEmpty) {
             val survivors = scanSpec(spark,
-              Versioned.ScanFiles(tableDir, m.schemaJson, affected.map(_.path)))
+              Versioned.scanOf(tableDir, m, affected))
               .filter(not(cond))
             val writer = toPhysical(survivors,
                 DataType.fromJson(m.schemaJson).asInstanceOf[StructType])

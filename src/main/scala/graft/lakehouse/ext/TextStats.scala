@@ -172,13 +172,6 @@ object TextStats {
 
   // ---- chunking & corpus composition --------------------------------------
 
-  /** Split documents into fixed-size character windows with `overlap`
-    * characters of context between consecutive chunks (the standard
-    * pretraining/RAG chunker). Pure codegen'd built-ins: the chunk starts
-    * are a `sequence`, the slices are `substring` — a narrow explode, no
-    * UDF, no shuffle; a 100 TB corpus chunks in one pass.
-    * Output: (…idCol, chunk_no int, chunk_text). Null text yields no rows;
-    * text shorter than one stride yields a single chunk. */
   /** Boilerplate line removal (RefinedWeb / C4-style): drop every line
     * whose TRIMMED form appears in more than `maxDocFreq` distinct
     * documents — navigation chrome, cookie banners, license headers — and
@@ -210,6 +203,13 @@ object TextStats {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Split documents into fixed-size character windows with `overlap`
+    * characters of context between consecutive chunks (the standard
+    * pretraining/RAG chunker). Pure codegen'd built-ins: the chunk starts
+    * are a `sequence`, the slices are `substring` — a narrow explode, no
+    * UDF, no shuffle; a 100 TB corpus chunks in one pass.
+    * Output: (…idCol, chunk_no int, chunk_text). Null text yields no rows;
+    * text shorter than one stride yields a single chunk. */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int = 0): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,

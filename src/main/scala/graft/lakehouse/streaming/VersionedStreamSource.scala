@@ -91,11 +91,25 @@ class VersionedTableProvider extends StreamSourceProvider
     val freshStart = {
       import java.nio.file.{Files, Paths}
       val p = Paths.get(metadataPath.stripPrefix("file:"))
-      try {
-        Files.createDirectories(p)
-        Files.createFile(p.resolve("graft-source-init"))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      // a checkpoint written BEFORE this marker existed must still read
+      // as a restart (capping below its committed offset would trigger a
+      // bogus rewrite error / regressive batch): any entry in the
+      // checkpoint's offsets/ log proves history regardless of marker
+      val hasOffsetHistory = scala.util.Try {
+        // metadataPath = <ckpt>/sources/<i>
+        val offsets = p.getParent.getParent.resolve("offsets")
+        Files.isDirectory(offsets) && {
+          val s = Files.list(offsets)
+          try s.iterator().hasNext finally s.close()
+        }
+      }.getOrElse(false)
+      val markerNew =
+        try {
+          Files.createDirectories(p)
+          Files.createFile(p.resolve("graft-source-init"))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      markerNew && !hasOffsetHistory
     }
     new VersionedTableSource(sqlContext.sparkSession, dir,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,

@@ -192,6 +192,27 @@ class DeletionVectorSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "dv9").count() == 80)
   }
 
+  test("rewrite-mode delete after a DV delete does NOT resurrect " +
+      "vectored rows (regression)") {
+    val df = (1 to 100).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1)
+    TableIO.writeTable(spark, lh, "dv10", df)
+    TableIO.enableChangeFeed(spark, lh, "dv10")
+    TableIO.deleteFromTable(spark, lh, "dv10", "k <= 10",
+      deletionVectors = true)
+    val dir = Catalog.tablePath(lh, "dv10")
+    val v = Versioned.latestVersion(dir).get
+    // rewrite-mode delete touches the same (DV-carrying) file
+    TableIO.deleteFromTable(spark, lh, "dv10", "k = 50")
+    val got = TableIO.selectTable(spark, lh, "dv10")
+      .select("k").as[Int].collect().sorted
+    assert(got.toSeq == (11 to 100).filterNot(_ == 50),
+      "rewrite resurrected DV-deleted rows")
+    // and its CDF event is ONLY k=50 — not the already-deleted rows
+    val feed = TableIO.readChangeFeed(spark, lh, "dv10", v)
+    assert(feed.filter($"_change_type" === "delete")
+      .select("k").as[Int].collect().toSeq == Seq(50))
+  }
+
   test("sidecar codec: delta encoding round-trips, merged unions") {
     val a = Array(3L, 4L, 5L, 1000L, 1000000L)
     val dir = Files.createTempDirectory("dvc").toString

@@ -133,6 +133,12 @@ class MergeIntoSpec extends SparkSuite {
         Seq((1, 2.0), (1, 3.0)).toDF("k", "nv"),
         Seq("k"), Seq(MatchedUpdate(Map("v" -> "s.nv"))))
     }
+    // a typo'd INSERT values column must error, not silently insert NULL
+    intercept[IllegalArgumentException] {
+      TableIO.mergeInto(spark, lh, "mi7", Seq((9, 2.0)).toDF("k", "nv"),
+        Seq("k"), Seq(NotMatchedInsert(values = Some(Map(
+          "kk" -> "s.k", "v" -> "s.nv")))))
+    }
   }
 
   test("updateTable: file-level UPDATE WHERE with SET expressions, " +
