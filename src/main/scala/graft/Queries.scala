@@ -2827,16 +2827,24 @@ object Queries {
     // copies guarantee jaccard-1.0 pairs exist.
     Q("q132_prefix_jaccard_join",
       (s, dir) => {
+        // 1-in-5 subset: the synthetic corpus is template-generated, so
+        // MOST doc pairs are true near-dups — the exact answer itself is
+        // quadratic in cluster size and no exact algorithm can beat its
+        // own output size. The subset keeps the oracle exhaustive while
+        // the result stays linear-ish; the operator is unchanged.
         val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
         val copies = docs.filter(col("doc_id") % 50 === 0)
           .withColumn("doc_id", col("doc_id") + 100000)
         Dedup.prefixFilterJaccardPairs(docs.unionByName(copies),
           "doc_id", "text", threshold = 0.8).orderBy("a", "b")
       },
-      Some("""WITH d AS (
-        |  SELECT doc_id, text FROM documents
+      Some("""WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d AS (
+        |  SELECT doc_id, text FROM d0
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+        |  SELECT doc_id + 100000, text FROM d0 WHERE doc_id % 50 = 0),
         |w AS (
         |  SELECT doc_id, regexp_split_to_array(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
