@@ -2681,6 +2681,100 @@ object TableIO {
     }
   }
 
+  /** ANALYZE: (re)collect per-file min/max/null-count/row-count stats for
+    * the CURRENT version's files without rewriting any data — a
+    * metadata-only commit whose entries carry fresh stats. Gives
+    * data-skipping to tables whose manifests predate stats collection
+    * (e.g. early-protocol commits) and repairs stats after manual edits.
+    * Deletion-vector refs are preserved (stats stay PHYSICAL file
+    * properties — conservative for pruning). One aggregation pass over
+    * the table's live files; O(table) read, zero writes. */
+  def recomputeStats(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, bloomFilterFor: Seq[String] = Seq.empty): TableInfo = {
+    import org.apache.spark.sql.functions.col
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs manifest-based versions (convert or rewrite first)"))
+    // collectFileStats over the table dir would also sweep files of OTHER
+    // retained versions — aggregate over exactly the manifest's file list
+    // instead, keyed by provenance. Metadata cols ride the raw physical
+    // scan (pre-DV: stats are physical file properties).
+    val raw = scanFiles(spark,
+      Versioned.ScanFiles(tableDir, m.schemaJson, m.files), keepMeta = true)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val statsByAbs = statsOfScan(spark, raw, schema,
+      bloomFilterFor.filter(schema.fieldNames.contains))
+    val baseP = Paths.get(tableDir)
+    val entries = m.entries.map { e =>
+      statsByAbs.get(baseP.resolve(e.path).toString) match {
+        case None => e // zero-row file: nothing to record
+        case Some(statsJson) =>
+          // carry the DV ref through the fresh stats
+          val withDv = Versioned.dvRefOf(e) match {
+            case Some((p, n)) => withDvStat(Some(statsJson), p, n)
+            case None => statsJson
+          }
+          e.copy(stats = Some(withDv))
+      }
+    }
+    val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+      inherit = entries, expectedBase = base, meta = m.meta,
+      op = "ANALYZE") { _ => () }
+    finishCommit(spark, lh, tableName, tableDir, commit,
+      schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
+  }
+
+  /** Per-file stats JSON over an arbitrary keepMeta scan, keyed by the
+    * file's ABSOLUTE path — the manifest-list-scoped core of
+    * [[collectFileStats]] (which reads a whole staging dir instead). */
+  private def statsOfScan(spark: SparkSession, raw: DataFrame,
+      schema: StructType, blooms: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum,
+      udaf, when, xxhash64}
+    import org.json4s.{JArray, JNull, JString, JValue}
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    // hive partition values are path-derived; their stats must come from
+    // the path segment domain like collectFileStats does — exclude them
+    // from the aggregated min/max and derive below
+    val dataCols = schema.fields.filter(f => raw.columns.contains(f.name))
+    val bloomAgg = udaf(new Bloom.Agg(Bloom.DefaultBits), Encoders.scalaLong)
+    val aggs = count(lit(1)) +:
+      (dataCols.toSeq.flatMap(f => Seq(
+        min(col(f.name)).cast("string"), max(col(f.name)).cast("string"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)))) ++
+        blooms.map(c => bloomAgg(xxhash64(col(c)))))
+    val rows = raw.groupBy(col(FpCol).as("__fp"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val minMaxBase = 2
+    val perCol = 3
+    val bloomBase = minMaxBase + perCol * dataCols.length
+    // stats JSON is keyed by PHYSICAL column names (the column-mapping
+    // convention every prune path looks up with)
+    val mapping = physicalMapping(schema)
+    def physical(n: String): String = mapping.getOrElse(n, n)
+    rows.map { r =>
+      def j(i: Int): JValue =
+        if (r.isNullAt(i)) JNull else JString(r.getString(i))
+      val fields: Seq[(String, JValue)] =
+        (RowsKey -> (JString(r.getLong(1).toString): JValue)) +:
+        (dataCols.toSeq.zipWithIndex.map { case (f, i) =>
+          val b = minMaxBase + perCol * i
+          physical(f.name) -> (JArray(List(j(b), j(b + 1),
+            JString(r.getLong(b + 2).toString))): JValue)
+        } ++ blooms.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(bloomBase + i)).map { bytes =>
+            (Bloom.StatsPrefix + physical(c)) ->
+              (JString(java.util.Base64.getEncoder
+                .encodeToString(bytes.asInstanceOf[Array[Byte]])): JValue)
+          }
+        })
+      new java.net.URI(r.getString(0)).getPath ->
+        compact(render(org.json4s.JObject(fields.toList)))
+    }.toMap
+  }
+
   /** Adopt a pre-protocol parquet directory into the versioned commit
     * protocol WITHOUT rewriting a byte (Delta's CONVERT TO DELTA): list
     * the existing data files (hive `col=value` layouts included), collect

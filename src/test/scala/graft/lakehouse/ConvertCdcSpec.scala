@@ -96,6 +96,82 @@ class ConvertCdcSpec extends SparkSuite {
     assert(m(3) == ((3, "back", 3.0)), "delete-then-reinsert: present")
   }
 
+  test("recomputeStats: stats-less manifests gain pruning without a " +
+      "rewrite; DV refs survive") {
+    val df = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "v")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+      .sortWithinPartitions("k")
+    TableIO.writeTable(spark, lh, "an1", df)
+    val dir = Catalog.tablePath(lh, "an1")
+    // simulate a legacy/early-protocol manifest: same files, no stats
+    val m0 = Versioned.readManifest(dir,
+      Versioned.latestVersion(dir).get).get
+    Versioned.commitFiles(dir, m0.schemaJson,
+      inherit = m0.entries.map(_.copy(stats = None)),
+      expectedBase = Versioned.latestVersion(dir), meta = m0.meta,
+      op = "STRIP") { _ => () }
+    val total = Versioned.readManifest(dir,
+      Versioned.latestVersion(dir).get).get.entries.size
+    // without stats no range prune is possible (all files survive)
+    val before = TableIO.pruneFilesRanges(lh, "an1",
+      Seq(("k", Some(1L), Some(10L)))).get
+    assert(before._1.relFiles.size == total)
+
+    val files = TableIO.currentFiles(lh, "an1").map(p =>
+      p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    TableIO.recomputeStats(spark, lh, "an1")
+    // zero data movement
+    files.foreach { case (p, t) =>
+      assert(Files.getLastModifiedTime(Paths.get(p)).toMillis == t) }
+    // pruning now provably skips files
+    val after = TableIO.pruneFilesRanges(lh, "an1",
+      Seq(("k", Some(1L), Some(10L)))).get
+    assert(after._1.relFiles.size < total,
+      s"no pruning after ANALYZE: ${after._1.relFiles.size}/$total")
+    assert(TableIO.prunedScan(spark, lh, "an1", "k", Some(1L), Some(10L))
+      .count() == 10)
+
+    // DV interplay: vectored rows stay deleted through an ANALYZE
+    TableIO.deleteFromTable(spark, lh, "an1", "k <= 100",
+      deletionVectors = true)
+    TableIO.recomputeStats(spark, lh, "an1")
+    assert(TableIO.selectTable(spark, lh, "an1").count() == 900)
+    assert(TableIO.tableRowCount(lh, "an1").contains(900L),
+      "manifest row count must stay logical after ANALYZE")
+  }
+
+  test("concurrent DV deletes: the loser fails loudly, a retry applies " +
+      "both deletions") {
+    val df = (1 to 200).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1)
+    TableIO.writeTable(spark, lh, "dvc1", df)
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val results = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          go.await()
+          try { TableIO.deleteFromTable(spark, lh, "dvc1",
+            if (i == 1) "k <= 20" else "k > 180", deletionVectors = true)
+            None
+          } catch { case t: Throwable => Some(t) }
+        }
+      })
+    }
+    go.countDown()
+    val outcomes = results.map(_.get())
+    pool.shutdown()
+    val failures = outcomes.flatten
+    // both may serialize cleanly, but any failure must be the loud
+    // optimistic-concurrency kind — and a retry must converge
+    failures.foreach(t => assert(
+      t.isInstanceOf[Versioned.ConcurrentWriteException], t.toString))
+    if (failures.nonEmpty)
+      TableIO.deleteFromTable(spark, lh, "dvc1",
+        "k <= 20 OR k > 180", deletionVectors = true)
+    assert(TableIO.selectTable(spark, lh, "dvc1").count() == 160)
+  }
+
   test("applyChanges validates the feed shape") {
     TableIO.writeTable(spark, lh, "cdc_bad", Seq((1, "x")).toDF("k", "s"))
     intercept[IllegalArgumentException] {
