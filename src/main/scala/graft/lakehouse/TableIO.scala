@@ -1247,7 +1247,7 @@ object TableIO {
       meta = carried ++ extraMeta +
         (PartitionByKey -> partitionBy.mkString(",")),
       op = "WRITE",
-      beforeMarker = (v, staged) => prevScanForCdf.foreach { old =>
+      beforeMarker = (v, staged, cid) => prevScanForCdf.foreach { old =>
         import org.apache.spark.sql.functions.lit
         val inserts = scanSpec(spark, Versioned.ScanFiles(tableDir,
           df.schema.json, staged.map(_.path)))
@@ -1255,7 +1255,7 @@ object TableIO {
         old.withColumn("_change_type", lit("delete"))
           .unionByName(inserts, allowMissingColumns = true)
           .write.mode(SaveMode.Overwrite)
-          .parquet(cdfDir(tableDir, v).toString)
+          .parquet(cdfDir(tableDir, v, cid).toString)
       }) { target =>
       // manifest blooms skip whole FILES; parquet-native blooms on the same
       // columns skip row groups WITHIN the files that survive
@@ -1544,9 +1544,9 @@ object TableIO {
           // a re-evaluation of the caller's `updates` plan — staged rows
           // whose key is in updKeys are exactly the update rows as written
           // (kept rows were anti-joined out)
-          val writeCdf: (Long, Seq[Versioned.FileEntry]) => Unit =
-            if (!cdfEnabled(m.meta)) (_, _) => ()
-            else (v, staged) => {
+          val writeCdf: (Long, Seq[Versioned.FileEntry], String) => Unit =
+            if (!cdfEnabled(m.meta)) (_, _, _) => ()
+            else (v, staged, cid) => {
               import org.apache.spark.sql.functions.lit
               val oldKeys = affectedDf.select(keyColumns: _*).distinct()
               val newRows = scanSpec(spark, Versioned.ScanFiles(tableDir,
@@ -1562,7 +1562,7 @@ object TableIO {
               pre.unionByName(post, allowMissingColumns = true)
                 .unionByName(ins, allowMissingColumns = true)
                 .write.mode(SaveMode.Overwrite)
-                .parquet(cdfDir(tableDir, v).toString)
+                .parquet(cdfDir(tableDir, v, cid).toString)
             }
           try {
             val rewrittenM = alignMapping(rewritten.schema, oldSchema, m.meta, b)
@@ -1834,9 +1834,9 @@ object TableIO {
           inherit = untouched, expectedBase = Some(b),
           collectStats = collectFileStats(spark, bloomColsOf(m)),
           meta = m.meta,
-          beforeMarker = (v, _) => changes.foreach(
+          beforeMarker = (v, _, cid) => changes.foreach(
             _.write.mode(SaveMode.Overwrite)
-              .parquet(cdfDir(tableDir, v).toString)),
+              .parquet(cdfDir(tableDir, v, cid).toString)),
           op = "MERGE") { target =>
           val physical = toPhysical(payload, schema)
           // empty payloads still commit (a version whose only effect is
@@ -2352,8 +2352,24 @@ object TableIO {
   private[lakehouse] def cdfEnabled(meta: Map[String, String]): Boolean =
     meta.get(CdfKey).contains("true")
 
-  private def cdfDir(tableDir: String, v: Long): Path =
-    Paths.get(tableDir).resolve(s"_cdf_$v")
+  /** Writer-side change-feed sidecar path: COMMIT-OWNED (suffixed with
+    * the commit's id from [[Versioned.CommitIdKey]]) so a reclaimed
+    * writer's still-running sidecar job can never clobber the winning
+    * commit's feed — the loser's directory is simply an orphan that ages
+    * out. */
+  private def cdfDir(tableDir: String, v: Long, commitId: String): Path =
+    Paths.get(tableDir).resolve(s"_cdf_${v}_$commitId")
+
+  /** Reader-side resolution: the committed manifest names its sidecar via
+    * its commit id; pre-commitId manifests fall back to the legacy
+    * unsuffixed path. */
+  private def cdfDirOf(tableDir: String, v: Long): Path = {
+    val suffixed = Versioned.readManifest(tableDir, v)
+      .flatMap(_.meta.get(Versioned.CommitIdKey))
+      .map(id => Paths.get(tableDir).resolve(s"_cdf_${v}_$id"))
+    suffixed.filter(Files.isDirectory(_))
+      .getOrElse(Paths.get(tableDir).resolve(s"_cdf_$v"))
+  }
 
   /** Row-level changes since `sinceVersion` (Delta `table_changes`): for
     * each later commit — appends yield their added files' rows as
@@ -2434,7 +2450,7 @@ object TableIO {
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         else {
-          val d = cdfDir(tableDir, v)
+          val d = cdfDirOf(tableDir, v)
           if (!Files.isDirectory(d)) throw new IllegalStateException(
             s"$tableDir: version $v rewrote files but has no change-data " +
               "sidecar — the commit predates enableChangeFeed (or was a " +
@@ -2514,9 +2530,9 @@ object TableIO {
         val commit = Versioned.commitFiles(tableDir, m.schemaJson,
           inherit = untouched, expectedBase = Some(b),
           collectStats = collectFileStats(spark, blooms), meta = m.meta,
-          beforeMarker = (v, _) => emptyCdf.foreach(
+          beforeMarker = (v, _, cid) => emptyCdf.foreach(
             _.write.mode(SaveMode.Overwrite)
-              .parquet(cdfDir(tableDir, v).toString)),
+              .parquet(cdfDir(tableDir, v, cid).toString)),
           op = "OPTIMIZE") { target =>
           if (affected.nonEmpty) {
             val physical = toPhysical(arranged,
@@ -2622,9 +2638,9 @@ object TableIO {
         try {
           val commit = Versioned.commitFiles(tableDir, m.schemaJson,
             inherit = entries2, expectedBase = Some(b), meta = m.meta,
-            beforeMarker = (v, _) => changes.foreach(
+            beforeMarker = (v, _, cid) => changes.foreach(
               _.write.mode(SaveMode.Overwrite)
-                .parquet(cdfDir(tableDir, v).toString)),
+                .parquet(cdfDir(tableDir, v, cid).toString)),
             op = "DELETE") { _ => () }
           val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
           finishCommit(spark, lh, tableName, tableDir, commit,
@@ -2656,8 +2672,9 @@ object TableIO {
           inherit = untouched, expectedBase = Some(b),
           collectStats = collectFileStats(spark, bloomColsOf(m)),
           meta = m.meta,
-          beforeMarker = (v, _) => changes.foreach(
-            _.write.mode(SaveMode.Overwrite).parquet(cdfDir(tableDir, v).toString)),
+          beforeMarker = (v, _, cid) => changes.foreach(
+            _.write.mode(SaveMode.Overwrite)
+              .parquet(cdfDir(tableDir, v, cid).toString)),
           op = "DELETE") { target =>
           if (affected.nonEmpty) {
             val survivors = scanSpec(spark,
@@ -2917,9 +2934,9 @@ object TableIO {
           inherit = untouched, expectedBase = Some(b),
           collectStats = collectFileStats(spark, bloomColsOf(m)),
           meta = m.meta,
-          beforeMarker = (v, _) => changes.foreach(
+          beforeMarker = (v, _, cid) => changes.foreach(
             _.write.mode(SaveMode.Overwrite)
-              .parquet(cdfDir(tableDir, v).toString)),
+              .parquet(cdfDir(tableDir, v, cid).toString)),
           op = "UPDATE") { target =>
           rewritten.foreach { r =>
             val writer = toPhysical(r, schema).write.mode(SaveMode.Append)

@@ -200,11 +200,17 @@ object Versioned {
     finally s.close()
   }
 
-  private def numericSuffix(name: String, prefix: String): Option[Long] =
-    if (name.startsWith(prefix) && name.length > prefix.length &&
-        name.drop(prefix.length).forall(_.isDigit))
-      Some(name.drop(prefix.length).toLong)
+  private def numericSuffix(name: String, prefix: String): Option[Long] = {
+    // ASCII digits only, capped below Long overflow — Character.isDigit
+    // accepts Unicode digit scripts and an unguarded toLong would make one
+    // odd filename (tooling litter, tampering) wedge EVERY read and write
+    // of the table with NumberFormatException
+    val suffix = name.drop(prefix.length)
+    if (name.startsWith(prefix) && suffix.nonEmpty && suffix.length <= 18 &&
+        suffix.forall(c => c >= '0' && c <= '9'))
+      Some(suffix.toLong)
     else None
+  }
 
   /** Current committed version: the max commit marker; legacy pointer-file
     * tables (pre-marker layout) fall back to the pointer value. */
@@ -305,24 +311,39 @@ object Versioned {
     * operation before it. */
   val OpKey = "graft.op"
 
+  /** Manifest meta key recording the commit's own identity — the suffix of
+    * its change-feed sidecar directory (`_cdf_<version>_<id>`); always
+    * overwritten per commit, never carried forward. */
+  val CommitIdKey = "graft.commitId"
+
   def commitFiles(tableDir: String, schemaJson: String,
       inherit: Seq[FileEntry] = Seq.empty,
       expectedBase: Option[Long] = None,
       collectStats: String => Map[String, String] = _ => Map.empty,
       meta: Map[String, String] = Map.empty,
-      beforeMarker: (Long, Seq[FileEntry]) => Unit = (_, _) => (),
+      beforeMarker: (Long, Seq[FileEntry], String) => Unit = (_, _, _) => (),
       op: String = "")
       (write: String => Unit): Commit = {
     require(inherit.isEmpty || expectedBase.isDefined,
       "a commit inheriting files must pin the base version they came from")
-    require(!schemaJson.contains("\n"), "schema JSON must be single-line")
+    require(!schemaJson.contains("\n") && !schemaJson.contains("\r"),
+      "schema JSON must be single-line")
     require(meta.forall { case (k, v) =>
-      !k.contains("=") && !k.contains("\n") && !v.contains("\n") },
-      "meta keys must not contain '='; keys and values must be single-line")
+      !k.contains("=") && !k.contains("\n") && !v.contains("\n") &&
+        !k.contains("\r") && !v.contains("\r") },
+      "meta keys must not contain '='; keys and values must be single-line" +
+        " (readAllLines also splits on carriage returns)")
     // operation provenance: always drop a carried-forward op; record this
-    // commit's own (when the caller names one)
-    val metaWithOp =
-      if (op.isEmpty) meta - OpKey else (meta - OpKey) + (OpKey -> op)
+    // commit's own (when the caller names one).
+    // Commit identity: a fresh id per commit, recorded in the manifest and
+    // handed to beforeMarker so version-keyed sidecars (the change feed)
+    // are written to COMMIT-OWNED paths — an evicted writer's in-flight
+    // sidecar job can then never clobber the winning commit's sidecar,
+    // before OR after its marker lands.
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val metaWithOp = ((if (op.isEmpty) meta - OpKey
+      else (meta - OpKey) + (OpKey -> op))
+      - CommitIdKey) + (CommitIdKey -> commitId)
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
     // fail fast before paying for the write; the authoritative check is the
@@ -367,6 +388,12 @@ object Versioned {
           case None => math.max(latestVersion(tableDir).getOrElse(0L), allocated) + 1
         }
         var claimed = false
+        // set when this writer reclaimed an orphaned manifest at its
+        // version: (version, where the orphan's content was moved). If the
+        // "orphan" turns out to be alive and beats us to the marker, the
+        // backup restores so the committed version serves the data its
+        // writer acknowledged.
+        var reclaimBackup: Option[(Long, Path)] = None
         while (!claimed) {
           try {
             // atomic claim-with-content: link either installs the manifest
@@ -387,24 +414,49 @@ object Versioned {
                 def mt(p: Path): Long =
                   scala.util.Try(Files.getLastModifiedTime(p).toMillis)
                     .getOrElse(Long.MaxValue)
-                val cdf = dir.resolve(s"_cdf_$v")
-                val cdfNewest =
-                  if (!Files.exists(cdf)) 0L
-                  else scala.util.Try {
-                    val s = Files.walk(cdf)
-                    try s.iterator().asScala.map(mt).foldLeft(0L)(math.max)
-                    finally s.close()
-                  }.getOrElse(Long.MaxValue)
+                // every sidecar belonging to v — the legacy `_cdf_v`
+                // form and commit-owned `_cdf_v_<id>` dirs — counts as a
+                // sign of life
+                val cdfNewest = listNames(dir)
+                  .filter(n => n == s"_cdf_$v" || n.startsWith(s"_cdf_${v}_"))
+                  .map { n =>
+                    val c = dir.resolve(n)
+                    scala.util.Try {
+                      val s = Files.walk(c)
+                      try s.iterator().asScala.map(mt).foldLeft(0L)(math.max)
+                      finally s.close()
+                    }.getOrElse(Long.MaxValue)
+                  }.foldLeft(0L)(math.max)
                 math.max(mt(existing), cdfNewest)
               }
               val stale = !Files.exists(marker(dir, v)) &&
                 System.currentTimeMillis() - newestTouch > OrphanGraceMs
               if (stale) {
-                Files.deleteIfExists(existing)
-                // the crashed writer's sidecar would block the reclaimed
-                // number's beforeMarker write
-                try deleteRecursively(dir.resolve(s"_cdf_$v"))
-                catch { case _: Exception => () }
+                // move-aside, never delete: if the writer we judged dead
+                // creates its marker between our staleness check and here,
+                // its manifest must still be installable — a plain delete
+                // would let OUR content commit under THEIR marker
+                val backup = dir.resolve(
+                  s".manifest.reclaimed-${java.util.UUID.randomUUID()}")
+                val movedAside = scala.util.Try {
+                  Files.move(existing, backup,
+                    StandardCopyOption.ATOMIC_MOVE); true
+                }.getOrElse(false)
+                if (movedAside && Files.exists(marker(dir, v))) {
+                  // it committed after all — restore and treat v as taken
+                  scala.util.Try(Files.move(backup, existing,
+                    StandardCopyOption.ATOMIC_MOVE))
+                  expectedBase match {
+                    case Some(base) => throw conflict(tableDir, base, v)
+                    case None => v += 1
+                  }
+                } else {
+                  if (movedAside) reclaimBackup = Some(v -> backup)
+                  // the crashed writer's sidecar would block the reclaimed
+                  // number's beforeMarker write
+                  try deleteRecursively(dir.resolve(s"_cdf_$v"))
+                  catch { case _: Exception => () }
+                }
               } else expectedBase match {
                 case Some(base) => throw conflict(tableDir, base, v)
                 case None => v += 1
@@ -423,7 +475,7 @@ object Versioned {
             if (dest.getParent != dir) Files.createDirectories(dest.getParent)
             Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
           }
-          beforeMarker(v, staged)
+          beforeMarker(v, staged, commitId)
           // ownership re-check: if a conflicting claimer mistook this
           // (slow) commit for a crashed orphan and reclaimed v, the
           // manifest at v is no longer OUR tmp hard-link — creating the
@@ -447,8 +499,21 @@ object Versioned {
             }
             throw e
         }
-        // commit point: atomic marker creation; monotonic by construction
-        Files.createFile(marker(dir, v))
+        // commit point: atomic marker creation; monotonic by construction.
+        // An EEXIST here means the writer we reclaimed was alive and
+        // committed first: un-link our manifest and put ITS manifest back
+        // under its marker before failing loudly — its acknowledged data
+        // must be what the committed version serves.
+        try Files.createFile(marker(dir, v))
+        catch {
+          case _: FileAlreadyExistsException =>
+            Files.deleteIfExists(manifestPath(dir, v))
+            reclaimBackup.collect { case (bv, b) if bv == v =>
+              scala.util.Try(Files.move(b, manifestPath(dir, v),
+                StandardCopyOption.ATOMIC_MOVE))
+            }
+            throw conflict(tableDir, expectedBase.getOrElse(0L), v)
+        }
         // post-marker ownership validation: a reclaim racing between the
         // pre-marker isSameFile check and the marker would have had OUR
         // marker commit THEIR manifest — detect it, retract the marker
@@ -463,6 +528,10 @@ object Versioned {
           Files.deleteIfExists(marker(dir, v))
           throw conflict(tableDir, expectedBase.getOrElse(0L), v)
         }
+        // committed with our manifest: a reclaimed orphan's moved-aside
+        // content is now provably dead weight
+        reclaimBackup.foreach { case (_, b) =>
+          scala.util.Try(Files.deleteIfExists(b)) }
         // legacy/debug pointer cache — markers are authoritative
         try {
           val ptmp = dir.resolve(s".${PointerName}.tmp-${java.util.UUID.randomUUID()}")
@@ -471,7 +540,20 @@ object Versioned {
             StandardCopyOption.REPLACE_EXISTING)
         } catch { case _: Exception => () }
         try deleteRecursively(staging) catch { case _: Exception => () }
-        try sweep(dir, RetainAgeMs) catch { case _: Exception => () }
+        // the full sweep re-parses kept manifests and walks the data tree
+        // — O(table) metadata work a small append should not pay on every
+        // commit. Run it when a version is actually droppable (the cheap
+        // marker-age probe below) and periodically for orphan/litter
+        // cleanup; explicit vacuum() always sweeps.
+        try {
+          val candidates = listNames(dir)
+            .flatMap(numericSuffix(_, MarkerPrefix)).sorted.dropRight(Retain)
+          val now = System.currentTimeMillis()
+          val droppable = candidates.exists(c => scala.util.Try(
+            now - Files.getLastModifiedTime(marker(dir, c)).toMillis >=
+              RetainAgeMs).getOrElse(false))
+          if (droppable || v % 16 == 0) sweep(dir, RetainAgeMs)
+        } catch { case _: Exception => () }
         Commit(v, staged, files)
       } finally Files.deleteIfExists(tmp)
     } catch {
@@ -510,15 +592,31 @@ object Versioned {
       Files.deleteIfExists(marker(dir, v))
       Files.deleteIfExists(manifestPath(dir, v))
       deleteRecursively(versionDir(dir, v)) // legacy snapshot dir
-      deleteRecursively(dir.resolve(s"_cdf_$v")) // change-data sidecar
+      names.filter(n => n == s"_cdf_$v" || n.startsWith(s"_cdf_${v}_"))
+        .foreach(n => deleteRecursively(dir.resolve(n))) // change sidecars
     }
     // change-data sidecars of versions that never committed (crash between
     // sidecar write and marker) age out like any orphan
     names.filter(_.startsWith("_cdf_"))
-      .flatMap(n => numericSuffix(n, "_cdf_"))
-      .filter(v => !Files.exists(marker(dir, v)))
-      .foreach { v =>
-        val p = dir.resolve(s"_cdf_$v")
+      .flatMap { n =>
+        // `_cdf_<v>` (legacy) or `_cdf_<v>_<commitId>` (commit-owned)
+        val suffix = n.drop("_cdf_".length)
+        val vPart = suffix.takeWhile(c => c >= '0' && c <= '9')
+        val idPart = suffix.drop(vPart.length) // "" or "_<id>"
+        numericSuffix("_cdf_" + vPart, "_cdf_")
+          .filter(_ => idPart.isEmpty || idPart.startsWith("_"))
+          .map(v => (n, v, idPart.drop(1)))
+      }
+      .filter { case (_, v, id) =>
+        // commit-owned sidecars orphan unless the COMMITTED version's
+        // manifest names their id; legacy ones orphan when no marker exists
+        if (!Files.exists(marker(dir, v))) true
+        else if (id.isEmpty) false
+        else !readManifest(dir.toString, v)
+          .exists(_.meta.get(CommitIdKey).contains(id))
+      }
+      .foreach { case (n, _, _) =>
+        val p = dir.resolve(n)
         if (!young(p)) deleteRecursively(p)
       }
     // orphaned claims from crashed writers: manifest with no marker, or a
@@ -544,14 +642,24 @@ object Versioned {
     // deletion-vector sidecars are referenced THROUGH entry stats, not the
     // file list — they must survive exactly as long as an entry points at
     // them (a swept sidecar would silently resurrect its deleted rows)
-    val referenced: Set[String] = kept
+    // ...and CLAIMED-BUT-UNMARKED manifests protect their files too: a
+    // long-running commit moves its staged files to the root (mtimes
+    // preserved — they can already be past the age floor) in the
+    // claim-to-marker window, and sweeping them there would let the
+    // commit land a marker over deleted data. The orphan-manifest sweep
+    // above bounds how long an unmarked claim can extend protection.
+    val claimedUnmarked = listNames(dir)
+      .flatMap(numericSuffix(_, ManifestPrefix))
+      .filterNot(v => Files.exists(marker(dir, v)))
+    val referenced: Set[String] = (kept ++ claimedUnmarked)
       .flatMap(v => readManifest(dir.toString, v).map(m =>
         m.files ++ m.entries.flatMap(e => dvRefOf(e).map(_._1)))
         .getOrElse(Seq.empty))
       .toSet
     names.foreach { n =>
       val p = dir.resolve(n)
-      if (n.startsWith(StagingPrefix) || n.startsWith(".manifest.tmp")) {
+      if (n.startsWith(StagingPrefix) || n.startsWith(".manifest.") ||
+          n.startsWith(s".$PointerName.tmp")) {
         // crashed writers' scratch — never referenced once orphaned. Age
         // by the NEWEST mtime in the subtree: a long-running write keeps
         // touching deep task files while the staging ROOT's mtime stays at
@@ -576,9 +684,14 @@ object Versioned {
                 !referenced.contains(dir.relativize(q).toString) && !young(q))
               Files.deleteIfExists(q)
             else if (Files.isDirectory(q) && listNames(q).isEmpty && !young(q))
-              Files.deleteIfExists(q) // deepest-first: emptied dirs collapse
+              // deepest-first: emptied dirs collapse; a racer refilling or
+              // pre-deleting the dir is fine either way
+              try Files.deleteIfExists(q)
+              catch { case _: java.io.IOException => () }
           }
-          if (listNames(p).isEmpty && !young(p)) Files.deleteIfExists(p)
+          if (listNames(p).isEmpty && !young(p))
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
         }
       }
     }
@@ -587,5 +700,9 @@ object Versioned {
   private[lakehouse] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+        // a concurrent sweep may be removing the same subtree — a path
+        // vanishing (or a dir briefly non-empty from a racer) must not
+        // abort the rest of the walk
+        .forEach(f => try Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
 }
