@@ -513,7 +513,11 @@ object TableIO {
     // hashing can never disagree (same xxhash64-over-cast the writer
     // used). Ts/date probes are excluded (blooms target high-cardinality
     // point-lookup keys; ranges handle time).
-    val bloomIndexed = bloomColsOf(m).toSet
+    // bloomColsOf parses EVERY entry's stats JSON on the driver — only
+    // worth it when an equality/IN hint could actually probe a bloom
+    val bloomIndexed =
+      if (nhints.exists(_.isInstanceOf[NIn])) bloomColsOf(m).toSet
+      else Set.empty[String]
     val bloomProbes: Seq[(String, Any)] = nhints.flatMap {
       case NIn(c, vs) if bloomIndexed(sk(c)) => vs.collect {
         case v @ (_: Number | _: String | _: Boolean) => c -> v
@@ -867,11 +871,16 @@ object TableIO {
     Versioned.latestVersion(tableDir).flatMap(v =>
       Versioned.readManifest(tableDir, v)).map { m =>
       val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      // stats are keyed by PHYSICAL name: after a rename the logical
+      // lookup would find nothing (lost pruning), and after a drop +
+      // re-add it would find the RETIRED column's stats — provably-wrong
+      // pruning. Same translation minedSurvivors applies.
+      val toPhys = physicalMapping(schema)
       val kept = m.entries.filter { e =>
         ranges.forall { case (statCol, lo, hi) =>
           val dt = schema.fields.find(_.name == statCol).map(_.dataType)
             .getOrElse(StringType)
-          statsRange(e, statCol) match {
+          statsRange(e, toPhys.getOrElse(statCol, statCol)) match {
             case Some(range) => mayMatch(dt, range, lo, hi)
             case None => true // no stats for this file/column: must scan
           }
@@ -973,13 +982,16 @@ object TableIO {
       case None => fullSort(selectTable(spark, lh, tableName))
       case Some(m) =>
         val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        // stats keys are PHYSICAL names — a drop + re-add would otherwise
+        // serve the RETIRED column's stats as this column's (wrong prune)
+        val physCol = physicalMapping(schema).getOrElse(statCol, statCol)
         val dt = schema.fields.find(_.name == statCol).map(_.dataType)
           .getOrElse(StringType)
         // a file's contribution to the k-row prefix is its NON-NULL count
         // (rows - nullCount): counting total rows would let a null-heavy
         // file satisfy the prefix and wrongly tighten the k-th-value bound
-        val parsed = m.entries.map(e => (e, statsRange(e, statCol),
-          for (rows <- entryRows(e); nulls <- entryNullCount(e, statCol))
+        val parsed = m.entries.map(e => (e, statsRange(e, physCol),
+          for (rows <- entryRows(e); nulls <- entryNullCount(e, physCol))
             yield rows - nulls))
         // all-null files can never contribute (nulls are excluded); every
         // OTHER file must have a provable range and non-null count or we bail
@@ -1039,8 +1051,10 @@ object TableIO {
     val tableDir = Catalog.tablePath(lh, tableName)
     Versioned.latestVersion(tableDir).flatMap(v =>
       Versioned.readManifest(tableDir, v)).map { m =>
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val physCol = physicalMapping(schema).getOrElse(statCol, statCol)
       val kept = m.entries.filter { e =>
-        (entryNullCount(e, statCol), entryRows(e)) match {
+        (entryNullCount(e, physCol), entryRows(e)) match {
           case (Some(nulls), _) if isNull => nulls > 0
           case (Some(nulls), Some(rows)) if !isNull => nulls < rows
           case _ => true // not provable: must scan
@@ -1079,24 +1093,19 @@ object TableIO {
     Versioned.latestVersion(tableDir).flatMap(v =>
       Versioned.readManifest(tableDir, v)).map { m =>
       val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val physCol = physicalMapping(schema).getOrElse(statCol, statCol)
       val dt = schema.fields.find(_.name == statCol).map(_.dataType)
         .getOrElse(StringType)
       lazy val probeHash: Long = spark.range(1)
         .select(xxhash64(lit(value).cast(dt))).head.getLong(0)
       val kept = m.entries.filter { e =>
-        val rangeOk = statsRange(e, statCol) match {
+        val rangeOk = statsRange(e, physCol) match {
           case Some(range) => mayMatch(dt, range, Some(value), Some(value))
           case None => true
         }
         rangeOk && {
-          val bloomOk = for {
-            s <- e.stats
-            j <- scala.util.Try(parse(s)).toOption
-            b <- (j \ (Bloom.StatsPrefix + statCol)) match {
-              case JString(b64) => Some(b64)
-              case _ => None
-            }
-          } yield Bloom.mayContain(Bloom.decode(b), probeHash)
+          val bloomOk = entryBloomB64(e, physCol)
+            .map(b => Bloom.mayContain(Bloom.decode(b), probeHash))
           bloomOk.getOrElse(true) // not bloom-indexed: must scan
         }
       }
@@ -2360,16 +2369,18 @@ object TableIO {
   private def cdfDir(tableDir: String, v: Long, commitId: String): Path =
     Paths.get(tableDir).resolve(s"_cdf_${v}_$commitId")
 
-  /** Reader-side resolution: the committed manifest names its sidecar via
-    * its commit id; pre-commitId manifests fall back to the legacy
-    * unsuffixed path. */
-  private def cdfDirOf(tableDir: String, v: Long): Path = {
-    val suffixed = Versioned.readManifest(tableDir, v)
-      .flatMap(_.meta.get(Versioned.CommitIdKey))
-      .map(id => Paths.get(tableDir).resolve(s"_cdf_${v}_$id"))
-    suffixed.filter(Files.isDirectory(_))
-      .getOrElse(Paths.get(tableDir).resolve(s"_cdf_$v"))
-  }
+  /** Reader-side resolution: a manifest that names a commit id resolves
+    * ONLY to its own suffixed sidecar — a legacy `_cdf_<v>` present beside
+    * it could only have been written by some OTHER (evicted/old-binary)
+    * writer, and silently serving it would re-open the clobber the
+    * suffix exists to prevent. Pre-commitId manifests use the legacy
+    * path. Missing directories surface as the caller's loud error. */
+  private def cdfDirOf(tableDir: String, v: Long,
+      meta: Map[String, String]): Path =
+    meta.get(Versioned.CommitIdKey) match {
+      case Some(id) => Paths.get(tableDir).resolve(s"_cdf_${v}_$id")
+      case None => Paths.get(tableDir).resolve(s"_cdf_$v")
+    }
 
   /** Row-level changes since `sinceVersion` (Delta `table_changes`): for
     * each later commit — appends yield their added files' rows as
@@ -2402,11 +2413,19 @@ object TableIO {
           "from a snapshot (raise Versioned.RetainAgeMs for slow streams)")
     val versions = Versioned.committedVersions(tableDir)
       .filter(v => v >= sinceVersion && untilVersion.forall(v <= _))
+    // ONE manifest read+parse per version: the rename check, the pairwise
+    // frame diff (where each version appears as both 'prev' and 'v') and
+    // sidecar resolution all share it — manifests are O(files) lines
+    val manifests: Map[Long, Versioned.Manifest] = versions.flatMap(v =>
+      Versioned.readManifest(tableDir, v).map(v -> _)).toMap
+    def manifestOf(v: Long): Versioned.Manifest = manifests.getOrElse(v,
+      throw new IllegalStateException(
+        s"$tableDir: manifest for version $v is unavailable"))
     // a RENAME inside the range would union frames under two different
     // logical names for the same physical column — a silently-wrong feed.
     // Delta's CDF has the same restriction; fail loudly instead.
     val logicalNames = versions.flatMap(v =>
-      Versioned.readManifest(tableDir, v).map(m =>
+      manifests.get(v).map(m =>
         DataType.fromJson(m.schemaJson).asInstanceOf[StructType].fields
           .map(f => (if (f.metadata.contains(PhysicalKey))
             f.metadata.getString(PhysicalKey) else f.name) -> f.name).toMap))
@@ -2421,12 +2440,8 @@ object TableIO {
         "at or after the rename"))
     val frames = versions.sliding(2).collect {
       case Seq(prev, v) =>
-        val pm = Versioned.readManifest(tableDir, prev).getOrElse(
-          throw new IllegalStateException(
-            s"$tableDir: manifest for version $prev is unavailable"))
-        val m = Versioned.readManifest(tableDir, v).getOrElse(
-          throw new IllegalStateException(
-            s"$tableDir: manifest for version $v is unavailable"))
+        val pm = manifestOf(prev)
+        val m = manifestOf(v)
         val prevFiles = pm.files.toSet
         val added = m.files.filterNot(prevFiles.contains)
         val removed = prevFiles -- m.files.toSet
@@ -2450,7 +2465,7 @@ object TableIO {
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         else {
-          val d = cdfDirOf(tableDir, v)
+          val d = cdfDirOf(tableDir, v, m.meta)
           if (!Files.isDirectory(d)) throw new IllegalStateException(
             s"$tableDir: version $v rewrote files but has no change-data " +
               "sidecar — the commit predates enableChangeFeed (or was a " +

@@ -94,6 +94,32 @@ class ColumnMappingSpec extends SparkSuite {
     assert(got.filter($"k" === 1000L).head().getAs[String]("c") == "fresh")
   }
 
+  test("pruning after drop + re-add never serves the retired column's " +
+      "stats (regression)") {
+    val base = (1 to 100).map(i => (i.toLong, i.toLong, s"v$i"))
+      .toDF("k", "a", "s").coalesce(1)
+    TableIO.writeTable(spark, lh, "dp1", base)
+    TableIO.dropColumn(spark, lh, "dp1", "a")
+    // re-added 'a' gets a fresh physical slot; old file's logical a = null
+    TableIO.appendTable(spark, lh, "dp1",
+      (1 to 10).map(i => (1000L + i, s"n$i", 100L + i))
+        .toDF("k", "s", "a").coalesce(1))
+    // top-k must come from the NEW column's values — the retired column's
+    // [1,100] stats would wrongly prune the new file and return garbage
+    val top = TableIO.prunedTopK(spark, lh, "dp1", "a", 3)
+      .select("a").as[Long].collect()
+    assert(top.toSeq == Seq(101L, 102L, 103L), top.toSeq)
+    // IS NULL must include the pre-drop file's rows (logical a null there);
+    // the retired stats say nullCount=0 and would prune it
+    assert(TableIO.prunedScanNull(spark, lh, "dp1", "a", isNull = true)
+      .count() == 100)
+    // a range only the RETIRED column satisfied must return empty
+    assert(TableIO.prunedScan(spark, lh, "dp1", "a",
+      Some(1L), Some(50L)).count() == 0)
+    // equality point-lookup on a retired value: empty, not resurrect
+    assert(TableIO.prunedScanEq(spark, lh, "dp1", "a", 5L).count() == 0)
+  }
+
   test("rename rejects partition and constraint-referenced columns") {
     val base = (1 to 30).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i))
       .toDF("k", "g", "v")
