@@ -63,8 +63,12 @@ object Zorder {
   private def stringCuts(df: DataFrame, c: String): Array[String] = {
     import org.apache.spark.sql.functions.xxhash64
     val nonNull = df.select(col(c)).filter(col(c).isNotNull)
+    // deterministic selection: order by the same hash used to thin (a
+    // bare limit() would take a scheduler-dependent subset and make two
+    // identical cluster runs produce different layouts)
     val sampled = nonNull
       .filter(xxhash64(col(c)) % 64 === 0)
+      .orderBy(xxhash64(col(c)).asc, col(c).asc)
       .limit(MaxStringSample).collect().map(_.getString(0))
     val values =
       if (sampled.distinct.length >= Buckets)

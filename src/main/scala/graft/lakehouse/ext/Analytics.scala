@@ -108,9 +108,11 @@ object Analytics {
       // division: decimal-by-long division rounds by engine-specific
       // precision rules, but IEEE double division is correctly rounded
       // everywhere, so this form is bit-identical cross-engine
+      // count NON-NULL values: sum skips nulls, so count(*) would
+      // understate the mean for every frame containing a null measurement
       .withColumn("avg_val",
         sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double") /
-          count(lit(1)).over(w).cast("double"))
+          count(col(valueCol)).over(w).cast("double"))
       .drop("__micros")
   }
 

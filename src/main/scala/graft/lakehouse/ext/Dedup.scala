@@ -213,6 +213,14 @@ object Dedup {
   /** LSH banding: (id, band_no, band_hash) — numHashes must divide into
     * bands of equal width rowsPerBand = numHashes/bands. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    // bands must tile the signature exactly: `div` would silently drop
+    // trailing hashes for non-divisors, and bands > |sig| makes every
+    // band slice empty — one shared band_hash, i.e. the full O(n^2)
+    // cross product LSH exists to avoid
+    val sigLen = df.select(size(col(sigCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    sigLen.foreach(n => require(bands >= 1 && bands <= n && n % bands == 0,
+      s"bands=$bands must divide the signature length $n"))
     df.select(col(idCol), posexplode(
       expr(s"transform(sequence(0, $bands - 1), b -> " +
         s"hash(slice($sigCol, b * (size($sigCol) div $bands) + 1, size($sigCol) div $bands)))"))
@@ -374,15 +382,22 @@ object Dedup {
     * shuffles once. */
   def dedupKeepBest(df: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame): DataFrame = {
+    // NULL-id rows can never appear in a pair — they are singletons by
+    // definition and pass through untouched (the cluster-key coalesce
+    // below would otherwise collapse ALL of them into one NULL cluster
+    // and keep a single survivor)
+    val nullIds = df.filter(col(idCol).isNull)
+    val withIds = df.filter(col(idCol).isNotNull)
     val cc = connectedComponents(pairs)
       .select(col("id").as("__cc_id"), col("cc").as("__cc"))
-    val tagged = df.join(cc, df(idCol) === col("__cc_id"), "left")
-      .withColumn("__cluster", coalesce(col("__cc"), df(idCol)))
+    val tagged = withIds.join(cc, withIds(idCol) === col("__cc_id"), "left")
+      .withColumn("__cluster", coalesce(col("__cc"), withIds(idCol)))
     val w = Window.partitionBy(col("__cluster"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     tagged.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .drop("__rk", "__cluster", "__cc_id", "__cc")
+      .unionByName(nullIds)
   }
 
   // ---- incremental dedup against a persisted index -------------------------
@@ -536,7 +551,12 @@ object Dedup {
     * index that is BROADCAST (benchmarks are tiny next to a 100 TB
     * corpus), so the training side is scanned once, never shuffled, and
     * drops flagged docs with one anti-join. Returns the surviving train
-    * rows. */
+    * rows.
+    *
+    * Scope: shingle-based matching needs at least one k-shingle — docs
+    * shorter than `shingleK` characters produce no signature and are
+    * invisible to THIS pass. Run [[ngramContamination]] (exact n-gram
+    * containment) alongside it; short leaks are exact leaks. */
   def fuzzyDecontaminate(train: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 5,
       numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
@@ -695,8 +715,15 @@ object Dedup {
       .select(col(idCol),
         expr("transform(ts, x -> x.t)").as("toks"),
         size(col("ts")).as("sz"))
+      // EXACT prefix arithmetic: double ceil(sz * t) rounds past the
+      // true product for some (t, sz) (100 * 0.55 -> 55.000...01 -> 56),
+      // shortening the prefix below the provable bound and silently
+      // dropping threshold-boundary pairs; decimal multiply is exact for
+      // the decimal rendering of t
       .withColumn("plen",
-        (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1)).cast("int"))
+        (col("sz") - ceil(col("sz") *
+          lit(scala.math.BigDecimal(java.lang.Double.toString(threshold))))
+          + lit(1)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = docs.select(col(idCol),
       explode(slice(col("toks"), lit(1), col("plen"))).as("t"))
@@ -809,8 +836,11 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nClusters: Int = 16,
       maxFitRows: Long = 100000L, corpusRows: Option[Long] = None): DataFrame = {
-    val c = df.select(col(idCol).as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // null embeddings can't be compared — they survive untouched (they
+    // never enter the pairwise pass) instead of NPE-ing the k-means fit
+    val c = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
     val assigned =
       if (nClusters <= 1) c.withColumn("__cell", lit(0))
       else {
@@ -821,6 +851,7 @@ object Dedup {
             maxFitRows.toDouble / nRows, seed = 42L)
         val sample = fit.select("__v").collect()
           .map(_.getSeq[Double](0).toArray)
+        if (sample.isEmpty) return df // empty/all-null corpus: no dups
         val centroids =
           Similarity.lloydKMeans(sample, nClusters, iters = 10, seed = 42L)
         val bc = df.sparkSession.sparkContext.broadcast(centroids)

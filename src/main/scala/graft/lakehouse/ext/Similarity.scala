@@ -187,8 +187,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2,
       maxFitRows: Long = 100000L, corpusRows: Option[Long] = None): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    // null embeddings (failed upstream encodes) can neither train the
+    // cells nor be found — drop them here instead of NPE-ing the driver
+    // when one lands in the fit sample
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
     // callers that know the corpus size pass it and skip this count() pass;
     // otherwise one metadata-cheap count sizes the fit sample
     val nRows = corpusRows.getOrElse(c.count())
@@ -200,6 +204,18 @@ object Similarity {
     // only the single assignment pass below touches every corpus row
     val sample: Array[Array[Double]] = fitInput.select("cv").collect()
       .map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) // empty corpus: no cells to train, nothing to find
+      return c.sparkSession.createDataFrame(
+        c.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
     val centroids = lloydKMeans(sample, nLists, iters = 10, seed = 42L)
     val bcCentroids = c.sparkSession.sparkContext.broadcast(centroids)
     val cells = c.withColumn("cell", nearestCellUdf(bcCentroids)(col("cv")))

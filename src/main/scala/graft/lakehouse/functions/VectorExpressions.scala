@@ -81,7 +81,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    // a zero vector has no direction: define its similarity as 0.0, never
+    // NaN — Spark SQL orders NaN ABOVE every number and `NaN >= t` is
+    // TRUE, so a NaN here would rank zero embeddings (a common
+    // failed-embedding sentinel) as the top match of every query and make
+    // threshold filters treat them as duplicates of everything
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -93,6 +99,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
@@ -101,7 +108,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = $b.getDouble($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $den == 0.0 ? 0.0 : $dot / $den;
        """.stripMargin
     })
 

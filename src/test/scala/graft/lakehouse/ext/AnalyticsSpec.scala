@@ -89,6 +89,15 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.contains((2L, ts(0), 15.0)), got.toString) // tie peers
   }
 
+  test("movingAverage: null measurements don't deflate the mean") {
+    val ev = Seq((1L, ts(0), Some(10.0)), (1L, ts(30), None))
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.movingAverage(ev, "user_id", "ts", "value",
+        windowMicros = 3600000000L)
+      .filter($"ts" === ts(30)).select("avg_val").as[Double].head()
+    assert(got == 10.0, s"null row counted into the mean: $got")
+  }
+
   test("topNPerGroup: n per group, desc order, tie goes to smaller tieCol") {
     val df = Seq(("g", 1L, 5.0), ("g", 2L, 9.0), ("g", 3L, 9.0), ("g", 4L, 1.0))
       .toDF("grp", "id", "v")

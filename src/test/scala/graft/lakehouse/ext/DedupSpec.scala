@@ -122,6 +122,15 @@ class DedupSpec extends SparkSuite {
     assert(tight.toSeq == Seq((1L, 4L)))
   }
 
+  test("dedupKeepBest: NULL-id rows are singletons and all survive") {
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val df = Seq((Some(1L), 1.0), (Some(2L), 9.0), (None, 5.0), (None, 7.0))
+      .toDF("doc_id", "q")
+    val kept = Dedup.dedupKeepBest(df, "doc_id", "q", pairs).collect()
+    assert(kept.length == 3, kept.toSeq.toString) // 2 wins; both nulls stay
+    assert(kept.count(_.isNullAt(0)) == 2)
+  }
+
   test("connectedComponents: transitive clusters get one canonical") {
     // chain 1-2-3 (1~3 never emitted), pair 10-11, singleton edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))

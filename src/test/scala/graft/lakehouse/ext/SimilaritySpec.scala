@@ -52,6 +52,30 @@ class SimilaritySpec extends SparkSuite {
     assert(!out.exists(_.getLong(1) == 99999L)) // null vector never ranks
   }
 
+  test("zero vectors score cosine 0.0 (never NaN) and never outrank " +
+      "real matches") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))) // failed-embedding sentinel
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(rows, rows.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(!out.values.exists(_.isNaN), out.toString)
+    assert(out(2L) == 0.0, "zero vector must score 0.0")
+    // and it ranks LAST, not first (NaN would sort above everything)
+    val ranked = Similarity.cosineTopK(rows,
+      rows.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(ranked.last == 2L, ranked.toSeq)
+    // semanticDedup must not treat everything as a dup of the zero vector
+    val kept = Dedup.semanticDedup(rows, "vec_id", "embedding",
+      threshold = 0.95, nClusters = 1).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L), kept) // only 1 is a true near-dup of 0
+  }
+
   test("ivfTopK: deterministic, self-hit first, high recall vs exact") {
     val queries = emb.filter($"vec_id" < 3)
     val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
