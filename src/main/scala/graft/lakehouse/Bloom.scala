@@ -89,7 +89,8 @@ object Bloom {
   /** Distributed bitset builder over pre-hashed (`xxhash64`) values; used
     * per file-group inside the write-side stats aggregation. */
   class Agg(bits: Int) extends Aggregator[Long, Array[Long], Array[Byte]] {
-    require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be a power of two")
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      "bits must be a power of two >= 64 (one long word)")
     def zero: Array[Long] = new Array[Long](bits >>> 6)
     def reduce(b: Array[Long], hash: Long): Array[Long] = {
       val ps = positions(hash, bits)

@@ -141,7 +141,14 @@ object Joins {
     val bf = build.select(col(key).cast("string").as(key))
       .stat.bloomFilter(key, math.max(expectedKeys, 1L), fpp)
     val mightContain = udf((k: String) => k != null && bf.mightContainString(k))
-    fact.filter(mightContain(col(key).cast("string")))
+    // probe in the BUILD key's type domain: cross-type keys (long fact vs
+    // double build) render differently ("42" vs "42.0") and would be
+    // falsely filtered — a permanent row loss the verifying join can't
+    // undo. Casting the probe first only widens to false positives
+    // (lossy narrowing collides; overflow nulls can't equal any in-range
+    // build key), which the join corrects.
+    val buildType = build.schema(key).dataType
+    fact.filter(mightContain(col(key).cast(buildType).cast("string")))
       .join(build, Seq(key), joinType)
   }
 }

@@ -77,6 +77,12 @@ object Relationships {
     f.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         (c.cast(DoubleType), nStr, nLong, c.cast(LongType))
+      // scale-0 decimals are ids too (unsigned-bigint columns arrive as
+      // decimal(20,0)): give them the exact slot — values beyond long
+      // range cast to null and fall back to the documented double
+      // semantics instead of silently collapsing IN-RANGE distinct ids
+      case d: DecimalType if d.scale == 0 =>
+        (c.cast(DoubleType), nStr, nLong, c.cast(LongType))
       case _: NumericType | BooleanType =>
         (c.cast(DoubleType), nStr, nLong, nLong)
       case _: TimestampType => (nNum, nStr, unix_micros(c), nLong)

@@ -183,7 +183,12 @@ object Strings {
   val garbageCLOUdf = udf[Boolean, String](garbageCLO _)
   val fixDodgyStatusesUdf = udf[String, String](fixDodgyStatuses _)
   val fixDodgyAssessLevelUdf = udf[String, String](fixDodgyAssessLevel _)
-  val sequenceRatioUdf = udf[Double, String, String]((a, b) => sequenceRatio(a, b))
+  val sequenceRatioUdf =
+    // null-safe like every sibling UDF: similarity with an absent string
+    // is undefined — surface SQL NULL, not an executor NPE
+    udf[java.lang.Double, String, String]((a, b) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(sequenceRatio(a, b)))
 
   /** Register the UDF surface for SQL use (spark.sql("custom_initcap(c)")). */
   def registerUdfs(spark: SparkSession): Unit = {

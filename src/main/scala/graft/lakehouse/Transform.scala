@@ -72,7 +72,12 @@ object Transform {
         cs.toSeq
       }
       val d2 = d1
-        .withColumn(c, expr(s"try_cast(${Catalog.escapeName(origName)} AS $cast)"))
+        // ALWAYS backtick-quote (escaping embedded backticks): escapeName
+        // splits on '.', so a column literally named "a.b_orig" would
+        // parse as struct-field access — unresolvable or, worse, silently
+        // resolving against a real struct column
+        .withColumn(c, expr(
+          s"try_cast(`${origName.replace("`", "``")}` AS $cast)"))
         .select(cols.map(col): _*)
       if (!validate) d2.drop(origName)
       else {
@@ -101,8 +106,11 @@ object Transform {
     if (indexColName == null || indexColName.isEmpty) return df
     val columns = df.columns.filterNot(_.equalsIgnoreCase(indexColName)).toBuffer
     val d = df.withColumn(indexColName, monotonically_increasing_id() + 1 + indexStart)
-    if (newColPos > columns.length) columns.append(indexColName)
-    else columns.insert(newColPos, indexColName)
+    // Python list.insert semantics (the reference API's contract):
+    // negative positions count from the end, clamped at both bounds
+    val pos = math.max(0, math.min(columns.length,
+      if (newColPos < 0) columns.length + newColPos else newColPos))
+    columns.insert(pos, indexColName)
     d.select(columns.toSeq.map(col): _*)
   }
 
@@ -123,8 +131,9 @@ object Transform {
     }
     val withIdx = base.sparkSession.createDataFrame(rdd, schema)
     val columns = base.columns.toBuffer
-    if (newColPos > columns.length) columns.append(indexColName)
-    else columns.insert(newColPos, indexColName)
+    val pos = math.max(0, math.min(columns.length,
+      if (newColPos < 0) columns.length + newColPos else newColPos))
+    columns.insert(pos, indexColName)
     withIdx.select(columns.toSeq.map(col): _*)
   }
 

@@ -15,6 +15,14 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // a null ELEMENT nulls the result even when neither array column is
+  // null — the default child-nullability union would let codegen assume
+  // non-null and read garbage
+  override def nullable: Boolean = super.nullable ||
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -28,8 +36,11 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** dot(a, b) over array<double> columns (length-mismatch: extra elements of
-  * the longer vector are ignored — same as zip_with semantics). */
+/** dot(a, b) over array<double> columns. Length-mismatch: extra elements
+  * of the longer vector are ignored (a partial dot — zip_with would
+  * null-pad and poison the whole sum instead). A NULL ELEMENT anywhere
+  * nulls the result: ArrayData.getDouble would silently read it as 0.0,
+  * which is a wrong answer, not a missing one. */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "graft_dot"
@@ -40,7 +51,10 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     dot
   }
 
@@ -53,6 +67,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $dot;
@@ -77,6 +92,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -104,6 +120,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = $a.getDouble($i);
          |  double $yv = $b.getDouble($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
@@ -142,7 +159,10 @@ object VectorFunctions {
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or
   * spark.sql.extensions=graft.lakehouse.functions.GraftExtensions gives
-  * every session the vector kernels + the library's UDF surface in SQL. */
+  * every session the native vector kernels (graft_dot / graft_cosine /
+  * graft_topk) in SQL. The Scala-UDF surface (custom_initcap et al.)
+  * needs a live session and registers via `Strings.registerUdfs(spark)`
+  * — extensions can only inject Expression builders. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
