@@ -2287,6 +2287,39 @@ object TableIO {
     * time, file/row-level shape, and the add/remove deltas vs the previous
     * retained version (how Delta's DESCRIBE HISTORY reads its log). Driver-
     * built rows, bounded by the retention window — never scans data. */
+  /** DESCRIBE DETAIL (Delta's table-level summary): one row for the
+    * CURRENT version — version number, file count, LOGICAL row count
+    * (deletion-vectored rows subtracted), total data bytes, partition
+    * columns, DV'd-file count, CDF flag, CHECK-constraint names, and the
+    * commit's operation — all from the manifest + file stats, no data
+    * scan. */
+  def describeDetail(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): DataFrame = {
+    import spark.implicits._
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val v = Versioned.latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"$tableName has no versions"))
+    val m = Versioned.readManifest(tableDir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName@v$v is a legacy snapshot layout"))
+    val baseP = Paths.get(tableDir)
+    val bytes = m.files.map { f =>
+      scala.util.Try(Files.size(baseP.resolve(f))).getOrElse(0L)
+    }.sum
+    Seq((v,
+      m.entries.size.toLong,
+      rowsFromManifest(m).getOrElse(-1L),
+      bytes,
+      partitionSpecOf(m.meta, m.files).mkString(","),
+      m.entries.count(e => Versioned.dvRefOf(e).isDefined).toLong,
+      cdfEnabled(m.meta),
+      checkConstraintsOf(m.meta).keys.toSeq.sorted.mkString(","),
+      m.meta.getOrElse(Versioned.OpKey, "")))
+      .toDF("version", "num_files", "num_rows", "size_bytes",
+        "partition_columns", "num_dv_files", "cdf_enabled",
+        "check_constraints", "last_operation")
+  }
+
   def describeHistory(spark: SparkSession, lh: LakehouseProps,
       tableName: String): DataFrame = {
     import spark.implicits._

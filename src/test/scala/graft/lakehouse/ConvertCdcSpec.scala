@@ -172,6 +172,26 @@ class ConvertCdcSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "dvc1").count() == 160)
   }
 
+  test("describeDetail reports the current version's shape from metadata " +
+      "alone, logical rows after DV deletes") {
+    val df = (1 to 100).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "g")
+    TableIO.writeTable(spark, lh, "dd1", df, partitionBy = Seq("g"))
+    TableIO.enableChangeFeed(spark, lh, "dd1")
+    TableIO.addCheckConstraint(spark, lh, "dd1", "k_pos", "k > 0")
+    TableIO.deleteFromTable(spark, lh, "dd1", "k <= 10",
+      deletionVectors = true)
+    val r = TableIO.describeDetail(spark, lh, "dd1").head()
+    assert(r.getAs[Long]("num_rows") == 90L, r.toString)
+    assert(r.getAs[Long]("num_files") >= 2L)
+    assert(r.getAs[Long]("num_dv_files") >= 1L)
+    assert(r.getAs[String]("partition_columns") == "g")
+    assert(r.getAs[Boolean]("cdf_enabled"))
+    assert(r.getAs[String]("check_constraints") == "k_pos")
+    assert(r.getAs[String]("last_operation") == "DELETE")
+    assert(r.getAs[Long]("size_bytes") > 0L)
+  }
+
   test("applyChanges validates the feed shape") {
     TableIO.writeTable(spark, lh, "cdc_bad", Seq((1, "x")).toDF("k", "s"))
     intercept[IllegalArgumentException] {
