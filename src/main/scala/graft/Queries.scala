@@ -2347,14 +2347,18 @@ object Queries {
         |  SELECT event_type,
         |    count(CASE WHEN arm = 0 AND value IS NOT NULL THEN 1 END) AS n_a,
         |    count(CASE WHEN arm = 1 AND value IS NOT NULL THEN 1 END) AS n_b,
-        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(18,6)) END)
+        |    CAST(CAST(sum(CASE WHEN arm = 0
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
         |      AS DOUBLE) AS s1a,
-        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(18,6))
-        |      * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s2a,
-        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(18,6)) END)
+        |    CAST(CAST(sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(18,6))
+        |      * CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
+        |      AS DOUBLE) AS s2a,
+        |    CAST(CAST(sum(CASE WHEN arm = 1
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
         |      AS DOUBLE) AS s1b,
-        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(18,6))
-        |      * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s2b
+        |    CAST(CAST(sum(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(18,6))
+        |      * CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
+        |      AS DOUBLE) AS s2b
         |  FROM t GROUP BY event_type)
         |SELECT event_type, n_a, n_b,
         |  s1a / n_a AS mean_a, s1b / n_b AS mean_b,
@@ -2409,14 +2413,23 @@ object Queries {
         |  SELECT l_returnflag,
         |    count(CASE WHEN l_quantity IS NOT NULL
         |      AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
-        |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
-        |      * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
-        |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+    -- decimal sums cross to double VIA VARCHAR: DuckDB's direct
+    -- decimal->double cast is off by 1 ULP for some mantissas, while
+    -- string->double (strtod) and Spark's Decimal.toDouble both round
+    -- correctly
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR)
+        |      AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR)
+        |      AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+        |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR)
+        |      AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+        |      * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR)
+        |      AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+        |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR)
+        |      AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  CASE WHEN n >= 2 AND sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
