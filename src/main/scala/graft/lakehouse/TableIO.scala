@@ -673,7 +673,11 @@ object TableIO {
       (cols.flatMap(f => Seq(
         min(col(f.name)).cast("string"), max(col(f.name)).cast("string"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)))) ++
-        blooms.map(c => bloomAgg(xxhash64(col(c)))))
+        blooms.map(c => bloomAgg(xxhash64(col(c)))) :+
+        // physical file size rides along too (Delta's add.size): DESCRIBE
+        // DETAIL and OPTIMIZE's small-file selection then work from the
+        // manifest alone — no per-file stat() storm on a 1M-file table
+        min(col("_metadata.file_size")))
     val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val stagingP = Paths.get(stagingDir)
@@ -712,13 +716,29 @@ object TableIO {
             (Bloom.StatsPrefix + c) -> (JString(java.util.Base64.getEncoder
               .encodeToString(bytes.asInstanceOf[Array[Byte]])): JValue)
           }
-        })
+        } :+ (BytesKey ->
+          (JString(r.getLong(bloomBase + blooms.length).toString): JValue)))
       rel -> compact(render(org.json4s.JObject(fields.toList)))
     }.toMap
   }
 
   /** Stats-JSON key for a file's row count. */
   private val RowsKey = "__rows"
+
+  /** Stats-JSON key for a file's physical byte size (Delta's add.size). */
+  private val BytesKey = "__bytes"
+
+  /** Per-file byte size from an entry's stats JSON; None for entries
+    * written before sizes were recorded (callers fall back to stat()). */
+  private def entryBytes(e: Versioned.FileEntry): Option[Long] = {
+    import org.json4s.JString
+    import org.json4s.jackson.JsonMethods.parse
+    e.stats.flatMap(s => scala.util.Try(parse(s)).toOption)
+      .flatMap(j => (j \ BytesKey) match {
+        case JString(n) => scala.util.Try(n.toLong).toOption
+        case _ => None
+      })
+  }
 
   /** Total rows of a version from its per-file row counts — Some only when
     * EVERY entry carries one (files from pre-rows manifests force a real
@@ -2303,8 +2323,11 @@ object TableIO {
       throw new IllegalArgumentException(
         s"$tableName@v$v is a legacy snapshot layout"))
     val baseP = Paths.get(tableDir)
-    val bytes = m.files.map { f =>
-      scala.util.Try(Files.size(baseP.resolve(f))).getOrElse(0L)
+    // manifest-recorded sizes when present (no stat() storm at 1M files);
+    // stat() only for entries from before sizes were collected
+    val bytes = m.entries.map { e =>
+      entryBytes(e).getOrElse(
+        scala.util.Try(Files.size(baseP.resolve(e.path))).getOrElse(0L))
     }.sum
     Seq((v,
       m.entries.size.toLong,
@@ -2548,16 +2571,28 @@ object TableIO {
     // SAME flow with affected = every current file.
     (base, baseM) match {
       case (Some(b), Some(m)) =>
-        val affected = (for {
+        val mined = (for {
           p <- predicate
           aff <- minedSurvivors(spark, m, p) if aff.size < m.entries.size
         } yield aff).getOrElse(m.entries)
-        val affectedSet = affected.map(_.path).toSet
-        val untouched = m.entries.filterNot(e => affectedSet(e.path))
         val parts = currentPartitioning(lh, tableName)
         val baseP = Paths.get(tableDir)
-        val bytes = affected.map(e => baseP.resolve(e.path))
-          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        def sizeOf(e: Versioned.FileEntry): Long = entryBytes(e).getOrElse(
+          scala.util.Try(Files.size(baseP.resolve(e.path))).getOrElse(0L))
+        // Within the mined scope, rewrite only files that NEED it: smaller
+        // than target (the small-file problem OPTIMIZE exists for) or
+        // carrying a deletion vector (the rewrite purges it). Right-sized
+        // DV-free files inherit by reference — Delta OPTIMIZE's bin-packing
+        // selection; rewriting an already-compact 1 GB file on a 100 TB
+        // table is pure churn. ZORDER BY is a re-clustering pass instead:
+        // every mined file rewrites regardless of size.
+        val affected =
+          if (zorderBy.nonEmpty) mined
+          else mined.filter(e =>
+            Versioned.dvRefOf(e).isDefined || sizeOf(e) < targetFileBytes)
+        val affectedSet = affected.map(_.path).toSet
+        val untouched = m.entries.filterNot(e => affectedSet(e.path))
+        val bytes = affected.map(sizeOf).sum
         val nFiles =
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
         val df = scanSpec(spark, Versioned.scanOf(tableDir, m, affected))

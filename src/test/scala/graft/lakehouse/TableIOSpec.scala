@@ -237,6 +237,44 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "tcomp")
   }
 
+  test("size-aware OPTIMIZE: right-sized files inherit by reference, " +
+      "small files merge, new writes record __bytes in stats") {
+    // one file well over the compaction target…
+    val big = spark.range(0, 120000)
+      .selectExpr("id AS k", "md5(cast(id as string)) AS s").coalesce(1)
+    TableIO.writeTable(spark, lh, "szopt", big)
+    // …plus four tiny appends (the small-file problem)
+    (0 until 4).foreach { i =>
+      TableIO.appendTable(spark, lh, "szopt",
+        Seq((1000000L + i, s"tiny$i")).toDF("k", "s"))
+    }
+    val dir = Catalog.tablePath(lh, "szopt")
+    val m0 = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get
+    assert(m0.entries.size == 5)
+    // every entry of this round's writes carries a recorded byte size
+    assert(m0.entries.forall(_.stats.exists(_.contains("\"__bytes\""))))
+    val baseP = java.nio.file.Paths.get(dir)
+    val byWidth = m0.entries.sortBy(e => Files.size(baseP.resolve(e.path)))
+    val largest = byWidth.last.path
+    assert(Files.size(baseP.resolve(largest)) > 64 * 1024)
+    TableIO.compactTable(spark, lh, "szopt", targetFileBytes = 64 * 1024)
+    val m1 = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get
+    // the right-sized file survived BY REFERENCE; tiny files merged
+    assert(m1.entries.exists(_.path == largest), m1.entries.map(_.path))
+    assert(m1.entries.size == 2, m1.entries.map(_.path))
+    assert(!byWidth.dropRight(1).map(_.path).exists(p =>
+      m1.entries.exists(_.path == p)))
+    assert(TableIO.selectTable(spark, lh, "szopt").count() == 120004)
+    // describeDetail's size_bytes comes from the manifest and matches disk
+    val detail = TableIO.describeDetail(spark, lh, "szopt").head()
+    val onDisk = m1.entries
+      .map(e => Files.size(baseP.resolve(e.path))).sum
+    assert(detail.getAs[Long]("size_bytes") == onDisk)
+    TableIO.dropTable(spark, lh, "szopt")
+  }
+
   test("pre-protocol directories stay readable; legacy files swept later") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
