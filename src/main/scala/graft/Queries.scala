@@ -3055,5 +3055,95 @@ object Queries {
         |    PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM tagged)
         |WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Exact duplicated-span detection (Lee et al. 2022, arXiv:2107.06499):
+    // every >= 12-token substring occurring at more than one (doc, pos)
+    // in the corpus, reported as maximal merged per-document token spans.
+    // The oracle replays the window/md5/island pipeline in SQL.
+    Q("q139_dup_spans",
+      (s, dir) => TextStats.duplicatedSpans(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowTokens = 12)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, [t for t in
+        |    regexp_split_to_array(coalesce(text, ''), '\s+') if t <> '']
+        |    AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 12),
+        |g AS (
+        |  SELECT doc_id, i AS start,
+        |    md5(array_to_string(
+        |      toks[CAST(i AS INT):CAST(i + 11 AS INT)], ' ')) AS g
+        |  FROM sized, unnest(generate_series(1, len(toks) - 11)) AS u(i)),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+        |hits AS (SELECT g.doc_id, g.start, g.start + 12 AS fin
+        |  FROM g JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, start, fin,
+        |    CASE WHEN max(fin) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start
+        |    THEN 0 ELSE 1 END AS is_new
+        |  FROM hits),
+        |ids AS (
+        |  SELECT doc_id, start, fin,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl)
+        |SELECT doc_id, min(start) AS span_start, max(fin) AS span_end
+        |FROM ids GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Duplicated-span REMOVAL: rebuild every document from the tokens
+    // outside its duplicated spans (whitespace-normalized; empty docs and
+    // all-duplicate docs come back as empty strings, never vanish).
+    Q("q140_strip_dup_spans",
+      (s, dir) => TextStats.stripDuplicatedSpans(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowTokens = 12)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, [t for t in
+        |    regexp_split_to_array(coalesce(text, ''), '\s+') if t <> '']
+        |    AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 12),
+        |g AS (
+        |  SELECT doc_id, i AS start,
+        |    md5(array_to_string(
+        |      toks[CAST(i AS INT):CAST(i + 11 AS INT)], ' ')) AS g
+        |  FROM sized, unnest(generate_series(1, len(toks) - 11)) AS u(i)),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+        |hits AS (SELECT g.doc_id, g.start, g.start + 12 AS fin
+        |  FROM g JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, start, fin,
+        |    CASE WHEN max(fin) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start
+        |    THEN 0 ELSE 1 END AS is_new
+        |  FROM hits),
+        |ids AS (
+        |  SELECT doc_id, start, fin,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, min(start) AS s, max(fin) AS e
+        |  FROM ids GROUP BY doc_id, island),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS tk
+        |  FROM d, unnest(generate_series(1, len(toks))) AS u(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = tok.doc_id
+        |      AND tok.pos >= s.s AND tok.pos < s.e)),
+        |rebuilt AS (
+        |  SELECT doc_id, array_to_string(list(tk ORDER BY pos), ' ')
+        |    AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.lakehouse.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -394,5 +395,91 @@ object TextStats {
       .withColumn("token_share",
         col("tokens").cast("double") / col("total_tokens").cast("double"))
       .drop("total_tokens")
+  }
+
+  /** Whitespace tokens as an array column (empty array for blank/null). */
+  private def tokArray(textCol: String): Column =
+    expr(s"filter(split(coalesce(`$textCol`, ''), '\\\\s+'), t -> t <> '')")
+
+  /** Exact duplicated-span detection (substring-level dedup, Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): every substring of at least `windowTokens`
+    * whitespace tokens that occurs at more than one (document, position)
+    * in the corpus is reported, as maximal merged token spans per
+    * document — `(id, span_start, span_end)`, 1-based, end-exclusive.
+    *
+    * The reference method builds a corpus-wide suffix array — inherently
+    * single-machine. The distributed re-expression: slide a
+    * `windowTokens`-wide window (stride 1) over each document and group
+    * windows by content; a duplicated substring of length >= W duplicates
+    * every W-window inside it, so detection is EXACT for substrings >= W
+    * tokens (span boundaries are conservative by construction — every
+    * token inside a reported span lies in some duplicated window).
+    * Overlapping/adjacent duplicated windows merge per document via
+    * gaps-and-islands.
+    *
+    * Scale shape: windows shuffle ONCE keyed by md5(window text) — a
+    * fixed 32-hex key regardless of window width, with map-side partial
+    * aggregation on the count; the per-document merge windows over doc-id
+    * partitions bounded by document length. Nothing collects; a 100 TB
+    * corpus needs one wide shuffle of (key, id, pos) triples. md5 is used
+    * (not the gram text) so the shuffle width is constant; a collision
+    * would need 2^64 windows. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    val toks = df.select(col(idCol), tokArray(textCol).as("toks"))
+      .where(size(col("toks")) >= w)
+    val grams = toks.select(col(idCol),
+      posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $w), ' ')))"))
+        .as(Seq("off", "g")))
+      .select(col(idCol), (col("off") + 1).cast("long").as("start"),
+        col("g"))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("g")
+    val hits = grams.join(dup, Seq("g"), "left_semi")
+      .select(col(idCol), col("start"), (col("start") + w).as("end"))
+    val byDoc = Window.partitionBy(idCol).orderBy("start")
+    val islands = hits
+      .withColumn("prevMax", max(col("end")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isNew",
+        when(col("prevMax").isNull || col("start") > col("prevMax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("isNew")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col(idCol), col("island"))
+      .agg(min("start").as("span_start"), max("end").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Remove every duplicated span found by [[duplicatedSpans]] from every
+    * document: the text is rebuilt from the surviving tokens joined by
+    * single spaces (tokenization normalizes whitespace, so untouched
+    * documents come back whitespace-normalized too — the standard
+    * trade of reconstruction pipelines). Documents shorter than one
+    * window pass through; documents that were ALL duplication come back
+    * empty rather than vanishing.
+    *
+    * Scale shape: the span list per document is tiny (merged islands), so
+    * spans aggregate per document and join back in one co-partitioned
+    * shuffle; token filtering is a codegen'd higher-order `filter` —
+    * no token-level explode on the rebuild side. */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, windowTokens)
+      .groupBy(idCol).agg(collect_list(
+        struct(col("span_start"), col("span_end"))).as("spans"))
+    df.select(col(idCol), tokArray(textCol).as("toks"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), expr(
+        "array_join(transform(filter(" +
+          "transform(toks, (t, i) -> struct(t AS t, CAST(i + 1 AS BIGINT) AS p)), " +
+          "x -> spans IS NULL OR NOT exists(spans, " +
+          "s -> x.p >= s.span_start AND x.p < s.span_end)), " +
+          "x -> x.t), ' ')").as(textCol))
   }
 }

@@ -193,4 +193,43 @@ class TextStatsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(loose(1L) == "unique one\nCOOKIE BANNER\nunique two")
   }
+
+  test("duplicatedSpans: shared >=W-token substring found in every copy, " +
+      "maximal merged spans, unique text untouched") {
+    val shared = (1 to 6).map(i => s"dup$i").mkString(" ") // 6 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared tail1 tail2 tail3 tail4"),
+      (3L, "all unique words nothing repeats here at all ok")).toDF("id", "t")
+    val spans = TextStats.duplicatedSpans(docs, "id", "t", windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: shared occupies tokens 3..8 -> duplicated 4-windows start at
+    // 3,4,5 -> merged span [3, 9); doc 2: tokens 1..6 -> [1, 7)
+    assert(spans == Set((1L, 3L, 9L), (2L, 1L, 7L)), spans)
+    // within-document repetition also counts: the same window at two
+    // positions of ONE doc is a duplicate
+    val self = Seq((9L, "x1 x2 x3 x4 mid x1 x2 x3 x4")).toDF("id", "t")
+    val s2 = TextStats.duplicatedSpans(self, "id", "t", windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s2 == Set((9L, 1L, 5L), (9L, 6L, 10L)), s2)
+  }
+
+  test("stripDuplicatedSpans: spanned tokens removed, short and unique " +
+      "docs pass through normalized, all-duplicate docs come back empty") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"keep1   keep2 $shared keep3"), // extra whitespace normalizes
+      (2L, s"$shared"),                     // all duplication -> empty
+      (3L, "tiny doc"),                     // shorter than one window
+      (4L, "totally unique text that repeats nowhere else at all")
+    ).toDF("id", "t")
+    val out = TextStats.stripDuplicatedSpans(docs, "id", "t",
+        windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "keep1 keep2 keep3", out(1L))
+    assert(out(2L) == "", out(2L))
+    assert(out(3L) == "tiny doc")
+    assert(out(4L) == "totally unique text that repeats nowhere else at all")
+    assert(out.size == 4)
+  }
 }
