@@ -3145,5 +3145,68 @@ object Queries {
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Quality-weighted deterministic sampling: acceptance ∝ score², budget
+    // frac 0.5 — the weight chain is IEEE multiply/floor only, so the
+    // oracle replays it bit-exactly (no exp/pow whose libm rounding
+    // varies). Score here = capped length quality (any score column works).
+    Q("q141_quality_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("score",
+            least(col("n_chars").cast("double") / lit(400.0), lit(1.0)))
+        Packing.qualityWeightedSample(
+          docs.select("doc_id", "source", "score"),
+          "doc_id", "score", exponent = 2, frac = 0.5, seed = 11L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, score,
+        |    least(greatest(score, 0.0), 1.0) AS sc,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
+        |      || '#' || '11'), 1, 15))::UBIGINT AS BIGINT) AS hv
+        |  FROM d)
+        |SELECT doc_id, source, score FROM c
+        |WHERE hv < CAST(floor((((sc * sc) * 0.5) * 3.0)
+        |  * 1152921504606846976.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Mixture rebalance to target shares: largest feasible output with
+    // source ratios 1:2:3 (cycling); rates derive from exact counts in a
+    // tiny broadcast frame, acceptance via the 60-bit portable hash. The
+    // oracle recomputes counts, the feasibility min, and the thresholds
+    // with the identical IEEE arithmetic.
+    Q("q142_rebalance_mixture",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val strata = docs.select("source").distinct().collect()
+          .map(_.getString(0)).sorted
+        val shares = strata.zipWithIndex
+          .map { case (src, i) => src -> (1 + i % 3).toDouble }.toMap
+        Packing.rebalanceMixture(docs.select("doc_id", "source"),
+          "doc_id", "source", shares, seed = 13L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH shares AS (
+        |  SELECT source, CAST(1 + (row_number() OVER (ORDER BY source) - 1)
+        |    % 3 AS DOUBLE) AS share
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |counts AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |tmin AS (
+        |  SELECT min(CAST(n AS DOUBLE) / share) AS t
+        |  FROM counts JOIN shares USING (source)),
+        |rates AS (
+        |  SELECT source, CAST(floor(((share * t) / CAST(n AS DOUBLE))
+        |    * 1152921504606846976.0) AS BIGINT) AS thr
+        |  FROM counts JOIN shares USING (source) CROSS JOIN tmin)
+        |SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+        |WHERE CAST(('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR)
+        |    || '#' || '13'), 1, 15))::UBIGINT AS BIGINT) < rates.thr
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

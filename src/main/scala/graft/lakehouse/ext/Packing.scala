@@ -105,6 +105,75 @@ object Packing {
     df.filter(h < thr)
   }
 
+  /** Quality-weighted deterministic sampling (the CCNet/GPT-3-style
+    * "sample good documents preferentially" step): a row survives iff
+    * `hash60(id, seed) < floor((k+1) · frac · clamp(score,0,1)^k · 2^60)`
+    * — acceptance probability proportional to `score^k`, expected overall
+    * rate ≈ `frac` when scores are uniform ((k+1)·E[x^k] = 1). `k = 0` is
+    * plain Bernoulli sampling; higher k concentrates the budget on the
+    * quality head.
+    *
+    * Engine-portable BY CONSTRUCTION: the weight chain uses only IEEE-754
+    * multiply/divide/floor (each exactly-rounded, so bit-identical in any
+    * engine — no exp/ln/pow whose libm rounding varies), and the final
+    * compare is integer vs integer. Membership is a pure per-row function
+    * of (id, seed, score): no shuffle, no state, stable under corpus
+    * growth and repartitioning — rerunnable at 100 TB as a pure map. */
+  def qualityWeightedSample(df: DataFrame, idCol: String, scoreCol: String,
+      exponent: Int, frac: Double, seed: Long): DataFrame = {
+    require(exponent >= 0 && exponent <= 8, "exponent must be in [0, 8]")
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    val s = least(greatest(col(scoreCol).cast("double"), lit(0.0)), lit(1.0))
+    val powK = (1 to exponent).foldLeft(lit(1.0).cast("double"): Column)(
+      (acc, _) => acc * s)
+    val thr = floor(powK * lit(frac) * lit((exponent + 1).toDouble) *
+      lit(math.pow(2.0, 60))).cast("long")
+    val h = Dedup.shaPrefixLongUdf(15)(
+      concat_ws("#", col(idCol).cast("string"), lit(seed.toString)))
+    df.filter(h < thr)
+  }
+
+  /** Rebalance a corpus to TARGET mixture shares (the dataset-mixing step:
+    * "make the output 30% web / 50% code / 20% books, as large as the
+    * data allows"): the largest feasible total is `T = min_s n_s/share_s`,
+    * each stratum keeps `share_s · T` rows in expectation via the same
+    * deterministic 60-bit hash threshold as [[portableSampleMixture]].
+    * Strata absent from `targetShares` (or with share 0) are dropped.
+    * Shares need not sum to 1 — only their ratios matter (they are
+    * normalized by construction of T).
+    *
+    * Scale shape: ONE count aggregation over the stratum column builds a
+    * #strata-row frame; the global min and the per-stratum rates stay in
+    * that tiny frame (no driver round trip) and broadcast-join back onto
+    * the corpus; acceptance is then per-row. The 100 TB side never
+    * shuffles. Rate arithmetic is IEEE multiply/divide/floor only —
+    * engine-portable like [[qualityWeightedSample]]. */
+  def rebalanceMixture(df: DataFrame, idCol: String, stratumCol: String,
+      targetShares: Map[String, Double], seed: Long): DataFrame = {
+    require(targetShares.values.forall(_ >= 0.0), "shares must be >= 0")
+    val shares = targetShares.filter(_._2 > 0.0).toSeq.sortBy(_._1)
+    require(shares.nonEmpty, "at least one positive target share required")
+    val shareCol = shares.foldLeft(lit(null).cast("double"): Column) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__share", shareCol)
+      .filter(col("__share").isNotNull)
+    val t = counts.agg(
+      min(col("__n").cast("double") / col("__share")).as("__t"))
+    val rates = counts.crossJoin(broadcast(t))
+      .withColumn("__thr", floor(
+        ((col("__share") * col("__t")) / col("__n").cast("double")) *
+          lit(math.pow(2.0, 60))).cast("long"))
+      .select(col(stratumCol), col("__thr"))
+    val h = Dedup.shaPrefixLongUdf(15)(
+      concat_ws("#", col(idCol).cast("string"), lit(seed.toString)))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(h < col("__thr"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Deterministic per-group bottom-k sample: keep each group's k rows
     * whose `sha-256(id '#' seed)` ranks smallest. Membership is a pure
     * function of (id, seed) — identical across engines and epochs, stable

@@ -173,4 +173,53 @@ class PackingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(s4.sorted.toSeq == s1.sorted.toSeq)
   }
+
+  test("qualityWeightedSample: deterministic, score-monotone acceptance, " +
+      "exponent 0 + frac 1 keeps everything") {
+    val df = (1L to 2000L).map(i => (i, (i % 101).toDouble / 100.0))
+      .toDF("id", "score")
+    // frac=1, k=0: threshold = 1 * 1 * 2^60 -> every 60-bit hash accepts
+    assert(Packing.qualityWeightedSample(df, "id", "score", 0, 1.0, 5L)
+      .count() == 2000)
+    val kept = Packing.qualityWeightedSample(df, "id", "score", 2, 0.5, 5L)
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    // deterministic under repartitioning
+    val ids2 = Packing.qualityWeightedSample(df.repartition(7), "id",
+      "score", 2, 0.5, 5L).collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+    // quality gradient: the top-score quartile must survive at a higher
+    // rate than the bottom quartile (acceptance ~ score^2)
+    val byScore = kept.collect().map(r => r.getDouble(1))
+    val hi = byScore.count(_ >= 0.75).toDouble / 500.0
+    val lo = byScore.count(_ <= 0.25).toDouble / 500.0
+    assert(hi > lo + 0.2, s"hi=$hi lo=$lo")
+    // out-of-range scores clamp instead of corrupting thresholds
+    val odd = Seq((1L, -3.0), (2L, 99.0)).toDF("id", "score")
+    val keptOdd = Packing.qualityWeightedSample(odd, "id", "score", 1, 1.0, 5L)
+    assert(!keptOdd.collect().map(_.getLong(0)).contains(1L)) // weight 0
+  }
+
+  test("rebalanceMixture: equal shares on equal strata keep everything; " +
+      "skewed corpus downsamples the heavy stratum to the target ratio") {
+    val bal = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, "b"))).toDF("id", "src")
+    assert(Packing.rebalanceMixture(bal, "id", "src",
+      Map("a" -> 1.0, "b" -> 1.0), 3L).count() == 200)
+    // 900 a vs 100 b, target 1:1 -> b keeps all, a keeps ~100
+    val skew = ((1L to 900L).map(i => (i, "a")) ++
+      (901L to 1000L).map(i => (i, "b"))).toDF("id", "src")
+    val out = Packing.rebalanceMixture(skew, "id", "src",
+      Map("a" -> 1.0, "b" -> 1.0), 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (as, bs) = (out.count(_._2 == "a"), out.count(_._2 == "b"))
+    assert(bs == 100, s"b kept $bs")
+    assert(as > 60 && as < 140, s"a kept $as")
+    // strata with no target share drop entirely
+    val out2 = Packing.rebalanceMixture(skew, "id", "src",
+      Map("b" -> 1.0), 3L).collect()
+    assert(out2.length == 100 && out2.forall(_.getString(1) == "b"))
+    // column order of the input is preserved
+    assert(Packing.rebalanceMixture(skew, "id", "src",
+      Map("a" -> 1.0), 3L).columns.toSeq == Seq("id", "src"))
+  }
 }
