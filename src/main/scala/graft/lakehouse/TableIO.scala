@@ -2343,6 +2343,63 @@ object TableIO {
         "check_constraints", "last_operation")
   }
 
+  /** FSCK (Delta's FSCK REPAIR TABLE, report-only): verify the CURRENT
+    * version's manifest against physical reality — every referenced data
+    * file exists and matches its recorded byte size, every deletion-vector
+    * sidecar resolves, every stats JSON parses, and per-file row counts
+    * are present when the manifest total depends on them. One row per
+    * finding `(check, path, detail)`; an empty result is a healthy table.
+    *
+    * Metadata-only: O(files) driver stat() calls, no data scan — the same
+    * order of work as reading a Delta checkpoint, run before trusting a
+    * restored/cloned/converted table at 100 TB. */
+  def checkTable(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): DataFrame = {
+    import spark.implicits._
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val baseP = Paths.get(tableDir)
+    val findings = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    Versioned.latestVersion(tableDir) match {
+      case None =>
+        findings += (("no_versions", tableDir, "table has no committed version"))
+      case Some(v) =>
+        Versioned.readManifest(tableDir, v) match {
+          case None =>
+            findings += (("legacy_layout", tableDir,
+              s"version $v has no manifest (pre-protocol snapshot)"))
+          case Some(m) =>
+            m.entries.foreach { e =>
+              val p = baseP.resolve(e.path)
+              if (!Files.isRegularFile(p))
+                findings += (("missing_file", e.path,
+                  s"referenced by v$v but absent on disk"))
+              else entryBytes(e).foreach { rec =>
+                val actual = scala.util.Try(Files.size(p)).getOrElse(-1L)
+                if (actual != rec)
+                  findings += (("size_mismatch", e.path,
+                    s"manifest records $rec bytes, disk has $actual"))
+              }
+              if (e.stats.exists(s =>
+                  scala.util.Try(org.json4s.jackson.JsonMethods.parse(s))
+                    .isFailure))
+                findings += (("bad_stats", e.path,
+                  "stats JSON does not parse"))
+              Versioned.dvRefOf(e).foreach { case (sidecar, n) =>
+                if (!Files.exists(baseP.resolve(sidecar)))
+                  findings += (("missing_dv", e.path,
+                    s"deletion vector $sidecar ($n rows) absent"))
+              }
+            }
+            if (rowsFromManifest(m).isEmpty && m.entries.nonEmpty)
+              findings += (("missing_row_counts", tableDir,
+                s"v$v has entries without per-file row counts; " +
+                  "DESCRIBE/commit totals fall back to a scan " +
+                  "(run recomputeStats)"))
+        }
+    }
+    findings.toSeq.toDF("check", "path", "detail")
+  }
+
   def describeHistory(spark: SparkSession, lh: LakehouseProps,
       tableName: String): DataFrame = {
     import spark.implicits._

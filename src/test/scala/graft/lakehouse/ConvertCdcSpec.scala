@@ -192,6 +192,33 @@ class ConvertCdcSpec extends SparkSuite {
     assert(r.getAs[Long]("size_bytes") > 0L)
   }
 
+  test("checkTable: healthy table reports nothing; missing files, size " +
+      "drift, and lost DV sidecars are each flagged") {
+    val df = (1 to 100).map(i => (i, s"v$i")).toDF("k", "s")
+    TableIO.writeTable(spark, lh, "fsck1", df.repartition(3))
+    TableIO.deleteFromTable(spark, lh, "fsck1", "k <= 5",
+      deletionVectors = true)
+    assert(TableIO.checkTable(spark, lh, "fsck1").count() == 0)
+    val dir = java.nio.file.Paths.get(Catalog.tablePath(lh, "fsck1"))
+    val m = Versioned.latestVersion(dir.toString)
+      .flatMap(Versioned.readManifest(dir.toString, _)).get
+    // size drift: append a byte to one referenced file
+    val victim = dir.resolve(m.entries.head.path)
+    java.nio.file.Files.write(victim, Array[Byte](0),
+      java.nio.file.StandardOpenOption.APPEND)
+    // missing file: remove another
+    java.nio.file.Files.delete(dir.resolve(m.entries.last.path))
+    // missing DV: remove the sidecar
+    val dv = m.entries.flatMap(Versioned.dvRefOf).head._1
+    java.nio.file.Files.delete(dir.resolve(dv))
+    val found = TableIO.checkTable(spark, lh, "fsck1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(found.exists(_._1 == "size_mismatch"), found)
+    assert(found.exists(_._1 == "missing_file"), found)
+    assert(found.exists(_._1 == "missing_dv"), found)
+    TableIO.dropTable(spark, lh, "fsck1")
+  }
+
   test("applyChanges validates the feed shape") {
     TableIO.writeTable(spark, lh, "cdc_bad", Seq((1, "x")).toDF("k", "s"))
     intercept[IllegalArgumentException] {
