@@ -3208,5 +3208,30 @@ object Queries {
         |WHERE CAST(('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR)
         |    || '#' || '13'), 1, 15))::UBIGINT AS BIGINT) < rates.thr
         |ORDER BY doc_id""".stripMargin)),
+
+    // UNPIVOT / melt — pivot's inverse via Spark's native Dataset.unpivot:
+    // four lineitem measures become (metric, value) rows, zero shuffle.
+    Q("q143_unpivot_lineitem",
+      (s, dir) => Analytics.unpivot(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0),
+          ids = Seq("l_orderkey", "l_linenumber"),
+          values = Seq("l_quantity", "l_extendedprice", "l_discount",
+            "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""WITH src AS (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |    CAST(l_quantity AS DOUBLE) AS value FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount',
+        |    CAST(l_discount AS DOUBLE) FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax',
+        |    CAST(l_tax AS DOUBLE) FROM src)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
   )
 }

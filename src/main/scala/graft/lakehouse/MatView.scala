@@ -246,4 +246,40 @@ object MatView {
         extraMeta = Map(VersionKey -> targetV.toString))
     } finally deltas.unpersist()
   }
+
+  /** CONTINUOUS view maintenance: follow the source table's commit log as
+    * a Structured Streaming query and fold each batch of commits into the
+    * view with [[refreshAggView]]. The stream is only the TRIGGER — the
+    * batch DataFrame is never acted on (no data is read through the
+    * stream); the refresh reads the row-level change feed from the view's
+    * own recorded source version to the source's current version. That
+    * bookkeeping IS the exactly-once story: a replayed or coalesced
+    * micro-batch finds the view already at the target version and commits
+    * nothing, so no sink-side transaction log is needed. Crash anywhere,
+    * restart with the same checkpoint (or none): the view's metadata says
+    * where to resume. `maxVersionsPerTrigger` paces a busy source;
+    * rewrite commits (merge/delete/compaction) are fine because the
+    * trigger ignores file arithmetic entirely. */
+  def maintainAggView(spark: SparkSession, lh: LakehouseProps,
+      viewName: String, checkpoint: Option[String] = None,
+      maxVersionsPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val mvDir = Catalog.tablePath(lh, viewName)
+    val source = Versioned.latestVersion(mvDir)
+      .flatMap(Versioned.readManifest(mvDir, _))
+      .flatMap(_.meta.get(SourceKey)).getOrElse(throw
+        new IllegalStateException(
+          s"$viewName: not a materialized view (no $SourceKey metadata)"))
+    val ticks = TableIO.streamTable(spark, lh, source,
+      ignoreRewrites = true, changeFeed = false, maxVersionsPerTrigger)
+    val w = ticks.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch {
+        (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          refreshAggView(spark, lh, viewName)
+          ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

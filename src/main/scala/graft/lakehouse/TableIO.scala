@@ -728,6 +728,18 @@ object TableIO {
   /** Stats-JSON key for a file's physical byte size (Delta's add.size). */
   private val BytesKey = "__bytes"
 
+  /** Add (or replace) one top-level string field in a stats JSON doc. */
+  private def addStatField(statsJson: String, key: String,
+      value: String): String = {
+    import org.json4s.{JObject, JString}
+    import org.json4s.jackson.JsonMethods.{compact, parse, render}
+    scala.util.Try(parse(statsJson)).toOption match {
+      case Some(JObject(fields)) => compact(render(JObject(
+        fields.filterNot(_._1 == key) :+ (key -> JString(value)))))
+      case _ => statsJson
+    }
+  }
+
   /** Per-file byte size from an entry's stats JSON; None for entries
     * written before sizes were recorded (callers fall back to stat()). */
   private def entryBytes(e: Versioned.FileEntry): Option[Long] = {
@@ -2868,10 +2880,17 @@ object TableIO {
       statsByAbs.get(baseP.resolve(e.path).toString) match {
         case None => e // zero-row file: nothing to record
         case Some(statsJson) =>
+          // record the physical size too (the scan-side aggregation has no
+          // _metadata.file_size column to ride; one stat() per file is the
+          // same O(files) driver work this commit already does)
+          val withBytes = scala.util.Try(
+              Files.size(baseP.resolve(e.path))).toOption
+            .fold(statsJson)(n =>
+              addStatField(statsJson, BytesKey, n.toString))
           // carry the DV ref through the fresh stats
           val withDv = Versioned.dvRefOf(e) match {
-            case Some((p, n)) => withDvStat(Some(statsJson), p, n)
-            case None => statsJson
+            case Some((p, n)) => withDvStat(Some(withBytes), p, n)
+            case None => withBytes
           }
           e.copy(stats = Some(withDv))
       }

@@ -40,6 +40,18 @@ object Analytics {
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_val"),
         grouping_id().cast("int").as("gid"))
 
+  /** UNPIVOT / melt (pivot's inverse): wide measure columns become
+    * (variable, value) rows — Spark's native `Dataset.unpivot` (SQL
+    * UNPIVOT), which expands each row locally with zero shuffle; measures
+    * are cast to a common type up front because UNPIVOT requires it.
+    * Output rows = input rows × |values|: a narrow map at any scale. */
+  def unpivot(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String = "metric", valueName: String = "value"): DataFrame =
+    df.select((ids.map(col) ++
+        values.map(c => col(c).cast("double").as(c))): _*)
+      .unpivot(ids.map(col).toArray, values.map(col).toArray,
+        varName, valueName)
+
   /** Pivot: one row per `keyCol` group, one count column per pivot value.
     * `values` must be explicit — at 100 TB a distinct-scan just to learn
     * the column list is a full extra pass, and implicit pivots make the

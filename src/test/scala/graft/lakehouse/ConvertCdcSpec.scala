@@ -138,6 +138,12 @@ class ConvertCdcSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "an1").count() == 900)
     assert(TableIO.tableRowCount(lh, "an1").contains(900L),
       "manifest row count must stay logical after ANALYZE")
+    // ANALYZE also (re)records physical byte sizes: checkTable's size
+    // audit and DESCRIBE DETAIL work from the manifest afterwards
+    val mA = Versioned.readManifest(dir,
+      Versioned.latestVersion(dir).get).get
+    assert(mA.entries.forall(_.stats.exists(_.contains("\"__bytes\""))))
+    assert(TableIO.checkTable(spark, lh, "an1").count() == 0)
   }
 
   test("concurrent DV deletes: the loser fails loudly, a retry applies " +

@@ -254,6 +254,39 @@ class MatViewSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "mv_stream_agg")
   }
 
+  test("maintainAggView: continuous maintenance follows source commits " +
+      "including rewrites, and a checkpoint restart resumes cleanly") {
+    TableIO.writeTable(spark, lh, "mv_cm_src",
+      (1L to 40L).map(i => (i, s"g${i % 4}", i)).toDF("k", "g", "v"))
+    TableIO.enableChangeFeed(spark, lh, "mv_cm_src")
+    MatView.createAggView(spark, lh, "mv_cm_agg", "mv_cm_src",
+      Seq("g"), Seq("v"))
+    val ckpt = Files.createTempDirectory("mv_cm_ckpt").toString
+    val q = MatView.maintainAggView(spark, lh, "mv_cm_agg",
+      checkpoint = Some(ckpt))
+    try {
+      // an append AND a rewrite commit (merge) AND a delete
+      TableIO.appendTable(spark, lh, "mv_cm_src",
+        Seq((41L, "g4", 100L)).toDF("k", "g", "v"))
+      TableIO.mergeTable(spark, lh, "mv_cm_src",
+        Seq((1L, "g1", 50L)).toDF("k", "g", "v"), Seq("k"))
+      TableIO.deleteFromTable(spark, lh, "mv_cm_src", "g = 'g2'")
+      q.processAllAvailable()
+      assert(viewRows("mv_cm_agg") == fullRecompute("mv_cm_src"))
+    } finally q.stop()
+    // restart from the same checkpoint picks up commits made while down
+    TableIO.appendTable(spark, lh, "mv_cm_src",
+      Seq((42L, "g5", 7L)).toDF("k", "g", "v"))
+    val q2 = MatView.maintainAggView(spark, lh, "mv_cm_agg",
+      checkpoint = Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      assert(viewRows("mv_cm_agg") == fullRecompute("mv_cm_src"))
+    } finally q2.stop()
+    TableIO.dropTable(spark, lh, "mv_cm_src")
+    TableIO.dropTable(spark, lh, "mv_cm_agg")
+  }
+
   test("replaceKeyedRows refuses a CDF-enabled target (its deletes are " +
       "not modeled in the feed)") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
