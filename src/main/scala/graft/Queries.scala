@@ -3233,5 +3233,59 @@ object Queries {
         |  SELECT l_orderkey, l_linenumber, 'l_tax',
         |    CAST(l_tax AS DOUBLE) FROM src)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // Hilbert clustering (liquid-clustering's curve): OPTIMIZE along the
+    // Hilbert index, then a two-dimensional stat-pruned range scan — the
+    // q70 shape on the better-locality curve; contents must equal the
+    // plain filter.
+    Q("q144_hilbert_scan",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_hilbert")
+        TableIO.writeTable(s, lh, "orders_hilbert",
+          t(s, dir, "orders").select("o_orderkey", "o_custkey",
+            "o_totalprice"))
+        TableIO.compactTable(s, lh, "orders_hilbert",
+          targetFileBytes = 256 * 1024,
+          zorderBy = Seq("o_custkey", "o_totalprice"), hilbert = true)
+        TableIO.prunedScanRanges(s, lh, "orders_hilbert", Seq(
+          ("o_custkey", Some(100L), Some(700L)),
+          ("o_totalprice", Some(50000.0), Some(200000.0))))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 700
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Incremental clustering maintenance: cluster, append new data, then
+    // cluster ONLY the new files (O(new data), the liquid maintenance
+    // loop); a pruned range scan over the whole table must still equal
+    // the plain filter across both clustered generations.
+    Q("q145_incremental_cluster",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_liquid")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey",
+          "o_totalprice")
+        TableIO.writeTable(s, lh, "orders_liquid",
+          o.filter(col("o_orderkey") % 2 === 0))
+        TableIO.compactTable(s, lh, "orders_liquid",
+          targetFileBytes = 256 * 1024,
+          zorderBy = Seq("o_custkey", "o_totalprice"), hilbert = true)
+        TableIO.appendTable(s, lh, "orders_liquid",
+          o.filter(col("o_orderkey") % 2 === 1).repartition(4))
+        TableIO.clusterIncremental(s, lh, "orders_liquid",
+          Seq("o_custkey", "o_totalprice"),
+          targetFileBytes = 256 * 1024, hilbert = true)
+        TableIO.prunedScanRanges(s, lh, "orders_liquid", Seq(
+          ("o_custkey", Some(100L), Some(700L)),
+          ("o_totalprice", Some(50000.0), Some(200000.0))))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 700
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

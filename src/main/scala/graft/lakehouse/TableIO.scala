@@ -2627,7 +2627,8 @@ object TableIO {
   def compactTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Seq.empty,
-      predicate: Option[String] = None): TableInfo = {
+      predicate: Option[String] = None,
+      hilbert: Boolean = false): TableInfo = {
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
     val baseM = base.flatMap(Versioned.readManifest(tableDir, _))
@@ -2668,7 +2669,8 @@ object TableIO {
         // zorderBy = OPTIMIZE ZORDER BY: the rewrite this compaction
         // already pays doubles as the re-clustering pass
         val arranged =
-          if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
+          if (zorderBy.nonEmpty)
+            Zorder.cluster(df, zorderBy, Some(nFiles), hilbert)
           else if (parts.isEmpty) df.coalesce(nFiles)
           else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
         val blooms = bloomColsOf(m)
@@ -2707,7 +2709,8 @@ object TableIO {
         val df = selectTable(spark, lh, tableName)
         val parts = currentPartitioning(lh, tableName)
         val arranged =
-          if (zorderBy.nonEmpty) Zorder.cluster(df, zorderBy, Some(nFiles))
+          if (zorderBy.nonEmpty)
+            Zorder.cluster(df, zorderBy, Some(nFiles), hilbert)
           else if (parts.isEmpty) df.coalesce(nFiles)
           else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
         val commit = Versioned.commitFiles(tableDir, df.schema.json,
@@ -2721,6 +2724,76 @@ object TableIO {
         finishCommit(spark, lh, tableName, tableDir, commit,
           df.columns.toSeq, parts)
     }
+  }
+
+  /** Incremental clustering (the liquid-clustering maintenance loop):
+    * cluster ONLY the files added since the last OPTIMIZE commit and
+    * inherit everything else by reference — each maintenance cycle costs
+    * O(new data), not O(table), which is the only clustering cadence that
+    * stays operable while a 100 TB table keeps ingesting. The commit's op
+    * is OPTIMIZE, so successive incremental runs chain: each run's version
+    * becomes the next run's baseline. With no prior OPTIMIZE the whole
+    * table clusters (the bootstrap run IS a full `compactTable(zorderBy)`).
+    *
+    * The trade: new files are curve-ordered among THEMSELVES, so scans
+    * prune perfectly within each clustered generation but ranges straddle
+    * generations until the next full rewrite — exactly Delta's incremental
+    * OPTIMIZE behavior. Old files' deletion vectors are untouched (DV
+    * purging is full compaction's job). */
+  def clusterIncremental(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, zorderBy: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      hilbert: Boolean = false): TableInfo = {
+    require(zorderBy.nonEmpty, "clusterIncremental needs cluster columns")
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val b = Versioned.latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"$tableName has no versions"))
+    val m = Versioned.readManifest(tableDir, b).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName: incremental clustering needs manifest-based commits"))
+    // baseline = the file set of the newest OPTIMIZE commit: everything in
+    // it was clustered (or deliberately left) by that run
+    val baseline: Set[String] = Versioned.committedVersions(tableDir)
+      .filter(_ < b + 1).sorted.reverse
+      .find(v => Versioned.readManifest(tableDir, v)
+        .exists(_.meta.get(Versioned.OpKey).contains("OPTIMIZE")))
+      .flatMap(v => Versioned.readManifest(tableDir, v))
+      .map(_.files.toSet).getOrElse(Set.empty)
+    val affected = m.entries.filterNot(e => baseline(e.path))
+    val affectedSet = affected.map(_.path).toSet
+    val untouched = m.entries.filterNot(e => affectedSet(e.path))
+    val parts = currentPartitioning(lh, tableName)
+    val baseP = Paths.get(tableDir)
+    val bytes = affected.map(e => entryBytes(e).getOrElse(
+      scala.util.Try(Files.size(baseP.resolve(e.path))).getOrElse(0L))).sum
+    val nFiles =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
+    val arranged = Zorder.cluster(df, zorderBy, Some(nFiles), hilbert)
+    val blooms = bloomColsOf(m)
+    val emptyCdf: Option[DataFrame] =
+      if (!cdfEnabled(m.meta)) None
+      else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        df.schema.add("_change_type", StringType)))
+    val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+      inherit = untouched, expectedBase = Some(b),
+      collectStats = collectFileStats(spark, blooms), meta = m.meta,
+      beforeMarker = (v, _, cid) => emptyCdf.foreach(
+        _.write.mode(SaveMode.Overwrite)
+          .parquet(cdfDir(tableDir, v, cid).toString)),
+      op = "OPTIMIZE") { target =>
+      if (affected.nonEmpty) {
+        val physical = toPhysical(arranged,
+          DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+        val writer = blooms.foldLeft(physical.write.mode(SaveMode.Append)) {
+          (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        }
+        (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+         else writer).parquet(target)
+      }
+    }
+    finishCommit(spark, lh, tableName, tableDir, commit,
+      df.columns.toSeq, parts)
   }
 
   /** DELETE WHERE (Delta row-delete, file-level): a pushed-down scan finds

@@ -158,4 +158,74 @@ class ZorderSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "reclust").count() == 20000)
     TableIO.dropTable(spark, lh, "reclust")
   }
+
+  test("hilbertIndex: bijective over the 2-D grid and every curve step " +
+      "moves to a grid NEIGHBOR (the defining Hilbert property, which " +
+      "Morton lacks); 1-D passes through") {
+    val side = 1 << Zorder.BitsPerCol // 256
+    val cells = for (x <- 0 until side; y <- 0 until side) yield (x, y)
+    val indexed = cells.map { case (x, y) =>
+      (Zorder.hilbertIndex(Array(x, y)), x, y) }
+    // bijection onto 0 .. side^2 - 1
+    assert(indexed.map(_._1).sorted == (0L until side.toLong * side))
+    // unit-step adjacency along the whole curve
+    val walk = indexed.sortBy(_._1)
+    walk.sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump at ($x1,$y1)->($x2,$y2)")
+    }
+    // Morton, by contrast, jumps: count the non-unit steps it takes
+    val mortonWalk = cells.map { case (x, y) =>
+      (Zorder.interleave(Array(x, y)), x, y) }.sortBy(_._1)
+    val mortonJumps = mortonWalk.sliding(2).count {
+      case Seq((_, x1, y1), (_, x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) != 1 }
+    assert(mortonJumps > 0)
+    assert(Zorder.hilbertIndex(Array(173)) == 173L)
+  }
+
+  test("hilbert clustering prunes on every clustered dimension; " +
+      "clusterIncremental clusters ONLY post-baseline files") {
+    val df = spark.range(0, 20000)
+      .selectExpr("(id * 48271) % 20000 AS x", "(id * 16807) % 20000 AS y")
+      .repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "hil1", df)
+      TableIO.compactTable(spark, lh, "hil1", targetFileBytes = 16 * 1024,
+        zorderBy = Seq("x", "y"), hilbert = true)
+    }
+    val (spec, total) = TableIO.pruneFiles(lh, "hil1", "y",
+      Some(100L), Some(600L)).get
+    assert(total > 2 && spec.relFiles.size < total,
+      s"hilbert clustering should enable pruning (${spec.relFiles.size}/$total)")
+    val (specX, _) = TableIO.pruneFiles(lh, "hil1", "x",
+      Some(100L), Some(600L)).get
+    assert(specX.relFiles.size < total)
+    assert(TableIO.selectTable(spark, lh, "hil1").count() == 20000)
+
+    // incremental pass: append unclustered data, cluster only that
+    val dir = Catalog.tablePath(lh, "hil1")
+    val clustered = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get.files.toSet
+    withFixedPartitions {
+      TableIO.appendTable(spark, lh, "hil1", spark.range(20000, 40000)
+        .selectExpr("(id * 48271) % 20000 AS x", "(id * 16807) % 20000 AS y")
+        .repartition(4))
+      TableIO.clusterIncremental(spark, lh, "hil1", Seq("x", "y"),
+        targetFileBytes = 16 * 1024, hilbert = true)
+    }
+    val m2 = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get
+    // every originally-clustered file survives BY REFERENCE
+    assert(clustered.subsetOf(m2.files.toSet),
+      "incremental clustering must not rewrite the clustered baseline")
+    assert(TableIO.selectTable(spark, lh, "hil1").count() == 40000)
+    // a second incremental run with nothing new inherits everything
+    val filesBefore = m2.files.toSet
+    TableIO.clusterIncremental(spark, lh, "hil1", Seq("x", "y"))
+    val m3 = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get
+    assert(m3.files.toSet == filesBefore)
+    TableIO.dropTable(spark, lh, "hil1")
+  }
 }
