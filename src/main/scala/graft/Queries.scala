@@ -3287,5 +3287,24 @@ object Queries {
         |WHERE o_custkey BETWEEN 100 AND 700
         |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // LIKE-prefix data skipping: the miner turns `LIKE 'prefix%'` into
+    // the UTF-8 range [prefix, succ(prefix)) over string min/max stats —
+    // the common string point-lookup shape (ids, urls, paths). Results
+    // must equal the plain LIKE filter.
+    Q("q146_like_prefix_scan",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "customer_like")
+        TableIO.writeTable(s, lh, "customer_like",
+          t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+          sortBy = Seq("c_name"))
+        TableIO.readTable(s, lh, "customer_like",
+          condition = "c_name LIKE 'Customer#0000001%'")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_name LIKE 'Customer#0000001%'
+        |ORDER BY c_custkey""".stripMargin)),
   )
 }

@@ -423,6 +423,31 @@ object TableIO {
         Seq(NullIs(name(a).get, isNull = true))
       case IsNotNull(a) if name(a).isDefined =>
         Seq(NullIs(name(a).get, isNull = false))
+      // LIKE with a nonempty literal prefix prunes as the UTF-8 range
+      // [prefix, succ(prefix)): EVERY match starts with the literal
+      // prefix regardless of what wildcards follow, and succ (last char
+      // + 1) bounds it above in byte order — incrementing a char never
+      // sorts below a longer continuation, unlike appending sentinels.
+      // Escaped patterns bail (residual-only); wildcard-free patterns
+      // are plain equality. Point lookups on string prefixes (ids,
+      // paths, url LIKE 'https://host/%') are the common string-skipping
+      // shape at scale.
+      case Like(a, l: Literal, esc) if name(a).isDefined &&
+          l.dataType == StringType && l.value != null && esc == '\\' &&
+          !l.value.toString.contains('\\') =>
+        val pat = l.value.toString
+        val prefix = pat.takeWhile(ch => ch != '%' && ch != '_')
+        if (prefix == pat) Seq(Eq(name(a).get, PLit(prefix, StringType)))
+        else if (prefix.isEmpty) Seq.empty
+        else {
+          val last = prefix.last
+          val hi = // a bound whose last char would enter the surrogate
+            // range has no valid single-string successor: keep only the
+            // (still sound) lower bound
+            if (last >= '퟿') None
+            else Some(PLit(prefix.init + (last + 1).toChar, StringType))
+          Seq(Range(name(a).get, Some(PLit(prefix, StringType)), hi))
+        }
       case o: Or => orAsInList(o)
       case _ => Seq.empty // unrecognized conjunct: residual-only
     }

@@ -403,4 +403,40 @@ class DataSkippingSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "del2").count() == 2)
     TableIO.dropTable(spark, lh, "del2")
   }
+
+  test("LIKE-prefix mining: prefix patterns prune files by string range, " +
+      "results equal the residual; unprunable shapes keep every file") {
+    // no underscores in the data: '_' is a LIKE wildcard, so a literal
+    // prefix ends at the first '%' OR '_'
+    val df = (0 until 4000).map(i => (i, f"user$i%06d")).toDF("id", "name")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("name"))
+      .sortWithinPartitions("name")
+    TableIO.writeTable(spark, lh, "lik1", df)
+    val dir = Catalog.tablePath(lh, "lik1")
+    val m = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get
+    val total = m.entries.size
+    assert(total > 2, s"need multiple files, got $total")
+    def survivors(cond: String): Int =
+      TableIO.minedSurvivors(spark, m, cond).map(_.size).getOrElse(total)
+    // prefix% prunes; the residual still decides row membership
+    assert(survivors("name LIKE 'user0001%'") < total)
+    val got = TableIO.readTable(spark, lh, "lik1",
+      condition = "name LIKE 'user0001%'").collect().map(_.getInt(0)).toSet
+    assert(got == (100 until 200).toSet)
+    // wildcard-free LIKE = equality (tightest range)
+    assert(survivors("name LIKE 'user003999'") < total)
+    assert(TableIO.readTable(spark, lh, "lik1",
+      condition = "name LIKE 'user003999'").count() == 1)
+    // a '_' mid-pattern ends the literal prefix but keeps its bound
+    assert(survivors("name LIKE 'user0001_2%'") < total)
+    assert(TableIO.readTable(spark, lh, "lik1",
+      condition = "name LIKE 'user0001_2%'")
+      .collect().map(_.getInt(0)).toSet ==
+      Set(102, 112, 122, 132, 142, 152, 162, 172, 182, 192))
+    // leading wildcard and escaped patterns cannot prune: all files stay
+    assert(survivors("name LIKE '%000100'") == total)
+    assert(survivors("name LIKE 'user\\\\0001%'") == total)
+    TableIO.dropTable(spark, lh, "lik1")
+  }
 }
