@@ -2161,7 +2161,7 @@ object TableIO {
     * data files a shallow clone still references — materialize clones
     * before retiring their source. */
   def cloneTable(spark: SparkSession, lh: LakehouseProps, sourceName: String,
-      cloneName: String): TableInfo = {
+      cloneName: String, deep: Boolean = false): TableInfo = {
     require(sourceName != cloneName, "cannot clone a table onto itself")
     val srcDir = Catalog.tablePath(lh, sourceName)
     val srcVersion = Versioned.latestVersion(srcDir).getOrElse(
@@ -2171,6 +2171,8 @@ object TableIO {
         s"$sourceName@v$srcVersion is a legacy snapshot layout — shallow " +
           "clone references manifest entries"))
     val srcBase = Paths.get(srcDir)
+    if (deep) return deepClone(spark, lh, sourceName, cloneName, srcVersion,
+      m, srcBase)
     // already-absolute source entries (a clone of a clone) pass through
     // unchanged — the reference chain stays one hop deep per file.
     // Deletion-vector refs absolutize the same way: the clone must keep
@@ -2198,6 +2200,72 @@ object TableIO {
           k == PartitionByKey || k.startsWith(TombstonePrefix) } +
         ("cloneOf" -> s"$sourceName@v$srcVersion"),
       op = "CLONE") { _ => () }
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    finishCommit(spark, lh, cloneName, dstDir, commit,
+      schema.fieldNames.toSeq, partitioningOfFiles(m.files))
+  }
+
+  /** DEEP clone (Delta CLONE without SHALLOW): byte-for-byte file copies
+    * into the clone's own pool — O(data) I/O but ZERO compute: no decode,
+    * no stat recomputation (identical bytes ⇒ the source's per-file stats,
+    * including `__bytes` and blooms, carry over verbatim), no shuffle.
+    * Deletion-vector sidecars copy too and their refs re-point locally,
+    * so the clone's delete lifecycle fully detaches from the source —
+    * vacuuming the source can never perforate a deep clone, the guarantee
+    * shallow clones trade away. Absolute entries (a deep clone OF a
+    * shallow clone) materialize: the result never references another
+    * pool. */
+  private def deepClone(spark: SparkSession, lh: LakehouseProps,
+      sourceName: String, cloneName: String, srcVersion: Long,
+      m: Versioned.Manifest, srcBase: Path): TableInfo = {
+    val dstDir = Catalog.tablePath(lh, cloneName)
+    val dstBase = Paths.get(dstDir)
+    Files.createDirectories(dstBase)
+    def resolveSrc(p: String): Path =
+      if (Paths.get(p).isAbsolute) Paths.get(p) else srcBase.resolve(p)
+    // an absolute entry's hive layout is recovered from its own pool base
+    def relOut(p: String): String =
+      if (!Paths.get(p).isAbsolute) p
+      else Paths.get(partitionBaseOf(Paths.get(p)))
+        .relativize(Paths.get(p)).toString
+    // copy DV sidecars straight into the clone dir (they are referenced
+    // through entry stats, not the file list; sweep protects them there)
+    val sidecarSeen = scala.collection.mutable.Set[String]()
+    val sidecarOut: Map[String, String] = m.entries
+      .flatMap(e => Versioned.dvRefOf(e).map(_._1)).distinct.map { p =>
+        val src = resolveSrc(p)
+        val base0 = src.getFileName.toString
+        // basenames from different pools could collide (clone-of-clone
+        // mixes pools); disambiguate rather than silently overwrite
+        val rel = if (sidecarSeen.add(base0)) base0
+          else s"dv_${java.util.UUID.randomUUID().toString.take(8)}_$base0"
+        Files.copy(src, dstBase.resolve(rel),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        p -> rel
+      }.toMap
+    // stats carry over verbatim; only DV paths re-point locally
+    val statsByRel: Map[String, String] = m.entries.flatMap { e =>
+      val stats = Versioned.dvRefOf(e) match {
+        case Some((p, n)) => Some(withDvStat(e.stats, sidecarOut(p), n))
+        case None => e.stats
+      }
+      stats.map(relOut(e.path) -> _)
+    }.toMap
+    val commit = Versioned.commitFiles(dstDir, m.schemaJson,
+      expectedBase = Some(Versioned.latestVersion(dstDir).getOrElse(0L)),
+      collectStats = _ => statsByRel,
+      meta = m.meta.filter { case (k, _) =>
+        k.startsWith(CheckPrefix) || k == CdfKey ||
+          k == PartitionByKey || k.startsWith(TombstonePrefix) } +
+        ("cloneOf" -> s"$sourceName@v$srcVersion"),
+      op = "CLONE") { target =>
+      val tBase = Paths.get(target)
+      m.entries.foreach { e =>
+        val out = tBase.resolve(relOut(e.path))
+        Files.createDirectories(out.getParent)
+        Files.copy(resolveSrc(e.path), out)
+      }
+    }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     finishCommit(spark, lh, cloneName, dstDir, commit,
       schema.fieldNames.toSeq, partitioningOfFiles(m.files))

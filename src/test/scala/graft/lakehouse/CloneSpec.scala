@@ -172,4 +172,50 @@ class CloneSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "c3_leaf").count() == 50)
     Seq("c3_leaf", "c3_mid", "c3_src").foreach(TableIO.dropTable(spark, lh, _))
   }
+
+  test("deep clone: fully detached byte copies — stats carry over, DV " +
+      "refs re-point locally, dropping the source leaves the clone whole") {
+    val df = (1 to 200).map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+      .toDF("k", "g", "s")
+    TableIO.writeTable(spark, lh, "dc_src", df, partitionBy = Seq("g"))
+    TableIO.deleteFromTable(spark, lh, "dc_src", "k <= 20",
+      deletionVectors = true)
+    val expected = TableIO.selectTable(spark, lh, "dc_src")
+      .collect().map(r => (r.getInt(0), r.getString(2))).toSet
+    TableIO.cloneTable(spark, lh, "dc_src", "dc_deep", deep = true)
+    val dstDir = Catalog.tablePath(lh, "dc_deep")
+    val m = Versioned.readManifest(dstDir,
+      Versioned.latestVersion(dstDir).get).get
+    // no absolute references anywhere — the clone owns every byte
+    assert(m.entries.forall(e => !java.nio.file.Paths.get(e.path).isAbsolute))
+    assert(m.entries.forall(e => Versioned.dvRefOf(e).forall { case (p, _) =>
+      !java.nio.file.Paths.get(p).isAbsolute }))
+    // stats carried verbatim (no recompute): __bytes present, rows known
+    assert(m.entries.forall(_.stats.exists(_.contains("\"__bytes\""))))
+    assert(TableIO.tableRowCount(lh, "dc_deep").contains(180L))
+    // hive layout reproduced
+    assert(m.files.forall(_.contains("g=")))
+    // the detachment guarantee: obliterate the source, clone still serves
+    TableIO.dropTable(spark, lh, "dc_src")
+    val got = TableIO.selectTable(spark, lh, "dc_deep")
+      .collect().map(r => (r.getInt(0), r.getString(2))).toSet
+    assert(got == expected && got.size == 180)
+    assert(TableIO.checkTable(spark, lh, "dc_deep").count() == 0)
+    TableIO.dropTable(spark, lh, "dc_deep")
+  }
+
+  test("deep clone of a shallow clone materializes the references") {
+    TableIO.writeTable(spark, lh, "dm_src",
+      (1 to 60).map(i => (i, s"x$i")).toDF("k", "s"))
+    TableIO.cloneTable(spark, lh, "dm_src", "dm_shallow")
+    TableIO.cloneTable(spark, lh, "dm_shallow", "dm_deep", deep = true)
+    val dstDir = Catalog.tablePath(lh, "dm_deep")
+    val m = Versioned.readManifest(dstDir,
+      Versioned.latestVersion(dstDir).get).get
+    assert(m.entries.forall(e => !java.nio.file.Paths.get(e.path).isAbsolute))
+    TableIO.dropTable(spark, lh, "dm_src")
+    TableIO.dropTable(spark, lh, "dm_shallow")
+    assert(TableIO.selectTable(spark, lh, "dm_deep").count() == 60)
+    Seq("dm_deep").foreach(TableIO.dropTable(spark, lh, _))
+  }
 }
