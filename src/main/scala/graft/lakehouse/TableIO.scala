@@ -1525,7 +1525,8 @@ object TableIO {
     * One shuffle on the key columns for the rewrite itself. */
   def mergeTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       updates: DataFrame, keyCols: Seq[String],
-      checkDuplicateKeys: Boolean = true): TableInfo = {
+      checkDuplicateKeys: Boolean = true,
+      extraMeta: Map[String, String] = Map.empty): TableInfo = {
     require(keyCols.nonEmpty, "mergeTable needs at least one key column")
     val keyColumns = keyCols.map(org.apache.spark.sql.functions.col)
     locally {
@@ -1567,7 +1568,7 @@ object TableIO {
         // without a change feed to stage, MERGE is exactly the generalized
         // replace primitive with removal keys = update keys
         replaceKeyedRows(spark, lh, tableName, updates, updates, keyCols,
-          op = "MERGE")
+          extraMeta = extraMeta, op = "MERGE")
       case (Some(b), Some(m)) =>
         enforceChecks(updates, checkConstraintsOf(m.meta), s"$tableName: merge")
         val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -1635,7 +1636,9 @@ object TableIO {
             val commit = Versioned.commitFiles(tableDir, rewrittenM.json,
               inherit = untouched, expectedBase = Some(b),
               collectStats = collectFileStats(spark, bloomColsOf(m)),
-              meta = m.meta,
+              // extraMeta rides the SAME manifest (streaming upsert txn
+              // watermarks need batch-id-and-data atomicity)
+              meta = m.meta ++ extraMeta,
               beforeMarker = writeCdf, op = "MERGE") { target =>
               val writer = toPhysical(rewritten, rewrittenM)
                 .write.mode(SaveMode.Append)
@@ -1654,7 +1657,8 @@ object TableIO {
           keyCols, "left_anti")
         writeTable(spark, lh, tableName,
           kept.unionByName(updates, allowMissingColumns = true),
-          partitionBy = currentPartitioning(lh, tableName))
+          partitionBy = currentPartitioning(lh, tableName),
+          extraMeta = extraMeta)
     }
   }
 
@@ -2774,9 +2778,16 @@ object TableIO {
           if (!cdfEnabled(m.meta)) None
           else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
             df.schema.add("_change_type", StringType)))
+        // a ZORDER compaction records its cluster spec so later
+        // maintenance ticks (maintainTable / clusterIncremental) know the
+        // table's clustering without being retold — liquid's CLUSTER BY
+        val metaOut =
+          if (zorderBy.isEmpty) m.meta
+          else m.meta + (ClusterByKey -> zorderBy.mkString(",")) +
+            (ClusterCurveKey -> (if (hilbert) "hilbert" else "zorder"))
         val commit = Versioned.commitFiles(tableDir, m.schemaJson,
           inherit = untouched, expectedBase = Some(b),
-          collectStats = collectFileStats(spark, blooms), meta = m.meta,
+          collectStats = collectFileStats(spark, blooms), meta = metaOut,
           beforeMarker = (v, _, cid) => emptyCdf.foreach(
             _.write.mode(SaveMode.Overwrite)
               .parquet(cdfDir(tableDir, v, cid).toString)),
@@ -2817,6 +2828,74 @@ object TableIO {
         finishCommit(spark, lh, tableName, tableDir, commit,
           df.columns.toSeq, parts)
     }
+  }
+
+  /** Manifest meta keys remembering the table's declared clustering —
+    * written by ZORDER compactions, read by [[maintainTable]] so the
+    * scheduler needn't be retold CLUSTER BY on every tick. */
+  private[lakehouse] val ClusterByKey = "graft.clusterBy"
+  private[lakehouse] val ClusterCurveKey = "graft.clusterCurve"
+
+  /** One auto-maintenance tick (the scheduler loop a lakehouse platform
+    * runs per table): inspect the CURRENT manifest and do only what the
+    * table needs —
+    *  1. entries missing stats → ANALYZE ([[recomputeStats]]);
+    *  2. a recorded cluster spec + files newer than the last OPTIMIZE →
+    *     [[clusterIncremental]] (O(new data));
+    *  3. otherwise, small-file debt (≥ `smallFileThreshold` files under
+    *     half the target, or DV-carrying) → size-aware [[compactTable]];
+    *  4. always: retention [[Versioned.vacuum]].
+    * Inspection is metadata-only; each fired action pays exactly its own
+    * documented cost. Returns one row per action taken —
+    * `(action, detail)`; vacuum-only means the table was already healthy.
+    * Idempotent: a second immediate tick does metadata work only. */
+  def maintainTable(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      smallFileThreshold: Int = 8): DataFrame = {
+    import spark.implicits._
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val actions = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val baseP = Paths.get(tableDir)
+    Versioned.latestVersion(tableDir)
+      .flatMap(Versioned.readManifest(tableDir, _)).foreach { m =>
+      if (m.entries.exists(_.stats.isEmpty)) {
+        recomputeStats(spark, lh, tableName)
+        actions += (("analyze",
+          s"${m.entries.count(_.stats.isEmpty)} stats-less entries"))
+      }
+      val clusterBy = m.meta.get(ClusterByKey)
+        .map(_.split(",").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+      val hilbert = m.meta.get(ClusterCurveKey).contains("hilbert")
+      def sizeOf(e: Versioned.FileEntry): Long = entryBytes(e).getOrElse(
+        scala.util.Try(Files.size(baseP.resolve(e.path))).getOrElse(0L))
+      clusterBy match {
+        case Some(cols) =>
+          // new-files-since-last-OPTIMIZE = clusterIncremental's own
+          // baseline diff; fire only past the debt threshold
+          val lastOpt = Versioned.committedVersions(tableDir).sorted.reverse
+            .find(v => Versioned.readManifest(tableDir, v)
+              .exists(_.meta.get(Versioned.OpKey).contains("OPTIMIZE")))
+            .flatMap(v => Versioned.readManifest(tableDir, v))
+            .map(_.files.toSet).getOrElse(Set.empty)
+          val fresh = m.entries.count(e => !lastOpt(e.path))
+          if (fresh >= smallFileThreshold) {
+            clusterIncremental(spark, lh, tableName, cols,
+              targetFileBytes, hilbert)
+            actions += (("cluster-incremental",
+              s"$fresh new files onto ${cols.mkString(",")} ($hilbert)"))
+          }
+        case None =>
+          val debt = m.entries.count(e =>
+            Versioned.dvRefOf(e).isDefined || sizeOf(e) < targetFileBytes / 2)
+          if (debt >= smallFileThreshold) {
+            compactTable(spark, lh, tableName, targetFileBytes)
+            actions += (("compact", s"$debt small or DV-carrying files"))
+          }
+      }
+    }
+    Versioned.vacuum(tableDir)
+    actions += (("vacuum", "retention sweep"))
+    actions.toSeq.toDF("action", "detail")
   }
 
   /** Incremental clustering (the liquid-clustering maintenance loop):
@@ -2870,7 +2949,9 @@ object TableIO {
         df.schema.add("_change_type", StringType)))
     val commit = Versioned.commitFiles(tableDir, m.schemaJson,
       inherit = untouched, expectedBase = Some(b),
-      collectStats = collectFileStats(spark, blooms), meta = m.meta,
+      collectStats = collectFileStats(spark, blooms),
+      meta = m.meta + (ClusterByKey -> zorderBy.mkString(",")) +
+        (ClusterCurveKey -> (if (hilbert) "hilbert" else "zorder")),
       beforeMarker = (v, _, cid) => emptyCdf.foreach(
         _.write.mode(SaveMode.Overwrite)
           .parquet(cdfDir(tableDir, v, cid).toString)),

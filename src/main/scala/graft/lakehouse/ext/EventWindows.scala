@@ -293,6 +293,47 @@ object EventWindows {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming UPSERT sink (the Delta `foreachBatch` MERGE pattern): each
+    * micro-batch merges into the versioned table on `keyCols` — existing
+    * keys update, new keys insert — and the batch id commits ATOMICALLY
+    * in the same manifest as the merged data, so a batch replayed after a
+    * crash between merge-commit and checkpoint advance is detected and
+    * skipped: exactly-once end to end, the same txn-watermark contract as
+    * [[streamIngest]] and the graft-table sink. The first batch
+    * bootstraps the table. Deletes do not flow through upserts — pair
+    * with [[graft.lakehouse.TableIO.applyChanges]] over a change feed for
+    * full replication. Typical upstream: an Update-mode streaming
+    * aggregation emitting one changed row per key per trigger (mergeTable
+    * enforces batch key-uniqueness).
+    *
+    * At 100 TB the per-batch cost is the merge's: only files holding
+    * updated keys rewrite; untouched files inherit by reference. */
+  def streamUpsert(updates: DataFrame, spark: SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      keyCols: Seq[String],
+      checkpoint: Option[String] = None,
+      appId: Option[String] = None) = {
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val (txnKey, committedWatermark) =
+      txnWatermark(tableDir, checkpoint, appId)
+    val w = updates.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!committedWatermark().exists(_ >= batchId)) {
+          val meta = txnKey.map(_ -> batchId.toString).toMap
+          if (Versioned.latestVersion(tableDir).isEmpty)
+            TableIO.writeTable(spark, lh, tableName, batch.toDF(),
+              extraMeta = meta)
+          else
+            TableIO.mergeTable(spark, lh, tableName, batch.toDF(), keyCols,
+              extraMeta = meta)
+        }
+        ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming NEAR-DUP-deduplicated ingest — the bronze→silver pipeline in
     * one operator: each micro-batch is (1) near-dup-deduped against the
     * published corpus via its MinHash band index (the history's TEXT is

@@ -275,6 +275,47 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "szopt")
   }
 
+  test("maintainTable: fires only the maintenance the table needs — " +
+      "compact for small-file debt, cluster-incremental for clustered " +
+      "tables, analyze for stats-less entries, vacuum always") {
+    def acts(name: String): Seq[String] =
+      TableIO.maintainTable(spark, lh, name, targetFileBytes = 64 * 1024,
+        smallFileThreshold = 4).collect().map(_.getString(0)).toSeq
+    // 1. fragmented unclustered table -> compact, then healthy -> vacuum only
+    TableIO.writeTable(spark, lh, "mt1",
+      spark.range(0, 2000).selectExpr("id AS k", "id % 7 AS g")
+        .repartition(12))
+    assert(acts("mt1") == Seq("compact", "vacuum"))
+    assert(acts("mt1") == Seq("vacuum"))
+    assert(TableIO.selectTable(spark, lh, "mt1").count() == 2000)
+    // 2. clustered table + fresh appends -> cluster-incremental, baseline
+    // files untouched
+    TableIO.writeTable(spark, lh, "mt2",
+      spark.range(0, 30000).selectExpr(
+        "(id * 48271) % 30000 AS x", "(id * 16807) % 30000 AS y"))
+    TableIO.compactTable(spark, lh, "mt2", targetFileBytes = 64 * 1024,
+      zorderBy = Seq("x", "y"), hilbert = true)
+    val dir = Catalog.tablePath(lh, "mt2")
+    val baseline = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get.files.toSet
+    (0 until 5).foreach(i => TableIO.appendTable(spark, lh, "mt2",
+      spark.range(i * 10, i * 10 + 10).selectExpr("id AS x", "id AS y")))
+    assert(acts("mt2") == Seq("cluster-incremental", "vacuum"))
+    val after = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get.files.toSet
+    assert(baseline.subsetOf(after))
+    assert(acts("mt2") == Seq("vacuum")) // idempotent
+    // 3. stats-stripped entries -> analyze
+    val m0 = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get
+    Versioned.commitFiles(dir, m0.schemaJson,
+      inherit = m0.entries.map(_.copy(stats = None)),
+      expectedBase = Versioned.latestVersion(dir), meta = m0.meta,
+      op = "STRIP") { _ => () }
+    assert(acts("mt2").contains("analyze"))
+    Seq("mt1", "mt2").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
   test("pre-protocol directories stay readable; legacy files swept later") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file

@@ -188,6 +188,47 @@ class EventWindowsSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streamUpsert: per-batch MERGE with an atomic txn watermark — " +
+      "updates converge, restart resumes, replayed batches skip") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    val wdir = java.nio.file.Files.createTempDirectory("su_test").toString
+    val lh = Catalog.registerLocalWorkspace(wdir, "ws_su", "lh_su")
+      .lakehouses.head
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("su_ckpt").toString
+    def rows(): Map[Long, String] =
+      TableIO.selectTable(spark, lh, "su1").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = EventWindows.streamUpsert(mem.toDF().toDF("k", "v"), spark, lh,
+      "su1", Seq("k"), checkpoint = Some(ckpt))
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(rows() == Map(1L -> "a", 2L -> "b"))
+      mem.addData((2L, "B2"), (3L, "c")) // update + insert
+      q.processAllAvailable()
+      assert(rows() == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    } finally q.stop()
+    // the batch watermark committed atomically with the merge
+    val dir = Catalog.tablePath(lh, "su1")
+    val meta = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _)).get.meta
+    assert(meta.get(s"txn:$ckpt").contains("1"), meta)
+    // restart from the same checkpoint: new batches apply, version count
+    // shows no replay of batches 0-1
+    val vBefore = Versioned.committedVersions(dir).size
+    val q2 = EventWindows.streamUpsert(mem.toDF().toDF("k", "v"), spark, lh,
+      "su1", Seq("k"), checkpoint = Some(ckpt))
+    try {
+      mem.addData((1L, "A3"))
+      q2.processAllAvailable()
+      assert(rows() == Map(1L -> "A3", 2L -> "B2", 3L -> "c"))
+    } finally q2.stop()
+    assert(Versioned.committedVersions(dir).size == vBefore + 1)
+    TableIO.dropTable(spark, lh, "su1")
+  }
+
   test("streamIngestDeduped drops near-dups across and within batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.lakehouse.{Catalog, TableIO}
