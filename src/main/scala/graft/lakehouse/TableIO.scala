@@ -1209,6 +1209,83 @@ object TableIO {
         s"$ctx violates CHECK constraint '$name' ($sql); e.g. ${bad.head}")
     }
 
+  /** Manifest meta key prefix for generated-column expressions. */
+  private[lakehouse] val GeneratedPrefix = "graft.generated."
+
+  private[lakehouse] def generatedColsOf(
+      meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith(GeneratedPrefix) =>
+      k.drop(GeneratedPrefix.length) -> v }
+
+  /** Compute any declared generated column the batch did NOT supply;
+    * supplied values are validated by the paired CHECK constraint at the
+    * caller's enforceChecks site. Pure per-row projection — codegen'd,
+    * no shuffle. */
+  private def withGeneratedColumns(df: DataFrame,
+      meta: Map[String, String]): DataFrame =
+    generatedColsOf(meta).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Declare `colName` GENERATED ALWAYS AS (`sqlExpr`) — Delta generated
+    * columns: ingest paths (append, overwrite) COMPUTE the column when a
+    * batch omits it; batches that supply it are VALIDATED against the
+    * expression through an automatically-paired CHECK constraint
+    * (`col <=> (expr)` — null-safe, so "both null" passes), which also
+    * guards merge and the streaming sinks for free. Existing rows must
+    * already satisfy the expression (one scan, checked here). One
+    * metadata-only commit records expression + constraint atomically. */
+  def setGeneratedColumn(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, colName: String, sqlExpr: String): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry properties"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(colName),
+      s"generated column '$colName' must exist in the schema " +
+        s"(add it with a write first): ${schema.fieldNames.mkString(", ")}")
+    require(!m.meta.contains(GeneratedPrefix + colName),
+      s"$tableName.$colName is already generated — drop it first")
+    // self-reference would make compute-if-absent circular
+    val refs = scala.util.Try(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sqlExpr)).toOption.toSeq
+      .flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      })
+    require(!refs.contains(colName),
+      s"generated column '$colName' cannot reference itself")
+    val check = s"`$colName` <=> ($sqlExpr)"
+    enforceChecks(scanSpec(spark, Versioned.scanOf(tableDir, m, m.entries)),
+      Map(s"__gen_$colName" -> check), s"$tableName: existing data")
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base,
+      meta = m.meta + (GeneratedPrefix + colName -> sqlExpr) +
+        (CheckPrefix + s"__gen_$colName" -> check),
+      op = "SET GENERATED") { _ => () }
+    ()
+  }
+
+  /** Remove a generated-column declaration and its paired constraint. */
+  def dropGeneratedColumn(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, colName: String): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry properties"))
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base,
+      meta = m.meta - (GeneratedPrefix + colName) -
+        (CheckPrefix + s"__gen_$colName"),
+      op = "DROP GENERATED") { _ => () }
+    ()
+  }
+
   /** ALTER TABLE ADD CONSTRAINT ... CHECK: validates all EXISTING rows
     * satisfy `sqlExpr` (one scan, once), then records the constraint in a
     * metadata-only commit — every subsequent write path (overwrite, append,
@@ -1262,6 +1339,21 @@ object TableIO {
       zorderBy: Seq[String] = Seq.empty,
       bloomFilterFor: Seq[String] = Seq.empty,
       extraMeta: Map[String, String] = Map.empty): TableInfo = {
+    // generated columns absent from the replacement data are computed
+    // before the overwrite proper (present ones validate via their CHECK)
+    val dirG = Catalog.tablePath(lh, tableName)
+    val metaG = Versioned.latestVersion(dirG)
+      .flatMap(Versioned.readManifest(dirG, _)).map(_.meta)
+      .getOrElse(Map.empty[String, String])
+    writeTableImpl(spark, lh, tableName, withGeneratedColumns(df, metaG),
+      partitionBy, sortBy, zorderBy, bloomFilterFor, extraMeta)
+  }
+
+  private def writeTableImpl(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, df: DataFrame, partitionBy: Seq[String],
+      sortBy: Seq[String], zorderBy: Seq[String],
+      bloomFilterFor: Seq[String],
+      extraMeta: Map[String, String]): TableInfo = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy (1-D clustering) and zorderBy (Z-curve) are exclusive")
     require(bloomFilterFor.intersect(partitionBy).isEmpty,
@@ -1277,7 +1369,8 @@ object TableIO {
     val prevMeta = prevManifest.map(_.meta)
       .getOrElse(Map.empty[String, String])
     val carried = prevMeta.filter { case (k, _) =>
-      k.startsWith(CheckPrefix) || k == CdfKey }
+      k.startsWith(CheckPrefix) || k == CdfKey ||
+        k.startsWith(GeneratedPrefix) }
     val checks = checkConstraintsOf(prevMeta)
     enforceChecks(df, checks, s"$tableName: overwrite")
     // with the feed enabled, an overwrite is a modeled event: every current
@@ -1371,15 +1464,19 @@ object TableIO {
         case Some(base) =>
           Versioned.readManifest(tableDir, base) match {
             case Some(m) =>
-              enforceChecks(df, checkConstraintsOf(m.meta), s"$tableName: append")
+              // generated columns (Delta generated-column semantics):
+              // absent in the batch -> computed here; present -> the
+              // paired CHECK constraint validates it below
+              val dfg = withGeneratedColumns(df, m.meta)
+              enforceChecks(dfg, checkConstraintsOf(m.meta), s"$tableName: append")
               val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
               val oldEmpty = spark.createDataFrame(
                 spark.sparkContext.emptyRDD[Row], oldSchema)
               // evolved schema = old ∪ new (by name); old columns keep
               // their positions, brand-new ones append as nullable
               val evolved = oldEmpty
-                .unionByName(df.limit(0), allowMissingColumns = true).schema
-              val aligned = oldEmpty.unionByName(df, allowMissingColumns = true)
+                .unionByName(dfg.limit(0), allowMissingColumns = true).schema
+              val aligned = oldEmpty.unionByName(dfg, allowMissingColumns = true)
               val parts = currentPartitioning(lh, tableName)
               try {
                 val evolvedM = alignMapping(evolved, oldSchema, m.meta, base)

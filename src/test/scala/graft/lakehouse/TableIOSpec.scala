@@ -316,6 +316,48 @@ class TableIOSpec extends SparkSuite {
     Seq("mt1", "mt2").foreach(TableIO.dropTable(spark, lh, _))
   }
 
+  test("generated columns: computed when a batch omits them, validated " +
+      "when supplied, survive overwrites, droppable") {
+    val base = (1 to 50).map(i => (i.toLong, i.toLong % 10)).toDF("k", "bucket")
+    TableIO.writeTable(spark, lh, "gen1", base)
+    TableIO.setGeneratedColumn(spark, lh, "gen1", "bucket", "k % 10")
+    // batch WITHOUT the column -> computed
+    TableIO.appendTable(spark, lh, "gen1", Seq(77L).toDF("k"))
+    val r77 = TableIO.selectTable(spark, lh, "gen1")
+      .filter(org.apache.spark.sql.functions.col("k") === 77L).head()
+    assert(r77.getAs[Long]("bucket") == 7L)
+    // batch WITH a wrong value -> loud CHECK violation
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.appendTable(spark, lh, "gen1",
+        Seq((88L, 3L)).toDF("k", "bucket"))
+    }
+    assert(ex.getMessage.contains("__gen_bucket"), ex.getMessage)
+    // batch with the right value passes
+    TableIO.appendTable(spark, lh, "gen1", Seq((88L, 8L)).toDF("k", "bucket"))
+    // overwrite without the column: computed, and the declaration survives
+    TableIO.writeTable(spark, lh, "gen1", Seq(5L, 12L).toDF("k"))
+    val after = TableIO.selectTable(spark, lh, "gen1")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    assert(after == Map(5L -> 5L, 12L -> 2L), after)
+    intercept[IllegalArgumentException] {
+      TableIO.appendTable(spark, lh, "gen1", Seq((9L, 1L)).toDF("k", "bucket"))
+    }
+    // double-declare rejected while declared
+    intercept[IllegalArgumentException] {
+      TableIO.setGeneratedColumn(spark, lh, "gen1", "bucket", "k % 10")
+    }
+    // drop: no longer computed or enforced
+    TableIO.dropGeneratedColumn(spark, lh, "gen1", "bucket")
+    // self-reference rejected (checked before anything commits)
+    intercept[IllegalArgumentException] {
+      TableIO.setGeneratedColumn(spark, lh, "gen1", "bucket", "bucket + 0")
+    }
+    TableIO.appendTable(spark, lh, "gen1", Seq((13L, 999L)).toDF("k", "bucket"))
+    assert(TableIO.selectTable(spark, lh, "gen1")
+      .filter(org.apache.spark.sql.functions.col("k") === 13L).head().getAs[Long]("bucket") == 999L)
+    TableIO.dropTable(spark, lh, "gen1")
+  }
+
   test("pre-protocol directories stay readable; legacy files swept later") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
