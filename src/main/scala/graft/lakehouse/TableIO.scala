@@ -1286,6 +1286,85 @@ object TableIO {
     ()
   }
 
+  /** Manifest meta keys for identity columns: declaration + the
+    * high-watermark of assigned values (advanced ATOMICALLY with each
+    * commit that assigns ids — a replayed or raced batch can never reuse
+    * a value). */
+  private[lakehouse] val IdentityPrefix = "graft.identity."
+  private[lakehouse] val IdentityMaxPrefix = "graft.identityMax."
+
+  private def identityColsOf(meta: Map[String, String]): Seq[String] =
+    meta.keys.filter(_.startsWith(IdentityPrefix))
+      .map(_.drop(IdentityPrefix.length)).toSeq.sorted
+
+  /** Assign `watermark+1 .. watermark+n` to each declared identity column
+    * (contiguous, deterministic — [[Transform.addIndexColContiguous]]'s
+    * distributed zipWithIndex) and return the advanced-watermark meta to
+    * ride the SAME commit. The batch pins to storage first: its plan runs
+    * twice (count + write), and ids from a re-evaluated nondeterministic
+    * source would break the uniqueness contract. Explicit values are
+    * rejected — GENERATED **ALWAYS** AS IDENTITY. Returns the pinned
+    * handle for the caller to unpersist after the commit. */
+  private def withIdentityAssigned(df: DataFrame, meta: Map[String, String],
+      ctx: String): (DataFrame, Map[String, String], Option[DataFrame]) = {
+    val cols = identityColsOf(meta)
+    if (cols.isEmpty) return (df, Map.empty, None)
+    cols.foreach(c => require(!df.columns.contains(c),
+      s"$ctx: '$c' is GENERATED ALWAYS AS IDENTITY — explicit values are " +
+        "rejected (omit the column)"))
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pinned.count()
+    var d: DataFrame = pinned
+    val metaAdd = cols.map { c =>
+      val wm = meta.getOrElse(IdentityMaxPrefix + c, "0").toLong
+      d = Transform.addIndexColContiguous(d, c, indexStart = wm,
+        newColPos = d.columns.length)
+      (IdentityMaxPrefix + c) -> (wm + n).toString
+    }.toMap
+    (d, metaAdd, Some(pinned))
+  }
+
+  /** Declare `colName` GENERATED ALWAYS AS IDENTITY (Delta identity
+    * columns): every subsequent append/overwrite batch must OMIT the
+    * column and receives contiguous values above the recorded
+    * high-watermark, which advances atomically in the same commit —
+    * uniqueness survives crashes, replays, and concurrent-append retries
+    * (each retry re-reads the fresh watermark). Values are never reused,
+    * including across overwrites (Delta semantics). If the column already
+    * exists its current max seeds the watermark; if not, it appears on
+    * the first identity append via schema evolution (historical rows read
+    * null). */
+  def setIdentityColumn(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, colName: String, startWith: Long = 1): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry properties"))
+    require(!m.meta.contains(IdentityPrefix + colName),
+      s"$tableName.$colName is already an identity column")
+    require(!m.meta.contains(GeneratedPrefix + colName),
+      s"$tableName.$colName is already a generated column")
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val wm0 =
+      if (!schema.fieldNames.contains(colName)) startWith - 1
+      else {
+        require(schema(colName).dataType == org.apache.spark.sql.types.LongType,
+          s"identity column '$colName' must be LONG, is ${schema(colName).dataType}")
+        val mx = scanSpec(spark, Versioned.scanOf(tableDir, m, m.entries))
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(colName))).head()
+        math.max(if (mx.isNullAt(0)) startWith - 1 else mx.getLong(0),
+          startWith - 1)
+      }
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base,
+      meta = m.meta + (IdentityPrefix + colName -> "1") +
+        (IdentityMaxPrefix + colName -> wm0.toString),
+      op = "SET IDENTITY") { _ => () }
+    ()
+  }
+
   /** ALTER TABLE ADD CONSTRAINT ... CHECK: validates all EXISTING rows
     * satisfy `sqlExpr` (one scan, once), then records the constraint in a
     * metadata-only commit — every subsequent write path (overwrite, append,
@@ -1340,13 +1419,18 @@ object TableIO {
       bloomFilterFor: Seq[String] = Seq.empty,
       extraMeta: Map[String, String] = Map.empty): TableInfo = {
     // generated columns absent from the replacement data are computed
-    // before the overwrite proper (present ones validate via their CHECK)
+    // before the overwrite proper (present ones validate via their
+    // CHECK); identity columns assign above the watermark, which never
+    // resets — values are not reused across overwrites (Delta semantics)
     val dirG = Catalog.tablePath(lh, tableName)
     val metaG = Versioned.latestVersion(dirG)
       .flatMap(Versioned.readManifest(dirG, _)).map(_.meta)
       .getOrElse(Map.empty[String, String])
-    writeTableImpl(spark, lh, tableName, withGeneratedColumns(df, metaG),
-      partitionBy, sortBy, zorderBy, bloomFilterFor, extraMeta)
+    val (dfi, idMeta, pin) = withIdentityAssigned(
+      withGeneratedColumns(df, metaG), metaG, s"$tableName: overwrite")
+    try writeTableImpl(spark, lh, tableName, dfi,
+      partitionBy, sortBy, zorderBy, bloomFilterFor, extraMeta ++ idMeta)
+    finally pin.foreach(_.unpersist())
   }
 
   private def writeTableImpl(spark: SparkSession, lh: LakehouseProps,
@@ -1370,7 +1454,8 @@ object TableIO {
       .getOrElse(Map.empty[String, String])
     val carried = prevMeta.filter { case (k, _) =>
       k.startsWith(CheckPrefix) || k == CdfKey ||
-        k.startsWith(GeneratedPrefix) }
+        k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
+        k.startsWith(IdentityMaxPrefix) }
     val checks = checkConstraintsOf(prevMeta)
     enforceChecks(df, checks, s"$tableName: overwrite")
     // with the feed enabled, an overwrite is a modeled event: every current
@@ -1466,36 +1551,43 @@ object TableIO {
             case Some(m) =>
               // generated columns (Delta generated-column semantics):
               // absent in the batch -> computed here; present -> the
-              // paired CHECK constraint validates it below
+              // paired CHECK constraint validates it below. Identity
+              // columns assign above the recorded watermark, which
+              // advances IN this commit (a lost race retries the whole
+              // block against the fresh manifest, re-reading both).
               val dfg = withGeneratedColumns(df, m.meta)
-              enforceChecks(dfg, checkConstraintsOf(m.meta), s"$tableName: append")
-              val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-              val oldEmpty = spark.createDataFrame(
-                spark.sparkContext.emptyRDD[Row], oldSchema)
-              // evolved schema = old ∪ new (by name); old columns keep
-              // their positions, brand-new ones append as nullable
-              val evolved = oldEmpty
-                .unionByName(dfg.limit(0), allowMissingColumns = true).schema
-              val aligned = oldEmpty.unionByName(dfg, allowMissingColumns = true)
-              val parts = currentPartitioning(lh, tableName)
+              val (dfi, idMeta, pin) =
+                withIdentityAssigned(dfg, m.meta, s"$tableName: append")
               try {
-                val evolvedM = alignMapping(evolved, oldSchema, m.meta, base)
-                val commit = Versioned.commitFiles(tableDir, evolvedM.json,
-                  inherit = m.entries, expectedBase = Some(base),
-                  collectStats = collectFileStats(spark, bloomColsOf(m)),
-                  meta = m.meta ++ extraMeta, op = "APPEND") { target =>
-                  val writer = toPhysical(aligned, evolvedM)
-                    .write.mode(SaveMode.Append)
-                  (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-                   else writer).parquet(target)
+                enforceChecks(dfi, checkConstraintsOf(m.meta), s"$tableName: append")
+                val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+                val oldEmpty = spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row], oldSchema)
+                // evolved schema = old ∪ new (by name); old columns keep
+                // their positions, brand-new ones append as nullable
+                val evolved = oldEmpty
+                  .unionByName(dfi.limit(0), allowMissingColumns = true).schema
+                val aligned = oldEmpty.unionByName(dfi, allowMissingColumns = true)
+                val parts = currentPartitioning(lh, tableName)
+                try {
+                  val evolvedM = alignMapping(evolved, oldSchema, m.meta, base)
+                  val commit = Versioned.commitFiles(tableDir, evolvedM.json,
+                    inherit = m.entries, expectedBase = Some(base),
+                    collectStats = collectFileStats(spark, bloomColsOf(m)),
+                    meta = m.meta ++ extraMeta ++ idMeta, op = "APPEND") { target =>
+                    val writer = toPhysical(aligned, evolvedM)
+                      .write.mode(SaveMode.Append)
+                    (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+                     else writer).parquet(target)
+                  }
+                  return finishCommit(spark, lh, tableName, tableDir, commit,
+                    evolvedM.fieldNames.toSeq, parts)
+                } catch {
+                  case e: Versioned.ConcurrentWriteException =>
+                    attempt += 1
+                    if (attempt > maxRetries) throw e
                 }
-                return finishCommit(spark, lh, tableName, tableDir, commit,
-                  evolvedM.fieldNames.toSeq, parts)
-              } catch {
-                case e: Versioned.ConcurrentWriteException =>
-                  attempt += 1
-                  if (attempt > maxRetries) throw e
-              }
+              } finally pin.foreach(_.unpersist())
             case None =>
               // legacy snapshot version: append = full rewrite once; the
               // table is manifest-based from then on

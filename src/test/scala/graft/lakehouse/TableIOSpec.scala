@@ -358,6 +358,38 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "gen1")
   }
 
+  test("identity columns: contiguous watermark-based assignment, atomic " +
+      "advance, explicit values rejected, no reuse across overwrites") {
+    TableIO.writeTable(spark, lh, "idt1",
+      Seq("a", "b", "c").toDF("s"))
+    TableIO.setIdentityColumn(spark, lh, "idt1", "id")
+    TableIO.appendTable(spark, lh, "idt1", Seq("d", "e").toDF("s"))
+    def ids(): Set[Long] = TableIO.selectTable(spark, lh, "idt1")
+      .collect().flatMap(r => Option(r.getAs[java.lang.Long]("id"))
+        .map(_.longValue)).toSet
+    // historical rows read null; the new batch got 1..2
+    assert(ids() == Set(1L, 2L))
+    TableIO.appendTable(spark, lh, "idt1", Seq("f", "g", "h").toDF("s"))
+    assert(ids() == Set(1L, 2L, 3L, 4L, 5L))
+    // explicit values are rejected (GENERATED ALWAYS)
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.appendTable(spark, lh, "idt1",
+        Seq((99L, "z")).toDF("id", "s"))
+    }
+    assert(ex.getMessage.contains("IDENTITY"), ex.getMessage)
+    // overwrite: declaration survives, values never reused
+    TableIO.writeTable(spark, lh, "idt1", Seq("x", "y").toDF("s"))
+    assert(ids() == Set(6L, 7L), ids())
+    // seeding from an existing column's max
+    TableIO.writeTable(spark, lh, "idt2",
+      Seq((10L, "a"), (40L, "b")).toDF("id", "s"))
+    TableIO.setIdentityColumn(spark, lh, "idt2", "id")
+    TableIO.appendTable(spark, lh, "idt2", Seq("c").toDF("s"))
+    assert(TableIO.selectTable(spark, lh, "idt2")
+      .collect().map(_.getLong(0)).toSet == Set(10L, 40L, 41L))
+    Seq("idt1", "idt2").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
   test("pre-protocol directories stay readable; legacy files swept later") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
