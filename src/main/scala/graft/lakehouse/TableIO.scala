@@ -2390,7 +2390,14 @@ object TableIO {
       // to the file-derived layout. txn watermarks stay behind.
       meta = m.meta.filter { case (k, _) =>
         k.startsWith(CheckPrefix) || k == CdfKey ||
-          k == PartitionByKey || k.startsWith(TombstonePrefix) } +
+          k == PartitionByKey || k.startsWith(TombstonePrefix) ||
+          // declared-schema properties describe the DATA and clone with
+          // it: generated/identity declarations (+ the identity
+          // watermark — a clone must not reuse ids either) and the
+          // recorded cluster spec
+          k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
+          k.startsWith(IdentityMaxPrefix) || k == ClusterByKey ||
+          k == ClusterCurveKey } +
         ("cloneOf" -> s"$sourceName@v$srcVersion"),
       op = "CLONE") { _ => () }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -2449,7 +2456,14 @@ object TableIO {
       collectStats = _ => statsByRel,
       meta = m.meta.filter { case (k, _) =>
         k.startsWith(CheckPrefix) || k == CdfKey ||
-          k == PartitionByKey || k.startsWith(TombstonePrefix) } +
+          k == PartitionByKey || k.startsWith(TombstonePrefix) ||
+          // declared-schema properties describe the DATA and clone with
+          // it: generated/identity declarations (+ the identity
+          // watermark — a clone must not reuse ids either) and the
+          // recorded cluster spec
+          k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
+          k.startsWith(IdentityMaxPrefix) || k == ClusterByKey ||
+          k == ClusterCurveKey } +
         ("cloneOf" -> s"$sourceName@v$srcVersion"),
       op = "CLONE") { target =>
       val tBase = Paths.get(target)

@@ -204,6 +204,32 @@ class CloneSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "dc_deep")
   }
 
+  test("clones carry generated/identity declarations and the identity " +
+      "watermark — a clone can never reuse the source's ids") {
+    TableIO.writeTable(spark, lh, "cp_src2",
+      Seq(("a", 1L), ("b", 1L)).toDF("s", "bucket"))
+    TableIO.setGeneratedColumn(spark, lh, "cp_src2", "bucket", "1")
+    TableIO.setIdentityColumn(spark, lh, "cp_src2", "id")
+    TableIO.appendTable(spark, lh, "cp_src2", Seq("c").toDF("s")) // id 1
+    TableIO.cloneTable(spark, lh, "cp_src2", "cp_dst2")
+    // identity continues ABOVE the source's watermark on the clone
+    TableIO.appendTable(spark, lh, "cp_dst2", Seq("d").toDF("s"))
+    val cloneIds = TableIO.selectTable(spark, lh, "cp_dst2")
+      .collect().flatMap(r => Option(r.getAs[java.lang.Long]("id"))
+        .map(_.longValue)).toSet
+    assert(cloneIds == Set(1L, 2L), cloneIds)
+    // generated column still computes on the clone
+    assert(TableIO.selectTable(spark, lh, "cp_dst2")
+      .filter(org.apache.spark.sql.functions.col("s") === "d")
+      .head().getAs[Long]("bucket") == 1L)
+    // ...and still validates
+    intercept[IllegalArgumentException] {
+      TableIO.appendTable(spark, lh, "cp_dst2",
+        Seq(("e", 7L)).toDF("s", "bucket"))
+    }
+    Seq("cp_src2", "cp_dst2").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
   test("deep clone of a shallow clone materializes the references") {
     TableIO.writeTable(spark, lh, "dm_src",
       (1 to 60).map(i => (i, s"x$i")).toDF("k", "s"))
