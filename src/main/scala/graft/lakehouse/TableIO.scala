@@ -2331,8 +2331,22 @@ object TableIO {
       s"cannot restore $tableName to $version: ${missing.size} of its data " +
         "files were already vacuumed")
     val base = Versioned.latestVersion(tableDir)
+    // restoring reverts data AND properties to the target version — with
+    // ONE exception: identity high-watermarks stay MONOTONIC (max of
+    // then and now). Reverting a watermark would hand out ids that rows
+    // committed after the target version already used, and those rows
+    // may live on in clones, exports, or downstream joins.
+    val curMeta = base.flatMap(Versioned.readManifest(tableDir, _))
+      .map(_.meta).getOrElse(Map.empty[String, String])
+    val restoredMeta = m.meta ++ curMeta.collect {
+      case (k, v) if k.startsWith(IdentityMaxPrefix) =>
+        val thenWm = m.meta.get(k)
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        val nowWm = scala.util.Try(v.toLong).getOrElse(0L)
+        k -> math.max(thenWm, nowWm).toString
+    }
     val commit = Versioned.commitFiles(tableDir, m.schemaJson,
-      inherit = m.entries, expectedBase = base, meta = m.meta,
+      inherit = m.entries, expectedBase = base, meta = restoredMeta,
       op = "RESTORE") { _ => () }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     finishCommit(spark, lh, tableName, tableDir, commit,

@@ -390,6 +390,24 @@ class TableIOSpec extends SparkSuite {
     Seq("idt1", "idt2").foreach(TableIO.dropTable(spark, lh, _))
   }
 
+  test("RESTORE keeps the identity watermark monotonic: post-restore " +
+      "appends never reuse ids handed out after the restore target") {
+    TableIO.writeTable(spark, lh, "idr1", Seq("a").toDF("s"))
+    TableIO.setIdentityColumn(spark, lh, "idr1", "id")
+    TableIO.appendTable(spark, lh, "idr1", Seq("b").toDF("s")) // id 1
+    val dir = Catalog.tablePath(lh, "idr1")
+    val vAfterFirst = Versioned.latestVersion(dir).get
+    TableIO.appendTable(spark, lh, "idr1", Seq("c", "d").toDF("s")) // 2, 3
+    TableIO.restoreTable(spark, lh, "idr1", vAfterFirst)
+    TableIO.appendTable(spark, lh, "idr1", Seq("e").toDF("s"))
+    val ids = TableIO.selectTable(spark, lh, "idr1")
+      .collect().flatMap(r => Option(r.getAs[java.lang.Long]("id"))
+        .map(_.longValue)).toSet
+    // the restored state has id 1; the new row continues at 4, NOT 2
+    assert(ids == Set(1L, 4L), ids)
+    TableIO.dropTable(spark, lh, "idr1")
+  }
+
   test("pre-protocol directories stay readable; legacy files swept later") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
