@@ -2573,8 +2573,17 @@ object TableIO {
             .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
       }
     })
+    // an identity declaration follows its column through the rename —
+    // leaving it keyed to the old name would orphan the watermark AND
+    // make the next append re-create the old column via schema evolution
+    val reKeyed =
+      if (!m.meta.contains(IdentityPrefix + oldName)) m.meta
+      else m.meta - (IdentityPrefix + oldName) - (IdentityMaxPrefix + oldName) +
+        (IdentityPrefix + newName -> m.meta(IdentityPrefix + oldName)) +
+        (IdentityMaxPrefix + newName ->
+          m.meta.getOrElse(IdentityMaxPrefix + oldName, "0"))
     val commit = Versioned.commitFiles(tableDir, renamed.json,
-      inherit = m.entries, expectedBase = base, meta = m.meta,
+      inherit = m.entries, expectedBase = base, meta = reKeyed,
       op = "RENAME COLUMN") { _ => () }
     finishCommit(spark, lh, tableName, tableDir, commit,
       renamed.fieldNames.toSeq, partitioningOfFiles(m.files))
@@ -2604,6 +2613,11 @@ object TableIO {
     constraintMentions(m.meta, colName).foreach(n =>
       throw new IllegalArgumentException(
         s"CHECK constraint '$n' references $colName — drop it first"))
+    require(!m.meta.contains(IdentityPrefix + colName),
+      s"$colName is an identity column — its declaration must go " +
+        "explicitly first (the watermark would silently vanish with it)")
+    require(!m.meta.contains(GeneratedPrefix + colName),
+      s"$colName is a generated column — drop the declaration first")
     val narrowed = StructType(schema.fields.filterNot(_.name == colName))
     // tombstone the PHYSICAL name: a later column re-added under this name
     // must get a fresh physical slot, not resurrect the retired bytes

@@ -169,4 +169,29 @@ class ColumnMappingSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "r7")
       .columns.toSeq == Seq("k", "score"))
   }
+
+  test("identity declarations follow column renames (watermark intact); " +
+      "dropping a declared identity column is rejected") {
+    TableIO.writeTable(spark, lh, "cmid", Seq("a").toDF("s"))
+    TableIO.setIdentityColumn(spark, lh, "cmid", "id")
+    TableIO.appendTable(spark, lh, "cmid", Seq("b", "c").toDF("s")) // 1, 2
+    TableIO.renameColumn(spark, lh, "cmid", "id", "row_id")
+    // assignment continues under the NEW name, above the old watermark
+    TableIO.appendTable(spark, lh, "cmid", Seq("d").toDF("s"))
+    val ids = TableIO.selectTable(spark, lh, "cmid")
+      .collect().flatMap(r => Option(r.getAs[java.lang.Long]("row_id"))
+        .map(_.longValue)).toSet
+    assert(ids == Set(1L, 2L, 3L), ids)
+    // explicit values still rejected under the new name
+    intercept[IllegalArgumentException] {
+      TableIO.appendTable(spark, lh, "cmid",
+        Seq((9L, "z")).toDF("row_id", "s"))
+    }
+    // dropping the column with a live declaration is refused
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.dropColumn(spark, lh, "cmid", "row_id")
+    }
+    assert(ex.getMessage.contains("identity"), ex.getMessage)
+    TableIO.dropTable(spark, lh, "cmid")
+  }
 }
