@@ -3306,5 +3306,65 @@ object Queries {
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_name LIKE 'Customer#0000001%'
         |ORDER BY c_custkey""".stripMargin)),
+
+    // Identity columns: GENERATED ALWAYS AS IDENTITY assignment over a
+    // deterministically-ordered batch (single partition, sorted) — the
+    // contiguous watermark ids then equal row_number(), which the oracle
+    // replays. Two appends verify the watermark advances atomically.
+    Q("q147_identity_append",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "supplier_id")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        TableIO.writeTable(s, lh, "supplier_id",
+          sup.filter(col("s_suppkey") % 2 === 0)
+            .orderBy("s_suppkey").coalesce(1))
+        TableIO.setIdentityColumn(s, lh, "supplier_id", "row_id")
+        TableIO.appendTable(s, lh, "supplier_id",
+          sup.filter(col("s_suppkey") % 4 === 1)
+            .orderBy("s_suppkey").coalesce(1))
+        TableIO.appendTable(s, lh, "supplier_id",
+          sup.filter(col("s_suppkey") % 4 === 3)
+            .orderBy("s_suppkey").coalesce(1))
+        TableIO.selectTable(s, lh, "supplier_id")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH b1 AS (
+        |  SELECT s_suppkey, s_name,
+        |    row_number() OVER (ORDER BY s_suppkey) AS row_id
+        |  FROM supplier WHERE s_suppkey % 4 = 1),
+        |n1 AS (SELECT count(*) AS n FROM b1),
+        |b2 AS (
+        |  SELECT s_suppkey, s_name,
+        |    row_number() OVER (ORDER BY s_suppkey) + n1.n AS row_id
+        |  FROM supplier, n1 WHERE s_suppkey % 4 = 3)
+        |SELECT s_suppkey, s_name, CAST(NULL AS BIGINT) AS row_id
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |UNION ALL SELECT s_suppkey, s_name, CAST(row_id AS BIGINT) FROM b1
+        |UNION ALL SELECT s_suppkey, s_name, CAST(row_id AS BIGINT) FROM b2
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // Generated columns: a batch omitting the declared column gets it
+    // computed at ingest; the oracle replays the expression.
+    Q("q148_generated_append",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_gen")
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        TableIO.writeTable(s, lh, "orders_gen",
+          o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("price_band",
+              floor(col("o_totalprice") / lit(50000.0)).cast("long")))
+        TableIO.setGeneratedColumn(s, lh, "orders_gen", "price_band",
+          "CAST(floor(o_totalprice / 50000.0) AS LONG)")
+        TableIO.appendTable(s, lh, "orders_gen",
+          o.filter(col("o_orderkey") % 3 === 1)) // no price_band: computed
+        TableIO.selectTable(s, lh, "orders_gen").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+        |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_band
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }
