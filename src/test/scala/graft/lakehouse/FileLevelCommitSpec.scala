@@ -247,6 +247,33 @@ class FileLevelCommitSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "conc")
   }
 
+  test("6 threads appending to an IDENTITY table concurrently: ids come " +
+      "out unique and gap-free — every lost race re-reads the fresh " +
+      "watermark before assigning") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    TableIO.writeTable(spark, lh, "idconc", Seq("seed").toDF("s"))
+    TableIO.setIdentityColumn(spark, lh, "idconc", "id")
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 6).map { w =>
+        Future {
+          TableIO.appendTable(spark, lh, "idconc",
+            Seq(s"w$w-a", s"w$w-b", s"w$w-c").toDF("s"), maxRetries = 30)
+        }
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+      val ids = TableIO.selectTable(spark, lh, "idconc")
+        .collect().flatMap(r => Option(r.getAs[java.lang.Long]("id"))
+          .map(_.longValue)).toSeq
+      // 18 assigned rows, each id exactly once, contiguous 1..18
+      assert(ids.sorted == (1L to 18L), ids.sorted)
+    } finally pool.shutdown()
+    TableIO.dropTable(spark, lh, "idconc")
+  }
+
   test("a merge racing a concurrent commit fails loudly (no lost update)") {
     TableIO.writeTable(spark, lh, "c1", Seq((1, "a"), (2, "b")).toDF("k", "s"))
     val tdir = Catalog.tablePath(lh, "c1")
