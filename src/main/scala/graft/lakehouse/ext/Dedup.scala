@@ -725,11 +725,18 @@ object Dedup {
           lit(scala.math.BigDecimal(java.lang.Double.toString(threshold))))
           + lit(1)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pref = docs.select(col(idCol),
+    val pref = docs.select(col(idCol), col("sz"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("t"))
-    val cand = pref.select(col(idCol).as("a"), col("t"))
-      .join(pref.select(col(idCol).as("b"), col("t")), "t")
-      .filter(col("a") < col("b"))
+    // length filter (also Bayardo et al.): J(a,b) >= t forces
+    // t·|a| <= |b| <= |a|/t — size-incompatible candidates die BEFORE the
+    // distinct and the array-carrying verification join. Same exact
+    // decimal-ceil as plen so a boundary pair can never be over-pruned.
+    val tExact = lit(scala.math.BigDecimal(java.lang.Double.toString(threshold)))
+    val cand = pref.select(col(idCol).as("a"), col("sz").as("sza"), col("t"))
+      .join(pref.select(col(idCol).as("b"), col("sz").as("szb"), col("t")), "t")
+      .filter(col("a") < col("b") &&
+        col("szb") >= ceil(col("sza") * tExact) &&
+        col("sza") >= ceil(col("szb") * tExact))
       .select("a", "b").distinct()
     val result = cand
       .join(docs.select(col(idCol).as("a"), col("toks").as("ta"),
