@@ -1316,7 +1316,12 @@ object TableIO {
     val n = pinned.count()
     var d: DataFrame = pinned
     val metaAdd = cols.map { c =>
-      val wm = meta.getOrElse(IdentityMaxPrefix + c, "0").toLong
+      // a corrupt watermark must fail LOUDLY — falling back to 0 would
+      // silently reuse ids, the one thing identity exists to prevent
+      val raw = meta.getOrElse(IdentityMaxPrefix + c, "0")
+      val wm = scala.util.Try(raw.toLong).getOrElse(throw
+        new IllegalStateException(s"$ctx: identity watermark for '$c' " +
+          s"is unreadable ('$raw') — refusing to assign ids"))
       d = Transform.addIndexColContiguous(d, c, indexStart = wm,
         newColPos = d.columns.length)
       (IdentityMaxPrefix + c) -> (wm + n).toString
