@@ -3366,5 +3366,23 @@ object Queries {
         |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_band
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // Salted skew join: the hot-key mitigation (fact rows salt uniformly,
+    // the dimension explodes x salts, the join key becomes (key, salt) —
+    // one hot key spreads over `salts` reducers). The contract is result
+    // EQUALS the plain inner join, which is exactly what the oracle runs.
+    Q("q149_salted_skew_join",
+      (s, dir) => Joins.saltedSkewJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+            "l_quantity"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          "l_orderkey", salts = 8)
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |  o.o_orderstatus
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 300000.0
+        |ORDER BY 1, 2""".stripMargin)),
   )
 }
