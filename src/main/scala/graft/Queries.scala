@@ -3384,5 +3384,22 @@ object Queries {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_totalprice > 300000.0
         |ORDER BY 1, 2""".stripMargin)),
+
+    // Deep clone round trip: byte-copied files + verbatim stats, then the
+    // SOURCE is dropped — the clone must keep serving (full detachment,
+    // the guarantee shallow clones trade away). q118's shallow twin.
+    Q("q150_deep_clone",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val part = t(s, dir, "part")
+        TableIO.dropTable(s, lh, "dclone_src")
+        TableIO.dropTable(s, lh, "dclone_dst")
+        TableIO.writeTable(s, lh, "dclone_src", part)
+        TableIO.cloneTable(s, lh, "dclone_src", "dclone_dst", deep = true)
+        TableIO.dropTable(s, lh, "dclone_src") // clone must survive this
+        TableIO.deleteFromTable(s, lh, "dclone_dst", "p_size > 40")
+        TableIO.selectTable(s, lh, "dclone_dst").orderBy("p_partkey")
+      },
+      Some("SELECT * FROM part WHERE p_size <= 40 ORDER BY p_partkey")),
   )
 }
