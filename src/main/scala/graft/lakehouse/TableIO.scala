@@ -1428,13 +1428,19 @@ object TableIO {
     // CHECK); identity columns assign above the watermark, which never
     // resets — values are not reused across overwrites (Delta semantics)
     val dirG = Catalog.tablePath(lh, tableName)
-    val metaG = Versioned.latestVersion(dirG)
+    val baseG = Versioned.latestVersion(dirG)
+    val metaG = baseG
       .flatMap(Versioned.readManifest(dirG, _)).map(_.meta)
       .getOrElse(Map.empty[String, String])
     val (dfi, idMeta, pin) = withIdentityAssigned(
       withGeneratedColumns(df, metaG), metaG, s"$tableName: overwrite")
+    // ids were assigned above baseG's watermark: the commit must pin that
+    // base, or a concurrent append could advance the watermark first and
+    // this overwrite would commit a REGRESSED one — the next batch would
+    // hand out ids the table's history already used
     try writeTableImpl(spark, lh, tableName, dfi,
-      partitionBy, sortBy, zorderBy, bloomFilterFor, extraMeta ++ idMeta)
+      partitionBy, sortBy, zorderBy, bloomFilterFor, extraMeta ++ idMeta,
+      pinBase = if (idMeta.nonEmpty) baseG else None)
     finally pin.foreach(_.unpersist())
   }
 
@@ -1442,7 +1448,8 @@ object TableIO {
       tableName: String, df: DataFrame, partitionBy: Seq[String],
       sortBy: Seq[String], zorderBy: Seq[String],
       bloomFilterFor: Seq[String],
-      extraMeta: Map[String, String]): TableInfo = {
+      extraMeta: Map[String, String],
+      pinBase: Option[Long] = None): TableInfo = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy (1-D clustering) and zorderBy (Z-curve) are exclusive")
     require(bloomFilterFor.intersect(partitionBy).isEmpty,
@@ -1486,12 +1493,14 @@ object TableIO {
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
-      // the CDF preimage is pinned to prevVersion; committing without
+      // the CDF preimage is pinned to prevVersion (committing without
       // pinning that base would let a concurrent commit slip between the
       // pin and the claim, making the recorded feed diverge from the
       // version this overwrite actually replaced — rows committed in the
-      // window would get neither a delete event nor survive
-      expectedBase = if (prevScanForCdf.isDefined) prevVersion else None,
+      // window would get neither a delete event nor survive); pinBase
+      // pins the identity-watermark read the same way
+      expectedBase = pinBase.orElse(
+        if (prevScanForCdf.isDefined) prevVersion else None),
       collectStats = collectFileStats(spark, bloomFilterFor),
       meta = carried ++ extraMeta +
         (PartitionByKey -> partitionBy.mkString(",")),
@@ -1951,6 +1960,22 @@ object TableIO {
       require(vs.keySet.subsetOf(schema.fieldNames.toSet),
         s"INSERT values name columns the target does not have: " +
           s"${vs.keySet -- schema.fieldNames}"))
+    // GENERATED ALWAYS AS IDENTITY under MERGE (Delta semantics): UPDATE
+    // cannot touch the column, INSERT cannot supply it — inserted rows get
+    // engine-assigned ids above the watermark, advanced in THIS commit
+    val idCols = identityColsOf(m.meta)
+    val genCols = generatedColsOf(m.meta).toSeq.sortBy(_._1)
+    idCols.foreach { c =>
+      require(allSets.forall(!_.contains(c)),
+        s"$tableName.$c is GENERATED ALWAYS AS IDENTITY — UPDATE SET " +
+          "cannot modify it")
+      require(insertCs.flatMap(_.values).forall(!_.contains(c)),
+        s"$tableName.$c is GENERATED ALWAYS AS IDENTITY — explicit INSERT " +
+          "values are rejected (omit the column)")
+      require(insertCs.forall(_.values.isDefined) || !source.columns.contains(c),
+        s"$tableName.$c is GENERATED ALWAYS AS IDENTITY — an INSERT * " +
+          "source must not carry the column")
+    }
     val withCdf = cdfEnabled(m.meta)
     val MCol = "__graft_m"
     val ACol = "__graft_act"
@@ -2041,8 +2066,9 @@ object TableIO {
         }.toSeq: _*)
       val rewritten = projected(withAct.filter(!deleted))
       // ---- inserts: source rows matching NO target key ----
-      val inserts: Option[DataFrame] =
-        if (insertCs.isEmpty) None
+      val (inserts, insIdMeta, insPin): (Option[DataFrame],
+          Map[String, String], Option[DataFrame]) =
+        if (insertCs.isEmpty) (None, Map.empty[String, String], None)
         else {
           val tgtKeys =
             if (m.entries.isEmpty)
@@ -2055,20 +2081,55 @@ object TableIO {
             .withColumn(ACol, firstMatch(insertCs.map(c =>
               condOf(c.condition))))
             .filter(col(ACol) >= 0)
-          Some(unmatched.select(schema.fields.map { f =>
+          val genNames = genCols.map(_._1).toSet
+          // first projection: every non-identity field. A generated field
+          // the firing clause did not supply projects NULL here and is
+          // computed below FROM the projected row — its expression
+          // references TARGET column names, which only exist post-select
+          // (Delta computes generated columns on MERGE INSERT too).
+          val projectedIns = unmatched.select((schema.fields.filterNot(f =>
+            idCols.contains(f.name)).map { f =>
             val cases = insertCs.zipWithIndex.map { case (c, i) =>
               val e = c.values match {
                 case Some(vs) => vs.get(f.name)
                   .map(expr(_).cast(f.dataType))
                   .getOrElse(lit(null).cast(f.dataType))
-                case None => col(s"s.${f.name}").cast(f.dataType)
+                case None =>
+                  if (genNames.contains(f.name) &&
+                      !source.columns.contains(f.name))
+                    lit(null).cast(f.dataType)
+                  else col(s"s.${f.name}").cast(f.dataType)
               }
               (col(ACol) === i) -> e
             }
             cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
               (acc, cv) => acc.when(cv._1, cv._2)
             }.otherwise(lit(null).cast(f.dataType)).as(f.name)
-          }.toSeq: _*))
+          } :+ col(ACol)).toSeq: _*)
+          val computed = genCols.foldLeft(projectedIns) { case (d, (g, ge)) =>
+            if (!schema.fieldNames.contains(g)) d
+            else {
+              val supplied = insertCs.zipWithIndex.collect { case (c, i)
+                  if c.values.fold(source.columns.contains(g))(_.contains(g)) =>
+                col(ACol) === i
+              }
+              d.withColumn(g, when(
+                supplied.reduceOption(_ || _).getOrElse(lit(false)), col(g))
+                .otherwise(expr(ge).cast(schema(g).dataType)))
+            }
+          }
+          // identity ids for the inserted rows, watermark advancing in
+          // THIS commit (expectedBase is already pinned below, so a raced
+          // watermark cannot be overwritten). An identity column declared
+          // but not yet materialized in the schema is skipped — it appears
+          // on the next append's schema evolution, as elsewhere.
+          val assignMeta = m.meta.filter { case (k, _) =>
+            !k.startsWith(IdentityPrefix) ||
+              schema.fieldNames.contains(k.drop(IdentityPrefix.length)) }
+          val (withIds, im, p) = withIdentityAssigned(computed.drop(ACol),
+            assignMeta, s"$tableName: merge insert")
+          (Some(withIds.select(schema.fields.map(f =>
+            col(f.name)): _*)), im, p)
         }
       val payload = inserts.fold(rewritten)(ins =>
         rewritten.unionByName(ins))
@@ -2097,7 +2158,7 @@ object TableIO {
         val commit = Versioned.commitFiles(tableDir, m.schemaJson,
           inherit = untouched, expectedBase = Some(b),
           collectStats = collectFileStats(spark, bloomColsOf(m)),
-          meta = m.meta,
+          meta = m.meta ++ insIdMeta,
           beforeMarker = (v, _, cid) => changes.foreach(
             _.write.mode(SaveMode.Overwrite)
               .parquet(cdfDir(tableDir, v, cid).toString)),
@@ -2113,7 +2174,10 @@ object TableIO {
         }
         finishCommit(spark, lh, tableName, tableDir, commit,
           schema.fieldNames.toSeq, parts)
-      } finally if (withCdf) withAct.unpersist()
+      } finally {
+        if (withCdf) withAct.unpersist()
+        insPin.foreach(_.unpersist())
+      }
     } finally srcKeys.unpersist()
   }
 
@@ -3538,6 +3602,14 @@ object TableIO {
         require(set.keySet.subsetOf(schema.fieldNames.toSet),
           s"UPDATE SET names missing columns: " +
             s"${set.keySet -- schema.fieldNames}")
+        // GENERATED ALWAYS AS IDENTITY: ids are engine-assigned, never
+        // user-writable — a SET here would silently break uniqueness.
+        // (Generated columns need no guard: their paired CHECK rejects an
+        // inconsistent post-image at enforceChecks below.)
+        identityColsOf(m.meta).filter(set.contains).foreach(c =>
+          throw new IllegalArgumentException(
+            s"$tableName.$c is GENERATED ALWAYS AS IDENTITY — UPDATE SET " +
+              "cannot modify it"))
         val affectedPaths =
           if (m.entries.isEmpty) Set.empty[String]
           else scanFiles(spark, Versioned.scanOf(tableDir, m, m.entries),

@@ -194,4 +194,72 @@ class MergeIntoSpec extends SparkSuite {
       Seq("k"), Seq(MatchedUpdate(Map("v" -> "s.nv"))))
     assert(rows("mi8").find(_._1 == 1).get._3 == 9.0)
   }
+
+  test("identity columns under merge: inserts get engine ids above the " +
+      "watermark; explicit values and UPDATE SET are rejected") {
+    TableIO.writeTable(spark, lh, "mid1",
+      Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "k", "s"))
+    TableIO.setIdentityColumn(spark, lh, "mid1", "id") // watermark seeds at 2
+    val src = Seq((2, "B"), (3, "C"), (4, "D")).toDF("k", "ns")
+    TableIO.mergeInto(spark, lh, "mid1", src, Seq("k"), Seq(
+      MatchedUpdate(Map("s" -> "s.ns")),
+      NotMatchedInsert(values = Some(Map("k" -> "s.k", "s" -> "s.ns")))))
+    val got = TableIO.selectTable(spark, lh, "mid1")
+      .select("id", "k", "s").as[(Long, Int, String)].collect().sortBy(_._2)
+    // updated row keeps its id; the two inserts got 3 and 4 (fresh, unique)
+    assert(got.map(r => (r._2, r._3)).toSeq ==
+      Seq((1, "a"), (2, "B"), (3, "C"), (4, "D")))
+    assert(got.find(_._2 == 2).get._1 == 2L)
+    assert(got.filter(_._2 >= 3).map(_._1).toSet == Set(3L, 4L))
+    // the watermark advanced IN the merge commit: the next append continues
+    TableIO.appendTable(spark, lh, "mid1", Seq((9, "z")).toDF("k", "s"))
+    assert(TableIO.selectTable(spark, lh, "mid1")
+      .filter($"k" === 9).head().getAs[Long]("id") == 5L)
+    // GENERATED ALWAYS: explicit insert values rejected
+    val e1 = intercept[IllegalArgumentException] {
+      TableIO.mergeInto(spark, lh, "mid1", Seq((7, "x")).toDF("k", "ns"),
+        Seq("k"), Seq(NotMatchedInsert(values = Some(Map(
+          "id" -> "99", "k" -> "s.k", "s" -> "s.ns")))))
+    }
+    assert(e1.getMessage.contains("IDENTITY"), e1.getMessage)
+    // ... UPDATE SET rejected
+    val e2 = intercept[IllegalArgumentException] {
+      TableIO.mergeInto(spark, lh, "mid1", Seq((2, "B2")).toDF("k", "ns"),
+        Seq("k"), Seq(MatchedUpdate(Map("id" -> "99"))))
+    }
+    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
+    // ... and an INSERT * source carrying the column rejected
+    val e3 = intercept[IllegalArgumentException] {
+      TableIO.mergeInto(spark, lh, "mid1",
+        Seq((99L, 8, "y")).toDF("id", "k", "s"),
+        Seq("k"), Seq(NotMatchedInsert()))
+    }
+    assert(e3.getMessage.contains("IDENTITY"), e3.getMessage)
+    TableIO.dropTable(spark, lh, "mid1")
+  }
+
+  test("generated columns under merge: omitted on insert computes, wrong " +
+      "supplied value fails the paired CHECK") {
+    TableIO.writeTable(spark, lh, "mgen1",
+      Seq((1, 10L, 20L)).toDF("k", "a", "b2"))
+    TableIO.setGeneratedColumn(spark, lh, "mgen1", "b2", "a * 2")
+    // values-clause omitting b2: computed from the inserted row's post-image
+    TableIO.mergeInto(spark, lh, "mgen1", Seq((2, 30L)).toDF("k", "na"),
+      Seq("k"), Seq(NotMatchedInsert(values = Some(Map(
+        "k" -> "s.k", "a" -> "s.na")))))
+    // INSERT * source without b2: computed too
+    TableIO.mergeInto(spark, lh, "mgen1", Seq((3, 50L)).toDF("k", "a"),
+      Seq("k"), Seq(NotMatchedInsert()))
+    val got = TableIO.selectTable(spark, lh, "mgen1")
+      .select("k", "a", "b2").as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, 10L, 20L), (2, 30L, 60L), (3, 50L, 100L)))
+    // a supplied-but-wrong value still fails loudly via the paired CHECK
+    val e = intercept[IllegalArgumentException] {
+      TableIO.mergeInto(spark, lh, "mgen1", Seq((4, 70L)).toDF("k", "na"),
+        Seq("k"), Seq(NotMatchedInsert(values = Some(Map(
+          "k" -> "s.k", "a" -> "s.na", "b2" -> "999")))))
+    }
+    assert(e.getMessage.contains("CHECK"), e.getMessage)
+    TableIO.dropTable(spark, lh, "mgen1")
+  }
 }

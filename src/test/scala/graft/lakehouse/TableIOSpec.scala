@@ -408,6 +408,18 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "idr1")
   }
 
+  test("UPDATE SET cannot modify an identity column") {
+    TableIO.writeTable(spark, lh, "idu1",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TableIO.setIdentityColumn(spark, lh, "idu1", "id")
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.updateTable(spark, lh, "idu1", "s = 'a'",
+        Map("id" -> "99"))
+    }
+    assert(ex.getMessage.contains("IDENTITY"), ex.getMessage)
+    TableIO.dropTable(spark, lh, "idu1")
+  }
+
   test("pre-protocol directories stay readable; legacy files swept later") {
     val legacyDir = Catalog.tablePath(lh, "tlegacy")
     Seq((7, "x")).toDF("k", "s").write.parquet(legacyDir) // no pointer file
