@@ -1766,6 +1766,19 @@ object TableIO {
     }
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
+    // whole-row upserts take every column from the SOURCE — on an identity
+    // table that means caller-fabricated ids for new keys, which the
+    // watermark would later hand out AGAIN (duplicate "unique" ids), or
+    // null ids if the source omits the column. Reject loudly: mergeInto
+    // preserves target ids on update and engine-assigns them on insert.
+    locally {
+      val idDecl = base.flatMap(Versioned.readManifest(tableDir, _))
+        .map(m => identityColsOf(m.meta)).getOrElse(Seq.empty)
+      require(idDecl.isEmpty,
+        s"$tableName has GENERATED ALWAYS AS IDENTITY column(s) " +
+          s"${idDecl.mkString(", ")} — whole-row mergeTable would take ids " +
+          "from the source; use mergeInto instead")
+    }
     (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
       case (Some(_), Some(m)) if !cdfEnabled(m.meta) =>
         // without a change feed to stage, MERGE is exactly the generalized
@@ -2214,6 +2227,11 @@ object TableIO {
         require(!cdfEnabled(m.meta),
           s"$tableName: replaceKeyedRows does not stage change-data files; " +
             "disable the change feed or route through mergeTable/deleteFromTable")
+        // same hazard as mergeTable: replacement rows carry caller-chosen
+        // values for EVERY column — on an identity table that forges ids
+        require(identityColsOf(m.meta).isEmpty,
+          s"$tableName has GENERATED ALWAYS AS IDENTITY column(s) — keyed " +
+            "replacement would take ids from the caller; use mergeInto")
         enforceChecks(newRows, checkConstraintsOf(m.meta), s"$tableName: replace")
         val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
         val remKeys = removalKeys.select(keyColumns: _*).distinct()

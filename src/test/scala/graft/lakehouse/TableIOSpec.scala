@@ -408,6 +408,18 @@ class TableIOSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "idr1")
   }
 
+  test("whole-row mergeTable is rejected on identity tables") {
+    TableIO.writeTable(spark, lh, "idm2",
+      Seq((1L, "a")).toDF("id", "s"))
+    TableIO.setIdentityColumn(spark, lh, "idm2", "id")
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.mergeTable(spark, lh, "idm2",
+        Seq((99L, "b")).toDF("id", "s"), Seq("s"))
+    }
+    assert(ex.getMessage.contains("IDENTITY"), ex.getMessage)
+    TableIO.dropTable(spark, lh, "idm2")
+  }
+
   test("UPDATE SET cannot modify an identity column") {
     TableIO.writeTable(spark, lh, "idu1",
       Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
