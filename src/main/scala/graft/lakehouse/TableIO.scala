@@ -1264,8 +1264,9 @@ object TableIO {
       Map(s"__gen_$colName" -> check), s"$tableName: existing data")
     Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
       expectedBase = base,
-      meta = m.meta + (GeneratedPrefix + colName -> sqlExpr) +
-        (CheckPrefix + s"__gen_$colName" -> check),
+      meta = Versioned.withFeature(
+        m.meta + (GeneratedPrefix + colName -> sqlExpr) +
+          (CheckPrefix + s"__gen_$colName" -> check), "generatedColumns"),
       op = "SET GENERATED") { _ => () }
     ()
   }
@@ -1364,8 +1365,9 @@ object TableIO {
       }
     Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
       expectedBase = base,
-      meta = m.meta + (IdentityPrefix + colName -> "1") +
-        (IdentityMaxPrefix + colName -> wm0.toString),
+      meta = Versioned.withFeature(
+        m.meta + (IdentityPrefix + colName -> "1") +
+          (IdentityMaxPrefix + colName -> wm0.toString), "identityColumns"),
       op = "SET IDENTITY") { _ => () }
     ()
   }
@@ -1389,7 +1391,9 @@ object TableIO {
     enforceChecks(scanSpec(spark, Versioned.scanOf(tableDir, m, m.entries)),
       Map(name -> sqlExpr), s"$tableName: existing data")
     Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
-      expectedBase = base, meta = m.meta + (CheckPrefix + name -> sqlExpr),
+      expectedBase = base,
+      meta = Versioned.withFeature(
+        m.meta + (CheckPrefix + name -> sqlExpr), "checkConstraints"),
       op = "ADD CONSTRAINT") {
       _ => ()
     }
@@ -2606,7 +2610,9 @@ object TableIO {
       "partition column names must not contain ',' or newlines")
     val commit = Versioned.commitFiles(tableDir, m.schemaJson,
       inherit = m.entries, expectedBase = base,
-      meta = m.meta + (PartitionByKey -> partitionBy.mkString(",")),
+      meta = Versioned.withFeature(
+        m.meta + (PartitionByKey -> partitionBy.mkString(",")),
+        "partitionEvolution"),
       op = "SET PARTITIONING") { _ => () }
     finishCommit(spark, lh, tableName, tableDir, commit,
       schema.fieldNames.toSeq, partitionBy)
@@ -2670,7 +2676,8 @@ object TableIO {
         (IdentityMaxPrefix + newName ->
           m.meta.getOrElse(IdentityMaxPrefix + oldName, "0"))
     val commit = Versioned.commitFiles(tableDir, renamed.json,
-      inherit = m.entries, expectedBase = base, meta = reKeyed,
+      inherit = m.entries, expectedBase = base,
+      meta = Versioned.withFeature(reKeyed, "columnMapping"),
       op = "RENAME COLUMN") { _ => () }
     finishCommit(spark, lh, tableName, tableDir, commit,
       renamed.fieldNames.toSeq, partitioningOfFiles(m.files))
@@ -2713,7 +2720,8 @@ object TableIO {
       else f.name).get
     val commit = Versioned.commitFiles(tableDir, narrowed.json,
       inherit = m.entries, expectedBase = base,
-      meta = m.meta + (TombstonePrefix + dropped -> "1"),
+      meta = Versioned.withFeature(
+        m.meta + (TombstonePrefix + dropped -> "1"), "columnMapping"),
       op = "DROP COLUMN") { _ => () }
     finishCommit(spark, lh, tableName, tableDir, commit,
       narrowed.fieldNames.toSeq, partitioningOfFiles(m.files))
@@ -2880,19 +2888,23 @@ object TableIO {
     * in a `_cdf_<version>` sidecar staged atomically with the commit, and
     * [[readChangeFeed]] can reconstruct every row-level event. */
   def enableChangeFeed(spark: SparkSession, lh: LakehouseProps,
-      tableName: String): Unit = setTableFlag(lh, tableName, CdfKey, Some("true"))
+      tableName: String): Unit =
+    setTableFlag(lh, tableName, CdfKey, Some("true"),
+      feature = Some("changeDataFeed"))
 
   def disableChangeFeed(spark: SparkSession, lh: LakehouseProps,
       tableName: String): Unit = setTableFlag(lh, tableName, CdfKey, None)
 
   private def setTableFlag(lh: LakehouseProps, tableName: String,
-      key: String, value: Option[String]): Unit = {
+      key: String, value: Option[String],
+      feature: Option[String] = None): Unit = {
     val tableDir = Catalog.tablePath(lh, tableName)
     val base = Versioned.latestVersion(tableDir)
     val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
       throw new IllegalArgumentException(
         s"$tableName needs a manifest-based version to carry properties"))
-    val newMeta = value.fold(m.meta - key)(v => m.meta + (key -> v))
+    val newMeta0 = value.fold(m.meta - key)(v => m.meta + (key -> v))
+    val newMeta = feature.fold(newMeta0)(Versioned.withFeature(newMeta0, _))
     Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
       expectedBase = base, meta = newMeta, op = "SET PROPERTY") { _ => () }
     ()
@@ -3075,8 +3087,6 @@ object TableIO {
           if (zorderBy.nonEmpty) mined
           else mined.filter(e =>
             Versioned.dvRefOf(e).isDefined || sizeOf(e) < targetFileBytes)
-        val affectedSet = affected.map(_.path).toSet
-        val untouched = m.entries.filterNot(e => affectedSet(e.path))
         val bytes = affected.map(sizeOf).sum
         val nFiles =
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -3099,13 +3109,13 @@ object TableIO {
         // a ZORDER compaction records its cluster spec so later
         // maintenance ticks (maintainTable / clusterIncremental) know the
         // table's clustering without being retold — liquid's CLUSTER BY
-        val metaOut =
-          if (zorderBy.isEmpty) m.meta
-          else m.meta + (ClusterByKey -> zorderBy.mkString(",")) +
+        def metaOut(mm: Map[String, String]): Map[String, String] =
+          if (zorderBy.isEmpty) mm
+          else mm + (ClusterByKey -> zorderBy.mkString(",")) +
             (ClusterCurveKey -> (if (hilbert) "hilbert" else "zorder"))
-        val commit = Versioned.commitFiles(tableDir, m.schemaJson,
-          inherit = untouched, expectedBase = Some(b),
-          collectStats = collectFileStats(spark, blooms), meta = metaOut,
+        val commit = commitMaintenance(tableDir, b, m, affected,
+          metaOf = metaOut,
+          collectStats = collectFileStats(spark, blooms),
           beforeMarker = (v, _, cid) => emptyCdf.foreach(
             _.write.mode(SaveMode.Overwrite)
               .parquet(cdfDir(tableDir, v, cid).toString)),
@@ -3153,6 +3163,66 @@ object TableIO {
     * scheduler needn't be retold CLUSTER BY on every tick. */
   private[lakehouse] val ClusterByKey = "graft.clusterBy"
   private[lakehouse] val ClusterCurveKey = "graft.clusterCurve"
+
+  /** Commit a MAINTENANCE operation (OPTIMIZE / incremental clustering /
+    * ANALYZE) with LOGICAL conflict resolution instead of the strict
+    * physical base check: on [[Versioned.ConcurrentWriteException]],
+    * re-read the latest manifest and REBASE — inherit the newcomers —
+    * provided the operation's input files are still present and untouched
+    * (identical serialized entries, stats and DV refs included: a
+    * concurrent DV delete on an input file is a REAL conflict — re-adding
+    * our rewrite would resurrect its deleted rows), the schema did not
+    * evolve, and the change-feed flag did not flip. At 100 TB, OPTIMIZE
+    * always races streaming ingest; under the strict check maintenance
+    * would never land (Delta resolves the same append-vs-OPTIMIZE races
+    * logically, for the same reason).
+    *
+    * `affected`: the input entries the op consumed (conflict-checked per
+    * retry). `replaced`: entries the op contributes directly into the
+    * inherit list (ANALYZE's re-statted entries; empty when the payload is
+    * staged by `write`). `metaOf` recomputes commit meta from the CURRENT
+    * base's meta so concurrently-advanced identity/txn watermarks are
+    * never regressed. The `write` callback re-executes per retry: it scans
+    * a PINNED file list (the affected entries, protected from vacuum by
+    * the very manifests being raced), so the rewrite re-derives
+    * deterministically. */
+  private[lakehouse] def commitMaintenance(tableDir: String, firstBase: Long,
+      firstM: Versioned.Manifest, affected: Seq[Versioned.FileEntry],
+      metaOf: Map[String, String] => Map[String, String],
+      collectStats: String => Map[String, String],
+      beforeMarker: (Long, Seq[Versioned.FileEntry], String) => Unit,
+      op: String, replaced: Seq[Versioned.FileEntry] = Seq.empty,
+      maxRetries: Int = 5)(
+      write: String => Unit): Versioned.Commit = {
+    val affectedSer = affected.map(_.serialized).toSet
+    val affectedPaths = affected.map(_.path).toSet
+    var b = firstBase
+    var m = firstM
+    var attempt = 0
+    while (true) {
+      val inherit =
+        m.entries.filterNot(e => affectedPaths(e.path)) ++ replaced
+      try {
+        return Versioned.commitFiles(tableDir, m.schemaJson,
+          inherit = inherit, expectedBase = Some(b),
+          collectStats = collectStats, meta = metaOf(m.meta),
+          beforeMarker = beforeMarker, op = op)(write)
+      } catch {
+        case e: Versioned.ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val b2 = Versioned.latestVersion(tableDir).getOrElse(throw e)
+          val m2 = Versioned.readManifest(tableDir, b2).getOrElse(throw e)
+          val present = m2.entries.map(_.serialized).toSet
+          if (m2.schemaJson != m.schemaJson ||
+              cdfEnabled(m2.meta) != cdfEnabled(m.meta) ||
+              !affectedSer.forall(present)) throw e
+          b = b2
+          m = m2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** One auto-maintenance tick (the scheduler loop a lakehouse platform
     * runs per table): inspect the CURRENT manifest and do only what the
@@ -3250,8 +3320,6 @@ object TableIO {
       .flatMap(v => Versioned.readManifest(tableDir, v))
       .map(_.files.toSet).getOrElse(Set.empty)
     val affected = m.entries.filterNot(e => baseline(e.path))
-    val affectedSet = affected.map(_.path).toSet
-    val untouched = m.entries.filterNot(e => affectedSet(e.path))
     val parts = currentPartitioning(lh, tableName)
     val baseP = Paths.get(tableDir)
     val bytes = affected.map(e => entryBytes(e).getOrElse(
@@ -3265,11 +3333,10 @@ object TableIO {
       if (!cdfEnabled(m.meta)) None
       else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         df.schema.add("_change_type", StringType)))
-    val commit = Versioned.commitFiles(tableDir, m.schemaJson,
-      inherit = untouched, expectedBase = Some(b),
-      collectStats = collectFileStats(spark, blooms),
-      meta = m.meta + (ClusterByKey -> zorderBy.mkString(",")) +
+    val commit = commitMaintenance(tableDir, b, m, affected,
+      metaOf = mm => mm + (ClusterByKey -> zorderBy.mkString(",")) +
         (ClusterCurveKey -> (if (hilbert) "hilbert" else "zorder")),
+      collectStats = collectFileStats(spark, blooms),
       beforeMarker = (v, _, cid) => emptyCdf.foreach(
         _.write.mode(SaveMode.Overwrite)
           .parquet(cdfDir(tableDir, v, cid).toString)),
@@ -3354,7 +3421,8 @@ object TableIO {
             .withColumn("_change_type", lit("delete")))
         try {
           val commit = Versioned.commitFiles(tableDir, m.schemaJson,
-            inherit = entries2, expectedBase = Some(b), meta = m.meta,
+            inherit = entries2, expectedBase = Some(b),
+            meta = Versioned.withFeature(m.meta, "deletionVectors"),
             beforeMarker = (v, _, cid) => changes.foreach(
               _.write.mode(SaveMode.Overwrite)
                 .parquet(cdfDir(tableDir, v, cid).toString)),
@@ -3460,9 +3528,14 @@ object TableIO {
           e.copy(stats = Some(withDv))
       }
     }
-    val commit = Versioned.commitFiles(tableDir, m.schemaJson,
-      inherit = entries, expectedBase = base, meta = m.meta,
-      op = "ANALYZE") { _ => () }
+    // rebase over concurrent appends: the re-statted entries replace their
+    // paths; newcomers (whose stats the concurrent writer collected at its
+    // own commit) inherit as-is. Any concurrent touch to a re-statted file
+    // is a real conflict — our stale stats must not overwrite its state.
+    val commit = commitMaintenance(tableDir, base.getOrElse(0L), m,
+      affected = m.entries, metaOf = identity,
+      collectStats = _ => Map.empty, beforeMarker = (_, _, _) => (),
+      op = "ANALYZE", replaced = entries) { _ => () }
     finishCommit(spark, lh, tableName, tableDir, commit,
       schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
   }

@@ -22,7 +22,12 @@ import scala.jdk.CollectionConverters._
   *   T/col=value/part-*.parquet  data files (hive-partitioned tables)
   *   T/_manifest_N               version N's manifest: line 1 = schema JSON,
   *                               then one data-file path per line (relative
-  *                               to T/)
+  *                               to T/). Base-pinned commits may write a
+  *                               DELTA manifest (`#graft.basedOn=M` +
+  *                               `#rm<TAB>path` removals + added entries)
+  *                               that resolves against version M; a full
+  *                               manifest (checkpoint) is forced every
+  *                               [[CheckpointInterval]] versions
   *   T/_commit_N                 commit marker — version N exists iff its
   *                               marker does; latest = max marker
   *   T/.staging-<uuid>/          in-flight writers' scratch (hidden from
@@ -248,23 +253,121 @@ object Versioned {
         latestVersion(tableDir).contains(version))
   }
 
-  /** Parse version `v`'s manifest, if it is a manifest-based version. */
-  def readManifest(tableDir: String, v: Long): Option[Manifest] = {
+  /** Meta key marking a DELTA manifest: the version whose (resolved) file
+    * list this manifest's removals/additions apply to. A 100 TB table's
+    * full manifest is ~1M lines — rewriting it per 1-file streaming append
+    * would make commit metadata O(table); delta manifests make it
+    * O(touched files), with a FULL manifest (checkpoint) forced every
+    * [[CheckpointInterval]] versions so resolution replays a bounded
+    * chain — exactly Delta's JSON-commits-plus-parquet-checkpoint shape.
+    * Stripped from the resolved [[Manifest.meta]] (and from caller-passed
+    * meta at commit time) — it describes the ENCODING of one manifest
+    * file, never a table property. */
+  val BasedOnKey = "graft.basedOn"
+
+  /** Every version divisible by this writes a full manifest, bounding
+    * delta-chain length (and resolution cost) at CheckpointInterval-1. */
+  val CheckpointInterval = 8
+
+  /** Delta-style TABLE FEATURES (protocol gating): the meta key lists the
+    * features a version's correct interpretation REQUIRES — deletion
+    * vectors (ignoring them resurrects rows), column mapping (ignoring it
+    * reads renamed columns by the wrong name), delta manifests, etc.
+    * Readers and writers check the list against [[SupportedFeatures]] and
+    * fail LOUDLY on anything unknown rather than silently misreading a
+    * table written by a newer implementation — Delta's
+    * reader/writer-features contract. Feature names are sticky: once a
+    * table uses one, every later manifest carries it (callers pass
+    * `meta = m.meta + …` forward). */
+  val FeaturesKey = "graft.features"
+
+  /** Every feature this implementation knows how to read AND write. */
+  val SupportedFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "identityColumns",
+    "generatedColumns", "checkConstraints", "changeDataFeed",
+    "deltaManifests", "partitionEvolution")
+
+  /** Parse a features meta value (comma-separated, sorted on write). */
+  def featuresOf(meta: Map[String, String]): Set[String] =
+    meta.get(FeaturesKey).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
+
+  /** Add a feature requirement to commit meta (idempotent). */
+  def withFeature(meta: Map[String, String], f: String): Map[String, String] = {
+    val cur = featuresOf(meta)
+    if (cur(f)) meta
+    else meta + (FeaturesKey -> (cur + f).toSeq.sorted.mkString(","))
+  }
+
+  private def requireFeatures(tableDir: String, v: Long,
+      meta: Map[String, String], ctx: String): Unit = {
+    val unknown = featuresOf(meta) -- SupportedFeatures
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"$tableDir version $v requires table feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this $ctx does not " +
+        "implement — refusing rather than silently corrupting results")
+  }
+
+  /** Line prefix recording "this path from the base version is NOT in this
+    * version" in a delta manifest. Tab-delimited so a path containing '='
+    * (hive segments) can never be misread as a `#key=value` meta line —
+    * removal lines are matched BEFORE the generic '#' meta match. */
+  private val RmPrefix = "#rm\t"
+
+  /** One manifest FILE, unresolved: delta manifests carry `removed` paths
+    * and only their own added/changed `entries`. */
+  private final case class RawManifest(schemaJson: String,
+      meta: Map[String, String], removed: Seq[String], entries: Seq[FileEntry])
+
+  private def readRaw(tableDir: String, v: Long): Option[RawManifest] = {
     val p = manifestPath(Paths.get(tableDir), v)
     if (!Files.isRegularFile(p)) None
     else {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       if (lines.isEmpty) None
       else {
-        val (metaLines, entryLines) = lines.tail.filter(_.nonEmpty)
-          .partition(_.startsWith("#"))
+        val body = lines.tail.filter(_.nonEmpty)
+        val (rmLines, rest) = body.partition(_.startsWith(RmPrefix))
+        val (metaLines, entryLines) = rest.partition(_.startsWith("#"))
         val meta = metaLines.map(_.drop(1).split("=", 2)).collect {
           case Array(k, v2) => k -> v2
         }.toMap
-        Some(Manifest(lines.head, entryLines.map(FileEntry.parse).toSeq, meta))
+        Some(RawManifest(lines.head, meta,
+          rmLines.map(_.drop(RmPrefix.length)).toSeq,
+          entryLines.map(FileEntry.parse).toSeq))
       }
     }
   }
+
+  /** The base version a manifest FILE declares, without resolving it. */
+  private def basedOnOf(tableDir: String, v: Long): Option[Long] =
+    readRaw(tableDir, v).flatMap(_.meta.get(BasedOnKey))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  /** Parse version `v`'s manifest, if it is a manifest-based version —
+    * RESOLVED: a delta manifest replays onto its base's resolved file list
+    * (remove, then append this manifest's own entries; a stats-only change
+    * to an inherited file is encoded as remove+re-add of the same path).
+    * A delta whose base manifest is missing fails LOUDLY — quietly
+    * returning the partial list would serve a fraction of the table. */
+  def readManifest(tableDir: String, v: Long): Option[Manifest] =
+    readRaw(tableDir, v).map { raw =>
+      requireFeatures(tableDir, v, raw.meta, "reader")
+      raw.meta.get(BasedOnKey)
+        .flatMap(s => scala.util.Try(s.toLong).toOption) match {
+        case Some(b) =>
+          val base = readManifest(tableDir, b).getOrElse(
+            throw new IllegalStateException(
+              s"$tableDir: manifest $v is a delta based on $b, whose " +
+                "manifest is missing — refusing to serve a partial table"))
+          val rm = raw.removed.toSet
+          Manifest(raw.schemaJson,
+            base.entries.filterNot(e => rm(e.path)) ++ raw.entries,
+            raw.meta - BasedOnKey)
+        case None =>
+          Manifest(raw.schemaJson, raw.entries, raw.meta - BasedOnKey)
+      }
+    }
 
   /** The scan spec for a SPECIFIC committed version. */
   def specFor(tableDir: String, v: Long): ReadSpec =
@@ -341,9 +444,12 @@ object Versioned {
     // sidecar job can then never clobber the winning commit's sidecar,
     // before OR after its marker lands.
     val commitId = java.util.UUID.randomUUID().toString.take(8)
+    // BasedOnKey describes one manifest file's ENCODING — never a table
+    // property. Callers passing `meta = m.meta + ...` would otherwise
+    // carry a stale chain link into a manifest whose content is full.
     val metaWithOp = ((if (op.isEmpty) meta - OpKey
       else (meta - OpKey) + (OpKey -> op))
-      - CommitIdKey) + (CommitIdKey -> commitId)
+      - CommitIdKey - BasedOnKey) + (CommitIdKey -> commitId)
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
     // fail fast before paying for the write; the authoritative check is the
@@ -370,9 +476,46 @@ object Versioned {
       }
       val files = inherit ++ staged
       val tmp = dir.resolve(s".manifest.tmp-${java.util.UUID.randomUUID()}")
-      val metaLines = metaWithOp.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+      // Delta-encode the manifest when this is a base-pinned commit onto an
+      // existing manifest, the claimed version (always base+1 here) is not
+      // a checkpoint, and the diff is genuinely smaller than the full
+      // list: a 1-file append onto a 1M-file table then writes 1 manifest
+      // line, not 1M — commit METADATA stays O(touched files). A
+      // stats-changed inherited path (DV added, ANALYZE) encodes as
+      // remove + re-add. Full manifests every CheckpointInterval versions
+      // bound the resolution chain.
+      val deltaParts: Option[(Seq[String], Long)] = expectedBase.flatMap {
+        base =>
+          if ((base + 1) % CheckpointInterval == 0) None
+          else readRaw(tableDir, base).flatMap { _ =>
+            scala.util.Try(readManifest(tableDir, base)).toOption.flatten
+          }.flatMap { bm =>
+            val newByPath =
+              files.iterator.map(e => e.path -> e.serialized).toMap
+            val baseByPath =
+              bm.entries.iterator.map(e => e.path -> e.serialized).toMap
+            val removed = bm.entries.collect {
+              case be if !newByPath.get(be.path).contains(be.serialized) =>
+                be.path }
+            val added = files.filterNot(e =>
+              baseByPath.get(e.path).contains(e.serialized))
+            if ((removed.size + added.size) * 2 <= files.size)
+              Some((removed.map(RmPrefix + _) ++ added.map(_.serialized), base))
+            else None
+          }
+      }
+      val (contentLines, metaFinal) = deltaParts match {
+        case Some((dl, b0)) => (dl, withFeature(metaWithOp, "deltaManifests")
+          + (BasedOnKey -> b0.toString))
+        case None => (files.map(_.serialized), metaWithOp)
+      }
+      // writer gate: refuse to commit meta that requires features this
+      // implementation does not understand (it could not honor them)
+      requireFeatures(tableDir, expectedBase.fold(0L)(_ + 1), metaFinal,
+        "writer")
+      val metaLines = metaFinal.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
       Files.write(tmp,
-        ((schemaJson +: metaLines) ++ files.map(_.serialized)).mkString("\n")
+        ((schemaJson +: metaLines) ++ contentLines).mkString("\n")
           .getBytes(StandardCharsets.UTF_8))
       try {
         // allocate past every existing version number — committed, legacy,
@@ -588,9 +731,32 @@ object Versioned {
     val byCount = markers.takeRight(Retain).toSet
     val kept = markers.filter(v => byCount(v) || young(marker(dir, v)))
     val dropped = markers.filterNot(kept.contains)
+    // delta-manifest chain dependencies: resolving a kept (or claimed-but-
+    // unmarked) version replays through its basedOn ancestors — those
+    // manifest FILES must outlive their own versions' retention. A dep
+    // exits this set once every survivor's chain has moved past it (at
+    // most CheckpointInterval commits later); the markerless-orphan sweep
+    // below then clears it, and its formerly-protected data files free up
+    // on the following sweep.
+    // Roots: committed survivors plus YOUNG markerless claims (a writer
+    // mid-commit). An OLD markerless manifest is either a crashed claim or
+    // a lingering dep — it must not root a chain, or deps would keep each
+    // other alive forever and dismantle only one level per sweep.
+    val claimedUnmarkedPre = names.flatMap(numericSuffix(_, ManifestPrefix))
+      .filterNot(v => Files.exists(marker(dir, v)))
+    val chainDeps: Set[Long] = {
+      val deps = scala.collection.mutable.Set[Long]()
+      (kept ++ claimedUnmarkedPre.filter(v => young(manifestPath(dir, v))))
+        .foreach { v0 =>
+          var cur = basedOnOf(dir.toString, v0)
+          while (cur.isDefined && deps.add(cur.get))
+            cur = basedOnOf(dir.toString, cur.get)
+        }
+      deps.toSet
+    }
     dropped.foreach { v =>
       Files.deleteIfExists(marker(dir, v))
-      Files.deleteIfExists(manifestPath(dir, v))
+      if (!chainDeps(v)) Files.deleteIfExists(manifestPath(dir, v))
       deleteRecursively(versionDir(dir, v)) // legacy snapshot dir
       names.filter(n => n == s"_cdf_$v" || n.startsWith(s"_cdf_${v}_"))
         .foreach(n => deleteRecursively(dir.resolve(n))) // change sidecars
@@ -620,9 +786,11 @@ object Versioned {
         if (!young(p)) deleteRecursively(p)
       }
     // orphaned claims from crashed writers: manifest with no marker, or a
-    // legacy _vN dir with no marker — sweep once they cannot be in-flight
+    // legacy _vN dir with no marker — sweep once they cannot be in-flight.
+    // Chain deps are markerless by design once their version dropped: skip
+    // them here until the survivors' chains move past them.
     names.flatMap(numericSuffix(_, ManifestPrefix))
-      .filter(v => !Files.exists(marker(dir, v)))
+      .filter(v => !Files.exists(marker(dir, v)) && !chainDeps(v))
       .foreach { v =>
         val p = manifestPath(dir, v)
         if (!young(p)) Files.deleteIfExists(p)
@@ -651,10 +819,18 @@ object Versioned {
     val claimedUnmarked = listNames(dir)
       .flatMap(numericSuffix(_, ManifestPrefix))
       .filterNot(v => Files.exists(marker(dir, v)))
-    val referenced: Set[String] = (kept ++ claimedUnmarked)
-      .flatMap(v => readManifest(dir.toString, v).map(m =>
+    // resolution failures: a COMMITTED version that cannot resolve means
+    // the metadata is corrupt — abort the data-file sweep entirely rather
+    // than delete files a reader may still legitimately need. A markerless
+    // leftover that cannot resolve protects nothing (it is garbage).
+    val resolved = (kept ++ claimedUnmarked).map(v =>
+      v -> scala.util.Try(readManifest(dir.toString, v)))
+    val keptSet = kept.toSet
+    if (resolved.exists { case (v, t) => keptSet(v) && t.isFailure }) return
+    val referenced: Set[String] = resolved
+      .flatMap { case (_, t) => t.toOption.flatten.map(m =>
         m.files ++ m.entries.flatMap(e => dvRefOf(e).map(_._1)))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty) }
       .toSet
     names.foreach { n =>
       val p = dir.resolve(n)
