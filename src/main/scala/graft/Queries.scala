@@ -3401,5 +3401,103 @@ object Queries {
         TableIO.selectTable(s, lh, "dclone_dst").orderBy("p_partkey")
       },
       Some("SELECT * FROM part WHERE p_size <= 40 ORDER BY p_partkey")),
+
+    // Full auto-maintenance round trip through the driver's gate: a
+    // fragmented write with DV debt, two maintenance ticks (the second
+    // must be an idempotent no-op), a vacuum — across delta-encoded
+    // manifests, rebase-capable OPTIMIZE, and DV purge — and the content
+    // must come out byte-equal to the declarative answer.
+    Q("q151_maintenance_roundtrip",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "cust_maint",
+          t(s, dir, "customer").repartition(16))
+        TableIO.deleteFromTable(s, lh, "cust_maint", "c_acctbal < 0",
+          deletionVectors = true)
+        TableIO.maintainTable(s, lh, "cust_maint") // compacts smalls + DV
+        TableIO.maintainTable(s, lh, "cust_maint") // idempotent second tick
+        TableIO.selectTable(s, lh, "cust_maint").orderBy("c_custkey")
+      },
+      Some("""SELECT * FROM customer WHERE NOT (c_acctbal < 0.0)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Dynamic file pruning (join-induced data skipping): the filtered
+    // dimension's keys prune the clustered+bloomed fact table to the FILES
+    // that can match before the scan; the residual IN keeps it exact —
+    // result equals the plain star join.
+    Q("q152_dynamic_file_pruning",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.writeTable(s, lh, "orders_dfp",
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          sortBy = Seq("o_custkey"), bloomFilterFor = Seq("o_custkey"))
+        val dimKeys = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING" &&
+            col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"))
+        TableIO.readTableJoinPruned(s, lh, "orders_dfp", "o_custkey", dimKeys)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // LM-quality-stratified rebalance — the "sample by model score"
+    // pipeline stage: held-out docs score integer-exact bigram surprise
+    // (q102's op), bucket by integer arithmetic only (4*unseen div total),
+    // then the mixture rebalances to equal bucket shares via the portable
+    // 60-bit-hash acceptance (q142's op). Every stage is bit-portable, so
+    // the oracle replays the WHOLE pipeline and the hash must match.
+    Q("q153_surprise_bucket_rebalance",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val docs = t(s, dir, "documents")
+        val scored = LangModel.bigramSurprise(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        val bucketed = scored.withColumn("bucket",
+          expr("CAST((n_unseen * 4) div n_bigrams AS STRING)"))
+        Packing.rebalanceMixture(bucketed.select("doc_id", "bucket"),
+          "doc_id", "bucket",
+          (0 to 4).map(i => i.toString -> 1.0).toMap, seed = 7L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM tok0 WHERE w <> ''),
+        |bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |model AS (SELECT DISTINCT w1, w2 FROM bg WHERE doc_id % 5 <> 0),
+        |sc AS (
+        |  SELECT bg.doc_id, m.w1 IS NOT NULL AS seen
+        |  FROM bg LEFT JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |  WHERE bg.doc_id % 5 = 0),
+        |surprise AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_unseen
+        |  FROM sc GROUP BY doc_id),
+        |bucketed AS (
+        |  SELECT doc_id, CAST((n_unseen * 4) // n_bigrams AS VARCHAR) AS bucket
+        |  FROM surprise),
+        |counts AS (SELECT bucket, count(*) AS n FROM bucketed GROUP BY bucket),
+        |tmin AS (SELECT min(CAST(n AS DOUBLE) / 1.0) AS t FROM counts),
+        |rates AS (
+        |  SELECT bucket, CAST(floor(((1.0 * t) / CAST(n AS DOUBLE))
+        |    * 1152921504606846976.0) AS BIGINT) AS thr
+        |  FROM counts CROSS JOIN tmin)
+        |SELECT b.doc_id, b.bucket FROM bucketed b JOIN rates USING (bucket)
+        |WHERE CAST(('0x' || substring(sha256(CAST(b.doc_id AS VARCHAR)
+        |    || '#' || '7'), 1, 15))::UBIGINT AS BIGINT) < rates.thr
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -317,6 +317,48 @@ object TableIO {
     else projected.where(condition)
   }
 
+  /** DYNAMIC FILE PRUNING (join-induced data skipping — the Delta/
+    * Databricks star-schema optimization): for a fact-table equi-join
+    * against a SELECTIVE dimension side, resolve the dimension keys FIRST
+    * (one bounded action — a filtered star-schema dimension is small by
+    * design; `keyLimit` fails loudly when it is not, because a million-
+    * literal IN-list helps nobody), then read the fact table through the
+    * existing IN-list skipping machinery: per-file min/max ranges AND
+    * per-file Bloom filters drop every fact file that cannot contain a
+    * surviving key, and the residual IN filter keeps the result exact. At
+    * 100 TB the SCAN dominates star-join latency — "read the fact table"
+    * becomes "read the files that can match". Complements
+    * [[Joins.bloomSemiJoin]], which reduces the SHUFFLE but still reads
+    * every file; for unbounded dimension sides use that instead. */
+  def readTableJoinPruned(spark: SparkSession, lh: LakehouseProps,
+      factTable: String, factKey: String, dimKeys: DataFrame,
+      columns: Seq[String] = Seq("*"), keyLimit: Int = 10000): DataFrame = {
+    require(columns == Seq("*") || columns.contains(factKey),
+      s"projection must retain the join key $factKey (the residual filter " +
+        "references it)")
+    val keyCol = dimKeys.columns.headOption.getOrElse(
+      throw new IllegalArgumentException("dimKeys needs a key column"))
+    val rows = dimKeys.select(keyCol).distinct().limit(keyLimit + 1).collect()
+    require(rows.length <= keyLimit,
+      s"$factTable: dimension side exceeds keyLimit=$keyLimit keys — this " +
+        "path is for selective dimensions; use bloomSemiJoin for large ones")
+    // a NULL dim key can never equi-join: drop it (IN's 3-valued logic
+    // would filter those rows anyway)
+    def sqlLit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case d: java.sql.Date => s"DATE '$d'"
+      case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+      case x => x.toString
+    }
+    val lits = rows.iterator.map(_.get(0)).filter(_ != null)
+      .map(sqlLit).toSeq
+    if (lits.isEmpty)
+      selectTable(spark, lh, factTable)
+        .where(org.apache.spark.sql.functions.lit(false))
+    else readTable(spark, lh, factTable, columns,
+      s"`$factKey` IN (${lits.mkString(", ")})")
+  }
+
   /** File-level prune for a SQL condition: intersect the survivors of
     * every recognizable conjunct. None = nothing recognizable or a
     * legacy/pre-stats layout (caller scans everything, same results). */

@@ -439,4 +439,40 @@ class DataSkippingSpec extends SparkSuite {
     assert(survivors("name LIKE 'user\\\\0001%'") == total)
     TableIO.dropTable(spark, lh, "lik1")
   }
+
+  test("dynamic file pruning: a selective dimension's keys skip fact " +
+      "files; result equals the plain semi-join") {
+    val fact = spark.range(0, 40000)
+      .selectExpr("id AS fk", "id * 3 AS measure").repartition(8)
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "dfp1", fact, sortBy = Seq("fk"),
+        bloomFilterFor = Seq("fk"))
+    }
+    val total = TableIO.currentFiles(lh, "dfp1").size
+    assert(total > 2)
+    import spark.implicits._
+    // keys clustered at the low end: most files provably cannot match
+    val dim = Seq(3L, 5L, 11L, 200L).toDF("fk")
+    val got = TableIO.readTableJoinPruned(spark, lh, "dfp1", "fk", dim)
+    assert(got.inputFiles.length < total,
+      s"join keys should prune files (${got.inputFiles.length}/$total)")
+    assert(got.select("fk").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 5L, 11L, 200L))
+    // an empty (or all-null) dimension side returns an empty, well-typed
+    // frame without scanning anything
+    val empty = TableIO.readTableJoinPruned(spark, lh, "dfp1", "fk",
+      Seq.empty[Option[Long]].toDF("fk"))
+    assert(empty.count() == 0 && empty.columns.contains("measure"))
+    val nullOnly = TableIO.readTableJoinPruned(spark, lh, "dfp1", "fk",
+      Seq(Option.empty[Long]).toDF("fk"))
+    assert(nullOnly.count() == 0)
+    // an unbounded dimension side fails loudly rather than building a
+    // million-literal IN list
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.readTableJoinPruned(spark, lh, "dfp1", "fk",
+        spark.range(0, 100).toDF("fk"), keyLimit = 10)
+    }
+    assert(ex.getMessage.contains("keyLimit"), ex.getMessage)
+    TableIO.dropTable(spark, lh, "dfp1")
+  }
 }
