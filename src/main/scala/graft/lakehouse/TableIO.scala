@@ -343,17 +343,33 @@ object TableIO {
       s"$factTable: dimension side exceeds keyLimit=$keyLimit keys — this " +
         "path is for selective dimensions; use bloomSemiJoin for large ones")
     // a NULL dim key can never equi-join: drop it (IN's 3-valued logic
-    // would filter those rows anyway)
+    // would filter those rows anyway). Literals must ROUND-TRIP through
+    // Spark's SQL parser: backslashes are escape characters in string
+    // literals (default parser mode), so both '\' and quote are escaped —
+    // an unescaped 'C:\temp' would silently become 'C:<TAB>emp' and drop
+    // every matching row. Fractional keys are rejected outright: a float
+    // key column widens against a double literal (0.3f != 0.3d) and rows
+    // would silently vanish — equi-joining on floats is a modeling bug
+    // this API refuses to paper over.
     def sqlLit(v: Any): String = v match {
-      case s: String => "'" + s.replace("'", "''") + "'"
+      case s: String =>
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
       case d: java.sql.Date => s"DATE '$d'"
       case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+      case d: java.time.LocalDate => s"DATE '$d'"
+      case i: java.time.Instant => "TIMESTAMP '" +
+        java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC) + "'"
+      case _: java.lang.Float | _: java.lang.Double =>
+        throw new IllegalArgumentException(
+          "readTableJoinPruned: fractional join keys do not compare " +
+            "reliably across literal widening — cast to an exact type")
       case x => x.toString
     }
     val lits = rows.iterator.map(_.get(0)).filter(_ != null)
       .map(sqlLit).toSeq
     if (lits.isEmpty)
-      selectTable(spark, lh, factTable)
+      // same projection as the non-empty branch, just provably no rows
+      readTable(spark, lh, factTable, columns)
         .where(org.apache.spark.sql.functions.lit(false))
     else readTable(spark, lh, factTable, columns,
       s"`$factKey` IN (${lits.mkString(", ")})")
@@ -1513,7 +1529,11 @@ object TableIO {
     val carried = prevMeta.filter { case (k, _) =>
       k.startsWith(CheckPrefix) || k == CdfKey ||
         k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
-        k.startsWith(IdentityMaxPrefix) }
+        k.startsWith(IdentityMaxPrefix) ||
+        // feature requirements are STICKY (Delta semantics): dropping them
+        // on overwrite would let a down-level writer ignore the carried
+        // identity/CDF/constraint declarations it cannot honor
+        k == Versioned.FeaturesKey }
     val checks = checkConstraintsOf(prevMeta)
     enforceChecks(df, checks, s"$tableName: overwrite")
     // with the feed enabled, an overwrite is a modeled event: every current
@@ -1778,6 +1798,23 @@ object TableIO {
       extraMeta: Map[String, String] = Map.empty): TableInfo = {
     require(keyCols.nonEmpty, "mergeTable needs at least one key column")
     val keyColumns = keyCols.map(org.apache.spark.sql.functions.col)
+    // whole-row upserts take every column from the SOURCE — on an identity
+    // table that means caller-fabricated ids for new keys, which the
+    // watermark would later hand out AGAIN (duplicate "unique" ids), or
+    // null ids if the source omits the column. Reject loudly BEFORE the
+    // O(updates) validation jobs below: mergeInto preserves target ids on
+    // update and engine-assigns them on insert.
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val baseManifest = base.flatMap(Versioned.readManifest(tableDir, _))
+    locally {
+      val idDecl = baseManifest.map(m => identityColsOf(m.meta))
+        .getOrElse(Seq.empty)
+      require(idDecl.isEmpty,
+        s"$tableName has GENERATED ALWAYS AS IDENTITY column(s) " +
+          s"${idDecl.mkString(", ")} — whole-row mergeTable would take ids " +
+          "from the source; use mergeInto instead")
+    }
     locally {
       import org.apache.spark.sql.functions.col
       val nullKey = keyColumns.map(_.isNull).reduce(_ || _)
@@ -1810,22 +1847,7 @@ object TableIO {
             s"${nullKeyed.headOption.getOrElse("")}")
       }
     }
-    val tableDir = Catalog.tablePath(lh, tableName)
-    val base = Versioned.latestVersion(tableDir)
-    // whole-row upserts take every column from the SOURCE — on an identity
-    // table that means caller-fabricated ids for new keys, which the
-    // watermark would later hand out AGAIN (duplicate "unique" ids), or
-    // null ids if the source omits the column. Reject loudly: mergeInto
-    // preserves target ids on update and engine-assigns them on insert.
-    locally {
-      val idDecl = base.flatMap(Versioned.readManifest(tableDir, _))
-        .map(m => identityColsOf(m.meta)).getOrElse(Seq.empty)
-      require(idDecl.isEmpty,
-        s"$tableName has GENERATED ALWAYS AS IDENTITY column(s) " +
-          s"${idDecl.mkString(", ")} — whole-row mergeTable would take ids " +
-          "from the source; use mergeInto instead")
-    }
-    (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
+    (base, baseManifest) match {
       case (Some(_), Some(m)) if !cdfEnabled(m.meta) =>
         // without a change feed to stage, MERGE is exactly the generalized
         // replace primitive with removal keys = update keys
@@ -2190,6 +2212,10 @@ object TableIO {
           (Some(withIds.select(schema.fields.map(f =>
             col(f.name)): _*)), im, p)
         }
+      // from here on two persisted frames (withAct, insPin) may be live:
+      // everything up to the commit runs inside the try so a CHECK
+      // violation or CDF construction failure cannot leak them
+      try {
       val payload = inserts.fold(rewritten)(ins =>
         rewritten.unionByName(ins))
       enforceChecks(payload, checkConstraintsOf(m.meta), s"$tableName: merge")
@@ -2213,26 +2239,25 @@ object TableIO {
             _ unionByName _))
         }
       val parts = currentPartitioning(lh, tableName)
-      try {
-        val commit = Versioned.commitFiles(tableDir, m.schemaJson,
-          inherit = untouched, expectedBase = Some(b),
-          collectStats = collectFileStats(spark, bloomColsOf(m)),
-          meta = m.meta ++ insIdMeta,
-          beforeMarker = (v, _, cid) => changes.foreach(
-            _.write.mode(SaveMode.Overwrite)
-              .parquet(cdfDir(tableDir, v, cid).toString)),
-          op = "MERGE") { target =>
-          val physical = toPhysical(payload, schema)
-          // empty payloads still commit (a version whose only effect is
-          // inherited entries) — but Spark won't write an empty dir plan
-          if (affected.nonEmpty || inserts.isDefined) {
-            val writer = physical.write.mode(SaveMode.Append)
-            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-             else writer).parquet(target)
-          }
+      val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+        inherit = untouched, expectedBase = Some(b),
+        collectStats = collectFileStats(spark, bloomColsOf(m)),
+        meta = m.meta ++ insIdMeta,
+        beforeMarker = (v, _, cid) => changes.foreach(
+          _.write.mode(SaveMode.Overwrite)
+            .parquet(cdfDir(tableDir, v, cid).toString)),
+        op = "MERGE") { target =>
+        val physical = toPhysical(payload, schema)
+        // empty payloads still commit (a version whose only effect is
+        // inherited entries) — but Spark won't write an empty dir plan
+        if (affected.nonEmpty || inserts.isDefined) {
+          val writer = physical.write.mode(SaveMode.Append)
+          (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+           else writer).parquet(target)
         }
-        finishCommit(spark, lh, tableName, tableDir, commit,
-          schema.fieldNames.toSeq, parts)
+      }
+      finishCommit(spark, lh, tableName, tableDir, commit,
+        schema.fieldNames.toSeq, parts)
       } finally {
         if (withCdf) withAct.unpersist()
         insPin.foreach(_.unpersist())
@@ -2544,7 +2569,10 @@ object TableIO {
           // recorded cluster spec
           k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
           k.startsWith(IdentityMaxPrefix) || k == ClusterByKey ||
-          k == ClusterCurveKey } +
+          k == ClusterCurveKey ||
+          // feature requirements are sticky: the clone carries the same
+          // DV refs / declarations a down-level reader must not ignore
+          k == Versioned.FeaturesKey } +
         ("cloneOf" -> s"$sourceName@v$srcVersion"),
       op = "CLONE") { _ => () }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -2610,7 +2638,10 @@ object TableIO {
           // recorded cluster spec
           k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
           k.startsWith(IdentityMaxPrefix) || k == ClusterByKey ||
-          k == ClusterCurveKey } +
+          k == ClusterCurveKey ||
+          // feature requirements are sticky: the clone carries the same
+          // DV refs / declarations a down-level reader must not ignore
+          k == Versioned.FeaturesKey } +
         ("cloneOf" -> s"$sourceName@v$srcVersion"),
       op = "CLONE") { target =>
       val tBase = Paths.get(target)

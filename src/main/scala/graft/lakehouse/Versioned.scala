@@ -487,9 +487,8 @@ object Versioned {
       val deltaParts: Option[(Seq[String], Long)] = expectedBase.flatMap {
         base =>
           if ((base + 1) % CheckpointInterval == 0) None
-          else readRaw(tableDir, base).flatMap { _ =>
-            scala.util.Try(readManifest(tableDir, base)).toOption.flatten
-          }.flatMap { bm =>
+          else scala.util.Try(readManifest(tableDir, base)).toOption.flatten
+            .flatMap { bm =>
             val newByPath =
               files.iterator.map(e => e.path -> e.serialized).toMap
             val baseByPath =

@@ -475,4 +475,23 @@ class DataSkippingSpec extends SparkSuite {
     assert(ex.getMessage.contains("keyLimit"), ex.getMessage)
     TableIO.dropTable(spark, lh, "dfp1")
   }
+
+  test("dynamic file pruning round-trips hostile string keys (backslashes, " +
+      "quotes) through the SQL literal") {
+    import spark.implicits._
+    val fact = Seq(("C:\\temp", 1L), ("it's", 2L), ("plain", 3L),
+      ("tab\there", 4L)).toDF("name", "v")
+    TableIO.writeTable(spark, lh, "dfp2", fact)
+    val dim = Seq("C:\\temp", "it's", "tab\there").toDF("name")
+    val got = TableIO.readTableJoinPruned(spark, lh, "dfp2", "name", dim)
+      .select("v").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L), got)
+    // fractional keys are rejected, not silently mismatched
+    val exF = intercept[IllegalArgumentException] {
+      TableIO.readTableJoinPruned(spark, lh, "dfp2", "v",
+        Seq(0.3f).toDF("v"))
+    }
+    assert(exF.getMessage.contains("fractional"), exF.getMessage)
+    TableIO.dropTable(spark, lh, "dfp2")
+  }
 }

@@ -57,6 +57,28 @@ class FeatureGateSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "fg2")
   }
 
+  test("feature requirements survive overwrite and ride clones") {
+    TableIO.writeTable(spark, lh, "fg4",
+      (1 to 20).map(i => (i, s"s$i")).toDF("k", "s"))
+    TableIO.deleteFromTable(spark, lh, "fg4", "k = 1",
+      deletionVectors = true)
+    // overwrite: the DV refs vanish with the data, but the requirement
+    // is STICKY — a down-level writer must still be rejected
+    TableIO.writeTable(spark, lh, "fg4",
+      (1 to 5).map(i => (i, s"n$i")).toDF("k", "s"))
+    val dir = Catalog.tablePath(lh, "fg4")
+    def features(d: String): Set[String] = Versioned.featuresOf(
+      Versioned.readManifest(d, Versioned.latestVersion(d).get).get.meta)
+    assert(features(dir).contains("deletionVectors"), features(dir))
+    // clones carry the requirements with the DV refs they reference
+    TableIO.deleteFromTable(spark, lh, "fg4", "k = 2",
+      deletionVectors = true)
+    TableIO.cloneTable(spark, lh, "fg4", "fg4_clone")
+    val cdir = Catalog.tablePath(lh, "fg4_clone")
+    assert(features(cdir).contains("deletionVectors"), features(cdir))
+    Seq("fg4", "fg4_clone").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
   test("delta-encoded manifests declare the deltaManifests feature") {
     TableIO.writeTable(spark, lh, "fg3",
       (1 to 10).map(i => (i, s"s$i")).toDF("k", "s"))
