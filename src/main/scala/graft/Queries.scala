@@ -3525,5 +3525,97 @@ object Queries {
         |  CAST(false AS BOOLEAN) AS cdf_enabled,
         |  'key_nonneg' AS check_constraints,
         |  'DELETE' AS last_operation""".stripMargin)),
+
+    // COPY INTO (idempotent file ingestion): a two-batch CSV landing zone
+    // loads incrementally — batch 1, a verbatim re-run (loads nothing),
+    // then batch 2 after new files land. The final table must equal the
+    // source exactly: the re-run contributed zero duplicate rows and the
+    // incremental pass loaded only the new file. CSV round-trips the
+    // comment strings (commas, quotes) through Spark's csv quoting.
+    Q("q155_copy_into_csv",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val nation = t(s, dir, "nation")
+        val src = Catalog.tablePath(lh, "nation_csv") + "_src"
+        TableIO.dropTable(s, lh, "nation_csv") // fresh table AND ledger
+        nation.filter(col("n_nationkey") < 13).coalesce(1)
+          // overwrite truncates the landing dir from any prior run
+          .write.option("header", "true").mode("overwrite").csv(src)
+        Ingest.copyInto(s, lh, "nation_csv", src,
+          schema = Some(nation.schema))
+        Ingest.copyInto(s, lh, "nation_csv", src,
+          schema = Some(nation.schema)) // idempotent re-run: no-op
+        nation.filter(col("n_nationkey") >= 13).coalesce(1)
+          .write.option("header", "true").mode("append").csv(src)
+        Ingest.copyInto(s, lh, "nation_csv", src,
+          schema = Some(nation.schema)) // loads ONLY the new file
+        TableIO.selectTable(s, lh, "nation_csv").orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // COPY INTO from JSON: dates and floating-point survive the text
+    // round trip exactly (Spark writes doubles via shortest-round-trip
+    // representation; reading with the declared schema restores the
+    // identical bits — no epsilon needed).
+    Q("q156_copy_into_json",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val sub = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .filter(col("o_orderkey") % 50 === 0)
+        val src = Catalog.tablePath(lh, "orders_json") + "_src"
+        TableIO.dropTable(s, lh, "orders_json") // fresh table AND ledger
+        sub.filter(col("o_orderkey") % 100 === 0).coalesce(1)
+          .write.mode("overwrite").json(src)
+        Ingest.copyInto(s, lh, "orders_json", src, format = "json",
+          schema = Some(sub.schema))
+        sub.filter(col("o_orderkey") % 100 =!= 0).coalesce(1)
+          .write.mode("append").json(src)
+        Ingest.copyInto(s, lh, "orders_json", src, format = "json",
+          schema = Some(sub.schema))
+        TableIO.selectTable(s, lh, "orders_json").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // Multi-table atomic transaction: both tables are seeded with partial
+    // data; an ABORTED transaction (with poisoned doubled prices) must
+    // contribute nothing, and the committed transaction lands the missing
+    // half of BOTH tables in one atomic decide. The join over the final
+    // state only matches the oracle if abort dropped everything and
+    // commit published everything.
+    Q("q157_multi_table_txn",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "txn_orders")
+        TableIO.dropTable(s, lh, "txn_cust")
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .filter(col("o_orderkey") % 100 === 0)
+        val c = t(s, dir, "customer").select("c_custkey", "c_name")
+        TableIO.writeTable(s, lh, "txn_orders",
+          o.filter(col("o_orderkey") % 200 === 0))
+        TableIO.writeTable(s, lh, "txn_cust",
+          c.filter(col("c_custkey") % 2 === 0))
+        val hAbort = Txn.begin(lh)
+        Txn.write(hAbort, s, lh, "txn_orders",
+          o.filter(col("o_orderkey") % 200 =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+        Txn.abort(hAbort)
+        val h = Txn.begin(lh)
+        Txn.write(h, s, lh, "txn_orders",
+          o.filter(col("o_orderkey") % 200 =!= 0))
+        Txn.write(h, s, lh, "txn_cust",
+          c.filter(col("c_custkey") % 2 =!= 0))
+        Txn.commit(h)
+        TableIO.selectTable(s, lh, "txn_orders")
+          .join(TableIO.selectTable(s, lh, "txn_cust"),
+            col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "c_name", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -1,0 +1,305 @@
+package graft.lakehouse
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** COPY INTO — idempotent bulk-file ingestion into versioned tables, the
+  * raw-landing-zone half of the reference's load pattern (common.py's
+  * `writeTable` callers ingest staged extracts; Delta's `COPY INTO`
+  * formalizes it). Loading the same source directory twice loads nothing
+  * the second time; adding files to the directory loads ONLY the new
+  * files. That is what makes scheduled loads restartable: a crashed or
+  * double-scheduled job re-runs to a no-op instead of duplicating rows.
+  *
+  * Ledger design — the loaded-file history is part of the table's
+  * versioned state, not a side database:
+  *
+  *   - each ingest commit writes a sidecar `_ingest/<cid>.json` listing
+  *     the (path, size, mtime) triples it loaded, then commits with the
+  *     manifest-meta key `ingest:<cid>` riding the SAME atomic commit.
+  *     `cid` is a content hash of the file list, so a retried batch
+  *     rewrites the identical sidecar rather than forking.
+  *   - the CURRENT manifest's `ingest:*` keys define the ledger. Meta
+  *     carries forward through append/MERGE/DELETE/maintenance, so DML
+  *     never forgets what was loaded; an OVERWRITE drops the keys (the
+  *     loaded data is gone — reloading those files is now legitimate);
+  *     RESTORE reverts the ledger with the data, so files loaded after
+  *     the restore point become loadable again. All three follow from
+  *     meta semantics that already exist — no new protocol.
+  *   - a crash between sidecar write and commit orphans a tiny JSON file
+  *     that no manifest references: ignored by readers, inert forever
+  *     (vacuum's data sweep skips `_`-prefixed protocol paths).
+  *
+  * Concurrency — exactly-once under racing loaders: the new-file diff is
+  * computed against an observed version and the commit pins that version
+  * ([[TableIO.appendTable]] `pinBase`). Two loaders racing the same files
+  * both diff, one commits, the loser's CAS fails and it re-diffs against
+  * the winner's ledger — finding nothing left to load. Without the pin,
+  * the loser's internal retry would re-append an already-loaded batch.
+  *
+  * 100 TB notes: listing is one driver-side recursive enumeration
+  * (O(#source files), same as Delta's COPY INTO); the data path is a
+  * plain distributed `spark.read` over exactly the new files — never a
+  * re-read of the table. Ledger reads are O(#ingest commits) tiny JSON
+  * sidecars; once the key count passes [[ConsolidateAt]] they compact to
+  * ONE sidecar via a metadata-only commit, so a year of hourly loads
+  * costs one key, not 9 000. Schema inference is refused unless opted
+  * into — it is a second full pass over the raw files.
+  */
+object Ingest {
+  /** Sidecar directory under the table dir. Underscore prefix = protocol
+    * metadata: vacuum's data-file sweep never touches it. */
+  val LedgerDir = "_ingest"
+  /** Manifest-meta key prefix; value = file count of the batch. */
+  val KeyPrefix = "ingest:"
+  /** Ledger keys in the manifest above this count consolidate into one
+    * merged sidecar via a metadata-only commit (best-effort, after the
+    * ingest commit lands). */
+  @volatile var ConsolidateAt = 64
+
+  /** One source file's identity in the ledger. Re-ingest sees a file as
+    * already-loaded iff path AND size AND mtime all match — an in-place
+    * rewrite that changes neither (same bytes-length within the same
+    * mtime granule) is indistinguishable, the same contract as Delta's
+    * COPY INTO file-metadata dedup. */
+  final case class SourceFile(path: String, size: Long, mtime: Long) {
+    private[lakehouse] def key: String =
+      path + "\u0000" + size + "\u0000" + mtime
+  }
+
+  final case class CopyResult(table: TableInfo, version: Long,
+      filesLoaded: Long, filesSkipped: Long, rowsLoaded: Long)
+
+  /** Load every not-yet-loaded file under `source` into `tableName`.
+    *
+    * Schema resolution: an explicit `schema` wins; otherwise an existing
+    * table reads with its own schema MINUS identity columns (those are
+    * engine-assigned on the way in); otherwise parquet self-describes,
+    * and csv/json REQUIRE either `schema` or `inferSchema=true` in
+    * `options` (inference = an extra full pass; at scale that must be a
+    * choice, not a default). CSV maps columns by POSITION when a schema
+    * is supplied (Spark `enforceSchema`); json and parquet map by name.
+    * Against an existing table, extra source columns and missing
+    * non-identity/non-generated columns are errors — silent drop or
+    * null-fill of a typo'd extract is how bad loads go unnoticed.
+    *
+    * `force = true` reloads everything listed regardless of the ledger
+    * (rows duplicate — that is the point of force) and records the batch
+    * under a nonce'd cid so it never masks later incremental loads. */
+  def copyInto(spark: SparkSession, lh: LakehouseProps, tableName: String,
+      source: String, format: String = "csv",
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty,
+      force: Boolean = false, maxRetries: Int = 5): CopyResult = {
+    require(Set("csv", "json", "parquet")(format),
+      s"copyInto: unsupported format '$format' (csv, json, parquet)")
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val listed = listSource(spark, source)
+    var attempt = 0
+    while (true) {
+      val base = Versioned.latestVersion(tableDir)
+      val manifest = base.flatMap(Versioned.readManifest(tableDir, _))
+      val meta = manifest.map(_.meta).getOrElse(Map.empty[String, String])
+      val loaded: Set[String] =
+        if (force) Set.empty
+        else ledgerCids(meta).flatMap(readLedger(tableDir, _)).map(_.key).toSet
+      val fresh = listed.filterNot(f => loaded(f.key))
+      val skipped = listed.size - fresh.size
+      if (fresh.isEmpty) {
+        require(manifest.isDefined,
+          s"copyInto: $source has no loadable files and table $tableName " +
+            "does not exist")
+        return CopyResult(currentInfo(lh, tableName, manifest.get),
+          base.get, 0L, skipped.toLong, 0L)
+      }
+      val aligned = readAligned(spark, fresh, format, schema, options,
+        manifest, tableName)
+      val cid = cidOf(fresh, force)
+      writeLedger(tableDir, cid, fresh)
+      try {
+        val info = TableIO.appendTable(spark, lh, tableName, aligned,
+          maxRetries = 0,
+          extraMeta = Map(KeyPrefix + cid -> fresh.size.toString),
+          pinBase = Some(base.getOrElse(0L)))
+        val v = base.getOrElse(0L) + 1
+        val mNew = Versioned.readManifest(tableDir, v)
+        val rows = mNew.map { m =>
+          val prev = manifest.map(_.files.toSet).getOrElse(Set.empty)
+          val added = m.entries.filterNot(e => prev(e.path))
+          val counts = added.map(TableIO.entryRows)
+          if (counts.forall(_.isDefined)) counts.flatten.sum else -1L
+        }.getOrElse(-1L)
+        mNew.foreach(consolidate(tableDir, v, _))
+        return CopyResult(info, v, fresh.size.toLong, skipped.toLong, rows)
+      } catch {
+        case e: Versioned.ConcurrentWriteException =>
+          // a concurrent commit (possibly another loader of the SAME
+          // files) advanced the table: re-diff against its ledger
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The loaded-file ledger of the CURRENT version as a DataFrame
+    * (`batch`, `path`, `size`, `mtime`) — COPY INTO's answer to DESCRIBE
+    * HISTORY. Time-travel consistent: reading after RESTORE shows the
+    * restored version's ledger. */
+  def loadHistory(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): DataFrame = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val meta = Versioned.latestVersion(tableDir)
+      .flatMap(Versioned.readManifest(tableDir, _))
+      .map(_.meta).getOrElse(Map.empty[String, String])
+    val rows = ledgerCids(meta).sorted.flatMap(cid =>
+      readLedger(tableDir, cid).map(f => (cid, f.path, f.size, f.mtime)))
+    import spark.implicits._
+    rows.toDF("batch", "path", "size", "mtime")
+  }
+
+  // ---- internals ----------------------------------------------------
+
+  private def ledgerCids(meta: Map[String, String]): Seq[String] =
+    meta.keys.filter(_.startsWith(KeyPrefix))
+      .map(_.drop(KeyPrefix.length)).toSeq
+
+  /** Recursive enumeration via the Hadoop FS API (any scheme a cluster
+    * mounts). Hidden and `_`-prefixed names (checksums, _SUCCESS) skip,
+    * matching Spark's own source-file filter. */
+  private def listSource(spark: SparkSession,
+      source: String): Seq[SourceFile] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(source)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"copyInto: source $source does not exist")
+    val out = Seq.newBuilder[SourceFile]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith(".") && !name.startsWith("_"))
+        out += SourceFile(st.getPath.toUri.toString, st.getLen,
+          st.getModificationTime)
+    }
+    out.result().sortBy(_.path)
+  }
+
+  private def cidOf(files: Seq[SourceFile], force: Boolean): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    files.foreach(f => md.update((f.key + "\n").getBytes(UTF_8)))
+    if (force) // nonce: a force batch must never shadow later increments
+      md.update(java.util.UUID.randomUUID().toString.getBytes(UTF_8))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  private def writeLedger(tableDir: String, cid: String,
+      files: Seq[SourceFile]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val dir = Paths.get(tableDir, LedgerDir)
+    Files.createDirectories(dir)
+    val json = files.map(f =>
+      ("path" -> f.path) ~ ("size" -> f.size) ~ ("mtime" -> f.mtime))
+    val tmp = dir.resolve(s".$cid.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, compact(render(json)).getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(s"$cid.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readLedger(tableDir: String, cid: String): Seq[SourceFile] = {
+    import org.json4s.{JArray, JInt, JObject, JString}
+    import org.json4s.jackson.JsonMethods.parse
+    val p = Paths.get(tableDir, LedgerDir, s"$cid.json")
+    if (!Files.isRegularFile(p)) return Seq.empty
+    scala.util.Try(parse(new String(Files.readAllBytes(p), UTF_8))) match {
+      case scala.util.Success(JArray(items)) => items.collect {
+        case o: JObject =>
+          val m = o.obj.toMap
+          (m.get("path"), m.get("size"), m.get("mtime")) match {
+            case (Some(JString(pa)), Some(JInt(s)), Some(JInt(t))) =>
+              Some(SourceFile(pa, s.toLong, t.toLong))
+            case _ => None
+          }
+      }.flatten
+      case _ => Seq.empty // unreadable sidecar = empty batch (re-loadable)
+    }
+  }
+
+  /** Read `files` and align to the target table's schema: identity
+    * columns are engine-assigned and generated columns computed by the
+    * append path when absent; everything else must arrive, and nothing
+    * extra may. */
+  private def readAligned(spark: SparkSession, files: Seq[SourceFile],
+      format: String, schema: Option[StructType],
+      options: Map[String, String], manifest: Option[Versioned.Manifest],
+      tableName: String): DataFrame = {
+    val targetSchema = manifest.map(m =>
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+    val idCols = manifest.map(m => TableIO.identityColsOf(m.meta).toSet)
+      .getOrElse(Set.empty[String])
+    val genCols = manifest.map(m =>
+      TableIO.generatedColsOf(m.meta).keySet).getOrElse(Set.empty[String])
+    val readSchema: Option[StructType] = schema.orElse(targetSchema.map(t =>
+      StructType(t.fields.filterNot(f => idCols(f.name)): Array[StructField])))
+    if (format != "parquet")
+      require(readSchema.isDefined ||
+          options.get("inferSchema").contains("true"),
+        s"copyInto($tableName): $format needs an explicit schema (or an " +
+          "existing table to align to) — schema inference is a full " +
+          "extra pass over the source; opt in with inferSchema=true")
+    val defaults =
+      if (format == "csv") Map("header" -> "true")
+      else Map.empty[String, String]
+    var reader = spark.read.format(format).options(defaults ++ options)
+    readSchema.foreach(s => reader = reader.schema(s))
+    val raw = reader.load(files.map(_.path): _*)
+    targetSchema.fold(raw) { t =>
+      val present = raw.columns.toSet
+      val missing = t.fields.map(_.name)
+        .filterNot(n => present(n) || idCols(n) || genCols(n))
+      require(missing.isEmpty,
+        s"copyInto($tableName): source lacks column(s) " +
+          s"${missing.mkString(", ")}")
+      val extra = raw.columns.filterNot(t.fieldNames.toSet)
+      require(extra.isEmpty,
+        s"copyInto($tableName): source has column(s) the table lacks: " +
+          s"${extra.mkString(", ")} — drop them or evolve the table first")
+      raw.select(t.fields.filter(f => present(f.name))
+        .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+  }
+
+  /** Merge all ledger sidecars into one and swap the meta keys in a
+    * metadata-only commit (inherit everything, write nothing). Losing a
+    * race here just defers compaction to the next ingest. */
+  private def consolidate(tableDir: String, v: Long,
+      m: Versioned.Manifest): Unit = {
+    val keys = m.meta.keys.filter(_.startsWith(KeyPrefix)).toSeq
+    if (keys.size <= ConsolidateAt) return
+    val merged = keys.flatMap(k => readLedger(tableDir, k.drop(KeyPrefix.length)))
+      .distinctBy(_.key).sortBy(_.path)
+    val cid = cidOf(merged, force = false)
+    writeLedger(tableDir, cid, merged)
+    try {
+      Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+        expectedBase = Some(v),
+        meta = (m.meta -- keys) + (KeyPrefix + cid -> merged.size.toString),
+        op = "INGEST_COMPACT") { _ => () }
+      ()
+    } catch { case _: Versioned.ConcurrentWriteException => () }
+  }
+
+  private def currentInfo(lh: LakehouseProps, tableName: String,
+      m: Versioned.Manifest): TableInfo = {
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    TableInfo(lh.lakehouseName, TableIO.rowsFromManifest(m).getOrElse(-1L),
+      schema.fields.length, schema.fieldNames.toSeq,
+      Catalog.tablePath(lh, tableName),
+      TableIO.partitioningOfFiles(m.files))
+  }
+}

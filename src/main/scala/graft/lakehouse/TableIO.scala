@@ -838,7 +838,7 @@ object TableIO {
   /** Total rows of a version from its per-file row counts — Some only when
     * EVERY entry carries one (files from pre-rows manifests force a real
     * count once; their rewrites regain the fast path). */
-  private def rowsFromManifest(m: Versioned.Manifest): Option[Long] = {
+  private[lakehouse] def rowsFromManifest(m: Versioned.Manifest): Option[Long] = {
     // LOGICAL rows: physical per-file counts minus deletion-vectored rows
     val counts = m.entries.map(e =>
       entryRows(e).map(_ - Versioned.dvRefOf(e).fold(0L)(_._2)))
@@ -1058,7 +1058,7 @@ object TableIO {
   }
 
   /** Per-file row count from an entry's stats JSON. */
-  private def entryRows(e: Versioned.FileEntry): Option[Long] = {
+  private[lakehouse] def entryRows(e: Versioned.FileEntry): Option[Long] = {
     import org.json4s.jackson.JsonMethods.parse
     e.stats.flatMap(s => scala.util.Try(parse(s)).toOption).flatMap(statsRowsJ)
   }
@@ -1352,7 +1352,7 @@ object TableIO {
   private[lakehouse] val IdentityPrefix = "graft.identity."
   private[lakehouse] val IdentityMaxPrefix = "graft.identityMax."
 
-  private def identityColsOf(meta: Map[String, String]): Seq[String] =
+  private[lakehouse] def identityColsOf(meta: Map[String, String]): Seq[String] =
     meta.keys.filter(_.startsWith(IdentityPrefix))
       .map(_.drop(IdentityPrefix.length)).toSeq.sorted
 
@@ -1598,14 +1598,27 @@ object TableIO {
     * schema evolution: the committed schema is the unionByName of old and
     * new, and pre-evolution files read the new column as null. Concurrent
     * commits are detected and the append retried against the new base
-    * (appends never semantically conflict). */
+    * (appends never semantically conflict).
+    *
+    * `pinBase` pins the commit CAS to the version the CALLER observed
+    * instead of re-reading it here: `Some(v)` = caller saw version v,
+    * `Some(0)` = caller saw no table. A pinned append that loses the race
+    * ALWAYS surfaces ConcurrentWriteException (never the internal retry):
+    * the caller pinned precisely because its payload was derived from that
+    * version's state — [[Ingest.copyInto]]'s loaded-file diff — and
+    * re-appending the same payload on a newer base could double-apply it. */
   def appendTable(spark: SparkSession, lh: LakehouseProps, tableName: String,
       df: DataFrame, maxRetries: Int = 5,
-      extraMeta: Map[String, String] = Map.empty): TableInfo = {
+      extraMeta: Map[String, String] = Map.empty,
+      pinBase: Option[Long] = None): TableInfo = {
     val tableDir = Catalog.tablePath(lh, tableName)
     var attempt = 0
     while (true) {
-      Versioned.latestVersion(tableDir) match {
+      (pinBase match {
+        case Some(0L) => None
+        case Some(v) => Some(v)
+        case None => Versioned.latestVersion(tableDir)
+      }) match {
         case None =>
           // table creation pinned to base 0: two concurrent first appends
           // race the claim of v1 — the loser gets ConcurrentWriteException
@@ -1624,7 +1637,7 @@ object TableIO {
           } catch {
             case e: Versioned.ConcurrentWriteException =>
               attempt += 1
-              if (attempt > maxRetries) throw e
+              if (pinBase.isDefined || attempt > maxRetries) throw e
           }
         case Some(base) =>
           Versioned.readManifest(tableDir, base) match {
@@ -1665,7 +1678,7 @@ object TableIO {
                 } catch {
                   case e: Versioned.ConcurrentWriteException =>
                     attempt += 1
-                    if (attempt > maxRetries) throw e
+                    if (pinBase.isDefined || attempt > maxRetries) throw e
                 }
               } finally pin.foreach(_.unpersist())
             case None =>
@@ -2483,6 +2496,10 @@ object TableIO {
       s"version $version of $tableName was never committed, has been " +
         "swept, or is a legacy snapshot (not restorable by reference)")
     val m = target.get
+    require(Versioned.txnVisible(tableDir, version),
+      s"version $version of $tableName belongs to an uncommitted or " +
+        "aborted transaction — its data was never visible and cannot be " +
+        "restored to")
     val missing = m.files.filterNot(f =>
       Files.isRegularFile(Paths.get(tableDir).resolve(f)))
     require(missing.isEmpty,

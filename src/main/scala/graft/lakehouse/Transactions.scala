@@ -1,0 +1,180 @@
+package graft.lakehouse
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Multi-table atomic transactions — append to several tables so that a
+  * reader sees ALL of the writes or NONE of them, the cross-table
+  * guarantee single-table commit logs (Delta's included) do not give.
+  * The classic failure it closes: a pipeline appends facts then appends
+  * the matching dimension delta, crashes in between, and every join
+  * downstream silently drops rows until someone notices.
+  *
+  * Design (Percolator's decided-outcome scheme, Peng & Dabek, OSDI 2010,
+  * adapted to the manifest protocol in [[Versioned]]):
+  *
+  *   - [[Txn.write]] commits through the NORMAL single-table protocol —
+  *     manifest claim, staged files, marker — so it inherits conflict
+  *     detection, stats collection, and retention unchanged. The only
+  *     addition rides in `beforeMarker`: a `_txnref_<v>_<commitId>` file
+  *     pointing at this transaction's single OUTCOME file. A version
+  *     with a live ref is PENDING: invisible to every reader and never a
+  *     write base ([[Versioned.latestVersion]] skips it).
+  *   - [[Txn.commit]] creates the outcome file with content `committed`
+  *     via exclusive hard-link — one atomic filesystem operation is the
+  *     commit point for every table touched, exactly like Percolator's
+  *     primary-lock write. [[Txn.abort]] creates it with `aborted`.
+  *   - a transaction that dies undecided is STEAL-ABORTED by the first
+  *     reader or writer that finds its ref older than
+  *     [[Versioned.TxnGraceMs]]; a late [[Txn.commit]] then fails loudly
+  *     (the outcome already says aborted) — never half-applies.
+  *   - aborted versions stay in the physical chain, invisible; later
+  *     commits allocate past them while keeping the last visible version
+  *     as their semantic base, and retention sweeps them with their refs.
+  *
+  * Scale: the transaction adds O(1) metadata per table (one ref file, one
+  * outcome file) on top of the ordinary commits — nothing about table
+  * size, file count, or row volume enters the protocol. Pending versions
+  * block concurrent writers of the SAME tables only (the claim CAS), for
+  * at most the transaction's lifetime or the grace window.
+  *
+  * v1 restrictions (each refused loudly): one write per table per
+  * transaction, and no identity/generated-column or change-feed tables —
+  * those features hang per-commit state off the visible chain (watermark
+  * advancement, feed sidecars) that an invisible-until-decided version
+  * would corrupt. Appends only: an overwrite that loses its race to a
+  * steal-abort must not have blocked concurrent appends meanwhile. */
+object Txn {
+
+  /** An open transaction: its id, the outcome file every ref points at,
+    * and the (tableDir, version) pairs written so far. */
+  final class Handle private[Txn] (val id: String,
+      private[lakehouse] val outcome: Path) {
+    private[lakehouse] val writes =
+      scala.collection.mutable.LinkedHashMap[String, Long]()
+    override def toString: String = s"Txn($id, ${writes.size} writes)"
+  }
+
+  /** Open a transaction whose outcome record lives under the workspace's
+    * `_txn/` directory (shared by every table in the lakehouse). */
+  def begin(lh: LakehouseProps): Handle = {
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    new Handle(id, Paths.get(lh.root, "_txn", s"$id.outcome"))
+  }
+
+  /** Stage an append of `df` to `tableName` inside the transaction. The
+    * data and manifest commit NOW (CHECK constraints enforced, per-file
+    * stats collected, partitioning preserved) but stay invisible until
+    * [[commit]]. Throws [[Versioned.ConcurrentWriteException]] if the
+    * table advances between base read and claim — including another
+    * transaction's pending write — in which case the whole transaction
+    * should abort and retry. */
+  def write(h: Handle, spark: SparkSession, lh: LakehouseProps,
+      tableName: String, df: DataFrame): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    require(!h.writes.contains(tableDir),
+      s"transaction ${h.id} already wrote $tableName — one write per " +
+        "table per transaction")
+    require(txnOutcomeOf(h).isEmpty,
+      s"transaction ${h.id} is already decided")
+    val base = Versioned.latestVersion(tableDir)
+    val ref: (Long, Seq[Versioned.FileEntry], String) => Unit =
+      (v, _, cid) => writeRef(tableDir, v, cid, h.outcome)
+    val commit = base match {
+      case None =>
+        Versioned.commitFiles(tableDir, df.schema.json,
+          expectedBase = Some(0L),
+          collectStats = TableIO.collectFileStats(spark),
+          // a reader that does not understand txn refs would see PENDING
+          // versions as committed — gate it through the features protocol
+          meta = Versioned.withFeature(
+            Map(Versioned.TxnMetaKey -> h.id), "multiTableTxn"),
+          beforeMarker = ref, op = "TXN APPEND") { target =>
+          df.write.mode(SaveMode.Append).parquet(target)
+        }
+      case Some(b) =>
+        val m = Versioned.readManifest(tableDir, b).getOrElse(
+          throw new IllegalArgumentException(
+            s"$tableName: transactions need a manifest-based table " +
+              "(legacy snapshot layouts upgrade on first ordinary write)"))
+        require(TableIO.identityColsOf(m.meta).isEmpty &&
+            TableIO.generatedColsOf(m.meta).isEmpty,
+          s"$tableName has identity/generated columns — their watermark " +
+            "and computed-value bookkeeping is per-VISIBLE-commit; not " +
+            "supported inside transactions")
+        require(!TableIO.cdfEnabled(m.meta),
+          s"$tableName has the change feed enabled — feed consumers read " +
+            "version-contiguous sidecars; not supported inside transactions")
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        require(df.columns.toSet == schema.fieldNames.toSet,
+          s"$tableName: transactional append must match the table's " +
+            s"columns exactly (table: ${schema.fieldNames.mkString(",")}; " +
+            s"batch: ${df.columns.mkString(",")})")
+        val aligned = df.select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        TableIO.enforceChecks(aligned, TableIO.checkConstraintsOf(m.meta),
+          s"$tableName: txn append")
+        val parts = TableIO.partitioningOfFiles(m.files)
+        Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+          expectedBase = Some(b),
+          collectStats = TableIO.collectFileStats(spark,
+            TableIO.bloomColsOf(m)),
+          meta = Versioned.withFeature(
+            m.meta + (Versioned.TxnMetaKey -> h.id), "multiTableTxn"),
+          beforeMarker = ref, op = "TXN APPEND") { target =>
+          val physical = TableIO.toPhysical(aligned, schema)
+          val writer = physical.write.mode(SaveMode.Append)
+          (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+           else writer).parquet(target)
+        }
+    }
+    h.writes += tableDir -> commit.version
+    ()
+  }
+
+  /** Atomically publish every write of the transaction. One exclusive
+    * outcome-file creation decides ALL tables; fails loudly if the
+    * transaction was steal-aborted (it exceeded the grace window). */
+  def commit(h: Handle): Unit = {
+    Versioned.decideTxn(h.outcome, "committed")
+    val verdict = Versioned.txnOutcome(h.outcome)
+    if (!verdict.contains("committed"))
+      throw new Versioned.ConcurrentWriteException(
+        s"transaction ${h.id} was aborted before commit " +
+          s"(outcome: ${verdict.getOrElse("undecided")}) — it exceeded " +
+          "the grace window or was aborted explicitly; no write published")
+    // roll-forward cleanup is lazy (readers drop refs on resolution), but
+    // do it eagerly for the tables we know about
+    h.writes.foreach { case (tableDir, v) =>
+      Versioned.txnVisible(tableDir, v); ()
+    }
+  }
+
+  /** Abort: every write stays permanently invisible. Fails loudly if the
+    * transaction already committed. */
+  def abort(h: Handle): Unit = {
+    Versioned.decideTxn(h.outcome, "aborted")
+    if (Versioned.txnOutcome(h.outcome).contains("committed"))
+      throw new IllegalStateException(
+        s"transaction ${h.id} already committed — cannot abort")
+  }
+
+  private def txnOutcomeOf(h: Handle): Option[String] =
+    Versioned.txnOutcome(h.outcome)
+
+  /** The ref is written ATOMICALLY (tmp + move) in beforeMarker, so a
+    * marker can never land with a half-written ref: the version is born
+    * pending or not born at all. */
+  private def writeRef(tableDir: String, v: Long, commitId: String,
+      outcome: Path): Unit = {
+    val dir = Paths.get(tableDir)
+    val tmp = dir.resolve(s".txnref.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, outcome.toAbsolutePath.toString.getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(s"${Versioned.TxnRefPrefix}${v}_$commitId"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}

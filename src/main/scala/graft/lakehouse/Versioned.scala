@@ -221,8 +221,16 @@ object Versioned {
     * tables (pre-marker layout) fall back to the pointer value. */
   def latestVersion(tableDir: String): Option[Long] = {
     val dir = Paths.get(tableDir)
-    val markers = listNames(dir).flatMap(numericSuffix(_, MarkerPrefix))
-    if (markers.nonEmpty) Some(markers.max)
+    val names = listNames(dir)
+    val markers = names.flatMap(numericSuffix(_, MarkerPrefix))
+    if (markers.nonEmpty) {
+      // transaction-pending versions are not visible until their outcome
+      // decides; the common case (no refs) costs nothing beyond the name
+      // scan already done
+      if (!names.exists(_.startsWith(TxnRefPrefix))) Some(markers.max)
+      else markers.sorted(Ordering[Long].reverse)
+        .find(v => txnVisible(tableDir, v))
+    }
     else {
       val p = pointer(dir)
       if (!Files.isRegularFile(p)) None
@@ -285,7 +293,117 @@ object Versioned {
   val SupportedFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "identityColumns",
     "generatedColumns", "checkConstraints", "changeDataFeed",
-    "deltaManifests", "partitionEvolution")
+    "deltaManifests", "partitionEvolution", "multiTableTxn")
+
+  // ---- multi-table transactions (Percolator-style decided outcomes) ----
+  //
+  // A transactional write commits NORMALLY (manifest + marker) but rides
+  // a `_txnref_<v>_<commitId>` file written in beforeMarker, pointing at
+  // the transaction's single OUTCOME file. The version is born PENDING:
+  // [[latestVersion]] skips it until the outcome file decides it. The
+  // outcome is created exactly once (hard-link exclusive create, the same
+  // conditional-PUT primitive as the version claim) with content
+  // `committed` or `aborted` — that one creation is the atomic commit
+  // point for EVERY table the transaction touched. Crashed transactions
+  // are steal-aborted by any reader after [[TxnGraceMs]]; aborted
+  // versions stay physically in the chain (retention sweeps them) but are
+  // never visible and never inherited from — later commits allocate past
+  // them while keeping the last VISIBLE version as their semantic base.
+  // The ref carries the commit id for the same reason change-feed
+  // sidecars do: a crashed claim's leftover ref must never make a later
+  // unrelated commit at the same number look transactional.
+
+  /** Table-dir ref file prefix: `_txnref_<version>_<commitId>`. */
+  val TxnRefPrefix = "_txnref_"
+  /** Manifest-meta key recording the owning transaction id. */
+  val TxnMetaKey = "graft.txn"
+  /** An UNDECIDED transaction older than this is aborted by whoever
+    * observes it (reader or writer) — the Percolator lazy-cleanup rule.
+    * Transactions must commit within the grace or risk the steal; the
+    * commit then fails loudly (the outcome file already says aborted). */
+  @volatile var TxnGraceMs: Long = 60 * 1000L
+
+  /** The decided outcome of a transaction, if any. */
+  def txnOutcome(outcome: Path): Option[String] =
+    try Some(new String(Files.readAllBytes(outcome),
+      StandardCharsets.UTF_8).trim)
+    catch { case _: Exception => None }
+
+  /** Decide a transaction's outcome exactly once (first creator wins;
+    * losing is normal — somebody else decided). */
+  def decideTxn(outcome: Path, verdict: String): Unit = {
+    try {
+      Files.createDirectories(outcome.getParent)
+      val tmp = outcome.getParent.resolve(
+        s".${outcome.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, verdict.getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(outcome, tmp)
+      finally Files.deleteIfExists(tmp)
+    } catch { case _: FileAlreadyExistsException => ()
+      case _: java.io.IOException => () }
+  }
+
+  /** The txn refs of `v` among `names`, as (refName, commitId). */
+  private def txnRefsOf(names: Seq[String], v: Long): Seq[(String, String)] =
+    names.filter(_.startsWith(s"$TxnRefPrefix${v}_"))
+      .map(n => n -> n.drop(s"$TxnRefPrefix${v}_".length))
+
+  /** Is committed version `v` visible — not governed by an undecided or
+    * aborted transaction? Resolves the ref whose commit id matches the
+    * manifest's own (leftover refs from crashed claims are ignored),
+    * steal-aborts overdue undecided transactions, and cleans up the ref
+    * once the outcome is `committed` (roll-forward). */
+  private[lakehouse] def txnVisible(tableDir: String, v: Long): Boolean = {
+    val dir = Paths.get(tableDir)
+    val refs = txnRefsOf(listNames(dir), v)
+    if (refs.isEmpty) return true
+    val ownId = readManifest(tableDir, v).flatMap(_.meta.get(CommitIdKey))
+    val owned = refs.collect {
+      case (n, id) if ownId.contains(id) => dir.resolve(n) }
+    if (owned.isEmpty) return true // leftovers of crashed claims: inert
+    val ref = owned.head
+    val outcomePath =
+      try Paths.get(new String(Files.readAllBytes(ref),
+        StandardCharsets.UTF_8).trim)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          return true // cleaned concurrently — only commit cleanup does
+        case _: Exception => return false // unreadable: stay invisible
+      }
+    txnOutcome(outcomePath) match {
+      case Some("committed") =>
+        try Files.deleteIfExists(ref) catch { case _: Exception => () }
+        true
+      case Some(_) => false // aborted
+      case None =>
+        val age = try System.currentTimeMillis() -
+          Files.getLastModifiedTime(ref).toMillis
+        catch { case _: Exception => 0L }
+        if (age > TxnGraceMs) {
+          decideTxn(outcomePath, "aborted")
+          txnOutcome(outcomePath).contains("committed")
+        } else false
+    }
+  }
+
+  /** Is `v` occupied by a DECIDED-ABORTED transaction? (Used by the claim
+    * loop to allocate past dead versions without reporting a conflict —
+    * the semantic base is unchanged.) No stealing here: an undecided
+    * transaction is a real conflict until the grace expires. */
+  private def txnAborted(dir: Path, v: Long): Boolean = {
+    val refs = txnRefsOf(listNames(dir), v)
+    refs.nonEmpty && {
+      val ownId = readManifest(dir.toString, v)
+        .flatMap(_.meta.get(CommitIdKey))
+      refs.collect { case (n, id) if ownId.contains(id) => dir.resolve(n) }
+        .headOption.exists { ref =>
+          (try Some(Paths.get(new String(Files.readAllBytes(ref),
+            StandardCharsets.UTF_8).trim))
+          catch { case _: Exception => None })
+            .flatMap(txnOutcome).contains("aborted")
+        }
+    }
+  }
 
   /** Parse a features meta value (comma-separated, sorted on write). */
   def featuresOf(meta: Map[String, String]): Set[String] =
@@ -599,6 +717,11 @@ object Versioned {
                   try deleteRecursively(dir.resolve(s"_cdf_$v"))
                   catch { case _: Exception => () }
                 }
+              } else if (Files.exists(marker(dir, v)) && txnAborted(dir, v)) {
+                // a decided-aborted transaction occupies this number: it is
+                // invisible and never inherited from, so allocating past it
+                // keeps the caller's semantic base — not a conflict
+                v += 1
               } else expectedBase match {
                 case Some(base) => throw conflict(tableDir, base, v)
                 case None => v += 1
@@ -759,6 +882,22 @@ object Versioned {
       deleteRecursively(versionDir(dir, v)) // legacy snapshot dir
       names.filter(n => n == s"_cdf_$v" || n.startsWith(s"_cdf_${v}_"))
         .foreach(n => deleteRecursively(dir.resolve(n))) // change sidecars
+      names.filter(_.startsWith(s"$TxnRefPrefix${v}_"))
+        .foreach(n => Files.deleteIfExists(dir.resolve(n))) // txn refs
+    }
+    // txn refs of versions that never committed (a crashed claim wrote the
+    // ref in beforeMarker, the marker never landed) age out like any
+    // orphan; refs of committed versions stay until the version drops or
+    // roll-forward cleanup removes them
+    names.filter(_.startsWith(TxnRefPrefix)).foreach { n =>
+      val vPart = n.drop(TxnRefPrefix.length)
+        .takeWhile(c => c >= '0' && c <= '9')
+      val ok = vPart.nonEmpty && vPart.length <= 18 &&
+        Files.exists(marker(dir, vPart.toLong))
+      if (!ok) {
+        val p = dir.resolve(n)
+        if (!young(p)) Files.deleteIfExists(p)
+      }
     }
     // change-data sidecars of versions that never committed (crash between
     // sidecar write and marker) age out like any orphan

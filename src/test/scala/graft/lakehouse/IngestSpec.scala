@@ -1,0 +1,228 @@
+package graft.lakehouse
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+
+/** COPY INTO: idempotent file ingestion with a versioned loaded-file
+  * ledger. The contract under test: same directory twice = no-op, new
+  * files load alone, racing loaders never double-load, the ledger rides
+  * RESTORE/overwrite with the data, and schema mismatches fail loudly. */
+class IngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("ingest_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_ing", "lh_ing").lakehouses.head
+  }
+
+  private def srcDir(): String =
+    Files.createTempDirectory("ingest_src").toString
+
+  private def writeCsv(dir: String, name: String, rows: Seq[(Int, String)],
+      header: String = "k,s"): Unit = {
+    val lines = header +: rows.map { case (k, s) => s"$k,$s" }
+    Files.write(Paths.get(dir, name),
+      lines.mkString("\n").getBytes(UTF_8))
+  }
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", IntegerType), StructField("s", StringType)))
+
+  private def rowsOf(table: String): Set[(Int, String)] =
+    TableIO.selectTable(spark, lh, table).as[(Int, String)].collect().toSet
+
+  test("copyInto loads once, reloads as a no-op, and loads only new files") {
+    val src = srcDir()
+    writeCsv(src, "b1.csv", Seq(1 -> "a", 2 -> "b"))
+    val r1 = Ingest.copyInto(spark, lh, "ing1", src,
+      schema = Some(kvSchema))
+    assert(r1.filesLoaded == 1 && r1.rowsLoaded == 2, r1)
+    // identical re-run: nothing loads, nothing commits
+    val vBefore = Versioned.latestVersion(Catalog.tablePath(lh, "ing1"))
+    val r2 = Ingest.copyInto(spark, lh, "ing1", src, schema = Some(kvSchema))
+    assert(r2.filesLoaded == 0 && r2.filesSkipped == 1, r2)
+    assert(Versioned.latestVersion(Catalog.tablePath(lh, "ing1")) == vBefore)
+    // a new file loads alone; the old one stays skipped
+    writeCsv(src, "b2.csv", Seq(3 -> "c"))
+    val r3 = Ingest.copyInto(spark, lh, "ing1", src, schema = Some(kvSchema))
+    assert(r3.filesLoaded == 1 && r3.filesSkipped == 1 &&
+      r3.rowsLoaded == 1, r3)
+    assert(rowsOf("ing1") == Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    TableIO.dropTable(spark, lh, "ing1")
+  }
+
+  test("hidden and underscore files are not loadable; force reloads") {
+    val src = srcDir()
+    writeCsv(src, "b1.csv", Seq(1 -> "a"))
+    writeCsv(src, "_SUCCESS.csv", Seq(9 -> "x"))
+    writeCsv(src, ".hidden.csv", Seq(8 -> "y"))
+    val r1 = Ingest.copyInto(spark, lh, "ing2", src, schema = Some(kvSchema))
+    assert(r1.filesLoaded == 1, r1)
+    assert(rowsOf("ing2") == Set(1 -> "a"))
+    val r2 = Ingest.copyInto(spark, lh, "ing2", src,
+      schema = Some(kvSchema), force = true)
+    assert(r2.filesLoaded == 1, r2)
+    assert(TableIO.selectTable(spark, lh, "ing2").count() == 2)
+    // force's nonce'd batch must not mask later increments
+    writeCsv(src, "b2.csv", Seq(2 -> "b"))
+    val r3 = Ingest.copyInto(spark, lh, "ing2", src, schema = Some(kvSchema))
+    assert(r3.filesLoaded == 1 && r3.rowsLoaded == 1, r3)
+    TableIO.dropTable(spark, lh, "ing2")
+  }
+
+  test("schema alignment: extra and missing source columns fail loudly; " +
+      "identity columns are engine-assigned") {
+    val src = srcDir()
+    writeCsv(src, "b1.csv", Seq(1 -> "a", 2 -> "b"))
+    // table with an identity column: csv lacking it still loads (the
+    // read schema is the table's minus identity, so csv positions match)
+    TableIO.writeTable(spark, lh, "ing3",
+      Seq((10L, 0, "seed")).toDF("rid", "k", "s"))
+    TableIO.setIdentityColumn(spark, lh, "ing3", "rid")
+    val r1 = Ingest.copyInto(spark, lh, "ing3", src)
+    assert(r1.filesLoaded == 1 && r1.rowsLoaded == 2, r1)
+    val ids = TableIO.selectTable(spark, lh, "ing3")
+      .select("rid").as[Long].collect().toSeq
+    assert(ids.distinct.size == 3, ids) // unique engine-assigned ids
+    // a source column the table lacks is an error, not a silent drop
+    val src2 = srcDir()
+    Files.write(Paths.get(src2, "bad.csv"),
+      "k,s,extra\n5,e,zzz".getBytes(UTF_8))
+    val exExtra = intercept[IllegalArgumentException] {
+      Ingest.copyInto(spark, lh, "ing3", src2, schema = Some(StructType(
+        kvSchema.fields :+ StructField("extra", StringType))))
+    }
+    assert(exExtra.getMessage.contains("extra"), exExtra.getMessage)
+    // a missing non-identity column is an error, not a null-fill
+    val exMissing = intercept[IllegalArgumentException] {
+      Ingest.copyInto(spark, lh, "ing3", src2, schema = Some(StructType(
+        Seq(StructField("k", IntegerType)))))
+    }
+    assert(exMissing.getMessage.contains("lacks column"),
+      exMissing.getMessage)
+    TableIO.dropTable(spark, lh, "ing3")
+  }
+
+  test("racing loaders of the same source never double-load") {
+    val src = srcDir()
+    writeCsv(src, "b1.csv", Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+    TableIO.writeTable(spark, lh, "ing4",
+      Seq((0, "seed")).toDF("k", "s"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val results = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Ingest.CopyResult] {
+          def call(): Ingest.CopyResult =
+            Ingest.copyInto(spark, lh, "ing4", src, schema = Some(kvSchema))
+        }))
+        .map(_.get())
+      assert(results.map(_.filesLoaded).sum == 1, results)
+    } finally pool.shutdown()
+    assert(rowsOf("ing4") == Set(0 -> "seed", 1 -> "a", 2 -> "b", 3 -> "c"))
+    TableIO.dropTable(spark, lh, "ing4")
+  }
+
+  test("the ledger restores with the data and resets on overwrite") {
+    val src = srcDir()
+    writeCsv(src, "b1.csv", Seq(1 -> "a"))
+    Ingest.copyInto(spark, lh, "ing5", src, schema = Some(kvSchema))
+    val dir = Catalog.tablePath(lh, "ing5")
+    val vAfterB1 = Versioned.latestVersion(dir).get
+    writeCsv(src, "b2.csv", Seq(2 -> "b"))
+    Ingest.copyInto(spark, lh, "ing5", src, schema = Some(kvSchema))
+    assert(rowsOf("ing5") == Set(1 -> "a", 2 -> "b"))
+    // RESTORE to before b2: its rows leave AND its ledger entry leaves,
+    // so the next ingest brings b2 back
+    TableIO.restoreTable(spark, lh, "ing5", vAfterB1)
+    assert(rowsOf("ing5") == Set(1 -> "a"))
+    val rAgain = Ingest.copyInto(spark, lh, "ing5", src,
+      schema = Some(kvSchema))
+    assert(rAgain.filesLoaded == 1, rAgain)
+    assert(rowsOf("ing5") == Set(1 -> "a", 2 -> "b"))
+    // overwrite wipes the data AND the load history
+    TableIO.writeTable(spark, lh, "ing5", Seq((9, "z")).toDF("k", "s"))
+    val rAfterOw = Ingest.copyInto(spark, lh, "ing5", src,
+      schema = Some(kvSchema))
+    assert(rAfterOw.filesLoaded == 2, rAfterOw)
+    assert(rowsOf("ing5") == Set(9 -> "z", 1 -> "a", 2 -> "b"))
+    TableIO.dropTable(spark, lh, "ing5")
+  }
+
+  test("ledger keys consolidate past the threshold without losing history") {
+    val prev = Ingest.ConsolidateAt
+    Ingest.ConsolidateAt = 3
+    try {
+      val src = srcDir()
+      (1 to 5).foreach { i =>
+        writeCsv(src, s"b$i.csv", Seq(i -> s"v$i"))
+        Ingest.copyInto(spark, lh, "ing6", src, schema = Some(kvSchema))
+      }
+      val dir = Catalog.tablePath(lh, "ing6")
+      val meta = Versioned.readManifest(dir,
+        Versioned.latestVersion(dir).get).get.meta
+      val keys = meta.keys.filter(_.startsWith(Ingest.KeyPrefix))
+      assert(keys.size <= Ingest.ConsolidateAt, keys)
+      // consolidation preserved the history: everything still skips
+      val r = Ingest.copyInto(spark, lh, "ing6", src, schema = Some(kvSchema))
+      assert(r.filesLoaded == 0 && r.filesSkipped == 5, r)
+      assert(Ingest.loadHistory(spark, lh, "ing6").count() == 5)
+      TableIO.dropTable(spark, lh, "ing6")
+    } finally Ingest.ConsolidateAt = prev
+  }
+
+  test("an orphaned ledger sidecar (crash before commit) is ignored") {
+    val src = srcDir()
+    writeCsv(src, "b1.csv", Seq(1 -> "a"))
+    TableIO.writeTable(spark, lh, "ing7", Seq((0, "seed")).toDF("k", "s"))
+    // fake a crashed loader: sidecar present, no meta key committed
+    val ledger = Paths.get(Catalog.tablePath(lh, "ing7"), Ingest.LedgerDir)
+    Files.createDirectories(ledger)
+    Files.write(ledger.resolve("deadbeefdeadbeef.json"),
+      """[{"path":"ghost.csv","size":1,"mtime":1}]""".getBytes(UTF_8))
+    val r = Ingest.copyInto(spark, lh, "ing7", src, schema = Some(kvSchema))
+    assert(r.filesLoaded == 1, r) // the orphan protected nothing
+    TableIO.dropTable(spark, lh, "ing7")
+  }
+
+  test("json and parquet sources round-trip typed columns") {
+    val src = srcDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType),
+      StructField("x", DoubleType)))
+    Files.write(Paths.get(src, "b1.json"),
+      """{"id":1,"d":"2024-03-01","x":1.5}
+        |{"id":2,"d":"2024-03-02","x":-0.25}""".stripMargin.getBytes(UTF_8))
+    Ingest.copyInto(spark, lh, "ing8", src, format = "json",
+      schema = Some(schema))
+    val got = TableIO.selectTable(spark, lh, "ing8")
+      .orderBy("id").collect().toSeq
+    assert(got.map(_.getLong(0)) == Seq(1L, 2L))
+    assert(got.map(_.getDate(1).toString) ==
+      Seq("2024-03-01", "2024-03-02"))
+    assert(got.map(_.getDouble(2)) == Seq(1.5, -0.25))
+    // parquet self-describes: no schema argument needed on a new table
+    val psrc = srcDir()
+    Seq((1L, "p")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(psrc)
+    val rp = Ingest.copyInto(spark, lh, "ing9", psrc, format = "parquet")
+    assert(rp.rowsLoaded == 1, rp)
+    TableIO.dropTable(spark, lh, "ing8")
+    TableIO.dropTable(spark, lh, "ing9")
+  }
+
+  test("csv/json without a schema, table, or inference opt-in is refused") {
+    val src = srcDir()
+    writeCsv(src, "b1.csv", Seq(1 -> "a"))
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.copyInto(spark, lh, "ing10", src)
+    }
+    assert(ex.getMessage.contains("inferSchema"), ex.getMessage)
+    // the opt-in works
+    val r = Ingest.copyInto(spark, lh, "ing10", src,
+      options = Map("inferSchema" -> "true"))
+    assert(r.rowsLoaded == 1, r)
+    TableIO.dropTable(spark, lh, "ing10")
+  }
+}

@@ -1,0 +1,169 @@
+package graft.lakehouse
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** Multi-table transactions: all-or-nothing visibility across tables,
+  * steal-abort of crashed transactions, conflict serialization, and the
+  * protocol edges (dead-version allocation, restore guard, ref litter). */
+class TxnSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("txn_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_txn", "lh_txn").lakehouses.head
+  }
+
+  private def rowsOf(table: String): Set[Int] =
+    TableIO.selectTable(spark, lh, table).select("k").as[Int].collect().toSet
+
+  test("a two-table transaction is invisible before commit and atomic after") {
+    TableIO.writeTable(spark, lh, "t1", Seq(1).toDF("k"))
+    TableIO.writeTable(spark, lh, "t2", Seq(10).toDF("k"))
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "t1", Seq(2).toDF("k"))
+    Txn.write(h, spark, lh, "t2", Seq(20).toDF("k"))
+    // staged but undecided: neither table shows the new rows
+    assert(rowsOf("t1") == Set(1) && rowsOf("t2") == Set(10))
+    Txn.commit(h)
+    assert(rowsOf("t1") == Set(1, 2) && rowsOf("t2") == Set(10, 20))
+    Seq("t1", "t2").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
+  test("abort leaves every table untouched, and later appends build past " +
+      "the dead version") {
+    TableIO.writeTable(spark, lh, "t3", Seq(1).toDF("k"))
+    TableIO.writeTable(spark, lh, "t4", Seq(10).toDF("k"))
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "t3", Seq(2).toDF("k"))
+    Txn.write(h, spark, lh, "t4", Seq(20).toDF("k"))
+    Txn.abort(h)
+    assert(rowsOf("t3") == Set(1) && rowsOf("t4") == Set(10))
+    // an ordinary append allocates past the aborted version and never
+    // inherits its rows
+    TableIO.appendTable(spark, lh, "t3", Seq(3).toDF("k"))
+    assert(rowsOf("t3") == Set(1, 3))
+    // the dead version is physically above the old base
+    val dir = Catalog.tablePath(lh, "t3")
+    assert(Versioned.committedVersions(dir).size >= 3)
+    Seq("t3", "t4").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
+  test("a crashed (undecided) transaction is steal-aborted after the " +
+      "grace window — and its late commit fails loudly") {
+    val prevGrace = Versioned.TxnGraceMs
+    try {
+      TableIO.writeTable(spark, lh, "t5", Seq(1).toDF("k"))
+      val h = Txn.begin(lh)
+      Txn.write(h, spark, lh, "t5", Seq(2).toDF("k"))
+      // within the grace: pending, invisible, NOT aborted
+      assert(rowsOf("t5") == Set(1))
+      Versioned.TxnGraceMs = 1L
+      Thread.sleep(10)
+      // first reader past the grace decides the outcome: aborted
+      assert(rowsOf("t5") == Set(1))
+      val ex = intercept[Versioned.ConcurrentWriteException] {
+        Txn.commit(h)
+      }
+      assert(ex.getMessage.contains("aborted"), ex.getMessage)
+      assert(rowsOf("t5") == Set(1))
+      TableIO.dropTable(spark, lh, "t5")
+    } finally Versioned.TxnGraceMs = prevGrace
+  }
+
+  test("a pending transaction blocks concurrent writers of its tables " +
+      "until decided") {
+    TableIO.writeTable(spark, lh, "t6", Seq(1).toDF("k"))
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "t6", Seq(2).toDF("k"))
+    intercept[Versioned.ConcurrentWriteException] {
+      TableIO.appendTable(spark, lh, "t6", Seq(3).toDF("k"), maxRetries = 1)
+    }
+    Txn.commit(h)
+    // decided: the ordinary append goes through ON TOP of the txn rows
+    TableIO.appendTable(spark, lh, "t6", Seq(3).toDF("k"))
+    assert(rowsOf("t6") == Set(1, 2, 3))
+    TableIO.dropTable(spark, lh, "t6")
+  }
+
+  test("two transactions racing the same table serialize: the loser " +
+      "fails its write, not its victim") {
+    TableIO.writeTable(spark, lh, "t7", Seq(1).toDF("k"))
+    val h1 = Txn.begin(lh)
+    val h2 = Txn.begin(lh)
+    Txn.write(h1, spark, lh, "t7", Seq(2).toDF("k"))
+    intercept[Versioned.ConcurrentWriteException] {
+      Txn.write(h2, spark, lh, "t7", Seq(3).toDF("k"))
+    }
+    Txn.abort(h2)
+    Txn.commit(h1)
+    assert(rowsOf("t7") == Set(1, 2))
+    TableIO.dropTable(spark, lh, "t7")
+  }
+
+  test("transaction writes create tables, enforce CHECKs, and refuse " +
+      "identity/CDF tables") {
+    // creation inside a txn: table invisible (reads say no table) until
+    // commit
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "t8", Seq(1).toDF("k"))
+    assert(Versioned.latestVersion(Catalog.tablePath(lh, "t8")).isEmpty)
+    Txn.commit(h)
+    assert(rowsOf("t8") == Set(1))
+    // CHECK constraints hold inside transactions
+    TableIO.addCheckConstraint(spark, lh, "t8", "pos", "k > 0")
+    val h2 = Txn.begin(lh)
+    intercept[IllegalArgumentException] {
+      Txn.write(h2, spark, lh, "t8", Seq(-5).toDF("k"))
+    }
+    Txn.abort(h2)
+    // identity tables are refused loudly (v1)
+    TableIO.writeTable(spark, lh, "t9",
+      Seq((1L, 1)).toDF("rid", "k"))
+    TableIO.setIdentityColumn(spark, lh, "t9", "rid")
+    val h3 = Txn.begin(lh)
+    val ex = intercept[IllegalArgumentException] {
+      Txn.write(h3, spark, lh, "t9", Seq((9L, 9)).toDF("rid", "k"))
+    }
+    assert(ex.getMessage.contains("identity"), ex.getMessage)
+    Txn.abort(h3)
+    Seq("t8", "t9").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
+  test("RESTORE refuses to resurrect an aborted transaction's version") {
+    TableIO.writeTable(spark, lh, "t10", Seq(1).toDF("k"))
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "t10", Seq(2).toDF("k"))
+    val deadV = Versioned.committedVersions(
+      Catalog.tablePath(lh, "t10")).max
+    Txn.abort(h)
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.restoreTable(spark, lh, "t10", deadV)
+    }
+    assert(ex.getMessage.contains("transaction"), ex.getMessage)
+    TableIO.dropTable(spark, lh, "t10")
+  }
+
+  test("commit rolls refs forward; a leftover ref from a crashed claim " +
+      "never hides an unrelated commit") {
+    TableIO.writeTable(spark, lh, "t11", Seq(1).toDF("k"))
+    val dir = Catalog.tablePath(lh, "t11")
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "t11", Seq(2).toDF("k"))
+    Txn.commit(h)
+    assert(rowsOf("t11") == Set(1, 2))
+    // roll-forward: resolution dropped the ref
+    assert(!Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(Versioned.TxnRefPrefix)))
+    // a ref whose commit id does not match the committed manifest (a
+    // crashed claim's litter) must not affect visibility
+    val v = Versioned.latestVersion(dir).get
+    Files.write(Paths.get(dir,
+      s"${Versioned.TxnRefPrefix}${v}_deadbeef"),
+      "/nonexistent/outcome".getBytes)
+    assert(rowsOf("t11") == Set(1, 2))
+    assert(Versioned.latestVersion(dir).contains(v))
+    TableIO.dropTable(spark, lh, "t11")
+  }
+}
