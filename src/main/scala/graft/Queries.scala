@@ -3617,5 +3617,45 @@ object Queries {
       Some("""SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // DSIR data selection (integer-quantized): score every document by
+    // target-likeness of its unigram+bigram bag — target = the French
+    // slice — and keep the top 50. The weight and score chains are pure
+    // 64-bit integer multiply/divide (`div`), so the oracle replays them
+    // term for term; sums are cast back to BIGINT (DuckDB sum() returns
+    // HUGEINT, which pandas would mangle to float64).
+    Q("q158_dsir_select",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dsir.selectTopK(docs.select("doc_id", "text"),
+          docs.filter(col("lang") === "fr").select("doc_id", "text"),
+          "doc_id", "text", k = 50)
+      },
+      Some("""WITH w0 AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(words) AS gram FROM w0
+        |  UNION ALL
+        |  SELECT doc_id, unnest([array_to_string(words[i:i+1], ' ')
+        |    for i in generate_series(1, len(words) - 1)]) AS gram
+        |  FROM w0 WHERE len(words) >= 2),
+        |dg AS (SELECT doc_id, gram, count(*) AS cnt
+        |  FROM grams GROUP BY 1, 2),
+        |cs AS (SELECT gram, CAST(sum(cnt) AS BIGINT) AS cs
+        |  FROM dg GROUP BY 1),
+        |ct AS (SELECT gram, CAST(sum(cnt) AS BIGINT) AS ct FROM dg
+        |  JOIN (SELECT doc_id FROM documents WHERE lang = 'fr') f
+        |  USING (doc_id) GROUP BY 1),
+        |wt AS (SELECT cs.gram,
+        |    (1000 * (coalesce(ct.ct, 0) + 1)) // (cs.cs + 1) AS w
+        |  FROM cs LEFT JOIN ct ON cs.gram = ct.gram),
+        |sc AS (SELECT dg.doc_id,
+        |    CAST((sum(dg.cnt * wt.w) * 1000) // sum(dg.cnt) AS BIGINT)
+        |      AS score
+        |  FROM dg JOIN wt ON dg.gram = wt.gram GROUP BY 1)
+        |SELECT doc_id, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
   )
 }
