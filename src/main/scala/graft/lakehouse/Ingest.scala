@@ -81,11 +81,15 @@ object Ingest {
     * engine-assigned on the way in); otherwise parquet self-describes,
     * and csv/json REQUIRE either `schema` or `inferSchema=true` in
     * `options` (inference = an extra full pass; at scale that must be a
-    * choice, not a default). CSV maps columns by POSITION when a schema
-    * is supplied (Spark `enforceSchema`); json and parquet map by name.
-    * Against an existing table, extra source columns and missing
-    * non-identity/non-generated columns are errors — silent drop or
-    * null-fill of a typo'd extract is how bad loads go unnoticed.
+    * choice, not a default). Loud by default, per what each format can
+    * cheaply reveal: csv headers are VALIDATED against the schema
+    * (`enforceSchema=false`) so a reordered or truncated extract fails
+    * instead of mis-mapping; parquet footers are checked against the
+    * table schema (metadata-only) so extra or missing source columns are
+    * errors; malformed csv/json records FAILFAST rather than nulling.
+    * Json maps by name under the declared schema — a field absent from
+    * the json text reads as null (knowing better would cost a full
+    * inference pass; that is the standard semi-structured contract).
     *
     * `force = true` reloads everything listed regardless of the ledger
     * (rows duplicate — that is the point of force) and records the batch
@@ -125,7 +129,17 @@ object Ingest {
           maxRetries = 0,
           extraMeta = Map(KeyPrefix + cid -> fresh.size.toString),
           pinBase = Some(base.getOrElse(0L)))
-        val v = base.getOrElse(0L) + 1
+        // our commit is the first version ABOVE the pinned base carrying
+        // this batch's ledger key — not necessarily base+1: the claim
+        // loop allocates past decided-aborted transaction versions, whose
+        // manifests must never be mistaken for ours
+        val v = Versioned.committedVersions(tableDir)
+          .filter(_ > base.getOrElse(0L)).sorted
+          .find(cv => Versioned.readManifest(tableDir, cv)
+            .exists(_.meta.contains(KeyPrefix + cid)))
+          .getOrElse(throw new IllegalStateException(
+            s"copyInto($tableName): committed batch $cid not found above " +
+              s"base $base"))
         val mNew = Versioned.readManifest(tableDir, v)
         val rows = mNew.map { m =>
           val prev = manifest.map(_.files.toSet).getOrElse(Set.empty)
@@ -252,23 +266,42 @@ object Ingest {
         s"copyInto($tableName): $format needs an explicit schema (or an " +
           "existing table to align to) — schema inference is a full " +
           "extra pass over the source; opt in with inferSchema=true")
-    val defaults =
-      if (format == "csv") Map("header" -> "true")
-      else Map.empty[String, String]
+    // loud-by-default: csv headers are VALIDATED against the schema
+    // (enforceSchema=false) instead of blindly position-mapped, and
+    // malformed records fail the load rather than turning into nulls.
+    // Callers can override any of these per Spark's reader options.
+    val defaults = format match {
+      case "csv" => Map("header" -> "true", "enforceSchema" -> "false",
+        "mode" -> "FAILFAST")
+      case "json" => Map("mode" -> "FAILFAST")
+      case _ => Map.empty[String, String]
+    }
     var reader = spark.read.format(format).options(defaults ++ options)
     readSchema.foreach(s => reader = reader.schema(s))
     val raw = reader.load(files.map(_.path): _*)
+    // what the SOURCE actually provides: parquet footers are
+    // self-describing metadata (no data scan) so the reality check is
+    // free; csv reality is the validated header above; json fields
+    // cannot be known without a full inference pass — absent json fields
+    // read as null under the declared schema (the standard
+    // semi-structured contract), so the checks below cover the declared
+    // shape only.
+    val sourceCols: Set[String] =
+      if (format == "parquet")
+        spark.read.format("parquet").options(options)
+          .load(files.map(_.path): _*).columns.toSet
+      else raw.columns.toSet
     targetSchema.fold(raw) { t =>
-      val present = raw.columns.toSet
       val missing = t.fields.map(_.name)
-        .filterNot(n => present(n) || idCols(n) || genCols(n))
+        .filterNot(n => sourceCols(n) || idCols(n) || genCols(n))
       require(missing.isEmpty,
         s"copyInto($tableName): source lacks column(s) " +
           s"${missing.mkString(", ")}")
-      val extra = raw.columns.filterNot(t.fieldNames.toSet)
+      val extra = sourceCols.filterNot(t.fieldNames.toSet)
       require(extra.isEmpty,
         s"copyInto($tableName): source has column(s) the table lacks: " +
           s"${extra.mkString(", ")} — drop them or evolve the table first")
+      val present = raw.columns.toSet
       raw.select(t.fields.filter(f => present(f.name))
         .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     }

@@ -2408,6 +2408,12 @@ object TableIO {
       s"version $version of $tableName was never committed or has been " +
         s"swept (retention: newest ${Versioned.Retain} versions + " +
         s"${Versioned.RetainAgeMs} ms age window)")
+    // ...and the txn check rejects pending/aborted transaction versions:
+    // their data was never visible, and time travel must not be the back
+    // door that reads it
+    require(Versioned.txnVisible(tableDir, version),
+      s"version $version of $tableName belongs to an uncommitted or " +
+        "aborted transaction and was never visible")
     scanSpec(spark, spec)
   }
 
@@ -2475,6 +2481,10 @@ object TableIO {
     val tableDir = Catalog.tablePath(lh, tableName)
     val at = Versioned.committedVersions(tableDir)
       .filter(v => Versioned.commitTimeMs(tableDir, v).exists(_ <= tsMillis))
+      // pending/aborted transaction versions were never visible at ANY
+      // time — AS OF must resolve to the newest version a reader could
+      // actually have seen
+      .filter(v => Versioned.txnVisible(tableDir, v))
     require(at.nonEmpty,
       s"$tableName has no version committed at or before $tsMillis " +
         "within the retention window")

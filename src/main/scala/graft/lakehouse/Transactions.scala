@@ -3,6 +3,8 @@ package graft.lakehouse
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -92,8 +94,8 @@ object Txn {
           // a reader that does not understand txn refs would see PENDING
           // versions as committed — gate it through the features protocol
           meta = Versioned.withFeature(
-            Map(Versioned.TxnMetaKey -> h.id), "multiTableTxn"),
-          beforeMarker = ref, op = "TXN APPEND") { target =>
+            Map.empty[String, String], "multiTableTxn"),
+          beforeMarker = ref, op = "TXN APPEND", txn = Some(h.id)) { target =>
           df.write.mode(SaveMode.Append).parquet(target)
         }
       case Some(b) =>
@@ -123,9 +125,8 @@ object Txn {
           expectedBase = Some(b),
           collectStats = TableIO.collectFileStats(spark,
             TableIO.bloomColsOf(m)),
-          meta = Versioned.withFeature(
-            m.meta + (Versioned.TxnMetaKey -> h.id), "multiTableTxn"),
-          beforeMarker = ref, op = "TXN APPEND") { target =>
+          meta = Versioned.withFeature(m.meta, "multiTableTxn"),
+          beforeMarker = ref, op = "TXN APPEND", txn = Some(h.id)) { target =>
           val physical = TableIO.toPhysical(aligned, schema)
           val writer = physical.write.mode(SaveMode.Append)
           (if (parts.nonEmpty) writer.partitionBy(parts: _*)
@@ -133,7 +134,23 @@ object Txn {
         }
     }
     h.writes += tableDir -> commit.version
-    ()
+    // liveness: the grace clock is the ref mtime — re-touch every ref so
+    // a long later write cannot age the earlier tables into a steal
+    heartbeat(h)
+  }
+
+  /** Refresh the transaction's liveness clock (every ref's mtime). Call
+    * between writes when a single Spark job may run longer than
+    * [[Versioned.TxnGraceMs]]; [[write]] calls it after each commit. */
+  def heartbeat(h: Handle): Unit = h.writes.foreach { case (tableDir, v) =>
+    val dir = Paths.get(tableDir)
+    try Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(
+        s"${Versioned.TxnRefPrefix}${v}_"))
+      .foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis())))
+    catch { case _: Exception => () } // best-effort; grace is generous
   }
 
   /** Atomically publish every write of the transaction. One exclusive
@@ -155,12 +172,20 @@ object Txn {
   }
 
   /** Abort: every write stays permanently invisible. Fails loudly if the
-    * transaction already committed. */
+    * transaction already committed — or if the outcome could not be
+    * recorded at all (an undecided transaction is still committable; the
+    * caller must not believe it dead). */
   def abort(h: Handle): Unit = {
     Versioned.decideTxn(h.outcome, "aborted")
-    if (Versioned.txnOutcome(h.outcome).contains("committed"))
-      throw new IllegalStateException(
-        s"transaction ${h.id} already committed — cannot abort")
+    Versioned.txnOutcome(h.outcome) match {
+      case Some("aborted") => ()
+      case Some(other) => throw new IllegalStateException(
+        s"transaction ${h.id} already $other — cannot abort")
+      case None => throw new IllegalStateException(
+        s"transaction ${h.id}: could not record the abort outcome at " +
+          s"${h.outcome} — the transaction is still undecided and a " +
+          "commit would still publish it")
+    }
   }
 
   private def txnOutcomeOf(h: Handle): Option[String] =

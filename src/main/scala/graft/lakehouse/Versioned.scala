@@ -317,11 +317,14 @@ object Versioned {
   val TxnRefPrefix = "_txnref_"
   /** Manifest-meta key recording the owning transaction id. */
   val TxnMetaKey = "graft.txn"
-  /** An UNDECIDED transaction older than this is aborted by whoever
-    * observes it (reader or writer) — the Percolator lazy-cleanup rule.
-    * Transactions must commit within the grace or risk the steal; the
-    * commit then fails loudly (the outcome file already says aborted). */
-  @volatile var TxnGraceMs: Long = 60 * 1000L
+  /** An UNDECIDED transaction whose refs are all older than this is
+    * aborted by whoever observes it (reader or writer) — the Percolator
+    * lazy-cleanup rule. Liveness is the ref's mtime: [[Txn.write]]
+    * re-touches every ref of the transaction after each write and
+    * [[Txn.heartbeat]] lets long gaps (a multi-minute Spark job between
+    * writes) keep the transaction demonstrably alive. A stolen commit
+    * fails loudly (the outcome file already says aborted). */
+  @volatile var TxnGraceMs: Long = 10 * 60 * 1000L
 
   /** The decided outcome of a transaction, if any. */
   def txnOutcome(outcome: Path): Option[String] =
@@ -543,7 +546,7 @@ object Versioned {
       collectStats: String => Map[String, String] = _ => Map.empty,
       meta: Map[String, String] = Map.empty,
       beforeMarker: (Long, Seq[FileEntry], String) => Unit = (_, _, _) => (),
-      op: String = "")
+      op: String = "", txn: Option[String] = None)
       (write: String => Unit): Commit = {
     require(inherit.isEmpty || expectedBase.isDefined,
       "a commit inheriting files must pin the base version they came from")
@@ -565,9 +568,14 @@ object Versioned {
     // BasedOnKey describes one manifest file's ENCODING — never a table
     // property. Callers passing `meta = m.meta + ...` would otherwise
     // carry a stale chain link into a manifest whose content is full.
-    val metaWithOp = ((if (op.isEmpty) meta - OpKey
+    // TxnMetaKey is per-commit state exactly like CommitIdKey: a carried-
+    // forward transaction id would mark the table's entire later history
+    // as transactional. Stripped always; recorded only for this commit's
+    // own transaction (the `txn` param).
+    val metaWithOp = (((if (op.isEmpty) meta - OpKey
       else (meta - OpKey) + (OpKey -> op))
-      - CommitIdKey - BasedOnKey) + (CommitIdKey -> commitId)
+      - CommitIdKey - BasedOnKey - TxnMetaKey) + (CommitIdKey -> commitId)
+      ) ++ txn.map(TxnMetaKey -> _)
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
     // fail fast before paying for the write; the authoritative check is the

@@ -57,14 +57,13 @@ object Dsir {
       .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
   }
 
-  /** Integer importance weight per corpus gram:
-    * `floor(scale * (target_cnt + 1) / (corpus_cnt + 1))`. Grams absent
-    * from the target get the add-one floor — never zero, so off-domain
-    * text scores low rather than being erased. */
-  def importanceWeights(corpus: DataFrame, target: DataFrame,
-      idCol: String, textCol: String, scale: Long = 1000L): DataFrame = {
-    val cs = gramCounts(corpus, idCol, textCol)
-      .groupBy("gram").agg(sum("cnt").as("cs"))
+  /** Weights from pre-computed doc-gram counts — shared with the scoring
+    * pass so the corpus tokenize/explode/aggregate subtree is ONE plan
+    * node: Spark's exchange reuse materializes its shuffle once and both
+    * consumers (corpus totals, the scoring join) read the same output. */
+  private def weightsFromCounts(corpusGrams: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, scale: Long): DataFrame = {
+    val cs = corpusGrams.groupBy("gram").agg(sum("cnt").as("cs"))
     val ct = gramCounts(target, idCol, textCol)
       .groupBy("gram").agg(sum("cnt").as("ct"))
     cs.join(broadcast(ct), Seq("gram"), "left")
@@ -75,12 +74,23 @@ object Dsir {
         expr(s"($scale * (coalesce(ct, 0L) + 1L)) div (cs + 1L)").as("w"))
   }
 
+  /** Integer importance weight per corpus gram:
+    * `floor(scale * (target_cnt + 1) / (corpus_cnt + 1))`. Grams absent
+    * from the target get the add-one floor — never zero, so off-domain
+    * text scores low rather than being erased. */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, scale: Long = 1000L): DataFrame =
+    weightsFromCounts(gramCounts(corpus, idCol, textCol), target,
+      idCol, textCol, scale)
+
   /** The k most target-like corpus documents as (id, score), score
     * descending then id ascending — fully deterministic. */
   def selectTopK(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, scale: Long = 1000L): DataFrame = {
-    val weights = importanceWeights(corpus, target, idCol, textCol, scale)
-    gramCounts(corpus, idCol, textCol)
+    val corpusGrams = gramCounts(corpus, idCol, textCol)
+    val weights = weightsFromCounts(corpusGrams, target, idCol, textCol,
+      scale)
+    corpusGrams
       .join(weights, Seq("gram"))
       .groupBy(idCol)
       .agg(expr(s"(sum(cnt * w) * $scale) div sum(cnt)").as("score"))

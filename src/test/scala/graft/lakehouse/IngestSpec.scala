@@ -172,6 +172,35 @@ class IngestSpec extends SparkSuite {
     } finally Ingest.ConsolidateAt = prev
   }
 
+  test("a reordered or truncated csv header fails the load instead of " +
+      "mis-mapping columns") {
+    val src = srcDir()
+    // header order disagrees with the schema: enforceSchema=false makes
+    // Spark validate it loudly
+    Files.write(Paths.get(src, "b1.csv"), "s,k\na,1".getBytes(UTF_8))
+    val ex = intercept[Exception] {
+      Ingest.copyInto(spark, lh, "ing11", src, schema = Some(kvSchema))
+        .toString // force
+    }
+    assert(ex.getMessage.toLowerCase.contains("header") ||
+      ex.getMessage.toLowerCase.contains("csv"), ex.getMessage)
+    TableIO.dropTable(spark, lh, "ing11")
+  }
+
+  test("a parquet source with an extra column is refused against an " +
+      "existing table (footer reality check, not declared schema)") {
+    TableIO.writeTable(spark, lh, "ing12",
+      Seq((1, "a")).toDF("k", "s"))
+    val psrc = srcDir()
+    Seq((2, "b", 9.9)).toDF("k", "s", "oops").coalesce(1)
+      .write.mode("overwrite").parquet(psrc)
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.copyInto(spark, lh, "ing12", psrc, format = "parquet")
+    }
+    assert(ex.getMessage.contains("oops"), ex.getMessage)
+    TableIO.dropTable(spark, lh, "ing12")
+  }
+
   test("an orphaned ledger sidecar (crash before commit) is ignored") {
     val src = srcDir()
     writeCsv(src, "b1.csv", Seq(1 -> "a"))

@@ -131,6 +131,57 @@ class TxnSpec extends SparkSuite {
     Seq("t8", "t9").foreach(TableIO.dropTable(spark, lh, _))
   }
 
+  test("time travel refuses pending and aborted transaction versions") {
+    TableIO.writeTable(spark, lh, "t12", Seq(1).toDF("k"))
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "t12", Seq(2).toDF("k"))
+    val deadV = Versioned.committedVersions(
+      Catalog.tablePath(lh, "t12")).max
+    // pending: version-travel is refused (not silently served)
+    intercept[IllegalArgumentException] {
+      TableIO.selectTableVersion(spark, lh, "t12", deadV)
+    }
+    // AS OF "now" resolves to the last VISIBLE version, not the pending
+    // marker (which is the newest)
+    assert(TableIO.selectTableAsOf(spark, lh, "t12",
+      System.currentTimeMillis()).select("k").as[Int].collect().toSet
+      == Set(1))
+    Txn.abort(h)
+    // aborted: still refused forever
+    intercept[IllegalArgumentException] {
+      TableIO.selectTableVersion(spark, lh, "t12", deadV)
+    }
+    TableIO.dropTable(spark, lh, "t12")
+  }
+
+  test("write heartbeats every ref, and the txn id is per-commit state " +
+      "that later appends do not inherit") {
+    val prevGrace = Versioned.TxnGraceMs
+    try {
+      TableIO.writeTable(spark, lh, "t13", Seq(1).toDF("k"))
+      TableIO.writeTable(spark, lh, "t14", Seq(10).toDF("k"))
+      Versioned.TxnGraceMs = 250L
+      val h = Txn.begin(lh)
+      Txn.write(h, spark, lh, "t13", Seq(2).toDF("k"))
+      // the second write lands after a gap longer than the grace — its
+      // heartbeat must have kept t13's ref alive, or commit would find
+      // t13 steal-aborted
+      Thread.sleep(150)
+      Txn.heartbeat(h)
+      Thread.sleep(150)
+      Txn.write(h, spark, lh, "t14", Seq(20).toDF("k"))
+      Txn.commit(h)
+      assert(rowsOf("t13") == Set(1, 2) && rowsOf("t14") == Set(10, 20))
+      // a committed txn's id is NOT carried into later ordinary commits
+      TableIO.appendTable(spark, lh, "t13", Seq(3).toDF("k"))
+      val dir = Catalog.tablePath(lh, "t13")
+      val meta = Versioned.readManifest(dir,
+        Versioned.latestVersion(dir).get).get.meta
+      assert(!meta.contains(Versioned.TxnMetaKey), meta)
+      Seq("t13", "t14").foreach(TableIO.dropTable(spark, lh, _))
+    } finally Versioned.TxnGraceMs = prevGrace
+  }
+
   test("RESTORE refuses to resurrect an aborted transaction's version") {
     TableIO.writeTable(spark, lh, "t10", Seq(1).toDF("k"))
     val h = Txn.begin(lh)

@@ -59,6 +59,14 @@ class DsirSpec extends SparkSuite {
     assert(w("le") > w("fox"), (w("le"), w("fox")))
   }
 
+  test("the corpus doc-gram aggregation materializes once: its shuffle " +
+      "is reused by the totals and the scoring join") {
+    val df = Dsir.selectTopK(corpus, target, "doc_id", "text", k = 5)
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("ReusedExchange"), physical.take(3000))
+  }
+
   test("k truncates and ties break by id ascending") {
     val two = Seq((7L, "x y"), (8L, "x y")).toDF("doc_id", "text")
     val t = Seq((9L, "x y")).toDF("doc_id", "text")
