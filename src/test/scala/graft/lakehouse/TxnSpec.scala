@@ -196,6 +196,44 @@ class TxnSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "t10")
   }
 
+  test("transactions under 6-way contention stay all-or-nothing: a " +
+      "marker lands in BOTH tables or in neither") {
+    TableIO.writeTable(spark, lh, "t20", Seq(-1).toDF("k"))
+    TableIO.writeTable(spark, lh, "t21", Seq(-1).toDF("k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    try {
+      (1 to 6).map(i => pool.submit(new Runnable {
+        def run(): Unit = {
+          var attempts = 0
+          var done = false
+          while (!done && attempts < 30) {
+            attempts += 1
+            val h = Txn.begin(lh)
+            try {
+              Txn.write(h, spark, lh, "t20", Seq(i).toDF("k"))
+              Txn.write(h, spark, lh, "t21", Seq(i).toDF("k"))
+              Txn.commit(h)
+              committed.add(i)
+              done = true
+            } catch {
+              case _: Versioned.ConcurrentWriteException =>
+                try Txn.abort(h) catch { case _: Exception => () }
+                Thread.sleep(20L * attempts)
+            }
+          }
+        }
+      })).foreach(_.get())
+    } finally pool.shutdown()
+    assert(!committed.isEmpty, "no transaction ever committed")
+    val a = rowsOf("t20") - (-1)
+    val b = rowsOf("t21") - (-1)
+    // atomicity: exactly the committed markers, in BOTH tables
+    import scala.jdk.CollectionConverters._
+    assert(a == committed.asScala.toSet && b == a, (a, b, committed))
+    Seq("t20", "t21").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
   test("commit rolls refs forward; a leftover ref from a crashed claim " +
       "never hides an unrelated commit") {
     TableIO.writeTable(spark, lh, "t11", Seq(1).toDF("k"))
