@@ -55,4 +55,56 @@ class PipelineIntegrationSpec extends SparkSuite {
       .filter($"sum_tokens" > 2048L && $"n_docs" > 1).count()
     assert(over == 0)
   }
+
+  test("ingest -> dsir-select -> dedup -> atomic two-table publish: the " +
+      "lakehouse round trip") {
+    import graft.lakehouse._
+    import java.nio.file.Files
+    val lh = Catalog.registerLocalWorkspace(
+      Files.createTempDirectory("pipe_lh").toString, "ws_pipe", "lh_pipe")
+      .lakehouses.head
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+
+    // 1. land as a two-batch json zone; COPY INTO loads incrementally
+    val src = Files.createTempDirectory("pipe_src").toString
+    raw.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.mode("append").json(src)
+    Ingest.copyInto(spark, lh, "docs_raw", src, format = "json",
+      schema = Some(raw.schema))
+    raw.filter($"doc_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").json(src)
+    val r2 = Ingest.copyInto(spark, lh, "docs_raw", src, format = "json",
+      schema = Some(raw.schema))
+    assert(r2.filesLoaded == 1, r2)
+    val landed = TableIO.selectTable(spark, lh, "docs_raw")
+    assert(landed.count() == raw.count())
+    assert(Ingest.loadHistory(spark, lh, "docs_raw").count() == 2)
+
+    // 2. DSIR: keep the 40 most french-like docs
+    val selected = Dsir.selectTopK(landed.select($"doc_id", $"text"),
+      landed.filter($"lang" === "fr").select($"doc_id", $"text"),
+      "doc_id", "text", k = 40)
+      .join(landed, "doc_id").select($"doc_id", $"text", $"score")
+    assert(selected.count() == 40)
+
+    // 3. dedup the selection
+    val deduped = Dedup.exactDedup(selected, Seq("text"), "doc_id")
+    val nFinal = deduped.count()
+    assert(nFinal <= 40 && nFinal > 0)
+
+    // 4. publish corpus + its stats table ATOMICALLY — a reader can
+    // never see the corpus without its stats row
+    val stats = deduped.agg(
+      count(lit(1)).as("docs"), sum(length($"text")).as("chars"))
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "corpus", deduped)
+    Txn.write(h, spark, lh, "corpus_stats", stats)
+    assert(Versioned.latestVersion(
+      Catalog.tablePath(lh, "corpus")).isEmpty) // invisible pre-commit
+    Txn.commit(h)
+    assert(TableIO.selectTable(spark, lh, "corpus").count() == nFinal)
+    assert(TableIO.selectTable(spark, lh, "corpus_stats")
+      .head().getLong(0) == nFinal)
+  }
 }
