@@ -849,7 +849,38 @@ object Versioned {
   def vacuum(tableDir: String, retainAgeMs: Long = RetainAgeMs): Unit =
     sweep(Paths.get(tableDir), retainAgeMs)
 
-  private def sweep(dir: Path, retainAgeMs: Long): Unit = {
+  /** VACUUM DRY RUN — what `vacuum` WOULD delete, as (category,
+    * table-relative path) pairs, without touching anything. Same
+    * decision code as the real sweep (the deletions are routed through
+    * one recorder), so the report cannot drift from the behavior: at
+    * 100 TB nobody should run an irreversible sweep blind. Categories:
+    * `marker`/`manifest`/`snapshot`/`cdf`/`txnref` (dropped or orphaned
+    * protocol metadata), `scratch` (crashed writers' staging), `data`
+    * (files no retained manifest references). One pass's prediction —
+    * the real sweep converges over successive runs as delta-manifest
+    * chain deps unwind, so a later vacuum may free more. */
+  def vacuumReport(tableDir: String,
+      retainAgeMs: Long = RetainAgeMs): Seq[(String, String)] = {
+    val buf = scala.collection.mutable.Buffer[(String, String)]()
+    sweep(Paths.get(tableDir), retainAgeMs, collect = Some(buf))
+    buf.toSeq
+  }
+
+  private def sweep(dir: Path, retainAgeMs: Long,
+      collect: Option[scala.collection.mutable.Buffer[(String, String)]] =
+        None): Unit = {
+    // dry run: every deletion routes through these two; Some(buf) records
+    // instead of deleting, so report and behavior share one rule set
+    def zapFile(p: Path, what: String): Unit = collect match {
+      case Some(buf) =>
+        if (Files.exists(p)) { buf += what -> dir.relativize(p).toString; () }
+      case None => Files.deleteIfExists(p); ()
+    }
+    def zapTree(p: Path, what: String): Unit = collect match {
+      case Some(buf) =>
+        if (Files.exists(p)) { buf += what -> dir.relativize(p).toString; () }
+      case None => deleteRecursively(p)
+    }
     val names = listNames(dir)
     val markers = names.flatMap(numericSuffix(_, MarkerPrefix)).sorted
     if (markers.isEmpty) return
@@ -885,13 +916,13 @@ object Versioned {
       deps.toSet
     }
     dropped.foreach { v =>
-      Files.deleteIfExists(marker(dir, v))
-      if (!chainDeps(v)) Files.deleteIfExists(manifestPath(dir, v))
-      deleteRecursively(versionDir(dir, v)) // legacy snapshot dir
+      zapFile(marker(dir, v), "marker")
+      if (!chainDeps(v)) zapFile(manifestPath(dir, v), "manifest")
+      zapTree(versionDir(dir, v), "snapshot") // legacy snapshot dir
       names.filter(n => n == s"_cdf_$v" || n.startsWith(s"_cdf_${v}_"))
-        .foreach(n => deleteRecursively(dir.resolve(n))) // change sidecars
+        .foreach(n => zapTree(dir.resolve(n), "cdf")) // change sidecars
       names.filter(_.startsWith(s"$TxnRefPrefix${v}_"))
-        .foreach(n => Files.deleteIfExists(dir.resolve(n))) // txn refs
+        .foreach(n => zapFile(dir.resolve(n), "txnref")) // txn refs
     }
     // txn refs of versions that never committed (a crashed claim wrote the
     // ref in beforeMarker, the marker never landed) age out like any
@@ -904,7 +935,7 @@ object Versioned {
         Files.exists(marker(dir, vPart.toLong))
       if (!ok) {
         val p = dir.resolve(n)
-        if (!young(p)) Files.deleteIfExists(p)
+        if (!young(p)) zapFile(p, "txnref")
       }
     }
     // change-data sidecars of versions that never committed (crash between
@@ -929,7 +960,7 @@ object Versioned {
       }
       .foreach { case (n, _, _) =>
         val p = dir.resolve(n)
-        if (!young(p)) deleteRecursively(p)
+        if (!young(p)) zapTree(p, "cdf")
       }
     // orphaned claims from crashed writers: manifest with no marker, or a
     // legacy _vN dir with no marker — sweep once they cannot be in-flight.
@@ -939,13 +970,13 @@ object Versioned {
       .filter(v => !Files.exists(marker(dir, v)) && !chainDeps(v))
       .foreach { v =>
         val p = manifestPath(dir, v)
-        if (!young(p)) Files.deleteIfExists(p)
+        if (!young(p)) zapFile(p, "manifest")
       }
     names.flatMap(numericSuffix(_, "_v"))
       .filter(v => !Files.exists(marker(dir, v)))
       .foreach { v =>
         val p = versionDir(dir, v)
-        if (Files.isDirectory(p) && !young(p)) deleteRecursively(p)
+        if (Files.isDirectory(p) && !young(p)) zapTree(p, "snapshot")
       }
     // data files — ONE rule for everything that is not protocol metadata:
     // a file referenced by a retained manifest stays; anything else (files
@@ -964,7 +995,11 @@ object Versioned {
     // above bounds how long an unmarked claim can extend protection.
     val claimedUnmarked = listNames(dir)
       .flatMap(numericSuffix(_, ManifestPrefix))
-      .filterNot(v => Files.exists(marker(dir, v)))
+      .filterNot(v => Files.exists(marker(dir, v))) ++
+      // dry-run parity: the real sweep has deleted dropped markers by
+      // this point, which turns surviving chain-dep manifests into
+      // markerless file-protectors — mirror that without deleting
+      collect.fold(Seq.empty[Long])(_ => dropped.filter(chainDeps))
     // resolution failures: a COMMITTED version that cannot resolve means
     // the metadata is corrupt — abort the data-file sweep entirely rather
     // than delete files a reader may still legitimately need. A markerless
@@ -993,10 +1028,10 @@ object Versioned {
             .foldLeft(0L)(math.max)
           finally s.close()
         }.getOrElse(Long.MaxValue) // can't stat -> keep (safe side)
-        if (now - newest >= retainAgeMs) deleteRecursively(p)
+        if (now - newest >= retainAgeMs) zapTree(p, "scratch")
       } else if (!n.startsWith("_") && !n.startsWith(".")) {
         if (Files.isRegularFile(p)) {
-          if (!referenced.contains(n) && !young(p)) Files.deleteIfExists(p)
+          if (!referenced.contains(n) && !young(p)) zapFile(p, "data")
         } else if (Files.isDirectory(p)) {
           val s = Files.walk(p)
           val all = try s.iterator().asScala.toSeq.sortBy(-_.getNameCount)
@@ -1004,14 +1039,16 @@ object Versioned {
           all.foreach { q =>
             if (Files.isRegularFile(q) &&
                 !referenced.contains(dir.relativize(q).toString) && !young(q))
-              Files.deleteIfExists(q)
-            else if (Files.isDirectory(q) && listNames(q).isEmpty && !young(q))
+              zapFile(q, "data")
+            else if (collect.isEmpty &&
+                Files.isDirectory(q) && listNames(q).isEmpty && !young(q))
               // deepest-first: emptied dirs collapse; a racer refilling or
-              // pre-deleting the dir is fine either way
+              // pre-deleting the dir is fine either way. (Not reported in
+              // dry runs — an empty dir is not data loss.)
               try Files.deleteIfExists(q)
               catch { case _: java.io.IOException => () }
           }
-          if (listNames(p).isEmpty && !young(p))
+          if (collect.isEmpty && listNames(p).isEmpty && !young(p))
             try Files.deleteIfExists(p)
             catch { case _: java.io.IOException => () }
         }
