@@ -3743,22 +3743,29 @@ object TableIO {
     * O(replica); the version high-water mark is the caller's cursor.
     * CDF-enabled replicas are rejected (the replace primitive documents
     * why: its delete half has no feed-staging path). */
-  def applyChanges(spark: SparkSession, lh: LakehouseProps,
-      replicaName: String, feed: DataFrame, keyCols: Seq[String]): TableInfo = {
+  /** The net effect of a feed slice: each key's LATEST event (deletes
+    * ordered after same-version upserts, update_preimage rows dropped). */
+  private def cdcLatest(feed: DataFrame, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, row_number, when}
-    require(keyCols.nonEmpty, "applyChanges needs key columns")
-    require(feed.columns.contains("_change_type") &&
-      feed.columns.contains("_commit_version"),
-      "not a change feed: _change_type/_commit_version missing")
-    val events = feed.filter(col("_change_type") =!= "update_preimage")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "delete", 1).otherwise(0).asc)
-    val latest = events
+    feed.filter(col("_change_type") =!= "update_preimage")
       .withColumn("__graft_rk", row_number().over(w))
       .filter(col("__graft_rk") === 1)
       .drop("__graft_rk")
+  }
+
+  def applyChanges(spark: SparkSession, lh: LakehouseProps,
+      replicaName: String, feed: DataFrame, keyCols: Seq[String],
+      extraMeta: Map[String, String] = Map.empty): TableInfo = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "applyChanges needs key columns")
+    require(feed.columns.contains("_change_type") &&
+      feed.columns.contains("_commit_version"),
+      "not a change feed: _change_type/_commit_version missing")
+    val latest = cdcLatest(feed, keyCols)
     latest.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dataCols = feed.columns
@@ -3767,8 +3774,63 @@ object TableIO {
       val upserts = latest.filter(col("_change_type") =!= "delete")
         .select(dataCols.map(col).toSeq: _*)
       replaceKeyedRows(spark, lh, replicaName, removalKeys, upserts,
-        keyCols, op = "CDC APPLY")
+        keyCols, extraMeta = extraMeta, op = "CDC APPLY")
     } finally latest.unpersist()
+  }
+
+  /** CONTINUOUS replication: follow `sourceName`'s change feed as a
+    * stream and maintain `replicaName` as an exactly-once mirror —
+    * Delta's `readChangeFeed` + `foreachBatch MERGE` recipe packaged as
+    * one operator. The first micro-batch is the source SNAPSHOT as
+    * insert events (it bootstraps the replica via an ordinary write);
+    * every later batch folds through [[applyChanges]], rewriting only
+    * the replica files containing changed keys — per-batch cost is
+    * O(changes), never O(replica).
+    *
+    * Exactly-once: each apply commits the batch id under
+    * `txn:<appId|checkpoint>` IN the replica's manifest (the same
+    * txn-watermark pattern as the streaming sink), so a batch replayed
+    * after a crash-restart is recognized and skipped — replica state
+    * never double-applies. Restart resumes from the checkpoint; the
+    * source must keep its feed within retention (the stream fails
+    * loudly otherwise, it does not skip silently). `appId` names the
+    * replication IDENTITY independent of the checkpoint path (batch ids
+    * restart at 0 with a fresh checkpoint — under the same appId the
+    * replayed snapshot batch is recognized and skipped). */
+  def streamReplica(spark: SparkSession, lh: LakehouseProps,
+      sourceName: String, replicaName: String, keyCols: Seq[String],
+      checkpoint: Option[String] = None, appId: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val feed = streamTable(spark, lh, sourceName, changeFeed = true)
+    val replicaDir = Catalog.tablePath(lh, replicaName)
+    val txnKey = "txn:" + appId.orElse(checkpoint)
+      .getOrElse(s"replica|$sourceName>$replicaName")
+    def committed(): Option[Long] = Versioned.latestVersion(replicaDir)
+      .flatMap(Versioned.readManifest(replicaDir, _))
+      .flatMap(_.meta.get(txnKey))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    val writer = feed.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!committed().exists(_ >= batchId)) {
+          val meta = Map(txnKey -> batchId.toString)
+          val dataCols = batch.columns
+            .filterNot(c => c == "_change_type" || c == "_commit_version")
+          if (Versioned.latestVersion(replicaDir).isEmpty) {
+            // bootstrap: net state of the batch (snapshot inserts, plus
+            // any changes the batch already spans), minus deletions
+            val state = cdcLatest(batch.toDF(), keyCols)
+              .filter(col("_change_type") =!= "delete")
+              .select(dataCols.map(col).toSeq: _*)
+            writeTable(spark, lh, replicaName, state, extraMeta = meta)
+          } else applyChanges(spark, lh, replicaName, batch.toDF(),
+            keyCols, extraMeta = meta)
+        }
+        ()
+    }
+    checkpoint.fold(writer)(c =>
+      writer.option("checkpointLocation", c)).start()
   }
 
   /** UPDATE WHERE (Delta row-update, file-level): rewrite ONLY the files
