@@ -61,26 +61,32 @@ object Bench {
     // — what a long-lived cluster session sees. Both totals are reported;
     // "value" is the steady-state total, cold_total keeps the one-shot
     // number honest.
+    // A crashed query is recorded as -1.0 (sentinel), never as its
+    // fast-failing wall time — otherwise failures masquerade as wins in the
+    // totals (round 4's 17 crashed queries looked like ~0.06 s timings).
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val cold = timedPass()
     val warm = timedPass()
+    val failedNames = warm.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (warm.nonEmpty) warm.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val total = warm.values.filter(_ >= 0).sum
+    val coldTotal = cold.values.filter(_ >= 0).sum
     // Short totals-only line LAST: the driver captures a bounded TAIL of
     // stdout, so whatever prints last survives truncation. The ~2 KB
     // per-query line goes first (informative when the tail is large
     // enough); the short line goes last so the round total always parses.
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"sf":"$sfDir","bench_failures":$failedJson}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"sf":"$sfDir","bench_failures":$failedJson,"queries":$qs}"""
     println(line)
     println(shortLine)
     try {

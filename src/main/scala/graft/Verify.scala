@@ -17,10 +17,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Collect failures rather than just logging to stderr: a thrown query
+    // used to vanish from the driver's scoreboard entirely (round 4 shipped
+    // a 17-query regression that way). The final summary line makes any
+    // failure impossible to miss in the verify output.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -39,6 +45,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val summary = s"""{"verify_failures": ${failed.size}, "failed": ${
+      failed.sorted.map(q).mkString("[", ",", "]")}}"""
+    println(summary)
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), summary)
     spark.stop()
   }
 }

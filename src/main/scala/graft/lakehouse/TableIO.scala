@@ -1279,7 +1279,7 @@ object TableIO {
     * supplied values are validated by the paired CHECK constraint at the
     * caller's enforceChecks site. Pure per-row projection — codegen'd,
     * no shuffle. */
-  private def withGeneratedColumns(df: DataFrame,
+  private[lakehouse] def withGeneratedColumns(df: DataFrame,
       meta: Map[String, String]): DataFrame =
     generatedColsOf(meta).foldLeft(df) { case (d, (c, e)) =>
       if (d.columns.contains(c)) d
@@ -1364,7 +1364,7 @@ object TableIO {
     * source would break the uniqueness contract. Explicit values are
     * rejected — GENERATED **ALWAYS** AS IDENTITY. Returns the pinned
     * handle for the caller to unpersist after the commit. */
-  private def withIdentityAssigned(df: DataFrame, meta: Map[String, String],
+  private[lakehouse] def withIdentityAssigned(df: DataFrame, meta: Map[String, String],
       ctx: String): (DataFrame, Map[String, String], Option[DataFrame]) = {
     val cols = identityColsOf(meta)
     if (cols.isEmpty) return (df, Map.empty, None)
@@ -3958,12 +3958,23 @@ object TableIO {
   def dfShape(df: DataFrame): (Long, Int, Seq[String]) =
     (df.count(), df.columns.length, df.columns.toSeq)
 
-  /** Read a parquet file whose `tsCols` are TIMESTAMP(NANOS) — which Spark 4
-    * rejects outright — by reading nanos as long and truncating to
-    * microsecond TimestampType. Integer `div` (not `/`): ns-since-epoch
-    * exceeds 2^53, double division would corrupt low bits. */
+  /** Read a parquet file whose `tsCols` should arrive as session-zone
+    * TimestampType regardless of how the fixture encoded them. Tolerates
+    * every encoding the test-data generator has emitted across rounds:
+    *   - TIMESTAMP(NANOS) — Spark 4 rejects it outright, so read nanos as
+    *     long (legacy conf) and truncate to micros. Integer `div` (not `/`):
+    *     ns-since-epoch exceeds 2^53, double division would corrupt low bits.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) — resolves as
+    *     TIMESTAMP_NTZ; cast to TimestampType (session is pinned UTC, so the
+    *     wall-clock values match DuckDB's naive TIMESTAMP exactly).
+    *   - TIMESTAMP(MICROS/MILLIS, adjusted) — already TimestampType; pass
+    *     through untouched.
+    * Branching on the RESOLVED type (not the file footer) keeps this robust
+    * to fixture regeneration — the exact drift that broke round 4. */
   def readParquetNanoTs(spark: SparkSession, path: String,
       tsCols: Seq[String] = Seq("ts")): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // nanosAsLong is session-wide; save/restore around the eager schema
     // resolution so other parquet reads keep loud nano-timestamp failures
     val key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -3971,10 +3982,18 @@ object TableIO {
     spark.conf.set(key, "true")
     try {
       val raw = spark.read.parquet(path)
-      raw.schema // force analysis while the conf is set
+      val fields = raw.schema // force analysis while the conf is set
       tsCols.filter(raw.columns.contains).foldLeft(raw) { (d, c) =>
-        d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"$c div 1000")))
+        fields(c).dataType match {
+          case LongType => // nanos-as-long (the original NANOS fixture)
+            d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+          case TimestampNTZType =>
+            d.withColumn(c, col(c).cast(TimestampType))
+          case TimestampType => d
+          case other => throw new IllegalStateException(
+            s"$path column `$c` resolved as unsupported type $other — " +
+            "fixture drift? expected long (nanos), timestamp_ntz, or timestamp")
+        }
       }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
