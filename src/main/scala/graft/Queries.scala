@@ -21,7 +21,9 @@ object QFixtures {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) — needs the nano-safe reader. */
+  /** events.parquet's ts encoding has drifted across driver regenerations
+    * (NANOS rounds 1–3, MICROS-ntz round 4+) — always go through the
+    * encoding-tolerant reader, never bare spark.read.parquet. */
   def ev(spark: SparkSession, sfDir: String): DataFrame =
     TableIO.readParquetNanoTs(spark, s"$sfDir/events.parquet")
 
@@ -3657,5 +3659,84 @@ object Queries {
         |  FROM dg JOIN wt ON dg.gram = wt.gram GROUP BY 1)
         |SELECT doc_id, score FROM sc
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // ---- round 5: portable pack rollup, ingest × txn × identity ----------
+    // q49's greedy first-fit is stateful by design (order-dependent bins);
+    // this is its PORTABLE twin: offset-based packing over the fixed
+    // doc_id order — a doc belongs to the pack where its concatenated
+    // span starts. Pack assignment is a pure function of the prefix sum,
+    // so DuckDB replays it bit-exactly, and the Spark plan is the same
+    // two-phase distributed prefix sum as q81 (no global single-partition
+    // window — survives 100× scale-up).
+    Q("q159_pack_offset_rollup",
+      (s, dir) => Packing.concatChunkPlan(
+          t(s, dir, "documents").select(col("doc_id"),
+            col("n_chars")),
+          "doc_id", "n_chars", budget = 8192L)
+        .groupBy(col("start_pack").as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("pack_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT) AS n,
+        |    CAST(sum(CAST(coalesce(n_chars, 0) AS BIGINT)) OVER (
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT (cum - n) // 8192 AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY 1 ORDER BY pack_id""".stripMargin)),
+
+    // Ingest × transactions × identity — the three newest subsystems
+    // composed end-to-end: COPY INTO (dedup ledger) loads a landing zone
+    // into a GENERATED ALWAYS AS IDENTITY table, then a multi-table
+    // transaction appends the late batch + an audit row atomically. The
+    // first transaction ABORTS after staging — watermark atomicity means
+    // the retry assigns the SAME ids (9..20, not 21..32); a leaked
+    // watermark would shift every txn-batch id and break the hash.
+    Q("q160_copy_into_txn_identity",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "nat_id")
+        TableIO.dropTable(s, lh, "nat_audit")
+        val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+        val src = Catalog.tablePath(lh, "nat_id") + "_land"
+        nation.filter(col("n_nationkey") >= 5 && col("n_nationkey") < 13)
+          .orderBy("n_nationkey").coalesce(1)
+          .write.option("header", "true").mode("overwrite").csv(src)
+        TableIO.writeTable(s, lh, "nat_id",
+          nation.filter(col("n_nationkey") < 5)
+            .orderBy("n_nationkey").coalesce(1))
+        TableIO.setIdentityColumn(s, lh, "nat_id", "row_id")
+        // COPY INTO an identity table: ledger dedup and watermark advance
+        // ride the same commit; the immediate re-run is a no-op
+        Ingest.copyInto(s, lh, "nat_id", src, schema = Some(nation.schema))
+        Ingest.copyInto(s, lh, "nat_id", src, schema = Some(nation.schema))
+        val late = nation.filter(col("n_nationkey") >= 13)
+          .orderBy("n_nationkey").coalesce(1)
+        val hAbort = Txn.begin(lh)
+        Txn.write(hAbort, s, lh, "nat_id", late)
+        Txn.abort(hAbort) // staged ids must never publish
+        val h = Txn.begin(lh)
+        Txn.write(h, s, lh, "nat_id", late)
+        Txn.write(h, s, lh, "nat_audit",
+          late.agg(count(lit(1)).as("n_rows")))
+        Txn.commit(h)
+        TableIO.selectTable(s, lh, "nat_id").orderBy("n_nationkey")
+      },
+      Some("""WITH b1 AS (
+        |  SELECT n_nationkey, n_name,
+        |    row_number() OVER (ORDER BY n_nationkey) AS rid
+        |  FROM nation WHERE n_nationkey >= 5 AND n_nationkey < 13),
+        |n1 AS (SELECT count(*) AS n FROM b1),
+        |b2 AS (
+        |  SELECT n_nationkey, n_name,
+        |    row_number() OVER (ORDER BY n_nationkey) + n1.n AS rid
+        |  FROM nation, n1 WHERE n_nationkey >= 13)
+        |SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS row_id
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL SELECT n_nationkey, n_name, CAST(rid AS BIGINT) FROM b1
+        |UNION ALL SELECT n_nationkey, n_name, CAST(rid AS BIGINT) FROM b2
+        |ORDER BY n_nationkey""".stripMargin)),
   )
 }

@@ -44,10 +44,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * block concurrent writers of the SAME tables only (the claim CAS), for
   * at most the transaction's lifetime or the grace window.
   *
+  * Identity / generated columns work inside transactions: values assign
+  * from the base (last VISIBLE) manifest's watermark and the advanced
+  * watermark rides the pending commit's meta, so it publishes or vanishes
+  * atomically with the data. An aborted transaction's ids are reissued by
+  * the next writer (its version is invisible forever, so no id ever
+  * appears twice to a reader), and the claim CAS serializes writers while
+  * the decision is pending — watermark races are impossible by
+  * construction.
+  *
   * v1 restrictions (each refused loudly): one write per table per
-  * transaction, and no identity/generated-column or change-feed tables —
-  * those features hang per-commit state off the visible chain (watermark
-  * advancement, feed sidecars) that an invisible-until-decided version
+  * transaction, and no change-feed tables — feed consumers read
+  * version-contiguous sidecars that an invisible-until-decided version
   * would corrupt. Appends only: an overwrite that loses its race to a
   * steal-abort must not have blocked concurrent appends meanwhile. */
 object Txn {
@@ -103,35 +111,43 @@ object Txn {
           throw new IllegalArgumentException(
             s"$tableName: transactions need a manifest-based table " +
               "(legacy snapshot layouts upgrade on first ordinary write)"))
-        require(TableIO.identityColsOf(m.meta).isEmpty &&
-            TableIO.generatedColsOf(m.meta).isEmpty,
-          s"$tableName has identity/generated columns — their watermark " +
-            "and computed-value bookkeeping is per-VISIBLE-commit; not " +
-            "supported inside transactions")
         require(!TableIO.cdfEnabled(m.meta),
           s"$tableName has the change feed enabled — feed consumers read " +
             "version-contiguous sidecars; not supported inside transactions")
-        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-        require(df.columns.toSet == schema.fieldNames.toSet,
-          s"$tableName: transactional append must match the table's " +
-            s"columns exactly (table: ${schema.fieldNames.mkString(",")}; " +
-            s"batch: ${df.columns.mkString(",")})")
-        val aligned = df.select(schema.fields.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-        TableIO.enforceChecks(aligned, TableIO.checkConstraintsOf(m.meta),
-          s"$tableName: txn append")
-        val parts = TableIO.partitioningOfFiles(m.files)
-        Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
-          expectedBase = Some(b),
-          collectStats = TableIO.collectFileStats(spark,
-            TableIO.bloomColsOf(m)),
-          meta = Versioned.withFeature(m.meta, "multiTableTxn"),
-          beforeMarker = ref, op = "TXN APPEND", txn = Some(h.id)) { target =>
-          val physical = TableIO.toPhysical(aligned, schema)
-          val writer = physical.write.mode(SaveMode.Append)
-          (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-           else writer).parquet(target)
-        }
+        // Identity / generated columns: assigned exactly as an ordinary
+        // append (values computed from the BASE manifest's watermark, the
+        // advanced watermark riding this commit's meta). Watermark
+        // atomicity falls out of the outcome protocol: while the version
+        // is pending the claim CAS blocks every other writer of this
+        // table, and an ABORTED version's meta is never a write base —
+        // the next writer re-reads the last VISIBLE watermark, so ids
+        // staged by an aborted transaction are reissued, never leaked.
+        val dfg = TableIO.withGeneratedColumns(df, m.meta)
+        val (dfi, idMeta, pin) =
+          TableIO.withIdentityAssigned(dfg, m.meta, s"$tableName: txn append")
+        try {
+          val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+          require(dfi.columns.toSet == schema.fieldNames.toSet,
+            s"$tableName: transactional append must match the table's " +
+              s"columns exactly (table: ${schema.fieldNames.mkString(",")}; " +
+              s"batch: ${dfi.columns.mkString(",")})")
+          val aligned = dfi.select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          TableIO.enforceChecks(aligned, TableIO.checkConstraintsOf(m.meta),
+            s"$tableName: txn append")
+          val parts = TableIO.partitioningOfFiles(m.files)
+          Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+            expectedBase = Some(b),
+            collectStats = TableIO.collectFileStats(spark,
+              TableIO.bloomColsOf(m)),
+            meta = Versioned.withFeature(m.meta ++ idMeta, "multiTableTxn"),
+            beforeMarker = ref, op = "TXN APPEND", txn = Some(h.id)) { target =>
+            val physical = TableIO.toPhysical(aligned, schema)
+            val writer = physical.write.mode(SaveMode.Append)
+            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+             else writer).parquet(target)
+          }
+        } finally pin.foreach(_.unpersist())
     }
     h.writes += tableDir -> commit.version
     // liveness: the grace clock is the ref mtime — re-touch every ref so

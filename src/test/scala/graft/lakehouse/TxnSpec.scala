@@ -103,7 +103,7 @@ class TxnSpec extends SparkSuite {
   }
 
   test("transaction writes create tables, enforce CHECKs, and refuse " +
-      "identity/CDF tables") {
+      "CDF tables and forged identity values") {
     // creation inside a txn: table invisible (reads say no table) until
     // commit
     val h = Txn.begin(lh)
@@ -118,7 +118,8 @@ class TxnSpec extends SparkSuite {
       Txn.write(h2, spark, lh, "t8", Seq(-5).toDF("k"))
     }
     Txn.abort(h2)
-    // identity tables are refused loudly (v1)
+    // identity tables work inside txns, but GENERATED ALWAYS still
+    // rejects explicit values (same contract as ordinary appends)
     TableIO.writeTable(spark, lh, "t9",
       Seq((1L, 1)).toDF("rid", "k"))
     TableIO.setIdentityColumn(spark, lh, "t9", "rid")
@@ -126,9 +127,18 @@ class TxnSpec extends SparkSuite {
     val ex = intercept[IllegalArgumentException] {
       Txn.write(h3, spark, lh, "t9", Seq((9L, 9)).toDF("rid", "k"))
     }
-    assert(ex.getMessage.contains("identity"), ex.getMessage)
+    assert(ex.getMessage.contains("GENERATED ALWAYS"), ex.getMessage)
     Txn.abort(h3)
-    Seq("t8", "t9").foreach(TableIO.dropTable(spark, lh, _))
+    // CDF tables stay refused (v1): feed sidecars are version-contiguous
+    TableIO.writeTable(spark, lh, "t9c", Seq(1).toDF("k"))
+    TableIO.enableChangeFeed(spark, lh, "t9c")
+    val h4 = Txn.begin(lh)
+    val exc = intercept[IllegalArgumentException] {
+      Txn.write(h4, spark, lh, "t9c", Seq(2).toDF("k"))
+    }
+    assert(exc.getMessage.contains("change feed"), exc.getMessage)
+    Txn.abort(h4)
+    Seq("t8", "t9", "t9c").foreach(TableIO.dropTable(spark, lh, _))
   }
 
   test("time travel refuses pending and aborted transaction versions") {
@@ -254,5 +264,71 @@ class TxnSpec extends SparkSuite {
     assert(rowsOf("t11") == Set(1, 2))
     assert(Versioned.latestVersion(dir).contains(v))
     TableIO.dropTable(spark, lh, "t11")
+  }
+
+  test("identity watermark publishes atomically with a committed " +
+      "transaction and reverts on abort — ids reissued, never leaked") {
+    TableIO.writeTable(spark, lh, "tid",
+      Seq(100, 101).toDF("k").orderBy("k").coalesce(1))
+    TableIO.setIdentityColumn(spark, lh, "tid", "rid")
+    // establish the column in the schema via one ordinary append
+    TableIO.appendTable(spark, lh, "tid",
+      Seq(102).toDF("k").coalesce(1))
+    def pairs(): Set[(Int, Long)] =
+      TableIO.selectTable(spark, lh, "tid").na.drop(Seq("rid"))
+        .select("k", "rid").as[(Int, Long)].collect().toSet
+    assert(pairs() == Set((102, 1L)))
+    // ABORTED txn: its staged rows (and their ids 2..3) stay invisible
+    val hAbort = Txn.begin(lh)
+    Txn.write(hAbort, spark, lh, "tid",
+      Seq(103, 104).toDF("k").orderBy("k").coalesce(1))
+    Txn.abort(hAbort)
+    assert(pairs() == Set((102, 1L)))
+    // retry in a fresh txn: the SAME ids 2..3 are assigned (the aborted
+    // watermark advance never published) and commit makes them visible
+    // atomically with a second table's write
+    TableIO.writeTable(spark, lh, "tid_log", Seq(0).toDF("batch"))
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "tid",
+      Seq(103, 104).toDF("k").orderBy("k").coalesce(1))
+    Txn.write(h, spark, lh, "tid_log", Seq(1).toDF("batch"))
+    assert(pairs() == Set((102, 1L))) // still invisible pre-decision
+    Txn.commit(h)
+    assert(pairs() == Set((102, 1L), (103, 2L), (104, 3L)))
+    assert(TableIO.selectTable(spark, lh, "tid_log")
+      .select("batch").as[Int].collect().toSet == Set(0, 1))
+    // a later ordinary append continues above the committed watermark
+    TableIO.appendTable(spark, lh, "tid", Seq(105).toDF("k").coalesce(1))
+    assert(pairs() == Set((102, 1L), (103, 2L), (104, 3L), (105, 4L)))
+    Seq("tid", "tid_log").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
+  test("explicit identity values are rejected inside a transaction " +
+      "(GENERATED ALWAYS semantics hold on the txn path too)") {
+    TableIO.writeTable(spark, lh, "tid2", Seq(1).toDF("k"))
+    TableIO.setIdentityColumn(spark, lh, "tid2", "rid")
+    TableIO.appendTable(spark, lh, "tid2", Seq(2).toDF("k"))
+    val h = Txn.begin(lh)
+    val e = intercept[IllegalArgumentException] {
+      Txn.write(h, spark, lh, "tid2",
+        Seq((3, 99L)).toDF("k", "rid"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    Txn.abort(h)
+    TableIO.dropTable(spark, lh, "tid2")
+  }
+
+  test("generated columns compute on the txn append path") {
+    TableIO.writeTable(spark, lh, "tgen",
+      Seq((2, 4), (3, 9)).toDF("k", "k2").orderBy("k").coalesce(1))
+    TableIO.setGeneratedColumn(spark, lh, "tgen", "k2", "k * k")
+    TableIO.appendTable(spark, lh, "tgen", Seq(4).toDF("k"))
+    val h = Txn.begin(lh)
+    Txn.write(h, spark, lh, "tgen", Seq(5).toDF("k"))
+    Txn.commit(h)
+    val got = TableIO.selectTable(spark, lh, "tgen")
+      .select("k", "k2").as[(Int, Int)].collect().toSet
+    assert(got == Set((2, 4), (3, 9), (4, 16), (5, 25)))
+    TableIO.dropTable(spark, lh, "tgen")
   }
 }
