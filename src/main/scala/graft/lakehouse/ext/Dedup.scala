@@ -660,12 +660,17 @@ object Dedup {
     // or the explode+prune pipeline runs three times
     val pruned = grams.join(
       grams.groupBy("gh").agg(count("*").as("df_count"))
-        .filter(col("df_count") <= maxDocFreq)
-        .select("gh"),
+        .filter(col("df_count") <= maxDocFreq),
       "gh").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pruned.groupBy(idCol).agg(count("*").as("sz"))
-    val l = pruned.select(col(idCol).as("a"), col("gh"))
-    val r = pruned.select(col(idCol).as("b"), col("gh"))
+    // Singleton grams (df_count = 1) still count toward |set| above, but
+    // can never produce an inter-document pair — on natural text they are
+    // the hapax-legomena majority of the vocabulary, so dropping them from
+    // the self-join legs cuts the candidate shuffle roughly in half with
+    // provably identical output.
+    val shared = pruned.filter(col("df_count") >= 2)
+    val l = shared.select(col(idCol).as("a"), col("gh"))
+    val r = shared.select(col(idCol).as("b"), col("gh"))
     val result = l.join(r, "gh").filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count("*").as("common"))
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
@@ -712,21 +717,29 @@ object Dedup {
     val docs = toks.join(freq, "t")
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("tf"), col("t")))).as("ts"))
-      .select(col(idCol),
-        expr("transform(ts, x -> x.t)").as("toks"),
-        size(col("ts")).as("sz"))
       // EXACT prefix arithmetic: double ceil(sz * t) rounds past the
       // true product for some (t, sz) (100 * 0.55 -> 55.000...01 -> 56),
       // shortening the prefix below the provable bound and silently
       // dropping threshold-boundary pairs; decimal multiply is exact for
       // the decimal rendering of t
       .withColumn("plen",
-        (col("sz") - ceil(col("sz") *
+        (size(col("ts")) - ceil(size(col("ts")) *
           lit(scala.math.BigDecimal(java.lang.Double.toString(threshold))))
           + lit(1)).cast("int"))
+      // A prefix token with corpus doc-frequency 1 exists in exactly one
+      // document: its only candidate row would self-join (killed by
+      // a < b), so it is filtered out of the candidate-generation slice
+      // map-side — the hapax majority of prefixes never shuffles. The
+      // full token array (`toks`) keeps every token: verification
+      // arithmetic is untouched, output provably identical.
+      .select(col(idCol),
+        expr("transform(ts, x -> x.t)").as("toks"),
+        size(col("ts")).as("sz"),
+        expr("transform(filter(slice(ts, 1, plen), x -> x.tf >= 2), " +
+          "x -> x.t)").as("ptoks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = docs.select(col(idCol), col("sz"),
-      explode(slice(col("toks"), lit(1), col("plen"))).as("t"))
+      explode(col("ptoks")).as("t"))
     // length filter (also Bayardo et al.): J(a,b) >= t forces
     // t·|a| <= |b| <= |a|/t — size-incompatible candidates die BEFORE the
     // distinct and the array-carrying verification join. Same exact
