@@ -3738,5 +3738,45 @@ object Queries {
         |UNION ALL SELECT n_nationkey, n_name, CAST(rid AS BIGINT) FROM b1
         |UNION ALL SELECT n_nationkey, n_name, CAST(rid AS BIGINT) FROM b2
         |ORDER BY n_nationkey""".stripMargin)),
+
+    // COPY INTO from ORC: self-describing landing files (no declared
+    // schema anywhere — the footer carries it), 2-batch incremental load.
+    Q("q161_copy_into_orc",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val sub = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .filter(col("o_orderkey") % 50 === 0)
+        val src = Catalog.tablePath(lh, "orders_orc") + "_src"
+        TableIO.dropTable(s, lh, "orders_orc") // fresh table AND ledger
+        sub.filter(col("o_orderkey") % 100 === 0).coalesce(1)
+          .write.mode("overwrite").orc(src)
+        Ingest.copyInto(s, lh, "orders_orc", src, format = "orc")
+        sub.filter(col("o_orderkey") % 100 =!= 0).coalesce(1)
+          .write.mode("append").orc(src)
+        Ingest.copyInto(s, lh, "orders_orc", src, format = "orc")
+        TableIO.selectTable(s, lh, "orders_orc").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // COPY INTO from raw text: log-shaped landing files land line-per-row
+    // as `value` (Delta's text format), incremental by file.
+    Q("q162_copy_into_text",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        val nation = t(s, dir, "nation")
+        val src = Catalog.tablePath(lh, "nation_text") + "_src"
+        TableIO.dropTable(s, lh, "nation_text")
+        nation.filter(col("n_nationkey") < 13).select("n_name").coalesce(1)
+          .write.mode("overwrite").text(src)
+        Ingest.copyInto(s, lh, "nation_text", src, format = "text")
+        Ingest.copyInto(s, lh, "nation_text", src, format = "text") // no-op
+        nation.filter(col("n_nationkey") >= 13).select("n_name").coalesce(1)
+          .write.mode("append").text(src)
+        Ingest.copyInto(s, lh, "nation_text", src, format = "text")
+        TableIO.selectTable(s, lh, "nation_text").orderBy("value")
+      },
+      Some("SELECT n_name AS value FROM nation ORDER BY value")),
   )
 }

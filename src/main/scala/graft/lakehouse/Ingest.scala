@@ -99,8 +99,9 @@ object Ingest {
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty,
       force: Boolean = false, maxRetries: Int = 5): CopyResult = {
-    require(Set("csv", "json", "parquet")(format),
-      s"copyInto: unsupported format '$format' (csv, json, parquet)")
+    require(Set("csv", "json", "parquet", "orc", "text", "binaryfile")(format),
+      s"copyInto: unsupported format '$format' " +
+        "(csv, json, parquet, orc, text, binaryfile)")
     val tableDir = Catalog.tablePath(lh, tableName)
     val listed = listSource(spark, source)
     var attempt = 0
@@ -258,9 +259,15 @@ object Ingest {
       .getOrElse(Set.empty[String])
     val genCols = manifest.map(m =>
       TableIO.generatedColsOf(m.meta).keySet).getOrElse(Set.empty[String])
-    val readSchema: Option[StructType] = schema.orElse(targetSchema.map(t =>
-      StructType(t.fields.filterNot(f => idCols(f.name)): Array[StructField])))
-    if (format != "parquet")
+    // self-describing formats carry their schema in file metadata (no
+    // inference pass); text and binaryfile have FIXED reader schemas
+    val selfDescribing = Set("parquet", "orc")(format)
+    val fixedSchema = Set("text", "binaryfile")(format)
+    val readSchema: Option[StructType] =
+      if (fixedSchema) None
+      else schema.orElse(targetSchema.map(t =>
+        StructType(t.fields.filterNot(f => idCols(f.name)): Array[StructField])))
+    if (!selfDescribing && !fixedSchema)
       require(readSchema.isDefined ||
           options.get("inferSchema").contains("true"),
         s"copyInto($tableName): $format needs an explicit schema (or an " +
@@ -276,7 +283,8 @@ object Ingest {
       case "json" => Map("mode" -> "FAILFAST")
       case _ => Map.empty[String, String]
     }
-    var reader = spark.read.format(format).options(defaults ++ options)
+    val readerFormat = if (format == "binaryfile") "binaryFile" else format
+    var reader = spark.read.format(readerFormat).options(defaults ++ options)
     readSchema.foreach(s => reader = reader.schema(s))
     val raw = reader.load(files.map(_.path): _*)
     // what the SOURCE actually provides: parquet footers are
@@ -287,8 +295,8 @@ object Ingest {
     // semi-structured contract), so the checks below cover the declared
     // shape only.
     val sourceCols: Set[String] =
-      if (format == "parquet")
-        spark.read.format("parquet").options(options)
+      if (selfDescribing)
+        spark.read.format(format).options(options)
           .load(files.map(_.path): _*).columns.toSet
       else raw.columns.toSet
     targetSchema.fold(raw) { t =>

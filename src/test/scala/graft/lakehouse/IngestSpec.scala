@@ -254,4 +254,53 @@ class IngestSpec extends SparkSuite {
     assert(r.rowsLoaded == 1, r)
     TableIO.dropTable(spark, lh, "ing10")
   }
+
+  test("orc sources load self-describing and incrementally, like parquet") {
+    val src = srcDir()
+    Seq((1, "a"), (2, "b")).toDF("k", "s").coalesce(1)
+      .write.mode("append").orc(src)
+    val r1 = Ingest.copyInto(spark, lh, "ing_orc", src, format = "orc")
+    assert(r1.rowsLoaded == 2, r1)
+    // second run: no-op; new file: loads alone
+    assert(Ingest.copyInto(spark, lh, "ing_orc", src,
+      format = "orc").filesLoaded == 0)
+    Seq((3, "c")).toDF("k", "s").coalesce(1).write.mode("append").orc(src)
+    val r2 = Ingest.copyInto(spark, lh, "ing_orc", src, format = "orc")
+    assert(r2.rowsLoaded == 1, r2)
+    assert(rowsOf("ing_orc") == Set((1, "a"), (2, "b"), (3, "c")))
+    TableIO.dropTable(spark, lh, "ing_orc")
+  }
+
+  test("text sources land line-per-row as a `value` column") {
+    val src = srcDir()
+    Files.write(Paths.get(src, "a.log"), "one\ntwo".getBytes(UTF_8))
+    val r1 = Ingest.copyInto(spark, lh, "ing_txt", src, format = "text")
+    assert(r1.rowsLoaded == 2, r1)
+    Files.write(Paths.get(src, "b.log"), "three".getBytes(UTF_8))
+    val r2 = Ingest.copyInto(spark, lh, "ing_txt", src, format = "text")
+    assert(r2.rowsLoaded == 1, r2)
+    assert(TableIO.selectTable(spark, lh, "ing_txt")
+      .as[String].collect().toSet == Set("one", "two", "three"))
+    TableIO.dropTable(spark, lh, "ing_txt")
+  }
+
+  test("binaryfile sources land whole files as binary blobs with metadata") {
+    val src = srcDir()
+    Files.write(Paths.get(src, "img1.bin"), Array[Byte](1, 2, 3))
+    Files.write(Paths.get(src, "img2.bin"), Array[Byte](4, 5))
+    val r1 = Ingest.copyInto(spark, lh, "ing_bin", src, format = "binaryfile")
+    assert(r1.rowsLoaded == 2, r1)
+    // idempotent re-run, then an incremental blob
+    assert(Ingest.copyInto(spark, lh, "ing_bin", src,
+      format = "binaryfile").filesLoaded == 0)
+    Files.write(Paths.get(src, "img3.bin"), Array[Byte](9))
+    assert(Ingest.copyInto(spark, lh, "ing_bin", src,
+      format = "binaryfile").rowsLoaded == 1)
+    val got = TableIO.selectTable(spark, lh, "ing_bin")
+      .selectExpr("length", "content").as[(Long, Array[Byte])]
+      .collect().map { case (l, c) => (l, c.toSeq) }.toSet
+    assert(got == Set((3L, Seq[Byte](1, 2, 3)), (2L, Seq[Byte](4, 5)),
+      (1L, Seq[Byte](9))))
+    TableIO.dropTable(spark, lh, "ing_bin")
+  }
 }
