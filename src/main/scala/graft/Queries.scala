@@ -3778,5 +3778,40 @@ object Queries {
         TableIO.selectTable(s, lh, "nation_text").orderBy("value")
       },
       Some("SELECT n_name AS value FROM nation ORDER BY value")),
+
+    // Row tracking (Delta row IDs): enable backfills ids over existing
+    // files, appends continue above the watermark, and a DELETE rewrite +
+    // OPTIMIZE both preserve surviving rows' ids (the rewrites
+    // materialize them physically). If any rewrite changed identity, the
+    // id column would shift and the hash would break.
+    Q("q163_row_tracking",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "sup_rt")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        TableIO.writeTable(s, lh, "sup_rt",
+          sup.filter(col("s_suppkey") % 2 === 0)
+            .orderBy("s_suppkey").coalesce(1))
+        TableIO.enableRowTracking(s, lh, "sup_rt")
+        TableIO.appendTable(s, lh, "sup_rt",
+          sup.filter(col("s_suppkey") % 2 === 1)
+            .orderBy("s_suppkey").coalesce(1))
+        TableIO.deleteFromTable(s, lh, "sup_rt", "s_suppkey % 10 = 4")
+        TableIO.compactTable(s, lh, "sup_rt")
+        TableIO.selectTableWithRowIds(s, lh, "sup_rt").orderBy("s_suppkey")
+      },
+      Some("""WITH e AS (
+        |  SELECT s_suppkey, s_name,
+        |    row_number() OVER (ORDER BY s_suppkey) - 1 AS rid
+        |  FROM supplier WHERE s_suppkey % 2 = 0),
+        |ne AS (SELECT count(*) AS n FROM e),
+        |o AS (
+        |  SELECT s_suppkey, s_name,
+        |    row_number() OVER (ORDER BY s_suppkey) - 1 + ne.n AS rid
+        |  FROM supplier, ne WHERE s_suppkey % 2 = 1)
+        |SELECT s_suppkey, s_name, CAST(rid AS BIGINT) AS _row_id
+        |FROM (SELECT * FROM e UNION ALL SELECT * FROM o)
+        |WHERE s_suppkey % 10 != 4
+        |ORDER BY s_suppkey""".stripMargin)),
   )
 }

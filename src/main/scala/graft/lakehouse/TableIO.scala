@@ -68,15 +68,38 @@ object TableIO {
     }
   }
 
+  /** Per-row fresh-id computation for row-tracked scans: a row's id is its
+    * file's recorded base row id + its position. Same memoized-URI-decode
+    * shape as [[DvKeep]]; returns null (not a wrong id) for a file with no
+    * recorded base — materialized physical ids take precedence upstream. */
+  private final class RowIdOf(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Long]])
+      extends ((String, Long) => java.lang.Long) with Serializable {
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def apply(fp: String, ri: Long): java.lang.Long = {
+      var v = memo.get(fp)
+      if (v == null) {
+        v = bc.value.get(new java.net.URI(fp).getPath)
+          .map(java.lang.Long.valueOf).getOrElse(java.lang.Long.valueOf(Long.MinValue))
+        memo.put(fp, v)
+      }
+      if (v.longValue() == Long.MinValue) null else java.lang.Long.valueOf(v + ri)
+    }
+  }
+
   private[lakehouse] def scanFiles(spark: SparkSession,
-      sf: Versioned.ScanFiles, keepMeta: Boolean): DataFrame = {
+      sf: Versioned.ScanFiles, keepMeta: Boolean,
+      extraPhysical: Seq[StructField] = Seq.empty): DataFrame = {
     val Versioned.ScanFiles(base, schemaJson, rel, dv) = sf
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       if (rel.isEmpty) {
-        val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        val empty0 = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        import org.apache.spark.sql.functions.lit
+        val empty = extraPhysical.foldLeft(empty0)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
         if (!keepMeta) empty
         else {
-          import org.apache.spark.sql.functions.lit
           empty.withColumn(FpCol, lit(null).cast("string"))
             .withColumn(RiCol, lit(null).cast("long"))
         }
@@ -86,10 +109,11 @@ object TableIO {
         // back to the committed logical names at the end (metadata kept so
         // downstream schema.json round trips preserve the mapping)
         val mapping = physicalMapping(schema)
-        val readSchema =
-          if (mapping.isEmpty) schema
-          else StructType(schema.fields.map(f =>
-            f.copy(name = mapping.getOrElse(f.name, f.name))))
+        val readSchema = StructType((
+          if (mapping.isEmpty) schema.fields
+          else schema.fields.map(f =>
+            f.copy(name = mapping.getOrElse(f.name, f.name)))
+          ) ++ extraPhysical)
         val baseP = Paths.get(base)
         val (external, local) = rel.partition(r => Paths.get(r).isAbsolute)
         // deletion vectors (and the delete path itself) need per-row file
@@ -143,13 +167,13 @@ object TableIO {
             scanned.filter(keep(col(FpCol), col(RiCol)))
           }
         val metaCols =
-          if (keepMeta) Seq(FpCol, RiCol).map(
-            org.apache.spark.sql.functions.col)
-          else Seq.empty
-        if (mapping.isEmpty && !needMeta) live
+          (if (keepMeta) Seq(FpCol, RiCol) else Seq.empty) ++
+            extraPhysical.map(_.name)
+        if (mapping.isEmpty && !needMeta && extraPhysical.isEmpty) live
         else live.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(mapping.getOrElse(f.name, f.name))
-            .as(f.name, f.metadata)) ++ metaCols: _*)
+            .as(f.name, f.metadata)) ++
+          metaCols.map(org.apache.spark.sql.functions.col): _*)
       }
   }
 
@@ -1428,6 +1452,90 @@ object TableIO {
           (IdentityMaxPrefix + colName -> wm0.toString), "identityColumns"),
       op = "SET IDENTITY") { _ => () }
     ()
+  }
+
+  // ---- row tracking (Delta row IDs: stable identity across OPTIMIZE) ----
+
+  /** Logical name of the row-id column [[selectTableWithRowIds]] appends. */
+  val RowIdColName = "_row_id"
+
+  /** Physical column carrying MATERIALIZED row ids in rewritten files
+    * (Delta's materialized row-id column). Present only in files written
+    * by id-preserving rewrites; never part of the logical schema. */
+  private[lakehouse] val PhysRowIdCol = "__row_id"
+
+  /** Enable row tracking (Delta's ALTER TABLE ... SET 'delta.enableRowTracking'):
+    * a metadata-only commit that backfills a base row id for every EXISTING
+    * file (path order, from 0) and records the fresh-id watermark; every
+    * later commit assigns ids to its added files atomically
+    * ([[Versioned.commitFiles]]). Requires per-file row counts — tables
+    * with stats-less entries need [[recomputeStats]] first. Gated through
+    * the features protocol: a reader that does not understand row ids
+    * would silently drop the id column's meaning, so it must refuse. */
+  def enableRowTracking(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry properties"))
+    require(!m.meta.contains(Versioned.RowTrackingKey),
+      s"$tableName already has row tracking enabled")
+    var wm = 0L
+    val backfilled = m.entries.sortBy(_.path).map { e =>
+      val rows = entryRows(e).getOrElse(throw new IllegalStateException(
+        s"$tableName: row tracking needs per-file row counts; ${e.path} " +
+          "has none — run recomputeStats first"))
+      val e2 = e.copy(stats = e.stats.map(
+        addStatField(_, Versioned.BaseRowIdStatKey, wm.toString)))
+      wm += rows
+      e2
+    }
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = backfilled,
+      expectedBase = base,
+      meta = Versioned.withFeature(
+        m.meta + (Versioned.RowTrackingKey -> "1") +
+          (Versioned.RowIdMaxKey -> wm.toString), "rowTracking"),
+      op = "SET ROWTRACKING") { _ => () }
+    ()
+  }
+
+  /** The current table with [[RowIdColName]] appended: a stable long
+    * identity per row — fresh files compute `base + row_index` from
+    * manifest stats (zero storage cost), rewritten files read their
+    * materialized physical ids (which take precedence). DV-deleted rows
+    * simply vanish; their ids are never reissued. */
+  def selectTableWithRowIds(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): DataFrame = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val m = Versioned.latestVersion(tableDir)
+      .flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+        throw new IllegalArgumentException(s"$tableName: no committed version"))
+    require(m.meta.contains(Versioned.RowTrackingKey),
+      s"$tableName does not have row tracking enabled")
+    withRowIds(spark, tableDir, m, m.entries)
+  }
+
+  /** Row-id-bearing scan over `entries` of a row-tracked table: logical
+    * columns + [[RowIdColName]]. */
+  private[lakehouse] def withRowIds(spark: SparkSession, tableDir: String,
+      m: Versioned.Manifest, entries: Seq[Versioned.FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, udf}
+    val baseP = Paths.get(tableDir)
+    val baseMap: Map[String, Long] = entries.flatMap { e =>
+      Versioned.statsField(e.stats, Versioned.BaseRowIdStatKey)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .map(b => baseP.resolve(e.path).toString -> b)
+    }.toMap
+    val df = scanFiles(spark, Versioned.scanOf(tableDir, m, entries),
+      keepMeta = true, extraPhysical = Seq(
+        StructField(PhysRowIdCol, org.apache.spark.sql.types.LongType)))
+    val bc = spark.sparkContext.broadcast(baseMap)
+    val fresh = udf(new RowIdOf(bc): (String, Long) => java.lang.Long)
+    val logical = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    df.withColumn(RowIdColName,
+        coalesce(col(PhysRowIdCol), fresh(col(FpCol), col(RiCol))))
+      .select(logical.fieldNames.map(col).toSeq :+ col(RowIdColName): _*)
   }
 
   /** ALTER TABLE ADD CONSTRAINT ... CHECK: validates all EXISTING rows
@@ -3191,13 +3299,24 @@ object TableIO {
         val nFiles =
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
         val df = scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
+        // Row tracking: the rewrite MATERIALIZES each surviving row's id
+        // as the physical __row_id column (Delta's materialized row ids) —
+        // reads of rewritten files take the physical value over the
+        // base+index computation, so compaction never changes a row's
+        // identity. DV'd rows are already subtracted from the scan; their
+        // ids retire with them.
+        val rowTracked = m.meta.contains(Versioned.RowTrackingKey)
+        val dfW =
+          if (!rowTracked) df
+          else withRowIds(spark, tableDir, m, affected)
+            .withColumnRenamed(RowIdColName, PhysRowIdCol)
         // zorderBy = OPTIMIZE ZORDER BY: the rewrite this compaction
         // already pays doubles as the re-clustering pass
         val arranged =
           if (zorderBy.nonEmpty)
-            Zorder.cluster(df, zorderBy, Some(nFiles), hilbert)
-          else if (parts.isEmpty) df.coalesce(nFiles)
-          else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+            Zorder.cluster(dfW, zorderBy, Some(nFiles), hilbert)
+          else if (parts.isEmpty) dfW.coalesce(nFiles)
+          else dfW.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
         val blooms = bloomColsOf(m)
         // compaction is invisible to the change feed: same rows, new files —
         // an EMPTY sidecar tells readChangeFeed "rewrite, zero logical
@@ -3427,7 +3546,13 @@ object TableIO {
     val nFiles =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
-    val arranged = Zorder.cluster(df, zorderBy, Some(nFiles), hilbert)
+    // row-tracked tables: materialize ids through the rewrite, same as
+    // compactTable — incremental clustering must not change row identity
+    val dfW =
+      if (!m.meta.contains(Versioned.RowTrackingKey)) df
+      else withRowIds(spark, tableDir, m, affected)
+        .withColumnRenamed(RowIdColName, PhysRowIdCol)
+    val arranged = Zorder.cluster(dfW, zorderBy, Some(nFiles), hilbert)
     val blooms = bloomColsOf(m)
     val emptyCdf: Option[DataFrame] =
       if (!cdfEnabled(m.meta)) None
@@ -3562,8 +3687,13 @@ object TableIO {
               .parquet(cdfDir(tableDir, v, cid).toString)),
           op = "DELETE") { target =>
           if (affected.nonEmpty) {
-            val survivors = scanSpec(spark,
-              Versioned.scanOf(tableDir, m, affected))
+            // row-tracked tables: survivors carry their materialized ids
+            // through the rewrite — DELETE never changes a row's identity
+            val survivors =
+              (if (!m.meta.contains(Versioned.RowTrackingKey))
+                scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
+              else withRowIds(spark, tableDir, m, affected)
+                .withColumnRenamed(RowIdColName, PhysRowIdCol))
               .filter(not(cond))
             val writer = toPhysical(survivors,
                 DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -3874,7 +4004,12 @@ object TableIO {
         val (affected, untouched) = m.entries.partition(e =>
           affectedPaths.contains(baseP.resolve(e.path).toString))
         val parts = currentPartitioning(lh, tableName)
-        def applied(df: DataFrame): DataFrame =
+        def applied(df: DataFrame): DataFrame = {
+          // row-tracked rewrites carry the materialized id through the SET
+          // projection — UPDATE changes a row's content, not its identity
+          val keep =
+            if (df.columns.contains(PhysRowIdCol)) Seq(col(PhysRowIdCol))
+            else Seq.empty
           df.select(schema.fields.map { f =>
             set.get(f.name) match {
               case Some(e) =>
@@ -3882,9 +4017,13 @@ object TableIO {
                   .otherwise(col(f.name)).as(f.name)
               case None => col(f.name)
             }
-          }.toSeq: _*)
+          }.toSeq ++ keep: _*)
+        }
         val affectedScan: Option[DataFrame] =
           if (affected.isEmpty) None
+          else if (m.meta.contains(Versioned.RowTrackingKey))
+            Some(withRowIds(spark, tableDir, m, affected)
+              .withColumnRenamed(RowIdColName, PhysRowIdCol))
           else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, affected)))
         val rewritten = affectedScan.map(applied)
         rewritten.foreach(r =>
@@ -3892,7 +4031,7 @@ object TableIO {
         val changes: Option[DataFrame] =
           if (!cdfEnabled(m.meta) || affected.isEmpty) None
           else affectedScan.map { sc =>
-            val matched = sc.filter(cond)
+            val matched = sc.filter(cond).drop(PhysRowIdCol)
             matched.withColumn("_change_type", lit("update_preimage"))
               .unionByName(applied(matched)
                 .withColumn("_change_type", lit("update_postimage")))

@@ -244,12 +244,18 @@ object Versioned {
   def committedVersions(tableDir: String): Seq[Long] =
     listNames(Paths.get(tableDir)).flatMap(numericSuffix(_, MarkerPrefix)).sorted
 
-  /** Commit wall-clock of a version: its marker's mtime (the marker is
-    * created exactly once, at the commit point). */
+  /** Commit wall-clock of a version: the in-commit timestamp recorded in
+    * its manifest meta ([[CommitTsKey]] — immune to mtime-rewriting
+    * backup/copy tools, monotonic across versions), falling back to the
+    * marker's mtime for versions committed before the feature existed
+    * (the marker is created exactly once, at the commit point). */
   def commitTimeMs(tableDir: String, v: Long): Option[Long] =
-    scala.util.Try(
-      Files.getLastModifiedTime(marker(Paths.get(tableDir), v)).toMillis
-    ).toOption
+    readManifest(tableDir, v)
+      .flatMap(_.meta.get(CommitTsKey))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .orElse(scala.util.Try(
+        Files.getLastModifiedTime(marker(Paths.get(tableDir), v)).toMillis
+      ).toOption)
 
   /** True iff `version` was actually committed (its marker exists, or a
     * legacy pointer names it) — an orphaned/in-flight manifest or `_vN`
@@ -293,7 +299,8 @@ object Versioned {
   val SupportedFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "identityColumns",
     "generatedColumns", "checkConstraints", "changeDataFeed",
-    "deltaManifests", "partitionEvolution", "multiTableTxn")
+    "deltaManifests", "partitionEvolution", "multiTableTxn",
+    "rowTracking")
 
   // ---- multi-table transactions (Percolator-style decided outcomes) ----
   //
@@ -540,6 +547,53 @@ object Versioned {
     * overwritten per commit, never carried forward. */
   val CommitIdKey = "graft.commitId"
 
+  /** In-commit timestamps (Delta's ICT feature): the commit wall-clock is
+    * recorded IN the manifest meta, not inferred from file mtimes — so
+    * TIMESTAMP AS OF and DESCRIBE HISTORY survive backup/restore/copy
+    * tools that rewrite modification times, and the recorded clock is
+    * clamped monotonic across versions (a step back of the wall clock can
+    * never make a later version look older than its base). Stamped by
+    * [[commitFiles]] on every commit; [[commitTimeMs]] prefers it and
+    * falls back to the marker mtime for pre-feature tables. */
+  val CommitTsKey = "graft.commitTs"
+
+  /** Row tracking (Delta's row IDs): when the meta carries
+    * [[RowTrackingKey]], every commit assigns each ADDED file a contiguous
+    * span of fresh row ids — the file's first row's id is recorded in its
+    * stats as [[BaseRowIdStatKey]], a row's id is `base + row_index`, and
+    * the next-fresh-id watermark [[RowIdMaxKey]] advances atomically in
+    * the same commit (crash/replay/race-safe for exactly the reasons the
+    * identity watermark is). File REWRITES (OPTIMIZE et al.) materialize
+    * ids as a physical `__row_id` column instead, which takes precedence
+    * at read time — so a row's id is stable across compaction. */
+  val RowTrackingKey = "graft.rowTracking"
+  val RowIdMaxKey = "graft.rowIdMax"
+  val BaseRowIdStatKey = "__baseRowId"
+  private val RowsStatKey = "__rows" // written by TableIO.collectFileStats
+
+  /** Top-level string field of a stats-JSON doc, if present. */
+  private[lakehouse] def statsField(stats: Option[String],
+      key: String): Option[String] = {
+    import org.json4s.JString
+    import org.json4s.jackson.JsonMethods.parse
+    stats.flatMap(s => scala.util.Try(parse(s)).toOption)
+      .flatMap(j => (j \ key) match {
+        case JString(v) => Some(v)
+        case _ => None
+      })
+  }
+
+  private def statsWithField(statsJson: String, key: String,
+      value: String): String = {
+    import org.json4s.{JObject, JString}
+    import org.json4s.jackson.JsonMethods.{compact, parse, render}
+    scala.util.Try(parse(statsJson)).toOption match {
+      case Some(JObject(fields)) => compact(render(JObject(
+        fields.filterNot(_._1 == key) :+ (key -> JString(value)))))
+      case _ => statsJson
+    }
+  }
+
   def commitFiles(tableDir: String, schemaJson: String,
       inherit: Seq[FileEntry] = Seq.empty,
       expectedBase: Option[Long] = None,
@@ -572,9 +626,18 @@ object Versioned {
     // forward transaction id would mark the table's entire later history
     // as transactional. Stripped always; recorded only for this commit's
     // own transaction (the `txn` param).
+    // In-commit timestamp: always THIS commit's clock (a carried-forward
+    // value would date every later version at its ancestor's commit),
+    // clamped monotonic against the current base's recorded stamp.
+    val baseTs = latestVersion(tableDir)
+      .flatMap(v => readManifest(tableDir, v))
+      .flatMap(_.meta.get(CommitTsKey))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    val commitTs = math.max(System.currentTimeMillis(), baseTs.getOrElse(0L) + 1)
     val metaWithOp = (((if (op.isEmpty) meta - OpKey
       else (meta - OpKey) + (OpKey -> op))
-      - CommitIdKey - BasedOnKey - TxnMetaKey) + (CommitIdKey -> commitId)
+      - CommitIdKey - BasedOnKey - TxnMetaKey - CommitTsKey)
+      + (CommitIdKey -> commitId) + (CommitTsKey -> commitTs.toString)
       ) ++ txn.map(TxnMetaKey -> _)
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
@@ -600,7 +663,34 @@ object Versioned {
         val rel = staging.relativize(p).toString
         FileEntry(rel, stats.get(rel).filter(s => !s.contains("\n")))
       }
-      val files = inherit ++ staged
+      // Row tracking: each added file takes a contiguous fresh-id span
+      // above the watermark, in path order (deterministic across retries);
+      // the advanced watermark rides THIS commit's meta. Rewrites also
+      // pass through here — their fresh spans are shadowed by the
+      // materialized physical ids at read time (gaps in the id space are
+      // fine; uniqueness is the contract).
+      val (stagedRt, metaRt) =
+        if (!metaWithOp.contains(RowTrackingKey) || staged.isEmpty)
+          (staged, metaWithOp)
+        else {
+          val raw = metaWithOp.getOrElse(RowIdMaxKey, "0")
+          var wm = scala.util.Try(raw.toLong).getOrElse(
+            throw new IllegalStateException(s"$tableDir: row-id watermark " +
+              s"is unreadable ('$raw') — refusing to assign row ids"))
+          val dec = staged.sortBy(_.path).map { e =>
+            val rows = statsField(e.stats, RowsStatKey)
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+              .getOrElse(throw new IllegalStateException(
+                s"$tableDir: row tracking needs per-file row counts; " +
+                  s"${e.path} has none (run recomputeStats first)"))
+            val e2 = e.copy(stats = e.stats.map(
+              statsWithField(_, BaseRowIdStatKey, wm.toString)))
+            wm += rows
+            e2
+          }
+          (dec, metaWithOp + (RowIdMaxKey -> wm.toString))
+        }
+      val files = inherit ++ stagedRt
       val tmp = dir.resolve(s".manifest.tmp-${java.util.UUID.randomUUID()}")
       // Delta-encode the manifest when this is a base-pinned commit onto an
       // existing manifest, the claimed version (always base+1 here) is not
@@ -630,9 +720,9 @@ object Versioned {
           }
       }
       val (contentLines, metaFinal) = deltaParts match {
-        case Some((dl, b0)) => (dl, withFeature(metaWithOp, "deltaManifests")
+        case Some((dl, b0)) => (dl, withFeature(metaRt, "deltaManifests")
           + (BasedOnKey -> b0.toString))
-        case None => (files.map(_.serialized), metaWithOp)
+        case None => (files.map(_.serialized), metaRt)
       }
       // writer gate: refuse to commit meta that requires features this
       // implementation does not understand (it could not honor them)
