@@ -3813,5 +3813,127 @@ object Queries {
         |FROM (SELECT * FROM e UNION ALL SELECT * FROM o)
         |WHERE s_suppkey % 10 != 4
         |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- classic TPC-H star joins (the analytics-engine bread and butter;
+    // plans must be the Spark-right ones: filters pushed to every scan,
+    // small dims broadcast, revenue in exact DECIMAL then one cast) ------
+    // TPC-H Q3 shape: shipping-priority candidates — 3-way join, filters
+    // on all three inputs, top-10 revenue. Fixture has no o_shippriority;
+    // o_orderpriority stands in.
+    Q("q164_tpch_q3",
+      (s, dir) => {
+        val rev = sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue")
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate") < "1997-03-15")
+              .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem")
+              .filter(col("l_shipdate") > "1997-03-15")
+              .select("l_orderkey", "l_extendedprice", "l_discount"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(rev)
+          .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: local supplier volume — 6-table snowflake where the
+    // customer and supplier must share a nation; region/nation broadcast.
+    Q("q165_tpch_q5",
+      (s, dir) => {
+        val rev = sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue")
+        val asiaNations = broadcast(
+          t(s, dir, "nation").join(
+            broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+        t(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate") >= "1996-01-01" &&
+                col("o_orderdate") < "1997-01-01")
+              .select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem")
+              .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(rev)
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item reporting — quarter of orders,
+    // R-flagged lines, top-20 customers by lost revenue.
+    Q("q166_tpch_q10",
+      (s, dir) => {
+        val rev = sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue")
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate") >= "1997-10-01" &&
+                col("o_orderdate") < "1998-01-01")
+              .select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+              .select("l_orderkey", "l_extendedprice", "l_discount"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(rev)
+          .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)),
   )
 }

@@ -219,4 +219,26 @@ class PlanHygieneSpec extends SparkSuite {
     assert(body.contains("Window"), p)
     assert("Exchange hashpartitioning".r.findAllIn(body).size <= 1, p)
   }
+
+  test("q164 TPC-H Q3: every filter reaches its scan; TakeOrdered caps the top-10") {
+    val p = plan("q164_tpch_q3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate") && p.contains("GreaterThan(l_shipdate"), p)
+    // top-k never materializes a full sort of the aggregate output
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q165 TPC-H Q5: region/nation ride broadcasts, no cartesian anywhere") {
+    val p = plan("q165_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q166 TPC-H Q10: returnflag filter pushes to the lineitem scan, nation broadcasts") {
+    val p = plan("q166_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
