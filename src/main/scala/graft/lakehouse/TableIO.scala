@@ -2705,6 +2705,9 @@ object TableIO {
           k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
           k.startsWith(IdentityMaxPrefix) || k == ClusterByKey ||
           k == ClusterCurveKey ||
+          // row tracking clones with its watermark: clone ids must stay
+          // stable AND fresh clone-side appends must not reuse spans
+          k == Versioned.RowTrackingKey || k == Versioned.RowIdMaxKey ||
           // feature requirements are sticky: the clone carries the same
           // DV refs / declarations a down-level reader must not ignore
           k == Versioned.FeaturesKey } +
@@ -2774,6 +2777,9 @@ object TableIO {
           k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
           k.startsWith(IdentityMaxPrefix) || k == ClusterByKey ||
           k == ClusterCurveKey ||
+          // row tracking clones with its watermark: clone ids must stay
+          // stable AND fresh clone-side appends must not reuse spans
+          k == Versioned.RowTrackingKey || k == Versioned.RowIdMaxKey ||
           // feature requirements are sticky: the clone carries the same
           // DV refs / declarations a down-level reader must not ignore
           k == Versioned.FeaturesKey } +
@@ -3755,7 +3761,13 @@ object TableIO {
             case Some((p, n)) => withDvStat(Some(withBytes), p, n)
             case None => withBytes
           }
-          e.copy(stats = Some(withDv))
+          // carry the base row id too — ANALYZE rebuilding stats must
+          // never amputate a row-tracked file's identity span
+          val withRid = Versioned.statsField(e.stats,
+              Versioned.BaseRowIdStatKey)
+            .fold(withDv)(b =>
+              addStatField(withDv, Versioned.BaseRowIdStatKey, b))
+          e.copy(stats = Some(withRid))
       }
     }
     // rebase over concurrent appends: the re-statted entries replace their

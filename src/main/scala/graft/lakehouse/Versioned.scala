@@ -678,15 +678,21 @@ object Versioned {
             throw new IllegalStateException(s"$tableDir: row-id watermark " +
               s"is unreadable ('$raw') — refusing to assign row ids"))
           val dec = staged.sortBy(_.path).map { e =>
-            val rows = statsField(e.stats, RowsStatKey)
-              .flatMap(s => scala.util.Try(s.toLong).toOption)
-              .getOrElse(throw new IllegalStateException(
-                s"$tableDir: row tracking needs per-file row counts; " +
-                  s"${e.path} has none (run recomputeStats first)"))
-            val e2 = e.copy(stats = e.stats.map(
-              statsWithField(_, BaseRowIdStatKey, wm.toString)))
-            wm += rows
-            e2
+            // a staged file whose stats ALREADY carry a base row id keeps
+            // it (deep clone copies, any future id-preserving restage) —
+            // its span is covered by the carried watermark, so no reuse
+            if (statsField(e.stats, BaseRowIdStatKey).isDefined) e
+            else {
+              val rows = statsField(e.stats, RowsStatKey)
+                .flatMap(s => scala.util.Try(s.toLong).toOption)
+                .getOrElse(throw new IllegalStateException(
+                  s"$tableDir: row tracking needs per-file row counts; " +
+                    s"${e.path} has none (run recomputeStats first)"))
+              val e2 = e.copy(stats = e.stats.map(
+                statsWithField(_, BaseRowIdStatKey, wm.toString)))
+              wm += rows
+              e2
+            }
           }
           (dec, metaWithOp + (RowIdMaxKey -> wm.toString))
         }

@@ -94,6 +94,34 @@ class RowTrackingSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "rt5")
   }
 
+  test("ANALYZE (recomputeStats) preserves every file's base row id") {
+    TableIO.writeTable(spark, lh, "rt8",
+      (1 to 5).toDF("k").orderBy("k").coalesce(1))
+    TableIO.enableRowTracking(spark, lh, "rt8")
+    TableIO.appendTable(spark, lh, "rt8",
+      (6 to 7).toDF("k").orderBy("k").coalesce(1))
+    val before = ids("rt8")
+    TableIO.recomputeStats(spark, lh, "rt8")
+    assert(ids("rt8") == before,
+      "fresh stats must carry the __baseRowId span through ANALYZE")
+    TableIO.dropTable(spark, lh, "rt8")
+  }
+
+  test("clones inherit row identity: same ids in shallow and deep clones") {
+    TableIO.writeTable(spark, lh, "rt9",
+      (1 to 6).toDF("k").orderBy("k").coalesce(1))
+    TableIO.enableRowTracking(spark, lh, "rt9")
+    TableIO.compactTable(spark, lh, "rt9") // mix materialized + stats-based
+    TableIO.appendTable(spark, lh, "rt9",
+      Seq(7).toDF("k"))
+    val src = ids("rt9")
+    TableIO.cloneTable(spark, lh, "rt9", "rt9_shallow")
+    TableIO.cloneTable(spark, lh, "rt9", "rt9_deep", deep = true)
+    assert(ids("rt9_shallow") == src)
+    assert(ids("rt9_deep") == src)
+    Seq("rt9", "rt9_shallow", "rt9_deep").foreach(TableIO.dropTable(spark, lh, _))
+  }
+
   test("plain reads are unchanged and the feature gates unknown readers") {
     TableIO.writeTable(spark, lh, "rt6", Seq(1, 2).toDF("k"))
     TableIO.enableRowTracking(spark, lh, "rt6")
