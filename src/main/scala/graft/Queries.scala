@@ -3935,5 +3935,38 @@ object Queries {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin)),
+
+    // Type widening: a table born (int, float) widens to (long, double)
+    // in two metadata-only commits — the original files are never
+    // rewritten (they upcast natively at scan time) and the second batch
+    // lands in the wide types. The oracle replays the per-batch type
+    // history: first batch values go through REAL, second batch straight
+    // — if the engine rewrote or double-converted anything, the float
+    // path would diverge and the hash would break.
+    Q("q167_type_widening",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_widen")
+        val sub = t(s, dir, "orders").filter(col("o_orderkey") % 40 === 0)
+          .select("o_orderkey", "o_totalprice")
+        TableIO.writeTable(s, lh, "orders_widen",
+          sub.filter(col("o_orderkey") % 80 === 0)
+            .select(col("o_orderkey").cast("int").as("o_orderkey"),
+              col("o_totalprice").cast("float").as("o_totalprice")))
+        TableIO.widenColumnType(s, lh, "orders_widen", "o_orderkey",
+          org.apache.spark.sql.types.LongType)
+        TableIO.widenColumnType(s, lh, "orders_widen", "o_totalprice",
+          org.apache.spark.sql.types.DoubleType)
+        TableIO.appendTable(s, lh, "orders_widen",
+          sub.filter(col("o_orderkey") % 80 =!= 0))
+        TableIO.selectTable(s, lh, "orders_widen").orderBy("o_orderkey")
+      },
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 80 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 40 = 0 AND o_orderkey % 80 != 0
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -835,6 +835,17 @@ object TableIO {
   /** Stats-JSON key for a file's physical byte size (Delta's add.size). */
   private val BytesKey = "__bytes"
 
+  /** Remove one top-level field from a stats JSON doc (no-op if absent). */
+  private def removeStatField(statsJson: String, key: String): String = {
+    import org.json4s.JObject
+    import org.json4s.jackson.JsonMethods.{compact, parse, render}
+    scala.util.Try(parse(statsJson)).toOption match {
+      case Some(JObject(fields)) =>
+        compact(render(JObject(fields.filterNot(_._1 == key))))
+      case _ => statsJson
+    }
+  }
+
   /** Add (or replace) one top-level string field in a stats JSON doc. */
   private def addStatField(statsJson: String, key: String,
       value: String): String = {
@@ -2851,6 +2862,68 @@ object TableIO {
     * the physical name transparently. Partition columns (path-encoded)
     * and columns referenced by CHECK constraints are rejected — those
     * genuinely need a rewrite / constraint re-add. */
+  /** Widenings that are value-preserving AND natively upcast by Spark's
+    * vectorized parquet reader (verified: an int32 file reads correctly
+    * under a bigint read schema) — Delta type widening's core matrix. */
+  private val Widenable: Map[DataType, Set[DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType),
+      ShortType -> Set[DataType](IntegerType, LongType),
+      IntegerType -> Set[DataType](LongType),
+      FloatType -> Set[DataType](DoubleType))
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN TYPE widening (Delta type widening): a
+    * METADATA-ONLY commit moves `colName` to a wider type — old files are
+    * read under the new schema via the parquet reader's native upcast
+    * (int32→int64, float→double), new writes land in the wide type, and
+    * nothing rewrites. At 100 TB the alternative — a full-table rewrite
+    * to change int to long — simply never gets scheduled; this is why
+    * the feature exists. The column's per-file Bloom filters are
+    * STRIPPED in the same commit: bloom bits hash the physical byte
+    * width, so a wide-typed probe against narrow-hashed bits would skip
+    * files that DO contain the value — losing a bloom only costs
+    * pruning, keeping it would cost correctness. Min/max skipping stats
+    * are domain-stringed and keep working. Gated through the features
+    * protocol ('typeWidening'). */
+  def widenColumnType(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, colName: String, to: DataType): TableInfo = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs manifest-based versions for metadata-only DDL"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(colName),
+      s"$tableName has no column $colName")
+    val f = schema(colName)
+    if (f.dataType == to) // already there: nothing to commit
+      return TableInfo(lh.lakehouseName, rowsFromManifest(m).getOrElse(-1L),
+        schema.fields.length, schema.fieldNames.toSeq, tableDir,
+        partitioningOfFiles(m.files))
+    require(Widenable.get(f.dataType).exists(_.contains(to)),
+      s"$tableName.$colName: ${f.dataType.simpleString} → " +
+        s"${to.simpleString} is not a supported widening (" +
+        "byte/short/int up the integral chain, float → double)")
+    require(!partitioningOfFiles(m.files).contains(colName) &&
+      !partitionSpecOf(m.meta, m.files).contains(colName),
+      s"$colName is a partition column (path-encoded) — widening it " +
+        "would change the path-value parse domain; rewrite instead")
+    val newSchema = StructType(schema.fields.map(x =>
+      if (x.name == colName) x.copy(dataType = to) else x))
+    val physName = physicalMapping(schema).getOrElse(colName, colName)
+    val bloomKey = Bloom.StatsPrefix + physName
+    val entries = m.entries.map(e =>
+      e.copy(stats = e.stats.map(removeStatField(_, bloomKey))))
+    val commit = Versioned.commitFiles(tableDir, newSchema.json,
+      inherit = entries, expectedBase = base,
+      meta = Versioned.withFeature(m.meta, "typeWidening"),
+      op = "WIDEN") { _ => () }
+    finishCommit(spark, lh, tableName, tableDir, commit,
+      newSchema.fieldNames.toSeq, currentPartitioning(lh, tableName))
+  }
+
   def renameColumn(spark: SparkSession, lh: LakehouseProps, tableName: String,
       oldName: String, newName: String): TableInfo = {
     val tableDir = Catalog.tablePath(lh, tableName)
