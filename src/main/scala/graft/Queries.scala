@@ -3968,5 +3968,49 @@ object Queries {
         |SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey % 40 = 0 AND o_orderkey % 80 != 0
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // Product-quantization ANN (Jégou'11): codes are 8 bytes per 64-dim
+    // vector (32× compression — the way a 100 TB embedding corpus fits an
+    // index). Pure-ADC ranking is approximate → rows-only here; recall
+    // and the exact-degenerate mode are verified by q169 + PqSpec.
+    Q("q168_ann_pq_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10, m = 8)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // PQ two-stage retrieval in its verification mode: rerank bound ≥
+    // corpus ⇒ every code is a candidate and the exact rescoring pass IS
+    // brute force — the bucket/encode/ADC machinery must reproduce the
+    // exact top-k bit-for-bit (q34/q67/q87's exact-twin pattern).
+    Q("q169_ann_pq_exact",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10, m = 8, reRank = 1000000)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 4),
+        |s AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    list_sum(list_transform(list_zip(v.ve, q.qv), p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(v.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+        |  FROM v, q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
   )
 }
