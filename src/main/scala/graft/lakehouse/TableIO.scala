@@ -2228,7 +2228,13 @@ object TableIO {
       val (affected, untouched) = m.entries.partition(e =>
         affectedPaths.contains(baseP.resolve(e.path).toString))
       // ---- the clause cascade over affected rows (one projection) ----
-      val tgt = scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
+      // row-tracked tables: survivors of the rewrite keep their
+      // materialized ids (inserted rows take fresh spans from the commit)
+      val rowTracked = m.meta.contains(Versioned.RowTrackingKey)
+      val tgt =
+        (if (!rowTracked) scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
+         else withRowIds(spark, tableDir, m, affected)
+           .withColumnRenamed(RowIdColName, PhysRowIdCol))
         .alias("t")
       val SPresent = "__graft_s_present"
       val src = source.withColumn(SPresent, lit(true)).alias("s")
@@ -2257,7 +2263,10 @@ object TableIO {
           (acc, i) => acc || col(ACol) === i)) ||
         (!col(MCol) && nDel.foldLeft(lit(false): Column)(
           (acc, i) => acc || col(ACol) === i))
-      def projected(rows: DataFrame): DataFrame =
+      def projected(rows: DataFrame): DataFrame = {
+        val keep = // id passthrough: MERGE updates content, not identity
+          if (rowTracked) Seq(col(s"t.$PhysRowIdCol").as(PhysRowIdCol))
+          else Seq.empty
         rows.select(schema.fields.map { f =>
           val base0 = col(s"t.${f.name}")
           val cases =
@@ -2276,7 +2285,8 @@ object TableIO {
               (acc, cv) => acc.when(cv._1, cv._2)
             }.otherwise(base0)
           }.as(f.name)
-        }.toSeq: _*)
+        }.toSeq ++ keep: _*)
+      }
       val rewritten = projected(withAct.filter(!deleted))
       // ---- inserts: source rows matching NO target key ----
       val (inserts, insIdMeta, insPin): (Option[DataFrame],
@@ -2349,7 +2359,9 @@ object TableIO {
       // violation or CDF construction failure cannot leak them
       try {
       val payload = inserts.fold(rewritten)(ins =>
-        rewritten.unionByName(ins))
+        // inserts carry no physical row id (null) — they take fresh spans
+        // from this commit's watermark at read time
+        rewritten.unionByName(ins, allowMissingColumns = true))
       enforceChecks(payload, checkConstraintsOf(m.meta), s"$tableName: merge")
       // ---- row-level change events, staged atomically with the commit ----
       val changes: Option[DataFrame] =
@@ -2360,7 +2372,7 @@ object TableIO {
           val pre = updRows.select(schema.fields.map(f =>
               col(s"t.${f.name}").as(f.name)).toSeq: _*)
             .withColumn("_change_type", lit("update_preimage"))
-          val post = projected(updRows)
+          val post = projected(updRows).drop(PhysRowIdCol)
             .withColumn("_change_type", lit("update_postimage"))
           val del = withAct.filter(deleted)
             .select(schema.fields.map(f =>

@@ -122,6 +122,27 @@ class RowTrackingSpec extends SparkSuite {
     Seq("rt9", "rt9_shallow", "rt9_deep").foreach(TableIO.dropTable(spark, lh, _))
   }
 
+  test("MERGE INTO preserves ids for updated rows; inserts take fresh ids") {
+    TableIO.writeTable(spark, lh, "rt10",
+      Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v").orderBy("k").coalesce(1))
+    TableIO.enableRowTracking(spark, lh, "rt10")
+    val before = ids("rt10")
+    val source = Seq((2, 200), (4, 400)).toDF("k", "v")
+    TableIO.mergeInto(spark, lh, "rt10", source, Seq("k"), Seq(
+      TableIO.MergeClause.MatchedUpdate(Map("v" -> "s.v"), None),
+      TableIO.MergeClause.NotMatchedInsert(None, None)))
+    val after = ids("rt10")
+    assert(after.filter(_._1 <= 3) == before,
+      s"updated/untouched rows must keep their ids: $after vs $before")
+    assert(after.contains(4) && !before.values.toSet.contains(after(4)),
+      s"the inserted row needs a FRESH id: $after")
+    assert(after.values.toSet.size == after.size, s"duplicate ids: $after")
+    // content actually merged
+    assert(TableIO.selectTable(spark, lh, "rt10").filter("k = 2")
+      .select("v").as[Int].head() == 200)
+    TableIO.dropTable(spark, lh, "rt10")
+  }
+
   test("plain reads are unchanged and the feature gates unknown readers") {
     TableIO.writeTable(spark, lh, "rt6", Seq(1, 2).toDF("k"))
     TableIO.enableRowTracking(spark, lh, "rt6")
