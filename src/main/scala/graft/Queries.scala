@@ -4012,5 +4012,87 @@ object Queries {
         |  FROM s)
         |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // TPC-H Q7 shape: bilateral trade volume — the two-role dimension
+    // pattern (nation joins TWICE under different roles), year bucketing,
+    // and a symmetric pair filter. Both nation legs broadcast.
+    Q("q170_tpch_q7",
+      (s, dir) => {
+        val n1 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1998-01-01")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice",
+            "l_discount", "l_shipdate")
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("s_nk"))
+          .join(n2, col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_3" &&
+              col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" &&
+              col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+        |       (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q18 shape: large-volume customers — a HAVING subquery feeds a
+    // left-semi join (never a distinct-materialize), then the detail
+    // re-aggregates on top.
+    Q("q171_tpch_q18",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        val big = li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+          .filter(col("q") > 250).select("l_orderkey")
+        t(s, dir, "customer").select("c_custkey", "c_name")
+          .join(t(s, dir, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            col("c_custkey") === col("o_custkey"))
+          .join(li.join(big, "l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)),
   )
 }
