@@ -4094,5 +4094,35 @@ object Queries {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin)),
+
+    // Corpus-wide exact paragraph dedup: keep-first in (doc, position)
+    // order, whitespace blocks survive as separators, docs rebuilt in
+    // order. The oracle replays the whole keep-first window + rebuild.
+    Q("q172_dedup_paragraphs",
+      (s, dir) => TextStats.dedupParagraphs(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i - 1, 'para': ps[i]}
+        |      for i in generate_series(1, len(ps))]) AS s
+        |  FROM d),
+        |pp AS (SELECT doc_id, s.pos AS pos, s.para AS para FROM p),
+        |keep AS (
+        |  SELECT doc_id, pos, para,
+        |    (trim(para) = '' OR row_number() OVER (
+        |      PARTITION BY trim(para) ORDER BY doc_id, pos) = 1) AS k
+        |  FROM pp),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |  FROM keep WHERE k GROUP BY doc_id)
+        |SELECT d0.doc_id, coalesce(r.text, '') AS text
+        |FROM documents d0 LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d0.doc_id""".stripMargin)),
   )
 }

@@ -204,6 +204,41 @@ object TextStats {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Corpus-wide exact PARAGRAPH dedup (the C4/RefinedWeb span-dedup
+    * sibling at paragraph granularity): a paragraph (a `\n\n`-separated
+    * block, keyed by its trimmed text) is kept only at its FIRST
+    * occurrence in (document id, position) order — every later exact copy
+    * anywhere in the corpus is dropped, and documents are rebuilt from
+    * their surviving paragraphs in order. Whitespace-only blocks are
+    * structural separators, not content, and always survive. Documents
+    * reduced to nothing persist as empty rows (the drop decision is a
+    * separate quality gate, as with [[dropBoilerplateLines]]).
+    *
+    * Scale shape: one aggregation over trimmed-paragraph keys finds the
+    * min (id, pos) owner — paragraphs shuffle once on their key — and a
+    * semi-join keeps the owners; the per-document rebuild is the same
+    * sorted-collect as the line dedup. Nothing collects to the driver. */
+  def dedupParagraphs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n\n", -1)).as(Seq("pos", "para")))
+    val firsts = paras.filter(trim(col("para")) =!= "")
+      .groupBy(trim(col("para")).as("key"))
+      .agg(min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("f"))
+      .select(col("key"), col("f.fid").as("fid"), col("f.fpos").as("fpos"))
+    val kept = paras.join(firsts,
+        trim(col("para")) === col("key") &&
+          col(idCol) === col("fid") && col("pos") === col("fpos"),
+        "left_semi")
+      .unionByName(paras.filter(trim(col("para")) === ""))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(pos, para))), x -> x.para)"),
+        "\n\n").as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Split documents into fixed-size character windows with `overlap`
     * characters of context between consecutive chunks (the standard
     * pretraining/RAG chunker). Pure codegen'd built-ins: the chunk starts

@@ -232,4 +232,27 @@ class TextStatsSpec extends SparkSuite {
     assert(out(4L) == "totally unique text that repeats nowhere else at all")
     assert(out.size == 4)
   }
+
+  test("dedupParagraphs: keep-first across docs, separators survive, " +
+      "emptied docs persist") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\n\nshared para\n\nbeta"),
+      (2L, "shared para\n\ngamma"), // loses its copy of "shared para"
+      (3L, "shared para"),          // emptied entirely
+      (4L, "  shared para  \n\ndelta") // trimmed-key match also drops
+    ).toDF("doc_id", "text")
+    val out = TextStats.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha\n\nshared para\n\nbeta"),
+      (2L, "gamma"),
+      (3L, ""),
+      (4L, "delta")))
+    // whitespace-only blocks are separators, never deduped away
+    val ws = Seq((1L, "a\n\n\n\nb"), (2L, "c\n\n\n\nd")).toDF("doc_id", "text")
+    val kept = TextStats.dedupParagraphs(ws, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(kept == Seq((1L, "a\n\n\n\nb"), (2L, "c\n\n\n\nd")))
+  }
 }
