@@ -812,11 +812,22 @@ object TableIO {
             k -> (JArray(List(v, v, JString("0"))): JValue)
           }
         }
+      // long-string bounds truncate (prefix min / incremented-prefix max)
+      // so a text column never embeds whole documents in the manifest
+      def statMin(f: StructField, v: JValue): JValue = (f.dataType, v) match {
+        case (StringType, JString(s)) => JString(truncStatMin(s))
+        case _ => v
+      }
+      def statMax(f: StructField, v: JValue): JValue = (f.dataType, v) match {
+        case (StringType, JString(s)) =>
+          truncStatMax(s).fold(JNull: JValue)(JString(_))
+        case _ => v
+      }
       val fields: Seq[(String, JValue)] =
         (RowsKey -> (JString(r.getLong(1).toString): JValue)) +:
         (cols.zipWithIndex.map { case (f, i) =>
           val base = minMaxBase + perCol * i
-          f.name -> (JArray(List(j(base), j(base + 1),
+          f.name -> (JArray(List(statMin(f, j(base)), statMax(f, j(base + 1)),
             JString(r.getLong(base + 2).toString))): JValue)
         } ++ partStats ++ blooms.zipWithIndex.flatMap { case (c, i) =>
           Option(r.get(bloomBase + i)).map { bytes =>
@@ -827,6 +838,42 @@ object TableIO {
           (JString(r.getLong(bloomBase + blooms.length).toString): JValue)))
       rel -> compact(render(org.json4s.JObject(fields.toList)))
     }.toMap
+  }
+
+  /** String min/max stats truncate to this many CODE POINTS (Delta
+    * truncates at 32): a text column's full min/max document embedded in
+    * every manifest entry would make commit metadata O(row bytes) instead
+    * of O(files) — on a corpus table the manifest would dwarf the data's
+    * own footers. Truncation stays a TRUE bound: a prefix is ≤ the full
+    * string in UTF-8 byte order (the stat comparator's order), and the
+    * max side increments its last code point so it stays an upper bound
+    * for every string sharing the prefix. */
+  private[lakehouse] val MaxStringStatLen = 64
+
+  private[lakehouse] def truncStatMin(s: String): String =
+    if (s.codePointCount(0, s.length) <= MaxStringStatLen) s
+    else s.substring(0, s.offsetByCodePoints(0, MaxStringStatLen))
+
+  /** None = no finite upper bound expressible (every prefix code point is
+    * already U+10FFFF) — the caller records a null max and the pruner
+    * treats the file as always-scan (safe, never wrong). */
+  private[lakehouse] def truncStatMax(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= MaxStringStatLen) return Some(s)
+    val cut = s.substring(0, s.offsetByCodePoints(0, MaxStringStatLen))
+    var end = cut.length
+    while (end > 0) {
+      val cp = cut.codePointBefore(end)
+      val start = end - Character.charCount(cp)
+      if (cp < 0x10FFFF) {
+        // never mint a lone surrogate (U+D7FF + 1): jump the gap — still
+        // greater than every valid scalar the original prefix could lead
+        val next = if (cp + 1 >= 0xD800 && cp + 1 <= 0xDFFF) 0xE000 else cp + 1
+        return Some(cut.substring(0, start) +
+          new String(Character.toChars(next)))
+      }
+      end = start // this code point is maxed out: shorten the prefix
+    }
+    None
   }
 
   /** Stats-JSON key for a file's row count. */
@@ -1528,7 +1575,11 @@ object TableIO {
   }
 
   /** Row-id-bearing scan over `entries` of a row-tracked table: logical
-    * columns + [[RowIdColName]]. */
+    * columns + [[RowIdColName]]. The path→base map broadcast is O(files)
+    * — the same shape (and the same ceiling) as the deletion-vector
+    * broadcast, both bounded by manifest size, which the driver already
+    * holds to plan any scan; ~100 bytes per file keeps a 1M-file table
+    * around 100 MB, inside executor broadcast budgets. */
   private[lakehouse] def withRowIds(spark: SparkSession, tableDir: String,
       m: Versioned.Manifest, entries: Seq[Versioned.FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, udf}
@@ -3902,7 +3953,13 @@ object TableIO {
         (RowsKey -> (JString(r.getLong(1).toString): JValue)) +:
         (dataCols.toSeq.zipWithIndex.map { case (f, i) =>
           val b = minMaxBase + perCol * i
-          physical(f.name) -> (JArray(List(j(b), j(b + 1),
+          val (mn, mx) = (j(b), j(b + 1)) match {
+            case (JString(a), JString(z)) if f.dataType == StringType =>
+              (JString(truncStatMin(a)): JValue,
+                truncStatMax(z).fold(JNull: JValue)(JString(_)))
+            case other => other
+          }
+          physical(f.name) -> (JArray(List(mn, mx,
             JString(r.getLong(b + 2).toString))): JValue)
         } ++ blooms.zipWithIndex.flatMap { case (c, i) =>
           Option(r.get(bloomBase + i)).map { bytes =>

@@ -494,4 +494,43 @@ class DataSkippingSpec extends SparkSuite {
     assert(exF.getMessage.contains("fractional"), exF.getMessage)
     TableIO.dropTable(spark, lh, "dfp2")
   }
+
+  test("long-string stats truncate to bounded prefixes that stay TRUE bounds") {
+    // truncStatMin: a prefix, <= original in UTF-8 order
+    val long = "m" * 200
+    assert(TableIO.truncStatMin(long) == "m" * 64)
+    assert(TableIO.truncStatMin("short") == "short")
+    // truncStatMax: incremented prefix, > every string sharing the prefix
+    val mx = TableIO.truncStatMax(long).get
+    assert(mx.length == 64 && mx.endsWith("n") &&
+      TableIO.compareUtf8(mx, long) > 0)
+    // code-point safety: a supplementary char at the cut is not split
+    val emoji = "\ud83d\ude00" // U+1F600
+    val eLong = emoji * 100
+    val eMax = TableIO.truncStatMax(eLong).get
+    assert(TableIO.compareUtf8(eMax, eLong) > 0)
+    assert(TableIO.truncStatMin(eLong).codePointCount(0,
+      TableIO.truncStatMin(eLong).length) == 64)
+    // pathological all-U+10FFFF prefix: no finite bound -> None
+    val top = new String(Character.toChars(0x10FFFF)) * 70
+    assert(TableIO.truncStatMax(top).isEmpty)
+
+    // END TO END: a table whose text column is huge must not embed whole
+    // documents in its manifest, and range reads must stay exact
+    val doc1 = "alpha " + ("x" * 5000)
+    val doc2 = "zeta " + ("y" * 5000)
+    TableIO.writeTable(spark, lh, "trunc1",
+      Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "body"))
+    val tdir = Catalog.tablePath(lh, "trunc1")
+    val m = Versioned.readManifest(tdir, Versioned.latestVersion(tdir).get).get
+    val statBytes = m.entries.flatMap(_.stats).map(_.length).sum
+    assert(statBytes < 2000,
+      s"manifest stats $statBytes bytes — full documents leaked into stats?")
+    // the truncated bounds still bound: condition mining stays EXACT
+    assert(TableIO.readTable(spark, lh, "trunc1",
+      condition = "body >= 'zeta'").count() == 1)
+    assert(TableIO.readTable(spark, lh, "trunc1",
+      condition = "body >= 'a' AND body < 'b'").count() == 1)
+    TableIO.dropTable(spark, lh, "trunc1")
+  }
 }
