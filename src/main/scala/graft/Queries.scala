@@ -3977,7 +3977,8 @@ object Queries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 4),
-          "vec_id", "embedding", k = 10, m = 8)
+          "vec_id", "embedding", k = 10, m = 8, codebookSize = 64,
+          maxFitRows = 4000)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
       },
@@ -3991,7 +3992,8 @@ object Queries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 4),
-          "vec_id", "embedding", k = 10, m = 8, reRank = 1000000)
+          "vec_id", "embedding", k = 10, m = 8, codebookSize = 64,
+          maxFitRows = 4000, reRank = 1000000)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
       },
