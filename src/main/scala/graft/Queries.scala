@@ -2842,26 +2842,29 @@ object Queries {
     // copies guarantee jaccard-1.0 pairs exist.
     Q("q132_prefix_jaccard_join",
       (s, dir) => {
-        // 1-in-10 subset at threshold 0.85: the synthetic corpus is
+        // 1-in-2 subset at threshold 0.95: the synthetic corpus is
         // template-generated, so MOST doc pairs are true near-dups — the
         // exact answer itself is quadratic in cluster size and no exact
         // algorithm can beat its own output size (at 1-in-5/0.8 the
         // answer was 144k pairs from 1.1k docs — 25% of ALL pairs). The
-        // subset keeps the oracle exhaustive while the result stays
-        // linear-ish; the operator is unchanged.
+        // tight threshold keeps the RESULT bounded (near-identical sets
+        // only) while the half-corpus input keeps the measured work
+        // algorithmic on both engines — at the old 1-in-10 subset the
+        // whole query fit inside Spark's per-job scheduling floor and the
+        // bench compared overhead, not plans; the operator is unchanged.
         val docs = t(s, dir, "documents")
-          .filter(col("doc_id") % 10 === 0)
-        val copies = docs.filter(col("doc_id") % 100 === 0)
+          .filter(col("doc_id") % 2 === 0)
+        val copies = docs.filter(col("doc_id") % 20 === 0)
           .withColumn("doc_id", col("doc_id") + 100000)
         Dedup.prefixFilterJaccardPairs(docs.unionByName(copies),
-          "doc_id", "text", threshold = 0.85).orderBy("a", "b")
+          "doc_id", "text", threshold = 0.95).orderBy("a", "b")
       },
       Some("""WITH d0 AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |d AS (
         |  SELECT doc_id, text FROM d0
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM d0 WHERE doc_id % 100 = 0),
+        |  SELECT doc_id + 100000, text FROM d0 WHERE doc_id % 20 = 0),
         |w AS (
         |  SELECT doc_id, regexp_split_to_array(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
@@ -2883,7 +2886,7 @@ object Queries {
         |JOIN sizes sa ON sa.doc_id = a
         |JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
-        |      >= 0.85
+        |      >= 0.95
         |ORDER BY a, b""".stripMargin)),
 
     // File-level UPDATE WHERE (Delta UPDATE): only files holding matching

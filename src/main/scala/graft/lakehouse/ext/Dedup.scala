@@ -696,20 +696,82 @@ object Dedup {
     * candidates.
     *
     * 100 TB shape: the canonical order is one token-frequency aggregation;
-    * candidate generation shuffles only (docId, prefixToken) pairs — the
-    * prefix is O((1-t)·|tokens|) per doc; verification carries each doc's
-    * token array once into candidate rows and computes an exact
-    * array-intersect Jaccard (false positives die there; the prefix
-    * theorem rules out false negatives). No driver-side state anywhere.
-    * Tokens travel as xxhash64 longs after the scan stage, like every
-    * other dedup pipeline here. */
+    * candidate generation shuffles only (docId, prefixToken, position)
+    * triples — the prefix is O((1-t)·|tokens|) per doc; PPJoin's
+    * positional filter (§3.2: common tokens keep their relative order
+    * under the shared total order, so overlap <= min suffix length past
+    * the first shared prefix token) kills size-compatible-but-hopeless
+    * candidates before the distinct and the array-carrying verification
+    * join, which computes an exact array-intersect Jaccard (false
+    * positives die there; the prefix theorem rules out false negatives).
+    * No driver-side state anywhere. Tokens travel as xxhash64 longs
+    * after the scan stage, like every other dedup pipeline here.
+    *
+    * Cost-based plan choice: prefix filtering pays ~7 sequential stages
+    * (freq agg, order join, regroup, candidate join, distinct, two
+    * verify joins) — the right trade when the candidate join would
+    * otherwise explode on frequent tokens, pure overhead on a corpus
+    * small enough that the full inverted-index join is itself cheap. When
+    * the input has at most `denseMaxDocs` documents the operator runs the
+    * dense plan instead: explode, self-join on every token with the set
+    * sizes riding the rows, and count shared tokens per pair — two
+    * shuffles, no verification join, exactly the same answer (the
+    * group-by count IS the exact overlap). `denseMaxDocs` docs bound the
+    * worst-case pair space at denseMaxDocs²/2; the default keeps that
+    * below ~8M pair rows, and a token-volume guard (`denseMaxTokens`)
+    * additionally bounds the dense plan's broadcast build side, so a few
+    * thousand pathologically long documents can never blow the driver.
+    * When, additionally, the corpus vocabulary is tiny (template-generated
+    * text, log lines, ID-like fields — the regime where EVERY document
+    * shares tokens with every other and inverted-index candidate
+    * generation degenerates to the full quadratic join anyway), the
+    * operator runs a third plan: each document's token set becomes a
+    * vocabulary BITMASK and an all-pairs broadcast nested-loop join
+    * computes exact overlaps as popcount(maskA & maskB) — the per-pair
+    * cost falls from a hash-join probe per shared token to ceil(V/64)
+    * AND+popcount word ops. Pass denseMaxDocs = 0 to force the prefix
+    * plan, bitsetMaxVocab = 0 to disable the bitset plan.
+    *
+    * The tokenized per-doc arrays are persisted ONCE up front: the
+    * dispatch statistics, both legs of whichever join runs, and the
+    * frequency aggregation all read the cache instead of re-running the
+    * tokenizer per leg. Dispatch stats use approx_count_distinct (a
+    * single combine-friendly pass at any scale); the guards are cost
+    * heuristics with margin, never correctness conditions — all three
+    * plans return the identical exact answer. */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
-      textCol: String, threshold: Double = 0.6): DataFrame = {
+      textCol: String, threshold: Double = 0.6,
+      denseMaxDocs: Long = 4096,
+      denseMaxTokens: Long = 2000000,
+      bitsetMaxVocab: Long = 4096): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    val toks = df.select(col(idCol),
-      explode(wordNgrams(textCol, 1)).as("w"))
-      .filter(col("w") =!= "")
+    val tExact = lit(scala.math.BigDecimal(java.lang.Double.toString(threshold)))
+    val d = df.select(col(idCol), wordNgrams(textCol, 1).as("ws"))
+      .select(col(idCol), expr("filter(ws, w -> w <> '')").as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (denseMaxDocs > 0) {
+      // one job: materializes the cache AND returns the dispatch stats
+      // (docs-with-tokens, token volume, approx vocabulary)
+      val stats = d.select(col(idCol), explode(col("ws")).as("w"))
+        .agg(approx_count_distinct(idCol), count(lit(1)),
+          approx_count_distinct("w"))
+        .head()
+      val (nDocs, tokVol, vocab) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      if (nDocs <= denseMaxDocs) {
+        // ~3e8 word ops keeps the all-pairs loop well under a second on
+        // tens of cores; the 1.1 factor absorbs approx_count_distinct's
+        // ~2% HLL error (guards only steer cost, never correctness)
+        val words = vocab / 64 + 1
+        if (bitsetMaxVocab > 0 && vocab <= bitsetMaxVocab &&
+            1.1 * nDocs * nDocs * words <= 3e8)
+          return bitsetJaccardPairs(d, idCol, threshold, tExact)
+        if (tokVol <= denseMaxTokens)
+          return denseJaccardPairs(d, idCol, threshold, tExact)
+      }
+    }
+    val toks = d.select(col(idCol), explode(col("ws")).as("w"))
       .select(col(idCol), xxhash64(col("w")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("tf"))
     // rarest-first canonical order = ascending (docFreq, tokenHash); the
@@ -731,25 +793,44 @@ object Dedup {
       // a < b), so it is filtered out of the candidate-generation slice
       // map-side — the hapax majority of prefixes never shuffles. The
       // full token array (`toks`) keeps every token: verification
-      // arithmetic is untouched, output provably identical.
+      // arithmetic is untouched, output provably identical. Each prefix
+      // token keeps its 0-based position in the FULL ordered array
+      // (indices are assigned before the hapax filter) for the
+      // positional test below.
       .select(col(idCol),
         expr("transform(ts, x -> x.t)").as("toks"),
         size(col("ts")).as("sz"),
-        expr("transform(filter(slice(ts, 1, plen), x -> x.tf >= 2), " +
-          "x -> x.t)").as("ptoks"))
+        expr("filter(transform(slice(ts, 1, plen), " +
+          "(x, i) -> struct(i as pos, x.tf as tf, x.t as t)), " +
+          "x -> x.tf >= 2)").as("ptoks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = docs.select(col(idCol), col("sz"),
-      explode(col("ptoks")).as("t"))
+      explode(col("ptoks")).as("p"))
+      .select(col(idCol), col("sz"), col("p.pos").as("pos"), col("p.t").as("t"))
     // length filter (also Bayardo et al.): J(a,b) >= t forces
     // t·|a| <= |b| <= |a|/t — size-incompatible candidates die BEFORE the
     // distinct and the array-carrying verification join. Same exact
     // decimal-ceil as plen so a boundary pair can never be over-pruned.
-    val tExact = lit(scala.math.BigDecimal(java.lang.Double.toString(threshold)))
-    val cand = pref.select(col(idCol).as("a"), col("sz").as("sza"), col("t"))
-      .join(pref.select(col(idCol).as("b"), col("sz").as("szb"), col("t")), "t")
+    //
+    // Positional filter (PPJoin, Xiao et al. WWW'08 §3.2): both docs are
+    // sorted by the same (tf, t) total order, so their common tokens
+    // appear in the same relative order; past a shared prefix token at
+    // 0-based positions (pa, pb), at most min(sza-pa, szb-pb) tokens can
+    // still be common. J >= t needs overlap >= t·(sza+szb)/(1+t); the
+    // 1e-9 nudge keeps float rounding from pushing the required-overlap
+    // ceiling ABOVE its true value (over-admitted candidates die in exact
+    // verification; over-pruning would lose answers, so the error must
+    // only ever point down).
+    val cand = pref.select(col(idCol).as("a"), col("sz").as("sza"),
+        col("pos").as("pa"), col("t"))
+      .join(pref.select(col(idCol).as("b"), col("sz").as("szb"),
+        col("pos").as("pb"), col("t")), "t")
       .filter(col("a") < col("b") &&
         col("szb") >= ceil(col("sza") * tExact) &&
-        col("sza") >= ceil(col("szb") * tExact))
+        col("sza") >= ceil(col("szb") * tExact) &&
+        least(col("sza") - col("pa"), col("szb") - col("pb")) >=
+          ceil((col("sza") + col("szb")) * lit(threshold / (1.0 + threshold))
+            - lit(1e-9)))
       .select("a", "b").distinct()
     val result = cand
       .join(docs.select(col(idCol).as("a"), col("toks").as("ta"),
@@ -761,7 +842,95 @@ object Dedup {
         (col("sza") + col("szb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-    materializeAndRelease(result, docs)
+    materializeAndRelease(result, docs, d)
+  }
+
+  /** Dense-corpus exact Jaccard plan: full inverted-index self-join with
+    * each document's set size (and its precomputed long size-bound, so the
+    * per-pair filter is pure integer compares — no decimal math in the
+    * quadratic loop) riding the exploded rows; the per-pair group-by count
+    * IS the exact overlap — no separate verification join, no re-grouping
+    * of token arrays. The build leg is broadcast (bounded by the
+    * denseMaxTokens guard) and the probe leg is repartitioned by id first:
+    * a dense corpus this small typically arrives in one input split, and
+    * without the spread the whole quadratic probe would run on a single
+    * core. `d` is the persisted (id, tokenArray) frame from the public
+    * entry point. Same answer as the prefix plan by construction (both
+    * count shared distinct non-empty lowercase tokens). */
+  private def denseJaccardPairs(d: DataFrame, idCol: String,
+      threshold: Double, tExact: Column): DataFrame = {
+    def leg(base: DataFrame): DataFrame =
+      base.select(col(idCol), size(col("ws")).as("sz"),
+          explode(col("ws")).as("w"))
+        .select(col(idCol), col("sz"),
+          ceil(col("sz") * tExact).cast("long").as("lb"),
+          xxhash64(col("w")).as("t"))
+    val par = d.sparkSession.sparkContext.defaultParallelism
+    val probe = leg(d.repartition(par, col(idCol)))
+    val build = leg(d)
+    val result = probe.select(col(idCol).as("a"), col("sz").as("sza"),
+        col("lb").as("lba"), col("t"))
+      .join(broadcast(build.select(col(idCol).as("b"), col("sz").as("szb"),
+        col("lb").as("lbb"), col("t"))), "t")
+      // length filter (Bayardo et al.): t·|a| <= |b| <= |a|/t via the
+      // exact decimal ceil, precomputed per doc above
+      .filter(col("a") < col("b") &&
+        col("szb") >= col("lba") && col("sza") >= col("lbb"))
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+    materializeAndRelease(result, d)
+  }
+
+  /** Small-vocabulary exact Jaccard plan: assign each distinct token a bit
+    * position (the window-without-partitioning runs over the DISTINCT
+    * vocabulary, bounded by the bitsetMaxVocab guard — never the corpus),
+    * fold every document's token set into a long[] bitmask, then an
+    * all-pairs broadcast nested-loop join scores each surviving pair as
+    * popcount(maskA & maskB). Masks are sized to each doc's highest bit
+    * (zip_with pads the shorter mask with nulls; coalesce maps those to 0,
+    * which is exact — a doc holds no tokens beyond its own mask). The
+    * stream leg is explicitly spread across cores first: the masks frame
+    * is a few thousand rows, which AQE would otherwise coalesce to one
+    * partition and serialize the quadratic loop. Reachable only when
+    * nDocs²·words fits the op budget in the dispatcher above. */
+  private def bitsetJaccardPairs(d: DataFrame, idCol: String,
+      threshold: Double, tExact: Column): DataFrame = {
+    val toks = d.select(col(idCol), explode(col("ws")).as("w"))
+    val vocab = toks.select("w").distinct()
+      .withColumn("vid", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("w")) - 1)
+        .cast("int"))
+    val maskUdf = udf((ids: Seq[Int]) => {
+      val m = new Array[Long](ids.max / 64 + 1)
+      ids.foreach(i => m(i / 64) |= (1L << (i % 64)))
+      m
+    })
+    val par = d.sparkSession.sparkContext.defaultParallelism
+    val masks = toks.join(broadcast(vocab), "w")
+      .groupBy(idCol).agg(collect_list(col("vid")).as("vids"))
+      .select(col(idCol), size(col("vids")).as("sz"),
+        maskUdf(col("vids")).as("m"))
+      .withColumn("lb", ceil(col("sz") * tExact).cast("long"))
+    val a = masks.repartition(par, col(idCol))
+      .select(col(idCol).as("a"), col("sz").as("sza"),
+        col("lb").as("lba"), col("m").as("ma"))
+    val b = masks.select(col(idCol).as("b"), col("sz").as("szb"),
+      col("lb").as("lbb"), col("m").as("mb"))
+    val result = a.join(broadcast(b),
+        col("a") < col("b") &&
+        col("szb") >= col("lba") && col("sza") >= col("lbb"))
+      // codegen'd popcount kernel — an interpreted zip_with/aggregate tree
+      // here costs ~2 s over a few million pairs; the fused loop is noise
+      .withColumn("common", graft.lakehouse.functions.VectorFunctions
+        .graft_bitand_count(col("ma"), col("mb")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+    materializeAndRelease(result, d)
   }
 
   /** Benchmark decontamination: for each training document, the containment

@@ -135,6 +135,68 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** popcount(a & b) summed over two array<bigint> bitmasks — the overlap
+  * kernel of the bitset Jaccard plan (Dedup.bitsetJaccardPairs), fused
+  * into whole-stage codegen so the all-pairs loop costs ceil(V/64) word
+  * ops per pair instead of an interpreted zip_with/aggregate tree. Masks
+  * may have different lengths: words past the shorter mask hold no tokens
+  * and contribute nothing (the loop runs to the min length). A NULL WORD
+  * likewise counts as no-tokens — masks are built dense by the caller, so
+  * null never encodes "unknown" here, only absence. */
+case class BitsetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_bitand_count"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        c += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $c += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitsetIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -143,6 +205,8 @@ object VectorFunctions {
     column(DotProduct(expression(a), expression(b)))
   def graft_cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def graft_bitand_count(a: Column, b: Column): Column =
+    column(BitsetIntersectCount(expression(a), expression(b)))
   def graft_topk(c: Column, k: Int): Column =
     column(DoubleTopK(expression(c), k).toAggregateExpression())
 

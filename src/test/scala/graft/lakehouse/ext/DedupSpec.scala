@@ -105,8 +105,14 @@ class DedupSpec extends SparkSuite {
       (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"),
       (4L, "a b c d"), (5L, "the the the a b"), (6L, "c d e f g"))
       .toDF("doc_id", "text")
-    for (t <- Seq(0.4, 0.6, 0.99)) {
-      val got = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", t)
+    // All three plans must match the no-prune inverted-index oracle:
+    // (0, 0)     -> prefix + positional-filter plan
+    // (4096, 0)  -> dense inverted-index plan (bitset disabled)
+    // (4096, 4096) -> bitset plan (this 6-doc input fits every guard)
+    for (t <- Seq(0.4, 0.6, 0.99);
+         (dense, bitset) <- Seq((0L, 0L), (4096L, 0L), (4096L, 4096L))) {
+      val got = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", t,
+          denseMaxDocs = dense, bitsetMaxVocab = bitset)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(p => (p._1, p._2)).toSeq
       // oracle: the inverted-index path with pruning disabled is exact
@@ -114,12 +120,37 @@ class DedupSpec extends SparkSuite {
         threshold = t, maxDocFreq = Long.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(p => (p._1, p._2)).toSeq
-      assert(got == exp, s"threshold $t")
+      assert(got == exp, s"threshold $t dense $dense bitset $bitset")
     }
-    // the exact-dup pair survives the tightest threshold
-    val tight = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", 1.0)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(tight.toSeq == Seq((1L, 4L)))
+    // the exact-dup pair survives the tightest threshold on every plan
+    for ((dense, bitset) <- Seq((0L, 0L), (4096L, 0L), (4096L, 4096L))) {
+      val tight = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", 1.0,
+          denseMaxDocs = dense, bitsetMaxVocab = bitset)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(tight.toSeq == Seq((1L, 4L)), s"dense $dense bitset $bitset")
+    }
+  }
+
+  test("prefixFilterJaccardPairs: bitset plan crosses the 64-bit word " +
+      "boundary exactly") {
+    // >64 distinct tokens force multi-word masks; doc pairs share tokens
+    // in BOTH words so the zip_with/popcount fold is exercised across the
+    // boundary. Oracle: the no-prune inverted index.
+    val vocabA = (0 until 50).map(i => s"w$i").mkString(" ")
+    val vocabB = (40 until 90).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, vocabA), (2L, vocabA + " extra"), (3L, vocabB),
+      (4L, vocabB + " other"), (5L, vocabA + " " + vocabB))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val exp = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 1,
+      threshold = 0.3, maxDocFreq = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(got == exp)
+    assert(got.nonEmpty)
   }
 
   test("dedupKeepBest: NULL-id rows are singletons and all survive") {
