@@ -586,32 +586,80 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Whole-document portable SimHash in one compiled pass: whitespace
+    * split, per-token 60-bit sha-256 prefix, Charikar sign aggregation —
+    * no explode, no UDF boundary per token occurrence, no wide per-bit
+    * aggregate. `memo` caches token → hash within a task (sha-256 is the
+    * dominant cost and natural text repeats tokens heavily); the caller
+    * bounds it. Returns null when the document has no tokens — those
+    * documents produce no rows, exactly as the explode formulation
+    * dropped them. */
+  private[ext] def portableSimHashKernel(text: String, bits: Int,
+      memo: java.util.HashMap[String, java.lang.Long]): java.lang.Long = {
+    if (text == null) return null
+    val toks = text.split("\\s+")
+    val votes = new Array[Int](bits)
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      if (tok.nonEmpty) {
+        any = true
+        var h = memo.get(tok)
+        if (h == null) {
+          val d = sha256Local.get().digest(
+            tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var k = 0
+          while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+          // first 15 hex chars = 60 bits: unsigned-safe in a BIGINT
+          // everywhere (same value as shaPrefixLongUdf(15))
+          h = java.lang.Long.valueOf(v >>> 4)
+          memo.put(tok, h)
+        }
+        val hv = h.longValue()
+        var j = 0
+        while (j < bits) {
+          votes(j) += (if (((hv >> j) & 1L) == 1L) 1 else -1); j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
   /** SimHash with a PORTABLE token hash — 60 bits from sha-256, so any
     * engine can recompute the identical signature and Charikar's
     * sign-aggregation algorithm is verifiable end-to-end cross-engine
     * ([[simHash64]]'s compiled murmur kernel stays the production path).
     *
-    * Plan shape: tokens explode map-side, then ONE groupBy(doc) whose
-    * `bits` sum expressions all fold in the same partial aggregate — no
-    * per-bit row inflation, no second shuffle, everything codegen'd.
-    * Tokens = whitespace split, empties dropped; repeated tokens vote
-    * repeatedly; a zero vote sum is a 0 bit. */
+    * Plan shape: ONE compiled per-document kernel
+    * ([[portableSimHashKernel]]), zero shuffle — the earlier
+    * explode + per-occurrence sha UDF + 60-column aggregate paid a UDF
+    * boundary per token occurrence and re-hashed every repeat of a token;
+    * the kernel hashes each distinct token once per task (bounded memo,
+    * cleared at 256k entries so a pathological vocabulary can't grow the
+    * executor heap). Tokens = whitespace split, empties dropped; repeated
+    * tokens vote repeatedly; a zero vote sum is a 0 bit. */
   def portableSimHash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame = {
     require(bits > 0 && bits < 64, "bits must fit a signed 64-bit value")
-    val toks = df
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
-      // first 15 hex chars = 60 bits: unsigned-safe in a BIGINT everywhere
-      .withColumn("h", shaPrefixLongUdf(15)(col("tok")))
-    val votes = (0 until bits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"__b$j"))
-    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until bits).map(j =>
-          when(col(s"__b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    val b = bits
+    val kernel = new (String => java.lang.Long) with Serializable {
+      @transient private lazy val memo =
+        new java.util.HashMap[String, java.lang.Long]()
+      override def apply(text: String): java.lang.Long = {
+        if (memo.size() > 256 * 1024) memo.clear()
+        portableSimHashKernel(text, b, memo)
+      }
+    }
+    val u = udf(kernel)
+    df.select(col(idCol), u(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   // ---- word n-gram Jaccard -------------------------------------------------
