@@ -4129,5 +4129,118 @@ object Queries {
         |SELECT d0.doc_id, coalesce(r.text, '') AS text
         |FROM documents d0 LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY d0.doc_id""".stripMargin)),
+
+    // ---- TPC-H anti-join family: the NOT IN / EXISTS / NOT EXISTS join
+    // shapes (reference passes joinType through verbatim, common.py:932 —
+    // left_anti/left_semi are in-surface). Fixture adaptations: no
+    // partsupp table, so lineitem is the part↔supplier association; no
+    // l_receiptdate/l_commitdate, so l_returnflag = 'R' stands in for
+    // "late". The SHAPES — broadcast anti against an excluded dim,
+    // self-semi + self-anti on the fact, nested semi chain with HAVING —
+    // are the original queries'. -----------------------------------------
+    // TPC-H Q16 shape: supplier count per part attribute, excluding
+    // suppliers matching a name predicate via NOT IN (broadcast anti).
+    Q("q173_tpch_q16",
+      (s, dir) => {
+        val excluded = broadcast(t(s, dir, "supplier")
+          .filter(col("s_name").like("%7")).select("s_suppkey"))
+        val parts = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#3" &&
+            !col("p_type").like("SMALL%") &&
+            col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'SMALL%'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q21 shape: suppliers who kept waiting — finished orders where
+    // this supplier's flagged line has other suppliers' lines present
+    // (EXISTS → left_semi) but no OTHER supplier flagged (NOT EXISTS →
+    // left_anti), both self-joins on the fact with a non-equi residual.
+    Q("q174_tpch_q21",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_returnflag")
+        val flagged = li.filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey")
+        val others = li.select(col("l_orderkey").as("lo2"),
+          col("l_suppkey").as("ls2"))
+        val flaggedOthers = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+        flagged
+          .join(others, col("l_orderkey") === col("lo2") &&
+            col("l_suppkey") =!= col("ls2"), "left_semi")
+          .join(flaggedOthers, col("l_orderkey") === col("lo3") &&
+            col("l_suppkey") =!= col("ls3"), "left_anti")
+          .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT * FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT * FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-H Q20 shape: suppliers with excess volume of name-filtered
+    // parts in a ship year — nested semi-join chain (part semi inside a
+    // grouped HAVING inside the supplier semi), exact DECIMAL quantity.
+    Q("q175_tpch_q20",
+      (s, dir) => {
+        val largeParts = broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("large%")).select("p_partkey"))
+        val qualified = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01")
+          .select("l_partkey", "l_suppkey", "l_quantity")
+          .join(largeParts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+          .filter(col("q") > 50)
+          .select("l_suppkey")
+        t(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+          .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |ORDER BY s_name""".stripMargin)),
   )
 }

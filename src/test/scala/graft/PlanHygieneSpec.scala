@@ -241,4 +241,33 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q173 TPC-H Q16: the excluded-supplier NOT IN is a broadcast anti " +
+      "join; part filters push to the scan") {
+    val p = plan("q173_tpch_q16")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Not(EqualTo(p_brand,Brand#3))") || p.contains("p_size"), p)
+  }
+
+  test("q174 TPC-H Q21: EXISTS/NOT EXISTS are semi/anti joins with the " +
+      "non-equi residual riding the equi-join — never a nested loop") {
+    val df = SparkEntry.queries("q174_tpch_q21")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // supplier is dim-sized: its join must ride a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q175 TPC-H Q20: the nested semi chain broadcasts the part filter " +
+      "and keeps the HAVING aggregate below the supplier semi join") {
+    val df = SparkEntry.queries("q175_tpch_q20")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
