@@ -4242,5 +4242,34 @@ object Queries {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
         |ORDER BY s_name""".stripMargin)),
+
+    // Column DEFAULT values (Delta ALTER TABLE ... SET DEFAULT): the
+    // declaration is a metadata-only commit; the second append OMITS the
+    // status column and ingest fills the constant; the third supplies it
+    // (explicit values win). The oracle replays the literal per batch.
+    Q("q176_column_default",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_def")
+        val sub = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        TableIO.writeTable(s, lh, "orders_def",
+          sub.filter(col("o_orderkey") % 60 === 0))
+        TableIO.setColumnDefault(s, lh, "orders_def", "o_orderstatus",
+          "'BACKFILL'")
+        TableIO.appendTable(s, lh, "orders_def",
+          sub.filter(col("o_orderkey") % 60 =!= 0 &&
+              col("o_orderkey") % 40 === 0)
+            .select("o_orderkey", "o_totalprice"))
+        TableIO.appendTable(s, lh, "orders_def",
+          sub.filter(col("o_orderkey") % 60 =!= 0 &&
+            col("o_orderkey") % 40 =!= 0))
+        TableIO.selectTable(s, lh, "orders_def").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 60 != 0 AND o_orderkey % 40 = 0
+        |       THEN 'BACKFILL' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

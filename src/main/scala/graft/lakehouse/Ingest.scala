@@ -259,6 +259,10 @@ object Ingest {
       .getOrElse(Set.empty[String])
     val genCols = manifest.map(m =>
       TableIO.generatedColsOf(m.meta).keySet).getOrElse(Set.empty[String])
+    // DEFAULT columns may legitimately be absent from the source — the
+    // append path fills them with the stored constant
+    val defCols = manifest.map(m =>
+      TableIO.defaultColsOf(m.meta).keySet).getOrElse(Set.empty[String])
     // self-describing formats carry their schema in file metadata (no
     // inference pass); text and binaryfile have FIXED reader schemas
     val selfDescribing = Set("parquet", "orc")(format)
@@ -301,7 +305,8 @@ object Ingest {
       else raw.columns.toSet
     targetSchema.fold(raw) { t =>
       val missing = t.fields.map(_.name)
-        .filterNot(n => sourceCols(n) || idCols(n) || genCols(n))
+        .filterNot(n => sourceCols(n) || idCols(n) || genCols(n) ||
+          defCols(n))
       require(missing.isEmpty,
         s"copyInto($tableName): source lacks column(s) " +
           s"${missing.mkString(", ")}")
@@ -311,6 +316,12 @@ object Ingest {
           s"${extra.mkString(", ")} — drop them or evolve the table first")
       val present = raw.columns.toSet
       raw.select(t.fields.filter(f => present(f.name))
+        // a DEFAULT column the source did not PHYSICALLY provide reads
+        // back all-null under the declared schema — drop it here so the
+        // append path sees an omitted column and fills the default
+        // (json's absent-fields-as-null contract means defaults do not
+        // fire for json sources; provide the column or drop the default)
+        .filterNot(f => defCols(f.name) && !sourceCols(f.name))
         .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     }
   }

@@ -1368,6 +1368,87 @@ object TableIO {
       else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
     }
 
+  /** Manifest meta key prefix for column DEFAULT expressions. */
+  private[lakehouse] val DefaultPrefix = "graft.default."
+
+  private[lakehouse] def defaultColsOf(
+      meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith(DefaultPrefix) =>
+      k.drop(DefaultPrefix.length) -> v }
+
+  /** Fill any declared DEFAULT column the batch did NOT supply with its
+    * stored (pre-cast) literal. Delta semantics: the default applies only
+    * when the column is OMITTED — a supplied column keeps its values,
+    * including explicit nulls. Pure per-row projection, codegen'd. */
+  private[lakehouse] def withDefaultColumns(df: DataFrame,
+      meta: Map[String, String]): DataFrame =
+    defaultColsOf(meta).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Declare a column DEFAULT (Delta's ALTER TABLE ... SET DEFAULT): a
+    * metadata-only commit recording a CONSTANT expression that ingest
+    * paths (overwrite, append, COPY INTO, transactional append, MERGE
+    * insert clauses) evaluate for batches that OMIT the column. Existing
+    * rows are untouched — the default is not a backfill (Delta
+    * semantics). The expression must be constant-foldable (no column
+    * references — a row-dependent default is a generated column, which is
+    * its own declaration) and is stored pre-cast to the column's
+    * current type so every ingest site fills a type-correct value.
+    * Feature-gated: a down-level writer that ignored the declaration
+    * would silently append nulls where the table contract says default. */
+  def setColumnDefault(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, colName: String, sqlExpr: String): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry properties"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(colName),
+      s"default column '$colName' must exist in the schema " +
+        s"(add it with a write first): ${schema.fieldNames.mkString(", ")}")
+    require(!m.meta.contains(GeneratedPrefix + colName) &&
+      !m.meta.contains(IdentityPrefix + colName),
+      s"$tableName.$colName is generated/identity — those already define " +
+        "the omitted-column value")
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlExpr)
+    require(parsed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+    }.isEmpty, s"DEFAULT for '$colName' must be a constant expression " +
+      s"(got '$sqlExpr' — row-dependent defaults are generated columns)")
+    // pre-cast to the column's declared type so ingest-time evaluation is
+    // type-exact regardless of the literal's natural type
+    val stored = s"CAST(($sqlExpr) AS ${schema(colName).dataType.sql})"
+    // the expression must actually evaluate (typos fail HERE, not at the
+    // next append): one constant-folded local projection proves it
+    spark.range(1).select(org.apache.spark.sql.functions.expr(stored)).head()
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base,
+      meta = Versioned.withFeature(
+        m.meta + (DefaultPrefix + colName -> stored), "defaultColumns"),
+      op = "SET DEFAULT") { _ => () }
+    ()
+  }
+
+  /** Remove a column DEFAULT declaration: later omitting batches go back
+    * to null-filling. Metadata-only. */
+  def dropColumnDefault(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, colName: String): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry properties"))
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base,
+      meta = m.meta - (DefaultPrefix + colName),
+      op = "DROP DEFAULT") { _ => () }
+    ()
+  }
+
   /** Declare `colName` GENERATED ALWAYS AS (`sqlExpr`) — Delta generated
     * columns: ingest paths (append, overwrite) COMPUTE the column when a
     * batch omits it; batches that supply it are VALIDATED against the
@@ -1665,7 +1746,8 @@ object TableIO {
       .flatMap(Versioned.readManifest(dirG, _)).map(_.meta)
       .getOrElse(Map.empty[String, String])
     val (dfi, idMeta, pin) = withIdentityAssigned(
-      withGeneratedColumns(df, metaG), metaG, s"$tableName: overwrite")
+      withGeneratedColumns(withDefaultColumns(df, metaG), metaG), metaG,
+      s"$tableName: overwrite")
     // ids were assigned above baseG's watermark: the commit must pin that
     // base, or a concurrent append could advance the watermark first and
     // this overwrite would commit a REGRESSED one — the next batch would
@@ -1699,7 +1781,7 @@ object TableIO {
     val carried = prevMeta.filter { case (k, _) =>
       k.startsWith(CheckPrefix) || k == CdfKey ||
         k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
-        k.startsWith(IdentityMaxPrefix) ||
+        k.startsWith(IdentityMaxPrefix) || k.startsWith(DefaultPrefix) ||
         // feature requirements are STICKY (Delta semantics): dropping them
         // on overwrite would let a down-level writer ignore the carried
         // identity/CDF/constraint declarations it cannot honor
@@ -1818,7 +1900,8 @@ object TableIO {
               // columns assign above the recorded watermark, which
               // advances IN this commit (a lost race retries the whole
               // block against the fresh manifest, re-reading both).
-              val dfg = withGeneratedColumns(df, m.meta)
+              val dfg = withGeneratedColumns(
+                withDefaultColumns(df, m.meta), m.meta)
               val (dfi, idMeta, pin) =
                 withIdentityAssigned(dfg, m.meta, s"$tableName: append")
               try {
@@ -2380,7 +2463,24 @@ object TableIO {
               (acc, cv) => acc.when(cv._1, cv._2)
             }.otherwise(lit(null).cast(f.dataType)).as(f.name)
           } :+ col(ACol)).toSeq: _*)
-          val computed = genCols.foldLeft(projectedIns) { case (d, (g, ge)) =>
+          // DEFAULT columns: an insert clause that omits the column gets
+          // the stored constant instead of the null the projection above
+          // just filled (Delta's MERGE INSERT default semantics; a clause
+          // that names the column keeps its value, explicit null included)
+          val defaulted = defaultColsOf(m.meta).toSeq.sortBy(_._1)
+            .foldLeft(projectedIns) { case (d, (c, de)) =>
+              if (!schema.fieldNames.contains(c)) d
+              else {
+                val supplied = insertCs.zipWithIndex.collect { case (cl, i)
+                    if cl.values.fold(source.columns.contains(c))(_.contains(c)) =>
+                  col(ACol) === i
+                }
+                d.withColumn(c, when(
+                  supplied.reduceOption(_ || _).getOrElse(lit(false)), col(c))
+                  .otherwise(expr(de).cast(schema(c).dataType)))
+              }
+            }
+          val computed = genCols.foldLeft(defaulted) { case (d, (g, ge)) =>
             if (!schema.fieldNames.contains(g)) d
             else {
               val supplied = insertCs.zipWithIndex.collect { case (c, i)

@@ -122,7 +122,8 @@ object Txn {
         // table, and an ABORTED version's meta is never a write base —
         // the next writer re-reads the last VISIBLE watermark, so ids
         // staged by an aborted transaction are reissued, never leaked.
-        val dfg = TableIO.withGeneratedColumns(df, m.meta)
+        val dfg = TableIO.withGeneratedColumns(
+          TableIO.withDefaultColumns(df, m.meta), m.meta)
         val (dfi, idMeta, pin) =
           TableIO.withIdentityAssigned(dfg, m.meta, s"$tableName: txn append")
         try {

@@ -300,7 +300,7 @@ object Versioned {
     "deletionVectors", "columnMapping", "identityColumns",
     "generatedColumns", "checkConstraints", "changeDataFeed",
     "deltaManifests", "partitionEvolution", "multiTableTxn",
-    "rowTracking", "typeWidening")
+    "rowTracking", "typeWidening", "defaultColumns")
 
   // ---- multi-table transactions (Percolator-style decided outcomes) ----
   //
