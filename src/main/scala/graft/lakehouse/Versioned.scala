@@ -244,14 +244,42 @@ object Versioned {
   def committedVersions(tableDir: String): Seq[Long] =
     listNames(Paths.get(tableDir)).flatMap(numericSuffix(_, MarkerPrefix)).sorted
 
+  /** Just the meta header of version `v`'s manifest file: streamed line by
+    * line with an early exit at the first content line, so a header probe
+    * against a million-file manifest reads a few hundred bytes — commits
+    * always write schema line, then every meta line, then content. Meta is
+    * complete in every manifest (only CONTENT is delta-encoded), so no
+    * chain resolution happens here. */
+  private[lakehouse] def manifestMetaOnly(tableDir: String,
+      v: Long): Option[Map[String, String]] = {
+    val p = manifestPath(Paths.get(tableDir), v)
+    if (!Files.isRegularFile(p)) return None
+    val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+    try {
+      if (r.readLine() == null) return None // schema line
+      val meta = Map.newBuilder[String, String]
+      var line = r.readLine()
+      while (line != null && (line.isEmpty || line.startsWith("#"))) {
+        if (line.nonEmpty) line.drop(1).split("=", 2) match {
+          case Array(k, v2) => meta += k -> v2
+          case _ => ()
+        }
+        line = r.readLine()
+      }
+      Some(meta.result())
+    } finally r.close()
+  }
+
   /** Commit wall-clock of a version: the in-commit timestamp recorded in
     * its manifest meta ([[CommitTsKey]] — immune to mtime-rewriting
     * backup/copy tools, monotonic across versions), falling back to the
     * marker's mtime for versions committed before the feature existed
-    * (the marker is created exactly once, at the commit point). */
+    * (the marker is created exactly once, at the commit point). Header-only
+    * read: DESCRIBE HISTORY / timestamp time travel over a long history
+    * stays O(versions), never O(versions × manifest size). */
   def commitTimeMs(tableDir: String, v: Long): Option[Long] =
-    readManifest(tableDir, v)
-      .flatMap(_.meta.get(CommitTsKey))
+    manifestMetaOnly(tableDir, v)
+      .flatMap(_.get(CommitTsKey))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .orElse(scala.util.Try(
         Files.getLastModifiedTime(marker(Paths.get(tableDir), v)).toMillis
@@ -832,6 +860,27 @@ object Versioned {
               }
           }
         }
+        // In-commit timestamp, re-clamped now that the version number is
+        // OURS: the pre-write clamp read the base before the claim, so a
+        // commit racing into that window (possible for un-pinned writers —
+        // pinned ones throw conflict instead) could carry an equal-or-
+        // later stamp and break the strictly-increasing invariant that
+        // TIMESTAMP AS OF resolution binary-searches on. Our claim is
+        // still marker-less, so latestVersion resolves to the true
+        // predecessor; the claimed manifest is writer-owned until the
+        // marker lands, making the in-place rewrite safe (concurrent
+        // claimers only probe existence, readers only trust markers).
+        latestVersion(tableDir)
+          .flatMap(pv => manifestMetaOnly(tableDir, pv))
+          .flatMap(_.get(CommitTsKey))
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .filter(_ >= commitTs).foreach { prevTs =>
+            val metaLines2 = (metaFinal + (CommitTsKey -> (prevTs + 1).toString))
+              .toSeq.sortBy(_._1).map { case (k, mv) => s"#$k=$mv" }
+            Files.write(manifestPath(dir, v),
+              ((schemaJson +: metaLines2) ++ contentLines).mkString("\n")
+                .getBytes(StandardCharsets.UTF_8))
+          }
         // move staged files into place — readers still resolve the old
         // version until the marker lands, and never list the root (they
         // scan manifest file lists), so a half-moved state is invisible.

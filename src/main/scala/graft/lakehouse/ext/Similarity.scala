@@ -45,7 +45,16 @@ object Similarity {
     * (A window over spark_partition_id() would shuffle every scored row
     * first.) Ordering matches the final ranking (score desc, vec_id asc)
     * so boundary ties resolve identically in both phases. */
-  private[ext] def mapSideTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ext] def mapSideTopK(scored: DataFrame, k: Int,
+      scoreCol: String = "cosine"): DataFrame = {
+    // the heap and the phase-2 window must rank by the SAME column; the
+    // explicit name (validated here) keeps a differently-shaped caller
+    // frame from silently ranking by the wrong position
+    require(scored.columns.length == 3 &&
+      scored.columns(0) == "query_id" && scored.columns(1) == "vec_id" &&
+      scored.columns(2) == scoreCol,
+      s"mapSideTopK expects (query_id, vec_id, $scoreCol); " +
+        s"got (${scored.columns.mkString(", ")})")
     val rowOrd: Ordering[Row] = new Ordering[Row] {
       private def cmpId(x: Any, y: Any): Int =
         x.asInstanceOf[Comparable[Any]].compareTo(y)
@@ -68,11 +77,10 @@ object Similarity {
     }(Encoders.row(scored.schema))
     // phase 2: merge the (numPartitions * k) survivors per query
     val wGlobal = Window.partitionBy("query_id")
-      .orderBy(col(scored.columns(2)).desc, col("vec_id").asc)
+      .orderBy(col(scoreCol).desc, col("vec_id").asc)
     local.withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"),
-        col(scored.columns(2)))
+      .select(col("query_id"), col("vec_id"), col("rank"), col(scoreCol))
   }
 
   /** IVF (inverted-file) ANN top-k: k-means partitions the corpus into
@@ -368,38 +376,90 @@ object Similarity {
     val codes = c.withColumn("enc", encodeUdf(col("cv")))
       .select(col("vec_id"), col("cv"), col("enc._1").as("code"),
         col("enc._2").as("cnorm"))
-    // ADC: the per-query LUT is built once per (query, partition) via the
-    // broadcast codebooks — scoring a code is m array reads + adds
-    val adcUdf = udf((code: Array[Byte], cnorm: Double, qv: Seq[Double]) => {
-      val b = bcBooks.value
-      val subLen = qv.length / b.length
-      var qnorm = 0.0
-      var i = 0
-      while (i < qv.length) { qnorm += qv(i) * qv(i); i += 1 }
-      var dot = 0.0
+    // The query set is collected ONCE (it already rides a broadcast into
+    // the crossJoin below — broadcastability is this operator's contract,
+    // like the k-means fit sample above) so each query's ADC lookup table
+    // — lut[s][c] = <q_sub_s, centroid_c> — and its norm are computed one
+    // time, driver-side. Scoring a code is then m table reads + adds, the
+    // actual Jégou'11 ADC shape; the previous formulation re-ran the full
+    // O(dim) dot and re-derived qnorm per (code, query) pair. Null query
+    // embeddings are dropped (cosineTopK's contract), not NPE'd.
+    val qRows = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .collect()
+    if (qRows.isEmpty)
+      return c.sparkSession.createDataFrame(
+        c.sparkSession.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    val luts: Array[Array[Double]] = qRows.map { r =>
+      val qv = r.getSeq[Double](1)
+      val lut = new Array[Double](m * ks)
       var s = 0
-      while (s < b.length) {
-        val ctr = b(s)(code(s) & 0xff)
-        var j = 0
-        while (j < subLen) { dot += qv(s * subLen + j) * ctr(j); j += 1 }
+      while (s < m) {
+        var cIdx = 0
+        while (cIdx < ks) {
+          val ctr = books(s)(cIdx)
+          var d = 0.0; var j = 0
+          while (j < sub) { d += qv(s * sub + j) * ctr(j); j += 1 }
+          lut(s * ks + cIdx) = d
+          cIdx += 1
+        }
         s += 1
       }
-      val denom = cnorm * math.sqrt(qnorm)
+      lut
+    }
+    val qnorms: Array[Double] = qRows.map { r =>
+      val qv = r.getSeq[Double](1)
+      var n = 0.0; var i = 0
+      while (i < qv.length) { n += qv(i) * qv(i); i += 1 }
+      math.sqrt(n)
+    }
+    val bcLuts = c.sparkSession.sparkContext.broadcast((luts, qnorms))
+    val ksLocal = ks
+    val adcUdf = udf((code: Array[Byte], cnorm: Double, qi: Int) => {
+      val (ls, qs) = bcLuts.value
+      val lut = ls(qi)
+      var dot = 0.0
+      var s = 0
+      while (s < code.length) { dot += lut(s * ksLocal + (code(s) & 0xff)); s += 1 }
+      val denom = cnorm * qs(qi)
       if (denom == 0.0) 0.0 else dot / denom
     })
-    val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    // local relation: the rows were just collected — rebuilding the frame
+    // from them avoids re-evaluating the caller's query plan
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        corpus.schema(idCol).dataType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("qi",
+        org.apache.spark.sql.types.IntegerType)))
+    val q = c.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows.zipWithIndex.map { case (r, i) =>
+        Row(r.get(0), r.getSeq[Double](1), i) }: _*), qSchema)
     val adcScored = codes.crossJoin(broadcast(q))
-      .withColumn("adc", adcUdf(col("code"), col("cnorm"), col("qv")))
+      .withColumn("adc", adcUdf(col("code"), col("cnorm"), col("qi")))
       .select("query_id", "vec_id", "adc")
     if (reRank <= 0) // adc approximates cosine (it divides by true norms)
-      mapSideTopK(adcScored, k).withColumnRenamed("adc", "cosine")
+      mapSideTopK(adcScored, k, scoreCol = "adc")
+        .withColumnRenamed("adc", "cosine")
     else {
       // two-stage: ADC candidates -> exact rescoring on raw vectors
-      val cand = mapSideTopK(adcScored, reRank).select("query_id", "vec_id")
+      val cand = mapSideTopK(adcScored, reRank, scoreCol = "adc")
+        .select("query_id", "vec_id")
       val exact = cand
         .join(codes.select("vec_id", "cv"), "vec_id")
-        .join(broadcast(q), "query_id")
+        .join(broadcast(q.select("query_id", "qv")), "query_id")
         .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
         .select("query_id", "vec_id", "cosine")
       val w = Window.partitionBy("query_id")

@@ -29,6 +29,26 @@ class InCommitTimestampSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "ict1")
   }
 
+  test("manifestMetaOnly (the header-only probe behind commitTimeMs) " +
+      "agrees with the fully-parsed manifest on every version, delta " +
+      "manifests included") {
+    TableIO.writeTable(spark, lh, "ict4", (1 to 50).map(i => (i, i)).toDF("k", "v"))
+    // appends onto an existing base delta-encode their manifests
+    TableIO.appendTable(spark, lh, "ict4", Seq((51, 51)).toDF("k", "v"))
+    TableIO.appendTable(spark, lh, "ict4", Seq((52, 52)).toDF("k", "v"))
+    val tdir = Catalog.tablePath(lh, "ict4")
+    Versioned.committedVersions(tdir).foreach { v =>
+      val header = Versioned.manifestMetaOnly(tdir, v).get
+      val full = Versioned.readManifest(tdir, v).get.meta
+      // readManifest strips BasedOnKey (an encoding detail); everything
+      // else must agree — in particular CommitTsKey
+      assert(header - Versioned.BasedOnKey == full, s"v$v")
+      assert(header.get(Versioned.CommitTsKey) ==
+        full.get(Versioned.CommitTsKey), s"v$v")
+    }
+    TableIO.dropTable(spark, lh, "ict4")
+  }
+
   test("TIMESTAMP AS OF and DESCRIBE HISTORY survive marker-mtime rewrites") {
     TableIO.writeTable(spark, lh, "ict2", (1 to 40).map(i => (i, s"v$i")).toDF("k", "s"))
     val tdir = Catalog.tablePath(lh, "ict2")
