@@ -13,18 +13,65 @@ import graft.lakehouse.SparkSuite
   * purely a does-it-run tripwire, so one action per query suffices.
   */
 class QueriesSmokeSpec extends SparkSuite {
-  test("every SparkEntry.queries entry executes at sf0.001 without throwing") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, sf0001).count(); None }
-        catch { case e: Throwable =>
-          Some(s"$name: ${e.getClass.getSimpleName}: ${
-            Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ")}")
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    Aggregate, Deduplicate, GlobalLimit, LocalRelation, LogicalPlan, Window}
+
+  /** The one registry query whose partition-less window over an unbounded
+    * input is the documented, honest cost: SQL-standard ntile needs a total
+    * order (equal-COUNT buckets — same in every engine); the scale path is
+    * approx_percentile (Analytics.ntileStats doc). Anything else windowing
+    * an unbounded frame without partitioning is a single-partition sort of
+    * the whole corpus — the classic 100 TB foot-gun this guard exists for. */
+  private val globalWindowWaived = Set("q109_ntile_deciles")
+
+  /** A partition-less Window is scale-safe iff every path from it to a leaf
+    * passes through something that bounds cardinality before the window:
+    * an aggregation, a limit, a distinct, or a literal relation. */
+  private def boundedBelow(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: GlobalLimit | _: Deduplicate => true
+    case _: LocalRelation => true
+    case leaf if leaf.children.isEmpty =>
+      // cached subplans hide their shape behind a leaf — accept only if
+      // the cached physical plan itself aggregated or limited
+      leaf.getClass.getSimpleName == "InMemoryRelation" &&
+        leaf.toString.matches("(?s).*(Aggregate|Limit|TakeOrdered).*")
+    case other => other.children.forall(boundedBelow)
+  }
+
+  private def unboundedGlobalWindows(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+        w.simpleString(80)
+    }
+
+  test("every SparkEntry.queries entry executes at sf0.001 without throwing, " +
+      "and no query windows an unbounded input without partitioning") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val footguns = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sf0001)
+        if (!globalWindowWaived.contains(name)) {
+          val bad = unboundedGlobalWindows(df.queryExecution.optimizedPlan)
+          if (bad.nonEmpty)
+            footguns += s"$name: partition-less Window over unbounded input " +
+              s"(single-partition global sort at scale): ${bad.mkString("; ")}"
         }
+        df.count()
+      } catch { case e: Throwable =>
+        failures += s"$name: ${e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ")}"
+      }
     }
     assert(failures.isEmpty,
       s"\n${failures.size} quer${if (failures.size == 1) "y" else "ies"} crashed:\n" +
         failures.mkString("\n"))
+    assert(footguns.isEmpty,
+      s"\nscale foot-gun: ${footguns.size} quer${
+        if (footguns.size == 1) "y" else "ies"} global-sort the corpus:\n" +
+        footguns.mkString("\n") +
+        "\nPartition the window, pre-aggregate/limit its input, or add a " +
+        "documented waiver to globalWindowWaived.")
   }
 
   test("every queries entry has an oracleSql entry or a documented rows-only waiver") {

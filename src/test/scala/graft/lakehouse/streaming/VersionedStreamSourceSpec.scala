@@ -219,6 +219,46 @@ class VersionedStreamSourceSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "cdfs")
   }
 
+  test("CDF stream under maxVersionsPerTrigger: bounded catch-up over a " +
+      "merge/delete history converges exactly-once") {
+    TableIO.writeTable(spark, lh, "cdfr", Seq((1, 10.0), (2, 20.0)).toDF("k", "v"))
+    TableIO.enableChangeFeed(spark, lh, "cdfr")
+    // build a 5-commit history MIXING appends with row-level DML — the
+    // commit kinds the append-path cap spec never exercises
+    TableIO.appendTable(spark, lh, "cdfr", Seq((3, 30.0)).toDF("k", "v"))
+    TableIO.mergeTable(spark, lh, "cdfr",
+      Seq((1, 11.0), (4, 40.0)).toDF("k", "v"), Seq("k"))
+    TableIO.deleteFromTable(spark, lh, "cdfr", "k = 2")
+    TableIO.appendTable(spark, lh, "cdfr", Seq((5, 50.0)).toDF("k", "v"))
+    var batches = 0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, String)]
+    val q = TableIO.streamTable(spark, lh, "cdfr", changeFeed = true,
+        maxVersionsPerTrigger = Some(1L))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("k", "v", "_change_type").collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+        seen.synchronized { seen ++= rows }
+        if (rows.nonEmpty) batches += 1
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // cap 1 ⇒ the catch-up cannot collapse into one giant batch: the first
+    // trigger snapshots a CAPPED early version, later triggers each replay
+    // a bounded change range (merge pre/post, delete, appends)
+    assert(batches >= 4, s"cap ignored in CDF mode: caught up in $batches batch(es)")
+    // exactly-once convergence: snapshot-at-capped-version + the remaining
+    // row-level feed must compose to the same event multiset a reader of
+    // the full history sees — every post-snapshot change exactly once
+    val got = seen.sorted.toSeq
+    assert(got == Seq(
+      (1, 10.0, "insert"), (1, 10.0, "update_preimage"), (1, 11.0, "update_postimage"),
+      (2, 20.0, "delete"), (2, 20.0, "insert"),
+      (3, 30.0, "insert"), (4, 40.0, "insert"), (5, 50.0, "insert")), got.toString)
+    TableIO.dropTable(spark, lh, "cdfr")
+  }
+
   test("the short name registers via META-INF services") {
     TableIO.writeTable(spark, lh, "feed4", Seq((1, "a")).toDF("k", "s"))
     val df = spark.readStream.format("graft-table")
