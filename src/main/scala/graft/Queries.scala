@@ -4271,5 +4271,512 @@ object Queries {
         |       THEN 'BACKFILL' ELSE o_orderstatus END AS o_orderstatus
         |FROM orders WHERE o_orderkey % 20 = 0
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- The rest of the TPC-H suite (q177-q189): every remaining query
+    // shape, adapted to the fixture star schema. The fixtures ship no
+    // partsupp / l_commitdate / l_shipmode / c_phone / p_container, so the
+    // missing inputs are derived (supply cost from lineitem unit price,
+    // lateness from l_returnflag, country code from c_nationkey) — the
+    // QUERY SHAPES (correlated scalar subqueries, grouped HAVING vs a
+    // global scalar, outer-join distributions, disjunctive join
+    // predicates, view + argmax) are the genuine articles, and DuckDB
+    // runs the genuine SQL with subqueries intact. Float policy as the
+    // rest of the family: exact DECIMAL accumulation, ONE double
+    // cast/division at the end; doubles summed raw only where the addends
+    // are integer-valued (exact at any order).
+
+    // TPC-H Q2 shape: min-cost supplier per part in a region. Supply cost
+    // := min unit price ever quoted for (part, supplier) in lineitem.
+    // The correlated min subquery becomes a per-part min over the
+    // region-qualified pairs, joined back on equality (the min is the
+    // same IEEE double in both engines — l_extendedprice / l_quantity is
+    // one division, min is order-free).
+    Q("q177_tpch_q2",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity"))
+            .as("ps_supplycost"))
+        val eurSupp = t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+          .join(broadcast(t(s, dir, "nation")
+              .join(broadcast(t(s, dir, "region")
+                  .filter(col("r_name") === "EUROPE")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+        val qualified = ps.join(eurSupp,
+          col("ps_suppkey") === col("s_suppkey"))
+        val minCost = qualified.groupBy(col("ps_partkey").as("mc_partkey"))
+          .agg(min(col("ps_supplycost")).as("mc_cost"))
+        qualified
+          .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+            col("ps_supplycost") === col("mc_cost"))
+          .join(broadcast(t(s, dir, "part")
+              .filter(col("p_type") === "LARGE")
+              .select("p_partkey", "p_brand")),
+            col("ps_partkey") === col("p_partkey"))
+          .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM part, supplier, ps, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = part.p_partkey
+        |      AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-H Q4 shape: order-priority checking — EXISTS against the fact
+    // compiles to a left_semi; lateness stands in as a returned line.
+    Q("q178_tpch_q4",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1997-01-01" &&
+            col("o_orderdate") < "1997-04-01")
+          .select("o_orderkey", "o_orderpriority")
+          .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+              .select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT * FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q6 shape: the forecasting-revenue-change scan — pure
+    // filter + one global sum, the query whose whole cost is how little
+    // the scan reads (PushedFilters + two-column ReadSchema).
+    Q("q179_tpch_q6",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1997-01-01" &&
+            col("l_shipdate") < "1998-01-01" &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_discount").cast("decimal(18,2)"))
+            .cast("double").as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q8 shape: national market share — the full 8-relation join
+    // with nation in two roles (customer's region gate, supplier's
+    // nationality) and a conditional-share aggregation per year.
+    Q("q180_tpch_q8",
+      (s, dir) => {
+        val vol = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount")
+          .join(broadcast(t(s, dir, "part")
+              .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate") >= "1996-01-01" &&
+                col("o_orderdate") < "1998-01-01")
+              .select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")
+              .join(broadcast(t(s, dir, "region")
+                  .filter(col("r_name") === "AMERICA")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey").as("cn_nationkey"))),
+            col("c_nationkey") === col("cn_nationkey"))
+          .join(broadcast(t(s, dir, "supplier")
+              .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+              .select(col("n_nationkey").as("sn_nationkey"),
+                col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_7", vol)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+              .as("nation_volume"),
+            sum(vol).cast("double").as("total_volume"))
+          .withColumn("mkt_share",
+            col("nation_volume") / col("total_volume"))
+          .select("o_year", "mkt_share")
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q9 shape: product-type profit by nation and year. Supply
+    // cost := p_retailprice per unit (the fixture's stand-in), so
+    // profit = revenue - retail * quantity, all in exact DECIMAL.
+    Q("q181_tpch_q9",
+      (s, dir) => {
+        val profit = sum(
+          col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")) -
+          col("p_retailprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_profit")
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+          .join(broadcast(t(s, dir, "part")
+              .filter(col("p_name").like("%widget%"))
+              .select("p_partkey", "p_retailprice")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, dir, "supplier")
+              .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+              .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(profit)
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) -
+        |      CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q11 shape: important stock — per-part value of ASIA-supplied
+    // lines, kept only where it exceeds a FRACTION OF THE GLOBAL TOTAL
+    // (grouped HAVING against a scalar subquery; the scalar broadcasts).
+    Q("q182_tpch_q11",
+      (s, dir) => {
+        val vol = sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+        val asiaLines = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(broadcast(t(s, dir, "supplier")
+              .join(broadcast(t(s, dir, "nation")
+                  .join(broadcast(t(s, dir, "region")
+                      .filter(col("r_name") === "ASIA")),
+                    col("n_regionkey") === col("r_regionkey"))
+                  .select("n_nationkey")),
+                col("s_nationkey") === col("n_nationkey"))
+              .select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"))
+        val perPart = asiaLines.groupBy("l_partkey")
+          .agg(vol.as("value_dec"))
+        val total = asiaLines.agg(vol.as("total_dec"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value_dec").cast("double") >
+            col("total_dec").cast("double") * 0.001)
+          .select(col("l_partkey"),
+            col("value_dec").cast("double").as("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some("""SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY l_partkey
+        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) > (
+        |  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 0.001
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |ORDER BY value DESC, l_partkey""".stripMargin)),
+
+    // TPC-H Q12 shape: shipping-mode priority counts — fact-to-orders
+    // join with two conditional counts per group; l_returnflag stands in
+    // for the missing l_shipmode.
+    Q("q183_tpch_q12",
+      (s, dir) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1997-01-01" &&
+            col("l_shipdate") < "1998-01-01" &&
+            col("l_returnflag").isin("A", "R"))
+          .select("l_orderkey", "l_returnflag")
+          .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join with the filter INSIDE the join condition (kept customers with
+    // zero qualifying orders count as c_count = 0), then a distribution
+    // over the counts.
+    Q("q184_tpch_q13",
+      (s, dir) =>
+        t(s, dir, "customer").select("c_custkey")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderpriority") =!= "5-LOW")
+              .select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q14 shape: promotion-revenue share for a ship month — one
+    // conditional/total aggregation pair, one double division.
+    Q("q185_tpch_q14",
+      (s, dir) => {
+        val vol = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1997-03-01" &&
+            col("l_shipdate") < "1997-04-01")
+          .select("l_partkey", "l_extendedprice", "l_discount")
+          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", vol)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+              .as("promo_vol"),
+            sum(vol).cast("double").as("total_vol"))
+          .select((lit(100.0) * col("promo_vol") / col("total_vol"))
+            .as("promo_revenue"))
+      },
+      Some("""SELECT 100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin)),
+
+    // TPC-H Q15 shape: top supplier — a revenue "view" (quarter
+    // aggregation per supplier) joined against its own argmax; the max
+    // scalar is a 1-row broadcast, equality tested on the EXACT decimal
+    // before any double cast.
+    Q("q186_tpch_q15",
+      (s, dir) => {
+        val revenue = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1997-01-01" &&
+            col("l_shipdate") < "1997-04-01")
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .as("total_dec"))
+        val maxRev = revenue.agg(max(col("total_dec")).as("max_dec"))
+        t(s, dir, "supplier").select("s_suppkey", "s_name")
+          .join(revenue, col("s_suppkey") === col("supplier_no"))
+          .join(broadcast(maxRev), col("total_dec") === col("max_dec"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_dec").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_dec AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_dec = (SELECT max(total_dec) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part average quantity subquery, decorrelated into an
+    // aggregate + join-back. Quantities are integer-valued doubles, so
+    // their sum is exact at any order; the avg is one IEEE division.
+    Q("q187_tpch_q17",
+      (s, dir) => {
+        val brandLines = t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(t(s, dir, "part")
+              .filter(col("p_brand") === "Brand#5").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+        val partAvg = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pa_partkey"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        brandLines
+          .join(partAvg, col("l_partkey") === col("pa_partkey"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double") / 7.0).as("avg_yearly"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#5'
+        |  AND l_quantity < (
+        |    SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)),
+
+    // TPC-H Q19 shape: discounted revenue under a DISJUNCTION of
+    // (brand, size, quantity) conjunct groups — the partkey equi-join
+    // carries the OR as a residual (hash join + filter, never a nested
+    // loop; plan-asserted).
+    Q("q188_tpch_q19",
+      (s, dir) => {
+        val cond =
+          (col("p_brand") === "Brand#12" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30))
+        t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(t(s, dir, "part")
+              .select("p_partkey", "p_brand", "p_size")),
+            col("l_partkey") === col("p_partkey") && cond)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q22 shape: global sales opportunity — positive-balance
+    // average as a broadcast scalar, NOT EXISTS as a left_anti against
+    // qualifying orders, country code derived from c_nationkey. The
+    // threshold is sum-exact-decimal / count in ONE double division so
+    // both engines agree on the boundary bit-for-bit.
+    Q("q189_tpch_q22",
+      (s, dir) => {
+        val codes = Seq(1, 3, 5, 7, 9, 11, 13)
+        val cust = t(s, dir, "customer")
+          .filter(col("c_nationkey").isin(codes: _*))
+          .select(col("c_custkey"),
+            lpad(col("c_nationkey").cast("string"), 2, "0")
+              .as("cntrycode"),
+            col("c_acctbal"))
+        val thresh = cust.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_bal"))
+        cust.crossJoin(broadcast(thresh))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT" &&
+                col("o_orderdate") >= "1999-01-01")
+              .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("cntrycode")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+              .as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM (SELECT lpad(CAST(c_nationkey AS VARCHAR), 2, '0')
+        |    AS cntrycode, c_custkey, c_acctbal
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)) cust
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE)
+        |  FROM customer
+        |  WHERE c_acctbal > 0.0
+        |    AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |AND NOT EXISTS (SELECT * FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin)),
   )
 }

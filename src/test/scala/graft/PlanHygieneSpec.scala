@@ -270,4 +270,55 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q177 TPC-H Q2: the correlated-min decorrelates to an aggregate + " +
+      "equality join-back — hash joins only, no nested loop") {
+    val df = SparkEntry.queries("q177_tpch_q2")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q179 TPC-H Q6: all three filters push into the parquet scan and " +
+      "only the needed columns are read") {
+    val p = plan("q179_tpch_q6")
+    // the PushedFilters list renders elided — assert its prefix reaches the
+    // date filter and that all three predicates made it into the scan's
+    // data filters (the Filter node shows the full conjunction)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), p)
+    assert(p.contains("(l_discount#") && p.contains("(l_quantity#"), p)
+    // 4-column ReadSchema on an 11-column table: projection reached the scan
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"), p)
+  }
+
+  test("q186 TPC-H Q15: the revenue argmax is a 1-row broadcast equality " +
+      "join, not a global re-sort") {
+    val df = SparkEntry.queries("q186_tpch_q15")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q188 TPC-H Q19: the OR-of-conjuncts rides the partkey hash join " +
+      "as a residual — never a nested loop over lineitem×part") {
+    val df = SparkEntry.queries("q188_tpch_q19")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q189 TPC-H Q22: NOT EXISTS is an anti join and the balance " +
+      "threshold is a 1-row broadcast, no shuffled scalar") {
+    val df = SparkEntry.queries("q189_tpch_q22")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
