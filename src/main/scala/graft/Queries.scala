@@ -4778,5 +4778,56 @@ object Queries {
         |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin)),
+
+    // Model-based quality filtering (fastText/DCLM-style): train a hashed
+    // bag-of-grams logistic classifier on a text-derived label (docs with
+    // more 'fast' than 'slow' occurrences), score the corpus, emit the
+    // keep decision. Training is engine-specific (sigmoid/exp) → rows-only;
+    // the tokenize→sha-hash→accumulate path it shares with q191 is
+    // hash-verified there. Bounded for the bench: 10 GD iterations over a
+    // ≤1500-row sample at dim 512 (operator defaults are larger).
+    Q("q190_quality_classifier",
+      (s, dir) => {
+        val toksCol = split(lower(col("text")), "[^a-z0-9]+")
+        val labeled = t(s, dir, "documents").select(col("doc_id"), col("text"),
+          (size(filter(toksCol, x => x === "fast")) >
+            size(filter(toksCol, x => x === "slow"))).cast("double")
+            .as("label"))
+        val model = QualityModel.train(labeled, "text", "label",
+          dim = 512, iters = 10, lr = 4.0, maxFitRows = 1500)
+        QualityModel.score(labeled, "doc_id", "text", model)
+          .select(col("doc_id"),
+            (col("quality_prob") >= 0.5).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // Portable fixed-weight classifier scoring: raw integer gram counts ×
+    // a pure integer weight formula ⇒ exact BIGINT logits. DuckDB replays
+    // the WHOLE feature path — ascii tokens, '_'-joined bigrams, 60-bit
+    // sha-256 feature index mod 64, the weight formula, and the sum —
+    // hash-verifying the kernel q190's trained scorer shares.
+    Q("q191_quality_score_portable",
+      (s, dir) => QualityModel.scoreLogitsPortable(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", dim = 64, bias = 7L)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(ts) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || '_' || ts[i + 1])) AS g FROM toks),
+        |scored AS (
+        |  SELECT doc_id, sum(
+        |    CAST((((('0x' || substring(sha256(g), 1, 15))::UBIGINT % 64)
+        |      * 2654435761) % 2000003) % 1001 AS BIGINT) - 500) AS s
+        |  FROM grams GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  7 + COALESCE(CAST(s AS BIGINT), 0) AS logit_fp
+        |FROM documents d LEFT JOIN scored USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

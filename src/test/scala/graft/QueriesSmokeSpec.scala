@@ -81,7 +81,7 @@ class QueriesSmokeSpec extends SparkSuite {
       "q28_fingerprints", "q30_dedup_minhash_lsh", "q31_dedup_simhash",
       "q35_ann_lsh_topk", "q40_events_approx_distinct", "q44_ann_ivf_topk",
       "q49_pack_sequences", "q55_sample_mixture", "q64_dedup_incremental",
-      "q168_ann_pq_topk")
+      "q168_ann_pq_topk", "q190_quality_classifier")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(missing.isEmpty, s"queries without oracle SQL nor waiver: ${missing.toSeq.sorted}")
     val stale = waived -- SparkEntry.queries.keySet
