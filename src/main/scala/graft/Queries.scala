@@ -4293,11 +4293,6 @@ object Queries {
     // one division, min is order-free).
     Q("q177_tpch_q2",
       (s, dir) => {
-        val ps = t(s, dir, "lineitem")
-          .groupBy(col("l_partkey").as("ps_partkey"),
-            col("l_suppkey").as("ps_suppkey"))
-          .agg(min(col("l_extendedprice") / col("l_quantity"))
-            .as("ps_supplycost"))
         val eurSupp = t(s, dir, "supplier")
           .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
           .join(broadcast(t(s, dir, "nation")
@@ -4306,13 +4301,31 @@ object Queries {
                 col("n_regionkey") === col("r_regionkey"))
               .select("n_nationkey", "n_name")),
             col("s_nationkey") === col("n_nationkey"))
-        val qualified = ps.join(eurSupp,
+        // per-(part, supplier) min is unaffected by dropping OTHER parts,
+        // and only LARGE-part pairs can survive the downstream joins — so
+        // the part filter semi-joins the fact BEFORE the wide-key
+        // aggregation, cutting the (partkey, suppkey) shuffle to the
+        // qualifying slice (the oracle aggregates everything first;
+        // results are identical). The correlated min then runs as a
+        // per-part window over the already-EUROPE-qualified pairs —
+        // no second aggregation, no join-back, no double evaluation of
+        // the subtree.
+        val ps = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+          .join(broadcast(t(s, dir, "part")
+              .filter(col("p_type") === "LARGE").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity"))
+            .as("ps_supplycost"))
+        val qualified = ps.join(broadcast(eurSupp),
           col("ps_suppkey") === col("s_suppkey"))
-        val minCost = qualified.groupBy(col("ps_partkey").as("mc_partkey"))
-          .agg(min(col("ps_supplycost")).as("mc_cost"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ps_partkey"))
         qualified
-          .join(minCost, col("ps_partkey") === col("mc_partkey") &&
-            col("ps_supplycost") === col("mc_cost"))
+          .withColumn("mc_cost", min(col("ps_supplycost")).over(w))
+          .filter(col("ps_supplycost") === col("mc_cost"))
           .join(broadcast(t(s, dir, "part")
               .filter(col("p_type") === "LARGE")
               .select("p_partkey", "p_brand")),
@@ -4829,5 +4842,29 @@ object Queries {
         |  7 + COALESCE(CAST(s AS BIGINT), 0) AS logit_fp
         |FROM documents d LEFT JOIN scored USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Portable HyperLogLog registers (q40's approx_count_distinct keeps
+    // the engine-private HLL++ sketch; THIS sketch's state is
+    // integer-exact and cross-engine): 60-bit sha-256 value hash, top 6
+    // bits pick the bucket, rho = first-set-bit position of the rest.
+    // Pure built-ins (sha2/conv/bin), one aggregation — DuckDB rebuilds
+    // the identical register table. The cardinality estimate is a closed
+    // formula over these registers (Sketches.hllEstimate, spec-side:
+    // the harmonic mean's float sum is order-sensitive, registers
+    // are not).
+    Q("q192_portable_hll",
+      (s, dir) => Sketches.portableHllRegisters(
+          ev(s, dir), "user_id", m = 64, groupCols = Seq("event_type"))
+        .orderBy("event_type", "bucket"),
+      Some("""SELECT event_type,
+        |  CAST(h // 18014398509481984 AS INT) AS bucket,
+        |  CAST(max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+        |    ELSE 55 - length(bin(h % 18014398509481984)) END) AS INT) AS r
+        |FROM (SELECT event_type,
+        |    CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1,
+        |      15))::UBIGINT AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL) t
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin)),
   )
 }

@@ -2820,6 +2820,24 @@ object TableIO {
       schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
   }
 
+  /** RESTORE TABLE ... TO TIMESTAMP AS OF: resolve the newest version a
+    * reader could have seen at `tsMillis` — by IN-COMMIT timestamps, so
+    * backup/copy tools that rewrite file mtimes cannot skew which state
+    * "that moment" names — then the same metadata-only rollback as the
+    * version form (pending/aborted txn versions are skipped: they were
+    * never visible at any time). */
+  def restoreTableAsOf(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, tsMillis: Long): TableInfo = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val at = Versioned.committedVersions(tableDir)
+      .filter(v => Versioned.commitTimeMs(tableDir, v).exists(_ <= tsMillis))
+      .filter(v => Versioned.txnVisible(tableDir, v))
+    require(at.nonEmpty,
+      s"$tableName has no version committed at or before $tsMillis " +
+        "within the retention window")
+    restoreTable(spark, lh, tableName, at.max)
+  }
+
   /** Shallow (zero-copy) CLONE — Delta `CREATE TABLE ... SHALLOW CLONE`
     * semantics: commit a manifest on `cloneName` whose entries REFERENCE
     * `sourceName`'s current data files by absolute path. O(metadata) at any
@@ -3226,6 +3244,40 @@ object TableIO {
       .toDF("version", "num_files", "num_rows", "size_bytes",
         "partition_columns", "num_dv_files", "cdf_enabled",
         "check_constraints", "last_operation")
+  }
+
+  /** Per-file metadata table (Iceberg's `<table>.files` / Delta's
+    * `add`-action view): one row per CURRENT-version manifest entry with
+    * its physical row count, deletion-vectored rows, logical rows, byte
+    * size, and raw stats JSON. Metadata-only — built from the manifest the
+    * same way describeDetail is, no data scan, O(files) rows; the
+    * introspection surface for debugging skew, small-file debt, and
+    * skipping-stats coverage without touching data. Layout-dependent
+    * (paths, sizes) ⇒ spec-verified rather than oracle'd. */
+  def filesTable(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): DataFrame = {
+    import spark.implicits._
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val v = Versioned.latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"$tableName has no versions"))
+    val m = Versioned.readManifest(tableDir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName@v$v is a legacy snapshot layout"))
+    val baseP = Paths.get(tableDir)
+    m.entries.map { e =>
+      val phys = entryRows(e)
+      val dvRows = Versioned.dvRefOf(e).fold(0L)(_._2)
+      (e.path,
+        phys.getOrElse(-1L),
+        dvRows,
+        phys.map(_ - dvRows).getOrElse(-1L),
+        entryBytes(e).getOrElse(
+          scala.util.Try(Files.size(baseP.resolve(e.path))).getOrElse(0L)),
+        e.stats.isDefined,
+        e.stats.getOrElse(""))
+    }.toDF("path", "num_rows", "dv_deleted_rows", "logical_rows",
+      "size_bytes", "has_stats", "stats_json")
+      .withColumn("version", org.apache.spark.sql.functions.lit(v))
   }
 
   /** FSCK (Delta's FSCK REPAIR TABLE, report-only): verify the CURRENT

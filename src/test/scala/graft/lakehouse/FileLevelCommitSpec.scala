@@ -145,6 +145,18 @@ class FileLevelCommitSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       TableIO.restoreTable(spark, lh, "rst", 9999L)
     }
+    // RESTORE TIMESTAMP AS OF: break the bad version again, then restore
+    // by the good version's commit time — resolves via in-commit stamps
+    // to v1's content, same files by reference
+    Thread.sleep(20)
+    TableIO.writeTable(spark, lh, "rst", Seq((777, "bad2")).toDF("k", "s"))
+    val info2 = TableIO.restoreTableAsOf(spark, lh, "rst", t1)
+    assert(info2.rowCount == 50)
+    assert(TableIO.currentFiles(lh, "rst").map(_.toString).toSet == v1Files)
+    // a timestamp before any commit fails loudly
+    intercept[IllegalArgumentException] {
+      TableIO.restoreTableAsOf(spark, lh, "rst", 1L)
+    }
     TableIO.dropTable(spark, lh, "rst")
   }
 
