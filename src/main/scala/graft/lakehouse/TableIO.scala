@@ -2820,6 +2820,34 @@ object TableIO {
       schema.fieldNames.toSeq, currentPartitioning(lh, tableName))
   }
 
+  /** Serializable DML retry — the client-side loop every Delta writer
+    * runs around MERGE/UPDATE/DELETE: when `body` loses the optimistic
+    * commit race ([[Versioned.ConcurrentWriteException]]), re-run it.
+    * Correct by construction: each attempt derives its read set, file
+    * selection, and commit base from a FRESH read of the latest version,
+    * so the final history equals a serial execution in commit order —
+    * there is no partial state to repair because a conflicted commit
+    * aborts before any file reaches its final location. At 100 TB,
+    * maintenance rebases handle OPTIMIZE-vs-ingest races
+    * ([[commitMaintenance]]); this is the complementary piece for
+    * DML-vs-DML and DML-vs-ingest. Bounded attempts, linear backoff,
+    * rethrows the final conflict loudly. */
+  def withConflictRetry[T](attempts: Int = 3)(body: => T): T = {
+    require(attempts >= 1, "need at least one attempt")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch {
+        case e: Versioned.ConcurrentWriteException =>
+          last = e
+          i += 1
+          if (i < attempts) Thread.sleep(20L * i)
+      }
+    }
+    throw last
+  }
+
   /** RESTORE TABLE ... TO TIMESTAMP AS OF: resolve the newest version a
     * reader could have seen at `tsMillis` — by IN-COMMIT timestamps, so
     * backup/copy tools that rewrite file mtimes cannot skew which state

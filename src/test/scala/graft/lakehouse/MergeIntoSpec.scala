@@ -195,6 +195,63 @@ class MergeIntoSpec extends SparkSuite {
     assert(rows("mi8").find(_._1 == 1).get._3 == 9.0)
   }
 
+  test("withConflictRetry: retries only conflict losses, rethrows after " +
+      "the budget, passes other failures through") {
+    var calls = 0
+    val r = TableIO.withConflictRetry(3) {
+      calls += 1
+      if (calls < 3) throw new Versioned.ConcurrentWriteException("injected")
+      "ok"
+    }
+    assert(r == "ok" && calls == 3)
+    var calls2 = 0
+    intercept[Versioned.ConcurrentWriteException] {
+      TableIO.withConflictRetry(2) {
+        calls2 += 1
+        throw new Versioned.ConcurrentWriteException("always")
+      }
+    }
+    assert(calls2 == 2, "budget must bound the attempts")
+    // non-conflict failures are not retried (they are not races)
+    var calls3 = 0
+    intercept[IllegalStateException] {
+      TableIO.withConflictRetry(5) {
+        calls3 += 1
+        throw new IllegalStateException("real bug")
+      }
+    }
+    assert(calls3 == 1)
+  }
+
+  test("racing merges under withConflictRetry: every writer's change " +
+      "lands (serializable, no lost updates)") {
+    val tgt = (1 to 50).map(i => (i, "x", i * 1.0)).toDF("k", "s", "v")
+    TableIO.writeTable(spark, lh, "mi9", tgt)
+    val threads = (1 to 6).map { t =>
+      new Thread(() => {
+        TableIO.withConflictRetry(20) {
+          // each writer upserts its own key: an update of existing k=t
+          // and an insert of k=1000+t — any lost update is visible
+          TableIO.mergeInto(spark, lh, "mi9",
+            Seq((t, -1.0), (1000 + t, t * 10.0)).toDF("k", "nv"), Seq("k"),
+            Seq(MatchedUpdate(Map("v" -> "s.nv")),
+              NotMatchedInsert(values = Some(Map(
+                "k" -> "s.k", "s" -> "'ins'", "v" -> "s.nv")))))
+          ()
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val got = rows("mi9").map { case (k, s, v) => k -> (s, v) }.toMap
+    assert(got.size == 56, s"expected 50 + 6 rows, got ${got.size}")
+    (1 to 6).foreach { t =>
+      assert(got(t) == ("x", -1.0), s"update of k=$t lost")
+      assert(got(1000 + t) == ("ins", t * 10.0), s"insert of k=${1000 + t} lost")
+    }
+    TableIO.dropTable(spark, lh, "mi9")
+  }
+
   test("identity columns under merge: inserts get engine ids above the " +
       "watermark; explicit values and UPDATE SET are rejected") {
     TableIO.writeTable(spark, lh, "mid1",
