@@ -436,6 +436,40 @@ object TextStats {
   private def tokArray(textCol: String): Column =
     expr(s"filter(split(coalesce(`$textCol`, ''), '\\\\s+'), t -> t <> '')")
 
+  /** All stride-1 W-token window hashes of a document in one compiled
+    * pass: (1-based start, RAW 16-byte md5 of the space-joined window) —
+    * the same 128-bit value as `md5(array_join(slice(toks, i, w), ' '))`
+    * in binary rather than 32-hex form: the hash never leaves the
+    * operator (only merged spans do), and the binary key halves the
+    * corpus-wide (key, id, pos) shuffle width. 128 bits stays
+    * collision-safe at 100 TB window counts where a 64-bit key would
+    * not (birthday at ~2^32 windows). One UDF boundary per DOCUMENT;
+    * the digest object is reused across windows. */
+  private case class SpanGram(start: Long, g: Array[Byte])
+  private val windowMd5Kernel = udf { (toks: Seq[String], w: Int) =>
+    if (toks == null || toks.length < w) Seq.empty[SpanGram]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val arr = toks.toArray
+      val out = new Array[SpanGram](arr.length - w + 1)
+      var i = 0
+      while (i <= arr.length - w) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr(i + j))
+          j += 1
+        }
+        md.reset()
+        out(i) = SpanGram((i + 1).toLong, md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
   /** Exact duplicated-span detection (substring-level dedup, Lee et al.
     * 2022 "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): every substring of at least `windowTokens`
@@ -466,13 +500,14 @@ object TextStats {
     val w = windowTokens
     val toks = df.select(col(idCol), tokArray(textCol).as("toks"))
       .where(size(col("toks")) >= w)
+    // all window hashes for a document in ONE compiled pass (the HOF
+    // slice + array_join + md5 chain paid an interpreted lambda and two
+    // array allocations per window); values are identical — java MD5
+    // over the UTF-8 bytes of the space-joined window, lowercase hex,
+    // exactly Spark's md5() and the oracle's
     val grams = toks.select(col(idCol),
-      posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${w - 1}), " +
-          s"i -> md5(array_join(slice(toks, i, $w), ' ')))"))
-        .as(Seq("off", "g")))
-      .select(col(idCol), (col("off") + 1).cast("long").as("start"),
-        col("g"))
+      explode(windowMd5Kernel(col("toks"), lit(w))).as("sg"))
+      .select(col(idCol), col("sg.start").as("start"), col("sg.g").as("g"))
     val dup = grams.groupBy("g").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("g")
     val hits = grams.join(dup, Seq("g"), "left_semi")

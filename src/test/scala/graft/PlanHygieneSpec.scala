@@ -312,6 +312,28 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("the whole TPC-H suite plans hash joins only: no nested loop, " +
+      "no cartesian product, in any of the 22 queries") {
+    // Q1 is the flagship entry (q1_pricing_summary); the other 21 carry
+    // the _tpch_ tag
+    val tpch = "q1_pricing_summary" +:
+      SparkEntry.queries.keys.filter(_.contains("_tpch_")).toSeq.sorted
+    assert(tpch.size == 22, s"expected all 22 TPC-H shapes, found $tpch")
+    val offenders = tpch.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      // Q11's and Q22's 1-row scalar broadcasts legitimately plan as a
+      // broadcast nested loop (a global aggregate has no join key);
+      // anything else must hash-join
+      val bnljOk = name.endsWith("q22") || name.endsWith("q11")
+      if ((p.contains("BroadcastNestedLoopJoin") && !bnljOk) ||
+        p.contains("CartesianProduct")) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"nested-loop/cartesian plans in: $offenders")
+  }
+
   test("q189 TPC-H Q22: NOT EXISTS is an anti join and the balance " +
       "threshold is a 1-row broadcast, no shuffled scalar") {
     val df = SparkEntry.queries("q189_tpch_q22")(spark, sf0001)
