@@ -2576,9 +2576,13 @@ object TableIO {
     * removable key here (unlike MERGE, which rejects null keys up front),
     * so null-unsafe equality would strand stale rows while their
     * replacement appends — a silent duplicate.
-    * NOT modeled in the change feed — a CDF-enabled target fails loudly
-    * rather than silently producing an incomplete feed (its delete events
-    * have no staging path here). */
+    *
+    * CDF-enabled targets stage row-level change events atomically with
+    * the commit (update pre/post pairs, deletes for vanished keys,
+    * inserts for new ones) — so replicas maintained by [[applyChanges]]
+    * are themselves change-feed sources and medallion tiers CHAIN.
+    * Requires replacement keys ⊆ removal keys when the feed is on (the
+    * applyChanges and view-refresh contract; checked, loud). */
   private[lakehouse] def replaceKeyedRows(spark: SparkSession,
       lh: LakehouseProps, tableName: String, removalKeys: DataFrame,
       newRows: DataFrame, keyCols: Seq[String],
@@ -2590,9 +2594,6 @@ object TableIO {
     val base = Versioned.latestVersion(tableDir)
     (base, base.flatMap(Versioned.readManifest(tableDir, _))) match {
       case (Some(b), Some(m)) =>
-        require(!cdfEnabled(m.meta),
-          s"$tableName: replaceKeyedRows does not stage change-data files; " +
-            "disable the change feed or route through mergeTable/deleteFromTable")
         // same hazard as mergeTable: replacement rows carry caller-chosen
         // values for EVERY column — on an identity table that forges ids
         require(identityColsOf(m.meta).isEmpty,
@@ -2620,26 +2621,82 @@ object TableIO {
           val baseP = Paths.get(tableDir)
           val (affected, untouched) = m.entries.partition(e =>
             affectedPaths.contains(baseP.resolve(e.path).toString))
-          val affectedDf =
+          val affectedRaw =
             if (affected.isEmpty)
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row], oldSchema)
             else scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
+          // with CDF the affected rows feed the rewrite AND the pre-image/
+          // delete classification — persist instead of re-scanning
+          val affectedDf =
+            if (cdfEnabled(m.meta) && affected.nonEmpty)
+              affectedRaw.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else affectedRaw
           val kept = affectedDf.join(remA,
             nullSafeOnRemoval(affectedDf), "left_anti")
           val rewritten = kept.unionByName(newRows, allowMissingColumns = true)
           val parts = currentPartitioning(lh, tableName)
           val rewrittenM = alignMapping(rewritten.schema, oldSchema, m.meta, b)
-          val commit = Versioned.commitFiles(tableDir, rewrittenM.json,
-            inherit = untouched, expectedBase = Some(b),
-            collectStats = collectFileStats(spark, bloomColsOf(m)),
-            meta = m.meta ++ extraMeta, op = op) { target =>
-            val writer = toPhysical(rewritten, rewrittenM)
-              .write.mode(SaveMode.Append)
-            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-             else writer).parquet(target)
-          }
-          finishCommit(spark, lh, tableName, tableDir, commit,
-            rewritten.columns.toSeq, parts)
+          // CDF chaining: a keyed replace stages row-level change events
+          // like MERGE does, so replicas maintained by applyChanges are
+          // themselves change-feed SOURCES (multi-hop medallion
+          // pipelines). Staged rows whose key is in the removal set are
+          // exactly the replacement rows as written (kept rows were
+          // anti-joined out), so post-images never re-evaluate the
+          // caller's plan. Requires replacement keys ⊆ removal keys — the
+          // contract applyChanges and the MV refresh both satisfy; checked
+          // below only when the feed is on. Null-keyed replacements emit
+          // delete + insert rather than an update pair (null never equals
+          // null in the pairing join); consumers folding by key net the
+          // same state.
+          val writeCdf: (Long, Seq[Versioned.FileEntry], String) => Unit =
+            if (!cdfEnabled(m.meta)) (_, _, _) => ()
+            else (v, staged, cid) => {
+              import org.apache.spark.sql.functions.lit
+              val escaped = newRows.select(keyColumns: _*).distinct()
+                .join(remA, keyCols.map(c =>
+                  newRows(c) <=> col(s"__rk.$c")).reduce(_ && _), "left_anti")
+                .limit(1).collect()
+              require(escaped.isEmpty,
+                s"$tableName: CDF-enabled keyed replace requires every " +
+                  "replacement key to appear in the removal set (otherwise " +
+                  "new rows are indistinguishable from kept rows in the " +
+                  s"staged files); offending key: ${escaped.headOption}")
+              val oldMatched = affectedDf.join(remA,
+                nullSafeOnRemoval(affectedDf), "left_semi")
+              val stagedNew = scanSpec(spark, Versioned.ScanFiles(tableDir,
+                rewrittenM.json, staged.map(_.path)))
+                .join(remKeys, keyCols, "left_semi")
+              val newKeys = stagedNew.select(keyColumns: _*).distinct()
+              val oldKeys = oldMatched.select(keyColumns: _*).distinct()
+              val pre = oldMatched.join(newKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+              val del = oldMatched.join(newKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("delete"))
+              val post = stagedNew.join(oldKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage"))
+              val ins = stagedNew.join(oldKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert"))
+              pre.unionByName(del, allowMissingColumns = true)
+                .unionByName(post, allowMissingColumns = true)
+                .unionByName(ins, allowMissingColumns = true)
+                .write.mode(SaveMode.Overwrite)
+                .parquet(cdfDir(tableDir, v, cid).toString)
+            }
+          try {
+            val commit = Versioned.commitFiles(tableDir, rewrittenM.json,
+              inherit = untouched, expectedBase = Some(b),
+              collectStats = collectFileStats(spark, bloomColsOf(m)),
+              meta = m.meta ++ extraMeta, beforeMarker = writeCdf, op = op) {
+              target =>
+                val writer = toPhysical(rewritten, rewrittenM)
+                  .write.mode(SaveMode.Append)
+                (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+                 else writer).parquet(target)
+            }
+            finishCommit(spark, lh, tableName, tableDir, commit,
+              rewritten.columns.toSeq, parts)
+          } finally affectedDf.unpersist()
         } finally remKeys.unpersist()
       case _ => throw new IllegalStateException(
         s"$tableName: replaceKeyedRows requires a manifest-based table " +

@@ -287,16 +287,32 @@ class MatViewSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "mv_cm_agg")
   }
 
-  test("replaceKeyedRows refuses a CDF-enabled target (its deletes are " +
-      "not modeled in the feed)") {
-    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+  test("replaceKeyedRows on a CDF-enabled target stages the row-level " +
+      "events (update pair, delete, insert) atomically — CDF chains " +
+      "through keyed replaces") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
     TableIO.writeTable(spark, lh, "rkr_cdf", base)
     TableIO.enableChangeFeed(spark, lh, "rkr_cdf")
+    val sinceV = Versioned.latestVersion(
+      Catalog.tablePath(lh, "rkr_cdf")).get
+    // k=1 replaced (update pair), k=2 removed with no replacement
+    // (delete), k=9 is a brand-new key in the removal set (insert)
+    TableIO.replaceKeyedRows(spark, lh, "rkr_cdf",
+      Seq(1L, 2L, 9L).toDF("k"),
+      Seq((1L, "A"), (9L, "new")).toDF("k", "s"), Seq("k"))
+    val events = TableIO.readChangeFeed(spark, lh, "rkr_cdf", sinceV)
+      .select("k", "s", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(events == Set(
+      (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+      (2L, "b", "delete"), (9L, "new", "insert")), events.toString)
+    // a replacement key OUTSIDE the removal set fails loudly (its rows
+    // would be indistinguishable from kept rows in the staged files)
     val ex = intercept[IllegalArgumentException] {
       TableIO.replaceKeyedRows(spark, lh, "rkr_cdf",
-        Seq(1L).toDF("k"), Seq((1L, "A")).toDF("k", "s"), Seq("k"))
+        Seq(1L).toDF("k"), Seq((5L, "X")).toDF("k", "s"), Seq("k"))
     }
-    assert(ex.getMessage.contains("change feed"))
+    assert(ex.getMessage.contains("removal set"), ex.getMessage)
     TableIO.dropTable(spark, lh, "rkr_cdf")
   }
 }
