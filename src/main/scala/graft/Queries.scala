@@ -4866,5 +4866,60 @@ object Queries {
         |  FROM events WHERE user_id IS NOT NULL) t
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket""".stripMargin)),
+
+    // CDF chaining: the source's merge+delete history folds into a
+    // CDF-enabled replica through applyChanges (ONE keyed-replace
+    // commit), and the REPLICA'S OWN change feed — staged atomically by
+    // the keyed replace — carries the per-key net events: update pairs
+    // for surviving changes, deletes for vanished keys (including keys
+    // the source updated then deleted: the replica never saw the
+    // transient value), inserts for new keys. The oracle replays the
+    // scripted history per key.
+    Q("q193_cdf_chain",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "src_chain")
+        TableIO.dropTable(s, lh, "rep_chain")
+        val sub = t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+          .select("o_orderkey", "o_totalprice")
+        TableIO.writeTable(s, lh, "src_chain", sub)
+        TableIO.enableChangeFeed(s, lh, "src_chain")
+        val srcDir = graft.lakehouse.Catalog.tablePath(lh, "src_chain")
+        val v0 = graft.lakehouse.Versioned.latestVersion(srcDir).get
+        TableIO.writeTable(s, lh, "rep_chain",
+          TableIO.selectTable(s, lh, "src_chain"))
+        TableIO.enableChangeFeed(s, lh, "rep_chain")
+        val repDir = graft.lakehouse.Catalog.tablePath(lh, "rep_chain")
+        val repV0 = graft.lakehouse.Versioned.latestVersion(repDir).get
+        val updates = sub.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1).as("o_totalprice"))
+        val inserts = sub.filter(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 7).as("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        TableIO.mergeTable(s, lh, "src_chain",
+          updates.unionByName(inserts), Seq("o_orderkey"))
+        TableIO.deleteFromTable(s, lh, "src_chain", "o_orderkey % 150 = 0")
+        TableIO.applyChanges(s, lh, "rep_chain",
+          TableIO.readChangeFeed(s, lh, "src_chain", v0), Seq("o_orderkey"))
+        TableIO.readChangeFeed(s, lh, "rep_chain", repV0)
+          .select("o_orderkey", "o_totalprice", "_change_type")
+          .orderBy("o_orderkey", "_change_type")
+      },
+      Some("""WITH sub AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 50 = 0)
+        |SELECT * FROM (
+        |  SELECT k AS o_orderkey, p AS o_totalprice,
+        |    'update_preimage' AS _change_type
+        |  FROM sub WHERE k % 100 = 0 AND k % 300 <> 0
+        |  UNION ALL
+        |  SELECT k, p + 1, 'update_postimage'
+        |  FROM sub WHERE k % 100 = 0 AND k % 300 <> 0
+        |  UNION ALL
+        |  SELECT k + 7, p * 2, 'insert' FROM sub WHERE k % 100 = 0
+        |  UNION ALL
+        |  SELECT k, p, 'delete' FROM sub WHERE k % 150 = 0) ev
+        |ORDER BY o_orderkey, _change_type""".stripMargin)),
   )
 }
