@@ -4921,5 +4921,44 @@ object Queries {
         |  UNION ALL
         |  SELECT k, p, 'delete' FROM sub WHERE k % 150 = 0) ev
         |ORDER BY o_orderkey, _change_type""".stripMargin)),
+
+    // Portable Count-Min sketch end to end: counters built in ONE
+    // aggregation (at most depth x width cells cross the exchange; the
+    // event stream never shuffles), then point estimates for a fixed
+    // probe slice via min-over-rows against the broadcast counter table.
+    // DuckDB rebuilds the identical integer counter table from the same
+    // 60-bit sha-256 slices and replays the min — the whole sketch
+    // algebra is hash-verified, the waiver-upgrade pattern of q192.
+    Q("q194_count_min_sketch",
+      (s, dir) => {
+        val events = ev(s, dir)
+        val counters = Sketches.portableCmsCounters(
+          events, "user_id", depth = 4, width = 256)
+        val probes = events.select("user_id")
+          .filter(col("user_id") % 7 === 0)
+        Sketches.cmsPointEstimates(counters, probes, "user_id",
+          depth = 4, width = 256).orderBy("user_id")
+      },
+      Some("""WITH h AS (
+        |  SELECT user_id,
+        |    CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1,
+        |      15))::UBIGINT AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT i.i AS hrow,
+        |    CAST((h // (1::BIGINT << (i.i * 15))) % 256 AS INT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM h, (SELECT unnest(range(4)) AS i) i
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT DISTINCT user_id, h FROM h WHERE user_id % 7 = 0),
+        |pc AS (
+        |  SELECT user_id, i.i AS hrow,
+        |    CAST((h // (1::BIGINT << (i.i * 15))) % 256 AS INT) AS bucket
+        |  FROM probes, (SELECT unnest(range(4)) AS i) i)
+        |SELECT pc.user_id,
+        |  CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+        |FROM pc LEFT JOIN cells USING (hrow, bucket)
+        |GROUP BY 1 ORDER BY user_id""".stripMargin)),
   )
 }

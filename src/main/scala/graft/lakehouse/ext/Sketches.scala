@@ -49,6 +49,75 @@ object Sketches {
       .agg(max(col("__rho")).as("r"))
   }
 
+  /** Count-Min sketch counters with a PORTABLE hash (Cormode & Muthukrishnan
+    * 2005): one 60-bit sha-256 prefix per value supplies every hash row —
+    * row i's bucket is an independent `60/depth`-bit slice of the same
+    * hash, reduced mod `width`. Pure built-in expressions (sha2/conv,
+    * shift, mod) — codegen'd, no UDF, ONE aggregation.
+    *
+    * 100 TB shape: the counter table is the WHOLE shuffle — partial
+    * aggregation emits at most `depth × width` (row, bucket) cells per
+    * group per partition and merges with SUM; the value stream never
+    * shuffles and nothing collects. The sketch is LINEAR (counters of a
+    * union = cell-wise sum of the parts' counters), so per-partition /
+    * per-day sketches roll up by addition alone — the property that makes
+    * CMS the standard distributed frequency summary. Only observed cells
+    * are emitted; absent cells are zero ([[cmsPointEstimates]] accounts
+    * for them). */
+  def portableCmsCounters(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 256, groupCols: Seq[String] = Nil): DataFrame = {
+    val slice = cmsSliceBits(depth, width)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .withColumn("__h", cmsHash(valueCol))
+      .select((groupCols.map(col) :+ explode(expr(
+        s"transform(sequence(0, ${depth - 1}), i -> named_struct(" +
+        s"'hrow', cast(i as int), " +
+        s"'bucket', cast((__h div shiftleft(1L, i * $slice)) % $width as int)))"
+      )).as("__c")): _*)
+    rows.groupBy((groupCols.map(col) ++ Seq(col("__c.hrow").as("hrow"),
+        col("__c.bucket").as("bucket"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a CMS counter table: each probe value
+    * re-derives its `depth` (row, bucket) cells and takes the MIN counter
+    * across rows (absent cells read 0). Estimates never undercount
+    * (every cell the value hashed into counted every one of its
+    * occurrences) and overcount by at most εN with high probability —
+    * both directions spec-asserted. The counter table is bounded
+    * (depth × width per group) and broadcasts; the probe side never
+    * shuffles. */
+  def cmsPointEstimates(counters: DataFrame, probes: DataFrame,
+      valueCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
+    val slice = cmsSliceBits(depth, width)
+    val cells = probes.filter(col(valueCol).isNotNull).distinct()
+      .withColumn("__h", cmsHash(valueCol))
+      .select(col(valueCol), explode(expr(
+        s"transform(sequence(0, ${depth - 1}), i -> named_struct(" +
+        s"'hrow', cast(i as int), " +
+        s"'bucket', cast((__h div shiftleft(1L, i * $slice)) % $width as int)))"
+      )).as("__c"))
+      .select(col(valueCol), col("__c.hrow").as("hrow"),
+        col("__c.bucket").as("bucket"))
+    cells.join(broadcast(counters), Seq("hrow", "bucket"), "left")
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  private def cmsHash(valueCol: String): Column =
+    expr(s"cast(conv(substring(sha2(cast(`$valueCol` as string), 256), " +
+      "1, 15), 16, 10) as bigint)")
+
+  private def cmsSliceBits(depth: Int, width: Int): Int = {
+    require(depth >= 1 && depth <= 6, "depth must be in [1, 6]")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      "width must be a power of two >= 2")
+    val slice = 60 / depth
+    require((1L << slice) >= width,
+      s"width $width exceeds the $slice-bit hash slice at depth $depth")
+    slice
+  }
+
   /** Flajolet–Fuss–Gandouet–Meunier estimate over (bucket, rho)
     * registers (absent buckets count as zero), with the standard
     * small-range linear-counting correction. Driver/spec-side: the

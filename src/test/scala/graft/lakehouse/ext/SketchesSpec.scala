@@ -48,4 +48,65 @@ class SketchesSpec extends SparkSuite {
     assert(bRegs.subsetOf(aRegs), "b saw a subset of a's values")
     assert(aRegs.size == 2 && bRegs.size == 1)
   }
+
+  // ---- Count-Min sketch ----------------------------------------------------
+
+  test("CMS estimates never undercount and stay within the εN bound") {
+    // zipfy-ish stream: value v appears ~20000/v times
+    val df = spark.range(20000).select((lit(20000) / (col("id") + 1))
+      .cast("long").as("v"))
+    val truth = df.groupBy("v").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counters = Sketches.portableCmsCounters(df, "v",
+      depth = 4, width = 256)
+    val est = Sketches.cmsPointEstimates(counters, df.select("v"), "v",
+      depth = 4, width = 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == truth.keySet)
+    val n = 20000.0
+    est.foreach { case (v, e) =>
+      assert(e >= truth(v), s"CMS undercounted $v: $e < ${truth(v)}")
+      // ε = e/width per row; min over 4 rows makes exceeding 4εN
+      // astronomically unlikely — a loose deterministic-enough bound
+      assert(e - truth(v) <= 4 * math.E / 256 * n,
+        s"CMS overcount for $v out of bound: $e vs ${truth(v)}")
+    }
+  }
+
+  test("CMS is linear: counters of a union = cell-wise sum of the parts") {
+    val a = spark.range(0, 5000).select((col("id") % 97).as("v"))
+    val b = spark.range(5000, 12000).select((col("id") % 131).as("v"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.portableCmsCounters(df, "v", depth = 4, width = 64)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = cells(a.unionByName(b))
+    val parts = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(whole == parts, "CMS linearity broken")
+  }
+
+  test("CMS ignores nulls; probes not in the stream can read 0") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](1L, 1L, 2L, null).toDF("v")
+    val counters = Sketches.portableCmsCounters(df, "v",
+      depth = 4, width = 256)
+    assert(counters.agg(sum("cnt")).head().getLong(0) == 12L,
+      "3 non-null values x 4 rows")
+    val probes = Seq[java.lang.Long](1L, 999999L, null).toDF("v")
+    val est = Sketches.cmsPointEstimates(counters, probes, "v",
+      depth = 4, width = 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est(1L) == 2L && est.size == 2, "null probe dropped")
+    assert(est(999999L) <= 2L, "unseen probe reads at most a collision")
+  }
+
+  test("CMS guards: non-power-of-two width and oversized width refused") {
+    val df = spark.range(4).select(col("id").as("v"))
+    intercept[IllegalArgumentException] {
+      Sketches.portableCmsCounters(df, "v", depth = 4, width = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.portableCmsCounters(df, "v", depth = 6, width = 2048)
+    }
+  }
 }
