@@ -4960,5 +4960,53 @@ object Queries {
         |  CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
         |FROM pc LEFT JOIN cells USING (hrow, bucket)
         |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // Exact triangle counting over the part co-purchase graph (parts
+    // sharing an order are adjacent): degree-ordered wedge closing —
+    // Suri & Vassilvitskii's MR node-iterator — bounds wedge volume at
+    // O(E^1.5) regardless of hub skew. The DuckDB oracle replays the
+    // SAME orientation and wedge joins, so the count and the
+    // orientation algebra are both hash-verified, zero-filled vertices
+    // included.
+    Q("q195_triangle_counts",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select("l_orderkey", "l_partkey")
+        val pairs = li.as("x").join(li.as("y"), "l_orderkey")
+          .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        Graph.triangleCounts(pairs, "src", "dst").orderBy("v")
+      },
+      Some("""WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 5 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |    greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey <> y.l_partkey),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b
+        |      END AS u,
+        |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a
+        |      END AS w,
+        |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN db.d ELSE da.d
+        |      END AS dw
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |tri AS (
+        |  SELECT e1.u, e1.w AS x, e2.w AS y
+        |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+        |    AND (e1.dw, e1.w) < (e2.dw, e2.w)
+        |  JOIN o e3 ON e3.u = e1.w AND e3.w = e2.w),
+        |pv AS (SELECT v, count(*) AS t FROM (
+        |    SELECT u AS v FROM tri UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri) GROUP BY v)
+        |SELECT CAST(deg.v AS BIGINT) AS v,
+        |  CAST(coalesce(pv.t, 0) AS BIGINT) AS triangles
+        |FROM deg LEFT JOIN pv USING (v) ORDER BY v""".stripMargin)),
   )
 }

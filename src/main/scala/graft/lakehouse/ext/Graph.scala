@@ -81,4 +81,71 @@ object Graph {
       ranks.withColumn("rank", col("rank_units").cast("double") / Unit)
     } finally { sym.unpersist(); deg.unpersist() }
   }
+
+  /** Exact per-vertex triangle counts via degree-ordered wedge closing
+    * (the MapReduce node-iterator of Suri & Vassilvitskii WWW'11 /
+    * Cohen's MR triangle scheme). Every undirected edge is oriented from
+    * its lower endpoint to its higher endpoint under the total order
+    * (degree, vertex-id); wedges are generated only at each edge pair's
+    * COMMON LOW vertex and closed by a join against the oriented edge
+    * set. The orientation is the whole scale story: a vertex's
+    * out-degree under (deg, id) order is O(√E) even for celebrity hubs —
+    * a degree-10M hub generates no wedges at all unless its neighbors
+    * out-rank it — so wedge volume is bounded by Σ outdeg² = O(E^1.5),
+    * the provable optimum for exact counting, instead of Σ deg² (which a
+    * naive node-iterator pays and which explodes on any power-law graph).
+    *
+    * Plan shape: one distinct to canonicalize edges, one degree
+    * aggregation (O(V), broadcast back onto edges), one self-join on the
+    * low vertex (wedge generation), one join on the (v, w) pair (wedge
+    * closing), one explode + partial-agg count. Edges shuffle by join
+    * key only; nothing collects. Self-loops are dropped; parallel edges
+    * collapse in the distinct. Output: (v, triangles) for EVERY vertex
+    * of the graph, zero-filled — deterministic full coverage. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .persist()
+    try {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      // orient low (deg, id) -> high (deg, id); keep both endpoint ranks
+      // so wedge generation can order the spokes without another join
+      val o = und
+        .join(broadcast(deg).withColumnRenamed("v", "a")
+          .withColumnRenamed("d", "da"), "a")
+        .join(broadcast(deg).withColumnRenamed("v", "b")
+          .withColumnRenamed("d", "db"), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("b")).otherwise(col("a")).as("w"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("db")).otherwise(col("da")).as("dw"))
+        .persist()
+      val e1 = o.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+      val e2 = o.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+      val wedges = e1.join(e2, Seq("u"))
+        .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      // the closing edge (x, y) is itself oriented low->high under the
+      // same total order, so it appears in `o` exactly as (u=x, w=y)
+      val tris = wedges.join(
+        o.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
+        .select(col("u"), col("x"), col("y"))
+      val perVertex = tris
+        .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("triangles"))
+      // eager O(V) materialization so both caches can be released on exit
+      // (the ngramJaccardPairs pattern); lineage stays flat for callers
+      val out = deg.select("v").join(perVertex, Seq("v"), "left")
+        .select(col("v"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .localCheckpoint()
+      o.unpersist(false)
+      out
+    } finally { und.unpersist(false) }
+  }
 }

@@ -45,4 +45,53 @@ class GraphSpec extends SparkSuite {
     assert((2L to 9L).forall(l => ranks(1L) > ranks(l)))
     assert((2L to 9L).map(ranks).distinct.size == 1)
   }
+
+  // ---- triangle counting ---------------------------------------------------
+
+  private def triMap(edges: org.apache.spark.sql.DataFrame) =
+    Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangle counts on hand-built graphs") {
+    // K4: every vertex is in C(3,2) = 3 triangles
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+      .toDF("src", "dst")
+    assert(triMap(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a triangle with a pendant vertex: the pendant sees zero
+    val pend = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    assert(triMap(pend) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // a 5-cycle is triangle-free but every vertex is still reported
+    val c5 = (1L to 5L).map(i => (i, i % 5 + 1)).toDF("src", "dst")
+    assert(triMap(c5) == (1L to 5L).map(_ -> 0L).toMap)
+  }
+
+  test("orientation invariance: reversed/duplicated/self-loop edges " +
+      "change nothing") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val messy = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (4L, 1L),
+      (2L, 4L), (2L, 2L), (1L, 2L)).toDF("src", "dst")
+    assert(triMap(base) == triMap(messy))
+    assert(triMap(base) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("matches the brute-force count on a pseudo-random graph") {
+    // deterministic edge set: (i*7 % 30, i*13 % 30) for i in 0..199
+    val raw = (0L until 200L).map(i => (i * 7 % 30, i * 13 % 30))
+    val edges = raw.toDF("src", "dst")
+    val got = triMap(edges)
+    val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val verts = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = verts.map { v =>
+      v -> verts.combinations(2).count {
+        case Seq(x, y) => v != x && v != y &&
+          und((math.min(v, x), math.max(v, x))) &&
+          und((math.min(v, y), math.max(v, y))) &&
+          und((math.min(x, y), math.max(x, y)))
+        case _ => false
+      }.toLong
+    }.toMap
+    assert(got == brute)
+  }
 }
