@@ -5008,5 +5008,47 @@ object Queries {
         |SELECT CAST(deg.v AS BIGINT) AS v,
         |  CAST(coalesce(pv.t, 0) AS BIGINT) AS triangles
         |FROM deg LEFT JOIN pv USING (v) ORDER BY v""".stripMargin)),
+
+    // Exact asymmetric containment join (excerpt detection): injected
+    // 220-char excerpts must score containment ~1.0 against their source
+    // documents while Jaccard would miss them entirely. The DuckDB
+    // oracle brute-forces ALL token-sharing pairs, verifying both the
+    // containment arithmetic and that the probe-prefix/full-index
+    // candidate generation missed no qualifying pair.
+    Q("q196_containment_join",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        val excerpts = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            substring(col("text"), 1, 220).as("text"))
+        Dedup.containmentPairs(docs.unionByName(excerpts),
+          "doc_id", "text", threshold = 0.9).orderBy("a", "b")
+      },
+      Some("""WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d AS (
+        |  SELECT doc_id, text FROM d0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, substring(text, 1, 220) FROM d0
+        |  WHERE doc_id % 25 = 0),
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM d),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(words) AS w FROM w)
+        |  WHERE w <> ''),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b,
+        |  CAST(p.common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+        |FROM pairs p JOIN sz sa ON sa.doc_id = p.a
+        |WHERE CAST(p.common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.9
+        |ORDER BY a, b""".stripMargin)),
   )
 }

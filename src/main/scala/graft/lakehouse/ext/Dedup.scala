@@ -981,6 +981,122 @@ object Dedup {
     materializeAndRelease(result, d)
   }
 
+  /** Exact ASYMMETRIC containment join: pairs (a, b) where
+    * C(a→b) = |tokens(a) ∩ tokens(b)| / |tokens(a)| ≥ threshold — "a is
+    * mostly contained in b". The relation Jaccard cannot express: an
+    * excerpt, a quoted paragraph, or a truncated crawl of a 100× larger
+    * page scores C ≈ 1 while its Jaccard is tiny. The training-data use
+    * is excerpt/supersession detection — drop the fragment, keep the
+    * superset document.
+    *
+    * Prefix filtering adapts (Bayardo WWW'07 §5): C(a→b) ≥ t means b
+    * misses at most |a| − ⌈t·|a|⌉ of a's tokens, so b must share one of
+    * the first |a| − ⌈t·|a|⌉ + 1 tokens of a's canonical rarest-first
+    * order. Unlike the symmetric join there is NO length upper bound on
+    * b (a 5-token quote is contained in a 5M-token book), so the probe
+    * side contributes only prefixes while the INDEX side contributes
+    * every token — the classic probe-prefix/full-index asymmetry. The
+    * prefix arithmetic uses the same exact decimal ceil as
+    * [[prefixFilterJaccardPairs]] (float ceil over-shortens prefixes for
+    * some (t, size) and silently drops boundary pairs). Hapax prefix
+    * tokens (corpus df = 1) are dropped map-side — their only index
+    * match is the probe doc itself, killed by a ≠ b.
+    *
+    * 100 TB shape: one token-frequency aggregation for the canonical
+    * order, candidates shuffle (id, token) pairs only, and the exact
+    * array-intersect verification join — false positives die there,
+    * the prefix theorem rules out false negatives — touches only
+    * candidate pairs. Nothing collects.
+    *
+    * Cost-based plan choice, same dispatch as
+    * [[prefixFilterJaccardPairs]]: on a corpus small enough that the
+    * full inverted-index join is itself cheap (template-heavy corpora
+    * where MOST pairs qualify and the answer is near-quadratic — the
+    * regime where prefix pruning prunes nothing and the array-carrying
+    * verification join just repays the candidate join with worse
+    * constants), the operator runs the dense plan instead: per-token
+    * self-join with the probe's set size riding the rows, group-by
+    * count IS the exact intersection — two shuffles, no verification
+    * join, identical answer. Pass denseMaxDocs = 0 to force the prefix
+    * plan. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, denseMaxDocs: Long = 4096,
+      denseMaxTokens: Long = 2000000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val tExact = lit(scala.math.BigDecimal(java.lang.Double.toString(threshold)))
+    val d = df.select(col(idCol), wordNgrams(textCol, 1).as("ws"))
+      .select(col(idCol), expr("filter(ws, w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (denseMaxDocs > 0) {
+      val stats = d.select(col(idCol), explode(col("ws")).as("w"))
+        .agg(approx_count_distinct(idCol), count(lit(1))).head()
+      val (nDocs, tokVol) = (stats.getLong(0), stats.getLong(1))
+      if (nDocs <= denseMaxDocs && tokVol <= denseMaxTokens)
+        return denseContainmentPairs(d, idCol, threshold)
+    }
+    val toks = d.select(col(idCol), explode(col("ws")).as("w"))
+      .select(col(idCol), xxhash64(col("w")).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("tf"))
+    val docs = toks.join(freq, "t")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("tf"), col("t")))).as("ts"))
+      .withColumn("plen",
+        (size(col("ts")) - ceil(size(col("ts")) * tExact) + lit(1))
+          .cast("int"))
+      .select(col(idCol),
+        expr("transform(ts, x -> x.t)").as("toks"),
+        size(col("ts")).as("sz"),
+        expr("filter(slice(ts, 1, plen), x -> x.tf >= 2)").as("ptoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = docs.select(col(idCol).as("a"), explode(col("ptoks")).as("p"))
+      .select(col("a"), col("p.t").as("t"))
+    val index = docs.select(col(idCol).as("b"), explode(col("toks")).as("t"))
+    val cand = probe.join(index, "t")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val result = cand
+      .join(docs.select(col(idCol).as("a"), col("toks").as("ta"),
+        col("sz").as("sza")), "a")
+      .join(docs.select(col(idCol).as("b"), col("toks").as("tb")), "b")
+      .withColumn("common", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("containment",
+        col("common").cast("double") / col("sza").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+    materializeAndRelease(result, docs, d)
+  }
+
+  /** Dense-corpus exact containment plan (the [[denseJaccardPairs]]
+    * shape, asymmetric): full inverted-index self-join on the hashed
+    * token with the PROBE side's set size riding the exploded rows; the
+    * per-pair group-by count IS the exact intersection, and one division
+    * by the probe size finishes the score. No length filter exists to
+    * apply (containment has no size bound on the superset side). The
+    * build leg is broadcast (bounded by the denseMaxTokens guard); the
+    * probe leg spreads by id first so a single-split corpus doesn't run
+    * the quadratic join on one core. Answer identical to the prefix plan
+    * by construction. */
+  private def denseContainmentPairs(d: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val par = d.sparkSession.sparkContext.defaultParallelism
+    val probe = d.repartition(par, col(idCol))
+      .select(col(idCol).as("a"), size(col("ws")).as("sza"),
+        explode(col("ws")).as("w"))
+      .select(col("a"), col("sza"), xxhash64(col("w")).as("t"))
+    val build = d.select(col(idCol).as("b"), explode(col("ws")).as("w"))
+      .select(col("b"), xxhash64(col("w")).as("t"))
+    val result = probe.join(broadcast(build), "t")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b", "sza").agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") / col("sza").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+    materializeAndRelease(result, d)
+  }
+
   /** Benchmark decontamination: for each training document, the containment
     * of each eval document's distinct word n-grams (|train ∩ eval| /
     * |eval|). Pairs at/above `threshold` are contamination hits the

@@ -268,4 +268,58 @@ class DedupSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept == Set(3L, 4L), s"got $kept")
   }
+
+  test("containmentPairs: asymmetric — the excerpt scores 1.0 against " +
+      "its superset, never the reverse") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),                       // excerpt of 2
+      (2L, "alpha beta gamma delta epsilon zeta"),    // superset
+      (3L, "unrelated words entirely different here"))
+      .toDF("doc_id", "text")
+    val strict = Dedup.containmentPairs(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(strict.toSeq == Seq((1L, 2L, 1.0)), s"got ${strict.toSeq}")
+    // at 0.5 the reverse direction (3 of 6 tokens) reaches the bar too
+    val loose = Dedup.containmentPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(loose == Set((1L, 2L, 1.0), (2L, 1L, 0.5)), s"got $loose")
+  }
+
+  test("containmentPairs equals the unpruned brute force across " +
+      "thresholds, boundary pairs included") {
+    // deterministic corpus with heavy overlap and repeated tokens
+    val docs = (0L until 40L).map { i =>
+      val toks = (0L until 6 + i % 5).map(j => s"w${(i * 3 + j * 7) % 23}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+        explode(Dedup.wordNgrams("text", 1)).as("w"))
+      .filter(col("w") =!= "").distinct().persist()
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = toks.select(col("doc_id").as("a"), col("w"))
+      .join(toks.select(col("doc_id").as("b"), col("w")), "w")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .withColumn("containment",
+        col("common").cast("double") / col("sza").cast("double"))
+    for (t <- Seq(0.5, 0.7, 0.9, 1.0)) {
+      val want = brute.filter(col("containment") >= t)
+        .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Double]("containment"))).toSet
+      // both plans must match the brute force: the cost-based dense plan
+      // (default guards admit this corpus) and the forced prefix plan
+      val dense = Dedup.containmentPairs(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val prefix = Dedup.containmentPairs(docs, "doc_id", "text", t,
+          denseMaxDocs = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(dense == want, s"dense @ $t: got ${dense.size}, want ${want.size}")
+      assert(prefix == want,
+        s"prefix @ $t: got ${prefix.size}, want ${want.size}")
+    }
+    toks.unpersist()
+  }
 }
