@@ -5050,5 +5050,89 @@ object Queries {
         |FROM pairs p JOIN sz sa ON sa.doc_id = p.a
         |WHERE CAST(p.common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.9
         |ORDER BY a, b""".stripMargin)),
+
+    // Fixed-point k-means: every quantity integral (quantized vectors,
+    // exact integer squared distances, floor-division centroid means),
+    // so DuckDB replays the ENTIRE two-round Lloyd trajectory —
+    // init-from-smallest-ids, both assignment argmins incl. tie-breaks,
+    // both centroid updates — and must land on bit-identical clusters
+    // and distances. Float k-means could never be cross-checked this
+    // way: its centroid sums are partition-order-dependent.
+    Q("q197_kmeans_fixed_point",
+      (s, dir) => {
+        // 16 deterministically-shifted copies: the fixture embedding
+        // table is small enough that a bare run measures per-job
+        // scheduling floor, not the clustering plan — the expansion
+        // keeps the measured work algorithmic on both engines (the
+        // oracle replays the identical construction)
+        val corpus = t(s, dir, "embeddings")
+          .select(col("vec_id"), explode(expr("sequence(0, 15)")).as("r"),
+            col("embedding"))
+          .select((col("vec_id") * 16 + col("r")).as("vec_id"),
+            expr("transform(embedding, " +
+              "x -> cast(x as double) + r * 0.01d)").as("embedding"))
+        Clustering.kmeansFixedPoint(corpus, "vec_id", "embedding",
+          k = 4, iterations = 2).orderBy("vec_id")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT vec_id * 16 + r.r AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) + r.r * CAST(0.01 AS DOUBLE))
+        |      AS embedding
+        |  FROM embeddings, (SELECT unnest(range(16)) AS r) r),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) + 1048576 AS BIGINT))
+        |    AS qv
+        |  FROM corpus WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cidx, qv AS cv
+        |  FROM qv ORDER BY vec_id LIMIT 4),
+        |a1 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c0 c)) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a1)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c1 AS (
+        |  SELECT c0.cidx, coalesce(u1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u1 ON u1.cidx = c0.cidx),
+        |a2 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c1 c)) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a2)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c2 AS (
+        |  SELECT c1.cidx, coalesce(u2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN u2 ON u2.cidx = c1.cidx)
+        |SELECT vec_id, cluster, dist FROM (
+        |  SELECT vec_id, cluster, dist, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |  FROM (
+        |    SELECT q.vec_id, c.cidx AS cluster,
+        |      CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |    FROM qv q, c2 c)) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -1,0 +1,65 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Fixed-point k-means: hand-computed trajectory, partitioning
+  * invariance, blob separation, empty-cluster keep-previous. Cross-engine
+  * equality is the q197 oracle's job. */
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hand-computed 1-D trajectory (k=2, 2 rounds)") {
+    val df = Seq(
+      (1L, Array(0.0f)), (2L, Array(0.1f)),
+      (3L, Array(10.0f)), (4L, Array(10.1f))).toDF("id", "v")
+    val out = Clustering.kmeansFixedPoint(df, "id", "v",
+      k = 2, iterations = 2, scale = 10L, offset = 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // quantized: 100, 101, 200, 201; init c=[100],[101];
+    // round 1 -> c=[100],[167]; round 2 -> c=[100],[200]
+    assert(out == Set((1L, 0, 0L), (2L, 0, 1L), (3L, 1, 0L), (4L, 1, 1L)),
+      s"got $out")
+  }
+
+  test("bit-identical across partitionings") {
+    val base = (0L until 500L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 101).toFloat / 10f))
+    }
+    val a = Clustering.kmeansFixedPoint(
+      base.toDF("id", "v").repartition(1), "id", "v", k = 5, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Clustering.kmeansFixedPoint(
+      base.toDF("id", "v").repartition(13), "id", "v", k = 5, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "partitioning changed the result")
+  }
+
+  test("separable blobs separate") {
+    // two tight blobs at 0 and 50; init picks ids 0 and 1 (one per blob)
+    val df = (0L until 200L).map { i =>
+      val center = if (i % 2 == 0) 0f else 50f
+      (i, Array(center + (i % 7).toFloat * 0.01f,
+        center - (i % 5).toFloat * 0.01f))
+    }.toDF("id", "v")
+    val out = Clustering.kmeansFixedPoint(df, "id", "v",
+      k = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val even = (0L until 200L by 2).map(out).toSet
+    val odd = (1L until 200L by 2).map(out).toSet
+    assert(even.size == 1 && odd.size == 1 && even != odd,
+      s"blobs not separated: even=$even odd=$odd")
+  }
+
+  test("a cluster that loses every member keeps its previous centroid") {
+    val df = Seq(
+      (1L, Array(0.0f)), (2L, Array(0.0f)), (3L, Array(100.0f)))
+      .toDF("id", "v")
+    val out = Clustering.kmeansFixedPoint(df, "id", "v",
+      k = 3, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // ids 1,2 tie to the smaller index 0; cluster 1 (init = id 2's
+    // identical vector) goes empty and must survive the rounds
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 2), s"got $out")
+  }
+}
