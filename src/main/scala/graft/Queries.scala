@@ -4973,8 +4973,11 @@ object Queries {
         val li = t(s, dir, "lineitem")
           .filter(col("l_orderkey") % 5 === 0)
           .select("l_orderkey", "l_partkey")
+        // '<' (not '!=') halves the self-join output: each unordered pair
+        // surfaces once, pre-canonical, so the distinct inside
+        // triangleCounts shuffles half the volume for the same edge set
         val pairs = li.as("x").join(li.as("y"), "l_orderkey")
-          .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+          .filter(col("x.l_partkey") < col("y.l_partkey"))
           .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
         Graph.triangleCounts(pairs, "src", "dst").orderBy("v")
       },

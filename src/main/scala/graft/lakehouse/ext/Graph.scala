@@ -82,24 +82,29 @@ object Graph {
     } finally { sym.unpersist(); deg.unpersist() }
   }
 
-  /** Exact per-vertex triangle counts via degree-ordered wedge closing
-    * (the MapReduce node-iterator of Suri & Vassilvitskii WWW'11 /
-    * Cohen's MR triangle scheme). Every undirected edge is oriented from
-    * its lower endpoint to its higher endpoint under the total order
-    * (degree, vertex-id); wedges are generated only at each edge pair's
-    * COMMON LOW vertex and closed by a join against the oriented edge
-    * set. The orientation is the whole scale story: a vertex's
-    * out-degree under (deg, id) order is O(√E) even for celebrity hubs —
-    * a degree-10M hub generates no wedges at all unless its neighbors
-    * out-rank it — so wedge volume is bounded by Σ outdeg² = O(E^1.5),
-    * the provable optimum for exact counting, instead of Σ deg² (which a
-    * naive node-iterator pays and which explodes on any power-law graph).
+  /** Exact per-vertex triangle counts via degree-ordered edge iteration
+    * (the compact form of Suri & Vassilvitskii WWW'11's MR node-iterator).
+    * Every undirected edge is oriented from its lower endpoint to its
+    * higher endpoint under the total order (degree, vertex-id); each
+    * oriented edge (u, w) then finds its closings as the set intersection
+    * of the two endpoints' out-neighbor lists — a triangle {u, w, c} with
+    * u lowest is discovered exactly once, at edge (u, w) with c the
+    * common out-neighbor. The orientation is the whole scale story: a
+    * vertex's out-degree under (deg, id) order is O(√E) even for
+    * celebrity hubs, so the intersection work is bounded by
+    * Σ_{(u,w)∈E} (outdeg(u)+outdeg(w)) = O(E^1.5), the provable optimum
+    * for exact counting — and unlike the two-join wedge-closing form, the
+    * O(E^1.5) wedge set is never MATERIALIZED or shuffled: it is
+    * enumerated inside a per-edge `array_intersect` and immediately
+    * reduced.
     *
     * Plan shape: one distinct to canonicalize edges, one degree
-    * aggregation (O(V), broadcast back onto edges), one self-join on the
-    * low vertex (wedge generation), one join on the (v, w) pair (wedge
-    * closing), one explode + partial-agg count. Edges shuffle by join
-    * key only; nothing collects. Self-loops are dropped; parallel edges
+    * aggregation (O(V), broadcast back onto edges), one groupBy to build
+    * the out-adjacency arrays (total size O(E)), two joins of the edge
+    * list against the adjacency frame (AQE broadcasts it while V is
+    * small; past the broadcast cap they degrade to shuffle joins on the
+    * endpoint keys — the textbook fallback), one explode + partial-agg
+    * count. Nothing collects. Self-loops are dropped; parallel edges
     * collapse in the distinct. Output: (v, triangles) for EVERY vertex
     * of the graph, zero-filled — deterministic full coverage. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
@@ -112,8 +117,8 @@ object Graph {
     try {
       val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
-      // orient low (deg, id) -> high (deg, id); keep both endpoint ranks
-      // so wedge generation can order the spokes without another join
+        .persist()
+      // orient low (deg, id) -> high (deg, id)
       val o = und
         .join(broadcast(deg).withColumnRenamed("v", "a")
           .withColumnRenamed("d", "da"), "a")
@@ -123,21 +128,26 @@ object Graph {
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
             col("a")).otherwise(col("b")).as("u"),
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-            col("b")).otherwise(col("a")).as("w"),
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-            col("db")).otherwise(col("da")).as("dw"))
+            col("b")).otherwise(col("a")).as("w"))
         .persist()
-      val e1 = o.select(col("u"), col("w").as("x"), col("dw").as("dx"))
-      val e2 = o.select(col("u"), col("w").as("y"), col("dw").as("dy"))
-      val wedges = e1.join(e2, Seq("u"))
-        .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
-      // the closing edge (x, y) is itself oriented low->high under the
-      // same total order, so it appears in `o` exactly as (u=x, w=y)
-      val tris = wedges.join(
-        o.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
-        .select(col("u"), col("x"), col("y"))
+      // out-adjacency arrays: O(E) total payload split across O(V) rows;
+      // outdeg = O(√E) under the orientation so no single row explodes.
+      // SHUFFLE_HASH (not broadcast): the adjacency frame is O(E) — at
+      // scale it can never broadcast, and at small scale the two
+      // broadcast-build jobs AQE would otherwise insert cost more wall
+      // than the hash shuffles they save; hash (not sort-merge) because
+      // the build side is bounded per key (one row per vertex)
+      val adj = o.groupBy("u").agg(collect_list(col("w")).as("nbrs"))
+        .hint("SHUFFLE_HASH")
+      val adjW = adj.select(col("u").as("w"), col("nbrs").as("nbrs_w"))
+      // every edge's u has at least this out-edge, so the inner joins
+      // keep exactly the edges whose BOTH endpoints have out-neighbors
+      // (an edge whose w has none closes no triangle)
+      val tris = o.join(adj, Seq("u")).join(adjW, Seq("w"))
+        .select(col("u"), col("w"),
+          explode(array_intersect(col("nbrs"), col("nbrs_w"))).as("c"))
       val perVertex = tris
-        .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+        .select(explode(array(col("u"), col("w"), col("c"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("triangles"))
       // eager O(V) materialization so both caches can be released on exit
       // (the ngramJaccardPairs pattern); lineage stays flat for callers
@@ -145,6 +155,7 @@ object Graph {
         .select(col("v"), coalesce(col("triangles"), lit(0L)).as("triangles"))
         .localCheckpoint()
       o.unpersist(false)
+      deg.unpersist(false)
       out
     } finally { und.unpersist(false) }
   }
