@@ -686,48 +686,59 @@ object Dedup {
     u(col(textCol))
   }
 
-  /** Exact word-n-gram Jaccard pairs via inverted index: explode grams,
-    * drop grams appearing in more than `maxDocFreq` docs (stop-gram pruning
-    * — bounds the quadratic blowup on 100 TB; logged assumption), self-join
-    * per gram, count overlap, compute |∩|/|∪|. Eager: the (small) pair list
-    * is materialized before returning so the cached gram index can be
-    * released.
+  /** Exact word-n-gram Jaccard pairs via inverted index: ONE gram-keyed
+    * aggregation builds each gram's posting list (sorted doc ids) together
+    * with its document frequency; grams appearing in more than
+    * `maxDocFreq` docs drop there (stop-gram pruning — bounds the
+    * quadratic blowup on 100 TB; logged assumption). Candidate pairs are
+    * then generated INSIDE the posting-list row (all i<j combinations of
+    * the sorted ids — bounded at maxDocFreq²/2 per gram by the cap) and
+    * reduced by one (a, b) aggregation: the self-join the classic
+    * formulation pays — two more shuffles of the full posting volume plus
+    * a join build — never happens. |∩|/|∪| closes over the per-doc
+    * surviving-gram counts. Eager: the (small) pair list is materialized
+    * before returning so the cached index can be released.
     *
     * Grams are hashed to 64-bit longs (xxhash64) in the scan stage, before
-    * anything shuffles — every downstream exchange and join moves 8-byte
-    * keys instead of gram strings. Collisions would need ~2^32 distinct
-    * grams to appear at even odds; per-partition gram counts are far below
-    * that (and the DuckDB oracle, which joins on the raw strings, verifies
+    * anything shuffles — every downstream exchange moves 8-byte keys
+    * instead of gram strings. Collisions would need ~2^32 distinct grams
+    * to appear at even odds; per-partition gram counts are far below that
+    * (and the DuckDB oracle, which joins on the raw strings, verifies
     * value-equality of the output at test scale). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 1, threshold: Double = 0.8, maxDocFreq: Long = 1000): DataFrame = {
     val grams = df.select(col(idCol),
       explode(wordNgrams(textCol, n)).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gh"))
-    // pruned feeds three consumers (both self-join legs + sizes): persist it
-    // or the explode+prune pipeline runs three times
-    val pruned = grams.join(
-      grams.groupBy("gh").agg(count("*").as("df_count"))
-        .filter(col("df_count") <= maxDocFreq),
-      "gh").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = pruned.groupBy(idCol).agg(count("*").as("sz"))
+    // the index feeds two consumers (sizes + pairs): persist it or the
+    // explode+aggregate pipeline runs twice
+    val idx = grams.groupBy("gh")
+      .agg(count(lit(1)).as("df_count"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("df_count") <= maxDocFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = idx.select(explode(col("ids")).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("sz"))
     // Singleton grams (df_count = 1) still count toward |set| above, but
     // can never produce an inter-document pair — on natural text they are
-    // the hapax-legomena majority of the vocabulary, so dropping them from
-    // the self-join legs cuts the candidate shuffle roughly in half with
-    // provably identical output.
-    val shared = pruned.filter(col("df_count") >= 2)
-    val l = shared.select(col(idCol).as("a"), col("gh"))
-    val r = shared.select(col(idCol).as("b"), col("gh"))
-    val result = l.join(r, "gh").filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count("*").as("common"))
+    // the hapax-legomena majority of the vocabulary, so they never reach
+    // pair generation. Sorted posting lists make every emitted (a, b)
+    // satisfy a < b by construction.
+    val pairs = idx.filter(col("df_count") >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val result = pairs
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard", col("common").cast("double") /
         (col("sza") + col("szb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-    materializeAndRelease(result, pruned)
+    materializeAndRelease(result, idx)
   }
 
   /** Exact Jaccard-threshold similarity join via PREFIX FILTERING (the

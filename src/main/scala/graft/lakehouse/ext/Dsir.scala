@@ -40,8 +40,9 @@ import org.apache.spark.sql.functions._
   * no global sort materialization. Nothing is ever collected per-doc. */
 object Dsir {
 
-  /** (id, gram, cnt) — unigram+bigram bag with multiplicities. */
-  private[lakehouse] def gramCounts(df: DataFrame, idCol: String,
+  /** (id, gram) — one row per unigram/bigram OCCURRENCE, map-side only
+    * (no shuffle: adjacency is computed inside the row and exploded). */
+  private[lakehouse] def gramOccurrences(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val words = split(regexp_replace(lower(trim(col(textCol))),
       "\\s+", " "), " ")
@@ -54,8 +55,13 @@ object Dsir {
     df.select(col(idCol), words.as("__w"))
       .select(col(idCol),
         explode(concat(col("__w"), bigrams)).as("gram"))
-      .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
   }
+
+  /** (id, gram, cnt) — unigram+bigram bag with multiplicities. */
+  private[lakehouse] def gramCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    gramOccurrences(df, idCol, textCol)
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
 
   /** Weights from pre-computed doc-gram counts — shared with the scoring
     * pass so the corpus tokenize/explode/aggregate subtree is ONE plan
@@ -84,16 +90,31 @@ object Dsir {
       idCol, textCol, scale)
 
   /** The k most target-like corpus documents as (id, score), score
-    * descending then id ascending — fully deterministic. */
+    * descending then id ascending — fully deterministic.
+    *
+    * Scale shape: the corpus occurrence stream is never pre-aggregated
+    * per document — `Σ_grams cnt·w ≡ Σ_occurrences w`, so the
+    * (id, gram)-keyed compression shuffle the naive plan pays first
+    * buys nothing the gram-keyed join doesn't already get from partial
+    * aggregation. And the shuffles carry 8-byte xxhash64 gram keys, not
+    * the gram strings (bigrams average ~15 bytes): the text leaves the
+    * scan only as hashes. A 64-bit collision would merge two grams'
+    * weights (~1e-7 at 10M distinct grams — the [[Dedup]] family's
+    * accepted trade; the oracle replays string grams and has matched). */
   def selectTopK(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, scale: Long = 1000L): DataFrame = {
-    val corpusGrams = gramCounts(corpus, idCol, textCol)
-    val weights = weightsFromCounts(corpusGrams, target, idCol, textCol,
-      scale)
-    corpusGrams
-      .join(weights, Seq("gram"))
+    val occ = gramOccurrences(corpus, idCol, textCol)
+      .select(col(idCol), xxhash64(col("gram")).as("g"))
+    val cs = occ.groupBy("g").agg(count(lit(1)).as("cs"))
+    val ct = gramOccurrences(target, idCol, textCol)
+      .groupBy(xxhash64(col("gram")).as("g")).agg(count(lit(1)).as("ct"))
+    val weights = cs.join(broadcast(ct), Seq("g"), "left")
+      .select(col("g"),
+        expr(s"($scale * (coalesce(ct, 0L) + 1L)) div (cs + 1L)").as("w"))
+    occ
+      .join(weights, Seq("g"))
       .groupBy(idCol)
-      .agg(expr(s"(sum(cnt * w) * $scale) div sum(cnt)").as("score"))
+      .agg(expr(s"(sum(w) * $scale) div count(1)").as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

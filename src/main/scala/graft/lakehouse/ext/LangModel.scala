@@ -12,28 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
-  /** (doc_id, position, token) over lowercased whitespace tokenization.
-    * Positions are CONSECUTIVE over the surviving (non-empty) tokens —
-    * bigram adjacency must be over the filtered sequence, so positions are
-    * re-ranked after the empty-token filter, one shuffle on doc. */
+  /** (doc_id, token) over lowercased whitespace tokenization — a map-side
+    * explode of the filtered split array, no shuffle. */
   private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("rawPos", "w")))
-      .filter(col("w") =!= "")
-      .withColumn("pos",
-        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("rawPos"))))
-      .drop("rawPos")
+      .select(col(idCol), explode(
+        filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")).as("w"))
 
   /** (doc_id, w1, w2) — one row per adjacent token pair per document.
-    * Built from the token stream with `lead` inside the same per-doc
-    * window that ranked it: no self-join, one shuffle total. */
-  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    tokens(docs, idCol, textCol)
-      .withColumn("w2", lead(col("w"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col(idCol), col("w").as("w1"), col("w2"))
-  }
+    * Adjacency is computed INSIDE the row: the filtered token array is
+    * zipped with its own tail (`zip_with` over two `slice`s), then the
+    * pair array explodes map-side. Zero shuffle — the windowed
+    * row_number+lead formulation this replaces paid a full shuffle+sort
+    * of the token stream before a single bigram existed, which at 100 TB
+    * is the difference between a scan and an extra corpus-wide exchange. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("toks"))
+      .select(col(idCol), explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /** Exact global bigram counts (the trained model): (w1, w2, c12) plus
     * per-predecessor totals joinable on w1. Map-side partial aggregation

@@ -338,26 +338,41 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val qTerms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
     require(qTerms.nonEmpty, "empty query")
-    val words = df.select(col(idCol),
-        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
-          " ")).as("term"))
-      .where(length(col("term")) > 0)
-    val docLen = words.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    val corpus = broadcast(docLen.agg(count(lit(1)).as("n_docs"),
-      avg("dl").as("avgdl")))
-    val tf = words.where(col("term").isin(qTerms.toSeq: _*))
-      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val dft = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df_t")))
-    val scored = tf
-      .join(dft, "term")
-      .join(docLen, idCol)
-      .crossJoin(corpus)
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
-      .withColumn("s", col("idf") * col("tf") * (lit(k1) + 1.0) /
-        (col("tf") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(idCol).agg(sum("s").as("bm25"))
+    // Token stream never leaves the row: dl and the per-query-term tf are
+    // size/filter kernels over ONE split() array, so the corpus is scanned
+    // once with zero token explosion and zero wide shuffle — at 100 TB the
+    // only exchange is the single-row stats agg plus the top-k merge.
+    // split on \s+ directly (one regex pass) ≡ collapse-then-split-on-' ';
+    // the length filter drops the lone empty token an empty text yields.
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val tfCols = qTerms.zipWithIndex.map { case (term, i) =>
+      size(filter(col("toks"), t => t === lit(term))).cast("long").as(s"tf_$i")
+    }
+    val withToks = df.select(col(idCol), toks.as("toks"))
+      .select((col(idCol) +: size(col("toks")).cast("long").as("dl")
+        +: tfCols).map(identity): _*)
+    // corpus statistics — ONE partial-agg pass to a single broadcast row:
+    // doc count, average length, and each term's document frequency
+    val statCols = avg("dl").as("avgdl") +: qTerms.indices.map { i =>
+      count_if(col(s"tf_$i") > 0).as(s"df_$i") }
+    val corpus = broadcast(withToks.agg(count(lit(1)).as("n_docs"),
+      statCols: _*))
+    // per-document score: fixed-order sum over the query terms (idf > 0
+    // always, so only term-matching documents can appear in the top-k —
+    // same candidate set as the (doc, term) join formulation)
+    val scored = withToks.crossJoin(corpus)
+      .where(qTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .withColumn("bm25", qTerms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+        when(col(s"tf_$i") > 0,
+          idf * col(s"tf_$i") * (lit(k1) + 1.0) /
+            (col(s"tf_$i") + lit(k1) *
+              (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _))
+      .select(col(idCol), col("bm25"))
     // orderBy+limit plans as TakeOrderedAndProject (partition-local top-k,
     // driver merge of k·partitions rows); the rank window then runs over at
     // most k rows — never a global single-partition sort of all matches

@@ -59,12 +59,23 @@ class DsirSpec extends SparkSuite {
     assert(w("le") > w("fox"), (w("le"), w("fox")))
   }
 
-  test("the corpus doc-gram aggregation materializes once: its shuffle " +
-      "is reused by the totals and the scoring join") {
+  test("scale shape: gram strings never shuffle (hashed keys only) and " +
+      "no (id, gram) pre-aggregation exchange exists") {
     val df = Dsir.selectTopK(corpus, target, "doc_id", "text", k = 5)
     df.collect()
     val physical = df.queryExecution.executedPlan.toString
-    assert(physical.contains("ReusedExchange"), physical.take(3000))
+    // every exchange partitions on the hashed gram key or the doc id —
+    // an (id, gram) compound exchange would mean the occurrence stream
+    // was compression-shuffled before the gram-keyed work that already
+    // partial-aggregates it
+    val exchanges = physical.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, physical.take(3000))
+    assert(!exchanges.exists(l => l.contains("gram#")),
+      "gram strings crossed an exchange:\n" + exchanges.mkString("\n"))
+    assert(!exchanges.exists(l => l.contains("doc_id#") && l.contains("g#")),
+      "(id, gram) compression shuffle reappeared:\n" +
+        exchanges.mkString("\n"))
   }
 
   test("k truncates and ties break by id ascending") {
