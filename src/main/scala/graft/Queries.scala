@@ -5137,5 +5137,114 @@ object Queries {
         |        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
         |    FROM qv q, c2 c)) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin)),
+
+    // Portable KMV (bottom-k) distinct sketch: per event_type the 64
+    // smallest distinct 60-bit sha-256 user hashes, carried through
+    // partial aggregation by the native graft_bottomk aggregate (≤ k
+    // longs per group per partition cross the exchange; the user stream
+    // never shuffles). DuckDB rebuilds the identical sketch rows from
+    // the same hash — the register-level verification pattern of q192.
+    Q("q198_kmv_sketch",
+      (s, dir) => Sketches.kmvSketch(
+          ev(s, dir), "user_id", k = 64, groupCols = Seq("event_type"))
+        .select(col("event_type"),
+          posexplode(col("kmv")).as(Seq("pos", "h")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("h"))
+        .orderBy("event_type", "rank"),
+      Some("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1,
+        |      15))::UBIGINT AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+        |  FROM h)
+        |SELECT event_type, CAST(rank AS INT) AS rank, h
+        |FROM r WHERE rank <= 64 ORDER BY event_type, rank""".stripMargin)),
+
+    // KMV set algebra — what the sketch family gains over HLL registers:
+    // sketches are uniform samples of the distinct hash space, so they
+    // MERGE (bottom-k of two sketches is the sketch of the unioned
+    // stream) and INTERSECT (Beyer et al. SIGMOD'07: count merged-sketch
+    // members both sides contain, scale by the union estimate). Every
+    // estimate is integral (decimal div), so DuckDB replays the whole
+    // algebra: per-pair union sketches, saturation-aware estimates, the
+    // ρ membership count, and the (ρ·U) div k intersection — exact
+    // integer equality across engines, not approximate agreement.
+    Q("q199_kmv_set_ops",
+      (s, dir) => {
+        val k = 64
+        val sk = Sketches.kmvSketch(
+          ev(s, dir), "user_id", k, groupCols = Seq("event_type"))
+        val a = sk.select(col("event_type").as("ta"), col("kmv").as("ka"))
+        val b = sk.select(col("event_type").as("tb"), col("kmv").as("kb"))
+        a.join(b, col("ta") < col("tb"))
+          .select(col("ta"), col("tb"),
+            Sketches.kmvEstimateCol(col("ka"), k).as("est_a"),
+            Sketches.kmvEstimateCol(col("kb"), k).as("est_b"),
+            Sketches.kmvEstimateCol(
+              Sketches.kmvMergedCol(col("ka"), col("kb"), k), k)
+              .as("est_union"),
+            Sketches.kmvIntersectionCol(col("ka"), col("kb"), k)
+              .as("est_intersect"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1,
+        |      15))::UBIGINT AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+        |  FROM h),
+        |sk AS (SELECT event_type, h, rank FROM r WHERE rank <= 64),
+        |est AS (
+        |  SELECT event_type,
+        |    CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE CAST(CAST(63 AS HUGEINT) *
+        |        CAST(1152921504606846976 AS HUGEINT) //
+        |        CAST(max(CASE WHEN rank = 64 THEN h END) AS HUGEINT)
+        |        AS BIGINT)
+        |    END AS est
+        |  FROM sk GROUP BY 1),
+        |types AS (SELECT DISTINCT event_type AS t FROM sk),
+        |pairs AS (
+        |  SELECT a.t AS ta, b.t AS tb
+        |  FROM types a JOIN types b ON a.t < b.t),
+        |uni AS (
+        |  SELECT ta, tb, h,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rank
+        |  FROM (
+        |    SELECT DISTINCT p.ta, p.tb, s.h
+        |    FROM pairs p JOIN sk s
+        |      ON s.event_type = p.ta OR s.event_type = p.tb)),
+        |usk AS (SELECT ta, tb, h, rank FROM uni WHERE rank <= 64),
+        |uest AS (
+        |  SELECT ta, tb,
+        |    CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE CAST(CAST(63 AS HUGEINT) *
+        |        CAST(1152921504606846976 AS HUGEINT) //
+        |        CAST(max(CASE WHEN rank = 64 THEN h END) AS HUGEINT)
+        |        AS BIGINT)
+        |    END AS est_union
+        |  FROM usk GROUP BY 1, 2),
+        |rho AS (
+        |  SELECT u.ta, u.tb, count(*) AS rho
+        |  FROM usk u
+        |  JOIN sk sa ON sa.event_type = u.ta AND sa.h = u.h
+        |  JOIN sk sb ON sb.event_type = u.tb AND sb.h = u.h
+        |  GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, ea.est AS est_a, eb.est AS est_b, ue.est_union,
+        |  CAST(CAST(coalesce(rho.rho, 0) AS HUGEINT) *
+        |    CAST(ue.est_union AS HUGEINT) // 64 AS BIGINT) AS est_intersect
+        |FROM pairs p
+        |JOIN est ea ON ea.event_type = p.ta
+        |JOIN est eb ON eb.event_type = p.tb
+        |JOIN uest ue ON ue.ta = p.ta AND ue.tb = p.tb
+        |LEFT JOIN rho ON rho.ta = p.ta AND rho.tb = p.tb
+        |ORDER BY p.ta, p.tb""".stripMargin)),
   )
 }

@@ -104,6 +104,74 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ---- KMV (bottom-k / k-minimum-values) distinct sketch -----------------
+
+  /** KMV distinct-value sketch (Bar-Yossef et al. RANDOM'02 / Beyer et al.
+    * SIGMOD'07's "distinct sampling" form): per group, the k SMALLEST
+    * distinct 60-bit portable hashes of the value stream, ascending. What
+    * KMV buys over HLL registers (q192): the sketch is a uniform sample
+    * of the distinct-value hash space, so sketches support SET ALGEBRA —
+    * union by re-merging, intersection by counting sample members both
+    * sides contain ([[kmvMergedCol]]/[[kmvIntersectionCol]]) — which no
+    * register sketch can do without inclusion–exclusion error stacking.
+    *
+    * 100 TB shape: the sketch is the WHOLE shuffle — [[graft.lakehouse
+    * .functions.LongBottomK]] carries a bounded distinct set through
+    * partial aggregation, ≤ k longs per group per partition cross the
+    * exchange, merged in O(k log k); the value stream never shuffles and
+    * nothing collects. Every downstream estimate is integer division over
+    * sketch entries: bit-identical on any engine, so the DuckDB oracle
+    * replays the sketch AND its set algebra end to end. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2 (the estimator divides by h_k)")
+    val hashed = df.filter(col(valueCol).isNotNull)
+      .withColumn("__h", cmsHash(valueCol))
+    hashed.groupBy(groupCols.map(col): _*)
+      .agg(graft.lakehouse.functions.VectorFunctions
+        .graft_bottomk(col("__h"), k).as("kmv"))
+  }
+
+  /** Integer-exact distinct estimate from a kmv array: exact size while
+    * the sketch is unsaturated (fewer than k distinct values ⇒ every one
+    * is present), else the classic unbiased (k-1)·2^60 / h_k — computed
+    * with DECIMAL(38,0) integral division so any engine lands on the same
+    * integer (the float path would be last-ulp engine-dependent). */
+  def kmvEstimateCol(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("long"))
+      .otherwise(intDiv(
+        lit(k - 1).cast("decimal(38,0)") *
+          lit(1L << 60).cast("decimal(38,0)"),
+        element_at(kmv, k).cast("decimal(38,0)")).cast("long"))
+
+  /** Bottom-k of the union of two sketches — itself a valid KMV sketch of
+    * the unioned value streams (the defining mergeability of KMV: the k
+    * smallest of A ∪ B are among the k smallest of A plus the k smallest
+    * of B). Pure built-ins over the two arrays. */
+  def kmvMergedCol(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Integer intersection estimate from two sketches: ρ = how many of the
+    * merged sketch's members appear in BOTH inputs (each a uniform sample
+    * of its own distinct space), then |A∩B| ≈ ρ/k · |A∪B| — Beyer et
+    * al.'s estimator, kept integral as (ρ · unionEst) div k. */
+  def kmvIntersectionCol(a: Column, b: Column, k: Int): Column = {
+    val merged = kmvMergedCol(a, b, k)
+    val rho = size(array_intersect(array_intersect(merged, a), b))
+      .cast("decimal(38,0)")
+    intDiv(rho * kmvEstimateCol(merged, k).cast("decimal(38,0)"),
+      lit(k).cast("decimal(38,0)")).cast("long")
+  }
+
+  /** Truncating integral division (the SQL `div` operator) as a Column —
+    * decimal `/` would round HALF_UP at its result scale and drift off
+    * the oracle's floor semantics. */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(a), expression(b)))
+  }
+
   private def cmsHash(valueCol: String): Column =
     expr(s"cast(conv(substring(sha2(cast(`$valueCol` as string), 256), " +
       "1, 15), 16, 10) as bigint)")

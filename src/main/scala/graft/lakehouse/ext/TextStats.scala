@@ -460,7 +460,7 @@ object TextStats {
     * collision-safe at 100 TB window counts where a 64-bit key would
     * not (birthday at ~2^32 windows). One UDF boundary per DOCUMENT;
     * the digest object is reused across windows. */
-  private case class SpanGram(start: Long, g: Array[Byte])
+  private[ext] case class SpanGram(start: Long, g: Array[Byte])
   private val windowMd5Kernel = udf { (toks: Seq[String], w: Int) =>
     if (toks == null || toks.length < w) Seq.empty[SpanGram]
     else {

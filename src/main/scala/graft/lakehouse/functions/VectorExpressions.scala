@@ -209,6 +209,8 @@ object VectorFunctions {
     column(BitsetIntersectCount(expression(a), expression(b)))
   def graft_topk(c: Column, k: Int): Column =
     column(DoubleTopK(expression(c), k).toAggregateExpression())
+  def graft_bottomk(c: Column, k: Int): Column =
+    column(LongBottomK(expression(c), k).toAggregateExpression())
 
   /** Register for SQL use: SELECT graft_cosine(a, b). */
   def register(spark: SparkSession): Unit = {
@@ -218,6 +220,8 @@ object VectorFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", DoubleTopK.fromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottomk", LongBottomK.fromExprs, "built-in")
   }
 }
 
@@ -244,5 +248,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DoubleTopK].getName, "graft_topk"),
         DoubleTopK.fromExprs))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bottomk"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[LongBottomK].getName, "graft_bottomk"),
+        LongBottomK.fromExprs))
   }
 }

@@ -109,4 +109,77 @@ class SketchesSpec extends SparkSuite {
       Sketches.portableCmsCounters(df, "v", depth = 6, width = 2048)
     }
   }
+
+  // ---- KMV ----------------------------------------------------------------
+
+  private def kmvOf(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+    Sketches.kmvSketch(df, "v", k).collect()
+      .head.getSeq[Long](0)
+
+  test("KMV: unsaturated sketch is the exact distinct hash set; estimate " +
+      "equals the exact count") {
+    val df = Seq[java.lang.Long](1L, 2L, 2L, 3L, null).toDF("v")
+    val sk = kmvOf(df, 64)
+    assert(sk.length == 3 && sk == sk.sorted, sk)
+    val est = Sketches.kmvSketch(df, "v", 64)
+      .select(Sketches.kmvEstimateCol(col("kmv"), 64)).head().getLong(0)
+    assert(est == 3L, s"unsaturated estimate must be exact, got $est")
+  }
+
+  test("KMV: saturated estimate lands within 25% of a 5000-distinct " +
+      "truth (k=64) and duplicates/partitioning cannot move the sketch") {
+    val df = spark.range(20000).select((col("id") % 5000).as("v"))
+    val sk = kmvOf(df, 64)
+    assert(sk.length == 64 && sk == sk.sorted)
+    assert(kmvOf(df.repartition(13), 64) == sk,
+      "sketch is a pure set property — partitioning must not matter")
+    val est = Sketches.kmvSketch(df, "v", 64)
+      .select(Sketches.kmvEstimateCol(col("kmv"), 64)).head().getLong(0)
+    assert(math.abs(est - 5000L) / 5000.0 < 0.25, s"estimate $est")
+  }
+
+  test("KMV: merging two sketches equals sketching the unioned stream") {
+    val a = spark.range(0, 3000).select(col("id").as("v"))
+    val b = spark.range(2000, 5000).select(col("id").as("v"))
+    val k = 64
+    val skA = kmvOf(a, k)
+    val skB = kmvOf(b, k)
+    val direct = kmvOf(a.union(b), k)
+    val merged = (skA ++ skB).distinct.sorted.take(k)
+    assert(merged == direct,
+      "bottom-k(A ∪ B) must equal bottom-k(bottom-k(A) ∪ bottom-k(B))")
+  }
+
+  test("KMV set algebra: disjoint intersection reads ~0, identical " +
+      "intersection reads ~union, union estimate tracks truth") {
+    val k = 64
+    val two = Sketches.kmvSketch(
+      spark.range(12000).select(
+        when(col("id") < 6000, "a").otherwise("b").as("g"),
+        (col("id") % 6000 + when(col("id") < 6000, 0).otherwise(100000))
+          .as("v")),
+      "v", k, groupCols = Seq("g"))
+    val Seq(skA, skB) = two.orderBy("g").collect()
+      .map(_.getSeq[Long](1)).toSeq
+    val pair = Seq((skA, skB)).toDF("a", "b")
+    val row = pair.select(
+      Sketches.kmvEstimateCol(
+        Sketches.kmvMergedCol(col("a"), col("b"), k), k).as("u"),
+      Sketches.kmvIntersectionCol(col("a"), col("b"), k).as("i")).head()
+    val (u, i) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(u - 12000L) / 12000.0 < 0.3, s"union estimate $u")
+    assert(i < 12000L / 10, s"disjoint intersection estimate $i")
+    val selfRow = pair.select(
+      Sketches.kmvIntersectionCol(col("a"), col("a"), k).as("i"),
+      Sketches.kmvEstimateCol(col("a"), k).as("e")).head()
+    assert(selfRow.getLong(0) == selfRow.getLong(1),
+      "A ∩ A must estimate exactly |A| (ρ = k)")
+  }
+
+  test("KMV guard: k < 2 refused") {
+    val df = spark.range(4).select(col("id").as("v"))
+    intercept[IllegalArgumentException] {
+      Sketches.kmvSketch(df, "v", 1)
+    }
+  }
 }
