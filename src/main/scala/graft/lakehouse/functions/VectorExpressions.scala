@@ -63,11 +63,21 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      // `ev.isNull` exists as an assignable variable ONLY when the
+      // expression is statically nullable — when both inputs provably
+      // contain no null elements Spark pins isNull to the literal `false`
+      // and never declares it, so interpolating an assignment would emit
+      // an undeclared name, fail Janino, and silently drop the whole
+      // projection to interpreter mode. Skipping the check is also the
+      // faster loop: no per-element branch when nulls are impossible.
+      val nullCheck = if (nullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $dot;
@@ -116,11 +126,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val den = ctx.freshName("den")
+      // same undeclared-isNull hazard as DotProduct: only reference
+      // ev.isNull when the expression is statically nullable
+      val nullCheck = if (nullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  double $xv = $a.getDouble($i);
          |  double $yv = $b.getDouble($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;

@@ -94,4 +94,5 @@ class KernelPropertySpec extends AnyFunSuite {
         assert(Dedup.simHash64(toks.reverse.mkString(" ")) == Dedup.simHash64(t))
     }
   }
+
 }

@@ -103,4 +103,36 @@ class SimilaritySpec extends SparkSuite {
       assert(rows.length <= 5)
     }
   }
+
+  test("vector kernels compile under CODEGEN_ONLY for provably " +
+      "non-nullable arrays (no silent interpreter fallback)") {
+    // Over a non-nullable, no-null-element array input Spark pins the
+    // expression's isNull to a literal and never declares the variable; a
+    // kernel that unconditionally assigns ev.isNull then fails Janino and
+    // every projection quietly interprets. CODEGEN_ONLY turns that silent
+    // fallback into a hard error, pinning the fix.
+    import graft.lakehouse.functions.VectorFunctions._
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val e = spark.range(16).selectExpr("id as vec_id",
+        "transform(sequence(1, 8), x -> cast(x as double)) as v")
+      val got = e.select(
+          graft_dot(col("v"), col("v")).as("d"),
+          graft_cosine(col("v"), col("v")).as("c"))
+        .agg(sum("d"), min("c"), max("c")).head()
+      assert(got.getDouble(0) == 16.0 * (1 to 8).map(x => x * x).sum)
+      assert(math.abs(got.getDouble(1) - 1.0) < 1e-12 &&
+        math.abs(got.getDouble(2) - 1.0) < 1e-12)
+      // nullable path still works and still nulls on a null element
+      val withNull = spark.sql(
+        "select array(cast(1.0 as double), cast(null as double)) as v")
+      assert(withNull.select(graft_dot(col("v"), col("v"))).head().isNullAt(0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
