@@ -5246,5 +5246,38 @@ object Queries {
         |JOIN uest ue ON ue.ta = p.ta AND ue.tb = p.tb
         |LEFT JOIN rho ON rho.ta = p.ta AND rho.tb = p.tb
         |ORDER BY p.ta, p.tb""".stripMargin)),
+
+    // Fixed-point Johnson–Lindenstrauss projection (Achlioptas ±1 matrix
+    // from sha-256 parity, components floor-quantized to integers): every
+    // output coordinate is an exact signed integer sum, so DuckDB
+    // re-derives the SAME matrix from (i, j) hashes and replays the whole
+    // projection — the portable twin pattern for an op whose float form
+    // could never hash-match. Pure per-row kernel: zero shuffle.
+    Q("q200_jl_projection",
+      (s, dir) => Embeddings.withJlProjection(
+          t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+            .select("vec_id", "embedding"),
+          "embedding", outDim = 16, dim = 64)
+        .select(col("vec_id"),
+          posexplode(col("embedding_jl")).as(Seq("i", "c")))
+        .select(col("vec_id"), col("i").cast("int").as("i"), col("c"))
+        .orderBy("vec_id", "i"),
+      Some("""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |s AS (
+        |  SELECT i.i, j.j,
+        |    CASE WHEN CAST(('0x' || substring(sha256(
+        |        CAST(i.i AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)),
+        |        1, 15))::UBIGINT AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(range(16)) AS i) i,
+        |       (SELECT unnest(range(64)) AS j) j)
+        |SELECT q.vec_id, CAST(s.i AS INT) AS i,
+        |  CAST(sum(s.sgn * q.qv) AS BIGINT) AS c
+        |FROM q JOIN s ON s.j = q.j
+        |GROUP BY 1, 2 ORDER BY vec_id, i""".stripMargin)),
   )
 }

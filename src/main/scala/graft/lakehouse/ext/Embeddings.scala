@@ -74,4 +74,53 @@ object Embeddings {
       .withColumn(qCol, col("__q._2"))
       .drop("__q")
   }
+
+  // ---- fixed-point Johnson–Lindenstrauss random projection ----------------
+
+  /** Sign-matrix entry for row `i`, input component `j0` (both 0-based):
+    * parity of the 60-bit sha-256 prefix of "i#j0" → ±1. The SAME hash
+    * recipe as the portable sketches (Sketches.cmsHash), so any engine
+    * derives the identical matrix from (i, j0) alone — nothing is stored
+    * or shipped. */
+  private[ext] def jlSign(i: Int, j0: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s"$i#$j0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** Fixed-point Johnson–Lindenstrauss projection to `outDim` dimensions
+    * (Achlioptas JCSS'03's database-friendly ±1 matrix, quantized):
+    * components floor-quantize to integers at `scale`, then each output
+    * coordinate is an exact integer signed sum
+    * `p_i = Σ_j sign(i,j)·floor(v_j·scale)` under the sha-derived sign
+    * matrix — E⟨Pa,Pb⟩ = outDim·⟨qa,qb⟩, the JL dot-product guarantee,
+    * with every arithmetic step integral and engine-portable (float JL
+    * is an unordered IEEE sum twice over). The standard compression step
+    * before ANN indexing or clustering when 64-dim embeddings are still
+    * too wide for a billion-row index.
+    *
+    * 100 TB shape: a pure per-row kernel — zero shuffle, rides the input
+    * partitioning; the sign matrix is outDim × dim ints rebuilt from the
+    * hash in each task closure (never shipped, never collected). Vectors
+    * shorter than `dim` project as if zero-padded; extra components are
+    * ignored. Output: `outCol` = array<long> of length `outDim`. */
+  def withJlProjection(df: DataFrame, vecCol: String, outDim: Int, dim: Int,
+      scale: Long = 1000000L, outCol: String = "embedding_jl"): DataFrame = {
+    require(outDim >= 1 && dim >= 1 && scale >= 1, "need positive dims/scale")
+    val signs = Array.tabulate(outDim, dim)(jlSign)
+    val projUdf = udf((v: Seq[Double]) => {
+      val n = math.min(v.length, dim)
+      val out = new Array[Long](outDim)
+      var j = 0
+      while (j < n) {
+        val q = math.floor(v(j) * scale).toLong
+        var i = 0
+        while (i < outDim) { out(i) += signs(i)(j) * q; i += 1 }
+        j += 1
+      }
+      out
+    })
+    df.withColumn(outCol, projUdf(asDouble(col(vecCol))))
+  }
 }

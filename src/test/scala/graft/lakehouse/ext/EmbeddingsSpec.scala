@@ -46,4 +46,58 @@ class EmbeddingsSpec extends SparkSuite {
       .collect().map(_.getDouble(0))
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9, n.toString))
   }
+
+  test("JL projection: golden hand-replay, padding, and partition " +
+      "invariance") {
+    // hand-replay a 2-vector case against jlSign directly
+    val df = Seq((1L, Seq(0.5, -1.25, 2.0)), (2L, Seq(3.0))).toDF("id", "v")
+    val got = Embeddings.withJlProjection(df, "v", outDim = 4, dim = 3,
+        scale = 100L)
+      .orderBy("id").collect().map(_.getSeq[Long](2))
+    val q1 = Seq(50L, -125L, 200L)
+    val exp1 = (0 until 4).map(i =>
+      (0 until 3).map(j => Embeddings.jlSign(i, j) * q1(j)).sum)
+    // the 1-component vector projects as if zero-padded
+    val exp2 = (0 until 4).map(i => Embeddings.jlSign(i, 0) * 300L)
+    assert(got(0).toSeq == exp1, s"${got(0)} vs $exp1")
+    assert(got(1).toSeq == exp2, s"${got(1)} vs $exp2")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val once = Embeddings.withJlProjection(emb, "embedding", 16, 64)
+      .select("vec_id", "embedding_jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val again = Embeddings.withJlProjection(emb.repartition(7), "embedding",
+        16, 64)
+      .select("vec_id", "embedding_jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(once == again, "projection is a pure per-row function")
+  }
+
+  test("JL projection preserves dot products in expectation: " +
+      "<Pa,Pb>/outDim tracks <qa,qb> on fixture pairs") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(40)
+    val r = 16
+    val rows = Embeddings.withJlProjection(emb, "embedding", r, 64)
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000000L).cast("long")).as("q"),
+        $"embedding_jl")
+      .collect()
+      .map(x => (x.getLong(0), x.getSeq[Long](1), x.getSeq[Long](2)))
+    def dot(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    // across many pairs the SIGNED dot products must agree far more often
+    // than chance and the average relative estimator error must be
+    // bounded — per-pair JL error at r=16 is large, the aggregate is not
+    val pairs = for (i <- rows.indices; j <- rows.indices if i < j)
+      yield (rows(i), rows(j))
+    val errs = pairs.map { case ((_, qa, pa), (_, qb, pb)) =>
+      val exact = dot(qa, qb)
+      val est = dot(pa, pb) / r
+      val denom = math.sqrt(dot(qa, qa)) * math.sqrt(dot(qb, qb))
+      (est - exact) / (if (denom == 0.0) 1.0 else denom)
+    }
+    val meanAbs = errs.map(math.abs).sum / errs.length
+    // 1/sqrt(16) = 0.25 is the single-pair noise scale; the mean |error|
+    // over ~780 pairs sits well inside it
+    assert(meanAbs < 0.25, s"mean normalized JL error $meanAbs")
+  }
 }
