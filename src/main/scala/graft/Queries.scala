@@ -5279,5 +5279,66 @@ object Queries {
         |  CAST(sum(s.sgn * q.qv) AS BIGINT) AS c
         |FROM q JOIN s ON s.j = q.j
         |GROUP BY 1, 2 ORDER BY vec_id, i""".stripMargin)),
+
+    // Anti-entropy replica verification (Dynamo/Cassandra Merkle repair,
+    // one level): both tables summarize to 256 order-independent bucket
+    // fingerprints (count + bit_xor of 60-bit sha row digests, keyed by
+    // the key digest mod buckets) and only disagreeing buckets surface —
+    // an O(buckets) exchange regardless of table size. The replica here
+    // diverges by a scripted perturbation (status flips + dropped rows);
+    // DuckDB rebuilds both fingerprint tables from the same hashes and
+    // replays the full-outer diff.
+    Q("q201_anti_entropy",
+      (s, dir) => {
+        val src = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val rep = src
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 997 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .filter(col("o_orderkey") % 1499 =!= 0)
+        Integrity.checksumDiff(src, rep,
+          col("o_orderkey").cast("string"),
+          concat_ws("#", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus")),
+          buckets = 256).orderBy("bucket")
+      },
+      Some("""WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        |rep AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 997 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus
+        |  FROM src WHERE o_orderkey % 1499 <> 0),
+        |fa AS (
+        |  SELECT CAST(hkey % 256 AS INT) AS bucket,
+        |    count(*) AS n_a, bit_xor(hrow) AS checksum_a
+        |  FROM (
+        |    SELECT
+        |      CAST(('0x' || substring(sha256(CAST(o_orderkey AS VARCHAR)),
+        |        1, 15))::UBIGINT AS BIGINT) AS hkey,
+        |      CAST(('0x' || substring(sha256(concat_ws('#', o_orderkey,
+        |        o_custkey, o_orderstatus)), 1, 15))::UBIGINT AS BIGINT)
+        |        AS hrow
+        |    FROM src) GROUP BY 1),
+        |fb AS (
+        |  SELECT CAST(hkey % 256 AS INT) AS bucket,
+        |    count(*) AS n_b, bit_xor(hrow) AS checksum_b
+        |  FROM (
+        |    SELECT
+        |      CAST(('0x' || substring(sha256(CAST(o_orderkey AS VARCHAR)),
+        |        1, 15))::UBIGINT AS BIGINT) AS hkey,
+        |      CAST(('0x' || substring(sha256(concat_ws('#', o_orderkey,
+        |        o_custkey, o_orderstatus)), 1, 15))::UBIGINT AS BIGINT)
+        |        AS hrow
+        |    FROM rep) GROUP BY 1)
+        |SELECT coalesce(fa.bucket, fb.bucket) AS bucket,
+        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |  coalesce(checksum_a, 0) AS checksum_a,
+        |  coalesce(checksum_b, 0) AS checksum_b
+        |FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+        |WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
+        |  OR coalesce(checksum_a, 0) <> coalesce(checksum_b, 0)
+        |ORDER BY bucket""".stripMargin)),
   )
 }
