@@ -343,4 +343,39 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q198 KMV sketch: the bottom-k aggregate partial-aggregates — " +
+      "one group exchange, the hashed value stream never shuffles raw") {
+    val df = SparkEntry.queries("q198_kmv_sketch")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // ObjectHashAggregate (the TypedImperativeAggregate host) must appear
+    // in partial + final form around a single group-key exchange; a plan
+    // that shuffled the raw hashes to sort/rank them would show a window
+    // or a sort before aggregation
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q200 JL projection is a pure per-row kernel: zero exchanges " +
+      "before the final ordering") {
+    val df = SparkEntry.queries("q200_jl_projection")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Window") && !p.contains("HashAggregate"), p)
+  }
+
+  test("q201 anti-entropy: fingerprints partial-aggregate (one bucket " +
+      "exchange per side), the row streams never shuffle raw") {
+    val df = SparkEntry.queries("q201_anti_entropy")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // two bucket-keyed aggregation exchanges (one per table) feed the
+    // full-outer diff; anything more would mean a row-level shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("FullOuter"), p)
+  }
 }
