@@ -5340,5 +5340,40 @@ object Queries {
         |WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
         |  OR coalesce(checksum_a, 0) <> coalesce(checksum_b, 0)
         |ORDER BY bucket""".stripMargin)),
+
+    // UNIQUE constraints end to end: declared as a validated metadata
+    // commit (feature-gated), a disjoint-key append lands, and a
+    // violating append is rejected ATOMICALLY — the in-query require
+    // proves the rejection, and the hash-matched final state proves
+    // nothing from the rejected batch leaked in. The against-table probe
+    // is stats-pruned: single-column keys only scan files whose min/max
+    // range intersects the batch's.
+    Q("q202_unique_constraint",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "uniq_orders")
+        val base = t(s, dir, "orders").filter(col("o_orderkey") % 40 === 0)
+          .select("o_orderkey", "o_totalprice")
+        TableIO.writeTable(s, lh, "uniq_orders", base)
+        TableIO.addUniqueConstraint(s, lh, "uniq_orders", "pk",
+          Seq("o_orderkey"))
+        TableIO.appendTable(s, lh, "uniq_orders",
+          base.select((col("o_orderkey") + 1).as("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice")))
+        val rejected =
+          try { TableIO.appendTable(s, lh, "uniq_orders", base.limit(10)); false }
+          catch { case _: IllegalArgumentException => true }
+        require(rejected, "duplicate-key append must be rejected")
+        TableIO.selectTable(s, lh, "uniq_orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 40 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey % 40 = 0)
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -1723,6 +1723,131 @@ object TableIO {
     ()
   }
 
+  // ---- UNIQUE constraints -------------------------------------------------
+
+  private val UniquePrefix = "unique:"
+
+  /** The UNIQUE constraints recorded in a version's metadata
+    * (name -> key columns). */
+  def uniqueConstraintsOf(meta: Map[String, String]): Map[String, Seq[String]] =
+    meta.collect { case (k, v) if k.startsWith(UniquePrefix) =>
+      k.drop(UniquePrefix.length) -> v.split(",").toSeq }
+
+  /** Batch-internal UNIQUE enforcement. SQL semantics: a row with a NULL
+    * in ANY key column never conflicts (the standard multiple-NULLs-
+    * allowed reading). One bounded aggregation per constraint over the
+    * BATCH being written, never the table. */
+  private[lakehouse] def enforceUniqueWithin(df: DataFrame,
+      uniques: Map[String, Seq[String]], ctx: String): Unit =
+    uniques.foreach { case (name, cols) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      if (cols.forall(df.columns.contains)) {
+        val dup = df
+          .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(org.apache.spark.sql.functions.col("__n") > 1)
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"$ctx violates UNIQUE constraint '$name' " +
+            s"(${cols.mkString(", ")}); duplicated key: ${dup.head}")
+      }
+    }
+
+  /** Batch-vs-table UNIQUE enforcement for appends: the existing side is
+    * scanned key-columns-only (parquet column pruning does the rest), and
+    * for single-column constraints the manifest min/max stats drop every
+    * file whose recorded key range cannot intersect the batch's [min,
+    * max] — on monotonically-keyed append streams (the common unique-key
+    * shape) the probe touches only the newest files instead of the whole
+    * table. The batch side is persisted by the caller's append pipeline;
+    * the probe is one left-semi-join action bounded by limit(1). */
+  private[lakehouse] def enforceUniqueAgainst(spark: SparkSession,
+      tableDir: String, m: Versioned.Manifest, batch: DataFrame,
+      uniques: Map[String, Seq[String]], ctx: String): Unit =
+    uniques.foreach { case (name, cols) =>
+      import org.apache.spark.sql.functions.{col, max, min}
+      if (m.entries.nonEmpty && cols.forall(batch.columns.contains)) {
+        val keys = batch.select(cols.map(col): _*)
+          .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val entries = cols match {
+          case Seq(c) if schema.fieldNames.contains(c) =>
+            val physCol = physicalMapping(schema).getOrElse(c, c)
+            val dt = schema.fields.find(_.name == c).map(_.dataType)
+              .getOrElse(StringType)
+            val mm = keys.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head
+            if (mm.isNullAt(0)) Seq.empty
+            else m.entries.filter { e =>
+              statsRange(e, physCol) match {
+                case Some(range) =>
+                  mayMatch(dt, range, Some(mm.get(0)), Some(mm.get(1)))
+                case None => true // no stats: must probe
+              }
+            }
+          case _ => m.entries
+        }
+        if (entries.nonEmpty) {
+          val existing = scanSpec(spark, Versioned.scanOf(tableDir, m, entries))
+            .select(cols.map(col): _*)
+          val hit = keys.join(existing, cols, "left_semi").limit(1).collect()
+          if (hit.nonEmpty) throw new IllegalArgumentException(
+            s"$ctx violates UNIQUE constraint '$name' " +
+              s"(${cols.mkString(", ")}); key already present: ${hit.head}")
+        }
+      }
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT ... UNIQUE (metadata commit, feature-
+    * gated like CHECK constraints): existing data is validated first —
+    * one key-columns-only aggregation over the table — then enforcement
+    * holds on every overwrite (batch-internal) and append (batch-internal
+    * + stats-pruned probe against existing keys). MERGE/keyed-replace
+    * paths are deliberately NOT probed: they replace by key, so a
+    * conflict there is the caller updating existing keys — the operation
+    * those paths exist for. */
+  def addUniqueConstraint(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, name: String, cols: Seq[String]): Unit = {
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\n"),
+      "constraint names must be single-line and '='-free")
+    require(cols.nonEmpty && cols.forall(c => !c.contains(",")),
+      "UNIQUE needs at least one comma-free column name")
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName needs a manifest-based version to carry constraints"))
+    require(!m.meta.contains(UniquePrefix + name),
+      s"$tableName already has a UNIQUE constraint named '$name' — drop " +
+        "it first (silent replacement would change enforcement unnoticed)")
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"$tableName has no column '$c'"))
+    enforceUniqueWithin(
+      scanSpec(spark, Versioned.scanOf(tableDir, m, m.entries))
+        .select(cols.map(org.apache.spark.sql.functions.col): _*),
+      Map(name -> cols), s"$tableName: existing data")
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base,
+      meta = Versioned.withFeature(
+        m.meta + (UniquePrefix + name -> cols.mkString(",")),
+        "uniqueConstraints"),
+      op = "ADD CONSTRAINT") { _ => () }
+    ()
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT for UNIQUE (metadata-only commit). */
+  def dropUniqueConstraint(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, name: String): Unit = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(s"$tableName has no versions"))
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base, meta = m.meta - (UniquePrefix + name),
+      op = "DROP CONSTRAINT") { _ => () }
+    ()
+  }
+
   /** common.py:525-538 — overwrite-write (optionally Hive-style partitioned),
     * then record `{lakehouse, shape, columns, path}` into the registry.
     * Schema changes are first-class: the new version's manifest stores the
@@ -1779,7 +1904,8 @@ object TableIO {
     val prevMeta = prevManifest.map(_.meta)
       .getOrElse(Map.empty[String, String])
     val carried = prevMeta.filter { case (k, _) =>
-      k.startsWith(CheckPrefix) || k == CdfKey ||
+      k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
+        k == CdfKey ||
         k.startsWith(GeneratedPrefix) || k.startsWith(IdentityPrefix) ||
         k.startsWith(IdentityMaxPrefix) || k.startsWith(DefaultPrefix) ||
         // feature requirements are STICKY (Delta semantics): dropping them
@@ -1788,6 +1914,10 @@ object TableIO {
         k == Versioned.FeaturesKey }
     val checks = checkConstraintsOf(prevMeta)
     enforceChecks(df, checks, s"$tableName: overwrite")
+    // overwrite replaces the table wholesale, so uniqueness is a batch-
+    // internal property only
+    enforceUniqueWithin(df, uniqueConstraintsOf(prevMeta),
+      s"$tableName: overwrite")
     // with the feed enabled, an overwrite is a modeled event: every current
     // row streams as a delete, every replacement row as an insert (Delta
     // CDF for INSERT OVERWRITE) — O(table), like the overwrite itself.
@@ -1906,6 +2036,10 @@ object TableIO {
                 withIdentityAssigned(dfg, m.meta, s"$tableName: append")
               try {
                 enforceChecks(dfi, checkConstraintsOf(m.meta), s"$tableName: append")
+                val uniques = uniqueConstraintsOf(m.meta)
+                enforceUniqueWithin(dfi, uniques, s"$tableName: append")
+                enforceUniqueAgainst(spark, tableDir, m, dfi, uniques,
+                  s"$tableName: append")
                 val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
                 val oldEmpty = spark.createDataFrame(
                   spark.sparkContext.emptyRDD[Row], oldSchema)
@@ -2973,7 +3107,8 @@ object TableIO {
       // resurrect dropped bytes; without the spec, appends would revert
       // to the file-derived layout. txn watermarks stay behind.
       meta = m.meta.filter { case (k, _) =>
-        k.startsWith(CheckPrefix) || k == CdfKey ||
+        k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
+          k == CdfKey ||
           k == PartitionByKey || k.startsWith(TombstonePrefix) ||
           // declared-schema properties describe the DATA and clone with
           // it: generated/identity declarations (+ the identity
@@ -3045,7 +3180,8 @@ object TableIO {
       expectedBase = Some(Versioned.latestVersion(dstDir).getOrElse(0L)),
       collectStats = _ => statsByRel,
       meta = m.meta.filter { case (k, _) =>
-        k.startsWith(CheckPrefix) || k == CdfKey ||
+        k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
+          k == CdfKey ||
           k == PartitionByKey || k.startsWith(TombstonePrefix) ||
           // declared-schema properties describe the DATA and clone with
           // it: generated/identity declarations (+ the identity

@@ -328,7 +328,8 @@ object Versioned {
     "deletionVectors", "columnMapping", "identityColumns",
     "generatedColumns", "checkConstraints", "changeDataFeed",
     "deltaManifests", "partitionEvolution", "multiTableTxn",
-    "rowTracking", "typeWidening", "defaultColumns")
+    "rowTracking", "typeWidening", "defaultColumns",
+    "uniqueConstraints")
 
   // ---- multi-table transactions (Percolator-style decided outcomes) ----
   //

@@ -302,8 +302,11 @@ object TextStats {
 
   /** Per-document top-k TF-IDF terms (smooth idf: ln((N+1)/(df+1)) + 1).
     * Keyword extraction over a corpus: one shuffle to (doc, word) term
-    * frequencies, one window over words for document frequency, one window
-    * over docs for the top-k cut — nothing driver-side, N rides a broadcast
+    * frequencies, one per-term AGGREGATE for document frequency (joined
+    * back — the vocabulary frame is tiny and broadcasts; the window-over-
+    * term alternative SORTS the whole tf table and hands a stop-word's
+    * billion-row partition to a single task at scale), one window over
+    * docs for the top-k cut — nothing driver-side, N rides a broadcast
     * single-row aggregate. Ties rank alphabetically (deterministic). */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -314,8 +317,9 @@ object TextStats {
       .where(length(col("term")) > 0)
     val tf = words.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val nDocs = broadcast(tf.agg(countDistinct(col(idCol)).as("n_docs")))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val scored = tf
-      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dfT, "term")
       .crossJoin(nDocs)
       .withColumn("score", col("tf") *
         (log((col("n_docs") + 1.0) / (col("df_t") + 1.0)) + 1.0))
