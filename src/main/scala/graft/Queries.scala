@@ -5375,5 +5375,26 @@ object Queries {
         |  SELECT o_orderkey + 1, o_totalprice * 2 FROM orders
         |  WHERE o_orderkey % 40 = 0)
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // Semi-structured extraction end to end: the events.props JSON column
+    // is schema-inferred from a bounded seeded sample (driver holds only
+    // the schema), shredded with codegen'd from_json, and the extracted
+    // typed field aggregates per event_type — integer-exact, so DuckDB's
+    // independent JSON extraction must land on the same counts and sums.
+    Q("q203_json_shred",
+      (s, dir) => {
+        val flat = Semistructured.flattenJson(s, ev(s, dir), "props")
+        flat.groupBy("event_type")
+          .agg(count(col("k")).as("n_k"),
+            sum(col("k")).as("sum_k"),
+            countDistinct(col("k")).as("distinct_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+        |  count(CAST(props->>'k' AS BIGINT)) AS n_k,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT)
+        |    AS distinct_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
   )
 }
