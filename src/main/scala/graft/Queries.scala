@@ -5396,5 +5396,34 @@ object Queries {
         |  CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT)
         |    AS distinct_k
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Declared FOREIGN KEY + on-demand referential audit: the parent
+    // drops a third of its keys, the FK declares NOT VALID (recording
+    // intent without the audit — the lakehouse-standard informational
+    // constraint), and validateForeignKey returns the distinct orphaned
+    // child keys via one anti join. DuckDB replays the anti join.
+    Q("q204_fk_audit",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "fk_parent")
+        TableIO.dropTable(s, lh, "fk_child")
+        TableIO.writeTable(s, lh, "fk_parent",
+          t(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+            .select("c_custkey", "c_name"))
+        TableIO.writeTable(s, lh, "fk_child",
+          t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
+            .select("o_orderkey", "o_custkey"))
+        TableIO.addForeignKey(s, lh, "fk_child", "fk_cust",
+          Seq("o_custkey"), "fk_parent", Seq("c_custkey"),
+          validate = false)
+        TableIO.validateForeignKey(s, lh, "fk_child", Seq("o_custkey"),
+          "fk_parent", Seq("c_custkey")).orderBy("o_custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey
+        |FROM orders
+        |WHERE o_orderkey % 20 = 0 AND o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (
+        |    SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+        |ORDER BY o_custkey""".stripMargin)),
   )
 }

@@ -1848,6 +1848,96 @@ object TableIO {
     ()
   }
 
+  // ---- FOREIGN KEY constraints (informational + on-demand validation) -----
+
+  private val FkPrefix = "fk:"
+
+  /** Declared foreign keys of a version's metadata:
+    * name -> (childCols, parentTable, parentCols). */
+  def foreignKeysOf(meta: Map[String, String])
+      : Map[String, (Seq[String], String, Seq[String])] =
+    meta.collect { case (k, v) if k.startsWith(FkPrefix) =>
+      val Array(cc, pt, pc) = v.split(";", 3)
+      k.drop(FkPrefix.length) ->
+        ((cc.split(",").toSeq, pt, pc.split(",").toSeq))
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT ... FOREIGN KEY — INFORMATIONAL, the
+    * lakehouse norm (Delta/Snowflake declare FKs for optimizers and
+    * catalogs but do not police every write: enforcement would make each
+    * child append pay a parent probe and each parent delete pay a child
+    * scan). `validate = true` checks existing data once at declaration;
+    * [[validateForeignKey]] is the on-demand audit that returns the
+    * violating keys. Declarations are metadata-only commits and carry no
+    * feature gate — a down-level writer that ignores them breaks nothing
+    * (they promise nothing about future writes). */
+  def addForeignKey(spark: SparkSession, lh: LakehouseProps,
+      childTable: String, name: String, childCols: Seq[String],
+      parentTable: String, parentCols: Seq[String],
+      validate: Boolean = true): Unit = {
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\n"),
+      "constraint names must be single-line and '='-free")
+    require(childCols.nonEmpty && childCols.size == parentCols.size,
+      "FOREIGN KEY needs matching child/parent column lists")
+    require((childCols ++ parentCols :+ parentTable)
+      .forall(v => !v.contains(",") && !v.contains(";")),
+      "FK identifiers must be ','/';'-free")
+    val tableDir = Catalog.tablePath(lh, childTable)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$childTable needs a manifest-based version to carry constraints"))
+    require(!m.meta.contains(FkPrefix + name),
+      s"$childTable already has a FOREIGN KEY named '$name'")
+    if (validate) {
+      val bad = validateForeignKey(spark, lh, childTable, childCols,
+        parentTable, parentCols).limit(1).collect()
+      require(bad.isEmpty,
+        s"$childTable: existing data violates FOREIGN KEY '$name'; " +
+          s"orphan: ${bad.headOption}")
+    }
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base,
+      meta = m.meta + (FkPrefix + name ->
+        s"${childCols.mkString(",")};$parentTable;${parentCols.mkString(",")}"),
+      op = "ADD CONSTRAINT") { _ => () }
+    ()
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT for FOREIGN KEY (metadata-only). */
+  def dropForeignKey(spark: SparkSession, lh: LakehouseProps,
+      childTable: String, name: String): Unit = {
+    val tableDir = Catalog.tablePath(lh, childTable)
+    val base = Versioned.latestVersion(tableDir)
+    val m = base.flatMap(Versioned.readManifest(tableDir, _)).getOrElse(
+      throw new IllegalArgumentException(s"$childTable has no versions"))
+    Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
+      expectedBase = base, meta = m.meta - (FkPrefix + name),
+      op = "DROP CONSTRAINT") { _ => () }
+    ()
+  }
+
+  /** On-demand referential audit: DISTINCT child keys with no parent —
+    * SQL FK semantics (a child row with a NULL in any key column
+    * matches vacuously, MATCH SIMPLE). Plan: distinct child keys
+    * (partial-aggregated), LEFT ANTI against the parent keys — AQE
+    * broadcasts dim-sized parents; corpus-sized sides shuffle on the
+    * key, the join's natural partitioning. Returns the violating key
+    * tuples under the child column names. */
+  def validateForeignKey(spark: SparkSession, lh: LakehouseProps,
+      childTable: String, childCols: Seq[String], parentTable: String,
+      parentCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val child = selectTable(spark, lh, childTable)
+      .select(childCols.map(col): _*)
+      .filter(childCols.map(col(_).isNotNull).reduce(_ && _))
+      .distinct()
+    val parent = selectTable(spark, lh, parentTable)
+      .select(parentCols.zip(childCols).map { case (p, c) =>
+        col(p).as(c) }: _*)
+    child.join(parent, childCols, "left_anti")
+  }
+
   /** common.py:525-538 — overwrite-write (optionally Hive-style partitioned),
     * then record `{lakehouse, shape, columns, path}` into the registry.
     * Schema changes are first-class: the new version's manifest stores the
