@@ -5425,5 +5425,55 @@ object Queries {
         |  AND o_custkey NOT IN (
         |    SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
         |ORDER BY o_custkey""".stripMargin)),
+
+    // Expectation-gated ingestion (DLT expect_or_quarantine): a perturbed
+    // orders batch splits through one codegen'd gate pass — passing rows
+    // land in the gold table, failing rows in the quarantine table with
+    // their failed checks recorded (declaration order) — and the query
+    // reads BOTH destinations back tagged. The oracle replays the split
+    // and the reason strings, so the routing and the why are both
+    // hash-verified.
+    Q("q205_quarantine_ingest",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "gold_orders")
+        TableIO.dropTable(s, lh, "gold_orders_quarantine")
+        val batch = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 70 === 0, lit(null).cast("bigint"))
+              .otherwise(col("o_custkey")).as("o_custkey"),
+            when(col("o_orderkey") % 90 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        graft.lakehouse.Ingest.appendWithQuarantine(s, lh, "gold_orders",
+          "gold_orders_quarantine", batch, Seq(
+            Quality.NotNull("o_custkey"),
+            Quality.InRange("o_totalprice", 0.0, 1e9)))
+        TableIO.selectTable(s, lh, "gold_orders")
+          .select(lit("gold").as("dest"), col("o_orderkey"),
+            lit("").as("failed_checks"))
+          .unionByName(TableIO.selectTable(s, lh, "gold_orders_quarantine")
+            .select(lit("quarantine").as("dest"), col("o_orderkey"),
+              col("failed_checks")))
+          .orderBy("dest", "o_orderkey")
+      },
+      Some("""WITH batch AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 70 = 0 THEN NULL
+        |      ELSE o_custkey END AS ck,
+        |    CASE WHEN o_orderkey % 90 = 0 THEN -o_totalprice
+        |      ELSE o_totalprice END AS tp
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |tagged AS (
+        |  SELECT o_orderkey,
+        |    concat_ws(',',
+        |      CASE WHEN ck IS NULL THEN 'not_null:o_custkey' END,
+        |      CASE WHEN tp IS NOT NULL AND (tp < 0 OR tp > 1e9)
+        |        THEN 'in_range:o_totalprice' END) AS failed
+        |  FROM batch)
+        |SELECT CASE WHEN failed = '' THEN 'gold'
+        |    ELSE 'quarantine' END AS dest,
+        |  o_orderkey, failed AS failed_checks
+        |FROM tagged ORDER BY dest, o_orderkey""".stripMargin)),
   )
 }

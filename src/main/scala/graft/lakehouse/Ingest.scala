@@ -354,4 +354,42 @@ object Ingest {
       Catalog.tablePath(lh, tableName),
       TableIO.partitioningOfFiles(m.files))
   }
+
+  /** Expectation-gated ingestion (the DLT `expect_or_quarantine`
+    * pattern): one codegen'd gate pass tags each batch row with its
+    * failed row-local checks, passing rows append to `tableName`, failing
+    * rows append to `quarantineName` with a `failed_checks` column (the
+    * check names, declaration order, comma-joined — a quarantine row
+    * must say WHY it landed there or triage is archaeology). Returns
+    * (passed, quarantined) counts.
+    *
+    * Scale shape: the gate is per-row and the split is two filters over
+    * one persisted gated frame — the batch is scanned once and shuffles
+    * only through the writers. Either destination is created on first
+    * use; both appends are ordinary versioned commits, so the quarantine
+    * table carries a change feed / time travel like any other. */
+  def appendWithQuarantine(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, quarantineName: String, batch: DataFrame,
+      checks: Seq[graft.lakehouse.ext.Quality.Expectation]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, concat_ws, size}
+    val gated = graft.lakehouse.ext.Quality.gateExpectations(batch, checks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val good = gated.filter(size(col("failed_checks")) === 0)
+        .drop("failed_checks")
+      val bad = gated.filter(size(col("failed_checks")) > 0)
+        .withColumn("failed_checks", concat_ws(",", col("failed_checks")))
+      def land(name: String, df: DataFrame): Long = {
+        val n = df.count()
+        if (n > 0) {
+          val dir = Catalog.tablePath(lh, name)
+          if (Versioned.latestVersion(dir).isEmpty)
+            TableIO.writeTable(spark, lh, name, df)
+          else TableIO.appendTable(spark, lh, name, df)
+        }
+        n
+      }
+      (land(tableName, good), land(quarantineName, bad))
+    } finally gated.unpersist()
+  }
 }

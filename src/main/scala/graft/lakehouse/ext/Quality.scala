@@ -89,6 +89,39 @@ object Quality {
         .limit(0))
   }
 
+  /** Row-local pass predicate for an expectation (NULL-tolerant SQL
+    * semantics: range/membership checks pass on null — NotNull is the
+    * check that polices nulls). None for checks that need cross-row
+    * context (Unique, ForeignKey). */
+  private def rowPredicate(e: Expectation): Option[Column] = e match {
+    case NotNull(c) => Some(col(c).isNotNull)
+    case InRange(c, lo, hi) =>
+      Some(col(c).isNull || (col(c) >= lo && col(c) <= hi))
+    case AcceptedValues(c, vs) =>
+      Some(col(c).isNull || col(c).isin(vs: _*))
+    case _ => None
+  }
+
+  /** DLT-style expectation gate: ONE codegen'd pass tags every row with
+    * the names of the row-local checks it fails (`failedCol`, in check
+    * declaration order; empty = passing). Callers split on
+    * `size(failedCol) == 0` — the expect_or_drop / quarantine pattern:
+    * bad rows are data to route, not errors to throw. Cross-row checks
+    * (Unique / ForeignKey) are refused loudly: a per-row gate cannot
+    * decide them. Zero shuffle. */
+  def gateExpectations(df: DataFrame, checks: Seq[Expectation],
+      failedCol: String = "failed_checks"): DataFrame = {
+    require(checks.nonEmpty, "gate needs at least one expectation")
+    val preds = checks.map(e => e.name -> rowPredicate(e))
+    val unsupported = preds.collect { case (n, None) => n }
+    require(unsupported.isEmpty,
+      s"quarantine gate supports row-local checks only; got: " +
+        unsupported.mkString(", "))
+    val tags = preds.map { case (n, Some(p)) => when(!p, lit(n)) }
+    df.withColumn(failedCol,
+      filter(array(tags: _*), x => x.isNotNull))
+  }
+
   /** Keyed snapshot diff: classify every key present in `before` or
     * `after` as added / removed / changed / unchanged (changed = any
     * non-key column differs, null-safe struct compare). ONE full outer

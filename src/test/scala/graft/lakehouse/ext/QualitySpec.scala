@@ -55,4 +55,56 @@ class QualitySpec extends SparkSuite {
       Quality.diffSnapshots(a, b, Seq("k"))
     }
   }
+
+  test("gateExpectations tags failures in declaration order with SQL " +
+      "null semantics; cross-row checks refused") {
+    val df = Seq(
+      (Some(1L), Some(10.0), "O"),   // clean
+      (None, Some(10.0), "O"),       // not_null fails
+      (Some(3L), Some(-5.0), "X"),   // in_range + accepted_values fail
+      (Some(4L), None, "O")          // null range value: passes (SQL)
+    ).toDF("k", "v", "s")
+    val checks = Seq(Quality.NotNull("k"),
+      Quality.InRange("v", 0.0, 100.0),
+      Quality.AcceptedValues("s", Seq("O", "F")))
+    val got = Quality.gateExpectations(df, checks)
+      .select($"s", $"k", $"failed_checks").collect()
+      .map(r => (Option(r.get(1)), r.getSeq[String](2).toList)).toMap
+    assert(got(Some(1L)) == Nil)
+    assert(got(None) == List("not_null:k"))
+    assert(got(Some(3L)) == List("in_range:v", "accepted_values:s"),
+      "declaration order")
+    assert(got(Some(4L)) == Nil, "null range value passes; only " +
+      "NotNull polices nulls")
+    intercept[IllegalArgumentException] {
+      Quality.gateExpectations(df, Seq(Quality.Unique(Seq("k"))))
+    }
+  }
+
+  test("appendWithQuarantine splits a batch into both tables with " +
+      "reasons recorded") {
+    import graft.lakehouse.{Catalog, Ingest, TableIO}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("quar").toString,
+      "ws_quar", "lh_quar").lakehouses.head
+    val batch = Seq(
+      (Some(1L), 10.0), (Some(2L), -3.0), (None, 5.0)
+    ).toDF("k", "v")
+    val checks = Seq(Quality.NotNull("k"), Quality.InRange("v", 0.0, 100.0))
+    val (ok, bad) = Ingest.appendWithQuarantine(spark, lh, "gold",
+      "gold_quarantine", batch, checks)
+    assert((ok, bad) == (1L, 2L), (ok, bad))
+    assert(TableIO.selectTable(spark, lh, "gold").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val q = TableIO.selectTable(spark, lh, "gold_quarantine").collect()
+      .map(r => Option(r.get(0)) -> r.getString(2)).toMap
+    assert(q == Map(Some(2L) -> "in_range:v", None -> "not_null:k"), q)
+    // second batch APPENDS to both existing tables
+    val (ok2, bad2) = Ingest.appendWithQuarantine(spark, lh, "gold",
+      "gold_quarantine", Seq((Some(9L), 1.0), (None, 1.0)).toDF("k", "v"),
+      checks)
+    assert((ok2, bad2) == (1L, 1L))
+    assert(TableIO.selectTable(spark, lh, "gold").count() == 2)
+    assert(TableIO.selectTable(spark, lh, "gold_quarantine").count() == 3)
+  }
 }
