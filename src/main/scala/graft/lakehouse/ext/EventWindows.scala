@@ -293,6 +293,29 @@ object EventWindows {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming expectation gate (DLT `expect_or_quarantine` on a
+    * stream): each micro-batch splits through ONE codegen'd gate pass —
+    * passing rows append to `tableName`, failing rows to
+    * `quarantineName` with their failed checks recorded — both as
+    * ordinary versioned commits, so the quarantine table streams,
+    * time-travels, and feeds CDF like any other. No state between
+    * batches (the gate is per-row), so the per-batch cost is the two
+    * appends: O(batch), files inherit by reference. */
+  def streamIngestGated(events: DataFrame, spark: SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      quarantineName: String,
+      checks: Seq[graft.lakehouse.ext.Quality.Expectation],
+      checkpoint: Option[String] = None) = {
+    val w = events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        graft.lakehouse.Ingest.appendWithQuarantine(spark, lh, tableName,
+          quarantineName, batch.toDF(), checks)
+        ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming UPSERT sink (the Delta `foreachBatch` MERGE pattern): each
     * micro-batch merges into the versioned table on `keyCols` — existing
     * keys update, new keys insert — and the batch id commits ATOMICALLY

@@ -373,4 +373,28 @@ class EventWindowsSpec extends SparkSuite {
       assert(got(1).getAs[Double]("total_value") == 5.0)
     } finally q.stop()
   }
+
+  test("streamIngestGated routes each micro-batch's rows to gold or " +
+      "quarantine with reasons, as versioned commits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.lakehouse.{Catalog, TableIO}
+    val dir = java.nio.file.Files.createTempDirectory("gate_stream").toString
+    val lh = Catalog.registerLocalWorkspace(dir, "ws_gs", "lh_gs").lakehouses.head
+    val mem = MemoryStream[(Long, Double)]
+    val q = EventWindows.streamIngestGated(
+      mem.toDF().toDF("k", "v"), spark, lh, "gold_s", "quar_s",
+      Seq(Quality.InRange("v", 0.0, 10.0)))
+    try {
+      mem.addData((1L, 5.0), (2L, -1.0))
+      q.processAllAvailable()
+      mem.addData((3L, 99.0), (4L, 7.0))
+      q.processAllAvailable()
+      val gold = TableIO.selectTable(spark, lh, "gold_s").collect()
+        .map(_.getLong(0)).toSet
+      assert(gold == Set(1L, 4L), gold)
+      val quar = TableIO.selectTable(spark, lh, "quar_s").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(quar == Map(2L -> "in_range:v", 3L -> "in_range:v"), quar)
+    } finally q.stop()
+  }
 }
