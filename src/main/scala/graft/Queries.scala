@@ -5475,5 +5475,37 @@ object Queries {
         |    ELSE 'quarantine' END AS dest,
         |  o_orderkey, failed AS failed_checks
         |FROM tagged ORDER BY dest, o_orderkey""".stripMargin)),
+
+    // Windowed co-occurrence counts (the PMI / word2vec numerator):
+    // unordered token pairs within 3 positions, generated INSIDE each
+    // row (position zipped against its next-3 slice — zero shuffle
+    // before the single pair-count aggregation), canonicalized so both
+    // orders accumulate together. DuckDB replays with a positional
+    // self-join — integer-exact counts, top-200 by (count desc, pair).
+    Q("q206_cooccurrence",
+      (s, dir) => LangModel.cooccurrenceCounts(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", window = 3, minCount = 5L)
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(200),
+      Some("""WITH tok0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+        |      AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM tok0 WHERE w <> ''),
+        |pairs AS (
+        |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3),
+        |counted AS (
+        |  SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT w1, w2, CAST(n AS BIGINT) AS n FROM counted
+        |ORDER BY n DESC, w1, w2 LIMIT 200""".stripMargin)),
   )
 }

@@ -30,6 +30,22 @@ object Integrity {
   def sha60Of(c: Column): Column =
     conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
 
+  /** Null-unambiguous canonical row string: each column renders as
+    * `len:value` with nulls as `~` — so ("a", null) and ("a", "") and
+    * (null, "a") all canonicalize differently. Plain `concat_ws` SKIPS
+    * nulls (("a", null, "b") ≡ ("a", "b", null)) and a bare separator
+    * can be forged by a value containing it; the length prefix closes
+    * both holes. SQL replay: `'<len>:' || value` per field, `'~'` for
+    * null, '#'-joined. Numeric columns should be fixed-pointed to
+    * strings BY THE CALLER first — float rendering differs across
+    * engines. */
+  def canon(cols: Column*): Column =
+    concat_ws("#", cols.map(c =>
+      coalesce(
+        concat(length(c.cast("string")).cast("string"), lit(":"),
+          c.cast("string")),
+        lit("~"))): _*)
+
   /** Per-bucket fingerprints of `df`: (bucket, n_rows, checksum).
     * `keyCanon` decides WHICH bucket a row lands in (digest of the key's
     * canonical string, mod `buckets` — a repaired row must land in the

@@ -88,4 +88,30 @@ object LangModel {
       .groupBy(col(idCol))
       .agg(avg(col("bits")).as("bits_per_bigram"), count(lit(1)).as("n_bigrams"))
   }
+
+  /** Exact windowed co-occurrence counts (the PMI/word2vec-style
+    * numerator): every unordered token pair at distance 1..`window`
+    * inside a document counts once per occurrence pair, canonicalized
+    * (w1 <= w2) so "a b" and "b a" accumulate together. Pair generation
+    * happens INSIDE the row — each position zips against its next
+    * `window` neighbors via slice, the same zero-shuffle shape as
+    * [[bigrams]] (window = 1 degenerates to unordered bigram counts) —
+    * so the only exchange is the final (w1, w2) count aggregation,
+    * partial-aggregated, O(distinct pairs) wide. `minCount` prunes the
+    * hapax tail before anything returns. */
+  def cooccurrenceCounts(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long = 1L): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    val pairs = docs
+      .select(filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+        .as("toks"))
+      .select(explode(expr(
+        s"""flatten(transform(toks, (x, i) ->
+           |  transform(slice(toks, i + 2, $window),
+           |    y -> struct(least(x, y) AS w1, greatest(x, y) AS w2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 }

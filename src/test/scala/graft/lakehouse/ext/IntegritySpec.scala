@@ -55,6 +55,23 @@ class IntegritySpec extends SparkSuite {
     assert(rebuilt.count() == src.count())
   }
 
+  test("canon is null-unambiguous: null vs empty vs shifted nulls all " +
+      "differ, and values containing the separator cannot forge a " +
+      "boundary") {
+    val df = Seq(
+      (Some("a"), Some("b")),
+      (Some("a"), None),
+      (None, Some("a")),
+      (Some(""), Some("a")),
+      (Some("a#3:b"), None),
+      (Some("a"), Some("3:b"))
+    ).toDF("x", "y")
+    val canons = df.select(Integrity.canon(col("x"), col("y"))).collect()
+      .map(_.getString(0))
+    assert(canons.distinct.length == canons.length,
+      s"canonical collision: ${canons.mkString(" | ")}")
+  }
+
   test("a row duplicated to even multiplicity hides from XOR but not " +
       "from the count") {
     val one = Seq((1L, "a"), (2L, "b")).toDF("k", "v")

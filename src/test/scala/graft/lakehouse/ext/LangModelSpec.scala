@@ -44,4 +44,26 @@ class LangModelSpec extends SparkSuite {
     // V=2: P(y|x) = (0+1)/(0+2) = 1/2 -> 1 bit
     assert(math.abs(r(0).getAs[Double]("bits_per_bigram") - 1.0) < 1e-9, r(0).toString)
   }
+
+  test("cooccurrenceCounts: hand-counted window pairs, canonical order, " +
+      "window=1 equals unordered bigram counts") {
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    // window=2 pairs by position: (a,b) (a,c) (b,c) (a,b) (a,c) -> note
+    // (c,a) and (b,a) canonicalize; self-pair (a,a) at distance 3 is
+    // outside the window
+    val got = LangModel.cooccurrenceCounts(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L),
+      got)
+    val w1 = LangModel.cooccurrenceCounts(docs, "doc_id", "text", 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // adjacent pairs of "a b c a": (a,b) (b,c) (c,a) -> canonical (a,c)
+    assert(w1 == Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("a", "c") -> 1L),
+      w1)
+    // minCount prunes
+    assert(LangModel.cooccurrenceCounts(docs, "doc_id", "text", 2,
+      minCount = 2L).count() == 2)
+  }
 }
