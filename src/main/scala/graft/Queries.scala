@@ -5507,5 +5507,51 @@ object Queries {
         |  HAVING count(*) >= 5)
         |SELECT w1, w2, CAST(n AS BIGINT) AS n FROM counted
         |ORDER BY n DESC, w1, w2 LIMIT 200""".stripMargin)),
+
+    // Exact phrase search from a positional inverted index (index once,
+    // query many): the corpus shuffles ONCE into (token, doc, positions)
+    // postings; each phrase answers via broadcast joins plus per-document
+    // shifted-intersection algebra — a doc matches at start s iff
+    // token_j sits at s + j for every offset. Overlapping occurrences
+    // count. DuckDB replays relationally: a start matches when all k
+    // offsets hit (HAVING count = phrase length).
+    Q("q207_phrase_search",
+      (s, dir) => {
+        val idx = Search.positionalIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+          "doc_id", "text")
+        Search.phraseMatches(idx, "doc_id", Seq(
+            "table value", "fast key scan", "window stream",
+            "spark order data"))
+          .orderBy("phrase", "doc_id")
+      },
+      Some("""WITH tok0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+        |      AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |tok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM tok0 WHERE w <> ''),
+        |q(phrase, off, w) AS (VALUES
+        |  ('table value', 0, 'table'), ('table value', 1, 'value'),
+        |  ('fast key scan', 0, 'fast'), ('fast key scan', 1, 'key'),
+        |  ('fast key scan', 2, 'scan'),
+        |  ('window stream', 0, 'window'), ('window stream', 1, 'stream'),
+        |  ('spark order data', 0, 'spark'),
+        |  ('spark order data', 1, 'order'),
+        |  ('spark order data', 2, 'data')),
+        |hits AS (
+        |  SELECT q.phrase, t.doc_id, t.pos - q.off AS start
+        |  FROM q JOIN tok t ON t.w = q.w),
+        |full_hits AS (
+        |  SELECT phrase, doc_id, start FROM hits
+        |  GROUP BY phrase, doc_id, start
+        |  HAVING count(*) = (SELECT count(*) FROM q q2
+        |    WHERE q2.phrase = hits.phrase))
+        |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM full_hits GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin)),
   )
 }
