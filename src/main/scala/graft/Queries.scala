@@ -5553,5 +5553,49 @@ object Queries {
         |    WHERE q2.phrase = hits.phrase))
         |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_matches
         |FROM full_hits GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin)),
+
+    // Integer-exact PMI association ranking: log-free score
+    // scale·n·N² div (c_a·c_b·n_pairs) ranks identically to float PMI
+    // (log is monotone) and is bit-identical on every engine — DuckDB
+    // replays the co-occurrence counts, the unigram counts, and the
+    // HUGEINT division, so the whole association mine is hash-verified.
+    Q("q208_pmi_rank",
+      (s, dir) => LangModel.pmiRank(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", window = 3, minCount = 5L)
+        .orderBy(col("score").desc, col("w1"), col("w2"))
+        .limit(100),
+      Some("""WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |toks AS (SELECT w FROM tok WHERE w <> ''),
+        |pos AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+        |      AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |ptok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM pos WHERE w <> ''),
+        |pairs AS (
+        |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        |  FROM ptok a JOIN ptok b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3),
+        |counted AS (
+        |  SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tokens FROM toks),
+        |ptot AS (SELECT sum(n) AS n_pairs FROM counted)
+        |SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+        |  CAST(CAST(1000000 AS HUGEINT) * c.n * t.n_tokens * t.n_tokens
+        |    // (CAST(ua.c AS HUGEINT) * ub.c * p.n_pairs) AS BIGINT)
+        |    AS score
+        |FROM counted c
+        |JOIN uni ua ON ua.w = c.w1
+        |JOIN uni ub ON ub.w = c.w2, tot t, ptot p
+        |ORDER BY score DESC, c.w1, c.w2 LIMIT 100""".stripMargin)),
   )
 }

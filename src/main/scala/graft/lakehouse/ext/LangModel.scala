@@ -114,4 +114,39 @@ object LangModel {
     pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  /** Integer-exact PMI-style association ranking over
+    * [[cooccurrenceCounts]]: the classic pmi = log(P(a,b)/(P(a)P(b)))
+    * ranks pairs identically to the LOG-FREE integer score
+    * `score = scale · n_pair · N_tokens² div (n_a · n_b · N_pairs)`
+    * (log is monotone; only the ratio matters for ordering), and unlike
+    * the float form the integer score is bit-identical on every engine.
+    * Unigram counts ride a second aggregation over the same map-side
+    * token kernel; the join against pair counts is vocabulary-sized and
+    * AQE-broadcast. DECIMAL(38,0) integral division — n·N² overflows
+    * int64 on any real corpus. */
+  def pmiRank(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long, scale: Long = 1000000L): DataFrame = {
+    val co = cooccurrenceCounts(docs, idCol, textCol, window, minCount)
+    val uni = docs
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        w => w =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = broadcast(uni.agg(sum("c").as("n_tokens")))
+    val pairTotal = broadcast(co.agg(sum("n").as("n_pairs")))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    co
+      .join(broadcast(uni).withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "ca"), "w1")
+      .join(broadcast(uni).withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "cb"), "w2")
+      .crossJoin(totals).crossJoin(pairTotal)
+      .withColumn("score",
+        graft.lakehouse.ext.Sketches.intDivPub(
+          dec(lit(scale)) * dec(col("n")) * dec(col("n_tokens")) *
+            dec(col("n_tokens")),
+          dec(col("ca")) * dec(col("cb")) * dec(col("n_pairs")))
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("n"), col("score"))
+  }
 }

@@ -172,6 +172,10 @@ object Sketches {
       expression(a), expression(b)))
   }
 
+  /** [[intDiv]] for the other portable-integer operators (PMI ranking,
+    * future ratio scores) — same truncation contract. */
+  private[ext] def intDivPub(a: Column, b: Column): Column = intDiv(a, b)
+
   private def cmsHash(valueCol: String): Column =
     expr(s"cast(conv(substring(sha2(cast(`$valueCol` as string), 256), " +
       "1, 15), 16, 10) as bigint)")

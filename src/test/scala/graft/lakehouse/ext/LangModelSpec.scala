@@ -66,4 +66,19 @@ class LangModelSpec extends SparkSuite {
     assert(LangModel.cooccurrenceCounts(docs, "doc_id", "text", 2,
       minCount = 2L).count() == 2)
   }
+
+  test("pmiRank: a pair of rare exclusive companions outscores a pair " +
+      "of promiscuous frequent words at equal pair count") {
+    // x and y co-occur only with each other (rare, exclusive);
+    // a and b are everywhere (frequent, incidental)
+    val docs = Seq(
+      (1L, "x y a b"), (2L, "x y b a"), (3L, "a b a b"), (4L, "b a b a"))
+      .toDF("doc_id", "text")
+    val got = LangModel.pmiRank(docs, "doc_id", "text", window = 1,
+        minCount = 2L)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got(("x", "y")) > got(("a", "b")),
+      s"exclusive companions must outrank: $got")
+  }
 }
