@@ -5597,5 +5597,170 @@ object Queries {
         |JOIN uni ua ON ua.w = c.w1
         |JOIN uni ub ON ub.w = c.w2, tot t, ptot p
         |ORDER BY score DESC, c.w1, c.w2 LIMIT 100""".stripMargin)),
+
+    // REAL video container metadata: deterministic spec-conformant
+    // ISO-BMFF fixtures (ftyp/moov/mvhd/trak/tkhd/mdia/hdlr boxes) are
+    // generated per row, then parsed back by the pure-JVM box walker —
+    // brand, movie timescale/duration, track count, video dimensions
+    // (16.16 fixed point), audio track count. DuckDB recomputes every
+    // expected value from the same doc_id arithmetic (the q80
+    // synthetic-WAV pattern): the parse round-trip is hash-verified.
+    Q("q209_video_container_meta",
+      (s, dir) => {
+        val vids = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 9 === 0)
+          .withColumn("ts_hz", (lit(1000) + (col("doc_id") % 4) * 500).cast("long"))
+          .withColumn("dur_ticks", ((col("doc_id") % 500 + 100) * 100).cast("long"))
+          .withColumn("w", (lit(320) + (col("doc_id") % 5) * 160).cast("int"))
+          .withColumn("h", (lit(180) + (col("doc_id") % 5) * 90).cast("int"))
+          .withColumn("n_audio", (col("doc_id") % 3).cast("int"))
+          .withColumn("payload", Multimodal.syntheticMp4Udf(
+            col("ts_hz"), col("dur_ticks"), col("w"), col("h"), col("n_audio")))
+        Multimodal.decodeVideoContainer(vids, "payload")
+          .select(col("doc_id"), col("video.brand").as("brand"),
+            col("video.timescale").as("timescale"),
+            col("video.duration_ms").as("duration_ms"),
+            col("video.tracks").as("tracks"),
+            col("video.video_width").as("video_width"),
+            col("video.video_height").as("video_height"),
+            col("video.audio_tracks").as("audio_tracks"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'isom' AS brand,
+        |  CAST(1000 + (doc_id % 4) * 500 AS BIGINT) AS timescale,
+        |  CAST(((doc_id % 500 + 100) * 100 * 1000)
+        |    // (1000 + (doc_id % 4) * 500) AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INT) AS tracks,
+        |  CAST(320 + (doc_id % 5) * 160 AS INT) AS video_width,
+        |  CAST(180 + (doc_id % 5) * 90 AS INT) AS video_height,
+        |  CAST(doc_id % 3 AS INT) AS audio_tracks
+        |FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // ranking (q61's machinery, k=50) and the cosine vector ranking
+    // (q34's machinery, query = embedding 0, k=50) — integer-exact
+    // contributions (scale div (k0 + rank)), so DuckDB replays BOTH
+    // retrievers AND the fusion bit-for-bit. doc_id and vec_id share the
+    // same id space by fixture construction.
+    Q("q210_rrf_fusion",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val bm = TextStats.bm25TopK(docs.select("doc_id", "text"), "doc_id",
+            "text", query = "spark shuffle join window", k = 50)
+          .select(col("doc_id").as("id"), col("rank"))
+        val cos = Similarity.cosineTopK(emb, emb.filter(col("vec_id") === 0),
+            "vec_id", "embedding", k = 50)
+          .select(col("vec_id").as("id"), col("rank"))
+        Retrieval.rrfFuse(Seq(bm, cos), "id", "rank", k = 25)
+          .orderBy("rank")
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |nz AS (SELECT doc_id, term FROM w WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM nz
+        |  WHERE term IN ('spark', 'shuffle', 'join', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |sb AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), corpus),
+        |sc AS (SELECT doc_id, sum(s) AS bm25 FROM sb GROUP BY 1),
+        |b50 AS (
+        |  SELECT id, rank FROM (
+        |    SELECT doc_id AS id,
+        |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        |    FROM sc) WHERE rank <= 50),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+        |sv AS (
+        |  SELECT v.vec_id,
+        |    list_sum(list_transform(list_zip(v.ve, q.qv), p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(v.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+        |  FROM v, q),
+        |c50 AS (
+        |  SELECT id, rank FROM (
+        |    SELECT vec_id AS id,
+        |      row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM sv) WHERE rank <= 50),
+        |u AS (SELECT * FROM b50 UNION ALL SELECT * FROM c50),
+        |f AS (
+        |  SELECT id,
+        |    CAST(sum(CAST(1000000000000 AS BIGINT) // (60 + rank)) AS BIGINT)
+        |      AS rrf_score,
+        |    count(*) AS n_systems
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT id, row_number() OVER (
+        |      ORDER BY rrf_score DESC, n_systems DESC, id) AS rank,
+        |    rrf_score, n_systems
+        |  FROM f)
+        |SELECT id, CAST(rank AS INT) AS rank, rrf_score,
+        |  CAST(n_systems AS BIGINT) AS n_systems
+        |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin)),
+
+    // Portable fixed-grid rank sketch over order totals, grouped by
+    // status: the per-cell counts ARE the sketch state — integer-exact,
+    // mergeable by addition, and recomputed bit-for-bit by DuckDB from
+    // the same fixed-point clamp + integer-div arithmetic.
+    Q("q211_quantile_sketch",
+      (s, dir) => Sketches.quantileSketch(t(s, dir, "orders"),
+          "o_totalprice", lo = 0L, hi = 5000000000L, buckets = 128,
+          scale = 10000L, groupCols = Seq("o_orderstatus"))
+        .orderBy("o_orderstatus", "bucket"),
+      Some("""WITH b AS (
+        |  SELECT o_orderstatus,
+        |    CAST(((LEAST(GREATEST(CAST(floor(o_totalprice * 10000.0) AS BIGINT),
+        |      0), 4999999999) - 0) * 128) // 5000000000 AS INT) AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT o_orderstatus, bucket, count(*) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin)),
+
+    // Quantile ANSWERS from the sketch: rank = ceil(n·p/1000) over the
+    // cumulative cell counts, answer = the reached cell's lower edge in
+    // scaled units — all integer arithmetic, hash-verified end to end
+    // (grid resolution is the documented contract; exact quantiles are
+    // q66).
+    Q("q212_quantile_sketch_answer",
+      (s, dir) => Sketches.quantilesFromSketch(
+          Sketches.quantileSketch(t(s, dir, "orders"), "o_totalprice",
+            lo = 0L, hi = 5000000000L, buckets = 128, scale = 10000L,
+            groupCols = Seq("o_orderstatus")),
+          permilles = Seq(500, 900, 990), lo = 0L, hi = 5000000000L,
+          buckets = 128, groupCols = Seq("o_orderstatus"))
+        .orderBy("o_orderstatus", "p"),
+      Some("""WITH b AS (
+        |  SELECT o_orderstatus,
+        |    CAST(((LEAST(GREATEST(CAST(floor(o_totalprice * 10000.0) AS BIGINT),
+        |      0), 4999999999) - 0) * 128) // 5000000000 AS INT) AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |sk AS (
+        |  SELECT o_orderstatus, bucket, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderstatus, bucket,
+        |    sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM sk),
+        |e AS (
+        |  SELECT o_orderstatus, bucket, cum, n, p
+        |  FROM c, (SELECT unnest([500, 900, 990]) AS p)),
+        |hit AS (
+        |  SELECT o_orderstatus, p, min(bucket) AS bucket
+        |  FROM e WHERE cum >= (n * p + 999) // 1000
+        |  GROUP BY 1, 2)
+        |SELECT o_orderstatus, CAST(p AS INT) AS p, bucket,
+        |  CAST(0 + (bucket * 5000000000) // 128 AS BIGINT) AS value_scaled
+        |FROM hit ORDER BY o_orderstatus, p""".stripMargin)),
   )
 }

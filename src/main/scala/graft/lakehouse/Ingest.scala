@@ -365,12 +365,26 @@ object Ingest {
     *
     * Scale shape: the gate is per-row and the split is two filters over
     * one persisted gated frame — the batch is scanned once and shuffles
-    * only through the writers. Either destination is created on first
-    * use; both appends are ordinary versioned commits, so the quarantine
-    * table carries a change feed / time travel like any other. */
+    * only through the writers. BOTH destinations are created on first
+    * use even when their half of the batch is empty, so a reader of the
+    * quarantine table never depends on a failure having happened; both
+    * appends are ordinary versioned commits, so the quarantine table
+    * carries a change feed / time travel like any other.
+    *
+    * Exactly-once seam: the two halves commit separately, so a crash
+    * between them half-lands the batch. Callers that need replay safety
+    * pass a batch marker via `extraMeta` (the `txn:<appId>` convention) —
+    * it commits atomically WITH each half's data (an empty half still
+    * commits a marker-only version), making a half-landed batch
+    * detectable per destination, and can skip an already-landed half via
+    * `landGold` / `landQuarantine` ([[ext.EventWindows.streamIngestGated]]
+    * does exactly this). */
   def appendWithQuarantine(spark: SparkSession, lh: LakehouseProps,
       tableName: String, quarantineName: String, batch: DataFrame,
-      checks: Seq[graft.lakehouse.ext.Quality.Expectation]): (Long, Long) = {
+      checks: Seq[graft.lakehouse.ext.Quality.Expectation],
+      extraMeta: Map[String, String] = Map.empty,
+      landGold: Boolean = true,
+      landQuarantine: Boolean = true): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, concat_ws, size}
     val gated = graft.lakehouse.ext.Quality.gateExpectations(batch, checks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -379,17 +393,18 @@ object Ingest {
         .drop("failed_checks")
       val bad = gated.filter(size(col("failed_checks")) > 0)
         .withColumn("failed_checks", concat_ws(",", col("failed_checks")))
-      def land(name: String, df: DataFrame): Long = {
+      def land(name: String, df: DataFrame, enabled: Boolean): Long = {
+        if (!enabled) return 0L
         val n = df.count()
-        if (n > 0) {
-          val dir = Catalog.tablePath(lh, name)
-          if (Versioned.latestVersion(dir).isEmpty)
-            TableIO.writeTable(spark, lh, name, df)
-          else TableIO.appendTable(spark, lh, name, df)
-        }
+        val dir = Catalog.tablePath(lh, name)
+        if (Versioned.latestVersion(dir).isEmpty)
+          TableIO.writeTable(spark, lh, name, df, extraMeta = extraMeta)
+        else if (n > 0 || extraMeta.nonEmpty)
+          TableIO.appendTable(spark, lh, name, df, extraMeta = extraMeta)
         n
       }
-      (land(tableName, good), land(quarantineName, bad))
+      (land(tableName, good, landGold),
+        land(quarantineName, bad, landQuarantine))
     } finally gated.unpersist()
   }
 }

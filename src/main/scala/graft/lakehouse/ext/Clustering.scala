@@ -92,6 +92,14 @@ object Clustering {
         quantUdf(col(vecCol).cast("array<double>")).as("qv"))
       .persist()
     try {
+      // ragged embedding columns would IndexOutOfBounds deep inside the
+      // argmin kernel — fail loudly up front instead (one 1-row agg; the
+      // scan is amortized into the persist's first materialization)
+      val dims = q.agg(min(size(col("qv"))).as("lo"), max(size(col("qv"))).as("hi"))
+        .collect()(0)
+      require(dims.isNullAt(0) || dims.getInt(0) == dims.getInt(1),
+        s"kmeansFixedPoint needs a uniform vector dimension; found lengths " +
+          s"${dims.getInt(0)}..${dims.getInt(1)} in '$vecCol'")
       // init: the k smallest ids' vectors — one bounded driver collect
       var cents: Seq[Seq[Long]] = q.orderBy(col(idCol)).limit(k)
         .collect().map(_.getSeq[Long](1).toSeq).toSeq

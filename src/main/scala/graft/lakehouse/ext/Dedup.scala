@@ -686,35 +686,121 @@ object Dedup {
     u(col(textCol))
   }
 
-  /** Exact word-n-gram Jaccard pairs via inverted index: ONE gram-keyed
-    * aggregation builds each gram's posting list (sorted doc ids) together
-    * with its document frequency; grams appearing in more than
-    * `maxDocFreq` docs drop there (stop-gram pruning — bounds the
-    * quadratic blowup on 100 TB; logged assumption). Candidate pairs are
-    * then generated INSIDE the posting-list row (all i<j combinations of
-    * the sorted ids — bounded at maxDocFreq²/2 per gram by the cap) and
-    * reduced by one (a, b) aggregation: the self-join the classic
-    * formulation pays — two more shuffles of the full posting volume plus
-    * a join build — never happens. |∩|/|∪| closes over the per-doc
-    * surviving-gram counts. Eager: the (small) pair list is materialized
-    * before returning so the cached index can be released.
+  /** Exact word-n-gram Jaccard pairs with stop-gram pruning: grams
+    * appearing in more than `maxDocFreq` docs are dropped from every set
+    * (bounds the quadratic blowup on 100 TB; logged assumption) before
+    * |∩|/|∪| closes over the surviving grams. Cost-based two-plan
+    * dispatch, the [[prefixFilterJaccardPairs]] pattern:
     *
-    * Grams are hashed to 64-bit longs (xxhash64) in the scan stage, before
-    * anything shuffles — every downstream exchange moves 8-byte keys
-    * instead of gram strings. Collisions would need ~2^32 distinct grams
-    * to appear at even odds; per-partition gram counts are far below that
-    * (and the DuckDB oracle, which joins on the raw strings, verifies
-    * value-equality of the output at test scale). */
+    * Both plans start from ONE persisted per-doc distinct-gram-hash frame
+    * and ONE counts-only frequency aggregation (map-side combine → the
+    * exchange is O(vocab), never O(tokens)) that keeps only the grams
+    * over the cap — the stop-gram set, tiny on natural text.
+    *
+    * DENSE plan (stop-set broadcastable AND surviving token volume under
+    * `denseMaxTokens`): heavy grams drop IN-ROW against the broadcast
+    * set, then an inverted self-join with sizes riding the exploded rows
+    * — the per-pair group-count IS the exact overlap; Bayardo'07 length
+    * filtering kills size-incompatible pairs pre-aggregation. No posting
+    * lists, no re-explode, no sizes join: the wide
+    * `sort_array(collect_list)` aggregation and the second index pass the
+    * previous formulation paid never happen.
+    *
+    * POSTING-LIST plan (the scale path): one gram-keyed aggregation
+    * builds each surviving gram's sorted posting list; candidate pairs
+    * generate INSIDE the row (all i<j combinations — bounded at
+    * maxDocFreq²/2 per gram by the cap) and reduce by one (a, b)
+    * aggregation — the classic self-join never happens.
+    *
+    * Eager: the (small) pair list is materialized before returning so
+    * the caches release. Grams are hashed to 64-bit longs (xxhash64) in
+    * the scan stage, before anything shuffles — every downstream
+    * exchange moves 8-byte keys instead of gram strings. Collisions
+    * would need ~2^32 distinct grams to appear at even odds; per-corpus
+    * gram counts are far below that (and the DuckDB oracle, which joins
+    * on the raw strings, verifies value-equality of the output at test
+    * scale). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 1, threshold: Double = 0.8, maxDocFreq: Long = 1000): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(wordNgrams(textCol, n)).as("gram"))
-      .select(col(idCol), xxhash64(col("gram")).as("gh"))
-    // the index feeds two consumers (sizes + pairs): persist it or the
-    // explode+aggregate pipeline runs twice (AQE plans the consumers as
-    // separate query stages, so exchange reuse does NOT cover this —
-    // measured 1.6x slower without the persist)
-    val idx = grams.groupBy("gh")
+      n: Int = 1, threshold: Double = 0.8, maxDocFreq: Long = 1000,
+      denseMaxTokens: Long = 2000000, maxHeavyGrams: Long = 4000000): DataFrame = {
+    val tExact = lit(scala.math.BigDecimal(java.lang.Double.toString(threshold)))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // per-doc DISTINCT gram hashes, computed in-row (the kernel dedupes;
+    // xxhash64 inside the lambda keeps every downstream exchange on
+    // 8-byte keys) — persisted: the frequency agg and whichever pair plan
+    // runs read this cache instead of re-tokenizing. The input is spread
+    // across cores FIRST: a corpus this size often arrives in one parquet
+    // split, which would serialize the tokenizer, the frequency agg's map
+    // side, and the dense plan's whole probe leg onto a single task.
+    val d = df.repartition(par, col(idCol))
+      .select(col(idCol),
+        transform(wordNgrams(textCol, n), g => xxhash64(g)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE counts-only frequency aggregation (map-side combine → the
+    // exchange is O(vocab), never O(tokens)); dispatch stats come from
+    // one scan of it, the stop-gram set from a second cached scan.
+    val freqAll = d.select(explode(col("hs")).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("df_count"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = freqAll.agg(
+      coalesce(sum("df_count"), lit(0L)).as("vol"),
+      count(when(col("df_count") > maxDocFreq, 1)).as("n_heavy"),
+      coalesce(sum(when(col("df_count") > maxDocFreq, col("df_count"))),
+        lit(0L)).as("heavy_vol")).head()
+    val (totVol, nHeavy, heavyVol) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // Cost-based dispatch (guards steer cost, never correctness — both
+    // plans return the identical exact answer): when the stop-gram set
+    // fits a broadcast AND the surviving token volume fits the dense
+    // plan's broadcast build side, drop heavy grams IN-ROW against the
+    // broadcast set and run the dense inverted self-join — per-pair
+    // group-count IS the overlap, sizes ride the rows, no posting lists,
+    // no re-explode. Otherwise (100 TB shape): the posting-list plan —
+    // in-row pair generation bounded at maxDocFreq²/2 per gram.
+    if (nHeavy <= maxHeavyGrams && totVol - heavyVol <= denseMaxTokens) {
+      val heavySet = new java.util.HashSet[java.lang.Long](
+        (nHeavy * 2 + 16).toInt)
+      freqAll.filter(col("df_count") > maxDocFreq).select("gh").collect()
+        .foreach(r => heavySet.add(r.getLong(0)))
+      freqAll.unpersist()
+      val bcHeavy = df.sparkSession.sparkContext.broadcast(heavySet)
+      val survUdf = udf((hs: Seq[Long]) => {
+        val h = bcHeavy.value
+        hs.filter(x => !h.contains(x)).toArray
+      })
+      val surv =
+        if (heavySet.isEmpty) d.select(col(idCol), col("hs").as("ts"))
+        else d.select(col(idCol), survUdf(col("hs")).as("ts"))
+      def leg(base: DataFrame): DataFrame =
+        base.select(col(idCol), size(col("ts")).as("sz"),
+            ceil(size(col("ts")) * tExact).cast("long").as("lb"),
+            explode(col("ts")).as("t"))
+      // probe needs no extra exchange — d was spread at the scan
+      val probe = leg(surv)
+      val build = leg(surv)
+      val result = probe.select(col(idCol).as("a"), col("sz").as("sza"),
+          col("lb").as("lba"), col("t"))
+        .join(broadcast(build.select(col(idCol).as("b"), col("sz").as("szb"),
+          col("lb").as("lbb"), col("t"))), "t")
+        // length filter (Bayardo et al.): t·|a| <= |b| <= |a|/t, exact
+        // decimal ceil precomputed per doc — size-incompatible pairs die
+        // before the aggregation
+        .filter(col("a") < col("b") &&
+          col("szb") >= col("lba") && col("sza") >= col("lbb"))
+        .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+      return materializeAndRelease(result, d)
+    }
+    freqAll.unpersist()
+    // posting-list plan: the index feeds two consumers (sizes + pairs):
+    // persist it or the explode+aggregate pipeline runs twice (AQE plans
+    // the consumers as separate query stages, so exchange reuse does NOT
+    // cover this — measured 1.6x slower without the persist)
+    val idx = d.select(col(idCol), explode(col("hs")).as("gh"))
+      .groupBy("gh")
       .agg(count(lit(1)).as("df_count"),
         sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("df_count") <= maxDocFreq)
@@ -740,7 +826,7 @@ object Dedup {
         (col("sza") + col("szb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-    materializeAndRelease(result, idx)
+    materializeAndRelease(result, idx, d)
   }
 
   /** Exact Jaccard-threshold similarity join via PREFIX FILTERING (the

@@ -300,17 +300,37 @@ object EventWindows {
     * ordinary versioned commits, so the quarantine table streams,
     * time-travels, and feeds CDF like any other. No state between
     * batches (the gate is per-row), so the per-batch cost is the two
-    * appends: O(batch), files inherit by reference. */
+    * appends: O(batch), files inherit by reference.
+    *
+    * Exactly-once: the gold and quarantine halves commit separately, so
+    * EACH destination carries its own `txn:` watermark, committed
+    * atomically with its half of the data (an empty half still commits a
+    * marker-only version). A batch replayed after a crash — between the
+    * two commits, or between both commits and the checkpoint advance —
+    * re-lands ONLY the half whose watermark is missing: no double
+    * appends, and a half-landed batch self-heals on restart. Same
+    * checkpoint/appId contract as [[streamIngest]]. */
   def streamIngestGated(events: DataFrame, spark: SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
       quarantineName: String,
       checks: Seq[graft.lakehouse.ext.Quality.Expectation],
-      checkpoint: Option[String] = None) = {
+      checkpoint: Option[String] = None,
+      appId: Option[String] = None) = {
+    import graft.lakehouse.Catalog
+    val (txnKey, goldWatermark) =
+      txnWatermark(Catalog.tablePath(lh, tableName), checkpoint, appId)
+    val (_, quarantineWatermark) =
+      txnWatermark(Catalog.tablePath(lh, quarantineName), checkpoint, appId)
     val w = events.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        graft.lakehouse.Ingest.appendWithQuarantine(spark, lh, tableName,
-          quarantineName, batch.toDF(), checks)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val goldDone = goldWatermark().exists(_ >= batchId)
+        val quarantineDone = quarantineWatermark().exists(_ >= batchId)
+        if (!(goldDone && quarantineDone))
+          graft.lakehouse.Ingest.appendWithQuarantine(spark, lh, tableName,
+            quarantineName, batch.toDF(), checks,
+            extraMeta = txnKey.map(_ -> batchId.toString).toMap,
+            landGold = !goldDone, landQuarantine = !quarantineDone)
         ()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()

@@ -126,16 +126,24 @@ object LangModel {
     * AQE-broadcast. DECIMAL(38,0) integral division — n·N² overflows
     * int64 on any real corpus. */
   def pmiRank(docs: DataFrame, idCol: String, textCol: String,
-      window: Int, minCount: Long, scale: Long = 1000000L): DataFrame = {
+      window: Int, minCount: Long, scale: Long = 1000000L,
+      eager: Boolean = true): DataFrame = {
+    // co feeds the result AND the pair total; uni feeds two broadcast
+    // join sides AND the token total — persist both (vocab-bounded), or
+    // each consumer re-tokenizes the corpus (AQE plans consumers as
+    // separate query stages, so exchange reuse does NOT cover this)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val co = cooccurrenceCounts(docs, idCol, textCol, window, minCount)
+      .persist(lvl)
     val uni = docs
       .select(explode(filter(split(lower(col(textCol)), "\\s+"),
         w => w =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(lvl)
     val totals = broadcast(uni.agg(sum("c").as("n_tokens")))
     val pairTotal = broadcast(co.agg(sum("n").as("n_pairs")))
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    co
+    val out = co
       .join(broadcast(uni).withColumnRenamed("w", "w1")
         .withColumnRenamed("c", "ca"), "w1")
       .join(broadcast(uni).withColumnRenamed("w", "w2")
@@ -148,5 +156,13 @@ object LangModel {
           dec(col("ca")) * dec(col("cb")) * dec(col("n_pairs")))
           .cast("long"))
       .select(col("w1"), col("w2"), col("n"), col("score"))
+    if (!eager) out // lazy variant (plan inspection/composition): caller
+                    // owns the co/uni cache lifetime
+    else {
+      // eager: the association list is vocab-bounded; release the caches
+      val ck = out.localCheckpoint(true)
+      co.unpersist(); uni.unpersist()
+      ck
+    }
   }
 }

@@ -1,0 +1,51 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval fusion — the canonical RAG retrieval shape: a
+  * lexical ranking (BM25, [[TextStats.bm25TopK]]) and a vector ranking
+  * (cosine top-k, [[Similarity.cosineTopK]]) fused into one list.
+  */
+object Retrieval {
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fused score = Σ_systems 1/(k0 + rank). Computed in INTEGER
+    * arithmetic — each contribution is `scale div (k0 + rank)` — so the
+    * fused ordering is bit-identical on every engine (the float form's
+    * sum is order-sensitive). With the default scale = 10^12,
+    * consecutive-rank contributions differ by scale/((k0+r)(k0+r+1)) —
+    * still > 10^5 at rank 1000 — so integer truncation cannot collapse
+    * genuinely different RRF scores at any practical depth. Remaining
+    * ties break on (n_systems desc, id asc): documents found by MORE
+    * retrievers win.
+    *
+    * Rank-based by construction: fusing never touches the systems'
+    * incomparable raw scores (BM25 logs vs cosines) — the whole point
+    * of RRF over score interpolation.
+    *
+    * 100 TB shape: the inputs are already top-k rankings (bounded
+    * frames); the fuse is a union, ONE aggregation over ≤ Σk rows, and
+    * a TakeOrdered — metadata-scale work regardless of corpus size.
+    * Each input must carry one row per id (a ranking, not a log). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, k0: Long = 60L, scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1 && k0 >= 0 && scale >= 1)
+    val tagged = rankings.map(r =>
+        r.select(col(idCol), col(rankCol).cast("long").as("__rank")))
+      .reduce(_ unionByName _)
+    val fused = tagged
+      .groupBy(idCol)
+      .agg(sum(expr(s"${scale}L div (${k0}L + __rank)")).as("rrf_score"),
+        count(lit(1)).as("n_systems"))
+      .orderBy(col("rrf_score").desc, col("n_systems").desc, col(idCol).asc)
+      .limit(k)
+    // the rank window runs over the ≤ k TakeOrdered survivors only
+    fused.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_score").desc, col("n_systems").desc,
+            col(idCol).asc)))
+      .select(col(idCol), col("rank"), col("rrf_score"), col("n_systems"))
+  }
+}

@@ -51,6 +51,13 @@ object Semistructured {
   def flattenJson(spark: SparkSession, df: DataFrame, jsonCol: String,
       prefix: String = "", schema: Option[StructType] = None): DataFrame = {
     val s = schema.getOrElse(inferJsonSchema(spark, df, jsonCol))
+    // withColumn replaces in place — a JSON field shadowing an existing
+    // column would silently destroy real data, so collide loudly instead
+    val collisions = s.fieldNames.map(prefix + _)
+      .filter(n => n != jsonCol && df.columns.contains(n))
+    require(collisions.isEmpty,
+      s"flattenJson would overwrite existing column(s) ${collisions.mkString(", ")}: " +
+        "pass a prefix to disambiguate")
     val parsed = df.withColumn("__j", from_json(col(jsonCol).cast("string"), s))
     s.fields.foldLeft(parsed) { (d, f) =>
         d.withColumn(prefix + f.name, col("__j").getField(f.name))

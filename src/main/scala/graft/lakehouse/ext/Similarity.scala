@@ -312,9 +312,19 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 256,
       maxFitRows: Long = 100000L, reRank: Int = 0,
-      corpusRows: Option[Long] = None): DataFrame = {
+      corpusRows: Option[Long] = None,
+      maxQueries: Long = 100000L): DataFrame = {
     require(m >= 1 && codebookSize >= 1 && codebookSize <= 256,
       "need 1 <= m and 1 <= codebookSize <= 256 (one byte per subspace)")
+    // the query frame is collected (its LUTs broadcast into the scoring
+    // crossJoin) — broadcastability is the contract, so enforce it loudly
+    // instead of OOMing the driver on a mis-sized frame; the limit+count
+    // probe stops scanning after maxQueries+1 rows
+    require(queries.limit((maxQueries + 1).min(Int.MaxValue).toInt).count()
+        <= maxQueries,
+      s"pqTopK collects the query frame (broadcast contract): more than " +
+        s"$maxQueries query rows — raise maxQueries only if the driver can " +
+        "hold the LUTs, or batch the queries")
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("vec_id"),
         transform(col(vecCol), x => x.cast("double")).as("cv"))

@@ -209,4 +209,74 @@ object Sketches {
     val zeros = reg.count(_ == 0)
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
+
+  // ---- fixed-grid rank sketch (portable quantiles) ---------------------
+
+  /** Fixed-grid rank sketch — distributed quantiles with INTEGER-EXACT,
+    * engine-reproducible state, completing the portable family (HLL
+    * registers count distincts, CMS counters count frequencies, KMV
+    * bottom-k intersects sets; this one RANKS). Values quantize to fixed
+    * point (floor(v·scale), the [[Clustering.quantizeKernel]]
+    * arithmetic), clamp into the declared [lo, hi) scaled domain, and
+    * land in one of `buckets` equal-width cells via pure integer
+    * arithmetic; the state is the per-cell count vector. The sketch is
+    * LINEAR — cell-wise addition merges sub-sketches (per-partition,
+    * per-day, per-table), the same roll-up algebra as the CMS counters —
+    * and any engine recomputes it bit-for-bit from the same integers.
+    *
+    * Rank answers carry error bounded by ONE cell width
+    * ((hi−lo)/buckets/scale value units) — a resolution contract
+    * declared up front, unlike KLL/t-digest whose adaptive state is
+    * engine-private (that is exactly why Spark's approx_percentile can
+    * only ever be rows-only-checked, and this can be hash-verified).
+    *
+    * 100 TB shape: the counts are the WHOLE shuffle — partial
+    * aggregation emits at most `buckets` cells per group per partition;
+    * the value stream never shuffles; nothing collects. */
+  def quantileSketch(df: DataFrame, valueCol: String, lo: Long, hi: Long,
+      buckets: Int, scale: Long = 1000000L,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(hi > lo && buckets >= 1 && scale >= 1)
+    require(hi - lo <= Long.MaxValue / buckets,
+      "(hi - lo) * buckets must fit int64")
+    val keyed = df.filter(col(valueCol).isNotNull)
+      .withColumn("__vs",
+        floor(col(valueCol).cast("double") * lit(scale.toDouble)).cast("long"))
+      // clamp BEFORE the bucket product so no input value can overflow it
+      .withColumn("__vc", least(greatest(col("__vs"), lit(lo)), lit(hi - 1)))
+      .withColumn("bucket",
+        expr(s"((__vc - ${lo}L) * ${buckets}L) div ${hi - lo}L").cast("int"))
+    keyed.groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile answers from a [[quantileSketch]] counts table: for each
+    * requested permille p, rank = ceil(n·p/1000) (integer-exact) and the
+    * answer is the LOWER EDGE (scaled units) of the first cell whose
+    * cumulative count reaches that rank — the conservative grid answer
+    * any engine reproduces. The input is bounded (≤ buckets cells per
+    * group), so the cumulative window and the per-p reduction are
+    * metadata-scale work — never a data shuffle. */
+  def quantilesFromSketch(sketch: DataFrame, permilles: Seq[Int],
+      lo: Long, hi: Long, buckets: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    sketch
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select((groupCols.map(col) ++ Seq(col("bucket"), col("cum"), col("n"),
+        explode(typedlit(permilles)).as("p"))): _*)
+      .withColumn("rank", expr("(n * p + 999) div 1000"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy((groupCols.map(col) :+ col("p")): _*)
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("value_scaled",
+        expr(s"${lo}L + (bucket * ${hi - lo}L) div ${buckets}L"))
+  }
 }

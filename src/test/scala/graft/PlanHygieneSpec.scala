@@ -378,4 +378,45 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("FullOuter"), p)
   }
+
+  test("q206 co-occurrence: pairs generate in-row — one (w1,w2) count " +
+      "exchange, no Window, no join") {
+    val df = SparkEntry.queries("q206_cooccurrence")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // slice/transform pair generation never shuffles tokens; the only
+    // hash exchange is the partial-aggregated pair count (the TakeOrdered
+    // top-200 merges without a global sort exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q207 phrase search answers from broadcast joins over the index") {
+    val df = SparkEntry.queries("q207_phrase_search")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // the phrase-token and phrase-length tables ride BroadcastExchanges
+    // into hash joins; the index aggregations are the only hash exchanges
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q208 PMI: vocabulary joins broadcast, pair stream shuffles once") {
+    // the registered query checkpoints eagerly (cache release), which
+    // hides the plan — inspect the lazy variant of the same operator
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+    val df = graft.lakehouse.ext.LangModel.pmiRank(docs, "doc_id", "text",
+      window = 3, minCount = 5L, eager = false)
+    df.collect()
+    val p = finalPlan(df)
+    // unigram counts join the pair counts via broadcast (vocab-sized);
+    // the persisted co/uni frames make the pair-count and unigram-count
+    // aggregations the ONLY hash exchanges (each materialized once)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan(df)).size <= 2, p)
+  }
 }

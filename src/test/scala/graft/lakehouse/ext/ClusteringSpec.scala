@@ -62,4 +62,13 @@ class ClusteringSpec extends SparkSuite {
     // identical vector) goes empty and must survive the rounds
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 2), s"got $out")
   }
+
+  test("ragged vector dimensions fail loudly up front, not deep in a task") {
+    val df = Seq(
+      (1L, Array(0.0f, 1.0f)), (2L, Array(3.0f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansFixedPoint(df, "id", "v", k = 2, iterations = 1)
+    }
+    assert(e.getMessage.contains("uniform vector dimension"), e.getMessage)
+  }
 }

@@ -120,6 +120,54 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.dHash64Kernel(Array.emptyByteArray) == null)
   }
 
+  test("mp4Meta round-trips the synthetic ISO-BMFF writer") {
+    val bytes = Multimodal.syntheticMp4(1500L, 45000L,
+      Seq((1, "vide", 640, 360), (2, "soun", 0, 0), (3, "soun", 0, 0)))
+    val m = Multimodal.mp4Meta(bytes)
+    assert(m != null)
+    assert(m.brand == "isom")
+    assert(m.timescale == 1500L)
+    assert(m.duration_ms == 30000L) // 45000 ticks / 1500 Hz = 30 s
+    assert(m.tracks == 3)
+    assert(m.video_width == 640 && m.video_height == 360)
+    assert(m.audio_tracks == 2)
+  }
+
+  test("mp4Meta rejects non-BMFF and truncated payloads as null") {
+    assert(Multimodal.mp4Meta(null) == null)
+    assert(Multimodal.mp4Meta("plainly not a video container".getBytes) == null)
+    assert(Multimodal.mp4Meta(Multimodal.syntheticPng(32, 32)) == null)
+    val good = Multimodal.syntheticMp4(1000L, 1000L, Seq((1, "vide", 320, 240)))
+    // every truncation point: either parses to null or (when only trailing
+    // track boxes are lost) degrades — never throws, never reads OOB
+    Seq(4, 8, 15, good.length / 2, good.length - 1).foreach { cut =>
+      val t = java.util.Arrays.copyOf(good, cut)
+      Multimodal.mp4Meta(t) // must not throw
+    }
+    // a hostile size field (beyond buffer) must not read outside
+    val hostile = good.clone()
+    hostile(0) = 0x7f.toByte // ftyp size becomes huge
+    assert(Multimodal.mp4Meta(hostile) == null)
+  }
+
+  test("decodeVideoContainer: distributed parse, null for non-media rows") {
+    val rows = Seq(
+      (1, Multimodal.syntheticMp4(1000L, 2000L, Seq((1, "vide", 320, 180)))),
+      (2, "garbage".getBytes),
+      (3, Multimodal.syntheticMp4(2000L, 9000L,
+        Seq((1, "vide", 1280, 720), (2, "soun", 0, 0))))
+    ).toDF("id", "payload")
+    val got = Multimodal.decodeVideoContainer(rows, "payload")
+      .select("id", "video.duration_ms", "video.video_width",
+        "video.audio_tracks")
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else (r.getLong(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1) == (2000L, 320, 0))
+    assert(got(2) == null)
+    assert(got(3) == (4500L, 1280, 1))
+  }
+
   test("imageDupPairs: exactly the same-pixel pairs, no byte-format help") {
     // 3 classes × (png + bmp): each class yields exactly its 1 cross-format pair
     val rows = for {

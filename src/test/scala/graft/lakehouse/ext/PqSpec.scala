@@ -54,4 +54,13 @@ class PqSpec extends SparkSuite {
       k = 5, m = 8).orderBy("query_id", "rank").collect().toSeq
     assert(run() == run())
   }
+
+  test("an over-limit query frame is rejected loudly (the broadcast " +
+      "contract), never collected into the driver") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, m = 8, maxQueries = 2L)
+    }
+    assert(e.getMessage.contains("maxQueries"), e.getMessage)
+  }
 }

@@ -107,4 +107,38 @@ class QualitySpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "gold").count() == 2)
     assert(TableIO.selectTable(spark, lh, "gold_quarantine").count() == 3)
   }
+
+  test("appendWithQuarantine creates BOTH destinations on first use (an " +
+      "all-passing batch still creates the quarantine table) and commits " +
+      "the batch marker with each half") {
+    import graft.lakehouse.{Catalog, Ingest, TableIO, Versioned}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("quar2").toString,
+      "ws_quar2", "lh_quar2").lakehouses.head
+    val checks = Seq(Quality.NotNull("k"))
+    val (ok, bad) = Ingest.appendWithQuarantine(spark, lh, "g2", "q2",
+      Seq((Some(1L), 1.0)).toDF("k", "v"), checks,
+      extraMeta = Map("txn:app" -> "0"))
+    assert((ok, bad) == (1L, 0L))
+    // the quarantine table EXISTS and reads empty — a reader never
+    // depends on a failure having happened
+    assert(TableIO.selectTable(spark, lh, "q2").count() == 0)
+    def meta(name: String): Option[String] = {
+      val d = Catalog.tablePath(lh, name)
+      Versioned.latestVersion(d).flatMap(Versioned.readManifest(d, _))
+        .flatMap(_.meta.get("txn:app"))
+    }
+    // the marker committed atomically with BOTH halves (the empty
+    // quarantine half as a marker-only version)
+    assert(meta("g2").contains("0") && meta("q2").contains("0"))
+    // landGold=false re-lands only the missing half on replay
+    val (ok2, bad2) = Ingest.appendWithQuarantine(spark, lh, "g2", "q2",
+      Seq((Some(2L), 1.0), (None, 1.0)).toDF("k", "v"), checks,
+      extraMeta = Map("txn:app" -> "1"), landGold = false)
+    assert((ok2, bad2) == (0L, 1L))
+    assert(TableIO.selectTable(spark, lh, "g2").count() == 1,
+      "skipped half must not re-land")
+    assert(TableIO.selectTable(spark, lh, "q2").count() == 1)
+    assert(meta("g2").contains("0") && meta("q2").contains("1"))
+  }
 }

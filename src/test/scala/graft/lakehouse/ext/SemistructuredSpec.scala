@@ -57,4 +57,19 @@ class SemistructuredSpec extends SparkSuite {
         "known fields still parse on every row")
     } // if the rare row was sampled the premise doesn't hold — fine
   }
+
+  test("flattenJson refuses to overwrite an existing column (withColumn " +
+      "replaces in place — shredding must never destroy real data)") {
+    val df = Seq((1L, "real", """{"event_type": "shadow", "x": 2}"""))
+      .toDF("id", "event_type", "props")
+    val e = intercept[IllegalArgumentException] {
+      Semistructured.flattenJson(spark, df, "props")
+    }
+    assert(e.getMessage.contains("event_type"), e.getMessage)
+    // a prefix disambiguates and keeps the original column intact
+    val ok = Semistructured.flattenJson(spark, df, "props", prefix = "p_")
+    val r = ok.select("event_type", "p_event_type", "p_x").head()
+    assert(r.getString(0) == "real" && r.getString(1) == "shadow"
+      && r.getLong(2) == 2L)
+  }
 }

@@ -182,4 +182,50 @@ class SketchesSpec extends SparkSuite {
       Sketches.kmvSketch(df, "v", 1)
     }
   }
+
+  // ---- fixed-grid rank sketch ------------------------------------------
+
+  private def qsk(df: org.apache.spark.sql.DataFrame) =
+    Sketches.quantileSketch(df, "v", lo = 0L, hi = 1000000L, buckets = 16,
+      scale = 1000L)
+
+  test("quantile sketch merges by addition: sketch(A) + sketch(B) == " +
+      "sketch(A union B), cell for cell") {
+    import spark.implicits._
+    val a = (0 until 400).map(i => (i * 997 % 900).toDouble).toDF("v")
+    val b = (0 until 300).map(i => (i * 131 % 1100 - 50).toDouble).toDF("v")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      qsk(df).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (ca, cb) = (cells(a), cells(b))
+    val merged = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(cells(a.union(b)) == merged)
+  }
+
+  test("quantile answers are the grid floor of the exact quantile — " +
+      "within one cell width, never above") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(_.toDouble)
+    val df = vals.toDF("v")
+    val got = Sketches.quantilesFromSketch(qsk(df), Seq(500, 900, 990),
+        lo = 0L, hi = 1000000L, buckets = 16)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // cell width = 1e6/16 = 62500 scaled units = 62.5 value units
+    Seq(500 -> 500.0, 900 -> 900.0, 990 -> 990.0).foreach { case (p, exact) =>
+      val v = got(p) / 1000.0
+      assert(v <= exact && v > exact - 62.5 - 1e-9, s"p=$p got $v exact $exact")
+    }
+  }
+
+  test("quantile sketch guards: inverted domain and overflow refused") {
+    import spark.implicits._
+    val df = Seq(1.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSketch(df, "v", lo = 10L, hi = 10L, buckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSketch(df, "v", lo = 0L, hi = Long.MaxValue,
+        buckets = 1024)
+    }
+  }
 }
