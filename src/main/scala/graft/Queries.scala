@@ -5762,5 +5762,97 @@ object Queries {
         |SELECT o_orderstatus, CAST(p AS INT) AS p, bucket,
         |  CAST(0 + (bucket * 5000000000) // 128 AS BIGINT) AS value_scaled
         |FROM hit ORDER BY o_orderstatus, p""".stripMargin)),
+
+    // Structural privacy audit: quasi-identifier equivalence classes
+    // below k — exact integer counting, null quasi values group
+    // null-safe on both engines.
+    Q("q213_k_anonymity",
+      (s, dir) => Privacy.kAnonymityViolations(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 5L)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // l-diversity: classes whose sensitive attribute barely varies (the
+    // homogeneity attack k-anonymity misses); nulls count as one value.
+    Q("q214_l_diversity",
+      (s, dir) => Privacy.lDiversityViolations(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 3L)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |  CAST(count(DISTINCT c_acctbal) +
+        |    max(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS distinct_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING distinct_sensitive < 3
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // One-row anonymity posture (the release-gate number): actual k,
+    // rows at risk, exact integer permille share.
+    Q("q215_k_anonymity_summary",
+      (s, dir) => Privacy.kAnonymitySummary(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 5L),
+      Some("""WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS cs
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(cs) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  CAST(min(cs) AS BIGINT) AS min_class_size,
+        |  CAST(coalesce(sum(CASE WHEN cs < 5 THEN cs END), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST((coalesce(sum(CASE WHEN cs < 5 THEN cs END), 0) * 1000)
+        |    // sum(cs) AS BIGINT) AS at_risk_permille
+        |FROM c""".stripMargin)),
+
+    // Retrieval evaluation: recall@k (integer permille) and the MRR
+    // numerator (scale div first-relevant-rank) of the BM25 ranking
+    // against a deterministic qrel set — DuckDB replays the retriever
+    // AND the metrics, so the evaluation itself is hash-verified.
+    Q("q216_retrieval_metrics",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ranking = TextStats.bm25TopK(docs.select("doc_id", "text"),
+            "doc_id", "text", query = "spark shuffle join window", k = 20)
+          .withColumn("query_id", lit("q1"))
+        val qrels = docs.filter(col("doc_id") % 13 === 5)
+          .select(lit("q1").as("query_id"), col("doc_id"))
+        Retrieval.retrievalMetrics(ranking, qrels, "query_id", "doc_id",
+            "rank", k = 20)
+          .orderBy("query_id")
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |nz AS (SELECT doc_id, term FROM w WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM nz
+        |  WHERE term IN ('spark', 'shuffle', 'join', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |sb AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), corpus),
+        |sc AS (SELECT doc_id, sum(s) AS bm25 FROM sb GROUP BY 1),
+        |rk AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS rank FROM sc),
+        |top AS (SELECT doc_id, rank FROM rk WHERE rank <= 20),
+        |qr AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 5),
+        |nr AS (SELECT count(*) AS n_rel FROM qr),
+        |h AS (
+        |  SELECT count(*) AS hits, min(rank) AS first_rank
+        |  FROM top JOIN qr USING (doc_id))
+        |SELECT 'q1' AS query_id, CAST(n_rel AS BIGINT) AS n_rel,
+        |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+        |  CAST((coalesce(hits, 0) * 1000) // n_rel AS BIGINT)
+        |    AS recall_permille,
+        |  CAST(CASE WHEN hits > 0 THEN 1000000000000 // first_rank
+        |    ELSE 0 END AS BIGINT) AS rr_scaled
+        |FROM nr, h""".stripMargin)),
   )
 }

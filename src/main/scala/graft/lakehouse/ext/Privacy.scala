@@ -1,0 +1,78 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy hygiene audits for training-data curation: before a table
+  * (or extracted metadata about people) ships into a corpus, find the
+  * re-identifiable slices. Complements [[TextStats.scrubPII]] (which
+  * masks surface strings): these operators measure STRUCTURAL
+  * disclosure — how small the quasi-identifier equivalence classes are
+  * (k-anonymity, Samarati & Sweeney 1998) and how little the sensitive
+  * attribute varies inside them (l-diversity, Machanavajjhala et al.
+  * ICDE 2006). Both audits are exact integer counting — one aggregation
+  * each, engine-reproducible, no randomness.
+  */
+object Privacy {
+
+  /** Equivalence classes over the quasi-identifier columns that fall
+    * below `k` members — the rows a linkage attack can pin to fewer than
+    * k candidates. Returns (quasiCols…, class_size) for each violating
+    * class. Null is a quasi-identifier VALUE like any other (two rows
+    * with null ZIP are in the same class — groupBy's null-safe grouping
+    * does exactly this).
+    *
+    * 100 TB shape: one hash aggregation on the quasi columns (map-side
+    * partial counts), then a filter on the aggregated (class-sized, not
+    * row-sized) frame — the violating tail is the only output. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k < 2 makes every class compliant by definition")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
+  /** Per-class distinct-sensitive-value counts that fall below `l` —
+    * classes where the sensitive attribute is (nearly) homogeneous, so
+    * membership alone discloses it (the homogeneity attack k-anonymity
+    * misses). Returns (quasiCols…, class_size, distinct_sensitive) for
+    * each violating class. Null sensitive values count as one value.
+    *
+    * 100 TB shape: one aggregation with a distinct-count — Spark plans
+    * count(DISTINCT x) as a two-phase partial-agg expand, never a
+    * per-class collect. */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot also be a quasi-identifier")
+    require(l >= 2, "l < 2 makes every class compliant by definition")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1).otherwise(0)))
+          .as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+  }
+
+  /** Summary of a table's anonymity posture in ONE row: total rows,
+    * class count, minimum class size (the table's actual k), rows in
+    * classes below `k`, and the share of rows at risk as an exact
+    * DECIMAL — the number a release gate thresholds on. */
+  def kAnonymitySummary(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k < 2 makes every class compliant by definition")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cs"))
+      .agg(sum("cs").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("cs").as("min_class_size"),
+        coalesce(sum(when(col("cs") < k, col("cs"))), lit(0L))
+          .as("rows_at_risk"))
+      .withColumn("at_risk_permille",
+        expr("(rows_at_risk * 1000) div n_rows"))
+  }
+}

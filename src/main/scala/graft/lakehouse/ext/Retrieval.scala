@@ -48,4 +48,34 @@ object Retrieval {
             col(idCol).asc)))
       .select(col(idCol), col("rank"), col("rrf_score"), col("n_systems"))
   }
+
+  /** Retrieval evaluation against relevance judgments (qrels): per
+    * query — relevant total, hits in the top `k`, recall@k (exact
+    * integer permille), and the reciprocal rank of the FIRST relevant
+    * hit as `scale div rank` (the MRR numerator, same integer encoding
+    * as [[rrfFuse]] so it is engine-exact; 0 when nothing relevant
+    * ranked). Queries with judgments but no hits still report (their
+    * recall is 0) — evaluation must see the misses.
+    *
+    * 100 TB shape: judgment sets are eval-sized and ride a broadcast
+    * into the join against the (already top-k-bounded) ranking; both
+    * aggregations group on the query key with map-side combine. */
+  def retrievalMetrics(ranking: DataFrame, qrels: DataFrame,
+      queryCol: String, idCol: String, rankCol: String, k: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(k >= 1 && scale >= 1)
+    val judged = qrels.select(col(queryCol), col(idCol)).distinct()
+    val perQueryRel = judged.groupBy(queryCol)
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(idCol), col(rankCol).cast("long").as("__r"))
+      .join(broadcast(judged), Seq(queryCol, idCol))
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("hits"), min("__r").as("__first"))
+    perQueryRel.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("(coalesce(hits, 0L) * 1000) div n_rel").as("recall_permille"),
+        coalesce(expr(s"${scale}L div __first"), lit(0L)).as("rr_scaled"))
+  }
 }

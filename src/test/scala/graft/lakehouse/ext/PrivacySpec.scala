@@ -1,0 +1,62 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+
+class PrivacySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def people = Seq(
+    // (zip, age_band, diagnosis)
+    ("10001", "20s", "flu"), ("10001", "20s", "flu"),
+    ("10001", "20s", "flu"), ("10001", "20s", "cold"),
+    ("10001", "20s", "asthma"), // class of 5: k-ok, 3 diagnoses
+    ("10002", "30s", "flu"), ("10002", "30s", "flu"),
+    ("10002", "30s", "flu"), // class of 3: k-violating, HOMOGENEOUS
+    ("10003", "40s", "cold") // singleton: violates both
+  ).toDF("zip", "age_band", "diagnosis")
+
+  test("kAnonymityViolations finds exactly the classes below k") {
+    val got = Privacy.kAnonymityViolations(people, Seq("zip", "age_band"), 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("10002", "30s", 3L), ("10003", "40s", 1L)), got)
+  }
+
+  test("lDiversityViolations flags homogeneous classes even when k-sized; " +
+      "nulls count as one sensitive value") {
+    val got = Privacy.lDiversityViolations(people, Seq("zip", "age_band"),
+        "diagnosis", 3L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    // 10001/20s has 3 distinct diagnoses (compliant at l=3); the flu-only
+    // class and the singleton violate
+    assert(got == Set(("10002", 3L, 1L), ("10003", 1L, 1L)), got)
+    val withNulls = Seq(("z", "a", null), ("z", "a", null),
+      ("z", "a", "flu")).toDF("zip", "age_band", "diagnosis")
+    val g2 = Privacy.lDiversityViolations(withNulls, Seq("zip", "age_band"),
+        "diagnosis", 3L)
+      .collect().map(r => r.getLong(3))
+    assert(g2.toSeq == Seq(2L), "null must count as one value: " + g2.toSeq)
+  }
+
+  test("kAnonymitySummary reports the release-gate numbers exactly") {
+    val r = Privacy.kAnonymitySummary(people, Seq("zip", "age_band"), 5L)
+      .head()
+    assert(r.getLong(0) == 9L, "n_rows")
+    assert(r.getLong(1) == 3L, "n_classes")
+    assert(r.getLong(2) == 1L, "min_class_size")
+    assert(r.getLong(3) == 4L, "rows_at_risk")
+    assert(r.getLong(4) == 444L, "at_risk_permille = 4000 div 9")
+  }
+
+  test("guards: empty quasi set, degenerate k/l, sensitive-in-quasi refused") {
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityViolations(people, Nil, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityViolations(people, Seq("zip"), 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityViolations(people, Seq("zip", "diagnosis"),
+        "diagnosis", 2L)
+    }
+  }
+}

@@ -53,4 +53,34 @@ class RetrievalSpec extends SparkSuite {
       Retrieval.rrfFuse(Nil, "id", "rank", k = 5)
     }
   }
+
+  test("retrievalMetrics: hand-computed recall@k and MRR numerators, " +
+      "zero-hit queries still reported") {
+    val ranking = Seq(
+      ("qa", 10L, 1), ("qa", 20L, 2), ("qa", 30L, 3), ("qa", 40L, 4),
+      ("qb", 50L, 1), ("qb", 60L, 2)
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      ("qa", 20L), ("qa", 40L), ("qa", 99L), // 3 relevant, 2 in top-3? rank4 cut
+      ("qb", 77L) // relevant but never retrieved
+    ).toDF("query_id", "doc_id")
+    val got = Retrieval.retrievalMetrics(ranking, qrels, "query_id",
+        "doc_id", "rank", k = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val s = 1000000000000L
+    // qa: top-3 = {10,20,30}; hits = {20} → recall 1/3 → 333‰; first at 2
+    assert(got("qa") == (3L, 1L, 333L, s / 2), got("qa"))
+    // qb: no relevant retrieved → all zeros, but the row EXISTS
+    assert(got("qb") == (1L, 0L, 0L, 0L), got("qb"))
+  }
+
+  test("retrievalMetrics: duplicate qrel rows do not double-count") {
+    val ranking = Seq(("q", 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(("q", 1L), ("q", 1L)).toDF("query_id", "doc_id")
+    val r = Retrieval.retrievalMetrics(ranking, qrels, "query_id",
+      "doc_id", "rank", k = 5).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (1L, 1L, 1000L), r)
+  }
 }
