@@ -5854,5 +5854,156 @@ object Queries {
         |  CAST(CASE WHEN hits > 0 THEN 1000000000000 // first_rank
         |    ELSE 0 END AS BIGINT) AS rr_scaled
         |FROM nr, h""".stripMargin)),
+
+    // Unicode NFC canonicalization through the native codegen'd
+    // expression; the fixture text is ASCII (NFC-trivial), so the input
+    // is first salted with decomposed e+COMBINING ACUTE pairs, which NFC
+    // must compose back to U+00E9 — both engines implement UAX #15, so
+    // the full normalized text hash-matches.
+    Q("q217_nfc_normalize",
+      (s, dir) => TextNorm.normalizeDocuments(
+          t(s, dir, "documents").select(col("doc_id"),
+            regexp_replace(col("text"), "e", "e\u0301").as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS text_norm,
+        |  CAST(length(t) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS len_norm,
+        |  (length(t) - length(nfc_normalize(t))) <> 0 AS changed
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Stratified split with EXACT per-stratum permille proportions (the
+    // property q74's per-row Bernoulli split only hits in expectation) —
+    // rank-by-keyed-hash inside each (lang, source) stratum, integer cut
+    // points, bit-portable across engines.
+    Q("q218_stratified_split",
+      (s, dir) => Packing.stratifiedSplit(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          "doc_id", Seq("lang", "source"), seed = 11L,
+          permille = Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || '11'),
+        |        doc_id) AS r,
+        |    count(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, source,
+        |  CASE WHEN r <= (n * 800) // 1000 THEN 'train'
+        |       WHEN r <= (n * 900) // 1000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Unicode script histogram + homoglyph/mixed-script flag; every third
+    // document gets its 'a's replaced with Cyrillic 'д' so the profile is
+    // non-trivial. Counts via regex subtraction stay codegen'd built-ins.
+    Q("q219_script_mix",
+      (s, dir) => TextNorm.scriptProfile(
+          t(s, dir, "documents").select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              regexp_replace(col("text"), "a", "\u0434"))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN replace(text, 'a', chr(1076)) ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(t) - length(regexp_replace(t, '\p{Latin}', '', 'g'))
+        |      AS BIGINT) AS latin_n,
+        |    CAST(length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g'))
+        |      AS BIGINT) AS cyrillic_n,
+        |    CAST(length(t) - length(regexp_replace(t, '\p{Han}', '', 'g'))
+        |      AS BIGINT) AS han_n,
+        |    CAST(length(t) - length(regexp_replace(t, '\p{Greek}', '', 'g'))
+        |      AS BIGINT) AS greek_n,
+        |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS digit_n
+        |  FROM d)
+        |SELECT doc_id, latin_n, cyrillic_n, han_n, greek_n, digit_n,
+        |  CASE WHEN greatest(latin_n, cyrillic_n, han_n, greek_n) = 0
+        |         THEN 'none'
+        |       WHEN cyrillic_n >= greatest(greek_n, han_n, latin_n)
+        |         THEN 'cyrillic'
+        |       WHEN greek_n >= greatest(han_n, latin_n) THEN 'greek'
+        |       WHEN han_n >= latin_n THEN 'han'
+        |       ELSE 'latin' END AS dominant_script,
+        |  ((CASE WHEN latin_n > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN cyrillic_n > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN han_n > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN greek_n > 0 THEN 1 ELSE 0 END) >= 2) AS mixed_script
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Content-defined chunking: boundaries keyed on local md5 content,
+    // not absolute position — the oracle rebuilds every boundary, chunk
+    // membership, and chunk hash from the same arithmetic.
+    Q("q220_cdc_chunks",
+      (s, dir) => Packing.contentDefinedChunks(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowTokens = 4, divisor = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH arr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos,
+        |    len(a) AS n
+        |  FROM arr),
+        |g AS (
+        |  SELECT doc_id, pos, tok, n,
+        |    string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS gram
+        |  FROM tok),
+        |b AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN pos >= 4 AND pos < n AND
+        |      ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 8 = 0
+        |    THEN 1 ELSE 0 END AS boundary
+        |  FROM g),
+        |ch AS (
+        |  SELECT doc_id, pos, tok,
+        |    coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_idx
+        |  FROM b)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM ch GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // One-row corpus dataset card: volume, nullity, diversity, exact-dup
+    // count — every figure integer-exact, permille mean via integer
+    // division.
+    Q("q221_corpus_report",
+      (s, dir) => TextStats.corpusReport(
+          t(s, dir, "documents"), "doc_id", "text", "lang", "source"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, lang, source,
+        |    len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '')) AS ntok
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_text,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(text) - count(DISTINCT md5(text)) AS BIGINT)
+        |    AS exact_dup_docs,
+        |  CAST(max(ntok) AS BIGINT) AS max_doc_tokens,
+        |  CAST(min(ntok) AS BIGINT) AS min_doc_tokens,
+        |  CAST((sum(ntok) * 1000) // count(*) AS BIGINT)
+        |    AS mean_tokens_permille
+        |FROM d""".stripMargin)),
   )
 }

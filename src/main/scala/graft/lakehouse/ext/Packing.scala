@@ -1,6 +1,7 @@
 package graft.lakehouse.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -287,5 +288,121 @@ object Packing {
         when(u < cut, name).otherwise(acc)
       }
     df.withColumn(splitCol, expr0)
+  }
+
+  /** Stratified deterministic split with EXACT per-stratum proportions.
+    * [[hashSplit]]'s per-row Bernoulli assignment only hits the target
+    * fractions in expectation — a small or skewed stratum (one language,
+    * one source) can land entirely in train. Here each (strataCols)
+    * group is ranked by a keyed portable hash (sha-256 of id+seed,
+    * tie-broken by id) and cut at integer-exact permille boundaries
+    * (`floor(n·cum/1000)` in integer arithmetic), so every stratum
+    * honors the requested ratios to within one row and any engine
+    * replays the assignment bit-for-bit.
+    *
+    * Cost: ONE shuffle (the per-stratum window). Each stratum sorts as
+    * one partition — correct for the intended use (strata are
+    * language/source/domain classes, thousands at most, each fitting a
+    * task's spill budget); for an unbounded-cardinality key use
+    * [[hashSplit]] instead. `permille` must sum to 1000; the last bucket
+    * absorbs the rounding remainder. */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCols: Seq[String],
+      seed: Long, permille: Seq[(String, Int)],
+      splitCol: String = "split"): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedSplit needs stratum columns")
+    require(permille.nonEmpty && permille.forall(_._2 > 0) &&
+      permille.map(_._2).sum == 1000,
+      "stratifiedSplit permille weights must be positive and sum to 1000")
+    val key = sha2(concat_ws("#", col(idCol).cast("string"),
+      lit(seed.toString)), 256)
+    val part = Window.partitionBy(strataCols.map(col): _*)
+    val r = row_number().over(part.orderBy(key, col(idCol)))
+    val n = count(lit(1)).over(part)
+    val cums = permille.scanLeft(0)(_ + _._2).tail
+    val first = permille.head._1
+    val assign = permille.zip(cums).tail.foldLeft(
+      when(r <= floor(n * cums.head / lit(1000.0)).cast("long"), first)) {
+        case (acc, ((name, _), cum)) =>
+          acc.when(r <= floor(n * cum / lit(1000.0)).cast("long"), name)
+      }.otherwise(permille.last._1)
+    df.withColumn(splitCol, assign)
+  }
+
+  /** One chunk of [[contentDefinedChunks]]: 0-based index, token count,
+    * space-joined text. */
+  private[ext] case class CdcChunk(chunk_idx: Long, n_tokens: Long,
+      chunk_text: String)
+
+  /** Content-defined chunking (Rabin-style, here keyed on md5 for
+    * cross-engine portability): a chunk boundary falls AFTER token p
+    * (p >= windowTokens) when the first 32 bits of
+    * md5(space-joined tokens p-w+1..p), read as an unsigned int, are
+    * divisible by `divisor` — so boundaries depend only on local content,
+    * never on absolute position. Inserting or deleting a token
+    * re-chunks at most the chunks overlapping the edit's w-token
+    * neighborhood, where fixed-size chunking (q50) shifts EVERY
+    * subsequent boundary — the property that makes storage-level dedup
+    * and incremental re-embedding of edited documents cheap.
+    *
+    * Expected chunk length ≈ `divisor` tokens. Documents shorter than one
+    * window come back as a single chunk; a trailing empty chunk (boundary
+    * on the last token) is not emitted.
+    *
+    * Scale shape: ONE per-document compiled kernel (digest reused across
+    * windows), zero shuffle, zero explode before the final per-chunk
+    * unnest; at 100 TB this runs at scan speed like the q139 span
+    * detector's hashing pass, but never even shuffles — chunk identity is
+    * wholly in-row. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, divisor: Int): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    require(divisor >= 2, "divisor must be >= 2")
+    val kernel = udf { (toks: Seq[String], w: Int, d: Int) =>
+      if (toks == null || toks.isEmpty) Seq.empty[CdcChunk]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val arr = toks.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[CdcChunk]
+        val cur = new java.lang.StringBuilder()
+        var curN = 0L
+        var idx = 0L
+        var p = 0
+        while (p < arr.length) {
+          if (curN > 0) cur.append(' ')
+          cur.append(arr(p)); curN += 1
+          if (p >= w - 1) {
+            val sb = new java.lang.StringBuilder()
+            var j = p - w + 1
+            while (j <= p) {
+              if (j > p - w + 1) sb.append(' ')
+              sb.append(arr(j)); j += 1
+            }
+            md.reset()
+            val dig = md.digest(
+              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 4 md5 bytes big-endian == first 8 hex chars — the
+            // exact value ('0x' || substr(md5_hex, 1, 8))::UBIGINT yields
+            val h32 = java.lang.Integer.toUnsignedLong(
+              ((dig(0) & 0xff) << 24) | ((dig(1) & 0xff) << 16) |
+                ((dig(2) & 0xff) << 8) | (dig(3) & 0xff))
+            if (h32 % d == 0 && p < arr.length - 1) {
+              out += CdcChunk(idx, curN, cur.toString)
+              idx += 1; cur.setLength(0); curN = 0L
+            }
+          }
+          p += 1
+        }
+        if (curN > 0) out += CdcChunk(idx, curN, cur.toString)
+        out.toSeq
+      }
+    }
+    val toksCol = expr(
+      s"filter(split(coalesce(`$textCol`, ''), '\\\\s+'), t -> t <> '')")
+    df.select(col(idCol), toksCol.as("toks"))
+      .select(col(idCol),
+        explode(kernel(col("toks"), lit(windowTokens), lit(divisor))).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"),
+        md5(col("c.chunk_text")).as("chunk_md5"))
   }
 }

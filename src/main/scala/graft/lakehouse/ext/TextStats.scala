@@ -328,68 +328,64 @@ object TextStats {
     val toksCol = filter(
       split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "),
       t => length(t) > 0)
-    // tokenize ONCE, spread, persist: both passes consume the token
-    // arrays, and a small corpus often scans as one parquet split —
-    // without the spread the tokenizer, the df_t map side, and the
-    // scoring kernel all serialize onto a single task
+    // Each pass tokenizes off its own column-pruned scan — deliberately
+    // NOT a persisted token cache: at 100 TB materializing token arrays
+    // spills the whole corpus to executor disk, while a second pruned
+    // parquet scan is the cheap path; at bench scale it also drops the
+    // persist + eager-release jobs.
     val d = spreadIfNarrow(df.select(col(idCol), col(textCol)))
       .select(col(idCol), toksCol.as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // ONE job: materializes the token cache on its map side, aggregates
-      // df_t, and collects at most maxVocab+2 rows (CollectLimit bounds
-      // driver memory — the guard IS the collect, no separate count job)
-      val rows = d.select(
-          when(size(col("toks")) > 0,
-            concat(array(lit(" ")), array_distinct(col("toks"))))
-            .otherwise(array().cast("array<string>")).as("dts"))
-        .select(explode(col("dts")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("df_t"))
-        .limit((maxVocab + 2).min(Int.MaxValue).toInt)
-        .collect()
-      if (rows.length > maxVocab + 1)
-        return tfidfTopTermsJoined(df, idCol, textCol, k)
-      var nDocs = 0L
-      val dft = new java.util.HashMap[String, Long](rows.length * 2)
-      rows.foreach { r =>
-        val t = r.getString(0)
-        if (t == " ") nDocs = r.getLong(1) else dft.put(t, r.getLong(1))
-      }
-      val bc = spark.sparkContext.broadcast(dft)
-      val n = nDocs
-      val kk = k
-      val topUdf = udf((toks: Seq[String]) => {
-        if (toks == null || toks.isEmpty) Array.empty[TfIdfTerm]
-        else {
-          val counts = new java.util.HashMap[String, Int]
-          toks.foreach(t => counts.put(t, counts.getOrDefault(t, 0) + 1))
-          val m = bc.value
-          val scored = new Array[TfIdfTerm](counts.size)
-          var i = 0
-          val it = counts.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            // identical IEEE arithmetic to the join plan's column formula
-            val s = e.getValue.toDouble *
-              (math.log((n + 1.0) / (m.getOrDefault(e.getKey, 0L) + 1.0)) + 1.0)
-            scored(i) = TfIdfTerm(e.getKey, s)
-            i += 1
-          }
-          java.util.Arrays.sort(scored, new java.util.Comparator[TfIdfTerm] {
-            def compare(a: TfIdfTerm, b: TfIdfTerm): Int = {
-              val c = java.lang.Double.compare(b.score, a.score)
-              if (c != 0) c else a.term.compareTo(b.term)
-            }
-          })
-          scored.take(kk)
+    // ONE job: aggregates df_t off the scan and collects at most
+    // maxVocab+2 rows (CollectLimit bounds driver memory — the guard IS
+    // the collect, no separate count job)
+    val rows = d.select(
+        when(size(col("toks")) > 0,
+          concat(array(lit(" ")), array_distinct(col("toks"))))
+          .otherwise(array().cast("array<string>")).as("dts"))
+      .select(explode(col("dts")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+      .limit((maxVocab + 2).min(Int.MaxValue).toInt)
+      .collect()
+    if (rows.length > maxVocab + 1)
+      return tfidfTopTermsJoined(df, idCol, textCol, k)
+    var nDocs = 0L
+    val dft = new java.util.HashMap[String, Long](rows.length * 2)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      if (t == " ") nDocs = r.getLong(1) else dft.put(t, r.getLong(1))
+    }
+    val bc = spark.sparkContext.broadcast(dft)
+    val n = nDocs
+    val kk = k
+    val topUdf = udf((toks: Seq[String]) => {
+      if (toks == null || toks.isEmpty) Array.empty[TfIdfTerm]
+      else {
+        val counts = new java.util.HashMap[String, Int]
+        toks.foreach(t => counts.put(t, counts.getOrDefault(t, 0) + 1))
+        val m = bc.value
+        val scored = new Array[TfIdfTerm](counts.size)
+        var i = 0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          // identical IEEE arithmetic to the join plan's column formula
+          val s = e.getValue.toDouble *
+            (math.log((n + 1.0) / (m.getOrDefault(e.getKey, 0L) + 1.0)) + 1.0)
+          scored(i) = TfIdfTerm(e.getKey, s)
+          i += 1
         }
-      })
-      d.select(col(idCol), posexplode(topUdf(col("toks"))).as(Seq("p", "ts")))
-        .select(col(idCol), col("ts.term").as("term"),
-          (col("p") + 1).cast("int").as("rank"), col("ts.score").as("score"))
-        // eager k·docs-row materialization so the token cache releases
-        .localCheckpoint(true)
-    } finally d.unpersist()
+        java.util.Arrays.sort(scored, new java.util.Comparator[TfIdfTerm] {
+          def compare(a: TfIdfTerm, b: TfIdfTerm): Int = {
+            val c = java.lang.Double.compare(b.score, a.score)
+            if (c != 0) c else a.term.compareTo(b.term)
+          }
+        })
+        scored.take(kk)
+      }
+    })
+    d.select(col(idCol), posexplode(topUdf(col("toks"))).as(Seq("p", "ts")))
+      .select(col(idCol), col("ts.term").as("term"),
+        (col("p") + 1).cast("int").as("rank"), col("ts.score").as("score"))
   }
 
   /** Spread a frame across cores when its scan arrived too narrow (a
@@ -701,5 +697,38 @@ object TextStats {
           "x -> spans IS NULL OR NOT exists(spans, " +
           "s -> x.p >= s.span_start AND x.p < s.span_end)), " +
           "x -> x.t), ' ')").as(textCol))
+  }
+
+  /** One-row corpus "dataset card": the release-gate summary a training
+    * run wants stapled to every corpus snapshot — volume (docs, tokens,
+    * chars), nullity, diversity (distinct languages/sources), and the
+    * exact-duplicate count (docs minus distinct md5(text), the same
+    * identity q29's dedup keys on). Every figure is integer-exact
+    * (mean tokens/doc is reported in permille via integer division), so
+    * any engine reproduces the card bit-for-bit.
+    *
+    * Scale shape: one pass, one aggregation. The distinct counts expand
+    * to a single multi-distinct aggregate over a 1-row result; md5 keys
+    * keep the distinct-docs shuffle at constant width. At 100 TB this is
+    * the cheapest full-corpus statement there is — no joins, no windows,
+    * output is ONE row. */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val toks = size(tokArray(textCol))
+    df.select(col(idCol), col(textCol), col(langCol), col(sourceCol),
+        toks.as("ntok"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(col("ntok")).cast("long").as("n_tokens"),
+        sum(length(coalesce(col(textCol), lit("")))).cast("long").as("n_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        (count(col(textCol)) - countDistinct(md5(col(textCol))))
+          .as("exact_dup_docs"),
+        max(col("ntok")).cast("long").as("max_doc_tokens"),
+        min(col("ntok")).cast("long").as("min_doc_tokens"))
+      .withColumn("mean_tokens_permille",
+        ((col("n_tokens") * 1000L) / col("n_docs")).cast("long"))
   }
 }

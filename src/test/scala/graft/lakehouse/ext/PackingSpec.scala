@@ -222,4 +222,66 @@ class PackingSpec extends SparkSuite {
     assert(Packing.rebalanceMixture(skew, "id", "src",
       Map("a" -> 1.0), 3L).columns.toSeq == Seq("id", "src"))
   }
+
+  test("stratifiedSplit: exact per-stratum proportions, deterministic") {
+    // two strata of 10 and 25 rows; 800/100/100 permille
+    val df = ((1L to 10L).map(i => (i, "a")) ++
+      (11L to 35L).map(i => (i, "b"))).toDF("id", "g")
+    val out = Packing.stratifiedSplit(df, "id", Seq("g"), 7L,
+      Seq("train" -> 800, "val" -> 100, "test" -> 100)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val a = out.filter(_._2 == "a").map(_._3)
+    val b = out.filter(_._2 == "b").map(_._3)
+    // 10 rows: floor(8)/floor(9)-8/rest -> 8/1/1; 25: 20/2/3
+    assert(a.count(_ == "train") == 8 && a.count(_ == "val") == 1 &&
+      a.count(_ == "test") == 1)
+    assert(b.count(_ == "train") == 20 && b.count(_ == "val") == 2 &&
+      b.count(_ == "test") == 3)
+    // deterministic across runs
+    val again = Packing.stratifiedSplit(df, "id", Seq("g"), 7L,
+      Seq("train" -> 800, "val" -> 100, "test" -> 100)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different seed reshuffles membership (overwhelmingly likely)
+    val seed2 = Packing.stratifiedSplit(df, "id", Seq("g"), 8L,
+      Seq("train" -> 800, "val" -> 100, "test" -> 100)).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(seed2.toSet != out.map(r => (r._1, r._3)).toSet)
+    // guards
+    intercept[IllegalArgumentException] {
+      Packing.stratifiedSplit(df, "id", Seq("g"), 7L, Seq("x" -> 999))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.stratifiedSplit(df, "id", Seq.empty, 7L, Seq("x" -> 1000))
+    }
+  }
+
+  test("contentDefinedChunks: chunks partition the token stream; " +
+      "boundaries are content-local (append-stable)") {
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "t")
+    val out = Packing.contentDefinedChunks(df, "id", "t", 4, 8)
+      .orderBy("chunk_idx").collect()
+    // chunks cover all 60 tokens, indices contiguous from 0, none empty
+    assert(out.map(_.getLong(2)).sum == 60L)
+    assert(out.map(_.getLong(1)).toSeq == out.indices.map(_.toLong))
+    assert(out.forall(_.getLong(2) > 0))
+    assert(out.length > 1, "divisor 8 over 60 tokens should cut at least once")
+    // appending tokens at the end leaves every earlier chunk's hash
+    // unchanged (the CDC property fixed-size chunking lacks)
+    val grown = Seq((1L, text + " extra tokens appended here")).toDF("id", "t")
+    val out2 = Packing.contentDefinedChunks(grown, "id", "t", 4, 8)
+      .orderBy("chunk_idx").collect()
+    val stable = out.dropRight(1).map(_.getString(3))
+    assert(out2.take(stable.length).map(_.getString(3)).toSeq == stable.toSeq)
+    // short doc -> single chunk; empty/null -> no rows
+    val shortDf = Seq((1L, "a b c")).toDF("id", "t")
+    val sc = Packing.contentDefinedChunks(shortDf, "id", "t", 4, 8).collect()
+    assert(sc.length == 1 && sc(0).getLong(2) == 3L)
+    val empty = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("id", "t")
+    assert(Packing.contentDefinedChunks(empty, "id", "t", 4, 8).count() == 0)
+    intercept[IllegalArgumentException] {
+      Packing.contentDefinedChunks(shortDf, "id", "t", 1, 8)
+    }
+  }
 }

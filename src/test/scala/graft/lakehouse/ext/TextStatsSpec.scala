@@ -255,4 +255,24 @@ class TextStatsSpec extends SparkSuite {
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(kept == Seq((1L, "a\n\n\n\nb"), (2L, "c\n\n\n\nd")))
   }
+
+  test("corpusReport: one-row card with exact counts") {
+    val df = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b c", "en", "s2"),       // exact dup of doc 1
+      (3L, "d e", "fr", "s1"),
+      (4L, null.asInstanceOf[String], "en", "s3")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextStats.corpusReport(df, "doc_id", "text", "lang", "source").head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_null_text") == 1L)
+    assert(r.getAs[Long]("n_tokens") == 8L)
+    assert(r.getAs[Long]("n_chars") == 13L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("n_sources") == 3L)
+    assert(r.getAs[Long]("exact_dup_docs") == 1L)
+    assert(r.getAs[Long]("max_doc_tokens") == 3L)
+    assert(r.getAs[Long]("min_doc_tokens") == 0L)
+    assert(r.getAs[Long]("mean_tokens_permille") == 2000L)
+  }
 }
