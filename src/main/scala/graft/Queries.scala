@@ -6005,5 +6005,128 @@ object Queries {
         |  CAST((sum(ntok) * 1000) // count(*) AS BIGINT)
         |    AS mean_tokens_permille
         |FROM d""".stripMargin)),
+
+    // Edit-distance-1 token pairs via the SymSpell deletion index — the
+    // fixture vocabulary has no natural neighbors, so every 7th document
+    // is salted with four deterministic typo forms (insert, delete,
+    // double-letter, substitution); the oracle finds the SAME pairs by
+    // brute-force levenshtein over the vocabulary, so the index's
+    // completeness is what's being verified.
+    Q("q222_fuzzy_token_pairs",
+      (s, dir) => FuzzyJoin.editDistanceOnePairs(
+          t(s, dir, "documents").select(
+            when(col("doc_id") % 7 === 0,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                col("text"), "join", "joiin"), "scan", "scn"),
+                "sort", "sortt"), "key", "kay"))
+              .otherwise(col("text")).as("text")),
+          "text")
+        .orderBy("a", "b"),
+      Some("""WITH d AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN
+        |    replace(replace(replace(replace(text, 'join', 'joiin'),
+        |      'scan', 'scn'), 'sort', 'sortt'), 'key', 'kay')
+        |  ELSE text END AS text FROM documents),
+        |tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS term
+        |  FROM d),
+        |v AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
+        |SELECT x.term AS a, y.term AS b, x.n AS n_a, y.n AS n_b
+        |FROM v x JOIN v y
+        |  ON x.term < y.term AND levenshtein(x.term, y.term) = 1
+        |ORDER BY a, b""".stripMargin)),
+
+    // PII inventory per source (the audit complement of q54's scrubber):
+    // every 5th doc gets an email, the next fifth a URL, the next a phone
+    // number; counts and the affected-docs permille are integer-exact.
+    Q("q223_pii_inventory",
+      (s, dir) => Privacy.piiInventory(
+          t(s, dir, "documents").select(col("source"),
+            when(col("doc_id") % 5 === 0, concat(col("text"),
+              lit(" mail user"), col("doc_id"), lit("@example.com")))
+            .when(col("doc_id") % 5 === 1, concat(col("text"),
+              lit(" see https://example.com/d/"), col("doc_id")))
+            .when(col("doc_id") % 5 === 2, concat(col("text"),
+              lit(" call +1 555-000-"), format_string("%04d", col("doc_id"))))
+            .otherwise(col("text")).as("text")),
+          "text", "source")
+        .orderBy("source"),
+      Some("""WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |           text || ' mail user' || doc_id || '@example.com'
+        |         WHEN doc_id % 5 = 1 THEN
+        |           text || ' see https://example.com/d/' || doc_id
+        |         WHEN doc_id % 5 = 2 THEN
+        |           text || ' call +1 555-000-' || format('{:04d}', doc_id)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(coalesce(text, ''),
+        |      'https?://[^\s]+')) AS u,
+        |    len(regexp_extract_all(coalesce(text, ''),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |    len(regexp_extract_all(coalesce(text, ''),
+        |      '\+?[0-9][0-9\- ]{7,}[0-9]')) AS p
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(u) AS BIGINT) AS n_urls,
+        |  CAST(sum(e) AS BIGINT) AS n_emails,
+        |  CAST(sum(p) AS BIGINT) AS n_phones,
+        |  CAST(sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_url,
+        |  CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_email,
+        |  CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_phone,
+        |  CAST(sum(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_pii,
+        |  CAST((sum(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END) * 1000)
+        |    // count(*) AS BIGINT) AS pii_docs_permille
+        |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // N-gram novelty of a 20% "new batch" against the other 80% as
+    // reference corpus: per-doc distinct-window anti-join membership,
+    // exact integer permille.
+    Q("q224_ngram_novelty",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextStats.ngramNovelty(
+          docs.filter(col("doc_id") % 10 < 2).select("doc_id", "text"),
+          docs.filter(col("doc_id") % 10 >= 2).select("doc_id", "text"),
+          "doc_id", "text", windowTokens = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH arr AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), x -> x <> '') AS a
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
+        |  FROM arr),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS gram
+        |  FROM tok),
+        |valid AS (SELECT DISTINCT doc_id, gram FROM g WHERE pos >= 5),
+        |refg AS (SELECT DISTINCT gram FROM valid WHERE doc_id % 10 >= 2),
+        |newg AS (SELECT doc_id, gram FROM valid WHERE doc_id % 10 < 2),
+        |cnt AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN gram NOT IN (SELECT gram FROM refg)
+        |        THEN 1 ELSE 0 END) AS n_novel
+        |  FROM newg GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(cnt.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(cnt.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN coalesce(cnt.n_grams, 0) > 0
+        |    THEN CAST((cnt.n_novel * 1000) // cnt.n_grams AS BIGINT)
+        |  END AS novelty_permille
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 2) d
+        |LEFT JOIN cnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -75,4 +75,37 @@ object Privacy {
       .withColumn("at_risk_permille",
         expr("(rows_at_risk * 1000) div n_rows"))
   }
+
+  /** PII inventory: the audit complement of `TextStats.scrubPII` — the
+    * scrubber removes PII, this measures how much there is and where,
+    * per `groupCol` (source, domain, snapshot): document counts and
+    * total occurrence counts per PII type (URL / email / phone, the
+    * same public regexes the scrubber masks), the affected-document
+    * count, and its exact integer permille — the release-gate number.
+    * Each pattern is counted on the RAW text independently (an email
+    * inside a URL counts as both; scrub order doesn't bias the audit).
+    *
+    * Scale shape: per-row codegen'd regexp_count kernels feeding ONE
+    * hash aggregation keyed by the group — no explode, no joins; output
+    * is one row per group. */
+  def piiInventory(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val urls = regexp_count(t, lit(TextStats.UrlRe))
+    val emails = regexp_count(t, lit(TextStats.EmailRe))
+    val phones = regexp_count(t, lit(TextStats.PhoneRe))
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(urls).cast("long").as("n_urls"),
+        sum(emails).cast("long").as("n_emails"),
+        sum(phones).cast("long").as("n_phones"),
+        sum(when(urls > 0, 1L).otherwise(0L)).as("docs_with_url"),
+        sum(when(emails > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(phones > 0, 1L).otherwise(0L)).as("docs_with_phone"),
+        sum(when(urls + emails + phones > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"))
+      .withColumn("pii_docs_permille",
+        expr("(docs_with_pii * 1000) div n_docs"))
+  }
 }

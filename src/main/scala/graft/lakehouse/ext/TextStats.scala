@@ -518,9 +518,9 @@ object TextStats {
   // Deliberately conservative patterns that mean the same thing in Java
   // regex (Spark) and RE2 (most SQL engines): no lookarounds, no
   // backreferences, character classes + bounded repetition only.
-  private val UrlRe = "https?://[^\\s]+"
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+?[0-9][0-9\\- ]{7,}[0-9]"
+  private[ext] val UrlRe = "https?://[^\\s]+"
+  private[ext] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ext] val PhoneRe = "\\+?[0-9][0-9\\- ]{7,}[0-9]"
 
   /** Mask URLs, email addresses, and phone-shaped digit runs (in that
     * order — URLs may embed '@', emails embed digits). Pure codegen'd
@@ -730,5 +730,39 @@ object TextStats {
         min(col("ntok")).cast("long").as("min_doc_tokens"))
       .withColumn("mean_tokens_permille",
         ((col("n_tokens") * 1000L) / col("n_docs")).cast("long"))
+  }
+
+  /** Per-document n-gram novelty of a NEW batch against a REFERENCE
+    * corpus: the share (exact integer permille) of each new document's
+    * DISTINCT w-token windows that appear nowhere in the reference — the
+    * incremental-ingest triage number (near-zero novelty = the crawl
+    * re-fetched what the corpus already has; the complement of q53's
+    * contamination check, which asks the opposite direction).
+    *
+    * Scale shape: both sides hash windows with the same compiled
+    * per-document kernel as q139 (constant 16-byte keys); the reference
+    * side reduces to DISTINCT gram keys; ONE anti-join keyed on the
+    * binary hash answers membership, then a per-doc count aggregation.
+    * Nothing is quadratic; the reference gram set shuffles once and is
+    * re-usable via bucketing at 100 TB. Documents shorter than one
+    * window report n_grams = 0 with a NULL permille. */
+  def ngramNovelty(newDf: DataFrame, refDf: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ array_distinct(transform(
+        windowMd5Kernel(tokArray(textCol), lit(w)), x => x("g"))).as("grams"): _*)
+    val newG = grams(newDf, col(idCol))
+    val refG = grams(refDf).select(explode(col("grams")).as("g")).distinct()
+    val novel = newG.select(col(idCol), explode(col("grams")).as("g"))
+      .join(refG, Seq("g"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("n_novel"))
+    newG.select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
+      .join(novel, Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_permille",
+        when(col("n_grams") > 0,
+          expr("(n_novel * 1000) div n_grams")).otherwise(lit(null)))
   }
 }

@@ -59,4 +59,29 @@ class PrivacySpec extends SparkSuite {
         "diagnosis", 2L)
     }
   }
+
+  test("piiInventory: per-group typed counts, affected docs, permille") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "mail me at a@b.com or c@d.org"),          // 2 emails
+      ("s1", "see https://x.io/a and https://y.io/b"),  // 2 urls
+      ("s1", "clean prose only"),
+      ("s2", "call +1 555-123-4567 now"),               // 1 phone
+      ("s2", null.asInstanceOf[String])
+    ).toDF("src", "text")
+    val out = Privacy.piiInventory(df, "text", "src").orderBy("src").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_emails") == 2L &&
+      s1.getAs[Long]("n_urls") == 2L && s1.getAs[Long]("n_phones") == 0L)
+    assert(s1.getAs[Long]("docs_with_email") == 1L &&
+      s1.getAs[Long]("docs_with_url") == 1L)
+    assert(s1.getAs[Long]("docs_with_pii") == 2L)
+    assert(s1.getAs[Long]("pii_docs_permille") == 666L)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_docs") == 2L &&
+      s2.getAs[Long]("n_phones") == 1L &&
+      s2.getAs[Long]("docs_with_pii") == 1L &&
+      s2.getAs[Long]("pii_docs_permille") == 500L)
+  }
 }

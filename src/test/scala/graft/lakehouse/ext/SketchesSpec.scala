@@ -228,4 +228,30 @@ class SketchesSpec extends SparkSuite {
         buckets = 1024)
     }
   }
+
+  test("portableHllRegisters runs UNCHANGED as a streaming aggregation: " +
+      "complete-mode registers over a MemoryStream equal the batch " +
+      "registers on the same data") {
+    // The sketch agg is max-per-bucket, so Structured Streaming keeps
+    // exactly m integers of state per group and every micro-batch merges
+    // incrementally — no operator changes, no foreachBatch plumbing.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val agg = Sketches.portableHllRegisters(mem.toDF().toDF("v"), "v", m = 32)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream_test").start()
+    try {
+      mem.addData(1L to 500L: _*); q.processAllAvailable()
+      mem.addData(300L to 800L: _*); q.processAllAvailable() // overlap re-observed
+      val got = spark.table("hll_stream_test").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toMap
+      val batch = Sketches.portableHllRegisters(
+        (1L to 800L).toDF("v"), "v", m = 32).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      val est = Sketches.hllEstimate(got.toSeq, 32)
+      assert(est > 800 * 0.7 && est < 800 * 1.3, s"estimate $est")
+    } finally q.stop()
+  }
 }

@@ -275,4 +275,25 @@ class TextStatsSpec extends SparkSuite {
     assert(r.getAs[Long]("min_doc_tokens") == 0L)
     assert(r.getAs[Long]("mean_tokens_permille") == 2000L)
   }
+
+  test("ngramNovelty: seen text scores 0, unseen 1000, overlap in " +
+      "between, short docs report NULL permille") {
+    val ref = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "a b c d e f g h"),       // every window seen -> 0
+      (2L, "p q r s t u"),           // nothing seen -> 1000
+      (3L, "a b c d e x y z w"),     // 1 of 5 distinct windows seen
+      (4L, "too short")              // < w tokens -> 0 grams, NULL
+    ).toDF("doc_id", "text")
+    val out = TextStats.ngramNovelty(nw, ref, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_grams") == 4L &&
+      out(0).getAs[Long]("n_novel") == 0L &&
+      out(0).getAs[Long]("novelty_permille") == 0L)
+    assert(out(1).getAs[Long]("novelty_permille") == 1000L)
+    assert(out(2).getAs[Long]("n_grams") == 5L &&
+      out(2).getAs[Long]("n_novel") == 4L &&
+      out(2).getAs[Long]("novelty_permille") == 800L)
+    assert(out(3).getAs[Long]("n_grams") == 0L && out(3).isNullAt(3))
+  }
 }
