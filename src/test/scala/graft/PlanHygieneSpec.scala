@@ -419,4 +419,58 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert("Exchange hashpartitioning".r.findAllIn(finalPlan(df)).size <= 2, p)
   }
+
+  test("q217/q219 normalization + script profiling are pure per-row " +
+      "kernels: zero hash exchanges, no Window, no joins") {
+    for (name <- Seq("q217_nfc_normalize", "q219_script_mix")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, s"$name: $p")
+      assert(!p.contains("Window") && !p.contains("Join"), s"$name: $p")
+    }
+  }
+
+  test("q218 stratified split: ONE hash exchange (the per-stratum " +
+      "window), no joins") {
+    val df = SparkEntry.queries("q218_stratified_split")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q220 CDC chunking: chunk identity is wholly in-row — zero hash " +
+      "exchanges before the final sort, no Window, no joins") {
+    val df = SparkEntry.queries("q220_cdc_chunks")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q223 PII inventory: regexp kernels feed ONE aggregation — a " +
+      "single hash exchange, no Generate, no joins") {
+    val df = SparkEntry.queries("q223_pii_inventory")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Generate") && !p.contains("Join"), p)
+  }
+
+  test("q222 fuzzy join and q224 novelty plan hash/broadcast joins only " +
+      "(no nested loop, no cartesian)") {
+    for (name <- Seq("q222_fuzzy_token_pairs", "q224_ngram_novelty")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
+    }
+    // the novelty membership test is an anti join on the gram hash
+    val nov = SparkEntry.queries("q224_ngram_novelty")(spark, sf0001)
+    nov.collect()
+    assert(finalPlan(nov).contains("LeftAnti"), finalPlan(nov))
+  }
 }
