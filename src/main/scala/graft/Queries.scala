@@ -6128,5 +6128,109 @@ object Queries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 2) d
         |LEFT JOIN cnt USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Paragraph-level language segmentation: the q27 heuristic per
+    // blank-line paragraph, summarized per document with a
+    // token-weighted dominant language and a mixed-language flag. The
+    // fixture is single-paragraph, so every 4th doc gains a Spanish
+    // paragraph and the next fourth a French one.
+    Q("q225_lang_segments",
+      (s, dir) => TextStats.langSegments(
+          t(s, dir, "documents").select(col("doc_id"),
+            when(col("doc_id") % 4 === 0, concat(col("text"),
+              lit("\n\nel la de que y en los del las un una por")))
+            .when(col("doc_id") % 4 === 1, concat(col("text"),
+              lit("\n\nle la les de des et en un une du que est")))
+            .otherwise(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || chr(10) ||
+        |           'el la de que y en los del las un una por'
+        |         WHEN doc_id % 4 = 1 THEN text || chr(10) || chr(10) ||
+        |           'le la les de des et en un une du que est'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, para FROM (
+        |    SELECT doc_id, unnest(string_split_regex(coalesce(text, ''),
+        |      '\n{2,}')) AS para FROM d)
+        |  WHERE length(trim(para)) > 0),
+        |s AS (
+        |  SELECT doc_id, para,
+        |    len(regexp_extract_all(para,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
+        |    regexp_split_to_array(lower(para), '\s+') AS words,
+        |    len(list_filter(string_split_regex(trim(para), '\s+'),
+        |      x -> x <> '')) AS ptok
+        |  FROM p),
+        |sc0 AS (
+        |  SELECT doc_id, ptok, cjk, para,
+        |    len(list_filter(words, w -> list_contains(['der','die','das',
+        |      'und','ist','nicht','ein','eine','zu','mit','von','auf',
+        |      'für','den','im','sich'], w))) AS s_de,
+        |    len(list_filter(words, w -> list_contains(['the','and','of',
+        |      'to','in','is','it','that','for','on','with','as','at','by',
+        |      'this','are'], w))) AS s_en,
+        |    len(list_filter(words, w -> list_contains(['el','la','de',
+        |      'que','y','en','los','del','las','un','una','por','con',
+        |      'para','es','no'], w))) AS s_es,
+        |    len(list_filter(words, w -> list_contains(['le','la','les',
+        |      'de','des','et','en','un','une','du','que','est','pour',
+        |      'dans','qui','pas'], w))) AS s_fr
+        |  FROM s),
+        |sc AS (
+        |  SELECT doc_id, ptok,
+        |    CASE WHEN cjk * 50 >= length(para) THEN 'zh'
+        |         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         ELSE 'fr' END AS para_lang
+        |  FROM sc0),
+        |bl AS (
+        |  SELECT doc_id, para_lang, count(*) AS np, sum(ptok) AS lt
+        |  FROM sc GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_paras,
+        |    count(*) AS n_langs, CAST(sum(lt) AS BIGINT) AS n_tokens
+        |  FROM bl GROUP BY 1),
+        |dom AS (
+        |  SELECT doc_id, para_lang AS dominant_lang FROM (
+        |    SELECT doc_id, para_lang, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY lt DESC, para_lang) AS rn
+        |    FROM bl) WHERE rn = 1)
+        |SELECT agg.doc_id, n_paras, n_langs, dominant_lang, n_tokens,
+        |  n_langs > 1 AS mixed_lang
+        |FROM agg JOIN dom USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer fertility per language: BPE-ish subwords per whitespace
+    // word in exact permille; every 3rd doc gains a punctuation/digit
+    // suffix so fertility varies.
+    Q("q226_token_fertility",
+      (s, dir) => TextStats.tokenFertility(
+          t(s, dir, "documents").select(col("lang"),
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" v2.0-beta!")))
+              .otherwise(col("text")).as("text")),
+          "text", "lang")
+        .orderBy("lang"),
+      Some(s"""WITH d AS (
+        |  SELECT lang, CASE WHEN doc_id % 3 = 0 THEN text || ' v2.0-beta!'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws,
+        |    len(regexp_extract_all(text, '${TextStats.BpeishPattern}')) AS bp
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bp) AS BIGINT) AS bpeish_tokens,
+        |  CAST(CASE WHEN sum(ws) > 0 THEN (sum(bp) * 1000) // sum(ws) END
+        |    AS BIGINT) AS fertility_permille
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -765,4 +765,57 @@ object TextStats {
         when(col("n_grams") > 0,
           expr("(n_novel * 1000) div n_grams")).otherwise(lit(null)))
   }
+
+  /** Paragraph-level language segmentation: run the q27 stopword/CJK
+    * language heuristic PER PARAGRAPH (blank-line splits) and summarize
+    * per document — paragraph count, distinct predicted languages,
+    * token-weighted dominant language (ties alphabetical), and the
+    * mixed-language flag. A document whose paragraphs disagree is a
+    * boilerplate-splice / mis-crawl signal document-level language ID
+    * averages away (the document-level call can be right while a third
+    * of the text is another language). Documents with no non-blank
+    * paragraph are not reported.
+    *
+    * Scale shape: one paragraph explode (bounded by document size), the
+    * per-paragraph heuristic is a per-row kernel, then a (doc, lang)
+    * token rollup and a per-document fold whose input is at most
+    * |langs| rows per document; the token-weighted dominant language
+    * rides a min(struct) — no window anywhere. */
+  def langSegments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), "\\n{2,}")).as("para"))
+      .where(length(trim(col("para"))) > 0)
+      .select(col(idCol),
+        langIdUdf(col("para")).as("para_lang"),
+        size(expr("filter(split(trim(para), '\\\\s+'), t -> t <> '')"))
+          .cast("long").as("para_tokens"))
+    val byLang = paras.groupBy(col(idCol), col("para_lang"))
+      .agg(count(lit(1)).as("np"), sum("para_tokens").as("lt"))
+    byLang.groupBy(idCol).agg(
+        sum("np").cast("long").as("n_paras"),
+        count(lit(1)).as("n_langs"),
+        min(struct((col("lt") * -1L).as("neg"),
+          col("para_lang").as("l"))).as("__dom"),
+        sum("lt").cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_paras"), col("n_langs"),
+        col("__dom.l").as("dominant_lang"), col("n_tokens"),
+        (col("n_langs") > 1).as("mixed_lang"))
+  }
+
+  /** Tokenizer fertility per group (language, source): BPE-ish subword
+    * tokens per whitespace word, in exact integer permille — the
+    * standard "how much does this tokenizer fragment this language"
+    * diagnostic (fertility far above the corpus norm means the tokenizer
+    * under-serves that slice and its effective context shrinks). Two
+    * codegen'd per-row counts into ONE aggregation. */
+  def tokenFertility(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).cast("long").as("ws_tokens"),
+        sum(bpeishTokenCount(col(textCol))).cast("long").as("bpeish_tokens"))
+      .withColumn("fertility_permille",
+        when(col("ws_tokens") > 0,
+          expr("(bpeish_tokens * 1000) div ws_tokens")).otherwise(lit(null)))
 }

@@ -296,4 +296,52 @@ class TextStatsSpec extends SparkSuite {
       out(2).getAs[Long]("novelty_permille") == 800L)
     assert(out(3).getAs[Long]("n_grams") == 0L && out(3).isNullAt(3))
   }
+
+  test("langSegments: per-paragraph language, token-weighted dominant, " +
+      "mixed flag; blank paragraphs and empty docs drop") {
+    val en = "the cat is on the mat and it is that"
+    val es = "el que de la los y en una por con"
+    val df = Seq(
+      (1L, s"$en\n\n$es\n\n$es extra"),   // es outweighs en by tokens
+      (2L, en),
+      (3L, s"$en\n\n \n\nxyzzy plugh"),   // blank para drops; und para
+      (4L, ""),                            // no paragraphs -> not reported
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.langSegments(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_paras") == 3L &&
+      out(0).getAs[Long]("n_langs") == 2L &&
+      out(0).getAs[String]("dominant_lang") == "es" &&
+      out(0).getAs[Boolean]("mixed_lang"))
+    assert(out(1).getAs[Long]("n_paras") == 1L &&
+      out(1).getAs[String]("dominant_lang") == "en" &&
+      !out(1).getAs[Boolean]("mixed_lang"))
+    assert(out(2).getAs[Long]("n_paras") == 2L &&
+      out(2).getAs[Long]("n_langs") == 2L &&
+      out(2).getAs[String]("dominant_lang") == "en")
+  }
+
+  test("tokenFertility: punctuation-heavy groups fragment more; " +
+      "empty group reports NULL permille") {
+    val df = Seq(
+      ("plain", "three plain words"),
+      ("plain", "four more plain words"),
+      ("punct", "v2.0-beta! x+y"),
+      ("empty", "   ")
+    ).toDF("g", "text")
+    val out = TextStats.tokenFertility(df, "text", "g").orderBy("g").collect()
+    val empty = out(0)
+    assert(empty.getAs[Long]("ws_tokens") == 0L && empty.isNullAt(4))
+    val plain = out(1)
+    assert(plain.getAs[Long]("ws_tokens") == 7L &&
+      plain.getAs[Long]("bpeish_tokens") == 7L &&
+      plain.getAs[Long]("fertility_permille") == 1000L)
+    val punct = out(2)
+    // v|2|.|0|-|beta|! = 7, x|+|y = 3 -> 10 bpeish over 2 ws tokens
+    assert(punct.getAs[Long]("ws_tokens") == 2L &&
+      punct.getAs[Long]("bpeish_tokens") == 10L &&
+      punct.getAs[Long]("fertility_permille") == 5000L)
+  }
 }
