@@ -6232,5 +6232,38 @@ object Queries {
         |  CAST(CASE WHEN sum(ws) > 0 THEN (sum(bp) * 1000) // sum(ws) END
         |    AS BIGINT) AS fertility_permille
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Embedding class-separation diagnostic: pairwise signed squared
+    // cosine between per-label fixed-point centroid directions, all
+    // integer/DECIMAL arithmetic (no sqrt, no float sums) so DuckDB
+    // replays every figure exactly.
+    Q("q227_label_separation",
+      (s, dir) => Embeddings.labelCentroidSeparation(
+          t(s, dir, "embeddings"), "embedding", "label")
+        .orderBy("label_a", "label_b"),
+      Some("""WITH q AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS d,
+        |    CAST(floor(unnest(embedding) * 1048576) AS BIGINT) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT label, d, sum(v) AS s FROM q GROUP BY 1, 2),
+        |n AS (
+        |  SELECT label, count(*) AS n FROM embeddings
+        |  WHERE embedding IS NOT NULL GROUP BY 1),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    sum(CAST(a.s AS HUGEINT) * b.s) AS dot,
+        |    sum(CAST(a.s AS HUGEINT) * a.s) AS na2,
+        |    sum(CAST(b.s AS HUGEINT) * b.s) AS nb2
+        |  FROM s a JOIN s b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b,
+        |  CAST(dot AS BIGINT) AS dot,
+        |  CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+        |    ((dot * dot * 1000) // (na2 * nb2)) AS BIGINT)
+        |    AS cos2_signed_permille
+        |FROM p
+        |JOIN n na ON na.label = p.label_a
+        |JOIN n nb ON nb.label = p.label_b
+        |ORDER BY label_a, label_b""".stripMargin)),
   )
 }

@@ -123,4 +123,65 @@ object Embeddings {
     })
     df.withColumn(outCol, projUdf(asDouble(col(vecCol))))
   }
+
+  /** Class-separation diagnostic over a labeled embedding table: the
+    * pairwise angular alignment of per-label centroid DIRECTIONS, in
+    * engine-portable integer arithmetic (a high |alignment| between two
+    * labels' centroids flags classes a linear probe can't tell apart —
+    * the standard embedding-quality smoke test before spending GPU time
+    * on the real eval).
+    *
+    * Cosine is scale-invariant, so the mean never needs dividing: each
+    * label's direction is the integer SUM of its fixed-point-quantized
+    * vectors (`floor(x·2^20)`, the q197/q200 portability trick), and the
+    * signed squared cosine rides exact DECIMAL arithmetic:
+    * `sign(dot) · (dot²·1000) div (‖a‖²·‖b‖²)` — every figure an
+    * integer any engine reproduces bit-for-bit (no sqrt, no floats).
+    *
+    * Scale shape: quantization is a per-row kernel; the (label, dim)
+    * sum partial-aggregates so only |labels|·dim cells per partition
+    * cross the exchange (the k-means update shape) — the vectors
+    * themselves never shuffle; the pairwise stage runs on a
+    * |labels|-row frame, metadata-scale at any corpus size. The
+    * DECIMAL(38) budget holds while Σ|x|·2^20 per dimension stays under
+    * ~1e9 per label (drop `scale` for bigger classes). */
+  def labelCentroidSeparation(df: DataFrame, vecCol: String,
+      labelCol: String, scale: Long = 1L << 20): DataFrame = {
+    val qUdf = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else { val o = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) { o(i) = math.floor(v(i) * scale).toLong; i += 1 }
+        o })
+    val sums = df.where(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), qUdf(asDouble(col(vecCol))).as("q"))
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy("label", "d").agg(sum("v").as("s"))
+      .groupBy("label").agg(
+        sort_array(collect_list(struct(col("d"), col("s")))).as("sv"))
+      .select(col("label"), expr("transform(sv, x -> x.s)").as("sv"))
+    val n = df.where(col(vecCol).isNotNull)
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n"))
+    val lab = sums.join(n, "label")
+    val a = lab.select(col("label").as("label_a"), col("sv").as("sa"),
+      col("n").as("n_a"))
+    val b = lab.select(col("label").as("label_b"), col("sv").as("sb"),
+      col("n").as("n_b"))
+    val dot = expr("aggregate(zip_with(sa, sb, (x, y) -> " +
+      "cast(x as decimal(38,0)) * cast(y as decimal(38,0))), " +
+      "cast(0 as decimal(38,0)), (acc, v) -> acc + v)")
+    val na2 = expr("aggregate(sa, cast(0 as decimal(38,0)), " +
+      "(acc, v) -> acc + cast(v as decimal(38,0)) * cast(v as decimal(38,0)))")
+    val nb2 = expr("aggregate(sb, cast(0 as decimal(38,0)), " +
+      "(acc, v) -> acc + cast(v as decimal(38,0)) * cast(v as decimal(38,0)))")
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("__dot", dot)
+      .withColumn("__na2", na2)
+      .withColumn("__nb2", nb2)
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("__dot").cast("long").as("dot"),
+        (when(col("__dot") < 0, -1L).otherwise(1L) *
+          expr("cast((__dot * __dot * 1000) div (__na2 * __nb2) as bigint)"))
+          .as("cos2_signed_permille"))
+  }
 }

@@ -100,4 +100,24 @@ class EmbeddingsSpec extends SparkSuite {
     // over ~780 pairs sits well inside it
     assert(meanAbs < 0.25, s"mean normalized JL error $meanAbs")
   }
+
+  test("labelCentroidSeparation: aligned labels ~1000, orthogonal 0, " +
+      "opposed ~-1000; null vectors drop") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(2.0f, 0.0f)),       // +x
+      (1, Seq(3.0f, 0.0f)),                              // +x too
+      (2, Seq(0.0f, 5.0f)),                              // +y
+      (3, Seq(-1.0f, 0.0f)),                             // -x
+      (3, null.asInstanceOf[Seq[Float]])
+    ).toDF("label", "embedding")
+    val out = Embeddings.labelCentroidSeparation(df, "embedding", "label")
+      .orderBy("label_a", "label_b")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(out((0, 1)) == ((2L, 1L, 1000L)))   // same direction
+    assert(out((0, 2)) == ((2L, 1L, 0L)))      // orthogonal
+    assert(out((0, 3)) == ((2L, 1L, -1000L)))  // opposed (null row dropped)
+    assert(out((2, 3)) == ((1L, 1L, 0L)))
+  }
 }
