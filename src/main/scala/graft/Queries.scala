@@ -6265,5 +6265,74 @@ object Queries {
         |JOIN n na ON na.label = p.label_a
         |JOIN n nb ON nb.label = p.label_b
         |ORDER BY label_a, label_b""".stripMargin)),
+
+    // Right-to-be-forgotten flow: row-level DELETE across two versioned
+    // tables + the per-table audit report with a post-erasure residual
+    // re-count; the oracle derives the same audit arithmetically from
+    // the source tables.
+    Q("q228_forget_flow",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "forget_cust")
+        TableIO.dropTable(s, lh, "forget_orders")
+        TableIO.writeTable(s, lh, "forget_cust",
+          t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey"))
+        TableIO.writeTable(s, lh, "forget_orders",
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"))
+        Erasure.eraseWhere(s, lh, Seq(
+          "forget_cust" -> "c_custkey % 97 = 3",
+          "forget_orders" -> "o_custkey % 97 = 3"))
+          .orderBy("table_name")
+      },
+      Some("""WITH c AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN c_custkey % 97 = 3 THEN 1 ELSE 0 END) AS d
+        |  FROM customer),
+        |o AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN o_custkey % 97 = 3 THEN 1 ELSE 0 END) AS d
+        |  FROM orders)
+        |SELECT 'forget_cust' AS table_name, n AS rows_before,
+        |  CAST(d AS BIGINT) AS rows_deleted,
+        |  CAST(n - d AS BIGINT) AS rows_after,
+        |  CAST(0 AS BIGINT) AS residual_rows
+        |FROM c
+        |UNION ALL
+        |SELECT 'forget_orders', n, CAST(d AS BIGINT), CAST(n - d AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM o
+        |ORDER BY table_name""".stripMargin)),
+
+    // Event-time hygiene audit (the watermark-sizing number): every 97th
+    // event block has five members arriving ~50 sequence positions late,
+    // so the per-key preceding-max comparison finds a real late
+    // population; all figures integer-exact.
+    Q("q229_event_time_audit",
+      (s, dir) => EventWindows.eventTimeAudit(
+          ev(s, dir).withColumn("arrival_seq",
+            col("event_id") * 100L +
+              when(col("event_id") % 97 < 5, 4999L).otherwise(0L)),
+          "user_id", "arrival_seq", "ts"),
+      Some("""WITH e AS (
+        |  SELECT user_id, ts,
+        |    event_id * 100 + CASE WHEN event_id % 97 < 5 THEN 4999
+        |      ELSE 0 END AS arrival_seq
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, ts,
+        |    max(ts) OVER (PARTITION BY user_id ORDER BY arrival_seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e)
+        |SELECT count(*) AS n_events,
+        |  CAST(sum(CASE WHEN ts < pm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(count(DISTINCT CASE WHEN ts < pm THEN user_id END) AS BIGINT)
+        |    AS n_keys_affected,
+        |  CAST(coalesce(max(CASE WHEN ts < pm
+        |    THEN epoch_us(pm) - epoch_us(ts) END), 0) AS BIGINT)
+        |    AS max_regression_us,
+        |  CAST((sum(CASE WHEN ts < pm THEN 1 ELSE 0 END) * 1000) // count(*)
+        |    AS BIGINT) AS late_permille
+        |FROM w""".stripMargin)),
   )
 }

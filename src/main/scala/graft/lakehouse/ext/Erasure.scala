@@ -1,0 +1,43 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, expr, lit}
+
+import graft.lakehouse.{LakehouseProps, TableIO}
+
+/** Right-to-be-forgotten erasure across a set of versioned tables, with
+  * the audit trail compliance wants: per-table rows before, rows
+  * deleted, rows after, and a POST-erasure residual re-count of the
+  * predicate (a figure the deletion path itself cannot fabricate,
+  * because it re-scans the committed table).
+  *
+  * Built on the lakehouse's row-level DELETE (`TableIO.deleteFromTable`,
+  * `common.py:512-517`'s intended drop semantics generalized to
+  * predicates): each table's erasure is one O(touched-files) versioned
+  * commit — untouched files are never rewritten, time travel preserves
+  * the pre-erasure versions for the retention window, and VACUUM later
+  * makes the physical bytes unrecoverable. The table loop is driver-side
+  * over a HANDFUL of table names (the q157 multi-table pattern); every
+  * count and delete inside it is a distributed action.
+  */
+object Erasure {
+
+  /** Apply `condition` as a row-level DELETE to each named table and
+    * return the per-table audit report, one row per table in input
+    * order. */
+  def eraseWhere(spark: SparkSession, lh: LakehouseProps,
+      targets: Seq[(String, String)]): DataFrame = {
+    require(targets.nonEmpty, "eraseWhere needs at least one target table")
+    val rows = targets.map { case (tbl, cond) =>
+      val before = TableIO.selectTable(spark, lh, tbl).count()
+      TableIO.deleteFromTable(spark, lh, tbl, cond)
+      val after = TableIO.selectTable(spark, lh, tbl).count()
+      val residual = TableIO.selectTable(spark, lh, tbl)
+        .filter(coalesce(expr(cond), lit(false))).count()
+      (tbl, before, before - after, after, residual)
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "rows_before", "rows_deleted", "rows_after",
+      "residual_rows")
+  }
+}

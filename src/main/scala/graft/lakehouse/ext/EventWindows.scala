@@ -477,4 +477,35 @@ object EventWindows {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
+
+  /** Event-time hygiene audit — the ONE-ROW report that sizes a
+    * streaming watermark before any streaming job exists: over an
+    * arrival-ordered event log (`seqCol` = arrival sequence), how many
+    * events arrived with an event time EARLIER than something already
+    * seen for the same key, how many keys are affected, the worst
+    * regression in exact microseconds, and the late share in exact
+    * permille. `withWatermark(maxRegression)` then provably drops
+    * nothing on a replay of this log.
+    *
+    * Scale shape: one window partitioned by the key (never unbounded)
+    * to compute each event's preceding per-key max, then ONE global
+    * aggregation to a single row; integer microsecond arithmetic
+    * end-to-end. */
+  def eventTimeAudit(df: DataFrame, keyCol: String, seqCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(seqCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevMax = max(col(tsCol)).over(w)
+    val lateUs = when(col(tsCol) < prevMax,
+      unix_micros(prevMax) - unix_micros(col(tsCol)))
+    df.select(col(keyCol), col(seqCol), col(tsCol))
+      .withColumn("__late_us", lateUs)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("__late_us").isNotNull, 1L).otherwise(0L)).as("n_late"),
+        countDistinct(when(col("__late_us").isNotNull, col(keyCol)))
+          .as("n_keys_affected"),
+        coalesce(max(col("__late_us")), lit(0L)).as("max_regression_us"))
+      .withColumn("late_permille", expr("(n_late * 1000) div n_events"))
+  }
 }

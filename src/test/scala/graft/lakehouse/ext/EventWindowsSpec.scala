@@ -11,6 +11,30 @@ class EventWindowsSpec extends SparkSuite {
   lazy val events = graft.lakehouse.TableIO.readParquetNanoTs(
     spark, s"$sf0001/events.parquet")
 
+  test("eventTimeAudit: late arrivals counted per key, worst regression " +
+      "in exact micros, ordered logs report zero") {
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, 1L, t(10)),
+      (1L, 2L, t(20)),
+      (1L, 3L, t(5)),    // late by 15 s vs max(10, 20)
+      (2L, 4L, t(1)),
+      (2L, 5L, t(2)),    // in order
+      (3L, 6L, t(30)),
+      (3L, 7L, t(29))    // late by 1 s
+    ).toDF("k", "seq", "ts")
+    val r = EventWindows.eventTimeAudit(ev, "k", "seq", "ts").head()
+    assert(r.getAs[Long]("n_events") == 7L)
+    assert(r.getAs[Long]("n_late") == 2L)
+    assert(r.getAs[Long]("n_keys_affected") == 2L)
+    assert(r.getAs[Long]("max_regression_us") == 15000000L)
+    assert(r.getAs[Long]("late_permille") == 285L)
+    val ordered = EventWindows.eventTimeAudit(
+      ev.filter(col("k") === 2L), "k", "seq", "ts").head()
+    assert(ordered.getAs[Long]("n_late") == 0L &&
+      ordered.getAs[Long]("max_regression_us") == 0L)
+  }
+
   test("tumbling: windows align to the hour grid, counts add up") {
     val out = EventWindows.tumbling(events, "ts", "1 hour")
     assert(out.agg(sum("n_events")).head().getLong(0) == events.count())
