@@ -6334,5 +6334,58 @@ object Queries {
         |  CAST((sum(CASE WHEN ts < pm THEN 1 ELSE 0 END) * 1000) // count(*)
         |    AS BIGINT) AS late_permille
         |FROM w""".stripMargin)),
+
+    // Feature engineering: min-max scaling into integer micro-units —
+    // one broadcast 1-row fit, a per-row transform, no exchange.
+    Q("q230_minmax_scale",
+      (s, dir) => Features.minMaxScale(
+          t(s, dir, "customer").select("c_custkey", "c_acctbal"),
+          Seq("c_acctbal"))
+        .orderBy("c_custkey"),
+      Some("""WITH st AS (
+        |  SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
+        |SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_acctbal IS NULL THEN NULL
+        |       WHEN hi > lo THEN CAST(floor((c_acctbal - lo) * 1000000.0 /
+        |         (hi - lo)) AS BIGINT)
+        |       ELSE 0 END AS c_acctbal_scaled
+        |FROM customer, st ORDER BY c_custkey""".stripMargin)),
+
+    // Deterministic category dictionary (frequency desc, value asc) —
+    // the window runs over the aggregated vocabulary, never the corpus.
+    Q("q231_string_index",
+      (s, dir) => Features.indexCategories(t(s, dir, "part"), "p_type")
+        .orderBy("idx"),
+      Some("""WITH v AS (
+        |  SELECT p_type AS value, count(*) AS n FROM part
+        |  WHERE p_type IS NOT NULL GROUP BY 1)
+        |SELECT value, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, value) - 1 AS BIGINT)
+        |    AS idx
+        |FROM v ORDER BY idx""".stripMargin)),
+
+    // Smoothed target encoding in integer arithmetic (empirical-Bayes
+    // shrinkage toward the global mean, prior weight 10) over
+    // account-balance cents per nation.
+    Q("q232_target_encode",
+      (s, dir) => Features.targetEncode(
+          t(s, dir, "customer").select(col("c_nationkey"),
+            floor(col("c_acctbal") * 100).cast("long").as("bal_cents")),
+          "c_nationkey", "bal_cents", m = 10L)
+        .orderBy("category"),
+      Some("""WITH t AS (
+        |  SELECT c_nationkey, CAST(floor(c_acctbal * 100) AS BIGINT)
+        |    AS bal_cents
+        |  FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL),
+        |g AS (
+        |  SELECT sum(bal_cents)::HUGEINT AS gs, count(*) AS gn FROM t),
+        |c AS (
+        |  SELECT c_nationkey AS category, count(*) AS n,
+        |    sum(bal_cents)::HUGEINT AS s
+        |  FROM t GROUP BY 1)
+        |SELECT category, n,
+        |  CAST((s + (gs // gn) * 10) // (n + 10) AS BIGINT) AS encoded
+        |FROM c, g ORDER BY category""".stripMargin)),
   )
 }
