@@ -6387,5 +6387,113 @@ object Queries {
         |SELECT category, n,
         |  CAST((s + (gs // gn) * 10) // (n + 10) AS BIGINT) AS encoded
         |FROM c, g ORDER BY category""".stripMargin)),
+
+    // Incremental positional-index maintenance: a batch of NEW docs plus
+    // RE-INGESTED docs (modified text) folds into the standing index —
+    // old postings retire by anti join, only the batch re-tokenizes.
+    // Phrase search over the updated index must equal a from-scratch
+    // build over the effective corpus, which is what the oracle replays.
+    Q("q233_index_update",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idx = Search.positionalIndex(
+          docs.filter(col("doc_id") % 4 === 0).select("doc_id", "text"),
+          "doc_id", "text")
+        val batch = docs.filter(col("doc_id") % 4 === 1)
+          .select("doc_id", "text")
+          .unionByName(docs.filter(col("doc_id") % 8 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" spark order data")).as("text")))
+        val updated = Search.updatePositionalIndex(idx, batch,
+          "doc_id", "text")
+        Search.phraseMatches(updated, "doc_id",
+            Seq("table value", "spark order data"))
+          .orderBy("phrase", "doc_id")
+      },
+      Some("""WITH eff AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 4 = 0 AND doc_id % 8 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' spark order data' FROM documents
+        |  WHERE doc_id % 8 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+        |tok0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+        |      AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM eff),
+        |tok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM tok0 WHERE w <> ''),
+        |q(phrase, off, w) AS (VALUES
+        |  ('table value', 0, 'table'), ('table value', 1, 'value'),
+        |  ('spark order data', 0, 'spark'),
+        |  ('spark order data', 1, 'order'),
+        |  ('spark order data', 2, 'data')),
+        |hits AS (
+        |  SELECT q.phrase, t.doc_id, t.pos - q.off AS start
+        |  FROM q JOIN tok t ON t.w = q.w),
+        |full_hits AS (
+        |  SELECT phrase, doc_id, start FROM hits
+        |  GROUP BY phrase, doc_id, start
+        |  HAVING count(*) = (SELECT count(*) FROM q q2
+        |    WHERE q2.phrase = hits.phrase))
+        |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM full_hits GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin)),
+
+    // Quarantine replay: the q205 gate's dead-letter rows get a fix
+    // (null keys default to 1), re-gate through the SAME expectations,
+    // recovered rows append to gold, the quarantine overwrites down to
+    // what still fails — the full dead-letter loop, auditable as
+    // ordinary versioned commits.
+    Q("q234_quarantine_replay",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "replay_orders")
+        TableIO.dropTable(s, lh, "replay_orders_quarantine")
+        val batch = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 70 === 0, lit(null).cast("bigint"))
+              .otherwise(col("o_custkey")).as("o_custkey"),
+            when(col("o_orderkey") % 90 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        val checks = Seq(
+          Quality.NotNull("o_custkey"),
+          Quality.InRange("o_totalprice", 0.0, 1e9))
+        graft.lakehouse.Ingest.appendWithQuarantine(s, lh, "replay_orders",
+          "replay_orders_quarantine", batch, checks)
+        graft.lakehouse.Ingest.replayQuarantine(s, lh, "replay_orders",
+          "replay_orders_quarantine",
+          df => df.withColumn("o_custkey",
+            coalesce(col("o_custkey"), lit(1L))),
+          checks)
+        TableIO.selectTable(s, lh, "replay_orders")
+          .select(lit("gold").as("dest"), col("o_orderkey"),
+            col("o_custkey"), lit("").as("failed_checks"))
+          .unionByName(
+            TableIO.selectTable(s, lh, "replay_orders_quarantine")
+              .select(lit("quarantine").as("dest"), col("o_orderkey"),
+                col("o_custkey"), col("failed_checks")))
+          .orderBy("dest", "o_orderkey")
+      },
+      Some("""WITH b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 70 = 0 THEN NULL
+        |      ELSE o_custkey END AS c,
+        |    CASE WHEN o_orderkey % 90 = 0 THEN -o_totalprice
+        |      ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT 'gold' AS dest, o_orderkey, coalesce(c, 1) AS o_custkey,
+        |  '' AS failed_checks
+        |FROM b WHERE p >= 0
+        |UNION ALL
+        |SELECT 'quarantine', o_orderkey, coalesce(c, 1),
+        |  'in_range:o_totalprice'
+        |FROM b WHERE p < 0
+        |ORDER BY dest, o_orderkey""".stripMargin)),
   )
 }

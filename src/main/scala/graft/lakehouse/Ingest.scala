@@ -407,4 +407,39 @@ object Ingest {
         land(quarantineName, bad, landQuarantine))
     } finally gated.unpersist()
   }
+
+  /** Drain the quarantine: apply `fix` to the quarantined rows, re-gate
+    * them through the SAME expectations, append the recovered rows to
+    * the gold table, and overwrite the quarantine with what still fails
+    * (failed_checks recomputed). Both sides are ordinary versioned
+    * commits, so the drain is auditable — time travel shows exactly
+    * which rows each replay recovered — and repeated replays converge (a
+    * fix that recovers nothing rewrites the same still-bad set). Returns
+    * (recovered, stillBad). */
+  def replayQuarantine(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, quarantineName: String,
+      fix: DataFrame => DataFrame,
+      checks: Seq[graft.lakehouse.ext.Quality.Expectation],
+      extraMeta: Map[String, String] = Map.empty): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, concat_ws, size}
+    val qDir = Catalog.tablePath(lh, quarantineName)
+    require(Versioned.latestVersion(qDir).nonEmpty,
+      s"no quarantine table '$quarantineName' to replay")
+    val q = TableIO.selectTable(spark, lh, quarantineName)
+      .drop("failed_checks")
+    val gated = graft.lakehouse.ext.Quality.gateExpectations(fix(q), checks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val good = gated.filter(size(col("failed_checks")) === 0)
+        .drop("failed_checks")
+      val bad = gated.filter(size(col("failed_checks")) > 0)
+        .withColumn("failed_checks", concat_ws(",", col("failed_checks")))
+      val nGood = good.count()
+      val nBad = bad.count()
+      if (nGood > 0)
+        TableIO.appendTable(spark, lh, tableName, good, extraMeta = extraMeta)
+      TableIO.writeTable(spark, lh, quarantineName, bad, extraMeta = extraMeta)
+      (nGood, nBad)
+    } finally gated.unpersist()
+  }
 }

@@ -29,6 +29,23 @@ object Search {
       .groupBy("w", idCol)
       .agg(sort_array(collect_list(col("pos0") + 1)).as("positions"))
 
+  /** Incremental index maintenance: fold a batch of new or RE-INGESTED
+    * documents into an existing positional index — old postings for the
+    * batch's doc ids are retired (anti join on the id), fresh postings
+    * union in. Only the BATCH is tokenized; the standing corpus is
+    * never re-read. The anti join co-partitions the index on the doc
+    * id — store the index bucketed by id and the retire step prunes to
+    * the touched buckets with zero shuffle; either way the cost is
+    * O(index scan + batch), never O(corpus re-tokenize). Equality with
+    * a from-scratch rebuild over the effective corpus is spec-asserted. */
+  def updatePositionalIndex(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val ids = newDocs.select(col(idCol)).distinct()
+    index.join(ids, Seq(idCol), "left_anti")
+      .unionByName(positionalIndex(newDocs, idCol, textCol)
+        .select(index.columns.map(col): _*))
+  }
+
   /** Exact occurrence counts of each phrase in each document, answered
     * FROM the index: a document matches a k-token phrase at start s iff
     * token_j sits at position s + j for every offset j — computed as the

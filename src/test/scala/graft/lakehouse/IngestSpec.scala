@@ -303,4 +303,42 @@ class IngestSpec extends SparkSuite {
       (1L, Seq[Byte](9))))
     TableIO.dropTable(spark, lh, "ing_bin")
   }
+
+  test("replayQuarantine: fixed rows recover to gold, the quarantine " +
+      "drains to what still fails, repeated replays converge") {
+    import graft.lakehouse.ext.Quality
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val checks = Seq(Quality.NotNull("v"), Quality.InRange("p", 0.0, 100.0))
+    val batch = Seq(
+      (1L, Some(10L), 5.0),    // clean
+      (2L, None, 5.0),         // null v  -> fixable
+      (3L, Some(7L), -1.0),    // bad p   -> not fixable by the fix below
+      (4L, None, -2.0)         // both    -> still bad after fix
+    ).toDF("k", "v", "p")
+    val (g0, q0) = Ingest.appendWithQuarantine(spark, lh, "rq_gold",
+      "rq_quar", batch, checks)
+    assert(g0 == 1L && q0 == 3L)
+    val (rec, still) = Ingest.replayQuarantine(spark, lh, "rq_gold",
+      "rq_quar", df => df.withColumn("v", coalesce(col("v"), lit(0L))),
+      checks)
+    assert(rec == 1L && still == 2L)
+    val gold = TableIO.selectTable(spark, lh, "rq_gold")
+      .select("k").as[Long].collect().toSet
+    assert(gold == Set(1L, 2L))
+    val quar = TableIO.selectTable(spark, lh, "rq_quar")
+      .select("k", "failed_checks").as[(Long, String)].collect().toMap
+    assert(quar.keySet == Set(3L, 4L))
+    assert(quar(3L) == "in_range:p" && quar(4L) == "in_range:p")
+    // a second replay with the same fix recovers nothing and converges
+    val (rec2, still2) = Ingest.replayQuarantine(spark, lh, "rq_gold",
+      "rq_quar", df => df, checks)
+    assert(rec2 == 0L && still2 == 2L)
+    // replay against a missing quarantine refuses loudly
+    intercept[IllegalArgumentException] {
+      Ingest.replayQuarantine(spark, lh, "rq_gold", "rq_nope",
+        df => df, checks)
+    }
+    TableIO.dropTable(spark, lh, "rq_gold")
+    TableIO.dropTable(spark, lh, "rq_quar")
+  }
 }

@@ -51,4 +51,25 @@ class SearchSpec extends SparkSuite {
     val got = matches(docs, Seq("x y z", "x q"))
     assert(got.isEmpty, got)
   }
+
+  test("updatePositionalIndex equals a from-scratch rebuild: new docs " +
+      "add postings, re-ingested docs replace theirs, others untouched") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("w", "id", "positions")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Int](2).toList)).toSet
+    val base = Seq((1L, "a b a"), (2L, "b c")).toDF("id", "text")
+    val idx = Search.positionalIndex(base, "id", "text")
+    // doc 2 re-ingested with new text, doc 3 brand new
+    val batch = Seq((2L, "c c"), (3L, "a d")).toDF("id", "text")
+    val updated = Search.updatePositionalIndex(idx, batch, "id", "text")
+    val effective = Seq((1L, "a b a"), (2L, "c c"), (3L, "a d"))
+      .toDF("id", "text")
+    val rebuilt = Search.positionalIndex(effective, "id", "text")
+    assert(canon(updated) == canon(rebuilt))
+    // doc 2's old 'b' posting is gone, its new 'c' postings are in
+    assert(!canon(updated).contains(("b", 2L, List(1))))
+    assert(canon(updated).contains(("c", 2L, List(1, 2))))
+  }
 }
