@@ -473,4 +473,50 @@ class PlanHygieneSpec extends SparkSuite {
     nov.collect()
     assert(finalPlan(nov).contains("LeftAnti"), finalPlan(nov))
   }
+
+  test("q225/q229 summarize through aggregations and partitioned " +
+      "windows — never a partition-less window over raw rows") {
+    for (name <- Seq("q225_lang_segments", "q229_event_time_audit")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      assert(!p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct"), s"$name: $p")
+      // q229's one window is keyed; q225 has none at all
+      if (name.startsWith("q225")) assert(!p.contains("Window"), s"$name: $p")
+    }
+  }
+
+  test("q226/q230/q232 fit-and-transform shapes: stats broadcast back, " +
+      "the data side never hash-shuffles more than the group rollup") {
+    for (name <- Seq("q226_token_fertility", "q230_minmax_scale",
+        "q232_target_encode")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"$name: $p")
+      assert(!p.contains("SortMergeJoin"), s"$name: $p")
+      assert(!p.contains("Generate"), s"$name: $p")
+    }
+  }
+
+  test("q231 category dictionary: the ranking window sits ABOVE the " +
+      "vocabulary aggregation (bounded input), one hash exchange") {
+    val df = SparkEntry.queries("q231_string_index")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q233 incremental index update retires postings via anti join, " +
+      "no cartesian anywhere") {
+    val df = SparkEntry.queries("q233_index_update")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
