@@ -6495,5 +6495,41 @@ object Queries {
         |  'in_range:o_totalprice'
         |FROM b WHERE p < 0
         |ORDER BY dest, o_orderkey""".stripMargin)),
+
+    // Distribution-drift report between two corpus snapshots: per
+    // (source, length-bucket) key, each side's share of its own total
+    // in exact permille and the signed delta — the integer-exact PSI
+    // stand-in for data monitoring.
+    Q("q235_share_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("key", concat_ws("#", col("source"),
+            expr("n_chars div 64")))
+        Analytics.shareDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "key")
+          .orderBy("key")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source || '#' || (n_chars // 64) AS key
+        |  FROM documents),
+        |ca AS (SELECT key, count(*) AS n_a FROM d WHERE doc_id % 2 = 0
+        |  GROUP BY 1),
+        |cb AS (SELECT key, count(*) AS n_b FROM d WHERE doc_id % 2 = 1
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ta,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS tb
+        |  FROM d),
+        |j AS (
+        |  SELECT key,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb USING (key))
+        |SELECT key, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST((n_a * 1000) // ta AS BIGINT) AS share_a_permille,
+        |  CAST((n_b * 1000) // tb AS BIGINT) AS share_b_permille,
+        |  CAST((n_b * 1000) // tb - (n_a * 1000) // ta AS BIGINT)
+        |    AS delta_permille
+        |FROM j, t ORDER BY key""".stripMargin)),
   )
 }

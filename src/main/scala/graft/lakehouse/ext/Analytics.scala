@@ -382,4 +382,34 @@ object Analytics {
       .orderBy(col("cnt").desc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** Distribution drift between two snapshots of a corpus — the data
+    * monitoring report that catches a silently changed upstream (a
+    * crawler that started favoring one source, a length distribution
+    * that shifted after a parser update) BEFORE the shift poisons a
+    * training mix. For each key (a category, or a pre-bucketed numeric):
+    * both snapshots' counts, each side's share of its own total in
+    * exact permille, and the signed share delta — integer arithmetic
+    * end to end, so the drift report itself is reproducible evidence
+    * (the classic PSI reports the same shift, fuzzily; threshold on
+    * max |delta_permille| instead). Keys absent from one side appear
+    * with a zero count — disappearance IS drift.
+    *
+    * Scale shape: one count aggregation per side, a full-outer join on
+    * the (bounded) key space, totals broadcast back from 1-row aggs —
+    * the corpora themselves shuffle only for their group rollups. */
+  def shareDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ca = a.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_b"))
+    val ta = a.agg(count(lit(1)).as("__ta"))
+    val tb = b.agg(count(lit(1)).as("__tb"))
+    ca.join(cb, Seq("key"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .withColumn("share_a_permille", expr("(n_a * 1000) div __ta"))
+      .withColumn("share_b_permille", expr("(n_b * 1000) div __tb"))
+      .withColumn("delta_permille",
+        col("share_b_permille") - col("share_a_permille"))
+      .drop("__ta", "__tb")
+  }
 }

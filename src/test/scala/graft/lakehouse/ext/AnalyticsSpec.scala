@@ -312,4 +312,18 @@ class AnalyticsSpec extends SparkSuite {
       assert(finalP.contains("SortMergeJoin"), finalP)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("shareDrift: shares are per-side permille, one-sided keys " +
+      "surface with zero counts, deltas signed") {
+    import spark.implicits._
+    val a = (Seq.fill(8)("x") ++ Seq.fill(2)("y")).toDF("k")    // 800/200
+    val b = (Seq.fill(5)("x") ++ Seq.fill(4)("y") ++ Seq("z")).toDF("k")
+    val out = Analytics.shareDrift(a, b, "k").orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("x", 8L, 5L, 800L, 500L, -300L),
+      ("y", 2L, 4L, 200L, 400L, 200L),
+      ("z", 0L, 1L, 0L, 100L, 100L)))
+  }
 }
