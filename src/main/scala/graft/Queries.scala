@@ -6531,5 +6531,75 @@ object Queries {
         |  CAST((n_b * 1000) // tb - (n_a * 1000) // ta AS BIGINT)
         |    AS delta_permille
         |FROM j, t ORDER BY key""".stripMargin)),
+
+    // Dedup-detector evaluation: precision/recall of the q132 threshold
+    // join against exact-duplicate ground truth (md5 of normalized
+    // text) over the same planted-copy corpus — recall must be total
+    // (identical token sets always clear any Jaccard threshold), and
+    // precision reports how many near-dup extras the detector admits.
+    // The oracle replays detector, truth, AND the evaluation fold.
+    Q("q236_dedup_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        val copies = docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        val corpus = docs.unionByName(copies)
+        val predicted = Dedup.prefixFilterJaccardPairs(corpus,
+          "doc_id", "text", threshold = 0.95).select("a", "b")
+        val keyed = corpus.select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+        val truth = keyed.select(col("h"), col("doc_id").as("ida"))
+          .join(keyed.select(col("h"), col("doc_id").as("idb")), "h")
+          .where(col("ida") < col("idb"))
+          .select(col("ida").as("a"), col("idb").as("b"))
+        Retrieval.pairSetEval(predicted, truth)
+      },
+      Some("""WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |d AS (
+        |  SELECT doc_id, text FROM d0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM d0 WHERE doc_id % 20 = 0),
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM d),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(words) AS w FROM w)
+        |  WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+        |  FROM tok l JOIN tok r USING (w)
+        |  WHERE l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT a, b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = a
+        |  JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(common AS DOUBLE) /
+        |    CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.95),
+        |k AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM d WHERE text IS NOT NULL),
+        |tr AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM k x JOIN k y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |u AS (
+        |  SELECT CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS ip,
+        |    CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS it
+        |  FROM pred p FULL OUTER JOIN tr t ON p.a = t.a AND p.b = t.b)
+        |SELECT CAST(sum(ip) AS BIGINT) AS n_pred,
+        |  CAST(sum(it) AS BIGINT) AS n_truth,
+        |  CAST(sum(ip * it) AS BIGINT) AS tp,
+        |  CASE WHEN sum(ip) > 0
+        |    THEN CAST((sum(ip * it) * 1000) // sum(ip) AS BIGINT)
+        |  END AS precision_permille,
+        |  CASE WHEN sum(it) > 0
+        |    THEN CAST((sum(ip * it) * 1000) // sum(it) AS BIGINT)
+        |  END AS recall_permille
+        |FROM u""".stripMargin)),
   )
 }

@@ -78,4 +78,41 @@ object Retrieval {
         expr("(coalesce(hits, 0L) * 1000) div n_rel").as("recall_permille"),
         coalesce(expr(s"${scale}L div __first"), lit(0L)).as("rr_scaled"))
   }
+
+  /** Precision/recall of a predicted PAIR set against a ground-truth
+    * pair set (the detector-evaluation report: how good is an LSH /
+    * threshold-join dedup candidate generator against known duplicates):
+    * one row — predicted count, truth count, true positives, exact
+    * integer permille precision and recall. Pairs normalize to
+    * (min, max) and dedupe on both sides, so orientation and repeats
+    * can't skew the score; empty sides report NULL for the undefined
+    * ratio instead of faking a number.
+    *
+    * Scale shape: ONE full-outer join on the pair key + ONE global
+    * fold — both inputs are already pair-scale (bounded by the
+    * detectors that made them), never corpus-scale. */
+  def pairSetEval(predicted: DataFrame, truth: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    def canon(df: DataFrame, tag: String) = df.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .withColumn(tag, lit(1L))
+    canon(predicted, "__p").join(canon(truth, "__t"),
+        Seq("a", "b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__p"), lit(0L)) * coalesce(col("__t"), lit(0L)))
+          .as("tp"))
+      .select(
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_permille",
+        when(col("n_pred") > 0, expr("(tp * 1000) div n_pred")))
+      .withColumn("recall_permille",
+        when(col("n_truth") > 0, expr("(tp * 1000) div n_truth")))
+  }
 }

@@ -83,4 +83,23 @@ class RetrievalSpec extends SparkSuite {
       "doc_id", "rank", k = 5).head()
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (1L, 1L, 1000L), r)
   }
+
+  test("pairSetEval: orientation/repeats normalize away, one-sided " +
+      "pairs score, empty sides give NULL ratios") {
+    // predicted: (1,2) twice + reversed, (3,4); truth: (2,1), (5,6)
+    val pred = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val truth = Seq((2L, 1L), (5L, 6L)).toDF("a", "b")
+    val r = Retrieval.pairSetEval(pred, truth).head()
+    assert(r.getAs[Long]("n_pred") == 2L)
+    assert(r.getAs[Long]("n_truth") == 2L)
+    assert(r.getAs[Long]("tp") == 1L)
+    assert(r.getAs[Long]("precision_permille") == 500L)
+    assert(r.getAs[Long]("recall_permille") == 500L)
+    // self-pairs and nulls are dropped before scoring
+    val degenerate = Seq((7L, 7L)).toDF("a", "b")
+    val r2 = Retrieval.pairSetEval(degenerate, truth).head()
+    assert(r2.getAs[Long]("n_pred") == 0L &&
+      r2.isNullAt(r2.fieldIndex("precision_permille")) &&
+      r2.getAs[Long]("recall_permille") == 0L)
+  }
 }
