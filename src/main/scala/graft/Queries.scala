@@ -6601,5 +6601,38 @@ object Queries {
         |    THEN CAST((sum(ip * it) * 1000) // sum(it) AS BIGINT)
         |  END AS recall_permille
         |FROM u""".stripMargin)),
+
+    // Temperature mixture rebalance (target share ∝ sqrt(n), the
+    // multilingual-pretraining flattening): shares derive from IEEE
+    // square roots (correctly rounded, hence engine-identical), the
+    // keep decisions from the portable sha threshold — DuckDB replays
+    // the whole derivation.
+    Q("q237_temperature_rebalance",
+      (s, dir) => Packing.temperatureRebalance(
+          // skew the corpus (src0 shrunk to a quarter) so the sqrt
+          // temperature genuinely downsamples the big strata
+          t(s, dir, "documents").select("doc_id", "source")
+            .filter(col("source") =!= "src0" || col("doc_id") % 3 === 0),
+          "doc_id", "source", alphaPermille = 500, seed = 17L)
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE source <> 'src0' OR doc_id % 3 = 0),
+        |counts AS (
+        |  SELECT source, count(*) AS n FROM base
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |shares AS (
+        |  SELECT source, sqrt(CAST(n AS DOUBLE)) AS share FROM counts),
+        |tmin AS (
+        |  SELECT min(CAST(n AS DOUBLE) / share) AS t
+        |  FROM counts JOIN shares USING (source)),
+        |rates AS (
+        |  SELECT source, CAST(floor(((share * t) / CAST(n AS DOUBLE))
+        |    * 1152921504606846976.0) AS BIGINT) AS thr
+        |  FROM counts JOIN shares USING (source) CROSS JOIN tmin)
+        |SELECT d.doc_id, d.source FROM base d JOIN rates USING (source)
+        |WHERE CAST(('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR)
+        |    || '#' || '17'), 1, 15))::UBIGINT AS BIGINT) < rates.thr
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -175,6 +175,35 @@ object Packing {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Temperature-based mixture rebalance (the multilingual-pretraining
+    * standard: target share ∝ n^α flattens the head and lifts the tail
+    * without the cliff of uniform shares): derive per-stratum target
+    * shares from the stratum counts and hand them to
+    * [[rebalanceMixture]]'s portable-hash keep machinery. α is
+    * restricted to permille values whose power is a composition of IEEE
+    * square roots (1000 = identity, 500 = √, 250 = √√) — sqrt is
+    * CORRECTLY ROUNDED in IEEE 754, so every engine derives the exact
+    * same shares and thresholds, where a general `pow` (not correctly
+    * rounded) could disagree in the last ulp and flip sampling
+    * decisions. Stratum counts collect to the driver — the same
+    * bounded-strata contract as [[sampleMixture]]. */
+  def temperatureRebalance(df: DataFrame, idCol: String, stratumCol: String,
+      alphaPermille: Int, seed: Long): DataFrame = {
+    require(Set(250, 500, 1000).contains(alphaPermille),
+      "alphaPermille must be 250, 500, or 1000 (exact IEEE-sqrt powers)")
+    val powFn: Double => Double = alphaPermille match {
+      case 1000 => identity
+      case 500 => math.sqrt
+      case 250 => (x: Double) => math.sqrt(math.sqrt(x))
+    }
+    val shares = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> powFn(r.getLong(1).toDouble))
+      .toMap
+    rebalanceMixture(df, idCol, stratumCol, shares, seed)
+  }
+
   /** Deterministic per-group bottom-k sample: keep each group's k rows
     * whose `sha-256(id '#' seed)` ranks smallest. Membership is a pure
     * function of (id, seed) — identical across engines and epochs, stable

@@ -223,6 +223,26 @@ class PackingSpec extends SparkSuite {
       Map("a" -> 1.0), 3L).columns.toSeq == Seq("id", "src"))
   }
 
+  test("temperatureRebalance: sqrt temperature keeps the tail whole and " +
+      "halves the 4x head; alpha=1000 is the natural mixture; bad alpha " +
+      "refused") {
+    val skew = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 125L).map(i => (i, "small"))).toDF("id", "src")
+    // shares sqrt: big 10, small 5; t = min(100/10, 25/5) = 5
+    // -> big keeps ~0.5, small keeps all
+    val out = Packing.temperatureRebalance(skew, "id", "src", 500, 3L)
+      .collect().map(r => r.getString(1))
+    assert(out.count(_ == "small") == 25, "tail stratum must survive whole")
+    val bigKept = out.count(_ == "big")
+    assert(bigKept > 30 && bigKept < 70, s"head kept $bigKept of 100")
+    // identity temperature = natural mixture, nothing dropped
+    assert(Packing.temperatureRebalance(skew, "id", "src", 1000, 3L)
+      .count() == 125)
+    intercept[IllegalArgumentException] {
+      Packing.temperatureRebalance(skew, "id", "src", 700, 3L)
+    }
+  }
+
   test("stratifiedSplit: exact per-stratum proportions, deterministic") {
     // two strata of 10 and 25 rows; 800/100/100 permille
     val df = ((1L to 10L).map(i => (i, "a")) ++
