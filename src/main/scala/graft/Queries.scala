@@ -6634,5 +6634,40 @@ object Queries {
         |WHERE CAST(('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR)
         |    || '#' || '17'), 1, 15))::UBIGINT AS BIGINT) < rates.thr
         |ORDER BY doc_id""".stripMargin)),
+
+    // Split manifest over a version-pinned table: per split, the row
+    // count, an order-independent id-set fingerprint (bit_xor of 60-bit
+    // sha prefixes), and the id range — the reproducibility receipt a
+    // training run staples next to (table version, seed).
+    Q("q238_split_manifest",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "manifest_cust")
+        TableIO.writeTable(s, lh, "manifest_cust",
+          t(s, dir, "customer").select("c_custkey", "c_mktsegment"))
+        val at = TableIO.selectTableVersion(s, lh, "manifest_cust", 1L)
+        Packing.splitManifest(at, "c_custkey", Seq("c_mktsegment"),
+            seed = 5L, permille = Seq("train" -> 900, "test" -> 100))
+          .orderBy("split")
+      },
+      Some("""WITH r AS (
+        |  SELECT c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY sha256(CAST(c_custkey AS VARCHAR) || '#' || '5'),
+        |        c_custkey) AS r,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer),
+        |sp AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN r <= (n * 900) // 1000 THEN 'train'
+        |         ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT split, count(*) AS n_rows,
+        |  CAST(bit_xor(('0x' || substring(sha256(
+        |    CAST(c_custkey AS VARCHAR)), 1, 15))::UBIGINT) AS BIGINT)
+        |    AS id_xor,
+        |  CAST(min(c_custkey) AS BIGINT) AS min_id,
+        |  CAST(max(c_custkey) AS BIGINT) AS max_id
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
   )
 }

@@ -357,6 +357,25 @@ object Packing {
     df.withColumn(splitCol, assign)
   }
 
+  /** Reproducibility receipt for a split: per split bucket, the row
+    * count, an ORDER-INDEPENDENT id-set fingerprint (bit_xor of each
+    * id's 60-bit sha-256 prefix — any engine, any partitioning, any
+    * row order lands on the same value; a single added, dropped, or
+    * swapped id changes it), and the id range. Stapled to a training
+    * run next to the table version and seed, it makes "were these
+    * EXACTLY the rows?" a constant-size comparison instead of a
+    * re-diff. Cost: the [[stratifiedSplit]] window + one aggregation to
+    * |splits| rows. */
+  def splitManifest(df: DataFrame, idCol: String, strataCols: Seq[String],
+      seed: Long, permille: Seq[(String, Int)]): DataFrame =
+    stratifiedSplit(df, idCol, strataCols, seed, permille)
+      .groupBy("split").agg(
+        count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(cast(conv(substring(sha2(cast(`$idCol` as string), " +
+          "256), 1, 15), 16, 10) as bigint))").as("id_xor"),
+        min(col(idCol)).cast("long").as("min_id"),
+        max(col(idCol)).cast("long").as("max_id"))
+
   /** One chunk of [[contentDefinedChunks]]: 0-based index, token count,
     * space-joined text. */
   private[ext] case class CdcChunk(chunk_idx: Long, n_tokens: Long,

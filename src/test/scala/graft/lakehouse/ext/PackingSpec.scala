@@ -276,6 +276,26 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("splitManifest: fingerprint is order-independent and flips on " +
+      "any membership change") {
+    val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val m1 = Packing.splitManifest(df, "id", Seq("g"), 7L,
+      Seq("train" -> 800, "test" -> 200)).orderBy("split").collect()
+    assert(m1.map(_.getAs[Long]("n_rows")).sum == 50L)
+    // same data in a different row order and partitioning -> same receipt
+    val m2 = Packing.splitManifest(df.orderBy(col("id").desc).repartition(7),
+      "id", Seq("g"), 7L, Seq("train" -> 800, "test" -> 200))
+      .orderBy("split").collect()
+    assert(m1.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      m2.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // dropping one row changes that split's fingerprint
+    val m3 = Packing.splitManifest(df.filter(col("id") =!= 2L), "id",
+      Seq("g"), 7L, Seq("train" -> 800, "test" -> 200))
+      .orderBy("split").collect()
+    assert(m1.map(_.getLong(2)).toSet != m3.map(_.getLong(2)).toSet)
+  }
+
   test("contentDefinedChunks: chunks partition the token stream; " +
       "boundaries are content-local (append-stable)") {
     val text = (1 to 60).map(i => s"tok$i").mkString(" ")
