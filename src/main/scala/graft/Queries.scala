@@ -6669,5 +6669,40 @@ object Queries {
         |  CAST(min(c_custkey) AS BIGINT) AS min_id,
         |  CAST(max(c_custkey) AS BIGINT) AS max_id
         |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
+    // Per-key interval coverage: events become (ts, ts + 1..7 min)
+    // intervals; overlapping-or-touching intervals merge into islands
+    // and the covered time collapses double-counted overlap — exact
+    // integer microseconds end to end.
+    Q("q239_interval_coverage",
+      (s, dir) => TemporalJoins.intervalCoverage(
+          ev(s, dir).select(col("user_id"), col("ts").as("start_ts"),
+            expr("timestampadd(MINUTE, CAST(event_id % 7 + 1 AS INT), ts)")
+              .as("end_ts")),
+          "user_id", "start_ts", "end_ts")
+        .orderBy("user_id"),
+      Some("""WITH iv AS (
+        |  SELECT user_id, ts AS s,
+        |    ts + (CAST(event_id % 7 + 1 AS INT) * INTERVAL 1 MINUTE) AS e
+        |  FROM events WHERE ts IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM w),
+        |i AS (
+        |  SELECT user_id, island, count(*) AS n, min(s) AS s, max(e) AS e
+        |  FROM f GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands,
+        |  CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS covered_us,
+        |  CAST(max(epoch_us(e)) - min(epoch_us(s)) AS BIGINT) AS span_us
+        |FROM i GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin)),
   )
 }

@@ -122,4 +122,43 @@ object TemporalJoins {
         col("__s") <= col("__e_r") && col("__s_r") <= col("__e"))
       .drop("__s", "__e", "__sbin", "__bin", "__sbin_r", "__s_r", "__e_r")
   }
+
+  /** Per-key interval coverage: merge each key's overlapping-or-touching
+    * intervals into maximal islands (gaps-and-islands, the q139 span
+    * machinery over time instead of token positions) and report the
+    * numbers a billing / SLA / session audit wants — raw interval count,
+    * merged island count, total COVERED microseconds (double-counted
+    * overlap collapsed), and the end-to-end span. "Touching" merges
+    * (start == previous max end ⇒ same island — end-exclusive
+    * semantics); all arithmetic in exact integer microseconds.
+    *
+    * Scale shape: ONE window partitioned by the key (bounded by that
+    * key's interval count) + two aggregations; no joins, nothing
+    * quadratic in overlaps — the naive pairwise-overlap subtraction is
+    * O(n²) per key and wrong past two-way overlap. */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val valid = df.where(col(startCol).isNotNull && col(endCol).isNotNull &&
+      col(startCol) <= col(endCol))
+    val byKey = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(
+      byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = valid
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__n"),
+        min(col(startCol)).as("__s"), max(col(endCol)).as("__e"))
+    islands.groupBy(col(keyCol))
+      .agg(
+        sum("__n").cast("long").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(unix_micros(col("__e")) - unix_micros(col("__s")))
+          .cast("long").as("covered_us"),
+        (max(unix_micros(col("__e"))) - min(unix_micros(col("__s"))))
+          .cast("long").as("span_us"))
+  }
 }

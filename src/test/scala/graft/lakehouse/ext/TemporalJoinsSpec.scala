@@ -99,4 +99,28 @@ class TemporalJoinsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.sorted.toSeq == Seq((1L, 10L), (1L, 11L)), got.mkString(","))
   }
+
+  test("intervalCoverage: overlap collapses, touching merges, gaps " +
+      "split islands, inverted/null intervals drop") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val iv = Seq(
+      (1L, t(0), t(10)),
+      (1L, t(5), t(12)),   // overlaps -> same island
+      (1L, t(12), t(15)),  // touches  -> same island (end-exclusive)
+      (1L, t(30), t(35)),  // gap      -> second island
+      (2L, t(0), t(1)),
+      (2L, t(5), t(4)),    // inverted -> dropped
+      (2L, null.asInstanceOf[Timestamp], t(9))  // null -> dropped
+    ).toDF("k", "s", "e")
+    val out = TemporalJoins.intervalCoverage(iv, "k", "s", "e")
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("n_intervals") == 4L)
+    assert(out(0).getAs[Long]("n_islands") == 2L)
+    // island 1 covers 0..15 = 15 min, island 2 covers 5 min
+    assert(out(0).getAs[Long]("covered_us") == 20L * 60 * 1000000)
+    assert(out(0).getAs[Long]("span_us") == 35L * 60 * 1000000)
+    assert(out(1).getAs[Long]("n_intervals") == 1L &&
+      out(1).getAs[Long]("covered_us") == 60L * 1000000)
+  }
 }
