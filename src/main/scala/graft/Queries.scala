@@ -6704,5 +6704,34 @@ object Queries {
         |  CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS covered_us,
         |  CAST(max(epoch_us(e)) - min(epoch_us(s)) AS BIGINT) AS span_us
         |FROM i GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin)),
+
+    // Robust outliers by median absolute deviation (the z-score's
+    // 50%-breakdown-point complement): exact interpolated medians on
+    // integer char counts, IEEE threshold both engines share.
+    Q("q240_mad_outliers",
+      (s, dir) => Analytics.madOutliers(
+          // every 50th doc's length is inflated 20x (a concatenation bug
+          // in the synthetic upstream) so the detector has a real tail
+          t(s, dir, "documents").select(col("doc_id"),
+            (col("n_chars") * when(col("doc_id") % 50 === 0, 20L)
+              .otherwise(1L)).as("n_chars")),
+          "doc_id", "n_chars", kPermille = 2500L)
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+        |  SELECT doc_id, n_chars * CASE WHEN doc_id % 50 = 0 THEN 20
+        |    ELSE 1 END AS n_chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT quantile_cont(n_chars, 0.5) AS med FROM base
+        |  WHERE n_chars IS NOT NULL),
+        |d AS (
+        |  SELECT doc_id, n_chars, med,
+        |    abs(CAST(n_chars AS DOUBLE) - med) AS dev
+        |  FROM base, m WHERE n_chars IS NOT NULL),
+        |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+        |SELECT doc_id, n_chars, med AS median, mad, dev AS deviation
+        |FROM d, md
+        |WHERE dev > 2.5 * mad
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -398,6 +398,34 @@ object Analytics {
     * Scale shape: one count aggregation per side, a full-outer join on
     * the (bounded) key space, totals broadcast back from 1-row aggs —
     * the corpora themselves shuffle only for their group rollups. */
+  /** Robust outlier detection via median absolute deviation: flag rows
+    * whose |value − median| exceeds `kPermille/1000 · MAD`. The z-score
+    * route (q111) breaks down exactly when it matters — outliers inflate
+    * the mean and stddev they're measured against, masking themselves —
+    * while the median and MAD have a 50% breakdown point. Both medians
+    * are EXACT interpolated percentiles (integer inputs ⇒ .0/.5 values,
+    * bit-identical across engines, the q66 equivalence); the threshold
+    * multiply is plain IEEE arithmetic both engines share.
+    *
+    * Scale shape: two single-row exact-percentile aggregations broadcast
+    * back into a per-row flag — no window, no sort of the data side. At
+    * 100 TB swap the exact percentile for the q211 rank sketch; the
+    * operator shape is unchanged. */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+      kPermille: Long): DataFrame = {
+    require(kPermille > 0, "kPermille must be positive")
+    val v = df.where(col(valueCol).isNotNull)
+    val med = v.agg(expr(s"percentile(`$valueCol`, 0.5)").as("__med"))
+    val dev = v.crossJoin(broadcast(med))
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = dev.agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    dev.crossJoin(broadcast(mad))
+      .where(col("__dev") > lit(kPermille.toDouble) / 1000.0 * col("__mad"))
+      .select(col(idCol), col(valueCol),
+        col("__med").as("median"), col("__mad").as("mad"),
+        col("__dev").as("deviation"))
+  }
+
   def shareDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
     val ca = a.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_a"))
     val cb = b.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_b"))

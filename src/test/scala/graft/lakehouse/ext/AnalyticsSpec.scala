@@ -313,6 +313,24 @@ class AnalyticsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("madOutliers: robust to the outliers it hunts — the masked " +
+      "z-score case still flags; clean data flags nothing") {
+    import spark.implicits._
+    // 20 values at 100 plus two huge ones: median/MAD ignore the
+    // contamination the mean/stddev would absorb
+    val df = ((1L to 10L).map(i => (i, 99L)) ++
+      (11L to 20L).map(i => (i, 101L)) ++
+      Seq((21L, 10000L), (22L, 20000L))).toDF("id", "v")
+    val out = Analytics.madOutliers(df, "id", "v", 3000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(21L, 22L))
+    val clean = (1L to 20L).map(i => (i, 100L + i % 3)).toDF("id", "v")
+    assert(Analytics.madOutliers(clean, "id", "v", 3000L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Analytics.madOutliers(clean, "id", "v", 0L)
+    }
+  }
+
   test("shareDrift: shares are per-side permille, one-sided keys " +
       "surface with zero counts, deltas signed") {
     import spark.implicits._
