@@ -6733,5 +6733,47 @@ object Queries {
         |FROM d, md
         |WHERE dev > 2.5 * mad
         |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget allocation by integer water-filling: per-source
+    // supplies are skewed 1x-20x (scaled by the source suffix) so the
+    // fixed budget saturates the small sources and splits the rest —
+    // allocations sum to min(budget, supply) exactly, remainder to the
+    // smallest unsaturated strata first.
+    Q("q241_budget_allocation",
+      (s, dir) => Packing.budgetAllocation(
+          t(s, dir, "documents").select(col("source"),
+            (col("n_chars") *
+              (expr("cast(substring(source, 4) as int)") + 1)).as("toks")),
+          "source", "toks", budget = 1000000L)
+        .orderBy("stratum"),
+      Some("""WITH toks AS (
+        |  SELECT source AS stratum,
+        |    n_chars * (CAST(substring(source, 4) AS INT) + 1) AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |sup AS (
+        |  SELECT stratum, CAST(sum(t) AS BIGINT) AS supply
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, sum(supply) AS total FROM sup),
+        |r AS (
+        |  SELECT stratum, supply, n, total,
+        |    row_number() OVER (ORDER BY supply, stratum) AS i,
+        |    sum(supply) OVER (ORDER BY supply, stratum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        |  FROM sup, tot),
+        |s AS (
+        |  SELECT *,
+        |    (supply * (n - i + 1) + (prefix - supply) <= 1000000) AS sat
+        |  FROM r),
+        |agg AS (
+        |  SELECT sum(CASE WHEN sat THEN 1 ELSE 0 END) AS satc,
+        |    coalesce(sum(CASE WHEN sat THEN supply END), 0) AS sats
+        |  FROM s)
+        |SELECT stratum, supply,
+        |  CAST(CASE WHEN 1000000 >= total OR sat THEN supply
+        |    ELSE (1000000 - sats) // (n - satc) +
+        |      (CASE WHEN i - satc <= (1000000 - sats) % (n - satc)
+        |       THEN 1 ELSE 0 END)
+        |  END AS BIGINT) AS allocation
+        |FROM s, agg ORDER BY stratum""".stripMargin)),
   )
 }

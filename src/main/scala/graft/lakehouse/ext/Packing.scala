@@ -357,6 +357,57 @@ object Packing {
     df.withColumn(splitCol, assign)
   }
 
+  /** Token-budget allocation across strata by integer water-filling:
+    * give every stratum an equal share of `budget`, capped at its own
+    * supply, with freed capacity redistributed — the "how many tokens
+    * do I take from each source" planning step of assembling a training
+    * mix under a fixed budget. Exact integer semantics: allocations sum
+    * to min(budget, total supply); the division remainder goes to the
+    * smallest-supply unsaturated strata first (deterministic
+    * tie-break by stratum name), so any engine reproduces the plan
+    * bit-for-bit.
+    *
+    * Closed form, no iteration: sort strata by supply ascending;
+    * stratum i is SATURATED (takes its whole supply) iff
+    * supply_i·(n−i+1) + prefix_{i−1} ≤ budget — saturation is a prefix
+    * of the sort — and the rest split the remaining budget evenly.
+    * Scale shape: one supply aggregation; every window runs over the
+    * AGGREGATED |strata|-row frame (bounded below, never the corpus).
+    * Returns (stratum, supply, allocation). */
+  def budgetAllocation(df: DataFrame, stratumCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val sup = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(sum(col(tokenCol)).cast("long").as("supply"))
+    val totals = sup.agg(count(lit(1)).as("__n"),
+      coalesce(sum("supply"), lit(0L)).as("__total"))
+    val w = Window.orderBy(col("supply"), col("stratum"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = sup.crossJoin(broadcast(totals))
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__prefix",
+        sum("supply").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__sat",
+        col("supply") * (col("__n") - col("__i") + 1) +
+          (col("__prefix") - col("supply")) <= budget)
+      .withColumn("__satCount",
+        sum(when(col("__sat"), 1L).otherwise(0L)).over(full))
+      .withColumn("__satSum",
+        coalesce(sum(when(col("__sat"), col("supply"))).over(full), lit(0L)))
+    ranked.withColumn("allocation",
+        when(lit(budget) >= col("__total") || col("__sat"), col("supply"))
+          .otherwise {
+            val m = col("__n") - col("__satCount")
+            val rem = lit(budget) - col("__satSum")
+            val base = expr(s"($budget - __satSum) div (__n - __satCount)")
+            base + when(col("__i") - col("__satCount") <= rem % m, 1L)
+              .otherwise(0L)
+          })
+      .select(col("stratum"), col("supply"), col("allocation"))
+  }
+
   /** Reproducibility receipt for a split: per split bucket, the row
     * count, an ORDER-INDEPENDENT id-set fingerprint (bit_xor of each
     * id's 60-bit sha-256 prefix — any engine, any partitioning, any

@@ -276,6 +276,23 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("budgetAllocation: water-filling caps at supply, sums to " +
+      "min(budget, total), remainder to smallest strata first") {
+    val df = Seq(("a", 10L), ("b", 50L), ("c", 100L)).toDF("src", "toks")
+    def alloc(b: Long) = Packing.budgetAllocation(df, "src", "toks", b)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // b=90: a saturates at 10, b/c split 80 evenly
+    assert(alloc(90L) == Map("a" -> 10L, "b" -> 40L, "c" -> 40L))
+    // budget above total supply: everyone takes their whole supply
+    assert(alloc(500L) == Map("a" -> 10L, "b" -> 50L, "c" -> 100L))
+    // b=7: nobody saturates; 7 div 3 = 2, remainder 1 to the smallest
+    assert(alloc(7L) == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+    assert(alloc(0L).values.sum == 0L)
+    intercept[IllegalArgumentException] {
+      Packing.budgetAllocation(df, "src", "toks", -1L)
+    }
+  }
+
   test("splitManifest: fingerprint is order-independent and flips on " +
       "any membership change") {
     val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
