@@ -6775,5 +6775,57 @@ object Queries {
         |       THEN 1 ELSE 0 END)
         |  END AS BIGINT) AS allocation
         |FROM s, agg ORDER BY stratum""".stripMargin)),
+
+    // Content-addressed corpus diff: snapshot B removes every 7th doc,
+    // edits every 5th, re-keys every 9th (+500000, same bytes), and
+    // adds the doc_id%10==9 slice — the one-row report separates
+    // genuine churn from id renumbering.
+    Q("q242_corpus_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val a = docs.filter(col("doc_id") % 10 < 8)
+        val bKept = a.filter(col("doc_id") % 7 =!= 0)
+          .filter(col("doc_id") % 9 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")).as("text"))
+        val bRekeyed = a.filter(col("doc_id") % 9 === 0 &&
+            col("doc_id") % 7 =!= 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        val bAdded = docs.filter(col("doc_id") % 10 === 9)
+        Quality.corpusDiff(a,
+          bKept.unionByName(bRekeyed).unionByName(bAdded),
+          "doc_id", "text")
+      },
+      Some("""WITH a AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited'
+        |      ELSE text END AS text
+        |  FROM a WHERE doc_id % 7 <> 0 AND doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM a
+        |  WHERE doc_id % 9 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9),
+        |ka AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS ha FROM a),
+        |kb AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS hb FROM b),
+        |j AS (SELECT ka.ha, kb.hb FROM ka FULL OUTER JOIN kb USING (id)),
+        |base AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unchanged,
+        |    CAST(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL
+        |      AND ha <> hb THEN 1 ELSE 0 END) AS BIGINT) AS n_edited,
+        |    CAST(sum(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    CAST(sum(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_added
+        |  FROM j),
+        |rk AS (
+        |  SELECT count(*) AS n_rekeyed FROM j
+        |  WHERE hb IS NULL AND ha IN (SELECT hb FROM j WHERE ha IS NULL))
+        |SELECT * FROM base, rk""".stripMargin)),
   )
 }

@@ -146,4 +146,37 @@ object Quality {
           .otherwise(lit("changed")))
       .select(keyCols.map(col) :+ col("change_type"): _*)
   }
+
+  /** Content-addressed corpus diff between two snapshots, in ONE row:
+    * [[diffSnapshots]] diffs by KEY and therefore calls a re-keyed
+    * document (same bytes, new id — a re-crawl that renumbered, a
+    * partition rewrite that reassigned ids) one removal plus one
+    * addition; this classifies by key AND content md5, separating
+    * `n_rekeyed` (content present on both sides under different ids —
+    * usually a false alarm) from genuine `n_removed`/`n_added` churn,
+    * next to `n_unchanged`/`n_edited` for matched ids. The release
+    * question it answers: "did the corpus actually change, or did the
+    * ids?".
+    *
+    * Scale shape: one full-outer join on the id, one semi-join between
+    * the two orphan sets on the 32-hex content hash, two 1-row folds —
+    * constant output at any corpus size. */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def keyed(df: DataFrame, tag: String) = df.select(
+      col(idCol).as("id"),
+      md5(coalesce(col(textCol), lit(""))).as(s"h$tag"))
+    val j = keyed(a, "a").join(keyed(b, "b"), Seq("id"), "full_outer")
+    val aOnly = j.where(col("hb").isNull).select(col("id"), col("ha"))
+    val bOnlyH = j.where(col("ha").isNull).select(col("hb").as("ha")).distinct()
+    val base = j.agg(
+      sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_unchanged"),
+      sum(when(col("ha").isNotNull && col("hb").isNotNull &&
+        col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_edited"),
+      sum(when(col("hb").isNull, 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("ha").isNull, 1L).otherwise(0L)).as("n_added"))
+    val rk = aOnly.join(bOnlyH, Seq("ha"), "left_semi")
+      .agg(count(lit(1)).as("n_rekeyed"))
+    base.crossJoin(rk)
+  }
 }

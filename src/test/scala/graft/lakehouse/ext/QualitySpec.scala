@@ -141,4 +141,25 @@ class QualitySpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "q2").count() == 1)
     assert(meta("g2").contains("0") && meta("q2").contains("1"))
   }
+
+  test("corpusDiff: unchanged/edited by id, re-keyed separated from " +
+      "genuine churn by content hash") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "same"), (2L, "will edit"), (3L, "will rekey"),
+      (4L, "will vanish")).toDF("doc_id", "text")
+    val b = Seq(
+      (1L, "same"),            // unchanged
+      (2L, "edited now"),      // edited
+      (30L, "will rekey"),     // same bytes, new id
+      (5L, "brand new")        // added
+    ).toDF("doc_id", "text")
+    val r = graft.lakehouse.ext.Quality.corpusDiff(a, b, "doc_id", "text")
+      .head()
+    assert(r.getAs[Long]("n_unchanged") == 1L)
+    assert(r.getAs[Long]("n_edited") == 1L)
+    assert(r.getAs[Long]("n_removed") == 2L) // ids 3 and 4 left
+    assert(r.getAs[Long]("n_added") == 2L)   // ids 30 and 5 arrived
+    assert(r.getAs[Long]("n_rekeyed") == 1L) // but id 3's bytes moved to 30
+  }
 }
