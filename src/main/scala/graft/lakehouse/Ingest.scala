@@ -415,7 +415,17 @@ object Ingest {
     * commits, so the drain is auditable — time travel shows exactly
     * which rows each replay recovered — and repeated replays converge (a
     * fix that recovers nothing rewrites the same still-bad set). Returns
-    * (recovered, stillBad). */
+    * (recovered, stillBad).
+    *
+    * Crash safety (the txn-watermark contract of [[appendWithQuarantine]]
+    * / `streamIngestGated`): the gold append stamps
+    * `txn:replay:<quarantineName> -> <drained quarantine version>`
+    * atomically with the recovered rows (a zero-recovery drain still
+    * commits a marker-only version), so a crash BETWEEN the gold append
+    * and the quarantine overwrite is detected on the next replay — the
+    * quarantine still holds the old version, gold's watermark already
+    * covers it, and the append is skipped instead of re-landing the
+    * recovered rows as duplicates. */
   def replayQuarantine(spark: SparkSession, lh: LakehouseProps,
       tableName: String, quarantineName: String,
       fix: DataFrame => DataFrame,
@@ -423,8 +433,18 @@ object Ingest {
       extraMeta: Map[String, String] = Map.empty): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, concat_ws, size}
     val qDir = Catalog.tablePath(lh, quarantineName)
-    require(Versioned.latestVersion(qDir).nonEmpty,
-      s"no quarantine table '$quarantineName' to replay")
+    val qVersion = Versioned.latestVersion(qDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no quarantine table '$quarantineName' to replay"))
+    val goldDir = Catalog.tablePath(lh, tableName)
+    val marker = s"txn:replay:$quarantineName"
+    // gold already carries this (or a later) quarantine version's drain —
+    // we crashed after the append, before the overwrite; don't re-append
+    val alreadyLanded = Versioned.latestVersion(goldDir)
+      .flatMap(Versioned.readManifest(goldDir, _))
+      .flatMap(_.meta.get(marker))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .exists(_ >= qVersion)
     val q = TableIO.selectTable(spark, lh, quarantineName)
       .drop("failed_checks")
     val gated = graft.lakehouse.ext.Quality.gateExpectations(fix(q), checks)
@@ -436,8 +456,9 @@ object Ingest {
         .withColumn("failed_checks", concat_ws(",", col("failed_checks")))
       val nGood = good.count()
       val nBad = bad.count()
-      if (nGood > 0)
-        TableIO.appendTable(spark, lh, tableName, good, extraMeta = extraMeta)
+      if (!alreadyLanded && (nGood > 0 || Versioned.latestVersion(goldDir).nonEmpty))
+        TableIO.appendTable(spark, lh, tableName, good,
+          extraMeta = extraMeta + (marker -> qVersion.toString))
       TableIO.writeTable(spark, lh, quarantineName, bad, extraMeta = extraMeta)
       (nGood, nBad)
     } finally gated.unpersist()

@@ -383,21 +383,6 @@ object Analytics {
       .limit(k)
   }
 
-  /** Distribution drift between two snapshots of a corpus — the data
-    * monitoring report that catches a silently changed upstream (a
-    * crawler that started favoring one source, a length distribution
-    * that shifted after a parser update) BEFORE the shift poisons a
-    * training mix. For each key (a category, or a pre-bucketed numeric):
-    * both snapshots' counts, each side's share of its own total in
-    * exact permille, and the signed share delta — integer arithmetic
-    * end to end, so the drift report itself is reproducible evidence
-    * (the classic PSI reports the same shift, fuzzily; threshold on
-    * max |delta_permille| instead). Keys absent from one side appear
-    * with a zero count — disappearance IS drift.
-    *
-    * Scale shape: one count aggregation per side, a full-outer join on
-    * the (bounded) key space, totals broadcast back from 1-row aggs —
-    * the corpora themselves shuffle only for their group rollups. */
   /** Robust outlier detection via median absolute deviation: flag rows
     * whose |value − median| exceeds `kPermille/1000 · MAD`. The z-score
     * route (q111) breaks down exactly when it matters — outliers inflate
@@ -426,6 +411,21 @@ object Analytics {
         col("__dev").as("deviation"))
   }
 
+  /** Distribution drift between two snapshots of a corpus — the data
+    * monitoring report that catches a silently changed upstream (a
+    * crawler that started favoring one source, a length distribution
+    * that shifted after a parser update) BEFORE the shift poisons a
+    * training mix. For each key (a category, or a pre-bucketed numeric):
+    * both snapshots' counts, each side's share of its own total in
+    * exact permille, and the signed share delta — integer arithmetic
+    * end to end, so the drift report itself is reproducible evidence
+    * (the classic PSI reports the same shift, fuzzily; threshold on
+    * max |delta_permille| instead). Keys absent from one side appear
+    * with a zero count — disappearance IS drift.
+    *
+    * Scale shape: one count aggregation per side, a full-outer join on
+    * the (bounded) key space, totals broadcast back from 1-row aggs —
+    * the corpora themselves shuffle only for their group rollups. */
   def shareDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
     val ca = a.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_a"))
     val cb = b.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_b"))

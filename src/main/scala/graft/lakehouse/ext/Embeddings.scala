@@ -143,8 +143,15 @@ object Embeddings {
     * cross the exchange (the k-means update shape) — the vectors
     * themselves never shuffle; the pairwise stage runs on a
     * |labels|-row frame, metadata-scale at any corpus size. The
-    * DECIMAL(38) budget holds while Σ|x|·2^20 per dimension stays under
-    * ~1e9 per label (drop `scale` for bigger classes). */
+    * DECIMAL(38) budget: the numerator squares the dot product, so it —
+    * not the norms — binds first: |dot| must stay under 3e17 (then
+    * dot²·1000 ≤ 9e37 < 10^38) and each squared norm under 1e18. With
+    * per-dimension quantized sums bounded by B, dot ≤ dim·B², so at
+    * dim 64 the real budget is B = Σ|x|·2^20 per dimension ≲ 7e7 per
+    * label (≈ 70 quantized units per row across a million-row class).
+    * Exceeding it RAISES (per-pair guard below) instead of silently
+    * NULLing the alignment in non-ANSI mode; drop `scale` for bigger
+    * classes. */
   def labelCentroidSeparation(df: DataFrame, vecCol: String,
       labelCol: String, scale: Long = 1L << 20): DataFrame = {
     val qUdf = udf((v: Seq[Double]) =>
@@ -174,14 +181,25 @@ object Embeddings {
       "(acc, v) -> acc + cast(v as decimal(38,0)) * cast(v as decimal(38,0)))")
     val nb2 = expr("aggregate(sb, cast(0 as decimal(38,0)), " +
       "(acc, v) -> acc + cast(v as decimal(38,0)) * cast(v as decimal(38,0)))")
+    // budget guard: past these bounds the decimal multiplies overflow
+    // DECIMAL(38,0) and non-ANSI mode would silently NULL the alignment —
+    // fail loudly instead (the check runs on the |labels|²-row frame only)
+    val budgetOk = expr(
+      "abs(__dot) <= cast(300000000000000000 as decimal(38,0)) and " +
+        "__na2 <= cast(1000000000000000000 as decimal(38,0)) and " +
+        "__nb2 <= cast(1000000000000000000 as decimal(38,0))")
     a.join(b, col("label_a") < col("label_b"))
       .withColumn("__dot", dot)
       .withColumn("__na2", na2)
       .withColumn("__nb2", nb2)
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         col("__dot").cast("long").as("dot"),
-        (when(col("__dot") < 0, -1L).otherwise(1L) *
-          expr("cast((__dot * __dot * 1000) div (__na2 * __nb2) as bigint)"))
+        when(!budgetOk, raise_error(lit(
+            "labelCentroidSeparation DECIMAL(38) budget exceeded: " +
+              "|dot| must stay under 3e17 and each squared norm under " +
+              "1e18 — lower `scale` for this corpus")))
+          .otherwise(when(col("__dot") < 0, -1L).otherwise(1L) *
+            expr("cast((__dot * __dot * 1000) div (__na2 * __nb2) as bigint)"))
           .as("cos2_signed_permille"))
   }
 }

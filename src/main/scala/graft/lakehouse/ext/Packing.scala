@@ -345,16 +345,22 @@ object Packing {
     val key = sha2(concat_ws("#", col(idCol).cast("string"),
       lit(seed.toString)), 256)
     val part = Window.partitionBy(strataCols.map(col): _*)
-    val r = row_number().over(part.orderBy(key, col(idCol)))
-    val n = count(lit(1)).over(part)
     val cums = permille.scanLeft(0)(_ + _._2).tail
     val first = permille.head._1
+    // cut points in INTEGER arithmetic — (n · cum) div 1000, the exact
+    // contract the oracle replays as (n * cum) // 1000; double floor()
+    // can disagree with integer division once n · cum outgrows a
+    // double's 53-bit mantissa
+    val tagged = df
+      .withColumn("__ss_r", row_number().over(part.orderBy(key, col(idCol))))
+      .withColumn("__ss_n", count(lit(1)).over(part))
+    def cut(cum: Int): Column = expr(s"(__ss_n * $cum) div 1000")
+    val r = col("__ss_r")
     val assign = permille.zip(cums).tail.foldLeft(
-      when(r <= floor(n * cums.head / lit(1000.0)).cast("long"), first)) {
-        case (acc, ((name, _), cum)) =>
-          acc.when(r <= floor(n * cum / lit(1000.0)).cast("long"), name)
+      when(r <= cut(cums.head), first)) {
+        case (acc, ((name, _), cum)) => acc.when(r <= cut(cum), name)
       }.otherwise(permille.last._1)
-    df.withColumn(splitCol, assign)
+    tagged.withColumn(splitCol, assign).drop("__ss_r", "__ss_n")
   }
 
   /** Token-budget allocation across strata by integer water-filling:

@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** A rank column, validated per row: ranks are 1-based by definition,
+    * and a 0/negative/NULL rank would otherwise flow into `scale div
+    * (k0 + rank)`-style integer divisions where non-ANSI Spark turns a
+    * divide-by-zero into NULL and the enclosing sum()/min() silently
+    * drops it — a malformed ranking must fail loudly, not skew the
+    * fusion. */
+  private def guardedRank(rank: org.apache.spark.sql.Column, op: String,
+      as: String = "__rank"): org.apache.spark.sql.Column = {
+    val r = rank.cast("long")
+    when(r.isNull || r < 1L, raise_error(lit(
+        s"$op: malformed ranking — ranks must be >= 1 and non-null")))
+      .otherwise(r).as(as)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * fused score = Σ_systems 1/(k0 + rank). Computed in INTEGER
     * arithmetic — each contribution is `scale div (k0 + rank)` — so the
@@ -31,9 +45,13 @@ object Retrieval {
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
       k: Int, k0: Long = 60L, scale: Long = 1000000000000L): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
-    require(k >= 1 && k0 >= 0 && scale >= 1)
+    // k0 = 0 would make a (malformed) 0-valued rank divide by zero, which
+    // non-ANSI Spark returns as NULL and sum() silently DROPS — that
+    // system's contribution would vanish instead of erroring
+    require(k >= 1 && k0 >= 1 && scale >= 1,
+      "rrfFuse needs k >= 1, k0 >= 1 and scale >= 1")
     val tagged = rankings.map(r =>
-        r.select(col(idCol), col(rankCol).cast("long").as("__rank")))
+        r.select(col(idCol), guardedRank(col(rankCol), "rrfFuse")))
       .reduce(_ unionByName _)
     val fused = tagged
       .groupBy(idCol)
@@ -68,7 +86,8 @@ object Retrieval {
     val perQueryRel = judged.groupBy(queryCol)
       .agg(count(lit(1)).as("n_rel"))
     val hits = ranking.filter(col(rankCol) <= k)
-      .select(col(queryCol), col(idCol), col(rankCol).cast("long").as("__r"))
+      .select(col(queryCol), col(idCol),
+        guardedRank(col(rankCol), "retrievalMetrics", "__r"))
       .join(broadcast(judged), Seq(queryCol, idCol))
       .groupBy(queryCol)
       .agg(count(lit(1)).as("hits"), min("__r").as("__first"))

@@ -341,4 +341,44 @@ class IngestSpec extends SparkSuite {
     TableIO.dropTable(spark, lh, "rq_gold")
     TableIO.dropTable(spark, lh, "rq_quar")
   }
+
+  test("replayQuarantine: a crash between the gold append and the " +
+      "quarantine overwrite cannot duplicate recovered rows") {
+    import graft.lakehouse.ext.Quality
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val checks = Seq(Quality.NotNull("v"))
+    val batch = Seq((1L, Some(10L)), (2L, None)).toDF("k", "v")
+    Ingest.appendWithQuarantine(spark, lh, "rq2_gold", "rq2_quar",
+      batch, checks)
+    // simulate the crashed first half of a replay: the gold append (with
+    // its txn:replay watermark stamping the drained quarantine version)
+    // landed, the quarantine overwrite did not
+    val qDir = Catalog.tablePath(lh, "rq2_quar")
+    val qv = Versioned.latestVersion(qDir).get
+    TableIO.appendTable(spark, lh, "rq2_gold",
+      Seq((2L, Some(0L))).toDF("k", "v"),
+      extraMeta = Map("txn:replay:rq2_quar" -> qv.toString))
+    // the re-run sees the watermark, skips the gold append, and still
+    // drains the quarantine
+    val (rec, still) = Ingest.replayQuarantine(spark, lh, "rq2_gold",
+      "rq2_quar", df => df.withColumn("v", coalesce(col("v"), lit(0L))),
+      checks)
+    assert(rec == 1L && still == 0L)
+    val gold = TableIO.selectTable(spark, lh, "rq2_gold")
+      .select("k").as[Long].collect().toList.sorted
+    assert(gold == List(1L, 2L), s"recovered row duplicated: $gold")
+    // a FRESH drain (the quarantine has moved past the watermark) is not
+    // blocked: new bad rows quarantine, replay recovers them into gold
+    Ingest.appendWithQuarantine(spark, lh, "rq2_gold", "rq2_quar",
+      Seq((3L, Option.empty[Long])).toDF("k", "v"), checks)
+    val (rec2, _) = Ingest.replayQuarantine(spark, lh, "rq2_gold",
+      "rq2_quar", df => df.withColumn("v", coalesce(col("v"), lit(0L))),
+      checks)
+    assert(rec2 == 1L)
+    val gold2 = TableIO.selectTable(spark, lh, "rq2_gold")
+      .select("k").as[Long].collect().toList.sorted
+    assert(gold2 == List(1L, 2L, 3L), gold2)
+    TableIO.dropTable(spark, lh, "rq2_gold")
+    TableIO.dropTable(spark, lh, "rq2_quar")
+  }
 }

@@ -120,4 +120,19 @@ class EmbeddingsSpec extends SparkSuite {
     assert(out((0, 3)) == ((2L, 1L, -1000L)))  // opposed (null row dropped)
     assert(out((2, 3)) == ((1L, 1L, 0L)))
   }
+
+  test("labelCentroidSeparation: exceeding the DECIMAL(38) budget " +
+      "raises instead of silently NULLing the alignment") {
+    import spark.implicits._
+    // one vector per label at 1e6: quantized sums ~2^20*1e6 ~ 1e12, so
+    // each squared norm ~2e24 >> the 1e18 budget
+    val df = Seq((0, Seq(1e6f, 1e6f)), (1, Seq(1e6f, -1e6f)))
+      .toDF("label", "embedding")
+    val e = intercept[Throwable] {
+      Embeddings.labelCentroidSeparation(df, "embedding", "label").collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("budget exceeded"), chain)
+  }
 }

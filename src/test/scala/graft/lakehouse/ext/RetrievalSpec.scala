@@ -102,4 +102,30 @@ class RetrievalSpec extends SparkSuite {
       r2.isNullAt(r2.fieldIndex("precision_permille")) &&
       r2.getAs[Long]("recall_permille") == 0L)
   }
+
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("rrfFuse/retrievalMetrics: malformed rankings fail loudly " +
+      "instead of silently dropping a system's contribution") {
+    val good = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val zeroRank = Seq((1L, 0)).toDF("doc_id", "rank")
+    // k0 = 0 would let a 0 rank divide by zero -> rejected up front
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(good), "doc_id", "rank", k = 5, k0 = 0L)
+    }
+    val e1 = intercept[Throwable] {
+      Retrieval.rrfFuse(Seq(good, zeroRank), "doc_id", "rank", k = 5)
+        .collect()
+    }
+    assert(messageChain(e1).contains("malformed ranking"), messageChain(e1))
+    val qrels = Seq(("q", 1L)).toDF("query_id", "doc_id")
+    val e2 = intercept[Throwable] {
+      Retrieval.retrievalMetrics(
+        Seq(("q", 1L, 0)).toDF("query_id", "doc_id", "rank"),
+        qrels, "query_id", "doc_id", "rank", k = 5).collect()
+    }
+    assert(messageChain(e2).contains("malformed ranking"), messageChain(e2))
+  }
 }
