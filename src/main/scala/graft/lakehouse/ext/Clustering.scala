@@ -1,6 +1,6 @@
 package graft.lakehouse.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Distributed clustering with ENGINE-PORTABLE arithmetic. Float Lloyd
@@ -62,6 +62,98 @@ object Clustering {
     out
   }
 
+  /** `iterations` fused Lloyd rounds over a (gid, qv) frame — `gid`
+    * indexes an independent clustering problem sharing one pass (PQ
+    * trains one codebook per subspace; IVF and [[kmeansFixedPoint]] use
+    * a single gid 0). Each round is ONE zero-shuffle job: the kernel
+    * fuses assignment and the centroid-sum update per partition (argmin
+    * against this gid's centroids, then accumulate into running sums),
+    * so only |gids|·k rows of (gid, cluster, sums, n) leave each
+    * partition — straight to the driver, where the merge is a bounded
+    * integer fold. Centroid state between rounds is |gids|·k·dim longs
+    * on the driver (the capped-driver-state pattern) riding to
+    * executors in the kernel closure. Empty clusters keep their
+    * previous centroid; centroid means are truncating integer division
+    * (sums nonnegative under the offset contract, so this equals SQL
+    * `div`). A vector whose length differs from its gid's centroid
+    * dimension surfaces as a driver-side IllegalArgumentException via a
+    * sentinel partial — no separate validation job. */
+  private[ext] def lloydRoundsGrouped(frame: DataFrame,
+      init: Map[Int, IndexedSeq[Seq[Long]]], iterations: Int,
+      context: String): Map[Int, IndexedSeq[Seq[Long]]] = {
+    require(init.nonEmpty && init.keys.forall(_ >= 0),
+      s"$context: init centroids must be keyed by nonnegative gid")
+    var cents = init
+    val nGids = init.keys.max + 1
+    val kMax = init.values.map(_.size).max
+    for (_ <- 1 to iterations) {
+      val centsLocal: Array[Array[Array[Long]]] =
+        Array.tabulate(nGids)(g =>
+          cents.get(g).fold(Array.empty[Array[Long]])(_.map(_.toArray).toArray))
+      val partials = frame.select(col("gid").cast("int"), col("qv"))
+        .mapPartitions { it =>
+          val sums = new Array[Array[Long]](nGids * kMax)
+          val counts = new Array[Long](nGids * kMax)
+          var badGid = -1
+          var badLen = -1
+          it.foreach { r =>
+            val g = r.getInt(0)
+            val qv = r.getSeq[Long](1)
+            val cs = if (g >= 0 && g < nGids) centsLocal(g)
+              else Array.empty[Array[Long]]
+            if (cs.isEmpty || qv.length != cs(0).length) {
+              badGid = g; badLen = qv.length
+            } else {
+              var best = Long.MaxValue; var bi = -1; var c = 0
+              while (c < cs.length) {
+                val cv = cs(c)
+                var d = 0L; var i = 0
+                while (i < cv.length) {
+                  val x = qv(i) - cv(i); d += x * x; i += 1
+                }
+                if (d < best) { best = d; bi = c }
+                c += 1
+              }
+              val slot = g * kMax + bi
+              counts(slot) += 1
+              if (sums(slot) == null) sums(slot) = new Array[Long](qv.length)
+              val s = sums(slot); var j = 0
+              while (j < s.length) { s(j) += qv(j); j += 1 }
+            }
+          }
+          val good = (0 until nGids * kMax).iterator
+            .filter(counts(_) > 0)
+            .map(slot => (slot / kMax, slot % kMax, sums(slot), counts(slot)))
+          if (badLen >= 0)
+            good ++ Iterator((badGid, -1, Array(badLen.toLong), 1L))
+          else good
+        }(Encoders.product[(Int, Int, Array[Long], Long)])
+        .collect()
+      partials.find(_._2 == -1).foreach { case (g, _, bad, _) =>
+        throw new IllegalArgumentException(
+          s"$context needs a uniform vector dimension; found length " +
+            s"${bad(0)} against centroid dimension " +
+            s"${cents.get(g).flatMap(_.headOption).fold(-1)(_.length)}")
+      }
+      cents = cents.map { case (g, gc) =>
+        val dimLen = gc.headOption.fold(0)(_.length)
+        val sumAcc = Array.fill(gc.size)(new Array[Long](dimLen))
+        val cntAcc = new Array[Long](gc.size)
+        partials.foreach { case (pg, c, s, n) =>
+          if (pg == g) {
+            cntAcc(c) += n
+            var j = 0
+            while (j < s.length) { sumAcc(c)(j) += s(j); j += 1 }
+          }
+        }
+        g -> gc.indices.map { i =>
+          if (cntAcc(i) > 0) sumAcc(i).toSeq.map(_ / cntAcc(i)) else gc(i)
+        }
+      }
+    }
+    cents
+  }
+
   private[ext] def argminKernel(qv: Seq[Long],
       cents: Array[Array[Long]]): (Long, Int) = {
     var best = Long.MaxValue
@@ -92,17 +184,17 @@ object Clustering {
         quantUdf(col(vecCol).cast("array<double>")).as("qv"))
       .persist()
     try {
-      // ragged embedding columns would IndexOutOfBounds deep inside the
-      // argmin kernel — fail loudly up front instead (one 1-row agg; the
-      // scan is amortized into the persist's first materialization)
-      val dims = q.agg(min(size(col("qv"))).as("lo"), max(size(col("qv"))).as("hi"))
-        .collect()(0)
-      require(dims.isNullAt(0) || dims.getInt(0) == dims.getInt(1),
-        s"kmeansFixedPoint needs a uniform vector dimension; found lengths " +
-          s"${dims.getInt(0)}..${dims.getInt(1)} in '$vecCol'")
       // init: the k smallest ids' vectors — one bounded driver collect
+      // (this TakeOrdered also materializes the persist)
       var cents: Seq[Seq[Long]] = q.orderBy(col(idCol)).limit(k)
         .collect().map(_.getSeq[Long](1).toSeq).toSeq
+      // raggedness among the init vectors is visible right here — the
+      // per-round kernel below catches the rest of the corpus
+      if (cents.exists(_.length != cents.head.length))
+        throw new IllegalArgumentException(
+          s"kmeansFixedPoint needs a uniform vector dimension; found " +
+            s"lengths ${cents.map(_.length).min}..${cents.map(_.length).max}" +
+            s" in '$vecCol'")
 
       def assigned(): DataFrame = {
         val centsLocal: Array[Array[Long]] = cents.map(_.toArray).toArray
@@ -112,19 +204,14 @@ object Clustering {
             col("m._1").as("dist"), col("qv"))
       }
 
-      for (_ <- 1 to iterations) {
-        val sums = assigned()
-          .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy("cluster", "pos")
-          .agg(sum("v").as("s"), count(lit(1)).as("n"))
-          .withColumn("cvi", expr("s div n"))
-          .groupBy("cluster")
-          .agg(expr("transform(sort_array(collect_list(struct(pos, cvi)))," +
-            " x -> x.cvi)").as("cv"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
-        // empty clusters keep their previous centroid
-        cents = cents.indices.map(i => sums.getOrElse(i, cents(i)))
-      }
+      // the rounds run in the fused grouped trainer (ONE zero-shuffle
+      // job each; the previous shape posexploded rows·dim cells into a
+      // groupBy per round and was the #1 bench line)
+      if (cents.nonEmpty)
+        cents = lloydRoundsGrouped(
+          q.select(lit(0).as("gid"), col("qv")),
+          Map(0 -> cents.toIndexedSeq), iterations,
+          s"kmeansFixedPoint('$vecCol')")(0)
       assigned().select(col(idCol), col("cluster"), col("dist"))
         .localCheckpoint()
     } finally { q.unpersist(false) }
