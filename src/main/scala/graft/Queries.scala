@@ -962,15 +962,101 @@ object Queries {
         |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF with ENGINE-PORTABLE training (fixed-point Lloyd, the q197
+    // arithmetic): the oracle replays codebook training, cell
+    // assignment, AND the recall-traded 3-of-8 probe subset bit-for-bit
+    // — the probing variant itself hash-checks, not just the probe-all
+    // degenerate mode (q67, which keeps the float trainer).
     Q("q44_ann_ivf_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4),
+        Similarity.ivfTopKPortable(emb, emb.filter(col("vec_id") < 4),
           "vec_id", "embedding", k = 10, nLists = 8, nProbe = 3)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qv AS (
+        |  SELECT vec_id, ve, list_transform(ve,
+        |    x -> CAST(floor(x * 1024) + 1048576 AS BIGINT)) AS qv
+        |  FROM v),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cidx, qv AS cv
+        |  FROM qv ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c0 c)) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a1)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c1 AS (
+        |  SELECT c0.cidx, coalesce(u1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u1 ON u1.cidx = c0.cidx),
+        |a2 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c1 c)) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a2)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c2 AS (
+        |  SELECT c1.cidx, coalesce(u2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN u2 ON u2.cidx = c1.cidx),
+        |cells AS (
+        |  SELECT vec_id, cluster AS cell FROM (
+        |    SELECT vec_id, cluster, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c2 c)) WHERE rn = 1),
+        |probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT query_id, cell, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dist, cell) AS rn
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.cidx AS cell,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM (SELECT * FROM qv WHERE vec_id < 4) q, c2 c))
+        |  WHERE rn <= 3),
+        |s AS (
+        |  SELECT p.query_id, cl.vec_id,
+        |    list_sum(list_transform(list_zip(cv.ve, qe.ve), p2 -> p2[1] * p2[2])) /
+        |    (sqrt(list_sum(list_transform(cv.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qe.ve, x -> x * x)))) AS cosine
+        |  FROM probe p
+        |  JOIN cells cl ON cl.cell = p.cell
+        |  JOIN v cv ON cv.vec_id = cl.vec_id
+        |  JOIN v qe ON qe.vec_id = p.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // IVF with nProbe = nLists probes every cell, so it degenerates to exact
     // search: the result must HASH-MATCH the brute-force oracle (q34's SQL
@@ -3972,20 +4058,99 @@ object Queries {
         |WHERE o_orderkey % 40 = 0 AND o_orderkey % 80 != 0
         |ORDER BY o_orderkey""".stripMargin)),
 
-    // Product-quantization ANN (Jégou'11): codes are 8 bytes per 64-dim
-    // vector (32× compression — the way a 100 TB embedding corpus fits an
-    // index). Pure-ADC ranking is approximate → rows-only here; recall
-    // and the exact-degenerate mode are verified by q169 + PqSpec.
+    // Product-quantization ANN (Jégou'11) with ENGINE-PORTABLE training
+    // and scoring: fixed-point Lloyd codebooks per subspace (all 8
+    // trained in one fused pass per round), integer argmin codes, and
+    // ADC as the exact integer distance Σ_s ‖q_s − c_{code_s}‖² — the
+    // oracle replays training → encoding → LUT scoring end to end, so
+    // the APPROXIMATE ranking itself hash-checks (the float-PQ
+    // rerank-everything degenerate mode stays q169; recall: PqSpec).
     Q("q168_ann_pq_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 4),
-          "vec_id", "embedding", k = 10, m = 8, codebookSize = 64,
-          maxFitRows = 4000)
-          .withColumn("cosine", round(col("cosine"), 6))
+        Similarity.pqTopKPortable(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10, m = 8, codebookSize = 16)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qv AS (
+        |  SELECT vec_id, list_transform(ve,
+        |    x -> CAST(floor(x * 1024) + 1048576 AS BIGINT)) AS qv
+        |  FROM v),
+        |sv AS (
+        |  SELECT vec_id, s.s AS s,
+        |    list_slice(qv, s.s * 8 + 1, s.s * 8 + 8) AS sv
+        |  FROM qv, (SELECT unnest(range(8)) AS s) s),
+        |c0 AS (
+        |  SELECT s, cidx, cv FROM (
+        |    SELECT s, CAST(row_number() OVER (PARTITION BY s
+        |      ORDER BY vec_id) - 1 AS INT) AS cidx, sv AS cv
+        |    FROM sv) WHERE cidx < 16),
+        |a1 AS (
+        |  SELECT vec_id, s, cluster, sv FROM (
+        |    SELECT vec_id, s, cluster, sv, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, q.s, c.cidx AS cluster, q.sv,
+        |        CAST(list_sum(list_transform(list_zip(q.sv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM sv q JOIN c0 c ON c.s = q.s)) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT s, cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT s, cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT s, cluster, generate_subscripts(sv, 1) AS pos,
+        |          unnest(sv) AS v FROM a1)
+        |    GROUP BY s, cluster, pos) GROUP BY s, cluster),
+        |c1 AS (
+        |  SELECT c0.s, c0.cidx, coalesce(u1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u1 ON u1.s = c0.s AND u1.cidx = c0.cidx),
+        |a2 AS (
+        |  SELECT vec_id, s, cluster, sv FROM (
+        |    SELECT vec_id, s, cluster, sv, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, q.s, c.cidx AS cluster, q.sv,
+        |        CAST(list_sum(list_transform(list_zip(q.sv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM sv q JOIN c1 c ON c.s = q.s)) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT s, cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT s, cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT s, cluster, generate_subscripts(sv, 1) AS pos,
+        |          unnest(sv) AS v FROM a2)
+        |    GROUP BY s, cluster, pos) GROUP BY s, cluster),
+        |c2 AS (
+        |  SELECT c1.s, c1.cidx, coalesce(u2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN u2 ON u2.s = c1.s AND u2.cidx = c1.cidx),
+        |codes AS (
+        |  SELECT vec_id, s, cluster FROM (
+        |    SELECT vec_id, s, cluster, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, q.s, c.cidx AS cluster,
+        |        CAST(list_sum(list_transform(list_zip(q.sv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM sv q JOIN c2 c ON c.s = q.s)) WHERE rn = 1),
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, q.s, c.cidx,
+        |    CAST(list_sum(list_transform(list_zip(q.sv, c.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |  FROM (SELECT * FROM sv WHERE vec_id < 4) q
+        |  JOIN c2 c ON c.s = q.s),
+        |scored AS (
+        |  SELECT a.query_id, kk.vec_id, CAST(sum(a.dist) AS BIGINT) AS adc_dist
+        |  FROM codes kk JOIN adc a ON a.s = kk.s AND a.cidx = kk.cluster
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, vec_id) AS rank,
+        |    adc_dist
+        |  FROM scored)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // PQ two-stage retrieval in its verification mode: rerank bound ≥
     // corpus ⇒ every code is a candidate and the exact rescoring pass IS
@@ -6827,5 +6992,47 @@ object Queries {
         |  SELECT count(*) AS n_rekeyed FROM j
         |  WHERE hb IS NULL AND ha IN (SELECT hb FROM j WHERE ha IS NULL))
         |SELECT * FROM base, rk""".stripMargin)),
+
+    // PERSISTED ANN index (index once / query many / fold batches in —
+    // the q233 pattern for vectors): codebooks train on batch 1 and
+    // freeze as a versioned table; batch 2 encodes ONLY itself against
+    // them and appends; the query runs over the persisted,
+    // incrementally-updated index in exact mode (reRank ≥ corpus), so
+    // it must hash-match the from-scratch brute-force oracle — q169's
+    // SQL verbatim. Incremental-encode behavior (codebooks frozen,
+    // O(batch) append, update == rebuild) is spec-proven in AnnIndexSpec.
+    Q("q243_ann_index_persisted",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "ann_idx")
+        TableIO.dropTable(s, lh, "ann_idx_codebooks")
+        val emb = t(s, dir, "embeddings")
+        AnnIndex.buildPqIndex(s, lh, "ann_idx",
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        AnnIndex.appendPqIndex(s, lh, "ann_idx",
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        AnnIndex.queryPqIndex(s, lh, "ann_idx",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 10, reRank = 1000000)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 4),
+        |s AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    list_sum(list_transform(list_zip(v.ve, q.qv), p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(v.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+        |  FROM v, q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
   )
 }

@@ -46,7 +46,7 @@ object Similarity {
     * first.) Ordering matches the final ranking (score desc, vec_id asc)
     * so boundary ties resolve identically in both phases. */
   private[ext] def mapSideTopK(scored: DataFrame, k: Int,
-      scoreCol: String = "cosine"): DataFrame = {
+      scoreCol: String = "cosine", ascendingLong: Boolean = false): DataFrame = {
     // the heap and the phase-2 window must rank by the SAME column; the
     // explicit name (validated here) keeps a differently-shaped caller
     // frame from silently ranking by the wrong position
@@ -55,11 +55,16 @@ object Similarity {
       scored.columns(2) == scoreCol,
       s"mapSideTopK expects (query_id, vec_id, $scoreCol); " +
         s"got (${scored.columns.mkString(", ")})")
+    // "better first": score desc over doubles (similarity), or — for
+    // integer distances ([[pqTopKPortable]]'s exact ADC longs, which a
+    // double compare could not order past 2^53) — score asc over longs
     val rowOrd: Ordering[Row] = new Ordering[Row] {
       private def cmpId(x: Any, y: Any): Int =
         x.asInstanceOf[Comparable[Any]].compareTo(y)
       override def compare(a: Row, b: Row): Int = {
-        val c = java.lang.Double.compare(b.getDouble(2), a.getDouble(2))
+        val c =
+          if (ascendingLong) java.lang.Long.compare(a.getLong(2), b.getLong(2))
+          else java.lang.Double.compare(b.getDouble(2), a.getDouble(2))
         if (c != 0) c else cmpId(a.get(1), b.get(1))
       }
     }
@@ -77,7 +82,8 @@ object Similarity {
     }(Encoders.row(scored.schema))
     // phase 2: merge the (numPartitions * k) survivors per query
     val wGlobal = Window.partitionBy("query_id")
-      .orderBy(col(scoreCol).desc, col("vec_id").asc)
+      .orderBy(if (ascendingLong) col(scoreCol).asc else col(scoreCol).desc,
+        col("vec_id").asc)
     local.withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("rank"), col(scoreCol))
@@ -478,5 +484,233 @@ object Similarity {
         .filter(col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cosine")
     }
+  }
+
+  private def emptyTopK(corpus: DataFrame, idCol: String,
+      scoreField: org.apache.spark.sql.types.StructField): DataFrame =
+    corpus.sparkSession.createDataFrame(
+      corpus.sparkSession.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          corpus.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("vec_id",
+          corpus.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        scoreField)))
+
+  /** IVF ANN top-k with ENGINE-PORTABLE training ([[ivfTopK]]'s shape,
+    * [[Clustering]]'s arithmetic): the cell centroids come from
+    * fixed-point Lloyd — vectors quantized to integers
+    * (`floor(x·scale) + offset`), init from the `nLists` smallest
+    * corpus ids, exact integer distances with ties to the smallest
+    * index, floor-division centroid means — so ANY engine replays
+    * training, cell assignment, AND probing bit-for-bit and the
+    * recall-traded probe subset is itself verifiable (float IVF can
+    * only verify its probe-all degenerate mode, q67). Candidate scoring
+    * stays the exact double cosine over the original vectors.
+    *
+    * 100 TB shape: the quantized corpus persists once; each Lloyd round
+    * is one zero-shuffle job ([[Clustering.lloydRoundsGrouped]]);
+    * centroids are nLists·dim longs on the driver; cell assignment and
+    * probing are compiled per-row kernels; the candidate join
+    * broadcasts (query × nProbe) rows. Pass a pre-sampled `fit` frame
+    * to train on a deterministic subset instead of the full corpus
+    * (sampling must be engine-reproducible to keep the portability
+    * contract — e.g. `id % n = 0`, never `TABLESAMPLE`). */
+  def ivfTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 8, nProbe: Int = 2,
+      iterations: Int = 2, scale: Long = 1024L, offset: Long = 1L << 20,
+      fit: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && nLists >= 1 && nProbe >= 1 && iterations >= 1,
+      "ivfTopKPortable needs k, nLists, nProbe, iterations >= 1")
+    val quantUdf = udf((v: Seq[Double]) =>
+      Clustering.quantizeKernel(v, scale, offset))
+    def prep(df: DataFrame, id: String, vec: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(id),
+          transform(col(vecCol), x => x.cast("double")).as(vec))
+        .withColumn("q" + vec, quantUdf(col(vec)))
+    val c = prep(corpus, "vec_id", "cv").persist()
+    try {
+      val fitFrame = fit.fold(c)(f => prep(f, "vec_id", "cv"))
+      val init = fitFrame.orderBy("vec_id").limit(nLists).select("qcv")
+        .collect().map(_.getSeq[Long](0).toSeq).toIndexedSeq
+      if (init.isEmpty)
+        return emptyTopK(corpus, idCol, org.apache.spark.sql.types
+          .StructField("cosine", org.apache.spark.sql.types.DoubleType))
+      require(init.forall(_.length == init.head.length),
+        s"ivfTopKPortable needs a uniform vector dimension in '$vecCol'")
+      val cents = Clustering.lloydRoundsGrouped(
+        fitFrame.select(lit(0).as("gid"), col("qcv").as("qv")),
+        Map(0 -> init), iterations, s"ivfTopKPortable('$vecCol')")(0)
+      val centsArr: Array[Array[Long]] = cents.map(_.toArray).toArray
+      val cellUdf = udf((qv: Seq[Long]) =>
+        Clustering.argminKernel(qv, centsArr)._2)
+      val cells = c.withColumn("cell", cellUdf(col("qcv")))
+      // the query probes its nProbe integer-nearest centroids — same
+      // tie-break (distance, then index) as the cell assignment
+      val probeUdf = udf((qq: Seq[Long]) => {
+        centsArr.zipWithIndex.map { case (cv, i) =>
+          require(qq.length == cv.length,
+            s"query vector dimension ${qq.length} != corpus ${cv.length}")
+          var d = 0L; var j = 0
+          while (j < cv.length) { val x = qq(j) - cv(j); d += x * x; j += 1 }
+          (d, i)
+        }.sortBy(identity).take(nProbe).map(_._2)
+      })
+      val q = prep(queries, "query_id", "qv")
+        .withColumn("cell", explode(probeUdf(col("qqv"))))
+        .select("query_id", "qv", "cell")
+      val scored = cells.join(broadcast(q), "cell")
+        .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
+        .select("query_id", "vec_id", "cosine")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      // no checkpoint: the returned plan is self-contained (centroids
+      // ride the kernel closures), so the caller's evaluation is the
+      // single corpus scan — the persist above served the training
+      // rounds and unpersists non-blocking here
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    } finally c.unpersist(false)
+  }
+
+  /** Product-quantization ANN top-k with ENGINE-PORTABLE training and
+    * scoring ([[pqTopK]]'s shape, [[Clustering]]'s arithmetic): the
+    * per-subspace codebooks come from fixed-point Lloyd (quantized
+    * integer vectors, init from the `codebookSize` smallest corpus ids'
+    * subvectors, exact integer distances, floor-division means), codes
+    * are integer argmins, and the ADC score is the EXACT integer
+    * squared distance between the quantized query and the code's
+    * reconstruction — Σ_s ‖q_s − c_{code_s}‖² over per-query integer
+    * lookup tables. Every figure along training → encoding → scoring is
+    * an integer any engine reproduces, so the approximate ranking
+    * itself hash-checks cross-engine (float PQ can only verify its
+    * rerank-everything degenerate mode, q169). Output: (query_id,
+    * vec_id, rank, adc_dist) — ascending distance, ties to the smaller
+    * corpus id.
+    *
+    * 100 TB shape unchanged from [[pqTopK]]: all m codebooks train in
+    * ONE pass per Lloyd round (subspaces are independent gids in
+    * [[Clustering.lloydRoundsGrouped]]'s fused kernel); encoding is a
+    * compiled per-row kernel; the query frame is collected under the
+    * same broadcast contract (`maxQueries` guard) and its integer LUTs
+    * ride one broadcast; scoring is m table reads per (code, query)
+    * into the same map-side heap as [[cosineTopK]] — one merge
+    * Exchange, no corpus vector decoded on the scoring path. */
+  def pqTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 16,
+      iterations: Int = 2, scale: Long = 1024L, offset: Long = 1L << 20,
+      maxQueries: Long = 100000L): DataFrame = {
+    require(k >= 1 && m >= 1 && codebookSize >= 1 && iterations >= 1,
+      "pqTopKPortable needs k, m, codebookSize, iterations >= 1")
+    require(queries.limit((maxQueries + 1).min(Int.MaxValue).toInt).count()
+        <= maxQueries,
+      s"pqTopKPortable collects the query frame (broadcast contract): " +
+        s"more than $maxQueries query rows — raise maxQueries only if " +
+        "the driver can hold the LUTs, or batch the queries")
+    val quantUdf = udf((v: Seq[Double]) =>
+      Clustering.quantizeKernel(v, scale, offset))
+    val scoreField = org.apache.spark.sql.types.StructField("adc_dist",
+      org.apache.spark.sql.types.LongType)
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        quantUdf(transform(col(vecCol), x => x.cast("double"))).as("qv"))
+      .persist()
+    try {
+      val initVecs = c.orderBy("vec_id").limit(codebookSize).select("qv")
+        .collect().map(_.getSeq[Long](0).toSeq).toIndexedSeq
+      if (initVecs.isEmpty) return emptyTopK(corpus, idCol, scoreField)
+      val dim = initVecs.head.length
+      require(initVecs.forall(_.length == dim),
+        s"pqTopKPortable needs a uniform vector dimension in '$vecCol'")
+      require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+      val sub = dim / m
+      // init codebook s = the same k smallest ids' s-th subvectors,
+      // sliced driver-side — no extra distributed init pass per subspace
+      val init: Map[Int, IndexedSeq[Seq[Long]]] = (0 until m).map(s =>
+        s -> initVecs.map(v => v.slice(s * sub, (s + 1) * sub))).toMap
+      val subFrame = c.select(posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(qv, s * $sub + 1, $sub))"))
+        .as(Seq("gid", "qv")))
+      val books = Clustering.lloydRoundsGrouped(subFrame, init, iterations,
+        s"pqTopKPortable('$vecCol')")
+      val booksArr: Array[Array[Array[Long]]] =
+        Array.tabulate(m)(s => books(s).map(_.toArray).toArray)
+      val ks = booksArr(0).length
+      val mLocal = m; val subLocal = sub; val dimLocal = dim
+      val encodeUdf = udf((qv: Seq[Long]) => {
+        require(qv.length == dimLocal,
+          s"vector dimension ${qv.length} != corpus $dimLocal")
+        val code = new Array[Int](mLocal)
+        var s = 0
+        while (s < mLocal) {
+          val cs = booksArr(s)
+          var best = Long.MaxValue; var bi = 0; var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)
+            var d = 0L; var j = 0
+            while (j < subLocal) {
+              val x = qv(s * subLocal + j) - cv(j); d += x * x; j += 1
+            }
+            if (d < best) { best = d; bi = ci }
+            ci += 1
+          }
+          code(s) = bi
+          s += 1
+        }
+        code
+      })
+      val codes = c.select(col("vec_id"), encodeUdf(col("qv")).as("code"))
+      val qRows = queries.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("query_id"),
+          quantUdf(transform(col(vecCol), x => x.cast("double"))).as("qq"))
+        .collect()
+      if (qRows.isEmpty) return emptyTopK(corpus, idCol, scoreField)
+      // integer ADC LUTs: lut[s][ci] = ‖q_s − centroid_ci‖², exact longs
+      val luts: Array[Array[Long]] = qRows.map { r =>
+        val qq = r.getSeq[Long](1)
+        require(qq.length == dim,
+          s"query vector dimension ${qq.length} != corpus $dim")
+        val lut = new Array[Long](m * ks)
+        var s = 0
+        while (s < m) {
+          var ci = 0
+          while (ci < ks) {
+            val cv = booksArr(s)(ci)
+            var d = 0L; var j = 0
+            while (j < sub) {
+              val x = qq(s * sub + j) - cv(j); d += x * x; j += 1
+            }
+            lut(s * ks + ci) = d
+            ci += 1
+          }
+          s += 1
+        }
+        lut
+      }
+      val bcLuts = c.sparkSession.sparkContext.broadcast(luts)
+      val ksLocal = ks
+      val adcUdf = udf((code: Seq[Int], qi: Int) => {
+        val lut = bcLuts.value(qi)
+        var d = 0L; var s = 0
+        while (s < code.length) { d += lut(s * ksLocal + code(s)); s += 1 }
+        d
+      })
+      val qSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          corpus.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("qi",
+          org.apache.spark.sql.types.IntegerType)))
+      val q = c.sparkSession.createDataFrame(
+        java.util.Arrays.asList(qRows.zipWithIndex.map { case (r, i) =>
+          Row(r.get(0), i) }: _*), qSchema)
+      val adcScored = codes.crossJoin(broadcast(q))
+        .withColumn("adc_dist", adcUdf(col("code"), col("qi")))
+        .select("query_id", "vec_id", "adc_dist")
+      mapSideTopK(adcScored, k, scoreCol = "adc_dist", ascendingLong = true)
+    } finally c.unpersist(false)
   }
 }

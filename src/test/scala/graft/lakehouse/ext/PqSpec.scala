@@ -63,4 +63,40 @@ class PqSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("maxQueries"), e.getMessage)
   }
+
+  test("pqTopKPortable: bit-identical across partitionings, rank-1 " +
+      "self-hit (ADC distance 0), useful recall") {
+    def run(parts: Int) = Similarity.pqTopKPortable(emb.repartition(parts),
+        queries, "vec_id", "embedding", k = 10, m = 8, codebookSize = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val a = run(1)
+    assert(a == run(7), "partitioning changed the portable PQ ranking")
+    // a query IS a corpus vector: ADC scores dist(q, recon(code)), and
+    // the query's own code is the per-subspace argmin — so its own row
+    // attains the MINIMUM possible ADC distance (its reconstruction
+    // error; not 0) and must sit in the leading tie-group
+    val byQuery = a.groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      val self = rows.find(_._2 == q)
+      assert(self.nonEmpty, s"query $q missing from its own top-k")
+      assert(self.get._4 == rows.map(_._4).min,
+        s"query $q self-hit ${self.get._4} above min ${rows.map(_._4).min}")
+    }
+    // 16-cell integer codebooks over a 50-vector fixture land at 0.4
+    // exactly (deterministic); the bar guards against degenerate
+    // codebooks, not fixture-scale recall — 0.35 with float headroom
+    val rec = recall(byQuery.map { case (q, rs) => q -> rs.map(_._2) }
+      .map { case (q, ids) => q -> ids.toSet }, exactTop)
+    assert(rec >= 0.35, s"portable-ADC recall@10 $rec — codebooks degenerate?")
+  }
+
+  test("pqTopKPortable: over-limit query frames are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKPortable(emb, queries, "vec_id", "embedding",
+        k = 5, m = 8, maxQueries = 2L)
+    }
+    assert(e.getMessage.contains("maxQueries"), e.getMessage)
+  }
 }

@@ -92,6 +92,37 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ivfTopKPortable: nProbe = nLists degenerates to exact search, " +
+      "bit-for-bit") {
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+        k = 5).orderBy("query_id", "rank").collect().toSeq
+    val ivf = Similarity.ivfTopKPortable(emb, queries, "vec_id",
+        "embedding", k = 5, nLists = 8, nProbe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("ivfTopKPortable: bit-identical across partitionings, self-hit, " +
+      "useful recall at nProbe 3/8") {
+    val queries = emb.filter($"vec_id" < 3)
+    def run(parts: Int) = Similarity.ivfTopKPortable(emb.repartition(parts),
+        queries, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val a = run(1).toSet
+    assert(a == run(5).toSet, "partitioning changed the portable IVF result")
+    val exact = bruteForce(5, Seq(0L, 1L, 2L))
+    val byQuery = a.groupBy(_._1)
+    Seq(0L, 1L, 2L).foreach { q =>
+      val rows = byQuery(q).toSeq.sortBy(_._3)
+      assert(rows.head._2 == q, s"query $q self-hit")
+      val recall = rows.map(_._2).toSet
+        .intersect(exact(q).map(_._1).toSet).size
+      assert(recall >= 3, s"query $q recall $recall/5")
+    }
+  }
+
   test("lshTopK: rank-1 self-hit and subset-of-bruteforce sanity") {
     val queries = emb.filter($"vec_id" < 3)
     val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
