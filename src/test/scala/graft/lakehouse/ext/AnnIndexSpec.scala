@@ -1,0 +1,82 @@
+package graft.lakehouse.ext
+
+import java.nio.file.Files
+
+import graft.lakehouse.{Catalog, LakehouseProps, SparkSuite, TableIO,
+  Versioned}
+import org.apache.spark.sql.functions._
+
+/** Persisted PQ index: incremental append equals a one-shot rebuild,
+  * codebooks freeze, the second batch encodes only itself, and the
+  * exact-mode query over the persisted index reproduces brute force. */
+class AnnIndexSpec extends SparkSuite {
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("annindex_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_ann", "lh_ann").lakehouses.head
+  }
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val batch1 = emb.filter(col("vec_id") % 2 === 0)
+  private lazy val batch2 = emb.filter(col("vec_id") % 2 =!= 0)
+
+  test("incremental append == one-shot rebuild; codebooks freeze; " +
+      "the second batch encodes only itself") {
+    val n1 = AnnIndex.buildPqIndex(spark, lh, "ann_t", batch1,
+      "vec_id", "embedding")
+    assert(n1 == batch1.count())
+    val cbDir = Catalog.tablePath(lh, "ann_t_codebooks")
+    val idxDir = Catalog.tablePath(lh, "ann_t")
+    val cbV = Versioned.latestVersion(cbDir).get
+    val idxV0 = Versioned.latestVersion(idxDir).get
+    val n2 = AnnIndex.appendPqIndex(spark, lh, "ann_t", batch2,
+      "vec_id", "embedding")
+    assert(n2 == batch2.count(), "append must report the batch size")
+    // the codebooks are FROZEN: the append versions the index table
+    // forward exactly once and never touches the codebooks table
+    assert(Versioned.latestVersion(cbDir).get == cbV,
+      "appendPqIndex must not version the codebooks forward")
+    assert(Versioned.latestVersion(idxDir).get == idxV0 + 1)
+    // update == rebuild (the q233 shape): encoding everything at once
+    // against the same batch-1-trained codebooks yields the identical
+    // index — so incremental batches lose nothing vs a full rebuild
+    AnnIndex.buildPqIndex(spark, lh, "ann_r", emb, "vec_id", "embedding",
+      fit = Some(batch1))
+    def contents(name: String) =
+      TableIO.selectTable(spark, lh, name).select("vec_id", "code")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(contents("ann_t") == contents("ann_r"),
+      "incrementally-built index differs from the one-shot rebuild")
+    // codes are comparable ACROSS batches: batch-2 rows carry codes from
+    // the frozen batch-1 codebooks, bit-identical to the rebuild's
+    TableIO.dropTable(spark, lh, "ann_r")
+  }
+
+  test("exact-mode query over the persisted index == brute force; " +
+      "pure-ADC mode ranks by integer distance with a leading self-hit") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+        k = 5).orderBy("query_id", "rank").collect().toSeq
+    val viaIndex = AnnIndex.queryPqIndex(spark, lh, "ann_t", queries,
+        "vec_id", "embedding", k = 5, reRank = 1000000)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaIndex == exact,
+      "persisted-index exact mode diverged from brute force")
+    val adc = AnnIndex.queryPqIndex(spark, lh, "ann_t", queries,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    adc.groupBy(_._1).foreach { case (q, rows) =>
+      val self = rows.find(_._2 == q)
+      assert(self.nonEmpty && self.get._3 == rows.map(_._3).min,
+        s"query $q: self-hit not in the leading ADC tie-group")
+    }
+  }
+
+  test("querying a never-built index refuses loudly") {
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.queryPqIndex(spark, lh, "ann_nope",
+        emb.filter(col("vec_id") < 1), "vec_id", "embedding", k = 5)
+    }
+    assert(e.getMessage.contains("buildPqIndex"), e.getMessage)
+  }
+}
