@@ -1089,15 +1089,65 @@ object Queries {
         |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // LSH with ENGINE-PORTABLE bucketing: hyperplane components derive
+    // from sha-256 (the q76 portable-SimHash trick) and bucket bits are
+    // signs of exact integer dot products, so the oracle replays
+    // bucketing, hamming-1 probing, and the candidate set bit-for-bit —
+    // the recall-traded LSH ranking itself hash-checks (the float
+    // variant with engine-private hyperplanes stays spec-covered).
     Q("q35_ann_lsh_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 4),
-          "vec_id", "embedding", k = 10)
+        Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10, numPlanes = 8)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qv AS (
+        |  SELECT vec_id, ve,
+        |    list_transform(ve, x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+        |  FROM v),
+        |planes AS (
+        |  SELECT p.p, j.j,
+        |    CAST(('0x' || substring(sha256(p.p || ':' || j.j), 1, 15))
+        |      ::UBIGINT % 2001 AS BIGINT) - 1000 AS c
+        |  FROM (SELECT unnest(range(8)) AS p) p,
+        |       (SELECT unnest(range(64)) AS j) j),
+        |dots AS (
+        |  SELECT u.vec_id, pl.p, sum(u.v * pl.c) AS dot
+        |  FROM (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS j,
+        |        unnest(qv) AS v FROM qv) u
+        |  JOIN planes pl ON pl.j = u.j
+        |  GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY 1),
+        |probes AS (
+        |  SELECT b.vec_id AS query_id, xor(b.bucket, f.f) AS bucket
+        |  FROM buckets b,
+        |    (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) f
+        |  WHERE b.vec_id < 4),
+        |s AS (
+        |  SELECT p.query_id, c.vec_id,
+        |    list_sum(list_transform(list_zip(cv.ve, qe.ve), p2 -> p2[1] * p2[2])) /
+        |    (sqrt(list_sum(list_transform(cv.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qe.ve, x -> x * x)))) AS cosine
+        |  FROM probes p
+        |  JOIN buckets c ON c.bucket = p.bucket
+        |  JOIN v cv ON cv.vec_id = c.vec_id
+        |  JOIN v qe ON qe.vec_id = p.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // ---- event windows -----------------------------------------------------
     Q("q36_events_tumbling",
@@ -5779,8 +5829,12 @@ object Queries {
           .withColumn("w", (lit(320) + (col("doc_id") % 5) * 160).cast("int"))
           .withColumn("h", (lit(180) + (col("doc_id") % 5) * 90).cast("int"))
           .withColumn("n_audio", (col("doc_id") % 3).cast("int"))
+          .withColumn("n_samples", (col("doc_id") % 20 + 5).cast("int"))
+          .withColumn("sample_bytes",
+            ((col("doc_id") % 11 + 1) * 100).cast("int"))
           .withColumn("payload", Multimodal.syntheticMp4Udf(
-            col("ts_hz"), col("dur_ticks"), col("w"), col("h"), col("n_audio")))
+            col("ts_hz"), col("dur_ticks"), col("w"), col("h"),
+            col("n_audio"), col("n_samples"), col("sample_bytes")))
         Multimodal.decodeVideoContainer(vids, "payload")
           .select(col("doc_id"), col("video.brand").as("brand"),
             col("video.timescale").as("timescale"),
@@ -5788,18 +5842,35 @@ object Queries {
             col("video.tracks").as("tracks"),
             col("video.video_width").as("video_width"),
             col("video.video_height").as("video_height"),
-            col("video.audio_tracks").as("audio_tracks"))
+            col("video.audio_tracks").as("audio_tracks"),
+            col("video.video_samples").as("video_samples"),
+            col("video.video_bytes").as("video_bytes"),
+            col("video.video_avg_bitrate_bps").as("video_avg_bitrate_bps"),
+            col("video.has_chunk_offsets").as("has_chunk_offsets"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, 'isom' AS brand,
-        |  CAST(1000 + (doc_id % 4) * 500 AS BIGINT) AS timescale,
-        |  CAST(((doc_id % 500 + 100) * 100 * 1000)
-        |    // (1000 + (doc_id % 4) * 500) AS BIGINT) AS duration_ms,
+      // the oracle reproduces every parsed field from the fixture
+      // arithmetic — incl. the stts/stsz-derived sample count, byte
+      // total, and integer avg bitrate (bytes*8000 // duration_ms)
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(1000 + (doc_id % 4) * 500 AS BIGINT) AS timescale,
+        |    CAST(((doc_id % 500 + 100) * 100 * 1000)
+        |      // (1000 + (doc_id % 4) * 500) AS BIGINT) AS duration_ms,
+        |    CAST(doc_id % 20 + 5 AS BIGINT) AS n_samples,
+        |    CAST((doc_id % 11 + 1) * 100 AS BIGINT) AS sample_bytes
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT doc_id, 'isom' AS brand, timescale, duration_ms,
         |  CAST(1 + doc_id % 3 AS INT) AS tracks,
         |  CAST(320 + (doc_id % 5) * 160 AS INT) AS video_width,
         |  CAST(180 + (doc_id % 5) * 90 AS INT) AS video_height,
-        |  CAST(doc_id % 3 AS INT) AS audio_tracks
-        |FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""".stripMargin)),
+        |  CAST(doc_id % 3 AS INT) AS audio_tracks,
+        |  n_samples AS video_samples,
+        |  n_samples * sample_bytes AS video_bytes,
+        |  (n_samples * sample_bytes * 8000) // duration_ms
+        |    AS video_avg_bitrate_bps,
+        |  TRUE AS has_chunk_offsets
+        |FROM f ORDER BY doc_id""".stripMargin)),
 
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // ranking (q61's machinery, k=50) and the cosine vector ranking

@@ -344,15 +344,25 @@ object Multimodal {
     * scope (the JDK ships no video codec), but the container structure is
     * public spec (ISO/IEC 14496-12) and pure-JVM parseable. */
   case class Mp4Meta(brand: String, timescale: Long, duration_ms: Long,
-    tracks: Int, video_width: Int, video_height: Int, audio_tracks: Int)
+    tracks: Int, video_width: Int, video_height: Int, audio_tracks: Int,
+    video_samples: Long, video_bytes: Long, video_avg_bitrate_bps: Long,
+    has_chunk_offsets: Boolean)
 
   /** Parse ISO-BMFF box structure: `ftyp` → brand, `moov/mvhd` →
     * timescale + duration, each `moov/trak` → `tkhd` dimensions (16.16
-    * fixed point) and `mdia/hdlr` handler type ('vide'/'soun'). Returns
-    * null for payloads that are not ISO-BMFF (no valid ftyp/moov at the
-    * top level) or that are truncated mid-box — corrupt-media rows to
-    * filter, not failures. Bounds-checked throughout: a hostile size
-    * field cannot read outside the buffer. */
+    * fixed point), `mdia/hdlr` handler type ('vide'/'soun'), and — for
+    * the first video track — the `mdia/minf/stbl` sample tables: `stts`
+    * gives the frame/sample count (Σ entry counts), `stsz` the total
+    * sample bytes (uniform-size shortcut or per-sample entries), and
+    * `stco`/`co64` presence marks a playable chunk map. Average video
+    * bitrate derives as bytes·8000 div duration_ms (integer — any
+    * engine reproduces it from the same fields). Returns null for
+    * payloads that are not ISO-BMFF (no valid ftyp/moov at the top
+    * level) or that are truncated mid-box — corrupt-media rows to
+    * filter, not failures. Bounds-checked throughout: a hostile size or
+    * entry-count field cannot read outside the buffer (truncated sample
+    * tables degrade to the entries that fit; an overflowing uniform
+    * stsz multiply clamps to 0). */
   def mp4Meta(bytes: Array[Byte]): Mp4Meta = {
     if (bytes == null || bytes.length < 16) return null
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -377,9 +387,11 @@ object Multimodal {
     var brand: String = null
     var timescale = 0L; var duration = 0L
     var tracks = 0; var vw = 0; var vh = 0; var audio = 0
-    def walkTrak(start: Int, end: Int): Unit = {
-      tracks += 1
-      var w = 0; var h = 0; var isVideo = false; var isAudio = false
+    var vSamples = 0L; var vBytes = 0L; var vChunks = false
+    var sawVideo = false
+    /** Scan a box's direct children, calling `visit(type, ps, pe)`. */
+    def walkChildren(start: Int, end: Int)(
+        visit: (String, Int, Int) => Unit): Unit = {
       var at = start
       var continue = true
       while (continue && at < end) {
@@ -387,42 +399,73 @@ object Multimodal {
         if (b == null) continue = false
         else {
           val (ps, pe, next) = b
-          boxType(at) match {
-            case "tkhd" if pe - ps >= 4 =>
-              val v = bytes(ps) & 0xff
-              // v0: 4+4+4+4+4+8+2+2+2+2+36 before width; v1: +8 on the
-              // two timestamps and the duration
-              val dimOff = if (v == 1) ps + 4 + 8 + 8 + 4 + 4 + 8 + 8 + 2 + 2 + 2 + 2 + 36
-                else ps + 4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36
-              if (dimOff + 8 <= pe) {
-                w = (u32(dimOff) >> 16).toInt  // 16.16 fixed → integer part
-                h = (u32(dimOff + 4) >> 16).toInt
-              }
-            case "mdia" =>
-              // find hdlr inside mdia (one level is enough: hdlr is a
-              // direct child)
-              var m = ps
-              var go = true
-              while (go && m < pe) {
-                val mb = boxBounds(m, pe)
-                if (mb == null) go = false
-                else {
-                  val (mps, mpe, mnext) = mb
-                  if (boxType(m) == "hdlr" && mpe - mps >= 12) {
-                    val handler = new String(bytes, mps + 8, 4,
-                      java.nio.charset.StandardCharsets.US_ASCII)
-                    if (handler == "vide") isVideo = true
-                    if (handler == "soun") isAudio = true
-                  }
-                  m = mnext
-                }
-              }
-            case _ =>
-          }
+          visit(boxType(at), ps, pe)
           at = next
         }
       }
-      if (isVideo && vw == 0) { vw = w; vh = h }
+    }
+    def walkTrak(start: Int, end: Int): Unit = {
+      tracks += 1
+      var w = 0; var h = 0; var isVideo = false; var isAudio = false
+      var samples = 0L; var sBytes = 0L; var chunks = false
+      def walkStbl(ps: Int, pe: Int): Unit = walkChildren(ps, pe) {
+        case ("stts", sps, spe) if spe - sps >= 8 =>
+          // version/flags, entry_count, then (count, delta) pairs —
+          // bounded by BOTH the declared count and the box end
+          val declared = u32(sps + 4)
+          var i = 0L
+          var off = sps + 8
+          while (i < declared && off + 8 <= spe) {
+            samples += u32(off)
+            i += 1; off += 8
+          }
+        case ("stsz", sps, spe) if spe - sps >= 12 =>
+          val uniform = u32(sps + 4)
+          val count = u32(sps + 8)
+          if (uniform > 0) {
+            val total = uniform * count // hostile u32·u32 can overflow
+            sBytes = if (total < 0) 0L else total
+          } else {
+            var i = 0L
+            var off = sps + 12
+            while (i < count && off + 4 <= spe) {
+              sBytes += u32(off)
+              i += 1; off += 4
+            }
+          }
+        case ("stco" | "co64", _, _) => chunks = true
+        case _ =>
+      }
+      walkChildren(start, end) {
+        case ("tkhd", ps, pe) if pe - ps >= 4 =>
+          val v = bytes(ps) & 0xff
+          // v0: 4+4+4+4+4+8+2+2+2+2+36 before width; v1: +8 on the
+          // two timestamps and the duration
+          val dimOff = if (v == 1) ps + 4 + 8 + 8 + 4 + 4 + 8 + 8 + 2 + 2 + 2 + 2 + 36
+            else ps + 4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36
+          if (dimOff + 8 <= pe) {
+            w = (u32(dimOff) >> 16).toInt  // 16.16 fixed → integer part
+            h = (u32(dimOff + 4) >> 16).toInt
+          }
+        case ("mdia", ps, pe) => walkChildren(ps, pe) {
+          case ("hdlr", mps, mpe) if mpe - mps >= 12 =>
+            val handler = new String(bytes, mps + 8, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            if (handler == "vide") isVideo = true
+            if (handler == "soun") isAudio = true
+          case ("minf", mps, mpe) => walkChildren(mps, mpe) {
+            case ("stbl", sps, spe) => walkStbl(sps, spe)
+            case _ =>
+          }
+          case _ =>
+        }
+        case _ =>
+      }
+      if (isVideo && !sawVideo) {
+        sawVideo = true
+        vw = w; vh = h
+        vSamples = samples; vBytes = sBytes; vChunks = chunks
+      }
       if (isAudio) audio += 1
     }
     def walkMoov(start: Int, end: Int): Unit = {
@@ -470,9 +513,13 @@ object Multimodal {
         }
       }
       if (brand == null || !sawMoov) null
-      else Mp4Meta(brand, timescale,
-        if (timescale > 0) duration * 1000L / timescale else 0L,
-        tracks, vw, vh, audio)
+      else {
+        val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+        Mp4Meta(brand, timescale, durMs, tracks, vw, vh, audio,
+          vSamples, vBytes,
+          if (durMs > 0) vBytes * 8000L / durMs else 0L,
+          vChunks)
+      }
     } catch { case _: Exception => null }
   }
 
@@ -483,7 +530,11 @@ object Multimodal {
     StructField("tracks", IntegerType, nullable = false),
     StructField("video_width", IntegerType, nullable = false),
     StructField("video_height", IntegerType, nullable = false),
-    StructField("audio_tracks", IntegerType, nullable = false)))
+    StructField("audio_tracks", IntegerType, nullable = false),
+    StructField("video_samples", LongType, nullable = false),
+    StructField("video_bytes", LongType, nullable = false),
+    StructField("video_avg_bitrate_bps", LongType, nullable = false),
+    StructField("has_chunk_offsets", BooleanType, nullable = false)))
 
   /** Partition-batched MP4 container parse, appending a nullable `video`
     * metadata struct (null = not an ISO-BMFF payload). */
@@ -492,17 +543,23 @@ object Multimodal {
       val m = mp4Meta(bytes)
       if (m == null) null
       else Row(m.brand, m.timescale, m.duration_ms, m.tracks,
-        m.video_width, m.video_height, m.audio_tracks)
+        m.video_width, m.video_height, m.audio_tracks,
+        m.video_samples, m.video_bytes, m.video_avg_bitrate_bps,
+        m.has_chunk_offsets)
     }
 
   /** Deterministic minimal-but-REAL ISO-BMFF file (test/fixture
-    * payloads): ftyp + moov{mvhd, trak{tkhd, mdia{hdlr}}…} with the
-    * given movie duration and tracks — every byte spec-conformant, so
-    * [[mp4Meta]] is exercised on genuine box structure (the q80
-    * synthetic-WAV pattern). Tracks: (trackId, handler — "vide"/"soun",
-    * width, height). */
+    * payloads): ftyp + moov{mvhd, trak{tkhd, mdia{hdlr[, minf/stbl]}}…}
+    * with the given movie duration and tracks — every byte
+    * spec-conformant, so [[mp4Meta]] is exercised on genuine box
+    * structure (the q80 synthetic-WAV pattern). Tracks: (trackId,
+    * handler — "vide"/"soun", width, height). When `videoSamples > 0`,
+    * each video track carries real sample tables: a 1-entry `stts`
+    * (videoSamples × duration/videoSamples ticks), a uniform `stsz`
+    * (videoSampleBytes per sample), and a 1-entry `stco`. */
   def syntheticMp4(timescale: Long, duration: Long,
-      tracks: Seq[(Int, String, Int, Int)]): Array[Byte] = {
+      tracks: Seq[(Int, String, Int, Int)],
+      videoSamples: Int = 0, videoSampleBytes: Int = 0): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def be32(v: Long): Array[Byte] = Array(
       (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
@@ -536,7 +593,17 @@ object Multimodal {
       val hdlr = box("hdlr",
         be32(0L) ++ be32(0L) ++ handler.getBytes("US-ASCII") ++
           new Array[Byte](12) ++ Array[Byte](0))
-      box("trak", tkhd ++ box("mdia", hdlr))
+      val stbl =
+        if (handler == "vide" && videoSamples > 0) {
+          val stts = box("stts", be32(0L) ++ be32(1L) ++
+            be32(videoSamples.toLong) ++
+            be32(math.max(duration / videoSamples, 1L)))
+          val stsz = box("stsz", be32(0L) ++ be32(videoSampleBytes.toLong) ++
+            be32(videoSamples.toLong))
+          val stco = box("stco", be32(0L) ++ be32(1L) ++ be32(0L))
+          box("minf", box("stbl", stts ++ stsz ++ stco))
+        } else Array.emptyByteArray
+      box("trak", tkhd ++ box("mdia", hdlr ++ stbl))
     }
     bos.write(ftyp)
     bos.write(box("moov", mvhd ++ trakBoxes.flatten.toArray))
@@ -544,11 +611,13 @@ object Multimodal {
   }
 
   /** [[syntheticMp4]] as a column function: one video track at (w, h)
-    * plus `audioTracks` audio tracks. */
+    * with `samples` uniform `sampleBytes`-sized samples, plus
+    * `audioTracks` audio tracks. */
   val syntheticMp4Udf = udf((timescale: Long, duration: Long, w: Int,
-      h: Int, audioTracks: Int) =>
+      h: Int, audioTracks: Int, samples: Int, sampleBytes: Int) =>
     syntheticMp4(timescale, duration,
-      (1, "vide", w, h) +: (1 to audioTracks).map(i => (i + 1, "soun", 0, 0))))
+      (1, "vide", w, h) +: (1 to audioTracks).map(i => (i + 1, "soun", 0, 0)),
+      videoSamples = samples, videoSampleBytes = sampleBytes))
 
   /** Frame sampling for "video" payloads: split the byte stream into
     * `frames` equal chunks, one output row per sampled frame with a

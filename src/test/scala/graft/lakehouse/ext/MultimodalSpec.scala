@@ -122,7 +122,8 @@ class MultimodalSpec extends SparkSuite {
 
   test("mp4Meta round-trips the synthetic ISO-BMFF writer") {
     val bytes = Multimodal.syntheticMp4(1500L, 45000L,
-      Seq((1, "vide", 640, 360), (2, "soun", 0, 0), (3, "soun", 0, 0)))
+      Seq((1, "vide", 640, 360), (2, "soun", 0, 0), (3, "soun", 0, 0)),
+      videoSamples = 750, videoSampleBytes = 4000)
     val m = Multimodal.mp4Meta(bytes)
     assert(m != null)
     assert(m.brand == "isom")
@@ -131,13 +132,55 @@ class MultimodalSpec extends SparkSuite {
     assert(m.tracks == 3)
     assert(m.video_width == 640 && m.video_height == 360)
     assert(m.audio_tracks == 2)
+    // sample tables: 750 frames x 4000 B = 3 MB over 30 s = 800 kbps
+    assert(m.video_samples == 750L)
+    assert(m.video_bytes == 3000000L)
+    assert(m.video_avg_bitrate_bps == 800000L)
+    assert(m.has_chunk_offsets)
+    // without sample tables every derived field reads zero/false
+    val bare = Multimodal.mp4Meta(Multimodal.syntheticMp4(1500L, 45000L,
+      Seq((1, "vide", 640, 360))))
+    assert(bare.video_samples == 0L && bare.video_bytes == 0L &&
+      bare.video_avg_bitrate_bps == 0L && !bare.has_chunk_offsets)
+  }
+
+  test("mp4Meta sums per-sample stsz entries and bounds hostile sample " +
+      "tables") {
+    // hand-build a variable-size stsz inside a real container: replace
+    // the uniform writer output is complex — instead parse a track whose
+    // stsz declares MORE entries than fit (truncation must degrade to
+    // the entries present, never read OOB)
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    val stts = box("stts", be32(0L) ++ be32(2L) ++
+      be32(3L) ++ be32(100L) ++ be32(2L) ++ be32(100L)) // 3+2 samples
+    // variable sizes 10, 20, 30, but count LIES and claims 1000 entries
+    val stsz = box("stsz", be32(0L) ++ be32(0L) ++ be32(1000L) ++
+      be32(10L) ++ be32(20L) ++ be32(30L))
+    val hdlr = box("hdlr", be32(0L) ++ be32(0L) ++
+      "vide".getBytes("US-ASCII") ++ new Array[Byte](12))
+    val mdia = box("mdia", hdlr ++ box("minf", box("stbl", stts ++ stsz)))
+    val tkhd = box("tkhd", new Array[Byte](84))
+    val mvhd = box("mvhd", be32(0L) ++ be32(0L) ++ be32(0L) ++
+      be32(1000L) ++ be32(5000L) ++ new Array[Byte](80))
+    val file = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512L)) ++
+      box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+    val m = Multimodal.mp4Meta(file)
+    assert(m != null)
+    assert(m.video_samples == 5L, m)           // 3 + 2 from stts
+    assert(m.video_bytes == 60L, m)            // only the 3 real entries
+    assert(!m.has_chunk_offsets)               // no stco/co64
+    assert(m.video_avg_bitrate_bps == 60L * 8000L / 5000L)
   }
 
   test("mp4Meta rejects non-BMFF and truncated payloads as null") {
     assert(Multimodal.mp4Meta(null) == null)
     assert(Multimodal.mp4Meta("plainly not a video container".getBytes) == null)
     assert(Multimodal.mp4Meta(Multimodal.syntheticPng(32, 32)) == null)
-    val good = Multimodal.syntheticMp4(1000L, 1000L, Seq((1, "vide", 320, 240)))
+    val good = Multimodal.syntheticMp4(1000L, 1000L,
+      Seq((1, "vide", 320, 240)), videoSamples = 10, videoSampleBytes = 100)
     // every truncation point: either parses to null or (when only trailing
     // track boxes are lost) degrades — never throws, never reads OOB
     Seq(4, 8, 15, good.length / 2, good.length - 1).foreach { cut =>
