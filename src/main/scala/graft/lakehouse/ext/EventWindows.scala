@@ -508,4 +508,58 @@ object EventWindows {
         coalesce(max(col("__late_us")), lit(0L)).as("max_regression_us"))
       .withColumn("late_permille", expr("(n_late * 1000) div n_events"))
   }
+
+  /** Per-key state for [[streamEventTimeAudit]]: the running per-key max
+    * event time plus the audit counters folded so far. */
+  case class EventTimeAuditState(maxTsUs: Long, nEvents: Long,
+    nLate: Long, maxRegressionUs: Long)
+
+  /** Streaming twin of [[eventTimeAudit]] — the same late-arrival stats
+    * maintained INCREMENTALLY on a live stream (measure lateness while
+    * it happens, then size the watermark), instead of auditing a
+    * replayed log after the fact. Per-key `mapGroupsWithState` keeps
+    * exactly (maxTs, 3 counters) — O(keys) state, never O(stream) — and
+    * emits each key's updated totals every micro-batch (update mode):
+    * (key, n_events, n_late, max_regression_us). The global one-row
+    * audit is a bounded fold over the LATEST row per key — sum the
+    * counts, max the regression — and equals [[eventTimeAudit]] over
+    * the replayed log bit-for-bit (spec-asserted): events fold in
+    * `seqCol` order within each batch, and batch arrival order is
+    * arrival order.
+    *
+    * `seqCol` must be a long arrival sequence; `keyCol` is cast to
+    * string for the state key (audit identity, not a join key). */
+  def streamEventTimeAudit(events: DataFrame, keyCol: String,
+      seqCol: String, tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = events
+      .select(col(keyCol).cast("string"), col(seqCol).cast("long"),
+        unix_micros(col(tsCol)))
+      .as[(String, Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[EventTimeAuditState, (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[EventTimeAuditState]) =>
+          var s = state.getOption.getOrElse(
+            EventTimeAuditState(Long.MinValue, 0L, 0L, 0L))
+          // fold in arrival order WITHIN the batch (the iterator's order
+          // is not contractual; the arrival sequence is)
+          it.toSeq.sortBy(_._2).foreach { case (_, _, tsUs) =>
+            val late = s.maxTsUs != Long.MinValue && tsUs < s.maxTsUs
+            s = EventTimeAuditState(
+              math.max(s.maxTsUs, tsUs),
+              s.nEvents + 1L,
+              s.nLate + (if (late) 1L else 0L),
+              if (late) math.max(s.maxRegressionUs, s.maxTsUs - tsUs)
+              else s.maxRegressionUs)
+          }
+          state.update(s)
+          (key, s.nEvents, s.nLate, s.maxRegressionUs)
+      }
+      .toDF(keyCol, "n_events", "n_late", "max_regression_us")
+  }
 }

@@ -35,6 +35,49 @@ class EventWindowsSpec extends SparkSuite {
       ordered.getAs[Long]("max_regression_us") == 0L)
   }
 
+  test("streamEventTimeAudit: incremental per-key state over a stream " +
+      "folds to the SAME one-row audit as the batch replay") {
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // same log as the batch test, split mid-key across micro-batches so
+    // state must carry the per-key max BETWEEN batches: key 1's late
+    // event and key 3's whole history arrive in batch 2
+    val batch1 = Seq((1L, 1L, t(10)), (1L, 2L, t(20)), (2L, 4L, t(1)))
+    val batch2 = Seq((1L, 3L, t(5)), (2L, 5L, t(2)),
+      (3L, 6L, t(30)), (3L, 7L, t(29)))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val out = EventWindows.streamEventTimeAudit(
+      mem.toDF().toDF("k", "seq", "ts"), "k", "seq", "ts")
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("stream_eta_test").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // the latest update per key carries its full running totals; the
+      // global audit is the bounded fold over those |keys| rows
+      val latest = spark.table("stream_eta_test")
+        .groupBy("k").agg(
+          max("n_events").as("n_events"), max("n_late").as("n_late"),
+          max("max_regression_us").as("max_regression_us"))
+      val got = latest.agg(
+          sum("n_events").as("n_events"), sum("n_late").as("n_late"),
+          sum(when(col("n_late") > 0, 1L).otherwise(0L))
+            .as("n_keys_affected"),
+          max("max_regression_us").as("max_regression_us"))
+        .withColumn("late_permille", expr("(n_late * 1000) div n_events"))
+        .head()
+      val batch = EventWindows.eventTimeAudit(
+        (batch1 ++ batch2).toDF("k", "seq", "ts"), "k", "seq", "ts").head()
+      Seq("n_events", "n_late", "n_keys_affected", "max_regression_us",
+        "late_permille").foreach { f =>
+        assert(got.getAs[Long](f) == batch.getAs[Long](f),
+          s"$f: stream ${got.getAs[Long](f)} != batch ${batch.getAs[Long](f)}")
+      }
+      assert(got.getAs[Long]("n_late") == 2L &&
+        got.getAs[Long]("max_regression_us") == 15000000L)
+    } finally q.stop()
+  }
+
   test("tumbling: windows align to the hour grid, counts add up") {
     val out = EventWindows.tumbling(events, "ts", "1 hour")
     assert(out.agg(sum("n_events")).head().getLong(0) == events.count())
