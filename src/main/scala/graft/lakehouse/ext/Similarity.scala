@@ -486,6 +486,73 @@ object Similarity {
     }
   }
 
+  /** LSH ANN top-k with ENGINE-PORTABLE bucketing ([[lshTopK]]'s shape,
+    * the q76 portable-SimHash trick): hyperplane `p`'s component `j` is
+    * derived from sha-256 — `(first 60 bits of sha256("p:j")) mod 2001 −
+    * 1000`, an integer in [−1000, 1000] any engine rebuilds — and the
+    * bucket bit is the sign of the EXACT integer dot product against the
+    * `floor(x·scale)`-quantized vector (ties: 0 counts as positive). So
+    * bucketing, hamming-1 multi-probing, AND the candidate set replay
+    * bit-for-bit cross-engine; candidate scoring stays the exact double
+    * cosine. The float [[lshTopK]] can only be rows-checked because its
+    * hyperplanes are engine-private randoms; this variant hash-checks
+    * outright.
+    *
+    * 100 TB shape unchanged: one compiled bucket kernel per row (planes
+    * are numPlanes·dim integers in the closure), queries explode into
+    * numPlanes+1 probe rows riding a broadcast, and only same-bucket
+    * candidates get a cosine. */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64,
+      scale: Long = 1024L): DataFrame = {
+    require(k >= 1 && numPlanes >= 1 && numPlanes <= 30 && dim >= 1,
+      "lshTopKPortable needs k >= 1, 1 <= numPlanes <= 30, dim >= 1")
+    val planes: Array[Array[Long]] = Array.tabulate(numPlanes, dim) {
+      (p, j) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hex = md.digest(s"$p:$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L - 1000L
+    }
+    val bucketUdf = udf((v: Seq[Double]) => {
+      require(v.length == dim,
+        s"vector dimension ${v.length} != configured dim $dim")
+      var b = 0
+      var p = 0
+      while (p < numPlanes) {
+        val pl = planes(p)
+        var dot = 0L; var j = 0
+        while (j < dim) {
+          dot += math.floor(v(j) * scale).toLong * pl(j); j += 1
+        }
+        if (dot >= 0L) b |= 1 << p
+        p += 1
+      }
+      b
+    })
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("bucket", bucketUdf(col("cv")))
+    val probes: Seq[Column] =
+      (0 until numPlanes).map(i => lit(1 << i)) :+ lit(0)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qbucket", bucketUdf(col("qv")))
+      .withColumn("flip", explode(array(probes: _*)))
+      .withColumn("bucket", expr("int(qbucket) ^ int(flip)"))
+      .select("query_id", "qv", "bucket")
+    val scored = c.join(broadcast(q), "bucket")
+      .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
+      .select("query_id", "vec_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
   private def emptyTopK(corpus: DataFrame, idCol: String,
       scoreField: org.apache.spark.sql.types.StructField): DataFrame =
     corpus.sparkSession.createDataFrame(

@@ -79,7 +79,7 @@ class QueriesSmokeSpec extends SparkSuite {
     // justification in SURVEY.md / the registry; keep this list in sync.
     val waived = Set(
       "q28_fingerprints", "q30_dedup_minhash_lsh", "q31_dedup_simhash",
-      "q35_ann_lsh_topk", "q40_events_approx_distinct",
+      "q40_events_approx_distinct",
       "q49_pack_sequences", "q55_sample_mixture", "q64_dedup_incremental",
       "q190_quality_classifier")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived

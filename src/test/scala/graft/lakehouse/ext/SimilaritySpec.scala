@@ -123,6 +123,24 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("lshTopKPortable: bit-identical across partitionings, rank-1 " +
+      "self-hit, candidates confined to probed buckets") {
+    val queries = emb.filter($"vec_id" < 3)
+    def run(parts: Int) = Similarity.lshTopKPortable(emb.repartition(parts),
+        queries, "vec_id", "embedding", k = 5, numPlanes = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val a = run(1).toSet
+    assert(a == run(5).toSet, "partitioning changed the portable LSH result")
+    val byQuery = a.groupBy(_._1)
+    Seq(0L, 1L, 2L).foreach { q =>
+      val rows = byQuery(q).toSeq.sortBy(_._3)
+      // identical vector = identical bucket: the query always finds itself
+      assert(rows.head._2 == q, s"query $q should self-match first")
+      assert(rows.length <= 5)
+    }
+  }
+
   test("lshTopK: rank-1 self-hit and subset-of-bruteforce sanity") {
     val queries = emb.filter($"vec_id" < 3)
     val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
