@@ -7105,5 +7105,217 @@ object Queries {
         |  FROM s)
         |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // PERSISTED IVF index, incremental: cell centroids train on batch 1
+    // (even ids) with fixed-point Lloyd and FREEZE; batch 2 (odd ids)
+    // cell-assigns only itself and appends; the query probes 3 of 8
+    // frozen cells over the persisted corpus. The oracle replays
+    // training-on-batch-1, BOTH batches' cell assignment, and the probe
+    // subset bit-for-bit — the q44 oracle with the fit restricted to
+    // the first batch.
+    Q("q244_ann_ivf_index_persisted",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "ivf_idx")
+        TableIO.dropTable(s, lh, "ivf_idx_centroids")
+        val emb = t(s, dir, "embeddings")
+        AnnIndex.buildIvfIndex(s, lh, "ivf_idx",
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          nLists = 8)
+        AnnIndex.appendIvfIndex(s, lh, "ivf_idx",
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        AnnIndex.queryIvfIndex(s, lh, "ivf_idx",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 10, nProbe = 3)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qv AS (
+        |  SELECT vec_id, ve, list_transform(ve,
+        |    x -> CAST(floor(x * 1024) + 1048576 AS BIGINT)) AS qv
+        |  FROM v),
+        |fitv AS (SELECT * FROM qv WHERE vec_id % 2 = 0),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cidx, qv AS cv
+        |  FROM fitv ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM fitv q, c0 c)) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a1)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c1 AS (
+        |  SELECT c0.cidx, coalesce(u1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u1 ON u1.cidx = c0.cidx),
+        |a2 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM fitv q, c1 c)) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a2)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c2 AS (
+        |  SELECT c1.cidx, coalesce(u2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN u2 ON u2.cidx = c1.cidx),
+        |cells AS (
+        |  SELECT vec_id, cluster AS cell FROM (
+        |    SELECT vec_id, cluster, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c2 c)) WHERE rn = 1),
+        |probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT query_id, cell, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dist, cell) AS rn
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.cidx AS cell,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM (SELECT * FROM qv WHERE vec_id < 4) q, c2 c))
+        |  WHERE rn <= 3),
+        |s AS (
+        |  SELECT p.query_id, cl.vec_id,
+        |    list_sum(list_transform(list_zip(cv.ve, qe.ve), p2 -> p2[1] * p2[2])) /
+        |    (sqrt(list_sum(list_transform(cv.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qe.ve, x -> x * x)))) AS cosine
+        |  FROM probe p
+        |  JOIN cells cl ON cl.cell = p.cell
+        |  JOIN v cv ON cv.vec_id = cl.vec_id
+        |  JOIN v qe ON qe.vec_id = p.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // PERSISTED incremental KMV sketch table: two batch folds (even then
+    // odd event ids) into a versioned per-event-type sketch state; the
+    // oracle rebuilds the bottom-64 sketch from the WHOLE history in one
+    // shot (q198's SQL verbatim) — exact equality because bottom-k merge
+    // is associative, proving the fold loses nothing vs a full rescan.
+    Q("q245_kmv_sketch_table_incremental",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "kmv_state")
+        val events = ev(s, dir)
+        Sketches.kmvSketchTableUpdate(s, lh, "kmv_state",
+          events.filter(col("event_id") % 2 === 0), "user_id", k = 64,
+          groupCols = Seq("event_type"))
+        Sketches.kmvSketchTableUpdate(s, lh, "kmv_state",
+          events.filter(col("event_id") % 2 =!= 0), "user_id", k = 64,
+          groupCols = Seq("event_type"))
+        TableIO.selectTable(s, lh, "kmv_state")
+          .select(col("event_type"), posexplode(col("kmv")).as(Seq("pos", "h")))
+          .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+            col("h"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1,
+        |      15))::UBIGINT AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+        |  FROM h)
+        |SELECT event_type, CAST(rank AS INT) AS rank, h
+        |FROM r WHERE rank <= 64 ORDER BY event_type, rank""".stripMargin)),
+
+    // License/compliance inventory — the legal release gate next to the
+    // PII one (q223): fixed-string marker scan per family, ONE
+    // fixed-width aggregation, |families|+1 rows out. The fixture text
+    // carries no license markers, so the query salts declarations in
+    // deterministically (doc_id mod 7/11/13 — overlaps make dual-marked
+    // docs) and the oracle replays salt + detection + integer permille.
+    Q("q246_license_inventory",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .withColumn("text", concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit(" Licensed under the MIT License.")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit(" Apache License 2.0 applies.")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              lit(" All rights reserved.")).otherwise(lit(""))))
+        Privacy.licenseInventory(docs, "text").orderBy("license")
+      },
+      Some("""WITH d AS (
+        |  SELECT lower(coalesce(text, '') ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' Licensed under the MIT License.' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' Apache License 2.0 applies.' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' All rights reserved.' ELSE '' END) AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN contains(t, 'mit license')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS mit,
+        |    CAST(sum(CASE WHEN contains(t, 'apache license')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS apache,
+        |    CAST(sum(CASE WHEN contains(t, 'gnu general public license')
+        |      OR contains(t, 'gpl-2.0') OR contains(t, 'gpl-3.0')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS gpl,
+        |    CAST(sum(CASE WHEN contains(t, 'bsd license')
+        |      OR contains(t, 'bsd 3-clause') OR contains(t, 'bsd 2-clause')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bsd,
+        |    CAST(sum(CASE WHEN contains(t, 'creative commons')
+        |      OR contains(t, 'cc by') OR contains(t, 'cc0')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS creative_commons,
+        |    CAST(sum(CASE WHEN contains(t, 'public domain')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS public_domain,
+        |    CAST(sum(CASE WHEN contains(t, 'all rights reserved')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS all_rights_reserved,
+        |    CAST(sum(CASE WHEN NOT (contains(t, 'mit license')
+        |      OR contains(t, 'apache license')
+        |      OR contains(t, 'gnu general public license')
+        |      OR contains(t, 'gpl-2.0') OR contains(t, 'gpl-3.0')
+        |      OR contains(t, 'bsd license') OR contains(t, 'bsd 3-clause')
+        |      OR contains(t, 'bsd 2-clause')
+        |      OR contains(t, 'creative commons') OR contains(t, 'cc by')
+        |      OR contains(t, 'cc0') OR contains(t, 'public domain')
+        |      OR contains(t, 'all rights reserved'))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS unmarked
+        |  FROM d),
+        |u AS (
+        |  SELECT 'mit' AS license, mit AS n_docs_with, n_docs FROM f
+        |  UNION ALL SELECT 'apache', apache, n_docs FROM f
+        |  UNION ALL SELECT 'gpl', gpl, n_docs FROM f
+        |  UNION ALL SELECT 'bsd', bsd, n_docs FROM f
+        |  UNION ALL SELECT 'creative_commons', creative_commons, n_docs FROM f
+        |  UNION ALL SELECT 'public_domain', public_domain, n_docs FROM f
+        |  UNION ALL SELECT 'all_rights_reserved', all_rights_reserved, n_docs FROM f
+        |  UNION ALL SELECT 'unmarked', unmarked, n_docs FROM f)
+        |SELECT license, n_docs_with,
+        |  (n_docs_with * 1000) // n_docs AS docs_permille
+        |FROM u ORDER BY license""".stripMargin)),
   )
 }

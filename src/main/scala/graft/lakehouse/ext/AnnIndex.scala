@@ -179,6 +179,133 @@ object AnnIndex {
     prepped.count()
   }
 
+  // ---- persisted IVF index -------------------------------------------
+
+  private val IvfMetaPrefix = "annivf:"
+
+  private case class IvfParams(dim: Int, scale: Long, offset: Long,
+      cents: Array[Array[Long]])
+
+  private def centroidsName(name: String) = s"${name}_centroids"
+
+  private def readIvfParams(spark: SparkSession, lh: LakehouseProps,
+      name: String): IvfParams = {
+    val cName = centroidsName(name)
+    val dir = Catalog.tablePath(lh, cName)
+    val manifest = Versioned.latestVersion(dir)
+      .flatMap(Versioned.readManifest(dir, _))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no IVF index centroids table '$cName' — run buildIvfIndex first"))
+    def metaLong(key: String): Long = manifest.meta.get(IvfMetaPrefix + key)
+      .map(_.toLong).getOrElse(throw new IllegalStateException(
+        s"centroids table '$cName' is missing $IvfMetaPrefix$key metadata"))
+    val rows = TableIO.selectTable(spark, lh, cName)
+      .select("cidx", "cv").collect()
+    val cents = new Array[Array[Long]](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => cents(r.getInt(0)) = r.getSeq[Long](1).toArray)
+    IvfParams(metaLong("dim").toInt, metaLong("scale"), metaLong("offset"),
+      cents)
+  }
+
+  private def cellUdf(p: IvfParams) = udf((v: Seq[Double]) => {
+    require(v.length == p.dim,
+      s"vector dimension ${v.length} != index dimension ${p.dim}")
+    Clustering.argminKernel(
+      Clustering.quantizeKernel(v, p.scale, p.offset), p.cents)._2
+  })
+
+  /** Persisted IVF twin of [[buildPqIndex]]: fixed-point Lloyd cell
+    * centroids freeze as `<name>_centroids`; the corpus lands
+    * cell-assigned as `<name>` (vec_id, cv, cell). Returns rows
+    * indexed. */
+  def buildIvfIndex(spark: SparkSession, lh: LakehouseProps, name: String,
+      corpus: DataFrame, idCol: String, vecCol: String, nLists: Int = 8,
+      iterations: Int = 2, scale: Long = 1024L, offset: Long = 1L << 20,
+      fit: Option[DataFrame] = None): Long = {
+    require(nLists >= 1 && iterations >= 1,
+      "buildIvfIndex needs nLists, iterations >= 1")
+    val quantUdf = udf((v: Seq[Double]) =>
+      Clustering.quantizeKernel(v, scale, offset))
+    val c = prepared(corpus, idCol, vecCol).persist()
+    try {
+      val fitFrame = fit.fold(c)(f => prepared(f, idCol, vecCol))
+        .withColumn("qv", quantUdf(col("cv")))
+      val init = fitFrame.orderBy("vec_id").limit(nLists).select("qv")
+        .collect().map(_.getSeq[Long](0).toSeq).toIndexedSeq
+      require(init.nonEmpty, "buildIvfIndex needs a non-empty corpus")
+      val dim = init.head.length
+      require(init.forall(_.length == dim),
+        s"buildIvfIndex needs a uniform vector dimension in '$vecCol'")
+      val cents = Clustering.lloydRoundsGrouped(
+        fitFrame.select(lit(0).as("gid"), col("qv")),
+        Map(0 -> init), iterations, s"buildIvfIndex('$name')")(0)
+      val cDf = spark.createDataFrame(
+        java.util.Arrays.asList(cents.zipWithIndex.map { case (cv, i) =>
+          Row(i, cv) }: _*),
+        StructType(Seq(
+          StructField("cidx", IntegerType, nullable = false),
+          StructField("cv", ArrayType(LongType), nullable = false))))
+      TableIO.writeTable(spark, lh, centroidsName(name), cDf,
+        extraMeta = Map(
+          IvfMetaPrefix + "dim" -> dim.toString,
+          IvfMetaPrefix + "scale" -> scale.toString,
+          IvfMetaPrefix + "offset" -> offset.toString,
+          IvfMetaPrefix + "nLists" -> cents.size.toString))
+      val p = IvfParams(dim, scale, offset, cents.map(_.toArray).toArray)
+      TableIO.writeTable(spark, lh, name,
+        c.select(col("vec_id"), col("cv"), cellUdf(p)(col("cv")).as("cell")))
+        .rowCount
+    } finally c.unpersist(false)
+  }
+
+  /** Fold a batch into the IVF index: cell-assign ONLY the batch against
+    * the frozen centroids and append — O(batch). */
+  def appendIvfIndex(spark: SparkSession, lh: LakehouseProps, name: String,
+      batch: DataFrame, idCol: String, vecCol: String): Long = {
+    val p = readIvfParams(spark, lh, name)
+    val prepped = prepared(batch, idCol, vecCol)
+    TableIO.appendTable(spark, lh, name,
+      prepped.select(col("vec_id"), col("cv"),
+        cellUdf(p)(col("cv")).as("cell")))
+    prepped.count()
+  }
+
+  /** ANN top-k over the PERSISTED IVF index: each query probes its
+    * nProbe integer-nearest frozen centroids (ties: distance, then
+    * index — [[Similarity.ivfTopKPortable]]'s convention) and
+    * exact-scores only the matching cells of the persisted corpus. The
+    * cell scan prunes at the source when the index table is partitioned
+    * by cell. */
+  def queryIvfIndex(spark: SparkSession, lh: LakehouseProps, name: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "queryIvfIndex needs k, nProbe >= 1")
+    val p = readIvfParams(spark, lh, name)
+    val index = TableIO.selectTable(spark, lh, name)
+    val probeUdf = udf((v: Seq[Double]) => {
+      require(v.length == p.dim,
+        s"query vector dimension ${v.length} != index dimension ${p.dim}")
+      val qq = Clustering.quantizeKernel(v, p.scale, p.offset)
+      p.cents.zipWithIndex.map { case (cv, i) =>
+        var d = 0L; var j = 0
+        while (j < cv.length) { val x = qq(j) - cv(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(identity).take(nProbe).map(_._2)
+    })
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("cv").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    val scored = index.join(broadcast(q), "cell")
+      .withColumn("cosine", Dedup.cosine(col("cv"), col("qv")))
+      .select("query_id", "vec_id", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
   /** ANN top-k over the PERSISTED index: integer ADC LUTs against the
     * stored codes ([[Similarity.pqTopKPortable]]'s scoring — map-side
     * heap, one merge Exchange), then `reRank > 0` rescores the top

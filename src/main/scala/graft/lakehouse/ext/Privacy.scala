@@ -108,4 +108,47 @@ object Privacy {
       .withColumn("pii_docs_permille",
         expr("(docs_with_pii * 1000) div n_docs"))
   }
+
+  /** License/compliance marker detection over a text corpus — the legal
+    * sibling of [[piiInventory]]: which documents carry recognizable
+    * license declarations (permissive, copyleft, CC, all-rights-
+    * reserved), so a training-data mix can include/exclude by license
+    * posture BEFORE anything trains on it. Detection is case-folded
+    * substring matching against the canonical marker phrases —
+    * deliberately not regex (the phrases are fixed strings; `contains`
+    * is codegen'd and any engine reproduces it), documented as a
+    * marker scan, not legal review. A document carrying several
+    * markers counts once per family (a dual-licensed file IS both).
+    *
+    * Output: one row per family with document count and exact integer
+    * permille, plus an `unmarked` row for documents carrying no marker.
+    * Scale shape: per-row codegen'd contains kernels into ONE
+    * fixed-width aggregation — no explode, no joins, |families|+1 rows
+    * out regardless of corpus size. */
+  def licenseInventory(df: DataFrame, textCol: String): DataFrame = {
+    val t = lower(coalesce(col(textCol), lit("")))
+    val families: Seq[(String, Seq[String])] = Seq(
+      "mit" -> Seq("mit license"),
+      "apache" -> Seq("apache license"),
+      "gpl" -> Seq("gnu general public license", "gpl-2.0", "gpl-3.0"),
+      "bsd" -> Seq("bsd license", "bsd 3-clause", "bsd 2-clause"),
+      "creative_commons" -> Seq("creative commons", "cc by", "cc0"),
+      "public_domain" -> Seq("public domain"),
+      "all_rights_reserved" -> Seq("all rights reserved"))
+    val flags = families.map { case (fam, markers) =>
+      fam -> markers.map(m => t.contains(lit(m))).reduce(_ || _)
+    }
+    val agg = df.agg(
+      count(lit(1)).as("n_docs"),
+      (flags.map { case (fam, f) =>
+        sum(when(f, 1L).otherwise(0L)).as(s"__$fam")
+      } :+ sum(when(flags.map(_._2).reduce(_ || _), 0L).otherwise(1L))
+        .as("__unmarked")): _*)
+    val names = families.map(_._1) :+ "unmarked"
+    agg.select(col("n_docs"),
+        explode(map(names.flatMap(n =>
+          Seq(lit(n), col(s"__$n"))): _*)).as(Seq("license", "n_docs_with")))
+      .select(col("license"), col("n_docs_with"),
+        expr("(n_docs_with * 1000) div n_docs").as("docs_permille"))
+  }
 }

@@ -132,6 +132,45 @@ object Sketches {
         .graft_bottomk(col("__h"), k).as("kmv"))
   }
 
+  /** PERSISTED incremental KMV sketch table — the index-once /
+    * fold-batches-in contract (the q233/q243 pattern) applied to
+    * sketch state: per-group bottom-k sketches live as a versioned
+    * lakehouse table, and each batch folds in with ONE O(batch) sketch
+    * pass plus a full-outer merge on the O(groups·k) state — the raw
+    * history is never rescanned. Bottom-k merge is exact and
+    * associative (the bottom-k of a union is the bottom-k of the two
+    * sketches' union), so any fold order lands on the state a
+    * from-scratch [[kmvSketch]] over the whole history produces,
+    * bit-for-bit — which is exactly what the oracle checks. The
+    * overwrite is an ordinary versioned commit: time travel shows the
+    * sketch after every batch. Returns the number of groups in the new
+    * state. */
+  def kmvSketchTableUpdate(spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      batch: DataFrame, valueCol: String, k: Int,
+      groupCols: Seq[String]): Long = {
+    require(groupCols.nonEmpty,
+      "kmvSketchTableUpdate needs group columns (the state's key)")
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    val fresh = kmvSketch(batch, valueCol, k, groupCols)
+    val dir = Catalog.tablePath(lh, tableName)
+    val merged = Versioned.latestVersion(dir) match {
+      case None => fresh
+      case Some(_) =>
+        val cur = TableIO.selectTable(spark, lh, tableName)
+          .select(groupCols.map(col) :+ col("kmv").as("__cur"): _*)
+        cur.join(fresh.select(groupCols.map(col) :+
+            col("kmv").as("__new"): _*), groupCols, "full_outer")
+          .select(groupCols.map(col) :+
+            when(col("__cur").isNull, col("__new"))
+              .when(col("__new").isNull, col("__cur"))
+              .otherwise(expr(
+                s"slice(array_sort(array_union(__cur, __new)), 1, $k)"))
+              .as("kmv"): _*)
+    }
+    TableIO.writeTable(spark, lh, tableName, merged).rowCount
+  }
+
   /** Integer-exact distinct estimate from a kmv array: exact size while
     * the sketch is unsaturated (fewer than k distinct values ⇒ every one
     * is present), else the classic unbiased (k-1)·2^60 / h_k — computed

@@ -72,6 +72,40 @@ class AnnIndexSpec extends SparkSuite {
     }
   }
 
+  test("IVF index: centroids freeze, O(batch) append, incremental == " +
+      "rebuild, persisted query == from-scratch portable IVF") {
+    val n1 = AnnIndex.buildIvfIndex(spark, lh, "ivf_t", batch1,
+      "vec_id", "embedding", nLists = 8)
+    assert(n1 == batch1.count())
+    val cDir = Catalog.tablePath(lh, "ivf_t_centroids")
+    val cV = Versioned.latestVersion(cDir).get
+    val n2 = AnnIndex.appendIvfIndex(spark, lh, "ivf_t", batch2,
+      "vec_id", "embedding")
+    assert(n2 == batch2.count())
+    assert(Versioned.latestVersion(cDir).get == cV,
+      "appendIvfIndex must not version the centroids forward")
+    // incremental == rebuild with the same batch-1-trained centroids
+    AnnIndex.buildIvfIndex(spark, lh, "ivf_r", emb, "vec_id", "embedding",
+      nLists = 8, fit = Some(batch1))
+    def contents(name: String) =
+      TableIO.selectTable(spark, lh, name).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(2 - 1))).toSet
+    assert(contents("ivf_t") == contents("ivf_r"),
+      "incrementally-built IVF index differs from the one-shot rebuild")
+    TableIO.dropTable(spark, lh, "ivf_r")
+    // the persisted-index query equals the from-scratch portable IVF
+    // trained on the same fit frame
+    val queries = emb.filter(col("vec_id") < 3)
+    val direct = Similarity.ivfTopKPortable(emb, queries, "vec_id",
+        "embedding", k = 5, nLists = 8, nProbe = 3, fit = Some(batch1))
+      .orderBy("query_id", "rank").collect().toSeq
+    val viaIndex = AnnIndex.queryIvfIndex(spark, lh, "ivf_t", queries,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaIndex == direct,
+      "persisted IVF query diverged from the from-scratch portable IVF")
+  }
+
   test("querying a never-built index refuses loudly") {
     val e = intercept[IllegalArgumentException] {
       AnnIndex.queryPqIndex(spark, lh, "ann_nope",

@@ -84,4 +84,27 @@ class PrivacySpec extends SparkSuite {
       s2.getAs[Long]("docs_with_pii") == 1L &&
       s2.getAs[Long]("pii_docs_permille") == 500L)
   }
+
+  test("licenseInventory: one row per family, dual-licensed docs count " +
+      "in each, unmarked complements, case-folded detection") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Released under the MIT License, enjoy"),
+      (2L, "THE APACHE LICENSE 2.0 GOVERNS. Also MIT License terms."),
+      (3L, "no declarations here"),
+      (4L, "This work is in the Public Domain (CC0)"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Privacy.licenseInventory(docs, "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("mit") == ((2L, 400L)))             // docs 1 and 2
+    assert(out("apache") == ((1L, 200L)))          // case-folded
+    assert(out("public_domain") == ((1L, 200L)))
+    assert(out("creative_commons") == ((1L, 200L))) // CC0 in doc 4
+    assert(out("gpl") == ((0L, 0L)) && out("bsd") == ((0L, 0L)))
+    assert(out("all_rights_reserved") == ((0L, 0L)))
+    assert(out("unmarked") == ((2L, 400L)))        // docs 3 and null
+    assert(out.size == 8)
+  }
 }

@@ -254,4 +254,35 @@ class SketchesSpec extends SparkSuite {
       assert(est > 800 * 0.7 && est < 800 * 1.3, s"estimate $est")
     } finally q.stop()
   }
+
+  test("persisted KMV sketch table: batch folds equal the one-shot " +
+      "sketch in any fold order; new groups join the state") {
+    import graft.lakehouse.{Catalog, TableIO}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("kmv_state_test").toString,
+      "ws_kmv", "lh_kmv").lakehouses.head
+    val all = spark.range(3000)
+      .select((col("id") % 3).cast("string").as("g"), (col("id") % 700).as("v"))
+    def stateOf(name: String): Map[String, Seq[Long]] =
+      TableIO.selectTable(spark, lh, name).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    // fold even-then-odd ids into one state, odd-then-even into another
+    val b1 = all.filter(col("v") % 2 === 0)
+    val b2 = all.filter(col("v") % 2 =!= 0)
+    Sketches.kmvSketchTableUpdate(spark, lh, "st_a", b1, "v", 64, Seq("g"))
+    Sketches.kmvSketchTableUpdate(spark, lh, "st_a", b2, "v", 64, Seq("g"))
+    Sketches.kmvSketchTableUpdate(spark, lh, "st_b", b2, "v", 64, Seq("g"))
+    Sketches.kmvSketchTableUpdate(spark, lh, "st_b", b1, "v", 64, Seq("g"))
+    Sketches.kmvSketchTableUpdate(spark, lh, "st_c", all, "v", 64, Seq("g"))
+    val (a, b, c) = (stateOf("st_a"), stateOf("st_b"), stateOf("st_c"))
+    assert(a == c, "fold(evens)+fold(odds) != one-shot sketch")
+    assert(b == c, "fold order changed the state")
+    // a batch introducing a brand-new group extends the state
+    Sketches.kmvSketchTableUpdate(spark, lh, "st_a",
+      Seq(("zz", 1L)).toDF("g", "v"), "v", 64, Seq("g"))
+    val a2 = stateOf("st_a")
+    assert(a2.keySet == c.keySet + "zz" && a2("zz").size == 1)
+    assert(a2.filterKeys(_ != "zz").toMap == c.toMap)
+    Seq("st_a", "st_b", "st_c").foreach(TableIO.dropTable(spark, lh, _))
+  }
 }
