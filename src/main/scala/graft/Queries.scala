@@ -7317,5 +7317,73 @@ object Queries {
         |SELECT license, n_docs_with,
         |  (n_docs_with * 1000) // n_docs AS docs_permille
         |FROM u ORDER BY license""".stripMargin)),
+
+    // HTML text extraction — the first step of web-scrape ingestion:
+    // script/style/comment blocks drop wholesale, tags become word
+    // boundaries, the six high-frequency entities decode (amp last),
+    // whitespace collapses. Pure codegen'd regexp chain in the RE2-safe
+    // discipline, so DuckDB replays the extraction character-for-
+    // character on the same salted markup.
+    Q("q247_html_extract",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") % 4 === 0)
+          .withColumn("html", concat(
+            lit("<html><head><style>p{color:red}</style>" +
+              "<script>var x = 1 < 2;</script></head>" +
+              "<body><!-- note --><p id=\"t\">"),
+            coalesce(col("text"), lit("")),
+            lit("</p><div>tail &amp; more &lt;tags&gt;&nbsp;here</div>" +
+              "</body></html>")))
+        TextStats.withHtmlText(docs, "html")
+          .select("doc_id", "text_clean")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style>' ||
+        |    '<script>var x = 1 < 2;</script></head>' ||
+        |    '<body><!-- note --><p id="t">' || coalesce(text, '') ||
+        |    '</p><div>tail &amp; more &lt;tags&gt;&nbsp;here</div>' ||
+        |    '</body></html>' AS html
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '<script[^>]*>.*?</script>', ' ', 'gis'),
+        |      '<style[^>]*>.*?</style>', ' ', 'gis'),
+        |      '<!--.*?-->', ' ', 'gs'),
+        |      '<[^>]+>', ' ', 'g') AS t
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM c)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS text_clean
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-point mean pooling of grouped embeddings (chunk -> document
+    // / label-centroid aggregation): quantize once, per-dimension
+    // integer sum div n — the float mean is partition-order-dependent,
+    // this is bit-portable; only |groups|*dim partial-agg cells cross
+    // the exchange.
+    Q("q248_embedding_mean_pool",
+      (s, dir) => Embeddings.meanPoolFixedPoint(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("group", "pos"),
+      Some("""WITH u AS (
+        |  SELECT label, generate_subscripts(q, 1) - 1 AS pos,
+        |    unnest(q) AS qv
+        |  FROM (
+        |    SELECT label, list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |    FROM embeddings WHERE embedding IS NOT NULL))
+        |SELECT label AS "group", CAST(pos AS INT) AS pos,
+        |  CAST(sum(qv) // count(*) AS BIGINT) AS v, count(*) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -124,6 +124,43 @@ object Embeddings {
     df.withColumn(outCol, projUdf(asDouble(col(vecCol))))
   }
 
+  /** Fixed-point mean pooling of grouped embeddings — the chunk→document
+    * (or doc→label-centroid) aggregation of an embedding pipeline, in
+    * ENGINE-PORTABLE arithmetic: each vector quantizes to
+    * `floor(x·scale)` integers once, the group mean is per-dimension
+    * `sum div n` (exact integer sums; the float mean is
+    * partition-order-dependent, this is not), and any engine replays
+    * the pooled vectors bit-for-bit. Returns one row per (group,
+    * dimension): (group, pos, v, n) — exploded rather than re-packed so
+    * downstream joins, comparisons, and cross-engine checks work on
+    * scalars.
+    *
+    * Scale shape: quantization is a per-row kernel; the (group, pos)
+    * sum partial-aggregates so only |groups|·dim cells per partition
+    * cross the exchange (the k-means-update shape) — the vectors
+    * themselves never shuffle. */
+  def meanPoolFixedPoint(df: DataFrame, groupCol: String, vecCol: String,
+      scale: Long = 1024L): DataFrame = {
+    require(scale >= 1, "meanPoolFixedPoint needs scale >= 1")
+    // null-safe: the optimizer may evaluate the kernel before the
+    // isNotNull filter (subexpression elimination into the predicate)
+    val qUdf = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val o = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) { o(i) = math.floor(v(i) * scale).toLong; i += 1 }
+        o
+      })
+    df.where(col(vecCol).isNotNull)
+      .select(col(groupCol).as("group"), qUdf(asDouble(col(vecCol))).as("q"))
+      .select(col("group"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy("group", "pos")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .select(col("group"), col("pos"),
+        expr("s div n").as("v"), col("n"))
+  }
+
   /** Class-separation diagnostic over a labeled embedding table: the
     * pairwise angular alignment of per-label centroid DIRECTIONS, in
     * engine-portable integer arithmetic (a high |alignment| between two

@@ -818,4 +818,39 @@ object TextStats {
       .withColumn("fertility_permille",
         when(col("ws_tokens") > 0,
           expr("(bpeish_tokens * 1000) div ws_tokens")).otherwise(lit(null)))
+
+  // ---- HTML text extraction ------------------------------------------------
+
+  /** Visible text from raw HTML — the first step of any web-scrape
+    * ingestion pipeline: drop script/style/comment blocks wholesale
+    * (their CONTENT is not text), replace every remaining tag with a
+    * space (tags are word boundaries — `<p>a</p><p>b</p>` must not fuse
+    * "ab"), decode the six entities that actually occur at corpus scale
+    * (`&lt; &gt; &quot; &#39; &nbsp; &amp;` — amp LAST so `&amp;lt;`
+    * decodes once, to `&lt;`), collapse runs of ASCII whitespace and
+    * trim. A pure codegen'd regexp_replace/replace chain — per-row,
+    * zero shuffle — in the same engine-portable regex discipline as
+    * [[scrubPII]]: lazy quantifiers and explicit classes both Java
+    * regex and RE2 read identically; the whitespace class is the
+    * explicit `[ \t\r\n]` (Java's `\s` and RE2's disagree on vertical
+    * tab). Not a full HTML5 parser by design — malformed markup
+    * degrades to leftover text, never to a failed job. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // entity names contain no regex metacharacters in either dialect
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, from, to)
+      }
+    trim(regexp_replace(decoded, "[ \t\r\n]+", " "))
+  }
+
+  /** [[htmlToText]] over a frame, appending `outCol`. */
+  def withHtmlText(df: DataFrame, htmlCol: String,
+      outCol: String = "text_clean"): DataFrame =
+    df.withColumn(outCol, htmlToText(coalesce(col(htmlCol), lit(""))))
 }

@@ -519,4 +519,55 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q44/q35 portable ANN: candidate joins broadcast the probe side " +
+      "— never sort-merge, never cartesian") {
+    for (name <- Seq("q44_ann_ivf_topk", "q35_ann_lsh_topk")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name: $p")
+      assert(!p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct"), s"$name: $p")
+    }
+  }
+
+  test("q243/q244 persisted-index queries score off the stored tables " +
+      "with broadcast probes only (no corpus re-encode shuffle)") {
+    for (name <- Seq("q243_ann_index_persisted",
+        "q244_ann_ivf_index_persisted")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      assert(!p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct"), s"$name: $p")
+    }
+  }
+
+  test("q246/q247 per-row text kernels: one (or zero) exchange, no " +
+      "joins, no explode of the corpus") {
+    // q247 is a pure per-row regexp chain: NO exchange at all
+    val h = SparkEntry.queries("q247_html_extract")(spark, sf0001)
+    h.collect()
+    val hp = finalPlan(h)
+    assert(!hp.contains("Exchange hashpartitioning"), hp)
+    assert(!hp.contains("Generate") && !hp.contains("Join"), hp)
+    // q246 folds the corpus into one fixed-width aggregate: a single
+    // 1-row exchange, the explode runs over the 1-row aggregate only
+    val l = SparkEntry.queries("q246_license_inventory")(spark, sf0001)
+    l.collect()
+    val lp = finalPlan(l)
+    assert(!lp.contains("Join"), lp)
+    assert(lp.contains("HashAggregate") || lp.contains("SortAggregate"), lp)
+  }
+
+  test("q248 mean pooling partial-aggregates the exploded dims (the " +
+      "k-means-update shape): one hash exchange, map-side combine") {
+    val df = SparkEntry.queries("q248_embedding_mean_pool")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
 }

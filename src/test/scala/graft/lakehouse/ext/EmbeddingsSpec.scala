@@ -121,6 +121,27 @@ class EmbeddingsSpec extends SparkSuite {
     assert(out((2, 3)) == ((1L, 1L, 0L)))
   }
 
+  test("meanPoolFixedPoint: hand-computed integer means incl. " +
+      "negatives, null vectors drop, partitioning invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, -1.0f)),
+      (0, Seq(2.0f, -2.0f)),
+      (1, Seq(0.5f, 0.0f)),
+      (1, null.asInstanceOf[Seq[Float]])
+    ).toDF("label", "embedding")
+    def run(parts: Int) = Embeddings.meanPoolFixedPoint(
+        df.repartition(parts), "label", "embedding", scale = 10L)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val a = run(1)
+    assert(a == run(3), "partitioning changed the pooled vectors")
+    // label 0: dims (10+20) div 2 = 15, (-10-20) div 2 = -15
+    assert(a((0, 0)) == ((15L, 2L)) && a((0, 1)) == ((-15L, 2L)))
+    // label 1: single surviving vector, floor(0.5*10)=5
+    assert(a((1, 0)) == ((5L, 1L)) && a((1, 1)) == ((0L, 1L)))
+  }
+
   test("labelCentroidSeparation: exceeding the DECIMAL(38) budget " +
       "raises instead of silently NULLing the alignment") {
     import spark.implicits._

@@ -344,4 +344,37 @@ class TextStatsSpec extends SparkSuite {
       punct.getAs[Long]("bpeish_tokens") == 10L &&
       punct.getAs[Long]("fertility_permille") == 5000L)
   }
+
+  test("htmlToText: blocks drop, tags are word boundaries, entities " +
+      "decode once, malformed markup degrades instead of failing") {
+    import spark.implicits._
+    def clean(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextStats.htmlToText(col("h"))).head().getString(0)
+    assert(clean("<html><head><title>T</title>" +
+      "<script>if (a < b) { alert(\"x\"); }</script>" +
+      "<style>p { color: red; }</style></head>" +
+      "<body><!-- hidden --><p>Hello</p><p>world</p></body></html>")
+      == "T Hello world")
+    // tags separate words; entities decode; &amp;lt; decodes ONCE to &lt;
+    assert(clean("<p>a</p><p>b</p>") == "a b")
+    assert(clean("1 &lt; 2 &amp;&amp; 3 &gt; 2, &quot;q&#39;s&quot;," +
+      " x&nbsp;y, literal &amp;lt;") == "1 < 2 && 3 > 2, \"q's\", x y," +
+      " literal &lt;")
+    // SCRIPT/STYLE match case-insensitively and across newlines
+    assert(clean("<SCRIPT>\nvar a = 1;\n</SCRIPT>ok") == "ok")
+    // malformed: unclosed tag swallows to the next '>' or survives as text
+    assert(clean("before <unclosed after") == "before <unclosed after")
+    assert(clean("  collapse \t\r\n   runs  ") == "collapse runs")
+  }
+
+  test("withHtmlText appends the cleaned column; null html cleans to " +
+      "empty") {
+    import spark.implicits._
+    val out = TextStats.withHtmlText(
+      Seq((1L, "<b>bold</b>"), (2L, null.asInstanceOf[String]))
+        .toDF("id", "h"), "h")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "bold", 2L -> ""))
+  }
 }
