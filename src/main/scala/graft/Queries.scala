@@ -7385,5 +7385,76 @@ object Queries {
         |SELECT label AS "group", CAST(pos AS INT) AS pos,
         |  CAST(sum(qv) // count(*) AS BIGINT) AS v, count(*) AS n
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // END-TO-END curation pipeline — the composition story in one
+    // registered query: salted-HTML extraction (q247's op) → exact
+    // dedup on the cleaned text (q29's op) → length quality gate →
+    // stratified train/heldout split (q218's op). Every stage is
+    // individually hash-verified elsewhere; this entry verifies the
+    // COMPOSITION — the oracle replays all four stages end to end, so
+    // a change that breaks any interface between them (column
+    // contracts, dedup-before-split ordering, filter placement) fails
+    // the hash even if each unit test still passes.
+    Q("q249_curation_pipeline",
+      (s, dir) => {
+        val raw = t(s, dir, "documents")
+          .select("doc_id", "lang", "source", "text")
+          .withColumn("html", concat(lit("<div id=\"d\"><p>"),
+            coalesce(col("text"), lit("")),
+            lit("</p></div><script>var t = 1;</script><!-- c -->&nbsp;tail")))
+        val extracted = TextStats.withHtmlText(raw, "html")
+        val deduped = Dedup.exactDedup(
+          extracted.withColumn("__k", md5(col("text_clean"))),
+          Seq("__k"), "doc_id").drop("__k")
+        val filtered = deduped.filter(length(col("text_clean")) >= 50)
+        Packing.stratifiedSplit(
+            filtered.select("doc_id", "lang", "source", "text_clean"),
+            "doc_id", Seq("lang"), seed = 7L,
+            permille = Seq("train" -> 900, "heldout" -> 100))
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text_clean")).as("clean_chars"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    '<div id="d"><p>' || coalesce(text, '') ||
+        |    '</p></div><script>var t = 1;</script><!-- c -->&nbsp;tail'
+        |      AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '<script[^>]*>.*?</script>', ' ', 'gis'),
+        |      '<style[^>]*>.*?</style>', ' ', 'gis'),
+        |      '<!--.*?-->', ' ', 'gs'),
+        |      '<[^>]+>', ' ', 'g') AS t
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, lang, source,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(t,
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t\r\n]+', ' ', 'g')) AS tc
+        |  FROM c),
+        |dd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(tc)
+        |    ORDER BY doc_id) AS rn
+        |  FROM e),
+        |k AS (
+        |  SELECT doc_id, lang, source, tc FROM dd
+        |  WHERE rn = 1 AND length(tc) >= 50),
+        |r AS (
+        |  SELECT doc_id, lang, source, tc,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || '7'),
+        |        doc_id) AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM k)
+        |SELECT doc_id, lang, source, CAST(length(tc) AS INT) AS clean_chars,
+        |  CASE WHEN r <= (n * 900) // 1000 THEN 'train'
+        |       ELSE 'heldout' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -257,7 +257,7 @@ object EventWindows {
     * VersionedTableSink stamps). One definition — the key format and the
     * lookup must never diverge between writers or replay detection
     * silently breaks. */
-  private def txnWatermark(tableDir: String, checkpoint: Option[String],
+  private[ext] def txnWatermark(tableDir: String, checkpoint: Option[String],
       appId: Option[String]): (Option[String], () => Option[Long]) = {
     import graft.lakehouse.Versioned
     val txnKey = appId.orElse(checkpoint).map("txn:" + _)

@@ -148,7 +148,8 @@ object Sketches {
   def kmvSketchTableUpdate(spark: org.apache.spark.sql.SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
       batch: DataFrame, valueCol: String, k: Int,
-      groupCols: Seq[String]): Long = {
+      groupCols: Seq[String],
+      extraMeta: Map[String, String] = Map.empty): Long = {
     require(groupCols.nonEmpty,
       "kmvSketchTableUpdate needs group columns (the state's key)")
     import graft.lakehouse.{Catalog, TableIO, Versioned}
@@ -168,7 +169,58 @@ object Sketches {
                 s"slice(array_sort(array_union(__cur, __new)), 1, $k)"))
               .as("kmv"): _*)
     }
-    TableIO.writeTable(spark, lh, tableName, merged).rowCount
+    TableIO.writeTable(spark, lh, tableName, merged,
+      extraMeta = extraMeta).rowCount
+  }
+
+  /** One exactly-once micro-batch fold into the sketch table: skipped
+    * when the table's latest manifest already carries `txnKey ->
+    * batchId-or-later` (the overwrite commits the marker ATOMICALLY with
+    * the folded state, so a crash between commit and checkpoint advance
+    * is detected on replay). Returns whether the fold ran. Bottom-k
+    * merge is idempotent anyway — refolding the same rows cannot change
+    * the sketch — so the marker buys versioned-history hygiene (no
+    * spurious state versions on replay), not just correctness. */
+  private[ext] def foldKmvBatchExactlyOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      batch: DataFrame, valueCol: String, k: Int, groupCols: Seq[String],
+      txnKey: Option[String], batchId: Long): Boolean = {
+    import graft.lakehouse.Catalog
+    val (_, committed) = EventWindows.txnWatermark(
+      Catalog.tablePath(lh, tableName), None, txnKey.map(_.stripPrefix("txn:")))
+    if (committed().exists(_ >= batchId)) false
+    else {
+      kmvSketchTableUpdate(spark, lh, tableName, batch, valueCol, k,
+        groupCols, extraMeta = txnKey.map(_ -> batchId.toString).toMap)
+      true
+    }
+  }
+
+  /** Streaming KMV sketch maintenance — the persisted sketch table
+    * ([[kmvSketchTableUpdate]]) driven by a live stream: each
+    * micro-batch folds in exactly once (same txn-watermark contract as
+    * `streamIngest`: the batch id commits atomically with the folded
+    * state; a batch replayed after a crash is skipped). State per fold
+    * is O(batch) sketching + the O(groups·k) merge — the stream's
+    * history lives in the sketch, never in operator memory. */
+  def streamKmvSketch(events: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      valueCol: String, k: Int, groupCols: Seq[String],
+      checkpoint: Option[String] = None,
+      appId: Option[String] = None) = {
+    val txnKey = appId.orElse(checkpoint).map("txn:" + _)
+    val w = events.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          foldKmvBatchExactlyOnce(spark, lh, tableName, batch.toDF(),
+            valueCol, k, groupCols, txnKey, batchId)
+          ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
   /** Integer-exact distinct estimate from a kmv array: exact size while

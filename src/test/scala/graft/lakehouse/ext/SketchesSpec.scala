@@ -285,4 +285,45 @@ class SketchesSpec extends SparkSuite {
     assert(a2.filterKeys(_ != "zz").toMap == c.toMap)
     Seq("st_a", "st_b", "st_c").foreach(TableIO.dropTable(spark, lh, _))
   }
+
+  test("streamKmvSketch: micro-batches fold exactly once (txn marker " +
+      "skips replays) and the state equals the one-shot sketch") {
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    implicit val sqlCtx = spark.sqlContext
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("kmv_stream_test").toString,
+      "ws_kmvs", "lh_kmvs").lakehouses.head
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = Sketches.streamKmvSketch(mem.toDF().toDF("g", "v"), spark, lh,
+      "kmv_stream", "v", k = 64, groupCols = Seq("g"),
+      appId = Some("kmvs_test"))
+    try {
+      val b1 = Seq(("a", 1L), ("a", 2L), ("b", 10L))
+      val b2 = Seq(("a", 2L), ("b", 11L), ("c", 5L))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def stateOf = TableIO.selectTable(spark, lh, "kmv_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      import spark.implicits._
+      val oneShot = Sketches.kmvSketch(
+          (b1 ++ b2).toDF("g", "v"), "v", 64, Seq("g"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList)
+        .toMap
+      assert(stateOf == oneShot, s"stream=$stateOf oneShot=$oneShot")
+      // replayed batch id: the watermark skips it, no new state version
+      val dir = Catalog.tablePath(lh, "kmv_stream")
+      val vBefore = Versioned.latestVersion(dir).get
+      val replayed = Sketches.foldKmvBatchExactlyOnce(spark, lh,
+        "kmv_stream", Seq(("zz", 1L)).toDF("g", "v"), "v", 64, Seq("g"),
+        Some("txn:kmvs_test"), batchId = 1L)
+      assert(!replayed && Versioned.latestVersion(dir).get == vBefore,
+        "replayed batch must not fold or version the state forward")
+      // a genuinely new batch id folds
+      assert(Sketches.foldKmvBatchExactlyOnce(spark, lh, "kmv_stream",
+        Seq(("zz", 1L)).toDF("g", "v"), "v", 64, Seq("g"),
+        Some("txn:kmvs_test"), batchId = 2L))
+      assert(stateOf.contains("zz"))
+    } finally q.stop()
+  }
 }
