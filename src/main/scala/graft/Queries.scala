@@ -7456,5 +7456,186 @@ object Queries {
         |  CASE WHEN r <= (n * 900) // 1000 THEN 'train'
         |       ELSE 'heldout' END AS split
         |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Dedup-at-ingest — the continuous-crawl operator: dedup happens when
+    // data ARRIVES (one anti-join per batch against the gold table's
+    // pruned key column + ONE crash-consistent append), not in a later
+    // O(corpus) sweep. First-seen-wins across batches; the salt plants
+    // cross- and within-batch duplicate keys and the oracle replays
+    // arrival-order semantics as rank by (batch, id) within key.
+    Q("q250_dedup_ingest_incremental",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "gold_dedup")
+        val docs = t(s, dir, "documents")
+          .withColumn("k", when(col("doc_id") % 5 === 0,
+            concat(lit("dup-"), (col("doc_id") % 17).cast("string")))
+            .otherwise(concat(lit("u-"), col("doc_id").cast("string"))))
+          .select("doc_id", "lang", "k")
+        Dedup.dedupIngest(s, lh, "gold_dedup",
+          docs.filter(col("doc_id") % 2 === 0), Seq("k"), "doc_id")
+        Dedup.dedupIngest(s, lh, "gold_dedup",
+          docs.filter(col("doc_id") % 2 =!= 0), Seq("k"), "doc_id")
+        TableIO.selectTable(s, lh, "gold_dedup")
+          .select("doc_id", "k", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'dup-' || CAST(doc_id % 17 AS VARCHAR)
+        |      ELSE 'u-' || CAST(doc_id AS VARCHAR) END AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, k, row_number() OVER (
+        |    PARTITION BY k ORDER BY doc_id % 2, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, k, lang FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-trained rare-trigram score — the model-free gibberish
+    // filter: top-128 code-point trigrams form the common core, each doc
+    // scores the permille of its trigram occurrences outside it.
+    Q("q251_rare_gram_score",
+      (s, dir) => TextStats.rareGramScore(
+        t(s, dir, "documents"), "doc_id", "text", topK = 128)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([substring(t, i, 3)
+        |    for i in generate_series(1, len(t) - 2)]) AS gram
+        |  FROM d WHERE len(t) >= 3),
+        |cf AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+        |topk AS (SELECT gram FROM cf ORDER BY c DESC, gram ASC LIMIT 128),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS total,
+        |    sum(CASE WHEN gram IN (SELECT gram FROM topk)
+        |      THEN 1 ELSE 0 END) AS com
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(total AS BIGINT) AS total_grams,
+        |  CAST((total - com) * 1000 // total AS BIGINT) AS rare_permille
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Cross-split contamination audit — after the stratified split, the
+    // per-lang fraction of heldout docs sharing a word 5-gram with ANY
+    // train doc: the "can I trust the heldout metric" gate. The oracle
+    // replays split assignment AND the gram semi-join end to end.
+    Q("q252_split_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        val split = Packing.stratifiedSplit(docs, "doc_id", Seq("lang"),
+          seed = 7L, permille = Seq("train" -> 900, "heldout" -> 100))
+        Dedup.crossSplitLeakage(split, "doc_id", "text", "split",
+          "train", "heldout", n = 5, groupCols = Seq("lang"))
+          .orderBy("lang")
+      },
+      Some("""WITH r AS (
+        |  SELECT doc_id, lang, text,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || '7'),
+        |        doc_id) AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN r <= (n * 900) // 1000 THEN 'train'
+        |         ELSE 'heldout' END AS split
+        |  FROM r),
+        |w AS (
+        |  SELECT doc_id, lang, split, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM s),
+        |g AS (
+        |  SELECT DISTINCT doc_id, lang, split, gram FROM (
+        |    SELECT doc_id, lang, split,
+        |      unnest([array_to_string(words[i:i+4], ' ')
+        |        for i in generate_series(1, greatest(len(words) - 4, 1))])
+        |        AS gram
+        |    FROM w)),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+        |hc AS (
+        |  SELECT DISTINCT doc_id, lang FROM g
+        |  WHERE split = 'heldout' AND gram IN (SELECT gram FROM tg)),
+        |h AS (SELECT doc_id, lang FROM s WHERE split = 'heldout')
+        |SELECT h.lang, CAST(count(*) AS BIGINT) AS n_heldout,
+        |  CAST(count(hc.doc_id) AS BIGINT) AS n_contaminated,
+        |  CAST(count(hc.doc_id) * 1000 // count(*) AS BIGINT)
+        |    AS leak_permille
+        |FROM h LEFT JOIN hc ON h.doc_id = hc.doc_id AND h.lang = hc.lang
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // URL canonicalization — the web-corpus alias collapser (fragment
+    // drop, prefix-only lowercase, default-port strip, utm_* removal
+    // with survivor order preserved). The salt plants mixed-case
+    // scheme/host vs case-sensitive path, both default ports, ADJACENT
+    // utm params (the global-regex trap), utm-only query strings
+    // (dangling '?'), and fragments; the oracle replays the rule chain
+    // character-for-character.
+    Q("q253_url_normalize",
+      (s, dir) => {
+        val urls = t(s, dir, "documents").select("doc_id")
+          .withColumn("url", concat(
+            when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site"))
+              .otherwise(lit("http://Blog")),
+            (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+            when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+            lit("/Articles/Item-"), col("doc_id").cast("string"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("?utm_source=feed&utm_medium=rss&page="),
+                (col("doc_id") % 5).cast("string")))
+              .when(col("doc_id") % 3 === 1, lit("?utm_campaign=x"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 4 === 0, lit("#Section-2"))
+              .otherwise(lit(""))))
+        urls.select(col("doc_id"),
+            TextStats.normalizeUrl(col("url")).as("url_norm"))
+          .withColumn("domain", TextStats.urlDomain(col("url_norm")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site'
+        |         ELSE 'http://Blog' END ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ||
+        |    '/Articles/Item-' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '?utm_source=feed&utm_medium=rss&page=' ||
+        |        CAST(doc_id % 5 AS VARCHAR)
+        |      WHEN doc_id % 3 = 1 THEN '?utm_campaign=x' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '#Section-2' ELSE '' END AS url
+        |  FROM documents),
+        |f AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+        |p AS (
+        |  SELECT doc_id, nf,
+        |    regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*') AS pre
+        |  FROM f),
+        |l AS (
+        |  SELECT doc_id,
+        |    lower(pre) || substring(nf, length(pre) + 1) AS lo
+        |  FROM p),
+        |np AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(lo,
+        |    '^(https://[^/:?]+):443([/?]|$)', '\1\2'),
+        |    '^(http://[^/:?]+):80([/?]|$)', '\1\2') AS v
+        |  FROM l),
+        |n AS (
+        |  SELECT doc_id, regexp_replace(v, '\?.*', '') AS base,
+        |    list_filter(string_split(regexp_extract(v, '\?(.*)', 1), '&'),
+        |      x -> len(x) > 0 AND NOT starts_with(x, 'utm_')) AS ps
+        |  FROM np),
+        |o AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ps) > 0
+        |      THEN base || '?' || array_to_string(ps, '&')
+        |      ELSE base END AS url_norm
+        |  FROM n)
+        |SELECT doc_id, url_norm,
+        |  regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1)
+        |    AS domain
+        |FROM o ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -131,6 +131,86 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Dedup-at-ingest: fold a batch into a versioned gold table keeping only
+    * rows whose dedup key has never been seen — the continuous-crawl shape
+    * where dedup happens when data ARRIVES instead of in a later O(corpus)
+    * sweep. Within-batch ties resolve by smallest `idCol` ([[exactDedup]]);
+    * cross-batch the FIRST batch to land a key wins (arrival-order
+    * semantics — deliberately not global min-id, because at ingest time
+    * later batches don't exist yet). The seen-key check is one LEFT ANTI
+    * join against the gold table's stored `keyCol` — a single-column
+    * pruned scan of the state that per-file bloom filters and
+    * key-bucketing keep sub-linear at scale — and survivors land in ONE
+    * append commit carrying their key, so state and data can never
+    * diverge (no separate key table to drift). Refolding an already-seen
+    * batch is a no-op by construction: its keys anti-join away.
+    * Returns (ingested, dropped). */
+  def dedupIngest(spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, goldTable: String,
+      batch: DataFrame, keyCols: Seq[String], idCol: String,
+      keyCol: String = "dedup_key",
+      extraMeta: Map[String, String] = Map.empty): (Long, Long) = {
+    require(keyCols.nonEmpty, "dedupIngest needs dedup key columns")
+    require(!batch.columns.contains(keyCol),
+      s"batch already has a '$keyCol' column; pass keyCol= a free name")
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    // U+0001-joined, nulls as a U+0002 sentinel: unambiguous for values
+    // free of control chars, and portable -- any ANSI engine replays it as
+    // md5(concat_ws(chr(1), coalesce(CAST(c AS VARCHAR), chr(2)), ...))
+    val keyed = batch.withColumn(keyCol, md5(concat_ws("\u0001",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)))
+    val inBatch = exactDedup(keyed, Seq(keyCol), idCol)
+    val dir = Catalog.tablePath(lh, goldTable)
+    // prior size comes off the manifest (metadata-only) so the appended
+    // delta needs no second data pass
+    val (survivors, before) = Versioned.latestVersion(dir) match {
+      case None => (inBatch, 0L)
+      case Some(v) =>
+        val seen = TableIO.selectTable(spark, lh, goldTable).select(keyCol)
+        (inBatch.join(seen, Seq(keyCol), "left_anti"),
+          Versioned.readManifest(dir, v)
+            .flatMap(TableIO.rowsFromManifest).getOrElse(0L))
+    }
+    val total = keyed.count()
+    val kept = TableIO.appendTable(spark, lh, goldTable, survivors,
+      extraMeta = extraMeta).rowCount - before
+    (kept, total - kept)
+  }
+
+  /** Streaming dedup-at-ingest — [[dedupIngest]] driven by a live stream:
+    * each micro-batch folds in exactly once (the txn-watermark contract:
+    * the batch id commits atomically with the appended rows, so a batch
+    * replayed after a crash between commit and checkpoint advance is
+    * skipped — and even without the marker a replay is harmless, because
+    * its keys are already in the state and anti-join away; the marker
+    * buys versioned-history hygiene, not just correctness). Per-batch
+    * cost: O(batch) keying + one anti-join against the pruned key
+    * column. */
+  def streamDedupIngest(events: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, goldTable: String,
+      keyCols: Seq[String], idCol: String,
+      checkpoint: Option[String] = None,
+      appId: Option[String] = None) = {
+    import graft.lakehouse.Catalog
+    val txnKey = appId.orElse(checkpoint).map("txn:" + _)
+    val w = events.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val (_, committed) = EventWindows.txnWatermark(
+            Catalog.tablePath(lh, goldTable), None,
+            txnKey.map(_.stripPrefix("txn:")))
+          if (!committed().exists(_ >= batchId)) {
+            dedupIngest(spark, lh, goldTable, batch.toDF(), keyCols, idCol,
+              extraMeta = txnKey.map(_ -> batchId.toString).toMap)
+            ()
+          }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   private val MersennePrime = 2147483647L // 2^31 - 1; keeps a*h+b < 2^62 (no ANSI overflow)
@@ -1221,6 +1301,50 @@ object Dedup {
         col("overlap").cast("double") / col("eval_grams").cast("double"))
       .filter(col("containment") >= threshold)
       .select("train_id", "eval_id", "overlap", "containment")
+  }
+
+  /** Cross-split contamination audit: after a train/heldout split, the
+    * per-stratum fraction of heldout documents sharing at least one word
+    * n-gram with ANY train document — the leakage number that decides
+    * whether a heldout metric can be trusted (GPT-3's train/test overlap
+    * analysis, run as a pipeline gate). Complements
+    * [[ngramContamination]] (which scores external eval sets); this one
+    * audits the split the pipeline itself produced, so a buggy splitter
+    * that leaks near-copies across the cut is caught by the number, not
+    * by a reviewer.
+    *
+    * Scale shape: grams hash to 8 bytes (xxhash64) and dedup per
+    * (doc, gram) on each side; ONE left-semi join marks contaminated
+    * heldout docs (the heldout side is the small split fraction — AQE
+    * broadcasts it when it fits, shuffles otherwise); totals and the
+    * integer permille come from one |strata|-bounded aggregation. The
+    * train side is gram-distinct only — no doc ids cross the exchange
+    * for it. */
+  def crossSplitLeakage(split: DataFrame, idCol: String, textCol: String,
+      splitCol: String, trainLabel: String, heldLabel: String,
+      n: Int, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "crossSplitLeakage needs stratum columns")
+    val trainGrams = split.filter(col(splitCol) === trainLabel)
+      .select(explode(wordNgrams(textCol, n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh")).distinct()
+    val heldGrams = split.filter(col(splitCol) === heldLabel)
+      .select(col(idCol) +: groupCols.map(col) :+
+        explode(wordNgrams(textCol, n)).as("gram"): _*)
+      .select(col(idCol) +: groupCols.map(col) :+
+        xxhash64(col("gram")).as("gh"): _*)
+      .distinct()
+    val contaminated = heldGrams.join(trainGrams, Seq("gh"), "left_semi")
+      .select(col(idCol) +: groupCols.map(col): _*).distinct()
+      .withColumn("__c", lit(1))
+    split.filter(col(splitCol) === heldLabel)
+      .select(col(idCol) +: groupCols.map(col): _*)
+      .join(contaminated, idCol +: groupCols, "left_outer")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_heldout"),
+        sum(coalesce(col("__c"), lit(0))).as("n_contaminated"))
+      .select(groupCols.map(col) :+ col("n_heldout") :+
+        col("n_contaminated") :+
+        expr("n_contaminated * 1000 div n_heldout").as("leak_permille"): _*)
   }
 
   // ---- embedding cosine near-dup ------------------------------------------

@@ -853,4 +853,110 @@ object TextStats {
   def withHtmlText(df: DataFrame, htmlCol: String,
       outCol: String = "text_clean"): DataFrame =
     df.withColumn(outCol, htmlToText(coalesce(col(htmlCol), lit(""))))
+
+  /** Corpus-trained gibberish signal: the `topK` most frequent character
+    * trigrams of the corpus (by total occurrences; ties broken by gram
+    * ascending so the cut is deterministic) form the "common core", and
+    * each document scores the permille of its trigram occurrences falling
+    * OUTSIDE that core. Natural-language text concentrates its trigram
+    * mass in a small common core; OCR noise, mojibake and binary spills
+    * do not — a model-free quality filter trained on the corpus itself
+    * (the n-gram cousin of the fastText-style classifier in
+    * [[graft.lakehouse.ext.QualityModel]]).
+    *
+    * Shape is the tfidf one: a per-row compiled gram-counting kernel
+    * feeds a counts-only aggregate whose key space is bounded by the
+    * corpus charset (≤ charset³ distinct trigrams — NOT corpus-sized),
+    * the topK cut collects exactly `topK` rows to broadcast, and a
+    * second per-row kernel scores each document against the broadcast
+    * core. Two pruned scans, one (gram, count) exchange, no row
+    * explosion. Text normalizes as lower + trim + whitespace collapse
+    * (the [[Dedup.wordNgrams]] canonicalization); documents with fewer
+    * than 3 normalized chars have no trigrams and are dropped. */
+  def rareGramScore(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 256): DataFrame = {
+    require(topK > 0, "rareGramScore needs topK >= 1")
+    val spark = df.sparkSession
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val d = spreadIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), norm.as("__t"))
+    // grams step over CODE POINTS, not UTF-16 units — Java substring
+    // would split surrogate pairs and disagree with any engine that
+    // counts characters (the portable contract)
+    val gramCounts = udf((s: String) => {
+      val cp = if (s == null) Array.empty[Int] else s.codePoints().toArray
+      if (cp.length < 3) Map.empty[String, Int]
+      else {
+        val m = new java.util.HashMap[String, Int]
+        var i = 0
+        while (i <= cp.length - 3) {
+          val g = new String(cp, i, 3)
+          m.merge(g, 1, (a: Int, b: Int) => a + b)
+          i += 1
+        }
+        scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toMap
+      }
+    })
+    val common = d
+      .select(explode(gramCounts(col("__t"))).as(Seq("gram", "c")))
+      .groupBy("gram").agg(sum(col("c")).as("c"))
+      .orderBy(col("c").desc, col("gram").asc)
+      .limit(topK)
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(common)
+    val score = udf((s: String) => {
+      val cp = if (s == null) Array.empty[Int] else s.codePoints().toArray
+      if (cp.length < 3) (0L, 0L)
+      else {
+        val core = bc.value
+        var total = 0L
+        var inCore = 0L
+        var i = 0
+        while (i <= cp.length - 3) {
+          total += 1
+          if (core.contains(new String(cp, i, 3))) inCore += 1
+          i += 1
+        }
+        (total, inCore)
+      }
+    })
+    d.select(col(idCol), score(col("__t")).as("__s"))
+      .filter(col("__s._1") > 0)
+      .select(col(idCol), col("__s._1").as("total_grams"),
+        expr("(__s._1 - __s._2) * 1000 div __s._1").as("rare_permille"))
+  }
+
+  /** URL canonicalization for web-corpus dedup — the CCNet/Common Crawl
+    * ingestion step that collapses crawl-time aliases of one page into
+    * one key: drop the `#fragment`, lowercase ONLY the
+    * `scheme://host[:port]` prefix (paths are case-sensitive by spec),
+    * strip the scheme-default port (`:80` http, `:443` https), and
+    * remove `utm_*` tracking parameters (param split on `&`, relative
+    * order of survivors preserved — reordering can change semantics, so
+    * we don't). A pure per-row string chain, zero shuffle: regexps stay
+    * in the RE2-safe discipline (no lookaround, no backrefs) so any ANSI
+    * engine replays the same rules, and the param filter is an explicit
+    * split/filter/rejoin rather than a regex, because a global regex
+    * pass cannot delete two ADJACENT utm params (the scanner resumes
+    * after the replaced region and misses the second). Scheme-less
+    * strings pass through with fragment/query rules still applied. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lowercase scheme://host[:port]; everything after it is untouched
+    val prefix = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0)
+    val lowered = concat(lower(prefix),
+      substring(noFrag, length(prefix) + 1, lit(Int.MaxValue)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?]+):443([/?]|$)", "$1$2"),
+      "^(http://[^/:?]+):80([/?]|$)", "$1$2")
+    val base = regexp_replace(noPort, "\\?.*", "")
+    val params = filter(split(regexp_extract(noPort, "\\?(.*)", 1), "&"),
+      p => length(p) > 0 && !p.startsWith("utm_"))
+    when(size(params) > 0,
+      concat(base, lit("?"), array_join(params, "&"))).otherwise(base)
+  }
+
+  /** Host of a [[normalizeUrl]]-normalized URL ("" when scheme-less). */
+  def urlDomain(urlNorm: Column): Column =
+    regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
 }

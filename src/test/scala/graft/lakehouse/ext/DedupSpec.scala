@@ -322,4 +322,93 @@ class DedupSpec extends SparkSuite {
     }
     toks.unpersist()
   }
+  test("dedupIngest: min-id within batch, first batch wins cross-batch, " +
+      "replay is a no-op") {
+    import graft.lakehouse.{Catalog, TableIO}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("dedup_ingest_test").toString,
+      "ws_di", "lh_di").lakehouses.head
+    val b1 = Seq((5L, "k1"), (3L, "k1"), (7L, "k2")).toDF("id", "k")
+    val b2 = Seq((1L, "k1"), (8L, "k3")).toDF("id", "k")
+    assert(Dedup.dedupIngest(spark, lh, "gold", b1, Seq("k"), "id")
+      == ((2L, 1L))) // k1 keeps id=3 (batch min), 5 dropped
+    // id=1 would win a global min-id dedup, but batch 1 already owns k1
+    assert(Dedup.dedupIngest(spark, lh, "gold", b2, Seq("k"), "id")
+      == ((1L, 1L)))
+    val got = TableIO.selectTable(spark, lh, "gold").select("id", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((3L, "k1"), (7L, "k2"), (8L, "k3")))
+    // refolding an already-seen batch: every key anti-joins away
+    assert(Dedup.dedupIngest(spark, lh, "gold", b2, Seq("k"), "id")
+      == ((0L, 2L)))
+    assert(TableIO.selectTable(spark, lh, "gold").count() == 3)
+    TableIO.dropTable(spark, lh, "gold")
+  }
+
+  test("dedupIngest: null keys take the sentinel; multi-column keys are " +
+      "unambiguous across the separator") {
+    import graft.lakehouse.{Catalog, TableIO}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("dedup_ingest_nulls").toString,
+      "ws_din", "lh_din").lakehouses.head
+    val b = Seq((1L, null.asInstanceOf[String], "x"),
+      (2L, "x", null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String], "x"),
+      (4L, "ab", "c"), (5L, "a", "bc")).toDF("id", "a", "b")
+    val (kept, dropped) =
+      Dedup.dedupIngest(spark, lh, "gold_n", b, Seq("a", "b"), "id")
+    assert((kept, dropped) == ((4L, 1L))) // only (null,x) collides: 1 with 3
+    val ids = TableIO.selectTable(spark, lh, "gold_n").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L, 5L))
+    TableIO.dropTable(spark, lh, "gold_n")
+  }
+
+  test("streamDedupIngest: exactly-once micro-batch folds; a replayed " +
+      "batch id neither appends nor versions the state") {
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    implicit val sqlCtx = spark.sqlContext
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("dedup_stream_test").toString,
+      "ws_ds", "lh_ds").lakehouses.head
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Dedup.streamDedupIngest(mem.toDF().toDF("id", "k"), spark, lh,
+      "gold_s", Seq("k"), "id", appId = Some("dis_test"))
+    try {
+      mem.addData((5L, "k1"), (3L, "k1"), (7L, "k2"))
+      q.processAllAvailable()
+      mem.addData((1L, "k1"), (8L, "k3"))
+      q.processAllAvailable()
+      val got = TableIO.selectTable(spark, lh, "gold_s").select("id", "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((3L, "k1"), (7L, "k2"), (8L, "k3")))
+      val dir = Catalog.tablePath(lh, "gold_s")
+      val vBefore = Versioned.latestVersion(dir).get
+      // replayed batch id: the txn watermark skips the fold entirely
+      val replay = Dedup.streamDedupIngest(mem.toDF().toDF("id", "k"),
+        spark, lh, "gold_s", Seq("k"), "id", appId = Some("dis_test"))
+      replay.processAllAvailable(); replay.stop()
+      assert(Versioned.latestVersion(dir).get == vBefore,
+        "replayed batches must not version the state forward")
+    } finally q.stop()
+  }
+  test("crossSplitLeakage: heldout docs sharing a train n-gram are " +
+      "counted per stratum") {
+    val split = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta", "train"),
+      (2L, "en", "alpha beta gamma delta epsilon eta", "heldout"),
+      (3L, "en", "one two three four five six", "heldout"),
+      (4L, "fr", "un deux trois quatre cinq", "train"),
+      (5L, "fr", "six sept huit neuf dix", "heldout")
+    ).toDF("doc_id", "lang", "text", "split")
+    val out = Dedup.crossSplitLeakage(split, "doc_id", "text", "split",
+      "train", "heldout", n = 5, groupCols = Seq("lang"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // en: doc 2 shares "alpha beta gamma delta epsilon", doc 3 shares
+    // nothing; fr: "six" appears in en-train? no -- train grams are
+    // 5-grams, so "six sept huit neuf dix" never matches en's grams
+    assert(out.toSeq == Seq(("en", 2L, 1L, 500L), ("fr", 1L, 0L, 0L)))
+  }
 }

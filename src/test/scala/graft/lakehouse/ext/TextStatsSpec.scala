@@ -377,4 +377,64 @@ class TextStatsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out == Map(1L -> "bold", 2L -> ""))
   }
+  test("rareGramScore: hand-computed core membership and permille") {
+    val df = Seq((1L, "aaaa"), (2L, "aab"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    // corpus trigrams: aaa x2 (doc 1), aab x1 (doc 2); topK=1 -> {aaa};
+    // doc 3 has no trigram and is dropped
+    val out = TextStats.rareGramScore(df, "doc_id", "text", topK = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0L), (2L, 1L, 1000L)))
+  }
+
+  test("rareGramScore: normalization collapses case/whitespace; topK tie " +
+      "breaks by gram ascending") {
+    // "AB  C" normalizes to "ab c": grams {"ab ", "b c"} tie at count 1;
+    // the deterministic cut keeps "ab " (gram asc), so rare = 500
+    val df = Seq((1L, "AB  C")).toDF("doc_id", "text")
+    val out = TextStats.rareGramScore(df, "doc_id", "text", topK = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 500L)))
+  }
+
+  test("rareGramScore: grams step over code points, not UTF-16 units") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((1L, emoji + "ab")).toDF("doc_id", "text")
+    // 3 code points -> exactly ONE trigram (5 UTF-16 units would give 3
+    // broken ones); with topK=8 it lands in the core -> rare 0
+    val out = TextStats.rareGramScore(df, "doc_id", "text", topK = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L)))
+  }
+
+  test("normalizeUrl: rule chain (fragment, prefix case, default ports, " +
+      "utm removal incl. adjacent params, order preserved)") {
+    val cases = Seq(
+      "HTTPS://Ex.COM:443/A/B?utm_a=1&utm_b=2&x=3#f"
+        -> "https://ex.com/A/B?x=3",
+      "http://EX.com:80/" -> "http://ex.com/",
+      "http://ex.com:8080/p" -> "http://ex.com:8080/p",
+      "https://ex.com:443" -> "https://ex.com",
+      "http://ex.com/p?utm_only=1" -> "http://ex.com/p",
+      "no-scheme/Path#frag" -> "no-scheme/Path",
+      "http://ex.com/p?a=1&utm_x=2&b=2" -> "http://ex.com/p?a=1&b=2")
+    val df = cases.zipWithIndex
+      .map { case ((in, want), i) => (i.toLong, in, want) }
+      .toDF("id", "url", "want")
+    val bad = df.select(col("want"),
+        TextStats.normalizeUrl(col("url")).as("got"), col("url"))
+      .collect().filter(r => r.getString(0) != r.getString(1))
+      .map(r => s"${r.getString(2)}: got ${r.getString(1)}, " +
+        s"want ${r.getString(0)}")
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("urlDomain extracts the host of a normalized url") {
+    val df = Seq((1L, "https://www.ex.com/p?a=1"), (2L, "relative/path"))
+      .toDF("id", "u")
+    val out = df.select(col("id"), TextStats.urlDomain(col("u")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "www.ex.com", 2L -> ""))
+  }
 }
