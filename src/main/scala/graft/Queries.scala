@@ -7637,5 +7637,164 @@ object Queries {
         |  regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1)
         |    AS domain
         |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // Portable hashed bag-of-words embeddings (feature hashing,
+    // Weinberger '09): integer +-1 counts at md5-derived positions —
+    // bit-portable, no external model, and the cells feed the same
+    // cosine/ANN operators a model embedding column does. Pure codegen'd
+    // SQL expressions, sparse (id, pos, v) out.
+    Q("q254_hashed_bow_embed",
+      (s, dir) => Embeddings.hashedBowEmbed(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "pos"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |nz AS (SELECT doc_id, md5(tok) AS h FROM w WHERE length(tok) > 0),
+        |cells AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(h, 1, 8))::UBIGINT % 64 AS INT) AS pos,
+        |    CASE WHEN ('0x' || substring(h, 9, 1))::UBIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM nz)
+        |SELECT doc_id, pos, CAST(sum(s) AS BIGINT) AS v
+        |FROM cells GROUP BY 1, 2 ORDER BY doc_id, pos""".stripMargin)),
+
+    // Exact top-k retrieval by integer dot product over the hashed-BoW
+    // cells — the brute-force baseline of the ANN family on
+    // self-contained text vectors; all-integer scores, bit-portable
+    // ranking. The recall-traded 100 TB path is the persisted PQ/IVF
+    // index (q243/q244).
+    Q("q255_hashed_bow_topk",
+      (s, dir) => {
+        val cells = Embeddings.hashedBowEmbed(
+          t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        Embeddings.hashedBowTopK(cells, Seq(7L, 123L, 250L), "doc_id",
+          k = 10).orderBy("query_id", "rank")
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |nz AS (SELECT doc_id, md5(tok) AS h FROM w WHERE length(tok) > 0),
+        |cells AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(h, 1, 8))::UBIGINT % 64 AS INT) AS pos,
+        |    CASE WHEN ('0x' || substring(h, 9, 1))::UBIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM nz),
+        |v AS (
+        |  SELECT doc_id, pos, CAST(sum(s) AS BIGINT) AS v
+        |  FROM cells GROUP BY 1, 2),
+        |q AS (
+        |  SELECT doc_id AS query_id, pos, v AS vq FROM v
+        |  WHERE doc_id IN (7, 123, 250)),
+        |d AS (
+        |  SELECT q.query_id, c.doc_id, CAST(sum(c.v * q.vq) AS BIGINT)
+        |    AS dot
+        |  FROM v c JOIN q ON c.pos = q.pos
+        |  WHERE c.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, dot, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dot DESC, doc_id ASC) AS rank
+        |  FROM d)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, dot
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Hard-negative mining (the DPR recipe): per query, top-BM25 docs
+    // that are NOT relevance-labeled become ranked negatives. Integer
+    // ranks only cross the operator — the float score stays inside the
+    // retriever.
+    Q("q256_hard_negatives",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val ranking = TextStats.bm25TopK(docs, "doc_id", "text",
+            query = "spark shuffle join window", k = 20)
+          .withColumn("query_id", lit("q1"))
+          .unionByName(TextStats.bm25TopK(docs, "doc_id", "text",
+            query = "language model training data", k = 20)
+            .withColumn("query_id", lit("q2")))
+        val qrels = t(s, dir, "documents")
+          .filter(col("doc_id") % 13 === 5)
+          .select(lit("q1").as("query_id"), col("doc_id"))
+          .unionByName(t(s, dir, "documents")
+            .filter(col("doc_id") % 11 === 3)
+            .select(lit("q2").as("query_id"), col("doc_id")))
+        Retrieval.hardNegatives(ranking, qrels, "query_id", "doc_id",
+          "rank").orderBy("query_id", "neg_rank")
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |nz AS (SELECT doc_id, term FROM w WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qt AS (
+        |  SELECT 'q1' AS query_id,
+        |    unnest(['spark', 'shuffle', 'join', 'window']) AS term
+        |  UNION ALL
+        |  SELECT 'q2', unnest(['language', 'model', 'training', 'data'])),
+        |tf AS (
+        |  SELECT qt.query_id, nz.doc_id, nz.term, count(*) AS tf
+        |  FROM nz JOIN qt ON nz.term = qt.term GROUP BY 1, 2, 3),
+        |dft AS (
+        |  SELECT query_id, term, count(*) AS df_t FROM tf GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT tf.query_id, tf.doc_id,
+        |    ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tf JOIN dft USING (query_id, term) JOIN dl USING (doc_id),
+        |    corpus),
+        |sc AS (
+        |  SELECT query_id, doc_id, sum(s) AS bm25 FROM sb GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM sc),
+        |neg AS (
+        |  SELECT query_id, doc_id, rank FROM rk
+        |  WHERE rank <= 20 AND NOT (
+        |    (query_id = 'q1' AND doc_id % 13 = 5) OR
+        |    (query_id = 'q2' AND doc_id % 11 = 3))),
+        |rr AS (
+        |  SELECT query_id, doc_id, rank, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rank ASC, doc_id ASC)
+        |    AS neg_rank
+        |  FROM neg)
+        |SELECT query_id, CAST(neg_rank AS INT) AS neg_rank, doc_id,
+        |  CAST(rank AS INT) AS orig_rank
+        |FROM rr ORDER BY query_id, neg_rank""".stripMargin)),
+
+    // PERSISTED incremental per-source corpus card — additive counters
+    // folded batch by batch (O(batch) + O(|sources|) merge, history
+    // never rescanned); the oracle rebuilds the card from the whole
+    // corpus in one shot.
+    Q("q257_corpus_stats_incremental",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "corpus_stats")
+        val docs = t(s, dir, "documents")
+        TextStats.corpusStatsTableUpdate(s, lh, "corpus_stats",
+          docs.filter(col("doc_id") % 2 === 0), "text", "source")
+        TextStats.corpusStatsTableUpdate(s, lh, "corpus_stats",
+          docs.filter(col("doc_id") % 2 =!= 0), "text", "source")
+        TableIO.selectTable(s, lh, "corpus_stats").orderBy("source")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, text,
+        |    len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '')) AS ntok
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_text,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+        |  CAST(max(ntok) AS BIGINT) AS max_doc_tokens,
+        |  CAST(min(ntok) AS BIGINT) AS min_doc_tokens
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 }

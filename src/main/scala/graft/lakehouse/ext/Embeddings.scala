@@ -239,4 +239,62 @@ object Embeddings {
             expr("cast((__dot * __dot * 1000) div (__na2 * __nb2) as bigint)"))
           .as("cos2_signed_permille"))
   }
+  /** Portable hashed bag-of-words document embeddings (feature hashing,
+    * Weinberger '09): each token contributes +-1 at index
+    * h(token) mod dim, where h is the first 32 bits of md5 (the
+    * engine-portable hash: `('0x' || substr(md5_hex, 1, 8))::UBIGINT`
+    * anywhere) and the sign comes from the NINTH hex digit's parity --
+    * independent of the index bits, so sign and bucket don't correlate.
+    * Integer counts, no floats anywhere: bit-portable across engines and
+    * partitionings. Output is SPARSE (id, pos, v) cells -- at most
+    * min(dim, distinct tokens) rows per doc cross the one exchange --
+    * which is both the scale-honest shape and what the oracle replays.
+    *
+    * This makes the text->vector pipeline self-contained: the cells feed
+    * the same cosine / ANN / persisted-index operators a model-produced
+    * embedding column does, with no external model in the loop. The whole
+    * chain is pure codegen'd SQL expressions -- no UDF, no kernel. */
+  def hashedBowEmbed(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20), "dim must be in [2, 2^20]")
+    val toks = filter(
+      split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "),
+      t => length(t) > 0)
+    df.select(col(idCol), explode(toks).as("__tok"))
+      .select(col(idCol), md5(col("__tok")).as("__h"))
+      .select(col(idCol),
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int").as("pos"),
+        when(conv(substring(col("__h"), 9, 1), 16, 10)
+            .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("__s"))
+      .groupBy(col(idCol), col("pos"))
+      .agg(sum(col("__s")).as("v"))
+  }
+
+  /** Exact top-k retrieval by integer DOT PRODUCT over [[hashedBowEmbed]]
+    * cells: score(q, d) = sum over shared positions of v_q * v_d, ranked
+    * (score desc, doc asc), self-pairs excluded, docs sharing no position
+    * drop (their dot is 0 -- never a useful neighbor). All-integer, so
+    * the ranking is bit-portable. This is the brute-force exact baseline
+    * of the ANN family (the q34 role): the query side is k-bounded and
+    * broadcast, the corpus side streams -- per-query cost is one pass
+    * over matching cells, and the recall-traded path for 100 TB is the
+    * persisted PQ/IVF index (q243/q244), not this. */
+  def hashedBowTopK(cells: DataFrame, queryIds: Seq[Long], idCol: String,
+      k: Int): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need query ids and k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val q = cells.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("pos"), col("v").as("vq"))
+    val dots = cells.join(broadcast(q), Seq("pos"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("v") * col("vq")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+    dots.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol), col("dot"))
+  }
 }

@@ -134,4 +134,31 @@ object Retrieval {
       .withColumn("recall_permille",
         when(col("n_truth") > 0, expr("(tp * 1000) div n_truth")))
   }
+  /** Hard-negative mining for retrieval training (the DPR recipe,
+    * Karpukhin '20): per query, the top-ranked documents that are NOT
+    * relevance-labeled become ranked negatives -- the near-misses a
+    * contrastive trainer learns the most from. One LEFT ANTI join of the
+    * ranking against the qrels, then negatives re-rank densely (original
+    * order preserved) so a downstream sampler takes the first n.
+    *
+    * 100 TB shape: the ranking input is already top-k-bounded per query,
+    * so the anti-join touches |queries| * k rows with the eval-sized
+    * qrels riding a broadcast -- metadata-scale regardless of corpus
+    * size; the re-rank window partitions by query over those same
+    * bounded rows. Ranks validate per row (>= 1, non-null) like every
+    * operator in this file -- a malformed ranking fails loudly. */
+  def hardNegatives(ranking: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = ranking.select(col(queryCol), col(docCol),
+      guardedRank(col(rankCol), "hardNegatives"))
+    val negatives = guarded.join(
+      broadcast(qrels.select(col(queryCol), col(docCol))),
+      Seq(queryCol, docCol), "left_anti")
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("__rank").asc, col(docCol).asc)
+    negatives.withColumn("neg_rank", row_number().over(w))
+      .select(col(queryCol), col("neg_rank").cast("int").as("neg_rank"),
+        col(docCol), col("__rank").cast("int").as("orig_rank"))
+  }
 }

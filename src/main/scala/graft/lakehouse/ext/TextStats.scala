@@ -732,6 +732,59 @@ object TextStats {
         ((col("n_tokens") * 1000L) / col("n_docs")).cast("long"))
   }
 
+  /** PERSISTED incremental per-source corpus card — the additive subset
+    * of [[corpusReport]] (docs, null-text, tokens, chars, max/min doc
+    * tokens) maintained as a versioned state table folded one batch at a
+    * time: every counter is associative (sums, max, min), so any fold
+    * order equals the from-scratch card bit-for-bit, each batch costs
+    * O(batch) aggregation + an O(|sources|) full-outer merge, and the
+    * corpus history is never rescanned — the dataset card that stays
+    * current under continuous ingestion. Distinct-counts (langs, exact
+    * dups) are deliberately NOT here: they aren't additive — the KMV
+    * sketch table (q245) carries per-group distincts at scale. Token
+    * counts treat null text as zero tokens (the [[corpusReport]]
+    * contract), so min/max merge needs no null gymnastics beyond the
+    * full-outer coalesce-swap. Returns the state's row count. */
+  def corpusStatsTableUpdate(spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      batch: DataFrame, textCol: String, sourceCol: String): Long = {
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    val ntok = size(tokArray(textCol))
+    val fresh = batch
+      .select(col(sourceCol).as("source"), col(textCol).as("__t"),
+        ntok.as("__ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__t").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(col("__ntok")).cast("long").as("n_tokens"),
+        sum(length(coalesce(col("__t"), lit("")))).cast("long")
+          .as("n_chars"),
+        max(col("__ntok")).cast("long").as("max_doc_tokens"),
+        min(col("__ntok")).cast("long").as("min_doc_tokens"))
+    val dir = Catalog.tablePath(lh, tableName)
+    val merged = Versioned.latestVersion(dir) match {
+      case None => fresh
+      case Some(_) =>
+        val renamed = fresh.columns.filter(_ != "source")
+          .foldLeft(fresh)((d, c) => d.withColumnRenamed(c, "__" + c))
+        def add(n: String) =
+          (coalesce(col(n), lit(0L)) + coalesce(col("__" + n), lit(0L)))
+            .as(n)
+        TableIO.selectTable(spark, lh, tableName)
+          .join(renamed, Seq("source"), "full_outer")
+          .select(col("source"), add("n_docs"), add("n_null_text"),
+            add("n_tokens"), add("n_chars"),
+            greatest(coalesce(col("max_doc_tokens"),
+                col("__max_doc_tokens")),
+              coalesce(col("__max_doc_tokens"), col("max_doc_tokens")))
+              .as("max_doc_tokens"),
+            least(coalesce(col("min_doc_tokens"), col("__min_doc_tokens")),
+              coalesce(col("__min_doc_tokens"), col("min_doc_tokens")))
+              .as("min_doc_tokens"))
+    }
+    TableIO.writeTable(spark, lh, tableName, merged).rowCount
+  }
+
   /** Per-document n-gram novelty of a NEW batch against a REFERENCE
     * corpus: the share (exact integer permille) of each new document's
     * DISTINCT w-token windows that appear nowhere in the reference — the

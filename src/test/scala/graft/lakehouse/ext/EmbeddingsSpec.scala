@@ -156,4 +156,31 @@ class EmbeddingsSpec extends SparkSuite {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(chain.contains("budget exceeded"), chain)
   }
+  test("hashedBowEmbed: deterministic sparse cells; repeated tokens sum; " +
+      "null/empty text drops") {
+    val df = Seq((1L, "alpha alpha beta"), (2L, null.asInstanceOf[String]),
+      (3L, "   ")).toDF("doc_id", "text")
+    val cells = Embeddings.hashedBowEmbed(df, "doc_id", "text", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(cells.forall(_._1 == 1L), "null/blank docs must produce no cells")
+    assert(cells.map(_._3.abs).sum == 3L,
+      "three token occurrences must contribute |v| summing to 3")
+    val again = Embeddings.hashedBowEmbed(df, "doc_id", "text", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(cells.sortBy(c => (c._1, c._2)).toSeq ==
+      again.sortBy(c => (c._1, c._2)).toSeq)
+    assert(cells.forall(c => c._2 >= 0 && c._2 < 64))
+  }
+
+  test("hashedBowTopK: integer dot products rank correctly, self excluded") {
+    // hand-built cells: q=1 has (0 -> 2, 1 -> -1); doc 2 dot = 2*3 + -1*1
+    // = 5; doc 3 dot = 2*1 = 2; doc 4 shares no pos -> absent
+    val cells = Seq((1L, 0, 2L), (1L, 1, -1L),
+      (2L, 0, 3L), (2L, 1, 1L), (3L, 0, 1L), (4L, 5, 9L))
+      .toDF("doc_id", "pos", "v")
+    val out = Embeddings.hashedBowTopK(cells, Seq(1L), "doc_id", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1, 2L, 5L), (1L, 2, 3L, 2L)))
+  }
 }

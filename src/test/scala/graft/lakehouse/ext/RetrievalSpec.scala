@@ -128,4 +128,24 @@ class RetrievalSpec extends SparkSuite {
     }
     assert(messageChain(e2).contains("malformed ranking"), messageChain(e2))
   }
+  test("hardNegatives: labeled docs drop, survivors re-rank densely in " +
+      "original order; malformed ranks raise") {
+    val ranking = Seq(("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q2", 20L, 1), ("q2", 21L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(("q1", 11L), ("q2", 20L), ("q2", 99L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.hardNegatives(ranking, qrels, "query_id",
+        "doc_id", "rank")
+      .orderBy("query_id", "neg_rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(("q1", 1, 10L, 1), ("q1", 2, 12L, 3),
+      ("q2", 1, 21L, 2)))
+    val bad = Seq(("q1", 10L, 0)).toDF("query_id", "doc_id", "rank")
+    val e = intercept[Exception] {
+      Retrieval.hardNegatives(bad, qrels, "query_id", "doc_id", "rank")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

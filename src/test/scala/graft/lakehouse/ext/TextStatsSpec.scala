@@ -437,4 +437,32 @@ class TextStatsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "www.ex.com", 2L -> ""))
   }
+  test("corpusStatsTableUpdate: batch folds equal the one-shot card in " +
+      "any order; new sources join; null text counts as zero tokens") {
+    import graft.lakehouse.{Catalog, TableIO}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("cstats_test").toString,
+      "ws_cs", "lh_cs").lakehouses.head
+    val docs = Seq((1L, "a b c", "web"), (2L, null.asInstanceOf[String], "web"),
+      (3L, "d", "web"), (4L, "e f", "books"), (5L, "g h i j", "books"),
+      (6L, "k", "code")).toDF("doc_id", "text", "source")
+    def card(name: String, batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      TableIO.dropTable(spark, lh, name)
+      batches.foreach(b => TextStats.corpusStatsTableUpdate(
+        spark, lh, name, b, "text", "source"))
+      TableIO.selectTable(spark, lh, name).orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    }
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 =!= 0)
+    val a = card("cs_a", Seq(even, odd))
+    val b = card("cs_b", Seq(odd, even))
+    val one = card("cs_c", Seq(docs))
+    assert(a == one && b == one, s"a=$a b=$b one=$one")
+    // the "web" row: 3 docs, 1 null text (0 tokens -> min 0), 4 tokens
+    val web = one.find(_._1 == "web").get
+    assert(web == (("web", 3L, 1L, 4L, 6L, 3L, 0L)), web.toString)
+    Seq("cs_a", "cs_b", "cs_c").foreach(TableIO.dropTable(spark, lh, _))
+  }
 }
