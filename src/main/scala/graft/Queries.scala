@@ -7796,5 +7796,136 @@ object Queries {
         |  CAST(max(ntok) AS BIGINT) AS max_doc_tokens,
         |  CAST(min(ntok) AS BIGINT) AS min_doc_tokens
         |FROM d GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Metadata-only column profile: count(*)/nulls/min/max answered from
+    // the manifest's per-file stats in O(files) with ZERO data scanned
+    // (Delta's stats-based query answering) — the oracle recomputes the
+    // same answers the slow way, over the data.
+    Q("q258_manifest_stats",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "mstats_li")
+        val src = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        TableIO.writeTable(s, lh, "mstats_li",
+          src.filter(col("l_orderkey") % 2 === 0))
+        TableIO.appendTable(s, lh, "mstats_li",
+          src.filter(col("l_orderkey") % 2 =!= 0))
+        TableIO.manifestColumnStats(s, lh, "mstats_li",
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "ship_date")).orderBy("col_name")
+      },
+      Some("""WITH src AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |    CAST(l_shipdate AS DATE) AS ship_date FROM lineitem),
+        |p AS (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS mn,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS mx,
+        |    count(l_orderkey) AS nn FROM src
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(min(l_partkey) AS VARCHAR),
+        |    CAST(max(l_partkey) AS VARCHAR), count(l_partkey) FROM src
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(min(l_suppkey) AS VARCHAR),
+        |    CAST(max(l_suppkey) AS VARCHAR), count(l_suppkey) FROM src
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(min(l_linenumber) AS VARCHAR),
+        |    CAST(max(l_linenumber) AS VARCHAR), count(l_linenumber)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'ship_date', CAST(min(ship_date) AS VARCHAR),
+        |    CAST(max(ship_date) AS VARCHAR), count(ship_date) FROM src),
+        |n AS (SELECT count(*) AS n_rows FROM src)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_rows - nn AS BIGINT) AS n_nulls,
+        |  mn AS min_val, mx AS max_val
+        |FROM p, n ORDER BY col_name""".stripMargin)),
+
+    // Gopher repetition signals: per doc, the most frequent 2/3/4-gram
+    // and the permille of normalized chars its occurrences account for —
+    // catches in-line degenerate repetition the dup-LINE metrics (q52)
+    // can't see.
+    Q("q259_top_ngram_repetition",
+      (s, dir) => TextStats.topNgramRepetition(
+        t(s, dir, "documents"), "doc_id", "text", ns = Seq(2, 3, 4))
+        .orderBy("doc_id", "n"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, toks,
+        |    length(array_to_string(toks, ' ')) AS tlen FROM w),
+        |g AS (
+        |  SELECT doc_id, tlen, n,
+        |    unnest([array_to_string(toks[i:i+n-1], ' ')
+        |      for i in range(1, len(toks) - n + 2)]) AS gram
+        |  FROM base, (SELECT unnest([2, 3, 4]) AS n) ns
+        |  WHERE len(toks) >= n),
+        |c AS (
+        |  SELECT doc_id, tlen, n, gram, count(*) AS occurrences
+        |  FROM g GROUP BY ALL),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |    ORDER BY occurrences DESC, gram ASC) AS rn FROM c)
+        |SELECT doc_id, CAST(n AS INT) AS n, gram AS top_gram,
+        |  CAST(occurrences AS BIGINT) AS occurrences,
+        |  CAST((length(gram) * occurrences * 1000) // tlen AS BIGINT)
+        |    AS char_permille
+        |FROM r WHERE rn = 1 ORDER BY doc_id, n""".stripMargin)),
+
+    // Token-balanced serpentine shard assignment (greedy-LPT made
+    // rank-expressible): deterministic total order + boustrophedon deal,
+    // every shard within one max-document of every other.
+    Q("q260_balanced_shards",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          size(expr("filter(split(coalesce(text, ''), '\\\\s+'), " +
+            "t -> t <> '')")).as("n_tokens"))
+        Packing.balancedShards(docs, "doc_id", "n_tokens", numShards = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(
+        |    coalesce(text, ''), '\s+'), t -> t <> '')) AS INT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens, row_number() OVER (
+        |    ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rk FROM w)
+        |SELECT doc_id, n_tokens,
+        |  CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+        |    ELSE 7 - (rk % 8) END AS INT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic proportional mixture interleave (WFQ virtual finish
+    // times in exact integers): one global training order where each
+    // weighted source holds its share of EVERY prefix; sources without a
+    // weight drop. First 400 positions shown; the full order is one
+    // distributed range-partitioned sort.
+    Q("q261_mixture_interleave",
+      (s, dir) => Packing.mixtureInterleave(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 600, "src1" -> 300, "src2" -> 100), seed = 42L)
+        .orderBy("interleave_key", "source", "src_rank").limit(400),
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 300
+        |      WHEN 'src2' THEN 100 END AS w,
+        |    sha256(CAST(doc_id AS VARCHAR) || '#' || '42') AS sk
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')),
+        |r AS (
+        |  SELECT doc_id, source, w, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY sk, doc_id) AS INT) AS src_rank
+        |  FROM d)
+        |SELECT doc_id, source, src_rank,
+        |  CAST((CAST(src_rank AS BIGINT) * 1000000) // w AS BIGINT)
+        |    AS interleave_key
+        |FROM r
+        |ORDER BY interleave_key, source, src_rank LIMIT 400""".stripMargin)),
   )
 }

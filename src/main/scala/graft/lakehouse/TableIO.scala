@@ -1154,6 +1154,98 @@ object TableIO {
     }
   }
 
+  /** Metadata-only column profile: `count(*)`, per-column null counts and
+    * min/max answered from the MANIFEST alone — O(files) driver work, zero
+    * data scanned (Delta's stats-based query answering: a `count(*)` on a
+    * 100 TB table returns from metadata in milliseconds instead of a full
+    * scan). One row per requested column:
+    * `(col_name, n_rows, n_nulls, min_val, max_val)`, min/max in the
+    * stats' own rendering (Spark's cast-to-string of the column's type).
+    *
+    * Loud-refusal contract — this returns ANSWERS, never bounds:
+    *  - every file must carry a row count, a nullCount (3-element stats)
+    *    and parseable min/max for every requested column, else it raises
+    *    (callers fall back to a real scan; guessing would be silently
+    *    wrong);
+    *  - any deletion vector on the current version raises: a DV'd file's
+    *    physical stats describe rows the logical table no longer has, so
+    *    min/max/nullCount degrade to stale bounds (compact first or scan);
+    *  - StringType min/max raises: long-string stats truncate (prefix min,
+    *    incremented-prefix max), so the recorded max is an upper BOUND,
+    *    not a value present in the data. Numeric / date / timestamp /
+    *    boolean stats are exact.
+    * All-null columns surface NULL min/max (the recorded shape). */
+  def manifestColumnStats(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifestColumnStats: no columns requested")
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val m = Versioned.latestVersion(tableDir)
+      .flatMap(v => Versioned.readManifest(tableDir, v))
+      .getOrElse(throw new IllegalStateException(
+        s"manifestColumnStats($tableName): no manifest-based version — " +
+          "pre-protocol layouts carry no stats; scan instead"))
+    val dvd = m.entries.count(e => Versioned.dvRefOf(e).isDefined)
+    if (dvd > 0) throw new IllegalStateException(
+      s"manifestColumnStats($tableName): $dvd file(s) carry deletion " +
+        "vectors — physical stats no longer describe logical rows; " +
+        "compact (OPTIMIZE) first or scan")
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val toPhys = physicalMapping(schema)
+    val parsed = m.entries.map { e =>
+      import org.json4s.jackson.JsonMethods.parse
+      val j = e.stats.flatMap(s => scala.util.Try(parse(s)).toOption)
+        .getOrElse(throw new IllegalStateException(
+          s"manifestColumnStats($tableName): ${e.path} has no stats — " +
+            "scan instead"))
+      val rows = statsRowsJ(j).getOrElse(throw new IllegalStateException(
+        s"manifestColumnStats($tableName): ${e.path} has no row count — " +
+          "scan instead"))
+      (e.path, j, rows)
+    }
+    val nRows = parsed.map(_._3).sum
+    val out = cols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifestColumnStats($tableName): no column '$c'"))
+      if (f.dataType == StringType) throw new IllegalArgumentException(
+        s"manifestColumnStats($tableName): '$c' is a string column — " +
+          "long-string stats truncate to bounds, not values; scan instead")
+      val phys = toPhys.getOrElse(c, c)
+      var nulls = 0L
+      var mn: Option[String] = None
+      var mx: Option[String] = None
+      parsed.foreach { case (path, j, _) =>
+        nulls += statsNullCountJ(j, phys).getOrElse(
+          throw new IllegalStateException(
+            s"manifestColumnStats($tableName): $path has no null count " +
+              s"for '$c' (pre-nullCount manifest) — scan instead"))
+        def fold(cur: Option[String], v: String,
+            keepLess: Boolean): Option[String] = cur match {
+          case None => Some(v)
+          case Some(x) => cmpStat(f.dataType, v, x) match {
+            case Some(cmpv) => if ((cmpv < 0) == keepLess) Some(v)
+              else Some(x)
+            case None => throw new IllegalStateException(
+              s"manifestColumnStats($tableName): unparseable stat '$v' " +
+                s"for '$c' in $path — scan instead")
+          }
+        }
+        statsRangeJ(j, phys) match {
+          case Some((None, None)) => // all-null file: nothing to fold
+          case Some((Some(lo), Some(hi))) =>
+            mn = fold(mn, lo, keepLess = true)
+            mx = fold(mx, hi, keepLess = false)
+          case _ => throw new IllegalStateException(
+            s"manifestColumnStats($tableName): $path has no min/max for " +
+              s"'$c' — scan instead")
+        }
+      }
+      (c, nRows, nulls, mn.orNull, mx.orNull)
+    }
+    import spark.implicits._
+    out.toDF("col_name", "n_rows", "n_nulls", "min_val", "max_val")
+  }
+
   /** Stat-pruned `ORDER BY statCol [DESC] LIMIT k` (nulls excluded): using
     * per-file [min,max] + row counts, pick the shortest prefix of files (in
     * stat order) that provably holds ≥ k non-excludable rows, bound the

@@ -510,4 +510,81 @@ object Packing {
         col("c.n_tokens").as("n_tokens"),
         md5(col("c.chunk_text")).as("chunk_md5"))
   }
+
+  /** Token-balanced shard assignment for training-data export: documents
+    * sort by (`tokenCol` desc, `idCol` asc — a total order, so the
+    * assignment is deterministic and engine-portable) and deal out to
+    * `numShards` shards SERPENTINE (boustrophedon): pass 0 deals shards
+    * 0..S-1, pass 1 deals S-1..0, and so on — the classic greedy-LPT
+    * approximation made rank-expressible, no (inherently sequential)
+    * least-loaded heap. Balance bound: within one down-up pass pair the
+    * folded sums a_j + a_(2S-1-j) differ by at most that pair's band
+    * width, and the bands are consecutive in sorted order, so the
+    * differences TELESCOPE — totals land within (max doc − min doc) of
+    * each other, plus at most one smallest-band doc for an incomplete
+    * final pass; doc counts differ by at most 1. Adds `shardCol` (int).
+    *
+    * 100 TB shape: one distributed RANGE-partitioned sort + the
+    * zipWithIndex contiguous global rank ([[graft.lakehouse.Transform
+    * .addIndexColContiguous]]) — never a row_number over an unpartitioned
+    * window, which would collapse the corpus onto one task. The serpentine
+    * map from rank to shard is a pure per-row expression. */
+  def balancedShards(df: DataFrame, idCol: String, tokenCol: String,
+      numShards: Int, shardCol: String = "shard"): DataFrame = {
+    require(numShards >= 1, "balancedShards: numShards must be >= 1")
+    val sorted = df.orderBy(col(tokenCol).desc, col(idCol).asc)
+    val ranked = graft.lakehouse.Transform.addIndexColContiguous(
+      sorted, "__bs_rank", indexStart = -1) // 0-based rank
+    ranked
+      .withColumn("__bs_pass", expr(s"__bs_rank div $numShards"))
+      .withColumn("__bs_pos", expr(s"__bs_rank % $numShards"))
+      .withColumn(shardCol,
+        when(col("__bs_pass") % 2 === 0, col("__bs_pos"))
+          .otherwise(lit(numShards - 1) - col("__bs_pos")).cast("int"))
+      .drop("__bs_rank", "__bs_pass", "__bs_pos")
+  }
+
+  /** Deterministic proportional mixture interleave — the data-mixing
+    * scheduler: a single global training ORDER over a multi-source corpus
+    * in which source `s` with weight `w_s` (positive integers, relative)
+    * occupies a `w_s`-proportional share of every prefix. Classic
+    * weighted low-water-mark merge (the WFQ virtual-finish-time rule,
+    * exact-integer form): a doc with per-source rank `r` (1-based, by
+    * `sha2(id '#' seed)` then id — the deterministic-shuffle key every
+    * sampler here uses) gets `interleave_key = (r * 1000000) div w_s`,
+    * and the global order is (key asc, source asc, rank asc) — total,
+    * tie-broken, reproducible on any engine. After any prefix of K docs,
+    * source s has contributed K·w_s/Σw ± O(1) docs — spec-asserted.
+    *
+    * Returns (id, source, src_rank, interleave_key); consumers sort by
+    * (interleave_key, source, src_rank) — Spark range-partitions that
+    * global sort, so materializing the order is one distributed sort, and
+    * a "first N" is a TakeOrdered, never a single-partition window. The
+    * per-source rank window partitions by `sourceCol` (the
+    * [[stratifiedSplit]] shape: fine while per-source rows fit a task's
+    * spill budget; at extreme skew, rank per source via the contiguous
+    * index path instead). */
+  def mixtureInterleave(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Int], seed: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixtureInterleave: weights must be positive")
+    require(weights.values.max <= 1000000,
+      "mixtureInterleave: weights above 1e6 would zero the key quantum")
+    val wExpr = weights.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val key = sha2(concat_ws("#", col(idCol).cast("string"),
+      lit(seed.toString)), 256)
+    val ranked = df
+      .withColumn("__mi_w", wExpr)
+      .filter(col("__mi_w").isNotNull) // unweighted sources drop (doc'd)
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(key, col(idCol))))
+    ranked
+      .withColumn("interleave_key",
+        expr("(cast(src_rank as bigint) * 1000000) div __mi_w"))
+      .select(col(idCol), col(sourceCol), col("src_rank"),
+        col("interleave_key"))
+  }
 }

@@ -785,6 +785,54 @@ object TextStats {
     TableIO.writeTable(spark, lh, tableName, merged).rowCount
   }
 
+  /** Most-frequent word n-gram per document (the Gopher repetition
+    * quality-filter signals, Rae et al. '21 §A1.1): for each doc and each
+    * n in `ns`, the single most frequent n-token window (ties break to
+    * the lexicographically-first gram, so the answer is deterministic),
+    * its occurrence count, and the integer permille of normalized-text
+    * characters its occurrences account for
+    * (`len(gram) * count * 1000 div len(ws-normalized text)`). High
+    * values flag degenerate repetition ("click here click here …") that
+    * the dup-LINE metrics (q52) miss because the repetition lives inside
+    * one line. Occurrence mass counts overlapping windows, so a
+    * self-overlapping gram can exceed 1000 permille — it is a monotone
+    * repetition signal, not a coverage share (the doc says so; Gopher's
+    * own thresholds are on the same raw-count shape). Docs with fewer
+    * than n tokens emit no row at that n.
+    *
+    * 100 TB shape: one per-row compiled kernel emits each doc's windows
+    * in-row (slice over the token array — no self-join, no
+    * explode-then-window), ONE (doc, n, gram) hash aggregation counts
+    * them, and the per-(doc, n) argmax is a row_number over
+    * aggregation-bounded rows — the window never sees the raw corpus. */
+  def topNgramRepetition(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 16),
+      "topNgramRepetition: each n must be in [1, 16]")
+    require(ns.distinct == ns, "topNgramRepetition: duplicate n")
+    val base = df.select(col(idCol), tokArray(textCol).as("__w"))
+      .select(col(idCol), col("__w"),
+        length(array_join(col("__w"), " ")).as("__len"))
+    val grams = ns.map { n =>
+      base.filter(size(col("__w")) >= n)
+        .select(col(idCol), col("__len"), lit(n).as("n"),
+          explode(expr(
+            s"transform(sequence(1, size(__w) - ${n - 1}), " +
+              s"i -> array_join(slice(__w, i, $n), ' '))")).as("gram"))
+    }.reduce(_ unionByName _)
+    val counted = grams
+      .groupBy(col(idCol), col("__len"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
+    val w = Window.partitionBy(col(idCol), col("n"))
+      .orderBy(col("occurrences").desc, col("gram").asc)
+    counted.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("n"), col("gram").as("top_gram"),
+        col("occurrences"),
+        expr("(length(gram) * occurrences * 1000) div __len")
+          .as("char_permille"))
+  }
+
   /** Per-document n-gram novelty of a NEW batch against a REFERENCE
     * corpus: the share (exact integer permille) of each new document's
     * DISTINCT w-token windows that appear nowhere in the reference — the

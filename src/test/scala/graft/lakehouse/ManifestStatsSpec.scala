@@ -1,0 +1,99 @@
+package graft.lakehouse
+
+import java.nio.file.Files
+
+/** Metadata-only column stats: answers must equal a real scan whenever
+  * the operator agrees to answer, and every situation where the manifest
+  * can no longer give an exact answer must refuse LOUDLY — a silently
+  * stale min/max would be worse than a scan. */
+class ManifestStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val lh: LakehouseProps = {
+    val dir = Files.createTempDirectory("mstats_test").toString
+    Catalog.registerLocalWorkspace(dir, "ws_ms", "lh_ms").lakehouses.head
+  }
+
+  test("profile equals a real scan across multiple appends, with nulls " +
+      "and an all-null column") {
+    val a = Seq((1L, Some(10), None: Option[Long]),
+      (2L, Some(3), None), (3L, None, None))
+      .toDF("k", "v", "z")
+    val b = Seq((4L, Some(-7), None: Option[Long]), (5L, None, None))
+      .toDF("k", "v", "z")
+    TableIO.dropTable(spark, lh, "ms1")
+    TableIO.writeTable(spark, lh, "ms1", a)
+    TableIO.appendTable(spark, lh, "ms1", b)
+    val out = TableIO.manifestColumnStats(spark, lh, "ms1",
+      Seq("k", "v", "z")).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(out == Seq(
+      ("k", 5L, 0L, "1", "5"),
+      ("v", 5L, 2L, "-7", "10"),
+      ("z", 5L, 5L, null, null)), out.toString)
+  }
+
+  test("min/max folds in the TYPED domain, not string order") {
+    // string-order min of {9, 10} is "10"; numeric min is 9 — the fold
+    // must parse the stat strings into the column's domain
+    TableIO.dropTable(spark, lh, "ms2")
+    TableIO.writeTable(spark, lh, "ms2", Seq((1L, 9)).toDF("k", "v"))
+    TableIO.appendTable(spark, lh, "ms2", Seq((2L, 10)).toDF("k", "v"))
+    val r = TableIO.manifestColumnStats(spark, lh, "ms2", Seq("v"))
+      .collect().head
+    assert((r.getString(3), r.getString(4)) == ("9", "10"))
+  }
+
+  test("deletion vectors refuse: physical stats no longer describe " +
+      "logical rows") {
+    TableIO.dropTable(spark, lh, "ms3")
+    TableIO.writeTable(spark, lh, "ms3",
+      (1 to 100).map(i => (i.toLong, i)).toDF("k", "v"))
+    TableIO.deleteFromTable(spark, lh, "ms3", "v <= 10",
+      deletionVectors = true)
+    val e = intercept[IllegalStateException] {
+      TableIO.manifestColumnStats(spark, lh, "ms3", Seq("v"))
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
+  test("string columns refuse (truncated bounds are not values); " +
+      "unknown columns refuse") {
+    TableIO.dropTable(spark, lh, "ms4")
+    TableIO.writeTable(spark, lh, "ms4",
+      Seq((1L, "abc")).toDF("k", "s"))
+    val e1 = intercept[IllegalArgumentException] {
+      TableIO.manifestColumnStats(spark, lh, "ms4", Seq("s"))
+    }
+    assert(e1.getMessage.contains("string column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TableIO.manifestColumnStats(spark, lh, "ms4", Seq("nope"))
+    }
+    assert(e2.getMessage.contains("no column"), e2.getMessage)
+  }
+
+  test("zero Spark jobs: the profile is answered from the manifest alone") {
+    TableIO.dropTable(spark, lh, "ms5")
+    TableIO.writeTable(spark, lh, "ms5",
+      (1 to 1000).map(i => (i.toLong, i % 13)).toDF("k", "v"))
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = TableIO.manifestColumnStats(spark, lh, "ms5", Seq("k", "v"))
+      Thread.sleep(200) // let any (unexpected) job-start events land
+      val before = counter.get()
+      // building the frame must not have scanned anything; collecting the
+      // 2-row local result may cost at most one trivial local job
+      assert(before == 0,
+        s"manifestColumnStats ran $before Spark job(s) while building")
+      val rows = df.collect()
+      assert(rows.map(_.getLong(1)).toSeq == Seq(1000L, 1000L))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

@@ -341,4 +341,69 @@ class PackingSpec extends SparkSuite {
       Packing.contentDefinedChunks(shortDf, "id", "t", 1, 8)
     }
   }
+
+  test("balancedShards: serpentine deal is deterministic and every " +
+      "shard lands within one max-document of every other") {
+    // hand-checkable: ranks 0..5 over 3 shards -> passes 0,1 serpentine
+    val small = Seq((1L, 60), (2L, 50), (3L, 40), (4L, 30), (5L, 20),
+      (6L, 10)).toDF("doc_id", "n_tokens")
+    val out = Packing.balancedShards(small, "doc_id", "n_tokens", 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // sorted desc: docs 1..6; pass0 -> shards 0,1,2; pass1 -> 2,1,0
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1,
+      6L -> 0), out.toString)
+    // balance bound on a skewed corpus
+    val docs = (1 to 500)
+      .map(i => (i.toLong, (i * i) % 997 + 1)).toDF("doc_id", "n_tokens")
+      .repartition(7)
+    val shards = Packing.balancedShards(docs, "doc_id", "n_tokens", 8)
+    val totals = shards.groupBy("shard")
+      .agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(totals.length == 8)
+    val maxDoc = 997L
+    assert(totals.map(_._1).max - totals.map(_._1).min <= maxDoc,
+      totals.mkString(","))
+    // doc counts differ by at most 1
+    assert(totals.map(_._2).max - totals.map(_._2).min <= 1)
+    // deterministic across physical layouts
+    val again = Packing.balancedShards(docs.repartition(3), "doc_id",
+      "n_tokens", 8).orderBy("doc_id").collect().map(_.getInt(2)).toSeq
+    val first = shards.orderBy("doc_id").collect().map(_.getInt(2)).toSeq
+    assert(first == again)
+  }
+
+  test("mixtureInterleave: every prefix holds each source's weighted " +
+      "share within O(1); unweighted sources drop; deterministic") {
+    val docs = (1 to 300).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "x")
+    }.toDF("doc_id", "source")
+    val w = Map("a" -> 600, "b" -> 300)
+    val out = Packing.mixtureInterleave(docs, "doc_id", "source", w, 7L)
+      .orderBy("interleave_key", "source", "src_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(out.forall(_._2 != "x"), "unweighted source must drop")
+    assert(out.length == 200)
+    // prefix shares: after K docs, source counts track K*w_s/sum(w) +-2
+    Seq(30, 60, 90, 150).foreach { k =>
+      val pre = out.take(k)
+      val na = pre.count(_._2 == "a").toDouble
+      val nb = pre.count(_._2 == "b").toDouble
+      assert(math.abs(na - k * 2.0 / 3) <= 2, s"K=$k a=$na")
+      assert(math.abs(nb - k * 1.0 / 3) <= 2, s"K=$k b=$nb")
+    }
+    // keys are the WFQ virtual finish times: rank r of source s sits at
+    // (r * 1e6) div w_s
+    assert(out.forall(t => t._4 == (t._3.toLong * 1000000L) / w(t._2)))
+    // deterministic under repartition
+    val again = Packing.mixtureInterleave(docs.repartition(5), "doc_id",
+      "source", w, 7L)
+      .orderBy("interleave_key", "source", "src_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+    intercept[IllegalArgumentException] {
+      Packing.mixtureInterleave(docs, "doc_id", "source", Map("a" -> 0), 7L)
+    }
+  }
 }

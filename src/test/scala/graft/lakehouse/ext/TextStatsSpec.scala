@@ -437,6 +437,35 @@ class TextStatsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "www.ex.com", 2L -> ""))
   }
+  test("topNgramRepetition: hand-computed argmax, deterministic " +
+      "tie-break, overlap mass can exceed 1000, short docs emit no row") {
+    // doc 1: "go go go stop" -> bigrams: "go go" x2, "go stop" x1;
+    //   trigrams: "go go go", "go go stop"; len = 13
+    // doc 2: one token -> no bigram/trigram rows at all
+    // doc 3: "a b a b" -> bigrams "a b" x2, "b a" x1; tie-free;
+    //   trigrams "a b a", "b a b" -> tie breaks to "a b a"
+    val df = Seq((1L, "go go go stop"), (2L, "one"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    val out = TextStats.topNgramRepetition(df, "doc_id", "text",
+      ns = Seq(2, 3)).orderBy("doc_id", "n").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2, "go go", 2L, (5L * 2 * 1000) / 13),
+      (1L, 3, "go go go", 1L, (8L * 1000) / 13),
+      (3L, 2, "a b", 2L, (3L * 2 * 1000) / 7),
+      (3L, 3, "a b a", 1L, (5L * 1000) / 7)), out.mkString(","))
+    // a fully degenerate doc overshoots 1000 permille (overlap mass)
+    val degen = Seq((9L, "x x x x x x")).toDF("doc_id", "text")
+    val d = TextStats.topNgramRepetition(degen, "doc_id", "text", Seq(2))
+      .collect().head
+    assert(d.getString(2) == "x x" && d.getLong(3) == 5L &&
+      d.getLong(4) == (3L * 5 * 1000) / 11 && d.getLong(4) > 1000)
+    intercept[IllegalArgumentException] {
+      TextStats.topNgramRepetition(df, "doc_id", "text", Seq(2, 2))
+    }
+  }
+
   test("corpusStatsTableUpdate: batch folds equal the one-shot card in " +
       "any order; new sources join; null text counts as zero tokens") {
     import graft.lakehouse.{Catalog, TableIO}
