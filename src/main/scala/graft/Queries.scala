@@ -7927,5 +7927,153 @@ object Queries {
         |    AS interleave_key
         |FROM r
         |ORDER BY interleave_key, source, src_rank LIMIT 400""".stripMargin)),
+
+    // Cross-source near-dup containment matrix over the portable MinHash
+    // bands: "how much of source A already lives inside source B" —
+    // the mixture-design overlap census. Never all-pairs: the build side
+    // collapses to per-(band, source) counts before the join.
+    Q("q262_source_overlap_matrix",
+      (s, dir) => Dedup.sourceOverlapMatrix(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        "doc_id", "text", "source").orderBy("src_a", "src_b"),
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(sha256(substring(text, CAST(p AS INT), 5)),
+        |      1, 15))::UBIGINT AS BIGINT) % 2147483647 AS h
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text) - 4)) AS t(p)
+        |  WHERE length(text) >= 5),
+        |sig AS (
+        |  SELECT doc_id, i.i AS sig_no,
+        |    min(((2 * i.i + 1) * h + 1000003 * i.i) % 2147483647) AS sig
+        |  FROM g, (SELECT unnest(range(16)) AS i) i
+        |  GROUP BY doc_id, i.i),
+        |bands AS (
+        |  SELECT doc_id, sig_no // 4 AS band_no,
+        |    string_agg(CAST(sig AS VARCHAR), '#' ORDER BY sig_no)
+        |      AS band_key
+        |  FROM sig GROUP BY doc_id, sig_no // 4),
+        |bs AS (
+        |  SELECT b.doc_id, d.source AS src, b.band_no, b.band_key
+        |  FROM bands b JOIN documents d USING (doc_id)),
+        |ks AS (
+        |  SELECT band_no, band_key, src AS src_b, count(*) AS n
+        |  FROM bs GROUP BY ALL),
+        |hits AS (
+        |  SELECT DISTINCT b.src AS src_a, k.src_b, b.doc_id
+        |  FROM bs b JOIN ks k USING (band_no, band_key)
+        |  WHERE k.src_b <> b.src OR k.n >= 2),
+        |ov AS (
+        |  SELECT src_a, src_b, count(*) AS n_overlap FROM hits
+        |  GROUP BY ALL),
+        |tot AS (SELECT source AS s, count(*) AS n FROM documents
+        |  GROUP BY 1),
+        |m AS (SELECT a.s AS src_a, b.s AS src_b, a.n AS n_docs_a
+        |  FROM tot a, tot b)
+        |SELECT m.src_a, m.src_b, CAST(m.n_docs_a AS BIGINT) AS n_docs_a,
+        |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST((coalesce(ov.n_overlap, 0) * 1000) // m.n_docs_a AS BIGINT)
+        |    AS overlap_permille
+        |FROM m LEFT JOIN ov USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Quality-filter threshold sweep: the retained-docs/tokens curve per
+    // candidate cutoff, computed from ONE per-score aggregation — adding
+    // thresholds never re-reads the corpus.
+    Q("q263_filter_sweep",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          col("doc_id"),
+          least(col("n_chars"), lit(1000L)).cast("int").as("score"),
+          size(expr("filter(split(coalesce(text, ''), '\\\\s+'), " +
+            "t -> t <> '')")).cast("long").as("ntok"))
+        Quality.filterSweep(d, "score", "ntok",
+          thresholds = Seq(0, 200, 400, 600, 800, 1000))
+          .orderBy("threshold")
+      },
+      Some("""WITH d AS (
+        |  SELECT least(n_chars, 1000) AS score,
+        |    len(list_filter(regexp_split_to_array(coalesce(text, ''),
+        |      '\s+'), t -> t <> '')) AS ntok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS ad, sum(ntok) AS at FROM d),
+        |t AS (SELECT unnest([0, 200, 400, 600, 800, 1000]) AS threshold),
+        |r AS (
+        |  SELECT t.threshold, count(d.score) AS n_docs,
+        |    coalesce(sum(d.ntok), 0) AS n_tokens
+        |  FROM t LEFT JOIN d ON d.score IS NOT NULL
+        |    AND d.score >= t.threshold
+        |  GROUP BY t.threshold)
+        |SELECT CAST(threshold AS INT) AS threshold,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((n_docs * 1000) // ad AS BIGINT) AS docs_permille,
+        |  CAST((n_tokens * 1000) // at AS BIGINT) AS tokens_permille
+        |FROM r, tot ORDER BY threshold""".stripMargin)),
+
+    // Per-domain curation scorecard (the RefinedWeb step where filtering
+    // moves from documents to domains): doc/token totals, exact-dup share
+    // and mean length per canonical web domain. URLs are salted onto the
+    // fixture deterministically (the q253 pattern) so domain extraction
+    // is itself under test; the oracle derives the domain independently
+    // from the salt arithmetic.
+    Q("q264_domain_scorecard",
+      (s, dir) => {
+        val urls = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("url", concat(
+            when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site"))
+              .otherwise(lit("http://Blog")),
+            (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+            when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+            lit("/Articles/Item-"), col("doc_id").cast("string"),
+            when(col("doc_id") % 4 === 0, lit("#Section-2"))
+              .otherwise(lit(""))))
+        TextStats.domainScorecard(urls, "doc_id", "url", "text")
+          .orderBy("domain")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |        '.example.com'
+        |      ELSE 'blog' || CAST(doc_id % 7 AS VARCHAR) ||
+        |        '.example.com' END AS domain,
+        |    len(list_filter(regexp_split_to_array(coalesce(text, ''),
+        |      '\s+'), t -> t <> '')) AS ntok,
+        |    md5(coalesce(text, '')) AS h
+        |  FROM documents),
+        |dc AS (SELECT h, count(*) AS copies FROM d GROUP BY 1),
+        |j AS (SELECT d.*, dc.copies FROM d JOIN dc USING (h))
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST((sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) * 1000) //
+        |    count(*) AS BIGINT) AS dup_permille,
+        |  CAST((sum(ntok) * 1000) // count(*) AS BIGINT)
+        |    AS tokens_per_doc_permille
+        |FROM j GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // SHOW PARTITIONS with row counts from the manifest alone — and it
+    // stays EXACT under deletion vectors (a single-value file's deleted
+    // rows can only have carried that value). The oracle replays the
+    // delete over the data.
+    Q("q265_manifest_partition_counts",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "mparts_li")
+        TableIO.writeTable(s, lh, "mparts_li",
+          t(s, dir, "lineitem").select("l_orderkey", "l_quantity",
+            "l_returnflag"),
+          partitionBy = Seq("l_returnflag"))
+        TableIO.deleteFromTable(s, lh, "mparts_li", "l_quantity <= 5",
+          deletionVectors = true)
+        TableIO.manifestPartitionCounts(s, lh, "mparts_li", "l_returnflag")
+          .orderBy("partition_value")
+      },
+      Some("""SELECT l_returnflag AS partition_value,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_quantity > 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -1246,6 +1246,61 @@ object TableIO {
     out.toDF("col_name", "n_rows", "n_nulls", "min_val", "max_val")
   }
 
+  /** SHOW PARTITIONS with row counts, answered from the MANIFEST alone:
+    * per distinct value of `partCol`, the LOGICAL row count — per-file
+    * row counts grouped by each file's single recorded value, minus each
+    * file's deletion-vector cardinality. Unlike [[manifestColumnStats]]
+    * this stays EXACT under DVs: a single-value file's deleted rows can
+    * only have carried that value, so the subtraction is attributable.
+    * O(files) driver work, zero data scanned — the partition census a
+    * 100 TB table's planner/compactor reads constantly.
+    *
+    * Loud-refusal contract: every file must carry stats and be
+    * SINGLE-VALUED in `partCol` — all-null (the
+    * `__HIVE_DEFAULT_PARTITION__` shape, reported as a NULL value row) or
+    * min == max with zero nulls, which is exactly what a Hive-partitioned
+    * layout guarantees. A file with mixed values (the column isn't a
+    * partition key) raises: attributing its rows would need a scan. */
+  def manifestPartitionCounts(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, partCol: String): DataFrame = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val m = Versioned.latestVersion(tableDir)
+      .flatMap(v => Versioned.readManifest(tableDir, v))
+      .getOrElse(throw new IllegalStateException(
+        s"manifestPartitionCounts($tableName): no manifest-based " +
+          "version — pre-protocol layouts carry no stats; scan instead"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fields.exists(_.name == partCol),
+      s"manifestPartitionCounts($tableName): no column '$partCol'")
+    val phys = physicalMapping(schema).getOrElse(partCol, partCol)
+    val counts = scala.collection.mutable.LinkedHashMap
+      .empty[Option[String], Long]
+    m.entries.foreach { e =>
+      import org.json4s.jackson.JsonMethods.parse
+      val j = e.stats.flatMap(s => scala.util.Try(parse(s)).toOption)
+        .getOrElse(throw new IllegalStateException(
+          s"manifestPartitionCounts($tableName): ${e.path} has no " +
+            "stats — scan instead"))
+      val rows = statsRowsJ(j).getOrElse(throw new IllegalStateException(
+        s"manifestPartitionCounts($tableName): ${e.path} has no row " +
+          "count — scan instead"))
+      val logical = rows - Versioned.dvRefOf(e).fold(0L)(_._2)
+      val value = statsRangeJ(j, phys) match {
+        case Some((None, None)) => None // all-null file: the NULL bucket
+        case Some((Some(lo), Some(hi))) if lo == hi &&
+            statsNullCountJ(j, phys).contains(0L) => Some(lo)
+        case _ => throw new IllegalStateException(
+          s"manifestPartitionCounts($tableName): ${e.path} is not " +
+            s"single-valued in '$partCol' — not a partition column; " +
+            "scan instead")
+      }
+      counts.update(value, counts.getOrElse(value, 0L) + logical)
+    }
+    import spark.implicits._
+    counts.toSeq.map { case (v, n) => (v.orNull, n) }
+      .toDF("partition_value", "n_rows")
+  }
+
   /** Stat-pruned `ORDER BY statCol [DESC] LIMIT k` (nulls excluded): using
     * per-file [min,max] + row counts, pick the shortest prefix of files (in
     * stat order) that provably holds ≥ k non-excludable rows, bound the

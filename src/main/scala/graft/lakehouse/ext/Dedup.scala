@@ -623,6 +623,54 @@ object Dedup {
       posexplode(kern(col(textCol))).as(Seq("band_no", "band_key")))
   }
 
+  /** Cross-source near-duplicate containment matrix — the mixture-design
+    * question "how much of source A already lives inside source B?",
+    * answered with the PORTABLE MinHash bands ([[portableBandKeys]]):
+    * cell (A, B) counts A's documents that band-collide with at least one
+    * OTHER document of B (the diagonal (A, A) is A's internal near-dup
+    * rate), plus that count as an integer permille of A's doc total.
+    * Zero-overlap cells are materialized (a complete |S|² matrix).
+    *
+    * 100 TB shape — never all-pairs, never bucket-quadratic: the right
+    * side collapses to per-(band, key, source) doc COUNTS before the
+    * join, so each left doc-band row matches at most |sources| aggregated
+    * rows no matter how hot a bucket is (a boilerplate band shared by a
+    * million docs is still ONE row per source on the build side); the
+    * |S|² completion joins two |S|-row aggregates. Docs shorter than
+    * `shingleK` chars have no signature and count only in the
+    * denominators — run exact containment alongside for those
+    * ([[fuzzyDecontaminate]]'s scope note). */
+  def sourceOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shingleK: Int = 5, numHashes: Int = 16,
+      bandSize: Int = 4): DataFrame = {
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val kern = udf((s: String) => {
+      val sigs = portableMinHashKernel(s, shingleK, numHashes)
+      if (sigs.isEmpty) Array.empty[String]
+      else sigs.grouped(bandSize).map(_.mkString("#")).toArray
+    })
+    val bands = df.select(col(idCol), col(sourceCol).as("__src"),
+      posexplode(kern(col(textCol))).as(Seq("band_no", "band_key")))
+    val keySrc = bands.groupBy(col("band_no"), col("band_key"),
+        col("__src").as("src_b"))
+      .agg(count(lit(1)).as("__n_key"))
+    val hits = bands.join(keySrc, Seq("band_no", "band_key"))
+      .filter(col("src_b") =!= col("__src") || col("__n_key") >= 2)
+      .select(col("__src").as("src_a"), col("src_b"), col(idCol))
+      .distinct()
+    val overlap = hits.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val totals = df.groupBy(col(sourceCol).as("src_a"))
+      .agg(count(lit(1)).as("n_docs_a"))
+    val full = totals.crossJoin(
+      totals.select(col("src_a").as("src_b")))
+    full.join(overlap, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_docs_a"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr("(coalesce(n_overlap, 0) * 1000) div n_docs_a")
+          .as("overlap_permille"))
+  }
+
   /** FUZZY benchmark decontamination: drop training documents that
     * MinHash-band-collide with ANY eval/benchmark document — catches the
     * paraphrased/truncated contamination exact n-gram containment

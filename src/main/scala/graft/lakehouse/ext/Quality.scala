@@ -179,4 +179,39 @@ object Quality {
       .agg(count(lit(1)).as("n_rekeyed"))
     base.crossJoin(rk)
   }
+
+  /** Quality-filter threshold sweep — the curve a pipeline designer reads
+    * before picking a cutoff: for each candidate threshold τ, how many
+    * documents and tokens survive `score >= τ`, absolute and as integer
+    * permille of the corpus. `scoreCol` must be integral (the engine's
+    * permille-score convention) with a BOUNDED domain — the whole corpus
+    * collapses to one per-score-value aggregation first (≤ domain-size
+    * rows, e.g. 1001 for permille scores), and every downstream step
+    * (threshold join, share math) runs on that aggregate: adding a
+    * threshold costs nothing, re-running the corpus is never needed.
+    * Null scores count in the corpus totals but survive no threshold
+    * (they are unscored, not perfect). */
+  def filterSweep(df: DataFrame, scoreCol: String, tokenCol: String,
+      thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct == thresholds,
+      "filterSweep: thresholds must be non-empty and distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = df.groupBy(col(scoreCol).as("__score"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(coalesce(col(tokenCol), lit(0L))).cast("long").as("__toks"))
+    val totals = buckets.agg(sum(col("__docs")).as("__all_docs"),
+      sum(col("__toks")).as("__all_toks"))
+    val th = thresholds.toDF("threshold")
+    th.join(buckets,
+        col("__score").isNotNull && col("__score") >= col("threshold"),
+        "left")
+      .groupBy(col("threshold"))
+      .agg(coalesce(sum(col("__docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("__toks")), lit(0L)).as("n_tokens"))
+      .crossJoin(totals)
+      .select(col("threshold"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 1000) div __all_docs").as("docs_permille"),
+        expr("(n_tokens * 1000) div __all_toks").as("tokens_permille"))
+  }
 }

@@ -1060,4 +1060,40 @@ object TextStats {
   /** Host of a [[normalizeUrl]]-normalized URL ("" when scheme-less). */
   def urlDomain(urlNorm: Column): Column =
     regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
+
+  /** Per-domain quality scorecard — the RefinedWeb/C4 curation step where
+    * filtering decisions move from documents to WEB DOMAINS: for each
+    * canonical domain ([[urlDomain]] over [[normalizeUrl]]), document and
+    * token totals, exact-duplicate document count (docs whose full text
+    * md5 appears more than once ANYWHERE in the corpus — cross-domain
+    * mirrors count for every domain that hosts a copy), the duplicate
+    * share and mean doc length as integer permille. A domain with a high
+    * dup share is a mirror/boilerplate farm; a domain with tiny mean
+    * length is a link farm — both get dropped wholesale, which is cheaper
+    * and safer than per-document filtering of their tail.
+    *
+    * 100 TB shape: one (md5 → count) aggregation joined back on the
+    * 16-byte hash (both sides shuffle once on the same key), then ONE
+    * |domains|-bounded aggregation; null/invalid URLs group under the
+    * empty domain so the scorecard always accounts for every document. */
+  def domainScorecard(df: DataFrame, idCol: String, urlCol: String,
+      textCol: String): DataFrame = {
+    val perDoc = df.select(col(idCol),
+      coalesce(urlDomain(normalizeUrl(col(urlCol))), lit(""))
+        .as("domain"),
+      size(tokArray(textCol)).cast("long").as("__ntok"),
+      md5(coalesce(col(textCol), lit(""))).as("__h"))
+    val dupCounts = perDoc.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__copies"))
+    perDoc.join(dupCounts, Seq("__h"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(when(col("__copies") > 1, 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"),
+        expr("(n_dup_docs * 1000) div n_docs").as("dup_permille"),
+        expr("(n_tokens * 1000) div n_docs").as("tokens_per_doc_permille"))
+  }
 }

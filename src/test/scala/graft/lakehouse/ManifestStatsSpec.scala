@@ -73,6 +73,28 @@ class ManifestStatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("no column"), e2.getMessage)
   }
 
+  test("manifestPartitionCounts: exact under deletion vectors, NULL " +
+      "partition bucket reported, non-partition columns refuse") {
+    val df = (1 to 200).map { i =>
+      (i.toLong, if (i % 10 == 0) null else s"p${i % 3}", i)
+    }.toDF("k", "part", "v")
+    TableIO.dropTable(spark, lh, "mp1")
+    TableIO.writeTable(spark, lh, "mp1", df, partitionBy = Seq("part"))
+    TableIO.deleteFromTable(spark, lh, "mp1", "v <= 40",
+      deletionVectors = true)
+    val out = TableIO.manifestPartitionCounts(spark, lh, "mp1", "part")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val expect = TableIO.selectTable(spark, lh, "mp1")
+      .groupBy("part").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out == expect, s"metadata=$out scan=$expect")
+    assert(out.contains(None), "null partition bucket must be reported")
+    val e = intercept[IllegalStateException] {
+      TableIO.manifestPartitionCounts(spark, lh, "mp1", "v")
+    }
+    assert(e.getMessage.contains("not single-valued"), e.getMessage)
+  }
+
   test("zero Spark jobs: the profile is answered from the manifest alone") {
     TableIO.dropTable(spark, lh, "ms5")
     TableIO.writeTable(spark, lh, "ms5",

@@ -411,4 +411,34 @@ class DedupSpec extends SparkSuite {
     // 5-grams, so "six sept huit neuf dix" never matches en's grams
     assert(out.toSeq == Seq(("en", 2L, 1L, 500L), ("fr", 1L, 0L, 0L)))
   }
+
+  test("sourceOverlapMatrix: cross-source copies hit, diagonal is the " +
+      "internal near-dup rate, zero cells materialize, short docs only " +
+      "count in denominators") {
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, body, "a"),                 // identical copy lives in b (4)
+      (2L, "completely different content with no overlap here at all", "a"),
+      (3L, "zz", "a"),                 // too short for a 5-shingle
+      (4L, body, "b"),
+      (5L, body, "b"),                 // b-internal duplicate of 4
+      (6L, "another unrelated document body entirely on its own", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlapMatrix(docs, "doc_id", "text", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 9, "complete 3x3 matrix expected")
+    // a -> b: doc 1 collides with b's copies => 1 of a's 3 docs
+    assert(out(("a", "b")) == ((3L, 1L, 333L)), out(("a", "b")).toString)
+    // b -> a: docs 4 AND 5 collide with a's doc 1
+    assert(out(("b", "a")) == ((2L, 2L, 1000L)))
+    // diagonal: a has no internal near-dup (1's copy is in b, 3 is
+    // bandless); b's two docs are mutual dups
+    assert(out(("a", "a"))._2 == 0L)
+    assert(out(("b", "b"))  == ((2L, 2L, 1000L)))
+    // c overlaps nothing; zero cells still present
+    assert(out(("c", "a")) == ((1L, 0L, 0L)) && out(("c", "c"))._2 == 0L)
+  }
+
 }

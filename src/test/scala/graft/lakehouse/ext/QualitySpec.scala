@@ -162,4 +162,24 @@ class QualitySpec extends SparkSuite {
     assert(r.getAs[Long]("n_added") == 2L)   // ids 30 and 5 arrived
     assert(r.getAs[Long]("n_rekeyed") == 1L) // but id 3's bytes moved to 30
   }
+
+  test("filterSweep: one aggregation drives every threshold; null " +
+      "scores count only in denominators; duplicate thresholds raise") {
+    val d = Seq((1L, Some(100), 10L), (2L, Some(500), 20L),
+      (3L, Some(900), 40L), (4L, None, 30L))
+      .toDF("id", "score", "ntok")
+    val out = Quality.filterSweep(d, "score", "ntok", Seq(0, 500, 1000))
+      .orderBy("threshold").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // totals: 4 docs, 100 tokens (null-scored doc included)
+    assert(out.toSeq == Seq(
+      (0, 3L, 70L, 750L, 700L),
+      (500, 2L, 60L, 500L, 600L),
+      (1000, 0L, 0L, 0L, 0L)), out.mkString(","))
+    intercept[IllegalArgumentException] {
+      Quality.filterSweep(d, "score", "ntok", Seq(1, 1))
+    }
+  }
+
 }

@@ -466,6 +466,25 @@ class TextStatsSpec extends SparkSuite {
     }
   }
 
+  test("domainScorecard: per-domain totals, cross-domain mirrors count " +
+      "as dups on both sides, null URLs bucket under the empty domain") {
+    val docs = Seq(
+      (1L, "https://A.com/x", "one two three"),
+      (2L, "https://a.com:443/y", "one two three"), // same domain + dup text
+      (3L, "http://B.org/z", "one two three"),      // cross-domain mirror
+      (4L, "http://B.org/w", "unique words here and more"),
+      (5L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "url", "text")
+    val out = TextStats.domainScorecard(docs, "doc_id", "url", "text")
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("", 1L, 0L, 0L, 0L, 0L),
+      ("a.com", 2L, 6L, 2L, 1000L, 3000L),
+      ("b.org", 2L, 8L, 1L, 500L, 4000L)), out.mkString(","))
+  }
+
   test("corpusStatsTableUpdate: batch folds equal the one-shot card in " +
       "any order; new sources join; null text counts as zero tokens") {
     import graft.lakehouse.{Catalog, TableIO}
