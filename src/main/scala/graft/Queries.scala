@@ -8075,5 +8075,122 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem WHERE l_quantity > 5
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CCNet-style perplexity quality filter, oracle-portable: bits per
+    // bigram under an add-one bigram LM of a clean reference source
+    // (src0), with per-bigram IEEE doubles replicated op-for-op and the
+    // SUM carried in exact DECIMAL so partitioning can't reorder floats.
+    Q("q266_perplexity_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val train = t(s, dir, "documents")
+          .filter(col("source") === "src0").select("doc_id", "text")
+        LangModel.crossEntropyPortable(train, docs, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+        |      AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM tok0 WHERE w <> ''),
+        |bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |trainbg AS (
+        |  SELECT bg.w1, bg.w2 FROM bg JOIN documents d USING (doc_id)
+        |  WHERE d.source = 'src0'),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM trainbg GROUP BY 1, 2),
+        |uni AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT tok.w) AS vocab
+        |  FROM tok JOIN documents d USING (doc_id)
+        |  WHERE d.source = 'src0'),
+        |sb AS (
+        |  SELECT bg.doc_id,
+        |    CAST(-(ln(CAST(coalesce(big.c12, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(uni.c1, 0) + vocab AS DOUBLE)) / ln(2.0))
+        |      AS DECIMAL(38,18)) AS bits
+        |  FROM bg LEFT JOIN big USING (w1, w2)
+        |    LEFT JOIN uni USING (w1), v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS bits_per_bigram
+        |FROM sb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Padding-waste report: what concat packing buys at seq_len 512 vs
+    // one-doc-per-sequence — one corpus aggregation, one row out.
+    Q("q267_padding_waste",
+      (s, dir) => Packing.paddingWasteReport(
+        t(s, dir, "documents").select("n_chars"), "n_chars", seqLen = 512L),
+      Some("""WITH d AS (
+        |  SELECT CAST(coalesce(n_chars, 0) AS BIGINT) AS t FROM documents),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(t) AS BIGINT) AS total_tokens,
+        |    CAST(sum((t + 511) // 512) AS BIGINT) AS n_seq_padded,
+        |    CAST(sum(((t + 511) // 512) * 512 - t) AS BIGINT)
+        |      AS waste_padded
+        |  FROM d)
+        |SELECT n_docs, total_tokens, n_seq_padded, waste_padded,
+        |  CAST(CASE WHEN n_seq_padded > 0 THEN (waste_padded * 1000) //
+        |    (n_seq_padded * 512) ELSE 0 END AS BIGINT) AS waste_permille,
+        |  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_seq_concat,
+        |  CAST(CASE WHEN n_seq_padded > 0 THEN ((n_seq_padded -
+        |    (total_tokens + 511) // 512) * 1000) // n_seq_padded
+        |    ELSE 0 END AS BIGINT) AS seq_saved_permille
+        |FROM a""".stripMargin)),
+
+    // Dedup-savings census: cluster-size histogram over the near-dup
+    // connected components — how many docs a keep-one dedup removes and
+    // how skewed the duplicate mass is. Oracle replays pairs + closure
+    // (the q65 recursive CTE) then aggregates.
+    Q("q268_dedup_savings_census",
+      (s, dir) => Dedup.clusterCensus(
+        Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+            "text", n = 3, threshold = 0.5, maxDocFreq = 20)), "cc")
+        .orderBy("cluster_size"),
+      Some("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(words) - 2, 1))]) AS gram
+        |    FROM w)),
+        |pruned AS (
+        |  SELECT g.doc_id, g.gram FROM g
+        |  JOIN (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20) ok
+        |  USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+        |prs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+        |  FROM pruned l JOIN pruned r USING (gram)
+        |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT a, b FROM prs
+        |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+        |    >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cc FROM reach GROUP BY id),
+        |cs AS (SELECT cc, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
   )
 }

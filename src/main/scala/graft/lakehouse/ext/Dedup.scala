@@ -623,6 +623,26 @@ object Dedup {
       posexplode(kern(col(textCol))).as(Seq("band_no", "band_key")))
   }
 
+  /** Dedup-savings census over a clustering (e.g.
+    * [[connectedComponents]] output): the cluster-size histogram —
+    * per size, how many clusters, how many documents they hold, and how
+    * many a keep-one-per-cluster dedup would remove — the census a
+    * pipeline reads to decide whether near-dup dedup is worth its cost
+    * and how skewed the duplicate mass is (ten 1000-doc boilerplate
+    * clusters vs a million pairs are very different corpora at the same
+    * dup rate). Two aggregations, both cluster-bounded: ids → cluster
+    * sizes, sizes → histogram rows. */
+  def clusterCensus(components: DataFrame, componentCol: String)
+      : DataFrame = {
+    components.groupBy(col(componentCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+  }
+
   /** Cross-source near-duplicate containment matrix — the mixture-design
     * question "how much of source A already lives inside source B?",
     * answered with the PORTABLE MinHash bands ([[portableBandKeys]]):

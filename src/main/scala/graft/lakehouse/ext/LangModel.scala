@@ -70,7 +70,8 @@ object LangModel {
     * bigram model: H(d) = -(1/n) Σ log2 (c12+1)/(c1+V). Spec-verified
     * against a hand-computed reference (floating log sums are not
     * bit-portable across engines, so this op is deliberately NOT in the
-    * DuckDB oracle set — [[bigramSurprise]] is its integer-exact twin).
+    * DuckDB oracle set — [[bigramSurprise]] is its integer-exact twin,
+    * [[crossEntropyPortable]] the decimal-exact-sum one that IS oracled).
     * Plan: bigram join against (w1,w2,c12) and (w1,c1) count frames, V
     * broadcast as a literal via one driver count. */
   def crossEntropy(trainDocs: DataFrame, scoreDocs: DataFrame,
@@ -87,6 +88,45 @@ object LangModel {
           (coalesce(col("c1"), lit(0L)) + vocab).cast("double"))).as("bits"))
       .groupBy(col(idCol))
       .agg(avg(col("bits")).as("bits_per_bigram"), count(lit(1)).as("n_bigrams"))
+  }
+
+  /** [[crossEntropy]] made ORACLE-PORTABLE — the CCNet quality filter
+    * (Wenzek '19: score text against an LM of a clean reference corpus;
+    * high bits-per-token = junk or off-domain) with a hash-checkable
+    * result. Same add-one-smoothed bigram model and the SAME per-bigram
+    * IEEE expression `-log2((c12+1)/(c1+V))` (one exact int→double cast
+    * each side, one correctly-rounded division, one log2 — replicated
+    * op-for-op by any engine, the q61 BM25 precedent); what
+    * [[crossEntropy]] leaves non-portable is only the SUM, whose
+    * floating addition order varies by partitioning — so here each
+    * bigram's bits cast to DECIMAL(38,18) (a double's value carries ≤ 17
+    * significant digits, so the cast is rounding-mode-safe) and
+    * accumulate EXACTLY, order-free. Surfaced as
+    * `(n_bigrams, bits_per_bigram = cast(sum AS DOUBLE)/n)` — the
+    * README's exact-DECIMAL-accumulation recipe. Docs with fewer than 2
+    * tokens have no bigrams and emit no row.
+    *
+    * 100 TB shape, unchanged from [[crossEntropy]]: model counts are two
+    * corpus-bounded aggregations, scoring joins on the bigram/context
+    * keys (AQE broadcasts small models), one per-doc aggregation out. */
+  def crossEntropyPortable(trainDocs: DataFrame, scoreDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val big = trainBigramCounts(trainDocs, idCol, textCol)
+    val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = tokens(trainDocs, idCol, textCol)
+      .select(col("w")).distinct().count()
+    bigrams(scoreDocs, idCol, textCol)
+      .join(big, Seq("w1", "w2"), "left_outer")
+      .join(uni, Seq("w1"), "left_outer")
+      .select(col(idCol),
+        (-log(2.0, (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocab).cast("double")))
+          .cast("decimal(38,18)").as("__bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__bits")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams").cast("double"))
+          .as("bits_per_bigram"))
   }
 
   /** Exact windowed co-occurrence counts (the PMI/word2vec-style

@@ -511,6 +511,40 @@ object Packing {
         md5(col("c.chunk_text")).as("chunk_md5"))
   }
 
+  /** Padding-waste report — what sequence packing actually buys at a
+    * given training sequence length L, in ONE corpus aggregation:
+    * one-document-per-sequence training consumes `ceil(t/L)` sequences
+    * per t-token doc and pads `ceil(t/L)·L − t` positions, while
+    * contiguous concat packing ([[concatChunkPlan]]) consumes
+    * `ceil(Σt/L)` total. Returns a single row: doc/token totals, padded
+    * sequence count and wasted positions (+ integer permille of the
+    * padded grid), concat sequence count, and the permille of sequences
+    * packing saves — the number that decides whether the packing stage
+    * is worth running at all. Zero-token/null docs consume nothing. */
+  def paddingWasteReport(df: DataFrame, tokenCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "paddingWasteReport: seqLen must be positive")
+    val t = coalesce(col(tokenCol).cast("long"), lit(0L))
+    // integer ceil via `div` (Column./ on longs is DOUBLE division)
+    val nSeq = expr(s"(coalesce(cast(`$tokenCol` as bigint), 0) + " +
+      s"${seqLen - 1}) div $seqLen")
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        sum(t).as("total_tokens"),
+        sum(nSeq).as("n_seq_padded"),
+        sum(nSeq * seqLen - t).as("waste_padded"))
+      .select(col("n_docs"), col("total_tokens"), col("n_seq_padded"),
+        col("waste_padded"),
+        expr(s"case when n_seq_padded > 0 then (waste_padded * 1000) " +
+          s"div (n_seq_padded * $seqLen) else 0 end")
+          .as("waste_permille"),
+        expr(s"(total_tokens + ${seqLen - 1}) div $seqLen")
+          .as("n_seq_concat"),
+        expr(s"case when n_seq_padded > 0 then ((n_seq_padded - " +
+          s"(total_tokens + ${seqLen - 1}) div $seqLen) * 1000) div " +
+          "n_seq_padded else 0 end").as("seq_saved_permille"))
+  }
+
   /** Token-balanced shard assignment for training-data export: documents
     * sort by (`tokenCol` desc, `idCol` asc — a total order, so the
     * assignment is deterministic and engine-portable) and deal out to

@@ -441,4 +441,16 @@ class DedupSpec extends SparkSuite {
     assert(out(("c", "a")) == ((1L, 0L, 0L)) && out(("c", "c"))._2 == 0L)
   }
 
+
+  test("clusterCensus: histogram over component sizes with removable " +
+      "counts") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L)).toDF("id", "cc")
+    val out = Dedup.clusterCensus(comps, "cc").orderBy("cluster_size")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 3L, 2L)), out.mkString(","))
+  }
+
 }

@@ -81,4 +81,31 @@ class LangModelSpec extends SparkSuite {
     assert(got(("x", "y")) > got(("a", "b")),
       s"exclusive companions must outrank: $got")
   }
+
+  test("crossEntropyPortable: decimal-exact sum equals hand computation " +
+      "and is invariant to partitioning; <2-token docs emit no row") {
+    // train: "a b a c" -> bigrams (a,b),(b,a),(a,c); c12: ab=1, ba=1,
+    // ac=1; c1: a=2, b=1; V = 3
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b"), (11L, "a z"), (12L, "a"))
+      .toDF("doc_id", "text")
+    def bits(c12: Long, c1: Long): java.math.BigDecimal =
+      new java.math.BigDecimal(
+        -(math.log((c12 + 1).toDouble / (c1 + 3).toDouble) / math.log(2.0)))
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+    val out = LangModel.crossEntropyPortable(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(10L, 11L), "doc 12 has no bigram")
+    assert(out(0)._2 == 1L &&
+      out(0)._3 == bits(1, 2).doubleValue / 1.0)
+    assert(out(1)._2 == 1L &&
+      out(1)._3 == bits(0, 2).doubleValue / 1.0)
+    val repart = LangModel.crossEntropyPortable(
+      train.repartition(4), score.repartition(3), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == repart.toSeq)
+  }
+
 }

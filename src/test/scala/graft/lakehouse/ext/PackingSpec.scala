@@ -406,4 +406,22 @@ class PackingSpec extends SparkSuite {
       Packing.mixtureInterleave(docs, "doc_id", "source", Map("a" -> 0), 7L)
     }
   }
+
+  test("paddingWasteReport: hand-computed ceil arithmetic, zero-token " +
+      "docs consume nothing") {
+    // L=10: docs 5, 10, 11, 0/null -> seqs 1+1+2+0 = 4, waste 5+0+9 = 14
+    val d = Seq(Some(5L), Some(10L), Some(11L), Some(0L), None)
+      .toDF("ntok")
+    val r = Packing.paddingWasteReport(d, "ntok", seqLen = 10L).collect()
+      .head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 26L, 4L, 14L)), r.toString)
+    assert(r.getLong(4) == (14L * 1000) / 40)   // waste permille of grid
+    assert(r.getLong(5) == 3L)                  // ceil(26/10)
+    assert(r.getLong(6) == ((4L - 3L) * 1000) / 4)
+    intercept[IllegalArgumentException] {
+      Packing.paddingWasteReport(d, "ntok", seqLen = 0L)
+    }
+  }
+
 }
