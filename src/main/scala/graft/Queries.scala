@@ -8192,5 +8192,205 @@ object Queries {
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
+    // DECODE-FREE PNG container metadata: real chunk-walk over real
+    // ImageIO-encoded bytes (the q209 ISO-BMFF pattern for images) —
+    // geometry from ~30 header bytes, never inflating a pixel. The
+    // oracle recomputes the salt arithmetic; encoder-dependent fields
+    // (chunk census, IDAT bytes) are spec-tested instead.
+    Q("q269_png_container_meta",
+      (s, dir) => {
+        val imgs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 6 === 0)
+          .withColumn("w", (lit(16) + col("doc_id") % 13).cast("int"))
+          .withColumn("h", (lit(8) + col("doc_id") % 7).cast("int"))
+          .withColumn("payload",
+            Multimodal.syntheticPngUdf(col("w"), col("h")))
+        Multimodal.decodePngHeaders(imgs, "payload")
+          .select(col("doc_id"), col("png.width").as("width"),
+            col("png.height").as("height"),
+            col("png.bit_depth").as("bit_depth"),
+            col("png.color_type").as("color_type"),
+            col("png.interlace").as("interlace"),
+            col("png.has_iend").as("has_iend"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(16 + doc_id % 13 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |  CAST(8 AS INT) AS bit_depth,
+        |  CAST(2 AS INT) AS color_type,
+        |  CAST(0 AS INT) AS interlace,
+        |  true AS has_iend
+        |FROM documents WHERE doc_id % 6 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Graded nDCG@10, oracle-portable via decimal-exact DCG/IDCG sums
+    // (the q266 recipe). The ranking fixture is a deterministic
+    // sha-ordered top-20 per query (TakeOrdered, never a global window).
+    Q("q270_ndcg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").select("doc_id")
+        def rankFor(qid: String) = {
+          val key = sha2(concat_ws("#", col("doc_id").cast("string"),
+            lit(qid)), 256)
+          docs.withColumn("__k", key)
+            .orderBy(col("__k"), col("doc_id")).limit(20)
+            .withColumn("rank",
+              row_number().over(Window.orderBy(col("__k"), col("doc_id"))))
+            .select(lit(qid).as("query_id"), col("doc_id"), col("rank"))
+        }
+        val ranking = rankFor("q1").unionByName(rankFor("q2"))
+        val qrels = docs.filter(col("doc_id") % 5 === 0)
+          .select(lit("q1").as("query_id"), col("doc_id"),
+            (col("doc_id") % 3 + 1).cast("long").as("grade"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .select(lit("q2").as("query_id"), col("doc_id"),
+              (col("doc_id") % 4).cast("long").as("grade")))
+        Retrieval.ndcgAtK(ranking, qrels, "query_id", "doc_id", "rank",
+          "grade", k = 10).orderBy("query_id")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+        |r1 AS (
+        |  SELECT 'q1' AS query_id, doc_id, row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || 'q1'),
+        |    doc_id) AS rank
+        |  FROM d QUALIFY rank <= 20),
+        |r2 AS (
+        |  SELECT 'q2' AS query_id, doc_id, row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || 'q2'),
+        |    doc_id) AS rank
+        |  FROM d QUALIFY rank <= 20),
+        |rk AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |q AS (
+        |  SELECT 'q1' AS query_id, doc_id, doc_id % 3 + 1 AS g FROM d
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'q2', doc_id, doc_id % 4 FROM d WHERE doc_id % 7 = 0),
+        |dc AS (
+        |  SELECT rk.query_id, count(*) AS n_ranked,
+        |    sum(CAST(CAST(coalesce(q.g, 0) AS DOUBLE) /
+        |      (ln(CAST(rk.rank AS DOUBLE) + 1.0) / ln(2.0))
+        |      AS DECIMAL(38,18))) AS dcg
+        |  FROM rk LEFT JOIN q USING (query_id, doc_id)
+        |  WHERE rk.rank <= 10 GROUP BY 1),
+        |iq AS (
+        |  SELECT query_id, g, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY g DESC, doc_id ASC) AS ir FROM q),
+        |ic AS (
+        |  SELECT query_id,
+        |    sum(CAST(CAST(g AS DOUBLE) /
+        |      (ln(CAST(ir AS DOUBLE) + 1.0) / ln(2.0))
+        |      AS DECIMAL(38,18))) AS idcg
+        |  FROM iq WHERE ir <= 10 GROUP BY 1)
+        |SELECT dc.query_id, CAST(n_ranked AS BIGINT) AS n_ranked,
+        |  CAST(dcg AS DOUBLE) AS dcg,
+        |  coalesce(CAST(idcg AS DOUBLE), 0.0) AS idcg,
+        |  CASE WHEN coalesce(idcg, 0) > 0
+        |    THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END AS ndcg
+        |FROM dc LEFT JOIN ic USING (query_id)
+        |ORDER BY query_id""".stripMargin)),
+
+    // Exact dedup WITH PROVENANCE: the surviving id plus the sorted
+    // '#'-joined ids it absorbed — the lineage right-to-be-forgotten and
+    // dedup audits need.
+    Q("q271_dedup_provenance",
+      (s, dir) => Dedup.exactDedupWithProvenance(
+        t(s, dir, "documents")
+          .withColumn("h", md5(coalesce(col("text"), lit(""))))
+          .select("h", "doc_id"),
+        Seq("h"), "doc_id").orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT md5(coalesce(text, '')) AS h, doc_id FROM documents),
+        |g AS (
+        |  SELECT h, min(doc_id) AS doc_id, count(*) AS n,
+        |    list(doc_id ORDER BY doc_id) AS ids
+        |  FROM d GROUP BY h)
+        |SELECT h, doc_id, CAST(n - 1 AS BIGINT) AS n_absorbed,
+        |  coalesce(array_to_string(list_transform(ids[2:],
+        |    x -> CAST(x AS VARCHAR)), '#'), '') AS absorbed_ids
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Schema drift between two crawl batches: per top-level JSON key,
+    // presence counts/shares and added/removed/stable status. The JSON is
+    // salted onto the fixture deterministically (legacy key only in batch
+    // A, new_field only in batch B) so all three statuses are exercised;
+    // the oracle rebuilds the same payloads and re-derives the report.
+    Q("q272_json_field_drift",
+      (s, dir) => {
+        val salted = ev(s, dir).select("event_id")
+          .withColumn("j", concat(
+            lit("{\"k\": "), (col("event_id") % 100).cast("string"),
+            when(col("event_id") % 3 === 0, lit(", \"v\": 1"))
+              .otherwise(lit("")),
+            when(col("event_id") % 2 === 0, lit(", \"legacy\": true"))
+              .otherwise(when(col("event_id") % 5 === 0,
+                lit(", \"new_field\": 0")).otherwise(lit(""))),
+            lit("}")))
+        Semistructured.jsonFieldDrift(
+          salted.filter(col("event_id") % 2 === 0).select("j"),
+          salted.filter(col("event_id") % 2 =!= 0).select("j"), "j")
+          .orderBy("key")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id,
+        |    '{"k": ' || CAST(event_id % 100 AS VARCHAR) ||
+        |    CASE WHEN event_id % 3 = 0 THEN ', "v": 1' ELSE '' END ||
+        |    CASE WHEN event_id % 2 = 0 THEN ', "legacy": true'
+        |         WHEN event_id % 5 = 0 THEN ', "new_field": 0'
+        |         ELSE '' END || '}' AS j
+        |  FROM events),
+        |ka AS (SELECT unnest(json_keys(j)) AS key FROM e
+        |  WHERE event_id % 2 = 0),
+        |kb AS (SELECT unnest(json_keys(j)) AS key FROM e
+        |  WHERE event_id % 2 <> 0),
+        |ca AS (SELECT key, count(*) AS n_a FROM ka GROUP BY 1),
+        |cb AS (SELECT key, count(*) AS n_b FROM kb GROUP BY 1),
+        |ta AS (SELECT count(*) AS total_a FROM e WHERE event_id % 2 = 0),
+        |tb AS (SELECT count(*) AS total_b FROM e WHERE event_id % 2 <> 0)
+        |SELECT key,
+        |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+        |  CAST((coalesce(n_a, 0) * 1000) // greatest(total_a, 1)
+        |    AS BIGINT) AS share_a_permille,
+        |  CAST((coalesce(n_b, 0) * 1000) // greatest(total_b, 1)
+        |    AS BIGINT) AS share_b_permille,
+        |  CASE WHEN n_a IS NULL THEN 'added'
+        |       WHEN n_b IS NULL THEN 'removed'
+        |       ELSE 'stable' END AS status,
+        |  CAST((coalesce(n_b, 0) * 1000) // greatest(total_b, 1) -
+        |    (coalesce(n_a, 0) * 1000) // greatest(total_a, 1) AS BIGINT)
+        |    AS drift_permille
+        |FROM ca FULL OUTER JOIN cb USING (key), ta, tb
+        |ORDER BY key""".stripMargin)),
+
+    // Distinctive terms per source (fixed-point Monroe-style excess
+    // share): the top-5 tokens each source over-uses vs the corpus —
+    // one (group, token) aggregation; every total derives from it.
+    Q("q273_distinctive_terms",
+      (s, dir) => TextStats.distinctiveTerms(
+        t(s, dir, "documents").select("text", "source"), "text",
+        "source", k = 5).orderBy("source", "rank"),
+      Some("""WITH w AS (
+        |  SELECT source AS grp, unnest(string_split_regex(
+        |    lower(coalesce(text, '')), '\s+')) AS token
+        |  FROM documents),
+        |nz AS (SELECT grp, token FROM w WHERE token <> ''),
+        |gt AS (SELECT grp, token, count(*) AS n_gt FROM nz GROUP BY 1, 2),
+        |g AS (SELECT grp, sum(n_gt) AS n_g FROM gt GROUP BY 1),
+        |tt AS (SELECT token, sum(n_gt) AS n_t FROM gt GROUP BY 1),
+        |al AS (SELECT sum(n_gt) AS n_all FROM gt),
+        |sc AS (
+        |  SELECT gt.grp, gt.token, n_gt,
+        |    (n_gt * 1000) // n_g - (n_t * 1000) // n_all AS excess
+        |  FROM gt JOIN g USING (grp) JOIN tt USING (token), al),
+        |r AS (
+        |  SELECT grp, token, n_gt, excess, row_number() OVER (
+        |    PARTITION BY grp ORDER BY excess DESC, token ASC) AS rank
+        |  FROM sc)
+        |SELECT grp AS source, CAST(rank AS INT) AS rank, token,
+        |  CAST(n_gt AS BIGINT) AS n_gt, CAST(excess AS BIGINT)
+        |    AS excess_permille
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
   )
 }

@@ -837,7 +837,48 @@ object TableIO {
         } :+ (BytesKey ->
           (JString(r.getLong(bloomBase + blooms.length).toString): JValue)))
       rel -> compact(render(org.json4s.JObject(fields.toList)))
-    }.toMap
+    }.toMap ++ {
+      // EMPTY staged files never surface from the aggregation (no rows,
+      // no group), but they DO land in the manifest — without stats they
+      // would poison every stats-only consumer (rowsFromManifest,
+      // manifestColumnStats, pruning all degrade to "must scan" on a
+      // file that provably holds nothing). Record explicit zero-row
+      // stats: rows 0, every column [null, null, 0], partition values
+      // from the path. An empty file is the MOST prunable file there is.
+      import scala.jdk.CollectionConverters._
+      val seen = rows.map { r =>
+        Paths.get(stagingDir).relativize(
+          Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
+      }.toSet
+      val walk = java.nio.file.Files.walk(Paths.get(stagingDir))
+      val allParquet =
+        try walk.iterator.asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")).toList
+        finally walk.close()
+      allParquet.flatMap { p =>
+        val rel = Paths.get(stagingDir).relativize(p).toString
+        if (seen(rel)) None
+        else {
+          val partStats: Seq[(String, JValue)] =
+            rel.split('/').toSeq.dropRight(1).filter(_.contains('='))
+              .map { seg =>
+                val Array(rawK, _) = seg.split("=", 2)
+                val u = org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils
+                u.unescapePathName(rawK) ->
+                  (JArray(List(JNull, JNull, JString("0"))): JValue)
+              }
+          val fields: Seq[(String, JValue)] =
+            (RowsKey -> (JString("0"): JValue)) +:
+              (cols.map(f => f.name ->
+                (JArray(List(JNull, JNull, JString("0"))): JValue)) ++
+                partStats :+ (BytesKey -> (JString(
+                  java.nio.file.Files.size(p).toString): JValue)))
+          Some(rel -> compact(render(org.json4s.JObject(fields.toList))))
+        }
+      }.toMap
+    }
   }
 
   /** String min/max stats truncate to this many CODE POINTS (Delta
@@ -1285,16 +1326,20 @@ object TableIO {
         s"manifestPartitionCounts($tableName): ${e.path} has no row " +
           "count — scan instead"))
       val logical = rows - Versioned.dvRefOf(e).fold(0L)(_._2)
-      val value = statsRangeJ(j, phys) match {
-        case Some((None, None)) => None // all-null file: the NULL bucket
-        case Some((Some(lo), Some(hi))) if lo == hi &&
-            statsNullCountJ(j, phys).contains(0L) => Some(lo)
-        case _ => throw new IllegalStateException(
-          s"manifestPartitionCounts($tableName): ${e.path} is not " +
-            s"single-valued in '$partCol' — not a partition column; " +
-            "scan instead")
+      // empty files record all-null stats for every column — skip them
+      // so they can't misread as a NULL-partition bucket
+      if (rows > 0L) {
+        val value = statsRangeJ(j, phys) match {
+          case Some((None, None)) => None // all-null file: the NULL bucket
+          case Some((Some(lo), Some(hi))) if lo == hi &&
+              statsNullCountJ(j, phys).contains(0L) => Some(lo)
+          case _ => throw new IllegalStateException(
+            s"manifestPartitionCounts($tableName): ${e.path} is not " +
+              s"single-valued in '$partCol' — not a partition column; " +
+              "scan instead")
+        }
+        counts.update(value, counts.getOrElse(value, 0L) + logical)
       }
-      counts.update(value, counts.getOrElse(value, 0L) + logical)
     }
     import spark.implicits._
     counts.toSeq.map { case (v, n) => (v.orNull, n) }

@@ -131,6 +131,39 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** [[exactDedup]] WITH PROVENANCE: one row per distinct key holding the
+    * surviving (minimum) `idCol`, how many duplicates it absorbed, and
+    * the absorbed ids themselves, sorted and '#'-joined — the lineage a
+    * right-to-be-forgotten pipeline needs (erasing id X must also erase
+    * the survivor that replaced X, or X's content outlives the request),
+    * and what a dedup audit samples. Same ONE key-partitioned shuffle as
+    * [[exactDedup]]; the absorbed list is bounded by each key's
+    * duplicate multiplicity, and a pathological key (a boilerplate page
+    * with more than `maxCopies` copies) raises LOUDLY instead of
+    * silently building a row-sized-like-a-partition string. */
+  def exactDedupWithProvenance(df: DataFrame, keyCols: Seq[String],
+      idCol: String, maxCopies: Int = 100000): DataFrame = {
+    require(keyCols.nonEmpty && maxCopies >= 1,
+      "exactDedupWithProvenance: need key columns and maxCopies >= 1")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("__n"),
+        // sort in the id's OWN domain (string-sorting numeric ids would
+        // put "10" before "9" and strand the survivor mid-array), then
+        // stringify for the join
+        array_sort(collect_list(col(idCol))).as("__ids"))
+      .select(keyCols.map(col) ++ Seq(
+        col(idCol),
+        (col("__n") - 1).as("n_absorbed"),
+        when(col("__n") > maxCopies, raise_error(lit(
+          s"exactDedupWithProvenance: a key exceeds maxCopies=" +
+            s"$maxCopies duplicates — raise the cap deliberately or " +
+            "audit that key first")))
+          .otherwise(array_join(expr(
+            "transform(slice(__ids, 2, greatest(size(__ids) - 1, 0)), " +
+              "x -> cast(x as string))"), "#")).as("absorbed_ids")): _*)
+  }
+
   /** Dedup-at-ingest: fold a batch into a versioned gold table keeping only
     * rows whose dedup key has never been seen — the continuous-crawl shape
     * where dedup happens when data ARRIVES instead of in a later O(corpus)

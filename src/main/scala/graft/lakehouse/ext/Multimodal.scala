@@ -336,6 +336,85 @@ object Multimodal {
   val syntheticImageUdf = udf((w: Int, h: Int, fmt: String) =>
     syntheticImage(w, h, fmt))
 
+  // ---- PNG container metadata (decode-free) ----------------------------
+
+  /** Parsed PNG container metadata, straight from the chunk structure
+    * (ISO/IEC 15948): IHDR geometry/format fields, chunk census, total
+    * compressed IDAT payload, and whether transparency is present
+    * (alpha-bearing color type or a tRNS chunk). */
+  case class PngMeta(width: Long, height: Long, bit_depth: Int,
+    color_type: Int, interlace: Int, n_chunks: Int, idat_bytes: Long,
+    has_alpha: Boolean, has_iend: Boolean)
+
+  /** DECODE-FREE PNG metadata: walk the chunk list (8-byte signature,
+    * then length/type/payload/CRC frames) and read geometry from IHDR —
+    * O(chunk count) over a few dozen header bytes, never inflating a
+    * pixel. At 100 TB of images this is the difference between a
+    * metadata pass (read ~64 bytes per blob) and a full ImageIO decode
+    * of every pixel grid ([[decodeImages]] stays the path when actual
+    * pixels are needed). Bounds-checked against hostile fields: a chunk
+    * length past the buffer (or above the spec's 2^31-1 cap) stops the
+    * walk with what was parsed so far (has_iend stays false — the
+    * truncation signal); payloads that are not PNG at all return null
+    * (corrupt-media rows to filter, not failures). */
+  def pngMeta(bytes: Array[Byte]): PngMeta = {
+    if (bytes == null || bytes.length < 8 + 25) return null
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) {
+      if ((bytes(i) & 0xff) != sig(i)) return null
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def u32(at: Int): Long = bb.getInt(at) & 0xffffffffL
+    def typ(at: Int): String = new String(bytes, at, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    // first chunk must be IHDR with the fixed 13-byte payload
+    if (u32(8) != 13L || typ(12) != "IHDR") return null
+    val width = u32(16)
+    val height = u32(20)
+    val bitDepth = bytes(24) & 0xff
+    val colorType = bytes(25) & 0xff
+    val interlace = bytes(28) & 0xff
+    var pos = 8
+    var nChunks = 0
+    var idat = 0L
+    var trns = false
+    var iend = false
+    while (!iend && pos + 8 <= bytes.length) {
+      val len = u32(pos)
+      // spec caps chunk length at 2^31-1; a bigger value is hostile
+      if (len > Int.MaxValue || pos + 8 + len + 4 > bytes.length) {
+        return PngMeta(width, height, bitDepth, colorType, interlace,
+          nChunks, idat, colorType == 4 || colorType == 6 || trns,
+          has_iend = false)
+      }
+      val t = typ(pos + 4)
+      nChunks += 1
+      if (t == "IDAT") idat += len
+      if (t == "tRNS") trns = true
+      if (t == "IEND") iend = true
+      pos += 8 + len.toInt + 4
+    }
+    PngMeta(width, height, bitDepth, colorType, interlace, nChunks, idat,
+      colorType == 4 || colorType == 6 || trns, iend)
+  }
+
+  private val pngSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[PngMeta].dataType.asInstanceOf[StructType]
+
+  /** [[pngMeta]] over a blob column — appends a nullable `png` struct. */
+  def decodePngHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("png", pngSchema, nullable = true)) { bytes =>
+      pngMeta(bytes) match {
+        case null => null
+        case m => Row(m.width, m.height, m.bit_depth, m.color_type,
+          m.interlace, m.n_chunks, m.idat_bytes, m.has_alpha, m.has_iend)
+      }
+    }
+
   // ---- video container metadata (ISO BMFF / MP4) -----------------------
 
   /** Parsed MP4/ISO-BMFF container metadata. Real header data (brand,

@@ -134,6 +134,57 @@ object Retrieval {
       .withColumn("recall_permille",
         when(col("n_truth") > 0, expr("(tp * 1000) div n_truth")))
   }
+  /** nDCG@k with graded relevance (Järvelin & Kekäläinen '02), made
+    * ORACLE-PORTABLE the q266 way: each position's gain
+    * `grade / log2(rank+1)` is one IEEE double expression replicated
+    * op-for-op (the log via ln/ln, the q61 precedent), and the DCG/IDCG
+    * SUMS are carried in exact DECIMAL(38,18) so partitioning can never
+    * reorder floating additions; the final nDCG is one double division
+    * of the two exact sums. Unjudged ranked docs gain 0; IDCG ranks the
+    * query's qrels by (grade desc, doc asc) cut at k; queries whose
+    * qrels carry no positive grade get a NULL nDCG (0/0 is "nothing to
+    * rank", not a score). Ranks validate >= 1 like the rest of this
+    * file.
+    *
+    * 100 TB shape: the ranking input is top-k-bounded per query and the
+    * qrels are eval-sized — the join broadcasts the qrels, the IDCG
+    * window partitions over those same bounded qrels, and the output is
+    * |queries| rows. */
+  def ndcgAtK(ranking: DataFrame, qrels: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, gradeCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "ndcgAtK: k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def gain(grade: org.apache.spark.sql.Column,
+        rank: org.apache.spark.sql.Column) =
+      (grade.cast("double") /
+        (log(rank.cast("double") + 1.0) / log(lit(2.0).cast("double"))))
+        .cast("decimal(38,18)")
+    val q = qrels.select(col(queryCol), col(docCol),
+      col(gradeCol).cast("long").as("__g"))
+    val ranked = ranking.select(col(queryCol), col(docCol),
+        guardedRank(col(rankCol), "ndcgAtK"))
+      .filter(col("__rank") <= k)
+    val dcg = ranked.join(broadcast(q), Seq(queryCol, docCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(gain(coalesce(col("__g"), lit(0L)), col("__rank")))
+          .as("__dcg"))
+    val iw = Window.partitionBy(col(queryCol))
+      .orderBy(col("__g").desc, col(docCol).asc)
+    val idcg = q.withColumn("__ir", row_number().over(iw))
+      .filter(col("__ir") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col("__g"), col("__ir"))).as("__idcg"))
+    dcg.join(idcg, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_ranked"),
+        col("__dcg").cast("double").as("dcg"),
+        coalesce(col("__idcg").cast("double"), lit(0.0)).as("idcg"),
+        when(coalesce(col("__idcg"), lit(java.math.BigDecimal.ZERO)) > 0,
+          col("__dcg").cast("double") / col("__idcg").cast("double"))
+          .as("ndcg"))
+  }
+
   /** Hard-negative mining for retrieval training (the DPR recipe,
     * Karpukhin '20): per query, the top-ranked documents that are NOT
     * relevance-labeled become ranked negatives -- the near-misses a

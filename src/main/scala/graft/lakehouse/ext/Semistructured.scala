@@ -64,4 +64,49 @@ object Semistructured {
       }
       .drop("__j", jsonCol)
   }
+
+  /** Schema drift between two batches of semi-structured records — the
+    * gate a continuous-crawl pipeline runs before folding a new batch
+    * into tables whose schema was inferred from the old one: per
+    * top-level JSON key, presence counts and integer-permille presence
+    * SHARES on each side, a status (`added` / `removed` / `stable`), and
+    * the share drift (share_b − share_a, negative = fading). Records
+    * whose payload does not parse as a JSON object carry no keys and
+    * drop from the denominators (they are a different failure class —
+    * route them through the quarantine gate, not the drift report).
+    *
+    * 100 TB shape: one per-row key-enumeration kernel (codegen'd
+    * `json_object_keys`, no UDF) into ONE (key)-bounded aggregation per
+    * side, a full-outer join on the key, and two 1-row denominators
+    * broadcast in — output is |distinct keys| rows regardless of batch
+    * size. */
+  def jsonFieldDrift(a: DataFrame, b: DataFrame,
+      jsonCol: String): DataFrame = {
+    def profile(df: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val keyed = df.select(
+        explode(expr(s"json_object_keys(`$jsonCol`)")).as("key"))
+      val counts = keyed.groupBy(col("key"))
+        .agg(count(lit(1)).as(s"n_$tag"))
+      val total = df.select(expr(s"json_object_keys(`$jsonCol`)")
+          .isNotNull.as("ok"))
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as(s"total_$tag"))
+      (counts, total)
+    }
+    val (ca, ta) = profile(a, "a")
+    val (cb, tb) = profile(b, "b")
+    ca.join(cb, Seq("key"), "full_outer")
+      .crossJoin(ta).crossJoin(tb)
+      .select(col("key"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        expr("(coalesce(n_a, 0) * 1000) div greatest(total_a, 1)")
+          .as("share_a_permille"),
+        expr("(coalesce(n_b, 0) * 1000) div greatest(total_b, 1)")
+          .as("share_b_permille"),
+        when(col("n_a").isNull, lit("added"))
+          .when(col("n_b").isNull, lit("removed"))
+          .otherwise(lit("stable")).as("status"))
+      .withColumn("drift_permille",
+        col("share_b_permille") - col("share_a_permille"))
+  }
 }

@@ -34,6 +34,31 @@ class ManifestStatsSpec extends SparkSuite {
       ("z", 5L, 5L, null, null)), out.toString)
   }
 
+  test("empty staged files carry explicit zero-row stats: stats-only " +
+      "consumers keep answering (the sf0.1 bench regression shape)") {
+    // stage one real and one EMPTY parquet file — whether the writer
+    // emits empty part files is path-dependent (the sf0.1 bench did),
+    // so the fixture plants one explicitly
+    val staging = Files.createTempDirectory("cfs_empty").toString
+    Seq((1L, 5), (2L, 9)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(staging)
+    Seq.empty[(Long, Int)].toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(staging)
+    val stats = TableIO.collectFileStats(spark)(staging)
+    val parquet = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    assert(parquet.length == 2)
+    assert(stats.keySet == parquet.toSet,
+      s"every staged file needs stats: ${stats.keySet} vs ${parquet.toSet}")
+    val rowCounts = parquet.map(p =>
+      TableIO.entryRows(Versioned.FileEntry(p, Some(stats(p)))).get).sorted
+    assert(rowCounts.toSeq == Seq(0L, 2L), rowCounts.mkString(","))
+    // the zero-row entry's column stats: all-null bounds, zero nulls —
+    // maximally prunable, never "unknown"
+    val empty = parquet.find(p => stats(p).contains("\"__rows\":\"0\"")).get
+    assert(stats(empty).contains("\"k\":[null,null,\"0\"]"), stats(empty))
+  }
+
   test("min/max folds in the TYPED domain, not string order") {
     // string-order min of {9, 10} is "10"; numeric min is 9 — the fold
     // must parse the stat strings into the column's domain

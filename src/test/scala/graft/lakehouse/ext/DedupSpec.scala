@@ -453,4 +453,26 @@ class DedupSpec extends SparkSuite {
       (3L, 1L, 3L, 2L)), out.mkString(","))
   }
 
+
+  test("exactDedupWithProvenance: numeric-sorted absorbed ids, " +
+      "singletons keep empty lineage, maxCopies raises loudly") {
+    val d = Seq((9L, "k1"), (10L, "k1"), (2L, "k1"), (7L, "k2"))
+      .toDF("doc_id", "key")
+    val out = Dedup.exactDedupWithProvenance(d, Seq("key"), "doc_id")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // ids sort NUMERICALLY: 2 survives, absorbed "9#10" not "10#9"
+    assert(out.toSeq == Seq(("k1", 2L, 2L, "9#10"), ("k2", 7L, 0L, "")),
+      out.mkString(","))
+    val e = intercept[Exception] {
+      Dedup.exactDedupWithProvenance(d, Seq("key"), "doc_id",
+        maxCopies = 2).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("maxCopies"), chain(e))
+  }
+
 }

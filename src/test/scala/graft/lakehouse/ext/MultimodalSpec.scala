@@ -222,4 +222,35 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(pairs == Set((0, 1), (10, 11), (20, 21)))
   }
+
+  test("pngMeta: decode-free header walk on real ImageIO bytes; hostile " +
+      "chunk lengths stop the walk without reading out of bounds") {
+    val bytes = Multimodal.syntheticPng(20, 11)
+    val m = Multimodal.pngMeta(bytes)
+    assert(m != null)
+    assert((m.width, m.height, m.bit_depth, m.color_type, m.interlace) ==
+      ((20L, 11L, 8, 2, 0)), m.toString)
+    assert(m.has_iend && m.n_chunks >= 3 && m.idat_bytes > 0 &&
+      !m.has_alpha)
+    // agreement with the real decoder on dims
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 20 && img.getHeight == 11)
+    // not a PNG
+    assert(Multimodal.pngMeta("JFIF-not-png".getBytes ++ bytes) == null)
+    assert(Multimodal.pngMeta(null) == null)
+    assert(Multimodal.pngMeta(bytes.take(20)) == null)
+    // hostile: blow up the first post-IHDR chunk's length field
+    val evil = bytes.clone()
+    val pos = 8 + 8 + 13 + 4 // second chunk's length field
+    evil(pos) = 0x7f.toByte; evil(pos + 1) = 0xff.toByte
+    evil(pos + 2) = 0xff.toByte; evil(pos + 3) = 0xff.toByte
+    val t = Multimodal.pngMeta(evil)
+    assert(t != null && !t.has_iend && t.width == 20L,
+      "truncation must surface as has_iend=false with parsed prefix")
+    // truncated mid-chunk-payload: same contract
+    val cut = Multimodal.pngMeta(bytes.dropRight(5))
+    assert(cut != null && !cut.has_iend)
+  }
+
 }

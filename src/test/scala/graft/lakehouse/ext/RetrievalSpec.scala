@@ -148,4 +148,35 @@ class RetrievalSpec extends SparkSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("ndcgAtK: hand-computed graded DCG/IDCG, unjudged docs gain 0, " +
+      "all-zero qrels give NULL ndcg, partitioning invariant") {
+    val ranking = Seq(("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q2", 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(("q1", 10L, 3L), ("q1", 12L, 1L), ("q1", 99L, 2L),
+      ("q2", 20L, 0L))
+      .toDF("query_id", "doc_id", "grade")
+    def g(grade: Long, rank: Long): java.math.BigDecimal =
+      new java.math.BigDecimal(
+        grade.toDouble / (math.log(rank.toDouble + 1.0) / math.log(2.0)))
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+    val out = Retrieval.ndcgAtK(ranking, qrels, "query_id", "doc_id",
+      "rank", "grade", k = 10).orderBy("query_id").collect()
+    val q1 = out(0)
+    // dcg = 3/log2(2) + 0/log2(3) + 1/log2(4); idcg ranks grades 3,2,1
+    val dcg = g(3, 1).add(g(0, 2)).add(g(1, 3)).doubleValue
+    val idcg = g(3, 1).add(g(2, 2)).add(g(1, 3)).doubleValue
+    assert(q1.getLong(1) == 3L)
+    assert(q1.getDouble(2) == dcg && q1.getDouble(3) == idcg)
+    assert(q1.getDouble(4) == dcg / idcg)
+    val q2 = out(1)
+    assert(q2.getDouble(3) == 0.0 && q2.isNullAt(4),
+      "all-zero grades must yield NULL ndcg, not 0/0")
+    val again = Retrieval.ndcgAtK(ranking.repartition(4),
+      qrels.repartition(3), "query_id", "doc_id", "rank", "grade", 10)
+      .orderBy("query_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
 }

@@ -72,4 +72,22 @@ class SemistructuredSpec extends SparkSuite {
     assert(r.getString(0) == "real" && r.getString(1) == "shadow"
       && r.getLong(2) == 2L)
   }
+
+  test("jsonFieldDrift: added/removed/stable statuses, permille shares, " +
+      "unparseable payloads drop from denominators") {
+    val a = Seq("""{"k": 1, "legacy": true}""", """{"k": 2}""",
+      "not json").toDF("j")
+    val b = Seq("""{"k": 3, "fresh": 0}""", """{"k": 4, "fresh": 1}""")
+      .toDF("j")
+    val out = Semistructured.jsonFieldDrift(a, b, "j")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))
+    // denominators: a has 2 parseable rows, b has 2
+    assert(out.toSeq == Seq(
+      ("fresh", 0L, 2L, 0L, 1000L, "added", 1000L),
+      ("k", 2L, 2L, 1000L, 1000L, "stable", 0L),
+      ("legacy", 1L, 0L, 500L, 0L, "removed", -500L)), out.mkString(","))
+  }
+
 }

@@ -513,4 +513,24 @@ class TextStatsSpec extends SparkSuite {
     assert(web == (("web", 3L, 1L, 4L, 6L, 3L, 0L)), web.toString)
     Seq("cs_a", "cs_b", "cs_c").foreach(TableIO.dropTable(spark, lh, _))
   }
+
+  test("distinctiveTerms: excess-share argmax per group, deterministic " +
+      "tie-break, output keeps the caller's group column name") {
+    // corpus: g1 says "apple" a lot, g2 says "banana"; "the" is common
+    val df = Seq(
+      ("g1", "the apple apple apple"),
+      ("g2", "the banana banana banana"))
+      .toDF("src", "text")
+    val out = TextStats.distinctiveTerms(df, "text", "src", k = 2)
+      .orderBy("src", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // per group: 4 tokens; apple 3/4=750 in g1, 3/8=375 corpus -> 375
+    assert(out.toSeq == Seq(
+      ("g1", 1, "apple", 3L, 750L - 375L),
+      ("g1", 2, "the", 1L, 250L - 250L),
+      ("g2", 1, "banana", 3L, 750L - 375L),
+      ("g2", 2, "the", 1L, 250L - 250L)), out.mkString(","))
+  }
+
 }
