@@ -7667,12 +7667,9 @@ object Queries {
     // ranking. The recall-traded 100 TB path is the persisted PQ/IVF
     // index (q243/q244).
     Q("q255_hashed_bow_topk",
-      (s, dir) => {
-        val cells = Embeddings.hashedBowEmbed(
-          t(s, dir, "documents"), "doc_id", "text", dim = 64)
-        Embeddings.hashedBowTopK(cells, Seq(7L, 123L, 250L), "doc_id",
-          k = 10).orderBy("query_id", "rank")
-      },
+      (s, dir) => Embeddings.hashedBowTopKFor(
+        t(s, dir, "documents"), "doc_id", "text", Seq(7L, 123L, 250L),
+        k = 10).orderBy("query_id", "rank"),
       Some("""WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
@@ -8392,5 +8389,172 @@ object Queries {
         |  CAST(n_gt AS BIGINT) AS n_gt, CAST(excess AS BIGINT)
         |    AS excess_permille
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // DECODE-FREE JPEG metadata — the q269 pattern for the other
+    // dominant web image container: real ImageIO-encoded bytes, marker
+    // walk up to SOS, oracle replays the salt arithmetic.
+    Q("q274_jpeg_container_meta",
+      (s, dir) => {
+        val imgs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 7 === 0)
+          .withColumn("w", (lit(24) + col("doc_id") % 11).cast("int"))
+          .withColumn("h", (lit(12) + col("doc_id") % 5).cast("int"))
+          .withColumn("payload", Multimodal.syntheticImageUdf(
+            col("w"), col("h"), lit("jpg")))
+        Multimodal.decodeJpegHeaders(imgs, "payload")
+          .select(col("doc_id"), col("jpeg.width").as("width"),
+            col("jpeg.height").as("height"),
+            col("jpeg.precision").as("precision"),
+            col("jpeg.components").as("components"),
+            col("jpeg.progressive").as("progressive"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(24 + doc_id % 11 AS INT) AS width,
+        |  CAST(12 + doc_id % 5 AS INT) AS height,
+        |  CAST(8 AS INT) AS precision,
+        |  CAST(3 AS INT) AS components,
+        |  false AS progressive
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Manifest-answered SUM — the third of the metadata-aggregate family
+    // (count q258/q265, min/max q258, now SUM): exact DECIMAL(38,0)
+    // per-file sums folded in O(files), zero data scanned. The oracle
+    // recomputes over the data.
+    Q("q275_manifest_sums",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "msums_li")
+        val src = t(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+          "l_suppkey", "l_linenumber")
+        TableIO.writeTable(s, lh, "msums_li",
+          src.filter(col("l_orderkey") % 2 === 0))
+        TableIO.appendTable(s, lh, "msums_li",
+          src.filter(col("l_orderkey") % 2 =!= 0))
+        TableIO.manifestSums(s, lh, "msums_li",
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    CAST(count(l_orderkey) AS BIGINT) AS n_nonnull,
+        |    CAST(sum(l_orderkey) AS VARCHAR) AS sum_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(count(l_partkey) AS BIGINT),
+        |    CAST(sum(l_partkey) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(count(l_suppkey) AS BIGINT),
+        |    CAST(sum(l_suppkey) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(count(l_linenumber) AS BIGINT),
+        |    CAST(sum(l_linenumber) AS VARCHAR) FROM lineitem)
+        |ORDER BY col_name""".stripMargin)),
+
+    // CCNet perplexity bucketing: equal-count head/middle/tail tiers by
+    // reference-LM bits-per-bigram (head reads most like the reference;
+    // CCNet pretrains on head+middle). Deterministic integer cuts over
+    // a distributed sort; min/max doubles are portable (no float sums).
+    Q("q276_perplexity_buckets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val train = t(s, dir, "documents")
+          .filter(col("source") === "src0").select("doc_id", "text")
+        LangModel.perplexityBuckets(train, docs, "doc_id", "text",
+            buckets = 3)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("bits_per_bigram").as("min_bits"),
+            max("bits_per_bigram").as("max_bits"))
+          .orderBy("bucket")
+      },
+      Some("""WITH tok0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+        |      AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM tok0 WHERE w <> ''),
+        |bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |trainbg AS (
+        |  SELECT bg.w1, bg.w2 FROM bg JOIN documents d USING (doc_id)
+        |  WHERE d.source = 'src0'),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM trainbg GROUP BY 1, 2),
+        |uni AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT tok.w) AS vocab
+        |  FROM tok JOIN documents d USING (doc_id)
+        |  WHERE d.source = 'src0'),
+        |sb AS (
+        |  SELECT bg.doc_id,
+        |    CAST(-(ln(CAST(coalesce(big.c12, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(uni.c1, 0) + vocab AS DOUBLE)) / ln(2.0))
+        |      AS DECIMAL(38,18)) AS bits
+        |  FROM bg LEFT JOIN big USING (w1, w2)
+        |    LEFT JOIN uni USING (w1), v),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(bits) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS bpb
+        |  FROM sb GROUP BY doc_id),
+        |rk AS (
+        |  SELECT doc_id, bpb,
+        |    row_number() OVER (ORDER BY bpb ASC, doc_id ASC) - 1 AS r
+        |  FROM sc),
+        |n AS (SELECT count(*) AS n FROM sc),
+        |bk AS (SELECT CAST((3 * r) // n AS INT) AS bucket, bpb FROM rk, n)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(bpb) AS min_bits, max(bpb) AS max_bits
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Time-travel metadata profile: a version IS its manifest, so stats
+    // as-of v read one older sidecar — zero scan either way. The oracle
+    // replays both versions' content from the commit recipe.
+    Q("q277_manifest_stats_time_travel",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "mtt_li")
+        val src = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        TableIO.writeTable(s, lh, "mtt_li",
+          src.filter(col("l_orderkey") % 2 === 0))
+        TableIO.appendTable(s, lh, "mtt_li",
+          src.filter(col("l_orderkey") % 2 =!= 0))
+        val v1 = TableIO.manifestColumnStats(s, lh, "mtt_li",
+            Seq("l_orderkey", "l_partkey"), asOfVersion = Some(1L))
+          .withColumn("version", lit(1))
+        val v2 = TableIO.manifestColumnStats(s, lh, "mtt_li",
+            Seq("l_orderkey", "l_partkey"))
+          .withColumn("version", lit(2))
+        v1.unionByName(v2).orderBy("version", "col_name")
+      },
+      Some("""WITH src AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(l_orderkey) AS n_nulls,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_val, 1 AS version
+        |  FROM src WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+        |    CAST(min(l_partkey) AS VARCHAR),
+        |    CAST(max(l_partkey) AS VARCHAR), 1
+        |  FROM src WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'l_orderkey', count(*), count(*) - count(l_orderkey),
+        |    CAST(min(l_orderkey) AS VARCHAR),
+        |    CAST(max(l_orderkey) AS VARCHAR), 2 FROM src
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+        |    CAST(min(l_partkey) AS VARCHAR),
+        |    CAST(max(l_partkey) AS VARCHAR), 2 FROM src)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls, min_val, max_val,
+        |  CAST(version AS INT) AS version
+        |FROM p ORDER BY version, col_name""".stripMargin)),
   )
 }

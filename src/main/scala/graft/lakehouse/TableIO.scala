@@ -4,8 +4,9 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import java.util.Comparator
 import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Encoders, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, FloatType,
-  NumericType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType,
+  FloatType, IntegerType, LongType, NumericType, ShortType, StringType,
+  StructField, StructType, TimestampType}
 
 /** Table read/write surface over the local lakehouse: the reference's Delta
   * scans/sinks re-expressed over Parquet. All writes go through the
@@ -776,15 +777,26 @@ object TableIO {
     // per-column null counts (3rd stats element) make "k non-null rows"
     // arguments provable (prunedTopK) and enable IS NULL pruning
     import org.apache.spark.sql.functions.{count, lit, sum, when}
+    // integral columns also record an EXACT per-file sum (DECIMAL(38,0)
+    // accumulation — overflow-free and order-free), so SUM(col) becomes
+    // manifest-answerable ([[manifestSums]]) the way count(*) already is.
+    // Floating columns deliberately don't: their sum depends on addition
+    // order, so a recorded value would not be a portable answer.
+    val sumCols = cols.filter(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
     val aggs = count(lit(1)) +:
       (cols.flatMap(f => Seq(
         min(col(f.name)).cast("string"), max(col(f.name)).cast("string"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)))) ++
-        blooms.map(c => bloomAgg(xxhash64(col(c)))) :+
+        blooms.map(c => bloomAgg(xxhash64(col(c)))) ++
         // physical file size rides along too (Delta's add.size): DESCRIBE
         // DETAIL and OPTIMIZE's small-file selection then work from the
         // manifest alone — no per-file stat() storm on a 1M-file table
-        min(col("_metadata.file_size")))
+        Seq(min(col("_metadata.file_size"))) ++
+        sumCols.map(f =>
+          sum(col(f.name).cast("decimal(38,0)")).cast("string")))
     val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val stagingP = Paths.get(stagingDir)
@@ -834,8 +846,18 @@ object TableIO {
             (Bloom.StatsPrefix + c) -> (JString(java.util.Base64.getEncoder
               .encodeToString(bytes.asInstanceOf[Array[Byte]])): JValue)
           }
-        } :+ (BytesKey ->
-          (JString(r.getLong(bloomBase + blooms.length).toString): JValue)))
+        } ++ Seq(BytesKey ->
+          (JString(r.getLong(bloomBase + blooms.length).toString): JValue))
+          ++ sumCols.zipWithIndex.map { case (f, i) =>
+            // all-null file: sum is NULL; record "0" (the additive
+            // identity — manifestSums derives overall-NULL from the
+            // nullCounts, not from here)
+            (SumStatPrefix + f.name) -> (j(bloomBase + blooms.length + 1 + i)
+              match {
+                case JNull => JString("0"): JValue
+                case v => v
+              })
+          })
       rel -> compact(render(org.json4s.JObject(fields.toList)))
     }.toMap ++ {
       // EMPTY staged files never surface from the aggregation (no rows,
@@ -873,8 +895,10 @@ object TableIO {
             (RowsKey -> (JString("0"): JValue)) +:
               (cols.map(f => f.name ->
                 (JArray(List(JNull, JNull, JString("0"))): JValue)) ++
-                partStats :+ (BytesKey -> (JString(
-                  java.nio.file.Files.size(p).toString): JValue)))
+                partStats ++ Seq(BytesKey -> (JString(
+                  java.nio.file.Files.size(p).toString): JValue)) ++
+                sumCols.map(f =>
+                  (SumStatPrefix + f.name) -> (JString("0"): JValue)))
           Some(rel -> compact(render(org.json4s.JObject(fields.toList))))
         }
       }.toMap
@@ -922,6 +946,12 @@ object TableIO {
 
   /** Stats-JSON key for a file's physical byte size (Delta's add.size). */
   private val BytesKey = "__bytes"
+
+  /** Stats-JSON key prefix for a file's exact per-column integral sum
+    * (`__sum_<col>`, DECIMAL(38,0) rendering) — written by
+    * [[collectFileStats]] for integral columns, consumed by
+    * [[manifestSums]]. */
+  private val SumStatPrefix = "__sum_"
 
   /** Remove one top-level field from a stats JSON doc (no-op if absent). */
   private def removeStatField(statsJson: String, key: String): String = {
@@ -1217,14 +1247,20 @@ object TableIO {
     *    boolean stats are exact.
     * All-null columns surface NULL min/max (the recorded shape). */
   def manifestColumnStats(spark: SparkSession, lh: LakehouseProps,
-      tableName: String, cols: Seq[String]): DataFrame = {
+      tableName: String, cols: Seq[String],
+      asOfVersion: Option[Long] = None): DataFrame = {
     require(cols.nonEmpty, "manifestColumnStats: no columns requested")
     val tableDir = Catalog.tablePath(lh, tableName)
-    val m = Versioned.latestVersion(tableDir)
+    // time travel is free here: a version IS its manifest, so profiling
+    // the table as-of v reads one older sidecar — same O(files), zero
+    // scan either way
+    val m = asOfVersion.orElse(Versioned.latestVersion(tableDir))
       .flatMap(v => Versioned.readManifest(tableDir, v))
       .getOrElse(throw new IllegalStateException(
-        s"manifestColumnStats($tableName): no manifest-based version — " +
-          "pre-protocol layouts carry no stats; scan instead"))
+        s"manifestColumnStats($tableName" +
+          asOfVersion.fold("")(v => s" @v$v") +
+          "): no manifest-based version — pre-protocol layouts carry " +
+          "no stats; scan instead"))
     val dvd = m.entries.count(e => Versioned.dvRefOf(e).isDefined)
     if (dvd > 0) throw new IllegalStateException(
       s"manifestColumnStats($tableName): $dvd file(s) carry deletion " +
@@ -1285,6 +1321,80 @@ object TableIO {
     }
     import spark.implicits._
     out.toDF("col_name", "n_rows", "n_nulls", "min_val", "max_val")
+  }
+
+  /** Manifest-answered SUM: exact `SUM(col)` for integral columns from
+    * the per-file `__sum_<col>` stats [[collectFileStats]] records —
+    * O(files) BigDecimal addition on the driver, zero data scanned, and
+    * EXACT at any scale because every per-file sum was accumulated in
+    * DECIMAL(38,0) (no float reordering, no long overflow). The missing
+    * third of the metadata-aggregate family: count(*)
+    * ([[rowsFromManifest]]), min/max/nulls ([[manifestColumnStats]]),
+    * now SUM. One row per requested column:
+    * `(col_name, n_nonnull, sum_val)` — `sum_val` as the exact decimal
+    * string, NULL when no non-null row exists (SQL SUM semantics,
+    * derived from the recorded nullCounts, never guessed).
+    *
+    * Same loud-refusal contract as its siblings: pre-feature manifests
+    * (no recorded sums), missing stats, or deletion vectors (a DV'd
+    * file's physical sum includes deleted rows) raise — callers fall
+    * back to a scan rather than get a stale answer. */
+  def manifestSums(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifestSums: no columns requested")
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val m = Versioned.latestVersion(tableDir)
+      .flatMap(v => Versioned.readManifest(tableDir, v))
+      .getOrElse(throw new IllegalStateException(
+        s"manifestSums($tableName): no manifest-based version — scan " +
+          "instead"))
+    val dvd = m.entries.count(e => Versioned.dvRefOf(e).isDefined)
+    if (dvd > 0) throw new IllegalStateException(
+      s"manifestSums($tableName): $dvd file(s) carry deletion vectors — " +
+        "physical sums include deleted rows; compact (OPTIMIZE) first " +
+        "or scan")
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val toPhys = physicalMapping(schema)
+    val parsed = m.entries.map { e =>
+      import org.json4s.jackson.JsonMethods.parse
+      e.path -> e.stats.flatMap(s => scala.util.Try(parse(s)).toOption)
+        .getOrElse(throw new IllegalStateException(
+          s"manifestSums($tableName): ${e.path} has no stats — scan " +
+            "instead"))
+    }
+    val out = cols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifestSums($tableName): no column '$c'"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+        case other => throw new IllegalArgumentException(
+          s"manifestSums($tableName): '$c' is $other — only integral " +
+            "sums are recorded (float sums depend on addition order)")
+      }
+      val phys = toPhys.getOrElse(c, c)
+      var total = java.math.BigDecimal.ZERO
+      var nonNull = 0L
+      parsed.foreach { case (path, jv) =>
+        import org.json4s.JString
+        val s = (jv \ (SumStatPrefix + phys)) match {
+          case JString(v) => v
+          case _ => throw new IllegalStateException(
+            s"manifestSums($tableName): $path has no recorded sum for " +
+              s"'$c' (pre-feature manifest) — rewrite or scan instead")
+        }
+        total = total.add(new java.math.BigDecimal(s))
+        val rows = statsRowsJ(jv).getOrElse(throw new IllegalStateException(
+          s"manifestSums($tableName): $path has no row count"))
+        val nulls = statsNullCountJ(jv, phys).getOrElse(
+          throw new IllegalStateException(
+            s"manifestSums($tableName): $path has no null count for '$c'"))
+        nonNull += rows - nulls
+      }
+      (c, nonNull, if (nonNull == 0L) null else total.toPlainString)
+    }
+    import spark.implicits._
+    out.toDF("col_name", "n_nonnull", "sum_val")
   }
 
   /** SHOW PARTITIONS with row counts, answered from the MANIFEST alone:

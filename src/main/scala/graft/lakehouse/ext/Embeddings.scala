@@ -280,6 +280,35 @@ object Embeddings {
     * broadcast, the corpus side streams -- per-query cost is one pass
     * over matching cells, and the recall-traded path for 100 TB is the
     * persisted PQ/IVF index (q243/q244), not this. */
+  /** [[hashedBowTopK]] with the query side embedded SEPARATELY from the
+    * k-bounded query documents instead of filtered out of the full
+    * corpus cells: embedding is per-document, so the results are
+    * identical — but filtering aggregated cells makes Spark run the
+    * corpus-wide embed aggregation TWICE (once for the broadcast build,
+    * once for the probe side; AQE query stages don't share it), while
+    * this shape aggregates |queries| documents for the build and the
+    * corpus exactly once. The difference is cosmetic at bench scale and
+    * structural at 100 TB. */
+  def hashedBowTopKFor(docs: DataFrame, idCol: String, textCol: String,
+      queryIds: Seq[Long], k: Int, dim: Int = 64): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need query ids and k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val cells = hashedBowEmbed(docs, idCol, textCol, dim)
+    val q = hashedBowEmbed(docs.filter(col(idCol).isin(queryIds: _*)),
+        idCol, textCol, dim)
+      .select(col(idCol).as("query_id"), col("pos"), col("v").as("vq"))
+    val dots = cells.join(broadcast(q), Seq("pos"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("v") * col("vq")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+    dots.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol), col("dot"))
+  }
+
   def hashedBowTopK(cells: DataFrame, queryIds: Seq[Long], idCol: String,
       k: Int): DataFrame = {
     require(queryIds.nonEmpty && k >= 1, "need query ids and k >= 1")

@@ -129,6 +129,34 @@ object LangModel {
           .as("bits_per_bigram"))
   }
 
+  /** CCNet's perplexity bucketing (Wenzek '19 §4.3): rank every document
+    * by [[crossEntropyPortable]] bits-per-bigram against the reference
+    * LM and cut the corpus into `buckets` equal-count tiers — bucket 0
+    * (head) reads most like the reference, the last (tail) least; CCNet
+    * keeps head+middle for pretraining. Deterministic: the order is
+    * (bits asc, id asc) — a total order because the portable bits are
+    * engine-stable — and the cuts are integer `(buckets·rank) div n`,
+    * the stratifiedSplit arithmetic.
+    *
+    * 100 TB shape: scoring is [[crossEntropyPortable]]'s plan; the rank
+    * is one distributed range-partitioned sort + the zipWithIndex
+    * contiguous index (never a partition-less row_number); the bucket
+    * map is a pure per-row expression over one broadcast scalar. */
+  def perplexityBuckets(trainDocs: DataFrame, scoreDocs: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, "perplexityBuckets: need at least 2 buckets")
+    val scored = crossEntropyPortable(trainDocs, scoreDocs, idCol, textCol)
+    val sorted = scored.orderBy(col("bits_per_bigram").asc,
+      col(idCol).asc)
+    val ranked = graft.lakehouse.Transform.addIndexColContiguous(
+      sorted, "__pb_rank", indexStart = -1)
+    val n = ranked.agg(count(lit(1)).as("__pb_n"))
+    ranked.crossJoin(n)
+      .select(col(idCol), col("n_bigrams"), col("bits_per_bigram"),
+        expr(s"cast(($buckets * __pb_rank) div __pb_n as int)")
+          .as("bucket"))
+  }
+
   /** Exact windowed co-occurrence counts (the PMI/word2vec-style
     * numerator): every unordered token pair at distance 1..`window`
     * inside a document counts once per occurrence pair, canonicalized

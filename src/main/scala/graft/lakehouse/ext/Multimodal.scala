@@ -415,6 +415,82 @@ object Multimodal {
       }
     }
 
+  // ---- JPEG container metadata (decode-free) ----------------------------
+
+  /** Parsed JPEG metadata from the marker-segment structure (ITU T.81):
+    * SOF frame geometry, sample precision, component count, whether the
+    * scan is progressive (SOF2), the segment census up to SOS, and EXIF
+    * presence (an APP1 segment opening with "Exif"). */
+  case class JpegMeta(width: Int, height: Int, precision: Int,
+    components: Int, progressive: Boolean, n_segments: Int,
+    has_exif: Boolean)
+
+  /** DECODE-FREE JPEG metadata — the [[pngMeta]] pattern for the other
+    * dominant web image container: walk marker segments (FF xx + 2-byte
+    * big-endian length) up to Start-of-Scan, reading geometry from the
+    * first SOF0/1/2. Never inflates entropy-coded data. Bounds-checked:
+    * a segment length past the buffer (or a truncated SOF payload) ends
+    * the walk — with the metadata parsed so far if a SOF was seen,
+    * null otherwise; non-JPEG payloads (no FF D8 SOI) are null. */
+  def jpegMeta(bytes: Array[Byte]): JpegMeta = {
+    if (bytes == null || bytes.length < 4) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    if (u8(0) != 0xff || u8(1) != 0xd8) return null
+    var pos = 2
+    var nSeg = 1 // SOI
+    var w = 0; var h = 0; var prec = 0; var comps = 0
+    var progressive = false; var exif = false; var sofSeen = false
+    def done(): JpegMeta =
+      if (sofSeen) JpegMeta(w, h, prec, comps, progressive, nSeg, exif)
+      else null
+    while (pos + 2 <= bytes.length) {
+      // fill bytes: any number of FFs may pad before a marker code
+      if (u8(pos) != 0xff) return done()
+      var mp = pos + 1
+      while (mp < bytes.length && u8(mp) == 0xff) mp += 1
+      if (mp >= bytes.length) return done()
+      val marker = u8(mp)
+      if (marker == 0xd9) { nSeg += 1; return done() } // EOI
+      else if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        nSeg += 1; pos = mp + 1 // standalone markers: no length field
+      } else {
+        if (mp + 3 >= bytes.length) return done()
+        val len = u16(mp + 1) // includes the 2 length bytes
+        if (len < 2 || mp + 1 + len > bytes.length) return done()
+        nSeg += 1
+        if ((marker == 0xc0 || marker == 0xc1 || marker == 0xc2) &&
+            !sofSeen && len >= 8) {
+          prec = u8(mp + 3); h = u16(mp + 4); w = u16(mp + 6)
+          comps = u8(mp + 8)
+          progressive = marker == 0xc2
+          sofSeen = true
+        }
+        if (marker == 0xe1 && len >= 6 &&
+            new String(bytes, mp + 3, 4,
+              java.nio.charset.StandardCharsets.US_ASCII) == "Exif")
+          exif = true
+        if (marker == 0xda) return done() // SOS: entropy data follows
+        pos = mp + 1 + len
+      }
+    }
+    done()
+  }
+
+  private val jpegSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[JpegMeta].dataType.asInstanceOf[StructType]
+
+  /** [[jpegMeta]] over a blob column — appends a nullable `jpeg` struct. */
+  def decodeJpegHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("jpeg", jpegSchema, nullable = true)) { bytes =>
+      jpegMeta(bytes) match {
+        case null => null
+        case m => Row(m.width, m.height, m.precision, m.components,
+          m.progressive, m.n_segments, m.has_exif)
+      }
+    }
+
   // ---- video container metadata (ISO BMFF / MP4) -----------------------
 
   /** Parsed MP4/ISO-BMFF container metadata. Real header data (brand,

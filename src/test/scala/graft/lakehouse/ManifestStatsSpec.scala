@@ -143,4 +143,58 @@ class ManifestStatsSpec extends SparkSuite {
       assert(rows.map(_.getLong(1)).toSeq == Seq(1000L, 1000L))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("manifestSums: exact across appends with nulls and negatives, " +
+      "all-null columns surface NULL, float columns refuse, DV refuses") {
+    val a = Seq((1L, Some(-7), None: Option[Long]),
+      (2L, Some(1000000000), None), (3L, None, None))
+      .toDF("k", "v", "z")
+    val b = Seq((4L, Some(42), None: Option[Long])).toDF("k", "v", "z")
+    TableIO.dropTable(spark, lh, "msum1")
+    TableIO.writeTable(spark, lh, "msum1", a)
+    TableIO.appendTable(spark, lh, "msum1", b)
+    val out = TableIO.manifestSums(spark, lh, "msum1", Seq("k", "v", "z"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(("k", 4L, "10"), ("v", 3L, "1000000035"),
+      ("z", 0L, null)), out.toString)
+    TableIO.dropTable(spark, lh, "msum2")
+    TableIO.writeTable(spark, lh, "msum2",
+      Seq((1L, 0.5)).toDF("k", "d"))
+    val e2 = intercept[IllegalArgumentException] {
+      TableIO.manifestSums(spark, lh, "msum2", Seq("d"))
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    TableIO.dropTable(spark, lh, "msum3")
+    TableIO.writeTable(spark, lh, "msum3",
+      (1 to 50).map(i => (i.toLong, i)).toDF("k", "v"))
+    TableIO.deleteFromTable(spark, lh, "msum3", "v <= 10",
+      deletionVectors = true)
+    val e3 = intercept[IllegalStateException] {
+      TableIO.manifestSums(spark, lh, "msum3", Seq("v"))
+    }
+    assert(e3.getMessage.contains("deletion vectors"), e3.getMessage)
+  }
+
+
+  test("manifestColumnStats asOfVersion: the profile time-travels by " +
+      "reading the older manifest, no scan either way") {
+    TableIO.dropTable(spark, lh, "mtt")
+    TableIO.writeTable(spark, lh, "mtt", Seq((1L, 5), (2L, 9))
+      .toDF("k", "v"))
+    TableIO.appendTable(spark, lh, "mtt", Seq((3L, -4)).toDF("k", "v"))
+    val v1 = TableIO.manifestColumnStats(spark, lh, "mtt", Seq("v"),
+      asOfVersion = Some(1L)).collect().head
+    val v2 = TableIO.manifestColumnStats(spark, lh, "mtt", Seq("v"))
+      .collect().head
+    assert((v1.getLong(1), v1.getString(3), v1.getString(4)) ==
+      ((2L, "5", "9")))
+    assert((v2.getLong(1), v2.getString(3), v2.getString(4)) ==
+      ((3L, "-4", "9")))
+    intercept[IllegalStateException] {
+      TableIO.manifestColumnStats(spark, lh, "mtt", Seq("v"),
+        asOfVersion = Some(99L))
+    }
+  }
+
 }

@@ -183,4 +183,19 @@ class EmbeddingsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((1L, 1, 2L, 5L), (1L, 2, 3L, 2L)))
   }
+
+  test("hashedBowTopKFor: identical results to the filter-from-cells " +
+      "shape (embedding is per-document)") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
+      (3L, "gamma delta"), (4L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    val cells = Embeddings.hashedBowEmbed(docs, "doc_id", "text", dim = 32)
+    val a = Embeddings.hashedBowTopK(cells, Seq(1L, 3L), "doc_id", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val b = Embeddings.hashedBowTopKFor(docs, "doc_id", "text",
+      Seq(1L, 3L), k = 5, dim = 32)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
+
 }

@@ -108,4 +108,29 @@ class LangModelSpec extends SparkSuite {
     assert(out.toSeq == repart.toSeq)
   }
 
+
+  test("perplexityBuckets: equal-count tiers ordered by bits, head " +
+      "holds the most reference-like docs, deterministic") {
+    val train = Seq((100L, "a b a b a b c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c c c c"),
+      (4L, "z z z"), (5L, "a b a"), (6L, "b c a b"))
+      .toDF("doc_id", "text")
+    val out = LangModel.perplexityBuckets(train, score, "doc_id", "text",
+      buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(out.length == 6)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket == Map(0 -> 2, 1 -> 2, 2 -> 2), byBucket.toString)
+    // bucket boundaries respect the bits ordering
+    val maxHead = out.filter(_._3 == 0).map(_._2).max
+    val minTail = out.filter(_._3 == 2).map(_._2).min
+    assert(maxHead <= minTail)
+    // the all-OOV doc must land in the tail
+    assert(out.find(_._1 == 4L).get._3 == 2)
+    val again = LangModel.perplexityBuckets(train.repartition(3),
+      score.repartition(4), "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == again.toSeq)
+  }
+
 }

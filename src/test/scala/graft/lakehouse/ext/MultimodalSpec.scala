@@ -253,4 +253,36 @@ class MultimodalSpec extends SparkSuite {
     assert(cut != null && !cut.has_iend)
   }
 
+
+  test("jpegMeta: decode-free SOF walk on real ImageIO bytes; EXIF " +
+      "detection; hostile/truncated segments degrade, non-JPEG nulls") {
+    val bytes = Multimodal.syntheticImage(33, 17, "jpg")
+    val m = Multimodal.jpegMeta(bytes)
+    assert(m != null)
+    assert((m.width, m.height, m.precision, m.components,
+      m.progressive) == ((33, 17, 8, 3, false)), m.toString)
+    assert(m.n_segments >= 4 && !m.has_exif)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 33 && img.getHeight == 17)
+    // plant an APP1/Exif segment right after SOI
+    val exifSeg = Array[Byte](0xff.toByte, 0xe1.toByte, 0x00, 0x08) ++
+      "Exif".getBytes ++ Array[Byte](0, 0)
+    val withExif = bytes.take(2) ++ exifSeg ++ bytes.drop(2)
+    val me = Multimodal.jpegMeta(withExif)
+    assert(me != null && me.has_exif && me.width == 33)
+    // non-JPEG and truncated-before-SOF payloads null out
+    assert(Multimodal.jpegMeta(null) == null)
+    assert(Multimodal.jpegMeta("PNG-not-jpeg".getBytes) == null)
+    assert(Multimodal.jpegMeta(bytes.take(4)) == null)
+    // hostile: blow the first segment's length past the buffer AFTER a
+    // SOF was seen -> keep parsed metadata; BEFORE any SOF -> null
+    val idx = bytes.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    assert(idx > 0, "fixture must contain SOF0")
+    val evil = bytes.take(idx + 10) // cut mid-SOF-payload region
+    val t = Multimodal.jpegMeta(evil)
+    assert(t == null || t.width == 33,
+      "truncation returns parsed metadata or null, never garbage")
+  }
+
 }
