@@ -8556,5 +8556,36 @@ object Queries {
         |  CAST(n_nulls AS BIGINT) AS n_nulls, min_val, max_val,
         |  CAST(version AS INT) AS version
         |FROM p ORDER BY version, col_name""".stripMargin)),
+
+    // Corpus diversity diagnostic: cosine histogram over a deterministic
+    // random pairing of the embedding corpus — duplication piles mass
+    // into the top buckets. Exact over n/2 pairs, O(n), sample-free.
+    Q("q278_pair_cosine_histogram",
+      (s, dir) => Embeddings.pairCosineHistogram(
+        t(s, dir, "embeddings"), "vec_id", "embedding", seed = 11L)
+        .orderBy("bucket"),
+      Some("""WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+        |    sha256(CAST(vec_id AS VARCHAR) || '#' || '11') AS k
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |r AS (
+        |  SELECT ve, row_number() OVER (ORDER BY k, vec_id) - 1 AS r
+        |  FROM v),
+        |p AS (SELECT r // 2 AS pair, r % 2 AS side, ve FROM r),
+        |j AS (
+        |  SELECT a.ve AS va, b.ve AS vb
+        |  FROM (SELECT pair, ve FROM p WHERE side = 0) a
+        |  JOIN (SELECT pair, ve FROM p WHERE side = 1) b USING (pair)),
+        |c AS (
+        |  SELECT list_sum(list_transform(list_zip(va, vb),
+        |      z -> z[1] * z[2])) /
+        |    (sqrt(list_sum(list_transform(va, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(vb, x -> x * x)))) AS cos
+        |  FROM j)
+        |SELECT CAST(floor(round(cos, 6) * 10) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin)),
   )
 }

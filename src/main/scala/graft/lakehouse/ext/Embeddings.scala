@@ -239,6 +239,59 @@ object Embeddings {
             expr("cast((__dot * __dot * 1000) div (__na2 * __nb2) as bigint)"))
           .as("cos2_signed_permille"))
   }
+  /** Corpus diversity diagnostic: the cosine-similarity histogram of a
+    * DETERMINISTIC random pairing of the embedding corpus — mode
+    * collapse / duplication shows up as mass piling into the top
+    * buckets, a healthy diverse corpus concentrates near 0. Pairing is
+    * the engine's deterministic-shuffle rule (rank by
+    * `sha2(id '#' seed)`, consecutive ranks pair; the odd vector out
+    * drops), so any engine reproduces the exact same pairs; the cosine
+    * is the q33/q34 IEEE op chain (cast → multiply → sequential sum →
+    * sqrt → divide — bit-identical across engines), bucketed at
+    * `floor(cosine · 10)`. Null/empty vectors drop before pairing.
+    *
+    * 100 TB shape: one distributed sort + the zipWithIndex contiguous
+    * rank (never a partition-less window), one join on pair id, ONE
+    * ≤ 21-row aggregation out — O(n) total, sample-free and exact over
+    * n/2 pairs. */
+  def pairCosineHistogram(df: DataFrame, idCol: String, vecCol: String,
+      seed: Long): DataFrame = {
+    val key = sha2(concat_ws("#", col(idCol).cast("string"),
+      lit(seed.toString)), 256)
+    val vecs = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("__id"),
+        expr(s"transform(`$vecCol`, x -> cast(x as double))").as("__v"),
+        key.as("__k"))
+      .orderBy(col("__k"), col("__id"))
+    val ranked = graft.lakehouse.Transform.addIndexColContiguous(
+        vecs, "__r", indexStart = -1)
+      .select(col("__id"), col("__v"),
+        expr("__r div 2").as("__pair"), expr("__r % 2").as("__side"))
+    // ONE pass: both sides of a pair meet in a single (pair)-keyed
+    // aggregation (two filtered branches would re-run the sort+rank RDD
+    // once per branch); the odd vector out has a null side and drops
+    val cos = ranked.groupBy(col("__pair"))
+      .agg(first(when(col("__side") === 0, col("__v")),
+          ignoreNulls = true).as("__va"),
+        first(when(col("__side") === 1, col("__v")),
+          ignoreNulls = true).as("__vb"))
+      .filter(col("__va").isNotNull && col("__vb").isNotNull)
+      .select(expr(
+        "aggregate(zip_with(__va, __vb, (x, y) -> x * y), 0d, " +
+          "(acc, v) -> acc + v) / " +
+          "(sqrt(aggregate(__va, 0d, (acc, x) -> acc + x * x)) * " +
+          "sqrt(aggregate(__vb, 0d, (acc, x) -> acc + x * x)))")
+        .as("__cos"))
+    // round to 6dp BEFORE bucketing (the q33/q34 idiom): the raw cosine
+    // is bit-identical across engines only for identical fold orders —
+    // after round(6) a bucket flip would need a disagreement in the 6th
+    // decimal, which the q33 oracle history rules out
+    cos.select(expr("cast(floor(round(__cos, 6) * 10) as int)")
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Portable hashed bag-of-words document embeddings (feature hashing,
     * Weinberger '09): each token contributes +-1 at index
     * h(token) mod dim, where h is the first 32 bits of md5 (the

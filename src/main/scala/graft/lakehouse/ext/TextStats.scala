@@ -747,7 +747,8 @@ object TextStats {
     * full-outer coalesce-swap. Returns the state's row count. */
   def corpusStatsTableUpdate(spark: org.apache.spark.sql.SparkSession,
       lh: graft.lakehouse.LakehouseProps, tableName: String,
-      batch: DataFrame, textCol: String, sourceCol: String): Long = {
+      batch: DataFrame, textCol: String, sourceCol: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     import graft.lakehouse.{Catalog, TableIO, Versioned}
     val ntok = size(tokArray(textCol))
     val fresh = batch
@@ -782,7 +783,51 @@ object TextStats {
               coalesce(col("__min_doc_tokens"), col("min_doc_tokens")))
               .as("min_doc_tokens"))
     }
-    TableIO.writeTable(spark, lh, tableName, merged).rowCount
+    TableIO.writeTable(spark, lh, tableName, merged,
+      extraMeta = extraMeta).rowCount
+  }
+
+  /** Streaming corpus card — [[corpusStatsTableUpdate]] driven by a live
+    * document stream: each micro-batch folds in exactly once (the
+    * streamKmvSketch txn-watermark contract — the batch id commits
+    * atomically with the folded counters, so a crash-replayed batch is
+    * skipped, never double-counted). State per fold is one O(batch)
+    * aggregation + the O(|sources|) merge; the stream's history lives in
+    * the card, never in operator memory. */
+  def streamCorpusStats(docs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      textCol: String, sourceCol: String,
+      checkpoint: Option[String] = None,
+      appId: Option[String] = None) = {
+    val txnId = appId.orElse(checkpoint)
+    val w = docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          foldCorpusStatsExactlyOnce(spark, lh, tableName, batch.toDF(),
+            textCol, sourceCol, txnId, batchId)
+          ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  private[ext] def foldCorpusStatsExactlyOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, tableName: String,
+      batch: DataFrame, textCol: String, sourceCol: String,
+      txnId: Option[String], batchId: Long): Boolean = {
+    import graft.lakehouse.Catalog
+    val (_, committed) = EventWindows.txnWatermark(
+      Catalog.tablePath(lh, tableName), None, txnId)
+    if (committed().exists(_ >= batchId)) false
+    else {
+      corpusStatsTableUpdate(spark, lh, tableName, batch, textCol,
+        sourceCol,
+        extraMeta = txnId.map(id => s"txn:$id" -> batchId.toString).toMap)
+      true
+    }
   }
 
   /** Most-frequent word n-gram per document (the Gopher repetition

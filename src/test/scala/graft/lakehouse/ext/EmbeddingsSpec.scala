@@ -198,4 +198,36 @@ class EmbeddingsSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq && a.nonEmpty)
   }
 
+
+  test("pairCosineHistogram: identical vectors pile into the top " +
+      "bucket, orthogonal into bucket 0; odd vector drops; layout " +
+      "invariant") {
+    // 4 identical vectors + 2 orthogonal + 1 odd-one-out
+    val vs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(1f, 0f)), (4L, Array(1f, 0f)),
+      (5L, Array(0f, 1f)), (6L, Array(2f, 0f)),
+      (7L, Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.pairCosineHistogram(vs, "vec_id", "embedding",
+      seed = 3L).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 3L, s"7 vectors -> 3 pairs: $out")
+    val again = Embeddings.pairCosineHistogram(vs.repartition(5),
+      "vec_id", "embedding", 3L).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == again)
+    // all-identical corpus: every pair lands in the cos=1.0 bucket (10)
+    val dup = (1L to 8L).map(i => (i, Array(1f, 2f))).toDF("vec_id",
+      "embedding")
+    val d = Embeddings.pairCosineHistogram(dup, "vec_id", "embedding", 3L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(d == Map(10 -> 4L), d.toString)
+    // null/empty vectors drop before pairing
+    val withNull = vs.unionByName(Seq(
+      (8L, null.asInstanceOf[Array[Float]]), (9L, Array.empty[Float]))
+      .toDF("vec_id", "embedding"))
+    assert(Embeddings.pairCosineHistogram(withNull, "vec_id",
+      "embedding", 3L).collect().map(_.getLong(1)).sum == 3L)
+  }
+
 }

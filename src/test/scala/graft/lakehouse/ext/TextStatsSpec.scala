@@ -533,4 +533,47 @@ class TextStatsSpec extends SparkSuite {
       ("g2", 2, "the", 1L, 250L - 250L)), out.mkString(","))
   }
 
+
+  test("streamCorpusStats: micro-batch folds equal the one-shot card; " +
+      "a replayed batch id is skipped, never double-counted") {
+    import graft.lakehouse.{Catalog, TableIO}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("cstats_stream").toString,
+      "ws_css", "lh_css").lakehouses.head
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = TextStats.streamCorpusStats(
+      mem.toDF().toDF("doc_id", "text", "source"), spark, lh,
+      "cs_stream", "text", "source", appId = Some("css_test"))
+    try {
+      mem.addData((1L, "a b c", "web"), (2L, "d", "web"))
+      q.processAllAvailable()
+      mem.addData((3L, "e f", "books"), (4L, null, "web"))
+      q.processAllAvailable()
+      val got = TableIO.selectTable(spark, lh, "cs_stream")
+        .orderBy("source").collect().map(_.toSeq)
+      val one = Seq((1L, "a b c", "web"), (2L, "d", "web"),
+        (3L, "e f", "books"), (4L, null.asInstanceOf[String], "web"))
+        .toDF("doc_id", "text", "source")
+      TableIO.dropTable(spark, lh, "cs_one")
+      TextStats.corpusStatsTableUpdate(spark, lh, "cs_one", one,
+        "text", "source")
+      val expect = TableIO.selectTable(spark, lh, "cs_one")
+        .orderBy("source").collect().map(_.toSeq)
+      assert(got.toSeq == expect.toSeq, s"stream=$got batch=$expect")
+    } finally q.stop()
+    // crash-replay: folding an already-committed batch id is a no-op
+    val before = TableIO.selectTable(spark, lh, "cs_stream").collect()
+      .map(_.toSeq).toSeq
+    val replayed = TextStats.foldCorpusStatsExactlyOnce(spark, lh,
+      "cs_stream",
+      Seq((9L, "x y z", "web")).toDF("doc_id", "text", "source"),
+      "text", "source", Some("css_test"), batchId = 0L)
+    assert(!replayed, "batch 0 is already committed; fold must skip")
+    val after = TableIO.selectTable(spark, lh, "cs_stream").collect()
+      .map(_.toSeq).toSeq
+    assert(before == after)
+  }
+
 }
