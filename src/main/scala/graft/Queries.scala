@@ -8587,5 +8587,58 @@ object Queries {
         |SELECT CAST(floor(round(cos, 6) * 10) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // LSH threshold calibration: exact-Jaccard deciles of the MinHash
+    // band candidates — the curve that decides the dedup threshold and
+    // band shape. Oracle replays minhash -> bands -> candidates -> exact
+    // shingle Jaccard end to end.
+    Q("q279_lsh_calibration_histogram",
+      (s, dir) => Dedup.candidateJaccardHistogram(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .orderBy("decile"),
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(sha256(substring(text, CAST(p AS INT), 5)),
+        |      1, 15))::UBIGINT AS BIGINT) % 2147483647 AS h
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text) - 4)) AS t(p)
+        |  WHERE length(text) >= 5),
+        |sig AS (
+        |  SELECT doc_id, i.i AS sig_no,
+        |    min(((2 * i.i + 1) * h + 1000003 * i.i) % 2147483647) AS sig
+        |  FROM g, (SELECT unnest(range(16)) AS i) i
+        |  GROUP BY doc_id, i.i),
+        |bands AS (
+        |  SELECT doc_id, sig_no // 4 AS band_no,
+        |    string_agg(CAST(sig AS VARCHAR), '#' ORDER BY sig_no)
+        |      AS band_key
+        |  FROM sig GROUP BY doc_id, sig_no // 4),
+        |pr AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r USING (band_no, band_key)
+        |  WHERE l.doc_id < r.doc_id),
+        |cd AS (SELECT a AS doc_id FROM pr UNION SELECT b FROM pr),
+        |gr AS (
+        |  SELECT DISTINCT doc_id,
+        |    substring(text, CAST(p AS INT), 5) AS gram
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text) - 4)) AS t(p)
+        |  WHERE length(text) >= 5
+        |    AND doc_id IN (SELECT doc_id FROM cd)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY 1),
+        |cm AS (
+        |  SELECT pr.a, pr.b, count(*) AS common
+        |  FROM pr JOIN gr ga ON ga.doc_id = pr.a
+        |  JOIN gr gb ON gb.doc_id = pr.b AND gb.gram = ga.gram
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT (coalesce(cm.common, 0) * 1000) //
+        |    (sa.sz + sb.sz - coalesce(cm.common, 0)) AS jp
+        |  FROM pr LEFT JOIN cm USING (a, b)
+        |  JOIN sz sa ON sa.doc_id = pr.a
+        |  JOIN sz sb ON sb.doc_id = pr.b)
+        |SELECT CAST(jp // 100 AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY 1 ORDER BY decile""".stripMargin)),
   )
 }

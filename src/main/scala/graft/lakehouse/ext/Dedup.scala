@@ -656,6 +656,60 @@ object Dedup {
       posexplode(kern(col(textCol))).as(Seq("band_no", "band_key")))
   }
 
+  /** LSH threshold calibration: the exact-Jaccard decile histogram of
+    * the CANDIDATE pairs the portable MinHash bands surface — the curve
+    * a curator reads to pick the dedup threshold (candidates piling into
+    * low deciles mean the banding is too loose: verification cost with
+    * no dup yield; mass at the top means it could band harder). Jaccard
+    * is computed exactly over the same character-k-shingle sets the
+    * MinHash estimates, as integer permille, bucketed by decile.
+    *
+    * 100 TB shape: candidate generation is the LSH band join (the q30
+    * contract — never corpus-all-pairs, but hot boilerplate bands do
+    * pay their own pair count: that cost is exactly what this histogram
+    * measures); exact verification joins pair×grams-of-a against a
+    * (doc, gram)-keyed frame — every step is candidate-volume-bounded,
+    * and the output is 11 rows. */
+  def candidateJaccardHistogram(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5, numHashes: Int = 16,
+      bandSize: Int = 4): DataFrame = {
+    val bands = portableBandKeys(df, idCol, textCol, shingleK, numHashes,
+      bandSize)
+    val l = bands.select(col(idCol).as("a"), col("band_no"),
+      col("band_key"))
+    val r = bands.select(col(idCol).as("b"), col("band_no"),
+      col("band_key"))
+    val pairs = l.join(r, Seq("band_no", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val candDocs = pairs.select(col("a").as(idCol))
+      .unionByName(pairs.select(col("b").as(idCol))).distinct()
+    val grams = df.join(candDocs, Seq(idCol), "left_semi")
+      // candidates always have >= 1 shingle (they produced a signature),
+      // but guard anyway: sequence(1, n) runs BACKWARD for n < 1
+      .filter(length(col(textCol)) >= shingleK)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, length(`$textCol`) - ${shingleK - 1}), " +
+          s"p -> substring(`$textCol`, p, $shingleK))")).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = pairs
+      .join(grams.select(col(idCol).as("a"), col("gram")), Seq("a"))
+      .join(grams.select(col(idCol).as("b"), col("gram")),
+        Seq("b", "gram"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    pairs
+      .join(common, Seq("a", "b"), "left")
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")),
+        Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")),
+        Seq("b"))
+      .select(expr("(coalesce(common, 0) * 1000) div " +
+        "(sza + szb - coalesce(common, 0))").as("__jp"))
+      .select(expr("cast(__jp div 100 as int)").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Dedup-savings census over a clustering (e.g.
     * [[connectedComponents]] output): the cluster-size histogram —
     * per size, how many clusters, how many documents they hold, and how

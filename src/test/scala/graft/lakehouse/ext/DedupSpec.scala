@@ -475,4 +475,25 @@ class DedupSpec extends SparkSuite {
     assert(chain(e).contains("maxCopies"), chain(e))
   }
 
+
+  test("candidateJaccardHistogram: identical docs land in decile 10, " +
+      "near-dups in a middle decile, unrelated docs never become " +
+      "candidates") {
+    val body = "the quick brown fox jumps over the lazy dog once more"
+    val near = body.replace("dog", "cat")
+    val docs = Seq((1L, body), (2L, body), (3L, near),
+      (4L, "completely different content entirely unrelated here"),
+      (5L, "zz")).toDF("doc_id", "text")
+    val out = Dedup.candidateJaccardHistogram(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // (1,2) identical -> jaccard 1000 -> decile 10, always a candidate
+    assert(out.getOrElse(10, 0L) >= 1L, out.toString)
+    // doc 4 shares no band with anything: every histogram pair involves
+    // docs 1/2/3 only
+    val total = out.values.sum
+    assert(total <= 3L && total >= 1L, out.toString)
+    // if the near-dup pair surfaced, its decile is below 10
+    if (total > 1L) assert(out.exists { case (d, _) => d < 10 })
+  }
+
 }
