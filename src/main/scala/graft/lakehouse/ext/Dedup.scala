@@ -684,28 +684,26 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
     val candDocs = pairs.select(col("a").as(idCol))
       .unionByName(pairs.select(col("b").as(idCol))).distinct()
-    val grams = df.join(candDocs, Seq(idCol), "left_semi")
-      // candidates always have >= 1 shingle (they produced a signature),
-      // but guard anyway: sequence(1, n) runs BACKWARD for n < 1
+    // each candidate's distinct-gram SET builds IN-ROW (no explode, no
+    // gram-level shuffle — the triangle-counting array_intersect trick):
+    // the exact intersection then costs one compiled kernel per pair
+    // instead of a |pairs| × grams-per-doc join explosion. Candidates
+    // always have >= 1 shingle (they produced a signature), but guard
+    // anyway: sequence(1, n) runs BACKWARD for n < 1.
+    val gramSets = df.join(candDocs, Seq(idCol), "left_semi")
       .filter(length(col(textCol)) >= shingleK)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, length(`$textCol`) - ${shingleK - 1}), " +
-          s"p -> substring(`$textCol`, p, $shingleK))")).as("gram"))
-      .distinct()
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val common = pairs
-      .join(grams.select(col(idCol).as("a"), col("gram")), Seq("a"))
-      .join(grams.select(col(idCol).as("b"), col("gram")),
-        Seq("b", "gram"), "left_semi")
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .select(col(idCol), expr(
+        s"array_distinct(transform(sequence(1, length(`$textCol`) - " +
+          s"${shingleK - 1}), p -> substring(`$textCol`, p, $shingleK)))")
+        .as("gset"))
     pairs
-      .join(common, Seq("a", "b"), "left")
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")),
+      .join(gramSets.select(col(idCol).as("a"), col("gset").as("ga")),
         Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")),
+      .join(gramSets.select(col(idCol).as("b"), col("gset").as("gb")),
         Seq("b"))
-      .select(expr("(coalesce(common, 0) * 1000) div " +
-        "(sza + szb - coalesce(common, 0))").as("__jp"))
+      .select(expr("size(array_intersect(ga, gb))").as("__c"),
+        expr("size(ga)").as("__sza"), expr("size(gb)").as("__szb"))
+      .select(expr("(__c * 1000) div (__sza + __szb - __c)").as("__jp"))
       .select(expr("cast(__jp div 100 as int)").as("decile"))
       .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
   }
