@@ -8640,5 +8640,62 @@ object Queries {
         |SELECT CAST(jp // 100 AS INT) AS decile,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM j GROUP BY 1 ORDER BY decile""".stripMargin)),
+
+    // PERSISTED incremental bigram LM: the reference model folds in two
+    // batches (additive counts — any fold order == the one-shot model),
+    // then documents score against the FROZEN tables; scoring a batch
+    // is O(batch + model), never O(reference corpus). The oracle is
+    // q266's from-scratch replay — persisted-and-folded must equal
+    // trained-from-scratch bit-for-bit.
+    Q("q280_perplexity_persisted_lm",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "reflm_bigrams")
+        TableIO.dropTable(s, lh, "reflm_tokens")
+        val train = t(s, dir, "documents")
+          .filter(col("source") === "src0").select("doc_id", "text")
+        LangModel.lmTableUpdate(s, lh, "reflm",
+          train.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        LangModel.lmTableUpdate(s, lh, "reflm",
+          train.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+        LangModel.scoreAgainstLmTable(s, lh, "reflm",
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id",
+          "text").orderBy("doc_id")
+      },
+      Some("""WITH tok0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+        |      AS rawpos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        |  FROM tok0 WHERE w <> ''),
+        |bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |trainbg AS (
+        |  SELECT bg.w1, bg.w2 FROM bg JOIN documents d USING (doc_id)
+        |  WHERE d.source = 'src0'),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM trainbg GROUP BY 1, 2),
+        |uni AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT tok.w) AS vocab
+        |  FROM tok JOIN documents d USING (doc_id)
+        |  WHERE d.source = 'src0'),
+        |sb AS (
+        |  SELECT bg.doc_id,
+        |    CAST(-(ln(CAST(coalesce(big.c12, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(uni.c1, 0) + vocab AS DOUBLE)) / ln(2.0))
+        |      AS DECIMAL(38,18)) AS bits
+        |  FROM bg LEFT JOIN big USING (w1, w2)
+        |    LEFT JOIN uni USING (w1), v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS bits_per_bigram
+        |FROM sb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

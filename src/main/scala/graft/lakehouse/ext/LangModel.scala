@@ -157,6 +157,70 @@ object LangModel {
           .as("bucket"))
   }
 
+  /** PERSISTED incremental bigram LM — the index-once-query-many
+    * contract applied to the CCNet reference model: bigram counts and
+    * token counts are ADDITIVE, so the model folds into two versioned
+    * tables one batch at a time (`<prefix>_bigrams` (w1, w2, c12) and
+    * `<prefix>_tokens` (w, c)), each fold one O(batch) aggregation plus
+    * an O(model) full-outer merge — the reference corpus is never
+    * re-tokenized, and any fold order equals the one-shot model
+    * bit-for-bit. Returns (bigram rows, token rows). */
+  def lmTableUpdate(spark: SparkSession,
+      lh: graft.lakehouse.LakehouseProps, prefix: String,
+      batch: DataFrame, idCol: String, textCol: String): (Long, Long) = {
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    def fold(tableName: String, fresh: DataFrame, keys: Seq[String],
+        cnt: String): Long = {
+      val dir = Catalog.tablePath(lh, tableName)
+      val merged = Versioned.latestVersion(dir) match {
+        case None => fresh
+        case Some(_) =>
+          TableIO.selectTable(spark, lh, tableName)
+            .withColumnRenamed(cnt, "__old")
+            .join(fresh.withColumnRenamed(cnt, "__new"), keys,
+              "full_outer")
+            .select(keys.map(col) :+
+              (coalesce(col("__old"), lit(0L)) +
+                coalesce(col("__new"), lit(0L))).as(cnt): _*)
+      }
+      TableIO.writeTable(spark, lh, tableName, merged).rowCount
+    }
+    val big = fold(s"${prefix}_bigrams",
+      trainBigramCounts(batch, idCol, textCol), Seq("w1", "w2"), "c12")
+    val tok = fold(s"${prefix}_tokens",
+      tokens(batch, idCol, textCol).groupBy(col("w"))
+        .agg(count(lit(1)).as("c")), Seq("w"), "c")
+    (big, tok)
+  }
+
+  /** Score documents against a PERSISTED LM ([[lmTableUpdate]]) — the
+    * same add-one-smoothed bits-per-bigram as [[crossEntropyPortable]],
+    * with c12/c1/V read from the frozen model tables instead of
+    * retraining per query: c1 derives from the bigram table (one
+    * O(model) aggregation), V is the token table's row count (a
+    * manifest-answered count, zero scan). Scoring a new batch costs
+    * O(batch + model), never O(reference corpus). */
+  def scoreAgainstLmTable(spark: SparkSession,
+      lh: graft.lakehouse.LakehouseProps, prefix: String,
+      scoreDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.lakehouse.TableIO
+    val big = TableIO.selectTable(spark, lh, s"${prefix}_bigrams")
+    val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = TableIO.selectTable(spark, lh, s"${prefix}_tokens").count()
+    bigrams(scoreDocs, idCol, textCol)
+      .join(big, Seq("w1", "w2"), "left_outer")
+      .join(uni, Seq("w1"), "left_outer")
+      .select(col(idCol),
+        (-log(2.0, (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocab).cast("double")))
+          .cast("decimal(38,18)").as("__bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__bits")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams").cast("double"))
+          .as("bits_per_bigram"))
+  }
+
   /** Exact windowed co-occurrence counts (the PMI/word2vec-style
     * numerator): every unordered token pair at distance 1..`window`
     * inside a document counts once per occurrence pair, canonicalized

@@ -133,4 +133,34 @@ class LangModelSpec extends SparkSuite {
     assert(out.sortBy(_._1).toSeq == again.toSeq)
   }
 
+
+  test("persisted LM: batch folds equal the one-shot model in any " +
+      "order, and scoring against the frozen tables equals " +
+      "crossEntropyPortable exactly") {
+    import graft.lakehouse.{Catalog, TableIO}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("lm_test").toString,
+      "ws_lm", "lh_lm").lakehouses.head
+    val train = Seq((1L, "a b a c"), (2L, "b a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b x"), (11L, "c a")).toDF("doc_id", "text")
+    def build(prefix: String, batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      TableIO.dropTable(spark, lh, s"${prefix}_bigrams")
+      TableIO.dropTable(spark, lh, s"${prefix}_tokens")
+      batches.foreach(b =>
+        LangModel.lmTableUpdate(spark, lh, prefix, b, "doc_id", "text"))
+      LangModel.scoreAgainstLmTable(spark, lh, prefix, score, "doc_id",
+        "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    }
+    val oneShot = build("lm_a", Seq(train))
+    val twoFolds = build("lm_b",
+      Seq(train.filter($"doc_id" === 1L), train.filter($"doc_id" === 2L)))
+    val reversed = build("lm_c",
+      Seq(train.filter($"doc_id" === 2L), train.filter($"doc_id" === 1L)))
+    assert(oneShot == twoFolds && oneShot == reversed)
+    val fromScratch = LangModel.crossEntropyPortable(train, score,
+      "doc_id", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(oneShot == fromScratch,
+      s"persisted=$oneShot scratch=$fromScratch")
+  }
+
 }
