@@ -111,7 +111,12 @@ object LangModel {
     * keys (AQE broadcasts small models), one per-doc aggregation out. */
   def crossEntropyPortable(trainDocs: DataFrame, scoreDocs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // the model counts feed two stages (context totals + the score
+    // join); persisting the vocab-bounded aggregate stops AQE from
+    // re-tokenizing the training corpus per consumer — at scale, train
+    // the model ONCE into tables instead ([[lmTableUpdate]])
     val big = trainBigramCounts(trainDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = tokens(trainDocs, idCol, textCol)
       .select(col("w")).distinct().count()

@@ -1123,11 +1123,17 @@ object TextStats {
   def distinctiveTerms(df: DataFrame, textCol: String, groupCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "distinctiveTerms: k must be >= 1")
+    // the (group, token) aggregate feeds FOUR consumers (group totals,
+    // token totals, grand total, the scored join) — without the persist
+    // each AQE query stage re-tokenizes and re-aggregates the corpus
+    // (ReusedExchange does not cross stages); the persisted frame is
+    // vocab-bounded, not corpus-sized
     val gt = df.select(col(groupCol).as("group"),
         explode(filter(split(lower(coalesce(col(textCol), lit(""))),
           "\\s+"), w => w =!= "")).as("token"))
       .groupBy(col("group"), col("token"))
       .agg(count(lit(1)).as("n_gt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gTot = gt.groupBy(col("group")).agg(sum(col("n_gt")).as("n_g"))
     val tTot = gt.groupBy(col("token")).agg(sum(col("n_gt")).as("n_t"))
     val grand = gt.agg(sum(col("n_gt")).as("n_all"))
