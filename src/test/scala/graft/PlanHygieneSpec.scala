@@ -570,4 +570,59 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q255 hashed-BoW top-k broadcasts the query side and aggregates " +
+      "the corpus embed exactly once") {
+    val df = SparkEntry.queries("q255_hashed_bow_topk")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // four hash exchanges exactly: the corpus embed agg, the (tiny)
+    // query-docs embed agg, the (query, doc) dot agg, and the per-query
+    // rank window — a fifth would mean the corpus aggregated twice
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("q263 filter sweep never windows or sorts the corpus: thresholds " +
+      "join a domain-bounded aggregate") {
+    val df = SparkEntry.queries("q263_filter_sweep")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Window"), p)
+    // corpus touched once: the per-score aggregation
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q258/q265/q275 metadata aggregates plan as local scans — zero " +
+      "parquet reads of the profiled table") {
+    Seq("q258_manifest_stats", "q265_manifest_partition_counts",
+      "q275_manifest_sums").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf0001)
+      // building the result frame scans no files: the plan is a local
+      // (driver-side) relation over the parsed manifest
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("LocalRelation"), s"$n: $p")
+      assert(!p.contains("FileScan") && !p.contains("parquet"), s"$n: $p")
+    }
+  }
+
+  test("q273 distinctive terms reuses the persisted (group, token) " +
+      "aggregate instead of re-tokenizing per consumer") {
+    val df = SparkEntry.queries("q273_distinctive_terms")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("InMemoryTableScan"), p)
+    // exactly one corpus tokenize+aggregate materializes the cache; the
+    // document scan appears in the cached subtree only
+    assert(p.contains("TableCacheQueryStage") || p.contains("InMemoryRelation"), p)
+  }
+
+  test("q260 balanced shards: the serpentine map is a pure projection " +
+      "over the ranked rows (no window, no extra exchange after the sort)") {
+    val df = SparkEntry.queries("q260_balanced_shards")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Window"), p)
+  }
+
 }
