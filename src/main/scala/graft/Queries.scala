@@ -8697,5 +8697,37 @@ object Queries {
         |  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS bits_per_bigram
         |FROM sb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Schema-evolution timeline from the manifests alone: creation,
+    // a type widening, a no-change append (contributes nothing), and an
+    // overwrite that adds a column — the oracle states the commit
+    // recipe's expected rows directly.
+    Q("q281_schema_timeline",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "st_orders")
+        val sub = t(s, dir, "orders").filter(col("o_orderkey") % 40 === 0)
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_totalprice").cast("float").as("o_totalprice"))
+        TableIO.writeTable(s, lh, "st_orders", sub) // v1
+        TableIO.widenColumnType(s, lh, "st_orders", "o_orderkey",
+          org.apache.spark.sql.types.LongType) // v2
+        TableIO.appendTable(s, lh, "st_orders", // v3: schema unchanged
+          sub.filter(col("o_orderkey") % 80 === 0)
+            .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+              col("o_totalprice")))
+        TableIO.writeTable(s, lh, "st_orders", // v4: adds a column
+          sub.select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+            col("o_totalprice"), lit("x").as("o_flag")))
+        TableIO.schemaTimeline(s, lh, "st_orders").orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS INT),
+        |    'o_orderkey#o_totalprice', '', ''),
+        |  (CAST(2 AS BIGINT), CAST(2 AS INT), '', '',
+        |    'o_orderkey:int->bigint'),
+        |  (CAST(4 AS BIGINT), CAST(3 AS INT), 'o_flag', '', ''))
+        |  AS t(version, n_cols, added_cols, removed_cols, changed_cols)
+        |ORDER BY version""".stripMargin)),
   )
 }

@@ -1397,6 +1397,47 @@ object TableIO {
     out.toDF("col_name", "n_nonnull", "sum_val")
   }
 
+  /** Schema-evolution timeline from the MANIFESTS alone: one row per
+    * version whose schema differs from its predecessor (plus the
+    * creating version), with the columns added, removed, and
+    * type-changed (`name:old->new`, '#'-joined, name-sorted). The
+    * observability question "when did this column appear / widen, and
+    * what did every reader before that version see" — answered by an
+    * O(versions) walk over commit sidecars, zero data scanned; a
+    * thousand compaction commits that never touched the schema
+    * contribute nothing but the walk. */
+  def schemaTimeline(spark: SparkSession, lh: LakehouseProps,
+      tableName: String): DataFrame = {
+    val tableDir = Catalog.tablePath(lh, tableName)
+    val latest = Versioned.latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"schemaTimeline($tableName): no manifest-based version"))
+    var prev: Map[String, DataType] = Map.empty
+    val out = (1L to latest).flatMap { v =>
+      Versioned.readManifest(tableDir, v).flatMap { m =>
+        val schema = DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType]
+        val cur = schema.fields.map(f => f.name -> f.dataType)
+        val curNames = cur.map(_._1).toSet
+        val added = cur.collect {
+          case (n, _) if !prev.contains(n) => n }.sorted
+        val removed = prev.keys.filterNot(curNames).toSeq.sorted
+        val changed = cur.collect {
+          case (n, dt) if prev.get(n).exists(_ != dt) =>
+            s"$n:${prev(n).simpleString}->${dt.simpleString}" }.sorted
+        prev = cur.toMap
+        if (v == 1L || added.nonEmpty || removed.nonEmpty ||
+            changed.nonEmpty)
+          Some((v, schema.fields.length, added.mkString("#"),
+            removed.mkString("#"), changed.mkString("#")))
+        else None
+      }
+    }
+    import spark.implicits._
+    out.toDF("version", "n_cols", "added_cols", "removed_cols",
+      "changed_cols")
+  }
+
   /** SHOW PARTITIONS with row counts, answered from the MANIFEST alone:
     * per distinct value of `partCol`, the LOGICAL row count — per-file
     * row counts grouped by each file's single recorded value, minus each

@@ -197,4 +197,26 @@ class ManifestStatsSpec extends SparkSuite {
     }
   }
 
+
+  test("schemaTimeline: creation, widening, rename and drop surface; " +
+      "schema-neutral commits contribute nothing") {
+    TableIO.dropTable(spark, lh, "stl")
+    TableIO.writeTable(spark, lh, "stl",
+      Seq((1, 1.5f)).toDF("k", "v")) // v1: int, float
+    TableIO.widenColumnType(spark, lh, "stl", "k",
+      org.apache.spark.sql.types.LongType) // v2
+    TableIO.appendTable(spark, lh, "stl",
+      Seq((2L, 2.5f)).toDF("k", "v")) // v3: no schema change
+    TableIO.writeTable(spark, lh, "stl",
+      Seq((3L, "z")).toDF("k", "s")) // v4: drop v, add s
+    val out = TableIO.schemaTimeline(spark, lh, "stl")
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2, "k#v", "", ""),
+      (2L, 2, "", "", "k:int->bigint"),
+      (4L, 2, "s", "v", "")), out.mkString(","))
+  }
+
 }
