@@ -8729,5 +8729,50 @@ object Queries {
         |  (CAST(4 AS BIGINT), CAST(3 AS INT), 'o_flag', '', ''))
         |  AS t(version, n_cols, added_cols, removed_cols, changed_cols)
         |ORDER BY version""".stripMargin)),
+
+    // DECODE-FREE MP3 metadata — the container-walker family's audio
+    // member (PNG/JPEG images, MP4 video, WAV/MP3 audio): real
+    // spec-shaped frame headers walked frame by frame, ID3v2 skipped by
+    // synchsafe size; the oracle replays the salt arithmetic through the
+    // public bitrate/sample-rate tables.
+    Q("q282_mp3_container_meta",
+      (s, dir) => {
+        val clips = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 8 === 0)
+          .withColumn("payload", Multimodal.syntheticMp3Udf(
+            (lit(1) + col("doc_id") % 14).cast("int"),
+            (col("doc_id") % 3).cast("int"),
+            col("doc_id") % 2 === 0,
+            (lit(3) + col("doc_id") % 9).cast("int"),
+            when(col("doc_id") % 4 === 0, lit(16)).otherwise(lit(-1))))
+        Multimodal.decodeMp3Headers(clips, "payload")
+          .select(col("doc_id"),
+            col("mp3.bitrate_kbps").as("bitrate_kbps"),
+            col("mp3.sample_rate").as("sample_rate"),
+            col("mp3.channels").as("channels"),
+            col("mp3.n_frames").as("n_frames"),
+            col("mp3.duration_ms").as("duration_ms"),
+            col("mp3.has_id3").as("has_id3"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH brt(idx, kbps) AS (VALUES (1,32),(2,40),(3,48),(4,56),
+        |  (5,64),(6,80),(7,96),(8,112),(9,128),(10,160),(11,192),
+        |  (12,224),(13,256),(14,320)),
+        |srt(idx, hz) AS (VALUES (0,44100),(1,48000),(2,32000)),
+        |d AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 14 AS INT) AS bi,
+        |    CAST(doc_id % 3 AS INT) AS si,
+        |    doc_id % 2 = 0 AS mono,
+        |    CAST(3 + doc_id % 9 AS BIGINT) AS frames,
+        |    doc_id % 4 = 0 AS has_id3
+        |  FROM documents WHERE doc_id % 8 = 0)
+        |SELECT doc_id, CAST(kbps AS INT) AS bitrate_kbps,
+        |  CAST(hz AS INT) AS sample_rate,
+        |  CAST(CASE WHEN mono THEN 1 ELSE 2 END AS INT) AS channels,
+        |  frames AS n_frames,
+        |  CAST(frames * 1152 * 1000 // hz AS BIGINT) AS duration_ms,
+        |  has_id3
+        |FROM d JOIN brt ON brt.idx = d.bi JOIN srt ON srt.idx = d.si
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

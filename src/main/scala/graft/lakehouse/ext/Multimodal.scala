@@ -415,6 +415,124 @@ object Multimodal {
       }
     }
 
+  // ---- MP3 container metadata (decode-free) -----------------------------
+
+  /** Parsed MP3 (MPEG-1 Layer III) stream metadata from the frame
+    * headers alone (ISO 11172-3): first-frame bitrate/sample-rate/
+    * channel mode, the frame census from walking per-frame lengths
+    * (VBR-safe — every frame's own header is read), exact integer
+    * duration (frames · 1152 samples each), and ID3v2 presence. */
+  case class Mp3Meta(bitrate_kbps: Int, sample_rate: Int, channels: Int,
+    n_frames: Long, duration_ms: Long, has_id3: Boolean)
+
+  /** MPEG-1 Layer III bitrate table (kbps) by 4-bit header index. */
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** DECODE-FREE MP3 metadata — the [[pngMeta]]/[[jpegMeta]] pattern for
+    * compressed audio: skip an ID3v2 tag (synchsafe size), sync to the
+    * first 0xFFE frame header, then walk frames by their own computed
+    * lengths (`144·bitrate/rate + padding` for MPEG-1 L3). Truncation or
+    * lost sync ends the walk with the frames counted so far; payloads
+    * with no valid frame return null. Bounds-checked throughout. */
+  def mp3Meta(bytes: Array[Byte]): Mp3Meta = {
+    if (bytes == null || bytes.length < 4) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    var pos = 0
+    var id3 = false
+    if (bytes.length >= 10 && u8(0) == 'I' && u8(1) == 'D' &&
+        u8(2) == '3') {
+      val size = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+        ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+      val skip = 10L + size
+      if (skip >= bytes.length) return null
+      pos = skip.toInt
+      id3 = true
+    }
+    var nFrames = 0L
+    var br0 = 0; var sr0 = 0; var ch0 = 0
+    var walking = true
+    while (walking && pos + 4 <= bytes.length) {
+      val h0 = u8(pos); val h1 = u8(pos + 1)
+      // sync (11 bits) + MPEG-1 (version bits 11) + Layer III (bits 01)
+      if (h0 != 0xff || (h1 & 0xfe) != 0xfa) walking = false
+      else {
+        val brIdx = (u8(pos + 2) >> 4) & 0xf
+        val srIdx = (u8(pos + 2) >> 2) & 0x3
+        val padding = (u8(pos + 2) >> 1) & 0x1
+        val mode = (u8(pos + 3) >> 6) & 0x3
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) walking = false
+        else {
+          val br = Mp3Bitrates(brIdx)
+          val sr = Mp3SampleRates(srIdx)
+          val len = 144 * br * 1000 / sr + padding
+          if (pos + len > bytes.length) walking = false // truncated frame
+          else {
+            if (nFrames == 0L) {
+              br0 = br; sr0 = sr; ch0 = if (mode == 3) 1 else 2
+            }
+            nFrames += 1
+            pos += len
+          }
+        }
+      }
+    }
+    if (nFrames == 0L) null
+    else Mp3Meta(br0, sr0, ch0, nFrames,
+      nFrames * 1152L * 1000L / sr0, id3)
+  }
+
+  private val mp3Schema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[Mp3Meta].dataType.asInstanceOf[StructType]
+
+  /** [[mp3Meta]] over a blob column — appends a nullable `mp3` struct. */
+  def decodeMp3Headers(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("mp3", mp3Schema, nullable = true)) { bytes =>
+      mp3Meta(bytes) match {
+        case null => null
+        case m => Row(m.bitrate_kbps, m.sample_rate, m.channels,
+          m.n_frames, m.duration_ms, m.has_id3)
+      }
+    }
+
+  /** Deterministic synthetic MP3 (fixture payloads): real spec-shaped
+    * MPEG-1 Layer III frame headers with deterministic filler payloads
+    * (this is a CONTAINER fixture — the filler is not decodable audio,
+    * exactly as [[syntheticMp4]]'s sample data is not decodable video).
+    * Optionally prefixed with a minimal ID3v2 tag. */
+  def syntheticMp3(brIdx: Int, srIdx: Int, mono: Boolean, frames: Int,
+      id3Pad: Int): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2 &&
+      frames >= 1 && id3Pad >= -1, "syntheticMp3: invalid salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3Pad >= 0) {
+      bos.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      bos.write(Array[Byte](0, 0, ((id3Pad >> 7) & 0x7f).toByte,
+        (id3Pad & 0x7f).toByte))
+      bos.write(new Array[Byte](id3Pad))
+    }
+    val br = Mp3Bitrates(brIdx)
+    val sr = Mp3SampleRates(srIdx)
+    val len = 144 * br * 1000 / sr // padding bit 0
+    var f = 0
+    while (f < frames) {
+      bos.write(0xff); bos.write(0xfb) // sync + MPEG1 + L3 + no CRC
+      bos.write((brIdx << 4) | (srIdx << 2)) // padding 0, private 0
+      bos.write(if (mono) 0xc0 else 0x00)
+      var i = 4
+      while (i < len) { bos.write((i * 31 + f * 17) & 0xff); i += 1 }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** `syntheticMp3` as a column function. */
+  val syntheticMp3Udf = udf((brIdx: Int, srIdx: Int, mono: Boolean,
+    frames: Int, id3Pad: Int) =>
+    syntheticMp3(brIdx, srIdx, mono, frames, id3Pad))
+
   // ---- JPEG container metadata (decode-free) ----------------------------
 
   /** Parsed JPEG metadata from the marker-segment structure (ITU T.81):

@@ -285,4 +285,33 @@ class MultimodalSpec extends SparkSuite {
       "truncation returns parsed metadata or null, never garbage")
   }
 
+
+  test("mp3Meta: frame walk on spec-shaped headers; ID3v2 skip by " +
+      "synchsafe size; truncation keeps counted frames; junk nulls") {
+    val bytes = Multimodal.syntheticMp3(brIdx = 9, srIdx = 0,
+      mono = false, frames = 5, id3Pad = -1)
+    val m = Multimodal.mp3Meta(bytes)
+    assert(m != null)
+    assert((m.bitrate_kbps, m.sample_rate, m.channels, m.n_frames,
+      m.has_id3) == ((128, 44100, 2, 5L, false)), m.toString)
+    assert(m.duration_ms == 5L * 1152 * 1000 / 44100)
+    // ID3v2-prefixed mono variant
+    val withId3 = Multimodal.syntheticMp3(3, 1, mono = true, frames = 2,
+      id3Pad = 40)
+    val mi = Multimodal.mp3Meta(withId3)
+    assert(mi != null && mi.has_id3 && mi.channels == 1 &&
+      mi.sample_rate == 48000 && mi.bitrate_kbps == 48 &&
+      mi.n_frames == 2L)
+    // truncated mid-frame: the complete frames still count
+    val cut = Multimodal.mp3Meta(bytes.dropRight(10))
+    assert(cut != null && cut.n_frames == 4L, cut.toString)
+    // junk / null / ID3 longer than the buffer
+    assert(Multimodal.mp3Meta(null) == null)
+    assert(Multimodal.mp3Meta("RIFF-not-mp3-at-all".getBytes) == null)
+    val evilId3 = withId3.clone()
+    evilId3(8) = 0x7f.toByte; evilId3(9) = 0x7f.toByte
+    assert(Multimodal.mp3Meta(evilId3) == null,
+      "hostile ID3 size past the buffer must null, not read OOB")
+  }
+
 }
