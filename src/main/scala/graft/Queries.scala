@@ -8774,5 +8774,144 @@ object Queries {
         |  has_id3
         |FROM d JOIN brt ON brt.idx = d.bi JOIN srt ON srt.idx = d.si
         |ORDER BY doc_id""".stripMargin)),
+
+    // Chi-squared homogeneity test: is the language mix the same across
+    // sources? ONE count aggregation into a |lang|x|source| grid
+    // (zero cells completed), per-cell (o-e)^2/e in a fixed IEEE op
+    // order, exact decimal fold — the quantitative gate under the
+    // drift reports.
+    Q("q283_chi_squared_drift",
+      (s, dir) => StatTests.chiSquaredDrift(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH obs AS (
+        |  SELECT lang AS cat, source AS arm, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT c.cat, a.arm, coalesce(obs.o, 0) AS o
+        |  FROM (SELECT DISTINCT cat FROM obs) c
+        |  CROSS JOIN (SELECT DISTINCT arm FROM obs) a
+        |  LEFT JOIN obs ON obs.cat = c.cat AND obs.arm = a.arm),
+        |tot AS (
+        |  SELECT cat, arm, o,
+        |    sum(o) OVER (PARTITION BY cat) AS rt,
+        |    sum(o) OVER (PARTITION BY arm) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM grid),
+        |terms AS (
+        |  SELECT cat, arm, n,
+        |    CAST((CAST(o AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS contrib
+        |  FROM tot)
+        |SELECT CAST(CAST(sum(contrib) AS VARCHAR) AS DOUBLE) AS chi2,
+        |  CAST((count(DISTINCT cat) - 1) * (count(DISTINCT arm) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM terms""".stripMargin)),
+
+    // Two-sample Kolmogorov-Smirnov D between even- and odd-id documents
+    // over the length distribution — EXACT in integers
+    // (max |cum0*n1 - cum1*n0|), one aggregation per distinct value,
+    // cumulative windows over the bounded value frame only.
+    Q("q284_ks_statistic",
+      (s, dir) => StatTests.ksStatistic(
+        t(s, dir, "documents")
+          .withColumn("arm", (col("doc_id") % 2).cast("int")),
+        "n_chars", "arm"),
+      Some("""WITH a AS (
+        |  SELECT n_chars AS v,
+        |    count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS c0,
+        |    count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS c1
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    sum(c0) OVER (ORDER BY v) AS cum0,
+        |    sum(c1) OVER (ORDER BY v) AS cum1,
+        |    sum(c0) OVER () AS n0,
+        |    sum(c1) OVER () AS n1
+        |  FROM a)
+        |SELECT CAST(max(abs(cum0 * n1 - cum1 * n0)) AS BIGINT) AS d_num,
+        |  CAST(max(n0) AS BIGINT) AS n0,
+        |  CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(abs(cum0 * n1 - cum1 * n0)) * 1000
+        |    // (max(n0) * max(n1)) AS BIGINT) AS d_permille
+        |FROM c""".stripMargin)),
+
+    // Mutual information I(lang; source) + marginal entropies, in bits:
+    // one joint-count aggregation, marginals by windows over the bounded
+    // joint frame, per-cell p*log2 terms op-for-op identical across
+    // engines (ln/ln(2)), exact decimal fold.
+    Q("q285_mutual_information",
+      (s, dir) => StatTests.mutualInformation(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH j AS (
+        |  SELECT lang AS x, source AS y, count(*) AS cxy
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT cxy,
+        |    sum(cxy) OVER (PARTITION BY x) AS cx,
+        |    sum(cxy) OVER (PARTITION BY y) AS cy,
+        |    sum(cxy) OVER () AS n
+        |  FROM j),
+        |terms AS (
+        |  SELECT n,
+        |    CAST((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+        |          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) / ln(2.0))
+        |      AS DECIMAL(38,18)) AS mi_t,
+        |    CAST(0.0 - (CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2.0))
+        |      * (CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS hx_t,
+        |    CAST(0.0 - (CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2.0))
+        |      * (CAST(cxy AS DOUBLE) / CAST(cy AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS hy_t
+        |  FROM t)
+        |SELECT CAST(CAST(sum(mi_t) AS VARCHAR) AS DOUBLE) AS mi_bits,
+        |  CAST(CAST(sum(hx_t) AS VARCHAR) AS DOUBLE) AS h_x,
+        |  CAST(CAST(sum(hy_t) AS VARCHAR) AS DOUBLE) AS h_y,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM terms""".stripMargin)),
+
+    // Zipf power-law fit over the token-frequency spectrum: least-squares
+    // ln(freq)-on-ln(rank) for the top 500 tokens; one vocabulary
+    // aggregation, rank window bounded by the Aggregate, exact decimal
+    // moment sums — a one-row corpus-health diagnostic (natural text
+    // fits slope near -1).
+    Q("q286_zipf_fit",
+      (s, dir) => StatTests.zipfFit(t(s, dir, "documents"), "text", 500),
+      Some("""WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |cnts AS (
+        |  SELECT tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY 1),
+        |rk AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+        |  FROM cnts QUALIFY rank <= 500),
+        |m AS (
+        |  SELECT count(*) AS n_terms,
+        |    CAST(CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(ln(CAST(rank AS DOUBLE))
+        |        * ln(CAST(cnt AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(ln(CAST(rank AS DOUBLE))
+        |        * ln(CAST(rank AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM rk)
+        |SELECT CAST(n_terms AS BIGINT) AS n_terms,
+        |  (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope,
+        |  (sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+        |    / CAST(n_terms AS DOUBLE) AS intercept
+        |FROM m""".stripMargin)),
   )
 }

@@ -1,0 +1,159 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-shift test statistics for corpus monitoring — the
+  * quantitative layer under the drift reports ([[Analytics.welchTTest]],
+  * `Quality.snapshotDrift`): chi-squared homogeneity, two-sample
+  * Kolmogorov–Smirnov, mutual information, and a Zipf power-law fit.
+  *
+  * Every statistic here is ONE hash aggregation over the raw data into a
+  * bounded frame (|categories|, |distinct values|, |vocab| rows), then
+  * windows/folds over that bounded frame only — at 100 TB the shuffle
+  * carries category counts, never rows. Cross-engine exactness uses the
+  * repo's established recipe: integer/decimal arithmetic wherever the
+  * math is rational, and for transcendental terms a per-cell IEEE double
+  * expression replicated op-for-op in the oracle, accumulated exactly as
+  * DECIMAL(38,18) (order-free), surfaced as DOUBLE.
+  *
+  * Reference provenance: the reference pipeline (common.py) carries no
+  * statistics beyond counts; this extends its QA surface the way its
+  * `dfShape`/profiling utilities suggest (common.py:317 dfShape).
+  */
+object StatTests {
+
+  /** Pearson chi-squared test of homogeneity: is the distribution of
+    * `catCol` the same across the arms of `armCol`? One count
+    * aggregation → complete |cats|×|arms| grid (zero-observed cells
+    * included — their expected counts still contribute) → per-cell
+    * (o−e)²/e in a fixed IEEE op order → exact decimal fold.
+    * Returns one row: chi2, dof, n. */
+  def chiSquaredDrift(df: DataFrame, catCol: String, armCol: String): DataFrame = {
+    val obs = df.groupBy(col(catCol).as("cat"), col(armCol).as("arm"))
+      .agg(count(lit(1)).as("o"))
+    val grid = obs.select("cat").distinct()
+      .crossJoin(obs.select("arm").distinct())
+      .join(obs, Seq("cat", "arm"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val wCat = Window.partitionBy("cat")
+    val wArm = Window.partitionBy("arm")
+    val wAll = Window.partitionBy()
+    val withTot = grid
+      .withColumn("rt", sum("o").over(wCat))
+      .withColumn("ct", sum("o").over(wArm))
+      .withColumn("n", sum("o").over(wAll))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val d = col("o").cast("double") - e
+    withTot
+      .withColumn("contrib", (d * d / e).cast("decimal(38,18)"))
+      .agg(
+        sum("contrib").cast("double").as("chi2"),
+        ((countDistinct("cat") - 1) * (countDistinct("arm") - 1))
+          .cast("long").as("dof"),
+        max("n").cast("long").as("n"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D between arm 0 and arm 1 of
+    * `armCol` over integer-valued `valueCol`, computed EXACTLY in
+    * integers: D = max |cum0·n1 − cum1·n0| / (n0·n1). One conditional
+    * count aggregation per distinct value, then cumulative windows over
+    * that bounded frame. Returns one row: d_num, n0, n1, d_permille. */
+  def ksStatistic(df: DataFrame, valueCol: String, armCol: String): DataFrame = {
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        count(when(col(armCol) === 0, lit(1))).as("c0"),
+        count(when(col(armCol) === 1, lit(1))).as("c1"))
+    val wCum = Window.partitionBy().orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    agg
+      .withColumn("cum0", sum("c0").over(wCum))
+      .withColumn("cum1", sum("c1").over(wCum))
+      .withColumn("n0", sum("c0").over(wAll))
+      .withColumn("n1", sum("c1").over(wAll))
+      .withColumn("gap", abs(col("cum0") * col("n1") - col("cum1") * col("n0")))
+      .agg(
+        max("gap").cast("long").as("d_num"),
+        max("n0").cast("long").as("n0"),
+        max("n1").cast("long").as("n1"))
+      // Column./ on longs is DOUBLE division — `div` keeps this integer-exact.
+      .withColumn("d_permille",
+        expr("CAST(d_num * 1000 div (n0 * n1) AS BIGINT)"))
+  }
+
+  /** Mutual information I(X;Y) plus marginal entropies H(X), H(Y), in
+    * bits. One joint-count aggregation; marginals by windows over the
+    * bounded joint frame; per-cell p·log₂ terms in a fixed IEEE op
+    * order (ln(x)/ln(2), never log2 — engines' log2 differ), folded as
+    * exact decimals. Returns one row: mi_bits, h_x, h_y, n. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val withTot = joint
+      .withColumn("cx", sum("cxy").over(Window.partitionBy("x")))
+      .withColumn("cy", sum("cxy").over(Window.partitionBy("y")))
+      .withColumn("n", sum("cxy").over(Window.partitionBy()))
+    def dbl(c: String): Column = col(c).cast("double")
+    val ln2 = log(lit(2.0))
+    val miTerm = (dbl("cxy") / dbl("n")) *
+      (log(dbl("cxy") * dbl("n") / (dbl("cx") * dbl("cy"))) / ln2)
+    // H terms divide the per-cell contribution by the marginal count so
+    // each (x,y) cell carries its marginal's share — one pass, no
+    // second aggregation, and the decimal fold stays order-free.
+    val hxTerm = lit(0.0) - (dbl("cx") / dbl("n")) *
+      (log(dbl("cx") / dbl("n")) / ln2) * (dbl("cxy") / dbl("cx"))
+    val hyTerm = lit(0.0) - (dbl("cy") / dbl("n")) *
+      (log(dbl("cy") / dbl("n")) / ln2) * (dbl("cxy") / dbl("cy"))
+    withTot
+      .withColumn("mi_t", miTerm.cast("decimal(38,18)"))
+      .withColumn("hx_t", hxTerm.cast("decimal(38,18)"))
+      .withColumn("hy_t", hyTerm.cast("decimal(38,18)"))
+      .agg(
+        sum("mi_t").cast("double").as("mi_bits"),
+        sum("hx_t").cast("double").as("h_x"),
+        sum("hy_t").cast("double").as("h_y"),
+        max("n").cast("long").as("n"))
+  }
+
+  /** Zipf power-law fit over the token-frequency spectrum: least-squares
+    * slope/intercept of ln(freq) on ln(rank) for the `topR` most frequent
+    * whitespace tokens (rank ties broken by token text — deterministic).
+    * One vocabulary aggregation; the rank window's input is bounded by
+    * the Aggregate; moment sums are exact decimals. A healthy natural
+    * corpus fits slope ≈ −1. Returns one row: n_terms, slope, intercept. */
+  def zipfFit(df: DataFrame, textCol: String, topR: Int = 500): DataFrame = {
+    val counts = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("rank") <= topR)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    val m = ranked
+      .withColumn("sx", x.cast("decimal(38,18)"))
+      .withColumn("sy", y.cast("decimal(38,18)"))
+      .withColumn("sxy", (x * y).cast("decimal(38,18)"))
+      .withColumn("sxx", (x * x).cast("decimal(38,18)"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum("sx").cast("double").as("__sx"),
+        sum("sy").cast("double").as("__sy"),
+        sum("sxy").cast("double").as("__sxy"),
+        sum("sxx").cast("double").as("__sxx"))
+    val n = col("n_terms").cast("double")
+    val slope = (n * col("__sxy") - col("__sx") * col("__sy")) /
+      (n * col("__sxx") - col("__sx") * col("__sx"))
+    m
+      .withColumn("slope", slope)
+      .withColumn("intercept", (col("__sy") - slope * col("__sx")) / n)
+      .select(col("n_terms").cast("long").as("n_terms"),
+        col("slope"), col("intercept"))
+  }
+}

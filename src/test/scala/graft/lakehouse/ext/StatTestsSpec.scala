@@ -1,0 +1,89 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the distribution-shift statistics. */
+class StatTestsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("chiSquaredDrift matches the textbook 2x2 computation") {
+    // arm 0: 30 a, 10 b; arm 1: 20 a, 40 b.
+    // rt(a)=50 rt(b)=50 ct(0)=40 ct(1)=60 n=100
+    // e = 20, 30, 20, 30 -> chi2 = 100/20 + 100/30 + 100/20 + 100/30
+    val rows = Seq.fill(30)(("a", 0)) ++ Seq.fill(10)(("b", 0)) ++
+      Seq.fill(20)(("a", 1)) ++ Seq.fill(40)(("b", 1))
+    val r = StatTests.chiSquaredDrift(rows.toDF("cat", "arm"), "cat", "arm")
+      .head()
+    val expected = 100.0 / 20 + 100.0 / 30 + 100.0 / 20 + 100.0 / 30
+    assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-9)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("n") == 100L)
+  }
+
+  test("chiSquaredDrift completes zero cells (category seen in one arm only)") {
+    // cat 'c' appears only in arm 1: its arm-0 cell is observed 0 but
+    // expected > 0 and must contribute.
+    val rows = Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(5)(("c", 1))
+    val r = StatTests.chiSquaredDrift(rows.toDF("cat", "arm"), "cat", "arm")
+      .head()
+    // grid: (a,0)=10 (a,1)=10 (c,0)=0 (c,1)=5; rt(a)=20 rt(c)=5
+    // ct(0)=10 ct(1)=15 n=25 -> e: 8, 12, 2, 3
+    val expected = 4.0 / 8 + 4.0 / 12 + 4.0 / 2 + 4.0 / 3
+    assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-9)
+  }
+
+  test("ksStatistic is exact-integer and finds the max ecdf gap") {
+    // arm0 values {1,2,3,4}, arm1 values {3,4,5,6}: D = 2/4 at v=2.
+    val df = Seq((1, 0), (2, 0), (3, 0), (4, 0), (3, 1), (4, 1), (5, 1), (6, 1))
+      .toDF("v", "arm")
+    val r = StatTests.ksStatistic(df, "v", "arm").head()
+    assert(r.getAs[Long]("n0") == 4L && r.getAs[Long]("n1") == 4L)
+    // at v=2: cum0=2, cum1=0 -> |2*4 - 0*4| = 8; D = 8/16 = 0.5
+    assert(r.getAs[Long]("d_num") == 8L)
+    assert(r.getAs[Long]("d_permille") == 500L)
+  }
+
+  test("ksStatistic D=0 on identical samples, D=1000 permille on disjoint") {
+    val same = Seq((1, 0), (2, 0), (1, 1), (2, 1)).toDF("v", "arm")
+    assert(StatTests.ksStatistic(same, "v", "arm")
+      .head().getAs[Long]("d_num") == 0L)
+    val disjoint = Seq((1, 0), (2, 0), (8, 1), (9, 1)).toDF("v", "arm")
+    assert(StatTests.ksStatistic(disjoint, "v", "arm")
+      .head().getAs[Long]("d_permille") == 1000L)
+  }
+
+  test("mutualInformation: independent -> 0 bits; identical -> H(X)") {
+    // Perfectly independent 2x2 (all four combos equally likely).
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r1 = StatTests.mutualInformation(ind, "x", "y").head()
+    assert(math.abs(r1.getAs[Double]("mi_bits")) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("h_x") - 1.0) < 1e-12)
+    // y == x: MI == H(X) == 1 bit for a fair binary variable.
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r2 = StatTests.mutualInformation(dep, "x", "y").head()
+    assert(math.abs(r2.getAs[Double]("mi_bits") - 1.0) < 1e-12)
+    assert(r2.getAs[Long]("n") == 4L)
+  }
+
+  test("zipfFit recovers the slope of an exact power law") {
+    // freq(rank) = 1024 / rank for ranks 1..8 (token names order with
+    // their rank so the deterministic tie-break can't reorder).
+    val docs = (1 to 8).flatMap { r =>
+      Seq.fill(1024 / r)(s"w$r")
+    }.mkString(" ")
+    val out = StatTests.zipfFit(Seq(docs).toDF("text"), "text", 500).head()
+    assert(out.getAs[Long]("n_terms") == 8L)
+    assert(math.abs(out.getAs[Double]("slope") - (-1.0)) < 0.01)
+    assert(math.abs(out.getAs[Double]("intercept") - math.log(1024.0)) < 0.05)
+  }
+
+  test("zipfFit honors topR and ignores empty tokens") {
+    val docs = Seq("a a a   b b  c", "a b   ").toDF("text")
+    val out = StatTests.zipfFit(docs, "text", 2).head()
+    assert(out.getAs[Long]("n_terms") == 2L)
+  }
+}
