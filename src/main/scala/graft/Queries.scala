@@ -8913,5 +8913,151 @@ object Queries {
         |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
         |    / CAST(n_terms AS DOUBLE) AS intercept
         |FROM m""".stripMargin)),
+
+    // k-core peeling over the part-supplier graph: 3 explicit rounds of
+    // "drop vertices with degree < 3" (the pagerank replay contract —
+    // any engine re-runs the identical rounds); each round is ONE degree
+    // aggregation + two semi-joins, O(E).
+    Q("q287_kcore",
+      (s, dir) => Graph.kCorePeel(
+          t(s, dir, "lineitem").selectExpr(
+            "l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst"),
+          "src", "dst", k = 3, rounds = 3)
+        .orderBy("v"),
+      Some("""WITH e0 AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |d1 AS (SELECT src AS v FROM sym GROUP BY src HAVING count(*) >= 3),
+        |p1 AS (SELECT s.src, s.dst FROM sym s
+        |  JOIN d1 a ON s.src = a.v JOIN d1 b ON s.dst = b.v),
+        |d2 AS (SELECT src AS v FROM p1 GROUP BY src HAVING count(*) >= 3),
+        |p2 AS (SELECT s.src, s.dst FROM p1 s
+        |  JOIN d2 a ON s.src = a.v JOIN d2 b ON s.dst = b.v),
+        |d3 AS (SELECT src AS v FROM p2 GROUP BY src HAVING count(*) >= 3),
+        |p3 AS (SELECT s.src, s.dst FROM p2 s
+        |  JOIN d3 a ON s.src = a.v JOIN d3 b ON s.dst = b.v)
+        |SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+        |FROM p3 GROUP BY src ORDER BY v""".stripMargin)),
+
+    // Adamic-Adar link prediction: top-50 non-adjacent pairs by
+    // summed 1/ln(deg) over shared neighbors. Wedges generated IN-ROW
+    // from sorted adjacency arrays (never an edge-list self-join),
+    // immediately partial-aggregated on the canonical pair key; hub
+    // centers past the degree cap are skipped (documented, ~0 score
+    // mass); top-N is TakeOrdered. The oracle replays wedges by self-join
+    // and the same exact-decimal fold.
+    Q("q288_adamic_adar",
+      (s, dir) => Graph.adamicAdarTopPairs(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+            .selectExpr("l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst"),
+          "src", "dst", topN = 50, maxDeg = 1024)
+        .orderBy(col("aa_score").desc, col("u"), col("v")),
+      Some("""WITH e0 AS (
+        |  SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS a,
+        |    greatest(l_partkey * 2, l_suppkey * 2 + 1) AS b
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |sym AS (SELECT a AS w, b AS n FROM e0
+        |  UNION ALL SELECT b AS w, a AS n FROM e0),
+        |dg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
+        |wed AS (
+        |  SELECT s1.n AS u, s2.n AS v, s1.w
+        |  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.n < s2.n
+        |  JOIN dg ON dg.w = s1.w AND dg.dg BETWEEN 2 AND 1024),
+        |aa AS (
+        |  SELECT u, v,
+        |    sum(CAST(1.0 / ln(CAST(dg.dg AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS sc
+        |  FROM wed JOIN dg ON dg.w = wed.w
+        |  GROUP BY u, v),
+        |na AS (
+        |  SELECT aa.u, aa.v, aa.sc FROM aa
+        |  LEFT JOIN e0 ON e0.a = aa.u AND e0.b = aa.v
+        |  WHERE e0.a IS NULL)
+        |SELECT u, v, CAST(CAST(sc AS VARCHAR) AS DOUBLE) AS aa_score
+        |FROM na ORDER BY sc DESC, u, v LIMIT 50""".stripMargin)),
+
+    // MMR diversified re-ranking: greedy 3-of-8 selection maximizing
+    // lambda*rel - (1-lambda)*max-sim-to-selected, all INTEGER (quantized
+    // vectors, integer dots, permille lambda) so the greedy replays
+    // bit-identically; the oracle unrolls the three selection steps as
+    // chained CTEs. Candidate generation is the one corpus-sized job;
+    // the greedy is a bounded per-query kernel.
+    Q("q289_mmr_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Retrieval.mmrRerank(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", candK = 8, selectK = 3,
+          lambdaPermille = 700)
+          .orderBy("query_id", "sel_rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |vn AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nn
+        |  FROM v),
+        |q AS (SELECT vec_id AS query_id, qv AS qvec, nn AS qq
+        |  FROM vn WHERE vec_id < 3),
+        |rel AS (
+        |  SELECT q.query_id, c.vec_id, c.qv AS cvec, c.nn AS cc,
+        |    CASE WHEN c.nn = 0 OR q.qq = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(1000.0
+        |        * CAST(list_sum(list_transform(list_zip(c.qv, q.qvec),
+        |            p -> p[1] * p[2])) AS DOUBLE)
+        |        / (sqrt(CAST(c.nn AS DOUBLE)) * sqrt(CAST(q.qq AS DOUBLE))))
+        |        AS BIGINT) END AS rel
+        |  FROM vn c, q),
+        |cand AS (
+        |  SELECT query_id, vec_id, cvec, cc, rel
+        |  FROM rel
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rel DESC, vec_id) <= 8),
+        |s1 AS (
+        |  SELECT query_id, vec_id, cvec, cc, rel,
+        |    CAST(700 * rel AS BIGINT) AS score
+        |  FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY 700 * rel DESC, vec_id) = 1),
+        |r2 AS (
+        |  SELECT c.query_id, c.vec_id, c.cvec, c.cc, c.rel,
+        |    CASE WHEN c.cc = 0 OR s.cc = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(1000.0
+        |        * CAST(list_sum(list_transform(list_zip(c.cvec, s.cvec),
+        |            p -> p[1] * p[2])) AS DOUBLE)
+        |        / (sqrt(CAST(c.cc AS DOUBLE)) * sqrt(CAST(s.cc AS DOUBLE))))
+        |        AS BIGINT) END AS sim1
+        |  FROM cand c JOIN s1 s USING (query_id)
+        |  WHERE c.vec_id <> s.vec_id),
+        |s2 AS (
+        |  SELECT query_id, vec_id, cvec, cc, rel, sim1,
+        |    CAST(700 * rel - 300 * sim1 AS BIGINT) AS score
+        |  FROM r2
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY 700 * rel - 300 * sim1 DESC, vec_id) = 1),
+        |r3 AS (
+        |  SELECT r2.query_id, r2.vec_id, r2.rel,
+        |    greatest(r2.sim1,
+        |      CASE WHEN r2.cc = 0 OR s2.cc = 0 THEN CAST(0 AS BIGINT)
+        |        ELSE CAST(floor(1000.0
+        |          * CAST(list_sum(list_transform(list_zip(r2.cvec, s2.cvec),
+        |              p -> p[1] * p[2])) AS DOUBLE)
+        |          / (sqrt(CAST(r2.cc AS DOUBLE)) * sqrt(CAST(s2.cc AS DOUBLE))))
+        |          AS BIGINT) END) AS msim
+        |  FROM r2 JOIN s2 USING (query_id)
+        |  WHERE r2.vec_id <> s2.vec_id),
+        |s3 AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(700 * rel - 300 * msim AS BIGINT) AS score
+        |  FROM r3
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY 700 * rel - 300 * msim DESC, vec_id) = 1)
+        |SELECT query_id, CAST(1 AS INT) AS sel_rank, vec_id, score
+        |  AS mmr_score FROM s1
+        |UNION ALL SELECT query_id, CAST(2 AS INT), vec_id, score FROM s2
+        |UNION ALL SELECT query_id, CAST(3 AS INT), vec_id, score FROM s3
+        |ORDER BY query_id, sel_rank""".stripMargin)),
   )
 }

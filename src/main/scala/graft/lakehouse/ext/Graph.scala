@@ -82,6 +82,101 @@ object Graph {
     } finally { sym.unpersist(); deg.unpersist() }
   }
 
+  /** k-core peeling: `rounds` rounds of "drop every vertex whose degree
+    * in the surviving subgraph is < k" over the UNDIRECTED graph — the
+    * standard iterative refinement whose fixed point is the k-core
+    * (Seidman 1983; one peel round per pass is exactly the distributed
+    * formulation, each round ONE degree aggregation + two semi-joins =
+    * O(E)). Rounds are explicit (the [[pageRankFixedPoint]] replay
+    * contract) so any engine can re-run the identical computation; a
+    * chain graph peels one layer per round, so callers size `rounds` to
+    * the expected peel depth (degeneracy ordering depth, usually tiny on
+    * real corpora). Output: every surviving vertex with its degree
+    * inside the surviving subgraph. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCorePeel needs k >= 1, rounds >= 1")
+    val sym0 = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var sym = sym0.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("v")
+      // the keep-set is O(V); AQE broadcasts it while it is small and
+      // degrades to shuffle semi-joins on the edge partitioning at
+      // billions of vertices — no size probe job needed.
+      // Each localCheckpoint keeps the lineage flat across rounds (the
+      // pageRank trick) — without it round r's plan re-runs rounds 1..r-1.
+      sym = sym
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
+    * NON-adjacent vertex pair sharing at least one neighbor,
+    * score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)), returned as the
+    * top-`topN` pairs. Wedges are generated IN-ROW from each center's
+    * sorted adjacency array (never a self-join of the edge list) and
+    * immediately partial-aggregated on the canonical pair key; per-wedge
+    * 1/ln terms are IEEE doubles folded exactly as DECIMAL(38,18)
+    * (order-free → cross-engine). Centers with degree > `maxDeg` are
+    * skipped — the documented hub cap: a celebrity hub contributes
+    * ~1/ln(huge) ≈ 0 per wedge yet deg² wedge work, so capping bounds
+    * the blowup at O(V·maxDeg²) while moving scores by at most
+    * |hubs|/ln(maxDeg). Top-N is TakeOrdered (score desc, then pair —
+    * deterministic), never a global sort. */
+  def adamicAdarTopPairs(edges: DataFrame, srcCol: String, dstCol: String,
+      topN: Int, maxDeg: Int = 1024): DataFrame = {
+    require(topN >= 1 && maxDeg >= 2, "adamicAdarTopPairs needs topN >= 1, maxDeg >= 2")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .persist()
+    try {
+      val sym = und.select(explode(array(
+          struct(col("a").as("w"), col("b").as("n")),
+          struct(col("b").as("w"), col("a").as("n")))).as("e"))
+        .select(col("e.w").as("w"), col("e.n").as("n"))
+      // one adjacency aggregation; a wedge center needs deg >= 2 by
+      // construction so 1/ln(deg) is finite
+      val adj = sym.groupBy("w")
+        .agg(sort_array(collect_list(col("n"))).as("nbrs"))
+        .filter(size(col("nbrs")).between(2, maxDeg))
+        .withColumn("term",
+          (lit(1.0) / log(size(col("nbrs")).cast("double")))
+            .cast("decimal(38,18)"))
+      val pairs = adj.select(col("term"), explode(expr(
+          "flatten(transform(nbrs, (x, i) -> " +
+            "transform(slice(nbrs, i + 2, size(nbrs) - i - 1), " +
+            "y -> struct(x AS u, y AS v))))")).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(sum("term").as("score_dec"))
+      // eager O(topN) materialization so the cache can be released on
+      // exit (the triangleCounts pattern); TakeOrdered, never a global sort
+      pairs
+        .join(und.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
+          Seq("u", "v"), "left_anti")
+        .orderBy(col("score_dec").desc, col("u").asc, col("v").asc)
+        .limit(topN)
+        .select(col("u"), col("v"),
+          col("score_dec").cast("double").as("aa_score"))
+        .localCheckpoint()
+    } finally { und.unpersist(false) }
+  }
+
   /** Exact per-vertex triangle counts via degree-ordered edge iteration
     * (the compact form of Suri & Vassilvitskii WWW'11's MR node-iterator).
     * Every undirected edge is oriented from its lower endpoint to its

@@ -1,6 +1,7 @@
 package graft.lakehouse.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid-retrieval fusion — the canonical RAG retrieval shape: a
@@ -198,6 +199,114 @@ object Retrieval {
     * size; the re-rank window partitions by query over those same
     * bounded rows. Ranks validate per row (>= 1, non-null) like every
     * operator in this file -- a malformed ranking fails loudly. */
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily select `selectK` of each query's top-`candK`
+    * candidates maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s) — the
+    * diversified-retrieval shape that keeps a RAG context window or a
+    * curated sample from filling up with near-duplicates. Both rel and
+    * sim are COSINE similarities (the unnormalized-dot form degenerates:
+    * a near-duplicate's penalty scales with its own relevance, so it is
+    * never displaced), made ENGINE-PORTABLE by construction: vectors
+    * quantize to integers (`floor(x·scale)`, the LSH trick), dots and
+    * squared norms are exact integers, and the cosine is floored to a
+    * permille integer through one fixed IEEE op sequence
+    * (1000·dot/(√uu·√vv) — sqrt and divide are correctly rounded on
+    * every engine, so the floor is bit-stable); λ is a permille integer
+    * — the greedy argmax (ties to the smaller id) is then bit-identical
+    * on any engine. Zero vectors get cosine 0.
+    *
+    * Scale shape: candidate generation is the one corpus-sized job (dot +
+    * per-query top-candK window); the greedy runs in a compiled kernel
+    * over each query's OWN ≤ candK candidates (candK²·dim integer ops per
+    * query row — bounded, never corpus-sized), so the whole rerank is
+    * linear in |queries| after the scan. The kernel is order-independent
+    * (argmax with explicit tie-break), so the unordered collect_list is
+    * safe. Output: (query_id, sel_rank, vec_id, mmr_score). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, candK: Int, selectK: Int,
+      lambdaPermille: Int = 700, scale: Long = 1024L): DataFrame = {
+    require(candK >= 1 && selectK >= 1 && selectK <= candK &&
+      lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "mmrRerank needs 1 <= selectK <= candK and lambda in [0, 1000]")
+    val lam = lambdaPermille.toLong
+    val oneMinusLam = 1000L - lam
+    def qz(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * scale).cast("long"))
+    def sq(vec: String): Column =
+      expr(s"aggregate($vec, 0L, (acc, x) -> acc + x * x)")
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"), qz(col(vecCol)).as("cvec"))
+      .withColumn("cc", sq("cvec"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"), qz(col(vecCol)).as("qvec"))
+      .withColumn("qq", sq("qvec"))
+    val dot = expr(
+      "aggregate(zip_with(cvec, qvec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    val rel = c.join(broadcast(q))
+      .withColumn("rel",
+        when(col("cc") === 0L || col("qq") === 0L, lit(0L))
+          .otherwise(floor(lit(1000.0) * dot.cast("double") /
+            (sqrt(col("cc").cast("double")) * sqrt(col("qq").cast("double"))))
+            .cast("long")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cands = rel.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= candK)
+    val greedy = udf((cs: Seq[Row]) => {
+      val ids = cs.map(_.getAs[Long]("vec_id")).toArray
+      val rels = cs.map(_.getAs[Long]("rel")).toArray
+      val vecs = cs.map(_.getAs[Seq[Long]]("cvec").toArray).toArray
+      val nrm2 = vecs.map(v => v.foldLeft(0L)((a, x) => a + x * x))
+      def cosPermille(i: Int, j: Int): Long = {
+        if (nrm2(i) == 0L || nrm2(j) == 0L) 0L
+        else {
+          var d = 0L; var t = 0
+          val (vi, vj) = (vecs(i), vecs(j))
+          while (t < vi.length) { d += vi(t) * vj(t); t += 1 }
+          math.floor(1000.0 * d.toDouble /
+            (math.sqrt(nrm2(i).toDouble) * math.sqrt(nrm2(j).toDouble))).toLong
+        }
+      }
+      val n = ids.length
+      val picked = new Array[Boolean](n)
+      val maxSim = new Array[Long](n) // max sim to the selected set so far
+      val out = Seq.newBuilder[(Int, Long, Long)]
+      var step = 1
+      while (step <= math.min(selectK, n)) {
+        var best = -1; var bestScore = 0L
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val s = lam * rels(i) -
+              (if (step == 1) 0L else oneMinusLam * maxSim(i))
+            if (best < 0 || s > bestScore ||
+              (s == bestScore && ids(i) < ids(best))) {
+              best = i; bestScore = s
+            }
+          }
+          i += 1
+        }
+        out += ((step, ids(best), bestScore))
+        picked(best) = true
+        var j = 0
+        while (j < n) {
+          if (!picked(j)) {
+            val s = cosPermille(best, j)
+            if (s > maxSim(j) || step == 1) maxSim(j) = s
+          }
+          j += 1
+        }
+        step += 1
+      }
+      out.result()
+    })
+    cands.groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id"), col("rel"), col("cvec"))).as("cs"))
+      .select(col("query_id"), explode(greedy(col("cs"))).as("s"))
+      .select(col("query_id"), col("s._1").cast("int").as("sel_rank"),
+        col("s._2").as("vec_id"), col("s._3").as("mmr_score"))
+  }
+
   def hardNegatives(ranking: DataFrame, qrels: DataFrame,
       queryCol: String, docCol: String, rankCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -94,4 +94,44 @@ class GraphSpec extends SparkSuite {
     }.toMap
     assert(got == brute)
   }
+
+  test("kCorePeel: a chain has no 2-core and peels one layer per round") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    // round 1 drops {1,5}; surviving chain 2-3-4
+    val r1 = Graph.kCorePeel(chain, "s", "d", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // by round 3 nothing survives — the fixed point of a tree is empty
+    assert(Graph.kCorePeel(chain, "s", "d", k = 2, rounds = 3).count() == 0L)
+  }
+
+  test("kCorePeel: a triangle with a tail keeps exactly the triangle") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val core = Graph.kCorePeel(g, "s", "d", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("adamicAdarTopPairs: 4-cycle scores its two diagonals, " +
+    "excludes adjacent pairs") {
+    import spark.implicits._
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = Graph.adamicAdarTopPairs(cyc, "s", "d", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 3L), (2L, 4L)))
+    // each diagonal shares two degree-2 neighbors: score = 2/ln(2)
+    got.foreach(t => assert(math.abs(t._3 - 2.0 / math.log(2.0)) < 1e-12))
+  }
+
+  test("adamicAdarTopPairs: hub cap skips the high-degree center") {
+    import spark.implicits._
+    // star center 0 with 5 leaves: all leaf pairs share only the hub
+    val star = (1L to 5L).map(i => (0L, i)).toDF("s", "d")
+    assert(Graph.adamicAdarTopPairs(star, "s", "d", topN = 100,
+      maxDeg = 4).count() == 0L)
+    assert(Graph.adamicAdarTopPairs(star, "s", "d", topN = 100,
+      maxDeg = 5).count() == 10L)
+  }
 }

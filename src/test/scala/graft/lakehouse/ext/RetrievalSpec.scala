@@ -179,4 +179,47 @@ class RetrievalSpec extends SparkSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("mmrRerank: diversity beats a near-duplicate of the first pick") {
+    // query [1,0]: a=[0.9,0.3] (rel ≈ 948‰), b=[0.89,0.31] (near-dup of
+    // a, rel ≈ 944‰, sim(b,a) ≈ 999‰), c=[0.3,0.9] (rel ≈ 316‰,
+    // sim(c,a) ≈ 600‰). Pure relevance ranks a,b,c; at λ=0.3 the
+    // near-dup's ~999‰ penalty outweighs its relevance edge and c is
+    // selected second.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (10L, Seq(0.9f, 0.3f)),
+      (11L, Seq(0.89f, 0.31f)),
+      (12L, Seq(0.3f, 0.9f))).toDF("vec_id", "embedding")
+    val got = Retrieval.mmrRerank(rows.filter(col("vec_id") >= 10L),
+        rows.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        candK = 3, selectK = 3, lambdaPermille = 300)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getAs[Int]("sel_rank"), r.getAs[Long]("vec_id")))
+    assert(got.toSeq == Seq((1, 10L), (2, 12L), (3, 11L)))
+    // at λ=1.0 MMR degenerates to pure relevance order
+    val rel = Retrieval.mmrRerank(rows.filter(col("vec_id") >= 10L),
+        rows.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        candK = 3, selectK = 3, lambdaPermille = 1000)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("vec_id"))
+    assert(rel.toSeq == Seq(10L, 11L, 12L))
+  }
+
+  test("mmrRerank: ties break to the smaller id and scores are " +
+    "partition-order independent") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (21L, Seq(0.5f, 0.5f)),
+      (20L, Seq(0.5f, 0.5f)),
+      (22L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    def run(parts: Int) = Retrieval.mmrRerank(
+        rows.filter(col("vec_id") >= 20L).repartition(parts),
+        rows.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        candK = 3, selectK = 2, lambdaPermille = 700)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getAs[Int]("sel_rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("mmr_score"))).toSeq
+    val a = run(1)
+    assert(a.map(_._2) == Seq(20L, 21L))
+    assert(a == run(5))
+  }
 }
