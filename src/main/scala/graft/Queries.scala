@@ -9059,5 +9059,115 @@ object Queries {
         |UNION ALL SELECT query_id, CAST(2 AS INT), vec_id, score FROM s2
         |UNION ALL SELECT query_id, CAST(3 AS INT), vec_id, score FROM s3
         |ORDER BY query_id, sel_rank""".stripMargin)),
+
+    // GIF container metadata — the animated-image member of the
+    // container-walker family (PNG/JPEG/TIFF images, MP4 video, WAV/MP3/
+    // FLAC audio): logical screen descriptor + block walk over real
+    // spec-shaped fixtures; the oracle replays the salt arithmetic.
+    Q("q290_gif_container_meta",
+      (s, dir) => {
+        val clips = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 6 === 0)
+          .withColumn("payload", Multimodal.syntheticGifUdf(
+            (lit(16) + col("doc_id") % 32).cast("int"),
+            (lit(8) + col("doc_id") % 16).cast("int"),
+            (lit(1) + col("doc_id") % 4).cast("int"),
+            when(col("doc_id") % 3 === 0, lit(5)).otherwise(lit(0)),
+            (col("doc_id") % 3).cast("int")))
+        Multimodal.decodeGifHeaders(clips, "payload")
+          .select(col("doc_id"),
+            col("gif.width").as("width"),
+            col("gif.height").as("height"),
+            col("gif.gct_entries").as("gct_entries"),
+            col("gif.n_frames").as("n_frames"),
+            col("gif.n_extensions").as("n_extensions"),
+            col("gif.animated").as("animated"),
+            col("gif.has_trailer").as("has_trailer"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(16 + doc_id % 32 AS INT) AS width,
+        |  CAST(8 + doc_id % 16 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 32 ELSE 0 END AS INT)
+        |    AS gct_entries,
+        |  CAST(1 + doc_id % 4 AS INT) AS n_frames,
+        |  CAST(doc_id % 3 AS INT) AS n_extensions,
+        |  doc_id % 4 > 0 AS animated,
+        |  TRUE AS has_trailer
+        |FROM documents WHERE doc_id % 6 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // FLAC STREAMINFO metadata — lossless audio joins the walker family:
+    // bit-packed 64-bit tail (20-bit rate / 3-bit channels / 5-bit bps /
+    // 36-bit sample count) unpacked exactly, block census to the
+    // last-block flag; integer duration replayed by the oracle.
+    Q("q291_flac_streaminfo",
+      (s, dir) => {
+        val clips = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 10 === 0)
+          .withColumn("payload", Multimodal.syntheticFlacUdf(
+            (lit(8000) * (lit(1) + col("doc_id") % 11)).cast("int"),
+            (lit(1) + col("doc_id") % 4).cast("int"),
+            when(col("doc_id") % 2 === 0, lit(16)).otherwise(lit(24)),
+            lit(1000L) + (col("doc_id") * 441) % 100000,
+            (col("doc_id") % 3).cast("int")))
+        Multimodal.decodeFlacHeaders(clips, "payload")
+          .select(col("doc_id"),
+            col("flac.sample_rate").as("sample_rate"),
+            col("flac.channels").as("channels"),
+            col("flac.bits_per_sample").as("bits_per_sample"),
+            col("flac.total_samples").as("total_samples"),
+            col("flac.duration_ms").as("duration_ms"),
+            col("flac.n_blocks").as("n_blocks"),
+            col("flac.saw_last_block").as("saw_last_block"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8000 * (1 + doc_id % 11) AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 4 AS INT) AS channels,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INT)
+        |      AS bits_per_sample,
+        |    CAST(1000 + (doc_id * 441) % 100000 AS BIGINT) AS total_samples,
+        |    CAST(doc_id % 3 AS INT) AS pad
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, sample_rate, channels, bits_per_sample,
+        |  total_samples,
+        |  CAST(total_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(1 + pad AS INT) AS n_blocks,
+        |  TRUE AS saw_last_block
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // TIFF IFD0 metadata in both byte orders — the EXIF carrier format:
+    // endianness-honoring entry walk (SHORT/LONG inline values), EXIF
+    // sub-IFD pointer detection; oracle replays the salts.
+    Q("q292_tiff_meta",
+      (s, dir) => {
+        val clips = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 9 === 0)
+          .withColumn("payload", Multimodal.syntheticTiffUdf(
+            col("doc_id") % 2 === 0,
+            lit(100L) + col("doc_id") % 900,
+            lit(50L) + col("doc_id") % 500,
+            (lit(1) + col("doc_id") % 8).cast("int"),
+            col("doc_id") % 3 === 0))
+        Multimodal.decodeTiffHeaders(clips, "payload")
+          .select(col("doc_id"),
+            col("tiff.little_endian").as("little_endian"),
+            col("tiff.n_entries").as("n_entries"),
+            col("tiff.width").as("width"),
+            col("tiff.height").as("height"),
+            col("tiff.orientation").as("orientation"),
+            col("tiff.has_exif_ifd").as("has_exif_ifd"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  doc_id % 2 = 0 AS little_endian,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT)
+        |    AS n_entries,
+        |  CAST(100 + doc_id % 900 AS BIGINT) AS width,
+        |  CAST(50 + doc_id % 500 AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |  doc_id % 3 = 0 AS has_exif_ifd
+        |FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""".stripMargin)),
   )
 }

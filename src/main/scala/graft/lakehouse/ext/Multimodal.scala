@@ -905,4 +905,343 @@ object Multimodal {
          |    1 + f * (octet_length($blobCol) div $frames),
          |    greatest(octet_length($blobCol) div $frames, 1)), 256))""".stripMargin))
       .as(Seq("frame_no", "frame_hash")))
+
+  // ---- GIF container metadata (decode-free) -----------------------------
+
+  /** Parsed GIF metadata from the block structure (GIF89a spec): logical
+    * screen geometry, global-color-table size, the frame census (one
+    * image descriptor per frame — > 1 means animated), extension count,
+    * and whether the trailer byte was reached (the truncation signal). */
+  case class GifMeta(width: Int, height: Int, gct_entries: Int,
+    n_frames: Int, n_extensions: Int, animated: Boolean,
+    has_trailer: Boolean)
+
+  /** DECODE-FREE GIF metadata — the [[pngMeta]] pattern for the animated
+    * web image container: read the logical screen descriptor, then walk
+    * blocks (0x21 extension, 0x2C image descriptor, 0x3B trailer),
+    * skipping data sub-block chains by their own length bytes. Never
+    * inflates LZW data. Bounds-checked: any read past the buffer ends
+    * the walk with what was parsed (has_trailer stays false); payloads
+    * without a GIF87a/GIF89a signature return null. */
+  def gifMeta(bytes: Array[Byte]): GifMeta = {
+    if (bytes == null || bytes.length < 13) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val sig = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return null
+    val width = u16le(6)
+    val height = u16le(8)
+    val packed = u8(10)
+    val gct = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    var pos = 13 + 3 * gct
+    var frames = 0
+    var exts = 0
+    var trailer = false
+    // skip a {len, data}* sub-block chain; -1 on truncation
+    def skipSubBlocks(at: Int): Int = {
+      var p = at
+      while (p < bytes.length && u8(p) != 0) p += 1 + u8(p)
+      if (p < bytes.length) p + 1 else -1
+    }
+    var hostile = false
+    while (!trailer && !hostile && pos < bytes.length) {
+      u8(pos) match {
+        case 0x3b => trailer = true
+        case 0x21 => // extension: label byte + sub-blocks
+          if (pos + 2 > bytes.length) hostile = true
+          else skipSubBlocks(pos + 2) match {
+            case -1 => hostile = true
+            case p => exts += 1; pos = p
+          }
+        case 0x2c => // image descriptor + optional LCT + LZW min-code + data
+          if (pos + 10 > bytes.length) hostile = true
+          else {
+            val ip = u8(pos + 9)
+            val lct = if ((ip & 0x80) != 0) 1 << ((ip & 0x07) + 1) else 0
+            val dataAt = pos + 10 + 3 * lct + 1
+            if (dataAt > bytes.length) hostile = true
+            else skipSubBlocks(dataAt) match {
+              case -1 => hostile = true
+              case p => frames += 1; pos = p
+            }
+          }
+        case _ => hostile = true // unknown block type: stop, keep findings
+      }
+    }
+    GifMeta(width, height, gct, frames, exts, frames > 1, trailer)
+  }
+
+  private val gifSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[GifMeta].dataType.asInstanceOf[StructType]
+
+  /** [[gifMeta]] over a blob column — appends a nullable `gif` struct. */
+  def decodeGifHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("gif", gifSchema, nullable = true)) { bytes =>
+      gifMeta(bytes) match {
+        case null => null
+        case m => Row(m.width, m.height, m.gct_entries, m.n_frames,
+          m.n_extensions, m.animated, m.has_trailer)
+      }
+    }
+
+  /** Deterministic synthetic GIF (fixture payloads): real spec-shaped
+    * logical screen descriptor / optional global color table / comment
+    * extensions / image descriptors with deterministic filler sub-blocks
+    * (not decodable LZW — a CONTAINER fixture, the [[syntheticMp3]]
+    * contract) / trailer. */
+  def syntheticGif(width: Int, height: Int, frames: Int, gctBits: Int,
+      nExtensions: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && frames >= 1 && gctBits >= 0 &&
+      gctBits <= 8 && nExtensions >= 0, "syntheticGif: invalid salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    bos.write(if (gctBits > 0) 0x80 | (gctBits - 1) else 0)
+    bos.write(0); bos.write(0) // bg color, aspect
+    if (gctBits > 0) {
+      var i = 0
+      while (i < 3 * (1 << gctBits)) { bos.write((i * 7) & 0xff); i += 1 }
+    }
+    var e = 0
+    while (e < nExtensions) {
+      bos.write(0x21); bos.write(0xfe) // comment extension
+      bos.write(3); bos.write('g'); bos.write('f'); bos.write(('0' + e % 10))
+      bos.write(0)
+      e += 1
+    }
+    var f = 0
+    while (f < frames) {
+      bos.write(0x2c)
+      le16(0); le16(0); le16(width); le16(height)
+      bos.write(0) // no local color table
+      bos.write(2) // LZW min code size
+      bos.write(4) // one 4-byte filler sub-block
+      bos.write((f * 31) & 0xff); bos.write((f * 31 + 1) & 0xff)
+      bos.write((f * 31 + 2) & 0xff); bos.write((f * 31 + 3) & 0xff)
+      bos.write(0) // sub-block terminator
+      f += 1
+    }
+    bos.write(0x3b)
+    bos.toByteArray
+  }
+
+  /** `syntheticGif` as a column function. */
+  val syntheticGifUdf = udf((w: Int, h: Int, frames: Int, gctBits: Int,
+    nExt: Int) => syntheticGif(w, h, frames, gctBits, nExt))
+
+  // ---- FLAC container metadata (decode-free) ----------------------------
+
+  /** Parsed FLAC STREAMINFO (the mandatory first metadata block, FLAC
+    * format spec): sample rate / channels / bits-per-sample / exact
+    * total-sample count, integer duration, and the metadata-block
+    * census. */
+  case class FlacMeta(sample_rate: Int, channels: Int, bits_per_sample: Int,
+    total_samples: Long, duration_ms: Long, n_blocks: Int,
+    saw_last_block: Boolean)
+
+  /** DECODE-FREE FLAC metadata — the lossless-audio member of the
+    * container-walker family: check the fLaC magic, unpack STREAMINFO's
+    * bit-packed 64-bit tail (20-bit rate, 3-bit channels−1, 5-bit
+    * bps−1, 36-bit total samples), then walk metadata block headers
+    * (1-byte last-flag+type, 24-bit length) to the last-block flag.
+    * Audio frames are never touched. Bounds-checked: a block length
+    * past the buffer ends the walk (saw_last_block false); payloads
+    * without the magic or a leading STREAMINFO return null. */
+  def flacMeta(bytes: Array[Byte]): FlacMeta = {
+    if (bytes == null || bytes.length < 8 + 34) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (u8(0) != 'f' || u8(1) != 'L' || u8(2) != 'a' || u8(3) != 'C')
+      return null
+    def u24(i: Int): Int = (u8(i) << 16) | (u8(i + 1) << 8) | u8(i + 2)
+    // first block header must be STREAMINFO (type 0) of length 34
+    val h0 = u8(4)
+    if ((h0 & 0x7f) != 0 || u24(5) != 34) return null
+    var last = (h0 & 0x80) != 0
+    // STREAMINFO payload at 8; its packed tail is bytes 18..25
+    var packed = 0L
+    var i = 18
+    while (i < 26) { packed = (packed << 8) | (u8(i).toLong & 0xffL); i += 1 }
+    val rate = (packed >>> 44).toInt
+    val channels = ((packed >>> 41) & 0x7L).toInt + 1
+    val bps = ((packed >>> 36) & 0x1fL).toInt + 1
+    val total = packed & 0xfffffffffL
+    if (rate == 0) return null // spec: 0 is invalid
+    var nBlocks = 1
+    var pos = 8 + 34
+    var hostile = false
+    while (!last && !hostile && pos + 4 <= bytes.length) {
+      val h = u8(pos)
+      val len = u24(pos + 1)
+      if (pos + 4 + len > bytes.length) hostile = true
+      else {
+        nBlocks += 1
+        last = (h & 0x80) != 0
+        pos += 4 + len
+      }
+    }
+    FlacMeta(rate, channels, bps, total, total * 1000L / rate, nBlocks,
+      last)
+  }
+
+  private val flacSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[FlacMeta].dataType.asInstanceOf[StructType]
+
+  /** [[flacMeta]] over a blob column — appends a nullable `flac` struct. */
+  def decodeFlacHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("flac", flacSchema, nullable = true)) { bytes =>
+      flacMeta(bytes) match {
+        case null => null
+        case m => Row(m.sample_rate, m.channels, m.bits_per_sample,
+          m.total_samples, m.duration_ms, m.n_blocks, m.saw_last_block)
+      }
+    }
+
+  /** Deterministic synthetic FLAC (fixture payloads): real fLaC magic +
+    * spec-shaped STREAMINFO + `padBlocks` PADDING blocks; no audio
+    * frames (CONTAINER fixture). */
+  def syntheticFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, padBlocks: Int): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate < (1 << 20) &&
+      channels >= 1 && channels <= 8 &&
+      bitsPerSample >= 4 && bitsPerSample <= 32 &&
+      totalSamples >= 0 && totalSamples < (1L << 36) && padBlocks >= 0,
+      "syntheticFlac: invalid salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("fLaC".getBytes("US-ASCII"))
+    def u24(v: Int): Unit = {
+      bos.write((v >> 16) & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write(v & 0xff)
+    }
+    bos.write(if (padBlocks == 0) 0x80 else 0x00) // STREAMINFO header
+    u24(34)
+    // min/max block size, min/max frame size
+    bos.write(Array[Byte](0x10, 0x00, 0x10, 0x00))
+    u24(0); u24(0)
+    val packed = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) | totalSamples
+    var s = 56
+    while (s >= 0) { bos.write(((packed >>> s) & 0xffL).toInt); s -= 8 }
+    bos.write(new Array[Byte](16)) // md5 of unencoded audio (zeroed)
+    var p = 0
+    while (p < padBlocks) {
+      bos.write(if (p == padBlocks - 1) 0x81 else 0x01) // PADDING
+      u24(4)
+      bos.write(new Array[Byte](4))
+      p += 1
+    }
+    bos.toByteArray
+  }
+
+  /** `syntheticFlac` as a column function. */
+  val syntheticFlacUdf = udf((rate: Int, ch: Int, bps: Int, total: Long,
+    pad: Int) => syntheticFlac(rate, ch, bps, total, pad))
+
+  // ---- TIFF/EXIF container metadata (decode-free) ------------------------
+
+  /** Parsed TIFF IFD0 metadata (TIFF 6.0 spec — also the EXIF carrier
+    * inside JPEG APP1): byte order, IFD0 entry census, image geometry
+    * (tags 256/257), orientation (tag 274), and whether an EXIF sub-IFD
+    * pointer (tag 34665) is present. */
+  case class TiffMeta(little_endian: Boolean, n_entries: Int, width: Long,
+    height: Long, orientation: Int, has_exif_ifd: Boolean)
+
+  /** DECODE-FREE TIFF metadata: validate the II*42/MM*42 header, follow
+    * the IFD0 offset, and read its 12-byte entries (SHORT/LONG values
+    * are inline in the value field, honoring the file's endianness).
+    * Strips are never read. Bounds-checked: an IFD offset or entry past
+    * the buffer returns what was parsed so far (entries before the
+    * truncation point); payloads without a TIFF header return null. */
+  def tiffMeta(bytes: Array[Byte]): TiffMeta = {
+    if (bytes == null || bytes.length < 8) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val le =
+      if (u8(0) == 'I' && u8(1) == 'I') true
+      else if (u8(0) == 'M' && u8(1) == 'M') false
+      else return null
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) (u16(i).toLong) | (u16(i + 2).toLong << 16)
+      else (u16(i).toLong << 16) | u16(i + 2).toLong
+    if (u16(2) != 42) return null
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return null
+    val at = ifd.toInt
+    val declared = u16(at)
+    var width = 0L; var height = 0L; var orient = 0; var exif = false
+    var e = 0
+    var parsed = 0
+    while (e < declared && at + 2 + (e + 1) * 12 <= bytes.length) {
+      val ep = at + 2 + e * 12
+      val tag = u16(ep)
+      val typ = u16(ep + 2)
+      val v: Long =
+        if (typ == 3) u16(ep + 8).toLong // SHORT: inline, left-justified
+        else if (typ == 4) u32(ep + 8) // LONG: inline
+        else -1L
+      tag match {
+        case 256 => if (v >= 0) width = v
+        case 257 => if (v >= 0) height = v
+        case 274 => if (v >= 0) orient = v.toInt
+        case 34665 => exif = true
+        case _ => ()
+      }
+      parsed += 1
+      e += 1
+    }
+    TiffMeta(le, parsed, width, height, orient, exif)
+  }
+
+  private val tiffSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[TiffMeta].dataType.asInstanceOf[StructType]
+
+  /** [[tiffMeta]] over a blob column — appends a nullable `tiff` struct. */
+  def decodeTiffHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("tiff", tiffSchema, nullable = true)) { bytes =>
+      tiffMeta(bytes) match {
+        case null => null
+        case m => Row(m.little_endian, m.n_entries, m.width, m.height,
+          m.orientation, m.has_exif_ifd)
+      }
+    }
+
+  /** Deterministic synthetic TIFF (fixture payloads): a real header +
+    * one IFD0 with width/height (LONG), orientation (SHORT) and
+    * optionally an EXIF sub-IFD pointer, in either byte order. No strip
+    * data (CONTAINER fixture). */
+  def syntheticTiff(littleEndian: Boolean, width: Long, height: Long,
+      orientation: Int, withExif: Boolean): Array[Byte] = {
+    require(width >= 0 && height >= 0 && orientation >= 0 &&
+      orientation <= 8, "syntheticTiff: invalid salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      else { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { w16((v & 0xffffL).toInt); w16(((v >> 16) & 0xffffL).toInt) }
+      else { w16(((v >> 16) & 0xffffL).toInt); w16((v & 0xffffL).toInt) }
+    bos.write(if (littleEndian) 'I' else 'M')
+    bos.write(if (littleEndian) 'I' else 'M')
+    w16(42)
+    w32(8L) // IFD0 immediately after the header
+    val entries = Seq(
+      (256, 4, width), (257, 4, height), (274, 3, orientation.toLong)) ++
+      (if (withExif) Seq((34665, 4, 0L)) else Nil)
+    w16(entries.size)
+    entries.foreach { case (tag, typ, v) =>
+      w16(tag); w16(typ); w32(1L)
+      if (typ == 3) { w16(v.toInt); w16(0) } else w32(v)
+    }
+    w32(0L) // next-IFD pointer: none
+    bos.toByteArray
+  }
+
+  /** `syntheticTiff` as a column function. */
+  val syntheticTiffUdf = udf((le: Boolean, w: Long, h: Long, orient: Int,
+    exif: Boolean) => syntheticTiff(le, w, h, orient, exif))
 }

@@ -314,4 +314,67 @@ class MultimodalSpec extends SparkSuite {
       "hostile ID3 size past the buffer must null, not read OOB")
   }
 
+  test("gifMeta: block walk round-trips the synthetic writer; truncation " +
+    "and hostile sub-block lengths bound the walk") {
+    val g = Multimodal.gifMeta(Multimodal.syntheticGif(320, 200, 3, 5, 2))
+    assert(g == Multimodal.GifMeta(320, 200, 32, 3, 2,
+      animated = true, has_trailer = true))
+    val still = Multimodal.gifMeta(Multimodal.syntheticGif(8, 8, 1, 0, 0))
+    assert(still.gct_entries == 0 && !still.animated && still.has_trailer)
+    // truncated mid-frame: frames seen so far kept, trailer false
+    val full = Multimodal.syntheticGif(16, 16, 4, 0, 1)
+    val cut = Multimodal.gifMeta(full.take(full.length - 12))
+    assert(cut != null && !cut.has_trailer && cut.n_frames < 4)
+    // hostile: a sub-block length pointing past the buffer must stop
+    val evil = Multimodal.syntheticGif(16, 16, 1, 0, 0).clone()
+    evil(13 + 10 + 1) = 0xff.toByte // LZW sub-block len -> way past end
+    val em = Multimodal.gifMeta(evil)
+    assert(em != null && !em.has_trailer)
+    assert(Multimodal.gifMeta("GIF89x junk".getBytes) == null)
+    assert(Multimodal.gifMeta(null) == null)
+  }
+
+  test("flacMeta: STREAMINFO bit unpack round-trips the writer; hostile " +
+    "block length bounds the walk") {
+    val f = Multimodal.flacMeta(
+      Multimodal.syntheticFlac(44100, 2, 16, 441000L, 2))
+    assert(f == Multimodal.FlacMeta(44100, 2, 16, 441000L, 10000L, 3,
+      saw_last_block = true))
+    // 36-bit total-sample boundary value survives the pack/unpack
+    val big = Multimodal.flacMeta(
+      Multimodal.syntheticFlac(96000, 8, 32, (1L << 36) - 1, 0))
+    assert(big.total_samples == (1L << 36) - 1 && big.channels == 8 &&
+      big.bits_per_sample == 32 && big.n_blocks == 1)
+    // hostile: PADDING length past the buffer ends the walk un-finalized
+    val evil = Multimodal.syntheticFlac(8000, 1, 16, 100L, 1).clone()
+    evil(8 + 34 + 1) = 0x7f.toByte // pad block len 0x7f0004 -> OOB
+    val em = Multimodal.flacMeta(evil)
+    assert(em != null && !em.saw_last_block && em.n_blocks == 1)
+    assert(Multimodal.flacMeta("fLaX not flac".getBytes) == null)
+    assert(Multimodal.flacMeta(null) == null)
+  }
+
+  test("tiffMeta: both byte orders round-trip; truncated IFD keeps the " +
+    "entries parsed before the cut") {
+    val le = Multimodal.tiffMeta(
+      Multimodal.syntheticTiff(littleEndian = true, 800L, 600L, 6, withExif = true))
+    assert(le == Multimodal.TiffMeta(little_endian = true, 4, 800L, 600L,
+      6, has_exif_ifd = true))
+    val be = Multimodal.tiffMeta(
+      Multimodal.syntheticTiff(littleEndian = false, 31L, 17L, 1, withExif = false))
+    assert(be == Multimodal.TiffMeta(little_endian = false, 3, 31L, 17L,
+      1, has_exif_ifd = false))
+    // truncate inside the third entry: only the first two survive
+    val full = Multimodal.syntheticTiff(littleEndian = true, 9L, 9L, 3,
+      withExif = false)
+    val cut = Multimodal.tiffMeta(full.take(10 + 2 * 12 + 5))
+    assert(cut != null && cut.n_entries == 2 && cut.width == 9L &&
+      cut.orientation == 0)
+    // hostile IFD offset past the buffer
+    val evil = full.clone()
+    evil(4) = 0xff.toByte; evil(5) = 0xff.toByte
+    assert(Multimodal.tiffMeta(evil) == null)
+    assert(Multimodal.tiffMeta("XXno tiff".getBytes) == null)
+    assert(Multimodal.tiffMeta(null) == null)
+  }
 }
