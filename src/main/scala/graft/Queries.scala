@@ -9169,5 +9169,106 @@ object Queries {
         |  CAST(1 + doc_id % 8 AS INT) AS orientation,
         |  doc_id % 3 = 0 AS has_exif_ifd
         |FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Group-aware K-fold + leakage audit: a row-hash split leaks customer
+    // groups across folds; the group-keyed split audits to zero by
+    // construction. One (group -> folds) aggregation per scheme, one
+    // report row each.
+    Q("q293_group_kfold_leakage",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val naive = Packing.groupKFold(orders, "o_orderkey", seed = 7L, k = 3)
+        val grouped = Packing.groupKFold(orders, "o_custkey", seed = 7L, k = 3)
+        Packing.splitLeakageAudit(naive, "o_custkey", "fold")
+          .withColumn("scheme", lit("row_hash"))
+          .unionByName(
+            Packing.splitLeakageAudit(grouped, "o_custkey", "fold")
+              .withColumn("scheme", lit("group_hash")))
+          .orderBy("scheme")
+      },
+      Some("""WITH naive AS (
+        |  SELECT o_custkey,
+        |    ('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR) || '#7'),
+        |      1, 8))::UBIGINT % 3 AS fold
+        |  FROM orders),
+        |gn AS (
+        |  SELECT o_custkey, count(DISTINCT fold) AS n_folds,
+        |    count(*) AS n_rows
+        |  FROM naive GROUP BY 1),
+        |a1 AS (
+        |  SELECT 'row_hash' AS scheme, CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(count(CASE WHEN n_folds > 1 THEN 1 END) AS BIGINT)
+        |      AS n_leaking_groups,
+        |    CAST(max(n_folds) AS INT) AS max_folds_per_group,
+        |    CAST(coalesce(sum(CASE WHEN n_folds > 1 THEN n_rows END), 0)
+        |      AS BIGINT) AS rows_in_leaking_groups
+        |  FROM gn),
+        |grp AS (
+        |  SELECT o_custkey,
+        |    ('0x' || substr(sha256(CAST(o_custkey AS VARCHAR) || '#7'),
+        |      1, 8))::UBIGINT % 3 AS fold
+        |  FROM orders),
+        |gg AS (
+        |  SELECT o_custkey, count(DISTINCT fold) AS n_folds,
+        |    count(*) AS n_rows
+        |  FROM grp GROUP BY 1),
+        |a2 AS (
+        |  SELECT 'group_hash' AS scheme, CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(count(CASE WHEN n_folds > 1 THEN 1 END) AS BIGINT)
+        |      AS n_leaking_groups,
+        |    CAST(max(n_folds) AS INT) AS max_folds_per_group,
+        |    CAST(coalesce(sum(CASE WHEN n_folds > 1 THEN n_rows END), 0)
+        |      AS BIGINT) AS rows_in_leaking_groups
+        |  FROM gg)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |ORDER BY scheme""".stripMargin)),
+
+    // Temporal split with an embargo gap: train strictly before
+    // cut - 2 days, test at/after the cut, the gap excluded from both
+    // (the purged time-series CV discipline). Pure per-row expression +
+    // one aggregation.
+    Q("q294_temporal_embargo_split",
+      (s, dir) => Packing.temporalEmbargoSplit(ev(s, dir), "ts",
+          "2024-01-20 00:00:00", 2L * 86400)
+        .groupBy("role")
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("role"),
+      Some("""WITH r AS (
+        |  SELECT ts,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 2 DAY
+        |        THEN 'train'
+        |      WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'test'
+        |      ELSE 'embargo' END AS role
+        |  FROM events)
+        |SELECT role, CAST(count(*) AS BIGINT) AS n, min(ts) AS min_ts,
+        |  max(ts) AS max_ts
+        |FROM r GROUP BY role ORDER BY role""".stripMargin)),
+
+    // The hashing trick for categorical crosses: fixed 64-bucket feature
+    // space from a keyed portable hash — no vocabulary fit, no
+    // train/serve skew; the report shows per-bucket load and collision
+    // census. Per-row bucket kernel + ONE aggregation.
+    Q("q295_feature_hash_cross",
+      (s, dir) => Features.hashCross(
+          t(s, dir, "lineitem").withColumn("supp_mod",
+            (col("l_suppkey") % 10).cast("string")),
+          Seq("l_returnflag", "l_linestatus", "supp_mod"), 64)
+        .groupBy("feature_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(concat_ws("#", col("l_returnflag"),
+            col("l_linestatus"), col("supp_mod"))).as("n_crosses"))
+        .orderBy("feature_bucket"),
+      Some("""WITH b AS (
+        |  SELECT ('0x' || substr(sha256(l_returnflag || '#' ||
+        |      l_linestatus || '#' || CAST(l_suppkey % 10 AS VARCHAR)),
+        |      1, 8))::UBIGINT % 64 AS feature_bucket,
+        |    l_returnflag || '#' || l_linestatus || '#' ||
+        |      CAST(l_suppkey % 10 AS VARCHAR) AS cross_key
+        |  FROM lineitem)
+        |SELECT CAST(feature_bucket AS INT) AS feature_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT cross_key) AS BIGINT) AS n_crosses
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

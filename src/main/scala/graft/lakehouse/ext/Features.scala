@@ -84,4 +84,20 @@ object Features {
         expr(s"cast((__s + (__gs div __gn) * $m) div (n + $m) as bigint)"))
       .select(col("category"), col("n"), col("encoded"))
   }
+
+  /** The hashing trick (Weinberger et al., ICML 2009) for categorical
+    * feature crosses: bucket = keyed portable hash of the '#'-joined
+    * column values mod `buckets` — fixed feature dimensionality with no
+    * vocabulary fit, no driver state, and no train/serve skew (the
+    * bucket is a pure function of the values; any engine replays it).
+    * Per-row, zero-shuffle, codegen'd. */
+  def hashCross(df: DataFrame, cols: Seq[String], buckets: Int,
+      outCol: String = "feature_bucket"): DataFrame = {
+    require(cols.nonEmpty && buckets >= 2,
+      "hashCross needs columns and buckets >= 2")
+    val h = conv(substring(sha2(concat_ws("#",
+      cols.map(c => col(c).cast("string")): _*), 256), 1, 8), 16, 10)
+      .cast("long")
+    df.withColumn(outCol, (h % buckets).cast("int"))
+  }
 }

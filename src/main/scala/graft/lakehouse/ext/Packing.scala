@@ -363,6 +363,58 @@ object Packing {
     tagged.withColumn(splitCol, assign).drop("__ss_r", "__ss_n")
   }
 
+  /** Group-aware K-fold assignment (GroupKFold semantics): fold = keyed
+    * portable hash of the GROUP key mod k, so every row of a group lands
+    * in the same fold — the assignment that prevents the subtlest
+    * evaluation leak, a group (user, document cluster, patient) split
+    * across train and validation. Per-row, zero-shuffle, stable under
+    * corpus growth (membership is a pure function of (group, seed) — the
+    * [[hashSplit]] contract at group granularity). */
+  def groupKFold(df: DataFrame, groupCol: String, seed: Long, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, "groupKFold needs k >= 2")
+    val h = conv(substring(sha2(concat_ws("#",
+      col(groupCol).cast("string"), lit(seed.toString)), 256), 1, 8),
+      16, 10).cast("long")
+    df.withColumn(foldCol, (h % k).cast("int"))
+  }
+
+  /** Split-leakage audit: does any GROUP span more than one fold? ONE
+    * aggregation to the (group → folds, rows) frame, one fold to a
+    * single report row — n_groups, n_leaking_groups, the worst group's
+    * fold spread, and how many rows sit in leaking groups (the
+    * contaminated mass a reviewer actually cares about). Zero means the
+    * split respects the group boundary ([[groupKFold]] by construction;
+    * a row-hash split essentially never). */
+  def splitLeakageAudit(df: DataFrame, groupCol: String,
+      foldCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("__g"))
+      .agg(countDistinct(col(foldCol)).as("n_folds"),
+        count(lit(1)).as("n_rows"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        count(when(col("n_folds") > 1, lit(1))).as("n_leaking_groups"),
+        max("n_folds").cast("int").as("max_folds_per_group"),
+        coalesce(sum(when(col("n_folds") > 1, col("n_rows"))), lit(0L))
+          .as("rows_in_leaking_groups"))
+
+  /** Temporal train/test split with an embargo gap (the time-series CV
+    * discipline): train strictly before `cutTs − embargo`, test at/after
+    * `cutTs`, and the embargo window in between EXCLUDED from both — the
+    * buffer that keeps label horizons and autocorrelation from leaking
+    * across the boundary (Lopez de Prado 2018's purged split, single
+    * cut). Pure per-row expression, zero shuffle. */
+  def temporalEmbargoSplit(df: DataFrame, tsCol: String, cutTs: String,
+      embargoSeconds: Long, roleCol: String = "role"): DataFrame = {
+    require(embargoSeconds >= 0, "temporalEmbargoSplit needs embargo >= 0")
+    val cut = to_timestamp(lit(cutTs))
+    val trainEnd = cut - expr(s"INTERVAL $embargoSeconds SECOND")
+    df.withColumn(roleCol,
+      when(col(tsCol) < trainEnd, "train")
+        .when(col(tsCol) >= cut, "test")
+        .otherwise("embargo"))
+  }
+
   /** Token-budget allocation across strata by integer water-filling:
     * give every stratum an equal share of `budget`, capped at its own
     * supply, with freed capacity redistributed — the "how many tokens

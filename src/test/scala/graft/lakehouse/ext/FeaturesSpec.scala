@@ -54,4 +54,20 @@ class FeaturesSpec extends SparkSuite {
       Features.targetEncode(df, "cat", "t", -1L)
     }
   }
+  test("hashCross: stable buckets in range, same cross -> same bucket, " +
+    "independent of row order") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "z"))
+      .toDF("c1", "c2")
+    val out = Features.hashCross(df, Seq("c1", "c2"), 16)
+    val buckets = out.select("c1", "c2", "feature_bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    assert(buckets.size == 3, "three distinct crosses")
+    assert(buckets.values.forall(b => b >= 0 && b < 16))
+    val again = Features.hashCross(df.repartition(3), Seq("c1", "c2"), 16)
+      .select("c1", "c2", "feature_bucket").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    assert(buckets == again)
+  }
 }

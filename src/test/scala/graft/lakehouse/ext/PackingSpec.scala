@@ -424,4 +424,38 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("groupKFold keeps every group in one fold; splitLeakageAudit " +
+    "reports zero for it and catches a row-level split") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 37).toLong))
+      .toDF("row_id", "grp")
+    val grouped = Packing.groupKFold(df, "grp", seed = 5L, k = 4)
+    val audit = Packing.splitLeakageAudit(grouped, "grp", "fold").head()
+    assert(audit.getAs[Long]("n_groups") == 37L)
+    assert(audit.getAs[Long]("n_leaking_groups") == 0L)
+    assert(audit.getAs[Int]("max_folds_per_group") == 1)
+    assert(audit.getAs[Long]("rows_in_leaking_groups") == 0L)
+    // folds are a pure function of (group, seed): two assignments agree
+    val again = Packing.groupKFold(df.repartition(7), "grp", seed = 5L, k = 4)
+    assert(grouped.select("grp", "fold").distinct().collect().toSet ==
+      again.select("grp", "fold").distinct().collect().toSet)
+    val naive = Packing.groupKFold(df, "row_id", seed = 5L, k = 4)
+    val bad = Packing.splitLeakageAudit(naive, "grp", "fold").head()
+    assert(bad.getAs[Long]("n_leaking_groups") > 0L)
+    assert(bad.getAs[Long]("rows_in_leaking_groups") > 0L)
+  }
+
+  test("temporalEmbargoSplit: the embargo window belongs to neither side") {
+    val df = Seq(
+      ("2024-01-01 00:00:00", 1), ("2024-01-17 23:59:59", 2),
+      ("2024-01-18 00:00:00", 3), ("2024-01-19 23:59:59", 4),
+      ("2024-01-20 00:00:00", 5), ("2024-01-25 12:00:00", 6))
+      .toDF("ts_s", "id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val roles = Packing.temporalEmbargoSplit(df, "ts",
+        "2024-01-20 00:00:00", 2L * 86400)
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("role")).toMap
+    assert(roles == Map(1 -> "train", 2 -> "train", 3 -> "embargo",
+      4 -> "embargo", 5 -> "test", 6 -> "test"))
+  }
+
 }
