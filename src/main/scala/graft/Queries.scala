@@ -9270,5 +9270,145 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT cross_key) AS BIGINT) AS n_crosses
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Markdown -> prose (htmlToText's sibling): salted CommonMark
+    // decorations (header, blockquote, list, fence, link, inline code,
+    // emphasis) stripped by the codegen'd regex chain; the oracle
+    // replays the same chain in RE2.
+    Q("q296_markdown_strip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") % 5 === 0)
+          .withColumn("md", concat(
+            lit("# Doc "), col("doc_id").cast("string"),
+            lit("\n\n> quoted intro\n\n- item one\n- item *two*\n\n```\ncode "),
+            col("doc_id").cast("string"),
+            lit("\n```\n\nSee [docs](http://x/"),
+            col("doc_id").cast("string"),
+            lit(") and ![fig](img.png) plus `inline` and _emph_ "),
+            coalesce(col("text"), lit(""))))
+        TextStats.withMarkdownText(docs, "md")
+          .select(col("doc_id"), col("text_clean"),
+            length(col("md")).cast("long").as("n_chars_md"),
+            length(col("text_clean")).cast("long").as("n_chars_clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        |    '> quoted intro' || chr(10) || chr(10) ||
+        |    '- item one' || chr(10) || '- item *two*' || chr(10) ||
+        |    chr(10) || '```' || chr(10) || 'code ' ||
+        |    CAST(doc_id AS VARCHAR) || chr(10) || '```' || chr(10) ||
+        |    chr(10) || 'See [docs](http://x/' || CAST(doc_id AS VARCHAR) ||
+        |    ') and ![fig](img.png) plus `inline` and _emph_ ' ||
+        |    coalesce(text, '') AS md
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (
+        |  SELECT doc_id, md,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(
+        |      regexp_replace(md,
+        |        '```.*?```', ' ', 'gs'),
+        |        '`([^`]*)`', '\1', 'g'),
+        |        '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |        '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |        '(?m)^#{1,6}[ \t]+', '', 'g'),
+        |        '(?m)^[ \t]*(>[ \t]?|[-*+][ \t]+|[0-9]+\.[ \t]+)', '', 'g'),
+        |        '[*_]{1,3}', '', 'g'),
+        |        '[ \t\r\n]+', ' ', 'g')) AS text_clean
+        |  FROM d)
+        |SELECT doc_id, text_clean,
+        |  CAST(length(md) AS BIGINT) AS n_chars_md,
+        |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Compaction planning from the file manifest alone: stage orders
+    // partitioned by month (one file per month), then plan
+    // cumulative-fill merge bins PER YEAR (files in different partitions
+    // never merge) at a row target — metadata-only, the window runs over
+    // the manifest, not the data. The oracle recomputes per-month counts
+    // and replays the deterministic (weight desc, key) fill.
+    Q("q297_compaction_plan",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "cp_orders")
+        val src = t(s, dir, "orders")
+          .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+        TableIO.writeTable(s, lh, "cp_orders", src.repartition(col("om")),
+          partitionBy = Seq("om"))
+        val files = TableIO.filesTable(s, lh, "cp_orders")
+          .withColumn("om", regexp_extract(col("path"), "om=([^/]+)", 1))
+          .withColumn("yr", substring(col("om"), 1, 4))
+        Packing.cumulativeFillBins(files, Seq("yr"), "num_rows", "om",
+            target = 800L)
+          .groupBy("yr", "bin")
+          .agg(count(lit(1)).as("n_files"),
+            sum("num_rows").cast("long").as("total_rows"))
+          .orderBy("yr", "bin")
+      },
+      Some("""WITH pf AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS om,
+        |    count(*) AS num_rows
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT substr(om, 1, 4) AS yr, om, num_rows,
+        |    sum(num_rows) OVER (PARTITION BY substr(om, 1, 4)
+        |      ORDER BY num_rows DESC, om) AS cum
+        |  FROM pf)
+        |SELECT yr, CAST((cum - num_rows) // 800 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(num_rows) AS BIGINT) AS total_rows
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Incremental drift monitor: the chi-squared input counts are
+    // ADDITIVE, so the monitor folds per-batch (cat, arm) counts (the
+    // q280 persisted-LM contract — fold order irrelevant) and recomputes
+    // the statistic from the folded state, never rescanning the corpus.
+    // The oracle is the from-scratch replay: folded must equal one-shot
+    // bit-for-bit.
+    Q("q298_drift_monitor_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("arm", (col("doc_id") % 2).cast("int"))
+        val b1 = docs.filter(col("doc_id") % 3 === 0)
+        val b2 = docs.filter(col("doc_id") % 3 =!= 0)
+        StatTests.chiSquaredFromCounts(StatTests.foldCategoryCounts(Seq(
+          StatTests.categoryCounts(b1, "lang", "arm"),
+          StatTests.categoryCounts(b2, "lang", "arm"))))
+      },
+      Some("""WITH obs AS (
+        |  SELECT lang AS cat, CAST(doc_id % 2 AS INT) AS arm, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT c.cat, a.arm, coalesce(obs.o, 0) AS o
+        |  FROM (SELECT DISTINCT cat FROM obs) c
+        |  CROSS JOIN (SELECT DISTINCT arm FROM obs) a
+        |  LEFT JOIN obs ON obs.cat = c.cat AND obs.arm = a.arm),
+        |tot AS (
+        |  SELECT cat, arm, o,
+        |    sum(o) OVER (PARTITION BY cat) AS rt,
+        |    sum(o) OVER (PARTITION BY arm) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM grid),
+        |terms AS (
+        |  SELECT cat, arm, n,
+        |    CAST((CAST(o AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS contrib
+        |  FROM tot)
+        |SELECT CAST(CAST(sum(contrib) AS VARCHAR) AS DOUBLE) AS chi2,
+        |  CAST((count(DISTINCT cat) - 1) * (count(DISTINCT arm) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM terms""".stripMargin)),
   )
 }

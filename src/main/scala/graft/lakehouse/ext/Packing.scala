@@ -363,6 +363,37 @@ object Packing {
     tagged.withColumn(splitCol, assign).drop("__ss_r", "__ss_n")
   }
 
+  /** Cumulative-fill bin planning — the O(1)-state packing a distributed
+    * compactor actually runs: within each group (a table partition —
+    * files in different partitions can never merge), items sort by
+    * (weight desc, key) and bin = (running-total − weight) div target —
+    * i.e. the weight axis splits into target-width windows and an item
+    * joins the window its start offset falls in. For the intended
+    * workload (many files far below the target — the small-file problem)
+    * bin weights track the target; an item bigger than the target spans
+    * windows and can leave its successor bin light — acceptable for a
+    * merge plan, where over-target bins are simply left alone. One
+    * window per GROUP over the item frame — for file manifests that
+    * frame is metadata-scale, orders of magnitude below the data it
+    * describes. Unlike [[packSequences]] (partition-local first-fit for
+    * token payloads), this plan is a pure function of the sorted
+    * weights, so any engine replays it bit-for-bit. */
+  def cumulativeFillBins(df: DataFrame, groupCols: Seq[String],
+      weightCol: String, keyCol: String, target: Long,
+      binCol: String = "bin"): DataFrame = {
+    require(target > 0, "cumulativeFillBins needs a positive target")
+    require(groupCols.nonEmpty,
+      "cumulativeFillBins plans within groups (a global plan would " +
+        "single-partition the window); pass a constant group to force one")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(weightCol).desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
+      .withColumn(binCol,
+        expr(s"(__cum - CAST($weightCol AS BIGINT)) div $target"))
+      .drop("__cum")
+  }
+
   /** Group-aware K-fold assignment (GroupKFold semantics): fold = keyed
     * portable hash of the GROUP key mod k, so every row of a group lands
     * in the same fold — the assignment that prevents the subtlest

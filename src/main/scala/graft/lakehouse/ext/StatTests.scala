@@ -30,9 +30,27 @@ object StatTests {
     * included — their expected counts still contribute) → per-cell
     * (o−e)²/e in a fixed IEEE op order → exact decimal fold.
     * Returns one row: chi2, dof, n. */
-  def chiSquaredDrift(df: DataFrame, catCol: String, armCol: String): DataFrame = {
-    val obs = df.groupBy(col(catCol).as("cat"), col(armCol).as("arm"))
+  def chiSquaredDrift(df: DataFrame, catCol: String, armCol: String): DataFrame =
+    chiSquaredFromCounts(categoryCounts(df, catCol, armCol))
+
+  /** The (cat, arm, o) count frame [[chiSquaredFromCounts]] consumes —
+    * exposed because these counts are ADDITIVE: a drift monitor
+    * maintains them incrementally (union + re-sum per batch, the q280
+    * persisted-LM contract) and recomputes the statistic from the folded
+    * state without ever rescanning the corpus. */
+  def categoryCounts(df: DataFrame, catCol: String, armCol: String): DataFrame =
+    df.groupBy(col(catCol).as("cat"), col(armCol).as("arm"))
       .agg(count(lit(1)).as("o"))
+
+  /** Fold additive count batches: same shape in, same shape out. */
+  def foldCategoryCounts(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "foldCategoryCounts needs at least one batch")
+    batches.reduce(_ unionByName _)
+      .groupBy("cat", "arm").agg(sum("o").as("o"))
+  }
+
+  /** [[chiSquaredDrift]] from a pre-aggregated (cat, arm, o) frame. */
+  def chiSquaredFromCounts(obs: DataFrame): DataFrame = {
     val grid = obs.select("cat").distinct()
       .crossJoin(obs.select("arm").distinct())
       .join(obs, Seq("cat", "arm"), "left")

@@ -1000,6 +1000,33 @@ object TextStats {
       outCol: String = "text_clean"): DataFrame =
     df.withColumn(outCol, htmlToText(coalesce(col(htmlCol), lit(""))))
 
+  /** Prose from Markdown — the other dominant source format in scraped
+    * training corpora ([[htmlToText]]'s sibling, same engine-portable
+    * regex discipline): fenced code blocks drop wholesale (code is not
+    * prose), inline code/links/images keep their text and lose their
+    * syntax, ATX headers / blockquote markers / list bullets strip at
+    * line starts, emphasis runs vanish, whitespace collapses. A pure
+    * codegen'd per-row regexp chain, zero shuffle; CommonMark's exotic
+    * corners (reference links, setext headers, HTML blocks) degrade to
+    * leftover text, never to a failed job. */
+  def markdownToText(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", " ")
+    val noInline = regexp_replace(noFence, "`([^`]*)`", "$1")
+    // images BEFORE links: ![alt](url) is a link-with-prefix
+    val noImg = regexp_replace(noInline, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noHead = regexp_replace(noLink, "(?m)^#{1,6}[ \t]+", "")
+    val noMark = regexp_replace(noHead,
+      "(?m)^[ \t]*(>[ \t]?|[-*+][ \t]+|[0-9]+\\.[ \t]+)", "")
+    val noEm = regexp_replace(noMark, "[*_]{1,3}", "")
+    trim(regexp_replace(noEm, "[ \t\r\n]+", " "))
+  }
+
+  /** [[markdownToText]] over a frame, appending `outCol`. */
+  def withMarkdownText(df: DataFrame, mdCol: String,
+      outCol: String = "text_clean"): DataFrame =
+    df.withColumn(outCol, markdownToText(coalesce(col(mdCol), lit(""))))
+
   /** Corpus-trained gibberish signal: the `topK` most frequent character
     * trigrams of the corpus (by total occurrences; ties broken by gram
     * ascending so the cut is deterministic) form the "common core", and

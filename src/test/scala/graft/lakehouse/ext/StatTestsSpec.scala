@@ -86,4 +86,48 @@ class StatTestsSpec extends SparkSuite {
     val out = StatTests.zipfFit(docs, "text", 2).head()
     assert(out.getAs[Long]("n_terms") == 2L)
   }
+  test("chiSquaredFromCounts(folded batches) == chiSquaredDrift one-shot, " +
+    "bit-for-bit") {
+    val rows = (1 to 300).map(i => (i, s"c${i % 5}", i % 2))
+      .toDF("id", "cat", "arm")
+    val oneShot = StatTests.chiSquaredDrift(rows, "cat", "arm")
+      .head().toSeq
+    val b1 = rows.filter(col("id") <= 130)
+    val b2 = rows.filter(col("id") > 130)
+    val folded = StatTests.chiSquaredFromCounts(StatTests.foldCategoryCounts(
+      Seq(StatTests.categoryCounts(b1, "cat", "arm"),
+        StatTests.categoryCounts(b2, "cat", "arm")))).head().toSeq
+    assert(folded == oneShot)
+  }
+
+  test("markdownToText strips CommonMark syntax, keeps the prose") {
+    val md = Seq(
+      "# Title\n\n> quote\n\n- one\n- *two*\n\n```\nval x = 1\n```\n\n" +
+        "See [docs](http://x) and ![img](u.png) plus `code` and _em_ tail")
+      .toDF("md")
+    val got = TextStats.withMarkdownText(md, "md")
+      .head().getAs[String]("text_clean")
+    assert(got == "Title quote one two See docs and img plus code and em tail")
+  }
+
+  test("cumulativeFillBins: start-offset window assignment, " +
+    "partition-order independent") {
+    val files = Seq(
+      ("g1", "a", 500L), ("g1", "b", 400L), ("g1", "c", 300L),
+      ("g1", "d", 200L), ("g1", "e", 100L),
+      ("g2", "f", 50L), ("g2", "g", 40L)).toDF("grp", "key", "w")
+    def run(parts: Int) = Packing.cumulativeFillBins(
+        files.repartition(parts), Seq("grp"), "w", "key", target = 600L)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[String]("key"),
+        r.getAs[Long]("bin"))).toSet
+    val plan = run(1)
+    assert(plan == run(4))
+    // g1 sorted desc: a500 b400 c300 d200 e100; start offsets 0,500,900,
+    // 1200,1400 -> div 600 = 0,0,1,2,2 (c straddles the 1200 boundary and
+    // stays in window 1 where it starts)
+    val byKey = plan.map(t => t._2 -> t._3).toMap
+    assert(byKey("a") == 0L && byKey("b") == 0L && byKey("c") == 1L &&
+      byKey("d") == 2L && byKey("e") == 2L)
+    assert(byKey("f") == 0L && byKey("g") == 0L)
+  }
 }
