@@ -9410,5 +9410,73 @@ object Queries {
         |    AS BIGINT) AS dof,
         |  CAST(max(n) AS BIGINT) AS n
         |FROM terms""".stripMargin)),
+
+    // Matrix-free first principal direction by 2-round power iteration,
+    // fully engine-portable: integer-quantized matrix, exact-decimal
+    // A^T(Av) aggregations, fixed-IEEE renormalization per round (the
+    // pageRank explicit-replay contract). One O(n*d) pass per round;
+    // only d rows cross the exchange.
+    Q("q299_power_iteration_pca",
+      (s, dir) => Embeddings.powerIterationTopComponent(
+          t(s, dir, "embeddings"), "embedding", iterations = 2)
+        .orderBy("pos"),
+      Some("""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |u AS (
+        |  SELECT vec_id, generate_subscripts(qv, 1) - 1 AS pos,
+        |    unnest(qv) AS x
+        |  FROM q),
+        |av1 AS (
+        |  SELECT vec_id, CAST(sum(x * 1024) AS BIGINT) AS av
+        |  FROM u GROUP BY 1),
+        |s1 AS (
+        |  SELECT pos, CAST(sum(CAST(x * av AS DECIMAL(18,0)))
+        |    AS DECIMAL(18,0)) AS s
+        |  FROM u JOIN av1 USING (vec_id) GROUP BY pos),
+        |n1 AS (
+        |  SELECT sqrt(CAST(CAST(sum(CAST(s AS DECIMAL(19,0)) * s)
+        |    AS VARCHAR) AS DOUBLE)) AS nrm
+        |  FROM s1),
+        |v1 AS (
+        |  SELECT pos, CAST(floor(1024.0 * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+        |    / nrm) AS BIGINT) AS v
+        |  FROM s1, n1),
+        |av2 AS (
+        |  SELECT u.vec_id, CAST(sum(u.x * v1.v) AS BIGINT) AS av
+        |  FROM u JOIN v1 USING (pos) GROUP BY 1),
+        |s2 AS (
+        |  SELECT pos, CAST(sum(CAST(x * av AS DECIMAL(18,0)))
+        |    AS DECIMAL(18,0)) AS s
+        |  FROM u JOIN av2 USING (vec_id) GROUP BY pos),
+        |n2 AS (
+        |  SELECT sqrt(CAST(CAST(sum(CAST(s AS DECIMAL(19,0)) * s)
+        |    AS VARCHAR) AS DOUBLE)) AS nrm
+        |  FROM s2)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  CAST(floor(1024.0 * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n2.nrm)
+        |    AS BIGINT) AS component
+        |FROM s2, n2 ORDER BY pos""".stripMargin)),
+
+    // Order-3 next-event training examples: (3 preceding event types ->
+    // this type) aggregated to the transition table a sequence model
+    // trains on — markov transitions generalized to order k. One
+    // per-user window shuffle, one vocabulary^k-bounded aggregation.
+    Q("q300_next_event_examples",
+      (s, dir) => Analytics.nextEventExamples(ev(s, dir), "user_id", "ts",
+          "event_id", "event_type", k = 3)
+        .orderBy("context", "label"),
+      Some("""WITH c AS (
+        |  SELECT event_type AS label,
+        |    list(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+        |  FROM events),
+        |f AS (
+        |  SELECT array_to_string(ctx, '>') AS context, label
+        |  FROM c WHERE len(ctx) = 3)
+        |SELECT context, label, CAST(count(*) AS BIGINT) AS n
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

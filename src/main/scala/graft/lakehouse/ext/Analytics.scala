@@ -265,6 +265,28 @@ object Analytics {
         sum(col("cnt")).over(Window.partitionBy(col("from_type"))).cast("double"))
   }
 
+  /** Sequence-model training examples from an event log: for every event
+    * with a FULL k-length history, (context = the k preceding event
+    * types, label = this event's type), aggregated to the (context,
+    * label, n) transition table — [[markovTransitions]] generalized from
+    * bigrams to order-k, and the supervised shape a next-event model
+    * trains on. One per-key window shuffle (k-bounded frames), one
+    * count aggregation; the output is vocabulary^k-bounded, not
+    * corpus-bounded. */
+  def nextEventExamples(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, k: Int): DataFrame = {
+    require(k >= 1, "nextEventExamples needs k >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-k, -1)
+    events
+      .withColumn("__ctx", collect_list(col(typeCol)).over(w))
+      .filter(size(col("__ctx")) === k)
+      .select(concat_ws(">", col("__ctx")).as("context"),
+        col(typeCol).as("label"))
+      .groupBy("context", "label")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Welch's t-test per group between two arms: per (group, arm) exact
     * decimal moments (n, Σx, Σx² — the [[anomalyZScore]] portability
     * pattern), folded into ONE conditional aggregation pass, then the t

@@ -161,6 +161,68 @@ object Embeddings {
         expr("s div n").as("v"), col("n"))
   }
 
+  /** Dominant right singular vector of the quantized embedding matrix by
+    * power iteration — the matrix-free first principal direction (of the
+    * UNCENTERED matrix; subtract [[meanPoolFixedPoint]]'s mean first for
+    * covariance PCA). Engine-portable by construction: vectors quantize
+    * to integers, each round computes Av (per-row integer dot), then
+    * AᵀAv (one per-dimension exact-decimal aggregation), then
+    * renormalizes to the integer scale through one fixed IEEE op
+    * sequence (exact-decimal Σs² → double → sqrt → floor). The explicit
+    * round count is the replay contract (the pageRank pattern) — any
+    * engine reproduces every round bit-for-bit.
+    *
+    * Scale shape: one O(n·d) pass per round (no joins — av rides along
+    * the row into the posexplode), d-row aggregation output, an O(d)
+    * driver fold for the normalization (bounded, like the BPE merge
+    * dict). The input projection is persisted across rounds. */
+  def powerIterationTopComponent(df: DataFrame, vecCol: String,
+      iterations: Int = 2, scale: Long = 1024L): DataFrame = {
+    require(iterations >= 1 && iterations <= 8 && scale >= 1,
+      "powerIterationTopComponent needs 1 <= iterations <= 8, scale >= 1")
+    val spark = df.sparkSession
+    val qUdf = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val o = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) { o(i) = math.floor(v(i) * scale).toLong; i += 1 }
+        o
+      })
+    val base = df.where(col(vecCol).isNotNull)
+      .select(qUdf(asDouble(col(vecCol))).as("qv"))
+      .persist()
+    try {
+      val dim = base.select(max(size(col("qv")))).head().getInt(0)
+      var v: Array[Long] = Array.fill(dim)(scale)
+      for (_ <- 1 to iterations) {
+        val vExpr = array(v.map(lit(_)): _*)
+        val s = base
+          .withColumn("__v", vExpr)
+          .withColumn("av", expr(
+            "aggregate(zip_with(qv, __v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .select(col("av"), posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy("pos")
+          .agg(sum((col("x") * col("av")).cast("decimal(18,0)")).as("s"))
+          .orderBy("pos")
+          .collect()
+          .map(r => r.getAs[java.math.BigDecimal]("s").toBigInteger)
+        require(s.length == dim, "embedding dimensions must be uniform")
+        // Σs² exactly, then one correctly-rounded double sqrt — the same
+        // value any engine computes from the same integers
+        val sumSq = s.foldLeft(java.math.BigInteger.ZERO)(
+          (acc, x) => acc.add(x.multiply(x)))
+        val norm = math.sqrt(new java.math.BigDecimal(sumSq).doubleValue())
+        require(norm > 0.0, "zero matrix has no principal direction")
+        v = s.map(sd => math.floor(scale.toDouble *
+          new java.math.BigDecimal(sd).doubleValue() / norm).toLong)
+      }
+      import spark.implicits._
+      v.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("pos", "component")
+    } finally { base.unpersist(false) }
+  }
+
   /** Class-separation diagnostic over a labeled embedding table: the
     * pairwise angular alignment of per-label centroid DIRECTIONS, in
     * engine-portable integer arithmetic (a high |alignment| between two

@@ -146,35 +146,42 @@ object Graph {
       .distinct()
       .persist()
     try {
-      val sym = und.select(explode(array(
-          struct(col("a").as("w"), col("b").as("n")),
-          struct(col("b").as("w"), col("a").as("n")))).as("e"))
-        .select(col("e.w").as("w"), col("e.n").as("n"))
-      // one adjacency aggregation; a wedge center needs deg >= 2 by
-      // construction so 1/ln(deg) is finite
-      val adj = sym.groupBy("w")
-        .agg(sort_array(collect_list(col("n"))).as("nbrs"))
-        .filter(size(col("nbrs")).between(2, maxDeg))
-        .withColumn("term",
-          (lit(1.0) / log(size(col("nbrs")).cast("double")))
-            .cast("decimal(38,18)"))
-      val pairs = adj.select(col("term"), explode(expr(
-          "flatten(transform(nbrs, (x, i) -> " +
-            "transform(slice(nbrs, i + 2, size(nbrs) - i - 1), " +
-            "y -> struct(x AS u, y AS v))))")).as("p"))
-        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-        .agg(sum("term").as("score_dec"))
       // eager O(topN) materialization so the cache can be released on
       // exit (the triangleCounts pattern); TakeOrdered, never a global sort
-      pairs
-        .join(und.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
-          Seq("u", "v"), "left_anti")
+      adamicAdarPairs(und, maxDeg)
         .orderBy(col("score_dec").desc, col("u").asc, col("v").asc)
         .limit(topN)
         .select(col("u"), col("v"),
           col("score_dec").cast("double").as("aa_score"))
         .localCheckpoint()
     } finally { und.unpersist(false) }
+  }
+
+  /** The un-materialized scored-pair frame behind [[adamicAdarTopPairs]]
+    * (package-private so plan-shape tests can assert the wedge
+    * generation is in-row, which the checkpoint above hides).
+    * `und` must be canonical (a < b) distinct undirected edges. */
+  private[graft] def adamicAdarPairs(und: DataFrame, maxDeg: Int): DataFrame = {
+    val sym = und.select(explode(array(
+        struct(col("a").as("w"), col("b").as("n")),
+        struct(col("b").as("w"), col("a").as("n")))).as("e"))
+      .select(col("e.w").as("w"), col("e.n").as("n"))
+    // one adjacency aggregation; a wedge center needs deg >= 2 by
+    // construction so 1/ln(deg) is finite
+    val adj = sym.groupBy("w")
+      .agg(sort_array(collect_list(col("n"))).as("nbrs"))
+      .filter(size(col("nbrs")).between(2, maxDeg))
+      .withColumn("term",
+        (lit(1.0) / log(size(col("nbrs")).cast("double")))
+          .cast("decimal(38,18)"))
+    adj.select(col("term"), explode(expr(
+        "flatten(transform(nbrs, (x, i) -> " +
+          "transform(slice(nbrs, i + 2, size(nbrs) - i - 1), " +
+          "y -> struct(x AS u, y AS v))))")).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(sum("term").as("score_dec"))
+      .join(und.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
+        Seq("u", "v"), "left_anti")
   }
 
   /** Exact per-vertex triangle counts via degree-ordered edge iteration

@@ -625,4 +625,84 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  // ---- round-9 operators -------------------------------------------------
+
+  test("q283/q285/q298 drift statistics: every window runs over the " +
+      "bounded category frame, never the corpus rows") {
+    for (n <- Seq("q283_chi_squared_drift", "q285_mutual_information",
+        "q298_drift_monitor_incremental")) {
+      val df = SparkEntry.queries(n)(spark, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      // the corpus-sized side ends at a HashAggregate; windows sit above it
+      assert(p.contains("HashAggregate"), s"$n: $p")
+      val winIdx = p.indexOf("Window")
+      val aggIdx = p.lastIndexOf("HashAggregate")
+      assert(winIdx < 0 || aggIdx > 0, s"$n: $p")
+    }
+  }
+
+  test("q289 mmrRerank: the query side broadcasts; candidate generation " +
+      "is the only corpus-sized stage") {
+    val df = SparkEntry.queries("q289_mmr_rerank")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q288 adamic-adar: wedges come from in-row pair generation " +
+      "(Generate over adjacency arrays), not an edge-list self-join") {
+    import org.apache.spark.sql.functions._
+    // the registered query localCheckpoints its top-N (the plan the
+    // caller sees is a scan of 50 rows) — assert on the internal frame
+    val und = QFixtures.t(spark, sf0001, "lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(least(col("l_partkey") * 2, col("l_suppkey") * 2 + 1).as("a"),
+        greatest(col("l_partkey") * 2, col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val df = graft.lakehouse.ext.Graph.adamicAdarPairs(und, maxDeg = 1024)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // exactly one wedge explode (in-row), not two edge-list joins
+    assert("Generate explode".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q295/q293 portable-hash assignment is a pure projection: " +
+      "zero exchanges below the report aggregation's shuffle") {
+    val df = SparkEntry.queries("q295_feature_hash_cross")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q297 compaction plan windows over the file manifest " +
+      "(LocalRelation), never a data scan of the staged table") {
+    val df = SparkEntry.queries("q297_compaction_plan")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q296 markdown strip is a single-pass projection chain " +
+      "(no shuffle before the final sort)") {
+    val df = SparkEntry.queries("q296_markdown_strip")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q300 next-event examples: one per-user window shuffle, " +
+      "aggregation above it") {
+    val df = SparkEntry.queries("q300_next_event_examples")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
 }

@@ -344,4 +344,20 @@ class AnalyticsSpec extends SparkSuite {
       ("y", 2L, 4L, 200L, 400L, 200L),
       ("z", 0L, 1L, 0L, 100L, 100L)))
   }
+  test("nextEventExamples: order-k contexts need a full history; counts " +
+    "aggregate across users") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1), 1L, "a"), (1L, t(2), 2L, "b"), (1L, t(3), 3L, "c"),
+      (1L, t(4), 4L, "d"),
+      (2L, t(1), 5L, "a"), (2L, t(2), 6L, "b"), (2L, t(3), 7L, "c"),
+      (3L, t(1), 8L, "a"), (3L, t(2), 9L, "b")) // too short for k=2
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.nextEventExamples(ev, "user_id", "ts", "event_id",
+        "event_type", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("a>b", "c", 2L), ("b>c", "d", 1L)))
+  }
 }

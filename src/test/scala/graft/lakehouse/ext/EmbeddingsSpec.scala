@@ -230,4 +230,27 @@ class EmbeddingsSpec extends SparkSuite {
       "embedding", 3L).collect().map(_.getLong(1)).sum == 3L)
   }
 
+  test("powerIterationTopComponent recovers a planted dominant direction " +
+    "and is partition-order independent") {
+    // 40 rows along (3,4)/5 with tiny orthogonal jitter: the dominant
+    // right singular vector is ~(0.6, 0.8) -> components ~(614, 819).
+    val rows = (1 to 40).map { i =>
+      val eps = (i % 5 - 2) * 0.01
+      (i.toLong, Seq((3.0 - 4.0 * eps).toFloat, (4.0 + 3.0 * eps).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Embeddings.powerIterationTopComponent(rows, "embedding",
+        iterations = 2)
+      .orderBy("pos").collect().map(_.getAs[Long]("component"))
+    assert(got.length == 2)
+    val ratio = got(1).toDouble / got(0).toDouble
+    assert(math.abs(ratio - 4.0 / 3.0) < 0.05,
+      s"expected ~4:3 direction, got ${got.mkString(",")}")
+    // unit-ish norm at scale 1024
+    val n = math.sqrt((got(0) * got(0) + got(1) * got(1)).toDouble)
+    assert(math.abs(n - 1024.0) < 3.0)
+    val again = Embeddings.powerIterationTopComponent(rows.repartition(7),
+        "embedding", iterations = 2)
+      .orderBy("pos").collect().map(_.getAs[Long]("component"))
+    assert(got.toSeq == again.toSeq)
+  }
 }
