@@ -9478,5 +9478,139 @@ object Queries {
         |  FROM c WHERE len(ctx) = 3)
         |SELECT context, label, CAST(count(*) AS BIGINT) AS n
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Benford first-digit goodness-of-fit over order totals: the
+    // one-sample chi-squared against a DECLARED distribution (the
+    // category universe comes from the expectation, so missing digits
+    // still contribute); floor() before the digit extraction because
+    // double->int CAST rounds half-even in DuckDB but truncates in
+    // Spark.
+    Q("q301_benford_goodness_of_fit",
+      (s, dir) => StatTests.chiSquaredGoodnessOfFit(
+        t(s, dir, "orders").select(
+          substring(floor(col("o_totalprice")).cast("long").cast("string"),
+            1, 1).as("digit")),
+        "digit",
+        Seq("1" -> 301, "2" -> 176, "3" -> 125, "4" -> 97, "5" -> 79,
+          "6" -> 67, "7" -> 58, "8" -> 51, "9" -> 46)),
+      Some("""WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS cat
+        |  FROM orders),
+        |exp(cat, permille) AS (VALUES ('1', 301), ('2', 176), ('3', 125),
+        |  ('4', 97), ('5', 79), ('6', 67), ('7', 58), ('8', 51),
+        |  ('9', 46)),
+        |obs AS (SELECT cat, count(*) AS o FROM d GROUP BY 1),
+        |grid AS (
+        |  SELECT e.cat, e.permille, coalesce(obs.o, 0) AS o
+        |  FROM exp e LEFT JOIN obs ON obs.cat = e.cat),
+        |tot AS (SELECT permille, o, sum(o) OVER () AS n FROM grid),
+        |terms AS (
+        |  SELECT n,
+        |    CAST((CAST(o AS DOUBLE)
+        |        - CAST(n AS DOUBLE) * CAST(permille AS DOUBLE) / 1000.0)
+        |      * (CAST(o AS DOUBLE)
+        |        - CAST(n AS DOUBLE) * CAST(permille AS DOUBLE) / 1000.0)
+        |      / (CAST(n AS DOUBLE) * CAST(permille AS DOUBLE) / 1000.0)
+        |      AS DECIMAL(38,18)) AS contrib
+        |  FROM tot)
+        |SELECT CAST(CAST(sum(contrib) AS VARCHAR) AS DOUBLE) AS chi2,
+        |  CAST(count(*) - 1 AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM terms""".stripMargin)),
+
+    // Calibration reliability table for a permille confidence score:
+    // per-bin support, mean predicted confidence, observed positive
+    // rate, and the calibration gap — all integer permille, one
+    // aggregation. Score and label are salted deterministically (the
+    // label is score-correlated so the curve is non-trivial).
+    Q("q302_calibration_reliability",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        val scored = t(s, dir, "documents").select("doc_id")
+          .withColumn("score", h("s"))
+          .withColumn("label",
+            (h("s") * 2 + h("l") > 1000).cast("int"))
+        Quality.calibrationReliability(scored, "score", "label", bins = 10)
+          .orderBy("bin")
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(least(score * 10 // 1000, 9) AS INT) AS bin,
+        |    score, label
+        |  FROM d)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(score) // count(*) AS BIGINT) AS mean_score_permille,
+        |  CAST(sum(label) * 1000 // count(*) AS BIGINT)
+        |    AS observed_permille,
+        |  CAST(abs(sum(score) // count(*)
+        |    - sum(label) * 1000 // count(*)) AS BIGINT) AS gap_permille
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // Cohen's kappa between two heuristic quality labelers: ONE
+    // confusion aggregation, marginal products over the label universe,
+    // kappa from exact integer counts in a fixed IEEE op order.
+    Q("q303_cohens_kappa",
+      (s, dir) => StatTests.cohensKappa(
+        t(s, dir, "documents").select(
+          (col("n_chars") > 200).as("rater_a"),
+          (size(filter(split(col("text"), "\\s+"),
+            x => x =!= "")) > 35).as("rater_b")),
+        "rater_a", "rater_b"),
+      Some("""WITH r AS (
+        |  SELECT CAST(n_chars > 200 AS VARCHAR) AS a,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) > 35 AS VARCHAR) AS b
+        |  FROM documents),
+        |conf AS (SELECT a, b, count(*) AS o FROM r GROUP BY 1, 2),
+        |labels AS (SELECT a AS k FROM conf UNION SELECT b FROM conf),
+        |ra AS (SELECT a AS k, sum(o) AS ra FROM conf GROUP BY 1),
+        |cb AS (SELECT b AS k, sum(o) AS cb FROM conf GROUP BY 1),
+        |diag AS (
+        |  SELECT CAST(sum(CAST(coalesce(ra.ra, 0) AS DECIMAL(38,0))
+        |    * coalesce(cb.cb, 0)) AS DECIMAL(38,0)) AS sum_racb
+        |  FROM labels LEFT JOIN ra USING (k) LEFT JOIN cb USING (k)),
+        |agree AS (
+        |  SELECT coalesce(sum(o), 0) AS agree FROM conf WHERE a = b),
+        |tot AS (SELECT sum(o) AS n FROM conf)
+        |SELECT
+        |  CASE WHEN CAST(CAST(sum_racb AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+        |    THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(CAST(sum_racb AS VARCHAR) AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1.0 - CAST(CAST(sum_racb AS VARCHAR) AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END AS kappa,
+        |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  CAST(CAST(sum_racb AS VARCHAR) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+        |  CAST(n AS BIGINT) AS n
+        |FROM tot, agree, diag""".stripMargin)),
+
+    // Join-key skew profile — the pre-flight check before a large join:
+    // per-key loads (partial-agg, only distinct keys shuffle), top-20
+    // heaviest keys with permille share and skew multiple via
+    // TakeOrdered.
+    Q("q304_join_key_skew",
+      (s, dir) => Analytics.joinKeySkewProfile(
+        t(s, dir, "lineitem"), "l_suppkey", topK = 20),
+      Some("""WITH loads AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS load
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(load) AS total, count(*) AS n_keys FROM loads)
+        |SELECT key, CAST(load AS BIGINT) AS load,
+        |  CAST(load * 1000 // total AS BIGINT) AS share_permille,
+        |  CAST(load * n_keys * 1000 // total AS BIGINT) AS skew_x_permille
+        |FROM loads, t ORDER BY load DESC, key LIMIT 20""".stripMargin)),
   )
 }

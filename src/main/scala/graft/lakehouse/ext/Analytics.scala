@@ -462,4 +462,24 @@ object Analytics {
         col("share_b_permille") - col("share_a_permille"))
       .drop("__ta", "__tb")
   }
+  /** Join-key skew profile — the pre-flight check before any large join:
+    * per-key load aggregation (partial-agg shuffles only the distinct
+    * keys), then the top-`topK` heaviest keys with their permille share
+    * via TakeOrdered (never a global sort). A key with share_permille in
+    * the hundreds is the one you salt ([[graft.Queries]] q149) or let
+    * AQE skew-split. */
+  def joinKeySkewProfile(df: DataFrame, keyCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, "joinKeySkewProfile needs topK >= 1")
+    val loads = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("load"))
+    loads
+      .crossJoin(broadcast(loads.agg(
+        sum("load").as("__total"), count(lit(1)).as("n_keys"))))
+      .orderBy(col("load").desc, col("key").asc)
+      .limit(topK)
+      .select(col("key"), col("load"),
+        expr("(load * 1000) div __total").as("share_permille"),
+        expr("(load * n_keys * 1000) div __total").as("skew_x_permille"))
+  }
 }

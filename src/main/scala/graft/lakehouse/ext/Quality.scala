@@ -214,4 +214,33 @@ object Quality {
         expr("(n_docs * 1000) div __all_docs").as("docs_permille"),
         expr("(n_tokens * 1000) div __all_toks").as("tokens_permille"))
   }
+  /** Calibration reliability table (the reliability-diagram data): bucket
+    * a permille confidence score into `bins` equal-width bins; per bin
+    * report support, mean predicted confidence, and observed positive
+    * rate — all INTEGER (permille means via integer division), so the
+    * curve is bit-portable. A well-calibrated scorer tracks the
+    * diagonal; the gap column is the per-bin calibration error. ONE
+    * hash aggregation into a ≤ bins-row frame. */
+  def calibrationReliability(df: DataFrame, scorePermilleCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "calibrationReliability needs bins >= 2")
+    val score = col(scorePermilleCol).cast("long")
+    // integer div, not Column./ (double division on longs)
+    val bin = expr(
+      s"CAST(least((CAST($scorePermilleCol AS BIGINT) * $bins) div 1000, " +
+        s"${bins - 1}) AS INT)")
+    df.filter(score.isNotNull && score.between(0L, 1000L) &&
+        col(labelCol).isNotNull)
+      .withColumn("__bin", bin)
+      .groupBy(col("__bin").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(score).as("__sum_score"),
+        sum(col(labelCol).cast("long")).as("__pos"))
+      .select(col("bin"), col("n"),
+        expr("__sum_score div n").as("mean_score_permille"),
+        expr("(__pos * 1000) div n").as("observed_permille"),
+        expr("abs(__sum_score div n - (__pos * 1000) div n)")
+          .as("gap_permille"))
+  }
 }

@@ -74,6 +74,81 @@ object StatTests {
         max("n").cast("long").as("n"))
   }
 
+  /** Chi-squared GOODNESS-OF-FIT against a declared distribution (the
+    * homogeneity test's one-sample sibling — e.g. Benford's law over
+    * leading digits): `expected` (category → permille, summing to 1000)
+    * is the category universe, so categories the data never produced
+    * still contribute their full expected count. ONE count aggregation;
+    * e = n·permille/1000 and (o−e)²/e in a fixed IEEE op order, exact
+    * decimal fold. Observed categories outside `expected` fail loudly —
+    * silently dropping them would deflate the statistic. */
+  def chiSquaredGoodnessOfFit(df: DataFrame, catCol: String,
+      expected: Seq[(String, Int)]): DataFrame = {
+    require(expected.nonEmpty && expected.map(_._2).sum == 1000 &&
+      expected.forall(_._2 > 0),
+      "expected permille weights must be positive and sum to 1000")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.groupBy(col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("o"))
+    val exp = expected.toDF("cat", "permille")
+    val bad = obs.join(broadcast(exp), Seq("cat"), "left_anti")
+      .agg(count(lit(1)).as("__bad"))
+    val grid = broadcast(exp).join(obs, Seq("cat"), "left")
+      .crossJoin(broadcast(bad))
+      .withColumn("o",
+        when(col("__bad") > 0, raise_error(lit(
+          "chiSquaredGoodnessOfFit: observed categories outside the " +
+            "declared distribution")))
+          .otherwise(coalesce(col("o"), lit(0L))))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+    val e = col("n").cast("double") * col("permille").cast("double") /
+      lit(1000.0)
+    val d = col("o").cast("double") - e
+    grid
+      .withColumn("contrib", (d * d / e).cast("decimal(38,18)"))
+      .agg(
+        sum("contrib").cast("double").as("chi2"),
+        (count(lit(1)) - 1).cast("long").as("dof"),
+        max("n").cast("long").as("n"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelers
+    * (heuristic filters, annotators, model versions): ONE confusion
+    * aggregation into the bounded \|labels\|² frame, then
+    * κ = (p_o − p_e)/(1 − p_e) in a fixed IEEE op order from exact
+    * integer counts. Returns one row: kappa, po, pe, n. Null kappa when
+    * p_e = 1 (both raters constant — agreement is undefined, not 0). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val conf = df
+      .groupBy(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    // p_e = Σ_k rowtot_k·coltot_k / n² over the label UNIVERSE — a label
+    // can be absent from the confusion diagonal while both its marginals
+    // exist, so the marginal join must not ride the (a,b) cells.
+    val labels = conf.select(col("a").as("k")).union(conf.select(col("b")))
+      .distinct()
+    val ra = conf.groupBy(col("a").as("k")).agg(sum("o").as("ra"))
+    val cb = conf.groupBy(col("b").as("k")).agg(sum("o").as("cb"))
+    val diag = labels
+      .join(ra, Seq("k"), "left").join(cb, Seq("k"), "left")
+      .select(
+        coalesce(col("ra"), lit(0L)).as("ra"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .agg(sum(col("ra").cast("decimal(38,0)") * col("cb"))
+        .cast("decimal(38,0)").as("sum_racb"))
+    val agree = conf.filter(col("a") === col("b"))
+      .agg(coalesce(sum("o"), lit(0L)).as("agree"))
+    val tot = conf.agg(sum("o").as("n"))
+    val j = tot.crossJoin(broadcast(agree)).crossJoin(broadcast(diag))
+    val n = col("n").cast("double")
+    val po = col("agree").cast("double") / n
+    val pe = col("sum_racb").cast("double") / (n * n)
+    j.select(
+      when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"),
+      po.as("po"), pe.as("pe"), col("n").cast("long").as("n"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov D between arm 0 and arm 1 of
     * `armCol` over integer-valued `valueCol`, computed EXACTLY in
     * integers: D = max |cum0·n1 − cum1·n0| / (n0·n1). One conditional

@@ -130,4 +130,69 @@ class StatTestsSpec extends SparkSuite {
       byKey("d") == 2L && byKey("e") == 2L)
     assert(byKey("f") == 0L && byKey("g") == 0L)
   }
+  test("chiSquaredGoodnessOfFit: perfect fit -> 0; missing categories " +
+    "still contribute; out-of-universe categories fail loudly") {
+    val expected = Seq("a" -> 500, "b" -> 300, "c" -> 200)
+    val perfect = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(20)("c")).toDF("cat")
+    val r = StatTests.chiSquaredGoodnessOfFit(perfect, "cat", expected)
+      .head()
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-12)
+    assert(r.getAs[Long]("dof") == 2L && r.getAs[Long]("n") == 100L)
+    // category c never observed: e_c = 100*0.2 = 20 -> contributes 20
+    val missing = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("cat")
+    val m = StatTests.chiSquaredGoodnessOfFit(missing, "cat", expected)
+      .head()
+    // chi2 = (50-50)^2/50 + (50-30)^2/30 + (0-20)^2/20 = 400/30 + 20
+    assert(math.abs(m.getAs[Double]("chi2") - (400.0 / 30 + 20.0)) < 1e-9)
+    intercept[Exception] {
+      StatTests.chiSquaredGoodnessOfFit(
+        Seq("a", "zzz").toDF("cat"), "cat", expected).collect()
+    }
+  }
+
+  test("cohensKappa: perfect agreement -> 1, independence -> ~0, " +
+    "constant raters -> null") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val p = StatTests.cohensKappa(perfect, "a", "b").head()
+    assert(math.abs(p.getAs[Double]("kappa") - 1.0) < 1e-12)
+    // exactly independent 2x2 (all four cells equal): po = 0.5 = pe
+    val ind = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val i = StatTests.cohensKappa(ind, "a", "b").head()
+    assert(math.abs(i.getAs[Double]("kappa")) < 1e-12)
+    // both raters constant: pe = 1, kappa undefined -> null
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(StatTests.cohensKappa(const, "a", "b").head().isNullAt(0))
+    // a label missing from the diagonal still counts in pe via marginals
+    val skew = Seq(("x", "y"), ("y", "x")).toDF("a", "b")
+    val k = StatTests.cohensKappa(skew, "a", "b").head()
+    assert(k.getAs[Double]("po") == 0.0 &&
+      math.abs(k.getAs[Double]("pe") - 0.5) < 1e-12)
+  }
+
+  test("calibrationReliability: integer bins, permille means, " +
+    "out-of-range scores excluded") {
+    val rows = Seq((50L, 0), (149L, 1), (950L, 1), (1000L, 1), (-5L, 1),
+      (1500L, 0)).toDF("score", "label")
+    val got = graft.lakehouse.ext.Quality.calibrationReliability(
+        rows, "score", "label", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("mean_score_permille"),
+        r.getAs[Long]("observed_permille")))
+    // -5 and 1500 excluded; 149 -> bin 1; 1000 clamps into bin 9
+    assert(got.toSeq == Seq((0, 1L, 50L, 0L), (1, 1L, 149L, 1000L),
+      (9, 2L, 975L, 1000L)))
+  }
+
+  test("joinKeySkewProfile: loads, shares, and the skew multiple") {
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val got = graft.lakehouse.ext.Analytics.joinKeySkewProfile(df, "k", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // hot: 6/10 = 600 permille, skew = 6*5*1000/10 = 3000
+    assert(got.head == ("hot", 6L, 600L, 3000L))
+    assert(got.length == 3 && got(1)._1 == "a" && got(2)._1 == "b")
+  }
 }
