@@ -9612,5 +9612,76 @@ object Queries {
         |  CAST(load * 1000 // total AS BIGINT) AS share_permille,
         |  CAST(load * n_keys * 1000 // total AS BIGINT) AS skew_x_permille
         |FROM loads, t ORDER BY load DESC, key LIMIT 20""".stripMargin)),
+
+    // Greedy k-center coreset (Gonzalez farthest-point traversal):
+    // 5 diversity-maximizing exemplars in exact integer squared
+    // euclidean; one least()-update pass + one TakeOrdered(1) per round.
+    // The oracle unrolls the 5 rounds as chained CTEs.
+    Q("q305_kcenter_coreset",
+      (s, dir) => Clustering.kCenterCoreset(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("round"),
+      Some("""WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |vn AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nn
+        |  FROM v),
+        |c1 AS (SELECT vec_id, qv, nn FROM vn
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) = 1),
+        |m1 AS (
+        |  SELECT vn.vec_id, vn.qv, vn.nn,
+        |    vn.nn + c1.nn - 2 * CAST(list_sum(list_transform(
+        |      list_zip(vn.qv, c1.qv), p -> p[1] * p[2])) AS BIGINT) AS mind
+        |  FROM vn, c1 WHERE vn.vec_id <> c1.vec_id),
+        |c2 AS (SELECT * FROM m1
+        |  QUALIFY row_number() OVER (ORDER BY mind DESC, vec_id) = 1),
+        |m2 AS (
+        |  SELECT m1.vec_id, m1.qv, m1.nn,
+        |    least(m1.mind, m1.nn + c2.nn - 2 * CAST(list_sum(list_transform(
+        |      list_zip(m1.qv, c2.qv), p -> p[1] * p[2])) AS BIGINT)) AS mind
+        |  FROM m1, c2 WHERE m1.vec_id <> c2.vec_id),
+        |c3 AS (SELECT * FROM m2
+        |  QUALIFY row_number() OVER (ORDER BY mind DESC, vec_id) = 1),
+        |m3 AS (
+        |  SELECT m2.vec_id, m2.qv, m2.nn,
+        |    least(m2.mind, m2.nn + c3.nn - 2 * CAST(list_sum(list_transform(
+        |      list_zip(m2.qv, c3.qv), p -> p[1] * p[2])) AS BIGINT)) AS mind
+        |  FROM m2, c3 WHERE m2.vec_id <> c3.vec_id),
+        |c4 AS (SELECT * FROM m3
+        |  QUALIFY row_number() OVER (ORDER BY mind DESC, vec_id) = 1),
+        |m4 AS (
+        |  SELECT m3.vec_id, m3.qv, m3.nn,
+        |    least(m3.mind, m3.nn + c4.nn - 2 * CAST(list_sum(list_transform(
+        |      list_zip(m3.qv, c4.qv), p -> p[1] * p[2])) AS BIGINT)) AS mind
+        |  FROM m3, c4 WHERE m3.vec_id <> c4.vec_id),
+        |c5 AS (SELECT * FROM m4
+        |  QUALIFY row_number() OVER (ORDER BY mind DESC, vec_id) = 1)
+        |SELECT CAST(1 AS INT) AS round, vec_id, CAST(0 AS BIGINT) AS dist2
+        |  FROM c1
+        |UNION ALL SELECT CAST(2 AS INT), vec_id, CAST(mind AS BIGINT) FROM c2
+        |UNION ALL SELECT CAST(3 AS INT), vec_id, CAST(mind AS BIGINT) FROM c3
+        |UNION ALL SELECT CAST(4 AS INT), vec_id, CAST(mind AS BIGINT) FROM c4
+        |UNION ALL SELECT CAST(5 AS INT), vec_id, CAST(mind AS BIGINT) FROM c5
+        |ORDER BY round""".stripMargin)),
+
+    // Rank normalization within sources: n_chars -> permille rank inside
+    // each source (rank(), so ties share a value — deterministic with no
+    // tie-break column); the order-preserving map that makes per-source
+    // score scales comparable before mixing.
+    Q("q306_rank_normalize",
+      (s, dir) => Features.rankNormalize(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, n_chars,
+        |  CAST(((rank() OVER (PARTITION BY source ORDER BY n_chars) - 1)
+        |    * 1000) // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+        |    AS BIGINT) AS rank_permille
+        |FROM documents WHERE n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

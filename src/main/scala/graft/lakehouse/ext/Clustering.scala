@@ -216,4 +216,68 @@ object Clustering {
         .localCheckpoint()
     } finally { q.unpersist(false) }
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal):
+    * seed with the smallest id, then k−1 times pick the point FARTHEST
+    * from the selected set — the diversity-maximizing data-selection
+    * rule (2-approximation of the optimal k-center cover), the
+    * subset-picking complement of [[kmeansFixedPoint]]. Fully
+    * engine-portable: quantized integer vectors, squared euclidean
+    * distances as exact integers (|a|² + |b|² − 2a·b), argmax ties to
+    * the smaller id.
+    *
+    * Scale shape: one pass per round — the running min-distance column
+    * updates with a single `least(...)` against the newest center
+    * (broadcast as literals), and the argmax is a TakeOrdered(1), never
+    * a sort; k driver-held centers, O(k·dim) driver state (the BPE-dict
+    * contract). Output: (round, vec_id, dist2) — dist2 is the point's
+    * distance to the set selected BEFORE it (0 for the seed). */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, scale: Long = 1024L): DataFrame = {
+    require(k >= 1 && k <= 64 && scale >= 1,
+      "kCenterCoreset needs 1 <= k <= 64")
+    val spark = df.sparkSession
+    val qUdf = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val o = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) { o(i) = math.floor(v(i) * scale).toLong; i += 1 }
+        o
+      })
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        qUdf(transform(col(vecCol), x => x.cast("double"))).as("qv"))
+      .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .persist()
+    try {
+      def dist2To(centerNorm: Long) =
+        expr(s"nn + ${centerNorm}L - 2 * aggregate(" +
+          "zip_with(qv, __c, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      val seedRow = base.orderBy("vec_id").limit(1)
+        .select("vec_id", "qv", "nn").head()
+      var selected = List((1, seedRow.getLong(0), 0L))
+      var center = seedRow.getAs[Seq[Long]]("qv").toArray
+      var centerNorm = seedRow.getLong(2)
+      var cur = base
+      for (round <- 2 to k) {
+        cur = cur
+          .withColumn("__c", array(center.map(lit(_)): _*))
+          .withColumn("__d", dist2To(centerNorm))
+          .withColumn("mind",
+            if (round == 2) col("__d") else least(col("mind"), col("__d")))
+          .drop("__c", "__d")
+        val next = cur
+          .filter(!col("vec_id").isInCollection(selected.map(_._2)))
+          .orderBy(col("mind").desc, col("vec_id").asc)
+          .limit(1)
+          .select("vec_id", "qv", "nn", "mind").head()
+        selected = (round, next.getLong(0), next.getAs[Long]("mind")) :: selected
+        center = next.getAs[Seq[Long]]("qv").toArray
+        centerNorm = next.getLong(2)
+      }
+      import spark.implicits._
+      selected.reverse.toDF("round", "vec_id", "dist2")
+    } finally { base.unpersist(false) }
+  }
 }

@@ -85,6 +85,28 @@ object Features {
       .select(col("category"), col("n"), col("encoded"))
   }
 
+  /** Rank (quantile) normalization within groups: value → permille rank
+    * `(rank−1)·1000 div (n−1)` inside each group — the order-preserving
+    * map that makes scores COMPARABLE ACROSS SOURCES whose raw scales
+    * differ (a perplexity from one domain vs another), the standard
+    * pre-step before mixing per-source quality thresholds. `rank()` (not
+    * row_number) so tied values share a rank — deterministic without a
+    * tie-break column; all integer. One window shuffle on the group key;
+    * singleton groups map to 0. */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String = "rank_permille"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val n = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol)))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__rk", rank().over(w))
+      .withColumn("__n", n)
+      .withColumn(outCol,
+        expr("((__rk - 1) * 1000) div greatest(__n - 1, 1)"))
+      .drop("__rk", "__n")
+  }
+
   /** The hashing trick (Weinberger et al., ICML 2009) for categorical
     * feature crosses: bucket = keyed portable hash of the '#'-joined
     * column values mod `buckets` — fixed feature dimensionality with no

@@ -195,4 +195,56 @@ class StatTestsSpec extends SparkSuite {
     assert(got.head == ("hot", 6L, 600L, 3000L))
     assert(got.length == 3 && got(1)._1 == "a" && got(2)._1 == "b")
   }
+  test("streaming drift twin: complete-mode (cat, arm) counts over a " +
+    "live stream feed the identical chi-squared as the batch monitor") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Int)]
+    val q = StatTests.categoryCounts(mem.toDF().toDF("cat", "arm"),
+        "cat", "arm")
+      .writeStream.format("memory").queryName("drift_counts_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("a", 0), ("a", 1), ("b", 0))
+      q.processAllAvailable()
+      mem.addData(("b", 1), ("a", 0), ("c", 1))
+      q.processAllAvailable()
+      // snapshot the sink: chiSquaredFromCounts self-joins its input and
+      // MemoryPlan views don't deduplicate attribute refs across a join
+      val streamed = StatTests.chiSquaredFromCounts(
+        spark.table("drift_counts_stream").localCheckpoint()).head().toSeq
+      val batch = StatTests.chiSquaredDrift(
+        Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1), ("a", 0), ("c", 1))
+          .toDF("cat", "arm"), "cat", "arm").head().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("kCenterCoreset: farthest-point traversal on a planted geometry, " +
+    "partition-order independent") {
+    // 1-D line embedded in 2-D: ids 1..9 at x = 0..8 (y = 0), plus an
+    // outlier at x = 100. Seed = id 1 (x0); round 2 must pick the
+    // outlier; round 3 the far end x8; round 4 the midpoint x4.
+    val rows = ((1L to 9L).map(i => (i, Seq((i - 1).toFloat, 0.0f))) :+
+      (10L, Seq(100.0f, 0.0f))).toDF("vec_id", "embedding")
+    def run(parts: Int) = graft.lakehouse.ext.Clustering.kCenterCoreset(
+        rows.repartition(parts), "vec_id", "embedding", k = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("vec_id")))
+    val got = run(1)
+    assert(got.toSeq == Seq((1, 1L), (2, 10L), (3, 9L), (4, 5L)),
+      got.mkString(","))
+    assert(got.toSeq == run(5).toSeq)
+  }
+
+  test("rankNormalize: ties share a permille, singleton groups map to 0") {
+    val df = Seq(("g1", 10), ("g1", 20), ("g1", 20), ("g1", 40),
+      ("g2", 7)).toDF("grp", "v")
+    val got = graft.lakehouse.ext.Features.rankNormalize(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getAs[Long]("rank_permille"))).toSet
+    // g1 ranks: 10->1, 20->2, 20->2, 40->4; n=4 -> (rk-1)*1000 div 3
+    assert(got == Set(("g1", 10, 0L), ("g1", 20, 333L), ("g1", 40, 1000L),
+      ("g2", 7, 0L)))
+  }
 }
