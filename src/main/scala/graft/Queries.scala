@@ -9683,5 +9683,85 @@ object Queries {
         |    AS BIGINT) AS rank_permille
         |FROM documents WHERE n_chars IS NOT NULL
         |ORDER BY doc_id""".stripMargin)),
+
+    // Frequent 2-itemsets over order baskets (the A-priori pair census):
+    // baskets aggregate once to sorted item arrays, pairs generate
+    // IN-ROW (never a basket self-join), one partial-aggregated support
+    // count. The oracle replays via a basket self-join — same pairs.
+    Q("q307_frequent_item_pairs",
+      (s, dir) => Analytics.frequentItemPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH t AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (
+        |  SELECT b FROM t GROUP BY b
+        |  HAVING count(*) BETWEEN 2 AND 1024),
+        |p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b
+        |  FROM t a JOIN t c ON a.b = c.b AND a.i < c.i
+        |  JOIN sz ON sz.b = a.b)
+        |SELECT CAST(item_a AS BIGINT) AS item_a,
+        |  CAST(item_b AS BIGINT) AS item_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Poisson-bootstrap 95% CI for the mean document length: keyed-hash
+    // Poisson(1) multiplicities (inverse-CDF thresholds on a permille
+    // uniform — deterministic, engine-portable), exact-decimal replicate
+    // means, order-statistic CI pick. One exploded pass, 40-row
+    // replicate frame, one fold.
+    Q("q308_bootstrap_mean_ci",
+      (s, dir) => StatTests.poissonBootstrapMeanCI(
+        t(s, dir, "documents"), "doc_id", "n_chars", b = 40, seed = 7L),
+      Some("""WITH r AS (
+        |  SELECT d.doc_id, d.n_chars, g.b,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#7#'
+        |      || CAST(g.b AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS u
+        |  FROM documents d, (SELECT unnest(range(40)) AS b) g
+        |  WHERE n_chars IS NOT NULL),
+        |w AS (
+        |  SELECT b, n_chars,
+        |    CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+        |      WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+        |      WHEN u < 996 THEN 4 ELSE 5 END AS w
+        |  FROM r),
+        |m AS (
+        |  SELECT b,
+        |    CAST(CAST(sum(CAST(w * CAST(n_chars AS DECIMAL(18,6))
+        |      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+        |      / CAST(sum(w) AS DOUBLE) AS mean_b
+        |  FROM w GROUP BY b HAVING sum(w) > 0),
+        |s AS (
+        |  SELECT list_sort(list(mean_b)) AS ms, count(*) AS n_reps FROM m)
+        |SELECT ms[2] AS ci_lo, ms[40] AS ci_hi,
+        |  CAST(n_reps AS BIGINT) AS n_reps
+        |FROM s""".stripMargin)),
+
+    // CUSUM change-point over the daily event series: cumulative
+    // deviation from the global mean, EXACT in integers (deviations
+    // scaled by the day count); the calendar-bounded daily frame is the
+    // only window input, argmax with earliest-day tie-break.
+    Q("q309_cusum_changepoint",
+      (s, dir) => Analytics.cusumChangepoint(ev(s, dir), "ts")
+        // ISO string for the compare: Spark dumps DATE as date32, DuckDB
+        // fetches DATE as datetime — same day, different physical reprs
+        .withColumn("change_day", col("change_day").cast("string")),
+      Some("""WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, c, sum(c) OVER () AS total,
+        |    count(*) OVER () AS days
+        |  FROM d),
+        |s AS (
+        |  SELECT day, sum(c * days - total) OVER (ORDER BY day) AS s,
+        |    total, days
+        |  FROM t)
+        |SELECT strftime(day, '%Y-%m-%d') AS change_day,
+        |  CAST(s AS BIGINT) AS cusum_scaled,
+        |  CAST(total AS BIGINT) AS n_events, CAST(days AS BIGINT) AS n_days
+        |FROM s ORDER BY abs(s) DESC, day LIMIT 1""".stripMargin)),
   )
 }

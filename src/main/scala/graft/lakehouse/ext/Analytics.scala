@@ -482,4 +482,52 @@ object Analytics {
         expr("(load * 1000) div __total").as("share_permille"),
         expr("(load * n_keys * 1000) div __total").as("skew_x_permille"))
   }
+  /** Frequent 2-itemsets (the A-priori pair census): baskets aggregate
+    * once into sorted item arrays, pairs generate IN-ROW (the
+    * adamic-adar wedge discipline — never a basket self-join), and one
+    * partial-aggregated count keeps pairs at/above `minSupport`.
+    * Baskets above `maxBasket` are skipped (documented hub cap: a
+    * degenerate mega-basket is size² pair work and zero signal).
+    * Output: (item_a, item_b, support), canonical item_a < item_b. */
+  def frequentItemPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasket: Int = 1024): DataFrame = {
+    require(minSupport >= 1 && maxBasket >= 2,
+      "frequentItemPairs needs minSupport >= 1, maxBasket >= 2")
+    val baskets = df
+      .groupBy(col(basketCol).as("__b"))
+      .agg(sort_array(collect_set(col(itemCol).cast("long"))).as("items"))
+      .filter(size(col("items")).between(2, maxBasket))
+    baskets.select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** CUSUM change-point over a daily count series: the day where the
+    * cumulative deviation from the global mean peaks — EXACT in integers
+    * by scaling deviations by the day count (S_d = Σ (c·D − total)).
+    * One daily aggregation (the series frame is bounded by the calendar,
+    * not the corpus), cumulative window over it, one argmax fold with
+    * deterministic earliest-day tie-break. */
+  def cusumChangepoint(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.partitionBy().orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("total", sum("c").over(wAll))
+      .withColumn("days", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("c") * col("days") - col("total")).over(wCum))
+      .select(col("day"), col("s"), col("total"), col("days"))
+      .orderBy(abs(col("s")).desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("change_day"), col("s").as("cusum_scaled"),
+        col("total").cast("long").as("n_events"),
+        col("days").cast("long").as("n_days"))
+  }
 }

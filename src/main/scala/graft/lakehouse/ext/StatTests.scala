@@ -212,6 +212,48 @@ object StatTests {
         max("n").cast("long").as("n"))
   }
 
+  /** Poisson-bootstrap confidence interval for the mean (the bootstrap
+    * that works in one distributed pass — Poisson(1) multiplicities
+    * approximate with-replacement resampling, the standard trick at
+    * scale): each row contributes to each of `b` replicates with a
+    * DETERMINISTIC keyed-hash multiplicity (inverse-CDF thresholds on a
+    * permille uniform — engine-portable, seed-stable), replicate means
+    * come from exact-decimal sums in a fixed IEEE op order, and the CI
+    * is an order-statistic pick over the sorted replicate means (2.5%
+    * and 97.5% by integer index). One exploded pass (b× the input — keep
+    * b modest), one b-row aggregation, one 1-row fold. */
+  def poissonBootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 40, seed: Long = 7L): DataFrame = {
+    require(b >= 4 && b <= 1000, "poissonBootstrapMeanCI needs 4 <= b <= 1000")
+    // Poisson(1) inverse CDF at permille resolution:
+    // P(0)=.368 P(<=1)=.736 P(<=2)=.920 P(<=3)=.981 P(<=4)=.996
+    val u = conv(substring(sha2(concat_ws("#",
+      col(idCol).cast("string"), lit(seed.toString),
+      col("__b").cast("string")), 256), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val w = when(u < 368, 0L).when(u < 736, 1L).when(u < 920, 2L)
+      .when(u < 981, 3L).when(u < 996, 4L).otherwise(5L)
+    val reps = df.filter(col(valueCol).isNotNull)
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", w)
+      .groupBy("__b")
+      .agg(
+        sum((col("__w") * col(valueCol).cast("decimal(18,6)"))
+          .cast("decimal(38,18)")).as("__swx"),
+        sum("__w").as("__sw"))
+      .filter(col("__sw") > 0L)
+      .select((col("__swx").cast("double") / col("__sw").cast("double"))
+        .as("mean_b"))
+    val loIdx = b * 25 / 1000
+    val hiIdx = math.min(b * 975 / 1000, b - 1)
+    reps.agg(sort_array(collect_list("mean_b")).as("ms"),
+        count(lit(1)).as("n_reps"))
+      .select(
+        element_at(col("ms"), loIdx + 1).as("ci_lo"),
+        element_at(col("ms"), hiIdx + 1).as("ci_hi"),
+        col("n_reps").cast("long").as("n_reps"))
+  }
+
   /** Zipf power-law fit over the token-frequency spectrum: least-squares
     * slope/intercept of ln(freq) on ln(rank) for the `topR` most frequent
     * whitespace tokens (rank ties broken by token text — deterministic).

@@ -360,4 +360,34 @@ class AnalyticsSpec extends SparkSuite {
       .toSet
     assert(got == Set(("a>b", "c", 2L), ("b>c", "d", 1L)))
   }
+  test("frequentItemPairs: in-row pair census matches the hand count; " +
+    "hub cap and minSupport filter") {
+    val rows = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 20L), // dup item collapses
+      (4L, 99L)) // singleton basket contributes nothing
+      .toDF("basket", "item")
+    val got = Analytics.frequentItemPairs(rows, "basket", "item", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == Set((10L, 20L, 3L)))
+    // maxBasket below basket 1's size drops its pairs
+    val capped = Analytics.frequentItemPairs(rows, "basket", "item", 1L,
+      maxBasket = 2)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet == Set((10L, 20L)))
+  }
+
+  test("cusumChangepoint: the peak deviation lands on the shift day") {
+    import java.sql.Timestamp
+    // 4 days at 10/day then 4 days at 30/day: |S| peaks at day 4
+    val ev = (1 to 4).flatMap(d => Seq.fill(10)(d)) ++
+      (5 to 8).flatMap(d => Seq.fill(30)(d))
+    val df = ev.zipWithIndex.map { case (d, i) =>
+      (Timestamp.valueOf(f"2024-02-0$d%d 10:00:00"), i.toLong)
+    }.toDF("ts", "id")
+    val r = Analytics.cusumChangepoint(df, "ts").head()
+    assert(r.getAs[java.sql.Date]("change_day").toString == "2024-02-04")
+    // S_4 = sum over first 4 days of (10*8 - 160) = 4 * -80 = -320
+    assert(r.getAs[Long]("cusum_scaled") == -320L)
+    assert(r.getAs[Long]("n_events") == 160L && r.getAs[Long]("n_days") == 8L)
+  }
 }

@@ -247,4 +247,20 @@ class StatTestsSpec extends SparkSuite {
     assert(got == Set(("g1", 10, 0L), ("g1", 20, 333L), ("g1", 40, 1000L),
       ("g2", 7, 0L)))
   }
+  test("poissonBootstrapMeanCI: CI brackets the true mean and is " +
+    "deterministic; degenerate data gives a zero-width CI") {
+    val df = (1L to 400L).map(i => (i, (i % 100).toInt)).toDF("id", "v")
+    val r = StatTests.poissonBootstrapMeanCI(df, "id", "v", b = 40).head()
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < 49.5 && 49.5 < hi, s"CI [$lo, $hi] should bracket 49.5")
+    assert(hi - lo < 15.0, "CI suspiciously wide")
+    assert(r.getAs[Long]("n_reps") == 40L)
+    val again = StatTests.poissonBootstrapMeanCI(df.repartition(7), "id",
+      "v", b = 40).head()
+    assert(again.getAs[Double]("ci_lo") == lo &&
+      again.getAs[Double]("ci_hi") == hi)
+    val const = (1L to 50L).map((_, 7)).toDF("id", "v")
+    val c = StatTests.poissonBootstrapMeanCI(const, "id", "v", b = 40).head()
+    assert(c.getAs[Double]("ci_lo") == 7.0 && c.getAs[Double]("ci_hi") == 7.0)
+  }
 }
