@@ -9763,5 +9763,84 @@ object Queries {
         |  CAST(s AS BIGINT) AS cusum_scaled,
         |  CAST(total AS BIGINT) AS n_events, CAST(days AS BIGINT) AS n_days
         |FROM s ORDER BY abs(s) DESC, day LIMIT 1""".stripMargin)),
+
+    // Heaps' law fit: vocabulary growth V(n) ~ K*n^beta in doc_id order —
+    // two token aggregations, cumulative checkpoints on the |docs|-
+    // bounded frame, exact-decimal ln-ln least squares.
+    Q("q310_heaps_law",
+      (s, dir) => StatTests.heapsFit(t(s, dir, "documents"), "doc_id",
+        "text"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc, tok FROM tok WHERE tok <> ''),
+        |per_doc AS (SELECT doc, count(*) AS toks FROM tk GROUP BY 1),
+        |fs AS (
+        |  SELECT doc, count(*) AS vnew FROM (
+        |    SELECT tok, min(doc) AS doc FROM tk GROUP BY 1)
+        |  GROUP BY 1),
+        |pts AS (
+        |  SELECT
+        |    sum(toks) OVER (ORDER BY per_doc.doc) AS n,
+        |    sum(coalesce(vnew, 0)) OVER (ORDER BY per_doc.doc) AS v
+        |  FROM per_doc LEFT JOIN fs ON fs.doc = per_doc.doc),
+        |f AS (SELECT n, v FROM pts WHERE n > 0 AND v > 0),
+        |m AS (
+        |  SELECT count(*) AS n_points,
+        |    CAST(CAST(sum(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(ln(CAST(n AS DOUBLE))
+        |        * ln(CAST(v AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(ln(CAST(n AS DOUBLE))
+        |        * ln(CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM f)
+        |SELECT CAST(n_points AS BIGINT) AS n_points,
+        |  (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS beta,
+        |  (sy - ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) * sx)
+        |    / CAST(n_points AS DOUBLE) AS ln_k
+        |FROM m""".stripMargin)),
+
+    // Per-language accuracy with Wilson 95% intervals: one conditional
+    // aggregation per slice, closed-form interval from exact integer
+    // counts in a fixed IEEE op order; the deterministic "prediction"
+    // salt makes the per-slice counts non-trivial.
+    Q("q311_wilson_slice_eval",
+      (s, dir) => StatTests.sliceAccuracyWilson(
+          t(s, dir, "documents")
+            .withColumn("correct", col("doc_id") % 10 < 7),
+          "lang", "correct")
+        .orderBy("slice"),
+      Some("""WITH a AS (
+        |  SELECT lang AS slice, count(*) AS n,
+        |    count(CASE WHEN doc_id % 10 < 7 THEN 1 END) AS k
+        |  FROM documents GROUP BY 1)
+        |SELECT slice, CAST(n AS BIGINT) AS n,
+        |  CAST(k * 1000 // n AS BIGINT) AS acc_permille,
+        |  (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+        |    / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE))
+        |  - (1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + 3.8415999999999997
+        |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)) AS wilson_lo,
+        |  (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+        |    / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE))
+        |  + (1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + 3.8415999999999997
+        |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)) AS wilson_hi
+        |FROM a ORDER BY slice""".stripMargin)),
   )
 }

@@ -254,6 +254,75 @@ object StatTests {
         col("n_reps").cast("long").as("n_reps"))
   }
 
+  /** Heaps' law fit — vocabulary growth V(n) ≈ K·n^β over the corpus in
+    * `idCol` order ([[zipfFit]]'s companion diagnostic; natural text fits
+    * β ≈ 0.4–0.6, machine-generated or duplicated corpora bend the
+    * curve): per-token first-occurrence doc and per-doc token counts are
+    * two aggregations; cumulative (n, V) checkpoints live on the
+    * |docs|-bounded frame; the ln-ln least squares reuses the exact-
+    * decimal moment recipe. Returns one row: n_points, beta, ln_k. */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).cast("long").as("doc"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val perDoc = tok.groupBy("doc").agg(count(lit(1)).as("toks"))
+    val firstSeen = tok.groupBy("tok").agg(min("doc").as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("vnew"))
+    val wCum = Window.partitionBy().orderBy("doc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc.join(firstSeen, Seq("doc"), "left")
+      .withColumn("n", sum("toks").over(wCum))
+      .withColumn("v", sum(coalesce(col("vnew"), lit(0L))).over(wCum))
+      .filter(col("n") > 0L && col("v") > 0L)
+    val x = log(col("n").cast("double"))
+    val y = log(col("v").cast("double"))
+    val m = pts
+      .withColumn("sx", x.cast("decimal(38,18)"))
+      .withColumn("sy", y.cast("decimal(38,18)"))
+      .withColumn("sxy", (x * y).cast("decimal(38,18)"))
+      .withColumn("sxx", (x * x).cast("decimal(38,18)"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum("sx").cast("double").as("__sx"),
+        sum("sy").cast("double").as("__sy"),
+        sum("sxy").cast("double").as("__sxy"),
+        sum("sxx").cast("double").as("__sxx"))
+    val np = col("n_points").cast("double")
+    val beta = (np * col("__sxy") - col("__sx") * col("__sy")) /
+      (np * col("__sxx") - col("__sx") * col("__sx"))
+    m.withColumn("beta", beta)
+      .withColumn("ln_k", (col("__sy") - beta * col("__sx")) / np)
+      .select(col("n_points").cast("long").as("n_points"),
+        col("beta"), col("ln_k"))
+  }
+
+  /** Per-slice accuracy with a Wilson score interval (the CI that
+    * behaves at small n and extreme p̂, unlike the normal approximation):
+    * ONE conditional-count aggregation per slice, then the closed-form
+    * interval in a fixed IEEE op order from the exact integer counts.
+    * The slice whose lower bound dips is the one that needs data — the
+    * fairness/robustness readout per language or source. z defaults to
+    * 1.96 (95%). */
+  def sliceAccuracyWilson(df: DataFrame, sliceCol: String,
+      correctCol: String, z: Double = 1.96): DataFrame = {
+    val agg = df.filter(col(correctCol).isNotNull)
+      .groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(correctCol).cast("boolean"), lit(1))).as("k"))
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0) + lit(z2) / n
+    val center = (p + lit(z2) / (lit(2.0) * n)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z2) / (lit(4.0) * n * n))) / denom
+    agg.select(col("slice"), col("n").cast("long").as("n"),
+      expr("(k * 1000) div n").as("acc_permille"),
+      (center - half).as("wilson_lo"),
+      (center + half).as("wilson_hi"))
+  }
+
   /** Zipf power-law fit over the token-frequency spectrum: least-squares
     * slope/intercept of ln(freq) on ln(rank) for the `topR` most frequent
     * whitespace tokens (rank ties broken by token text — deterministic).

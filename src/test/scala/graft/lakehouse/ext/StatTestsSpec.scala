@@ -263,4 +263,34 @@ class StatTestsSpec extends SparkSuite {
     val c = StatTests.poissonBootstrapMeanCI(const, "id", "v", b = 40).head()
     assert(c.getAs[Double]("ci_lo") == 7.0 && c.getAs[Double]("ci_hi") == 7.0)
   }
+  test("heapsFit recovers the planted sublinear vocabulary-growth exponent") {
+    // doc d contributes d new tokens plus d^2-d filler repeats:
+    // V(d) ~ d^2/2 while n(d) ~ d^3/3, so V ~ n^(2/3) -> beta ~ 0.667.
+    val docs = (1 to 30).map { d =>
+      val fresh = (1 to d).map(i => s"w_${d}_$i")
+      val filler = Seq.fill(d * d - d)("the")
+      (d.toLong, (fresh ++ filler).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = StatTests.heapsFit(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_points") == 30L)
+    assert(math.abs(r.getAs[Double]("beta") - 2.0 / 3.0) < 0.05,
+      s"beta = ${r.getAs[Double]("beta")}")
+  }
+
+  test("sliceAccuracyWilson: hand-checked interval, degenerate p") {
+    val df = (Seq.fill(70)(("en", true)) ++ Seq.fill(30)(("en", false)) ++
+      Seq.fill(5)(("fr", true))).toDF("lang", "ok")
+    val got = StatTests.sliceAccuracyWilson(df, "lang", "ok")
+      .orderBy("slice").collect()
+    val en = got(0)
+    assert(en.getAs[Long]("acc_permille") == 700L)
+    // Wilson 95% for 70/100: ~ [0.604, 0.781]
+    assert(math.abs(en.getAs[Double]("wilson_lo") - 0.604) < 0.005)
+    assert(math.abs(en.getAs[Double]("wilson_hi") - 0.781) < 0.005)
+    val fr = got(1)
+    // p-hat = 1 at n = 5: the upper bound stays 1, the lower pulls down
+    assert(fr.getAs[Long]("acc_permille") == 1000L)
+    assert(fr.getAs[Double]("wilson_lo") < 0.6 &&
+      fr.getAs[Double]("wilson_hi") <= 1.0 + 1e-9)
+  }
 }
