@@ -9842,5 +9842,86 @@ object Queries {
         |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
         |    / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)) AS wilson_hi
         |FROM a ORDER BY slice""".stripMargin)),
+
+    // NEAREST-within-tolerance as-of join (asof's symmetric sibling):
+    // sampled events match their closest other-event reading per user
+    // within 30 minutes, either direction, ties to the earlier right
+    // row. Hash-joinable via tolerance-bin replication (never a BNLJ);
+    // the oracle replays the naive join + QUALIFY argmin.
+    Q("q312_asof_nearest",
+      (s, dir) => {
+        val all = ev(s, dir)
+        TemporalJoins.asofJoinNearest(
+            all.filter(col("event_id") % 5 === 0)
+              .select("event_id", "user_id", "ts"),
+            all.filter(col("event_id") % 5 =!= 0)
+              .select("user_id", "ts", "value"),
+            Seq("user_id"), "event_id", "ts", Seq("value"),
+            toleranceMicros = 1800000000L)
+          // nullable BIGINT/TIMESTAMP cross pandas as MinValue/NaT
+          // sentinels in engine-specific units — pin no-match to -1 and
+          // surface the matched time as epoch micros
+          .withColumn("delta_micros", coalesce(col("delta_micros"), lit(-1L)))
+          .withColumn("ts_near_us",
+            coalesce(expr("unix_micros(ts_near)"), lit(-1L)))
+          .select("event_id", "user_id", "value_near", "ts_near_us",
+            "delta_micros")
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0),
+        |r AS (
+        |  SELECT user_id, ts AS rts, value
+        |  FROM events WHERE event_id % 5 <> 0),
+        |c AS (
+        |  SELECT l.event_id, l.user_id, r.rts, r.value,
+        |    abs(epoch_us(l.ts) - epoch_us(r.rts)) AS d
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |  WHERE abs(epoch_us(l.ts) - epoch_us(r.rts)) <= 1800000000),
+        |b AS (
+        |  SELECT * FROM c QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, event_id ORDER BY d, rts) = 1)
+        |SELECT l.event_id, l.user_id, b.value AS value_near,
+        |  CAST(coalesce(epoch_us(b.rts), -1) AS BIGINT) AS ts_near_us,
+        |  CAST(coalesce(b.d, -1) AS BIGINT) AS delta_micros
+        |FROM l LEFT JOIN b ON b.event_id = l.event_id
+        |ORDER BY l.event_id""".stripMargin)),
+
+    // Population Stability Index between even- and odd-id documents over
+    // the length distribution: declared fixed grid (any engine bins
+    // identically), add-one smoothing, per-bin ln terms folded as exact
+    // decimals — the industry drift score next to KS (q284) and
+    // chi-squared (q283).
+    Q("q313_population_stability",
+      (s, dir) => StatTests.populationStabilityIndex(
+        t(s, dir, "documents")
+          .withColumn("arm", (col("doc_id") % 2).cast("int")),
+        "n_chars", "arm", bins = 10, lo = 0L, hi = 2000L),
+      Some("""WITH d AS (
+        |  SELECT n_chars, CAST(doc_id % 2 AS INT) AS arm
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (
+        |  SELECT least(greatest((n_chars - 0) // 200, 0), 9) AS bin, arm
+        |  FROM d),
+        |c AS (
+        |  SELECT bin,
+        |    count(CASE WHEN arm = 0 THEN 1 END) AS c0,
+        |    count(CASE WHEN arm = 1 THEN 1 END) AS c1
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT bin, c0, c1, sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+        |  FROM c),
+        |terms AS (
+        |  SELECT n0, n1,
+        |    CAST(((CAST(c0 AS DOUBLE) + 1.0) / (CAST(n0 AS DOUBLE) + 10.0)
+        |        - (CAST(c1 AS DOUBLE) + 1.0) / (CAST(n1 AS DOUBLE) + 10.0))
+        |      * ln(((CAST(c0 AS DOUBLE) + 1.0) / (CAST(n0 AS DOUBLE) + 10.0))
+        |        / ((CAST(c1 AS DOUBLE) + 1.0) / (CAST(n1 AS DOUBLE) + 10.0)))
+        |      AS DECIMAL(38,18)) AS term
+        |  FROM t)
+        |SELECT CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS psi,
+        |  CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(count(*) AS BIGINT) AS n_occupied_bins
+        |FROM terms""".stripMargin)),
   )
 }

@@ -212,6 +212,46 @@ object StatTests {
         max("n").cast("long").as("n"))
   }
 
+  /** Population Stability Index between arm 0 and arm 1 of `armCol`:
+    * PSI = Σ_bins (p₀ − p₁)·ln(p₀/p₁) over a DECLARED fixed grid
+    * ([lo, hi) split into `bins` equal cells, outliers clamped into the
+    * edge cells — the quantile-sketch domain discipline, so any engine
+    * bins identically), with add-one count smoothing so empty cells are
+    * defined (documented; the industry convention). One count
+    * aggregation; per-bin ln terms in a fixed IEEE op order folded as
+    * exact decimals. Rule of thumb: < 0.1 stable, > 0.25 shifted. */
+  def populationStabilityIndex(df: DataFrame, valueCol: String,
+      armCol: String, bins: Int, lo: Long, hi: Long): DataFrame = {
+    require(bins >= 2 && hi > lo, "populationStabilityIndex needs bins >= 2, hi > lo")
+    val width = (hi - lo + bins - 1) / bins // ceil: covers [lo, hi)
+    // integer div, not Column./ (double division on longs)
+    val bin = least(greatest(
+      expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) div ${width}L"),
+      lit(0L)), lit(bins - 1L)).cast("long")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .withColumn("__bin", bin)
+      .groupBy("__bin")
+      .agg(
+        count(when(col(armCol) === 0, lit(1))).as("c0"),
+        count(when(col(armCol) === 1, lit(1))).as("c1"))
+    val wAll = Window.partitionBy()
+    val withTot = counts
+      .withColumn("n0", sum("c0").over(wAll))
+      .withColumn("n1", sum("c1").over(wAll))
+    def p(cc: String, nn: String): Column =
+      (col(cc).cast("double") + lit(1.0)) /
+        (col(nn).cast("double") + lit(bins.toDouble))
+    val p0 = p("c0", "n0")
+    val p1 = p("c1", "n1")
+    withTot
+      .withColumn("term", ((p0 - p1) * log(p0 / p1)).cast("decimal(38,18)"))
+      .agg(
+        sum("term").cast("double").as("psi"),
+        max("n0").cast("long").as("n0"),
+        max("n1").cast("long").as("n1"),
+        count(lit(1)).as("n_occupied_bins"))
+  }
+
   /** Poisson-bootstrap confidence interval for the mean (the bootstrap
     * that works in one distributed pass — Poisson(1) multiplicities
     * approximate with-replacement resampling, the standard trick at

@@ -58,6 +58,46 @@ object TemporalJoins {
     }.drop("__isl", "__rv")
   }
 
+  /** NEAREST-within-tolerance as-of join ([[asofJoin]]'s symmetric
+    * sibling — sensor fusion / feature-at-time lookups where the closest
+    * reading on EITHER side wins): each left row matches the right row
+    * with minimal |Δts| ≤ tolerance (ties: the earlier right row), or
+    * nulls if none. Hash-joinable at scale by the [[rangeJoin]] trick:
+    * right rows emit into their tolerance-width bin and both neighbors,
+    * so every candidate pair meets on exactly one bin equi-join (3×
+    * right-side blowup, never a BNLJ); one per-left-row argmin window on
+    * (key, id) follows. `leftIdCol` must identify left rows uniquely —
+    * the argmin needs a deterministic frame. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftIdCol: String, tsCol: String,
+      valueCols: Seq[String], toleranceMicros: Long,
+      suffix: String = "_near"): DataFrame = {
+    require(toleranceMicros > 0, "asofJoinNearest needs a positive tolerance")
+    val rExp = right
+      .withColumn("__rbin", expr(s"unix_micros($tsCol) div ${toleranceMicros}L"))
+      .select((keyCols.map(col) :+ col(tsCol).as("__rts") :+
+        struct(valueCols.map(col): _*).as("__rv") :+ col("__rbin")): _*)
+      .withColumn("__bin", explode(array(
+        col("__rbin") - 1, col("__rbin"), col("__rbin") + 1)))
+      .drop("__rbin")
+    val lBinned = left.withColumn("__bin",
+      expr(s"unix_micros($tsCol) div ${toleranceMicros}L"))
+    val cand = lBinned
+      .join(rExp, keyCols :+ "__bin")
+      .withColumn("__d", abs(expr(s"unix_micros($tsCol)") -
+        expr("unix_micros(__rts)")))
+      .filter(col("__d") <= toleranceMicros)
+    val w = Window.partitionBy((keyCols :+ leftIdCol).map(col): _*)
+      .orderBy(col("__d").asc, col("__rts").asc)
+    val best = cand
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((Seq(col(leftIdCol)) ++
+        valueCols.map(c => col(s"__rv.$c").as(s"$c$suffix")) ++
+        Seq(col("__rts").as(s"ts$suffix"), col("__d").as("delta_micros"))): _*)
+    left.join(best, Seq(leftIdCol), "left")
+  }
+
   /** Range (interval) join: left rows matched to every right row whose
     * `[loCol, hiCol]` interval contains `valueCol` (inclusive ends, inner
     * join). Spark plans a raw BETWEEN join as a broadcast-nested-loop or

@@ -293,4 +293,22 @@ class StatTestsSpec extends SparkSuite {
     assert(fr.getAs[Double]("wilson_lo") < 0.6 &&
       fr.getAs[Double]("wilson_hi") <= 1.0 + 1e-9)
   }
+  test("populationStabilityIndex: identical distributions -> ~0; a " +
+    "shifted arm scores high; clamping keeps outliers in edge bins") {
+    val same = (1 to 200).map(i => (i % 100 * 10, i % 2)).toDF("v", "arm")
+    val s0 = StatTests.populationStabilityIndex(same, "v", "arm",
+      bins = 10, lo = 0L, hi = 1000L).head()
+    assert(math.abs(s0.getAs[Double]("psi")) < 0.01)
+    assert(s0.getAs[Long]("n0") == 100L && s0.getAs[Long]("n1") == 100L)
+    val shifted = ((1 to 100).map(i => (50, 0)) ++
+      (1 to 100).map(i => (950, 1))).toDF("v", "arm")
+    val s1 = StatTests.populationStabilityIndex(shifted, "v", "arm",
+      bins = 10, lo = 0L, hi = 1000L).head()
+    assert(s1.getAs[Double]("psi") > 1.0)
+    // values far outside [lo, hi) land in the edge bins, not new ones
+    val out = Seq((-50, 0), (5000, 1)).toDF("v", "arm")
+    val s2 = StatTests.populationStabilityIndex(out, "v", "arm",
+      bins = 10, lo = 0L, hi = 1000L).head()
+    assert(s2.getAs[Long]("n_occupied_bins") == 2L)
+  }
 }

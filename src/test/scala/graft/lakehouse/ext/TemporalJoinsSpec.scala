@@ -123,4 +123,31 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(out(1).getAs[Long]("n_intervals") == 1L &&
       out(1).getAs[Long]("covered_us") == 60L * 1000000)
   }
+  test("asofJoinNearest: closest reading either direction wins inside " +
+    "the tolerance, ties to the earlier right row, no-match stays null") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 12:00:00")), // nearest is AFTER (12:00:30)
+      (2L, 10L, t("2024-01-01 13:00:00")), // equidistant -> earlier right
+      (3L, 10L, t("2024-01-01 18:00:00")), // nothing within tolerance
+      (4L, 20L, t("2024-01-01 12:00:00"))) // other key: its own stream
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("2024-01-01 11:58:00"), 1.0),
+      (10L, t("2024-01-01 12:00:30"), 2.0),
+      (10L, t("2024-01-01 12:59:00"), 3.0),
+      (10L, t("2024-01-01 13:01:00"), 4.0),
+      (20L, t("2024-01-01 12:00:10"), 9.0))
+      .toDF("user_id", "ts", "value")
+    val got = TemporalJoins.asofJoinNearest(left, right, Seq("user_id"),
+        "event_id", "ts", Seq("value"), toleranceMicros = 600000000L)
+      .orderBy("event_id").collect()
+    assert(got(0).getAs[Double]("value_near") == 2.0)
+    assert(got(0).getAs[Long]("delta_micros") == 30000000L)
+    assert(got(1).getAs[Double]("value_near") == 3.0,
+      "60s before vs 60s after must tie-break to the earlier right row")
+    assert(got(2).isNullAt(got(2).fieldIndex("value_near")))
+    assert(got(3).getAs[Double]("value_near") == 9.0)
+  }
 }
