@@ -9923,5 +9923,75 @@ object Queries {
         |  CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
         |  CAST(count(*) AS BIGINT) AS n_occupied_bins
         |FROM terms""".stripMargin)),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    // top-50 orders by ln(u)/weight with a keyed-hash uniform — the
+    // one-pass distributed weighted draw, deterministic and
+    // engine-portable; TakeOrdered, never a global sort.
+    Q("q314_weighted_sample",
+      (s, dir) => Packing.weightedSampleWithoutReplacement(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            floor(col("o_totalprice")).cast("long").as("w")),
+          "o_orderkey", "w", k = 50, seed = 7L)
+        .orderBy(col("sample_score").desc, col("o_orderkey")),
+      Some("""WITH t AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS w
+        |  FROM orders),
+        |k AS (
+        |  SELECT o_orderkey, w,
+        |    ln((('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)
+        |        || '#7'), 1, 8))::UBIGINT % 1000 + 0.5) / 1000.0)
+        |      / CAST(w AS DOUBLE) AS sample_score
+        |  FROM t WHERE w IS NOT NULL AND w > 0)
+        |SELECT o_orderkey, w, sample_score
+        |FROM k ORDER BY sample_score DESC, o_orderkey
+        |LIMIT 50""".stripMargin)),
+
+    // Kaplan-Meier survival over user lifetimes: durations first->last
+    // activity, censoring within 7 days of observation end; risk table
+    // on the duration-bounded frame; survival reported as ln S(d) (per-
+    // term fixed-IEEE ln, exact-decimal cumulative fold — exp is NOT
+    // portable across libms, ln S is).
+    Q("q315_kaplan_meier",
+      (s, dir) => Analytics.kaplanMeier(ev(s, dir), "user_id", "ts",
+          churnGapDays = 7)
+        .orderBy("duration"),
+      Some("""WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |    max(CAST(ts AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |u2 AS (
+        |  SELECT user_id, date_diff('day', f, l) AS duration,
+        |    date_diff('day', l, (SELECT max(l) FROM u)) > 7 AS churned
+        |  FROM u),
+        |t AS (
+        |  SELECT duration,
+        |    count(CASE WHEN churned THEN 1 END) AS n_events,
+        |    count(CASE WHEN NOT churned THEN 1 END) AS n_censored,
+        |    count(*) AS total
+        |  FROM u2 GROUP BY 1),
+        |r AS (
+        |  SELECT duration, n_events, n_censored,
+        |    sum(total) OVER ()
+        |      - coalesce(sum(total) OVER (ORDER BY duration
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM t),
+        |s AS (
+        |  SELECT duration, n_risk, n_events, n_censored,
+        |    CASE WHEN n_events = 0 THEN CAST(0 AS DECIMAL(38,18))
+        |      WHEN n_events < n_risk
+        |        THEN CAST(ln(CAST(n_risk - n_events AS DOUBLE)
+        |          / CAST(n_risk AS DOUBLE)) AS DECIMAL(38,18))
+        |      END AS term
+        |  FROM r)
+        |SELECT CAST(duration AS INT) AS duration,
+        |  CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CAST(CAST(sum(term) OVER (ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    AS DOUBLE) AS ln_surv
+        |FROM s ORDER BY duration""".stripMargin)),
   )
 }

@@ -530,4 +530,51 @@ object Analytics {
         col("total").cast("long").as("n_events"),
         col("days").cast("long").as("n_days"))
   }
+  /** Kaplan–Meier survival over user lifetimes from an event log: a
+    * user's duration runs first-activity → last-activity; users whose
+    * last activity is within `churnGapDays` of the observation end are
+    * CENSORED (still alive), the rest are churn events. The risk table
+    * lives on the duration-bounded frame (≤ observation-window days);
+    * survival is reported as ln S(d) = Σ_{t≤d} ln(1 − d_t/n_t) — the
+    * per-term ln is one fixed IEEE op and the cumulative fold is exact
+    * decimal, so the curve is bit-portable (exp is NOT applied: libm
+    * exp varies across engines; ln S is the portable form). ln_surv is
+    * null from the point S hits exactly 0 (every at-risk user churned).
+    * Output per duration: n_risk, n_events, n_censored, ln_surv. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      churnGapDays: Int): DataFrame = {
+    require(churnGapDays >= 0, "kaplanMeier needs churnGapDays >= 0")
+    val users = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("f"), max(to_date(col(tsCol))).as("l"))
+      .withColumn("obs_end", max(col("l")).over(Window.partitionBy()))
+      .withColumn("duration", datediff(col("l"), col("f")))
+      .withColumn("churned",
+        datediff(col("obs_end"), col("l")) > churnGapDays)
+    val tbl = users.groupBy("duration")
+      .agg(
+        count(when(col("churned"), lit(1))).as("n_events"),
+        count(when(!col("churned"), lit(1))).as("n_censored"),
+        count(lit(1)).as("__total"))
+    val wAll = Window.partitionBy()
+    val wBefore = Window.partitionBy().orderBy("duration")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy().orderBy("duration")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = tbl
+      .withColumn("n_risk",
+        sum("__total").over(wAll) -
+          coalesce(sum("__total").over(wBefore), lit(0L)))
+      .withColumn("__term",
+        when(col("n_events") === 0L, lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,18)"))
+          .when(col("n_events") < col("n_risk"),
+            log((col("n_risk") - col("n_events")).cast("double") /
+              col("n_risk").cast("double")).cast("decimal(38,18)"))
+          .otherwise(lit(null).cast("decimal(38,18)")))
+      .withColumn("ln_surv", sum("__term").over(wCum).cast("double"))
+    risk.select(col("duration"), col("n_risk").cast("long").as("n_risk"),
+      col("n_events").cast("long").as("n_events"),
+      col("n_censored").cast("long").as("n_censored"), col("ln_surv"))
+  }
 }

@@ -394,6 +394,29 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006
+    * A-Res): each row draws a keyed-hash uniform u and scores
+    * ln(u)/w — the top-k scores are exactly a weighted
+    * without-replacement draw (the one-pass distributed form; a naive
+    * weighted Bernoulli can't hit a fixed k, and sequential draws can't
+    * distribute). DETERMINISTIC and engine-portable: u = (h + 0.5)/1000
+    * from the sha-permille hash (never 0), the score is one fixed IEEE
+    * ln + divide, top-k is TakeOrdered (score desc, id). Zero/negative
+    * weights are excluded (they cannot be drawn). */
+  def weightedSampleWithoutReplacement(df: DataFrame, idCol: String,
+      weightCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "weightedSampleWithoutReplacement needs k >= 1")
+    val h = conv(substring(sha2(concat_ws("#",
+      col(idCol).cast("string"), lit(seed.toString)), 256), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val score = log((h.cast("double") + lit(0.5)) / lit(1000.0)) /
+      col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_score", score)
+      .orderBy(col("sample_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Group-aware K-fold assignment (GroupKFold semantics): fold = keyed
     * portable hash of the GROUP key mod k, so every row of a group lands
     * in the same fold — the assignment that prevents the subtlest

@@ -390,4 +390,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Long]("cusum_scaled") == -320L)
     assert(r.getAs[Long]("n_events") == 160L && r.getAs[Long]("n_days") == 8L)
   }
+  test("kaplanMeier: hand-computed risk table and log-survival") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
+    // obs end = day 11. A 1->11 censored(dur 10); B,C 1->3 churn(dur 2);
+    // D 1->6 churn(dur 5); E 3->11 censored(dur 8).
+    val ev = Seq(
+      (1L, t(1)), (1L, t(11)),
+      (2L, t(1)), (2L, t(3)),
+      (3L, t(1)), (3L, t(3)),
+      (4L, t(1)), (4L, t(6)),
+      (5L, t(3)), (5L, t(11)))
+      .toDF("user_id", "ts")
+    val got = Analytics.kaplanMeier(ev, "user_id", "ts", churnGapDays = 3)
+      .orderBy("duration").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("ln_surv")))
+    assert(got.map(x => (x._1, x._2, x._3, x._4)).toSeq ==
+      Seq((2, 5L, 2L, 0L), (5, 3L, 1L, 0L), (8, 2L, 0L, 1L),
+        (10, 1L, 0L, 1L)))
+    assert(math.abs(got(0)._5 - math.log(3.0 / 5.0)) < 1e-12)
+    assert(math.abs(got(1)._5 - math.log(0.4)) < 1e-12)
+    assert(got(3)._5 == got(2)._5, "censoring-only durations keep S flat")
+  }
 }

@@ -458,4 +458,18 @@ class PackingSpec extends SparkSuite {
       4 -> "embargo", 5 -> "test", 6 -> "test"))
   }
 
+  test("weightedSampleWithoutReplacement: exactly k rows, a dominating " +
+    "weight always survives, zero weights never drawn, deterministic") {
+    val df = ((1L to 99L).map(i => (i, 1L)) :+ (100L, 1000000L) :+
+      (101L, 0L)).toDF("id", "w")
+    def run(parts: Int) = Packing.weightedSampleWithoutReplacement(
+        df.repartition(parts), "id", "w", k = 10, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    val got = run(1)
+    assert(got.size == 10)
+    assert(got.contains(100L), "the dominating weight must be drawn")
+    assert(!got.contains(101L), "zero weight cannot be drawn")
+    assert(got == run(6))
+  }
+
 }
