@@ -9993,5 +9993,70 @@ object Queries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
         |    AS DOUBLE) AS ln_surv
         |FROM s ORDER BY duration""".stripMargin)),
+
+    // EXACT ROC AUC by the Mann-Whitney rank statistic over the salted
+    // score/label pair (q302's calibration fixture): one aggregation per
+    // distinct score + a cumulative window over that bounded frame,
+    // AUC = (2*wins + ties)/(2*n+*n-) entirely in integers.
+    Q("q316_roc_auc",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        StatTests.rocAuc(
+          t(s, dir, "documents").select("doc_id")
+            .withColumn("score", h("s"))
+            .withColumn("label", (h("s") * 2 + h("l") > 1000).cast("int")),
+          "score", "label")
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |a AS (
+        |  SELECT score AS v,
+        |    count(CASE WHEN label = 1 THEN 1 END) AS p,
+        |    count(CASE WHEN label = 0 THEN 1 END) AS q
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT p, q,
+        |    coalesce(sum(q) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS negs_below
+        |  FROM a),
+        |m AS (
+        |  SELECT sum(p * negs_below) AS wins, sum(p * q) AS ties,
+        |    sum(p) AS n_pos, sum(q) AS n_neg
+        |  FROM c)
+        |SELECT CAST(wins * 2 + ties AS BIGINT) AS auc_num,
+        |  CAST(n_pos * n_neg * 2 AS BIGINT) AS auc_denom,
+        |  CAST((wins * 2 + ties) * 1000 // (n_pos * n_neg * 2) AS BIGINT)
+        |    AS auc_permille,
+        |  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg
+        |FROM m""".stripMargin)),
+
+    // Truncation-loss planning report: per source, how much content a
+    // 1200-char context cutoff discards — docs truncated, units lost,
+    // integer-permille share. One aggregation; the complement of the
+    // padding-waste report.
+    Q("q317_truncation_loss",
+      (s, dir) => TextStats.truncationLossReport(
+          t(s, dir, "documents"), "n_chars", "source", cutoff = 1200L)
+        .orderBy("group"),
+      Some("""SELECT source AS "group",
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN n_chars > 1200 THEN 1 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(sum(n_chars) AS BIGINT) AS units_total,
+        |  CAST(sum(greatest(n_chars - 1200, 0)) AS BIGINT) AS units_lost,
+        |  CAST(sum(greatest(n_chars - 1200, 0)) * 1000 // sum(n_chars)
+        |    AS BIGINT) AS lost_permille
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -252,6 +252,38 @@ object StatTests {
         count(lit(1)).as("n_occupied_bins"))
   }
 
+  /** EXACT ROC AUC by the Mann–Whitney rank statistic — no curve
+    * interpolation, no float ranks: one count aggregation per distinct
+    * score, a cumulative window over that bounded frame
+    * (the [[ksStatistic]] skeleton), then
+    * AUC = (2·wins + ties) / (2·n₊·n₋) entirely in integers (ties get
+    * the standard half credit without ever leaving ℤ — everything is
+    * scaled by 2). Returns one row: auc_num, auc_denom, auc_permille,
+    * n_pos, n_neg. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val agg = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("v"))
+      .agg(
+        count(when(col(labelCol).cast("boolean"), lit(1))).as("p"),
+        count(when(!col(labelCol).cast("boolean"), lit(1))).as("q"))
+    val wBelow = Window.partitionBy().orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    agg
+      .withColumn("negs_below", coalesce(sum("q").over(wBelow), lit(0L)))
+      .agg(
+        sum(col("p") * col("negs_below")).as("__wins"),
+        sum(col("p") * col("q")).as("__ties"),
+        sum("p").as("n_pos"),
+        sum("q").as("n_neg"))
+      .select(
+        (col("__wins") * 2 + col("__ties")).cast("long").as("auc_num"),
+        (col("n_pos") * col("n_neg") * 2).cast("long").as("auc_denom"),
+        expr("CAST((__wins * 2 + __ties) * 1000 div (n_pos * n_neg * 2) " +
+          "AS BIGINT)").as("auc_permille"),
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"))
+  }
+
   /** Poisson-bootstrap confidence interval for the mean (the bootstrap
     * that works in one distributed pass — Poisson(1) multiplicities
     * approximate with-replacement resampling, the standard trick at

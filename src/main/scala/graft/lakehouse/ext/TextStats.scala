@@ -965,6 +965,28 @@ object TextStats {
         when(col("ws_tokens") > 0,
           expr("(bpeish_tokens * 1000) div ws_tokens")).otherwise(lit(null)))
 
+  /** Truncation-loss report: for a per-doc size column and a context
+    * cutoff, how much content each group loses to truncation — docs over
+    * the cutoff, units lost (Σ max(size − cutoff, 0)), and the lost
+    * share in integer permille. ONE hash aggregation; the planning
+    * readout for choosing a sequence length (pair with
+    * [[Packing.paddingWasteReport]], which measures the opposite
+    * failure). */
+  def truncationLossReport(df: DataFrame, sizeCol: String,
+      groupCol: String, cutoff: Long): DataFrame = {
+    require(cutoff >= 1, "truncationLossReport needs cutoff >= 1")
+    df.filter(col(sizeCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col(sizeCol) > cutoff, lit(1))).as("n_truncated"),
+        sum(col(sizeCol).cast("long")).as("units_total"),
+        sum(greatest(col(sizeCol).cast("long") - cutoff, lit(0L)))
+          .as("units_lost"))
+      .withColumn("lost_permille",
+        expr("CAST(units_lost * 1000 div units_total AS BIGINT)"))
+  }
+
   // ---- HTML text extraction ------------------------------------------------
 
   /** Visible text from raw HTML — the first step of any web-scrape

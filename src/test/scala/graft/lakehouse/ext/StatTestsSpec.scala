@@ -311,4 +311,35 @@ class StatTestsSpec extends SparkSuite {
       bins = 10, lo = 0L, hi = 1000L).head()
     assert(s2.getAs[Long]("n_occupied_bins") == 2L)
   }
+  test("rocAuc: perfect separation -> 1000 permille, reversed -> 0, " +
+    "all-ties -> 500; hand-checked mixed case") {
+    val perfect = Seq((10, 1), (9, 1), (2, 0), (1, 0)).toDF("s", "y")
+    assert(StatTests.rocAuc(perfect, "s", "y").head()
+      .getAs[Long]("auc_permille") == 1000L)
+    val reversed = Seq((10, 0), (9, 0), (2, 1), (1, 1)).toDF("s", "y")
+    assert(StatTests.rocAuc(reversed, "s", "y").head()
+      .getAs[Long]("auc_permille") == 0L)
+    val allTies = Seq((5, 1), (5, 1), (5, 0), (5, 0)).toDF("s", "y")
+    assert(StatTests.rocAuc(allTies, "s", "y").head()
+      .getAs[Long]("auc_permille") == 500L)
+    // pos scores {3, 1}, neg scores {2, 2}: pairs (3>2)x2 wins,
+    // (1<2)x2 losses -> AUC = 2/4 = 0.5; with a tie at 2 for one pos:
+    val mixed = Seq((3, 1), (2, 1), (2, 0), (1, 0)).toDF("s", "y")
+    val m = StatTests.rocAuc(mixed, "s", "y").head()
+    // pos 3: beats neg 2 and neg 1 -> 2 wins; pos 2: beats neg 1 (1 win),
+    // ties neg 2 -> num = 2*3 + 1 = 7, denom = 2*2*2 = 8
+    assert(m.getAs[Long]("auc_num") == 7L &&
+      m.getAs[Long]("auc_denom") == 8L)
+    assert(m.getAs[Long]("auc_permille") == 875L)
+  }
+
+  test("truncationLossReport: hand arithmetic, groups independent") {
+    val df = Seq(("a", 100L), ("a", 1500L), ("b", 50L)).toDF("src", "n")
+    val got = TextStats.truncationLossReport(df, "n", "src", cutoff = 1000L)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("a", 2L, 1L, 1600L, 500L, 312L),
+      ("b", 1L, 0L, 50L, 0L, 0L)))
+  }
 }
