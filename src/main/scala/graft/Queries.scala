@@ -10058,5 +10058,84 @@ object Queries {
         |    AS BIGINT) AS lost_permille
         |FROM documents WHERE n_chars IS NOT NULL
         |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Expected calibration error — the calibration table folded to one
+    // integer-permille dashboard number: ECE = sum(n_b * gap_b) div N.
+    Q("q318_expected_calibration_error",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        Quality.expectedCalibrationError(
+          t(s, dir, "documents").select("doc_id")
+            .withColumn("score", h("s"))
+            .withColumn("label", (h("s") * 2 + h("l") > 1000).cast("int")),
+          "score", "label", bins = 10)
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(least(score * 10 // 1000, 9) AS INT) AS bin,
+        |    score, label
+        |  FROM d),
+        |g AS (
+        |  SELECT bin, count(*) AS n,
+        |    abs(sum(score) // count(*)
+        |      - sum(label) * 1000 // count(*)) AS gap
+        |  FROM b GROUP BY bin)
+        |SELECT CAST(sum(n * gap) // sum(n) AS BIGINT) AS ece_permille,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_occupied_bins
+        |FROM g""".stripMargin)),
+
+    // Cramer's V effect size for the lang-by-source association: the
+    // [0,1]-normalized chi-squared that stays comparable as n grows —
+    // q283's exact machinery plus one dimension count and a fixed-IEEE
+    // sqrt.
+    Q("q319_cramers_v",
+      (s, dir) => StatTests.cramersV(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH obs AS (
+        |  SELECT lang AS cat, source AS arm, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT c.cat, a.arm, coalesce(obs.o, 0) AS o
+        |  FROM (SELECT DISTINCT cat FROM obs) c
+        |  CROSS JOIN (SELECT DISTINCT arm FROM obs) a
+        |  LEFT JOIN obs ON obs.cat = c.cat AND obs.arm = a.arm),
+        |tot AS (
+        |  SELECT cat, arm, o,
+        |    sum(o) OVER (PARTITION BY cat) AS rt,
+        |    sum(o) OVER (PARTITION BY arm) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM grid),
+        |terms AS (
+        |  SELECT n,
+        |    CAST((CAST(o AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS contrib
+        |  FROM tot),
+        |x AS (
+        |  SELECT CAST(CAST(sum(contrib) AS VARCHAR) AS DOUBLE) AS chi2,
+        |    CAST(max(n) AS BIGINT) AS n
+        |  FROM terms),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT cat) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT arm) AS BIGINT) AS c
+        |  FROM obs)
+        |SELECT sqrt(chi2 / (CAST(n AS DOUBLE)
+        |    * CAST(least(r, c) - 1 AS DOUBLE))) AS v,
+        |  chi2, n, r, c
+        |FROM x, dims""".stripMargin)),
   )
 }

@@ -243,4 +243,15 @@ object Quality {
         expr("abs(__sum_score div n - (__pos * 1000) div n)")
           .as("gap_permille"))
   }
+  /** Expected calibration error — [[calibrationReliability]] folded to
+    * the one-row dashboard number: ECE = Σ_b (n_b/N)·|gap_b|, kept in
+    * integer permille (Σ n_b·gap_b div N). */
+  def expectedCalibrationError(df: DataFrame, scorePermilleCol: String,
+      labelCol: String, bins: Int = 10): DataFrame =
+    calibrationReliability(df, scorePermilleCol, labelCol, bins)
+      .agg(
+        expr("CAST(sum(n * gap_permille) div sum(n) AS BIGINT)")
+          .as("ece_permille"),
+        sum("n").cast("long").as("n"),
+        count(lit(1)).as("n_occupied_bins"))
 }

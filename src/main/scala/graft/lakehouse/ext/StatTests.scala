@@ -284,6 +284,25 @@ object StatTests {
         col("n_neg").cast("long").as("n_neg"))
   }
 
+  /** Cramér's V — the [0,1] effect size that makes chi-squared
+    * comparable across table sizes: V = √(χ²/(n·(min(r,c)−1))) from
+    * [[chiSquaredFromCounts]]'s exact machinery plus one dimension
+    * count, in a fixed IEEE op order. The drift DASHBOARD number (χ²
+    * grows with n even for trivial shifts; V does not). */
+  def cramersV(df: DataFrame, catCol: String, armCol: String): DataFrame = {
+    val counts = categoryCounts(df, catCol, armCol)
+    val chi2 = chiSquaredFromCounts(counts)
+    val dims = counts.agg(
+      countDistinct("cat").cast("long").as("r"),
+      countDistinct("arm").cast("long").as("c"))
+    chi2.crossJoin(broadcast(dims))
+      .select(
+        sqrt(col("chi2") /
+          (col("n").cast("double") *
+            (least(col("r"), col("c")) - 1L).cast("double"))).as("v"),
+        col("chi2"), col("n"), col("r"), col("c"))
+  }
+
   /** Poisson-bootstrap confidence interval for the mean (the bootstrap
     * that works in one distributed pass — Poisson(1) multiplicities
     * approximate with-replacement resampling, the standard trick at

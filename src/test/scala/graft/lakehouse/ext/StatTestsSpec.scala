@@ -342,4 +342,31 @@ class StatTestsSpec extends SparkSuite {
     assert(got.toSeq == Seq(("a", 2L, 1L, 1600L, 500L, 312L),
       ("b", 1L, 0L, 50L, 0L, 0L)))
   }
+  test("cramersV: perfect association -> 1, independence -> 0") {
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("cat", "arm")
+    val v1 = StatTests.cramersV(perfect, "cat", "arm").head()
+    assert(math.abs(v1.getAs[Double]("v") - 1.0) < 1e-12)
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("cat", "arm")
+    assert(math.abs(StatTests.cramersV(ind, "cat", "arm").head()
+      .getAs[Double]("v")) < 1e-12)
+  }
+
+  test("expectedCalibrationError: perfectly calibrated bins -> 0; a " +
+    "fully miscalibrated scorer -> ~its confidence") {
+    // score 950 always wrong, score 50 always right: both bins gap big
+    val bad = (Seq.fill(10)((950L, 0)) ++ Seq.fill(10)((50L, 1)))
+      .toDF("score", "label")
+    val e1 = graft.lakehouse.ext.Quality.expectedCalibrationError(
+      bad, "score", "label", bins = 10).head()
+    assert(e1.getAs[Long]("ece_permille") == 950L,
+      s"got ${e1.getAs[Long]("ece_permille")}")
+    // score 500 with half positives: gap 0
+    val good = (Seq.fill(10)((500L, 1)) ++ Seq.fill(10)((500L, 0)))
+      .toDF("score", "label")
+    assert(graft.lakehouse.ext.Quality.expectedCalibrationError(
+      good, "score", "label", bins = 10).head()
+      .getAs[Long]("ece_permille") == 0L)
+  }
 }
