@@ -10137,5 +10137,282 @@ object Queries {
         |    * CAST(least(r, c) - 1 AS DOUBLE))) AS v,
         |  chi2, n, r, c
         |FROM x, dims""".stripMargin)),
+
+    // Cliff's delta — ordinal effect size for "are English documents
+    // longer?": exact integer rank statistic from value-grouped counts,
+    // never the n1*n0 pair join.
+    Q("q320_cliffs_delta",
+      (s, dir) => StatTests.cliffsDelta(
+        t(s, dir, "documents")
+          .withColumn("arm", (col("lang") === "en").cast("int")),
+        "n_chars", "arm"),
+      Some("""WITH d AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (
+        |  SELECT v,
+        |    count(CASE WHEN arm = 0 THEN 1 END) AS c0,
+        |    count(CASE WHEN arm = 1 THEN 1 END) AS c1
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT c0, c1,
+        |    coalesce(sum(c0) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below0,
+        |    sum(c0) OVER () AS n0
+        |  FROM a),
+        |m AS (
+        |  SELECT sum(c1 * below0) AS wins,
+        |    sum(c1 * (n0 - below0 - c0)) AS losses,
+        |    sum(c1) AS n1, max(n0) AS n0
+        |  FROM c)
+        |SELECT CAST(wins - losses AS BIGINT) AS delta_num,
+        |  CAST(n1 * n0 AS BIGINT) AS delta_denom,
+        |  CAST((CASE WHEN wins > losses THEN 1
+        |      WHEN wins < losses THEN -1 ELSE 0 END)
+        |    * (abs(wins - losses) * 1000 // (n1 * n0)) AS BIGINT)
+        |    AS delta_permille,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0
+        |FROM m""".stripMargin)),
+
+    // Spearman rank correlation between line-item quantity and extended
+    // price: tie-averaged ranks held exactly as 2x-scaled integers,
+    // decimal moments, one IEEE division at the very end.
+    Q("q321_spearman_rho",
+      (s, dir) => StatTests.spearmanRho(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+      Some("""WITH b AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |vx AS (SELECT x AS v, count(*) AS c FROM b GROUP BY 1),
+        |rx AS (
+        |  SELECT v,
+        |    2 * coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c + 1 AS r2
+        |  FROM vx),
+        |vy AS (SELECT y AS v, count(*) AS c FROM b GROUP BY 1),
+        |ry AS (
+        |  SELECT v,
+        |    2 * coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c + 1 AS r2
+        |  FROM vy),
+        |j AS (
+        |  SELECT rx.r2 AS r2x, ry.r2 AS r2y
+        |  FROM b JOIN rx ON b.x = rx.v JOIN ry ON b.y = ry.v),
+        |m AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |    sum(r2x::HUGEINT) AS sx, sum(r2y::HUGEINT) AS sy,
+        |    sum(r2x::HUGEINT * r2y) AS sxy,
+        |    sum(r2x::HUGEINT * r2x) AS sxx,
+        |    sum(r2y::HUGEINT * r2y) AS syy
+        |  FROM j)
+        |SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    END AS rho,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m""".stripMargin)),
+
+    // Kruskal-Wallis H: does document length differ across languages?
+    // Exact 2x-scaled tie-averaged ranks; one IEEE division per group
+    // term; exact decimal fold.
+    Q("q322_kruskal_wallis",
+      (s, dir) => StatTests.kruskalWallis(
+        t(s, dir, "documents"), "n_chars", "lang"),
+      Some("""WITH b AS (
+        |  SELECT n_chars AS v, lang AS g FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |vc AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
+        |rk AS (
+        |  SELECT v,
+        |    2 * coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c + 1 AS r2
+        |  FROM vc),
+        |tie AS (SELECT sum(c * c * c - c) AS tie_num, sum(c) AS n FROM vc),
+        |pg AS (
+        |  SELECT g, sum(r2) AS s2, count(*) AS nj
+        |  FROM b JOIN rk USING (v) GROUP BY 1),
+        |terms AS (
+        |  SELECT CAST(CAST(s2::HUGEINT * s2 AS DOUBLE)
+        |    / CAST(nj AS DOUBLE) AS DECIMAL(38,18)) AS term
+        |  FROM pg),
+        |t2 AS (
+        |  SELECT CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS sum_terms,
+        |    count(*) AS k
+        |  FROM terms)
+        |SELECT
+        |  3.0 * sum_terms / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        |  CASE WHEN tie_num < n * n * n - n THEN
+        |    (3.0 * sum_terms / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(tie_num AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE)))
+        |    END AS h_corrected,
+        |  CAST(k - 1 AS BIGINT) AS dof,
+        |  CAST(n AS BIGINT) AS n
+        |FROM t2, tie""".stripMargin)),
+
+    // Gini concentration of document length per source: exact integer
+    // identity 2*sum(i*x_i) - (n+1)*sum(x), tie-order invariant.
+    Q("q323_gini_concentration",
+      (s, dir) => StatTests.giniConcentration(
+          t(s, dir, "documents"), "n_chars", "source")
+        .orderBy("group"),
+      Some("""WITH r AS (
+        |  SELECT source AS grp, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (
+        |  SELECT grp, count(*) AS n, sum(v) AS total, sum(i * v) AS ws
+        |  FROM r GROUP BY 1)
+        |SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+        |  CAST(total AS BIGINT) AS total,
+        |  CAST((2 * ws - (n + 1) * total) * 1000 // (n * total) AS BIGINT)
+        |    AS gini_permille
+        |FROM a WHERE total > 0 ORDER BY "group"""".stripMargin)),
+
+    // Mann-Kendall trend on daily ingest volume: exact integer S and
+    // 18x-scaled tie-corrected variance over the bounded day frame.
+    Q("q324_mann_kendall",
+      (s, dir) => StatTests.mannKendallTrend(
+        ev(s, dir).groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events"),
+      Some("""WITH d AS (
+        |  SELECT date_trunc('day', ts) AS t, count(*) AS v
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.va, b.vb
+        |  FROM (SELECT t AS ta, v AS va FROM d) a
+        |  JOIN (SELECT t AS tb, v AS vb FROM d) b ON a.ta < b.tb),
+        |sgn AS (
+        |  SELECT coalesce(sum(CASE WHEN vb > va THEN 1
+        |    WHEN vb < va THEN -1 ELSE 0 END), 0) AS s
+        |  FROM p),
+        |tie AS (
+        |  SELECT sum(c * (c - 1) * (2 * c + 5)) AS tie18, sum(c) AS m
+        |  FROM (SELECT v, count(*) AS c FROM d GROUP BY 1)),
+        |x AS (
+        |  SELECT s, m, m * (m - 1) * (2 * m + 5) - tie18 AS var18
+        |  FROM sgn, tie)
+        |SELECT CAST(s AS BIGINT) AS s, CAST(m AS BIGINT) AS m,
+        |  CAST(var18 AS BIGINT) AS var18,
+        |  CASE WHEN var18 <= 0 THEN NULL
+        |    WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END AS z
+        |FROM x""".stripMargin)),
+
+    // Jensen-Shannon divergence of the language mix between even- and
+    // odd-numbered sources: symmetric, always-finite drift distance.
+    Q("q325_jensen_shannon",
+      (s, dir) => StatTests.jensenShannon(
+        t(s, dir, "documents").withColumn("arm",
+          substring(col("source"), 4, 10).cast("int") % 2),
+        "lang", "arm"),
+      Some("""WITH d AS (
+        |  SELECT lang AS cat, CAST(substr(source, 4) AS INT) % 2 AS arm
+        |  FROM documents WHERE lang IS NOT NULL),
+        |c AS (
+        |  SELECT cat,
+        |    count(CASE WHEN arm = 0 THEN 1 END) AS c0,
+        |    count(CASE WHEN arm = 1 THEN 1 END) AS c1
+        |  FROM d GROUP BY 1),
+        |w AS (
+        |  SELECT cat, c0, c1, sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+        |  FROM c),
+        |terms AS (
+        |  SELECT CAST(
+        |    (CASE WHEN c0 > 0 THEN
+        |      0.5 * (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      * (ln((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |        / ((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |          + CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 2.0))
+        |        / ln(2.0))
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN c1 > 0 THEN
+        |      0.5 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      * (ln((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |        / ((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |          + CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 2.0))
+        |        / ln(2.0))
+        |      ELSE 0.0 END)
+        |    AS DECIMAL(38,18)) AS term, n0, n1
+        |  FROM w)
+        |SELECT CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS jsd_bits,
+        |  CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+        |  count(*) AS n_cats
+        |FROM terms""".stripMargin)),
+
+    // Kendall tau-b between line-item quantity and discount (both
+    // ordinal, bounded grids): exact concordant/discordant counts from
+    // the cell-grid self-join, never the n^2 pair space.
+    Q("q326_kendall_tau",
+      (s, dir) => StatTests.kendallTauB(
+        t(s, dir, "lineitem"), "l_quantity", "l_discount"),
+      Some("""WITH g AS (
+        |  SELECT l_quantity AS x, l_discount AS y, count(*) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END), 0)
+        |      AS concordant,
+        |    coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END), 0)
+        |      AS discordant
+        |  FROM g a JOIN g b ON a.x < b.x),
+        |tx AS (
+        |  SELECT sum(nx * (nx - 1) // 2) AS tx
+        |  FROM (SELECT sum(c) AS nx FROM g GROUP BY x)),
+        |ty AS (
+        |  SELECT sum(ny * (ny - 1) // 2) AS ty
+        |  FROM (SELECT sum(c) AS ny FROM g GROUP BY y)),
+        |nn AS (SELECT sum(c) AS n, sum(c) * (sum(c) - 1) // 2 AS n0 FROM g)
+        |SELECT CAST(concordant AS BIGINT) AS concordant,
+        |  CAST(discordant AS BIGINT) AS discordant,
+        |  CASE WHEN (n0 - tx)::HUGEINT * (n0 - ty) > 0 THEN
+        |    CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST((n0 - tx)::HUGEINT * (n0 - ty) AS DOUBLE))
+        |    END AS tau_b,
+        |  CAST(n AS BIGINT) AS n
+        |FROM p, tx, ty, nn""".stripMargin)),
+
+    // LIX readability per source: word/sentence/long-word totals and the
+    // centi-LIX index, all integer.
+    Q("q327_lix_readability",
+      (s, dir) => TextStats.lixReadability(
+          t(s, dir, "documents"), "text", "source")
+        .orderBy("group"),
+      Some("""WITH m AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> length(t) > 6)) END AS l,
+        |    length(regexp_replace(text, '[^.!?]', '', 'g')) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (
+        |  SELECT source AS "group", count(*) AS n_docs, sum(w) AS n_words,
+        |    sum(s) AS n_sentences, sum(l) AS n_longwords
+        |  FROM m GROUP BY 1)
+        |SELECT "group", CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_longwords AS BIGINT) AS n_longwords,
+        |  CAST(n_words * 100 // greatest(n_sentences, 1)
+        |    + n_longwords * 10000 // n_words AS BIGINT) AS lix_centi
+        |FROM a WHERE n_words > 0 ORDER BY "group"""".stripMargin)),
   )
 }

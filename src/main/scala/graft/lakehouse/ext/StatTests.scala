@@ -414,6 +414,285 @@ object StatTests {
       (center + half).as("wilson_hi"))
   }
 
+  /** Cliff's delta — the ordinal effect size behind [[rocAuc]]'s rank
+    * statistic: δ = (#(x₁>x₀) − #(x₁<x₀)) / (n₁·n₀) over all cross-arm
+    * pairs, computed EXACTLY from one count-per-distinct-value
+    * aggregation plus cumulative windows over that bounded frame — never
+    * the n₁·n₀ pair join. δ = 2·AUC − 1 algebraically, but reported in
+    * its own [−1, 1] convention (|δ| < .147 negligible, < .33 small,
+    * < .474 medium — Romano et al. 2006). Integer division is applied to
+    * |num| then re-signed so Spark's `div` (truncation) and any oracle's
+    * floor division agree on negatives. */
+  def cliffsDelta(df: DataFrame, valueCol: String, armCol: String): DataFrame = {
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        count(when(col(armCol) === 0, lit(1))).as("c0"),
+        count(when(col(armCol) === 1, lit(1))).as("c1"))
+    val wBelow = Window.partitionBy().orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    agg
+      .withColumn("below0", coalesce(sum("c0").over(wBelow), lit(0L)))
+      .withColumn("n0", sum("c0").over(wAll))
+      .agg(
+        sum(col("c1") * col("below0")).as("__wins"),
+        sum(col("c1") * (col("n0") - col("below0") - col("c0"))).as("__losses"),
+        sum("c1").as("n1"),
+        max("n0").as("n0"))
+      .select(
+        (col("__wins") - col("__losses")).cast("long").as("delta_num"),
+        (col("n1") * col("n0")).cast("long").as("delta_denom"),
+        (signum(col("__wins") - col("__losses")).cast("long") *
+          expr("CAST(abs(__wins - __losses) * 1000 div (n1 * n0) AS BIGINT)"))
+          .cast("long").as("delta_permille"),
+        col("n1").cast("long").as("n1"),
+        col("n0").cast("long").as("n0"))
+  }
+
+  /** Spearman rank correlation ρ between two columns, EXACT through the
+    * rank stage: average ranks are held as integers scaled by 2 (a tie
+    * group's average rank is always a multiple of ½), computed from one
+    * count-per-distinct-value aggregation per column + a cumulative
+    * window over that frame, joined back to the rows; Pearson's
+    * moments over the scaled ranks accumulate as DECIMAL(38,0) — exact —
+    * and only the final ρ = num/(√d₁·√d₂) leaves ℤ, in a fixed IEEE op
+    * order. No float ranks, no per-row global window. The cumulative
+    * frame is \|distinct values\| rows — for continuous columns at corpus
+    * scale, quantize first (the [[populationStabilityIndex]] fixed-grid
+    * discipline) so the frame stays bounded. */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+    // (distinct value -> 2·avg-rank) frame: 2·belowCount + count + 1
+    def rank2(c: String, out: String): DataFrame = {
+      val wBelow = Window.partitionBy().orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum("c").over(wBelow), lit(0L)) + col("c") + 1L)
+        .select(col("v").as(c), col(out))
+    }
+    val j = base
+      .join(rank2("__x", "r2x"), Seq("__x"))
+      .join(rank2("__y", "r2y"), Seq("__y"))
+    val m = j.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("r2x").cast("decimal(38,0)")).as("sx"),
+      sum(col("r2y").cast("decimal(38,0)")).as("sy"),
+      sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+    val d2 = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(
+      when(d1 > 0 && d2 > 0,
+        num.cast("double") / (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+        .as("rho"),
+      col("n").cast("long").as("n"))
+  }
+
+  /** Kruskal–Wallis H — "does `valueCol`'s distribution differ across
+    * the groups of `groupCol`?", the k-sample generalization of the
+    * rank tests above. Tie-averaged ranks are exact 2×-scaled integers
+    * from one count-per-distinct-value aggregation + a cumulative window
+    * over that frame; per-group rank sums are exact; with the ×2
+    * scaling, H = 3·Σ(S_j²/n_j)/(N(N+1)) − 3(N+1), each S_j²/n_j term a
+    * single IEEE division of exact integers folded as exact decimals.
+    * The tie-correction factor C = 1 − Σ(t³−t)/(N³−N) comes from the
+    * same value-counts frame; h_corrected = h/C. Returns one row:
+    * h, h_corrected, dof, n. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).as("__v"), col(groupCol).as("__g"))
+    val counts = base.groupBy(col("__v").as("v")).agg(count(lit(1)).as("c"))
+    val wBelow = Window.partitionBy().orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = counts
+      .withColumn("r2",
+        lit(2L) * coalesce(sum("c").over(wBelow), lit(0L)) + col("c") + 1L)
+    val tie = ranks.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie_num"),
+      sum("c").as("n"))
+    val perGroup = base.join(ranks.select(col("v").as("__v"), col("r2")), Seq("__v"))
+      .groupBy("__g")
+      .agg(sum("r2").as("s2"), count(lit(1)).as("nj"))
+    // S_j (unscaled rank sum) = s2/2; Σ S_j²/n_j = Σ s2²/(4·n_j)
+    val terms = perGroup
+      .withColumn("term",
+        ((col("s2").cast("decimal(38,0)") * col("s2")).cast("double") /
+          col("nj").cast("double")).cast("decimal(38,18)"))
+      .agg(sum("term").cast("double").as("sum_terms"),
+        count(lit(1)).as("k"))
+    val j = terms.crossJoin(broadcast(tie))
+    val nD = col("n").cast("double")
+    // Σ S_j²/n_j = sum_terms/4 (S_j = s2_j/2), so the 12/(N(N+1)) factor
+    // folds to 3/(N(N+1)) against the unscaled sum.
+    val h = lit(3.0) * col("sum_terms") / (nD * (nD + 1.0)) -
+      lit(3.0) * (nD + 1.0)
+    j.select(
+      h.as("h"),
+      when(col("tie_num") < col("n") * col("n") * col("n") - col("n"),
+        h / (lit(1.0) - col("tie_num").cast("double") /
+          (nD * nD * nD - nD)))
+        .as("h_corrected"),
+      (col("k") - 1).cast("long").as("dof"),
+      col("n").cast("long").as("n"))
+  }
+
+  /** Gini concentration coefficient of `valueCol` within each group —
+    * "how unevenly is corpus volume spread across this slice?" (0 =
+    * perfectly even, →1 = one member holds everything). EXACT in
+    * integers: with values sorted ascending inside each group and
+    * 1-indexed by row_number, G·(n·Σx) = 2·Σ(i·xᵢ) − (n+1)·Σx — the
+    * Σ(i·xᵢ) sum is invariant to how row_number breaks ties between
+    * equal values, so no tie-break column is needed and any engine
+    * reproduces it. One window shuffle on the group key, one
+    * aggregation. Requires non-negative values (checked). */
+  def giniConcentration(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val w = Window.partitionBy("__g").orderBy("__v")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        when(col(valueCol) < 0, raise_error(lit(
+          "giniConcentration requires non-negative values")))
+          .otherwise(col(valueCol)).cast("long").as("__v"))
+      .withColumn("__i", row_number().over(w))
+      .groupBy(col("__g").as("group"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("__v").as("total"),
+        sum(col("__i") * col("__v")).as("__ws"))
+      .filter(col("total") > 0L)
+      .select(
+        col("group"), col("n").cast("long").as("n"),
+        col("total").cast("long").as("total"),
+        expr("CAST((2 * __ws - (n + 1) * total) * 1000 div (n * total) " +
+          "AS BIGINT)").as("gini_permille"))
+  }
+
+  /** Mann–Kendall trend test over a pre-aggregated time series (one row
+    * per period — ingest volume per day, mean quality per week): S =
+    * Σ_{i<j} sign(v_j − v_i), EXACT by a self-join over the bounded
+    * period frame (never the raw rows — aggregate first; duplicate
+    * periods are refused loudly). The tie-corrected variance is kept as
+    * the exact integer 18·Var = m(m−1)(2m+5) − Σt(t−1)(2t+5); only the
+    * final z (with the standard ±1 continuity correction) leaves ℤ.
+    * Returns one row: s, m, var18, z. */
+  def mannKendallTrend(series: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val wT = Window.partitionBy(col(tCol))
+    val base = series
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .withColumn("__dup", count(lit(1)).over(wT))
+      .withColumn("__v",
+        when(col("__dup") > 1, raise_error(lit(
+          "mannKendallTrend needs one row per period — aggregate first")))
+          .otherwise(col(vCol)))
+      .select(col(tCol).as("__t"), col("__v"))
+    val a = base.select(col("__t").as("ta"), col("__v").as("va"))
+    val b = base.select(col("__t").as("tb"), col("__v").as("vb"))
+    val s = a.join(b, col("ta") < col("tb"))
+      .agg(coalesce(sum(signum(col("vb") - col("va")).cast("long")), lit(0L))
+        .as("s"))
+    val ties = base.groupBy("__v").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c") * (col("c") - 1) * (lit(2L) * col("c") + 5)).as("tie18"),
+        sum("c").as("m"))
+    s.crossJoin(broadcast(ties))
+      .withColumn("var18",
+        col("m") * (col("m") - 1) * (lit(2L) * col("m") + 5) - col("tie18"))
+      .select(
+        col("s").cast("long").as("s"),
+        col("m").cast("long").as("m"),
+        col("var18").cast("long").as("var18"),
+        when(col("var18") <= 0L, lit(null).cast("double"))
+          .when(col("s") > 0L,
+            (col("s").cast("double") - 1.0) /
+              sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s") < 0L,
+            (col("s").cast("double") + 1.0) /
+              sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** Jensen–Shannon divergence (bits) between the `catCol` distributions
+    * of arm 0 and arm 1 — the SYMMETRIC, always-finite drift distance
+    * (KL blows up on cells one side lacks; JSD ≤ 1 bit and handles them
+    * natively, no smoothing needed — cf. [[populationStabilityIndex]]).
+    * One count aggregation into the bounded category frame; per-cell
+    * p·log₂(p/mix) terms in a fixed IEEE op order (ln/ln2), zero-count
+    * sides contribute exactly 0, exact decimal fold. Returns one row:
+    * jsd_bits, n0, n1, n_cats. */
+  def jensenShannon(df: DataFrame, catCol: String, armCol: String): DataFrame = {
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat"))
+      .agg(
+        count(when(col(armCol) === 0, lit(1))).as("c0"),
+        count(when(col(armCol) === 1, lit(1))).as("c1"))
+    val wAll = Window.partitionBy()
+    val withTot = counts
+      .withColumn("n0", sum("c0").over(wAll))
+      .withColumn("n1", sum("c1").over(wAll))
+    val ln2 = log(lit(2.0))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val mix = (p0 + p1) / lit(2.0)
+    val term =
+      when(col("c0") > 0L, lit(0.5) * p0 * (log(p0 / mix) / ln2))
+        .otherwise(lit(0.0)) +
+      when(col("c1") > 0L, lit(0.5) * p1 * (log(p1 / mix) / ln2))
+        .otherwise(lit(0.0))
+    withTot
+      .withColumn("term", term.cast("decimal(38,18)"))
+      .agg(
+        sum("term").cast("double").as("jsd_bits"),
+        max("n0").cast("long").as("n0"),
+        max("n1").cast("long").as("n1"),
+        count(lit(1)).as("n_cats"))
+  }
+
+  /** Kendall τ-b between two ORDINAL columns, EXACT in integers: one
+    * count aggregation into the \|x\|×\|y\| cell grid, then concordant/
+    * discordant pair sums by a self-join over that bounded grid (each
+    * unordered pair counted once via the strictly-greater corner) — the
+    * O(n²) pair space never materializes, only the grid². Tie terms come
+    * from the grid's marginals; τ-b = (C−D)/√((n₀−t_x)(n₀−t_y)) is the
+    * single IEEE step. For continuous columns, quantize to a grid first
+    * (the [[populationStabilityIndex]] discipline) — the grid must stay
+    * bounded. Returns one row: concordant, discordant, tau_b, n. */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val grid = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val a = grid.select(col("x").as("ax"), col("y").as("ay"), col("c").as("ca"))
+    val b = grid.select(col("x").as("bx"), col("y").as("by"), col("c").as("cb"))
+    val pairs = a.join(b, col("ax") < col("bx"))
+      .agg(
+        coalesce(sum(when(col("ay") < col("by"), col("ca") * col("cb"))
+          .otherwise(0L)), lit(0L)).as("concordant"),
+        coalesce(sum(when(col("ay") > col("by"), col("ca") * col("cb"))
+          .otherwise(0L)), lit(0L)).as("discordant"))
+    // Column./ on longs is DOUBLE division — `div` keeps the tie/pair
+    // counts integer-exact end to end.
+    val tx = grid.groupBy("x").agg(sum("c").as("nx"))
+      .agg(sum(expr("nx * (nx - 1) div 2")).as("tx"))
+    val ty = grid.groupBy("y").agg(sum("c").as("ny"))
+      .agg(sum(expr("ny * (ny - 1) div 2")).as("ty"))
+    val n = grid.agg(sum("c").as("n"))
+    val j = pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(n))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+    val denom = ((col("n0") - col("tx")).cast("decimal(38,0)") *
+      (col("n0") - col("ty"))).cast("decimal(38,0)")
+    j.select(
+      col("concordant").cast("long").as("concordant"),
+      col("discordant").cast("long").as("discordant"),
+      when(denom > 0,
+        (col("concordant") - col("discordant")).cast("double") /
+          sqrt(denom.cast("double"))).as("tau_b"),
+      col("n").cast("long").as("n"))
+  }
+
   /** Zipf power-law fit over the token-frequency spectrum: least-squares
     * slope/intercept of ln(freq) on ln(rank) for the `topR` most frequent
     * whitespace tokens (rank ties broken by token text — deterministic).

@@ -1235,4 +1235,36 @@ object TextStats {
         expr("(n_dup_docs * 1000) div n_docs").as("dup_permille"),
         expr("(n_tokens * 1000) div n_docs").as("tokens_per_doc_permille"))
   }
+
+  /** LIX readability per group (Björnsson 1968 — the readability index
+    * with no syllable counting, so it is exactly computable from
+    * whitespace tokens and sentence-ending punctuation in any engine):
+    * LIX = W/S + 100·L/W over group TOTALS (words W, sentences S = count
+    * of [.!?] characters, long words L = tokens longer than 6 chars),
+    * reported ×100 as integer centi-LIX. < 30 easy, > 60 very hard —
+    * a per-source complexity profile for curriculum/mixture decisions.
+    * Per-row compiled kernels into ONE aggregation; S clamps to ≥ 1 so
+    * punctuation-free groups stay defined. */
+  def lixReadability(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val trimmed = trim(col(textCol))
+    val toks = split(trimmed, "\\s+")
+    val empty = length(trimmed) === 0
+    val words = when(empty, 0L).otherwise(size(toks).cast("long"))
+    val longWords = when(empty, 0L)
+      .otherwise(size(filter(toks, w => length(w) > 6)).cast("long"))
+    val sentences = length(regexp_replace(col(textCol), "[^.!?]", ""))
+      .cast("long")
+    df.filter(col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(words).as("n_words"),
+        sum(sentences).as("n_sentences"),
+        sum(longWords).as("n_longwords"))
+      .filter(col("n_words") > 0L)
+      .select(col("group"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_longwords"),
+        expr("(n_words * 100) div greatest(n_sentences, 1) " +
+          "+ (n_longwords * 10000) div n_words").as("lix_centi"))
+  }
 }

@@ -369,4 +369,119 @@ class StatTestsSpec extends SparkSuite {
       good, "score", "label", bins = 10).head()
       .getAs[Long]("ece_permille") == 0L)
   }
+
+  test("cliffsDelta: full separation -> ±1000, tie pairs drop out, " +
+    "hand-checked mixed case") {
+    val sep = Seq((3, 1), (4, 1), (1, 0), (2, 0)).toDF("v", "arm")
+    val s = StatTests.cliffsDelta(sep, "v", "arm").head()
+    assert(s.getAs[Long]("delta_num") == 4L &&
+      s.getAs[Long]("delta_denom") == 4L &&
+      s.getAs[Long]("delta_permille") == 1000L)
+    val rev = Seq((1, 1), (5, 0)).toDF("v", "arm")
+    assert(StatTests.cliffsDelta(rev, "v", "arm").head()
+      .getAs[Long]("delta_permille") == -1000L)
+    // arm1 {2,3} vs arm0 {1,2}: one tie pair (2,2) contributes 0;
+    // wins = 3, losses = 0 -> 3/4 = 750 permille
+    val mixed = Seq((2, 1), (3, 1), (2, 0), (1, 0)).toDF("v", "arm")
+    val m = StatTests.cliffsDelta(mixed, "v", "arm").head()
+    assert(m.getAs[Long]("delta_num") == 3L &&
+      m.getAs[Long]("delta_denom") == 4L &&
+      m.getAs[Long]("delta_permille") == 750L)
+  }
+
+  test("spearmanRho: monotone -> 1, reversed -> -1, tie case matches " +
+    "hand-scaled ranks, constant column -> null") {
+    val up = Seq((1, 10), (2, 20), (3, 30)).toDF("x", "y")
+    assert(math.abs(StatTests.spearmanRho(up, "x", "y").head()
+      .getAs[Double]("rho") - 1.0) < 1e-12)
+    val down = Seq((1, 30), (2, 20), (3, 10)).toDF("x", "y")
+    assert(math.abs(StatTests.spearmanRho(down, "x", "y").head()
+      .getAs[Double]("rho") + 1.0) < 1e-12)
+    // x = [1,1,2] -> avg ranks [1.5,1.5,3] (scaled [3,3,6]);
+    // y = [1,2,3] -> scaled [2,4,6]; rho = 18/sqrt(18*24) = sqrt(3)/2
+    val tied = Seq((1, 1), (1, 2), (2, 3)).toDF("x", "y")
+    assert(math.abs(StatTests.spearmanRho(tied, "x", "y").head()
+      .getAs[Double]("rho") - math.sqrt(3.0) / 2.0) < 1e-12)
+    val const = Seq((1, 1), (1, 2)).toDF("x", "y")
+    assert(StatTests.spearmanRho(const, "x", "y").head().isNullAt(0))
+  }
+
+  test("kruskalWallis: textbook no-tie case, all-tied degenerate case") {
+    // groups a={1,2} b={3,4}: ranks 1..4, S_a=3 S_b=7,
+    // H = 12/(4*5)*(9/2+49/2) - 3*5 = 2.4; no ties -> corrected == h
+    val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "b")).toDF("v", "g")
+    val r = StatTests.kruskalWallis(df, "v", "g").head()
+    assert(math.abs(r.getAs[Double]("h") - 2.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_corrected") - 2.4) < 1e-12)
+    assert(r.getAs[Long]("dof") == 1L && r.getAs[Long]("n") == 4L)
+    // every value identical: H = 0 and the tie correction divides by
+    // zero -> h_corrected is null, not NaN
+    val flat = Seq((5, "a"), (5, "a"), (5, "b")).toDF("v", "g")
+    val f = StatTests.kruskalWallis(flat, "v", "g").head()
+    assert(math.abs(f.getAs[Double]("h")) < 1e-9)
+    assert(f.isNullAt(f.fieldIndex("h_corrected")))
+  }
+
+  test("giniConcentration: uniform -> 0, concentrated -> 2/3, " +
+    "negative values refused") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 1L),
+      ("b", 0L), ("b", 0L), ("b", 4L)).toDF("g", "v")
+    val got = StatTests.giniConcentration(df, "v", "g")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("gini_permille")))
+    assert(got.toSeq == Seq(("a", 0L), ("b", 666L)))
+    val neg = Seq(("a", -1L)).toDF("g", "v")
+    intercept[Exception] {
+      StatTests.giniConcentration(neg, "v", "g").collect()
+    }
+  }
+
+  test("mannKendallTrend: monotone up/down, flat -> null z, duplicate " +
+    "period refused") {
+    val up = Seq((1, 10), (2, 20), (3, 30)).toDF("t", "v")
+    val r = StatTests.mannKendallTrend(up, "t", "v").head()
+    // S = 3, var18 = 3*2*11 = 66, z = 2/sqrt(66/18)
+    assert(r.getAs[Long]("s") == 3L && r.getAs[Long]("var18") == 66L)
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(66.0 / 18.0)) < 1e-12)
+    val down = Seq((1, 30), (2, 20), (3, 10)).toDF("t", "v")
+    val d = StatTests.mannKendallTrend(down, "t", "v").head()
+    assert(d.getAs[Long]("s") == -3L)
+    assert(math.abs(d.getAs[Double]("z") + 2.0 / math.sqrt(66.0 / 18.0)) < 1e-12)
+    val flat = Seq((1, 5), (2, 5), (3, 5)).toDF("t", "v")
+    val f = StatTests.mannKendallTrend(flat, "t", "v").head()
+    assert(f.getAs[Long]("s") == 0L && f.isNullAt(f.fieldIndex("z")))
+    intercept[Exception] {
+      StatTests.mannKendallTrend(
+        Seq((1, 1), (1, 2)).toDF("t", "v"), "t", "v").collect()
+    }
+  }
+
+  test("kendallTauB: perfect concordance -> 1, reversed -> -1, tie case " +
+    "matches hand counts") {
+    val up = Seq((1, 1), (2, 2), (3, 3)).toDF("x", "y")
+    val r = StatTests.kendallTauB(up, "x", "y").head()
+    assert(r.getAs[Long]("concordant") == 3L &&
+      r.getAs[Long]("discordant") == 0L)
+    assert(math.abs(r.getAs[Double]("tau_b") - 1.0) < 1e-12)
+    val down = Seq((1, 3), (2, 2), (3, 1)).toDF("x", "y")
+    assert(math.abs(StatTests.kendallTauB(down, "x", "y").head()
+      .getAs[Double]("tau_b") + 1.0) < 1e-12)
+    // (1,1) (2,1) (3,2): C=2, D=0, ty=1 tie pair -> tau = 2/sqrt(3*2)
+    val tied = Seq((1, 1), (2, 1), (3, 2)).toDF("x", "y")
+    val tt = StatTests.kendallTauB(tied, "x", "y").head()
+    assert(tt.getAs[Long]("concordant") == 2L &&
+      tt.getAs[Long]("discordant") == 0L)
+    assert(math.abs(tt.getAs[Double]("tau_b") - 2.0 / math.sqrt(6.0)) < 1e-12)
+  }
+
+  test("jensenShannon: disjoint supports -> 1 bit, identical -> 0") {
+    val disjoint = Seq(("a", 0), ("a", 0), ("b", 1), ("b", 1)).toDF("cat", "arm")
+    val r = StatTests.jensenShannon(disjoint, "cat", "arm").head()
+    assert(math.abs(r.getAs[Double]("jsd_bits") - 1.0) < 1e-12)
+    assert(r.getAs[Long]("n0") == 2L && r.getAs[Long]("n1") == 2L &&
+      r.getAs[Long]("n_cats") == 2L)
+    val same = Seq(("a", 0), ("b", 0), ("a", 1), ("b", 1)).toDF("cat", "arm")
+    assert(math.abs(StatTests.jensenShannon(same, "cat", "arm").head()
+      .getAs[Double]("jsd_bits")) < 1e-12)
+  }
 }

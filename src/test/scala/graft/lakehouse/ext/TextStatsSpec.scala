@@ -576,4 +576,22 @@ class TextStatsSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("lixReadability: hand arithmetic, punctuation-free group clamps " +
+    "sentences, empty-only group dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "The elephant wandered. It was gigantic."),
+      ("b", "no stops here"),
+      ("c", "   ")).toDF("src", "text")
+    val got = TextStats.lixReadability(df, "text", "src")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_longwords"),
+        r.getAs[Long]("lix_centi")))
+    // a: 6 words, 2 sentences, 3 long ("elephant","wandered.","gigantic.")
+    //    -> 600/2 + 30000/6 = 5300
+    // b: 3 words, 0 sentences (clamped to 1), 0 long -> 300
+    // c: zero words -> dropped
+    assert(got.toSeq == Seq(("a", 6L, 2L, 3L, 5300L), ("b", 3L, 0L, 0L, 300L)))
+  }
 }
