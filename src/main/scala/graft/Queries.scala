@@ -10414,5 +10414,255 @@ object Queries {
         |  CAST(n_words * 100 // greatest(n_sentences, 1)
         |    + n_longwords * 10000 // n_words AS BIGINT) AS lix_centi
         |FROM a WHERE n_words > 0 ORDER BY "group"""".stripMargin)),
+
+    // Fleiss' kappa over a synthetic annotation frame (4 "raters" per
+    // item = 4 consecutive events; category = event_type): exact
+    // integer kappa from one (item, category) count aggregation.
+    Q("q328_fleiss_kappa",
+      (s, dir) => {
+        val r = ev(s, dir)
+          .selectExpr("event_id div 4 AS item", "event_type AS cat")
+        val full = r.groupBy("item").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 4).select("item")
+        StatTests.fleissKappa(r.join(full, Seq("item"), "left_semi"),
+          "item", "cat")
+      },
+      Some("""WITH r AS (
+        |  SELECT event_id // 4 AS item, event_type AS cat FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL),
+        |f AS (SELECT item FROM r GROUP BY 1 HAVING count(*) = 4),
+        |d AS (SELECT r.item, r.cat FROM r JOIN f USING (item)),
+        |cnt AS (SELECT item, cat, count(*) AS nij FROM d GROUP BY 1, 2),
+        |it AS (
+        |  SELECT count(DISTINCT item)::HUGEINT AS nn,
+        |    sum(nij::HUGEINT * nij) AS s2
+        |  FROM cnt),
+        |ct AS (
+        |  SELECT count(*)::HUGEINT AS ncats, sum(cj::HUGEINT * cj) AS csq
+        |  FROM (SELECT cat, sum(nij) AS cj FROM cnt GROUP BY 1)),
+        |k AS (
+        |  SELECT (s2 - nn * 4) AS a, nn * 4 * 3 AS d1,
+        |    (nn * 4) * (nn * 4) AS d2, csq, nn, ncats
+        |  FROM it, ct)
+        |SELECT CASE WHEN d1 * (d2 - csq) <> 0
+        |    THEN CAST(a * d2 - csq * d1 AS DOUBLE)
+        |      / CAST(d1 * (d2 - csq) AS DOUBLE) END AS kappa,
+        |  CAST(a * d2 - csq * d1 AS BIGINT) AS kappa_num,
+        |  CAST(d1 * (d2 - csq) AS BIGINT) AS kappa_den,
+        |  CAST(nn AS BIGINT) AS n_items, CAST(4 AS BIGINT) AS n_raters,
+        |  CAST(ncats AS BIGINT) AS n_categories
+        |FROM k""".stripMargin)),
+
+    // Per-source permutation test: "are English documents' character
+    // totals different from chance?" — m=64 sha-keyed label reshuffles,
+    // integer exceedance, add-one p. No erf, no t-table: the p-value
+    // itself is exact integer arithmetic any engine replays.
+    Q("q329_permutation_test",
+      (s, dir) => StatTests.permutationTestPerGroup(
+          t(s, dir, "documents")
+            .withColumn("arm", (col("lang") === "en").cast("int")),
+          "source", "doc_id", "n_chars", "arm", m = 64)
+        .orderBy("grp"),
+      Some("""WITH b AS (
+        |  SELECT source AS g, doc_id AS id, n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |st AS (
+        |  SELECT g, count(*) AS n,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(v) AS s, sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS obs
+        |  FROM b GROUP BY 1
+        |  HAVING sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+        |    AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) < count(*)),
+        |e AS (
+        |  SELECT b.g, b.id, b.v, t.p
+        |  FROM b JOIN st ON st.g = b.g, unnest(range(1, 65)) AS t(p)),
+        |k AS (
+        |  SELECT g, v, p,
+        |    row_number() OVER (PARTITION BY g, p ORDER BY
+        |      CAST(('0x' || substring(sha256(CAST(id AS VARCHAR) || '#'
+        |        || CAST(p AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT),
+        |      id) AS rn
+        |  FROM e),
+        |ps AS (
+        |  SELECT k.g, k.p, sum(k.v) AS tt
+        |  FROM k JOIN st ON st.g = k.g AND k.rn <= st.n1
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT ps.g,
+        |    count(*) FILTER (WHERE abs(tt * n - n1 * s)
+        |      >= abs(obs * n - n1 * s)) AS ec
+        |  FROM ps JOIN st ON st.g = ps.g GROUP BY 1)
+        |SELECT st.g AS grp, CAST(n AS BIGINT) AS n,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(obs AS BIGINT) AS obs_sum,
+        |  CAST(ec AS BIGINT) AS n_exceed, CAST(64 AS BIGINT) AS m,
+        |  CAST((ec + 1) * 1000 // 65 AS BIGINT) AS p_permille
+        |FROM st JOIN ex ON ex.g = st.g ORDER BY grp""".stripMargin)),
+
+    // Benjamini–Hochberg step-up over q329's per-source permutation
+    // p-values (rational num/den chained losslessly): integer step-up
+    // decision, bounded |tests| frame.
+    Q("q330_bh_fdr",
+      (s, dir) => {
+        val p = StatTests.permutationTestPerGroup(
+          t(s, dir, "documents")
+            .withColumn("arm", (col("lang") === "en").cast("int")),
+          "source", "doc_id", "n_chars", "arm", m = 64)
+        StatTests.benjaminiHochberg(
+          p.select(col("grp"), (col("n_exceed") + 1L).as("p_num"),
+            lit(65L).as("p_den")),
+          "grp", "p_num", "p_den", alphaPermille = 100)
+          .orderBy("grp")
+      },
+      Some("""WITH b AS (
+        |  SELECT source AS g, doc_id AS id, n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |st AS (
+        |  SELECT g, count(*) AS n,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(v) AS s, sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS obs
+        |  FROM b GROUP BY 1
+        |  HAVING sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+        |    AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) < count(*)),
+        |e AS (
+        |  SELECT b.g, b.id, b.v, t.p
+        |  FROM b JOIN st ON st.g = b.g, unnest(range(1, 65)) AS t(p)),
+        |k AS (
+        |  SELECT g, v, p,
+        |    row_number() OVER (PARTITION BY g, p ORDER BY
+        |      CAST(('0x' || substring(sha256(CAST(id AS VARCHAR) || '#'
+        |        || CAST(p AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT),
+        |      id) AS rn
+        |  FROM e),
+        |ps AS (
+        |  SELECT k.g, k.p, sum(k.v) AS tt
+        |  FROM k JOIN st ON st.g = k.g AND k.rn <= st.n1
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT ps.g,
+        |    count(*) FILTER (WHERE abs(tt * n - n1 * s)
+        |      >= abs(obs * n - n1 * s)) AS ec
+        |  FROM ps JOIN st ON st.g = ps.g GROUP BY 1),
+        |pv AS (
+        |  SELECT g AS grp, ec + 1 AS p_num, 65 AS p_den FROM ex),
+        |rk AS (
+        |  SELECT grp, p_num, p_den,
+        |    count(*) OVER () AS m_tests,
+        |    row_number() OVER (ORDER BY
+        |      CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), grp)
+        |      AS p_rank
+        |  FROM pv),
+        |km AS (
+        |  SELECT *, coalesce(max(CASE WHEN p_num * m_tests * 1000
+        |      <= p_rank * 100 * p_den THEN p_rank END) OVER (), 0)
+        |      AS kmax
+        |  FROM rk)
+        |SELECT grp, CAST(p_num AS BIGINT) AS p_num,
+        |  CAST(p_den AS BIGINT) AS p_den,
+        |  CAST(p_rank AS BIGINT) AS p_rank,
+        |  CAST(m_tests AS BIGINT) AS m_tests,
+        |  p_rank <= kmax AS rejected
+        |FROM km ORDER BY grp""".stripMargin)),
+
+    // Degree assortativity of the part–supplier graph: bipartite
+    // hub-to-leaf wiring shows up as a negative r. Exact decimal
+    // moments over integer degrees, one IEEE step.
+    Q("q331_degree_assortativity",
+      (s, dir) => Graph.degreeAssortativity(
+        t(s, dir, "lineitem").selectExpr(
+          "l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst"),
+        "src", "dst"),
+      Some("""WITH e0 AS (
+        |  SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS a,
+        |    greatest(l_partkey * 2, l_suppkey * 2 + 1) AS b
+        |  FROM lineitem
+        |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |sym AS (SELECT a AS u, b AS v FROM e0
+        |  UNION ALL SELECT b AS u, a AS v FROM e0),
+        |deg AS (SELECT u AS w, count(*) AS dg FROM sym GROUP BY 1),
+        |p AS (
+        |  SELECT du.dg AS x, dv.dg AS y
+        |  FROM sym JOIN deg du ON du.w = sym.u
+        |  JOIN deg dv ON dv.w = sym.v),
+        |m AS (
+        |  SELECT count(*)::HUGEINT AS mm,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+        |    sum(y::HUGEINT * y) AS syy
+        |  FROM p)
+        |SELECT CASE WHEN mm * sxx - sx * sx > 0
+        |      AND mm * syy - sy * sy > 0
+        |    THEN CAST(mm * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(mm * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(mm * syy - sy * sy AS DOUBLE))) END
+        |    AS assortativity,
+        |  CAST(mm // 2 AS BIGINT) AS n_edges
+        |FROM m""".stripMargin)),
+
+    // Chao1 vocabulary-richness estimate + Good–Turing unseen mass over
+    // the corpus vocabulary: singleton/doubleton integer fold.
+    Q("q332_chao1_vocab",
+      (s, dir) => TextStats.chao1VocabRichness(
+        t(s, dir, "documents"), "text"),
+      Some("""WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+        |    '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT tok FROM tok WHERE tok <> ''),
+        |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |a AS (
+        |  SELECT count(*) AS vocab, sum(c) AS n_tokens,
+        |    count(*) FILTER (WHERE c = 1) AS f1,
+        |    count(*) FILTER (WHERE c = 2) AS f2
+        |  FROM c)
+        |SELECT CAST(vocab AS BIGINT) AS vocab,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+        |  CAST(vocab * 1000
+        |    + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1)) AS BIGINT)
+        |    AS chao1_milli,
+        |  CAST((f1 * 1000) // n_tokens AS BIGINT) AS gt_unseen_permille
+        |FROM a""".stripMargin)),
+
+    // Encoding-damage inventory: per mojibake class, affected docs and
+    // total hits. Five RE2-portable regex kernels, one aggregation.
+    Q("q333_mojibake_audit",
+      (s, dir) => TextNorm.mojibakeAudit(t(s, dir, "documents"), "text")
+        .orderBy("issue"),
+      Some("""WITH d AS (SELECT coalesce(text, '') AS t FROM documents),
+        |a AS (SELECT
+        |  count(*) FILTER (WHERE len(regexp_extract_all(t,
+        |    '\x{FFFD}')) > 0) AS d1,
+        |  sum(len(regexp_extract_all(t, '\x{FFFD}'))) AS h1,
+        |  count(*) FILTER (WHERE len(regexp_extract_all(t,
+        |    '[\x{0080}-\x{009F}]')) > 0) AS d2,
+        |  sum(len(regexp_extract_all(t, '[\x{0080}-\x{009F}]'))) AS h2,
+        |  count(*) FILTER (WHERE len(regexp_extract_all(t,
+        |    '\x{00C3}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}')) > 0) AS d3,
+        |  sum(len(regexp_extract_all(t,
+        |    '\x{00C3}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}'))) AS h3,
+        |  count(*) FILTER (WHERE len(regexp_extract_all(t,
+        |    '\x{00A0}')) > 0) AS d4,
+        |  sum(len(regexp_extract_all(t, '\x{00A0}'))) AS h4,
+        |  count(*) FILTER (WHERE len(regexp_extract_all(t,
+        |    '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]'))
+        |    > 0) AS d5,
+        |  sum(len(regexp_extract_all(t,
+        |    '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')))
+        |    AS h5
+        |  FROM d)
+        |SELECT issue, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_hits AS BIGINT) AS n_hits
+        |FROM (
+        |  SELECT 'replacement_char' AS issue, d1 AS n_docs, h1 AS n_hits
+        |    FROM a
+        |  UNION ALL SELECT 'c1_controls', d2, h2 FROM a
+        |  UNION ALL SELECT 'latin1_utf8_artifact', d3, h3 FROM a
+        |  UNION ALL SELECT 'nbsp', d4, h4 FROM a
+        |  UNION ALL SELECT 'c0_controls', d5, h5 FROM a)
+        |ORDER BY issue""".stripMargin)),
   )
 }

@@ -673,15 +673,24 @@ object Dedup {
   def candidateJaccardHistogram(df: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 5, numHashes: Int = 16,
       bandSize: Int = 4): DataFrame = {
+    // persisted: the SHA-per-gram signature kernel is the dominant cost
+    // and the self-join would otherwise run it over the corpus TWICE
+    // (ReusedExchange does not rescue two scan-side subtrees); the
+    // banded frame is |docs| x (numHashes/bandSize) small rows.
     val bands = portableBandKeys(df, idCol, textCol, shingleK, numHashes,
       bandSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select(col(idCol).as("a"), col("band_no"),
       col("band_key"))
     val r = bands.select(col(idCol).as("b"), col("band_no"),
       col("band_key"))
+    // candidate pairs feed BOTH the candidate-doc semi-join and the
+    // final per-pair verification; persist keeps the band self-join to
+    // one execution (pair volume is the LSH-bounded candidate set).
     val pairs = l.join(r, Seq("band_no", "band_key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candDocs = pairs.select(col("a").as(idCol))
       .unionByName(pairs.select(col("b").as(idCol))).distinct()
     // each candidate's distinct-gram SET builds IN-ROW (no explode, no

@@ -730,4 +730,150 @@ object StatTests {
       .select(col("n_terms").cast("long").as("n_terms"),
         col("slope"), col("intercept"))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement among a FIXED number of
+    * raters per item (the multi-rater generalization of [[cohensKappa]];
+    * Fleiss 1971), the statistic an annotation pipeline reads before
+    * trusting a labeled training set. One (item, category) count
+    * aggregation; every term is integer from there: with S2 = ΣΣ n_ij²,
+    * A = S2 − N·n, D1 = N·n·(n−1), C = Σ_j c_j², D2 = (N·n)²,
+    * κ = (A·D2 − C·D1) / (D1·(D2 − C)) — exact integers folded as
+    * DECIMAL(38,0), one IEEE division at the end plus the exact
+    * numerator/denominator for bit-level comparison. Refuses loudly when
+    * items carry unequal rating counts (Fleiss is undefined there —
+    * silently averaging would fabricate agreement); the check is one
+    * 1-row aggregate over the already-bounded per-item frame. */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String): DataFrame = {
+    val cnt = df.filter(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("n_ij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = cnt.groupBy("__i").agg(
+      sum("n_ij").as("__n"),
+      sum(col("n_ij") * col("n_ij")).as("__s2i"))
+    val guard = per.agg(min("__n").as("lo"), max("__n").as("hi")).head()
+    require(guard.getLong(0) == guard.getLong(1),
+      s"fleissKappa requires a constant rater count per item; saw " +
+        s"${guard.getLong(0)}..${guard.getLong(1)}")
+    val items = per.agg(
+      count(lit(1)).cast("decimal(38,0)").as("nn_items"),
+      max("__n").cast("decimal(38,0)").as("n_raters"),
+      sum("__s2i").cast("decimal(38,0)").as("s2"))
+    val cats = cnt.groupBy("__c").agg(sum("n_ij").as("cj"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_cats"),
+        sum(col("cj").cast("decimal(38,0)") * col("cj")).as("csq"))
+    val a = col("s2") - col("nn_items") * col("n_raters")
+    val d1 = col("nn_items") * col("n_raters") * (col("n_raters") - 1)
+    val d2 = col("nn_items") * col("n_raters") *
+      (col("nn_items") * col("n_raters"))
+    items.crossJoin(cats)
+      .select(
+        (a * d2 - col("csq") * d1).as("__num"),
+        (d1 * (d2 - col("csq"))).as("__den"),
+        col("nn_items"), col("n_raters"), col("n_cats"))
+      .select(
+        when(col("__den") =!= 0,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("kappa"),
+        col("__num").cast("long").as("kappa_num"),
+        col("__den").cast("long").as("kappa_den"),
+        col("nn_items").cast("long").as("n_items"),
+        col("n_raters").cast("long").as("n_raters"),
+        col("n_cats").cast("long").as("n_categories"))
+  }
+
+  /** Per-group two-sided PERMUTATION test of "does arm 1 have different
+    * `valueCol` totals than chance?" — the exact-arithmetic alternative
+    * to parametric p-values (no erf, no t-distribution: nothing an
+    * independent engine could round differently). For each group and
+    * each permutation p ∈ 1..m the arm labels are reshuffled by the
+    * deterministic sha key `sha2(id '#' p)` (the [[Packing]] shuffle
+    * discipline): the n1 rows ranked first form the permuted arm 1. The
+    * two-sided exceedance compares |T·n − n1·S| ≥ |obs·n − n1·S| — the
+    * mean-difference inequality cleared of divisions, so the whole test
+    * is INTEGER end to end; the reported p uses the add-one convention
+    * (count+1)/(m+1), in permille.
+    *
+    * Scale shape: the corpus is exploded m× (m is the caller's budget
+    * knob) into one (group, perm) ranking shuffle and one partial-
+    * aggregated exceedance count — never a driver loop over
+    * permutations; group stats broadcast. */
+  def permutationTestPerGroup(df: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, armCol: String,
+      m: Int = 64): DataFrame = {
+    require(m >= 1, s"permutationTestPerGroup: m must be >= 1, got $m")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(armCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(valueCol).cast("long").as("__v"),
+        col(armCol).cast("int").as("__arm"))
+    // a two-sample test needs both arms non-empty; degenerate groups are
+    // dropped (not given a fabricated p) — the filter also semi-joins
+    // them out of the permutation explosion via the stats join below
+    val stats = base.groupBy("__g").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum("__v").as("s"),
+        sum(when(col("__arm") === 1, col("__v")).otherwise(0L)).as("obs"))
+      .filter(col("n1") > 0 && col("n1") < col("n"))
+    val perms = base
+      .withColumn("__p", explode(sequence(lit(1), lit(m))))
+      .withColumn("__key",
+        conv(substring(sha2(concat_ws("#", col("__id").cast("string"),
+          col("__p").cast("string")), 256), 1, 15), 16, 10)
+          .cast("long"))
+    val w = Window.partitionBy("__g", "__p").orderBy(col("__key"),
+      col("__id"))
+    val permStats = perms
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(stats.select(col("__g"), col("n1"))), Seq("__g"))
+      .filter(col("__rn") <= col("n1"))
+      .groupBy("__g", "__p").agg(sum("__v").as("t"))
+    permStats
+      .join(broadcast(stats), Seq("__g"))
+      .groupBy(col("__g").as("grp"))
+      .agg(
+        max("n").as("n"), max("n1").as("n1"), max("obs").as("obs_sum"),
+        sum(when(
+          abs(col("t") * col("n") - col("n1") * col("s")) >=
+            abs(col("obs") * col("n") - col("n1") * col("s")),
+          1L).otherwise(0L)).as("__exceed"))
+      .select(col("grp"), col("n"), col("n1"), col("obs_sum"),
+        col("__exceed").as("n_exceed"), lit(m.toLong).as("m"),
+        expr(s"CAST((__exceed + 1) * 1000 div ${m + 1} AS BIGINT)")
+          .as("p_permille"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction over a frame of rational
+    * p-values (num/den — chains losslessly from
+    * [[permutationTestPerGroup]]'s add-one counts): rank tests by
+    * ascending p, find the largest k with p_k ≤ (k/m)·α, reject ranks
+    * 1..k. The decision inequality is cleared of divisions —
+    * p_num·m·1000 ≤ k·α_permille·p_den — so rejection is INTEGER-exact;
+    * the sort key p_num/p_den is one deterministic IEEE division,
+    * tie-broken by id. The input is a per-TEST frame (bounded — one row
+    * per hypothesis, never per data row), so the global window is over
+    * |tests| rows by construction. */
+  def benjaminiHochberg(df: DataFrame, idCol: String, pNumCol: String,
+      pDenCol: String, alphaPermille: Int = 50): DataFrame = {
+    val mTests = Window.partitionBy()
+    val byP = Window.partitionBy().orderBy(
+      (col("p_num").cast("double") / col("p_den").cast("double")).asc,
+      col(idCol).asc)
+    df.select(col(idCol), col(pNumCol).cast("long").as("p_num"),
+        col(pDenCol).cast("long").as("p_den"))
+      .withColumn("m_tests", count(lit(1)).over(mTests))
+      .withColumn("p_rank", row_number().over(byP))
+      .withColumn("__ok",
+        col("p_num") * col("m_tests") * 1000L <=
+          col("p_rank") * lit(alphaPermille.toLong) * col("p_den"))
+      .withColumn("__kmax",
+        coalesce(max(when(col("__ok"), col("p_rank"))).over(mTests),
+          lit(0L)))
+      .select(col(idCol), col("p_num"), col("p_den"),
+        col("p_rank").cast("long").as("p_rank"),
+        col("m_tests").cast("long").as("m_tests"),
+        (col("p_rank") <= col("__kmax")).as("rejected"))
+  }
 }

@@ -66,4 +66,45 @@ object TextNorm {
       (Seq(latin, cyr, han, greek).map(s => when(s > 0, 1).otherwise(0))
         .reduce(_ + _) >= 2).as("mixed_script"))
   }
+
+  /** The encoding-damage classes [[mojibakeAudit]] inventories, each a
+    * (name, regex) pair valid in BOTH Java regex and RE2: U+FFFD
+    * replacement chars (a decoder already gave up), C1 control range
+    * (almost always CP-1252 bytes mislabeled as Latin-1), the classic
+    * UTF-8-read-as-Latin-1 artifacts ('Ã' + continuation-range char, or
+    * the 'â€' prefix every smart-quote/dash mangles into), non-breaking
+    * spaces, and raw C0 control characters. */
+  val MojibakeIssues: Seq[(String, String)] = Seq(
+    "replacement_char" -> "\uFFFD",
+    "c1_controls" -> "[\u0080-\u009F]",
+    "latin1_utf8_artifact" -> "\u00C3[\u0080-\u00BF]|\u00E2\u20AC",
+    "nbsp" -> "\u00A0",
+    // starts at U+0001: NUL can't travel through a SQL string literal in
+    // most engines, and a NUL that survived into a VARCHAR column is
+    // already flagged by the decoder upstream
+    "c0_controls" -> "[\u0001-\u0008\u000B\u000C\u000E-\u001F]")
+
+  /** Encoding-damage audit: per mojibake class, how many documents are
+    * affected and how many total hits — the report that decides whether
+    * a source needs re-decoding before it poisons tokenization (mojibake
+    * inflates vocab and splits tokens silently; counting it is cheap,
+    * discovering it after training is not). One pass: five codegen'd
+    * `regexp_count` kernels per row folded into ONE aggregation, then a
+    * 5-row unpivot — zero joins, zero extra shuffles, scan-speed at
+    * 100 TB. Deterministic integer counts; portable (every pattern is
+    * valid RE2, so any engine replays it). */
+  def mojibakeAudit(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val aggs = MojibakeIssues.flatMap { case (name, re) =>
+      val cnt = regexp_count(t, lit(re))
+      Seq(sum(when(cnt > 0, 1L).otherwise(0L)).as(s"__d_$name"),
+        sum(cnt.cast("long")).as(s"__h_$name"))
+    }
+    val stacked = MojibakeIssues.map { case (name, _) =>
+      s"'$name', __d_$name, __h_$name"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${MojibakeIssues.size}, $stacked) " +
+        "AS (issue, n_docs, n_hits)"))
+  }
 }

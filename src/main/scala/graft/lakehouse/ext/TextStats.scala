@@ -1267,4 +1267,29 @@ object TextStats {
         expr("(n_words * 100) div greatest(n_sentences, 1) " +
           "+ (n_longwords * 10000) div n_words").as("lix_centi"))
   }
+
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass — the
+    * "how much vocabulary have we NOT seen yet" pair that tells a corpus
+    * curator whether more data keeps buying new words (complements the
+    * [[StatTests.heapsFit]] growth exponent with a closed-form total):
+    * Chao1 ≈ V + f1(f1−1)/(2(f2+1)) (the bias-corrected form, defined
+    * even at f2 = 0; Chao 1984) where f1/f2 are singleton/doubleton
+    * counts, and the Good–Turing estimate of the probability mass on
+    * UNSEEN words is f1/N (Good 1953). Whitespace tokens over lowered
+    * text (the [[StatTests.heapsFit]] recipe); one token-count
+    * aggregation → a 1-row integer fold — milli-scaled integer outputs,
+    * cross-engine exact. */
+  def chao1VocabRichness(df: DataFrame, textCol: String): DataFrame = {
+    df.select(explode(filter(split(lower(coalesce(col(textCol),
+        lit(""))), "\\s+"), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("vocab"), col("n_tokens"), col("f1"), col("f2"),
+        expr("vocab * 1000 + (f1 * (f1 - 1) * 1000) div (2 * (f2 + 1))")
+          .as("chao1_milli"),
+        expr("(f1 * 1000) div n_tokens").as("gt_unseen_permille"))
+  }
 }

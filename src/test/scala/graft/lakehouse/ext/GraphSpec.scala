@@ -134,4 +134,22 @@ class GraphSpec extends SparkSuite {
     assert(Graph.adamicAdarTopPairs(star, "s", "d", topN = 100,
       maxDeg = 5).count() == 10L)
   }
+
+  test("degreeAssortativity: star graph -> -1, cycle (uniform degree) " +
+    "-> null denominator guard") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val r = Graph.degreeAssortativity(star, "s", "d").head()
+    assert(math.abs(r.getAs[Double]("assortativity") + 1.0) < 1e-12 &&
+      r.getAs[Long]("n_edges") == 3L)
+    // every vertex of a cycle has degree 2: zero variance -> no r
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val c = Graph.degreeAssortativity(cyc, "s", "d").head()
+    assert(c.isNullAt(0) && c.getAs[Long]("n_edges") == 3L)
+    // duplicate + reversed + self-loop edges collapse before counting
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 1L), (0L, 2L),
+      (0L, 3L)).toDF("s", "d")
+    assert(Graph.degreeAssortativity(messy, "s", "d").head()
+      .getAs[Long]("n_edges") == 3L)
+  }
 }

@@ -484,4 +484,73 @@ class StatTestsSpec extends SparkSuite {
     assert(math.abs(StatTests.jensenShannon(same, "cat", "arm").head()
       .getAs[Double]("jsd_bits")) < 1e-12)
   }
+
+  test("fleissKappa: perfect agreement -> 1, hand-checked mixed case, " +
+    "unequal rater counts refused") {
+    // 2 items, 2 raters each, both raters agree on every item -> kappa 1
+    val perfect = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"))
+      .toDF("item", "cat")
+    val p = StatTests.fleissKappa(perfect, "item", "cat").head()
+    assert(math.abs(p.getAs[Double]("kappa") - 1.0) < 1e-12 &&
+      p.getAs[Long]("n_items") == 2L && p.getAs[Long]("n_raters") == 2L)
+    // item1 = {a,a}, item2 = {a,b}: S2 = 4+2 = 6, A = 2, D1 = 4,
+    // c_a = 3, c_b = 1 -> C = 10, D2 = 16;
+    // kappa = (2*16 - 10*4) / (4*(16-10)) = -8/24 = -1/3
+    val mixed = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"))
+      .toDF("item", "cat")
+    val m = StatTests.fleissKappa(mixed, "item", "cat").head()
+    assert(m.getAs[Long]("kappa_num") == -8L &&
+      m.getAs[Long]("kappa_den") == 24L &&
+      math.abs(m.getAs[Double]("kappa") + 1.0 / 3.0) < 1e-12)
+    val unequal = Seq((1, "a"), (1, "a"), (2, "b")).toDF("item", "cat")
+    intercept[IllegalArgumentException] {
+      StatTests.fleissKappa(unequal, "item", "cat")
+    }
+  }
+
+  test("permutationTestPerGroup: all-equal values -> p = 1000, " +
+    "deterministic across runs, degenerate one-arm groups dropped") {
+    // every permutation's statistic equals the observed one
+    val flat = Seq(("g", 1, 5, 1), ("g", 2, 5, 0), ("g", 3, 5, 0),
+      ("g", 4, 5, 1)).toDF("grp", "id", "v", "arm")
+    val r = StatTests.permutationTestPerGroup(flat, "grp", "id", "v",
+      "arm", m = 16).head()
+    assert(r.getAs[Long]("n_exceed") == 16L &&
+      r.getAs[Long]("p_permille") == 1000L &&
+      r.getAs[Long]("n") == 4L && r.getAs[Long]("n1") == 2L)
+    // one-arm groups are not a test: dropped, not fabricated
+    val mixed = Seq(("a", 1, 9, 1), ("a", 2, 1, 0),
+      ("b", 3, 4, 0), ("b", 4, 5, 0)).toDF("grp", "id", "v", "arm")
+    val out = StatTests.permutationTestPerGroup(mixed, "grp", "id", "v",
+      "arm", m = 8)
+    assert(out.select("grp").collect().map(_.getString(0)).toSeq ==
+      Seq("a"))
+    // sha-keyed shuffles are deterministic: two runs agree bit-for-bit
+    val a1 = out.collect().toSeq
+    val a2 = StatTests.permutationTestPerGroup(mixed, "grp", "id", "v",
+      "arm", m = 8).collect().toSeq
+    assert(a1 == a2)
+  }
+
+  test("benjaminiHochberg: textbook step-up rejects through the largest " +
+    "passing rank, including a skipped intermediate") {
+    // m=5, alpha=0.05: p = .01,.02,.03,.04,.50 -> k/m*alpha thresholds
+    // .01,.02,.03,.04,.05; ranks 1..4 all pass -> 4 rejections
+    val p = Seq(("t1", 1L, 100L), ("t2", 2L, 100L), ("t3", 3L, 100L),
+      ("t4", 4L, 100L), ("t5", 50L, 100L)).toDF("id", "pn", "pd")
+    val r = StatTests.benjaminiHochberg(p, "id", "pn", "pd",
+      alphaPermille = 50).collect().map(x =>
+        x.getAs[String]("id") -> x.getAs[Boolean]("rejected")).toMap
+    assert(r == Map("t1" -> true, "t2" -> true, "t3" -> true,
+      "t4" -> true, "t5" -> false))
+    // step-up property: rank 2 fails its own threshold but rank 3
+    // passes, so ranks 1..3 ALL reject.
+    // m=3, alpha=.05: thresholds .0166,.0333,.05; p = .001,.034,.045
+    val s = Seq(("u1", 1L, 1000L), ("u2", 34L, 1000L),
+      ("u3", 45L, 1000L)).toDF("id", "pn", "pd")
+    val r2 = StatTests.benjaminiHochberg(s, "id", "pn", "pd",
+      alphaPermille = 50).collect().map(x =>
+        x.getAs[String]("id") -> x.getAs[Boolean]("rejected")).toMap
+    assert(r2 == Map("u1" -> true, "u2" -> true, "u3" -> true))
+  }
 }

@@ -91,4 +91,23 @@ class TextNormSpec extends SparkSuite {
     assert(out(4).getAs[Long]("han_n") == 2L &&
       out(4).getAs[Boolean]("mixed_script"))
   }
+
+  test("mojibakeAudit: injected damage is counted per class, clean text " +
+    "contributes zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      "clean text",
+      "bad \uFFFD char and another \uFFFD",
+      "smart quote gone \u00E2\u20AC\u0153wrong",
+      "latin1 caf\u00C3\u00A9 artifact",
+      "non\u00A0breaking\u00A0spaces",
+      "ctrl\u0007bell").toDF("text")
+    val got = TextNorm.mojibakeAudit(docs, "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("replacement_char") == (1L, 2L))
+    assert(got("latin1_utf8_artifact") == (2L, 2L))
+    assert(got("nbsp") == (1L, 2L))
+    assert(got("c0_controls") == (1L, 1L))
+    assert(got("c1_controls") == (0L, 0L))
+  }
 }

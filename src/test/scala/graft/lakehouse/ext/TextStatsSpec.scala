@@ -594,4 +594,21 @@ class TextStatsSpec extends SparkSuite {
     // c: zero words -> dropped
     assert(got.toSeq == Seq(("a", 6L, 2L, 3L, 5300L), ("b", 3L, 0L, 0L, 300L)))
   }
+
+  test("chao1VocabRichness: hand-checked singleton/doubleton fold") {
+    import spark.implicits._
+    // tokens: a a b c -> V=3, N=4, f1=2 (b,c), f2=1 (a)
+    // chao1_milli = 3000 + 2*1*1000 div 4 = 3500; gt = 2000 div 4 = 500
+    val docs = Seq("a a b", "c", null).toDF("text")
+    val r = TextStats.chao1VocabRichness(docs, "text").head()
+    assert(r.getAs[Long]("vocab") == 3L &&
+      r.getAs[Long]("n_tokens") == 4L &&
+      r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L &&
+      r.getAs[Long]("chao1_milli") == 3500L &&
+      r.getAs[Long]("gt_unseen_permille") == 500L)
+    // no doubletons: bias-corrected form stays defined (f2+1)
+    val nof2 = Seq("x y z").toDF("text")
+    assert(TextStats.chao1VocabRichness(nof2, "text").head()
+      .getAs[Long]("chao1_milli") == 3000L + 3L * 2L * 1000L / 2L)
+  }
 }
