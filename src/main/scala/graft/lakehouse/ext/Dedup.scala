@@ -687,6 +687,9 @@ object Dedup {
     // candidate pairs feed BOTH the candidate-doc semi-join and the
     // final per-pair verification; persist keeps the band self-join to
     // one execution (pair volume is the LSH-bounded candidate set).
+    // candidate pairs feed BOTH the candidate-doc semi-join and the
+    // final verification join; persist keeps the band self-join at one
+    // execution (pair volume is the LSH-bounded candidate set).
     val pairs = l.join(r, Seq("band_no", "band_key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
@@ -696,20 +699,40 @@ object Dedup {
     // each candidate's distinct-gram SET builds IN-ROW (no explode, no
     // gram-level shuffle — the triangle-counting array_intersect trick):
     // the exact intersection then costs one compiled kernel per pair
-    // instead of a |pairs| × grams-per-doc join explosion. Candidates
-    // always have >= 1 shingle (they produced a signature), but guard
-    // anyway: sequence(1, n) runs BACKWARD for n < 1.
+    // instead of a |pairs| × grams-per-doc join explosion. A tight-loop
+    // kernel, NOT transform(sequence(1, n), p -> substring(...)): Spark
+    // evaluates higher-order lambdas interpreted (outside codegen) and
+    // SQL substring re-walks the UTF-8 prefix per call — O(len²) per
+    // document and ~5× the whole query's cost at sf0.1; the kernel is
+    // one linear pass (the [[portableMinHashKernel]] indexing
+    // convention, which the oracle's substring() replays).
+    val gramsKernel = udf((s: String) => {
+      if (s == null || s.length < shingleK) Array.empty[String]
+      else {
+        val set = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= s.length - shingleK) {
+          set.add(s.substring(i, i + shingleK)); i += 1
+        }
+        set.toArray(new Array[String](set.size()))
+      }
+    })
     val gramSets = df.join(candDocs, Seq(idCol), "left_semi")
       .filter(length(col(textCol)) >= shingleK)
-      .select(col(idCol), expr(
-        s"array_distinct(transform(sequence(1, length(`$textCol`) - " +
-          s"${shingleK - 1}), p -> substring(`$textCol`, p, $shingleK)))")
-        .as("gset"))
+      .select(col(idCol), gramsKernel(col(textCol)).as("gset"))
+    // broadcast: the gram-set frame is per-CANDIDATE (LSH-bounded), but
+    // its array payload (~grams-per-doc strings/row) crosses the default
+    // autoBroadcast threshold, and a sort-merge join here would shuffle
+    // every pair's two full gram arrays — the arrays must come to the
+    // pairs, not travel. At corpus scale candidates stay a small slice
+    // of the corpus (that is the point of banding); if a corpus ever
+    // bands so hot the candidate gram sets outgrow the executors, the
+    // exact-verify stage belongs on [[prefixFilterJaccardJoin]] instead.
     pairs
-      .join(gramSets.select(col(idCol).as("a"), col("gset").as("ga")),
-        Seq("a"))
-      .join(gramSets.select(col(idCol).as("b"), col("gset").as("gb")),
-        Seq("b"))
+      .join(broadcast(gramSets.select(col(idCol).as("a"),
+        col("gset").as("ga"))), Seq("a"))
+      .join(broadcast(gramSets.select(col(idCol).as("b"),
+        col("gset").as("gb"))), Seq("b"))
       .select(expr("size(array_intersect(ga, gb))").as("__c"),
         expr("size(ga)").as("__sza"), expr("size(gb)").as("__szb"))
       .select(expr("(__c * 1000) div (__sza + __szb - __c)").as("__jp"))
