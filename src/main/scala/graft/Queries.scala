@@ -10664,5 +10664,683 @@ object Queries {
         |  UNION ALL SELECT 'nbsp', d4, h4 FROM a
         |  UNION ALL SELECT 'c0_controls', d5, h5 FROM a)
         |ORDER BY issue""".stripMargin)),
+
+    // Nelson–Aalen cumulative hazard over user lifetimes (q315's
+    // risk table): per-term IEEE division captured as exact decimal,
+    // exact cumulative fold — bit-portable like ln_surv.
+    Q("q334_nelson_aalen",
+      (s, dir) => Analytics.nelsonAalen(ev(s, dir), "user_id", "ts",
+          churnGapDays = 7)
+        .orderBy("duration"),
+      Some("""WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |    max(CAST(ts AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |u2 AS (
+        |  SELECT user_id, date_diff('day', f, l) AS duration,
+        |    date_diff('day', l, (SELECT max(l) FROM u)) > 7 AS churned
+        |  FROM u),
+        |t AS (
+        |  SELECT duration,
+        |    count(CASE WHEN churned THEN 1 END) AS n_events,
+        |    count(CASE WHEN NOT churned THEN 1 END) AS n_censored,
+        |    count(*) AS total
+        |  FROM u2 GROUP BY 1),
+        |r AS (
+        |  SELECT duration, n_events, n_censored,
+        |    sum(total) OVER ()
+        |      - coalesce(sum(total) OVER (ORDER BY duration
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM t),
+        |s AS (
+        |  SELECT duration, n_risk, n_events, n_censored,
+        |    CAST(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |      AS DECIMAL(38,18)) AS h,
+        |    CAST(CAST(n_events AS DOUBLE)
+        |      / CAST(n_risk * n_risk AS DOUBLE) AS DECIMAL(38,18)) AS v
+        |  FROM r)
+        |SELECT CAST(duration AS INT) AS duration,
+        |  CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CAST(CAST(sum(h) OVER (ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    AS DOUBLE) AS cum_hazard,
+        |  CAST(CAST(sum(v) OVER (ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    AS DOUBLE) AS cum_hazard_var
+        |FROM s ORDER BY duration""".stripMargin)),
+
+    // Theil–Sen robust daily-trend slope per event type: exact rational
+    // median of pairwise slopes over the bounded daily-count grid.
+    Q("q335_theil_sen",
+      (s, dir) => {
+        val daily = ev(s, dir)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+        Analytics.theilSenSlope(daily, "event_type", "x", "y")
+          .orderBy("grp")
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    count(*) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |np AS (SELECT g, count(*) AS n_points FROM daily GROUP BY 1),
+        |sl AS (
+        |  SELECT a.g, b.y - a.y AS num, b.x - a.x AS den,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x),
+        |rk AS (
+        |  SELECT g, num, den,
+        |    row_number() OVER (PARTITION BY g ORDER BY s, num, den)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM sl),
+        |med AS (
+        |  SELECT g, max(n) AS n_slopes,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN num END) AS n1,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN den END) AS d1,
+        |    max(CASE WHEN rn = n // 2 + 1 THEN num END) AS n2,
+        |    max(CASE WHEN rn = n // 2 + 1 THEN den END) AS d2
+        |  FROM rk GROUP BY 1)
+        |SELECT med.g AS grp, CAST(n_points AS BIGINT) AS n_points,
+        |  CAST(n_slopes AS BIGINT) AS n_slopes,
+        |  CAST(n1 * d2 + n2 * d1 AS BIGINT) AS slope_num,
+        |  CAST(2 * d1 * d2 AS BIGINT) AS slope_den,
+        |  CAST(n1 * d2 + n2 * d1 AS DOUBLE)
+        |    / CAST(2 * d1 * d2 AS DOUBLE) AS slope
+        |FROM med JOIN np ON np.g = med.g ORDER BY grp""".stripMargin)),
+
+    // Vocabulary Jaccard between sources: distinct-token overlap per
+    // source pair, zero cells materialized, integer permille.
+    Q("q336_vocab_jaccard_matrix",
+      (s, dir) => TextStats.vocabJaccardMatrix(
+          t(s, dir, "documents"), "text", "source")
+        .orderBy("src_a", "src_b"),
+      Some("""WITH tok AS (
+        |  SELECT DISTINCT source AS g,
+        |    unnest(string_split_regex(lower(coalesce(text, '')), '\s+'))
+        |      AS tok
+        |  FROM documents WHERE source IS NOT NULL),
+        |tk AS (SELECT g, tok FROM tok WHERE tok <> ''),
+        |sz AS (SELECT g, count(*) AS sz FROM tk GROUP BY 1),
+        |inter AS (
+        |  SELECT a.g AS ga, b.g AS gb, count(*) AS n_common
+        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT sa.g AS src_a, sb.g AS src_b,
+        |  CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+        |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+        |  CAST((coalesce(n_common, 0) * 1000)
+        |    // (sa.sz + sb.sz - coalesce(n_common, 0)) AS BIGINT)
+        |    AS jaccard_permille
+        |FROM sz sa JOIN sz sb ON sa.g < sb.g
+        |LEFT JOIN inter ON inter.ga = sa.g AND inter.gb = sb.g
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Lag 1..7 autocorrelation of daily event counts per type over the
+    // DENSE day grid: division-cleared integer moments, one IEEE step.
+    Q("q337_lag_autocorrelation",
+      (s, dir) => Analytics.lagAutocorrelation(ev(s, dir), "event_type",
+          "ts", maxLag = 7)
+        .orderBy("grp", "lag"),
+      Some("""WITH daily AS (
+        |  SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g, unnest(generate_series(d0, d1)) AS d
+        |  FROM (SELECT g, min(d) AS d0, max(d) AS d1 FROM daily
+        |    GROUP BY 1)),
+        |dense AS (
+        |  SELECT grid.g, grid.d, coalesce(daily.y, 0) AS y
+        |  FROM grid LEFT JOIN daily ON daily.g = grid.g
+        |    AND daily.d = grid.d),
+        |st AS (
+        |  SELECT g, count(*) AS n_days, sum(y) AS s FROM dense
+        |  GROUP BY 1),
+        |den AS (
+        |  SELECT dense.g,
+        |    sum((n_days * y - s)::HUGEINT * (n_days * y - s)) AS den
+        |  FROM dense JOIN st ON st.g = dense.g GROUP BY 1),
+        |num AS (
+        |  SELECT a.g, l.lag, max(st.n_days) AS n_days,
+        |    sum((st.n_days * a.y - st.s)::HUGEINT
+        |      * (st.n_days * b.y - st.s)) AS num
+        |  FROM dense a
+        |  JOIN (SELECT unnest(range(1, 8)) AS lag) l ON true
+        |  JOIN dense b ON b.g = a.g AND b.d = a.d + l.lag
+        |  JOIN st ON st.g = a.g
+        |  GROUP BY 1, 2)
+        |SELECT num.g AS grp, CAST(lag AS BIGINT) AS lag,
+        |  CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(num AS BIGINT) AS acf_num, CAST(den AS BIGINT) AS acf_den,
+        |  CASE WHEN den > 0
+        |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
+        |FROM num JOIN den ON den.g = num.g
+        |ORDER BY grp, lag""".stripMargin)),
+
+    // IVF recall curve: recall@10 of the portable IVF index vs exact
+    // cosine top-10 at probe widths 1/2/4/8 — the tuning table that
+    // picks nProbe. The oracle replays training, assignment, probing,
+    // scoring AND the exact baseline end to end.
+    Q("q338_ann_recall_sweep",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10, nLists = 8,
+          probes = Seq(1, 2, 4, 8))
+          .orderBy("n_probe")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qv AS (
+        |  SELECT vec_id, ve, list_transform(ve,
+        |    x -> CAST(floor(x * 1024) + 1048576 AS BIGINT)) AS qv
+        |  FROM v),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cidx, qv AS cv
+        |  FROM qv ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c0 c)) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a1)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c1 AS (
+        |  SELECT c0.cidx, coalesce(u1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u1 ON u1.cidx = c0.cidx),
+        |a2 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c1 c)) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a2)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c2 AS (
+        |  SELECT c1.cidx, coalesce(u2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN u2 ON u2.cidx = c1.cidx),
+        |cells AS (
+        |  SELECT vec_id, cluster AS cell FROM (
+        |    SELECT vec_id, cluster, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c2 c)) WHERE rn = 1),
+        |probe0 AS (
+        |  SELECT query_id, cell, rn FROM (
+        |    SELECT query_id, cell, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dist, cell) AS rn
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.cidx AS cell,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM (SELECT * FROM qv WHERE vec_id < 8) q, c2 c))),
+        |sc AS (
+        |  SELECT p.query_id, cl.vec_id, p.rn AS cell_rn,
+        |    list_sum(list_transform(list_zip(cv.ve, qe.ve),
+        |      p2 -> p2[1] * p2[2])) /
+        |    (sqrt(list_sum(list_transform(cv.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qe.ve, x -> x * x)))) AS cosine
+        |  FROM probe0 p
+        |  JOIN cells cl ON cl.cell = p.cell
+        |  JOIN v cv ON cv.vec_id = cl.vec_id
+        |  JOIN v qe ON qe.vec_id = p.query_id),
+        |ex AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.vec_id AS query_id, v.vec_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(v.ve, q.ve),
+        |          p -> p[1] * p[2])) /
+        |        (sqrt(list_sum(list_transform(v.ve, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(q.ve, x -> x * x))))
+        |        DESC, v.vec_id) AS rank
+        |    FROM v, (SELECT vec_id, ve FROM v WHERE vec_id < 8) q)
+        |  WHERE rank <= 10),
+        |rk1 AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r2
+        |  FROM sc WHERE cell_rn <= 1) WHERE r2 <= 10),
+        |rk2 AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r2
+        |  FROM sc WHERE cell_rn <= 2) WHERE r2 <= 10),
+        |rk4 AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r2
+        |  FROM sc WHERE cell_rn <= 4) WHERE r2 <= 10),
+        |rk8 AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r2
+        |  FROM sc WHERE cell_rn <= 8) WHERE r2 <= 10),
+        |counts AS (
+        |  SELECT 1 AS n_probe,
+        |    (SELECT count(*) FROM rk1 JOIN ex USING (query_id, vec_id))
+        |      AS n_hits
+        |  UNION ALL SELECT 2,
+        |    (SELECT count(*) FROM rk2 JOIN ex USING (query_id, vec_id))
+        |  UNION ALL SELECT 4,
+        |    (SELECT count(*) FROM rk4 JOIN ex USING (query_id, vec_id))
+        |  UNION ALL SELECT 8,
+        |    (SELECT count(*) FROM rk8 JOIN ex USING (query_id, vec_id))),
+        |exp AS (SELECT count(*) AS n_expected FROM ex)
+        |SELECT CAST(n_probe AS BIGINT) AS n_probe,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_expected AS BIGINT) AS n_expected,
+        |  CAST((n_hits * 1000) // n_expected AS BIGINT)
+        |    AS recall_permille
+        |FROM counts, exp ORDER BY n_probe""".stripMargin)),
+
+    // Conditional bigram entropy H(W2|W1) in bits — next-token
+    // uncertainty from the exact bigram table; per-term IEEE ops
+    // replicated op-for-op, exact decimal accumulation.
+    Q("q339_conditional_entropy",
+      (s, dir) => LangModel.conditionalBigramEntropy(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), w -> w <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS c12
+        |  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1),
+        |terms AS (
+        |  SELECT bg.c12,
+        |    CAST((bg.c12 * (ln(CAST(c1.c1 AS DOUBLE))
+        |      - ln(CAST(bg.c12 AS DOUBLE)))) / 0.6931471805599453
+        |      AS DECIMAL(38,18)) AS term
+        |  FROM bg JOIN c1 ON c1.w1 = bg.w1),
+        |m AS (
+        |  SELECT CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS s,
+        |    sum(c12) AS n FROM terms),
+        |vw AS (SELECT count(*) AS vocab_w1 FROM c1)
+        |SELECT CAST(n AS BIGINT) AS n_bigrams,
+        |  CAST(vocab_w1 AS BIGINT) AS vocab_w1,
+        |  CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) END AS entropy_bits
+        |FROM m, vw""".stripMargin)),
+
+    // Token Lorenz curve: cumulative token share by document-length
+    // decile — the concentration table under the Gini scalar.
+    Q("q340_token_lorenz",
+      (s, dir) => TextStats.tokenLorenzCurve(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("bucket"),
+      Some("""WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(
+        |      lower(coalesce(text, '')), '\s+'), w -> w <> ''))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT ntile(10) OVER (ORDER BY n, doc_id) AS bucket, n
+        |  FROM lens),
+        |a AS (
+        |  SELECT bucket, count(*) AS n_docs, sum(n) AS n_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000)
+        |    // (sum(n_tokens) OVER ()) AS BIGINT) AS cum_permille
+        |FROM a ORDER BY bucket""".stripMargin)),
+
+    // Burstiness (index of dispersion) of the top-20 tokens: exact
+    // division-cleared variance-to-mean over per-doc counts with zeros.
+    Q("q341_token_burstiness",
+      (s, dir) => TextStats.tokenBurstiness(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("n_total").desc, col("token")),
+      Some("""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(
+        |      lower(coalesce(text, '')), '\s+'), w -> w <> '')) AS token
+        |  FROM documents),
+        |pc AS (SELECT doc_id, token, count(*) AS c FROM tok
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT token, sum(c) AS n_total, sum(c * c) AS ss,
+        |    count(*) AS n_docs_present
+        |  FROM pc GROUP BY 1),
+        |top AS (
+        |  SELECT * FROM st ORDER BY n_total DESC, token LIMIT 20),
+        |nd AS (SELECT count(*) AS nd FROM documents)
+        |SELECT token, CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(n_docs_present AS BIGINT) AS n_docs_present,
+        |  CAST(((nd * ss - n_total * n_total) * 1000)
+        |    // (nd * n_total) AS BIGINT) AS dispersion_milli
+        |FROM top, nd ORDER BY n_total DESC, token""".stripMargin)),
+
+    // Fixed-grid quantile sketch accuracy: sketch answer vs the exact
+    // rank statistic on the same scaled domain, per permille, with the
+    // a-priori one-cell bound alongside. All integer.
+    Q("q342_sketch_quantile_error",
+      (s, dir) => Sketches.sketchQuantileError(t(s, dir, "orders"),
+          "o_totalprice", lo = 0L, hi = 5000000000L, buckets = 128,
+          scale = 10000L, permilles = Seq(500, 900, 990))
+        .orderBy("p"),
+      Some("""WITH v AS (
+        |  SELECT LEAST(GREATEST(CAST(floor(o_totalprice * 10000.0)
+        |    AS BIGINT), 0), 4999999999) AS vc
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(((vc - 0) * 128) // 5000000000 AS INT) AS bucket
+        |  FROM v),
+        |sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT bucket,
+        |    sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM sk),
+        |hit AS (
+        |  SELECT p, min(bucket) AS bucket
+        |  FROM c, (SELECT unnest([500, 900, 990]) AS p)
+        |  WHERE cum >= (n * p + 999) // 1000 GROUP BY 1),
+        |skv AS (
+        |  SELECT p, 0 + (bucket * 5000000000) // 128 AS sketch_scaled
+        |  FROM hit),
+        |vc AS (SELECT vc, count(*) AS c FROM v GROUP BY 1),
+        |ec AS (
+        |  SELECT vc,
+        |    sum(c) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM vc),
+        |ex AS (
+        |  SELECT p, min(vc) AS exact_scaled
+        |  FROM ec, (SELECT unnest([500, 900, 990]) AS p)
+        |  WHERE cum >= (n * p + 999) // 1000 GROUP BY 1)
+        |SELECT CAST(skv.p AS INT) AS p,
+        |  CAST(exact_scaled AS BIGINT) AS exact_scaled,
+        |  CAST(sketch_scaled AS BIGINT) AS sketch_scaled,
+        |  CAST(abs(sketch_scaled - exact_scaled) AS BIGINT)
+        |    AS abs_err_scaled,
+        |  CAST(5000000000 // 128 AS BIGINT) AS cell_bound_scaled
+        |FROM skv JOIN ex ON ex.p = skv.p ORDER BY p""".stripMargin)),
+
+    // Count-min sketch accuracy: exact vs estimate per probe key; the
+    // overcount column is CMS's one-sided error, asserted >= 0 in spec.
+    Q("q343_cms_accuracy",
+      (s, dir) => {
+        val events = ev(s, dir)
+        Sketches.cmsAccuracyReport(events, "user_id", depth = 4,
+          width = 256,
+          probes = events.select("user_id")
+            .filter(col("user_id") % 7 === 0))
+          .orderBy("user_id")
+      },
+      Some("""WITH h AS (
+        |  SELECT user_id,
+        |    CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1,
+        |      15))::UBIGINT AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT i.i AS hrow,
+        |    CAST((h // (1::BIGINT << (i.i * 15))) % 256 AS INT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM h, (SELECT unnest(range(4)) AS i) i
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT DISTINCT user_id, h FROM h WHERE user_id % 7 = 0),
+        |pc AS (
+        |  SELECT user_id, i.i AS hrow,
+        |    CAST((h // (1::BIGINT << (i.i * 15))) % 256 AS INT) AS bucket
+        |  FROM probes, (SELECT unnest(range(4)) AS i) i),
+        |est AS (
+        |  SELECT pc.user_id,
+        |    CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_estimate
+        |  FROM pc LEFT JOIN cells USING (hrow, bucket)
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT user_id, count(*) AS exact_count FROM events
+        |  WHERE user_id % 7 = 0 GROUP BY 1)
+        |SELECT est.user_id AS user_id,
+        |  CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count,
+        |  cms_estimate,
+        |  CAST(cms_estimate - coalesce(exact_count, 0) AS BIGINT)
+        |    AS overcount
+        |FROM est LEFT JOIN ex ON ex.user_id = est.user_id
+        |ORDER BY est.user_id""".stripMargin)),
+
+    // EWMA anomaly score over daily counts: power-of-two decay weights
+    // keep the whole smoother integer-exact; score ~1000 = looks like
+    // the decayed past.
+    Q("q344_ewma_anomaly",
+      (s, dir) => Analytics.ewmaAnomalyScore(ev(s, dir), "event_type",
+          "ts", window = 20)
+        .orderBy("grp", "day"),
+      Some("""WITH daily AS (
+        |  SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT g, d + k.k AS d,
+        |    sum(y * (1::BIGINT << CAST(20 - k.k AS INT)))
+        |      AS ewms_scaled
+        |  FROM daily, (SELECT unnest(range(1, 21)) AS k) k
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT daily.g, daily.d, daily.y,
+        |    coalesce(contrib.ewms_scaled, 0) AS ewms_scaled
+        |  FROM daily LEFT JOIN contrib
+        |    ON contrib.g = daily.g AND contrib.d = daily.d)
+        |SELECT g AS grp, CAST(d AS BIGINT) AS day,
+        |  CAST(y AS BIGINT) AS y,
+        |  CAST(ewms_scaled AS BIGINT) AS ewms_scaled,
+        |  CASE WHEN ewms_scaled > 0
+        |    THEN CAST((y * 1048575 * 1000) // ewms_scaled AS BIGINT)
+        |    END AS score_permille
+        |FROM j ORDER BY grp, day""".stripMargin)),
+
+    // Daily OHLC bars per event type: deterministic open/close by
+    // (ts, event_id), order-free extrema, exact decimal volume.
+    Q("q345_ohlc_bars",
+      (s, dir) => Analytics.ohlcBars(ev(s, dir), "event_type", "ts",
+          "event_id", "value")
+        // ISO string for the compare: Spark dumps DATE as date32, DuckDB
+        // fetches DATE as datetime (the q309 convention)
+        .withColumn("day", col("day").cast("string"))
+        .orderBy("grp", "day"),
+      Some("""WITH b AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day, ts,
+        |    event_id, value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY grp, day
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY grp, day
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT grp, strftime(day, '%Y-%m-%d') AS day,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY grp, 2""".stripMargin)),
+
+    // Winsorized mean of document length per source: values clamped at
+    // the exact p5/p95 rank-percentiles, clamped sum exact, one IEEE
+    // division — the robust mean next to the raw one.
+    Q("q346_winsorized_mean",
+      (s, dir) => StatTests.winsorizedMean(
+          t(s, dir, "documents"), "source", "n_chars",
+          loPermille = 50, hiPermille = 950)
+        .orderBy("grp"),
+      Some("""WITH c AS (
+        |  SELECT source AS grp, n_chars AS v, count(*) AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT grp, v, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM c),
+        |b AS (
+        |  SELECT grp, max(n) AS n,
+        |    min(CASE WHEN cum >= (n * 50 + 999) // 1000 THEN v END)
+        |      AS lo_val,
+        |    min(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN v END)
+        |      AS hi_val
+        |  FROM r GROUP BY 1),
+        |s AS (
+        |  SELECT c.grp, b.n, b.lo_val, b.hi_val,
+        |    sum(c.c * LEAST(GREATEST(c.v, b.lo_val), b.hi_val)) AS wsum,
+        |    sum(c.c * c.v) AS rsum
+        |  FROM c JOIN b ON b.grp = c.grp GROUP BY 1, 2, 3, 4)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(lo_val AS BIGINT) AS lo_val,
+        |  CAST(hi_val AS BIGINT) AS hi_val,
+        |  CAST(wsum AS BIGINT) AS winsorized_sum,
+        |  CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE) AS winsorized_mean,
+        |  CAST(rsum AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean
+        |FROM s ORDER BY grp""".stripMargin)),
+
+    // max_seq_len sweep: truncation loss AND padding waste per candidate
+    // length, from one token-count frame — the table that picks the
+    // training sequence length.
+    Q("q347_seqlen_sweep",
+      (s, dir) => Packing.seqLenSweep(
+          t(s, dir, "documents").select(
+            size(filter(split(lower(coalesce(col("text"), lit(""))),
+              "\\s+"), t => t =!= "")).cast("long").as("n_tok")),
+          "n_tok", lengths = Seq(16, 32, 64, 128))
+        .orderBy("max_len"),
+      Some("""WITH sz AS (
+        |  SELECT CAST(len(list_filter(string_split_regex(
+        |    lower(coalesce(text, '')), '\s+'), w -> w <> ''))
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |e AS (
+        |  SELECT n, l.l AS max_len
+        |  FROM sz, (SELECT unnest([16, 32, 64, 128]) AS l) l),
+        |a AS (
+        |  SELECT max_len, count(*) AS n_docs,
+        |    sum(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS n_truncated,
+        |    sum(n) AS total,
+        |    sum(GREATEST(n - max_len, 0)) AS lost,
+        |    sum(LEAST(n, max_len)) AS kept
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(max_len AS BIGINT) AS max_len,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_truncated AS BIGINT) AS n_truncated,
+        |  CAST((lost * 1000) // total AS BIGINT)
+        |    AS tokens_lost_permille,
+        |  CAST(((n_docs * max_len - kept) * 1000)
+        |    // (n_docs * max_len) AS BIGINT) AS padding_waste_permille
+        |FROM a ORDER BY max_len""".stripMargin)),
+
+    // Top event-type trigrams across user journeys: two leads inside
+    // the per-user partition, |types|^3-bounded counts, deterministic
+    // top-25.
+    Q("q348_event_trigrams",
+      (s, dir) => Analytics.eventTrigrams(ev(s, dir), "user_id", "ts",
+        "event_type", "event_id", topK = 25),
+      Some("""WITH o AS (
+        |  SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3
+        |LIMIT 25""".stripMargin)),
+
+    // WAV container metadata over deterministic synthetic RIFF payloads
+    // (the q290 fixture-arithmetic pattern): fmt fields, exact integer
+    // duration, chunk census, word-alignment exercised by odd filler
+    // chunks.
+    Q("q349_wav_container_meta",
+      (s, dir) => {
+        val clips = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 5 === 0)
+          .withColumn("payload", Multimodal.syntheticRiffWavUdf(
+            (lit(1) + col("doc_id") % 2).cast("int"),
+            (lit(8000) + (col("doc_id") % 4) * 4000).cast("int"),
+            (lit(8) + (col("doc_id") % 3) * 8).cast("int"),
+            (lit(100) + col("doc_id") % 50).cast("int"),
+            (col("doc_id") % 3).cast("int")))
+        Multimodal.decodeWavHeaders(clips, "payload")
+          .select(col("doc_id"),
+            col("wav.audio_format").as("audio_format"),
+            col("wav.channels").as("channels"),
+            col("wav.sample_rate").as("sample_rate"),
+            col("wav.bits_per_sample").as("bits_per_sample"),
+            col("wav.byte_rate").as("byte_rate"),
+            col("wav.data_bytes").as("data_bytes"),
+            col("wav.duration_ms").as("duration_ms"),
+            col("wav.n_chunks").as("n_chunks"),
+            col("wav.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate,
+        |    CAST(8 + (doc_id % 3) * 8 AS BIGINT) AS bits,
+        |    CAST(100 + doc_id % 50 AS BIGINT) AS ns,
+        |    CAST(doc_id % 3 AS BIGINT) AS filler
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |d AS (
+        |  SELECT doc_id, channels, rate, bits, ns, filler,
+        |    (bits // 8) * channels AS block
+        |  FROM p)
+        |SELECT doc_id, CAST(1 AS INT) AS audio_format,
+        |  CAST(channels AS INT) AS channels,
+        |  CAST(rate AS INT) AS sample_rate,
+        |  CAST(bits AS INT) AS bits_per_sample,
+        |  CAST(rate * block AS INT) AS byte_rate,
+        |  CAST(ns * block AS BIGINT) AS data_bytes,
+        |  CAST((ns * block * 1000) // (rate * block) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(2 + filler AS INT) AS n_chunks,
+        |  FALSE AS truncated
+        |FROM d ORDER BY doc_id""".stripMargin)),
   )
 }

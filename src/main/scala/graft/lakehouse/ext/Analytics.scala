@@ -544,6 +544,30 @@ object Analytics {
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
       churnGapDays: Int): DataFrame = {
     require(churnGapDays >= 0, "kaplanMeier needs churnGapDays >= 0")
+    val wCum = Window.partitionBy().orderBy("duration")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = riskTable(events, userCol, tsCol, churnGapDays)
+      .withColumn("__term",
+        when(col("n_events") === 0L, lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,18)"))
+          .when(col("n_events") < col("n_risk"),
+            log((col("n_risk") - col("n_events")).cast("double") /
+              col("n_risk").cast("double")).cast("decimal(38,18)"))
+          .otherwise(lit(null).cast("decimal(38,18)")))
+      .withColumn("ln_surv", sum("__term").over(wCum).cast("double"))
+    risk.select(col("duration"), col("n_risk").cast("long").as("n_risk"),
+      col("n_events").cast("long").as("n_events"),
+      col("n_censored").cast("long").as("n_censored"), col("ln_surv"))
+  }
+
+  /** Shared survival plumbing for [[kaplanMeier]] / [[nelsonAalen]]:
+    * user lifetimes (first→last activity, censored when last activity is
+    * within `churnGapDays` of observation end) aggregated into the
+    * duration-bounded risk table — per duration: n_events, n_censored,
+    * n_risk. One user aggregation + one duration aggregation; the
+    * windows run over ≤ observation-window-days rows. */
+  private def riskTable(events: DataFrame, userCol: String, tsCol: String,
+      churnGapDays: Int): DataFrame = {
     val users = events
       .groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("f"), max(to_date(col(tsCol))).as("l"))
@@ -559,22 +583,262 @@ object Analytics {
     val wAll = Window.partitionBy()
     val wBefore = Window.partitionBy().orderBy("duration")
       .rowsBetween(Window.unboundedPreceding, -1)
+    tbl.withColumn("n_risk",
+      sum("__total").over(wAll) -
+        coalesce(sum("__total").over(wBefore), lit(0L)))
+  }
+
+  /** Nelson–Aalen cumulative hazard over the same lifetimes as
+    * [[kaplanMeier]] — the estimator survival analysis prefers when the
+    * hazard (not the survival curve) is the decision quantity, and the
+    * numerically gentler one near S→0 (a sum, not a product that hits
+    * zero): H(d) = Σ_{t≤d} d_t/n_t, with Aalen's variance Σ d_t/n_t².
+    * Each term is ONE IEEE division of exact integers captured as
+    * DECIMAL(38,18); the cumulative fold is exact decimal — bit-portable
+    * like ln_surv. Output per duration: n_risk, n_events, n_censored,
+    * cum_hazard, cum_hazard_var. */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+      churnGapDays: Int): DataFrame = {
+    require(churnGapDays >= 0, "nelsonAalen needs churnGapDays >= 0")
     val wCum = Window.partitionBy().orderBy("duration")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = tbl
-      .withColumn("n_risk",
-        sum("__total").over(wAll) -
-          coalesce(sum("__total").over(wBefore), lit(0L)))
-      .withColumn("__term",
-        when(col("n_events") === 0L, lit(java.math.BigDecimal.ZERO)
+    riskTable(events, userCol, tsCol, churnGapDays)
+      .withColumn("__h",
+        (col("n_events").cast("double") / col("n_risk").cast("double"))
           .cast("decimal(38,18)"))
-          .when(col("n_events") < col("n_risk"),
-            log((col("n_risk") - col("n_events")).cast("double") /
-              col("n_risk").cast("double")).cast("decimal(38,18)"))
-          .otherwise(lit(null).cast("decimal(38,18)")))
-      .withColumn("ln_surv", sum("__term").over(wCum).cast("double"))
-    risk.select(col("duration"), col("n_risk").cast("long").as("n_risk"),
-      col("n_events").cast("long").as("n_events"),
-      col("n_censored").cast("long").as("n_censored"), col("ln_surv"))
+      .withColumn("__v",
+        (col("n_events").cast("double") /
+          (col("n_risk") * col("n_risk")).cast("double"))
+          .cast("decimal(38,18)"))
+      .withColumn("cum_hazard", sum("__h").over(wCum).cast("double"))
+      .withColumn("cum_hazard_var", sum("__v").over(wCum).cast("double"))
+      .select(col("duration"), col("n_risk").cast("long").as("n_risk"),
+        col("n_events").cast("long").as("n_events"),
+        col("n_censored").cast("long").as("n_censored"),
+        col("cum_hazard"), col("cum_hazard_var"))
+  }
+
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise slopes
+    * (y₂−y₁)/(x₂−x₁) over x-distinct point pairs — the slope estimator
+    * that shrugs off ~29% outliers where least squares (q117) bends.
+    * Pairs are quadratic per group BY DESIGN, so the operator is gated:
+    * it REFUSES groups beyond `maxPoints` (at corpus scale, aggregate to
+    * a bounded grid first — daily counts, not raw events). The median is
+    * exact: slopes rank by their deterministic IEEE quotient (ties
+    * broken by the integer num/den pair), and the reported slope is the
+    * RATIONAL median — for even counts the two middle slopes average as
+    * (a·d₂ + c·d₁) / (2·d₁·d₂), exact integers; the double is one final
+    * division. Groups with no x-distinct pair (all x equal) are dropped.
+    * Output per group: n_points, n_slopes, slope_num, slope_den, slope.
+    */
+  def theilSenSlope(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 2000): DataFrame = {
+    require(maxPoints >= 2, "theilSenSlope needs maxPoints >= 2")
+    val pts = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val counts = pts.groupBy("__g").agg(count(lit(1)).as("n_points"))
+      .withColumn("__guard",
+        when(col("n_points") > maxPoints, raise_error(concat(
+          lit(s"theilSenSlope: group "), col("__g").cast("string"),
+          lit(s" has "), col("n_points").cast("string"),
+          lit(s" points > maxPoints=$maxPoints — aggregate to a bounded" +
+            " grid first"))))
+          .otherwise(lit(null).cast("string")))
+      .select("__g", "n_points", "__guard")
+    val a = pts.select(col("__g"), col("__x").as("x1"), col("__y").as("y1"))
+    val b = pts.select(col("__g"), col("__x").as("x2"), col("__y").as("y2"))
+    val slopes = a.join(b, Seq("__g")).filter(col("x1") < col("x2"))
+      .select(col("__g"),
+        (col("y2") - col("y1")).as("num"),
+        (col("x2") - col("x1")).as("den"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("__s"))
+    val wRank = Window.partitionBy("__g")
+      .orderBy(col("__s").asc, col("num").asc, col("den").asc)
+    val ranked = slopes
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+    val med = ranked
+      .groupBy("__g")
+      .agg(
+        max("__n").as("n_slopes"),
+        max(when(col("__rn") === expr("(__n + 1) div 2"),
+          col("num"))).as("__n1"),
+        max(when(col("__rn") === expr("(__n + 1) div 2"),
+          col("den"))).as("__d1"),
+        max(when(col("__rn") === expr("__n div 2 + 1"),
+          col("num"))).as("__n2"),
+        max(when(col("__rn") === expr("__n div 2 + 1"),
+          col("den"))).as("__d2"))
+    med.join(counts, Seq("__g"))
+      .select(col("__g").as("grp"), col("n_points"), col("n_slopes"),
+        (col("__n1") * col("__d2") + col("__n2") * col("__d1"))
+          .as("slope_num"),
+        (lit(2L) * col("__d1") * col("__d2")).as("slope_den"),
+        ((col("__n1") * col("__d2") + col("__n2") * col("__d1"))
+          .cast("double") /
+          (lit(2L) * col("__d1") * col("__d2")).cast("double"))
+          .as("slope"),
+        col("__guard"))
+      .filter(col("__guard").isNull)
+      .drop("__guard")
+  }
+
+  /** Lag-k autocorrelation of the daily event-count series per group,
+    * lags 1..`maxLag`, over the DENSE day grid (missing days count 0 —
+    * ACF over a gappy series silently shifts phases). Exact integers end
+    * to end: with S = Σy and N days, r_k's numerator Σ(N·y_t − S)(N·y_{t+k}
+    * − S) and denominator Σ(N·y_t − S)² clear the mean's division, fold
+    * as DECIMAL(38,0), and meet in ONE IEEE division. The day grid is
+    * observation-window-bounded; the lag join is an equi-join on
+    * (group, day+k). */
+  def lagAutocorrelation(events: DataFrame, groupCol: String,
+      tsCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "lagAutocorrelation needs maxLag >= 1")
+    val daily = events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val grid = daily.groupBy("g")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("g"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val dense = grid.join(daily, Seq("g", "d"), "left")
+      .select(col("g"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dense.groupBy("g").agg(
+      count(lit(1)).as("n_days"), sum("y").as("s"))
+    val base = dense.join(broadcast(stats), Seq("g"))
+    val den = base.groupBy("g").agg(
+      sum(((col("n_days") * col("y") - col("s")) *
+        (col("n_days") * col("y") - col("s"))).cast("decimal(38,0)"))
+        .as("den"))
+    val num = base
+      .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .withColumn("__d2", col("d") + col("lag"))
+      .join(dense.select(col("g"), col("d").as("__d2"),
+        col("y").as("__y2")), Seq("g", "__d2"))
+      .groupBy("g", "lag")
+      .agg(
+        max("n_days").as("n_days"),
+        sum(((col("n_days") * col("y") - col("s")) *
+          (col("n_days") * col("__y2") - col("s")))
+          .cast("decimal(38,0)")).as("acf_num"))
+    val out = num.join(den, Seq("g"))
+      .select(col("g").as("grp"), col("lag"),
+        col("n_days").cast("long").as("n_days"),
+        col("acf_num").cast("long").as("acf_num"),
+        col("den").cast("long").as("acf_den"),
+        when(col("den") > 0,
+          col("acf_num").cast("double") / col("den").cast("double"))
+          .as("acf"))
+      // eager O(groups·maxLag) materialization so the grid cache can be
+      // released on exit (the triangleCounts pattern)
+      .localCheckpoint(true)
+    dense.unpersist(false)
+    out
+  }
+
+  /** EWMA anomaly score over daily event counts, EXACT in integers: the
+    * α=½ exponentially-weighted moving sum of the previous `window` days
+    * is held 2^window-scaled — s(d) = Σ_{k=1..W} y(d−k)·2^{W−k}, every
+    * weight a power of two — so "today vs smoothed history" is pure
+    * integer arithmetic any engine replays (libm-free, unlike a float
+    * EWMA recurrence whose fold order is engine-private). The score
+    * normalizes by the full-history weight mass (2^W − 1): ≈1000 means
+    * today looks like the decayed past, ≫1000 is a spike. Days with no
+    * history emit a null score, not a fabricated one. Scale shape: the
+    * corpus aggregates to daily counts FIRST; the window-explode (W
+    * rows per day-count) and the target-day re-aggregation all happen
+    * on the bounded daily frame. */
+  def ewmaAnomalyScore(events: DataFrame, groupCol: String,
+      tsCol: String, window: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 40,
+      "ewmaAnomalyScore needs 1 <= window <= 40 (weights are 2^window-scaled)")
+    val daily = events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contrib = daily
+      .withColumn("k", explode(sequence(lit(1L), lit(window.toLong))))
+      .select(col("g"), (col("d") + col("k")).as("d"),
+        expr(s"y * shiftleft(1L, cast($window - k as int))").as("w"))
+      .groupBy("g", "d").agg(sum("w").as("ewms_scaled"))
+    val out = daily.join(contrib, Seq("g", "d"), "left")
+      .select(col("g").as("grp"), col("d").as("day"), col("y"),
+        coalesce(col("ewms_scaled"), lit(0L)).as("ewms_scaled"))
+      .withColumn("score_permille",
+        expr(s"CASE WHEN ewms_scaled > 0 THEN " +
+          s"(y * (${(1L << window) - 1}L) * 1000) div ewms_scaled END"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Daily OHLC bars per group from an event stream — open/close by
+    * event time (ties to the smaller event id, so the bar is
+    * deterministic under same-timestamp bursts), high/low as order-free
+    * extrema, and the day's volume summed as DECIMAL(38,6) (exact and
+    * fold-order-free where a raw double sum would drift by partition
+    * order). One shuffle on (group, day); the two windows run inside
+    * each bar's partition. */
+  def ohlcBars(events: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val base = events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), to_date(col(tsCol)).as("day"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"),
+        col(valueCol).cast("double").as("__v"))
+    val asc = Window.partitionBy("grp", "day")
+      .orderBy(col("__ts").asc, col("__id").asc)
+    val desc = Window.partitionBy("grp", "day")
+      .orderBy(col("__ts").desc, col("__id").desc)
+    base
+      .withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy("grp", "day")
+      .agg(
+        max(when(col("__ra") === 1, col("__v"))).as("open"),
+        max("__v").as("high"), min("__v").as("low"),
+        max(when(col("__rd") === 1, col("__v"))).as("close"),
+        count(lit(1)).as("n_events"),
+        // DECIMAL(18,2): the fixture values are 2-dp money-like, so the
+        // cast is exact (the q36 recipe) and the fold is order-free —
+        // a raw double sum would drift by partition order
+        sum(col("__v").cast("decimal(18,2)")).cast("double").as("volume"))
+  }
+
+  /** Top event-type TRIGRAMS across user journeys — the order-3 upgrade
+    * of the Markov transition matrix (q114): which three-step paths
+    * dominate, the view that finds funnel shapes no pairwise matrix can
+    * (A→B→A ping-pongs vs A→B→C progressions). Sequence order is
+    * (ts, id)-deterministic; trigram assembly is two leads inside the
+    * per-user window partition (each user's stream sorts locally —
+    * no global order); counts partial-aggregate into a
+    * |types|³-bounded frame before the top-k. */
+  def eventTrigrams(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, topK: Int = 25): DataFrame = {
+    require(topK >= 1, "eventTrigrams needs topK >= 1")
+    val w = Window.partitionBy("__u").orderBy(col("__ts").asc,
+      col("__id").asc)
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(typeCol).as("t1"))
+      .withColumn("t2", lead("t1", 1).over(w))
+      .withColumn("t3", lead("t1", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(topK)
   }
 }

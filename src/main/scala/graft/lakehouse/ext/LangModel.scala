@@ -302,4 +302,33 @@ object LangModel {
       ck
     }
   }
+
+  /** Conditional bigram entropy H(W₂|W₁) in bits — the corpus's
+    * next-token uncertainty, the scalar that sits under the perplexity
+    * reports (q266/q276: H is the ln-domain view of the same model) and
+    * moves when boilerplate floods a corpus (duplicated spans crush H).
+    * From the exact bigram table: H = (1/N)·Σ c₁₂·(ln c₁ − ln c₁₂)/ln2
+    * with c₁ = Σ_w c₁w. Each per-bigram term is the SAME fixed IEEE op
+    * sequence in Spark and the oracle (ln 2 as a shared double literal,
+    * not a library call), accumulated exactly as DECIMAL(38,18); one
+    * final division. Frames are vocab²-bounded after ONE bigram count
+    * aggregation. */
+  def conditionalBigramEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val Ln2 = 0.6931471805599453
+    val bg = bigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(sum("c12").as("c1"))
+    val terms = bg.join(c1, Seq("w1"))
+      .select(col("c12"),
+        ((col("c12") * (log(col("c1").cast("double")) -
+          log(col("c12").cast("double")))) / lit(Ln2))
+          .cast("decimal(38,18)").as("__term"))
+    terms.agg(sum("__term").as("__s"), sum("c12").as("n_bigrams"))
+      .crossJoin(c1.agg(count(lit(1)).as("vocab_w1")))
+      .select(col("n_bigrams"), col("vocab_w1"),
+        when(col("n_bigrams") > 0,
+          col("__s").cast("double") / col("n_bigrams").cast("double"))
+          .as("entropy_bits"))
+  }
 }

@@ -1244,4 +1244,112 @@ object Multimodal {
   /** `syntheticTiff` as a column function. */
   val syntheticTiffUdf = udf((le: Boolean, w: Long, h: Long, orient: Int,
     exif: Boolean) => syntheticTiff(le, w, h, orient, exif))
+
+  // ---- WAV (RIFF) container metadata (decode-free) ----------------------
+
+  /** Parsed WAV metadata from the RIFF chunk structure: fmt fields
+    * (codec tag, channels, sample rate, bits), the data-chunk byte count
+    * with the integer duration it implies, the chunk census, and whether
+    * any declared chunk overran the buffer (the truncation signal). */
+  case class WavMeta(audio_format: Int, channels: Int, sample_rate: Int,
+    bits_per_sample: Int, byte_rate: Int, data_bytes: Long,
+    duration_ms: Long, n_chunks: Int, truncated: Boolean)
+
+  /** DECODE-FREE WAV metadata — the PCM member of the container-walker
+    * family (RIFF spec): check 'RIFF'+size+'WAVE', then walk
+    * fourcc+size chunks (word-aligned, as the spec demands — odd-sized
+    * chunks pad one byte), reading fmt and data and skipping everything
+    * else by its own declared size, bounds-checked against hostile size
+    * fields. Sample data is never interpreted. duration_ms is exact
+    * integer arithmetic (data_bytes·1000 div byte_rate). Returns null
+    * for non-RIFF/WAVE payloads. */
+  def wavMeta(bytes: Array[Byte]): WavMeta = {
+    if (bytes == null || bytes.length < 12) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return null
+    var pos = 12
+    var nChunks = 0
+    var truncated = false
+    var fmtTag = 0; var channels = 0; var rate = 0; var bits = 0
+    var byteRate = 0L; var dataBytes = -1L
+    while (!truncated && pos + 8 <= bytes.length) {
+      val id = fourcc(pos)
+      val sz = u32(pos + 4)
+      val body = pos + 8
+      if (sz > Int.MaxValue || body + sz > bytes.length) truncated = true
+      else {
+        nChunks += 1
+        if (id == "fmt " && sz >= 16) {
+          fmtTag = u16(body); channels = u16(body + 2)
+          rate = u32(body + 4).toInt; byteRate = u32(body + 8)
+          bits = u16(body + 14)
+        } else if (id == "data") dataBytes = sz
+        pos = body + sz.toInt + (sz.toInt & 1) // word alignment
+      }
+    }
+    val dur = if (dataBytes >= 0 && byteRate > 0)
+      dataBytes * 1000L / byteRate else -1L
+    WavMeta(fmtTag, channels, rate, bits, byteRate.toInt,
+      dataBytes, dur, nChunks, truncated)
+  }
+
+  private val wavSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[WavMeta].dataType.asInstanceOf[StructType]
+
+  /** [[wavMeta]] over a blob column — appends a nullable `wav` struct. */
+  def decodeWavHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("wav", wavSchema, nullable = true)) { bytes =>
+      wavMeta(bytes) match {
+        case null => null
+        case m => Row(m.audio_format, m.channels, m.sample_rate,
+          m.bits_per_sample, m.byte_rate, m.data_bytes, m.duration_ms,
+          m.n_chunks, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic WAV (fixture payloads): real RIFF/WAVE
+    * framing with a spec-complete fmt chunk, optional odd-sized filler
+    * chunks (exercising word alignment), and a data chunk of
+    * deterministic bytes — a CONTAINER fixture (the [[syntheticMp3]]
+    * contract), not meaningful audio. */
+  def syntheticRiffWav(channels: Int, sampleRate: Int, bits: Int,
+      nSamples: Int, nFillerChunks: Int): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1 && bits % 8 == 0 &&
+      bits >= 8 && nSamples >= 0 && nFillerChunks >= 0,
+      "syntheticRiffWav: invalid salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    val blockAlign = channels * bits / 8
+    val dataBytes = nSamples * blockAlign
+    val fillerBytes = nFillerChunks * (8 + 3 + 1) // odd 3-byte body + pad
+    bos.write("RIFF".getBytes("US-ASCII"))
+    le32(4L + 24L + fillerBytes + 8L + dataBytes)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16L)
+    le16(1); le16(channels); le32(sampleRate.toLong)
+    le32(sampleRate.toLong * blockAlign); le16(blockAlign); le16(bits)
+    var fc = 0
+    while (fc < nFillerChunks) {
+      bos.write("LIST".getBytes("US-ASCII")); le32(3L)
+      bos.write('f'); bos.write('0' + fc % 10); bos.write('x')
+      bos.write(0) // word-alignment pad
+      fc += 1
+    }
+    bos.write("data".getBytes("US-ASCII")); le32(dataBytes.toLong)
+    var i = 0
+    while (i < dataBytes) { bos.write((i * 13) & 0xff); i += 1 }
+    bos.toByteArray
+  }
+
+  /** `syntheticRiffWav` as a column function. */
+  val syntheticRiffWavUdf = udf((ch: Int, rate: Int, bits: Int, ns: Int,
+    filler: Int) => syntheticRiffWav(ch, rate, bits, ns, filler))
 }

@@ -727,4 +727,34 @@ object Packing {
       .select(col(idCol), col(sourceCol), col("src_rank"),
         col("interleave_key"))
   }
+
+  /** Sequence-length sweep: for each candidate max length, BOTH sides of
+    * the trade the single-length reports measure one at a time
+    * ([[paddingWasteReport]] / `TextStats.truncationLossReport`) — how
+    * many documents truncate, what token share is lost, and the padding
+    * share a one-doc-per-sequence batcher would waste — the one table a
+    * pipeline reads to pick max_seq_len. One size frame (corpus
+    * aggregates first), exploded |lengths| ways, one aggregation;
+    * integer permille throughout. */
+  def seqLenSweep(df: DataFrame, sizeCol: String,
+      lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1),
+      "seqLenSweep needs at least one positive candidate length")
+    df.filter(col(sizeCol).isNotNull)
+      .select(col(sizeCol).cast("long").as("__n"))
+      .select(col("__n"), explode(typedlit(lengths.map(_.toLong)))
+        .as("max_len"))
+      .groupBy("max_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > col("max_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum("__n").as("__total"),
+        sum(greatest(col("__n") - col("max_len"), lit(0L))).as("__lost"),
+        sum(least(col("__n"), col("max_len"))).as("__kept"))
+      .select(col("max_len"), col("n_docs"), col("n_truncated"),
+        expr("(__lost * 1000) div __total").as("tokens_lost_permille"),
+        expr("((n_docs * max_len - __kept) * 1000) " +
+          "div (n_docs * max_len)").as("padding_waste_permille"))
+  }
 }

@@ -644,6 +644,47 @@ object Similarity {
     } finally c.unpersist(false)
   }
 
+  /** IVF tuning curve: recall@k of [[ivfTopKPortable]] against the
+    * exact cosine top-k, per probe width — the measurement that picks
+    * nProbe (the q279 calibration-histogram discipline applied to the
+    * vector index: never ship an approximate retriever without its
+    * recall curve). For each nProbe in `probes`, the fraction of exact
+    * top-k pairs the probed search returns, as integer permille over
+    * all queries; zero-hit probe widths still emit their row. Every
+    * stage is the two operators' own portable arithmetic, so the whole
+    * curve hash-checks cross-engine. Scale: the exact baseline is one
+    * broadcast pass (queries-bounded); each probe run scans only its
+    * probed cells; the recall join is over queries×k rows. */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 8,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      "ivfRecallSweep needs at least one probe width >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val exact = cosineTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val runs = probes.map { p =>
+      ivfTopKPortable(corpus, queries, idCol, vecCol, k, nLists, p)
+        .select(lit(p.toLong).as("n_probe"), col("query_id"),
+          col("vec_id"))
+    }.reduce(_ unionByName _)
+    val hits = runs.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("n_probe").agg(count(lit(1)).as("__hits"))
+    val out = probes.map(_.toLong).toDF("n_probe")
+      .join(hits, Seq("n_probe"), "left")
+      .crossJoin(exact.agg(count(lit(1)).as("n_expected")))
+      .select(col("n_probe"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        col("n_expected"),
+        expr("(coalesce(__hits, 0) * 1000) div n_expected")
+          .as("recall_permille"))
+      .localCheckpoint(true)
+    exact.unpersist(false)
+    out
+  }
+
   /** Product-quantization ANN top-k with ENGINE-PORTABLE training and
     * scoring ([[pqTopK]]'s shape, [[Clustering]]'s arithmetic): the
     * per-subspace codebooks come from fixed-point Lloyd (quantized

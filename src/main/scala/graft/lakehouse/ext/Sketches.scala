@@ -370,4 +370,66 @@ object Sketches {
       .withColumn("value_scaled",
         expr(s"${lo}L + (bucket * ${hi - lo}L) div ${buckets}L"))
   }
+
+  /** Accuracy report for the fixed-grid quantile sketch: per requested
+    * permille, the sketch's grid answer ([[quantilesFromSketch]]) next
+    * to the EXACT rank statistic on the same clamped-scaled domain, the
+    * absolute error, and the sketch's a-priori bound (one grid cell =
+    * (hi−lo)/buckets) — the table that justifies a bucket count before
+    * trusting the sketch at 100 TB. All integer. The exact side ranks
+    * over a count-per-distinct-value frame — a DIAGNOSTIC to run at
+    * evaluation scale (the sketch exists precisely so production never
+    * builds that frame). */
+  def sketchQuantileError(df: DataFrame, valueCol: String, lo: Long,
+      hi: Long, buckets: Int, scale: Long,
+      permilles: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = quantilesFromSketch(
+      quantileSketch(df, valueCol, lo, hi, buckets, scale),
+      permilles, lo, hi, buckets)
+      .select(col("p"), col("value_scaled").as("sketch_scaled"))
+    val vals = df.filter(col(valueCol).isNotNull)
+      .withColumn("__vc", least(greatest(
+        floor(col(valueCol).cast("double") * lit(scale.toDouble))
+          .cast("long"), lit(lo)), lit(hi - 1)))
+      .groupBy("__vc").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy().orderBy("__vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = vals
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .select(col("__vc"), col("cum"), col("n"),
+        explode(typedlit(permilles)).as("p"))
+      .withColumn("rank", expr("(n * p + 999) div 1000"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("p").agg(min("__vc").as("exact_scaled"))
+    sk.join(exact, Seq("p"))
+      .select(col("p"), col("exact_scaled"), col("sketch_scaled"),
+        abs(col("sketch_scaled") - col("exact_scaled"))
+          .as("abs_err_scaled"),
+        lit((hi - lo) / buckets).as("cell_bound_scaled"))
+  }
+
+  /** Accuracy report for the count-min sketch: per probe key, the exact
+    * count next to the CMS estimate and the overcount (CMS never
+    * undercounts — a negative delta is a bug, and the spec asserts it).
+    * The exact side is one semi-joined count over the probe keys only;
+    * the estimate is [[cmsPointEstimates]] over the depth×width counter
+    * table. The report is what calibrates width against the observed
+    * heavy-hitter skew before shipping the sketch. */
+  def cmsAccuracyReport(df: DataFrame, keyCol: String, depth: Int,
+      width: Int, probes: DataFrame): DataFrame = {
+    val counters = portableCmsCounters(df, keyCol, depth, width)
+    val est = cmsPointEstimates(counters, probes, keyCol, depth, width)
+      .select(col(keyCol), col("est").as("cms_estimate"))
+    val exact = df.join(probes.select(keyCol).distinct(), Seq(keyCol),
+        "left_semi")
+      .groupBy(keyCol).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - coalesce(col("exact_count"), lit(0L)))
+          .as("overcount"))
+  }
 }

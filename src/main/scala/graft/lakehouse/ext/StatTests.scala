@@ -876,4 +876,55 @@ object StatTests {
         col("m_tests").cast("long").as("m_tests"),
         (col("p_rank") <= col("__kmax")).as("rejected"))
   }
+
+  /** Winsorized mean per group: values clamped at the exact lo/hi
+    * rank-percentiles (rank = ceil(n·p/1000), the [[Sketches]] rank
+    * convention) before averaging — the robust mean that keeps its
+    * units, where a trimmed mean changes n and a plain mean hands one
+    * outlier the whole report. Percentile bounds come from a cumulative
+    * window over the per-group count-per-distinct-value frame; the
+    * clamped sum folds exactly (integer values × counts, DECIMAL(38,0));
+    * ONE IEEE division ends it. Quantize continuous columns first so
+    * the value frame stays bounded. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      loPermille: Int = 50, hiPermille: Int = 950): DataFrame = {
+    require(loPermille >= 1 && hiPermille <= 1000 &&
+      loPermille < hiPermille, "winsorizedMean needs 1 <= lo < hi <= 1000")
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+    val ranked = counts
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+    val bounds = ranked
+      .groupBy("grp")
+      .agg(
+        max("n").as("n"),
+        min(when(col("cum") >=
+          expr(s"(n * $loPermille + 999) div 1000"), col("v")))
+          .as("lo_val"),
+        min(when(col("cum") >=
+          expr(s"(n * $hiPermille + 999) div 1000"), col("v")))
+          .as("hi_val"))
+    counts.join(bounds, Seq("grp"))
+      .select(col("grp"), col("n"), col("lo_val"), col("hi_val"),
+        (col("c") * least(greatest(col("v"), col("lo_val")),
+          col("hi_val"))).cast("decimal(38,0)").as("__cs"),
+        (col("c") * col("v")).cast("decimal(38,0)").as("__rs"))
+      .groupBy("grp")
+      .agg(max("n").as("n"), max("lo_val").as("lo_val"),
+        max("hi_val").as("hi_val"),
+        sum("__cs").as("__wsum"), sum("__rs").as("__rsum"))
+      .select(col("grp"), col("n"), col("lo_val"), col("hi_val"),
+        col("__wsum").cast("long").as("winsorized_sum"),
+        (col("__wsum").cast("double") / col("n").cast("double"))
+          .as("winsorized_mean"),
+        (col("__rsum").cast("double") / col("n").cast("double"))
+          .as("raw_mean"))
+  }
 }

@@ -1292,4 +1292,96 @@ object TextStats {
           .as("chao1_milli"),
         expr("(f1 * 1000) div n_tokens").as("gt_unseen_permille"))
   }
+
+  /** Vocabulary Jaccard matrix between groups (sources): per unordered
+    * group pair, the distinct-token intersection, both vocab sizes, and
+    * Jaccard as integer permille — the lexical cousin of
+    * [[Dedup.sourceOverlapMatrix]] (that one asks "are the DOCUMENTS
+    * shared?", this one "is the LANGUAGE shared?" — a source can be
+    * document-disjoint yet vocabulary-identical, which matters for
+    * mixture weighting). Zero-overlap pairs are materialized (complete
+    * upper triangle). Scale shape: the corpus collapses to the DISTINCT
+    * (group, token) frame first, so the token-keyed self-join is
+    * vocab-bounded and each token contributes at most |groups|² cells —
+    * never a document-level pair space. */
+  def vocabJaccardMatrix(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val tok = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(filter(split(lower(coalesce(col(textCol), lit(""))),
+          "\\s+"), t => t =!= "")).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = tok.groupBy("g").agg(count(lit(1)).as("sz"))
+    val inter = tok.select(col("g").as("ga"), col("tok"))
+      .join(tok.select(col("g").as("gb"), col("tok")), Seq("tok"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n_common"))
+    val cells = sizes.select(col("g").as("ga"), col("sz").as("n_a"))
+      .join(sizes.select(col("g").as("gb"), col("sz").as("n_b")),
+        col("ga") < col("gb"))
+      .join(inter, Seq("ga", "gb"), "left")
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_permille",
+        expr("(n_common * 1000) div (n_a + n_b - n_common)"))
+      .localCheckpoint(true)
+    tok.unpersist(false)
+    cells
+  }
+
+  /** Token Lorenz curve: documents sorted by token count into `buckets`
+    * equal-population buckets (shortest first), each bucket's token mass
+    * and the cumulative share in permille — the concentration table
+    * under the Gini scalar (q323): "the longest 10% of documents hold
+    * X% of the tokens" is the number that decides length-capped sampling
+    * and packing strategy. Integer-exact; the ntile runs over one
+    * doc-level frame (one global sort — the q109 deciles shape),
+    * deterministic via the (count, id) tie-break. */
+  def tokenLorenzCurve(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "tokenLorenzCurve needs buckets >= 1")
+    val lens = df.select(col(idCol).as("__id"),
+      size(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        t => t =!= "")).cast("long").as("__n"))
+    val byLen = Window.partitionBy().orderBy(col("__n").asc,
+      col("__id").asc)
+    val wCum = Window.partitionBy().orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    lens.withColumn("bucket", ntile(buckets).over(byLen))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+      .withColumn("__cum", sum("n_tokens").over(wCum))
+      .withColumn("__tot", sum("n_tokens").over(wAll))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        expr("(__cum * 1000) div __tot").as("cum_permille"))
+  }
+
+  /** Burstiness of the top-`topK` tokens: the variance-to-mean ratio
+    * (index of dispersion) of per-document counts, zeros included —
+    * D ≈ 1 is Poisson scatter, D ≫ 1 a bursty term that piles into few
+    * documents (topical/boilerplate), the distinction TF-IDF can't see
+    * from totals alone. Division-cleared exact integers: with N docs,
+    * S = Σc, SS = Σc², D = (N·SS − S²)/(N·S), reported milli-scaled.
+    * One (doc, token) count aggregation → one vocab-bounded fold →
+    * top-K; the zeros never materialize. */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, "tokenBurstiness needs topK >= 1")
+    val tok = df.select(col(idCol).as("__id"),
+        explode(filter(split(lower(coalesce(col(textCol), lit(""))),
+          "\\s+"), t => t =!= "")).as("token"))
+      .groupBy("__id", "token").agg(count(lit(1)).as("c"))
+    val st = tok.groupBy("token").agg(
+      sum("c").as("n_total"),
+      sum(col("c") * col("c")).as("__ss"),
+      count(lit(1)).as("n_docs_present"))
+    st.orderBy(col("n_total").desc, col("token").asc).limit(topK)
+      .crossJoin(df.agg(count(lit(1)).as("__nd")))
+      .select(col("token"), col("n_total"), col("n_docs_present"),
+        expr("((__nd * __ss - n_total * n_total) * 1000) " +
+          "div (__nd * n_total)").as("dispersion_milli"))
+  }
 }

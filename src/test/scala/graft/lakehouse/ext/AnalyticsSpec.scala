@@ -413,4 +413,142 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got(1)._5 - math.log(0.4)) < 1e-12)
     assert(got(3)._5 == got(2)._5, "censoring-only durations keep S flat")
   }
+
+  test("nelsonAalen: hand-computed cumulative hazard on the KM fixture") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq(
+      (1L, t(1)), (1L, t(11)),
+      (2L, t(1)), (2L, t(3)),
+      (3L, t(1)), (3L, t(3)),
+      (4L, t(1)), (4L, t(6)),
+      (5L, t(3)), (5L, t(11)))
+      .toDF("user_id", "ts")
+    val got = Analytics.nelsonAalen(ev, "user_id", "ts", churnGapDays = 3)
+      .orderBy("duration").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("cum_hazard"), r.getAs[Double]("cum_hazard_var")))
+    // risk table (from the KM spec): dur 2: d=2 n=5; dur 5: d=1 n=3;
+    // dur 8: d=0 n=2; dur 10: d=0 n=1
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((2, 5L, 2L), (5, 3L, 1L), (8, 2L, 0L), (10, 1L, 0L)))
+    assert(math.abs(got(0)._4 - 0.4) < 1e-12)
+    assert(math.abs(got(1)._4 - (0.4 + 1.0 / 3.0)) < 1e-12)
+    assert(got(3)._4 == got(1)._4, "no-event durations keep H flat")
+    assert(math.abs(got(0)._5 - 2.0 / 25.0) < 1e-12)
+    assert(math.abs(got(1)._5 - (2.0 / 25.0 + 1.0 / 9.0)) < 1e-12)
+  }
+
+  test("theilSenSlope: exact line -> its slope, outlier shrugged off, " +
+    "even count averages the two middles, oversize group refused") {
+    import spark.implicits._
+    // y = 2x + 1 with one wild outlier at x=5: median slope stays 2
+    val pts = Seq(("a", 1, 3), ("a", 2, 5), ("a", 3, 7), ("a", 4, 9),
+      ("a", 5, 1000)).toDF("g", "x", "y")
+    val r = Analytics.theilSenSlope(pts, "g", "x", "y").head()
+    assert(r.getAs[Long]("n_points") == 5L &&
+      r.getAs[Long]("n_slopes") == 10L &&
+      math.abs(r.getAs[Double]("slope") - 2.0) < 1e-12)
+    // two points -> one slope; three collinear-x points with even slope
+    // count: slopes {1, 2, 3} from (0,0),(1,1),(2,3)? -> pairs
+    // (0,1):1, (0,2):1.5, (1,2):2 -> odd count 3, median 1.5
+    val tri = Seq(("b", 0, 0), ("b", 1, 1), ("b", 2, 3)).toDF("g", "x", "y")
+    val m = Analytics.theilSenSlope(tri, "g", "x", "y").head()
+    assert(m.getAs[Long]("n_slopes") == 3L &&
+      math.abs(m.getAs[Double]("slope") - 1.5) < 1e-12)
+    // even count: 4 slopes, the two middles average exactly
+    // pts (0,0),(1,1),(2,2),(3,100): slopes 1,1,1, 33.xx, 49.5, 97
+    // sorted: 1,1,1,33.33,49.5,97 (6 slopes) -> middles 1 and 33.33
+    val ev4 = Seq(("c", 0, 0), ("c", 1, 1), ("c", 2, 2), ("c", 3, 100))
+      .toDF("g", "x", "y")
+    val e = Analytics.theilSenSlope(ev4, "g", "x", "y").head()
+    assert(e.getAs[Long]("n_slopes") == 6L)
+    // middles: rank3 = 1 (num/den reduced variants), rank4 = 100-2=98/1?
+    // slopes: (0,1)=1,(0,2)=1,(0,3)=100/3,(1,2)=1,(1,3)=99/2,(2,3)=98
+    // sorted: 1,1,1,100/3,99/2,98 -> middles 1 and 100/3
+    assert(math.abs(e.getAs[Double]("slope") - (1.0 + 100.0 / 3.0) / 2.0)
+      < 1e-12)
+    intercept[Exception] {
+      Analytics.theilSenSlope(pts, "g", "x", "y", maxPoints = 3).collect()
+    }
+  }
+
+  test("lagAutocorrelation: constant series -> zero variance (null acf); " +
+    "alternating series -> acf(1) < 0 < acf(2); missing days fill as 0") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // alternating 2,1,2,1,... over 8 days
+    val alt = (1 to 8).flatMap(d =>
+      Seq.fill(if (d % 2 == 1) 2 else 1)(("a", t(d))))
+    // constant 1/day over 4 days
+    val const = (1 to 4).map(d => ("c", t(d)))
+    val ev = (alt ++ const).toDF("event_type", "ts")
+    val got = Analytics.lagAutocorrelation(ev, "event_type", "ts",
+      maxLag = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got(("a", 1L))._1 == 8L)
+    assert(got(("a", 1L))._2.get < 0 && got(("a", 2L))._2.get > 0)
+    assert(got(("c", 1L))._2.isEmpty, "zero variance -> null acf")
+    // a gap: days 1 and 3 only, one event each -> dense day 2 fills 0
+    val gap = Seq(("g", t(1)), ("g", t(3))).toDF("event_type", "ts")
+    val g = Analytics.lagAutocorrelation(gap, "event_type", "ts",
+      maxLag = 1).collect()
+    assert(g.head.getLong(2) == 3L, "dense grid spans the gap")
+  }
+
+  test("ewmaAnomalyScore: steady series scores ~1000, spike scores " +
+    "high, day one has no history") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // 25 days of 4 events/day, then a 40-event spike on day 26
+    val ev = ((1 to 25).flatMap(d => Seq.fill(4)(("a", t(d)))) ++
+      Seq.fill(40)(("a", t(26)))).toDF("event_type", "ts")
+    val got = Analytics.ewmaAnomalyScore(ev, "event_type", "ts",
+      window = 20).orderBy("day").collect()
+    assert(got.head.isNullAt(4), "first day has no history")
+    val steady = got(24) // day 25: full window of constant 4s
+    // full-history mass: score = y*(2^20-1)*1000 div (y*(2^20-1)) = 1000
+    assert(steady.getAs[Long]("score_permille") == 1000L)
+    val spike = got(25)
+    assert(spike.getAs[Long]("y") == 40L &&
+      spike.getAs[Long]("score_permille") == 10000L,
+      s"spike must score 10x steady, got ${spike}")
+  }
+
+  test("ohlcBars: deterministic open/close under same-timestamp ties, " +
+    "exact decimal volume") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 17:00:00")
+    val ev = Seq(
+      ("a", ts0, 1L, 10.5), ("a", ts0, 2L, 11.0),  // tie: open = id 1
+      ("a", ts1, 3L, 9.25), ("a", ts1, 4L, 12.0)   // tie: close = id 4
+    ).toDF("event_type", "ts", "event_id", "value")
+    val r = Analytics.ohlcBars(ev, "event_type", "ts", "event_id",
+      "value").head()
+    assert(r.getAs[Double]("open") == 10.5 &&
+      r.getAs[Double]("close") == 12.0 &&
+      r.getAs[Double]("high") == 12.0 &&
+      r.getAs[Double]("low") == 9.25 &&
+      r.getAs[Long]("n_events") == 4L &&
+      r.getAs[Double]("volume") == 42.75)
+  }
+
+  test("eventTrigrams: per-user sequences only, deterministic tie order") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1), 1L, "a"), (1L, t(2), 2L, "b"), (1L, t(3), 3L, "c"),
+      (1L, t(4), 4L, "d"),
+      (2L, t(1), 5L, "a"), (2L, t(2), 6L, "b"), (2L, t(3), 7L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.eventTrigrams(ev, "user_id", "ts", "event_type",
+      "event_id", topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // user1: abc, bcd; user2: abc -> abc x2, bcd x1; no cross-user grams
+    assert(got.toSeq == Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+  }
 }

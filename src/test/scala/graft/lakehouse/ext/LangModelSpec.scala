@@ -163,4 +163,21 @@ class LangModelSpec extends SparkSuite {
       s"persisted=$oneShot scratch=$fromScratch")
   }
 
+
+  test("conditionalBigramEntropy: deterministic continuations -> 0 bits, " +
+    "hand-computed branching case") {
+    import spark.implicits._
+    // every w1 has one continuation: H = 0
+    val det = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val d = LangModel.conditionalBigramEntropy(det, "doc_id", "text").head()
+    assert(d.getAs[Long]("n_bigrams") == 4L &&
+      math.abs(d.getAs[Double]("entropy_bits")) < 1e-12)
+    // "a b a c": a -> {b, c} uniformly (1 bit each), b -> a (0 bits)
+    // H = (1/3)(1*1 + 0 + 1*1) = 2/3 bits
+    val br = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val b = LangModel.conditionalBigramEntropy(br, "doc_id", "text").head()
+    assert(b.getAs[Long]("n_bigrams") == 3L &&
+      b.getAs[Long]("vocab_w1") == 2L &&
+      math.abs(b.getAs[Double]("entropy_bits") - 2.0 / 3.0) < 1e-12)
+  }
 }

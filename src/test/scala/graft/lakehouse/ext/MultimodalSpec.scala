@@ -377,4 +377,21 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.tiffMeta("XXno tiff".getBytes) == null)
     assert(Multimodal.tiffMeta(null) == null)
   }
+
+  test("wavMeta: fixture arithmetic roundtrip, word alignment, hostile " +
+    "size field flags truncation, non-RIFF is null") {
+    val b = Multimodal.syntheticRiffWav(channels = 2, sampleRate = 8000,
+      bits = 16, nSamples = 100, nFillerChunks = 2)
+    val m = Multimodal.wavMeta(b)
+    assert(m.audio_format == 1 && m.channels == 2 &&
+      m.sample_rate == 8000 && m.bits_per_sample == 16 &&
+      m.byte_rate == 32000 && m.data_bytes == 400L &&
+      m.duration_ms == 400L * 1000 / 32000 &&
+      m.n_chunks == 4 && !m.truncated)
+    // hostile: declared data size beyond the buffer
+    val cut = b.take(b.length - 10)
+    assert(Multimodal.wavMeta(cut).truncated)
+    assert(Multimodal.wavMeta("notariff-atall!!".getBytes) == null)
+    assert(Multimodal.wavMeta(null) == null)
+  }
 }

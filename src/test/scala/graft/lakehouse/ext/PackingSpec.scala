@@ -472,4 +472,20 @@ class PackingSpec extends SparkSuite {
     assert(got == run(6))
   }
 
+
+  test("seqLenSweep: hand-checked truncation and padding shares") {
+    import spark.implicits._
+    // sizes 10 and 30; L=16: lost 14/40, kept 26, pad (32-26)/32
+    val df = Seq(10L, 30L).toDF("n_tok")
+    val got = Packing.seqLenSweep(df, "n_tok", Seq(16, 32))
+      .orderBy("max_len").collect()
+    val l16 = got(0)
+    assert(l16.getAs[Long]("n_truncated") == 1L &&
+      l16.getAs[Long]("tokens_lost_permille") == 14L * 1000 / 40 &&
+      l16.getAs[Long]("padding_waste_permille") == 6L * 1000 / 32)
+    val l32 = got(1)
+    assert(l32.getAs[Long]("n_truncated") == 0L &&
+      l32.getAs[Long]("tokens_lost_permille") == 0L &&
+      l32.getAs[Long]("padding_waste_permille") == 24L * 1000 / 64)
+  }
 }

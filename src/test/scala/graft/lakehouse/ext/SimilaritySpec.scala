@@ -184,4 +184,24 @@ class SimilaritySpec extends SparkSuite {
       }
     }
   }
+
+  test("ivfRecallSweep: recall is monotone in probe width and exact at " +
+    "probe = nLists; every probe row materializes") {
+    import spark.implicits._
+    // 12 clusterable integer-ish vectors
+    val vecs = (0 until 12).map { i =>
+      val base = Array.fill(4)(0.0f)
+      base(i % 4) = 10.0f + i
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfRecallSweep(vecs,
+      vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 5,
+      nLists = 4, probes = Seq(1, 2, 4)).orderBy("n_probe").collect()
+    assert(got.length == 3)
+    val recalls = got.map(_.getAs[Long]("recall_permille"))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must be monotone, got ${recalls.toSeq}")
+    assert(recalls.last == 1000L, "probe-all == exact")
+    assert(got.forall(_.getAs[Long]("n_expected") == 15L))
+  }
 }

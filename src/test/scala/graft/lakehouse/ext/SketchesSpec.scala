@@ -326,4 +326,38 @@ class SketchesSpec extends SparkSuite {
       assert(stateOf.contains("zz"))
     } finally q.stop()
   }
+
+  test("sketchQuantileError: error bounded by one grid cell; exact " +
+    "median of 1..100 recovered on the integer grid") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val got = Sketches.sketchQuantileError(df, "v", lo = 0L, hi = 128L,
+      buckets = 128, scale = 1L, permilles = Seq(500, 900))
+      .orderBy("p").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("abs_err_scaled") <=
+        r.getAs[Long]("cell_bound_scaled"))
+    }
+    // one value per unit cell: the sketch answer IS the exact rank stat
+    assert(got.forall(r =>
+      r.getAs[Long]("sketch_scaled") == r.getAs[Long]("exact_scaled")))
+    assert(got.head.getAs[Long]("exact_scaled") == 50L)
+  }
+
+  test("cmsAccuracyReport: estimates never undercount and are exact " +
+    "when the sketch is wide enough") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i % 10).toLong).toDF("k")
+    val probes = Seq(0L, 3L, 7L).toDF("k")
+    val got = Sketches.cmsAccuracyReport(df, "k", depth = 4,
+      width = 256, probes = probes).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L, "CMS is one-sided")
+      assert(r.getAs[Long]("exact_count") == 30L)
+    }
+    // 10 distinct keys in 256 buckets x 4 rows: no collisions expected
+    assert(got.forall(_.getAs[Long]("overcount") == 0L))
+  }
 }

@@ -553,4 +553,19 @@ class StatTestsSpec extends SparkSuite {
         x.getAs[String]("id") -> x.getAs[Boolean]("rejected")).toMap
     assert(r2 == Map("u1" -> true, "u2" -> true, "u3" -> true))
   }
+
+  test("winsorizedMean: outlier clamps to the p95 bound, raw mean keeps " +
+    "it; exact bounds on a hand frame") {
+    import spark.implicits._
+    // 19 values of 10 and one 1000: p5 bound 10, p95 bound 10 ->
+    // winsorized sum 200, mean 10; raw mean 59.5
+    val df = (Seq.fill(19)(10) :+ 1000).zipWithIndex
+      .map { case (v, i) => ("g", v) }.toDF("grp", "v")
+    val r = StatTests.winsorizedMean(df, "grp", "v").head()
+    assert(r.getAs[Long]("n") == 20L &&
+      r.getAs[Long]("lo_val") == 10L && r.getAs[Long]("hi_val") == 10L &&
+      r.getAs[Long]("winsorized_sum") == 200L &&
+      r.getAs[Double]("winsorized_mean") == 10.0 &&
+      r.getAs[Double]("raw_mean") == 59.5)
+  }
 }

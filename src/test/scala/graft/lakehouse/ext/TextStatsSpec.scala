@@ -611,4 +611,53 @@ class TextStatsSpec extends SparkSuite {
     assert(TextStats.chao1VocabRichness(nof2, "text").head()
       .getAs[Long]("chao1_milli") == 3000L + 3L * 2L * 1000L / 2L)
   }
+
+  test("vocabJaccardMatrix: hand-checked overlap, zero cells " +
+    "materialized, duplicates collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "a a"),            // s1 vocab {a,b,c}
+      ("s2", "b c d"),                           // s2 vocab {b,c,d}
+      ("s3", "x y")                              // s3 vocab {x,y}
+    ).toDF("source", "text")
+    val got = TextStats.vocabJaccardMatrix(docs, "text", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("s1", "s2", 3L, 3L, 2L, 500L),   // {b,c} / {a,b,c,d} = 2/4
+      ("s1", "s3", 3L, 2L, 0L, 0L),
+      ("s2", "s3", 3L, 2L, 0L, 0L)))
+  }
+
+  test("tokenLorenzCurve: hand-checked cumulative shares over 1..10 " +
+    "token docs") {
+    import spark.implicits._
+    val docs = (1 to 10).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextStats.tokenLorenzCurve(docs, "doc_id", "text")
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10 && got.forall(_._2 == 1L))
+    assert(got.map(_._3).toSeq == (1L to 10L).toSeq,
+      "shortest docs land in the first buckets")
+    // cumulative: k(k+1)/2 of 55, in permille (integer div)
+    assert(got.map(_._4).toSeq ==
+      (1 to 10).map(k => k.toLong * (k + 1) / 2 * 1000 / 55).toSeq)
+    assert(got.last._4 == 1000L)
+  }
+
+  test("tokenBurstiness: bursty token scores above spread-out token, " +
+    "zeros counted via total doc count") {
+    import spark.implicits._
+    // 'a' piles 2 occurrences into one of three docs; 'b' spreads 1x1
+    val docs = Seq((1L, "a a"), (2L, ""), (3L, "b")).toDF("doc_id", "text")
+    val got = TextStats.tokenBurstiness(docs, "doc_id", "text", topK = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a: N=3, S=2, SS=4 -> (12-4)*1000 div 6 = 1333
+    assert(got("a") == (2L, 1L, 1333L))
+    // b: N=3, S=1, SS=1 -> (3-1)*1000 div 3 = 666
+    assert(got("b") == (1L, 1L, 666L))
+  }
 }
