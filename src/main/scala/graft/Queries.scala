@@ -11342,5 +11342,197 @@ object Queries {
         |  CAST(2 + filler AS INT) AS n_chunks,
         |  FALSE AS truncated
         |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Pairwise Pearson correlation matrix over four lineitem measures
+    // in ONE scan: exact decimal moments of 100x-scaled integers, one
+    // IEEE step per upper-triangle cell.
+    Q("q350_correlation_matrix",
+      (s, dir) => StatTests.correlationMatrix(t(s, dir, "lineitem"), Seq(
+          "discount" -> expr("CAST(l_discount AS DECIMAL(18,2)) * 100"),
+          "extendedprice" ->
+            expr("CAST(l_extendedprice AS DECIMAL(18,2)) * 100"),
+          "quantity" -> expr("CAST(l_quantity AS DECIMAL(18,2)) * 100"),
+          "tax" -> expr("CAST(l_tax AS DECIMAL(18,2)) * 100")))
+        .orderBy("col_a", "col_b"),
+      Some("""WITH b AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS e,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+        |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |m AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |    sum(q::HUGEINT) AS sq, sum(e::HUGEINT) AS se,
+        |    sum(d::HUGEINT) AS sd, sum(t::HUGEINT) AS st,
+        |    sum(q::HUGEINT * q) AS pqq, sum(q::HUGEINT * e) AS pqe,
+        |    sum(q::HUGEINT * d) AS pqd, sum(q::HUGEINT * t) AS pqt,
+        |    sum(e::HUGEINT * e) AS pee, sum(e::HUGEINT * d) AS ped,
+        |    sum(e::HUGEINT * t) AS pet, sum(d::HUGEINT * d) AS pdd,
+        |    sum(d::HUGEINT * t) AS pdt, sum(t::HUGEINT * t) AS ptt
+        |  FROM b)
+        |SELECT col_a, col_b,
+        |  CASE WHEN n * paa - sa * sa > 0 AND n * pbb - sb * sb > 0
+        |    THEN CAST(n * pab - sa * sb AS DOUBLE)
+        |      / (sqrt(CAST(n * paa - sa * sa AS DOUBLE))
+        |        * sqrt(CAST(n * pbb - sb * sb AS DOUBLE))) END AS corr,
+        |  CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT 'discount' AS col_a, 'extendedprice' AS col_b, n,
+        |    sd AS sa, se AS sb, ped AS pab, pdd AS paa, pee AS pbb FROM m
+        |  UNION ALL SELECT 'discount', 'quantity', n,
+        |    sd, sq, pqd, pdd, pqq FROM m
+        |  UNION ALL SELECT 'discount', 'tax', n,
+        |    sd, st, pdt, pdd, ptt FROM m
+        |  UNION ALL SELECT 'extendedprice', 'quantity', n,
+        |    se, sq, pqe, pee, pqq FROM m
+        |  UNION ALL SELECT 'extendedprice', 'tax', n,
+        |    se, st, pet, pee, ptt FROM m
+        |  UNION ALL SELECT 'quantity', 'tax', n,
+        |    sq, st, pqt, pqq, ptt FROM m)
+        |ORDER BY col_a, col_b""".stripMargin)),
+
+    // 2-D histogram of quantity x extended price over a fixed clamped
+    // grid: the heatmap primitive, integer-exact.
+    Q("q351_histogram2d",
+      (s, dir) => Analytics.histogram2d(t(s, dir, "lineitem"),
+          "l_quantity", "l_extendedprice", xLo = 0L, xHi = 50L,
+          xBins = 10, yLo = 0L, yHi = 120000L, yBins = 12)
+        .orderBy("x_bucket", "y_bucket"),
+      Some("""SELECT
+        |  CAST(((LEAST(GREATEST(CAST(floor(l_quantity) AS BIGINT), 0),
+        |    49) - 0) * 10) // 50 AS INT) AS x_bucket,
+        |  CAST(((LEAST(GREATEST(CAST(floor(l_extendedprice) AS BIGINT),
+        |    0), 119999) - 0) * 12) // 120000 AS INT) AS y_bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Conversion latency view -> purchase: exact rank-percentiles of
+    // first-view-to-first-subsequent-purchase seconds.
+    Q("q352_conversion_latency",
+      (s, dir) => EventWindows.conversionLatency(ev(s, dir), "user_id",
+          "ts", "event_type", "view", "purchase",
+          permilles = Seq(500, 900, 990))
+        .orderBy("p"),
+      Some("""WITH f AS (
+        |  SELECT user_id AS u, min(CAST(floor(epoch(ts)) AS BIGINT))
+        |    AS f
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |t AS (
+        |  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |lat AS (
+        |  SELECT f.u, min(t.t) - max(f.f) AS lat
+        |  FROM f JOIN t ON t.u = f.u AND t.t >= f.f GROUP BY 1),
+        |c AS (SELECT lat, count(*) AS c FROM lat GROUP BY 1),
+        |r AS (
+        |  SELECT lat,
+        |    sum(c) OVER (ORDER BY lat ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER () AS n_converted
+        |  FROM c),
+        |pz AS (
+        |  SELECT p, min(lat) AS latency_s, max(n_converted)
+        |      AS n_converted
+        |  FROM r, (SELECT unnest([500, 900, 990]) AS p)
+        |  WHERE cum >= (n_converted * p + 999) // 1000 GROUP BY 1),
+        |st AS (SELECT count(*) AS n_started FROM f)
+        |SELECT CAST(p AS INT) AS p, CAST(latency_s AS BIGINT)
+        |    AS latency_s,
+        |  CAST(n_converted AS BIGINT) AS n_converted,
+        |  CAST(n_started AS BIGINT) AS n_started
+        |FROM pz, st ORDER BY p""".stripMargin)),
+
+    // Int8-quantization cosine-error histogram over the deterministic
+    // corpus pairing: does 4x-smaller storage move retrieval scores?
+    Q("q353_quantization_error",
+      (s, dir) => Embeddings.quantizationErrorHistogram(
+          t(s, dir, "embeddings"), "vec_id", "embedding", seed = 13L)
+        .orderBy("err_bucket"),
+      Some("""WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+        |    sha256(CAST(vec_id AS VARCHAR) || '#' || '13') AS k
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |qz AS (
+        |  SELECT vec_id, ve, k,
+        |    list_max(list_transform(ve, x -> abs(x))) AS mx
+        |  FROM v),
+        |w AS (
+        |  SELECT vec_id, ve, k,
+        |    list_transform(ve, x -> CASE WHEN mx = 0 THEN 0.0
+        |      ELSE CAST(round(x * 127 / mx) AS INT) * (mx / 127) END)
+        |      AS we
+        |  FROM qz),
+        |rk AS (
+        |  SELECT ve, we, row_number() OVER (ORDER BY k, vec_id) - 1
+        |    AS r
+        |  FROM w),
+        |p AS (SELECT r // 2 AS pair, r % 2 AS side, ve, we FROM rk),
+        |j AS (
+        |  SELECT a.ve AS va, b.ve AS vb, a.we AS wa, b.we AS wb
+        |  FROM (SELECT pair, ve, we FROM p WHERE side = 0) a
+        |  JOIN (SELECT pair, ve, we FROM p WHERE side = 1) b
+        |    USING (pair)),
+        |e AS (
+        |  SELECT round(list_sum(list_transform(list_zip(va, vb),
+        |      z -> z[1] * z[2])) /
+        |    (sqrt(list_sum(list_transform(va, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(vb, x -> x * x)))), 6)
+        |    - round(list_sum(list_transform(list_zip(wa, wb),
+        |      z -> z[1] * z[2])) /
+        |    (sqrt(list_sum(list_transform(wa, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(wb, x -> x * x)))), 6) AS err
+        |  FROM j)
+        |SELECT CAST(floor(round(abs(err), 6) * 10000) AS INT)
+        |    AS err_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM e GROUP BY 1 ORDER BY err_bucket""".stripMargin)),
+
+    // WEBP container metadata over deterministic synthetic VP8X/VP8
+    // payloads: canvas, feature flags, chunk census — the q290/q349
+    // fixture-arithmetic pattern on the RIFF chassis.
+    Q("q354_webp_container_meta",
+      (s, dir) => {
+        val clips = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 4 === 0)
+          .withColumn("payload", Multimodal.syntheticWebpUdf(
+            (lit(16) + col("doc_id") % 100).cast("int"),
+            (lit(16) + col("doc_id") % 60).cast("int"),
+            col("doc_id") % 2 === 0,
+            col("doc_id") % 3 === 0,
+            col("doc_id") % 5 === 0))
+        Multimodal.decodeWebpHeaders(clips, "payload")
+          .select(col("doc_id"),
+            col("webp.variant").as("variant"),
+            col("webp.width").as("width"),
+            col("webp.height").as("height"),
+            col("webp.has_alpha").as("has_alpha"),
+            col("webp.animated").as("animated"),
+            col("webp.has_exif").as("has_exif"),
+            col("webp.has_icc").as("has_icc"),
+            col("webp.n_chunks").as("n_chunks"),
+            col("webp.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'VP8X' AS variant,
+        |  CAST(16 + doc_id % 100 AS INT) AS width,
+        |  CAST(16 + doc_id % 60 AS INT) AS height,
+        |  doc_id % 2 = 0 AS has_alpha,
+        |  doc_id % 3 = 0 AS animated,
+        |  doc_id % 5 = 0 AS has_exif,
+        |  FALSE AS has_icc,
+        |  CAST(2 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS INT)
+        |    AS n_chunks,
+        |  FALSE AS truncated
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -841,4 +841,28 @@ object Analytics {
       .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
       .limit(topK)
   }
+
+  /** 2-D histogram over a FIXED grid (the [[Sketches.quantileSketch]]
+    * clamp-then-bucket discipline in two dimensions): integer bucket
+    * coordinates from declared [lo, hi) ranges, out-of-range values
+    * clamped into the edge cells so the grid total always equals the row
+    * count. ONE aggregation; the output is ≤ xBins·yBins cells (sparse —
+    * empty cells don't materialize). The heatmap primitive under every
+    * bivariate dashboard panel; exact integers, any engine replays it. */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+      xLo: Long, xHi: Long, xBins: Int, yLo: Long, yHi: Long,
+      yBins: Int): DataFrame = {
+    require(xHi > xLo && yHi > yLo && xBins >= 1 && yBins >= 1,
+      "histogram2d needs hi > lo and >= 1 bin per axis")
+    // floor() before the integer cast: double→int CAST truncates in
+    // Spark but rounds half-even in DuckDB (the q301 lesson)
+    def bucket(c: String, lo: Long, hi: Long, bins: Int) =
+      expr(s"CAST(((least(greatest(CAST(floor(`$c`) AS BIGINT), ${lo}L)" +
+        s", ${hi - 1}L) - ${lo}L) * ${bins}L) div ${hi - lo}L AS INT)")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(bucket(xCol, xLo, xHi, xBins).as("x_bucket"),
+        bucket(yCol, yLo, yHi, yBins).as("y_bucket"))
+      .groupBy("x_bucket", "y_bucket")
+      .agg(count(lit(1)).as("n"))
+  }
 }

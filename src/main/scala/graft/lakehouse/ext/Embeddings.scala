@@ -354,6 +354,54 @@ object Embeddings {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Int8-quantization cosine-error histogram: over the SAME
+    * deterministic random pairing as [[pairCosineHistogram]], the
+    * absolute difference between each pair's float cosine and its
+    * dequantized-int8 cosine, bucketed at 1e-4 — the one-page answer to
+    * "does int8 storage change retrieval?" before a corpus commits to
+    * 4× smaller vectors. Both cosines round to 6dp before differencing
+    * (the q33/q278 cross-engine idiom); reconstruction is qᵢ·scale,
+    * exactly the [[withInt8Quantized]] contract the oracle replays.
+    * One pass, pair-keyed aggregation, 0-a-few output rows. */
+  def quantizationErrorHistogram(df: DataFrame, idCol: String,
+      vecCol: String, seed: Long): DataFrame = {
+    val q = withInt8Quantized(
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0), vecCol)
+    val key = sha2(concat_ws("#", col(idCol).cast("string"),
+      lit(seed.toString)), 256)
+    val vecs = q.select(col(idCol).as("__id"),
+        expr(s"transform(`$vecCol`, x -> cast(x as double))").as("__v"),
+        expr("transform(embedding_q8, q -> q * q8_scale)").as("__w"),
+        key.as("__k"))
+      .orderBy(col("__k"), col("__id"))
+    val ranked = graft.lakehouse.Transform.addIndexColContiguous(
+        vecs, "__r", indexStart = -1)
+      .select(col("__v"), col("__w"),
+        expr("__r div 2").as("__pair"), expr("__r % 2").as("__side"))
+    def cosExpr(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, " +
+        s"(acc, v) -> acc + v) / " +
+        s"(sqrt(aggregate($a, 0d, (acc, x) -> acc + x * x)) * " +
+        s"sqrt(aggregate($b, 0d, (acc, x) -> acc + x * x)))"
+    ranked.groupBy(col("__pair"))
+      .agg(
+        first(when(col("__side") === 0, col("__v")), ignoreNulls = true)
+          .as("__va"),
+        first(when(col("__side") === 1, col("__v")), ignoreNulls = true)
+          .as("__vb"),
+        first(when(col("__side") === 0, col("__w")), ignoreNulls = true)
+          .as("__wa"),
+        first(when(col("__side") === 1, col("__w")), ignoreNulls = true)
+          .as("__wb"))
+      .filter(col("__va").isNotNull && col("__vb").isNotNull)
+      .select((round(expr(cosExpr("__va", "__vb")), 6) -
+        round(expr(cosExpr("__wa", "__wb")), 6)).as("__e"))
+      .select(expr("cast(floor(round(abs(__e), 6) * 10000) as int)")
+        .as("err_bucket"))
+      .groupBy(col("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Portable hashed bag-of-words document embeddings (feature hashing,
     * Weinberger '09): each token contributes +-1 at index
     * h(token) mod dim, where h is the first 32 bits of md5 (the

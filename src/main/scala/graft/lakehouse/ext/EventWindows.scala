@@ -562,4 +562,45 @@ object EventWindows {
       }
       .toDF(keyCol, "n_events", "n_late", "max_regression_us")
   }
+
+  /** Conversion-latency percentiles: for users whose journey reaches
+    * `fromType` and then `toType`, the exact rank-percentiles of the
+    * seconds between first `fromType` and the first `toType` at-or-after
+    * it — the distribution table behind the funnel's flat conversion
+    * rate ([[funnel]] counts WHO converts; this measures HOW LONG).
+    * Integer end to end: epoch-second latencies, rank = ceil(n·p/1000)
+    * over the per-latency count frame (the winsorizedMean convention).
+    * Two user-keyed aggregations + bounded-frame windows. */
+  def conversionLatency(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, fromType: String, toType: String,
+      permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "conversionLatency: permilles must be in [1, 1000]")
+    val f = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(unix_timestamp(col(tsCol))).as("__f"))
+    val t = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("__u"),
+        unix_timestamp(col(tsCol)).as("__t"))
+    val lat = f.join(t, Seq("__u"))
+      .filter(col("__t") >= col("__f"))
+      .groupBy("__u")
+      .agg((min("__t") - max("__f")).as("lat"))
+    val counts = lat.groupBy("lat").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy().orderBy("lat")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val started = f.agg(count(lit(1)).as("n_started"))
+    counts
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_converted",
+        sum("c").over(Window.partitionBy()))
+      .select(col("lat"), col("cum"), col("n_converted"),
+        explode(typedlit(permilles)).as("p"))
+      .filter(col("cum") >= expr("(n_converted * p + 999) div 1000"))
+      .groupBy("p")
+      .agg(min("lat").as("latency_s"), max("n_converted").as("n_converted"))
+      .crossJoin(started)
+      .select(col("p"), col("latency_s"), col("n_converted"),
+        col("n_started"))
+  }
 }

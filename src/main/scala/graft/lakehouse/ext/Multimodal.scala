@@ -1352,4 +1352,147 @@ object Multimodal {
   /** `syntheticRiffWav` as a column function. */
   val syntheticRiffWavUdf = udf((ch: Int, rate: Int, bits: Int, ns: Int,
     filler: Int) => syntheticRiffWav(ch, rate, bits, ns, filler))
+
+  // ---- WEBP (RIFF) container metadata (decode-free) ----------------------
+
+  /** Parsed WEBP metadata from the RIFF structure: variant fourcc
+    * (VP8 lossy / VP8L lossless / VP8X extended), canvas dimensions,
+    * the VP8X feature flags (alpha / animation / EXIF / ICC), and the
+    * chunk census. */
+  case class WebpMeta(variant: String, width: Int, height: Int,
+    has_alpha: Boolean, animated: Boolean, has_exif: Boolean,
+    has_icc: Boolean, n_chunks: Int, truncated: Boolean)
+
+  /** DECODE-FREE WEBP metadata — the modern-web sibling of [[wavMeta]]
+    * on the same RIFF chassis (WebP container spec): 'RIFF'+size+'WEBP',
+    * then chunks. VP8X carries the canvas as 24-bit little-endian
+    * minus-one fields plus a feature-flag byte; VP8L packs width/height
+    * as 14-bit fields after its one-byte signature; plain VP8 keeps
+    * them as 14-bit values in the frame header behind the start code.
+    * Bounds-checked like every walker here; sample/coefficient data is
+    * never touched. Returns null for non-RIFF/WEBP payloads. */
+  def webpMeta(bytes: Array[Byte]): WebpMeta = {
+    if (bytes == null || bytes.length < 12) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def u32(i: Int): Long = (u24(i).toLong | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return null
+    var pos = 12
+    var nChunks = 0
+    var truncated = false
+    var variant = ""
+    var w = 0; var h = 0
+    var alpha = false; var anim = false; var exif = false; var icc = false
+    while (!truncated && pos + 8 <= bytes.length) {
+      val id = fourcc(pos)
+      val sz = u32(pos + 4)
+      val body = pos + 8
+      if (sz > Int.MaxValue || body + sz > bytes.length) truncated = true
+      else {
+        nChunks += 1
+        id match {
+          case "VP8X" if sz >= 10 =>
+            if (variant.isEmpty) variant = "VP8X"
+            val flags = u8(body)
+            icc = (flags & 0x20) != 0; alpha = (flags & 0x10) != 0
+            exif = (flags & 0x08) != 0; anim = (flags & 0x02) != 0
+            w = u24(body + 4) + 1; h = u24(body + 7) + 1
+          case "VP8 " if sz >= 10 =>
+            if (variant.isEmpty) { variant = "VP8"
+              // frame tag (3B) + start code 9D 01 2A + 14-bit w/h
+              if (u8(body + 3) == 0x9d && u8(body + 4) == 0x01 &&
+                  u8(body + 5) == 0x2a) {
+                w = (u8(body + 6) | (u8(body + 7) << 8)) & 0x3fff
+                h = (u8(body + 8) | (u8(body + 9) << 8)) & 0x3fff
+              }
+            }
+          case "VP8L" if sz >= 5 =>
+            if (variant.isEmpty) { variant = "VP8L"
+              if (u8(body) == 0x2f) { // signature byte
+                val b = u32(body + 1)
+                w = ((b & 0x3fff) + 1).toInt
+                h = (((b >> 14) & 0x3fff) + 1).toInt
+              }
+            }
+          case "ALPH" => alpha = true
+          case "ANIM" | "ANMF" => anim = true
+          case "EXIF" => exif = true
+          case "ICCP" => icc = true
+          case _ => ()
+        }
+        pos = body + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    if (variant.isEmpty) variant = "unknown"
+    WebpMeta(variant, w, h, alpha, anim, exif, icc, nChunks, truncated)
+  }
+
+  private val webpSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[WebpMeta].dataType.asInstanceOf[StructType]
+
+  /** [[webpMeta]] over a blob column — appends a nullable `webp` struct. */
+  def decodeWebpHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("webp", webpSchema, nullable = true)) { bytes =>
+      webpMeta(bytes) match {
+        case null => null
+        case m => Row(m.variant, m.width, m.height, m.has_alpha,
+          m.animated, m.has_exif, m.has_icc, m.n_chunks, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic WEBP (fixture payloads): a VP8X extended
+    * header with the requested canvas and feature flags, followed by
+    * flagged auxiliary chunks (ICCP/ALPH/EXIF/ANIM) with filler bodies
+    * and a VP8 chunk whose frame header carries the same dimensions —
+    * container-real, not decodable (the [[syntheticMp3]] contract). */
+  def syntheticWebp(width: Int, height: Int, alpha: Boolean,
+      animated: Boolean, exif: Boolean): Array[Byte] = {
+    require(width >= 1 && width <= 0x3fff && height >= 1 &&
+      height <= 0x3fff, "syntheticWebp: canvas must fit 14-bit VP8 fields")
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le24(v: Int): Unit = { bos.write(v & 0xff)
+      bos.write((v >> 8) & 0xff); bos.write((v >> 16) & 0xff) }
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    val vp8x = new java.io.ByteArrayOutputStream()
+    val flags = (if (alpha) 0x10 else 0) | (if (animated) 0x02 else 0) |
+      (if (exif) 0x08 else 0)
+    vp8x.write(flags); vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    val wb = width - 1; val hb = height - 1
+    vp8x.write(wb & 0xff); vp8x.write((wb >> 8) & 0xff)
+    vp8x.write((wb >> 16) & 0xff)
+    vp8x.write(hb & 0xff); vp8x.write((hb >> 8) & 0xff)
+    vp8x.write((hb >> 16) & 0xff)
+    val vp8 = new java.io.ByteArrayOutputStream()
+    vp8.write(0); vp8.write(0); vp8.write(0) // frame tag filler
+    vp8.write(0x9d); vp8.write(0x01); vp8.write(0x2a)
+    vp8.write(width & 0xff); vp8.write((width >> 8) & 0x3f)
+    vp8.write(height & 0xff); vp8.write((height >> 8) & 0x3f)
+    vp8.write(7) // one filler byte -> odd body exercises padding
+    val innerChunks = new java.io.ByteArrayOutputStream()
+    def subChunk(id: String, body: Array[Byte]): Unit = {
+      innerChunks.write(id.getBytes("US-ASCII"))
+      var i = 0
+      val sz = body.length.toLong
+      while (i < 4) { innerChunks.write(((sz >> (8 * i)) & 0xff).toInt); i += 1 }
+      innerChunks.write(body)
+      if (body.length % 2 == 1) innerChunks.write(0)
+    }
+    subChunk("VP8X", vp8x.toByteArray)
+    if (alpha) subChunk("ALPH", Array[Byte](1, 2, 3))
+    if (exif) subChunk("EXIF", Array[Byte](4, 5, 6, 7))
+    if (animated) subChunk("ANIM", Array[Byte](8, 9, 10, 11, 12, 13))
+    subChunk("VP8 ", vp8.toByteArray)
+    val payload = innerChunks.toByteArray
+    cc("RIFF"); le32(4L + payload.length); cc("WEBP"); bos.write(payload)
+    bos.toByteArray
+  }
+
+  /** `syntheticWebp` as a column function. */
+  val syntheticWebpUdf = udf((w: Int, h: Int, alpha: Boolean,
+    anim: Boolean, exif: Boolean) => syntheticWebp(w, h, alpha, anim, exif))
 }

@@ -927,4 +927,47 @@ object StatTests {
         (col("__rsum").cast("double") / col("n").cast("double"))
           .as("raw_mean"))
   }
+
+  /** Pairwise Pearson correlation matrix over integer-scaled columns in
+    * ONE aggregation pass — every Σxᵢ and Σxᵢxⱼ folds exactly as
+    * DECIMAL(38,0) in a single scan (k columns → k + k(k+1)/2 exact
+    * moments, never k² passes), then each upper-triangle cell spends its
+    * one IEEE step. Callers pass (name, integer-valued Column) pairs —
+    * scale fixed-decimal columns up front (the q36 DECIMAL(18,2) recipe)
+    * so the moments stay in ℤ; correlation is scale-invariant so the
+    * result is the raw columns'. Null-complete rows only (listwise). */
+  def correlationMatrix(df: DataFrame,
+      cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs >= 2 columns")
+    val names = cols.map(_._1)
+    val base = df
+      .select(cols.map { case (n, c) => c.cast("long").as(s"__$n") }: _*)
+      .filter(names.map(n => col(s"__$n").isNotNull).reduce(_ && _))
+    val moments =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("__n")) ++
+      names.map(n => sum(col(s"__$n").cast("decimal(38,0)"))
+        .as(s"__s_$n")) ++
+      (for (i <- names.indices; j <- i until names.size) yield
+        sum((col(s"__${names(i)}") * col(s"__${names(j)}"))
+          .cast("decimal(38,0)")).as(s"__p_${names(i)}_${names(j)}"))
+    val m = base.agg(moments.head, moments.tail: _*)
+    val cells = for (i <- names.indices; j <- (i + 1) until names.size)
+      yield {
+        val (a, b) = (names(i), names(j))
+        val num = col("__n") * col(s"__p_${a}_$b") -
+          col(s"__s_$a") * col(s"__s_$b")
+        val d1 = col("__n") * col(s"__p_${a}_$a") -
+          col(s"__s_$a") * col(s"__s_$a")
+        val d2 = col("__n") * col(s"__p_${b}_$b") -
+          col(s"__s_$b") * col(s"__s_$b")
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          when(d1 > 0 && d2 > 0, num.cast("double") /
+            (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+            .as("corr"))
+      }
+    m.select(col("__n").cast("long").as("n"),
+        explode(array(cells: _*)).as("__c"))
+      .select(col("__c.col_a").as("col_a"), col("__c.col_b").as("col_b"),
+        col("__c.corr").as("corr"), col("n"))
+  }
 }

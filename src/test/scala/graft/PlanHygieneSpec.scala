@@ -705,4 +705,68 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("Window"), p)
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
+
+  test("q329 permutation test: explode stays in-row (no shuffle before " +
+      "the per-(group,perm) rank window)") {
+    val df = SparkEntry.queries("q329_permutation_test")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // one rank window over (group, perm); the m-fold explode itself
+    // must be a projection, not an exchange producer of its own
+    assert(p.contains("Window"), p)
+    assert("Generate explode".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q331 degree assortativity: moments fold in hash aggregates, " +
+      "no window over the edge list") {
+    val df = SparkEntry.queries("q331_degree_assortativity")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q341 token burstiness: two hash aggregations + top-k, " +
+      "no global sort of the token stream") {
+    val df = SparkEntry.queries("q341_token_burstiness")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q339 conditional entropy: bigrams generate in-row (no Window " +
+      "over the token stream), moments fold in hash aggregates") {
+    val df = SparkEntry.queries("q339_conditional_entropy")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q345 OHLC bars: single (grp,day) shuffle feeds both windows " +
+      "and the aggregation") {
+    val df = SparkEntry.queries("q345_ohlc_bars")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q350 correlation matrix: ONE pass — a single pair of " +
+      "partial/final aggregates, no join between moment stages") {
+    val df = SparkEntry.queries("q350_correlation_matrix")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q351 histogram2d: bucket projection into one hash aggregate, " +
+      "filters pushed to the scan") {
+    val df = SparkEntry.queries("q351_histogram2d")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_extendedprice)]"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
 }

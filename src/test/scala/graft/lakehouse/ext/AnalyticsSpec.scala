@@ -551,4 +551,17 @@ class AnalyticsSpec extends SparkSuite {
     // user1: abc, bcd; user2: abc -> abc x2, bcd x1; no cross-user grams
     assert(got.toSeq == Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
   }
+
+  test("histogram2d: fixed-grid cells, out-of-range clamps to edges, " +
+    "total preserved") {
+    import spark.implicits._
+    val df = Seq((0, 0), (4, 9), (5, 10), (99, -5)).toDF("x", "y")
+    val got = Analytics.histogram2d(df, "x", "y", xLo = 0L, xHi = 10L,
+      xBins = 2, yLo = 0L, yHi = 20L, yBins = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // (0,0)->cell(0,0); (4,9)->(0,0); (5,10)->(1,1); (99,-5) clamps
+    // to x=9,y=0 -> (1,0)
+    assert(got == Map((0, 0) -> 2L, (1, 1) -> 1L, (1, 0) -> 1L))
+    assert(got.values.sum == 4L)
+  }
 }

@@ -253,4 +253,18 @@ class EmbeddingsSpec extends SparkSuite {
       .orderBy("pos").collect().map(_.getAs[Long]("component"))
     assert(got.toSeq == again.toSeq)
   }
+
+  test("quantizationErrorHistogram: all mass in the lowest buckets for " +
+    "well-scaled vectors, pair count = floor(n/2)") {
+    import spark.implicits._
+    val vecs = (0 until 10).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i + j) % 5 - 2).toFloat / 2))
+    }.toDF("vec_id", "embedding")
+    val got = Embeddings.quantizationErrorHistogram(vecs, "vec_id",
+      "embedding", seed = 3L).collect()
+    assert(got.map(_.getLong(1)).sum == 5L, "5 pairs from 10 vectors")
+    // int8 over [-1, 1] keeps cosine error well under 2%: bucket < 200
+    assert(got.forall(_.getInt(0) < 200),
+      s"unexpectedly large quantization error: ${got.mkString(",")}")
+  }
 }

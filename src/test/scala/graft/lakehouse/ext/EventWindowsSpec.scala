@@ -520,4 +520,24 @@ class EventWindowsSpec extends SparkSuite {
     assert(TableIO.selectTable(spark, lh, "q_h").collect()
       .map(_.getLong(0)).toSeq == Seq(2L), "missing quarantine half lost")
   }
+
+  test("conversionLatency: first-from to first-subsequent-to, exact " +
+    "percentile ranks, non-converters counted in n_started only") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "purchase"),   // 60 s
+      (2L, t(0), "view"), (2L, t(5), "purchase"),   // 300 s
+      (3L, t(2), "purchase"), (3L, t(4), "view"),   // purchase BEFORE view
+      (4L, t(0), "view"))                           // never converts
+      .toDF("user_id", "ts", "event_type")
+    val got = EventWindows.conversionLatency(ev, "user_id", "ts",
+      "event_type", "view", "purchase", permilles = Seq(500, 1000))
+      .orderBy("p").collect()
+    assert(got.forall(_.getAs[Long]("n_started") == 4L))
+    assert(got.forall(_.getAs[Long]("n_converted") == 2L))
+    // latencies {60, 300}: p500 -> rank 1 -> 60; p1000 -> rank 2 -> 300
+    assert(got(0).getAs[Long]("latency_s") == 60L)
+    assert(got(1).getAs[Long]("latency_s") == 300L)
+  }
 }

@@ -394,4 +394,23 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.wavMeta("notariff-atall!!".getBytes) == null)
     assert(Multimodal.wavMeta(null) == null)
   }
+
+  test("webpMeta: VP8X roundtrip with feature flags, VP8-only payload " +
+    "reads frame-header dims, truncation flagged, non-WEBP null") {
+    val full = Multimodal.syntheticWebp(320, 240, alpha = true,
+      animated = false, exif = true)
+    val m = Multimodal.webpMeta(full)
+    assert(m.variant == "VP8X" && m.width == 320 && m.height == 240 &&
+      m.has_alpha && !m.animated && m.has_exif && !m.has_icc &&
+      m.n_chunks == 4 && !m.truncated)
+    // strip the VP8X container down to a bare VP8 chunk payload
+    val bare = Multimodal.syntheticWebp(100, 50, alpha = false,
+      animated = false, exif = false)
+    val b = Multimodal.webpMeta(bare)
+    assert(b.n_chunks == 2 && b.variant == "VP8X" &&
+      b.width == 100 && b.height == 50)
+    assert(Multimodal.webpMeta(full.take(full.length - 6)).truncated)
+    assert(Multimodal.webpMeta("RIFFxxxxWAVE".getBytes) == null)
+    assert(Multimodal.webpMeta(null) == null)
+  }
 }

@@ -568,4 +568,22 @@ class StatTestsSpec extends SparkSuite {
       r.getAs[Double]("winsorized_mean") == 10.0 &&
       r.getAs[Double]("raw_mean") == 59.5)
   }
+
+  test("correlationMatrix: exact +1/-1 on linear columns, null on a " +
+    "constant column, one row per unordered pair") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i, 2 * i, -3 * i + 40, 7))
+      .toDF("a", "b", "c", "k")
+    val got = StatTests.correlationMatrix(df, Seq(
+      "a" -> col("a"), "b" -> col("b"), "c" -> col("c"),
+      "k" -> col("k"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got.size == 6)
+    assert(math.abs(got(("a", "b")).get - 1.0) < 1e-12)
+    assert(math.abs(got(("a", "c")).get + 1.0) < 1e-12)
+    assert(math.abs(got(("b", "c")).get + 1.0) < 1e-12)
+    assert(got(("a", "k")).isEmpty && got(("b", "k")).isEmpty &&
+      got(("c", "k")).isEmpty, "zero-variance column -> null corr")
+  }
 }
