@@ -8966,15 +8966,15 @@ object Queries {
         |  JOIN dg ON dg.w = s1.w AND dg.dg BETWEEN 2 AND 1024),
         |aa AS (
         |  SELECT u, v,
-        |    sum(CAST(1.0 / ln(CAST(dg.dg AS DOUBLE)) AS DECIMAL(38,18)))
-        |      AS sc
+        |    sum(CAST(floor(1000000000000.0
+        |      / ln(CAST(dg.dg AS DOUBLE))) AS BIGINT)) AS sc
         |  FROM wed JOIN dg ON dg.w = wed.w
         |  GROUP BY u, v),
         |na AS (
         |  SELECT aa.u, aa.v, aa.sc FROM aa
         |  LEFT JOIN e0 ON e0.a = aa.u AND e0.b = aa.v
         |  WHERE e0.a IS NULL)
-        |SELECT u, v, CAST(CAST(sc AS VARCHAR) AS DOUBLE) AS aa_score
+        |SELECT u, v, CAST(sc AS DOUBLE) / 1000000000000.0 AS aa_score
         |FROM na ORDER BY sc DESC, u, v LIMIT 50""".stripMargin)),
 
     // MMR diversified re-ranking: greedy 3-of-8 selection maximizing
@@ -11534,5 +11534,143 @@ object Queries {
         |  FALSE AS truncated
         |FROM documents WHERE doc_id % 4 = 0
         |ORDER BY doc_id""".stripMargin)),
+
+    // Data-skipping effectiveness: per candidate predicate range, how
+    // many files the manifest stats prune — metadata-only, zero data
+    // scanned. The table is bucket-partitioned on the stat column (one
+    // file per bucket via the pre-repartition), so the oracle derives
+    // every file's [min,max] from the data itself.
+    Q("q355_skipping_effectiveness",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "skip_orders")
+        val src = t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .withColumn("bucket",
+            expr("CAST(floor(o_totalprice / 30000) AS BIGINT)"))
+        TableIO.writeTable(s, lh, "skip_orders",
+          src.repartition(col("bucket")), partitionBy = Seq("bucket"))
+        TableIO.skippingEffectiveness(s, lh, "skip_orders",
+          "o_totalprice", Seq((0.0, 50000.0), (100000.0, 150000.0),
+            (400000.0, 500000.0), (600000.0, 1000000000.0)))
+          .orderBy("range_lo")
+      },
+      Some("""WITH bk AS (
+        |  SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bucket,
+        |    min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT * FROM (VALUES (0.0, 50000.0), (100000.0, 150000.0),
+        |    (400000.0, 500000.0), (600000.0, 1000000000.0)) AS t(lo, hi))
+        |SELECT lo AS range_lo, hi AS range_hi,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(count(*) FILTER (WHERE mx >= lo AND mn <= hi) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(count(*) FILTER (WHERE NOT (mx >= lo AND mn <= hi))
+        |    AS BIGINT) AS n_skipped,
+        |  CAST(count(*) FILTER (WHERE NOT (mx >= lo AND mn <= hi))
+        |    * 1000 // count(*) AS BIGINT) AS skip_permille
+        |FROM r, bk GROUP BY 1, 2 ORDER BY range_lo""".stripMargin)),
+
+    // Inter-arrival gap percentiles per event type — the evidence under
+    // a sessionization gap / watermark choice. Integer rank statistics.
+    Q("q356_interarrival_percentiles",
+      (s, dir) => Analytics.interArrivalPercentiles(ev(s, dir),
+          "event_type", "ts", "event_id",
+          permilles = Seq(500, 900, 990))
+        .orderBy("grp", "p"),
+      Some("""WITH g AS (
+        |  SELECT event_type AS grp,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS id
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |l AS (
+        |  SELECT grp,
+        |    t - lag(t) OVER (PARTITION BY grp ORDER BY t, id) AS gap
+        |  FROM g),
+        |c AS (
+        |  SELECT grp, gap, count(*) AS c FROM l
+        |  WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT grp, gap,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY gap
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM c)
+        |SELECT grp, CAST(p AS INT) AS p,
+        |  CAST(min(gap) AS BIGINT) AS gap_s,
+        |  CAST(max(n) AS BIGINT) AS n_gaps
+        |FROM r, (SELECT unnest([500, 900, 990]) AS p)
+        |WHERE cum >= (n * p + 999) // 1000
+        |GROUP BY 1, 2 ORDER BY grp, p""".stripMargin)),
+
+    // Trend break: Theil-Sen slopes of the daily event-count series on
+    // each side of the CUSUM changepoint (q309 finds WHERE it broke,
+    // this measures HOW the trend changed) — a pure composition of two
+    // oracle-proven operators.
+    Q("q357_trend_break",
+      (s, dir) => {
+        val events = ev(s, dir).filter(col("ts").isNotNull)
+        // ISO string through the driver (date-object deserialization
+        // needs JVM add-opens the bare-java dev loop lacks)
+        val cd = Analytics.cusumChangepoint(events, "ts")
+          .select(col("change_day").cast("string")).head().getString(0)
+        val daily = events
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .select(
+            when(col("day") <= to_date(lit(cd)), "before")
+              .otherwise("after").as("segment"),
+            datediff(col("day"), to_date(lit("1970-01-01")))
+              .cast("long").as("x"),
+            col("y"))
+        Analytics.theilSenSlope(daily, "segment", "x", "y")
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT day, c, sum(c) OVER () AS total,
+        |    count(*) OVER () AS days
+        |  FROM d),
+        |s AS (
+        |  SELECT day, sum(c * days - total) OVER (ORDER BY day) AS s
+        |  FROM t),
+        |cd AS (
+        |  SELECT day AS change_day FROM s
+        |  ORDER BY abs(s) DESC, day LIMIT 1),
+        |daily AS (
+        |  SELECT CASE WHEN d.day <= (SELECT change_day FROM cd)
+        |      THEN 'before' ELSE 'after' END AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', d.day) AS BIGINT)
+        |      AS x,
+        |    c AS y
+        |  FROM d),
+        |np AS (SELECT g, count(*) AS n_points FROM daily GROUP BY 1),
+        |sl AS (
+        |  SELECT a.g, b.y - a.y AS num, b.x - a.x AS den,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x),
+        |rk AS (
+        |  SELECT g, num, den,
+        |    row_number() OVER (PARTITION BY g ORDER BY s, num, den)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM sl),
+        |med AS (
+        |  SELECT g, max(n) AS n_slopes,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN num END) AS n1,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN den END) AS d1,
+        |    max(CASE WHEN rn = n // 2 + 1 THEN num END) AS n2,
+        |    max(CASE WHEN rn = n // 2 + 1 THEN den END) AS d2
+        |  FROM rk GROUP BY 1)
+        |SELECT med.g AS grp, CAST(n_points AS BIGINT) AS n_points,
+        |  CAST(n_slopes AS BIGINT) AS n_slopes,
+        |  CAST(n1 * d2 + n2 * d1 AS BIGINT) AS slope_num,
+        |  CAST(2 * d1 * d2 AS BIGINT) AS slope_den,
+        |  CAST(n1 * d2 + n2 * d1 AS DOUBLE)
+        |    / CAST(2 * d1 * d2 AS DOUBLE) AS slope
+        |FROM med JOIN np ON np.g = med.g ORDER BY grp""".stripMargin)),
   )
 }

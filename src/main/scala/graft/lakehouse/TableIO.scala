@@ -1164,6 +1164,34 @@ object TableIO {
       lo: Option[Any], hi: Option[Any]): Option[(Versioned.ScanFiles, Int)] =
     pruneFilesRanges(lh, tableName, Seq((statCol, lo, hi)))
 
+  /** Data-skipping effectiveness report: for each candidate range
+    * predicate on `statCol`, how many files the [[pruneFiles]] stats
+    * prune would skip — the table a layout decision reads BEFORE paying
+    * for a re-cluster (if a hot predicate family skips nothing, the
+    * table needs `sortBy`/`zorderBy` on that column; if it already skips
+    * 90%, it doesn't). Metadata-only: |ranges| manifest walks, zero data
+    * scanned, O(files) driver work — the [[manifestColumnStats]]
+    * contract. Kept/skipped uses exactly the production prune's
+    * `mayMatch` comparator, so the report IS the scan behavior, not a
+    * simulation of it. */
+  def skippingEffectiveness(spark: SparkSession, lh: LakehouseProps,
+      tableName: String, statCol: String,
+      ranges: Seq[(Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "skippingEffectiveness needs >= 1 range")
+    val rows = ranges.map { case (lo, hi) =>
+      val (kept, total) = pruneFiles(lh, tableName, statCol,
+        Some(lo), Some(hi))
+        .map { case (sf, tot) => (sf.relFiles.size, tot) }
+        .getOrElse(throw new IllegalArgumentException(
+          s"skippingEffectiveness: no versioned table '$tableName'"))
+      (lo, hi, total.toLong, kept.toLong, (total - kept).toLong,
+        if (total > 0) (total - kept).toLong * 1000L / total else 0L)
+    }
+    import spark.implicits._
+    rows.toDF("range_lo", "range_hi", "n_files", "n_kept", "n_skipped",
+      "skip_permille")
+  }
+
   /** Stat-pruned range scan: `SELECT * WHERE lo <= statCol AND statCol <=
     * hi`, skipping every data file whose recorded [min,max] cannot overlap
     * the range — with [[writeTable]]'s `sortBy` clustering, a narrow range

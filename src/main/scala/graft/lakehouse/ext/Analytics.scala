@@ -865,4 +865,37 @@ object Analytics {
       .groupBy("x_bucket", "y_bucket")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Inter-arrival-time percentiles per group: the exact rank statistics
+    * of the gaps between consecutive events — the distribution that
+    * justifies a sessionization gap (q125 picks a threshold; this is the
+    * evidence) and sizes streaming watermarks. Epoch-second gaps from
+    * one per-group lag window ((ts, id)-deterministic order), then the
+    * count-frame rank selection (the winsorizedMean convention) —
+    * integer end to end. */
+  def interArrivalPercentiles(events: DataFrame, groupCol: String,
+      tsCol: String, idCol: String,
+      permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "interArrivalPercentiles: permilles must be in [1, 1000]")
+    val w = Window.partitionBy("grp").orderBy(col("__ts").asc,
+      col("__id").asc)
+    val gaps = events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        unix_timestamp(col(tsCol)).as("__ts"), col(idCol).as("__id"))
+      .withColumn("gap", col("__ts") - lag("__ts", 1).over(w))
+      .filter(col("gap").isNotNull)
+    val counts = gaps.groupBy("grp", "gap").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("grp").orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_gaps", sum("c").over(Window.partitionBy("grp")))
+      .select(col("grp"), col("gap"), col("cum"), col("n_gaps"),
+        explode(typedlit(permilles)).as("p"))
+      .filter(col("cum") >= expr("(n_gaps * p + 999) div 1000"))
+      .groupBy("grp", "p")
+      .agg(min("gap").as("gap_s"), max("n_gaps").as("n_gaps"))
+  }
 }

@@ -129,8 +129,9 @@ object Graph {
     * top-`topN` pairs. Wedges are generated IN-ROW from each center's
     * sorted adjacency array (never a self-join of the edge list) and
     * immediately partial-aggregated on the canonical pair key; per-wedge
-    * 1/ln terms are IEEE doubles folded exactly as DECIMAL(38,18)
-    * (order-free → cross-engine). Centers with degree > `maxDeg` are
+    * 1/ln terms are floor-scaled 1e12-unit LONGS (order-free integer
+    * fold → cross-engine, and primitive-speed where a >18-digit decimal
+    * sum would fold BigDecimal objects). Centers with degree > `maxDeg` are
     * skipped — the documented hub cap: a celebrity hub contributes
     * ~1/ln(huge) ≈ 0 per wedge yet deg² wedge work, so capping bounds
     * the blowup at O(V·maxDeg²) while moving scores by at most
@@ -139,49 +140,97 @@ object Graph {
   def adamicAdarTopPairs(edges: DataFrame, srcCol: String, dstCol: String,
       topN: Int, maxDeg: Int = 1024): DataFrame = {
     require(topN >= 1 && maxDeg >= 2, "adamicAdarTopPairs needs topN >= 1, maxDeg >= 2")
-    val und = edges
+    // no up-front edge distinct: duplicate sightings of an edge collapse
+    // inside the adjacency collect_set, so the canonical edge stream
+    // flows straight into the ONE aggregation shuffle
+    val canon = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct()
-      .persist()
+    // the O(V) adjacency frame feeds BOTH wedge generation and the
+    // known-edge index; persist so the edge aggregation runs once
+    // (plan-level exchange reuse does not cross the two consumers)
+    val adjAll = adjacencyOf(canon).persist()
     try {
-      // eager O(topN) materialization so the cache can be released on
-      // exit (the triangleCounts pattern); TakeOrdered, never a global sort
-      adamicAdarPairs(und, maxDeg)
-        .orderBy(col("score_dec").desc, col("u").asc, col("v").asc)
+      // eager O(topN) materialization (the triangleCounts pattern);
+      // TakeOrdered, never a global sort
+      scoredPairs(adjAll, maxDeg)
+        .orderBy(col("score_scaled").desc, col("u").asc, col("v").asc)
         .limit(topN)
         .select(col("u"), col("v"),
-          col("score_dec").cast("double").as("aa_score"))
+          (col("score_scaled").cast("double") / lit(1e12)).as("aa_score"))
         .localCheckpoint()
-    } finally { und.unpersist(false) }
+    } finally adjAll.unpersist(false)
+  }
+
+  /** Sorted distinct adjacency per vertex from canonical (a < b)
+    * self-loop-free edges — ONE aggregation shuffle. */
+  private def adjacencyOf(canon: DataFrame): DataFrame = {
+    val sym = canon.select(explode(array(
+        struct(col("a").as("w"), col("b").as("n")),
+        struct(col("b").as("w"), col("a").as("n")))).as("e"))
+      .select(col("e.w").as("w"), col("e.n").as("n"))
+    sym.groupBy("w").agg(sort_array(collect_set(col("n"))).as("nbrs"))
   }
 
   /** The un-materialized scored-pair frame behind [[adamicAdarTopPairs]]
     * (package-private so plan-shape tests can assert the wedge
     * generation is in-row, which the checkpoint above hides).
-    * `und` must be canonical (a < b) distinct undirected edges. */
-  private[graft] def adamicAdarPairs(und: DataFrame, maxDeg: Int): DataFrame = {
-    val sym = und.select(explode(array(
-        struct(col("a").as("w"), col("b").as("n")),
-        struct(col("b").as("w"), col("a").as("n")))).as("e"))
-      .select(col("e.w").as("w"), col("e.n").as("n"))
-    // one adjacency aggregation; a wedge center needs deg >= 2 by
-    // construction so 1/ln(deg) is finite
-    val adj = sym.groupBy("w")
-      .agg(sort_array(collect_list(col("n"))).as("nbrs"))
+    * `canon` must be canonical (a < b) self-loop-free edges; duplicate
+    * sightings are fine — they collapse in the adjacency set. */
+  private[graft] def adamicAdarPairs(canon: DataFrame, maxDeg: Int): DataFrame =
+    scoredPairs(adjacencyOf(canon), maxDeg)
+
+  /** Wedge-scored non-adjacent pairs from a prebuilt adjacency frame.
+    * Per-center term as a FLOOR-SCALED LONG (1e12 units), not
+    * DECIMAL(38,18): >18-digit decimal aggregation folds BigDecimal
+    * objects, one per wedge; a primitive long folds at codegen speed and
+    * floor() is the cross-engine double→int contract. Overflow headroom:
+    * a pair's score is bounded by its shared-center count × 1e12 — 9.2M
+    * shared neighbors before int64 saturates. */
+  private def scoredPairs(adjAll: DataFrame, maxDeg: Int): DataFrame = {
+    val adj = adjAll
       .filter(size(col("nbrs")).between(2, maxDeg))
       .withColumn("term",
-        (lit(1.0) / log(size(col("nbrs")).cast("double")))
-          .cast("decimal(38,18)"))
-    adj.select(col("term"), explode(expr(
-        "flatten(transform(nbrs, (x, i) -> " +
-          "transform(slice(nbrs, i + 2, size(nbrs) - i - 1), " +
-          "y -> struct(x AS u, y AS v))))")).as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-      .agg(sum("term").as("score_dec"))
-      .join(und.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
-        Seq("u", "v"), "left_anti")
+        floor(lit(1e12) / log(size(col("nbrs")).cast("double")))
+          .cast("long"))
+    // wedge pairs via a tight-loop kernel, NOT nested
+    // transform(slice(...)) lambdas: higher-order functions evaluate
+    // interpreted (outside codegen), and at deg ≤ maxDeg a center emits
+    // O(deg²) values — the q279 gram-set lesson. Each (u, v) pair PACKS
+    // into one primitive long (u·2³¹ + v; the adjacency array is sorted
+    // so u < v by construction) — the O(V·deg²) wedge stream then flows
+    // as unboxed longs through explode, shuffle, hash-aggregate, and the
+    // known-edge anti-join, instead of allocating a struct row per
+    // wedge. Loud refusal beyond 31-bit vertex ids (re-key first).
+    val wedgeUdf = udf((nbrs: Seq[Long]) => {
+      val arr = nbrs.toArray
+      val n = arr.length
+      require(n == 0 ||
+        (arr(0) >= 0L && arr(n - 1) < 2147483648L),
+        "adamicAdarTopPairs packs pairs into int64: vertex ids must be " +
+          "in [0, 2^31) — re-key the graph first")
+      val out = new Array[Long](n * (n - 1) / 2)
+      var k = 0; var i = 0
+      while (i < n - 1) {
+        val hi = arr(i) * 2147483648L
+        var j = i + 1
+        while (j < n) { out(k) = hi + arr(j); k += 1; j += 1 }
+        i += 1
+      }
+      out
+    })
+    adj.select(col("term"), explode(wedgeUdf(col("nbrs"))).as("pk"))
+      .groupBy("pk").agg(sum("term").as("score_scaled"))
+      // known edges derive from the UNFILTERED adjacency (an edge whose
+      // endpoint degrees fall outside the center cap still exists) — no
+      // second pass over the raw edge stream
+      .join(adjAll.select(col("w"), explode(col("nbrs")).as("n"))
+          .filter(col("w") < col("n"))
+          .select((col("w") * lit(2147483648L) + col("n")).as("pk")),
+        Seq("pk"), "left_anti")
+      .select(expr("pk div 2147483648L").as("u"),
+        expr("pk % 2147483648L").as("v"), col("score_scaled"))
   }
 
   /** Exact per-vertex triangle counts via degree-ordered edge iteration

@@ -533,4 +533,29 @@ class DataSkippingSpec extends SparkSuite {
       condition = "body >= 'a' AND body < 'b'").count() == 1)
     TableIO.dropTable(spark, lh, "trunc1")
   }
+
+  test("skippingEffectiveness: report matches the production prune, " +
+    "disjoint ranges skip everything, covering ranges skip nothing") {
+    val df = spark.range(0, 4000)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS price")
+      .withColumn("bucket", expr("k div 1000"))
+    TableIO.dropTable(spark, lh, "skipfx")
+    TableIO.writeTable(spark, lh, "skipfx",
+      df.repartition(col("bucket")), partitionBy = Seq("bucket"))
+    val got = TableIO.skippingEffectiveness(spark, lh, "skipfx",
+      "price", Seq((0.0, 999.0), (-50.0, -1.0), (0.0, 5000.0)))
+      .collect().map(r => (r.getDouble(0), r.getLong(2), r.getLong(3),
+        r.getLong(5))).toList
+    // 4 bucket files; [0,999] keeps exactly bucket 0; [-50,-1] keeps
+    // none; [0,5000] keeps all
+    assert(got.contains((0.0, 4L, 1L, 750L)), got.toString)
+    assert(got.contains((-50.0, 4L, 0L, 1000L)), got.toString)
+    assert(got.exists(t => t._1 == 0.0 && t._3 == 4L && t._4 == 0L),
+      got.toString)
+    // the report must agree with what the prune actually does
+    val Some((spec, total)) = TableIO.pruneFiles(lh, "skipfx", "price",
+      Some(0.0), Some(999.0))
+    assert(total == 4 && spec.relFiles.size == 1)
+    TableIO.dropTable(spark, lh, "skipfx")
+  }
 }

@@ -564,4 +564,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(got == Map((0, 0) -> 2L, (1, 1) -> 1L, (1, 0) -> 1L))
     assert(got.values.sum == 4L)
   }
+
+  test("interArrivalPercentiles: hand-checked gaps per group, ranks " +
+    "select exact order statistics") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // group a events at minutes 0,1,3,7 -> gaps {60,120,240}
+    val ev = Seq(("a", t(0), 1L), ("a", t(1), 2L), ("a", t(3), 3L),
+      ("a", t(7), 4L), ("b", t(0), 5L)).toDF("event_type", "ts", "event_id")
+    val got = Analytics.interArrivalPercentiles(ev, "event_type", "ts",
+      "event_id", permilles = Seq(500, 1000)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // p500 -> rank ceil(3*0.5)=2 -> 120; p1000 -> rank 3 -> 240
+    assert(got(("a", 500)) == (120L, 3L))
+    assert(got(("a", 1000)) == (240L, 3L))
+    // single-event group has no gaps: absent
+    assert(!got.keySet.exists(_._1 == "b"))
+  }
 }

@@ -122,7 +122,8 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 3L), (2L, 4L)))
     // each diagonal shares two degree-2 neighbors: score = 2/ln(2)
-    got.foreach(t => assert(math.abs(t._3 - 2.0 / math.log(2.0)) < 1e-12))
+    // floor-scaled 1e12-unit terms: exact to ~1e-12 relative
+    got.foreach(t => assert(math.abs(t._3 - 2.0 / math.log(2.0)) < 1e-9))
   }
 
   test("adamicAdarTopPairs: hub cap skips the high-degree center") {
