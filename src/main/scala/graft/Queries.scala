@@ -11672,5 +11672,42 @@ object Queries {
         |  CAST(n1 * d2 + n2 * d1 AS DOUBLE)
         |    / CAST(2 * d1 * d2 AS DOUBLE) AS slope
         |FROM med JOIN np ON np.g = med.g ORDER BY grp""".stripMargin)),
+
+    // Portable HLL ESTIMATE: the harmonic denominator is exact (dyadic
+    // register terms scaled 2^55 fold as integers), so the full
+    // Flajolet estimate — not just the registers (q192) — hash-checks
+    // cross-engine.
+    Q("q358_hll_estimate_portable",
+      (s, dir) => Sketches.hllEstimatePortable(ev(s, dir), "user_id"),
+      Some("""WITH regs AS (
+        |  SELECT CAST(h // 18014398509481984 AS INT) AS bucket,
+        |    CAST(max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+        |      ELSE 55 - length(bin(h % 18014398509481984)) END) AS INT)
+        |      AS r
+        |  FROM (SELECT
+        |      CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)),
+        |        1, 15))::UBIGINT AS BIGINT) AS h
+        |    FROM events WHERE user_id IS NOT NULL) t
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT count(*) AS used,
+        |    coalesce(sum(1::BIGINT << CAST(55 - r AS INT)), 0) AS s_used
+        |  FROM regs),
+        |b AS (
+        |  SELECT 64 AS m, used, 64 - used AS zeros,
+        |    s_used + (64 - used) * (1::BIGINT << 55) AS s_scaled
+        |  FROM a)
+        |SELECT CAST(m AS INT) AS m,
+        |  CAST(used AS BIGINT) AS n_buckets_used,
+        |  CAST(zeros AS BIGINT) AS n_zero_buckets,
+        |  CAST(s_scaled AS BIGINT) AS s_scaled,
+        |  CASE WHEN 0.709 * 4096.0
+        |      * (36028797018963968.0 / CAST(s_scaled AS DOUBLE))
+        |      <= 160.0 AND zeros > 0
+        |    THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+        |    ELSE 0.709 * 4096.0
+        |      * (36028797018963968.0 / CAST(s_scaled AS DOUBLE)) END
+        |    AS estimate
+        |FROM b""".stripMargin)),
   )
 }

@@ -410,6 +410,43 @@ object Sketches {
         lit((hi - lo) / buckets).as("cell_bound_scaled"))
   }
 
+  /** PORTABLE HyperLogLog estimate — the cross-engine-checkable upgrade
+    * of [[hllEstimate]] (which is deliberately spec-side: a float
+    * Σ2^−r is fold-order-sensitive). The trick: every register term is
+    * DYADIC, so the harmonic denominator scaled by 2^55 is an EXACT
+    * integer — Σ 2^(55−r_b) over all m buckets (empty buckets
+    * contribute 2^55), at m = 64 bounded by 2^61 — and the Flajolet
+    * raw estimate α·m²·2^55/S plus the linear-counting branch are a
+    * fixed IEEE op chain any engine replays literal-for-literal. ONE
+    * register aggregation (≤ m cells/partition), a 1-row fold. m is
+    * pinned to 64 (α = 0.709, the scale constants are baked into the
+    * arithmetic contract). */
+  def hllEstimatePortable(df: DataFrame, valueCol: String): DataFrame = {
+    val m = 64
+    val regs = portableHllRegisters(df, valueCol, m)
+    regs
+      .agg(count(lit(1)).as("n_buckets_used"),
+        sum(expr("shiftleft(1L, 55 - r)")).as("__s_used"))
+      .select(lit(m).as("m"),
+        coalesce(col("n_buckets_used"), lit(0L)).cast("long")
+          .as("n_buckets_used"),
+        (lit(m.toLong) - coalesce(col("n_buckets_used"), lit(0L)))
+          .as("n_zero_buckets"),
+        (coalesce(col("__s_used"), lit(0L)) +
+          (lit(m.toLong) - coalesce(col("n_buckets_used"), lit(0L))) *
+            lit(1L << 55)).as("s_scaled"))
+      .withColumn("__raw",
+        lit(0.709) * lit(4096.0) *
+          (lit((1L << 55).toDouble) / col("s_scaled").cast("double")))
+      .withColumn("estimate",
+        when(col("__raw") <= lit(160.0) && col("n_zero_buckets") > 0,
+          lit(64.0) * log(lit(64.0) /
+            col("n_zero_buckets").cast("double")))
+          .otherwise(col("__raw")))
+      .select(col("m"), col("n_buckets_used"), col("n_zero_buckets"),
+        col("s_scaled"), col("estimate"))
+  }
+
   /** Accuracy report for the count-min sketch: per probe key, the exact
     * count next to the CMS estimate and the overcount (CMS never
     * undercounts — a negative delta is a bug, and the spec asserts it).

@@ -1342,21 +1342,44 @@ object TextStats {
   def tokenLorenzCurve(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 1, "tokenLorenzCurve needs buckets >= 1")
-    val lens = df.select(col(idCol).as("__id"),
+    // scale shape: NO doc-level ntile (a partition-less window would
+    // global-sort the corpus) — the corpus collapses to the
+    // (length → doc count) frame first, and ntile's bucket populations
+    // are derived ARITHMETICALLY from cumulative counts: equal-length
+    // documents are interchangeable (identical token count), so the
+    // overlap of a length's rank interval with each bucket's rank
+    // window reproduces the doc-level ntile sums exactly. ntile sizing:
+    // boundary b_k = k·(N div B) + min(k, N mod B).
+    val lens = df.select(
       size(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
         t => t =!= "")).cast("long").as("__n"))
-    val byLen = Window.partitionBy().orderBy(col("__n").asc,
-      col("__id").asc)
-    val wCum = Window.partitionBy().orderBy("bucket")
+    val counts = lens.groupBy("__n").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy().orderBy("__n")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
-    lens.withColumn("bucket", ntile(buckets).over(byLen))
+    val wBk = Window.partitionBy().orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("__t", sum("c").over(wAll))
+      .withColumn("bucket", explode(sequence(lit(1), lit(buckets))))
+      .withColumn("__bk",
+        expr(s"bucket * (__t div $buckets) + least(cast(bucket as " +
+          s"bigint), __t % $buckets)"))
+      .withColumn("__bk0",
+        expr(s"(bucket - 1) * (__t div $buckets) + least(cast(bucket " +
+          s"- 1 as bigint), __t % $buckets)"))
+      .withColumn("__ov",
+        greatest(lit(0L), least(col("cum"), col("__bk")) -
+          greatest(col("cum") - col("c"), col("__bk0"))))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
-      .withColumn("__cum", sum("n_tokens").over(wCum))
+      .agg(sum("__ov").as("n_docs"),
+        sum(col("__ov") * col("__n")).as("n_tokens"))
+      .filter(col("n_docs") > 0)
+      .withColumn("__cum2", sum("n_tokens").over(wBk))
       .withColumn("__tot", sum("n_tokens").over(wAll))
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
-        expr("(__cum * 1000) div __tot").as("cum_permille"))
+        expr("(__cum2 * 1000) div __tot").as("cum_permille"))
   }
 
   /** Burstiness of the top-`topK` tokens: the variance-to-mean ratio

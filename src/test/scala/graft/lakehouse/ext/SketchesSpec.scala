@@ -360,4 +360,22 @@ class SketchesSpec extends SparkSuite {
     // 10 distinct keys in 256 buckets x 4 rows: no collisions expected
     assert(got.forall(_.getAs[Long]("overcount") == 0L))
   }
+
+  test("hllEstimatePortable: ~exact via linear counting at small " +
+    "cardinality, within 20% at 5k distinct, empty input -> 0-ish") {
+    import spark.implicits._
+    val small = (1 to 40).map(_.toLong).toDF("v")
+    val s = Sketches.hllEstimatePortable(small, "v").head()
+    // linear-counting regime: 64*ln(64/zeros) is within a few % at n=40
+    assert(math.abs(s.getAs[Double]("estimate") - 40.0) < 8.0, s.toString)
+    assert(s.getAs[Long]("n_buckets_used") +
+      s.getAs[Long]("n_zero_buckets") == 64L)
+    val big = (1 to 5000).map(_.toLong).toDF("v")
+    val b = Sketches.hllEstimatePortable(big, "v").head()
+    val est = b.getAs[Double]("estimate")
+    assert(est > 4000 && est < 6000, s"estimate $est off at 5k")
+    // the scaled harmonic denominator is exact and deterministic
+    val b2 = Sketches.hllEstimatePortable(big, "v").head()
+    assert(b.getAs[Long]("s_scaled") == b2.getAs[Long]("s_scaled"))
+  }
 }
