@@ -11709,5 +11709,384 @@ object Queries {
         |      * (36028797018963968.0 / CAST(s_scaled AS DOUBLE)) END
         |    AS estimate
         |FROM b""".stripMargin)),
+
+    // Brown–Forsythe (median-centered Levene): are event-value spreads
+    // homogeneous across event types? Exact integer deviations off exact
+    // 2x-scaled medians; one IEEE double per GROUP folded as decimal.
+    Q("q359_brown_forsythe",
+      (s, dir) => StatTests.brownForsythe(
+        ev(s, dir).filter(col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .withColumn("v", round(col("value") * 1000).cast("long")),
+        "v", "event_type"),
+      Some("""WITH b AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM b),
+        |med AS (
+        |  SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |    + max(CASE WHEN rn = n // 2 + 1 THEN v END) AS med2
+        |  FROM r GROUP BY 1),
+        |z AS (
+        |  SELECT b.g, abs(b.v * 2 - med.med2) AS z
+        |  FROM b JOIN med ON med.g = b.g),
+        |mo AS (
+        |  SELECT g, count(*) AS nj, sum(z) AS sz,
+        |    sum(z::HUGEINT * z) AS szz
+        |  FROM z GROUP BY 1),
+        |tot AS (SELECT sum(nj) AS n, sum(sz) AS s, count(*) AS k FROM mo),
+        |terms AS (
+        |  SELECT n, k,
+        |    CAST((CAST(sz::HUGEINT * n - s::HUGEINT * nj AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      * (CAST(sz::HUGEINT * n - s::HUGEINT * nj AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      / CAST(nj AS DOUBLE) AS DECIMAL(38,18)) AS tb,
+        |    CAST(CAST(nj::HUGEINT * szz - sz::HUGEINT * sz AS DOUBLE)
+        |      / CAST(nj AS DOUBLE) AS DECIMAL(38,18)) AS tw
+        |  FROM mo, tot),
+        |fs AS (
+        |  SELECT n, k,
+        |    CAST(CAST(sum(tb) AS VARCHAR) AS DOUBLE) AS between_s,
+        |    CAST(CAST(sum(tw) AS VARCHAR) AS DOUBLE) AS within_s
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT between_s
+        |    * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |    / ((CAST(k AS DOUBLE) - 1.0) * within_s) AS f,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        |  CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n
+        |FROM fs""".stripMargin)),
+
+    // Murphy decomposition of the Brier score over the q318 sha-derived
+    // score/label fixture: brier exact in permille² integers, REL/RES one
+    // IEEE double per bin folded as decimal, UNC a closed-form rational.
+    Q("q360_brier_decomposition",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        Quality.brierDecomposition(
+          t(s, dir, "documents").select("doc_id")
+            .withColumn("score", h("s"))
+            .withColumn("label", (h("s") * 2 + h("l") > 1000).cast("int")),
+          "score", "label", bins = 10)
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(least(score * 10 // 1000, 9) AS INT) AS bin,
+        |    count(*) AS nb, sum(score) AS sb, sum(label) AS pb,
+        |    sum((score - label * 1000) * (score - label * 1000)) AS qb
+        |  FROM d GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(nb) AS n, sum(pb) AS p, sum(qb) AS q,
+        |    count(*) AS kbins
+        |  FROM g),
+        |terms AS (
+        |  SELECT n, p, q, kbins,
+        |    CAST(CAST(sb - pb * 1000 AS DOUBLE)
+        |      * CAST(sb - pb * 1000 AS DOUBLE)
+        |      / CAST(nb AS DOUBLE) AS DECIMAL(38,18)) AS tr,
+        |    CAST(CAST(pb::HUGEINT * n - p::HUGEINT * nb AS DOUBLE)
+        |      * CAST(pb::HUGEINT * n - p::HUGEINT * nb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE) AS DECIMAL(38,18)) AS ts
+        |  FROM g, tot),
+        |fold AS (
+        |  SELECT n, p, q, kbins,
+        |    CAST(CAST(sum(tr) AS VARCHAR) AS DOUBLE) AS rel,
+        |    CAST(CAST(sum(ts) AS VARCHAR) AS DOUBLE) AS res
+        |  FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(q AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+        |    AS brier,
+        |  rel / (CAST(n AS DOUBLE) * 1000000.0) AS reliability,
+        |  res / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |    * CAST(n AS DOUBLE)) AS resolution,
+        |  (CAST(p AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(p AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty,
+        |  CAST(n AS BIGINT) AS n, CAST(kbins AS BIGINT)
+        |    AS n_occupied_bins
+        |FROM fold""".stripMargin)),
+
+    // Unbiased pass@3 (Chen et al. 2021 eq. 1) over per-user attempt
+    // logs: exact falling-factorial rationals grouped by the bounded
+    // (n attempts, c successes) profile.
+    Q("q361_pass_at_3",
+      (s, dir) => Retrieval.passAtK(ev(s, dir), "user_id",
+          col("event_type") === "purchase", k = 3)
+        .orderBy("n", "c"),
+      Some("""WITH t AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT n, c, count(*) AS n_tasks
+        |  FROM t WHERE n >= 3 GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c, n_tasks,
+        |  CAST(n * (n - 1) * (n - 2) - CASE WHEN n - c >= 3
+        |      THEN (n - c) * (n - c - 1) * (n - c - 2) ELSE 0 END
+        |    AS BIGINT) AS pass_num,
+        |  CAST(n * (n - 1) * (n - 2) AS BIGINT) AS pass_den,
+        |  CAST(n * (n - 1) * (n - 2) - CASE WHEN n - c >= 3
+        |      THEN (n - c) * (n - c - 1) * (n - c - 2) ELSE 0 END
+        |    AS DOUBLE) / CAST(n * (n - 1) * (n - 2) AS DOUBLE)
+        |    AS pass_at_3
+        |FROM g ORDER BY n, c""".stripMargin)),
+
+    // Portable AMS tug-of-war F2 sketch on the user-activity stream:
+    // 16 sha-nibble-signed estimators, exact BIGINT dots and median,
+    // paired with the exact second moment for the honesty column.
+    Q("q362_ams_f2_sketch",
+      (s, dir) => Sketches.amsF2Sketch(ev(s, dir), "user_id", m = 16),
+      Some("""WITH counts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c,
+        |    sha256(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 3),
+        |e AS (
+        |  SELECT r, sum(c * (1 - 2 * CAST(
+        |      ('0x' || substr(h, r + 1, 1))::UBIGINT % 2 AS BIGINT)))
+        |    AS dot
+        |  FROM counts, (SELECT unnest(range(16)) AS r) GROUP BY 1),
+        |est AS (
+        |  SELECT r, CAST(dot AS BIGINT) * CAST(dot AS BIGINT) AS est
+        |  FROM e),
+        |rk AS (SELECT est, row_number() OVER (ORDER BY est) AS rn
+        |  FROM est),
+        |med AS (
+        |  SELECT max(CASE WHEN rn = 8 THEN est END)
+        |    + max(CASE WHEN rn = 9 THEN est END) AS med2_estimate
+        |  FROM rk),
+        |f2 AS (
+        |  SELECT CAST(sum(c::HUGEINT * c) AS BIGINT) AS exact_f2
+        |  FROM counts)
+        |SELECT CAST(16 AS INT) AS m,
+        |  CAST(med2_estimate AS BIGINT) AS med2_estimate, exact_f2,
+        |  CAST(abs(med2_estimate - 2 * exact_f2) * 1000
+        |    // (2 * exact_f2) AS BIGINT) AS rel_err_permille
+        |FROM med, f2""".stripMargin)),
+
+    // Bloom-filter false-positive audit: 2^18-bit 3-hash filter over
+    // customer keys probed with a disjoint shifted key set — measured
+    // FPR exact in integers, theory column a fixed IEEE chain.
+    Q("q363_bloom_fpr_audit",
+      (s, dir) => Sketches.bloomFprAudit(
+        t(s, dir, "customer").select("c_custkey"), "c_custkey",
+        t(s, dir, "customer")
+          .select((col("c_custkey") + 100000000L).as("probe_key")),
+        "probe_key", mBits = 262144, k = 3),
+      Some("""WITH mk AS (
+        |  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |bits AS (
+        |  SELECT DISTINCT ('0x' || substr(sha256(k || '#'
+        |    || CAST(i AS VARCHAR)), 1, 15))::UBIGINT % 262144 AS bit
+        |  FROM mk, (SELECT unnest(range(3)) AS i)),
+        |pk AS (
+        |  SELECT DISTINCT CAST(c_custkey + 100000000 AS VARCHAR) AS k
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |pp AS (
+        |  SELECT DISTINCT k, ('0x' || substr(sha256(k || '#'
+        |    || CAST(i AS VARCHAR)), 1, 15))::UBIGINT % 262144 AS pos
+        |  FROM pk, (SELECT unnest(range(3)) AS i)),
+        |per AS (
+        |  SELECT pp.k, count(*) AS npos, count(bits.bit) AS nhit
+        |  FROM pp LEFT JOIN bits ON bits.bit = pp.pos GROUP BY 1),
+        |agg AS (
+        |  SELECT count(*) AS n_probes,
+        |    sum(CASE WHEN nhit = npos THEN 1 ELSE 0 END) AS n_fp
+        |  FROM per),
+        |nb AS (SELECT count(*) AS n_bits_set FROM bits),
+        |nm AS (SELECT count(*) AS n_members FROM mk)
+        |SELECT CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(n_bits_set AS BIGINT) AS n_bits_set,
+        |  CAST(n_probes AS BIGINT) AS n_probes,
+        |  CAST(n_fp AS BIGINT) AS n_false_positives,
+        |  CAST(n_fp * 1000 // n_probes AS BIGINT) AS fpr_permille,
+        |  ((1.0 - exp(((-1.0 * 3) * CAST(n_members AS DOUBLE))
+        |      / 262144.0))
+        |    * (1.0 - exp(((-1.0 * 3) * CAST(n_members AS DOUBLE))
+        |      / 262144.0)))
+        |    * (1.0 - exp(((-1.0 * 3) * CAST(n_members AS DOUBLE))
+        |      / 262144.0)) AS fpr_theory
+        |FROM agg, nb, nm""".stripMargin)),
+
+    // Fixed-point HITS over the directed part->supplier graph: two
+    // rounds of integer hub/authority propagation, max-normalized by
+    // `(s · 1e12) div max` — the q126 replay contract for Kleinberg's
+    // algorithm.
+    Q("q364_hits",
+      (s, dir) => Graph.hitsFixedPoint(
+          t(s, dir, "lineitem").selectExpr(
+            "l_partkey AS src", "l_suppkey AS dst"),
+          "src", "dst", iterations = 2)
+        .orderBy("side", "v"),
+      Some("""WITH e AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+        |  FROM lineitem),
+        |srcs AS (SELECT DISTINCT src AS v FROM e),
+        |dsts AS (SELECT DISTINCT dst AS v FROM e),
+        |h0 AS (SELECT v, 1000000000000::HUGEINT AS s FROM srcs),
+        |a1r AS (
+        |  SELECT e.dst AS v, sum(h0.s) AS s
+        |  FROM e JOIN h0 ON h0.v = e.src GROUP BY 1),
+        |a1 AS (
+        |  SELECT v, s * 1000000000000 // (SELECT max(s) FROM a1r) AS s
+        |  FROM a1r),
+        |h1r AS (
+        |  SELECT e.src AS v, sum(a1.s) AS s
+        |  FROM e JOIN a1 ON a1.v = e.dst GROUP BY 1),
+        |h1 AS (
+        |  SELECT v, s * 1000000000000 // (SELECT max(s) FROM h1r) AS s
+        |  FROM h1r),
+        |a2r AS (
+        |  SELECT e.dst AS v, sum(h1.s) AS s
+        |  FROM e JOIN h1 ON h1.v = e.src GROUP BY 1),
+        |a2 AS (
+        |  SELECT v, s * 1000000000000 // (SELECT max(s) FROM a2r) AS s
+        |  FROM a2r),
+        |h2r AS (
+        |  SELECT e.src AS v, sum(a2.s) AS s
+        |  FROM e JOIN a2 ON a2.v = e.dst GROUP BY 1),
+        |h2 AS (
+        |  SELECT v, s * 1000000000000 // (SELECT max(s) FROM h2r) AS s
+        |  FROM h2r)
+        |SELECT side, v, CAST(su AS BIGINT) AS score_units,
+        |  CAST(su AS DOUBLE) / 1000000000000 AS score
+        |FROM (
+        |  SELECT 'hub' AS side, srcs.v, coalesce(h2.s, 0) AS su
+        |  FROM srcs LEFT JOIN h2 ON h2.v = srcs.v
+        |  UNION ALL
+        |  SELECT 'auth' AS side, dsts.v, coalesce(a2.s, 0) AS su
+        |  FROM dsts LEFT JOIN a2 ON a2.v = dsts.v)
+        |ORDER BY side, v""".stripMargin)),
+
+    // Brown's double exponential smoothing of daily event volume per
+    // type: dyadic alpha=1/2 makes both EWMAs exact scaled BIGINTs;
+    // level/trend/7-day forecast replayable on any engine.
+    Q("q365_brown_double_smoothing",
+      (s, dir) => Analytics.brownDoubleSmoothing(ev(s, dir),
+          "event_type", "ts", window = 10, horizon = 7)
+        .orderBy("grp"),
+      Some("""WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (
+        |  SELECT grp, unnest(generate_series(min(d), max(d))) AS d
+        |  FROM daily GROUP BY grp),
+        |dense AS (
+        |  SELECT span.grp, span.d, coalesce(daily.y, 0) AS y
+        |  FROM span LEFT JOIN daily
+        |    ON daily.grp = span.grp AND daily.d = span.d),
+        |s1 AS (
+        |  SELECT grp, d + k AS d,
+        |    CAST(sum(y * (1::BIGINT << CAST(10 - k AS INT))) AS BIGINT)
+        |      AS s1
+        |  FROM dense, (SELECT unnest(range(1, 11)) AS k) GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT grp, d + k AS d,
+        |    CAST(sum(s1 * (1::BIGINT << CAST(10 - k AS INT))) AS BIGINT)
+        |      AS s2
+        |  FROM s1, (SELECT unnest(range(1, 11)) AS k) GROUP BY 1, 2),
+        |state AS (
+        |  SELECT dense.grp, dense.d,
+        |    coalesce(s1.s1, 0) AS s1, coalesce(s2.s2, 0) AS s2,
+        |    row_number() OVER (PARTITION BY dense.grp
+        |      ORDER BY dense.d DESC) AS rn
+        |  FROM dense
+        |  LEFT JOIN s1 ON s1.grp = dense.grp AND s1.d = dense.d
+        |  LEFT JOIN s2 ON s2.grp = dense.grp AND s2.d = dense.d)
+        |SELECT grp, d AS last_day,
+        |  CAST(s1 * 2 * 1023 - s2 AS BIGINT) AS level_scaled,
+        |  CAST(s1 * 1023 - s2 AS BIGINT) AS trend_scaled,
+        |  CAST(s1 * 2 * 1023 - s2 + 7 * (s1 * 1023 - s2) AS BIGINT)
+        |    AS forecast_scaled,
+        |  CAST(s1 * 2 * 1023 - s2 AS DOUBLE) / 1046529 AS level,
+        |  CAST(s1 * 1023 - s2 AS DOUBLE) / 1046529 AS trend,
+        |  CAST(s1 * 2 * 1023 - s2 + 7 * (s1 * 1023 - s2) AS DOUBLE)
+        |    / 1046529 AS forecast_7d
+        |FROM state WHERE rn = 1 ORDER BY grp""".stripMargin)),
+
+    // Day-of-week seasonal indices of event volume per type over the
+    // zero-filled daily grid — the multiplicative weekly profile in
+    // exact permille integers.
+    Q("q366_seasonal_dow",
+      (s, dir) => Analytics.seasonalDowIndices(ev(s, dir),
+          "event_type", "ts")
+        .orderBy("grp", "dow"),
+      Some("""WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (
+        |  SELECT grp, unnest(generate_series(min(d), max(d))) AS d
+        |  FROM daily GROUP BY grp),
+        |dense AS (
+        |  SELECT span.grp, span.d, coalesce(daily.y, 0) AS y,
+        |    CAST((span.d + 3) % 7 + 1 AS INT) AS dow
+        |  FROM span LEFT JOIN daily
+        |    ON daily.grp = span.grp AND daily.d = span.d),
+        |per_dow AS (
+        |  SELECT grp, dow, count(*) AS n_days_dow, sum(y) AS total_dow
+        |  FROM dense GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT grp, count(*) AS n_days, sum(y) AS total
+        |  FROM dense GROUP BY 1)
+        |SELECT p.grp, p.dow, CAST(n_days_dow AS BIGINT) AS n_days_dow,
+        |  CAST(total_dow AS BIGINT) AS total_dow,
+        |  CAST((total_dow * n_days * 1000) // (n_days_dow * total)
+        |    AS BIGINT) AS index_permille
+        |FROM per_dow p JOIN tot ON tot.grp = p.grp
+        |WHERE total > 0 ORDER BY p.grp, p.dow""".stripMargin)),
+
+    // Persistence vs seasonal-naive forecast error masses per event
+    // type: is weekly seasonality real? Exact integer MAE masses on the
+    // dense grid, one permille ratio.
+    Q("q367_naive_forecast_eval",
+      (s, dir) => Analytics.naiveForecastEval(ev(s, dir),
+          "event_type", "ts")
+        .orderBy("grp"),
+      Some("""WITH daily AS (
+        |  SELECT event_type AS grp,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (
+        |  SELECT grp, unnest(generate_series(min(d), max(d))) AS d
+        |  FROM daily GROUP BY grp),
+        |dense AS (
+        |  SELECT span.grp, span.d, coalesce(daily.y, 0) AS y
+        |  FROM span LEFT JOIN daily
+        |    ON daily.grp = span.grp AND daily.d = span.d),
+        |lagged AS (
+        |  SELECT grp, d, y,
+        |    lag(y, 1) OVER (PARTITION BY grp ORDER BY d) AS y1,
+        |    lag(y, 7) OVER (PARTITION BY grp ORDER BY d) AS y7
+        |  FROM dense)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(y - y1)) AS BIGINT) AS abs_err_naive1,
+        |  CAST(sum(abs(y - y7)) AS BIGINT) AS abs_err_naive7,
+        |  CASE WHEN sum(abs(y - y1)) > 0 THEN
+        |    CAST((sum(abs(y - y7)) * 1000) // sum(abs(y - y1)) AS BIGINT)
+        |    END AS seasonal_vs_persistence_permille
+        |FROM lagged WHERE y1 IS NOT NULL AND y7 IS NOT NULL
+        |GROUP BY grp ORDER BY grp""".stripMargin)),
   )
 }

@@ -898,4 +898,126 @@ object Analytics {
       .groupBy("grp", "p")
       .agg(min("gap").as("gap_s"), max("n_gaps").as("n_gaps"))
   }
+
+  /** Per-group dense daily count grid: every day in the group's
+    * [min, max] span, zero-filled — the deterministic spine the
+    * time-series operators below share (a sparse frame would make
+    * "yesterday" engine-dependent). The explode is bounded by the span,
+    * which is bounded by the calendar, not the corpus. */
+  private def denseDaily(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val spans = daily.groupBy("grp")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("grp"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    spans.join(daily, Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
+  }
+
+  /** Brown's double exponential smoothing (Brown 1956; Holt-equivalent
+    * level+trend for a single α) over daily event counts, EXACT in
+    * integers: α = ½ with a W-day truncated window makes every EWMA
+    * weight a power of two — S1(d) = Σ_{k=1..W} y(d−k)·2^(W−k) (scale
+    * M = 2^W−1) and S2(d) = Σ_{k=1..W} S1(d−k)·2^(W−k) (scale M²), so
+    * level = 2·S1·M − S2 and trend = S1·M − S2 (α/(1−α) = 1) are BIGINTs
+    * any engine replays (the [[ewmaAnomalyScore]] contract, one EWMA
+    * deeper). Evaluated on the [[denseDaily]] zero-filled grid — the
+    * recurrence is meaningless on a sparse frame. Returns the LAST day's
+    * state per group: level/trend/h-step forecasts as exact scaled
+    * units plus readable doubles. Scale shape: aggregate to daily counts
+    * first; both window-explodes live on the bounded daily frame. */
+  def brownDoubleSmoothing(events: DataFrame, groupCol: String,
+      tsCol: String, window: Int = 10, horizon: Int = 7): DataFrame = {
+    require(window >= 2 && window <= 15,
+      "brownDoubleSmoothing needs 2 <= window <= 15 (BIGINT headroom)")
+    require(horizon >= 1 && horizon <= 30, "horizon in [1, 30]")
+    val mass = (1L << window) - 1L
+    val dense = denseDaily(events, groupCol, tsCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ewmaScaled(df: DataFrame, vCol: String, out: String): DataFrame =
+      df.withColumn("k", explode(sequence(lit(1L), lit(window.toLong))))
+        .select(col("grp"), (col("d") + col("k")).as("d"),
+          expr(s"$vCol * shiftleft(1L, cast($window - k as int))")
+            .as("w"))
+        .groupBy("grp", "d").agg(sum("w").as(out))
+    val s1 = ewmaScaled(dense, "y", "s1")
+    val s2 = ewmaScaled(s1, "s1", "s2")
+    val state = dense.select("grp", "d")
+      .join(s1, Seq("grp", "d"), "left")
+      .join(s2, Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"),
+        coalesce(col("s1"), lit(0L)).as("s1"),
+        coalesce(col("s2"), lit(0L)).as("s2"))
+    val wLast = Window.partitionBy("grp").orderBy(col("d").desc)
+    val out = state
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("grp"), col("d").as("last_day"),
+        (col("s1") * 2L * mass - col("s2")).as("level_scaled"),
+        (col("s1") * mass - col("s2")).as("trend_scaled"))
+      .withColumn("forecast_scaled",
+        col("level_scaled") + lit(horizon.toLong) * col("trend_scaled"))
+      .select(col("grp"), col("last_day"),
+        col("level_scaled"), col("trend_scaled"), col("forecast_scaled"),
+        (col("level_scaled").cast("double") / (mass * mass))
+          .as("level"),
+        (col("trend_scaled").cast("double") / (mass * mass))
+          .as("trend"),
+        (col("forecast_scaled").cast("double") / (mass * mass))
+          .as(s"forecast_${horizon}d"))
+      .localCheckpoint(true)
+    dense.unpersist(false)
+    out
+  }
+
+  /** Day-of-week seasonal indices per group — the multiplicative weekly
+    * profile (index 1000 = an average day): per dow, 1000·(mean daily
+    * count on that dow)/(overall mean daily count), EXACT as
+    * `(total_dow · n_days · 1000) div (n_days_dow · total)` over the
+    * [[denseDaily]] grid (zero days count — a dow with no traffic is a
+    * real seasonal signal, not a gap). ONE aggregation over the bounded
+    * daily frame. ISO dow: 1 = Monday. */
+  def seasonalDowIndices(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val dense = denseDaily(events, groupCol, tsCol)
+      // epoch day 0 = Thursday 1970-01-01 -> ISO dow = (d+3) mod 7 + 1
+      .withColumn("dow", expr("CAST((d + 3) % 7 + 1 AS INT)"))
+    val perDow = dense.groupBy("grp", "dow")
+      .agg(count(lit(1)).as("n_days_dow"), sum("y").as("total_dow"))
+    val totals = dense.groupBy("grp")
+      .agg(count(lit(1)).as("n_days"), sum("y").as("total"))
+    perDow.join(totals, Seq("grp"))
+      .filter(col("total") > 0)
+      .select(col("grp"), col("dow"), col("n_days_dow"), col("total_dow"),
+        expr("(total_dow * n_days * 1000) div (n_days_dow * total)")
+          .as("index_permille"))
+  }
+
+  /** Naive-forecast evaluation per group over the [[denseDaily]] grid:
+    * the exact absolute-error masses of the two baseline forecasters —
+    * persistence ŷ(d) = y(d−1) and seasonal-naive ŷ(d) = y(d−7) — on the
+    * days where both are defined, plus their permille ratio (the
+    * MASE-style "is weekly seasonality real?" number: < 1000 means the
+    * weekly lag beats persistence). Integer end to end; one bounded
+    * window. */
+  def naiveForecastEval(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy("d")
+    denseDaily(events, groupCol, tsCol)
+      .withColumn("y1", lag("y", 1).over(w))
+      .withColumn("y7", lag("y", 7).over(w))
+      .filter(col("y1").isNotNull && col("y7").isNotNull)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("y") - col("y1"))).as("abs_err_naive1"),
+        sum(abs(col("y") - col("y7"))).as("abs_err_naive7"))
+      .withColumn("seasonal_vs_persistence_permille",
+        expr("CASE WHEN abs_err_naive1 > 0 THEN " +
+          "(abs_err_naive7 * 1000) div abs_err_naive1 END"))
+  }
 }

@@ -354,4 +354,67 @@ object Graph {
         .as("assortativity"),
       expr("CAST(mm div 2 AS BIGINT)").as("n_edges"))
   }
+
+  /** Fixed-point HITS (Kleinberg, JACM 1999) over the DIRECTED edge
+    * list: `iterations` rounds of auth(v) = Σ_{u→v} hub(u) then
+    * hub(u) = Σ_{u→v} auth(v), each side renormalized to max = [[Unit]]
+    * by the integer map `s' = (s · Unit) div max(s)` — max-normalization
+    * instead of the textbook L2 keeps every score a BIGINT any engine
+    * replays bit-for-bit (the [[pageRankFixedPoint]] contract; an IEEE
+    * Σs² is partition-order-dependent). The deliberate quantization is
+    * ≤1 unit (1e-12 of the max) per vertex per round. Scale shape: the
+    * distinct edge list persists once; each half-round is one join of
+    * the O(V) score frame onto edges + one partial-agg shuffle on the
+    * opposite endpoint — O(E) per round, scores broadcast while V fits.
+    * Output: (side 'hub'|'auth', v, score_units, score). */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 5,
+      "hitsFixedPoint needs 1 <= iterations <= 5")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    try {
+      // O(V) frames, each consumed twice (init/round + output): eager
+      // materialization beats re-running the distinct shuffle per use
+      val srcs = e.select(col("src").as("v")).distinct().localCheckpoint()
+      val dsts = e.select(col("dst").as("v")).distinct().localCheckpoint()
+      require(srcs.head(1).nonEmpty, "empty graph")
+      val hint: DataFrame => DataFrame = broadcast(_)
+      def renorm(scoresRaw: DataFrame): DataFrame = {
+        // eager O(V) materialization: the raw frame feeds BOTH the max
+        // aggregation and the rescale, and the rescaled frame feeds both
+        // the next half-round and the output — without the checkpoint
+        // every consumer re-runs the O(E) propagation join
+        val sc = scoresRaw.localCheckpoint()
+        val mx = sc.agg(max("s").as("mx"))
+        sc.crossJoin(hint(mx))
+          .select(col("v"),
+            // raw sums reach indeg·Unit ≈ 2^66 — the product must widen
+            expr(s"CAST((CAST(s AS DECIMAL(38,0)) * ${Unit}L) div mx " +
+              "AS BIGINT)").as("s"))
+          .localCheckpoint()
+      }
+      var hubs = srcs.select(col("v"), lit(Unit).as("s"))
+      var auths: DataFrame = null
+      for (_ <- 1 to iterations) {
+        auths = renorm(e.join(hint(hubs), e("src") === hubs("v"))
+          .groupBy(col("dst").as("v")).agg(sum("s").as("s")))
+        // dangling dst-only/src-only vertices keep score 0 by absence;
+        // reattach the full vertex set at the end, not per round
+        hubs = renorm(e.join(hint(auths), e("dst") === auths("v"))
+          .groupBy(col("src").as("v")).agg(sum("s").as("s")))
+      }
+      val out = srcs.join(hubs, Seq("v"), "left")
+        .select(lit("hub").as("side"), col("v"),
+          coalesce(col("s"), lit(0L)).as("score_units"))
+        .unionAll(dsts.join(auths, Seq("v"), "left")
+          .select(lit("auth").as("side"), col("v"),
+            coalesce(col("s"), lit(0L)).as("score_units")))
+      out.withColumn("score",
+        col("score_units").cast("double") / Unit)
+    } finally { e.unpersist() }
+  }
 }

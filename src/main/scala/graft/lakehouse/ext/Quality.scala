@@ -254,4 +254,61 @@ object Quality {
           .as("ece_permille"),
         sum("n").cast("long").as("n"),
         count(lit(1)).as("n_occupied_bins"))
+
+  /** Murphy decomposition of the Brier score (Murphy, J.Appl.Meteor.
+    * 1973) over `bins` equal-width confidence bins: BRIER = mean squared
+    * error of the permille forecast, RELIABILITY = how far bin-mean
+    * confidence sits from bin-observed frequency (the penalty ECE
+    * linearizes), RESOLUTION = how much the bins separate the base rate
+    * (higher is better), UNCERTAINTY = ȳ(1−ȳ), the no-skill floor.
+    * Brier's numerator Σ(p−y)² is EXACT in permille² integers;
+    * REL/RES spend one IEEE double per BIN (never per row), accumulated
+    * order-free as DECIMAL(38,18). ONE hash aggregation into a ≤ bins-row
+    * frame, then folds over that frame only — the 100 TB shuffle carries
+    * bins moment rows. Returns one row: brier, reliability, resolution,
+    * uncertainty, n, n_occupied_bins. */
+  def brierDecomposition(df: DataFrame, scorePermilleCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "brierDecomposition needs bins >= 2")
+    val score = col(scorePermilleCol).cast("long")
+    val bin = expr(
+      s"CAST(least((CAST($scorePermilleCol AS BIGINT) * $bins) div 1000, " +
+        s"${bins - 1}) AS INT)")
+    val perBin = df
+      .filter(score.isNotNull && score.between(0L, 1000L) &&
+        col(labelCol).isNotNull)
+      .select(score.as("__s"), col(labelCol).cast("long").as("__y"),
+        bin.as("__b"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("nb"),
+        sum("__s").as("sb"),
+        sum("__y").as("pb"),
+        sum(((col("__s") - col("__y") * 1000L) *
+          (col("__s") - col("__y") * 1000L)).cast("decimal(38,0)"))
+          .as("qb"))
+    val totals = perBin.agg(sum("nb").as("n"), sum("pb").as("p"),
+      sum("qb").as("q"), count(lit(1)).as("kbins"))
+    val folded = perBin.crossJoin(broadcast(totals))
+      .select(col("n"), col("p"), col("q"), col("kbins"),
+        // REL term: (S_b − 1000·P_b)²/n_b  (÷(N·10⁶) deferred to the end)
+        (((col("sb") - col("pb") * 1000L).cast("double") *
+          (col("sb") - col("pb") * 1000L).cast("double")) /
+          col("nb").cast("double")).cast("decimal(38,18)").as("__tr"),
+        // RES term: (P_b·N − P·n_b)²/n_b  (÷N³ deferred; probability units)
+        (((col("pb") * col("n") - col("p") * col("nb")).cast("double") *
+          (col("pb") * col("n") - col("p") * col("nb")).cast("double")) /
+          col("nb").cast("double")).cast("decimal(38,18)").as("__ts"))
+      .groupBy("n", "p", "q", "kbins")
+      .agg(sum("__tr").cast("double").as("__rel"),
+        sum("__ts").cast("double").as("__res"))
+    val nD = col("n").cast("double")
+    folded.select(
+      (col("q").cast("double") / (nD * 1.0e6)).as("brier"),
+      (col("__rel") / (nD * 1.0e6)).as("reliability"),
+      (col("__res") / (nD * nD * nD)).as("resolution"),
+      ((col("p").cast("double") * (nD - col("p").cast("double"))) /
+        (nD * nD)).as("uncertainty"),
+      col("n").cast("long").as("n"),
+      col("kbins").cast("long").as("n_occupied_bins"))
+  }
 }

@@ -321,4 +321,39 @@ object Retrieval {
       .select(col(queryCol), col("neg_rank").cast("int").as("neg_rank"),
         col(docCol), col("__rank").cast("int").as("orig_rank"))
   }
+
+  /** Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", eq. 1) from per-task attempt
+    * logs: with n attempts and c successes, pass@k = 1 − C(n−c,k)/C(n,k)
+    * = 1 − Π_{j<k}(n−c−j)/(n−j) — the probability a random size-k sample
+    * of the attempts contains a success. Held as an EXACT BIGINT
+    * rational via the falling-factorial products (k ≤ 6 keeps the
+    * products inside 63 bits up to n ≈ 10⁹ attempts/task), one IEEE
+    * division for the readable column. ONE count aggregation over
+    * (task), then a GROUP BY the bounded (n, c) profile — at 100 TB the
+    * output is |distinct (n,c)| rows, never |tasks|. Tasks with fewer
+    * than k attempts can't be estimated and are excluded (their (n,c)
+    * profiles simply don't appear — the caller sees the support drop). */
+  def passAtK(df: DataFrame, taskCol: String, successCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 6, "passAtK needs k in [1, 6]")
+    val perTask = df.filter(col(taskCol).isNotNull)
+      .groupBy(col(taskCol).as("__t"))
+      .agg(count(lit(1)).as("n"),
+        sum(successCol.cast("long")).as("c"))
+    def falling(base: Column): Column =
+      (0 until k).map(j => base - lit(j.toLong))
+        .reduce(_ * _).cast("long")
+    perTask.filter(col("n") >= k)
+      .groupBy("n", "c")
+      .agg(count(lit(1)).as("n_tasks"))
+      .select(col("n").cast("long").as("n"), col("c").cast("long").as("c"),
+        col("n_tasks"),
+        (falling(col("n")) -
+          when(col("n") - col("c") >= k, falling(col("n") - col("c")))
+            .otherwise(lit(0L))).as("pass_num"),
+        falling(col("n")).as("pass_den"))
+      .withColumn(s"pass_at_$k",
+        col("pass_num").cast("double") / col("pass_den").cast("double"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.lakehouse.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Portable sketches: approximate aggregates whose STATE is integer-exact
@@ -468,5 +469,101 @@ object Sketches {
         col("cms_estimate"),
         (col("cms_estimate") - coalesce(col("exact_count"), lit(0L)))
           .as("overcount"))
+  }
+
+  /** Portable AMS "tug-of-war" F₂ sketch (Alon–Matias–Szegedy, STOC'96):
+    * `m` independent ±1 estimators of the second frequency moment
+    * Σ c_k², each the SQUARE of a signed count sum. Signs come from the
+    * parity of sha256 hex nibbles (nibble r of the key's digest →
+    * estimator r), so every dot product and estimate is an EXACT BIGINT
+    * any engine reproduces; the report pairs the 2×-scaled exact median
+    * of the m estimates against the exact F₂ for the relative error.
+    * ONE count aggregation over keys (the only data-scale shuffle), one
+    * m×|keys| widening bounded by m = 16, folds over 16 rows. Returns
+    * one row: m, med2_estimate (2× the median), exact_f2,
+    * rel_err_permille. */
+  def amsF2Sketch(df: DataFrame, keyCol: String, m: Int = 16): DataFrame = {
+    require(m >= 2 && m % 2 == 0 && m <= 32,
+      "amsF2Sketch needs an even m in [2, 32] (one sha nibble per row)")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__h", sha2(col("__k"), 256))
+    val estimates = counts
+      .select(col("__c"), col("__h"),
+        explode(typedlit((0 until m).toList)).as("r"))
+      .select(col("r"),
+        // sign_r(k) = ±1 from the parity of hex nibble r of sha256(k)
+        (col("__c") * (lit(1L) - lit(2L) *
+          (expr("cast(conv(substring(__h, r + 1, 1), 16, 10) as bigint)")
+            % 2L))).as("__sc"))
+      .groupBy("r")
+      .agg(sum("__sc").as("dot"))
+      .select(col("r"), (col("dot") * col("dot")).as("est"))
+    val f2 = counts
+      .agg(sum((col("__c") * col("__c")).cast("decimal(38,0)"))
+        .cast("long").as("exact_f2"))
+    val wr = Window.orderBy("est") // m-row frame: bounded by construction
+    estimates
+      .withColumn("__rn", row_number().over(wr))
+      .agg((max(when(col("__rn") === m / 2, col("est"))) +
+        max(when(col("__rn") === m / 2 + 1, col("est"))))
+        .as("med2_estimate"))
+      .crossJoin(broadcast(f2))
+      .select(lit(m).as("m"), col("med2_estimate"), col("exact_f2"),
+        expr("abs(med2_estimate - 2 * exact_f2) * 1000 div " +
+          "(2 * exact_f2)").as("rel_err_permille"))
+  }
+
+  /** Bloom-filter false-positive audit: build an mBits-wide, k-hash
+    * Bloom set over the MEMBER keys (bit positions from salted sha256,
+    * fully portable), probe it with a disjoint key set, and report the
+    * MEASURED false-positive rate next to the standard (1−e^(−kn/m))^k
+    * theory — the report that calibrates m/k against real key counts
+    * before shipping a filter into a join. Set-bit construction is one
+    * distinct over |members|·k positions; each probe is a bounded
+    * k-row position lookup (semi-joinable at any scale — positions, not
+    * keys, travel). Everything is exact integers except the theory
+    * column's fixed IEEE chain. Returns one row: n_members, n_bits_set,
+    * n_probes, n_false_positives, fpr_permille, fpr_theory. */
+  def bloomFprAudit(members: DataFrame, keyCol: String,
+      probes: DataFrame, probeCol: String,
+      mBits: Int = 4096, k: Int = 3): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64")
+    require(k >= 1 && k <= 8, "k must be in [1, 8]")
+    def positions(df: DataFrame, c: String): DataFrame = df
+      .filter(col(c).isNotNull)
+      .select(col(c).cast("string").as("__k")).distinct()
+      .select(col("__k"), explode(typedlit((0 until k).toList)).as("__i"))
+      .select(col("__k"),
+        expr("cast(conv(substring(sha2(concat(__k, '#', " +
+          s"cast(__i as string)), 256), 1, 15), 16, 10) as bigint) " +
+          s"% $mBits").as("__pos"))
+    val bits = positions(members, keyCol)
+      .select("__pos").distinct().withColumnRenamed("__pos", "__bit")
+    val nMembers = members.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string")).distinct().count()
+    val probePos = positions(probes, probeCol)
+      .dropDuplicates("__k", "__pos")
+    val perProbe = probePos
+      .join(bits, probePos("__pos") === bits("__bit"), "left")
+      .groupBy("__k")
+      .agg(count(lit(1)).as("__npos"),
+        count(col("__bit")).as("__nhit"))
+    val audit = perProbe.agg(
+      count(lit(1)).as("n_probes"),
+      sum((col("__nhit") === col("__npos")).cast("long"))
+        .as("n_false_positives"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    // theory: t = 1 − e^(−k·n/m); fpr = t^k by literal repeated product
+    val t = lit(1.0) - exp((lit(-1.0) * k * lit(nMembers.toDouble)) /
+      lit(mBits.toDouble))
+    val theory = (1 until k).foldLeft(t)((acc, _) => acc * t)
+    audit.crossJoin(broadcast(nBits))
+      .select(lit(nMembers).as("n_members"), col("n_bits_set"),
+        col("n_probes"), col("n_false_positives"),
+        expr("n_false_positives * 1000 div n_probes").as("fpr_permille"),
+        theory.as("fpr_theory"))
   }
 }

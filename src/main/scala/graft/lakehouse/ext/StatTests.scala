@@ -970,4 +970,67 @@ object StatTests {
       .select(col("__c.col_a").as("col_a"), col("__c.col_b").as("col_b"),
         col("__c.corr").as("corr"), col("n"))
   }
+
+  /** Brown–Forsythe test (Levene's test with MEDIAN centers — Brown &
+    * Forsythe, JASA 1974, the robust variance-homogeneity check): are the
+    * spreads of an integer-quantized metric equal across the groups of
+    * `groupCol`? The deviations z = |2·v − 2·med_g| stay in ℤ (2×-scaled
+    * medians avoid the even-n half), so the per-group moments (n_j, Σz,
+    * Σz²) fold exactly as DECIMAL(38,0); the between/within sums of
+    * squares each spend one IEEE double per GROUP, accumulated order-free
+    * as DECIMAL(38,18). Two shuffles on the group key (median ranks +
+    * moments), then folds over the |groups|-row frame only — at 100 TB
+    * the second shuffle carries one moment row per group, never rows.
+    * Returns one row: f, df1 = k−1, df2 = N−k, k, n. */
+  def brownForsythe(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+    // exact per-group 2x-median: lo + hi middle order statistics
+    val w = Window.partitionBy("__g").orderBy("__v")
+    val wg = Window.partitionBy("__g")
+    val med = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .groupBy("__g")
+      .agg((max(when(col("__rn") === expr("(__n + 1) div 2"), col("__v"))) +
+        max(when(col("__rn") === expr("__n div 2 + 1"), col("__v"))))
+        .as("__med2"))
+    val moments = base.join(med, Seq("__g"))
+      .select(col("__g"),
+        abs(col("__v") * 2L - col("__med2")).as("__z"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("nj"),
+        sum(col("__z").cast("decimal(38,0)")).as("sz"),
+        sum((col("__z") * col("__z")).cast("decimal(38,0)")).as("szz"))
+    val totals = moments.agg(sum("nj").as("n"), sum("sz").as("s"),
+      count(lit(1)).as("k"))
+    val terms = moments.crossJoin(broadcast(totals))
+      .select(
+        col("n"), col("k"),
+        // between: ((S_j·N − S·n_j)/N)² / n_j — the ÷N² folds into each
+        // term so the decimal(38,18) accumulator keeps its headroom
+        ((((col("sz") * col("n") - col("s") * col("nj")).cast("double") /
+            col("n").cast("double")) *
+          ((col("sz") * col("n") - col("s") * col("nj")).cast("double") /
+            col("n").cast("double"))) /
+          col("nj").cast("double")).cast("decimal(38,18)").as("__tb"),
+        // within: (n_j·Σz² − (Σz)²) / n_j
+        (((col("nj") * col("szz") - col("sz") * col("sz")).cast("double")) /
+          col("nj").cast("double")).cast("decimal(38,18)").as("__tw"))
+      .groupBy("n", "k")
+      .agg(sum("__tb").cast("double").as("__between"),
+        sum("__tw").cast("double").as("__within"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    terms.select(
+      (col("__between") * (nD - kD) /
+        ((kD - 1.0) * col("__within"))).as("f"),
+      (col("k") - 1).cast("long").as("df1"),
+      (col("n") - col("k")).cast("long").as("df2"),
+      col("k").cast("long").as("k"),
+      col("n").cast("long").as("n"))
+  }
 }

@@ -582,4 +582,59 @@ class AnalyticsSpec extends SparkSuite {
     // single-event group has no gaps: absent
     assert(!got.keySet.exists(_._1 == "b"))
   }
+
+  private def onDay(i: Int, n: Int, grp: String = "x")
+      : Seq[(String, java.sql.Timestamp)] = {
+    val day = java.time.LocalDate.of(1970, 1, 5).plusDays(i.toLong)
+    (1 to n).map(_ => (grp,
+      java.sql.Timestamp.valueOf(day.atTime(12, 0))))
+  }
+
+  test("brownDoubleSmoothing: constant series -> level=c trend=0; " +
+    "linear series -> exact level and constant trend") {
+    import spark.implicits._
+    // constant y=3 for 40 days (>= 2 warm-up windows)
+    val const = (0 until 40).flatMap(i => onDay(i, 3))
+      .toDF("event_type", "ts")
+    val c = Analytics.brownDoubleSmoothing(const, "event_type", "ts",
+      window = 10, horizon = 7).head()
+    assert(c.getAs[Double]("level") == 3.0, c.toString)
+    assert(c.getAs[Double]("trend") == 0.0)
+    assert(c.getAs[Double]("forecast_7d") == 3.0)
+    // linear y(i) = i+1: level lands exactly on the last value,
+    // trend_scaled = (2^11 - 12)·1023 (truncated-window Brown identity)
+    val lin = (0 until 40).flatMap(i => onDay(i, i + 1))
+      .toDF("event_type", "ts")
+    val l = Analytics.brownDoubleSmoothing(lin, "event_type", "ts",
+      window = 10, horizon = 7).head()
+    assert(l.getAs[Long]("level_scaled") == 40L * 1023 * 1023,
+      l.toString)
+    assert(l.getAs[Long]("trend_scaled") == 2036L * 1023)
+  }
+
+  test("seasonalDowIndices: Mondays at 2x over a two-week grid") {
+    import spark.implicits._
+    // 1970-01-05 is a Monday; 14 days, y=2 on the 2 Mondays else y=1
+    val ev = (0 until 14).flatMap(i =>
+      onDay(i, if (i % 7 == 0) 2 else 1)).toDF("event_type", "ts")
+    val got = Analytics.seasonalDowIndices(ev, "event_type", "ts")
+      .orderBy("dow").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // total=16 over 14 days; Monday: 4/2 days -> (4·14·1000)/(2·16)=1750
+    assert(got.head == (1, 2L, 4L, 1750L), got.mkString(","))
+    assert(got.tail.forall(t => t._4 == 875L), got.mkString(","))
+  }
+
+  test("naiveForecastEval: linear series -> persistence err 1/day, " +
+    "weekly err 7/day, ratio 7000 permille") {
+    import spark.implicits._
+    val ev = (0 until 14).flatMap(i => onDay(i, i + 1))
+      .toDF("event_type", "ts")
+    val r = Analytics.naiveForecastEval(ev, "event_type", "ts").head()
+    assert(r.getAs[Long]("n_days") == 7L, r.toString)
+    assert(r.getAs[Long]("abs_err_naive1") == 7L)
+    assert(r.getAs[Long]("abs_err_naive7") == 49L)
+    assert(r.getAs[Long]("seasonal_vs_persistence_permille") == 7000L)
+  }
 }

@@ -153,4 +153,26 @@ class GraphSpec extends SparkSuite {
     assert(Graph.degreeAssortativity(messy, "s", "d").head()
       .getAs[Long]("n_edges") == 3L)
   }
+
+  test("hitsFixedPoint: hand-traced 2-iteration integer scores on a " +
+    "3-edge graph, partition-order independent") {
+    import spark.implicits._
+    val U = Graph.Unit
+    // 1->10, 2->10, 2->11: vertex 2 is the stronger hub (covers both
+    // auths), 10 the stronger auth (two in-links)
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("s", "d")
+    def run(parts: Int) = Graph.hitsFixedPoint(
+        edges.repartition(parts), "s", "d", iterations = 2)
+      .orderBy("side", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(1)
+    // iter1: auth 10=U, 11=U div 2; hub 1=(U*U) div (3U/2), 2=U
+    // iter2: auth 10=U, 11=(U*U) div (5U/3); hub 1=(U*U) div 1.6e12, 2=U
+    assert(got == Seq(
+      ("auth", 10L, U),
+      ("auth", 11L, 600000000000L), // (U·U) div (5U/3) = 0.6·U exactly
+      ("hub", 1L, 625000000000L),
+      ("hub", 2L, U)), got.mkString(","))
+    assert(run(7) == got, "integer HITS must be partition-order free")
+  }
 }

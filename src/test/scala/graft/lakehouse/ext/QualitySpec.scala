@@ -182,4 +182,22 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("brierDecomposition: hand computation, and the Murphy identity " +
+      "brier = rel - res + unc holds for within-bin-constant scores") {
+    import spark.implicits._
+    // bin 1: (100,0),(100,1); bin 9: (900,1),(900,1)
+    val d = Seq((100L, 0), (100L, 1), (900L, 1), (900L, 1))
+      .toDF("score", "label")
+    val r = Quality.brierDecomposition(d, "score", "label", bins = 10)
+      .head()
+    assert(math.abs(r.getAs[Double]("brier") - 0.21) < 1e-12, r.toString)
+    assert(math.abs(r.getAs[Double]("reliability") - 0.085) < 1e-12)
+    assert(math.abs(r.getAs[Double]("resolution") - 0.0625) < 1e-12)
+    assert(math.abs(r.getAs[Double]("uncertainty") - 0.1875) < 1e-12)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_occupied_bins") == 2L)
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+        r.getAs[Double]("uncertainty"))) < 1e-12, "Murphy identity")
+  }
 }

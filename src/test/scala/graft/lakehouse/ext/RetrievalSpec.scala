@@ -222,4 +222,27 @@ class RetrievalSpec extends SparkSuite {
     assert(a.map(_._2) == Seq(20L, 21L))
     assert(a == run(5))
   }
+
+  test("passAtK: exact falling-factorial rationals, full-success and " +
+      "zero-success edges, tasks with n < k excluded") {
+    // A: n=5,c=1 -> 1 - C(4,3)/C(5,3) = 36/60; B: n=3,c=0 -> 0;
+    // C: n=3,c=3 -> 1; D: n=2 -> excluded
+    val rows = Seq(
+      ("A", 1), ("A", 0), ("A", 0), ("A", 0), ("A", 0),
+      ("B", 0), ("B", 0), ("B", 0),
+      ("C", 1), ("C", 1), ("C", 1),
+      ("D", 1), ("D", 1)).toDF("task", "ok")
+    val got = Retrieval.passAtK(rows, "task", col("ok") === 1, k = 3)
+      .orderBy("n", "c").collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("c"),
+        r.getAs[Long]("n_tasks"), r.getAs[Long]("pass_num"),
+        r.getAs[Long]("pass_den"), r.getAs[Double]("pass_at_3"))).toSeq
+    assert(got == Seq(
+      (3L, 0L, 1L, 0L, 6L, 0.0),
+      (3L, 3L, 1L, 6L, 6L, 1.0),
+      (5L, 1L, 1L, 36L, 60L, 0.6)), got.mkString(","))
+    intercept[IllegalArgumentException] {
+      Retrieval.passAtK(rows, "task", col("ok") === 1, k = 7)
+    }
+  }
 }

@@ -378,4 +378,51 @@ class SketchesSpec extends SparkSuite {
     val b2 = Sketches.hllEstimatePortable(big, "v").head()
     assert(b.getAs[Long]("s_scaled") == b2.getAs[Long]("s_scaled"))
   }
+
+  test("amsF2Sketch: exact F2, internally-consistent rel-err, " +
+      "partition-order independent, m guarded") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1 -> F2 = 9 + 4 + 1 = 14
+    val rows = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    def run(parts: Int) = Sketches.amsF2Sketch(
+      rows.repartition(parts), "k", m = 16).head()
+    val r = run(1)
+    assert(r.getAs[Long]("exact_f2") == 14L, r.toString)
+    assert(r.getAs[Int]("m") == 16)
+    val med2 = r.getAs[Long]("med2_estimate")
+    assert(med2 >= 0L, "squares can't go negative")
+    assert(r.getAs[Long]("rel_err_permille") ==
+      math.abs(med2 - 28L) * 1000L / 28L)
+    assert(run(5).getAs[Long]("med2_estimate") == med2,
+      "sha-derived signs must be partition-order independent")
+    intercept[IllegalArgumentException] {
+      Sketches.amsF2Sketch(rows, "k", m = 15)
+    }
+  }
+
+  test("bloomFprAudit: member probes always hit (no false negatives), " +
+      "disjoint probes stay near the theory rate, guards fire") {
+    import spark.implicits._
+    val members = (1L to 200L).toDF("key")
+    // probing with the members themselves: every position is set
+    val self = Sketches.bloomFprAudit(members, "key",
+      members.withColumnRenamed("key", "p"), "p",
+      mBits = 4096, k = 3).head()
+    assert(self.getAs[Long]("n_false_positives") == 200L,
+      "a member must always pass its own filter")
+    assert(self.getAs[Long]("n_members") == 200L)
+    assert(self.getAs[Long]("n_bits_set") <= 600L)
+    // disjoint probes: sparse filter (600/4096 bits) -> low measured FPR
+    val disjoint = Sketches.bloomFprAudit(members, "key",
+      (10001L to 11000L).toDF("p"), "p", mBits = 4096, k = 3).head()
+    assert(disjoint.getAs[Long]("n_probes") == 1000L)
+    assert(disjoint.getAs[Long]("fpr_permille") < 50L,
+      s"expected sparse-filter FPR well under 5%: $disjoint")
+    val theory = disjoint.getAs[Double]("fpr_theory")
+    assert(theory > 0.0 && theory < 0.01, s"theory $theory")
+    intercept[IllegalArgumentException] {
+      Sketches.bloomFprAudit(members, "key", members, "key",
+        mBits = 100, k = 3)
+    }
+  }
 }

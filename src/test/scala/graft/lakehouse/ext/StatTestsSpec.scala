@@ -586,4 +586,21 @@ class StatTestsSpec extends SparkSuite {
     assert(got(("a", "k")).isEmpty && got(("b", "k")).isEmpty &&
       got(("c", "k")).isEmpty, "zero-variance column -> null corr")
   }
+
+  test("brownForsythe matches the hand computation and is " +
+      "partition-order independent") {
+    // a: v=[0,2,4] -> z=[4,0,4]; b: v=[0,8,16] -> z=[16,0,16]
+    // between/N^2 = 96, within = 544/3, F = 96*4/(1*544/3) = 36/17
+    val rows = Seq(("a", 0L), ("a", 2L), ("a", 4L),
+      ("b", 0L), ("b", 8L), ("b", 16L))
+    def run(parts: Int) = StatTests.brownForsythe(
+      rows.toDF("g", "v").repartition(parts), "v", "g").head()
+    val r = run(1)
+    assert(math.abs(r.getAs[Double]("f") - 96.0 * 4 / (544.0 / 3)) < 1e-9,
+      r.toString)
+    assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 4L)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(run(7).getAs[Double]("f") == r.getAs[Double]("f"),
+      "decimal fold must make F bit-stable across partitionings")
+  }
 }
