@@ -12088,5 +12088,135 @@ object Queries {
         |    END AS seasonal_vs_persistence_permille
         |FROM lagged WHERE y1 IS NOT NULL AND y7 IS NOT NULL
         |GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // BMP header metadata over deterministic synthetic BITMAPINFOHEADER
+    // payloads — incl. the negative-height top-down trap; the q349
+    // fixture-arithmetic pattern.
+    Q("q368_bmp_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 6 === 0)
+          .withColumn("payload", Multimodal.syntheticBmpUdf(
+            (lit(8) + col("doc_id") % 64).cast("int"),
+            (lit(8) + col("doc_id") % 48).cast("int"),
+            when(col("doc_id") % 3 === 0, 8)
+              .when(col("doc_id") % 3 === 1, 24).otherwise(32).cast("int"),
+            col("doc_id") % 2 === 0))
+        Multimodal.decodeBmpHeaders(blobs, "payload")
+          .select(col("doc_id"),
+            col("bmp.width").as("width"),
+            col("bmp.height").as("height"),
+            col("bmp.top_down").as("top_down"),
+            col("bmp.bits_per_pixel").as("bits_per_pixel"),
+            col("bmp.compression").as("compression"),
+            col("bmp.data_offset").as("data_offset"),
+            col("bmp.dib_header_size").as("dib_header_size"),
+            col("bmp.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(8 + doc_id % 64 AS INT) AS width,
+        |  CAST(8 + doc_id % 48 AS INT) AS height,
+        |  doc_id % 2 = 0 AS top_down,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8
+        |    WHEN doc_id % 3 = 1 THEN 24 ELSE 32 END AS INT)
+        |    AS bits_per_pixel,
+        |  CAST(0 AS INT) AS compression,
+        |  CAST(54 AS BIGINT) AS data_offset,
+        |  CAST(40 AS INT) AS dib_header_size,
+        |  FALSE AS truncated
+        |FROM documents WHERE doc_id % 6 = 0
+        |ORDER BY doc_id""".stripMargin)),
+
+    // AVI container metadata over deterministic RIFF/hdrl-avih/movi
+    // fixtures: exact integer fps permille and duration from the avih
+    // timing fields.
+    Q("q369_avi_container_meta",
+      (s, dir) => {
+        val clips = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 7 === 0)
+          .withColumn("payload", Multimodal.syntheticAviUdf(
+            (lit(33333) + (col("doc_id") % 5) * 1000).cast("int"),
+            (lit(100) + col("doc_id") % 200).cast("int"),
+            (lit(1) + col("doc_id") % 2).cast("int"),
+            (lit(320) + (col("doc_id") % 4) * 16).cast("int"),
+            (lit(240) + (col("doc_id") % 3) * 16).cast("int"),
+            (lit(50) + col("doc_id") % 77).cast("int")))
+        Multimodal.decodeAviHeaders(clips, "payload")
+          .select(col("doc_id"),
+            col("avi.us_per_frame").as("us_per_frame"),
+            col("avi.total_frames").as("total_frames"),
+            col("avi.n_streams").as("n_streams"),
+            col("avi.width").as("width"),
+            col("avi.height").as("height"),
+            col("avi.fps_permille").as("fps_permille"),
+            col("avi.duration_ms").as("duration_ms"),
+            col("avi.movi_bytes").as("movi_bytes"),
+            col("avi.n_chunks").as("n_chunks"),
+            col("avi.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(33333 + (doc_id % 5) * 1000 AS BIGINT) AS us,
+        |    CAST(100 + doc_id % 200 AS BIGINT) AS tf,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ns,
+        |    CAST(320 + (doc_id % 4) * 16 AS BIGINT) AS w,
+        |    CAST(240 + (doc_id % 3) * 16 AS BIGINT) AS h,
+        |    CAST(50 + doc_id % 77 AS BIGINT) AS mb
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, CAST(us AS BIGINT) AS us_per_frame,
+        |  CAST(tf AS BIGINT) AS total_frames,
+        |  CAST(ns AS INT) AS n_streams,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(1000000000 // us AS BIGINT) AS fps_permille,
+        |  CAST(tf * us // 1000 AS BIGINT) AS duration_ms,
+        |  CAST(mb AS BIGINT) AS movi_bytes,
+        |  CAST(2 AS INT) AS n_chunks,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // OGG/Vorbis container metadata over deterministic page fixtures:
+    // ident-header fields, page census, exact duration from the final
+    // granule position.
+    Q("q370_ogg_container_meta",
+      (s, dir) => {
+        val clips = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 8 === 0)
+          .withColumn("payload", Multimodal.syntheticOggUdf(
+            (lit(1) + col("doc_id") % 2).cast("int"),
+            (lit(8000) + (col("doc_id") % 4) * 4000).cast("int"),
+            (lit(64000) + (col("doc_id") % 10) * 1000).cast("int"),
+            (col("doc_id") % 4).cast("int"),
+            (lit(10000L) + col("doc_id") % 5000).cast("long")))
+        Multimodal.decodeOggHeaders(clips, "payload")
+          .select(col("doc_id"),
+            col("ogg.channels").as("channels"),
+            col("ogg.sample_rate").as("sample_rate"),
+            col("ogg.bitrate_nominal").as("bitrate_nominal"),
+            col("ogg.n_pages").as("n_pages"),
+            col("ogg.last_granule").as("last_granule"),
+            col("ogg.duration_ms").as("duration_ms"),
+            col("ogg.has_eos").as("has_eos"),
+            col("ogg.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate,
+        |    CAST(64000 + (doc_id % 10) * 1000 AS BIGINT) AS br,
+        |    CAST(doc_id % 4 AS BIGINT) AS np,
+        |    CAST(10000 + doc_id % 5000 AS BIGINT) AS ts
+        |  FROM documents WHERE doc_id % 8 = 0)
+        |SELECT doc_id, CAST(ch AS INT) AS channels,
+        |  CAST(rate AS INT) AS sample_rate,
+        |  CAST(br AS INT) AS bitrate_nominal,
+        |  CAST(2 + np AS INT) AS n_pages,
+        |  CAST(ts AS BIGINT) AS last_granule,
+        |  CAST(ts * 1000 // rate AS BIGINT) AS duration_ms,
+        |  TRUE AS has_eos,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
   )
 }

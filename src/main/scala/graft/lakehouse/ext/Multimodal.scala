@@ -1495,4 +1495,345 @@ object Multimodal {
   /** `syntheticWebp` as a column function. */
   val syntheticWebpUdf = udf((w: Int, h: Int, alpha: Boolean,
     anim: Boolean, exif: Boolean) => syntheticWebp(w, h, alpha, anim, exif))
+
+  // ---- BMP header metadata (decode-free) ---------------------------------
+
+  /** Parsed BMP metadata from the file + DIB headers: dimensions (height
+    * sign carries orientation), bit depth, compression code, declared
+    * data offset, and whether the declared pixel offset/size overruns
+    * the buffer (the truncation signal). */
+  case class BmpMeta(width: Int, height: Int, top_down: Boolean,
+    bits_per_pixel: Int, compression: Int, data_offset: Long,
+    dib_header_size: Int, truncated: Boolean)
+
+  /** DECODE-FREE BMP metadata (BITMAPINFOHEADER layout, the universal
+    * on-disk form): 'BM' + file size + pixel-array offset, then the DIB
+    * header — u32 size (>= 40 for INFOHEADER and its V4/V5 extensions),
+    * s32 width, s32 height (NEGATIVE height = top-down row order — the
+    * classic parser trap, surfaced as `top_down` with the magnitude in
+    * `height`), u16 planes, u16 bpp, u32 compression. Pixel data is
+    * never touched; a declared offset past the buffer flags
+    * `truncated`. Returns null for non-BM payloads. */
+  def bmpMeta(bytes: Array[Byte]): BmpMeta = {
+    if (bytes == null || bytes.length < 26) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    if (bytes(0) != 'B' || bytes(1) != 'M') return null
+    val dataOffset = u32(10)
+    val dibSize = u32(14)
+    if (dibSize < 40 || bytes.length < 14 + 40) return null
+    val w = u32(18).toInt // s32; fixture widths stay positive
+    val hRaw = u32(22).toInt
+    val topDown = hRaw < 0
+    val h = if (topDown) -hRaw else hRaw
+    BmpMeta(w, h, topDown, u16(28), u32(30).toInt, dataOffset,
+      dibSize.toInt, dataOffset > bytes.length)
+  }
+
+  private val bmpSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[BmpMeta].dataType.asInstanceOf[StructType]
+
+  /** [[bmpMeta]] over a blob column — appends a nullable `bmp` struct. */
+  def decodeBmpHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("bmp", bmpSchema, nullable = true)) { bytes =>
+      bmpMeta(bytes) match {
+        case null => null
+        case m => Row(m.width, m.height, m.top_down, m.bits_per_pixel,
+          m.compression, m.data_offset, m.dib_header_size, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic BMP (fixture payloads): real
+    * BITMAPINFOHEADER framing over a deterministic pixel array —
+    * a CONTAINER fixture, not a meaningful image. Negative-height
+    * (top-down) form when `topDown`. */
+  def syntheticBmp(width: Int, height: Int, bpp: Int,
+      topDown: Boolean): Array[Byte] = {
+    require(width >= 1 && height >= 1 && (bpp == 8 || bpp == 24 ||
+      bpp == 32), "syntheticBmp: invalid salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    val rowBytes = ((width * bpp / 8) + 3) / 4 * 4 // 4-byte row padding
+    val dataBytes = rowBytes.toLong * height
+    bos.write('B'); bos.write('M')
+    le32(54L + dataBytes); le16(0); le16(0); le32(54L)
+    le32(40L); le32(width.toLong)
+    le32((if (topDown) -height else height).toLong & 0xffffffffL)
+    le16(1); le16(bpp); le32(0L); le32(dataBytes)
+    le32(2835L); le32(2835L); le32(0L); le32(0L)
+    var i = 0L
+    while (i < dataBytes) { bos.write(((i * 31) & 0xff).toInt); i += 1 }
+    bos.toByteArray
+  }
+
+  /** `syntheticBmp` as a column function. */
+  val syntheticBmpUdf = udf((w: Int, h: Int, bpp: Int, td: Boolean) =>
+    syntheticBmp(w, h, bpp, td))
+
+  // ---- AVI (RIFF) container metadata (decode-free) -----------------------
+
+  /** Parsed AVI metadata from the RIFF/LIST structure: the avih main
+    * header's timing (µs/frame → exact fps permille and duration),
+    * frame count, declared stream count, frame dimensions, the
+    * top-level chunk census, and the movi payload size. */
+  case class AviMeta(us_per_frame: Long, total_frames: Long,
+    n_streams: Int, width: Int, height: Int, fps_permille: Long,
+    duration_ms: Long, movi_bytes: Long, n_chunks: Int,
+    truncated: Boolean)
+
+  /** DECODE-FREE AVI metadata — the video member of the RIFF walker
+    * family ([[wavMeta]]'s chassis, one LIST level deeper, per the
+    * AVI 1.0 spec): 'RIFF'+size+'AVI ', then top-level chunks where
+    * LIST carries a subtype fourcc before its children — `hdrl` holds
+    * the 56-byte `avih` main header (µs/frame, total frames, stream
+    * count, width, height at fixed offsets), `movi` holds the
+    * interleaved A/V payload (never interpreted, only sized). fps is
+    * exact integer permille (10⁹ div µs/frame); duration_ms =
+    * frames·µs/frame div 1000. Bounds-checked against hostile size
+    * fields. Returns null for non-RIFF/AVI payloads. */
+  def aviMeta(bytes: Array[Byte]): AviMeta = {
+    if (bytes == null || bytes.length < 12) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+    var pos = 12
+    var nChunks = 0
+    var truncated = false
+    var usPerFrame = 0L; var totalFrames = 0L; var nStreams = 0
+    var w = 0; var h = 0; var moviBytes = -1L
+    while (!truncated && pos + 8 <= bytes.length) {
+      val id = fourcc(pos)
+      val sz = u32(pos + 4)
+      val body = pos + 8
+      if (sz > Int.MaxValue || body + sz > bytes.length) truncated = true
+      else {
+        nChunks += 1
+        if (id == "LIST" && sz >= 4) {
+          val subtype = fourcc(body)
+          if (subtype == "movi") moviBytes = sz - 4
+          else if (subtype == "hdrl") {
+            // children: expect 'avih' + size + 56-byte main header
+            var p = body + 4
+            val end = body + sz.toInt
+            while (p + 8 <= end) {
+              val cid = fourcc(p)
+              val csz = u32(p + 4)
+              if (cid == "avih" && csz >= 40 && p + 8 + 40 <= end) {
+                val b = p + 8
+                usPerFrame = u32(b); totalFrames = u32(b + 16)
+                nStreams = u32(b + 24).toInt
+                w = u32(b + 32).toInt; h = u32(b + 36).toInt
+              }
+              p = p + 8 + csz.toInt + (csz.toInt & 1)
+            }
+          }
+        }
+        pos = body + sz.toInt + (sz.toInt & 1) // word alignment
+      }
+    }
+    val fps = if (usPerFrame > 0) 1000000000L / usPerFrame else -1L
+    val dur = if (usPerFrame > 0) totalFrames * usPerFrame / 1000L else -1L
+    AviMeta(usPerFrame, totalFrames, nStreams, w, h, fps, dur,
+      moviBytes, nChunks, truncated)
+  }
+
+  private val aviSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[AviMeta].dataType.asInstanceOf[StructType]
+
+  /** [[aviMeta]] over a blob column — appends a nullable `avi` struct. */
+  def decodeAviHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("avi", aviSchema, nullable = true)) { bytes =>
+      aviMeta(bytes) match {
+        case null => null
+        case m => Row(m.us_per_frame, m.total_frames, m.n_streams,
+          m.width, m.height, m.fps_permille, m.duration_ms, m.movi_bytes,
+          m.n_chunks, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic AVI (fixture payloads): real
+    * RIFF/LIST-hdrl-avih/LIST-movi framing with deterministic movi
+    * bytes — a CONTAINER fixture (the [[syntheticRiffWav]] contract),
+    * not playable video. */
+  def syntheticAvi(usPerFrame: Int, totalFrames: Int, nStreams: Int,
+      width: Int, height: Int, moviBytes: Int): Array[Byte] = {
+    require(usPerFrame >= 1 && totalFrames >= 0 && nStreams >= 1 &&
+      width >= 1 && height >= 1 && moviBytes >= 0,
+      "syntheticAvi: invalid salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    val avihBody = 56
+    val hdrlBody = 4 + 8 + avihBody
+    val moviBody = 4 + moviBytes
+    val pad = moviBytes & 1
+    cc("RIFF"); le32(4L + 8 + hdrlBody + 8 + moviBody + pad); cc("AVI ")
+    cc("LIST"); le32(hdrlBody.toLong); cc("hdrl")
+    cc("avih"); le32(avihBody.toLong)
+    le32(usPerFrame.toLong) // dwMicroSecPerFrame
+    le32(0L); le32(0L); le32(0x10L) // maxbytes, padding, flags(HASINDEX)
+    le32(totalFrames.toLong); le32(0L) // dwTotalFrames, dwInitialFrames
+    le32(nStreams.toLong); le32(0L) // dwStreams, dwSuggestedBufferSize
+    le32(width.toLong); le32(height.toLong)
+    le32(0L); le32(0L); le32(0L); le32(0L) // dwReserved[4]
+    cc("LIST"); le32(moviBody.toLong); cc("movi")
+    var i = 0
+    while (i < moviBytes) { bos.write((i * 7) & 0xff); i += 1 }
+    if (pad == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  /** `syntheticAvi` as a column function. */
+  val syntheticAviUdf = udf((us: Int, tf: Int, ns: Int, w: Int, h: Int,
+    mb: Int) => syntheticAvi(us, tf, ns, w, h, mb))
+
+  // ---- OGG (Vorbis) container metadata (decode-free) ---------------------
+
+  /** Parsed OGG metadata from the page structure + the Vorbis
+    * identification header: channels/rate/nominal bitrate from the
+    * ident packet, the page census, the final granule position (PCM
+    * sample count for Vorbis) with the exact duration it implies, and
+    * the EOS flag. */
+  case class OggMeta(channels: Int, sample_rate: Int,
+    bitrate_nominal: Int, n_pages: Int, last_granule: Long,
+    duration_ms: Long, has_eos: Boolean, truncated: Boolean)
+
+  /** DECODE-FREE OGG/Vorbis metadata (RFC 3533 framing + Vorbis I
+    * spec §4.2.2): walk 'OggS' pages — header-type flags, u64 granule
+    * position, segment table sizing the page body — and parse the
+    * \x01vorbis identification header when the first page carries it
+    * (u8 version≠/u32 vorbis-version, u8 channels, u32 rate, three s32
+    * bitrate fields). The granule position of the final page is the
+    * total PCM sample count, so duration_ms = granule·1000 div rate is
+    * exact. Audio packets are never decoded. Bounds-checked; returns
+    * null for non-OggS payloads. */
+  def oggMeta(bytes: Array[Byte]): OggMeta = {
+    if (bytes == null || bytes.length < 27) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def u64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
+    def magic(i: Int): Boolean = bytes(i) == 'O' && bytes(i + 1) == 'g' &&
+      bytes(i + 2) == 'g' && bytes(i + 3) == 'S'
+    if (!magic(0)) return null
+    var pos = 0
+    var nPages = 0
+    var truncated = false
+    var channels = 0; var rate = 0; var bitrate = 0
+    var lastGranule = -1L; var hasEos = false
+    while (!truncated && pos + 27 <= bytes.length && magic(pos)) {
+      val flags = u8(pos + 5)
+      val granule = u64(pos + 6)
+      val nSegs = u8(pos + 26)
+      val tableEnd = pos + 27 + nSegs
+      if (tableEnd > bytes.length) { truncated = true }
+      else {
+        var bodyLen = 0
+        var s = 0
+        while (s < nSegs) { bodyLen += u8(pos + 27 + s); s += 1 }
+        if (tableEnd + bodyLen > bytes.length) truncated = true
+        else {
+          nPages += 1
+          if ((flags & 0x04) != 0) hasEos = true
+          if (granule != -1L) lastGranule = granule
+          // Vorbis identification header: \x01 'vorbis' at body start
+          if (nPages == 1 && bodyLen >= 30 && u8(tableEnd) == 1 &&
+              fourAscii(bytes, tableEnd + 1) == "vorb") {
+            val b = tableEnd + 7 // skip \x01vorbis
+            channels = u8(b + 4)
+            rate = u32(b + 5).toInt
+            bitrate = u32(b + 13).toInt // nominal (middle of the three)
+          }
+          pos = tableEnd + bodyLen
+        }
+      }
+    }
+    // leftover bytes that don't form a complete page header are a cut
+    // stream (a body-only cut is caught inside the loop)
+    if (pos < bytes.length) truncated = true
+    val dur = if (lastGranule >= 0 && rate > 0)
+      lastGranule * 1000L / rate else -1L
+    OggMeta(channels, rate, bitrate, nPages, lastGranule, dur, hasEos,
+      truncated)
+  }
+
+  private def fourAscii(bytes: Array[Byte], i: Int): String =
+    new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private val oggSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[OggMeta].dataType.asInstanceOf[StructType]
+
+  /** [[oggMeta]] over a blob column — appends a nullable `ogg` struct. */
+  def decodeOggHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("ogg", oggSchema, nullable = true)) { bytes =>
+      oggMeta(bytes) match {
+        case null => null
+        case m => Row(m.channels, m.sample_rate, m.bitrate_nominal,
+          m.n_pages, m.last_granule, m.duration_ms, m.has_eos,
+          m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic OGG/Vorbis (fixture payloads): a real
+    * first page carrying the identification header, `nAudioPages`
+    * deterministic audio pages, and a final EOS page whose granule
+    * position is `totalSamples` — a CONTAINER fixture, not decodable
+    * audio. */
+  def syntheticOgg(channels: Int, sampleRate: Int, bitrateNominal: Int,
+      nAudioPages: Int, totalSamples: Long): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1 && nAudioPages >= 0 &&
+      totalSamples >= 0, "syntheticOgg: invalid salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def le64(v: Long): Unit = { var i = 0
+      while (i < 8) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def page(flags: Int, granule: Long, seq: Int,
+        body: Array[Byte]): Unit = {
+      require(body.length <= 255, "single-segment fixture pages")
+      bos.write("OggS".getBytes("US-ASCII")); bos.write(0)
+      bos.write(flags); le64(granule); le32(12345L); le32(seq.toLong)
+      le32(0L) // crc: fixture leaves 0 (walker never checks)
+      bos.write(1); bos.write(body.length)
+      bos.write(body)
+    }
+    val ident = new java.io.ByteArrayOutputStream()
+    ident.write(1); ident.write("vorbis".getBytes("US-ASCII"))
+    var i = 0
+    while (i < 4) { ident.write(0); i += 1 } // vorbis version 0
+    ident.write(channels)
+    var r = 0
+    while (r < 4) { ident.write((sampleRate >> (8 * r)) & 0xff); r += 1 }
+    var b = 0
+    while (b < 4) { ident.write(0); b += 1 } // bitrate max
+    var n = 0
+    while (n < 4) { ident.write((bitrateNominal >> (8 * n)) & 0xff); n += 1 }
+    var m = 0
+    while (m < 4) { ident.write(0); m += 1 } // bitrate min
+    ident.write(0xb8); ident.write(1) // blocksizes + framing bit
+    page(0x02, 0L, 0, ident.toByteArray) // BOS page
+    var p = 0
+    while (p < nAudioPages) {
+      val body = Array.tabulate[Byte](16)(j => ((p * 16 + j * 3) & 0xff).toByte)
+      page(0, (p + 1).toLong * 1000L, p + 1, body)
+      p += 1
+    }
+    page(0x04, totalSamples, nAudioPages + 1, Array[Byte](0)) // EOS
+    bos.toByteArray
+  }
+
+  /** `syntheticOgg` as a column function. */
+  val syntheticOggUdf = udf((ch: Int, rate: Int, br: Int, np: Int,
+    ts: Long) => syntheticOgg(ch, rate, br, np, ts))
 }

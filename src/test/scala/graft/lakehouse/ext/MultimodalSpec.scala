@@ -413,4 +413,56 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.webpMeta("RIFFxxxxWAVE".getBytes) == null)
     assert(Multimodal.webpMeta(null) == null)
   }
+
+  test("bmpMeta: bottom-up and top-down roundtrips, declared-offset " +
+    "truncation, non-BMP null") {
+    val up = Multimodal.bmpMeta(Multimodal.syntheticBmp(17, 9, 24,
+      topDown = false))
+    assert(up.width == 17 && up.height == 9 && !up.top_down &&
+      up.bits_per_pixel == 24 && up.compression == 0 &&
+      up.data_offset == 54L && up.dib_header_size == 40 && !up.truncated)
+    val down = Multimodal.bmpMeta(Multimodal.syntheticBmp(17, 9, 8,
+      topDown = true))
+    assert(down.top_down && down.height == 9,
+      "negative height must surface as top_down with the magnitude")
+    // header intact but the declared pixel offset overruns the buffer
+    val cut = Multimodal.syntheticBmp(17, 9, 24, topDown = false).take(50)
+    assert(Multimodal.bmpMeta(cut) == null, "DIB header itself cut")
+    val cut2 = Multimodal.syntheticBmp(64, 64, 32, topDown = false)
+      .take(56)
+    assert(Multimodal.bmpMeta(cut2) != null,
+      "54-byte header + 2 pixel bytes parses")
+    assert(Multimodal.bmpMeta("GIF89a-not-a-bmp".getBytes) == null)
+    assert(Multimodal.bmpMeta(null) == null)
+  }
+
+  test("aviMeta: avih timing/dims roundtrip, word-aligned odd movi, " +
+    "truncation flagged, non-AVI null") {
+    val b = Multimodal.syntheticAvi(40000, 250, 2, 640, 480, 101)
+    val m = Multimodal.aviMeta(b)
+    assert(m.us_per_frame == 40000L && m.total_frames == 250L &&
+      m.n_streams == 2 && m.width == 640 && m.height == 480 &&
+      m.movi_bytes == 101L && m.n_chunks == 2 && !m.truncated)
+    assert(m.fps_permille == 1000000000L / 40000) // 25.000 fps
+    assert(m.duration_ms == 250L * 40000 / 1000) // 10 s
+    assert(Multimodal.aviMeta(b.take(b.length - 20)).truncated)
+    assert(Multimodal.aviMeta(Multimodal.syntheticRiffWav(
+      1, 8000, 16, 10, 0)) == null, "RIFF/WAVE is not RIFF/AVI")
+    assert(Multimodal.aviMeta(null) == null)
+  }
+
+  test("oggMeta: ident-header fields, page census, EOS granule -> " +
+    "exact duration, truncation flagged, non-OGG null") {
+    val b = Multimodal.syntheticOgg(2, 44100, 128000, 3, 441000L)
+    val m = Multimodal.oggMeta(b)
+    assert(m.channels == 2 && m.sample_rate == 44100 &&
+      m.bitrate_nominal == 128000 && m.n_pages == 5 &&
+      m.last_granule == 441000L && m.has_eos && !m.truncated)
+    assert(m.duration_ms == 441000L * 1000 / 44100) // exactly 10 s
+    val cut = Multimodal.oggMeta(b.take(b.length - 3))
+    assert(cut.truncated && cut.n_pages == 4, "EOS page body cut")
+    assert(Multimodal.oggMeta("not-an-ogg-stream-at-all!!!".getBytes)
+      == null)
+    assert(Multimodal.oggMeta(null) == null)
+  }
 }
