@@ -12218,5 +12218,292 @@ object Queries {
         |  TRUE AS has_eos,
         |  FALSE AS truncated
         |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Optimal classification threshold by Youden's J over the q318
+    // sha-derived score/label fixture: exact integer argmax over the
+    // bounded distinct-score frame, ties to the smallest threshold.
+    Q("q371_youden_threshold",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        Quality.youdenThreshold(
+          t(s, dir, "documents").select("doc_id")
+            .withColumn("score", h("s"))
+            .withColumn("label", (h("s") * 2 + h("l") > 1000).cast("int")),
+          "score", "label")
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |c AS (
+        |  SELECT score AS v,
+        |    count(CASE WHEN label = 1 THEN 1 END) AS p,
+        |    count(CASE WHEN label = 0 THEN 1 END) AS q
+        |  FROM d GROUP BY 1),
+        |w AS (
+        |  SELECT v, p, q,
+        |    coalesce(sum(p) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pos_below,
+        |    coalesce(sum(q) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below,
+        |    sum(p) OVER () AS n_pos, sum(q) OVER () AS n_neg
+        |  FROM c),
+        |j AS (
+        |  SELECT v AS threshold,
+        |    n_pos - pos_below AS tp, n_neg - neg_below AS fp,
+        |    pos_below AS fn, neg_below AS tn, n_pos, n_neg,
+        |    (n_pos - pos_below) * n_neg - (n_neg - neg_below) * n_pos
+        |      AS j_num,
+        |    n_pos * n_neg AS j_den
+        |  FROM w)
+        |SELECT CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(j_num AS BIGINT) AS j_num, CAST(j_den AS BIGINT) AS j_den,
+        |  CAST(j_num AS DOUBLE) / CAST(j_den AS DOUBLE) AS youden_j
+        |FROM j ORDER BY j_num DESC, threshold LIMIT 1""".stripMargin)),
+
+    // Decile lift table over the same scorer: per-bin response lift and
+    // the cumulative capture curve from the top bin down, exact permille.
+    Q("q372_lift_table",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        Quality.liftTable(
+          t(s, dir, "documents").select("doc_id")
+            .withColumn("score", h("s"))
+            .withColumn("label", (h("s") * 2 + h("l") > 1000).cast("int")),
+          "score", "label", bins = 10)
+          .orderBy("bin")
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(least(score * 10 // 1000, 9) AS INT) AS bin,
+        |    count(*) AS n, sum(label) AS n_pos
+        |  FROM d GROUP BY 1),
+        |w AS (
+        |  SELECT bin, n, n_pos,
+        |    sum(n) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_pos,
+        |    sum(n) OVER () AS total_n, sum(n_pos) OVER () AS total_pos
+        |  FROM g)
+        |SELECT bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST((n_pos * total_n * 1000) // (n * total_pos) AS BIGINT)
+        |    AS lift_permille,
+        |  CAST(cum_n AS BIGINT) AS cum_n,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CAST((cum_pos * total_n * 1000) // (cum_n * total_pos)
+        |    AS BIGINT) AS cum_lift_permille,
+        |  CAST((cum_pos * 1000) // total_pos AS BIGINT)
+        |    AS capture_permille
+        |FROM w WHERE total_pos > 0 ORDER BY bin""".stripMargin)),
+
+    // McNemar's paired-classifier test: threshold-500 scorer vs an
+    // independent sha scorer on the same labels — discordant-pair exact
+    // counts, one continuity-corrected IEEE chi-squared.
+    Q("q373_mcnemar",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        val d = t(s, dir, "documents").select("doc_id")
+          .withColumn("score", h("s"))
+          .withColumn("label", (h("s") * 2 + h("l") > 1000).cast("int"))
+          .withColumn("b", h("b"))
+        StatTests.mcnemar(d,
+          (col("score") >= 500) === (col("label") === 1),
+          (col("b") >= 450) === (col("label") === 1))
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#b'),
+        |      1, 8))::UBIGINT % 1000 AS b
+        |  FROM documents),
+        |e AS (
+        |  SELECT (score >= 500) = (label = 1) AS a_ok,
+        |    (b >= 450) = (label = 1) AS b_ok
+        |  FROM d),
+        |m AS (
+        |  SELECT
+        |    count(CASE WHEN a_ok AND b_ok THEN 1 END) AS n11,
+        |    count(CASE WHEN a_ok AND NOT b_ok THEN 1 END) AS n10,
+        |    count(CASE WHEN NOT a_ok AND b_ok THEN 1 END) AS n01,
+        |    count(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 END) AS n00
+        |  FROM e)
+        |SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    CAST(abs(n01 - n10) - 1 AS DOUBLE)
+        |      * CAST(abs(n01 - n10) - 1 AS DOUBLE)
+        |      / CAST(n01 + n10 AS DOUBLE) END AS chi2_cc
+        |FROM m""".stripMargin)),
+
+    // Cochran-Armitage trend: does the positive rate move monotonically
+    // across the ten ordered score bins? Exact integer T and variance
+    // pieces, pinned IEEE z².
+    Q("q374_cochran_armitage",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        val d = t(s, dir, "documents").select("doc_id")
+          .withColumn("score", h("s"))
+          .withColumn("label", (h("s") * 2 + h("l") > 1000).cast("int"))
+          .withColumn("bin",
+            expr("CAST(least(score * 10 div 1000, 9) AS INT)"))
+        StatTests.cochranArmitageTrend(d, "bin", "label")
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(least(score * 10 // 1000, 9) AS BIGINT) AS s,
+        |    count(*) AS ni, sum(label) AS ri
+        |  FROM d GROUP BY 1),
+        |m AS (
+        |  SELECT sum(ni) AS n, sum(ri) AS r, count(*) AS k,
+        |    sum(s * ni) AS sn, sum(s * s * ni) AS ssn
+        |  FROM g),
+        |t AS (
+        |  SELECT sum(s * (ri * n - r * ni)) AS t_num
+        |  FROM g, m)
+        |SELECT CAST(t_num AS BIGINT) AS t_num,
+        |  CAST(n * ssn - sn * sn AS BIGINT) AS d,
+        |  CAST(r AS BIGINT) AS r, CAST(n AS BIGINT) AS n,
+        |  CAST(k AS BIGINT) AS k,
+        |  CASE WHEN n * ssn - sn * sn > 0 AND r > 0 AND r < n THEN
+        |    (CAST(t_num AS DOUBLE) * CAST(t_num AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / ((CAST(r AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE)))
+        |      * CAST(n * ssn - sn * sn AS DOUBLE)) END AS z2
+        |FROM t, m""".stripMargin)),
+
+    // Cross-document repeated 5-gram census over a boilerplate-injected
+    // corpus: which windows recur across >= 2 distinct docs — the
+    // template/license/spam detector (Lee et al. 2021 substring dedup's
+    // discovery pass).
+    Q("q375_cross_doc_ngram_census",
+      (s, dir) => TextStats.crossDocGramCensus(
+          t(s, dir, "documents").select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(
+              " this content is licensed under the corpus license v1 terms")))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text", windowTokens = 5, minDocs = 2, topK = 50)
+        .orderBy(col("n_docs").desc, col("gram").asc),
+      Some("""WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text ||
+        |    ' this content is licensed under the corpus license v1 terms'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |arr AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), x -> x <> '') AS a
+        |  FROM d),
+        |tok AS (
+        |  SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
+        |  FROM arr),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS gram
+        |  FROM tok),
+        |valid AS (SELECT DISTINCT doc_id, gram FROM g WHERE pos >= 5),
+        |c AS (
+        |  SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |    max(doc_id) AS last_doc
+        |  FROM valid GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs, first_doc,
+        |  last_doc
+        |FROM c ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin)),
+
+    // Blocked sorted-neighborhood dedup candidates (Hernandez-Stolfo
+    // SIGMOD'95): normalize to a sort key, rank within 4-char blocks,
+    // pair everything at rank distance < 3 — the blocking classic next
+    // to the LSH/prefix-filter family.
+    Q("q376_sorted_neighborhood_pairs",
+      (s, dir) => Dedup.sortedNeighborhoodPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          window = 3, blockChars = 4, keyChars = 12)
+        .orderBy("block", "id_a", "id_b"),
+      Some("""WITH r AS (
+        |  SELECT doc_id AS id,
+        |    substr(regexp_replace(lower(coalesce(text, '')),
+        |      '[^a-z0-9]', '', 'g'), 1, 12) AS key
+        |  FROM documents),
+        |f AS (
+        |  SELECT id, key, substr(key, 1, 4) AS block
+        |  FROM r WHERE length(key) >= 4),
+        |rk AS (
+        |  SELECT id, key, block,
+        |    row_number() OVER (PARTITION BY block ORDER BY key, id) AS rn
+        |  FROM f)
+        |SELECT a.block, a.id AS id_a, b.id AS id_b,
+        |  CAST(o.off AS INT) AS gap,
+        |  a.key AS key_a, b.key AS key_b,
+        |  a.key = b.key AS same_key
+        |FROM rk a
+        |CROSS JOIN (SELECT unnest([1, 2]) AS off) o
+        |JOIN rk b ON b.block = a.block AND b.rn = a.rn + o.off
+        |ORDER BY a.block, id_a, id_b""".stripMargin)),
+
+    // Weekly activity heatmap: event counts on the (ISO dow x hour)
+    // grid per event type with exact permille cell shares — epoch-day
+    // dow arithmetic, no locale calendar.
+    Q("q377_activity_heatmap",
+      (s, dir) => Analytics.activityHeatmap(ev(s, dir),
+          "event_type", "ts")
+        .orderBy("grp", "dow", "hour"),
+      Some("""WITH c AS (
+        |  SELECT event_type AS grp,
+        |    CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      + 3) % 7 + 1 AS INT) AS dow,
+        |    CAST(extract(hour FROM ts) AS INT) AS hour,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT grp, dow, hour, n, sum(n) OVER (PARTITION BY grp)
+        |    AS total
+        |  FROM c)
+        |SELECT grp, dow, hour, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000) // total AS BIGINT) AS share_permille
+        |FROM w ORDER BY grp, dow, hour""".stripMargin)),
   )
 }

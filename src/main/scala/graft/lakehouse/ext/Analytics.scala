@@ -1020,4 +1020,27 @@ object Analytics {
         expr("CASE WHEN abs_err_naive1 > 0 THEN " +
           "(abs_err_naive7 * 1000) div abs_err_naive1 END"))
   }
+
+  /** Weekly activity heatmap per group: event counts on the (ISO
+    * day-of-week × hour-of-day) grid with each cell's permille share of
+    * the group's total — the load-profile matrix under capacity planning
+    * and anomaly baselining. ONE hash aggregation into ≤ 168 cells per
+    * group; dow derives from epoch-day arithmetic (engine-neutral),
+    * never locale-dependent calendar calls. */
+  def activityHeatmap(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val cells = events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        expr(s"CAST((datediff(to_date($tsCol), DATE '1970-01-01') + 3) " +
+          "% 7 + 1 AS INT)").as("dow"),
+        hour(col(tsCol)).as("hour"))
+      .groupBy("grp", "dow", "hour")
+      .agg(count(lit(1)).as("n"))
+    val wg = Window.partitionBy("grp")
+    cells
+      .withColumn("total", sum("n").over(wg))
+      .select(col("grp"), col("dow"), col("hour"), col("n"),
+        expr("(n * 1000) div total").as("share_permille"))
+  }
 }

@@ -1594,6 +1594,48 @@ object Dedup {
     * removed at any `nClusters`. With `nClusters = 1` the rule is
     * exhaustive: drop iff ANY smaller-id vector in the corpus is within
     * the threshold — directly SQL-checkable (the q89 oracle). */
+  /** Blocked sorted-neighborhood candidate pairs (Hernández & Stolfo,
+    * SIGMOD'95 — the classic dedup-blocking alternative to LSH banding
+    * and prefix filtering): normalize each record to a sort key
+    * (lowercased alphanumerics, first `keyChars`), sort WITHIN
+    * `blockChars`-prefix blocks, and emit every pair at rank distance
+    * < `window` — near-duplicates sort adjacently, so a tiny window
+    * catches them without any all-pairs work. Pair generation is an
+    * in-block rank self-join: the left side replicates `window−1` rows,
+    * never the corpus. The window sort is PARTITIONED by block (the
+    * multi-pass SNM formulation) — at 100 TB each block sorts
+    * independently; a partition-less global sort is exactly the
+    * foot-gun this variant exists to avoid. Deterministic: ranks order
+    * by (key, id). Output: block, id_a, id_b (a < b in rank), rank gap,
+    * whether the full keys agree. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      textCol: String, window: Int = 3, blockChars: Int = 4,
+      keyChars: Int = 12): DataFrame = {
+    require(window >= 2 && window <= 16, "window in [2, 16]")
+    require(blockChars >= 1 && keyChars > blockChars,
+      "need keyChars > blockChars >= 1")
+    val key = substring(regexp_replace(lower(coalesce(col(textCol),
+      lit(""))), "[^a-z0-9]", ""), 1, keyChars)
+    val ranked = df
+      .select(col(idCol).cast("long").as("id"), key.as("key"))
+      .filter(length(col("key")) >= blockChars)
+      .withColumn("block", substring(col("key"), 1, blockChars))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("block").orderBy(col("key").asc,
+          col("id").asc)))
+    val left = ranked
+      .withColumn("off",
+        explode(typedlit((1 until window).toList)))
+      .select(col("block"), col("id").as("id_a"),
+        col("key").as("key_a"), col("off").as("gap"),
+        (col("rn") + col("off")).as("rn"))
+    left.join(ranked.select(col("block"), col("id").as("id_b"),
+        col("key").as("key_b"), col("rn")), Seq("block", "rn"))
+      .select(col("block"), col("id_a"), col("id_b"), col("gap"),
+        col("key_a"), col("key_b"),
+        (col("key_a") === col("key_b")).as("same_key"))
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nClusters: Int = 16,
       maxFitRows: Long = 100000L, corpusRows: Option[Long] = None): DataFrame = {

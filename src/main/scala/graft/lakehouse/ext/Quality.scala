@@ -1,6 +1,7 @@
 package graft.lakehouse.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality expectation checks and snapshot reconciliation — the
@@ -310,5 +311,83 @@ object Quality {
         (nD * nD)).as("uncertainty"),
       col("n").cast("long").as("n"),
       col("kbins").cast("long").as("n_occupied_bins"))
+  }
+
+  /** Optimal classification threshold by Youden's J (J = TPR − FPR,
+    * Youden 1950): sweep every DISTINCT permille score as a
+    * "predict positive when score ≥ t" cut and pick the maximizer, ties
+    * to the smallest threshold. J scaled by P·N is the exact integer
+    * tp·N_neg − fp·N_pos, so the argmax is bit-portable. ONE count
+    * aggregation into the ≤1001-row score frame; the sweep windows over
+    * that bounded frame only. Returns one row: threshold, the confusion
+    * quadrant at it, exact j_num/j_den, readable youden_j. */
+  def youdenThreshold(df: DataFrame, scorePermilleCol: String,
+      labelCol: String): DataFrame = {
+    val score = col(scorePermilleCol).cast("long")
+    val counts = df
+      .filter(score.isNotNull && score.between(0L, 1000L) &&
+        col(labelCol).isNotNull)
+      .groupBy(score.as("v"))
+      .agg(count(when(col(labelCol).cast("boolean"), lit(1))).as("p"),
+        count(when(!col(labelCol).cast("boolean"), lit(1))).as("q"))
+    val wBelow = Window.partitionBy().orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("pos_below", coalesce(sum("p").over(wBelow), lit(0L)))
+      .withColumn("neg_below", coalesce(sum("q").over(wBelow), lit(0L)))
+      .withColumn("n_pos", sum("p").over(wAll))
+      .withColumn("n_neg", sum("q").over(wAll))
+      .select(col("v").as("threshold"),
+        (col("n_pos") - col("pos_below")).as("tp"),
+        (col("n_neg") - col("neg_below")).as("fp"),
+        col("pos_below").as("fn"), col("neg_below").as("tn"),
+        col("n_pos"), col("n_neg"),
+        ((col("n_pos") - col("pos_below")) * col("n_neg") -
+          (col("n_neg") - col("neg_below")) * col("n_pos")).as("j_num"),
+        (col("n_pos") * col("n_neg")).as("j_den"))
+      .orderBy(col("j_num").desc, col("threshold").asc)
+      .limit(1)
+      .withColumn("youden_j",
+        // guarded: Spark's double 0/0 is NaN while other engines NULL
+        when(col("j_den") > 0,
+          col("j_num").cast("double") / col("j_den").cast("double")))
+  }
+
+  /** Decile-style lift table over equal-width permille score bins: per
+    * bin the response rate vs the global base rate as an exact permille
+    * lift, plus the cumulative capture curve walking from the TOP bin
+    * down (the "how deep must the campaign go" table). ONE hash
+    * aggregation into ≤ bins rows, cumulative window over that bounded
+    * frame. All integer. */
+  def liftTable(df: DataFrame, scorePermilleCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "liftTable needs bins >= 2")
+    val score = col(scorePermilleCol).cast("long")
+    val bin = expr(
+      s"CAST(least((CAST($scorePermilleCol AS BIGINT) * $bins) div 1000, " +
+        s"${bins - 1}) AS INT)")
+    val perBin = df
+      .filter(score.isNotNull && score.between(0L, 1000L) &&
+        col(labelCol).isNotNull)
+      .select(bin.as("bin"), col(labelCol).cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+    val wTop = Window.partitionBy().orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perBin
+      .withColumn("cum_n", sum("n").over(wTop))
+      .withColumn("cum_pos", sum("n_pos").over(wTop))
+      .withColumn("total_n", sum("n").over(wAll))
+      .withColumn("total_pos", sum("n_pos").over(wAll))
+      .filter(col("total_pos") > 0)
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * total_n * 1000) div (n * total_pos)")
+          .as("lift_permille"),
+        col("cum_n"), col("cum_pos"),
+        expr("(cum_pos * total_n * 1000) div (cum_n * total_pos)")
+          .as("cum_lift_permille"),
+        expr("(cum_pos * 1000) div total_pos").as("capture_permille"))
   }
 }

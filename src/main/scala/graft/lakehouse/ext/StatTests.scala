@@ -1033,4 +1033,69 @@ object StatTests {
       col("k").cast("long").as("k"),
       col("n").cast("long").as("n"))
   }
+
+  /** McNemar's test (McNemar 1947) for two paired binary classifiers on
+    * the same items: only the DISCORDANT pairs carry signal — n01 (A
+    * right, B wrong) vs n10 (A wrong, B right); the continuity-corrected
+    * χ² = (|n01−n10|−1)²/(n01+n10) is one IEEE expression over exact
+    * counts from ONE aggregation pass. Null when no discordant pairs.
+    * Returns one row: the 2×2 quadrant, chi2_cc, n. */
+  def mcnemar(df: DataFrame, aCorrectCol: Column,
+      bCorrectCol: Column): DataFrame = {
+    val a = aCorrectCol.cast("boolean")
+    val b = bCorrectCol.cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(
+        count(when(a && b, lit(1))).as("n11"),
+        count(when(a && !b, lit(1))).as("n10"),
+        count(when(!a && b, lit(1))).as("n01"),
+        count(when(!a && !b, lit(1))).as("n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("n11") + col("n10") + col("n01") + col("n00")).as("n"),
+        when(col("n01") + col("n10") > 0,
+          ((abs(col("n01") - col("n10")) - 1).cast("double") *
+            (abs(col("n01") - col("n10")) - 1).cast("double")) /
+            (col("n01") + col("n10")).cast("double"))
+          .as("chi2_cc"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran '54 / Armitage '55): is a
+    * binary outcome's rate monotonically moving across ORDERED integer
+    * dose groups? T = Σ sᵢ(rᵢN − Rnᵢ) and the variance pieces are exact
+    * decimals from ONE |groups|-row moment frame; z² spends the final
+    * IEEE steps in a pinned order. The dose scores sᵢ are the group's
+    * own integer value. Returns one row: t_num exact, z2, plus the
+    * totals. */
+  def cochranArmitageTrend(df: DataFrame, doseCol: String,
+      labelCol: String): DataFrame = {
+    val groups = df
+      .filter(col(doseCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(doseCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("ni"),
+        sum(col(labelCol).cast("long")).as("ri"))
+    val m = groups.agg(
+      sum("ni").as("n"), sum("ri").as("r"), count(lit(1)).as("k"),
+      sum((col("s") * col("ni")).cast("decimal(38,0)")).as("sn"),
+      sum((col("s") * col("s") * col("ni")).cast("decimal(38,0)"))
+        .as("ssn"))
+    val t = groups.crossJoin(broadcast(m))
+      .agg(sum((col("s") * (col("ri") * col("n") - col("r") * col("ni")))
+        .cast("decimal(38,0)")).as("t_num"))
+    val nD = col("n").cast("double")
+    val rD = col("r").cast("double")
+    t.crossJoin(broadcast(m))
+      .select(
+        col("t_num").cast("long").as("t_num"),
+        (col("n") * col("ssn") - col("sn") * col("sn"))
+          .cast("long").as("d"),
+        col("r").cast("long").as("r"), col("n").cast("long").as("n"),
+        col("k").cast("long").as("k"))
+      .withColumn("z2",
+        when(col("d") > 0 && col("r") > 0 && col("r") < col("n"),
+          (col("t_num").cast("double") * col("t_num").cast("double") *
+            (col("n").cast("double") * col("n").cast("double"))) /
+            ((col("r").cast("double") *
+              (col("n").cast("double") - col("r").cast("double"))) *
+              col("d").cast("double"))))
+  }
 }

@@ -1407,4 +1407,30 @@ object TextStats {
         expr("((__nd * __ss - n_total * n_total) * 1000) " +
           "div (__nd * n_total)").as("dispersion_milli"))
   }
+
+  /** CROSS-document repeated n-gram census — the corpus-level view the
+    * within-document repetition reports (q259) and the eval-set novelty
+    * check (q224) don't give: which W-token windows recur across ≥
+    * `minDocs` DISTINCT documents (boilerplate, licenses, templated
+    * spam — exactly the spans substring-level dedup would remove, cf.
+    * Lee et al. 2021 §4). One compiled per-document window-hash kernel
+    * (the q224 gram machinery), per-document dedup in-row, then ONE
+    * (gram → doc-count) aggregation; the output is top-K by reach with
+    * the id span as provenance. The md5 window hash is what shuffles —
+    * 16 bytes per distinct (doc, gram), never the text. */
+  def crossDocGramCensus(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minDocs: Int = 2, topK: Int = 50): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    require(minDocs >= 2 && topK >= 1, "minDocs >= 2, topK >= 1")
+    val grams = df.select(col(idCol).as("__id"),
+      explode(array_distinct(transform(
+        windowMd5Kernel(tokArray(textCol), lit(windowTokens)),
+        x => lower(hex(x("g")))))).as("gram"))
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"),
+        min("__id").as("first_doc"), max("__id").as("last_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(topK)
+  }
 }

@@ -626,6 +626,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.tail.forall(t => t._4 == 875L), got.mkString(","))
   }
 
+  test("activityHeatmap: cells land on the right (dow, hour), shares " +
+    "are per-group permille") {
+    import spark.implicits._
+    // 1970-01-05 = Monday; 3 events Mon 10h + 1 event Tue 03h
+    def at(i: Int, h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 5).plusDays(i.toLong).atTime(h, 0))
+    val ev = (Seq.fill(3)(("x", at(0, 10))) :+ (("x", at(1, 3))))
+      .toDF("event_type", "ts")
+    val got = Analytics.activityHeatmap(ev, "event_type", "ts")
+      .orderBy("dow", "hour").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq((1, 10, 3L, 750L), (2, 3, 1L, 250L)),
+      got.mkString(","))
+  }
+
   test("naiveForecastEval: linear series -> persistence err 1/day, " +
     "weekly err 7/day, ratio 7000 permille") {
     import spark.implicits._

@@ -496,4 +496,25 @@ class DedupSpec extends SparkSuite {
     if (total > 1L) assert(out.exists { case (d, _) => d < 10 })
   }
 
+  test("sortedNeighborhoodPairs: adjacent-rank pairs within blocks only, " +
+    "same-key flag, singleton blocks and short keys drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello World Alpha One"), // key helloworldal, block hell
+      (2L, "hello, world alpha two!"), // same key -> same_key pair
+      (3L, "help me now zzz"), // block help: singleton
+      (4L, "hellish morning walk today"), // block hell, sorts first
+      (5L, "zebra quick fox jumps"), // block zebr: singleton
+      (6L, "ab")).toDF("doc_id", "text") // key too short: dropped
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      window = 3, blockChars = 4, keyChars = 12)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("gap"), r.getAs[Boolean]("same_key"))).toSeq
+    // block hell ranks: 4 (hellishmorni), 1, 2 (helloworldal twins)
+    assert(got == Seq(
+      (1L, 2L, 1, true),
+      (4L, 1L, 1, false),
+      (4L, 2L, 2, false)), got.mkString(","))
+  }
 }

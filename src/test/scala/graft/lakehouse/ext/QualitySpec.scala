@@ -200,4 +200,40 @@ class QualitySpec extends SparkSuite {
       (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
         r.getAs[Double]("uncertainty"))) < 1e-12, "Murphy identity")
   }
+
+  test("youdenThreshold: picks the separating cut on a clean split, " +
+      "ties go to the smaller threshold") {
+    import spark.implicits._
+    // scores 100/200 negative, 800/900 positive -> any cut in (200,800]
+    // separates perfectly; the smallest distinct score that does is 800
+    val d = Seq((100L, 0), (200L, 0), (800L, 1), (900L, 1))
+      .toDF("score", "label")
+    val r = Quality.youdenThreshold(d, "score", "label").head()
+    assert(r.getAs[Long]("threshold") == 800L, r.toString)
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 0L &&
+      r.getAs[Long]("fn") == 0L && r.getAs[Long]("tn") == 2L)
+    assert(r.getAs[Double]("youden_j") == 1.0)
+    // all-same-label degenerate: j_den = 0 -> one row still comes back
+    // (threshold defined, youden_j is 0/0 -> null)
+    val deg = Seq((100L, 1), (900L, 1)).toDF("score", "label")
+    val dr = Quality.youdenThreshold(deg, "score", "label").collect()
+    assert(dr.length == 1 && dr.head.getAs[Long]("j_den") == 0L)
+    assert(dr.head.isNullAt(dr.head.fieldIndex("youden_j")))
+  }
+
+  test("liftTable: top bin captures its positives at the exact lift, " +
+      "bottom cumulative row is the base rate (lift 1000)") {
+    import spark.implicits._
+    // bin 9: 2 rows 2 pos; bin 0: 2 rows 0 pos -> base rate 1/2
+    val d = Seq((950L, 1), (990L, 1), (10L, 0), (20L, 0))
+      .toDF("score", "label")
+    val got = Quality.liftTable(d, "score", "label", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getLong(7))).toSeq
+    // bin 0: lift 0; cum over both bins = base rate -> 1000, capture 1000
+    assert(got == Seq(
+      (0, 2L, 0L, 0L, 1000L, 1000L),
+      (9, 2L, 2L, 2000L, 2000L, 1000L)), got.mkString(","))
+  }
 }

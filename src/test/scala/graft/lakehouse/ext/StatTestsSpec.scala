@@ -603,4 +603,38 @@ class StatTestsSpec extends SparkSuite {
     assert(run(7).getAs[Double]("f") == r.getAs[Double]("f"),
       "decimal fold must make F bit-stable across partitionings")
   }
+
+  test("mcnemar: hand-computed discordant chi-squared; null when no " +
+      "discordant pairs") {
+    // n11=3, n10=4, n01=1, n00=2 -> chi2_cc = (|1-4|-1)^2/5 = 0.8
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(2)((false, false))
+    val r = StatTests.mcnemar(rows.toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(r.getAs[Long]("n11") == 3L && r.getAs[Long]("n10") == 4L &&
+      r.getAs[Long]("n01") == 1L && r.getAs[Long]("n00") == 2L &&
+      r.getAs[Long]("n") == 10L)
+    assert(math.abs(r.getAs[Double]("chi2_cc") - 0.8) < 1e-12, r.toString)
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(StatTests.mcnemar(agree, col("a"), col("b")).head()
+      .isNullAt(5), "no discordant pairs -> null statistic")
+  }
+
+  test("cochranArmitageTrend: perfect monotone trend matches the hand " +
+      "computation") {
+    // doses 0/1/2, 4 each, positives 0/2/4:
+    // T = 48, D = 96, z^2 = T^2/(R(N-R)D/N^2) = 2304/24 = 96
+    val rows = Seq.fill(4)((0, 0)) ++
+      Seq.fill(2)((1, 1)) ++ Seq.fill(2)((1, 0)) ++ Seq.fill(4)((2, 1))
+    val r = StatTests.cochranArmitageTrend(
+      rows.toDF("dose", "y"), "dose", "y").head()
+    assert(r.getAs[Long]("t_num") == 48L, r.toString)
+    assert(r.getAs[Long]("d") == 96L && r.getAs[Long]("r") == 6L &&
+      r.getAs[Long]("n") == 12L && r.getAs[Long]("k") == 3L)
+    assert(math.abs(r.getAs[Double]("z2") - 96.0) < 1e-9)
+    // flat outcome: r = 0 -> guarded null
+    val flat = Seq((0, 0), (1, 0), (2, 0)).toDF("dose", "y")
+    assert(StatTests.cochranArmitageTrend(flat, "dose", "y").head()
+      .isNullAt(5))
+  }
 }

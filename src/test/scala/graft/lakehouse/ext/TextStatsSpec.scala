@@ -660,4 +660,27 @@ class TextStatsSpec extends SparkSuite {
     // b: N=3, S=1, SS=1 -> (3-1)*1000 div 3 = 666
     assert(got("b") == (1L, 1L, 666L))
   }
+
+  test("crossDocGramCensus: shared 5-gram surfaces with its doc reach, " +
+    "within-doc repeats collapse, unique docs absent") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, shared),
+      (2L, "intro " + shared + " outro"),
+      // doc 3 repeats the shared gram TWICE -> still one (doc, gram)
+      (3L, shared + " and " + shared),
+      (4L, "one two three four five")).toDF("doc_id", "text")
+    val got = TextStats.crossDocGramCensus(docs, "doc_id", "text",
+      windowTokens = 5, minDocs = 3, topK = 10).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(shared.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(got.exists(r => r.getString(0) == hex &&
+      r.getAs[Long]("n_docs") == 3L &&
+      r.getAs[Long]("first_doc") == 1L &&
+      r.getAs[Long]("last_doc") == 3L), got.mkString(","))
+    // nothing else reaches 3 docs
+    assert(got.count(_.getAs[Long]("n_docs") >= 3L) == 1)
+  }
 }
