@@ -5438,7 +5438,7 @@ object Queries {
         |      ON s.event_type = p.ta OR s.event_type = p.tb)),
         |usk AS (SELECT ta, tb, h, rank FROM uni WHERE rank <= 64),
         |uest AS (
-        |  SELECT ta, tb,
+        |  SELECT ta, tb, count(*) AS usize,
         |    CASE WHEN count(*) < 64 THEN count(*)
         |      ELSE CAST(CAST(63 AS HUGEINT) *
         |        CAST(1152921504606846976 AS HUGEINT) //
@@ -5454,7 +5454,8 @@ object Queries {
         |  GROUP BY 1, 2)
         |SELECT p.ta, p.tb, ea.est AS est_a, eb.est AS est_b, ue.est_union,
         |  CAST(CAST(coalesce(rho.rho, 0) AS HUGEINT) *
-        |    CAST(ue.est_union AS HUGEINT) // 64 AS BIGINT) AS est_intersect
+        |    CAST(ue.est_union AS HUGEINT) // CAST(ue.usize AS HUGEINT)
+        |    AS BIGINT) AS est_intersect
         |FROM pairs p
         |JOIN est ea ON ea.event_type = p.ta
         |JOIN est eb ON eb.event_type = p.tb
@@ -12505,5 +12506,1114 @@ object Queries {
         |SELECT grp, dow, hour, CAST(n AS BIGINT) AS n,
         |  CAST((n * 1000) // total AS BIGINT) AS share_permille
         |FROM w ORDER BY grp, dow, hour""".stripMargin)),
+
+    // Isotonic (PAV) calibration of the q318 scorer via the exact
+    // minimax identity cal(i) = max_{j<=i} min_{k>=j} mean(j..k) — the
+    // monotone recalibration fit, bit-portable because interval-mean
+    // ordering is exact at these integer sizes.
+    Q("q378_isotonic_calibration",
+      (s, dir) => {
+        def h(salt: String) = conv(substring(sha2(concat_ws("#",
+          col("doc_id").cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        Quality.isotonicCalibration(
+          t(s, dir, "documents").select("doc_id")
+            .withColumn("score", h("s"))
+            .withColumn("label", (h("s") * 2 + h("l") > 1000).cast("int")),
+          "score", "label", bins = 100)
+          .orderBy("bin")
+      },
+      Some("""WITH d AS (
+        |  SELECT
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#s'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |        || '#s'), 1, 8))::UBIGINT % 1000 * 2
+        |      + ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#l'),
+        |        1, 8))::UBIGINT % 1000 > 1000 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(least(score * 100 // 1000, 99) AS INT) AS bin,
+        |    count(*) AS n, sum(label) AS n_pos
+        |  FROM d GROUP BY 1),
+        |f AS (
+        |  SELECT bin, n, n_pos,
+        |    sum(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ncum,
+        |    sum(n_pos) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcum
+        |  FROM g),
+        |mins AS (
+        |  SELECT j.bin AS jbin,
+        |    min(CAST(k.pcum - (j.pcum - j.n_pos) AS DOUBLE)
+        |      / CAST(k.ncum - (j.ncum - j.n) AS DOUBLE)) AS mj
+        |  FROM f j JOIN f k ON k.bin >= j.bin
+        |  GROUP BY 1)
+        |SELECT f.bin, CAST(f.n AS BIGINT) AS n,
+        |  CAST(f.n_pos AS BIGINT) AS n_pos,
+        |  CAST((f.n_pos * 1000) // f.n AS BIGINT) AS raw_rate_permille,
+        |  max(m.mj) AS calibrated
+        |FROM f JOIN mins m ON m.jbin <= f.bin
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY bin""".stripMargin)),
+
+    // Leave-one-out 1-NN label accuracy over the embedding corpus:
+    // brute-force n^2 cosine argmax (the eval-sized probe; the ANN
+    // index q243/q244 is the corpus-scale path), per-label rollup.
+    Q("q379_knn_loo_eval",
+      (s, dir) => Embeddings.knnLooEval(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("label"),
+      Some("""WITH v AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+        |    label AS lbl
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |p AS (
+        |  SELECT a.id AS a, a.lbl AS la, b.lbl AS plbl, b.id AS b,
+        |    round(list_sum(list_transform(list_zip(a.ve, b.ve),
+        |        z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(a.ve, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.ve, x -> x * x)))), 6)
+        |      AS cos
+        |  FROM v a JOIN v b ON a.id <> b.id),
+        |r AS (
+        |  SELECT a, la, plbl,
+        |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC)
+        |      AS rn
+        |  FROM p),
+        |nn AS (SELECT la, plbl FROM r WHERE rn = 1)
+        |SELECT CAST(la AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN plbl = la THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN plbl = la THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS accuracy_permille
+        |FROM nn GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // Fragment-chain pairs over a pagination-split fixture: every 10th
+    // doc is prefixed with its predecessor's last five words, so
+    // tail-hash == head-hash joins recover the (predecessor, fragment)
+    // chains whole-document banding misses.
+    Q("q380_fragment_chain_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val pred = docs.select((col("doc_id") + 1).as("doc_id"),
+          expr("array_join(slice(filter(split(coalesce(text, ''), " +
+            "'\\\\s+'), t -> t <> ''), greatest(size(filter(split(" +
+            "coalesce(text, ''), '\\\\s+'), t -> t <> '')) - 4, 1), 5), " +
+            "' ')").as("psuffix"))
+        val spliced = docs.join(pred, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1 && col("psuffix").isNotNull,
+              concat(col("psuffix"), lit(" "), col("text")))
+              .otherwise(col("text")).as("text"))
+        TextStats.fragmentChainPairs(spliced, "doc_id", "text",
+            windowTokens = 5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), x -> x <> '') AS a
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id + 1 AS doc_id,
+        |    array_to_string(a[greatest(len(a) - 4, 1):], ' ') AS psuffix
+        |  FROM toks),
+        |spliced AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN t.doc_id % 10 = 1 AND p.psuffix IS NOT NULL
+        |      THEN p.psuffix || ' ' || array_to_string(t.a, ' ')
+        |      ELSE array_to_string(t.a, ' ') END AS text
+        |  FROM toks t LEFT JOIN pred p ON p.doc_id = t.doc_id),
+        |st AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), x -> x <> '') AS a
+        |  FROM spliced),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(a[1:5], ' ')) AS head_gram,
+        |    md5(array_to_string(a[len(a) - 4:], ' ')) AS tail_gram
+        |  FROM st WHERE len(a) >= 5)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.tail_gram AS gram
+        |FROM hashes a JOIN hashes b ON a.tail_gram = b.head_gram
+        |  AND a.doc_id <> b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Rendezvous-hash shard migration report: the N=8 -> 9 transition
+    // matrix over user keys — HRW moves ~1/9 of keys, the mod-hash
+    // column alongside moves ~8/9; all sha-integer portable.
+    Q("q381_rendezvous_shards",
+      (s, dir) => Packing.rendezvousShardReport(ev(s, dir), "user_id",
+          nShards = 8)
+        .orderBy("shard_n", "shard_n1"),
+      Some("""WITH keys AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |w AS (
+        |  SELECT k, s, CAST(('0x' || substr(sha256(k || '#'
+        |    || CAST(s AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS w
+        |  FROM keys, (SELECT unnest(range(9)) AS s)),
+        |a8 AS (
+        |  SELECT k, max_by(s, w) AS shard_n FROM w WHERE s < 8
+        |  GROUP BY k),
+        |a9 AS (SELECT k, max_by(s, w) AS shard_n1 FROM w GROUP BY k),
+        |h AS (SELECT k, w AS hw FROM w WHERE s = 0)
+        |SELECT CAST(shard_n AS INT) AS shard_n,
+        |  CAST(shard_n1 AS INT) AS shard_n1,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN hw % 8 <> hw % 9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mod_moved,
+        |  shard_n <> shard_n1 AS moved
+        |FROM a8 JOIN a9 USING (k) JOIN h USING (k)
+        |GROUP BY 1, 2, 5 ORDER BY shard_n, shard_n1""".stripMargin)),
+
+    // Newcombe score CI for the even/odd-arm purchase-rate difference:
+    // Wilson bounds per arm combined by the square-root-of-squares rule,
+    // exact counts, fixed IEEE chain.
+    Q("q382_ab_proportion_diff",
+      (s, dir) => StatTests.newcombeDiffCI(
+        ev(s, dir).filter(col("user_id").isNotNull)
+          .withColumn("arm", when(col("user_id") % 2 === 0, "even")
+            .otherwise("odd")),
+        "arm", col("event_type") === "purchase"),
+      Some("""WITH d AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+        |    AS arm,
+        |    event_type = 'purchase' AS conv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (
+        |  SELECT arm, count(*) AS n,
+        |    count(CASE WHEN conv THEN 1 END) AS k
+        |  FROM d GROUP BY 1),
+        |ab AS (
+        |  SELECT
+        |    (SELECT n FROM g WHERE arm = 'even') AS n_a,
+        |    (SELECT k FROM g WHERE arm = 'even') AS k_a,
+        |    (SELECT n FROM g WHERE arm = 'odd') AS n_b,
+        |    (SELECT k FROM g WHERE arm = 'odd') AS k_b),
+        |wil AS (
+        |  SELECT n_a, k_a, n_b, k_b,
+        |    CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+        |    CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+        |    1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE) AS d1,
+        |    1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE) AS d2
+        |  FROM ab),
+        |b AS (
+        |  SELECT *,
+        |    (p1 + (1.96 * 1.96) / (2.0 * CAST(n_a AS DOUBLE))) / d1
+        |      AS c1,
+        |    (1.96 * sqrt(p1 * (1.0 - p1) / CAST(n_a AS DOUBLE)
+        |      + (1.96 * 1.96) / (4.0 * CAST(n_a AS DOUBLE)
+        |        * CAST(n_a AS DOUBLE)))) / d1 AS h1,
+        |    (p2 + (1.96 * 1.96) / (2.0 * CAST(n_b AS DOUBLE))) / d2
+        |      AS c2,
+        |    (1.96 * sqrt(p2 * (1.0 - p2) / CAST(n_b AS DOUBLE)
+        |      + (1.96 * 1.96) / (4.0 * CAST(n_b AS DOUBLE)
+        |        * CAST(n_b AS DOUBLE)))) / d2 AS h2
+        |  FROM wil)
+        |SELECT 'even' AS arm_a, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(k_a AS BIGINT) AS k_a,
+        |  'odd' AS arm_b, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(k_b AS BIGINT) AS k_b,
+        |  p1 - p2 AS diff,
+        |  p1 - p2 - sqrt((p1 - (c1 - h1)) * (p1 - (c1 - h1))
+        |    + ((c2 + h2) - p2) * ((c2 + h2) - p2)) AS ci_lo,
+        |  p1 - p2 + sqrt(((c1 + h1) - p1) * ((c1 + h1) - p1)
+        |    + (p2 - (c2 - h2)) * (p2 - (c2 - h2))) AS ci_hi
+        |FROM b""".stripMargin)),
+
+    // Index-of-dispersion on daily event volume per type: var/mean of
+    // the day counts — the Poisson-burstiness check with Fisher's chi2.
+    Q("q383_overdispersion",
+      (s, dir) => StatTests.overdispersionIndex(
+          ev(s, dir).filter(col("event_type").isNotNull &&
+              col("ts").isNotNull)
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "y")
+        .orderBy("grp"),
+      Some("""WITH daily AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT grp, count(*) AS n, sum(y) AS s,
+        |    sum(y::HUGEINT * y) AS ss
+        |  FROM daily GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total,
+        |  CAST(n::HUGEINT * ss - s::HUGEINT * s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion,
+        |  (CAST(n AS DOUBLE) - 1.0)
+        |    * (CAST(n::HUGEINT * ss - s::HUGEINT * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS chi2
+        |FROM m WHERE n >= 2 AND s > 0 ORDER BY grp""".stripMargin)),
+
+    // CUPED variance reduction over per-user activity covariates: theta
+    // and the adjusted-variance header from one pass of exact decimal
+    // moments.
+    Q("q384_cuped",
+      (s, dir) => Analytics.cupedAdjustment(
+        ev(s, dir).filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(sum((col("event_id") % 2 === 0).cast("long")).as("x"),
+            sum((col("event_id") % 2 === 1 &&
+              col("event_type") === "purchase").cast("long")).as("y")),
+        "x", "y"),
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_id % 2 = 1
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+        |    sum(y::HUGEINT * y) AS syy
+        |  FROM u),
+        |st AS (
+        |  SELECT n,
+        |    CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE) AS cov,
+        |    CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE) AS vx,
+        |    CAST(n::HUGEINT * syy - sy::HUGEINT * sy AS DOUBLE) AS vy
+        |  FROM m WHERE n >= 2)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN vx > 0 THEN cov / vx END AS theta,
+        |  vy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y,
+        |  CASE WHEN vx > 0 THEN (vy - (cov / vx) * cov)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END
+        |    AS var_adjusted,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    CAST(floor(1000.0 * (cov * cov) / (vx * vy)) AS BIGINT) END
+        |    AS reduction_permille
+        |FROM st""".stripMargin)),
+
+    // Flesch-Kincaid grade per language: exact word/sentence/vowel-group
+    // integers per document, one aggregation per group, pinned IEEE
+    // grade — the syllable-based difficulty dial next to q327's LIX.
+    Q("q385_flesch_kincaid",
+      (s, dir) => TextStats.fleschKincaid(
+          t(s, dir, "documents"), "text", "lang")
+        .orderBy("grp"),
+      Some("""WITH d AS (
+        |  SELECT lang AS grp,
+        |    CAST(len(list_filter(string_split_regex(
+        |      coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS w,
+        |    CAST(greatest(len(regexp_extract_all(coalesce(text, ''),
+        |      '[.!?]')), 1) AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+        |      '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents WHERE lang IS NOT NULL),
+        |g AS (
+        |  SELECT grp, count(*) AS n_docs, sum(w) AS words,
+        |    sum(s) AS sentences, sum(y) AS syllables
+        |  FROM d GROUP BY 1)
+        |SELECT grp, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(words AS BIGINT) AS words,
+        |  CAST(sentences AS BIGINT) AS sentences,
+        |  CAST(syllables AS BIGINT) AS syllables,
+        |  0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        |    - 15.59 AS fk_grade
+        |FROM g WHERE words > 0 ORDER BY grp""".stripMargin)),
+
+    // RFM segmentation: recency/frequency/monetary quintiles by the
+    // exact ceil(cum*5/n) rank rule over bounded count frames, then the
+    // 125-cell census.
+    Q("q386_rfm_segments",
+      (s, dir) => Analytics.rfmSegments(ev(s, dir), "user_id", "ts",
+          "value")
+        .orderBy("r_q", "f_q", "m_q"),
+      Some("""WITH pu AS (
+        |  SELECT user_id AS u,
+        |    max(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS
+        |      DATE)) AS BIGINT)) AS last_d,
+        |    count(*) AS f,
+        |    sum(coalesce(CAST(round(value * 1000) AS BIGINT), 0)) AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |ux AS (
+        |  SELECT u, (SELECT max(last_d) FROM pu) - last_d AS r, f, m
+        |  FROM pu),
+        |qr AS (
+        |  SELECT r AS v, least(5, CAST((sum(count(*)) OVER (ORDER BY r
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 5
+        |      + sum(count(*)) OVER () - 1)
+        |    // sum(count(*)) OVER () AS INT)) AS q
+        |  FROM ux GROUP BY r),
+        |qf AS (
+        |  SELECT f AS v, least(5, CAST((sum(count(*)) OVER (ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 5
+        |      + sum(count(*)) OVER () - 1)
+        |    // sum(count(*)) OVER () AS INT)) AS q
+        |  FROM ux GROUP BY f),
+        |qm AS (
+        |  SELECT m AS v, least(5, CAST((sum(count(*)) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 5
+        |      + sum(count(*)) OVER () - 1)
+        |    // sum(count(*)) OVER () AS INT)) AS q
+        |  FROM ux GROUP BY m)
+        |SELECT qr.q AS r_q, qf.q AS f_q, qm.q AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ux
+        |JOIN qr ON qr.v = ux.r JOIN qf ON qf.v = ux.f
+        |JOIN qm ON qm.v = ux.m
+        |GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin)),
+
+    // KMV set-difference estimate: viewers-not-purchasers via the
+    // theta-sketch a-not-b identity |A\B| = |A| - |A intersect B| over
+    // the verified integer sketch algebra.
+    Q("q387_kmv_anotb",
+      (s, dir) => {
+        val k = 64
+        val sk = Sketches.kmvSketch(
+          ev(s, dir).filter(col("event_type").isin("view", "purchase")),
+          "user_id", k, groupCols = Seq("event_type"))
+        val a = sk.filter(col("event_type") === "view")
+          .select(col("kmv").as("ka"))
+        val b = sk.filter(col("event_type") === "purchase")
+          .select(col("kmv").as("kb"))
+        a.crossJoin(b).select(
+          Sketches.kmvEstimateCol(col("ka"), k).as("est_view"),
+          Sketches.kmvEstimateCol(col("kb"), k).as("est_purchase"),
+          Sketches.kmvIntersectionCol(col("ka"), col("kb"), k)
+            .as("est_intersect"),
+          Sketches.kmvANotBCol(col("ka"), col("kb"), k)
+            .as("est_view_not_purchase"))
+      },
+      Some("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1,
+        |      15))::UBIGINT AS BIGINT) AS h
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |      AS rank
+        |  FROM h),
+        |sk AS (SELECT event_type, h, rank FROM r WHERE rank <= 64),
+        |est AS (
+        |  SELECT event_type,
+        |    CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE CAST(CAST(63 AS HUGEINT) *
+        |        CAST(1152921504606846976 AS HUGEINT) //
+        |        CAST(max(CASE WHEN rank = 64 THEN h END) AS HUGEINT)
+        |        AS BIGINT)
+        |    END AS est
+        |  FROM sk GROUP BY 1),
+        |uni AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rank
+        |  FROM (SELECT DISTINCT h FROM sk)),
+        |usk AS (SELECT h, rank FROM uni WHERE rank <= 64),
+        |uest AS (
+        |  SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |    ELSE CAST(CAST(63 AS HUGEINT) *
+        |      CAST(1152921504606846976 AS HUGEINT) //
+        |      CAST(max(CASE WHEN rank = 64 THEN h END) AS HUGEINT)
+        |      AS BIGINT)
+        |    END AS est
+        |  FROM usk),
+        |rho AS (
+        |  SELECT count(*) AS rho FROM usk
+        |  WHERE h IN (SELECT h FROM sk WHERE event_type = 'view')
+        |    AND h IN (SELECT h FROM sk WHERE event_type = 'purchase')),
+        |inter AS (
+        |  SELECT CAST(CAST(rho AS HUGEINT) * CAST(uest.est AS HUGEINT)
+        |    // (SELECT count(*) FROM usk) AS BIGINT) AS est
+        |  FROM rho, uest)
+        |SELECT
+        |  (SELECT est FROM est WHERE event_type = 'view') AS est_view,
+        |  (SELECT est FROM est WHERE event_type = 'purchase')
+        |    AS est_purchase,
+        |  inter.est AS est_intersect,
+        |  greatest((SELECT est FROM est WHERE event_type = 'view')
+        |    - inter.est, 0) AS est_view_not_purchase
+        |FROM inter""".stripMargin)),
+
+    // Local clustering coefficient over the q195 co-order graph: exact
+    // per-vertex triangles against (d choose 2) in permille.
+    Q("q388_clustering_coefficient",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select("l_orderkey", "l_partkey")
+        val pairs = li.as("x").join(li.as("y"), "l_orderkey")
+          .filter(col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"),
+            col("y.l_partkey").as("dst"))
+        Graph.localClusteringCoefficient(pairs, "src", "dst")
+          .orderBy("v")
+      },
+      Some("""WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 5 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |    greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey <> y.l_partkey),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b
+        |      END AS u,
+        |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a
+        |      END AS w,
+        |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN db.d ELSE da.d
+        |      END AS dw
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |tri AS (
+        |  SELECT e1.u, e1.w AS x, e2.w AS y
+        |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+        |    AND (e1.dw, e1.w) < (e2.dw, e2.w)
+        |  JOIN o e3 ON e3.u = e1.w AND e3.w = e2.w),
+        |pv AS (SELECT v, count(*) AS t FROM (
+        |    SELECT u AS v FROM tri UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri) GROUP BY v)
+        |SELECT CAST(deg.v AS BIGINT) AS v,
+        |  CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(pv.t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.d >= 2 THEN
+        |    CAST((coalesce(pv.t, 0) * 2000) // (deg.d * (deg.d - 1))
+        |      AS BIGINT) END AS coeff_permille
+        |FROM deg LEFT JOIN pv USING (v) ORDER BY v""".stripMargin)),
+
+    // Weisfeiler-Lehman color census after two refinement rounds over
+    // the co-order graph: sha colors of "own|sorted neighbors" — the
+    // neighborhood-isomorphism fingerprint, top-50 color classes.
+    Q("q389_wl_color_census",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 7 === 0)
+          .select("l_orderkey", "l_partkey")
+        val pairs = li.as("x").join(li.as("y"), "l_orderkey")
+          .filter(col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"),
+            col("y.l_partkey").as("dst"))
+        Graph.wlColorCensus(pairs, "src", "dst", rounds = 2, topK = 50)
+      },
+      Some("""WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 7 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |    greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey <> y.l_partkey),
+        |sym AS (
+        |  SELECT a AS v, b AS n FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |c0 AS (SELECT v, count(*) AS c FROM sym GROUP BY 1),
+        |c1 AS (
+        |  SELECT s.v,
+        |    CAST(('0x' || substring(sha256(CAST(own.c AS VARCHAR) || '|'
+        |      || string_agg(CAST(nc.c AS VARCHAR), ',' ORDER BY nc.c)),
+        |      1, 15))::UBIGINT AS BIGINT) AS c
+        |  FROM sym s
+        |  JOIN c0 nc ON nc.v = s.n
+        |  JOIN c0 own ON own.v = s.v
+        |  GROUP BY s.v, own.c),
+        |c2 AS (
+        |  SELECT s.v,
+        |    CAST(('0x' || substring(sha256(CAST(own.c AS VARCHAR) || '|'
+        |      || string_agg(CAST(nc.c AS VARCHAR), ',' ORDER BY nc.c)),
+        |      1, 15))::UBIGINT AS BIGINT) AS c
+        |  FROM sym s
+        |  JOIN c1 nc ON nc.v = s.n
+        |  JOIN c1 own ON own.v = s.v
+        |  GROUP BY s.v, own.c)
+        |SELECT c AS color, CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM c2 GROUP BY 1
+        |ORDER BY n_vertices DESC, color LIMIT 50""".stripMargin)),
+
+    // Mutual nearest-neighbor pairs over the embedding corpus: each is
+    // the other's top-1 cosine neighbor — the bitext-mining /
+    // duplicate-alignment primitive.
+    Q("q390_mutual_nn_pairs",
+      (s, dir) => Embeddings.mutualNearestPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("id_a", "id_b"),
+      Some("""WITH v AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (
+        |  SELECT a.id AS a, b.id AS b,
+        |    round(list_sum(list_transform(list_zip(a.ve, b.ve),
+        |        z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(a.ve, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.ve, x -> x * x)))), 6)
+        |      AS cos
+        |  FROM v a JOIN v b ON a.id <> b.id),
+        |r AS (
+        |  SELECT a, b, cos,
+        |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC)
+        |      AS rn
+        |  FROM p),
+        |nn AS (SELECT a, b, cos FROM r WHERE rn = 1)
+        |SELECT x.a AS id_a, y.a AS id_b, x.cos AS cosine
+        |FROM nn x JOIN nn y ON x.b = y.a AND y.b = x.a AND x.a < y.a
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Fixed-weight Fellegi-Sunter scoring over the sorted-neighborhood
+    // candidates: lang/source/length-bucket agreements sum to an exact
+    // integer score classed by thresholds.
+    Q("q391_fs_linkage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+          window = 3, blockChars = 4, keyChars = 12)
+        val attrs = docs.select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 200").as("len_bucket"))
+        Dedup.fellegiSunterScore(pairs, attrs, "doc_id",
+            Seq(("lang", 6, -4), ("source", 8, -5), ("len_bucket", 10, -6)),
+            matchAt = 18, possibleAt = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH r AS (
+        |  SELECT doc_id AS id,
+        |    substr(regexp_replace(lower(coalesce(text, '')),
+        |      '[^a-z0-9]', '', 'g'), 1, 12) AS key
+        |  FROM documents),
+        |f AS (
+        |  SELECT id, key, substr(key, 1, 4) AS block
+        |  FROM r WHERE length(key) >= 4),
+        |rk AS (
+        |  SELECT id, key, block,
+        |    row_number() OVER (PARTITION BY block ORDER BY key, id) AS rn
+        |  FROM f),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM rk a
+        |  CROSS JOIN (SELECT unnest([1, 2]) AS off) o
+        |  JOIN rk b ON b.block = a.block AND b.rn = a.rn + o.off),
+        |attr AS (
+        |  SELECT doc_id, lang, source, n_chars // 200 AS len_bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT p.id_a, p.id_b,
+        |    (CASE WHEN a.lang IS NOT DISTINCT FROM b.lang
+        |       THEN 6 ELSE -4 END)
+        |    + (CASE WHEN a.source IS NOT DISTINCT FROM b.source
+        |       THEN 8 ELSE -5 END)
+        |    + (CASE WHEN a.len_bucket IS NOT DISTINCT FROM b.len_bucket
+        |       THEN 10 ELSE -6 END) AS score
+        |  FROM p
+        |  JOIN attr a ON a.doc_id = p.id_a
+        |  JOIN attr b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 18 THEN 'match'
+        |    WHEN score >= 4 THEN 'possible'
+        |    ELSE 'non_match' END AS decision
+        |FROM s ORDER BY id_a, id_b""".stripMargin)),
+
+    // Hard-clamp label propagation over the co-order graph: every 10th
+    // part seeds its id-mod-3 label; two integer mass rounds, argmax
+    // prediction with ties to the smaller label.
+    Q("q392_label_propagation",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 7 === 0)
+          .select("l_orderkey", "l_partkey")
+        val pairs = li.as("x").join(li.as("y"), "l_orderkey")
+          .filter(col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"),
+            col("y.l_partkey").as("dst"))
+        val seeds = li.select(col("l_partkey").as("v")).distinct()
+          .filter(col("v") % 10 === 0)
+          .withColumn("label", col("v") % 3)
+        Graph.labelPropagation(pairs, "src", "dst", seeds, "v", "label",
+            rounds = 2)
+          .orderBy("v")
+      },
+      Some("""WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 7 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |    greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey <> y.l_partkey),
+        |sym AS (
+        |  SELECT a AS v, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+        |seeds AS (
+        |  SELECT DISTINCT l_partkey AS v, l_partkey % 3 AS label
+        |  FROM li WHERE l_partkey % 10 = 0),
+        |m0 AS (SELECT v, label, CAST(1 AS BIGINT) AS m FROM seeds),
+        |p1 AS (
+        |  SELECT s.v, m.label, CAST(sum(m.m) AS BIGINT) AS m
+        |  FROM sym s JOIN m0 m ON m.v = s.n GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT v, label, CAST(1 AS BIGINT) AS m FROM seeds
+        |  UNION ALL
+        |  SELECT * FROM p1 WHERE v NOT IN (SELECT v FROM seeds)),
+        |p2 AS (
+        |  SELECT s.v, m.label, CAST(sum(m.m) AS BIGINT) AS m
+        |  FROM sym s JOIN m1 m ON m.v = s.n GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT v, label, CAST(1 AS BIGINT) AS m FROM seeds
+        |  UNION ALL
+        |  SELECT * FROM p2 WHERE v NOT IN (SELECT v FROM seeds)),
+        |best AS (
+        |  SELECT v, label, m,
+        |    row_number() OVER (PARTITION BY v
+        |      ORDER BY m DESC, label ASC) AS rn
+        |  FROM m2)
+        |SELECT b.v, b.label, b.m AS mass,
+        |  b.v IN (SELECT v FROM seeds) AS is_seed
+        |FROM best b WHERE rn = 1 ORDER BY v""".stripMargin)),
+
+    // Uplift by score bin: treated-vs-control purchase-rate difference
+    // per sha-score quintile bin, exact permille — the
+    // heterogeneous-effect validation table.
+    Q("q393_uplift_by_bin",
+      (s, dir) => {
+        def h(c: org.apache.spark.sql.Column) = conv(substring(sha2(concat_ws("#",
+          c.cast("string"), lit("u")), 256), 1, 8), 16, 10)
+          .cast("long") % 1000
+        val units = ev(s, dir).filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(max((col("event_type") === "purchase").cast("int"))
+            .as("conv"))
+          .withColumn("score", h(col("user_id")))
+          .withColumn("arm", (col("user_id") % 2).cast("int"))
+        Analytics.upliftByBin(units, "score", "arm", col("conv") === 1,
+            bins = 5)
+          .orderBy("bin")
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR) || '#u'),
+        |      1, 8))::UBIGINT % 1000 AS score,
+        |    CAST(user_id % 2 AS INT) AS arm
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(least(score * 5 // 1000, 4) AS INT) AS bin,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+        |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c_treat,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_control,
+        |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c_control
+        |  FROM u GROUP BY 1)
+        |SELECT bin, CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(c_treat AS BIGINT) AS c_treat,
+        |  CAST(n_control AS BIGINT) AS n_control,
+        |  CAST(c_control AS BIGINT) AS c_control,
+        |  CAST((c_treat * 1000) // n_treat AS BIGINT)
+        |    AS rate_treat_permille,
+        |  CAST((c_control * 1000) // n_control AS BIGINT)
+        |    AS rate_control_permille,
+        |  CAST((c_treat * 1000) // n_treat
+        |    - (c_control * 1000) // n_control AS BIGINT)
+        |    AS uplift_permille
+        |FROM g WHERE n_treat > 0 AND n_control > 0
+        |ORDER BY bin""".stripMargin)),
+
+    // Covariate balance (SMD) between the even/odd arms over per-user
+    // activity covariates — the causal pre-flight table; |SMD| < 0.1 is
+    // the conventional balance bar (and holds here by construction).
+    Q("q394_covariate_balance",
+      (s, dir) => {
+        val units = ev(s, dir).filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(coalesce(round(col("value") * 1000).cast("long"),
+              lit(0L))).as("value_milli"),
+            countDistinct("event_type").as("n_types"))
+          .withColumn("arm", (col("user_id") % 2).cast("int"))
+        Analytics.covariateBalance(units, "arm",
+            Seq("n_events", "value_milli", "n_types"))
+          .orderBy("covariate")
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    sum(coalesce(CAST(round(value * 1000) AS BIGINT), 0))
+        |      AS value_milli,
+        |    count(DISTINCT event_type) AS n_types,
+        |    CAST(user_id % 2 AS INT) AS arm
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN arm = 1 THEN n_events ELSE 0 END) AS s1_a,
+        |    sum(CASE WHEN arm = 0 THEN n_events ELSE 0 END) AS s0_a,
+        |    sum(CASE WHEN arm = 1 THEN n_events::HUGEINT * n_events
+        |      ELSE 0 END) AS q1_a,
+        |    sum(CASE WHEN arm = 0 THEN n_events::HUGEINT * n_events
+        |      ELSE 0 END) AS q0_a,
+        |    sum(CASE WHEN arm = 1 THEN value_milli ELSE 0 END) AS s1_b,
+        |    sum(CASE WHEN arm = 0 THEN value_milli ELSE 0 END) AS s0_b,
+        |    sum(CASE WHEN arm = 1 THEN value_milli::HUGEINT * value_milli
+        |      ELSE 0 END) AS q1_b,
+        |    sum(CASE WHEN arm = 0 THEN value_milli::HUGEINT * value_milli
+        |      ELSE 0 END) AS q0_b,
+        |    sum(CASE WHEN arm = 1 THEN n_types ELSE 0 END) AS s1_c,
+        |    sum(CASE WHEN arm = 0 THEN n_types ELSE 0 END) AS s0_c,
+        |    sum(CASE WHEN arm = 1 THEN n_types::HUGEINT * n_types
+        |      ELSE 0 END) AS q1_c,
+        |    sum(CASE WHEN arm = 0 THEN n_types::HUGEINT * n_types
+        |      ELSE 0 END) AS q0_c
+        |  FROM u),
+        |cells AS (
+        |  SELECT 'n_events' AS covariate, n1, n0, s1_a AS s1, s0_a AS s0,
+        |    q1_a AS q1, q0_a AS q0 FROM m
+        |  UNION ALL
+        |  SELECT 'n_types', n1, n0, s1_c, s0_c, q1_c, q0_c FROM m
+        |  UNION ALL
+        |  SELECT 'value_milli', n1, n0, s1_b, s0_b, q1_b, q0_b FROM m)
+        |SELECT covariate, CAST(n1 AS BIGINT) AS n_treat,
+        |  CAST(n0 AS BIGINT) AS n_control,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_treat,
+        |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_control,
+        |  CASE WHEN
+        |      CAST(n1::HUGEINT * q1 - s1::HUGEINT * s1 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+        |      + CAST(n0::HUGEINT * q0 - s0::HUGEINT * s0 AS DOUBLE)
+        |        / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))
+        |      > 0.0 THEN
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |    / sqrt((CAST(n1::HUGEINT * q1 - s1::HUGEINT * s1 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+        |      + CAST(n0::HUGEINT * q0 - s0::HUGEINT * s0 AS DOUBLE)
+        |        / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)))
+        |      / 2.0) END AS smd
+        |FROM cells ORDER BY covariate""".stripMargin)),
+
+    // IPS off-policy evaluation: a deterministic sha-derived target
+    // policy scored from the logged stream with empirical propensities —
+    // per-arm matched rewards reweighted N/n_a in exact integers.
+    Q("q395_ips_policy_eval",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val logs = ev(s, dir)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("target", element_at(
+            typedlit(types),
+            (conv(substring(sha2(concat_ws("#",
+              col("user_id").cast("string"), lit("pi")), 256), 1, 8),
+              16, 10).cast("long") % 5 + 1).cast("int")))
+          .withColumn("reward_milli",
+            coalesce(round(col("value") * 1000).cast("long"), lit(0L)))
+        Analytics.ipsPolicyValue(logs, "event_type", "target",
+            "reward_milli")
+          .orderBy("action")
+      },
+      Some("""WITH logs AS (
+        |  SELECT event_type AS action,
+        |    ['click', 'error', 'purchase', 'signup', 'view'][
+        |      CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)
+        |        || '#pi'), 1, 8))::UBIGINT % 5 + 1 AS INT)] AS target,
+        |    coalesce(CAST(round(value * 1000) AS BIGINT), 0) AS r
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |per_arm AS (
+        |  SELECT action, count(*) AS n_logged,
+        |    sum(CASE WHEN target = action THEN 1 ELSE 0 END)
+        |      AS n_matched,
+        |    sum(CASE WHEN target = action THEN r ELSE 0 END)
+        |      AS r_matched
+        |  FROM logs GROUP BY 1),
+        |tot AS (SELECT sum(n_logged) AS n FROM per_arm)
+        |SELECT action, CAST(n_logged AS BIGINT) AS n_logged,
+        |  CAST(n_matched AS BIGINT) AS n_matched,
+        |  CAST(r_matched AS BIGINT) AS r_matched,
+        |  CAST((r_matched * n) // n_logged AS BIGINT)
+        |    AS ips_contribution
+        |FROM per_arm, tot ORDER BY action""".stripMargin)),
+
+    // Difference-in-differences on the dense user-period activity
+    // panel split at the corpus midpoint day: four exact cell sums,
+    // pinned IEEE estimate.
+    Q("q396_diff_in_diff",
+      (s, dir) => Analytics.diffInDiff(ev(s, dir), "user_id", "ts",
+        col("u") % 2 === 1),
+      Some("""WITH b AS (
+        |  SELECT user_id AS u,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |mid AS (SELECT (min(d) + max(d)) // 2 AS mid FROM b),
+        |pu AS (
+        |  SELECT u,
+        |    sum(CASE WHEN d <= (SELECT mid FROM mid) THEN 1 ELSE 0 END)
+        |      AS pre,
+        |    sum(CASE WHEN d > (SELECT mid FROM mid) THEN 1 ELSE 0 END)
+        |      AS post,
+        |    CAST(u % 2 = 1 AS INT) AS t
+        |  FROM b GROUP BY u),
+        |c AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_treat,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_control,
+        |    sum(CASE WHEN t = 1 THEN pre ELSE 0 END) AS s_treat_pre,
+        |    sum(CASE WHEN t = 1 THEN post ELSE 0 END) AS s_treat_post,
+        |    sum(CASE WHEN t = 0 THEN pre ELSE 0 END) AS s_control_pre,
+        |    sum(CASE WHEN t = 0 THEN post ELSE 0 END) AS s_control_post
+        |  FROM pu)
+        |SELECT CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(n_control AS BIGINT) AS n_control,
+        |  CAST(s_treat_pre AS BIGINT) AS s_treat_pre,
+        |  CAST(s_treat_post AS BIGINT) AS s_treat_post,
+        |  CAST(s_control_pre AS BIGINT) AS s_control_pre,
+        |  CAST(s_control_post AS BIGINT) AS s_control_post,
+        |  (CAST(s_treat_post AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |    - CAST(s_treat_pre AS DOUBLE) / CAST(n_treat AS DOUBLE))
+        |  - (CAST(s_control_post AS DOUBLE) / CAST(n_control AS DOUBLE)
+        |    - CAST(s_control_pre AS DOUBLE) / CAST(n_control AS DOUBLE))
+        |    AS did
+        |FROM c WHERE n_treat > 0 AND n_control > 0""".stripMargin)),
+
+    // Minimum detectable effect at the actual arm sizes and pooled
+    // purchase rate — the experiment-capability pre-flight.
+    Q("q397_mde_power",
+      (s, dir) => Analytics.mdePowerCheck(
+        ev(s, dir).filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(max((col("event_type") === "purchase").cast("int"))
+            .as("conv"))
+          .withColumn("arm", (col("user_id") % 2).cast("int")),
+        "arm", col("conv") === 1),
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    CAST(user_id % 2 AS INT) AS arm
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_control,
+        |    sum(conv) AS k_total, count(*) AS n_total
+        |  FROM u)
+        |SELECT CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(n_control AS BIGINT) AS n_control,
+        |  CAST(k_total AS BIGINT) AS k_total,
+        |  CAST((k_total * 1000) // n_total AS BIGINT)
+        |    AS pooled_rate_permille,
+        |  (1.96 + 0.84) * sqrt(2.0
+        |    * (CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |    * (1.0 - CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |    / CAST(least(n_treat, n_control) AS DOUBLE)) AS mde
+        |FROM c WHERE n_treat > 0 AND n_control > 0""".stripMargin)),
+
+    // Weekly group-sequential monitor with the OBF-shaped boundary
+    // 1.96*sqrt(K/k): cumulative two-proportion z per look vs the
+    // early-stopping bar.
+    Q("q398_obf_monitor",
+      (s, dir) => Analytics.obfSequentialMonitor(ev(s, dir), "user_id",
+          "ts", col("event_type") === "purchase")
+        .orderBy("look"),
+      Some("""WITH b AS (
+        |  SELECT CAST(user_id % 2 = 1 AS INT) AS t,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS wk,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |w AS (
+        |  SELECT wk,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN t = 1 THEN c ELSE 0 END) AS c1,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN t = 0 THEN c ELSE 0 END) AS c0
+        |  FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT wk,
+        |    row_number() OVER (ORDER BY wk) AS look,
+        |    count(*) OVER () AS looks,
+        |    sum(n1) OVER (ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn1,
+        |    sum(c1) OVER (ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
+        |    sum(n0) OVER (ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn0,
+        |    sum(c0) OVER (ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc0
+        |  FROM w),
+        |z AS (
+        |  SELECT look, wk, cn1, cc1, cn0, cc0,
+        |    (CAST(cc1 AS DOUBLE) / CAST(cn1 AS DOUBLE)
+        |      - CAST(cc0 AS DOUBLE) / CAST(cn0 AS DOUBLE))
+        |    / sqrt((CAST(cc1 + cc0 AS DOUBLE)
+        |        / CAST(cn1 + cn0 AS DOUBLE))
+        |      * (1.0 - CAST(cc1 + cc0 AS DOUBLE)
+        |        / CAST(cn1 + cn0 AS DOUBLE))
+        |      * (1.0 / CAST(cn1 AS DOUBLE)
+        |        + 1.0 / CAST(cn0 AS DOUBLE))) AS z,
+        |    1.96 * sqrt(CAST(looks AS DOUBLE) / CAST(look AS DOUBLE))
+        |      AS obf_boundary
+        |  FROM cum WHERE cn1 > 0 AND cn0 > 0)
+        |SELECT CAST(look AS INT) AS look, CAST(wk AS BIGINT) AS wk,
+        |  CAST(cn1 AS BIGINT) AS cn1, CAST(cc1 AS BIGINT) AS cc1,
+        |  CAST(cn0 AS BIGINT) AS cn0, CAST(cc0 AS BIGINT) AS cc0,
+        |  z, obf_boundary, abs(z) >= obf_boundary AS crossed
+        |FROM z ORDER BY look""".stripMargin)),
+
+    // Quantile treatment effects: per-arm exact rank quantiles of
+    // user-level spend at p50/p90 and their integer differences.
+    Q("q399_quantile_treatment_effect",
+      (s, dir) => Analytics.quantileTreatmentEffect(
+          ev(s, dir).filter(col("user_id").isNotNull)
+            .groupBy("user_id")
+            .agg(sum(coalesce(round(col("value") * 1000).cast("long"),
+              lit(0L))).as("spend_milli"))
+            .withColumn("arm", (col("user_id") % 2).cast("int")),
+          "arm", "spend_milli", permilles = Seq(500, 900))
+        .orderBy("p"),
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |    sum(coalesce(CAST(round(value * 1000) AS BIGINT), 0)) AS v,
+        |    CAST(user_id % 2 AS INT) AS t
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |counts AS (
+        |  SELECT t, v, count(*) AS c FROM u GROUP BY 1, 2),
+        |r AS (
+        |  SELECT t, v,
+        |    sum(c) OVER (PARTITION BY t ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY t) AS n
+        |  FROM counts),
+        |q AS (
+        |  SELECT t, CAST(p AS INT) AS p, min(v) AS q, max(n) AS n
+        |  FROM r, (SELECT unnest([500, 900]) AS p)
+        |  WHERE cum >= (n * p + 999) // 1000
+        |  GROUP BY 1, 2)
+        |SELECT qt.p, qt.q AS q_treat, CAST(qt.n AS BIGINT) AS n_treat,
+        |  qc.q AS q_control, CAST(qc.n AS BIGINT) AS n_control,
+        |  qt.q - qc.q AS qte
+        |FROM (SELECT * FROM q WHERE t = 1) qt
+        |JOIN (SELECT * FROM q WHERE t = 0) qc ON qc.p = qt.p
+        |ORDER BY qt.p""".stripMargin)),
+
+    // TAR census over deterministic ustar fixtures: entry/type counts
+    // and declared payload volume from the 512-byte header walk —
+    // extraction pre-flight for the most hostile ingest doorstep.
+    Q("q400_tar_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 9 === 0)
+          .withColumn("payload", Multimodal.syntheticTarUdf(
+            (lit(1) + col("doc_id") % 4).cast("int"),
+            (lit(100) + col("doc_id") % 50).cast("int"),
+            lit(37).cast("int"),
+            col("doc_id") % 2 === 0))
+        Multimodal.decodeTarHeaders(blobs, "payload")
+          .select(col("doc_id"),
+            col("tar.n_entries").as("n_entries"),
+            col("tar.n_files").as("n_files"),
+            col("tar.n_dirs").as("n_dirs"),
+            col("tar.total_size").as("total_size"),
+            col("tar.max_size").as("max_size"),
+            col("tar.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS nf,
+        |    CAST(100 + doc_id % 50 AS BIGINT) AS base,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS d
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT doc_id,
+        |  CAST(nf + d AS INT) AS n_entries,
+        |  CAST(nf AS INT) AS n_files,
+        |  CAST(d AS INT) AS n_dirs,
+        |  CAST(nf * base + 37 * nf * (nf - 1) // 2 AS BIGINT)
+        |    AS total_size,
+        |  CAST(base + (nf - 1) * 37 AS BIGINT) AS max_size,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ZIP central-directory census over deterministic STORED fixtures:
+    // entry count and exact compressed/uncompressed volumes without
+    // inflating a byte.
+    Q("q401_zip_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 11 === 0)
+          .withColumn("payload", Multimodal.syntheticZipUdf(
+            (lit(1) + col("doc_id") % 5).cast("int"),
+            (lit(50) + col("doc_id") % 40).cast("int"),
+            lit(13).cast("int")))
+        Multimodal.decodeZipHeaders(blobs, "payload")
+          .select(col("doc_id"),
+            col("zip.n_entries").as("n_entries"),
+            col("zip.total_uncompressed").as("total_uncompressed"),
+            col("zip.total_compressed").as("total_compressed"),
+            col("zip.ratio_permille").as("ratio_permille"),
+            col("zip.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS ne,
+        |    CAST(50 + doc_id % 40 AS BIGINT) AS base
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |v AS (
+        |  SELECT doc_id, ne,
+        |    ne * base + 13 * ne * (ne - 1) // 2 AS vol
+        |  FROM p)
+        |SELECT doc_id, CAST(ne AS INT) AS n_entries,
+        |  CAST(vol AS BIGINT) AS total_uncompressed,
+        |  CAST(vol AS BIGINT) AS total_compressed,
+        |  CAST(1000 AS BIGINT) AS ratio_permille,
+        |  FALSE AS truncated
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // GZIP member metadata over deterministic RFC 1952 fixtures: FNAME,
+    // mtime, OS, declared ISIZE and the implied ratio — trailer-only,
+    // nothing inflated.
+    Q("q402_gzip_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 13 === 0)
+          .withColumn("payload", Multimodal.syntheticGzipUdf(
+            concat(lit("doc_"), col("doc_id").cast("string"),
+              lit(".txt")),
+            (lit(1600000000L) + col("doc_id")).cast("long"),
+            (lit(20) + col("doc_id") % 30).cast("int"),
+            (lit(1000L) + col("doc_id") % 500).cast("long")))
+        Multimodal.decodeGzipHeaders(blobs, "payload")
+          .select(col("doc_id"),
+            col("gzip.has_name").as("has_name"),
+            col("gzip.name").as("name"),
+            col("gzip.mtime").as("mtime"),
+            col("gzip.os").as("os"),
+            col("gzip.compressed_len").as("compressed_len"),
+            col("gzip.isize").as("isize"),
+            col("gzip.ratio_permille").as("ratio_permille"),
+            col("gzip.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |    CAST(1600000000 + doc_id AS BIGINT) AS mtime,
+        |    CAST(20 + doc_id % 30 AS BIGINT) AS dl,
+        |    CAST(1000 + doc_id % 500 AS BIGINT) AS isize
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |v AS (
+        |  SELECT doc_id, name, mtime, dl, isize,
+        |    10 + length(name) + 1 + dl + 8 AS clen
+        |  FROM p)
+        |SELECT doc_id, TRUE AS has_name, name, mtime,
+        |  CAST(3 AS INT) AS os,
+        |  CAST(clen AS BIGINT) AS compressed_len,
+        |  CAST(isize AS BIGINT) AS isize,
+        |  CAST(clen * 1000 // isize AS BIGINT) AS ratio_permille,
+        |  FALSE AS truncated
+        |FROM v ORDER BY doc_id""".stripMargin)),
   )
 }

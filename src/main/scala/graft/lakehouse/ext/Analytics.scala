@@ -1029,7 +1029,391 @@ object Analytics {
     * never locale-dependent calendar calls. */
   def activityHeatmap(events: DataFrame, groupCol: String,
       tsCol: String): DataFrame = {
-    val cells = events
+    val wg = Window.partitionBy("grp")
+    activityCells(events, groupCol, tsCol)
+      .withColumn("total", sum("n").over(wg))
+      .select(col("grp"), col("dow"), col("hour"), col("n"),
+        expr("(n * 1000) div total").as("share_permille"))
+  }
+
+  /** Uplift by score bin — the heterogeneous-treatment-effect table: per
+    * equal-width score bin, the treated and control response rates and
+    * their difference, all in exact permille integers (Radcliffe's
+    * uplift-by-decile validation report). ONE hash aggregation into
+    * ≤ bins·2 cells. `armCol` must be 0/1 (control/treated). */
+  def upliftByBin(units: DataFrame, scorePermilleCol: String,
+      armCol: String, convCol: Column, bins: Int = 5): DataFrame = {
+    require(bins >= 2, "upliftByBin needs bins >= 2")
+    val score = col(scorePermilleCol).cast("long")
+    val bin = expr(
+      s"CAST(least((CAST($scorePermilleCol AS BIGINT) * $bins) div 1000, " +
+        s"${bins - 1}) AS INT)")
+    units
+      .filter(score.isNotNull && score.between(0L, 1000L) &&
+        col(armCol).isNotNull && convCol.isNotNull)
+      .select(bin.as("bin"), col(armCol).cast("int").as("__t"),
+        convCol.cast("long").as("__c"))
+      .groupBy("bin")
+      .agg(
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("__t") === 1, col("__c")).otherwise(0L))
+          .as("c_treat"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("__t") === 0, col("__c")).otherwise(0L))
+          .as("c_control"))
+      .filter(col("n_treat") > 0 && col("n_control") > 0)
+      .select(col("bin"), col("n_treat"), col("c_treat"),
+        col("n_control"), col("c_control"),
+        expr("(c_treat * 1000) div n_treat").as("rate_treat_permille"),
+        expr("(c_control * 1000) div n_control")
+          .as("rate_control_permille"),
+        expr("(c_treat * 1000) div n_treat - (c_control * 1000) div " +
+          "n_control").as("uplift_permille"))
+  }
+
+  /** Covariate balance table (the causal-inference pre-flight): per
+    * covariate, the standardized mean difference between arms
+    * SMD = (x̄₁−x̄₀)/√((s₁²+s₀²)/2) — |SMD| < 0.1 is the conventional
+    * "balanced" bar. ONE aggregation computes every covariate's per-arm
+    * exact decimal moments (the correlationMatrix single-pass shape);
+    * each SMD spends its pinned IEEE steps on exact integers. Covariates
+    * must be integer-valued columns (pre-scale fixed decimals). */
+  def covariateBalance(units: DataFrame, armCol: String,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "covariateBalance needs >= 1 covariate")
+    val arm = col(armCol).cast("int")
+    val base = units.filter(arm.isNotNull &&
+        covariates.map(c => col(c).isNotNull).reduce(_ && _))
+      .select((arm.as("__t") +:
+        covariates.map(c => col(c).cast("long").as(s"__$c"))): _*)
+    def m(t: Int, agg: Column): Column =
+      sum(when(col("__t") === t, agg).otherwise(lit(0L))
+        .cast("decimal(38,0)"))
+    val moments =
+      Seq(sum(when(col("__t") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L)).as("__n0")) ++
+      covariates.flatMap { c =>
+        Seq(m(1, col(s"__$c")).as(s"__s1_$c"),
+          m(0, col(s"__$c")).as(s"__s0_$c"),
+          m(1, col(s"__$c") * col(s"__$c")).as(s"__q1_$c"),
+          m(0, col(s"__$c") * col(s"__$c")).as(s"__q0_$c"))
+      }
+    val agg = base.agg(moments.head, moments.tail: _*)
+    val n1 = col("__n1").cast("double")
+    val n0 = col("__n0").cast("double")
+    val cells = covariates.map { c =>
+      val mean1 = col(s"__s1_$c").cast("double") / n1
+      val mean0 = col(s"__s0_$c").cast("double") / n0
+      // sample variance from exact n·Σx² − (Σx)² integers
+      val v1 = (col("__n1") * col(s"__q1_$c") -
+        col(s"__s1_$c") * col(s"__s1_$c")).cast("double") /
+        (n1 * (n1 - 1.0))
+      val v0 = (col("__n0") * col(s"__q0_$c") -
+        col(s"__s0_$c") * col(s"__s0_$c")).cast("double") /
+        (n0 * (n0 - 1.0))
+      struct(lit(c).as("covariate"),
+        mean1.as("mean_treat"), mean0.as("mean_control"),
+        when(v1 + v0 > 0.0,
+          (mean1 - mean0) / sqrt((v1 + v0) / lit(2.0))).as("smd"))
+    }
+    agg.select(col("__n1").cast("long").as("n_treat"),
+        col("__n0").cast("long").as("n_control"),
+        explode(array(cells: _*)).as("__c"))
+      .select(col("__c.covariate").as("covariate"),
+        col("n_treat"), col("n_control"),
+        col("__c.mean_treat").as("mean_treat"),
+        col("__c.mean_control").as("mean_control"),
+        col("__c.smd").as("smd"))
+  }
+
+  /** Inverse-propensity off-policy evaluation (Horvitz–Thompson / the
+    * Li et al. WWW'11 replay family): estimate a DETERMINISTIC target
+    * policy's value from logs of another policy, with the logging
+    * propensities fitted empirically as p̂(a) = n_a/N. Everything stays
+    * exact-integer until one division per arm: the per-arm contribution
+    * is (Σ_matched reward·1000) · N div n_a, and the estimate is the
+    * summed contribution div (N·1000) surfaced in permille of reward
+    * units. `targetCol` is the target policy's action per row (derive it
+    * deterministically — e.g. sha of the unit id). Returns per-arm rows
+    * plus the reward column scale is the caller's. */
+  def ipsPolicyValue(logs: DataFrame, actionCol: String,
+      targetCol: String, rewardScaledCol: String): DataFrame = {
+    val base = logs.filter(col(actionCol).isNotNull &&
+        col(targetCol).isNotNull && col(rewardScaledCol).isNotNull)
+      .select(col(actionCol).as("action"), col(targetCol).as("__tgt"),
+        col(rewardScaledCol).cast("long").as("__r"))
+    val perArm = base.groupBy("action")
+      .agg(count(lit(1)).as("n_logged"),
+        sum(when(col("__tgt") === col("action"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("__tgt") === col("action"), col("__r"))
+          .otherwise(0L)).as("r_matched"))
+    val tot = perArm.agg(sum("n_logged").as("__n"))
+    perArm.crossJoin(broadcast(tot))
+      .select(col("action"), col("n_logged"), col("n_matched"),
+        col("r_matched"),
+        // IPS term: matched reward reweighted by N/n_a, exact div
+        expr("(r_matched * __n) div n_logged").as("ips_contribution"))
+  }
+
+  /** Difference-in-differences estimator over a user-period activity
+    * panel: DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post −
+    * ȳ_ctrl,pre), the parallel-trends workhorse. The panel is dense by
+    * construction (a user absent from a period contributes 0, not a
+    * dropped row — the classic silent bias), the four cell sums are
+    * exact integers from ONE per-user aggregation, and the estimate is
+    * a pinned IEEE chain over them. The period split is the corpus
+    * midpoint day, derived from the data (engine-replayable). `armCol`
+    * must be 0/1 on the per-user frame the caller provides via
+    * `userArm`. Returns one row: the four cell sums, per-cell means,
+    * did. */
+  def diffInDiff(events: DataFrame, userCol: String, tsCol: String,
+      userArm: Column): DataFrame = {
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"),
+        datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+    val span = base.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(expr("(d0 + d1) div 2").as("mid"))
+    val perUser = base.crossJoin(broadcast(span))
+      .groupBy("u")
+      .agg(sum(when(col("d") <= col("mid"), 1L).otherwise(0L))
+        .as("pre"),
+        sum(when(col("d") > col("mid"), 1L).otherwise(0L)).as("post"))
+      .withColumn("__t", userArm.cast("int"))
+      .filter(col("__t").isNotNull)
+    val cells = perUser.agg(
+      sum(when(col("__t") === 1, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col("__t") === 0, 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("__t") === 1, col("pre")).otherwise(0L))
+        .as("s_treat_pre"),
+      sum(when(col("__t") === 1, col("post")).otherwise(0L))
+        .as("s_treat_post"),
+      sum(when(col("__t") === 0, col("pre")).otherwise(0L))
+        .as("s_control_pre"),
+      sum(when(col("__t") === 0, col("post")).otherwise(0L))
+        .as("s_control_post"))
+    val nt = col("n_treat").cast("double")
+    val nc = col("n_control").cast("double")
+    cells.filter(col("n_treat") > 0 && col("n_control") > 0)
+      .select(col("n_treat"), col("n_control"),
+        col("s_treat_pre"), col("s_treat_post"),
+        col("s_control_pre"), col("s_control_post"),
+        ((col("s_treat_post").cast("double") / nt -
+          col("s_treat_pre").cast("double") / nt) -
+          (col("s_control_post").cast("double") / nc -
+            col("s_control_pre").cast("double") / nc)).as("did"))
+  }
+
+  /** Minimum detectable effect (two-proportion, 80% power, α = 5%
+    * two-sided): MDE ≈ (z_{α/2} + z_{power})·√(2p̂(1−p̂)/n) with the
+    * conventional 1.96 + 0.84 multiplier — the "was this experiment even
+    * capable of seeing X?" pre-registration number, computed from the
+    * ACTUAL arm sizes and pooled rate (n = the smaller arm, the binding
+    * constraint). Exact counts, one pinned IEEE chain. */
+  def mdePowerCheck(units: DataFrame, armCol: String,
+      convCol: Column): DataFrame = {
+    val counts = units
+      .filter(col(armCol).isNotNull && convCol.isNotNull)
+      .agg(
+        sum(when(col(armCol).cast("int") === 1, 1L).otherwise(0L))
+          .as("n_treat"),
+        sum(when(col(armCol).cast("int") === 0, 1L).otherwise(0L))
+          .as("n_control"),
+        sum(convCol.cast("long")).as("k_total"),
+        count(lit(1)).as("n_total"))
+    val p = col("k_total").cast("double") / col("n_total").cast("double")
+    val nMin = least(col("n_treat"), col("n_control")).cast("double")
+    counts.filter(col("n_treat") > 0 && col("n_control") > 0)
+      .select(col("n_treat"), col("n_control"), col("k_total"),
+        expr("(k_total * 1000) div n_total").as("pooled_rate_permille"),
+        ((lit(1.96) + lit(0.84)) *
+          sqrt(lit(2.0) * p * (lit(1.0) - p) / nMin)).as("mde"))
+  }
+
+  /** Group-sequential monitoring table with the O'Brien–Fleming-SHAPED
+    * boundary: per weekly look k of K, the cumulative two-proportion
+    * z-statistic next to the boundary 1.96·√(K/k) (anchored so the
+    * final look spends the conventional two-sided 5%; the exact OBF
+    * constant for K looks differs by a few percent — this is the
+    * practitioner's shape, stated as such). Crossing early is the
+    * "could we have stopped?" answer; the z and the boundary are pinned
+    * IEEE chains over exact cumulative counts on the bounded weekly
+    * frame. */
+  def obfSequentialMonitor(events: DataFrame, userCol: String,
+      tsCol: String, convCol: Column): DataFrame = {
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        convCol.isNotNull)
+      .select((col(userCol) % 2 === 1).cast("int").as("__t"),
+        expr(s"datediff(to_date($tsCol), DATE '1970-01-01') div 7")
+          .as("wk"),
+        convCol.cast("long").as("__c"))
+    val weekly = base.groupBy("wk")
+      .agg(sum(when(col("__t") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__t") === 1, col("__c")).otherwise(0L)).as("c1"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__t") === 0, col("__c")).otherwise(0L)).as("c0"))
+    val wCum = Window.partitionBy().orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = weekly
+      .withColumn("look", row_number().over(
+        Window.partitionBy().orderBy("wk")))
+      .withColumn("looks", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("cn1", sum("n1").over(wCum))
+      .withColumn("cc1", sum("c1").over(wCum))
+      .withColumn("cn0", sum("n0").over(wCum))
+      .withColumn("cc0", sum("c0").over(wCum))
+      .filter(col("cn1") > 0 && col("cn0") > 0)
+    val p1 = col("cc1").cast("double") / col("cn1").cast("double")
+    val p0 = col("cc0").cast("double") / col("cn0").cast("double")
+    val pp = (col("cc1") + col("cc0")).cast("double") /
+      (col("cn1") + col("cn0")).cast("double")
+    val z = (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("cn1").cast("double") +
+        lit(1.0) / col("cn0").cast("double")))
+    val bound = lit(1.96) * sqrt(col("looks").cast("double") /
+      col("look").cast("double"))
+    cum.select(col("look").cast("int").as("look"),
+      col("wk").cast("long").as("wk"),
+      col("cn1"), col("cc1"), col("cn0"), col("cc0"),
+      z.as("z"), bound.as("obf_boundary"),
+      (abs(z) >= bound).as("crossed"))
+  }
+
+  /** Quantile treatment effects: per requested permille, the exact
+    * rank-statistic quantile of the integer metric in each arm and
+    * their difference — where the MEAN effect hides tail movement, the
+    * QTE table shows which part of the distribution moved (Doksum '74).
+    * Count-frame rank walk per arm (the winsorizedMean convention),
+    * integers end to end. */
+  def quantileTreatmentEffect(units: DataFrame, armCol: String,
+      valueCol: String, permilles: Seq[Int] = Seq(500, 900)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles in [1, 1000]")
+    val counts = units
+      .filter(col(armCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(armCol).cast("int").as("__t"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy("__t").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = counts
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__t")))
+      .select(col("__t"), col("__v"), col("__cum"), col("__n"),
+        explode(typedlit(permilles)).as("p"))
+      .filter(col("__cum") >= expr("(__n * p + 999) div 1000"))
+      .groupBy("__t", "p")
+      .agg(min("__v").as("q"), max("__n").as("n"))
+    q.filter(col("__t") === 1)
+      .select(col("p"), col("q").as("q_treat"), col("n").as("n_treat"))
+      .join(q.filter(col("__t") === 0)
+        .select(col("p"), col("q").as("q_control"),
+          col("n").as("n_control")), Seq("p"))
+      .withColumn("qte", col("q_treat") - col("q_control"))
+  }
+
+  /** RFM segmentation (the direct-marketing classic): per user, recency
+    * R = days since last event (against the corpus max day), frequency
+    * F = event count, monetary M = Σ value in exact thousandths; each
+    * metric quintiled by the EXACT rank rule q(v) = ceil(cum(v)·5/n)
+    * over its bounded distinct-value count frame (ties share a bucket —
+    * engine-portable, unlike ntile's row-split ties), then the 125-cell
+    * (r,f,m) census. Quintile 1 = smallest values (most recent / least
+    * frequent / lowest spend). Scale shape: one per-user aggregation,
+    * three bounded count-frame walks broadcast back as value→quintile
+    * maps, one ≤125-row census. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(max(datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+        .cast("long")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(coalesce(round(col(valueCol) * 1000).cast("long"), lit(0L)))
+          .as("m"))
+    val anchor = perUser.agg(max("last_d").as("__mx"))
+    val users = perUser.crossJoin(broadcast(anchor))
+      .select(col("u"), (col("__mx") - col("last_d")).as("r"),
+        col("f"), col("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def quintileMap(metric: String): DataFrame = {
+      val counts = users.groupBy(col(metric).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val wCum = Window.partitionBy().orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("__cum", sum("__c").over(wCum))
+        .withColumn("__n", sum("__c").over(Window.partitionBy()))
+        .select(col("__v").as(metric),
+          expr(s"least(5, CAST((__cum * 5 + __n - 1) div __n AS INT))")
+            .as(s"${metric}_q"))
+    }
+    val out = users
+      .join(broadcast(quintileMap("r")), Seq("r"))
+      .join(broadcast(quintileMap("f")), Seq("f"))
+      .join(broadcast(quintileMap("m")), Seq("m"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"))
+      .localCheckpoint(true)
+    users.unpersist(false)
+    out
+  }
+
+  /** CUPED variance reduction (Deng et al. WSDM'13 — "controlled
+    * experiments using pre-experiment data"): with a pre-period
+    * covariate x per unit, the adjusted metric y − θ(x − x̄) at
+    * θ = cov(x,y)/var(x) keeps the mean unbiased and cuts variance by
+    * exactly cov²/var(x) — so the WHOLE report derives from one pass of
+    * exact decimal moments (n, Σx, Σy, Σxy, Σx², Σy²); no second pass
+    * over units, no per-unit adjustment materialized. The output is the
+    * experiment-readout header: θ, raw and adjusted metric variance,
+    * and the variance-reduction permille (= 1000·ρ²). */
+  def cupedAdjustment(units: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val m = units
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("sy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("syy"))
+      .filter(col("n") >= 2)
+    // n²-scaled exact integer moments, each spending ONE double cast
+    val staged = m.select(col("n"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        .as("__cov"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        .as("__vx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        .as("__vy"))
+    val nD = col("n").cast("double")
+    staged.select(col("n").cast("long").as("n"),
+      when(col("__vx") > 0, col("__cov") / col("__vx")).as("theta"),
+      (col("__vy") / (nD * nD)).as("var_y"),
+      when(col("__vx") > 0,
+        (col("__vy") - (col("__cov") / col("__vx")) * col("__cov")) /
+          (nD * nD)).as("var_adjusted"),
+      when(col("__vx") > 0 && col("__vy") > 0,
+        floor(lit(1000.0) * (col("__cov") * col("__cov")) /
+          (col("__vx") * col("__vy"))).cast("long"))
+        .as("reduction_permille"))
+  }
+
+  /** The heatmap's cell aggregation alone — a plain streamable count
+    * state (≤ 168 cells per group), the q192 "the agg IS the
+    * incremental operator" shape: run it under Structured Streaming in
+    * complete mode and the cells equal the batch heatmap's; the share
+    * column is a bounded post-pass over the cell frame. */
+  def activityCells(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame =
+    events
       .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
       .select(col(groupCol).as("grp"),
         expr(s"CAST((datediff(to_date($tsCol), DATE '1970-01-01') + 3) " +
@@ -1037,10 +1421,4 @@ object Analytics {
         hour(col(tsCol)).as("hour"))
       .groupBy("grp", "dow", "hour")
       .agg(count(lit(1)).as("n"))
-    val wg = Window.partitionBy("grp")
-    cells
-      .withColumn("total", sum("n").over(wg))
-      .select(col("grp"), col("dow"), col("hour"), col("n"),
-        expr("(n * 1000) div total").as("share_permille"))
-  }
 }

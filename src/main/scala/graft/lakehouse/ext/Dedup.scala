@@ -1636,6 +1636,40 @@ object Dedup {
         (col("key_a") === col("key_b")).as("same_key"))
   }
 
+  /** Fixed-weight Fellegi–Sunter linkage scoring (JASA '69) over
+    * candidate pairs: each field contributes its agreement weight when
+    * the two records null-safely agree and its (negative) disagreement
+    * weight otherwise; the summed integer score classifies into
+    * match / possible / non_match by the two thresholds. The weights
+    * are the caller's ln(m/u)-style integers (pre-scaled — the
+    * production calibration from labeled data happens upstream), so the
+    * whole decision is exact integer arithmetic. Scale shape: candidate
+    * pairs come from a blocking stage ([[sortedNeighborhoodPairs]],
+    * MinHash bands) — this is two attribute joins and a per-row sum,
+    * O(pairs), never all-pairs. */
+  def fellegiSunterScore(pairs: DataFrame, attrs: DataFrame,
+      idCol: String, fields: Seq[(String, Int, Int)],
+      matchAt: Int, possibleAt: Int): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunterScore needs >= 1 field")
+    require(matchAt > possibleAt,
+      "thresholds must order matchAt > possibleAt")
+    def side(tag: String): DataFrame = attrs.select(
+      (col(idCol).cast("long").as(s"id_$tag") +:
+        fields.map { case (f, _, _) => col(f).as(s"${tag}_$f") }): _*)
+    val scored = pairs.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(side("a"), Seq("id_a"))
+      .join(side("b"), Seq("id_b"))
+      .withColumn("score", fields.map { case (f, aw, dw) =>
+        when(col(s"a_$f") <=> col(s"b_$f"), lit(aw.toLong))
+          .otherwise(lit(dw.toLong))
+      }.reduce(_ + _))
+    scored.select(col("id_a"), col("id_b"), col("score"),
+      when(col("score") >= matchAt, "match")
+        .when(col("score") >= possibleAt, "possible")
+        .otherwise("non_match").as("decision"))
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nClusters: Int = 16,
       maxFitRows: Long = 100000L, corpusRows: Option[Long] = None): DataFrame = {

@@ -417,6 +417,137 @@ object Embeddings {
     * the same cosine / ANN / persisted-index operators a model-produced
     * embedding column does, with no external model in the loop. The whole
     * chain is pure codegen'd SQL expressions -- no UDF, no kernel. */
+  /** Leave-one-out 1-NN classification eval: each vector's label is
+    * predicted by its single nearest neighbor (cosine, 6dp-rounded — the
+    * q33 idiom — ties to the smaller id) among ALL OTHER vectors, and
+    * accuracy rolls up per true label — the standard "are these
+    * embeddings linearly useful?" probe (Cover & Hart '67 says 1-NN
+    * error ≤ 2× Bayes). Deliberately BRUTE-FORCE: this is the eval
+    * oracle for eval-sized samples (n² pairs, map-side argmax via one
+    * struct-max aggregation, no window over the pair frame); at corpus
+    * scale the persisted ANN index (q243/q244) answers the same
+    * question approximately. Returns per label: support, correct,
+    * accuracy permille. */
+  def knnLooEval(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, maxCandidates: Int = 100000): DataFrame = {
+    val v = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform(`$vecCol`, x -> cast(x as double))").as("ve"),
+        col(labelCol).cast("string").as("lbl"))
+    // the candidate set broadcasts whole (this is the EVAL-sized probe;
+    // the guard keeps a corpus-sized misuse loud, not slow)
+    val cands = v.collect()
+    require(cands.length <= maxCandidates,
+      s"knnLooEval is the brute-force eval probe: ${cands.length} " +
+        s"vectors exceed maxCandidates=$maxCandidates — use the " +
+        "persisted ANN index for corpus-scale neighbors")
+    val ids = cands.map(_.getLong(0))
+    val lbls = cands.map(_.getString(2))
+    val vecs = cands.map(_.getSeq[Double](1).toArray)
+    val norms = vecs.map(a => math.sqrt(a.map(x => x * x).sum))
+    val bc = df.sparkSession.sparkContext.broadcast((ids, lbls, vecs, norms))
+    // one compiled argmax per row: dot in a fused loop, cosine rounded
+    // 6dp via the same HALF_UP BigDecimal as Spark's round() (the
+    // q33/q34 cross-engine idiom), ties to the smaller candidate id
+    val nnUdf = udf((id: Long, ve: Seq[Double]) => {
+      val (cids, clbls, cvecs, cnorms) = bc.value
+      val q = ve.toArray
+      var qn = 0.0
+      var i = 0
+      while (i < q.length) { qn += q(i) * q(i); i += 1 }
+      qn = math.sqrt(qn)
+      var bestCos = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var bestLbl: String = null
+      var c = 0
+      while (c < cids.length) {
+        if (cids(c) != id) {
+          val w = cvecs(c)
+          var dot = 0.0
+          var j = 0
+          while (j < q.length && j < w.length) { dot += q(j) * w(j); j += 1 }
+          val cos = java.math.BigDecimal.valueOf(dot / (qn * cnorms(c)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos > bestCos || (cos == bestCos && cids(c) < bestId)) {
+            bestCos = cos; bestId = cids(c); bestLbl = clbls(c)
+          }
+        }
+        c += 1
+      }
+      bestLbl
+    })
+    v.withColumn("__plbl", nnUdf(col("id"), col("ve")))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__plbl") === col("lbl")).cast("long")).as("n_correct"))
+      .withColumn("accuracy_permille",
+        expr("(n_correct * 1000) div n"))
+  }
+
+  /** Mutual nearest-neighbor pairs — the bitext-mining / duplicate-
+    * alignment primitive (Artetxe & Schwenk '19 use the margin variant):
+    * (a, b) pair iff each is the other's single nearest neighbor by
+    * cosine. Same brute-force eval-sized contract and compiled
+    * broadcast-argmax kernel as [[knnLooEval]] (6dp HALF_UP cosine,
+    * ties to the smaller id); the mutual check is one self-join on the
+    * O(V) best-neighbor frame. Returns (id_a < id_b, cosine). */
+  def mutualNearestPairs(df: DataFrame, idCol: String, vecCol: String,
+      maxCandidates: Int = 100000): DataFrame = {
+    val v = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform(`$vecCol`, x -> cast(x as double))").as("ve"))
+    val cands = v.collect()
+    require(cands.length <= maxCandidates,
+      s"mutualNearestPairs is the brute-force eval probe: " +
+        s"${cands.length} vectors exceed maxCandidates=$maxCandidates")
+    val ids = cands.map(_.getLong(0))
+    val vecs = cands.map(_.getSeq[Double](1).toArray)
+    val norms = vecs.map(a => math.sqrt(a.map(x => x * x).sum))
+    val bc = df.sparkSession.sparkContext.broadcast((ids, vecs, norms))
+    val nnUdf = udf((id: Long, ve: Seq[Double]) => {
+      val (cids, cvecs, cnorms) = bc.value
+      val q = ve.toArray
+      var qn = 0.0
+      var i = 0
+      while (i < q.length) { qn += q(i) * q(i); i += 1 }
+      qn = math.sqrt(qn)
+      var bestCos = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var c = 0
+      while (c < cids.length) {
+        if (cids(c) != id) {
+          val w = cvecs(c)
+          var dot = 0.0
+          var j = 0
+          while (j < q.length && j < w.length) { dot += q(j) * w(j); j += 1 }
+          val cos = java.math.BigDecimal.valueOf(dot / (qn * cnorms(c)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos > bestCos || (cos == bestCos && cids(c) < bestId)) {
+            bestCos = cos; bestId = cids(c)
+          }
+        }
+        c += 1
+      }
+      (bestId, bestCos)
+    })
+    // spread the O(n·|cands|) argmax across cores (a 2k-row parquet read
+    // is one partition) and materialize ONCE — the mutual self-join
+    // would otherwise re-run the whole brute-force pass per side
+    val best = v.repartition(32)
+      .withColumn("__nn", nnUdf(col("id"), col("ve")))
+      .select(col("id"), col("__nn._1").as("nn"),
+        col("__nn._2").as("cos"))
+      .localCheckpoint()
+    best.as("x").join(best.as("y"),
+        col("x.nn") === col("y.id") && col("y.nn") === col("x.id") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.cos").as("cosine"))
+  }
+
   def hashedBowEmbed(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= (1 << 20), "dim must be in [2, 2^20]")

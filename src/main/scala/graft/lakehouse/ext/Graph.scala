@@ -355,6 +355,138 @@ object Graph {
       expr("CAST(mm div 2 AS BIGINT)").as("n_edges"))
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani CMU-TR'02,
+    * hard-clamp variant) in EXACT integer masses: seeds carry unit mass
+    * on their own label forever (clamped each round); every other
+    * vertex accumulates its neighbors' label masses — after r rounds a
+    * vertex's mass for label L counts the label-L-seeded walks of
+    * length ≤ r reaching it, an integer any engine replays (the float
+    * normalized variant is fold-order-dependent). Prediction = argmax
+    * mass, ties to the smaller label. Rounds are explicit (the
+    * [[pageRankFixedPoint]] replay contract); each round is one O(E)
+    * join + one partial-agg shuffle of (v, label) mass cells. Output:
+    * every vertex reached, with (label, mass, is_seed). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String, seedLabelCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 4, "rounds in [1, 4]")
+    val sym = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+      .select(explode(array(
+        struct(col("a").as("v"), col("b").as("n")),
+        struct(col("b").as("v"), col("a").as("n")))).as("e"))
+      .select(col("e.v").as("v"), col("e.n").as("n"))
+      .persist()
+    val seed = seeds
+      .filter(col(seedIdCol).isNotNull && col(seedLabelCol).isNotNull)
+      .select(col(seedIdCol).cast("long").as("v"),
+        col(seedLabelCol).cast("long").as("label"))
+      .distinct().persist()
+    try {
+      var mass = seed.select(col("v"), col("label"), lit(1L).as("m"))
+        .localCheckpoint()
+      for (i <- 1 to rounds) {
+        val prop = sym
+          .join(broadcast(mass.select(col("v").as("n"), col("label"),
+            col("m"))), Seq("n"))
+          .groupBy("v", "label").agg(sum("m").as("m"))
+          // hard clamp: seeds keep exactly their own unit mass
+          .join(seed.select(col("v")), Seq("v"), "left_anti")
+        mass = seed.select(col("v"), col("label"), lit(1L).as("m"))
+          .unionAll(prop)
+        if (i < rounds) mass = mass.localCheckpoint()
+      }
+      mass.groupBy("v")
+        .agg(max(struct(col("m"), (-col("label")).as("nl"),
+          col("label").as("l"))).as("best"))
+        .join(broadcast(seed.select(col("v"), lit(true).as("is_seed"))),
+          Seq("v"), "left")
+        .select(col("v"), col("best.l").as("label"),
+          col("best.m").as("mass"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    } finally { sym.unpersist(); seed.unpersist() }
+  }
+
+  /** Weisfeiler–Lehman vertex-color census (1968 WL refinement, the
+    * graph-fingerprinting workhorse behind WL kernels and graph dedup):
+    * colors start as degrees, and each round recolors every vertex as
+    * the 60-bit sha of "ownColor|sortedNeighborColors" — after r rounds
+    * two vertices share a color only if their radius-r neighborhoods
+    * are (WL-)isomorphic, and the color MULTISET is the graph's
+    * fingerprint. Everything is integer/sha (engine-portable); each
+    * round is one join of the O(V) color frame onto the O(E) symmetric
+    * edge list + one sorted-collect aggregation. Returns the top-K
+    * (color, n_vertices) census rows, ties to the smaller color. */
+  def wlColorCensus(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 2, topK: Int = 50): DataFrame = {
+    require(rounds >= 1 && rounds <= 4, "rounds in [1, 4]")
+    require(topK >= 1, "topK >= 1")
+    val sym = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+      .select(explode(array(
+        struct(col("a").as("v"), col("b").as("n")),
+        struct(col("b").as("v"), col("a").as("n")))).as("e"))
+      .select(col("e.v").as("v"), col("e.n").as("n"))
+      .persist()
+    try {
+      var colors = sym.groupBy("v").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      for (i <- 1 to rounds) {
+        colors = sym
+          .join(broadcast(colors.withColumnRenamed("v", "n")
+            .withColumnRenamed("c", "nc")), Seq("n"))
+          .groupBy("v")
+          .agg(array_join(transform(array_sort(collect_list(col("nc"))),
+            x => x.cast("string")), ",").as("__ns"))
+          .join(broadcast(colors), Seq("v"))
+          .select(col("v"),
+            expr("cast(conv(substring(sha2(concat(cast(c as string), " +
+              "'|', __ns), 256), 1, 15), 16, 10) as bigint)").as("c"))
+        // the census consumes the final round once — only intermediate
+        // rounds pay the eager materialization (each feeds two joins)
+        if (i < rounds) colors = colors.localCheckpoint()
+      }
+      colors.groupBy("c").agg(count(lit(1)).as("n_vertices"))
+        .orderBy(col("n_vertices").desc, col("c").asc)
+        .limit(topK)
+        .withColumnRenamed("c", "color")
+    } finally sym.unpersist(false)
+  }
+
+  /** Local clustering coefficient per vertex: C(v) = 2·T(v)/(d(v)·(d(v)−1))
+    * — how close each vertex's neighborhood is to a clique (Watts &
+    * Strogatz '98), in exact permille integers over [[triangleCounts]]'s
+    * exact per-vertex triangles plus one degree aggregation. Vertices of
+    * degree < 2 report null (the coefficient is undefined, not zero).
+    * Scale shape inherits triangleCounts' O(E^1.5) bound; the extra
+    * degree frame is one O(E) aggregation joined on the O(V) output. */
+  def localClusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("v"))
+      .unionAll(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    triangleCounts(edges, srcCol, dstCol)
+      .join(deg, Seq("v"))
+      .select(col("v"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          expr("(triangles * 2000) div (degree * (degree - 1))"))
+          .as("coeff_permille"))
+  }
+
   /** Fixed-point HITS (Kleinberg, JACM 1999) over the DIRECTED edge
     * list: `iterations` rounds of auth(v) = Σ_{u→v} hub(u) then
     * hub(u) = Σ_{u→v} auth(v), each side renormalized to max = [[Unit]]

@@ -1836,4 +1836,346 @@ object Multimodal {
   /** `syntheticOgg` as a column function. */
   val syntheticOggUdf = udf((ch: Int, rate: Int, br: Int, np: Int,
     ts: Long) => syntheticOgg(ch, rate, br, np, ts))
+
+  // ---- TAR (ustar) archive metadata (decode-free) -------------------------
+
+  /** Parsed TAR metadata from the 512-byte header blocks: entry census
+    * by type, declared payload volume, the largest member, and whether
+    * a declared size overran the buffer. */
+  case class TarMeta(n_entries: Int, n_files: Int, n_dirs: Int,
+    total_size: Long, max_size: Long, truncated: Boolean)
+
+  /** DECODE-FREE TAR walker (POSIX ustar): each member is a 512-byte
+    * header — name[100], then octal mode/uid/gid, size[12 OCTAL at
+    * offset 124], mtime, checksum, typeflag[156] — followed by
+    * ceil(size/512) payload blocks, with two zero blocks terminating
+    * the archive. Payloads are skipped by declared size,
+    * bounds-checked against hostile fields; the octal parse stops at
+    * NUL/space per spec. The tarball is data engineering's hostile
+    * doorstep — this is the census you run before extraction. Returns
+    * null for payloads that don't start with a plausible header
+    * (ustar magic at 257). */
+  def tarMeta(bytes: Array[Byte]): TarMeta = {
+    if (bytes == null || bytes.length < 512) return null
+    def ascii(off: Int, len: Int): String = {
+      var end = off
+      val max = off + len
+      while (end < max && bytes(end) != 0) end += 1
+      new String(bytes, off, end - off,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    def octal(off: Int, len: Int): Long = {
+      val s = ascii(off, len).trim
+      if (s.isEmpty) 0L
+      else try java.lang.Long.parseLong(s, 8) catch { case _: Exception => -1L }
+    }
+    if (ascii(257, 6) != "ustar") return null
+    var pos = 0
+    var nEntries = 0; var nFiles = 0; var nDirs = 0
+    var total = 0L; var mx = 0L
+    var truncated = false
+    var done = false
+    while (!done && !truncated && pos + 512 <= bytes.length) {
+      if (bytes(pos) == 0) { done = true } // zero block: terminator
+      else {
+        val size = octal(pos + 124, 12)
+        val tf = bytes(pos + 156)
+        if (size < 0) truncated = true
+        else {
+          val blocks = (size + 511L) / 512L
+          if (pos + 512 + blocks * 512 > bytes.length + 511) {
+            // allow the final member's padding to be cut, not its data
+            if (pos + 512 + size > bytes.length) truncated = true
+          }
+          if (!truncated) {
+            nEntries += 1
+            if (tf == '5') nDirs += 1 else nFiles += 1
+            total += size
+            if (size > mx) mx = size
+            pos += 512 + (blocks * 512L).toInt
+          }
+        }
+      }
+    }
+    TarMeta(nEntries, nFiles, nDirs, total, mx, truncated)
+  }
+
+  private val tarSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[TarMeta].dataType.asInstanceOf[StructType]
+
+  /** [[tarMeta]] over a blob column — appends a nullable `tar` struct. */
+  def decodeTarHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("tar", tarSchema, nullable = true)) { bytes =>
+      tarMeta(bytes) match {
+        case null => null
+        case m => Row(m.n_entries, m.n_files, m.n_dirs, m.total_size,
+          m.max_size, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic ustar archive: `nFiles` members named
+    * `f<i>` with sizes `base + i·step` of deterministic bytes, one
+    * optional directory entry, correct checksums, double-zero-block
+    * terminated — a CONTAINER fixture. */
+  def syntheticTar(nFiles: Int, base: Int, step: Int,
+      withDir: Boolean): Array[Byte] = {
+    require(nFiles >= 0 && base >= 0 && step >= 0, "syntheticTar salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def header(name: String, size: Long, typeflag: Char): Unit = {
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII")
+        System.arraycopy(b, 0, h, off, math.min(b.length, 99))
+      }
+      put(0, name)
+      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+      put(124, f"$size%011o"); put(136, "00000000000")
+      h(156) = typeflag.toByte
+      put(257, "ustar"); h(263) = '0'; h(264) = '0'
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      put(148, f"$sum%06o")
+      h(154) = 0; h(155) = ' '
+      bos.write(h)
+    }
+    if (withDir) header("d0/", 0L, '5')
+    var f = 0
+    while (f < nFiles) {
+      val size = base + f * step
+      header(s"f$f", size.toLong, '0')
+      var i = 0
+      while (i < size) { bos.write((i * 17 + f) & 0xff); i += 1 }
+      val pad = (512 - size % 512) % 512
+      var p = 0
+      while (p < pad) { bos.write(0); p += 1 }
+      f += 1
+    }
+    bos.write(new Array[Byte](1024)) // two terminator blocks
+    bos.toByteArray
+  }
+
+  /** `syntheticTar` as a column function. */
+  val syntheticTarUdf = udf((n: Int, base: Int, step: Int, d: Boolean) =>
+    syntheticTar(n, base, step, d))
+
+  // ---- ZIP central-directory metadata (decode-free) -----------------------
+
+  /** Parsed ZIP metadata from the end-of-central-directory record and
+    * the central directory: entry count, declared compressed/
+    * uncompressed volumes, the overall ratio, and the truncation flag. */
+  case class ZipMeta(n_entries: Int, total_uncompressed: Long,
+    total_compressed: Long, ratio_permille: Long, truncated: Boolean)
+
+  /** DECODE-FREE ZIP walker (PKWARE APPNOTE): find the EOCD signature
+    * PK\x05\x06 scanning back from the tail (comments make it
+    * non-fixed), read the central-directory offset/count, then walk
+    * PK\x01\x02 entries — compressed size u32@20, uncompressed u32@24,
+    * variable name/extra/comment lengths @28..32. Payloads are never
+    * inflated; the ratio is exact integer permille. A central
+    * directory pointing past the buffer flags `truncated`. Returns
+    * null when no EOCD exists. */
+  def zipMeta(bytes: Array[Byte]): ZipMeta = {
+    if (bytes == null || bytes.length < 22) return null
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    var eocd = -1
+    var i = bytes.length - 22
+    val floor = math.max(0, bytes.length - 22 - 65535)
+    while (eocd < 0 && i >= floor) {
+      if (bytes(i) == 'P' && bytes(i + 1) == 'K' && bytes(i + 2) == 5 &&
+        bytes(i + 3) == 6) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return null
+    val n = u16(eocd + 10)
+    val cdOff = u32(eocd + 16)
+    var pos = cdOff
+    var count = 0
+    var unc = 0L; var comp = 0L
+    var truncated = false
+    while (count < n && !truncated) {
+      if (pos + 46 > bytes.length ||
+        !(bytes(pos.toInt) == 'P' && bytes(pos.toInt + 1) == 'K' &&
+          bytes(pos.toInt + 2) == 1 && bytes(pos.toInt + 3) == 2)) {
+        truncated = true
+      } else {
+        val p = pos.toInt
+        comp += u32(p + 20)
+        unc += u32(p + 24)
+        val varLen = u16(p + 28) + u16(p + 30) + u16(p + 32)
+        pos += 46L + varLen
+        count += 1
+      }
+    }
+    val ratio = if (unc > 0) comp * 1000L / unc else -1L
+    ZipMeta(count, unc, comp, ratio, truncated)
+  }
+
+  private val zipSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[ZipMeta].dataType.asInstanceOf[StructType]
+
+  /** [[zipMeta]] over a blob column — appends a nullable `zip` struct. */
+  def decodeZipHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("zip", zipSchema, nullable = true)) { bytes =>
+      zipMeta(bytes) match {
+        case null => null
+        case m => Row(m.n_entries, m.total_uncompressed,
+          m.total_compressed, m.ratio_permille, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic ZIP of STORED (method-0) members — real
+    * local headers, central directory, and EOCD, fake CRCs (the walker
+    * never checks them). Member i is `m<i>` with `base + i·step`
+    * deterministic bytes. */
+  def syntheticZip(nEntries: Int, base: Int, step: Int): Array[Byte] = {
+    require(nEntries >= 0 && base >= 0 && step >= 0, "syntheticZip salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    val offsets = new Array[Long](nEntries)
+    var e = 0
+    while (e < nEntries) {
+      offsets(e) = bos.size().toLong
+      val name = s"m$e"
+      val size = base + e * step
+      bos.write('P'); bos.write('K'); bos.write(3); bos.write(4)
+      le16(20); le16(0); le16(0); le16(0); le16(0) // ver/flags/method/time/date
+      le32(0xabcd1234L); le32(size.toLong); le32(size.toLong)
+      le16(name.length); le16(0)
+      bos.write(name.getBytes("US-ASCII"))
+      var i = 0
+      while (i < size) { bos.write((i * 29 + e) & 0xff); i += 1 }
+      e += 1
+    }
+    val cdStart = bos.size().toLong
+    e = 0
+    while (e < nEntries) {
+      val name = s"m$e"
+      val size = base + e * step
+      bos.write('P'); bos.write('K'); bos.write(1); bos.write(2)
+      le16(20); le16(20); le16(0); le16(0); le16(0); le16(0)
+      le32(0xabcd1234L); le32(size.toLong); le32(size.toLong)
+      le16(name.length); le16(0); le16(0)
+      le16(0); le16(0); le32(0L); le32(offsets(e))
+      bos.write(name.getBytes("US-ASCII"))
+      e += 1
+    }
+    val cdSize = bos.size().toLong - cdStart
+    bos.write('P'); bos.write('K'); bos.write(5); bos.write(6)
+    le16(0); le16(0); le16(nEntries); le16(nEntries)
+    le32(cdSize); le32(cdStart); le16(0)
+    bos.toByteArray
+  }
+
+  /** `syntheticZip` as a column function. */
+  val syntheticZipUdf = udf((n: Int, base: Int, step: Int) =>
+    syntheticZip(n, base, step))
+
+  // ---- GZIP member metadata (decode-free) ---------------------------------
+
+  /** Parsed GZIP metadata from the RFC 1952 header and trailer: the
+    * original-name field when present, header mtime, OS code, and the
+    * declared uncompressed size (ISIZE, the last 4 bytes) with the
+    * implied compression ratio — the payload is never inflated. */
+  case class GzipMeta(has_name: Boolean, name: String, mtime: Long,
+    os: Int, compressed_len: Long, isize: Long, ratio_permille: Long,
+    truncated: Boolean)
+
+  /** DECODE-FREE GZIP walker (RFC 1952): magic 1f 8b, CM=8, FLG bits
+    * (FEXTRA/FNAME/FCOMMENT/FHCRC all handled by skipping their
+    * declared/NUL-terminated spans), MTIME u32, OS byte; the trailer's
+    * last 4 bytes are ISIZE (uncompressed length mod 2³²). Returns
+    * null for non-gzip payloads; a header whose variable fields run
+    * past the buffer flags `truncated`. */
+  def gzipMeta(bytes: Array[Byte]): GzipMeta = {
+    if (bytes == null || bytes.length < 18) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    if (u8(0) != 0x1f || u8(1) != 0x8b || u8(2) != 8) return null
+    val flg = u8(3)
+    val mtime = u32(4)
+    val os = u8(9)
+    var pos = 10
+    var truncated = false
+    if ((flg & 4) != 0) { // FEXTRA
+      if (pos + 2 > bytes.length) truncated = true
+      else {
+        val xlen = u8(pos) | (u8(pos + 1) << 8)
+        pos += 2 + xlen
+        if (pos > bytes.length) truncated = true
+      }
+    }
+    var name: String = null
+    if (!truncated && (flg & 8) != 0) { // FNAME
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != 0) pos += 1
+      if (pos >= bytes.length) truncated = true
+      else {
+        name = new String(bytes, start, pos - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        pos += 1
+      }
+    }
+    if (!truncated && (flg & 16) != 0) { // FCOMMENT
+      while (pos < bytes.length && bytes(pos) != 0) pos += 1
+      if (pos >= bytes.length) truncated = true else pos += 1
+    }
+    if (!truncated && (flg & 2) != 0) { // FHCRC
+      pos += 2
+      if (pos > bytes.length) truncated = true
+    }
+    if (!truncated && pos + 8 > bytes.length) truncated = true
+    val isize = if (truncated) -1L else u32(bytes.length - 4)
+    val ratio = if (!truncated && isize > 0)
+      bytes.length.toLong * 1000L / isize else -1L
+    GzipMeta(name != null, name, mtime, os, bytes.length.toLong, isize,
+      ratio, truncated)
+  }
+
+  private val gzipSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[GzipMeta].dataType.asInstanceOf[StructType]
+
+  /** [[gzipMeta]] over a blob column — appends a nullable `gzip`
+    * struct. */
+  def decodeGzipHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("gzip", gzipSchema, nullable = true)) { bytes =>
+      gzipMeta(bytes) match {
+        case null => null
+        case m => Row(m.has_name, m.name, m.mtime, m.os,
+          m.compressed_len, m.isize, m.ratio_permille, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic gzip member: real RFC 1952 framing with an
+    * FNAME field, deterministic non-decodable deflate bytes (the walker
+    * never inflates), fake CRC, declared ISIZE — a CONTAINER fixture. */
+  def syntheticGzip(name: String, mtime: Long, deflateLen: Int,
+      isize: Long): Array[Byte] = {
+    require(deflateLen >= 0 && isize >= 0 && mtime >= 0,
+      "syntheticGzip salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    bos.write(0x1f); bos.write(0x8b); bos.write(8)
+    bos.write(8) // FLG: FNAME
+    le32(mtime); bos.write(0); bos.write(3) // XFL, OS=unix
+    bos.write(name.getBytes("ISO-8859-1")); bos.write(0)
+    var i = 0
+    while (i < deflateLen) { bos.write((i * 41 + 7) & 0xff); i += 1 }
+    le32(0x12345678L) // fake CRC32
+    le32(isize)
+    bos.toByteArray
+  }
+
+  /** `syntheticGzip` as a column function. */
+  val syntheticGzipUdf = udf((name: String, mtime: Long, dl: Int,
+    is: Long) => syntheticGzip(name, mtime, dl, is))
 }

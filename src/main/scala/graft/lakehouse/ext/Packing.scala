@@ -757,4 +757,45 @@ object Packing {
         expr("((n_docs * max_len - __kept) * 1000) " +
           "div (n_docs * max_len)").as("padding_waste_permille"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment report
+    * (Thaler & Ravishankar '96): each key lands on the shard with the
+    * largest sha256(key#shard) weight — and when the fleet grows
+    * N → N+1, ONLY the keys whose new shard wins move (expected 1/(N+1)
+    * of them), versus mod-hashing where virtually everything moves.
+    * This report is the migration plan: the (shard@N → shard@N+1)
+    * transition matrix plus, per cell, whether keys moved, with the
+    * mod-hash movement count alongside as the indictment. Everything
+    * derives from sha integers — any engine replays the exact
+    * assignment. ONE explode bounded by N+1 per DISTINCT key, two
+    * argmax folds, one ≤(N+1)²-cell aggregation. */
+  def rendezvousShardReport(df: DataFrame, keyCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 1024, "nShards in [1, 1024]")
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k")).distinct()
+    val weighted = keys
+      .select(col("__k"),
+        explode(typedlit((0 to nShards).toList)).as("s"))
+      .select(col("__k"), col("s"),
+        expr("cast(conv(substring(sha2(concat(__k, '#', " +
+          "cast(s as string)), 256), 1, 15), 16, 10) as bigint)")
+          .as("w"))
+    val assigned = weighted.groupBy("__k")
+      .agg(
+        max(when(col("s") < nShards,
+          struct(col("w"), col("s")))).as("__a"),
+        max(struct(col("w"), col("s"))).as("__b"),
+        // mod-hash assignment from the shard-0 weight (a key-stable hash)
+        max(when(col("s") === 0, col("w"))).as("__h"))
+      .select(col("__a.s").as("shard_n"), col("__b.s").as("shard_n1"),
+        (col("__h") % nShards).as("__mod_n"),
+        (col("__h") % (nShards + 1)).as("__mod_n1"))
+    assigned
+      .groupBy("shard_n", "shard_n1")
+      .agg(count(lit(1)).as("n_keys"),
+        sum((col("__mod_n") =!= col("__mod_n1")).cast("long"))
+          .as("n_mod_moved"))
+      .withColumn("moved", col("shard_n") =!= col("shard_n1"))
+  }
 }

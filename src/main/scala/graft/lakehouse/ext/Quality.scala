@@ -390,4 +390,53 @@ object Quality {
           .as("cum_lift_permille"),
         expr("(cum_pos * 1000) div total_pos").as("capture_permille"))
   }
+
+  /** Isotonic (PAV) calibration of a binned scorer — the standard
+    * monotone-recalibration fit (Zadrozny & Elkan KDD'02), computed by
+    * the pool-adjacent-violators MINIMAX identity instead of the
+    * sequential PAV sweep: cal(i) = max_{j≤i} min_{k≥j} ȳ(j..k). Every
+    * interval mean is ONE pinned IEEE division of exact prefix-count
+    * integers, and because the numerators/denominators stay < 2^26 the
+    * double ordering of two interval means equals their rational
+    * ordering (distinct rationals differ by ≥ 1/(d₁d₂) ≫ the 2⁻⁵³
+    * rounding), so the min/max selections — and therefore the fit —
+    * are bit-portable. The O(bins²) interval frame lives entirely on
+    * the ≤ bins-row aggregate; the corpus contributes ONE hash
+    * aggregation. Returns per occupied bin: support, raw rate,
+    * calibrated rate (monotone non-decreasing by construction). */
+  def isotonicCalibration(df: DataFrame, scorePermilleCol: String,
+      labelCol: String, bins: Int = 100): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2, 1000]")
+    val score = col(scorePermilleCol).cast("long")
+    val bin = expr(
+      s"CAST(least((CAST($scorePermilleCol AS BIGINT) * $bins) div 1000, " +
+        s"${bins - 1}) AS INT)")
+    val perBin = df
+      .filter(score.isNotNull && score.between(0L, 1000L) &&
+        col(labelCol).isNotNull)
+      .select(bin.as("bin"), col(labelCol).cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+    val wCum = Window.partitionBy().orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = perBin
+      .withColumn("ncum", sum("n").over(wCum))
+      .withColumn("pcum", sum("n_pos").over(wCum))
+    val j = f.select(col("bin").as("jbin"),
+      (col("ncum") - col("n")).as("npref"),
+      (col("pcum") - col("n_pos")).as("ppref"))
+    val k = f.select(col("bin").as("kbin"),
+      col("ncum").as("nk"), col("pcum").as("pk"))
+    val mins = j.join(k, col("kbin") >= col("jbin"))
+      .select(col("jbin"),
+        ((col("pk") - col("ppref")).cast("double") /
+          (col("nk") - col("npref")).cast("double")).as("__avg"))
+      .groupBy("jbin").agg(min("__avg").as("mj"))
+    f.join(mins, col("jbin") <= col("bin"))
+      .groupBy(col("bin"), col("n"), col("n_pos"))
+      .agg(max("mj").as("calibrated"))
+      .select(col("bin"), col("n").as("n"), col("n_pos"),
+        expr("(n_pos * 1000) div n").as("raw_rate_permille"),
+        col("calibrated"))
+  }
 }

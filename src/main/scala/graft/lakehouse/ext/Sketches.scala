@@ -245,15 +245,31 @@ object Sketches {
 
   /** Integer intersection estimate from two sketches: ρ = how many of the
     * merged sketch's members appear in BOTH inputs (each a uniform sample
-    * of its own distinct space), then |A∩B| ≈ ρ/k · |A∪B| — Beyer et
-    * al.'s estimator, kept integral as (ρ · unionEst) div k. */
+    * of its own distinct space), then |A∩B| ≈ ρ/|sketch| · |A∪B| — Beyer
+    * et al.'s estimator, kept integral as (ρ · unionEst) div |merged|.
+    * The divisor is the merged sketch's ACTUAL size, not k: below
+    * saturation the sketch IS the distinct union, so the estimate
+    * collapses to the exact ρ (a ÷k divisor would bias every unsaturated
+    * intersection low — A∩A ≠ A); at saturation |merged| = k and the two
+    * agree. */
   def kmvIntersectionCol(a: Column, b: Column, k: Int): Column = {
     val merged = kmvMergedCol(a, b, k)
     val rho = size(array_intersect(array_intersect(merged, a), b))
       .cast("decimal(38,0)")
-    intDiv(rho * kmvEstimateCol(merged, k).cast("decimal(38,0)"),
-      lit(k).cast("decimal(38,0)")).cast("long")
+    when(size(merged) > 0,
+      intDiv(rho * kmvEstimateCol(merged, k).cast("decimal(38,0)"),
+        size(merged).cast("decimal(38,0)")).cast("long"))
+      .otherwise(lit(0L))
   }
+
+  /** Integer A-not-B estimate from two sketches — the theta-sketch set
+    * difference by inclusion–exclusion over the verified pieces:
+    * |A\B| = |A| − |A∩B|, clamped at 0 (sampling noise can push the
+    * subtraction negative; a set difference cannot be). Composes
+    * [[kmvEstimateCol]] and [[kmvIntersectionCol]], so it inherits
+    * their exact-integer portability. */
+  def kmvANotBCol(a: Column, b: Column, k: Int): Column =
+    greatest(kmvEstimateCol(a, k) - kmvIntersectionCol(a, b, k), lit(0L))
 
   /** Truncating integral division (the SQL `div` operator) as a Column —
     * decimal `/` would round HALF_UP at its result scale and drift off

@@ -1059,6 +1059,80 @@ object StatTests {
           .as("chi2_cc"))
   }
 
+  /** Newcombe score interval for a difference of two proportions
+    * (Newcombe Stat.Med. 1998 method 10, the recommended A/B delta CI:
+    * Wilson bounds per arm, combined by the square-root-of-squares
+    * rule — never the Wald interval that collapses at p near 0/1).
+    * Exact counts from ONE aggregation; the interval is a fixed IEEE
+    * chain over them (the [[sliceAccuracyWilson]] arithmetic, twice).
+    * Exactly two arms required — checked loudly. Returns one row:
+    * per-arm counts/rates, diff, ci_lo, ci_hi. */
+  def newcombeDiffCI(df: DataFrame, armCol: String, convCol: Column,
+      z: Double = 1.96): DataFrame = {
+    val byArm = df.filter(col(armCol).isNotNull && convCol.isNotNull)
+      .groupBy(col(armCol).cast("string").as("__arm"))
+      .agg(count(lit(1)).as("n"),
+        count(when(convCol.cast("boolean"), lit(1))).as("k"))
+    val two = byArm.agg(
+      count(lit(1)).as("__k"),
+      min(struct(col("__arm"), col("n"), col("k"))).as("A"),
+      max(struct(col("__arm"), col("n"), col("k"))).as("B"))
+      .select(
+        when(col("__k") =!= 2, raise_error(lit(
+          "newcombeDiffCI needs exactly two arms")))
+          .otherwise(col("A")).as("A"), col("B"))
+    val z2 = z * z
+    def wilson(nC: Column, kC: Column): (Column, Column, Column) = {
+      val n = nC.cast("double")
+      val p = kC.cast("double") / n
+      val denom = lit(1.0) + lit(z2) / n
+      val center = (p + lit(z2) / (lit(2.0) * n)) / denom
+      val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+        lit(z2) / (lit(4.0) * n * n))) / denom
+      (p, center - half, center + half)
+    }
+    val (p1, l1, u1) = wilson(col("A.n"), col("A.k"))
+    val (p2, l2, u2) = wilson(col("B.n"), col("B.k"))
+    two.select(
+      col("A.__arm").as("arm_a"), col("A.n").as("n_a"),
+      col("A.k").as("k_a"),
+      col("B.__arm").as("arm_b"), col("B.n").as("n_b"),
+      col("B.k").as("k_b"),
+      (p1 - p2).as("diff"),
+      (p1 - p2 - sqrt((p1 - l1) * (p1 - l1) +
+        (u2 - p2) * (u2 - p2))).as("ci_lo"),
+      (p1 - p2 + sqrt((u1 - p1) * (u1 - p1) +
+        (p2 - l2) * (p2 - l2))).as("ci_hi"))
+  }
+
+  /** Index-of-dispersion (overdispersion) check per group: variance-to-
+    * mean ratio of the daily event counts — ≈1 is Poisson, ≫1 means
+    * bursts, and the χ² = (n−1)·s²/x̄ against df = n−1 is the classical
+    * test (Fisher 1950). Moments fold exactly as decimals over the
+    * bounded daily frame; the ratio spends the final pinned IEEE steps.
+    * Input must already be a (group, value) frame of counts. */
+  def overdispersionIndex(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val m = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("s"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)"))
+          .as("ss"))
+      .filter(col("n") >= 2 && col("s") > 0)
+    val nD = col("n").cast("double")
+    // s² = (n·Σx² − (Σx)²)/(n(n−1)); D = s²/x̄; χ² = (n−1)·D
+    val varNum = (col("n") * col("ss") - col("s") * col("s"))
+      .cast("double")
+    val dispersion = varNum / (nD * (nD - 1.0)) /
+      (col("s").cast("double") / nD)
+    m.select(col("grp"), col("n").cast("long").as("n"),
+      col("s").cast("long").as("total"),
+      dispersion.as("dispersion"),
+      ((nD - 1.0) * dispersion).as("chi2"))
+  }
+
   /** Cochran–Armitage trend test (Cochran '54 / Armitage '55): is a
     * binary outcome's rate monotonically moving across ORDERED integer
     * dose groups? T = Σ sᵢ(rᵢN − Rnᵢ) and the variance pieces are exact

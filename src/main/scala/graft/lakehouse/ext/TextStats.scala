@@ -1433,4 +1433,62 @@ object TextStats {
       .orderBy(col("n_docs").desc, col("gram").asc)
       .limit(topK)
   }
+
+  /** Fragment-chain candidate pairs: document A's LAST `windowTokens`
+    * tokens equal document B's FIRST `windowTokens` — the signature of a
+    * crawl/pagination split (one source page sharded into overlapping
+    * fragments), which near-dup banding misses because the documents as
+    * wholes are different. One boundary hash per document per side, one
+    * equi-join on the 16-byte md5 — never content, never all-pairs.
+    * Self-chains (a doc whose own head equals its tail) are excluded. */
+  /** Flesch–Kincaid grade level per group (Kincaid '75), on the
+    * deterministic vowel-group syllable heuristic: per document words =
+    * whitespace tokens, sentences = max(1, count of [.!?]), syllables =
+    * count of [aeiouy]+ runs in the lowercased text — three exact
+    * integers any regex engine reproduces — then ONE aggregation per
+    * group and the grade 0.39·(W/S) + 11.8·(Y/W) − 15.59 as a pinned
+    * IEEE chain over the summed integers. The corpus-difficulty
+    * dashboard next to LIX (q327), which needs no syllables but tracks
+    * long words instead. */
+  def fleschKincaid(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val perDoc = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+          .as("__w"),
+        greatest(regexp_count(text, lit("[.!?]")), lit(1)).cast("long")
+          .as("__s"),
+        regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+          .as("__y"))
+    perDoc.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w").as("words"), sum("__s").as("sentences"),
+        sum("__y").as("syllables"))
+      .filter(col("words") > 0)
+      .withColumn("fk_grade",
+        lit(0.39) * (col("words").cast("double") /
+          col("sentences").cast("double")) +
+          lit(11.8) * (col("syllables").cast("double") /
+            col("words").cast("double")) - lit(15.59))
+  }
+
+  def fragmentChainPairs(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 5): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    val toks = tokArray(textCol)
+    val base = df
+      .select(col(idCol).cast("long").as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= w)
+      .select(col("__id"),
+        md5(concat_ws(" ", expr(s"slice(__t, 1, $w)"))).as("head_gram"),
+        md5(concat_ws(" ",
+          expr(s"slice(__t, size(__t) - ${w - 1}, $w)"))).as("tail_gram"))
+    base.select(col("__id").as("id_a"), col("tail_gram").as("gram"))
+      .join(base.select(col("__id").as("id_b"),
+        col("head_gram").as("gram")), Seq("gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("gram"))
+  }
 }

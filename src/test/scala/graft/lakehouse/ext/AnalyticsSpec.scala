@@ -642,6 +642,187 @@ class AnalyticsSpec extends SparkSuite {
       got.mkString(","))
   }
 
+  test("diffInDiff: dense panel hand case — treated doubles post, " +
+    "control flat -> did = +2") {
+    import spark.implicits._
+    // span days 0..10 -> mid 5; u1 (treat): pre 2 / post 4;
+    // u2 (control): pre 3 / post 3
+    val ev = (Seq(1, 2).map(d => (1L, onDay(d, 1).head._2)) ++
+      Seq(6, 7, 8, 9).map(d => (1L, onDay(d, 1).head._2)) ++
+      Seq(0, 3, 5).map(d => (2L, onDay(d, 1).head._2)) ++
+      Seq(6, 7, 10).map(d => (2L, onDay(d, 1).head._2)))
+      .toDF("user_id", "ts")
+    val r = Analytics.diffInDiff(ev, "user_id", "ts",
+      col("u") % 2 === 1).head()
+    assert(r.getAs[Long]("s_treat_pre") == 2L &&
+      r.getAs[Long]("s_treat_post") == 4L &&
+      r.getAs[Long]("s_control_pre") == 3L &&
+      r.getAs[Long]("s_control_post") == 3L, r.toString)
+    assert(r.getAs[Double]("did") == 2.0)
+  }
+
+  test("mdePowerCheck: hand MDE at pooled rate 0.2 and binding arm 50") {
+    import spark.implicits._
+    val units = (Seq.tabulate(100)(i => (1, i < 20)) ++
+      Seq.tabulate(50)(i => (0, i < 10))).toDF("arm", "conv")
+    val r = Analytics.mdePowerCheck(units, "arm", col("conv")).head()
+    assert(r.getAs[Long]("pooled_rate_permille") == 200L)
+    assert(math.abs(r.getAs[Double]("mde") -
+      2.8 * math.sqrt(2.0 * 0.2 * 0.8 / 50)) < 1e-12, r.toString)
+  }
+
+  test("obfSequentialMonitor: boundary shrinks to 1.96 at the final " +
+    "look; the hand z crosses only there") {
+    import spark.implicits._
+    // two weeks; each week: treated 4 events 2 conv, control 4 and 0
+    // (absolute epoch days — onDay's base is 1970-01-05, epoch day 4)
+    def wk(w: Int, uid: Long, et: String, n: Int) =
+      (1 to n).map(i => (uid, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.ofEpochDay(w * 7L + 1 + i % 5)
+          .atTime(12, 0)), et))
+    val ev = (wk(0, 1L, "purchase", 2) ++ wk(0, 1L, "view", 2) ++
+      wk(0, 2L, "view", 4) ++
+      wk(1, 1L, "purchase", 2) ++ wk(1, 1L, "view", 2) ++
+      wk(1, 2L, "view", 4)).toDF("user_id", "ts", "event_type")
+    val got = Analytics.obfSequentialMonitor(ev, "user_id", "ts",
+      col("event_type") === "purchase").orderBy("look").collect()
+    assert(got.length == 2)
+    assert(math.abs(got(1).getAs[Double]("obf_boundary") - 1.96) < 1e-12)
+    assert(got(0).getAs[Double]("obf_boundary") >
+      got(1).getAs[Double]("obf_boundary"))
+    assert(!got(0).getAs[Boolean]("crossed"), got(0).toString)
+    assert(got(1).getAs[Boolean]("crossed"), got(1).toString)
+    // hand z at the final look: p1=.5, p0=0, pooled .25 over 8+8
+    assert(math.abs(got(1).getAs[Double]("z") -
+      0.5 / math.sqrt(0.25 * 0.75 * (1.0 / 8 + 1.0 / 8))) < 1e-12)
+  }
+
+  test("quantileTreatmentEffect: exact per-arm rank quantiles and " +
+    "integer differences") {
+    import spark.implicits._
+    val units = (Seq(10L, 20L, 30L, 40L).map((1, _)) ++
+      Seq(5L, 15L, 25L, 35L).map((0, _))).toDF("arm", "v")
+    val got = Analytics.quantileTreatmentEffect(units, "arm", "v",
+      permilles = Seq(500, 900)).orderBy("p").collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("q_treat"),
+        r.getAs[Long]("q_control"), r.getAs[Long]("qte"))).toSeq
+    assert(got == Seq((500, 20L, 15L, 5L), (900, 40L, 35L, 5L)),
+      got.mkString(","))
+  }
+
+  test("upliftByBin: per-bin treated/control rates and their exact " +
+    "permille difference; single-arm bins drop") {
+    import spark.implicits._
+    val units = Seq(
+      (100L, 1, 1), (150L, 1, 0), (120L, 0, 0), (180L, 0, 0), // bin 0
+      (900L, 1, 0), (950L, 0, 1), // bin 4
+      (500L, 1, 1)) // bin 2: treated only -> dropped
+      .toDF("score", "arm", "conv")
+    val got = Analytics.upliftByBin(units, "score", "arm",
+      col("conv") === 1, bins = 5).orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSeq
+    assert(got == Seq((0, 500L, 0L, 500L), (4, 0L, 1000L, -1000L)),
+      got.mkString(","))
+  }
+
+  test("covariateBalance: hand SMD, identical covariate reads 0, " +
+    "zero-variance covariate guarded null") {
+    import spark.implicits._
+    // arm1 x=[10,14] (mean 12, s2 8); arm0 x=[8,12] (mean 10, s2 8)
+    val units = Seq(
+      (1, 10L, 3L, 5L), (1, 14L, 4L, 5L),
+      (0, 8L, 3L, 5L), (0, 12L, 4L, 5L))
+      .toDF("arm", "x", "same_dist", "const")
+    val got = Analytics.covariateBalance(units, "arm",
+      Seq("x", "same_dist", "const")).collect()
+      .map(r => r.getString(0) -> Option(r.get(5))
+        .map(_.asInstanceOf[Double])).toMap
+    assert(math.abs(got("x").get - 2.0 / math.sqrt(8.0)) < 1e-12,
+      got.toString)
+    assert(got("same_dist").get == 0.0)
+    assert(got("const").isEmpty, "zero variance both arms -> null SMD")
+  }
+
+  test("ipsPolicyValue: matched rewards reweight by N/n_a exactly") {
+    import spark.implicits._
+    val logs = Seq(
+      ("a", "a", 10L), ("a", "b", 20L), ("b", "b", 5L))
+      .toDF("action", "target", "r")
+    val got = Analytics.ipsPolicyValue(logs, "action", "target", "r")
+      .orderBy("action").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", 2L, 1L, 10L, 15L), // 10·3 div 2
+      ("b", 1L, 1L, 5L, 15L)), got.mkString(","))
+  }
+
+  test("rfmSegments: three users land in the hand-derived quintile " +
+    "cells under the ceil(cum*5/n) rule") {
+    import spark.implicits._
+    val ev = (
+      // a: last day 10, 3 events, value 3x3.0 -> m=9000
+      (1 to 3).map(i => ("a", onDay(7 + i, 1).head._2, 3.0)) ++
+      // b: last day 8, 2 events, value 2x0.25 -> m=500
+      (1 to 2).map(i => ("b", onDay(6 + i, 1).head._2, 0.25)) ++
+      // c: last day 5, 1 event, value 0.1 -> m=100
+      Seq(("c", onDay(5, 1).head._2, 0.1)))
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.rfmSegments(ev, "user_id", "ts", "value")
+      .orderBy("r_q", "f_q", "m_q").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    // r: a=0,b=2,c=5 -> q 2/4/5; f: c=1,b=2,a=3 -> q 2/4/5; m likewise
+    assert(got == Seq((2, 5, 5, 1L), (4, 4, 4, 1L), (5, 2, 2, 1L)),
+      got.mkString(","))
+  }
+
+  test("cupedAdjustment: a perfectly-correlated covariate removes all " +
+    "variance (theta exact, reduction 1000 permille)") {
+    import spark.implicits._
+    val units = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val r = Analytics.cupedAdjustment(units, "x", "y").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("theta") == 2.0, r.toString)
+    assert(math.abs(r.getAs[Double]("var_y") - 24.0 / 9) < 1e-12)
+    assert(r.getAs[Double]("var_adjusted") == 0.0)
+    assert(r.getAs[Long]("reduction_permille") == 1000L)
+    // zero-variance covariate: theta guarded null
+    val flat = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    assert(Analytics.cupedAdjustment(flat, "x", "y").head()
+      .isNullAt(1))
+  }
+
+  test("activityCells runs UNCHANGED as a streaming aggregation: " +
+    "complete-mode cells over a MemoryStream equal the batch heatmap's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(i: Int, h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 5).plusDays(i.toLong).atTime(h, 0))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val agg = Analytics.activityCells(
+      mem.toDF().toDF("event_type", "ts"), "event_type", "ts")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("heatmap_stream_test").start()
+    try {
+      mem.addData(("x", at(0, 10)), ("x", at(0, 10)))
+      q.processAllAvailable()
+      mem.addData(("x", at(0, 10)), ("x", at(1, 3)), ("y", at(2, 7)))
+      q.processAllAvailable()
+      val got = spark.table("heatmap_stream_test").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+          r.getLong(3)).toMap
+      val all = Seq(("x", at(0, 10)), ("x", at(0, 10)), ("x", at(0, 10)),
+        ("x", at(1, 3)), ("y", at(2, 7))).toDF("event_type", "ts")
+      val batch = Analytics.activityHeatmap(all, "event_type", "ts")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+          r.getLong(3)).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("naiveForecastEval: linear series -> persistence err 1/day, " +
     "weekly err 7/day, ratio 7000 permille") {
     import spark.implicits._

@@ -517,4 +517,27 @@ class DedupSpec extends SparkSuite {
       (4L, 1L, 1, false),
       (4L, 2L, 2, false)), got.mkString(","))
   }
+
+  test("fellegiSunterScore: full agreement matches, partial agreement " +
+    "lands possible, null fields agree null-safely, guards fire") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val attrs = Seq(
+      (1L, "en", "web", 5L), (2L, "en", "web", 5L),
+      (3L, "fr", "web", 5L), (4L, "fr", "api", 9L))
+      .toDF("doc_id", "lang", "source", "len_bucket")
+    val got = Dedup.fellegiSunterScore(pairs, attrs, "doc_id",
+      Seq(("lang", 6, -4), ("source", 8, -5), ("len_bucket", 10, -6)),
+      matchAt = 18, possibleAt = 4)
+      .orderBy("id_b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (2L, 24L, "match"),
+      (3L, 14L, "possible"),
+      (4L, -15L, "non_match")), got.mkString(","))
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunterScore(pairs, attrs, "doc_id",
+        Seq(("lang", 6, -4)), matchAt = 4, possibleAt = 4)
+    }
+  }
 }

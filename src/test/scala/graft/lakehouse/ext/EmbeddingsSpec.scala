@@ -267,4 +267,38 @@ class EmbeddingsSpec extends SparkSuite {
     assert(got.forall(_.getInt(0) < 200),
       s"unexpectedly large quantization error: ${got.mkString(",")}")
   }
+
+  test("mutualNearestPairs: tight twins pair mutually, a one-sided " +
+    "nearest neighbor does not") {
+    import spark.implicits._
+    // 1<->2 and 3<->4 are mutual; 5's nn is 2 (tie with 4 breaks to the
+    // smaller id) but 2's nn is 1 -> 5 pairs with nobody
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val got = Embeddings.mutualNearestPairs(vecs, "vec_id", "embedding")
+      .orderBy("id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (3L, 4L)),
+      got.mkString(","))
+    assert(got.forall(_._3 > 0.99))
+  }
+
+  test("knnLooEval: same-label twins score perfectly, a boundary " +
+    "vector whose neighbor crosses labels counts as wrong") {
+    import spark.implicits._
+    // 1/2 tight A pair, 3/4 tight B pair, 5 is A but nearest to 4 (B)
+    val vecs = Seq(
+      (1L, Array(1f, 0f), "A"), (2L, Array(0.9f, 0.1f), "A"),
+      (3L, Array(0f, 1f), "B"), (4L, Array(0.1f, 0.9f), "B"),
+      (5L, Array(0.6f, 0.8f), "A"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Embeddings.knnLooEval(vecs, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("A", 3L, 2L, 666L), ("B", 2L, 2L, 1000L)),
+      got.mkString(","))
+  }
 }

@@ -154,6 +154,61 @@ class GraphSpec extends SparkSuite {
       .getAs[Long]("n_edges") == 3L)
   }
 
+  test("labelPropagation: mass reaches radius-2, seeds stay clamped, " +
+    "ties break to the smaller label") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val oneSeed = Seq((1L, 7L)).toDF("v", "label")
+    val got = Graph.labelPropagation(path, "s", "d", oneSeed, "v",
+      "label", rounds = 2).orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    // radius 2 from seed 1: vertices 1 (clamped), 2, 3; 4 unreached
+    assert(got == Seq((1L, 7L, 1L, true), (2L, 7L, 1L, false),
+      (3L, 7L, 1L, false)), got.mkString(","))
+    // competing seeds: v2 hears label 5 (via 1) and label 2 (via 3) at
+    // equal mass -> the smaller label wins
+    val twoSeeds = Seq((1L, 5L), (4L, 2L)).toDF("v", "label")
+    val mid = Graph.labelPropagation(path, "s", "d", twoSeeds, "v",
+      "label", rounds = 2)
+      .filter(org.apache.spark.sql.functions.col("v") === 2L).head()
+    assert(mid.getLong(1) == 2L && mid.getLong(2) == 1L, mid.toString)
+  }
+
+  test("wlColorCensus: path endpoints share a color class, regular " +
+    "graphs collapse to one color, census ordered by reach") {
+    import spark.implicits._
+    // path 1-2-3: endpoints are WL-equivalent, the middle is its own
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = Graph.wlColorCensus(path, "s", "d", rounds = 2, topK = 10)
+      .collect().map(r => r.getAs[Long]("n_vertices")).toSeq
+    assert(got == Seq(2L, 1L), got.mkString(","))
+    // two disjoint triangles: 2-regular everywhere -> one color class
+    val tris = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("s", "d")
+    val t = Graph.wlColorCensus(tris, "s", "d", rounds = 2, topK = 10)
+      .collect()
+    assert(t.length == 1 && t.head.getAs[Long]("n_vertices") == 6L,
+      t.mkString(","))
+  }
+
+  test("localClusteringCoefficient: triangle vertices close their " +
+    "neighborhoods, the pendant is undefined") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 on vertex 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("s", "d")
+    val got = Graph.localClusteringCoefficient(edges, "s", "d")
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("degree"),
+        r.getAs[Long]("triangles"),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, Some(333L)),
+      (2L, 2L, 1L, Some(1000L)),
+      (3L, 2L, 1L, Some(1000L)),
+      (4L, 1L, 0L, None)), got.mkString(","))
+  }
+
   test("hitsFixedPoint: hand-traced 2-iteration integer scores on a " +
     "3-edge graph, partition-order independent") {
     import spark.implicits._

@@ -451,6 +451,65 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.aviMeta(null) == null)
   }
 
+  test("tarMeta: member census and declared volumes roundtrip, cut " +
+    "payload flags truncation, non-tar null") {
+    val b = Multimodal.syntheticTar(2, 600, 100, withDir = true)
+    val m = Multimodal.tarMeta(b)
+    assert(m.n_entries == 3 && m.n_files == 2 && m.n_dirs == 1,
+      m.toString)
+    assert(m.total_size == 1300L && m.max_size == 700L && !m.truncated)
+    // cut inside the second member's 700-byte payload (data ends at
+    // offset 3260; keeping 3000 bites into it)
+    assert(Multimodal.tarMeta(b.take(3000)).truncated)
+    assert(Multimodal.tarMeta(Array.fill[Byte](600)(7)) == null,
+      "no ustar magic -> null")
+    assert(Multimodal.tarMeta(null) == null)
+  }
+
+  test("zipMeta: STORED central-directory census, damaged directory " +
+    "flags truncation, no EOCD -> null") {
+    val b = Multimodal.syntheticZip(3, 100, 10)
+    val m = Multimodal.zipMeta(b)
+    assert(m.n_entries == 3 && m.total_uncompressed == 330L &&
+      m.total_compressed == 330L && m.ratio_permille == 1000L &&
+      !m.truncated, m.toString)
+    // corrupt the first central-directory signature
+    val cut = b.clone()
+    var i = 0
+    var found = -1
+    while (found < 0 && i < cut.length - 3) {
+      if (cut(i) == 'P' && cut(i + 1) == 'K' && cut(i + 2) == 1 &&
+        cut(i + 3) == 2) found = i
+      i += 1
+    }
+    cut(found) = 'X'
+    assert(Multimodal.zipMeta(cut).truncated)
+    assert(Multimodal.zipMeta("no archive here at all!!!".getBytes)
+      == null)
+    assert(Multimodal.zipMeta(null) == null)
+  }
+
+  test("gzipMeta: synthetic FNAME/mtime/isize roundtrip; a REAL gzip " +
+    "stream reports its true uncompressed size; truncation and " +
+    "non-gzip handled") {
+    val b = Multimodal.syntheticGzip("a.txt", 123456789L, 40, 5000L)
+    val m = Multimodal.gzipMeta(b)
+    assert(m.has_name && m.name == "a.txt" && m.mtime == 123456789L &&
+      m.os == 3 && m.isize == 5000L && !m.truncated, m.toString)
+    assert(m.compressed_len == (10 + 6 + 40 + 8).toLong)
+    // real gzip: java's GZIPOutputStream writes a genuine trailer
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(Array.tabulate[Byte](100)(i => (i * 3).toByte)); gz.close()
+    val real = Multimodal.gzipMeta(bos.toByteArray)
+    assert(real.isize == 100L && !real.has_name && !real.truncated,
+      real.toString)
+    assert(Multimodal.gzipMeta(b.take(20)).truncated,
+      "header intact but the trailer is gone")
+    assert(Multimodal.gzipMeta("definitely not gzip".getBytes) == null)
+    assert(Multimodal.gzipMeta(null) == null)
+  }
+
   test("oggMeta: ident-header fields, page census, EOS granule -> " +
     "exact duration, truncation flagged, non-OGG null") {
     val b = Multimodal.syntheticOgg(2, 44100, 128000, 3, 441000L)

@@ -488,4 +488,28 @@ class PackingSpec extends SparkSuite {
       l32.getAs[Long]("tokens_lost_permille") == 0L &&
       l32.getAs[Long]("padding_waste_permille") == 24L * 1000 / 64)
   }
+
+  test("rendezvousShardReport: HRW moves ~1/(N+1) of keys while mod " +
+    "moves most, totals conserved, partition-order independent") {
+    import spark.implicits._
+    val keys = (1L to 400L).toDF("k")
+    def run(parts: Int) = Packing.rendezvousShardReport(
+      keys.repartition(parts), "k", nShards = 4)
+      .orderBy("shard_n", "shard_n1").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    val got = run(1)
+    val total = got.map(_._3).sum
+    assert(total == 400L, got.mkString(","))
+    val hrwMoved = got.filter(_._5).map(_._3).sum
+    val modMoved = got.map(_._4).sum
+    // expectation: 400/5 = 80 HRW moves vs ~320 mod moves
+    assert(hrwMoved > 40L && hrwMoved < 140L, s"hrw moved $hrwMoved")
+    assert(modMoved > 250L, s"mod moved only $modMoved")
+    assert(got == run(7), "sha assignment must be partition-order free")
+    // stability: a key's shard at N is its shard at N+1 unless shard N
+    // itself is the loser -> every moved cell lands on the NEW shard id
+    assert(got.filter(_._5).forall(_._2 == 4),
+      "HRW N->N+1 movement must target only the new shard")
+  }
 }

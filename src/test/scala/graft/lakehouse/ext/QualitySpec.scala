@@ -221,6 +221,23 @@ class QualitySpec extends SparkSuite {
     assert(dr.head.isNullAt(dr.head.fieldIndex("youden_j")))
   }
 
+  test("isotonicCalibration: the textbook violator pools — y=[1,0,0,1] " +
+      "calibrates to [1/3,1/3,1/3,1] — and the fit is monotone") {
+    import spark.implicits._
+    // scores 10/20/30/40 land in bins 1..4 at bins=100
+    val d = Seq((10L, 1), (20L, 0), (30L, 0), (40L, 1))
+      .toDF("score", "label")
+    val got = Quality.isotonicCalibration(d, "score", "label", bins = 100)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("calibrated"))).toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3, 4))
+    assert(got.take(3).forall(c => math.abs(c._2 - 1.0 / 3) < 1e-15),
+      got.mkString(","))
+    assert(got.last._2 == 1.0)
+    assert(got.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
+      "isotonic fit must be monotone non-decreasing")
+  }
+
   test("liftTable: top bin captures its positives at the exact lift, " +
       "bottom cumulative row is the base rate (lift 1000)") {
     import spark.implicits._

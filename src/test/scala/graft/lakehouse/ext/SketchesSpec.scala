@@ -400,6 +400,21 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("kmvANotBCol: disjoint unsaturated sets difference exactly, " +
+    "identical sets difference to zero") {
+    import spark.implicits._
+    val k = 64
+    val a = Sketches.kmvSketch((1L to 40L).toDF("v"), "v", k)
+      .select(col("kmv").as("ka"))
+    val b = Sketches.kmvSketch((41L to 80L).toDF("v"), "v", k)
+      .select(col("kmv").as("kb"))
+    val d = a.crossJoin(b).select(
+      Sketches.kmvANotBCol(col("ka"), col("kb"), k).as("ab"),
+      Sketches.kmvANotBCol(col("ka"), col("ka"), k).as("aa")).head()
+    assert(d.getAs[Long]("ab") == 40L, d.toString)
+    assert(d.getAs[Long]("aa") == 0L)
+  }
+
   test("bloomFprAudit: member probes always hit (no false negatives), " +
       "disjoint probes stay near the theory rate, guards fire") {
     import spark.implicits._

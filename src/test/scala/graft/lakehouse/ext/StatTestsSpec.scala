@@ -637,4 +637,39 @@ class StatTestsSpec extends SparkSuite {
     assert(StatTests.cochranArmitageTrend(flat, "dose", "y").head()
       .isNullAt(5))
   }
+
+  test("newcombeDiffCI: hand-checked Wilson-combined bounds for " +
+      "80/100 vs 60/100; arm-count guard fires") {
+    val rows = Seq.tabulate(100)(i => ("a", i < 80)) ++
+      Seq.tabulate(100)(i => ("b", i < 60))
+    val r = StatTests.newcombeDiffCI(rows.toDF("arm", "ok"),
+      "arm", col("ok")).head()
+    assert(r.getAs[String]("arm_a") == "a" &&
+      r.getAs[String]("arm_b") == "b")
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("k_a") == 80L)
+    assert(math.abs(r.getAs[Double]("diff") - 0.2) < 1e-12)
+    // Wilson(80/100): [0.7112, 0.8666]; Wilson(60/100): [0.5020, 0.6906]
+    // (hand arithmetic at 4 digits; the oracle hash pins exact values)
+    assert(math.abs(r.getAs[Double]("ci_lo") - 0.0731) < 5e-3,
+      r.toString)
+    assert(math.abs(r.getAs[Double]("ci_hi") - 0.3218) < 5e-3)
+    intercept[Exception] {
+      StatTests.newcombeDiffCI(
+        (rows :+ (("c", true))).toDF("arm", "ok"), "arm", col("ok"))
+        .collect()
+    }
+  }
+
+  test("overdispersionIndex: [1,2,3] -> dispersion 0.5, chi2 1.0; " +
+      "single-row groups drop") {
+    val d = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("lone", 5L))
+      .toDF("grp", "y")
+    val got = StatTests.overdispersionIndex(d, "grp", "y").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "g" && r.getAs[Long]("n") == 3L &&
+      r.getAs[Long]("total") == 6L)
+    assert(math.abs(r.getAs[Double]("dispersion") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chi2") - 1.0) < 1e-12)
+  }
 }

@@ -683,4 +683,40 @@ class TextStatsSpec extends SparkSuite {
     // nothing else reaches 3 docs
     assert(got.count(_.getAs[Long]("n_docs") >= 3L) == 1)
   }
+
+  test("fleschKincaid: hand-counted words/sentences/vowel groups, " +
+    "sentence floor of 1, empty groups dropped") {
+    import spark.implicits._
+    // 5 words, 2 sentence marks, 5 vowel groups
+    val docs = Seq(("en", "The cat sat. It ran!"), ("zz", ""))
+      .toDF("lang", "text")
+    val got = TextStats.fleschKincaid(docs, "text", "lang")
+      .orderBy("grp").collect()
+    val en = got.find(_.getString(0) == "en").get
+    assert(en.getAs[Long]("words") == 5L &&
+      en.getAs[Long]("sentences") == 2L &&
+      en.getAs[Long]("syllables") == 5L, en.toString)
+    val grade = 0.39 * (5.0 / 2) + 11.8 * (5.0 / 5) - 15.59
+    assert(math.abs(en.getAs[Double]("fk_grade") - grade) < 1e-12)
+    // the empty doc has 0 words -> its group drops (sentences floor to
+    // 1 but the words>0 filter removes it)
+    assert(!got.exists(_.getString(0) == "zz"))
+  }
+
+  test("fragmentChainPairs: tail-head splice found, self-chains and " +
+    "short docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog"),
+      // doc 2 starts with doc 1's last five tokens: a chain
+      (2L, "jumps over a lazy dog and then runs away"),
+      (3L, "completely unrelated text with enough tokens here"),
+      // doc 4: head == tail of ITSELF (5 tokens): must not self-pair
+      (4L, "alpha beta gamma delta epsilon"),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val got = TextStats.fragmentChainPairs(docs, "doc_id", "text",
+      windowTokens = 5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    assert(got == Seq((1L, 2L)), got.mkString(","))
+  }
 }
