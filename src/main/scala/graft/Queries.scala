@@ -13615,5 +13615,622 @@ object Queries {
         |  CAST(clen * 1000 // isize AS BIGINT) AS ratio_permille,
         |  FALSE AS truncated
         |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // Two-group log-rank test over the q315 user lifetimes (arm = user
+    // parity): the hypergeometric O1/E1/V fold that answers "are these
+    // two survival curves the same?" — the gate the KM and Nelson-Aalen
+    // curves themselves can't provide.
+    Q("q403_log_rank",
+      (s, dir) => Analytics.logRankTest(ev(s, dir), "user_id", "ts",
+        churnGapDays = 7, groupCol = col("user_id") % 2),
+      Some("""WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |    max(CAST(ts AS DATE)) AS l,
+        |    min(CAST(user_id % 2 AS INT)) AS g
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |u2 AS (
+        |  SELECT date_diff('day', f, l) AS duration,
+        |    date_diff('day', l, (SELECT max(l) FROM u)) > 7 AS churned, g
+        |  FROM u),
+        |t AS (
+        |  SELECT duration,
+        |    count(*) FILTER (WHERE churned AND g = 1) AS d1,
+        |    count(*) FILTER (WHERE churned) AS d,
+        |    count(*) FILTER (WHERE g = 1) AS t1,
+        |    count(*) AS t
+        |  FROM u2 GROUP BY 1),
+        |r AS (
+        |  SELECT duration, d1, d,
+        |    sum(t) OVER () - coalesce(sum(t) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        |    sum(t1) OVER () - coalesce(sum(t1) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+        |  FROM t),
+        |terms AS (
+        |  SELECT d1,
+        |    CAST(CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(38,18)) AS e1,
+        |    CAST(CASE WHEN n > 1 THEN CAST(d AS DOUBLE)
+        |        * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |      ELSE 0.0 END AS DECIMAL(38,18)) AS v
+        |  FROM r WHERE d > 0),
+        |agg AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(CAST(sum(e1) AS VARCHAR) AS DOUBLE) AS e1,
+        |    CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS v
+        |  FROM terms)
+        |SELECT o1, e1, v,
+        |  CASE WHEN v > 0 THEN (CAST(o1 AS DOUBLE) - e1)
+        |    * (CAST(o1 AS DOUBLE) - e1) / v END AS chi2
+        |FROM agg""".stripMargin)),
+
+    // G-test of independence on the same lang x source grid as the q283
+    // chi-squared: the likelihood-ratio statistic whose per-cell
+    // contributions sum exactly across any partition of the table —
+    // the drill-down drift test.
+    Q("q404_g_test",
+      (s, dir) => StatTests.gTestIndependence(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH obs AS (
+        |  SELECT lang AS cat, source AS arm, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT c.cat, a.arm, coalesce(obs.o, 0) AS o
+        |  FROM (SELECT DISTINCT cat FROM obs) c
+        |  CROSS JOIN (SELECT DISTINCT arm FROM obs) a
+        |  LEFT JOIN obs ON obs.cat = c.cat AND obs.arm = a.arm),
+        |tot AS (
+        |  SELECT cat, arm, o,
+        |    sum(o) OVER (PARTITION BY cat) AS rt,
+        |    sum(o) OVER (PARTITION BY arm) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM grid),
+        |terms AS (
+        |  SELECT cat, arm, n,
+        |    CASE WHEN o > 0 THEN CAST(CAST(o AS DOUBLE)
+        |        * ln(CAST(o AS DOUBLE) / (CAST(rt AS DOUBLE)
+        |          * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+        |        AS DECIMAL(38,18))
+        |      ELSE CAST(0 AS DECIMAL(38,18)) END AS contrib
+        |  FROM tot)
+        |SELECT 2.0 * CAST(CAST(sum(contrib) AS VARCHAR) AS DOUBLE) AS g,
+        |  CAST((count(DISTINCT cat) - 1) * (count(DISTINCT arm) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM terms""".stripMargin)),
+
+    // Cronbach's alpha over a 3-item per-document length battery
+    // (total chars / non-space chars / non-'e' chars): exact integer
+    // variance numerators, one final IEEE chain.
+    Q("q405_cronbach_alpha",
+      (s, dir) => StatTests.cronbachAlpha(
+        t(s, dir, "documents").select(
+          length(col("text")).cast("long").as("i_len"),
+          length(expr("replace(text, ' ', '')")).cast("long")
+            .as("i_nospace"),
+          length(expr("replace(lower(text), 'e', '')")).cast("long")
+            .as("i_noe")),
+        Seq("i_len", "i_nospace", "i_noe")),
+      Some("""WITH it AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS a,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS b,
+        |    CAST(length(replace(lower(text), 'e', '')) AS BIGINT) AS c
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    sum(a) AS sa, sum(a * a) AS ssa,
+        |    sum(b) AS sb, sum(b * b) AS ssb,
+        |    sum(c) AS sc, sum(c * c) AS ssc,
+        |    sum(a + b + c) AS st,
+        |    sum((a + b + c) * (a + b + c)) AS sst
+        |  FROM it)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k,
+        |  CAST(n * ssa - sa * sa + (n * ssb - sb * sb)
+        |    + (n * ssc - sc * sc) AS BIGINT) AS item_var_num,
+        |  CAST(n * sst - st * st AS BIGINT) AS total_var_num,
+        |  CASE WHEN n * sst - st * st > 0 THEN
+        |    (3.0 / 2.0) * (1.0
+        |      - CAST(n * ssa - sa * sa + (n * ssb - sb * sb)
+        |          + (n * ssc - sc * sc) AS DOUBLE)
+        |        / CAST(n * sst - st * st AS DOUBLE)) END AS alpha
+        |FROM s""".stripMargin)),
+
+    // Friedman rank test: do the event types keep the same activity
+    // ordering week over week? Blocks = weeks, treatments = event
+    // types, metric = weekly count; exact doubled average ranks.
+    Q("q406_friedman",
+      (s, dir) => StatTests.friedmanTest(
+        ev(s, dir)
+          .filter(col("event_type").isNotNull && col("ts").isNotNull)
+          .withColumn("wk",
+            expr("datediff(to_date(ts), DATE '1970-01-01') div 7")),
+        "wk", "event_type", count(lit(1))),
+      Some("""WITH e AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    // 7 AS b, event_type AS t
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT b, t, count(*) AS m FROM e GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT bb.b, tt.t, coalesce(cells.m, 0) AS m
+        |  FROM (SELECT DISTINCT b FROM cells) bb
+        |  CROSS JOIN (SELECT DISTINCT t FROM cells) tt
+        |  LEFT JOIN cells ON cells.b = bb.b AND cells.t = tt.t),
+        |ranked AS (
+        |  SELECT t, 2 * rank() OVER (PARTITION BY b ORDER BY m)
+        |    + count(*) OVER (PARTITION BY b, m) - 1 AS dr
+        |  FROM grid),
+        |pt AS (
+        |  SELECT t, sum(dr) AS drsum, count(*) AS nb FROM ranked
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT sum(drsum * drsum) AS sum_dr2, max(nb) AS b,
+        |    count(*) AS k
+        |  FROM pt)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(k AS BIGINT) AS k,
+        |  CAST(sum_dr2 AS BIGINT) AS sum_r2_x4,
+        |  12.0 * (CAST(sum_dr2 AS DOUBLE) / 4.0)
+        |    / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * CAST(k + 1 AS DOUBLE))
+        |    - 3.0 * CAST(b AS DOUBLE) * CAST(k + 1 AS DOUBLE) AS chi2_f,
+        |  CAST(k - 1 AS BIGINT) AS dof
+        |FROM agg""".stripMargin)),
+
+    // Ljung-Box portmanteau Q over the q337 exact integer ACF: is there
+    // ANY serial structure left in the per-type daily series?
+    Q("q407_ljung_box",
+      (s, dir) => Analytics.ljungBox(ev(s, dir), "event_type", "ts",
+          maxLag = 7)
+        .orderBy("grp"),
+      Some("""WITH daily AS (
+        |  SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g, unnest(generate_series(d0, d1)) AS d
+        |  FROM (SELECT g, min(d) AS d0, max(d) AS d1 FROM daily
+        |    GROUP BY 1)),
+        |dense AS (
+        |  SELECT grid.g, grid.d, coalesce(daily.y, 0) AS y
+        |  FROM grid LEFT JOIN daily ON daily.g = grid.g
+        |    AND daily.d = grid.d),
+        |st AS (
+        |  SELECT g, count(*) AS n_days, sum(y) AS s FROM dense
+        |  GROUP BY 1),
+        |den AS (
+        |  SELECT dense.g,
+        |    sum((n_days * y - s)::HUGEINT * (n_days * y - s)) AS den
+        |  FROM dense JOIN st ON st.g = dense.g GROUP BY 1),
+        |num AS (
+        |  SELECT a.g, l.lag, max(st.n_days) AS n_days,
+        |    sum((st.n_days * a.y - st.s)::HUGEINT
+        |      * (st.n_days * b.y - st.s)) AS num
+        |  FROM dense a
+        |  JOIN (SELECT unnest(range(1, 8)) AS lag) l ON true
+        |  JOIN dense b ON b.g = a.g AND b.d = a.d + l.lag
+        |  JOIN st ON st.g = a.g
+        |  GROUP BY 1, 2),
+        |acf AS (
+        |  SELECT num.g AS grp, lag, n_days,
+        |    CAST(num AS BIGINT) AS acf_num, CAST(den AS BIGINT) AS acf_den
+        |  FROM num JOIN den ON den.g = num.g),
+        |terms AS (
+        |  SELECT grp, n_days, acf_den,
+        |    CASE WHEN acf_den > 0 AND n_days > lag THEN
+        |      CAST(CAST(acf_num AS DOUBLE) / CAST(acf_den AS DOUBLE)
+        |        * (CAST(acf_num AS DOUBLE) / CAST(acf_den AS DOUBLE))
+        |        / CAST(n_days - lag AS DOUBLE) AS DECIMAL(38,18)) END
+        |      AS term
+        |  FROM acf)
+        |SELECT grp, CAST(max(n_days) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS h,
+        |  CASE WHEN max(CASE WHEN acf_den <= 0 THEN 1 ELSE 0 END) = 0
+        |    THEN CAST(max(n_days) AS DOUBLE)
+        |      * CAST(max(n_days) + 2 AS DOUBLE)
+        |      * CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) END AS q_lb
+        |FROM terms GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // Average precision per query over two sha-ranked top-20 lists (the
+    // q270 synthetic-ranking fixture): the PR-walk area under recall@k
+    // and MRR — its mean over queries is MAP.
+    Q("q408_map_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").select("doc_id")
+        def rankFor(qid: String) = {
+          val key = sha2(concat_ws("#", col("doc_id").cast("string"),
+            lit(qid)), 256)
+          docs.withColumn("__k", key)
+            .orderBy(col("__k"), col("doc_id")).limit(20)
+            .withColumn("rank",
+              row_number().over(Window.orderBy(col("__k"), col("doc_id"))))
+            .select(lit(qid).as("query_id"), col("doc_id"), col("rank"))
+        }
+        val ranking = rankFor("m1").unionByName(rankFor("m2"))
+        val qrels = docs.filter(col("doc_id") % 5 === 0)
+          .select(lit("m1").as("query_id"), col("doc_id"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 2)
+            .select(lit("m2").as("query_id"), col("doc_id")))
+        Retrieval.averagePrecisionAtK(ranking, qrels, "query_id",
+          "doc_id", "rank", k = 20).orderBy("query_id")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+        |r1 AS (
+        |  SELECT 'm1' AS query_id, doc_id, row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || 'm1'),
+        |    doc_id) AS rank
+        |  FROM d QUALIFY rank <= 20),
+        |r2 AS (
+        |  SELECT 'm2' AS query_id, doc_id, row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || 'm2'),
+        |    doc_id) AS rank
+        |  FROM d QUALIFY rank <= 20),
+        |rk AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |qr AS (
+        |  SELECT 'm1' AS query_id, doc_id FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'm2' AS query_id, doc_id FROM documents
+        |  WHERE doc_id % 7 = 2),
+        |nr AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+        |h AS (
+        |  SELECT rk.query_id, rk.rank, row_number() OVER (
+        |    PARTITION BY rk.query_id ORDER BY rk.rank) AS hitno
+        |  FROM rk JOIN qr ON qr.query_id = rk.query_id
+        |    AND qr.doc_id = rk.doc_id),
+        |ap AS (
+        |  SELECT query_id, count(*) AS hits,
+        |    sum(CAST(CAST(hitno AS DOUBLE) / CAST(rank AS DOUBLE)
+        |      AS DECIMAL(38,18))) AS num
+        |  FROM h GROUP BY 1)
+        |SELECT nr.query_id, CAST(nr.n_rel AS BIGINT) AS n_rel,
+        |  CAST(coalesce(ap.hits, 0) AS BIGINT) AS hits,
+        |  coalesce(CAST(CAST(ap.num AS VARCHAR) AS DOUBLE), 0.0)
+        |    / CAST(least(nr.n_rel, 20) AS DOUBLE) AS ap
+        |FROM nr LEFT JOIN ap USING (query_id)
+        |ORDER BY query_id""".stripMargin)),
+
+    // Rank-biased overlap between two sha-ranked top-20 lists: the
+    // top-weighted "how much do these retrievers agree?" number, exact
+    // 2^-d weights (no pow drift).
+    Q("q409_rbo",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").select("doc_id")
+        def rankFor(salt: String) = {
+          val key = sha2(concat_ws("#", col("doc_id").cast("string"),
+            lit(salt)), 256)
+          docs.withColumn("__k", key)
+            .orderBy(col("__k"), col("doc_id")).limit(20)
+            .withColumn("rank",
+              row_number().over(Window.orderBy(col("__k"), col("doc_id"))))
+            .select(col("doc_id"), col("rank"))
+        }
+        Retrieval.rankBiasedOverlap(rankFor("s1"), rankFor("s2"),
+          "doc_id", "rank", k = 20)
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || 's1'),
+        |    doc_id) AS ra
+        |  FROM d QUALIFY ra <= 20),
+        |r2 AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || 's2'),
+        |    doc_id) AS rb
+        |  FROM d QUALIFY rb <= 20),
+        |j AS (
+        |  SELECT greatest(ra, rb) AS md FROM r1 JOIN r2 USING (doc_id)),
+        |depths AS (SELECT unnest(generate_series(1, 20)) AS dep),
+        |o AS (
+        |  SELECT dep,
+        |    (SELECT count(*) FROM j WHERE md <= dep) AS o
+        |  FROM depths),
+        |terms AS (
+        |  SELECT dep, o,
+        |    CAST(CAST(o AS DOUBLE) / CAST(dep AS DOUBLE)
+        |      / CAST(1::BIGINT << dep AS DOUBLE) AS DECIMAL(38,18))
+        |      AS term
+        |  FROM o)
+        |SELECT CAST(20 AS BIGINT) AS k,
+        |  CAST(max(CASE WHEN dep = 20 THEN o END) AS BIGINT)
+        |    AS overlap_at_k,
+        |  CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS rbo
+        |FROM terms""".stripMargin)),
+
+    // Hosmer-Lemeshow calibration test over exact-rank deciles of an
+    // integer permille score: the chi-square-style statistic under the
+    // q302 reliability diagram and q318 ECE.
+    Q("q410_hosmer_lemeshow",
+      (s, dir) => StatTests.hosmerLemeshow(
+        t(s, dir, "documents").select(
+          least(lit(999L), greatest(lit(1L), col("n_chars") % 1000L))
+            .as("score_permille"),
+          lower(col("text")).like("% the %").cast("int").as("label")),
+        "score_permille", col("label"), bins = 10),
+      Some("""WITH s0 AS (
+        |  SELECT least(999, greatest(1, n_chars % 1000)) AS v,
+        |    CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS lab
+        |  FROM documents),
+        |counts AS (
+        |  SELECT v, count(*) AS c, sum(lab) AS o FROM s0 GROUP BY 1),
+        |cum AS (
+        |  SELECT v, c, o,
+        |    sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM counts),
+        |b AS (SELECT (cum * 10 + n - 1) // n AS bin, c, o, v FROM cum),
+        |g AS (
+        |  SELECT bin, sum(c) AS ng, sum(o) AS og, sum(v * c) AS sp
+        |  FROM b GROUP BY 1),
+        |terms AS (
+        |  SELECT ng, og, sp,
+        |    sp <= 0 OR sp >= ng * 1000 AS degen,
+        |    CASE WHEN NOT (sp <= 0 OR sp >= ng * 1000) THEN
+        |      CAST((CAST(og AS DOUBLE) - CAST(sp AS DOUBLE) / 1000.0)
+        |        * (CAST(og AS DOUBLE) - CAST(sp AS DOUBLE) / 1000.0)
+        |        / (CAST(sp AS DOUBLE) / 1000.0
+        |          * (1.0 - CAST(sp AS DOUBLE)
+        |            / CAST(ng * 1000 AS DOUBLE)))
+        |        AS DECIMAL(38,18)) END AS term
+        |  FROM g)
+        |SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN degen THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_degenerate,
+        |  CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS hl,
+        |  CAST(count(*) AS BIGINT)
+        |    - CAST(sum(CASE WHEN degen THEN 1 ELSE 0 END) AS BIGINT)
+        |    - 2 AS dof
+        |FROM terms""".stripMargin)),
+
+    // Fill-in-the-middle training examples: deterministic keyed-hash cut
+    // points -> PSM-reassembled example per document; the oracle replays
+    // cuts, spans, and the sha of the assembled example end to end.
+    Q("q411_fim_examples",
+      (s, dir) => Packing.fimExamples(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", seed = 9L, minChars = 8)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
+        |      || '#' || '9' || '#' || 'a'), 1, 8))::UBIGINT
+        |      % (length(text) - 1) AS BIGINT) AS ha,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
+        |      || '#' || '9' || '#' || 'b'), 1, 8))::UBIGINT
+        |      % (length(text) - 1) AS BIGINT) AS hb
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, text, L, least(ha, hb) AS lo,
+        |    greatest(ha, hb) + 1 AS hi, L >= 8 AS elig
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN elig THEN CAST(lo AS BIGINT) END AS lo,
+        |  CASE WHEN elig THEN CAST(hi AS BIGINT) END AS hi,
+        |  CASE WHEN elig THEN CAST(lo AS BIGINT) END AS prefix_len,
+        |  CASE WHEN elig THEN CAST(hi - lo AS BIGINT) END AS middle_len,
+        |  CASE WHEN elig THEN CAST(L - hi AS BIGINT) END AS suffix_len,
+        |  CASE WHEN elig THEN sha256('<PRE>'
+        |    || substring(text, 1, CAST(lo AS INT))
+        |    || '<SUF>'
+        |    || substring(text, CAST(hi + 1 AS INT), CAST(L - hi AS INT))
+        |    || '<MID>'
+        |    || substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)))
+        |    END AS fim_sha
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Per-domain cap sampling over synthesized URLs (the q253 fixture
+    // convention): registered-domain buckets, keyed-sha survivor ranks,
+    // cap 25 per domain — the crawl-curation host-balance guard.
+    Q("q412_domain_cap_sample",
+      (s, dir) => {
+        val urls = t(s, dir, "documents").select("doc_id")
+          .withColumn("url", concat(lit("https://www.site"),
+            (col("doc_id") % 7).cast("string"),
+            when(col("doc_id") % 2 === 0, lit(".com"))
+              .otherwise(lit(".org")),
+            lit("/item/"), col("doc_id").cast("string")))
+        Packing.domainCapSample(urls, "doc_id", "url", cap = 25,
+            seed = 11L)
+          .orderBy("domain", "rnk")
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      AS domain,
+        |    sha256(CAST(doc_id AS VARCHAR) || '#' || '11') AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY k, doc_id)
+        |      AS rnk,
+        |    count(*) OVER (PARTITION BY domain) AS n_domain
+        |  FROM u)
+        |SELECT doc_id, domain, CAST(n_domain AS BIGINT) AS n_domain,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 25 ORDER BY domain, rnk""".stripMargin)),
+
+    // Parquet footer census over deterministic Thrift-compact fixtures:
+    // version, schema/row-group/column counts, rows, declared bytes,
+    // created_by — the manifest/planner metadata, FOOTER-ONLY (the
+    // walker also parses real pyarrow files; spec-verified).
+    Q("q413_parquet_footer_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 10 === 0)
+          .withColumn("payload", Multimodal.syntheticParquetUdf(
+            (lit(1) + col("doc_id") % 6).cast("int"),
+            (lit(1) + col("doc_id") % 4).cast("int"),
+            (lit(100) + col("doc_id") % 37).cast("long"),
+            (lit(4096) + col("doc_id") % 512).cast("long"),
+            lit(256L)))
+        Multimodal.decodeParquetFooters(blobs, "payload")
+          .select(col("doc_id"),
+            col("pq.version").as("version"),
+            col("pq.n_schema").as("n_schema"),
+            col("pq.n_row_groups").as("n_row_groups"),
+            col("pq.n_columns").as("n_columns"),
+            col("pq.num_rows").as("num_rows"),
+            col("pq.total_byte_size").as("total_byte_size"),
+            col("pq.created_by").as("created_by"),
+            col("pq.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 6 AS BIGINT) AS nc,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS ng,
+        |    CAST(100 + doc_id % 37 AS BIGINT) AS rp,
+        |    CAST(4096 + doc_id % 512 AS BIGINT) AS base
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, CAST(2 AS INT) AS version,
+        |  CAST(nc + 1 AS INT) AS n_schema,
+        |  CAST(ng AS INT) AS n_row_groups,
+        |  CAST(nc AS INT) AS n_columns,
+        |  CAST(ng * rp AS BIGINT) AS num_rows,
+        |  CAST(ng * base + 256 * ng * (ng - 1) // 2 AS BIGINT)
+        |    AS total_byte_size,
+        |  'graft-synth 1.0' AS created_by,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Common-neighbors link prediction on the q288 bipartite projection:
+    // cn / Jaccard-permille / preferential-attachment, all exact
+    // integers, top 50 non-adjacent pairs.
+    Q("q414_link_prediction",
+      (s, dir) => Graph.linkPredictionTopPairs(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+            .selectExpr("l_partkey * 2 AS src", "l_suppkey * 2 + 1 AS dst"),
+          "src", "dst", topN = 50, maxDeg = 1024)
+        .orderBy(col("cn").desc, col("u"), col("v")),
+      Some("""WITH e0 AS (
+        |  SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS a,
+        |    greatest(l_partkey * 2, l_suppkey * 2 + 1) AS b
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |sym AS (SELECT a AS w, b AS n FROM e0
+        |  UNION ALL SELECT b AS w, a AS n FROM e0),
+        |dg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
+        |wed AS (
+        |  SELECT s1.n AS u, s2.n AS v
+        |  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.n < s2.n
+        |  JOIN dg ON dg.w = s1.w AND dg.dg BETWEEN 2 AND 1024),
+        |cnt AS (SELECT u, v, count(*) AS cn FROM wed GROUP BY 1, 2),
+        |na AS (
+        |  SELECT cnt.u, cnt.v, cnt.cn FROM cnt
+        |  LEFT JOIN e0 ON e0.a = cnt.u AND e0.b = cnt.v
+        |  WHERE e0.a IS NULL
+        |  ORDER BY cn DESC, u, v LIMIT 50)
+        |SELECT na.u, na.v, na.cn,
+        |  CAST(du.dg AS BIGINT) AS deg_u, CAST(dv.dg AS BIGINT) AS deg_v,
+        |  CAST((na.cn * 1000) // (du.dg + dv.dg - na.cn) AS BIGINT)
+        |    AS jaccard_permille,
+        |  CAST(du.dg * dv.dg AS BIGINT) AS pref_attach
+        |FROM na JOIN dg du ON du.w = na.u JOIN dg dv ON dv.w = na.v
+        |ORDER BY na.cn DESC, na.u, na.v""".stripMargin)),
+
+    // Simplified (centroid-form) silhouette of the 8-way seeded-centroid
+    // assignment over the embeddings: per-cluster mean of
+    // (b-a)/max(a,b) — the cluster-quality gate under SemDeDup/IVF
+    // partitioning, O(n*k) not O(n^2). The oracle replays quantization,
+    // assignment, both sqrt distances, and the decimal fold.
+    Q("q415_silhouette",
+      (s, dir) => Clustering.simplifiedSilhouette(
+          t(s, dir, "embeddings"), "vec_id", "embedding", nClusters = 8)
+        .orderBy("cluster"),
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qv AS (
+        |  SELECT vec_id, list_transform(ve,
+        |    x -> CAST(floor(x * 1024) + 1048576 AS BIGINT)) AS qv
+        |  FROM v),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cidx, qv AS cv
+        |  FROM qv ORDER BY vec_id LIMIT 8),
+        |d AS (
+        |  SELECT q.vec_id, c.cidx,
+        |    CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+        |  FROM qv q, c0 c),
+        |r AS (
+        |  SELECT vec_id, cidx, d2, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cidx) AS rn
+        |  FROM d),
+        |ab AS (
+        |  SELECT a.vec_id, a.cidx AS cluster,
+        |    sqrt(CAST(a.d2 AS DOUBLE)) AS da,
+        |    sqrt(CAST(b.d2 AS DOUBLE)) AS db
+        |  FROM (SELECT * FROM r WHERE rn = 1) a
+        |  JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)),
+        |s AS (
+        |  SELECT cluster,
+        |    CAST(CASE WHEN greatest(da, db) > 0
+        |      THEN (db - da) / greatest(da, db)
+        |      ELSE 0.0 END AS DECIMAL(38,18)) AS sil
+        |  FROM ab)
+        |SELECT CAST(cluster AS INT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(sil) AS VARCHAR) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_sil
+        |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // Right-to-be-forgotten INTO the persisted ANN index: build + append
+    // (the q243 lifecycle), then a DV-mode versioned DELETE of every
+    // vec_id % 5 = 0 from the coded corpus — O(deleted rows), codebooks
+    // frozen, no rebuild. The exact-mode query after the delete must
+    // equal the from-scratch oracle over the surviving vectors.
+    Q("q416_ann_index_delete",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "ann_del")
+        TableIO.dropTable(s, lh, "ann_del_codebooks")
+        val emb = t(s, dir, "embeddings")
+        AnnIndex.buildPqIndex(s, lh, "ann_del",
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        AnnIndex.appendPqIndex(s, lh, "ann_del",
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        AnnIndex.deletePqIndex(s, lh, "ann_del", "vec_id % 5 = 0",
+          deletionVectors = true)
+        AnnIndex.queryPqIndex(s, lh, "ann_del",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 10, reRank = 1000000)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v
+        |  WHERE vec_id < 4),
+        |surv AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+        |s AS (
+        |  SELECT q.query_id, surv.vec_id,
+        |    list_sum(list_transform(list_zip(surv.ve, q.qv),
+        |      p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(surv.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+        |  FROM surv, q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+        |  round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
   )
 }

@@ -1421,4 +1421,98 @@ object Analytics {
         hour(col(tsCol)).as("hour"))
       .groupBy("grp", "dow", "hour")
       .agg(count(lit(1)).as("n"))
+
+  /** Two-group log-rank test over the same user lifetimes as
+    * [[kaplanMeier]] (Mantel '66): at each event duration t, group 1
+    * contributes observed deaths d1_t against the hypergeometric
+    * expectation d_t·n1_t/n_t with variance
+    * d_t·(n1_t/n_t)·(1−n1_t/n_t)·(n_t−d_t)/(n_t−1); the statistic is
+    * (O1−E1)²/V — the standard "are these two survival curves the same?"
+    * gate the KM/Nelson–Aalen curves themselves can't answer. Group
+    * membership is any integer 0/1 expression over the event row (e.g.
+    * user parity for an A/B assignment), fixed per user by `min`.
+    * Per-duration E and V terms are pinned IEEE chains over exact
+    * at-risk/death counts, accumulated as exact DECIMAL(38,18); O1 is an
+    * exact integer. Scale shape: one user aggregation + one
+    * duration-bounded risk table; the windows run over ≤
+    * observation-window-days rows. */
+  def logRankTest(events: DataFrame, userCol: String, tsCol: String,
+      churnGapDays: Int, groupCol: Column): DataFrame = {
+    require(churnGapDays >= 0, "logRankTest needs churnGapDays >= 0")
+    val users = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("f"), max(to_date(col(tsCol))).as("l"),
+        min(groupCol.cast("int")).as("__g"))
+      .withColumn("obs_end", max(col("l")).over(Window.partitionBy()))
+      .withColumn("duration", datediff(col("l"), col("f")))
+      .withColumn("churned",
+        datediff(col("obs_end"), col("l")) > churnGapDays)
+    val tbl = users.groupBy("duration")
+      .agg(
+        count(when(col("churned") && col("__g") === 1, lit(1))).as("d1"),
+        count(when(col("churned"), lit(1))).as("d"),
+        count(when(col("__g") === 1, lit(1))).as("t1"),
+        count(lit(1)).as("t"))
+    val wAll = Window.partitionBy()
+    val wBefore = Window.partitionBy().orderBy("duration")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = tbl
+      .withColumn("n",
+        sum("t").over(wAll) - coalesce(sum("t").over(wBefore), lit(0L)))
+      .withColumn("n1",
+        sum("t1").over(wAll) - coalesce(sum("t1").over(wBefore), lit(0L)))
+      .filter(col("d") > 0)
+    val e1 = (col("d") * col("n1")).cast("double") / col("n").cast("double")
+    val v = when(col("n") > 1,
+        col("d").cast("double") *
+          (col("n1").cast("double") / col("n").cast("double")) *
+          (lit(1.0) - col("n1").cast("double") / col("n").cast("double")) *
+          ((col("n") - col("d")).cast("double") /
+            (col("n") - 1).cast("double")))
+      .otherwise(lit(0.0))
+    risk.agg(
+        sum(col("d1")).as("o1"),
+        sum(e1.cast("decimal(38,18)")).cast("double").as("e1"),
+        sum(v.cast("decimal(38,18)")).cast("double").as("v"))
+      .select(col("o1").cast("long").as("o1"), col("e1"), col("v"),
+        when(col("v") > 0,
+          (col("o1").cast("double") - col("e1")) *
+            (col("o1").cast("double") - col("e1")) / col("v"))
+          .as("chi2"))
+  }
+
+  /** Ljung–Box portmanteau test on the daily-count series of each group:
+    * Q = n·(n+2)·Σ_{k=1..h} ρ̂_k²/(n−k) over the EXACT integer
+    * autocorrelations of [[lagAutocorrelation]] (ρ̂_k = num_k/den, both
+    * exact n²-scaled integer sums on the zero-filled day grid) — the
+    * "is there ANY serial structure left?" gate under the per-lag ACF
+    * report. Each ρ̂_k is one IEEE division; the per-lag term
+    * ρ̂_k·ρ̂_k/(n−k) is a pinned chain accumulated as exact
+    * DECIMAL(38,18); Q is one final double chain. Groups whose series
+    * is constant (den = 0) report a NULL Q rather than a fabricated
+    * statistic. Scale shape: everything downstream of the one daily
+    * count aggregation runs on the bounded |days|·h frame. */
+  def ljungBox(events: DataFrame, groupCol: String, tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "ljungBox needs maxLag >= 1")
+    val acf = lagAutocorrelation(events, groupCol, tsCol, maxLag)
+    val rho = col("acf_num").cast("double") / col("acf_den").cast("double")
+    val term = when(col("acf_den") > 0 && col("n_days") > col("lag"),
+        (rho * rho / (col("n_days") - col("lag")).cast("double"))
+          .cast("decimal(38,18)"))
+      .otherwise(lit(null).cast("decimal(38,18)"))
+    acf.groupBy(col("grp"))
+      .agg(max("n_days").as("n_days"), count(lit(1)).as("h"),
+        sum(term).as("__s"),
+        max(when(col("acf_den") <= 0, lit(1)).otherwise(lit(0)))
+          .as("__const"))
+      .select(col("grp"), col("n_days").cast("long").as("n_days"),
+        col("h").cast("long").as("h"),
+        when(col("__const") === 0,
+          col("n_days").cast("double") *
+            (col("n_days") + 2L).cast("double") *
+            col("__s").cast("double"))
+          .as("q_lb"))
+  }
 }

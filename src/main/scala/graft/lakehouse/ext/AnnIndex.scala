@@ -164,6 +164,21 @@ object AnnIndex {
     } finally c.unpersist(false)
   }
 
+  /** Delete vectors from the persisted index — the right-to-be-forgotten
+    * path into the ANN index (the [[Erasure]] contract applied to the
+    * coded corpus): ONE versioned DELETE commit on the index table,
+    * O(touched files) in rewrite mode or O(deleted rows) with deletion
+    * vectors — never a rebuild. The codebooks stay FROZEN: they are a
+    * statistical summary of the training corpus, not per-row data
+    * (stated — a strict-erasure deployment retrains on its own
+    * schedule). Queries after the delete return exactly what a
+    * from-scratch index without those ids would (exact-mode
+    * oracle-verified). Returns the remaining vector count. */
+  def deletePqIndex(spark: SparkSession, lh: LakehouseProps, name: String,
+      condition: String, deletionVectors: Boolean = false): Long =
+    TableIO.deleteFromTable(spark, lh, name, condition,
+      deletionVectors).rowCount
+
   /** Fold a new batch into the index: encode ONLY the batch against the
     * FROZEN codebooks and append — O(batch); neither the index table nor
     * the codebooks are rewritten (the codebooks table is not even

@@ -280,4 +280,71 @@ object Clustering {
       selected.reverse.toDF("round", "vec_id", "dist2")
     } finally { base.unpersist(false) }
   }
+
+  /** Simplified silhouette (the centroid form — Hruschka et al. 2004)
+    * of a seeded-centroid assignment: per point, a = distance to its
+    * nearest centroid, b = distance to the second-nearest, and
+    * s = (b − a)/max(a, b); reported as the per-cluster mean — the
+    * cluster-quality score under SemDeDup/IVF partitioning decisions,
+    * at O(n·k) instead of the true silhouette's O(n²). Centroids are
+    * the first `nClusters` corpus vectors by id (the ivf seeding
+    * convention) — deterministic, no Lloyd rounds, so any engine
+    * replays the exact geometry. Squared distances are exact integers
+    * over the fixed-point quantization; the two sqrts are
+    * correctly-rounded IEEE; each point's s is one pinned chain folded
+    * as exact DECIMAL(38,18), and the mean is one final double
+    * division.
+    *
+    * 100 TB shape: centroids are k·dim longs in the kernel closure; the
+    * assignment+silhouette is ONE compiled zero-shuffle pass; the only
+    * shuffle carries k partial (cluster, sum, count) cells. */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 8, scale: Long = 1024L,
+      offset: Long = 1L << 20): DataFrame = {
+    require(nClusters >= 2, "simplifiedSilhouette needs nClusters >= 2")
+    val quantUdf = udf((v: Seq[Double]) => quantizeKernel(v, scale, offset))
+    val q = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        quantUdf(transform(col(vecCol), x => x.cast("double"))).as("qv"))
+      .persist()
+    try {
+      val centsArr: Array[Array[Long]] = q.orderBy("__id").limit(nClusters)
+        .select("qv").collect().map(_.getSeq[Long](0).toArray)
+      require(centsArr.length == nClusters,
+        s"simplifiedSilhouette: corpus has fewer than $nClusters vectors")
+      require(centsArr.forall(_.length == centsArr.head.length),
+        "simplifiedSilhouette needs a uniform vector dimension")
+      val top2Udf = udf((qv: Seq[Long]) => {
+        val v = qv.toArray
+        var bestD = Long.MaxValue; var bestI = -1; var secD = Long.MaxValue
+        var i = 0
+        while (i < centsArr.length) {
+          val cv = centsArr(i)
+          require(cv.length == v.length,
+            s"vector dimension ${v.length} != centroid ${cv.length}")
+          var d = 0L; var j = 0
+          while (j < cv.length) { val x = v(j) - cv(j); d += x * x; j += 1 }
+          if (d < bestD) { secD = bestD; bestD = d; bestI = i }
+          else if (d < secD) secD = d
+          i += 1
+        }
+        (bestI, bestD, secD)
+      })
+      val a = sqrt(col("__t._2").cast("double"))
+      val b = sqrt(col("__t._3").cast("double"))
+      val sil = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
+        .otherwise(lit(0.0))
+      q.withColumn("__t", top2Udf(col("qv")))
+        .select(col("__t._1").as("cluster"),
+          sil.cast("decimal(38,18)").as("__s"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum("__s").as("__sum"))
+        .select(col("cluster"), col("n"),
+          (col("__sum").cast("double") / col("n").cast("double"))
+            .as("mean_sil"))
+        // eager k-row materialization so the quantized corpus cache can
+        // be released on exit (the kcenter pattern)
+        .localCheckpoint()
+    } finally q.unpersist(false)
+  }
 }

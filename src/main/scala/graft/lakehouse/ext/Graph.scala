@@ -163,6 +163,88 @@ object Graph {
     } finally adjAll.unpersist(false)
   }
 
+  /** Packed wedge pairs via a tight-loop kernel, NOT nested
+    * transform(slice(...)) lambdas: higher-order functions evaluate
+    * interpreted (outside codegen), and at deg ≤ maxDeg a center emits
+    * O(deg²) values — the q279 gram-set lesson. Each (u, v) pair PACKS
+    * into one primitive long (u·2³¹ + v; the adjacency array is sorted
+    * so u < v by construction) — the O(V·deg²) wedge stream then flows
+    * as unboxed longs through explode, shuffle, hash-aggregate, and the
+    * known-edge anti-join, instead of allocating a struct row per
+    * wedge. Loud refusal beyond 31-bit vertex ids (re-key first).
+    * Shared by [[adamicAdarTopPairs]] and [[linkPredictionTopPairs]]. */
+  private val packedWedgeUdf = udf((nbrs: Seq[Long]) => {
+    val arr = nbrs.toArray
+    val n = arr.length
+    require(n == 0 ||
+      (arr(0) >= 0L && arr(n - 1) < 2147483648L),
+      "wedge generation packs pairs into int64: vertex ids must be " +
+        "in [0, 2^31) — re-key the graph first")
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0; var i = 0
+    while (i < n - 1) {
+      val hi = arr(i) * 2147483648L
+      var j = i + 1
+      while (j < n) { out(k) = hi + arr(j); k += 1; j += 1 }
+      i += 1
+    }
+    out
+  })
+
+  /** Common-neighbors link prediction with the classic exact-integer
+    * score triad per non-adjacent pair (Liben-Nowell & Kleinberg CIKM
+    * '03's baselines; the log-weighted variant lives at
+    * [[adamicAdarTopPairs]]): shared-neighbor count cn, Jaccard
+    * permille cn·1000 div (deg_u + deg_v − cn), and preferential
+    * attachment deg_u·deg_v. Wedges enumerate from centers with degree
+    * in [2, maxDeg] (the same documented hub cap — a celebrity center
+    * is deg² wedge work for ~0 evidence), while Jaccard/PA use the TRUE
+    * distinct degrees from the uncapped adjacency. Every score is an
+    * exact integer — nothing to drift. Top-N is TakeOrdered on
+    * (cn desc, u, v), never a global sort.
+    *
+    * Scale shape: the [[adamicAdarTopPairs]] plan with an integer count
+    * in place of the float fold — one adjacency aggregation, the
+    * packed-long wedge stream, one pair count, one anti-join, two O(V)
+    * degree joins on the topN-bounded survivors. */
+  def linkPredictionTopPairs(edges: DataFrame, srcCol: String,
+      dstCol: String, topN: Int, maxDeg: Int = 1024): DataFrame = {
+    require(topN >= 1 && maxDeg >= 2,
+      "linkPredictionTopPairs needs topN >= 1, maxDeg >= 2")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+    val adjAll = adjacencyOf(canon).persist()
+    try {
+      val cn = adjAll
+        .filter(size(col("nbrs")).between(2, maxDeg))
+        .select(explode(packedWedgeUdf(col("nbrs"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("cn"))
+        .join(adjAll.select(col("w"), explode(col("nbrs")).as("n"))
+            .filter(col("w") < col("n"))
+            .select((col("w") * lit(2147483648L) + col("n")).as("pk")),
+          Seq("pk"), "left_anti")
+        .select(expr("pk div 2147483648L").as("u"),
+          expr("pk % 2147483648L").as("v"), col("cn"))
+        // cut to the survivors BEFORE the degree joins
+        .orderBy(col("cn").desc, col("u"), col("v"))
+        .limit(topN)
+      val deg = adjAll.select(col("w"),
+        size(col("nbrs")).cast("long").as("deg"))
+      cn.join(deg.select(col("w").as("u"), col("deg").as("deg_u")),
+          Seq("u"))
+        .join(deg.select(col("w").as("v"), col("deg").as("deg_v")),
+          Seq("v"))
+        .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+          expr("(cn * 1000) div (deg_u + deg_v - cn)")
+            .as("jaccard_permille"),
+          (col("deg_u") * col("deg_v")).as("pref_attach"))
+        .orderBy(col("cn").desc, col("u"), col("v"))
+        .localCheckpoint()
+    } finally adjAll.unpersist(false)
+  }
+
   /** Sorted distinct adjacency per vertex from canonical (a < b)
     * self-loop-free edges — ONE aggregation shuffle. */
   private def adjacencyOf(canon: DataFrame): DataFrame = {
@@ -194,33 +276,7 @@ object Graph {
       .withColumn("term",
         floor(lit(1e12) / log(size(col("nbrs")).cast("double")))
           .cast("long"))
-    // wedge pairs via a tight-loop kernel, NOT nested
-    // transform(slice(...)) lambdas: higher-order functions evaluate
-    // interpreted (outside codegen), and at deg ≤ maxDeg a center emits
-    // O(deg²) values — the q279 gram-set lesson. Each (u, v) pair PACKS
-    // into one primitive long (u·2³¹ + v; the adjacency array is sorted
-    // so u < v by construction) — the O(V·deg²) wedge stream then flows
-    // as unboxed longs through explode, shuffle, hash-aggregate, and the
-    // known-edge anti-join, instead of allocating a struct row per
-    // wedge. Loud refusal beyond 31-bit vertex ids (re-key first).
-    val wedgeUdf = udf((nbrs: Seq[Long]) => {
-      val arr = nbrs.toArray
-      val n = arr.length
-      require(n == 0 ||
-        (arr(0) >= 0L && arr(n - 1) < 2147483648L),
-        "adamicAdarTopPairs packs pairs into int64: vertex ids must be " +
-          "in [0, 2^31) — re-key the graph first")
-      val out = new Array[Long](n * (n - 1) / 2)
-      var k = 0; var i = 0
-      while (i < n - 1) {
-        val hi = arr(i) * 2147483648L
-        var j = i + 1
-        while (j < n) { out(k) = hi + arr(j); k += 1; j += 1 }
-        i += 1
-      }
-      out
-    })
-    adj.select(col("term"), explode(wedgeUdf(col("nbrs"))).as("pk"))
+    adj.select(col("term"), explode(packedWedgeUdf(col("nbrs"))).as("pk"))
       .groupBy("pk").agg(sum("term").as("score_scaled"))
       // known edges derive from the UNFILTERED adjacency (an edge whose
       // endpoint degrees fall outside the center cap still exists) — no

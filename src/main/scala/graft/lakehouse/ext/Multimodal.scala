@@ -2178,4 +2178,282 @@ object Multimodal {
   /** `syntheticGzip` as a column function. */
   val syntheticGzipUdf = udf((name: String, mtime: Long, dl: Int,
     is: Long) => syntheticGzip(name, mtime, dl, is))
+
+  // ---- Parquet footer metadata (decode-free) ------------------------------
+
+  /** Parsed Parquet footer metadata: format version, schema-element
+    * count, row-group count, leaf-column count (of the first row
+    * group), total rows, declared total byte size across row groups,
+    * and created_by — everything a manifest/planner needs, read from
+    * the FOOTER ONLY (no page, no column chunk is touched). */
+  case class ParquetMeta(version: Int, n_schema: Int, n_row_groups: Int,
+    n_columns: Int, num_rows: Long, total_byte_size: Long,
+    created_by: String, truncated: Boolean)
+
+  /** Bounds-checked Thrift COMPACT-protocol cursor — the real wire
+    * format of the Parquet footer (parquet.thrift FileMetaData). Reads
+    * varints/zigzags/strings and can SKIP any field type (nested
+    * structs/lists included, depth-capped) so unknown or hostile fields
+    * never derail the walk; every read validates against the buffer
+    * end and a poisoned cursor reports `bad` instead of throwing. */
+  private final class TCompactCursor(bytes: Array[Byte], start: Int,
+      end: Int) {
+    var pos: Int = start
+    var bad: Boolean = false
+    def u8(): Int =
+      if (bad || pos >= end) { bad = true; 0 }
+      else { val v = bytes(pos) & 0xff; pos += 1; v }
+    /** Unsigned LEB128, capped at 10 bytes (hostile-input guard). */
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var more = true
+      while (more && !bad) {
+        if (shift > 63) { bad = true; return 0L }
+        val b = u8()
+        v |= (b & 0x7fL) << shift
+        more = (b & 0x80) != 0
+        shift += 7
+      }
+      v
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    def skipBytes(n: Long): Unit =
+      if (n < 0 || pos + n > end) bad = true else pos += n.toInt
+    def string(): String = {
+      val len = varint()
+      if (len < 0 || pos + len > end) { bad = true; "" }
+      else { val s = new String(bytes, pos, len.toInt, "UTF-8")
+        pos += len.toInt; s }
+    }
+    /** (size, elemType) of a list header. */
+    def listHeader(): (Long, Int) = {
+      val h = u8()
+      val t = h & 0x0f
+      val sz = if ((h >>> 4) == 15) varint() else (h >>> 4).toLong
+      // a declared size beyond the remaining bytes is hostile: every
+      // element costs >= 1 byte
+      if (sz < 0 || sz > (end - pos).toLong + 1) bad = true
+      (sz, t)
+    }
+    def skipValue(tpe: Int, depth: Int): Unit = {
+      if (bad || depth > 16) { bad = true; return }
+      tpe match {
+        case 1 | 2 => // bool true/false carried in the field header
+        case 3 => u8()
+        case 4 | 5 | 6 => zigzag()
+        case 7 => skipBytes(8)
+        case 8 => skipBytes(varint())
+        case 9 | 10 =>
+          val (sz, et) = listHeader()
+          var i = 0L
+          while (i < sz && !bad) { skipValue(et, depth + 1); i += 1 }
+        case 11 =>
+          val sz = varint()
+          if (sz > 0) {
+            val kv = u8()
+            var i = 0L
+            while (i < sz && !bad) {
+              skipValue(kv >>> 4, depth + 1)
+              skipValue(kv & 0x0f, depth + 1)
+              i += 1
+            }
+          }
+        case 12 => skipStruct(depth + 1)
+        case _ => bad = true
+      }
+    }
+    def skipStruct(depth: Int): Unit = {
+      if (bad || depth > 16) { bad = true; return }
+      var lastId = 0
+      var stop = false
+      while (!stop && !bad) {
+        val h = u8()
+        if (h == 0) stop = true
+        else {
+          val delta = h >>> 4
+          val t = h & 0x0f
+          lastId = if (delta == 0) zigzag().toInt else lastId + delta
+          skipValue(t, depth)
+        }
+      }
+    }
+  }
+
+  /** DECODE-FREE Parquet footer walker: validates the PAR1 magic at
+    * both ends, reads the little-endian footer length, then parses the
+    * Thrift compact FileMetaData — version (1), schema list size (2),
+    * num_rows (3), row_groups (4: per group the columns-list size and
+    * the total_byte_size/num_rows i64s), created_by (6). Unknown
+    * fields (encryption, key-value metadata, column orders) skip
+    * generically; a footer whose length field or thrift structure runs
+    * past the buffer reports `truncated` with whatever parsed cleanly.
+    * Returns null when the magic is absent (not a parquet file). */
+  def parquetFooterMeta(bytes: Array[Byte]): ParquetMeta = {
+    if (bytes == null || bytes.length < 12) return null
+    def m(i: Int) = bytes(i) == 'P' && bytes(i + 1) == 'A' &&
+      bytes(i + 2) == 'R' && bytes(i + 3) == '1'
+    if (!m(0) || !m(bytes.length - 4)) return null
+    val lenPos = bytes.length - 8
+    val footerLen = ((bytes(lenPos) & 0xff) | ((bytes(lenPos + 1) & 0xff) << 8)
+      | ((bytes(lenPos + 2) & 0xff) << 16)
+      | ((bytes(lenPos + 3) & 0xffL) << 24)).toLong
+    val footerStart = lenPos.toLong - footerLen
+    if (footerLen <= 0 || footerStart < 4)
+      return ParquetMeta(0, 0, 0, 0, 0L, 0L, null, truncated = true)
+    val c = new TCompactCursor(bytes, footerStart.toInt, lenPos)
+    var version = 0; var nSchema = 0; var nRowGroups = 0; var nCols = 0
+    var numRows = 0L; var totalBytes = 0L; var createdBy: String = null
+    var lastId = 0
+    var stop = false
+    while (!stop && !c.bad) {
+      val h = c.u8()
+      if (h == 0) stop = true
+      else {
+        val delta = h >>> 4
+        val t = h & 0x0f
+        lastId = if (delta == 0) c.zigzag().toInt else lastId + delta
+        (lastId, t) match {
+          case (1, 5) => version = c.zigzag().toInt
+          case (2, 9) =>
+            val (sz, et) = c.listHeader()
+            nSchema = sz.toInt
+            var i = 0L
+            while (i < sz && !c.bad) { c.skipValue(et, 1); i += 1 }
+          case (3, 6) => numRows = c.zigzag()
+          case (4, 9) =>
+            val (sz, _) = c.listHeader()
+            nRowGroups = sz.toInt
+            var g = 0L
+            while (g < sz && !c.bad) {
+              // RowGroup struct: 1 columns list, 2 total_byte_size,
+              // 3 num_rows; anything else skips
+              var rgLast = 0
+              var rgStop = false
+              while (!rgStop && !c.bad) {
+                val rh = c.u8()
+                if (rh == 0) rgStop = true
+                else {
+                  val rd = rh >>> 4
+                  val rt = rh & 0x0f
+                  rgLast = if (rd == 0) c.zigzag().toInt else rgLast + rd
+                  (rgLast, rt) match {
+                    case (1, 9) =>
+                      val (csz, cet) = c.listHeader()
+                      if (g == 0) nCols = csz.toInt
+                      var ci = 0L
+                      while (ci < csz && !c.bad) {
+                        c.skipValue(cet, 2); ci += 1
+                      }
+                    case (2, 6) => totalBytes += c.zigzag()
+                    case (3, 6) => // per-group rows: informational only
+                      c.zigzag()
+                    case _ => c.skipValue(rt, 2)
+                  }
+                }
+              }
+              g += 1
+            }
+          case (6, 8) => createdBy = c.string()
+          case _ => c.skipValue(t, 1)
+        }
+      }
+    }
+    ParquetMeta(version, nSchema, nRowGroups, nCols, numRows, totalBytes,
+      createdBy, truncated = c.bad)
+  }
+
+  private val parquetSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[ParquetMeta].dataType.asInstanceOf[StructType]
+
+  /** [[parquetFooterMeta]] over a blob column — appends a nullable
+    * `pq` struct. */
+  def decodeParquetFooters(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("pq", parquetSchema, nullable = true)) { bytes =>
+      parquetFooterMeta(bytes) match {
+        case null => null
+        case m => Row(m.version, m.n_schema, m.n_row_groups, m.n_columns,
+          m.num_rows, m.total_byte_size, m.created_by, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic Parquet file: PAR1 magic, an opaque
+    * filler "data" region, and a REAL Thrift compact FileMetaData
+    * footer — version 2, a root schema element with `nCols` leaf
+    * children, `nGroups` row groups of `rowsPer` rows whose
+    * total_byte_size is `base + g·step`, and created_by
+    * "graft-synth 1.0". Every varint/zigzag/list header is the real
+    * wire encoding, so the walker is exercised end to end. */
+  def syntheticParquet(nCols: Int, nGroups: Int, rowsPer: Long,
+      base: Long, step: Long): Array[Byte] = {
+    require(nCols >= 1 && nCols <= 1000 && nGroups >= 0 &&
+      nGroups <= 10000 && rowsPer >= 0 && base >= 0 && step >= 0,
+      "syntheticParquet salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt)
+        v >>>= 7 }
+      bos.write(v.toInt)
+    }
+    def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    def fieldHeader(delta: Int, tpe: Int): Unit =
+      bos.write((delta << 4) | tpe)
+    def listHeader(size: Int, elemType: Int): Unit =
+      if (size < 15) bos.write((size << 4) | elemType)
+      else { bos.write(0xf0 | elemType); varint(size.toLong) }
+    def str(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); varint(b.length.toLong); bos.write(b)
+    }
+    bos.write("PAR1".getBytes("US-ASCII"))
+    // opaque filler standing in for the column chunks
+    var f = 0
+    val fill = (base % 64L).toInt + 8
+    while (f < fill) { bos.write((f * 31 + nCols) & 0xff); f += 1 }
+    val footerStart = bos.size()
+    fieldHeader(1, 5); zigzag(2L) // 1: version = 2
+    fieldHeader(1, 9) // 2: schema
+    listHeader(nCols + 1, 12)
+    // root element: 4 name, 5 num_children
+    fieldHeader(4, 8); str("schema")
+    fieldHeader(1, 5); zigzag(nCols.toLong)
+    bos.write(0)
+    var cIdx = 0
+    while (cIdx < nCols) { // leaves: 1 type, 3 repetition, 4 name
+      fieldHeader(1, 5); zigzag(6L) // Type.BYTE_ARRAY
+      fieldHeader(2, 5); zigzag(1L) // OPTIONAL
+      fieldHeader(1, 8); str(s"c$cIdx")
+      bos.write(0)
+      cIdx += 1
+    }
+    fieldHeader(1, 6); zigzag(nGroups.toLong * rowsPer) // 3: num_rows
+    fieldHeader(1, 9) // 4: row_groups
+    listHeader(nGroups, 12)
+    var g = 0
+    while (g < nGroups) {
+      fieldHeader(1, 9) // 1: columns
+      listHeader(nCols, 12)
+      var cc = 0
+      while (cc < nCols) { // ColumnChunk: 2 file_offset
+        fieldHeader(2, 6); zigzag(4L + g.toLong * 100 + cc)
+        bos.write(0)
+        cc += 1
+      }
+      fieldHeader(1, 6); zigzag(base + g.toLong * step) // 2: total_byte_size
+      fieldHeader(1, 6); zigzag(rowsPer) // 3: num_rows
+      bos.write(0)
+      g += 1
+    }
+    fieldHeader(2, 8); str("graft-synth 1.0") // 6: created_by
+    bos.write(0)
+    val footerLen = bos.size() - footerStart
+    var i = 0
+    while (i < 4) { bos.write((footerLen >> (8 * i)) & 0xff); i += 1 }
+    bos.write("PAR1".getBytes("US-ASCII"))
+    bos.toByteArray
+  }
+
+  /** `syntheticParquet` as a column function. */
+  val syntheticParquetUdf = udf((nCols: Int, nGroups: Int, rowsPer: Long,
+    base: Long, step: Long) =>
+    syntheticParquet(nCols, nGroups, rowsPer, base, step))
 }

@@ -798,4 +798,80 @@ object Packing {
           .as("n_mod_moved"))
       .withColumn("moved", col("shard_n") =!= col("shard_n1"))
   }
+
+  /** Fill-in-the-middle training examples (Bavarian et al. 2022, PSM
+    * order): two DETERMINISTIC keyed-hash cut points split each document
+    * into prefix/middle/suffix and the example is reassembled as
+    * `<PRE>prefix<SUF>suffix<MID>middle` — the transformation FIM
+    * pretraining applies to a fraction of the corpus. Cuts derive from
+    * sha-256 of (id, seed, salt) exactly like the q73/q74 split
+    * machinery, so the SAME document always yields the SAME example on
+    * any engine — re-runs and backfills can't silently produce a
+    * different corpus. Cut arithmetic: a,b = hash mod (len−1) ∈
+    * [0, len−2]; lo = min(a,b), hi = max(a,b)+1 — so the middle is never
+    * empty and the suffix keeps ≥ 1 char (a FIM example with nothing to
+    * infill teaches nothing). Documents shorter than `minChars` pass
+    * through untouched as fim_sha = null rows (reported, not dropped —
+    * the caller sees exactly what was skipped). Pure per-row kernel,
+    * zero shuffle; output carries the span lengths and the sha-256 of
+    * the assembled example rather than the (corpus-sized) example text.
+    */
+  def fimExamples(df: DataFrame, idCol: String, textCol: String,
+      seed: Long, minChars: Int = 8): DataFrame = {
+    require(minChars >= 3, "fimExamples needs minChars >= 3 (three spans)")
+    def cut(salt: String): Column =
+      expr(s"cast(conv(substring(sha2(concat_ws('#', " +
+        s"cast($idCol as string), '$seed', '$salt'), 256), 1, 8), 16, 10) " +
+        s"as bigint)") % (length(col(textCol)).cast("long") - 1L)
+    val L = length(col(textCol)).cast("long")
+    val eligible = col(textCol).isNotNull && L >= minChars.toLong
+    val lo = least(cut("a"), cut("b"))
+    val hi = greatest(cut("a"), cut("b")) + 1L
+    val prefix = col(textCol).substr(lit(1), lo.cast("int"))
+    val middle = col(textCol).substr((lo + 1L).cast("int"),
+      (hi - lo).cast("int"))
+    val suffix = col(textCol).substr((hi + 1L).cast("int"),
+      (L - hi).cast("int"))
+    df.select(col(idCol),
+      when(eligible, lo).as("lo"),
+      when(eligible, hi).as("hi"),
+      when(eligible, lo).as("prefix_len"),
+      when(eligible, hi - lo).as("middle_len"),
+      when(eligible, L - hi).as("suffix_len"),
+      when(eligible, sha2(concat(lit("<PRE>"), prefix, lit("<SUF>"),
+        suffix, lit("<MID>"), middle), 256)).as("fim_sha"))
+  }
+
+  /** Per-domain cap sampling — the crawl-curation guard against a
+    * handful of giant hosts dominating the training mix: the registered
+    * domain (host minus a leading `www.`, last two dot-labels — the
+    * no-PSL simplification, stated) buckets each URL, and within a
+    * domain rows survive by keyed-sha rank ≤ cap. The rank hash is the
+    * q73 deterministic-shuffle convention, so which rows a domain keeps
+    * is reproducible on any engine and STABLE as other domains grow.
+    * Output: the kept rows with their domain, the domain's total count,
+    * and the row's rank. Scale shape: one (domain) shuffle for the
+    * window; the per-row domain extraction is a compiled regex chain —
+    * at 100 TB this is the exact shape of the dedup keep-best pass. */
+  def domainCapSample(df: DataFrame, idCol: String, urlCol: String,
+      cap: Int, seed: Long): DataFrame = {
+    require(cap >= 1, "domainCapSample needs cap >= 1")
+    val host = lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    val noWww = regexp_replace(host, "^www\\.", "")
+    val registered = regexp_extract(noWww, "([^.]+\\.[^.]+)$", 1)
+    val keyed = df
+      .filter(col(urlCol).isNotNull)
+      .withColumn("domain", registered)
+      .filter(col("domain") =!= "")
+      .withColumn("__k", sha2(concat_ws("#",
+        col(idCol).cast("string"), lit(seed.toString)), 256))
+    val w = Window.partitionBy("domain").orderBy(col("__k"), col(idCol))
+    keyed
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_domain",
+        count(lit(1)).over(Window.partitionBy("domain")))
+      .filter(col("rnk") <= cap.toLong)
+      .select(col(idCol), col("domain"), col("n_domain"), col("rnk"))
+  }
 }

@@ -356,4 +356,80 @@ object Retrieval {
       .withColumn(s"pass_at_$k",
         col("pass_num").cast("double") / col("pass_den").cast("double"))
   }
+
+  /** Average precision at k per query (the area under the
+    * precision-recall walk; its mean over queries is MAP):
+    * AP = Σ_{hits h} P@rank(h) / min(n_rel, k). Each precision term
+    * hit_no/rank is one IEEE division captured as exact DECIMAL(38,18)
+    * (the fold is order-free), the final AP one double division — the
+    * [[ndcgAtK]] portability recipe. Unjudged ranked docs contribute
+    * nothing; queries with no retrieved relevant doc score 0 (they ARE
+    * defined — the system found nothing). Ranks validate >= 1.
+    *
+    * 100 TB shape: rankings are top-k-bounded per query, qrels are
+    * eval-sized and broadcast; the hit numbering windows over ≤ k rows
+    * per query; output is \|queries\| rows. */
+  def averagePrecisionAtK(ranking: DataFrame, qrels: DataFrame,
+      queryCol: String, idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "averagePrecisionAtK: k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val judged = qrels.select(col(queryCol), col(idCol)).distinct()
+    val perQueryRel = judged.groupBy(queryCol)
+      .agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy(queryCol).orderBy("__r")
+    val hits = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(idCol),
+        guardedRank(col(rankCol), "averagePrecisionAtK", "__r"))
+      .join(broadcast(judged), Seq(queryCol, idCol))
+      .withColumn("__hitno", row_number().over(w))
+      .withColumn("__term",
+        (col("__hitno").cast("double") / col("__r").cast("double"))
+          .cast("decimal(38,18)"))
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("hits"), sum("__term").as("__num"))
+    perQueryRel.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("__num").cast("double"), lit(0.0)) /
+          least(col("n_rel"), lit(k.toLong)).cast("double")).as("ap"))
+  }
+
+  /** Rank-biased overlap between two top-k rankings (Webber, Moffat &
+    * Zobel, TOIS 2010), truncated at depth k (the prefix "min RBO" —
+    * no extrapolation): RBO = (1−p)·Σ_{d=1..k} p^{d−1}·|S₁:d ∩ T₁:d|/d.
+    * p is fixed at ½ so every weight (1−p)·p^{d−1} = 2^{−d} is EXACTLY
+    * representable and the per-depth term is one IEEE chain over the
+    * exact integer overlap — no pow() call whose libm rounding could
+    * differ across engines (stated: ½ is more top-weighted than the
+    * paper's illustrative 0.9; the weight choice is the caller-visible
+    * contract). Overlap at depth d is the count of ids whose max(rank
+    * in S, rank in T) ≤ d — one inner join + one cumulative count on
+    * the ≤ k joined rows. Returns one row: k, overlap_at_k, rbo.
+    *
+    * 100 TB shape: both inputs are top-k-bounded; everything after the
+    * id join runs on ≤ k rows. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, "rankBiasedOverlap needs k in [1, 62]")
+    import org.apache.spark.sql.expressions.Window
+    val sa = a.filter(col(rankCol) <= k)
+      .select(col(idCol).as("__id"),
+        guardedRank(col(rankCol), "rankBiasedOverlap", "__ra"))
+    val sb = b.filter(col(rankCol) <= k)
+      .select(col(idCol).as("__id"),
+        guardedRank(col(rankCol), "rankBiasedOverlap", "__rb"))
+    val joined = sa.join(sb, Seq("__id"))
+      .select(greatest(col("__ra"), col("__rb")).as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("__c"))
+    // complete depth frame 1..k with the cumulative overlap at each depth
+    val depths = a.sparkSession.range(1, k + 1).toDF("d")
+    val overlap = depths.join(joined, col("d") >= col("__d"), "left")
+      .groupBy("d").agg(sum(coalesce(col("__c"), lit(0L))).as("o"))
+    val term = (col("o").cast("double") / col("d").cast("double") /
+      expr("shiftleft(1L, cast(d as int))").cast("double"))
+    overlap.agg(
+        lit(k.toLong).as("k"),
+        max(when(col("d") === k, col("o"))).cast("long").as("overlap_at_k"),
+        sum(term.cast("decimal(38,18)")).cast("double").as("rbo"))
+  }
 }

@@ -1172,4 +1172,164 @@ object StatTests {
               (col("n").cast("double") - col("r").cast("double"))) *
               col("d").cast("double"))))
   }
+
+  /** G-test of independence (the likelihood-ratio sibling of
+    * [[chiSquaredDrift]], Sokal & Rohlf): G = 2·Σ o·ln(o/e) over the
+    * complete \|cats\|×\|arms\| grid with e = rt·ct/n; zero-observed
+    * cells contribute 0 (the o·ln(o) limit), so the two tests share the
+    * same frame and dof but G is additive across partitions of the
+    * table — the property that makes it the drill-down test (cell
+    * G-contributions sum exactly to the table's G). Each cell's term is
+    * one pinned IEEE chain (ln is the one libm call, the BM25
+    * precedent) accumulated as exact DECIMAL(38,18). Scale: one count
+    * aggregation; everything else runs on the bounded grid. */
+  def gTestIndependence(df: DataFrame, catCol: String,
+      armCol: String): DataFrame = {
+    val obs = categoryCounts(df, catCol, armCol)
+    val grid = obs.select("cat").distinct()
+      .crossJoin(obs.select("arm").distinct())
+      .join(obs, Seq("cat", "arm"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val withTot = grid
+      .withColumn("rt", sum("o").over(Window.partitionBy("cat")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("arm")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val term = when(col("o") > 0,
+        (col("o").cast("double") * log(col("o").cast("double") / e))
+          .cast("decimal(38,18)"))
+      .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"))
+    withTot
+      .withColumn("contrib", term)
+      .agg(
+        (lit(2.0) * sum("contrib").cast("double")).as("g"),
+        ((countDistinct("cat") - 1) * (countDistinct("arm") - 1))
+          .cast("long").as("dof"),
+        max("n").cast("long").as("n"))
+  }
+
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * integer score battery (quality sub-metrics, rubric columns):
+    * α = k/(k−1)·(1 − Σᵢ var(itemᵢ)/var(total)). Every variance is the
+    * EXACT integer n²-scaled population form n·Σx² − (Σx)², so the item
+    * fraction is one integer ratio and α is one final IEEE chain —
+    * nothing to drift across engines. Returns one row: n, k, the two
+    * exact variance numerators (the n² scale cancels in the ratio), and
+    * alpha (null when the total score is constant). Scale shape: ONE
+    * aggregation over the corpus computing 2k+3 sums; no shuffle wider
+    * than that. */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, "cronbachAlpha needs >= 2 items")
+    val k = itemCols.size
+    val items = itemCols.map(c => col(c).cast("long"))
+    val total = items.reduce(_ + _)
+    val aggs =
+      itemCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(col(c).cast("long")).as(s"__s$i"),
+          sum(col(c).cast("long") * col(c).cast("long")).as(s"__ss$i"))
+      } ++ Seq(sum(total).as("__st"), sum(total * total).as("__sst"),
+        count(lit(1)).as("n"))
+    val base = df
+      .filter(itemCols.map(col(_).isNotNull).reduce(_ && _))
+      .agg(aggs.head, aggs.tail: _*)
+    val itemVarNum = (0 until k).map(i =>
+      col("n") * col(s"__ss$i") - col(s"__s$i") * col(s"__s$i"))
+      .reduce(_ + _)
+    val totalVarNum = col("n") * col("__sst") - col("__st") * col("__st")
+    base.select(col("n").cast("long").as("n"),
+        lit(k.toLong).as("k"),
+        itemVarNum.cast("long").as("item_var_num"),
+        totalVarNum.cast("long").as("total_var_num"))
+      .withColumn("alpha",
+        when(col("total_var_num") > 0,
+          (lit(k.toDouble) / lit((k - 1).toDouble)) *
+            (lit(1.0) - col("item_var_num").cast("double") /
+              col("total_var_num").cast("double"))))
+  }
+
+  /** Friedman rank test — k treatments over b matched blocks (weekly
+    * event-type activity, per-slice model variants): within each block
+    * the treatments rank by their integer metric with AVERAGE ranks on
+    * ties, and χ²_F = 12·Σⱼ Rⱼ²/(b·k·(k+1)) − 3·b·(k+1). Ranks are kept
+    * as exact DOUBLED integers (a tie group at positions r..r+c−1 has
+    * mean rank r+(c−1)/2, i.e. doubled 2r+c−1), so Σ Rⱼ² is exact
+    * integer arithmetic and the statistic is one final IEEE chain. The
+    * (block, treatment) grid is completed with zero cells — a treatment
+    * silent in a block still occupies a rank. No tie-correction factor
+    * is applied (stated, not hidden). Scale: one count aggregation into
+    * the b·k grid; ranks window over k-row partitions. */
+  def friedmanTest(df: DataFrame, blockCol: String, treatCol: String,
+      metric: Column): DataFrame = {
+    val cells = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(treatCol).as("t"))
+      .agg(metric.as("m"))
+    val grid = cells.select("b").distinct()
+      .crossJoin(cells.select("t").distinct())
+      .join(cells, Seq("b", "t"), "left")
+      .withColumn("m", coalesce(col("m").cast("long"), lit(0L)))
+    val ranked = grid
+      .withColumn("__r", rank().over(
+        Window.partitionBy("b").orderBy("m")))
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("b", "m")))
+      .withColumn("__dr", lit(2L) * col("__r") + col("__c") - 1L)
+    val perTreat = ranked.groupBy("t")
+      .agg(sum("__dr").as("__drsum"), count(lit(1)).as("__b"))
+    perTreat.agg(
+        sum(col("__drsum") * col("__drsum")).as("__sum_dr2"),
+        max("__b").as("b"), count(lit(1)).as("k"))
+      .select(col("b").cast("long").as("b"), col("k").cast("long").as("k"),
+        col("__sum_dr2").cast("long").as("sum_r2_x4"),
+        (lit(12.0) * (col("__sum_dr2").cast("double") / lit(4.0)) /
+          (col("b").cast("double") * col("k").cast("double") *
+            (col("k") + 1L).cast("double")) -
+          lit(3.0) * col("b").cast("double") *
+            (col("k") + 1L).cast("double")).as("chi2_f"),
+        (col("k") - 1L).cast("long").as("dof"))
+  }
+
+  /** Hosmer–Lemeshow calibration test: exact-rank decile bins over an
+    * integer permille score (the [[sliceAccuracyWilson]] bucketing
+    * convention: bin(v) = ceil(cum(v)·g/n), ties share a bin), then
+    * HL = Σ_g (o_g − e_g)²/(e_g·(1 − e_g/n_g)) with e_g = Σ score/1000 —
+    * the test statistic under the q302 reliability diagram and the q318
+    * ECE number. Observed counts and permille sums are exact integers;
+    * each bin's term is one pinned IEEE chain accumulated as exact
+    * DECIMAL(38,18); bins with degenerate e (0 or n_g) are excluded from
+    * the fold and reported in n_degenerate. Returns one row: n, n_bins,
+    * n_degenerate, hl, dof = bins − 2. Scale: one value-count
+    * aggregation, windows over the bounded distinct-score frame. */
+  def hosmerLemeshow(df: DataFrame, scorePermilleCol: String,
+      labelCol: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "hosmerLemeshow needs bins >= 2")
+    val counts = df
+      .filter(col(scorePermilleCol).isNotNull && labelCol.isNotNull)
+      .groupBy(col(scorePermilleCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"), sum(labelCol.cast("long")).as("__o"))
+    val wCum = Window.partitionBy().orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = counts
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(Window.partitionBy()))
+      .withColumn("__bin",
+        expr(s"(__cum * $bins + __n - 1) div __n"))
+      .groupBy("__bin")
+      .agg(sum("__c").as("ng"), sum("__o").as("og"),
+        sum(col("__v") * col("__c")).as("sp"))
+    val e = col("sp").cast("double") / lit(1000.0)
+    val degenerate = col("sp") <= 0L || col("sp") >= col("ng") * 1000L
+    val term = when(!degenerate,
+        ((col("og").cast("double") - e) * (col("og").cast("double") - e) /
+          (e * (lit(1.0) - col("sp").cast("double") /
+            (col("ng") * 1000L).cast("double"))))
+          .cast("decimal(38,18)"))
+    binned.agg(
+        sum("ng").cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(when(degenerate, 1L).otherwise(0L)).cast("long")
+          .as("n_degenerate"),
+        sum(term).cast("double").as("hl"))
+      .withColumn("dof", col("n_bins") - col("n_degenerate") - 2L)
+  }
 }

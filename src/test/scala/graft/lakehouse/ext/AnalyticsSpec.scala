@@ -834,4 +834,70 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Long]("abs_err_naive7") == 49L)
     assert(r.getAs[Long]("seasonal_vs_persistence_permille") == 7000L)
   }
+
+  test("logRankTest: hand-computed O1/E1/V on a 4-user fixture") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
+    // obs end = day 21. u1 (g1) 1->11: gap 10 > 7 -> churn, duration 10.
+    // u2 (g0) 1->17: gap 4 -> censored, duration 16. u3 (g1), u4 (g0)
+    // 1->21: censored, duration 20. Only duration 10 carries an event:
+    // n=4, n1=2, d=1, d1=1 -> E1 = 1*2/4 = 0.5,
+    // V = 1*(2/4)*(1-2/4)*((4-1)/(4-1)) = 0.25, chi2 = 0.25/0.25 = 1.
+    val ev = Seq(
+      (1L, t(1)), (1L, t(11)),
+      (2L, t(1)), (2L, t(17)),
+      (3L, t(1)), (3L, t(21)),
+      (4L, t(1)), (4L, t(21)))
+      .toDF("user_id", "ts")
+    val r = Analytics.logRankTest(ev, "user_id", "ts", churnGapDays = 7,
+      groupCol = col("user_id") % 2).head()
+    assert(r.getAs[Long]("o1") == 1L, r.toString)
+    assert(math.abs(r.getAs[Double]("e1") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("v") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chi2") - 1.0) < 1e-12)
+  }
+
+  test("logRankTest: identical group curves give chi2 = 0") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
+    // u1 (g1) and u2 (g0) both churn at duration 10; u3/u4 censored.
+    val ev = Seq(
+      (1L, t(1)), (1L, t(11)),
+      (2L, t(1)), (2L, t(11)),
+      (3L, t(1)), (3L, t(21)),
+      (4L, t(1)), (4L, t(21)))
+      .toDF("user_id", "ts")
+    val r = Analytics.logRankTest(ev, "user_id", "ts", churnGapDays = 7,
+      groupCol = col("user_id") % 2).head()
+    assert(r.getAs[Long]("o1") == 1L)
+    assert(math.abs(r.getAs[Double]("e1") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-12)
+  }
+
+  test("ljungBox: hand-computed Q on a 4-day alternating series") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // daily counts [1,2,1,2]: n=4, S=6, n*y-S = [-2,2,-2,2], den=16;
+    // lag nums: -12, 8, -4 -> r = [-.75, .5, -.25];
+    // Q = 4*6*(0.5625/3 + 0.25/2 + 0.0625/1) = 24*0.375 = 9.
+    val ev = Seq(
+      ("x", t(1)),
+      ("x", t(2)), ("x", t(2)),
+      ("x", t(3)),
+      ("x", t(4)), ("x", t(4)))
+      .toDF("event_type", "ts")
+    val r = Analytics.ljungBox(ev, "event_type", "ts", maxLag = 3).head()
+    assert(r.getAs[Long]("n_days") == 4L, r.toString)
+    assert(r.getAs[Long]("h") == 3L)
+    assert(math.abs(r.getAs[Double]("q_lb") - 9.0) < 1e-12)
+  }
+
+  test("ljungBox: constant series reports NULL Q, not a fabricated 0") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq(("x", t(1)), ("x", t(2)), ("x", t(3)), ("x", t(4)))
+      .toDF("event_type", "ts")
+    val r = Analytics.ljungBox(ev, "event_type", "ts", maxLag = 2).head()
+    assert(r.isNullAt(r.fieldIndex("q_lb")))
+  }
 }

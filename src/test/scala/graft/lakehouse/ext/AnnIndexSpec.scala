@@ -113,4 +113,39 @@ class AnnIndexSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("buildPqIndex"), e.getMessage)
   }
+
+  test("deletePqIndex: DV-mode erasure equals a rebuild without the ids, " +
+      "codebooks stay frozen") {
+    AnnIndex.buildPqIndex(spark, lh, "ann_d", batch1, "vec_id", "embedding")
+    AnnIndex.appendPqIndex(spark, lh, "ann_d", batch2, "vec_id", "embedding")
+    val cbDir = Catalog.tablePath(lh, "ann_d_codebooks")
+    val cbV = Versioned.latestVersion(cbDir).get
+    val total = emb.count()
+    val erased = emb.filter(col("vec_id") % 3 === 0).count()
+    val remaining = AnnIndex.deletePqIndex(spark, lh, "ann_d",
+      "vec_id % 3 = 0", deletionVectors = true)
+    assert(remaining == total - erased,
+      s"expected ${total - erased} survivors, got $remaining")
+    assert(Versioned.latestVersion(cbDir).get == cbV,
+      "deletePqIndex must not version the codebooks forward")
+    // no deleted id is reachable by any query, and exact-mode results
+    // equal brute force over the survivors
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = AnnIndex.queryPqIndex(spark, lh, "ann_d", queries,
+        "vec_id", "embedding", k = 8, reRank = 1000000)
+      .collect()
+    assert(got.forall(_.getAs[Long]("vec_id") % 3 != 0),
+      "a deleted vector surfaced in query results")
+    AnnIndex.buildPqIndex(spark, lh, "ann_d_ref",
+      emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      fit = Some(batch1.filter(col("vec_id") % 3 =!= 0)))
+    val ref = AnnIndex.queryPqIndex(spark, lh, "ann_d_ref", queries,
+        "vec_id", "embedding", k = 8, reRank = 1000000)
+      .collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(key(got) == key(ref),
+      "post-delete exact-mode results differ from the rebuilt index")
+  }
 }

@@ -71,4 +71,28 @@ class ClusteringSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("uniform vector dimension"), e.getMessage)
   }
+
+  test("simplifiedSilhouette: hand-computed centroid-form scores on 1-D points") {
+    // centroids = first 2 vectors by id: q(0.0)=1048576, q(1.0)=1049600.
+    // id3 (0.4 -> 1048985): a=409 (c0), b=615 -> s=206/615.
+    // id4 (0.9 -> 1049497): a=103 (c1), b=921 -> s=818/921.
+    // seeds score s=1 in their own cluster (a=0).
+    val df = Seq(
+      (1L, Array(0.0f)), (2L, Array(1.0f)),
+      (3L, Array(0.4f)), (4L, Array(0.9f)))
+      .toDF("vec_id", "v")
+    val got = Clustering.simplifiedSilhouette(df, "vec_id", "v",
+        nClusters = 2)
+      .orderBy("cluster").collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean_sil")))
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((0, 2L), (1, 2L)),
+      got.mkString(","))
+    assert(math.abs(got(0)._3 - (1.0 + 206.0 / 615.0) / 2.0) < 1e-12)
+    assert(math.abs(got(1)._3 - (1.0 + 818.0 / 921.0) / 2.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Clustering.simplifiedSilhouette(df, "vec_id", "v", nClusters = 9)
+        .collect()
+    }
+  }
 }

@@ -230,4 +230,34 @@ class GraphSpec extends SparkSuite {
       ("hub", 2L, U)), got.mkString(","))
     assert(run(7) == got, "integer HITS must be partition-order free")
   }
+
+  test("linkPredictionTopPairs: exact cn/jaccard/pref-attach on a hand graph") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 on 3: the only non-adjacent wedge
+    // pairs are (1,4) and (2,4), each sharing center 3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.linkPredictionTopPairs(edges, "src", "dst",
+        topN = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("cn"), r.getAs[Long]("deg_u"),
+        r.getAs[Long]("deg_v"), r.getAs[Long]("jaccard_permille"),
+        r.getAs[Long]("pref_attach"))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 2L, 1L, 500L, 2L),
+      (2L, 4L, 1L, 2L, 1L, 500L, 2L)), got.mkString(","))
+  }
+
+  test("linkPredictionTopPairs: duplicate/reversed edge sightings collapse") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (3L, 5L))
+      .toDF("src", "dst")
+    // adjacency: 1:{2,3}, 2:{1}, 3:{1,5}, 5:{3}; wedges: (2,3) via 1,
+    // (1,5) via 3 — neither is an edge.
+    val got = Graph.linkPredictionTopPairs(edges, "src", "dst", topN = 10)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("cn"))).toSeq
+    assert(got == Seq((1L, 5L, 1L), (2L, 3L, 1L)), got.mkString(","))
+  }
 }

@@ -524,4 +524,48 @@ class MultimodalSpec extends SparkSuite {
       == null)
     assert(Multimodal.oggMeta(null) == null)
   }
+
+  test("parquetFooterMeta: synthetic thrift-compact footer roundtrips") {
+    val b = Multimodal.syntheticParquet(nCols = 3, nGroups = 2,
+      rowsPer = 10L, base = 100L, step = 7L)
+    val m = Multimodal.parquetFooterMeta(b)
+    assert(m.version == 2 && m.n_schema == 4 && m.n_row_groups == 2 &&
+      m.n_columns == 3, m.toString)
+    assert(m.num_rows == 20L && m.total_byte_size == 207L)
+    assert(m.created_by == "graft-synth 1.0" && !m.truncated)
+    // a 15+-element list exercises the long-form list header
+    val wide = Multimodal.parquetFooterMeta(Multimodal.syntheticParquet(
+      nCols = 20, nGroups = 1, rowsPer = 1L, base = 1L, step = 0L))
+    assert(wide.n_columns == 20 && wide.n_schema == 21 && !wide.truncated)
+  }
+
+  test("parquetFooterMeta: hostile inputs degrade to truncated/null, never throw") {
+    val b = Multimodal.syntheticParquet(2, 1, 5L, 50L, 0L)
+    // tail magic gone -> not a parquet file
+    assert(Multimodal.parquetFooterMeta(b.take(b.length - 2)) == null)
+    assert(Multimodal.parquetFooterMeta("PAR1junk".getBytes) == null)
+    assert(Multimodal.parquetFooterMeta(null) == null)
+    // footer length pointing before the file start
+    val badLen = b.clone()
+    badLen(b.length - 8) = 0xff.toByte
+    badLen(b.length - 7) = 0xff.toByte
+    badLen(b.length - 6) = 0xff.toByte
+    assert(Multimodal.parquetFooterMeta(badLen).truncated)
+    // unbounded varint in the footer region (10+ continuation bytes)
+    val hostile = "PAR1".getBytes ++ Array.fill[Byte](16)(0xff.toByte) ++
+      Array[Byte](16, 0, 0, 0) ++ "PAR1".getBytes
+    assert(Multimodal.parquetFooterMeta(hostile).truncated)
+  }
+
+  test("parquetFooterMeta parses a REAL pyarrow-written parquet footer") {
+    val path = java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet")
+    assume(java.nio.file.Files.exists(path))
+    val m = Multimodal.parquetFooterMeta(java.nio.file.Files.readAllBytes(path))
+    assert(m != null && !m.truncated, s"$m")
+    assert(m.num_rows == 5L, m.toString) // region has 5 rows at every sf
+    assert(m.n_row_groups >= 1 && m.n_columns >= 2, m.toString)
+    assert(m.n_schema == m.n_columns + 1, m.toString) // flat root schema
+    assert(m.total_byte_size > 0L)
+    assert(m.created_by != null && m.created_by.nonEmpty)
+  }
 }

@@ -512,4 +512,59 @@ class PackingSpec extends SparkSuite {
     assert(got.filter(_._5).forall(_._2 == 4),
       "HRW N->N+1 movement must target only the new shard")
   }
+
+  test("fimExamples: spans partition the document and reassembly is exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, "0123456789abcdef"),
+      (3L, "ab")) // too short -> null example row, not dropped
+      .toDF("doc_id", "text")
+    val got = Packing.fimExamples(docs, "doc_id", "text", seed = 5L,
+      minChars = 8).orderBy("doc_id").collect()
+    assert(got.length == 3)
+    got.take(2).foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      val len = if (r.getAs[Long]("doc_id") == 1L) 10L else 16L
+      assert(lo >= 0 && lo < hi && hi < len, r.toString)
+      assert(r.getAs[Long]("prefix_len") == lo)
+      assert(r.getAs[Long]("middle_len") == hi - lo)
+      assert(r.getAs[Long]("suffix_len") == len - hi)
+      // reassembled sha matches a driver-side replay of the same cuts
+      val text = if (r.getAs[Long]("doc_id") == 1L) "abcdefghij"
+        else "0123456789abcdef"
+      val expected = "<PRE>" + text.substring(0, lo.toInt) + "<SUF>" +
+        text.substring(hi.toInt) + "<MID>" +
+        text.substring(lo.toInt, hi.toInt)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(expected.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("fim_sha") == sha, r.toString)
+    }
+    assert(got(2).isNullAt(got(2).fieldIndex("fim_sha")),
+      "short docs report null, not a bogus example")
+    // determinism: same seed -> same cuts
+    val again = Packing.fimExamples(docs, "doc_id", "text", seed = 5L,
+      minChars = 8).orderBy("doc_id").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("domainCapSample: registered-domain buckets and the cap binds") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => (i,
+      s"https://www.bulk${i % 2}.com/p/$i")) ++
+      Seq((100L, "https://unique.org/x"),
+        (101L, "http://Sub.News.example.co/y")) // multi-label host
+    val got = Packing.domainCapSample(rows.toDF("doc_id", "url"),
+      "doc_id", "url", cap = 10, seed = 3L)
+      .orderBy("domain", "rnk").collect()
+    val byDomain = got.groupBy(_.getAs[String]("domain"))
+    assert(byDomain("bulk0.com").length == 10, "cap must bind")
+    assert(byDomain("bulk1.com").length == 10)
+    assert(byDomain("unique.org").length == 1)
+    // registered domain = last two labels of the host (www. stripped)
+    assert(byDomain.contains("example.co"), byDomain.keySet.toString)
+    assert(byDomain("bulk0.com").head.getAs[Long]("n_domain") == 15L)
+    // ranks within a domain are 1..kept and deterministic for the seed
+    assert(byDomain("bulk0.com").map(_.getAs[Long]("rnk")).sorted.toSeq
+      == (1L to 10L))
+  }
 }

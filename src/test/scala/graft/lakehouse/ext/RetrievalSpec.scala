@@ -245,4 +245,57 @@ class RetrievalSpec extends SparkSuite {
       Retrieval.passAtK(rows, "task", col("ok") === 1, k = 7)
     }
   }
+
+  test("averagePrecisionAtK: hand-computed AP and the zero-hit query") {
+    val ranking = (1 to 5).map(r => ("q1", r.toLong, r)) ++
+      (1 to 5).map(r => ("q2", (100 + r).toLong, r))
+    val qrels = Seq(("q1", 1L), ("q1", 3L), ("q1", 5L),
+      ("q2", 999L))
+    val got = Retrieval.averagePrecisionAtK(
+        ranking.toDF("query_id", "doc_id", "rank"),
+        qrels.toDF("query_id", "doc_id"),
+        "query_id", "doc_id", "rank", k = 5)
+      .orderBy("query_id").collect()
+    // q1: hits at ranks 1,3,5 -> AP = (1/1 + 2/3 + 3/5)/3
+    assert(got(0).getAs[Long]("n_rel") == 3L)
+    assert(got(0).getAs[Long]("hits") == 3L)
+    assert(math.abs(got(0).getAs[Double]("ap") -
+      (1.0 + 2.0 / 3.0 + 3.0 / 5.0) / 3.0) < 1e-12)
+    // q2: nothing retrieved is relevant -> AP = 0, not null
+    assert(got(1).getAs[Long]("hits") == 0L)
+    assert(got(1).getAs[Double]("ap") == 0.0)
+  }
+
+  test("averagePrecisionAtK divides by min(n_rel, k)") {
+    // 3 relevant docs but k=2: perfect top-2 retrieval scores AP=1.
+    val ranking = Seq(("q", 1L, 1), ("q", 2L, 2))
+    val qrels = Seq(("q", 1L), ("q", 2L), ("q", 3L))
+    val r = Retrieval.averagePrecisionAtK(
+      ranking.toDF("query_id", "doc_id", "rank"),
+      qrels.toDF("query_id", "doc_id"),
+      "query_id", "doc_id", "rank", k = 2).head()
+    assert(math.abs(r.getAs[Double]("ap") - 1.0) < 1e-12)
+  }
+
+  test("rankBiasedOverlap: identical, disjoint, and partial lists") {
+    def rk(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (id, i + 1) }
+        .toDF("doc_id", "rank")
+    val same = Retrieval.rankBiasedOverlap(
+      rk(Seq(10, 20, 30)), rk(Seq(10, 20, 30)), "doc_id", "rank", k = 3)
+      .head()
+    // overlap_d = d -> rbo = 1/2 + 1/4 + 1/8
+    assert(same.getAs[Long]("overlap_at_k") == 3L)
+    assert(math.abs(same.getAs[Double]("rbo") - 0.875) < 1e-12)
+    val disjoint = Retrieval.rankBiasedOverlap(
+      rk(Seq(1, 2, 3)), rk(Seq(7, 8, 9)), "doc_id", "rank", k = 3).head()
+    assert(disjoint.getAs[Long]("overlap_at_k") == 0L)
+    assert(disjoint.getAs[Double]("rbo") == 0.0)
+    // swapped tail: S=(1,2), T=(2,1) at k=2 -> overlap@1 = 0, overlap@2 = 2
+    // rbo = (0/1)/2 + (2/2)/4 = 0.25
+    val partial = Retrieval.rankBiasedOverlap(
+      rk(Seq(1, 2)), rk(Seq(2, 1)), "doc_id", "rank", k = 2).head()
+    assert(partial.getAs[Long]("overlap_at_k") == 2L)
+    assert(math.abs(partial.getAs[Double]("rbo") - 0.25) < 1e-12)
+  }
 }

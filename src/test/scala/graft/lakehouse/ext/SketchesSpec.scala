@@ -73,6 +73,34 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("CMS counters stream: complete-mode cells over a MemoryStream " +
+      "equal the batch counters on the same data") {
+    // The counter agg is sum-per-(row,slot) cell, so Structured
+    // Streaming keeps depth*width longs of state and every micro-batch
+    // folds incrementally — the q192 "the agg IS the incremental
+    // operator" shape for frequencies.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val agg = Sketches.portableCmsCounters(mem.toDF().toDF("v"), "v",
+      depth = 4, width = 64)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream_test").start()
+    try {
+      mem.addData(1L to 300L: _*); q.processAllAvailable()
+      mem.addData((1L to 900L).map(_ % 50): _*); q.processAllAvailable()
+      val streamed = spark.table("cms_stream_test").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batchDf = (1L to 300L).toDF("v")
+        .union((1L to 900L).map(_ % 50).toDF("v"))
+      val batch = Sketches.portableCmsCounters(batchDf, "v",
+          depth = 4, width = 64).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        "streamed CMS state diverged from the batch counters")
+    } finally q.stop()
+  }
+
   test("CMS is linear: counters of a union = cell-wise sum of the parts") {
     val a = spark.range(0, 5000).select((col("id") % 97).as("v"))
     val b = spark.range(5000, 12000).select((col("id") % 131).as("v"))

@@ -672,4 +672,112 @@ class StatTestsSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("dispersion") - 0.5) < 1e-12)
     assert(math.abs(r.getAs[Double]("chi2") - 1.0) < 1e-12)
   }
+
+  test("gTestIndependence matches the textbook 2x2 computation") {
+    // Same fixture as the chi-squared spec: e = 20, 30, 20, 30.
+    val rows = Seq.fill(30)(("a", 0)) ++ Seq.fill(10)(("b", 0)) ++
+      Seq.fill(20)(("a", 1)) ++ Seq.fill(40)(("b", 1))
+    val r = StatTests.gTestIndependence(rows.toDF("cat", "arm"),
+      "cat", "arm").head()
+    // e(a,0)=20 e(b,0)=20 e(a,1)=30 e(b,1)=30
+    val expected = 2.0 * (30 * math.log(30.0 / 20) +
+      10 * math.log(10.0 / 20) + 20 * math.log(20.0 / 30) +
+      40 * math.log(40.0 / 30))
+    assert(math.abs(r.getAs[Double]("g") - expected) < 1e-9, r.toString)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("n") == 100L)
+  }
+
+  test("gTestIndependence: zero-observed cells contribute 0 (the o*ln o limit)") {
+    val rows = Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(5)(("c", 1))
+    val r = StatTests.gTestIndependence(rows.toDF("cat", "arm"),
+      "cat", "arm").head()
+    // e: (a,0)=8 (a,1)=12 (c,0)=2 (c,1)=3; the (c,0)=0 cell adds nothing.
+    val expected = 2.0 * (10 * math.log(10.0 / 8) +
+      10 * math.log(10.0 / 12) + 5 * math.log(5.0 / 3))
+    assert(math.abs(r.getAs[Double]("g") - expected) < 1e-9, r.toString)
+  }
+
+  test("cronbachAlpha: exact integer variance numerators and the 2-item alpha") {
+    // items a=(1,2,3), b=(2,4,6): item nums 6 + 24 = 30; total t=(3,6,9)
+    // num 54 -> alpha = 2*(1 - 30/54) = 8/9.
+    val df = Seq((1, 2), (2, 4), (3, 6)).toDF("a", "b")
+    val r = StatTests.cronbachAlpha(df, Seq("a", "b")).head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("item_var_num") == 30L)
+    assert(r.getAs[Long]("total_var_num") == 54L)
+    assert(math.abs(r.getAs[Double]("alpha") - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("cronbachAlpha: constant total score reports NULL alpha") {
+    val df = Seq((1, 3), (2, 2), (3, 1)).toDF("a", "b")
+    val r = StatTests.cronbachAlpha(df, Seq("a", "b")).head()
+    assert(r.getAs[Long]("total_var_num") == 0L)
+    assert(r.isNullAt(r.fieldIndex("alpha")))
+  }
+
+  test("friedmanTest: consistent ranking across blocks gives the textbook chi2") {
+    // 3 blocks, treatments A<B<C everywhere: R = (3,6,9),
+    // chi2 = 12*126/(3*3*4) - 3*3*4 = 6; doubled-rank sum of squares 504.
+    val df = Seq(
+      (1, "A", 1L), (1, "B", 2L), (1, "C", 3L),
+      (2, "A", 4L), (2, "B", 5L), (2, "C", 6L),
+      (3, "A", 7L), (3, "B", 8L), (3, "C", 9L))
+      .toDF("blk", "trt", "v")
+    val r = StatTests.friedmanTest(df, "blk", "trt", sum("v")).head()
+    assert(r.getAs[Long]("b") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("sum_r2_x4") == 504L)
+    assert(math.abs(r.getAs[Double]("chi2_f") - 6.0) < 1e-12)
+    assert(r.getAs[Long]("dof") == 2L)
+  }
+
+  test("friedmanTest: ties take average ranks (doubled-integer form)") {
+    // Block 1 all tied at 5: each cell's doubled rank = 2*1 + 3 - 1 = 4
+    // (avg rank 2). Block 2 ranks A<B<C -> dr = 2,4,6.
+    val df = Seq(
+      (1, "A", 5L), (1, "B", 5L), (1, "C", 5L),
+      (2, "A", 1L), (2, "B", 2L), (2, "C", 3L))
+      .toDF("blk", "trt", "v")
+    val r = StatTests.friedmanTest(df, "blk", "trt", sum("v")).head()
+    // drsums: A=6, B=8, C=10 -> sum_dr2 = 36+64+100 = 200
+    assert(r.getAs[Long]("sum_r2_x4") == 200L, r.toString)
+  }
+
+  test("friedmanTest completes missing (block, treatment) cells with 0") {
+    // treatment C absent in block 2: its cell ranks as m=0 (lowest).
+    val df = Seq(
+      (1, "A", 2L), (1, "B", 3L), (1, "C", 4L),
+      (2, "A", 5L), (2, "B", 6L))
+      .toDF("blk", "trt", "v")
+    val r = StatTests.friedmanTest(df, "blk", "trt", sum("v")).head()
+    // block2: C=0 -> dr 2, A dr 4, B dr 6; block1: A 2, B 4, C 6.
+    // drsums A=6, B=10, C=8 -> 36+100+64 = 200.
+    assert(r.getAs[Long]("b") == 2L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("sum_r2_x4") == 200L, r.toString)
+  }
+
+  test("hosmerLemeshow: perfectly calibrated integer bins score 0") {
+    // v=200 x5 rows with 1 event, v=400 x5 with 2, v=600 x5 with 3,
+    // v=800 x5 with 4; bins=2 -> both bins have o = e exactly.
+    val rows = (0 until 5).flatMap(i => Seq(
+      (200L, if (i < 1) 1 else 0), (400L, if (i < 2) 1 else 0),
+      (600L, if (i < 3) 1 else 0), (800L, if (i < 4) 1 else 0)))
+    val r = StatTests.hosmerLemeshow(rows.toDF("score", "lab"),
+      "score", col("lab"), bins = 2).head()
+    assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Long]("n_degenerate") == 0L)
+    assert(math.abs(r.getAs[Double]("hl")) < 1e-12, r.toString)
+    assert(r.getAs[Long]("dof") == 0L)
+  }
+
+  test("hosmerLemeshow: miscalibrated bin contributes (o-e)^2/(e(1-e/n))") {
+    // One bin (bins=2 but one distinct score): v=500 x4 rows, 3 events.
+    // e = 4*500/1000 = 2; term = 1/(2*(1-0.5)) = 1.
+    val rows = Seq((500L, 1), (500L, 1), (500L, 1), (500L, 0))
+    val r = StatTests.hosmerLemeshow(rows.toDF("score", "lab"),
+      "score", col("lab"), bins = 2).head()
+    assert(r.getAs[Long]("n_bins") == 1L)
+    assert(math.abs(r.getAs[Double]("hl") - 1.0) < 1e-12, r.toString)
+  }
 }
