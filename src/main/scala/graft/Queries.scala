@@ -14232,5 +14232,128 @@ object Queries {
         |SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
         |  round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Bradley-Terry preference scores over a deterministic pairwise
+    // comparison log (consecutive docs, different sources, longer text
+    // wins): 2 fixed-point MM rounds, all integer — the oracle unrolls
+    // both rounds over the pair matrix.
+    Q("q417_bradley_terry",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        val g = d.alias("x").join(d.alias("y"),
+            col("y.doc_id") === col("x.doc_id") + 1)
+          .filter(col("x.source") =!= col("y.source") &&
+            col("x.n_chars") =!= col("y.n_chars"))
+          .select(
+            when(col("x.n_chars") > col("y.n_chars"), col("x.source"))
+              .otherwise(col("y.source")).as("winner"),
+            when(col("x.n_chars") > col("y.n_chars"), col("y.source"))
+              .otherwise(col("x.source")).as("loser"))
+        Retrieval.bradleyTerryScores(g, "winner", "loser", iterations = 2)
+          .orderBy("player")
+      },
+      Some("""WITH x AS (SELECT doc_id, source, n_chars FROM documents),
+        |g AS (
+        |  SELECT CASE WHEN x.n_chars > y.n_chars THEN x.source
+        |      ELSE y.source END AS winner,
+        |    CASE WHEN x.n_chars > y.n_chars THEN y.source
+        |      ELSE x.source END AS loser
+        |  FROM x JOIN x y ON y.doc_id = x.doc_id + 1
+        |  WHERE x.source <> y.source AND x.n_chars <> y.n_chars),
+        |pp AS (
+        |  SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+        |    count(*) AS n,
+        |    count(*) FILTER (WHERE winner < loser) AS wa
+        |  FROM g GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT a AS i, b AS j, n FROM pp
+        |  UNION ALL SELECT b AS i, a AS j, n FROM pp),
+        |per AS (SELECT e.i AS p, sum(e.n) AS games FROM edges e
+        |  GROUP BY 1),
+        |winsrc AS (
+        |  SELECT a AS p, wa AS w FROM pp
+        |  UNION ALL SELECT b AS p, n - wa AS w FROM pp),
+        |pw AS (
+        |  SELECT per.p, per.games, sum(w) AS wins
+        |  FROM per JOIN winsrc ON winsrc.p = per.p GROUP BY 1, 2),
+        |kc AS (SELECT count(*) AS k FROM pw),
+        |s0 AS (SELECT p, CAST(1000000 AS BIGINT) AS s FROM pw),
+        |d1 AS (
+        |  SELECT e.i AS p,
+        |    sum((e.n * 1000000000000) // (si.s + sj.s)) AS den
+        |  FROM edges e JOIN s0 si ON si.p = e.i
+        |  JOIN s0 sj ON sj.p = e.j
+        |  WHERE si.s + sj.s > 0 GROUP BY 1),
+        |r1 AS (
+        |  SELECT pw.p, CASE WHEN den > 0
+        |    THEN (pw.wins * 1000000000000) // den ELSE 0 END AS sr
+        |  FROM pw LEFT JOIN d1 ON d1.p = pw.p),
+        |t1 AS (SELECT sum(sr) AS t FROM r1),
+        |s1 AS (
+        |  SELECT p, CASE WHEN t > 0
+        |    THEN (sr * (k * 1000000)) // t ELSE 0 END AS s
+        |  FROM r1, t1, kc),
+        |d2 AS (
+        |  SELECT e.i AS p,
+        |    sum((e.n * 1000000000000) // (si.s + sj.s)) AS den
+        |  FROM edges e JOIN s1 si ON si.p = e.i
+        |  JOIN s1 sj ON sj.p = e.j
+        |  WHERE si.s + sj.s > 0 GROUP BY 1),
+        |r2 AS (
+        |  SELECT pw.p, CASE WHEN den > 0
+        |    THEN (pw.wins * 1000000000000) // den ELSE 0 END AS sr
+        |  FROM pw LEFT JOIN d2 ON d2.p = pw.p),
+        |t2 AS (SELECT sum(sr) AS t FROM r2),
+        |s2 AS (
+        |  SELECT p, CASE WHEN t > 0
+        |    THEN (sr * (k * 1000000)) // t ELSE 0 END AS s
+        |  FROM r2, t2, kc)
+        |SELECT pw.p AS player, CAST(pw.games AS BIGINT) AS games,
+        |  CAST(pw.wins AS BIGINT) AS wins,
+        |  CAST(s2.s AS BIGINT) AS bt_score
+        |FROM pw JOIN s2 ON s2.p = pw.p ORDER BY player""".stripMargin)),
+
+    // Split-conformal coverage: keyed-sha parity split, per-source
+    // integer-mean fit, exact rank q-hat at ceil((n+1)*0.9), eval-half
+    // empirical coverage vs the nominal 900 permille.
+    Q("q418_conformal_coverage",
+      (s, dir) => StatTests.splitConformalCoverage(
+        t(s, dir, "documents").select("doc_id", "n_chars", "source"),
+        "doc_id", "n_chars", "source", alphaPermille = 100, seed = 21L),
+      Some("""WITH b AS (
+        |  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
+        |      || '#' || '21'), 1, 8))::UBIGINT % 2 = 0 AS cal
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |fit AS (
+        |  SELECT g, sum(v) // count(*) AS fit FROM b WHERE cal
+        |  GROUP BY 1),
+        |sc AS (SELECT b.cal, abs(b.v - fit.fit) AS s
+        |  FROM b JOIN fit USING (g)),
+        |cc AS (SELECT s, count(*) AS c FROM sc WHERE cal GROUP BY 1),
+        |cum AS (
+        |  SELECT s, sum(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM cc),
+        |qh AS (SELECT min(s) AS q_hat FROM cum
+        |  WHERE cum >= ((n + 1) * 900 + 999) // 1000),
+        |cn AS (SELECT count(*) AS n_cal FROM sc WHERE cal),
+        |cov AS (
+        |  SELECT (SELECT n_cal FROM cn) AS n_cal, count(*) AS n_eval,
+        |    (SELECT q_hat FROM qh) AS q_hat,
+        |    sum(CASE WHEN (SELECT q_hat FROM qh) IS NULL
+        |      OR s <= (SELECT q_hat FROM qh) THEN 1 ELSE 0 END)
+        |      AS covered
+        |  FROM sc WHERE NOT cal)
+        |SELECT CAST(coalesce(n_cal, 0) AS BIGINT) AS n_cal,
+        |  CAST(n_eval AS BIGINT) AS n_eval,
+        |  CAST(q_hat AS BIGINT) AS q_hat,
+        |  CAST(CASE WHEN n_eval > 0 THEN (covered * 1000) // n_eval END
+        |    AS BIGINT) AS coverage_permille,
+        |  CAST(900 AS BIGINT) AS target_permille
+        |FROM cov""".stripMargin)),
   )
 }

@@ -394,6 +394,87 @@ object Retrieval {
           least(col("n_rel"), lit(k.toLong)).cast("double")).as("ap"))
   }
 
+  /** Bradley–Terry preference scores from a pairwise-comparison log
+    * (Bradley & Terry '52; the model under RLHF preference data):
+    * p(i beats j) = sᵢ/(sᵢ+sⱼ), fit by `iterations` rounds of the MM
+    * update sᵢ ← wᵢ / Σⱼ nᵢⱼ/(sᵢ+sⱼ) (Hunter '04), renormalized to
+    * mean `scale` each round. EVERYTHING is fixed-point integer — each
+    * denominator term is (nᵢⱼ·scale²) div (sᵢ+sⱼ), the update is one
+    * integer division, the renormalization one more — so the fit
+    * replays bit-identically on any engine (a float MM fold is
+    * partition-order-sensitive). Zero-win players rest at score 0 (the
+    * model's true degenerate MLE direction, reported not hidden).
+    *
+    * 100 TB shape: ONE aggregation collapses the game log into the
+    * bounded \|players\|² pair matrix; every MM round runs on that
+    * matrix + the \|players\|-row score frame (localCheckpointed per
+    * round to keep plans flat). Output per player: games, wins,
+    * bt_score. */
+  def bradleyTerryScores(games: DataFrame, winnerCol: String,
+      loserCol: String, iterations: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 8,
+      "bradleyTerryScores needs iterations in [1, 8]")
+    require(scale >= 1000 && scale <= 1000000L,
+      "bradleyTerryScores needs scale in [1000, 1000000]")
+    val pairs = games
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(least(col(winnerCol), col(loserCol)).as("a"),
+        greatest(col(winnerCol), col(loserCol)).as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(winnerCol) <= col(loserCol), 1L).otherwise(0L))
+          .as("wa"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
+        .unionByName(
+          pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+        .localCheckpoint(true)
+      val perPlayer = edges.groupBy(col("i").as("p"))
+        .agg(sum("n").as("games"))
+        .join(
+          pairs.select(col("a").as("p"), col("wa").as("w"))
+            .unionByName(pairs.select(col("b").as("p"),
+              (col("n") - col("wa")).as("w")))
+            .groupBy("p").agg(sum("w").as("wins")),
+          Seq("p"))
+        .localCheckpoint(true)
+      val k = perPlayer.count()
+      require(k >= 2 && k <= 100000,
+        s"bradleyTerryScores: $k players — needs [2, 100000] (the MM " +
+          "rounds run on the |players|^2 pair matrix; bucket or filter " +
+          "the comparison log first)")
+      val sq = scale * scale
+      var s = perPlayer.select(col("p"), lit(scale).as("s"))
+        .localCheckpoint(true)
+      var it = 0
+      while (it < iterations) {
+        val denom = edges
+          .join(s.select(col("p").as("i"), col("s").as("si")), Seq("i"))
+          .join(s.select(col("p").as("j"), col("s").as("sj")), Seq("j"))
+          .filter(col("si") + col("sj") > 0)
+          .groupBy(col("i").as("p"))
+          .agg(sum(expr(s"(n * ${sq}L) div (si + sj)")).as("den"))
+        val raw = perPlayer.join(denom, Seq("p"), "left")
+          .select(col("p"),
+            when(col("den") > 0, expr(s"(wins * ${sq}L) div den"))
+              .otherwise(lit(0L)).as("sr"))
+        val total = raw.agg(sum("sr").as("__t"))
+        s = raw.crossJoin(broadcast(total))
+          .select(col("p"),
+            when(col("__t") > 0,
+              expr(s"(sr * (${k}L * ${scale}L)) div __t"))
+              .otherwise(lit(0L)).as("s"))
+          .localCheckpoint(true)
+        it += 1
+      }
+      perPlayer.join(s, Seq("p"))
+        .select(col("p").as("player"), col("games"), col("wins"),
+          col("s").as("bt_score"))
+    } finally pairs.unpersist(false)
+  }
+
   /** Rank-biased overlap between two top-k rankings (Webber, Moffat &
     * Zobel, TOIS 2010), truncated at depth k (the prefix "min RBO" —
     * no extrapolation): RBO = (1−p)·Σ_{d=1..k} p^{d−1}·|S₁:d ∩ T₁:d|/d.

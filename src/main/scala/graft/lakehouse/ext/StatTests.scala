@@ -1173,6 +1173,70 @@ object StatTests {
               col("d").cast("double"))))
   }
 
+  /** Split-conformal prediction-interval coverage (Vovk's conformal
+    * framework, the split/inductive form — Papadopoulos '02, Lei '18):
+    * a keyed-sha parity split (the q74 convention) carves a CALIBRATION
+    * half whose per-group integer-mean prediction yields nonconformity
+    * scores \|v − fit\|; q̂ is the EXACT rank quantile at position
+    * ⌈(n+1)·(1−α)⌉ of those scores, and the report is the EVAL half's
+    * empirical coverage of \|v − fit\| ≤ q̂ against the nominal
+    * 1000−α‰ — the finite-sample-valid "are my intervals honest?"
+    * number, all in integers (means are floor divisions, stated).
+    * Groups absent from the calibration half have no fit and their
+    * eval rows are excluded (reported via n_eval). When the quantile
+    * position exceeds n_cal, q̂ is the conservative +∞ — reported as a
+    * NULL q_hat with full coverage.
+    *
+    * 100 TB shape: one parity split, one per-group fit aggregation
+    * broadcast back, one score-count aggregation; the rank walk runs
+    * on the bounded distinct-score frame. */
+  def splitConformalCoverage(df: DataFrame, idCol: String,
+      valueCol: String, groupCol: String, alphaPermille: Int = 100,
+      seed: Long = 21L): DataFrame = {
+    require(alphaPermille >= 1 && alphaPermille <= 999,
+      "splitConformalCoverage needs alphaPermille in [1, 999]")
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
+        (expr(s"cast(conv(substring(sha2(concat_ws('#', " +
+          s"cast($idCol as string), '$seed'), 256), 1, 8), 16, 10) " +
+          s"as bigint)") % 2 === 0).as("__cal"))
+    val fit = base.filter(col("__cal"))
+      .groupBy("__g")
+      .agg(expr("sum(__v) div count(1)").as("__fit"))
+    val scored = base.join(broadcast(fit), Seq("__g"))
+      .select(col("__cal"), abs(col("__v") - col("__fit")).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val calCounts = scored.filter(col("__cal"))
+        .groupBy("__s").agg(count(lit(1)).as("__c"))
+      val wCum = Window.partitionBy().orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qhat = calCounts
+        .withColumn("__cum", sum("__c").over(wCum))
+        .withColumn("__n", sum("__c").over(Window.partitionBy()))
+        .filter(col("__cum") >=
+          expr(s"((__n + 1) * ${1000 - alphaPermille} + 999) div 1000"))
+        .agg(min("__s").as("q_hat"))
+      val calN = scored.filter(col("__cal")).agg(count(lit(1)).as("n_cal"))
+      val cov = scored.filter(!col("__cal"))
+        .crossJoin(broadcast(qhat.crossJoin(calN)))
+        .agg(
+          max(col("n_cal")).as("n_cal"),
+          count(lit(1)).as("n_eval"),
+          max(col("q_hat")).as("q_hat"),
+          sum(when(col("q_hat").isNull || col("__s") <= col("q_hat"), 1L)
+            .otherwise(0L)).as("__covered"))
+      cov.select(
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        col("n_eval"), col("q_hat"),
+        when(col("n_eval") > 0,
+          expr("(__covered * 1000) div n_eval")).as("coverage_permille"),
+        lit((1000 - alphaPermille).toLong).as("target_permille"))
+    } finally scored.unpersist(false)
+  }
+
   /** G-test of independence (the likelihood-ratio sibling of
     * [[chiSquaredDrift]], Sokal & Rohlf): G = 2·Σ o·ln(o/e) over the
     * complete \|cats\|×\|arms\| grid with e = rt·ct/n; zero-observed

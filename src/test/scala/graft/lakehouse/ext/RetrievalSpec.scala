@@ -298,4 +298,33 @@ class RetrievalSpec extends SparkSuite {
     assert(partial.getAs[Long]("overlap_at_k") == 2L)
     assert(math.abs(partial.getAs[Double]("rbo") - 0.25) < 1e-12)
   }
+
+  test("bradleyTerryScores: two players converge to the exact w-ratio MLE") {
+    // A beats B 3x, B beats A 1x: MLE ratio 3:1; the fixed-point MM
+    // lands exactly on (1.5e6, 0.5e6) after round 1 and stays there.
+    val g = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("winner", "loser")
+    val got = Retrieval.bradleyTerryScores(g, "winner", "loser",
+        iterations = 2)
+      .orderBy("player").collect()
+      .map(r => (r.getAs[String]("player"), r.getAs[Long]("games"),
+        r.getAs[Long]("wins"), r.getAs[Long]("bt_score")))
+    assert(got.toSeq == Seq(("A", 4L, 3L, 1500000L),
+      ("B", 4L, 1L, 500000L)), got.mkString(","))
+  }
+
+  test("bradleyTerryScores: zero-win players rest at 0; order invariance") {
+    val g = Seq(("A", "C"), ("A", "C"), ("B", "C"), ("A", "B"))
+      .toDF("winner", "loser")
+    def run(parts: Int) = Retrieval.bradleyTerryScores(
+        g.repartition(parts), "winner", "loser", iterations = 3)
+      .orderBy("player").collect()
+      .map(r => (r.getAs[String]("player"), r.getAs[Long]("bt_score")))
+      .toSeq
+    val got = run(1)
+    assert(got == run(7), "MM fold must be partition-order free")
+    val m = got.toMap
+    assert(m("C") == 0L, s"zero-win player must rest at 0: $got")
+    assert(m("A") > m("B") && m("B") > 0L, got.mkString(","))
+  }
 }

@@ -757,6 +757,43 @@ class StatTestsSpec extends SparkSuite {
     assert(r.getAs[Long]("sum_r2_x4") == 200L, r.toString)
   }
 
+  test("splitConformalCoverage: q-hat and coverage replicate a driver-side replay") {
+    val rows = (1L to 200L).map(i => (i, i * 3 % 97, "g"))
+    val got = StatTests.splitConformalCoverage(
+      rows.toDF("id", "v", "grp"), "id", "v", "grp",
+      alphaPermille = 100, seed = 21L).head()
+    def parity(i: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$i#21".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val cal = rows.filter(r => parity(r._1)).map(_._2)
+    val fit = cal.sum / cal.size
+    val calS = cal.map(v => math.abs(v - fit)).sorted
+    val pos = ((cal.size + 1) * 900 + 999) / 1000
+    val qh = calS(pos.toInt - 1)
+    val ev = rows.filterNot(r => parity(r._1))
+      .map(r => math.abs(r._2 - fit))
+    val covered = ev.count(_ <= qh)
+    assert(got.getAs[Long]("n_cal") == cal.size.toLong, got.toString)
+    assert(got.getAs[Long]("n_eval") == ev.size.toLong)
+    assert(got.getAs[Long]("q_hat") == qh)
+    assert(got.getAs[Long]("coverage_permille") ==
+      covered.toLong * 1000 / ev.size)
+    assert(got.getAs[Long]("target_permille") == 900L)
+  }
+
+  test("splitConformalCoverage: quantile position beyond n_cal gives " +
+      "NULL q-hat and conservative full coverage") {
+    val rows = (1L to 40L).map(i => (i, i, "g"))
+    val got = StatTests.splitConformalCoverage(
+      rows.toDF("id", "v", "grp"), "id", "v", "grp",
+      alphaPermille = 1, seed = 21L).head()
+    assert(got.isNullAt(got.fieldIndex("q_hat")), got.toString)
+    assert(got.getAs[Long]("coverage_permille") == 1000L)
+  }
+
   test("hosmerLemeshow: perfectly calibrated integer bins score 0") {
     // v=200 x5 rows with 1 event, v=400 x5 with 2, v=600 x5 with 3,
     // v=800 x5 with 4; bins=2 -> both bins have o = e exactly.
