@@ -14355,5 +14355,74 @@ object Queries {
         |    AS BIGINT) AS coverage_permille,
         |  CAST(900 AS BIGINT) AS target_permille
         |FROM cov""".stripMargin)),
+
+    // Expected reciprocal rank @10 (cascade model) over the q270
+    // synthetic rankings with graded qrels: exact integer cascade
+    // prefixes, one IEEE division per rank, decimal fold — completes
+    // the recall/MRR/nDCG/MAP/RBO retrieval-metric family.
+    Q("q419_err_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").select("doc_id")
+        def rankFor(qid: String) = {
+          val key = sha2(concat_ws("#", col("doc_id").cast("string"),
+            lit(qid)), 256)
+          docs.withColumn("__k", key)
+            .orderBy(col("__k"), col("doc_id")).limit(10)
+            .withColumn("rank",
+              row_number().over(Window.orderBy(col("__k"), col("doc_id"))))
+            .select(lit(qid).as("query_id"), col("doc_id"), col("rank"))
+        }
+        val ranking = rankFor("m1").unionByName(rankFor("m2"))
+        val qrels = docs.filter(col("doc_id") % 5 === 0)
+          .select(lit("m1").as("query_id"), col("doc_id"),
+            (col("doc_id") % 3 + 1).cast("long").as("grade"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 2)
+            .select(lit("m2").as("query_id"), col("doc_id"),
+              (col("doc_id") % 4).cast("long").as("grade")))
+        Retrieval.errAtK(ranking, qrels, "query_id", "doc_id", "rank",
+          "grade", k = 10, gmax = 3).orderBy("query_id")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+        |r1 AS (
+        |  SELECT 'm1' AS query_id, doc_id, row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || 'm1'),
+        |    doc_id) AS rank
+        |  FROM d QUALIFY rank <= 10),
+        |r2 AS (
+        |  SELECT 'm2' AS query_id, doc_id, row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || 'm2'),
+        |    doc_id) AS rank
+        |  FROM d QUALIFY rank <= 10),
+        |rk AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |qr AS (
+        |  SELECT 'm1' AS query_id, doc_id,
+        |    CAST(doc_id % 3 + 1 AS BIGINT) AS g
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'm2' AS query_id, doc_id, CAST(doc_id % 4 AS BIGINT)
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |j AS (
+        |  SELECT rk.query_id, rk.rank, coalesce(qr.g, 0) AS g
+        |  FROM rk LEFT JOIN qr ON qr.query_id = rk.query_id
+        |    AND qr.doc_id = rk.doc_id),
+        |pre AS (
+        |  SELECT query_id, rank, g,
+        |    CAST(coalesce(product(9 - (1::BIGINT << g)) OVER (
+        |      PARTITION BY query_id ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0)
+        |      AS BIGINT) AS carry
+        |  FROM j),
+        |terms AS (
+        |  SELECT query_id, g,
+        |    CAST(CAST(((1::BIGINT << g) - 1) * carry AS DOUBLE)
+        |      / CAST(rank * (1::BIGINT << CAST(rank * 3 AS INT))
+        |        AS DOUBLE) AS DECIMAL(38,18)) AS term
+        |  FROM pre)
+        |SELECT query_id,
+        |  CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_graded,
+        |  CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS err
+        |FROM terms GROUP BY query_id ORDER BY query_id""".stripMargin)),
   )
 }

@@ -394,6 +394,62 @@ object Retrieval {
           least(col("n_rel"), lit(k.toLong)).cast("double")).as("ap"))
   }
 
+  /** Expected reciprocal rank @k (Chapelle et al. CIKM '09 — the
+    * cascade-model metric that, unlike nDCG/MAP, models a user STOPPING
+    * at the first satisfying result): ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i)
+    * with R = (2^g − 1)/2^gmax over integer grades g ∈ [0, gmax].
+    * Every cascade factor is the exact rational (2^gmax+1−2^{g_i})/2^gmax,
+    * so the prefix products are EXACT integers (bounded by (2^gmax)^k —
+    * the gmax·k ≤ 50 guard keeps them in int64) carried by a bounded
+    * per-query kernel over the ≤ k collected ranks; each rank's term is
+    * then ONE IEEE division num/(r·2^{gmax·r}) folded as exact
+    * DECIMAL(38,18). Unjudged ranked docs grade 0 (they never stop the
+    * cascade); out-of-range grades refuse loudly. Output per query:
+    * n_graded (ranked docs with positive grade), err.
+    *
+    * 100 TB shape: rankings are top-k-bounded, qrels broadcast; the
+    * kernel folds ≤ k rows per query. */
+  def errAtK(ranking: DataFrame, qrels: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, gradeCol: String, k: Int,
+      gmax: Int = 3): DataFrame = {
+    require(k >= 1 && gmax >= 1 && gmax <= 5 && gmax * k <= 50,
+      "errAtK needs k >= 1, gmax in [1, 5], gmax*k <= 50 (int64 prefix)")
+    val judged = qrels
+      .select(col(queryCol), col(docCol), col(gradeCol).cast("long").as("__g"))
+      .distinct()
+    val graded = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol),
+        guardedRank(col(rankCol), "errAtK", "__r"))
+      .join(broadcast(judged), Seq(queryCol, docCol), "left")
+      .select(col(queryCol), col("__r"),
+        coalesce(col("__g"), lit(0L)).as("__g"))
+    val top = 1L << gmax
+    val kernel = udf((rows: Seq[org.apache.spark.sql.Row]) => {
+      val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var carry = 1L
+      sorted.map { case (r, g) =>
+        require(g >= 0 && g <= gmax,
+          s"errAtK: grade $g outside [0, $gmax]")
+        val num = ((1L << g) - 1L) * carry
+        carry *= (top + 1L - (1L << g))
+        (r, num)
+      }
+    })
+    graded.groupBy(queryCol)
+      .agg(collect_list(struct(col("__r"), col("__g"))).as("__l"),
+        sum(when(col("__g") > 0, 1L).otherwise(0L)).as("n_graded"))
+      .select(col(queryCol), col("n_graded"),
+        explode(kernel(col("__l"))).as("__t"))
+      .select(col(queryCol), col("n_graded"),
+        (col("__t._2").cast("double") /
+          expr(s"cast(__t._1 * shiftleft(1L, " +
+            s"cast(__t._1 * $gmax as int)) as double)"))
+          .cast("decimal(38,18)").as("__term"))
+      .groupBy(queryCol)
+      .agg(max("n_graded").as("n_graded"),
+        sum("__term").cast("double").as("err"))
+  }
+
   /** Bradley–Terry preference scores from a pairwise-comparison log
     * (Bradley & Terry '52; the model under RLHF preference data):
     * p(i beats j) = sᵢ/(sᵢ+sⱼ), fit by `iterations` rounds of the MM

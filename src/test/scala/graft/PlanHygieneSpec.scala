@@ -771,4 +771,50 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_extendedprice)]"), p)
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
+
+  test("q411 FIM examples are a pure per-row kernel: no data shuffle, " +
+      "no join, no window — only the output sort exchanges") {
+    val df = SparkEntry.queries("q411_fim_examples")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q412 domain-cap sampling shuffles ONCE on the domain key; the " +
+      "per-row URL parse is a projection, never a join") {
+    val df = SparkEntry.queries("q412_domain_cap_sample")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q413 parquet-footer walk is a partition-batched kernel: no " +
+      "data shuffle, no join; the fixture filter pushes to the scan") {
+    val df = SparkEntry.queries("q413_parquet_footer_meta")(spark, sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q417 Bradley-Terry: the game log collapses in ONE hash " +
+      "aggregation before any MM work (the pair matrix is the only " +
+      "thing the rounds ever touch)") {
+    import org.apache.spark.sql.functions._
+    // the registered query's MM rounds run over localCheckpointed
+    // bounded frames — assert on the log-collapse stage itself
+    val d = QFixtures.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val g = d.alias("x").join(d.alias("y"),
+        col("y.doc_id") === col("x.doc_id") + 1)
+      .filter(col("x.source") =!= col("y.source"))
+      .select(col("x.source").as("winner"), col("y.source").as("loser"))
+    val pairs = g.groupBy(least(col("winner"), col("loser")),
+      greatest(col("winner"), col("loser"))).agg(count(lit(1)))
+    val p = finalPlan(pairs)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
 }

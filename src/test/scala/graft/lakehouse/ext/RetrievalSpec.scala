@@ -299,6 +299,34 @@ class RetrievalSpec extends SparkSuite {
     assert(math.abs(partial.getAs[Double]("rbo") - 0.25) < 1e-12)
   }
 
+  test("errAtK: hand-computed cascade on grades (3, 0, 1)") {
+    // R = (7/8, 0, 1/8): ERR = 7/8 + 0 + (1/3)(1/8)(1/8) = 0.875 + 1/192
+    val ranking = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(("q", 1L, 3L), ("q", 3L, 1L))
+      .toDF("query_id", "doc_id", "grade")
+    val r = Retrieval.errAtK(ranking, qrels, "query_id", "doc_id",
+      "rank", "grade", k = 3, gmax = 3).head()
+    assert(r.getAs[Long]("n_graded") == 2L)
+    assert(math.abs(r.getAs[Double]("err") - (0.875 + 1.0 / 192.0))
+      < 1e-12, r.toString)
+  }
+
+  test("errAtK: perfect first hit saturates; out-of-range grades refuse") {
+    val ranking = Seq(("q", 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val perfect = Seq(("q", 1L, 3L)).toDF("query_id", "doc_id", "grade")
+    val r = Retrieval.errAtK(ranking, perfect, "query_id", "doc_id",
+      "rank", "grade", k = 3, gmax = 3).head()
+    assert(math.abs(r.getAs[Double]("err") - 0.875) < 1e-12)
+    val bad = Seq(("q", 1L, 9L)).toDF("query_id", "doc_id", "grade")
+    val e = intercept[Throwable] {
+      Retrieval.errAtK(ranking, bad, "query_id", "doc_id", "rank",
+        "grade", k = 3, gmax = 3).collect()
+    }
+    assert(e.toString.contains("errAtK") ||
+      Option(e.getCause).exists(_.toString.contains("errAtK")), e.toString)
+  }
+
   test("bradleyTerryScores: two players converge to the exact w-ratio MLE") {
     // A beats B 3x, B beats A 1x: MLE ratio 3:1; the fixed-point MM
     // lands exactly on (1.5e6, 0.5e6) after round 1 and stays there.
