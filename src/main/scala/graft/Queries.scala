@@ -14424,5 +14424,33 @@ object Queries {
         |    AS n_graded,
         |  CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS err
         |FROM terms GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
+    // Generated-column pruning (the Delta optimization): the table is
+    // band-clustered on a GENERATED floor-division column, the condition
+    // mentions only the BASE price column, and the scan still skips
+    // files via the derived band range (file-prune asserted in
+    // DataSkippingSpec; results exact by residual construction).
+    Q("q420_generated_pruning",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "orders_genp")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+          .withColumn("price_band",
+            floor(col("o_totalprice") / lit(50000.0)).cast("long"))
+        TableIO.writeTable(s, lh, "orders_genp", o,
+          sortBy = Seq("price_band"))
+        TableIO.setGeneratedColumn(s, lh, "orders_genp", "price_band",
+          "CAST(floor(o_totalprice / 50000.0) AS LONG)")
+        TableIO.readTable(s, lh, "orders_genp",
+            columns = Seq("o_orderkey", "o_totalprice", "price_band"),
+            condition =
+              "o_totalprice >= 150000.0 AND o_totalprice < 300000.0")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+        |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_band
+        |FROM orders
+        |WHERE o_totalprice >= 150000.0 AND o_totalprice < 300000.0
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

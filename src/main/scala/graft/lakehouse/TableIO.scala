@@ -418,6 +418,88 @@ object TableIO {
       }
   }
 
+  /** The base column and shape tag of a RECOGNIZED MONOTONE
+    * generated-column expression — the gate for generated-column
+    * pruning (Delta's generated-partition-column optimization). Only
+    * shapes that are provably order-preserving over the base column
+    * qualify: floor(base / k) with k > 0 (optionally under numeric
+    * casts — truncation toward zero is monotone), year/to_date/
+    * date_trunc/trunc over a temporal base, CAST(base AS DATE/TIMESTAMP)
+    * (the day-partition idiom), and substring(base, 1, n) string
+    * prefixes (prefix-taking preserves lexicographic order). String
+    * casts never unwrap ("10" < "9"); anything unrecognized simply
+    * doesn't derive. */
+  private[lakehouse] def monotoneGeneratedShape(
+      exprSql: String): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedFunction}
+    val parsed = scala.util.Try(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprSql)).toOption
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    def posLit(e: Expression): Boolean = e match {
+      case Literal(v: Number, _) => v.doubleValue > 0
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+        d.toDouble > 0
+      case _ => false
+    }
+    def core(e: Expression): Option[(String, String)] = e match {
+      case c: Cast if c.dataType.isInstanceOf[NumericType] =>
+        core(c.child).filter(s => s._2 == "floordiv" || s._2 == "year")
+      case c: Cast if c.dataType == DateType ||
+          c.dataType == TimestampType =>
+        core(c.child).orElse(attr(c.child).map(_ -> "castdate"))
+      case f: UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+          f.arguments) match {
+          case ("floor", Seq(d: Divide)) =>
+            attr(d.left).filter(_ => posLit(d.right)).map(_ -> "floordiv")
+          case ("year", Seq(a)) => attr(a).map(_ -> "year")
+          case ("to_date", Seq(a)) => attr(a).map(_ -> "to_date")
+          case ("date_trunc", Seq(_: Literal, a)) =>
+            attr(a).map(_ -> "date_trunc")
+          case ("trunc", Seq(a, _: Literal)) => attr(a).map(_ -> "trunc")
+          case ("substring" | "substr", Seq(a, Literal(s, _), Literal(_, _)))
+              if s == 1 => attr(a).map(_ -> "prefix")
+          case _ => None
+        }
+      case _ => None
+    }
+    parsed.flatMap(core)
+  }
+
+  /** Evaluate a generated expression at a BATCH of literal points via
+    * Spark itself — one local frame carrying the literals under the base
+    * column's name — so the derivation can never disagree with the
+    * engine's own coercion/arithmetic semantics (no hand-rolled f to
+    * drift), and an IN-list derives in ONE job. Returns per-point the
+    * Catalyst-internal value and its type (None where the point doesn't
+    * evaluate), or None outright on any failure. */
+  private def evalGeneratedBatch(spark: SparkSession, exprSql: String,
+      base: String, litDt: DataType,
+      internals: Seq[Any]): Option[Seq[Option[(Any, DataType)]]] =
+    try {
+      import org.apache.spark.sql.catalyst.CatalystTypeConverters
+      val conv = CatalystTypeConverters.createToScalaConverter(litDt)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      internals.foreach(v =>
+        rows.add(org.apache.spark.sql.Row(conv(v))))
+      val df = spark.createDataFrame(rows,
+        StructType(Seq(StructField(base, litDt))))
+        .coalesce(1)
+        .selectExpr(s"($exprSql) AS __g")
+      val out = df.collect()
+      val gdt = df.schema.head.dataType
+      if (out.length != internals.length) None
+      else Some(out.toSeq.map(r =>
+        if (r.isNullAt(0)) None
+        else Some((CatalystTypeConverters.convertToCatalyst(r.get(0)), gdt))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The may-match file set mined from `condition` against one manifest
     * snapshot: Some(files that may hold matching rows) when at least one
     * top-level conjunct is recognizable, None when nothing is (caller
@@ -538,6 +620,63 @@ object TableIO {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     def dtOf(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType)
+    // GENERATED-COLUMN PRUNING (the Delta generated-partition-column
+    // optimization): a declared g = f(base) with a provably MONOTONE
+    // shape lets every mined range/equality hint on base imply one on g
+    // — and g is typically the partition/cluster column whose per-file
+    // stats actually separate files. Spark itself evaluates f at each
+    // bound (one-row frame), the literal/column domain pairing is gated
+    // per shape, and every derived hint is purely additive: the full
+    // residual condition still applies, so a dropped derivation costs
+    // correctness nothing.
+    val genHints: Seq[Hint] = generatedColsOf(m.meta).toSeq.flatMap {
+      case (gcol, exprSql) =>
+        monotoneGeneratedShape(exprSql).toSeq.flatMap { case (base, shape) =>
+          val colDt = dtOf(base)
+          def gateOk(l: PLit): Boolean = (shape, colDt) match {
+            case ("floordiv", Some(_: NumericType)) =>
+              l.v.isInstanceOf[Number] ||
+                l.v.isInstanceOf[org.apache.spark.sql.types.Decimal]
+            case ("prefix", Some(StringType)) => l.dt == StringType
+            case ("year" | "to_date" | "date_trunc" | "trunc" | "castdate",
+                Some(TimestampType | DateType)) =>
+              l.dt == TimestampType || l.dt == DateType
+            case _ => false
+          }
+          // batch-evaluate every distinct gated literal in one job per
+          // literal type, then look results up per hint
+          val pts: Seq[PLit] = rawHints.flatMap {
+            case Range(c, lo, hi) if c == base => lo.toSeq ++ hi.toSeq
+            case Eq(c, l) if c == base => Seq(l)
+            case InList(c, vs) if c == base => vs
+            case _ => Seq.empty
+          }.filter(gateOk).distinct
+          val evaluated: Map[PLit, Option[PLit]] =
+            pts.groupBy(_.dt).flatMap { case (dt, ps) =>
+              evalGeneratedBatch(spark, exprSql, base, dt, ps.map(_.v)) match {
+                case Some(rs) => ps.zip(rs.map(_.map {
+                  case (v, gdt) => PLit(v, gdt) })).toMap
+                case None => ps.map(_ -> (None: Option[PLit])).toMap
+              }
+            }
+          def f(l: PLit): Option[PLit] = evaluated.getOrElse(l, None)
+          rawHints.flatMap {
+            case Range(c, lo, hi) if c == base =>
+              val flo = lo.map(f).flatten
+              val fhi = hi.map(f).flatten
+              // a bound that doesn't derive just stops pruning its side
+              if (flo.isEmpty && fhi.isEmpty) Seq.empty
+              else Seq(Range(gcol, flo, fhi))
+            case Eq(c, l) if c == base => f(l).map(Eq(gcol, _)).toSeq
+            case InList(c, vs) if c == base =>
+              val fs = vs.map(f)
+              if (fs.exists(_.isEmpty)) Seq.empty
+              else Seq(InList(gcol, fs.flatten))
+            case _ => Seq.empty
+          }
+        }
+    }
+    val allHints = rawHints ++ genHints
     // column mapping: conditions name LOGICAL columns; stats and blooms in
     // the manifest are keyed by the PHYSICAL (on-file) name
     val statKeyOf = physicalMapping(schema)
@@ -605,7 +744,7 @@ object TableIO {
     case class NRange(c: String, lo: Option[Any], hi: Option[Any]) extends NHint
     case class NIn(c: String, vs: Seq[Any]) extends NHint
     case class NNull(c: String, isNull: Boolean) extends NHint
-    val nhints: Seq[NHint] = rawHints.flatMap {
+    val nhints: Seq[NHint] = allHints.flatMap {
       case Range(c, lo, hi) =>
         val (pl, ph) = (lo.map(toProbe(c, _)), hi.map(toProbe(c, _)))
         if (pl.exists(_.isEmpty) || ph.exists(_.isEmpty)) Seq.empty

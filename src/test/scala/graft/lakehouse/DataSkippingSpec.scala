@@ -558,4 +558,76 @@ class DataSkippingSpec extends SparkSuite {
     assert(total == 4 && spec.relFiles.size == 1)
     TableIO.dropTable(spark, lh, "skipfx")
   }
+
+  test("generated-column pruning: base-column range/equality filters skip " +
+      "files via the generated band column's stats; results stay exact") {
+    // band = floor(v / 1000): files cluster by band, the condition only
+    // ever mentions v — the derived band hint must do the skipping
+    val df = spark.range(0, 16000).selectExpr("id AS v",
+      "CAST(floor(id / 1000.0) AS LONG) AS band")
+      .repartition(8, col("band"))
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "genp", df, sortBy = Seq("band"))
+    }
+    TableIO.setGeneratedColumn(spark, lh, "genp", "band",
+      "CAST(floor(v / 1000.0) AS LONG)")
+    val total = TableIO.selectTable(spark, lh, "genp").inputFiles.length
+    assert(total > 1, s"fixture should span multiple files, got $total")
+    val ranged = TableIO.readTable(spark, lh, "genp",
+      condition = "v >= 2100 AND v < 3900")
+    assert(ranged.inputFiles.length < total,
+      s"base-column range must prune via the generated band " +
+        s"(${ranged.inputFiles.length}/$total)")
+    assert(ranged.count() == 1800L)
+    val eq = TableIO.readTable(spark, lh, "genp", condition = "v = 7500")
+    assert(eq.inputFiles.length < total)
+    assert(eq.count() == 1L)
+    // fractional boundary: floor derivation must stay a SUPERSET
+    val frac = TableIO.readTable(spark, lh, "genp",
+      condition = "v > 999.5 AND v <= 1000.5")
+    assert(frac.count() == 1L, "fractional bounds must not over-prune")
+    TableIO.dropTable(spark, lh, "genp")
+  }
+
+  test("generated-column pruning never derives from non-monotone or " +
+      "unrecognized expressions") {
+    assert(TableIO.monotoneGeneratedShape(
+      "CAST(floor(x / 50.0) AS LONG)") == Some(("x", "floordiv")))
+    assert(TableIO.monotoneGeneratedShape("year(ts)") == Some(("ts", "year")))
+    assert(TableIO.monotoneGeneratedShape("CAST(ts AS DATE)") ==
+      Some(("ts", "castdate")))
+    assert(TableIO.monotoneGeneratedShape("date_trunc('day', ts)") ==
+      Some(("ts", "date_trunc")))
+    assert(TableIO.monotoneGeneratedShape("substring(s, 1, 4)") ==
+      Some(("s", "prefix")))
+    // anti-monotone / order-breaking shapes must refuse
+    assert(TableIO.monotoneGeneratedShape("floor(x / -50.0)").isEmpty,
+      "negative divisor is anti-monotone")
+    assert(TableIO.monotoneGeneratedShape("CAST(x AS STRING)").isEmpty,
+      "string casts break numeric order")
+    assert(TableIO.monotoneGeneratedShape("substring(s, 2, 4)").isEmpty,
+      "non-prefix substrings are not monotone")
+    assert(TableIO.monotoneGeneratedShape("x % 10").isEmpty)
+    assert(TableIO.monotoneGeneratedShape("abs(x)").isEmpty)
+  }
+
+  test("generated-column pruning on a date-partition idiom: to_date(ts)") {
+    val df = spark.range(0, 8000).selectExpr(
+      "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS ts")
+      .selectExpr("ts", "to_date(ts) AS day")
+      .repartition(4, col("day"))
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "gend", df, sortBy = Seq("day"))
+    }
+    TableIO.setGeneratedColumn(spark, lh, "gend", "day", "to_date(ts)")
+    val total = TableIO.selectTable(spark, lh, "gend").inputFiles.length
+    assert(total > 1)
+    val got = TableIO.readTable(spark, lh, "gend", condition =
+      "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 12:00:00'")
+    assert(got.inputFiles.length < total,
+      s"ts range must prune via the generated day (${got.inputFiles.length}/$total)")
+    assert(got.count() == 720L) // 12h of minutely rows
+    TableIO.dropTable(spark, lh, "gend")
+  }
 }
