@@ -526,21 +526,30 @@ object Graph {
     * degree frame is one O(E) aggregation joined on the O(V) output. */
   def localClusteringCoefficient(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // canonicalize ONCE and feed both consumers — the upstream edge
+    // generation (often itself a join) must not run twice, once for the
+    // degree frame and again inside triangleCounts
     val canon = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .distinct()
-    val deg = canon.select(col("a").as("v"))
-      .unionAll(canon.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("degree"))
-    triangleCounts(edges, srcCol, dstCol)
-      .join(deg, Seq("v"))
-      .select(col("v"), col("degree"), col("triangles"),
-        when(col("degree") >= 2,
-          expr("(triangles * 2000) div (degree * (degree - 1))"))
-          .as("coeff_permille"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = canon.select(col("a").as("v"))
+        .unionAll(canon.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree"))
+      // eager O(V) materialization so the edge cache can be released
+      // (the adamicAdar pattern)
+      triangleCounts(canon, "a", "b")
+        .join(deg, Seq("v"))
+        .select(col("v"), col("degree"), col("triangles"),
+          when(col("degree") >= 2,
+            expr("(triangles * 2000) div (degree * (degree - 1))"))
+            .as("coeff_permille"))
+        .localCheckpoint()
+    } finally canon.unpersist(false)
   }
 
   /** Fixed-point HITS (Kleinberg, JACM 1999) over the DIRECTED edge
