@@ -14452,5 +14452,29 @@ object Queries {
         |FROM orders
         |WHERE o_totalprice >= 150000.0 AND o_totalprice < 300000.0
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // Plan linting as an operator: the suite's scale foot-gun checks
+    // (cartesian product, unpartitioned window over unbounded input,
+    // global sort without a limit) run as a pre-flight gate over four
+    // registry queries. Three lint clean; q29's harness-determinism
+    // output sort over the windowed dedup is a TRUE POSITIVE the linter
+    // must catch (a corpus-wide sort at 100 TB — the verify harness
+    // tolerates it at fixture scale, a production pipeline should not).
+    // Nothing executes; the oracle is the contract.
+    Q("q421_plan_lint",
+      (s, dir) => {
+        val names = Seq("q1_pricing_summary", "q29_dedup_exact",
+          "q164_tpch_q3", "q36_events_tumbling")
+        PlanLint.report(s,
+            names.map(n => n -> SparkEntry.queries(n)(s, dir)))
+          .orderBy("query")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('q1_pricing_summary', CAST(0 AS BIGINT), ''),
+        |  ('q164_tpch_q3', CAST(0 AS BIGINT), ''),
+        |  ('q29_dedup_exact', CAST(1 AS BIGINT), 'global-sort-unbounded'),
+        |  ('q36_events_tumbling', CAST(0 AS BIGINT), ''))
+        |  AS t(query, n_violations, rules)
+        |ORDER BY query""".stripMargin)),
   )
 }

@@ -1,0 +1,79 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Pre-flight plan linting — the scale foot-gun checks this repo's own
+  * test suite enforces (QueriesSmokeSpec / PlanHygieneSpec), packaged as
+  * a library operator so a PIPELINE can gate itself before burning a
+  * 1000-executor hour: a plan that cartesian-products, windows an
+  * unbounded input without partitioning, or globally sorts an unbounded
+  * input with no limit is almost never what the author meant at 100 TB.
+  *
+  * Rules (each deliberately sharp — no style opinions):
+  *  - `cartesian-product`: a physical CartesianProduct anywhere (a
+  *    broadcast nested-loop against a tiny side is NOT flagged — the
+  *    1-row-aggregate crossJoin is a legitimate pattern).
+  *  - `unpartitioned-window-unbounded`: a partition-less Window whose
+  *    input is not bounded below by an aggregate/limit/distinct — the
+  *    single-partition global sort of the whole corpus.
+  *  - `global-sort-unbounded`: a global Sort over an unbounded input
+  *    with no enclosing limit (a top-k plans as TakeOrdered and never
+  *    trips this; a deterministic ORDER BY over an aggregate is bounded
+  *    and fine).
+  *
+  * Linting inspects plans only — nothing executes. Reference provenance:
+  * the reference library's display/debug helpers (common.py:139-170)
+  * print plans for humans; this is the machine-checkable version.
+  */
+object PlanLint {
+
+  /** A plan is bounded below when every path to a leaf passes through
+    * something that bounds cardinality (the QueriesSmokeSpec rule). */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: GlobalLimit | _: Deduplicate => true
+    case _: LocalRelation => true
+    case leaf if leaf.children.isEmpty =>
+      leaf.getClass.getSimpleName == "InMemoryRelation" &&
+        leaf.toString.matches("(?s).*(Aggregate|Limit|TakeOrdered).*")
+    case other => other.children.forall(bounded)
+  }
+
+  /** All (rule, offendingNode) pairs for one frame. */
+  def violations(df: DataFrame): Seq[(String, String)] = {
+    def walk(p: LogicalPlan, underLimit: Boolean): Seq[(String, String)] =
+      p match {
+        case l @ (_: GlobalLimit | _: LocalLimit) =>
+          l.children.flatMap(walk(_, underLimit = true))
+        case s: Sort if s.global && !underLimit && !bounded(s.child) =>
+          ("global-sort-unbounded", s.simpleString(120)) +:
+            s.children.flatMap(walk(_, underLimit = false))
+        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          ("unpartitioned-window-unbounded", w.simpleString(120)) +:
+            w.children.flatMap(walk(_, underLimit = false))
+        case other => other.children.flatMap(walk(_, underLimit = false))
+      }
+    val logical = walk(df.queryExecution.optimizedPlan, underLimit = false)
+    // physical checks string-match the final/initial plan text (AQE
+    // wraps the tree; the PlanHygieneSpec convention)
+    val phys = df.queryExecution.executedPlan.toString
+    val physical =
+      if (phys.contains("CartesianProduct"))
+        Seq(("cartesian-product", "CartesianProduct in physical plan"))
+      else Seq.empty
+    logical ++ physical
+  }
+
+  /** Lint a set of named frames into a (query, n_violations, rules)
+    * report frame — the CI-gate shape: assert the n_violations column
+    * is all zero, or read the rules of the ones that aren't. */
+  def report(spark: SparkSession,
+      frames: Seq[(String, DataFrame)]): DataFrame = {
+    import spark.implicits._
+    frames.map { case (name, df) =>
+      val vs = violations(df)
+      (name, vs.size.toLong,
+        vs.map(_._1).distinct.sorted.mkString(","))
+    }.toDF("query", "n_violations", "rules")
+  }
+}
