@@ -14476,5 +14476,34 @@ object Queries {
         |  ('q36_events_tumbling', CAST(0 AS BIGINT), ''))
         |  AS t(query, n_violations, rules)
         |ORDER BY query""".stripMargin)),
+
+    // Rolling 7-day distinct-user sketch: per window-end day, the HLL
+    // register table of the trailing week's union — register MAX is HLL
+    // union, so the merged state IS the rolling-distinct operator (one
+    // daily aggregation + an in-row day fan-out; raw events never
+    // re-scan per window).
+    Q("q422_rolling_hll",
+      (s, dir) => Sketches.rollingHllRegisters(ev(s, dir), "user_id",
+          "ts", windowDays = 7, m = 64)
+        .orderBy("day", "bucket"),
+      Some("""WITH k AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS d,
+        |    CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)),
+        |      1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |daily AS (
+        |  SELECT d, CAST(h // 18014398509481984 AS INT) AS bucket,
+        |    max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+        |      ELSE 55 - length(bin(h % 18014398509481984)) END) AS r
+        |  FROM k GROUP BY 1, 2),
+        |mx AS (SELECT max(d) AS mxd FROM daily),
+        |fan AS (
+        |  SELECT d + i AS day, bucket, r
+        |  FROM daily, (SELECT unnest(range(0, 7)) AS i)
+        |  WHERE d + i <= (SELECT mxd FROM mx))
+        |SELECT CAST(day AS BIGINT) AS day, bucket,
+        |  CAST(max(r) AS INT) AS r
+        |FROM fan GROUP BY 1, 2 ORDER BY day, bucket""".stripMargin)),
   )
 }

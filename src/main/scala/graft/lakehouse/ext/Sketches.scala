@@ -50,6 +50,37 @@ object Sketches {
       .agg(max(col("__rho")).as("r"))
   }
 
+  /** Rolling-window distinct sketch — "unique users over the trailing N
+    * days, every day": per window-end day d, the [[portableHllRegisters]]
+    * table of the UNION of days (d−N+1..d]. Register MAX is exactly HLL
+    * union, so the merged register table IS the rolling-distinct state —
+    * no re-scan of raw events per window, ever: the corpus aggregates to
+    * daily registers ONCE, each daily register fans out in-row to the ≤ N
+    * window-end days it belongs to, and one bounded aggregation
+    * (≤ days·m cells) folds the maxes. Days beyond the data's last day
+    * are cut (no phantom trailing windows); a window whose days carry no
+    * events simply has no rows. The estimate stays spec-side, exactly as
+    * [[portableHllRegisters]] documents (the registers are portable, the
+    * harmonic-mean float fold is not). */
+  def rollingHllRegisters(df: DataFrame, valueCol: String, tsCol: String,
+      windowDays: Int, m: Int = 64): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3660,
+      "rollingHllRegisters needs windowDays in [1, 3660]")
+    val daily = portableHllRegisters(
+      df.filter(col(tsCol).isNotNull)
+        .withColumn("__day",
+          datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+            .cast("long")),
+      valueCol, m, Seq("__day"))
+    val bounds = daily.agg(max("__day").as("__mx"))
+    daily
+      .withColumn("day", explode(sequence(col("__day"),
+        col("__day") + (windowDays - 1).toLong)))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("__mx"))
+      .groupBy("day", "bucket").agg(max("r").as("r"))
+  }
+
   /** Count-Min sketch counters with a PORTABLE hash (Cormode & Muthukrishnan
     * 2005): one 60-bit sha-256 prefix per value supplies every hash row —
     * row i's bucket is an independent `60/depth`-bit slice of the same

@@ -73,6 +73,40 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("rollingHllRegisters: a window's registers equal the one-shot " +
+      "sketch of its days' union; window=1 equals daily") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // users per day: d1 {1,2}, d2 {2,3}, d4 {9}; no events on d3
+    val ev = Seq((1L, t(1)), (2L, t(1)), (2L, t(2)), (3L, t(2)),
+      (9L, t(4))).toDF("user_id", "ts")
+    val rolled = Sketches.rollingHllRegisters(ev, "user_id", "ts",
+      windowDays = 3, m = 16).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Int]("bucket"),
+        r.getAs[Int]("r"))).toSet
+    def oneShot(userDays: Seq[(Long, Int)]) = Sketches
+      .portableHllRegisters(
+        userDays.map { case (u, d) => (u, t(d)) }.toDF("user_id", "ts"),
+        "user_id", m = 16)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Int]("r"))).toSet
+    val day2 = java.time.LocalDate.parse("2024-01-02").toEpochDay
+    // window ending day2 spans d1+d2: union {1,2,3}
+    assert(rolled.filter(_._1 == day2).map(x => (x._2, x._3)) ==
+      oneShot(Seq((1L, 1), (2L, 1), (3L, 2))))
+    // window ending day4 spans d2..d4: union {2,3,9}
+    assert(rolled.filter(_._1 == day2 + 2).map(x => (x._2, x._3)) ==
+      oneShot(Seq((2L, 2), (3L, 2), (9L, 4))))
+    // no phantom windows beyond the last data day
+    assert(rolled.map(_._1).max == day2 + 2)
+    // windowDays=1 degenerates to the per-day registers
+    val w1 = Sketches.rollingHllRegisters(ev, "user_id", "ts",
+      windowDays = 1, m = 16).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Int]("bucket"),
+        r.getAs[Int]("r"))).toSet
+    assert(w1.filter(_._1 == day2).map(x => (x._2, x._3)) ==
+      oneShot(Seq((2L, 2), (3L, 2))))
+  }
+
   test("CMS counters stream: complete-mode cells over a MemoryStream " +
       "equal the batch counters on the same data") {
     // The counter agg is sum-per-(row,slot) cell, so Structured
