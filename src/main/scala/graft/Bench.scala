@@ -71,6 +71,17 @@ object Bench {
                  catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    // Host-speed calibration anchor: one deterministic CPU-bound job
+    // (hash-reduce 50M longs), timed AFTER warmup. Rounds run on boxes
+    // of very different speed/noise (round 9 measured ~2-3x vs round
+    // 8 on identical code); cross-round per-query ratios are only
+    // interpretable relative to this anchor.
+    val calib = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L)
+        .select(expr("bit_xor(xxhash64(id))")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
     val cold = timedPass()
     val warm = timedPass()
     val failedNames = warm.collect { case (k, v) if v < 0 => k }.toSeq.sorted
@@ -84,9 +95,9 @@ object Bench {
     // enough); the short line goes last so the round total always parses.
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"sf":"$sfDir","bench_failures":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"calib_sec":$calib,"sf":"$sfDir","bench_failures":$failedJson}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"sf":"$sfDir","bench_failures":$failedJson,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"calib_sec":$calib,"sf":"$sfDir","bench_failures":$failedJson,"queries":$qs}"""
     println(line)
     println(shortLine)
     try {

@@ -29,7 +29,7 @@ DELTA_BAR = 0.3
 
 
 def load(path):
-    """Return (queries: {name: sec}, sf: str|float|None)."""
+    """Return (queries: {name: sec}, sf: str|float|None, calib: float|None)."""
     with open(path) as f:
         d = json.load(f)
     if isinstance(d, dict) and "parsed" in d:
@@ -42,8 +42,8 @@ def load(path):
             for m in re.finditer(r'"(q\d+[a-z0-9_]*)":([0-9.eE+]+)',
                                  d.get("tail", ""))
         }
-        return qs, parsed.get("sf")
-    return d.get("queries", {}), d.get("sf")
+        return qs, parsed.get("sf"), parsed.get("calib_sec")
+    return d.get("queries", {}), d.get("sf"), d.get("calib_sec")
 
 
 def newest_snapshot():
@@ -63,20 +63,26 @@ def main():
         print(f"bench_diff: missing {'baseline' if baseline is None else current}"
               " — nothing to compare")
         return 0
-    cur, cur_sf = load(current)
-    base, base_sf = load(baseline)
+    cur, cur_sf, cur_cal = load(current)
+    base, base_sf, base_cal = load(baseline)
     if cur_sf != base_sf:
         print(f"bench_diff: sf mismatch (current {cur_sf} vs baseline "
               f"{base_sf}) — cross-sf ratios are meaningless, skipping")
         return 0
+    # host-speed normalization: when both runs carry the calib anchor,
+    # scale the baseline into the current box's speed — rounds land on
+    # boxes 2-3x apart and raw cross-round ratios flag phantom
+    # regressions otherwise
+    host = (cur_cal / base_cal) if cur_cal and base_cal else 1.0
     shared = sorted(set(cur) & set(base))
     flagged = []
     for q in shared:
-        c, b = cur[q], base[q]
+        c, b = cur[q], base[q] * host
         if c >= RATIO_BAR * b and c - b > DELTA_BAR:
             flagged.append((q, b, c))
     print(f"bench_diff: {len(shared)} shared queries vs {baseline}"
-          f" (bar: >= {RATIO_BAR}x AND > {DELTA_BAR}s slower)")
+          f" (bar: >= {RATIO_BAR}x AND > {DELTA_BAR}s slower"
+          + (f"; host-normalized x{host:.2f}" if host != 1.0 else "") + ")")
     for q, b, c in sorted(flagged, key=lambda t: t[1] - t[2]):
         print(f"  REGRESSED {q}: {b:.2f}s -> {c:.2f}s ({c / b:.1f}x)")
     if not flagged:
