@@ -14505,5 +14505,37 @@ object Queries {
         |SELECT CAST(day AS BIGINT) AS day, bucket,
         |  CAST(max(r) AS INT) AS r
         |FROM fan GROUP BY 1, 2 ORDER BY day, bucket""".stripMargin)),
+
+    // Group fairness audit of a deterministic toy classifier over the
+    // documents: per-source selection rate (demographic parity) and
+    // TPR/FPR (equalized odds), exact integer permilles, NULL where
+    // undefined — the governance report beside k-anonymity and the PII
+    // inventory.
+    Q("q423_fairness_audit",
+      (s, dir) => Privacy.fairnessAudit(
+          t(s, dir, "documents"), "source",
+          lower(col("text")).like("% the %"),
+          col("n_chars") % 2 === 0)
+        .orderBy("grp"),
+      Some("""WITH b AS (
+        |  SELECT source AS grp,
+        |    CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 0 END AS p
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |g AS (
+        |  SELECT grp, count(*) AS n, sum(p) AS sel,
+        |    sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp,
+        |    sum(y) AS pos,
+        |    sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS fp
+        |  FROM b GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST((sel * 1000) // n AS BIGINT) AS sel_permille,
+        |  CAST(CASE WHEN pos > 0 THEN (tp * 1000) // pos END AS BIGINT)
+        |    AS tpr_permille,
+        |  CAST(CASE WHEN n - pos > 0 THEN (fp * 1000) // (n - pos) END
+        |    AS BIGINT) AS fpr_permille
+        |FROM g ORDER BY grp""".stripMargin)),
   )
 }

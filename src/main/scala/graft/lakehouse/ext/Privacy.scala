@@ -1,6 +1,6 @@
 package graft.lakehouse.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy hygiene audits for training-data curation: before a table
@@ -151,4 +151,34 @@ object Privacy {
       .select(col("license"), col("n_docs_with"),
         expr("(n_docs_with * 1000) div n_docs").as("docs_permille"))
   }
+
+  /** Group fairness audit of a binary classifier — demographic parity
+    * (per-group selection rate) and equalized odds (per-group TPR/FPR;
+    * Hardt, Price & Srebro NeurIPS '16) — the governance report next to
+    * k-anonymity/PII when a quality or routing model gates content by
+    * group-correlated features. ONE hash aggregation into the bounded
+    * \|groups\| frame; every rate is an exact integer permille; groups
+    * with no positives (TPR undefined) or no negatives (FPR undefined)
+    * report NULL for that rate rather than a fabricated number. Reading
+    * the report: selection-rate spread across groups is the parity gap;
+    * TPR/FPR spreads are the equalized-odds gaps. */
+  def fairnessAudit(df: DataFrame, groupCol: String, labelCol: Column,
+      predCol: Column): DataFrame =
+    df.filter(col(groupCol).isNotNull && labelCol.isNotNull &&
+        predCol.isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(predCol.cast("long")).as("__sel"),
+        sum((labelCol.cast("boolean") && predCol.cast("boolean"))
+          .cast("long")).as("__tp"),
+        sum(labelCol.cast("long")).as("__pos"),
+        sum((!labelCol.cast("boolean") && predCol.cast("boolean"))
+          .cast("long")).as("__fp"))
+      .select(col("grp"), col("n"),
+        expr("(__sel * 1000) div n").as("sel_permille"),
+        when(col("__pos") > 0, expr("(__tp * 1000) div __pos"))
+          .as("tpr_permille"),
+        when(col("n") - col("__pos") > 0,
+          expr("(__fp * 1000) div (n - __pos)")).as("fpr_permille"))
 }

@@ -1,6 +1,7 @@
 package graft.lakehouse.ext
 
 import graft.lakehouse.SparkSuite
+import org.apache.spark.sql.functions.col
 
 class PrivacySpec extends SparkSuite {
   import spark.implicits._
@@ -106,5 +107,34 @@ class PrivacySpec extends SparkSuite {
     assert(out("all_rights_reserved") == ((0L, 0L)))
     assert(out("unmarked") == ((2L, 400L)))        // docs 3 and null
     assert(out.size == 8)
+  }
+
+  test("fairnessAudit: exact per-group parity and equalized-odds rates, " +
+      "NULL where undefined") {
+    import spark.implicits._
+    // group a: 4 rows, labels (1,1,0,0), preds (1,0,1,0):
+    //   sel 500, tp=1/pos=2 -> tpr 500, fp=1/neg=2 -> fpr 500
+    // group b: 2 rows, all positive, preds (1,1):
+    //   sel 1000, tpr 1000, fpr NULL (no negatives)
+    // group c: 2 rows, all negative, preds (0,0):
+    //   sel 0, tpr NULL, fpr 0
+    val df = Seq(
+      ("a", 1, 1), ("a", 1, 0), ("a", 0, 1), ("a", 0, 0),
+      ("b", 1, 1), ("b", 1, 1),
+      ("c", 0, 0), ("c", 0, 0))
+      .toDF("grp0", "y", "p")
+    val got = Privacy.fairnessAudit(df, "grp0", col("y") === 1,
+        col("p") === 1)
+      .orderBy("grp").collect()
+    def row(i: Int) = {
+      val r = got(i)
+      (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("sel_permille"),
+        Option(r.getAs[java.lang.Long]("tpr_permille")),
+        Option(r.getAs[java.lang.Long]("fpr_permille")))
+    }
+    assert(row(0) == (("a", 4L, 500L, Some(500L), Some(500L))),
+      got.mkString(","))
+    assert(row(1) == (("b", 2L, 1000L, Some(1000L), None)))
+    assert(row(2) == (("c", 2L, 0L, None, Some(0L))))
   }
 }
