@@ -14537,5 +14537,37 @@ object Queries {
         |  CAST(CASE WHEN n - pos > 0 THEN (fp * 1000) // (n - pos) END
         |    AS BIGINT) AS fpr_permille
         |FROM g ORDER BY grp""".stripMargin)),
+
+    // Cochran's Q over users x event types (did each user ever trigger
+    // each type?): the k-treatment binary Friedman / McNemar
+    // generalization, exact integers with one final division.
+    Q("q424_cochran_q",
+      (s, dir) => StatTests.cochranQ(
+        ev(s, dir).filter(col("user_id").isNotNull &&
+          col("event_type").isNotNull),
+        "user_id", "event_type", lit(1)),
+      Some("""WITH cells AS (
+        |  SELECT user_id AS b, event_type AS t, 1 AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT bb.b, tt.t, coalesce(cells.x, 0) AS x
+        |  FROM (SELECT DISTINCT b FROM cells) bb
+        |  CROSS JOIN (SELECT DISTINCT t FROM cells) tt
+        |  LEFT JOIN cells ON cells.b = bb.b AND cells.t = tt.t),
+        |r AS (
+        |  SELECT sum(ri * ri) AS sr2, count(*) AS b
+        |  FROM (SELECT b, sum(x) AS ri FROM grid GROUP BY 1)),
+        |c AS (
+        |  SELECT sum(cj * cj) AS sc2, sum(cj) AS n, count(*) AS k
+        |  FROM (SELECT t, sum(x) AS cj FROM grid GROUP BY 1))
+        |SELECT CAST(b AS BIGINT) AS b, CAST(k AS BIGINT) AS k,
+        |  CAST(n AS BIGINT) AS n_success,
+        |  CASE WHEN k * n - sr2 > 0 THEN
+        |    CAST((k - 1) * (k * sc2 - n * n) AS DOUBLE)
+        |      / CAST(k * n - sr2 AS DOUBLE) END AS q,
+        |  CAST(k - 1 AS BIGINT) AS dof
+        |FROM c, r""".stripMargin)),
   )
 }

@@ -1353,6 +1353,46 @@ object StatTests {
         (col("k") - 1L).cast("long").as("dof"))
   }
 
+  /** Cochran's Q test — k matched treatments with BINARY outcomes
+    * (Cochran '50; the k-treatment generalization of McNemar and the
+    * binary sibling of [[friedmanTest]]): do the k detectors/variants
+    * succeed on the same blocks at the same rate? With column totals
+    * Cⱼ, row totals Rᵢ and N = ΣCⱼ, Q = (k−1)·(k·ΣCⱼ² − N²) /
+    * (k·N − ΣRᵢ²) — EVERY term an exact integer, one final IEEE
+    * division; the degenerate denominator (all blocks all-success or
+    * all-failure) reports NULL. Each block's outcome per treatment is
+    * `max(outcome)` over its rows (any success counts), and the
+    * (block, treatment) grid completes with zeros. Scale: one cell
+    * aggregation; everything else folds over the b·k grid. */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+      outcome: Column): DataFrame = {
+    val cells = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(treatCol).as("t"))
+      .agg(max(outcome.cast("int")).as("x"))
+    val grid = cells.select("b").distinct()
+      .crossJoin(cells.select("t").distinct())
+      .join(cells, Seq("b", "t"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0)))
+    val rows = grid.groupBy("b").agg(sum("x").as("__r"))
+      .agg(sum(col("__r") * col("__r")).as("__sr2"),
+        count(lit(1)).as("__b"))
+    val colsAgg = grid.groupBy("t").agg(sum("x").as("__c"))
+      .agg(sum(col("__c") * col("__c")).as("__sc2"),
+        sum("__c").as("__n"), count(lit(1)).as("__k"))
+    colsAgg.crossJoin(broadcast(rows))
+      .select(col("__b").cast("long").as("b"),
+        col("__k").cast("long").as("k"),
+        col("__n").cast("long").as("n_success"),
+        when(col("__k") * col("__n") - col("__sr2") > 0,
+          ((col("__k") - 1L) *
+            (col("__k") * col("__sc2") - col("__n") * col("__n")))
+            .cast("double") /
+            (col("__k") * col("__n") - col("__sr2")).cast("double"))
+          .as("q"),
+        (col("__k") - 1L).cast("long").as("dof"))
+  }
+
   /** Hosmer–Lemeshow calibration test: exact-rank decile bins over an
     * integer permille score (the [[sliceAccuracyWilson]] bucketing
     * convention: bin(v) = ceil(cum(v)·g/n), ties share a bin), then

@@ -794,6 +794,38 @@ class StatTestsSpec extends SparkSuite {
     assert(got.getAs[Long]("coverage_permille") == 1000L)
   }
 
+  test("cochranQ: hand-computed statistic on a 3x3 binary grid") {
+    // x: b1 (1,1,0), b2 (1,0,0), b3 (1,1,1):
+    // Cj = (3,2,1), N = 6, sumCj2 = 14; Ri = (2,1,3), sumRi2 = 14.
+    // Q = 2*(3*14 - 36)/(3*6 - 14) = 12/4 = 3.
+    val df = Seq(
+      (1, "A", 1), (1, "B", 1), (1, "C", 0),
+      (2, "A", 1), (2, "B", 0), (2, "C", 0),
+      (3, "A", 1), (3, "B", 1), (3, "C", 1))
+      .toDF("blk", "trt", "x")
+    val r = StatTests.cochranQ(df, "blk", "trt", col("x") === 1).head()
+    assert(r.getAs[Long]("b") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_success") == 6L)
+    assert(math.abs(r.getAs[Double]("q") - 3.0) < 1e-12, r.toString)
+    assert(r.getAs[Long]("dof") == 2L)
+  }
+
+  test("cochranQ: all-success blocks degenerate to NULL; missing cells " +
+      "zero-fill") {
+    val allOne = Seq((1, "A", 1), (1, "B", 1), (2, "A", 1), (2, "B", 1))
+      .toDF("blk", "trt", "x")
+    val r = StatTests.cochranQ(allOne, "blk", "trt", col("x") === 1).head()
+    assert(r.isNullAt(r.fieldIndex("q")), r.toString)
+    // block 2 has no C row at all: its C cell must count as failure
+    val sparse = Seq((1, "A", 1), (1, "C", 1), (2, "A", 1))
+      .toDF("blk", "trt", "x")
+    val s = StatTests.cochranQ(sparse, "blk", "trt", col("x") === 1).head()
+    // grid: b1 (A=1, C=1), b2 (A=1, C=0): Cj=(2,1), N=3, sumCj2=5;
+    // Ri=(2,1), sumRi2=5; Q = 1*(10-9)/(6-5) = 1.
+    assert(s.getAs[Long]("k") == 2L && s.getAs[Long]("b") == 2L)
+    assert(math.abs(s.getAs[Double]("q") - 1.0) < 1e-12, s.toString)
+  }
+
   test("hosmerLemeshow: perfectly calibrated integer bins score 0") {
     // v=200 x5 rows with 1 event, v=400 x5 with 2, v=600 x5 with 3,
     // v=800 x5 with 4; bins=2 -> both bins have o = e exactly.
