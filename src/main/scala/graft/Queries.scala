@@ -2315,7 +2315,8 @@ object Queries {
         .orderBy("bin"),
       Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
         |  count(*) AS cnt,
-        |  CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo
+        |  CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT)
+        |    * 25000.0 AS DOUBLE) AS bin_lo
         |FROM orders WHERE o_totalprice IS NOT NULL
         |GROUP BY 1 ORDER BY bin""".stripMargin)),
 
@@ -11563,7 +11564,8 @@ object Queries {
         |r AS (
         |  SELECT * FROM (VALUES (0.0, 50000.0), (100000.0, 150000.0),
         |    (400000.0, 500000.0), (600000.0, 1000000000.0)) AS t(lo, hi))
-        |SELECT lo AS range_lo, hi AS range_hi,
+        |SELECT CAST(lo AS DOUBLE) AS range_lo,
+        |  CAST(hi AS DOUBLE) AS range_hi,
         |  CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(count(*) FILTER (WHERE mx >= lo AND mn <= hi) AS BIGINT)
         |    AS n_kept,
@@ -13490,9 +13492,11 @@ object Queries {
         |  FROM r, (SELECT unnest([500, 900]) AS p)
         |  WHERE cum >= (n * p + 999) // 1000
         |  GROUP BY 1, 2)
-        |SELECT qt.p, qt.q AS q_treat, CAST(qt.n AS BIGINT) AS n_treat,
-        |  qc.q AS q_control, CAST(qc.n AS BIGINT) AS n_control,
-        |  qt.q - qc.q AS qte
+        |SELECT qt.p, CAST(qt.q AS BIGINT) AS q_treat,
+        |  CAST(qt.n AS BIGINT) AS n_treat,
+        |  CAST(qc.q AS BIGINT) AS q_control,
+        |  CAST(qc.n AS BIGINT) AS n_control,
+        |  CAST(qt.q - qc.q AS BIGINT) AS qte
         |FROM (SELECT * FROM q WHERE t = 1) qt
         |JOIN (SELECT * FROM q WHERE t = 0) qc ON qc.p = qt.p
         |ORDER BY qt.p""".stripMargin)),
