@@ -173,8 +173,10 @@ object Graph {
     * known-edge anti-join, instead of allocating a struct row per
     * wedge. Loud refusal beyond 31-bit vertex ids (re-key first).
     * Shared by [[adamicAdarTopPairs]] and [[linkPredictionTopPairs]]. */
-  private val packedWedgeUdf = udf((nbrs: Seq[Long]) => {
-    val arr = nbrs.toArray
+  // Array[Long] (not Seq[Long]) on BOTH sides: the primitive-array
+  // signature lets the UDF deserializer take UnsafeArrayData.toLongArray
+  // — zero per-element boxing on the O(deg²) hot path.
+  private[ext] val packedWedgeUdf = udf((arr: Array[Long]) => {
     val n = arr.length
     require(n == 0 ||
       (arr(0) >= 0L && arr(n - 1) < 2147483648L),
