@@ -587,6 +587,24 @@ class StatTestsSpec extends SparkSuite {
       got(("c", "k")).isEmpty, "zero-variance column -> null corr")
   }
 
+  test("correlationMatrix: bit-stable across partitionings (long chunk " +
+    "partials + exact decimal merge)") {
+    import spark.implicits._
+    // noisy-but-correlated integers; exact moments => every partitioning
+    // must fold to the IDENTICAL double, not merely a close one
+    val rows = (1 to 997).map(i => (i, 3 * i + (i * i) % 17, 5000 - 2 * i))
+    def run(parts: Int) = StatTests.correlationMatrix(
+      rows.toDF("x", "y", "z").repartition(parts),
+      Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("corr"), r.getAs[Long]("n"))).toMap
+    val one = run(1)
+    assert(one.size == 3 && one.values.forall(_._2 == 997L))
+    assert(math.abs(one(("x", "z"))._1 + 1.0) < 1e-12)
+    assert(run(13) == one, "chunked long partials must merge exactly")
+  }
+
   test("brownForsythe matches the hand computation and is " +
       "partition-order independent") {
     // a: v=[0,2,4] -> z=[4,0,4]; b: v=[0,8,16] -> z=[16,0,16]
