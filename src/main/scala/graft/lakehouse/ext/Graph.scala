@@ -208,7 +208,16 @@ object Graph {
     * Scale shape: the [[adamicAdarTopPairs]] plan with an integer count
     * in place of the float fold — one adjacency aggregation, the
     * packed-long wedge stream, one pair count, one anti-join, two O(V)
-    * degree joins on the topN-bounded survivors. */
+    * degree joins on the topN-bounded survivors.
+    *
+    * Round-10 stage audit (sf0.1 interleaved medians, 7 passes): full
+    * 1.18 s = adjacency 0.37 + wedge-agg/anti-join/limit 0.69 + degree
+    * joins & checkpoint 0.12. The anti-join is already a broadcast
+    * (fusing known edges into the wedge aggregation via a sentinel
+    * weight measured SLOWER, 1.30 s — it breaks the pipelined stage);
+    * the persist/localCheckpoint pair adds ~0.1 s, not a full pass.
+    * Remaining time is the 1.2M-wedge aggregation plus per-stage job
+    * floor — no structural waste found; the plan holds at 100×. */
   def linkPredictionTopPairs(edges: DataFrame, srcCol: String,
       dstCol: String, topN: Int, maxDeg: Int = 1024): DataFrame = {
     require(topN >= 1 && maxDeg >= 2,
