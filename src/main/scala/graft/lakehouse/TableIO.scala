@@ -447,9 +447,28 @@ object TableIO {
         d.toDouble > 0
       case _ => false
     }
+    // A numeric cast over a derived integer only unwraps when it is
+    // provably WIDENING-or-monotone for every value the inner shape can
+    // produce: floor(x/k) is BIGINT (19 digits), year() is INT (10).
+    // long/double/float are total + order-preserving (int→smaller-int
+    // wraps under non-ANSI writers — NOT monotone — and a decimal too
+    // narrow for the domain nulls/throws, so both refuse to derive).
+    def wideEnough(dt: DataType, digits: Int): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | DoubleType | FloatType => true
+        case IntegerType => digits <= 10
+        case d: DecimalType => d.precision - d.scale >= digits
+        case _ => false
+      }
+    }
     def core(e: Expression): Option[(String, String)] = e match {
       case c: Cast if c.dataType.isInstanceOf[NumericType] =>
-        core(c.child).filter(s => s._2 == "floordiv" || s._2 == "year")
+        core(c.child).filter {
+          case (_, "floordiv") => wideEnough(c.dataType, 19)
+          case (_, "year") => wideEnough(c.dataType, 10)
+          case _ => false
+        }
       case c: Cast if c.dataType == DateType ||
           c.dataType == TimestampType =>
         core(c.child).orElse(attr(c.child).map(_ -> "castdate"))
@@ -476,11 +495,20 @@ object TableIO {
     * Spark itself — one local frame carrying the literals under the base
     * column's name — so the derivation can never disagree with the
     * engine's own coercion/arithmetic semantics (no hand-rolled f to
-    * drift), and an IN-list derives in ONE job. Returns per-point the
-    * Catalyst-internal value and its type (None where the point doesn't
-    * evaluate), or None outright on any failure. */
+    * drift), and an IN-list derives in ONE job. The literals are CAST
+    * into the base column's declared type (`baseDt`) before f evaluates:
+    * stored g values were computed from base-typed operands, and e.g.
+    * decimal-vs-double division can round differently across a floor
+    * band boundary — a bound derived in the literal's own type could be
+    * too tight and prune files whose rows match (round-10 advice). The
+    * cast lands on the nearest representable base value, which for a
+    * monotone f yields the exact bound (cast toward the range) or a
+    * strictly LOOSER one (cast away from it) — never a tighter one; an
+    * ANSI cast overflow throws and the derivation is dropped whole.
+    * Returns per-point the Catalyst-internal value and its type (None
+    * where the point doesn't evaluate), or None outright on failure. */
   private def evalGeneratedBatch(spark: SparkSession, exprSql: String,
-      base: String, litDt: DataType,
+      base: String, litDt: DataType, baseDt: DataType,
       internals: Seq[Any]): Option[Seq[Option[(Any, DataType)]]] =
     try {
       import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -491,6 +519,8 @@ object TableIO {
       val df = spark.createDataFrame(rows,
         StructType(Seq(StructField(base, litDt))))
         .coalesce(1)
+        .select(org.apache.spark.sql.functions.col(base)
+          .cast(baseDt).as(base))
         .selectExpr(s"($exprSql) AS __g")
       val out = df.collect()
       val gdt = df.schema.head.dataType
@@ -653,7 +683,8 @@ object TableIO {
           }.filter(gateOk).distinct
           val evaluated: Map[PLit, Option[PLit]] =
             pts.groupBy(_.dt).flatMap { case (dt, ps) =>
-              evalGeneratedBatch(spark, exprSql, base, dt, ps.map(_.v)) match {
+              evalGeneratedBatch(spark, exprSql, base, dt,
+                colDt.getOrElse(dt), ps.map(_.v)) match {
                 case Some(rs) => ps.zip(rs.map(_.map {
                   case (v, gdt) => PLit(v, gdt) })).toMap
                 case None => ps.map(_ -> (None: Option[PLit])).toMap

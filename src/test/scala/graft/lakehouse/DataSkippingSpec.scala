@@ -609,6 +609,52 @@ class DataSkippingSpec extends SparkSuite {
       "non-prefix substrings are not monotone")
     assert(TableIO.monotoneGeneratedShape("x % 10").isEmpty)
     assert(TableIO.monotoneGeneratedShape("abs(x)").isEmpty)
+    // numeric-cast unwrap: only widening-or-monotone targets derive —
+    // a narrowing cast of a BIGINT floor band wraps under non-ANSI
+    // writers and is NOT order-preserving
+    assert(TableIO.monotoneGeneratedShape(
+      "CAST(floor(x / 50.0) AS INT)").isEmpty,
+      "int cast of a bigint floor band can wrap")
+    assert(TableIO.monotoneGeneratedShape(
+      "CAST(floor(x / 50.0) AS TINYINT)").isEmpty)
+    assert(TableIO.monotoneGeneratedShape(
+      "CAST(floor(x / 50.0) AS DECIMAL(10,0))").isEmpty,
+      "a decimal too narrow for the bigint domain nulls/throws")
+    assert(TableIO.monotoneGeneratedShape(
+      "CAST(floor(x / 50.0) AS DECIMAL(19,0))") == Some(("x", "floordiv")))
+    assert(TableIO.monotoneGeneratedShape(
+      "CAST(floor(x / 50.0) AS DOUBLE)") == Some(("x", "floordiv")),
+      "long->double rounding is order-preserving")
+    assert(TableIO.monotoneGeneratedShape(
+      "CAST(year(ts) AS INT)") == Some(("ts", "year")))
+  }
+
+  test("generated-column pruning derives bounds in the BASE column's " +
+      "declared type; decimal banding stays exact at band boundaries") {
+    // DECIMAL(18,2) base: the derivation must evaluate f over decimal
+    // operands (a double-typed eval frame can round differently across
+    // a floor band boundary and silently over-prune)
+    val df = spark.range(0, 4000).selectExpr(
+      "CAST(CAST(id AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS v",
+      "CAST(floor(CAST(CAST(id AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2))" +
+        " / 10.0) AS LONG) AS band")
+      .repartition(4, col("band"))
+    withFixedPartitions {
+      TableIO.writeTable(spark, lh, "genpd", df, sortBy = Seq("band"))
+    }
+    TableIO.setGeneratedColumn(spark, lh, "genpd", "band",
+      "CAST(floor(v / 10.0) AS LONG)")
+    val total = TableIO.selectTable(spark, lh, "genpd").inputFiles.length
+    assert(total > 1, s"fixture should span multiple files, got $total")
+    // double literals straddling the v=10.00 / v=20.00 band boundaries
+    val got = TableIO.readTable(spark, lh, "genpd",
+      condition = "v >= 9.995 AND v <= 20.005")
+    assert(got.count() == 1001L, "boundary literals must not over-prune")
+    assert(got.inputFiles.length < total,
+      s"derived band range should still prune (${got.inputFiles.length}/$total)")
+    val eq = TableIO.readTable(spark, lh, "genpd", condition = "v = 25.5")
+    assert(eq.count() == 1L)
+    TableIO.dropTable(spark, lh, "genpd")
   }
 
   test("generated-column pruning on a date-partition idiom: to_date(ts)") {
