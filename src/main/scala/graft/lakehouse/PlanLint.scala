@@ -21,6 +21,12 @@ import org.apache.spark.sql.catalyst.plans.logical._
   *    with no enclosing limit (a top-k plans as TakeOrdered and never
   *    trips this; a deterministic ORDER BY over an aggregate is bounded
   *    and fine).
+  *  - `unpartitioned-window-grouped-agg`: a partition-less Window whose
+  *    only cardinality bound is an aggregate grouped by an
+  *    unbounded-domain key (per-user, per-doc) — the aggregate's output
+  *    is input-proportional, so the window is still a corpus-scale
+  *    single-partition sort. Calendar/bucket/literal-domain groupings
+  *    (dates, year(), x % k, time windows) do not trip this.
   *
   * Linting inspects plans only — nothing executes. Reference provenance:
   * the reference library's display/debug helpers (common.py:139-170)
@@ -39,6 +45,77 @@ object PlanLint {
     case other => other.children.forall(bounded)
   }
 
+  /** A grouping expression whose value DOMAIN is bounded regardless of
+    * input size: literals, small/bounded types, temporal extractions
+    * (calendar-bounded), time buckets, and modulo-by-literal. A plain
+    * per-user / per-doc key is none of these — an aggregate on it has
+    * input-proportional cardinality and does NOT tame a downstream
+    * partition-less window (round-10 advice: the previous rule let any
+    * Aggregate bound, a false negative on the lint's own target). */
+  private def boundedDomain(e: org.apache.spark.sql.catalyst.expressions
+      .Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    e match {
+      case _: Literal => true
+      case _ if e.dataType == DateType || e.dataType == BooleanType ||
+        e.dataType == ByteType || e.dataType == ShortType => true
+      case a: Alias => boundedDomain(a.child)
+      case c: Cast => boundedDomain(c.child)
+      case r: Remainder => r.right.isInstanceOf[Literal]
+      case p: Pmod => p.right.isInstanceOf[Literal]
+      case _ => Set("Year", "Month", "Quarter", "DayOfMonth", "DayOfWeek",
+        "DayOfYear", "WeekOfYear", "Hour", "Minute", "Second",
+        "TruncDate", "TruncTimestamp", "TimeWindow")
+        .contains(e.getClass.getSimpleName)
+    }
+  }
+
+  /** The first cardinality-bounding node on each path below `p` — the
+    * nodes [[bounded]] credits. */
+  private def firstBounders(p: LogicalPlan): Seq[LogicalPlan] = p match {
+    case a: Aggregate => Seq(a)
+    case b @ (_: GlobalLimit | _: Deduplicate | _: LocalRelation) => Seq(b)
+    case leaf if leaf.children.isEmpty => Seq(leaf)
+    case other => other.children.flatMap(firstBounders)
+  }
+
+  /** Resolve an attribute back to the expression that computed it by
+    * walking Alias definitions in descendant Projects — the optimizer
+    * pushes groupBy(expr.as("b")) into a Project below the Aggregate,
+    * leaving only the bare attribute in groupingExpressions. */
+  private def resolveThroughProjects(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      plan: LogicalPlan)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case a: AttributeReference =>
+        def find(p: LogicalPlan): Option[Expression] = p match {
+          case proj: Project =>
+            proj.projectList.collectFirst {
+              case al: Alias if al.exprId == a.exprId =>
+                resolveThroughProjects(al.child, proj.child)
+            }.orElse(find(proj.child))
+          case other => other.children.flatMap(find(_)).headOption
+        }
+        find(plan).getOrElse(a)
+      case other => other
+    }
+  }
+
+  /** True when `p`'s boundedness rests on an aggregate grouped by an
+    * unbounded-domain key (per-user, per-doc): its output is
+    * input-proportional, so a partition-less window over it is still a
+    * corpus-scale single-partition sort. */
+  private def groupedAggBounded(p: LogicalPlan): Boolean =
+    firstBounders(p).exists {
+      case a: Aggregate => a.groupingExpressions.nonEmpty &&
+        !a.groupingExpressions.forall(g =>
+          boundedDomain(resolveThroughProjects(g, a.child)))
+      case _ => false
+    }
+
   /** All (rule, offendingNode) pairs for one frame. */
   def violations(df: DataFrame): Seq[(String, String)] = {
     def walk(p: LogicalPlan, underLimit: Boolean): Seq[(String, String)] =
@@ -50,6 +127,10 @@ object PlanLint {
             s.children.flatMap(walk(_, underLimit = false))
         case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
           ("unpartitioned-window-unbounded", w.simpleString(120)) +:
+            w.children.flatMap(walk(_, underLimit = false))
+        case w: Window if w.partitionSpec.isEmpty &&
+            groupedAggBounded(w.child) =>
+          ("unpartitioned-window-grouped-agg", w.simpleString(120)) +:
             w.children.flatMap(walk(_, underLimit = false))
         case other => other.children.flatMap(walk(_, underLimit = false))
       }

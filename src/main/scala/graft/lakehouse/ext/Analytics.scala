@@ -629,10 +629,15 @@ object Analytics {
     * windows run over ≤ observation-window-days rows. */
   private def riskTable(events: DataFrame, userCol: String, tsCol: String,
       churnGapDays: Int): DataFrame = {
-    val users = events
+    val lifetimes = events
       .groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("f"), max(to_date(col(tsCol))).as("l"))
-      .withColumn("obs_end", max(col("l")).over(Window.partitionBy()))
+    // observation end via a 1-row agg broadcast back — NOT a
+    // partition-less window over the per-user frame, which would drag
+    // every user through one partition (round-10 advice; the
+    // splitConformalCoverage pattern)
+    val users = lifetimes
+      .crossJoin(broadcast(lifetimes.agg(max("l").as("obs_end"))))
       .withColumn("duration", datediff(col("l"), col("f")))
       .withColumn("churned",
         datediff(col("obs_end"), col("l")) > churnGapDays)
@@ -1500,12 +1505,16 @@ object Analytics {
   def logRankTest(events: DataFrame, userCol: String, tsCol: String,
       churnGapDays: Int, groupCol: Column): DataFrame = {
     require(churnGapDays >= 0, "logRankTest needs churnGapDays >= 0")
-    val users = events
+    val lifetimes = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("f"), max(to_date(col(tsCol))).as("l"),
         min(groupCol.cast("int")).as("__g"))
-      .withColumn("obs_end", max(col("l")).over(Window.partitionBy()))
+    // observation end via a 1-row agg broadcast (the riskTable shape) —
+    // a partition-less max window here was a single-partition pass over
+    // ALL users, contradicting the documented scale shape
+    val users = lifetimes
+      .crossJoin(broadcast(lifetimes.agg(max("l").as("obs_end"))))
       .withColumn("duration", datediff(col("l"), col("f")))
       .withColumn("churned",
         datediff(col("obs_end"), col("l")) > churnGapDays)

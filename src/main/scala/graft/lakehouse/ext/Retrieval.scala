@@ -426,6 +426,15 @@ object Retrieval {
     val top = 1L << gmax
     val kernel = udf((rows: Seq[org.apache.spark.sql.Row]) => {
       val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // dense-rank contract, enforced loudly: the per-rank denominator
+      // r·2^(gmax·r) assumes exactly r−1 retrieved positions precede
+      // rank r — a rank gap (or tie) would silently deflate ERR by
+      // 2^(gmax·missing). Re-rank with row_number() first.
+      sorted.iterator.zipWithIndex.foreach { case ((r, _), i) =>
+        require(r == i + 1L,
+          s"errAtK: ranks must be dense 1..n per query (rank $r at " +
+            s"position ${i + 1}) — re-rank with row_number() first")
+      }
       var carry = 1L
       sorted.map { case (r, g) =>
         require(g >= 0 && g <= gmax,

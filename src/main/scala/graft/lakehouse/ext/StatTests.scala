@@ -1309,19 +1309,30 @@ object StatTests {
     val k = itemCols.size
     val items = itemCols.map(c => col(c).cast("long"))
     val total = items.reduce(_ + _)
+    // squared sums and the n-scaled variance numerators accumulate as
+    // DECIMAL(38,0), not long: with corpus-scale n and multi-thousand
+    // item totals, Σ total² and n·Σtotal² − (Σtotal)² exceed int64 —
+    // and the DuckDB twin sums into HUGEINT, so the two sides would
+    // diverge exactly when it matters (round-10 advice). The final
+    // long casts below stay ANSI-loud if a numerator truly outgrows
+    // int64.
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
     val aggs =
       itemCols.zipWithIndex.flatMap { case (c, i) =>
         Seq(sum(col(c).cast("long")).as(s"__s$i"),
-          sum(col(c).cast("long") * col(c).cast("long")).as(s"__ss$i"))
-      } ++ Seq(sum(total).as("__st"), sum(total * total).as("__sst"),
-        count(lit(1)).as("n"))
+          sum(dec(col(c).cast("long")) * dec(col(c).cast("long")))
+            .as(s"__ss$i"))
+      } ++ Seq(sum(total).as("__st"), sum(dec(total) * dec(total))
+        .as("__sst"), count(lit(1)).as("n"))
     val base = df
       .filter(itemCols.map(col(_).isNotNull).reduce(_ && _))
       .agg(aggs.head, aggs.tail: _*)
+    val nDec = col("n").cast("decimal(38,0)")
     val itemVarNum = (0 until k).map(i =>
-      col("n") * col(s"__ss$i") - col(s"__s$i") * col(s"__s$i"))
+      nDec * col(s"__ss$i") - dec(col(s"__s$i")) * dec(col(s"__s$i")))
       .reduce(_ + _)
-    val totalVarNum = col("n") * col("__sst") - col("__st") * col("__st")
+    val totalVarNum = nDec * col("__sst") -
+      dec(col("__st")) * dec(col("__st"))
     base.select(col("n").cast("long").as("n"),
         lit(k.toLong).as("k"),
         itemVarNum.cast("long").as("item_var_num"),

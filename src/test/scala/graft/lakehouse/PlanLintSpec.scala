@@ -36,10 +36,35 @@ class PlanLintSpec extends SparkSuite {
       row_number().over(Window.partitionBy(col("id") % 7).orderBy("id")))
     assert(PlanLint.violations(partitioned).isEmpty,
       PlanLint.violations(partitioned).toString)
-    val bounded = raw.groupBy("id").count()
-      .withColumn("rn", row_number().over(Window.orderBy("id")))
+    // bounded-DOMAIN grouping (bucket key): the aggregate genuinely
+    // tames the window
+    val bounded = raw.groupBy((col("id") % 7).as("b")).count()
+      .withColumn("rn", row_number().over(Window.orderBy("b")))
     assert(PlanLint.violations(bounded).isEmpty,
       PlanLint.violations(bounded).toString)
+  }
+
+  test("partition-less window over a PER-KEY aggregate flags: grouped " +
+      "output is input-proportional (calendar/bucket keys pass)") {
+    val raw = spark.range(1000).toDF("id")
+    // per-id grouping: |groups| ~ |input| -> still a corpus-scale sort
+    val perKey = raw.groupBy("id").count()
+      .withColumn("rn", row_number().over(Window.orderBy("id")))
+    assert(PlanLint.violations(perKey)
+      .exists(_._1 == "unpartitioned-window-grouped-agg"),
+      PlanLint.violations(perKey).toString)
+    // calendar-domain grouping passes
+    val ts = spark.range(1000).selectExpr(
+      "timestamp_seconds(id * 86400) AS ts")
+    val daily = ts.groupBy(to_date(col("ts")).as("day")).count()
+      .withColumn("c", sum("count").over(Window.orderBy("day")))
+    assert(PlanLint.violations(daily).isEmpty,
+      PlanLint.violations(daily).toString)
+    // a global aggregate (no keys) still bounds absolutely
+    val global = raw.agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.orderBy("n")))
+    assert(PlanLint.violations(global).isEmpty,
+      PlanLint.violations(global).toString)
   }
 
   test("global sorts flag only when unbounded AND unlimited") {
