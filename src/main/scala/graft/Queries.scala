@@ -14573,5 +14573,48 @@ object Queries {
         |      / CAST(k * n - sr2 AS DOUBLE) END AS q,
         |  CAST(k - 1 AS BIGINT) AS dof
         |FROM c, r""".stripMargin)),
+
+    // PDF census over deterministic classic-xref fixtures: version,
+    // page count (Root -> /Pages -> /Count via the xref offsets),
+    // object count, encryption + linearization flags — the scraped-
+    // corpus doorstep walk, decode-free (ISO 32000-1 trailer/xref).
+    Q("q425_pdf_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 13 === 0)
+          .withColumn("payload", Multimodal.syntheticPdfUdf(
+            (lit(1) + col("doc_id") % 7).cast("int"),
+            col("doc_id") % 3 === 0,
+            col("doc_id") % 2 === 0))
+        Multimodal.decodePdfHeaders(blobs, "payload")
+          .select(col("doc_id"),
+            col("pdf.version_major").as("version_major"),
+            col("pdf.version_minor").as("version_minor"),
+            col("pdf.n_pages").as("n_pages"),
+            col("pdf.n_objects").as("n_objects"),
+            col("pdf.encrypted").as("encrypted"),
+            col("pdf.linearized").as("linearized"),
+            col("pdf.n_updates").as("n_updates"),
+            col("pdf.xref_stream").as("xref_stream"),
+            col("pdf.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 7 AS BIGINT) AS np,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS l
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  CAST(1 AS INT) AS version_major,
+        |  CAST(7 AS INT) AS version_minor,
+        |  CAST(np AS INT) AS n_pages,
+        |  CAST(np + 2 + e + l AS INT) AS n_objects,
+        |  e = 1 AS encrypted,
+        |  l = 1 AS linearized,
+        |  CAST(0 AS INT) AS n_updates,
+        |  FALSE AS xref_stream,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -2456,4 +2456,202 @@ object Multimodal {
   val syntheticParquetUdf = udf((nCols: Int, nGroups: Int, rowsPer: Long,
     base: Long, step: Long) =>
     syntheticParquet(nCols, nGroups, rowsPer, base, step))
+
+  // ---- PDF document metadata (decode-free) --------------------------------
+
+  /** Parsed PDF metadata from the header, the startxref → xref-table →
+    * trailer walk (following the /Prev incremental-update chain,
+    * newest-wins), and a bounded two-hop object lookup to the page-tree
+    * root: spec version, total page count (/Type /Pages /Count at the
+    * catalog's /Pages target), object count (trailer /Size − 1, the
+    * free object 0 excluded), /Encrypt presence, the /Linearized
+    * first-object marker, the number of incremental updates walked,
+    * whether the file uses a cross-reference STREAM (PDF 1.5+ xref
+    * object — its entries live inside a possibly-Flate stream, which a
+    * decode-free walker honestly reports instead of inflating), and the
+    * truncation flag for any out-of-bounds/hostile offset. */
+  case class PdfMeta(version_major: Int, version_minor: Int, n_pages: Int,
+    n_objects: Int, encrypted: Boolean, linearized: Boolean,
+    n_updates: Int, xref_stream: Boolean, truncated: Boolean)
+
+  /** DECODE-FREE PDF walker (ISO 32000-1 §7.5): `%PDF-M.N` header,
+    * `startxref` scanned back from the tail, classic xref subsection
+    * tables (20-byte entries) walked newest→oldest over the /Prev
+    * chain (capped at 16 revisions), trailer dict mined for
+    * /Size /Root /Encrypt /Prev, then Root→/Pages→/Count resolved via
+    * the xref offsets themselves. Every offset is bounds-checked
+    * against the buffer; malformed or hostile structures flag
+    * `truncated` rather than throw; a non-PDF returns null. */
+  def pdfMeta(bytes: Array[Byte]): PdfMeta = {
+    if (bytes == null || bytes.length < 32) return null
+    def str(off: Long, len: Int): String = {
+      val a = math.max(0L, off).toInt
+      val b = math.min(bytes.length.toLong, off + len).toInt
+      if (b <= a) ""
+      else new String(bytes, a, b - a,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val head = str(0, 16)
+    val ver = """%PDF-(\d)\.(\d)""".r.findPrefixMatchOf(head).orNull
+    if (ver == null) return null
+    val vMaj = ver.group(1).toInt
+    val vMin = ver.group(2).toInt
+    val linearized = str(0, 2048).contains("/Linearized")
+    def failed(enc: Boolean, upd: Int, xs: Boolean): PdfMeta =
+      PdfMeta(vMaj, vMin, 0, 0, enc, linearized, math.max(upd, 0), xs,
+        truncated = true)
+    val tail = str(bytes.length - 2048L, 2048)
+    val sxi = tail.lastIndexOf("startxref")
+    if (sxi < 0) return failed(enc = false, upd = 0, xs = false)
+    val sx = """\s+(\d{1,15})""".r
+      .findPrefixMatchOf(tail.substring(sxi + 9))
+      .map(_.group(1).toLong).getOrElse(-1L)
+    if (sx < 0 || sx >= bytes.length)
+      return failed(enc = false, upd = 0, xs = false)
+    // newest-wins object offsets across the /Prev revision chain
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Long]
+    var size = -1; var rootObj = -1; var encrypted = false
+    var updates = -1; var truncated = false; var xrefStream = false
+    var prev = sx
+    val sizeRe = """(?s)/Size\s+(\d{1,9})""".r
+    val rootRe = """(?s)/Root\s+(\d{1,9})\s+\d+\s+R""".r
+    val prevRe = """(?s)/Prev\s+(\d{1,15})""".r
+    val subRe = """(\d{1,9})\s+(\d{1,9})""".r
+    while (prev >= 0 && updates < 16 && !truncated && !xrefStream) {
+      updates += 1
+      val sec = str(prev, 1 << 20)
+      prev = -1L
+      val trimmed = sec.dropWhile(_.isWhitespace)
+      if (trimmed.startsWith("xref")) {
+        var p = sec.indexOf("xref") + 4
+        var parsing = true
+        while (parsing && !truncated) {
+          while (p < sec.length && sec.charAt(p).isWhitespace) p += 1
+          if (p >= sec.length) { truncated = true }
+          else if (sec.startsWith("trailer", p)) {
+            parsing = false
+            val tdict = sec.substring(p, math.min(sec.length, p + 8192))
+            if (size < 0) size = sizeRe.findFirstMatchIn(tdict)
+              .map(_.group(1).toInt).getOrElse(-1)
+            if (rootObj < 0) rootObj = rootRe.findFirstMatchIn(tdict)
+              .map(_.group(1).toInt).getOrElse(-1)
+            if (tdict.contains("/Encrypt")) encrypted = true
+            prev = prevRe.findFirstMatchIn(tdict)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            if (prev >= bytes.length) truncated = true
+          } else subRe.findPrefixMatchOf(sec.substring(p)) match {
+            case Some(m) =>
+              val start = m.group(1).toInt
+              val count = m.group(2).toInt
+              if (count > 100000) truncated = true
+              else {
+                p += m.matched.length
+                while (p < sec.length &&
+                  (sec.charAt(p) == '\r' || sec.charAt(p) == '\n')) p += 1
+                var i = 0
+                while (i < count && !truncated) {
+                  if (p + 18 > sec.length) truncated = true
+                  else {
+                    val off = try sec.substring(p, p + 10).toLong
+                      catch { case _: NumberFormatException => -1L }
+                    val typ = sec.charAt(p + 17)
+                    if (off < 0 || (typ != 'n' && typ != 'f'))
+                      truncated = true
+                    else if (typ == 'n' && !offsets.contains(start + i))
+                      offsets(start + i) = off
+                    p += 20
+                  }
+                  i += 1
+                }
+              }
+            case None => truncated = true
+          }
+        }
+      } else if ("""(?s)\A\d+\s+\d+\s+obj""".r
+          .findPrefixMatchOf(trimmed).isDefined) {
+        xrefStream = true // 1.5+ xref object: honest report, no inflate
+      } else truncated = true
+    }
+    if (truncated || xrefStream)
+      return PdfMeta(vMaj, vMin, 0, math.max(size - 1, 0), encrypted,
+        linearized, math.max(updates, 0), xrefStream, truncated)
+    // Root -> /Pages -> /Count, each hop via the xref offsets
+    var nPages = -1
+    offsets.get(rootObj).filter(_ < bytes.length).foreach { roff =>
+      val cat = str(roff, 4096)
+      val pagesObj = """(?s)/Pages\s+(\d{1,9})\s+\d+\s+R""".r
+        .findFirstMatchIn(cat).map(_.group(1).toInt)
+      pagesObj.flatMap(offsets.get).filter(_ < bytes.length)
+        .foreach { poff =>
+          nPages = """(?s)/Count\s+(\d{1,9})""".r
+            .findFirstMatchIn(str(poff, 4096))
+            .map(_.group(1).toInt).getOrElse(-1)
+        }
+    }
+    if (nPages < 0 || size < 1) truncated = true
+    PdfMeta(vMaj, vMin, math.max(nPages, 0), math.max(size - 1, 0),
+      encrypted, linearized, updates, false, truncated)
+  }
+
+  private val pdfSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[PdfMeta].dataType.asInstanceOf[StructType]
+
+  /** [[pdfMeta]] over a blob column — appends a nullable `pdf` struct. */
+  def decodePdfHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("pdf", pdfSchema, nullable = true)) { bytes =>
+      pdfMeta(bytes) match {
+        case null => null
+        case m => Row(m.version_major, m.version_minor, m.n_pages,
+          m.n_objects, m.encrypted, m.linearized, m.n_updates,
+          m.xref_stream, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic single-revision PDF: a classic xref-table
+    * file with `nPages` empty pages under one /Pages tree, an optional
+    * standard-security /Encrypt dict, and an optional /Linearized
+    * marker object (the marker only — real linearization adds hint
+    * streams this walker never reads). Correct byte offsets in the
+    * xref, trailer /Size /Root, startxref, %%EOF — a CONTAINER
+    * fixture. */
+  def syntheticPdf(nPages: Int, encrypted: Boolean,
+      linearized: Boolean): Array[Byte] = {
+    require(nPages >= 1 && nPages <= 10000, "syntheticPdf salt")
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val sb = new StringBuilder
+    sb.append("%PDF-1.7\n%âãÏÓ\n")
+    val offsets = scala.collection.mutable.TreeMap.empty[Int, Int]
+    def obj(num: Int, body: String): Unit = {
+      offsets(num) = sb.length
+      sb.append(num).append(" 0 obj\n").append(body).append("\nendobj\n")
+    }
+    var next = nPages + 3
+    if (linearized) {
+      obj(next, s"<< /Linearized 1 /N $nPages >>"); next += 1
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until nPages).map(i => s"${i + 3} 0 R").mkString(" ")
+    obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+    (0 until nPages).foreach(i => obj(i + 3,
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>"))
+    val encObj = if (encrypted) {
+      obj(next, "<< /Filter /Standard /V 1 /R 2 /O <00> /U <00> /P -44 >>")
+      val e = next; next += 1; e
+    } else -1
+    val xrefAt = sb.length
+    sb.append("xref\n0 ").append(next).append('\n')
+    sb.append("0000000000 65535 f \n")
+    (1 until next).foreach(n =>
+      sb.append(f"${offsets(n)}%010d 00000 n \n"))
+    sb.append("trailer\n<< /Size ").append(next)
+      .append(" /Root 1 0 R")
+    if (encObj > 0) sb.append(" /Encrypt ").append(encObj).append(" 0 R")
+    sb.append(" >>\nstartxref\n").append(xrefAt).append("\n%%EOF\n")
+    sb.toString.getBytes(iso)
+  }
+
+  /** `syntheticPdf` as a column function. */
+  val syntheticPdfUdf = udf((nPages: Int, enc: Boolean, lin: Boolean) =>
+    syntheticPdf(nPages, enc, lin))
 }

@@ -568,4 +568,49 @@ class MultimodalSpec extends SparkSuite {
     assert(m.total_byte_size > 0L)
     assert(m.created_by != null && m.created_by.nonEmpty)
   }
+
+  test("pdfMeta: page/object census roundtrips through the xref walk; " +
+    "encrypt + linearized flags; cut xref flags truncation; non-PDF null") {
+    val b = Multimodal.syntheticPdf(5, encrypted = false,
+      linearized = false)
+    val m = Multimodal.pdfMeta(b)
+    assert(m.version_major == 1 && m.version_minor == 7, m.toString)
+    assert(m.n_pages == 5 && m.n_objects == 7, m.toString) // 5p+cat+pages
+    assert(!m.encrypted && !m.linearized && m.n_updates == 0 &&
+      !m.xref_stream && !m.truncated, m.toString)
+    val enc = Multimodal.pdfMeta(
+      Multimodal.syntheticPdf(2, encrypted = true, linearized = true))
+    assert(enc.encrypted && enc.linearized && enc.n_pages == 2 &&
+      enc.n_objects == 6 && !enc.truncated, enc.toString)
+    // cut inside the xref table: header survives, walk flags truncated
+    assert(Multimodal.pdfMeta(b.take(b.length - 40)).truncated,
+      "cut tail must flag truncation")
+    assert(Multimodal.pdfMeta("%PDF-1.4\njunk with no startxref %%EOF"
+      .getBytes("ISO-8859-1") ++ new Array[Byte](32)).truncated)
+    assert(Multimodal.pdfMeta(Array.fill[Byte](64)(7)) == null,
+      "no %PDF magic -> null")
+    assert(Multimodal.pdfMeta(null) == null)
+  }
+
+  test("pdfMeta: hostile startxref/Prev offsets are bounds-checked, " +
+    "xref-stream files report honestly instead of inflating") {
+    val b = Multimodal.syntheticPdf(3, encrypted = false,
+      linearized = false)
+    val s = new String(b, "ISO-8859-1")
+    // point startxref far past the buffer
+    val hostile = s.replaceAll("startxref\n\\d+",
+      "startxref\n999999999").getBytes("ISO-8859-1")
+    assert(Multimodal.pdfMeta(hostile).truncated)
+    // a /Prev loop back to the same xref terminates via the 16-rev cap
+    val loop = s.replace("/Root 1 0 R",
+      s"/Root 1 0 R /Prev ${s.indexOf("xref\n")}").getBytes("ISO-8859-1")
+    val lm = Multimodal.pdfMeta(loop)
+    assert(lm != null && lm.n_updates >= 1, String.valueOf(lm))
+    // an xref STREAM target ("N 0 obj" at startxref) is reported, not
+    // parsed: entries may be Flate-compressed
+    val xs = s.replaceAll("startxref\n\\d+",
+      "startxref\n" + s.indexOf("1 0 obj")).getBytes("ISO-8859-1")
+    val xm = Multimodal.pdfMeta(xs)
+    assert(xm.xref_stream && !xm.truncated, xm.toString)
+  }
 }
