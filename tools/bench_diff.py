@@ -56,6 +56,26 @@ def newest_snapshot():
     return max(snaps, key=round_no)
 
 
+def timeone_overlay(sf):
+    """(medians, calib) from the newest TIMEONE_r*.json at a matching sf.
+
+    graft.TimeMany writes clean 3-pass steady-state medians; the in-bench
+    per-query numbers in the 400+-query JVM read 2-4x above steady state,
+    so where a query appears in both, the TIMEONE median is the better
+    baseline."""
+    snaps = glob.glob("TIMEONE_r*.json")
+    if not snaps:
+        return {}, None
+    def round_no(p):
+        m = re.search(r"TIMEONE_r(\d+)\.json", p)
+        return int(m.group(1)) if m else -1
+    with open(max(snaps, key=round_no)) as f:
+        d = json.load(f)
+    if d.get("sf") != sf:
+        return {}, None
+    return d.get("medians", {}), d.get("calib_sec")
+
+
 def main():
     current = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
     baseline = sys.argv[2] if len(sys.argv) > 2 else newest_snapshot()
@@ -74,15 +94,27 @@ def main():
     # boxes 2-3x apart and raw cross-round ratios flag phantom
     # regressions otherwise
     host = (cur_cal / base_cal) if cur_cal and base_cal else 1.0
-    shared = sorted(set(cur) & set(base))
+    # steady-state overlay: prefer TIMEONE medians (clean 3-pass runs)
+    # over the in-bench numbers where available, with their own anchor
+    t1, t1_cal = timeone_overlay(cur_sf)
+    t1_host = (cur_cal / t1_cal) if cur_cal and t1_cal else 1.0
+    shared = sorted((set(cur) & set(base)) | (set(cur) & set(t1)))
     flagged = []
+    n_overlay = 0
     for q in shared:
-        c, b = cur[q], base[q] * host
+        if q in t1:
+            b = t1[q] * t1_host
+            n_overlay += 1
+        else:
+            b = base[q] * host
+        c = cur[q]
         if c >= RATIO_BAR * b and c - b > DELTA_BAR:
             flagged.append((q, b, c))
     print(f"bench_diff: {len(shared)} shared queries vs {baseline}"
           f" (bar: >= {RATIO_BAR}x AND > {DELTA_BAR}s slower"
-          + (f"; host-normalized x{host:.2f}" if host != 1.0 else "") + ")")
+          + (f"; host-normalized x{host:.2f}" if host != 1.0 else "")
+          + (f"; {n_overlay} baselines from TIMEONE" if n_overlay else "")
+          + ")")
     for q, b, c in sorted(flagged, key=lambda t: t[1] - t[2]):
         print(f"  REGRESSED {q}: {b:.2f}s -> {c:.2f}s ({c / b:.1f}x)")
     if not flagged:
