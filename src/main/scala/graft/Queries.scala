@@ -14616,5 +14616,39 @@ object Queries {
         |  FALSE AS xref_stream,
         |  FALSE AS truncated
         |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // OPQ ANN in the exact-rerank mode (the q169 contract): the LEARNED
+    // orthogonal rotation (Ge '13 alternation, 2 rounds) really runs on
+    // corpus + queries, then reRank >= corpus re-scores exact cosine —
+    // rotation preserves dot products and norms, so the ranking and the
+    // rounded cosines equal the unrotated exact answer the oracle
+    // computes. The recall-vs-plain-PQ improvement is spec-asserted
+    // (SimilaritySpec) on a rotation-hostile fixture.
+    Q("q426_ann_opq_exact",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.opqTopK(emb, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 10, m = 8, codebookSize = 64,
+          maxFitRows = 4000, reRank = 1000000, opqIterations = 2)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 4),
+        |s AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    list_sum(list_transform(list_zip(v.ve, q.qv), p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(v.ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+        |  FROM v, q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+        |    cosine
+        |  FROM s)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
   )
 }

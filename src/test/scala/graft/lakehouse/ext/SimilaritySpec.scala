@@ -204,4 +204,57 @@ class SimilaritySpec extends SparkSuite {
     assert(recalls.last == 1000L, "probe-all == exact")
     assert(got.forall(_.getAs[Long]("n_expected") == 15L))
   }
+
+  test("opqTopK: learned rotation is orthogonal; identity mode equals " +
+      "pqTopK bit-for-bit; recall >= plain PQ on rotation-hostile data") {
+    // latent axis-clustered 8-dim data MIXED by 45-degree Givens
+    // rotations that straddle every m=4 subspace boundary — the exact
+    // shape where axis-aligned PQ loses and OPQ recovers (Ge '13 §1)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16, 8)(if (rnd.nextBoolean()) 4.0 else -4.0)
+    def mix(v: Array[Double]): Array[Double] = {
+      val o = v.clone()
+      val c = math.cos(math.Pi / 4); val s = math.sin(math.Pi / 4)
+      for ((a, b) <- Seq((0, 2), (1, 3), (4, 6), (5, 7))) {
+        val x = o(a); val y = o(b)
+        o(a) = c * x - s * y; o(b) = s * x + c * y
+      }
+      o
+    }
+    val rows = (0 until 512).map { i =>
+      val base = centers(i % 16)
+      val v = Array.tabulate(8)(j => base(j) + rnd.nextGaussian() * 0.1)
+      (i.toLong, mix(v).map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 8)
+    // orthogonality of the trained rotation: R^T R = I within 1e-9
+    val sample = rows.map(_._2.map(_.toDouble)).toArray
+    val r = Similarity.trainOpqRotation(sample, m = 4, codebookSize = 4,
+      opqIters = 8, kmeansIters = 10, seed = 42L)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val dot = (0 until 8).map(t => r(t)(i) * r(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"R^T R ($i,$j) = $dot")
+    }
+    // identity mode (opqIterations = 0) is exactly pqTopK
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("query_id", "rank").collect().toSeq
+    assert(rowsOf(Similarity.opqTopK(df, queries, "vec_id", "embedding",
+        k = 5, m = 4, codebookSize = 8, reRank = 1000, opqIterations = 0))
+      == rowsOf(Similarity.pqTopK(df, queries, "vec_id", "embedding",
+        k = 5, m = 4, codebookSize = 8, reRank = 1000)))
+    // recall@5 against exact cosine: OPQ >= PQ at the same index bytes
+    val exact = Similarity.cosineTopK(df, queries, "vec_id", "embedding",
+        k = 5).collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+    def recall(d: org.apache.spark.sql.DataFrame): Int =
+      d.collect().map(rw => (rw.getLong(0), rw.getLong(1)))
+        .count(exact.contains)
+    val pqR = recall(Similarity.pqTopK(df, queries, "vec_id", "embedding",
+      k = 5, m = 4, codebookSize = 4))
+    val opqR = recall(Similarity.opqTopK(df, queries, "vec_id",
+      "embedding", k = 5, m = 4, codebookSize = 4, opqIterations = 8))
+    assert(opqR >= pqR, s"OPQ recall $opqR < PQ recall $pqR")
+  }
 }
