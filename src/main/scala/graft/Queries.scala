@@ -14650,5 +14650,51 @@ object Queries {
         |  FROM s)
         |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // EXACT duplicate-substring census (Lee et al. '22's primitive) via
+    // distributed suffix-rank doubling — log(L) join rounds of O(corpus)
+    // longs, never corpus x L substring bytes. Fixture plants a shared
+    // 59-char prefix on every 7th doc so cross-doc spans exist by
+    // construction; the oracle replays by brute-force substring grouping
+    // (exact is exact — both sides enumerate identical groups). L = 40
+    // is deliberately NOT a power of two: the composite
+    // (rank_32(i), rank_32(i+8)) sparse-table key runs.
+    Q("q427_duplicate_span_census",
+      (s, dir) => {
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+            col("doc_id") % 3 === 0)
+          .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+              concat(lit("GRAFT PLANTED OVERLAP SPAN THE QUICK BROWN " +
+                "FOX 0123456789 "), substring(col("text"), 1, 140)))
+            .otherwise(substring(col("text"), 1, 200)).as("text"))
+        SuffixDedup.duplicateSpanCensus(fixture, "doc_id", "text",
+            spanLen = 40)
+          .orderBy("span_sha", "rep_doc", "rep_pos")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      'GRAFT PLANTED OVERLAP SPAN THE QUICK BROWN FOX 0123456789 '
+        |        || substr(text, 1, 140)
+        |    ELSE substr(text, 1, 200) END AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 3 = 0),
+        |e AS (SELECT doc_id, t FROM d WHERE length(t) >= 40),
+        |p AS (SELECT doc_id, t,
+        |    unnest(range(length(t) - 40 + 1)) AS pos FROM e),
+        |s AS (SELECT doc_id, pos, substr(t, pos + 1, 40) AS sp FROM p),
+        |g AS (
+        |  SELECT sp, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    min(doc_id * 2097152 + pos) AS rep_pid
+        |  FROM s GROUP BY sp HAVING count(*) >= 2)
+        |SELECT substring(sha256(sp), 1, 16) AS span_sha,
+        |  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(rep_pid // 2097152 AS BIGINT) AS rep_doc,
+        |  CAST(rep_pid % 2097152 AS BIGINT) AS rep_pos
+        |FROM g ORDER BY span_sha, rep_doc, rep_pos""".stripMargin)),
   )
 }
