@@ -14696,5 +14696,81 @@ object Queries {
         |  CAST(rep_pid // 2097152 AS BIGINT) AS rep_doc,
         |  CAST(rep_pid % 2097152 AS BIGINT) AS rep_pos
         |FROM g ORDER BY span_sha, rep_doc, rep_pos""".stripMargin)),
+
+    // ExactSubstr REMOVAL (Lee et al. '22): every char covered by any
+    // corpus-duplicated 40-window is spliced out; overlapping windows
+    // merge to maximal per-doc intervals (running-max-end window,
+    // partitioned BY DOC). Same planted fixture as q427; the oracle
+    // replays coverage + splice by brute force — cleaned text compares
+    // via sha, never shipped whole.
+    Q("q428_remove_duplicate_spans",
+      (s, dir) => {
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+            col("doc_id") % 3 === 0)
+          .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+              concat(lit("GRAFT PLANTED OVERLAP SPAN THE QUICK BROWN " +
+                "FOX 0123456789 "), substring(col("text"), 1, 140)))
+            .otherwise(substring(col("text"), 1, 200)).as("text"))
+        SuffixDedup.removeDuplicateSpans(fixture, "doc_id", "text",
+            spanLen = 40)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      'GRAFT PLANTED OVERLAP SPAN THE QUICK BROWN FOX 0123456789 '
+        |        || substr(text, 1, 140)
+        |    ELSE substr(text, 1, 200) END AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 3 = 0),
+        |e AS (SELECT doc_id, t FROM d WHERE length(t) >= 40),
+        |p AS (SELECT doc_id, t,
+        |    unnest(range(length(t) - 40 + 1)) AS pos FROM e),
+        |sp AS (SELECT doc_id, pos, substr(t, pos + 1, 40) AS s FROM p),
+        |dup AS (
+        |  SELECT doc_id, pos FROM sp
+        |  WHERE s IN (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk),
+        |iv AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 40 AS e
+        |  FROM isl GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_chars_removed
+        |  FROM iv GROUP BY 1),
+        |ch AS (SELECT doc_id, t, unnest(range(length(t))) AS cpos FROM e),
+        |keep AS (
+        |  SELECT c.doc_id, c.cpos, substr(c.t, CAST(c.cpos + 1 AS INT), 1)
+        |      AS ch
+        |  FROM ch c
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |    WHERE iv.doc_id = c.doc_id
+        |      AND c.cpos >= iv.s AND c.cpos < iv.e)),
+        |cl AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS cleaned
+        |  FROM keep GROUP BY doc_id)
+        |SELECT e.doc_id,
+        |  coalesce(cov.n_spans, 0) AS n_spans,
+        |  coalesce(cov.n_chars_removed, 0) AS n_chars_removed,
+        |  CAST(length(coalesce(cl.cleaned, '')) AS BIGINT) AS cleaned_len,
+        |  substring(sha256(coalesce(cl.cleaned, '')), 1, 16)
+        |    AS cleaned_sha
+        |FROM e
+        |LEFT JOIN cov ON cov.doc_id = e.doc_id
+        |LEFT JOIN cl ON cl.doc_id = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin)),
   )
 }

@@ -65,4 +65,32 @@ class SuffixDedupSpec extends SparkSuite {
     assert(planted.size == 19, s"expected 19 shared groups, got ${planted.size}")
     assert(planted.forall(_._3 == 8L), "all 8 docs in every group")
   }
+
+  test("removeDuplicateSpans: covered chars splice out, overlapping " +
+      "windows merge to maximal intervals, clean docs pass through, " +
+      "fully-covered docs empty") {
+    val docs = Seq(
+      (0L, "abcdefg"),        // abcd @ 0 -> "efg"
+      (1L, "xxabcdyy"),       // abcd @ 2 -> "xxyy"
+      (2L, "zzzzzzzz"),       // zzzz run merges to [0,8) -> ""
+      (3L, "qrstuv"),         // no duplicated window -> untouched
+      (4L, "ppabcdqqabcdpp")  // two disjoint intervals -> "ppqqpp"
+    ).toDF("doc_id", "text")
+    val got = SuffixDedup.removeDuplicateSpans(docs, "doc_id", "text", 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(got(0L) == ((1L, 4L, 3L, sha16("efg"))), got(0L).toString)
+    assert(got(1L) == ((1L, 4L, 4L, sha16("xxyy"))), got(1L).toString)
+    assert(got(2L) == ((1L, 8L, 0L, sha16(""))), got(2L).toString)
+    assert(got(3L) == ((0L, 0L, 6L, sha16("qrstuv"))), got(3L).toString)
+    assert(got(4L) == ((2L, 8L, 6L, sha16("ppqqpp"))), got(4L).toString)
+    // partition invariance of the whole removal
+    val reparted = SuffixDedup.removeDuplicateSpans(
+      docs.repartition(7), "doc_id", "text", 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(reparted == got, "partitioning changed the removal")
+  }
 }
