@@ -14772,5 +14772,18 @@ object Queries {
         |LEFT JOIN cov ON cov.doc_id = e.doc_id
         |LEFT JOIN cl ON cl.doc_id = e.doc_id
         |ORDER BY e.doc_id""".stripMargin)),
+
+    // DEFLATE ratio per document (zlib level 9) — "compresses
+    // suspiciously well" = repetitive/template text, an LZ-order
+    // signal the order-0 char entropy can't see. The byte count is
+    // zlib-implementation-specific, so this rides the rows-only check;
+    // q60_char_entropy is its hash-matched portable twin (the q28/q75
+    // pattern) and TextStatsSpec pins the kernel's invariants.
+    Q("q429_deflate_ratio",
+      (s, dir) => TextStats.deflateRatio(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("id"),
+      None),
   )
 }

@@ -21,6 +21,11 @@ case class Bm25DocStats(dl: Long, tfs: Array[Long])
 
 object TextStats {
 
+  /** Per-executor-thread zlib deflater for [[deflateRatio]] — created on
+    * the executor, never serialized into a task closure. */
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(9))
+
   /** Whitespace token count (0 for empty/blank). */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0))
@@ -1490,5 +1495,39 @@ object TextStats {
         col("head_gram").as("gram")), Seq("gram"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), col("gram"))
+  }
+
+  /** DEFLATE compression ratio per document (zlib level 9 over UTF-8
+    * bytes) — the classic "does this text compress suspiciously well?"
+    * quality gate (repetitive boilerplate compresses far below normal
+    * prose; an LZ-order signal [[charEntropy]]'s order-0 statistic
+    * cannot see — "abcabcabc..." has high char entropy but collapses
+    * under DEFLATE). Engine-specific by nature (the exact byte count
+    * depends on the zlib implementation), so correctness rides the
+    * rows-only check with [[charEntropy]] (q60) as the hash-matched
+    * portable twin — the q28/q75 fingerprint pattern. Per-row kernel,
+    * zero shuffle; the Deflater is reused per thread, reset per row. */
+  def deflateRatio(df: DataFrame, idCol: String, textCol: String,
+      maxDocLen: Int = 1 << 20): DataFrame = {
+    val kernel = udf((t: String) => {
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // object-level ThreadLocal: static access from the lambda, so the
+      // (non-serializable) Deflater never rides the task closure
+      val d = TextStats.deflaters.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      (bytes.length.toLong, out)
+    })
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= 1)
+      .select(col(idCol).as("id"),
+        kernel(substring(col(textCol), 1, maxDocLen)).as("__k"))
+      .select(col("id"), col("__k._1").as("n_bytes"),
+        col("__k._2").as("deflate_bytes"),
+        expr("(__k._2 * 1000) div __k._1").as("ratio_permille"))
   }
 }

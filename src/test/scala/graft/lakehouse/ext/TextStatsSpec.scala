@@ -719,4 +719,23 @@ class TextStatsSpec extends SparkSuite {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
     assert(got == Seq((1L, 2L)), got.mkString(","))
   }
+
+  test("deflateRatio: repetitive text compresses far below prose; " +
+      "counts are positive and ratio is exact integer permille") {
+    import spark.implicits._
+    val prose = "The five boxing wizards jump quickly over a lazy " +
+      "brown dog while seventeen quirky gnomes vexed by fog " +
+      "juggle zinc pots and weave hemp rope near the old pier."
+    val docs = Seq((1L, "ab" * 400), (2L, prose * 3))
+      .toDF("doc_id", "text")
+    val got = TextStats.deflateRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nRep, dRep, rRep) = got(1L)
+    val (nPr, dPr, rPr) = got(2L)
+    assert(nRep == 800L && dRep > 0L && rRep == dRep * 1000 / nRep)
+    assert(nPr > 0L && dPr > 0L && rPr == dPr * 1000 / nPr)
+    assert(rRep < rPr / 4,
+      s"repetitive permille $rRep should be far below prose $rPr")
+  }
 }

@@ -32,6 +32,9 @@ def load(path):
     """Return (queries: {name: sec}, sf: str|float|None, calib: float|None)."""
     with open(path) as f:
         d = json.load(f)
+    if isinstance(d, dict) and "medians" in d:
+        # a graft.TimeMany steady-state snapshot used as `current`
+        return d["medians"], d.get("sf"), d.get("calib_sec")
     if isinstance(d, dict) and "parsed" in d:
         # BENCH_r*.json driver snapshot: the parsed header may lack the
         # per-query dict; recover it from the raw tail fragment (a
@@ -94,9 +97,14 @@ def main():
     # boxes 2-3x apart and raw cross-round ratios flag phantom
     # regressions otherwise
     host = (cur_cal / base_cal) if cur_cal and base_cal else 1.0
-    # steady-state overlay: prefer TIMEONE medians (clean 3-pass runs)
-    # over the in-bench numbers where available, with their own anchor
-    t1, t1_cal = timeone_overlay(cur_sf)
+    # steady-state overlay: ONLY when the current file is itself a
+    # TimeMany snapshot — in-bench numbers read 2-4x above steady state
+    # (JIT/codegen churn), so a steady baseline under an in-bench
+    # current flags everything; like must compare with like
+    cur_is_steady = False
+    with open(current) as f:
+        cur_is_steady = "medians" in json.load(f)
+    t1, t1_cal = timeone_overlay(cur_sf) if cur_is_steady else ({}, None)
     t1_host = (cur_cal / t1_cal) if cur_cal and t1_cal else 1.0
     shared = sorted((set(cur) & set(base)) | (set(cur) & set(t1)))
     flagged = []
