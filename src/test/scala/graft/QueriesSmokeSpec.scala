@@ -81,7 +81,10 @@ class QueriesSmokeSpec extends SparkSuite {
       "q28_fingerprints", "q30_dedup_minhash_lsh", "q31_dedup_simhash",
       "q40_events_approx_distinct",
       "q49_pack_sequences", "q55_sample_mixture", "q64_dedup_incremental",
-      "q190_quality_classifier")
+      "q190_quality_classifier",
+      // zlib byte counts are implementation-specific; portable twin =
+      // q60_char_entropy (SURVEY §2.11)
+      "q429_deflate_ratio")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(missing.isEmpty, s"queries without oracle SQL nor waiver: ${missing.toSeq.sorted}")
     val stale = waived -- SparkEntry.queries.keySet
