@@ -14785,5 +14785,32 @@ object Queries {
           "doc_id", "text")
         .orderBy("id"),
       None),
+
+    // Overlapping 200-char chunks every 64 chars (the retrieval/
+    // embedding prep fan-out): pure in-row sequence explode, zero
+    // shuffle; chunks identified downstream by sha, never shipped.
+    Q("q430_chunk_documents",
+      (s, dir) => Packing.chunkDocuments(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", chunkLen = 200, stride = 64, minLen = 32)
+        .orderBy("id", "chunk_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(text) >= 32 AND doc_id % 4 = 0),
+        |p AS (
+        |  SELECT doc_id AS id, text,
+        |    unnest(range(0, greatest(length(text) - 32, 0) + 1, 64))
+        |      AS cs
+        |  FROM d),
+        |c AS (
+        |  SELECT id, CAST(cs // 64 AS INT) AS chunk_id,
+        |    CAST(cs AS BIGINT) AS chunk_start,
+        |    substr(text, CAST(cs + 1 AS INT), 200) AS ch
+        |  FROM p)
+        |SELECT id, chunk_id, chunk_start,
+        |  CAST(length(ch) AS BIGINT) AS chunk_len,
+        |  substring(sha256(ch), 1, 16) AS chunk_sha
+        |FROM c ORDER BY id, chunk_id""".stripMargin)),
   )
 }

@@ -874,4 +874,33 @@ object Packing {
       .filter(col("rnk") <= cap.toLong)
       .select(col(idCol), col("domain"), col("n_domain"), col("rnk"))
   }
+
+  /** Overlapping document chunks — the retrieval/embedding prep step:
+    * each doc splits into `chunkLen`-char windows every `stride` chars
+    * (stride < chunkLen ⇒ overlap), the final partial window kept iff
+    * ≥ `minLen`. Emits (id, chunk_id, chunk_start 0-based, chunk_len,
+    * chunk_sha) — the sha identifies the chunk downstream (embedding
+    * cache keys, dedup) without ever shipping chunk text past this
+    * operator's own projection. Pure per-row fan-out: one in-row
+    * sequence explode, zero shuffle, trivially linear at any corpus
+    * size. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, stride: Int, minLen: Int = 1): DataFrame = {
+    require(chunkLen >= 1 && stride >= 1 && minLen >= 1 &&
+      minLen <= chunkLen,
+      "chunkDocuments needs chunkLen, stride >= 1, 1 <= minLen <= chunkLen")
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        posexplode(expr(
+          s"sequence(0, greatest(length($textCol) - $minLen, 0), $stride)"))
+          .as(Seq("chunk_id", "chunk_start")))
+      .select(col("id"), col("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        expr(s"substr(__t, chunk_start + 1, $chunkLen)").as("__c"))
+      .select(col("id"), col("chunk_id"),
+        col("chunk_start"),
+        length(col("__c")).cast("long").as("chunk_len"),
+        substring(sha2(col("__c"), 256), 1, 16).as("chunk_sha"))
+  }
 }

@@ -567,4 +567,31 @@ class PackingSpec extends SparkSuite {
     assert(byDomain("bulk0.com").map(_.getAs[Long]("rnk")).sorted.toSeq
       == (1L to 10L))
   }
+
+  test("chunkDocuments: stride/overlap arithmetic, final partial chunk " +
+      "kept iff >= minLen, short/null docs drop") {
+    import spark.implicits._
+    // len 10, chunkLen 4, stride 3, minLen 2: starts 0,3,6 (last start
+    // with >= 2 chars is 8? len-minLen = 8 -> starts 0,3,6 then next=9
+    // > 8 stops; chunk at 6 = 4 chars, none partial), and len 9 gives
+    // starts 0,3,6 with the chunk at 6 only 3 chars long
+    val docs = Seq((1L, Some("abcdefghij")), (2L, Some("abcdefghi")),
+      (3L, Some("a")), (4L, None)).toDF("doc_id", "text")
+    val got = Packing.chunkDocuments(docs, "doc_id", "text",
+        chunkLen = 4, stride = 3, minLen = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0, 0L, 4L), (1L, 1, 3L, 4L), (1L, 2, 6L, 4L),
+      (2L, 0, 0L, 4L), (2L, 1, 3L, 4L), (2L, 2, 6L, 3L)), got.toString)
+    // sha of a known chunk
+    val sha = Packing.chunkDocuments(docs, "doc_id", "text", 4, 3, 2)
+      .filter(col("id") === 1L && col("chunk_id") === 0)
+      .head().getString(4)
+    val want = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("abcd".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      .take(16)
+    assert(sha == want)
+  }
 }
