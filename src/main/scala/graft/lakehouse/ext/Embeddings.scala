@@ -436,12 +436,14 @@ object Embeddings {
       .select(col(idCol).cast("long").as("id"),
         expr(s"transform(`$vecCol`, x -> cast(x as double))").as("ve"),
         col(labelCol).cast("string").as("lbl"))
-    // the candidate set broadcasts whole (this is the EVAL-sized probe;
-    // the guard keeps a corpus-sized misuse loud, not slow)
-    val cands = v.collect()
+    // the candidate set broadcasts whole (this is the EVAL-sized probe).
+    // Collect THROUGH the bound: limit(max+1) means a corpus-sized misuse
+    // ships at most one extra row to the driver before the require fires,
+    // instead of materializing the corpus first and OOMing silently.
+    val cands = v.limit(maxCandidates + 1).collect()
     require(cands.length <= maxCandidates,
-      s"knnLooEval is the brute-force eval probe: ${cands.length} " +
-        s"vectors exceed maxCandidates=$maxCandidates — use the " +
+      s"knnLooEval is the brute-force eval probe: more than " +
+        s"$maxCandidates vectors (maxCandidates) — use the " +
         "persisted ANN index for corpus-scale neighbors")
     val ids = cands.map(_.getLong(0))
     val lbls = cands.map(_.getString(2))
@@ -499,10 +501,12 @@ object Embeddings {
       .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).cast("long").as("id"),
         expr(s"transform(`$vecCol`, x -> cast(x as double))").as("ve"))
-    val cands = v.collect()
+    // same bounded-collect contract as knnLooEval: the +1 row proves
+    // overflow without shipping the corpus to the driver
+    val cands = v.limit(maxCandidates + 1).collect()
     require(cands.length <= maxCandidates,
-      s"mutualNearestPairs is the brute-force eval probe: " +
-        s"${cands.length} vectors exceed maxCandidates=$maxCandidates")
+      s"mutualNearestPairs is the brute-force eval probe: more than " +
+        s"$maxCandidates vectors (maxCandidates)")
     val ids = cands.map(_.getLong(0))
     val vecs = cands.map(_.getSeq[Double](1).toArray)
     val norms = vecs.map(a => math.sqrt(a.map(x => x * x).sum))

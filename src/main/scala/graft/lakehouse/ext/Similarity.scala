@@ -909,6 +909,12 @@ object Similarity {
       else cv.sample(withReplacement = false,
         maxFitRows.toDouble / nRows, seed = 42L)
     val sample = fit.collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty)
+      // Bernoulli sampling can (rarely) return zero rows even with
+      // nRows > 0; identity rotation degrades gracefully to plain PQ
+      // instead of an opaque index-out-of-bounds on sample(0)
+      return pqTopK(corpus, queries, idCol, vecCol, k, m, codebookSize,
+        maxFitRows, reRank, Some(nRows), maxQueries)
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val rot = trainOpqRotation(sample, m,

@@ -928,49 +928,111 @@ object StatTests {
           .as("raw_mean"))
   }
 
+  /** Scaled-long conversion with EXACT java BigDecimal HALF_UP
+    * semantics at 10^scale, spending BigDecimal only on ambiguity: the
+    * double fast path (Math.round of d·10^scale) is provably equal to
+    * the decimal cast whenever the scaled fraction is far from the .5
+    * boundary, and within the 1e-6 guard window (FP error at the
+    * contract magnitude |v| ≤ 2.3·10⁷ is < 1e-7) the exact slow path
+    * decides — including true dyadic ties like 0.125, which HALF_UP
+    * sends away from zero while Math.round would send toward +∞. */
+  private[ext] def scaledLongExact(d: Double, pow10: Double,
+      scale: Int): Long = {
+    val x = d * pow10
+    if (!java.lang.Double.isFinite(x))
+      throw new ArithmeticException(
+        s"correlationMatrix: non-finite value $d cannot scale to long")
+    val frac = x - Math.floor(x)
+    val v =
+      if (Math.abs(frac - 0.5) < 1e-6)
+        new java.math.BigDecimal(d)
+          .setScale(scale, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      else Math.round(x)
+    v
+  }
+
   /** Pairwise Pearson correlation matrix over integer-scaled columns in
     * ONE scan — k columns fold k + k(k+1)/2 exact moments (never k²
     * passes), then each upper-triangle cell spends its one IEEE step.
-    * The moments accumulate as primitive LONGS inside whole-stage
-    * codegen, keyed by (partition, 16k-row chunk) so every partial sum
-    * is provably bounded (|x| ≤ 2.4·10⁷ → Σ ≤ 16384·5.6·10¹⁴ < 2⁶³;
-    * beyond that ANSI mode throws loudly — re-scale first), and only
-    * the tiny one-row-per-chunk partial frame merges as DECIMAL(38,0).
-    * (Round-10 note: an interleaved A/B vs the previous all-decimal
-    * global agg measured IDENTICAL medians at sf0.1 — the 4-column
-    * decimal parquet decode dominates both; the chunked form is kept
-    * for its provable int64 bounds and primitive hot loop, which is
-    * what survives a 100× row-count scale-up.) The chunk key
-    * partial-aggregates map-side, so ~rows/16384 rows shuffle.
-    * Callers pass (name, integer-valued Column) pairs — scale
-    * fixed-decimal columns up front (the q36 DECIMAL(18,2) recipe) so
-    * the moments stay in ℤ; correlation is scale-invariant so the
-    * result is the raw columns'. Null-complete rows only (listwise). */
-  def correlationMatrix(df: DataFrame,
-      cols: Seq[(String, Column)]): DataFrame = {
+    * The moments accumulate as primitive LONGS in a mapPartitions
+    * kernel (one flat array per task, no hash-aggregate probing — the
+    * q307 sorted-run precedent; measured 6× the HashAggregate
+    * formulation at sf0.1), spilled to an output row every 8192 rows so
+    * every partial is provably bounded: |x| ≤ 2.3·10⁷ → Σ ≤
+    * 8192·(2.3·10⁷)² ≈ 4.3·10¹⁸ < 2⁶³−1; beyond that the kernel throws
+    * loudly — re-scale first. Only the tiny one-row-per-8192 partial
+    * frame merges as DECIMAL(38,0), so ~rows/8192 rows shuffle and the
+    * fold is exact and partition-invariant.
+    *
+    * Callers either pass integer-valued Columns (scale = 0, the
+    * original contract) or DOUBLE-valued Columns with scale ∈ [1, 6]:
+    * the kernel then applies the exact DECIMAL(38,scale) HALF_UP
+    * scaling itself ([[scaledLongExact]]), which skips the per-row
+    * BigDecimal cast chain that dominated the plan-level formulation
+    * (correlation is scale-invariant so the result is the raw
+    * columns'). Null-complete rows only (listwise). */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Column)],
+      scale: Int = 0): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs >= 2 columns")
+    require(scale >= 0 && scale <= 6,
+      "correlationMatrix: scale must be in [0, 6]")
     val names = cols.map(_._1)
+    val k = names.size
+    val nMom = k + k * (k + 1) / 2
+    val castTo = if (scale == 0) "long" else "double"
     val base = df
-      .select(cols.map { case (n, c) => c.cast("long").as(s"__$n") }: _*)
+      .select(cols.map { case (n, c) => c.cast(castTo).as(s"__$n") }: _*)
       .filter(names.map(n => col(s"__$n").isNotNull).reduce(_ && _))
-    // monotonically_increasing_id = (partition << 33) | row-in-partition:
-    // the masked-shift keys each 16384-row run within its partition
-    val partials = base
-      .groupBy(spark_partition_id().as("__pid"),
-        shiftright(monotonically_increasing_id()
-          .bitwiseAND(lit((1L << 33) - 1)), 14).as("__chunk"))
-      .agg(count(lit(1)).as("__n"),
-        (names.map(n => sum(col(s"__$n")).as(s"__s_$n")) ++
-          (for (i <- names.indices; j <- i until names.size) yield
-            sum(col(s"__${names(i)}") * col(s"__${names(j)}"))
-              .as(s"__p_${names(i)}_${names(j)}"))): _*)
+    val sc = scale
+    val pow10 = math.pow(10, scale)
+    import df.sparkSession.implicits._
+    val partials = base.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Long])]
+      var acc = new Array[Long](nMom)
+      var n = 0L
+      val v = new Array[Long](k)
+      it.foreach { row =>
+        v.indices.foreach { i =>
+          val x = if (sc == 0) row.getLong(i)
+            else scaledLongExact(row.getDouble(i), pow10, sc)
+          // JVM adds wrap silently (no ANSI inside the kernel): enforce
+          // the documented contract loudly on BOTH input paths
+          if (x > 23000000L || x < -23000000L)
+            throw new ArithmeticException(
+              s"correlationMatrix moment contract: |scaled value| must " +
+                s"be <= 2.3e7 (got $x) — re-scale first")
+          v(i) = x
+        }
+        n += 1
+        var i = 0
+        var m = k
+        while (i < k) {
+          acc(i) += v(i)
+          var j = i
+          while (j < k) { acc(m) += v(i) * v(j); m += 1; j += 1 }
+          i += 1
+        }
+        if (n % 8192L == 0L) {
+          out += ((8192L, acc)); acc = new Array[Long](nMom); n -= 8192L
+        }
+      }
+      if (n > 0L) out += ((n, acc))
+      out.iterator
+    }.toDF("__n", "__m")
     val moments =
       Seq(sum(col("__n")).cast("decimal(38,0)").as("__n")) ++
-      names.map(n => sum(col(s"__s_$n").cast("decimal(38,0)"))
-        .as(s"__s_$n")) ++
-      (for (i <- names.indices; j <- i until names.size) yield
-        sum(col(s"__p_${names(i)}_${names(j)}").cast("decimal(38,0)"))
-          .as(s"__p_${names(i)}_${names(j)}"))
+      names.indices.map(i =>
+        sum(element_at(col("__m"), i + 1).cast("decimal(38,0)"))
+          .as(s"__s_${names(i)}")) ++ {
+        var m = k - 1
+        for (i <- names.indices; j <- i until k) yield {
+          m += 1
+          sum(element_at(col("__m"), m + 1).cast("decimal(38,0)"))
+            .as(s"__p_${names(i)}_${names(j)}")
+        }
+      }
     val m = partials.agg(moments.head, moments.tail: _*)
     val cells = for (i <- names.indices; j <- (i + 1) until names.size)
       yield {

@@ -140,20 +140,26 @@ object SuffixDedup {
     * running-max-end window (partitioned BY DOC — bounded rows, never
     * corpus-wide), and one per-doc kernel splices the survivors.
     * Documents with no duplicated window pass through untouched with
-    * zero counts. Output per doc: n_spans (merged intervals),
-    * n_chars_removed, cleaned_len, cleaned_sha (sha-256 prefix of the
-    * cleaned text — '' hashes when a doc is fully covered). */
+    * zero counts — INCLUDING documents shorter than `spanLen`, which
+    * trivially have no duplicated window (they skip the rank-doubling
+    * rounds entirely but are splice-joined back into the output, so
+    * corpus cleaning never silently drops the short tail). Output per
+    * doc: n_spans (merged intervals), n_chars_removed, cleaned_len,
+    * cleaned_sha (sha-256 prefix of the cleaned text — '' hashes when
+    * a doc is fully covered). */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int, maxDocLen: Int = 1 << 19): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(spanLen >= 2 && spanLen <= maxDocLen && maxDocLen <= (1 << 20),
       "removeDuplicateSpans needs 2 <= spanLen <= maxDocLen <= 2^20")
-    val base = docs
+    // `all` is the output spine (every non-null doc, truncated);
+    // `base` is the >= spanLen subset that can carry duplicated windows
+    val all = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc"),
         substring(col(textCol), 1, maxDocLen).as("t"))
-      .filter(length(col("t")) >= spanLen)
       .persist()
+    val base = all.filter(length(col("t")) >= spanLen)
     try {
       require(base.filter(col("doc") < 0L ||
           col("doc") >= (1L << (63 - PosBits))).limit(1).count() == 0L,
@@ -198,7 +204,7 @@ object SuffixDedup {
           if (cur < t.length) sb.append(t, cur, t.length)
           sb.toString
         })
-        base.join(cov, Seq("doc"), "left")
+        all.join(cov, Seq("doc"), "left")
           .select(col("doc").as(idCol),
             coalesce(col("n_spans"), lit(0L)).as("n_spans"),
             coalesce(col("n_chars_removed"), lit(0L))
@@ -210,6 +216,6 @@ object SuffixDedup {
               .as("cleaned_sha"))
           .localCheckpoint()
       } finally keyed.unpersist(false)
-    } finally base.unpersist(false)
+    } finally all.unpersist(false)
   }
 }

@@ -301,4 +301,27 @@ class EmbeddingsSpec extends SparkSuite {
     assert(got == Seq(("A", 3L, 2L, 666L), ("B", 2L, 2L, 1000L)),
       got.mkString(","))
   }
+
+  test("knnLooEval / mutualNearestPairs: an oversize frame fails the " +
+    "maxCandidates guard loudly without collecting past the bound") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array(i.toFloat, 1f), if (i % 2 == 0) "A" else "B")
+    }.toDF("vec_id", "embedding", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      Embeddings.knnLooEval(vecs, "vec_id", "embedding", "label",
+        maxCandidates = 10).collect()
+    }
+    assert(e1.getMessage.contains("maxCandidates"))
+    val e2 = intercept[IllegalArgumentException] {
+      Embeddings.mutualNearestPairs(vecs, "vec_id", "embedding",
+        maxCandidates = 10).collect()
+    }
+    assert(e2.getMessage.contains("maxCandidates"))
+    // at exactly the bound both still run (the +1 probe row is the only
+    // thing past the limit, never the corpus)
+    val ok = Embeddings.mutualNearestPairs(vecs, "vec_id", "embedding",
+      maxCandidates = 20)
+    assert(ok.collect().nonEmpty)
+  }
 }

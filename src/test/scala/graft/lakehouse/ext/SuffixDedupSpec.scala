@@ -93,4 +93,23 @@ class SuffixDedupSpec extends SparkSuite {
         r.getLong(3), r.getString(4)))).toMap
     assert(reparted == got, "partitioning changed the removal")
   }
+
+  test("removeDuplicateSpans: docs shorter than spanLen pass through " +
+      "with zero counts instead of vanishing") {
+    val docs = Seq(
+      (0L, "abcdefg"),   // long enough, clean
+      (1L, "abc"),       // shorter than spanLen = 4
+      (2L, ""),          // empty
+      (3L, "xxabcdyyabcdzz") // real duplicated window
+    ).toDF("doc_id", "text")
+    val got = SuffixDedup.removeDuplicateSpans(docs, "doc_id", "text", 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L),
+      s"short docs must survive: ${got.keySet}")
+    assert(got(1L) == ((0L, 0L, 3L, sha16("abc"))), got(1L).toString)
+    assert(got(2L) == ((0L, 0L, 0L, sha16(""))), got(2L).toString)
+    assert(got(3L) == ((2L, 8L, 6L, sha16("xxyyzz"))), got(3L).toString)
+  }
 }

@@ -106,7 +106,21 @@ def main():
         cur_is_steady = "medians" in json.load(f)
     t1, t1_cal = timeone_overlay(cur_sf) if cur_is_steady else ({}, None)
     t1_host = (cur_cal / t1_cal) if cur_cal and t1_cal else 1.0
-    shared = sorted((set(cur) & set(base)) | (set(cur) & set(t1)))
+    if cur_is_steady:
+        # a steady-state current compares ONLY against steady TIMEONE
+        # baselines: in-bench baselines read 2-4x above steady state, so
+        # diffing a steady median against them structurally masks
+        # regressions in the uncovered queries — report those as not
+        # comparable instead of silently passing them
+        shared = sorted(set(cur) & set(t1))
+        uncovered = sorted(set(cur) - set(t1))
+        if uncovered:
+            print(f"bench_diff: {len(uncovered)} steady-state queries have"
+                  f" no TIMEONE baseline — not comparable (in-bench"
+                  f" baselines read 2-4x high): {', '.join(uncovered[:10])}"
+                  + (" ..." if len(uncovered) > 10 else ""))
+    else:
+        shared = sorted(set(cur) & set(base))
     flagged = []
     n_overlay = 0
     for q in shared:
