@@ -14820,5 +14820,246 @@ object Queries {
         |  CAST(length(ch) AS BIGINT) AS chunk_len,
         |  substring(sha256(ch), 1, 16) AS chunk_sha
         |FROM c ORDER BY id, chunk_id""".stripMargin)),
+
+    // Avro object-container census over deterministic OCF fixtures:
+    // metadata map (schema sniff + codec), varint block headers walked
+    // by declared size, sync markers checked — the most common
+    // row-format landing zone, censused without a codec library.
+    Q("q431_avro_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 17 === 0)
+          .withColumn("payload", Multimodal.syntheticAvroUdf(
+            (lit(1) + col("doc_id") % 4).cast("int"),
+            (lit(10) + col("doc_id") % 25).cast("int"),
+            lit(7).cast("int"),
+            col("doc_id") % 2 === 0,
+            concat(lit("r"), col("doc_id").cast("string"))))
+        Multimodal.decodeAvroHeaders(blobs, "payload")
+          .select(col("doc_id"),
+            col("avro.n_meta_entries").as("n_meta_entries"),
+            col("avro.codec").as("codec"),
+            col("avro.schema_type").as("schema_type"),
+            col("avro.record_name").as("record_name"),
+            col("avro.n_blocks").as("n_blocks"),
+            col("avro.total_rows").as("total_rows"),
+            col("avro.total_block_bytes").as("total_block_bytes"),
+            col("avro.max_block_rows").as("max_block_rows"),
+            col("avro.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS nb,
+        |    CAST(10 + doc_id % 25 AS BIGINT) AS base
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |v AS (
+        |  SELECT doc_id, nb, base,
+        |    nb * base + 7 * nb * (nb - 1) // 2 AS rows
+        |  FROM p)
+        |SELECT doc_id, CAST(2 AS INT) AS n_meta_entries,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'deflate' ELSE 'null' END
+        |    AS codec,
+        |  'record' AS schema_type,
+        |  'r' || CAST(doc_id AS VARCHAR) AS record_name,
+        |  CAST(nb AS INT) AS n_blocks,
+        |  CAST(rows AS BIGINT) AS total_rows,
+        |  CAST(rows * 3 AS BIGINT) AS total_block_bytes,
+        |  CAST(base + (nb - 1) * 7 AS BIGINT) AS max_block_rows,
+        |  FALSE AS truncated
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // DOCX census atop the ZIP central directory: kind sniff via
+    // [Content_Types].xml + word/ parts, the document.xml content
+    // volume, part/XML-part counts — the scraped-corpus office format
+    // censused decode-free.
+    Q("q432_docx_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 19 === 0)
+          .withColumn("payload", Multimodal.syntheticDocxUdf(
+            (col("doc_id") % 3).cast("int"),
+            (lit(200) + col("doc_id") % 100).cast("int"),
+            (lit(1500) + col("doc_id") % 700).cast("int")))
+        Multimodal.decodeDocContainers(blobs, "payload")
+          .select(col("doc_id"),
+            col("doc.kind").as("kind"),
+            col("doc.n_parts").as("n_parts"),
+            col("doc.n_xml_parts").as("n_xml_parts"),
+            col("doc.content_bytes").as("content_bytes"),
+            col("doc.total_uncompressed").as("total_uncompressed"),
+            col("doc.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 3 AS BIGINT) AS nm,
+        |    CAST(200 + doc_id % 100 AS BIGINT) AS mb,
+        |    CAST(1500 + doc_id % 700 AS BIGINT) AS db
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |SELECT doc_id, 'docx' AS kind,
+        |  CAST(4 + nm AS INT) AS n_parts,
+        |  CAST(4 AS INT) AS n_xml_parts,
+        |  CAST(db AS BIGINT) AS content_bytes,
+        |  CAST(270 + db + nm * mb + 11 * nm * (nm - 1) // 2 AS BIGINT)
+        |    AS total_uncompressed,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // EPUB census: the STORED mimetype read straight from the local
+    // header (the OCF spec's stored-first contract), chapter XHTML
+    // volume — completes the scraped-document family next to PDF/DOCX.
+    Q("q433_epub_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 23 === 0)
+          .withColumn("payload", Multimodal.syntheticEpubUdf(
+            (lit(1) + col("doc_id") % 5).cast("int"),
+            (lit(800) + col("doc_id") % 300).cast("int")))
+        Multimodal.decodeDocContainers(blobs, "payload")
+          .select(col("doc_id"),
+            col("doc.kind").as("kind"),
+            col("doc.n_parts").as("n_parts"),
+            col("doc.n_xml_parts").as("n_xml_parts"),
+            col("doc.content_bytes").as("content_bytes"),
+            col("doc.total_uncompressed").as("total_uncompressed"),
+            col("doc.mimetype").as("mimetype"),
+            col("doc.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS nc,
+        |    CAST(800 + doc_id % 300 AS BIGINT) AS cb
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |v AS (
+        |  SELECT doc_id, nc,
+        |    nc * cb + 17 * nc * (nc - 1) // 2 AS chvol
+        |  FROM p)
+        |SELECT doc_id, 'epub' AS kind,
+        |  CAST(3 + nc AS INT) AS n_parts,
+        |  CAST(2 + nc AS INT) AS n_xml_parts,
+        |  CAST(chvol AS BIGINT) AS content_bytes,
+        |  CAST(290 + chvol AS BIGINT) AS total_uncompressed,
+        |  'application/epub+zip' AS mimetype,
+        |  FALSE AS truncated
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // END-TO-END curation WITH ExactSubstr — the Lee et al. '22 order
+    // of operations as one composition: exact-substring span removal
+    // (q428's op, cleaned TEXT carried) → exact dedup on the cleaned
+    // text (q29's op — the planted short-duplicate class collapses
+    // AFTER span removal passes it through) → length quality gate →
+    // stratified split (q218's op). Each stage hash-verifies alone;
+    // this entry verifies the interfaces: the oracle replays all four
+    // stages, so a contract break between the suffix machinery and the
+    // gates fails the hash even with green unit tests.
+    Q("q434_curation_exactsubstr",
+      (s, dir) => {
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+            col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 13 === 0,
+              concat(lit("SHORT DUPLICATE BODY NUMBER "),
+                (col("doc_id") % 3).cast("string")))
+            .when(col("doc_id") % 5 === 0,
+              concat(lit("CURATION PLANTED DUPLICATE SPAN ALPHA BRAVO " +
+                "314159 "), substring(col("text"), 1, 150)))
+            .otherwise(substring(col("text"), 1, 200)).as("text"))
+        val cleaned = SuffixDedup.removeDuplicateSpans(fixture,
+            "doc_id", "text", spanLen = 40, keepText = true)
+          .join(fixture.select("doc_id", "lang"), Seq("doc_id"))
+        val deduped = Dedup.exactDedup(
+          cleaned.withColumn("__k", md5(col("cleaned_text"))),
+          Seq("__k"), "doc_id").drop("__k")
+        val gated = deduped.filter(col("cleaned_len") >= 20)
+        Packing.stratifiedSplit(
+            gated.select("doc_id", "lang", "n_spans", "n_chars_removed",
+              "cleaned_len"),
+            "doc_id", Seq("lang"), seed = 11L,
+            permille = Seq("train" -> 800, "heldout" -> 200))
+          .select(col("doc_id"), col("lang"), col("n_spans"),
+            col("n_chars_removed"), col("cleaned_len"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      'SHORT DUPLICATE BODY NUMBER ' || CAST(doc_id % 3 AS VARCHAR)
+        |    WHEN doc_id % 5 = 0 THEN
+        |      'CURATION PLANTED DUPLICATE SPAN ALPHA BRAVO 314159 '
+        |        || substr(text, 1, 150)
+        |    ELSE substr(text, 1, 200) END AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 2 = 0),
+        |e AS (SELECT doc_id, t FROM d WHERE length(t) >= 40),
+        |p AS (SELECT doc_id, t,
+        |    unnest(range(length(t) - 40 + 1)) AS pos FROM e),
+        |sp AS (SELECT doc_id, pos, substr(t, pos + 1, 40) AS s FROM p),
+        |dup AS (
+        |  SELECT doc_id, pos FROM sp
+        |  WHERE s IN (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk),
+        |iv AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 40 AS e
+        |  FROM isl GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_chars_removed
+        |  FROM iv GROUP BY 1),
+        |ch AS (SELECT doc_id, t, unnest(range(length(t))) AS cpos FROM e),
+        |keep AS (
+        |  SELECT c.doc_id, c.cpos, substr(c.t, CAST(c.cpos + 1 AS INT), 1)
+        |      AS ch
+        |  FROM ch c
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |    WHERE iv.doc_id = c.doc_id
+        |      AND c.cpos >= iv.s AND c.cpos < iv.e)),
+        |cl AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS cleaned
+        |  FROM keep GROUP BY doc_id),
+        |fin AS (
+        |  SELECT d.doc_id, d.lang,
+        |    coalesce(cov.n_spans, 0) AS n_spans,
+        |    coalesce(cov.n_chars_removed, 0) AS n_chars_removed,
+        |    CASE WHEN cov.doc_id IS NULL THEN d.t
+        |         ELSE coalesce(cl.cleaned, '') END AS cleaned
+        |  FROM d
+        |  LEFT JOIN cov ON cov.doc_id = d.doc_id
+        |  LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        |dd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(cleaned)
+        |    ORDER BY doc_id) AS rn
+        |  FROM fin),
+        |k AS (
+        |  SELECT doc_id, lang, n_spans, n_chars_removed,
+        |    length(cleaned) AS cleaned_len
+        |  FROM dd WHERE rn = 1 AND length(cleaned) >= 20),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || '#' || '11'),
+        |        doc_id) AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM k)
+        |SELECT doc_id, lang,
+        |  CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(n_chars_removed AS BIGINT) AS n_chars_removed,
+        |  CAST(cleaned_len AS BIGINT) AS cleaned_len,
+        |  CASE WHEN r <= (n * 800) // 1000 THEN 'train'
+        |       ELSE 'heldout' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -116,8 +116,15 @@ object PlanLint {
       case _ => false
     }
 
-  /** All (rule, offendingNode) pairs for one frame. */
-  def violations(df: DataFrame): Seq[(String, String)] = {
+  /** All (rule, offendingNode) pairs for one frame.
+    *
+    * `ignoreOutputSort = true` skips a single root-level global Sort
+    * (unwrapped through Projects/aliases): a deterministic ORDER BY on
+    * the final result dump is a presentation contract, not a pipeline
+    * stage — a registry-wide gate would otherwise flag every query's
+    * output ordering instead of real mid-pipeline foot-guns. */
+  def violations(df: DataFrame,
+      ignoreOutputSort: Boolean = false): Seq[(String, String)] = {
     def walk(p: LogicalPlan, underLimit: Boolean): Seq[(String, String)] =
       p match {
         case l @ (_: GlobalLimit | _: LocalLimit) =>
@@ -134,7 +141,15 @@ object PlanLint {
             w.children.flatMap(walk(_, underLimit = false))
         case other => other.children.flatMap(walk(_, underLimit = false))
       }
-    val logical = walk(df.queryExecution.optimizedPlan, underLimit = false)
+    def stripOutputSort(p: LogicalPlan): LogicalPlan = p match {
+      case proj: Project => proj.copy(child = stripOutputSort(proj.child))
+      case s: Sort if s.global => s.child
+      case other => other
+    }
+    val root = df.queryExecution.optimizedPlan
+    val logical = walk(
+      if (ignoreOutputSort) stripOutputSort(root) else root,
+      underLimit = false)
     // physical checks string-match the final/initial plan text (AQE
     // wraps the tree; the PlanHygieneSpec convention)
     val phys = df.queryExecution.executedPlan.toString

@@ -2654,4 +2654,397 @@ object Multimodal {
   /** `syntheticPdf` as a column function. */
   val syntheticPdfUdf = udf((nPages: Int, enc: Boolean, lin: Boolean) =>
     syntheticPdf(nPages, enc, lin))
+
+  // ---- Avro object-container metadata (decode-free) -----------------------
+
+  /** Parsed Avro OCF metadata: file-metadata entry count, declared
+    * codec, the schema's top-level type and record name (sniffed from
+    * the embedded schema JSON without a JSON library), and the block
+    * census — counts/rows/bytes from the varint block headers, payloads
+    * never decoded. */
+  case class AvroMeta(n_meta_entries: Int, codec: String,
+    schema_type: String, record_name: String, n_blocks: Int,
+    total_rows: Long, total_block_bytes: Long, max_block_rows: Long,
+    truncated: Boolean)
+
+  /** DECODE-FREE Avro object-container walker (Avro 1.11 spec "Object
+    * Container Files"): magic `Obj\x01`, then the file-metadata map
+    * (zigzag-varint block counts; negative counts carry a byte-size
+    * long per spec; string keys, bytes values), a 16-byte sync marker,
+    * then data blocks — each a varint (rowCount, byteSize) pair, the
+    * opaque payload, and a repeated sync marker that must equal the
+    * header's. Payloads are skipped by declared size and never
+    * decompressed; the codec is reported from `avro.codec` (default
+    * "null" per spec) and the schema's top-level `type`/record `name`
+    * are sniffed from the `avro.schema` JSON text. Hostile varints
+    * (overlong, negative lengths, sizes past the buffer) and sync
+    * mismatches flag `truncated` instead of reading out of bounds.
+    * Returns null for payloads without the 4-byte magic. */
+  def avroMeta(bytes: Array[Byte]): AvroMeta = {
+    if (bytes == null || bytes.length < 20) return null
+    if (!(bytes(0) == 'O' && bytes(1) == 'b' && bytes(2) == 'j' &&
+      bytes(3) == 1)) return null
+    var pos = 4
+    var truncated = false
+    // zigzag varint long; overruns and overlong encodings flag truncated
+    def varlong(): Long = {
+      var shift = 0
+      var acc = 0L
+      while (true) {
+        if (pos >= bytes.length || shift > 63) { truncated = true; return 0L }
+        val b = bytes(pos) & 0xff
+        pos += 1
+        acc |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return (acc >>> 1) ^ -(acc & 1L)
+        shift += 7
+      }
+      0L // unreachable
+    }
+    var nMeta = 0
+    var schemaJson: String = null
+    var codec = "null"
+    var loop = true
+    while (loop && !truncated) {
+      var cnt = varlong()
+      if (truncated || cnt == 0L) loop = false
+      else {
+        if (cnt < 0L) { varlong(); cnt = -cnt } // block byteSize, unused
+        var i = 0L
+        while (i < cnt && !truncated) {
+          val klen = varlong()
+          if (truncated || klen < 0L || pos + klen > bytes.length)
+            truncated = true
+          else {
+            val key = new String(bytes, pos, klen.toInt,
+              java.nio.charset.StandardCharsets.UTF_8)
+            pos += klen.toInt
+            val vlen = varlong()
+            if (truncated || vlen < 0L || pos + vlen > bytes.length)
+              truncated = true
+            else {
+              if (key == "avro.schema" || key == "avro.codec") {
+                val v = new String(bytes, pos, vlen.toInt,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                if (key == "avro.schema") schemaJson = v else codec = v
+              }
+              pos += vlen.toInt
+              nMeta += 1
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    // schema sniff: a bare primitive ("long") or the first top-level
+    // "type"/"name" string values — enough for a census, no JSON parser
+    def jstr(key: String): String =
+      if (schemaJson == null) null
+      else ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
+        .findFirstMatchIn(schemaJson).map(_.group(1)).orNull
+    val sTrim = if (schemaJson == null) null else schemaJson.trim
+    val schemaType =
+      if (sTrim == null) null
+      else if (sTrim.startsWith("\"")) sTrim.stripPrefix("\"").stripSuffix("\"")
+      else jstr("type")
+    val recordName = if (sTrim == null) null else jstr("name")
+    if (truncated || pos + 16 > bytes.length)
+      return AvroMeta(nMeta, codec, schemaType, recordName, 0, 0L, 0L, 0L,
+        truncated = true)
+    val syncAt = pos
+    pos += 16
+    var nBlocks = 0
+    var rows = 0L
+    var blockBytes = 0L
+    var maxRows = 0L
+    while (!truncated && pos < bytes.length) {
+      val rc = varlong()
+      val bs = varlong()
+      if (!truncated) {
+        if (rc < 0L || bs < 0L || pos + bs + 16L > bytes.length)
+          truncated = true
+        else {
+          pos += bs.toInt
+          var ok = true
+          var k = 0
+          while (k < 16) {
+            if (bytes(pos + k) != bytes(syncAt + k)) ok = false
+            k += 1
+          }
+          if (!ok) truncated = true
+          else {
+            pos += 16
+            nBlocks += 1
+            rows += rc
+            blockBytes += bs
+            if (rc > maxRows) maxRows = rc
+          }
+        }
+      }
+    }
+    AvroMeta(nMeta, codec, schemaType, recordName, nBlocks, rows,
+      blockBytes, maxRows, truncated)
+  }
+
+  private val avroSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[AvroMeta].dataType.asInstanceOf[StructType]
+
+  /** [[avroMeta]] over a blob column — appends a nullable `avro` struct. */
+  def decodeAvroHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("avro", avroSchema, nullable = true)) { bytes =>
+      avroMeta(bytes) match {
+        case null => null
+        case m => Row(m.n_meta_entries, m.codec, m.schema_type,
+          m.record_name, m.n_blocks, m.total_rows, m.total_block_bytes,
+          m.max_block_rows, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic Avro OCF: real magic, a 2-entry metadata
+    * map (`avro.schema` = a one-field record named `recordName`,
+    * `avro.codec`), a seed-derived sync marker, and `nBlocks` blocks
+    * where block i declares `baseRows + i·stepRows` rows over a
+    * 3-bytes-per-row opaque payload. */
+  def syntheticAvro(nBlocks: Int, baseRows: Int, stepRows: Int,
+      deflate: Boolean, recordName: String): Array[Byte] = {
+    require(nBlocks >= 0 && baseRows >= 0 && stepRows >= 0,
+      "syntheticAvro salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def wv(n: Long): Unit = {
+      var z = (n << 1) ^ (n >> 63)
+      var go = true
+      while (go) {
+        var b = (z & 0x7fL).toInt
+        z = z >>> 7
+        if (z != 0L) b |= 0x80 else go = false
+        bos.write(b)
+      }
+    }
+    def wstr(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      wv(b.length.toLong); bos.write(b)
+    }
+    bos.write('O'); bos.write('b'); bos.write('j'); bos.write(1)
+    wv(2L) // one metadata block of two entries
+    wstr("avro.schema")
+    wstr(s"""{"type":"record","name":"$recordName","fields":""" +
+      """[{"name":"v","type":"long"}]}""")
+    wstr("avro.codec")
+    wstr(if (deflate) "deflate" else "null")
+    wv(0L) // map terminator
+    val sync = Array.tabulate(16)(i =>
+      ((i * 31 + nBlocks * 7 + baseRows) & 0xff).toByte)
+    bos.write(sync)
+    var i = 0
+    while (i < nBlocks) {
+      val rows = baseRows + i * stepRows
+      val size = rows * 3
+      wv(rows.toLong); wv(size.toLong)
+      var j = 0
+      while (j < size) { bos.write((j * 13 + i) & 0xff); j += 1 }
+      bos.write(sync)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** `syntheticAvro` as a column function. */
+  val syntheticAvroUdf = udf((n: Int, base: Int, step: Int, d: Boolean,
+    name: String) => syntheticAvro(n, base, step, d, name))
+
+  // ---- Office / eBook document containers (DOCX, EPUB — decode-free) ------
+
+  /** Parsed office/eBook container metadata: the sniffed kind, part
+    * censuses from the ZIP central directory (names + declared
+    * uncompressed sizes), the main content volume, and the EPUB
+    * `mimetype` string when the entry is STORED (readable without
+    * inflating — the EPUB OCF spec requires stored-first `mimetype`). */
+  case class DocContainerMeta(kind: String, n_parts: Int,
+    n_xml_parts: Int, content_bytes: Long, total_uncompressed: Long,
+    mimetype: String, truncated: Boolean)
+
+  /** DECODE-FREE DOCX/EPUB walker atop the ZIP central directory (the
+    * [[zipMeta]] chassis with entry names): EOCD scan from the tail,
+    * then PK\x01\x02 entries carrying name, uncompressed size, and
+    * local-header offset. Kind sniff per the public specs — EPUB when
+    * the STORED `mimetype` entry reads `application/epub+zip` (read
+    * from its local header, method 0 = raw bytes, nothing inflated);
+    * DOCX when `[Content_Types].xml` is present alongside `word/`
+    * parts; `zip` otherwise. Content volume is `word/document.xml`'s
+    * declared size for DOCX and the `.xhtml`/`.html` sum for EPUB.
+    * Hostile offsets/lengths flag `truncated`; returns null when no
+    * EOCD exists. */
+  def docContainerMeta(bytes: Array[Byte]): DocContainerMeta = {
+    if (bytes == null || bytes.length < 22) return null
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    var eocd = -1
+    var i = bytes.length - 22
+    val floor = math.max(0, bytes.length - 22 - 65535)
+    while (eocd < 0 && i >= floor) {
+      if (bytes(i) == 'P' && bytes(i + 1) == 'K' && bytes(i + 2) == 5 &&
+        bytes(i + 3) == 6) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return null
+    val n = u16(eocd + 10)
+    var pos = u32(eocd + 16)
+    var count = 0
+    var truncated = false
+    var total = 0L
+    var nXml = 0
+    var mainDocx = 0L
+    var epubContent = 0L
+    var hasContentTypes = false
+    var hasWordPart = false
+    var mimetype: String = null
+    while (count < n && !truncated) {
+      if (pos + 46 > bytes.length ||
+        !(bytes(pos.toInt) == 'P' && bytes(pos.toInt + 1) == 'K' &&
+          bytes(pos.toInt + 2) == 1 && bytes(pos.toInt + 3) == 2)) {
+        truncated = true
+      } else {
+        val p = pos.toInt
+        val method = u16(p + 10)
+        val unc = u32(p + 24)
+        val nameLen = u16(p + 28)
+        val varLen = nameLen + u16(p + 30) + u16(p + 32)
+        val localOff = u32(p + 42)
+        if (p + 46 + nameLen > bytes.length) truncated = true
+        else {
+          val name = new String(bytes, p + 46, nameLen,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          total += unc
+          val lower = name.toLowerCase
+          if (lower.endsWith(".xml") || lower.endsWith(".xhtml") ||
+            lower.endsWith(".opf") || lower.endsWith(".rels")) nXml += 1
+          if (name == "[Content_Types].xml") hasContentTypes = true
+          if (name.startsWith("word/")) hasWordPart = true
+          if (name == "word/document.xml") mainDocx = unc
+          if (lower.endsWith(".xhtml") || lower.endsWith(".html"))
+            epubContent += unc
+          if (name == "mimetype" && method == 0) {
+            // STORED: the payload is raw bytes behind the local header
+            val lo = localOff.toInt
+            if (localOff + 30 > bytes.length ||
+              !(bytes(lo) == 'P' && bytes(lo + 1) == 'K' &&
+                bytes(lo + 2) == 3 && bytes(lo + 3) == 4)) truncated = true
+            else {
+              val dataAt = lo + 30 + u16(lo + 26) + u16(lo + 28)
+              val len = math.min(unc, 64L).toInt
+              if (dataAt + len > bytes.length) truncated = true
+              else mimetype = new String(bytes, dataAt, len,
+                java.nio.charset.StandardCharsets.US_ASCII)
+            }
+          }
+          pos += 46L + varLen
+          count += 1
+        }
+      }
+    }
+    val kind =
+      if (mimetype == "application/epub+zip") "epub"
+      else if (hasContentTypes && hasWordPart) "docx"
+      else "zip"
+    val content = kind match {
+      case "docx" => mainDocx
+      case "epub" => epubContent
+      case _ => 0L
+    }
+    DocContainerMeta(kind, count, nXml, content, total, mimetype,
+      truncated)
+  }
+
+  private val docContainerSchema = org.apache.spark.sql.catalyst
+    .ScalaReflection.schemaFor[DocContainerMeta].dataType
+    .asInstanceOf[StructType]
+
+  /** [[docContainerMeta]] over a blob column — appends a nullable
+    * `doc` struct. */
+  def decodeDocContainers(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("doc", docContainerSchema, nullable = true)) { bytes =>
+      docContainerMeta(bytes) match {
+        case null => null
+        case m => Row(m.kind, m.n_parts, m.n_xml_parts, m.content_bytes,
+          m.total_uncompressed, m.mimetype, m.truncated)
+      }
+    }
+
+  /** STORED-member ZIP with caller-chosen names and payloads — the
+    * shared fixture builder behind [[syntheticDocx]]/[[syntheticEpub]]
+    * (real local headers, central directory, EOCD; fake CRCs — the
+    * walkers never check them). */
+  def storedZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    val offsets = new Array[Long](entries.size)
+    entries.zipWithIndex.foreach { case ((name, data), e) =>
+      offsets(e) = bos.size().toLong
+      bos.write('P'); bos.write('K'); bos.write(3); bos.write(4)
+      le16(20); le16(0); le16(0); le16(0); le16(0)
+      le32(0xabcd1234L); le32(data.length.toLong); le32(data.length.toLong)
+      le16(name.length); le16(0)
+      bos.write(name.getBytes("US-ASCII"))
+      bos.write(data)
+    }
+    val cdStart = bos.size().toLong
+    entries.zipWithIndex.foreach { case ((name, data), e) =>
+      bos.write('P'); bos.write('K'); bos.write(1); bos.write(2)
+      le16(20); le16(20); le16(0); le16(0); le16(0); le16(0)
+      le32(0xabcd1234L); le32(data.length.toLong); le32(data.length.toLong)
+      le16(name.length); le16(0); le16(0)
+      le16(0); le16(0); le32(0L); le32(offsets(e))
+      bos.write(name.getBytes("US-ASCII"))
+    }
+    val cdSize = bos.size().toLong - cdStart
+    bos.write('P'); bos.write('K'); bos.write(5); bos.write(6)
+    le16(0); le16(0); le16(entries.size); le16(entries.size)
+    le32(cdSize); le32(cdStart); le16(0)
+    bos.toByteArray
+  }
+
+  private def fillerBytes(n: Int, salt: Int): Array[Byte] =
+    Array.tabulate(n)(j => ('a' + (j * 7 + salt) % 26).toByte)
+
+  /** Deterministic minimal DOCX: `[Content_Types].xml` (100 B),
+    * `_rels/.rels` (80 B), `word/document.xml` (`docBytes`),
+    * `word/styles.xml` (90 B), and `nMedia` binary media parts of
+    * `mediaBase + 11·i` bytes. */
+  def syntheticDocx(nMedia: Int, mediaBase: Int, docBytes: Int): Array[Byte] = {
+    require(nMedia >= 0 && mediaBase >= 0 && docBytes >= 0,
+      "syntheticDocx salt")
+    storedZip(
+      Seq(
+        "[Content_Types].xml" -> fillerBytes(100, 1),
+        "_rels/.rels" -> fillerBytes(80, 2),
+        "word/document.xml" -> fillerBytes(docBytes, 3),
+        "word/styles.xml" -> fillerBytes(90, 4)) ++
+      (0 until nMedia).map(i =>
+        s"word/media/image$i.bin" -> fillerBytes(mediaBase + 11 * i, 5 + i)))
+  }
+
+  /** Deterministic minimal EPUB: STORED `mimetype`
+    * (`application/epub+zip`), `META-INF/container.xml` (120 B),
+    * `OEBPS/content.opf` (150 B), and `nChapters` XHTML chapters of
+    * `chBase + 17·i` bytes. */
+  def syntheticEpub(nChapters: Int, chBase: Int): Array[Byte] = {
+    require(nChapters >= 0 && chBase >= 0, "syntheticEpub salt")
+    storedZip(
+      Seq(
+        "mimetype" ->
+          "application/epub+zip".getBytes("US-ASCII"),
+        "META-INF/container.xml" -> fillerBytes(120, 1),
+        "OEBPS/content.opf" -> fillerBytes(150, 2)) ++
+      (0 until nChapters).map(i =>
+        s"OEBPS/ch$i.xhtml" -> fillerBytes(chBase + 17 * i, 3 + i)))
+  }
+
+  /** `syntheticDocx` / `syntheticEpub` as column functions. */
+  val syntheticDocxUdf = udf((n: Int, base: Int, doc: Int) =>
+    syntheticDocx(n, base, doc))
+  val syntheticEpubUdf = udf((n: Int, base: Int) =>
+    syntheticEpub(n, base))
 }

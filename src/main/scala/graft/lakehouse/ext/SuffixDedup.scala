@@ -146,9 +146,13 @@ object SuffixDedup {
     * corpus cleaning never silently drops the short tail). Output per
     * doc: n_spans (merged intervals), n_chars_removed, cleaned_len,
     * cleaned_sha (sha-256 prefix of the cleaned text — '' hashes when
-    * a doc is fully covered). */
+    * a doc is fully covered). `keepText = true` additionally carries
+    * the spliced `cleaned_text` column for downstream pipeline stages
+    * (quality gates, near-dup, splits) — off by default so the census
+    * shape never ships corpus text it doesn't need. */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      spanLen: Int, maxDocLen: Int = 1 << 19): DataFrame = {
+      spanLen: Int, maxDocLen: Int = 1 << 19,
+      keepText: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(spanLen >= 2 && spanLen <= maxDocLen && maxDocLen <= (1 << 20),
       "removeDuplicateSpans needs 2 <= spanLen <= maxDocLen <= 2^20")
@@ -204,7 +208,7 @@ object SuffixDedup {
           if (cur < t.length) sb.append(t, cur, t.length)
           sb.toString
         })
-        all.join(cov, Seq("doc"), "left")
+        val full = all.join(cov, Seq("doc"), "left")
           .select(col("doc").as(idCol),
             coalesce(col("n_spans"), lit(0L)).as("n_spans"),
             coalesce(col("n_chars_removed"), lit(0L))
@@ -213,7 +217,9 @@ object SuffixDedup {
           .select(col(idCol), col("n_spans"), col("n_chars_removed"),
             length(col("__cleaned")).cast("long").as("cleaned_len"),
             substring(sha2(col("__cleaned"), 256), 1, 16)
-              .as("cleaned_sha"))
+              .as("cleaned_sha"),
+            col("__cleaned").as("cleaned_text"))
+        (if (keepText) full else full.drop("cleaned_text"))
           .localCheckpoint()
       } finally keyed.unpersist(false)
     } finally all.unpersist(false)

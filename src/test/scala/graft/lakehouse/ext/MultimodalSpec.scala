@@ -613,4 +613,69 @@ class MultimodalSpec extends SparkSuite {
     val xm = Multimodal.pdfMeta(xs)
     assert(xm.xref_stream && !xm.truncated, xm.toString)
   }
+
+  test("avroMeta: OCF metadata map + block census roundtrips the " +
+    "writer; truncation and sync damage flagged; non-Avro null") {
+    val b = Multimodal.syntheticAvro(3, 10, 7, deflate = false,
+      recordName = "evt")
+    val m = Multimodal.avroMeta(b)
+    assert(m.n_meta_entries == 2 && m.codec == "null" &&
+      m.schema_type == "record" && m.record_name == "evt", m.toString)
+    // rows: 10 + 17 + 24 = 51; bytes = 3x rows
+    assert(m.n_blocks == 3 && m.total_rows == 51L &&
+      m.total_block_bytes == 153L && m.max_block_rows == 24L &&
+      !m.truncated, m.toString)
+    val d = Multimodal.avroMeta(
+      Multimodal.syntheticAvro(1, 5, 0, deflate = true, recordName = "x"))
+    assert(d.codec == "deflate" && d.n_blocks == 1 && d.total_rows == 5L,
+      d.toString)
+    // cut inside the last block payload: earlier blocks survive
+    val cut = Multimodal.avroMeta(b.take(b.length - 20))
+    assert(cut != null && cut.truncated && cut.n_blocks == 2,
+      String.valueOf(cut))
+    // damage the trailing sync marker: census stops, flags truncated
+    val dmg = b.clone(); dmg(dmg.length - 1) = (dmg.last ^ 0x5a).toByte
+    assert(Multimodal.avroMeta(dmg).truncated)
+    // hostile varint: all continuation bits -> overlong guard
+    val hostile = Array[Byte]('O', 'b', 'j', 1) ++
+      Array.fill[Byte](24)(0x80.toByte)
+    assert(Multimodal.avroMeta(hostile).truncated)
+    assert(Multimodal.avroMeta("not avro at all, really".getBytes) == null)
+    assert(Multimodal.avroMeta(null) == null)
+  }
+
+  test("docContainerMeta: DOCX kind sniff + part census roundtrips the " +
+    "writer; plain ZIP stays 'zip'; damage flagged; non-ZIP null") {
+    val b = Multimodal.syntheticDocx(2, 200, 1500)
+    val m = Multimodal.docContainerMeta(b)
+    assert(m.kind == "docx" && m.n_parts == 6 && m.n_xml_parts == 4,
+      m.toString)
+    assert(m.content_bytes == 1500L &&
+      m.total_uncompressed == 270L + 1500L + 200L + 211L && !m.truncated,
+      m.toString) // media: 200 + 211
+    assert(m.mimetype == null, "docx has no stored mimetype entry")
+    // a generic STORED zip is kind 'zip' with zero content bytes
+    val z = Multimodal.docContainerMeta(Multimodal.syntheticZip(3, 50, 13))
+    assert(z.kind == "zip" && z.n_parts == 3 && z.content_bytes == 0L,
+      z.toString)
+    // cut inside the central directory: truncated, never out-of-bounds
+    assert(Multimodal.docContainerMeta(
+      java.util.Arrays.copyOfRange(b, 0, b.length - 30)) == null ||
+      Multimodal.docContainerMeta(
+        java.util.Arrays.copyOfRange(b, 0, b.length - 30)).truncated)
+    assert(Multimodal.docContainerMeta("PK no directory".getBytes) == null)
+    assert(Multimodal.docContainerMeta(null) == null)
+  }
+
+  test("docContainerMeta: EPUB mimetype reads from the STORED local " +
+    "header; chapter volume sums xhtml parts only") {
+    val b = Multimodal.syntheticEpub(3, 800)
+    val m = Multimodal.docContainerMeta(b)
+    assert(m.kind == "epub" && m.mimetype == "application/epub+zip",
+      m.toString)
+    assert(m.n_parts == 6 && m.n_xml_parts == 5, m.toString)
+    // chapters: 800 + 817 + 834 = 2451
+    assert(m.content_bytes == 2451L &&
+      m.total_uncompressed == 290L + 2451L && !m.truncated, m.toString)
+  }
 }
