@@ -3326,13 +3326,16 @@ object Queries {
     // with the identical IEEE arithmetic.
     Q("q142_rebalance_mixture",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val docs = t(s, dir, "documents")
-        val strata = docs.select("source").distinct().collect()
-          .map(_.getString(0)).sorted
-        val shares = strata.zipWithIndex
-          .map { case (src, i) => src -> (1 + i % 3).toDouble }.toMap
-        Packing.rebalanceMixture(docs.select("doc_id", "source"),
-          "doc_id", "source", shares, seed = 13L)
+        // shares derive IN-PLAN over the #strata counts frame (rank-
+        // cycled 1:2:3) — no driver collect on the critical path; the
+        // partition-less window is aggregate-bounded (#strata rows)
+        Packing.rebalanceMixtureByShareCol(docs.select("doc_id", "source"),
+          "doc_id", "source",
+          (lit(1) + (row_number().over(Window.orderBy("source")) - 1) % 3)
+            .cast("double"),
+          seed = 13L)
           .orderBy("doc_id")
       },
       Some("""WITH shares AS (
@@ -14944,6 +14947,38 @@ object Queries {
         |  'application/epub+zip' AS mimetype,
         |  FALSE AS truncated
         |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // PERSISTED BPE tokenizer model (index-once-query-many, the q280
+    // LM-table contract): the word dictionary folds in TWO batches
+    // (additive counts — any fold order equals the one-shot dict), the
+    // merge table re-derives from the frozen dictionary, and encoding
+    // reads persisted ranks. The hash check asserts persisted-and-
+    // folded encode ≡ trained-from-scratch encode token-for-token,
+    // plus the corpus-wide roundtrip invariant.
+    Q("q435_bpe_persisted",
+      (s, dir) => {
+        val lh = rtLakehouse(s, dir)
+        TableIO.dropTable(s, lh, "bpe_dict")
+        TableIO.dropTable(s, lh, "bpe_merges")
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        Tokenizer.bpeTableUpdate(s, lh, "bpe",
+          docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 200)
+        Tokenizer.bpeTableUpdate(s, lh, "bpe",
+          docs.filter(col("doc_id") % 2 =!= 0), "text", numMerges = 200)
+        val scratch = Tokenizer.learnBpeMerges(docs, "text",
+          numMerges = 200)
+        val enc = Tokenizer.withBpeTokens(
+          Tokenizer.withPersistedBpeTokens(s, lh, "bpe", docs, "text",
+            "p_toks"),
+          "text", scratch, "s_toks")
+        enc.select(col("doc_id"),
+            (col("p_toks") === col("s_toks")).as("tokens_equal"),
+            Tokenizer.roundtripOk(col("p_toks"), col("text"))
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, true AS tokens_equal, true AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // END-TO-END curation WITH ExactSubstr — the Lee et al. '22 order
     // of operations as one composition: exact-substring span removal

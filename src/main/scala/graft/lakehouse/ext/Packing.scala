@@ -157,10 +157,22 @@ object Packing {
     val shareCol = shares.foldLeft(lit(null).cast("double"): Column) {
       case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
+    rebalanceMixtureByShareCol(df, idCol, stratumCol, shareCol, seed)
+  }
+
+  /** [[rebalanceMixture]] with the target share supplied as a COLUMN
+    * over the stratum value instead of a driver-side Map — lets a
+    * caller derive data-dependent shares (e.g. rank-cycled over the
+    * distinct strata) entirely in-plan, with no collect round trip
+    * (one fewer sequential Spark job on the query's critical path).
+    * Rows whose share expression is null or <= 0 are dropped, matching
+    * the Map overload's absent/zero-share semantics. */
+  def rebalanceMixtureByShareCol(df: DataFrame, idCol: String,
+      stratumCol: String, shareCol: Column, seed: Long): DataFrame = {
     val counts = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__share", shareCol)
-      .filter(col("__share").isNotNull)
+      .filter(col("__share").isNotNull && col("__share") > 0.0)
     val t = counts.agg(
       min(col("__n").cast("double") / col("__share")).as("__t"))
     val rates = counts.crossJoin(broadcast(t))

@@ -138,4 +138,68 @@ object Tokenizer {
   def roundtripOk(tokensCol: Column, textCol: Column): Column =
     concat_ws("", tokensCol) ===
       regexp_replace(lower(coalesce(textCol, lit(""))), "\\s+", "")
+
+  /** PERSISTED BPE model — index-once-query-many (the lmTableUpdate
+    * contract): fold `batch`'s word frequencies into the versioned
+    * `<prefix>_dict` table (additive counts, full-outer merge — ANY
+    * batch arrival order folds to the one-shot dictionary, so the
+    * derived model is fold-order-INVARIANT), then re-derive the merge
+    * sequence from the frozen dictionary and overwrite
+    * `<prefix>_merges` (merge_rank, lhs, rhs). The merge loop runs on
+    * the capped dictionary driver-side — O(numMerges × dict),
+    * corpus-independent — while the dictionary fold is one word-key
+    * shuffle over the BATCH only, never a corpus re-scan. Returns the
+    * merge count written. */
+  def bpeTableUpdate(spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, prefix: String,
+      batch: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 50000): Long = {
+    import graft.lakehouse.{Catalog, TableIO, Versioned}
+    val fresh = batch
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val dictTable = s"${prefix}_dict"
+    val merged = Versioned.latestVersion(
+        Catalog.tablePath(lh, dictTable)) match {
+      case None => fresh
+      case Some(_) =>
+        TableIO.selectTable(spark, lh, dictTable)
+          .withColumnRenamed("c", "__old")
+          .join(fresh.withColumnRenamed("c", "__new"), Seq("w"),
+            "full_outer")
+          .select(col("w"),
+            (coalesce(col("__old"), lit(0L)) +
+              coalesce(col("__new"), lit(0L))).as("c"))
+    }
+    TableIO.writeTable(spark, lh, dictTable, merged)
+    // re-derive the merges from the FROZEN dictionary: cap by
+    // (frequency desc, word) exactly like learnBpeMerges, so the
+    // persisted model equals the from-scratch model on the same corpus
+    val dict = TableIO.selectTable(spark, lh, dictTable)
+      .orderBy(col("c").desc, col("w")).limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = learnFromDict(dict, numMerges)
+    val rows = merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+    TableIO.writeTable(spark, lh, s"${prefix}_merges",
+      spark.createDataFrame(rows).toDF("merge_rank", "lhs", "rhs"))
+      .rowCount
+  }
+
+  /** The persisted merge sequence of [[bpeTableUpdate]]'s model, in
+    * rank order — a bounded O(numMerges) collect. */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, prefix: String): Seq[Merge] = {
+    import graft.lakehouse.TableIO
+    TableIO.selectTable(spark, lh, s"${prefix}_merges")
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** [[withBpeTokens]] against the persisted model — encoding a new
+    * batch costs O(batch + model), never a retrain. */
+  def withPersistedBpeTokens(spark: org.apache.spark.sql.SparkSession,
+      lh: graft.lakehouse.LakehouseProps, prefix: String, df: DataFrame,
+      textCol: String, outCol: String = "bpe_tokens"): DataFrame =
+    withBpeTokens(df, textCol, loadBpeMerges(spark, lh, prefix), outCol)
 }

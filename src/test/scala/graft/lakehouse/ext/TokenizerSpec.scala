@@ -74,4 +74,43 @@ class TokenizerSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out.values.forall(identity), s"roundtrip failed: $out")
   }
+
+  test("persisted BPE: dictionary folds are order-invariant and the " +
+      "persisted model encodes identically to the from-scratch one") {
+    import graft.lakehouse.{Catalog, TableIO}
+    val lh = Catalog.registerLocalWorkspace(
+      java.nio.file.Files.createTempDirectory("bpe_test").toString,
+      "ws_bpe", "lh_bpe").lakehouses.head
+    val docs = Seq(
+      (1L, "the lowest newest widest"),
+      (2L, "lower newer wider slower"),
+      (3L, "the low new wide slow"),
+      (4L, "lowest of the low")).toDF("doc_id", "text")
+    def build(prefix: String, batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      TableIO.dropTable(spark, lh, s"${prefix}_dict")
+      TableIO.dropTable(spark, lh, s"${prefix}_merges")
+      batches.foreach(b =>
+        Tokenizer.bpeTableUpdate(spark, lh, prefix, b, "text",
+          numMerges = 30))
+      Tokenizer.loadBpeMerges(spark, lh, prefix)
+    }
+    val oneShot = build("bpe_a", Seq(docs))
+    val twoFolds = build("bpe_b",
+      Seq(docs.filter($"doc_id" <= 2L), docs.filter($"doc_id" > 2L)))
+    val reversed = build("bpe_c",
+      Seq(docs.filter($"doc_id" > 2L), docs.filter($"doc_id" <= 2L)))
+    assert(oneShot == twoFolds && oneShot == reversed,
+      s"fold order changed the model: $oneShot vs $twoFolds vs $reversed")
+    val scratch = Tokenizer.learnBpeMerges(docs, "text", numMerges = 30)
+    assert(oneShot == scratch,
+      s"persisted=$oneShot scratch=$scratch")
+    val enc = Tokenizer.withPersistedBpeTokens(spark, lh, "bpe_a", docs,
+      "text", "p")
+    val both = Tokenizer.withBpeTokens(enc, "text", scratch, "s")
+      .select($"doc_id", ($"p" === $"s").as("eq"),
+        Tokenizer.roundtripOk($"p", $"text").as("rt"))
+      .collect()
+    assert(both.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+      both.mkString(","))
+  }
 }
