@@ -14980,6 +14980,121 @@ object Queries {
       Some("""SELECT doc_id, true AS tokens_equal, true AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // XLSX/PPTX census — the OOXML trio completed on the same named
+    // central-directory walk: kind sniff via [Content_Types].xml +
+    // xl// ppt/ parts, worksheet/slide XML volume. Mixed fixture kinds
+    // in ONE frame prove the sniff discriminates per row.
+    Q("q436_ooxml_container_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 29 === 0)
+          .withColumn("payload",
+            when(col("doc_id") % 58 === 0, Multimodal.syntheticXlsxUdf(
+              (lit(1) + col("doc_id") % 4).cast("int"),
+              (lit(300) + col("doc_id") % 120).cast("int")))
+            .otherwise(Multimodal.syntheticPptxUdf(
+              (lit(1) + col("doc_id") % 6).cast("int"),
+              (lit(400) + col("doc_id") % 150).cast("int"))))
+        Multimodal.decodeDocContainers(blobs, "payload")
+          .select(col("doc_id"),
+            col("doc.kind").as("kind"),
+            col("doc.n_parts").as("n_parts"),
+            col("doc.n_xml_parts").as("n_xml_parts"),
+            col("doc.content_bytes").as("content_bytes"),
+            col("doc.total_uncompressed").as("total_uncompressed"),
+            col("doc.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    doc_id % 58 = 0 AS is_x,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS ns,
+        |    CAST(300 + doc_id % 120 AS BIGINT) AS sb,
+        |    CAST(1 + doc_id % 6 AS BIGINT) AS nl,
+        |    CAST(400 + doc_id % 150 AS BIGINT) AS lb
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |v AS (
+        |  SELECT doc_id, is_x,
+        |    CASE WHEN is_x THEN ns ELSE nl END AS n,
+        |    CASE WHEN is_x THEN ns * sb + 13 * ns * (ns - 1) // 2
+        |         ELSE nl * lb + 19 * nl * (nl - 1) // 2 END AS cont,
+        |    CASE WHEN is_x THEN 280 ELSE 230 END AS fixed,
+        |    CASE WHEN is_x THEN 3 ELSE 2 END AS nfixed
+        |  FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN is_x THEN 'xlsx' ELSE 'pptx' END AS kind,
+        |  CAST(nfixed + n AS INT) AS n_parts,
+        |  CAST(nfixed + n AS INT) AS n_xml_parts,
+        |  CAST(cont AS BIGINT) AS content_bytes,
+        |  CAST(fixed + cont AS BIGINT) AS total_uncompressed,
+        |  FALSE AS truncated
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // Aho–Corasick multi-pattern hit census: ONE O(len) pass per doc
+    // reports every occurrence of every blocklist term (overlapping
+    // included — the nested a ⊂ ta ⊂ table fixture exercises the
+    // dictionary-suffix chain); the naive alternative is one scan per
+    // pattern. The oracle replays per-position substring equality.
+    Q("q437_multi_pattern_hits",
+      (s, dir) => PatternScan.multiPatternHits(
+          t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          "doc_id", "text",
+          Seq("a", "hash", "merge", "row", "scan", "ta", "table"))
+        .orderBy("doc_id", "pattern"),
+      Some("""WITH pats AS (
+        |  SELECT unnest(['a','hash','merge','row','scan','ta','table'])
+        |    AS pattern),
+        |d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |pj AS (
+        |  SELECT doc_id, pattern, t FROM d CROSS JOIN pats
+        |  WHERE length(t) >= length(pattern)),
+        |pos AS (
+        |  SELECT doc_id, pattern, t,
+        |    unnest(range(length(t) - length(pattern) + 1)) AS i
+        |  FROM pj),
+        |hit AS (
+        |  SELECT doc_id, pattern, count(*) AS n
+        |  FROM pos
+        |  WHERE substr(t, CAST(i + 1 AS INT), length(pattern)) = pattern
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, pattern, CAST(n AS BIGINT) AS n_hits
+        |FROM hit ORDER BY doc_id, pattern""".stripMargin)),
+
+    // Blocklist scorecard: which terms actually fire, over how many
+    // docs, how often — the pattern-list triage frame, bounded by the
+    // pattern count whatever the corpus size.
+    Q("q438_pattern_scorecard",
+      (s, dir) => PatternScan.patternScorecard(
+          t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          "doc_id", "text",
+          Seq("a", "hash", "merge", "row", "scan", "ta", "table"))
+        .orderBy("pattern"),
+      Some("""WITH pats AS (
+        |  SELECT unnest(['a','hash','merge','row','scan','ta','table'])
+        |    AS pattern),
+        |d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |pj AS (
+        |  SELECT doc_id, pattern, t FROM d CROSS JOIN pats
+        |  WHERE length(t) >= length(pattern)),
+        |pos AS (
+        |  SELECT doc_id, pattern, t,
+        |    unnest(range(length(t) - length(pattern) + 1)) AS i
+        |  FROM pj),
+        |hit AS (
+        |  SELECT doc_id, pattern, count(*) AS n
+        |  FROM pos
+        |  WHERE substr(t, CAST(i + 1 AS INT), length(pattern)) = pattern
+        |  GROUP BY 1, 2)
+        |SELECT pattern, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_hits
+        |FROM hit GROUP BY pattern ORDER BY pattern""".stripMargin)),
+
     // END-TO-END curation WITH ExactSubstr — the Lee et al. '22 order
     // of operations as one composition: exact-substring span removal
     // (q428's op, cleaned TEXT carried) → exact dedup on the cleaned

@@ -2897,6 +2897,10 @@ object Multimodal {
     var epubContent = 0L
     var hasContentTypes = false
     var hasWordPart = false
+    var hasSheetPart = false
+    var hasSlidePart = false
+    var sheetContent = 0L
+    var slideContent = 0L
     var mimetype: String = null
     while (count < n && !truncated) {
       if (pos + 46 > bytes.length ||
@@ -2920,7 +2924,13 @@ object Multimodal {
             lower.endsWith(".opf") || lower.endsWith(".rels")) nXml += 1
           if (name == "[Content_Types].xml") hasContentTypes = true
           if (name.startsWith("word/")) hasWordPart = true
+          if (name.startsWith("xl/")) hasSheetPart = true
+          if (name.startsWith("ppt/")) hasSlidePart = true
           if (name == "word/document.xml") mainDocx = unc
+          if (name.startsWith("xl/worksheets/") && lower.endsWith(".xml"))
+            sheetContent += unc
+          if (name.startsWith("ppt/slides/") && lower.endsWith(".xml"))
+            slideContent += unc
           if (lower.endsWith(".xhtml") || lower.endsWith(".html"))
             epubContent += unc
           if (name == "mimetype" && method == 0) {
@@ -2945,10 +2955,14 @@ object Multimodal {
     val kind =
       if (mimetype == "application/epub+zip") "epub"
       else if (hasContentTypes && hasWordPart) "docx"
+      else if (hasContentTypes && hasSheetPart) "xlsx"
+      else if (hasContentTypes && hasSlidePart) "pptx"
       else "zip"
     val content = kind match {
       case "docx" => mainDocx
       case "epub" => epubContent
+      case "xlsx" => sheetContent
+      case "pptx" => slideContent
       case _ => 0L
     }
     DocContainerMeta(kind, count, nXml, content, total, mimetype,
@@ -3047,4 +3061,37 @@ object Multimodal {
     syntheticDocx(n, base, doc))
   val syntheticEpubUdf = udf((n: Int, base: Int) =>
     syntheticEpub(n, base))
+
+  /** Deterministic minimal XLSX: `[Content_Types].xml` (100 B),
+    * `xl/workbook.xml` (110 B), `xl/sharedStrings.xml` (70 B), and
+    * `nSheets` worksheets of `shBase + 13·i` bytes. */
+  def syntheticXlsx(nSheets: Int, shBase: Int): Array[Byte] = {
+    require(nSheets >= 0 && shBase >= 0, "syntheticXlsx salt")
+    storedZip(
+      Seq(
+        "[Content_Types].xml" -> fillerBytes(100, 1),
+        "xl/workbook.xml" -> fillerBytes(110, 2),
+        "xl/sharedStrings.xml" -> fillerBytes(70, 3)) ++
+      (0 until nSheets).map(i =>
+        s"xl/worksheets/sheet${i + 1}.xml" -> fillerBytes(shBase + 13 * i,
+          4 + i)))
+  }
+
+  /** Deterministic minimal PPTX: `[Content_Types].xml` (100 B),
+    * `ppt/presentation.xml` (130 B), and `nSlides` slides of
+    * `slBase + 19·i` bytes. */
+  def syntheticPptx(nSlides: Int, slBase: Int): Array[Byte] = {
+    require(nSlides >= 0 && slBase >= 0, "syntheticPptx salt")
+    storedZip(
+      Seq(
+        "[Content_Types].xml" -> fillerBytes(100, 1),
+        "ppt/presentation.xml" -> fillerBytes(130, 2)) ++
+      (0 until nSlides).map(i =>
+        s"ppt/slides/slide${i + 1}.xml" -> fillerBytes(slBase + 19 * i,
+          3 + i)))
+  }
+
+  /** `syntheticXlsx` / `syntheticPptx` as column functions. */
+  val syntheticXlsxUdf = udf((n: Int, base: Int) => syntheticXlsx(n, base))
+  val syntheticPptxUdf = udf((n: Int, base: Int) => syntheticPptx(n, base))
 }

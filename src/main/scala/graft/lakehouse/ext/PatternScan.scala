@@ -1,0 +1,137 @@
+package graft.lakehouse.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-pattern literal scanning via an Aho–Corasick automaton
+  * (Aho & Corasick, CACM 1975) — the blocklist / keyword / PII-term
+  * census a curation pipeline runs over every document.
+  *
+  * Scale shape: the automaton builds ONCE on the driver from the
+  * bounded pattern list (goto trie + BFS failure links + flattened
+  * dictionary-suffix outputs), broadcasts whole, and each document is
+  * scanned in a single O(len) pass that reports ALL occurrences of
+  * ALL patterns — independent of pattern count. The naive alternative
+  * (one `instr`/regex pass per pattern) is O(patterns × corpus) scans;
+  * at 10k blocklist terms over 100 TB that is the difference between
+  * one job and an impossible one. Zero shuffle until the final
+  * per-document explode of the bounded hit map.
+  *
+  * Matching contract: case-insensitive (both sides lowercased),
+  * counting EVERY occurrence including overlapping ones (the
+  * dictionary-suffix chain reports a match at every end position —
+  * "aa" occurs 2× in "aaa"), which is exactly the per-position
+  * count an engine-portable oracle replays. */
+object PatternScan {
+
+  /** Immutable flattened automaton: per node a sorted (char → next)
+    * transition table, a failure link, and the pattern ids ending at
+    * the node (dictionary-suffix chain pre-flattened at build, so the
+    * scan never walks suffix links). */
+  private[ext] final class Automaton(
+    val transChars: Array[Array[Char]],
+    val transNext: Array[Array[Int]],
+    val fail: Array[Int],
+    val outputs: Array[Array[Int]]) extends Serializable
+
+  private[ext] def build(patterns: Seq[String]): Automaton = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "PatternScan needs a non-empty list of non-empty patterns")
+    val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap.empty[Char, Int])
+    val ends = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.toLowerCase.foreach { ch =>
+        node = gotoMaps(node).getOrElseUpdate(ch, {
+          gotoMaps += scala.collection.mutable.HashMap.empty[Char, Int]
+          ends += scala.collection.mutable.ArrayBuffer.empty[Int]
+          gotoMaps.length - 1
+        })
+      }
+      ends(node) += pi
+    }
+    val n = gotoMaps.length
+    val fail = new Array[Int](n)
+    val outputs = new Array[Array[Int]](n)
+    // BFS: failure links + flattened outputs (own ends ++ fail's outputs)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    outputs(0) = ends(0).toArray
+    gotoMaps(0).valuesIterator.foreach { c => fail(c) = 0; queue += c }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      outputs(u) = (ends(u) ++ outputs(fail(u))).toArray
+      gotoMaps(u).foreach { case (ch, v) =>
+        var f = fail(u)
+        while (f != 0 && !gotoMaps(f).contains(ch)) f = fail(f)
+        fail(v) = if (gotoMaps(f).contains(ch) && gotoMaps(f)(ch) != v)
+          gotoMaps(f)(ch) else 0
+        queue += v
+      }
+    }
+    val transChars = new Array[Array[Char]](n)
+    val transNext = new Array[Array[Int]](n)
+    (0 until n).foreach { u =>
+      val sorted = gotoMaps(u).toArray.sortBy(_._1)
+      transChars(u) = sorted.map(_._1)
+      transNext(u) = sorted.map(_._2)
+    }
+    new Automaton(transChars, transNext, fail, outputs)
+  }
+
+  @inline private def step(a: Automaton, state: Int, ch: Char): Int = {
+    var s = state
+    while (true) {
+      val i = java.util.Arrays.binarySearch(a.transChars(s), ch)
+      if (i >= 0) return a.transNext(s)(i)
+      if (s == 0) return 0
+      s = a.fail(s)
+    }
+    0 // unreachable
+  }
+
+  /** Per-document pattern hit census: one row per (document, pattern)
+    * with at least one occurrence — `(id, pattern, n_hits)`. Null or
+    * empty text yields no rows for that document. */
+  def multiPatternHits(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val auto = build(patterns)
+    val pats = patterns.map(_.toLowerCase).toArray
+    val bc = df.sparkSession.sparkContext.broadcast((auto, pats))
+    val scan = udf((text: String) => {
+      if (text == null) Map.empty[String, Long]
+      else {
+        val (a, ps) = bc.value
+        val counts = new Array[Long](ps.length)
+        val t = text.toLowerCase
+        var state = 0
+        var i = 0
+        while (i < t.length) {
+          state = step(a, state, t.charAt(i))
+          val out = a.outputs(state)
+          var k = 0
+          while (k < out.length) { counts(out(k)) += 1L; k += 1 }
+          i += 1
+        }
+        ps.indices.collect {
+          case pi if counts(pi) > 0L => ps(pi) -> counts(pi)
+        }.toMap
+      }
+    })
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(scan(col(textCol)))
+        .as(Seq("pattern", "n_hits")))
+      .select(col(idCol), col("pattern"), col("n_hits"))
+  }
+
+  /** Corpus-level blocklist scorecard on top of [[multiPatternHits]]:
+    * per pattern, how many documents hit it and the total occurrence
+    * count — the "which blocklist terms actually fire" triage frame,
+    * bounded by the pattern list. */
+  def patternScorecard(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame =
+    multiPatternHits(df, idCol, textCol, patterns)
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
+}

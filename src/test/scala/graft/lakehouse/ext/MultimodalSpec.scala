@@ -667,6 +667,22 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.docContainerMeta(null) == null)
   }
 
+  test("docContainerMeta: XLSX and PPTX kinds sniff from their part " +
+    "roots; content sums worksheets/slides only") {
+    val x = Multimodal.docContainerMeta(Multimodal.syntheticXlsx(2, 300))
+    assert(x.kind == "xlsx" && x.n_parts == 5 && x.n_xml_parts == 5,
+      x.toString)
+    // sheets: 300 + 313 = 613; fixed parts 100+110+70 = 280
+    assert(x.content_bytes == 613L && x.total_uncompressed == 893L &&
+      !x.truncated, x.toString)
+    val p = Multimodal.docContainerMeta(Multimodal.syntheticPptx(3, 400))
+    assert(p.kind == "pptx" && p.n_parts == 5 && p.n_xml_parts == 5,
+      p.toString)
+    // slides: 400 + 419 + 438 = 1257; fixed 100 + 130 = 230
+    assert(p.content_bytes == 1257L && p.total_uncompressed == 1487L,
+      p.toString)
+  }
+
   test("docContainerMeta: EPUB mimetype reads from the STORED local " +
     "header; chapter volume sums xhtml parts only") {
     val b = Multimodal.syntheticEpub(3, 800)

@@ -1,0 +1,57 @@
+package graft.lakehouse.ext
+
+import graft.lakehouse.SparkSuite
+
+class PatternScanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def hits(text: String, pats: Seq[String]): Map[String, Long] =
+    PatternScan.multiPatternHits(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", pats)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+  test("counts every occurrence including overlapping and nested " +
+      "matches (the dictionary-suffix chain)") {
+    // "aaa": "aa" at 0 and 1; "a" at 0,1,2
+    assert(hits("aaa", Seq("a", "aa")) == Map("a" -> 3L, "aa" -> 2L))
+    // nested a ⊂ ta ⊂ table all fire at the shared end positions
+    assert(hits("table", Seq("a", "ta", "table")) ==
+      Map("a" -> 1L, "ta" -> 1L, "table" -> 1L))
+    // failure links across pattern boundaries: "ushers" classic
+    assert(hits("ushers", Seq("he", "she", "his", "hers")) ==
+      Map("he" -> 1L, "she" -> 1L, "hers" -> 1L))
+  }
+
+  test("case-insensitive, null/empty text yields no rows, patterns " +
+      "absent from the text yield no rows") {
+    assert(hits("TABLE Table taBLe", Seq("table")) == Map("table" -> 3L))
+    assert(hits("", Seq("x")) == Map.empty[String, Long])
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "xy"))
+      .toDF("doc_id", "text")
+    val got = PatternScan.multiPatternHits(df, "doc_id", "text", Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, "x", 1L)), got.mkString(","))
+  }
+
+  test("scorecard aggregates docs and occurrences per pattern") {
+    val df = Seq((1L, "spark table table"), (2L, "a table"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = PatternScan.patternScorecard(df, "doc_id", "text",
+      Seq("table", "zzz")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("table" -> ((2L, 3L))), got.toString)
+  }
+
+  test("automaton refuses empty patterns; scan scales to many patterns " +
+      "in one pass") {
+    intercept[IllegalArgumentException] {
+      PatternScan.multiPatternHits(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("ok", ""))
+    }
+    // 200 patterns, one pass: every pattern pi = "p<i>x" occurs once
+    val pats = (0 until 200).map(i => s"p${i}x")
+    val text = pats.mkString(" ")
+    val got = hits(text, pats)
+    assert(got.size == 200 && got.values.forall(_ == 1L))
+  }
+}
