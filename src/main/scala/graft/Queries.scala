@@ -15095,6 +15095,77 @@ object Queries {
         |  CAST(sum(n) AS BIGINT) AS n_hits
         |FROM hit GROUP BY pattern ORDER BY pattern""".stripMargin)),
 
+    // Coverage-based pattern REDACTION (the PII/blocklist scrub):
+    // every char covered by any pattern occurrence splices out —
+    // interval semantics carry no leftmost/longest ambiguity, so the
+    // oracle replays coverage + splice exactly (the q428 chassis with
+    // automaton hits as the interval source).
+    Q("q439_redact_patterns",
+      (s, dir) => PatternScan.redactPatterns(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 1),
+          "doc_id", "text", Seq("batch", "hash", "merge", "table"))
+        .orderBy("doc_id"),
+      Some("""WITH pats AS (
+        |  SELECT unnest(['batch','hash','merge','table']) AS pattern),
+        |d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 4 = 1 AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |pj AS (
+        |  SELECT doc_id, pattern, t FROM d CROSS JOIN pats
+        |  WHERE length(t) >= length(pattern)),
+        |pos AS (
+        |  SELECT doc_id, pattern, t,
+        |    unnest(range(length(t) - length(pattern) + 1)) AS i
+        |  FROM pj),
+        |iv0 AS (
+        |  SELECT doc_id, i AS s, i + length(pattern) AS e
+        |  FROM pos
+        |  WHERE substr(t, CAST(i + 1 AS INT), length(pattern)) = pattern),
+        |brk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (
+        |        PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM iv0),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(b) OVER (
+        |      PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk),
+        |iv AS (
+        |  SELECT doc_id, island, min(s) AS s, max(e) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_chars_removed
+        |  FROM iv GROUP BY 1),
+        |ch AS (SELECT doc_id, t, unnest(range(length(t))) AS cpos FROM d),
+        |keep AS (
+        |  SELECT c.doc_id, c.cpos, substr(c.t, CAST(c.cpos + 1 AS INT), 1)
+        |      AS ch
+        |  FROM ch c
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |    WHERE iv.doc_id = c.doc_id
+        |      AND c.cpos >= iv.s AND c.cpos < iv.e)),
+        |cl AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS red
+        |  FROM keep GROUP BY doc_id),
+        |fin AS (
+        |  SELECT d.doc_id,
+        |    coalesce(cov.n_spans, 0) AS n_spans,
+        |    coalesce(cov.n_chars_removed, 0) AS n_chars_removed,
+        |    CASE WHEN cov.doc_id IS NULL THEN d.t
+        |         ELSE coalesce(cl.red, '') END AS red
+        |  FROM d
+        |  LEFT JOIN cov ON cov.doc_id = d.doc_id
+        |  LEFT JOIN cl ON cl.doc_id = d.doc_id)
+        |SELECT doc_id, n_spans, n_chars_removed,
+        |  CAST(length(red) AS BIGINT) AS redacted_len,
+        |  substring(sha256(red), 1, 16) AS redacted_sha
+        |FROM fin ORDER BY doc_id""".stripMargin)),
+
     // END-TO-END curation WITH ExactSubstr — the Lee et al. '22 order
     // of operations as one composition: exact-substring span removal
     // (q428's op, cleaned TEXT carried) → exact dedup on the cleaned

@@ -134,4 +134,73 @@ object PatternScan {
     multiPatternHits(df, idCol, textCol, patterns)
       .groupBy(col("pattern"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
+
+  /** COVERAGE-based redaction — the PII / blocklist scrub: every char
+    * covered by ANY pattern occurrence is spliced out of the document
+    * (the [[SuffixDedup.removeDuplicateSpans]] interval idiom, so the
+    * semantics carry no leftmost/longest matching ambiguity — any
+    * matching discipline yields the same covered set, which is what
+    * makes the operation engine-portable). One automaton pass per doc
+    * collects covered intervals, an in-kernel merge splices — zero
+    * shuffle, O(len + hits) per document. Output per doc: n_spans
+    * (merged intervals), n_chars_removed, redacted_len, redacted_sha
+    * (sha-256 prefix; clean docs pass through with zero counts).
+    * The redacted text is the LOWERCASE normalization — the form the
+    * scan runs on — so splice positions are aligned by construction
+    * even where locale-special case folding changes string length
+    * (Turkish dotted I), and the oracle replays with lower(text).
+    * Null text rows are dropped (nothing to scrub). */
+  def redactPatterns(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val auto = build(patterns)
+    val lens = patterns.map(_.toLowerCase.length).toArray
+    val bc = df.sparkSession.sparkContext.broadcast((auto, lens))
+    val redact = udf((text: String) => {
+      val (a, ls) = bc.value
+      val t = text.toLowerCase
+      // collect (start, end) for every occurrence, then sort + merge
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var state = 0
+      var i = 0
+      while (i < t.length) {
+        state = step(a, state, t.charAt(i))
+        val out = a.outputs(state)
+        var k = 0
+        while (k < out.length) {
+          starts += i - ls(out(k)) + 1; ends += i + 1; k += 1
+        }
+        i += 1
+      }
+      val order = starts.indices.sortBy(starts(_))
+      val sb = new java.lang.StringBuilder(t.length)
+      var nSpans = 0L
+      var removed = 0L
+      var cur = 0            // next uncopied position in the original
+      var islandStart = -1   // open merged island, or -1
+      var islandEnd = -1
+      def closeIsland(): Unit = {
+        sb.append(t, cur, islandStart)
+        removed += islandEnd - islandStart
+        nSpans += 1L
+        cur = islandEnd
+      }
+      order.foreach { oi =>
+        val s = starts(oi); val e = ends(oi)
+        if (islandEnd < 0) { islandStart = s; islandEnd = e }
+        else if (s > islandEnd) { closeIsland(); islandStart = s; islandEnd = e }
+        else if (e > islandEnd) islandEnd = e
+      }
+      if (islandEnd >= 0) closeIsland()
+      sb.append(t, cur, t.length)
+      (nSpans, removed, sb.toString)
+    })
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withColumn("__r", redact(col(textCol)))
+      .select(col(idCol),
+        col("__r._1").as("n_spans"),
+        col("__r._2").as("n_chars_removed"),
+        length(col("__r._3")).cast("long").as("redacted_len"),
+        substring(sha2(col("__r._3"), 256), 1, 16).as("redacted_sha"))
+  }
 }

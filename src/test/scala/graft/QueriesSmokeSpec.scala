@@ -44,7 +44,8 @@ class QueriesSmokeSpec extends SparkSuite {
     *    Kaplan–Meier, q334 Nelson–Aalen, q403 log-rank.
     *  - experiment-design-bounded frames (one row per hypothesis /
     *    stratum / sketch register, fixed by design): q330 BH-FDR,
-    *    q241 budget strata, q362 AMS sketch registers.
+    *    q241 budget strata, q362 AMS sketch registers, q142 mixture
+    *    shares ranked over the #strata counts frame.
     *  - categorical-vocabulary contract (the operator documents label
     *    columns, never IDs): q231 string-index dictionary.
     *  - calendar domains the resolver can't trace through the
@@ -56,6 +57,7 @@ class QueriesSmokeSpec extends SparkSuite {
   private val lintWaivers: Map[String, Set[String]] = Map(
     "q109_ntile_deciles" -> Set("unpartitioned-window-unbounded"),
     "q110_running_distinct" -> Set(GAW),
+    "q142_rebalance_mixture" -> Set(GAW),
     "q231_string_index" -> Set(GAW),
     "q241_budget_allocation" -> Set(GAW),
     "q283_chi_squared_drift" -> Set(GAW),

@@ -42,6 +42,29 @@ class PatternScanSpec extends SparkSuite {
     assert(got == Map("table" -> ((2L, 3L))), got.toString)
   }
 
+  test("redactPatterns: hand splices, overlapping hits merge to one " +
+      "island, clean docs pass through, full coverage empties") {
+    def sha16(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    val docs = Seq(
+      (0L, "xx table yy"),     // one span -> "xx  yy"
+      (1L, "tabletable"),      // adjacent spans merge -> ""
+      (2L, "clean text"),      // untouched
+      (3L, "ABBA"),            // overlapping "abb"+"bba" merge -> ""
+      (4L, "a hash, a table")  // two disjoint islands
+    ).toDF("doc_id", "text")
+    val got = PatternScan.redactPatterns(docs, "doc_id", "text",
+      Seq("table", "hash", "abb", "bba")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(got(0L) == ((1L, 5L, 6L, sha16("xx  yy"))), got(0L).toString)
+    assert(got(1L) == ((1L, 10L, 0L, sha16(""))), got(1L).toString)
+    assert(got(2L) == ((0L, 0L, 10L, sha16("clean text"))), got(2L).toString)
+    assert(got(3L) == ((1L, 4L, 0L, sha16(""))), got(3L).toString)
+    assert(got(4L) == ((2L, 9L, 6L, sha16("a , a "))), got(4L).toString)
+  }
+
   test("automaton refuses empty patterns; scan scales to many patterns " +
       "in one pass") {
     intercept[IllegalArgumentException] {
