@@ -2712,14 +2712,16 @@ object Multimodal {
         var i = 0L
         while (i < cnt && !truncated) {
           val klen = varlong()
-          if (truncated || klen < 0L || pos + klen > bytes.length)
+          // subtraction form: `pos + klen` overflows for a 10-byte varint
+          // decoding to ~Long.MaxValue (wraps negative, passes the check)
+          if (truncated || klen < 0L || klen > bytes.length - pos)
             truncated = true
           else {
             val key = new String(bytes, pos, klen.toInt,
               java.nio.charset.StandardCharsets.UTF_8)
             pos += klen.toInt
             val vlen = varlong()
-            if (truncated || vlen < 0L || pos + vlen > bytes.length)
+            if (truncated || vlen < 0L || vlen > bytes.length - pos)
               truncated = true
             else {
               if (key == "avro.schema" || key == "avro.codec") {
@@ -2760,7 +2762,7 @@ object Multimodal {
       val rc = varlong()
       val bs = varlong()
       if (!truncated) {
-        if (rc < 0L || bs < 0L || pos + bs + 16L > bytes.length)
+        if (rc < 0L || bs < 0L || bs > bytes.length - pos - 16L)
           truncated = true
         else {
           pos += bs.toInt

@@ -1,5 +1,7 @@
 package graft.lakehouse.ext
 
+import java.util.Locale
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,11 +19,18 @@ import org.apache.spark.sql.functions._
   * one job and an impossible one. Zero shuffle until the final
   * per-document explode of the bounded hit map.
   *
-  * Matching contract: case-insensitive (both sides lowercased),
-  * counting EVERY occurrence including overlapping ones (the
-  * dictionary-suffix chain reports a match at every end position —
-  * "aa" occurs 2× in "aaa"), which is exactly the per-position
-  * count an engine-portable oracle replays. */
+  * The census ([[multiPatternHits]]) and the scrub ([[redactPatterns]])
+  * both derive from ONE shared kernel, [[scanAndRedact]]: a pipeline
+  * that runs the blocklist gate AND the redaction (the normal curation
+  * order) pays a single O(len) corpus pass instead of two.
+  *
+  * Matching contract: case-insensitive via locale-independent
+  * `Locale.ROOT` folding on BOTH sides (a Turkish default locale would
+  * otherwise fold 'I' to dotless 'ı' and silently diverge from the
+  * oracle's lower()), counting EVERY occurrence including overlapping
+  * ones (the dictionary-suffix chain reports a match at every end
+  * position — "aa" occurs 2× in "aaa"), which is exactly the
+  * per-position count an engine-portable oracle replays. */
 object PatternScan {
 
   /** Immutable flattened automaton: per node a sorted (char → next)
@@ -37,13 +46,20 @@ object PatternScan {
   private[ext] def build(patterns: Seq[String]): Automaton = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "PatternScan needs a non-empty list of non-empty patterns")
+    // two patterns identical after case folding would end at the same
+    // node with distinct ids — both counters increment but the output
+    // hit Map keeps one key silently; refuse loudly instead
+    val folded = patterns.map(_.toLowerCase(Locale.ROOT))
+    require(folded.distinct.size == patterns.size,
+      "PatternScan: patterns must be distinct after case folding, got " +
+        folded.diff(folded.distinct).distinct.mkString("dups [", ", ", "]"))
     val gotoMaps = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.HashMap.empty[Char, Int])
     val ends = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[Int])
-    patterns.zipWithIndex.foreach { case (p, pi) =>
+    folded.zipWithIndex.foreach { case (p, pi) =>
       var node = 0
-      p.toLowerCase.foreach { ch =>
+      p.foreach { ch =>
         node = gotoMaps(node).getOrElseUpdate(ch, {
           gotoMaps += scala.collection.mutable.HashMap.empty[Char, Int]
           ends += scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -91,39 +107,98 @@ object PatternScan {
     0 // unreachable
   }
 
-  /** Per-document pattern hit census: one row per (document, pattern)
-    * with at least one occurrence — `(id, pattern, n_hits)`. Null or
-    * empty text yields no rows for that document. */
-  def multiPatternHits(df: DataFrame, idCol: String, textCol: String,
+  /** SHARED single-pass kernel: per document, ONE automaton scan
+    * produces BOTH the per-pattern hit census and the coverage-based
+    * redaction. One row per input document (null ids dropped):
+    * `(id, hits: Map[pattern → n_hits], n_spans, n_chars_removed,
+    * redacted_len, redacted_sha)`. Null text yields an empty hit map
+    * and null redaction fields (nothing to scrub).
+    *
+    * Redaction semantics (the [[SuffixDedup.removeDuplicateSpans]]
+    * interval idiom): every char covered by ANY occurrence splices out,
+    * so the covered set — and the output — is independent of matching
+    * discipline, which is what makes it engine-portable. The redacted
+    * text is the LOWERCASE (`Locale.ROOT`) normalization — the form the
+    * scan runs on — so splice positions are aligned by construction
+    * even where locale-special case folding changes string length, and
+    * the oracle replays with lower(text). */
+  def scanAndRedact(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[String]): DataFrame = {
     val auto = build(patterns)
-    val pats = patterns.map(_.toLowerCase).toArray
+    val pats = patterns.map(_.toLowerCase(Locale.ROOT)).toArray
     val bc = df.sparkSession.sparkContext.broadcast((auto, pats))
     val scan = udf((text: String) => {
-      if (text == null) Map.empty[String, Long]
+      if (text == null)
+        (Map.empty[String, Long], null.asInstanceOf[java.lang.Long],
+          null.asInstanceOf[java.lang.Long], null.asInstanceOf[String])
       else {
         val (a, ps) = bc.value
         val counts = new Array[Long](ps.length)
-        val t = text.toLowerCase
+        val t = text.toLowerCase(Locale.ROOT)
+        // occurrence intervals for the splice, collected in the same pass
+        val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
         var state = 0
         var i = 0
         while (i < t.length) {
           state = step(a, state, t.charAt(i))
           val out = a.outputs(state)
           var k = 0
-          while (k < out.length) { counts(out(k)) += 1L; k += 1 }
+          while (k < out.length) {
+            val pi = out(k)
+            counts(pi) += 1L
+            starts += i - ps(pi).length + 1; ends += i + 1
+            k += 1
+          }
           i += 1
         }
-        ps.indices.collect {
+        val hits = ps.indices.collect {
           case pi if counts(pi) > 0L => ps(pi) -> counts(pi)
         }.toMap
+        // sort occurrences by start, merge into islands, splice out
+        val order = starts.indices.sortBy(starts(_))
+        val sb = new java.lang.StringBuilder(t.length)
+        var nSpans = 0L
+        var removed = 0L
+        var cur = 0            // next uncopied position in the original
+        var islandStart = -1   // open merged island, or -1
+        var islandEnd = -1
+        def closeIsland(): Unit = {
+          sb.append(t, cur, islandStart)
+          removed += islandEnd - islandStart
+          nSpans += 1L
+          cur = islandEnd
+        }
+        order.foreach { oi =>
+          val s = starts(oi); val e = ends(oi)
+          if (islandEnd < 0) { islandStart = s; islandEnd = e }
+          else if (s > islandEnd) { closeIsland(); islandStart = s; islandEnd = e }
+          else if (e > islandEnd) islandEnd = e
+        }
+        if (islandEnd >= 0) closeIsland()
+        sb.append(t, cur, t.length)
+        (hits, java.lang.Long.valueOf(nSpans),
+          java.lang.Long.valueOf(removed), sb.toString)
       }
     })
     df.filter(col(idCol).isNotNull)
-      .select(col(idCol), explode(scan(col(textCol)))
-        .as(Seq("pattern", "n_hits")))
-      .select(col(idCol), col("pattern"), col("n_hits"))
+      .withColumn("__r", scan(col(textCol)))
+      .select(col(idCol),
+        col("__r._1").as("hits"),
+        col("__r._2").as("n_spans"),
+        col("__r._3").as("n_chars_removed"),
+        length(col("__r._4")).cast("long").as("redacted_len"),
+        substring(sha2(col("__r._4"), 256), 1, 16).as("redacted_sha"))
   }
+
+  /** Per-document pattern hit census: one row per (document, pattern)
+    * with at least one occurrence — `(id, pattern, n_hits)`. Null or
+    * empty text yields no rows for that document. A view over
+    * [[scanAndRedact]]'s shared pass. */
+  def multiPatternHits(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame =
+    scanAndRedact(df, idCol, textCol, patterns)
+      .select(col(idCol), explode(col("hits")).as(Seq("pattern", "n_hits")))
 
   /** Corpus-level blocklist scorecard on top of [[multiPatternHits]]:
     * per pattern, how many documents hit it and the total occurrence
@@ -136,71 +211,15 @@ object PatternScan {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
 
   /** COVERAGE-based redaction — the PII / blocklist scrub: every char
-    * covered by ANY pattern occurrence is spliced out of the document
-    * (the [[SuffixDedup.removeDuplicateSpans]] interval idiom, so the
-    * semantics carry no leftmost/longest matching ambiguity — any
-    * matching discipline yields the same covered set, which is what
-    * makes the operation engine-portable). One automaton pass per doc
-    * collects covered intervals, an in-kernel merge splices — zero
-    * shuffle, O(len + hits) per document. Output per doc: n_spans
-    * (merged intervals), n_chars_removed, redacted_len, redacted_sha
-    * (sha-256 prefix; clean docs pass through with zero counts).
-    * The redacted text is the LOWERCASE normalization — the form the
-    * scan runs on — so splice positions are aligned by construction
-    * even where locale-special case folding changes string length
-    * (Turkish dotted I), and the oracle replays with lower(text).
-    * Null text rows are dropped (nothing to scrub). */
+    * covered by ANY pattern occurrence is spliced out of the document.
+    * Output per doc: n_spans (merged intervals), n_chars_removed,
+    * redacted_len, redacted_sha (sha-256 prefix; clean docs pass
+    * through with zero counts). Null text rows are dropped (nothing to
+    * scrub). A view over [[scanAndRedact]]'s shared pass. */
   def redactPatterns(df: DataFrame, idCol: String, textCol: String,
-      patterns: Seq[String]): DataFrame = {
-    val auto = build(patterns)
-    val lens = patterns.map(_.toLowerCase.length).toArray
-    val bc = df.sparkSession.sparkContext.broadcast((auto, lens))
-    val redact = udf((text: String) => {
-      val (a, ls) = bc.value
-      val t = text.toLowerCase
-      // collect (start, end) for every occurrence, then sort + merge
-      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var state = 0
-      var i = 0
-      while (i < t.length) {
-        state = step(a, state, t.charAt(i))
-        val out = a.outputs(state)
-        var k = 0
-        while (k < out.length) {
-          starts += i - ls(out(k)) + 1; ends += i + 1; k += 1
-        }
-        i += 1
-      }
-      val order = starts.indices.sortBy(starts(_))
-      val sb = new java.lang.StringBuilder(t.length)
-      var nSpans = 0L
-      var removed = 0L
-      var cur = 0            // next uncopied position in the original
-      var islandStart = -1   // open merged island, or -1
-      var islandEnd = -1
-      def closeIsland(): Unit = {
-        sb.append(t, cur, islandStart)
-        removed += islandEnd - islandStart
-        nSpans += 1L
-        cur = islandEnd
-      }
-      order.foreach { oi =>
-        val s = starts(oi); val e = ends(oi)
-        if (islandEnd < 0) { islandStart = s; islandEnd = e }
-        else if (s > islandEnd) { closeIsland(); islandStart = s; islandEnd = e }
-        else if (e > islandEnd) islandEnd = e
-      }
-      if (islandEnd >= 0) closeIsland()
-      sb.append(t, cur, t.length)
-      (nSpans, removed, sb.toString)
-    })
-    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .withColumn("__r", redact(col(textCol)))
-      .select(col(idCol),
-        col("__r._1").as("n_spans"),
-        col("__r._2").as("n_chars_removed"),
-        length(col("__r._3")).cast("long").as("redacted_len"),
-        substring(sha2(col("__r._3"), 256), 1, 16).as("redacted_sha"))
-  }
+      patterns: Seq[String]): DataFrame =
+    scanAndRedact(df.filter(col(textCol).isNotNull), idCol, textCol,
+        patterns)
+      .select(col(idCol), col("n_spans"), col("n_chars_removed"),
+        col("redacted_len"), col("redacted_sha"))
 }

@@ -928,8 +928,12 @@ object StatTests {
           .as("raw_mean"))
   }
 
-  /** Scaled-long conversion with EXACT java BigDecimal HALF_UP
-    * semantics at 10^scale, spending BigDecimal only on ambiguity: the
+  /** Scaled-long conversion with EXACT BigDecimal HALF_UP semantics at
+    * 10^scale over the double's SHORTEST-DECIMAL rendering
+    * (`BigDecimal.valueOf`, i.e. `Double.toString`) — the same value
+    * Spark's double→DECIMAL cast and DuckDB's round() see, so 0.145 at
+    * scale 2 is 15 in all three engines (the binary-exact expansion
+    * 0.14499… would say 14). BigDecimal is spent only on ambiguity: the
     * double fast path (Math.round of d·10^scale) is provably equal to
     * the decimal cast whenever the scaled fraction is far from the .5
     * boundary, and within the 1e-6 guard window (FP error at the
@@ -945,7 +949,11 @@ object StatTests {
     val frac = x - Math.floor(x)
     val v =
       if (Math.abs(frac - 0.5) < 1e-6)
-        new java.math.BigDecimal(d)
+        // valueOf (shortest-decimal-string) — the semantics Spark's
+        // double→DECIMAL cast and DuckDB's round() apply, NOT the exact
+        // binary expansion `new BigDecimal(d)` (0.145 at scale 2 is 15
+        // via valueOf, 14 via the binary-exact value)
+        java.math.BigDecimal.valueOf(d)
           .setScale(scale, java.math.RoundingMode.HALF_UP)
           .unscaledValue().longValueExact()
       else Math.round(x)

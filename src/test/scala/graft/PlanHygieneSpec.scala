@@ -720,12 +720,15 @@ class PlanHygieneSpec extends SparkSuite {
   }
 
   test("q331 degree assortativity: moments fold in hash aggregates, " +
-      "no window over the edge list") {
+      "no window over the edge list, O(V) degree frame broadcast " +
+      "(never an edge-list shuffle join)") {
     val df = SparkEntry.queries("q331_degree_assortativity")(spark, sf0001)
     df.collect()
     val p = finalPlan(df)
     assert(!p.contains("Window"), p)
     assert(p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q341 token burstiness: two hash aggregations + top-k, " +

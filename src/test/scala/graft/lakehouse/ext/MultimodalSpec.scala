@@ -640,6 +640,18 @@ class MultimodalSpec extends SparkSuite {
     val hostile = Array[Byte]('O', 'b', 'j', 1) ++
       Array.fill[Byte](24)(0x80.toByte)
     assert(Multimodal.avroMeta(hostile).truncated)
+    // hostile varint that DECODES (10 bytes, shift lands exactly on 63)
+    // to Long.MaxValue: `pos + len` would wrap negative and pass an
+    // addition-form bounds check -> String/array OOB crash; the
+    // subtraction-form guards must flag truncated instead
+    val maxVar = Array[Byte](0xfe.toByte) ++
+      Array.fill[Byte](8)(0xff.toByte) :+ 0x01.toByte
+    val hugeKey = Array[Byte]('O', 'b', 'j', 1, 2) ++ maxVar ++
+      Array.fill[Byte](16)(0x00) // map cnt=1; padding past the 20-byte min
+    assert(Multimodal.avroMeta(hugeKey).truncated, "huge klen must flag")
+    val hugeBlock = Array[Byte]('O', 'b', 'j', 1, 0) ++ // empty meta map
+      Array.fill[Byte](16)(0x11) ++ Array[Byte](2) ++ maxVar // rc=1, bs=MAX
+    assert(Multimodal.avroMeta(hugeBlock).truncated, "huge bs must flag")
     assert(Multimodal.avroMeta("not avro at all, really".getBytes) == null)
     assert(Multimodal.avroMeta(null) == null)
   }

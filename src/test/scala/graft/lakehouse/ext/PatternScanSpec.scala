@@ -65,12 +65,39 @@ class PatternScanSpec extends SparkSuite {
     assert(got(4L) == ((2L, 9L, 6L, sha16("a , a "))), got(4L).toString)
   }
 
-  test("automaton refuses empty patterns; scan scales to many patterns " +
-      "in one pass") {
+  test("scanAndRedact: one pass carries BOTH the hit census and the " +
+      "redaction; null text keeps the row with empty hits") {
+    val docs = Seq((1L, "a table, a hash"), (2L, "no hits here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val pats = Seq("table", "hash", "a")
+    val got = PatternScan.scanAndRedact(docs, "doc_id", "text", pats)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 3)
+    assert(got(1L).getMap[String, Long](1).toMap ==
+      Map("table" -> 1L, "hash" -> 1L, "a" -> 4L))
+    assert(got(1L).getLong(2) == 4L, "4 merged islands") // a|table|a|hash
+    assert(got(2L).getMap[String, Long](1).isEmpty &&
+      got(2L).getLong(2) == 0L && got(2L).getLong(4) == 12L)
+    assert(got(3L).getMap[String, Long](1).isEmpty && got(3L).isNullAt(2))
+    // the two public views replay the shared pass identically
+    val viaHits = PatternScan.multiPatternHits(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaHits == Set((1L, "table", 1L), (1L, "hash", 1L), (1L, "a", 4L)))
+  }
+
+  test("automaton refuses empty patterns and case-folded duplicates; " +
+      "scan scales to many patterns in one pass") {
     intercept[IllegalArgumentException] {
       PatternScan.multiPatternHits(Seq((1L, "x")).toDF("doc_id", "text"),
         "doc_id", "text", Seq("ok", ""))
     }
+    // "Foo" and "foo" collide after folding: both ids end at one node
+    // and the hit Map would keep one key silently — must refuse loudly
+    val dup = intercept[IllegalArgumentException] {
+      PatternScan.multiPatternHits(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("Foo", "bar", "foo"))
+    }
+    assert(dup.getMessage.contains("foo"), dup.getMessage)
     // 200 patterns, one pass: every pattern pi = "p<i>x" occurs once
     val pats = (0 until 200).map(i => s"p${i}x")
     val text = pats.mkString(" ")

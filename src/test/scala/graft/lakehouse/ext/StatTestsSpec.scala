@@ -605,6 +605,22 @@ class StatTestsSpec extends SparkSuite {
     assert(run(13) == one, "chunked long partials must merge exactly")
   }
 
+  test("scaledLongExact: tie path follows the double's shortest-decimal " +
+    "rendering (Spark/DuckDB cast semantics), HALF_UP away from zero") {
+    def f(d: Double, scale: Int) =
+      StatTests.scaledLongExact(d, math.pow(10, scale), scale)
+    // 0.145 is binary-exactly 0.144999… — valueOf semantics round the
+    // decimal rendering "0.145" up, matching CAST(0.145 AS DECIMAL(18,2))
+    assert(f(0.145, 2) == 15L)
+    assert(f(-0.145, 2) == -15L)
+    // true dyadic tie: HALF_UP is away-from-zero on both signs
+    assert(f(0.125, 2) == 13L)
+    assert(f(-0.125, 2) == -13L)
+    // fast path (far from the boundary) unchanged
+    assert(f(1.234, 2) == 123L && f(-1.234, 2) == -123L)
+    assert(f(7.0, 0) == 7L)
+  }
+
   test("brownForsythe matches the hand computation and is " +
       "partition-order independent") {
     // a: v=[0,2,4] -> z=[4,0,4]; b: v=[0,8,16] -> z=[16,0,16]
