@@ -15166,6 +15166,175 @@ object Queries {
         |  substring(sha256(red), 1, 16) AS redacted_sha
         |FROM fin ORDER BY doc_id""".stripMargin)),
 
+    // Zstandard frame census over deterministic RFC 8878 fixtures:
+    // frame/skippable walk, block census by type from the 3-byte block
+    // headers, declared content sizes — the `.jsonl.zst` shard census
+    // (the dominant shipping container for public LLM corpora),
+    // decode-free. One map-side pass, no shuffle before the sort.
+    Q("q440_zstd_frame_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 29 === 0)
+          .withColumn("payload", Multimodal.syntheticZstdUdf(
+            (lit(1) + col("doc_id") % 3).cast("int"),
+            (lit(1) + col("doc_id") % 5).cast("int"),
+            (lit(10) + col("doc_id") % 40).cast("int"),
+            col("doc_id") % 2 === 0,
+            col("doc_id") % 3 === 0))
+        Multimodal.decodeZstdFrames(blobs, "payload")
+          .select(col("doc_id"),
+            col("zstd.n_frames").as("n_frames"),
+            col("zstd.n_skippable").as("n_skippable"),
+            col("zstd.skippable_bytes").as("skippable_bytes"),
+            col("zstd.n_blocks").as("n_blocks"),
+            col("zstd.n_compressed_blocks").as("n_compressed_blocks"),
+            col("zstd.n_rle_blocks").as("n_rle_blocks"),
+            col("zstd.content_size").as("content_size"),
+            col("zstd.window_max").as("window_max"),
+            col("zstd.has_checksum").as("has_checksum"),
+            col("zstd.max_block_size").as("max_block_size"),
+            col("zstd.total_payload_bytes").as("total_payload_bytes"),
+            col("zstd.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS nf,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS nb,
+        |    CAST(10 + doc_id % 40 AS BIGINT) AS base
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |blk AS (
+        |  SELECT doc_id, nf, nb, base, unnest(range(nb)) AS b FROM p),
+        |agg AS (
+        |  SELECT doc_id, nf, nb, base,
+        |    sum(CASE WHEN b % 3 = 2 THEN 1 ELSE 0 END) AS rle_pf,
+        |    sum(CASE WHEN b % 3 = 2 THEN 1 ELSE base + 7 * b END)
+        |      AS payload_pf,
+        |    max(CASE WHEN b % 3 = 2 THEN base ELSE base + 7 * b END)
+        |      AS maxblk
+        |  FROM blk GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        |    AS n_skippable,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END AS BIGINT)
+        |    AS skippable_bytes,
+        |  CAST(nf * nb AS INT) AS n_blocks,
+        |  CAST(nf * (nb - rle_pf) AS INT) AS n_compressed_blocks,
+        |  CAST(nf * rle_pf AS INT) AS n_rle_blocks,
+        |  CAST(1000 * nf + 31 * nf * (nf - 1) // 2 AS BIGINT)
+        |    AS content_size,
+        |  CAST(8192 AS BIGINT) AS window_max,
+        |  doc_id % 2 = 0 AS has_checksum,
+        |  CAST(maxblk AS BIGINT) AS max_block_size,
+        |  CAST(nf * payload_pf AS BIGINT) AS total_payload_bytes,
+        |  FALSE AS truncated
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // ORC footer/postscript census over deterministic protobuf
+    // fixtures: stripe row/byte sums, type census, compression kind —
+    // the remaining major columnar landing format next to parquet
+    // (q413) and Avro (q431), censused from the tail without a codec.
+    Q("q441_orc_footer_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 31 === 0)
+          .withColumn("payload", Multimodal.syntheticOrcUdf(
+            (lit(1) + col("doc_id") % 4).cast("int"),
+            (lit(50) + col("doc_id") % 100).cast("int"),
+            col("doc_id") % 2 === 0))
+        Multimodal.decodeOrcFooters(blobs, "payload")
+          .select(col("doc_id"),
+            col("orc.compression").as("compression"),
+            col("orc.compression_block_size")
+              .as("compression_block_size"),
+            col("orc.writer_version").as("writer_version"),
+            col("orc.footer_parsed").as("footer_parsed"),
+            col("orc.n_stripes").as("n_stripes"),
+            col("orc.total_rows").as("total_rows"),
+            col("orc.stripe_rows").as("stripe_rows"),
+            col("orc.max_stripe_rows").as("max_stripe_rows"),
+            col("orc.data_bytes").as("data_bytes"),
+            col("orc.index_bytes").as("index_bytes"),
+            col("orc.n_types").as("n_types"),
+            col("orc.n_root_fields").as("n_root_fields"),
+            col("orc.content_length").as("content_length"),
+            col("orc.row_index_stride").as("row_index_stride"),
+            col("orc.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS ns,
+        |    CAST(50 + doc_id % 100 AS BIGINT) AS base
+        |  FROM documents WHERE doc_id % 31 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'zlib' ELSE 'none' END
+        |    AS compression,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 262144 ELSE 0 END AS BIGINT)
+        |    AS compression_block_size,
+        |  CAST(9 AS BIGINT) AS writer_version,
+        |  TRUE AS footer_parsed,
+        |  CAST(ns AS INT) AS n_stripes,
+        |  CAST(ns * base + 17 * ns * (ns - 1) // 2 AS BIGINT)
+        |    AS total_rows,
+        |  CAST(ns * base + 17 * ns * (ns - 1) // 2 AS BIGINT)
+        |    AS stripe_rows,
+        |  CAST(base + 17 * (ns - 1) AS BIGINT) AS max_stripe_rows,
+        |  CAST(100 * ns + 13 * ns * (ns - 1) // 2 AS BIGINT)
+        |    AS data_bytes,
+        |  CAST(20 * ns + ns * (ns - 1) // 2 AS BIGINT) AS index_bytes,
+        |  CAST(3 AS INT) AS n_types,
+        |  CAST(2 AS INT) AS n_root_fields,
+        |  CAST(3 + 128 * ns AS BIGINT) AS content_length,
+        |  CAST(10000 AS BIGINT) AS row_index_stride,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // HEIF/HEIC/AVIF census over deterministic ISO-BMFF fixtures:
+    // brand sniff, item count from iinf, primary + max dimensions from
+    // the iprp/ipco ispe properties — the modern-crawl still-image
+    // wrapper censused with the mp4 box discipline, decode-free.
+    Q("q442_heif_image_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 37 === 0)
+          .withColumn("payload", Multimodal.syntheticHeifUdf(
+            (lit(1) + col("doc_id") % 4).cast("int"),
+            (lit(64) + col("doc_id") % 200).cast("int"),
+            (lit(48) + col("doc_id") % 150).cast("int"),
+            col("doc_id") % 2 === 0))
+        Multimodal.decodeHeifHeaders(blobs, "payload")
+          .select(col("doc_id"),
+            col("heif.brand").as("brand"),
+            col("heif.n_compat_brands").as("n_compat_brands"),
+            col("heif.n_items").as("n_items"),
+            col("heif.width").as("width"),
+            col("heif.height").as("height"),
+            col("heif.max_width").as("max_width"),
+            col("heif.max_height").as("max_height"),
+            col("heif.n_ispe").as("n_ispe"),
+            col("heif.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS ni,
+        |    CAST(64 + doc_id % 200 AS BIGINT) AS w,
+        |    CAST(48 + doc_id % 150 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 37 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+        |  CAST(2 AS INT) AS n_compat_brands,
+        |  CAST(ni AS BIGINT) AS n_items,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(w + 4 * (ni - 1) AS BIGINT) AS max_width,
+        |  CAST(h + 3 * (ni - 1) AS BIGINT) AS max_height,
+        |  CAST(ni AS INT) AS n_ispe,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
     // END-TO-END curation WITH ExactSubstr — the Lee et al. '22 order
     // of operations as one composition: exact-substring span removal
     // (q428's op, cleaned TEXT carried) → exact dedup on the cleaned

@@ -3096,4 +3096,716 @@ object Multimodal {
   /** `syntheticXlsx` / `syntheticPptx` as column functions. */
   val syntheticXlsxUdf = udf((n: Int, base: Int) => syntheticXlsx(n, base))
   val syntheticPptxUdf = udf((n: Int, base: Int) => syntheticPptx(n, base))
+
+  // ---- Zstandard frames (decode-free) -------------------------------------
+
+  /** Parsed zstd stream metadata: frame/skippable-frame census, block
+    * census by type, the declared (frame-header) content size summed
+    * across frames (-1 when any frame omits it), the largest window
+    * any frame requests, checksum/dictionary flags, and the payload
+    * volume walked past — everything a corpus census needs from a
+    * `.jsonl.zst` shard without inflating a byte. */
+  case class ZstdMeta(n_frames: Int, n_skippable: Int,
+    skippable_bytes: Long, n_blocks: Int, n_compressed_blocks: Int,
+    n_rle_blocks: Int, n_raw_blocks: Int, content_size: Long,
+    window_max: Long, has_checksum: Boolean, dict_id: Long,
+    max_block_size: Long, total_payload_bytes: Long, truncated: Boolean)
+
+  /** DECODE-FREE Zstandard walker (RFC 8878) — the dominant shipping
+    * container for public LLM corpora (`.jsonl.zst`). Walks every
+    * frame in the stream: magic `28 B5 2F FD`, the frame-header
+    * descriptor (content-size field width 0/1/2/4/8 by flag +
+    * single-segment, dictionary-ID width 0/1/2/4, checksum flag,
+    * reserved bit must be zero), the window descriptor
+    * (`2^(10+exp) + mantissa·2^(10+exp)/8`), then the block chain by
+    * 3-byte little-endian block headers — bit 0 last-block, bits 1-2
+    * type (raw/RLE/compressed; reserved flags corrupt), bits 3-23
+    * size; raw/compressed payloads are SKIPPED by declared size, an
+    * RLE block carries exactly one byte. Skippable frames
+    * (`5? 2A 4D 18`) are skipped by their 4-byte declared size and
+    * censused separately. All bounds checks are subtraction-form (a
+    * hostile size cannot overflow past the guard); any overrun,
+    * reserved bit/type, or trailing garbage flags `truncated` instead
+    * of reading out of bounds. Returns null when the stream does not
+    * open with a zstd or skippable magic. */
+  def zstdMeta(bytes: Array[Byte]): ZstdMeta = {
+    if (bytes == null || bytes.length < 4) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def isZstdMagic(i: Int): Boolean =
+      u8(i) == 0x28 && u8(i + 1) == 0xb5 && u8(i + 2) == 0x2f &&
+        u8(i + 3) == 0xfd
+    def isSkippableMagic(i: Int): Boolean =
+      (u8(i) & 0xf0) == 0x50 && u8(i + 1) == 0x2a && u8(i + 2) == 0x4d &&
+        u8(i + 3) == 0x18
+    if (!isZstdMagic(0) && !isSkippableMagic(0)) return null
+    var pos = 0
+    var truncated = false
+    var nFrames = 0; var nSkip = 0; var skipBytes = 0L
+    var nBlocks = 0; var nComp = 0; var nRle = 0; var nRaw = 0
+    var contentKnown = true; var content = 0L
+    var windowMax = 0L; var checksum = false; var dictId = 0L
+    var maxBlock = 0L; var payload = 0L
+    while (!truncated && pos < bytes.length) {
+      if (bytes.length - pos < 4) { truncated = true }
+      else if (isSkippableMagic(pos)) {
+        if (bytes.length - pos < 8) truncated = true
+        else {
+          val sz = u32(pos + 4)
+          if (sz > bytes.length - pos - 8L) truncated = true
+          else { nSkip += 1; skipBytes += sz; pos += 8 + sz.toInt }
+        }
+      } else if (!isZstdMagic(pos)) {
+        truncated = true // trailing garbage between frames
+      } else {
+        pos += 4
+        if (pos >= bytes.length) { truncated = true }
+        else {
+          val fhd = u8(pos); pos += 1
+          val fcsFlag = fhd >>> 6
+          val singleSegment = (fhd & 0x20) != 0
+          val reserved = (fhd & 0x08) != 0
+          val hasChecksum = (fhd & 0x04) != 0
+          val didFlag = fhd & 0x03
+          if (reserved) truncated = true
+          else {
+            if (!singleSegment) {
+              if (pos >= bytes.length) truncated = true
+              else {
+                val wd = u8(pos); pos += 1
+                val base = 1L << (10 + (wd >>> 3))
+                val win = base + (base / 8) * (wd & 7)
+                if (win > windowMax) windowMax = win
+              }
+            }
+            val didLen = didFlag match {
+              case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+            }
+            if (!truncated && didLen > bytes.length - pos) truncated = true
+            else if (!truncated) {
+              var d = 0L
+              var i = 0
+              while (i < didLen) { d |= (u8(pos + i).toLong << (8 * i)); i += 1 }
+              pos += didLen
+              if (d != 0L) dictId = d
+              val fcsLen = fcsFlag match {
+                case 0 => if (singleSegment) 1 else 0
+                case 1 => 2; case 2 => 4; case _ => 8
+              }
+              if (fcsLen > bytes.length - pos) truncated = true
+              else {
+                if (fcsLen == 0) contentKnown = false
+                else {
+                  var c = 0L
+                  var j = 0
+                  while (j < fcsLen) { c |= (u8(pos + j).toLong << (8 * j)); j += 1 }
+                  if (fcsLen == 2) c += 256L // RFC 8878: 2-byte field is value-256
+                  pos += fcsLen
+                  if (c < 0L) truncated = true else content += c
+                  if (singleSegment && c > windowMax) windowMax = c
+                }
+                // block chain
+                var last = false
+                while (!truncated && !last) {
+                  if (bytes.length - pos < 3) truncated = true
+                  else {
+                    val h = u8(pos) | (u8(pos + 1) << 8) | (u8(pos + 2) << 16)
+                    pos += 3
+                    last = (h & 1) != 0
+                    val btype = (h >>> 1) & 3
+                    val bsize = (h >>> 3).toLong
+                    if (btype == 3) truncated = true // reserved type
+                    else {
+                      val consumed = if (btype == 1) 1L else bsize
+                      if (consumed > bytes.length - pos) truncated = true
+                      else {
+                        pos += consumed.toInt
+                        nBlocks += 1
+                        btype match {
+                          case 0 => nRaw += 1
+                          case 1 => nRle += 1
+                          case _ => nComp += 1
+                        }
+                        payload += consumed
+                        if (bsize > maxBlock) maxBlock = bsize
+                      }
+                    }
+                  }
+                }
+                if (!truncated) {
+                  if (hasChecksum) {
+                    checksum = true
+                    if (bytes.length - pos < 4) truncated = true
+                    else pos += 4
+                  }
+                  nFrames += 1
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    ZstdMeta(nFrames, nSkip, skipBytes, nBlocks, nComp, nRle, nRaw,
+      if (contentKnown) content else -1L, windowMax, checksum, dictId,
+      maxBlock, payload, truncated)
+  }
+
+  private val zstdSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[ZstdMeta].dataType.asInstanceOf[StructType]
+
+  /** [[zstdMeta]] over a blob column — appends a nullable `zstd`
+    * struct. */
+  def decodeZstdFrames(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("zstd", zstdSchema, nullable = true)) { bytes =>
+      zstdMeta(bytes) match {
+        case null => null
+        case m => Row(m.n_frames, m.n_skippable, m.skippable_bytes,
+          m.n_blocks, m.n_compressed_blocks, m.n_rle_blocks,
+          m.n_raw_blocks, m.content_size, m.window_max, m.has_checksum,
+          m.dict_id, m.max_block_size, m.total_payload_bytes,
+          m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic zstd stream: an optional leading
+    * skippable frame (8 payload bytes), then `nFrames` frames — each
+    * with a 4-byte declared content size of `1000 + 31·f`, a window
+    * descriptor of 8 KiB, and `nBlocks` blocks where block b is RLE
+    * (1 payload byte, declared regenerated size `baseLen`) when
+    * `b % 3 == 2` and otherwise a compressed block of `baseLen + 7·b`
+    * non-decodable payload bytes; an optional 4-byte checksum. A
+    * CONTAINER fixture — nothing in it decompresses. */
+  def syntheticZstd(nFrames: Int, nBlocks: Int, baseLen: Int,
+      withChecksum: Boolean, withSkippable: Boolean): Array[Byte] = {
+    require(nFrames >= 1 && nBlocks >= 1 && baseLen >= 1,
+      "syntheticZstd salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    if (withSkippable) {
+      bos.write(0x50); bos.write(0x2a); bos.write(0x4d); bos.write(0x18)
+      le32(8L)
+      var i = 0
+      while (i < 8) { bos.write((i * 5 + 1) & 0xff); i += 1 }
+    }
+    var f = 0
+    while (f < nFrames) {
+      bos.write(0x28); bos.write(0xb5); bos.write(0x2f); bos.write(0xfd)
+      // FHD: fcsFlag=2 (4-byte), no single-segment, checksum per arg
+      bos.write(0x80 | (if (withChecksum) 0x04 else 0))
+      bos.write(0x18) // window descriptor: exp=3 -> 8 KiB, mantissa 0
+      le32(1000L + 31L * f)
+      var b = 0
+      while (b < nBlocks) {
+        val lastBit = if (b == nBlocks - 1) 1 else 0
+        if (b % 3 == 2) { // RLE: declared size baseLen, 1 payload byte
+          val h = lastBit | (1 << 1) | (baseLen << 3)
+          bos.write(h & 0xff); bos.write((h >> 8) & 0xff)
+          bos.write((h >> 16) & 0xff)
+          bos.write((b * 3 + f) & 0xff)
+        } else { // compressed: baseLen + 7*b payload bytes
+          val sz = baseLen + 7 * b
+          val h = lastBit | (2 << 1) | (sz << 3)
+          bos.write(h & 0xff); bos.write((h >> 8) & 0xff)
+          bos.write((h >> 16) & 0xff)
+          var j = 0
+          while (j < sz) { bos.write((j * 11 + b + f) & 0xff); j += 1 }
+        }
+        b += 1
+      }
+      if (withChecksum) le32(0xcafef00dL)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** `syntheticZstd` as a column function. */
+  val syntheticZstdUdf = udf((nf: Int, nb: Int, base: Int, ck: Boolean,
+    sk: Boolean) => syntheticZstd(nf, nb, base, ck, sk))
+
+  // ---- ORC footer/postscript (decode-free) --------------------------------
+
+  /** Bounds-checked protobuf wire cursor (the [[TCompactCursor]]
+    * discipline for the OTHER tail format): varints are capped at 10
+    * bytes AND at `Int.MaxValue` for any value used as a length, every
+    * length-delimited span is checked subtraction-form, and unknown
+    * fields of any wire type can be skipped. Overruns set `bad` —
+    * callers flag truncated instead of reading out of bounds. */
+  private final class PBCursor(bytes: Array[Byte], start: Int,
+      val end: Int) {
+    var pos: Int = start
+    var bad: Boolean = false
+    def hasMore: Boolean = !bad && pos < end
+    def varint(): Long = {
+      var shift = 0
+      var acc = 0L
+      while (true) {
+        if (pos >= end || shift > 63) { bad = true; return 0L }
+        val b = bytes(pos) & 0xff
+        pos += 1
+        acc |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return acc
+        shift += 7
+      }
+      0L // unreachable
+    }
+    /** varint that will be used as a byte length: also rejects values
+      * past Int.MaxValue (no 2 GB spans inside a blob). */
+    def lenVarint(): Int = {
+      val v = varint()
+      if (bad || v < 0L || v > Int.MaxValue) { bad = true; 0 }
+      else v.toInt
+    }
+    /** Reads a field key; returns (fieldNumber, wireType) or null at
+      * a clean end of the message. */
+    def key(): (Int, Int) = {
+      if (!hasMore) return null
+      val k = varint()
+      if (bad || k < 0L || (k >>> 3) > Int.MaxValue) { bad = true; null }
+      else ((k >>> 3).toInt, (k & 7L).toInt)
+    }
+    /** Skips a field of the given wire type. */
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => if (8 > end - pos) bad = true else pos += 8
+      case 2 =>
+        val l = lenVarint()
+        if (!bad && l > end - pos) bad = true else if (!bad) pos += l
+      case 5 => if (4 > end - pos) bad = true else pos += 4
+      case _ => bad = true // groups/reserved — never in ORC
+    }
+    /** Enters a length-delimited field: returns (start, end) of the
+      * nested span and advances past it. */
+    def nested(): (Int, Int) = {
+      val l = lenVarint()
+      if (bad || l > end - pos) { bad = true; null }
+      else { val s = pos; pos += l; (s, s + l) }
+    }
+    def str(s: Int, e: Int): String =
+      new String(bytes, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Parsed ORC tail metadata: postscript fields (footer/metadata
+    * lengths, compression kind + block size, writer version), the
+    * footer's stripe census (count, declared row/data/index sums,
+    * max stripe rows), type census (total type nodes + root struct
+    * field count), declared total rows, content length, and row-index
+    * stride. `footer_parsed` is false when the footer is compressed
+    * with a real codec chunk (decode-free means we only read
+    * uncompressed or original-chunk footers). */
+  case class OrcMeta(postscript_len: Int, compression: String,
+    compression_block_size: Long, footer_length: Long,
+    metadata_length: Long, writer_version: Long, footer_parsed: Boolean,
+    n_stripes: Int, total_rows: Long, stripe_rows: Long,
+    max_stripe_rows: Long, data_bytes: Long, index_bytes: Long,
+    n_types: Int, n_root_fields: Int, content_length: Long,
+    row_index_stride: Long, truncated: Boolean)
+
+  /** DECODE-FREE ORC walker (Apache ORC spec v1): the file's last
+    * byte gives the postscript length; the postscript is an
+    * UNCOMPRESSED protobuf carrying footerLength, compression kind,
+    * compressionBlockSize, metadataLength, writerVersion and the
+    * trailing magic field "ORC". The footer protobuf (stripe census:
+    * offset/index/data/footer lengths + row counts per stripe; the
+    * type tree; numberOfRows; rowIndexStride) sits immediately before
+    * the postscript. When compression != NONE the footer is chunked
+    * with 3-byte headers — a chunk whose original bit is set is
+    * readable as-is (the common case for small footers); a genuinely
+    * compressed chunk leaves `footer_parsed` false with the
+    * postscript-level census intact. Returns null when the leading
+    * magic is not `ORC` or the postscript lacks its magic field.
+    * Hostile lengths flag `truncated` (subtraction-form checks
+    * throughout, the Avro-walker lesson). */
+  def orcMeta(bytes: Array[Byte]): OrcMeta = {
+    if (bytes == null || bytes.length < 8) return null
+    if (!(bytes(0) == 'O' && bytes(1) == 'R' && bytes(2) == 'C'))
+      return null
+    val psLen = bytes(bytes.length - 1) & 0xff
+    if (psLen < 1 || psLen > bytes.length - 2) return null
+    val psStart = bytes.length - 1 - psLen
+    val ps = new PBCursor(bytes, psStart, bytes.length - 1)
+    var footerLen = 0L; var compression = 0L; var blockSize = 0L
+    var metaLen = 0L; var writerVer = 0L; var magic: String = null
+    var psLoop = true
+    while (psLoop && ps.hasMore) {
+      val k = ps.key()
+      if (k == null) psLoop = false
+      else k match {
+        case (1, 0) => footerLen = ps.varint()
+        case (2, 0) => compression = ps.varint()
+        case (3, 0) => blockSize = ps.varint()
+        case (5, 0) => metaLen = ps.varint()
+        case (6, 0) => writerVer = ps.varint()
+        case (8000, 2) =>
+          val n = ps.nested()
+          if (n != null) magic = ps.str(n._1, n._2)
+        case (_, w) => ps.skip(w)
+      }
+    }
+    if (magic != "ORC") return null // not an ORC postscript
+    val compName = compression match {
+      case 0 => "none"; case 1 => "zlib"; case 2 => "snappy"
+      case 3 => "lzo"; case 4 => "lz4"; case 5 => "zstd"
+      case c => s"unknown($c)"
+    }
+    var truncated = ps.bad
+    if (footerLen < 0L || footerLen > psStart) truncated = true
+    var footerParsed = false
+    var nStripes = 0; var totalRows = 0L; var stripeRows = 0L
+    var maxStripeRows = 0L; var dataBytes = 0L; var indexBytes = 0L
+    var nTypes = 0; var rootFields = 0; var contentLen = 0L
+    var stride = 0L
+    if (!truncated) {
+      var fs = psStart - footerLen.toInt
+      var fe = psStart
+      var readable = true
+      if (compression != 0L) {
+        // chunked: 3-byte LE header, LSB = "original" (uncompressed)
+        if (fe - fs < 3) { truncated = true; readable = false }
+        else {
+          val h = (bytes(fs) & 0xff) | ((bytes(fs + 1) & 0xff) << 8) |
+            ((bytes(fs + 2) & 0xff) << 16)
+          val original = (h & 1) == 1
+          val chunkLen = h >>> 1
+          if (!original || chunkLen > fe - fs - 3) readable = false
+          else { fs += 3; fe = fs + chunkLen }
+        }
+      }
+      if (readable && !truncated) {
+        val f = new PBCursor(bytes, fs, fe)
+        var loop = true
+        while (loop && f.hasMore) {
+          val k = f.key()
+          if (k == null) loop = false
+          else k match {
+            case (2, 0) => contentLen = f.varint()
+            case (3, 2) => // StripeInformation
+              val n = f.nested()
+              if (n != null) {
+                val s = new PBCursor(bytes, n._1, n._2)
+                var rows = 0L
+                var sl = true
+                while (sl && s.hasMore) {
+                  val sk = s.key()
+                  if (sk == null) sl = false
+                  else sk match {
+                    case (2, 0) => indexBytes += s.varint()
+                    case (3, 0) => dataBytes += s.varint()
+                    case (5, 0) => rows = s.varint()
+                    case (_, w) => s.skip(w)
+                  }
+                }
+                if (s.bad) truncated = true
+                else {
+                  nStripes += 1
+                  stripeRows += rows
+                  if (rows > maxStripeRows) maxStripeRows = rows
+                }
+              }
+            case (4, 2) => // Type node
+              val n = f.nested()
+              if (n != null) {
+                nTypes += 1
+                if (nTypes == 1) { // root struct: count its subtype refs
+                  val t = new PBCursor(bytes, n._1, n._2)
+                  var tl = true
+                  while (tl && t.hasMore) {
+                    val tk = t.key()
+                    if (tk == null) tl = false
+                    else tk match {
+                      case (2, 0) => rootFields += 1; t.varint()
+                      case (2, 2) => // packed subtypes
+                        val p = t.nested()
+                        if (p != null) {
+                          val pc = new PBCursor(bytes, p._1, p._2)
+                          while (pc.hasMore) { pc.varint(); rootFields += 1 }
+                        }
+                      case (_, w) => t.skip(w)
+                    }
+                  }
+                }
+              }
+            case (6, 0) => totalRows = f.varint()
+            case (8, 0) => stride = f.varint()
+            case (_, w) => f.skip(w)
+          }
+        }
+        if (f.bad) truncated = true else footerParsed = true
+      }
+    }
+    OrcMeta(psLen, compName, blockSize, footerLen, metaLen, writerVer,
+      footerParsed && !truncated, nStripes, totalRows, stripeRows,
+      maxStripeRows, dataBytes, indexBytes, nTypes, rootFields,
+      contentLen, stride, truncated)
+  }
+
+  private val orcSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[OrcMeta].dataType.asInstanceOf[StructType]
+
+  /** [[orcMeta]] over a blob column — appends a nullable `orc`
+    * struct. */
+  def decodeOrcFooters(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("orc", orcSchema, nullable = true)) { bytes =>
+      orcMeta(bytes) match {
+        case null => null
+        case m => Row(m.postscript_len, m.compression,
+          m.compression_block_size, m.footer_length, m.metadata_length,
+          m.writer_version, m.footer_parsed, m.n_stripes, m.total_rows,
+          m.stripe_rows, m.max_stripe_rows, m.data_bytes, m.index_bytes,
+          m.n_types, m.n_root_fields, m.content_length,
+          m.row_index_stride, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic ORC tail: `ORC` magic, no stripe bodies
+    * (the walker reads only declared footer values), a footer whose
+    * stripe i declares `baseRows + 17·i` rows / `100 + 13·i` data
+    * bytes / `20 + i` index bytes, a 3-type schema (root struct with
+    * two primitive children), numberOfRows = Σ stripe rows,
+    * rowIndexStride 10000 — and, when `zlib`, the footer wrapped in
+    * one ORIGINAL (uncompressed) chunk behind a ZLIB postscript, the
+    * real layout small footers ship with. */
+  def syntheticOrc(nStripes: Int, baseRows: Int,
+      zlib: Boolean): Array[Byte] = {
+    require(nStripes >= 0 && baseRows >= 0, "syntheticOrc salt")
+    def pb(build: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); build(b); b.toByteArray
+    }
+    def wv(bos: java.io.ByteArrayOutputStream, n: Long): Unit = {
+      var z = n
+      var go = true
+      while (go) {
+        var b = (z & 0x7fL).toInt
+        z = z >>> 7
+        if (z != 0L) b |= 0x80 else go = false
+        bos.write(b)
+      }
+    }
+    def field(bos: java.io.ByteArrayOutputStream, num: Int, wire: Int): Unit =
+      wv(bos, (num.toLong << 3) | wire)
+    def sub(bos: java.io.ByteArrayOutputStream, num: Int,
+        payload: Array[Byte]): Unit = {
+      field(bos, num, 2); wv(bos, payload.length.toLong); bos.write(payload)
+    }
+    var rowSum = 0L
+    val footer = pb { fo =>
+      field(fo, 1, 0); wv(fo, 3L) // headerLength = magic
+      field(fo, 2, 0); wv(fo, 3L + 128L * nStripes) // contentLength
+      var off = 3L
+      var i = 0
+      while (i < nStripes) {
+        val rows = baseRows + 17L * i
+        val dl = 100L + 13L * i
+        val il = 20L + i
+        rowSum += rows
+        sub(fo, 3, pb { st =>
+          field(st, 1, 0); wv(st, off)
+          field(st, 2, 0); wv(st, il)
+          field(st, 3, 0); wv(st, dl)
+          field(st, 4, 0); wv(st, 30L)
+          field(st, 5, 0); wv(st, rows)
+        })
+        off += il + dl + 30L
+        i += 1
+      }
+      // type tree: root struct(2 children), long, string
+      sub(fo, 4, pb { t =>
+        field(t, 1, 0); wv(t, 12L) // STRUCT
+        field(t, 2, 0); wv(t, 1L)  // subtype refs (unpacked)
+        field(t, 2, 0); wv(t, 2L)
+      })
+      sub(fo, 4, pb { t => field(t, 1, 0); wv(t, 4L) })  // LONG
+      sub(fo, 4, pb { t => field(t, 1, 0); wv(t, 7L) })  // STRING
+      field(fo, 6, 0); wv(fo, rowSum)
+      field(fo, 8, 0); wv(fo, 10000L)
+    }
+    val footerOut =
+      if (!zlib) footer
+      else { // one ORIGINAL chunk: 3-byte LE header, LSB set
+        val h = (footer.length << 1) | 1
+        Array[Byte]((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+          ((h >> 16) & 0xff).toByte) ++ footer
+      }
+    val postscript = pb { p =>
+      field(p, 1, 0); wv(p, footerOut.length.toLong)
+      field(p, 2, 0); wv(p, if (zlib) 1L else 0L)
+      if (zlib) { field(p, 3, 0); wv(p, 262144L) }
+      field(p, 5, 0); wv(p, 0L) // metadataLength
+      field(p, 6, 0); wv(p, 9L) // writerVersion
+      sub(p, 8000, "ORC".getBytes("US-ASCII"))
+    }
+    require(postscript.length <= 255, "postscript fits one length byte")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write('O'); bos.write('R'); bos.write('C')
+    bos.write(footerOut); bos.write(postscript)
+    bos.write(postscript.length)
+    bos.toByteArray
+  }
+
+  /** `syntheticOrc` as a column function. */
+  val syntheticOrcUdf = udf((n: Int, base: Int, z: Boolean) =>
+    syntheticOrc(n, base, z))
+
+  // ---- HEIF / HEIC / AVIF still images (decode-free) ----------------------
+
+  /** Parsed HEIF-family metadata: the `ftyp` brand + compatible-brand
+    * count, the item count from `iinf`, the primary image dimensions
+    * (first `ispe` in `iprp/ipco` — property order matches item order
+    * in practice and exactly in our fixtures), the max dimensions over
+    * all `ispe` boxes (the tile/thumbnail census), and the `ispe`
+    * count. */
+  case class HeifMeta(brand: String, n_compat_brands: Int,
+    n_items: Long, width: Long, height: Long, max_width: Long,
+    max_height: Long, n_ispe: Int, truncated: Boolean)
+
+  /** DECODE-FREE HEIF/HEIC/AVIF walker — the [[mp4Meta]] ISO-BMFF box
+    * discipline pointed at the still-image brands modern crawls carry.
+    * Walks `ftyp` (brand must be one of heic/heix/hevc/mif1/msf1/
+    * avif/avis), then `meta` — a FULLBOX (4 bytes version/flags before
+    * children) — for `iinf` (item count: u16 at version 0, u32 later)
+    * and `iprp`/`ipco`, whose `ispe` children each carry a u32
+    * width/height pair behind their own fullbox header. Box sizes are
+    * bounds-checked exactly as in [[mp4Meta]] (64-bit largesize
+    * honored, hostile sizes stop the walk); a `meta` box that runs out
+    * mid-walk flags `truncated`. Returns null for non-ISO-BMFF bytes
+    * or brands outside the HEIF family (a plain MP4 is [[mp4Meta]]'s
+    * business, not a corrupt image). */
+  def heifMeta(bytes: Array[Byte]): HeifMeta = {
+    if (bytes == null || bytes.length < 16) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def u32(at: Int): Long = bb.getInt(at) & 0xffffffffL
+    def boxType(at: Int): String =
+      new String(bytes, at + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def boxBounds(at: Int, limit: Int): (Int, Int, Int) = {
+      if (at + 8 > limit) return null
+      val sz = u32(at)
+      if (sz == 0) (at + 8, limit, limit)
+      else if (sz == 1) {
+        if (at + 16 > limit) return null
+        val lsz = bb.getLong(at + 8)
+        if (lsz < 16 || lsz > limit - at) return null
+        (at + 16, at + lsz.toInt, at + lsz.toInt)
+      } else {
+        if (sz < 8 || sz > limit - at) return null
+        (at + 8, at + sz.toInt, at + sz.toInt)
+      }
+    }
+    val heifBrands = Set("heic", "heix", "hevc", "mif1", "msf1",
+      "avif", "avis")
+    var brand: String = null
+    var nCompat = 0
+    var nItems = -1L
+    var w = 0L; var h = 0L; var maxW = 0L; var maxH = 0L; var nIspe = 0
+    var truncated = false
+    def walkChildren(start: Int, end: Int)(
+        visit: (String, Int, Int) => Unit): Unit = {
+      var at = start
+      var continue = true
+      while (continue && at < end) {
+        val b = boxBounds(at, end)
+        if (b == null) { truncated = true; continue = false }
+        else { visit(boxType(at), b._1, b._2); at = b._3 }
+      }
+    }
+    def walkIpco(start: Int, end: Int): Unit = walkChildren(start, end) {
+      case ("ispe", ps, pe) if pe - ps >= 12 =>
+        // fullbox: version/flags, then u32 width, u32 height
+        val iw = u32(ps + 4); val ih = u32(ps + 8)
+        nIspe += 1
+        if (nIspe == 1) { w = iw; h = ih }
+        if (iw > maxW) maxW = iw
+        if (ih > maxH) maxH = ih
+      case _ =>
+    }
+    def walkMeta(start: Int, end: Int): Unit = {
+      if (end - start < 4) { truncated = true; return }
+      walkChildren(start + 4, end) { // skip fullbox version/flags
+        case ("iinf", ps, pe) if pe - ps >= 6 =>
+          val ver = bytes(ps) & 0xff
+          if (ver == 0) nItems = ((bytes(ps + 4) & 0xff) << 8 |
+            (bytes(ps + 5) & 0xff)).toLong
+          else if (pe - ps >= 8) nItems = u32(ps + 4)
+        case ("iprp", ps, pe) => walkChildren(ps, pe) {
+          case ("ipco", ips, ipe) => walkIpco(ips, ipe)
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    var at = 0
+    var sawMeta = false
+    var continue = true
+    while (continue && at < bytes.length) {
+      val b = boxBounds(at, bytes.length)
+      if (b == null) continue = false
+      else {
+        val (ps, pe, next) = b
+        boxType(at) match {
+          case "ftyp" if pe - ps >= 8 =>
+            brand = new String(bytes, ps, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            nCompat = (pe - ps - 8) / 4 // after brand + minor version
+          case "meta" => sawMeta = true; walkMeta(ps, pe)
+          case _ =>
+        }
+        at = next
+      }
+    }
+    if (brand == null || !heifBrands.contains(brand)) null
+    else HeifMeta(brand, nCompat, nItems, w, h, maxW, maxH, nIspe,
+      truncated || !sawMeta)
+  }
+
+  private val heifSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[HeifMeta].dataType.asInstanceOf[StructType]
+
+  /** [[heifMeta]] over a blob column — appends a nullable `heif`
+    * struct. */
+  def decodeHeifHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("heif", heifSchema, nullable = true)) { bytes =>
+      heifMeta(bytes) match {
+        case null => null
+        case m => Row(m.brand, m.n_compat_brands, m.n_items, m.width,
+          m.height, m.max_width, m.max_height, m.n_ispe, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic HEIF/AVIF: `ftyp` (brand `heic` or
+    * `avif`, compat brands mif1+miaf), `meta` fullbox with `hdlr`
+    * (pict), `iinf` (version 0, u16 count = nItems), and
+    * `iprp`/`ipco` holding one `ispe` per item — item i is
+    * `(baseW + 4·i) × (baseH + 3·i)`; item 0 is primary. */
+  def syntheticHeif(nItems: Int, baseW: Int, baseH: Int,
+      avif: Boolean): Array[Byte] = {
+    require(nItems >= 1 && baseW >= 1 && baseH >= 1, "syntheticHeif salt")
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tp.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp",
+      (if (avif) "avif" else "heic").getBytes("US-ASCII") ++
+        be32(0L) ++ "mif1".getBytes("US-ASCII") ++
+        "miaf".getBytes("US-ASCII"))
+    val hdlr = box("hdlr", be32(0L) ++ be32(0L) ++
+      "pict".getBytes("US-ASCII") ++ Array.fill[Byte](13)(0))
+    val iinf = box("iinf", Array[Byte](0, 0, 0, 0,
+      ((nItems >> 8) & 0xff).toByte, (nItems & 0xff).toByte))
+    val ispes = (0 until nItems).map { i =>
+      box("ispe", be32(0L) ++ be32(baseW + 4L * i) ++ be32(baseH + 3L * i))
+    }.reduce(_ ++ _)
+    val iprp = box("iprp", box("ipco", ispes))
+    val meta = box("meta", be32(0L) ++ hdlr ++ iinf ++ iprp)
+    ftyp ++ meta
+  }
+
+  /** `syntheticHeif` as a column function. */
+  val syntheticHeifUdf = udf((n: Int, w: Int, h: Int, a: Boolean) =>
+    syntheticHeif(n, w, h, a))
 }

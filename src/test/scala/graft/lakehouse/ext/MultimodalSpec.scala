@@ -706,4 +706,126 @@ class MultimodalSpec extends SparkSuite {
     assert(m.content_bytes == 2451L &&
       m.total_uncompressed == 290L + 2451L && !m.truncated, m.toString)
   }
+
+  test("zstdMeta: frame/block census roundtrips the RFC 8878 writer; " +
+    "skippable frames censused; declared content summed") {
+    val b = Multimodal.syntheticZstd(2, 4, 10, withChecksum = true,
+      withSkippable = true)
+    val m = Multimodal.zstdMeta(b)
+    assert(m.n_frames == 2 && m.n_skippable == 1 &&
+      m.skippable_bytes == 8L, m.toString)
+    // per frame: comp 10, comp 17, RLE (1 payload, declared 10), comp 31
+    assert(m.n_blocks == 8 && m.n_compressed_blocks == 6 &&
+      m.n_rle_blocks == 2 && m.n_raw_blocks == 0, m.toString)
+    assert(m.content_size == 2031L, m.toString) // 1000 + 1031
+    assert(m.total_payload_bytes == 118L && m.max_block_size == 31L,
+      m.toString) // (10+17+1+31) x 2
+    assert(m.window_max == 8192L && m.has_checksum && m.dict_id == 0L &&
+      !m.truncated, m.toString)
+    val plain = Multimodal.zstdMeta(
+      Multimodal.syntheticZstd(1, 1, 5, withChecksum = false,
+        withSkippable = false))
+    assert(plain.n_frames == 1 && plain.n_skippable == 0 &&
+      !plain.has_checksum && plain.content_size == 1000L, plain.toString)
+  }
+
+  test("zstdMeta: absent content size -> -1; single-segment window = " +
+    "content; hostile sizes and cuts flag truncated; non-zstd null") {
+    // hand-built frame, fcsFlag=0, NOT single-segment: no FCS field
+    val noFcs = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
+      0x00, 0x18) ++ // FHD, window descriptor
+      Array[Byte](0x11, 0x00, 0x00, 1, 2) // raw last block, size 2
+    val nf = Multimodal.zstdMeta(noFcs)
+    assert(nf.content_size == -1L && nf.n_raw_blocks == 1 &&
+      !nf.truncated, nf.toString)
+    // single-segment: 1-byte FCS doubles as the window size
+    val ss = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
+      0x20, 42) ++ // FHD single-segment, FCS=42 (no window byte)
+      Array[Byte](0x11, 0x00, 0x00, 7, 8) // raw last block, size 2
+    val sm = Multimodal.zstdMeta(ss)
+    assert(sm.content_size == 42L && sm.window_max == 42L &&
+      !sm.truncated, sm.toString)
+    // reserved FHD bit set -> corrupt
+    assert(Multimodal.zstdMeta(Array[Byte](0x28, 0xb5.toByte, 0x2f,
+      0xfd.toByte, 0x08, 0x18, 0x01, 0x00, 0x00)).truncated)
+    // hostile block size (0x1FFFFF) far past the buffer
+    assert(Multimodal.zstdMeta(Array[Byte](0x28, 0xb5.toByte, 0x2f,
+      0xfd.toByte, 0x00, 0x18, 0xfc.toByte, 0xff.toByte,
+      0xff.toByte)).truncated)
+    // cut mid-payload and mid-skippable
+    val b = Multimodal.syntheticZstd(2, 3, 20, withChecksum = false,
+      withSkippable = false)
+    val cut = Multimodal.zstdMeta(b.take(b.length - 5))
+    assert(cut.truncated && cut.n_frames == 1, cut.toString)
+    assert(Multimodal.zstdMeta(Array[Byte](0x50, 0x2a, 0x4d, 0x18,
+      0x20, 0x00, 0x00, 0x00)).truncated) // skippable declares 32, has 0
+    assert(Multimodal.zstdMeta("plain text, not zstd".getBytes) == null)
+    assert(Multimodal.zstdMeta(null) == null)
+  }
+
+  test("orcMeta: postscript + footer stripe/type census roundtrips the " +
+    "writer, uncompressed and original-chunk zlib layouts") {
+    val m = Multimodal.orcMeta(Multimodal.syntheticOrc(3, 100,
+      zlib = false))
+    assert(m.compression == "none" && m.writer_version == 9L &&
+      m.metadata_length == 0L && m.footer_parsed && !m.truncated,
+      m.toString)
+    // stripes: rows 100/117/134, data 100/113/126, index 20/21/22
+    assert(m.n_stripes == 3 && m.stripe_rows == 351L &&
+      m.max_stripe_rows == 134L && m.total_rows == 351L, m.toString)
+    assert(m.data_bytes == 339L && m.index_bytes == 63L, m.toString)
+    assert(m.n_types == 3 && m.n_root_fields == 2 &&
+      m.row_index_stride == 10000L && m.content_length == 387L,
+      m.toString)
+    // zlib postscript with the footer in one ORIGINAL chunk still parses
+    val z = Multimodal.orcMeta(Multimodal.syntheticOrc(2, 50,
+      zlib = true))
+    assert(z.compression == "zlib" &&
+      z.compression_block_size == 262144L && z.footer_parsed &&
+      z.n_stripes == 2 && z.stripe_rows == 117L && !z.truncated,
+      z.toString)
+  }
+
+  test("orcMeta: hostile declared footer length flags truncated; cuts " +
+    "and non-ORC bytes never throw") {
+    // hand-built postscript declaring footerLength=200 in a 14-byte file
+    val ps = Array[Byte](0x08, 0xc8.toByte, 0x01) ++ // field 1 = 200
+      Array[Byte](0x82.toByte, 0xf4.toByte, 0x03, 3) ++ // field 8000, len 3
+      "ORC".getBytes("US-ASCII")
+    val hostile = "ORC".getBytes("US-ASCII") ++ ps :+ ps.length.toByte
+    val hm = Multimodal.orcMeta(hostile)
+    assert(hm != null && hm.truncated && !hm.footer_parsed, String.valueOf(hm))
+    val b = Multimodal.syntheticOrc(2, 40, zlib = false)
+    // cut the tail: postscript length byte now points into garbage —
+    // null (no magic field) or truncated, never an exception
+    val cut = Multimodal.orcMeta(b.take(b.length - 6))
+    assert(cut == null || cut.truncated, String.valueOf(cut))
+    assert(Multimodal.orcMeta("ORC but not really a file".getBytes) == null
+      || Multimodal.orcMeta("ORC but not really a file".getBytes).truncated)
+    assert(Multimodal.orcMeta("parquet, actually".getBytes) == null)
+    assert(Multimodal.orcMeta(null) == null)
+  }
+
+  test("heifMeta: ftyp brand + iinf count + ispe dims roundtrip the " +
+    "writer for heic and avif; cuts flag truncated; non-HEIF null") {
+    val m = Multimodal.heifMeta(Multimodal.syntheticHeif(3, 320, 240,
+      avif = false))
+    assert(m.brand == "heic" && m.n_compat_brands == 2 &&
+      m.n_items == 3L, m.toString)
+    assert(m.width == 320L && m.height == 240L && m.max_width == 328L &&
+      m.max_height == 246L && m.n_ispe == 3 && !m.truncated, m.toString)
+    val a = Multimodal.heifMeta(Multimodal.syntheticHeif(1, 64, 64,
+      avif = true))
+    assert(a.brand == "avif" && a.n_items == 1L && a.width == 64L &&
+      a.n_ispe == 1, a.toString)
+    // cut inside the meta box: the brand survives, truncated flags
+    val b = Multimodal.syntheticHeif(2, 100, 80, avif = false)
+    val cut = Multimodal.heifMeta(b.take(b.length - 10))
+    assert(cut != null && cut.truncated, String.valueOf(cut))
+    // a plain MP4 (brand isom) is mp4Meta's business -> null here
+    assert(Multimodal.heifMeta(Multimodal.syntheticMp4(1000L, 5000L,
+      Seq((1, "vide", 640, 480)))) == null)
+    assert(Multimodal.heifMeta("ftypnope".getBytes) == null)
+    assert(Multimodal.heifMeta(null) == null)
+  }
 }
