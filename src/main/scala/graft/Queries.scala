@@ -15335,6 +15335,237 @@ object Queries {
         |  FALSE AS truncated
         |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // WARC record census over deterministic ISO 28500 fixtures: the
+    // CommonCrawl container (WET/WAT included) — record census by
+    // WARC-Type, declared content volume, URI census; payloads skipped
+    // by Content-Length, never read. Map-side walk, no shuffle.
+    Q("q443_warc_record_census",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 41 === 0)
+          .withColumn("payload", Multimodal.syntheticWarcUdf(
+            (lit(1) + col("doc_id") % 4).cast("int"),
+            (lit(30) + col("doc_id") % 50).cast("int"),
+            col("doc_id") % 2 === 0))
+        Multimodal.decodeWarcRecords(blobs, "payload")
+          .select(col("doc_id"),
+            col("warc.version").as("version"),
+            col("warc.n_records").as("n_records"),
+            col("warc.n_warcinfo").as("n_warcinfo"),
+            col("warc.n_response").as("n_response"),
+            col("warc.n_request").as("n_request"),
+            col("warc.content_bytes").as("content_bytes"),
+            col("warc.max_content_length").as("max_content_length"),
+            col("warc.n_with_uri").as("n_with_uri"),
+            col("warc.uri_bytes").as("uri_bytes"),
+            col("warc.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS np,
+        |    CAST(30 + doc_id % 50 AS BIGINT) AS base,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS info
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |r AS (SELECT doc_id, np, base, info, unnest(range(np)) AS i
+        |  FROM p),
+        |agg AS (
+        |  SELECT doc_id, np, base, info,
+        |    sum(20 + 3 * i) + sum(base + 9 * i) AS pair_bytes,
+        |    sum(23 + length(CAST(i AS VARCHAR))) * 2 AS ub
+        |  FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, '1.0' AS version,
+        |  CAST(2 * np + info AS INT) AS n_records,
+        |  CAST(info AS INT) AS n_warcinfo,
+        |  CAST(np AS INT) AS n_response,
+        |  CAST(np AS INT) AS n_request,
+        |  CAST(info * 40 + pair_bytes AS BIGINT) AS content_bytes,
+        |  CAST(greatest(info * 40, base + 9 * (np - 1)) AS BIGINT)
+        |    AS max_content_length,
+        |  CAST(2 * np AS INT) AS n_with_uri,
+        |  CAST(ub AS BIGINT) AS uri_bytes,
+        |  FALSE AS truncated
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization census: scheme/host lowering, userinfo and
+    // default-port stripping, fragment removal, tracking-parameter
+    // filtering — the crawl-curation front door, expressed as the SAME
+    // regexp/list pipeline in both engines (built-ins, no UDF, zero
+    // shuffle). Fixture synthesizes messy URLs (mixed case, userinfo,
+    // :443 on both schemes, utm/gclid params, fragments, malformed).
+    Q("q444_url_canonicalize",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 6 === 0)
+          .withColumn("url",
+            when(col("doc_id") % 11 === 0,
+              concat(lit("not a url "), col("doc_id").cast("string")))
+            .otherwise(concat(
+              when(col("doc_id") % 2 === 0, lit("HTTPS://User:Pw@WWW."))
+                .otherwise(lit("http://WWW.")),
+              col("source"),
+              when(col("doc_id") % 3 === 0, lit(".Example.COM:443"))
+                .otherwise(lit(".Example.COM:8080")),
+              lit("/D"), col("doc_id").cast("string"),
+              lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+              when(col("doc_id") % 5 === 0, lit("&gclid=x"))
+                .otherwise(lit("&page=2")),
+              when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))))
+        Web.urlCensus(docs, "doc_id", "url")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |      ELSE
+        |        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://User:Pw@WWW.'
+        |              ELSE 'http://WWW.' END)
+        |        || source
+        |        || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:443'
+        |                 ELSE '.Example.COM:8080' END)
+        |        || '/D' || CAST(doc_id AS VARCHAR)
+        |        || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |        || (CASE WHEN doc_id % 5 = 0 THEN '&gclid=x'
+        |                 ELSE '&page=2' END)
+        |        || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+        |    END AS u
+        |  FROM documents WHERE doc_id % 6 = 0 AND doc_id IS NOT NULL),
+        |s1 AS (SELECT doc_id, regexp_replace(trim(u), '#.*$', '') AS nf
+        |  FROM d),
+        |s2 AS (SELECT doc_id, nf,
+        |    regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://') AS ok,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, ok, scheme,
+        |    lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |      '^.*@', '')) AS hostport,
+        |    regexp_replace(rest, '^[^/?]*', '') AS tail
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, ok, scheme,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+        |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+        |    list_filter(string_split(
+        |        regexp_extract(tail, '\?(.*)$', 1), '&'),
+        |      x -> x <> '') AS params
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, ok, scheme, host, path, params,
+        |    list_filter(params, x -> NOT regexp_matches(x,
+        |      '^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$')) AS keptlist
+        |  FROM s4)
+        |SELECT doc_id,
+        |  CASE WHEN NOT ok THEN NULL ELSE
+        |    scheme || '://' || host || path ||
+        |    (CASE WHEN len(keptlist) = 0 THEN ''
+        |          ELSE '?' || array_to_string(keptlist, '&') END)
+        |  END AS url_norm,
+        |  CASE WHEN NOT ok THEN NULL ELSE host END AS host,
+        |  CASE WHEN NOT ok THEN NULL
+        |       ELSE CAST(len(keptlist) AS INT) END AS n_params_kept,
+        |  CASE WHEN NOT ok THEN NULL
+        |       ELSE len(list_filter(params, x -> regexp_matches(x,
+        |         '^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$'))) > 0
+        |  END AS had_tracking
+        |FROM s5 ORDER BY doc_id""".stripMargin)),
+
+    // Host scorecard over the canonicalized URLs: per host, row count,
+    // DISTINCT canonical URLs (the dup collapse canonicalization
+    // exists for), tracking prevalence — one aggregation shuffle keyed
+    // by host, the per-host-cap triage frame.
+    Q("q445_host_scorecard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 6 === 0)
+          .withColumn("url",
+            when(col("doc_id") % 11 === 0,
+              concat(lit("not a url "), col("doc_id").cast("string")))
+            .otherwise(concat(
+              when(col("doc_id") % 2 === 0, lit("HTTPS://User:Pw@WWW."))
+                .otherwise(lit("http://WWW.")),
+              col("source"),
+              when(col("doc_id") % 3 === 0, lit(".Example.COM:443"))
+                .otherwise(lit(".Example.COM:8080")),
+              lit("/D"), (col("doc_id") % 40).cast("string"),
+              lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+              when(col("doc_id") % 5 === 0, lit("&gclid=x"))
+                .otherwise(lit("&page=2")),
+              when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))))
+        Web.hostScorecard(docs, "doc_id", "url")
+          .orderBy("host")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |      ELSE
+        |        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://User:Pw@WWW.'
+        |              ELSE 'http://WWW.' END)
+        |        || source
+        |        || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:443'
+        |                 ELSE '.Example.COM:8080' END)
+        |        || '/D' || CAST(doc_id % 40 AS VARCHAR)
+        |        || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |        || (CASE WHEN doc_id % 5 = 0 THEN '&gclid=x'
+        |                 ELSE '&page=2' END)
+        |        || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+        |    END AS u
+        |  FROM documents WHERE doc_id % 6 = 0 AND doc_id IS NOT NULL),
+        |s1 AS (SELECT doc_id, regexp_replace(trim(u), '#.*$', '') AS nf
+        |  FROM d),
+        |s2 AS (SELECT doc_id, nf,
+        |    regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://') AS ok,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, ok, scheme,
+        |    lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |      '^.*@', '')) AS hostport,
+        |    regexp_replace(rest, '^[^/?]*', '') AS tail
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, ok, scheme,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+        |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+        |    list_filter(string_split(
+        |        regexp_extract(tail, '\?(.*)$', 1), '&'),
+        |      x -> x <> '') AS params
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, ok, scheme, host, path, params,
+        |    list_filter(params, x -> NOT regexp_matches(x,
+        |      '^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$')) AS keptlist
+        |  FROM s4),
+        |cens AS (
+        |  SELECT doc_id,
+        |    CASE WHEN NOT ok THEN NULL ELSE
+        |      scheme || '://' || host || path ||
+        |      (CASE WHEN len(keptlist) = 0 THEN ''
+        |            ELSE '?' || array_to_string(keptlist, '&') END)
+        |    END AS url_norm,
+        |    CASE WHEN NOT ok THEN NULL ELSE host END AS host,
+        |    CASE WHEN NOT ok THEN NULL
+        |         ELSE len(list_filter(params, x -> regexp_matches(x,
+        |           '^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$'))) > 0
+        |    END AS had_tracking
+        |  FROM s5)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url_norm) AS BIGINT) AS n_canonical,
+        |  CAST(sum(CASE WHEN had_tracking THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_tracking
+        |FROM cens WHERE host IS NOT NULL
+        |GROUP BY host ORDER BY host""".stripMargin)),
+
     // END-TO-END curation WITH ExactSubstr — the Lee et al. '22 order
     // of operations as one composition: exact-substring span removal
     // (q428's op, cleaned TEXT carried) → exact dedup on the cleaned

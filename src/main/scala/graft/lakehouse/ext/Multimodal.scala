@@ -3808,4 +3808,176 @@ object Multimodal {
   /** `syntheticHeif` as a column function. */
   val syntheticHeifUdf = udf((n: Int, w: Int, h: Int, a: Boolean) =>
     syntheticHeif(n, w, h, a))
+
+  // ---- WARC web-archive records (decode-free) -----------------------------
+
+  /** Parsed WARC stream metadata: record census by WARC-Type, declared
+    * content volume, URI census — what a crawl-curation pipeline reads
+    * off a CommonCrawl WARC/WET/WAT shard before deciding what to
+    * fetch, without touching a payload byte. */
+  case class WarcMeta(version: String, n_records: Int, n_warcinfo: Int,
+    n_response: Int, n_request: Int, n_metadata: Int, n_conversion: Int,
+    n_other: Int, content_bytes: Long, max_content_length: Long,
+    n_with_uri: Int, uri_bytes: Long, truncated: Boolean)
+
+  /** DECODE-FREE WARC walker (ISO 28500 / WARC 1.1 — the CommonCrawl
+    * shipping container; WET and WAT files are WARC too): each record
+    * is a `WARC/x.y` version line, named headers to an empty CRLF
+    * line, `Content-Length` octets of payload (SKIPPED, never
+    * inspected), and a CRLF CRLF record boundary. Censuses records by
+    * `WARC-Type` (warcinfo/response/request/metadata/conversion/
+    * other), sums declared content lengths, and counts+sizes
+    * `WARC-Target-URI` headers. Header names match case-insensitively
+    * per spec; headers are latin-1. A record whose declared
+    * Content-Length runs past the buffer, a missing blank-line
+    * terminator, or a malformed version line flags `truncated`
+    * (subtraction-form bounds checks; nothing reads out of range).
+    * Returns null when the payload does not open with `WARC/`.
+    * NOTE real CC shards arrive as per-record gzip members —
+    * [[gzipMeta]] walks that layer; this walker reads the records
+    * themselves (WET/WAT after gunzip, or uncompressed archives). */
+  def warcMeta(bytes: Array[Byte]): WarcMeta = {
+    if (bytes == null || bytes.length < 10) return null
+    if (!(bytes(0) == 'W' && bytes(1) == 'A' && bytes(2) == 'R' &&
+      bytes(3) == 'C' && bytes(4) == '/')) return null
+    var pos = 0
+    var truncated = false
+    var version: String = null
+    var nRec = 0; var nInfo = 0; var nResp = 0; var nReq = 0
+    var nMeta = 0; var nConv = 0; var nOther = 0
+    var contentBytes = 0L; var maxLen = 0L
+    var nUri = 0; var uriBytes = 0L
+    /** Reads one CRLF-terminated line; returns null (and flags) when
+      * no terminator exists before the end of the buffer. */
+    def line(): String = {
+      var i = pos
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 >= bytes.length) { truncated = true; null }
+      else {
+        val s = new String(bytes, pos, i - pos,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        pos = i + 2
+        s
+      }
+    }
+    while (!truncated && pos < bytes.length) {
+      val ver = line()
+      if (ver == null) {} // flagged
+      else if (!ver.startsWith("WARC/") || ver.length < 6) truncated = true
+      else {
+        if (version == null) version = ver.substring(5)
+        var wtype: String = null
+        var clen = -1L
+        var uri: String = null
+        var headerLoop = true
+        while (headerLoop && !truncated) {
+          val h = line()
+          if (h == null) headerLoop = false
+          else if (h.isEmpty) headerLoop = false
+          else {
+            val colon = h.indexOf(':')
+            if (colon > 0) {
+              val name = h.substring(0, colon).trim
+                .toLowerCase(java.util.Locale.ROOT)
+              val value = h.substring(colon + 1).trim
+              name match {
+                case "warc-type" => wtype =
+                  value.toLowerCase(java.util.Locale.ROOT)
+                case "content-length" =>
+                  if (value.nonEmpty && value.length <= 18 &&
+                    value.forall(c => c >= '0' && c <= '9'))
+                    clen = value.toLong
+                  else truncated = true // hostile/absent length
+                case "warc-target-uri" => uri = value
+                case _ =>
+              }
+            }
+          }
+        }
+        if (!truncated) {
+          if (clen < 0L || clen > bytes.length - pos) truncated = true
+          else {
+            pos += clen.toInt
+            // record boundary: CRLF CRLF after the block
+            if (4 > bytes.length - pos) truncated = true
+            else if (!(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+              bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n'))
+              truncated = true
+            else {
+              pos += 4
+              nRec += 1
+              contentBytes += clen
+              if (clen > maxLen) maxLen = clen
+              if (uri != null) { nUri += 1; uriBytes += uri.length }
+              wtype match {
+                case "warcinfo" => nInfo += 1
+                case "response" => nResp += 1
+                case "request" => nReq += 1
+                case "metadata" => nMeta += 1
+                case "conversion" => nConv += 1
+                case _ => nOther += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    WarcMeta(version, nRec, nInfo, nResp, nReq, nMeta, nConv, nOther,
+      contentBytes, maxLen, nUri, uriBytes, truncated)
+  }
+
+  private val warcSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[WarcMeta].dataType.asInstanceOf[StructType]
+
+  /** [[warcMeta]] over a blob column — appends a nullable `warc`
+    * struct. */
+  def decodeWarcRecords(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("warc", warcSchema, nullable = true)) { bytes =>
+      warcMeta(bytes) match {
+        case null => null
+        case m => Row(m.version, m.n_records, m.n_warcinfo, m.n_response,
+          m.n_request, m.n_metadata, m.n_conversion, m.n_other,
+          m.content_bytes, m.max_content_length, m.n_with_uri,
+          m.uri_bytes, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic WARC: an optional warcinfo record
+    * (40 payload bytes, no URI), then `nPairs` request+response record
+    * pairs for URI `http://h<i%5>.example.com/p<i>` with declared
+    * content lengths `20 + 3·i` (request) and `baseLen + 9·i`
+    * (response). Spec-shaped CRLF framing; payloads are filler. */
+  def syntheticWarc(nPairs: Int, baseLen: Int,
+      withInfo: Boolean): Array[Byte] = {
+    require(nPairs >= 0 && baseLen >= 0, "syntheticWarc salt")
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      sb.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    def record(wtype: String, uri: String, clen: Int, salt: Int): Unit = {
+      w("WARC/1.0\r\n")
+      w(s"WARC-Type: $wtype\r\n")
+      w(s"WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      if (uri != null) w(s"WARC-Target-URI: $uri\r\n")
+      w(s"Content-Length: $clen\r\n")
+      w("\r\n")
+      var j = 0
+      while (j < clen) { sb.write((j * 7 + salt) & 0xff); j += 1 }
+      w("\r\n\r\n")
+    }
+    if (withInfo) record("warcinfo", null, 40, 1)
+    var i = 0
+    while (i < nPairs) {
+      val uri = s"http://h${i % 5}.example.com/p$i"
+      record("request", uri, 20 + 3 * i, 2 + i)
+      record("response", uri, baseLen + 9 * i, 3 + i)
+      i += 1
+    }
+    sb.toByteArray
+  }
+
+  /** `syntheticWarc` as a column function. */
+  val syntheticWarcUdf = udf((n: Int, base: Int, info: Boolean) =>
+    syntheticWarc(n, base, info))
 }

@@ -828,4 +828,36 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.heifMeta("ftypnope".getBytes) == null)
     assert(Multimodal.heifMeta(null) == null)
   }
+
+  test("warcMeta: record/type/URI census roundtrips the ISO 28500 " +
+    "writer; cut payloads and hostile lengths flag truncated") {
+    val b = Multimodal.syntheticWarc(3, 100, withInfo = true)
+    val m = Multimodal.warcMeta(b)
+    assert(m.version == "1.0" && m.n_records == 7 && m.n_warcinfo == 1 &&
+      m.n_response == 3 && m.n_request == 3 && m.n_other == 0,
+      m.toString)
+    // content: 40 + (20+23+26) + (100+109+118) = 436
+    assert(m.content_bytes == 436L && m.max_content_length == 118L,
+      m.toString)
+    // uri 'http://h<i%5>.example.com/p<i>' = 24 chars for i<10, x2 types
+    assert(m.n_with_uri == 6 && m.uri_bytes == 144L && !m.truncated,
+      m.toString)
+    val noInfo = Multimodal.warcMeta(
+      Multimodal.syntheticWarc(1, 50, withInfo = false))
+    assert(noInfo.n_records == 2 && noInfo.n_warcinfo == 0 &&
+      noInfo.content_bytes == 70L, noInfo.toString)
+    // cut inside the last payload: earlier records survive, flag set
+    val cut = Multimodal.warcMeta(b.take(b.length - 30))
+    assert(cut.truncated && cut.n_records == 6, cut.toString)
+    // hostile declared Content-Length far past the buffer
+    val hostile = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 999999999\r\n\r\nxx").getBytes("ISO-8859-1")
+    assert(Multimodal.warcMeta(hostile).truncated)
+    // non-numeric Content-Length is hostile, not a crash
+    val bad = ("WARC/1.0\r\nContent-Length: 12junk\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.warcMeta(bad).truncated)
+    assert(Multimodal.warcMeta("HTTP/1.1 200 OK\r\n\r\n".getBytes) == null)
+    assert(Multimodal.warcMeta(null) == null)
+  }
 }
