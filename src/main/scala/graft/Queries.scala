@@ -15566,6 +15566,111 @@ object Queries {
         |FROM cens WHERE host IS NOT NULL
         |GROUP BY host ORDER BY host""".stripMargin)),
 
+    // SemDeDup (Abbas et al. '23): semantic dedup — kmeans clusters
+    // bound the pairwise cosine work to O(N²/k); near-identical
+    // vectors (cos >= 0.995, exact integer cross-multiplication)
+    // collapse to the smallest id. The 4x-shifted fixture copies are
+    // the planted near-dup class. The oracle replays the FULL
+    // trajectory: the q197 Lloyd chain AND every pair verdict.
+    Q("q446_semdedup",
+      (s, dir) => {
+        val corpus = t(s, dir, "embeddings")
+          .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("r"),
+            col("embedding"))
+          .select((col("vec_id") * 4 + col("r")).as("vec_id"),
+            expr("transform(embedding, " +
+              "x -> cast(x as double) + r * 0.01d)").as("embedding"))
+        Clustering.semDeDup(corpus, "vec_id", "embedding",
+          k = 4, iterations = 2, tauNum = 995, tauDen = 1000)
+          .orderBy("vec_id")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT vec_id * 4 + r.r AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) + r.r * CAST(0.01 AS DOUBLE))
+        |      AS embedding
+        |  FROM embeddings, (SELECT unnest(range(4)) AS r) r),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) + 1048576 AS BIGINT))
+        |    AS qv
+        |  FROM corpus WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cidx, qv AS cv
+        |  FROM qv ORDER BY vec_id LIMIT 4),
+        |a1 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c0 c)) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a1)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c1 AS (
+        |  SELECT c0.cidx, coalesce(u1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u1 ON u1.cidx = c0.cidx),
+        |a2 AS (
+        |  SELECT vec_id, cluster, qv FROM (
+        |    SELECT vec_id, cluster, qv, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster, q.qv,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c1 c)) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT cluster AS cidx, list(cvi ORDER BY pos) AS cv FROM (
+        |    SELECT cluster, pos, CAST(sum(v) // count(*) AS BIGINT) AS cvi
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+        |          unnest(qv) AS v FROM a2)
+        |    GROUP BY cluster, pos) GROUP BY cluster),
+        |c2 AS (
+        |  SELECT c1.cidx, coalesce(u2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN u2 ON u2.cidx = c1.cidx),
+        |fin AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, c.cidx AS cluster,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |      FROM qv q, c2 c)) WHERE rn = 1),
+        |cq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS cq
+        |  FROM corpus WHERE embedding IS NOT NULL),
+        |nq AS (
+        |  SELECT vec_id, cq,
+        |    CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS nq
+        |  FROM cq),
+        |pairs AS (
+        |  SELECT l.vec_id AS u, r.vec_id AS v,
+        |    CAST(list_sum(list_transform(list_zip(lq.cq, rq.cq),
+        |      p -> p[1] * p[2])) AS BIGINT) AS dot,
+        |    lq.nq AS nu, rq.nq AS nv
+        |  FROM fin l
+        |  JOIN fin r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+        |  JOIN nq lq ON lq.vec_id = l.vec_id
+        |  JOIN nq rq ON rq.vec_id = r.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT v FROM pairs
+        |  WHERE dot > 0 AND
+        |    CAST(dot AS HUGEINT) * dot * 1000000 >=
+        |    CAST(nu AS HUGEINT) * nv * 990025)
+        |SELECT f.vec_id, CAST(f.cluster AS INT) AS cluster,
+        |  d.v IS NULL AS kept
+        |FROM fin f LEFT JOIN dropped d ON d.v = f.vec_id
+        |ORDER BY f.vec_id""".stripMargin)),
+
     // END-TO-END curation WITH ExactSubstr — the Lee et al. '22 order
     // of operations as one composition: exact-substring span removal
     // (q428's op, cleaned TEXT carried) → exact dedup on the cleaned

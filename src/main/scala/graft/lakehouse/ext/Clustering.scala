@@ -347,4 +347,81 @@ object Clustering {
         .localCheckpoint()
     } finally q.unpersist(false)
   }
+
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic
+    * deduplication — cluster the embedding space with
+    * [[kmeansFixedPoint]], then compare pairs ONLY within a cluster
+    * and drop every vector that is near-cosine-identical
+    * (cos ≥ tauNum/tauDen) to a kept lower-id vector. The clustering
+    * is the whole scale story: pairwise work falls from O(N²) to
+    * O(Σ c_i²) ≈ O(N²/k), and k is the operator's knob — at corpus
+    * scale you raise k until clusters fit the pair budget. (The paper
+    * keeps the member farthest from the centroid; this implementation
+    * keeps the SMALLEST id of each near-duplicate group — a
+    * deterministic, engine-replayable rule with the same dedup set
+    * size.)
+    *
+    * Every comparison is EXACT integer arithmetic: vectors quantize to
+    * floor(x·scale) longs (RAW, no offset — cosine is origin-
+    * sensitive; the kmeans offset exists only to keep ITS squared
+    * distances positive), and cos ≥ τ evaluates as
+    * dot > 0 ∧ dot²·tauDen² ≥ tauNum²·‖u‖²·‖v‖² — cross-multiplied in
+    * DECIMAL(38,0), no float, no sqrt — so DuckDB replays the full
+    * trajectory (clusters AND verdicts) bit-identically.
+    *
+    * Plan shape: the kmeans assignment (zero-shuffle rounds), one join
+    * to attach quantized vectors, ONE equi-join on the cluster key for
+    * the pair stream (never a cartesian), a primitive-long dot kernel,
+    * and an anti-join of ids against the dropped set. Output: one row
+    * per input vector — `(id, cluster, kept)`. */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iterations: Int = 2, tauNum: Long = 995,
+      tauDen: Long = 1000, scale: Long = 1024L): DataFrame = {
+    require(k >= 1 && tauDen >= 1 && tauNum >= 0 && tauNum <= tauDen &&
+      scale >= 1, "semDeDup needs k >= 1 and 0 <= tauNum/tauDen <= 1")
+    val assign = kmeansFixedPoint(df, idCol, vecCol, k, iterations,
+      scale).select(col(idCol), col("cluster"))
+    val rawQuant = udf((v: Seq[Double]) => {
+      val out = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = math.floor(v(i) * scale).toLong; i += 1 }
+      out
+    })
+    val normOf = udf((q: Array[Long]) => {
+      var s = 0L; var i = 0
+      while (i < q.length) { s += q(i) * q(i); i += 1 }
+      s
+    })
+    val dotOf = udf((a: Array[Long], b: Array[Long]) => {
+      require(a.length == b.length,
+        s"semDeDup: ragged vector dimensions ${a.length} != ${b.length}")
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    })
+    val withQ = assign.join(
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol),
+          rawQuant(col(vecCol).cast("array<double>")).as("cq"))
+        .withColumn("nq", normOf(col("cq"))),
+      Seq(idCol))
+    val l = withQ.select(col("cluster"), col(idCol).as("u"),
+      col("cq").as("qu"), col("nq").as("nu"))
+    val r = withQ.select(col("cluster"), col(idCol).as("v"),
+      col("cq").as("qv"), col("nq").as("nv"))
+    val dot = dotOf(col("qu"), col("qv"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("u") < col("v"))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0L &&
+        col("dot").cast("decimal(38,0)") * col("dot") *
+          lit(tauDen * tauDen) >=
+        col("nu").cast("decimal(38,0)") * col("nv") *
+          lit(tauNum * tauNum))
+      .select(col("v").as(idCol)).distinct()
+    withQ.select(col(idCol), col("cluster"))
+      .join(dropped.withColumn("__d", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__d"), lit(true)).as("kept"))
+  }
 }

@@ -95,4 +95,53 @@ class ClusteringSpec extends SparkSuite {
         .collect()
     }
   }
+
+  test("semDeDup: near-parallel vectors collapse to the smallest id; " +
+    "orthogonal and cross-cluster pairs survive") {
+    // two well-separated blobs (k=2 lands one cluster each); inside
+    // blob A, ids 1/2/3 are near-parallel (cos ~ 1) and 4 is orthogonal
+    val df = Seq(
+      (1L, Array(10.0f, 0.1f)), (2L, Array(20.0f, 0.2f)),
+      (3L, Array(30.0f, 0.3f)), (4L, Array(0.1f, 10.0f)),
+      (5L, Array(-10.0f, -0.1f)), (6L, Array(-20.0f, -0.2f)))
+      .toDF("id", "v")
+    val out = Clustering.semDeDup(df, "id", "v", k = 2, iterations = 2,
+      tauNum = 99, tauDen = 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 6)
+    // 1 keeps (smallest of its dup group), 2 and 3 drop against it
+    assert(out(1L) && !out(2L) && !out(3L), out.toString)
+    // orthogonal to the near-dup group — and anti-parallel (dot < 0)
+    // to its own cluster's members: kept
+    assert(out(4L), out.toString)
+    // the negative blob: 5 keeps, 6 drops (parallel to 5, dot > 0)
+    assert(out(5L) && !out(6L), out.toString)
+  }
+
+  test("semDeDup: threshold boundary is exact integer, anti-parallel " +
+    "pairs (dot < 0) never drop, guards refuse bad tau") {
+    // cos(u, v) with u=(1,0), v=(1,1) is 1/sqrt(2) ~ 0.7071:
+    // tau = 70/100 drops v; tau = 71/100 keeps it — the verdict flips
+    // on exact cross-multiplied integers, no float epsilon
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("id", "v")
+    val lo = Clustering.semDeDup(df, "id", "v", k = 1, iterations = 1,
+      tauNum = 70, tauDen = 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val hi = Clustering.semDeDup(df, "id", "v", k = 1, iterations = 1,
+      tauNum = 71, tauDen = 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(lo(1L) && !lo(2L), lo.toString)
+    assert(hi(1L) && hi(2L), hi.toString)
+    // anti-parallel: cos = -1, dot < 0 -> both kept at any tau
+    val anti = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)))
+      .toDF("id", "v")
+    val ka = Clustering.semDeDup(anti, "id", "v", k = 1, iterations = 1,
+      tauNum = 0, tauDen = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(ka(1L) && ka(2L), ka.toString)
+    intercept[IllegalArgumentException] {
+      Clustering.semDeDup(df, "id", "v", tauNum = 1001, tauDen = 1000)
+    }
+  }
 }
