@@ -15566,6 +15566,191 @@ object Queries {
         |FROM cens WHERE host IS NOT NULL
         |GROUP BY host ORDER BY host""".stripMargin)),
 
+    // robots.txt census (RFC 9309): per-domain group/rule counts, the
+    // star group's crawl delay, sitemap count — politeness-config
+    // triage over a deterministic per-domain robots fixture. One
+    // kernel call per domain, zero shuffle.
+    Q("q447_robots_census",
+      (s, dir) => {
+        val robots = t(s, dir, "documents")
+          .select(lower(col("source")).as("src")).distinct()
+          .select(
+            concat(lit("www."), col("src"), lit(".example.com"))
+              .as("domain"),
+            concat(
+              lit("# robots\nUser-agent: *\nDisallow: /D1\n" +
+                "Allow: /D12\nCrawl-delay: "),
+              (lit(3) + length(col("src")) % 5).cast("string"),
+              when(length(col("src")) % 2 === 0,
+                concat(lit("\nUser-agent: graftbot\nDisallow: /D"),
+                  (length(col("src")) % 10).cast("string"),
+                  lit("\nAllow: /D"),
+                  (length(col("src")) % 10).cast("string"), lit("4")))
+                .otherwise(lit("")),
+              lit("\nSitemap: https://x/sm.xml")).as("robots"))
+        Web.robotsCensus(robots, "domain", "robots").orderBy("domain")
+      },
+      Some("""WITH src AS (
+        |  SELECT DISTINCT lower(source) AS src FROM documents
+        |  WHERE source IS NOT NULL)
+        |SELECT 'www.' || src || '.example.com' AS domain,
+        |  CASE WHEN length(src) % 2 = 0 THEN 2 ELSE 1 END
+        |    AS n_agent_groups,
+        |  CASE WHEN length(src) % 2 = 0 THEN 2 ELSE 1 END AS n_allow,
+        |  CASE WHEN length(src) % 2 = 0 THEN 2 ELSE 1 END AS n_disallow,
+        |  CAST(3 + length(src) % 5 AS BIGINT) AS star_crawl_delay,
+        |  1 AS n_sitemaps
+        |FROM src ORDER BY domain""".stripMargin)),
+
+    // robots gate (RFC 9309 evaluation): canonicalized URLs join their
+    // domain's parsed rule list ON THE HOST KEY (one equi-join; the
+    // domain frame is O(domains) and broadcast-able), verdict = longest
+    // literal path-prefix rule, Allow wins ties, no rule -> allowed;
+    // agent-specific groups shadow the star group. The oracle replays
+    // parse, group pick, and longest-match verdict in SQL.
+    Q("q448_robots_gate",
+      (s, dir) => {
+        val urls = t(s, dir, "documents")
+          .filter(col("doc_id") % 6 === 0)
+          .withColumn("url",
+            when(col("doc_id") % 11 === 0,
+              concat(lit("not a url "), col("doc_id").cast("string")))
+            .otherwise(concat(
+              when(col("doc_id") % 2 === 0, lit("HTTPS://User:Pw@WWW."))
+                .otherwise(lit("http://WWW.")),
+              col("source"),
+              when(col("doc_id") % 3 === 0, lit(".Example.COM:443"))
+                .otherwise(lit(".Example.COM:8080")),
+              lit("/D"), col("doc_id").cast("string"),
+              lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+              when(col("doc_id") % 5 === 0, lit("&gclid=x"))
+                .otherwise(lit("&page=2")),
+              when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))))
+        val robots = t(s, dir, "documents")
+          .select(lower(col("source")).as("src")).distinct()
+          .select(
+            concat(lit("www."), col("src"), lit(".example.com"))
+              .as("domain"),
+            concat(
+              lit("# robots\nUser-agent: *\nDisallow: /D1\n" +
+                "Allow: /D12\nCrawl-delay: "),
+              (lit(3) + length(col("src")) % 5).cast("string"),
+              when(length(col("src")) % 2 === 0,
+                concat(lit("\nUser-agent: graftbot\nDisallow: /D"),
+                  (length(col("src")) % 10).cast("string"),
+                  lit("\nAllow: /D"),
+                  (length(col("src")) % 10).cast("string"), lit("4")))
+                .otherwise(lit("")),
+              lit("\nSitemap: https://x/sm.xml")).as("robots"))
+        Web.robotsGate(urls, "doc_id", "url", robots, "domain", "robots",
+          agent = "graftbot").orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |      ELSE
+        |        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://User:Pw@WWW.'
+        |              ELSE 'http://WWW.' END)
+        |        || source
+        |        || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:443'
+        |                 ELSE '.Example.COM:8080' END)
+        |        || '/D' || CAST(doc_id AS VARCHAR)
+        |        || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |        || (CASE WHEN doc_id % 5 = 0 THEN '&gclid=x'
+        |                 ELSE '&page=2' END)
+        |        || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+        |    END AS u,
+        |    lower(source) AS src
+        |  FROM documents WHERE doc_id % 6 = 0 AND doc_id IS NOT NULL),
+        |s1 AS (SELECT doc_id, src,
+        |    regexp_replace(trim(u), '#.*$', '') AS nf FROM d),
+        |s2 AS (SELECT doc_id, src, nf,
+        |    regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://') AS ok,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, src, ok, scheme,
+        |    lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |      '^.*@', '')) AS hostport,
+        |    regexp_replace(rest, '^[^/?]*', '') AS tail
+        |  FROM s2),
+        |urls AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+        |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path
+        |  FROM s3 WHERE ok),
+        |rob AS (
+        |  SELECT 'www.' || src || '.example.com' AS domain,
+        |    '# robots' || chr(10) || 'User-agent: *' || chr(10) ||
+        |    'Disallow: /D1' || chr(10) || 'Allow: /D12' || chr(10) ||
+        |    'Crawl-delay: ' || CAST(3 + length(src) % 5 AS VARCHAR) ||
+        |    (CASE WHEN length(src) % 2 = 0 THEN
+        |      chr(10) || 'User-agent: graftbot' || chr(10) ||
+        |      'Disallow: /D' || CAST(length(src) % 10 AS VARCHAR) ||
+        |      chr(10) || 'Allow: /D' ||
+        |      CAST(length(src) % 10 AS VARCHAR) || '4'
+        |     ELSE '' END) ||
+        |    chr(10) || 'Sitemap: https://x/sm.xml' AS txt
+        |  FROM (SELECT DISTINCT lower(source) AS src FROM documents
+        |        WHERE source IS NOT NULL)),
+        |lines AS (
+        |  SELECT domain, ln, trim(regexp_replace(line, '#.*$', ''))
+        |      AS line
+        |  FROM (SELECT domain, unnest(string_split(txt, chr(10)))
+        |          AS line,
+        |        generate_subscripts(string_split(txt, chr(10)), 1) AS ln
+        |        FROM rob)),
+        |fields AS (
+        |  SELECT domain, ln,
+        |    lower(trim(regexp_extract(line, '^([^:]+):(.*)$', 1)))
+        |      AS name,
+        |    trim(regexp_extract(line, '^([^:]+):(.*)$', 2)) AS value
+        |  FROM lines WHERE line LIKE '%:%'),
+        |grouped AS (
+        |  SELECT domain, ln, name, value,
+        |    last_value(CASE WHEN name = 'user-agent' THEN lower(value)
+        |      END IGNORE NULLS) OVER (
+        |      PARTITION BY domain ORDER BY ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+        |  FROM fields),
+        |rules AS (
+        |  SELECT domain, ua, name = 'allow' AS allow, value AS rpath
+        |  FROM grouped
+        |  WHERE name IN ('allow', 'disallow') AND value <> ''),
+        |joined AS (
+        |  SELECT u.doc_id, u.host, u.path, r.ua, r.allow, r.rpath
+        |  FROM urls u JOIN rules r ON r.domain = u.host),
+        |ownlen AS (
+        |  SELECT doc_id, max(length(ua)) AS ml FROM joined
+        |  WHERE ua <> '*' AND starts_with('graftbot', ua)
+        |  GROUP BY doc_id),
+        |grp AS (
+        |  SELECT j.doc_id, j.path, j.allow, j.rpath
+        |  FROM joined j LEFT JOIN ownlen o ON o.doc_id = j.doc_id
+        |  WHERE (o.doc_id IS NOT NULL AND j.ua <> '*'
+        |         AND starts_with('graftbot', j.ua)
+        |         AND length(j.ua) = o.ml)
+        |     OR (o.doc_id IS NULL AND j.ua = '*')),
+        |matches AS (
+        |  SELECT doc_id, allow, length(rpath) AS rlen,
+        |    max(length(rpath)) OVER (PARTITION BY doc_id) AS maxlen
+        |  FROM grp WHERE starts_with(path, rpath)),
+        |verdict AS (
+        |  SELECT doc_id, bool_or(allow) AS allowed, max(rlen) AS rlen
+        |  FROM matches WHERE rlen = maxlen GROUP BY doc_id)
+        |SELECT u.doc_id, u.host, u.path,
+        |  coalesce(v.allowed, TRUE) AS allowed,
+        |  CAST(coalesce(v.rlen, 0) AS INT) AS matched_rule_len
+        |FROM urls u LEFT JOIN verdict v ON v.doc_id = u.doc_id
+        |ORDER BY u.doc_id""".stripMargin)),
+
     // SemDeDup (Abbas et al. '23): semantic dedup — kmeans clusters
     // bound the pairwise cosine work to O(N²/k); near-identical
     // vectors (cos >= 0.995, exact integer cross-multiplication)

@@ -1,6 +1,6 @@
 package graft.lakehouse.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization + host census — the crawl-curation front door.
@@ -101,4 +101,136 @@ object Web {
         countDistinct(col("url_norm")).as("n_canonical"),
         sum(when(col("had_tracking"), 1L).otherwise(0L))
           .as("n_with_tracking"))
+
+  // ---- robots.txt (RFC 9309) ---------------------------------------------
+
+  /** One parsed robots.txt rule: the user-agent token of its group
+    * (lowercased), whether it is an Allow, and the literal path
+    * prefix. */
+  private[ext] case class RobotsRule(ua: String, allow: Boolean,
+    path: String)
+
+  /** Parse robots.txt lines into rules + per-agent crawl delays +
+    * sitemap count. Contract (the RFC 9309 subset every major parser
+    * agrees on): `#` comments stripped; field names case-insensitive;
+    * consecutive `User-agent` lines share one group; `Allow`/
+    * `Disallow` attach to the current group; an EMPTY Disallow value
+    * is "allow all" and produces no rule; rules are LITERAL path
+    * prefixes (the fixture contract — wildcard rules would parse but
+    * match literally, which this library documents rather than
+    * half-implements). */
+  private[ext] def parseRobots(txt: String):
+      (Seq[RobotsRule], Map[String, Long], Int) = {
+    if (txt == null) return (Seq.empty, Map.empty, 0)
+    val rules = Seq.newBuilder[RobotsRule]
+    var delays = Map.empty[String, Long]
+    var sitemaps = 0
+    var uas: Seq[String] = Seq.empty
+    var lastWasUa = false
+    txt.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val name = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        name match {
+          case "user-agent" =>
+            val ua = value.toLowerCase(java.util.Locale.ROOT)
+            uas = if (lastWasUa) uas :+ ua else Seq(ua)
+            lastWasUa = true
+          case "allow" | "disallow" =>
+            lastWasUa = false
+            if (value.nonEmpty)
+              uas.foreach(ua =>
+                rules += RobotsRule(ua, name == "allow", value))
+          case "crawl-delay" =>
+            lastWasUa = false
+            if (value.forall(c => c >= '0' && c <= '9') && value.nonEmpty
+              && value.length <= 9)
+              uas.foreach(ua => delays += ua -> value.toLong)
+          case "sitemap" => lastWasUa = false; sitemaps += 1
+          case _ => lastWasUa = false
+        }
+      }
+    }
+    (rules.result(), delays, sitemaps)
+  }
+
+  /** Per-domain robots.txt census: group/rule counts, the `*` group's
+    * crawl delay, sitemap count — the politeness-config triage frame.
+    * One kernel call per robots blob, zero shuffle. */
+  def robotsCensus(df: DataFrame, domainCol: String,
+      robotsCol: String): DataFrame = {
+    val kernel = udf((txt: String) => {
+      val (rules, delays, sitemaps) = parseRobots(txt)
+      (rules.map(_.ua).distinct.size, rules.count(_.allow),
+        rules.count(!_.allow), delays.getOrElse("*", -1L), sitemaps)
+    })
+    df.filter(col(domainCol).isNotNull)
+      .withColumn("__r", kernel(col(robotsCol)))
+      .select(col(domainCol),
+        col("__r._1").as("n_agent_groups"),
+        col("__r._2").as("n_allow"),
+        col("__r._3").as("n_disallow"),
+        col("__r._4").as("star_crawl_delay"),
+        col("__r._5").as("n_sitemaps"))
+  }
+
+  /** Robots gate (RFC 9309 evaluation): for each URL row, is `path`
+    * allowed for `agent`? Group selection: the agent's own group when
+    * one exists (longest user-agent token that is a prefix of the
+    * agent name), else the `*` group. Rule selection: the LONGEST
+    * literal path prefix that matches; tie → Allow wins; no matching
+    * rule → allowed. Output per url row: `(id, host, path, allowed,
+    * matched_rule_len)` with matched_rule_len 0 when no rule matched.
+    *
+    * Scale shape: robots parse once per domain (O(domains) rows), the
+    * rule list rides a broadcast-able domain frame; ONE equi-join of
+    * the URL stream against it on the host key, and the verdict is an
+    * in-row kernel over the domain's (bounded) rule list — no
+    * per-rule explode of the URL stream, no window. */
+  def robotsGate(urls: DataFrame, idCol: String, urlCol: String,
+      robots: DataFrame, domainCol: String, robotsCol: String,
+      agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // (ua, allow, path) triples per domain, pre-parsed once
+    val parsed = udf((txt: String) => parseRobots(txt)._1
+      .map(r => (r.ua, r.allow, r.path)))
+    val rulesByDomain = robots.filter(col(domainCol).isNotNull)
+      .select(col(domainCol).as("__dom"),
+        parsed(col(robotsCol)).as("__rules"))
+    val verdict = udf((rules: Seq[Row], path: String) => {
+      if (path == null) (true, 0)
+      else {
+        val rs = rules.map(r => RobotsRule(r.getString(0),
+          r.getBoolean(1), r.getString(2)))
+        // group pick: longest agent-token prefix of OUR agent, else *
+        val own = rs.filter(r => r.ua != "*" && agentLc.startsWith(r.ua))
+        val grp =
+          if (own.nonEmpty) {
+            val best = own.map(_.ua.length).max
+            own.filter(_.ua.length == best)
+          } else rs.filter(_.ua == "*")
+        val hits = grp.filter(r => path.startsWith(r.path))
+        if (hits.isEmpty) (true, 0)
+        else {
+          val best = hits.map(_.path.length).max
+          val top = hits.filter(_.path.length == best)
+          (top.exists(_.allow), best)
+        }
+      }
+    })
+    val cens = urlCensus(urls, idCol, urlCol)
+      .filter(col("host").isNotNull)
+      .withColumn("__path",
+        regexp_extract(col("url_norm"), "^[a-z][a-z0-9+.\\-]*://[^/?]*(/[^?]*)", 1))
+    cens.join(rulesByDomain, cens("host") === rulesByDomain("__dom"), "left")
+      .withColumn("__v", verdict(coalesce(col("__rules"),
+        array().cast("array<struct<_1:string,_2:boolean,_3:string>>")),
+        col("__path")))
+      .select(col(idCol), col("host"), col("__path").as("path"),
+        col("__v._1").as("allowed"),
+        col("__v._2").cast("int").as("matched_rule_len"))
+  }
 }

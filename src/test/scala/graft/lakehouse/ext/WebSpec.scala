@@ -69,4 +69,62 @@ class WebSpec extends SparkSuite {
     assert(score("b.com") == ((2L, 1L, 1L)), score.toString)
     assert(!score.contains(null))
   }
+
+  test("parseRobots: comments, case-insensitive fields, consecutive-UA " +
+    "groups, empty Disallow = allow-all, crawl delay, sitemaps") {
+    val txt = """# header comment
+      |USER-AGENT: *
+      |Disallow: /private # inline comment
+      |Allow:
+      |DISALLOW:
+      |crawl-delay: 7
+      |User-agent: botA
+      |User-agent: botB
+      |Disallow: /shared
+      |Sitemap: https://h/sm1.xml
+      |Sitemap: https://h/sm2.xml
+      |notafield line
+      |""".stripMargin
+    val (rules, delays, sitemaps) = Web.parseRobots(txt)
+    // empty-valued Allow/Disallow produce no rule
+    assert(rules == Seq(Web.RobotsRule("*", allow = false, "/private"),
+      Web.RobotsRule("bota", allow = false, "/shared"),
+      Web.RobotsRule("botb", allow = false, "/shared")), rules.toString)
+    assert(delays == Map("*" -> 7L) && sitemaps == 2)
+    assert(Web.parseRobots(null) == ((Seq.empty, Map.empty, 0)))
+  }
+
+  test("robotsGate: longest prefix wins, Allow wins ties, agent group " +
+    "shadows star, no robots/no match -> allowed") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /d\nAllow: /d/ok\n" +
+        "User-agent: graftbot\nDisallow: /g"),
+      ("b.com", "User-agent: *\nDisallow: /x")).toDF("domain", "txt")
+    val urls = Seq(
+      (1L, "https://a.com/d/page"),    // * would block, but graftbot
+      (2L, "https://a.com/g/page"),    //   group SHADOWS * entirely
+      (3L, "https://a.com/free"),      // no rule in graftbot group
+      (4L, "https://b.com/x/sub"),     // star group blocks
+      (5L, "https://b.com/y"),         // no match -> allowed
+      (6L, "https://nowhere.com/p"))   // no robots -> allowed
+      .toDF("doc_id", "url")
+    val got = Web.robotsGate(urls, "doc_id", "url", robots, "domain",
+        "txt", agent = "GraftBot")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(3),
+        r.getInt(4)))).toMap
+    assert(got(1L) == ((true, 0)), got.toString)  // graftbot grp: no /d rule
+    assert(got(2L) == ((false, 2)), got.toString) // /g disallow
+    assert(got(3L) == ((true, 0)), got.toString)
+    assert(got(4L) == ((false, 2)), got.toString)
+    assert(got(5L) == ((true, 0)), got.toString)
+    assert(got(6L) == ((true, 0)), got.toString)
+    // Allow wins the longest-prefix tie at equal length
+    val tie = Seq(("t.com", "User-agent: *\nDisallow: /p1\nAllow: /p1"))
+      .toDF("domain", "txt")
+    val t = Web.robotsGate(Seq((1L, "http://t.com/p1/x"))
+        .toDF("doc_id", "url"), "doc_id", "url", tie, "domain", "txt",
+        agent = "anybot")
+      .collect().map(r => (r.getBoolean(3), r.getInt(4))).head
+    assert(t == ((true, 3)), t.toString)
+  }
 }
