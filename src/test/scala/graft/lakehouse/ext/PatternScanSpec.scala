@@ -104,4 +104,42 @@ class PatternScanSpec extends SparkSuite {
     val got = hits(text, pats)
     assert(got.size == 200 && got.values.forall(_ == 1L))
   }
+
+  test("multiPatternHits and redactPatterns are STREAMING-safe: the " +
+      "stateless kernel runs unchanged on a stream, batch-equal") {
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("a", "table", "hash")
+    val rows = Seq((1L, "a table, a hash"), (2L, "no hits here"),
+      (3L, "table a table"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = PatternScan.multiPatternHits(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", pats)
+      .writeStream.format("memory").queryName("ps_stream")
+      .outputMode("append").start()
+    val q2 = PatternScan.redactPatterns(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", pats)
+      .writeStream.format("memory").queryName("ps_redact_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable(); q2.processAllAvailable()
+      val gotHits = spark.table("ps_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batchHits = PatternScan.multiPatternHits(
+          rows.toDF("doc_id", "text"), "doc_id", "text", pats)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(gotHits == batchHits && gotHits.nonEmpty, gotHits.toString)
+      val gotRed = spark.table("ps_redact_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      val batchRed = PatternScan.redactPatterns(
+          rows.toDF("doc_id", "text"), "doc_id", "text", pats)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+        .toSet
+      assert(gotRed == batchRed, gotRed.toString)
+    } finally { q.stop(); q2.stop() }
+  }
 }
