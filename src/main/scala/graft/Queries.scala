@@ -15751,6 +15751,143 @@ object Queries {
         |FROM urls u LEFT JOIN verdict v ON v.doc_id = u.doc_id
         |ORDER BY u.doc_id""".stripMargin)),
 
+    // ICO/favicon census over deterministic ICONDIR fixtures: entry
+    // dimensions (0 -> 256 resolved), bit depth, declared payload
+    // volume, embedded-PNG sniff at each declared offset — the favicon
+    // format every crawl collects, decode-free. Map-side walk.
+    Q("q450_ico_favicon_meta",
+      (s, dir) => {
+        val blobs = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 43 === 0)
+          .withColumn("payload", Multimodal.syntheticIcoUdf(
+            (lit(1) + col("doc_id") % 5).cast("int"),
+            (lit(20) + col("doc_id") % 30).cast("int")))
+        Multimodal.decodeIcoHeaders(blobs, "payload")
+          .select(col("doc_id"),
+            col("ico.kind").as("kind"),
+            col("ico.n_images").as("n_images"),
+            col("ico.max_width").as("max_width"),
+            col("ico.max_height").as("max_height"),
+            col("ico.max_bpp").as("max_bpp"),
+            col("ico.n_png_entries").as("n_png_entries"),
+            col("ico.total_image_bytes").as("total_image_bytes"),
+            col("ico.truncated").as("truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS ni,
+        |    CAST(20 + doc_id % 30 AS BIGINT) AS base
+        |  FROM documents WHERE doc_id % 43 = 0)
+        |SELECT doc_id, 'icon' AS kind,
+        |  CAST(ni AS INT) AS n_images,
+        |  CAST(256 AS INT) AS max_width,
+        |  CAST(256 AS INT) AS max_height,
+        |  CAST(32 AS INT) AS max_bpp,
+        |  CAST((ni + 1) // 2 AS INT) AS n_png_entries,
+        |  CAST(ni * base + 40 * ni * (ni - 1) // 2 AS BIGINT)
+        |    AS total_image_bytes,
+        |  FALSE AS truncated
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Politeness crawl schedule: per-host queues over canonical URLs,
+    // the i-th fetch at i*crawl_delay(host) — ONE window partitioned
+    // by host (bounded per key, never a global sort) + a broadcast
+    // join against the O(domains) delay frame. Composes q444's
+    // canonicalization with q447's robots census.
+    Q("q449_crawl_schedule",
+      (s, dir) => {
+        val urls = t(s, dir, "documents")
+          .filter(col("doc_id") % 6 === 0)
+          .withColumn("url",
+            when(col("doc_id") % 11 === 0,
+              concat(lit("not a url "), col("doc_id").cast("string")))
+            .otherwise(concat(
+              when(col("doc_id") % 2 === 0, lit("HTTPS://User:Pw@WWW."))
+                .otherwise(lit("http://WWW.")),
+              col("source"),
+              when(col("doc_id") % 3 === 0, lit(".Example.COM:443"))
+                .otherwise(lit(".Example.COM:8080")),
+              lit("/D"), col("doc_id").cast("string"),
+              lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+              when(col("doc_id") % 5 === 0, lit("&gclid=x"))
+                .otherwise(lit("&page=2")),
+              when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))))
+        val robots = t(s, dir, "documents")
+          .select(lower(col("source")).as("src")).distinct()
+          .select(
+            concat(lit("www."), col("src"), lit(".example.com"))
+              .as("domain"),
+            concat(
+              lit("# robots\nUser-agent: *\nDisallow: /D1\n" +
+                "Allow: /D12\nCrawl-delay: "),
+              (lit(3) + length(col("src")) % 5).cast("string"),
+              when(length(col("src")) % 2 === 0,
+                concat(lit("\nUser-agent: graftbot\nDisallow: /D"),
+                  (length(col("src")) % 10).cast("string"),
+                  lit("\nAllow: /D"),
+                  (length(col("src")) % 10).cast("string"), lit("4")))
+                .otherwise(lit("")),
+              lit("\nSitemap: https://x/sm.xml")).as("robots"))
+        Web.crawlSchedule(urls, "doc_id", "url", robots, "domain",
+          "robots", defaultDelaySec = 1L)
+          .select(col("doc_id"), col("host"), col("queue_pos"),
+            col("fetch_at_s"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |      ELSE
+        |        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://User:Pw@WWW.'
+        |              ELSE 'http://WWW.' END)
+        |        || source
+        |        || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:443'
+        |                 ELSE '.Example.COM:8080' END)
+        |        || '/D' || CAST(doc_id AS VARCHAR)
+        |        || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |        || (CASE WHEN doc_id % 5 = 0 THEN '&gclid=x'
+        |                 ELSE '&page=2' END)
+        |        || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+        |    END AS u,
+        |    lower(source) AS src
+        |  FROM documents WHERE doc_id % 6 = 0 AND doc_id IS NOT NULL),
+        |s1 AS (SELECT doc_id, src,
+        |    regexp_replace(trim(u), '#.*$', '') AS nf FROM d),
+        |s2 AS (SELECT doc_id, src, nf,
+        |    regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://') AS ok,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, src, ok, scheme,
+        |    lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+        |      '^.*@', '')) AS hostport
+        |  FROM s2),
+        |urls AS (
+        |  SELECT doc_id, src,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host
+        |  FROM s3 WHERE ok),
+        |delays AS (
+        |  SELECT 'www.' || src || '.example.com' AS domain,
+        |    CAST(3 + length(src) % 5 AS BIGINT) AS delay
+        |  FROM (SELECT DISTINCT lower(source) AS src FROM documents
+        |        WHERE source IS NOT NULL)),
+        |q AS (
+        |  SELECT u.doc_id, u.host,
+        |    CAST(row_number() OVER (PARTITION BY u.host
+        |      ORDER BY u.doc_id) - 1 AS BIGINT) AS queue_pos,
+        |    coalesce(dl.delay, 1) AS delay
+        |  FROM urls u LEFT JOIN delays dl ON dl.domain = u.host)
+        |SELECT doc_id, host, queue_pos,
+        |  CAST(queue_pos * delay AS BIGINT) AS fetch_at_s
+        |FROM q ORDER BY doc_id""".stripMargin)),
+
     // SemDeDup (Abbas et al. '23): semantic dedup — kmeans clusters
     // bound the pairwise cosine work to O(N²/k); near-identical
     // vectors (cos >= 0.995, exact integer cross-multiplication)

@@ -3980,4 +3980,120 @@ object Multimodal {
   /** `syntheticWarc` as a column function. */
   val syntheticWarcUdf = udf((n: Int, base: Int, info: Boolean) =>
     syntheticWarc(n, base, info))
+
+  // ---- ICO / CUR favicons (decode-free) -----------------------------------
+
+  /** Parsed ICO/CUR metadata: kind, image-entry census (dimensions
+    * with the 0 → 256 encoding resolved, bit depth, declared byte
+    * volume), and how many entries carry embedded PNG payloads (the
+    * modern favicon layout) — sniffed by magic at each declared
+    * offset, payloads never decoded. */
+  case class IcoMeta(kind: String, n_images: Int, max_width: Int,
+    max_height: Int, max_bpp: Int, n_png_entries: Int,
+    total_image_bytes: Long, truncated: Boolean)
+
+  /** DECODE-FREE ICO/CUR walker (the favicon format every crawl
+    * collects): ICONDIR (reserved 0, type 1=icon / 2=cursor, count),
+    * then 16-byte ICONDIRENTRY records — width/height bytes (0 means
+    * 256), bit depth, declared payload size and offset. An entry whose
+    * declared offset+8 lies inside the buffer is sniffed for the PNG
+    * magic (embedded-PNG favicons); entries pointing outside flag
+    * `truncated` but the census of in-bounds entries survives.
+    * Returns null when the 6-byte header is not ICO/CUR. */
+  def icoMeta(bytes: Array[Byte]): IcoMeta = {
+    if (bytes == null || bytes.length < 6) return null
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    if (u16(0) != 0) return null
+    val tpe = u16(2)
+    if (tpe != 1 && tpe != 2) return null
+    val n = u16(4)
+    var truncated = false
+    var maxW = 0; var maxH = 0; var maxBpp = 0
+    var nPng = 0; var total = 0L; var seen = 0
+    var i = 0
+    while (i < n) {
+      val e = 6 + 16 * i
+      if (16 > bytes.length - e) { truncated = true; i = n }
+      else {
+        val w = { val b = bytes(e) & 0xff; if (b == 0) 256 else b }
+        val h = { val b = bytes(e + 1) & 0xff; if (b == 0) 256 else b }
+        val bpp = u16(e + 6)
+        val sz = u32(e + 8)
+        val off = u32(e + 12)
+        seen += 1
+        if (w > maxW) maxW = w
+        if (h > maxH) maxH = h
+        if (bpp > maxBpp) maxBpp = bpp
+        total += sz
+        if (off >= 0 && off <= bytes.length - 8 && sz >= 8) {
+          val o = off.toInt
+          if ((bytes(o) & 0xff) == 0x89 && bytes(o + 1) == 'P' &&
+            bytes(o + 2) == 'N' && bytes(o + 3) == 'G') nPng += 1
+        } else if (off > bytes.length - 8 || sz > bytes.length - off)
+          truncated = true
+        i += 1
+      }
+    }
+    IcoMeta(if (tpe == 1) "icon" else "cursor", seen, maxW, maxH,
+      maxBpp, nPng, total, truncated)
+  }
+
+  private val icoSchema = org.apache.spark.sql.catalyst.ScalaReflection
+    .schemaFor[IcoMeta].dataType.asInstanceOf[StructType]
+
+  /** [[icoMeta]] over a blob column — appends a nullable `ico`
+    * struct. */
+  def decodeIcoHeaders(df: DataFrame, blobCol: String): DataFrame =
+    appendMapped(df, blobCol,
+      StructField("ico", icoSchema, nullable = true)) { bytes =>
+      icoMeta(bytes) match {
+        case null => null
+        case m => Row(m.kind, m.n_images, m.max_width, m.max_height,
+          m.max_bpp, m.n_png_entries, m.total_image_bytes, m.truncated)
+      }
+    }
+
+  /** Deterministic synthetic ICO: `nImages` entries — entry 0 is
+    * 256×256 (the 0-byte encoding), entry i is (16+8i)×(16+8i);
+    * 32 bpp; payload i declares `base + 40·i` bytes, even entries
+    * carry a real PNG magic (the embedded-PNG favicon layout), odd
+    * entries opaque filler. */
+  def syntheticIco(nImages: Int, base: Int): Array[Byte] = {
+    require(nImages >= 1 && base >= 8, "syntheticIco salt")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { var i = 0
+      while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    le16(0); le16(1); le16(nImages)
+    var off = 6L + 16L * nImages
+    var i = 0
+    while (i < nImages) {
+      val wh = if (i == 0) 0 else (16 + 8 * i) & 0xff
+      bos.write(wh); bos.write(wh); bos.write(0); bos.write(0)
+      le16(1); le16(32)
+      val sz = base + 40 * i
+      le32(sz.toLong); le32(off)
+      off += sz
+      i += 1
+    }
+    i = 0
+    while (i < nImages) {
+      val sz = base + 40 * i
+      if (i % 2 == 0) {
+        bos.write(0x89); bos.write('P'); bos.write('N'); bos.write('G')
+        bos.write(0x0d); bos.write(0x0a); bos.write(0x1a); bos.write(0x0a)
+        var j = 8
+        while (j < sz) { bos.write((j * 3 + i) & 0xff); j += 1 }
+      } else {
+        var j = 0
+        while (j < sz) { bos.write((j * 5 + i) & 0xff); j += 1 }
+      }
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** `syntheticIco` as a column function. */
+  val syntheticIcoUdf = udf((n: Int, base: Int) => syntheticIco(n, base))
 }

@@ -177,6 +177,37 @@ object Web {
         col("__r._5").as("n_sitemaps"))
   }
 
+  /** Politeness crawl schedule: canonical URLs grouped by host, each
+    * host's queue ordered by id, the i-th fetch scheduled at
+    * `i · crawlDelay(host)` seconds (0-indexed; hosts without a
+    * declared delay use `defaultDelaySec`). The output is the frame a
+    * fetch executor partitions by host — per-host sequential,
+    * cross-host parallel, exactly the crawl-politeness contract.
+    *
+    * Scale shape: ONE window partitioned by host (the per-host queue
+    * position — bounded per partition key, never a global sort) and
+    * one broadcast-able join against the O(domains) delay frame. */
+  def crawlSchedule(urls: DataFrame, idCol: String, urlCol: String,
+      robots: DataFrame, domainCol: String, robotsCol: String,
+      defaultDelaySec: Long = 1L): DataFrame = {
+    require(defaultDelaySec >= 0, "crawlSchedule needs defaultDelaySec >= 0")
+    val delays = robotsCensus(robots, domainCol, robotsCol)
+      .select(col(domainCol).as("__dom"),
+        when(col("star_crawl_delay") >= 0, col("star_crawl_delay"))
+          .otherwise(lit(defaultDelaySec)).as("__delay"))
+    val cens = urlCensus(urls, idCol, urlCol)
+      .filter(col("host").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(col(idCol))
+    cens.join(delays, cens("host") === delays("__dom"), "left")
+      .withColumn("queue_pos",
+        (org.apache.spark.sql.functions.row_number().over(w) - 1)
+          .cast("long"))
+      .select(col(idCol), col("host"), col("url_norm"), col("queue_pos"),
+        (col("queue_pos") * coalesce(col("__delay"),
+          lit(defaultDelaySec))).as("fetch_at_s"))
+  }
+
   /** Robots gate (RFC 9309 evaluation): for each URL row, is `path`
     * allowed for `agent`? Group selection: the agent's own group when
     * one exists (longest user-agent token that is a prefix of the

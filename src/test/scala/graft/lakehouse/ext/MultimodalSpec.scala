@@ -860,4 +860,30 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.warcMeta("HTTP/1.1 200 OK\r\n\r\n".getBytes) == null)
     assert(Multimodal.warcMeta(null) == null)
   }
+
+  test("icoMeta: ICONDIR census roundtrips the writer — 0-byte = 256, " +
+    "PNG sniff at declared offsets; hostile offsets flag truncated") {
+    val m = Multimodal.icoMeta(Multimodal.syntheticIco(4, 20))
+    assert(m.kind == "icon" && m.n_images == 4 && !m.truncated, m.toString)
+    assert(m.max_width == 256 && m.max_height == 256 && m.max_bpp == 32,
+      m.toString)
+    // even entries carry PNG magic: entries 0, 2
+    assert(m.n_png_entries == 2, m.toString)
+    // payloads: 20 + 60 + 100 + 140 = 320
+    assert(m.total_image_bytes == 320L, m.toString)
+    // cut inside the entry table: truncated, survivors censused
+    val b = Multimodal.syntheticIco(3, 16)
+    val cut = Multimodal.icoMeta(b.take(6 + 16 * 2 + 4))
+    assert(cut.truncated && cut.n_images == 2, cut.toString)
+    // hostile declared offset past the buffer: flagged, no crash
+    val dmg = b.clone()
+    dmg(6 + 12) = 0xff.toByte; dmg(6 + 13) = 0xff.toByte
+    dmg(6 + 14) = 0xff.toByte; dmg(6 + 15) = 0x7f.toByte
+    assert(Multimodal.icoMeta(dmg).truncated)
+    // CUR type reports kind cursor; non-ICO is null
+    val cur = b.clone(); cur(2) = 2
+    assert(Multimodal.icoMeta(cur).kind == "cursor")
+    assert(Multimodal.icoMeta("not an icon file".getBytes) == null)
+    assert(Multimodal.icoMeta(null) == null)
+  }
 }
