@@ -15751,6 +15751,126 @@ object Queries {
         |FROM urls u LEFT JOIN verdict v ON v.doc_id = u.doc_id
         |ORDER BY u.doc_id""".stripMargin)),
 
+    // Portable content-defined chunking: boundaries where the 60-bit
+    // sha of each 16-char window is = 0 mod 64 — the LBFS/FastCDC idea
+    // with an engine-portable predicate, so DuckDB replays every
+    // boundary and every chunk sha (per-position substr + sha256, the
+    // q427/q437 machinery). Zero shuffle; chunks travel as sha prefixes.
+    Q("q451_cdc_chunks_portable",
+      (s, dir) => Cdc.portableCdcChunks(
+          t(s, dir, "documents")
+            .filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"),
+              substring(col("text"), 1, 400).as("text")),
+          "doc_id", "text", window = 16, modulus = 64L)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 400) AS t FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL AND length(substr(text, 1, 400)) > 0),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(length(t) - 16 + 1)) AS p
+        |  FROM d WHERE length(t) >= 16),
+        |cuts AS (
+        |  SELECT doc_id, CAST(p + 16 AS BIGINT) AS e FROM pos
+        |  WHERE ('0x' || substring(sha256(
+        |      substr(t, CAST(p + 1 AS INT), 16)), 1, 15))::UBIGINT
+        |    % 64 = 0),
+        |ends AS (
+        |  SELECT DISTINCT doc_id, e FROM (
+        |    SELECT doc_id, e FROM cuts
+        |    UNION ALL
+        |    SELECT doc_id, CAST(length(t) AS BIGINT) FROM d)),
+        |seq AS (
+        |  SELECT doc_id, e,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+        |      AS idx,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
+        |      0) AS s
+        |  FROM ends)
+        |SELECT q.doc_id, CAST(q.idx AS INT) AS chunk_idx,
+        |  q.s AS chunk_start, CAST(q.e - q.s AS BIGINT) AS chunk_len,
+        |  substring(sha256(substr(d.t, CAST(q.s + 1 AS INT),
+        |    CAST(q.e - q.s AS INT))), 1, 16) AS chunk_sha
+        |FROM seq q JOIN d ON d.doc_id = q.doc_id
+        |ORDER BY q.doc_id, chunk_idx""".stripMargin)),
+
+    // Gear-hash CDC — the FastCDC rolling primitive, O(1)/char with
+    // min/max clamps: the PRODUCTION path whose gear table is engine-
+    // private (rows-only; q451 is the hash-matched portable twin, and
+    // CdcSpec pins the shift-resistance property both share).
+    Q("q452_cdc_chunks_gear",
+      (s, dir) => Cdc.gearChunks(
+          t(s, dir, "documents")
+            .filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"),
+              substring(col("text"), 1, 400).as("text")),
+          "doc_id", "text", maskBits = 6, minLen = 16, maxLen = 256)
+        .orderBy("doc_id", "chunk_idx"),
+      None),
+
+    // Chunk-level dedup census over the portable chunks: per
+    // duplicated chunk sha, occurrences and distinct docs — the
+    // storage-dedup ratio frame; a planted common block guarantees a
+    // cross-document duplicate class. ONE aggregation on the sha.
+    Q("q453_cdc_dup_census",
+      (s, dir) => {
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("CDC PLANTED COMMON BLOCK ALPHA BETA GAMMA " +
+                "DELTA EPSILON ZETA ETA THETA IOTA KAPPA LAMBDA MU " +
+                "NU XI OMICRON PI RHO SIGMA TAU UPSILON PHI CHI PSI " +
+                "OMEGA 0123456789 ABCDEFGHIJKLMNOPQRSTUVWXYZ "),
+                substring(col("text"), 1, 150)))
+            .otherwise(substring(col("text"), 1, 400)).as("text"))
+        Cdc.chunkDupCensus(
+          Cdc.portableCdcChunks(fixture, "doc_id", "text",
+            window = 16, modulus = 64L), "doc_id")
+          .orderBy("chunk_sha")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      'CDC PLANTED COMMON BLOCK ALPHA BETA GAMMA DELTA ' ||
+        |      'EPSILON ZETA ETA THETA IOTA KAPPA LAMBDA MU NU XI ' ||
+        |      'OMICRON PI RHO SIGMA TAU UPSILON PHI CHI PSI OMEGA ' ||
+        |      '0123456789 ABCDEFGHIJKLMNOPQRSTUVWXYZ ' ||
+        |      substr(text, 1, 150)
+        |    ELSE substr(text, 1, 400) END AS t
+        |  FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL AND length(text) > 0),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(length(t) - 16 + 1)) AS p
+        |  FROM d WHERE length(t) >= 16),
+        |cuts AS (
+        |  SELECT doc_id, CAST(p + 16 AS BIGINT) AS e FROM pos
+        |  WHERE ('0x' || substring(sha256(
+        |      substr(t, CAST(p + 1 AS INT), 16)), 1, 15))::UBIGINT
+        |    % 64 = 0),
+        |ends AS (
+        |  SELECT DISTINCT doc_id, e FROM (
+        |    SELECT doc_id, e FROM cuts
+        |    UNION ALL
+        |    SELECT doc_id, CAST(length(t) AS BIGINT) FROM d)),
+        |seq AS (
+        |  SELECT doc_id, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
+        |      0) AS s
+        |  FROM ends),
+        |ch AS (
+        |  SELECT q.doc_id, CAST(q.e - q.s AS BIGINT) AS chunk_len,
+        |    substring(sha256(substr(d.t, CAST(q.s + 1 AS INT),
+        |      CAST(q.e - q.s AS INT))), 1, 16) AS chunk_sha
+        |  FROM seq q JOIN d ON d.doc_id = q.doc_id)
+        |SELECT chunk_sha, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(max(chunk_len) AS BIGINT) AS chunk_len
+        |FROM ch GROUP BY chunk_sha HAVING count(*) >= 2
+        |ORDER BY chunk_sha""".stripMargin)),
+
     // ICO/favicon census over deterministic ICONDIR fixtures: entry
     // dimensions (0 -> 256 resolved), bit depth, declared payload
     // volume, embedded-PNG sniff at each declared offset — the favicon
