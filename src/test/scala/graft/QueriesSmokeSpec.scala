@@ -130,7 +130,10 @@ class QueriesSmokeSpec extends SparkSuite {
       "q190_quality_classifier",
       // zlib byte counts are implementation-specific; portable twin =
       // q60_char_entropy (SURVEY §2.11)
-      "q429_deflate_ratio")
+      "q429_deflate_ratio",
+      // gear table is engine-private (FastCDC rolling hash); portable
+      // twin = q451_cdc_chunks_portable (SURVEY §2.11, CdcSpec)
+      "q452_cdc_chunks_gear")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(missing.isEmpty, s"queries without oracle SQL nor waiver: ${missing.toSeq.sorted}")
     val stale = waived -- SparkEntry.queries.keySet
