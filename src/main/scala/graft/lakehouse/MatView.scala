@@ -168,8 +168,13 @@ object MatView {
       // (old, delta) → new: both present = old+delta; group new to the
       // view = delta alone; delta sum null (all-null measures) = old
       // alone. Group columns come from the DELTA side (always present).
+      // Persisted: this join feeds up to four actions (the rescan-trigger
+      // probe, the replacement rows, the rescan keys, and the staged
+      // write of the replacement) — without the persist each one re-runs
+      // the view scan + both joins. O(changed groups) rows.
       val dA = deltas.alias("__d")
       val joined = dA.join(affectedOld, onGroups(dA, "__old"), "left_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // a removed row that (possibly) held the group's extremum
       // invalidates the incremental min/max — those groups RESCAN from
       // the pinned source version (O(affected groups' data), the
@@ -241,9 +246,10 @@ object MatView {
       // schema on every refresh would drift it without bound
       val aligned = withRescans.select(mvDf.schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
-      TableIO.replaceKeyedRows(spark, lh, viewName,
+      try TableIO.replaceKeyedRows(spark, lh, viewName,
         deltas.select(groupCols.map(col): _*), aligned, groupCols,
         extraMeta = Map(VersionKey -> targetV.toString))
+      finally joined.unpersist()
     } finally deltas.unpersist()
   }
 

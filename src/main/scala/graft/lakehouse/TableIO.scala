@@ -2846,28 +2846,34 @@ object TableIO {
           s"${idDecl.mkString(", ")} — whole-row mergeTable would take ids " +
           "from the source; use mergeInto instead")
     }
-    locally {
+    // ONE aggregation answers both preconditions AND supplies the distinct
+    // key set every later phase joins against (this used to be two jobs
+    // over the update set, plus a separate distinct): groups with
+    // count > 1 are duplicate keys (Delta MERGE errors on those — silently
+    // unioning both rows would corrupt key uniqueness), and a group with a
+    // NULL key component is an unjoinable update (null = null is never
+    // true: it could neither match existing rows nor be separated from
+    // kept rows for the change feed) — reject loudly rather than
+    // half-apply. The persisted group frame then doubles as updKeys, so
+    // `updates` is evaluated exactly once.
+    val groupedShared: Option[DataFrame] = {
       import org.apache.spark.sql.functions.col
       val nullKey = keyColumns.map(_.isNull).reduce(_ || _)
       if (checkDuplicateKeys) {
-        // ONE aggregation answers both preconditions (this used to be two
-        // jobs over the update set): groups with count > 1 are duplicate
-        // keys (Delta MERGE errors on those — silently unioning both rows
-        // would corrupt key uniqueness), and a group with a NULL key
-        // component is an unjoinable update (null = null is never true:
-        // it could neither match existing rows nor be separated from kept
-        // rows for the change feed) — reject loudly rather than
-        // half-apply.
-        val bad = updates.groupBy(keyColumns: _*).count()
-          .filter(nullKey || col("count") > 1)
+        val grouped = updates.groupBy(keyColumns: _*).count()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bad = try grouped.filter(nullKey || col("count") > 1)
           .limit(1).collect()
+        catch { case e: Throwable => grouped.unpersist(); throw e }
         bad.headOption.foreach { r =>
+          grouped.unpersist()
           val isNull = keyCols.indices.exists(r.isNullAt)
           require(!isNull,
             s"mergeTable: updates contain a NULL merge key: $r")
           require(false,
             s"mergeTable: updates contain multiple rows for key $r")
         }
+        Some(grouped)
       } else {
         // checkDuplicateKeys=false is the pre-deduped pipelines' escape
         // hatch from the aggregation job — the null-key check stays a
@@ -2876,19 +2882,27 @@ object TableIO {
         require(nullKeyed.isEmpty,
           s"mergeTable: updates contain a NULL merge key: " +
             s"${nullKeyed.headOption.getOrElse("")}")
+        None
       }
     }
-    (base, baseManifest) match {
+    try (base, baseManifest) match {
       case (Some(_), Some(m)) if !cdfEnabled(m.meta) =>
         // without a change feed to stage, MERGE is exactly the generalized
         // replace primitive with removal keys = update keys
-        replaceKeyedRows(spark, lh, tableName, updates, updates, keyCols,
-          extraMeta = extraMeta, op = "MERGE")
+        // removal keys from the validated key frame when available: the
+        // internal distinct then folds a cached key set, not the raw
+        // updates plan
+        replaceKeyedRows(spark, lh, tableName,
+          groupedShared.map(_.select(keyColumns: _*)).getOrElse(updates),
+          updates, keyCols, extraMeta = extraMeta, op = "MERGE")
       case (Some(b), Some(m)) =>
         enforceChecks(updates, checkConstraintsOf(m.meta), s"$tableName: merge")
         val oldSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-        val updKeys = updates.select(keyColumns: _*).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the validation aggregation above already materialized the
+        // distinct key set — reuse it instead of re-aggregating `updates`
+        val updKeys = groupedShared.map(_.select(keyColumns: _*)).getOrElse(
+          updates.select(keyColumns: _*).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         try {
           // 1. affected files: key-columns-only columnar scan + semi join —
           // reads keyCols bytes of the table, not the table. (The empty-
@@ -2974,7 +2988,7 @@ object TableIO {
           kept.unionByName(updates, allowMissingColumns = true),
           partitionBy = currentPartitioning(lh, tableName),
           extraMeta = extraMeta)
-    }
+    } finally groupedShared.foreach(_.unpersist())
   }
 
   // ---- conditional MERGE (full Delta MERGE INTO semantics) ----------------
@@ -4817,40 +4831,52 @@ object TableIO {
         // scanOf, NOT a raw file list: an affected file may carry a
         // deletion vector from an earlier DV delete, and scanning it raw
         // would re-emit delete events for (and below, RESURRECT) rows that
-        // are already logically gone
-        val changes: Option[DataFrame] =
-          if (!cdfEnabled(m.meta) || affected.isEmpty) None
-          else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
-            .filter(cond)
-            .withColumn("_change_type",
-              org.apache.spark.sql.functions.lit("delete")))
-        val commit = Versioned.commitFiles(tableDir, m.schemaJson,
-          inherit = untouched, expectedBase = Some(b),
-          collectStats = collectFileStats(spark, bloomColsOf(m)),
-          meta = m.meta,
-          beforeMarker = (v, _, cid) => changes.foreach(
-            _.write.mode(SaveMode.Overwrite)
-              .parquet(cdfDir(tableDir, v, cid).toString)),
-          op = "DELETE") { target =>
-          if (affected.nonEmpty) {
-            // row-tracked tables: survivors carry their materialized ids
-            // through the rewrite — DELETE never changes a row's identity
-            val survivors =
-              (if (!m.meta.contains(Versioned.RowTrackingKey))
-                scanSpec(spark, Versioned.scanOf(tableDir, m, affected))
-              else withRowIds(spark, tableDir, m, affected)
-                .withColumnRenamed(RowIdColName, PhysRowIdCol))
-              .filter(not(cond))
-            val writer = toPhysical(survivors,
-                DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-              .write.mode(SaveMode.Append)
-            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-             else writer).parquet(target)
+        // are already logically gone. With CDF on a non-row-tracked table
+        // the same scan feeds BOTH the survivor rewrite and the delete
+        // events — persist it so the affected files read once, not twice.
+        val affectedScan: Option[DataFrame] =
+          if (affected.isEmpty) None
+          else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, affected)))
+        val shareScan = cdfEnabled(m.meta) &&
+          !m.meta.contains(Versioned.RowTrackingKey)
+        val affectedShared = affectedScan.map(df =>
+          if (shareScan) df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else df)
+        try {
+          val changes: Option[DataFrame] =
+            if (!cdfEnabled(m.meta)) None
+            else affectedShared.map(_.filter(cond)
+              .withColumn("_change_type",
+                org.apache.spark.sql.functions.lit("delete")))
+          val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+            inherit = untouched, expectedBase = Some(b),
+            collectStats = collectFileStats(spark, bloomColsOf(m)),
+            meta = m.meta,
+            beforeMarker = (v, _, cid) => changes.foreach(
+              _.write.mode(SaveMode.Overwrite)
+                .parquet(cdfDir(tableDir, v, cid).toString)),
+            op = "DELETE") { target =>
+            if (affected.nonEmpty) {
+              // row-tracked tables: survivors carry their materialized ids
+              // through the rewrite — DELETE never changes a row's identity
+              val survivors =
+                (if (!m.meta.contains(Versioned.RowTrackingKey))
+                  affectedShared.get
+                else withRowIds(spark, tableDir, m, affected)
+                  .withColumnRenamed(RowIdColName, PhysRowIdCol))
+                .filter(not(cond))
+              val writer = toPhysical(survivors,
+                  DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+                .write.mode(SaveMode.Append)
+              (if (parts.nonEmpty) writer.partitionBy(parts: _*)
+               else writer).parquet(target)
+            }
           }
-        }
-        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-        finishCommit(spark, lh, tableName, tableDir, commit,
-          schema.fieldNames.toSeq, parts)
+          val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+          finishCommit(spark, lh, tableName, tableDir, commit,
+            schema.fieldNames.toSeq, parts)
+        } finally if (shareScan) affectedShared.foreach(_.unpersist())
       case _ =>
         // legacy layout: one full filtered rewrite adopts the protocol
         val current = selectTable(spark, lh, tableName)

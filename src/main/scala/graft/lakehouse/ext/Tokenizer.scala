@@ -50,33 +50,74 @@ object Tokenizer {
   private def baseSymbols(word: String): Array[String] =
     word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
-  /** The driver-side merge loop over a (word, frequency) dictionary. */
+  /** The driver-side merge loop over a (word, frequency) dictionary.
+    *
+    * Pair counts are maintained INCREMENTALLY (the standard BPE-trainer
+    * trick): each round touches only the words that actually contain the
+    * merged pair (found via a pair → word-ids index) instead of
+    * recounting every adjacent pair of every dictionary word. The counts
+    * after each round are exactly what a full recount would produce
+    * (add/subtract of the same integer contributions), and the selection
+    * rule — most frequent pair, ties to the lexicographically smallest,
+    * a total order with a unique minimum — is unchanged, so the merge
+    * sequence is bit-identical to the recount formulation (pinned by
+    * TokenizerSpec's golden vectors and the q92/q435 oracle hashes). At
+    * 50k words × 200 merges this is the difference between O(rounds ×
+    * dictionary) and O(rounds × touched words). */
   private[ext] def learnFromDict(dict: Array[(String, Long)],
       numMerges: Int): Seq[Merge] = {
-    var vocab: Array[(Array[String], Long)] =
-      dict.map { case (w, c) => (baseSymbols(w), c) }
+    import scala.collection.mutable
+    val words: Array[Array[String]] = dict.map { case (w, _) => baseSymbols(w) }
+    val freqs: Array[Long] = dict.map(_._2)
+    val counts = mutable.HashMap.empty[Merge, Long]
+    // pair → ids of words that contained the pair when last touched; may
+    // hold stale ids (a later merge removed the pair from the word) —
+    // membership is re-checked against the live word before use
+    val index = mutable.HashMap.empty[Merge, mutable.HashSet[Int]]
+    def addPairs(wi: Int): Unit = {
+      val syms = words(wi); val c = freqs(wi)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + c)
+        index.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        j += 1
+      }
+    }
+    def subtractPairs(wi: Int): Unit = {
+      val syms = words(wi); val c = freqs(wi)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val n = counts(p) - c
+        if (n == 0L) counts.remove(p) else counts.update(p, n)
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { addPairs(i); i += 1 }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
-    var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[Merge, Long]
-      vocab.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + c)
-          i += 1
+    while (round < numMerges && counts.nonEmpty) {
+      // most frequent pair; ties go to the lexicographically smallest —
+      // any deterministic rule works, it just has to BE a rule
+      val best = counts.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      index.remove(best).foreach(_.foreach { wi =>
+        val syms = words(wi)
+        var contains = false
+        var j = 0
+        while (j < syms.length - 1 && !contains) {
+          if (syms(j) == best._1 && syms(j + 1) == best._2) contains = true
+          j += 1
         }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        // most frequent pair; ties go to the lexicographically smallest —
-        // any deterministic rule works, it just has to BE a rule
-        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        vocab = vocab.map { case (syms, c) => (applyMerge(syms, best), c) }
-        round += 1
-      }
+        if (contains) { // skip stale index entries
+          subtractPairs(wi)
+          words(wi) = applyMerge(syms, best)
+          addPairs(wi)
+        }
+      })
+      round += 1
     }
     merges.toSeq
   }
@@ -123,10 +164,28 @@ object Tokenizer {
       outCol: String = "bpe_tokens"): DataFrame = {
     val ranks = merges.zipWithIndex.toMap
     val bc = df.sparkSession.sparkContext.broadcast(ranks)
-    val enc = udf((s: String) =>
-      if (s == null) Array.empty[String]
-      else s.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .flatMap(w => encodeWord(w, bc.value)))
+    // Per-task memo: encodeWord is a pure function of the word under a
+    // fixed rank table, and corpus word frequencies are Zipfian — the
+    // same words recur constantly, so caching cuts the encode kernel by
+    // the type/token ratio. @transient lazy rebuilds the (empty) map on
+    // each deserialization, so tasks never share state across executors;
+    // the size cap bounds memory on adversarial vocabularies.
+    val enc = udf(new (String => Array[String]) with Serializable {
+      @transient private lazy val cache =
+        new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+      override def apply(s: String): Array[String] =
+        if (s == null) Array.empty[String]
+        else s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .flatMap { w =>
+            val hit = cache.get(w)
+            if (hit != null) hit
+            else {
+              val t = encodeWord(w, bc.value)
+              if (cache.size < (1 << 20)) cache.put(w, t)
+              t
+            }
+          }
+    })
     df.withColumn(outCol, enc(col(textCol)))
   }
 
