@@ -319,28 +319,24 @@ object Similarity {
       vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 256,
       maxFitRows: Long = 100000L, reRank: Int = 0,
       corpusRows: Option[Long] = None,
-      maxQueries: Long = 100000L): DataFrame = {
+      maxQueries: Long = 100000L,
+      fitSample: Option[Array[Array[Double]]] = None): DataFrame = {
     require(m >= 1 && codebookSize >= 1 && codebookSize <= 256,
       "need 1 <= m and 1 <= codebookSize <= 256 (one byte per subspace)")
-    // the query frame is collected (its LUTs broadcast into the scoring
-    // crossJoin) — broadcastability is the contract, so enforce it loudly
-    // instead of OOMing the driver on a mis-sized frame; the limit+count
-    // probe stops scanning after maxQueries+1 rows
-    require(queries.limit((maxQueries + 1).min(Int.MaxValue).toInt).count()
-        <= maxQueries,
-      s"pqTopK collects the query frame (broadcast contract): more than " +
-        s"$maxQueries query rows — raise maxQueries only if the driver can " +
-        "hold the LUTs, or batch the queries")
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("vec_id"),
         transform(col(vecCol), x => x.cast("double")).as("cv"))
     val nRows = corpusRows.getOrElse(c.count())
-    val fitInput =
-      if (nRows <= maxFitRows) c
-      else c.sample(withReplacement = false,
-        maxFitRows.toDouble / nRows, seed = 42L)
-    val sample: Array[Array[Double]] = fitInput.select("cv").collect()
-      .map(_.getSeq[Double](0).toArray)
+    // fitSample: a caller that already collected (and transformed) the fit
+    // sample — opqTopK rotating its own OPQ training sample — passes it
+    // through instead of paying a second sample-collect job
+    val sample: Array[Array[Double]] = fitSample.getOrElse {
+      val fitInput =
+        if (nRows <= maxFitRows) c
+        else c.sample(withReplacement = false,
+          maxFitRows.toDouble / nRows, seed = 42L)
+      fitInput.select("cv").collect().map(_.getSeq[Double](0).toArray)
+    }
     if (sample.isEmpty)
       return c.sparkSession.createDataFrame(
         c.sparkSession.sparkContext.emptyRDD[Row],
@@ -400,10 +396,20 @@ object Similarity {
     // actual Jégou'11 ADC shape; the previous formulation re-ran the full
     // O(dim) dot and re-derived qnorm per (code, query) pair. Null query
     // embeddings are dropped (cosineTopK's contract), not NPE'd.
+    // the query frame is collected (its LUTs broadcast into the scoring
+    // crossJoin) — broadcastability is the contract, so enforce it loudly
+    // instead of OOMing the driver on a mis-sized frame: collect stops at
+    // maxQueries+1 rows and the guard fires on overflow. ONE job, where a
+    // separate limit+count probe plus the collect paid two.
     val qRows = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .limit((maxQueries + 1).min(Int.MaxValue).toInt)
       .collect()
+    require(qRows.length <= maxQueries,
+      s"pqTopK collects the query frame (broadcast contract): more than " +
+        s"$maxQueries query rows — raise maxQueries only if the driver can " +
+        "hold the LUTs, or batch the queries")
     if (qRows.isEmpty)
       return c.sparkSession.createDataFrame(
         c.sparkSession.sparkContext.emptyRDD[Row],
@@ -714,11 +720,6 @@ object Similarity {
       maxQueries: Long = 100000L): DataFrame = {
     require(k >= 1 && m >= 1 && codebookSize >= 1 && iterations >= 1,
       "pqTopKPortable needs k, m, codebookSize, iterations >= 1")
-    require(queries.limit((maxQueries + 1).min(Int.MaxValue).toInt).count()
-        <= maxQueries,
-      s"pqTopKPortable collects the query frame (broadcast contract): " +
-        s"more than $maxQueries query rows — raise maxQueries only if " +
-        "the driver can hold the LUTs, or batch the queries")
     val quantUdf = udf((v: Seq[Double]) =>
       Clustering.quantizeKernel(v, scale, offset))
     val scoreField = org.apache.spark.sql.types.StructField("adc_dist",
@@ -772,10 +773,18 @@ object Similarity {
         code
       })
       val codes = c.select(col("vec_id"), encodeUdf(col("qv")).as("code"))
+      // broadcast-contract guard folded into the collect itself (ONE job,
+      // not a limit+count probe plus a collect): stop at maxQueries+1
+      // rows and fail loudly on overflow
       val qRows = queries.filter(col(vecCol).isNotNull)
         .select(col(idCol).as("query_id"),
           quantUdf(transform(col(vecCol), x => x.cast("double"))).as("qq"))
+        .limit((maxQueries + 1).min(Int.MaxValue).toInt)
         .collect()
+      require(qRows.length <= maxQueries,
+        s"pqTopKPortable collects the query frame (broadcast contract): " +
+          s"more than $maxQueries query rows — raise maxQueries only if " +
+          "the driver can hold the LUTs, or batch the queries")
       if (qRows.isEmpty) return emptyTopK(corpus, idCol, scoreField)
       // integer ADC LUTs: lut[s][ci] = ‖q_s − centroid_ci‖², exact longs
       val luts: Array[Array[Long]] = qRows.map { r =>
@@ -921,8 +930,7 @@ object Similarity {
       math.min(codebookSize, sample.length), opqIterations,
       kmeansIters = 10, seed = 42L)
     val bcR = corpus.sparkSession.sparkContext.broadcast(rot)
-    val rotUdf = udf((v: Seq[Double]) => {
-      val r = bcR.value
+    def rotateOne(v: Array[Double], r: Array[Array[Double]]): Array[Double] = {
       val d = r.length
       require(v.length == d, s"vector dimension ${v.length} != $d")
       val out = new Array[Double](d)
@@ -933,11 +941,19 @@ object Similarity {
         out(j) = acc; j += 1
       }
       out
-    })
+    }
+    val rotUdf = udf((v: Seq[Double]) => rotateOne(v.toArray, bcR.value))
     def rotate(df: DataFrame): DataFrame = df.withColumn(vecCol,
       when(col(vecCol).isNotNull,
         rotUdf(transform(col(vecCol), x => x.cast("double")))))
+    // the OPQ training sample, rotated driver-side with the SAME kernel
+    // (identical multiplication/summation order → bit-identical doubles),
+    // IS the PQ codebook training set — hand it to pqTopK so it skips its
+    // own sample-collect job (one fit sample trains both R and the books,
+    // the Ge et al. '13 shape)
+    val rotatedSample = sample.map(rotateOne(_, rot))
     pqTopK(rotate(corpus), rotate(queries), idCol, vecCol, k, m,
-      codebookSize, maxFitRows, reRank, Some(nRows), maxQueries)
+      codebookSize, maxFitRows, reRank, Some(nRows), maxQueries,
+      fitSample = Some(rotatedSample))
   }
 }
