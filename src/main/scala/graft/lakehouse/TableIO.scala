@@ -2943,7 +2943,7 @@ object TableIO {
           val writeCdf: (Long, Seq[Versioned.FileEntry], String) => Unit =
             if (!cdfEnabled(m.meta)) (_, _, _) => ()
             else (v, staged, cid) => {
-              import org.apache.spark.sql.functions.lit
+              import org.apache.spark.sql.functions.{lit, when}
               val oldKeys = affectedDf.select(keyColumns: _*).distinct()
               val newRows = scanSpec(spark, Versioned.ScanFiles(tableDir,
                 alignMapping(rewritten.schema, oldSchema, m.meta, b).json,
@@ -2951,12 +2951,16 @@ object TableIO {
                 .join(updKeys, keyCols, "left_semi")
               val pre = affectedDf.join(updKeys, keyCols, "left_semi")
                 .withColumn("_change_type", lit("update_preimage"))
-              val post = newRows.join(oldKeys, keyCols, "left_semi")
-                .withColumn("_change_type", lit("update_postimage"))
-              val ins = newRows.join(oldKeys, keyCols, "left_anti")
-                .withColumn("_change_type", lit("insert"))
-              pre.unionByName(post, allowMissingColumns = true)
-                .unionByName(ins, allowMissingColumns = true)
+              // post-image vs insert classified in ONE left join against
+              // the old key set (was a semi + an anti — two scans of the
+              // staged files); same rows, same change types
+              val postIns = newRows.join(
+                  oldKeys.withColumn("__graft_hit", lit(1)), keyCols, "left")
+                .withColumn("_change_type",
+                  when(col("__graft_hit").isNotNull, lit("update_postimage"))
+                    .otherwise(lit("insert")))
+                .drop("__graft_hit")
+              pre.unionByName(postIns, allowMissingColumns = true)
                 .write.mode(SaveMode.Overwrite)
                 .parquet(cdfDir(tableDir, v, cid).toString)
             }
@@ -3441,6 +3445,7 @@ object TableIO {
                   "replacement key to appear in the removal set (otherwise " +
                   "new rows are indistinguishable from kept rows in the " +
                   s"staged files); offending key: ${escaped.headOption}")
+              import org.apache.spark.sql.functions.{lit, when}
               val oldMatched = affectedDf.join(remA,
                 nullSafeOnRemoval(affectedDf), "left_semi")
               val stagedNew = scanSpec(spark, Versioned.ScanFiles(tableDir,
@@ -3448,17 +3453,22 @@ object TableIO {
                 .join(remKeys, keyCols, "left_semi")
               val newKeys = stagedNew.select(keyColumns: _*).distinct()
               val oldKeys = oldMatched.select(keyColumns: _*).distinct()
-              val pre = oldMatched.join(newKeys, keyCols, "left_semi")
-                .withColumn("_change_type", lit("update_preimage"))
-              val del = oldMatched.join(newKeys, keyCols, "left_anti")
-                .withColumn("_change_type", lit("delete"))
-              val post = stagedNew.join(oldKeys, keyCols, "left_semi")
-                .withColumn("_change_type", lit("update_postimage"))
-              val ins = stagedNew.join(oldKeys, keyCols, "left_anti")
-                .withColumn("_change_type", lit("insert"))
-              pre.unionByName(del, allowMissingColumns = true)
-                .unionByName(post, allowMissingColumns = true)
-                .unionByName(ins, allowMissingColumns = true)
+              // each side classified in ONE left join against the other
+              // side's key set (was a semi + an anti per side — four
+              // scans of the two frames); same rows, same change types
+              val preDel = oldMatched.join(
+                  newKeys.withColumn("__graft_hit", lit(1)), keyCols, "left")
+                .withColumn("_change_type",
+                  when(col("__graft_hit").isNotNull, lit("update_preimage"))
+                    .otherwise(lit("delete")))
+                .drop("__graft_hit")
+              val postIns = stagedNew.join(
+                  oldKeys.withColumn("__graft_hit", lit(1)), keyCols, "left")
+                .withColumn("_change_type",
+                  when(col("__graft_hit").isNotNull, lit("update_postimage"))
+                    .otherwise(lit("insert")))
+                .drop("__graft_hit")
+              preDel.unionByName(postIns, allowMissingColumns = true)
                 .write.mode(SaveMode.Overwrite)
                 .parquet(cdfDir(tableDir, v, cid).toString)
             }
@@ -5203,12 +5213,18 @@ object TableIO {
             }
           }.toSeq ++ keep: _*)
         }
+        // with CDF the affected scan feeds THREE plans (the rewrite, the
+        // pre-image filter, and the post-image projection of the same
+        // matched rows) — persist it so the affected files read once
+        val shareScan = cdfEnabled(m.meta) && affected.nonEmpty
         val affectedScan: Option[DataFrame] =
-          if (affected.isEmpty) None
+          (if (affected.isEmpty) None
           else if (m.meta.contains(Versioned.RowTrackingKey))
             Some(withRowIds(spark, tableDir, m, affected)
               .withColumnRenamed(RowIdColName, PhysRowIdCol))
-          else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, affected)))
+          else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, affected))))
+            .map(df => if (shareScan) df.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df)
         val rewritten = affectedScan.map(applied)
         rewritten.foreach(r =>
           enforceChecks(r, checkConstraintsOf(m.meta), s"$tableName: update"))
@@ -5220,7 +5236,7 @@ object TableIO {
               .unionByName(applied(matched)
                 .withColumn("_change_type", lit("update_postimage")))
           }
-        val commit = Versioned.commitFiles(tableDir, m.schemaJson,
+        val commit = try Versioned.commitFiles(tableDir, m.schemaJson,
           inherit = untouched, expectedBase = Some(b),
           collectStats = collectFileStats(spark, bloomColsOf(m)),
           meta = m.meta,
@@ -5233,7 +5249,7 @@ object TableIO {
             (if (parts.nonEmpty) writer.partitionBy(parts: _*)
              else writer).parquet(target)
           }
-        }
+        } finally { if (shareScan) affectedScan.foreach(_.unpersist()) }
         finishCommit(spark, lh, tableName, tableDir, commit,
           schema.fieldNames.toSeq, parts)
       case _ =>

@@ -462,7 +462,10 @@ object Dedup {
           col("cc").as("prev_cc"))
         .localCheckpoint(true)
       converged = next.filter(col("cc") < col("prev_cc")).isEmpty
-      labels = next.select("id", "cc").localCheckpoint(true)
+      // `next` is already materialized — the projection can stay lazy
+      // (re-checkpointing it paid one more O(V) materialization job per
+      // round); lineage remains flat, rooted at the checkpointed frame
+      labels = next.select("id", "cc")
       iter += 1
     }
     if (!converged)

@@ -29,9 +29,16 @@ object Erasure {
       targets: Seq[(String, String)]): DataFrame = {
     require(targets.nonEmpty, "eraseWhere needs at least one target table")
     val rows = targets.map { case (tbl, cond) =>
-      val before = TableIO.selectTable(spark, lh, tbl).count()
+      // before/after row counts come from the manifest's per-file counts
+      // when available (exact by construction — the same numbers a
+      // count(*) scan returns, O(0) instead of a table scan per figure);
+      // the RESIDUAL figure deliberately stays a real re-scan of the
+      // committed table — that is the audit's whole point.
+      def rowCount(): Long = TableIO.tableRowCount(lh, tbl)
+        .getOrElse(TableIO.selectTable(spark, lh, tbl).count())
+      val before = rowCount()
       TableIO.deleteFromTable(spark, lh, tbl, cond)
-      val after = TableIO.selectTable(spark, lh, tbl).count()
+      val after = rowCount()
       val residual = TableIO.selectTable(spark, lh, tbl)
         .filter(coalesce(expr(cond), lit(false))).count()
       (tbl, before, before - after, after, residual)

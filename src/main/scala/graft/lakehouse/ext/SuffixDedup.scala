@@ -46,9 +46,13 @@ object SuffixDedup {
     // (~1.8 s/round at sf0.1 vs DuckDB's 0.4 s whole query).
     val s0 = math.min(16, p)
     val wDoc = Window.partitionBy("doc").orderBy("pos")
+    // positions come from an int sequence, not posexplode(split(t, ""))
+    // — the split built a length(t)-element array of one-char STRINGS per
+    // document purely to number the positions; the generated ints carry
+    // the same 0-based positions with none of the allocation
     val seeded = base
       .select(col("doc"), length(col("t")).as("len"),
-        posexplode(split(col("t"), "")).as(Seq("pos", "ch")),
+        explode(sequence(lit(0), length(col("t")) - 1)).as("pos"),
         col("t"))
       .select((col("doc") * (1L << PosBits) + col("pos")).as("pid"),
         col("doc"), col("pos"), col("len"),
