@@ -17,15 +17,30 @@ final case class Q(
 
 /** Shared fixture/lakehouse plumbing for the query registry. */
 object QFixtures {
+  // Memoized per (session, path) DataFrame OBJECTS — plan reuse only,
+  // never data: each spark.read.parquet call re-lists the path and
+  // re-infers the schema from footers, which a 450-query bench pays
+  // ~1800 times for the same immutable fixture files. Every action on
+  // the memoized frame still scans the parquet from disk. Keyed by
+  // session identity so a stopped-and-recreated session never hands
+  // out frames bound to a dead context (the test suites do exactly
+  // that).
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+
   /** Load a driver-generated fixture table (TESTDATA.md layout). */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    frames.computeIfAbsent(
+      (System.identityHashCode(spark), s"$sfDir/$name.parquet"),
+      k => spark.read.parquet(k._2))
 
   /** events.parquet's ts encoding has drifted across driver regenerations
     * (NANOS rounds 1–3, MICROS-ntz round 4+) — always go through the
     * encoding-tolerant reader, never bare spark.read.parquet. */
   def ev(spark: SparkSession, sfDir: String): DataFrame =
-    TableIO.readParquetNanoTs(spark, s"$sfDir/events.parquet")
+    frames.computeIfAbsent(
+      (System.identityHashCode(spark), s"$sfDir/events.parquet#nanots"),
+      _ => TableIO.readParquetNanoTs(spark, s"$sfDir/events.parquet"))
 
   private val lakehouses = scala.collection.mutable.HashMap.empty[String, LakehouseProps]
 
