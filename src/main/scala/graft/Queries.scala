@@ -21,25 +21,41 @@ object QFixtures {
   // never data: each spark.read.parquet call re-lists the path and
   // re-infers the schema from footers, which a 450-query bench pays
   // ~1800 times for the same immutable fixture files. Every action on
-  // the memoized frame still scans the parquet from disk. Keyed by
-  // session identity so a stopped-and-recreated session never hands
-  // out frames bound to a dead context (the test suites do exactly
-  // that).
-  private val frames =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+  // the memoized frame still scans the parquet from disk. Keyed WEAKLY
+  // by the session OBJECT so a stopped-and-recreated session never
+  // hands out frames bound to a dead context (the test suites do
+  // exactly that) and dead sessions' entries stay collectable —
+  // identityHashCode alone could collide across sessions.
+  private val frames = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]])
+
+  private def sessionFrames(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] = {
+    val got = frames.get(spark)
+    if (got != null) got
+    else frames.synchronized {
+      val again = frames.get(spark)
+      if (again != null) again
+      else {
+        val fresh =
+          new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+        frames.put(spark, fresh)
+        fresh
+      }
+    }
+  }
 
   /** Load a driver-generated fixture table (TESTDATA.md layout). */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    frames.computeIfAbsent(
-      (System.identityHashCode(spark), s"$sfDir/$name.parquet"),
-      k => spark.read.parquet(k._2))
+    sessionFrames(spark).computeIfAbsent(s"$sfDir/$name.parquet",
+      p => spark.read.parquet(p))
 
   /** events.parquet's ts encoding has drifted across driver regenerations
     * (NANOS rounds 1–3, MICROS-ntz round 4+) — always go through the
     * encoding-tolerant reader, never bare spark.read.parquet. */
   def ev(spark: SparkSession, sfDir: String): DataFrame =
-    frames.computeIfAbsent(
-      (System.identityHashCode(spark), s"$sfDir/events.parquet#nanots"),
+    sessionFrames(spark).computeIfAbsent(s"$sfDir/events.parquet#nanots",
       _ => TableIO.readParquetNanoTs(spark, s"$sfDir/events.parquet"))
 
   private val lakehouses = scala.collection.mutable.HashMap.empty[String, LakehouseProps]
@@ -3763,10 +3779,10 @@ object Queries {
             .withColumn("o_totalprice", col("o_totalprice") * 2))
         Txn.abort(hAbort)
         val h = Txn.begin(lh)
-        Txn.write(h, s, lh, "txn_orders",
-          o.filter(col("o_orderkey") % 200 =!= 0))
-        Txn.write(h, s, lh, "txn_cust",
-          c.filter(col("c_custkey") % 2 =!= 0))
+        // two distinct tables: stage both commits concurrently (§2.6)
+        Txn.writeAll(h, s, lh, Seq(
+          "txn_orders" -> o.filter(col("o_orderkey") % 200 =!= 0),
+          "txn_cust" -> c.filter(col("c_custkey") % 2 =!= 0)))
         Txn.commit(h)
         TableIO.selectTable(s, lh, "txn_orders")
           .join(TableIO.selectTable(s, lh, "txn_cust"),

@@ -42,7 +42,7 @@ object Bloom {
 
   /** K bit positions for one 64-bit hash (double hashing; h2 forced odd so
     * probes cycle the whole table for power-of-two sizes). */
-  private def positions(hash: Long, bits: Int): Array[Int] = {
+  private[lakehouse] def positions(hash: Long, bits: Int): Array[Int] = {
     val out = new Array[Int](K)
     val h1 = hash
     val h2 = (hash >>> 32) | 1L
@@ -54,7 +54,7 @@ object Bloom {
     out
   }
 
-  private def set(words: Array[Long], pos: Int): Unit =
+  private[lakehouse] def set(words: Array[Long], pos: Int): Unit =
     words(pos >>> 6) |= (1L << (pos & 63))
 
   private def get(words: Array[Long], pos: Int): Boolean =

@@ -175,6 +175,10 @@ object MatView {
       val dA = deltas.alias("__d")
       val joined = dA.join(affectedOld, onGroups(dA, "__old"), "left_outer")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // every consumer of the persisted join — including the rescan
+      // trigger probe, which runs an action and can throw — sits inside
+      // the unpersist guard
+      try {
       // a removed row that (possibly) held the group's extremum
       // invalidates the incremental min/max — those groups RESCAN from
       // the pinned source version (O(affected groups' data), the
@@ -246,10 +250,10 @@ object MatView {
       // schema on every refresh would drift it without bound
       val aligned = withRescans.select(mvDf.schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
-      try TableIO.replaceKeyedRows(spark, lh, viewName,
+      TableIO.replaceKeyedRows(spark, lh, viewName,
         deltas.select(groupCols.map(col): _*), aligned, groupCols,
         extraMeta = Map(VersionKey -> targetV.toString))
-      finally joined.unpersist()
+      } finally joined.unpersist()
     } finally deltas.unpersist()
   }
 

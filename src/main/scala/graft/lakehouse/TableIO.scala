@@ -952,10 +952,7 @@ object TableIO {
     // manifest-answerable ([[manifestSums]]) the way count(*) already is.
     // Floating columns deliberately don't: their sum depends on addition
     // order, so a recorded value would not be a portable answer.
-    val sumCols = cols.filter(_.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    })
+    val sumCols = sumStatsCols(cols)
     val aggs = count(lit(1)) +:
       (cols.flatMap(f => Seq(
         min(col(f.name)).cast("string"), max(col(f.name)).cast("string"),
@@ -973,29 +970,111 @@ object TableIO {
     val minMaxBase = 2 // 0 = __fp, 1 = count
     val perCol = 3 // min, max, nullCount
     val bloomBase = minMaxBase + perCol * cols.length
-    rows.map { r =>
+    val raw: Map[String, WriteStats.FileStatsRaw] = rows.map { r =>
       val rel = stagingP.relativize(
         Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
-      def j(i: Int): JValue =
-        if (r.isNullAt(i)) JNull else JString(r.getString(i))
-      // partition-column stats come from the file's OWN path segments:
-      // min = max = the segment value (one value per file by construction),
-      // __HIVE_DEFAULT_PARTITION__ = the all-null file shape
+      def s(i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
+      val mins = Array.tabulate(cols.length)(i => s(minMaxBase + perCol * i))
+      val maxs =
+        Array.tabulate(cols.length)(i => s(minMaxBase + perCol * i + 1))
+      val nulls = Array.tabulate(cols.length)(i =>
+        r.getLong(minMaxBase + perCol * i + 2))
+      val bloomBytes = Array.tabulate(blooms.length)(i =>
+        Option(r.get(bloomBase + i)).map(_.asInstanceOf[Array[Byte]]).orNull)
+      val bytes = r.getLong(bloomBase + blooms.length)
+      val sums = Array.tabulate(sumCols.length)(i =>
+        s(bloomBase + blooms.length + 1 + i))
+      rel -> WriteStats.FileStatsRaw(r.getLong(1), mins, maxs, nulls,
+        bloomBytes, bytes, sums)
+    }.toMap
+    // EMPTY staged files never surface from the aggregation (no rows,
+    // no group), but they DO land in the manifest — without stats they
+    // would poison every stats-only consumer (rowsFromManifest,
+    // manifestColumnStats, pruning all degrade to "must scan" on a
+    // file that provably holds nothing). Record explicit zero-row
+    // stats: rows 0, every column [null, null, 0], partition values
+    // from the path. An empty file is the MOST prunable file there is.
+    val extra = listStagedParquetRel(stagingDir).filterNot(raw.contains)
+      .map { rel =>
+        rel -> WriteStats.FileStatsRaw(0L,
+          new Array[String](cols.length), new Array[String](cols.length),
+          new Array[Long](cols.length), new Array[Array[Byte]](blooms.length),
+          Files.size(stagingP.resolve(rel)), new Array[String](sumCols.length))
+      }.toMap
+    (raw ++ extra).map { case (rel, r) =>
+      rel -> renderFileStats(rel, cols, blooms, sumCols, r)
+    }
+  }
+
+  /** The integral stats columns that also get an EXACT per-file sum
+    * recorded (`__sum_<col>` — DECIMAL(38,0) accumulation, overflow-free
+    * and order-free), so SUM(col) becomes manifest-answerable
+    * ([[manifestSums]]) the way count(*) already is. Floating columns
+    * deliberately don't: their sum depends on addition order, so a
+    * recorded value would not be a portable answer. */
+  private def sumStatsCols(cols: Seq[StructField]): Seq[StructField] =
+    cols.filter(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+
+  /** Staging-relative paths of every parquet file under `stagingDir`. */
+  private def listStagedParquetRel(stagingDir: String): Seq[String] = {
+    val root = Paths.get(stagingDir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val walk = Files.walk(root)
+    try walk.iterator.asScala.filter(p =>
+      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toSeq
+    finally walk.close()
+  }
+
+  /** Shared stats-JSON renderer: one staged file's raw numbers → the
+    * single-line manifest stats doc. Used by BOTH the read-back
+    * aggregation ([[collectFileStats]]) and the write-task tracker
+    * ([[writeStagedWithStats]]) so the two paths render byte-identically.
+    * Partition-column stats come from the file's OWN path segments:
+    * min = max = the segment value (one value per file by construction),
+    * __HIVE_DEFAULT_PARTITION__ = the all-null file shape. Long-string
+    * bounds truncate (prefix min / incremented-prefix max) so a text
+    * column never embeds whole documents in the manifest. */
+  private def renderFileStats(rel: String, cols: Seq[StructField],
+      blooms: Seq[String], sumCols: Seq[StructField],
+      raw: WriteStats.FileStatsRaw): String = {
+    import org.json4s.{JArray, JNull, JString, JValue}
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val u = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (raw.rows == 0L) {
+      val partStats: Seq[(String, JValue)] =
+        rel.split('/').toSeq.dropRight(1).filter(_.contains('='))
+          .map { seg =>
+            val Array(rawK, _) = seg.split("=", 2)
+            u.unescapePathName(rawK) ->
+              (JArray(List(JNull, JNull, JString("0"))): JValue)
+          }
+      val fields: Seq[(String, JValue)] =
+        (RowsKey -> (JString("0"): JValue)) +:
+          (cols.map(f => f.name ->
+            (JArray(List(JNull, JNull, JString("0"))): JValue)) ++
+            partStats ++ Seq(BytesKey -> (JString(
+              raw.bytes.toString): JValue)) ++
+            sumCols.map(f =>
+              (SumStatPrefix + f.name) -> (JString("0"): JValue)))
+      compact(render(org.json4s.JObject(fields.toList)))
+    } else {
+      def j(s: String): JValue = if (s == null) JNull else JString(s)
       val partStats: Seq[(String, JValue)] = rel.split('/').toSeq.dropRight(1)
         .filter(_.contains('=')).map { seg =>
           val Array(rawK, rawV) = seg.split("=", 2)
-          val u = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           val k = u.unescapePathName(rawK)
           if (rawV == u.DEFAULT_PARTITION_NAME)
             k -> (JArray(List(JNull, JNull,
-              JString(r.getLong(1).toString))): JValue)
+              JString(raw.rows.toString))): JValue)
           else {
             val v = JString(u.unescapePathName(rawV))
             k -> (JArray(List(v, v, JString("0"))): JValue)
           }
         }
-      // long-string bounds truncate (prefix min / incremented-prefix max)
-      // so a text column never embeds whole documents in the manifest
       def statMin(f: StructField, v: JValue): JValue = (f.dataType, v) match {
         case (StringType, JString(s)) => JString(truncStatMin(s))
         case _ => v
@@ -1006,72 +1085,90 @@ object TableIO {
         case _ => v
       }
       val fields: Seq[(String, JValue)] =
-        (RowsKey -> (JString(r.getLong(1).toString): JValue)) +:
+        (RowsKey -> (JString(raw.rows.toString): JValue)) +:
         (cols.zipWithIndex.map { case (f, i) =>
-          val base = minMaxBase + perCol * i
-          f.name -> (JArray(List(statMin(f, j(base)), statMax(f, j(base + 1)),
-            JString(r.getLong(base + 2).toString))): JValue)
+          f.name -> (JArray(List(statMin(f, j(raw.mins(i))),
+            statMax(f, j(raw.maxs(i))),
+            JString(raw.nullCounts(i).toString))): JValue)
         } ++ partStats ++ blooms.zipWithIndex.flatMap { case (c, i) =>
-          Option(r.get(bloomBase + i)).map { bytes =>
+          Option(raw.blooms(i)).map { bytes =>
             (Bloom.StatsPrefix + c) -> (JString(java.util.Base64.getEncoder
-              .encodeToString(bytes.asInstanceOf[Array[Byte]])): JValue)
+              .encodeToString(bytes)): JValue)
           }
         } ++ Seq(BytesKey ->
-          (JString(r.getLong(bloomBase + blooms.length).toString): JValue))
+          (JString(raw.bytes.toString): JValue))
           ++ sumCols.zipWithIndex.map { case (f, i) =>
             // all-null file: sum is NULL; record "0" (the additive
             // identity — manifestSums derives overall-NULL from the
             // nullCounts, not from here)
-            (SumStatPrefix + f.name) -> (j(bloomBase + blooms.length + 1 + i)
-              match {
-                case JNull => JString("0"): JValue
-                case v => v
-              })
+            (SumStatPrefix + f.name) -> (j(raw.sums(i)) match {
+              case JNull => JString("0"): JValue
+              case v => v
+            })
           })
-      rel -> compact(render(org.json4s.JObject(fields.toList)))
-    }.toMap ++ {
-      // EMPTY staged files never surface from the aggregation (no rows,
-      // no group), but they DO land in the manifest — without stats they
-      // would poison every stats-only consumer (rowsFromManifest,
-      // manifestColumnStats, pruning all degrade to "must scan" on a
-      // file that provably holds nothing). Record explicit zero-row
-      // stats: rows 0, every column [null, null, 0], partition values
-      // from the path. An empty file is the MOST prunable file there is.
-      import scala.jdk.CollectionConverters._
-      val seen = rows.map { r =>
-        Paths.get(stagingDir).relativize(
-          Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
-      }.toSet
-      val walk = java.nio.file.Files.walk(Paths.get(stagingDir))
-      val allParquet =
-        try walk.iterator.asScala.filter(p =>
-          java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet")).toList
-        finally walk.close()
-      allParquet.flatMap { p =>
-        val rel = Paths.get(stagingDir).relativize(p).toString
-        if (seen(rel)) None
-        else {
-          val partStats: Seq[(String, JValue)] =
-            rel.split('/').toSeq.dropRight(1).filter(_.contains('='))
-              .map { seg =>
-                val Array(rawK, _) = seg.split("=", 2)
-                val u = org.apache.spark.sql.catalyst.catalog
-                  .ExternalCatalogUtils
-                u.unescapePathName(rawK) ->
-                  (JArray(List(JNull, JNull, JString("0"))): JValue)
-              }
-          val fields: Seq[(String, JValue)] =
-            (RowsKey -> (JString("0"): JValue)) +:
-              (cols.map(f => f.name ->
-                (JArray(List(JNull, JNull, JString("0"))): JValue)) ++
-                partStats ++ Seq(BytesKey -> (JString(
-                  java.nio.file.Files.size(p).toString): JValue)) ++
-                sumCols.map(f =>
-                  (SumStatPrefix + f.name) -> (JString("0"): JValue)))
-          Some(rel -> compact(render(org.json4s.JObject(fields.toList))))
+      compact(render(org.json4s.JObject(fields.toList)))
+    }
+  }
+
+  /** Staged parquet write WITH write-task-side per-file stats (guide §1.2:
+    * don't pay a second Spark job to recompute what the write tasks already
+    * saw). Same writer machinery as `df.write.parquet`, plus a
+    * [[WriteStats.Tracker]]. Returns the rendered stats map, or null when
+    * the tracker poisoned or missed a staged file — callers then fall back
+    * to [[collectFileStats]], so results can never change. */
+  private[lakehouse] def writeStagedWithStats(df: DataFrame, target: String,
+      partitionBy: Seq[String] = Seq.empty,
+      bloomStatCols: Seq[String] = Seq.empty,
+      parquetBloomCols: Seq[String] = Seq.empty): Map[String, String] = {
+    import org.apache.spark.sql.graftbridge.StatsWriteBridge
+    val cols = statsColumns(df.schema, exclude = partitionBy.toSet)
+    val blooms = bloomStatCols.filter(df.columns.contains)
+    val sumCols = sumStatsCols(cols)
+    val options = parquetBloomCols
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    // the write tasks hand the tracker the DATA row (partition columns are
+    // stripped into the directory path before the row reaches the writer),
+    // so ordinals bind against the schema minus partition columns
+    val dataSchema = StructType(
+      df.schema.fields.filterNot(f => partitionBy.contains(f.name)))
+    // a bloom column that is also a partition column can't be tracked from
+    // the data row — write untracked and let the caller fall back
+    val trackable = blooms.forall(c => dataSchema.fieldNames.contains(c))
+    val tracker =
+      if (!trackable) null
+      else new WriteStats.Tracker(dataSchema, cols.map(_.name), blooms,
+        StatsWriteBridge.sessionZoneId(df),
+        new WriteStats.SerializableConf(
+          StatsWriteBridge.hadoopConfWithOptions(df, options)))
+    StatsWriteBridge.writeParquet(df, target, partitionBy, options,
+      Option(tracker).toSeq)
+    if (tracker == null) return null
+    tracker.result match {
+      case Some(raw) if listStagedParquetRel(target).toSet == raw.keySet =>
+        raw.map { case (rel, r) =>
+          rel -> renderFileStats(rel, cols, blooms, sumCols, r)
         }
-      }.toMap
+      case _ => null
+    }
+  }
+
+  /** Pairs one staged write with its commit's collectStats hook: the write
+    * computes per-file stats inside its own tasks; [[collect]] serves them
+    * and falls back to the read-back stats job when the write didn't run
+    * (e.g. a zero-file maintenance commit) or the tracker poisoned. One
+    * instance per commit call; retried commit attempts overwrite. */
+  private[lakehouse] final class StagedWrite(spark: SparkSession,
+      bloomStatCols: Seq[String] = Seq.empty) {
+    @volatile private var captured: Map[String, String] = null
+    def write(df: DataFrame, target: String,
+        partitionBy: Seq[String] = Seq.empty,
+        parquetBloomCols: Seq[String] = Seq.empty): Unit =
+      captured = writeStagedWithStats(df, target, partitionBy, bloomStatCols,
+        parquetBloomCols)
+    def collect(stagingDir: String): Map[String, String] = {
+      val got = captured
+      if (got != null) got
+      else collectFileStats(spark, bloomStatCols)(stagingDir)
     }
   }
 
@@ -2571,6 +2668,7 @@ object TableIO {
       else if (sortBy.isEmpty) df
       else df.repartitionByRange(sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+    val sw = new StagedWrite(spark, bloomFilterFor)
     val commit = Versioned.commitFiles(tableDir, df.schema.json,
       // the CDF preimage is pinned to prevVersion (committing without
       // pinning that base would let a concurrent commit slip between the
@@ -2580,7 +2678,7 @@ object TableIO {
       // pins the identity-watermark read the same way
       expectedBase = pinBase.orElse(
         if (prevScanForCdf.isDefined) prevVersion else None),
-      collectStats = collectFileStats(spark, bloomFilterFor),
+      collectStats = sw.collect,
       meta = carried ++ extraMeta +
         (PartitionByKey -> partitionBy.mkString(",")),
       op = "WRITE",
@@ -2596,11 +2694,8 @@ object TableIO {
       }) { target =>
       // manifest blooms skip whole FILES; parquet-native blooms on the same
       // columns skip row groups WITHIN the files that survive
-      val writer = bloomFilterFor.foldLeft(clustered.write.mode(SaveMode.Append)) {
-        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-      }
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-       else writer).parquet(target)
+      sw.write(clustered, target, partitionBy = partitionBy,
+        parquetBloomCols = bloomFilterFor)
     }
     finishCommit(spark, lh, tableName, tableDir, commit, df.columns.toSeq, partitionBy)
   }
@@ -2639,11 +2734,12 @@ object TableIO {
           // (an unpinned overwrite here would silently drop the winner's
           // rows instead)
           try {
+            val sw = new StagedWrite(spark)
             val commit = Versioned.commitFiles(tableDir, df.schema.json,
               expectedBase = Some(0L),
-              collectStats = collectFileStats(spark),
+              collectStats = sw.collect,
               meta = extraMeta, op = "APPEND") { target =>
-              df.write.mode(SaveMode.Append).parquet(target)
+              sw.write(df, target)
             }
             return finishCommit(spark, lh, tableName, tableDir, commit,
               df.columns.toSeq, Seq.empty)
@@ -2682,14 +2778,13 @@ object TableIO {
                 val parts = currentPartitioning(lh, tableName)
                 try {
                   val evolvedM = alignMapping(evolved, oldSchema, m.meta, base)
+                  val sw = new StagedWrite(spark, bloomColsOf(m))
                   val commit = Versioned.commitFiles(tableDir, evolvedM.json,
                     inherit = m.entries, expectedBase = Some(base),
-                    collectStats = collectFileStats(spark, bloomColsOf(m)),
+                    collectStats = sw.collect,
                     meta = m.meta ++ extraMeta ++ idMeta, op = "APPEND") { target =>
-                    val writer = toPhysical(aligned, evolvedM)
-                      .write.mode(SaveMode.Append)
-                    (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-                     else writer).parquet(target)
+                    sw.write(toPhysical(aligned, evolvedM), target,
+                      partitionBy = parts)
                   }
                   return finishCommit(spark, lh, tableName, tableDir, commit,
                     evolvedM.fieldNames.toSeq, parts)
@@ -2966,17 +3061,16 @@ object TableIO {
             }
           try {
             val rewrittenM = alignMapping(rewritten.schema, oldSchema, m.meta, b)
+            val sw = new StagedWrite(spark, bloomColsOf(m))
             val commit = Versioned.commitFiles(tableDir, rewrittenM.json,
               inherit = untouched, expectedBase = Some(b),
-              collectStats = collectFileStats(spark, bloomColsOf(m)),
+              collectStats = sw.collect,
               // extraMeta rides the SAME manifest (streaming upsert txn
               // watermarks need batch-id-and-data atomicity)
               meta = m.meta ++ extraMeta,
               beforeMarker = writeCdf, op = "MERGE") { target =>
-              val writer = toPhysical(rewritten, rewrittenM)
-                .write.mode(SaveMode.Append)
-              (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-               else writer).parquet(target)
+              sw.write(toPhysical(rewritten, rewrittenM), target,
+                partitionBy = parts)
             }
             finishCommit(spark, lh, tableName, tableDir, commit,
               rewritten.columns.toSeq, parts)
@@ -3317,22 +3411,19 @@ object TableIO {
             _ unionByName _))
         }
       val parts = currentPartitioning(lh, tableName)
+      val sw = new StagedWrite(spark, bloomColsOf(m))
       val commit = Versioned.commitFiles(tableDir, m.schemaJson,
         inherit = untouched, expectedBase = Some(b),
-        collectStats = collectFileStats(spark, bloomColsOf(m)),
+        collectStats = sw.collect,
         meta = m.meta ++ insIdMeta,
         beforeMarker = (v, _, cid) => changes.foreach(
           _.write.mode(SaveMode.Overwrite)
             .parquet(cdfDir(tableDir, v, cid).toString)),
         op = "MERGE") { target =>
-        val physical = toPhysical(payload, schema)
         // empty payloads still commit (a version whose only effect is
         // inherited entries) — but Spark won't write an empty dir plan
-        if (affected.nonEmpty || inserts.isDefined) {
-          val writer = physical.write.mode(SaveMode.Append)
-          (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-           else writer).parquet(target)
-        }
+        if (affected.nonEmpty || inserts.isDefined)
+          sw.write(toPhysical(payload, schema), target, partitionBy = parts)
       }
       finishCommit(spark, lh, tableName, tableDir, commit,
         schema.fieldNames.toSeq, parts)
@@ -3473,15 +3564,14 @@ object TableIO {
                 .parquet(cdfDir(tableDir, v, cid).toString)
             }
           try {
+            val sw = new StagedWrite(spark, bloomColsOf(m))
             val commit = Versioned.commitFiles(tableDir, rewrittenM.json,
               inherit = untouched, expectedBase = Some(b),
-              collectStats = collectFileStats(spark, bloomColsOf(m)),
+              collectStats = sw.collect,
               meta = m.meta ++ extraMeta, beforeMarker = writeCdf, op = op) {
               target =>
-                val writer = toPhysical(rewritten, rewrittenM)
-                  .write.mode(SaveMode.Append)
-                (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-                 else writer).parquet(target)
+                sw.write(toPhysical(rewritten, rewrittenM), target,
+                  partitionBy = parts)
             }
             finishCommit(spark, lh, tableName, tableDir, commit,
               rewritten.columns.toSeq, parts)
@@ -4502,9 +4592,10 @@ object TableIO {
           if (zorderBy.isEmpty) mm
           else mm + (ClusterByKey -> zorderBy.mkString(",")) +
             (ClusterCurveKey -> (if (hilbert) "hilbert" else "zorder"))
+        val sw = new StagedWrite(spark, blooms)
         val commit = commitMaintenance(tableDir, b, m, affected,
           metaOf = metaOut,
-          collectStats = collectFileStats(spark, blooms),
+          collectStats = sw.collect,
           beforeMarker = (v, _, cid) => emptyCdf.foreach(
             _.write.mode(SaveMode.Overwrite)
               .parquet(cdfDir(tableDir, v, cid).toString)),
@@ -4512,11 +4603,8 @@ object TableIO {
           if (affected.nonEmpty) {
             val physical = toPhysical(arranged,
               DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-            val writer = blooms.foldLeft(physical.write.mode(SaveMode.Append)) {
-              (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-            }
-            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-             else writer).parquet(target)
+            sw.write(physical, target, partitionBy = parts,
+              parquetBloomCols = blooms)
           }
         }
         finishCommit(spark, lh, tableName, tableDir, commit,
@@ -4534,13 +4622,12 @@ object TableIO {
             Zorder.cluster(df, zorderBy, Some(nFiles), hilbert)
           else if (parts.isEmpty) df.coalesce(nFiles)
           else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+        val sw = new StagedWrite(spark)
         val commit = Versioned.commitFiles(tableDir, df.schema.json,
           expectedBase = base,
-          collectStats = collectFileStats(spark, Seq.empty),
+          collectStats = sw.collect,
           op = "OPTIMIZE") { target =>
-          val writer = arranged.write.mode(SaveMode.Append)
-          (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-           else writer).parquet(target)
+          sw.write(arranged, target, partitionBy = parts)
         }
         finishCommit(spark, lh, tableName, tableDir, commit,
           df.columns.toSeq, parts)
@@ -4728,10 +4815,11 @@ object TableIO {
       if (!cdfEnabled(m.meta)) None
       else Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         df.schema.add("_change_type", StringType)))
+    val sw = new StagedWrite(spark, blooms)
     val commit = commitMaintenance(tableDir, b, m, affected,
       metaOf = mm => mm + (ClusterByKey -> zorderBy.mkString(",")) +
         (ClusterCurveKey -> (if (hilbert) "hilbert" else "zorder")),
-      collectStats = collectFileStats(spark, blooms),
+      collectStats = sw.collect,
       beforeMarker = (v, _, cid) => emptyCdf.foreach(
         _.write.mode(SaveMode.Overwrite)
           .parquet(cdfDir(tableDir, v, cid).toString)),
@@ -4739,11 +4827,8 @@ object TableIO {
       if (affected.nonEmpty) {
         val physical = toPhysical(arranged,
           DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-        val writer = blooms.foldLeft(physical.write.mode(SaveMode.Append)) {
-          (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-        }
-        (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-         else writer).parquet(target)
+        sw.write(physical, target, partitionBy = parts,
+          parquetBloomCols = blooms)
       }
     }
     finishCommit(spark, lh, tableName, tableDir, commit,
@@ -4859,9 +4944,10 @@ object TableIO {
             else affectedShared.map(_.filter(cond)
               .withColumn("_change_type",
                 org.apache.spark.sql.functions.lit("delete")))
+          val sw = new StagedWrite(spark, bloomColsOf(m))
           val commit = Versioned.commitFiles(tableDir, m.schemaJson,
             inherit = untouched, expectedBase = Some(b),
-            collectStats = collectFileStats(spark, bloomColsOf(m)),
+            collectStats = sw.collect,
             meta = m.meta,
             beforeMarker = (v, _, cid) => changes.foreach(
               _.write.mode(SaveMode.Overwrite)
@@ -4876,11 +4962,9 @@ object TableIO {
                 else withRowIds(spark, tableDir, m, affected)
                   .withColumnRenamed(RowIdColName, PhysRowIdCol))
                 .filter(not(cond))
-              val writer = toPhysical(survivors,
-                  DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-                .write.mode(SaveMode.Append)
-              (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-               else writer).parquet(target)
+              sw.write(toPhysical(survivors,
+                  DataType.fromJson(m.schemaJson).asInstanceOf[StructType]),
+                target, partitionBy = parts)
             }
           }
           val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -5225,29 +5309,32 @@ object TableIO {
           else Some(scanSpec(spark, Versioned.scanOf(tableDir, m, affected))))
             .map(df => if (shareScan) df.persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df)
-        val rewritten = affectedScan.map(applied)
-        rewritten.foreach(r =>
-          enforceChecks(r, checkConstraintsOf(m.meta), s"$tableName: update"))
-        val changes: Option[DataFrame] =
-          if (!cdfEnabled(m.meta) || affected.isEmpty) None
-          else affectedScan.map { sc =>
-            val matched = sc.filter(cond).drop(PhysRowIdCol)
-            matched.withColumn("_change_type", lit("update_preimage"))
-              .unionByName(applied(matched)
-                .withColumn("_change_type", lit("update_postimage")))
-          }
-        val commit = try Versioned.commitFiles(tableDir, m.schemaJson,
-          inherit = untouched, expectedBase = Some(b),
-          collectStats = collectFileStats(spark, bloomColsOf(m)),
-          meta = m.meta,
-          beforeMarker = (v, _, cid) => changes.foreach(
-            _.write.mode(SaveMode.Overwrite)
-              .parquet(cdfDir(tableDir, v, cid).toString)),
-          op = "UPDATE") { target =>
-          rewritten.foreach { r =>
-            val writer = toPhysical(r, schema).write.mode(SaveMode.Append)
-            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-             else writer).parquet(target)
+        // everything after the persist — including the CHECK-constraint
+        // validation, which can throw — sits inside the unpersist guard
+        val commit = try {
+          val rewritten = affectedScan.map(applied)
+          rewritten.foreach(r =>
+            enforceChecks(r, checkConstraintsOf(m.meta), s"$tableName: update"))
+          val changes: Option[DataFrame] =
+            if (!cdfEnabled(m.meta) || affected.isEmpty) None
+            else affectedScan.map { sc =>
+              val matched = sc.filter(cond).drop(PhysRowIdCol)
+              matched.withColumn("_change_type", lit("update_preimage"))
+                .unionByName(applied(matched)
+                  .withColumn("_change_type", lit("update_postimage")))
+            }
+          val sw = new StagedWrite(spark, bloomColsOf(m))
+          Versioned.commitFiles(tableDir, m.schemaJson,
+            inherit = untouched, expectedBase = Some(b),
+            collectStats = sw.collect,
+            meta = m.meta,
+            beforeMarker = (v, _, cid) => changes.foreach(
+              _.write.mode(SaveMode.Overwrite)
+                .parquet(cdfDir(tableDir, v, cid).toString)),
+            op = "UPDATE") { target =>
+            rewritten.foreach { r =>
+              sw.write(toPhysical(r, schema), target, partitionBy = parts)
+            }
           }
         } finally { if (shareScan) affectedScan.foreach(_.unpersist()) }
         finishCommit(spark, lh, tableName, tableDir, commit,

@@ -86,25 +86,85 @@ object Txn {
   def write(h: Handle, spark: SparkSession, lh: LakehouseProps,
       tableName: String, df: DataFrame): Unit = {
     val tableDir = Catalog.tablePath(lh, tableName)
+    requireWritable(h, tableDir, tableName)
+    h.writes += tableDir -> stageOne(h, spark, lh, tableName, tableDir, df)
+    // liveness: the grace clock is the ref mtime — re-touch every ref so
+    // a long later write cannot age the earlier tables into a steal
+    heartbeat(h)
+  }
+
+  /** Stage appends to several DISTINCT tables of one transaction
+    * concurrently (optimization guide §2.6 — the per-table commits touch
+    * disjoint table dirs, so their jobs back-fill each other's
+    * stragglers instead of running strictly one after another).
+    * Equivalent to calling [[write]] once per pair: same staged commits,
+    * same pending refs, registration in INPUT order. On any failure the
+    * already-staged writes register normally (they stay invisible until
+    * the outcome decides — aborting the transaction discards them, the
+    * protocol's usual crash story) and the first failure rethrows. */
+  def writeAll(h: Handle, spark: SparkSession, lh: LakehouseProps,
+      writes: Seq[(String, DataFrame)]): Unit = {
+    val dirs = writes.map { case (t, _) => Catalog.tablePath(lh, t) }
+    require(dirs.distinct.size == dirs.size,
+      s"transaction ${h.id}: writeAll targets must be distinct tables")
+    writes.zip(dirs).foreach { case ((t, _), d) => requireWritable(h, d, t) }
+    if (writes.size <= 1) {
+      writes.foreach { case (t, df) => write(h, spark, lh, t, df) }
+      return
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, writes.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results =
+      try {
+        val futs = writes.zip(dirs).map { case ((t, df), d) =>
+          Future((d, stageOne(h, spark, lh, t, d, df)))
+        }
+        futs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      } finally pool.shutdown()
+    // registration happens on the caller thread only (the handle's map is
+    // not synchronized), in input order
+    results.foreach {
+      case scala.util.Success((d, v)) => h.writes += d -> v
+      case _ => ()
+    }
+    heartbeat(h)
+    results.foreach {
+      case scala.util.Failure(e) => throw e
+      case _ => ()
+    }
+  }
+
+  private def requireWritable(h: Handle, tableDir: String,
+      tableName: String): Unit = {
     require(!h.writes.contains(tableDir),
       s"transaction ${h.id} already wrote $tableName — one write per " +
         "table per transaction")
     require(txnOutcomeOf(h).isEmpty,
       s"transaction ${h.id} is already decided")
+  }
+
+  /** Stage one table's append and return its pending version (does not
+    * touch the handle's registration state — callers do). */
+  private def stageOne(h: Handle, spark: SparkSession, lh: LakehouseProps,
+      tableName: String, tableDir: String, df: DataFrame): Long = {
     val base = Versioned.latestVersion(tableDir)
     val ref: (Long, Seq[Versioned.FileEntry], String) => Unit =
       (v, _, cid) => writeRef(tableDir, v, cid, h.outcome)
     val commit = base match {
       case None =>
+        val sw = new TableIO.StagedWrite(spark)
         Versioned.commitFiles(tableDir, df.schema.json,
           expectedBase = Some(0L),
-          collectStats = TableIO.collectFileStats(spark),
+          collectStats = sw.collect,
           // a reader that does not understand txn refs would see PENDING
           // versions as committed — gate it through the features protocol
           meta = Versioned.withFeature(
             Map.empty[String, String], "multiTableTxn"),
           beforeMarker = ref, op = "TXN APPEND", txn = Some(h.id)) { target =>
-          df.write.mode(SaveMode.Append).parquet(target)
+          sw.write(df, target)
         }
       case Some(b) =>
         val m = Versioned.readManifest(tableDir, b).getOrElse(
@@ -137,23 +197,18 @@ object Txn {
           TableIO.enforceChecks(aligned, TableIO.checkConstraintsOf(m.meta),
             s"$tableName: txn append")
           val parts = TableIO.partitioningOfFiles(m.files)
+          val sw = new TableIO.StagedWrite(spark, TableIO.bloomColsOf(m))
           Versioned.commitFiles(tableDir, m.schemaJson, inherit = m.entries,
             expectedBase = Some(b),
-            collectStats = TableIO.collectFileStats(spark,
-              TableIO.bloomColsOf(m)),
+            collectStats = sw.collect,
             meta = Versioned.withFeature(m.meta ++ idMeta, "multiTableTxn"),
             beforeMarker = ref, op = "TXN APPEND", txn = Some(h.id)) { target =>
-            val physical = TableIO.toPhysical(aligned, schema)
-            val writer = physical.write.mode(SaveMode.Append)
-            (if (parts.nonEmpty) writer.partitionBy(parts: _*)
-             else writer).parquet(target)
+            sw.write(TableIO.toPhysical(aligned, schema), target,
+              partitionBy = parts)
           }
         } finally pin.foreach(_.unpersist())
     }
-    h.writes += tableDir -> commit.version
-    // liveness: the grace clock is the ref mtime — re-touch every ref so
-    // a long later write cannot age the earlier tables into a steal
-    heartbeat(h)
+    commit.version
   }
 
   /** Refresh the transaction's liveness clock (every ref's mtime). Call

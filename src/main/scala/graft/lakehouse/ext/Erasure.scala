@@ -28,7 +28,7 @@ object Erasure {
   def eraseWhere(spark: SparkSession, lh: LakehouseProps,
       targets: Seq[(String, String)]): DataFrame = {
     require(targets.nonEmpty, "eraseWhere needs at least one target table")
-    val rows = targets.map { case (tbl, cond) =>
+    def eraseOne(tbl: String, cond: String): (String, Long, Long, Long, Long) = {
       // before/after row counts come from the manifest's per-file counts
       // when available (exact by construction — the same numbers a
       // count(*) scan returns, O(0) instead of a table scan per figure);
@@ -43,6 +43,31 @@ object Erasure {
         .filter(coalesce(expr(cond), lit(false))).count()
       (tbl, before, before - after, after, residual)
     }
+    // DISTINCT tables are independent commit chains (disjoint table dirs):
+    // run their erasures from a small driver pool so one table's commit
+    // tail back-fills with the next table's scan (optimization guide §2.6
+    // — actions are only sequential because the driver calls them
+    // sequentially). Repeated tables keep the sequential path: their
+    // deletes would race the same commit log. Report rows keep INPUT
+    // order either way, so results are identical.
+    val rows: Seq[(String, Long, Long, Long, Long)] =
+      if (targets.size < 2 ||
+          targets.map(_._1).distinct.size != targets.size)
+        targets.map { case (tbl, cond) => eraseOne(tbl, cond) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(3, targets.size))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        try {
+          val futs = targets.map { case (tbl, cond) =>
+            Future(eraseOne(tbl, cond))
+          }
+          futs.map(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+      }
     import spark.implicits._
     rows.toDF("table_name", "rows_before", "rows_deleted", "rows_after",
       "residual_rows")

@@ -404,7 +404,7 @@ object Similarity {
     val qRows = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("qv"))
-      .limit((maxQueries + 1).min(Int.MaxValue).toInt)
+      .limit((maxQueries.min(Int.MaxValue - 2) + 1).toInt)
       .collect()
     require(qRows.length <= maxQueries,
       s"pqTopK collects the query frame (broadcast contract): more than " +
@@ -779,7 +779,7 @@ object Similarity {
       val qRows = queries.filter(col(vecCol).isNotNull)
         .select(col(idCol).as("query_id"),
           quantUdf(transform(col(vecCol), x => x.cast("double"))).as("qq"))
-        .limit((maxQueries + 1).min(Int.MaxValue).toInt)
+        .limit((maxQueries.min(Int.MaxValue - 2) + 1).toInt)
         .collect()
       require(qRows.length <= maxQueries,
         s"pqTopKPortable collects the query frame (broadcast contract): " +

@@ -50,7 +50,12 @@ object SuffixDedup {
     // — the split built a length(t)-element array of one-char STRINGS per
     // document purely to number the positions; the generated ints carry
     // the same 0-based positions with none of the allocation
+    // precondition: every doc here is non-empty (callers filter
+    // length(t) >= spanLen >= 2) — guard it anyway, because sequence()
+    // steps DOWN for start > stop and an empty doc would emit pos = -1,
+    // bleeding its pid into the previous doc's id space
     val seeded = base
+      .filter(length(col("t")) > 0)
       .select(col("doc"), length(col("t")).as("len"),
         explode(sequence(lit(0), length(col("t")) - 1)).as("pos"),
         col("t"))

@@ -169,7 +169,9 @@ object Tokenizer {
     // same words recur constantly, so caching cuts the encode kernel by
     // the type/token ratio. @transient lazy rebuilds the (empty) map on
     // each deserialization, so tasks never share state across executors;
-    // the size cap bounds memory on adversarial vocabularies.
+    // the size cap bounds memory on adversarial vocabularies (2^16 per
+    // task instance: the Zipfian head is what pays, and worst-case memory
+    // multiplies by the number of concurrent tasks per executor).
     val enc = udf(new (String => Array[String]) with Serializable {
       @transient private lazy val cache =
         new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
@@ -181,7 +183,7 @@ object Tokenizer {
             if (hit != null) hit
             else {
               val t = encodeWord(w, bc.value)
-              if (cache.size < (1 << 20)) cache.put(w, t)
+              if (cache.size < (1 << 16)) cache.put(w, t)
               t
             }
           }

@@ -154,12 +154,13 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
           case None =>
             // pinned to base 0: a concurrent creator forces a retry as a
             // normal append instead of silently superseding its commit
+            val sw = new TableIO.StagedWrite(spark)
             Versioned.commitFiles(tableDir, batch.schema.json,
               expectedBase = Some(0L),
-              collectStats = TableIO.collectFileStats(spark),
+              collectStats = sw.collect,
               meta = Map(txnKey -> batchId.toString),
               op = "STREAM APPEND") { target =>
-              writeBatch(batch, Seq.empty, target)
+              sw.write(batch, target)
             }
           case Some(man) =>
             TableIO.enforceChecks(batch,
@@ -183,13 +184,14 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
             val parts =
               if (partitionColumns.nonEmpty) partitionColumns
               else TableIO.partitionSpecOf(man.meta, man.files)
+            val sw = new TableIO.StagedWrite(spark, TableIO.bloomColsOf(man))
             Versioned.commitFiles(tableDir, evolvedM.json,
               inherit = man.entries, expectedBase = base,
-              collectStats = TableIO.collectFileStats(spark,
-                TableIO.bloomColsOf(man)),
+              collectStats = sw.collect,
               meta = man.meta + (txnKey -> batchId.toString),
               op = "STREAM APPEND") { target =>
-              writeBatch(TableIO.toPhysical(aligned, evolvedM), parts, target)
+              sw.write(TableIO.toPhysical(aligned, evolvedM), target,
+                partitionBy = parts)
             }
         }
         return
@@ -199,12 +201,6 @@ class VersionedTableSink(spark: org.apache.spark.sql.SparkSession,
           if (attempt > maxRetries) throw e
       }
     }
-  }
-
-  private def writeBatch(df: DataFrame, parts: Seq[String], target: String): Unit = {
-    val writer = df.write.mode(SaveMode.Append)
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .parquet(target)
   }
 
   override def toString: String = s"VersionedTableSink[$tableDir, app=$appId]"
