@@ -242,7 +242,15 @@ object Relationships {
           .select(col("pid"), col("ttbl"), col("tc"),
             col("vn"), col("vs"), col("vt"), col("vi"))
         val fromKey = struct(col("vn"), col("vs"), col("vt"), col("vi"))
-        val tk = keyCounts.select(col("tbl").as("ktbl"), col("cn").as("kcn"),
+        // shuffle only the to-side (table, column)s that some surviving
+        // pair can actually match — the rest of the key set can never
+        // join (guide §2.3: filter before the exchange)
+        val toSides = survivors.map(p => (p.tt, p.tc)).distinct
+        val tkFilter = toSides.map { case (t, c) =>
+          (col("tbl") === lit(t)) && (col("cn") === lit(c))
+        }.reduce(_ || _)
+        val tk = keyCounts.filter(tkFilter)
+          .select(col("tbl").as("ktbl"), col("cn").as("kcn"),
           col("vn").as("tvn"), col("vs").as("tvs"), col("vt").as("tvt"),
           col("vi").as("tvi"))
         // equi-keys stay (table, column, vn, vs, vt); the exact-integral

@@ -1110,17 +1110,41 @@ object TableIO {
     }
   }
 
+  /** Session conf: target STAGED-COMMIT file size in bytes (0 = off, the
+    * default). At production scale every commit otherwise inherits the
+    * upstream partitioning — e.g. 2000 shuffle partitions → 2000 small
+    * files PER COMMIT (guide §6's small-file problem, unbounded at
+    * 100 TB). When set, staged writes coalesce to
+    * ceil(estimatedBytes / target) output partitions (sized from the
+    * optimizer's estimate — no extra job). OFF by default because file
+    * counts are OBSERVABLE through declared queries (manifest stats,
+    * DESCRIBE DETAIL, row-id spans): enabling it is a deliberate
+    * deployment choice, never a silent local-bench delta. */
+  private[lakehouse] val TargetStagedFileBytesKey =
+    "spark.graft.write.targetStagedFileBytes"
+
   /** Staged parquet write WITH write-task-side per-file stats (guide §1.2:
     * don't pay a second Spark job to recompute what the write tasks already
     * saw). Same writer machinery as `df.write.parquet`, plus a
     * [[WriteStats.Tracker]]. Returns the rendered stats map, or null when
     * the tracker poisoned or missed a staged file — callers then fall back
     * to [[collectFileStats]], so results can never change. */
-  private[lakehouse] def writeStagedWithStats(df: DataFrame, target: String,
+  private[lakehouse] def writeStagedWithStats(df0: DataFrame, target: String,
       partitionBy: Seq[String] = Seq.empty,
       bloomStatCols: Seq[String] = Seq.empty,
       parquetBloomCols: Seq[String] = Seq.empty): Map[String, String] = {
     import org.apache.spark.sql.graftbridge.StatsWriteBridge
+    val tgtBytes = java.lang.Long.parseLong(
+      df0.sparkSession.conf.get(TargetStagedFileBytesKey, "0"))
+    val df =
+      if (tgtBytes <= 0L) df0
+      else {
+        val est = df0.queryExecution.optimizedPlan.stats.sizeInBytes
+        val n = (est / BigInt(tgtBytes)).min(BigInt(Int.MaxValue - 1)).toInt + 1
+        // coalesce never increases partition count — this only merges
+        // small outputs toward the target, it cannot split large ones
+        df0.coalesce(math.max(1, n))
+      }
     val cols = statsColumns(df.schema, exclude = partitionBy.toSet)
     val blooms = bloomStatCols.filter(df.columns.contains)
     val sumCols = sumStatsCols(cols)

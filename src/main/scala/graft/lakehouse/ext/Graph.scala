@@ -153,13 +153,17 @@ object Graph {
     val adjAll = adjacencyOf(canon).persist()
     try {
       // eager O(topN) materialization (the triangleCounts pattern);
-      // TakeOrdered, never a global sort
-      scoredPairs(adjAll, maxDeg)
+      // TakeOrdered, never a global sort. The topN rows come back as a
+      // direct collect into a tiny local frame instead of a trailing
+      // localCheckpoint — same single job, no block-manager round trip.
+      val out = scoredPairs(adjAll, maxDeg)
         .orderBy(col("score_scaled").desc, col("u").asc, col("v").asc)
         .limit(topN)
         .select(col("u"), col("v"),
           (col("score_scaled").cast("double") / lit(1e12)).as("aa_score"))
-        .localCheckpoint()
+      val spark = out.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.collect().toSeq, 1), out.schema)
     } finally adjAll.unpersist(false)
   }
 
@@ -243,7 +247,10 @@ object Graph {
         .limit(topN)
       val deg = adjAll.select(col("w"),
         size(col("nbrs")).cast("long").as("deg"))
-      cn.join(deg.select(col("w").as("u"), col("deg").as("deg_u")),
+      // direct collect of the ≤ topN result rows into a local frame (same
+      // single job the trailing localCheckpoint ran, minus the
+      // block-manager round trip)
+      val out = cn.join(deg.select(col("w").as("u"), col("deg").as("deg_u")),
           Seq("u"))
         .join(deg.select(col("w").as("v"), col("deg").as("deg_v")),
           Seq("v"))
@@ -252,7 +259,9 @@ object Graph {
             .as("jaccard_permille"),
           (col("deg_u") * col("deg_v")).as("pref_attach"))
         .orderBy(col("cn").desc, col("u"), col("v"))
-        .localCheckpoint()
+      val spark = out.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.collect().toSeq, 1), out.schema)
     } finally adjAll.unpersist(false)
   }
 

@@ -108,6 +108,24 @@ object Similarity {
     * (the faiss-style train-on-sample pattern), so this is a bounded
     * ~O(rows × k × dim × iters) flop loop; doing it in MLlib instead costs
     * a distributed job per iteration for the same arithmetic. */
+  /** Run `n` independent, separately-seeded driver-side fits on a fixed
+    * thread pool and return the results BY INDEX — bit-identical to the
+    * sequential `Array.tabulate` (no shared state, no fold-order effects;
+    * each slot's computation is a pure function of its own index/seed). */
+  private def parTabulate[A: scala.reflect.ClassTag](n: Int)(
+      f: Int => A): Array[A] = {
+    if (n <= 1) return Array.tabulate(n)(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(n, Runtime.getRuntime.availableProcessors))
+    try {
+      val futs = Array.tabulate(n)(i =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = f(i)
+        }))
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   private[ext] def lloydKMeans(points: Array[Array[Double]], k: Int,
       iters: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "k-means needs a non-empty sample")
@@ -353,9 +371,12 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
     // per-subspace codebooks, each seeded independently; k-means k capped
-    // by the sample size (a tiny corpus cannot fill 256 cells)
+    // by the sample size (a tiny corpus cannot fill 256 cells). The m fits
+    // are independent (disjoint slices, separate seeds) — run them on a
+    // driver thread pool; results land by index, bit-identical to the
+    // sequential loop.
     val ks = math.min(codebookSize, sample.length)
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    val books: Array[Array[Array[Double]]] = parTabulate(m) { s =>
       lloydKMeans(sample.map(v => v.slice(s * sub, (s + 1) * sub)),
         ks, iters = 10, seed = 42L + s)
     }
@@ -861,8 +882,9 @@ object Similarity {
     while (it < opqIters) {
       val xr = x * r
       val y = DenseMatrix.zeros[Double](n, d)
-      var s = 0
-      while (s < m) {
+      // per-subspace fits + reconstruction fills are independent (separate
+      // seeds, disjoint column ranges of y) — thread-pooled, bit-identical
+      parTabulate(m) { s =>
         val pts = Array.tabulate(n)(i =>
           Array.tabulate(sub)(j => xr(i, s * sub + j)))
         val cents = lloydKMeans(pts, math.min(codebookSize, n),
@@ -882,7 +904,6 @@ object Similarity {
           while (j < sub) { y(i, s * sub + j) = cents(best)(j); j += 1 }
           i += 1
         }
-        s += 1
       }
       val svd.SVD(u, _, vt) = svd(x.t * y)
       r = u * vt

@@ -104,4 +104,25 @@ class WriteStatsSpec extends SparkSuite {
     val df = spark.range(50).select(colsExpr: _*)
     check(df.coalesce(1))
   }
+
+  test("targetStagedFileBytes coalesces staged files; default off keeps " +
+      "upstream partitioning; stats stay identical") {
+    val df = spark.range(0, 10000, 1, 8)
+      .select(col("id"), concat(lit("v"), col("id")).as("s"))
+    def stagedCount(conf: Option[String]): Int = {
+      conf.foreach(v => spark.conf.set(TableIO.TargetStagedFileBytesKey, v))
+      try {
+        val dir = Files.createTempDirectory("ws_size")
+          .resolve("stage").toString
+        val got = TableIO.writeStagedWithStats(df, dir)
+        assert(got != null)
+        assert(got == TableIO.collectFileStats(spark)(dir))
+        got.size
+      } finally conf.foreach(_ =>
+        spark.conf.unset(TableIO.TargetStagedFileBytesKey))
+    }
+    assert(stagedCount(None) == 8, "default off: upstream partitioning")
+    assert(stagedCount(Some((64L * 1024 * 1024).toString)) == 1,
+      "a tiny frame under a 64 MB target coalesces to one file")
+  }
 }
