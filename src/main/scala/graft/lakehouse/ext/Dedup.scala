@@ -720,9 +720,14 @@ object Dedup {
         set.toArray(new Array[String](set.size()))
       }
     })
+    // persisted: BOTH broadcast builds below (a-side and b-side) read this
+    // frame — without the persist each build re-runs the semi-join and the
+    // gram kernel over every candidate document (two full evaluations,
+    // measured ~1.2 s of the warm query at sf0.1)
     val gramSets = df.join(candDocs, Seq(idCol), "left_semi")
       .filter(length(col(textCol)) >= shingleK)
       .select(col(idCol), gramsKernel(col(textCol)).as("gset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // broadcast: the gram-set frame is per-CANDIDATE (LSH-bounded), but
     // its array payload (~grams-per-doc strings/row) crosses the default
     // autoBroadcast threshold, and a sort-merge join here would shuffle
@@ -731,7 +736,7 @@ object Dedup {
     // of the corpus (that is the point of banding); if a corpus ever
     // bands so hot the candidate gram sets outgrow the executors, the
     // exact-verify stage belongs on [[prefixFilterJaccardJoin]] instead.
-    pairs
+    val hist = pairs
       .join(broadcast(gramSets.select(col(idCol).as("a"),
         col("gset").as("ga"))), Seq("a"))
       .join(broadcast(gramSets.select(col(idCol).as("b"),
@@ -741,6 +746,16 @@ object Dedup {
       .select(expr("(__c * 1000) div (__sza + __szb - __c)").as("__jp"))
       .select(expr("cast(__jp div 100 as int)").as("decile"))
       .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+    // the histogram is O(10) rows: materialize it eagerly into a local
+    // frame so every persisted intermediate can be RELEASED here —
+    // previously bands/pairs stayed pinned for the session's lifetime
+    val spark = hist.sparkSession
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(hist.collect().toSeq, 1), hist.schema)
+    gramSets.unpersist(false)
+    pairs.unpersist(false)
+    bands.unpersist(false)
+    out
   }
 
   /** Dedup-savings census over a clustering (e.g.
